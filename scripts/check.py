@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local dev mirror of the driver's t2 correctness gate.
+
+Usage: python3 scripts/check.py [sfDir] [outDir]
+
+Reads outDir/<name>/ (Spark parquet, written by graft.Verify) and
+outDir/oracle_sql.json, runs each oracle SQL in DuckDB against views over
+sfDir/*.parquet, and compares: columns sorted by name, rows sorted, values
+exact (floats compared bit-exact after float64 cast).
+Not part of the shipped library - dev tooling only.
+"""
+import glob
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    # normalize timestamps to ns for cross-engine comparison
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[ns]")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main() -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    with open(f"{OUT_DIR}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    names = sorted(p.split("/")[-1] for p in glob.glob(f"{OUT_DIR}/*")
+                   if not p.endswith(".json"))
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        files = glob.glob(f"{OUT_DIR}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL  {name}: no spark output")
+            n_fail += 1
+            continue
+        got = pd.concat([pd.read_parquet(p) for p in sorted(files)])
+        if name not in oracles:
+            status = "ok" if len(got) > 0 else "EMPTY"
+            print(f"rows-only  {name}: {len(got)} rows {status}")
+            n_rowsonly += 1
+            continue
+        try:
+            want = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        g, w = canon(got.copy()), canon(want.copy())
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL  {name}: columns {list(g.columns)} vs {list(w.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(w):
+            print(f"FAIL  {name}: rows {len(g)} vs {len(w)}")
+            n_fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                          check_exact=True)
+            print(f"PASS  {name} ({len(g)} rows)")
+            n_pass += 1
+        except AssertionError as e:
+            print(f"FAIL  {name}: {str(e)[:500]}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,308 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational / dataflow operators with the semantics of the reference's
+  * `process.py` / `fntools.py` (reubano/meza), re-expressed as pure
+  * `DataFrame => DataFrame` functions so Catalyst sees one declarative plan.
+  *
+  * Design notes for scale (100 TB posture):
+  *   - every op returns a lazy plan; no action, no collect, no driver loop;
+  *   - narrow ops (cut/tfilter/grep/hash/fill-constant) stay inside
+  *     whole-stage codegen and push filters/pruning into the scan;
+  *   - wide ops (unique/group/pivot/sort) shuffle on their keys exactly once
+  *     and rely on AQE for partition coalescing and skew handling;
+  *   - ordered "stream position" semantics from the reference (ffill, everseen)
+  *     require an explicit ordering column — on a cluster there is no implicit
+  *     row order, so the caller names one (reference: generator order).
+  */
+object Ops {
+
+  // ---------------------------------------------------------------- P1: cut
+  /** Select or exclude columns; `prune` drops rows left all-null.
+    * Reference: process.cut, meza/process.py:901-934 (dfilter fntools.py:589-614). */
+  def cut(df: DataFrame, fields: Seq[String], exclude: Boolean = false,
+          prune: Boolean = false): DataFrame = {
+    val kept: Seq[String] =
+      if (exclude) df.columns.filterNot(fields.contains).toSeq else fields
+    val out = df.select(kept.map(col).toSeq: _*)
+    if (prune) out.na.drop("all") else out
+  }
+
+  // ------------------------------------------------------------ P2: tfilter
+  /** Filter on a predicate over one field (missing key => null into pred).
+    * Reference: process.tfilter, meza/process.py:813-848. */
+  def tfilter(df: DataFrame, field: String, pred: Column => Column,
+              inverse: Boolean = false): DataFrame = {
+    val p = pred(col(field))
+    df.filter(if (inverse) !coalesce(p, lit(false)) else p)
+  }
+
+  // --------------------------------------------------------------- P3: grep
+  /** One grep rule: regex OR substring over some fields (callable rules from
+    * the reference map to arbitrary `Column => Column` predicates). */
+  sealed trait GrepRule { def fields: Seq[String]; def toPred(f: String): Column }
+  final case class Regex(pattern: String, fields: Seq[String]) extends GrepRule {
+    def toPred(f: String): Column = col(f).cast(StringType).rlike(pattern)
+  }
+  final case class Substr(s: String, fields: Seq[String]) extends GrepRule {
+    def toPred(f: String): Column = col(f).cast(StringType).contains(s)
+  }
+  final case class PredRule(p: Column => Column, fields: Seq[String]) extends GrepRule {
+    def toPred(f: String): Column = p(col(f))
+  }
+
+  /** Multi-rule pattern filter; a rule matches if ANY of its fields match;
+    * rules combine with OR (`anyMatch`) or AND; `inverse` negates.
+    * Reference: process.grep, meza/process.py:974-1035. */
+  def grep(df: DataFrame, rules: Seq[GrepRule], anyMatch: Boolean = false,
+           inverse: Boolean = false): DataFrame = {
+    def ruleCol(r: GrepRule): Column =
+      r.fields.map(f => coalesce(r.toPred(f), lit(false))).reduce(_ || _)
+    val combined =
+      if (anyMatch) rules.map(ruleCol).reduce(_ || _)
+      else rules.map(ruleCol).reduce(_ && _)
+    df.filter(if (inverse) !combined else combined)
+  }
+
+  // ------------------------------------------------------------- P4: unique
+  /** Dedupe rows by a subset of fields. The reference keeps a bounded 4096-row
+    * LRU window (meza/process.py:851-898) purely as a memory bound for a
+    * single-threaded generator; on Spark the exact shuffle-backed dedupe is
+    * both correct and scalable (hash-partition on the key, spill via Tungsten),
+    * so we intentionally implement exact semantics. */
+  def unique(df: DataFrame, fields: Seq[String] = Nil): DataFrame =
+    if (fields.isEmpty) df.dropDuplicates() else df.dropDuplicates(fields)
+
+  // --------------------------------------------------------------- P5: hash
+  /** Replace chosen fields by their hex digest.
+    * Reference: process.hash, meza/process.py:1038-1070. */
+  def hashFields(df: DataFrame, fields: Seq[String], algo: String = "md5"): DataFrame = {
+    def h(c: Column): Column = algo match {
+      case "md5"    => md5(c.cast(StringType))
+      case "sha1"   => sha1(c.cast(StringType))
+      case "sha256" => sha2(c.cast(StringType), 256)
+      case "sha384" => sha2(c.cast(StringType), 384)
+      case "sha512" => sha2(c.cast(StringType), 512)
+      case other    => throw new IllegalArgumentException(s"unsupported algo $other")
+    }
+    fields.foldLeft(df)((d, f) => d.withColumn(f, h(col(f))))
+  }
+
+  // ---------------------------------------------------------- P6: fillempty
+  /** Null-fill with a constant for chosen fields.
+    * Reference: process.fillempty(value=...), meza/process.py:361-431. */
+  def fillConstant(df: DataFrame, value: Any, fields: Seq[String]): DataFrame =
+    fields.foldLeft(df)((d, f) =>
+      d.withColumn(f, coalesce(col(f), lit(value).cast(d.schema(f).dataType))))
+
+  /** Null-fill from another column (reference `fill_with=`). */
+  def fillFromColumn(df: DataFrame, field: String, from: String): DataFrame =
+    df.withColumn(field, coalesce(col(field), col(from)))
+
+  /** Forward-fill (`method='front'`) / backward-fill (`method='back'`) over an
+    * explicit ordering, optionally within partitions, optionally only `limit`
+    * consecutive nulls. The reference's stream order becomes `orderBy(ord)`;
+    * backward fill materializes the whole stream in the reference
+    * (process.py:378-381) — here it is just the mirrored window frame.
+    * Reference: meza/process.py:361-431, fntools.fill fntools.py:906-994. */
+  def fillDirectional(df: DataFrame, fields: Seq[String], ord: Seq[String],
+                      partitionBy: Seq[String] = Nil, back: Boolean = false,
+                      limit: Option[Int] = None): DataFrame = {
+    val ordCols = if (back) ord.map(col(_).desc) else ord.map(col(_).asc)
+    val base = Window.partitionBy(partitionBy.map(col): _*).orderBy(ordCols: _*)
+    val frame = limit match {
+      case Some(k) => base.rowsBetween(-k.toLong, 0)
+      case None    => base.rowsBetween(Window.unboundedPreceding, 0)
+    }
+    fields.foldLeft(df)((d, f) =>
+      d.withColumn(f, last(col(f), ignoreNulls = true).over(frame)))
+  }
+
+  // ------------------------------------------------------- P7/P8: prepend / peek
+  /** Push rows onto the front of a stream. DataFrames are unordered relations,
+    * so "front" only matters under a later orderBy; this is the unionByName
+    * equivalent. Reference: process.prepend, meza/process.py:603-631. */
+  def prepend(df: DataFrame, rows: DataFrame): DataFrame =
+    rows.unionByName(df, allowMissingColumns = true)
+
+  /** First n rows without consuming the stream — DataFrames re-evaluate, so
+    * nothing is ever consumed. Reference: process.peek, meza/process.py:634-667. */
+  def peek(df: DataFrame, n: Int = 5): Array[Row] = df.head(n)
+
+  // --------------------------------------------------------------- O1: sort
+  /** Sort by keys; the reference materializes and sorts in RAM
+    * (process.py:36) — here it is a range-partitioned distributed sort. */
+  def sortBy(df: DataFrame, keys: Seq[String], desc: Boolean = false): DataFrame =
+    df.orderBy(keys.map(k => if (desc) col(k).desc else col(k).asc): _*)
+
+  // ------------------------------------------------------------- O2: slicing
+  /** head/limit — reference readers' first_row / it.islice idiom
+    * (meza/io.py:456-479). */
+  def headRows(df: DataFrame, n: Int): DataFrame = df.limit(n)
+
+  /** All but the last k rows under an explicit ordering (reference negative
+    * `last_row`, meza/io.py:469-479 deque idiom). Needs a total order to be
+    * well-defined on a cluster. */
+  def dropTail(df: DataFrame, k: Int, ord: Seq[String]): DataFrame = {
+    val w = Window.orderBy(ord.map(col(_).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > k)
+      .drop("__rn")
+  }
+
+  // ---------------------------------------------------------------- O4: everseen
+  /** Running extrema: `pad=true` emits the cumulative min/max on every row
+    * (cummin/cummax); `pad=false` keeps only rows that set a new extremum.
+    * Reference: fntools.op_everseen, meza/fntools.py:1190-1218. */
+  def everseen(df: DataFrame, field: String, ord: Seq[String],
+               partitionBy: Seq[String] = Nil, op: String = "min",
+               pad: Boolean = true): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*)
+      .orderBy(ord.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val runCol = op match {
+      case "min" => min(col(field)).over(w)
+      case "max" => max(col(field)).over(w)
+      case other => throw new IllegalArgumentException(s"op must be min|max, got $other")
+    }
+    val out = df.withColumn(s"${field}_running", runCol)
+    if (pad) out
+    else out.filter(col(field) === col(s"${field}_running")).drop(s"${field}_running")
+  }
+
+  // ------------------------------------------------------------------ S13: concat
+  /** Union-all concat of many record streams with ragged schemas — missing
+    * columns become nulls. Reference: io.join (meza/io.py:1695-1722) and the
+    * it.chain idiom (examples/usage.py:348-357). */
+  def concat(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  // ---------------------------------------------------------------- J1: join
+  /** The reference's only join: cartesian product merging each dict pair,
+    * right side winning on column-name clashes (meza/process.py:785-810
+    * `map(merge, it.product(*records))`). Shared column names resolve
+    * right-biased; disjoint schemas give the plain cross product. */
+  def productJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    val l = clash.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"__l_$c"))
+    val joined = l.crossJoin(right)
+    clash.foldLeft(joined)((d, c) => d.drop(s"__l_$c"))
+  }
+
+  /** Capability uplift over the reference: real equi joins. Catalyst picks
+    * broadcast vs sort-merge; callers pass `broadcastRight=true` for small
+    * dimension tables to force the cheap plan at any scale. */
+  def equiJoin(left: DataFrame, right: DataFrame, on: Seq[String],
+               how: String = "inner", broadcastRight: Boolean = false): DataFrame =
+    left.join(if (broadcastRight) broadcast(right) else right, on, how)
+
+  // ----------------------------------------------------------- A1: aggregate
+  /** Whole-stream aggregate of one column; the reference returns the first
+    * record with that column replaced by the aggregate
+    * (meza/process.py:513-553) — we carry the other columns via first(). */
+  def aggregateCol(df: DataFrame, key: String, op: String): DataFrame = {
+    val agg = opCol(op, col(key)).as(key)
+    val others = df.columns.filterNot(_ == key)
+      .map(c => first(col(c)).as(c))
+    df.agg(agg, others.toSeq: _*)
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
+  private def opCol(op: String, c: Column): Column = op match {
+    case "sum"   => sum(c)
+    // exact decimal-summed double: order-independent under shuffle
+    case "dsum"  => sum(c.cast(DecimalType(24, 6))).cast(DoubleType)
+    case "min"   => min(c)
+    case "max"   => max(c)
+    case "mean"  => avg(c)
+    case "count" => count(c)
+    case "first" => first(c)
+    case other   => throw new IllegalArgumentException(s"unknown op $other")
+  }
+
+  // ------------------------------------------------------- A2: merge-as-agg
+  /** Column-wise combine across all records — e.g. per-column sums
+    * (reference process.merge with pred/op, meza/process.py:434-510,
+    * kernel fntools.combine fntools.py:997-1055). */
+  def mergeAgg(df: DataFrame, fields: Seq[String], op: String = "sum"): DataFrame =
+    df.agg(opCol(op, col(fields.head)).as(fields.head),
+      fields.tail.map(f => opCol(op, col(f)).as(f)): _*)
+
+  // -------------------------------------------------------------- A3: group
+  /** Group by key(s) and aggregate named columns. The reference sorts then
+    * itertools.groupby's (meza/process.py:556-600); Spark hash-aggregates with
+    * map-side partials — same semantics, no global sort. `aggs` maps output
+    * name -> (op, input column). */
+  def groupAgg(df: DataFrame, keys: Seq[String],
+               aggs: Seq[(String, (String, String))]): DataFrame = {
+    val cols = aggs.map { case (out, (op, in)) => opCol(op, col(in)).as(out) }
+    df.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
+  }
+
+  /** Generic-aggregator escape hatch: collect each group to an array of
+    * structs (the reference's default `aggregator=list`). Bounded groups only
+    * — at 100 TB an unbounded collect_list per key is a skew hazard, so this
+    * mirrors the reference's explicit materialization points. */
+  def groupCollect(df: DataFrame, keys: Seq[String], sortWithin: Seq[String] = Nil): DataFrame = {
+    val payload = struct(df.columns.map(col).toSeq: _*)
+    val collected = df.groupBy(keys.map(col): _*)
+      .agg(collect_list(payload).as("rows"))
+    if (sortWithin.nonEmpty) collected.withColumn("rows", array_sort(col("rows")))
+    else collected
+  }
+
+  // -------------------------------------------------------------- A4: pivot
+  /** Spreadsheet pivot: group by `rows`, one output column per distinct value
+    * of `column`, aggregating `data` with `op`. Passing `values` explicitly
+    * avoids Spark's extra distinct-scan job AND makes the output schema
+    * deterministic — both matter at scale. Reference: process.pivot,
+    * meza/process.py:670-745. */
+  def pivot(df: DataFrame, rows: Seq[String], column: String, data: String,
+            op: String = "sum", values: Seq[Any] = Nil,
+            fillValue: Option[Any] = None): DataFrame = {
+    val grouped = df.groupBy(rows.map(col): _*)
+    val piv = if (values.nonEmpty) grouped.pivot(column, values) else grouped.pivot(column)
+    val out = piv.agg(opCol(op, col(data)))
+    val pivoted = out.columns.filterNot(rows.contains)
+    fillValue match {
+      case Some(v: Long)   => out.na.fill(v, pivoted)
+      case Some(v: Int)    => out.na.fill(v.toLong, pivoted)
+      case Some(v: Double) => out.na.fill(v, pivoted)
+      case Some(v: String) => out.na.fill(v, pivoted)
+      case Some(other)     => out.na.fill(other.toString, pivoted)
+      case None            => out
+    }
+  }
+
+  // ---------------------------------------------------------- A5: normalize
+  /** Inverse of pivot (melt): chosen `fields` become (`column`, `data`)
+    * key/value rows. Reference: process.normalize, meza/process.py:748-782. */
+  def normalize(df: DataFrame, fields: Seq[String], column: String,
+                data: String, keep: Seq[String],
+                castTo: Option[DataType] = None): DataFrame = {
+    val dataType = castTo.getOrElse(df.schema(fields.head).dataType)
+    val exploded = explode(array(fields.map(f =>
+      struct(lit(f).as("k"), col(f).cast(dataType).as("v"))): _*)).as("kv")
+    df.select(keep.map(col) :+ exploded: _*)
+      .select(keep.map(col) :+ col("kv.k").as(column) :+ col("kv.v").as(data): _*)
+  }
+
+  // -------------------------------------------------------------- O3: split
+  /** Partition a dataset into files by key value and/or bounded chunk size —
+    * the reference writes suffix-named chunks (meza/process.py:937-971);
+    * on Spark this is the partitioned-write path, which is also the 100 TB
+    * layout primitive (hive-style partition dirs + bounded file sizes). */
+  def splitWrite(df: DataFrame, path: String, key: Option[String] = None,
+                 maxRecordsPerFile: Option[Long] = None): Unit = {
+    var w = df.write.mode("overwrite")
+    maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
+    key match {
+      case Some(k) => w.partitionBy(k).parquet(path)
+      case None    => w.parquet(path)
+    }
+  }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.operators.Ops
+
+/** Operator semantics ported from the reference's doctests
+  * (meza/process.py Examples blocks — see SURVEY.md §5).
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("cut selects, excludes, prunes (process.py:901-934)") {
+    val df = Seq(("a1", Some(1), Some("x")), ("a2", None, None))
+      .toDF("a", "b", "c")
+    assert(Ops.cut(df, Seq("a")).columns.toSeq == Seq("a"))
+    assert(Ops.cut(df, Seq("a"), exclude = true).columns.toSeq == Seq("b", "c"))
+    // prune drops rows that became all-null after the cut
+    assert(Ops.cut(df, Seq("b", "c"), prune = true).count() == 1)
+  }
+
+  test("tfilter predicates with null-safe inverse (process.py:813-848)") {
+    val df = Seq(Some(1), Some(5), None).toSeq.toDF("x")
+    assert(Ops.tfilter(df, "x", _ > 2).count() == 1)
+    // inverse keeps the null row (pred is null -> treated as non-match)
+    assert(Ops.tfilter(df, "x", _ > 2, inverse = true).count() == 2)
+  }
+
+  test("grep any/all/inverse rule combinations (process.py:974-1035)") {
+    val df = Seq(("cat", "dog"), ("cat", "fish"), ("bird", "fish"))
+      .toDF("p1", "p2")
+    val rCat = Ops.Regex("^cat", Seq("p1"))
+    val rFish = Ops.Substr("fish", Seq("p2"))
+    assert(Ops.grep(df, Seq(rCat, rFish), anyMatch = true).count() == 3)
+    assert(Ops.grep(df, Seq(rCat, rFish)).count() == 1)
+    assert(Ops.grep(df, Seq(rCat, rFish), inverse = true).count() == 2)
+    // one rule over several fields matches if ANY field matches
+    val multi = Ops.Substr("fish", Seq("p1", "p2"))
+    assert(Ops.grep(df, Seq(multi)).count() == 2)
+  }
+
+  test("unique dedupes on field subset (process.py:851-898, exact variant)") {
+    val df = Seq((1, "a"), (1, "b"), (2, "a")).toDF("k", "v")
+    assert(Ops.unique(df, Seq("k")).count() == 2)
+    assert(Ops.unique(df).count() == 3)
+  }
+
+  test("hashFields replaces values by digest (process.py:1038-1070)") {
+    val df = Seq(("spam", 1)).toDF("a", "b")
+    val got = Ops.hashFields(df, Seq("a"), "md5").select("a").as[String].head()
+    // md5("spam") — same value the reference's doctest pins
+    assert(got == "e09f6a7593f8ae3994ea57e1117f67ec")
+  }
+
+  test("fillempty: constant, from-column, forward, backward, limit (process.py:361-431)") {
+    val df = Seq(
+      (1, Some(10.0), Some(1.0)),
+      (2, None, Some(2.0)),
+      (3, None, None),
+      (4, Some(40.0), Some(4.0))).toDF("idx", "x", "y")
+
+    assert(rows(Ops.fillConstant(df, 0.0, Seq("x")).select("x").orderBy("idx")) ==
+      Seq(Seq(10.0), Seq(0.0), Seq(0.0), Seq(40.0)))
+
+    assert(rows(Ops.fillFromColumn(df, "x", "y").select("x").orderBy("idx")) ==
+      Seq(Seq(10.0), Seq(2.0), Seq(null), Seq(40.0)))
+
+    assert(rows(Ops.fillDirectional(df, Seq("x"), Seq("idx")).select("x").orderBy("idx")) ==
+      Seq(Seq(10.0), Seq(10.0), Seq(10.0), Seq(40.0)))
+
+    assert(rows(Ops.fillDirectional(df, Seq("x"), Seq("idx"), back = true)
+      .select("x").orderBy("idx")) ==
+      Seq(Seq(10.0), Seq(40.0), Seq(40.0), Seq(40.0)))
+
+    // limit=1: only one consecutive null filled, the second stays null
+    assert(rows(Ops.fillDirectional(df, Seq("x"), Seq("idx"), limit = Some(1))
+      .select("x").orderBy("idx")) ==
+      Seq(Seq(10.0), Seq(10.0), Seq(null), Seq(40.0)))
+  }
+
+  test("productJoin is right-biased cartesian merge (process.py:785-810)") {
+    val l = Seq((1, "L")).toDF("k", "side")
+    val r = Seq((9, "R"), (8, "R2")).toDF("j", "side")
+    val out = Ops.productJoin(l, r)
+    assert(out.columns.toSeq == Seq("k", "j", "side"))
+    assert(out.count() == 2)
+    assert(out.select("side").as[String].collect().toSet == Set("R", "R2"))
+  }
+
+  test("aggregateCol keeps first record shape (process.py:513-553)") {
+    val df = Seq(("r1", 1.0), ("r2", 2.0), ("r3", 6.0)).toDF("id", "v")
+    val out = Ops.aggregateCol(df.orderBy("id"), "v", "sum")
+    assert(out.columns.toSeq == Seq("id", "v"))
+    assert(out.select("v").as[Double].head() == 9.0)
+  }
+
+  test("mergeAgg sums columns across records (process.py:434-510)") {
+    val df = Seq((1.0, 4.0), (2.0, 5.0)).toDF("a", "b")
+    assert(rows(Ops.mergeAgg(df, Seq("a", "b"))) == Seq(Seq(3.0, 9.0)))
+  }
+
+  test("pivot + normalize round-trip (process.py:670-782)") {
+    val df = Seq(("r1", "A", 1.0), ("r1", "B", 2.0), ("r2", "A", 3.0))
+      .toDF("row", "c", "d")
+    val piv = Ops.pivot(df, Seq("row"), "c", "d", "sum",
+      values = Seq("A", "B"), fillValue = Some(0.0))
+    assert(rows(piv.orderBy("row")) == Seq(Seq("r1", 1.0, 2.0), Seq("r2", 3.0, 0.0)))
+
+    val norm = Ops.normalize(piv, Seq("A", "B"), "c", "d", Seq("row"),
+      castTo = Some(DoubleType))
+    assert(norm.count() == 4)
+    assert(rows(norm.orderBy("row", "c")) ==
+      Seq(Seq("r1", "A", 1.0), Seq("r1", "B", 2.0), Seq("r2", "A", 3.0), Seq("r2", "B", 0.0)))
+  }
+
+  test("everseen running extrema with and without pad (fntools.py:1190-1218)") {
+    val df = Seq((1, 4), (2, 6), (3, 3), (4, 8)).toDF("idx", "v")
+    val padded = Ops.everseen(df, "v", Seq("idx"), op = "max", pad = true)
+    assert(rows(padded.select("v_running").orderBy("idx")) ==
+      Seq(Seq(4), Seq(6), Seq(6), Seq(8)))
+    // pad=false: only rows setting a new extremum survive
+    val sparse = Ops.everseen(df, "v", Seq("idx"), op = "max", pad = false)
+    assert(rows(sparse.select("v").orderBy("idx")) == Seq(Seq(4), Seq(6), Seq(8)))
+  }
+
+  test("concat unions ragged schemas (io.py:1695-1722)") {
+    val a = Seq((1, "x")).toDF("a", "b")
+    val b = Seq((2, "y")).toDF("a", "c")
+    val out = Ops.concat(Seq(a, b))
+    assert(out.columns.toSet == Set("a", "b", "c"))
+    assert(out.count() == 2)
+    assert(out.filter(col("c").isNull).count() == 1)
+  }
+
+  test("dropTail drops last k under explicit order (io.py:469-479)") {
+    val df = Seq(1, 2, 3, 4, 5).toDF("x")
+    assert(Ops.dropTail(df, 2, Seq("x")).as[Int].collect().toSet == Set(1, 2, 3))
+  }
+}
