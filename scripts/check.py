@@ -25,10 +25,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    # normalize timestamps to ns for cross-engine comparison
+    # normalize timestamps/dates to ns for cross-engine comparison
+    import datetime
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[ns]")
+        elif df[c].dtype == object:
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], datetime.date):
+                try:
+                    df[c] = pd.to_datetime(df[c]).astype("datetime64[ns]")
+                except (pd.errors.OutOfBoundsDatetime, OverflowError):
+                    df[c] = df[c].astype(str)  # sentinel 9999-12-31 etc.
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
