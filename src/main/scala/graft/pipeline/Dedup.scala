@@ -1,0 +1,150 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard. All are single logical plans built from
+  * codegen'd built-ins.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup shuffles once on the content hash (not the content);
+  *   - MinHash/SimHash signatures are computed per-row with zero shuffle;
+  *     candidate generation shuffles on (band, bucket) — the only quadratic
+  *     risk is bucket skew, and verification only touches candidate pairs;
+  *   - brute-force pairwise paths exist for oracle-checked correctness and
+  *     require an explicit blocking column so they can never silently go
+  *     O(n^2) over a whole corpus.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ shingling
+  /** Word n-gram shingles of a text column (n=1 → distinct word set). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val grams =
+      if (n == 1) toks
+      else when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+    array_distinct(grams)
+  }
+
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  // ---------------------------------------------------------- exact dedup
+  /** Exact dedup on a fingerprint: one row per distinct content, keeping the
+    * minimum id, with the duplicate count. Hash-shuffle on the 128-bit
+    * fingerprint, never on the (possibly huge) content itself. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // -------------------------------------------------------- MinHash + LSH
+  /** numHashes minhash values per row: h_i = min over shingles of
+    * xxhash64(shingle, i). Banded into `bands` buckets for LSH. */
+  final case class MinHashConfig(numHashes: Int = 64, bands: Int = 16,
+      shingleN: Int = 3, threshold: Double = 0.7) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  def minhashSignature(shingles: Column, cfg: MinHashConfig): Column =
+    transform(sequence(lit(0), lit(cfg.numHashes - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** One (band, bucket) row per band: bucket = hash of that signature slice. */
+  private def bandBuckets(sig: Column, cfg: MinHashConfig): Column =
+    array((0 until cfg.bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * cfg.rowsPerBand + 1, cfg.rowsPerBand)).as("bucket"))
+    }: _*)
+
+  /** Candidate pairs whose signatures collide in >=1 band, then exact-Jaccard
+    * verified against `threshold`. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b. The shuffles: one on (band,bucket) for candidates, two
+    * broadcast-or-shuffle joins to re-attach shingle sets for verification.
+    */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), cfg.shingleN).as("sh"))
+    val sigs = base.select(col("id"), col("sh"),
+      minhashSignature(col("sh"), cfg).as("sig"))
+
+    val banded = sigs.select(col("id"), explode(bandBuckets(col("sig"), cfg)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    val withSets = cands
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+
+    withSets.select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= cfg.threshold)
+  }
+
+  // ---------------------------------------------------------------- SimHash
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup pairs by SimHash: 4x16-bit band LSH for candidates, verified
+    * by exact hamming <= maxHamming. */
+  def simhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val banded = sigs.select(col("id"), col("sh"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sh"), col("b.sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 64-bit SimHash of whitespace tokens as one LongType column: bit b is
+    * set iff the sum over tokens of (+1 if bit b of xxhash64(token) else -1)
+    * is positive. Row-local expression, zero shuffle; the 64 constant bit
+    * positions unroll at codegen time. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(split(trim(lower(text)), "\\s+"), t => xxhash64(t))
+    (0 until 64).map { b =>
+      when(
+        aggregate(hashes, lit(0L), (acc, h) =>
+          acc + when(shiftrightunsigned(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L))) > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  // -------------------------------------------------------- n-gram Jaccard
+  /** Exact pairwise n-gram Jaccard within a blocking key (length bucket,
+    * source, LSH bucket, ...). The explicit block prevents accidental
+    * whole-corpus O(n^2); near-dups land in the same/adjacent block because
+    * Jaccard >= t forces similar sizes. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: Column, n: Int = 3,
+                        threshold: Double = 0.8): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), n).as("sh"), blockCol.as("blk"))
+    base.as("a").join(base.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Multimodal, Similarity}
+
+/** Similarity-search + multimodal queries over the `embeddings` /
+  * `documents` tables.
+  */
+object SimilarityQueries {
+
+  private val dvecSql = "list_transform(%s, x -> CAST(x AS DOUBLE))"
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- exact near-dup pairs by cosine (brute force = correctness
+    // baseline; the LSH/IVF paths below are the scale path).
+    Q("q32_embedding_neardup",
+      Some("SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"round(list_cosine_similarity(${dvecSql.format("a.embedding")}, ${dvecSql.format("b.embedding")}), 6) AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        s"WHERE list_cosine_similarity(${dvecSql.format("a.embedding")}, ${dvecSql.format("b.embedding")}) >= 0.35 " +
+        "ORDER BY id_a, id_b"),
+      (s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")),
+
+    // ---- brute-force cosine top-k for a query set (vec_id < 10): ranks are
+    // float-order-robust (random vectors; no near-ties), ids are exact.
+    Q("q33_ann_bruteforce",
+      Some("WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10) " +
+        "SELECT qid, nn_id, rank FROM (" +
+        "SELECT q.qid, e.vec_id AS nn_id, " +
+        s"row_number() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(${dvecSql.format("e.embedding")}, ${dvecSql.format("q.qvec")}) DESC, e.vec_id) AS rank " +
+        "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid) " +
+        "WHERE rank <= 5 ORDER BY qid, rank"),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.bruteForceTopK(emb, queries, k = 5)
+          .select(col("qid"), col("nn_id"), col("rank"))
+          .orderBy("qid", "rank")
+      }),
+
+    // ---- ANN via random-hyperplane LSH with 1-bit multiprobe (scale path;
+    // hash-derived planes are engine-specific — rows-only; recall asserted
+    // against brute force in the spec).
+    Q("q34_ann_lsh", None,
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.annTopK(emb, queries, k = 5, dim = 64, nPlanes = 8)
+          .select(col("qid"), col("nn_id"), col("rank"), round(col("cos"), 6).as("cos"))
+          .orderBy("qid", "rank")
+      }),
+
+    // ---- IVF-style assignment: corpus partitioned by nearest pseudo-random
+    // centroid (deterministic literals); histogram of partition sizes.
+    Q("q35_ivf_assign", None,
+      (s, dir) => {
+        val centroids = Similarity.pseudoCentroids(nCentroids = 16, dim = 64)
+        Similarity.ivfAssign(Tables.embeddings(s, dir), centroids)
+          .groupBy("centroid").agg(count(lit(1)).as("n_vectors"))
+          .orderBy("centroid")
+      }),
+
+    // ---- multimodal plumbing: binary payload -> stubbed decode ->
+    // metadata/features; per-kind stats (decode is a deterministic fake,
+    // the Spark plumbing is real — rows-only).
+    Q("q36_multimodal_decode", None,
+      (s, dir) => {
+        val media = Multimodal.asMediaTable(Tables.documents(s, dir))
+        Multimodal.decode(media)
+          .select(col("meta.kind").as("kind"), col("meta.sizeBytes").as("size_bytes"),
+            col("meta.width").as("w"), col("meta.height").as("h"),
+            size(col("features")).as("n_features"))
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n"), sum(col("size_bytes")).as("total_bytes"),
+            avg(col("w")).as("avg_w"), avg(col("h")).as("avg_h"),
+            max(col("n_features")).as("n_features"))
+          .orderBy("kind")
+      })
+  )
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Ops
+import graft.pipeline.{Dedup, TextAnalysis => TA}
+
+/** Text-analysis + dedup queries over the `documents` table (training-data
+  * pipeline operators; SURVEY.md north-star uplift).
+  */
+object TextQueries {
+
+  // DuckDB fragments mirrored against the Scala expressions
+  private val tokensSql = """regexp_split_to_array(trim(text), '\s+')"""
+  private val ltokensSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  private val stopList = TA.Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  // 3-gram shingle list + lexicographic-min blocking key (1-function MinHash)
+  private val shinglesSql =
+    s"""CASE WHEN len($ltokensSql) < 3 THEN [array_to_string($ltokensSql, ' ')]
+       | ELSE list_distinct([array_to_string($ltokensSql[i:i+2], ' ')
+       |   for i in range(1, len($ltokensSql) - 1)]) END""".stripMargin.replaceAll("\n", " ")
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- token counting (whitespace) + char stats.
+    Q("q24_token_stats",
+      Some("SELECT doc_id, length(text) AS n_chars, " +
+        s"len($tokensSql) AS n_tokens, " +
+        s"round(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / len($tokensSql), 6) AS mean_token_len " +
+        "FROM documents ORDER BY doc_id"),
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        TA.charCount(col("text")).as("n_chars"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        round(TA.meanTokenLen(col("text")), 6).as("mean_token_len"))
+        .orderBy("doc_id")),
+
+    // ---- quality scoring: length/punct/stopword components, same formula
+    // in both engines.
+    Q("q25_text_quality",
+      Some("WITH m AS (SELECT doc_id, " +
+        s"CAST(len($tokensSql) AS DOUBLE) AS nt, " +
+        "CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio, " +
+        s"CAST(len(list_filter($ltokensSql, x -> x IN $stopList)) AS DOUBLE) / len($ltokensSql) AS stop_ratio, " +
+        s"CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / len($tokensSql) AS mtl " +
+        "FROM documents) " +
+        "SELECT doc_id, round(stop_ratio, 6) AS stop_ratio, " +
+        "round(least(nt / 50.0, 1.0) * 0.3 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 + " +
+        "least(stop_ratio * 5.0, 1.0) * 0.3 + (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality " +
+        "FROM m ORDER BY doc_id"),
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        round(TA.wordHitRatio(col("text"), TA.Stopwords), 6).as("stop_ratio"),
+        TA.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // ---- exact dedup over a corpus with planted duplicates (documents
+    // unioned with an id-shifted copy): group on md5(normalized), keep min id.
+    Q("q26_dedup_exact",
+      Some("WITH corpus AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents) " +
+        s"SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies " +
+        "FROM corpus GROUP BY fp ORDER BY keep_id"),
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val corpus = Ops.concat(Seq(d,
+          d.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
+        Dedup.exactDedup(corpus, "doc_id", "text").orderBy("keep_id")
+      }),
+
+    // ---- language ID heuristic vs the labeled lang column (confusion
+    // counts; heuristic internals use only stopword profiles — rows-only).
+    Q("q27_langid", None,
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("lang"), TA.langId(col("text")).as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")),
+
+    // ---- n-gram Jaccard near-dup with lexicographic-min-shingle blocking
+    // (a deterministic 1-hash MinHash LSH, mirrorable in SQL: same blocks,
+    // same exact verification in both engines).
+    Q("q28_ngram_jaccard",
+      Some(s"WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM documents), " +
+        "blk AS (SELECT doc_id, s, list_aggregate(s, 'min') AS b FROM sh) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
+        "FROM blk a JOIN blk b ON a.b = b.b AND a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.8 " +
+        "ORDER BY id_a, id_b"),
+      (s, dir) => Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir), "doc_id", "text",
+        blockCol = array_min(Dedup.wordShingles(col("text"), 3)),
+        n = 3, threshold = 0.8).orderBy("id_a", "id_b")),
+
+    // ---- xxhash-based fingerprints (simhash + rolling min-shingle hash):
+    // hash functions are engine-specific — rows-only.
+    Q("q29_fingerprints", None,
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        TA.fingerprint(col("text")).as("fp_md5"),
+        Dedup.simhash(col("text")).as("simhash"),
+        TA.rollingFingerprint(col("text")).as("rolling_fp"))
+        .orderBy("doc_id")),
+
+    // ---- MinHash + LSH near-dup (64 hashes, 16 bands): the scale path.
+    Q("q30_minhash_neardup", None,
+      (s, dir) => Dedup.minhashDedup(Tables.documents(s, dir), "doc_id", "text",
+        Dedup.MinHashConfig(numHashes = 64, bands = 16, shingleN = 3, threshold = 0.8))
+        .orderBy("id_a", "id_b")),
+
+    // ---- SimHash near-dup via 16-bit band LSH + hamming verification.
+    Q("q31_simhash_neardup", None,
+      (s, dir) => Dedup.simhashDedup(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 8).orderBy("id_a", "id_b"))
+  )
+}

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+
+/** Training-data pipeline operators: text analysis, dedup family,
+  * similarity search, multimodal plumbing.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ text analysis
+  test("token counting: whitespace and BPE-ish") {
+    val df = Seq("the quick  brown fox", "hello, world! 42").toDF("text")
+    val got = df.select(
+      TA.tokenCount(col("text")).as("ws"),
+      TA.bpeTokenCount(col("text")).as("bpe")).collect()
+    assert(got(0).getInt(0) == 4 && got(0).getInt(1) == 4)
+    // "hello" "," "world" "!" "42"
+    assert(got(1).getInt(0) == 3 && got(1).getInt(1) == 5)
+  }
+
+  test("quality score is bounded and orders garbage below prose") {
+    val df = Seq(
+      "the cat sat on the mat and it was a fine day for all of us to rest",
+      "!!! ### $$$ %%% ^^^ &&&",
+      "x").toDF("text")
+    val scores = df.select(TA.qualityScore(col("text"))).as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1) && scores(0) > scores(2))
+  }
+
+  test("langId picks the profile language; und when nothing matches") {
+    val df = Seq(
+      "the cat is in the house and it is warm",
+      "el perro es un animal que vive en la casa",
+      "der Hund ist ein Tier und das ist gut",
+      "le chat est un animal et il est dans la maison",
+      "zzz qqq www").toDF("text")
+    val got = df.select(TA.langId(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "de", "fr", "und"))
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val df = Seq(("a", "The  Quick Fox"), ("b", "the quick fox"),
+      ("c", "another doc")).toDF("id", "text")
+    val fps = df.select(col("id"), TA.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fps("a") == fps("b"))
+    assert(fps("a") != fps("c"))
+  }
+
+  // ------------------------------------------------------------------- dedup
+  test("exactDedup groups planted duplicates, keeps min id") {
+    val df = Seq((1L, "same doc"), (2L, "Same  DOC"), (3L, "different"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactDedup(df, "doc_id", "text").orderBy("keep_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(1) == 1L && got(0).getLong(2) == 2L)
+    assert(got(1).getLong(1) == 3L && got(1).getLong(2) == 1L)
+  }
+
+  test("minhashDedup finds a planted near-duplicate and skips unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup = base.replace("kappa", "kappa2")
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.minhashDedup(df, "doc_id", "text",
+      Dedup.MinHashConfig(numHashes = 64, bands = 16, shingleN = 3, threshold = 0.5))
+      .collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(got.head.getDouble(2) > 0.5 && got.head.getDouble(2) < 1.0)
+  }
+
+  test("simhash: identical texts 0 hamming, near texts small, unrelated large") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = a.replace("lazy", "sleepy")
+    val c = "completely unrelated words about spacecraft navigation systems"
+    val df = Seq(a, a, b, c).toDF("text")
+    val sh = df.select(Dedup.simhash(col("text"))).as[Long].collect()
+    assert(sh(0) == sh(1))
+    assert(java.lang.Long.bitCount(sh(0) ^ sh(2)) <= 12)
+    assert(java.lang.Long.bitCount(sh(0) ^ sh(3)) > 12)
+  }
+
+  test("simhashDedup returns verified pairs under the hamming cap") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq((1L, a), (2L, a), (3L, "unrelated spacecraft navigation text entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashDedup(df, "doc_id", "text", maxHamming = 3).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(got.head.getInt(2) == 0 || got.head.getLong(2) == 0L)
+  }
+
+  test("ngramJaccardPairs with min-shingle blocking matches exact jaccard") {
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val df = Seq((1L, a), (2L, a), (3L, "q1 q2 q3 q4 q5")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      blockCol = array_min(Dedup.wordShingles(col("text"), 3)), n = 3, threshold = 0.8)
+      .collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+      Set((1L, 2L, 1.0)))
+  }
+
+  // -------------------------------------------------------------- similarity
+  test("cosine matches hand computation") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)), (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val got = df.select(round(Similarity.cosine(
+      Similarity.toDouble(col("a")), Similarity.toDouble(col("b"))), 9)).as[Double].collect()
+    assert(got(0) == 0.0)
+    assert(got(1) == 1.0)
+  }
+
+  test("bruteForceTopK ranks the planted nearest neighbor first") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Similarity.bruteForceTopK(corpus, queries, k = 2).orderBy("rank").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+  }
+
+  test("annTopK returns true cosines with decent recall on real embeddings") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("qid", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, queries, 5, dim = 64, nPlanes = 8)
+    val annRows = ann.collect()
+    assert(annRows.nonEmpty)
+    // structural: ranks start at 1 and are contiguous per query
+    val byQ = annRows.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    val hits = annRows.count(r => exact.contains((r.getLong(0), r.getLong(1))))
+    val recall = hits.toDouble / exact.size
+    info(s"ANN recall@5 = $recall over ${exact.size} exact pairs")
+    assert(recall > 0.1, s"recall collapsed: $recall")
+  }
+
+  test("ivfAssign covers every row with a valid centroid") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val centroids = Similarity.pseudoCentroids(16, 64)
+    val got = Similarity.ivfAssign(emb, centroids)
+    assert(got.count() == emb.count())
+    val ids = got.select("centroid").distinct().as[Int].collect()
+    assert(ids.forall(c => c >= 0 && c < 16))
+    assert(ids.length > 1, "degenerate assignment: single centroid")
+  }
+
+  // -------------------------------------------------------------- multimodal
+  test("multimodal decode plumbing: schema, determinism, partition mapping") {
+    val media = Multimodal.asMediaTable(Tables.documents(spark, sf0001).limit(50))
+    val decoded = Multimodal.decode(media)
+    assert(decoded.columns.toSet == Set("mediaId", "meta", "features"))
+    assert(decoded.count() == 50)
+    val row = decoded.orderBy("mediaId").head()
+    val again = Multimodal.decode(media).orderBy("mediaId").head()
+    assert(row == again, "stub decode must be deterministic")
+    val meta = row.getStruct(1)
+    assert(meta.getAs[String]("kind") == "image")
+    assert(meta.getAs[Long]("sizeBytes") > 0)
+  }
+
+  test("sampleFrames slices bounded frame windows from binary payloads") {
+    val media = Multimodal.asMediaTable(Tables.documents(spark, sf0001).limit(10))
+    val framed = Multimodal.sampleFrames(media, "payload", frameLen = 16, stride = 32)
+    val counts = framed.select("n_frames").as[Int].collect()
+    assert(counts.forall(n => n >= 1 && n <= 8))
+  }
+}
