@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Sinks (SURVEY §2.2). Thin facades over DataFrameWriter — chunked
+  * streaming writes (reference io.write io.py:1434-1501) are what a
+  * partitioned distributed write *is*; `maxRecordsPerFile` bounds file
+  * sizes, `partitionBy` is the split-by-key writer (process.split O3).
+  */
+object Writers {
+
+  /** K1 records2csv (convert.py:807-849). */
+  def csv(df: DataFrame, path: String, header: Boolean = true,
+          maxRecordsPerFile: Option[Long] = None): Unit = {
+    var w = df.write.mode("overwrite").option("header", header.toString)
+    maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
+    w.csv(path)
+  }
+
+  /** K2 records2json as NDJSON (convert.py:852-892; dates render ISO via
+    * Spark's JSON encoder, matching CustomEncoder fntools.py:231-246). */
+  def ndjson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** K3 geojson — see GeoJson.featureJson / GeoJson.collectionString. */
+  def geojson(df: DataFrame, path: String): Unit = {
+    val s = GeoJson.collectionString(df)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), s)
+  }
+
+  /** O3 process.split: partitioned / size-bounded parquet write. */
+  def splitByKey(df: DataFrame, path: String, key: String,
+                 maxRecordsPerFile: Option[Long] = None): Unit = {
+    var w = df.write.mode("overwrite")
+    maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
+    w.partitionBy(key).parquet(path)
+  }
+
+  /** K5 io.hash_file (io.py:1504-1551): driver util. */
+  def hashFile(path: String, algo: String = "SHA-1"): String = {
+    val md = java.security.MessageDigest.getInstance(algo)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    md.digest(bytes).map("%02x".format(_)).mkString
+  }
+}
