@@ -51,9 +51,28 @@ object Dedup {
     def rowsPerBand: Int = numHashes / bands
   }
 
+  /** Kirsch-Mitzenmacher double hashing: two string hashes per shingle
+    * (h1, h2); the i-th hash function is h1 + i*h2. */
+  def shingleHashPairs(shingles: Column): Column =
+    transform(shingles, s => struct(xxhash64(s).as("h1"), xxhash64(s, lit(1)).as("h2")))
+
+  /** Signature from precomputed hash pairs — pure bit ops (h1 XOR rotl(h2,i):
+    * overflow-free under ANSI mode, unlike multiply-add). Keep the pairs in
+    * their own (persisted) column: inlined into this lambda they would be
+    * re-evaluated once per hash function (CollapseProject), turning 2 string
+    * hashes per shingle into 2*numHashes. */
+  def minhashSignatureFromPairs(pairs: Column, cfg: MinHashConfig): Column =
+    array((0 until cfg.numHashes).map { i =>
+      array_min(transform(pairs, p => {
+        val h2 = p.getField("h2")
+        val rot = if (i == 0) h2
+          else shiftleft(h2, i).bitwiseOR(shiftrightunsigned(h2, 64 - i))
+        p.getField("h1").bitwiseXOR(rot)
+      }))
+    }: _*)
+
   def minhashSignature(shingles: Column, cfg: MinHashConfig): Column =
-    transform(sequence(lit(0), lit(cfg.numHashes - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+    minhashSignatureFromPairs(shingleHashPairs(shingles), cfg)
 
   /** One (band, bucket) row per band: bucket = hash of that signature slice. */
   private def bandBuckets(sig: Column, cfg: MinHashConfig): Column =
@@ -69,11 +88,17 @@ object Dedup {
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    // persist (id, shingles, hash-pairs): computed once, read by the
+    // signature pass, both sides of the self-join, and verification —
+    // without the cache barrier, CollapseProject re-derives the shingling
+    // from raw text at every use (measured 365s -> ~10s at sf0.1)
     val base = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), cfg.shingleN).as("sh"))
-    val sigs = base.select(col("id"), col("sh"),
-      minhashSignature(col("sh"), cfg).as("sig"))
+        wordShingles(col(textCol), cfg.shingleN).as("sh"))
+      .withColumn("hp", shingleHashPairs(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    val sigs = base.select(col("id"),
+      minhashSignatureFromPairs(col("hp"), cfg).as("sig"))
     val banded = sigs.select(col("id"), explode(bandBuckets(col("sig"), cfg)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
 
@@ -100,7 +125,13 @@ object Dedup {
     * by exact hamming <= maxHamming. */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    // token hashes persisted separately: inlined, the 64 bit-position sums
+    // would each re-tokenize and re-hash the text (64x string hashing)
+    val hashed = df.select(col(idCol).as("id"),
+        transform(split(trim(lower(col(textCol))), "\\s+"), t => xxhash64(t)).as("th"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = hashed.select(col("id"), simhashFromHashes(col("th")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), col("sh"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"),
@@ -120,8 +151,12 @@ object Dedup {
     * set iff the sum over tokens of (+1 if bit b of xxhash64(token) else -1)
     * is positive. Row-local expression, zero shuffle; the 64 constant bit
     * positions unroll at codegen time. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(split(trim(lower(text)), "\\s+"), t => xxhash64(t))
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(split(trim(lower(text)), "\\s+"), t => xxhash64(t)))
+
+  /** SimHash from precomputed token hashes (keep the hashes in their own
+    * persisted column on hot paths — see simhashDedup). */
+  def simhashFromHashes(hashes: Column): Column =
     (0 until 64).map { b =>
       when(
         aggregate(hashes, lit(0L), (acc, h) =>
@@ -129,7 +164,6 @@ object Dedup {
             .otherwise(lit(-1L))) > 0,
         lit(1L << b)).otherwise(lit(0L))
     }.reduce((a, c) => a.bitwiseOR(c))
-  }
 
   // -------------------------------------------------------- n-gram Jaccard
   /** Exact pairwise n-gram Jaccard within a blocking key (length bucket,
@@ -140,7 +174,8 @@ object Dedup {
                         blockCol: Column, n: Int = 3,
                         threshold: Double = 0.8): DataFrame = {
     val base = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), n).as("sh"), blockCol.as("blk"))
+        wordShingles(col(textCol), n).as("sh"), blockCol.as("blk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.as("a").join(base.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -18,13 +18,18 @@ object Similarity {
 
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Composed higher-order forms (interpreted lambdas — reference semantics,
+    * fine for small data); the hot paths use the native codegen'd kernels in
+    * graft.functions.VectorExprs (same math, same accumulation order). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dotProduct(a, b)
+
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExprs.cosineSim(a, b)
 
   /** Exact top-k neighbors for every query vector: broadcast the (small)
     * query set against the corpus, rank per query. One shuffle (the window

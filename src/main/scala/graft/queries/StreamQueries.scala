@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.Streams
+
+/** Event-stream queries (batch form of the streaming transforms — same code
+  * path as `readStream`, oracle-checked here; streaming execution covered by
+  * StreamsSpec with a memory sink).
+  */
+object StreamQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- tumbling-window aggregation (epoch-aligned in both engines).
+    Q("q37_window_agg",
+      Some("SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, " +
+        "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type"),
+      (s, dir) => Streams.tumblingCounts(Tables.events(s, dir))
+        .orderBy("window_start", "event_type")),
+
+    // ---- first-event-per-key dedupe (batch equivalent of the watermarked
+    // streaming dropDuplicates).
+    Q("q38_stream_dedupe",
+      Some("SELECT user_id, event_type, MIN(event_id) AS first_event " +
+        "FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(min(col("event_id")).as("first_event"))
+        .orderBy("user_id", "event_type")),
+
+    // ---- gap-based sessionization via window functions (30-min gap).
+    Q("q39_sessionize",
+      Some("WITH flags AS (SELECT user_id, event_id, ts, " +
+        "CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_session FROM events), " +
+        "sess AS (SELECT user_id, ts, SUM(new_session) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq " +
+        "FROM flags) " +
+        "SELECT user_id, session_seq, COUNT(*) AS n_events, " +
+        "date_trunc('second', MIN(ts)) AS session_start, date_trunc('second', MAX(ts)) AS session_end " +
+        "FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq"),
+      (s, dir) => Streams.sessionizeBatch(Tables.events(s, dir))
+        .orderBy("user_id", "session_seq")),
+
+    // ---- semi-structured props: JSON field extraction + aggregation
+    // (process.json_recode territory, at scale).
+    Q("q40_json_props",
+      Some("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket, " +
+        "COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users " +
+        "FROM events GROUP BY k_bucket ORDER BY k_bucket"),
+      (s, dir) => Tables.events(s, dir)
+        .select((get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"),
+          col("user_id"))
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("k_bucket"))
+  )
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming uplift (SURVEY §2.9): the reference's "streaming" is
+  * pull-based file iteration with no watermarks/windows/state; these are the
+  * genuinely-streaming equivalents of its bounded-memory idioms, plus the
+  * windowed aggregations a training-data event pipeline needs.
+  *
+  * Every transform here is defined on a plain DataFrame so the SAME code
+  * serves batch tables and `readStream` sources — correctness is oracle-
+  * checked on the batch path, streaming execution is spec-checked with a
+  * memory sink.
+  */
+object Streams {
+
+  /** On-disk schema: ts is TIMESTAMP(NANOS) which Spark 4 only reads as a
+    * raw long (legacy mode); converted to µs TimestampType in the stream. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a directory of parquet events. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window aggregation (works batch or streaming; add
+    * `withWatermark` upstream for append-mode streams). */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(24, 6))).cast(DoubleType).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Watermarked streaming variant: late data beyond `lateness` is dropped,
+    * state is bounded — the scale-correct form of the reference's
+    * "bounded buffer" memory hacks. */
+  def tumblingCountsStream(events: DataFrame, width: String = "1 hour",
+                           lateness: String = "2 hours"): DataFrame =
+    tumblingCounts(events.withWatermark("ts", lateness), width)
+
+  /** Streaming dedupe with watermark: exact within the watermark horizon,
+    * bounded state — the principled version of `unique`'s 4096-row window
+    * (process.py:851-898). */
+  def dedupeStream(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicates("user_id", "event_type")
+
+  /** Gap-based sessionization, batch form: a session breaks after `gapMin`
+    * minutes of inactivity. Pure window functions — one shuffle on user_id. */
+  def sessionizeBatch(events: DataFrame, gapMin: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // µs precision on both sides of the oracle compare (whole-second casts
+    // would disagree with DuckDB's fractional epoch at the gap boundary)
+    val newSession = when(
+      unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser) >
+        gapMin * 60L * 1000000L, 1)
+      .otherwise(0)
+    events
+      .withColumn("session_seq", sum(coalesce(newSession, lit(0))).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        date_trunc("second", min(col("ts"))).as("session_start"),
+        date_trunc("second", max(col("ts"))).as("session_end"))
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(count: Int, lastTs: Long)
+  final case class SessionOut(user_id: Long, n_events: Int)
+
+  /** Custom streaming state: per-user running event counts with processing-
+    * time timeout — the `mapGroupsWithState` escape hatch for semantics the
+    * built-in windows can't express. */
+  def runningCountsWithState(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0, 0L))
+          val evs = rows.toSeq
+          val next = SessionState(prev.count + evs.size,
+            math.max(prev.lastTs, evs.map(_.ts.getTime).max))
+          state.update(next)
+          SessionOut(uid, next.count)
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against a memory sink
+    * (synchronous; used by specs and local smoke). */
+  def runToMemory(df: DataFrame, name: String,
+                  outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+
+/** Streaming execution of the uplift transforms: file source -> watermarked
+  * transforms -> memory sink, driven synchronously (SURVEY §2.9).
+  */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the streaming file source requires a directory; stage the single-file
+  // events table into one
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming tumbling window agg matches the batch plan") {
+    val stream = Streams.readEventStream(spark, eventsDir)
+    val got = Streams.runToMemory(
+      Streams.tumblingCountsStream(stream), "win_counts", OutputMode.Complete())
+    val want = Streams.tumblingCounts(Tables.events(spark, sf0001))
+    assert(got.count() == want.count())
+    val g = got.orderBy("window_start", "event_type").collect().map(_.toSeq)
+    val w = want.orderBy("window_start", "event_type").collect().map(_.toSeq)
+    assert(g.toSeq == w.toSeq)
+  }
+
+  test("streaming dedupe emits one row per key within the watermark") {
+    val stream = Streams.readEventStream(spark, eventsDir)
+    val got = Streams.runToMemory(
+      Streams.dedupeStream(stream), "dedup", OutputMode.Append())
+    val keys = got.select("user_id", "event_type").collect()
+    assert(keys.length == keys.distinct.length)
+    val batchKeys = Tables.events(spark, sf0001)
+      .select("user_id", "event_type").distinct().count()
+    assert(keys.length == batchKeys)
+  }
+
+  test("sessionizeBatch: gap splits sessions, bounds are per-session") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-01 12:00:00"), 7L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:05:00"), 9L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Streams.sessionizeBatch(df).orderBy("user_id", "session_seq").collect()
+    assert(got.length == 3) // user 7: two sessions; user 9: one
+    assert(got(0).getAs[Long]("n_events") == 2)
+    assert(got(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("mapGroupsWithState running counts see every event") {
+    val stream = Streams.readEventStream(spark, eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event]
+    val got = Streams.runToMemory(
+      Streams.runningCountsWithState(stream).toDF(), "running", OutputMode.Update())
+    val total = got.agg(sum("n_events")).as[Long].head()
+    assert(total == Tables.events(spark, sf0001).count())
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+}
