@@ -291,6 +291,80 @@ object Ops {
       .select(keep.map(col) :+ col("kv.k").as(column) :+ col("kv.v").as(data): _*)
   }
 
+  // --------------------------------------------------------- P9: json_recode
+  /** Normalize values to JSON-representable forms: dates/timestamps → ISO
+    * strings, decimals → doubles (reference process.json_recode,
+    * meza/process.py:118-158; CustomEncoder fntools.py:231-246). */
+  def jsonRecode(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case DateType => date_format(col(f.name), "yyyy-MM-dd").as(f.name)
+        case TimestampType => date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss").as(f.name)
+        case _: DecimalType => col(f.name).cast(DoubleType).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  // ------------------------------------------------------------ P10: flatten
+  /** Flatten nested structs into `parent_child` columns (reference
+    * fntools.flatten, meza/fntools.py:1058-1105 — meza has no nested types,
+    * so flattening IS its nested-data story; on Spark we flatten real
+    * StructTypes recursively). */
+  def flatten(df: DataFrame, sep: String = "_"): DataFrame = {
+    def expand(prefix: String, dt: StructType): Seq[Column] =
+      dt.fields.toSeq.flatMap { f =>
+        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        val name = path.replace(".", sep)
+        f.dataType match {
+          case s: StructType => expand(path, s)
+          case _ => Seq(col(path).as(name))
+        }
+      }
+    df.select(expand("", df.schema): _*)
+  }
+
+  // ------------------------------------------- skew-safe two-phase aggregate
+  /** Salted group-aggregate for skewed keys: phase 1 aggregates on
+    * (keys, salt) — spreading one hot key over `saltBuckets` reducers —
+    * phase 2 merges the partials. Works for the algebraic ops (sum/dsum/
+    * count/min/max). At 100 TB this is the difference between one straggler
+    * executor and uniform load; AQE skew handling covers joins, this covers
+    * aggregation. */
+  def saltedGroupAgg(df: DataFrame, keys: Seq[String],
+                     aggs: Seq[(String, (String, String))],
+                     saltBuckets: Int = 16): DataFrame = {
+    require(saltBuckets > 0)
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val partialCols = aggs.map { case (out, (op, in)) =>
+      val c = col(in)
+      (op match {
+        case "sum" => sum(c)
+        case "dsum" => sum(c.cast(DecimalType(24, 6)))
+        case "count" => count(c)
+        case "min" => min(c)
+        case "max" => max(c)
+        case other => throw new IllegalArgumentException(
+          s"saltedGroupAgg supports algebraic ops only, got $other")
+      }).as(s"__p_$out")
+    }
+    val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partialCols.head, partialCols.tail: _*)
+    val finalCols = aggs.map { case (out, (op, _)) =>
+      val p = col(s"__p_$out")
+      (op match {
+        case "sum" => sum(p)
+        case "dsum" => sum(p).cast(DoubleType)
+        case "count" => sum(p)
+        case "min" => min(p)
+        case "max" => max(p)
+      }).as(out)
+    }
+    partial.groupBy(keys.map(col): _*).agg(finalCols.head, finalCols.tail: _*)
+  }
+
   // -------------------------------------------------------------- O3: split
   /** Partition a dataset into files by key value and/or bounded chunk size —
     * the reference writes suffix-named chunks (meza/process.py:937-971);

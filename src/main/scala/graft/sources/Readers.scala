@@ -285,6 +285,23 @@ object Readers {
     }
   }
 
+  /** S9/S11 database sources (read_mdb/read_sqlite, io.py:598-760): the
+    * Spark-native capability is JDBC. No database drivers ship in this
+    * environment, so this facade is untested here — it is the documented
+    * equivalent path, with partitioned reads for scale when a numeric
+    * partition column is known. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionCol: Option[String] = None, lower: Long = 0L,
+           upper: Long = 1000000L, numPartitions: Int = 8): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    partitionCol.map(c => r.option("partitionColumn", c)
+        .option("lowerBound", lower.toString)
+        .option("upperBound", upper.toString)
+        .option("numPartitions", numPartitions.toString))
+      .getOrElse(r).load()
+  }
+
   /** S13 io.join (io.py:1695-1722): csvstack — read many files, concat
     * ragged schemas with nulls. */
   def join(spark: SparkSession, paths: Seq[String], ext: Option[String] = None): DataFrame =

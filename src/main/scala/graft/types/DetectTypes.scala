@@ -61,7 +61,7 @@ object DetectTypes {
     DateParser.isTime(v) && DateParser.parse(v).exists(_._2.isDefined)
 
   // ---- name-level priors (typetools.py:36-81 guess_type_by_field) ----------
-  private[types] def guessByField(name: String): String = {
+  def guessByField(name: String): String = {
     val n = name.toLowerCase
     val floatWords = Seq("value", "length", "width", "days")
     if (n.contains("count")) "int"

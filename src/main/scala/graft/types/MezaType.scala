@@ -38,6 +38,21 @@ object MezaType {
     (Set("date", "time", "datetime"), "datetime"),
     (Set("bool", "int"), "int"))
 
+  /** DDL generation (reference K6: fntools dialect tables + get_dtype
+    * fntools.py:312-322): CREATE TABLE statement for a typed field list. */
+  def createTableSql(table: String, fields: Seq[(String, String)],
+                     dialect: String = "postgres"): String = {
+    val colType: MezaType => String = dialect match {
+      case "postgres" => _.postgres
+      case "mysql" => _.mysql
+      case "sqlite" => _.sqlite
+      case other => throw new IllegalArgumentException(s"unknown dialect $other")
+    }
+    val cols = fields.map { case (name, t) =>
+      s"$name ${colType(byName.getOrElse(t, MText))}" }
+    s"CREATE TABLE $table (${cols.mkString(", ")})"
+  }
+
   def merge(types: Set[String]): String = {
     val nonNull = types - "null"
     if (nonNull.isEmpty) "null"
