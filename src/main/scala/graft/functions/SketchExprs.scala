@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+import org.apache.spark.sql.types._
+
+/** Native codegen'd sketch kernels (same motivation as VectorExprs: the
+  * `transform`/`aggregate` higher-order forms run interpreted lambdas —
+  * numHashes × |shingles| interpreted evals per row dominated the dedup
+  * benchmarks).
+  *
+  * Hash family identical to the composed forms in graft.pipeline.Dedup:
+  * minhash_i = min over shingles of h1 XOR rotl(h2, i);
+  * simhash bit b = sign of Σ tokens (bit b of hash ? +1 : -1).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes > 0 && numHashes <= 512)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = arr.getStruct(j, 2)
+      val h1 = s.getLong(0); val h2 = s.getLong(1)
+      var i = 0
+      while (i < numHashes) {
+        val h = h1 ^ java.lang.Long.rotateLeft(h2, i)
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val out = ctx.freshName("out"); val s = ctx.freshName("s")
+      val h1 = ctx.freshName("h1"); val h2 = ctx.freshName("h2"); val h = ctx.freshName("h")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $out = new long[$numHashes];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $s = $arr.getStruct($j, 2);
+         |  long $h1 = $s.getLong(0); long $h2 = $s.getLong(1);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $h = $h1 ^ java.lang.Long.rotateLeft($h2, $i);
+         |    if ($h < $out[$i]) $out[$i] = $h;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n"); val j = ctx.freshName("j"); val b = ctx.freshName("b")
+      val counts = ctx.freshName("counts"); val h = ctx.freshName("h"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $arr.numElements();
+         |int[] $counts = new int[64];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $arr.getLong($j);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) { if ($counts[$b] > 0) $sig |= (1L << $b); }
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+object SketchExprs {
+  /** pairs: array<struct<h1:long, h2:long>> (Dedup.shingleHashPairs). */
+  def minhashSignature(pairs: Column, numHashes: Int): Column =
+    column(MinHashSignature(expression(pairs), numHashes))
+
+  /** tokenHashes: array<long>. */
+  def simhash64(tokenHashes: Column): Column =
+    column(SimHash64(expression(tokenHashes)))
+}

@@ -98,7 +98,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val sigs = base.select(col("id"),
-      minhashSignatureFromPairs(col("hp"), cfg).as("sig"))
+      graft.functions.SketchExprs.minhashSignature(col("hp"), cfg.numHashes).as("sig"))
     val banded = sigs.select(col("id"), explode(bandBuckets(col("sig"), cfg)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
 
@@ -125,12 +125,11 @@ object Dedup {
     * by exact hamming <= maxHamming. */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    // token hashes persisted separately: inlined, the 64 bit-position sums
-    // would each re-tokenize and re-hash the text (64x string hashing)
-    val hashed = df.select(col(idCol).as("id"),
-        transform(split(trim(lower(col(textCol))), "\\s+"), t => xxhash64(t)).as("th"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = hashed.select(col("id"), simhashFromHashes(col("th")).as("sh"))
+    // native single-pass kernel (references the token hashes exactly once,
+    // so no CollapseProject blowup); persisted for the self-join reuse
+    val sigs = df.select(col(idCol).as("id"),
+        graft.functions.SketchExprs.simhash64(
+          transform(split(trim(lower(col(textCol))), "\\s+"), t => xxhash64(t))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), col("sh"),
         explode(array((0 until 4).map { b =>
