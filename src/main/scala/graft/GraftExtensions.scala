@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SQL-surface registration for graft's custom Catalyst expressions, so
+  * `spark.sql("SELECT lenient_date(c) ...")` works alongside the Column API:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * }}}
+  *
+  * No custom Rule/Strategy is needed for this engine (SURVEY §4: the
+  * reference gives Catalyst nothing to beat) — extensions carry only the
+  * expression registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def arity(name: String, n: Int)(f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == n, s"$name expects $n argument(s), got ${exprs.length}")
+      f(exprs)
+    }
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("lenient_timestamp"),
+      info("lenient_timestamp", "lenient_timestamp(str) - fuzzy multi-format parse with impossible-day repair; 9999-12-31 sentinel"),
+      arity("lenient_timestamp", 1)(exprs => LenientTimestamp(exprs.head))))
+    e.injectFunction((FunctionIdentifier("lenient_date"),
+      info("lenient_date", "lenient_date(str) - lenient date parse"),
+      arity("lenient_date", 1)(exprs => LenientDate(exprs.head))))
+    e.injectFunction((FunctionIdentifier("lenient_time"),
+      info("lenient_time", "lenient_time(str) - lenient time-of-day parse as HH:mm:ss"),
+      arity("lenient_time", 1)(exprs => LenientTime(exprs.head))))
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(array<double>, array<double>) - codegen'd cosine similarity"),
+      arity("cosine_sim", 2)(exprs => CosineSimilarity(exprs(0), exprs(1)))))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(array<double>, array<double>)"),
+      arity("dot_product", 2)(exprs => DotProduct(exprs(0), exprs(1)))))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<long>) - 64-bit SimHash of token hashes"),
+      arity("simhash64", 1)(exprs => SimHash64(exprs.head))))
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface registered via SparkSessionExtensions. Separate session
+  * (extensions apply at build time).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // extensions only apply at session creation: getOrCreate would silently
+    // reuse the shared test session, so force a fresh one
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  test("custom expressions callable from SQL") {
+    val row = spark.sql(
+      """SELECT CAST(lenient_date('2/32/82') AS STRING) AS d,
+        |       lenient_time('2:00 pm') AS t,
+        |       CAST(lenient_timestamp('spam') AS STRING) AS sentinel,
+        |       round(cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS cos,
+        |       dot_product(array(2.0d, 3.0d), array(4.0d, 5.0d)) AS dot,
+        |       simhash64(array(xxhash64('a'), xxhash64('b'))) AS sh
+        |""".stripMargin).head()
+    assert(row.getString(0) == "1982-02-28")
+    assert(row.getString(1) == "14:00:00")
+    assert(row.getString(2) == "9999-12-31 00:00:00")
+    assert(row.getDouble(3) == 1.0)
+    assert(row.getDouble(4) == 23.0)
+    assert(row.getLong(5) != 0L)
+  }
+}
