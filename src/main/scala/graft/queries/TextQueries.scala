@@ -71,9 +71,22 @@ object TextQueries {
         Dedup.exactDedup(corpus, "doc_id", "text").orderBy("keep_id")
       }),
 
-    // ---- language ID heuristic vs the labeled lang column (confusion
-    // counts; heuristic internals use only stopword profiles — rows-only).
-    Q("q27_langid", None,
+    // ---- language ID heuristic vs the labeled lang column: the stopword
+    // argmax (alphabetical tie-break) is mirrored exactly in SQL.
+    Q("q27_langid",
+      Some {
+        val hitCols = TA.LangProfiles.map { case (lang, words) =>
+          val list = words.map(w => s"'$w'").mkString("(", ", ", ")")
+          s"len(list_filter($ltokensSql, x -> x IN $list)) AS h_$lang"
+        }.mkString(", ")
+        val langs = TA.LangProfiles.map(_._1)
+        val mx = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+        val pick = langs.map(l => s"WHEN h_$l = __mx THEN '$l'").mkString(" ")
+        s"WITH hits AS (SELECT lang, $hitCols FROM documents), " +
+          s"m AS (SELECT lang, $mx AS __mx, * FROM hits) " +
+          s"SELECT lang, CASE WHEN __mx = 0 THEN 'und' $pick END AS predicted, " +
+          "COUNT(*) AS n FROM m GROUP BY lang, predicted ORDER BY lang, predicted"
+      },
       (s, dir) => Tables.documents(s, dir)
         .select(col("lang"), TA.langId(col("text")).as("predicted"))
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
