@@ -200,6 +200,33 @@ object Ops {
                how: String = "inner", broadcastRight: Boolean = false): DataFrame =
     left.join(if (broadcastRight) broadcast(right) else right, on, how)
 
+  // ------------------------------------------------------------- as-of join
+  /** As-of join (capability uplift; neither meza nor stock Spark has one):
+    * for every left row, the latest right row with rightTime <= leftTime
+    * within the same key. Composed from built-ins per the preference order —
+    * tag the streams, union, and take `last(..., ignoreNulls)` over a
+    * (key)-partitioned window ordered by (time, side): one shuffle on the
+    * key, no custom physical operator needed. Unmatched left rows drop
+    * (inner semantics). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val payload = struct(rightPayload.map(col): _*)
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(right.select(payload).schema.head.dataType))
+    val r = right.select(
+      col(key), col(rightTime).as("__t"), lit(0).as("__side"), payload.as("__rv"))
+    val unioned = l.select((l.columns.filterNot(Set("__t", "__side", "__rv").contains)
+        .map(col) ++ Seq(col("__t"), col("__side"), col("__rv"))).toSeq: _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned.withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__match").isNotNull)
+      .drop("__t", "__side", "__rv")
+  }
+
   // ----------------------------------------------------------- A1: aggregate
   /** Whole-stream aggregate of one column; the reference returns the first
     * record with that column replaced by the aggregate

@@ -45,6 +45,48 @@ object StreamQueries {
       (s, dir) => Streams.sessionizeBatch(Tables.events(s, dir))
         .orderBy("user_id", "session_seq")),
 
+    // ---- as-of join: each purchase matched to the user's most recent view
+    // (composed union+window in Spark; native ASOF JOIN in the oracle).
+    Q("q41_asof_join",
+      Some("SELECT p.event_id, p.user_id, v.event_id AS last_view_id " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
+        "ON p.user_id = v.user_id AND p.ts >= v.ts " +
+        "ORDER BY p.event_id"),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.operators.Ops.asofJoin(purchases, views, key = "user_id",
+          leftTime = "ts", rightTime = "ts", rightPayload = Seq("event_id"))
+          .select(col("event_id"), col("user_id"),
+            col("__match.event_id").as("last_view_id"))
+          .orderBy("event_id")
+      }),
+
+    // ---- rollup (free Catalyst uplift over the reference's flat groupBy).
+    Q("q42_rollup",
+      Some("SELECT r_name, n_name, COUNT(*) AS n_cust, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) AS sum_bal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name, n_name"),
+      (s, dir) => {
+        // via spark.sql: the Dataset-API rollup trips a DetectAmbiguousSelfJoin
+        // false positive on Expand's duplicated grouping attrs; the SQL path
+        // analyzes cleanly and also exercises the SQL surface
+        Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+        Tables.nation(s, dir).createOrReplaceTempView("g_nation")
+        Tables.region(s, dir).createOrReplaceTempView("g_region")
+        s.sql("SELECT r_name, n_name, COUNT(*) AS n_cust, " +
+          "CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) AS sum_bal " +
+          "FROM g_customer JOIN g_nation ON c_nationkey = n_nationkey " +
+          "JOIN g_region ON n_regionkey = r_regionkey " +
+          "GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name, n_name")
+      }),
+
     // ---- semi-structured props: JSON field extraction + aggregation
     // (process.json_recode territory, at scale).
     Q("q40_json_props",

@@ -140,4 +140,18 @@ class OpsSpec extends SparkSpec {
     val df = Seq(1, 2, 3, 4, 5).toDF("x")
     assert(Ops.dropTail(df, 2, Seq("x")).as[Int].collect().toSet == Set(1, 2, 3))
   }
+
+  test("asofJoin matches each left row to latest right at or before its time") {
+    val purchases = Seq((100L, 1L, 50L), (101L, 1L, 10L), (102L, 2L, 30L), (104L, 4L, 7L))
+      .toDF("event_id", "user_id", "ts")
+    val views = Seq((200L, 1L, 45L), (201L, 1L, 20L), (202L, 2L, 30L), (203L, 3L, 9L))
+      .toDF("event_id", "user_id", "ts")
+    val got = Ops.asofJoin(purchases, views, "user_id", "ts", "ts", Seq("event_id"))
+      .select(col("event_id"), col("__match.event_id").as("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // user1@50 -> view@45; user1@10 -> none (earliest view is 20, drops —
+    // inner semantics); user2@30 -> view@30 (equality included);
+    // user4 has no views -> drops
+    assert(got == Map(100L -> 200L, 102L -> 202L))
+  }
 }
