@@ -87,6 +87,28 @@ object StreamQueries {
           "GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name, n_name")
       }),
 
+    // ---- skew-safe two-phase aggregation: event_type has 5 hot keys over
+    // the whole table — the salted plan must produce byte-identical results
+    // to the plain GROUP BY the oracle runs.
+    Q("q44_salted_group",
+      Some("SELECT event_type, COUNT(value) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS total, " +
+        "MAX(value) AS mx FROM events GROUP BY event_type ORDER BY event_type"),
+      (s, dir) => graft.operators.Ops.saltedGroupAgg(
+        Tables.events(s, dir), Seq("event_type"),
+        Seq("n" -> ("count", "value"), "total" -> ("dsum", "value"),
+          "mx" -> ("max", "value")), saltBuckets = 16)
+        .orderBy("event_type")),
+
+    // ---- approximate aggregates (free Catalyst uplift; sketch internals
+    // are engine-specific — rows-only, tolerance asserted in specs).
+    Q("q43_approx_stats", None,
+      (s, dir) => Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"))
+        .orderBy("l_returnflag")),
+
     // ---- semi-structured props: JSON field extraction + aggregation
     // (process.json_recode territory, at scale).
     Q("q40_json_props",

@@ -90,4 +90,15 @@ class ParityFillSpec extends SparkSpec {
     assert(StringFns.ctype2ext("text/csv") == "csv")
     assert(StringFns.ctype2ext("application/vnd.ms-excel") == "xls")
   }
+
+  test("approx aggregates land within tolerance of exact") {
+    val got = graft.queries.Registry.queries("q43_approx_stats")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.15,
+        s"approx $approx vs exact $exact out of tolerance")
+    }
+  }
 }
