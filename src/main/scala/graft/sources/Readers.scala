@@ -279,6 +279,7 @@ object Readers {
       case "html" | "htm" => htmlTable(spark, path)
       case "xml" => xml(spark, path, "record")
       case "xlsx" => xlsx(spark, path)
+      case "xls" => XlsReader.read(spark, path)
       case "dbf" => DbfReader.read(spark, path)
       case "parquet" => spark.read.parquet(path)
       case "geojson" => GeoJson.read(spark, path)
