@@ -1,0 +1,50 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Similarity}
+
+/** Manual scale stress (not a CI test): 20x-replicated corpus through the
+  * LSH paths, verifying no quadratic blowup and stable wall time.
+  * Run: Test/runMain graft.ScaleStress */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    // 100k docs: 20 shifted copies of the sf0.1 documents table
+    val d0 = Tables.documents(spark, "/root/testdata/sf0.1").select("doc_id", "text")
+    val big = (0 until 20).map(i =>
+      d0.select((col("doc_id") + lit(i * 100000L)).as("doc_id"), col("text")))
+      .reduce(_ union _)
+    println(s"corpus: ${big.count()} docs")
+
+    val mh = timed("minhash dedup 100k docs") {
+      Dedup.minhashDedup(big, "doc_id", "text",
+        Dedup.MinHashConfig(64, 16, 3, 0.8)).count()
+    }
+    println(s"  pairs found: $mh")
+
+    val sh = timed("simhash dedup 100k docs") {
+      Dedup.simhashDedup(big, "doc_id", "text", maxHamming = 3).count()
+    }
+    println(s"  pairs found: $sh")
+
+    val e0 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val bigEmb = (0 until 20).map(i =>
+      e0.select((col("vec_id") + lit(i * 100000L)).as("vec_id"), col("embedding")))
+      .reduce(_ union _)
+    val ann = timed("LSH ANN over 40k vectors, 10 queries") {
+      val queries = e0.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.annTopK(bigEmb, queries, 5, dim = 64).count()
+    }
+    println(s"  ann rows: $ann")
+    spark.stop()
+  }
+}
