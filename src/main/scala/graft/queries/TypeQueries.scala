@@ -55,6 +55,31 @@ object TypeQueries {
           .orderBy("o_orderkey")
       }),
 
+    // ---- E1 end-to-end: stringify orders, infer types from a sample,
+    // lenient-cast back (toInt/toFloat/LenientTimestamp distributed over the
+    // whole table), aggregate — must reproduce the ORIGINAL table's answer
+    // exactly (the oracle aggregates the untouched parquet). Proves the
+    // lenient pipeline is lossless for round-trippable data.
+    Q("q45_typecast_roundtrip",
+      Some("SELECT o_orderpriority, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS total, " +
+        "SUM(o_custkey) AS custkey_sum, " +
+        "MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val str = o.select(o.columns.map(c => col(c).cast(StringType).as(c)).toSeq: _*)
+        val (typed, _) = DetectTypes.inferAndCast(str)
+        typed.groupBy("o_orderpriority").agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(24, 6)))
+            .cast("double").as("total"),
+          sum(col("o_custkey")).as("custkey_sum"),
+          min(col("o_orderdate")).as("first_order"),
+          max(col("o_orderdate")).as("last_order"))
+          .orderBy("o_orderpriority")
+      }),
+
     // ---- A6: detect_types over an all-string projection of lineitem
     // (driver-side sampled inference; result surfaced as rows — no SQL oracle).
     Q("q23_detect_types", None,
