@@ -127,6 +127,30 @@ object Similarity {
     corpus.withColumn("centroid", sort_array(scored).getItem(0).getField("cid"))
   }
 
+  /** IVF search: corpus pre-assigned to centroid partitions (ivfAssign);
+    * each query probes its nProbe nearest centroids and exact-reranks only
+    * those partitions — the probe pass touches ~nProbe/C of the corpus. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              centroids: Seq[(Int, Seq[Double])], k: Int, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("nn_id"), toDouble(col(vecCol)).as("v"), col("centroid"))
+    def probeList(vec: Column): Column = {
+      val scored = array(centroids.map { case (cid, cvec) =>
+        struct((-dot(toDouble(vec), typedLit(cvec))).as("negdot"), lit(cid).as("cid"))
+      }: _*)
+      transform(slice(sort_array(scored), 1, nProbe), p => p.getField("cid"))
+    }
+    val probes = queries.select(col(qidCol).as("qid"), toDouble(col(qvecCol)).as("qv"),
+      explode(probeList(col(qvecCol))).as("centroid"))
+    val cands = assigned.join(broadcast(probes), "centroid")
+      .filter(col("nn_id") =!= col("qid"))
+      .select(col("qid"), col("nn_id"), cosine(col("v"), col("qv")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nn_id").asc)
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact near-duplicate pairs by cosine >= threshold. Brute force over all
     * pairs — correctness baseline for the LSH path; keep to bounded corpora
     * (the LSH variant is the scale path). */

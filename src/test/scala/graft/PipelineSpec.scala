@@ -147,6 +147,25 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.1, s"recall collapsed: $recall")
   }
 
+  test("ivfTopK with full probing equals brute force; partial probing recalls") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val centroids = Similarity.pseudoCentroids(16, 64)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("qid", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing ALL centroids scans the whole corpus -> identical to brute force
+    val full = Similarity.ivfTopK(emb, queries, centroids, 5, nProbe = 16)
+      .select("qid", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+    // partial probing trades recall for touching ~nProbe/16 of the corpus
+    val part = Similarity.ivfTopK(emb, queries, centroids, 5, nProbe = 6)
+      .select("qid", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = part.count(exact.contains).toDouble / exact.size
+    info(s"IVF recall@5 with 6/16 probes = $recall")
+    assert(recall > 0.2)
+  }
+
   test("ivfAssign covers every row with a valid centroid") {
     val emb = Tables.embeddings(spark, sf0001)
     val centroids = Similarity.pseudoCentroids(16, 64)
