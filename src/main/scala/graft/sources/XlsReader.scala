@@ -27,6 +27,12 @@ object XlsReader {
 
   private val ExcelEpoch = LocalDate.of(1899, 12, 30)
 
+  /** BIFF error codes -> display text (sanitize_sheet renders via xlrd's
+    * error_text_from_code, io.py:1008). */
+  private val errorText = Map(
+    0x00 -> "#NULL!", 0x07 -> "#DIV/0!", 0x0F -> "#VALUE!", 0x17 -> "#REF!",
+    0x1D -> "#NAME?", 0x24 -> "#NUM!", 0x2A -> "#N/A")
+
   def read(spark: SparkSession, path: String, sheet: Int = 0,
            sanitize: Boolean = true): DataFrame = {
     val grid = readGrid(Files.readAllBytes(Paths.get(path)), sheet)
@@ -181,7 +187,8 @@ object XlsReader {
           val v = wb(d + 6) & 0xFF
           val isErr = (wb(d + 7) & 0xFF) == 1
           cells((bb.getShort(d) & 0xFFFF, bb.getShort(d + 2) & 0xFFFF)) =
-            if (isErr) s"#ERR$v" else (if (v != 0) "True" else "False")
+            if (isErr) errorText.getOrElse(v, s"#ERR$v")
+            else (if (v != 0) "True" else "False")
         case 0x000A => done = true
         case _ => ()
       }
