@@ -111,7 +111,48 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** Distinct word n-gram shingles in one pass (tokenize, lowercase, slide,
+  * dedupe). The composed form (`split` + `transform`/`slice`/`concat_ws` +
+  * `array_distinct`) builds hundreds of interpreted expression nodes per
+  * row; this is a single eval with a hash set. Set-equal output (order may
+  * differ — all consumers are set operations: jaccard, array_min, minhash).
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.toString.trim.toLowerCase(java.util.Locale.ROOT)
+    val toks = s.split("\\s+")
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length < n) out.add(toks.mkString(" "))
+    else {
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        out.add(sb.toString)
+        i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  override def prettyName: String = "word_shingles"
+}
+
 object SketchExprs {
+  def wordShingles(text: Column, n: Int): Column =
+    column(WordShingles(expression(text), n))
+
   /** pairs: array<struct<h1:long, h2:long>> (Dedup.shingleHashPairs). */
   def minhashSignature(pairs: Column, numHashes: Int): Column =
     column(MinHashSignature(expression(pairs), numHashes))

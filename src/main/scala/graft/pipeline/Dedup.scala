@@ -19,8 +19,13 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   // ------------------------------------------------------------ shingling
-  /** Word n-gram shingles of a text column (n=1 → distinct word set). */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles of a text column (n=1 → distinct word set).
+    * Native single-pass kernel; `wordShinglesComposed` is the equivalent
+    * built-in form (set-equal output, spec-pinned). */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.SketchExprs.wordShingles(text, n)
+
+  def wordShinglesComposed(text: Column, n: Int): Column = {
     val toks = split(trim(lower(text)), "\\s+")
     val grams =
       if (n == 1) toks

@@ -27,4 +27,17 @@ class SketchExprsSpec extends SparkSpec {
       Dedup.simhash(col("text")).as("composed"))
     assert(both.filter(col("native") =!= col("composed")).count() == 0)
   }
+
+  test("native word shingles are set-equal to the composed form") {
+    val docs = Tables.documents(spark, sf0001).limit(200)
+    for (n <- Seq(1, 3)) {
+      val both = docs.select(
+        Dedup.wordShingles(col("text"), n).as("native"),
+        Dedup.wordShinglesComposed(col("text"), n).as("composed"))
+      val bad = both.filter(
+        size(array_except(col("native"), col("composed"))) > 0 ||
+          size(array_except(col("composed"), col("native"))) > 0).count()
+      assert(bad == 0, s"n=$n shingle sets diverge")
+    }
+  }
 }
