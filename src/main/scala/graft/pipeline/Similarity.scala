@@ -54,51 +54,80 @@ object Similarity {
     (h.toDouble / Int.MaxValue) // in [-1, 1]
   }
 
-  /** nPlanes-bit signature: bit p = sign of <v, plane_p>. Per-row expression,
-    * zero shuffle; planes are literals folded into the codegen'd plan. */
+  /** nPlanes-bit signature: bit p = sign of <v, plane_p>. Per-row native
+    * codegen'd kernel (one vector traversal for all planes — the composed
+    * `aggregate(zip_with(...))` form ran nTables × nPlanes interpreted
+    * array-folds per row and dominated the ANN bench); planes are constants
+    * embedded in the generated code. Accepts float or double arrays. */
   def hyperplaneSignature(vec: Column, dim: Int, nPlanes: Int = 16,
                           seed: Long = 42L): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val coefs = (0 until dim).map(d => planeCoef(p, d, seed))
-      val proj = aggregate(
-        zip_with(vec, typedLit(coefs), (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val planes = (0 until nPlanes).map(p => (0 until dim).map(d => planeCoef(p, d, seed)))
+    graft.functions.VectorExprs.hyperplaneSignature(vec, planes)
   }
 
-  /** ANN top-k via multi-table hyperplane LSH with 1-bit multiprobe:
-    * `nTables` independent plane sets; per table, candidates are corpus rows
-    * whose signature equals the query signature or any 1-bit flip; the union
-    * of candidates is re-ranked by exact cosine. Recall ~ 1-(1-r)^L for
-    * per-table recall r; cost stays O(candidates · d) instead of O(n · d)
-    * per query, and every stage is a per-row expression + one hash join. */
-  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              nPlanes: Int = 8, nTables: Int = 6, seed: Long = 42L,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    // per-table signatures, tagged (table, sig) and exploded
-    def sigs(vec: Column): Column = array((0 until nTables).map { t =>
-      struct(lit(t).as("tbl"),
-        hyperplaneSignature(vec, dim, nPlanes, seed + t).as("sig"))
-    }: _*)
+  /** The nTables independent plane sets (deterministic, no RNG). */
+  private def planeTables(dim: Int, nPlanes: Int, nTables: Int,
+                          seed: Long): Seq[Seq[Seq[Double]]] =
+    (0 until nTables).map { t =>
+      (0 until nPlanes).map(p => (0 until dim).map(d => planeCoef(p, d, seed + t)))
+    }
+
+  /** The (qid, nn_id) candidate pairs the multiprobe LSH would re-rank —
+    * exposed so recall/candidate-fraction can be asserted without running
+    * the re-rank. This IS the sublinear part: everything downstream of it
+    * touches only these pairs. */
+  def annCandidates(corpus: DataFrame, queries: DataFrame, dim: Int,
+                    nPlanes: Int = 13, nTables: Int = 64, mProbe: Int = 5,
+                    seed: Long = 42L,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val tables = planeTables(dim, nPlanes, nTables, seed)
 
     val sigCorpus = corpus.select(col(idCol).as("nn_id"),
-        toDouble(col(vecCol)).as("v"), explode(sigs(col(vecCol))).as("ts"))
-      .select(col("nn_id"), col("v"), col("ts.tbl"), col("ts.sig"))
+        posexplode(graft.functions.VectorExprs.tableSignatures(col(vecCol), tables))
+          .as(Seq("tbl", "sig")))
 
-    val probes = queries.select(col(qidCol).as("qid"), toDouble(col(qvecCol)).as("qv"),
-        explode(sigs(col(qvecCol))).as("ts"))
-      .select(col("qid"), col("qv"), col("ts.tbl").as("tbl"), col("ts.sig").as("qsig"))
-      .select(col("qid"), col("qv"), col("tbl"), explode(array(
-        col("qsig") +: (0 until nPlanes).map(b => col("qsig").bitwiseXOR(lit(1L << b))): _*)).as("probe"))
+    val probes = queries.select(col(qidCol).as("qid"),
+        posexplode(graft.functions.VectorExprs.multiprobeTableSignatures(
+          col(qvecCol), tables, mProbe)).as(Seq("tbl", "parr")))
+      .select(col("qid"), col("tbl"), explode(col("parr")).as("probe"))
 
-    val cands = sigCorpus.join(broadcast(probes),
+    sigCorpus.join(broadcast(probes),
         col("sig") === col("probe") && sigCorpus("tbl") === probes("tbl"))
       .filter(col("nn_id") =!= col("qid"))
-      .select(col("qid"), col("nn_id"), cosine(col("v"), col("qv")).as("cos"))
+      .select(col("qid"), col("nn_id"))
       .distinct()
+  }
+
+  /** ANN top-k via multi-table hyperplane LSH with query-directed multiprobe
+    * (Lv et al., VLDB'07): `nTables` independent plane sets; per table, the
+    * query probes its own bucket plus every flip-subset of the `mProbe`
+    * planes with the smallest |projection| — the bits most likely to differ
+    * for a true neighbor. The union of candidates is re-ranked by exact
+    * cosine. Defaults tuned on the testdata embeddings (uniform unit
+    * vectors, the LSH-hardest case): recall@5 ≈ 0.86 touching ~27% of the
+    * corpus at n=500; gain grows as n^0.25 with corpus size (ρ ≈ 0.75 at
+    * 5th-NN cosine 0.29 — see SCALE.md).
+    *
+    * 100 TB shape: the exploded signature relation carries ONLY
+    * (id, table, sig) — 3 longs/row, never the vector (a ×nTables explode of
+    * the embedding column would multiply the corpus bytes; signatures don't).
+    * Vectors re-join only for candidate re-ranking: one broadcast-hash probe
+    * join, one distinct on (qid, id) pairs, one id-keyed join against the
+    * corpus, one window per qid. All signature math is a single codegen'd
+    * corpus traversal ([[graft.functions.TableSignatures]]).
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nPlanes: Int = 13, nTables: Int = 64, mProbe: Int = 5,
+              seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+
+    val cands = annCandidates(corpus, queries, dim, nPlanes, nTables, mProbe,
+        seed, idCol, vecCol, qidCol, qvecCol)
+      .join(corpus.select(col(idCol).as("nn_id"), toDouble(col(vecCol)).as("v")), "nn_id")
+      .join(broadcast(queries.select(col(qidCol).as("qid"), toDouble(col(qvecCol)).as("qv"))), "qid")
+      .select(col("qid"), col("nn_id"), cosine(col("v"), col("qv")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nn_id").asc)
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

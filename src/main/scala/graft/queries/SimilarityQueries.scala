@@ -44,15 +44,15 @@ object SimilarityQueries {
           .orderBy("qid", "rank")
       }),
 
-    // ---- ANN via random-hyperplane LSH with 1-bit multiprobe (scale path;
-    // hash-derived planes are engine-specific — rows-only; recall asserted
-    // against brute force in the spec).
+    // ---- ANN via random-hyperplane LSH with query-directed multiprobe
+    // (scale path; hash-derived planes are engine-specific — rows-only;
+    // recall ≥ 0.8 asserted against brute force in PipelineSpec).
     Q("q34_ann_lsh", None,
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val queries = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        Similarity.annTopK(emb, queries, k = 5, dim = 64, nPlanes = 8)
+        Similarity.annTopK(emb, queries, k = 5, dim = 64)
           .select(col("qid"), col("nn_id"), col("rank"), round(col("cos"), 6).as("cos"))
           .orderBy("qid", "rank")
       }),

@@ -36,11 +36,15 @@ object StreamQueries {
       Some("WITH flags AS (SELECT user_id, event_id, ts, " +
         "CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 " +
         "THEN 1 ELSE 0 END AS new_session FROM events), " +
-        "sess AS (SELECT user_id, ts, SUM(new_session) OVER " +
-        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq " +
+        "sess AS (SELECT user_id, ts, CAST(SUM(new_session) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq " +
         "FROM flags) " +
         "SELECT user_id, session_seq, COUNT(*) AS n_events, " +
-        "date_trunc('second', MIN(ts)) AS session_start, date_trunc('second', MAX(ts)) AS session_end " +
+        // CAST to plain TIMESTAMP: on DuckDB builds that read the events
+        // parquet as TIMESTAMP_NS, date_trunc preserves the ns type and the
+        // driver's value-hash sees ns-rendered strings vs Spark's µs.
+        "CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP) AS session_start, " +
+        "CAST(date_trunc('second', MAX(ts)) AS TIMESTAMP) AS session_end " +
         "FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq"),
       (s, dir) => Streams.sessionizeBatch(Tables.events(s, dir))
         .orderBy("user_id", "session_seq")),

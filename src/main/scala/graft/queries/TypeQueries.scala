@@ -63,7 +63,9 @@ object TypeQueries {
     Q("q45_typecast_roundtrip",
       Some("SELECT o_orderpriority, COUNT(*) AS n, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS total, " +
-        "SUM(o_custkey) AS custkey_sum, " +
+        // CAST: DuckDB SUM(int) yields HUGEINT, which the driver's pandas
+        // bridge renders as float64 ("...0") and hash-mismatches Spark BIGINT.
+        "CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum, " +
         "MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
       (s, dir) => {

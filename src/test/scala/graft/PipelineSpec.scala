@@ -127,13 +127,17 @@ class PipelineSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).toSeq == Seq(1L, 2L))
   }
 
-  test("annTopK returns true cosines with decent recall on real embeddings") {
-    val emb = Tables.embeddings(spark, sf0001)
-    val queries = emb.filter(col("vec_id") < 10)
+  test("annTopK recall@5 >= 0.8 with candidate fraction well below 1") {
+    // sf0.01: 500 uniform unit vectors — the LSH-hardest case (5th-NN cosine
+    // ~0.29). Defaults were tuned for recall ~0.86 touching ~27% of corpus.
+    val emb = Tables.embeddings(spark, sf001)
+    val n = emb.count()
+    val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val nQ = queries.count()
     val exact = Similarity.bruteForceTopK(emb, queries, 5)
       .select("qid", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = Similarity.annTopK(emb, queries, 5, dim = 64, nPlanes = 8)
+    val ann = Similarity.annTopK(emb, queries, 5, dim = 64)
     val annRows = ann.collect()
     assert(annRows.nonEmpty)
     // structural: ranks start at 1 and are contiguous per query
@@ -143,8 +147,11 @@ class PipelineSpec extends SparkSpec {
     }
     val hits = annRows.count(r => exact.contains((r.getLong(0), r.getLong(1))))
     val recall = hits.toDouble / exact.size
-    info(s"ANN recall@5 = $recall over ${exact.size} exact pairs")
-    assert(recall > 0.1, s"recall collapsed: $recall")
+    val candPairs = Similarity.annCandidates(emb, queries, dim = 64).count()
+    val frac = candPairs.toDouble / (n * nQ)
+    info(f"ANN recall@5 = $recall%.3f, candidate fraction = $frac%.3f over ${exact.size} exact pairs")
+    assert(recall >= 0.8, s"recall@5 below target: $recall")
+    assert(frac < 0.5, s"candidate fraction not sublinear: $frac")
   }
 
   test("ivfTopK with full probing equals brute force; partial probing recalls") {
