@@ -149,6 +149,53 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** Language-ID argmax in one tokenize-and-tally pass: tokens (whitespace
+  * split of the trimmed, lowercased text) are looked up in a prebuilt
+  * token -> profile-indexes map; the answer is the profile with the most
+  * hits, ties to the first (profiles are sorted by code on construction, so
+  * ties break alphabetically), "und" when nothing matches. Replaces one
+  * interpreted `filter`/`isin` array pass PER PROFILE (the composed form in
+  * TextAnalysis.langIdComposed, spec-pinned equal) with a single eval.
+  */
+case class LangIdArgmax(child: Expression, profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(profiles.nonEmpty, "at least one language profile required")
+
+  private val sorted = profiles.sortBy(_._1)
+  @transient private lazy val langs: Array[org.apache.spark.unsafe.types.UTF8String] =
+    sorted.map(p => org.apache.spark.unsafe.types.UTF8String.fromString(p._1)).toArray
+  @transient private lazy val und = org.apache.spark.unsafe.types.UTF8String.fromString("und")
+  @transient private lazy val lookup: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    sorted.zipWithIndex.foreach { case ((_, words), i) =>
+      words.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.toString.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val counts = new Array[Int](langs.length)
+    var i = 0
+    while (i < toks.length) {
+      val hit = lookup.get(toks(i))
+      if (hit != null) { var j = 0; while (j < hit.length) { counts(hit(j)) += 1; j += 1 } }
+      i += 1
+    }
+    var best = 0; var bi = -1; var k = 0
+    while (k < counts.length) { if (counts(k) > best) { best = counts(k); bi = k }; k += 1 }
+    if (bi < 0) und else langs(bi)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LangIdArgmax = copy(child = c)
+  override def prettyName: String = "langid_argmax"
+}
+
 object SketchExprs {
   def wordShingles(text: Column, n: Int): Column =
     column(WordShingles(expression(text), n))
@@ -160,4 +207,8 @@ object SketchExprs {
   /** tokenHashes: array<long>. */
   def simhash64(tokenHashes: Column): Column =
     column(SimHash64(expression(tokenHashes)))
+
+  /** text: string; profiles: (langCode, stopwords). */
+  def langIdArgmax(text: Column, profiles: Seq[(String, Seq[String])]): Column =
+    column(LangIdArgmax(expression(text), profiles))
 }

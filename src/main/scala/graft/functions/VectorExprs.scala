@@ -258,6 +258,7 @@ case class MultiprobeTableSignatures(child: Expression,
                                      tables: Seq[Seq[Seq[Double]]], mProbe: Int)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(tables.nonEmpty, "at least one plane table required")
   require(mProbe >= 0 && tables.forall(t => mProbe <= t.size && t.size <= 64))
   override def dataType: DataType =
     ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for training-data pipelines: exact, MinHash+LSH,
@@ -49,10 +50,14 @@ object Dedup {
 
   // -------------------------------------------------------- MinHash + LSH
   /** numHashes minhash values per row: h_i = min over shingles of
-    * xxhash64(shingle, i). Banded into `bands` buckets for LSH. */
+    * xxhash64(shingle, i). Banded into `bands` buckets for LSH.
+    * `maxBucket` is the per-(band,bucket) skew guard: buckets up to that
+    * size pair fully; larger ones degrade to id-adjacent chaining (linear
+    * candidates — see minhashDedup). */
   final case class MinHashConfig(numHashes: Int = 64, bands: Int = 16,
-      shingleN: Int = 3, threshold: Double = 0.7) {
+      shingleN: Int = 3, threshold: Double = 0.7, maxBucket: Int = 4096) {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucket >= 2, "maxBucket must allow at least one pair")
     def rowsPerBand: Int = numHashes / bands
   }
 
@@ -63,9 +68,10 @@ object Dedup {
 
   /** Signature from precomputed hash pairs — pure bit ops (h1 XOR rotl(h2,i):
     * overflow-free under ANSI mode, unlike multiply-add). Keep the pairs in
-    * their own (persisted) column: inlined into this lambda they would be
-    * re-evaluated once per hash function (CollapseProject), turning 2 string
-    * hashes per shingle into 2*numHashes. */
+    * their own column behind an exchange barrier (see minhashDedup): inlined
+    * into this lambda they would be re-evaluated once per hash function
+    * (CollapseProject), turning 2 string hashes per shingle into
+    * 2*numHashes. */
   def minhashSignatureFromPairs(pairs: Column, cfg: MinHashConfig): Column =
     array((0 until cfg.numHashes).map { i =>
       array_min(transform(pairs, p => {
@@ -97,10 +103,14 @@ object Dedup {
     // pass, both sides of the self-join, and verification. Without a
     // barrier, CollapseProject re-derives the shingling from raw text at
     // every use (measured 365s -> ~10s at sf0.1). A repartition is the
-    // barrier of choice over persist(): identical sides reuse the shuffle
-    // (ReusedExchange), nothing is left cached after the query completes,
-    // and at scale shuffle files spill to disk instead of holding
-    // executor cache memory.
+    // barrier of choice over persist(): nothing is left cached after the
+    // query completes, and at scale shuffle files spill to disk instead of
+    // holding executor cache memory. Caveat: column pruning splits the
+    // barrier into one exchange per distinct pruned column set — the
+    // signature pass shuffles (id, hp) while the two verification sides
+    // shuffle (id, sh) — so shingling runs once per pruned exchange within
+    // an action (identical pruned subtrees still hit ReusedExchange), not
+    // strictly once, and unlike persist() nothing carries across actions.
     val base = df.select(col(idCol).as("id"),
         wordShingles(col(textCol), cfg.shingleN).as("sh"))
       .withColumn("hp", shingleHashPairs(col("sh")))
@@ -111,11 +121,30 @@ object Dedup {
     val banded = sigs.select(col("id"), explode(bandBuckets(col("sig"), cfg)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
 
-    val cands = banded.as("a").join(banded.as("b"),
+    // Per-(band,bucket) skew guard: a degenerate bucket (boilerplate-heavy
+    // corpora — thousands of near-identical docs landing in one bucket)
+    // would otherwise go quadratic INSIDE the bucket. Buckets up to
+    // cfg.maxBucket pair fully (exact LSH semantics); larger buckets fall
+    // back to chaining id-adjacent members, keeping their candidate count
+    // LINEAR in bucket size while preserving connected-component
+    // reachability for the near-identical content that creates such buckets.
+    // The windows shuffle on the same (band,bucket) key the join needs, so
+    // the guard adds no new exchange key.
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("id"))))
+    val small = sized.filter(col("bsz") <= cfg.maxBucket)
+    val fullPairs = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val big = sized.filter(col("bsz") > cfg.maxBucket)
+    val chainPairs = big.as("a").join(big.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("b.rn") === col("a.rn") + 1)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cands = fullPairs.union(chainPairs).distinct()
 
     val withSets = cands
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")

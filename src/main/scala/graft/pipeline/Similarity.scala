@@ -58,7 +58,9 @@ object Similarity {
     * codegen'd kernel (one vector traversal for all planes — the composed
     * `aggregate(zip_with(...))` form ran nTables × nPlanes interpreted
     * array-folds per row and dominated the ANN bench); planes are constants
-    * embedded in the generated code. Accepts float or double arrays. */
+    * embedded in the generated code. Accepts float or double arrays ONLY
+    * (unlike the composed HOF form, which cast any numeric element) —
+    * pre-cast integer vectors with `toDouble(vec)`. */
   def hyperplaneSignature(vec: Column, dim: Int, nPlanes: Int = 16,
                           seed: Long = 42L): Column = {
     val planes = (0 until nPlanes).map(p => (0 until dim).map(d => planeCoef(p, d, seed)))
@@ -180,13 +182,21 @@ object Similarity {
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Exact near-duplicate pairs by cosine >= threshold. Brute force over all
-    * pairs — correctness baseline for the LSH path; keep to bounded corpora
-    * (the LSH variant is the scale path). */
-  def cosineNearDupPairs(emb: DataFrame, threshold: Double,
+  /** Exact near-duplicate pairs by cosine >= threshold, pairwise WITHIN a
+    * required blocking key (mirrors [[Dedup.ngramJaccardPairs]]): the
+    * explicit `blockCol` is the guard that makes a silent whole-corpus
+    * O(n^2) impossible to express — a caller who truly wants the bounded
+    * brute-force baseline must say so with a constant block. The repartition
+    * on the block is an exchange barrier: both self-join sides reuse one
+    * shuffle and arrive co-partitioned on `blk`, so the equi-join adds no
+    * further exchange. */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double, blockCol: Column,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+    val v = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"),
+        blockCol.as("blk"))
+      .repartition(col("blk"))
+    v.as("a").join(v.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosine(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)

@@ -73,9 +73,17 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "有", "我", "不", "这", "他", "们"))
 
   /** Language ID: argmax of per-language stopword hits; "und" (undetermined)
-    * when no profile matches. Ties break to the alphabetically first code
-    * (profiles are pre-sorted; sort_array on (-hits, lang) structs). */
-  def langId(c: Column, profiles: Seq[(String, Seq[String])] = LangProfiles): Column = {
+    * when no profile matches; ties break to the alphabetically first code.
+    * Native single tokenize-and-tally pass ([[graft.functions.LangIdArgmax]])
+    * — the composed form below ran one interpreted `filter`/`isin` array
+    * pass per profile per row. Same semantics, spec-pinned equal. */
+  def langId(c: Column, profiles: Seq[(String, Seq[String])] = LangProfiles): Column =
+    graft.functions.SketchExprs.langIdArgmax(c, profiles)
+
+  /** Composed built-in form of [[langId]] (sort_array on (-hits, lang)
+    * structs) — reference semantics, kept as the spec-pinned equivalence
+    * oracle for the native kernel. */
+  def langIdComposed(c: Column, profiles: Seq[(String, Seq[String])] = LangProfiles): Column = {
     val t = tokens(lower(c))
     val scored = array(profiles.map { case (lang, words) =>
       struct(

@@ -15,14 +15,16 @@ object SimilarityQueries {
   val qs: Seq[Q] = Seq(
 
     // ---- exact near-dup pairs by cosine (brute force = correctness
-    // baseline; the LSH/IVF paths below are the scale path).
+    // baseline; the LSH/IVF paths below are the scale path). The constant
+    // block opts this bounded corpus into all-pairs explicitly — the API
+    // requires a blocking column precisely so this can't happen by accident.
     Q("q32_embedding_neardup",
       Some("SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         s"round(list_cosine_similarity(${dvecSql.format("a.embedding")}, ${dvecSql.format("b.embedding")}), 6) AS cos " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         s"WHERE list_cosine_similarity(${dvecSql.format("a.embedding")}, ${dvecSql.format("b.embedding")}) >= 0.35 " +
         "ORDER BY id_a, id_b"),
-      (s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.35)
+      (s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.35, blockCol = lit(0))
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")),
 

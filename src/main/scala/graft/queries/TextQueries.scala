@@ -118,6 +118,16 @@ object TextQueries {
         TA.rollingFingerprint(col("text")).as("rolling_fp"))
         .orderBy("doc_id")),
 
+    // ---- the SQL-expressible slice of q29: md5 over the same normalized
+    // form is engine-independent, so this one IS oracle-checked (the
+    // xxhash-based simhash/rolling columns stay rows-only in q29).
+    Q("q46_fingerprint_md5",
+      Some(s"SELECT doc_id, md5($normSql) AS fp_md5 FROM documents ORDER BY doc_id"),
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        TA.fingerprint(col("text")).as("fp_md5"))
+        .orderBy("doc_id")),
+
     // ---- MinHash + LSH near-dup (64 hashes, 16 bands): the scale path.
     Q("q30_minhash_neardup", None,
       (s, dir) => Dedup.minhashDedup(Tables.documents(s, dir), "doc_id", "text",

@@ -17,10 +17,35 @@ object Writers {
     w.csv(path)
   }
 
-  /** K2 records2json as NDJSON (convert.py:852-892; dates render ISO via
-    * Spark's JSON encoder, matching CustomEncoder fntools.py:231-246). */
+  /** K2 records2json as NDJSON (convert.py:852-892 with newline=True; dates
+    * render ISO via Spark's JSON encoder, matching CustomEncoder
+    * fntools.py:231-246). The distributed writer — use this shape at scale. */
   def ndjson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** K2 records2json, both shapes (convert.py:852-892): the reference's
+    * DEFAULT is a single JSON array document (doctest convert.py:871-885);
+    * `newline = true` is the NDJSON mode above. A one-document array is
+    * inherently a single-writer output, so rows stream through the driver
+    * one partition at a time (`toLocalIterator` — bounded memory, the
+    * distributed analogue of the reference's generator-chunked dump); for
+    * anything large prefer [[ndjson]], which stays fully parallel. */
+  def json(df: DataFrame, path: String, newline: Boolean = false): Unit =
+    if (newline) ndjson(df, path)
+    else {
+      val out = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path))
+      try {
+        out.write("[")
+        val it = df.toJSON.toLocalIterator()
+        var first = true
+        while (it.hasNext) {
+          if (!first) out.write(",")
+          out.write(it.next())
+          first = false
+        }
+        out.write("]")
+      } finally out.close()
+    }
 
   /** K3 geojson — see GeoJson.featureJson / GeoJson.collectionString. */
   def geojson(df: DataFrame, path: String): Unit = {

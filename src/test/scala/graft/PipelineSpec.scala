@@ -42,6 +42,15 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq("en", "es", "de", "fr", "und"))
   }
 
+  test("native langId kernel matches the composed argmax on real documents") {
+    val docs = Tables.documents(spark, sf0001)
+    val diff = docs.select(
+      TA.langId(col("text")).as("kern"),
+      TA.langIdComposed(col("text")).as("comp"))
+      .filter(col("kern") =!= col("comp")).count()
+    assert(diff == 0L, s"$diff rows diverge between kernel and composed langId")
+  }
+
   test("fingerprint is normalization-invariant") {
     val df = Seq(("a", "The  Quick Fox"), ("b", "the quick fox"),
       ("c", "another doc")).toDF("id", "text")
@@ -73,6 +82,36 @@ class PipelineSpec extends SparkSpec {
       .collect()
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
     assert(got.head.getDouble(2) > 0.5 && got.head.getDouble(2) < 1.0)
+  }
+
+  test("minhash LSH skew guard: poisoned bucket stays linear, cluster stays connected") {
+    val boiler = "exactly the same boilerplate text repeated in every row of this block"
+    val normal = (1 to 40).map(i =>
+      (i.toLong, s"unique document number $i talking about topic$i and nothing else at all"))
+    val poisoned = (1000 to 1200).map(i => (i.toLong, boiler))
+    val df = (normal ++ poisoned).toDF("doc_id", "text")
+    // 201 identical docs >> maxBucket=16: the guard chains id-adjacent
+    // members → exactly 200 linear pairs for the cluster, not 201*200/2.
+    val capped = Dedup.minhashDedup(df, "doc_id", "text",
+      Dedup.MinHashConfig(64, 16, 3, 0.8, maxBucket = 16)).collect()
+    val cluster = capped.filter(r => r.getLong(0) >= 1000L && r.getLong(1) >= 1000L)
+    assert(cluster.length == 200, s"expected 200 chained pairs, got ${cluster.length}")
+    assert(cluster.forall(_.getDouble(2) == 1.0))
+    // connectivity: the chain reaches every member of the cluster
+    val adj = cluster.map(r => r.getLong(0) -> r.getLong(1))
+    val reached = scala.collection.mutable.Set(1000L)
+    var grew = true
+    while (grew) {
+      grew = false
+      adj.foreach { case (a, b) =>
+        if (reached(a) != reached(b)) { reached += a; reached += b; grew = true }
+      }
+    }
+    assert(reached.size == 201, s"cluster not connected: ${reached.size}/201 reached")
+    // uncapped (default maxBucket) the same input pairs fully: quadratic
+    val full = Dedup.minhashDedup(df, "doc_id", "text",
+      Dedup.MinHashConfig(64, 16, 3, 0.8)).count()
+    assert(full >= 201L * 200 / 2)
   }
 
   test("simhash: identical texts 0 hamming, near texts small, unrelated large") {

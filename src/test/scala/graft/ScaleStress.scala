@@ -30,6 +30,19 @@ object ScaleStress {
     }
     println(s"  pairs found: $mh")
 
+    // poisoned bucket: 5000 byte-identical docs land in ONE (band,bucket)
+    // per band — above cfg.maxBucket (4096) the guard chains id-adjacent
+    // members, so the cluster contributes ~4999 linear candidates instead
+    // of ~12.5M quadratic ones.
+    val poison = spark.range(5000).select(
+      (col("id") + 50000000L).as("doc_id"),
+      lit("same boilerplate header appears on every page of the crawl").as("text"))
+    val mp = timed("minhash dedup 100k docs + one poisoned 5000-doc bucket") {
+      Dedup.minhashDedup(big.union(poison), "doc_id", "text",
+        Dedup.MinHashConfig(64, 16, 3, 0.8)).count()
+    }
+    println(s"  pairs found: $mp (poisoned cluster adds ~4999 chained pairs, not ~12.5M)")
+
     val sh = timed("simhash dedup 100k docs") {
       Dedup.simhashDedup(big, "doc_id", "text", maxHamming = 3).count()
     }
