@@ -134,14 +134,63 @@ object Similarity {
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random unit centroids for IVF init (a production
-    * build would k-means these; the partition/probe plumbing is identical). */
+  /** Deterministic pseudo-random unit centroids for IVF init — the naive
+    * baseline [[kmeansCentroids]] is measured against (kept for that spec
+    * and as a data-independent fallback). */
   def pseudoCentroids(nCentroids: Int, dim: Int, seed: Long = 7L): Seq[(Int, Seq[Double])] =
     (0 until nCentroids).map { c =>
       val raw = (0 until dim).map(d => planeCoef(c, d, seed))
       val n = math.sqrt(raw.map(x => x * x).sum)
       c -> raw.map(_ / n)
     }
+
+  /** Spherical k-means (Lloyd's, cosine objective) on a corpus sample: ONE
+    * bounded Spark job collects the `sampleN` lowest-id vectors (TakeOrdered
+    * — sampleN×dim doubles on the driver REGARDLESS of corpus size), the
+    * iterations run driver-local on that sample, and the result is a small
+    * centroid literal list that broadcasts into [[ivfAssign]]/[[ivfTopK]]
+    * exactly like [[pseudoCentroids]]. Centroids now sit where the data
+    * actually clusters, so fixed-nProbe recall rises and partition sizes
+    * even out (see the PipelineSpec recall comparison). Deterministic: id-
+    * ordered sample, evenly-spaced init, fixed iteration count; empty
+    * clusters keep their previous centroid. */
+  def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 8,
+                      sampleN: Int = 2048, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
+    val sample: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(sampleN)
+      .select(toDouble(col(vecCol)).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "kmeansCentroids: empty corpus sample")
+    val k = math.min(nCentroids, sample.length)
+    val dim = sample(0).length
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val unit = sample.map(normalize)
+    var cents = Array.tabulate(k)(i => unit((i.toLong * unit.length / k).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      unit.foreach { v =>
+        var bi = 0; var best = Double.NegativeInfinity; var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += v(i) * cents(c)(i); i += 1 }
+          if (d > best) { best = d; bi = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(bi)(i) += v(i); i += 1 }
+        counts(bi) += 1
+      }
+      cents = Array.tabulate(k)(c => if (counts(c) == 0) cents(c) else normalize(sums(c)))
+      it += 1
+    }
+    cents.toSeq.zipWithIndex.map { case (v, i) => i -> v.toSeq }
+  }
 
   /** IVF-style ANN: corpus is partitioned by nearest of C centroids (here a
     * deterministic sample of corpus vectors); queries probe the nProbe

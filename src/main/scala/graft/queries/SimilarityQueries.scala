@@ -59,12 +59,14 @@ object SimilarityQueries {
           .orderBy("qid", "rank")
       }),
 
-    // ---- IVF-style assignment: corpus partitioned by nearest pseudo-random
-    // centroid (deterministic literals); histogram of partition sizes.
+    // ---- IVF-style assignment: corpus partitioned by nearest k-means
+    // centroid (spherical Lloyd's on a bounded id-ordered sample —
+    // deterministic, one extra job); histogram of partition sizes.
     Q("q35_ivf_assign", None,
       (s, dir) => {
-        val centroids = Similarity.pseudoCentroids(nCentroids = 16, dim = 64)
-        Similarity.ivfAssign(Tables.embeddings(s, dir), centroids)
+        val emb = Tables.embeddings(s, dir)
+        val centroids = Similarity.kmeansCentroids(emb, nCentroids = 16)
+        Similarity.ivfAssign(emb, centroids)
           .groupBy("centroid").agg(count(lit(1)).as("n_vectors"))
           .orderBy("centroid")
       }),

@@ -19,7 +19,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the truthy bound method always routes to the date branch) — fractional
   * serials >= 1 render as plain dates, dropping the time part.
   *
-  * Supported: FAT + miniFAT streams, SST incl. CONTINUE-record spill (large
+  * Supported: FAT + miniFAT streams incl. DIFAT spill sectors (files beyond
+  * the header DIFAT's ~7 MB reach), SST incl. CONTINUE-record spill (large
   * shared-string tables; strings may split mid-characters with a changed
   * compression flag), LABELSST,
   * NUMBER, RK, MULRK, LABEL, BOOLERR, BLANK/MULBLANK, date/time format
@@ -58,9 +59,27 @@ object XlsReader {
     val miniCutoff = bb.getInt(56)
     val miniFatStart = bb.getInt(60)
 
-    // FAT via the header DIFAT (109 entries covers files < ~7 MB; spill
-    // DIFAT sectors unsupported — legacy interchange files are tiny)
-    val fatSectors = (0 until 109).map(i => bb.getInt(76 + i * 4)).filter(_ >= 0)
+    // FAT sector list: the 109 header DIFAT entries cover files < ~7 MB;
+    // beyond that the header points at a chain of DIFAT spill sectors
+    // (MS-CFB 2.5: header fields 68 = first DIFAT sector, 72 = count), each
+    // holding ssz/4 - 1 FAT sector numbers plus a trailing next-DIFAT
+    // pointer.
+    val headerDifat = (0 until 109).map(i => bb.getInt(76 + i * 4))
+    val difatSpill = {
+      val nDifat = bb.getInt(72)
+      val out = mutable.ArrayBuffer[Int]()
+      var ds = bb.getInt(68)
+      var seen = 0
+      while (ds >= 0 && seen <= math.max(nDifat, 0)) {
+        val base = 512 + ds * ssz
+        require(base + ssz <= b.length, s"DIFAT sector $ds out of bounds")
+        (0 until ssz / 4 - 1).foreach(i => out += bb.getInt(base + i * 4))
+        ds = bb.getInt(base + ssz - 4)
+        seen += 1
+      }
+      out.toSeq
+    }
+    val fatSectors = (headerDifat ++ difatSpill).filter(_ >= 0)
     val fat = fatSectors.flatMap { fs =>
       (0 until ssz / 4).map(i => bb.getInt(512 + fs * ssz + i * 4))
     }.toArray
@@ -219,13 +238,19 @@ object XlsReader {
     private def base = segs(si)._1
     private def len = segs(si)._2
     private def ensure(): Unit = { while (si < segs.length && off >= len) { si += 1; off = 0 } }
+    private def ensureHasMore(): Unit = {
+      ensure()
+      if (si >= segs.length) throw new IllegalArgumentException(
+        "truncated SST/CONTINUE data: read past the last of " +
+          s"${segs.length} record segments (corrupt string/rich-run/phonetic lengths?)")
+    }
     def hasMore: Boolean = { ensure(); si < segs.length }
-    def readU8(): Int = { ensure(); val v = wb(base + off) & 0xFF; off += 1; v }
+    def readU8(): Int = { ensureHasMore(); val v = wb(base + off) & 0xFF; off += 1; v }
     def readU16(): Int = readU8() | (readU8() << 8)
     def readU32(): Int = readU16() | (readU16() << 16)
     def skip(n: Int): Unit = {
       var k = n
-      while (k > 0) { ensure(); val t = math.min(k, len - off); off += t; k -= t }
+      while (k > 0) { ensureHasMore(); val t = math.min(k, len - off); off += t; k -= t }
     }
     private def readChars(n: Int, wideInit: Boolean): String = {
       val sb = new java.lang.StringBuilder(n)

@@ -212,6 +212,25 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.2)
   }
 
+  test("k-means centroids: IVF recall at nProbe=4 materially above pseudo-centroids") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("qid", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(cents: Seq[(Int, Seq[Double])]): Double = {
+      val got = Similarity.ivfTopK(emb, queries, cents, 5, nProbe = 4)
+        .select("qid", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.count(exact.contains).toDouble / exact.size
+    }
+    val rPseudo = recall(Similarity.pseudoCentroids(16, 64))
+    val rKmeans = recall(Similarity.kmeansCentroids(emb, 16))
+    info(f"IVF recall@5, nProbe=4/16: pseudo=$rPseudo%.3f kmeans=$rKmeans%.3f")
+    assert(rKmeans > rPseudo, f"k-means recall $rKmeans%.3f not above pseudo $rPseudo%.3f")
+    // determinism: same sample, same init, same centroids
+    assert(Similarity.kmeansCentroids(emb, 16) == Similarity.kmeansCentroids(emb, 16))
+  }
+
   test("ivfAssign covers every row with a valid centroid") {
     val emb = Tables.embeddings(spark, sf0001)
     val centroids = Similarity.pseudoCentroids(16, 64)
@@ -223,6 +242,26 @@ class PipelineSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------- multimodal
+  test("image decode is a real codec: PNG fixture round-trips exact dimensions") {
+    // genuine PNG bytes via ImageIO — decodeBytes must recover true w/h
+    val img = new java.awt.image.BufferedImage(5, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 3).foreach(y => (0 until 5).foreach(x => img.setRGB(x, y, x * 40 + y * 80)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq((7L, "image", bos.toByteArray)).toDF("media_id", "kind", "payload")
+    val row = Multimodal.decode(media).head()
+    val meta = row.getStruct(1)
+    assert(meta.getAs[Int]("width") == 5 && meta.getAs[Int]("height") == 3)
+    assert(meta.getAs[Long]("durationMs") == 0L)
+    // features = luminance histogram normalized to sum 1
+    val feats = row.getSeq[Float](2)
+    assert(feats.length == 16 && math.abs(feats.map(_.toDouble).sum - 1.0) < 1e-5)
+    // undecodable "image" bytes fall back to the deterministic fake
+    val junk = Seq((8L, "image", Array[Byte](1, 2, 3))).toDF("media_id", "kind", "payload")
+    assert(Multimodal.decode(junk).head().getStruct(1).getAs[Int]("width") >= 64)
+  }
+
   test("multimodal decode plumbing: schema, determinism, partition mapping") {
     val media = Multimodal.asMediaTable(Tables.documents(spark, sf0001).limit(50))
     val decoded = Multimodal.decode(media)
@@ -230,10 +269,19 @@ class PipelineSpec extends SparkSpec {
     assert(decoded.count() == 50)
     val row = decoded.orderBy("mediaId").head()
     val again = Multimodal.decode(media).orderBy("mediaId").head()
-    assert(row == again, "stub decode must be deterministic")
+    assert(row == again, "decode must be deterministic")
     val meta = row.getStruct(1)
+    // doc 0 is an image row with a real PNG payload: id 0 -> 4x4
     assert(meta.getAs[String]("kind") == "image")
     assert(meta.getAs[Long]("sizeBytes") > 0)
+    assert(meta.getAs[Int]("width") == 4 && meta.getAs[Int]("height") == 4)
+    // all three kinds present, image dims bounded by the png generator
+    val kinds = decoded.select(col("meta.kind")).distinct().as[String].collect().toSet
+    assert(kinds == Set("image", "audio", "video"))
+    val dims = decoded.filter(col("meta.kind") === "image")
+      .select(col("meta.width"), col("meta.height")).collect()
+    assert(dims.forall(r => r.getInt(0) >= 4 && r.getInt(0) <= 16 &&
+      r.getInt(1) >= 4 && r.getInt(1) <= 10))
   }
 
   test("sampleFrames slices bounded frame windows from binary payloads") {

@@ -136,6 +136,96 @@ class XlsSpec extends SparkSpec {
     (out.toByteArray, splitCompressed, splitMixed, splitWide)
   }
 
+  /** OLE2 container whose FAT needs >109 sectors (~7.3 MB): the header DIFAT
+    * overflows into one DIFAT spill sector (MS-CFB 2.5). A small workbook
+    * plus a large padding stream force the sector count up. Layout:
+    * FAT sectors 0..110 | DIFAT spill 111 | dir 112 | workbook | padding. */
+  private def buildDifatXls(): Array[Byte] = {
+    val ssz = 512
+    def label(r: Int, c: Int, s: String): Array[Byte] =
+      rec(0x0204, le16(r) ++ le16(c) ++ le16(0) ++ cstr(s))
+    val sheetOff = 12 // BOUNDSHEET rec (8) + EOF rec (4)
+    val globals = rec(0x0085, le32(sheetOff)) ++ rec(0x000A, Array.empty[Byte])
+    val sheet = label(0, 0, "name") ++ label(0, 1, "qty") ++
+      label(1, 0, "apple") ++
+      rec(0x0203, le16(1) ++ le16(1) ++ le16(0) ++
+        ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(3.0).array()) ++
+      rec(0x000A, Array.empty[Byte])
+    val wb = globals ++ sheet
+
+    val nFat = 111            // covers 111*128 = 14208 sectors
+    val nWb = (wb.length + ssz - 1) / ssz
+    val totalSectors = 14200  // > 109*128: forces DIFAT spill
+    val difatSector = nFat    // 111
+    val dirSector = nFat + 1  // 112
+    val wbStart = nFat + 2
+    val padStart = wbStart + nWb
+    require(totalSectors > 109 * 128 && nFat * 128 >= totalSectors)
+
+    val fat = ByteBuffer.allocate(nFat * ssz).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until nFat).foreach(_ => fat.putInt(0xFFFFFFFD))          // FAT sectors
+    fat.putInt(0xFFFFFFFC)                                       // DIFAT sector
+    fat.putInt(0xFFFFFFFE)                                       // directory
+    (0 until nWb).foreach(i =>
+      fat.putInt(if (i == nWb - 1) 0xFFFFFFFE else wbStart + i + 1))
+    (padStart until totalSectors).foreach(s =>
+      fat.putInt(if (s == totalSectors - 1) 0xFFFFFFFE else s + 1))
+    while (fat.position() < nFat * ssz) fat.putInt(0xFFFFFFFF)
+
+    val difat = ByteBuffer.allocate(ssz).order(ByteOrder.LITTLE_ENDIAN)
+    difat.putInt(109); difat.putInt(110)        // FAT sectors beyond header 109
+    (2 until ssz / 4 - 1).foreach(_ => difat.putInt(0xFFFFFFFF))
+    difat.putInt(0xFFFFFFFE)                    // no next DIFAT sector
+
+    val dir = ByteBuffer.allocate(ssz).order(ByteOrder.LITTLE_ENDIAN)
+    def dirEntry(slot: Int, name: String, start: Int, size: Int): Unit = {
+      val off = slot * 128
+      val nb = name.getBytes("UTF-16LE")
+      dir.position(off); dir.put(nb)
+      dir.putShort(off + 64, ((name.length + 1) * 2).toShort)
+      dir.putInt(off + 116, start); dir.putInt(off + 120, size)
+    }
+    dirEntry(0, "Root Entry", -2, 0)
+    dirEntry(1, "Workbook", wbStart, wb.length)
+    dirEntry(2, "Padding", padStart, (totalSectors - padStart) * ssz)
+
+    val header = ByteBuffer.allocate(ssz).order(ByteOrder.LITTLE_ENDIAN)
+    header.put(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
+    header.putShort(30, 9)            // 512-byte sectors
+    header.putInt(44, nFat)           // FAT sector count
+    header.putInt(48, dirSector)      // directory start
+    header.putInt(56, 64)             // mini cutoff below wb size -> regular FAT
+    header.putInt(60, -2)             // no miniFAT
+    header.putInt(68, difatSector)    // first DIFAT spill sector
+    header.putInt(72, 1)              // one DIFAT spill sector
+    (0 until 109).foreach(i => header.putInt(76 + i * 4, i)) // FAT 0..108
+
+    val out = new ByteArrayOutputStream()
+    out.write(header.array())
+    out.write(fat.array())                        // sectors 0..110
+    out.write(difat.array())                      // sector 111
+    out.write(dir.array())                        // sector 112
+    out.write(wb); out.write(new Array[Byte](nWb * ssz - wb.length))
+    out.write(new Array[Byte]((totalSectors - padStart) * ssz))
+    out.toByteArray
+  }
+
+  test("OLE2 DIFAT spill: >7 MB file with 111 FAT sectors parses") {
+    val bytes = buildDifatXls()
+    // header DIFAT reaches 109 FAT sectors = 109*128 data sectors; the
+    // fixture's 14200 sectors (~7.27 MB) are past that, so parsing REQUIRES
+    // the DIFAT spill chain
+    assert(bytes.length > 512 + 109 * 128 * 512, "fixture must exceed the header-DIFAT reach")
+    val f = java.io.File.createTempFile("difat_spill", ".xls")
+    try {
+      java.nio.file.Files.write(f.toPath, bytes)
+      val df = graft.sources.XlsReader.read(spark, f.getAbsolutePath)
+      assert(df.columns.toSeq == Seq("name", "qty"))
+      val r = df.collect().head
+      assert(r.getString(0) == "apple" && r.getString(1) == "3.0")
+    } finally f.delete()
+  }
+
   test("SST spanning CONTINUE records parses, incl. mid-string splits") {
     val (bytes, splitCompressed, splitMixed, splitWide) = buildSpillXls()
     assert(bytes.length > 8 * 1024, "fixture must actually spill one record")
