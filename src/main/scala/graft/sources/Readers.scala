@@ -282,18 +282,19 @@ object Readers {
       case "xls" => XlsReader.read(spark, path)
       case "dbf" => DbfReader.read(spark, path)
       case "sqlite" => SqliteReader.read(spark, path)
+      case "mdb" => MdbReader.read(spark, path)
       case "parquet" => spark.read.parquet(path)
       case "geojson" => GeoJson.read(spark, path)
       case other => throw new IllegalArgumentException(s"unsupported extension $other")
     }
   }
 
-  /** S9 read_mdb (io.py:598-674): the Spark-native capability for server
-    * databases is JDBC. No mdb driver ships in this environment, so this
-    * facade is untested here — it is the documented equivalent path, with
+  /** Server databases: the Spark-native capability is JDBC, with
     * partitioned reads for scale when a numeric partition column is known.
-    * (S11 sqlite no longer needs it: [[SqliteReader]] parses the file
-    * format natively.) */
+    * No drivers ship in this environment, so the facade is untested here.
+    * The reference's file-database sources no longer need it: S9 mdb
+    * ([[MdbReader]], Jet4 native) and S11 sqlite ([[SqliteReader]]) parse
+    * their file formats directly. */
   def jdbc(spark: SparkSession, url: String, table: String,
            partitionCol: Option[String] = None, lower: Long = 0L,
            upper: Long = 1000000L, numPartitions: Int = 8): DataFrame = {
