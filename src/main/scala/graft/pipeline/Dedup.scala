@@ -51,9 +51,9 @@ object Dedup {
   // -------------------------------------------------------- MinHash + LSH
   /** numHashes minhash values per row: h_i = min over shingles of
     * xxhash64(shingle, i). Banded into `bands` buckets for LSH.
-    * `maxBucket` is the per-(band,bucket) skew guard: buckets up to that
-    * size pair fully; larger ones degrade to id-adjacent chaining (linear
-    * candidates — see minhashDedup). */
+    * `maxBucket` is the per-(band,bucket) skew guard: the first maxBucket
+    * members of a bucket pair fully; members past the cap only chain to
+    * their immediate neighbor (linear candidates — see minhashDedup). */
   final case class MinHashConfig(numHashes: Int = 64, bands: Int = 16,
       shingleN: Int = 3, threshold: Double = 0.7, maxBucket: Int = 4096) {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -123,28 +123,30 @@ object Dedup {
 
     // Per-(band,bucket) skew guard: a degenerate bucket (boilerplate-heavy
     // corpora — thousands of near-identical docs landing in one bucket)
-    // would otherwise go quadratic INSIDE the bucket. Buckets up to
-    // cfg.maxBucket pair fully (exact LSH semantics); larger buckets fall
-    // back to chaining id-adjacent members, keeping their candidate count
-    // LINEAR in bucket size while preserving connected-component
-    // reachability for the near-identical content that creates such buckets.
-    // The windows shuffle on the same (band,bucket) key the join needs, so
-    // the guard adds no new exchange key.
-    val w = Window.partitionBy(col("band"), col("bucket"))
-    val sized = banded
-      .withColumn("bsz", count(lit(1)).over(w))
-      .withColumn("rn", row_number().over(w.orderBy(col("id"))))
-    val small = sized.filter(col("bsz") <= cfg.maxBucket)
-    val fullPairs = small.as("a").join(small.as("b"),
+    // would otherwise go quadratic INSIDE the bucket. Rank members by id
+    // within their bucket (one window: its exchange+sort on (band,bucket)
+    // is the same key the self-join needs, so the join reuses both), then
+    // pair (a,b) iff a precedes b AND b is within the first maxBucket
+    // members — full pairing for normal buckets — OR b is a's immediate
+    // successor, which chains the tail of an oversized bucket: candidates
+    // stay LINEAR in bucket size past the cap while connected-component
+    // reachability is preserved for the near-identical content that creates
+    // such buckets. One join, one residual predicate, no extra shuffle key.
+    // merge hint: pins the self-join to sort-merge, the shape a 100 TB
+    // corpus gets anyway (the banded relation never fits a broadcast) —
+    // both sides are then identical exchange subtrees shuffled once and
+    // already sorted on the join-key prefix by the window's
+    // (band,bucket,id) sort. At bench scale AQE reuses the shuffle under
+    // either strategy (measured equal); the hint makes that static.
+    val ranked = banded.withColumn("rn", row_number().over(
+      Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))))
+      .hint("merge")
+    val cands = ranked.as("a").join(ranked.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
+          ((col("a.rn") < col("b.rn") && col("b.rn") <= cfg.maxBucket) ||
+            col("b.rn") === col("a.rn") + 1))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val big = sized.filter(col("bsz") > cfg.maxBucket)
-    val chainPairs = big.as("a").join(big.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("b.rn") === col("a.rn") + 1)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val cands = fullPairs.union(chainPairs).distinct()
+      .distinct()
 
     val withSets = cands
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")

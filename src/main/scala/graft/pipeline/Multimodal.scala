@@ -76,7 +76,10 @@ object Multimodal {
     val src: Dataset[(Long, String, Array[Byte])] = df.select(
       col(idCol).cast("long"), col(kindCol), col(binCol)).as[(Long, String, Array[Byte])]
     src.mapPartitions { rows =>
-      // per-partition codec init would happen here
+      // per-partition codec init: in-memory ImageIO streams (the default
+      // spools every read through a temp FILE — measured ~2x the whole
+      // decode stage); a heavier codec would load its model/JNI here too
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { case (id, kind, bytes) => decodeBytes(id, kind, bytes) }
     }.toDF()
   }
@@ -96,25 +99,48 @@ object Multimodal {
 
   /** Deterministic tiny PNG derived from (id, text): dimensions vary with
     * the id, pixels with a text-seeded hash — a genuine encoded image the
-    * real codec path decodes, with no RNG and no fixture files. */
+    * real codec path decodes, with no RNG and no fixture files. Encoded by
+    * hand (signature/IHDR/IDAT/IEND with Deflater + CRC32): ImageIO.write's
+    * per-call plugin lookup and stream plumbing cost milliseconds per
+    * image, which dominated the fixture-generation side of the bench. */
   private[pipeline] def pngPayload(id: Long, text: String): Array[Byte] = {
     val w = 4 + (id % 13).toInt
     val h = 4 + (id % 7).toInt
-    val img = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
     val seed = scala.util.hashing.MurmurHash3.stringHash(text, (id & 0x7FFFFFFF).toInt)
-    var y = 0
+    // raw scanlines: filter byte 0 + w RGB triples per row
+    val raw = new Array[Byte](h * (1 + w * 3))
+    var y = 0; var p = 0
     while (y < h) {
+      raw(p) = 0; p += 1
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, scala.util.hashing.MurmurHash3.productHash((seed, x, y)) & 0xFFFFFF)
-        x += 1
+        val rgb = scala.util.hashing.MurmurHash3.productHash((seed, x, y))
+        raw(p) = (rgb >> 16).toByte; raw(p + 1) = (rgb >> 8).toByte; raw(p + 2) = rgb.toByte
+        p += 3; x += 1
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new Array[Byte](raw.length + 64)
+    val zLen = deflater.deflate(zBuf)
+    require(deflater.finished(), "png scanline deflate did not fit one buffer")
+    deflater.end()
+    val out = java.nio.ByteBuffer.allocate(8 + 25 + 12 + zLen + 12)
+    out.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def chunk(tag: String, data: Array[Byte], len: Int): Unit = {
+      out.putInt(len).put(tag.getBytes("ASCII")).put(data, 0, len)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("ASCII")); crc.update(data, 0, len)
+      out.putInt(crc.getValue.toInt)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // 8-bit RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    chunk("IHDR", ihdr, 13)
+    chunk("IDAT", zBuf, zLen)
+    chunk("IEND", Array.emptyByteArray, 0)
+    out.array()
   }
 
   /** Wrap a text/documents table as a media table — test fixture path.

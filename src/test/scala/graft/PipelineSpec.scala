@@ -90,12 +90,14 @@ class PipelineSpec extends SparkSpec {
       (i.toLong, s"unique document number $i talking about topic$i and nothing else at all"))
     val poisoned = (1000 to 1200).map(i => (i.toLong, boiler))
     val df = (normal ++ poisoned).toDF("doc_id", "text")
-    // 201 identical docs >> maxBucket=16: the guard chains id-adjacent
-    // members → exactly 200 linear pairs for the cluster, not 201*200/2.
+    // 201 identical docs >> maxBucket=16: full pairs among the first 16
+    // members (C(16,2)=120) + the id-adjacent chain for the tail (200, of
+    // which 15 overlap the full pairs) → 305 linear-bounded candidates,
+    // not 201*200/2 = 20100.
     val capped = Dedup.minhashDedup(df, "doc_id", "text",
       Dedup.MinHashConfig(64, 16, 3, 0.8, maxBucket = 16)).collect()
     val cluster = capped.filter(r => r.getLong(0) >= 1000L && r.getLong(1) >= 1000L)
-    assert(cluster.length == 200, s"expected 200 chained pairs, got ${cluster.length}")
+    assert(cluster.length == 305, s"expected 305 capped pairs, got ${cluster.length}")
     assert(cluster.forall(_.getDouble(2) == 1.0))
     // connectivity: the chain reaches every member of the cluster
     val adj = cluster.map(r => r.getLong(0) -> r.getLong(1))
