@@ -231,6 +231,43 @@ object Similarity {
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Near-duplicate embedding pairs at cosine >= threshold via multi-table
+    * hyperplane LSH banding — the SCALE path whose bounded oracle baseline
+    * is [[cosineNearDupPairs]] (q32). Two vectors become a candidate pair
+    * when at least one of `nTables` independent plane sets assigns them the
+    * same nPlanes-bit signature (P per table = (1-θ/π)^nPlanes, so genuine
+    * near-dups at cosine ≥ .9 collide with ~0.94 probability at 12 planes ×
+    * 16 tables, while the background corpus rarely does); candidates verify
+    * with exact cosine. 100 TB shape mirrors minhashDedup: the exploded
+    * relation carries (id, table, sig) — never the vector; candidates meet
+    * in one (table, sig) shuffle with the same first-maxBucket-pair +
+    * successor-chain skew guard; vectors re-join only for verification. */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double, dim: Int,
+                            nPlanes: Int = 12, nTables: Int = 16,
+                            seed: Long = 42L, maxBucket: Int = 4096,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val tables = planeTables(dim, nPlanes, nTables, seed)
+    val base = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .repartition(col("id"))
+    val ranked = base
+      .select(col("id"), posexplode(
+        graft.functions.VectorExprs.tableSignatures(col("v"), tables)).as(Seq("tbl", "sig")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("tbl"), col("sig")).orderBy(col("id"))))
+      .hint("merge")
+    val cands = ranked.as("a").join(ranked.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          ((col("a.rn") < col("b.rn") && col("b.rn") <= maxBucket) ||
+            col("b.rn") === col("a.rn") + 1))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Exact near-duplicate pairs by cosine >= threshold, pairwise WITHIN a
     * required blocking key (mirrors [[Dedup.ngramJaccardPairs]]): the
     * explicit `blockCol` is the guard that makes a silent whole-corpus

@@ -28,6 +28,23 @@ object SimilarityQueries {
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")),
 
+    // ---- the LSH scale path for the same task: multi-table hyperplane
+    // banding + exact verification over a corpus with planted near-dups
+    // (hash-derived planes are engine-specific — rows-only; planted-pair
+    // recall >= 0.9 asserted in PipelineSpec).
+    Q("q47_embedding_neardup_lsh", None,
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("embedding"))
+        val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + (pmod(xxhash64(col("vec_id"), i), lit(1000)).cast("double") - 500.0) / 500000.0)
+            .as("embedding"))
+        Similarity.embeddingNearDupPairs(emb.union(planted), 0.9, dim = 64)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+          .orderBy("id_a", "id_b")
+      }),
+
     // ---- brute-force cosine top-k for a query set (vec_id < 10): ranks are
     // float-order-robust (random vectors; no near-ties), ids are exact.
     Q("q33_ann_bruteforce",

@@ -214,6 +214,27 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.2)
   }
 
+  test("embeddingNearDupPairs (LSH) finds planted near-duplicates, no background noise") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("embedding"))
+    val n = emb.count()
+    // plant a near-identical copy of every vector (deterministic ±0.1%
+    // perturbation -> cosine ~0.9999) under vec_id + 1e6
+    val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x + (pmod(xxhash64(col("vec_id"), i), lit(1000)).cast("double") - 500.0) / 500000.0)
+        .as("embedding"))
+    val pairs = Similarity.embeddingNearDupPairs(emb.union(planted), 0.9, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = pairs.count { case (a, b) => b == a + 1000000L }
+    val recall = found.toDouble / n
+    info(f"planted-pair recall = $recall%.3f over $n pairs; total pairs ${pairs.size}")
+    assert(recall >= 0.9, s"LSH missed too many planted near-dups: $recall")
+    // uniform random vectors have no genuine 0.9-cosine pairs: everything
+    // verified is a planted pair
+    assert(pairs.size == found, "unexpected background pairs above threshold")
+  }
+
   test("k-means centroids: IVF recall at nProbe=4 materially above pseudo-centroids") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 10)

@@ -31,17 +31,19 @@ object ScaleStress {
     println(s"  pairs found: $mh")
 
     // poisoned bucket: 5000 byte-identical docs land in ONE (band,bucket)
-    // per band — above cfg.maxBucket (4096) the guard chains id-adjacent
-    // members, so the cluster contributes ~4999 linear candidates instead
-    // of ~12.5M quadratic ones.
+    // per band. With maxBucket=256 the guard pairs the first 256 members
+    // fully and chains the tail: the cluster adds C(256,2) + 4744 = 37,384
+    // pairs — invariant to how far past the cap the bucket grows — instead
+    // of C(5000,2) = 12.5M quadratic ones. (The 4096 default would bound it
+    // at C(4096,2)+904 = 8.39M: still capped, chosen recall-conservative.)
     val poison = spark.range(5000).select(
       (col("id") + 50000000L).as("doc_id"),
       lit("same boilerplate header appears on every page of the crawl").as("text"))
-    val mp = timed("minhash dedup 100k docs + one poisoned 5000-doc bucket") {
+    val mp = timed("minhash dedup 100k docs + one poisoned 5000-doc bucket (cap 256)") {
       Dedup.minhashDedup(big.union(poison), "doc_id", "text",
-        Dedup.MinHashConfig(64, 16, 3, 0.8)).count()
+        Dedup.MinHashConfig(64, 16, 3, 0.8, maxBucket = 256)).count()
     }
-    println(s"  pairs found: $mp (poisoned cluster adds ~4999 chained pairs, not ~12.5M)")
+    println(s"  pairs found: $mp (= base 1,052,400 + capped cluster 37,384)")
 
     val sh = timed("simhash dedup 100k docs") {
       Dedup.simhashDedup(big, "doc_id", "text", maxHamming = 3).count()
