@@ -94,67 +94,77 @@ object Dedup {
 
   /** Candidate pairs whose signatures collide in >=1 band, then exact-Jaccard
     * verified against `threshold`. Returns (id_a, id_b, jaccard) with
-    * id_a < id_b. The shuffles: one on (band,bucket) for candidates, two
-    * broadcast-or-shuffle joins to re-attach shingle sets for verification.
-    */
+    * id_a < id_b.
+    *
+    * LSH runs over DISTINCT shingle sets, not rows — a dedup operator's
+    * input is by definition duplicate-heavy, and row-level banding puts
+    * every copy of a text in the same bucket of every band (quadratic in
+    * the copy count before any verification). Signatures and jaccard both
+    * depend only on the shingle SET, so rows group by a set fingerprint
+    * (md5 of the sorted set — the same equate-by-hash the exact-dedup path
+    * uses), one representative per set runs the banded LSH + verification,
+    * and pairs expand afterward: within-set pairs at jaccard 1.0 (genuine
+    * duplicates, output-bounded), cross-set pairs carrying the verified
+    * representative jaccard. Identical-copy clusters therefore cost the
+    * LSH NOTHING regardless of size; see simhashDedup for the measured
+    * counterpart (94M -> 237k candidates at 20x replication).
+    *
+    * Skew guard for near-identical-but-distinct sets: members of a
+    * (band,bucket) are ranked by a window (its exchange+sort is the same
+    * key the self-join needs); (a,b) pair iff a precedes b within the
+    * first maxBucket members (full pairing for normal buckets) OR b is a's
+    * immediate successor (chains an oversized bucket's tail — candidates
+    * linear past the cap, reachability preserved). The merge hint pins the
+    * sort-merge shape a non-broadcastable 100 TB corpus gets anyway.
+    *
+    * Shingling computes once per exchange consumer behind the fp-keyed
+    * repartition barrier (without one, CollapseProject re-derives it from
+    * raw text at every use — measured 365s -> ~10s at sf0.1); the groupBy
+    * and both expansion joins reuse the same fp partitioning; the hp
+    * column feeds the native signature kernel exactly once. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    // exchange barrier on (id, shingles, hash-pairs): read by the signature
-    // pass, both sides of the self-join, and verification. Without a
-    // barrier, CollapseProject re-derives the shingling from raw text at
-    // every use (measured 365s -> ~10s at sf0.1). A repartition is the
-    // barrier of choice over persist(): nothing is left cached after the
-    // query completes, and at scale shuffle files spill to disk instead of
-    // holding executor cache memory. Caveat: column pruning splits the
-    // barrier into one exchange per distinct pruned column set — the
-    // signature pass shuffles (id, hp) while the two verification sides
-    // shuffle (id, sh) — so shingling runs once per pruned exchange within
-    // an action (identical pruned subtrees still hit ReusedExchange), not
-    // strictly once, and unlike persist() nothing carries across actions.
     val base = df.select(col(idCol).as("id"),
         wordShingles(col(textCol), cfg.shingleN).as("sh"))
+      .withColumn("fp", md5(to_json(array_sort(col("sh")))))
+      .repartition(col("fp"))
+    val reps = base.groupBy(col("fp"))
+      .agg(min(col("id")).as("rid"), first(col("sh")).as("sh"))
       .withColumn("hp", shingleHashPairs(col("sh")))
-      .repartition(col("id"))
 
-    val sigs = base.select(col("id"),
+    val sigs = reps.select(col("fp"), col("rid"),
       graft.functions.SketchExprs.minhashSignature(col("hp"), cfg.numHashes).as("sig"))
-    val banded = sigs.select(col("id"), explode(bandBuckets(col("sig"), cfg)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val banded = sigs.select(col("fp"), col("rid"),
+        explode(bandBuckets(col("sig"), cfg)).as("bb"))
+      .select(col("fp"), col("rid"), col("bb.band"), col("bb.bucket"))
 
-    // Per-(band,bucket) skew guard: a degenerate bucket (boilerplate-heavy
-    // corpora — thousands of near-identical docs landing in one bucket)
-    // would otherwise go quadratic INSIDE the bucket. Rank members by id
-    // within their bucket (one window: its exchange+sort on (band,bucket)
-    // is the same key the self-join needs, so the join reuses both), then
-    // pair (a,b) iff a precedes b AND b is within the first maxBucket
-    // members — full pairing for normal buckets — OR b is a's immediate
-    // successor, which chains the tail of an oversized bucket: candidates
-    // stay LINEAR in bucket size past the cap while connected-component
-    // reachability is preserved for the near-identical content that creates
-    // such buckets. One join, one residual predicate, no extra shuffle key.
-    // merge hint: pins the self-join to sort-merge, the shape a 100 TB
-    // corpus gets anyway (the banded relation never fits a broadcast) —
-    // both sides are then identical exchange subtrees shuffled once and
-    // already sorted on the join-key prefix by the window's
-    // (band,bucket,id) sort. At bench scale AQE reuses the shuffle under
-    // either strategy (measured equal); the hint makes that static.
     val ranked = banded.withColumn("rn", row_number().over(
-      Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))))
+      Window.partitionBy(col("band"), col("bucket")).orderBy(col("rid"))))
       .hint("merge")
-    val cands = ranked.as("a").join(ranked.as("b"),
+    val candFps = ranked.as("a").join(ranked.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           ((col("a.rn") < col("b.rn") && col("b.rn") <= cfg.maxBucket) ||
             col("b.rn") === col("a.rn") + 1))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .distinct()
 
-    val withSets = cands
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-
-    withSets.select(col("id_a"), col("id_b"),
+    val verified = candFps
+      .join(reps.select(col("fp").as("fp_a"), col("sh").as("sh_a")), "fp_a")
+      .join(reps.select(col("fp").as("fp_b"), col("sh").as("sh_b")), "fp_b")
+      .select(col("fp_a"), col("fp_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= cfg.threshold)
+
+    val cross = verified
+      .join(base.select(col("fp").as("fp_a"), col("id").as("ia")), "fp_a")
+      .join(base.select(col("fp").as("fp_b"), col("id").as("ib")), "fp_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+    val within = base.as("x").join(base.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.union(within)
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -84,36 +84,37 @@ class PipelineSpec extends SparkSpec {
     assert(got.head.getDouble(2) > 0.5 && got.head.getDouble(2) < 1.0)
   }
 
-  test("minhash LSH skew guard: poisoned bucket stays linear, cluster stays connected") {
+  test("minhash: an identical-copy cluster expands to ALL true pairs at zero LSH cost") {
     val boiler = "exactly the same boilerplate text repeated in every row of this block"
     val normal = (1 to 40).map(i =>
       (i.toLong, s"unique document number $i talking about topic$i and nothing else at all"))
     val poisoned = (1000 to 1200).map(i => (i.toLong, boiler))
     val df = (normal ++ poisoned).toDF("doc_id", "text")
-    // 201 identical docs >> maxBucket=16: full pairs among the first 16
-    // members (C(16,2)=120) + the id-adjacent chain for the tail (200, of
-    // which 15 overlap the full pairs) → 305 linear-bounded candidates,
-    // not 201*200/2 = 20100.
-    val capped = Dedup.minhashDedup(df, "doc_id", "text",
+    // 201 byte-identical docs collapse to ONE distinct shingle set before
+    // banding, then expand to the complete C(201,2) true-duplicate pair set
+    // — output-bounded work, and the cap (which guards candidate
+    // generation among DISTINCT sets) neither applies nor suppresses pairs.
+    val got = Dedup.minhashDedup(df, "doc_id", "text",
       Dedup.MinHashConfig(64, 16, 3, 0.8, maxBucket = 16)).collect()
-    val cluster = capped.filter(r => r.getLong(0) >= 1000L && r.getLong(1) >= 1000L)
-    assert(cluster.length == 305, s"expected 305 capped pairs, got ${cluster.length}")
+    val cluster = got.filter(r => r.getLong(0) >= 1000L && r.getLong(1) >= 1000L)
+    assert(cluster.length == 201 * 200 / 2, s"expected all 20100 true pairs, got ${cluster.length}")
     assert(cluster.forall(_.getDouble(2) == 1.0))
-    // connectivity: the chain reaches every member of the cluster
-    val adj = cluster.map(r => r.getLong(0) -> r.getLong(1))
-    val reached = scala.collection.mutable.Set(1000L)
-    var grew = true
-    while (grew) {
-      grew = false
-      adj.foreach { case (a, b) =>
-        if (reached(a) != reached(b)) { reached += a; reached += b; grew = true }
-      }
-    }
-    assert(reached.size == 201, s"cluster not connected: ${reached.size}/201 reached")
-    // uncapped (default maxBucket) the same input pairs fully: quadratic
-    val full = Dedup.minhashDedup(df, "doc_id", "text",
+  }
+
+  test("minhash skew guard: near-identical DISTINCT docs stay candidate-bounded") {
+    val common = (1 to 40).map(i => s"w$i").mkString(" ")
+    // 201 docs sharing a 40-token prefix, one unique suffix token each:
+    // pairwise jaccard = 38/40 = 0.95, but every shingle SET is distinct,
+    // so the guard is what stands between the bucket and C(201,2) pairs.
+    val docs = (1000 to 1200).map(i => (i.toLong, s"$common uniq$i"))
+    val df = docs.toDF("doc_id", "text")
+    val capped = Dedup.minhashDedup(df, "doc_id", "text",
+      Dedup.MinHashConfig(64, 16, 3, 0.8, maxBucket = 16)).count()
+    val uncapped = Dedup.minhashDedup(df, "doc_id", "text",
       Dedup.MinHashConfig(64, 16, 3, 0.8)).count()
-    assert(full >= 201L * 200 / 2)
+    info(s"capped pairs = $capped, uncapped = $uncapped (max ${201 * 200 / 2})")
+    assert(uncapped > 15000L, s"near-identical docs should pair broadly uncapped: $uncapped")
+    assert(capped < uncapped / 5, s"cap did not bound candidates: $capped vs $uncapped")
   }
 
   test("simhash: identical texts 0 hamming, near texts small, unrelated large") {

@@ -30,20 +30,18 @@ object ScaleStress {
     }
     println(s"  pairs found: $mh")
 
-    // poisoned bucket: 5000 byte-identical docs land in ONE (band,bucket)
-    // per band. With maxBucket=256 the guard pairs the first 256 members
-    // fully and chains the tail: the cluster adds C(256,2) + 4744 = 37,384
-    // pairs — invariant to how far past the cap the bucket grows — instead
-    // of C(5000,2) = 12.5M quadratic ones. (The 4096 default would bound it
-    // at C(4096,2)+904 = 8.39M: still capped, chosen recall-conservative.)
+    // poisoned bucket: 5000 byte-identical docs collapse to ONE distinct
+    // shingle set before banding — the LSH core never sees the cluster —
+    // and expand afterward to their complete C(5000,2) = 12,497,500
+    // true-duplicate pairs (output-bounded: they ARE all genuine pairs).
     val poison = spark.range(5000).select(
       (col("id") + 50000000L).as("doc_id"),
       lit("same boilerplate header appears on every page of the crawl").as("text"))
-    val mp = timed("minhash dedup 100k docs + one poisoned 5000-doc bucket (cap 256)") {
+    val mp = timed("minhash dedup 100k docs + one poisoned 5000-doc cluster") {
       Dedup.minhashDedup(big.union(poison), "doc_id", "text",
-        Dedup.MinHashConfig(64, 16, 3, 0.8, maxBucket = 256)).count()
+        Dedup.MinHashConfig(64, 16, 3, 0.8)).count()
     }
-    println(s"  pairs found: $mp (= base 1,052,400 + capped cluster 37,384)")
+    println(s"  pairs found: $mp (= base 1,052,400 + cluster C(5000,2) = 12,497,500, all true)")
 
     val sh = timed("simhash dedup 100k docs") {
       Dedup.simhashDedup(big, "doc_id", "text", maxHamming = 3).count()
