@@ -243,6 +243,56 @@ object Dedup {
         lit(1L << b)).otherwise(lit(0L))
     }.reduce((a, c) => a.bitwiseOR(c))
 
+  // -------------------------------------------- pair resolution (clusters)
+  /** Connected components over a near-dup pair list: resolves the pairwise
+    * output of any dedup path (minhash/simhash/cosine/jaccard) into
+    * clusters so a pipeline can keep one document per component. Returns
+    * (id, cluster) for every id appearing in a pair, where cluster = the
+    * minimum id reachable in the component, plus is_keep = (id == cluster)
+    * — the canonical keep-list rule.
+    *
+    * Algorithm: min-label propagation to a fixed point. Each round is one
+    * shuffle join + one aggregation; rounds needed = component diameter,
+    * which for near-dup clusters is tiny (duplicates of one source form
+    * near-cliques). Lineage is cut per round with an eager localCheckpoint
+    * — an iterative fixed point cannot be one declarative plan, so this is
+    * the one operator family that intentionally holds (and releases)
+    * intermediate blocks; GraphFrames' alternating-star CC makes the same
+    * trade. At 100 TB each round is a plain (src)-keyed shuffle of the
+    * edge list — no driver-side data beyond the converged? count. */
+  def connectedComponents(pairs: DataFrame, srcCol: String = "id_a",
+                          dstCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // materialize the symmetric edge list once — every propagation round
+    // joins it, and without the checkpoint each round's action would
+    // re-execute the whole upstream pair-generation pipeline
+    val sym = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nbr"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    sym.unpersist()
+    labels.withColumn("is_keep", col("id") === col("cluster"))
+  }
+
   // -------------------------------------------------------- n-gram Jaccard
   /** Exact pairwise n-gram Jaccard within a blocking key (length bucket,
     * source, LSH bucket, ...). The explicit block prevents accidental

@@ -118,6 +118,31 @@ object TextQueries {
         TA.rollingFingerprint(col("text")).as("rolling_fp"))
         .orderBy("doc_id")),
 
+    // ---- pair resolution: the q28 edge set resolved into connected
+    // components (cluster = min reachable id, is_keep = canonical doc).
+    // Oracle mirrors the label semantics with a recursive transitive
+    // closure — an oracle-checked distributed graph fixed point.
+    Q("q48_dedup_clusters",
+      Some(s"WITH RECURSIVE sh AS (SELECT doc_id, $shinglesSql AS s FROM documents), " +
+        "blk AS (SELECT doc_id, s, list_aggregate(s, 'min') AS b FROM sh), " +
+        "edges AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM blk a JOIN blk b ON a.b = b.b AND a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.8), " +
+        "und AS (SELECT id_a AS src, id_b AS dst FROM edges UNION SELECT id_b, id_a FROM edges), " +
+        "reach AS (SELECT src, dst FROM und " +
+        "UNION SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src) " +
+        "SELECT src AS id, LEAST(src, MIN(dst)) AS cluster, " +
+        "src = LEAST(src, MIN(dst)) AS is_keep FROM reach GROUP BY src ORDER BY id"),
+      (s, dir) => {
+        val edges = Dedup.ngramJaccardPairs(
+          Tables.documents(s, dir), "doc_id", "text",
+          blockCol = array_min(Dedup.wordShingles(col("text"), 3)),
+          n = 3, threshold = 0.8)
+        Dedup.connectedComponents(edges)
+          .select(col("id"), col("cluster"), col("is_keep"))
+          .orderBy("id")
+      }),
+
     // ---- the SQL-expressible slice of q29: md5 over the same normalized
     // form is engine-independent, so this one IS oracle-checked (the
     // xxhash-based simhash/rolling columns stay rows-only in q29).

@@ -117,6 +117,18 @@ class PipelineSpec extends SparkSpec {
     assert(capped < uncapped / 5, s"cap did not bound candidates: $capped vs $uncapped")
   }
 
+  test("connectedComponents resolves pair lists into min-label clusters and a keep-list") {
+    // two chains and an isolated pair: {1,2,3,4} via chain, {10,11}, {20,21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false),
+      (20L, 20L, true), (21L, 20L, false), (22L, 20L, false)))
+  }
+
   test("simhash: identical texts 0 hamming, near texts small, unrelated large") {
     val a = "the quick brown fox jumps over the lazy dog again and again today"
     val b = a.replace("lazy", "sleepy")
