@@ -55,13 +55,21 @@ object Ops {
     def toPred(f: String): Column = p(col(f))
   }
 
-  /** Multi-rule pattern filter; a rule matches if ANY of its fields match;
-    * rules combine with OR (`anyMatch`) or AND; `inverse` negates.
-    * Reference: process.grep, meza/process.py:974-1035. */
+  /** Multi-rule pattern filter; `inverse` negates. Field combination is
+    * pinned by the reference's own test_grep (tests/test_process.py:
+    * 222-246): with `anyMatch` a rule passes when ANY of its fields match;
+    * without it, ALL of the rule's fields must match. Across rules the
+    * reference's inner-loop `break` makes only the LAST rule decide
+    * (process.py:1020-1031 — an upstream scoping quirk its tests never
+    * exercise: all are single-rule); we implement the docstring's stated
+    * multi-rule semantics instead: all rules (AND) when anyMatch=false,
+    * any rule (OR) when true. */
   def grep(df: DataFrame, rules: Seq[GrepRule], anyMatch: Boolean = false,
            inverse: Boolean = false): DataFrame = {
-    def ruleCol(r: GrepRule): Column =
-      r.fields.map(f => coalesce(r.toPred(f), lit(false))).reduce(_ || _)
+    def ruleCol(r: GrepRule): Column = {
+      val fieldPreds = r.fields.map(f => coalesce(r.toPred(f), lit(false)))
+      if (anyMatch) fieldPreds.reduce(_ || _) else fieldPreds.reduce(_ && _)
+    }
     val combined =
       if (anyMatch) rules.map(ruleCol).reduce(_ || _)
       else rules.map(ruleCol).reduce(_ && _)

@@ -38,9 +38,11 @@ class OpsSpec extends SparkSpec {
     assert(Ops.grep(df, Seq(rCat, rFish), anyMatch = true).count() == 3)
     assert(Ops.grep(df, Seq(rCat, rFish)).count() == 1)
     assert(Ops.grep(df, Seq(rCat, rFish), inverse = true).count() == 2)
-    // one rule over several fields matches if ANY field matches
+    // reference field combination (test_process.py:222-246): without
+    // anyMatch ALL of a rule's fields must match; with it, ANY field
     val multi = Ops.Substr("fish", Seq("p1", "p2"))
-    assert(Ops.grep(df, Seq(multi)).count() == 2)
+    assert(Ops.grep(df, Seq(multi)).count() == 0)
+    assert(Ops.grep(df, Seq(multi), anyMatch = true).count() == 2)
   }
 
   test("unique dedupes on field subset (process.py:851-898, exact variant)") {
