@@ -163,6 +163,23 @@ class ReferenceParitySpec extends SparkSpec {
     }
   }
 
+  test("test_excel_html_export (test_io.py): Excel-exported .htm first row") {
+    val df = graft.sources.Readers.htmlTable(spark,
+      "/root/reference/data/test/test.htm", sanitize = true)
+    val first = df.head()
+    val got = df.columns.zip(first.toSeq).toMap
+    assert(got("sparse_data") == "Iñtërnâtiônàližætiøn")
+    assert(got("some_date") == "05/04/82")
+    assert(got("some_value") == "234")
+    assert(got("unicode_test") == "Ādam")
+  }
+
+  test("test_geojson_with_crs (test_io.py): crs block in written collections") {
+    val df = graft.sources.GeoJson.read(spark, "/root/reference/data/test/test.geojson")
+    val json = graft.sources.GeoJson.collectionString(df, crs = Some("EPSG:4269"))
+    assert(json.contains(""""crs": {"type": "name", "properties": {"name": "EPSG:4269"}}"""))
+  }
+
   test("test_is_int / test_is_bool / test_is_null (test_fntools.py:54-75)") {
     val df = Seq("x").toDF("x")
     def one(c: Column): Row = df.select(c).head()
