@@ -123,8 +123,7 @@ case class WordShingles(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(v: Any): Any = {
-    val s = v.toString.trim.toLowerCase(java.util.Locale.ROOT)
-    val toks = s.split("\\s+")
+    val toks = SketchExprs.sparkTokens(v.toString)
     val out = new java.util.LinkedHashSet[String]()
     if (toks.length < n) out.add(toks.mkString(" "))
     else {
@@ -179,7 +178,7 @@ case class LangIdArgmax(child: Expression, profiles: Seq[(String, Seq[String])])
   override def dataType: DataType = StringType
 
   override def nullSafeEval(v: Any): Any = {
-    val toks = v.toString.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val toks = SketchExprs.sparkTokens(v.toString)
     val counts = new Array[Int](langs.length)
     var i = 0
     while (i < toks.length) {
@@ -197,6 +196,21 @@ case class LangIdArgmax(child: Expression, profiles: Seq[(String, Seq[String])])
 }
 
 object SketchExprs {
+
+  /** Byte-exact mirror of the composed `split(trim(lower(c)), "\\s+")`
+    * tokenization the kernels replace: lowercase (ROOT), strip SPACES only
+    * (Spark's `trim` touches only ' ', not tabs/controls), and Java-regex
+    * split KEEPING trailing empty tokens (Spark's split uses limit -1).
+    * Kernel/composed equality is fuzz-pinned in SketchExprsSpec. */
+  private[functions] def sparkTokens(raw: String): Array[String] = {
+    val lower = raw.toLowerCase(java.util.Locale.ROOT)
+    var st = 0
+    var en = lower.length
+    while (st < en && lower.charAt(st) == ' ') st += 1
+    while (en > st && lower.charAt(en - 1) == ' ') en -= 1
+    lower.substring(st, en).split("\\s+", -1)
+  }
+
   def wordShingles(text: Column, n: Int): Column =
     column(WordShingles(expression(text), n))
 

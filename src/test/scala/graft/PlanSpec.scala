@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Similarity}
+import graft.queries.Registry
+
+/** Plan-shape regression guard: the properties SCALE.md claims are asserted
+  * against the actual optimized plans, so a future refactor cannot silently
+  * lose a pushdown, broadcast, or blocking guard.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    Registry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  private def optimizedOf(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("q01: the shipdate filter reaches the parquet scan (PushedFilters)") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushed shipdate filter in:\n$p")
+  }
+
+  test("q02: column pruning reaches the scan (ReadSchema only has selected cols)") {
+    val p = planOf("q02_cut")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("p_partkey") && readSchema.contains("p_name"),
+      s"expected selected columns in $readSchema")
+    assert(!readSchema.contains("p_comment") && !readSchema.contains("p_type"),
+      s"pruned column still read: $readSchema")
+  }
+
+  test("q13: dimension joins broadcast (no fact-table shuffle join)") {
+    val p = planOf("q13_equi_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
+  }
+
+  test("pair operators never plan a cartesian product") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    val plans = Seq(
+      optimizedOf(Similarity.cosineNearDupPairs(emb, 0.5, blockCol = pmod(col("vec_id"), lit(7)))),
+      optimizedOf(Similarity.embeddingNearDupPairs(emb, 0.9, dim = 64)),
+      optimizedOf(Dedup.minhashDedup(docs, "doc_id", "text")),
+      optimizedOf(Dedup.simhashDedup(docs, "doc_id", "text")),
+      optimizedOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCol = array_min(Dedup.wordShingles(col("text"), 3)))))
+    plans.foreach { p =>
+      assert(!p.contains("Cartesian") && !p.contains("cartesian"),
+        s"cartesian product planned:\n$p")
+      assert(p.contains("Join"), "expected an equi-join in the plan")
+    }
+  }
+
+  test("q26: exact dedup shuffles the fingerprint, never the content") {
+    // the aggregation key is the md5 fingerprint; the text column must not
+    // survive past the projection into the aggregate
+    val p = optimizedOf(Registry.queries("q26_dedup_exact")(spark, sf0001))
+    val aggLine = p.linesIterator.find(_.contains("Aggregate")).getOrElse("")
+    assert(aggLine.contains("fp"), s"aggregate not keyed on fingerprint: $aggLine")
+    assert(!aggLine.contains("text#"), s"content column reaches the aggregate: $aggLine")
+  }
+}
