@@ -124,6 +124,18 @@ object StreamQueries {
           col("user_id"))
         .groupBy("k_bucket")
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
-        .orderBy("k_bucket"))
+        .orderBy("k_bucket")),
+
+    // ---- stateful streaming near-dup (batch form — same code path as the
+    // MemoryStream execution in StreamsSpec): banded SimHash buckets with
+    // bounded per-bucket state; capacity exceeds every bucket at test SFs,
+    // so the pair set is deterministic. Engine-specific hashes — rows-only.
+    Q("q49_neardup_stream_op", None,
+      (s, dir) => Streams.nearDupStream(Tables.documents(s, dir),
+          maxHamming = 8, capacity = 4096)
+        .toDF()
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .distinct()
+        .orderBy("id_a", "id_b"))
   )
 }

@@ -95,6 +95,59 @@ object Streams {
       }
   }
 
+  final case class NearDupHit(id_a: Long, id_b: Long, hamming: Int, band: Int)
+
+  /** Streaming near-duplicate detection: banded SimHash LSH with per-bucket
+    * bounded state — each incoming document is checked against the last
+    * `capacity` signatures that landed in any of its 4 band buckets, and
+    * verified pairs (hamming <= maxHamming) are emitted as they arrive.
+    * This is the genuinely-streaming version of the reference's bounded
+    * 4096-row LRU `unique` window (process.py:851-898): state per
+    * (band,bucket) is a FIFO of (id, signature) LONGS — never text — so
+    * total state is bounded by 4 x capacity x live-buckets regardless of
+    * stream length.
+    *
+    * A pair colliding in several bands is emitted once per matching band
+    * (per-bucket state cannot see other buckets); `band` is carried so a
+    * downstream exact dedupe — or the batch [[graft.pipeline.Dedup]]
+    * paths — can collapse multiplicity. Works identically on batch
+    * Datasets (state lives for the single pass). */
+  def nearDupStream(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", maxHamming: Int = 3,
+                    capacity: Int = 256): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs.select(col(idCol).cast("long").as("id"),
+        graft.functions.SketchExprs.simhash64(
+          transform(split(trim(lower(col(textCol))), "\\s+"), t => xxhash64(t))).as("sh"))
+      .select(col("id"), col("sh"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))
+              .cast(IntegerType).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .as[(Long, Long, Int, Int)]
+    banded
+      .groupByKey { case (_, _, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState[List[(Long, Long)], NearDupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), rows, state: GroupState[List[(Long, Long)]]) =>
+          var window = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer[NearDupHit]()
+          rows.foreach { case (id, sh, _, _) =>
+            window.foreach { case (pid, psh) =>
+              val h = java.lang.Long.bitCount(sh ^ psh)
+              if (h <= maxHamming && pid != id)
+                out += NearDupHit(math.min(id, pid), math.max(id, pid), h, band)
+            }
+            window = ((id, sh) :: window).take(capacity)
+          }
+          state.update(window)
+          out.iterator
+      }
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink
     * (synchronous; used by specs and local smoke). */
   def runToMemory(df: DataFrame, name: String,

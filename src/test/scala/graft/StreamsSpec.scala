@@ -66,5 +66,42 @@ class StreamsSpec extends SparkSpec {
     assert(total == Tables.events(spark, sf0001).count())
   }
 
+  test("streaming near-dup: cross-batch LSH state finds the duplicate later in the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val hits = Streams.nearDupStream(
+      input.toDF().toDF("doc_id", "text"), maxHamming = 3)
+    val q = hits.toDF().writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // batch 1: the original + an unrelated doc — no pairs yet
+    input.addData((1L, base), (2L, "completely unrelated words about spacecraft navigation"))
+    q.processAllAvailable()
+    assert(spark.table("neardup").count() == 0)
+    // batch 2: a duplicate of doc 1 arrives — state from batch 1 catches it
+    // (identical text -> hamming 0 -> all 4 bands collide, deterministically)
+    input.addData((3L, base))
+    q.processAllAvailable()
+    val emitted = spark.table("neardup").collect()
+    q.stop()
+    val pairs = emitted.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L)), s"expected the planted cross-batch pair, got $pairs")
+    assert(emitted.forall(_.getInt(2) == 0))
+  }
+
+  test("streaming near-dup state window is bounded: old entries age out") {
+    // batch mode (same code path, single pass): capacity 2 per bucket means
+    // a doc 3+ identical-docs later no longer pairs with the first one
+    val docs = (1 to 5).map(i => (i.toLong, "same text in every single row here"))
+      .toDF("doc_id", "text")
+    val hits = Streams.nearDupStream(docs, capacity = 2)
+      .select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each doc pairs only with the <=2 most recent predecessors in its bucket
+    assert(hits == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (3L, 5L), (4L, 5L)),
+      s"got $hits")
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
