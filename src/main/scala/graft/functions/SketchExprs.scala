@@ -167,7 +167,9 @@ case class LangIdArgmax(child: Expression, profiles: Seq[(String, Seq[String])])
   @transient private lazy val lookup: java.util.HashMap[String, Array[Int]] = {
     val m = new java.util.HashMap[String, Array[Int]]()
     sorted.zipWithIndex.foreach { case ((_, words), i) =>
-      words.foreach { w =>
+      // distinct: the composed isin form scores set membership, so a word
+      // repeated within one profile must still count a token only once
+      words.distinct.foreach { w =>
         val prev = m.get(w)
         m.put(w, if (prev == null) Array(i) else prev :+ i)
       }

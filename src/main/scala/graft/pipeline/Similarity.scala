@@ -238,34 +238,55 @@ object Similarity {
     * same nPlanes-bit signature (P per table = (1-θ/π)^nPlanes, so genuine
     * near-dups at cosine ≥ .9 collide with ~0.94 probability at 12 planes ×
     * 16 tables, while the background corpus rarely does); candidates verify
-    * with exact cosine. 100 TB shape mirrors minhashDedup: the exploded
-    * relation carries (id, table, sig) — never the vector; candidates meet
-    * in one (table, sig) shuffle with the same first-maxBucket-pair +
-    * successor-chain skew guard; vectors re-join only for verification. */
+    * with exact cosine. 100 TB shape mirrors minhashDedup fully: LSH runs
+    * over DISTINCT vectors — identical embeddings (crawl copies) collapse
+    * behind an md5(vector-bytes) groupBy before banding, so a duplicate
+    * cluster costs the LSH nothing and expands to its complete true pair
+    * set afterward, un-suppressed by the cap; the exploded relation
+    * carries (fingerprint, rep-id, table, sig) — never the vector;
+    * candidates meet in one (table, sig) shuffle with the same
+    * first-maxBucket-pair + successor-chain skew guard; vectors re-join
+    * only for verification. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double, dim: Int,
                             nPlanes: Int = 12, nTables: Int = 16,
                             seed: Long = 42L, maxBucket: Int = 4096,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val tables = planeTables(dim, nPlanes, nTables, seed)
     val base = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .repartition(col("id"))
-    val ranked = base
-      .select(col("id"), posexplode(
+      .withColumn("fp", md5(to_json(col("v"))))
+      .repartition(col("fp"))
+    val reps = base.groupBy(col("fp"))
+      .agg(min(col("id")).as("rid"), first(col("v")).as("v"))
+    val ranked = reps
+      .select(col("fp"), col("rid"), posexplode(
         graft.functions.VectorExprs.tableSignatures(col("v"), tables)).as(Seq("tbl", "sig")))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("tbl"), col("sig")).orderBy(col("id"))))
+        Window.partitionBy(col("tbl"), col("sig")).orderBy(col("rid"))))
       .hint("merge")
-    val cands = ranked.as("a").join(ranked.as("b"),
+    val candFps = ranked.as("a").join(ranked.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
           ((col("a.rn") < col("b.rn") && col("b.rn") <= maxBucket) ||
             col("b.rn") === col("a.rn") + 1))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .distinct()
-    cands
-      .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+    val verified = candFps
+      .join(reps.select(col("fp").as("fp_a"), col("v").as("va")), "fp_a")
+      .join(reps.select(col("fp").as("fp_b"), col("v").as("vb")), "fp_b")
+      .select(col("fp_a"), col("fp_b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
+    val cross = verified
+      .join(base.select(col("fp").as("fp_a"), col("id").as("ia")), "fp_a")
+      .join(base.select(col("fp").as("fp_b"), col("id").as("ib")), "fp_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("cos"))
+    // identical vectors: cosine computed by the same kernel on the shared
+    // vector (not a lit(1.0)) so FP behavior matches the unguarded form
+    val within = base.as("x").join(base.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        cosine(col("x.v"), col("y.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+    cross.union(within)
   }
 
   /** Exact near-duplicate pairs by cosine >= threshold, pairwise WITHIN a

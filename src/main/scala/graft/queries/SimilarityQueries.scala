@@ -14,17 +14,20 @@ object SimilarityQueries {
 
   val qs: Seq[Q] = Seq(
 
-    // ---- exact near-dup pairs by cosine (brute force = correctness
-    // baseline; the LSH/IVF paths below are the scale path). The constant
-    // block opts this bounded corpus into all-pairs explicitly — the API
-    // requires a blocking column precisely so this can't happen by accident.
+    // ---- exact pairwise cosine WITHIN a required blocking key (the API's
+    // guard against accidental whole-corpus O(n^2)); the modulo block keeps
+    // the work parallel across partitions (a constant block would funnel
+    // the whole self-join into one task) and is mirrored exactly in the
+    // oracle. The LSH/IVF paths below are the scale path.
     Q("q32_embedding_neardup",
       Some("SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         s"round(list_cosine_similarity(${dvecSql.format("a.embedding")}, ${dvecSql.format("b.embedding")}), 6) AS cos " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "FROM embeddings a JOIN embeddings b " +
+        "ON (a.vec_id % 8) = (b.vec_id % 8) AND a.vec_id < b.vec_id " +
         s"WHERE list_cosine_similarity(${dvecSql.format("a.embedding")}, ${dvecSql.format("b.embedding")}) >= 0.35 " +
         "ORDER BY id_a, id_b"),
-      (s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.35, blockCol = lit(0))
+      (s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.35,
+          blockCol = pmod(col("vec_id"), lit(8)))
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")),
 

@@ -135,18 +135,11 @@ object MdbReader {
       val n = u16(o + 0x0C)
       (0 until n).foreach { i =>
         val (off, start, end) = rowBounds(pg, i)
-        if ((off & 0x8000) == 0) {
-          if ((off & 0x4000) != 0) {
-            // forward pointer: u32 = (row index << 24) | overflow page
-            val ptr = u32(start)
-            val opg = ptr & 0x00FFFFFF
-            val orow = (ptr >>> 24) & 0xFF
-            if (opg > 0 && opg < nPages && (b(opg * PS) & 0xFF) == 0x01) {
-              val (ooff, ostart, oend) = rowBounds(opg, orow)
-              if ((ooff & 0xC000) == 0) out += crackRow(ostart, oend, cols)
-            }
-          } else out += crackRow(start, end, cols)
-        }
+        // 0x8000 = deleted; 0x4000 = a 4-byte forward-pointer stub for a
+        // row relocated to another data page. We scan EVERY data page of
+        // the table, so the relocated row is picked up where it actually
+        // lives — following the stub as well would emit it twice.
+        if ((off & 0xC000) == 0) out += crackRow(start, end, cols)
       }
     }
 

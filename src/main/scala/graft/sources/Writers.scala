@@ -33,7 +33,12 @@ object Writers {
   def json(df: DataFrame, path: String, newline: Boolean = false): Unit =
     if (newline) ndjson(df, path)
     else {
-      val out = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path))
+      // Hadoop FileSystem so both branches accept the same path universe
+      // (local, hdfs://, s3a://, ...) — NIO would silently localize a URI
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        fs.create(hPath, true), java.nio.charset.StandardCharsets.UTF_8))
       try {
         out.write("[")
         val it = df.toJSON.toLocalIterator()

@@ -134,16 +134,27 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case ((band, _), rows, state: GroupState[List[(Long, Long)]]) =>
           var window = state.getOption.getOrElse(Nil)
+          var wlen = window.length
           val out = scala.collection.mutable.ArrayBuffer[NearDupHit]()
           rows.foreach { case (id, sh, _, _) =>
-            window.foreach { case (pid, psh) =>
+            var scanned = 0
+            var w = window
+            // compare against at most `capacity` most-recent entries
+            while (w.nonEmpty && scanned < capacity) {
+              val (pid, psh) = w.head
               val h = java.lang.Long.bitCount(sh ^ psh)
               if (h <= maxHamming && pid != id)
                 out += NearDupHit(math.min(id, pid), math.max(id, pid), h, band)
+              w = w.tail; scanned += 1
             }
-            window = ((id, sh) :: window).take(capacity)
+            window = (id, sh) :: window
+            wlen += 1
+            // amortized truncation: copying the list per row would make
+            // hot-bucket maintenance O(n*capacity); truncate only when it
+            // doubles past the cap
+            if (wlen > capacity * 2) { window = window.take(capacity); wlen = capacity }
           }
-          state.update(window)
+          state.update(if (wlen > capacity) window.take(capacity) else window)
           out.iterator
       }
   }

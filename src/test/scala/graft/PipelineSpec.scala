@@ -129,6 +129,17 @@ class PipelineSpec extends SparkSpec {
       (20L, 20L, true), (21L, 20L, false), (22L, 20L, false)))
   }
 
+  test("connectedComponents converges on a long chain (pointer jumping, O(log d) rounds)") {
+    // a 500-node chain is exactly what the LSH skew guard emits past the
+    // cap; plain min-propagation would need 500 rounds — pointer jumping
+    // must resolve it within the default budget
+    val chain = (1 to 499).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain).collect()
+    assert(got.length == 500)
+    assert(got.forall(_.getLong(1) == 1L), "every chain node must label to the min id")
+    assert(got.count(_.getBoolean(2)) == 1)
+  }
+
   test("simhash: identical texts 0 hamming, near texts small, unrelated large") {
     val a = "the quick brown fox jumps over the lazy dog again and again today"
     val b = a.replace("lazy", "sleepy")
@@ -246,6 +257,26 @@ class PipelineSpec extends SparkSpec {
     // uniform random vectors have no genuine 0.9-cosine pairs: everything
     // verified is a planted pair
     assert(pairs.size == found, "unexpected background pairs above threshold")
+  }
+
+  test("embeddingNearDupPairs: identical-vector cluster returns ALL pairs despite a tiny cap") {
+    // 30 copies of one vector + unrelated background; maxBucket=4 would
+    // suppress pairs under row-level banding, but identical vectors
+    // collapse to one fingerprint before the LSH and expand afterward
+    val one = emb30(30)
+    val pairs = Similarity.embeddingNearDupPairs(one, 0.99, dim = 8,
+        nPlanes = 6, nTables = 4, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cluster = pairs.filter { case (a, b) => a < 1000 && b < 1000 }
+    assert(cluster.size == 30 * 29 / 2, s"expected all 435 true pairs, got ${cluster.size}")
+  }
+
+  private def emb30(n: Int) = {
+    val v = Array.tabulate(8)(i => (i + 1).toFloat / 10f)
+    val dup = (1 to n).map(i => (i.toLong, v))
+    val bg = (1000 to 1020).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 17 - 8).toFloat / 8f)))
+    (dup ++ bg).toDF("vec_id", "embedding")
   }
 
   test("k-means centroids: IVF recall at nProbe=4 materially above pseudo-centroids") {
