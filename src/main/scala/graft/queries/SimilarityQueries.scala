@@ -91,6 +91,20 @@ object SimilarityQueries {
           .orderBy("centroid")
       }),
 
+    // ---- IVF probe search end-to-end: k-means partitions + nProbe=4
+    // probing (the q35 assignment's query side; probe-all ≡ brute force is
+    // spec-pinned, recall at partial probing spec-measured — rows-only).
+    Q("q50_ivf_search", None,
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val centroids = Similarity.kmeansCentroids(emb, nCentroids = 16)
+        Similarity.ivfTopK(emb, queries, centroids, k = 5, nProbe = 4)
+          .select(col("qid"), col("nn_id"), col("rank"), round(col("cos"), 6).as("cos"))
+          .orderBy("qid", "rank")
+      }),
+
     // ---- multimodal plumbing: binary payload -> stubbed decode ->
     // metadata/features; per-kind stats (decode is a deterministic fake,
     // the Spark plumbing is real — rows-only).
