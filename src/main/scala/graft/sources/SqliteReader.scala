@@ -87,6 +87,10 @@ object SqliteReader {
             val (rowid, n2) = varint(p); p += n2
             emit(rowid, payload(p, plen))
           }
+        case 0x02 | 0x0A => // index b-tree: how WITHOUT ROWID tables store rows
+          throw new IllegalArgumentException(
+            "index b-tree page reached: WITHOUT ROWID tables are not supported " +
+              "by the native reader (rows live in an index tree, not a table tree)")
         case other =>
           throw new IllegalArgumentException(f"unexpected b-tree page type 0x$other%02x")
       }
@@ -182,11 +186,20 @@ object SqliteReader {
       }
     }
     if (cur.nonEmpty) defs += cur.toString
-    val colDefs = defs.map(_.trim).filter(_.nonEmpty).filterNot { d =>
-      ConstraintKw.contains(
-        d.split("\\s+", 2)(0).replaceAll("^[\"'`\\[]|[\"'`\\]]$", "").toLowerCase)
+    // first token of a def = the column name; quoted names ("..", '..',
+    // `..`, [..]) may contain spaces, unquoted ones end at whitespace
+    def name(d: String): String = d.head match {
+      case q @ ('"' | '\'' | '`') =>
+        val end = d.indexOf(q, 1); if (end > 0) d.substring(1, end) else d.tail
+      case '[' =>
+        val end = d.indexOf(']', 1); if (end > 0) d.substring(1, end) else d.tail
+      case _ => d.split("\\s+", 2)(0)
     }
-    val names = colDefs.map(_.split("\\s+", 2)(0).replaceAll("^[\"'`\\[]|[\"'`\\]]$", "")).toSeq
+    val colDefs = defs.map(_.trim).filter(_.nonEmpty).filterNot { d =>
+      // constraint defs always start with an UNQUOTED keyword
+      !"\"'`[".contains(d.head) && ConstraintKw.contains(name(d).toLowerCase)
+    }
+    val names = colDefs.map(name).toSeq
     val alias = colDefs.indexWhere(
       _.toLowerCase.matches("(?s).*\\binteger\\s+primary\\s+key\\b.*"))
     (names, alias)
