@@ -203,7 +203,11 @@ object SketchExprs {
     * tokenization the kernels replace: lowercase (ROOT), strip SPACES only
     * (Spark's `trim` touches only ' ', not tabs/controls), and Java-regex
     * split KEEPING trailing empty tokens (Spark's split uses limit -1).
-    * Kernel/composed equality is fuzz-pinned in SketchExprsSpec. */
+    * Kernel/composed equality is fuzz-pinned in SketchExprsSpec.
+    * Locale note: Spark's lower() falls back to default-locale lowercasing
+    * for non-ASCII strings, so exact equality assumes a ROOT-like JVM
+    * default locale (C/POSIX here); under e.g. a Turkish default locale
+    * both forms change and only dotted/dotless-i inputs could diverge. */
   private[functions] def sparkTokens(raw: String): Array[String] = {
     val lower = raw.toLowerCase(java.util.Locale.ROOT)
     var st = 0

@@ -155,11 +155,7 @@ object Dedup {
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= cfg.threshold)
 
-    val cross = verified
-      .join(base.select(col("fp").as("fp_a"), col("id").as("ia")), "fp_a")
-      .join(base.select(col("fp").as("fp_b"), col("id").as("ib")), "fp_b")
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+    val cross = expandCross(verified, base.select(col("fp"), col("id")), "jaccard")
     val within = base.as("x").join(base.as("y"),
         col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
@@ -170,6 +166,32 @@ object Dedup {
   // ---------------------------------------------------------------- SimHash
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash signature of a text column — the ONE tokenize+hash+fold shared
+    * by the batch (simhashDedup) and streaming (Streams.nearDupStream)
+    * paths, so tokenization changes cannot diverge between them. */
+  private[graft] def simhashSig(text: Column): Column =
+    graft.functions.SketchExprs.simhash64(
+      transform(split(trim(lower(text)), "\\s+"), t => xxhash64(t)))
+
+  /** The 4x16-bit (band, bucket) structs of a simhash — shared banding. */
+  private[graft] def simhashBandArray(sh: Column): Column =
+    array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(sh, b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+    }: _*)
+
+  /** Expand verified distinct-fingerprint pairs (fp_a, fp_b, score) to
+    * member-id pairs — the shared cross-expansion tail of the
+    * collapse/expand dedup paths (minhash, simhash, embedding).
+    * `members` must carry (fp, id); the score column passes through. */
+  private[pipeline] def expandCross(verified: DataFrame, members: DataFrame,
+                                    scoreCol: String): DataFrame =
+    verified
+      .join(members.select(col("fp").as("fp_a"), col("id").as("ia")), "fp_a")
+      .join(members.select(col("fp").as("fp_b"), col("id").as("ib")), "fp_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col(scoreCol))
 
   /** Near-dup pairs by SimHash: 4x16-bit band LSH for candidates (the
     * pigeonhole guarantee: hamming <= 3 forces at least one identical
@@ -191,33 +213,25 @@ object Dedup {
     // so no CollapseProject blowup); exchange barrier keyed on the
     // signature: the groupBy, both expansion joins, and the within-group
     // self-join all reuse this one shuffle's partitioning
-    val sigs = df.select(col(idCol).as("id"),
-        graft.functions.SketchExprs.simhash64(
-          transform(split(trim(lower(col(textCol))), "\\s+"), t => xxhash64(t))).as("sh"))
+    val sigs = df.select(col(idCol).as("id"), simhashSig(col(textCol)).as("sh"))
       .repartition(col("sh"))
     val reps = sigs.groupBy(col("sh")).agg(min(col("id")).as("rid"))
     val banded = reps.select(col("rid"), col("sh"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
-        }: _*)).as("bb"))
+        explode(simhashBandArray(col("sh"))).as("bb"))
       .select(col("rid"), col("sh"), col("bb.band"), col("bb.bucket"))
     val ranked = banded.withColumn("rn", row_number().over(
         Window.partitionBy(col("band"), col("bucket")).orderBy(col("rid"))))
       .hint("merge")
-    val candSigs = ranked.as("a").join(ranked.as("b"),
+    val verified = ranked.as("a").join(ranked.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           ((col("a.rn") < col("b.rn") && col("b.rn") <= maxBucket) ||
             col("b.rn") === col("a.rn") + 1))
-      .select(col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.sh").as("fp_a"), col("b.sh").as("fp_b"))
       .distinct()
-      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .withColumn("hamming", hamming(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= maxHamming)
-    val cross = candSigs
-      .join(sigs.select(col("sh").as("sh_a"), col("id").as("ia")), "sh_a")
-      .join(sigs.select(col("sh").as("sh_b"), col("id").as("ib")), "sh_b")
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    val cross = expandCross(verified,
+      sigs.select(col("sh").as("fp"), col("id")), "hamming")
     val within = sigs.as("x").join(sigs.as("y"),
         col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),

@@ -36,16 +36,24 @@ object Multimodal {
       if (img != null) {
         val w = img.getWidth; val h = img.getHeight
         val hist = new Array[Float](16)
-        // one bulk getRGB call: per-pixel getRGB(x,y) pays a ColorModel
-        // conversion per call and dominates large-image decode
-        val px = img.getRGB(0, 0, w, h, null, 0, w)
-        var i = 0
-        while (i < px.length) {
-          val rgb = px(i)
-          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-            (rgb & 0xFF) * 114) / 1000
-          hist(lum >> 4) += 1f
-          i += 1
+        // scanline-strip getRGB: per-pixel getRGB(x,y) pays a ColorModel
+        // conversion call per pixel, while one whole-image bulk call would
+        // allocate a second 4*w*h-byte ARGB copy (OOM on 100s-of-MP
+        // images); a reused one-row buffer gets the bulk speed at O(w)
+        // extra memory
+        val rowBuf = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, rowBuf, 0, w)
+          var x = 0
+          while (x < w) {
+            val rgb = rowBuf(x)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            hist(lum >> 4) += 1f
+            x += 1
+          }
+          y += 1
         }
         val n = (w.toLong * h).toFloat
         return Decoded(id, MediaMeta(kind, bytes.length.toLong, w, h, 0L),

@@ -274,11 +274,7 @@ object Similarity {
       .join(reps.select(col("fp").as("fp_b"), col("v").as("vb")), "fp_b")
       .select(col("fp_a"), col("fp_b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
-    val cross = verified
-      .join(base.select(col("fp").as("fp_a"), col("id").as("ia")), "fp_a")
-      .join(base.select(col("fp").as("fp_b"), col("id").as("ib")), "fp_b")
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"), col("cos"))
+    val cross = Dedup.expandCross(verified, base.select(col("fp"), col("id")), "cos")
     // identical vectors: cosine computed by the same kernel on the shared
     // vector (not a lit(1.0)) so FP behavior matches the unguarded form
     val within = base.as("x").join(base.as("y"),

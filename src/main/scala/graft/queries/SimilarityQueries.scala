@@ -23,7 +23,9 @@ object SimilarityQueries {
       Some("SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         s"round(list_cosine_similarity(${dvecSql.format("a.embedding")}, ${dvecSql.format("b.embedding")}), 6) AS cos " +
         "FROM embeddings a JOIN embeddings b " +
-        "ON (a.vec_id % 8) = (b.vec_id % 8) AND a.vec_id < b.vec_id " +
+        // ((x % 8) + 8) % 8 mirrors Spark's pmod even for negative ids
+        // (DuckDB's % keeps the sign)
+        "ON ((a.vec_id % 8 + 8) % 8) = ((b.vec_id % 8 + 8) % 8) AND a.vec_id < b.vec_id " +
         s"WHERE list_cosine_similarity(${dvecSql.format("a.embedding")}, ${dvecSql.format("b.embedding")}) >= 0.35 " +
         "ORDER BY id_a, id_b"),
       (s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.35,

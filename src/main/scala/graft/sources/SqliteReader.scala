@@ -187,12 +187,21 @@ object SqliteReader {
     }
     if (cur.nonEmpty) defs += cur.toString
     // first token of a def = the column name; quoted names ("..", '..',
-    // `..`, [..]) may contain spaces, unquoted ones end at whitespace
+    // `..`, [..]) may contain spaces and SQL-standard doubled-delimiter
+    // escapes ("a""b" -> a"b, [a]]b] -> a]b); unquoted ones end at
+    // whitespace
     def name(d: String): String = d.head match {
-      case q @ ('"' | '\'' | '`') =>
-        val end = d.indexOf(q, 1); if (end > 0) d.substring(1, end) else d.tail
-      case '[' =>
-        val end = d.indexOf(']', 1); if (end > 0) d.substring(1, end) else d.tail
+      case q @ ('"' | '\'' | '`' | '[') =>
+        val close = if (q == '[') ']' else q
+        val sb = new StringBuilder
+        var i = 1; var done = false
+        while (!done && i < d.length) {
+          if (d.charAt(i) == close) {
+            if (i + 1 < d.length && d.charAt(i + 1) == close) { sb += close; i += 2 }
+            else done = true
+          } else { sb += d.charAt(i); i += 1 }
+        }
+        sb.toString
       case _ => d.split("\\s+", 2)(0)
     }
     val colDefs = defs.map(_.trim).filter(_.nonEmpty).filterNot { d =>

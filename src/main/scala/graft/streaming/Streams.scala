@@ -117,16 +117,14 @@ object Streams {
                     capacity: Int = 256): Dataset[NearDupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // signature + banding shared with the batch path (Dedup.simhashDedup):
+    // tokenization or band-layout changes cannot diverge between the two
     val banded = docs.select(col(idCol).cast("long").as("id"),
-        graft.functions.SketchExprs.simhash64(
-          transform(split(trim(lower(col(textCol))), "\\s+"), t => xxhash64(t))).as("sh"))
+        graft.pipeline.Dedup.simhashSig(col(textCol)).as("sh"))
       .select(col("id"), col("sh"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))
-              .cast(IntegerType).as("bucket"))
-        }: _*)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        explode(graft.pipeline.Dedup.simhashBandArray(col("sh"))).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band").as("band"),
+        col("bb.bucket").cast(IntegerType).as("bucket"))
       .as[(Long, Long, Int, Int)]
     banded
       .groupByKey { case (_, _, band, bucket) => (band, bucket) }
@@ -136,7 +134,12 @@ object Streams {
           var window = state.getOption.getOrElse(Nil)
           var wlen = window.length
           val out = scala.collection.mutable.ArrayBuffer[NearDupHit]()
-          rows.foreach { case (id, sh, _, _) =>
+          // sort the trigger's rows by id: groupByKey delivers them in
+          // shuffle-fetch order, which is not deterministic — without the
+          // sort, WHICH entries fall inside an over-capacity bucket's scan
+          // window would vary run to run (cross-batch order stays temporal
+          // by design: the state is "recent history")
+          rows.toSeq.sortBy(_._1).foreach { case (id, sh, _, _) =>
             var scanned = 0
             var w = window
             // compare against at most `capacity` most-recent entries
