@@ -58,6 +58,14 @@ object ScaleStress {
       Similarity.annTopK(bigEmb, queries, 5, dim = 64).count()
     }
     println(s"  ann rows: $ann")
+
+    // embedding near-dup at 20x duplication: the 40k rows collapse to 2k
+    // distinct vectors before banding; every vector's 20 identical copies
+    // expand to C(20,2) true pairs -> exactly 2000 x 190 = 380,000
+    val en = timed("embedding near-dup over 40k vectors (20 copies each)") {
+      Similarity.embeddingNearDupPairs(bigEmb, 0.999, dim = 64).count()
+    }
+    println(s"  pairs found: $en (expect 2000 x C(20,2) = 380,000)")
     spark.stop()
   }
 }
