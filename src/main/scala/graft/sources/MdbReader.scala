@@ -61,6 +61,17 @@ object MdbReader {
   def tableNames(path: String): Seq[String] =
     new Jet4(Files.readAllBytes(Paths.get(path))).userTables.map(_._1)
 
+  /** MSysObjects.Flags rendered value → flag bits. Catalog values render
+    * NULL as "" (crackRow); a NULL/garbled Flags means "no flags" rather
+    * than a NumberFormatException that aborts the whole read. */
+  private[sources] def catalogFlags(s: String): Long =
+    Option(s).flatMap(_.toLongOption).getOrElse(0L)
+
+  /** MSysObjects.Id rendered value → tdef page id; a row with a NULL Id
+    * cannot point at a tdef page, so it is skipped (None) instead of thrown. */
+  private[sources] def catalogId(s: String): Option[Int] =
+    Option(s).flatMap(_.toIntOption)
+
   // ======================================================== Jet4 file layer
   private final class Jet4(b: Array[Byte]) {
     require(b.length >= PS &&
@@ -81,11 +92,15 @@ object MdbReader {
       tableRows(2, catCols).flatMap { r =>
         val name = r(byName("Name"))
         val ty = r(byName("Type"))
-        val flags = r(byName("Flags"))
-        val id = r(byName("Id"))
-        if (ty == "1" && name != null && !name.startsWith("MSys") && !name.startsWith("~") &&
-          (flags.toLong & 0x80000002L) == 0L)
-          Some(name -> (id.toInt & 0x00FFFFFF))
+        // catalog values render NULL as "" — a NULL Flags means "no flags",
+        // and a row with no Id cannot point at a tdef page, so skip it rather
+        // than aborting the whole read on NumberFormatException
+        val flags = MdbReader.catalogFlags(r(byName("Flags")))
+        val id = MdbReader.catalogId(r(byName("Id")))
+        if (ty == "1" && name != null && name.nonEmpty &&
+          !name.startsWith("MSys") && !name.startsWith("~") &&
+          (flags & 0x80000002L) == 0L && id.isDefined)
+          Some(name -> (id.get & 0x00FFFFFF))
         else None
       }
     }

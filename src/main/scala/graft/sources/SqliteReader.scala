@@ -190,7 +190,7 @@ object SqliteReader {
     // `..`, [..]) may contain spaces and SQL-standard doubled-delimiter
     // escapes ("a""b" -> a"b, [a]]b] -> a]b); unquoted ones end at
     // whitespace
-    def name(d: String): String = d.head match {
+    def nameAndRest(d: String): (String, String) = d.head match {
       case q @ ('"' | '\'' | '`' | '[') =>
         val close = if (q == '[') ']' else q
         val sb = new StringBuilder
@@ -198,19 +198,49 @@ object SqliteReader {
         while (!done && i < d.length) {
           if (d.charAt(i) == close) {
             if (i + 1 < d.length && d.charAt(i + 1) == close) { sb += close; i += 2 }
-            else done = true
+            else { done = true; i += 1 }
           } else { sb += d.charAt(i); i += 1 }
         }
-        sb.toString
-      case _ => d.split("\\s+", 2)(0)
+        (sb.toString, d.substring(math.min(i, d.length)))
+      case _ =>
+        // an unquoted name ends at whitespace OR '(' — "UNIQUE(b)" with no
+        // space is still the UNIQUE keyword, not a column named "UNIQUE(b)"
+        val end = d.indexWhere(c => c.isWhitespace || c == '(')
+        if (end < 0) (d, "") else (d.substring(0, end), d.substring(end))
     }
-    val colDefs = defs.map(_.trim).filter(_.nonEmpty).filterNot { d =>
+    def name(d: String): String = nameAndRest(d)._1
+    val (constraintDefs, colDefs) = defs.map(_.trim).filter(_.nonEmpty).partition { d =>
       // constraint defs always start with an UNQUOTED keyword
       !"\"'`[".contains(d.head) && ConstraintKw.contains(name(d).toLowerCase)
     }
     val names = colDefs.map(name).toSeq
-    val alias = colDefs.indexWhere(
-      _.toLowerCase.matches("(?s).*\\binteger\\s+primary\\s+key\\b.*"))
+    // Rowid-alias rules (sqlite.org/lang_createtable.html#rowid): a column is
+    // an alias when declared column-level "INTEGER PRIMARY KEY" — EXCEPT the
+    // "INTEGER PRIMARY KEY DESC" form, which is a real stored column — or when
+    // a single-column table-level PRIMARY KEY(col) names a column whose
+    // declared type is exactly INTEGER (there sort order does NOT matter:
+    // PRIMARY KEY(col DESC) still aliases the rowid).
+    val columnLevel = colDefs.indexWhere { d =>
+      val l = nameAndRest(d)._2.trim.toLowerCase
+      l.split("\\s+", 2).headOption.contains("integer") &&
+        l.matches("(?s).*\\bprimary\\s+key\\b.*") &&
+        !l.matches("(?s).*\\bprimary\\s+key\\s+desc\\b.*")
+    }
+    val alias =
+      if (columnLevel >= 0) columnLevel
+      else constraintDefs.map(_.toLowerCase).collectFirst {
+        case d if d.matches("(?s)(constraint\\s+\\S+\\s+)?primary\\s+key\\s*\\(.*") =>
+          val cols = d.substring(d.indexOf('(') + 1, d.lastIndexOf(')'))
+          if (cols.contains(',')) -1
+          else {
+            val pkName = name(cols.trim)
+            val idx = names.indexWhere(_.equalsIgnoreCase(pkName))
+            // declared type must be exactly INTEGER for the alias to apply
+            val isInt = idx >= 0 && nameAndRest(colDefs(idx))._2.trim
+              .split("\\s+", 2).headOption.exists(_.equalsIgnoreCase("integer"))
+            if (isInt) idx else -1
+          }
+      }.getOrElse(-1)
     (names, alias)
   }
 }
