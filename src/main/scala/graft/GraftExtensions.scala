@@ -28,6 +28,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       f(exprs)
     }
 
+  /** Evaluate a builder-time argument that must be a literal integer (e.g. a
+    * shingle width). Non-foldable or NULL arguments surface as a clear
+    * AnalysisException at plan time instead of an NPE/ClassCastException.
+    */
+  private def foldableInt(name: String, argName: String, argPos: Int, expr: Expression): Int = {
+    def fail(got: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
+        Map(
+          "sqlExpr" -> s"$name(...)",
+          "inputName" -> s"`$argName` (argument ${argPos + 1})",
+          "inputType" -> "\"INT\"",
+          "inputExpr" -> got))
+    if (!expr.foldable) fail(expr.sql)
+    expr.eval() match {
+      case n: Number => n.intValue()
+      case null      => fail("NULL")
+      case other     => fail(other.toString)
+    }
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("lenient_timestamp"),
       info("lenient_timestamp", "lenient_timestamp(str) - fuzzy multi-format parse with impossible-day repair; 9999-12-31 sentinel"),
@@ -50,11 +71,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(str, n) - distinct lowercase word n-gram shingles (n foldable)"),
       arity("word_shingles", 2)(exprs =>
-        WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))))
+        WordShingles(exprs(0), foldableInt("word_shingles", "n", 1, exprs(1))))))
     e.injectFunction((FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "minhash_signature(array<struct<h1:long,h2:long>>, numHashes) - banded MinHash signature (numHashes foldable)"),
       arity("minhash_signature", 2)(exprs =>
-        MinHashSignature(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))))
+        MinHashSignature(exprs(0), foldableInt("minhash_signature", "numHashes", 1, exprs(1))))))
     e.injectFunction((FunctionIdentifier("langid"),
       info("langid", "langid(str) - stopword-profile language id over the built-in profiles; 'und' when nothing matches"),
       arity("langid", 1)(exprs =>

@@ -273,24 +273,31 @@ object Dedup {
     * LSH skew guard deliberately emits for capped buckets — converges in
     * ~20 rounds where plain propagation would need 10^6. Same hop-doubling
     * idea as GraphFrames' alternating-star CC. Lineage is cut per round
-    * with an eager localCheckpoint — an iterative fixed point cannot be
-    * one declarative plan; checkpoint blocks are released by the
-    * ContextCleaner as superseded rounds fall out of reference (Dataset
-    * unpersist() does not reach localCheckpoint storage). At 100 TB each
-    * round is a plain keyed shuffle — no driver-side data beyond the
-    * convergence count. */
+    * with an eager checkpoint — an iterative fixed point cannot be one
+    * declarative plan. When `sc.setCheckpointDir` is configured the cut is
+    * a RELIABLE checkpoint (survives executor loss — the right mode for a
+    * long multi-round job on a real cluster); otherwise it falls back to
+    * localCheckpoint, which is faster but aborts the fixed point if an
+    * executor holding checkpointed blocks dies (acceptable in local mode /
+    * short jobs — rerun). Superseded rounds' blocks are released by the
+    * ContextCleaner as they fall out of reference. At 100 TB each round is
+    * a plain keyed shuffle — no driver-side data beyond the convergence
+    * count. */
   def connectedComponents(pairs: DataFrame, srcCol: String = "id_a",
                           dstCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    // reliable checkpoint when a dir is configured (fault-tolerant on a
+    // cluster), local fallback otherwise — see scaladoc
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // materialize the symmetric edge list once — every propagation round
     // joins it, and without the checkpoint each round's action would
     // re-execute the whole upstream pair-generation pipeline
-    val sym = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = cut(pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = cut(sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -300,13 +307,12 @@ object Dedup {
       // cluster id, because cluster ids are node ids)
       val jump = labels.as("x").join(labels.as("y"), col("x.cluster") === col("y.id"))
         .select(col("x.id").as("jid"), col("y.cluster").as("jcluster"))
-      val next = labels
+      val next = cut(labels
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
         .join(jump, labels("id") === jump("jid"))
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster")),
-            col("jcluster")).as("cluster"))
-        .localCheckpoint(true)
+            col("jcluster")).as("cluster")))
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.cluster") =!= col("o.cluster")).count()
       labels = next

@@ -105,7 +105,17 @@ object Streams {
     * 4096-row LRU `unique` window (process.py:851-898): state per
     * (band,bucket) is a FIFO of (id, signature) LONGS — never text — so
     * total state is bounded by 4 x capacity x live-buckets regardless of
-    * stream length.
+    * stream length. Worst case with no timeout: 4 bands x 65536 buckets x
+    * capacity entries x 16 bytes ≈ 1 GiB per 256 capacity — pass
+    * `idleTimeoutMs` on a long-lived stream so buckets no document has hit
+    * for that long are dropped (processing-time timeout; a revived bucket
+    * simply restarts empty, trading a missed pair against an old document
+    * for bounded live state — the same trade the reference's LRU makes).
+    * Cost of enabling it: Spark schedules micro-batches continuously to
+    * fire due timeouts (FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+    * unconditionally true for processing-time timeouts), so pair it with a
+    * real `Trigger.ProcessingTime(...)` rather than the default
+    * as-fast-as-possible trigger.
     *
     * A pair colliding in several bands is emitted once per matching band
     * (per-bucket state cannot see other buckets); `band` is carried so a
@@ -114,7 +124,8 @@ object Streams {
     * Datasets (state lives for the single pass). */
   def nearDupStream(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", maxHamming: Int = 3,
-                    capacity: Int = 256): Dataset[NearDupHit] = {
+                    capacity: Int = 256,
+                    idleTimeoutMs: Option[Long] = None): Dataset[NearDupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     // signature + banding shared with the batch path (Dedup.simhashDedup):
@@ -126,10 +137,17 @@ object Streams {
       .select(col("id"), col("sh"), col("bb.band").as("band"),
         col("bb.bucket").cast(IntegerType).as("bucket"))
       .as[(Long, Long, Int, Int)]
+    val timeoutConf =
+      if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
       .groupByKey { case (_, _, band, bucket) => (band, bucket) }
       .flatMapGroupsWithState[List[(Long, Long)], NearDupHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
+        case (_, _, state: GroupState[List[(Long, Long)]]) if state.hasTimedOut =>
+          // idle bucket: reclaim its FIFO; a later hit restarts it empty
+          state.remove()
+          Iterator.empty
         case ((band, _), rows, state: GroupState[List[(Long, Long)]]) =>
           var window = state.getOption.getOrElse(Nil)
           var wlen = window.length
@@ -158,6 +176,7 @@ object Streams {
             if (wlen > capacity * 2) { window = window.take(capacity); wlen = capacity }
           }
           state.update(if (wlen > capacity) window.take(capacity) else window)
+          idleTimeoutMs.foreach(state.setTimeoutDuration)
           out.iterator
       }
   }

@@ -52,4 +52,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getString(2) == "en")
     assert(row.getString(3) == "und")
   }
+
+  test("non-foldable / NULL literal args fail with a clear AnalysisException") {
+    import org.apache.spark.sql.AnalysisException
+    // column reference where a literal shingle width is required
+    val nonFoldable = intercept[AnalysisException] {
+      spark.sql("SELECT word_shingles(t, n) FROM VALUES ('a b c', 2) AS v(t, n)").collect()
+    }
+    assert(nonFoldable.getMessage.contains("foldable"),
+      s"expected a foldable-input message, got: ${nonFoldable.getMessage}")
+    // NULL literal width
+    val nullArg = intercept[AnalysisException] {
+      spark.sql("SELECT minhash_signature(array(struct(1L AS h1, 2L AS h2)), NULL)").collect()
+    }
+    assert(nullArg.getMessage.contains("foldable") || nullArg.getMessage.contains("NULL"),
+      s"expected a clear message, got: ${nullArg.getMessage}")
+  }
 }

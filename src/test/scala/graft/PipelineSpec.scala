@@ -129,6 +129,28 @@ class PipelineSpec extends SparkSpec {
       (20L, 20L, true), (21L, 20L, false), (22L, 20L, false)))
   }
 
+  test("connectedComponents uses reliable checkpoints when a checkpoint dir is set") {
+    // with sc.setCheckpointDir configured the per-round lineage cut is a
+    // fault-tolerant checkpoint (survives executor loss); results identical
+    // NOTE: SparkContext has no unset API, so the shared test session keeps
+    // this dir for the rest of the JVM — harmless (later CC calls become
+    // reliable-checkpointed too, same results, tmp-dir cost only)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(dir)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+    // reliable checkpoints actually landed on disk
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(sc.getCheckpointDir.get
+      .stripPrefix("file:")))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "expected reliable checkpoint files under the configured dir")
+  }
+
   test("connectedComponents converges on a long chain (pointer jumping, O(log d) rounds)") {
     // a 500-node chain is exactly what the LSH skew guard emits past the
     // cap; plain min-propagation would need 500 rounds — pointer jumping
