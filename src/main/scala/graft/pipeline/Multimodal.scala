@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE codec is real: `javax.imageio` (in the JDK — PNG/JPEG/BMP/GIF/
   * WBMP) decodes true dimensions and a 16-bin luminance histogram as the
-  * feature vector. Audio/video decode is STUBBED with a deterministic fake
-  * (this container ships no audio/video libraries); swap the fake branch of
-  * `decodeBytes` for a real codec (e.g. via JNI) without touching the plan
-  * shape.
+  * feature vector. The AUDIO codec is real for WAV/AIFF/AU:
+  * `javax.sound.sampled` (also in the JDK) recovers sample rate, channel
+  * count and exact duration, and 16-bit PCM payloads get a 16-window RMS
+  * envelope as the feature vector. Video decode is STUBBED with a
+  * deterministic fake (this container ships no video codecs); swap the fake
+  * branch of `decodeBytes` for a real codec (e.g. via JNI) without touching
+  * the plan shape.
   *
   * Scale notes: decode is per-row, zero-shuffle; binary payloads never pass
   * through a shuffle (metadata-only projections after decode); frame
@@ -20,15 +23,23 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   final case class MediaMeta(kind: String, sizeBytes: Long, width: Int,
-      height: Int, durationMs: Long)
+      height: Int, durationMs: Long, sampleRateHz: Int, channels: Int)
   final case class Decoded(mediaId: Long, meta: MediaMeta, features: Array[Float])
 
   /** Decode one payload. Image kind: real `ImageIO` decode — true
     * width/height from the codec, features = 16-bin luminance histogram
-    * normalized to sum 1 (duration 0). Audio/video, and image bytes no
-    * registered reader accepts, fall back to a deterministic pseudo-decode
-    * so the pipeline stays testable end-to-end without native codecs. */
+    * normalized to sum 1 (duration 0). Audio kind: real
+    * `javax.sound.sampled` decode — sample rate / channels / exact duration
+    * from the codec, features = 16-window RMS envelope (16-bit PCM; other
+    * encodings keep the metadata with zero features). Video, and
+    * image/audio bytes no registered reader accepts, fall back to a
+    * deterministic pseudo-decode so the pipeline stays testable end-to-end
+    * without native codecs. */
   private[pipeline] def decodeBytes(id: Long, kind: String, bytes: Array[Byte]): Decoded = {
+    if (kind == "audio") {
+      val decoded = decodeAudio(id, bytes)
+      if (decoded != null) return decoded
+    }
     if (kind == "image") {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -56,11 +67,11 @@ object Multimodal {
           y += 1
         }
         val n = (w.toLong * h).toFloat
-        return Decoded(id, MediaMeta(kind, bytes.length.toLong, w, h, 0L),
+        return Decoded(id, MediaMeta(kind, bytes.length.toLong, w, h, 0L, 0, 0),
           hist.map(_ / n))
       }
     }
-    // audio/video (no codec shipped) + undecodable image bytes: the
+    // video (no codec shipped) + undecodable image/audio bytes: the
     // deterministic fake keeps schema, batching and determinism real.
     val hc = java.util.Arrays.hashCode(bytes)
     val width = 64 + math.abs(hc % 1024)
@@ -70,7 +81,67 @@ object Multimodal {
       x.toFloat / Int.MaxValue
     }
     Decoded(id, MediaMeta(kind, bytes.length.toLong, width, height,
-      math.abs(hc % 60000).toLong), features)
+      math.abs(hc % 60000).toLong, 0, 0), features)
+  }
+
+  /** Real audio decode via `javax.sound.sampled` (WAV/AIFF/AU in the JDK).
+    * Metadata comes from the codec header; for 16-bit PCM the feature
+    * vector is a 16-window RMS envelope of the channel-averaged signal,
+    * normalized to full scale. Returns null when no installed reader
+    * accepts the bytes (caller falls back to the deterministic fake). */
+  private def decodeAudio(id: Long, bytes: Array[Byte]): Decoded = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => return null }
+    try {
+      val fmt = ais.getFormat
+      val frames = ais.getFrameLength
+      val channels = fmt.getChannels
+      val durationMs =
+        if (frames >= 0 && fmt.getFrameRate > 0) (frames * 1000L / fmt.getFrameRate.toLong)
+        else 0L
+      val features = new Array[Float](16)
+      val pcm16 = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && frames > 0 && frames <= Int.MaxValue / 4
+      if (pcm16) {
+        // stream one frame block at a time is overkill for the envelope:
+        // read all PCM (frames * frameSize bytes, bounded by the payload
+        // we already hold in memory), average channels, RMS per window
+        val data = ais.readAllBytes()
+        val be = fmt.isBigEndian
+        val nFrames = (data.length / fmt.getFrameSize).toInt
+        if (nFrames > 0) {
+          val sumSq = new Array[Double](16)
+          val cnt = new Array[Int](16)
+          var f = 0
+          while (f < nFrames) {
+            val w = (f.toLong * 16 / nFrames).toInt
+            var ch = 0; var acc = 0.0
+            while (ch < channels) {
+              val o = f * fmt.getFrameSize + ch * 2
+              val s =
+                if (be) ((data(o) << 8) | (data(o + 1) & 0xFF)).toShort
+                else ((data(o + 1) << 8) | (data(o) & 0xFF)).toShort
+              acc += s; ch += 1
+            }
+            val mono = acc / channels
+            sumSq(w) += mono * mono; cnt(w) += 1
+            f += 1
+          }
+          var w = 0
+          while (w < 16) {
+            if (cnt(w) > 0)
+              features(w) = (math.sqrt(sumSq(w) / cnt(w)) / 32768.0).toFloat
+            w += 1
+          }
+        }
+      }
+      Decoded(id, MediaMeta("audio", bytes.length.toLong, 0, 0, durationMs,
+        fmt.getSampleRate.toInt, channels), features)
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    } finally ais.close()
   }
 
   /** Decode a binary media column into metadata + features. mapPartitions so
@@ -150,10 +221,39 @@ object Multimodal {
     out.array()
   }
 
+  /** Deterministic tiny PCM WAV derived from (id, text): 16-bit mono at
+    * 8 kHz, frame count varying with the id, samples from a text-seeded
+    * hash — a genuine RIFF/WAVE payload the real `javax.sound.sampled`
+    * codec path decodes, with no RNG and no fixture files. */
+  private[graft] def wavPayload(id: Long, text: String): Array[Byte] = {
+    val sampleRate = 8000
+    val nSamples = 160 + (id % 7).toInt * 80 // 20ms .. 80ms
+    val seed = scala.util.hashing.MurmurHash3.stringHash(text, (id & 0x7FFFFFFF).toInt)
+    val dataLen = nSamples * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("ASCII"))
+    out.put("fmt ".getBytes("ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    out.put("data".getBytes("ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      out.putShort((scala.util.hashing.MurmurHash3.productHash((seed, i)) >> 16).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
   /** Wrap a text/documents table as a media table — test fixture path.
-    * Image rows (doc_id % 3 == 0) carry a REAL PNG payload rendered
-    * deterministically from the doc; audio/video rows carry opaque utf-8
-    * bytes for the stub branch. */
+    * Image rows (doc_id % 3 == 0) carry a REAL PNG payload and audio rows
+    * (doc_id % 3 == 1) a REAL PCM WAV payload, both rendered
+    * deterministically from the doc; video rows carry opaque utf-8 bytes
+    * for the stub branch. */
   def asMediaTable(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -162,9 +262,11 @@ object Multimodal {
         val kind = (id % 3) match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
-        val payload =
-          if (kind == "image") pngPayload(id, text)
-          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val payload = kind match {
+          case "image" => pngPayload(id, text)
+          case "audio" => wavPayload(id, text)
+          case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
         (id, kind, payload)
       }.toDF("media_id", "kind", "payload")
   }

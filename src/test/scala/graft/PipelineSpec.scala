@@ -351,6 +351,52 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decode(junk).head().getStruct(1).getAs[Int]("width") >= 64)
   }
 
+  test("audio decode is a real codec: WAV fixture round-trips rate/channels/duration") {
+    // genuine RIFF/WAVE bytes via the JDK's own writer — decodeBytes must
+    // recover the true format metadata and an RMS envelope
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val sr = 16000f; val nFrames = 1600 // exactly 100 ms, stereo
+    val pcm = new Array[Byte](nFrames * 4)
+    (0 until nFrames).foreach { i =>
+      val s = (math.sin(i * 0.05) * 12000).toInt.toShort
+      pcm(i * 4) = (s & 0xFF).toByte; pcm(i * 4 + 1) = (s >> 8).toByte
+      pcm(i * 4 + 2) = (s & 0xFF).toByte; pcm(i * 4 + 3) = (s >> 8).toByte
+    }
+    val fmt = new AudioFormat(sr, 16, 2, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val media = Seq((9L, "audio", bos.toByteArray)).toDF("media_id", "kind", "payload")
+    val row = Multimodal.decode(media).head()
+    val meta = row.getStruct(1)
+    assert(meta.getAs[String]("kind") == "audio")
+    assert(meta.getAs[Int]("sampleRateHz") == 16000)
+    assert(meta.getAs[Int]("channels") == 2)
+    assert(meta.getAs[Long]("durationMs") == 100L)
+    assert(meta.getAs[Int]("width") == 0 && meta.getAs[Int]("height") == 0)
+    val feats = row.getSeq[Float](2)
+    // a full-scale-ish sine has RMS ~ 12000/32768/sqrt(2) in every window
+    assert(feats.length == 16 && feats.forall(f => f > 0.2f && f < 0.3f),
+      s"expected a flat ~0.26 RMS envelope, got ${feats.mkString(",")}")
+    // undecodable "audio" bytes fall back to the deterministic fake
+    val junk = Seq((10L, "audio", Array[Byte](1, 2, 3))).toDF("media_id", "kind", "payload")
+    val junkMeta = Multimodal.decode(junk).head().getStruct(1)
+    assert(junkMeta.getAs[Int]("width") >= 64 && junkMeta.getAs[Int]("sampleRateHz") == 0)
+  }
+
+  test("wavPayload fixtures are genuine WAVs: codec metadata matches the generator") {
+    val bytes = Multimodal.wavPayload(4L, "some doc text")
+    // id 4 -> 160 + (4%7)*80 = 480 samples at 8kHz mono = 60 ms
+    val media = Seq((4L, "audio", bytes)).toDF("media_id", "kind", "payload")
+    val meta = Multimodal.decode(media).head().getStruct(1)
+    assert(meta.getAs[Int]("sampleRateHz") == 8000)
+    assert(meta.getAs[Int]("channels") == 1)
+    assert(meta.getAs[Long]("durationMs") == 60L)
+    // hash-noise samples: every window carries energy
+    val feats = Multimodal.decode(media).head().getSeq[Float](2)
+    assert(feats.forall(_ > 0.1f), s"noise envelope should be non-degenerate: ${feats.mkString(",")}")
+  }
+
   test("multimodal decode plumbing: schema, determinism, partition mapping") {
     val media = Multimodal.asMediaTable(Tables.documents(spark, sf0001).limit(50))
     val decoded = Multimodal.decode(media)
