@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * feature vector. The AUDIO codec is real for WAV/AIFF/AU:
   * `javax.sound.sampled` (also in the JDK) recovers sample rate, channel
   * count and exact duration, and 16-bit PCM payloads get a 16-window RMS
-  * envelope as the feature vector. Video decode is STUBBED with a
-  * deterministic fake (this container ships no video codecs); swap the fake
-  * branch of `decodeBytes` for a real codec (e.g. via JNI) without touching
-  * the plan shape.
+  * envelope as the feature vector. VIDEO container metadata is real for
+  * MP4 (ISO BMFF boxes: moov/mvhd/tkhd — ISO/IEC 14496-12) and AVI
+  * (RIFF avih header) via native byte parsing — width, height and duration
+  * come from the container; only frame DECODE is stubbed (no video codec
+  * ships in the JDK) — swap the fake branch of `decodeBytes` for a real
+  * codec (e.g. via JNI) without touching the plan shape.
   *
   * Scale notes: decode is per-row, zero-shuffle; binary payloads never pass
   * through a shuffle (metadata-only projections after decode); frame
@@ -31,13 +33,18 @@ object Multimodal {
     * normalized to sum 1 (duration 0). Audio kind: real
     * `javax.sound.sampled` decode — sample rate / channels / exact duration
     * from the codec, features = 16-window RMS envelope (16-bit PCM; other
-    * encodings keep the metadata with zero features). Video, and
-    * image/audio bytes no registered reader accepts, fall back to a
+    * encodings keep the metadata with zero features). Video kind: real
+    * container metadata from the MP4 box walk / AVI avih header, features
+    * = byte-value histogram. Bytes no parser accepts fall back to a
     * deterministic pseudo-decode so the pipeline stays testable end-to-end
     * without native codecs. */
   private[pipeline] def decodeBytes(id: Long, kind: String, bytes: Array[Byte]): Decoded = {
     if (kind == "audio") {
       val decoded = decodeAudio(id, bytes)
+      if (decoded != null) return decoded
+    }
+    if (kind == "video") {
+      val decoded = decodeVideoContainer(id, bytes)
       if (decoded != null) return decoded
     }
     if (kind == "image") {
@@ -142,6 +149,158 @@ object Multimodal {
     } catch {
       case scala.util.control.NonFatal(_) => null
     } finally ais.close()
+  }
+
+  /** Real video CONTAINER metadata: MP4 (ISO/IEC 14496-12 box walk —
+    * moov/mvhd for timescale+duration, moov/trak/tkhd for the presentation
+    * width/height in 16.16 fixed point) or AVI (RIFF 'AVI ' with the avih
+    * main header: dwMicroSecPerFrame, dwTotalFrames, dwWidth, dwHeight).
+    * Features are a 16-bin byte-value histogram of the payload normalized
+    * to sum 1 — a real content signature; frame decode itself needs a
+    * codec the JDK does not ship and stays out of scope. Returns null when
+    * the bytes are neither container (caller falls back to the fake). */
+  private def decodeVideoContainer(id: Long, bytes: Array[Byte]): Decoded = {
+    val meta = parseMp4(bytes).orElse(parseAvi(bytes))
+    meta match {
+      case Some((w, h, durMs)) =>
+        val hist = new Array[Float](16)
+        var i = 0
+        while (i < bytes.length) { hist((bytes(i) & 0xFF) >> 4) += 1f; i += 1 }
+        val n = math.max(bytes.length, 1).toFloat
+        Decoded(id, MediaMeta("video", bytes.length.toLong, w, h, durMs, 0, 0),
+          hist.map(_ / n))
+      case None => null
+    }
+  }
+
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+  private def u32le(b: Array[Byte], o: Int): Long =
+    ((b(o + 3) & 0xFFL) << 24) | ((b(o + 2) & 0xFFL) << 16) |
+      ((b(o + 1) & 0xFFL) << 8) | (b(o) & 0xFFL)
+  private def u64(b: Array[Byte], o: Int): Long = (u32(b, o) << 32) | u32(b, o + 4)
+  private def tag(b: Array[Byte], o: Int): String =
+    if (o + 4 <= b.length) new String(b, o, 4, "ISO-8859-1") else ""
+
+  /** (width, height, durationMs) from an ISO BMFF file, or None. */
+  private[graft] def parseMp4(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    // a BMFF file starts with a well-formed box; require the conventional
+    // ftyp leader so arbitrary bytes don't parse
+    if (bytes.length < 16 || tag(bytes, 4) != "ftyp") return None
+    var durMs = 0L; var w = 0; var h = 0
+    def walk(from: Long, to: Long, depth: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        var size = u32(bytes, off.toInt)
+        val t = tag(bytes, off.toInt + 4)
+        var hdr = 8L
+        if (size == 1 && off + 16 <= to) { size = u64(bytes, off.toInt + 8); hdr = 16L }
+        else if (size == 0) size = to - off // box extends to end
+        if (size < hdr || off + size > to) return // malformed: stop this level
+        val p = (off + hdr).toInt
+        t match {
+          case "moov" | "trak" | "mdia" if depth < 8 => walk(off + hdr, off + size, depth + 1)
+          case "mvhd" if p + 4 <= bytes.length =>
+            val v = bytes(p) & 0xFF
+            if (v == 1 && p + 28 + 4 <= bytes.length) {
+              val timescale = u32(bytes, p + 20)
+              val dur = u64(bytes, p + 24)
+              if (timescale > 0) durMs = dur * 1000L / timescale
+            } else if (v == 0 && p + 20 <= bytes.length) {
+              val timescale = u32(bytes, p + 12)
+              val dur = u32(bytes, p + 16)
+              if (timescale > 0) durMs = dur * 1000L / timescale
+            }
+          case "tkhd" =>
+            val v = bytes(p) & 0xFF
+            val wOff = if (v == 1) p + 4 + 8 + 8 + 4 + 4 + 8 + 8 + 2 + 2 + 2 + 2 + 36
+                       else p + 4 + 4 + 4 + 4 + 4 + 4 + 8 + 2 + 2 + 2 + 2 + 36
+            // width/height are 16.16 fixed point; keep the integer part,
+            // preferring the first track that carries non-zero dimensions
+            if (wOff + 8 <= bytes.length && w == 0) {
+              val tw = (u32(bytes, wOff) >> 16).toInt
+              val th = (u32(bytes, wOff + 4) >> 16).toInt
+              if (tw > 0 && th > 0) { w = tw; h = th }
+            }
+          case _ => ()
+        }
+        off += size
+      }
+    }
+    walk(0, bytes.length.toLong, 0)
+    if (w > 0 || durMs > 0) Some((w, h, durMs)) else None
+  }
+
+  /** (width, height, durationMs) from a RIFF AVI main header, or None. */
+  private[graft] def parseAvi(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (bytes.length < 12 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ") return None
+    // walk RIFF chunks; avih lives inside LIST/hdrl
+    def walk(from: Int, to: Int, depth: Int): Option[(Int, Int, Long)] = {
+      var off = from
+      while (off + 8 <= to) {
+        val t = tag(bytes, off)
+        val size = u32le(bytes, off + 4)
+        if (size < 0 || off + 8 + size > to) return None
+        if (t == "LIST" && depth < 4) {
+          val r = walk(off + 12, (off + 8 + size).toInt, depth + 1)
+          if (r.isDefined) return r
+        } else if (t == "avih" && off + 8 + 40 <= to) {
+          val p = off + 8
+          val usPerFrame = u32le(bytes, p)
+          val totalFrames = u32le(bytes, p + 16)
+          val w = u32le(bytes, p + 32).toInt
+          val h = u32le(bytes, p + 36).toInt
+          return Some((w, h, totalFrames * usPerFrame / 1000L))
+        }
+        off += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are word-aligned
+      }
+      None
+    }
+    walk(12, bytes.length, 0)
+  }
+
+  /** Deterministic minimal MP4 derived from (id, text): a genuine ISO BMFF
+    * layout (ftyp + moov[mvhd + trak[tkhd]] + mdat) with id-seeded
+    * dimensions and duration, so the real container parser is exercised
+    * with no fixture files. The mdat payload is text-seeded hash noise. */
+  private[graft] def mp4Payload(id: Long, text: String): Array[Byte] = {
+    val w = 160 + (id % 5).toInt * 80
+    val h = 120 + (id % 3).toInt * 60
+    val timescale = 1000
+    val durMs = 500 + (id % 11).toInt * 250
+    val seed = scala.util.hashing.MurmurHash3.stringHash(text, (id & 0x7FFFFFFF).toInt)
+    val mdatLen = 64 + (seed & 0x3F)
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(t.getBytes("ASCII")).put(payload)
+      out.array()
+    }
+    val ftyp = box("ftyp", "isomiso2".getBytes("ASCII"))
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100) // version 0 mvhd
+      b.putInt(0)                               // version + flags
+      b.putInt(0).putInt(0)                     // creation/modification
+      b.putInt(timescale).putInt(durMs)         // timescale, duration (ms)
+      b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume
+      b.position(b.position() + 8 + 36)         // reserved + matrix
+      b.position(b.position() + 24)             // pre_defined
+      b.putInt(2)                               // next_track_ID
+      b.array()
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84) // version 0 tkhd
+      b.putInt(7)                              // version 0, flags: enabled
+      b.putInt(0).putInt(0).putInt(1).putInt(0) // times, track id, reserved
+      b.putInt(durMs)
+      b.position(b.position() + 8 + 2 + 2 + 2 + 2 + 36) // reserved/layer/matrix
+      b.putInt(w << 16).putInt(h << 16)        // 16.16 fixed point
+      b.array()
+    }
+    val moov = box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+    val mdat = box("mdat", Array.tabulate(mdatLen.toInt)(i =>
+      scala.util.hashing.MurmurHash3.productHash((seed, i)).toByte))
+    ftyp ++ moov ++ mdat
   }
 
   /** Decode a binary media column into metadata + features. mapPartitions so
@@ -250,10 +409,10 @@ object Multimodal {
   }
 
   /** Wrap a text/documents table as a media table — test fixture path.
-    * Image rows (doc_id % 3 == 0) carry a REAL PNG payload and audio rows
-    * (doc_id % 3 == 1) a REAL PCM WAV payload, both rendered
-    * deterministically from the doc; video rows carry opaque utf-8 bytes
-    * for the stub branch. */
+    * Every kind carries a GENUINE container rendered deterministically
+    * from the doc: image rows (doc_id % 3 == 0) a real PNG, audio rows
+    * (doc_id % 3 == 1) a real PCM WAV, video rows a real minimal MP4 —
+    * so all three decode branches exercise their actual parser. */
   def asMediaTable(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -265,7 +424,7 @@ object Multimodal {
         val payload = kind match {
           case "image" => pngPayload(id, text)
           case "audio" => wavPayload(id, text)
-          case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case _ => mp4Payload(id, text)
         }
         (id, kind, payload)
       }.toDF("media_id", "kind", "payload")

@@ -397,6 +397,42 @@ class PipelineSpec extends SparkSpec {
     assert(feats.forall(_ > 0.1f), s"noise envelope should be non-degenerate: ${feats.mkString(",")}")
   }
 
+  test("video container metadata is real: MP4 box walk and AVI avih header") {
+    // mp4Payload renders a genuine ISO BMFF layout; the parser must recover
+    // the id-seeded dimensions and mvhd duration exactly
+    val mp4 = Multimodal.mp4Payload(7L, "video doc")
+    // id 7 -> w = 160 + (7%5)*80 = 320, h = 120 + (7%3)*60 = 180,
+    // durMs = 500 + (7%11)*250 = 2250
+    val media = Seq((7L, "video", mp4)).toDF("media_id", "kind", "payload")
+    val row = Multimodal.decode(media).head()
+    val meta = row.getStruct(1)
+    assert(meta.getAs[String]("kind") == "video")
+    assert(meta.getAs[Int]("width") == 320 && meta.getAs[Int]("height") == 180)
+    assert(meta.getAs[Long]("durationMs") == 2250L)
+    // features: byte-value histogram normalized to sum 1
+    val feats = row.getSeq[Float](2)
+    assert(feats.length == 16 && math.abs(feats.map(_.toDouble).sum - 1.0) < 1e-5)
+
+    // hand-built AVI: RIFF/AVI LIST hdrl avih with 25fps, 100 frames, 640x480
+    val avih = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40000).putInt(0).putInt(0).putInt(0) // usPerFrame ..
+      .putInt(100).putInt(0).putInt(1).putInt(0)   // totalFrames, streams
+      .putInt(640).putInt(480).array()
+    val hdrl = java.nio.ByteBuffer.allocate(12 + 8 + 40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdrl.put("LIST".getBytes("ASCII")).putInt(4 + 8 + 40).put("hdrl".getBytes("ASCII"))
+    hdrl.put("avih".getBytes("ASCII")).putInt(40).put(avih)
+    val body = hdrl.array()
+    val avi = java.nio.ByteBuffer.allocate(12 + body.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("ASCII")).putInt(4 + body.length).put("AVI ".getBytes("ASCII"))
+      .put(body).array()
+    assert(Multimodal.parseAvi(avi).contains((640, 480, 4000L)))
+
+    // junk video bytes still fall back to the deterministic fake
+    val junk = Seq((8L, "video", "not a container".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    assert(Multimodal.decode(junk).head().getStruct(1).getAs[Int]("width") >= 64)
+  }
+
   test("multimodal decode plumbing: schema, determinism, partition mapping") {
     val media = Multimodal.asMediaTable(Tables.documents(spark, sf0001).limit(50))
     val decoded = Multimodal.decode(media)
