@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.Ops
-import graft.pipeline.{Dedup, TextAnalysis => TA}
+import graft.pipeline.{Curation, Dedup, TextAnalysis => TA}
 
 /** Text-analysis + dedup queries over the `documents` table (training-data
   * pipeline operators; SURVEY.md north-star uplift).
@@ -162,6 +162,64 @@ object TextQueries {
     // ---- SimHash near-dup via 16-bit band LSH + hamming verification.
     Q("q31_simhash_neardup", None,
       (s, dir) => Dedup.simhashDedup(Tables.documents(s, dir), "doc_id", "text",
-        maxHamming = 8).orderBy("id_a", "id_b"))
+        maxHamming = 8).orderBy("id_a", "id_b")),
+
+    // ---- deterministic held-out split: md5-hex threshold compare, the
+    // same fixed-width-hex trick in both engines (train/valid/test at
+    // 0.8/0.1/0.1; 0.8*2^32 = 0xcccccccc, 0.9*2^32 = 0xe6666666).
+    Q("q51_hash_split",
+      Some("WITH s AS (SELECT doc_id, CASE " +
+        "WHEN substring(md5('graft-v1' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train' " +
+        "WHEN substring(md5('graft-v1' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'valid' " +
+        "ELSE 'test' END AS split FROM documents) " +
+        "SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id " +
+        "FROM s GROUP BY split ORDER BY split"),
+      (s, dir) => Curation.hashSplit(Tables.documents(s, dir), col("doc_id"),
+          "graft-v1", Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("split")),
+
+    // ---- GPT-style sequence packing: concat in id order per shard, cut
+    // every 512 tokens; per-shard windowed running sum in both engines.
+    Q("q52_pack_sequences",
+      Some(s"WITH t AS (SELECT doc_id AS id, doc_id % 8 AS shard, len($tokensSql) AS n_tokens FROM documents), " +
+        "c AS (SELECT id, shard, n_tokens, " +
+        "CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS tok_start FROM t) " +
+        "SELECT id, shard, CAST(FLOOR(tok_start / 512.0) AS BIGINT) AS seq_in_shard, " +
+        "tok_start, n_tokens FROM c ORDER BY id"),
+      (s, dir) => Curation.packSequences(Tables.documents(s, dir), "doc_id", "text",
+        tokenBudget = 512, numShards = 8).orderBy("id")),
+
+    // ---- composed curation pass: language filter -> quality filter ->
+    // exact dedup keep-list; the full pre-tokenization pipeline, mirrored
+    // end-to-end in SQL (langid CASE from q27, quality formula from q25).
+    Q("q53_curate",
+      Some {
+        val hitCols = TA.LangProfiles.map { case (lang, words) =>
+          val list = words.map(w => s"'$w'").mkString("(", ", ", ")")
+          s"len(list_filter($ltokensSql, x -> x IN $list)) AS h_$lang"
+        }.mkString(", ")
+        val langs = TA.LangProfiles.map(_._1)
+        val mx = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+        val pick = langs.map(l => s"WHEN h_$l = __mx THEN '$l'").mkString(" ")
+        s"WITH hits AS (SELECT doc_id, text, $hitCols FROM documents), " +
+          s"mm AS (SELECT doc_id, text, $mx AS __mx, ${langs.map(l => s"h_$l").mkString(", ")} FROM hits), " +
+          s"lid AS (SELECT doc_id, text, CASE WHEN __mx = 0 THEN 'und' $pick END AS lang FROM mm), " +
+          s"m AS (SELECT doc_id, text, lang, CAST(len($tokensSql) AS DOUBLE) AS nt, " +
+          "CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio, " +
+          s"CAST(len(list_filter($ltokensSql, x -> x IN $stopList)) AS DOUBLE) / len($ltokensSql) AS stop_ratio, " +
+          s"CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / len($tokensSql) AS mtl FROM lid), " +
+          "q AS (SELECT doc_id, lang, round(least(nt / 50.0, 1.0) * 0.3 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 + " +
+          "least(stop_ratio * 5.0, 1.0) * 0.3 + (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality, " +
+          s"md5($normSql) AS fp FROM m WHERE lang = 'en'), " +
+          "f AS (SELECT doc_id, lang, quality, fp FROM q WHERE quality >= 0.5), " +
+          "k AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp) " +
+          "SELECT f.doc_id, f.lang, f.quality FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.doc_id " +
+          "ORDER BY f.doc_id"
+      },
+      (s, dir) => Curation.curate(Tables.documents(s, dir), "doc_id", "text",
+        lang = "en", minQuality = 0.5).orderBy("doc_id"))
   )
 }

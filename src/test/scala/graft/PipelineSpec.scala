@@ -330,6 +330,59 @@ class PipelineSpec extends SparkSpec {
     assert(ids.length > 1, "degenerate assignment: single centroid")
   }
 
+  // ---------------------------------------------------------------- curation
+  test("hashSplit: deterministic, stable under corpus growth, fractions respected") {
+    import graft.pipeline.Curation
+    val fr = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val small = spark.range(1000).toDF("id")
+    val big = spark.range(10000).toDF("id")
+    val bigSplits = Curation.hashSplit(big, col("id"), "s1", fr)
+    val counts = bigSplits.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 8000.0) < 300, s"train fraction off: $counts")
+    assert(math.abs(counts("valid") - 1000.0) < 150, s"valid fraction off: $counts")
+    // stability: the first 1000 ids get identical labels whether the corpus
+    // has 1k or 10k rows (incremental curation must not re-deal)
+    val a = Curation.hashSplit(small, col("id"), "s1", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = bigSplits.filter(col("id") < 1000)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "labels must be stable under corpus growth")
+    // a different salt re-deals
+    val c = Curation.hashSplit(small, col("id"), "s2", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a != c, "salt must change the deal")
+  }
+
+  test("packSequences: per-shard concat-and-chunk assignment") {
+    import graft.pipeline.Curation
+    // one shard, budget 5: docs of 3,3,3 tokens start at 0,3,6 -> seqs 0,0,1
+    val docs = Seq((0L, "a b c"), (1L, "d e f"), (2L, "g h i"))
+      .toDF("doc_id", "text")
+    val got = Curation.packSequences(docs, "doc_id", "text", tokenBudget = 5, numShards = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 0L, 0L), (1L, 0L, 3L), (2L, 1L, 6L)), got.mkString(","))
+    // two shards: odd/even ids pack independently from offset 0
+    val sharded = Curation.packSequences(docs, "doc_id", "text", tokenBudget = 5, numShards = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(sharded.toSeq == Seq((0L, 0L, 0L), (1L, 1L, 0L), (2L, 0L, 3L)), sharded.mkString(","))
+  }
+
+  test("curate: language + quality gate, then exact-dedup keep-list") {
+    import graft.pipeline.Curation
+    val en = "the cat and the dog are in the house and it is warm for all of them today"
+    val docs = Seq(
+      (1L, en),                      // kept
+      (2L, en),                      // exact dup of 1 -> dropped
+      (3L, "el perro y el gato en la casa es un una de que por"), // es -> dropped
+      (4L, "zz")                     // low quality -> dropped
+    ).toDF("doc_id", "text")
+    val got = Curation.curate(docs, "doc_id", "text", "en", 0.5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L), s"expected only doc 1 kept, got $got")
+  }
+
   // -------------------------------------------------------------- multimodal
   test("image decode is a real codec: PNG fixture round-trips exact dimensions") {
     // genuine PNG bytes via ImageIO — decodeBytes must recover true w/h

@@ -63,4 +63,28 @@ class PlanSpec extends SparkSpec {
     assert(aggLine.contains("fp"), s"aggregate not keyed on fingerprint: $aggLine")
     assert(!aggLine.contains("text#"), s"content column reaches the aggregate: $aggLine")
   }
+
+  test("q52: sequence packing windows are shard-partitioned, never global") {
+    // the running token sum must hash-partition on shard — a window with an
+    // empty partition spec would funnel 100 TB through one task
+    val p = planOf("q52_pack_sequences")
+    val windowLine = p.linesIterator.find(_.contains("Window [")).getOrElse("")
+    assert(windowLine.contains("shard"), s"window not partitioned by shard: $windowLine\nin:\n$p")
+    assert(p.contains("hashpartitioning(shard"),
+      s"expected a shard-keyed exchange in:\n$p")
+  }
+
+  test("q53: curation filters run before the dedup shuffle") {
+    // language/quality predicates must sit below the fingerprint aggregate:
+    // discarded rows never reach the exchange
+    val plan = Registry.queries("q53_curate")(spark, sf0001).queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val agg = plan.collectFirst { case a: Aggregate => a }
+    assert(agg.isDefined, "expected the keep-list aggregate")
+    val filterBelowAgg = agg.get.collectFirst { case f: Filter => f }
+    assert(filterBelowAgg.isDefined, "quality/lang filter must be below the aggregate")
+    assert(filterBelowAgg.get.condition.toString.contains("quality") ||
+      filterBelowAgg.get.condition.toString.contains("0.5"),
+      s"filter below the aggregate is not the curation predicate: ${filterBelowAgg.get.condition}")
+  }
 }
