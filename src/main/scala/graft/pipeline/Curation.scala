@@ -73,6 +73,130 @@ object Curation {
         col("tok_start"), col("n_tokens"))
   }
 
+  // ---------------------------------------------------- repetition filters
+  /** Non-distinct word n-grams of lowercased text (repetition filters need
+    * counts, so no dedup — contrast [[Dedup.wordShingles]]); fewer than `n`
+    * tokens yields one whole-doc gram. */
+  def ngramsAll(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    if (n == 1) toks
+    else when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Gopher-style repetition signal: share of tokens that are repeats of an
+    * earlier token (1 - distinct/total). */
+  def repeatedTokenRatio(text: Column): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    round(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks), 6)
+  }
+
+  /** Share of lines that are duplicates of an earlier line (boilerplate
+    * headers/footers signal). Single-line docs score 0. */
+  def dupLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    round(lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines), 6)
+  }
+
+  /** (gram, n) of the most frequent word n-gram: sort the gram array, then
+    * one run-length fold — a pure row-local expression, zero shuffle (the
+    * explode+groupBy alternative would shuffle every gram of every doc on
+    * doc id). Ties break to the lexicographically smallest gram (the fold
+    * keeps the FIRST max-count run of the ascending sort). */
+  def topNgram(text: Column, n: Int): Column = {
+    val sorted = array_sort(ngramsAll(text, n))
+    val init = struct(lit("").as("cur"), lit(0L).as("curn"),
+      lit("").as("best"), lit(0L).as("bestn"))
+    aggregate(sorted, init, (acc, g) => {
+      val curn = when(g === acc.getField("cur"), acc.getField("curn") + lit(1L))
+        .otherwise(lit(1L))
+      val better = curn > acc.getField("bestn")
+      struct(g.as("cur"), curn.as("curn"),
+        when(better, g).otherwise(acc.getField("best")).as("best"),
+        when(better, curn).otherwise(acc.getField("bestn")).as("bestn"))
+    }, acc => struct(acc.getField("best").as("gram"), acc.getField("bestn").as("n")))
+  }
+
+  /** Fraction of the normalized text's characters covered by occurrences of
+    * the most frequent n-gram (Gopher's "top n-gram character fraction";
+    * overlapping occurrences can push it past 1 for degenerate docs). */
+  def topNgramCharFraction(top: Column, text: Column): Column = {
+    val normLen = length(regexp_replace(lower(trim(text)), "\\s+", " "))
+    round(top.getField("n") * length(top.getField("gram")).cast("double") / normLen, 6)
+  }
+
+  // ------------------------------------------------------- PII scrubbing
+  /** Conservative PII patterns, deliberately RE2-compatible (no lookaround,
+    * no backrefs) so the same pattern runs in Spark (java.util.regex) and
+    * any RE2-based engine (the DuckDB oracle) with identical semantics. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d[\\d-]{7,}\\d"
+
+  def piiEmailCount(c: Column): Column = size(regexp_extract_all(c, lit(EmailRe), lit(0)))
+  def piiIpCount(c: Column): Column = size(regexp_extract_all(c, lit(Ipv4Re), lit(0)))
+  def piiPhoneCount(c: Column): Column = size(regexp_extract_all(c, lit(PhoneRe), lit(0)))
+
+  /** Redact PII in place: emails, then IPv4s, then international-format
+    * phone numbers. ORDER MATTERS and is part of the contract — emails go
+    * first so an address's host digits can't be half-eaten as a phone/IP,
+    * and the replacement tokens contain no digits so later passes cannot
+    * re-match earlier redactions. Per-row, zero shuffle, codegen'd. */
+  def piiRedact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(EmailRe), lit("<EMAIL>")),
+        lit(Ipv4Re), lit("<IP>")),
+      lit(PhoneRe), lit("<PHONE>"))
+
+  // ------------------------------------------------- contamination check
+  /** Benchmark-contamination check: which corpus docs share at least one
+    * word `n`-gram with the (small) benchmark set, and how many distinct
+    * grams they share. 100 TB shape: the benchmark's distinct grams
+    * BROADCAST (a benchmark suite is KBs-MBs); the corpus side is a per-row
+    * shingle explode feeding a broadcast-hash join — the full corpus never
+    * shuffles, and the only exchange is the doc-id aggregation over HIT
+    * rows (rare by construction). */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 5): DataFrame = {
+    val benchGrams = bench
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("gram")).distinct()
+    corpus.select(col(idCol).as("doc_id"),
+        explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+  }
+
+  // ---------------------------------------------------- mixture sampling
+  /** Deterministic per-row sampling at a data-dependent rate: keep a row iff
+    * md5(salt ++ key) (first 8 hex chars, i.e. a uniform 32-bit draw) falls
+    * under `rate` — the [[splitLabel]] trick with a per-row threshold, so a
+    * corpus-mixture policy (per-source rates, temperature sampling) is one
+    * stateless filter: no shuffle, stable under corpus growth, re-dealable
+    * by salt. Rates clamp to [0, 1]; rate 1.0 keeps all but the one-in-2^32
+    * hash 'ffffffff' (documented fixed point of the open interval). */
+  def sampleByRate(df: DataFrame, keyCol: Column, salt: String,
+                   rateCol: Column): DataFrame = {
+    val h = substring(md5(concat(lit(salt), keyCol.cast("string"))), 1, 8)
+    val capped = least(floor(least(rateCol, lit(1.0)) * lit(4294967296.0)),
+      lit(4294967295.0)).cast("long")
+    val hexCut = lpad(lower(conv(capped.cast("string"), 10, 16)), 8, "0")
+    df.filter(h < hexCut)
+  }
+
+  /** Per-group mixture sampling: each group (source, domain, language...)
+    * keeps a different deterministic fraction. Groups absent from `rates`
+    * use `defaultRate`. */
+  def mixtureSample(df: DataFrame, keyCol: Column, salt: String,
+                    groupCol: Column, rates: Seq[(String, Double)],
+                    defaultRate: Double): DataFrame = {
+    val rateCol = rates.foldRight(lit(defaultRate): Column) {
+      case ((g, r), rest) => when(groupCol === g, lit(r)).otherwise(rest)
+    }
+    sampleByRate(df, keyCol, salt, rateCol)
+  }
+
   // ------------------------------------------------------- curation compose
   /** The composed curation pass a training-data pipeline runs before
     * tokenization: language filter → quality filter → exact dedup (keep the

@@ -14,7 +14,7 @@ final case class Q(
 
 object Registry {
   lazy val all: Seq[Q] = Relational.qs ++ TypeQueries.qs ++ TextQueries.qs ++
-    SimilarityQueries.qs ++ StreamQueries.qs
+    CurationQueries.qs ++ SimilarityQueries.qs ++ StreamQueries.qs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -383,6 +383,83 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq(1L), s"expected only doc 1 kept, got $got")
   }
 
+  test("repetition stats: repeated tokens, duplicate lines, top bigram") {
+    import graft.pipeline.Curation
+    val df = Seq((1L, "a a a b"), (2L, "header\nbody\nheader")).toDF("id", "text")
+    val top = Curation.topNgram(col("text"), 2)
+    val got = df.orderBy("id").select(
+      Curation.repeatedTokenRatio(col("text")),
+      Curation.dupLineFraction(col("text")),
+      top.getField("gram"), top.getField("n"),
+      Curation.topNgramCharFraction(top, col("text"))).collect()
+    // "a a a b": 4 tokens, 2 distinct -> 0.5; bigrams "a a","a a","a b" ->
+    // top ("a a", 2); chars 2*3/7
+    assert(got(0).getDouble(0) == 0.5)
+    assert(got(0).getDouble(1) == 0.0)
+    assert(got(0).getString(2) == "a a" && got(0).getLong(3) == 2L)
+    assert(got(0).getDouble(4) == math.rint(6.0 / 7.0 * 1e6) / 1e6)
+    // 3 lines, 2 distinct -> 1/3 duplicate lines
+    assert(got(1).getDouble(1) == math.rint(1.0 / 3.0 * 1e6) / 1e6)
+    // bigrams "b c"x2, "c a"x2, "a b"x1 — ties at max count 2 break to the
+    // lexicographically smallest gram "b c"
+    val tie = Seq("b c a b c a").toDF("text")
+      .select(Curation.topNgram(col("text"), 2)).collect()(0).getStruct(0)
+    assert(tie.getString(0) == "b c" && tie.getLong(1) == 2L)
+  }
+
+  test("PII redaction: emails, IPv4s, phones; order prevents half-eaten matches") {
+    import graft.pipeline.Curation
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org or 192.168.0.1 or +1-555-0142-999 end",
+      "no pii here at all").toDF("text")
+    val got = df.select(
+      Curation.piiEmailCount(col("text")),
+      Curation.piiIpCount(col("text")),
+      Curation.piiPhoneCount(col("text")),
+      Curation.piiRedact(col("text"))).collect()
+    assert(got(0).getInt(0) == 1 && got(0).getInt(1) == 1 && got(0).getInt(2) == 1)
+    assert(got(0).getString(3) == "mail <EMAIL> or <IP> or <PHONE> end")
+    assert(got(1).getInt(0) == 0 && got(1).getInt(1) == 0 && got(1).getInt(2) == 0)
+    assert(got(1).getString(3) == "no pii here at all")
+  }
+
+  test("contamination: corpus docs sharing an n-gram with the benchmark") {
+    import graft.pipeline.Curation
+    val bench = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "x alpha beta gamma y"),          // shares 3-grams
+      (11L, "nothing in common here at all"),
+      (12L, "alpha beta gamma delta q")       // shares 2 distinct 3-grams
+    ).toDF("doc_id", "text")
+    val got = Curation.contamination(corpus, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((10L, 1L), (12L, 2L)), got.mkString(","))
+  }
+
+  test("sampleByRate: deterministic, rate-proportional, salt re-deals") {
+    import graft.pipeline.Curation
+    val df = spark.range(10000).toDF("id")
+    val kept = Curation.sampleByRate(df, col("id"), "s1", lit(0.3)).count()
+    assert(math.abs(kept - 3000.0) < 200, s"rate 0.3 kept $kept")
+    assert(Curation.sampleByRate(df, col("id"), "s1", lit(0.0)).count() == 0)
+    assert(Curation.sampleByRate(df, col("id"), "s1", lit(1.0)).count() == 10000)
+    // deterministic: same salt -> same set; different salt -> different set
+    val a = Curation.sampleByRate(df, col("id"), "s1", lit(0.3))
+      .as[Long].collect().toSet
+    val b = Curation.sampleByRate(df, col("id"), "s1", lit(0.3))
+      .as[Long].collect().toSet
+    val c = Curation.sampleByRate(df, col("id"), "s2", lit(0.3))
+      .as[Long].collect().toSet
+    assert(a == b && a != c)
+    // per-group mixture: group rates actually differ
+    val g = df.withColumn("grp", when(col("id") < 5000, "hot").otherwise("cold"))
+    val m = Curation.mixtureSample(g, col("id"), "s1", col("grp"),
+        Seq("hot" -> 0.8), defaultRate = 0.1)
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(m("hot") - 4000.0) < 250, s"hot: $m")
+    assert(math.abs(m("cold") - 500.0) < 150, s"cold: $m")
+  }
+
   // -------------------------------------------------------------- multimodal
   test("image decode is a real codec: PNG fixture round-trips exact dimensions") {
     // genuine PNG bytes via ImageIO — decodeBytes must recover true w/h

@@ -74,6 +74,24 @@ class PlanSpec extends SparkSpec {
       s"expected a shard-keyed exchange in:\n$p")
   }
 
+  test("q54: repetition stats are row-local — no exchange except the output sort") {
+    // repeated-token ratio / dup-line fraction / top-gram fold must all be
+    // per-row expressions; the only exchange allowed is the final orderBy's
+    // range partitioning (and AQE wrappers around it)
+    val p = planOf("q54_repetition")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => l.contains("rangepartitioning") || l.contains("Reused")),
+      s"unexpected non-sort exchange in repetition plan:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q56: contamination broadcasts the benchmark grams — corpus never shuffles") {
+    val p = planOf("q56_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark gram join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join planned for contamination:\n$p")
+  }
+
   test("q53: curation filters run before the dedup shuffle") {
     // language/quality predicates must sit below the fingerprint aggregate:
     // discarded rows never reach the exchange
