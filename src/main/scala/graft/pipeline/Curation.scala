@@ -207,11 +207,16 @@ object Curation {
     * language and quality score. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              lang: String, minQuality: Double): DataFrame = {
+    // fp-keyed exchange barrier (the codebase's standard collapse/expand
+    // pattern): langId/quality/fingerprint compute ONCE, and both consumers
+    // — the keep-list aggregate and the semi join — reuse the same shuffle
+    // (ReusedExchange), already co-partitioned on fp
     val scored = docs.select(col(idCol).as("doc_id"),
         TextAnalysis.langId(col(textCol)).as("lang"),
         TextAnalysis.qualityScore(col(textCol)).as("quality"),
         TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .filter(col("lang") === lang && col("quality") >= minQuality)
+      .repartition(col("fp"))
     val keep = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     scored.join(keep, Seq("fp", "doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), col("quality"))

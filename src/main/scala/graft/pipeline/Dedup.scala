@@ -307,16 +307,20 @@ object Dedup {
       // cluster id, because cluster ids are node ids)
       val jump = labels.as("x").join(labels.as("y"), col("x.cluster") === col("y.id"))
         .select(col("x.id").as("jid"), col("y.cluster").as("jcluster"))
+      // the changed flag rides along INSIDE the round's checkpoint (the old
+      // label is still in scope pre-projection), so convergence is a
+      // short-circuit scan of materialized blocks — not the extra
+      // next-vs-labels join + full count an earlier version paid per round
       val next = cut(labels
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
         .join(jump, labels("id") === jump("jid"))
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster")),
-            col("jcluster")).as("cluster")))
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.cluster") =!= col("o.cluster")).count()
-      labels = next
-      converged = changed == 0L
+            col("jcluster")).as("next_cluster"))
+        .select(col("id"), col("next_cluster").as("cluster"),
+          (col("next_cluster") =!= col("old")).as("changed")))
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("id"), col("cluster"))
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
