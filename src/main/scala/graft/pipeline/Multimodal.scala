@@ -53,26 +53,13 @@ object Multimodal {
         catch { case scala.util.control.NonFatal(_) => null }
       if (img != null) {
         val w = img.getWidth; val h = img.getHeight
+        // scanline-strip getRGB (inside addLuminance): per-pixel getRGB(x,y)
+        // pays a ColorModel conversion call per pixel, while one whole-image
+        // bulk call would allocate a second 4*w*h-byte ARGB copy (OOM on
+        // 100s-of-MP images); a reused one-row buffer gets the bulk speed at
+        // O(w) extra memory
         val hist = new Array[Float](16)
-        // scanline-strip getRGB: per-pixel getRGB(x,y) pays a ColorModel
-        // conversion call per pixel, while one whole-image bulk call would
-        // allocate a second 4*w*h-byte ARGB copy (OOM on 100s-of-MP
-        // images); a reused one-row buffer gets the bulk speed at O(w)
-        // extra memory
-        val rowBuf = new Array[Int](w)
-        var y = 0
-        while (y < h) {
-          img.getRGB(0, y, w, 1, rowBuf, 0, w)
-          var x = 0
-          while (x < w) {
-            val rgb = rowBuf(x)
-            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-              (rgb & 0xFF) * 114) / 1000
-            hist(lum >> 4) += 1f
-            x += 1
-          }
-          y += 1
-        }
+        addLuminance(img, hist)
         val n = (w.toLong * h).toFloat
         return Decoded(id, MediaMeta(kind, bytes.length.toLong, w, h, 0L, 0, 0),
           hist.map(_ / n))
@@ -151,15 +138,40 @@ object Multimodal {
     } finally ais.close()
   }
 
-  /** Real video CONTAINER metadata: MP4 (ISO/IEC 14496-12 box walk —
-    * moov/mvhd for timescale+duration, moov/trak/tkhd for the presentation
-    * width/height in 16.16 fixed point) or AVI (RIFF 'AVI ' with the avih
-    * main header: dwMicroSecPerFrame, dwTotalFrames, dwWidth, dwHeight).
-    * Features are a 16-bin byte-value histogram of the payload normalized
-    * to sum 1 — a real content signature; frame decode itself needs a
-    * codec the JDK does not ship and stays out of scope. Returns null when
-    * the bytes are neither container (caller falls back to the fake). */
+  /** Real video decode, two tiers. Tier 1 — MJPEG-in-AVI: the '00dc'/'00db'
+    * movi chunks of an MJPEG AVI are plain baseline JPEGs, which the JDK's
+    * own ImageIO decodes — so for this (historically common capture) codec
+    * the FRAME decode is fully real: width/height come from decoded pixels,
+    * features are the average 16-bin luminance histogram over up to 8
+    * sampled frames, duration from the avih header. Tier 2 — any other
+    * MP4/AVI: real CONTAINER metadata (ISO/IEC 14496-12 box walk —
+    * moov/mvhd for timescale+duration, moov/trak/tkhd for 16.16 fixed-point
+    * dimensions; RIFF avih for AVI) with a 16-bin byte-value histogram as
+    * the content signature — H.264/VP9 frame decode needs a codec the JDK
+    * does not ship. Returns null when the bytes are neither container
+    * (caller falls back to the fake). */
   private def decodeVideoContainer(id: Long, bytes: Array[Byte]): Decoded = {
+    val jpegFrames = aviVideoChunks(bytes).filter(f =>
+      f.length >= 2 && (f(0) & 0xFF) == 0xFF && (f(1) & 0xFF) == 0xD8)
+    if (jpegFrames.nonEmpty) {
+      // sample at most 8 frames evenly across the stream
+      val n = jpegFrames.length
+      val picks = (0 until math.min(8, n)).map(i => jpegFrames(i * n / math.min(8, n)))
+      val imgs = picks.flatMap { f =>
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      if (imgs.nonEmpty) {
+        val hist = new Array[Float](16)
+        imgs.foreach(addLuminance(_, hist))
+        val total = hist.sum
+        val durMs = parseAvi(bytes).map(_._3).getOrElse(0L)
+        return Decoded(id,
+          MediaMeta("video", bytes.length.toLong, imgs.head.getWidth,
+            imgs.head.getHeight, durMs, 0, 0),
+          if (total > 0) hist.map(_ / total) else hist)
+      }
+    }
     val meta = parseMp4(bytes).orElse(parseAvi(bytes))
     meta match {
       case Some((w, h, durMs)) =>
@@ -171,6 +183,50 @@ object Multimodal {
           hist.map(_ / n))
       case None => null
     }
+  }
+
+  /** Accumulate an image's luminance counts into a 16-bin histogram (the
+    * scanline-strip walk shared with the image branch — see the O(w) buffer
+    * note there). */
+  private def addLuminance(img: java.awt.image.BufferedImage, hist: Array[Float]): Unit = {
+    val w = img.getWidth; val h = img.getHeight
+    val rowBuf = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = rowBuf(x)
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+        hist(lum >> 4) += 1f
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** The video stream payloads ('NNdc'/'NNdb' chunks inside LIST/movi) of a
+    * RIFF AVI, in stream order; Nil when the bytes are not an AVI. */
+  private[graft] def aviVideoChunks(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (bytes.length < 12 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ")
+      return Nil
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val t = tag(bytes, off)
+        val size = u32le(bytes, off + 4)
+        if (size < 0 || off + 8 + size > to) return
+        if (t == "LIST" && depth < 4) walk(off + 12, (off + 8 + size).toInt, depth + 1)
+        else if (t.length == 4 && t.charAt(0).isDigit && t.charAt(1).isDigit &&
+          (t.endsWith("dc") || t.endsWith("db")))
+          out += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size.toInt)
+        off += 8 + size.toInt + (size.toInt & 1) // word-aligned
+      }
+    }
+    walk(12, bytes.length, 0)
+    out.toSeq
   }
 
   private def u32(b: Array[Byte], o: Int): Long =
@@ -303,6 +359,78 @@ object Multimodal {
     ftyp ++ moov ++ mdat
   }
 
+  /** Deterministic MJPEG AVI derived from (id, text): a genuine RIFF layout
+    * (hdrl[avih + strl[strh 'MJPG' + strf]] + movi with real baseline-JPEG
+    * '00dc' frames encoded via ImageIO) so the REAL frame-decode tier of
+    * the video path is exercised with no fixture files. Frames are tiny
+    * (8-23 px) and few (2-4) to keep fixture-side encode cost negligible. */
+  private[graft] def mjpegAviPayload(id: Long, text: String): Array[Byte] = {
+    val w = 8 + (id % 5).toInt * 3
+    val h = 8 + (id % 3).toInt * 5
+    val nFrames = 2 + (id % 3).toInt
+    val usPerFrame = 40000L // 25 fps
+    val seed = scala.util.hashing.MurmurHash3.stringHash(text, (id & 0x7FFFFFFF).toInt)
+    javax.imageio.ImageIO.setUseCache(false)
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            scala.util.hashing.MurmurHash3.productHash((seed, f, x, y)) & 0xFFFFFF)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    def chunk(t: String, payload: Array[Byte]): Array[Byte] = {
+      val padded = if (payload.length % 2 == 1) payload :+ 0.toByte else payload
+      val b = java.nio.ByteBuffer.allocate(8 + padded.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(t.getBytes("ASCII")).putInt(payload.length).put(padded)
+      b.array()
+    }
+    def list(kind: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("ASCII") ++ payload)
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(usPerFrame.toInt) // dwMicroSecPerFrame
+      b.putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+      b.putInt(nFrames) // dwTotalFrames
+      b.putInt(0).putInt(1) // initialFrames, streams
+      b.putInt(0) // suggestedBufferSize
+      b.putInt(w).putInt(h) // dwWidth, dwHeight
+      b.array() // + 16 reserved bytes of zero padding
+    }
+    val strh = {
+      val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes("ASCII")).put("MJPG".getBytes("ASCII"))
+      b.putInt(0).putInt(0).putInt(0) // flags, priority+language, initialFrames
+      b.putInt(1).putInt(25)          // scale, rate (25 fps)
+      b.putInt(0).putInt(nFrames)     // start, length
+      b.array()
+    }
+    val strf = { // BITMAPINFOHEADER
+      val b = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      b.put("MJPG".getBytes("ASCII"))
+      b.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("ASCII") ++ hdrl ++ movi
+    val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("ASCII")).putInt(body.length).put(body)
+    out.array()
+  }
+
   /** Decode a binary media column into metadata + features. mapPartitions so
     * a heavier codec can amortize per-partition init (model load, JNI
     * handles), exactly as a production decode stage would. */
@@ -411,8 +539,9 @@ object Multimodal {
   /** Wrap a text/documents table as a media table — test fixture path.
     * Every kind carries a GENUINE container rendered deterministically
     * from the doc: image rows (doc_id % 3 == 0) a real PNG, audio rows
-    * (doc_id % 3 == 1) a real PCM WAV, video rows a real minimal MP4 —
-    * so all three decode branches exercise their actual parser. */
+    * (doc_id % 3 == 1) a real PCM WAV, video rows alternate a real minimal
+    * MP4 (container-metadata tier) and a real MJPEG AVI (full frame-decode
+    * tier) — so every decode branch exercises its actual parser. */
   def asMediaTable(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -424,7 +553,9 @@ object Multimodal {
         val payload = kind match {
           case "image" => pngPayload(id, text)
           case "audio" => wavPayload(id, text)
-          case _ => mp4Payload(id, text)
+          case _ =>
+            if ((id / 3) % 2 == 0) mp4Payload(id, text)
+            else mjpegAviPayload(id, text)
         }
         (id, kind, payload)
       }.toDF("media_id", "kind", "payload")
