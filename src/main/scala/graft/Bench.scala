@@ -15,13 +15,19 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet is TIMESTAMP(NANOS); see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: JVM + codegen + a first parquet read outside the timings
+    // warm-up: JVM + codegen + a first parquet read outside the timings;
+    // the q36 fixture media table also renders here so the measured query
+    // times decode, not payload synthesis
     spark.range(1000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try graft.pipeline.MediaFixtures.materializedMediaTable(spark, sfDir).count()
+    catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

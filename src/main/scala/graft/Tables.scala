@@ -28,9 +28,16 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
     * (PARQUET_TYPE_ILLEGAL). Read it as raw nanos (legacy long mode) and
     * convert to a microsecond TimestampType with integral division — a
-    * double division would lose precision at 1.7e18 ns. */
+    * double division would lose precision at 1.7e18 ns.
+    *
+    * `spark.sql.legacy.parquet.nanosAsLong` must be set at SESSION BUILD
+    * (Bench/Verify/SparkSpec all do) — a table loader silently flipping a
+    * session-global read mode would be a trap for concurrent sessions, so
+    * this only asserts, never mutates. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet carries TIMESTAMP(NANOS): build the session with " +
+        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\")")
     load(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

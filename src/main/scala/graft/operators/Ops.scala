@@ -154,12 +154,22 @@ object Ops {
 
   /** All but the last k rows under an explicit ordering (reference negative
     * `last_row`, meza/io.py:469-479 deque idiom). Needs a total order to be
-    * well-defined on a cluster. */
+    * well-defined on a cluster: `ord` must uniquely order rows (boundary
+    * ties are all dropped together, and null ordering keys are dropped).
+    *
+    * Scale shape: the cutoff (k-th largest ordering tuple) comes from a
+    * top-k (`TakeOrderedAndProject` — per-partition top-k, never a global
+    * single-partition window), broadcast back as a one-row relation; the
+    * keep pass is then an embarrassingly parallel range filter. */
   def dropTail(df: DataFrame, k: Int, ord: Seq[String]): DataFrame = {
-    val w = Window.orderBy(ord.map(col(_).desc): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > k)
-      .drop("__rn")
+    require(ord.nonEmpty, "dropTail needs at least one ordering column")
+    if (k <= 0) return df
+    val key = struct(ord.map(col): _*)
+    val cut = df.select(key.as("__k")).orderBy(col("__k").desc).limit(k)
+      .agg(min(col("__k")).as("__cut"))
+    df.crossJoin(broadcast(cut))
+      .filter(key < col("__cut"))
+      .drop("__cut")
   }
 
   // ---------------------------------------------------------------- O4: everseen

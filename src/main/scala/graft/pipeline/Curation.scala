@@ -26,13 +26,18 @@ object Curation {
     * per-row projection; changing `salt` re-deals the split, adding rows
     * never moves existing ones.
     *
+    * Null keys hash as the empty string — deterministic and uniform with
+    * the rest of the deal (without the coalesce a null key would null every
+    * `when` and silently fall through to the LAST label, skewing held-out
+    * splits).
+    *
     * Fractions must be positive and sum to 1 (the last label absorbs the
     * hex tail so the union is exhaustive). */
   def splitLabel(key: Column, salt: String, fractions: Seq[(String, Double)]): Column = {
     require(fractions.nonEmpty, "at least one split fraction")
     require(fractions.forall(_._2 > 0), "fractions must be positive")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
-    val h = substring(md5(concat(lit(salt), key.cast("string"))), 1, 8)
+    val h = substring(md5(concat(lit(salt), coalesce(key.cast("string"), lit("")))), 1, 8)
     val cuts = fractions.scanLeft(0.0)(_ + _._2).tail
     val cases = fractions.init.zip(cuts.init).map { case ((name, _), cum) =>
       (name, f"${math.min((cum * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x")
@@ -120,10 +125,14 @@ object Curation {
 
   /** Fraction of the normalized text's characters covered by occurrences of
     * the most frequent n-gram (Gopher's "top n-gram character fraction";
-    * overlapping occurrences can push it past 1 for degenerate docs). */
+    * overlapping occurrences can push it past 1 for degenerate docs).
+    * Empty/whitespace-only text scores 0.0 (the unguarded division by a
+    * zero-length normalization would yield null — or error under ANSI). */
   def topNgramCharFraction(top: Column, text: Column): Column = {
     val normLen = length(regexp_replace(lower(trim(text)), "\\s+", " "))
-    round(top.getField("n") * length(top.getField("gram")).cast("double") / normLen, 6)
+    when(normLen > 0,
+      round(top.getField("n") * length(top.getField("gram")).cast("double") / normLen, 6))
+      .otherwise(lit(0.0))
   }
 
   // ------------------------------------------------------- PII scrubbing
@@ -174,15 +183,27 @@ object Curation {
     * under `rate` — the [[splitLabel]] trick with a per-row threshold, so a
     * corpus-mixture policy (per-source rates, temperature sampling) is one
     * stateless filter: no shuffle, stable under corpus growth, re-dealable
-    * by salt. Rates clamp to [0, 1]; rate 1.0 keeps all but the one-in-2^32
-    * hash 'ffffffff' (documented fixed point of the open interval). */
+    * by salt. Rates clamp to [0, 1] at BOTH ends (a data-dependent rate —
+    * temperature sampling — can go negative; unclamped, the negative long
+    * renders as unsigned 64-bit hex and would silently keep ~all rows), and
+    * rate >= 1.0 short-circuits to keep-everything, including the
+    * one-in-2^32 'ffffffff' hash that a strict `<` compare would drop.
+    * Null keys hash as the empty string, same as [[splitLabel]]. */
   def sampleByRate(df: DataFrame, keyCol: Column, salt: String,
                    rateCol: Column): DataFrame = {
-    val h = substring(md5(concat(lit(salt), keyCol.cast("string"))), 1, 8)
-    val capped = least(floor(least(rateCol, lit(1.0)) * lit(4294967296.0)),
+    val h = substring(md5(concat(lit(salt), coalesce(keyCol.cast("string"), lit("")))), 1, 8)
+    df.filter(keepCondition(h, rateCol))
+  }
+
+  /** The keep predicate of [[sampleByRate]], on an already-drawn 8-hex-char
+    * uniform value — split out so the boundary cases (negative rate, the
+    * 'ffffffff' fixed point at rate 1.0) are directly testable. */
+  private[graft] def keepCondition(hashHex: Column, rateCol: Column): Column = {
+    val r = least(greatest(rateCol, lit(0.0)), lit(1.0))
+    val capped = least(floor(r * lit(4294967296.0)),
       lit(4294967295.0)).cast("long")
     val hexCut = lpad(lower(conv(capped.cast("string"), 10, 16)), 8, "0")
-    df.filter(h < hexCut)
+    r >= 1.0 || hashHex < hexCut
   }
 
   /** Per-group mixture sampling: each group (source, domain, language...)

@@ -279,10 +279,15 @@ object Dedup {
     * long multi-round job on a real cluster); otherwise it falls back to
     * localCheckpoint, which is faster but aborts the fixed point if an
     * executor holding checkpointed blocks dies (acceptable in local mode /
-    * short jobs — rerun). Superseded rounds' blocks are released by the
-    * ContextCleaner as they fall out of reference. At 100 TB each round is
-    * a plain keyed shuffle — no driver-side data beyond the convergence
-    * count. */
+    * short jobs — rerun). Superseded rounds are reclaimed explicitly: the
+    * ContextCleaner only deletes RELIABLE checkpoint files when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+    * false), so each round deletes the previous round's checkpoint
+    * directory once the new one is materialized — without this a long
+    * multi-round job writes the full label set per round and never
+    * reclaims checkpoint-dir space. (localCheckpoint blocks DO fall to the
+    * ContextCleaner as references drop.) At 100 TB each round is a plain
+    * keyed shuffle — no driver-side data beyond the convergence count. */
   def connectedComponents(pairs: DataFrame, srcCol: String = "id_a",
                           dstCol: String = "id_b", maxIter: Int = 50): DataFrame = {
     // reliable checkpoint when a dir is configured (fault-tolerant on a
@@ -290,6 +295,17 @@ object Dedup {
     val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // the reliable-checkpoint directory backing a cut() result (None for
+    // localCheckpoint), so superseded rounds can be deleted eagerly
+    def ckptDir(df: DataFrame): Option[org.apache.hadoop.fs.Path] =
+      df.queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }.flatMap(_.getCheckpointFile).map(new org.apache.hadoop.fs.Path(_))
+    def reclaim(p: Option[org.apache.hadoop.fs.Path]): Unit = p.foreach { path =>
+      try path.getFileSystem(pairs.sparkSession.sessionState.newHadoopConf())
+        .delete(path, true)
+      catch { case _: java.io.IOException => () } // best-effort cleanup
+    }
     // materialize the symmetric edge list once — every propagation round
     // joins it, and without the checkpoint each round's action would
     // re-execute the whole upstream pair-generation pipeline
@@ -320,6 +336,9 @@ object Dedup {
         .select(col("id"), col("next_cluster").as("cluster"),
           (col("next_cluster") =!= col("old")).as("changed")))
       converged = next.filter(col("changed")).isEmpty
+      // `next` is materialized (cut is eager): the previous round's reliable
+      // checkpoint is now superseded — reclaim its directory
+      if (reliable) reclaim(ckptDir(labels))
       labels = next.select(col("id"), col("cluster"))
       i += 1
     }

@@ -55,7 +55,7 @@ object CurationQueries {
         "round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS rep_token_ratio, " +
         "round(1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE) / len(string_split(text, chr(10))), 6) AS dup_line_frac, " +
         "top.top_bigram, " +
-        s"round(top.top_n * CAST(length(top.top_bigram) AS DOUBLE) / length($normSql), 6) AS top_bigram_frac " +
+        s"CASE WHEN length($normSql) > 0 THEN round(top.top_n * CAST(length(top.top_bigram) AS DOUBLE) / length($normSql), 6) ELSE 0.0 END AS top_bigram_frac " +
         "FROM g JOIN top ON g.doc_id = top.doc_id ORDER BY g.doc_id"),
       (s, dir) => {
         val top = Curation.topNgram(col("text"), 2)
@@ -115,11 +115,11 @@ object CurationQueries {
     // src0-4, 0.5 for src5-9, 0.15 otherwise) via the md5-threshold draw;
     // the oracle rebuilds the same rate CASE and hex cut.
     Q("q57_mixture_sample",
-      Some("WITH r AS (SELECT doc_id, source, CASE " +
+      Some("WITH r AS (SELECT doc_id, source, least(greatest(CASE " +
         "WHEN source IN ('src0','src1','src2','src3','src4') THEN 0.9 " +
         "WHEN source IN ('src5','src6','src7','src8','src9') THEN 0.5 " +
-        "ELSE 0.15 END AS rate FROM documents), " +
-        "k AS (SELECT doc_id, source FROM r WHERE " +
+        "ELSE 0.15 END, 0.0), 1.0) AS rate FROM documents), " +
+        "k AS (SELECT doc_id, source FROM r WHERE rate >= 1.0 OR " +
         "substring(md5('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 8) < " +
         "printf('%08x', CAST(least(floor(rate * 4294967296.0), 4294967295.0) AS BIGINT))) " +
         "SELECT source, count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id " +

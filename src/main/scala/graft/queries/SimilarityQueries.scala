@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Multimodal, Similarity}
+import graft.pipeline.{MediaFixtures, Multimodal, Similarity}
 
 /** Similarity-search + multimodal queries over the `embeddings` /
   * `documents` tables.
@@ -107,12 +107,13 @@ object SimilarityQueries {
           .orderBy("qid", "rank")
       }),
 
-    // ---- multimodal plumbing: binary payload -> stubbed decode ->
-    // metadata/features; per-kind stats (decode is a deterministic fake,
-    // the Spark plumbing is real — rows-only).
+    // ---- multimodal plumbing: binary payload -> decode -> metadata/
+    // features; per-kind stats (rows-only). The fixture media table is
+    // rendered ONCE per sf dir to a temp parquet (MediaFixtures), so the
+    // measured query times DECODE, not payload synthesis.
     Q("q36_multimodal_decode", None,
       (s, dir) => {
-        val media = Multimodal.asMediaTable(Tables.documents(s, dir))
+        val media = MediaFixtures.materializedMediaTable(s, dir)
         Multimodal.decode(media)
           .select(col("meta.kind").as("kind"), col("meta.sizeBytes").as("size_bytes"),
             col("meta.width").as("w"), col("meta.height").as("h"),

@@ -118,19 +118,40 @@ object GeoJson {
       col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))
   }
 
-  /** K3: assemble the single FeatureCollection document (driver-side — a
+  /** K3: stream the single FeatureCollection document to `out` (a
     * FeatureCollection is one JSON value by definition; the reference
-    * materializes it too, convert.py:998-1099). Use `featureJson` + NDJSON
-    * writes when the output need not be a single document. */
-  def collectionString(df: DataFrame, crs: Option[String] = None): String = {
+    * materializes it too, convert.py:998-1099). The collection bbox comes
+    * from ONE global min/max aggregate; features then stream through the
+    * driver one partition at a time in fid order (`toLocalIterator` —
+    * bounded memory, mirroring Writers.json array mode), so the driver
+    * never holds the document or the feature set. Use `featureJson` +
+    * NDJSON writes when the output need not be a single document. */
+  def writeCollection(df: DataFrame, out: java.io.Writer,
+                      crs: Option[String] = None): Unit = {
     val feats = featureJson(df)
-    val rows = feats.orderBy("fid").collect()
-    val bbox = if (rows.isEmpty) Seq(0.0, 0.0, 0.0, 0.0) else Seq(
-      rows.map(_.getAs[Double]("min_lon")).min, rows.map(_.getAs[Double]("min_lat")).min,
-      rows.map(_.getAs[Double]("max_lon")).max, rows.map(_.getAs[Double]("max_lat")).max)
+    val b = feats.agg(min(col("min_lon")), min(col("min_lat")),
+      max(col("max_lon")), max(col("max_lat"))).head()
+    val bbox = if (b.isNullAt(0)) Seq(0.0, 0.0, 0.0, 0.0)
+      else Seq(b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
     val crsJson = crs.map(c =>
       s""", "crs": {"type": "name", "properties": {"name": "$c"}}""").getOrElse("")
-    s"""{"type": "FeatureCollection", "bbox": [${bbox.mkString(", ")}]$crsJson, """ +
-      s""""features": [${rows.map(_.getAs[String]("feature_json")).mkString(", ")}]}"""
+    out.write(s"""{"type": "FeatureCollection", "bbox": [${bbox.mkString(", ")}]$crsJson, "features": [""")
+    val it = feats.orderBy("fid").select(col("feature_json")).toLocalIterator()
+    var first = true
+    while (it.hasNext) {
+      if (!first) out.write(", ")
+      out.write(it.next().getString(0))
+      first = false
+    }
+    out.write("]}")
+  }
+
+  /** [[writeCollection]] into a String — tests / small collections only
+    * (anything large should stream straight to a filesystem via
+    * Writers.geojson). */
+  def collectionString(df: DataFrame, crs: Option[String] = None): String = {
+    val sw = new java.io.StringWriter()
+    writeCollection(df, sw, crs)
+    sw.toString
   }
 }

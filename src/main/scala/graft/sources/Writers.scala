@@ -52,10 +52,15 @@ object Writers {
       } finally out.close()
     }
 
-  /** K3 geojson — see GeoJson.featureJson / GeoJson.collectionString. */
-  def geojson(df: DataFrame, path: String): Unit = {
-    val s = GeoJson.collectionString(df)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), s)
+  /** K3 geojson: stream the FeatureCollection document straight to the
+    * target filesystem (GeoJson.writeCollection — bbox via one aggregate,
+    * features via toLocalIterator; the driver never buffers the document). */
+  def geojson(df: DataFrame, path: String, crs: Option[String] = None): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(hPath, true), java.nio.charset.StandardCharsets.UTF_8))
+    try GeoJson.writeCollection(df, out, crs) finally out.close()
   }
 
   /** O3 process.split: partitioned / size-bounded parquet write. */

@@ -141,6 +141,19 @@ class OpsSpec extends SparkSpec {
   test("dropTail drops last k under explicit order (io.py:469-479)") {
     val df = Seq(1, 2, 3, 4, 5).toDF("x")
     assert(Ops.dropTail(df, 2, Seq("x")).as[Int].collect().toSet == Set(1, 2, 3))
+    // edge cases: k = 0 is identity, k >= n empties
+    assert(Ops.dropTail(df, 0, Seq("x")).count() == 5)
+    assert(Ops.dropTail(df, 5, Seq("x")).count() == 0)
+    assert(Ops.dropTail(df, 9, Seq("x")).count() == 0)
+    // multi-key lexicographic order
+    val two = Seq((1, "b"), (1, "a"), (2, "a")).toDF("x", "y")
+    assert(Ops.dropTail(two, 1, Seq("x", "y")).collect().map(r => (r.getInt(0), r.getString(1)))
+      .toSet == Set((1, "a"), (1, "b")))
+    // scale guard: the plan must not contain a partition-less Window — the
+    // cutoff comes from a top-k, the keep pass is a parallel range filter
+    val plan = Ops.dropTail(df, 2, Seq("x")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"dropTail must not use a global window:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k cutoff:\n$plan")
   }
 
   test("asofJoin matches each left row to latest right at or before its time") {

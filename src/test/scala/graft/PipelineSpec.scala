@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.pipeline.{Dedup, MediaFixtures, Multimodal, Similarity, TextAnalysis => TA}
 
 /** Training-data pipeline operators: text analysis, dedup family,
   * similarity search, multimodal plumbing.
@@ -460,6 +460,48 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(m("cold") - 500.0) < 150, s"cold: $m")
   }
 
+  test("sampleByRate boundaries: negative rate keeps nothing, rate>=1 keeps all incl. ffffffff") {
+    import graft.pipeline.Curation
+    val df = spark.range(1000).toDF("id")
+    // a negative (data-dependent) rate must clamp to 0, not invert the filter
+    assert(Curation.sampleByRate(df, col("id"), "s1", lit(-0.5)).count() == 0)
+    assert(Curation.sampleByRate(df, col("id"), "s1", lit(2.0)).count() == 1000)
+    // the keep predicate on the adversarial draw 'ffffffff': kept at rate>=1
+    // (strict < alone would drop it), dropped at any rate < 1
+    val edge = Seq("ffffffff", "00000000", "7fffffff").toDF("h")
+    val got = edge.select(col("h"),
+        Curation.keepCondition(col("h"), lit(1.0)).as("k1"),
+        Curation.keepCondition(col("h"), lit(0.9999)).as("k99"),
+        Curation.keepCondition(col("h"), lit(-1.0)).as("kneg"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(got.forall(_._2), s"rate 1.0 must keep every draw: ${got.mkString(",")}")
+    assert(got.forall(!_._4), s"negative rate must drop every draw: ${got.mkString(",")}")
+    assert(!got.find(_._1 == "ffffffff").get._3, "rate<1 drops the top draw")
+    assert(got.find(_._1 == "00000000").get._3, "rate<1 keeps the bottom draw")
+  }
+
+  test("splitLabel: null keys hash as empty string, not the last label") {
+    import graft.pipeline.Curation
+    val fr = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val nullKey = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("id", "k")
+      .select(Curation.splitLabel(col("k"), "graft-v1", fr).as("split"))
+      .as[String].collect()
+    assert(nullKey(0) != null && nullKey(0) == nullKey(1),
+      s"null key must deal like empty string, got ${nullKey.mkString(",")}")
+  }
+
+  test("topNgramCharFraction: empty/space-only docs score 0.0, not null") {
+    import graft.pipeline.Curation
+    // "" and "   " normalize to length 0 — unguarded, the division yields
+    // null (or errors under ANSI). (Other pure-whitespace docs like "\n\t"
+    // normalize to " " and legitimately score 1.0 — not the zero case.)
+    val top = Curation.topNgram(col("text"), 2)
+    val got = Seq("", "   ").toDF("text")
+      .select(Curation.topNgramCharFraction(top, col("text"))).collect()
+    assert(got.forall(r => !r.isNullAt(0) && r.getDouble(0) == 0.0),
+      got.mkString(","))
+  }
+
   // -------------------------------------------------------------- multimodal
   test("image decode is a real codec: PNG fixture round-trips exact dimensions") {
     // genuine PNG bytes via ImageIO — decodeBytes must recover true w/h
@@ -515,7 +557,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("wavPayload fixtures are genuine WAVs: codec metadata matches the generator") {
-    val bytes = Multimodal.wavPayload(4L, "some doc text")
+    val bytes = MediaFixtures.wavPayload(4L, "some doc text")
     // id 4 -> 160 + (4%7)*80 = 480 samples at 8kHz mono = 60 ms
     val media = Seq((4L, "audio", bytes)).toDF("media_id", "kind", "payload")
     val meta = Multimodal.decode(media).head().getStruct(1)
@@ -530,7 +572,7 @@ class PipelineSpec extends SparkSpec {
   test("video container metadata is real: MP4 box walk and AVI avih header") {
     // mp4Payload renders a genuine ISO BMFF layout; the parser must recover
     // the id-seeded dimensions and mvhd duration exactly
-    val mp4 = Multimodal.mp4Payload(7L, "video doc")
+    val mp4 = MediaFixtures.mp4Payload(7L, "video doc")
     // id 7 -> w = 160 + (7%5)*80 = 320, h = 120 + (7%3)*60 = 180,
     // durMs = 500 + (7%11)*250 = 2250
     val media = Seq((7L, "video", mp4)).toDF("media_id", "kind", "payload")
@@ -564,7 +606,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("multimodal decode plumbing: schema, determinism, partition mapping") {
-    val media = Multimodal.asMediaTable(Tables.documents(spark, sf0001).limit(50))
+    val media = MediaFixtures.asMediaTable(Tables.documents(spark, sf0001).limit(50))
     val decoded = Multimodal.decode(media)
     assert(decoded.columns.toSet == Set("mediaId", "meta", "features"))
     assert(decoded.count() == 50)
@@ -586,9 +628,21 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("sampleFrames slices bounded frame windows from binary payloads") {
-    val media = Multimodal.asMediaTable(Tables.documents(spark, sf0001).limit(10))
+    val media = MediaFixtures.asMediaTable(Tables.documents(spark, sf0001).limit(10))
     val framed = Multimodal.sampleFrames(media, "payload", frameLen = 16, stride = 32)
     val counts = framed.select("n_frames").as[Int].collect()
     assert(counts.forall(n => n >= 1 && n <= 8))
+  }
+
+  test("materializedMediaTable synthesizes payloads ONCE per sf dir (q36 times decode)") {
+    val before = MediaFixtures.renders.get()
+    val a = MediaFixtures.materializedMediaTable(spark, sf0001).count()
+    val afterFirst = MediaFixtures.renders.get()
+    val b = MediaFixtures.materializedMediaTable(spark, sf0001).count()
+    assert(a == b && a > 0)
+    // second call reads the memoized parquet — no new render plan is built
+    assert(MediaFixtures.renders.get() == afterFirst,
+      "repeat call must not re-synthesize payloads")
+    assert(afterFirst - before <= 1, "first call renders at most once")
   }
 }
