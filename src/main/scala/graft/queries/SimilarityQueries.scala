@@ -81,14 +81,29 @@ object SimilarityQueries {
           .orderBy("qid", "rank")
       }),
 
-    // ---- IVF-style assignment: corpus partitioned by nearest k-means
-    // centroid (spherical Lloyd's on a bounded id-ordered sample —
-    // deterministic, one extra job); histogram of partition sizes.
-    Q("q35_ivf_assign", None,
+    // ---- IVF-style assignment with deterministic pseudo-random centroids:
+    // pure arithmetic on both sides, so the 16 centroid vectors (and their
+    // norms, exactly as Spark's plan embeds them) ship INTO the oracle SQL
+    // as a VALUES list — the argmax (cos DESC, cid ASC tie-break) is
+    // mirrored with a row_number over the same formula. The k-means variant
+    // stays exercised by q50 and the PipelineSpec recall comparison.
+    Q("q35_ivf_assign",
+      Some {
+        val cents = Similarity.pseudoCentroids(16, 64)
+        val values = cents.map { case (cid, v) =>
+          s"($cid, [${v.mkString(", ")}], ${math.sqrt(v.map(x => x * x).sum)})"
+        }.mkString(", ")
+        val ed = dvecSql.format("e.embedding")
+        s"WITH c(cid, cv, cnorm) AS (VALUES $values), " +
+          "a AS (SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+          s"ORDER BY -list_dot_product($ed, c.cv) / (sqrt(list_dot_product($ed, $ed)) * c.cnorm) ASC, c.cid ASC) AS rn " +
+          "FROM embeddings e CROSS JOIN c) " +
+          "SELECT cid AS centroid, count(*) AS n_vectors FROM a WHERE rn = 1 " +
+          "GROUP BY cid ORDER BY cid"
+      },
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val centroids = Similarity.kmeansCentroids(emb, nCentroids = 16)
-        Similarity.ivfAssign(emb, centroids)
+        Similarity.ivfAssign(emb, Similarity.pseudoCentroids(16, 64))
           .groupBy("centroid").agg(count(lit(1)).as("n_vectors"))
           .orderBy("centroid")
       }),
@@ -107,22 +122,40 @@ object SimilarityQueries {
           .orderBy("qid", "rank")
       }),
 
-    // ---- multimodal plumbing: binary payload -> decode -> metadata/
-    // features; per-kind stats (rows-only). The fixture media table is
-    // rendered ONCE per sf dir to a temp parquet (MediaFixtures), so the
-    // measured query times DECODE, not payload synthesis.
-    Q("q36_multimodal_decode", None,
+    // ---- multimodal decode, oracle-checked: every fixture payload embeds
+    // metadata that is a pure function of doc_id (PNG dims, WAV rate/
+    // channels/duration, MP4 mvhd/tkhd, MJPEG-AVI avih), so the REAL codec
+    // decode on the Spark side must recover exactly what the SQL side
+    // recomputes from doc_id arithmetic — a genuine end-to-end check of the
+    // binary parsers without DuckDB decoding a byte. (sizeBytes/features
+    // stay out: they depend on deflate/JPEG encode output.) The fixture
+    // media table is rendered ONCE per sf dir to a temp parquet
+    // (MediaFixtures), so the measured query times DECODE, not synthesis.
+    Q("q36_multimodal_decode",
+      Some("SELECT doc_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 13 WHEN 1 THEN 0 " +
+        "ELSE CASE WHEN (doc_id // 3) % 2 = 0 THEN 160 + (doc_id % 5) * 80 ELSE 8 + (doc_id % 5) * 3 END END AS w, " +
+        "CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 7 WHEN 1 THEN 0 " +
+        "ELSE CASE WHEN (doc_id // 3) % 2 = 0 THEN 120 + (doc_id % 3) * 60 ELSE 8 + (doc_id % 3) * 5 END END AS h, " +
+        "CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN (160 + (doc_id % 7) * 80) // 8 " +
+        "ELSE CASE WHEN (doc_id // 3) % 2 = 0 THEN 500 + (doc_id % 11) * 250 ELSE (2 + doc_id % 3) * 40 END END AS duration_ms, " +
+        "CAST(CASE doc_id % 3 WHEN 1 THEN 8000 ELSE 0 END AS BIGINT) AS sample_rate, " +
+        "CAST(CASE doc_id % 3 WHEN 1 THEN 1 ELSE 0 END AS BIGINT) AS channels, " +
+        "CAST(16 AS BIGINT) AS n_features " +
+        "FROM documents ORDER BY doc_id"),
       (s, dir) => {
         val media = MediaFixtures.materializedMediaTable(s, dir)
         Multimodal.decode(media)
-          .select(col("meta.kind").as("kind"), col("meta.sizeBytes").as("size_bytes"),
-            col("meta.width").as("w"), col("meta.height").as("h"),
-            size(col("features")).as("n_features"))
-          .groupBy("kind")
-          .agg(count(lit(1)).as("n"), sum(col("size_bytes")).as("total_bytes"),
-            avg(col("w")).as("avg_w"), avg(col("h")).as("avg_h"),
-            max(col("n_features")).as("n_features"))
-          .orderBy("kind")
+          .select(col("mediaId").as("doc_id"),
+            col("meta.kind").as("kind"),
+            col("meta.width").cast("long").as("w"),
+            col("meta.height").cast("long").as("h"),
+            col("meta.durationMs").as("duration_ms"),
+            col("meta.sampleRateHz").cast("long").as("sample_rate"),
+            col("meta.channels").cast("long").as("channels"),
+            size(col("features")).cast("long").as("n_features"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -104,13 +104,32 @@ object StreamQueries {
           "mx" -> ("max", "value")), saltBuckets = 16)
         .orderBy("event_type")),
 
-    // ---- approximate aggregates (free Catalyst uplift; sketch internals
-    // are engine-specific — rows-only, tolerance asserted in specs).
-    Q("q43_approx_stats", None,
+    // ---- approximate aggregates, oracle-checked: sketch INTERNALS are
+    // engine-specific (Spark HLL++ vs DuckDB HLL; quantile sketches differ
+    // too), so the sketches are checked as WITHIN-TOLERANCE booleans — each
+    // engine runs its OWN sketch against its own exact value, and both must
+    // land inside the documented error envelope (10% for HLL at default
+    // rsd 0.05; 5% for the rank-1000 quantile sketch) for the row to
+    // hash-match. exact_parts and the exact interpolated median (Spark
+    // `percentile` ≡ DuckDB `quantile_cont`, rounded to cents) match
+    // value-for-value.
+    Q("q43_approx_stats",
+      Some("SELECT l_returnflag, " +
+        "COUNT(DISTINCT l_partkey) AS exact_parts, " +
+        "abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey)) " +
+        "  <= 0.10 * COUNT(DISTINCT l_partkey) AS hll_within_10pct, " +
+        "round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price, " +
+        "abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5)) " +
+        "  <= 0.05 * quantile_cont(l_extendedprice, 0.5) AS p50_within_5pct " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
       (s, dir) => Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"))
+        (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+          <= lit(0.10) * countDistinct(col("l_partkey"))).as("hll_within_10pct"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
+        (abs(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          - expr("percentile(l_extendedprice, 0.5)"))
+          <= lit(0.05) * expr("percentile(l_extendedprice, 0.5)")).as("p50_within_5pct"))
         .orderBy("l_returnflag")),
 
     // ---- semi-structured props: JSON field extraction + aggregation
