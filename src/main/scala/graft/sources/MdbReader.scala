@@ -76,8 +76,13 @@ object MdbReader {
   private final class Jet4(b: Array[Byte]) {
     require(b.length >= PS &&
       new String(b.slice(4, 19), "ASCII") == "Standard Jet DB", "not an Access .mdb file")
+    // documented divergence from the reference (io.py:598-674 reads anything
+    // mdb-export handles): Jet3's 2 KB pages / different row format are not
+    // implemented — fail with the workaround, not a garbled parse
     require((b(0x14) & 0xFF) >= 0x01,
-      "Jet3 (Access 97) .mdb is not supported by the native reader")
+      "Jet3 (Access 97) .mdb is not supported by the native reader: " +
+        "convert the file to Jet4 (Access 2000+) with `mdb-export` or a " +
+        "one-time Access save-as, then re-read")
     private val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
 
     private def u16(o: Int): Int = bb.getShort(o) & 0xFFFF
