@@ -24,9 +24,16 @@ object Streams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream over a directory of parquet events. */
+  /** File-source stream over a directory of parquet events.
+    *
+    * Like [[graft.Tables.events]], requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` set at SESSION BUILD — a
+    * stream builder silently flipping a session-global read mode would be
+    * a trap for concurrent sessions, so this asserts instead of mutating. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events parquet carries TIMESTAMP(NANOS): build the session with " +
+        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\")")
     spark.readStream.schema(eventSchema).parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
