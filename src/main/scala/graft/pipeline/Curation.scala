@@ -135,6 +135,64 @@ object Curation {
       .otherwise(lit(0.0))
   }
 
+  // ---------------------------------------------------- context chunking
+  /** Split documents into fixed-token windows with overlap (RAG / context-
+    * window prep): chunk `i` covers tokens `[i*stride+1, i*stride+window]`,
+    * so `stride < window` overlaps consecutive chunks by `window - stride`
+    * tokens. Chunk count is `1 + ceil(max(0, nTok - window) / stride)` —
+    * every token is covered and only the last chunk may run short. A pure
+    * row-local explode: no shuffle, embarrassingly parallel at 100 TB.
+    * Emits (doc_id, chunk_id, tok_start, n_tokens, chunk_hash) where
+    * chunk_hash = md5 of the space-joined window — chunk identity travels
+    * as 32 bytes, never as text. */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nChunks = lit(1) + greatest(lit(0),
+      ceil((size(toks) - lit(window)).cast("double") / stride).cast("int"))
+    val start = col("chunk_id") * stride + 1
+    val chunk = slice(col("toks"), start, lit(window))
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"), start.as("tok_start"),
+        size(chunk).as("n_tokens"),
+        md5(concat_ws(" ", chunk)).as("chunk_hash"))
+  }
+
+  // ------------------------------------------------- boilerplate filtering
+  /** A line survives the C4-style boilerplate pass iff it has at least
+    * `minTokens` whitespace tokens AND ends with terminal punctuation
+    * (period / ! / ? / closing quote) — the heuristic that strips nav bars,
+    * cookie banners, and menu fragments from web text. RE2-compatible so
+    * the DuckDB oracle runs the identical pattern. */
+  val TerminalPunctRe = "[.!?\"']\\s*$"
+
+  /** The surviving lines of a document, in order. Row-local. */
+  def keptLines(text: Column, minTokens: Int = 5): Column =
+    filter(split(text, "\n"), l =>
+      size(split(trim(l), "\\s+")) >= minTokens && l.rlike(TerminalPunctRe))
+
+  /** C4-style document hygiene: per-doc line stats plus the doc-level keep
+    * decision — a doc survives iff at least `minKeptLines` lines survive the
+    * line pass, it contains no "lorem ipsum" placeholder, and no curly brace
+    * (the C4 code/JS-leak heuristic). Every signal is a row-local expression
+    * (zero shuffle); the cleaned text travels as an md5, not as content.
+    * Downstream use: `.filter(col("keep"))` before tokenization. */
+  def boilerplateStats(docs: DataFrame, idCol: String, textCol: String,
+                       minTokens: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val t = col(textCol)
+    val kept = keptLines(t, minTokens)
+    docs.select(col(idCol).as("doc_id"),
+      size(split(t, "\n")).as("n_lines"),
+      size(kept).as("n_kept_lines"),
+      md5(concat_ws("\n", kept)).as("kept_hash"),
+      (size(kept) >= minKeptLines &&
+        !lower(t).contains("lorem ipsum") &&
+        !t.contains("{")).as("keep"))
+  }
+
   // ------------------------------------------------------- PII scrubbing
   /** Conservative PII patterns, deliberately RE2-compatible (no lookaround,
     * no backrefs) so the same pattern runs in Spark (java.util.regex) and

@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -100,6 +101,69 @@ object TextAnalysis {
 
   /** Exact-dedup document fingerprint: md5 of the normalized text. */
   def fingerprint(c: Column): Column = md5(normalized(c))
+
+  /** Shannon entropy (nats) of the character distribution of the
+    * normalized text — a cheap perplexity proxy: natural prose scores
+    * high, degenerate repetition scores low (a complement to the token-
+    * level repetition filters in [[Curation]]). Row-local, zero shuffle:
+    * sort the char array once, then ONE run-length fold accumulating
+    * Σ n·ln n via the telescoping identity m·ln m − (m−1)·ln(m−1), so
+    * H = ln N − (Σ n·ln n)/N without materializing per-char counts.
+    * Rounded to 6 dp — ln can differ in the last ulp across libm
+    * implementations, and 1e-6 is far above that. Empty text scores 0. */
+  def charEntropy(c: Column): Column = {
+    val chars = array_sort(filter(split(normalized(c), ""), ch => ch =!= ""))
+    val n = size(chars)
+    val folded = aggregate(chars,
+      struct(lit("").as("cur"), lit(0L).as("m"), lit(0.0).as("acc")),
+      (st, ch) => {
+        val m = when(ch === st.getField("cur"), st.getField("m") + 1L)
+          .otherwise(lit(1L))
+        val delta = when(m > 1L,
+          m.cast("double") * log(m.cast("double")) -
+            (m - 1L).cast("double") * log((m - 1L).cast("double")))
+          .otherwise(lit(0.0))
+        struct(ch.as("cur"), m.as("m"), (st.getField("acc") + delta).as("acc"))
+      },
+      st => st.getField("acc"))
+    when(n === 0, lit(0.0))
+      .otherwise(round(log(n.cast("double")) - folded / n, 6))
+  }
+
+  /** Corpus-relative term relevance: the top-`k` terms of each document by
+    * tf·idf, where idf is the RATIONAL inverse document frequency
+    * `(N+1)/(df+1)` — deliberately log-free, so every score is a product
+    * of exactly-representable integers and one IEEE division: bit-identical
+    * in any engine (a log-based idf can differ by an ulp between libm
+    * implementations and flip the ordering at the top-k boundary). Ties
+    * break to the lexicographically smaller term.
+    *
+    * 100 TB shape: one explode feeding a map-side-combinable (doc, term)
+    * count; the document-frequency aggregate is VOCABULARY-sized and
+    * re-joins the tf relation on the term key (Catalyst broadcasts it when
+    * small; at web scale it's a co-keyed shuffle join on term — never on
+    * text); the corpus count crossJoins as a broadcast scalar. Document
+    * text never shuffles — only (doc_id, term, tf). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0)
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * (col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("score"))
+  }
 
   /** Rolling-hash content fingerprint: minimum 64-bit hash over character
     * `k`-shingles of the normalized text (winnowing-style min-sampling; two

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.Curation
+import graft.pipeline.{Curation, TextAnalysis => TA}
 
 /** Curation-pipeline queries over the `documents` table: repetition-based
   * quality filters, PII redaction, benchmark contamination, deterministic
@@ -132,6 +132,61 @@ object CurationQueries {
           .groupBy("source").agg(count(lit(1)).as("n_kept"),
             min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
           .orderBy("source")
+      }),
+
+    // ---- token-window chunking with overlap (RAG / context prep): window
+    // 64, stride 48 → 16-token overlap. Pure row-local explode; chunk
+    // content travels as an md5, never as text. DuckDB list slices are
+    // INCLUSIVE: toks[a : a+63] is 64 tokens, clamped at the tail exactly
+    // like Spark's slice().
+    Q("q58_chunk",
+      Some("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+        "c AS (SELECT doc_id, toks, unnest(range(0, 1 + greatest(0, CAST(ceil((len(toks) - 64) / 48.0) AS INTEGER)))) AS chunk_id FROM t) " +
+        "SELECT doc_id, chunk_id, chunk_id * 48 + 1 AS tok_start, " +
+        "len(toks[(chunk_id * 48 + 1):(chunk_id * 48 + 64)]) AS n_tokens, " +
+        "md5(array_to_string(toks[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ')) AS chunk_hash " +
+        "FROM c ORDER BY doc_id, chunk_id"),
+      (s, dir) => Curation.chunkByTokens(Tables.documents(s, dir),
+          "doc_id", "text", window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")),
+
+    // ---- C4-style boilerplate line filtering: the corpus is single-line
+    // word soup, so both engines build the SAME deterministic multi-line
+    // document (content line + nav-bar line + parity-punctuated line +
+    // lorem/brace lines keyed on doc_id) and then run the line pass — the
+    // oracle checks token gating, the terminal-punctuation regex, kept-line
+    // reassembly (via md5), and the doc-level keep decision end-to-end.
+    Q("q59_boilerplate",
+      Some("WITH a AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+        "b AS (SELECT doc_id, array_to_string(toks[1:10], ' ') || '.' || chr(10) || " +
+        "'Home | About | Contact' || chr(10) || " +
+        // coalesce: a fully out-of-range DuckDB list slice is NULL, where
+        // Spark's slice() is an empty array (docs with exactly 10 tokens)
+        "coalesce(array_to_string(toks[11:22], ' '), '') || (CASE WHEN doc_id % 2 = 0 THEN '!' ELSE '' END) || chr(10) || " +
+        "(CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor' ELSE 'The quick brown fox jumps high.' END) || chr(10) || " +
+        "(CASE WHEN doc_id % 11 = 0 THEN 'function() { return 1; }' ELSE 'A tidy closing sentence ends here.' END) AS aug FROM a), " +
+        "k AS (SELECT doc_id, aug, string_split(aug, chr(10)) AS lines, " +
+        "[l for l in string_split(aug, chr(10)) if len(regexp_split_to_array(trim(l), '\\s+')) >= 5 " +
+        "AND regexp_matches(l, '[.!?\"'']\\s*$')] AS kept FROM b) " +
+        "SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept_lines, " +
+        "md5(array_to_string(kept, chr(10))) AS kept_hash, " +
+        "(len(kept) >= 2 AND NOT contains(lower(aug), 'lorem ipsum') AND NOT contains(aug, '{')) AS keep " +
+        "FROM k ORDER BY doc_id"),
+      (s, dir) => {
+        val toks = TA.tokens(col("text"))
+        val aug = concat_ws("\n",
+          concat(concat_ws(" ", slice(toks, 1, 10)), lit(".")),
+          lit("Home | About | Contact"),
+          concat(concat_ws(" ", slice(toks, 11, 12)),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("!")).otherwise(lit(""))),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("lorem ipsum dolor"))
+            .otherwise(lit("The quick brown fox jumps high.")),
+          when(pmod(col("doc_id"), lit(11)) === 0, lit("function() { return 1; }"))
+            .otherwise(lit("A tidy closing sentence ends here.")))
+        Curation.boilerplateStats(
+          Tables.documents(s, dir).withColumn("aug", aug), "doc_id", "aug",
+          minTokens = 5, minKeptLines = 2)
+          .orderBy("doc_id")
       })
   )
 }

@@ -25,6 +25,41 @@ object TextQueries {
 
   val qs: Seq[Q] = Seq(
 
+    // ---- corpus-relative TF-IDF top terms: idf is the RATIONAL inverse
+    // document frequency (N+1)/(df+1) — log-free on purpose, so the score
+    // is bit-identical across engines and the top-k boundary can't flip on
+    // an ulp (see TextAnalysis.tfidfTopTerms). Ties break to the smaller
+    // term in both window orders.
+    Q("q60_tfidf",
+      Some(s"WITH tk AS (SELECT doc_id, unnest($ltokensSql) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2), " +
+        "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), " +
+        "s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, " +
+        "tf.tf * (nd.n_docs + 1.0) / (dfreq.df + 1.0) AS score " +
+        "FROM tf JOIN dfreq USING (term), nd), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk FROM s) " +
+        "SELECT doc_id, rnk, term, tf, df, round(score, 6) AS score " +
+        "FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk"),
+      (s, dir) => TA.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rnk")),
+
+    // ---- char-distribution entropy (perplexity proxy): Spark computes it
+    // as a row-local run-length fold over the sorted char array; the oracle
+    // re-derives it from per-char counts — same Σ n·ln n up to fp summation
+    // order, pinned by the 6-dp round.
+    Q("q61_char_entropy",
+      Some(s"WITH nrm AS (SELECT doc_id, $normSql AS norm FROM documents), " +
+        "ch AS (SELECT doc_id, unnest([norm[i] for i in range(1, length(norm) + 1)]) AS c FROM nrm), " +
+        "f AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2), " +
+        "t AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS total, sum(n * ln(n)) AS snln FROM f GROUP BY 1) " +
+        "SELECT doc_id, total AS n_chars, round(ln(total) - snln / total, 6) AS char_entropy " +
+        "FROM t ORDER BY doc_id"),
+      (s, dir) => Tables.documents(s, dir).select(col("doc_id"),
+          length(TA.normalized(col("text"))).cast("long").as("n_chars"),
+          TA.charEntropy(col("text")).as("char_entropy"))
+        .orderBy("doc_id")),
+
     // ---- token counting (whitespace) + char stats.
     Q("q24_token_stats",
       Some("SELECT doc_id, length(text) AS n_chars, " +

@@ -502,6 +502,79 @@ class PipelineSpec extends SparkSpec {
       got.mkString(","))
   }
 
+  test("chunkByTokens: full coverage, overlap, short tail, one-chunk docs") {
+    import graft.pipeline.Curation
+    // 10 tokens, window 4, stride 3 -> chunks at 1,4,7 (ceil(6/3)=2 extra)
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val got = Curation.chunkByTokens(docs, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq == Seq((1L, 0, 1, 4), (1L, 1, 4, 4), (1L, 2, 7, 4),
+      (2L, 0, 1, 3)), got.mkString(","))
+    // every token index is covered by some chunk; consecutive chunks
+    // overlap by window - stride
+    val covered = got.filter(_._1 == 1L)
+      .flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (1 to 10).toSet)
+    // exact boundary: nTok - window a multiple of stride adds no empty chunk
+    val exact = Seq((3L, (1 to 7).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val g3 = Curation.chunkByTokens(exact, "doc_id", "text", 4, 3)
+      .collect().map(r => (r.getInt(1), r.getInt(3))).sorted
+    assert(g3.toSeq == Seq((0, 4), (1, 4)))
+  }
+
+  test("boilerplateStats: token gate, terminal punctuation, doc-level keep") {
+    import graft.pipeline.Curation
+    val docs = Seq(
+      // 2 surviving lines (first + last), nav line dropped -> keep
+      (1L, "this line has enough tokens to pass.\nHome | About\nshort no punct line here\nanother fine closing sentence ends right here."),
+      // lorem ipsum poisons the doc even though lines survive
+      (2L, "this line has enough tokens to pass.\nlorem ipsum in a long enough line to survive.\nanother fine closing sentence ends right here."),
+      // brace leak
+      (3L, "this line has enough tokens to pass.\nvar f = function() { return; }\nanother fine closing sentence ends right here."),
+      // only one surviving line -> dropped by minKeptLines
+      (4L, "this line has enough tokens to pass.\nmenu")).toDF("doc_id", "text")
+    val got = Curation.boilerplateStats(docs, "doc_id", "text",
+        minTokens = 5, minKeptLines = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(4)))
+    assert(got.toSeq == Seq((1L, 4, 2, true), (2L, 3, 3, false),
+      (3L, 3, 2, false), (4L, 2, 1, false)), got.mkString(","))
+  }
+
+  test("charEntropy: degenerate 0, two-symbol ln 2, uniform ln k, order-free") {
+    val df = Seq("aaaa", "abab", "abcd", "", "   ").toDF("text")
+    val got = df.select(TA.charEntropy(col("text"))).as[Double].collect()
+    assert(got(0) == 0.0)
+    assert(math.abs(got(1) - math.log(2)) < 1e-6, s"got ${got(1)}")
+    assert(math.abs(got(2) - math.log(4)) < 1e-6)
+    assert(got(3) == 0.0 && got(4) == 0.0)
+    // permutation invariance: entropy sees the distribution, not the order
+    val p = Seq("aabb", "abab", "bbaa").toDF("text")
+      .select(TA.charEntropy(col("text"))).as[Double].collect()
+    assert(p.distinct.length == 1)
+  }
+
+  test("tfidfTopTerms: corpus-wide terms rank below distinctive ones") {
+    // "common" appears in every doc (df=3), each distinctive term in one
+    val docs = Seq(
+      (1L, "common alpha alpha"),
+      (2L, "common beta"),
+      (3L, "common gamma gamma gamma")).toDF("doc_id", "text")
+    val got = TA.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getString(2))).toMap
+    // rank 1 is always the distinctive term: tf*(4/2) vs common's tf*(4/4)
+    assert(got((1L, 1)) == "alpha" && got((2L, 1)) == "beta" && got((3L, 1)) == "gamma")
+    assert(got((1L, 2)) == "common" && got((2L, 2)) == "common")
+    // scores: alpha = 2*(3+1)/(1+1) = 4.0; common in doc1 = 1*(4)/(4) = 1.0
+    val rows = TA.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rnk")
+      .select("score").as[Double].collect()
+    assert(rows.toSeq == Seq(4.0, 1.0), rows.mkString(","))
+  }
+
   // -------------------------------------------------------------- multimodal
   test("image decode is a real codec: PNG fixture round-trips exact dimensions") {
     // genuine PNG bytes via ImageIO — decodeBytes must recover true w/h
