@@ -18,6 +18,9 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     // events.parquet is TIMESTAMP(NANOS); see Tables.events
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // bucketed-table specs (BucketingSpec) save to the session catalog;
+    // keep the warehouse out of the repo tree
+    .config("spark.sql.warehouse.dir", s"/tmp/graft-test-warehouse-${sys.props.getOrElse("user.name", "u")}")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
