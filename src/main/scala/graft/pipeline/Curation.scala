@@ -276,6 +276,75 @@ object Curation {
     sampleByRate(df, keyCol, salt, rateCol)
   }
 
+  // ---------------------------------------------------- per-group capping
+  /** Cap each group (domain, source, license bucket...) at `k` rows, chosen
+    * deterministically: the k rows with the SMALLEST md5(salt ++ key) draw
+    * survive — the C4/RefinedWeb "max documents per domain" rule, re-dealable
+    * by salt, reproducible across runs.
+    *
+    * Semantics: exactly `row_number() OVER (PARTITION BY group ORDER BY
+    * draw, key) <= k` (the DuckDB oracle runs that verbatim). The
+    * implementation avoids ranking whole mega-groups: per-group counts
+    * (map-side combinable) set a hash cutoff of `oversample·k/n`, the rank
+    * window runs over the ~oversample·k survivors of each large group
+    * (small groups skip the filter), and any group whose draw under-fills —
+    * possible only through an astronomically unlikely hash clump, but
+    * possible — falls back to ranking its full row set, so the result is
+    * ALWAYS exact, not probably-exact. At 100 TB the window partition is
+    * thus bounded by oversample·k, not by the hottest domain's size. */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  salt: String, k: Int, oversample: Int = 8): DataFrame = {
+    require(k > 0 && oversample > 0)
+    val h = substring(md5(concat(lit(salt),
+      coalesce(col(keyCol).cast("string"), lit("")))), 1, 8)
+    val withH = df.withColumn("__h", h)
+    val counts = withH.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val j = withH.join(counts, groupCol)
+    val cut = least(floor(lit(oversample.toDouble * k) / col("__n") * 4294967296.0),
+      lit(4294967295.0)).cast("long")
+    val cutHex = lpad(lower(conv(cut.cast("string"), 10, 16)), 8, "0")
+    val survivors = j.filter(col("__n") <= oversample.toLong * k || col("__h") < cutHex)
+    // exactness rescue: a large group whose draw under-filled ranks its
+    // full row set instead (processes ~zero rows in practice)
+    val under = survivors.groupBy(groupCol).agg(count(lit(1)).as("__s"))
+      .filter(col("__s") < k).select(groupCol)
+    val candidates = survivors.join(broadcast(under), Seq(groupCol), "left_anti")
+      .unionByName(j.join(broadcast(under), Seq(groupCol), "left_semi"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"), col(keyCol))
+    candidates.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k)
+      .drop("__h", "__n", "__rnk")
+  }
+
+  // ------------------------------------------------- corpus line dedup
+  /** RefinedWeb-style corpus-frequency line removal: a line whose content
+    * occurs in MORE THAN `maxDocs` distinct documents is boilerplate
+    * (copyright footers, nav bars, subscribe prompts) and is stripped from
+    * every document. Returns (doc_id, n_lines, n_removed, cleaned_hash).
+    *
+    * 100 TB shape: lines shuffle ONCE as md5 hashes (32 bytes — text never
+    * shuffles); the boilerplate set is by construction the lines frequent
+    * enough to clear `maxDocs`, aggregates to a single array row, and
+    * BROADCASTS back, so the strip pass is row-local (no reassembly
+    * shuffle). The broadcast bound is the distinct high-frequency line
+    * count — document it per corpus; raise `maxDocs` if it grows. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 maxDocs: Int): DataFrame = {
+    require(maxDocs > 0)
+    val lines = split(col(textCol), "\n")
+    val boiler = docs
+      .select(explode(array_distinct(lines)).as("line"))
+      .groupBy(md5(col("line")).as("lh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > maxDocs)
+      .agg(collect_set(col("lh")).as("__boiler"))
+    val kept = filter(lines, l => !array_contains(col("__boiler"), md5(l)))
+    docs.crossJoin(broadcast(boiler))
+      .select(col(idCol).as("doc_id"),
+        size(lines).as("n_lines"),
+        (size(lines) - size(kept)).as("n_removed"),
+        md5(concat_ws("\n", kept)).as("cleaned_hash"))
+  }
+
   // ------------------------------------------------------- curation compose
   /** The composed curation pass a training-data pipeline runs before
     * tokenization: language filter → quality filter → exact dedup (keep the

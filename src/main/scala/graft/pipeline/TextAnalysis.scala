@@ -147,6 +147,13 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     require(k > 0)
+    // deliberate two-aggregate shape: the doc-frequency side re-aggregates
+    // a PRUNED (keys-only) copy of the (doc, term) relation — Catalyst's
+    // column pruning makes the recompute cheaper than the full tf pass, and
+    // both aggregates partial-combine map-side. The tempting single-pass
+    // alternative (count().over(Window.partitionBy(term))) is a skew trap:
+    // a stopword's window partition at web scale is billions of rows in ONE
+    // task, where the aggregate form combines before the wire.
     val tf = docs
       .select(col(idCol).as("doc_id"),
         explode(tokens(lower(col(textCol)))).as("term"))

@@ -187,6 +187,52 @@ object CurationQueries {
           Tables.documents(s, dir).withColumn("aug", aug), "doc_id", "aug",
           minTokens = 5, minKeptLines = 2)
           .orderBy("doc_id")
+      }),
+
+    // ---- per-group (domain) capping: keep the 12 docs per source with the
+    // smallest md5 draw. The oracle runs the SEMANTICS (plain rank <= k);
+    // Spark runs the scale path (count-driven hash cutoff + under-fill
+    // rescue) — hash equality proves the optimized plan exact.
+    Q("q62_domain_cap",
+      Some("WITH r AS (SELECT doc_id, source, lang, row_number() OVER (" +
+        "PARTITION BY source ORDER BY substring(md5('cap-v1' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rnk " +
+        "FROM documents) " +
+        "SELECT source, doc_id, lang FROM r WHERE rnk <= 12 ORDER BY source, doc_id"),
+      (s, dir) => Curation.capPerGroup(Tables.documents(s, dir),
+          "source", "doc_id", "cap-v1", k = 12)
+        .select(col("source"), col("doc_id"), col("lang"))
+        .orderBy("source", "doc_id")),
+
+    // ---- corpus-frequency line dedup (RefinedWeb-style): both engines
+    // build the same 4-line docs — two unique content lines plus a
+    // per-source copyright footer (~25 docs each) and a global subscribe
+    // prompt (500 docs); with maxDocs=10 both boilerplate lines must be
+    // found and stripped from every document.
+    Q("q63_line_dedup",
+      Some("WITH a AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+        "b AS (SELECT doc_id, coalesce(array_to_string(toks[1:8], ' '), '') || '.' || chr(10) || " +
+        "'Copyright 2024 ' || source || ' all rights reserved.' || chr(10) || " +
+        "'Subscribe to our newsletter today!' || chr(10) || " +
+        "coalesce(array_to_string(toks[9:16], ' '), '') || '.' AS aug FROM a), " +
+        "l AS (SELECT doc_id, unnest(list_distinct(string_split(aug, chr(10)))) AS line FROM b), " +
+        "freq AS (SELECT line, count(*) AS nd FROM l GROUP BY 1), " +
+        "boiler AS (SELECT line FROM freq WHERE nd > 10), " +
+        "bl AS (SELECT coalesce(list(line), []) AS blist FROM boiler), " +
+        "k AS (SELECT doc_id, string_split(aug, chr(10)) AS lines, " +
+        "list_filter(string_split(aug, chr(10)), x -> NOT list_contains(bl.blist, x)) AS kept FROM b, bl) " +
+        "SELECT doc_id, len(lines) AS n_lines, len(lines) - len(kept) AS n_removed, " +
+        "md5(array_to_string(kept, chr(10))) AS cleaned_hash FROM k ORDER BY doc_id"),
+      (s, dir) => {
+        val toks = TA.tokens(col("text"))
+        val aug = concat_ws("\n",
+          concat(concat_ws(" ", slice(toks, 1, 8)), lit(".")),
+          concat(lit("Copyright 2024 "), col("source"), lit(" all rights reserved.")),
+          lit("Subscribe to our newsletter today!"),
+          concat(concat_ws(" ", slice(toks, 9, 8)), lit(".")))
+        Curation.dedupLines(
+          Tables.documents(s, dir).withColumn("aug", aug), "doc_id", "aug",
+          maxDocs = 10)
+          .orderBy("doc_id")
       })
   )
 }

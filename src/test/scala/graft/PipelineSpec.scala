@@ -575,6 +575,52 @@ class PipelineSpec extends SparkSpec {
     assert(rows.toSeq == Seq(4.0, 1.0), rows.mkString(","))
   }
 
+  test("capPerGroup: exact rank semantics, deterministic, rescue-safe") {
+    import graft.pipeline.Curation
+    import org.apache.spark.sql.expressions.Window
+    // 3 groups of very different sizes; k=4
+    val df = (Seq.tabulate(200)(i => ("big", i.toLong)) ++
+      Seq.tabulate(20)(i => ("mid", (1000 + i).toLong)) ++
+      Seq.tabulate(3)(i => ("tiny", (2000 + i).toLong))).toDF("g", "id")
+    val got = Curation.capPerGroup(df, "g", "id", "s1", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // oracle: plain window rank over the same draw
+    val h = substring(md5(concat(lit("s1"), col("id").cast("string"))), 1, 8)
+    val want = df.withColumn("h", h)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("g").orderBy(col("h"), col("id"))))
+      .filter(col("rnk") <= 4).select("g", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.count(_._1 == "big") == 4 && got.count(_._1 == "mid") == 4)
+    // groups under k keep everything
+    assert(got.count(_._1 == "tiny") == 3)
+    // a tiny oversample forces the under-fill rescue path on 'big' and the
+    // result must STILL be exact
+    val rescued = Curation.capPerGroup(df, "g", "id", "s1", k = 4, oversample = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rescued == want)
+  }
+
+  test("dedupLines: corpus-frequent lines stripped, rare lines kept") {
+    import graft.pipeline.Curation
+    // "footer" appears in all 5 docs, "rare" in one; maxDocs=3
+    val docs = Seq.tabulate(5)(i =>
+      (i.toLong, s"unique content line $i\nfooter\n" +
+        (if (i == 0) "rare line\n" else "") + s"second unique $i"))
+      .toDF("doc_id", "text")
+    val got = Curation.dedupLines(docs, "doc_id", "text", maxDocs = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.toSeq == Seq((0L, 4, 1), (1L, 3, 1), (2L, 3, 1), (3L, 3, 1), (4L, 3, 1)),
+      got.mkString(","))
+    // duplicate lines WITHIN one doc don't count as corpus frequency
+    val one = Seq((0L, "same\nsame\nsame\nother")).toDF("doc_id", "text")
+    val g1 = Curation.dedupLines(one, "doc_id", "text", maxDocs = 2)
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(g1.toSeq == Seq((4, 0)))
+  }
+
   // -------------------------------------------------------------- multimodal
   test("image decode is a real codec: PNG fixture round-trips exact dimensions") {
     // genuine PNG bytes via ImageIO — decodeBytes must recover true w/h

@@ -92,6 +92,32 @@ class PlanSpec extends SparkSpec {
       s"corpus-side shuffle join planned for contamination:\n$p")
   }
 
+  test("q58/q61 are row-local: only the oracle-determinism sort exchanges") {
+    for (q <- Seq("q58_chunk", "q61_char_entropy")) {
+      val p = planOf(q)
+      val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(ex.forall(l => l.contains("rangepartitioning") || l.contains("Reused")),
+        s"unexpected non-sort exchange in $q:\n${ex.mkString("\n")}")
+    }
+  }
+
+  test("q60: doc-frequency side broadcasts back; no term-keyed shuffle join") {
+    val p = planOf("q60_tfidf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"df relation must broadcast onto tf:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"term-keyed shuffle join planned for tfidf:\n$p")
+  }
+
+  test("q63: boilerplate set broadcasts; lines shuffle once, as hashes") {
+    val p = planOf("q63_line_dedup")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the one-row boilerplate array must broadcast:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"expected exactly the line-hash groupBy exchange, got $hashEx:\n$p")
+  }
+
   test("q53: curation filters run before the dedup shuffle") {
     // language/quality predicates must sit below the fingerprint aggregate:
     // discarded rows never reach the exchange
