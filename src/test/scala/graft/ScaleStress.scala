@@ -66,6 +66,20 @@ object ScaleStress {
       Similarity.embeddingNearDupPairs(bigEmb, 0.999, dim = 64).count()
     }
     println(s"  pairs found: $en (expect 2000 x C(20,2) = 380,000)")
+
+    // hot-domain cap: one domain holds 1M of 1.05M rows. The count-driven
+    // cutoff must keep the rank window's input at ~oversample*k for the hot
+    // group (not its full 1M rows), and the result must still be exactly
+    // the k smallest draws.
+    import graft.pipeline.Curation
+    val hot = spark.range(1000000L).select(lit("hot").as("g"), col("id"))
+      .union(spark.range(1000000L, 1050000L).select(
+        (concat(lit("d"), pmod(col("id"), lit(500)))).as("g"), col("id")))
+    val capped = timed("capPerGroup over 1.05M rows, one 1M-row domain") {
+      Curation.capPerGroup(hot, "g", "id", "s1", k = 12).count()
+    }
+    println(s"  rows kept: $capped (expect 12 + 500*12 = 6012)")
+    assert(capped == 6012L, s"expected 6012, got $capped")
     spark.stop()
   }
 }
