@@ -245,6 +245,38 @@ object Ops {
       .drop("__t", "__side", "__rv")
   }
 
+  // ------------------------------------------------------------ range join
+  /** Range (interval-containment) join: every left row matched to every
+    * interval row whose [startCol, endCol] contains its numeric key
+    * (capability uplift — meza has no joins beyond the product, and stock
+    * Spark plans a pure-inequality join as BroadcastNestedLoopJoin: an
+    * O(rows × intervals) compare loop that dies at scale).
+    *
+    * Scale shape: each interval EXPLODES into the `bucketWidth`-sized
+    * buckets it covers, each left row computes its one bucket, and the
+    * match becomes a bucket-keyed EQUI join (hash-partitioned or broadcast
+    * — Catalyst's choice) followed by the residual containment filter.
+    * Candidates per row = the intervals overlapping its bucket, not all
+    * intervals. Pick bucketWidth ≈ the typical interval length so an
+    * interval explodes into O(1) buckets; a row matches each containing
+    * interval exactly once (its single bucket meets each interval's copy
+    * list at most once — no dedup pass needed).
+    *
+    * Keys must be numeric (timestamps join as epoch seconds/micros).
+    * Column names must be disjoint between the two inputs, as with the
+    * other join helpers. */
+  def rangeJoin(left: DataFrame, keyCol: String, intervals: DataFrame,
+                startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val b = intervals.withColumn("__b",
+      explode(sequence(floor(col(startCol) / bucketWidth).cast("long"),
+        floor(col(endCol) / bucketWidth).cast("long"))))
+    val l = left.withColumn("__b", floor(col(keyCol) / bucketWidth).cast("long"))
+    l.join(b, Seq("__b"))
+      .filter(col(keyCol) >= col(startCol) && col(keyCol) <= col(endCol))
+      .drop("__b")
+  }
+
   // ----------------------------------------------------------- A1: aggregate
   /** Whole-stream aggregate of one column; the reference returns the first
     * record with that column replaced by the aggregate

@@ -145,6 +145,37 @@ object StreamQueries {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy("k_bucket")),
 
+    // ---- bucketized range join: events matched to the overlapping 6-hour
+    // maintenance windows (4-hour step => events near a boundary land in
+    // TWO windows) containing them. The naive inequality join is a
+    // BroadcastNestedLoopJoin scan; Ops.rangeJoin buckets the epoch-second
+    // key so the plan is a hash equi join + residual filter (PlanSpec pins
+    // the absence of BNLJ). The oracle runs the naive BETWEEN join — hash
+    // equality proves the bucketed plan exact, overlaps included.
+    Q("q64_range_join",
+      Some("WITH iv AS (SELECT range AS interval_id, 1704067200 + range * 14400 AS w_start, " +
+        "1704067200 + range * 14400 + 21600 AS w_end FROM range(0, 180)), " +
+        "e AS (SELECT epoch_ns(ts) // 1000000000 AS es, user_id, value FROM events), " +
+        "j AS (SELECT iv.interval_id, e.user_id, e.value FROM e JOIN iv " +
+        "ON e.es >= iv.w_start AND e.es <= iv.w_end) " +
+        "SELECT interval_id, count(*) AS n, count(DISTINCT user_id) AS n_users, " +
+        "CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS total_value " +
+        "FROM j GROUP BY 1 ORDER BY interval_id"),
+      (s, dir) => {
+        val base = 1704067200L // 2024-01-01 00:00:00 UTC, the corpus epoch
+        val iv = s.range(180).select(col("id").as("interval_id"),
+          (lit(base) + col("id") * 14400L).as("w_start"),
+          (lit(base) + col("id") * 14400L + 21600L).as("w_end"))
+        val ev = Tables.events(s, dir)
+          .select(unix_timestamp(col("ts")).as("es"), col("user_id"), col("value"))
+        graft.operators.Ops.rangeJoin(ev, "es", iv, "w_start", "w_end",
+            bucketWidth = 21600L)
+          .groupBy("interval_id")
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+            sum(col("value").cast("decimal(24,6)")).cast("double").as("total_value"))
+          .orderBy("interval_id")
+      }),
+
     // ---- stateful streaming near-dup (batch form — same code path as the
     // MemoryStream execution in StreamsSpec): banded SimHash buckets with
     // bounded per-bucket state; capacity exceeds every bucket at test SFs,

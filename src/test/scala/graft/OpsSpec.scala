@@ -169,4 +169,28 @@ class OpsSpec extends SparkSpec {
     // user4 has no views -> drops
     assert(got == Map(100L -> 200L, 102L -> 202L))
   }
+
+  test("rangeJoin: containment incl. boundaries/overlaps, equals the naive inequality join") {
+    val rows = Seq(0L, 5L, 10L, 15L, 23L, 99L).toDF("k")
+    // overlapping intervals; 10 sits in both a and b; 99 matches nothing
+    val iv = Seq(("a", 0L, 10L), ("b", 10L, 20L), ("c", 14L, 25L))
+      .toDF("iv_id", "lo", "hi")
+    // bucketWidth smaller than, equal to, and larger than interval lengths
+    for (w <- Seq(3L, 10L, 64L)) {
+      val got = Ops.rangeJoin(rows, "k", iv, "lo", "hi", bucketWidth = w)
+        .select("k", "iv_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val naive = rows.crossJoin(iv)
+        .filter(col("k") >= col("lo") && col("k") <= col("hi"))
+        .select("k", "iv_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got == naive, s"bucketWidth=$w: $got vs $naive")
+    }
+    val expect = Seq((0L, "a"), (5L, "a"), (10L, "a"), (10L, "b"), (15L, "b"),
+      (15L, "c"), (23L, "c"))
+    val got = Ops.rangeJoin(rows, "k", iv, "lo", "hi", bucketWidth = 10L)
+      .select("k", "iv_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == expect)
+  }
 }

@@ -118,6 +118,14 @@ class PlanSpec extends SparkSpec {
       s"expected exactly the line-hash groupBy exchange, got $hashEx:\n$p")
   }
 
+  test("q64: bucketized range join is an equi join, not a nested-loop scan") {
+    val p = planOf("q64_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a nested-loop compare:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"expected a bucket-keyed equi join:\n$p")
+  }
+
   test("q53: curation filters run before the dedup shuffle") {
     // language/quality predicates must sit below the fingerprint aggregate:
     // discarded rows never reach the exchange
