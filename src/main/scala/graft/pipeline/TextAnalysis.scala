@@ -172,6 +172,21 @@ object TextAnalysis {
         round(col("score"), 6).as("score"))
   }
 
+  /** Corpus-relative threshold filter: keep rows whose `valueCol` is at or
+    * above the corpus's exact interpolated `p`-quantile (adaptive quality
+    * gating — "drop the worst quartile" instead of a hand-picked constant).
+    * The quantile is ONE global aggregate (Spark's exact `percentile`,
+    * ≡ DuckDB `quantile_cont`, both R-7 interpolation) that crossJoins back
+    * as a broadcast scalar — no sort of the corpus, no window; the filter
+    * itself is row-local. The threshold rides along as `thresholdCol`. */
+  def aboveQuantile(df: DataFrame, valueCol: String, p: Double,
+                    thresholdCol: String = "threshold"): DataFrame = {
+    require(p > 0.0 && p < 1.0)
+    val thr = df.agg(expr(s"percentile($valueCol, $p)").as(thresholdCol))
+    df.crossJoin(broadcast(thr))
+      .filter(col(valueCol) >= col(thresholdCol))
+  }
+
   /** Rolling-hash content fingerprint: minimum 64-bit hash over character
     * `k`-shingles of the normalized text (winnowing-style min-sampling; two
     * docs sharing it are near-dup candidates). */

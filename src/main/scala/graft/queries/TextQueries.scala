@@ -17,6 +17,20 @@ object TextQueries {
   private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
   private val stopList = TA.Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  // quality-score CTE mirrored against TA.qualityScore — shared by q25
+  // (per-doc scores) and q65 (corpus-relative quantile gate)
+  private def qualityCte(src: String) =
+    s"WITH m AS (SELECT doc_id, " +
+      s"CAST(len($tokensSql) AS DOUBLE) AS nt, " +
+      "CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio, " +
+      s"CAST(len(list_filter($ltokensSql, x -> x IN $stopList)) AS DOUBLE) / len($ltokensSql) AS stop_ratio, " +
+      s"CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / len($tokensSql) AS mtl " +
+      s"FROM $src), " +
+      "sc AS (SELECT doc_id, round(stop_ratio, 6) AS stop_ratio, " +
+      "round(least(nt / 50.0, 1.0) * 0.3 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 + " +
+      "least(stop_ratio * 5.0, 1.0) * 0.3 + (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality " +
+      "FROM m) "
+
   // 3-gram shingle list + lexicographic-min blocking key (1-function MinHash)
   private val shinglesSql =
     s"""CASE WHEN len($ltokensSql) < 3 THEN [array_to_string($ltokensSql, ' ')]
@@ -76,21 +90,32 @@ object TextQueries {
     // ---- quality scoring: length/punct/stopword components, same formula
     // in both engines.
     Q("q25_text_quality",
-      Some("WITH m AS (SELECT doc_id, " +
-        s"CAST(len($tokensSql) AS DOUBLE) AS nt, " +
-        "CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio, " +
-        s"CAST(len(list_filter($ltokensSql, x -> x IN $stopList)) AS DOUBLE) / len($ltokensSql) AS stop_ratio, " +
-        s"CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / len($tokensSql) AS mtl " +
-        "FROM documents) " +
-        "SELECT doc_id, round(stop_ratio, 6) AS stop_ratio, " +
-        "round(least(nt / 50.0, 1.0) * 0.3 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 + " +
-        "least(stop_ratio * 5.0, 1.0) * 0.3 + (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality " +
-        "FROM m ORDER BY doc_id"),
+      Some(qualityCte("documents") +
+        "SELECT doc_id, stop_ratio, quality FROM sc ORDER BY doc_id"),
       (s, dir) => Tables.documents(s, dir).select(
         col("doc_id"),
         round(TA.wordHitRatio(col("text"), TA.Stopwords), 6).as("stop_ratio"),
         TA.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
+
+    // ---- corpus-relative quantile gate: drop the worst quartile by
+    // quality. The exact interpolated p25 (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`, both R-7 over the same 6-dp-rounded scores) is one
+    // global aggregate broadcast back as a scalar — no corpus sort, no
+    // window; the gate itself is row-local.
+    Q("q65_quality_gate",
+      Some(qualityCte("documents") +
+        "SELECT sc.doc_id, sc.quality, round(t.q25, 6) AS threshold " +
+        "FROM sc, (SELECT quantile_cont(quality, 0.25) AS q25 FROM sc) t " +
+        "WHERE sc.quality >= t.q25 ORDER BY sc.doc_id"),
+      (s, dir) => {
+        val scored = Tables.documents(s, dir).select(col("doc_id"),
+          TA.qualityScore(col("text")).as("quality"))
+        TA.aboveQuantile(scored, "quality", 0.25, "__thr")
+          .select(col("doc_id"), col("quality"),
+            round(col("__thr"), 6).as("threshold"))
+          .orderBy("doc_id")
+      }),
 
     // ---- exact dedup over a corpus with planted duplicates (documents
     // unioned with an id-shifted copy): group on md5(normalized), keep min id.

@@ -557,6 +557,18 @@ class PipelineSpec extends SparkSpec {
     assert(p.distinct.length == 1)
   }
 
+  test("aboveQuantile keeps exactly the rows at/above the exact interpolated percentile") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    // R-7 p25 of 1..100 = 1 + 0.25*99 = 25.75 -> rows 26..100 survive
+    val got = TA.aboveQuantile(df, "v", 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(got == (26L to 100L).toSet)
+    // threshold column rides along
+    val thr = TA.aboveQuantile(df, "v", 0.25).select("threshold")
+      .distinct().as[Double].collect()
+    assert(thr.toSeq == Seq(25.75))
+  }
+
   test("tfidfTopTerms: corpus-wide terms rank below distinctive ones") {
     // "common" appears in every doc (df=3), each distinctive term in one
     val docs = Seq(
