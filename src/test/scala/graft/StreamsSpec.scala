@@ -120,5 +120,43 @@ class StreamsSpec extends SparkSpec {
       s"got $hits")
   }
 
+  test("stateless curation ops run unchanged on a stream (pii/quality/boilerplate/chunks)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.{Curation, TextAnalysis => TA}
+    // the curation surface is pure per-row projection, so the SAME code must
+    // execute under a streaming source with no plan rewrite — the property
+    // that lets a corpus pipeline run identically in backfill and ingest
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "Write to admin@example.org now.\nHome | About\nThe quick brown fox jumps high today."),
+      (2L, "plain words with no personal data at all\nmenu"),
+      (3L, (1 to 150).map(i => s"tok$i").mkString(" ")))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val stream = mem.toDF().toDF("doc_id", "text")
+    def curateAll(df: org.apache.spark.sql.DataFrame) = {
+      val stats = Curation.boilerplateStats(df, "doc_id", "text")
+      df.select(col("doc_id"),
+          Curation.piiRedact(col("text")).as("redacted"),
+          TA.qualityScore(col("text")).as("quality"),
+          TA.charEntropy(col("text")).as("entropy"))
+        .join(stats, "doc_id")
+    }
+    // boilerplateStats is also a pure projection, so the join below is
+    // stream-stream ONLY in form; the same builder runs on both inputs
+    val streamed = Streams.runToMemory(
+      curateAll(stream), "curate_stream", OutputMode.Append())
+    val batch = curateAll(docs.toDF("doc_id", "text"))
+    val g = streamed.orderBy("doc_id").collect().map(_.toSeq)
+    val w = batch.orderBy("doc_id").collect().map(_.toSeq)
+    assert(g.toSeq == w.toSeq)
+    // chunking explodes under streaming too (flatMap-shaped projection)
+    val chunks = Streams.runToMemory(
+      Curation.chunkByTokens(stream, "doc_id", "text", window = 64, stride = 48),
+      "chunk_stream", OutputMode.Append())
+    assert(chunks.count() ==
+      Curation.chunkByTokens(docs.toDF("doc_id", "text"), "doc_id", "text", 64, 48).count())
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
