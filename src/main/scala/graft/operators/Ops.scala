@@ -277,6 +277,30 @@ object Ops {
       .drop("__b")
   }
 
+  /** Interval-overlap join: every pair of rows from `a` and `b` whose
+    * [lo, hi] intervals overlap (`aLo <= bHi && bLo <= aHi`). Same
+    * bucketization as [[rangeJoin]] — BOTH sides explode into covering
+    * buckets and meet in a bucket-keyed equi join — plus the
+    * canonical-bucket rule that makes the output exact: an overlapping
+    * pair co-occurs in every bucket the overlap spans, so it is emitted
+    * only in the bucket where the overlap STARTS (`max(aLo, bLo)`, which
+    * lies inside both intervals whenever they overlap). One row per
+    * overlapping pair, no dedup pass, no nested-loop scan. */
+  def intervalJoin(a: DataFrame, aLo: String, aHi: String,
+                   b: DataFrame, bLo: String, bHi: String,
+                   bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucketed(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__b", explode(sequence(
+        floor(col(lo) / bucketWidth).cast("long"),
+        floor(col(hi) / bucketWidth).cast("long"))))
+    bucketed(a, aLo, aHi).join(bucketed(b, bLo, bHi), Seq("__b"))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(col("__b") ===
+        floor(greatest(col(aLo), col(bLo)) / bucketWidth).cast("long"))
+      .drop("__b")
+  }
+
   // ----------------------------------------------------------- A1: aggregate
   /** Whole-stream aggregate of one column; the reference returns the first
     * record with that column replaced by the aggregate

@@ -176,6 +176,37 @@ object StreamQueries {
           .orderBy("interval_id")
       }),
 
+    // ---- bucketized interval-overlap join: order-activity intervals
+    // (deterministic 5-24-day spans from o_orderkey) overlapping 120
+    // fortnight windows, in epoch-day space. Both sides explode into
+    // covering buckets; the canonical-bucket rule emits each overlapping
+    // pair exactly once. Oracle = the naive overlap inequality join.
+    Q("q66_interval_join",
+      Some("WITH oi AS (SELECT o_orderkey, o_totalprice, " +
+        "CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS lo, " +
+        "CAST(o_orderdate AS DATE) - DATE '1970-01-01' + (o_orderkey % 20) + 5 AS hi FROM orders), " +
+        "w AS (SELECT range AS window_id, 9131 + range * 20 AS w_lo, " +
+        "9131 + range * 20 + 13 AS w_hi FROM range(0, 120)), " +
+        "j AS (SELECT w.window_id, oi.o_totalprice FROM oi JOIN w " +
+        "ON oi.lo <= w.w_hi AND w.w_lo <= oi.hi) " +
+        "SELECT window_id, count(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS total_price " +
+        "FROM j GROUP BY 1 ORDER BY window_id"),
+      (s, dir) => {
+        val oi = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"),
+            datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))).as("lo"))
+          .withColumn("hi", col("lo") + pmod(col("o_orderkey"), lit(20)) + 5)
+        val w = s.range(120).select(col("id").as("window_id"),
+          (lit(9131L) + col("id") * 20).as("w_lo"),
+          (lit(9131L) + col("id") * 20 + 13).as("w_hi"))
+        graft.operators.Ops.intervalJoin(oi, "lo", "hi", w, "w_lo", "w_hi",
+            bucketWidth = 32L)
+          .groupBy("window_id")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(24,6)")).cast("double").as("total_price"))
+          .orderBy("window_id")
+      }),
+
     // ---- stateful streaming near-dup (batch form — same code path as the
     // MemoryStream execution in StreamsSpec): banded SimHash buckets with
     // bounded per-bucket state; capacity exceeds every bucket at test SFs,

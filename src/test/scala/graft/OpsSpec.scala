@@ -193,4 +193,25 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(got == expect)
   }
+
+  test("intervalJoin: one row per overlapping pair, equals the naive join at any width") {
+    val a = Seq(("a1", 0L, 10L), ("a2", 8L, 30L), ("a3", 50L, 60L), ("a4", 29L, 29L))
+      .toDF("a_id", "a_lo", "a_hi")
+    val b = Seq(("b1", 5L, 9L), ("b2", 25L, 55L), ("b3", 95L, 99L))
+      .toDF("b_id", "b_lo", "b_hi")
+    val naive = a.crossJoin(b)
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    // a long overlap spanning many buckets (a2×b2 at width 3) must still
+    // emit exactly once — the canonical-bucket rule, not a dedup pass
+    for (w <- Seq(3L, 16L, 1000L)) {
+      val got = Ops.intervalJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi", w)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(got == naive, s"bucketWidth=$w: $got vs $naive")
+    }
+    assert(naive == Seq(("a1", "b1"), ("a2", "b1"), ("a2", "b2"), ("a3", "b2"),
+      ("a4", "b2")))
+  }
 }

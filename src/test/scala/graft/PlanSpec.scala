@@ -118,12 +118,14 @@ class PlanSpec extends SparkSpec {
       s"expected exactly the line-hash groupBy exchange, got $hashEx:\n$p")
   }
 
-  test("q64: bucketized range join is an equi join, not a nested-loop scan") {
-    val p = planOf("q64_range_join")
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      s"range join degenerated to a nested-loop compare:\n$p")
-    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
-      s"expected a bucket-keyed equi join:\n$p")
+  test("q64/q66: bucketized range joins are equi joins, not nested-loop scans") {
+    for (q <- Seq("q64_range_join", "q66_interval_join")) {
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a nested-loop compare:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+        s"$q: expected a bucket-keyed equi join:\n$p")
+    }
   }
 
   test("q53: curation filters run before the dedup shuffle") {
