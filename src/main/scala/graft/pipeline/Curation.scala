@@ -291,29 +291,35 @@ object Curation {
     * possible only through an astronomically unlikely hash clump, but
     * possible — falls back to ranking its full row set, so the result is
     * ALWAYS exact, not probably-exact. At 100 TB the window partition is
-    * thus bounded by oversample·k, not by the hottest domain's size. */
+    * thus bounded by oversample·k, not by the hottest domain's size.
+    *
+    * NULL group keys form their own capped group (like a window's NULL
+    * partition), not silently dropped: the internal joins run on a
+    * null-sentinel string key, never on the raw column (an equi join on a
+    * nullable key would discard every null-group row). */
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
                   salt: String, k: Int, oversample: Int = 8): DataFrame = {
     require(k > 0 && oversample > 0)
     val h = substring(md5(concat(lit(salt),
       coalesce(col(keyCol).cast("string"), lit("")))), 1, 8)
     val withH = df.withColumn("__h", h)
-    val counts = withH.groupBy(groupCol).agg(count(lit(1)).as("__n"))
-    val j = withH.join(counts, groupCol)
+      .withColumn("__g", coalesce(col(groupCol).cast("string"), lit(" <null>")))
+    val counts = withH.groupBy("__g").agg(count(lit(1)).as("__n"))
+    val j = withH.join(counts, "__g")
     val cut = least(floor(lit(oversample.toDouble * k) / col("__n") * 4294967296.0),
       lit(4294967295.0)).cast("long")
     val cutHex = lpad(lower(conv(cut.cast("string"), 10, 16)), 8, "0")
     val survivors = j.filter(col("__n") <= oversample.toLong * k || col("__h") < cutHex)
     // exactness rescue: a large group whose draw under-filled ranks its
     // full row set instead (processes ~zero rows in practice)
-    val under = survivors.groupBy(groupCol).agg(count(lit(1)).as("__s"))
-      .filter(col("__s") < k).select(groupCol)
-    val candidates = survivors.join(broadcast(under), Seq(groupCol), "left_anti")
-      .unionByName(j.join(broadcast(under), Seq(groupCol), "left_semi"))
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"), col(keyCol))
+    val under = survivors.groupBy("__g").agg(count(lit(1)).as("__s"))
+      .filter(col("__s") < k).select("__g")
+    val candidates = survivors.join(broadcast(under), Seq("__g"), "left_anti")
+      .unionByName(j.join(broadcast(under), Seq("__g"), "left_semi"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__h"), col(keyCol))
     candidates.withColumn("__rnk", row_number().over(w))
       .filter(col("__rnk") <= k)
-      .drop("__h", "__n", "__rnk")
+      .drop("__h", "__n", "__rnk", "__g")
   }
 
   // ------------------------------------------------- corpus line dedup

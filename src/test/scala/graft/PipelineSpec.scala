@@ -612,6 +612,14 @@ class PipelineSpec extends SparkSpec {
     val rescued = Curation.capPerGroup(df, "g", "id", "s1", k = 4, oversample = 1)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(rescued == want)
+    // NULL group keys form their own capped group — an equi join on the raw
+    // nullable column would silently drop every one of these rows
+    val withNulls = (Seq.tabulate(10)(i => (null: String, i.toLong)) ++
+      Seq.tabulate(10)(i => ("g", (100 + i).toLong))).toDF("g", "id")
+    val nulled = Curation.capPerGroup(withNulls, "g", "id", "s1", k = 4)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
+    assert(nulled.count(_._1.isEmpty) == 4 && nulled.count(_._1.contains("g")) == 4,
+      nulled.mkString(","))
   }
 
   test("dedupLines: corpus-frequent lines stripped, rare lines kept") {
