@@ -322,6 +322,52 @@ object Curation {
       .drop("__h", "__n", "__rnk", "__g")
   }
 
+  // ---------------------------------------------- per-group top-k by score
+  /** The k HIGHEST-`scoreCol` rows of each group, ties to the smallest
+    * `keyCol` — "the 10 best documents per domain by quality". Semantics:
+    * exactly `row_number() OVER (PARTITION BY group ORDER BY score DESC,
+    * key ASC) <= k`.
+    *
+    * Scale shape (generalizes [[capPerGroup]]'s cutoff from the uniform
+    * md5 draw to ARBITRARY scores): a per-group t-digest quantile sketch
+    * picks a score threshold whose tail holds ≥ oversample·k rows (grid
+    * of fixed quantile levels — Spark's approx_percentile needs foldable
+    * levels — geometric in the tail, so the pruned set is also ≤ ~10·
+    * oversample·k); only rows at/above the threshold reach the rank
+    * window. Any group the sketch under-fills (rank error, possible)
+    * falls back to ranking its full row set, so the output is EXACT and
+    * invariant to sketch merge order, never probably-right: every global
+    * top-k row scores at least the k-th survivor's score, hence survives
+    * the prune whenever ≥ k rows do. NULL group keys form their own
+    * group; NULL scores never place (both as in capPerGroup). */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                   keyCol: String, k: Int, oversample: Int = 8): DataFrame = {
+    require(k > 0 && oversample > 0)
+    val grid = Seq(0.0, 0.5, 0.75, 0.9, 0.99, 0.999, 0.9999, 0.99999)
+    val withG = df.withColumn("__g",
+      coalesce(col(groupCol).cast("string"), lit(" <null>")))
+    val stats = withG.groupBy("__g").agg(count(lit(1)).as("__n"),
+      expr(s"approx_percentile($scoreCol, array(${grid.mkString(", ")}), 10000)").as("__q"))
+    // densest grid level whose tail still holds oversample*k rows
+    val target = lit(1.0) - lit(oversample.toDouble * k) / col("__n")
+    val thr = grid.indices.reverse.init
+      .map(i => (lit(grid(i)) <= target, element_at(col("__q"), i + 1)))
+      .foldRight(element_at(col("__q"), 1): Column) {
+        case ((cond, v), rest) => when(cond, v).otherwise(rest)
+      }
+    val j = withG.join(stats.withColumn("__t", thr).select("__g", "__t"), "__g")
+    val survivors = j.filter(col(scoreCol) >= col("__t"))
+    val under = survivors.groupBy("__g").agg(count(lit(1)).as("__s"))
+      .filter(col("__s") < k).select("__g")
+    val candidates = survivors.join(broadcast(under), Seq("__g"), "left_anti")
+      .unionByName(j.join(broadcast(under), Seq("__g"), "left_semi"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col(scoreCol).desc, col(keyCol).asc)
+    candidates.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k)
+      .drop("__g", "__t", "__rnk")
+  }
+
   // ------------------------------------------------- corpus line dedup
   /** RefinedWeb-style corpus-frequency line removal: a line whose content
     * occurs in MORE THAN `maxDocs` distinct documents is boilerplate

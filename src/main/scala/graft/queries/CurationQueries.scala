@@ -203,6 +203,32 @@ object CurationQueries {
         .select(col("source"), col("doc_id"), col("lang"))
         .orderBy("source", "doc_id")),
 
+    // ---- per-group top-k by score: the 8 highest-quality docs per source
+    // (ties to the smaller doc_id). Spark runs the approx-percentile prune
+    // + exactness rescue; the oracle runs the naive window rank — hash
+    // equality proves the pruned plan exact and sketch-order-invariant.
+    // The quality formula is q25's, rebuilt here over (doc_id, source).
+    Q("q67_top_per_group",
+      Some("WITH m AS (SELECT doc_id, source, " +
+        s"CAST(len($ltokensSql) AS DOUBLE) AS nt, " +
+        "CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio, " +
+        s"CAST(len(list_filter($ltokensSql, x -> x IN ('the', 'a', 'an', 'of', 'and', 'or', 'is', 'are', 'in', 'on', 'to', 'for', 'with', 'as', 'by', 'at', 'it', 'this', 'that'))) AS DOUBLE) / len($ltokensSql) AS stop_ratio, " +
+        s"CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')) AS mtl " +
+        "FROM documents), " +
+        "sc AS (SELECT doc_id, source, " +
+        "round(least(nt / 50.0, 1.0) * 0.3 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 + " +
+        "least(stop_ratio * 5.0, 1.0) * 0.3 + (CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality " +
+        "FROM m), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rnk FROM sc) " +
+        "SELECT source, doc_id, quality FROM r WHERE rnk <= 8 ORDER BY source, doc_id"),
+      (s, dir) => {
+        val scored = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          TA.qualityScore(col("text")).as("quality"))
+        Curation.topKPerGroup(scored, "source", "quality", "doc_id", k = 8)
+          .select(col("source"), col("doc_id"), col("quality"))
+          .orderBy("source", "doc_id")
+      }),
+
     // ---- corpus-frequency line dedup (RefinedWeb-style): both engines
     // build the same 4-line docs — two unique content lines plus a
     // per-source copyright footer (~25 docs each) and a global subscribe

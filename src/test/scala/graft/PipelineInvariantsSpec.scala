@@ -71,6 +71,28 @@ class PipelineInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("topKPerGroup equals the naive rank for random scores, skew, ties, and rescue") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(13)
+    // skewed groups, deliberately collision-heavy scores to exercise ties
+    val rows = (0 until 6).flatMap { g =>
+      Seq.fill(800 / (g + 1))((s"g$g", rnd.nextLong(), (rnd.nextInt(20) / 4).toDouble))
+    } ++ Seq.fill(5)((null: String, rnd.nextLong(), 1.0))
+    val df = rows.toDF("g", "id", "score")
+    val want = df
+      .withColumn("r", row_number().over(
+        Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)))
+      .filter(col("r") <= 4).select("g", "id")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    for (os <- Seq(1, 8)) {
+      val got = graft.pipeline.Curation.topKPerGroup(df, "g", "score", "id",
+          k = 4, oversample = os)
+        .select("g", "id")
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+      assert(got == want, s"oversample=$os")
+    }
+  }
+
   test("rangeJoin equals the naive inequality join on random intervals") {
     val rnd = new scala.util.Random(11)
     val keys = Seq.fill(300)(rnd.nextInt(1000).toLong).toDF("k")
