@@ -309,17 +309,19 @@ object Curation {
     val cut = least(floor(lit(oversample.toDouble * k) / col("__n") * 4294967296.0),
       lit(4294967295.0)).cast("long")
     val cutHex = lpad(lower(conv(cut.cast("string"), 10, 16)), 8, "0")
-    val survivors = j.filter(col("__n") <= oversample.toLong * k || col("__h") < cutHex)
+    val keep = col("__n") <= oversample.toLong * k || col("__h") < cutHex
     // exactness rescue: a large group whose draw under-filled ranks its
-    // full row set instead (processes ~zero rows in practice)
-    val under = survivors.groupBy("__g").agg(count(lit(1)).as("__s"))
-      .filter(col("__s") < k).select("__g")
-    val candidates = survivors.join(broadcast(under), Seq("__g"), "left_anti")
-      .unionByName(j.join(broadcast(under), Seq("__g"), "left_semi"))
+    // full row set instead (processes ~zero rows in practice); the
+    // broadcast left-join marker folds the rescue into the same scan —
+    // branching into left_anti + left_semi unions would re-scan the input
+    val under = j.filter(keep).groupBy("__g").agg(count(lit(1)).as("__s"))
+      .filter(col("__s") < k).select(col("__g"), lit(1).as("__u"))
+    val candidates = j.join(broadcast(under), Seq("__g"), "left")
+      .filter(keep || col("__u").isNotNull)
     val w = Window.partitionBy(col("__g")).orderBy(col("__h"), col(keyCol))
     candidates.withColumn("__rnk", row_number().over(w))
       .filter(col("__rnk") <= k)
-      .drop("__h", "__n", "__rnk", "__g")
+      .drop("__h", "__n", "__rnk", "__g", "__u")
   }
 
   // ---------------------------------------------- per-group top-k by score
@@ -347,7 +349,10 @@ object Curation {
     val withG = df.withColumn("__g",
       coalesce(col(groupCol).cast("string"), lit(" <null>")))
     val stats = withG.groupBy("__g").agg(count(lit(1)).as("__n"),
-      expr(s"approx_percentile($scoreCol, array(${grid.mkString(", ")}), 10000)").as("__q"))
+      // modest sketch accuracy on purpose: the rescue makes the OUTPUT
+      // exact regardless, so accuracy only tunes prune efficiency — and
+      // the tighter t-digest measurably dominates the operator's runtime
+      expr(s"approx_percentile($scoreCol, array(${grid.mkString(", ")}), 1000)").as("__q"))
     // densest grid level whose tail still holds oversample*k rows
     val target = lit(1.0) - lit(oversample.toDouble * k) / col("__n")
     val thr = grid.indices.reverse.init
@@ -356,16 +361,20 @@ object Curation {
         case ((cond, v), rest) => when(cond, v).otherwise(rest)
       }
     val j = withG.join(stats.withColumn("__t", thr).select("__g", "__t"), "__g")
-    val survivors = j.filter(col(scoreCol) >= col("__t"))
-    val under = survivors.groupBy("__g").agg(count(lit(1)).as("__s"))
-      .filter(col("__s") < k).select("__g")
-    val candidates = survivors.join(broadcast(under), Seq("__g"), "left_anti")
-      .unionByName(j.join(broadcast(under), Seq("__g"), "left_semi"))
+    val keep = col(scoreCol) >= col("__t")
+    val under = j.filter(keep).groupBy("__g").agg(count(lit(1)).as("__s"))
+      .filter(col("__s") < k).select(col("__g"), lit(1).as("__u"))
+    // one scan decides both paths: a row is a candidate if it survives the
+    // prune OR its group is marked under-filled (broadcast left-join
+    // marker — branching into left_anti + left_semi unions would scan the
+    // input twice more, re-evaluating the caller's score expressions)
+    val candidates = j.join(broadcast(under), Seq("__g"), "left")
+      .filter(keep || col("__u").isNotNull)
     val w = Window.partitionBy(col("__g"))
       .orderBy(col(scoreCol).desc, col(keyCol).asc)
     candidates.withColumn("__rnk", row_number().over(w))
       .filter(col("__rnk") <= k)
-      .drop("__g", "__t", "__rnk")
+      .drop("__g", "__t", "__u", "__rnk")
   }
 
   // ------------------------------------------------- corpus line dedup
