@@ -277,6 +277,26 @@ object Ops {
       .drop("__b")
   }
 
+  // -------------------------------------------------------------- upsert
+  /** Keep-latest merge (corpus refresh / SCD-1): union `base` with
+    * `updates` and keep, per `key`, the row with the highest `versionCol`
+    * — ties break to `updates` (the incoming batch wins a same-version
+    * clash, matching MERGE semantics). One key-partitioned window over
+    * ≤ base+update copies of each key: shuffles on the merge key only,
+    * no join, scales with the hottest KEY's row count (bounded by the
+    * number of batches carrying it, not corpus size). Schemas may differ;
+    * missing columns null-fill (`unionByName(allowMissingColumns)`). */
+  def upsert(base: DataFrame, updates: DataFrame, key: String,
+             versionCol: String): DataFrame = {
+    val tagged = base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)), allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    tagged.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") === 1)
+      .drop("__rnk", "__src")
+  }
+
   /** Interval-overlap join: every pair of rows from `a` and `b` whose
     * [lo, hi] intervals overlap (`aLo <= bHi && bLo <= aHi`). Same
     * bucketization as [[rangeJoin]] — BOTH sides explode into covering

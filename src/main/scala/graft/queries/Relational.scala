@@ -263,6 +263,32 @@ object Relational {
         Ops.cut(Tables.orders(s, dir), Seq("o_orderkey", "o_custkey", "o_totalprice")),
         field = "o_totalprice", ord = Seq("o_orderkey"),
         partitionBy = Seq("o_custkey"), op = "max", pad = true)
-        .orderBy("o_orderkey"))
+        .orderBy("o_orderkey")),
+
+    // ---- keep-latest upsert (corpus refresh / SCD-1): a deterministic
+    // update batch (re-priced orders for keys % 7 == 0 at version 2, plus
+    // brand-new keys for keys % 13 == 0) merges into the base; highest
+    // version wins per key, ties to the incoming batch. The oracle runs
+    // the same union + rank.
+    Q("q68_upsert",
+      Some("WITH base AS (SELECT o_orderkey, 1 AS v, o_totalprice FROM orders), " +
+        "upd AS (SELECT o_orderkey, 2 AS v, o_totalprice + 1000.0 AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 7 = 0 " +
+        "UNION ALL SELECT o_orderkey + 10000000 AS o_orderkey, 1 AS v, 42.5 AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 13 = 0), " +
+        "u AS (SELECT *, 0 AS src FROM base UNION ALL SELECT *, 1 AS src FROM upd), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC, src DESC) AS rnk FROM u) " +
+        "SELECT o_orderkey, v, o_totalprice FROM r WHERE rnk = 1 ORDER BY o_orderkey"),
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val base = orders.select(col("o_orderkey"), lit(1).as("v"), col("o_totalprice"))
+        val upd = orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .select(col("o_orderkey"), lit(2).as("v"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"))
+          .unionByName(orders.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              lit(1).as("v"), lit(42.5).as("o_totalprice")))
+        Ops.upsert(base, upd, "o_orderkey", "v").orderBy("o_orderkey")
+      })
   )
 }

@@ -194,6 +194,21 @@ class OpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("upsert: latest version per key, incoming batch wins ties, inserts land, schemas may drift") {
+    val base = Seq((1L, 1, "a"), (2L, 1, "b"), (3L, 2, "c")).toDF("k", "v", "x")
+    // key 1: higher version replaces; key 3: SAME version -> updates win;
+    // key 9: pure insert; update batch lacks column x -> null-fills
+    val upd = Seq((1L, 2, "A"), (3L, 2, "C"), (9L, 1, "I")).toDF("k", "v", "y")
+    val got = Ops.upsert(base, upd, "k", "v").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        Option(r.getAs[String]("x")), Option(r.getAs[String]("y"))))
+    assert(got.toSeq == Seq(
+      (1L, 2, None, Some("A")),
+      (2L, 1, Some("b"), None),
+      (3L, 2, None, Some("C")),
+      (9L, 1, None, Some("I"))), got.mkString(","))
+  }
+
   test("intervalJoin: one row per overlapping pair, equals the naive join at any width") {
     val a = Seq(("a1", 0L, 10L), ("a2", 8L, 30L), ("a3", 50L, 60L), ("a4", 29L, 29L))
       .toDF("a_id", "a_lo", "a_hi")
