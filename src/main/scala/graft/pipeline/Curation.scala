@@ -331,37 +331,49 @@ object Curation {
     * key ASC) <= k`.
     *
     * Scale shape (generalizes [[capPerGroup]]'s cutoff from the uniform
-    * md5 draw to ARBITRARY scores): a per-group t-digest quantile sketch
-    * picks a score threshold whose tail holds ≥ oversample·k rows (grid
-    * of fixed quantile levels — Spark's approx_percentile needs foldable
-    * levels — geometric in the tail, so the pruned set is also ≤ ~10·
-    * oversample·k); only rows at/above the threshold reach the rank
-    * window. Any group the sketch under-fills (rank error, possible)
-    * falls back to ranking its full row set, so the output is EXACT and
-    * invariant to sketch merge order, never probably-right: every global
-    * top-k row scores at least the k-th survivor's score, hence survives
-    * the prune whenever ≥ k rows do. NULL group keys form their own
-    * group; NULL scores never place (both as in capPerGroup). */
+    * md5 draw to ARBITRARY scores): a per-group score threshold is read
+    * from a DETERMINISTIC sample — the rows whose md5(key) draw falls
+    * under ~4096/n_g, a pure function of the data — whose sorted scores
+    * give the empirical quantile with a 4× safety margin; only rows
+    * at/above the threshold reach the rank window (expected survivors
+    * ~4·oversample·k per group). Any group the sample misjudges falls
+    * back to ranking its full row set, so the output is EXACT: every
+    * global top-k row scores at least the k-th survivor's score, hence
+    * survives the prune whenever ≥ k rows do. Determinism is load-bearing,
+    * not a nicety — the threshold subtree evaluates once under the rescue
+    * count and once under the candidate filter, and an order-sensitive
+    * sketch (approx_percentile's Greenwald-Khanna summaries merge in
+    * task-completion order) could hand the two evaluations different
+    * thresholds and break the rescue's exactness guarantee; the md5-draw
+    * sample is identical on every evaluation by construction. NULL group
+    * keys form their own group; NULL scores never place (both as in
+    * capPerGroup). */
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
                    keyCol: String, k: Int, oversample: Int = 8): DataFrame = {
     require(k > 0 && oversample > 0)
-    val grid = Seq(0.0, 0.5, 0.75, 0.9, 0.99, 0.999, 0.9999, 0.99999)
+    val sampleTarget = 4096.0
     val withG = df.withColumn("__g",
       coalesce(col(groupCol).cast("string"), lit(" <null>")))
-    val stats = withG.groupBy("__g").agg(count(lit(1)).as("__n"),
-      // modest sketch accuracy on purpose: the rescue makes the OUTPUT
-      // exact regardless, so accuracy only tunes prune efficiency — and
-      // the tighter t-digest measurably dominates the operator's runtime
-      expr(s"approx_percentile($scoreCol, array(${grid.mkString(", ")}), 1000)").as("__q"))
-    // densest grid level whose tail still holds oversample*k rows
-    val target = lit(1.0) - lit(oversample.toDouble * k) / col("__n")
-    val thr = grid.indices.reverse.init
-      .map(i => (lit(grid(i)) <= target, element_at(col("__q"), i + 1)))
-      .foldRight(element_at(col("__q"), 1): Column) {
-        case ((cond, v), rest) => when(cond, v).otherwise(rest)
-      }
-    val j = withG.join(stats.withColumn("__t", thr).select("__g", "__t"), "__g")
-    val keep = col(scoreCol) >= col("__t")
+    val counts = withG.groupBy("__g").agg(count(lit(1)).as("__n"))
+    val j0 = withG.join(counts, "__g")
+    val drawHex = substring(md5(concat(lit("tkpg:"),
+      coalesce(col(keyCol).cast("string"), lit("")))), 1, 8)
+    val inSample = keepCondition(drawHex,
+      least(lit(1.0), lit(sampleTarget) / col("__n")))
+    val samples = j0.filter(inSample).groupBy("__g").agg(
+      sort_array(collect_list(col(scoreCol)), asc = false).as("__ss"),
+      count(col(scoreCol)).as("__m"), first(col("__n")).as("__sn"))
+    // sample index whose score bounds a group tail of ~4·oversample·k rows
+    val idx = least(col("__m"), greatest(lit(1L),
+      ceil(lit(4.0 * oversample * k) * col("__m") / col("__sn")).cast("long"))).cast("int")
+    val stats = samples
+      .withColumn("__t", when(col("__m") > 0, element_at(col("__ss"), idx)))
+      .select("__g", "__t")
+    // LEFT join + null-threshold pass-through: a group whose sample holds
+    // no usable score (possible only via all-null scores) must not vanish
+    // in the join — it ranks its full row set
+    val j = j0.join(stats, Seq("__g"), "left")
+    val keep = col("__t").isNull || col(scoreCol) >= col("__t")
     val under = j.filter(keep).groupBy("__g").agg(count(lit(1)).as("__s"))
       .filter(col("__s") < k).select(col("__g"), lit(1).as("__u"))
     // one scan decides both paths: a row is a candidate if it survives the
