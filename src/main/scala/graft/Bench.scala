@@ -24,10 +24,17 @@ object Bench {
     // warm-up: JVM + codegen + a first parquet read outside the timings;
     // the q36 fixture media table also renders here so the measured query
     // times decode, not payload synthesis
+    // warmup failures are survivable (the measured run reports them as -1)
+    // but must not pass silently — a broken fixture would otherwise surface
+    // only as a mysteriously slow first query
+    def warmup(name: String)(f: => Unit): Unit =
+      try f catch {
+        case t: Throwable => System.err.println(s"warmup '$name' failed: $t")
+      }
     spark.range(1000).selectExpr("sum(id)").collect()
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    try graft.pipeline.MediaFixtures.materializedMediaTable(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    warmup("entry")(SparkEntry.entry(spark).count())
+    warmup("media fixture")(
+      graft.pipeline.MediaFixtures.materializedMediaTable(spark, sfDir).count())
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -285,13 +285,22 @@ object Ops {
     * ≤ base+update copies of each key: shuffles on the merge key only,
     * no join, scales with the hottest KEY's row count (bounded by the
     * number of batches carrying it, not corpus size). Schemas may differ;
-    * missing columns null-fill (`unionByName(allowMissingColumns)`). */
+    * missing columns null-fill (`unionByName(allowMissingColumns)`).
+    *
+    * Within-batch tie rule: if ONE input carries the same key at the same
+    * version more than once, the window's final ordering key — a 64-bit
+    * hash of the whole row — picks the survivor deterministically (byte-
+    * identical duplicate rows tie harmlessly: every candidate is the same
+    * row). Without it, row_number would break such ties in partition-
+    * arrival order and the survivor could change run to run. */
   def upsert(base: DataFrame, updates: DataFrame, key: String,
              versionCol: String): DataFrame = {
     val tagged = base.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)), allowMissingColumns = true)
+    val rowHash = xxhash64(tagged.columns.filterNot(_ == "__src")
+      .map(c => col(c)).toSeq: _*)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(versionCol).desc, col("__src").desc)
+      .orderBy(col(versionCol).desc, col("__src").desc, rowHash.asc)
     tagged.withColumn("__rnk", row_number().over(w))
       .filter(col("__rnk") === 1)
       .drop("__rnk", "__src")

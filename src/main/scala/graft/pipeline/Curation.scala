@@ -294,18 +294,21 @@ object Curation {
     * thus bounded by oversample·k, not by the hottest domain's size.
     *
     * NULL group keys form their own capped group (like a window's NULL
-    * partition), not silently dropped: the internal joins run on a
-    * null-sentinel string key, never on the raw column (an equi join on a
-    * nullable key would discard every null-group row). */
+    * partition), not silently dropped: the internal joins run on the
+    * (coalesced key, is-null flag) PAIR — never on the raw nullable column
+    * (an equi join on a nullable key would discard every null-group row),
+    * and never on a sentinel string (a genuine group value equal to any
+    * sentinel would silently share the null group's cap). */
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
                   salt: String, k: Int, oversample: Int = 8): DataFrame = {
     require(k > 0 && oversample > 0)
     val h = substring(md5(concat(lit(salt),
       coalesce(col(keyCol).cast("string"), lit("")))), 1, 8)
     val withH = df.withColumn("__h", h)
-      .withColumn("__g", coalesce(col(groupCol).cast("string"), lit(" <null>")))
-    val counts = withH.groupBy("__g").agg(count(lit(1)).as("__n"))
-    val j = withH.join(counts, "__g")
+      .withColumn("__g", coalesce(col(groupCol).cast("string"), lit("")))
+      .withColumn("__gn", col(groupCol).isNull)
+    val counts = withH.groupBy("__g", "__gn").agg(count(lit(1)).as("__n"))
+    val j = withH.join(counts, Seq("__g", "__gn"))
     val cut = least(floor(lit(oversample.toDouble * k) / col("__n") * 4294967296.0),
       lit(4294967295.0)).cast("long")
     val cutHex = lpad(lower(conv(cut.cast("string"), 10, 16)), 8, "0")
@@ -314,14 +317,14 @@ object Curation {
     // full row set instead (processes ~zero rows in practice); the
     // broadcast left-join marker folds the rescue into the same scan —
     // branching into left_anti + left_semi unions would re-scan the input
-    val under = j.filter(keep).groupBy("__g").agg(count(lit(1)).as("__s"))
-      .filter(col("__s") < k).select(col("__g"), lit(1).as("__u"))
-    val candidates = j.join(broadcast(under), Seq("__g"), "left")
+    val under = j.filter(keep).groupBy("__g", "__gn").agg(count(lit(1)).as("__s"))
+      .filter(col("__s") < k).select(col("__g"), col("__gn"), lit(1).as("__u"))
+    val candidates = j.join(broadcast(under), Seq("__g", "__gn"), "left")
       .filter(keep || col("__u").isNotNull)
-    val w = Window.partitionBy(col("__g")).orderBy(col("__h"), col(keyCol))
+    val w = Window.partitionBy(col("__g"), col("__gn")).orderBy(col("__h"), col(keyCol))
     candidates.withColumn("__rnk", row_number().over(w))
       .filter(col("__rnk") <= k)
-      .drop("__h", "__n", "__rnk", "__g", "__u")
+      .drop("__h", "__n", "__rnk", "__g", "__gn", "__u")
   }
 
   // ---------------------------------------------- per-group top-k by score
@@ -346,21 +349,23 @@ object Curation {
     * task-completion order) could hand the two evaluations different
     * thresholds and break the rescue's exactness guarantee; the md5-draw
     * sample is identical on every evaluation by construction. NULL group
-    * keys form their own group; NULL scores never place (both as in
-    * capPerGroup). */
+    * keys form their own group, carried as the (coalesced key, is-null
+    * flag) pair like capPerGroup — no sentinel a genuine value could
+    * collide with; NULL scores never place. */
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
                    keyCol: String, k: Int, oversample: Int = 8): DataFrame = {
     require(k > 0 && oversample > 0)
     val sampleTarget = 4096.0
     val withG = df.withColumn("__g",
-      coalesce(col(groupCol).cast("string"), lit(" <null>")))
-    val counts = withG.groupBy("__g").agg(count(lit(1)).as("__n"))
-    val j0 = withG.join(counts, "__g")
+        coalesce(col(groupCol).cast("string"), lit("")))
+      .withColumn("__gn", col(groupCol).isNull)
+    val counts = withG.groupBy("__g", "__gn").agg(count(lit(1)).as("__n"))
+    val j0 = withG.join(counts, Seq("__g", "__gn"))
     val drawHex = substring(md5(concat(lit("tkpg:"),
       coalesce(col(keyCol).cast("string"), lit("")))), 1, 8)
     val inSample = keepCondition(drawHex,
       least(lit(1.0), lit(sampleTarget) / col("__n")))
-    val samples = j0.filter(inSample).groupBy("__g").agg(
+    val samples = j0.filter(inSample).groupBy("__g", "__gn").agg(
       sort_array(collect_list(col(scoreCol)), asc = false).as("__ss"),
       count(col(scoreCol)).as("__m"), first(col("__n")).as("__sn"))
     // sample index whose score bounds a group tail of ~4·oversample·k rows
@@ -368,25 +373,25 @@ object Curation {
       ceil(lit(4.0 * oversample * k) * col("__m") / col("__sn")).cast("long"))).cast("int")
     val stats = samples
       .withColumn("__t", when(col("__m") > 0, element_at(col("__ss"), idx)))
-      .select("__g", "__t")
+      .select("__g", "__gn", "__t")
     // LEFT join + null-threshold pass-through: a group whose sample holds
     // no usable score (possible only via all-null scores) must not vanish
     // in the join — it ranks its full row set
-    val j = j0.join(stats, Seq("__g"), "left")
+    val j = j0.join(stats, Seq("__g", "__gn"), "left")
     val keep = col("__t").isNull || col(scoreCol) >= col("__t")
-    val under = j.filter(keep).groupBy("__g").agg(count(lit(1)).as("__s"))
-      .filter(col("__s") < k).select(col("__g"), lit(1).as("__u"))
+    val under = j.filter(keep).groupBy("__g", "__gn").agg(count(lit(1)).as("__s"))
+      .filter(col("__s") < k).select(col("__g"), col("__gn"), lit(1).as("__u"))
     // one scan decides both paths: a row is a candidate if it survives the
     // prune OR its group is marked under-filled (broadcast left-join
     // marker — branching into left_anti + left_semi unions would scan the
     // input twice more, re-evaluating the caller's score expressions)
-    val candidates = j.join(broadcast(under), Seq("__g"), "left")
+    val candidates = j.join(broadcast(under), Seq("__g", "__gn"), "left")
       .filter(keep || col("__u").isNotNull)
-    val w = Window.partitionBy(col("__g"))
+    val w = Window.partitionBy(col("__g"), col("__gn"))
       .orderBy(col(scoreCol).desc, col(keyCol).asc)
     candidates.withColumn("__rnk", row_number().over(w))
       .filter(col("__rnk") <= k)
-      .drop("__g", "__t", "__u", "__rnk")
+      .drop("__g", "__gn", "__t", "__u", "__rnk")
   }
 
   // ------------------------------------------------- corpus line dedup
@@ -395,27 +400,65 @@ object Curation {
     * (copyright footers, nav bars, subscribe prompts) and is stripped from
     * every document. Returns (doc_id, n_lines, n_removed, cleaned_hash).
     *
-    * 100 TB shape: lines shuffle ONCE as md5 hashes (32 bytes — text never
-    * shuffles); the boilerplate set is by construction the lines frequent
-    * enough to clear `maxDocs`, aggregates to a single array row, and
-    * BROADCASTS back, so the strip pass is row-local (no reassembly
-    * shuffle). The broadcast bound is the distinct high-frequency line
-    * count — document it per corpus; raise `maxDocs` if it grows. */
+    * Two strip paths, chosen by the MEASURED boilerplate-set size (the
+    * frequency aggregate — lines shuffling ONCE as md5 hashes, 32 bytes,
+    * text never shuffles — is shared work; it persists, one count() picks
+    * the path, and the same materialized set feeds either):
+    *
+    *   - `<= broadcastLimit` distinct boilerplate lines: the set collapses
+    *     to one array row and BROADCASTS; the strip is a row-local
+    *     `array_contains` probe — zero text shuffle, the cheap path for the
+    *     common case (a curated corpus has thousands of boilerplate lines,
+    *     not millions).
+    *   - above the limit: a RefinedWeb-scale corpus (millions of high-
+    *     frequency lines) would blow up the single-row aggregate, the
+    *     multi-GB broadcast, and the O(|boiler|) linear probe together — so
+    *     documents `posexplode` into (doc, pos, line) rows, a LEFT ANTI
+    *     join on the line md5 drops boilerplate, and the survivors
+    *     re-aggregate by doc sorted on pos. Costs one extra keyed text
+    *     shuffle; every piece of state is a plain keyed relation, nothing
+    *     single-row. (Hot boilerplate keys sit on the anti join's PROBE
+    *     side — AQE's skew-join split applies; the build side is distinct
+    *     hashes, unskewed by construction.)
+    *
+    * Both paths are exact and emit identical rows (spec-pinned at the
+    * forced threshold; PlanSpec pins each path's join shape). */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
-                 maxDocs: Int): DataFrame = {
+                 maxDocs: Int, broadcastLimit: Long = 65536): DataFrame = {
     require(maxDocs > 0)
     val lines = split(col(textCol), "\n")
-    val boiler = docs
+    val boilerHashes = docs
       .select(explode(array_distinct(lines)).as("line"))
       .groupBy(md5(col("line")).as("lh")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") > maxDocs)
-      .agg(collect_set(col("lh")).as("__boiler"))
-    val kept = filter(lines, l => !array_contains(col("__boiler"), md5(l)))
-    docs.crossJoin(broadcast(boiler))
-      .select(col(idCol).as("doc_id"),
-        size(lines).as("n_lines"),
-        (size(lines) - size(kept)).as("n_removed"),
-        md5(concat_ws("\n", kept)).as("cleaned_hash"))
+      .select("lh")
+      .persist()
+    val nBoiler = boilerHashes.count()
+    if (nBoiler <= broadcastLimit) {
+      val boiler = boilerHashes.agg(collect_set(col("lh")).as("__boiler"))
+      val kept = filter(lines, l => !array_contains(col("__boiler"), md5(l)))
+      docs.crossJoin(broadcast(boiler))
+        .select(col(idCol).as("doc_id"),
+          size(lines).as("n_lines"),
+          (size(lines) - size(kept)).as("n_removed"),
+          md5(concat_ws("\n", kept)).as("cleaned_hash"))
+    } else {
+      val exploded = docs
+        .select(col(idCol).as("doc_id"), posexplode(lines).as(Seq("pos", "line")))
+        .withColumn("lh", md5(col("line")))
+      val keptAgg = exploded.join(boilerHashes, Seq("lh"), "left_anti")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("line")))).as("__ks"))
+      // docs whose every line was boilerplate vanish from the groupBy —
+      // the left join from the per-doc base keeps them, with zero survivors
+      docs.select(col(idCol).as("doc_id"), size(lines).as("n_lines"))
+        .join(keptAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          (col("n_lines") - coalesce(size(col("__ks")), lit(0))).as("n_removed"),
+          md5(coalesce(concat_ws("\n",
+            transform(col("__ks"), s => s.getField("line"))), lit("")))
+            .as("cleaned_hash"))
+    }
   }
 
   // ------------------------------------------------------- curation compose

@@ -34,6 +34,13 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
                     keys: Seq[String], sortCols: Seq[String] = Nil): Unit = {
     require(keys.nonEmpty && numBuckets > 0)
+    // the DROP + orphan-location cleanup below compute the managed location
+    // as warehouse/<lowercase table>; a qualified (db.tbl) or empty name
+    // would make that path wrong and aim the recursive delete at the wrong
+    // directory — refuse anything but a simple default-database name
+    require(table.nonEmpty && !table.contains(".") && !table.contains("/") &&
+      !table.contains("`"),
+      s"writeBucketed needs a simple default-database table name, got '$table'")
     val spark = df.sparkSession
     // real Overwrite semantics for a default-database managed table: drop
     // the catalog entry AND clear an orphaned location — a managed table's

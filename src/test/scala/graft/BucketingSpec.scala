@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 
 import graft.plans.Bucketing
 
@@ -8,8 +9,28 @@ import graft.plans.Bucketing
   * zero shuffle exchanges, where the identical join over raw parquet
   * exchanges both sides. Results are identical either way (bucketing moves
   * work, never answers).
+  *
+  * The bucketed tables are a shared beforeAll fixture so every test stands
+  * alone — a single-test run (or a shuffled execution order) must not fail
+  * with TABLE_OR_VIEW_NOT_FOUND.
   */
-class BucketingSpec extends SparkSpec {
+class BucketingSpec extends SparkSpec with BeforeAndAfterAll {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Bucketing.writeBucketed(rawOrders, "orders_b", 8,
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    Bucketing.writeBucketed(rawLineitem, "lineitem_b", 8,
+      Seq("o_orderkey"), Seq("o_orderkey"))
+  }
+
+  private def rawOrders =
+    spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  private def rawLineitem =
+    spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
 
   private def withConf[A](key: String, value: String)(body: => A): A = {
     val prev = spark.conf.getOption(key)
@@ -22,19 +43,12 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("co-bucketed equi join runs with zero shuffle exchanges") {
-    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
-      .select("o_orderkey", "o_custkey", "o_totalprice")
-    val lineitem = spark.read.parquet(s"$sf0001/lineitem.parquet")
-      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
-    Bucketing.writeBucketed(orders, "orders_b", 8, Seq("o_orderkey"), Seq("o_orderkey"))
-    Bucketing.writeBucketed(lineitem, "lineitem_b", 8, Seq("o_orderkey"), Seq("o_orderkey"))
-
     // force the shuffle-join path so the assertion is about co-location,
     // not about a broadcast hiding the exchange
     withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
       val bucketed = Bucketing.bucketedEquiJoin(spark, "lineitem_b", "orders_b",
         Seq("o_orderkey"))
-      val raw = lineitem.join(orders, Seq("o_orderkey"))
+      val raw = rawLineitem.join(rawOrders, Seq("o_orderkey"))
 
       assert(bucketed.count() == raw.count())
       assert(bucketed.count() > 0)
@@ -61,10 +75,7 @@ class BucketingSpec extends SparkSpec {
         Seq("o_orderkey"))
       .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
       .orderBy("o_orderkey").limit(20).collect().map(_.toSeq).toSeq
-    val b = spark.read.parquet(s"$sf0001/lineitem.parquet")
-      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
-      .join(spark.read.parquet(s"$sf0001/orders.parquet")
-        .select("o_orderkey", "o_custkey", "o_totalprice"), Seq("o_orderkey"))
+    val b = rawLineitem.join(rawOrders, Seq("o_orderkey"))
       .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
       .orderBy("o_orderkey").limit(20).collect().map(_.toSeq).toSeq
     assert(a == b)

@@ -641,6 +641,49 @@ class PipelineSpec extends SparkSpec {
     assert(g1.toSeq == Seq((4, 0)))
   }
 
+  test("dedupLines: anti-join strip path emits rows identical to the broadcast path") {
+    import graft.pipeline.Curation
+    // includes an all-boilerplate doc (id 9): it must survive reassembly
+    // with zero kept lines on BOTH paths, cleaned_hash = md5("")
+    val docs = (Seq.tabulate(9)(i =>
+      (i.toLong, s"unique content line $i\nfooter\nsubscribe now\nsecond unique $i")) :+
+      (9L, "footer\nsubscribe now"))
+      .toDF("doc_id", "text")
+    def rows(limit: Long) =
+      Curation.dedupLines(docs, "doc_id", "text", maxDocs = 3, broadcastLimit = limit)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    val broadcastPath = rows(Long.MaxValue)
+    val antiJoinPath = rows(0L)
+    assert(broadcastPath == antiJoinPath,
+      s"paths diverge:\n$broadcastPath\n$antiJoinPath")
+    assert(broadcastPath(9) ==
+      ((9L, 2, 2, java.security.MessageDigest.getInstance("MD5")
+        .digest("".getBytes).map("%02x".format(_)).mkString)),
+      broadcastPath(9).toString)
+  }
+
+  test("cap/topK per group: a literal sentinel-looking group value is NOT the null group") {
+    import graft.pipeline.Curation
+    // a genuine group whose VALUE is " <null>" (or any other sentinel) must
+    // get its own k-cap, separate from the real NULL group's
+    val tricky = (Seq.tabulate(6)(i => (null: String, i.toLong)) ++
+      Seq.tabulate(6)(i => (" <null>", (100 + i).toLong)) ++
+      Seq.tabulate(6)(i => ("", (200 + i).toLong)))
+      .toDF("g", "id")
+    val capped = Curation.capPerGroup(tricky, "g", "id", "s1", k = 4)
+      .collect().map(r => Option(r.getString(0)))
+    assert(capped.length == 12 && capped.count(_.isEmpty) == 4 &&
+      capped.count(_.contains(" <null>")) == 4 && capped.count(_.contains("")) == 4,
+      capped.mkString(","))
+    val scored = tricky.withColumn("score", col("id").cast("double"))
+    val topped = Curation.topKPerGroup(scored, "g", "score", "id", k = 4)
+      .collect().map(r => Option(r.getString(0)))
+    assert(topped.length == 12 && topped.count(_.isEmpty) == 4 &&
+      topped.count(_.contains(" <null>")) == 4 && topped.count(_.contains("")) == 4,
+      topped.mkString(","))
+  }
+
   // -------------------------------------------------------------- multimodal
   test("image decode is a real codec: PNG fixture round-trips exact dimensions") {
     // genuine PNG bytes via ImageIO — decodeBytes must recover true w/h

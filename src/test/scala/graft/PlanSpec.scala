@@ -113,9 +113,29 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q63_line_dedup")
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"the one-row boilerplate array must broadcast:\n$p")
-    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(hashEx == 1,
-      s"expected exactly the line-hash groupBy exchange, got $hashEx:\n$p")
+    // every hash exchange (incl. the persisted boiler set's cached plan,
+    // which renders its own) must be keyed on the line md5 — rendered as
+    // `lh#` or the pre-alias `_groupingexpression#` — never on raw line or
+    // document text
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty &&
+      hashEx.forall(l => l.contains("lh#") || l.contains("_groupingexpression#")) &&
+      hashEx.forall(l => !l.contains("line#") && !l.contains("aug#") && !l.contains("text#")),
+      s"non-line-hash exchange in:\n${hashEx.mkString("\n")}")
+  }
+
+  test("dedupLines above broadcastLimit: left-anti strip join, no single-row broadcast state") {
+    // force the web-scale path: the strip must be an anti join on the line
+    // md5 feeding a (doc, pos)-sorted reassembly — never a collected array
+    // probed linearly, never a nested-loop compare
+    import graft.pipeline.Curation
+    val docs = Tables.documents(spark, sf0001)
+    val p = optimizedOf(Curation.dedupLines(docs, "doc_id", "text",
+      maxDocs = 3, broadcastLimit = -1L))
+    assert(p.contains("LeftAnti"),
+      s"expected the line-hash anti join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("array_contains"),
+      s"single-row broadcast state leaked into the anti-join path:\n$p")
   }
 
   test("q64/q66: bucketized range joins are equi joins, not nested-loop scans") {

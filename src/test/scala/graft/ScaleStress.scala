@@ -80,6 +80,65 @@ object ScaleStress {
     }
     println(s"  rows kept: $capped (expect 12 + 500*12 = 6012)")
     assert(capped == 6012L, s"expected 6012, got $capped")
+
+    // hot-group top-k with ADVERSARIAL TIES: one 1M-row group whose score
+    // has only 100 distinct values, so ~10k rows tie at every threshold —
+    // the sample-quantile prune can only cut to the tie CLASS (~1% of the
+    // group here, vs the ~4*oversample*k ideal for distinct scores), and
+    // the row_number tiebreak (score DESC, id ASC) must stay exact at the
+    // k-boundary.
+    val tied = spark.range(1000000L)
+      .select(lit("hot").as("g"), col("id"),
+        pmod(col("id"), lit(100)).cast("double").as("score"))
+      .union(spark.range(1000000L, 1050000L).select(
+        concat(lit("d"), pmod(col("id"), lit(500))).as("g"), col("id"),
+        pmod(col("id"), lit(97)).cast("double").as("score")))
+    val topped = timed("topKPerGroup over 1.05M rows, one 1M-row tied group") {
+      graft.pipeline.Curation.topKPerGroup(tied, "g", "score", "id", k = 12)
+        .select("g", "id", "score").collect().map(r => (r.getString(0), r.getLong(1)))
+    }
+    // exactness vs the naive full window (fine locally; the point of the
+    // prune is to never run this shape at scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("score").desc, col("id").asc)
+    val naive = tied.withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rnk") <= 12).select("g", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(topped.toSet == naive.toSet,
+      s"pruned top-k diverged from naive: ${topped.length} vs ${naive.length}")
+    // survivor bound: replicate the deterministic md5-draw threshold and
+    // count the hot group's prune survivors — the window's actual input
+    val drawHex = org.apache.spark.sql.functions.substring(
+      org.apache.spark.sql.functions.md5(concat(lit("tkpg:"), col("id").cast("string"))), 1, 8)
+    val hotOnly = tied.filter(col("g") === "hot")
+    val sample = hotOnly
+      .filter(graft.pipeline.Curation.keepCondition(drawHex, lit(4096.0 / 1000000.0)))
+      .select("score").collect().map(_.getDouble(0)).sortBy(-_)
+    val idx = math.min(sample.length,
+      math.max(1, math.ceil(4.0 * 8 * 12 * sample.length / 1000000.0).toInt))
+    val thr = sample(idx - 1)
+    val survivors = hotOnly.filter(col("score") >= thr).count()
+    println(s"  top-k exact (${topped.length} rows); hot-group prune survivors: " +
+      s"$survivors of 1,000,000 (threshold $thr — bounded by the tie class, " +
+      "~10k rows/class here)")
+    assert(survivors <= 30000L,
+      s"prune survivors $survivors exceed the tie-class bound")
+
+    // web-scale line dedup: 100k DISTINCT boilerplate lines (each in 3 docs,
+    // maxDocs=2) force the anti-join strip path — the broadcast path's
+    // single collected array would hold all 100k hashes and probe linearly
+    val ldocs = spark.range(300000L).select(col("id").as("doc_id"),
+      concat(lit("unique content line "), col("id"), lit(".\nboiler "),
+        pmod(col("id"), lit(100000))).as("text"))
+    val cleaned = timed("dedupLines over 300k docs, 100k boilerplate lines (anti-join path)") {
+      graft.pipeline.Curation.dedupLines(ldocs, "doc_id", "text", maxDocs = 2)
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum("n_removed").as("removed"))
+        .collect().head
+    }
+    println(s"  docs: ${cleaned.getLong(0)}, lines removed: ${cleaned.getLong(1)} " +
+      "(expect 300,000 docs, 300,000 removed)")
+    assert(cleaned.getLong(0) == 300000L && cleaned.getLong(1) == 300000L)
     spark.stop()
   }
 }
