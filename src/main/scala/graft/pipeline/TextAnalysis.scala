@@ -178,11 +178,42 @@ object TextAnalysis {
     * The quantile is ONE global aggregate (Spark's exact `percentile`,
     * ≡ DuckDB `quantile_cont`, both R-7 interpolation) that crossJoins back
     * as a broadcast scalar — no sort of the corpus, no window; the filter
-    * itself is row-local. The threshold rides along as `thresholdCol`. */
+    * itself is row-local. The threshold rides along as `thresholdCol`.
+    *
+    * MEMORY CONTRACT — bounded DISTINCT-value cardinality, not row count:
+    * Spark's exact `percentile` buffers a value→count map that merges into
+    * the one final aggregation task, so its state scales with the number
+    * of distinct `valueCol` values, never with rows. Feed it quantized
+    * scores (a 6-dp-rounded quality in [0,1] is ≤ 1e6 entries ≈ a few MB
+    * — fine at any corpus size); raw unbounded doubles at 100 TB would
+    * concentrate billions of map entries in that single task. For
+    * unquantized values use [[approxAboveQuantile]]. */
   def aboveQuantile(df: DataFrame, valueCol: String, p: Double,
                     thresholdCol: String = "threshold"): DataFrame = {
     require(p > 0.0 && p < 1.0)
     val thr = df.agg(expr(s"percentile($valueCol, $p)").as(thresholdCol))
+    df.crossJoin(broadcast(thr))
+      .filter(col(valueCol) >= col(thresholdCol))
+  }
+
+  /** [[aboveQuantile]] with a BOUNDED-MEMORY sketch threshold: the
+    * Greenwald-Khanna `percentile_approx` summary holds O(accuracy)
+    * entries regardless of value cardinality, so this is the variant for
+    * unquantized scores (log-perplexities, raw model outputs) at corpus
+    * scale. The threshold is an actual data value whose rank differs from
+    * the true `p`-quantile by at most `n / accuracy` rows (the gate keeps
+    * at most that many rows more or fewer than the exact variant); the
+    * sketch's merge order varies run to run, so unlike the exact variant
+    * the kept SET near the boundary is tolerance-stable, not bit-stable —
+    * oracle-check it q43-style (each engine's sketch against its own exact
+    * value), never by row hash. */
+  def approxAboveQuantile(df: DataFrame, valueCol: String, p: Double,
+                          accuracy: Int = 10000,
+                          thresholdCol: String = "threshold"): DataFrame = {
+    require(p > 0.0 && p < 1.0)
+    require(accuracy > 0)
+    val thr = df.agg(
+      percentile_approx(col(valueCol), lit(p), lit(accuracy)).as(thresholdCol))
     df.crossJoin(broadcast(thr))
       .filter(col(valueCol) >= col(thresholdCol))
   }

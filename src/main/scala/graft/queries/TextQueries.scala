@@ -117,6 +117,39 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- approximate quantile gate, oracle-checked q43-style: the GK /
+    // t-digest sketches are engine-specific, so each engine checks its OWN
+    // sketch threshold and kept-count against its own exact values, and the
+    // within-tolerance BOOLEANS must agree (the exact count and threshold
+    // match value-for-value). This is the bounded-memory path for
+    // unquantized scores — see TextAnalysis.approxAboveQuantile.
+    Q("q69_approx_quantile_gate",
+      Some(qualityCte("documents") +
+        ", t AS (SELECT quantile_cont(quality, 0.25) AS q25, " +
+        "approx_quantile(quality, 0.25) AS qa FROM sc), " +
+        "ne AS (SELECT count(*) AS n_exact FROM sc, t WHERE quality >= q25), " +
+        "na AS (SELECT count(*) AS n_approx FROM sc, t WHERE quality >= qa) " +
+        "SELECT ne.n_exact, round(t.q25, 6) AS threshold, " +
+        "abs(t.qa - t.q25) <= greatest(0.10 * t.q25, 0.05) AS approx_thr_ok, " +
+        "abs(na.n_approx - ne.n_exact) <= greatest(CAST(0.10 * ne.n_exact AS BIGINT), 25) AS approx_n_ok " +
+        "FROM ne, na, t"),
+      (s, dir) => {
+        val scored = Tables.documents(s, dir).select(col("doc_id"),
+          TA.qualityScore(col("text")).as("quality"))
+        val ne = TA.aboveQuantile(scored, "quality", 0.25, "__thr")
+          .agg(count(lit(1)).as("n_exact"), first(col("__thr")).as("__q25"))
+        val na = TA.approxAboveQuantile(scored, "quality", 0.25, 10000, "__ta")
+          .agg(count(lit(1)).as("n_approx"), first(col("__ta")).as("__qa"))
+        ne.crossJoin(na).select(
+          col("n_exact"),
+          round(col("__q25"), 6).as("threshold"),
+          (abs(col("__qa") - col("__q25")) <=
+            greatest(lit(0.10) * col("__q25"), lit(0.05))).as("approx_thr_ok"),
+          (abs(col("n_approx") - col("n_exact")) <=
+            greatest((lit(0.10) * col("n_exact")).cast("long"), lit(25L)))
+            .as("approx_n_ok"))
+      }),
+
     // ---- exact dedup over a corpus with planted duplicates (documents
     // unioned with an id-shifted copy): group on md5(normalized), keep min id.
     Q("q26_dedup_exact",

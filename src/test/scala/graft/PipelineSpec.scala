@@ -569,6 +569,20 @@ class PipelineSpec extends SparkSpec {
     assert(thr.toSeq == Seq(25.75))
   }
 
+  test("approxAboveQuantile: sketch threshold within rank tolerance of exact; gate consistent") {
+    // the bounded-memory variant for unquantized scores: GK returns a DATA
+    // value whose rank is within n/accuracy of the true quantile
+    val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val rows = TA.approxAboveQuantile(df, "v", 0.25, accuracy = 100)
+      .select("id", "threshold").collect()
+    val thr = rows.head.getDouble(1)
+    // true p25 rank = 250; accuracy 100 over n=1000 -> rank error <= 10
+    assert(thr >= 240.0 && thr <= 261.0, s"threshold $thr outside rank tolerance")
+    // every kept row is at/above the broadcast threshold, none below kept
+    val kept = rows.map(_.getLong(0)).toSet
+    assert(kept == (thr.toLong to 1000L).toSet, s"gate inconsistent at $thr")
+  }
+
   test("tfidfTopTerms: corpus-wide terms rank below distinctive ones") {
     // "common" appears in every doc (df=3), each distinctive term in one
     val docs = Seq(

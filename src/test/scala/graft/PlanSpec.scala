@@ -109,6 +109,38 @@ class PlanSpec extends SparkSpec {
       s"term-keyed shuffle join planned for tfidf:\n$p")
   }
 
+  test("tfidf at vocabulary scale: the term join degrades to a co-keyed shuffle join, never a window or BNLJ") {
+    // q60's spec pins the BroadcastHashJoin the df relation gets at test
+    // scale; this one pins the documented 100 TB shape — broadcast
+    // disabled, the (doc,term,tf) ⋈ (term,df) join must become a sort-merge
+    // join KEYED ON TERM (co-partitioned, safe at any vocab size), the
+    // row_number window must stay doc-partitioned (a term-partitioned
+    // window would funnel a stopword's billions of rows into one task),
+    // and the only nested-loop join is the one-row n_docs scalar broadcast
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = graft.pipeline.TextAnalysis.tfidfTopTerms(
+        Tables.documents(spark, sf0001), "doc_id", "text", k = 5)
+        .queryExecution.executedPlan.toString
+      val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+      assert(smj.exists(_.contains("term#")),
+        s"expected the df relation to meet tf in a term-keyed shuffle join:\n$p")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"a broadcast survived the disabled threshold:\n$p")
+      val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(windows.nonEmpty && windows.forall(l =>
+        l.contains("doc_id#") && !l.contains("[term#")),
+        s"window must partition on doc_id, never term:\n${windows.mkString("\n")}")
+      val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+      assert(bnlj.size <= 1,
+        s"only the one-row n_docs scalar may nest-loop:\n${bnlj.mkString("\n")}")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("q63: boilerplate set broadcasts; lines shuffle once, as hashes") {
     val p = planOf("q63_line_dedup")
     assert(p.contains("BroadcastNestedLoopJoin"),
