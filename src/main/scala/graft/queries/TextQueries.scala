@@ -252,6 +252,44 @@ object TextQueries {
         Dedup.MinHashConfig(numHashes = 64, bands = 16, shingleN = 3, threshold = 0.8))
         .orderBy("id_a", "id_b")),
 
+    // ---- the LSH pipeline proven end-to-end against GROUND TRUTH: the
+    // corpus (documents + planted near-identical copies: doc_id%3==0
+    // re-appears at id+1e6, uppercased + double-spaced + one appended
+    // token, so normalization AND shingling are both exercised) runs the
+    // full MinHash path — shingle → signature → band → candidate → exact-
+    // Jaccard verify — while the oracle computes the COMPLETE true pair
+    // set at J >= 0.9 by exact all-pairs Jaccard. The join is pruned by
+    // the size bound (J >= 0.9 forces 10·|A| >= 9·|B| both ways — integer
+    // arithmetic, no float boundary), which drops no true pair. Hash
+    // equality = the banded pipeline recovered EVERY true pair (natural
+    // ones included — the corpus has them) with the exact verified scores,
+    // not just recall-spec'd candidates.
+    Q("q70_lsh_verified_pairs",
+      Some("WITH corpus AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, upper(text) || '  zzzuniquetail' " +
+        "FROM documents WHERE doc_id % 3 = 0), " +
+        "t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM corpus), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] " +
+        "ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) END AS s FROM t), " +
+        "sz AS (SELECT doc_id, s, len(s) AS ns FROM sh) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) AS jaccard " +
+        "FROM sz a JOIN sz b ON a.doc_id < b.doc_id " +
+        "AND a.ns * 10 >= b.ns * 9 AND b.ns * 10 >= a.ns * 9 " +
+        "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.9 " +
+        "ORDER BY id_a, id_b"),
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val planted = d.union(d.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            concat(upper(col("text")), lit("  zzzuniquetail")).as("text")))
+        Dedup.minhashDedup(planted, "doc_id", "text",
+            Dedup.MinHashConfig(numHashes = 64, bands = 16, shingleN = 3,
+              threshold = 0.9))
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      }),
+
     // ---- SimHash near-dup via 16-bit band LSH + hamming verification.
     Q("q31_simhash_neardup", None,
       (s, dir) => Dedup.simhashDedup(Tables.documents(s, dir), "doc_id", "text",
