@@ -7,6 +7,65 @@ import graft.Tables
 import graft.functions.{Lenient, LenientDatetimeExpr}
 import graft.types.DetectTypes
 
+/** The q23 oracle: DetectTypes.detect replayed in DuckDB SQL. Kept in its
+  * own object — it is by far the longest oracle and reads as one program.
+  */
+private object DetectOracleSql {
+
+  private val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+  private val orderBy = cols.mkString(", ")
+  // stripped form: currency symbols + thousands separators removed (the
+  // lenient-numeric preprocessing of typetools' guess chain)
+  private val st = "replace(translate(val, '$£€', ''), ',', '')"
+
+  val q23: String =
+    s"WITH ord AS (SELECT row_number() OVER (ORDER BY $orderBy) AS rn, * " +
+      s"FROM lineitem ORDER BY $orderBy LIMIT 100), " +
+      "str AS (SELECT rn, " +
+      cols.map(c => s"CAST($c AS VARCHAR) AS $c").mkString(", ") + " FROM ord), " +
+      s"vals AS (UNPIVOT str ON $orderBy INTO NAME field VALUE val), " +
+      // guessByValue: null -> bool -> int/float (with currency strip and the
+      // leading-zero rule) -> datetime -> date -> text
+      "g AS (SELECT rn, field, CASE " +
+      "WHEN val IS NULL OR trim(val) = '' OR lower(val) IN ('na', 'n/a', 'none', 'null', '.') THEN 'null' " +
+      "WHEN lower(val) IN ('yes', 'y', 'true', 't', 'no', 'n', 'false', 'f') THEN 'bool' " +
+      s"WHEN try_cast($st AS DOUBLE) IS NOT NULL " +
+      s"AND NOT (regexp_matches($st, '^0[0-9]') AND try_cast($st AS DOUBLE) != 0.0) " +
+      s"THEN CASE WHEN try_cast($st AS DOUBLE) = floor(try_cast($st AS DOUBLE)) " +
+      "THEN 'int' ELSE 'float' END " +
+      "WHEN regexp_matches(val, '^\\d{4}-\\d{1,2}-\\d{1,2} \\d{1,2}:\\d{2}(:\\d{2})?$') THEN 'datetime' " +
+      "WHEN regexp_matches(val, '^\\d{4}-\\d{1,2}-\\d{1,2}$') THEN 'date' " +
+      "ELSE 'text' END AS guess FROM vals), " +
+      // cumulative votes per (field, guess) at every prefix length n
+      "ns AS (SELECT unnest(range(1, 1 + (SELECT max(rn) FROM str))) AS n), " +
+      "votes AS (SELECT g.field, g.guess, ns.n, count(*) AS v " +
+      "FROM g JOIN ns ON g.rn <= ns.n GROUP BY 1, 2, 3), " +
+      // MezaType.merge over the prefix's distinct guess set
+      "merged AS (SELECT field, n, CASE " +
+      "WHEN len(nn) = 0 THEN 'null' WHEN len(nn) = 1 THEN nn[1] " +
+      "WHEN len(list_filter(nn, x -> x NOT IN ('float', 'int'))) = 0 THEN 'float' " +
+      "WHEN len(list_filter(nn, x -> x NOT IN ('date', 'time', 'datetime'))) = 0 THEN 'datetime' " +
+      "WHEN len(list_filter(nn, x -> x NOT IN ('bool', 'int'))) = 0 THEN 'int' " +
+      "ELSE 'text' END AS mt FROM (SELECT field, n, " +
+      "list_filter(list_sort(list(guess)), x -> x != 'null') AS nn " +
+      "FROM votes GROUP BY field, n)), " +
+      // confidence of the merged type's OWN votes (0 when the merge target
+      // was never voted), rounded to 2dp like the reference
+      "conf AS (SELECT m.field, m.n, m.mt, " +
+      "round(6.0 * ln(1 + coalesce(v.v, 0)) / (1 + 6.0 * ln(1 + coalesce(v.v, 0))), 2) AS c " +
+      "FROM merged m LEFT JOIN votes v ON v.field = m.field AND v.n = m.n AND v.guess = m.mt), " +
+      "minc AS (SELECT n, min(c) AS mc FROM conf GROUP BY n), " +
+      // earliest converged prefix; the full sample if none converges
+      "stopn AS (SELECT coalesce((SELECT min(n) FROM minc WHERE mc >= 0.95), " +
+      "(SELECT max(rn) FROM str)) AS n) " +
+      "SELECT c.field, c.mt AS meza_type, " +
+      "(SELECT mc FROM minc, stopn WHERE minc.n = stopn.n) AS confidence, " +
+      "CAST(stopn.n AS INTEGER) AS rows_consumed " +
+      "FROM conf c, stopn WHERE c.n = stopn.n ORDER BY c.field"
+}
+
 /** Type-system queries (SURVEY.md §1.2, §2.8): lenient casts and schema
   * inference exercised through the driver's DuckDB gate. Messy strings are
   * derived from table data so both engines parse identical inputs.
@@ -82,16 +141,31 @@ object TypeQueries {
           .orderBy("o_orderpriority")
       }),
 
-    // ---- A6: detect_types over an all-string projection of lineitem
-    // (driver-side sampled inference; result surfaced as rows — no SQL oracle).
-    Q("q23_detect_types", None,
+    // ---- A6: detect_types over an all-string projection of lineitem,
+    // ORACLE-CHECKED: the inference is deterministic arithmetic over the
+    // first <=100 rows of a deterministic total order (all 11 columns — the
+    // rows are unique, so the sort has no ties for limit() to break
+    // arbitrarily), and the oracle replays the whole loop in SQL — the
+    // value-level guess chain (null/bool/int/float/datetime/date markers,
+    // currency strip, the leading-zero rule), the per-prefix vote tallies,
+    // the compatible-type merge lattice ({int,float}->float,
+    // {bool,int}->int, date/time/datetime->datetime, else text, nulls
+    // ignored unless alone), the a*ln(1+votes)/(1+a*ln(1+votes)) confidence
+    // rounded to 2dp (HALF_UP == DuckDB round for positives), and the
+    // earliest prefix where the weakest column clears 0.95. Same rounding
+    // discipline as q61's entropy: 2dp sits far above any libm ulp.
+    Q("q23_detect_types",
+      Some(DetectOracleSql.q23),
       (s, dir) => {
         import s.implicits._
         val li = Tables.lineitem(s, dir)
-        val allString = li.select(li.columns.map(c => col(c).cast(StringType).as(c)).toSeq: _*)
+        val ordered = li.orderBy(li.columns.map(col).toSeq: _*)
+        val allString = ordered.select(
+          li.columns.map(c => col(c).cast(StringType).as(c)).toSeq: _*)
         val r = DetectTypes.detect(allString, minConf = 0.95, hweight = 6, maxIter = 100)
         r.types.map(t => (t.id, t.mezaType, r.confidence, r.count))
           .toDF("field", "meza_type", "confidence", "rows_consumed")
+          .orderBy("field")
       })
   )
 }
