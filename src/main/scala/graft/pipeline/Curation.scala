@@ -461,6 +461,37 @@ object Curation {
     }
   }
 
+  // ------------------------------------------------- incremental refresh
+  /** Content-aware diff of two corpus snapshots, the primitive behind
+    * incremental curation ("process only what changed since the last
+    * crawl"): per document id, compare content FINGERPRINTS (md5 of the
+    * normalized text — never the text) and classify:
+    *
+    *   - `added`     — id only in `current`
+    *   - `removed`   — id only in `previous`
+    *   - `changed`   — id in both, fingerprints differ
+    *   - `unchanged` — id in both, fingerprints equal
+    *
+    * Returns (doc_id, status, fp_current, fp_previous). One id-keyed
+    * full-outer shuffle join carrying (id, 32-byte fp) per side — text
+    * never shuffles, and downstream passes re-curate only the
+    * added/changed slice (typically a sliver of a 100 TB corpus), which is
+    * what makes re-crawls affordable. */
+  def corpusDelta(current: DataFrame, previous: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    def fps(df: DataFrame, side: String) = df.select(
+      col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as(s"fp_$side"))
+    fps(current, "current")
+      .join(fps(previous, "previous"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_previous").isNull, lit("added"))
+          .when(col("fp_current").isNull, lit("removed"))
+          .when(col("fp_current") === col("fp_previous"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("fp_current"), col("fp_previous"))
+  }
+
   // ------------------------------------------------------- curation compose
   /** The composed curation pass a training-data pipeline runs before
     * tokenization: language filter → quality filter → exact dedup (keep the

@@ -218,6 +218,37 @@ object TextAnalysis {
       .filter(col(valueCol) >= col(thresholdCol))
   }
 
+  /** Corpus vocabulary with coverage: the `topV` most frequent lowercased
+    * whitespace tokens, each with its count and the CUMULATIVE fraction of
+    * all corpus token occurrences covered through that rank — the curve a
+    * tokenizer-training pipeline reads to pick a vocab size ("64k tokens
+    * cover 99.2%"). Ordering is total and deterministic: count DESC, token
+    * ASC, both in the top-V cutoff and in the rank window.
+    *
+    * 100 TB shape: the token count is one map-side-combinable aggregate
+    * (the only full-corpus shuffle, keyed on the token); the corpus-total
+    * denominator is a row-local size() sum that never touches the vocab
+    * relation; the top-V cutoff is TakeOrdered (no global sort); and the
+    * cumulative window runs over EXACTLY topV rows — a bounded parameter,
+    * so its single partition is by construction small, never vocab-sized. */
+  def vocabulary(docs: DataFrame, textCol: String, topV: Int,
+                 minCount: Long = 1L): DataFrame = {
+    require(topV > 0 && minCount >= 1)
+    val toks = filter(tokens(lower(col(textCol))), t => t =!= "")
+    val counts = docs.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val total = docs.agg(sum(size(toks)).as("__total"))
+    val top = counts.orderBy(col("n").desc, col("token").asc).limit(topV)
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("coverage",
+        round(sum(col("n")).over(w) / col("__total"), 6))
+      .select(col("rank"), col("token"), col("n"), col("coverage"))
+  }
+
   /** Rolling-hash content fingerprint: minimum 64-bit hash over character
     * `k`-shingles of the normalized text (winnowing-style min-sampling; two
     * docs sharing it are near-dup candidates). */

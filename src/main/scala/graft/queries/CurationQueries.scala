@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Curation, TextAnalysis => TA}
+import graft.pipeline.{Curation, Web, TextAnalysis => TA}
 
 /** Curation-pipeline queries over the `documents` table: repetition-based
   * quality filters, PII redaction, benchmark contamination, deterministic
@@ -258,6 +258,87 @@ object CurationQueries {
         Curation.dedupLines(
           Tables.documents(s, dir).withColumn("aug", aug), "doc_id", "aug",
           maxDocs = 10)
+          .orderBy("doc_id")
+      }),
+
+    // ---- URL decomposition (scheme/host/registered domain/path): both
+    // engines build the same deterministic URL mix — www hosts, co.uk
+    // two-level suffix with userinfo + port, bare two-label hosts, IPv4
+    // literals, cdn subdomains — and run the identical RE2 patterns + PSL
+    // rules. The registered domain is the per-domain capping key at web
+    // scale (Curation.capPerGroup on it); everything is row-local.
+    Q("q71_url_parts", {
+      val sfx = Web.TwoLevelSuffixes.map(x => s"'$x'").mkString("(", ", ", ")")
+      val host = "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))"
+      Some("WITH u AS (SELECT doc_id, CASE doc_id % 5 " +
+        "WHEN 0 THEN 'https://www.' || source || '-news.example.com/articles/' || doc_id " +
+        "WHEN 1 THEN 'http://user:pw@blog.' || source || '.co.uk:8080/posts/' || doc_id || '?page=2' " +
+        "WHEN 2 THEN 'https://' || source || '.org/wiki/Item_' || doc_id || '#frag' " +
+        "WHEN 3 THEN 'http://192.168.' || (doc_id % 256) || '.7/raw/' || doc_id " +
+        "ELSE 'https://cdn-' || (doc_id % 10) || '.' || source || '.io/assets/app.js' END AS url " +
+        "FROM documents), " +
+        "h AS (SELECT doc_id, " +
+        "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, " +
+        s"$host AS host, " +
+        "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path " +
+        "FROM u) " +
+        "SELECT doc_id, scheme, host, CASE " +
+        "WHEN regexp_matches(host, '^\\d{1,3}(\\.\\d{1,3}){3}$') THEN host " +
+        "WHEN len(string_split(host, '.')) <= 2 THEN host " +
+        s"WHEN array_to_string(string_split(host, '.')[-2:], '.') IN $sfx " +
+        "THEN array_to_string(string_split(host, '.')[-3:], '.') " +
+        "ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS registered_domain, " +
+        "path FROM h ORDER BY doc_id")
+    },
+      (s, dir) => {
+        val url = when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("https://www."), col("source"),
+              lit("-news.example.com/articles/"), col("doc_id")))
+          .when(pmod(col("doc_id"), lit(5)) === 1,
+            concat(lit("http://user:pw@blog."), col("source"), lit(".co.uk:8080/posts/"),
+              col("doc_id"), lit("?page=2")))
+          .when(pmod(col("doc_id"), lit(5)) === 2,
+            concat(lit("https://"), col("source"), lit(".org/wiki/Item_"),
+              col("doc_id"), lit("#frag")))
+          .when(pmod(col("doc_id"), lit(5)) === 3,
+            concat(lit("http://192.168."), pmod(col("doc_id"), lit(256)),
+              lit(".7/raw/"), col("doc_id")))
+          .otherwise(concat(lit("https://cdn-"), pmod(col("doc_id"), lit(10)),
+            lit("."), col("source"), lit(".io/assets/app.js")))
+        Web.withUrlParts(
+            Tables.documents(s, dir).select(col("doc_id"), col("source"))
+              .withColumn("url", url), "url")
+          .select(col("doc_id"), col("scheme"), col("host"),
+            col("registered_domain"), col("path"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- incremental corpus delta: previous snapshot = current minus the
+    // doc_id%7 slice (-> added), with the %5 slice amended (-> changed),
+    // plus an id-shifted extra slice (-> removed); everything else
+    // unchanged. One id-keyed full-outer join of (id, fp) relations — the
+    // primitive that lets a re-crawl re-curate only what moved.
+    Q("q73_corpus_delta",
+      Some("WITH cur AS (SELECT doc_id, md5(" + normSql + ") AS fp_current FROM documents), " +
+        "p0 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' amended' ELSE text END AS text " +
+        "FROM documents WHERE doc_id % 7 != 0 " +
+        "UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 11 = 0), " +
+        "prev AS (SELECT doc_id, md5(" + normSql + ") AS fp_previous FROM p0), " +
+        "j AS (SELECT coalesce(cur.doc_id, prev.doc_id) AS doc_id, fp_current, fp_previous " +
+        "FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id) " +
+        "SELECT doc_id, CASE WHEN fp_previous IS NULL THEN 'added' " +
+        "WHEN fp_current IS NULL THEN 'removed' " +
+        "WHEN fp_current = fp_previous THEN 'unchanged' ELSE 'changed' END AS status, " +
+        "fp_current, fp_previous FROM j ORDER BY doc_id"),
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val previous = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(col("text"), lit(" amended"))).otherwise(col("text")).as("text"))
+          .union(d.filter(pmod(col("doc_id"), lit(11)) === 0)
+            .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text")))
+        Curation.corpusDelta(d, previous, "doc_id", "text")
           .orderBy("doc_id")
       })
   )

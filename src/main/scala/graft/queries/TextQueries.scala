@@ -117,6 +117,23 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- vocabulary with coverage (tokenizer-prep): top-100 tokens by
+    // corpus frequency with the cumulative occurrence fraction per rank.
+    // One token-keyed combinable aggregate; TakeOrdered cutoff; the rank
+    // window runs over exactly topV rows (bounded by the parameter).
+    Q("q72_vocabulary",
+      Some("WITH tk AS (SELECT unnest(list_filter(" +
+        "regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')) AS token FROM documents), " +
+        "c AS (SELECT token, count(*) AS n FROM tk GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS total FROM tk), " +
+        "top AS (SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 100), " +
+        "r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank, " +
+        "sum(n) OVER (ORDER BY n DESC, token ASC ROWS UNBOUNDED PRECEDING) AS cum FROM top) " +
+        "SELECT rank, token, n, round(CAST(cum AS DOUBLE) / tot.total, 6) AS coverage " +
+        "FROM r, tot ORDER BY rank"),
+      (s, dir) => TA.vocabulary(Tables.documents(s, dir), "text", topV = 100)
+        .orderBy("rank")),
+
     // ---- approximate quantile gate, oracle-checked q43-style: the GK /
     // t-digest sketches are engine-specific, so each engine checks its OWN
     // sketch threshold and kept-count against its own exact values, and the

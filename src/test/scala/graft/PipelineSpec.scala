@@ -698,6 +698,45 @@ class PipelineSpec extends SparkSpec {
       topped.mkString(","))
   }
 
+  test("Web.urlParts: userinfo/port stripped, PSL two-level suffixes, IPs, non-URLs") {
+    import graft.pipeline.Web
+    val rows = Seq(
+      "https://user:pw@WWW.Example.CO.UK:8443/a/b?q=1#f",
+      "http://deep.cdn.static.example.com/x",
+      "https://example.org",
+      "http://192.168.3.7/raw",
+      "http://localhost:9090/health",
+      "not a url at all").toDF("url")
+    val got = Web.withUrlParts(rows, "url")
+      .select("scheme", "host", "registered_domain", "path")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got(0) == (("https", "www.example.co.uk", "example.co.uk", "/a/b")))
+    assert(got(1) == (("http", "deep.cdn.static.example.com", "example.com", "/x")))
+    assert(got(2) == (("https", "example.org", "example.org", "")))
+    assert(got(3) == (("http", "192.168.3.7", "192.168.3.7", "/raw")))
+    assert(got(4) == (("http", "localhost", "localhost", "/health")))
+    assert(got(5) == (("", "", "", "")), s"non-URL must yield empty parts: ${got(5)}")
+  }
+
+  test("vocabulary: deterministic ranking, exact coverage fractions, empty-token guard") {
+    val docs = Seq("b b b a a c", "a  b", "   ").toDF("text")
+    // counts: a=3, b=4, c=1; total occurrences = 8; blank doc contributes 0
+    val got = TA.vocabulary(docs, "text", topV = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1, "b", 4L, 0.5), (2, "a", 3L, 0.875)), got.mkString(","))
+  }
+
+  test("corpusDelta classifies added/removed/changed/unchanged on fingerprints") {
+    import graft.pipeline.Curation
+    val cur = Seq((1L, "alpha text"), (2L, "beta text"), (4L, "new doc")).toDF("id", "t")
+    val prev = Seq((1L, "ALPHA   text"), (2L, "beta text old"), (3L, "gone doc")).toDF("id", "t")
+    val got = Curation.corpusDelta(cur, prev, "id", "t")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    // id 1: fingerprints equal after normalization (case/whitespace) -> unchanged
+    assert(got.toSeq == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")), got.mkString(","))
+  }
+
   // -------------------------------------------------------------- multimodal
   test("image decode is a real codec: PNG fixture round-trips exact dimensions") {
     // genuine PNG bytes via ImageIO — decodeBytes must recover true w/h
