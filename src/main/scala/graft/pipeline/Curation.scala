@@ -104,6 +104,62 @@ object Curation {
     round(lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines), 6)
   }
 
+  /** The eight "required words" of the Gopher document-quality rules —
+    * a kept document must contain at least two of them. */
+  val GopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher document-quality rule set (Rae et al. 2021, §A1.1) as one
+    * row-local projection: per document, every rule's signal plus the
+    * composite keep decision —
+    *
+    *   - word count in [minWords, maxWords]
+    *   - mean word length in [3, 10]
+    *   - symbol-to-word ratio ('#' and '...' occurrences / words) <= 0.1
+    *   - <= 90% of lines starting with a bullet ('-', '*', '•')
+    *   - <= 30% of lines ending with an ellipsis
+    *   - >= 80% of words containing an alphabetic character
+    *   - >= 2 of the eight [[GopherRequiredWords]]
+    *
+    * Every signal is arithmetic over split/replace/regexp built-ins
+    * (RE2-compatible patterns, exact integer-ratio divisions) — zero
+    * shuffle, fully codegen'd, DuckDB-mirrorable; the repetition-based
+    * companion rules live in [[repeatedTokenRatio]]/[[topNgram]]. Returns
+    * (doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+    * ellipsis_line_frac, alpha_word_frac, n_required_words, keep). */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String,
+                    minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = filter(split(trim(lower(t)), "\\s+"), x => x =!= "")
+    val nw = size(toks)
+    val mwl = when(nw > 0,
+      round(length(regexp_replace(trim(t), "\\s+", "")).cast("double") / nw, 6))
+      .otherwise(lit(0.0))
+    val nSymbols = (length(t) - length(replace(t, lit("#"), lit("")))) +
+      (length(t) - length(replace(t, lit("..."), lit("")))) / 3
+    val symbolRatio = when(nw > 0,
+      round(nSymbols.cast("double") / nw, 6)).otherwise(lit(0.0))
+    val lines = split(t, "\n")
+    val bulletFrac = round(size(filter(lines,
+      l => trim(l).rlike("^[-*•]"))).cast("double") / size(lines), 6)
+    val ellipsisFrac = round(size(filter(lines,
+      l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") / size(lines), 6)
+    val alphaFrac = when(nw > 0, round(size(filter(toks,
+      x => x.rlike("[a-z]"))).cast("double") / nw, 6)).otherwise(lit(0.0))
+    val nReq = size(array_intersect(array_distinct(toks),
+      typedLit(GopherRequiredWords)))
+    docs.select(col(idCol).as("doc_id"),
+      nw.as("n_words"), mwl.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"), alphaFrac.as("alpha_word_frac"),
+      nReq.as("n_required_words"),
+      (nw >= minWords && nw <= maxWords &&
+        mwl >= 3.0 && mwl <= 10.0 &&
+        symbolRatio <= 0.1 &&
+        bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+        alphaFrac >= 0.8 && nReq >= 2).as("keep"))
+  }
+
   /** (gram, n) of the most frequent word n-gram: sort the gram array, then
     * one run-length fold — a pure row-local expression, zero shuffle (the
     * explode+groupBy alternative would shuffle every gram of every doc on

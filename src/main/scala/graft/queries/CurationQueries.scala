@@ -261,6 +261,49 @@ object CurationQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- Gopher document-quality rules: both engines build the same
+    // deterministic multi-line augmentation (bullet lines on %4, ellipsis
+    // ending on %6, hash noise on %9) so every rule's signal varies, then
+    // compute word/line/symbol stats and the composite keep decision with
+    // identical arithmetic. All row-local.
+    Q("q74_gopher_quality",
+      Some("WITH a AS (SELECT doc_id, text || chr(10) || " +
+        "(CASE WHEN doc_id % 4 = 0 THEN '• bullet item one' || chr(10) || '• bullet item two' " +
+        "ELSE 'a plain continuation line here.' END) || chr(10) || " +
+        "(CASE WHEN doc_id % 6 = 0 THEN 'to be continued ...' ELSE 'final closing line.' END) || chr(10) || " +
+        "(CASE WHEN doc_id % 9 = 0 THEN '### heading ## tags #' ELSE 'regular words only' END) AS aug " +
+        "FROM documents), " +
+        "m AS (SELECT doc_id, aug, " +
+        "list_filter(regexp_split_to_array(trim(lower(aug)), '\\s+'), x -> x != '') AS toks, " +
+        "string_split(aug, chr(10)) AS lines FROM a), " +
+        "s AS (SELECT doc_id, len(toks) AS n_words, " +
+        "round(CAST(length(regexp_replace(trim(aug), '\\s+', '', 'g')) AS DOUBLE) / len(toks), 6) AS mean_word_len, " +
+        "round(((length(aug) - length(replace(aug, '#', ''))) + " +
+        "(length(aug) - length(replace(aug, '...', ''))) / 3) / len(toks), 6) AS symbol_ratio, " +
+        "round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lines), 6) AS bullet_line_frac, " +
+        "round(CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE) / len(lines), 6) AS ellipsis_line_frac, " +
+        "round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks), 6) AS alpha_word_frac, " +
+        "len(list_intersect(list_distinct(toks), ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS n_required_words " +
+        "FROM m) " +
+        "SELECT *, (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 " +
+        "AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3 " +
+        "AND alpha_word_frac >= 0.8 AND n_required_words >= 2) AS keep " +
+        "FROM s ORDER BY doc_id"),
+      (s, dir) => {
+        val aug = concat_ws("\n",
+          col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit("• bullet item one\n• bullet item two"))
+            .otherwise(lit("a plain continuation line here.")),
+          when(pmod(col("doc_id"), lit(6)) === 0, lit("to be continued ..."))
+            .otherwise(lit("final closing line.")),
+          when(pmod(col("doc_id"), lit(9)) === 0, lit("### heading ## tags #"))
+            .otherwise(lit("regular words only")))
+        Curation.gopherQuality(
+          Tables.documents(s, dir).withColumn("aug", aug), "doc_id", "aug")
+          .orderBy("doc_id")
+      }),
+
     // ---- URL decomposition (scheme/host/registered domain/path): both
     // engines build the same deterministic URL mix — www hosts, co.uk
     // two-level suffix with userinfo + port, bare two-label hosts, IPv4

@@ -726,6 +726,28 @@ class PipelineSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "b", 4L, 0.5), (2, "a", 3L, 0.875)), got.mkString(","))
   }
 
+  test("gopherQuality: each rule trips independently; composite keep") {
+    import graft.pipeline.Curation
+    val good = (("w" * 5 + " ") * 60) + "the and of that"  // 64 words, mwl 5ish
+    val docs = Seq(
+      (1L, good),                                        // passes all rules
+      (2L, "the of " + ("w " * 10)),                     // too few words
+      (3L, good + " ##### ### ## # " + ("#### " * 10)),  // symbol ratio
+      (4L, ("• x\n" * 9) + "the and of plain tail line"), // bullet lines
+      (5L, ("12345 " * 60) + "the and")                  // alpha fraction
+    ).toDF("doc_id", "text")
+    val got = Curation.gopherQuality(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(8))).toMap
+    assert(got(1L), "good doc must pass")
+    assert(!got(2L) && !got(3L) && !got(4L) && !got(5L),
+      s"rule-tripping docs must fail: $got")
+    // empty text: zero words, guarded divisions, keep = false
+    val empty = Curation.gopherQuality(Seq((9L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(empty.getInt(1) == 0 && !empty.getBoolean(8))
+  }
+
   test("corpusDelta classifies added/removed/changed/unchanged on fingerprints") {
     import graft.pipeline.Curation
     val cur = Seq((1L, "alpha text"), (2L, "beta text"), (4L, "new doc")).toDF("id", "t")
