@@ -64,6 +64,43 @@ object Web {
       .otherwise(last2)
   }
 
+  /** Query-parameter names stripped by [[normalizeUrl]]: click/campaign
+    * trackers that make byte-distinct URLs of the same page. `utm_` is a
+    * prefix; the rest match exactly. */
+  val TrackingParamRe = "^(utm_[^=]*|gclid|fbclid|ref)(=|$)"
+
+  /** Canonical URL for crawl dedup — the same page fetched through
+    * campaign links, fragments, default ports, userinfo, or re-ordered
+    * query strings must normalize to ONE key:
+    *
+    *   - scheme + host lowercased; userinfo dropped
+    *   - default ports dropped (http:80, https:443); others kept
+    *   - fragment dropped; trailing path slashes dropped (root becomes "")
+    *   - tracking params dropped ([[TrackingParamRe]]); survivors SORTED
+    *
+    * Pure row-local expression; non-URL values (no scheme) pass through
+    * trimmed, so the column is total. Feed the result to
+    * [[Dedup.exactDedup]] (or a groupBy) for canonical-URL dedup. */
+  def normalizeUrl(u: Column): Column = {
+    val scheme = urlScheme(u)
+    val host = urlHost(u)
+    val port = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:(\\d+)", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val path = regexp_replace(urlPath(u), "/+$", "")
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe)))
+    val qs = concat_ws("&", params)
+    when(scheme === "", trim(u)).otherwise(concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(qs =!= "", concat(lit("?"), qs)).otherwise(lit(""))))
+  }
+
   /** (scheme, host, registered_domain, path) attached as columns — the
     * standard prelude to per-domain capping/rating ([[Curation.capPerGroup]]
     * on `registered_domain`). */

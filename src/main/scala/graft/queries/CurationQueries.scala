@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -354,6 +355,47 @@ object CurationQueries {
           .select(col("doc_id"), col("scheme"), col("host"),
             col("registered_domain"), col("path"))
           .orderBy("doc_id")
+      }),
+
+    // ---- canonical-URL dedup: the same page reached via campaign links,
+    // fragments, default ports, userinfo, and re-ordered query strings
+    // collapses to ONE canonical key. Both engines build two byte-distinct
+    // variants per doc (plus one genuinely unique URL) and must agree on
+    // the canonical form, the variant count, and the keeper id.
+    Q("q75_url_dedup", {
+      val scheme = "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+      val host = "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))"
+      val port = "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:(\\d+)', 1)"
+      val path = "regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '/+$', '')"
+      val qs = "array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'), " +
+        "p -> p != '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))), '&')"
+      Some("WITH v AS (" +
+        "SELECT doc_id, 'https://WWW.' || source || '.example.com:443/page/' || doc_id || '/?utm_source=x&b=2&a=1#top' AS url FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, 'https://user@www.' || source || '.example.com/page/' || doc_id || '?a=1&b=2&fbclid=zzz' FROM documents " +
+        "UNION ALL SELECT doc_id + 2000000, 'http://' || source || '.net/item?id=' || doc_id FROM documents), " +
+        s"c AS (SELECT doc_id, $scheme AS scheme, $host AS host, $port AS port, $path AS path, $qs AS qs FROM v), " +
+        "n AS (SELECT doc_id, scheme || '://' || host || " +
+        "(CASE WHEN port != '' AND NOT (scheme = 'http' AND port = '80') AND NOT (scheme = 'https' AND port = '443') THEN ':' || port ELSE '' END) " +
+        "|| path || (CASE WHEN qs != '' THEN '?' || qs ELSE '' END) AS canonical FROM c) " +
+        "SELECT canonical, count(*) AS n_variants, min(doc_id) AS keep_id " +
+        "FROM n GROUP BY canonical ORDER BY keep_id")
+    },
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        def v(shift: Long, url: Column) =
+          base.select((col("doc_id") + lit(shift)).as("doc_id"), url.as("url"))
+        val variants =
+          v(0L, concat(lit("https://WWW."), col("source"),
+            lit(".example.com:443/page/"), col("doc_id"),
+            lit("/?utm_source=x&b=2&a=1#top"))).union(
+          v(1000000L, concat(lit("https://user@www."), col("source"),
+            lit(".example.com/page/"), col("doc_id"),
+            lit("?a=1&b=2&fbclid=zzz")))).union(
+          v(2000000L, concat(lit("http://"), col("source"),
+            lit(".net/item?id="), col("doc_id"))))
+        variants.groupBy(Web.normalizeUrl(col("url")).as("canonical"))
+          .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keep_id"))
+          .orderBy("keep_id")
       }),
 
     // ---- incremental corpus delta: previous snapshot = current minus the

@@ -13,8 +13,15 @@ final case class Q(
     build: (SparkSession, String) => DataFrame)
 
 object Registry {
-  lazy val all: Seq[Q] = Relational.qs ++ TypeQueries.qs ++ TextQueries.qs ++
-    CurationQueries.qs ++ SimilarityQueries.qs ++ StreamQueries.qs
+  lazy val all: Seq[Q] = {
+    val qs = Relational.qs ++ TypeQueries.qs ++ TextQueries.qs ++
+      CurationQueries.qs ++ SimilarityQueries.qs ++ StreamQueries.qs
+    // a duplicate name would silently shadow a query in the toMap below and
+    // the driver's gate would "pass" while never running the shadowed one
+    val dup = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query names: ${dup.mkString(", ")}")
+    qs
+  }
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -718,6 +718,23 @@ class PipelineSpec extends SparkSpec {
     assert(got(5) == (("", "", "", "")), s"non-URL must yield empty parts: ${got(5)}")
   }
 
+  test("normalizeUrl: variants of one page share a canonical key; distinct pages don't") {
+    import graft.pipeline.Web
+    val urls = Seq(
+      "https://WWW.Example.com:443/page/7/?utm_source=x&b=2&a=1#top",
+      "https://user:pw@www.example.com/page/7?a=1&b=2&fbclid=zzz",
+      "http://example.com:8080/page/7?a=1",   // non-default port survives
+      "http://example.com:80/page/7?a=1",     // default port dropped
+      "plain text not a url  ").toDF("url")
+    val got = Web.withUrlParts(urls, "url")  // exercises coexistence
+      .select(Web.normalizeUrl(col("url")).as("c")).as[String].collect()
+    assert(got(0) == "https://www.example.com/page/7?a=1&b=2")
+    assert(got(0) == got(1), s"${got(0)} vs ${got(1)}")
+    assert(got(2) == "http://example.com:8080/page/7?a=1")
+    assert(got(3) == "http://example.com/page/7?a=1")
+    assert(got(4) == "plain text not a url", "non-URL must pass through trimmed")
+  }
+
   test("vocabulary: deterministic ranking, exact coverage fractions, empty-token guard") {
     val docs = Seq("b b b a a c", "a  b", "   ").toDF("text")
     // counts: a=3, b=4, c=1; total occurrences = 8; blank doc contributes 0

@@ -92,8 +92,18 @@ class PlanSpec extends SparkSpec {
       s"corpus-side shuffle join planned for contamination:\n$p")
   }
 
+  test("q73: the delta join carries fingerprints only — text never crosses the exchange") {
+    val p = optimizedOf(Registry.queries("q73_corpus_delta")(spark, sf0001))
+    val joinIdx = p.linesIterator.indexWhere(_.contains("Join FullOuter"))
+    assert(joinIdx >= 0, s"expected the full-outer delta join in:\n$p")
+    val below = p.linesIterator.drop(joinIdx).mkString("\n")
+    assert(!below.split("\n").exists(l => l.contains("Join") && l.contains("text#")),
+      s"text column reached the delta join:\n$p")
+  }
+
   test("q58/q61 are row-local: only the oracle-determinism sort exchanges") {
-    for (q <- Seq("q58_chunk", "q61_char_entropy")) {
+    for (q <- Seq("q58_chunk", "q61_char_entropy", "q71_url_parts",
+        "q74_gopher_quality")) {
       val p = planOf(q)
       val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
       assert(ex.forall(l => l.contains("rangepartitioning") || l.contains("Reused")),
