@@ -218,6 +218,21 @@ object TextAnalysis {
       .filter(col(valueCol) >= col(thresholdCol))
   }
 
+  /** Sentences of a text column: split on terminal punctuation runs
+    * followed by whitespace, trailing punctuation trimmed, blanks dropped.
+    * Deliberately RE2-compatible (no lookbehind — the pattern that would
+    * keep the punctuation attached needs one), so the DuckDB oracle splits
+    * identically; the terminal mark is normalized away on BOTH sides,
+    * which is what sentence-level dedup wants anyway (same sentence, "!"
+    * vs "." — one identity). Row-local.
+    *
+    * CCNet-style sentence-level corpus dedup is the composition: explode
+    * these, hash, count across the corpus, strip frequent ones — exactly
+    * [[Curation.dedupLines]] with sentences in place of lines. */
+  def sentences(c: Column): Column =
+    filter(transform(split(c, "[.!?]+\\s+"),
+      s => trim(regexp_replace(s, "[.!?]+\\s*$", ""))), s => s =!= "")
+
   /** Corpus vocabulary with coverage: the `topV` most frequent lowercased
     * whitespace tokens, each with its count and the CUMULATIVE fraction of
     * all corpus token occurrences covered through that rank — the curve a

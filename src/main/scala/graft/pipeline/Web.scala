@@ -101,6 +101,26 @@ object Web {
       when(qs =!= "", concat(lit("?"), qs)).otherwise(lit(""))))
   }
 
+  /** Visible text of an HTML fragment: script/style blocks dropped, tags
+    * stripped, the six ubiquitous entities decoded, whitespace collapsed.
+    * A text-extraction PRIMITIVE (boilerplate-aware extraction is a model,
+    * not a regex — this is the deterministic first pass), RE2-compatible
+    * throughout: no backreferences (script/style each get their own
+    * pattern), no lookaround, lazy quantifiers only — so the DuckDB oracle
+    * runs the identical patterns. Entity order is part of the contract:
+    * `&amp;` decodes LAST, so double-encoded entities (`&amp;lt;`) decode
+    * exactly one level per pass, the standard single-pass rule. */
+  def stripTags(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** (scheme, host, registered_domain, path) attached as columns — the
     * standard prelude to per-domain capping/rating ([[Curation.capPerGroup]]
     * on `registered_domain`). */

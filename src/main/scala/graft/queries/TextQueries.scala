@@ -117,6 +117,74 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- HTML text extraction: both engines wrap the document text in the
+    // same deterministic HTML (title/style/script/comment blocks, entities,
+    // nested tags) and must strip to the identical visible text. Script and
+    // style CONTENT must vanish (not just the tags); entities decode once,
+    // &amp; last. All row-local regexp/replace chains.
+    Q("q76_html_strip",
+      Some("WITH a AS (SELECT doc_id, " +
+        "'<html><head><title>Doc ' || doc_id || '</title><style>p { color: red; }</style></head>' || " +
+        "'<body><!-- nav bar --><h1>Heading ' || doc_id || '</h1><p>' || " +
+        s"array_to_string(($ltokensSql)[1:15], ' ') || ' &amp; more &lt;tags&gt;</p>' || " +
+        "'<script>var x = 1; if (x < 2) { x = x + 1; }</script>' || " +
+        s"'<p>tail&nbsp;of&nbsp;doc&#39;s &quot;text&quot;</p></body></html>' AS html FROM documents), " +
+        "s AS (SELECT doc_id, trim(regexp_replace(" +
+        "replace(replace(replace(replace(replace(replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, " +
+        "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
+        "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), " +
+        "'(?s)<!--.*?-->', ' ', 'g'), " +
+        "'<[^>]+>', ' ', 'g'), " +
+        "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+        "'&#39;', chr(39)), '&amp;', '&'), " +
+        "'\\s+', ' ', 'g')) AS clean FROM a) " +
+        "SELECT doc_id, clean, len(regexp_split_to_array(clean, '\\s+')) AS n_tokens " +
+        "FROM s ORDER BY doc_id"),
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title><style>p { color: red; }</style></head>"),
+          lit("<body><!-- nav bar --><h1>Heading "), col("doc_id"), lit("</h1><p>"),
+          concat_ws(" ", slice(TA.tokens(lower(col("text"))), 1, 15)),
+          lit(" &amp; more &lt;tags&gt;</p>"),
+          lit("<script>var x = 1; if (x < 2) { x = x + 1; }</script>"),
+          lit("<p>tail&nbsp;of&nbsp;doc&#39;s &quot;text&quot;</p></body></html>"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), graft.pipeline.Web.stripTags(html).as("clean"))
+          .withColumn("n_tokens", size(split(col("clean"), "\\s+")))
+          .orderBy("doc_id")
+      }),
+
+    // ---- sentence segmentation (CCNet sentence-dedup prerequisite): both
+    // engines build the same multi-sentence paragraph (periods, bangs,
+    // questions, an ellipsis), split with the identical RE2 pattern, strip
+    // terminal punctuation, and explode with ordinals.
+    Q("q77_sentences",
+      Some("WITH a AS (SELECT doc_id, " +
+        s"coalesce(array_to_string(($ltokensSql)[1:8], ' '), '') || '. ' || " +
+        s"coalesce(array_to_string(($ltokensSql)[9:14], ' '), '') || '! Is this rule ' || doc_id % 7 || '? ' || " +
+        s"coalesce(array_to_string(($ltokensSql)[15:20], ' '), '') || '... The very end.' AS para FROM documents), " +
+        "l AS (SELECT doc_id, list_filter(list_transform(" +
+        "regexp_split_to_array(para, '[.!?]+\\s+'), " +
+        "x -> trim(regexp_replace(x, '[.!?]+\\s*$', ''))), x -> x != '') AS ss FROM a), " +
+        "u AS (SELECT doc_id, unnest(range(len(ss))) AS sentence_id, unnest(ss) AS sentence FROM l) " +
+        "SELECT doc_id, sentence_id, sentence, " +
+        "len(regexp_split_to_array(trim(sentence), '\\s+')) AS n_tokens " +
+        "FROM u ORDER BY doc_id, sentence_id"),
+      (s, dir) => {
+        val toks = TA.tokens(lower(col("text")))
+        val para = concat(
+          concat_ws(" ", slice(toks, 1, 8)), lit(". "),
+          concat_ws(" ", slice(toks, 9, 6)), lit("! Is this rule "),
+          pmod(col("doc_id"), lit(7)), lit("? "),
+          concat_ws(" ", slice(toks, 15, 6)), lit("... The very end."))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(TA.sentences(para)).as(Seq("sentence_id", "sentence")))
+          .withColumn("n_tokens", size(split(trim(col("sentence")), "\\s+")))
+          .orderBy("doc_id", "sentence_id")
+      }),
+
     // ---- vocabulary with coverage (tokenizer-prep): top-100 tokens by
     // corpus frequency with the cumulative occurrence fraction per rank.
     // One token-keyed combinable aggregate; TakeOrdered cutoff; the rank

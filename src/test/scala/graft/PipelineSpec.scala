@@ -735,6 +735,25 @@ class PipelineSpec extends SparkSpec {
     assert(got(4) == "plain text not a url", "non-URL must pass through trimmed")
   }
 
+  test("stripTags: script/style/comment content vanishes; entities decode once; whitespace collapses") {
+    import graft.pipeline.Web
+    val html = """<html><head><style>p { hidden: 1; }</style></head><body>
+      |<!-- secret comment --><h1>Title</h1>
+      |<script>var hidden = "secret";</script>
+      |<p>A &amp;&amp; B &lt;ok&gt;,&nbsp;&quot;q&quot; &#39;s &amp;lt;</p></body></html>""".stripMargin
+    val got = Seq(html).toDF("h").select(Web.stripTags(col("h"))).as[String].collect().head
+    assert(got == """Title A && B <ok>, "q" 's &lt;""", s"got: $got")
+    assert(!got.contains("hidden") && !got.contains("secret"))
+  }
+
+  test("sentences: terminal runs split, punctuation normalized away, blanks dropped") {
+    val got = Seq("One two. Three four!   Five?! Six... Seven the end.")
+      .toDF("t").select(TA.sentences(col("t"))).as[Seq[String]].collect().head
+    assert(got == Seq("One two", "Three four", "Five", "Six", "Seven the end"), got.toString)
+    val empty = Seq("").toDF("t").select(TA.sentences(col("t"))).as[Seq[String]].collect().head
+    assert(empty.isEmpty)
+  }
+
   test("vocabulary: deterministic ranking, exact coverage fractions, empty-token guard") {
     val docs = Seq("b b b a a c", "a  b", "   ").toDF("text")
     // counts: a=3, b=4, c=1; total occurrences = 8; blank doc contributes 0
