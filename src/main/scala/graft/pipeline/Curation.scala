@@ -480,39 +480,52 @@ object Curation {
     * Both paths are exact and emit identical rows (spec-pinned at the
     * forced threshold; PlanSpec pins each path's join shape). */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
-                 maxDocs: Int, broadcastLimit: Long = 65536): DataFrame = {
+                 maxDocs: Int, broadcastLimit: Long = 65536): DataFrame =
+    dedupSegments(docs, idCol, textCol, c => split(c, "\n"),
+      maxDocs, broadcastLimit)
+      .withColumnRenamed("n_segments", "n_lines")
+
+  /** [[dedupLines]] generalized to ANY row-local segmenter — pass
+    * [[TextAnalysis.sentences]] for CCNet-style sentence-level corpus
+    * dedup, or a custom splitter (paragraphs, code blocks). Same two strip
+    * paths, same exactness; returns (doc_id, n_segments, n_removed,
+    * cleaned_hash) where cleaned_hash is the md5 of the surviving
+    * segments joined with newlines, in order. */
+  def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
+                    segmenter: Column => Column, maxDocs: Int,
+                    broadcastLimit: Long = 65536): DataFrame = {
     require(maxDocs > 0)
-    val lines = split(col(textCol), "\n")
+    val segs = segmenter(col(textCol))
     val boilerHashes = docs
-      .select(explode(array_distinct(lines)).as("line"))
-      .groupBy(md5(col("line")).as("lh")).agg(count(lit(1)).as("nd"))
+      .select(explode(array_distinct(segs)).as("seg"))
+      .groupBy(md5(col("seg")).as("lh")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") > maxDocs)
       .select("lh")
       .persist()
     val nBoiler = boilerHashes.count()
     if (nBoiler <= broadcastLimit) {
       val boiler = boilerHashes.agg(collect_set(col("lh")).as("__boiler"))
-      val kept = filter(lines, l => !array_contains(col("__boiler"), md5(l)))
+      val kept = filter(segs, l => !array_contains(col("__boiler"), md5(l)))
       docs.crossJoin(broadcast(boiler))
         .select(col(idCol).as("doc_id"),
-          size(lines).as("n_lines"),
-          (size(lines) - size(kept)).as("n_removed"),
+          size(segs).as("n_segments"),
+          (size(segs) - size(kept)).as("n_removed"),
           md5(concat_ws("\n", kept)).as("cleaned_hash"))
     } else {
       val exploded = docs
-        .select(col(idCol).as("doc_id"), posexplode(lines).as(Seq("pos", "line")))
-        .withColumn("lh", md5(col("line")))
+        .select(col(idCol).as("doc_id"), posexplode(segs).as(Seq("pos", "seg")))
+        .withColumn("lh", md5(col("seg")))
       val keptAgg = exploded.join(boilerHashes, Seq("lh"), "left_anti")
         .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("pos"), col("line")))).as("__ks"))
-      // docs whose every line was boilerplate vanish from the groupBy —
+        .agg(sort_array(collect_list(struct(col("pos"), col("seg")))).as("__ks"))
+      // docs whose every segment was boilerplate vanish from the groupBy —
       // the left join from the per-doc base keeps them, with zero survivors
-      docs.select(col(idCol).as("doc_id"), size(lines).as("n_lines"))
+      docs.select(col(idCol).as("doc_id"), size(segs).as("n_segments"))
         .join(keptAgg, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_lines"),
-          (col("n_lines") - coalesce(size(col("__ks")), lit(0))).as("n_removed"),
+        .select(col("doc_id"), col("n_segments"),
+          (col("n_segments") - coalesce(size(col("__ks")), lit(0))).as("n_removed"),
           md5(coalesce(concat_ws("\n",
-            transform(col("__ks"), s => s.getField("line"))), lit("")))
+            transform(col("__ks"), s => s.getField("seg"))), lit("")))
             .as("cleaned_hash"))
     }
   }

@@ -262,6 +262,40 @@ object CurationQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- CCNet-style sentence-level corpus dedup: dedupSegments with the
+    // q77 sentence splitter. Both engines build 4-sentence paragraphs where
+    // a global subscribe prompt (500 docs) and a per-source copyright
+    // (~25 docs each) clear maxDocs=10 and must be stripped from every
+    // document; the two content sentences stay.
+    Q("q78_sentence_dedup",
+      Some(s"WITH a AS (SELECT doc_id, source, $ltokensSql AS toks FROM documents), " +
+        "b AS (SELECT doc_id, coalesce(array_to_string(toks[1:8], ' '), '') || '. ' || " +
+        "'Subscribe to our newsletter today! ' || " +
+        "'Copyright 2024 ' || source || ' all rights reserved. ' || " +
+        "coalesce(array_to_string(toks[9:16], ' '), '') || '.' AS para FROM a), " +
+        "l AS (SELECT doc_id, list_filter(list_transform(" +
+        "regexp_split_to_array(para, '[.!?]+\\s+'), " +
+        "x -> trim(regexp_replace(x, '[.!?]+\\s*$', ''))), x -> x != '') AS ss FROM b), " +
+        "e AS (SELECT doc_id, unnest(list_distinct(ss)) AS seg FROM l), " +
+        "freq AS (SELECT md5(seg) AS lh, count(*) AS nd FROM e GROUP BY 1), " +
+        "boiler AS (SELECT lh FROM freq WHERE nd > 10), " +
+        "bl AS (SELECT coalesce(list(lh), []) AS blist FROM boiler), " +
+        "k AS (SELECT doc_id, ss, list_filter(ss, x -> NOT list_contains(bl.blist, md5(x))) AS kept FROM l, bl) " +
+        "SELECT doc_id, len(ss) AS n_segments, len(ss) - len(kept) AS n_removed, " +
+        "md5(array_to_string(kept, chr(10))) AS cleaned_hash FROM k ORDER BY doc_id"),
+      (s, dir) => {
+        val toks = TA.tokens(lower(col("text")))
+        val para = concat(
+          concat_ws(" ", slice(toks, 1, 8)), lit(". "),
+          lit("Subscribe to our newsletter today! "),
+          lit("Copyright 2024 "), col("source"), lit(" all rights reserved. "),
+          concat_ws(" ", slice(toks, 9, 8)), lit("."))
+        Curation.dedupSegments(
+          Tables.documents(s, dir).withColumn("para", para), "doc_id", "para",
+          TA.sentences, maxDocs = 10)
+          .orderBy("doc_id")
+      }),
+
     // ---- Gopher document-quality rules: both engines build the same
     // deterministic multi-line augmentation (bullet lines on %4, ellipsis
     // ending on %6, hash noise on %9) so every rule's signal varies, then
