@@ -241,20 +241,23 @@ object TextAnalysis {
     * ASC, both in the top-V cutoff and in the rank window.
     *
     * 100 TB shape: the token count is one map-side-combinable aggregate
-    * (the only full-corpus shuffle, keyed on the token); the corpus-total
-    * denominator is a row-local size() sum that never touches the vocab
-    * relation; the top-V cutoff is TakeOrdered (no global sort); and the
-    * cumulative window runs over EXACTLY topV rows — a bounded parameter,
-    * so its single partition is by construction small, never vocab-sized. */
+    * (the only full-corpus shuffle, keyed on the token) and the corpus
+    * scans ONCE — the total-occurrence denominator aggregates the same
+    * count relation, so Catalyst reuses the token-keyed exchange instead
+    * of re-scanning the corpus (an earlier row-local `sum(size(tokens))`
+    * total was semantically identical but cost a second full scan); the
+    * top-V cutoff is TakeOrdered (no global sort); and the cumulative
+    * window runs over EXACTLY topV rows — a bounded parameter, so its
+    * single partition is by construction small, never vocab-sized. */
   def vocabulary(docs: DataFrame, textCol: String, topV: Int,
                  minCount: Long = 1L): DataFrame = {
     require(topV > 0 && minCount >= 1)
     val toks = filter(tokens(lower(col(textCol))), t => t =!= "")
     val counts = docs.select(explode(toks).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minCount)
-    val total = docs.agg(sum(size(toks)).as("__total"))
-    val top = counts.orderBy(col("n").desc, col("token").asc).limit(topV)
+    val total = counts.agg(sum(col("n")).as("__total"))
+    val top = counts.filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("token").asc).limit(topV)
     val w = Window.orderBy(col("n").desc, col("token").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     top.crossJoin(broadcast(total))

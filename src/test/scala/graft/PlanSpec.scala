@@ -92,6 +92,17 @@ class PlanSpec extends SparkSpec {
       s"corpus-side shuffle join planned for contamination:\n$p")
   }
 
+  test("q72: the total-tokens denominator reuses the token-count exchange (one corpus scan)") {
+    // the total aggregates the SAME count relation as the top-V path, so
+    // AQE must reuse the token-keyed exchange instead of re-scanning the
+    // corpus; assert on the executed plan (reuse materializes at runtime)
+    val df = Registry.queries("q72_vocabulary")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"expected the token-count exchange to be reused by the total:\n$p")
+  }
+
   test("q73: the delta join carries fingerprints only — text never crosses the exchange") {
     val p = optimizedOf(Registry.queries("q73_corpus_delta")(spark, sf0001))
     val joinIdx = p.linesIterator.indexWhere(_.contains("Join FullOuter"))
