@@ -179,6 +179,34 @@ object Curation {
     }, acc => struct(acc.getField("best").as("gram"), acc.getField("bestn").as("n")))
   }
 
+  /** Fraction of the normalized text's characters covered by ALL n-grams
+    * occurring more than once (Gopher's "duplicate n-gram character
+    * fraction", the n=5..10 companion of [[topNgram]]'s top-gram rule):
+    * Σ over duplicated grams of count·len(gram), over the normalized
+    * length. Same overlap convention as [[topNgramCharFraction]] — each
+    * occurrence counts its full span, so degenerate docs can exceed 1.
+    * One sorted run-length fold, row-local, zero shuffle: the telescoping
+    * delta adds 2·len on a run's second member and len on each later one,
+    * so duplicated runs accumulate count·len without a second pass.
+    * Empty text scores 0. */
+  def dupNgramCharFraction(text: Column, n: Int): Column = {
+    val sorted = array_sort(ngramsAll(text, n))
+    val dupChars = aggregate(sorted,
+      struct(lit("").as("cur"), lit(0L).as("m"), lit(0L).as("acc")),
+      (st, g) => {
+        val m = when(g === st.getField("cur"), st.getField("m") + 1L)
+          .otherwise(lit(1L))
+        val delta = when(m === 2L, lit(2L) * length(g))
+          .when(m > 2L, length(g).cast("long"))
+          .otherwise(lit(0L))
+        struct(g.as("cur"), m.as("m"), (st.getField("acc") + delta).as("acc"))
+      },
+      st => st.getField("acc"))
+    val normLen = length(regexp_replace(lower(trim(text)), "\\s+", " "))
+    when(normLen > 0, round(dupChars.cast("double") / normLen, 6))
+      .otherwise(lit(0.0))
+  }
+
   /** Fraction of the normalized text's characters covered by occurrences of
     * the most frequent n-gram (Gopher's "top n-gram character fraction";
     * overlapping occurrences can push it past 1 for degenerate docs).

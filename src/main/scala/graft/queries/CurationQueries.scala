@@ -262,6 +262,37 @@ object CurationQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- Gopher duplicate-n-gram character fractions (the all-duplicates
+    // companion of q54's top-gram rule): both engines append the same
+    // planted repetition to every third doc and must agree on the char
+    // fraction covered by 2-gram and 5-gram duplicates. Row-local sorted
+    // run-length folds — zero shuffle.
+    Q("q79_dup_ngrams", {
+      def dupSql(n: Int) =
+        s"(SELECT doc_id, coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) END), 0) AS dup " +
+          s"FROM (SELECT doc_id, gram, count(*) AS cnt FROM " +
+          s"(SELECT doc_id, unnest(grams) AS gram FROM (SELECT doc_id, ${ngramsAllSql(n)} AS grams FROM a) ig) ug " +
+          "GROUP BY 1, 2) cg GROUP BY 1)"
+      Some("WITH a AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 " +
+        "THEN ' the quick fox jumps over the quick fox jumps over the quick fox jumps over' " +
+        "ELSE ' plain tail words here' END AS text FROM documents) " +
+        s"SELECT a.doc_id, round(CAST(d2.dup AS DOUBLE) / length($normSql), 6) AS dup2_frac, " +
+        s"round(CAST(d5.dup AS DOUBLE) / length($normSql), 6) AS dup5_frac " +
+        s"FROM a JOIN ${dupSql(2)} d2 ON a.doc_id = d2.doc_id " +
+        s"JOIN ${dupSql(5)} d5 ON a.doc_id = d5.doc_id ORDER BY a.doc_id")
+    },
+      (s, dir) => {
+        val aug = concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit(" the quick fox jumps over the quick fox jumps over the quick fox jumps over"))
+            .otherwise(lit(" plain tail words here")))
+        Tables.documents(s, dir).withColumn("aug", aug)
+          .select(col("doc_id"),
+            Curation.dupNgramCharFraction(col("aug"), 2).as("dup2_frac"),
+            Curation.dupNgramCharFraction(col("aug"), 5).as("dup5_frac"))
+          .orderBy("doc_id")
+      }),
+
     // ---- CCNet-style sentence-level corpus dedup: dedupSegments with the
     // q77 sentence splitter. Both engines build 4-sentence paragraphs where
     // a global subscribe prompt (500 docs) and a per-source copyright

@@ -762,6 +762,16 @@ class PipelineSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "b", 4L, 0.5), (2, "a", 3L, 0.875)), got.mkString(","))
   }
 
+  test("dupNgramCharFraction: count*len over duplicated grams; overlap convention can exceed 1") {
+    import graft.pipeline.Curation
+    // bigrams of "a b a b a b": "a b"x3 + "b a"x2 -> dup chars 3*3 + 2*3 = 15
+    // over normalized length 11 = 1.363636
+    val got = Seq("a b a b a b", "all unique words here now")
+      .toDF("t").select(Curation.dupNgramCharFraction(col("t"), 2)).as[Double].collect()
+    assert(got(0) == 1.363636, got(0).toString)
+    assert(got(1) == 0.0)
+  }
+
   test("gopherQuality: each rule trips independently; composite keep") {
     import graft.pipeline.Curation
     val good = (("w" * 5 + " ") * 60) + "the and of that"  // 64 words, mwl 5ish
