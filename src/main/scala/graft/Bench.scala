@@ -36,14 +36,19 @@ object Bench {
     warmup("media fixture")(
       graft.pipeline.MediaFixtures.materializedMediaTable(spark, sfDir).count())
 
+    // a failing query reports -1 (and logs) instead of a normal-looking
+    // wall time — a silently broken query must not read as a fast one
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case t: Throwable =>
+          System.err.println(s"query '$name' failed: $t"); -1.0 }
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // total sums SUCCESSFUL queries only; failures are visible as -1 entries
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -289,16 +289,22 @@ object Ops {
     *
     * Within-batch tie rule: if ONE input carries the same key at the same
     * version more than once, the window's final ordering key — a 64-bit
-    * hash of the whole row — picks the survivor deterministically (byte-
-    * identical duplicate rows tie harmlessly: every candidate is the same
-    * row). Without it, row_number would break such ties in partition-
-    * arrival order and the survivor could change run to run. */
+    * hash of the whole row rendered as JSON with nulls kept — picks the
+    * survivor deterministically (byte-identical duplicate rows tie
+    * harmlessly: every candidate is the same row). The JSON render is
+    * load-bearing: hashing the columns directly would let xxhash64 SKIP
+    * null inputs (seed passthrough), making (NULL, "x") and ("x", NULL)
+    * collide and the survivor arrival-order-dependent again. Without any
+    * tiebreak, row_number breaks such ties in partition-arrival order and
+    * the survivor could change run to run. */
   def upsert(base: DataFrame, updates: DataFrame, key: String,
              versionCol: String): DataFrame = {
     val tagged = base.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)), allowMissingColumns = true)
-    val rowHash = xxhash64(tagged.columns.filterNot(_ == "__src")
-      .map(c => col(c)).toSeq: _*)
+    val rowJson = to_json(
+      struct(tagged.columns.filterNot(_ == "__src").map(c => col(c)).toSeq: _*),
+      java.util.Map.of("ignoreNullFields", "false"))
+    val rowHash = xxhash64(rowJson)
     val w = Window.partitionBy(col(key))
       .orderBy(col(versionCol).desc, col("__src").desc, rowHash.asc)
     tagged.withColumn("__rnk", row_number().over(w))

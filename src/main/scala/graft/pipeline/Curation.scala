@@ -518,7 +518,12 @@ object Curation {
     * dedup, or a custom splitter (paragraphs, code blocks). Same two strip
     * paths, same exactness; returns (doc_id, n_segments, n_removed,
     * cleaned_hash) where cleaned_hash is the md5 of the surviving
-    * segments joined with newlines, in order. */
+    * segments joined with newlines, in order.
+    *
+    * `idCol` must identify each document uniquely (one output row per
+    * input row); NULL ids are tolerated — the reassembly join is
+    * null-safe, so a null-id document keeps its own segments rather than
+    * losing all of them to a never-matching equi join. */
   def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
                     segmenter: Column => Column, maxDocs: Int,
                     broadcastLimit: Long = 65536): DataFrame = {
@@ -532,24 +537,36 @@ object Curation {
       .persist()
     val nBoiler = boilerHashes.count()
     if (nBoiler <= broadcastLimit) {
-      val boiler = boilerHashes.agg(collect_set(col("lh")).as("__boiler"))
-      val kept = filter(segs, l => !array_contains(col("__boiler"), md5(l)))
-      docs.crossJoin(broadcast(boiler))
-        .select(col(idCol).as("doc_id"),
-          size(segs).as("n_segments"),
-          (size(segs) - size(kept)).as("n_removed"),
-          md5(concat_ws("\n", kept)).as("cleaned_hash"))
+      // bounded driver collect (<= broadcastLimit 32-byte hashes, ~2 MB at
+      // the default cap — a documented bounded seam like the DetectTypes
+      // sample): the set ships as one plan literal, the strip is a pure
+      // row-local probe with NO join, and the cache is freed eagerly —
+      // repeated calls (benches, tests, batch pipelines) pin nothing
+      val arr = boilerHashes.collect().map(_.getString(0)).sorted.toSeq
+      boilerHashes.unpersist(false)
+      val kept = filter(segs, l => !array_contains(typedLit(arr), md5(l)))
+      docs.select(col(idCol).as("doc_id"),
+        size(segs).as("n_segments"),
+        (size(segs) - size(kept)).as("n_removed"),
+        md5(concat_ws("\n", kept)).as("cleaned_hash"))
     } else {
+      // web-scale path: the boiler relation stays persisted for the one
+      // lazy consumer below — 32 bytes/row of hash-only state, a
+      // deliberate trade against re-scanning the whole corpus; the cache
+      // lives until the session ends (this path is the once-per-corpus
+      // big job, not a loop body)
       val exploded = docs
         .select(col(idCol).as("doc_id"), posexplode(segs).as(Seq("pos", "seg")))
         .withColumn("lh", md5(col("seg")))
       val keptAgg = exploded.join(boilerHashes, Seq("lh"), "left_anti")
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("pos"), col("seg")))).as("__ks"))
+        .withColumnRenamed("doc_id", "__did")
       // docs whose every segment was boilerplate vanish from the groupBy —
-      // the left join from the per-doc base keeps them, with zero survivors
+      // the NULL-SAFE left join from the per-doc base keeps them (and
+      // null-id docs) with zero survivors
       docs.select(col(idCol).as("doc_id"), size(segs).as("n_segments"))
-        .join(keptAgg, Seq("doc_id"), "left")
+        .join(keptAgg, col("doc_id") <=> col("__did"), "left")
         .select(col("doc_id"), col("n_segments"),
           (col("n_segments") - coalesce(size(col("__ks")), lit(0))).as("n_removed"),
           md5(coalesce(concat_ws("\n",

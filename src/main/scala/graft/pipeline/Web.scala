@@ -90,7 +90,9 @@ object Web {
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")
     val path = regexp_replace(urlPath(u), "/+$", "")
-    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    // anchored to the pre-fragment region: a '?' INSIDE the fragment
+    // (#sec?a=1) is fragment content and must not leak into the key
+    val query = regexp_extract(u, "^[^#?]*\\?([^#]*)", 1)
     val params = array_sort(filter(split(query, "&"),
       p => p =!= "" && !p.rlike(TrackingParamRe)))
     val qs = concat_ws("&", params)

@@ -432,7 +432,7 @@ object CurationQueries {
       val host = "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))"
       val port = "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:(\\d+)', 1)"
       val path = "regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '/+$', '')"
-      val qs = "array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'), " +
+      val qs = "array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '^[^#?]*\\?([^#]*)', 1), '&'), " +
         "p -> p != '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))), '&')"
       Some("WITH v AS (" +
         "SELECT doc_id, 'https://WWW.' || source || '.example.com:443/page/' || doc_id || '/?utm_source=x&b=2&a=1#top' AS url FROM documents " +

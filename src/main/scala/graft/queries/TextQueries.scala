@@ -216,7 +216,7 @@ object TextQueries {
         "na AS (SELECT count(*) AS n_approx FROM sc, t WHERE quality >= qa) " +
         "SELECT ne.n_exact, round(t.q25, 6) AS threshold, " +
         "abs(t.qa - t.q25) <= greatest(0.10 * t.q25, 0.05) AS approx_thr_ok, " +
-        "abs(na.n_approx - ne.n_exact) <= greatest(CAST(0.10 * ne.n_exact AS BIGINT), 25) AS approx_n_ok " +
+        "abs(na.n_approx - ne.n_exact) <= greatest(CAST(floor(0.10 * ne.n_exact) AS BIGINT), 25) AS approx_n_ok " +
         "FROM ne, na, t"),
       (s, dir) => {
         val scored = Tables.documents(s, dir).select(col("doc_id"),
@@ -231,7 +231,7 @@ object TextQueries {
           (abs(col("__qa") - col("__q25")) <=
             greatest(lit(0.10) * col("__q25"), lit(0.05))).as("approx_thr_ok"),
           (abs(col("n_approx") - col("n_exact")) <=
-            greatest((lit(0.10) * col("n_exact")).cast("long"), lit(25L)))
+            greatest(floor(lit(0.10) * col("n_exact")).cast("long"), lit(25L)))
             .as("approx_n_ok"))
       }),
 

@@ -677,6 +677,24 @@ class PipelineSpec extends SparkSpec {
       broadcastPath(9).toString)
   }
 
+  test("dedupSegments: a NULL-id doc keeps its own segments on both strip paths") {
+    import graft.pipeline.Curation
+    // the anti-join path reassembles via a NULL-SAFE join — an equi join
+    // would never match the null key and report every segment removed
+    val docs = Seq(
+      (Some(1L), "unique one\nfooter"), (Some(2L), "unique two\nfooter"),
+      (Some(3L), "unique three\nfooter"), (None, "null doc line\nfooter"))
+      .toDF("doc_id", "text")
+    def rows(limit: Long) =
+      Curation.dedupLines(docs, "doc_id", "text", maxDocs = 2, broadcastLimit = limit)
+        .orderBy(col("doc_id").asc_nulls_first).collect()
+        .map(r => (Option(r.get(0)), r.getInt(1), r.getInt(2))).toSeq
+    val bc = rows(Long.MaxValue)
+    val aj = rows(-1L)
+    assert(bc == aj, s"paths diverge on null ids:\n$bc\n$aj")
+    assert(bc.head == ((None, 2, 1)), s"null-id doc must keep its unique line: ${bc.head}")
+  }
+
   test("cap/topK per group: a literal sentinel-looking group value is NOT the null group") {
     import graft.pipeline.Curation
     // a genuine group whose VALUE is " <null>" (or any other sentinel) must

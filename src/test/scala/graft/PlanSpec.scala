@@ -162,19 +162,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q63: boilerplate set broadcasts; lines shuffle once, as hashes") {
+  test("q63: the small-set strip is join-free — a literal probe, no shuffle but the sort") {
+    // below broadcastLimit the boiler hashes collect (bounded seam) and
+    // ship as ONE plan literal: the strip plan has no join of any kind and
+    // the only exchange is the oracle-determinism output sort
     val p = planOf("q63_line_dedup")
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"the one-row boilerplate array must broadcast:\n$p")
-    // every hash exchange (incl. the persisted boiler set's cached plan,
-    // which renders its own) must be keyed on the line md5 — rendered as
-    // `lh#` or the pre-alias `_groupingexpression#` — never on raw line or
-    // document text
-    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(hashEx.nonEmpty &&
-      hashEx.forall(l => l.contains("lh#") || l.contains("_groupingexpression#")) &&
-      hashEx.forall(l => !l.contains("line#") && !l.contains("aug#") && !l.contains("text#")),
-      s"non-line-hash exchange in:\n${hashEx.mkString("\n")}")
+    assert(!p.contains("Join"), s"small-set strip must not join:\n$p")
+    val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(ex.forall(l => l.contains("rangepartitioning") || l.contains("Reused")),
+      s"unexpected non-sort exchange in the strip plan:\n${ex.mkString("\n")}")
   }
 
   test("dedupLines above broadcastLimit: left-anti strip join, no single-row broadcast state") {
