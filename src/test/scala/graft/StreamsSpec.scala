@@ -120,6 +120,31 @@ class StreamsSpec extends SparkSpec {
       s"got $hits")
   }
 
+  test("streaming canonical-URL dedupe: variants of one page collapse in-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.Web
+    // the crawl-frontier use: URL variants arriving over time dedupe on the
+    // canonical key with watermark-bounded state — normalizeUrl is a pure
+    // projection, so the batch operator composes with dropDuplicates
+    // unchanged
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), "https://WWW.Example.com:443/page/7/?utm_source=x&b=2&a=1#top"),
+      (ts("2024-01-01 10:05:00"), "https://user@www.example.com/page/7?a=1&b=2&fbclid=z"),
+      (ts("2024-01-01 10:10:00"), "https://www.example.com/page/7?b=2&a=1"),
+      (ts("2024-01-01 10:15:00"), "https://www.example.com/other"))
+    val stream = mem.toDF().toDF("ts", "url")
+      .withColumn("canonical", Web.normalizeUrl(col("url")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("canonical")
+    val got = Streams.runToMemory(stream, "url_dedup", OutputMode.Append())
+    val canon = got.select("canonical").as[String].collect().sorted
+    assert(canon.toSeq == Seq(
+      "https://www.example.com/other",
+      "https://www.example.com/page/7?a=1&b=2"), canon.mkString(","))
+  }
+
   test("stateless curation ops run unchanged on a stream (pii/quality/boilerplate/chunks)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.pipeline.{Curation, TextAnalysis => TA}
