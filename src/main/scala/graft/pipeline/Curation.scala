@@ -520,10 +520,13 @@ object Curation {
     * cleaned_hash) where cleaned_hash is the md5 of the surviving
     * segments joined with newlines, in order.
     *
-    * `idCol` must identify each document uniquely (one output row per
-    * input row); NULL ids are tolerated — the reassembly join is
-    * null-safe, so a null-id document keeps its own segments rather than
-    * losing all of them to a never-matching equi join. */
+    * `idCol` must identify each document uniquely — one output row per
+    * input row, and uniqueness includes the null key: AT MOST ONE document
+    * may carry a NULL id (two null-id docs would merge in the reassembly
+    * aggregation like any other duplicate id). That single null-id doc is
+    * handled correctly — the reassembly join is null-safe, so it keeps its
+    * own segments rather than losing all of them to a never-matching equi
+    * join. */
   def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
                     segmenter: Column => Column, maxDocs: Int,
                     broadcastLimit: Long = 65536): DataFrame = {
@@ -536,9 +539,13 @@ object Curation {
       .select("lh")
       .persist()
     val nBoiler = boilerHashes.count()
-    if (nBoiler <= broadcastLimit) {
-      // bounded driver collect (<= broadcastLimit 32-byte hashes, ~2 MB at
-      // the default cap — a documented bounded seam like the DetectTypes
+    // the literal path collects to the DRIVER, so it is hard-capped at 2^20
+    // hashes (~32 MB of plan literal) no matter how high a caller raises
+    // broadcastLimit — beyond that the anti-join path engages regardless
+    val litCap = math.min(broadcastLimit, 1L << 20)
+    if (nBoiler <= litCap) {
+      // bounded driver collect (<= litCap 32-byte hashes, ~2 MB at the
+      // default cap — a documented bounded seam like the DetectTypes
       // sample): the set ships as one plan literal, the strip is a pure
       // row-local probe with NO join, and the cache is freed eagerly —
       // repeated calls (benches, tests, batch pipelines) pin nothing

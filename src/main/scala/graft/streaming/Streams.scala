@@ -53,9 +53,14 @@ object Streams {
                            lateness: String = "2 hours"): DataFrame =
     tumblingCounts(events.withWatermark("ts", lateness), width)
 
-  /** Streaming dedupe with watermark: exact within the watermark horizon,
-    * bounded state — the principled version of `unique`'s 4096-row window
-    * (process.py:851-898). */
+  /** Streaming dedupe: EXACT global dedup on (user_id, event_type) — the
+    * principled version of `unique`'s 4096-row window (process.py:851-898).
+    * State is one entry per distinct KEY, so this form is for bounded key
+    * domains (user x event_type here); without the event-time column in
+    * the keys the watermark only drops late input, it does not evict
+    * dedup state. For unbounded key domains (URLs, fingerprints) use
+    * `dropDuplicatesWithinWatermark` instead — exact within the horizon,
+    * state evicted after it (StreamsSpec's canonical-URL case). */
   def dedupeStream(events: DataFrame, lateness: String = "2 hours"): DataFrame =
     events.withWatermark("ts", lateness)
       .dropDuplicates("user_id", "event_type")

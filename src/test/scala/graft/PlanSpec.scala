@@ -179,12 +179,23 @@ class PlanSpec extends SparkSpec {
     // probed linearly, never a nested-loop compare
     import graft.pipeline.Curation
     val docs = Tables.documents(spark, sf0001)
-    val p = optimizedOf(Curation.dedupLines(docs, "doc_id", "text",
-      maxDocs = 3, broadcastLimit = -1L))
+    val df = Curation.dedupLines(docs, "doc_id", "text",
+      maxDocs = 3, broadcastLimit = -1L)
+    val p = optimizedOf(df)
     assert(p.contains("LeftAnti"),
       s"expected the line-hash anti join in:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("array_contains"),
       s"single-row broadcast state leaked into the anti-join path:\n$p")
+    // the frequency aggregate's exchange must be KEYED on the md5 (lh /
+    // pre-alias _groupingexpression) — never on raw segment or doc text;
+    // the doc_id-keyed reassembly exchange legitimately carries text as
+    // DATA, but no exchange may partition on it
+    val ex = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.nonEmpty && ex.forall(l =>
+      !l.contains("hashpartitioning(seg#") && !l.contains("hashpartitioning(line#") &&
+        !l.contains("hashpartitioning(text#")),
+      s"an exchange partitions on raw text:\n${ex.mkString("\n")}")
   }
 
   test("q64/q66: bucketized range joins are equi joins, not nested-loop scans") {

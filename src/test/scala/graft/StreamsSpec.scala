@@ -123,10 +123,13 @@ class StreamsSpec extends SparkSpec {
   test("streaming canonical-URL dedupe: variants of one page collapse in-stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.pipeline.Web
-    // the crawl-frontier use: URL variants arriving over time dedupe on the
-    // canonical key with watermark-bounded state — normalizeUrl is a pure
-    // projection, so the batch operator composes with dropDuplicates
-    // unchanged
+    // the crawl-frontier use: URL variants arriving over time dedupe on
+    // the canonical key. Canonical URLs are an UNBOUNDED key domain, so
+    // plain dropDuplicates would grow state forever (it only evicts when
+    // the event-time column is part of the key); the correct composition
+    // is dropDuplicatesWithinWatermark — one state entry per key within
+    // the horizon, evicted after it. normalizeUrl is a pure projection and
+    // composes unchanged.
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
     mem.addData(
@@ -137,7 +140,7 @@ class StreamsSpec extends SparkSpec {
     val stream = mem.toDF().toDF("ts", "url")
       .withColumn("canonical", Web.normalizeUrl(col("url")))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("canonical")
+      .dropDuplicatesWithinWatermark("canonical")
     val got = Streams.runToMemory(stream, "url_dedup", OutputMode.Append())
     val canon = got.select("canonical").as[String].collect().sorted
     assert(canon.toSeq == Seq(
