@@ -245,6 +245,42 @@ object Curation {
         md5(concat_ws(" ", chunk)).as("chunk_hash"))
   }
 
+  // ---------------------------------------------- duplicate passages
+  /** Cross-document duplicated-passage detection — the passage-level
+    * member of the dedup family (between q63's line level and q26's doc
+    * level): every `window`-token contiguous run that appears in at least
+    * `minDocs` DISTINCT documents is reported, with its position in each.
+    *
+    * With the default `stride = 1` this is EXACT for the "shared passage
+    * of >= window tokens" semantic (the suffix-array substring-dedup rule
+    * from the deduplication literature, re-expressed Spark-shaped): every
+    * token position starts a window, so a shared run of w >= window
+    * tokens yields w − window + 1 identical window hashes in every
+    * carrier regardless of alignment. `stride > 1` is the cheaper
+    * ALIGNED-ONLY mode (detects stride-aligned duplication — shared
+    * prefixes, fixed templates) — explode factor drops from ~n_tokens to
+    * ~n_tokens/stride.
+    *
+    * 100 TB shape: one explode to (doc, pos, 32-byte window hash) — text
+    * never shuffles; the frequency aggregate is map-side combinable on
+    * the hash; carriers re-join on the hash key (broadcast when the
+    * duplicated set is small, co-keyed shuffle otherwise). Short tail
+    * windows are excluded (they hash differently per doc and would read
+    * as spuriously unique). Returns (doc_id, tok_start, chunk_hash,
+    * n_docs). */
+  def duplicatePassages(docs: DataFrame, idCol: String, textCol: String,
+                        window: Int = 50, stride: Int = 1,
+                        minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "a passage needs at least two carriers")
+    val full = chunkByTokens(docs, idCol, textCol, window, stride)
+      .filter(col("n_tokens") === window)
+    val freq = full.groupBy("chunk_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    full.join(freq, "chunk_hash")
+      .select(col("doc_id"), col("tok_start"), col("chunk_hash"), col("n_docs"))
+  }
+
   // ------------------------------------------------- boilerplate filtering
   /** A line survives the C4-style boilerplate pass iff it has at least
     * `minTokens` whitespace tokens AND ends with terminal punctuation

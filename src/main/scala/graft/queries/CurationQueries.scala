@@ -293,6 +293,36 @@ object CurationQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- duplicated-passage detection (exact >=50-token shared-run rule,
+    // stride 1): both engines append the same 60-token passage to every
+    // fourth doc AT A DIFFERENT OFFSET per doc (the soup prefix varies),
+    // so detection must be alignment-independent — each planted doc yields
+    // exactly the 11 windows fully inside the shared run, all carried by
+    // every planted doc.
+    Q("q80_dup_passages", {
+      val passage = (1 to 60).map(i => f"ptok$i%02d").mkString(" ")
+      Some("WITH a AS (SELECT doc_id, trim(text) || ' ' || " +
+        s"(CASE WHEN doc_id % 4 = 0 THEN '$passage' ELSE 'tailword unique end' END) AS text FROM documents), " +
+        "t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM a), " +
+        "w0 AS (SELECT doc_id, CASE WHEN len(toks) < 50 THEN [] " +
+        "ELSE [md5(array_to_string(toks[i:i+49], ' ')) for i in range(1, len(toks) - 48)] END AS hs FROM t), " +
+        "w AS (SELECT doc_id, unnest(range(1, 1 + len(hs))) AS tok_start, unnest(hs) AS chunk_hash FROM w0), " +
+        "f AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs FROM w GROUP BY 1) " +
+        "SELECT w.doc_id, w.tok_start, w.chunk_hash, f.n_docs " +
+        "FROM w JOIN f USING (chunk_hash) WHERE f.n_docs >= 2 " +
+        "ORDER BY doc_id, tok_start")
+    },
+      (s, dir) => {
+        val passage = (1 to 60).map(i => f"ptok$i%02d").mkString(" ")
+        val aug = concat(trim(col("text")), lit(" "),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit(passage))
+            .otherwise(lit("tailword unique end")))
+        Curation.duplicatePassages(
+          Tables.documents(s, dir).withColumn("aug", aug), "doc_id", "aug",
+          window = 50, stride = 1, minDocs = 2)
+          .orderBy("doc_id", "tok_start")
+      }),
+
     // ---- CCNet-style sentence-level corpus dedup: dedupSegments with the
     // q77 sentence splitter. Both engines build 4-sentence paragraphs where
     // a global subscribe prompt (500 docs) and a per-source copyright

@@ -780,6 +780,27 @@ class PipelineSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "b", 4L, 0.5), (2, "a", 3L, 0.875)), got.mkString(","))
   }
 
+  test("duplicatePassages: alignment-independent at stride 1; aligned-only at larger strides") {
+    import graft.pipeline.Curation
+    val shared = (1 to 12).map(i => s"p$i").mkString(" ")  // 12-token run
+    val docs = Seq(
+      (1L, "x1 x2 x3 " + shared),            // run at offset 4
+      (2L, "y1 " + shared + " y2 y3"),       // run at offset 2
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14 z15"))
+      .toDF("doc_id", "text")
+    val got = Curation.duplicatePassages(docs, "doc_id", "text",
+      window = 10, stride = 1, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // 12-token run, 10-token window -> 3 windows fully inside, per carrier
+    assert(got.count(_._1 == 1L) == 3 && got.count(_._1 == 2L) == 3 &&
+      !got.exists(_._1 == 3L), got.mkString(","))
+    // stride 4: the carriers' runs start at different offsets -> the
+    // aligned-only mode misses them (the documented trade)
+    val aligned = Curation.duplicatePassages(docs, "doc_id", "text",
+      window = 10, stride = 4, minDocs = 2).count()
+    assert(aligned == 0, s"stride-4 mode should miss unaligned runs, got $aligned")
+  }
+
   test("dupNgramCharFraction: count*len over duplicated grams; overlap convention can exceed 1") {
     import graft.pipeline.Curation
     // bigrams of "a b a b a b": "a b"x3 + "b a"x2 -> dup chars 3*3 + 2*3 = 15
