@@ -139,6 +139,22 @@ object ScaleStress {
     println(s"  docs: ${cleaned.getLong(0)}, lines removed: ${cleaned.getLong(1)} " +
       "(expect 300,000 docs, 300,000 removed)")
     assert(cleaned.getLong(0) == 300000L && cleaned.getLong(1) == 300000L)
+
+    // passage dedup at stride 1: the explode factor is ~n_tokens, the
+    // heaviest per-row cost in the curation tier — measure it on the 100k
+    // corpus with a 60-token passage planted at varying offsets in every
+    // 20th doc (5k carriers; each contributes 11 in-run windows)
+    val pass60 = (1 to 60).map(i => f"ptok$i%02d").mkString(" ")
+    val pdocs = big.select(col("doc_id"),
+      concat(trim(col("text")),
+        when(pmod(col("doc_id"), lit(20)) === 0, lit(" " + pass60))
+          .otherwise(lit(" tailword unique end"))).as("text"))
+    val dup = timed("duplicatePassages over 100k docs, stride 1 (window 50)") {
+      Curation.duplicatePassages(pdocs, "doc_id", "text",
+        window = 50, stride = 1, minDocs = 1000).count()
+    }
+    println(s"  rows: $dup (expect 5,000 carriers x 11 windows = 55,000 at minDocs=1000)")
+    assert(dup == 55000L, s"expected 55000, got $dup")
     spark.stop()
   }
 }
