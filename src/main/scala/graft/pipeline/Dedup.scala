@@ -163,6 +163,34 @@ object Dedup {
     cross.union(within)
   }
 
+  /** Cross-corpus near-dup pairs: documents of `corpus` that are MinHash
+    * near-duplicates of any document in `reference` — fuzzy decontamination
+    * (drop training docs near-dup to an eval set), the doc-level
+    * complement of [[Curation.contamination]]'s exact n-gram overlap.
+    * Returns (corpus_id, ref_id, jaccard).
+    *
+    * Implementation: ids map to even (corpus) / odd (reference), the union
+    * runs the ONE audited [[minhashDedup]] path (distinct-set collapse,
+    * banding, skew guards, exact verification — nothing re-derived), and
+    * same-side pairs drop on parity. Ids must be non-negative and under
+    * 2^62 (the doubling must not overflow). */
+  def crossCorpusNearDups(corpus: DataFrame, reference: DataFrame,
+                          idCol: String, textCol: String,
+                          cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val a = corpus.select((col(idCol).cast("long") * 2).as("id"),
+      col(textCol).as("text"))
+    val b = reference.select((col(idCol).cast("long") * 2 + 1).as("id"),
+      col(textCol).as("text"))
+    minhashDedup(a.union(b), "id", "text", cfg)
+      .filter(pmod(col("id_a"), lit(2)) =!= pmod(col("id_b"), lit(2)))
+      .select(
+        (when(pmod(col("id_a"), lit(2)) === 0, col("id_a"))
+          .otherwise(col("id_b")) / 2).cast("long").as("corpus_id"),
+        (when(pmod(col("id_a"), lit(2)) === 1, col("id_a"))
+          .otherwise(col("id_b")) / 2).cast("long").as("ref_id"),
+        col("jaccard"))
+  }
+
   // ---------------------------------------------------------------- SimHash
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

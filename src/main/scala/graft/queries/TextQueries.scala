@@ -375,6 +375,41 @@ object TextQueries {
           .orderBy("id_a", "id_b")
       }),
 
+    // ---- cross-corpus fuzzy decontamination, q70-style ground truth: the
+    // reference set holds near-identical variants (%5 docs, uppercased +
+    // appended token) and verbatim copies (%9 docs, shifted ids) of corpus
+    // docs; the full MinHash path must recover EVERY cross-side pair at
+    // J >= 0.9 that the oracle's exact all-cross-pairs Jaccard (size-bound
+    // pruned, lossless) computes — natural matches included.
+    Q("q81_cross_corpus_decontam", {
+      val sh = shinglesSql
+      Some("WITH refs AS (SELECT doc_id AS ref_id, upper(text) || ' zzztail' AS text " +
+        "FROM documents WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 9 = 0), " +
+        s"ca0 AS (SELECT doc_id, $sh AS s FROM documents), " +
+        s"cb0 AS (SELECT ref_id, $sh AS s FROM refs), " +
+        "ca AS (SELECT doc_id, s, len(s) AS ns FROM ca0), " +
+        "cb AS (SELECT ref_id, s, len(s) AS ns FROM cb0) " +
+        "SELECT ca.doc_id AS corpus_id, cb.ref_id, " +
+        "round(CAST(len(list_intersect(ca.s, cb.s)) AS DOUBLE) / len(list_distinct(ca.s || cb.s)), 6) AS jaccard " +
+        "FROM ca JOIN cb ON ca.ns * 10 >= cb.ns * 9 AND cb.ns * 10 >= ca.ns * 9 " +
+        "WHERE CAST(len(list_intersect(ca.s, cb.s)) AS DOUBLE) / len(list_distinct(ca.s || cb.s)) >= 0.9 " +
+        "ORDER BY corpus_id, ref_id")
+    },
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val refs = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id"), concat(upper(col("text")), lit(" zzztail")).as("text"))
+          .union(d.filter(pmod(col("doc_id"), lit(9)) === 0)
+            .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+        Dedup.crossCorpusNearDups(d, refs, "doc_id", "text",
+            Dedup.MinHashConfig(numHashes = 64, bands = 16, shingleN = 3,
+              threshold = 0.9))
+          .select(col("corpus_id"), col("ref_id"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("corpus_id", "ref_id")
+      }),
+
     // ---- SimHash near-dup via 16-bit band LSH + hamming verification.
     Q("q31_simhash_neardup", None,
       (s, dir) => Dedup.simhashDedup(Tables.documents(s, dir), "doc_id", "text",

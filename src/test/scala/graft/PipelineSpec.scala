@@ -101,6 +101,29 @@ class PipelineSpec extends SparkSpec {
     assert(cluster.forall(_.getDouble(2) == 1.0))
   }
 
+  test("crossCorpusNearDups keeps only cross-side pairs, oriented and id-safe") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup = base.replace("kappa", "kappa2")
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    // corpus: 1=base, 2=ALSO base (same-side dup — must NOT appear), 3=other
+    // reference: 1=nearDup (id collides with corpus id 1 — must not matter),
+    //            7=verbatim copy of base (within-set branch), 9=unrelated
+    val corpus = Seq((1L, base), (2L, base), (3L, other)).toDF("doc_id", "text")
+    val refs = Seq((1L, nearDup), (7L, base), (9L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossCorpusNearDups(corpus, refs, "doc_id", "text",
+        Dedup.MinHashConfig(numHashes = 64, bands = 16, shingleN = 3, threshold = 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    // corpus 1 and 2 each match ref 1 (near-dup) and ref 7 (verbatim)
+    assert(pairs == Set((1L, 1L), (1L, 7L), (2L, 1L), (2L, 7L)),
+      s"got $pairs")
+    assert(got.filter(t => t._2 == 7L).forall(_._3 == 1.0))
+    assert(got.filter(t => t._2 == 1L).forall(t => t._3 > 0.5 && t._3 < 1.0))
+  }
+
   test("minhash skew guard: near-identical DISTINCT docs stay candidate-bounded") {
     val common = (1 to 40).map(i => s"w$i").mkString(" ")
     // 201 docs sharing a 40-token prefix, one unique suffix token each:
