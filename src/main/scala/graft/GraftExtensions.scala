@@ -49,6 +49,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
   }
 
+  /** Like [[foldableInt]] for literal string arguments (e.g. a normalization
+    * form name). */
+  private def foldableString(name: String, argName: String, argPos: Int,
+                             expr: Expression): String = {
+    def fail(got: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
+        Map(
+          "sqlExpr" -> s"$name(...)",
+          "inputName" -> s"`$argName` (argument ${argPos + 1})",
+          "inputType" -> "\"STRING\"",
+          "inputExpr" -> got))
+    if (!expr.foldable) fail(expr.sql)
+    expr.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case null => fail("NULL")
+      case other => fail(other.toString)
+    }
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("lenient_timestamp"),
       info("lenient_timestamp", "lenient_timestamp(str) - fuzzy multi-format parse with impossible-day repair; 9999-12-31 sentinel"),
@@ -76,6 +96,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_signature", "minhash_signature(array<struct<h1:long,h2:long>>, numHashes) - banded MinHash signature (numHashes foldable)"),
       arity("minhash_signature", 2)(exprs =>
         MinHashSignature(exprs(0), foldableInt("minhash_signature", "numHashes", 1, exprs(1))))))
+    e.injectFunction((FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize", "unicode_normalize(str, form) - Unicode normalization to NFC/NFD/NFKC/NFKD (form a foldable string)"),
+      arity("unicode_normalize", 2)(exprs =>
+        graft.functions.UnicodeNormalize(exprs(0),
+          foldableString("unicode_normalize", "form", 1, exprs(1))))))
+    e.injectFunction((FunctionIdentifier("strip_accents"),
+      info("strip_accents", "strip_accents(str) - fold accents/diacritics (NFD - marks - NFC)"),
+      arity("strip_accents", 1)(exprs => graft.functions.StripAccents(exprs.head))))
     e.injectFunction((FunctionIdentifier("langid"),
       info("langid", "langid(str) - stopword-profile language id over the built-in profiles; 'und' when nothing matches"),
       arity("langid", 1)(exprs =>

@@ -219,30 +219,61 @@ object Ops {
     left.join(if (broadcastRight) broadcast(right) else right, on, how)
 
   // ------------------------------------------------------------- as-of join
-  /** As-of join (capability uplift; neither meza nor stock Spark has one):
-    * for every left row, the latest right row with rightTime <= leftTime
-    * within the same key. Composed from built-ins per the preference order —
-    * tag the streams, union, and take `last(..., ignoreNulls)` over a
+  /** As-of join (capability uplift; neither meza nor stock Spark has one),
+    * with pandas-merge_asof-style directions:
+    *   - "backward" (default): the latest right row with rightTime <=
+    *     leftTime within the same key;
+    *   - "forward": the earliest right row with rightTime >= leftTime;
+    *   - "nearest": whichever of the two is closer in time; an exact
+    *     distance tie resolves backward.
+    * Composed from built-ins per the preference order — tag the streams,
+    * union, and take `last`/`first(..., ignoreNulls)` over a
     * (key)-partitioned window ordered by (time, side): one shuffle on the
-    * key, no custom physical operator needed. Unmatched left rows drop
-    * (inner semantics). */
+    * key, no custom physical operator needed ("nearest" computes both
+    * frames over the same exchange — two sorts, one shuffle). The side
+    * ordering makes a right row at exactly leftTime eligible in every
+    * direction. Unmatched left rows drop (inner semantics). Time distances
+    * compare as doubles: exact for timestamps (micros fit 53 bits) and for
+    * integer times up to 2^53. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               rightPayload: Seq[String]): DataFrame = {
+               rightPayload: Seq[String],
+               direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asofJoin direction must be backward/forward/nearest, got '$direction'")
     val payload = struct(rightPayload.map(col): _*)
+    val rv = struct(col(rightTime).as("__rt"), payload.as("__p"))
     val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
-      .withColumn("__rv", lit(null).cast(right.select(payload).schema.head.dataType))
+      .withColumn("__rv", lit(null).cast(right.select(rv).schema.head.dataType))
     val r = right.select(
-      col(key), col(rightTime).as("__t"), lit(0).as("__side"), payload.as("__rv"))
+      col(key), col(rightTime).as("__t"), lit(0).as("__side"), rv.as("__rv"))
     val unioned = l.select((l.columns.filterNot(Set("__t", "__side", "__rv").contains)
         .map(col) ++ Seq(col("__t"), col("__side"), col("__rv"))).toSeq: _*)
       .unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key))
+    val wB = Window.partitionBy(col(key))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    unioned.withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1 && col("__match").isNotNull)
-      .drop("__t", "__side", "__rv")
+    val wF = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val b = last(col("__rv"), ignoreNulls = true).over(wB)
+    val f = first(col("__rv"), ignoreNulls = true).over(wF)
+    val m = direction match {
+      case "backward" => b
+      case "forward"  => f
+      case "nearest" =>
+        // identical window expressions dedup in WindowExec — b and f each
+        // compute once despite appearing in both the pick and the value
+        val lt = col("__t").cast("double")
+        val pickB = f.isNull || (b.isNotNull &&
+          (lt - b.getField("__rt").cast("double")) <=
+            (f.getField("__rt").cast("double") - lt))
+        when(pickB, b).otherwise(f)
+    }
+    unioned.withColumn("__m", m)
+      .filter(col("__side") === 1 && col("__m").isNotNull)
+      .withColumn("__match", col("__m").getField("__p"))
+      .drop("__t", "__side", "__rv", "__m")
   }
 
   // ------------------------------------------------------------ range join
@@ -459,6 +490,47 @@ object Ops {
         }
       }
     df.select(expand("", df.schema): _*)
+  }
+
+  // ---------------------------------------------- trailing-window features
+  /** Trailing event-time window features: for every row, the count and
+    * decimal-exact sum of `valueCol` over rows of the same partition whose
+    * timestamp lies in (t - trailingSeconds, t] — second granularity,
+    * current row included, ties (same second) share one frame. The
+    * feature-engineering staple (per-user activity in the last hour).
+    *
+    * NOT the obvious sliding RANGE frame: Spark re-aggregates a frame from
+    * scratch every time its LOWER bound moves (SlidingWindowFunctionFrame
+    * has no retract), so a hot entity pays O(rows x frame) — measured 77 s
+    * for one 1M-row user with ~36k-row frames. Instead, trailing =
+    * cumulative(t) - cumulative(t - T): two GROWING frames (lower bound
+    * pinned at unboundedPreceding), which Spark evaluates incrementally in
+    * O(rows) — same measured case drops to seconds. Both windows share one
+    * exchange and one sort (identical partitioning/ordering); RANGE frames
+    * give every tie row the full-second cumulative, so the subtraction is
+    * exactly the (t-T, t] frame, and decimal cumulative minus decimal
+    * cumulative stays exact (no double drift). A hot key still
+    * concentrates its sort in one partition — pre-split such entities
+    * upstream if one entity alone exceeds an executor.
+    * Appends epoch_s, n_trail, sum_trail. */
+  def trailingWindowAgg(df: DataFrame, partCols: Seq[String], tsCol: String,
+                        valueCol: String, trailingSeconds: Long): DataFrame = {
+    require(trailingSeconds >= 1, "trailingSeconds must be >= 1")
+    val parts = partCols.map(col)
+    def grow(hi: Long) = Window.partitionBy(parts: _*)
+      .orderBy(col("epoch_s")).rangeBetween(Window.unboundedPreceding, hi)
+    val wCum = grow(Window.currentRow)
+    val wPrev = grow(-trailingSeconds)
+    val zero = lit(0).cast(DecimalType(24, 6))
+    df.withColumn("epoch_s", unix_timestamp(col(tsCol)))
+      .withColumn("__cn", count(lit(1)).over(wCum))
+      .withColumn("__cv", sum(col(valueCol).cast(DecimalType(24, 6))).over(wCum))
+      .withColumn("__pn", count(lit(1)).over(wPrev))
+      .withColumn("__pv", sum(col(valueCol).cast(DecimalType(24, 6))).over(wPrev))
+      .withColumn("n_trail", col("__cn") - col("__pn"))
+      .withColumn("sum_trail",
+        (col("__cv") - coalesce(col("__pv"), zero)).cast("double"))
+      .drop("__cn", "__cv", "__pn", "__pv")
   }
 
   // ------------------------------------------- skew-safe two-phase aggregate

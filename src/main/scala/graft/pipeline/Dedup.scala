@@ -374,6 +374,32 @@ object Dedup {
     labels.withColumn("is_keep", col("id") === col("cluster"))
   }
 
+  /** Cluster near-dup pairs and elect the BEST member of each cluster to
+    * keep — the production keep rule (retain the highest-quality copy)
+    * where [[connectedComponents]]' bare is_keep retains the minimum id.
+    * `scores` carries (idCol, scoreCol); keep = highest score, ties to the
+    * lowest id. Returns (id, cluster, score, keep_id, is_keep).
+    *
+    * The election is a map-side-combinable `min(struct(-score, id))` per
+    * cluster — no window, so one giant cluster costs an aggregation, not a
+    * single-partition sort. Members absent from `scores` are excluded from
+    * both the election and the output (inner join — the caller's score
+    * relation defines the electorate). */
+  def keepBestPerCluster(pairs: DataFrame, scores: DataFrame,
+                         idCol: String, scoreCol: String,
+                         srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    val labeled = connectedComponents(pairs, srcCol, dstCol)
+      .select(col("id"), col("cluster"))
+      .join(scores.select(col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("score")), Seq("id"))
+    val best = labeled.groupBy(col("cluster"))
+      .agg(min(struct((-col("score")).as("ns"), col("id"))).as("m"))
+      .select(col("cluster"), col("m.id").as("keep_id"))
+    labeled.join(best, "cluster")
+      .select(col("id"), col("cluster"), col("score"), col("keep_id"),
+        (col("id") === col("keep_id")).as("is_keep"))
+  }
+
   // -------------------------------------------------------- n-gram Jaccard
   /** Exact pairwise n-gram Jaccard within a blocking key (length bucket,
     * source, LSH bucket, ...). The explicit block prevents accidental

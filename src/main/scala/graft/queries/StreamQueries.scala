@@ -21,6 +21,24 @@ object StreamQueries {
       (s, dir) => Streams.tumblingCounts(Tables.events(s, dir))
         .orderBy("window_start", "event_type")),
 
+    // ---- trailing 1-hour per-user window features: RANGE frame on epoch
+    // seconds (Spark unix_timestamp ≡ DuckDB epoch_ns // 1e9, both floor),
+    // decimal-summed values, ties share a frame in both engines.
+    Q("q84_trailing_window",
+      Some("SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS epoch_s, " +
+        "count(*) OVER w AS n_trail, " +
+        "CAST(SUM(CAST(value AS DECIMAL(24,6))) OVER w AS DOUBLE) AS sum_trail " +
+        "FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000 " +
+        "RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, event_id"),
+      (s, dir) => graft.operators.Ops.trailingWindowAgg(
+          Tables.events(s, dir), Seq("user_id"), "ts", "value",
+          trailingSeconds = 3600)
+        .select(col("user_id"), col("event_id"), col("epoch_s"),
+          col("n_trail"), col("sum_trail"))
+        .orderBy("user_id", "event_id")),
+
     // ---- first-event-per-key dedupe (batch equivalent of the watermarked
     // streaming dropDuplicates).
     Q("q38_stream_dedupe",
@@ -70,6 +88,40 @@ object StreamQueries {
           .orderBy("event_id")
       }),
 
+    // ---- nearest-direction as-of: each purchase to its closest view in
+    // time, either side; exact-distance ties resolve backward in BOTH
+    // engines (the CASE's <= mirrors the operator's pickB). Times compare
+    // at microsecond resolution — epoch_ns//1000 ≡ Spark's nanos->micros
+    // truncation, and the corpus is micro-aligned anyway.
+    Q("q85_asof_nearest",
+      Some("WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tu " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "v AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tu " +
+        "FROM events WHERE event_type = 'view'), " +
+        "b AS (SELECT p.event_id, v.event_id AS bid, v.tu AS btu " +
+        "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.tu >= v.tu), " +
+        "f AS (SELECT p.event_id, v.event_id AS fid, v.tu AS ftu " +
+        "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.tu <= v.tu) " +
+        "SELECT p.event_id, p.user_id, " +
+        "CASE WHEN fid IS NULL OR (bid IS NOT NULL AND (p.tu - btu) <= (ftu - p.tu)) " +
+        "THEN bid ELSE fid END AS nearest_view_id " +
+        "FROM p JOIN b USING (event_id) JOIN f USING (event_id) " +
+        "WHERE bid IS NOT NULL OR fid IS NOT NULL " +
+        "ORDER BY p.event_id"),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.operators.Ops.asofJoin(purchases, views, key = "user_id",
+          leftTime = "ts", rightTime = "ts", rightPayload = Seq("event_id"),
+          direction = "nearest")
+          .select(col("event_id"), col("user_id"),
+            col("__match.event_id").as("nearest_view_id"))
+          .orderBy("event_id")
+      }),
+
     // ---- rollup (free Catalyst uplift over the reference's flat groupBy).
     Q("q42_rollup",
       Some("SELECT r_name, n_name, COUNT(*) AS n_cust, " +
@@ -110,27 +162,48 @@ object StreamQueries {
     // engine runs its OWN sketch against its own exact value, and both must
     // land inside the documented error envelope (10% for HLL at default
     // rsd 0.05; 5% for the rank-1000 quantile sketch) for the row to
-    // hash-match. exact_parts and the exact interpolated median (Spark
-    // `percentile` ≡ DuckDB `quantile_cont`, rounded to cents) match
-    // value-for-value.
+    // hash-match. exact_parts and the exact median match value-for-value.
+    // The exact median is the LOWER median (the ceil(n/2)-th smallest
+    // element), NOT the interpolated midpoint: prices carry 2 decimals, so
+    // an even-count midpoint lands exactly on a half-cent where a 1-ulp
+    // engine difference flips round(..., 2) — observed at sf0.001
+    // (52724.245 -> .24 vs .25). An order statistic IS a data element:
+    // arithmetic-free, byte-identical in both engines at every scale.
     Q("q43_approx_stats",
-      Some("SELECT l_returnflag, " +
+      Some("WITH r AS (SELECT l_returnflag, l_extendedprice, " +
+        "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn, " +
+        "count(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem), " +
+        "med AS (SELECT l_returnflag, l_extendedprice AS p50_price FROM r WHERE rn = (n + 1) // 2), " +
+        "agg AS (SELECT l_returnflag, " +
         "COUNT(DISTINCT l_partkey) AS exact_parts, " +
         "abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey)) " +
         "  <= 0.10 * COUNT(DISTINCT l_partkey) AS hll_within_10pct, " +
-        "round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price, " +
         "abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5)) " +
         "  <= 0.05 * quantile_cont(l_extendedprice, 0.5) AS p50_within_5pct " +
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
-      (s, dir) => Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
-          <= lit(0.10) * countDistinct(col("l_partkey"))).as("hll_within_10pct"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
-        (abs(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          - expr("percentile(l_extendedprice, 0.5)"))
-          <= lit(0.05) * expr("percentile(l_extendedprice, 0.5)")).as("p50_within_5pct"))
-        .orderBy("l_returnflag")),
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT agg.l_returnflag, exact_parts, hll_within_10pct, p50_price, p50_within_5pct " +
+        "FROM agg JOIN med USING (l_returnflag) ORDER BY l_returnflag"),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, dir)
+        val med = li.select(col("l_returnflag"), col("l_extendedprice"),
+            row_number().over(Window.partitionBy("l_returnflag")
+              .orderBy("l_extendedprice")).as("rn"),
+            count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("l_returnflag"), col("l_extendedprice").as("p50_price"))
+        li.groupBy("l_returnflag").agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+              <= lit(0.10) * countDistinct(col("l_partkey"))).as("hll_within_10pct"),
+            (abs(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+              - expr("percentile(l_extendedprice, 0.5)"))
+              <= lit(0.05) * expr("percentile(l_extendedprice, 0.5)")).as("p50_within_5pct"))
+          .join(med, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("exact_parts"), col("hll_within_10pct"),
+            col("p50_price"), col("p50_within_5pct"))
+          .orderBy("l_returnflag")
+      }),
 
     // ---- semi-structured props: JSON field extraction + aggregation
     // (process.json_recode territory, at scale).

@@ -321,6 +321,72 @@ object TextQueries {
           .orderBy("id")
       }),
 
+    // ---- keep-best-per-cluster: q48's clusters, but the keep election
+    // picks the highest-score member (token count; ties -> lowest id) —
+    // the production retention rule. Oracle = same recursive-CTE reachability
+    // plus a first_value window for the argmax.
+    Q("q82_keep_best",
+      Some(s"WITH RECURSIVE sh AS (SELECT doc_id, $shinglesSql AS s FROM documents), " +
+        "blk AS (SELECT doc_id, s, list_aggregate(s, 'min') AS b FROM sh), " +
+        "edges AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM blk a JOIN blk b ON a.b = b.b AND a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.8), " +
+        "und AS (SELECT id_a AS src, id_b AS dst FROM edges UNION SELECT id_b, id_a FROM edges), " +
+        "reach AS (SELECT src, dst FROM und " +
+        "UNION SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src), " +
+        "lab AS (SELECT src AS id, LEAST(src, MIN(dst)) AS cluster FROM reach GROUP BY src), " +
+        s"sc AS (SELECT doc_id, CAST(len($tokensSql) AS DOUBLE) AS score FROM documents) " +
+        "SELECT lab.id, lab.cluster, sc.score, " +
+        "first_value(lab.id) OVER w AS keep_id, " +
+        "lab.id = first_value(lab.id) OVER w AS is_keep " +
+        "FROM lab JOIN sc ON lab.id = sc.doc_id " +
+        "WINDOW w AS (PARTITION BY lab.cluster ORDER BY sc.score DESC, lab.id ASC) " +
+        "ORDER BY id"),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          blockCol = array_min(Dedup.wordShingles(col("text"), 3)),
+          n = 3, threshold = 0.8)
+        Dedup.keepBestPerCluster(edges,
+            docs.select(col("doc_id"), TA.tokenCount(col("text")).as("score")),
+            "doc_id", "score")
+          .orderBy("id")
+      }),
+
+    // ---- unicode canonicalization: both engines build the same augmented
+    // text (the word-soup corpus is pure ASCII, so a deterministic
+    // doc_id-keyed suffix supplies combining sequences, precomposed
+    // accents, and a plain-ASCII fast-path case), then NFC-normalize and
+    // accent-fold. DuckDB's nfc_normalize/strip_accents are the
+    // independent implementations of the same Unicode standard forms.
+    Q("q83_unicode_normalize", {
+      // combining sequences (e+U+0301, o+U+0308) that NFC must compose,
+      // precomposed accents that strip_accents must fold, and an
+      // all-ASCII fast-path variant; the same Scala string (so the same
+      // bytes) feeds both engines' literals
+      val suffix0 = " cafe\u0301 ole\u0301 statio\u0308n"
+      val suffix1 = " na\u00efve \u00c5ngstro\u0308m fa\u00e7ade"
+      val suffix2 = " plain ascii tail"
+      val caseSql = "text || CASE CAST(doc_id % 3 AS INT) " +
+        s"WHEN 0 THEN '$suffix0' WHEN 1 THEN '$suffix1' ELSE '$suffix2' END"
+      Some("SELECT doc_id, " +
+        s"nfc_normalize($caseSql) AS nfc, " +
+        s"strip_accents(nfc_normalize($caseSql)) AS plain " +
+        "FROM documents ORDER BY doc_id")
+    },
+      (s, dir) => {
+        import graft.functions.UnicodeFns
+        val aug = concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(" cafe\u0301 ole\u0301 statio\u0308n"))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit(" na\u00efve \u00c5ngstro\u0308m fa\u00e7ade"))
+            .otherwise(lit(" plain ascii tail")))
+        Tables.documents(s, dir).select(
+            col("doc_id"),
+            UnicodeFns.unicodeNormalize(aug, "NFC").as("nfc"),
+            UnicodeFns.stripAccents(UnicodeFns.unicodeNormalize(aug, "NFC")).as("plain"))
+          .orderBy("doc_id")
+      }),
+
     // ---- the SQL-expressible slice of q29: md5 over the same normalized
     // form is engine-independent, so this one IS oracle-checked (the
     // xxhash-based simhash/rolling columns stay rows-only in q29).

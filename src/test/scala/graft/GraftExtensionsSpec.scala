@@ -53,6 +53,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getString(3) == "und")
   }
 
+  test("unicode kernels callable from SQL") {
+    val row = spark.sql(
+      "SELECT unicode_normalize('ﬁsh Ａ', 'NFKC') AS a, " +
+        "strip_accents('café Å') AS b").head()
+    assert(row.getString(0) == "fish A")
+    assert(row.getString(1) == "cafe A")
+    // form must be a literal
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT unicode_normalize(t, t) FROM VALUES ('x') AS v(t)").collect()
+    }
+    assert(bad.getMessage.contains("foldable"),
+      s"expected a foldable-input message, got: ${bad.getMessage}")
+  }
+
   test("non-foldable / NULL literal args fail with a clear AnalysisException") {
     import org.apache.spark.sql.AnalysisException
     // column reference where a literal shingle width is required

@@ -170,6 +170,31 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(100L -> 200L, 102L -> 202L))
   }
 
+  test("asofJoin forward and nearest directions; exact ties resolve backward") {
+    // user 1 views at t=4 (id 300) and t=13 (id 301); user 2 view at t=30
+    val views = Seq((300L, 1L, 4L), (301L, 1L, 13L), (302L, 2L, 30L))
+      .toDF("event_id", "user_id", "ts")
+    // purchases: t=5 (nearer 4), t=9 (d5 vs d4 -> forward 13), t=10 (tie? no:
+    // d6 vs d3 -> 13), t=8 (no right exists at equal distance... 8-4=4 vs
+    // 13-8=5 -> 4), t=2 (before all views: backward drops, nearest=forward 4),
+    // t=40 user 2 (after all: forward drops, nearest=backward 30)
+    val purchases = Seq((400L, 1L, 5L), (401L, 1L, 9L), (402L, 1L, 2L),
+      (403L, 2L, 40L)).toDF("event_id", "user_id", "ts")
+    def run(dir: String) = Ops.asofJoin(purchases, views, "user_id", "ts", "ts",
+        Seq("event_id"), direction = dir)
+      .select(col("event_id"), col("__match.event_id").as("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(run("forward") == Map(400L -> 301L, 401L -> 301L, 402L -> 300L))
+    assert(run("nearest") == Map(400L -> 300L, 401L -> 301L, 402L -> 300L,
+      403L -> 302L))
+    // exact tie: purchase t=8 with views at 4 and 12 -> backward (4)
+    val v2 = Seq((310L, 1L, 4L), (311L, 1L, 12L)).toDF("event_id", "user_id", "ts")
+    val p2 = Seq((410L, 1L, 8L)).toDF("event_id", "user_id", "ts")
+    val tie = Ops.asofJoin(p2, v2, "user_id", "ts", "ts", Seq("event_id"), "nearest")
+      .select(col("__match.event_id")).collect().head.getLong(0)
+    assert(tie == 310L)
+  }
+
   test("rangeJoin: containment incl. boundaries/overlaps, equals the naive inequality join") {
     val rows = Seq(0L, 5L, 10L, 15L, 23L, 99L).toDF("k")
     // overlapping intervals; 10 sits in both a and b; 99 matches nothing
@@ -207,6 +232,25 @@ class OpsSpec extends SparkSpec {
       (2L, 1, Some("b"), None),
       (3L, 2, None, Some("C")),
       (9L, 1, None, Some("I"))), got.mkString(","))
+  }
+
+  test("trailingWindowAgg: (t-1h, t] frame, boundary exclusion, same-second ties share") {
+    // user u: t=0, 1800, 3599 (all within 1h of 3599), 3600 (frame (0,3600]
+    // excludes t=0), plus two same-second events at 7200 that see each other
+    val rows = Seq(("u", "e1", 0L, 1.0), ("u", "e2", 1800L, 2.0),
+      ("u", "e3", 3599L, 4.0), ("u", "e4", 3600L, 8.0),
+      ("u", "e5", 7200L, 16.0), ("u", "e6", 7200L, 32.0),
+      ("v", "f1", 1800L, 100.0))
+    val df = rows.toDF("user_id", "event_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Ops.trailingWindowAgg(df, Seq("user_id"), "ts", "value", 3600L)
+      .select("event_id", "n_trail", "sum_trail")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("e1", 1L, 1.0), ("e2", 2L, 3.0), ("e3", 3L, 7.0),
+      ("e4", 3L, 14.0),          // t=0 fell out of (0, 3600]
+      ("e5", 2L, 48.0), ("e6", 2L, 48.0), // same-second tie: shared frame
+      ("f1", 1L, 100.0)))        // partitions isolate users
   }
 
   test("intervalJoin: one row per overlapping pair, equals the naive join at any width") {

@@ -101,6 +101,22 @@ class PipelineSpec extends SparkSpec {
     assert(cluster.forall(_.getDouble(2) == 1.0))
   }
 
+  test("keepBestPerCluster elects max score with min-id ties; unscored members drop") {
+    // chain {1,2,3} (scores 5,9,9 -> keep 2: max score, tie to lower id);
+    // pair {10,11} (equal scores -> keep 10); pair {20,21} where 21 has no
+    // score row -> 21 drops from electorate and output, 20 keeps
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val scores = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (10L, 4.0), (11L, 4.0),
+      (20L, 1.0)).toDF("doc_id", "score")
+    val got = Dedup.keepBestPerCluster(pairs, scores, "doc_id", "score")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (10L, 10L, 10L, true), (11L, 10L, 10L, false),
+      (20L, 20L, 20L, true)))
+  }
+
   test("crossCorpusNearDups keeps only cross-side pairs, oriented and id-safe") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"

@@ -208,6 +208,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q84: trailing window = ONE exchange on the entity key, no join, no extra shuffle") {
+    val p = planOf("q84_trailing_window")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one hash exchange (user_id), got $exchanges in:\n$p")
+    assert(!p.contains("Join"), s"trailing window must not plan a join:\n$p")
+  }
+
+  test("q85: nearest as-of = one union-side exchange pair, two window sorts, no BNLJ") {
+    val p = planOf("q85_asof_nearest")
+    assert(!p.contains("BroadcastNestedLoop"),
+      s"as-of must never degenerate to BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // both direction frames ride windows, not joins: the only Join-free
+    // plan shape that computes nearest in one pass
+    assert(p.contains("Window"), s"expected window operators:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nearest must not self-join:\n$p")
+  }
+
+  test("q82: keep-best election is an aggregation, never a per-cluster window sort") {
+    // the election subtree must be agg+join (map-side combinable); a window
+    // formulation would single-partition-sort a giant cluster
+    val docs = Tables.documents(spark, sf0001)
+    val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      blockCol = array_min(Dedup.wordShingles(col("text"), 3)))
+    val scores = docs.select(col("doc_id"), length(col("text")).as("score"))
+    val p = optimizedOf(Dedup.keepBestPerCluster(edges, scores, "doc_id", "score"))
+    assert(!p.contains("Window"), s"election must not use a window:\n$p")
+    assert(p.contains("Aggregate"), s"expected the min(struct) election aggregate:\n$p")
+  }
+
   test("q53: curation filters run before the dedup shuffle") {
     // language/quality predicates must sit below the fingerprint aggregate:
     // discarded rows never reach the exchange

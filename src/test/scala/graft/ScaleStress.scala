@@ -155,6 +155,28 @@ object ScaleStress {
     }
     println(s"  rows: $dup (expect 5,000 carriers x 11 windows = 55,000 at minDocs=1000)")
     assert(dup == 55000L, s"expected 55000, got $dup")
+
+    // hot-entity trailing window: 2M events, ONE user owns 1M of them —
+    // the documented worst case (a RANGE frame walks one partition's sort
+    // once; cost must stay linear, not quadratic in the hot user's rows).
+    // Events land 10/second so every frame holds ~36k rows; the frame
+    // boundary is monotone, so each row enters/leaves exactly once.
+    val hotEv = spark.range(2000000L).select(
+      when(col("id") < 1000000L, lit("hot")).otherwise(concat(lit("u"), pmod(col("id"), lit(50000)))).as("user_id"),
+      col("id").as("event_id"),
+      org.apache.spark.sql.functions.timestamp_seconds(
+        lit(1700000000L) + (col("id") % 1000000L) / 10L).as("ts"),
+      (col("id") % 100L).cast("double").as("value"))
+    val trail = timed("trailingWindowAgg over 2M events, one 1M-row hot user") {
+      graft.operators.Ops.trailingWindowAgg(hotEv, Seq("user_id"), "ts", "value", 3600L)
+        .agg(org.apache.spark.sql.functions.max("n_trail").as("mx"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n")).collect().head
+    }
+    println(s"  rows: ${trail.getLong(1)}, max frame size: ${trail.getLong(0)} " +
+      "(expect 2,000,000 rows; hot frames ~36,000 = 3600s x 10 events/s)")
+    assert(trail.getLong(1) == 2000000L)
+    assert(trail.getLong(0) >= 35000L && trail.getLong(0) <= 36100L,
+      s"hot frame size ${trail.getLong(0)} outside the 3600s x 10/s envelope")
     spark.stop()
   }
 }
