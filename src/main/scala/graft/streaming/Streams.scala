@@ -193,6 +193,61 @@ object Streams {
       }
   }
 
+  final case class ThrottleState(maxWin: Long, counts: Map[Long, Int])
+  final case class Kept(event_id: Long, user_id: Long, win_start: Long,
+      seq_in_win: Int)
+
+  /** Per-key event-time rate limiter: keep at most `maxPerWindow` events
+    * per key per tumbling `windowSeconds` window — the streaming
+    * counterpart of the batch per-domain cap (Curation.capPerGroup), for
+    * ingest-side quota enforcement. Emits kept rows with their window and
+    * 1-based sequence number; over-quota and too-late rows drop.
+    *
+    * State per key is a count map over at most `lateWindows + 1` recent
+    * windows (~32 bytes each) — bounded regardless of stream length, no
+    * timeout needed. An event more than `lateWindows` windows behind the
+    * key's newest seen window drops as late (its window's count may
+    * already be evicted, so the cap could not be enforced fairly).
+    * Within a micro-batch, rows process in (ts, event_id) order so WHICH
+    * rows survive the cap is deterministic — groupByKey delivers
+    * shuffle-fetch order otherwise (same discipline as nearDupStream's
+    * in-batch sort). Cross-batch, arrival order is the stream's semantic:
+    * the counts persist, so the cap holds across batches wherever the
+    * events land. Works identically on a batch Dataset (single pass). */
+  def throttleStream(events: Dataset[Event], maxPerWindow: Int,
+                     windowSeconds: Long = 3600L,
+                     lateWindows: Int = 2): Dataset[Kept] = {
+    require(maxPerWindow >= 1 && windowSeconds >= 1 && lateWindows >= 0)
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ThrottleState, Kept](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[ThrottleState]) =>
+          var st = state.getOption.getOrElse(ThrottleState(Long.MinValue, Map.empty))
+          val out = scala.collection.mutable.ArrayBuffer[Kept]()
+          val horizon = lateWindows.toLong * windowSeconds
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val win = math.floorDiv(e.ts.getTime, 1000L * windowSeconds) * windowSeconds
+            if (st.maxWin == Long.MinValue || win >= st.maxWin - horizon) {
+              val newMax = math.max(st.maxWin, win)
+              // evict windows that fell below the new lateness horizon
+              val counts0 =
+                if (newMax > st.maxWin)
+                  st.counts.filter { case (w, _) => w >= newMax - horizon }
+                else st.counts
+              val c = counts0.getOrElse(win, 0)
+              if (c < maxPerWindow) {
+                out += Kept(e.event_id, uid, win, c + 1)
+                st = ThrottleState(newMax, counts0.updated(win, c + 1))
+              } else st = ThrottleState(newMax, counts0)
+            } // else: too late — drop, state untouched
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink
     * (synchronous; used by specs and local smoke). */
   def runToMemory(df: DataFrame, name: String,

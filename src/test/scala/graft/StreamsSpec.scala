@@ -66,6 +66,43 @@ class StreamsSpec extends SparkSpec {
     assert(total == Tables.events(spark, sf0001).count())
   }
 
+  test("throttleStream caps per key per window across batches; late events drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, uid: Long, sec: Long) =
+      Streams.Event(id, new java.sql.Timestamp(sec * 1000L), uid, "e", 1.0)
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.throttleStream(input.toDS(), maxPerWindow = 3,
+        windowSeconds = 100L, lateWindows = 1)
+      .toDF().writeStream.format("memory").queryName("throttle")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: user 1 sends 2 events in window [0,100); user 2 sends 4
+    // (cap 3 -> lowest-(ts,id) three kept, deterministically)
+    input.addData(ev(10, 1L, 5), ev(11, 1L, 6),
+      ev(20, 2L, 7), ev(23, 2L, 8), ev(22, 2L, 8), ev(21, 2L, 9))
+    q.processAllAvailable()
+    // batch 2: user 1 sends 2 more in the SAME window — only 1 slot left
+    // (the count state crossed the batch): 12 takes it, 13 drops
+    input.addData(ev(12, 1L, 50), ev(13, 1L, 51))
+    q.processAllAvailable()
+    // batch 3: window [200,300) opens — win 0 falls outside the lateness
+    // horizon (lateWindows=1 keeps only [100,200)+)
+    input.addData(ev(14, 1L, 250))
+    q.processAllAvailable()
+    // batch 4: a straggler from window [0,100) is now 2 windows behind -> drops
+    input.addData(ev(15, 1L, 20))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("throttle").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted
+    // user 2's batch-1 order is (ts, id): 20@7, 22@8, 23@8, 21@9 — so 21 is
+    // the deterministic over-cap drop
+    assert(got.toSeq == Seq(
+      (10L, 1L, 0L, 1), (11L, 1L, 0L, 2), (12L, 1L, 0L, 3),
+      (14L, 1L, 200L, 1),
+      (20L, 2L, 0L, 1), (22L, 2L, 0L, 2), (23L, 2L, 0L, 3)))
+  }
+
   test("streaming near-dup: cross-batch LSH state finds the duplicate later in the stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
