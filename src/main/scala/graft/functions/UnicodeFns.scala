@@ -48,6 +48,8 @@ case class UnicodeNormalize(child: Expression, form: String)
     extends UnaryExpression {
   require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
     s"unicode_normalize form must be NFC/NFD/NFKC/NFKD, got '$form'")
+  // resolved once; nullSafeEval runs per row in the interpreted path
+  @transient private lazy val resolvedForm = Normalizer.Form.valueOf(form)
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
@@ -55,7 +57,7 @@ case class UnicodeNormalize(child: Expression, form: String)
   override def dataType: DataType = StringType
 
   override def nullSafeEval(v: Any): Any =
-    UnicodeKernels.normalize(v.asInstanceOf[UTF8String], Normalizer.Form.valueOf(form))
+    UnicodeKernels.normalize(v.asInstanceOf[UTF8String], resolvedForm)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>

@@ -232,9 +232,11 @@ object Ops {
     * key, no custom physical operator needed ("nearest" computes both
     * frames over the same exchange — two sorts, one shuffle). The side
     * ordering makes a right row at exactly leftTime eligible in every
-    * direction. Unmatched left rows drop (inner semantics). Time distances
-    * compare as doubles: exact for timestamps (micros fit 53 bits) and for
-    * integer times up to 2^53. */
+    * direction. Unmatched left rows drop (inner semantics). "nearest"
+    * distances compare exactly: timestamps as unix_micros longs (never
+    * double seconds — the /1e6 rounding could flip an exact sub-second
+    * tie), integral times as longs; fractional numeric times fall back to
+    * double. Left and right time columns must be the same kind. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                rightPayload: Seq[String],
@@ -264,10 +266,15 @@ object Ops {
       case "nearest" =>
         // identical window expressions dedup in WindowExec — b and f each
         // compute once despite appearing in both the pick and the value
-        val lt = col("__t").cast("double")
+        val toNum: Column => Column =
+          left.select(col(leftTime)).schema.head.dataType match {
+            case TimestampType => c => unix_micros(c)
+            case LongType | IntegerType | ShortType | ByteType => c => c.cast("long")
+            case _ => c => c.cast("double")
+          }
+        val lt = toNum(col("__t"))
         val pickB = f.isNull || (b.isNotNull &&
-          (lt - b.getField("__rt").cast("double")) <=
-            (f.getField("__rt").cast("double") - lt))
+          (lt - toNum(b.getField("__rt"))) <= (toNum(f.getField("__rt")) - lt))
         when(pickB, b).otherwise(f)
     }
     unioned.withColumn("__m", m)
@@ -509,7 +516,11 @@ object Ops {
     * exchange and one sort (identical partitioning/ordering); RANGE frames
     * give every tie row the full-second cumulative, so the subtraction is
     * exactly the (t-T, t] frame, and decimal cumulative minus decimal
-    * cumulative stays exact (no double drift). A hot key still
+    * cumulative stays exact (no double drift). The trade the cumulative
+    * form makes: the running sum spans the entity's WHOLE history, not one
+    * frame, so its decimal(38,6) accumulator caps the per-entity lifetime
+    * |sum| at ~1e32 — beyond that Spark yields NULL (non-ANSI), a
+    * documented envelope rather than a silent wrap. A hot key still
     * concentrates its sort in one partition — pre-split such entities
     * upstream if one entity alone exceeds an executor.
     * Appends epoch_s, n_trail, sum_trail. */
@@ -521,12 +532,15 @@ object Ops {
       .orderBy(col("epoch_s")).rangeBetween(Window.unboundedPreceding, hi)
     val wCum = grow(Window.currentRow)
     val wPrev = grow(-trailingSeconds)
-    val zero = lit(0).cast(DecimalType(24, 6))
+    // input cast at (28,6) so the Sum accumulator widens to the full
+    // decimal(38,6) — the widest exact envelope (~1e32 lifetime sum)
+    val dec = DecimalType(28, 6)
+    val zero = lit(0).cast(dec)
     df.withColumn("epoch_s", unix_timestamp(col(tsCol)))
       .withColumn("__cn", count(lit(1)).over(wCum))
-      .withColumn("__cv", sum(col(valueCol).cast(DecimalType(24, 6))).over(wCum))
+      .withColumn("__cv", sum(col(valueCol).cast(dec)).over(wCum))
       .withColumn("__pn", count(lit(1)).over(wPrev))
-      .withColumn("__pv", sum(col(valueCol).cast(DecimalType(24, 6))).over(wPrev))
+      .withColumn("__pv", sum(col(valueCol).cast(dec)).over(wPrev))
       .withColumn("n_trail", col("__cn") - col("__pn"))
       .withColumn("sum_trail",
         (col("__cv") - coalesce(col("__pv"), zero)).cast("double"))

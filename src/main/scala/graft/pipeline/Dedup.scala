@@ -184,10 +184,12 @@ object Dedup {
     minhashDedup(a.union(b), "id", "text", cfg)
       .filter(pmod(col("id_a"), lit(2)) =!= pmod(col("id_b"), lit(2)))
       .select(
-        (when(pmod(col("id_a"), lit(2)) === 0, col("id_a"))
-          .otherwise(col("id_b")) / 2).cast("long").as("corpus_id"),
-        (when(pmod(col("id_a"), lit(2)) === 1, col("id_a"))
-          .otherwise(col("id_b")) / 2).cast("long").as("ref_id"),
+        // shiftright, not `/ 2`: Divide coerces long -> double, which
+        // corrupts ids past 2^53 (inside the documented 2^62 domain)
+        shiftright(when(pmod(col("id_a"), lit(2)) === 0, col("id_a"))
+          .otherwise(col("id_b")), 1).as("corpus_id"),
+        shiftright(when(pmod(col("id_a"), lit(2)) === 1, col("id_a"))
+          .otherwise(col("id_b")), 1).as("ref_id"),
         col("jaccard"))
   }
 

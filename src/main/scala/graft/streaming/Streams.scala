@@ -204,10 +204,15 @@ object Streams {
     * 1-based sequence number; over-quota and too-late rows drop.
     *
     * State per key is a count map over at most `lateWindows + 1` recent
-    * windows (~32 bytes each) — bounded regardless of stream length, no
-    * timeout needed. An event more than `lateWindows` windows behind the
-    * key's newest seen window drops as late (its window's count may
-    * already be evicted, so the cap could not be enforced fairly).
+    * windows (~32 bytes each); total state therefore grows with LIVE KEY
+    * CARDINALITY, not stream length. On an open-ended stream where new
+    * keys keep appearing, pass `idleTimeoutMs` so keys idle that long are
+    * evicted — semantically free, because a returning key's old windows
+    * are behind the lateness horizon anyway (same trade, and same
+    * continuous-micro-batch cost note, as nearDupStream's idle timeout).
+    * An event more than `lateWindows` windows behind the key's newest
+    * seen window drops as late (its window's count may already be
+    * evicted, so the cap could not be enforced fairly).
     * Within a micro-batch, rows process in (ts, event_id) order so WHICH
     * rows survive the cap is deterministic — groupByKey delivers
     * shuffle-fetch order otherwise (same discipline as nearDupStream's
@@ -216,13 +221,22 @@ object Streams {
     * events land. Works identically on a batch Dataset (single pass). */
   def throttleStream(events: Dataset[Event], maxPerWindow: Int,
                      windowSeconds: Long = 3600L,
-                     lateWindows: Int = 2): Dataset[Kept] = {
+                     lateWindows: Int = 2,
+                     idleTimeoutMs: Option[Long] = None): Dataset[Kept] = {
     require(maxPerWindow >= 1 && windowSeconds >= 1 && lateWindows >= 0)
     val spark = events.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[ThrottleState, Kept](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
+        case (_, _, state: GroupState[ThrottleState]) if state.hasTimedOut =>
+          // idle key: reclaim its counters; if it returns, its old windows
+          // are behind the lateness horizon regardless
+          state.remove()
+          Iterator.empty
         case (uid, rows, state: GroupState[ThrottleState]) =>
           var st = state.getOption.getOrElse(ThrottleState(Long.MinValue, Map.empty))
           val out = scala.collection.mutable.ArrayBuffer[Kept]()
@@ -244,6 +258,7 @@ object Streams {
             } // else: too late — drop, state untouched
           }
           state.update(st)
+          idleTimeoutMs.foreach(state.setTimeoutDuration)
           out.iterator
       }
   }

@@ -193,6 +193,19 @@ class OpsSpec extends SparkSpec {
     val tie = Ops.asofJoin(p2, v2, "user_id", "ts", "ts", Seq("event_id"), "nearest")
       .select(col("__match.event_id")).collect().head.getLong(0)
     assert(tie == 310L)
+    // sub-second TIMESTAMP tie at a large epoch: distances must compare as
+    // exact unix_micros longs — double seconds (micros/1e6) round and can
+    // flip the tie forward
+    for (baseUs <- Seq(1700000000000000L, 1699999999337013L)) {
+      val vt = Seq((320L, 1L, baseUs + 100000L), (321L, 1L, baseUs + 300000L))
+        .toDF("event_id", "user_id", "us")
+        .select(col("event_id"), col("user_id"), timestamp_micros(col("us")).as("ts"))
+      val pt = Seq((420L, 1L, baseUs + 200000L)).toDF("event_id", "user_id", "us")
+        .select(col("event_id"), col("user_id"), timestamp_micros(col("us")).as("ts"))
+      val got = Ops.asofJoin(pt, vt, "user_id", "ts", "ts", Seq("event_id"), "nearest")
+        .select(col("__match.event_id")).collect().head.getLong(0)
+      assert(got == 320L, s"sub-second tie at $baseUs must resolve backward, got $got")
+    }
   }
 
   test("rangeJoin: containment incl. boundaries/overlaps, equals the naive inequality join") {

@@ -103,6 +103,20 @@ class StreamsSpec extends SparkSpec {
       (20L, 2L, 0L, 1), (22L, 2L, 0L, 2), (23L, 2L, 0L, 3)))
   }
 
+  test("throttle idle-key timeout plumbing: capping unchanged with timeout set") {
+    // same rationale as the near-dup timeout test: ProcessingTimeTimeout
+    // streams micro-batch continuously (processAllAvailable never drains),
+    // so the plumbing is exercised on the batch path — same operator code,
+    // timeouts registered but never due in a single pass
+    def ev(id: Long, uid: Long, sec: Long) =
+      Streams.Event(id, new java.sql.Timestamp(sec * 1000L), uid, "e", 1.0)
+    val docs = Seq(ev(1, 7L, 5), ev(2, 7L, 6)).toDS()
+    val kept = Streams.throttleStream(docs, maxPerWindow = 1,
+        windowSeconds = 100L, idleTimeoutMs = Some(3600000L))
+      .collect().map(_.event_id).toSeq
+    assert(kept == Seq(1L))
+  }
+
   test("streaming near-dup: cross-batch LSH state finds the duplicate later in the stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
