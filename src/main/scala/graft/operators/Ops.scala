@@ -547,6 +547,46 @@ object Ops {
       .drop("__cn", "__cv", "__pn", "__pv")
   }
 
+  // ----------------------------------------------------- column profiling
+  /** Per-column profile report: one output row per requested column with
+    * row count, non-null count, exact distinct count, and (for numeric
+    * columns) min/max plus a decimal-exact sum — the completeness /
+    * cardinality / range report a pipeline runs before trusting a new
+    * source (detect_types' statistical sibling).
+    *
+    * One aggregation pass over the table computes every column's stats at
+    * once; the multi-column COUNT(DISTINCT) makes Catalyst plan an Expand
+    * (one duplicated row per distinct column), so a P-column profile scans
+    * the table once but shuffles ~P×rows — the standard Spark multi-distinct
+    * shape. Profile the columns you need, not `df.columns`, on a 100 TB
+    * table. Non-numeric columns carry NULL min/max/sum (numeric stats in
+    * their native type would not survive a typed union; strings get
+    * cardinality, which is the actionable part). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile requires at least one column")
+    val numeric = df.schema.fields.collect {
+      case f if cols.contains(f.name) && f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSet
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      val base = Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"))
+      if (numeric(c)) base ++ Seq(
+        min(col(c)).cast("double").as(s"__mn_$c"),
+        max(col(c)).cast("double").as(s"__mx_$c"),
+        sum(col(c).cast(DecimalType(28, 6))).cast("double").as(s"__sm_$c"))
+      else base
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_nonnull"), col(s"__nd_$c").as("n_distinct"),
+        (if (numeric(c)) col(s"__mn_$c") else lit(null).cast("double")).as("min_num"),
+        (if (numeric(c)) col(s"__mx_$c") else lit(null).cast("double")).as("max_num"),
+        (if (numeric(c)) col(s"__sm_$c") else lit(null).cast("double")).as("sum_num"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
   // ------------------------------------------- skew-safe two-phase aggregate
   /** Salted group-aggregate for skewed keys: phase 1 aggregates on
     * (keys, salt) — spreading one hot key over `saltBuckets` reducers —

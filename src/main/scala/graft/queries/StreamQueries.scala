@@ -205,6 +205,26 @@ object StreamQueries {
           .orderBy("l_returnflag")
       }),
 
+    // ---- per-column profile report: completeness/cardinality/range in
+    // one aggregation pass (numeric stats as double min/max + decimal-
+    // summed total; string/date columns carry NULL numerics by contract).
+    Q("q86_profile",
+      Some(Seq(
+        ("l_quantity", true), ("l_extendedprice", true),
+        ("l_returnflag", false), ("l_linestatus", false))
+        .map { case (c, isNum) =>
+          val (mn, mx, sm) =
+            if (isNum) (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)",
+              s"CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE)")
+            else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+          s"SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull, " +
+            s"COUNT(DISTINCT $c) AS n_distinct, $mn AS min_num, $mx AS max_num, " +
+            s"$sm AS sum_num FROM lineitem"
+        }.mkString(" UNION ALL ") + " ORDER BY col_name"),
+      (s, dir) => graft.operators.Ops.profile(Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"))
+        .orderBy("col_name")),
+
     // ---- semi-structured props: JSON field extraction + aggregation
     // (process.json_recode territory, at scale).
     Q("q40_json_props",

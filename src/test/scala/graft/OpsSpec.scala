@@ -247,6 +247,18 @@ class OpsSpec extends SparkSpec {
       (9L, 1, None, Some("I"))), got.mkString(","))
   }
 
+  test("profile: completeness, cardinality, and numeric stats per column") {
+    val df = Seq((1L, Option(2.5), "a"), (2L, None, "b"), (3L, Option(4.5), "a"))
+      .toDF("id", "v", "s")
+    val got = Ops.profile(df, Seq("id", "v", "s")).orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)), Option(r.get(6)))).toSeq
+    assert(got == Seq(
+      ("id", 3L, 3L, 3L, Some(1.0), Some(3.0), Some(6.0)),
+      ("s", 3L, 3L, 2L, None, None, None),
+      ("v", 3L, 2L, 2L, Some(2.5), Some(4.5), Some(7.0))))
+  }
+
   test("trailingWindowAgg: (t-1h, t] frame, boundary exclusion, same-second ties share") {
     // user u: t=0, 1800, 3599 (all within 1h of 3599), 3600 (frame (0,3600]
     // excludes t=0), plus two same-second events at 7200 that see each other

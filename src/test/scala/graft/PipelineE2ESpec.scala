@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.Ops
+import graft.pipeline.Dedup
 import graft.sources.{Readers, Writers}
 import graft.types.DetectTypes
 
@@ -11,6 +12,7 @@ import graft.types.DetectTypes
   * re-read. Everything through the public API.
   */
 class PipelineE2ESpec extends SparkSpec {
+  import spark.implicits._
 
   test("read -> infer -> cast -> cut/filter/group -> write -> re-read") {
     // read: all-string frame from the iris-shaped fixture
@@ -47,5 +49,33 @@ class PipelineE2ESpec extends SparkSpec {
     val b = back.collect().map(r => (r.getString(0), r.getLong(1),
       math.round(r.getDouble(2) * 1e9))).toSet
     assert(a == b)
+  }
+
+  test("curation chain: normalize -> near-dup pairs -> keep-best retention") {
+    // the round-6 operators composed as a user would: unicode-canonicalize
+    // the text, find near-dup pairs, then keep the highest-token-count
+    // member of every cluster — ids 1/2/3 are accent/width variants of one
+    // doc (3 longest), 10 stands alone
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, base.replace("alpha", "\u00e1lpha")),      // precomposed accent
+      (2L, base.replace("alpha", "a\u0301lpha")),    // combining accent
+      (3L, base.replace("alpha", "\u00e1lpha") + " extra"), // longer variant
+      (10L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val normalized = docs.select(col("doc_id"),
+      graft.functions.UnicodeFns.unicodeNormalize(col("text"), "NFKC").as("text"))
+    val pairs = Dedup.minhashDedup(normalized, "doc_id", "text",
+      Dedup.MinHashConfig(numHashes = 64, bands = 16, shingleN = 3, threshold = 0.5))
+    // 1 and 2 only converge after normalization (different bytes, same NFKC)
+    assert(pairs.filter(col("id_a") === 1L && col("id_b") === 2L)
+      .select("jaccard").collect().head.getDouble(0) == 1.0)
+    val kept = Dedup.keepBestPerCluster(pairs,
+        normalized.select(col("doc_id"),
+          graft.pipeline.TextAnalysis.tokenCount(col("text")).as("score")),
+        "doc_id", "score")
+      .filter(col("is_keep")).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L), s"keep-best must retain the longest variant, got $kept")
   }
 }
