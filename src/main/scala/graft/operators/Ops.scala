@@ -547,6 +547,80 @@ object Ops {
       .drop("__cn", "__cv", "__pn", "__pv")
   }
 
+  // ------------------------------------------------------ fuzzy string join
+  /** Fuzzy (edit-distance) string join: every (left value, right value)
+    * pair with levenshtein <= maxDist — entity resolution over misspelled
+    * names/titles/urls. Exact output, never a cartesian product.
+    *
+    * Candidate scheme is segment pigeonhole blocking (PassJoin-style): a
+    * left string of length n splits into maxDist+1 contiguous segments; an
+    * edit script of <= maxDist operations cannot touch every segment, so
+    * any right string within distance maxDist contains at least one
+    * segment VERBATIM, shifted by at most maxDist. Left emits its
+    * maxDist+1 (segIdx, leftLen, segment) keys; right emits the
+    * substrings that could match a segment for each candidate left length
+    * within +-maxDist of its own — a bounded (2k+1)(k+1)(2k+1) ~ 75-row
+    * explode per right string at k=2, all row-local codegen. The match
+    * becomes one equi join on (segIdx, leftLen, segment) followed by
+    * exact levenshtein verification: candidates are linear in data size,
+    * not quadratic, and no global statistics pass is needed (unlike
+    * gram-frequency prefix filtering).
+    *
+    * Strings of length <= maxDist carry segments too short to block on;
+    * that tiny bucket pairs against rights of length <= 2*maxDist by
+    * length-band alone. Returns distinct (lval, rval, dist); join back on
+    * the values to recover payloads. */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+                leftCol: String, rightCol: String, maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val k = maxDist
+    val l = left.select(col(leftCol).cast("string").as("lval"))
+      .filter(col("lval").isNotNull && length(col("lval")) > 0).distinct()
+    val r = right.select(col(rightCol).cast("string").as("rval"))
+      .filter(col("rval").isNotNull && length(col("rval")) > 0).distinct()
+
+    // segment i of a length-n string: [i*n div (k+1), (i+1)*n div (k+1))
+    val lSegs = l.filter(length(col("lval")) > k)
+      .select(col("lval"), explode(expr(
+        s"""transform(sequence(0, $k), i -> struct(
+           |  i AS si, length(lval) AS ln,
+           |  substr(lval, (i * length(lval)) div ${k + 1} + 1,
+           |         ((i + 1) * length(lval)) div ${k + 1} - (i * length(lval)) div ${k + 1}) AS seg))""".stripMargin)).as("s"))
+      .select(col("lval"), col("s.si"), col("s.ln"), col("s.seg"))
+
+    // right probes: for each candidate left length and segment index, the
+    // substrings at the segment's position shifted by at most k
+    val rProbes = r.select(col("rval"), explode(expr(
+      s"""flatten(flatten(
+         |  transform(sequence(greatest(${k + 1}, length(rval) - $k), length(rval) + $k), ll ->
+         |    transform(sequence(0, $k), i ->
+         |      CASE WHEN least(length(rval) - (((i + 1) * ll) div ${k + 1} - (i * ll) div ${k + 1}),
+         |                     (i * ll) div ${k + 1} + $k)
+         |                >= greatest(0, (i * ll) div ${k + 1} - $k)
+         |      THEN transform(sequence(greatest(0, (i * ll) div ${k + 1} - $k),
+         |                              least(length(rval) - (((i + 1) * ll) div ${k + 1} - (i * ll) div ${k + 1}),
+         |                                    (i * ll) div ${k + 1} + $k)), p ->
+         |             struct(i AS si, ll AS ln,
+         |                    substr(rval, p + 1,
+         |                           ((i + 1) * ll) div ${k + 1} - (i * ll) div ${k + 1}) AS seg))
+         |      ELSE array() END))))""".stripMargin)).as("s"))
+      .select(col("rval"), col("s.si"), col("s.ln"), col("s.seg"))
+
+    val candidates = lSegs.join(rProbes, Seq("si", "ln", "seg"))
+      .select(col("lval"), col("rval")).distinct()
+
+    // short-left bucket: blocking segments degenerate, but a string of
+    // length <= k only matches rights of length <= 2k — a tiny length band
+    val shortPairs = l.filter(length(col("lval")) <= k)
+      .crossJoin(r.filter(length(col("rval")) <= 2 * k))
+      .select(col("lval"), col("rval"))
+
+    candidates.union(shortPairs).distinct()
+      .filter(abs(length(col("lval")) - length(col("rval"))) <= k)
+      .withColumn("dist", levenshtein(col("lval"), col("rval")))
+      .filter(col("dist") <= k)
+  }
+
   // ----------------------------------------------------- column profiling
   /** Per-column profile report: one output row per requested column with
     * row count, non-null count, exact distinct count, and (for numeric

@@ -205,6 +205,35 @@ object StreamQueries {
           .orderBy("l_returnflag")
       }),
 
+    // ---- fuzzy (edit-distance <= 2) join: misspelled customer names
+    // (deterministic char-drop + substitution variants keyed on custkey)
+    // resolved back to the catalog. The oracle is the naive length-banded
+    // cross join — exact ground truth; the Spark side must produce the
+    // identical pair set through segment blocking.
+    Q("q87_fuzzy_join",
+      Some("WITH variants AS (" +
+        "SELECT CASE WHEN c_custkey % 2 = 0 " +
+        "THEN substr(c_name, 1, CAST(c_custkey % 7 AS INT) + 3) || substr(c_name, CAST(c_custkey % 7 AS INT) + 5) " +
+        "ELSE substr(c_name, 1, CAST(c_custkey % 9 AS INT) + 2) || 'X' || substr(c_name, CAST(c_custkey % 9 AS INT) + 4) END AS lval " +
+        "FROM customer WHERE c_custkey % 31 = 0), " +
+        "pairs AS (SELECT DISTINCT lval, c_name AS rval, levenshtein(lval, c_name) AS dist " +
+        "FROM variants, customer WHERE abs(length(lval) - length(c_name)) <= 2 " +
+        "AND levenshtein(lval, c_name) <= 2) " +
+        "SELECT lval, rval, dist FROM pairs ORDER BY lval, rval"),
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val variants = cust.filter(pmod(col("c_custkey"), lit(31)) === 0)
+          .select(when(pmod(col("c_custkey"), lit(2)) === 0,
+              concat(expr("substr(c_name, 1, CAST(c_custkey % 7 AS INT) + 3)"),
+                expr("substr(c_name, CAST(c_custkey % 7 AS INT) + 5)")))
+            .otherwise(
+              concat(expr("substr(c_name, 1, CAST(c_custkey % 9 AS INT) + 2)"), lit("X"),
+                expr("substr(c_name, CAST(c_custkey % 9 AS INT) + 4)")))
+            .as("name_typo"))
+        graft.operators.Ops.fuzzyJoin(variants, cust, "name_typo", "c_name", maxDist = 2)
+          .orderBy("lval", "rval")
+      }),
+
     // ---- per-column profile report: completeness/cardinality/range in
     // one aggregation pass (numeric stats as double min/max + decimal-
     // summed total; string/date columns carry NULL numerics by contract).

@@ -247,6 +247,40 @@ class OpsSpec extends SparkSpec {
       (9L, 1, None, Some("I"))), got.mkString(","))
   }
 
+  test("fuzzyJoin equals the naive cross-join levenshtein filter, incl. short strings") {
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = "abcde"
+    def word(n: Int) = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    // random base words of varied length plus planted 1- and 2-edit
+    // variants and degenerate short strings
+    val bases = (1 to 60).map(_ => word(2 + rnd.nextInt(12)))
+    val variants = bases.flatMap { w =>
+      val del = if (w.length > 1) Seq(w.substring(1)) else Nil
+      val sub = Seq(w.updated(rnd.nextInt(w.length), 'z'))
+      val ins = Seq(w + "q")
+      del ++ sub ++ ins
+    }
+    val lefts = (bases.take(30) ++ variants.take(40) ++ Seq("a", "ab", "")).distinct
+    val rights = (bases ++ variants.drop(40).take(30) ++ Seq("b", "xy")).distinct
+    val ldf = lefts.toDF("s"); val rdf = rights.toDF("s")
+    val got = Ops.fuzzyJoin(ldf, rdf, "s", "s", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val naive = (for {
+      a <- lefts if a.nonEmpty; b <- rights if b.nonEmpty
+      d = {
+        val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+            dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        dp(a.length)(b.length)
+      } if d <= 2
+    } yield (a, b, d)).toSet
+    assert(got == naive,
+      s"missing=${(naive -- got).take(5)} extra=${(got -- naive).take(5)}")
+    assert(naive.nonEmpty)
+  }
+
   test("profile: completeness, cardinality, and numeric stats per column") {
     val df = Seq((1L, Option(2.5), "a"), (2L, None, "b"), (3L, Option(4.5), "a"))
       .toDF("id", "v", "s")

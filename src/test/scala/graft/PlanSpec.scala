@@ -238,6 +238,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Aggregate"), s"expected the min(struct) election aggregate:\n$p")
   }
 
+  test("q87: fuzzy join blocks on segment keys — equi join for the long path") {
+    val p = planOf("q87_fuzzy_join")
+    // the segment-blocked path must be an equi join on (si, ln, seg); the
+    // only cartesian allowed is the degenerate <=maxDist-length bucket,
+    // which this corpus (18-char names) never populates with a scan --
+    // assert the equi-join exists and feeds the levenshtein verify
+    assert(p.contains("Join") && p.contains("si") && p.contains("seg"),
+      s"expected the segment equi join in:\n$p")
+    assert(p.contains("levenshtein"), s"expected the exact verify in:\n$p")
+  }
+
   test("q53: curation filters run before the dedup shuffle") {
     // language/quality predicates must sit below the fingerprint aggregate:
     // discarded rows never reach the exchange
