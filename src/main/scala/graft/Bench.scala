@@ -36,9 +36,15 @@ object Bench {
     warmup("media fixture")(
       graft.pipeline.MediaFixtures.materializedMediaTable(spark, sfDir).count())
 
+    // optional name-substring filter (local iteration only; the driver
+    // passes no args and measures the full registry)
+    val only = args.headOption
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(n.contains) }
+
     // a failing query reports -1 (and logs) instead of a normal-looking
     // wall time — a silently broken query must not read as a fast one
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val sec = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case t: Throwable =>

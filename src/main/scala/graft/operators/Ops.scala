@@ -552,24 +552,39 @@ object Ops {
     * pair with levenshtein <= maxDist — entity resolution over misspelled
     * names/titles/urls. Exact output, never a cartesian product.
     *
-    * Candidate scheme is segment pigeonhole blocking (PassJoin-style): a
-    * left string of length n splits into maxDist+1 contiguous segments; an
-    * edit script of <= maxDist operations cannot touch every segment, so
-    * any right string within distance maxDist contains at least one
-    * segment VERBATIM, shifted by at most maxDist. Left emits its
-    * maxDist+1 (segIdx, leftLen, segment) keys; right emits the
-    * substrings that could match a segment for each candidate left length
-    * within +-maxDist of its own — a bounded (2k+1)(k+1)(2k+1) ~ 75-row
-    * explode per right string at k=2, all row-local codegen. The match
-    * becomes one equi join on (segIdx, leftLen, segment) followed by
-    * exact levenshtein verification: candidates are linear in data size,
-    * not quadratic, and no global statistics pass is needed (unlike
-    * gram-frequency prefix filtering).
+    * Candidates come from a length-split hybrid of two published schemes,
+    * both exact-complete (every true match is a candidate; an explicit
+    * levenshtein verifies each candidate):
     *
-    * Strings of length <= maxDist carry segments too short to block on;
-    * that tiny bucket pairs against rights of length <= 2*maxDist by
-    * length-band alone. Returns distinct (lval, rval, dist); join back on
-    * the values to recover payloads. */
+    * **Short strings (length <= 32, maxDist <= 2): deletion neighborhood**
+    * (FastSS, Bocek et al. 2007). If ed(a,b) <= k, an alignment with s
+    * substitutions, i insertions, d deletions (s+i+d <= k) leaves the
+    * matched characters equal and in order — so deleting the d+s touched
+    * chars from a and the i+s touched chars from b (each <= k deletions)
+    * yields the SAME string. Both sides explode their <= k-deletion
+    * variants (~ 1 + n + n(n-1)/2, <= 529 rows at n=32, k=2) and match on
+    * ONE equi join whose key is a near-whole string. That key stays
+    * selective even when the corpus shares long literal prefixes
+    * (Customer#0000..., https://www...) — the regime where positional
+    * segment blocking degenerates toward the cross product, because every
+    * string carries the identical segment at the identical position.
+    *
+    * **Long strings (length > 32) or maxDist >= 3: segment pigeonhole**
+    * (PassJoin-style). The deletion neighborhood is O(n^k) per row, so
+    * past ~32 chars it explodes; contiguous segments do the opposite — a
+    * left string's k+1 segments (each ~n/(k+1) chars) cannot all be
+    * touched by <= k edits, so a true match contains one segment verbatim
+    * within a +-k shift. Left emits k+1 (segIdx, leftLen, segment) keys;
+    * right emits candidate substrings (a bounded (2k+1)(k+1)(2k+1) ~ 75-row
+    * explode at k=2); one equi join matches them. Long segments are
+    * selective precisely where deletion variants are not.
+    *
+    * Both regimes are one explode + one equi join + exact verification —
+    * no global statistics pass, no cartesian. The split is on LEFT length;
+    * the right feeds each regime filtered to the lengths that could match
+    * (+-k), so every pair is covered exactly once up to the final
+    * distinct. Returns distinct (lval, rval, dist); join back on the
+    * values to recover payloads. */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
                 leftCol: String, rightCol: String, maxDist: Int = 2): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
@@ -579,6 +594,53 @@ object Ops {
     val r = right.select(col(rightCol).cast("string").as("rval"))
       .filter(col("rval").isNotNull && length(col("rval")) > 0).distinct()
 
+    val candidates =
+      if (k <= 2) {
+        val short = deletionCandidates(
+          l.filter(length(col("lval")) <= FuzzyShortMax),
+          r.filter(length(col("rval")) <= FuzzyShortMax + k), k)
+        val long = segmentCandidates(
+          l.filter(length(col("lval")) > FuzzyShortMax),
+          r.filter(length(col("rval")) > FuzzyShortMax - k), k)
+        short.union(long)
+      } else {
+        // k >= 3: segment blocking throughout; strings of length <= k have
+        // degenerate segments and pair against the tiny <= 2k length band
+        val seg = segmentCandidates(l.filter(length(col("lval")) > k), r, k)
+        val shortPairs = l.filter(length(col("lval")) <= k)
+          .crossJoin(r.filter(length(col("rval")) <= 2 * k))
+          .select(col("lval"), col("rval"))
+        seg.union(shortPairs)
+      }
+
+    candidates.distinct()
+      .filter(abs(length(col("lval")) - length(col("rval"))) <= k)
+      .withColumn("dist", levenshtein(col("lval"), col("rval")))
+      .filter(col("dist") <= k)
+  }
+
+  /** Length bound for the deletion-neighborhood regime: n=32, k=2 caps the
+    * per-row variant array at 529 short strings; beyond it the O(n^2)
+    * neighborhood costs more than segment blocking saves. */
+  private val FuzzyShortMax = 32
+
+  /** All distinct <= k-deletion variants of each value (native kernel,
+    * functions.FuzzyExprs), matched on one equi join over the variant's
+    * xxhash64 — an 8-byte shuffle key instead of a near-whole string; a
+    * hash collision only adds a candidate the levenshtein verify drops
+    * (k <= 2). */
+  private def deletionCandidates(l: DataFrame, r: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 2, s"deletion neighborhood supports k<=2, got $k")
+    import graft.functions.FuzzyExprs.deletionVariants
+    def side(df: DataFrame, v: String): DataFrame =
+      df.select(col(v), explode(deletionVariants(col(v), k)).as("__vs"))
+        .select(col(v), xxhash64(col("__vs")).as("__v"))
+    side(l, "lval").join(side(r, "rval"), Seq("__v"))
+      .select(col("lval"), col("rval"))
+  }
+
+  /** PassJoin-style segment pigeonhole candidates (any k). */
+  private def segmentCandidates(l: DataFrame, r: DataFrame, k: Int): DataFrame = {
     // segment i of a length-n string: [i*n div (k+1), (i+1)*n div (k+1))
     val lSegs = l.filter(length(col("lval")) > k)
       .select(col("lval"), explode(expr(
@@ -606,19 +668,8 @@ object Ops {
          |      ELSE array() END))))""".stripMargin)).as("s"))
       .select(col("rval"), col("s.si"), col("s.ln"), col("s.seg"))
 
-    val candidates = lSegs.join(rProbes, Seq("si", "ln", "seg"))
-      .select(col("lval"), col("rval")).distinct()
-
-    // short-left bucket: blocking segments degenerate, but a string of
-    // length <= k only matches rights of length <= 2k — a tiny length band
-    val shortPairs = l.filter(length(col("lval")) <= k)
-      .crossJoin(r.filter(length(col("rval")) <= 2 * k))
+    lSegs.join(rProbes, Seq("si", "ln", "seg"))
       .select(col("lval"), col("rval"))
-
-    candidates.union(shortPairs).distinct()
-      .filter(abs(length(col("lval")) - length(col("rval"))) <= k)
-      .withColumn("dist", levenshtein(col("lval"), col("rval")))
-      .filter(col("dist") <= k)
   }
 
   // ----------------------------------------------------- column profiling

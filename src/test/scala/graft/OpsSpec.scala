@@ -252,8 +252,11 @@ class OpsSpec extends SparkSpec {
     val alphabet = "abcde"
     def word(n: Int) = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
     // random base words of varied length plus planted 1- and 2-edit
-    // variants and degenerate short strings
-    val bases = (1 to 60).map(_ => word(2 + rnd.nextInt(12)))
+    // variants and degenerate short strings; the long tail (28-40 chars)
+    // straddles the 32-char deletion/segment regime boundary so both
+    // candidate paths and the seam between them are exercised
+    val bases = (1 to 60).map(_ => word(2 + rnd.nextInt(12))) ++
+      (1 to 16).map(_ => word(28 + rnd.nextInt(13)))
     val variants = bases.flatMap { w =>
       val del = if (w.length > 1) Seq(w.substring(1)) else Nil
       val sub = Seq(w.updated(rnd.nextInt(w.length), 'z'))

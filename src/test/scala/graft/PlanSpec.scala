@@ -238,15 +238,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Aggregate"), s"expected the min(struct) election aggregate:\n$p")
   }
 
-  test("q87: fuzzy join blocks on segment keys — equi join for the long path") {
+  test("q87: fuzzy join matches candidates on equi joins, never a cartesian") {
     val p = planOf("q87_fuzzy_join")
-    // the segment-blocked path must be an equi join on (si, ln, seg); the
-    // only cartesian allowed is the degenerate <=maxDist-length bucket,
-    // which this corpus (18-char names) never populates with a scan --
-    // assert the equi-join exists and feeds the levenshtein verify
-    assert(p.contains("Join") && p.contains("si") && p.contains("seg"),
-      s"expected the segment equi join in:\n$p")
+    // 18-char names ride the deletion-neighborhood regime: one equi join
+    // on the exploded variant string (__v); the long-string branch keeps
+    // its segment equi join (si, seg) in the plan. Neither may be a
+    // cartesian / BNLJ, and exact levenshtein must verify candidates.
+    assert(p.contains("Join") && p.contains("__v"),
+      s"expected the deletion-variant equi join in:\n$p")
+    assert(p.contains("si") && p.contains("seg"),
+      s"expected the long-string segment branch in:\n$p")
     assert(p.contains("levenshtein"), s"expected the exact verify in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"fuzzy join must never be a cartesian:\n$p")
   }
 
   test("q53: curation filters run before the dedup shuffle") {

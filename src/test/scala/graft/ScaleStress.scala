@@ -167,6 +167,24 @@ object ScaleStress {
       org.apache.spark.sql.functions.timestamp_seconds(
         lit(1700000000L) + (col("id") % 1000000L) / 10L).as("ts"),
       (col("id") % 100L).cast("double").as("value"))
+    // fuzzy join at scale: 150k right names vs 5k typo'd lefts sharing the
+    // literal "Entity#" prefix — the adversarial corpus for positional
+    // segment blocking (every string carries the identical segment at the
+    // identical position). The deletion-neighborhood regime must keep
+    // candidates near-linear; a cartesian would be 750M levenshtein evals
+    val names = spark.range(150000L).select(
+      concat(lit("Entity#"), lpad(col("id").cast("string"), 9, "0")).as("name"))
+    val typos = spark.range(5000L).select(
+      concat(lit("Entity#"), lpad((col("id") * 30L).cast("string"), 9, "0")).as("n0"))
+      .select(concat(substring(col("n0"), 1, 7), lit("Z"),
+        substring(col("n0"), 9, 20)).as("name"))
+    val fj = timed("fuzzyJoin 5k typos vs 150k names (k=2)") {
+      graft.operators.Ops.fuzzyJoin(typos, names, "name", "name", maxDist = 2).count()
+    }
+    println(s"  pairs: $fj (each typo matches its original and same-length " +
+      "1-digit-off neighbors within the substituted char's edit budget)")
+    assert(fj >= 5000L, s"every planted typo must at least match its original: $fj")
+
     val trail = timed("trailingWindowAgg over 2M events, one 1M-row hot user") {
       graft.operators.Ops.trailingWindowAgg(hotEv, Seq("user_id"), "ts", "value", 3600L)
         .agg(org.apache.spark.sql.functions.max("n_trail").as("mx"),
