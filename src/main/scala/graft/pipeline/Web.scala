@@ -133,4 +133,44 @@ object Web {
       .withColumn("registered_domain", registeredDomain(host))
       .withColumn("path", urlPath(col(urlCol)))
   }
+
+  /** Host labels considered for blocklist matching: a blocklist domain
+    * deeper than this is unmatchable (real registrable domains run <= ~5
+    * labels), and the cap bounds the suffix explode against crafted
+    * million-label hosts in attacker-controlled URLs. */
+  val MaxBlocklistLabels = 12
+
+  /** Domain-blocklist filtering (UT1-style): drop rows whose URL host IS a
+    * blocked domain or sits anywhere UNDER one — `ads.example.com` blocks
+    * `ads.example.com`, `x.ads.example.com`, ... but not
+    * `notads.example.com`. The standard crawl-curation step run against
+    * multi-million-entry category blocklists.
+    *
+    * Scale shape: hosts repeat massively in a crawl, so matching runs at
+    * DISTINCT-HOST grain — distinct hosts explode into their dot-suffixes
+    * (bounded by [[MaxBlocklistLabels]]), ONE equi join against the
+    * normalized blocklist marks blocked hosts, and the corpus anti-joins
+    * that (typically broadcast) host set: document content never shuffles,
+    * and there is no LIKE/regex join (a non-equi join is a nested-loop
+    * cross product at scale). A blocklist too large to broadcast degrades
+    * to the same equi joins co-keyed on suffix/host — still never
+    * quadratic. */
+  def domainBlocklistFilter(df: DataFrame, urlCol: String,
+                            blocklist: DataFrame, domCol: String): DataFrame = {
+    val bl = blocklist
+      .select(lower(trim(col(domCol))).as("__dom"))
+      .filter(col("__dom") =!= "" &&
+        size(split(col("__dom"), "\\.")) <= MaxBlocklistLabels)
+      .distinct()
+    val withHost = df.withColumn("__host", urlHost(col(urlCol)))
+    val hosts = withHost.select(col("__host")).filter(col("__host") =!= "")
+      .distinct()
+    val labels = split(col("__host"), "\\.")
+    val probes = hosts.select(col("__host"), explode(transform(
+      sequence(lit(1), least(size(labels), lit(MaxBlocklistLabels))),
+      i => array_join(slice(labels, -i, i), "."))).as("__dom"))
+    val blockedHosts = probes.join(bl, Seq("__dom"))
+      .select(col("__host")).distinct()
+    withHost.join(blockedHosts, Seq("__host"), "left_anti").drop("__host")
+  }
 }

@@ -35,6 +35,33 @@ object CurationQueries {
   // PII patterns as DuckDB (RE2) string literals — single-quoted SQL strings
   // don't process backslashes, so the pattern text is identical to the Java
   // side's.
+  // deterministic URL augmentation shared by q71/q88: five host families
+  // (subdomained .example.com, userinfo+port under a co.uk two-level
+  // suffix, bare .org apex, IPv4 literal, numbered cdn subdomain) keyed on
+  // doc_id — both engines must build byte-identical URLs
+  private val synthUrlSql = "CASE doc_id % 5 " +
+    "WHEN 0 THEN 'https://www.' || source || '-news.example.com/articles/' || doc_id " +
+    "WHEN 1 THEN 'http://user:pw@blog.' || source || '.co.uk:8080/posts/' || doc_id || '?page=2' " +
+    "WHEN 2 THEN 'https://' || source || '.org/wiki/Item_' || doc_id || '#frag' " +
+    "WHEN 3 THEN 'http://192.168.' || (doc_id % 256) || '.7/raw/' || doc_id " +
+    "ELSE 'https://cdn-' || (doc_id % 10) || '.' || source || '.io/assets/app.js' END"
+
+  private def synthUrl: Column =
+    when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("https://www."), col("source"),
+          lit("-news.example.com/articles/"), col("doc_id")))
+      .when(pmod(col("doc_id"), lit(5)) === 1,
+        concat(lit("http://user:pw@blog."), col("source"), lit(".co.uk:8080/posts/"),
+          col("doc_id"), lit("?page=2")))
+      .when(pmod(col("doc_id"), lit(5)) === 2,
+        concat(lit("https://"), col("source"), lit(".org/wiki/Item_"),
+          col("doc_id"), lit("#frag")))
+      .when(pmod(col("doc_id"), lit(5)) === 3,
+        concat(lit("http://192.168."), pmod(col("doc_id"), lit(256)),
+          lit(".7/raw/"), col("doc_id")))
+      .otherwise(concat(lit("https://cdn-"), pmod(col("doc_id"), lit(10)),
+        lit("."), col("source"), lit(".io/assets/app.js")))
+
   private val emailSql = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val ipSql = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
   private val phoneSql = "\\+\\d[\\d-]{7,}\\d"
@@ -400,6 +427,36 @@ object CurationQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- domain-blocklist filtering (UT1-style): a host is blocked when
+    // it IS a listed domain or sits anywhere UNDER one (never substring
+    // matching: src3.org must not block notsrc3.org). One list entry per
+    // synthetic URL family: subdomain-of-listed (www.src7-news.example.com
+    // under src7-news.example.com), registrable under a two-level public
+    // suffix (blog.src1.co.uk under src1.co.uk), exact apex (src3.org),
+    // exact IPv4 literal, and cdn subdomain (cdn-N.src2.io under src2.io).
+    // The oracle is the naive NOT EXISTS with ends_with; the Spark side
+    // must reach the identical survivor set through the distinct-host
+    // suffix-explode equi join (a LIKE join would be a nested loop).
+    Q("q88_domain_blocklist",
+      Some("WITH u AS (SELECT doc_id, " + synthUrlSql + " AS url FROM documents), " +
+        "h AS (SELECT doc_id, " +
+        "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host FROM u), " +
+        "b(dom) AS (VALUES ('src3.org'), ('src7-news.example.com'), " +
+        "('src1.co.uk'), ('192.168.17.7'), ('src2.io')) " +
+        "SELECT doc_id, host FROM h WHERE NOT EXISTS " +
+        "(SELECT 1 FROM b WHERE h.host = b.dom OR ends_with(h.host, '.' || b.dom)) " +
+        "ORDER BY doc_id"),
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+          .withColumn("url", synthUrl)
+        val bl = Seq("src3.org", "src7-news.example.com", "src1.co.uk",
+          "192.168.17.7", "src2.io").toDF("dom")
+        Web.domainBlocklistFilter(docs, "url", bl, "dom")
+          .select(col("doc_id"), Web.urlHost(col("url")).as("host"))
+          .orderBy("doc_id")
+      }),
+
     // ---- URL decomposition (scheme/host/registered domain/path): both
     // engines build the same deterministic URL mix — www hosts, co.uk
     // two-level suffix with userinfo + port, bare two-label hosts, IPv4
@@ -409,12 +466,7 @@ object CurationQueries {
     Q("q71_url_parts", {
       val sfx = Web.TwoLevelSuffixes.map(x => s"'$x'").mkString("(", ", ", ")")
       val host = "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))"
-      Some("WITH u AS (SELECT doc_id, CASE doc_id % 5 " +
-        "WHEN 0 THEN 'https://www.' || source || '-news.example.com/articles/' || doc_id " +
-        "WHEN 1 THEN 'http://user:pw@blog.' || source || '.co.uk:8080/posts/' || doc_id || '?page=2' " +
-        "WHEN 2 THEN 'https://' || source || '.org/wiki/Item_' || doc_id || '#frag' " +
-        "WHEN 3 THEN 'http://192.168.' || (doc_id % 256) || '.7/raw/' || doc_id " +
-        "ELSE 'https://cdn-' || (doc_id % 10) || '.' || source || '.io/assets/app.js' END AS url " +
+      Some("WITH u AS (SELECT doc_id, " + synthUrlSql + " AS url " +
         "FROM documents), " +
         "h AS (SELECT doc_id, " +
         "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, " +
@@ -430,23 +482,9 @@ object CurationQueries {
         "path FROM h ORDER BY doc_id")
     },
       (s, dir) => {
-        val url = when(pmod(col("doc_id"), lit(5)) === 0,
-            concat(lit("https://www."), col("source"),
-              lit("-news.example.com/articles/"), col("doc_id")))
-          .when(pmod(col("doc_id"), lit(5)) === 1,
-            concat(lit("http://user:pw@blog."), col("source"), lit(".co.uk:8080/posts/"),
-              col("doc_id"), lit("?page=2")))
-          .when(pmod(col("doc_id"), lit(5)) === 2,
-            concat(lit("https://"), col("source"), lit(".org/wiki/Item_"),
-              col("doc_id"), lit("#frag")))
-          .when(pmod(col("doc_id"), lit(5)) === 3,
-            concat(lit("http://192.168."), pmod(col("doc_id"), lit(256)),
-              lit(".7/raw/"), col("doc_id")))
-          .otherwise(concat(lit("https://cdn-"), pmod(col("doc_id"), lit(10)),
-            lit("."), col("source"), lit(".io/assets/app.js")))
         Web.withUrlParts(
             Tables.documents(s, dir).select(col("doc_id"), col("source"))
-              .withColumn("url", url), "url")
+              .withColumn("url", synthUrl), "url")
           .select(col("doc_id"), col("scheme"), col("host"),
             col("registered_domain"), col("path"))
           .orderBy("doc_id")

@@ -775,6 +775,25 @@ class PipelineSpec extends SparkSpec {
     assert(got(5) == (("", "", "", "")), s"non-URL must yield empty parts: ${got(5)}")
   }
 
+  test("domainBlocklistFilter: hierarchical suffix match, never substring, case-normalized") {
+    import graft.pipeline.Web
+    val deepHost = ("a." * 13) + "bad.com"          // 15 labels, blocked via 2-label suffix
+    val thirteen = (1 to 13).map("l" + _).mkString(".") // unmatchable: > MaxBlocklistLabels
+    val rows = Seq(
+      ("https://ads.example.com/a", "exact"),
+      ("https://x.y.ads.example.com/b", "under"),
+      ("https://notads.example.com/c", "substring-trap"),
+      ("https://sub.BAD.Com/d", "case"),
+      (s"https://$deepHost/e", "deep"),
+      (s"https://$thirteen/f", "thirteen-labels"),
+      ("no scheme here", "hostless")).toDF("url", "tag")
+    val bl = Seq("ads.example.com", "  Bad.COM ", thirteen, "", "   ").toDF("dom")
+    val kept = Web.domainBlocklistFilter(rows, "url", bl, "dom")
+      .select("tag").as[String].collect().toSet
+    assert(kept == Set("substring-trap", "thirteen-labels", "hostless"),
+      s"kept: $kept")
+  }
+
   test("normalizeUrl: variants of one page share a canonical key; distinct pages don't") {
     import graft.pipeline.Web
     val urls = Seq(

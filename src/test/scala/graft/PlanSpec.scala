@@ -253,6 +253,16 @@ class PlanSpec extends SparkSpec {
       s"fuzzy join must never be a cartesian:\n$p")
   }
 
+  test("q88: blocklist match is equi joins at distinct-host grain — never a LIKE join") {
+    val p = planOf("q88_domain_blocklist")
+    assert(p.contains("LeftAnti"), s"expected the survivor anti join in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"a LIKE/regex join would plan a nested loop — must be equi joins:\n$p")
+    // suffixes explode from DISTINCT hosts, so an aggregate must sit below
+    // the blocklist join (content rows never fan out)
+    assert(p.contains("HashAggregate"), s"expected the distinct-host collapse in:\n$p")
+  }
+
   test("q53: curation filters run before the dedup shuffle") {
     // language/quality predicates must sit below the fingerprint aggregate:
     // discarded rows never reach the exchange
