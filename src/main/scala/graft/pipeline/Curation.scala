@@ -228,21 +228,23 @@ object Curation {
     * row-local explode: no shuffle, embarrassingly parallel at 100 TB.
     * Emits (doc_id, chunk_id, tok_start, n_tokens, chunk_hash) where
     * chunk_hash = md5 of the space-joined window — chunk identity travels
-    * as 32 bytes, never as text. */
+    * as 32 bytes, never as text. The per-window hashing is a native kernel
+    * (functions.ChunkExprs.tokenWindowHashes): tokens join into ONE byte
+    * buffer per document and each window digests a byte RANGE of it —
+    * byte-identical to md5(concat_ws(" ", slice(...))) without the
+    * per-position window copy that dominated the stride-1 bench. */
   def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
                     window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       "need 0 < stride <= window")
     val toks = TextAnalysis.tokens(col(textCol))
-    val nChunks = lit(1) + greatest(lit(0),
-      ceil((size(toks) - lit(window)).cast("double") / stride).cast("int"))
-    val start = col("chunk_id") * stride + 1
-    val chunk = slice(col("toks"), start, lit(window))
-    docs.select(col(idCol).as("doc_id"), toks.as("toks"),
-        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
-      .select(col("doc_id"), col("chunk_id"), start.as("tok_start"),
-        size(chunk).as("n_tokens"),
-        md5(concat_ws(" ", chunk)).as("chunk_hash"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.ChunkExprs.tokenWindowHashes(
+          toks, window, stride)).as("__c"))
+      .select(col("doc_id"), col("__c.chunk_id").as("chunk_id"),
+        col("__c.tok_start").as("tok_start"),
+        col("__c.n_tokens").as("n_tokens"),
+        col("__c.chunk_hash").as("chunk_hash"))
   }
 
   // ---------------------------------------------- duplicate passages

@@ -13,18 +13,28 @@ class PipelineInvariantsSpec extends SparkSpec {
   import spark.implicits._
 
   test("chunkByTokens sweep: equals the per-row reference for every (window, stride) shape") {
-    // doc n has exactly n tokens (n=0 is the empty-text edge: tokens("") = [""])
-    val docs = (0 to 15).map(n => (n.toLong, (1 to n).map(i => s"w$i").mkString(" ")))
+    // doc n has exactly n tokens (n=0 is the empty-text edge: tokens("") =
+    // [""]); unicode tokens + double-space separators pin the kernel's
+    // byte-level md5 against the reference (UTF-8 ranges, not char counts)
+    def tok(i: Int) = s"wé$i"
+    val docs = (0 to 15).map(n => (n.toLong, (1 to n).map(tok).mkString("  ")))
       .toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     for (w <- Seq(1, 3, 5); s <- Seq(1, math.max(w / 2, 1), w).distinct) {
       val got = Curation.chunkByTokens(docs, "doc_id", "text", w, s)
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getString(4))).toSet
       val want = (0 to 15).flatMap { n =>
-        val nTok = math.max(n, 1) // split("") yields one empty token
+        val toks = if (n == 0) Seq("") else (1 to n).map(tok)
+        val nTok = toks.length
         val nChunks = 1 + math.max(0, math.ceil((nTok - w).toDouble / s).toInt)
         (0 until nChunks).map { c =>
           val start = c * s + 1
-          (n.toLong, c, start, math.min(w, nTok - start + 1))
+          (n.toLong, c, start, math.min(w, nTok - start + 1),
+            md5hex(toks.slice(start - 1, start - 1 + w).mkString(" ")))
         }
       }.toSet
       assert(got == want, s"window=$w stride=$s")
