@@ -712,6 +712,37 @@ object Ops {
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
 
+  // ------------------------------------------------------------- histogram
+  /** Equal-width histogram over [lo, hi]: bin i covers
+    * [lo + i*width, lo + (i+1)*width), the last bin closed at hi (the
+    * numpy convention), width = (hi-lo)/nBins. The distribution report a
+    * pipeline runs after [[profile]] before trusting a new numeric source.
+    *
+    * One map-side-combinable aggregate on <= nBins keys — the cheapest
+    * possible shuffle at any scale. Binning is pure IEEE arithmetic
+    * (subtract/divide/floor — no transcendentals), so any engine computing
+    * the same expression bins identically. Values outside [lo, hi] and
+    * NULLs are excluded by contract (pin the range from [[profile]]'s
+    * min/max when full coverage matters); empty bins are absent from the
+    * output (sparse) — at nBins in the thousands a dense join against
+    * `sequence(0, nBins-1)` is the caller's one-liner. */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int,
+                lo: Double, hi: Double): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    require(hi > lo, "need hi > lo")
+    val width = (hi - lo) / nBins
+    val x = col(valueCol).cast("double")
+    val bin = when(x === lit(hi), lit(nBins - 1))
+      .otherwise(floor((x - lit(lo)) / lit(width)).cast("int"))
+    df.filter(x.isNotNull && x >= lit(lo) && x <= lit(hi))
+      .groupBy(bin.as("bin_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin_id"),
+        (lit(lo) + col("bin_id") * lit(width)).as("bin_lo"),
+        (lit(lo) + (col("bin_id") + 1) * lit(width)).as("bin_hi"),
+        col("n"))
+  }
+
   // ------------------------------------------- skew-safe two-phase aggregate
   /** Salted group-aggregate for skewed keys: phase 1 aggregates on
     * (keys, salt) — spreading one hot key over `saltBuckets` reducers —

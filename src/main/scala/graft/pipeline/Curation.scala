@@ -386,6 +386,39 @@ object Curation {
     r >= 1.0 || hashHex < hexCut
   }
 
+  /** Deterministic weighted sample WITHOUT replacement: the k rows with
+    * the largest u^(1/w) survive, u drawn uniform from md5(salt ++ key) —
+    * the Efraimidis–Spirakis A-ES scheme, under which row i's inclusion
+    * odds are proportional-to-size without replacement. The quality-/
+    * length-weighted corpus subsetting step ([[sampleByRate]] keeps a
+    * FRACTION per group; this keeps an exact COUNT, importance-weighted),
+    * re-dealable by salt, reproducible across runs.
+    *
+    * Scale shape: the priority is a row-local expression and the top-k is
+    * a TakeOrdered cutoff — map-side partial top-k per partition, no
+    * global sort, no window. Rows with weight <= 0 or NULL are never
+    * sampled (A-ES is undefined there; a zero-weight row must not be able
+    * to win). The priority is rounded to 9 decimals with the key string
+    * as tiebreaker, so the selection is stable under last-ulp `pow`
+    * differences across engines/libms — the same cross-engine rounding
+    * discipline as the entropy/TF-IDF queries. */
+  def weightedSample(df: DataFrame, keyCol: Column, salt: String,
+                     weightCol: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val keyStr = coalesce(keyCol.cast("string"), lit(""))
+    val v = conv(substring(md5(concat(lit(salt), keyStr)), 1, 8), 16, 10)
+      .cast("double")
+    val u = (v + lit(0.5)) / lit(4294967296.0)
+    val w = weightCol.cast("double")
+    val priority = round(pow(u, lit(1.0) / w), 9)
+    df.filter(w.isNotNull && w > 0)
+      .withColumn("__aes", priority)
+      .withColumn("__tie", keyStr)
+      .orderBy(col("__aes").desc, col("__tie").asc)
+      .limit(k)
+      .drop("__aes", "__tie")
+  }
+
   /** Per-group mixture sampling: each group (source, domain, language...)
     * keeps a different deterministic fraction. Groups absent from `rates`
     * use `defaultRate`. */

@@ -162,6 +162,26 @@ object CurationQueries {
           .orderBy("source")
       }),
 
+    // ---- weighted sample without replacement (Efraimidis–Spirakis A-ES):
+    // the 25 documents with the largest u^(1/n_chars) priority, u uniform
+    // from md5('es-v1' ++ doc_id) — exact-count importance sampling, the
+    // companion of q57's per-group fractions. Priorities round to 9dp with
+    // the id-string tiebreak so selection is stable under last-ulp pow
+    // differences between libms; the oracle rebuilds the identical draw.
+    Q("q90_weighted_sample",
+      Some("WITH d AS (SELECT doc_id, n_chars, " +
+        "(CAST(('0x' || substring(md5('es-v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5) " +
+        "/ 4294967296.0 AS u FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0), " +
+        "p AS (SELECT doc_id, n_chars, " +
+        "round(pow(u, 1.0 / CAST(n_chars AS DOUBLE)), 9) AS pr FROM d), " +
+        "s AS (SELECT doc_id, n_chars FROM p " +
+        "ORDER BY pr DESC, CAST(doc_id AS VARCHAR) ASC LIMIT 25) " +
+        "SELECT doc_id, n_chars FROM s ORDER BY doc_id"),
+      (s, dir) => Curation.weightedSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+          col("doc_id"), "es-v1", col("n_chars"), 25)
+        .orderBy("doc_id")),
+
     // ---- token-window chunking with overlap (RAG / context prep): window
     // 64, stride 48 → 16-token overlap. Pure row-local explode; chunk
     // content travels as an md5, never as text. DuckDB list slices are

@@ -254,6 +254,22 @@ object StreamQueries {
           Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"))
         .orderBy("col_name")),
 
+    // ---- equal-width histogram: the distribution report after q86's
+    // profile. Binning is pure IEEE arithmetic (subtract/divide/floor) so
+    // both engines bin identically; hi is closed into the last bin (numpy
+    // convention) and the aggregate carries <= nBins keys.
+    Q("q89_histogram",
+      Some("WITH x AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem), " +
+        "b AS (SELECT CASE WHEN v = 105000.0 THEN 19 " +
+        "ELSE CAST(FLOOR((v - 900.0) / ((105000.0 - 900.0) / 20)) AS INT) END AS bin_id " +
+        "FROM x WHERE v IS NOT NULL AND v >= 900.0 AND v <= 105000.0) " +
+        "SELECT bin_id, 900.0 + bin_id * ((105000.0 - 900.0) / 20) AS bin_lo, " +
+        "900.0 + (bin_id + 1) * ((105000.0 - 900.0) / 20) AS bin_hi, " +
+        "count(*) AS n FROM b GROUP BY bin_id ORDER BY bin_id"),
+      (s, dir) => graft.operators.Ops.histogram(
+          Tables.lineitem(s, dir), "l_extendedprice", 20, 900.0, 105000.0)
+        .orderBy("bin_id")),
+
     // ---- semi-structured props: JSON field extraction + aggregation
     // (process.json_recode territory, at scale).
     Q("q40_json_props",

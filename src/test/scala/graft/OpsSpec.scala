@@ -284,6 +284,20 @@ class OpsSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("histogram: edge values, boundary bins, out-of-range and null exclusion") {
+    val df = Seq[java.lang.Double](0.0, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.999,
+      4.0, -0.1, 4.1, null).toDF("v")
+    // [0,4) in 4 bins of width 1; hi=4.0 closes into bin 3
+    val got = Ops.histogram(df, "v", 4, 0.0, 4.0).orderBy("bin_id").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0, 0.0, 1.0, 2L),   // 0.0, 0.5
+      (1, 1.0, 2.0, 2L),   // 1.0 (boundary goes UP), 1.5
+      (2, 2.0, 3.0, 2L),   // 2.0, 2.5
+      (3, 3.0, 4.0, 3L)),  // 3.0, 3.999, and hi=4.0 closed in
+      got.mkString(","))
+  }
+
   test("profile: completeness, cardinality, and numeric stats per column") {
     val df = Seq((1L, Option(2.5), "a"), (2L, None, "b"), (3L, Option(4.5), "a"))
       .toDF("id", "v", "s")

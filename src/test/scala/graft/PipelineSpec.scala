@@ -775,6 +775,29 @@ class PipelineSpec extends SparkSpec {
     assert(got(5) == (("", "", "", "")), s"non-URL must yield empty parts: ${got(5)}")
   }
 
+  test("weightedSample: equals the A-ES reference draw; nonpositive weights never win") {
+    import graft.pipeline.Curation
+    val rows = (1 to 200).map(i => (i.toLong, (i % 37).toLong + (if (i % 5 == 0) 500L else 1L))) ++
+      Seq((900L, 0L), (901L, -3L)) // must never be sampled, however large the draw
+    val df = rows.toDF("id", "w")
+    val got = Curation.weightedSample(df, col("id"), "spec-salt", col("w"), 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = rows.filter(_._2 > 0).map { case (id, w) =>
+      val v = java.lang.Long.parseLong(md5hex("spec-salt" + id).substring(0, 8), 16)
+      val u = (v + 0.5) / 4294967296.0
+      val pr = BigDecimal(math.pow(u, 1.0 / w))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, w, pr)
+    }.sortBy { case (id, _, pr) => (-pr, id.toString) }.take(30)
+      .map { case (id, w, _) => (id, w) }.toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(!got.exists(_._1 >= 900L), "nonpositive-weight rows leaked in")
+    // heavy weights dominate: the 500-weight class should fill most slots
+    assert(got.count(_._2 >= 500L) >= 20, s"heavy rows underrepresented: $got")
+  }
+
   test("domainBlocklistFilter: hierarchical suffix match, never substring, case-normalized") {
     import graft.pipeline.Web
     val deepHost = ("a." * 13) + "bad.com"          // 15 labels, blocked via 2-label suffix

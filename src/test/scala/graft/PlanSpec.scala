@@ -263,6 +263,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"expected the distinct-host collapse in:\n$p")
   }
 
+  test("q89/q90: histogram is one aggregate; weighted sample is a top-k cutoff") {
+    val h = planOf("q89_histogram")
+    assert(h.contains("HashAggregate") && !h.contains("Window"),
+      s"histogram must be a plain aggregate:\n$h")
+    val w = planOf("q90_weighted_sample")
+    assert(w.contains("TakeOrderedAndProject"),
+      s"weighted sample must be a top-k cutoff, not a global sort:\n$w")
+    assert(!w.contains("Window"), s"no window in the sample path:\n$w")
+  }
+
   test("q53: curation filters run before the dedup shuffle") {
     // language/quality predicates must sit below the fingerprint aggregate:
     // discarded rows never reach the exchange
