@@ -743,6 +743,55 @@ object Ops {
         col("n"))
   }
 
+  // ------------------------------------------------------ correlation matrix
+  /** Pearson correlation for every column pair in ONE aggregation pass —
+    * [[profile]]'s relationship sibling (which inputs are redundant, which
+    * quality signals co-move). Complete-case: rows with a NULL in any
+    * requested column are dropped, so every pair shares one n.
+    *
+    * Determinism contract (the reason this is not `df.stat.corr`): naive
+    * double sums are partial-aggregation-order-dependent. Here each
+    * product is computed once per row in double (deterministic IEEE),
+    * cast to DECIMAL(38,6), and summed EXACTLY; the closed form
+    * (n·Σxy − ΣxΣy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)) then runs on
+    * the cast-back doubles — all correctly-rounded IEEE ops — and rounds
+    * to 6dp. For inputs whose pairwise products carry <= 6 decimals within
+    * double's exact-integer range (money/quantity decimals: the profiling
+    * case), the sums are bit-exact in any engine; the 6dp round absorbs
+    * the last-ulp cast wobble elsewhere. Constant columns yield NULL
+    * (zero variance has no correlation — not 0, not an error).
+    *
+    * P columns = P(P+1)/2 + P + 1 accumulators in one map-side-combinable
+    * aggregate — profile-scale P (dozens), one corpus scan, no Expand. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    require(cols.distinct.size == cols.size, "duplicate columns")
+    val dec = DecimalType(38, 6)
+    def d(c: String) = col(c).cast("double")
+    val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val pairIdx = for (i <- cols.indices; j <- i until cols.size) yield (i, j)
+    val aggs = count(lit(1)).cast("double").as("__n") +:
+      (cols.map(c => sum(d(c).cast(dec)).cast("double").as(s"__s_$c")) ++
+        pairIdx.map { case (i, j) =>
+          sum((d(cols(i)) * d(cols(j))).cast(dec)).cast("double")
+            .as(s"__p_${i}_$j")
+        })
+    val one = complete.agg(aggs.head, aggs.tail: _*)
+    val outs = for ((i, j) <- pairIdx if i < j) yield {
+      val (cx, cy) = (cols(i), cols(j))
+      val n = col("__n")
+      val sx = col(s"__s_$cx"); val sy = col(s"__s_$cy")
+      val sxy = col(s"__p_${i}_$j")
+      val sxx = col(s"__p_${i}_$i"); val syy = col(s"__p_${j}_$j")
+      val num = n * sxy - sx * sy
+      val den = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+      struct(lit(cx).as("col_x"), lit(cy).as("col_y"),
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(round(num / den, 6)).as("corr"))
+    }
+    one.select(explode(array(outs: _*)).as("p")).select(col("p.*"))
+  }
+
   // ------------------------------------------- skew-safe two-phase aggregate
   /** Salted group-aggregate for skewed keys: phase 1 aggregates on
     * (keys, salt) — spreading one hot key over `saltBuckets` reducers —

@@ -11,6 +11,11 @@ import graft.streaming.Streams
   */
 object StreamQueries {
 
+  /** q91's column set — 2dp decimals whose pairwise products are exact at
+    * scale 6 (the corrMatrix bit-determinism envelope). */
+  private val CorrCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
   val qs: Seq[Q] = Seq(
 
     // ---- tumbling-window aggregation (epoch-aligned in both engines).
@@ -253,6 +258,32 @@ object StreamQueries {
       (s, dir) => graft.operators.Ops.profile(Tables.lineitem(s, dir),
           Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"))
         .orderBy("col_name")),
+
+    // ---- correlation matrix: every numeric pair in one aggregation pass,
+    // decimal-exact sums (order-independent) -> IEEE closed form -> 6dp
+    // round. Products of the 2dp lineitem decimals are exact at scale 6,
+    // so both engines sum identical rationals.
+    Q("q91_correlation", {
+      val cs = CorrCols
+      val sums = cs.map(c =>
+        s"CAST(SUM(CAST(CAST($c AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS s_$c")
+      val prods = for (i <- cs.indices; j <- i until cs.size) yield
+        s"CAST(SUM(CAST(CAST(${cs(i)} AS DOUBLE) * CAST(${cs(j)} AS DOUBLE) " +
+          s"AS DECIMAL(38,6))) AS DOUBLE) AS p_${i}_$j"
+      val notNull = cs.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      val pairsSel = (for (i <- cs.indices; j <- i + 1 until cs.size) yield {
+        val num = s"(CAST(n AS DOUBLE) * p_${i}_$j - s_${cs(i)} * s_${cs(j)})"
+        def varTerm(k: Int) =
+          s"(CAST(n AS DOUBLE) * p_${k}_$k - s_${cs(k)} * s_${cs(k)})"
+        val den = s"(sqrt(${varTerm(i)}) * sqrt(${varTerm(j)}))"
+        s"SELECT '${cs(i)}' AS col_x, '${cs(j)}' AS col_y, " +
+          s"CASE WHEN $den = 0 THEN NULL ELSE round($num / $den, 6) END AS corr FROM a"
+      }).mkString(" UNION ALL ")
+      Some(s"WITH a AS (SELECT count(*) AS n, ${(sums ++ prods).mkString(", ")} " +
+        s"FROM lineitem WHERE $notNull) $pairsSel ORDER BY col_x, col_y")
+    },
+      (s, dir) => graft.operators.Ops.corrMatrix(Tables.lineitem(s, dir), CorrCols)
+        .orderBy("col_x", "col_y")),
 
     // ---- equal-width histogram: the distribution report after q86's
     // profile. Binning is pure IEEE arithmetic (subtract/divide/floor) so

@@ -298,6 +298,24 @@ class OpsSpec extends SparkSpec {
       got.mkString(","))
   }
 
+  test("corrMatrix: known correlations, constant-column NULL, complete-case drop") {
+    val df = Seq(
+      (Option(1.0), Option(2.0), Option(3.0), Option(7.0)),
+      (Option(2.0), Option(4.0), Option(1.0), Option(7.0)),
+      (Option(3.0), Option(6.0), Option(2.0), Option(7.0)),
+      (Option(9.0), None, Option(9.0), Option(9.0))) // dropped: null in y
+      .toDF("x", "y", "z", "const")
+    val got = Ops.corrMatrix(df, Seq("x", "y", "z", "const"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(("x", "y")).contains(1.0), s"perfect correlation: $got")
+    assert(got(("x", "const")).isEmpty && got(("y", "const")).isEmpty &&
+      got(("z", "const")).isEmpty, "constant column must yield NULL")
+    // x=[1,2,3], z=[3,1,2]: corr = -1/2
+    assert(got(("x", "z")).contains(-0.5), s"hand value: $got")
+    assert(got.size == 6, s"4 columns -> 6 pairs: ${got.keys}")
+  }
+
   test("profile: completeness, cardinality, and numeric stats per column") {
     val df = Seq((1L, Option(2.5), "a"), (2L, None, "b"), (3L, Option(4.5), "a"))
       .toDF("id", "v", "s")
