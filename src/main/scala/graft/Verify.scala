@@ -17,7 +17,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only subset filter (comma-separated name substrings); the driver
+    // never sets it, so its runs always dump the full registry
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.contains)) }
+    selected.foreach { case (name, fn) =>
       // repartition(1), not coalesce(1): coalesce collapses the WHOLE plan
       // to one task; repartition adds an exchange so upstream compute stays
       // parallel and only the write is single-file

@@ -431,6 +431,40 @@ object Curation {
     sampleByRate(df, keyCol, salt, rateCol)
   }
 
+  /** [[mixtureSample]] with DATA-DRIVEN rates: hit a global `budget` of
+    * weight (tokens, bytes, rows) split across groups by target `shares`,
+    * when the per-group rate is unknown until the corpus is measured — the
+    * "rebalance 100 TB of crawl into a target source mixture" step that
+    * precedes every pretraining run. rate_g = min(1, budget·share_g / W_g)
+    * with W_g = Σ weight over the group (a share can only DOWN-sample; a
+    * group under its allocation keeps everything — single-pass, no
+    * redistribution of the shortfall).
+    *
+    * Weights sum exactly (long addition); the rate is one fixed-shape IEEE
+    * expression of that exact sum, so the oracle reproduces the draw
+    * bit-for-bit. One small per-group aggregate broadcast back, then the
+    * [[sampleByRate]] projection — the fact table never shuffles. The kept
+    * rows carry the applied rate as `rateOut`.
+    */
+  def budgetedMixtureSample(df: DataFrame, keyCol: Column, salt: String,
+                            groupCol: Column, weightCol: Column,
+                            budget: Double, shares: Seq[(String, Double)],
+                            defaultShare: Double,
+                            rateOut: String = "sample_rate"): DataFrame = {
+    require(budget > 0 && defaultShare >= 0 && shares.forall(_._2 >= 0))
+    val shareCol = shares.foldRight(lit(defaultShare): Column) {
+      case ((g, v), rest) => when(col("__g") === g, lit(v)).otherwise(rest)
+    }
+    val totals = df.groupBy(groupCol.as("__g"))
+      .agg(sum(weightCol.cast("long")).as("__w"))
+    val rates = totals.select(col("__g"),
+      least(lit(1.0), lit(budget) * shareCol / col("__w").cast("double"))
+        .as(rateOut))
+    val joined = df.join(broadcast(rates), groupCol === col("__g"), "inner")
+      .drop("__g")
+    sampleByRate(joined, keyCol, salt, col(rateOut))
+  }
+
   // ---------------------------------------------------- per-group capping
   /** Cap each group (domain, source, license bucket...) at `k` rows, chosen
     * deterministically: the k rows with the SMALLEST md5(salt ++ key) draw

@@ -1,0 +1,138 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution analytics over large tables: quantile bucketing, per-group
+  * standardization, and robust (median/MAD) outlier detection — the
+  * data-quality companions to [[graft.operators.Ops.profile]] /
+  * `Ops.histogram` / `Ops.corrMatrix`.
+  *
+  * Determinism discipline (the property every oracle-checked operator here
+  * shares):
+  *   - order statistics are DATA ELEMENTS (lower median = the
+  *     `(n+1) div 2`-th smallest value) — arithmetic-free, byte-identical
+  *     in any engine at any scale;
+  *   - moments are summed as DECIMALs (order-independent exact addition),
+  *     then finished with one fixed-shape IEEE closed form;
+  *   - interpolated quantiles are rounded before they gate anything.
+  */
+object Stats {
+
+  // ------------------------------------------------------ quantile buckets
+  /** Assign each row the 1-based quantile bucket of `valueCol`: bucket b
+    * holds values in (q_{b-1}, q_b], with q_0 = -inf and q_{probs.size+1} =
+    * +inf. Boundaries come from ONE exact-percentile aggregate (Spark's
+    * `percentile` ≡ DuckDB `quantile_cont`, both linear-interpolating) and
+    * are broadcast back — no global sort, no single-partition window, so
+    * the assignment is a pure projection at any scale (a global `ntile`
+    * would collapse to one partition; this never ranks).
+    *
+    * Boundaries are rounded to `roundScale` decimals BEFORE the comparison:
+    * interpolation is the one sub-ulp-sensitive step, and comparing against
+    * the rounded boundary makes bucket assignment reproducible across
+    * engines (both compare against the same number).
+    */
+  def quantileBuckets(df: DataFrame, valueCol: String, probs: Seq[Double],
+                      roundScale: Int = 4,
+                      bucketCol: String = "bucket"): DataFrame = {
+    require(probs.nonEmpty && probs == probs.sorted &&
+      probs.forall(p => p > 0.0 && p < 1.0), s"bad probs: $probs")
+    val qNames = probs.indices.map(i => s"__q$i")
+    val bounds = df.agg(
+      expr(s"percentile($valueCol, array(${probs.mkString(", ")}))").as("__qs"))
+      .select(qNames.zipWithIndex.map { case (n, i) =>
+        round(element_at(col("__qs"), i + 1), roundScale).as(n)
+      }: _*)
+    val bucket = qNames.map(q => when(col(valueCol) > col(q), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    df.crossJoin(broadcast(bounds))
+      .withColumn(bucketCol, when(col(valueCol).isNull, lit(null)).otherwise(bucket))
+      .drop(qNames: _*)
+  }
+
+  // -------------------------------------------------------- standardization
+  /** Per-group z-score of `valueCol`: (v - mean) / stddev_pop, appended as
+    * `zCol` (null when the group variance is 0 or v is null). Group moments
+    * are decimal-exact sums (sum v, sum v², order-independent — the q91
+    * discipline) finished with one fixed-shape IEEE closed form, computed in
+    * a small per-group aggregate and BROADCAST-joined back: two scans, zero
+    * wide shuffles of the fact table, no window — so a hot group costs the
+    * same as a cold one at 100 TB.
+    *
+    * Exactness contract: inputs with ≤3 fractional decimal digits make
+    * v·v exact at DECIMAL(38,6); wider inputs are rounded per-value at the
+    * cast (deterministic in IEEE: exact decimal ties are not representable
+    * in binary, so round-to-nearest never tiebreaks).
+    */
+  def standardize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  zCol: String = "z"): DataFrame = {
+    require(groupCols.nonEmpty, "standardize needs at least one group column")
+    val v = col(valueCol).cast("double")
+    val stats = df.filter(v.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(v.cast("decimal(38,6)")).cast("double").as("__s"),
+        sum((v * v).cast("decimal(38,6)")).cast("double").as("__p"))
+    val n = col("__n").cast("double")
+    val mean = col("__s") / n
+    val varPop = (n * col("__p") - col("__s") * col("__s")) / (n * n)
+    val sd = sqrt(varPop)
+    df.join(broadcast(stats), groupCols, "left")
+      .withColumn(zCol, when(v.isNotNull && sd > 0.0, (v - mean) / sd))
+      .drop("__n", "__s", "__p")
+  }
+
+  // ------------------------------------------------- robust outliers (MAD)
+  /** Per-group lower median of `valueCol` as column `out`: the value at rank
+    * `(n+1) div 2` of the group's sorted multiset. An order statistic IS a
+    * data element — no interpolation, no arithmetic, byte-identical across
+    * engines (the q43 lesson). Ties in `valueCol` leave row_number's choice
+    * arbitrary but the SELECTED VALUE identical, which is all that leaves
+    * this function.
+    *
+    * Scale: one partitioned window per group (rank + count in a single sort)
+    * — the same shape q43 runs; for groups too hot to sort, gate upstream
+    * with [[TextAnalysis]]'s approx quantile instead.
+    */
+  def groupLowerMedian(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, out: String): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ col(valueCol): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__nn", count(lit(1)).over(wAll))
+      .filter(col("__rn") === expr("(__nn + 1) div 2"))
+      .select(groupCols.map(col) :+ col(valueCol).as(out): _*)
+  }
+
+  /** Robust per-group outlier report: med = lower median of v, mad = lower
+    * median of |v - med|, a row is an outlier when |v - med| > k·mad.
+    * Everything after the two order statistics is exactly-rounded IEEE
+    * (subtract, abs, one multiply) on identical inputs, so the flag — and
+    * therefore the counts — are engine-independent with NO rounding step
+    * anywhere. Returns one row per group: (group..., n, med, mad,
+    * n_outliers).
+    *
+    * The classic x̃/MAD rule (Hampel identifier) with the lower-median
+    * convention; k ≈ 3 corresponds to ~2σ for gaussian data (MAD ≈ 0.6745σ).
+    */
+  def robustOutlierStats(df: DataFrame, groupCols: Seq[String],
+                         valueCol: String, k: Double): DataFrame = {
+    val v = col(valueCol)
+    val med = groupLowerMedian(df, groupCols, valueCol, "med")
+    val dev = df.filter(v.isNotNull)
+      .join(broadcast(med), groupCols)
+      .withColumn("__dev", abs(v - col("med")))
+    val mad = groupLowerMedian(dev, groupCols, "__dev", "mad")
+    dev.join(broadcast(mad), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("__dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+}

@@ -267,6 +267,51 @@ object TextAnalysis {
       .select(col("rank"), col("token"), col("n"), col("coverage"))
   }
 
+  /** Bigram collocations by pointwise mutual information: for every adjacent
+    * token pair (w1, w2) occurring at least `minCount` times,
+    * pmi = ln p(w1,w2) − ln p(w1) − ln p(w2), with p(w1,w2) over the bigram
+    * total and p(w) over the unigram total. The classic collocation score
+    * (Church & Hanks 1990) — the corpus-statistics companion to
+    * [[vocabulary]], used to mine multi-word expressions before tokenizer
+    * training.
+    *
+    * Counts are exact integers; the score is the fixed ln-sum shape
+    * `ln c_xy + 2·ln N_uni − ln N_bi − ln c_x − ln c_y` rounded to 6dp (the
+    * q61 libm discipline). Plan shape: one explode+groupBy per relation
+    * (map-side partial aggs), then two joins of the (already minCount-
+    * filtered) bigram relation to the unigram counts on the word — co-keyed
+    * hash joins that broadcast when the vocabulary is small; the scalar
+    * totals broadcast always. No windows, no driver loops — survives a
+    * trillion-token corpus where the vocab, not the corpus, bounds state.
+    */
+  def pmiBigrams(docs: DataFrame, textCol: String,
+                 minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1)
+    val toks = tokens(col(textCol))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__c"))
+    val totals = uni.agg(sum(col("__c")).as("__nu"))
+    val pairs = docs.select(toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val nb = pairs.agg(count(lit(1)).as("__nb"))
+    bi.filter(col("c_xy") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("__c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("__c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round(log(col("c_xy").cast("double"))
+          + lit(2.0) * log(col("__nu").cast("double"))
+          - log(col("__nb").cast("double"))
+          - log(col("c_x").cast("double"))
+          - log(col("c_y").cast("double")), 6).as("pmi"))
+  }
+
   /** Rolling-hash content fingerprint: minimum 64-bit hash over character
     * `k`-shingles of the normalized text (winnowing-style min-sampling; two
     * docs sharing it are near-dup candidates). */

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Curation, Stats, TextAnalysis => TA}
+
+/** Distribution-analytics drivers: cube aggregates, quantile bucketing,
+  * budget-targeted mixture sampling, PMI collocations, per-group
+  * standardization, and robust (median/MAD) outlier detection. Each entry
+  * names the library operator it exercises; every one is oracle-checked.
+  */
+object StatsQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- CUBE aggregate (all four grouping sets in one pass over the
+    // Expand operator — free Catalyst uplift, the q42 rollup's big sibling).
+    // GROUPING() flags disambiguate "NULL data value" from "rolled up",
+    // cast to INT on both sides (Spark emits TINYINT, DuckDB BIGINT).
+    Q("q92_cube",
+      Some("SELECT l_returnflag, l_linestatus, " +
+        "CAST(GROUPING(l_returnflag) AS INT) AS g_rf, " +
+        "CAST(GROUPING(l_linestatus) AS INT) AS g_ls, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY 1, 2, 3, 4"),
+      (s, dir) => {
+        // via spark.sql, like q42: the Dataset-API cube trips the
+        // DetectAmbiguousSelfJoin false positive on Expand's duplicated
+        // grouping attributes; the SQL path analyzes cleanly
+        Tables.lineitem(s, dir).createOrReplaceTempView("g_lineitem")
+        s.sql("SELECT l_returnflag, l_linestatus, " +
+          "CAST(GROUPING(l_returnflag) AS INT) AS g_rf, " +
+          "CAST(GROUPING(l_linestatus) AS INT) AS g_ls, COUNT(*) AS n, " +
+          "CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty " +
+          "FROM g_lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+          "ORDER BY 1, 2, 3, 4")
+      }),
+
+    // ---- quantile bucketing: quartile boundaries from ONE exact-percentile
+    // aggregate broadcast back as a projection — never a global ntile sort.
+    // Boundaries round to 4dp before the comparison (the one interpolated —
+    // and thus sub-ulp-sensitive — step); per-bucket min/max round at the
+    // data's own 2dp.
+    Q("q93_quantile_bucket",
+      Some("WITH b AS (SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS q0, " +
+        "round(quantile_cont(o_totalprice, 0.5), 4) AS q1, " +
+        "round(quantile_cont(o_totalprice, 0.75), 4) AS q2 FROM orders), " +
+        "a AS (SELECT o_totalprice, 1 + CAST(o_totalprice > q0 AS INT) + " +
+        "CAST(o_totalprice > q1 AS INT) + CAST(o_totalprice > q2 AS INT) AS bucket " +
+        "FROM orders, b) " +
+        "SELECT bucket, count(*) AS n, round(min(o_totalprice), 2) AS lo, " +
+        "round(max(o_totalprice), 2) AS hi FROM a GROUP BY bucket ORDER BY bucket"),
+      (s, dir) => Stats.quantileBuckets(
+          Tables.orders(s, dir).select("o_totalprice"),
+          "o_totalprice", Seq(0.25, 0.5, 0.75))
+        .groupBy("bucket").agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy("bucket")),
+
+    // ---- budget-targeted mixture sampling: rates DERIVED from measured
+    // per-source token mass (20k-token budget; src0-4 get 10% shares, the
+    // rest split 1/32 each), then the q57 deterministic md5 draw. Sources
+    // under their allocation keep everything (rate caps at 1).
+    Q("q94_token_budget", {
+      val share = "CASE WHEN source IN ('src0','src1','src2','src3','src4') " +
+        "THEN 0.1 ELSE 0.03125 END"
+      Some("WITH w AS (SELECT doc_id, source, " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS ntok FROM documents), " +
+        s"t AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS tw FROM w GROUP BY 1), " +
+        s"r AS (SELECT source, least(1.0, 20000.0 * $share / CAST(tw AS DOUBLE)) AS rate FROM t), " +
+        "k AS (SELECT w.*, rate FROM w JOIN r USING (source) WHERE rate >= 1.0 OR " +
+        "substring(md5('budget-v1' || CAST(doc_id AS VARCHAR)), 1, 8) < " +
+        "printf('%08x', CAST(least(floor(rate * 4294967296.0), 4294967295.0) AS BIGINT))) " +
+        "SELECT source, count(*) AS n_kept, CAST(SUM(ntok) AS BIGINT) AS tokens_kept, " +
+        "round(any_value(rate), 9) AS rate FROM k GROUP BY source ORDER BY source")
+    },
+      (s, dir) => Curation.budgetedMixtureSample(
+          Tables.documents(s, dir)
+            .withColumn("ntok", TA.tokenCount(col("text"))),
+          col("doc_id"), "budget-v1", col("source"), col("ntok"),
+          budget = 20000.0, shares = (0 to 4).map(i => s"src$i" -> 0.1),
+          defaultShare = 0.03125)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"),
+          sum(col("ntok")).as("tokens_kept"),
+          round(first(col("sample_rate")), 9).as("rate"))
+        .orderBy("source")),
+
+    // ---- PMI bigram collocations: adjacent-pair counts vs unigram
+    // expectation, the fixed ln-sum shape rounded at 6dp (q61 libm
+    // discipline). Counts are exact integers on both engines.
+    Q("q95_pmi",
+      Some("WITH t AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+        "u AS (SELECT unnest(toks) AS w FROM t), " +
+        "uc AS (SELECT w, count(*) AS c FROM u GROUP BY 1), " +
+        "nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uc), " +
+        "i AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2), " +
+        "p AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM i), " +
+        "bc AS (SELECT w1, w2, count(*) AS c_xy FROM p GROUP BY 1, 2), " +
+        "nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS nb FROM bc) " +
+        "SELECT w1, w2, c_xy, round(ln(c_xy) + 2.0 * ln(nu.nu) - ln(nb.nb) " +
+        "- ln(x.c) - ln(y.c), 6) AS pmi " +
+        "FROM bc JOIN uc x ON bc.w1 = x.w JOIN uc y ON bc.w2 = y.w, nu, nb " +
+        "WHERE c_xy >= 5 ORDER BY w1, w2"),
+      (s, dir) => TA.pmiBigrams(Tables.documents(s, dir), "text", minCount = 5L)
+        .orderBy("w1", "w2")),
+
+    // ---- per-group z-score anomalies: decimal-exact moment sums (q91
+    // discipline; events.value carries 2dp, so v and v·v are exact at
+    // DECIMAL(38,6)) -> one fixed-shape IEEE closed form -> 6dp round,
+    // filtered ON THE ROUNDED score so the gate is engine-independent.
+    Q("q96_group_zscore",
+      Some("WITH s AS (SELECT event_type, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sv, " +
+        "CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS pv " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1), " +
+        "z AS (SELECT e.event_id, e.event_type, " +
+        "round((e.value - sv / n) / sqrt((n * pv - sv * sv) / (CAST(n AS DOUBLE) * n)), 6) AS z " +
+        "FROM events e JOIN s USING (event_type) WHERE e.value IS NOT NULL) " +
+        "SELECT event_id, event_type, z FROM z WHERE abs(z) >= 2.5 " +
+        "ORDER BY event_id"),
+      (s, dir) => Stats.standardize(Tables.events(s, dir),
+          Seq("event_type"), "value")
+        .withColumn("z", round(col("z"), 6))
+        .filter(abs(col("z")) >= 2.5)
+        .select("event_id", "event_type", "z")
+        .orderBy("event_id")),
+
+    // ---- robust outliers (Hampel x̃/MAD rule): med and mad are LOWER
+    // MEDIANS — order statistics, data elements, byte-identical across
+    // engines with NO rounding step anywhere (the q43 lesson); the flag is
+    // exactly-rounded IEEE (subtract, abs, one multiply) on identical
+    // inputs.
+    Q("q97_outlier_mad",
+      Some("WITH r AS (SELECT event_type, value, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS n FROM events WHERE value IS NOT NULL), " +
+        "m AS (SELECT event_type, value AS med FROM r WHERE rn = (n + 1) // 2), " +
+        "d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS dev " +
+        "FROM events e JOIN m USING (event_type) WHERE e.value IS NOT NULL), " +
+        "r2 AS (SELECT event_type, med, dev, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS n FROM d), " +
+        "m2 AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2) " +
+        "SELECT d.event_type, count(*) AS n, any_value(d.med) AS med, " +
+        "any_value(m2.mad) AS mad, " +
+        "CAST(sum(CASE WHEN d.dev > 3.0 * m2.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
+        "FROM d JOIN m2 USING (event_type) GROUP BY 1 ORDER BY 1"),
+      (s, dir) => Stats.robustOutlierStats(Tables.events(s, dir),
+          Seq("event_type"), "value", k = 3.0)
+        .select("event_type", "n", "med", "mad", "n_outliers")
+        .orderBy("event_type")))
+}

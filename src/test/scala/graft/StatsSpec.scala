@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Curation, Stats, TextAnalysis => TA}
+
+/** Unit checks for the distribution-analytics operators (Stats, pmiBigrams,
+  * budgetedMixtureSample) on small hand-computable inputs — the driver's
+  * q92-q97 oracle rows cover the corpus-scale behavior. */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantileBuckets: quartiles of 1..8 land two values per bucket") {
+    val df = (1 to 8).map(_.toDouble).toDF("v")
+    val got = Stats.quantileBuckets(df, "v", Seq(0.25, 0.5, 0.75))
+      .orderBy("v").select("bucket").as[Int].collect.toSeq
+    // quantile_cont boundaries of 1..8 at (.25,.5,.75) = (2.75, 4.5, 6.25)
+    assert(got == Seq(1, 1, 2, 2, 3, 3, 4, 4))
+  }
+
+  test("quantileBuckets: null values get a null bucket, boundaries inclusive-left") {
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None).toDF("v")
+    val rows = Stats.quantileBuckets(df, "v", Seq(0.5))
+      .select("v", "bucket").collect()
+    val byV = rows.map(r => Option(r.get(0)) -> Option(r.get(1))).toMap
+    assert(byV(None).isEmpty)
+    // median of 1..4 = 2.5: values <= 2.5 bucket 1, above bucket 2
+    assert(byV(Some(1.0)).contains(1) && byV(Some(2.0)).contains(1))
+    assert(byV(Some(3.0)).contains(2) && byV(Some(4.0)).contains(2))
+  }
+
+  test("standardize: z matches the hand-computed population z-score") {
+    // group a: values 2, 4, 6 -> mean 4, var_pop 8/3, sd = sqrt(8/3)
+    val df = Seq(("a", 2.0), ("a", 4.0), ("a", 6.0), ("b", 5.0))
+      .toDF("g", "v")
+    val z = Stats.standardize(df, Seq("g"), "v").orderBy("g", "v")
+      .select("z").as[Option[Double]].collect.toSeq
+    val sd = math.sqrt(8.0 / 3.0)
+    assert(math.abs(z(0).get - (-2.0 / sd)) < 1e-12)
+    assert(z(1).get == 0.0)
+    assert(math.abs(z(2).get - 2.0 / sd) < 1e-12)
+    assert(z(3).isEmpty, "single-row group has sd 0 -> null z")
+  }
+
+  test("groupLowerMedian is the (n+1) div 2-th smallest, a data element") {
+    val df = Seq(("a", 3.0), ("a", 1.0), ("a", 2.0), ("a", 10.0),
+      ("b", 7.0)).toDF("g", "v")
+    val med = Stats.groupLowerMedian(df, Seq("g"), "v", "med")
+      .orderBy("g").select("med").as[Double].collect.toSeq
+    assert(med == Seq(2.0, 7.0)) // even n=4 -> LOWER median
+  }
+
+  test("robustOutlierStats: Hampel flag on a planted outlier") {
+    // group a: 1..9 plus 100 -> med 5 (lower, n=10), dev med: mad = 2
+    // outliers: |v-5| > 6 -> only 100
+    val df = ((1 to 9).map(v => ("a", v.toDouble)) :+ ("a", 100.0)).toDF("g", "v")
+    val r = Stats.robustOutlierStats(df, Seq("g"), "v", k = 3.0).collect()(0)
+    assert(r.getAs[Long]("n") == 10)
+    assert(r.getAs[Double]("med") == 5.0)
+    assert(r.getAs[Double]("mad") == 2.0)
+    assert(r.getAs[Long]("n_outliers") == 1)
+  }
+
+  test("pmiBigrams: counts and score match the closed form") {
+    val docs = Seq("x y x y", "x y z").toDF("text")
+    // unigrams: x:3 y:3 z:1 (Nu=7); bigrams: (x,y):3 (y,x):1 (y,z):1 (Nb=5)
+    val got = TA.pmiBigrams(docs, "text", minCount = 2L).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[String]("w1") == "x" && r.getAs[String]("w2") == "y")
+    assert(r.getAs[Long]("c_xy") == 3)
+    val want = math.log(3.0) + 2.0 * math.log(7.0) - math.log(5.0) -
+      math.log(3.0) - math.log(3.0)
+    assert(math.abs(r.getAs[Double]("pmi") - want) < 1e-6)
+  }
+
+  test("budgetedMixtureSample: under-budget groups keep everything, rates scale with share") {
+    val df = (1 to 400).map(i => (i.toLong, if (i <= 200) "big" else "small", 10))
+      .toDF("id", "src", "w")
+    // big: W=2000, share .5 -> rate 1000/2000 = .5; small: W=2000, share 2 -> capped 1.0
+    val kept = Curation.budgetedMixtureSample(df, col("id"), "s1", col("src"),
+      col("w"), budget = 2000.0, shares = Seq("big" -> 0.5, "small" -> 2.0),
+      defaultShare = 0.0)
+    val bySrc = kept.groupBy("src").agg(count(lit(1)).as("n"),
+      first(col("sample_rate")).as("r")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(bySrc("small") == (200L, 1.0), "capped group keeps all rows")
+    val (nBig, rBig) = bySrc("big")
+    assert(rBig == 0.5)
+    assert(nBig > 50 && nBig < 150, s"md5 draw at rate .5 kept $nBig of 200")
+    // determinism: the same salt re-deals identically
+    val again = Curation.budgetedMixtureSample(df, col("id"), "s1", col("src"),
+      col("w"), 2000.0, Seq("big" -> 0.5, "small" -> 2.0), 0.0)
+      .agg(count(lit(1))).as[Long].collect()(0)
+    assert(again == nBig + 200)
+  }
+
+  test("q92 cube covers all four grouping sets of the two keys") {
+    val rows = queries.Registry.queries("q92_cube")(spark, sf0001).collect()
+    val sets = rows.map(r => (r.getAs[Int]("g_rf"), r.getAs[Int]("g_ls")))
+      .toSet
+    assert(sets == Set((0, 0), (0, 1), (1, 0), (1, 1)))
+    val grand = rows.filter(r => r.getAs[Int]("g_rf") == 1 &&
+      r.getAs[Int]("g_ls") == 1)
+    assert(grand.length == 1)
+  }
+}
