@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch event analytics over (user, type, timestamp) logs: ordered funnels,
+  * cohort retention, and event-type association rules — the product-analytics
+  * companions to the streaming operators in [[graft.streaming.Streams]]
+  * (q39's gap sessionization is the batch/stream bridge).
+  *
+  * Time discipline: every comparison runs on integer MICROSECONDS
+  * (`unix_micros`), and calendar bucketing is pure integer day/week-index
+  * arithmetic (days since epoch, Monday-aligned weeks) — no engine calendar
+  * semantics anywhere, so the DuckDB oracle reproduces each bucket exactly
+  * (`epoch_us(ts) // 1000000 // 86400`-style), at any scale.
+  */
+object EventAnalytics {
+
+  /** Microseconds since epoch of `tsCol` — the one timestamp projection every
+    * operator here compares on (DuckDB: `epoch_us(ts)`; exact floor from the
+    * parquet nanos on both engines). */
+  def micros(tsCol: Column): Column = unix_micros(tsCol)
+
+  /** Days since epoch (UTC), integer floor of the micros. */
+  def dayIndex(tsCol: Column): Column =
+    floor(micros(tsCol) / lit(86400000000L)).cast("long")
+
+  /** Monday-aligned week index: 1970-01-01 was a Thursday, so day 0 sits in
+    * the week that started day -3 — `(day + 3) div 7` shifts the origin to
+    * the preceding Monday. Pure integer arithmetic, no calendar. */
+  def weekIndex(tsCol: Column): Column =
+    floor((dayIndex(tsCol) + lit(3)) / lit(7)).cast("long")
+
+  // ----------------------------------------------------------------- funnel
+  /** Ordered funnel: for each user, stage k counts only if an event of
+    * `stages(k)` happened STRICTLY AFTER the user's stage-(k-1) completion
+    * time (min qualifying time, the standard strict-sequence funnel). Returns
+    * one row per stage: (stage_idx, stage, n_users).
+    *
+    * Plan: stage 0 is one user-keyed aggregate; each later stage is one
+    * co-keyed join (user) of that stage's events against the previous
+    * completion times plus a re-aggregate — k-1 hash joins all sharing the
+    * user-key partitioning, no windows, no per-user event sorting. At 100 TB
+    * the per-stage relations shrink monotonically (each carries only users
+    * still in the funnel), and AQE broadcasts the survivor side as it
+    * under-runs the threshold.
+    */
+  def funnel(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val us = micros(col(tsCol))
+    val byType = stages.zipWithIndex.map { case (st, _) =>
+      df.filter(col(typeCol) === st)
+        .select(col(userCol).as("__u"), us.as("__t"))
+    }
+    // completion times per stage, folded left: t_k = min t over stage-k
+    // events with __t > t_{k-1}
+    val completions = byType.tail.foldLeft(
+      Seq(byType.head.groupBy("__u").agg(min(col("__t")).as("__t")))) {
+      case (acc, ev) =>
+        val prev = acc.last.select(col("__u"), col("__t").as("__tp"))
+        acc :+ ev.join(prev, Seq("__u"))
+          .filter(col("__t") > col("__tp"))
+          .groupBy("__u").agg(min(col("__t")).as("__t"))
+    }
+    completions.zipWithIndex.map { case (c, i) =>
+      c.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("stage_idx"), lit(stages(i)).as("stage"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  // -------------------------------------------------------------- retention
+  /** Weekly cohort retention: cohort = the user's first-activity week (the
+    * integer [[weekIndex]]), one row per (cohort_week, week_offset) with the
+    * distinct-user count active that many weeks after their cohort week.
+    * Offset 0 rows equal the cohort sizes.
+    *
+    * Two user-keyed aggregates (first week, then distinct (user, week)
+    * pairs) and one co-keyed join — the classic triangle without any
+    * calendar function. Distinct-user counts shuffle (cohort, offset) keys
+    * only.
+    */
+  def retentionCohorts(df: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val wk = weekIndex(col(tsCol))
+    val active = df.select(col(userCol).as("__u"), wk.as("__wk")).distinct()
+    val cohort = active.groupBy("__u").agg(min(col("__wk")).as("cohort_week"))
+    active.join(cohort, Seq("__u"))
+      .groupBy(col("cohort_week"),
+        (col("__wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  // ------------------------------------------------------ association rules
+  /** Event-type association rules over the user-level basket: for every
+    * ordered pair (a, b) of distinct event types a user can hold,
+    * support = P(a ∧ b), confidence = P(b | a), lift = confidence / P(b) —
+    * exact integer counts, fixed-shape IEEE division, 6dp round (the
+    * engine-independence discipline). Returns (antecedent, consequent,
+    * n_both, support, confidence, lift).
+    *
+    * The pair relation self-joins the DISTINCT (user, type) basket co-keyed
+    * on user — baskets are bounded by the type vocabulary (tiny vs the event
+    * log), so the join fans out per-user pairs, never raw events; type
+    * marginals broadcast.
+    */
+  def associationRules(df: DataFrame, userCol: String, typeCol: String,
+                       minUsers: Long = 1L): DataFrame = {
+    val basket = df.select(col(userCol).as("__u"), col(typeCol).as("__ty"))
+      .distinct()
+    val nUsers = basket.select(col("__u")).distinct()
+      .agg(count(lit(1)).as("__nu"))
+    val marg = basket.groupBy(col("__ty").as("consequent"))
+      .agg(count(lit(1)).as("__nb"))
+    val pairs = basket.join(
+        basket.select(col("__u"), col("__ty").as("__ty2")), Seq("__u"))
+      .filter(col("__ty") =!= col("__ty2"))
+      .groupBy(col("__ty").as("antecedent"), col("__ty2").as("consequent"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minUsers)
+    val withA = pairs.join(
+      marg.select(col("consequent").as("antecedent"), col("__nb").as("__na")),
+      Seq("antecedent"))
+    withA.join(marg, Seq("consequent")).crossJoin(broadcast(nUsers))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        round(col("n_both") / col("__nu").cast("double"), 6).as("support"),
+        round(col("n_both") / col("__na").cast("double"), 6).as("confidence"),
+        round((col("n_both") / col("__na").cast("double")) /
+          (col("__nb") / col("__nu").cast("double")), 6).as("lift"))
+  }
+}

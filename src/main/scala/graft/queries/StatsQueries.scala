@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Curation, Stats, TextAnalysis => TA}
+import graft.pipeline.{Curation, EventAnalytics, Stats, TextAnalysis => TA}
 
 /** Distribution-analytics drivers: cube aggregates, quantile bucketing,
   * budget-targeted mixture sampling, PMI collocations, per-group
@@ -151,5 +151,58 @@ object StatsQueries {
       (s, dir) => Stats.robustOutlierStats(Tables.events(s, dir),
           Seq("event_type"), "value", k = 3.0)
         .select("event_type", "n", "med", "mad", "n_outliers")
-        .orderBy("event_type")))
+        .orderBy("event_type")),
+
+    // ---- ordered funnel (view -> click -> purchase, strictly after):
+    // stage completions fold as co-keyed min-joins on the user — no
+    // windows, no per-user sorting. All time comparisons on integer
+    // MICROSECONDS (exact floor from the parquet nanos on both engines).
+    Q("q98_funnel",
+      Some("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events), " +
+        "s0 AS (SELECT user_id, min(t) AS t FROM e WHERE event_type = 'view' GROUP BY 1), " +
+        "s1 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s0 ON e.user_id = s0.user_id " +
+        "AND e.t > s0.t WHERE e.event_type = 'click' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s1 ON e.user_id = s1.user_id " +
+        "AND e.t > s1.t WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT 0 AS stage_idx, 'view' AS stage, (SELECT count(*) FROM s0) AS n_users " +
+        "UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1) " +
+        "UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2) ORDER BY stage_idx"),
+      (s, dir) => EventAnalytics.funnel(Tables.events(s, dir),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")),
+
+    // ---- weekly cohort retention triangle: cohort = first-activity week.
+    // Weeks are INTEGER INDICES (days-since-epoch, Monday-aligned via the
+    // +3 shift) — no calendar function on either engine.
+    Q("q99_retention",
+      Some("WITH a AS (SELECT DISTINCT user_id, " +
+        "(epoch_us(ts) // 86400000000 + 3) // 7 AS wk FROM events), " +
+        "c AS (SELECT user_id, min(wk) AS cohort_week FROM a GROUP BY 1) " +
+        "SELECT cohort_week, wk - cohort_week AS week_offset, count(*) AS n_users " +
+        "FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
+      (s, dir) => EventAnalytics.retentionCohorts(Tables.events(s, dir),
+          "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")),
+
+    // ---- event-type association rules over user baskets: exact integer
+    // counts, fixed-shape IEEE division, 6dp round. The self-join runs on
+    // the DISTINCT basket (bounded by the type vocabulary), never raw
+    // events.
+    Q("q100_assoc_rules",
+      Some("WITH b AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "nu AS (SELECT count(DISTINCT user_id) AS nu FROM b), " +
+        "m AS (SELECT event_type, count(*) AS nb FROM b GROUP BY 1), " +
+        "p AS (SELECT x.event_type AS antecedent, y.event_type AS consequent, " +
+        "count(*) AS n_both FROM b x JOIN b y ON x.user_id = y.user_id " +
+        "AND x.event_type <> y.event_type GROUP BY 1, 2) " +
+        "SELECT antecedent, consequent, n_both, " +
+        "round(n_both / CAST(nu.nu AS DOUBLE), 6) AS support, " +
+        "round(n_both / CAST(ma.nb AS DOUBLE), 6) AS confidence, " +
+        "round((n_both / CAST(ma.nb AS DOUBLE)) / (mc.nb / CAST(nu.nu AS DOUBLE)), 6) AS lift " +
+        "FROM p JOIN m ma ON p.antecedent = ma.event_type " +
+        "JOIN m mc ON p.consequent = mc.event_type, nu " +
+        "ORDER BY antecedent, consequent"),
+      (s, dir) => EventAnalytics.associationRules(Tables.events(s, dir),
+          "user_id", "event_type")
+        .orderBy("antecedent", "consequent")))
 }

@@ -104,4 +104,65 @@ class StatsSpec extends SparkSpec {
       r.getAs[Int]("g_ls") == 1)
     assert(grand.length == 1)
   }
+
+  test("funnel: strict-order completion on a hand-built log") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // u1 completes all stages in order; u2 clicks BEFORE viewing (click at
+    // t=1 precedes view at t=2) and has no later click -> drops at stage 1;
+    // u3 views only. Simultaneous view+click (u4, same micro) is NOT
+    // strictly after -> u4 drops at stage 1.
+    val df = Seq(
+      (1L, "view", ts(10)), (1L, "click", ts(20)), (1L, "purchase", ts(30)),
+      (2L, "click", ts(1)), (2L, "view", ts(2)),
+      (3L, "view", ts(5)),
+      (4L, "view", ts(7)), (4L, "click", ts(7))
+    ).toDF("u", "ty", "ts")
+    val got = pipeline.EventAnalytics.funnel(df, "u", "ty", "ts",
+      Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").select("n_users").as[Long].collect.toSeq
+    assert(got == Seq(4, 1, 1))
+  }
+
+  test("weekIndex is Monday-aligned pure integer arithmetic") {
+    import java.sql.Timestamp
+    // 2024-01-01 was a Monday; 1970-01-01 (day 0, Thursday) must share the
+    // week of 1969-12-29 (day -3, Monday)
+    val df = Seq(
+      Timestamp.valueOf("2024-01-01 00:00:00"),  // Monday
+      Timestamp.valueOf("2024-01-07 23:59:59"),  // Sunday same week
+      Timestamp.valueOf("2024-01-08 00:00:00")   // next Monday
+    ).toDF("ts")
+    val wk = df.select(pipeline.EventAnalytics.weekIndex(col("ts")).as("w"))
+      .as[Long].collect.toSeq
+    assert(wk(0) == wk(1) && wk(2) == wk(0) + 1)
+  }
+
+  test("retentionCohorts: offset-0 equals cohort size; known offsets") {
+    import java.sql.Timestamp
+    def t(d: String) = Timestamp.valueOf(d + " 12:00:00")
+    val df = Seq(
+      (1L, t("2024-01-01")), (1L, t("2024-01-09")),  // wk0, wk1
+      (2L, t("2024-01-02")),                          // wk0 only
+      (3L, t("2024-01-10")), (3L, t("2024-01-22"))    // wk1, wk3 -> offset 2
+    ).toDF("u", "ts")
+    val got = pipeline.EventAnalytics.retentionCohorts(df, "u", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .select("week_offset", "n_users").as[(Long, Long)].collect.toSeq
+    // cohort wk0: {1,2} at offset 0, {1} at offset 1; cohort wk1: {3} at 0, {3} at 2
+    assert(got.map(_._2) == Seq(2L, 1L, 1L, 1L))
+    assert(got.map(_._1) == Seq(0L, 1L, 0L, 2L))
+  }
+
+  test("associationRules: counts and lift on a 3-user basket") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"))
+      .toDF("u", "ty")
+    val r = pipeline.EventAnalytics.associationRules(df, "u", "ty")
+      .collect().map(x => (x.getString(0), x.getString(1),
+        x.getLong(2), x.getDouble(4), x.getDouble(5))).toSet
+    // a->b: both 2, conf 2/3, lift (2/3)/(2/3)=1; b->a: both 2, conf 1, lift 1/(3/3)... 
+    // nu=3, na(a)=3, nb(b)=2: a->b conf=2/3 lift=(2/3)/(2/3)=1.0
+    // b->a: na(b)=2 conf=1.0, lift=1.0/(3/3)=1.0
+    assert(r == Set(("a", "b", 2L, 0.666667, 1.0), ("b", "a", 2L, 1.0, 1.0)))
+  }
 }
