@@ -832,6 +832,42 @@ object Ops {
     partial.groupBy(keys.map(col): _*).agg(finalCols.head, finalCols.tail: _*)
   }
 
+  // ------------------------------------------------- ordered group concat
+  /** Per-group ordered string aggregation (SQL `string_agg(v, sep ORDER BY
+    * ord)`): values collect as (ord-keys, value) structs, sort INSIDE the
+    * group's array (array_sort on structs orders by fields left-to-right),
+    * then join with `sep`. Deterministic whenever the ord-key prefix is
+    * unique per row (pass the row's id as the last ord column to force it).
+    *
+    * Scale contract: one hash aggregate with map-side partial collects —
+    * the group's concatenation must fit in one task's row, so this is for
+    * bounded groups (per-customer orders, per-doc sentences), not
+    * unbounded logs; cap upstream with capPerGroup when in doubt.
+    */
+  def groupConcat(df: DataFrame, keys: Seq[String], valueCol: String,
+                  ordCols: Seq[String], sep: String,
+                  out: String = "concat"): DataFrame = {
+    require(keys.nonEmpty && ordCols.nonEmpty)
+    val packed = struct((ordCols.map(col) :+ col(valueCol).as("__v")): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(concat_ws(sep,
+        transform(array_sort(collect_list(packed)), x => x.getField("__v")))
+        .as(out))
+  }
+
+  // ------------------------------------------------------- heavy hitters
+  /** Skew diagnostics: the k heaviest keys by row count, ties broken by the
+    * key columns ascending — one map-side-combinable aggregate and a
+    * TakeOrdered top-k cutoff (no global sort, no window). Run this before
+    * choosing a partitioning/salting strategy for a new 100 TB key.
+    */
+  def heavyHitters(df: DataFrame, keys: Seq[String], k: Int): DataFrame = {
+    require(keys.nonEmpty && k > 0)
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc +: keys.map(col(_).asc): _*)
+      .limit(k)
+  }
+
   // -------------------------------------------------------------- O3: split
   /** Partition a dataset into files by key value and/or bounded chunk size —
     * the reference writes suffix-named chunks (meza/process.py:937-971);

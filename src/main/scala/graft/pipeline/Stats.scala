@@ -84,6 +84,28 @@ object Stats {
       .drop("__n", "__s", "__p")
   }
 
+  // ------------------------------------------------- group-mean imputation
+  /** Fill null `valueCol` with the GROUP's mean — fillempty's statistical
+    * sibling for numeric gaps. The mean is a decimal-exact sum over the
+    * non-null rows (order-independent) divided once in IEEE, rounded to
+    * `roundScale` so the imputed constant is engine-independent; non-null
+    * values pass through untouched (byte-identical). Groups that are all
+    * null stay null. Same two-scan broadcast shape as [[standardize]] —
+    * no window, no shuffle of the fact table.
+    */
+  def imputeGroupMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      roundScale: Int = 6): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val stats = df.filter(v.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(v.cast("decimal(38,6)")).cast("double").as("__s"))
+    val mean = round(col("__s") / col("__n").cast("double"), roundScale)
+    df.join(broadcast(stats), groupCols, "left")
+      .withColumn(valueCol, coalesce(col(valueCol), mean))
+      .drop("__n", "__s")
+  }
+
   // ------------------------------------------------- robust outliers (MAD)
   /** Per-group lower median of `valueCol` as column `out`: the value at rank
     * `(n+1) div 2` of the group's sorted multiset. An order statistic IS a

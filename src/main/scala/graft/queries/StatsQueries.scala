@@ -204,5 +204,63 @@ object StatsQueries {
         "ORDER BY antecedent, consequent"),
       (s, dir) => EventAnalytics.associationRules(Tables.events(s, dir),
           "user_id", "event_type")
-        .orderBy("antecedent", "consequent")))
+        .orderBy("antecedent", "consequent")),
+
+    // ---- ordered group concatenation (SQL string_agg ORDER BY): values
+    // sort INSIDE each group's collected array by the unique order key, so
+    // the joined string is deterministic on both engines.
+    Q("q101_group_concat",
+      Some("SELECT o_custkey, string_agg(o_orderpriority, '|' ORDER BY o_orderkey) " +
+        "AS concat FROM orders GROUP BY 1 ORDER BY 1"),
+      (s, dir) => graft.operators.Ops.groupConcat(Tables.orders(s, dir),
+          Seq("o_custkey"), "o_orderpriority", Seq("o_orderkey"), "|")
+        .orderBy("o_custkey")),
+
+    // ---- per-group quantile bands in ONE aggregate (Spark exact
+    // `percentile` ≡ DuckDB `quantile_cont`, both linear-interpolating —
+    // the q43/q65 precedent), 6dp-rounded.
+    Q("q102_group_quantiles",
+      Some("SELECT event_type, round(quantile_cont(value, 0.25), 6) AS p25, " +
+        "round(quantile_cont(value, 0.5), 6) AS p50, " +
+        "round(quantile_cont(value, 0.75), 6) AS p75 " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY 1"),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, array(0.25, 0.5, 0.75))").as("__q"))
+        .select(col("event_type"),
+          round(element_at(col("__q"), 1), 6).as("p25"),
+          round(element_at(col("__q"), 2), 6).as("p50"),
+          round(element_at(col("__q"), 3), 6).as("p75"))
+        .orderBy("event_type")),
+
+    // ---- heavy hitters: the k heaviest keys by count with a deterministic
+    // key tiebreak — the skew diagnostic run before choosing a partitioning
+    // strategy for a new key.
+    Q("q103_heavy_hitters",
+      Some("SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1 " +
+        "ORDER BY n DESC, l_partkey LIMIT 10"),
+      (s, dir) => graft.operators.Ops.heavyHitters(
+          Tables.lineitem(s, dir), Seq("l_partkey"), 10)),
+
+    // ---- group-mean imputation on a deterministic null injection
+    // (event_id % 13): the fill constant is the group's decimal-exact mean
+    // rounded at 6dp; non-null values pass through byte-identical.
+    Q("q104_impute",
+      Some("WITH e AS (SELECT event_id, event_type, " +
+        "CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value FROM events), " +
+        "s AS (SELECT event_type, COUNT(value) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sv FROM e GROUP BY 1) " +
+        "SELECT event_id, e.event_type, " +
+        "coalesce(e.value, round(sv / CAST(n AS DOUBLE), 6)) AS value, " +
+        "event_id % 13 = 0 AS was_filled " +
+        "FROM e JOIN s USING (event_type) ORDER BY event_id"),
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("event_id"), col("event_type"),
+          when(pmod(col("event_id"), lit(13)) === 0, lit(null))
+            .otherwise(col("value")).as("value"))
+        Stats.imputeGroupMean(e, Seq("event_type"), "value")
+          .withColumn("was_filled", pmod(col("event_id"), lit(13)) === 0)
+          .select("event_id", "event_type", "value", "was_filled")
+          .orderBy("event_id")
+      }))
 }

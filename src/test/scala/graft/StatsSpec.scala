@@ -165,4 +165,28 @@ class StatsSpec extends SparkSpec {
     // b->a: na(b)=2 conf=1.0, lift=1.0/(3/3)=1.0
     assert(r == Set(("a", "b", 2L, 0.666667, 1.0), ("b", "a", 2L, 1.0, 1.0)))
   }
+
+  test("groupConcat: values join in ord order, per group") {
+    val df = Seq(("g1", 2L, "b"), ("g1", 1L, "a"), ("g1", 3L, "c"),
+      ("g2", 9L, "z")).toDF("g", "ord", "v")
+    val got = operators.Ops.groupConcat(df, Seq("g"), "v", Seq("ord"), "|")
+      .orderBy("g").select("concat").as[String].collect.toSeq
+    assert(got == Seq("a|b|c", "z"))
+  }
+
+  test("heavyHitters: count-desc with key tiebreak at the boundary") {
+    val df = (Seq.fill(3)("x") ++ Seq.fill(2)("b") ++ Seq.fill(2)("a") ++
+      Seq("c")).toDF("k")
+    val got = operators.Ops.heavyHitters(df, Seq("k"), 2)
+      .select("k", "n").as[(String, Long)].collect.toSeq
+    assert(got == Seq(("x", 3L), ("a", 2L))) // tie a/b at n=2 -> key asc
+  }
+
+  test("imputeGroupMean: nulls get the group mean, non-null untouched, all-null stays null") {
+    val df = Seq(("a", Some(2.0)), ("a", Some(4.0)), ("a", None),
+      ("b", None)).toDF("g", "v")
+    val got = Stats.imputeGroupMean(df, Seq("g"), "v")
+      .orderBy("g", "v").select("v").as[Option[Double]].collect.toSeq
+    assert(got == Seq(Some(2.0), Some(3.0), Some(4.0), None))
+  }
 }
