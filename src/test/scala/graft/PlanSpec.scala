@@ -286,4 +286,26 @@ class PlanSpec extends SparkSpec {
       filterBelowAgg.get.condition.toString.contains("0.5"),
       s"filter below the aggregate is not the curation predicate: ${filterBelowAgg.get.condition}")
   }
+
+  test("q93/q96/q104: boundary/stat relations broadcast back; never a sort-merge join or window") {
+    for (q <- Seq("q93_quantile_bucket", "q96_group_zscore", "q104_impute")) {
+      val p = planOf(q)
+      assert(!p.contains("SortMergeJoin"), s"$q: fact table must not shuffle for the stats join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian:\n$p")
+      assert(p.contains("Broadcast"), s"$q: expected a broadcast of the per-group stats:\n$p")
+    }
+  }
+
+  test("q95/q98/q100: pmi, funnel and association joins are hash joins, never cartesian") {
+    for (q <- Seq("q95_pmi", "q98_funnel", "q100_assoc_rules")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian:\n$p")
+      assert(!p.contains("Window"), s"$q: no window anywhere in this path:\n$p")
+    }
+  }
+
+  test("q103: heavy hitters is a TakeOrdered cutoff, not a global sort") {
+    val p = planOf("q103_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k cutoff:\n$p")
+  }
 }
