@@ -195,6 +195,53 @@ object ScaleStress {
     assert(trail.getLong(1) == 2000000L)
     assert(trail.getLong(0) >= 35000L && trail.getLong(0) <= 36100L,
       s"hot frame size ${trail.getLong(0)} outside the 3600s x 10/s envelope")
+
+    // robust outliers on ONE 2M-row group: the documented hot-group case
+    // for the order-statistic windows (two single-partition sorts). Values
+    // are id%1000 (2000 of each residue) plus 100 planted outliers at EACH
+    // tail, so med/mad/n_outliers have closed forms: med 499, mad 250,
+    // outliers = the 200 planted (max natural dev 500 < 3*250).
+    val rob = spark.range(2000000L)
+      .select(lit("hot").as("g"), (col("id") % 1000L).cast("double").as("v"))
+      .union(spark.range(100L).select(lit("hot").as("g"), lit(-10000.0).as("v")))
+      .union(spark.range(100L).select(lit("hot").as("g"), lit(10000.0).as("v")))
+    val robRow = timed("robustOutlierStats over one 2M-row group") {
+      graft.pipeline.Stats.robustOutlierStats(rob, Seq("g"), "v", k = 3.0)
+        .collect().head
+    }
+    assert(robRow.getAs[Double]("med") == 499.0 &&
+      robRow.getAs[Double]("mad") == 250.0 &&
+      robRow.getAs[Long]("n_outliers") == 200L,
+      s"expected med 499 / mad 250 / 200 outliers, got $robRow")
+
+    // funnel with ONE 1M-event hot user among 50k cold users: stage folds
+    // are co-keyed min-joins — the hot user costs an aggregation, never a
+    // per-user sort. Monotone drop-off and hot-user completion asserted.
+    val fev = spark.range(2000000L).select(
+      when(col("id") < 1000000L, lit(0L))
+        .otherwise(col("id") % 50000L + 1L).as("user_id"),
+      org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.array(lit("view"), lit("click"), lit("purchase")),
+        (col("id") % 3L).cast("int") + 1).as("event_type"),
+      org.apache.spark.sql.functions.timestamp_seconds(
+        lit(1700000000L) + col("id")).as("ts"))
+    val fn = timed("funnel over 2M events, one 1M-event hot user") {
+      graft.pipeline.EventAnalytics.funnel(fev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+        .orderBy("stage_idx").select("n_users").collect().map(_.getLong(0)).toSeq
+    }
+    println(s"  stage counts: $fn (monotone; hot user completes all stages)")
+    assert(fn.length == 3 && fn(0) >= fn(1) && fn(1) >= fn(2) && fn(2) >= 1L,
+      s"funnel counts not a monotone non-empty drop-off: $fn")
+
+    // PMI over the 100k-doc replicated corpus: state is vocab-bounded
+    // (31 distinct tokens here -> <= 961 bigram types) no matter the
+    // corpus size; the scan dominates, the joins carry counts only.
+    val pmiN = timed("pmiBigrams over 100k docs") {
+      graft.pipeline.TextAnalysis.pmiBigrams(big, "text", minCount = 5L).count()
+    }
+    println(s"  bigram types: $pmiN (vocab-bounded, <= 31^2)")
+    assert(pmiN <= 961L, s"bigram state exceeded the vocab bound: $pmiN")
     spark.stop()
   }
 }
