@@ -357,6 +357,30 @@ object Curation {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Per-document n-gram novelty against a reference corpus: the fraction
+    * of the doc's DISTINCT word n-grams absent from the reference's gram
+    * set — [[contamination]]'s complement (that flags overlap; this scores
+    * originality/memorization risk). Grams travel as md5 (16 bytes however
+    * long the gram text), the reference side is a distinct-gram relation
+    * joined left — broadcast when the reference is small, co-keyed shuffle
+    * otherwise (AQE decides) — and the per-doc fraction is one aggregate.
+    * Returns (doc_id, n_grams, n_novel, novelty 6dp). */
+  def ngramNovelty(corpus: DataFrame, ref: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    val refGrams = ref
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .select(md5(col("gram")).as("__g")).distinct()
+      .withColumn("__seen", lit(1))
+    corpus.select(col(idCol).as("doc_id"),
+        explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("__g"))
+      .join(refGrams, Seq("__g"), "left")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel") / col("n_grams").cast("double"), 6))
+  }
+
   // ---------------------------------------------------- mixture sampling
   /** Deterministic per-row sampling at a data-dependent rate: keep a row iff
     * md5(salt ++ key) (first 8 hex chars, i.e. a uniform 32-bit draw) falls

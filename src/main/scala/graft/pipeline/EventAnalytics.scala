@@ -92,6 +92,34 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  // ------------------------------------------------- rolling active users
+  /** Engagement series: per day-index, the distinct users active that day
+    * (dau) and within the trailing `windowDays` window ending that day
+    * (wau). The windowed distinct-count is NOT a window function: each
+    * distinct (user, day) activation explodes to the `windowDays` window
+    * ends it belongs to — a bounded constant fan-out of the (already
+    * day-deduped) activation relation — and a plain distinct count per end
+    * day. No per-day sort, no state beyond (user, day) grain; rows carry
+    * window ends past the last activity day by design (a window ending
+    * there still contains those users).
+    */
+  def rollingActiveUsers(df: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1)
+    val active = df.select(col(userCol).as("__u"),
+      dayIndex(col(tsCol)).as("__d")).distinct()
+    val dau = active.groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = active
+      .select(col("__u"),
+        explode(sequence(col("__d"), col("__d") + lit(windowDays - 1)))
+          .as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    wau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+  }
+
   // ------------------------------------------------------ association rules
   /** Event-type association rules over the user-level basket: for every
     * ordered pair (a, b) of distinct event types a user can hold,

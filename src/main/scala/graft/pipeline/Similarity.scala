@@ -137,6 +137,45 @@ object Similarity {
   /** Deterministic pseudo-random unit centroids for IVF init — the naive
     * baseline [[kmeansCentroids]] is measured against (kept for that spec
     * and as a data-independent fallback). */
+  /** Pairwise cosine similarity between per-label centroids — the
+    * "how far apart are my sources/clusters" report over an embedding
+    * column, oracle-checkable end to end (unlike the LSH paths, which are
+    * engine-specific by nature).
+    *
+    * Determinism discipline: centroid components are decimal-exact sums
+    * (DECIMAL(38,12) — per-value round-to-nearest on a dyadic double can
+    * never tie at scale 12, so both engines round identically; order of
+    * addition is then irrelevant) divided once in IEEE; the pair dot / norm
+    * sums re-apply the same cast. Plan: one posexplode + (label, idx)
+    * aggregate — corpus scans once, state is labels × dim — then the tiny
+    * centroid relation self-joins on idx. Output (label_a < label_b,
+    * cos 6dp-rounded).
+    */
+  def labelCentroidCosines(df: DataFrame, labelCol: String,
+                           vecCol: String): DataFrame = {
+    val comp = df.select(col(labelCol).as("__l"),
+        posexplode(col(vecCol)).as(Seq("__i", "__v")))
+      .groupBy("__l", "__i")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast("double").cast("decimal(38,12)"))
+          .cast("double").as("__s"))
+      .select(col("__l"), col("__i"),
+        (col("__s") / col("__n").cast("double")).as("__c"))
+    val norms = comp.groupBy("__l")
+      .agg(sum((col("__c") * col("__c")).cast("decimal(38,12)"))
+        .cast("double").as("__nm"))
+    val a = comp.select(col("__l").as("label_a"), col("__i"), col("__c").as("__ca"))
+    val b = comp.select(col("__l").as("label_b"), col("__i"), col("__c").as("__cb"))
+    a.join(b, Seq("__i")).filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum((col("__ca") * col("__cb")).cast("decimal(38,12)"))
+        .cast("double").as("__dot"))
+      .join(norms.select(col("__l").as("label_a"), col("__nm").as("__na")), Seq("label_a"))
+      .join(norms.select(col("__l").as("label_b"), col("__nm").as("__nb")), Seq("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb"))), 6).as("cos"))
+  }
+
   def pseudoCentroids(nCentroids: Int, dim: Int, seed: Long = 7L): Seq[(Int, Seq[Double])] =
     (0 until nCentroids).map { c =>
       val raw = (0 until dim).map(d => planeCoef(c, d, seed))

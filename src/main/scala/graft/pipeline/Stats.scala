@@ -84,6 +84,29 @@ object Stats {
       .drop("__n", "__s", "__p")
   }
 
+  // ------------------------------------------------------- winsorization
+  /** Clip `valueCol` into the [pLo, pHi] quantile band — the outlier
+    * mitigation that precedes scale-sensitive statistics. Bounds come from
+    * the same ONE exact-percentile aggregate as [[quantileBuckets]], round
+    * to `roundScale` before use (the interpolation is the one
+    * sub-ulp-sensitive step), and broadcast back; unclipped values pass
+    * through byte-identical. Adds `clippedCol` (the clipped value) and
+    * leaves `valueCol` untouched.
+    */
+  def winsorize(df: DataFrame, valueCol: String, pLo: Double, pHi: Double,
+                roundScale: Int = 4,
+                clippedCol: String = "clipped"): DataFrame = {
+    require(0.0 < pLo && pLo < pHi && pHi < 1.0)
+    val bounds = df.agg(
+      expr(s"percentile($valueCol, array($pLo, $pHi))").as("__qs"))
+      .select(round(element_at(col("__qs"), 1), roundScale).as("__lo"),
+        round(element_at(col("__qs"), 2), roundScale).as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(clippedCol,
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   // ------------------------------------------------- group-mean imputation
   /** Fill null `valueCol` with the GROUP's mean — fillempty's statistical
     * sibling for numeric gaps. The mean is a decimal-exact sum over the

@@ -139,6 +139,27 @@ object CurationQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- n-gram novelty vs a reference corpus (contamination's
+    // complement): fraction of each even doc's DISTINCT 3-grams absent
+    // from the odd docs' gram set. Spark joins on md5(gram) (narrow
+    // shuffle); the oracle joins the gram text — identical results.
+    Q("q107_novelty",
+      Some(s"WITH g AS (SELECT doc_id, ${shinglesSql(3)} AS grams FROM documents), " +
+        "r AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 2 = 1), " +
+        "c AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 2 = 0), " +
+        "j AS (SELECT c.doc_id, r.gram IS NOT NULL AS seen FROM c LEFT JOIN r ON c.gram = r.gram) " +
+        "SELECT doc_id, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "round(CAST(sum(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS novelty " +
+        "FROM j GROUP BY 1 ORDER BY 1"),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.ngramNovelty(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+            n = 3)
+          .orderBy("doc_id")
+      }),
+
     // ---- deterministic mixture sampling: per-source keep rates (0.9 for
     // src0-4, 0.5 for src5-9, 0.15 otherwise) via the md5-threshold draw;
     // the oracle rebuilds the same rate CASE and hex cut.

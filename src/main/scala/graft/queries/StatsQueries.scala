@@ -262,5 +262,59 @@ object StatsQueries {
           .withColumn("was_filled", pmod(col("event_id"), lit(13)) === 0)
           .select("event_id", "event_type", "value", "was_filled")
           .orderBy("event_id")
-      }))
+      }),
+
+    // ---- DAU/WAU engagement series: the windowed distinct count is an
+    // EXPLODE of the day-deduped activation relation to its window ends
+    // (bounded 7x fan-out), never a per-day sort or window function. Days
+    // are the integer indices of q99.
+    Q("q105_active_users",
+      Some("WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events), " +
+        "dau AS (SELECT d AS day, count(*) AS dau FROM a GROUP BY 1), " +
+        "w AS (SELECT DISTINCT user_id, day FROM " +
+        "(SELECT user_id, unnest(range(d, d + 7)) AS day FROM a)), " +
+        "wau AS (SELECT day, count(*) AS wau FROM w GROUP BY 1) " +
+        "SELECT wau.day, coalesce(dau.dau, 0) AS dau, wau.wau " +
+        "FROM wau LEFT JOIN dau USING (day) ORDER BY day"),
+      (s, dir) => EventAnalytics.rollingActiveUsers(Tables.events(s, dir),
+          "user_id", "ts", windowDays = 7)
+        .orderBy("day")),
+
+    // ---- winsorization at [p01, p99]: bounds from ONE exact-percentile
+    // aggregate, 4dp-rounded before use (q93 discipline); unclipped values
+    // pass through byte-identical, verified by the decimal-exact sum.
+    Q("q106_winsorize",
+      Some("WITH b AS (SELECT round(quantile_cont(o_totalprice, 0.01), 4) AS lo, " +
+        "round(quantile_cont(o_totalprice, 0.99), 4) AS hi FROM orders), " +
+        "c AS (SELECT o_totalprice, least(greatest(o_totalprice, lo), hi) AS v " +
+        "FROM orders, b) " +
+        "SELECT count(*) AS n, CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS sum_clipped, " +
+        "CAST(sum(CASE WHEN o_totalprice < v THEN 1 ELSE 0 END) AS BIGINT) AS n_lo, " +
+        "CAST(sum(CASE WHEN o_totalprice > v THEN 1 ELSE 0 END) AS BIGINT) AS n_hi FROM c"),
+      (s, dir) => Stats.winsorize(Tables.orders(s, dir).select("o_totalprice"),
+          "o_totalprice", 0.01, 0.99)
+        .agg(count(lit(1)).as("n"),
+          sum(col("clipped").cast("decimal(38,6)")).cast("double").as("sum_clipped"),
+          sum(when(col("o_totalprice") < col("clipped"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("o_totalprice") > col("clipped"), 1L).otherwise(0L)).as("n_hi"))),
+
+    // ---- pairwise cosine between per-label embedding centroids: the
+    // oracle-checkable face of the similarity tier (LSH internals are
+    // engine-specific; exact centroid geometry is not). DECIMAL(38,12)
+    // sums make the centroids bit-identical on both engines.
+    Q("q108_centroid_cosine",
+      Some("WITH x AS (SELECT label, unnest(embedding) AS v, " +
+        "unnest(range(1, len(embedding) + 1)) AS i FROM embeddings), " +
+        "c AS (SELECT label, i, CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) " +
+        "/ CAST(count(*) AS DOUBLE) AS c FROM x GROUP BY 1, 2), " +
+        "nm AS (SELECT label, CAST(SUM(CAST(c * c AS DECIMAL(38,12))) AS DOUBLE) AS nm FROM c GROUP BY 1), " +
+        "d AS (SELECT a.label AS label_a, b.label AS label_b, " +
+        "CAST(SUM(CAST(a.c * b.c AS DECIMAL(38,12))) AS DOUBLE) AS dot " +
+        "FROM c a JOIN c b ON a.i = b.i AND a.label < b.label GROUP BY 1, 2) " +
+        "SELECT label_a, label_b, round(dot / (sqrt(na.nm) * sqrt(nb.nm)), 6) AS cos " +
+        "FROM d JOIN nm na ON d.label_a = na.label JOIN nm nb ON d.label_b = nb.label " +
+        "ORDER BY label_a, label_b"),
+      (s, dir) => graft.pipeline.Similarity.labelCentroidCosines(
+          Tables.load(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label_a", "label_b")))
 }

@@ -189,4 +189,51 @@ class StatsSpec extends SparkSpec {
       .orderBy("g", "v").select("v").as[Option[Double]].collect.toSeq
     assert(got == Seq(Some(2.0), Some(3.0), Some(4.0), None))
   }
+
+  test("rollingActiveUsers: wau is the trailing-7-day distinct union") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp((86400L * d + 3600L) * 1000L)
+    // u1 active day 0 and day 3; u2 active day 3 only
+    val df = Seq((1L, t(0)), (1L, t(3)), (2L, t(3))).toDF("u", "ts")
+    val got = pipeline.EventAnalytics.rollingActiveUsers(df, "u", "ts")
+      .orderBy("day").select("day", "dau", "wau")
+      .as[(Long, Long, Long)].collect.toSeq
+    // days 0-2: only u1's day-0 activation in window; day 3-6: both users
+    // (u1 counted once despite two activations); days 7-9: day-3 tail
+    assert(got.filter(_._1 <= 2).forall { case (_, _, w) => w == 1 })
+    assert(got.find(_._1 == 3).get == ((3L, 2L, 2L)))
+    assert(got.filter(r => r._1 >= 4 && r._1 <= 6).forall(_._3 == 2))
+    assert(got.filter(_._1 >= 7).forall { case (_, d, w) => d == 0 && w == 2 })
+    assert(got.map(_._1).max == 9) // windows end 7 days past the last activity
+  }
+
+  test("winsorize: values clip to the rounded quantile band") {
+    val df = ((1 to 100).map(_.toDouble)).toDF("v")
+    val got = Stats.winsorize(df, "v", 0.05, 0.95)
+      .agg(min("clipped"), max("clipped"), count(lit(1))).collect()(0)
+    // quantile_cont of 1..100 at .05/.95 = 5.95 / 95.05
+    assert(got.getDouble(0) == 5.95 && got.getDouble(1) == 95.05)
+    assert(got.getLong(2) == 100)
+  }
+
+  test("ngramNovelty: planted overlap fraction") {
+    val corpus = Seq((1L, "a b c d")).toDF("id", "text")   // 3-grams: abc, bcd
+    val ref = Seq((2L, "a b c x y z")).toDF("id", "text")  // contains abc only
+    val r = pipeline.Curation.ngramNovelty(corpus, ref, "id", "text", n = 3)
+      .collect()(0)
+    assert(r.getAs[Long]("n_grams") == 2 && r.getAs[Long]("n_novel") == 1)
+    assert(r.getAs[Double]("novelty") == 0.5)
+  }
+
+  test("labelCentroidCosines: orthogonal and identical centroids") {
+    val df = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(1.0f, 0.0f)),   // centroid (1, 0)
+      (1, Seq(0.0f, 2.0f)),                           // centroid (0, 2)
+      (2, Seq(3.0f, 0.0f))                            // centroid (3, 0)
+    ).toDF("label", "vec")
+    val got = pipeline.Similarity.labelCentroidCosines(df, "label", "vec")
+      .orderBy("label_a", "label_b")
+      .select("label_a", "label_b", "cos").as[(Int, Int, Double)].collect.toSeq
+    assert(got == Seq((0, 1, 0.0), (0, 2, 1.0), (1, 2, 0.0)))
+  }
 }
