@@ -120,6 +120,50 @@ object EventAnalytics {
       .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
   }
 
+  // --------------------------------------------------- conversion windows
+  /** Temporal conversion: for each `fromType` event, did a `toType` event by
+    * the SAME user land STRICTLY AFTER it and within `withinSec` seconds?
+    * Returns one row per day-index: (day, n_from, n_unconverted) — the
+    * abandonment report. Split into semi/anti halves of ONE user-keyed hash
+    * join with the time band as residual predicate (per-user event lists
+    * bound the probe; never a cartesian, never a window), then two
+    * day-keyed aggregates.
+    */
+  def conversionWithin(df: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, fromType: String, toType: String,
+                       withinSec: Long): DataFrame = {
+    require(withinSec > 0)
+    val from = df.filter(col(typeCol) === fromType)
+      .select(col(userCol).as("__u"), micros(col(tsCol)).as("__t"))
+    val to = df.filter(col(typeCol) === toType)
+      .select(col(userCol).as("__u2"), micros(col(tsCol)).as("__t2"))
+    val cond = col("__u") === col("__u2") && col("__t2") > col("__t") &&
+      col("__t2") <= col("__t") + lit(withinSec * 1000000L)
+    val day = floor(col("__t") / lit(86400000000L)).cast("long").as("day")
+    val all = from.select(day).groupBy("day").agg(count(lit(1)).as("n_from"))
+    val lost = from.join(to, cond, "left_anti")
+      .select(day).groupBy("day").agg(count(lit(1)).as("n_unconverted"))
+    all.join(lost, Seq("day"), "left")
+      .select(col("day"), col("n_from"),
+        coalesce(col("n_unconverted"), lit(0L)).as("n_unconverted"))
+  }
+
+  // ------------------------------------------------- period-over-period
+  /** Per-week event counts with the percent change vs the previous PRESENT
+    * week (weeks use the integer [[weekIndex]]; gaps compare against the
+    * prior row, not a zero-filled week). The lag window runs over the
+    * AGGREGATED week relation — bounded by the calendar (thousands of rows
+    * for decades), never by the event log.
+    */
+  def weekOverWeek(df: DataFrame, tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("week"))
+    df.select(weekIndex(col(tsCol)).as("week"))
+      .groupBy("week").agg(count(lit(1)).as("n"))
+      .withColumn("pct_change",
+        round((col("n") - lag(col("n"), 1).over(w)) /
+          lag(col("n"), 1).over(w).cast("double"), 6))
+  }
+
   // ------------------------------------------------------ association rules
   /** Event-type association rules over the user-level basket: for every
     * ordered pair (a, b) of distinct event types a user can hold,

@@ -129,6 +129,65 @@ object Stats {
       .drop("__n", "__s")
   }
 
+  // ------------------------------------------------- chi-square independence
+  /** Pearson chi-square independence statistic for two categorical columns,
+    * via the zero-cell-free identity chi2 = Σ_observed o²/e − N (empty cells
+    * contribute nothing to the sum, so only observed pairs are touched).
+    * Cell terms are doubles from exact counts in ONE fixed IEEE shape,
+    * summed as DECIMAL(38,6) (order-independent across 1000 executors),
+    * rounded 6dp. Returns one row: (n, dof, chi2).
+    *
+    * Plan: one pair-count aggregate plus two marginal aggregates broadcast
+    * back — the table scans once per aggregate, state is the two
+    * vocabularies' product at most.
+    */
+  def chiSquareIndependence(df: DataFrame, colA: String,
+                            colB: String): DataFrame = {
+    val base = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+    val cells = base.groupBy(colA, colB).agg(count(lit(1)).as("__o"))
+    val ra = base.groupBy(colA).agg(count(lit(1)).as("__ra"))
+    val cb = base.groupBy(colB).agg(count(lit(1)).as("__cb"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    val dofA = ra.agg(count(lit(1)).as("__da"))
+    val dofB = cb.agg(count(lit(1)).as("__db"))
+    val term = (col("__o").cast("double") * col("__o")) /
+      ((col("__ra").cast("double") * col("__cb")) / col("__n").cast("double"))
+    cells.join(broadcast(ra), Seq(colA)).join(broadcast(cb), Seq(colB))
+      .crossJoin(broadcast(n))
+      .agg(sum(term.cast("decimal(38,6)")).cast("double").as("__sum"),
+        first(col("__n")).as("n"))
+      .crossJoin(broadcast(dofA)).crossJoin(broadcast(dofB))
+      .select(col("n"),
+        ((col("__da") - 1) * (col("__db") - 1)).as("dof"),
+        round(col("__sum") - col("n").cast("double"), 6).as("chi2"))
+  }
+
+  // --------------------------------------------------------- Gini index
+  /** Gini concentration of `weightCol` mass across groups (how skewed is
+    * the corpus across sources/domains): with groups ranked ascending by
+    * exact weight (group-key tiebreak), G = 2·Σ rank·w / (n·Σw) − (n+1)/n.
+    * Weights sum exactly in long; the rank window runs over the AGGREGATED
+    * group relation — bounded by the group vocabulary, never the corpus.
+    * Returns one row: (n_groups, total_weight, gini 6dp).
+    */
+  def giniIndex(df: DataFrame, groupCols: Seq[String],
+                weightCol: Column): DataFrame = {
+    require(groupCols.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__w").asc +: groupCols.map(col(_).asc): _*)
+    val groups = df.groupBy(groupCols.map(col): _*)
+      .agg(sum(weightCol.cast("long")).as("__w"))
+      .withColumn("__r", row_number().over(w))
+    groups.agg(count(lit(1)).as("n_groups"),
+        sum(col("__w")).as("total_weight"),
+        sum(col("__r") * col("__w")).as("__rw"))
+      .select(col("n_groups"), col("total_weight"),
+        round(lit(2.0) * col("__rw") /
+          (col("n_groups").cast("double") * col("total_weight")) -
+          (col("n_groups") + 1).cast("double") / col("n_groups").cast("double"),
+          6).as("gini"))
+  }
+
   // ------------------------------------------------- robust outliers (MAD)
   /** Per-group lower median of `valueCol` as column `out`: the value at rank
     * `(n+1) div 2` of the group's sorted multiset. An order statistic IS a

@@ -316,5 +316,65 @@ object StatsQueries {
         "ORDER BY label_a, label_b"),
       (s, dir) => graft.pipeline.Similarity.labelCentroidCosines(
           Tables.load(s, dir, "embeddings"), "label", "embedding")
-        .orderBy("label_a", "label_b")))
+        .orderBy("label_a", "label_b")),
+
+    // ---- temporal conversion / abandonment: views with no purchase by the
+    // same user within the next hour. ONE user-keyed hash join with the
+    // time band as residual predicate, split semi/anti — never a window.
+    Q("q109_conversion",
+      Some("WITH v AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'view'), " +
+        "p AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'), " +
+        "l AS (SELECT v.user_id, v.t FROM v WHERE NOT EXISTS (SELECT 1 FROM p " +
+        "WHERE p.user_id = v.user_id AND p.t > v.t AND p.t <= v.t + 3600000000)), " +
+        "a AS (SELECT t // 86400000000 AS day, count(*) AS n_from FROM v GROUP BY 1), " +
+        "u AS (SELECT t // 86400000000 AS day, count(*) AS n_unconverted FROM l GROUP BY 1) " +
+        "SELECT a.day, a.n_from, coalesce(u.n_unconverted, 0) AS n_unconverted " +
+        "FROM a LEFT JOIN u USING (day) ORDER BY day"),
+      (s, dir) => EventAnalytics.conversionWithin(Tables.events(s, dir),
+          "user_id", "event_type", "ts", "view", "purchase", withinSec = 3600L)
+        .orderBy("day")),
+
+    // ---- week-over-week change: the lag window runs over the AGGREGATED
+    // week relation (calendar-bounded), never the event log.
+    Q("q110_week_over_week",
+      Some("WITH w AS (SELECT (epoch_us(ts) // 86400000000 + 3) // 7 AS week, " +
+        "count(*) AS n FROM events GROUP BY 1) " +
+        "SELECT week, n, round((n - lag(n) OVER (ORDER BY week)) / " +
+        "CAST(lag(n) OVER (ORDER BY week) AS DOUBLE), 6) AS pct_change " +
+        "FROM w ORDER BY week"),
+      (s, dir) => EventAnalytics.weekOverWeek(Tables.events(s, dir), "ts")
+        .orderBy("week")),
+
+    // ---- chi-square independence of event_type x weekday, via the
+    // zero-cell-free identity chi2 = sum o^2/e - N; cell terms decimal-
+    // summed (order-independent), weekday = pure integer day arithmetic.
+    Q("q111_chi_square",
+      Some("WITH e AS (SELECT event_type, ((epoch_us(ts) // 86400000000) + 3) % 7 AS wd FROM events), " +
+        "cells AS (SELECT event_type, wd, count(*) AS o FROM e GROUP BY 1, 2), " +
+        "ra AS (SELECT event_type, count(*) AS ra FROM e GROUP BY 1), " +
+        "cb AS (SELECT wd, count(*) AS cb FROM e GROUP BY 1), " +
+        "nn AS (SELECT count(*) AS n FROM e), " +
+        "t AS (SELECT CAST(SUM(CAST((CAST(o AS DOUBLE) * o) / " +
+        "((CAST(ra AS DOUBLE) * cb) / CAST(nn.n AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS s, " +
+        "any_value(nn.n) AS n FROM cells JOIN ra USING (event_type) JOIN cb USING (wd), nn), " +
+        "d AS (SELECT (SELECT count(*) FROM ra) AS da, (SELECT count(*) FROM cb) AS db) " +
+        "SELECT n, (da - 1) * (db - 1) AS dof, round(s - CAST(n AS DOUBLE), 6) AS chi2 FROM t, d"),
+      (s, dir) => Stats.chiSquareIndependence(
+          Tables.events(s, dir).select(col("event_type"),
+            pmod(EventAnalytics.dayIndex(col("ts")) + lit(3), lit(7)).as("wd")),
+          "event_type", "wd")),
+
+    // ---- Gini concentration of token mass across sources: exact long
+    // weights, rank window over the 20-row group relation only.
+    Q("q112_gini",
+      Some("WITH g AS (SELECT source, CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS w " +
+        "FROM documents GROUP BY 1), " +
+        "r AS (SELECT source, w, row_number() OVER (ORDER BY w ASC, source ASC) AS rk FROM g), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(w) AS BIGINT) AS total_weight, " +
+        "CAST(sum(rk * w) AS BIGINT) AS rw FROM r) " +
+        "SELECT n_groups, total_weight, round(2.0 * rw / (CAST(n_groups AS DOUBLE) * total_weight) " +
+        "- CAST(n_groups + 1 AS DOUBLE) / CAST(n_groups AS DOUBLE), 6) AS gini FROM a"),
+      (s, dir) => Stats.giniIndex(
+          Tables.documents(s, dir).withColumn("ntok", TA.tokenCount(col("text"))),
+          Seq("source"), col("ntok"))))
 }

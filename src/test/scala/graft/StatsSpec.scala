@@ -236,4 +236,57 @@ class StatsSpec extends SparkSpec {
       .select("label_a", "label_b", "cos").as[(Int, Int, Double)].collect.toSeq
     assert(got == Seq((0, 1, 0.0), (0, 2, 1.0), (1, 2, 0.0)))
   }
+
+  test("conversionWithin: strict-after window, per-day abandonment") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    // u1 converts (purchase 30min after view); u2's purchase is 2h late;
+    // u3's purchase is simultaneous (NOT strictly after); u4 converts on
+    // a view the next day
+    val df = Seq(
+      (1L, "view", t(1000)), (1L, "purchase", t(1000 + 1800)),
+      (2L, "view", t(2000)), (2L, "purchase", t(2000 + 7200)),
+      (3L, "view", t(3000)), (3L, "purchase", t(3000)),
+      (4L, "view", t(86400 + 100)), (4L, "purchase", t(86400 + 200))
+    ).toDF("u", "ty", "ts")
+    val got = pipeline.EventAnalytics.conversionWithin(df, "u", "ty", "ts",
+      "view", "purchase", withinSec = 3600L)
+      .orderBy("day").select("day", "n_from", "n_unconverted")
+      .as[(Long, Long, Long)].collect.toSeq
+    assert(got == Seq((0L, 3L, 2L), (1L, 1L, 0L)))
+  }
+
+  test("weekOverWeek: pct change vs previous present week") {
+    import java.sql.Timestamp
+    def t(day: Int, k: Int) = new Timestamp((86400L * day + k) * 1000L)
+    // week A: 2 events; week B (next week): 3 events -> +0.5
+    val df = (Seq(t(4, 1), t(5, 2)) ++ Seq(t(11, 1), t(12, 2), t(13, 3)))
+      .toDF("ts")
+    val got = pipeline.EventAnalytics.weekOverWeek(df, "ts")
+      .orderBy("week").select("n", "pct_change")
+      .as[(Long, Option[Double])].collect.toSeq
+    assert(got == Seq((2L, None), (3L, Some(0.5))))
+  }
+
+  test("chiSquareIndependence: independent 2x2 gives chi2 0; dof right") {
+    val df = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("p", "q")
+    val r = Stats.chiSquareIndependence(df, "p", "q").collect()(0)
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("dof") == 1)
+    assert(r.getAs[Double]("chi2") == 0.0)
+    // perfectly dependent 2x2: chi2 = n
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("p", "q")
+    val r2 = Stats.chiSquareIndependence(dep, "p", "q").collect()(0)
+    assert(r2.getAs[Double]("chi2") == 4.0)
+  }
+
+  test("giniIndex: uniform weights -> 0; total concentration -> (n-1)/n") {
+    val uni = Seq(("a", 10), ("b", 10), ("c", 10), ("d", 10)).toDF("g", "w")
+    val g1 = Stats.giniIndex(uni, Seq("g"), col("w")).collect()(0)
+    assert(g1.getAs[Double]("gini") == 0.0)
+    val conc = Seq(("a", 0), ("b", 0), ("c", 0), ("d", 100)).toDF("g", "w")
+    val g2 = Stats.giniIndex(conc, Seq("g"), col("w")).collect()(0)
+    assert(g2.getAs[Double]("gini") == 0.75) // (n-1)/n at n=4
+  }
 }
