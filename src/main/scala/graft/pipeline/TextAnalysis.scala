@@ -312,6 +312,50 @@ object TextAnalysis {
           - log(col("c_y").cast("double")), 6).as("pmi"))
   }
 
+  /** Adjacent character-pair counts over the lowercased corpus — the first
+    * BPE merge-candidate table of tokenizer training. Pairs materialize
+    * row-locally (substr over an index sequence), cross-word pairs (any
+    * containing a space) are dropped, and the result is the k heaviest
+    * pairs with a pair-text tiebreak (TakeOrdered cutoff, no global sort).
+    * State bounds at the alphabet², never the corpus.
+    */
+  def bytePairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val s = lower(col(textCol))
+    val pairs = when(length(s) >= 2,
+      transform(sequence(lit(1), length(s) - 1), i => s.substr(i, lit(2))))
+      .otherwise(array())
+    docs.select(explode(pairs).as("pair"))
+      .filter(!col("pair").contains(" ") && length(col("pair")) === 2)
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc).limit(k)
+  }
+
+  /** Skip-gram (center, context) pair counts within ±`window` token
+    * positions — word2vec-style training-pair extraction. The pair list
+    * materializes ROW-LOCALLY (nested transform + bounds filter), so only
+    * (center, context) structs ever explode; the token array is never
+    * duplicated across the fan-out. One pair-keyed combinable aggregate;
+    * state bounds at the vocab², not the corpus.
+    */
+  def skipGramPairs(docs: DataFrame, textCol: String, window: Int = 2,
+                    minCount: Long = 1L): DataFrame = {
+    require(window >= 1 && minCount >= 1)
+    val toks = tokens(col(textCol))
+    val offs = array((-window to window).filter(_ != 0).map(o => lit(o)): _*)
+    val n = size(toks)
+    val pairs = flatten(transform(sequence(lit(1), n), i =>
+      filter(transform(offs, o =>
+        when((i + o) >= 1 && (i + o) <= n,
+          struct(element_at(toks, i).as("center"),
+            element_at(toks, i + o).as("context")))),
+        p => p.isNotNull)))
+    docs.select(explode(pairs).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** Rolling-hash content fingerprint: minimum 64-bit hash over character
     * `k`-shingles of the normalized text (winnowing-style min-sampling; two
     * docs sharing it are near-dup candidates). */

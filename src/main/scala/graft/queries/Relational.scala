@@ -289,6 +289,45 @@ object Relational {
             .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
               lit(1).as("v"), lit(42.5).as("o_totalprice")))
         Ops.upsert(base, upd, "o_orderkey", "v").orderBy("o_orderkey")
+      }),
+
+    // ---- TPC-H Q5-shaped six-table revenue rollup: the multi-join
+    // flagship. Dims (region→nation→customer/supplier) broadcast; the
+    // only fact-table exchanges are orders⋈lineitem on the orderkey and
+    // the final n_name aggregate. Revenue = extendedprice·(1−discount)
+    // per row (2dp×2dp = 4dp, exact at DECIMAL(28,6)), decimal-summed.
+    Q("q115_revenue_rollup",
+      Some("SELECT n_name, " +
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue, " +
+        "COUNT(*) AS n_items FROM customer " +
+        "JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY n_name ORDER BY n_name"),
+      (s, dir) => {
+        val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(28, 6))
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA" &&
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy("n_name")
+          .agg(sum(rev).cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("n_name")
       })
   )
 }

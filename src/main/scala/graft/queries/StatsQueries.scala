@@ -376,5 +376,32 @@ object StatsQueries {
         "- CAST(n_groups + 1 AS DOUBLE) / CAST(n_groups AS DOUBLE), 6) AS gini FROM a"),
       (s, dir) => Stats.giniIndex(
           Tables.documents(s, dir).withColumn("ntok", TA.tokenCount(col("text"))),
-          Seq("source"), col("ntok"))))
+          Seq("source"), col("ntok"))),
+
+    // ---- BPE merge candidates: adjacent char-pair counts (cross-word
+    // pairs dropped), top-50 with pair tiebreak — tokenizer training's
+    // first table. State bounds at the alphabet squared.
+    Q("q113_bpe_pairs",
+      Some("WITH s AS (SELECT lower(text) AS s FROM documents), " +
+        "i AS (SELECT s, unnest(range(1, len(s))) AS i FROM s), " +
+        "p AS (SELECT substring(s, i, 2) AS pair FROM i) " +
+        "SELECT pair, count(*) AS n FROM p " +
+        "WHERE NOT contains(pair, ' ') AND len(pair) = 2 " +
+        "GROUP BY 1 ORDER BY n DESC, pair LIMIT 50"),
+      (s, dir) => TA.bytePairCounts(Tables.documents(s, dir), "text", k = 50)),
+
+    // ---- skip-gram training pairs (window ±2): the pair list materializes
+    // ROW-LOCALLY, so only (center, context) structs explode — the token
+    // array is never duplicated across the fan-out.
+    Q("q114_skipgrams",
+      Some("WITH t AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+        "i AS (SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM t), " +
+        "o AS (SELECT toks, i, unnest([x for x in [-2, -1, 1, 2] " +
+        "if i + x >= 1 AND i + x <= len(toks)]) AS o FROM i), " +
+        "p AS (SELECT toks[i] AS center, toks[i + o] AS context FROM o) " +
+        "SELECT center, context, count(*) AS n FROM p GROUP BY 1, 2 " +
+        "HAVING count(*) >= 10 ORDER BY 1, 2"),
+      (s, dir) => TA.skipGramPairs(Tables.documents(s, dir), "text",
+          window = 2, minCount = 10L)
+        .orderBy("center", "context")))
 }

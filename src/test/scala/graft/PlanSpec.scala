@@ -308,4 +308,11 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q103_heavy_hitters")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k cutoff:\n$p")
   }
+
+  test("q115: dimension joins broadcast; only the fact keys shuffle") {
+    val p = planOf("q115_revenue_rollup")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop anywhere in the six-table join:\n$p")
+  }
 }

@@ -289,4 +289,21 @@ class StatsSpec extends SparkSpec {
     val g2 = Stats.giniIndex(conc, Seq("g"), col("w")).collect()(0)
     assert(g2.getAs[Double]("gini") == 0.75) // (n-1)/n at n=4
   }
+
+  test("bytePairCounts: cross-word pairs dropped, tiebreak by pair text") {
+    val df = Seq("ab ab", "ab").toDF("text")
+    // chars: "ab ab" -> ab, "b ", " a", ab ; "ab" -> ab. Kept: ab x3
+    val got = TA.bytePairCounts(df, "text", k = 10)
+      .select("pair", "n").as[(String, Long)].collect.toSeq
+    assert(got == Seq(("ab", 3L)))
+  }
+
+  test("skipGramPairs: window bounds and counts on a tiny doc") {
+    val df = Seq("a b c").toDF("text")
+    val got = TA.skipGramPairs(df, "text", window = 1, minCount = 1L)
+      .orderBy("center", "context")
+      .select("center", "context", "n").as[(String, String, Long)].collect.toSeq
+    assert(got == Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L),
+      ("c", "b", 1L)))
+  }
 }
