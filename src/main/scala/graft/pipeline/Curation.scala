@@ -484,7 +484,9 @@ object Curation {
     val rates = totals.select(col("__g"),
       least(lit(1.0), lit(budget) * shareCol / col("__w").cast("double"))
         .as(rateOut))
-    val joined = df.join(broadcast(rates), groupCol === col("__g"), "inner")
+    // null-safe equality: a null group key must meet its own totals row
+    // (plain === would silently drop every null-group row at the join)
+    val joined = df.join(broadcast(rates), groupCol <=> col("__g"), "inner")
       .drop("__g")
     sampleByRate(joined, keyCol, salt, col(rateOut))
   }

@@ -61,13 +61,19 @@ object Stats {
     * wide shuffles of the fact table, no window — so a hot group costs the
     * same as a cold one at 100 TB.
     *
+    * `broadcastStats` (default true) asserts the BOUNDED-GROUP-VOCABULARY
+    * contract — per-group stats fit the driver. For unbounded keys (per-user
+    * stats over billions of users) pass false: the join degrades to a
+    * co-keyed shuffle, still never a window.
+    *
     * Exactness contract: inputs with ≤3 fractional decimal digits make
     * v·v exact at DECIMAL(38,6); wider inputs are rounded per-value at the
     * cast (deterministic in IEEE: exact decimal ties are not representable
     * in binary, so round-to-nearest never tiebreaks).
     */
   def standardize(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                  zCol: String = "z"): DataFrame = {
+                  zCol: String = "z",
+                  broadcastStats: Boolean = true): DataFrame = {
     require(groupCols.nonEmpty, "standardize needs at least one group column")
     val v = col(valueCol).cast("double")
     val stats = df.filter(v.isNotNull)
@@ -79,7 +85,7 @@ object Stats {
     val mean = col("__s") / n
     val varPop = (n * col("__p") - col("__s") * col("__s")) / (n * n)
     val sd = sqrt(varPop)
-    df.join(broadcast(stats), groupCols, "left")
+    df.join(if (broadcastStats) broadcast(stats) else stats, groupCols, "left")
       .withColumn(zCol, when(v.isNotNull && sd > 0.0, (v - mean) / sd))
       .drop("__n", "__s", "__p")
   }
@@ -117,14 +123,15 @@ object Stats {
     * no window, no shuffle of the fact table.
     */
   def imputeGroupMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                      roundScale: Int = 6): DataFrame = {
+                      roundScale: Int = 6,
+                      broadcastStats: Boolean = true): DataFrame = {
     val v = col(valueCol).cast("double")
     val stats = df.filter(v.isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__n"),
         sum(v.cast("decimal(38,6)")).cast("double").as("__s"))
     val mean = round(col("__s") / col("__n").cast("double"), roundScale)
-    df.join(broadcast(stats), groupCols, "left")
+    df.join(if (broadcastStats) broadcast(stats) else stats, groupCols, "left")
       .withColumn(valueCol, coalesce(col(valueCol), mean))
       .drop("__n", "__s")
   }
@@ -145,9 +152,11 @@ object Stats {
                             colB: String): DataFrame = {
     val base = df.filter(col(colA).isNotNull && col(colB).isNotNull)
     val cells = base.groupBy(colA, colB).agg(count(lit(1)).as("__o"))
-    val ra = base.groupBy(colA).agg(count(lit(1)).as("__ra"))
-    val cb = base.groupBy(colB).agg(count(lit(1)).as("__cb"))
-    val n = base.agg(count(lit(1)).as("__n"))
+    // marginals and N derive from the CELL relation (sums of exact counts
+    // are the same counts) — the source scans once, not four times
+    val ra = cells.groupBy(colA).agg(sum(col("__o")).as("__ra"))
+    val cb = cells.groupBy(colB).agg(sum(col("__o")).as("__cb"))
+    val n = cells.agg(sum(col("__o")).as("__n"))
     val dofA = ra.agg(count(lit(1)).as("__da"))
     val dofB = cb.agg(count(lit(1)).as("__db"))
     val term = (col("__o").cast("double") * col("__o")) /

@@ -306,4 +306,14 @@ class StatsSpec extends SparkSpec {
     assert(got == Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L),
       ("c", "b", 1L)))
   }
+
+  test("budgetedMixtureSample: null group keys survive the rate join") {
+    val df = Seq((1L, Option("a"), 10), (2L, Option("a"), 10),
+      (3L, Option.empty[String], 10), (4L, Option.empty[String], 10))
+      .toDF("id", "src", "w")
+    // both groups capped at rate 1.0 -> everything kept, including nulls
+    val kept = Curation.budgetedMixtureSample(df, col("id"), "s2", col("src"),
+      col("w"), budget = 1000.0, shares = Seq("a" -> 1.0), defaultShare = 1.0)
+    assert(kept.count() == 4, "null-group rows must meet their totals row")
+  }
 }
