@@ -321,11 +321,15 @@ object TextAnalysis {
     */
   def bytePairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0)
-    val s = lower(col(textCol))
+    // materialize the lowercased string BEFORE the per-index transform:
+    // higher-order functions are not codegen'd, so an inline lower(text)
+    // would re-evaluate once per index — O(len²) per document
+    val s = col("__s")
     val pairs = when(length(s) >= 2,
       transform(sequence(lit(1), length(s) - 1), i => s.substr(i, lit(2))))
       .otherwise(array())
-    docs.select(explode(pairs).as("pair"))
+    docs.select(lower(col(textCol)).as("__s"))
+      .select(explode(pairs).as("pair"))
       .filter(!col("pair").contains(" ") && length(col("pair")) === 2)
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair").asc).limit(k)
@@ -341,7 +345,10 @@ object TextAnalysis {
   def skipGramPairs(docs: DataFrame, textCol: String, window: Int = 2,
                     minCount: Long = 1L): DataFrame = {
     require(window >= 1 && minCount >= 1)
-    val toks = tokens(col(textCol))
+    // materialize the token array BEFORE the positional transform: HOF
+    // lambdas are not codegen'd, so an inline tokens(text) would re-split
+    // the document once per element_at — O(n²·len) per document
+    val toks = col("__t")
     val offs = array((-window to window).filter(_ != 0).map(o => lit(o)): _*)
     val n = size(toks)
     val pairs = flatten(transform(sequence(lit(1), n), i =>
@@ -350,7 +357,8 @@ object TextAnalysis {
           struct(element_at(toks, i).as("center"),
             element_at(toks, i + o).as("context")))),
         p => p.isNotNull)))
-    docs.select(explode(pairs).as("p"))
+    docs.select(tokens(col(textCol)).as("__t"))
+      .select(explode(pairs).as("p"))
       .select(col("p.center").as("center"), col("p.context").as("context"))
       .groupBy("center", "context").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
