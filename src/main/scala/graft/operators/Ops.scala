@@ -868,6 +868,26 @@ object Ops {
       .limit(k)
   }
 
+  // ---------------------------------------------------- diversified top-k
+  /** Global top-`k` by `scoreCol` descending with AT MOST `perGroup` rows
+    * per group — retrieval-style diversity (best results overall, but no
+    * single customer/domain/cluster dominates). Per-group rank first
+    * (row_number over the group partition, `idCol` ascending tiebreak),
+    * then a TakeOrdered cutoff over the survivors: the global sort never
+    * materializes, and the window partitions are per-group (bounded),
+    * never global.
+    */
+  def diversifiedTopK(df: DataFrame, scoreCol: String, groupCols: Seq[String],
+                      idCol: String, k: Int, perGroup: Int): DataFrame = {
+    require(k > 0 && perGroup > 0 && groupCols.nonEmpty)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perGroup).drop("__rn")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .limit(k)
+  }
+
   // -------------------------------------------------------------- O3: split
   /** Partition a dataset into files by key value and/or bounded chunk size —
     * the reference writes suffix-named chunks (meza/process.py:937-971);

@@ -164,6 +164,21 @@ object EventAnalytics {
           lag(col("n"), 1).over(w).cast("double"), 6))
   }
 
+  // ----------------------------------------------------------- resampling
+  /** Daily event counts with ZERO-FILLED gaps: the continuous day spine
+    * materializes from one (min, max) aggregate exploded row-locally —
+    * bounded by the calendar span, never the event log — and left-joins
+    * the per-day counts. The time-series resample step before any
+    * differencing/correlation work. */
+  def resampleDaily(df: DataFrame, tsCol: String): DataFrame = {
+    val counts = df.select(dayIndex(col(tsCol)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val spine = counts.agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    spine.join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   // ------------------------------------------------------ association rules
   /** Event-type association rules over the user-level basket: for every
     * ordered pair (a, b) of distinct event types a user can hold,

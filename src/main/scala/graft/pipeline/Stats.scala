@@ -136,6 +136,20 @@ object Stats {
       .drop("__n", "__s")
   }
 
+  // ------------------------------------------------------ percent rank
+  /** Per-group percent_rank of `valueCol` (0 at the group min, 1 at the
+    * max; ties share a rank) — rank-based score calibration across
+    * heterogeneous sources, rounded at 6dp. (rank − 1)/(n − 1) is exact
+    * integer arithmetic finished by one IEEE division, so ties and the
+    * round are engine-independent. One partitioned window per group (the
+    * q43 shape; hot groups sort once).
+    */
+  def percentRank(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  out: String = "pr"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+    df.withColumn(out, round(percent_rank().over(w), 6))
+  }
+
   // ------------------------------------------------- chi-square independence
   /** Pearson chi-square independence statistic for two categorical columns,
     * via the zero-cell-free identity chi2 = Σ_observed o²/e − N (empty cells

@@ -364,6 +364,31 @@ object TextAnalysis {
       .filter(col("n") >= minCount)
   }
 
+
+  /** Pairwise vocabulary Jaccard between groups (sources, shards, crawls):
+    * the distinct (group, token) relation self-joins co-keyed on the token,
+    * group sizes join back, jaccard = |∩| / (|A| + |B| − |∩|) rounded 6dp.
+    * State bounds at groups × vocab; token text is the join key only after
+    * the distinct collapse, so the corpus shuffles once at (group, token)
+    * grain. */
+  def vocabOverlap(docs: DataFrame, groupCol: String,
+                   textCol: String): DataFrame = {
+    val b = docs.select(col(groupCol).as("__g"),
+        explode(tokens(lower(col(textCol)))).as("__w")).distinct()
+    val sizes = b.groupBy("__g").agg(count(lit(1)).as("__n"))
+    val pairs = b.join(b.select(col("__g").as("__g2"), col("__w")), Seq("__w"))
+      .filter(col("__g") < col("__g2"))
+      .groupBy(col("__g").as("src_a"), col("__g2").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("__g").as("src_a"), col("__n").as("__na")), Seq("src_a"))
+      .join(sizes.select(col("__g").as("src_b"), col("__n").as("__nb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        round(col("n_common") /
+          (col("__na") + col("__nb") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Rolling-hash content fingerprint: minimum 64-bit hash over character
     * `k`-shingles of the normalized text (winnowing-style min-sampling; two
     * docs sharing it are near-dup candidates). */

@@ -403,5 +403,53 @@ object StatsQueries {
         "HAVING count(*) >= 10 ORDER BY 1, 2"),
       (s, dir) => TA.skipGramPairs(Tables.documents(s, dir), "text",
           window = 2, minCount = 10L)
-        .orderBy("center", "context")))
+        .orderBy("center", "context")),
+
+    // ---- rank-based score calibration: percent_rank per event_type —
+    // exact integer (rank-1)/(n-1) arithmetic, ties share ranks, 6dp.
+    Q("q116_percent_rank",
+      Some("SELECT event_id, event_type, " +
+        "round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6) AS pr " +
+        "FROM events ORDER BY event_id"),
+      (s, dir) => Stats.percentRank(Tables.events(s, dir),
+          Seq("event_type"), "value")
+        .select("event_id", "event_type", "pr")
+        .orderBy("event_id")),
+
+    // ---- diversified top-k: best 20 orders by price, at most 2 per
+    // customer — per-group rank window (bounded partitions) + TakeOrdered.
+    Q("q117_diversified_topk",
+      Some("WITH r AS (SELECT o_orderkey, o_custkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
+        "FROM orders) SELECT o_orderkey, o_custkey, o_totalprice FROM r " +
+        "WHERE rn <= 2 ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"),
+      (s, dir) => graft.operators.Ops.diversifiedTopK(
+          Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+          "o_totalprice", Seq("o_custkey"), "o_orderkey", k = 20, perGroup = 2)),
+
+    // ---- pairwise vocabulary Jaccard between sources: the distinct
+    // (source, token) relation self-joins co-keyed on the token; state
+    // bounds at groups x vocab.
+    Q("q118_vocab_overlap",
+      Some("WITH b AS (SELECT DISTINCT source, w FROM " +
+        "(SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w FROM documents)), " +
+        "s AS (SELECT source, count(*) AS n FROM b GROUP BY 1), " +
+        "p AS (SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_common " +
+        "FROM b x JOIN b y ON x.w = y.w AND x.source < y.source GROUP BY 1, 2) " +
+        "SELECT src_a, src_b, n_common, " +
+        "round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard " +
+        "FROM p JOIN s sa ON src_a = sa.source JOIN s sb ON src_b = sb.source " +
+        "ORDER BY 1, 2"),
+      (s, dir) => TA.vocabOverlap(Tables.documents(s, dir), "source", "text")
+        .orderBy("src_a", "src_b")),
+
+    // ---- daily resample with zero-filled gaps: the day spine explodes
+    // from one (min, max) aggregate — calendar-bounded, never log-bounded.
+    Q("q119_resample",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n " +
+        "FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), (SELECT max(day) FROM c) + 1)) AS day) " +
+        "SELECT r.day, coalesce(c.n, 0) AS n FROM r LEFT JOIN c USING (day) ORDER BY day"),
+      (s, dir) => EventAnalytics.resampleDaily(Tables.events(s, dir), "ts")
+        .orderBy("day")))
 }

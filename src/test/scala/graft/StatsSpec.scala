@@ -316,4 +316,38 @@ class StatsSpec extends SparkSpec {
       col("w"), budget = 1000.0, shares = Seq("a" -> 1.0), defaultShare = 1.0)
     assert(kept.count() == 4, "null-group rows must meet their totals row")
   }
+
+  test("percentRank: ties share ranks, endpoints at 0 and 1") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0)).toDF("g", "v")
+    val got = Stats.percentRank(df, Seq("g"), "v")
+      .orderBy("v").select("pr").as[Double].collect.toSeq
+    // ranks: 1, 2, 2, 4 -> pr = 0, 1/3, 1/3, 1
+    assert(got == Seq(0.0, 0.333333, 0.333333, 1.0))
+  }
+
+  test("diversifiedTopK: per-group cap binds before the global cutoff") {
+    val df = Seq(("c1", 1L, 100.0), ("c1", 2L, 99.0), ("c1", 3L, 98.0),
+      ("c2", 4L, 97.0), ("c2", 5L, 1.0)).toDF("c", "id", "score")
+    val got = operators.Ops.diversifiedTopK(df, "score", Seq("c"), "id",
+      k = 3, perGroup = 2)
+      .select("id").as[Long].collect.toSeq
+    // c1's third-best (98) is capped out; global top-3 of survivors
+    assert(got == Seq(1L, 2L, 4L))
+  }
+
+  test("vocabOverlap: hand-computed Jaccard") {
+    val df = Seq(("s1", "a b c"), ("s2", "b c d e")).toDF("src", "text")
+    val r = pipeline.TextAnalysis.vocabOverlap(df, "src", "text").collect()(0)
+    // |A|=3, |B|=4, common {b,c}=2 -> 2/(3+4-2) = 0.4
+    assert(r.getAs[Long]("n_common") == 2 && r.getAs[Double]("jaccard") == 0.4)
+  }
+
+  test("resampleDaily: gaps zero-fill between min and max day") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d + 1000L)
+    val df = Seq(t(10), t(10), t(13)).toDF("ts")
+    val got = pipeline.EventAnalytics.resampleDaily(df, "ts")
+      .orderBy("day").select("day", "n").as[(Long, Long)].collect.toSeq
+    assert(got == Seq((10L, 2L), (11L, 0L), (12L, 0L), (13L, 1L)))
+  }
 }
