@@ -744,6 +744,31 @@ object Curation {
         col("fp_current"), col("fp_previous"))
   }
 
+  // --------------------------------------------------- stratified sampling
+  /** Deterministic stratified sample: the first ceil(n_g·pct/100) rows of
+    * each stratum in md5(salt‖"|"‖id) order — every stratum keeps its
+    * share, tiny strata survive (ceil ≥ 1), and the draw is reproducible on
+    * any cluster with no RNG state (the q51/q57 hash discipline: adding rows
+    * to one stratum never changes another's picks). The target count is
+    * PURE INTEGER arithmetic, `(n·pct + 99) div 100` — a float fraction
+    * would make ceil(0.2·25) engine-dependent (IEEE 0.2·25 > 5). Per-stratum
+    * counts broadcast back; the rank window partitions by stratum and sorts
+    * the hash, so hot strata sort once and nothing global materializes. The
+    * id-ascending tiebreak makes md5 collisions harmless. */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], idCol: String,
+                       pct: Int, salt: String = "s"): DataFrame = {
+    require(pct > 0 && pct <= 100 && strataCols.nonEmpty)
+    val h = md5(concat_ws("|", lit(salt), col(idCol).cast("string")))
+    val counts = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(h.asc, col(idCol).asc)
+    df.join(broadcast(counts), strataCols)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= expr(s"(__n * $pct + 99) div 100"))
+      .drop("__rn", "__n")
+  }
+
   // ------------------------------------------------------- curation compose
   /** The composed curation pass a training-data pipeline runs before
     * tokenization: language filter → quality filter → exact dedup (keep the

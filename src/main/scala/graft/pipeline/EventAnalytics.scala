@@ -179,6 +179,33 @@ object EventAnalytics {
       .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Lag-`k` autocorrelation of the zero-filled daily count series
+    * ([[resampleDaily]]): Pearson r between (n_t, n_{t+k}) — the
+    * seasonality/trend probe that follows a resample. The pair relation is
+    * one lead window over the calendar-bounded spine (never the event log),
+    * and every sum is an exact integer summed as DECIMAL (counts), so r is
+    * exact integer arithmetic finished by one fixed IEEE closed form,
+    * rounded 6dp. Returns one row: (n_pairs, r). */
+  def autocorrDaily(df: DataFrame, tsCol: String, lag: Int): DataFrame = {
+    require(lag > 0, s"lag must be positive: $lag")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val pairs = resampleDaily(df, tsCol)
+      .select(col("n").as("__x"), lead(col("n"), lag).over(w).as("__y"))
+      .filter(col("__y").isNotNull)
+    def d(c: String) = col(c).cast("double")
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x").cast("decimal(18,0)")).as("__sx"),
+        sum(col("__y").cast("decimal(18,0)")).as("__sy"),
+        sum(col("__x").cast("decimal(18,0)") * col("__y")).as("__sxy"),
+        sum(col("__x").cast("decimal(18,0)") * col("__x")).as("__sxx"),
+        sum(col("__y").cast("decimal(18,0)") * col("__y")).as("__syy"))
+      .select(col("n_pairs"),
+        round((d("n_pairs") * d("__sxy") - d("__sx") * d("__sy")) /
+          (sqrt(d("n_pairs") * d("__sxx") - d("__sx") * d("__sx")) *
+            sqrt(d("n_pairs") * d("__syy") - d("__sy") * d("__sy"))), 6)
+          .as("r"))
+  }
+
   // ------------------------------------------------------ association rules
   /** Event-type association rules over the user-level basket: for every
     * ordered pair (a, b) of distinct event types a user can hold,

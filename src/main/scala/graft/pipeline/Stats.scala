@@ -211,6 +211,71 @@ object Stats {
           6).as("gini"))
   }
 
+  // ---------------------------------------------- KS two-sample statistic
+  /** Kolmogorov–Smirnov two-sample D between the `valueCol` distributions of
+    * groups `a` and `b` of `groupCol`: D = max_v |F_a(v) − F_b(v)| — the
+    * drift check between two sources/shards/time-slices before they mix.
+    * The ECDFs live on the AGGREGATED distinct-value relation (one count
+    * pass, then a cumulative window bounded by the value vocabulary — the
+    * Gini discipline: never the corpus), and the max runs on integer
+    * cross-multiplied counts |cumA·n_b − cumB·n_a| summed as DECIMAL so the
+    * comparison is exact at any count; ONE double division finishes,
+    * rounded 6dp. Returns one row: (n_a, n_b, ks). */
+  def ksTwoSample(df: DataFrame, groupCol: String, valueCol: String,
+                  a: String, b: String): DataFrame = {
+    val v = col(valueCol)
+    val cells = df.filter(col(groupCol).isin(a, b) && v.isNotNull)
+      .groupBy(v.as("__v"))
+      .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+    val cum = cells.select(
+      sum(col("__ca")).over(w).as("__fa"),
+      sum(col("__cb")).over(w).as("__fb"))
+    val tot = cells.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    cum.crossJoin(broadcast(tot))
+      .agg(first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
+        max(abs(col("__fa").cast("decimal(18,0)") * col("__nb") -
+          col("__fb").cast("decimal(18,0)") * col("__na"))).as("__d"))
+      .select(col("n_a"), col("n_b"),
+        round(col("__d").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("ks"))
+  }
+
+  // ------------------------------------------------------- Welch's t-test
+  /** Welch's unequal-variance t statistic between groups `a` and `b` of
+    * `groupCol` — does a treatment/source shift the metric? Moments are
+    * decimal-exact conditional sums in ONE aggregate pass over the fact
+    * table (the q91/q96 discipline: order-independent addition across 1000
+    * executors), finished in one fixed IEEE shape — t = (m̄a − m̄b)/
+    * sqrt(s²a/n_a + s²b/n_b), dof by Welch–Satterthwaite — rounded 6dp.
+    * Returns one row: (n_a, n_b, mean_a, mean_b, t, dof). */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+                 a: String, b: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    def side(g: String, n: String, s: String, p: String) = Seq(
+      sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(n),
+      sum(when(col(groupCol) === g, v).cast("decimal(38,6)")).cast("double").as(s),
+      sum(when(col(groupCol) === g, v * v).cast("decimal(38,6)")).cast("double").as(p))
+    val aggs = side(a, "n_a", "__sa", "__pa") ++ side(b, "n_b", "__sb", "__pb")
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ma = col("__sa") / na
+    val mb = col("__sb") / nb
+    // sample variance from exact sums: (n·Σv² − (Σv)²) / (n·(n−1))
+    val va = (na * col("__pa") - col("__sa") * col("__sa")) / (na * (na - 1.0))
+    val vb = (nb * col("__pb") - col("__sb") * col("__sb")) / (nb * (nb - 1.0))
+    val se2a = va / na
+    val se2b = vb / nb
+    df.filter(v.isNotNull && col(groupCol).isin(a, b))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_a"), col("n_b"),
+        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        round((ma - mb) / sqrt(se2a + se2b), 6).as("t"),
+        round((se2a + se2b) * (se2a + se2b) /
+          (se2a * se2a / (na - 1.0) + se2b * se2b / (nb - 1.0)), 6).as("dof"))
+  }
+
   // ------------------------------------------------- robust outliers (MAD)
   /** Per-group lower median of `valueCol` as column `out`: the value at rank
     * `(n+1) div 2` of the group's sorted multiset. An order statistic IS a

@@ -451,5 +451,85 @@ object StatsQueries {
         "r AS (SELECT unnest(range((SELECT min(day) FROM c), (SELECT max(day) FROM c) + 1)) AS day) " +
         "SELECT r.day, coalesce(c.n, 0) AS n FROM r LEFT JOIN c USING (day) ORDER BY day"),
       (s, dir) => EventAnalytics.resampleDaily(Tables.events(s, dir), "ts")
-        .orderBy("day")))
+        .orderBy("day")),
+
+    // ---- KS two-sample drift statistic: ECDFs on the aggregated
+    // distinct-value relation, max on integer cross-multiplied counts,
+    // one final IEEE division (6dp).
+    Q("q120_ks_test",
+      Some("WITH c AS (SELECT value AS v, " +
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb " +
+        "FROM events WHERE event_type IN ('click', 'purchase') " +
+        "AND value IS NOT NULL GROUP BY 1), " +
+        "w AS (SELECT sum(ca) OVER (ORDER BY v) AS fa, " +
+        "sum(cb) OVER (ORDER BY v) AS fb FROM c), " +
+        "t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c) " +
+        "SELECT na AS n_a, nb AS n_b, " +
+        "round(CAST(max(abs(CAST(fa AS DECIMAL(18,0)) * nb - " +
+        "CAST(fb AS DECIMAL(18,0)) * na)) AS DOUBLE) / " +
+        "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks " +
+        "FROM w, t GROUP BY na, nb"),
+      (s, dir) => Stats.ksTwoSample(Tables.events(s, dir),
+        "event_type", "value", "click", "purchase")),
+
+    // ---- Welch's t-test: decimal-exact conditional moments in one pass,
+    // one fixed IEEE closed form for t and the Welch–Satterthwaite dof.
+    Q("q121_welch_ttest",
+      Some("WITH g AS (SELECT " +
+        "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_a, " +
+        "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_b, " +
+        "CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS sa, " +
+        "CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value * value AS DECIMAL(38,6)) END) AS DOUBLE) AS pa, " +
+        "CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS sb, " +
+        "CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value * value AS DECIMAL(38,6)) END) AS DOUBLE) AS pb " +
+        "FROM events WHERE value IS NOT NULL " +
+        "AND event_type IN ('view', 'error')), " +
+        "m AS (SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS na, " +
+        "CAST(n_b AS DOUBLE) AS nb, sa, sb, pa, pb FROM g), " +
+        "v AS (SELECT *, sa / na AS ma, sb / nb AS mb, " +
+        "((na * pa - sa * sa) / (na * (na - 1.0))) / na AS s2a, " +
+        "((nb * pb - sb * sb) / (nb * (nb - 1.0))) / nb AS s2b FROM m) " +
+        "SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, " +
+        "round((ma - mb) / sqrt(s2a + s2b), 6) AS t, " +
+        "round((s2a + s2b) * (s2a + s2b) / " +
+        "(s2a * s2a / (na - 1.0) + s2b * s2b / (nb - 1.0)), 6) AS dof FROM v"),
+      (s, dir) => Stats.welchTTest(Tables.events(s, dir),
+        "event_type", "value", "view", "error")),
+
+    // ---- lag-1 autocorrelation of the zero-filled daily series: the q119
+    // spine, one lead window (calendar-bounded), decimal-exact integer sums.
+    Q("q122_autocorr",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n " +
+        "FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), (SELECT max(day) FROM c) + 1)) AS day), " +
+        "s AS (SELECT r.day, coalesce(c.n, 0) AS n FROM r LEFT JOIN c USING (day)), " +
+        "p AS (SELECT n AS x, lead(n, 1) OVER (ORDER BY day) AS y FROM s), " +
+        "q AS (SELECT count(*) AS n_pairs, " +
+        "CAST(sum(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(x AS DECIMAL(18,0)) * x) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(y AS DECIMAL(18,0)) * y) AS DOUBLE) AS syy " +
+        "FROM p WHERE y IS NOT NULL) " +
+        "SELECT n_pairs, round((CAST(n_pairs AS DOUBLE) * sxy - sx * sy) / " +
+        "(sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx) * " +
+        "sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 6) AS r FROM q"),
+      (s, dir) => EventAnalytics.autocorrDaily(Tables.events(s, dir), "ts",
+        lag = 1)),
+
+    // ---- deterministic stratified sample: 20% per source in
+    // md5('s|'||id) order, target = (n*20 + 99) div 100 — pure integer,
+    // no FP-ceil hazard.
+    Q("q123_stratified_sample",
+      Some("WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY 1), " +
+        "r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5('s|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) " +
+        "SELECT doc_id, source FROM r JOIN n USING (source) " +
+        "WHERE rn <= (n * 20 + 99) // 100 ORDER BY source, doc_id"),
+      (s, dir) => Curation.stratifiedSample(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          Seq("source"), "doc_id", pct = 20)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")))
 }

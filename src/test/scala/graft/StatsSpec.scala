@@ -342,6 +342,52 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_common") == 2 && r.getAs[Double]("jaccard") == 0.4)
   }
 
+  test("ksTwoSample: hand-computed D on small samples") {
+    // A = {1,2,3}, B = {2,3,4,4}: |Fa-Fb| at v=1: |1/3-0|=1/3;
+    // v=2: |2/3-1/4|=5/12; v=3: |1-2/4|=1/2; v=4: |1-1|=0 -> D = 1/2
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0), ("b", 4.0)).toDF("g", "v")
+    val r = Stats.ksTwoSample(df, "g", "v", "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 4)
+    assert(r.getAs[Double]("ks") == 0.5)
+  }
+
+  test("welchTTest: equal samples give t = 0; known shift is negative") {
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val r0 = Stats.welchTTest(same, "g", "v", "a", "b").collect()(0)
+    assert(r0.getAs[Double]("t") == 0.0 && r0.getAs[Double]("dof") == 2.0)
+    val shift = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 11.0), ("b", 12.0), ("b", 13.0)).toDF("g", "v")
+    val r1 = Stats.welchTTest(shift, "g", "v", "a", "b").collect()(0)
+    assert(r1.getAs[Double]("mean_a") == 2.0 && r1.getAs[Double]("mean_b") == 12.0)
+    assert(r1.getAs[Double]("t") < -10.0, s"t = ${r1.getAs[Double]("t")}")
+  }
+
+  test("autocorrDaily: constant-increment series correlates positively") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // counts by day: 1,2,3,4 -> lag-1 pairs (1,2),(2,3),(3,4) -> r = 1
+    val rows = (10 to 13).flatMap(d => Seq.fill(d - 9)(t(d)))
+    val r = pipeline.EventAnalytics.autocorrDaily(rows.toDF("ts"), "ts", 1)
+      .collect()(0)
+    assert(r.getAs[Long]("n_pairs") == 3 && r.getAs[Double]("r") == 1.0)
+  }
+
+  test("stratifiedSample: integer ceil target per stratum, deterministic") {
+    val df = (1 to 25).map(i => ("s1", i.toLong)) ++
+      (1 to 3).map(i => ("s2", i.toLong + 100))
+    val got = pipeline.Curation.stratifiedSample(df.toDF("src", "id"),
+      Seq("src"), "id", pct = 20)
+    val bySrc = got.groupBy("src").count().as[(String, Long)].collect().toMap
+    // ceil(25*0.2) = 5 exactly (integer arithmetic), ceil(3*0.2) = 1
+    assert(bySrc == Map("s1" -> 5L, "s2" -> 1L))
+    val again = pipeline.Curation.stratifiedSample(df.toDF("src", "id"),
+      Seq("src"), "id", pct = 20)
+    assert(got.orderBy("id").collect().toSeq ==
+      again.orderBy("id").collect().toSeq)
+  }
+
   test("resampleDaily: gaps zero-fill between min and max day") {
     import java.sql.Timestamp
     def t(d: Int) = new Timestamp(86400000L * d + 1000L)
