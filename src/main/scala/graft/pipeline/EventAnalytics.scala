@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch event analytics over (user, type, timestamp) logs: ordered funnels,
@@ -177,6 +178,54 @@ object EventAnalytics {
       .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
     spine.join(counts, Seq("day"), "left")
       .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  // ------------------------------------------------- batch sessionization
+  /** Batch gap sessionization: a user's events sort by (micros, id — the
+    * deterministic tie rule), a session breaks where the gap exceeds
+    * `gapMinutes`, and each session aggregates to one row (user, session,
+    * n_events, start_us, end_us, duration_us). Tied timestamps always land
+    * in the same session whichever sorts first, so the output is
+    * engine-independent. One window per user — bounded by a user's events,
+    * never the log ([[graft.streaming.Streams]]' q39 sessionizer is the
+    * unbounded-stream sibling; this is its batch/backfill face). */
+  def sessionStats(df: DataFrame, userCol: String, idCol: String,
+                   tsCol: String, gapMinutes: Int): DataFrame = {
+    require(gapMinutes > 0)
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__us").asc, col(idCol).asc)
+    val gapUs = gapMinutes * 60000000L
+    df.select(col(userCol), col(idCol), micros(col(tsCol)).as("__us"))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("__us") - col("__prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session", sum(col("__new")).over(w))
+      .groupBy(col(userCol), col("session"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__us")).as("start_us"),
+        max(col("__us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences: for every observed (src → dst) adjacent pair, its count and
+    * the row-normalized probability p = n / n_src (6dp — exact counts, one
+    * IEEE division). The lead window is per user (bounded); the pair
+    * relation aggregates to the type-vocabulary square, and the row totals
+    * broadcast back. The behavior model behind next-event prediction and
+    * anomaly scoring. */
+  def transitionMatrix(df: DataFrame, userCol: String, idCol: String,
+                       tsCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(micros(col(tsCol)).asc, col(idCol).asc)
+    val pairs = df.select(col(typeCol).as("src"),
+        lead(col(typeCol), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val counts = pairs.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("src").agg(sum(col("n")).as("__t"))
+    counts.join(broadcast(totals), Seq("src"))
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6).as("p"))
   }
 
   /** Lag-`k` autocorrelation of the zero-filled daily count series

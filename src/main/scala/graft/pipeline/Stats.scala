@@ -242,6 +242,44 @@ object Stats {
           (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("ks"))
   }
 
+  // ----------------------------------------------------- OLS linear fit
+  /** Per-group ordinary-least-squares line y = intercept + slope·x with its
+    * r², from the five decimal-exact moment sums in ONE aggregate pass (the
+    * q91 discipline) finished in fixed IEEE closed forms, all rounded 6dp —
+    * the trend detector (metric vs day, log-frequency vs log-rank). Empty
+    * `groupCols` fits one global line. Returns (group..., n, slope,
+    * intercept, r2); degenerate fits (constant x) yield nulls.
+    *
+    * MAGNITUDE CONTRACT: every moment sum (Σx, Σx², Σxy, Σy²) must stay
+    * below 2^53/10^6 ≈ 9·10⁹ — above that, a DECIMAL(38,6) total's DOUBLE
+    * image is no longer exact and engines that convert through the scaled
+    * int128 (observed: DuckDB) land one ulp away from engines that convert
+    * correctly rounded (Spark), which cancellation then amplifies. Shift x
+    * to a small origin first (e.g. day − 20000, a constant): slopes are
+    * translation-invariant and the intercept just moves its origin. */
+  def linearFit(df: DataFrame, groupCols: Seq[String], xCol: Column,
+                yCol: Column): DataFrame = {
+    val x = xCol.cast("double")
+    val y = yCol.cast("double")
+    val base = df.filter(x.isNotNull && y.isNotNull)
+    def dec(c: Column) = sum(c.cast("decimal(38,6)")).cast("double")
+    val aggs = Seq(count(lit(1)).as("n"), dec(x).as("__sx"), dec(y).as("__sy"),
+      dec(x * x).as("__sxx"), dec(x * y).as("__sxy"), dec(y * y).as("__syy"))
+    val agg =
+      if (groupCols.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+      else base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val n = col("n").cast("double")
+    val covN = n * col("__sxy") - col("__sx") * col("__sy")
+    val varXN = n * col("__sxx") - col("__sx") * col("__sx")
+    val varYN = n * col("__syy") - col("__sy") * col("__sy")
+    val slope = when(varXN =!= 0.0, covN / varXN)
+    agg.select(groupCols.map(col) ++ Seq(col("n"),
+      round(slope, 6).as("slope"),
+      round((col("__sy") - slope * col("__sx")) / n, 6).as("intercept"),
+      round(when(varXN =!= 0.0 && varYN =!= 0.0,
+        covN * covN / (varXN * varYN)), 6).as("r2")): _*)
+  }
+
   // ------------------------------------------------------- Welch's t-test
   /** Welch's unequal-variance t statistic between groups `a` and `b` of
     * `groupCol` — does a treatment/source shift the metric? Moments are

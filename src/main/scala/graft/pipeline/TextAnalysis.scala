@@ -267,6 +267,19 @@ object TextAnalysis {
       .select(col("rank"), col("token"), col("n"), col("coverage"))
   }
 
+  /** Zipf's-law fit over the top-`topV` vocabulary: the OLS line of
+    * ln(count) against ln(rank) — slope ≈ −1 is the healthy-corpus
+    * signature; flatter tails flag templated/duplicated text. Composes
+    * [[vocabulary]] (token-keyed aggregate + TakeOrdered cutoff) with
+    * [[Stats.linearFit]] over the topV-bounded rank relation — the
+    * regression input never exceeds `topV` rows whatever the corpus size.
+    * The ln calls are the q95 PMI precedent: sub-ulp libm differences
+    * vanish under the 6dp round. Returns one row: (n, slope, intercept,
+    * r2). */
+  def zipfFit(docs: DataFrame, textCol: String, topV: Int): DataFrame =
+    Stats.linearFit(vocabulary(docs, textCol, topV), Seq.empty,
+      log(col("rank").cast("double")), log(col("n").cast("double")))
+
   /** Bigram collocations by pointwise mutual information: for every adjacent
     * token pair (w1, w2) occurring at least `minCount` times,
     * pmi = ln p(w1,w2) − ln p(w1) − ln p(w2), with p(w1,w2) over the bigram

@@ -531,5 +531,95 @@ object StatsQueries {
           Tables.documents(s, dir).select("doc_id", "source"),
           Seq("source"), "doc_id", pct = 20)
         .select("doc_id", "source")
-        .orderBy("source", "doc_id")))
+        .orderBy("source", "doc_id")),
+
+    // ---- batch gap sessionization (30 min): per-user windows on integer
+    // micros with the (us, event_id) deterministic tie rule; tied
+    // timestamps land in one session whichever sorts first.
+    Q("q124_sessions",
+      Some("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+        "f AS (SELECT user_id, event_id, us, " +
+        "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 " +
+        "THEN 1 ELSE 0 END AS nf FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "s AS (SELECT user_id, us, sum(nf) OVER " +
+        "(PARTITION BY user_id ORDER BY us, event_id) AS session FROM f) " +
+        "SELECT user_id, session, count(*) AS n_events, min(us) AS start_us, " +
+        "max(us) AS end_us, max(us) - min(us) AS duration_us FROM s " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+      (s, dir) => EventAnalytics.sessionStats(Tables.events(s, dir),
+          "user_id", "event_id", "ts", gapMinutes = 30)
+        .orderBy("user_id", "session")),
+
+    // ---- first-order Markov transitions between event types: per-user
+    // lead windows, type-vocabulary-bounded pair aggregate, row totals
+    // broadcast back.
+    Q("q125_transitions",
+      Some("WITH p AS (SELECT event_type AS src, lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst FROM events), " +
+        "c AS (SELECT src, dst, count(*) AS n FROM p WHERE dst IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT src, sum(n) AS t FROM c GROUP BY 1) " +
+        "SELECT src, dst, n, round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS p " +
+        "FROM c JOIN t USING (src) ORDER BY 1, 2"),
+      (s, dir) => EventAnalytics.transitionMatrix(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "event_type")
+        .orderBy("src", "dst")),
+
+    // ---- per-type OLS trend of value vs day index: five decimal-exact
+    // moment sums in one pass, fixed IEEE closed forms (q91 discipline).
+    // x shifts to the day-20000 origin so Σx² honors linearFit's ≈9e9
+    // magnitude contract (raw day² sums broke DuckDB's int128→double cast).
+    Q("q126_trend",
+      Some("WITH b AS (SELECT event_type, " +
+        "CAST(epoch_us(ts) // 86400000000 - 20000 AS DOUBLE) AS x, value AS y " +
+        "FROM events WHERE value IS NOT NULL AND ts IS NOT NULL), " +
+        "g AS (SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy " +
+        "FROM b GROUP BY 1), " +
+        "v AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd, sx, sy, " +
+        "CAST(n AS DOUBLE) * sxy - sx * sy AS covn, " +
+        "CAST(n AS DOUBLE) * sxx - sx * sx AS varxn, " +
+        "CAST(n AS DOUBLE) * syy - sy * sy AS varyn FROM g) " +
+        "SELECT event_type, n, " +
+        "round(CASE WHEN varxn <> 0 THEN covn / varxn END, 6) AS slope, " +
+        "round((sy - (CASE WHEN varxn <> 0 THEN covn / varxn END) * sx) / nd, 6) AS intercept, " +
+        "round(CASE WHEN varxn <> 0 AND varyn <> 0 " +
+        "THEN covn * covn / (varxn * varyn) END, 6) AS r2 " +
+        "FROM v ORDER BY event_type"),
+      (s, dir) => Stats.linearFit(
+          Tables.events(s, dir).filter(col("ts").isNotNull),
+          Seq("event_type"),
+          EventAnalytics.dayIndex(col("ts")) - lit(20000), col("value"))
+        .orderBy("event_type")),
+
+    // ---- Zipf fit over the top-100 vocabulary: ln(count) ~ ln(rank) OLS
+    // on the topV-bounded rank relation (q72's vocabulary CTE verbatim);
+    // ln is the q95 PMI precedent — sub-ulp libm noise dies in the round.
+    Q("q127_zipf",
+      Some("WITH tk AS (SELECT unnest(list_filter(" +
+        "regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')) AS token FROM documents), " +
+        "c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1), " +
+        "top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 100), " +
+        "r AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS DOUBLE)) AS x, " +
+        "ln(CAST(cnt AS DOUBLE)) AS y FROM top), " +
+        "g AS (SELECT count(*) AS n, " +
+        "CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy FROM r), " +
+        "v AS (SELECT n, CAST(n AS DOUBLE) AS nd, sx, sy, " +
+        "CAST(n AS DOUBLE) * sxy - sx * sy AS covn, " +
+        "CAST(n AS DOUBLE) * sxx - sx * sx AS varxn, " +
+        "CAST(n AS DOUBLE) * syy - sy * sy AS varyn FROM g) " +
+        "SELECT n, " +
+        "round(CASE WHEN varxn <> 0 THEN covn / varxn END, 6) AS slope, " +
+        "round((sy - (CASE WHEN varxn <> 0 THEN covn / varxn END) * sx) / nd, 6) AS intercept, " +
+        "round(CASE WHEN varxn <> 0 AND varyn <> 0 " +
+        "THEN covn * covn / (varxn * varyn) END, 6) AS r2 FROM v"),
+      (s, dir) => TA.zipfFit(Tables.documents(s, dir), "text", topV = 100)))
 }

@@ -388,6 +388,61 @@ class StatsSpec extends SparkSpec {
       again.orderBy("id").collect().toSeq)
   }
 
+  test("sessionStats: gap breaks sessions, ties stay together") {
+    import java.sql.Timestamp
+    def t(min: Long) = new Timestamp(min * 60000L)
+    val df = Seq((1L, 10L, t(0)), (1L, 11L, t(10)), (1L, 12L, t(10)),
+      (1L, 13L, t(50)), (2L, 20L, t(0))).toDF("user_id", "event_id", "ts")
+    val got = pipeline.EventAnalytics.sessionStats(df, "user_id", "event_id",
+        "ts", gapMinutes = 30)
+      .orderBy("user_id", "session")
+      .select("user_id", "session", "n_events", "duration_us")
+      .as[(Long, Long, Long, Long)].collect.toSeq
+    // user 1: {0,10,10} then gap 40min -> {50}; user 2: one session
+    assert(got == Seq((1L, 1L, 3L, 600000000L), (1L, 2L, 1L, 0L),
+      (2L, 1L, 1L, 0L)))
+  }
+
+  test("transitionMatrix: counts and row-normalized probabilities") {
+    import java.sql.Timestamp
+    def t(min: Long) = new Timestamp(min * 60000L)
+    val df = Seq((1L, 1L, t(0), "a"), (1L, 2L, t(1), "b"),
+      (1L, 3L, t(2), "a"), (1L, 4L, t(3), "c"),
+      (2L, 5L, t(0), "a"), (2L, 6L, t(1), "b"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = pipeline.EventAnalytics.transitionMatrix(df, "user_id",
+        "event_id", "ts", "event_type")
+      .orderBy("src", "dst")
+      .select("src", "dst", "n", "p").as[(String, String, Long, Double)]
+      .collect.toSeq
+    // a->b twice, a->c once (p 2/3, 1/3); b->a once (p 1)
+    assert(got == Seq(("a", "b", 2L, 0.666667), ("a", "c", 1L, 0.333333),
+      ("b", "a", 1L, 1.0)))
+  }
+
+  test("linearFit: exact line recovered; constant x degenerates to null") {
+    val df = Seq((0.0, 1.0), (1.0, 3.0), (2.0, 5.0)).toDF("x", "y")
+    val r = Stats.linearFit(df, Seq.empty, col("x"), col("y")).collect()(0)
+    assert(r.getAs[Long]("n") == 3 && r.getAs[Double]("slope") == 2.0 &&
+      r.getAs[Double]("intercept") == 1.0 && r.getAs[Double]("r2") == 1.0)
+    val flat = Seq((1.0, 1.0), (1.0, 2.0)).toDF("x", "y")
+    val f = Stats.linearFit(flat, Seq.empty, col("x"), col("y")).collect()(0)
+    assert(f.isNullAt(f.fieldIndex("slope")) && f.isNullAt(f.fieldIndex("r2")))
+  }
+
+  test("zipfFit: exact power law recovers slope -1") {
+    // counts 60,30,20,15,12,10 = 60/rank for ranks 1..6 -> ln-ln slope -1
+    val words = Seq("a" -> 60, "b" -> 30, "c" -> 20, "d" -> 15, "e" -> 12,
+      "f" -> 10).flatMap { case (w, k) => Seq.fill(k)(w) }
+    val df = Seq(words.mkString(" ")).toDF("text")
+    val r = pipeline.TextAnalysis.zipfFit(df, "text", topV = 6).collect()(0)
+    // the decimal(38,6) moment casts quantize the ln inputs at 6dp, so the
+    // recovered slope sits within ~1e-5 of the ideal -1
+    assert(r.getAs[Long]("n") == 6 &&
+      math.abs(r.getAs[Double]("slope") + 1.0) < 1e-4 &&
+      r.getAs[Double]("r2") > 0.999)
+  }
+
   test("resampleDaily: gaps zero-fill between min and max day") {
     import java.sql.Timestamp
     def t(d: Int) = new Timestamp(86400000L * d + 1000L)
