@@ -315,4 +315,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"no nested-loop anywhere in the six-table join:\n$p")
   }
+
+  test("q117: diversified top-k is a per-group window + TakeOrdered cutoff — the global sort never materializes") {
+    val p = planOf("q117_diversified_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k cutoff:\n$p")
+    assert(p.contains("Window"), s"expected the per-group rank window:\n$p")
+  }
+
+  test("q120/q121: KS window runs over the aggregated value relation; Welch is one aggregate pass, no join") {
+    val ks = planOf("q120_ks_test")
+    // the cumulative window must sit ABOVE a HashAggregate (distinct-value
+    // relation), never directly on the fact scan
+    val wIdx = ks.linesIterator.indexWhere(_.contains("Window"))
+    val aggBelow = ks.linesIterator.drop(wIdx + 1).exists(_.contains("HashAggregate"))
+    assert(wIdx >= 0 && aggBelow,
+      s"KS window must consume the aggregated relation:\n$ks")
+    val welch = planOf("q121_welch_ttest")
+    assert(!welch.contains("Join"), s"Welch must be one conditional-moment pass:\n$welch")
+    assert(!welch.contains("Window"), s"Welch needs no window:\n$welch")
+  }
+
+  test("q123: stratified sample broadcasts the per-stratum counts; rank windows partition per stratum") {
+    val p = planOf("q123_stratified_sample")
+    assert(p.contains("Broadcast"), s"counts must broadcast back:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the fact side must not shuffle for the counts join:\n$p")
+  }
+
+  test("q124/q125: session and transition windows partition by user — no global window, no cartesian") {
+    for (q <- Seq("q124_sessions", "q125_transitions")) {
+      val p = planOf(q)
+      assert(p.contains("Window"), s"$q: expected the per-user window:\n$p")
+      val wLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+      assert(wLine.contains("user_id"), s"$q: window must partition by user_id: $wLine")
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian:\n$p")
+    }
+  }
+
+  test("q126/q127: OLS fits are single aggregate passes over bounded inputs — no window on the fact path (q127's rank window is topV-bounded)") {
+    val trend = planOf("q126_trend")
+    assert(!trend.contains("Window"), s"per-group OLS needs no window:\n$trend")
+    assert(!trend.contains("Join"), s"per-group OLS needs no join:\n$trend")
+    val zipf = planOf("q127_zipf")
+    assert(zipf.contains("TakeOrderedAndProject"),
+      s"zipf's vocabulary cutoff must be a top-k, not a global sort:\n$zipf")
+  }
 }

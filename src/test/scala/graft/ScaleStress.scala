@@ -234,6 +234,44 @@ object ScaleStress {
     assert(fn.length == 3 && fn(0) >= fn(1) && fn(1) >= fn(2) && fn(2) >= 1L,
       s"funnel counts not a monotone non-empty drop-off: $fn")
 
+    // batch sessionization with ONE 1M-event hot user: the per-user window
+    // sorts the hot partition once (the trailingWindowAgg precedent); a
+    // planted 90-min silence splits the hot user into exactly two 500k
+    // sessions, and each cold user's events sit >30min apart, so every
+    // cold event is its own session — closed-form session counts.
+    val sev = spark.range(2000000L).select(
+      when(col("id") < 1000000L, lit(0L))
+        .otherwise(col("id") % 50000L + 1L).as("user_id"),
+      col("id").as("event_id"),
+      org.apache.spark.sql.functions.timestamp_seconds(
+        lit(1700000000L) + col("id") +
+          when(col("id") < 1000000L && col("id") >= 500000L, lit(5400L))
+            .otherwise(lit(0L))).as("ts"))
+    val sess = timed("sessionStats over 2M events, one 1M-event hot user") {
+      graft.pipeline.EventAnalytics.sessionStats(sev, "user_id", "event_id",
+          "ts", gapMinutes = 30)
+        .agg(count(lit(1)).as("n_sessions"),
+          max("n_events").as("max_n")).collect().head
+    }
+    println(s"  sessions: ${sess.getLong(0)}, largest: ${sess.getLong(1)} " +
+      "(expect 1,000,002 sessions; hot sessions 500k each)")
+    assert(sess.getLong(0) == 1000002L && sess.getLong(1) == 500000L,
+      s"session closed form broken: $sess")
+
+    // OLS over one 2M-row group on a planted exact line y = 2x + 1
+    // (x = id % 1000, inside linearFit's 9e9 moment-magnitude contract):
+    // one conditional-moment aggregate pass, no window, decimal-exact.
+    val lin = spark.range(2000000L).select(
+      (col("id") % 1000L).cast("double").as("x"))
+      .select(col("x"), (col("x") * 2.0 + 1.0).as("y"))
+    val fit = timed("linearFit over 2M rows, planted exact line") {
+      graft.pipeline.Stats.linearFit(lin, Seq.empty, col("x"), col("y"))
+        .collect().head
+    }
+    assert(fit.getAs[Double]("slope") == 2.0 &&
+      fit.getAs[Double]("intercept") == 1.0 &&
+      fit.getAs[Double]("r2") == 1.0, s"planted line not recovered: $fit")
+
     // PMI over the 100k-doc replicated corpus: state is vocab-bounded
     // (31 distinct tokens here -> <= 961 bigram types) no matter the
     // corpus size; the scan dominates, the joins carry counts only.
