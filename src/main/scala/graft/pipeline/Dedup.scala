@@ -48,6 +48,42 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Duplicate-cluster size distribution — the corpus-health histogram
+    * behind dedup planning (how much mass sits in how-big clusters):
+    * cluster_size → (n_clusters, n_docs). Two count aggregates over the
+    * fingerprint relation; the second groups the first's output (bounded by
+    * the distinct sizes), content never shuffles. */
+  def dupClusterSizes(df: DataFrame, textCol: String): DataFrame =
+    df.select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
+  /** Pairwise content overlap between groups (sources, crawls, snapshot
+    * dates): the distinct (group, fingerprint) relation self-joins co-keyed
+    * on the fingerprint — [[TextAnalysis.vocabOverlap]]'s shape at content
+    * grain — giving shared-document counts and Jaccard per group pair.
+    * Text never joins; only 128-bit fingerprints shuffle. The forensic
+    * that finds mirrored/recrawled sources before they double-count. */
+  def contentOverlapMatrix(df: DataFrame, groupCol: String,
+                           textCol: String): DataFrame = {
+    val b = df.select(col(groupCol).as("__g"),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
+    val sizes = b.groupBy("__g").agg(count(lit(1)).as("__n"))
+    val pairs = b.join(b.select(col("__g").as("__g2"), col("__fp")), Seq("__fp"))
+      .filter(col("__g") < col("__g2"))
+      .groupBy(col("__g").as("src_a"), col("__g2").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("__g").as("src_a"), col("__n").as("__na")), Seq("src_a"))
+      .join(sizes.select(col("__g").as("src_b"), col("__n").as("__nb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared") /
+          (col("__na") + col("__nb") - col("n_shared")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   // -------------------------------------------------------- MinHash + LSH
   /** numHashes minhash values per row: h_i = min over shingles of
     * xxhash64(shingle, i). Banded into `bands` buckets for LSH.

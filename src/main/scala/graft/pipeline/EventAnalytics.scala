@@ -255,6 +255,95 @@ object EventAnalytics {
           .as("r"))
   }
 
+  // ------------------------------------------------ inter-arrival analysis
+  /** Median inter-arrival gap per event type: consecutive same-(user, type)
+    * micros deltas (one per-user-per-type lag window, bounded), summarized
+    * by the LOWER MEDIAN — an order statistic, a data element, byte-exact
+    * cross-engine with no arithmetic anywhere (the q43/q97 discipline).
+    * Returns (type, n_gaps, med_gap_us) — the cadence fingerprint that
+    * separates heartbeat traffic from human traffic. */
+  def interArrivalMedian(df: DataFrame, userCol: String, idCol: String,
+                         tsCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col("__us").asc, col(idCol).asc)
+    val gaps = df.select(col(typeCol), col(idCol), col(userCol),
+        micros(col(tsCol)).as("__us"))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    val n = gaps.groupBy(typeCol).agg(count(lit(1)).as("n_gaps"))
+    Stats.groupLowerMedian(gaps, Seq(typeCol), "__gap", "med_gap_us")
+      .join(broadcast(n), Seq(typeCol))
+      .select(col(typeCol), col("n_gaps"), col("med_gap_us"))
+  }
+
+  // -------------------------------------------------------- weekly churn
+  /** Weekly churn: of the users active in integer week w, the fraction with
+    * no activity in week w+1. The distinct (user, week) relation self-joins
+    * co-keyed (one shuffle at user-week grain — never the raw log); the
+    * final week is dropped (no w+1 evidence). Rates are exact counts
+    * finished by one IEEE division, 6dp. Returns (week, n_active,
+    * n_churned, churn_rate). */
+  def weeklyChurn(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val wk = df.select(col(userCol).as("__u"),
+      weekIndex(col(tsCol)).as("week")).distinct()
+    val nxt = wk.select(col("__u"), (col("week") - 1).as("week"))
+    val churned = wk.join(nxt, Seq("__u", "week"), "left_anti")
+      .groupBy("week").agg(count(lit(1)).as("n_churned"))
+    val active = wk.groupBy("week").agg(count(lit(1)).as("n_active"))
+    val maxw = wk.agg(max(col("week")).as("__mx"))
+    active.join(churned, Seq("week"), "left")
+      .crossJoin(broadcast(maxw)).filter(col("week") < col("__mx"))
+      .select(col("week"), col("n_active"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        round(coalesce(col("n_churned"), lit(0L)).cast("double") /
+          col("n_active").cast("double"), 6).as("churn_rate"))
+  }
+
+  /** Top-`k` event-type trigrams over per-user ordered sequences (two leads
+    * on one per-user window; the (us, id) tie rule), counted into the
+    * type-vocabulary cube and cut with a TakeOrdered top-k — the dominant
+    * behavioral paths. Ties break on the trigram text. */
+  def eventTrigrams(df: DataFrame, userCol: String, idCol: String,
+                    tsCol: String, typeCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(micros(col(tsCol)).asc, col(idCol).asc)
+    df.select(col(typeCol).as("t1"),
+        lead(col(typeCol), 1).over(w).as("t2"),
+        lead(col(typeCol), 2).over(w).as("t3"))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1").asc, col("t2").asc, col("t3").asc)
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------- burstiness
+  /** Per-group burstiness of the daily series: the Fano factor (index of
+    * dispersion) var/mean of zero-filled daily counts — ≈1 is Poisson,
+    * higher flags bursts/incidents, lower flags rate-limited traffic. Each
+    * group's day spine explodes from its own (min, max) aggregate
+    * (calendar-bounded), counts sum as DECIMAL (exact), and the factor is
+    * one fixed IEEE closed form, 6dp. Returns (group, n_days, mean_daily,
+    * fano). */
+  def burstiness(df: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val counts = df.select(col(groupCol).as("g"), dayIndex(col(tsCol)).as("day"))
+      .groupBy("g", "day").agg(count(lit(1)).as("n"))
+    val spine = counts.groupBy("g")
+      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(col("g"), explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val daily = spine.join(counts, Seq("g", "day"), "left")
+      .select(col("g"), coalesce(col("n"), lit(0L)).as("n"))
+    val nd = col("n_days").cast("double")
+    val s = col("__s").cast("double")
+    val p = col("__p").cast("double")
+    daily.groupBy("g").agg(count(lit(1)).as("n_days"),
+        sum(col("n").cast("decimal(18,0)")).as("__s"),
+        sum(col("n").cast("decimal(18,0)") * col("n")).as("__p"))
+      .select(col("g").as(groupCol), col("n_days"),
+        round(s / nd, 6).as("mean_daily"),
+        round((nd * p - s * s) / (nd * nd) / (s / nd), 6).as("fano"))
+  }
+
   // ------------------------------------------------------ association rules
   /** Event-type association rules over the user-level basket: for every
     * ordered pair (a, b) of distinct event types a user can hold,

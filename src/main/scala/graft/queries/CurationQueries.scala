@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Curation, Web, TextAnalysis => TA}
+import graft.pipeline.{Curation, Dedup, Web, TextAnalysis => TA}
 
 /** Curation-pipeline queries over the `documents` table: repetition-based
   * quality filters, PII redaction, benchmark contamination, deterministic
@@ -599,6 +599,47 @@ object CurationQueries {
             .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text")))
         Curation.corpusDelta(d, previous, "doc_id", "text")
           .orderBy("doc_id")
+      }),
+
+    // ---- duplicate-cluster size distribution over the q26 doubled corpus
+    // (every text appears exactly twice -> all mass at even sizes): the
+    // dedup-planning histogram; content never shuffles, only fingerprints.
+    Q("q131_dup_sizes",
+      Some("WITH corpus AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents), " +
+        s"c AS (SELECT md5($normSql) AS fp, count(*) AS cluster_size " +
+        "FROM corpus GROUP BY 1) " +
+        "SELECT cluster_size, count(*) AS n_clusters, " +
+        "cluster_size * count(*) AS n_docs FROM c GROUP BY 1 ORDER BY 1"),
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val corpus = d.union(
+          d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        Dedup.dupClusterSizes(corpus, "text").orderBy("cluster_size")
+      }),
+
+    // ---- cross-source content overlap: every third doc mirrors into a
+    // 'mirror_<source>' label, so each source shares ~1/3 of its content
+    // with its mirror; the (source, fingerprint) relation self-joins
+    // co-keyed on the fingerprint — text never joins.
+    Q("q132_content_overlap",
+      Some("WITH corpus AS (SELECT source, text FROM documents " +
+        "UNION ALL SELECT 'mirror_' || source, text FROM documents WHERE doc_id % 3 = 0), " +
+        s"b AS (SELECT DISTINCT source AS g, md5($normSql) AS fp FROM corpus), " +
+        "s AS (SELECT g, count(*) AS n FROM b GROUP BY 1), " +
+        "p AS (SELECT x.g AS src_a, y.g AS src_b, count(*) AS n_shared " +
+        "FROM b x JOIN b y ON x.fp = y.fp AND x.g < y.g GROUP BY 1, 2) " +
+        "SELECT src_a, src_b, n_shared, " +
+        "round(n_shared / CAST(sa.n + sb.n - n_shared AS DOUBLE), 6) AS jaccard " +
+        "FROM p JOIN s sa ON src_a = sa.g JOIN s sb ON src_b = sb.g " +
+        "ORDER BY 1, 2"),
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("source"), col("text"))
+        val corpus = d.union(Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(concat(lit("mirror_"), col("source")).as("source"), col("text")))
+        Dedup.contentOverlapMatrix(corpus, "source", "text")
+          .orderBy("src_a", "src_b")
       })
   )
 }

@@ -328,6 +328,38 @@ object Relational {
           .agg(sum(rev).cast(DoubleType).as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy("n_name")
+      }),
+
+    // ---- TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    // half-year window — nation broadcasts, the two fact keys shuffle,
+    // decimal-exact revenue, TakeOrdered cutoff (never a global sort),
+    // custkey tiebreak pins the LIMIT boundary.
+    Q("q135_top_customers",
+      Some("SELECT c_custkey, c_name, n_name, " +
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue, " +
+        "COUNT(*) AS n_items FROM customer " +
+        "JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-07-01' " +
+        "GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20"),
+      (s, dir) => {
+        val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(28, 6))
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .filter(col("l_returnflag") === "R" &&
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(sum(rev).cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
       })
   )
 }

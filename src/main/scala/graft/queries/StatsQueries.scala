@@ -621,5 +621,86 @@ object StatsQueries {
         "round((sy - (CASE WHEN varxn <> 0 THEN covn / varxn END) * sx) / nd, 6) AS intercept, " +
         "round(CASE WHEN varxn <> 0 AND varyn <> 0 " +
         "THEN covn * covn / (varxn * varyn) END, 6) AS r2 FROM v"),
-      (s, dir) => TA.zipfFit(Tables.documents(s, dir), "text", topV = 100)))
+      (s, dir) => TA.zipfFit(Tables.documents(s, dir), "text", topV = 100)),
+
+    // ---- median inter-arrival gap per type: per-(user,type) lag windows;
+    // the median is a LOWER MEDIAN — an order statistic, arithmetic-free.
+    Q("q128_interarrival",
+      Some("WITH g AS (SELECT event_type, epoch_us(ts) - lag(epoch_us(ts)) OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id) AS gap FROM events), " +
+        "f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL), " +
+        "r AS (SELECT event_type, gap, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY gap) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS n FROM f) " +
+        "SELECT event_type, n AS n_gaps, gap AS med_gap_us FROM r " +
+        "WHERE rn = (n + 1) // 2 ORDER BY event_type"),
+      (s, dir) => EventAnalytics.interArrivalMedian(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "event_type")
+        .orderBy("event_type")),
+
+    // ---- weekly churn: the distinct (user, week) relation self-joins
+    // co-keyed; the final week drops (no w+1 evidence); exact counts, one
+    // IEEE division.
+    Q("q129_churn",
+      Some("WITH wk AS (SELECT DISTINCT user_id AS u, " +
+        "(epoch_us(ts) // 86400000000 + 3) // 7 AS week FROM events), " +
+        "ch AS (SELECT w.week, count(*) AS n_churned FROM wk w " +
+        "LEFT JOIN wk x ON w.u = x.u AND x.week = w.week + 1 " +
+        "WHERE x.u IS NULL GROUP BY 1), " +
+        "ac AS (SELECT week, count(*) AS n_active FROM wk GROUP BY 1), " +
+        "mx AS (SELECT max(week) AS mx FROM wk) " +
+        "SELECT week, n_active, coalesce(n_churned, 0) AS n_churned, " +
+        "round(CAST(coalesce(n_churned, 0) AS DOUBLE) / CAST(n_active AS DOUBLE), 6) AS churn_rate " +
+        "FROM ac LEFT JOIN ch USING (week), mx WHERE week < mx ORDER BY week"),
+      (s, dir) => EventAnalytics.weeklyChurn(Tables.events(s, dir),
+          "user_id", "ts")
+        .orderBy("week")),
+
+    // ---- dominant behavioral paths: event-type trigrams from two leads
+    // on one per-user window, TakeOrdered top-20, trigram-text tiebreak.
+    Q("q130_trigrams",
+      Some("WITH t AS (SELECT event_type AS t1, " +
+        "lead(event_type, 1) OVER w AS t2, lead(event_type, 2) OVER w AS t3 " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) " +
+        "SELECT t1, t2, t3, count(*) AS n FROM t " +
+        "WHERE t2 IS NOT NULL AND t3 IS NOT NULL " +
+        "GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20"),
+      (s, dir) => EventAnalytics.eventTrigrams(Tables.events(s, dir),
+        "user_id", "event_id", "ts", "event_type", k = 20)),
+
+    // ---- burstiness (Fano factor) of each type's zero-filled daily
+    // series: per-group calendar spine, decimal-exact count moments.
+    Q("q133_burstiness",
+      Some("WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "sp AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day FROM " +
+        "(SELECT event_type, min(day) AS lo, max(day) AS hi FROM c GROUP BY 1)), " +
+        "d AS (SELECT sp.event_type, sp.day, coalesce(c.n, 0) AS n FROM sp " +
+        "LEFT JOIN c ON sp.event_type = c.event_type AND sp.day = c.day), " +
+        "g AS (SELECT event_type, count(*) AS n_days, " +
+        "CAST(sum(CAST(n AS DECIMAL(18,0))) AS DOUBLE) AS s, " +
+        "CAST(sum(CAST(n AS DECIMAL(18,0)) * n) AS DOUBLE) AS p FROM d GROUP BY 1) " +
+        "SELECT event_type, n_days, round(s / CAST(n_days AS DOUBLE), 6) AS mean_daily, " +
+        "round((CAST(n_days AS DOUBLE) * p - s * s) / " +
+        "(CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)) / (s / CAST(n_days AS DOUBLE)), 6) AS fano " +
+        "FROM g ORDER BY event_type"),
+      (s, dir) => EventAnalytics.burstiness(Tables.events(s, dir),
+          "event_type", "ts")
+        .orderBy("event_type")),
+
+    // ---- m-estimate smoothed per-source mean doc length (m = 50):
+    // sparse sources shrink toward the global mean; decimal-exact sums.
+    Q("q134_smoothed_mean",
+      Some("WITH g AS (SELECT source, count(*) AS n, " +
+        "CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS s " +
+        "FROM documents WHERE n_chars IS NOT NULL GROUP BY 1), " +
+        "t AS (SELECT count(*) AS gn, " +
+        "CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS gs " +
+        "FROM documents WHERE n_chars IS NOT NULL) " +
+        "SELECT source, n, round(s / CAST(n AS DOUBLE), 6) AS mean_raw, " +
+        "round((s + 50.0 * (gs / CAST(gn AS DOUBLE))) / (CAST(n AS DOUBLE) + 50.0), 6) AS mean_smoothed " +
+        "FROM g, t ORDER BY source"),
+      (s, dir) => Stats.smoothedGroupMean(Tables.documents(s, dir),
+          Seq("source"), "n_chars", m = 50.0)
+        .orderBy("source")))
 }

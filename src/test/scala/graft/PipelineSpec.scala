@@ -70,6 +70,26 @@ class PipelineSpec extends SparkSpec {
     assert(got(1).getLong(1) == 3L && got(1).getLong(2) == 1L)
   }
 
+  test("dupClusterSizes: planted triple + pair + singles land in the right buckets") {
+    val df = Seq((1L, "aaa"), (2L, "aaa"), (3L, "aaa"), (4L, "bbb"),
+      (5L, "bbb"), (6L, "ccc")).toDF("doc_id", "text")
+    val got = pipeline.Dedup.dupClusterSizes(df, "text")
+      .orderBy("cluster_size")
+      .select("cluster_size", "n_clusters", "n_docs")
+      .as[(Long, Long, Long)].collect.toSeq
+    assert(got == Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L)))
+  }
+
+  test("contentOverlapMatrix: shared fingerprints count once per group pair") {
+    val df = Seq(("s1", "x"), ("s1", "y"), ("s1", "y"), // in-group dup collapses
+      ("s2", "y"), ("s2", "z"), ("s3", "q")).toDF("source", "text")
+    val got = pipeline.Dedup.contentOverlapMatrix(df, "source", "text")
+      .select("src_a", "src_b", "n_shared", "jaccard")
+      .as[(String, String, Long, Double)].collect.toSeq
+    // only (s1, s2) overlap: |A|=2, |B|=2, shared {y}=1 -> 1/3
+    assert(got == Seq(("s1", "s2", 1L, 0.333333)))
+  }
+
   test("minhashDedup finds a planted near-duplicate and skips unrelated docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"

@@ -443,6 +443,72 @@ class StatsSpec extends SparkSpec {
       r.getAs[Double]("r2") > 0.999)
   }
 
+  test("interArrivalMedian: lower-median gap per type, per-user lags") {
+    import java.sql.Timestamp
+    def t(min: Long) = new Timestamp(min * 60000L)
+    // user 1 type a at 0,10,30 -> gaps 10,20 min; user 2 type a at 0,5 -> 5
+    val df = Seq((1L, 1L, t(0), "a"), (1L, 2L, t(10), "a"), (1L, 3L, t(30), "a"),
+      (2L, 4L, t(0), "a"), (2L, 5L, t(5), "a"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val r = pipeline.EventAnalytics.interArrivalMedian(df, "user_id",
+      "event_id", "ts", "event_type").collect()(0)
+    // gaps sorted: 5,10,20 -> lower median (rank (3+1)/2=2) = 10 min
+    assert(r.getAs[Long]("n_gaps") == 3 && r.getAs[Long]("med_gap_us") == 600000000L)
+  }
+
+  test("weeklyChurn: users missing next week count as churned; last week drops") {
+    import java.sql.Timestamp
+    def wk(w: Long) = new Timestamp((w * 7 - 3) * 86400000L + 1000L)
+    // weeks 1: {u1,u2}, 2: {u1}, 3: {u1,u3}
+    val df = Seq((1L, wk(1)), (2L, wk(1)), (1L, wk(2)), (1L, wk(3)), (3L, wk(3)))
+      .toDF("user_id", "ts")
+    val got = pipeline.EventAnalytics.weeklyChurn(df, "user_id", "ts")
+      .orderBy("week").select("week", "n_active", "n_churned", "churn_rate")
+      .as[(Long, Long, Long, Double)].collect.toSeq
+    assert(got == Seq((1L, 2L, 1L, 0.5), (2L, 1L, 0L, 0.0)))
+  }
+
+  test("eventTrigrams: windows stay within a user, ties break on text") {
+    import java.sql.Timestamp
+    def t(min: Long) = new Timestamp(min * 60000L)
+    val df = Seq((1L, 1L, t(0), "a"), (1L, 2L, t(1), "b"), (1L, 3L, t(2), "c"),
+      (1L, 4L, t(3), "a"), (2L, 5L, t(0), "x"), (2L, 6L, t(1), "y"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = pipeline.EventAnalytics.eventTrigrams(df, "user_id", "event_id",
+        "ts", "event_type", k = 10)
+      .select("t1", "t2", "t3", "n").as[(String, String, String, Long)]
+      .collect.toSeq
+    // user 1 has trigrams abc, bca; user 2 has none (only 2 events)
+    assert(got.toSet == Set(("a", "b", "c", 1L), ("b", "c", "a", 1L)))
+  }
+
+  test("burstiness: constant series fano 0; zero-fill inflates variance") {
+    import java.sql.Timestamp
+    def t(d: Int, i: Int) = new Timestamp(86400000L * d + i * 1000L)
+    // type a: 2/day on days 10,11,12 -> fano 0
+    // type b: 2 on day 10, 0 on 11 (gap), 2 on 12 -> mean 4/3, var 8/9
+    val rows = Seq(t(10, 1), t(10, 2), t(11, 1), t(11, 2), t(12, 1), t(12, 2))
+      .map(("a", _)) ++ Seq(t(10, 1), t(10, 2), t(12, 1), t(12, 2)).map(("b", _))
+    val got = rows.toDF("event_type", "ts")
+    val r = pipeline.EventAnalytics.burstiness(got, "event_type", "ts")
+      .orderBy("event_type")
+      .select("event_type", "n_days", "mean_daily", "fano")
+      .as[(String, Long, Double, Double)].collect.toSeq
+    assert(r(0) == (("a", 3L, 2.0, 0.0)))
+    assert(r(1)._2 == 3L && r(1)._3 == 1.333333 && r(1)._4 == 0.666667)
+  }
+
+  test("smoothedGroupMean: sparse groups shrink toward the global mean") {
+    val df = (Seq.fill(98)(("big", 10.0)) ++ Seq(("small", 100.0), ("small", 100.0)))
+      .toDF("g", "v")
+    val r = Stats.smoothedGroupMean(df, Seq("g"), "v", m = 2.0)
+      .orderBy("g").select("g", "n", "mean_raw", "mean_smoothed")
+      .as[(String, Long, Double, Double)].collect.toSeq
+    // global mean = (980 + 200) / 100 = 11.8
+    assert(r(0)._3 == 10.0 && r(0)._4 == 10.036) // (980+23.6)/100
+    assert(r(1)._3 == 100.0 && r(1)._4 == 55.9)  // (200+23.6)/4
+  }
+
   test("resampleDaily: gaps zero-fill between min and max day") {
     import java.sql.Timestamp
     def t(d: Int) = new Timestamp(86400000L * d + 1000L)
