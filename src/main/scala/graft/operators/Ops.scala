@@ -315,6 +315,26 @@ object Ops {
       .drop("__b")
   }
 
+  // ------------------------------------------------- FD / key-shape audit
+  /** Functional-dependency audit: does `lhs → rhs` hold? One aggregate at
+    * lhs grain counting distinct rhs values, one bounded roll-up — the
+    * data-quality check behind join-key and primary-key assumptions
+    * (`n_violating = 0` ⟺ the dependency holds; `max_rhs_variants` sizes
+    * the worst offender). Exact counts, one IEEE division, 6dp. Returns one
+    * row: (n_groups, n_violating, max_rhs_variants, violation_rate). */
+  def fdViolations(df: DataFrame, lhs: Seq[String], rhs: String): DataFrame = {
+    require(lhs.nonEmpty)
+    df.filter(lhs.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(lhs.map(col): _*)
+      .agg(countDistinct(col(rhs)).as("__d"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__d") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("__d")).as("max_rhs_variants"))
+      .select(col("n_groups"), col("n_violating"), col("max_rhs_variants"),
+        round(col("n_violating").cast("double") /
+          col("n_groups").cast("double"), 6).as("violation_rate"))
+  }
+
   // -------------------------------------------------------------- upsert
   /** Keep-latest merge (corpus refresh / SCD-1): union `base` with
     * `updates` and keep, per `key`, the row with the highest `versionCol`

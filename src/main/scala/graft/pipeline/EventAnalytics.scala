@@ -255,6 +255,30 @@ object EventAnalytics {
           .as("r"))
   }
 
+  /** CUSUM-style change point of the zero-filled daily series: with C_i the
+    * running count at 1-based day position i over n days totalling T, the
+    * scaled drift D_i = n·C_i − i·T is EXACT integer arithmetic (zero when
+    * the rate is constant, maximal where the level shifts). The change
+    * point is the day maximizing |D_i| (earliest-day tiebreak — a
+    * TakeOrdered over the calendar-bounded spine), reported with the
+    * normalized statistic |D|/(n·T), 6dp. Returns one row: (change_day,
+    * n_days, stat). */
+  def changePoint(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = resampleDaily(df, tsCol)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val c = daily.select(col("day"),
+      row_number().over(w).as("__i"), sum(col("n")).over(w).as("__c"))
+    val tot = daily.agg(sum(col("n")).as("__t"), count(lit(1)).as("__nd"))
+    c.crossJoin(broadcast(tot))
+      .select(col("day"), col("__nd"), col("__t"),
+        abs(col("__nd") * col("__c") - col("__i") * col("__t")).as("__d"))
+      .orderBy(col("__d").desc, col("day").asc).limit(1)
+      .select(col("day").as("change_day"), col("__nd").as("n_days"),
+        round(col("__d").cast("double") /
+          (col("__nd").cast("double") * col("__t").cast("double")), 6)
+          .as("stat"))
+  }
+
   // ------------------------------------------------ inter-arrival analysis
   /** Median inter-arrival gap per event type: consecutive same-(user, type)
     * micros deltas (one per-user-per-type lag window, bounded), summarized

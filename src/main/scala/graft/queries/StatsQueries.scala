@@ -702,5 +702,98 @@ object StatsQueries {
         "FROM g, t ORDER BY source"),
       (s, dir) => Stats.smoothedGroupMean(Tables.documents(s, dir),
           Seq("source"), "n_chars", m = 50.0)
-        .orderBy("source")))
+        .orderBy("source")),
+
+    // ---- integer-arithmetic PageRank (3 rounds) over the bidirected
+    // customer↔supplier graph: ranks are 10^-12 micro-units, every step is
+    // floor division — the fixed point is bit-identical in any engine, so
+    // the oracle just unrolls the same recurrence. Top 25 by rank.
+    Q("q136_pagerank",
+      Some("WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src, " +
+        "'s' || CAST(l_suppkey AS VARCHAR) AS dst " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
+        "e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), " +
+        "nn AS (SELECT count(*) AS n, (3 * 1000000000000) // (20 * count(*)) AS tp FROM nodes), " +
+        "r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn), " +
+        "i1 AS (SELECT e.dst AS node, sum(r0.r // deg.deg) AS m FROM r0 " +
+        "JOIN e ON r0.node = e.src JOIN deg ON e.src = deg.src GROUP BY 1), " +
+        "r1 AS (SELECT nodes.node, nn.tp + (17 * coalesce(i1.m, 0)) // 20 AS r " +
+        "FROM nodes LEFT JOIN i1 USING (node), nn), " +
+        "i2 AS (SELECT e.dst AS node, sum(r1.r // deg.deg) AS m FROM r1 " +
+        "JOIN e ON r1.node = e.src JOIN deg ON e.src = deg.src GROUP BY 1), " +
+        "r2 AS (SELECT nodes.node, nn.tp + (17 * coalesce(i2.m, 0)) // 20 AS r " +
+        "FROM nodes LEFT JOIN i2 USING (node), nn), " +
+        "i3 AS (SELECT e.dst AS node, sum(r2.r // deg.deg) AS m FROM r2 " +
+        "JOIN e ON r2.node = e.src JOIN deg ON e.src = deg.src GROUP BY 1), " +
+        "r3 AS (SELECT nodes.node, nn.tp + (17 * coalesce(i3.m, 0)) // 20 AS r " +
+        "FROM nodes LEFT JOIN i3 USING (node), nn) " +
+        "SELECT node, r AS rank_micro, " +
+        "round(CAST(r AS DOUBLE) / 1000000000000.0, 6) AS rank FROM r3 " +
+        "ORDER BY rank_micro DESC, node LIMIT 25"),
+      (s, dir) => {
+        val pairs = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        val edges = pairs.union(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        graft.pipeline.Graph.pageRank(edges, "src", "dst", iters = 3)
+          .orderBy(col("rank_micro").desc, col("node").asc).limit(25)
+      }),
+
+    // ---- functional-dependency audit over three claimed dependencies:
+    // one lhs-grain distinct-count aggregate each, bounded roll-ups.
+    Q("q137_fd_check",
+      Some("WITH a AS (SELECT count(*) AS n_groups, " +
+        "sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS n_violating, max(d) AS max_rhs_variants " +
+        "FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS d FROM orders " +
+        "WHERE o_orderkey IS NOT NULL GROUP BY 1)), " +
+        "b AS (SELECT count(*) AS n_groups, " +
+        "sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS n_violating, max(d) AS max_rhs_variants " +
+        "FROM (SELECT user_id, count(DISTINCT event_type) AS d FROM events " +
+        "WHERE user_id IS NOT NULL GROUP BY 1)), " +
+        "c AS (SELECT count(*) AS n_groups, " +
+        "sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS n_violating, max(d) AS max_rhs_variants " +
+        "FROM (SELECT l_orderkey, count(DISTINCT l_suppkey) AS d FROM lineitem " +
+        "WHERE l_orderkey IS NOT NULL GROUP BY 1)) " +
+        "SELECT 'events: user_id -> event_type' AS dependency, n_groups, n_violating, " +
+        "max_rhs_variants, round(CAST(n_violating AS DOUBLE) / CAST(n_groups AS DOUBLE), 6) AS violation_rate FROM b " +
+        "UNION ALL SELECT 'lineitem: l_orderkey -> l_suppkey', n_groups, n_violating, " +
+        "max_rhs_variants, round(CAST(n_violating AS DOUBLE) / CAST(n_groups AS DOUBLE), 6) FROM c " +
+        "UNION ALL SELECT 'orders: o_orderkey -> o_custkey', n_groups, n_violating, " +
+        "max_rhs_variants, round(CAST(n_violating AS DOUBLE) / CAST(n_groups AS DOUBLE), 6) FROM a " +
+        "ORDER BY dependency"),
+      (s, dir) => {
+        import graft.operators.Ops
+        val checks = Seq(
+          ("events: user_id -> event_type",
+            Ops.fdViolations(Tables.events(s, dir), Seq("user_id"), "event_type")),
+          ("lineitem: l_orderkey -> l_suppkey",
+            Ops.fdViolations(Tables.lineitem(s, dir), Seq("l_orderkey"), "l_suppkey")),
+          ("orders: o_orderkey -> o_custkey",
+            Ops.fdViolations(Tables.orders(s, dir), Seq("o_orderkey"), "o_custkey")))
+        checks.map { case (label, df) =>
+          df.select(lit(label).as("dependency"), col("n_groups"),
+            col("n_violating"), col("max_rhs_variants"), col("violation_rate"))
+        }.reduce(_ union _).orderBy("dependency")
+      }),
+
+    // ---- CUSUM change point of the daily series: n·C_i − i·T is exact
+    // integer drift over the q119 spine; TakeOrdered argmax, earliest-day
+    // tiebreak.
+    Q("q138_changepoint",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n " +
+        "FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), (SELECT max(day) FROM c) + 1)) AS day), " +
+        "s AS (SELECT r.day, coalesce(c.n, 0) AS n FROM r LEFT JOIN c USING (day)), " +
+        "w AS (SELECT day, row_number() OVER (ORDER BY day) AS i, " +
+        "sum(n) OVER (ORDER BY day) AS cum FROM s), " +
+        "t AS (SELECT sum(n) AS t, count(*) AS nd FROM s) " +
+        "SELECT day AS change_day, nd AS n_days, " +
+        "round(CAST(abs(nd * cum - i * t) AS DOUBLE) / " +
+        "(CAST(nd AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS stat " +
+        "FROM w, t ORDER BY abs(nd * cum - i * t) DESC, day LIMIT 1"),
+      (s, dir) => EventAnalytics.changePoint(Tables.events(s, dir), "ts")))
 }

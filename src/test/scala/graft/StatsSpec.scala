@@ -509,6 +509,44 @@ class StatsSpec extends SparkSpec {
     assert(r(1)._3 == 100.0 && r(1)._4 == 55.9)  // (200+23.6)/4
   }
 
+  test("pageRank: symmetric pair converges to equal ranks; star center dominates") {
+    // two-node symmetric graph: ranks stay equal at every iteration
+    val pair = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val rp = pipeline.Graph.pageRank(pair, "src", "dst", iters = 3)
+      .select("node", "rank_micro").as[(String, Long)].collect.toMap
+    assert(rp("a") == rp("b"))
+    // star: center receives 3 full contributions, leaves 1/3 each
+    val star = Seq(("hub", "l1"), ("hub", "l2"), ("hub", "l3"))
+      .flatMap { case (h, l) => Seq((h, l), (l, h)) }.toDF("src", "dst")
+    val rs = pipeline.Graph.pageRank(star, "src", "dst", iters = 3)
+      .select("node", "rank_micro").as[(String, Long)].collect.toMap
+    assert(rs("hub") > rs("l1") && rs("l1") == rs("l2") && rs("l2") == rs("l3"))
+    // mass conservation up to the documented floor leak: sum <= 10^12,
+    // within (17/20-damped) slack of a few micro-units per node per round
+    assert(rs.values.sum <= pipeline.Graph.Scale &&
+      rs.values.sum > pipeline.Graph.Scale - 100L)
+  }
+
+  test("fdViolations: a held dependency reports zero; a broken one counts") {
+    val df = Seq((1L, "x"), (1L, "x"), (2L, "y"), (3L, "a"), (3L, "b"))
+      .toDF("k", "v")
+    val r = operators.Ops.fdViolations(df, Seq("k"), "v").collect()(0)
+    assert(r.getAs[Long]("n_groups") == 3 && r.getAs[Long]("n_violating") == 1 &&
+      r.getAs[Long]("max_rhs_variants") == 2 &&
+      r.getAs[Double]("violation_rate") == 0.333333)
+  }
+
+  test("changePoint: a planted level shift is found at the shift day") {
+    import java.sql.Timestamp
+    def t(d: Int, i: Int) = new Timestamp(86400000L * d + i * 1000L)
+    // 1/day on days 10-14, then 5/day on days 15-19: drift peaks at day 14
+    val rows = (10 to 14).map(d => Seq(t(d, 0))) ++
+      (15 to 19).map(d => (0 until 5).map(i => t(d, i)))
+    val r = pipeline.EventAnalytics.changePoint(rows.flatten.toDF("ts"), "ts")
+      .collect()(0)
+    assert(r.getAs[Long]("change_day") == 14L && r.getAs[Long]("n_days") == 10L)
+  }
+
   test("resampleDaily: gaps zero-fill between min and max day") {
     import java.sql.Timestamp
     def t(d: Int) = new Timestamp(86400000L * d + 1000L)
