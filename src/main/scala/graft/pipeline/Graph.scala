@@ -37,26 +37,34 @@ object Graph {
     val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e0 = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct())
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
+    // hoist the static deg join out of the loop: each round joins ranks
+    // against ONE pre-joined (src, dst, deg) relation
+    val e = cut(e0.join(deg, Seq("src")))
     // one scalar row: N and the teleport term (3*10^12) div (20*N)
     val n = nodes.agg(count(lit(1)).as("__n"))
       .select(col("__n"), expr(s"(3 * ${Scale}L) div (20 * __n)").as("__tp"))
-    var rank = cut(nodes.crossJoin(broadcast(n))
-      .select(col("node"), expr(s"${Scale}L div __n").as("r")))
-    for (_ <- 1 to iters) {
+    var rank = nodes.crossJoin(broadcast(n))
+      .select(col("node"), expr(s"${Scale}L div __n").as("r"))
+    for (i <- 1 to iters) {
       val contrib = rank.join(e, rank("node") === e("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("__in"))
-      rank = cut(rank.select(col("node"))
+      rank = rank.select(col("node"))
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(n))
         .select(col("node"),
-          (col("__tp") + expr("(17 * coalesce(__in, 0L)) div 20")).as("r")))
+          (col("__tp") + expr("(17 * coalesce(__in, 0L)) div 20")).as("r"))
+      // rank lineage only needs a cut every few rounds: within a window the
+      // nested joins stay one job whose repeated e-exchanges collapse to
+      // ReusedExchange and whose sizes AQE can see (an EAGER cut per round
+      // serialized five jobs and erased the stats that let small rank
+      // relations broadcast)
+      if (i % 5 == 0 && i < iters) rank = cut(rank)
     }
     rank.crossJoin(broadcast(n))
       .select(col("node"), col("r").as("rank_micro"),
