@@ -15,8 +15,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Plain parquet read + one normalization: any TIMESTAMP_NTZ column (the
+    * driver's regenerated testdata writes micros with isAdjustedToUTC=false)
+    * is cast to µs TimestampType, so `unix_micros(col)` downstream sees the
+    * identical integer DuckDB's `epoch_us(col)` computes on the same file.
+    * The cast reinterprets the wall-clock value in the SESSION time zone —
+    * only UTC makes that the identity, so this asserts rather than silently
+    * shifting every timestamp by the host offset. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val ntz = raw.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) raw
+    else {
+      require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        s"$name.parquet carries TIMESTAMP_NTZ: build the session with " +
+          ".config(\"spark.sql.session.timeZone\", \"UTC\") so the " +
+          "TimestampType cast is the identity")
+      ntz.foldLeft(raw)((df, f) =>
+        df.withColumn(f.name, col(f.name).cast(TimestampType)))
+    }
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
@@ -25,21 +45,37 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * (PARQUET_TYPE_ILLEGAL). Read it as raw nanos (legacy long mode) and
-    * convert to a microsecond TimestampType with integral division — a
-    * double division would lose precision at 1.7e18 ns.
-    *
-    * `spark.sql.legacy.parquet.nanosAsLong` must be set at SESSION BUILD
-    * (Bench/Verify/SparkSpec all do) — a table loader silently flipping a
-    * session-global read mode would be a trap for concurrent sessions, so
-    * this only asserts, never mutates. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet carries TIMESTAMP(NANOS): build the session with " +
-        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\")")
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** events.ts has shipped in two physical layouts across driver testdata
+    * generations: TIMESTAMP(NANOS) — which Spark 4 rejects outright
+    * (PARQUET_TYPE_ILLEGAL) unless read as a raw long under
+    * `spark.sql.legacy.parquet.nanosAsLong` (Bench/Verify/SparkSpec all set
+    * it at session build) — and plain TIMESTAMP(MICROS, isAdjustedToUTC=
+    * false), which Spark reads as TIMESTAMP_NTZ. Both normalize to the same
+    * µs-precision TimestampType here, so every downstream `unix_micros(ts)`
+    * sees the identical integer DuckDB's `epoch_us(ts)` computes on the
+    * same file. The NTZ cast reinterprets the wall-clock value in the
+    * SESSION time zone — only UTC makes that the identity, so this asserts
+    * rather than silently shifting every timestamp by the host offset. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventTs(spark, load(spark, sfDir, "events"))
+
+  private[graft] def normalizeEventTs(spark: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => // raw nanos (legacy mode): integral division, not a
+        // double divide that would lose precision at 1.7e18 ns
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.parquet carries TIMESTAMP_NTZ micros: build the session " +
+            "with .config(\"spark.sql.session.timeZone\", \"UTC\") so the " +
+            "TimestampType cast is the identity")
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"unsupported events.ts physical type: $other")
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

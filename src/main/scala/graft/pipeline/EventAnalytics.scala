@@ -405,4 +405,114 @@ object EventAnalytics {
         round((col("n_both") / col("__na").cast("double")) /
           (col("__nb") / col("__nu").cast("double")), 6).as("lift"))
   }
+
+  // ---------------------------------------------------- entry / exit paths
+  /** Session landing/parting behavior: sessionize exactly like
+    * [[sessionStats]] (gap rule, (ts, id) tie order), take each session's
+    * FIRST and LAST event type, and count sessions per (entry, exit) pair —
+    * the "where do journeys start and end" rollup behind funnel design.
+    * Same scale shape as sessionStats: one per-user window (bounded by a
+    * user's events, never the log), one per-session aggregate, and a final
+    * rollup bounded by the type-vocabulary square. Returns
+    * (entry_type, exit_type, n_sessions). */
+  def entryExitPaths(df: DataFrame, userCol: String, idCol: String,
+                     tsCol: String, typeCol: String,
+                     gapMinutes: Int): DataFrame = {
+    require(gapMinutes > 0)
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__us").asc, col(idCol).asc)
+    val gapUs = gapMinutes * 60000000L
+    val sessions = df
+      .select(col(userCol), col(idCol), col(typeCol), micros(col(tsCol)).as("__us"))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("__us") - col("__prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session", sum(col("__new")).over(w))
+    val sw = Window.partitionBy(col(userCol), col("session"))
+      .orderBy(col("__us").asc, col(idCol).asc)
+    sessions
+      .withColumn("__rn", row_number().over(sw))
+      .withColumn("__cnt", count(lit(1)).over(
+        Window.partitionBy(col(userCol), col("session"))))
+      .groupBy(col(userCol), col("session"))
+      .agg(max(when(col("__rn") === 1, col(typeCol))).as("entry_type"),
+        max(when(col("__rn") === col("__cnt"), col(typeCol))).as("exit_type"))
+      .groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
+  // ------------------------------------------------- rolling daily anomaly
+  /** Days whose zero-filled daily count breaks `sigmas`·σ of the TRAILING
+    * `window`-day mean (full windows only) — the operational anomaly gate
+    * over a [[burstiness]]-style per-group spine. The test is pure INTEGER
+    * arithmetic: with w-day sums ss = Σn and pp = Σn², flag iff
+    * (w·n − ss)² > sigmas²·(w·pp − ss²) — bit-identical in any engine, no
+    * rounding anywhere near the gate. The reported z-score
+    * (w·n − ss)/√(w·pp − ss²) is one correctly-rounded IEEE sqrt + divide,
+    * 6dp. Rolling sums are per-group windows over the calendar-bounded
+    * spine (never the event log). Returns
+    * (group, day, n, mean_7d, z) for anomalous days only. */
+  def rollingDailyAnomalies(df: DataFrame, groupCol: String, tsCol: String,
+                            window: Int = 7, sigmas: Int = 2): DataFrame = {
+    require(window >= 2 && sigmas >= 1)
+    val counts = df.select(col(groupCol).as("g"), dayIndex(col(tsCol)).as("day"))
+      .groupBy("g", "day").agg(count(lit(1)).as("n"))
+    val spine = counts.groupBy("g")
+      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(col("g"), explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val daily = spine.join(counts, Seq("g", "day"), "left")
+      .select(col("g"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy(col("g")).orderBy(col("day").asc)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val armed = daily
+      .withColumn("__w", count(lit(1)).over(w))
+      .withColumn("__ss", sum(col("n")).over(w))
+      .withColumn("__pp", sum(col("n") * col("n")).over(w))
+      .filter(col("__w") === window)
+    val dev = lit(window.toLong) * col("n") - col("__ss")
+    val varN = lit(window.toLong) * col("__pp") - col("__ss") * col("__ss")
+    armed.filter(dev * dev > lit(sigmas.toLong * sigmas) * varN)
+      .select(col("g").as(groupCol), col("day"), col("n"),
+        round(col("__ss").cast("double") / window, 6).as("mean_win"),
+        round(dev.cast("double") / sqrt(varN.cast("double")), 6).as("z"))
+  }
+
+  // ------------------------------------------------------ RFM segmentation
+  /** RFM (recency / frequency / monetary) segmentation of a transaction
+    * log: per key, days since last activity (vs the corpus max day),
+    * transaction count, and decimal-exact amount sum, each bucketed 1..4 by
+    * the corpus quartiles — the classic customer-value grid. Bucketing is
+    * the q93 discipline: ONE percentile aggregate over the per-key relation,
+    * boundaries rounded 4dp and broadcast back, bucket = 1 + Σ(v > q) as a
+    * pure projection — never a global ntile sort (which would collapse to a
+    * single partition at scale). Returns one row per key:
+    * (key, recency, frequency, monetary, r_bucket, f_bucket, m_bucket). */
+  def rfmBuckets(df: DataFrame, keyCol: String, tsCol: String,
+                 amountCol: String): DataFrame = {
+    val perKey = df.groupBy(col(keyCol).as("key"))
+      .agg(max(dayIndex(col(tsCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(amountCol).cast("decimal(38,6)")).cast("double").as("monetary"))
+    val mx = perKey.agg(max(col("__last")).as("__mx"))
+    val rec = perKey.crossJoin(broadcast(mx))
+      .select(col("key"), (col("__mx") - col("__last")).as("recency"),
+        col("frequency"), col("monetary"))
+    val qs = Seq(0.25, 0.5, 0.75)
+    def pct(c: String) = expr(s"percentile($c, array(${qs.mkString(", ")}))")
+    val boundNames = for (d <- Seq("r", "f", "m"); i <- qs.indices) yield s"__$d$i"
+    val bounds = rec.agg(pct("recency").as("__qr"), pct("frequency").as("__qf"),
+        pct("monetary").as("__qm"))
+      .select(Seq("r", "f", "m").zip(Seq("__qr", "__qf", "__qm")).flatMap {
+        case (d, q) => qs.indices.map(i =>
+          round(element_at(col(q), i + 1), 4).as(s"__$d$i"))
+      }: _*)
+    def bucket(v: String, d: String) =
+      qs.indices.map(i => when(col(v) > col(s"__$d$i"), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+    rec.crossJoin(broadcast(bounds))
+      .withColumn("r_bucket", bucket("recency", "r"))
+      .withColumn("f_bucket", bucket("frequency", "f"))
+      .withColumn("m_bucket", bucket("monetary", "m"))
+      .drop(boundNames: _*)
+  }
 }

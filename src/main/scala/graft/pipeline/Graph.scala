@@ -70,4 +70,46 @@ object Graph {
       .select(col("node"), col("r").as("rank_micro"),
         round(col("r").cast("double") / lit(Scale.toDouble), 6).as("rank"))
   }
+
+  /** Per-node triangle counts of the undirected graph given as an edge list
+    * (either direction, duplicates fine). The classic degree-ordered
+    * formulation (Cohen 2009; Suri & Vassilvitskii 2011): canonicalize each
+    * edge, then ORIENT it from its lower (degree, id) endpoint to the
+    * higher, so every wedge is enumerated at its lowest-degree corner —
+    * out-degrees are bounded by O(sqrt(|E|)) regardless of how hot a hub
+    * is, which is exactly the skew guard a web-scale graph needs (a naive
+    * id-oriented wedge join puts a d² blowup on the highest-degree node).
+    * Each triangle is found exactly once (its two lowest-(deg,id) corners
+    * emit the wedge, the closing edge check is oriented), then exploded to
+    * its three corners and counted per node.
+    *
+    * Three co-keyed joins + one aggregate — no window, no cartesian; the
+    * count is orientation-invariant, so an oracle may enumerate a<b<c
+    * instead and must agree exactly.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+    val wedges = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      .join(oriented.select(col("u"), col("v").as("y"), col("dv").as("dy")), Seq("u"))
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+    val tris = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    tris.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
 }

@@ -392,4 +392,31 @@ object Stats {
         sum(when(col("__dev") > lit(k) * col("mad"), 1L).otherwise(0L))
           .as("n_outliers"))
   }
+
+  // --------------------------------------------------------- Benford audit
+  /** First-significant-digit distribution of a positive fixed-point column
+    * vs Benford's law — the classic fabricated-amounts / corrupted-feed
+    * audit. The digit is read from the STRING image of the exact
+    * `10^scale`-scaled integer (never floor(log10(v)), whose sub-ulp
+    * landings at powers of ten differ per libm): values carry `scale`
+    * fractional digits, so round(v·10^scale) is an exact integer in both
+    * engines and its first character is the digit. One aggregate bounded by
+    * 9 rows; expected shares are log10(1 + 1/d) on the 9 CONSTANTS, 6dp.
+    * Returns (digit, n, share, benford_p, excess) ordered by digit. */
+  def benfordDigits(df: DataFrame, valueCol: String, scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 6, s"scale out of range: $scale")
+    val v = col(valueCol)
+    val cents = round(v * math.pow(10, scale).toLong).cast("bigint")
+    val counts = df.filter(v.isNotNull && v > 0.0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    val share = col("n").cast("double") / col("__t").cast("double")
+    val benford = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(share, 6).as("share"),
+        round(benford, 6).as("benford_p"),
+        round(share - benford, 6).as("excess"))
+  }
 }

@@ -795,5 +795,173 @@ object StatsQueries {
         "round(CAST(abs(nd * cum - i * t) AS DOUBLE) / " +
         "(CAST(nd AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS stat " +
         "FROM w, t ORDER BY abs(nd * cum - i * t) DESC, day LIMIT 1"),
-      (s, dir) => EventAnalytics.changePoint(Tables.events(s, dir), "ts")))
+      (s, dir) => EventAnalytics.changePoint(Tables.events(s, dir), "ts")),
+
+    // ---- per-node triangle counts of the part co-purchase graph
+    // (parts sharing an order): degree-ordered orientation bounds wedge
+    // fan-out on hub parts; the oracle enumerates a<b<c — the count is
+    // orientation-invariant, so agreement is exact.
+    Q("q139_triangles",
+      Some("WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.pk AS a, y.pk AS b FROM lp x " +
+        "JOIN lp y ON x.ok = y.ok AND x.pk < y.pk), " +
+        "t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w FROM e e1 " +
+        "JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b " +
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), " +
+        "n AS (SELECT unnest([u, v, w]) AS node FROM t) " +
+        "SELECT node, count(*) AS n_tri FROM n GROUP BY 1 " +
+        "ORDER BY n_tri DESC, node LIMIT 20"),
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("src"), col("pk2").as("dst"))
+        graft.pipeline.Graph.triangleCounts(edges, "src", "dst")
+          .orderBy(col("n_tri").desc, col("node").asc).limit(20)
+      }),
+
+    // ---- fuzzy part-name pairs: the native codegen'd Jaro-Winkler kernel
+    // (bit-identical to DuckDB's jaro_winkler_similarity — the gate runs on
+    // UNROUNDED doubles) over pairs blocked on the shared second token.
+    Q("q140_fuzzy_names",
+      Some("WITH n AS (SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS blk FROM part), " +
+        "p AS (SELECT a.p_name AS name_a, b.p_name AS name_b, " +
+        "jaro_winkler_similarity(a.p_name, b.p_name) AS jw " +
+        "FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name) " +
+        "SELECT name_a, name_b, round(jw, 6) AS jw FROM p WHERE jw >= 0.8 " +
+        "ORDER BY name_a, name_b"),
+      (s, dir) => {
+        import graft.functions.FuzzyExprs
+        val names = Tables.part(s, dir).select(col("p_name")).distinct()
+          .select(col("p_name"),
+            element_at(split(col("p_name"), " "), 2).as("__blk"))
+        names.join(names.select(col("__blk"), col("p_name").as("p_name2")), Seq("__blk"))
+          .filter(col("p_name") < col("p_name2"))
+          .select(col("p_name").as("name_a"), col("p_name2").as("name_b"),
+            FuzzyExprs.jaroWinkler(col("p_name"), col("p_name2")).as("__jw"))
+          .filter(col("__jw") >= 0.8)
+          .select(col("name_a"), col("name_b"), round(col("__jw"), 6).as("jw"))
+          .orderBy("name_a", "name_b")
+      }),
+
+    // ---- RFM segmentation of the order log: quartile buckets from ONE
+    // broadcast percentile aggregate (never a global ntile sort), rolled up
+    // to the 4x4x4 customer-value grid; monetary re-sums as DECIMAL.
+    Q("q141_rfm",
+      Some("WITH k AS (SELECT o_custkey AS key, " +
+        "max(epoch_us(o_orderdate) // 86400000000) AS last_day, count(*) AS frequency, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS monetary " +
+        "FROM orders GROUP BY 1), " +
+        "mx AS (SELECT max(last_day) AS mxd FROM k), " +
+        "r AS (SELECT key, mxd - last_day AS recency, frequency, monetary FROM k, mx), " +
+        "b AS (SELECT round(quantile_cont(recency, 0.25), 4) AS r0, " +
+        "round(quantile_cont(recency, 0.5), 4) AS r1, " +
+        "round(quantile_cont(recency, 0.75), 4) AS r2, " +
+        "round(quantile_cont(frequency, 0.25), 4) AS f0, " +
+        "round(quantile_cont(frequency, 0.5), 4) AS f1, " +
+        "round(quantile_cont(frequency, 0.75), 4) AS f2, " +
+        "round(quantile_cont(monetary, 0.25), 4) AS m0, " +
+        "round(quantile_cont(monetary, 0.5), 4) AS m1, " +
+        "round(quantile_cont(monetary, 0.75), 4) AS m2 FROM r), " +
+        "s AS (SELECT monetary, " +
+        "1 + CAST(recency > r0 AS INT) + CAST(recency > r1 AS INT) + CAST(recency > r2 AS INT) AS r_bucket, " +
+        "1 + CAST(frequency > f0 AS INT) + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT) AS f_bucket, " +
+        "1 + CAST(monetary > m0 AS INT) + CAST(monetary > m1 AS INT) + CAST(monetary > m2 AS INT) AS m_bucket " +
+        "FROM r, b) " +
+        "SELECT r_bucket, f_bucket, m_bucket, count(*) AS n_customers, " +
+        "round(CAST(sum(CAST(monetary AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_monetary " +
+        "FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+      (s, dir) => EventAnalytics.rfmBuckets(Tables.orders(s, dir),
+          "o_custkey", "o_orderdate", "o_totalprice")
+        .groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("monetary").cast("decimal(38,6)")).cast("double"), 2)
+            .as("total_monetary"))
+        .orderBy("r_bucket", "f_bucket", "m_bucket")),
+
+    // ---- session entry/exit paths: q124's sessionizer, each session's
+    // first/last event type, rolled up to the type-vocabulary square.
+    Q("q142_entry_exit",
+      Some("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 " +
+        "THEN 1 ELSE 0 END AS brk FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sess FROM g), " +
+        "r AS (SELECT user_id, sess, event_type, " +
+        "row_number() OVER (PARTITION BY user_id, sess ORDER BY us, event_id) AS rn, " +
+        "count(*) OVER (PARTITION BY user_id, sess) AS cnt FROM s), " +
+        "p AS (SELECT user_id, sess, max(CASE WHEN rn = 1 THEN event_type END) AS entry_type, " +
+        "max(CASE WHEN rn = cnt THEN event_type END) AS exit_type FROM r GROUP BY 1, 2) " +
+        "SELECT entry_type, exit_type, count(*) AS n_sessions FROM p " +
+        "GROUP BY 1, 2 ORDER BY n_sessions DESC, entry_type, exit_type"),
+      (s, dir) => EventAnalytics.entryExitPaths(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "event_type", gapMinutes = 30)
+        .orderBy(col("n_sessions").desc, col("entry_type").asc,
+          col("exit_type").asc)),
+
+    // ---- Benford first-digit audit of order totals: the digit reads off
+    // the exact cents-integer's string image (never floor(log10)).
+    Q("q143_benford",
+      Some("WITH d AS (SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) " +
+        "AS VARCHAR), 1, 1) AS INT) AS digit FROM orders " +
+        "WHERE o_totalprice IS NOT NULL AND o_totalprice > 0), " +
+        "c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1), " +
+        "t AS (SELECT sum(n) AS t FROM c) " +
+        "SELECT digit, n, round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share, " +
+        "round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p, " +
+        "round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE) - " +
+        "log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS excess " +
+        "FROM c, t ORDER BY digit"),
+      (s, dir) => Stats.benfordDigits(Tables.orders(s, dir), "o_totalprice")
+        .orderBy("digit")),
+
+    // ---- trailing-window daily anomalies: the gate is pure INTEGER
+    // arithmetic ((w·n − ss)² > 4·(w·pp − ss²)) over the per-type spine —
+    // engine-independent with no rounding near the decision.
+    Q("q144_rolling_anomaly",
+      Some("WITH c AS (SELECT event_type AS g, epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "sp AS (SELECT g, unnest(range(lo, hi + 1)) AS day FROM " +
+        "(SELECT g, min(day) AS lo, max(day) AS hi FROM c GROUP BY 1)), " +
+        "d AS (SELECT sp.g, sp.day, coalesce(c.n, 0) AS n FROM sp " +
+        "LEFT JOIN c ON sp.g = c.g AND sp.day = c.day), " +
+        "w AS (SELECT g, day, n, count(*) OVER win AS w, sum(n) OVER win AS ss, " +
+        "sum(n * n) OVER win AS pp FROM d " +
+        "WINDOW win AS (PARTITION BY g ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) " +
+        "SELECT g AS event_type, day, n, round(CAST(ss AS DOUBLE) / 7, 6) AS mean_win, " +
+        "round(CAST(7 * n - ss AS DOUBLE) / sqrt(CAST(7 * pp - ss * ss AS DOUBLE)), 6) AS z " +
+        "FROM w WHERE w = 7 AND (7 * n - ss) * (7 * n - ss) > 4 * (7 * pp - ss * ss) " +
+        "ORDER BY event_type, day"),
+      (s, dir) => EventAnalytics.rollingDailyAnomalies(Tables.events(s, dir),
+          "event_type", "ts", window = 7, sigmas = 2)
+        .orderBy("event_type", "day")),
+
+    // ---- per-user activity trend: q126's decimal-exact OLS kernel fitted
+    // PER GROUP over each user's active-day counts (x shifted to a small
+    // origin per the magnitude contract), top 25 steepest risers.
+    Q("q145_user_trend",
+      Some("WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 - 20000 AS x, " +
+        "count(*) AS y FROM events GROUP BY user_id, epoch_us(ts) // 86400000000), " +
+        "g AS (SELECT user_id, count(*) AS n, " +
+        "CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy " +
+        "FROM d GROUP BY 1 HAVING count(*) >= 10) " +
+        "SELECT user_id, n, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope, " +
+        "round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept, " +
+        "round((n * sxy - sx * sy) * (n * sxy - sx * sy) / " +
+        "((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2 " +
+        "FROM g ORDER BY slope DESC, user_id LIMIT 25"),
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .select(col("user_id"), EventAnalytics.dayIndex(col("ts")).as("day"))
+          .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+        Stats.linearFit(daily, Seq("user_id"),
+            col("day") - lit(20000L), col("n"))
+          .filter(col("n") >= 10)
+          .orderBy(col("slope").desc, col("user_id").asc).limit(25)
+      }))
 }

@@ -17,25 +17,19 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** On-disk schema: ts is TIMESTAMP(NANOS) which Spark 4 only reads as a
-    * raw long (legacy mode); converted to µs TimestampType in the stream. */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** File-source stream over a directory of parquet events.
     *
-    * Like [[graft.Tables.events]], requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` set at SESSION BUILD — a
-    * stream builder silently flipping a session-global read mode would be
-    * a trap for concurrent sessions, so this asserts instead of mutating. */
+    * A file stream needs its schema up front, but events.ts has shipped as
+    * both TIMESTAMP(NANOS)-as-long and TIMESTAMP_NTZ micros across driver
+    * testdata generations (see [[graft.Tables.events]]) — so sniff the
+    * on-disk schema with ONE batch footer read, then normalize ts through
+    * the same shared rule the batch loader uses. Nanos files still require
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at SESSION BUILD (the
+    * sniff read itself enforces it); NTZ files require a UTC session zone. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events parquet carries TIMESTAMP(NANOS): build the session with " +
-        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\")")
-    spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val onDisk = spark.read.parquet(dir).schema
+    graft.Tables.normalizeEventTs(spark,
+      spark.readStream.schema(onDisk).parquet(dir))
   }
 
   /** Tumbling-window aggregation (works batch or streaming; add

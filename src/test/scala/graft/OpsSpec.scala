@@ -367,4 +367,40 @@ class OpsSpec extends SparkSpec {
     assert(naive == Seq(("a1", "b1"), ("a2", "b1"), ("a2", "b2"), ("a3", "b2"),
       ("a4", "b2")))
   }
+
+  test("jaroWinkler: textbook values, empty/null rules, boost threshold") {
+    import graft.functions.FuzzyExprs.jaroWinkler
+    val pairs = Seq(
+      ("martha", "marhta"), ("dwayne", "duane"), ("abc", "abc"),
+      ("", "abc"), ("", ""), ("aXXXXXXX", "aYYYYYYY"), ("ab", "ba"))
+      .toDF("a", "b")
+    val got = pairs.select(jaroWinkler(col("a"), col("b"))).as[Double]
+      .collect().toSeq
+    assert(math.abs(got(0) - 0.9611111111111111) < 1e-15) // jaro .944, prefix 3
+    assert(math.abs(got(1) - 0.84) < 1e-15) // jaro .822, prefix 1
+    assert(got(2) == 1.0)
+    assert(got(3) == 0.0 && got(4) == 0.0, "either side empty -> 0 (DuckDB rule)")
+    // jaro = (1/8 + 1/8 + 1)/3 = 0.41666..; prefix 1 but jaro <= 0.7: NO boost
+    assert(math.abs(got(5) - (0.125 + 0.125 + 1.0) / 3.0) < 1e-15)
+    // two chars, window max(2,2)/2-1 = 0: no cross-position match at all
+    assert(got(6) == 0.0)
+    val withNull = Seq((Some("x"), None: Option[String])).toDF("a", "b")
+      .select(jaroWinkler(col("a"), col("b"))).collect()
+    assert(withNull(0).isNullAt(0), "null input -> null, not 0")
+  }
+
+  test("jaroWinkler: interpreted eval matches codegen") {
+    import graft.functions.JaroKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    var seed = 99L
+    def next(): Int = { seed = (seed * 6364136223846793005L + 1442695040888963407L); ((seed >>> 33) % 7).toInt }
+    val strs = (1 to 60).map(_ => (1 to next() + 1).map(_ => ('a' + next()).toChar).mkString)
+    val pairs = for (a <- strs.take(30); b <- strs.drop(30)) yield (a, b)
+    val viaDf = pairs.toDF("a", "b")
+      .select(graft.functions.FuzzyExprs.jaroWinkler(col("a"), col("b")))
+      .as[Double].collect().toSeq
+    val direct = pairs.map { case (a, b) =>
+      JaroKernels.jaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b)) }
+    assert(viaDf == direct)
+  }
 }

@@ -359,4 +359,44 @@ class PlanSpec extends SparkSpec {
     assert(zipf.contains("TakeOrderedAndProject"),
       s"zipf's vocabulary cutoff must be a top-k, not a global sort:\n$zipf")
   }
+
+  test("q139: triangle wedge/closing joins are hash equi joins — no cartesian, no BNLJ, top-k cutoff") {
+    val p = planOf("q139_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle joins must stay equi:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 must be a cutoff, not a global sort:\n$p")
+    assert(!p.contains("Window ["), s"no window anywhere in triangle counting:\n$p")
+  }
+
+  test("q140: jaro-winkler runs inside codegen over a blocked equi self-join") {
+    val p = planOf("q140_fuzzy_names")
+    assert(p.contains("jaro_winkler"), s"native kernel missing from plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"name pairing must block on the join key:\n$p")
+  }
+
+  test("q141: RFM buckets are broadcast-boundary projections — no window, no ntile sort") {
+    val p = planOf("q141_rfm")
+    assert(!p.contains("Window ["), s"bucketing must never rank:\n$p")
+    assert(p.contains("Broadcast"), s"quantile boundaries must broadcast back:\n$p")
+  }
+
+  test("q142/q144: entry-exit and anomaly windows partition by user/group — never global") {
+    val ee = planOf("q142_entry_exit")
+    val eeW = ee.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(eeW.nonEmpty && eeW.forall(_.contains("user_id")),
+      s"entry/exit windows must partition by user_id:\n${eeW.mkString("\n")}")
+    val ra = planOf("q144_rolling_anomaly")
+    val raW = ra.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(raW.nonEmpty && raW.forall(_.contains("g#")),
+      s"rolling windows must partition by the group key:\n${raW.mkString("\n")}")
+  }
+
+  test("q145: per-user OLS is one aggregate chain — no window; top-k is a cutoff") {
+    val p = planOf("q145_user_trend")
+    assert(!p.contains("Window ["), s"per-group OLS needs no window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-25 must be a cutoff, not a global sort:\n$p")
+  }
 }

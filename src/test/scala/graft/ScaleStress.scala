@@ -280,6 +280,27 @@ object ScaleStress {
     }
     println(s"  bigram types: $pmiN (vocab-bounded, <= 31^2)")
     assert(pmiN <= 961L, s"bigram state exceeded the vocab bound: $pmiN")
+
+    // triangle counting with ONE 100k-degree hub: a star center plus a
+    // ring over the leaves. Id-oriented wedge enumeration would explode at
+    // the center (C(100k,2) ≈ 5e9 wedges); degree orientation points every
+    // star edge INTO the hub, so wedges enumerate at the degree-3 leaves
+    // (≤3 per leaf, ~300k total). Closed form: one triangle per ring edge.
+    val leaves = 100000L
+    val star = spark.range(leaves).select(lit(0L).as("src"), (col("id") + 1L).as("dst"))
+    val ring = spark.range(leaves).select((col("id") + 1L).as("src"),
+      (((col("id") + 1L) % leaves) + 1L).as("dst"))
+    val triRow = timed("triangleCounts over a 100k-degree hub + leaf ring") {
+      graft.pipeline.Graph.triangleCounts(star.union(ring), "src", "dst")
+        .agg(org.apache.spark.sql.functions.sum("n_tri").as("s"),
+          max("n_tri").as("mx"), count(lit(1)).as("n")).collect().head
+    }
+    println(s"  corner-sum: ${triRow.getAs[Long]("s")}, hub: ${triRow.getAs[Long]("mx")}, " +
+      s"nodes in triangles: ${triRow.getAs[Long]("n")} (expect 300k / 100k / 100,001)")
+    assert(triRow.getAs[Long]("s") == 3 * leaves &&
+      triRow.getAs[Long]("mx") == leaves &&
+      triRow.getAs[Long]("n") == leaves + 1,
+      s"hub-star closed form broken: $triRow")
     spark.stop()
   }
 }

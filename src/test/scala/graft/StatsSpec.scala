@@ -555,4 +555,72 @@ class StatsSpec extends SparkSpec {
       .orderBy("day").select("day", "n").as[(Long, Long)].collect.toSeq
     assert(got == Seq((10L, 2L), (11L, 0L), (12L, 0L), (13L, 1L)))
   }
+
+  test("rollingDailyAnomalies: integer gate flags the planted spike only") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // group a: days 0..6 carry 2 events, day 7 carries 9.
+    // trailing-7 at day 7: ss=21, pp=105, dev=7*9-21=42, varN=7*105-441=294
+    // gate: 42^2=1764 > 4*294=1176 -> anomaly; z = 42/sqrt(294)
+    val rows = (0 to 6).flatMap(d => Seq.fill(2)(("a", t(d)))) ++
+      Seq.fill(9)(("a", t(7)))
+    val df = rows.toDF("g", "ts")
+    val got = pipeline.EventAnalytics.rollingDailyAnomalies(df, "g", "ts",
+      window = 7, sigmas = 2).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("day") == 7L && r.getAs[Long]("n") == 9L)
+    assert(r.getAs[Double]("mean_win") == 3.0)
+    assert(math.abs(r.getAs[Double]("z") -
+      math.round(42.0 / math.sqrt(294.0) * 1e6) / 1e6) < 1e-12)
+  }
+
+  test("rfmBuckets: quartile buckets track each dimension independently") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // customer i (1..8): i orders on day i, each of amount 10*i
+    val rows = for (i <- 1 to 8; _ <- 1 to i) yield (i.toLong, t(i), 10.0 * i)
+    val df = rows.toDF("k", "ts", "amt")
+    val got = pipeline.EventAnalytics.rfmBuckets(df, "k", "ts", "amt")
+      .orderBy("key")
+      .select("key", "recency", "frequency", "monetary",
+        "r_bucket", "f_bucket", "m_bucket").collect()
+    // frequency 1..8 -> buckets (1,1,2,2,3,3,4,4); recency 7..0 inverts;
+    // monetary 10i^2 is monotone in i -> same buckets as frequency
+    val f = got.map(_.getAs[Int]("f_bucket")).toSeq
+    val r = got.map(_.getAs[Int]("r_bucket")).toSeq
+    val m = got.map(_.getAs[Int]("m_bucket")).toSeq
+    assert(f == Seq(1, 1, 2, 2, 3, 3, 4, 4))
+    assert(r == Seq(4, 4, 3, 3, 2, 2, 1, 1))
+    assert(m == Seq(1, 1, 2, 2, 3, 3, 4, 4))
+    assert(got.map(_.getAs[Long]("recency")).toSeq == (7 to 0 by -1).map(_.toLong))
+    assert(got.map(_.getAs[Double]("monetary")).toSeq ==
+      (1 to 8).map(i => 10.0 * i * i))
+  }
+
+  test("entryExitPaths: gap rule splits sessions, singletons self-pair") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val df = Seq(
+      (1L, 1L, t(0), "A"), (1L, 2L, t(10), "B"), (1L, 3L, t(5000), "C"),
+      (2L, 4L, t(0), "D"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = pipeline.EventAnalytics.entryExitPaths(df, "user_id",
+        "event_id", "ts", "event_type", gapMinutes = 30)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("A", "B") -> 1L, ("C", "C") -> 1L, ("D", "D") -> 1L))
+  }
+
+  test("benfordDigits: exact digit extraction, Benford shares on constants") {
+    val df = (Seq(1.23, 2.5, 19.99, 123.45, 0.02, -5.0) ++ Seq.fill(2)(9.11))
+      .toDF("v")
+    // digits: 1.23->1, 2.5->2, 19.99->1, 123.45->1, 0.02->2, -5 dropped,
+    // 9.11 twice -> 9; shares over n=7
+    val got = Stats.benfordDigits(df, "v").orderBy("digit").collect()
+    assert(got.map(r => (r.getAs[Int]("digit"), r.getAs[Long]("n"))).toSeq ==
+      Seq((1, 3L), (2, 2L), (9, 2L)))
+    val d1 = got(0)
+    assert(d1.getAs[Double]("benford_p") == 0.30103)
+    assert(d1.getAs[Double]("share") == math.round(3.0 / 7.0 * 1e6) / 1e6)
+  }
 }
