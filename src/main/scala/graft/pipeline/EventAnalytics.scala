@@ -515,4 +515,23 @@ object EventAnalytics {
       .withColumn("m_bucket", bucket("monetary", "m"))
       .drop(boundNames: _*)
   }
+
+  // ------------------------------------------------------- weekday profile
+  /** Per-group day-of-week profile: event counts by weekday (0 = Monday …
+    * 6 = Sunday, from the integer day index — epoch day 0 is a Thursday,
+    * so dow = (day + 3) mod 7; never a locale-dependent calendar function),
+    * each with its share of the group's events and the seasonality index
+    * 7·n/total (1.0 = flat). One aggregate bounded by 7·|groups| rows;
+    * group totals broadcast back. Exact counts, fixed-shape IEEE division,
+    * 6dp. Returns (group, dow, n, share, idx). */
+  def weekdayProfile(df: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val counts = df.select(col(groupCol).as("g"),
+        pmod(dayIndex(col(tsCol)) + lit(3L), lit(7L)).as("dow"))
+      .groupBy("g", "dow").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("g").agg(sum(col("n")).as("__t"))
+    counts.join(broadcast(totals), Seq("g"))
+      .select(col("g").as(groupCol), col("dow"), col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6).as("share"),
+        round(lit(7.0) * col("n").cast("double") / col("__t").cast("double"), 6).as("idx"))
+  }
 }

@@ -87,15 +87,23 @@ object Graph {
     * count is orientation-invariant, so an oracle may enumerate a<b<c
     * instead and must agree exactly.
     */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = edges
+  /** Canonical undirected simple-edge relation: (a, b) with a < b, loops
+    * and duplicates (either direction) dropped. */
+  private def canonEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
-    val deg = und.select(col("a").as("node"))
+
+  private def degrees(und: DataFrame): DataFrame =
+    und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = canonEdges(edges, srcCol, dstCol)
+    val deg = degrees(und)
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
@@ -111,5 +119,24 @@ object Graph {
       oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
     tris.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Local clustering coefficient per node of degree ≥ 2:
+    * c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close a node's
+    * neighborhood is to a clique (community cores vs brokers). Reuses
+    * [[triangleCounts]]' degree-ordered enumeration (same hub-safe scale
+    * shape), left-joined so triangle-free nodes report 0. The numerator
+    * and denominator are exact integers finished by ONE IEEE division,
+    * rounded 6dp — engine-independent. Returns (node, deg, n_tri, coeff). */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+                             dstCol: String): DataFrame = {
+    val und = canonEdges(edges, srcCol, dstCol)
+    val tri = triangleCounts(edges, srcCol, dstCol)
+    degrees(und).filter(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+          (col("deg") * (col("deg") - lit(1L))).cast("double"), 6).as("coeff"))
   }
 }

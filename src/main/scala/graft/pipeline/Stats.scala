@@ -393,6 +393,46 @@ object Stats {
           .as("n_outliers"))
   }
 
+  // --------------------------------------------- reciprocal-rank fusion
+  /** Reciprocal-rank fusion of TWO per-group rankings (Cormack et al.
+    * 2009): each scorer retrieves its top-`depth` list per group (ordered
+    * score desc, key asc — [[graft.pipeline.Curation.topKPerGroup]]'s
+    * deterministic prune does the heavy lifting, so no global or
+    * whole-group sort ever runs), lists full-outer join on (group, key),
+    * and fused = Σ 1/(kRrf + rank) over the lists the key appears in —
+    * the standard retrieved-list-depth semantics (a key outside one list
+    * contributes nothing for it). Ranks are small integers, so the fused
+    * score is the same two correctly-rounded IEEE divisions + one add in
+    * any engine; the final per-group top-`topK` window runs over ≤2·depth
+    * rows per group. Returns (group, key, r1, r2, fused) — r1/r2 null
+    * when the key missed that list. */
+  def rrfFuse(df: DataFrame, groupCol: String, keyCol: String,
+              score1: Column, score2: Column, depth: Int = 100,
+              kRrf: Int = 60, topK: Int = 5): DataFrame = {
+    require(depth > 0 && kRrf > 0 && topK > 0)
+    val base = df.select(col(groupCol).as("__grp"), col(keyCol).as("__key"),
+      score1.as("__s1"), score2.as("__s2"))
+    def list(scoreName: String, rankName: String) = {
+      val top = graft.pipeline.Curation.topKPerGroup(
+        base.select("__grp", "__key", scoreName), "__grp", scoreName, "__key", depth)
+      top.withColumn(rankName, row_number().over(
+          Window.partitionBy(col("__grp"))
+            .orderBy(col(scoreName).desc, col("__key").asc)))
+        .select(col("__grp"), col("__key"), col(rankName))
+    }
+    val joined = list("__s1", "r1").join(list("__s2", "r2"),
+      Seq("__grp", "__key"), "full_outer")
+    val fused = coalesce(lit(1.0) / (lit(kRrf) + col("r1")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(kRrf) + col("r2")), lit(0.0))
+    joined.withColumn("__f", fused)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__grp"))
+          .orderBy(col("__f").desc, col("__key").asc)))
+      .filter(col("__rn") <= topK)
+      .select(col("__grp").as(groupCol), col("__key").as(keyCol),
+        col("r1"), col("r2"), round(col("__f"), 6).as("fused"))
+  }
+
   // --------------------------------------------------------- Benford audit
   /** First-significant-digit distribution of a positive fixed-point column
     * vs Benford's law — the classic fabricated-amounts / corrupted-feed

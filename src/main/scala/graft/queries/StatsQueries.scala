@@ -963,5 +963,72 @@ object StatsQueries {
             col("day") - lit(20000L), col("n"))
           .filter(col("n") >= 10)
           .orderBy(col("slope").desc, col("user_id").asc).limit(25)
-      }))
+      }),
+
+    // ---- local clustering coefficient over the same co-purchase graph:
+    // 2·tri/(deg·(deg−1)), integers finished by one IEEE division.
+    Q("q146_clustering",
+      Some("WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.pk AS a, y.pk AS b FROM lp x " +
+        "JOIN lp y ON x.ok = y.ok AND x.pk < y.pk), " +
+        "d AS (SELECT node, count(*) AS deg FROM " +
+        "(SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1), " +
+        "t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w FROM e e1 " +
+        "JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b " +
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), " +
+        "tc AS (SELECT node, count(*) AS n_tri FROM " +
+        "(SELECT unnest([u, v, w]) AS node FROM t) GROUP BY 1) " +
+        "SELECT d.node, deg, coalesce(n_tri, 0) AS n_tri, " +
+        "round(2.0 * coalesce(n_tri, 0) / CAST(deg * (deg - 1) AS DOUBLE), 6) AS coeff " +
+        "FROM d LEFT JOIN tc USING (node) WHERE deg >= 2 " +
+        "ORDER BY coeff DESC, node LIMIT 20"),
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("src"), col("pk2").as("dst"))
+        graft.pipeline.Graph.clusteringCoefficients(edges, "src", "dst")
+          .orderBy(col("coeff").desc, col("node").asc).limit(20)
+      }),
+
+    // ---- per-type weekday seasonality: dow from the INTEGER day index
+    // ((day+3) mod 7, 0=Monday — never a locale calendar function), share
+    // and the 7·n/total flatness index.
+    Q("q147_weekday_profile",
+      Some("WITH c AS (SELECT event_type, (epoch_us(ts) // 86400000000 + 3) % 7 AS dow, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, sum(n) AS t FROM c GROUP BY 1) " +
+        "SELECT c.event_type, dow, n, " +
+        "round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share, " +
+        "round(7.0 * CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS idx " +
+        "FROM c JOIN t USING (event_type) ORDER BY event_type, dow"),
+      (s, dir) => EventAnalytics.weekdayProfile(Tables.events(s, dir),
+          "event_type", "ts")
+        .orderBy("event_type", "dow")),
+
+    // ---- reciprocal-rank fusion of two per-language document rankings
+    // (by n_chars and by token count), retrieved-list depth 100, top 5 —
+    // the prune never sorts a whole group; the oracle's plain windows
+    // must agree exactly.
+    Q("q148_rrf",
+      Some("WITH w AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS s1, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS s2 FROM documents), " +
+        "l1 AS (SELECT lang, doc_id, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY s1 DESC, doc_id) AS r1 FROM w QUALIFY r1 <= 100), " +
+        "l2 AS (SELECT lang, doc_id, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY s2 DESC, doc_id) AS r2 FROM w QUALIFY r2 <= 100), " +
+        "j AS (SELECT coalesce(l1.lang, l2.lang) AS lang, " +
+        "coalesce(l1.doc_id, l2.doc_id) AS doc_id, r1, r2, " +
+        "coalesce(1.0 / (60 + r1), 0.0) + coalesce(1.0 / (60 + r2), 0.0) AS f " +
+        "FROM l1 FULL OUTER JOIN l2 ON l1.lang = l2.lang AND l1.doc_id = l2.doc_id), " +
+        "t AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY f DESC, doc_id) AS rn FROM j) " +
+        "SELECT lang, doc_id, r1, r2, round(f, 6) AS fused FROM t WHERE rn <= 5 " +
+        "ORDER BY lang, fused DESC, doc_id"),
+      (s, dir) => Stats.rrfFuse(
+          Tables.documents(s, dir).withColumn("ntok", TA.tokenCount(col("text"))),
+          "lang", "doc_id", col("n_chars").cast("double"),
+          col("ntok").cast("double"), depth = 100, kRrf = 60, topK = 5)
+        .orderBy(col("lang").asc, col("fused").desc, col("doc_id").asc)))
 }

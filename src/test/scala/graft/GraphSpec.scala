@@ -32,6 +32,20 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleCounts(edges, "src", "dst").count() == 0)
   }
 
+  test("clusteringCoefficients: clique is 1.0, path center is 0, leaves excluded") {
+    // K3 {1,2,3} plus a path tail 3-4-5: node 3 has deg 3 and 1 triangle
+    // -> 2/(3*2) = 0.333333; 4 has deg 2, no triangle -> 0; 5 has deg 1
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.clusteringCoefficients(edges, "src", "dst")
+      .select("node", "deg", "n_tri", "coeff")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), "deg-1 node 5 must be excluded")
+    assert(got(1L) == ((1L, 2L, 1L, 1.0)) && got(2L) == ((2L, 2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 3L, 1L, 0.333333)))
+    assert(got(4L) == ((4L, 2L, 0L, 0.0)), "triangle-free node reports 0")
+  }
+
   test("triangleCounts: degree orientation agrees with naive a<b<c enumeration") {
     // pseudo-random graph (deterministic LCG), checked against an exact
     // naive count — the orientation-invariance claim the q139 oracle uses

@@ -399,4 +399,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-25 must be a cutoff, not a global sort:\n$p")
   }
+
+  test("q146/q147: clustering joins stay equi; weekday totals broadcast") {
+    val cc = planOf("q146_clustering")
+    assert(!cc.contains("CartesianProduct") && !cc.contains("BroadcastNestedLoopJoin"),
+      s"clustering must stay equi-join:\n$cc")
+    val wp = planOf("q147_weekday_profile")
+    assert(wp.contains("BroadcastHashJoin"), s"totals must broadcast back:\n$wp")
+    assert(!wp.contains("Window ["), s"profile needs no window:\n$wp")
+  }
+
+  test("q148: RRF windows all partition by the group — the prune leaves no global sort") {
+    val p = planOf("q148_rrf")
+    val ws = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(ws.nonEmpty && ws.forall(_.contains("__g")),
+      s"every RRF window must partition by the group key:\n${ws.mkString("\n")}")
+  }
 }

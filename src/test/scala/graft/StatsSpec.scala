@@ -611,6 +611,39 @@ class StatsSpec extends SparkSpec {
     assert(got == Map(("A", "B") -> 1L, ("C", "C") -> 1L, ("D", "D") -> 1L))
   }
 
+  test("weekdayProfile: epoch day 0 is Thursday; shares and index sum out") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // days 0..6 cover one full week: day 0 -> dow 3 (Thu), day 4 -> 0 (Mon)
+    val df = ((0 to 6).map(d => ("a", t(d))) :+ ("a", t(4))).toDF("g", "ts")
+    val got = pipeline.EventAnalytics.weekdayProfile(df, "g", "ts")
+      .orderBy("dow").select("dow", "n", "share", "idx")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == (0L to 6L))
+    assert(got.map(_._2) == Seq(2L, 1L, 1L, 1L, 1L, 1L, 1L), "day 4 = Monday doubles")
+    assert(got(0)._3 == 0.25 && got(0)._4 == 1.75)
+    assert(got(1)._3 == 0.125 && got(1)._4 == 0.875)
+  }
+
+  test("rrfFuse: hand-computed fusion, list-depth cutoff, missing-list nulls") {
+    // group g: keys a..d with anti-correlated scores; depth 2 lists:
+    //   s1 top-2: a(r1=1), b(r1=2); s2 top-2: d(r2=1), c(r2=2)
+    // fused (k=60): every key has exactly one term; a: 1/61, b: 1/62,
+    //   c: 1/62, d: 1/61 -> top-3 by (f desc, key): a, d, b
+    val df = Seq(("g", "a", 4.0, 1.0), ("g", "b", 3.0, 2.0),
+      ("g", "c", 2.0, 3.0), ("g", "d", 1.0, 4.0)).toDF("grp", "k", "s1", "s2")
+    val got = Stats.rrfFuse(df, "grp", "k", col("s1"), col("s2"),
+        depth = 2, kRrf = 60, topK = 3)
+      .select("k", "r1", "r2", "fused").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq("a", "b", "d"), s"wrong fused top-3: $got")
+    val byK = got.map(r => r._1 -> r).toMap
+    assert(byK("a") == (("a", Some(1), None, math.round(1e6 / 61.0) / 1e6)))
+    assert(byK("d") == (("d", None, Some(1), math.round(1e6 / 61.0) / 1e6)))
+    assert(byK("b") == (("b", Some(2), None, math.round(1e6 / 62.0) / 1e6)))
+  }
+
   test("benfordDigits: exact digit extraction, Benford shares on constants") {
     val df = (Seq(1.23, 2.5, 19.99, 123.45, 0.02, -5.0) ++ Seq.fill(2)(9.11))
       .toDF("v")
