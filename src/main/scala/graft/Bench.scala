@@ -43,12 +43,20 @@ object Bench {
       .filter { case (n, _) => only.forall(n.contains) }
 
     // a failing query reports -1 (and logs) instead of a normal-looking
-    // wall time — a silently broken query must not read as a fast one
+    // wall time — a silently broken query must not read as a fast one.
+    // After each query, drop checkpoint blocks IT created (iterative graph
+    // operators localCheckpoint their edge relations): leaking 148 queries'
+    // worth of dead blocks into the block manager skews later measurements.
+    // Warmup-era blocks (fixture state) are kept.
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val sec = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case t: Throwable =>
           System.err.println(s"query '$name' failed: $t"); -1.0 }
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => keep(id) }
+        .values.foreach(_.unpersist(blocking = false))
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -428,15 +428,13 @@ object EventAnalytics {
       .withColumn("__new", when(col("__prev").isNull ||
         col("__us") - col("__prev") > gapUs, 1L).otherwise(0L))
       .withColumn("session", sum(col("__new")).over(w))
-    val sw = Window.partitionBy(col(userCol), col("session"))
-      .orderBy(col("__us").asc, col(idCol).asc)
+    // first/last as min_by/max_by over the (ts, id) total order — ONE
+    // aggregate after the one sessionizing window, instead of a second
+    // row-number window pass over the full event relation
     sessions
-      .withColumn("__rn", row_number().over(sw))
-      .withColumn("__cnt", count(lit(1)).over(
-        Window.partitionBy(col(userCol), col("session"))))
       .groupBy(col(userCol), col("session"))
-      .agg(max(when(col("__rn") === 1, col(typeCol))).as("entry_type"),
-        max(when(col("__rn") === col("__cnt"), col(typeCol))).as("exit_type"))
+      .agg(min_by(col(typeCol), struct(col("__us"), col(idCol))).as("entry_type"),
+        max_by(col(typeCol), struct(col("__us"), col(idCol))).as("exit_type"))
       .groupBy("entry_type", "exit_type")
       .agg(count(lit(1)).as("n_sessions"))
   }
@@ -494,9 +492,13 @@ object EventAnalytics {
         count(lit(1)).as("frequency"),
         sum(col(amountCol).cast("decimal(38,6)")).cast("double").as("monetary"))
     val mx = perKey.agg(max(col("__last")).as("__mx"))
+    // materialize the per-key relation once (localCheckpoint): both the
+    // percentile aggregate and the bucket projection read it, and each
+    // reference would otherwise replay the transaction-log aggregate
     val rec = perKey.crossJoin(broadcast(mx))
       .select(col("key"), (col("__mx") - col("__last")).as("recency"),
         col("frequency"), col("monetary"))
+      .localCheckpoint(true)
     val qs = Seq(0.25, 0.5, 0.75)
     def pct(c: String) = expr(s"percentile($c, array(${qs.mkString(", ")}))")
     val boundNames = for (d <- Seq("r", "f", "m"); i <- qs.indices) yield s"__$d$i"

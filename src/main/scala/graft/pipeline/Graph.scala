@@ -34,9 +34,6 @@ object Graph {
     // checkpoint discipline = connectedComponents': the edge relation
     // materializes ONCE (every round joins it), each round's rank cuts its
     // lineage — no ambiguous-self-join resolution, no replayed upstream
-    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val e0 = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct())
     val nodes = e0.select(col("src").as("node"))
@@ -88,36 +85,64 @@ object Graph {
     * instead and must agree exactly.
     */
   /** Canonical undirected simple-edge relation: (a, b) with a < b, loops
-    * and duplicates (either direction) dropped. */
+    * and duplicates (either direction) dropped. CHECKPOINTED (the pageRank
+    * lineage discipline): degrees, orientation, and both wedge-join sides
+    * all read this relation — without the cut each reference would replay
+    * the caller's full upstream (e.g. a fact-table self-join) once per use. */
   private def canonEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
-    edges
+    cut(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .distinct()
+      .distinct())
+
+  private def cut(df: DataFrame): DataFrame = {
+    val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+  }
 
   private def degrees(und: DataFrame): DataFrame =
     und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = canonEdges(edges, srcCol, dstCol)
-    val deg = degrees(und)
+  /** Degree-oriented edge relation (u → v with (deg,id)(u) < (deg,id)(v)),
+    * materialized once — it feeds both wedge-join sides AND the closing-
+    * edge probe. */
+  private def orientedOf(und: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
     val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
-    val oriented = withDeg.select(
+    cut(withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
-      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      when(aFirst, col("db")).otherwise(col("da")).as("dv")))
+  }
+
+  /** One row per triangle: (u, x, y), each enumerated exactly once at its
+    * two lowest-(deg,id) corners. The wedge relation slims to three id
+    * columns BEFORE the closing-edge shuffle — at Σ C(outdeg, 2) rows it
+    * is the volume driver, and the degree columns only exist to order the
+    * wedge. */
+  private def triCorners(oriented: DataFrame): DataFrame = {
+    // SHUFFLE_HASH hints on the EDGE side of both joins: the streamed side
+    // is the wedge relation (Σ C(outdeg,2) rows — orders of magnitude
+    // larger than |E|), and the default sort-merge strategy would sort it;
+    // hashing the edge build side keeps the wedge side pipelined
     val wedges = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
-      .join(oriented.select(col("u"), col("v").as("y"), col("dv").as("dy")), Seq("u"))
+      .join(oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+        .hint("shuffle_hash"), Seq("u"))
       .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
-    val tris = wedges.join(
-      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
-    tris.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .select("u", "x", "y")
+    wedges.join(oriented.select(col("u").as("x"), col("v").as("y"))
+      .hint("shuffle_hash"), Seq("x", "y"))
+  }
+
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = canonEdges(edges, srcCol, dstCol)
+    triCorners(orientedOf(und, degrees(und)))
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
@@ -131,8 +156,11 @@ object Graph {
   def clusteringCoefficients(edges: DataFrame, srcCol: String,
                              dstCol: String): DataFrame = {
     val und = canonEdges(edges, srcCol, dstCol)
-    val tri = triangleCounts(edges, srcCol, dstCol)
-    degrees(und).filter(col("deg") >= 2)
+    val deg = degrees(und)
+    val tri = triCorners(orientedOf(und, deg))
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2)
       .join(tri, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
