@@ -518,6 +518,61 @@ object EventAnalytics {
       .drop(boundNames: _*)
   }
 
+  // ----------------------------------------------------- survival curve
+  /** User-lifetime survival curve: the share of users whose observed
+    * lifetime (last active week − first active week) is at least w, for
+    * every w from 0 to the maximum — the retention-planning face of q129's
+    * churn. Lifetimes aggregate once at user grain; the curve is a reverse
+    * running sum over the CALENDAR-BOUNDED week spine (the q138 precedent:
+    * a global window is fine when its input is the spine, never the log).
+    * Exact integers, one IEEE division, 6dp. Returns
+    * (weeks, n_surviving, share). */
+  def survivalCurve(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val lt = df.select(col(userCol).as("u"), weekIndex(col(tsCol)).as("wk"))
+      .groupBy("u").agg((max(col("wk")) - min(col("wk"))).as("lifetime"))
+    val cnt = lt.groupBy("lifetime").agg(count(lit(1)).as("n"))
+    val spine = cnt.agg(max(col("lifetime")).as("__mx"))
+      .select(explode(sequence(lit(0L), col("__mx"))).as("weeks"))
+    val total = lt.agg(count(lit(1)).as("__t"))
+    val rev = Window.orderBy(col("weeks").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(cnt, spine("weeks") === cnt("lifetime"), "left")
+      .select(col("weeks"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("n_surviving", sum(col("n")).over(rev))
+      .crossJoin(broadcast(total))
+      .select(col("weeks"), col("n_surviving"),
+        round(col("n_surviving").cast("double") / col("__t").cast("double"), 6)
+          .as("share"))
+  }
+
+  // ------------------------------------------- stepped-decay activity score
+  /** Recency-weighted per-key activity score with STEPPED exponential
+    * decay: an event `k` full half-lives before the corpus max day weighs
+    * 2^−k (capped at `maxSteps`). The engagement score behind "recently
+    * active" ranking — and, deliberately, decay WITHOUT libm: every weight
+    * is an exact power of two carried as the INTEGER 2^(maxSteps−k), so
+    * per-key scores are exact integer sums (order-independent across any
+    * partitioning — a float Σ of pow() terms would be neither), finished
+    * by one exact 2^−maxSteps scaling. Engine-independent to the last bit.
+    * Returns (key, n_events, score_units, score) — score = units/2^maxSteps
+    * rounded 6dp; rank on score_units for exact order. */
+  def decayedActivityScore(df: DataFrame, keyCol: String, tsCol: String,
+                           halfLifeDays: Int = 7, maxSteps: Int = 40): DataFrame = {
+    require(halfLifeDays > 0 && maxSteps >= 1 && maxSteps <= 62)
+    val days = df.select(col(keyCol).as("key"), dayIndex(col(tsCol)).as("__day"))
+    val mx = days.agg(max(col("__day")).as("__mx"))
+    // integer floor division throughout — `/` on Columns is double division
+    val steps = expr(
+      s"least((__mx - __day) div ${halfLifeDays}L, ${maxSteps}L)").cast("int")
+    days.crossJoin(broadcast(mx))
+      .withColumn("__k", steps)
+      .select(col("key"), expr(s"shiftleft(1L, $maxSteps - __k)").as("__u"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_events"), sum(col("__u")).as("score_units"))
+      .withColumn("score", round(col("score_units").cast("double") /
+        lit(math.pow(2.0, maxSteps)), 6))
+  }
+
   // ------------------------------------------------------- weekday profile
   /** Per-group day-of-week profile: event counts by weekday (0 = Monday …
     * 6 = Sunday, from the integer day index — epoch day 0 is a Thursday,

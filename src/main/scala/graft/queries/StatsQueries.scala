@@ -1030,5 +1030,75 @@ object StatsQueries {
           Tables.documents(s, dir).withColumn("ntok", TA.tokenCount(col("text"))),
           "lang", "doc_id", col("n_chars").cast("double"),
           col("ntok").cast("double"), depth = 100, kRrf = 60, topK = 5)
-        .orderBy(col("lang").asc, col("fused").desc, col("doc_id").asc)))
+        .orderBy(col("lang").asc, col("fused").desc, col("doc_id").asc)),
+
+    // ---- stepped-decay activity score: an event k half-lives (7 days)
+    // old weighs 2^-k — carried as the INTEGER 2^(40-k), so per-user
+    // scores are exact integer sums (a float Σ of pow() terms would be
+    // partitioning-dependent); one exact 2^-40 scaling at the end. Top 25
+    // ranked on the integer units.
+    Q("q149_decay_score",
+      Some("WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events), " +
+        "mx AS (SELECT max(day) AS mx FROM d), " +
+        "u AS (SELECT user_id, (CAST(1 AS BIGINT) << " +
+        "CAST(40 - least((mx - day) // 7, 40) AS INT)) AS un FROM d, mx), " +
+        "g AS (SELECT user_id, count(*) AS n_events, sum(un) AS score_units FROM u GROUP BY 1) " +
+        "SELECT user_id, n_events, score_units, " +
+        "round(CAST(score_units AS DOUBLE) / 1099511627776.0, 6) AS score " +
+        "FROM g ORDER BY score_units DESC, user_id LIMIT 25"),
+      (s, dir) => EventAnalytics.decayedActivityScore(Tables.events(s, dir),
+          "user_id", "ts", halfLifeDays = 7, maxSteps = 40)
+        .orderBy(col("score_units").desc, col("key").asc)
+        .select(col("key").as("user_id"), col("n_events"),
+          col("score_units"), col("score"))
+        .limit(25)),
+
+    // ---- session-duration histogram: q124's sessionizer rolled up to
+    // minute buckets — duration div 60e6 µs, exact integers end to end.
+    Q("q150_session_durations",
+      Some("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+        "f AS (SELECT user_id, event_id, us, " +
+        "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 " +
+        "THEN 1 ELSE 0 END AS nf FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "s AS (SELECT user_id, us, sum(nf) OVER " +
+        "(PARTITION BY user_id ORDER BY us, event_id) AS session FROM f), " +
+        "ses AS (SELECT user_id, session, count(*) AS n_events, " +
+        "(max(us) - min(us)) // 60000000 AS mins FROM s GROUP BY 1, 2), " +
+        "h AS (SELECT mins, count(*) AS n_sessions, " +
+        "CAST(sum(n_events) AS BIGINT) AS n_events FROM ses GROUP BY 1), " +
+        "t AS (SELECT sum(n_sessions) AS t FROM h) " +
+        "SELECT mins, n_sessions, n_events, " +
+        "round(CAST(n_sessions AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share " +
+        "FROM h, t ORDER BY mins"),
+      (s, dir) => {
+        val ses = EventAnalytics.sessionStats(Tables.events(s, dir),
+            "user_id", "event_id", "ts", gapMinutes = 30)
+          .select(expr("duration_us div 60000000").as("mins"), col("n_events"))
+        val h = ses.groupBy("mins").agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"))
+        val t = h.agg(sum(col("n_sessions")).as("__t"))
+        h.crossJoin(broadcast(t))
+          .select(col("mins"), col("n_sessions"), col("n_events"),
+            round(col("n_sessions").cast("double") / col("__t").cast("double"), 6)
+              .as("share"))
+          .orderBy("mins")
+      }),
+
+    // ---- user-lifetime survival curve: share of users active for >= w
+    // weeks; reverse running sum over the calendar-bounded week spine.
+    Q("q151_survival",
+      Some("WITH wk AS (SELECT user_id, (epoch_us(ts) // 86400000000 + 3) // 7 AS week FROM events), " +
+        "lt AS (SELECT user_id, max(week) - min(week) AS lifetime FROM wk GROUP BY 1), " +
+        "c AS (SELECT lifetime, count(*) AS n FROM lt GROUP BY 1), " +
+        "sp AS (SELECT unnest(range(0, (SELECT max(lifetime) FROM lt) + 1)) AS w), " +
+        "j AS (SELECT w, coalesce(n, 0) AS n FROM sp LEFT JOIN c ON c.lifetime = sp.w), " +
+        "r AS (SELECT w, sum(n) OVER (ORDER BY w DESC) AS n_surviving FROM j), " +
+        "t AS (SELECT count(*) AS t FROM lt) " +
+        "SELECT w AS weeks, n_surviving, " +
+        "round(CAST(n_surviving AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share " +
+        "FROM r, t ORDER BY weeks"),
+      (s, dir) => EventAnalytics.survivalCurve(Tables.events(s, dir),
+          "user_id", "ts")
+        .orderBy("weeks")))
 }

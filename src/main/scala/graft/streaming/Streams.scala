@@ -59,6 +59,32 @@ object Streams {
     events.withWatermark("ts", lateness)
       .dropDuplicates("user_id", "event_type")
 
+  /** Watermarked STREAM-STREAM inner join: enrich each event with the
+    * `lookups` rows for the same key whose event time falls within
+    * `joinWindowSec` seconds BEFORE the event (state-feasible streaming
+    * enrichment — click↔impression attribution, request↔response pairing).
+    * Both sides are watermarked and the join condition bounds the
+    * event-time gap, so Spark can evict buffered rows once the watermark
+    * passes `ts − joinWindowSec` — without the bound, stream-stream join
+    * state grows forever. Lookup columns (other than the key) arrive
+    * prefixed `l_`. Works identically on batch DataFrames (the oracle
+    * face: a plain bounded interval join). */
+  def enrichStream(events: DataFrame, lookups: DataFrame, keyCol: String,
+                   joinWindowSec: Long, lateness: String = "1 hour"): DataFrame = {
+    require(joinWindowSec > 0)
+    val streaming = events.isStreaming || lookups.isStreaming
+    val l0 = lookups.columns.foldLeft(lookups)((df, c) =>
+      df.withColumnRenamed(c, s"l_$c"))
+    val (e, l) =
+      if (streaming) (events.withWatermark("ts", lateness),
+        l0.withWatermark("l_ts", lateness))
+      else (events, l0)
+    e.join(l, col(keyCol) === col(s"l_$keyCol") &&
+      col("l_ts") >= col("ts") - expr(s"INTERVAL $joinWindowSec SECONDS") &&
+      col("l_ts") <= col("ts"))
+      .drop(s"l_$keyCol")
+  }
+
   /** Gap-based sessionization, batch form: a session breaks after `gapMin`
     * minutes of inactivity. Pure window functions — one shuffle on user_id. */
   def sessionizeBatch(events: DataFrame, gapMin: Int = 30): DataFrame = {

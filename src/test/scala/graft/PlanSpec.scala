@@ -415,4 +415,15 @@ class PlanSpec extends SparkSpec {
     assert(ws.nonEmpty && ws.forall(_.contains("__g")),
       s"every RRF window must partition by the group key:\n${ws.mkString("\n")}")
   }
+
+  test("q149/q150: decay score is window-free with a broadcast max; durations windows stay per-user") {
+    val ds = planOf("q149_decay_score")
+    assert(!ds.contains("Window ["), s"decay score needs no window:\n$ds")
+    assert(ds.contains("TakeOrderedAndProject"),
+      s"top-25 must be a cutoff:\n$ds")
+    val sd = planOf("q150_session_durations")
+    val ws = sd.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(ws.nonEmpty && ws.forall(_.contains("user_id")),
+      s"session windows must partition by user_id:\n${ws.mkString("\n")}")
+  }
 }

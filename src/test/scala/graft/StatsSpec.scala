@@ -644,6 +644,35 @@ class StatsSpec extends SparkSpec {
     assert(byK("b") == (("b", Some(2), None, math.round(1e6 / 62.0) / 1e6)))
   }
 
+  test("survivalCurve: reverse cumulative over the week spine") {
+    import java.sql.Timestamp
+    def t(w: Int) = new Timestamp(86400000L * 7 * w)
+    // lifetimes: u1 0 weeks, u2 2 weeks, u3 2 weeks -> curve:
+    // w=0: 3 (all), w=1: 2, w=2: 2
+    val df = Seq((1L, t(10)), (2L, t(10)), (2L, t(12)),
+      (3L, t(11)), (3L, t(13))).toDF("u", "ts")
+    val got = pipeline.EventAnalytics.survivalCurve(df, "u", "ts")
+      .orderBy("weeks").select("weeks", "n_surviving", "share")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 3L, 1.0), (1L, 2L, 0.666667), (2L, 2L, 0.666667)))
+  }
+
+  test("decayedActivityScore: exact power-of-two units, cap at maxSteps") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // max day 514: A at days 514/507/500 -> steps 0,1,2 -> 1 + .5 + .25;
+    // B one event 500 weeks back -> capped at step 40 -> 1 unit (2^-40)
+    val df = Seq(("a", t(514)), ("a", t(507)), ("a", t(500)),
+      ("b", t(514 - 7 * 500))).toDF("k", "ts")
+    val got = pipeline.EventAnalytics.decayedActivityScore(df, "k", "ts")
+      .orderBy("key").collect()
+    assert(got(0).getAs[Long]("score_units") ==
+      (1L << 40) + (1L << 39) + (1L << 38))
+    assert(got(0).getAs[Double]("score") == 1.75)
+    assert(got(1).getAs[Long]("score_units") == 1L, "old event caps at 2^-40")
+    assert(got(1).getAs[Double]("score") == 0.0)
+  }
+
   test("benfordDigits: exact digit extraction, Benford shares on constants") {
     val df = (Seq(1.23, 2.5, 19.99, 123.45, 0.02, -5.0) ++ Seq.fill(2)(9.11))
       .toDF("v")

@@ -237,5 +237,39 @@ class StreamsSpec extends SparkSpec {
       Curation.chunkByTokens(docs.toDF("doc_id", "text"), "doc_id", "text", 64, 48).count())
   }
 
+  test("enrichStream: stream-stream join pairs within the time bound only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val events = MemoryStream[(Long, java.sql.Timestamp)]
+    val lookups = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = Streams.enrichStream(
+      events.toDS().toDF("user_id", "ts"),
+      lookups.toDS().toDF("user_id", "ts", "tag"),
+      "user_id", joinWindowSec = 60L)
+    val q = joined.writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append()).start()
+    // lookups: u1 tagged at 100 and (stale) at 0; u2 tagged at 500
+    lookups.addData((1L, t(100), "a"), (1L, t(0), "old"), (2L, t(500), "b"))
+    // events: u1 at 130 (within 60s of tag@100, 130s after tag@0),
+    // u1 at 90 (BEFORE tag@100 -> no match), u2 at 560, u3 at 130
+    events.addData((1L, t(130)), (1L, t(90)), (2L, t(560)), (3L, t(130)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich")
+      .select("user_id", "l_tag").as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")),
+      s"only in-window same-key pairs join: $got")
+    // batch face: identical builder, identical result
+    val be = Seq((1L, t(130)), (1L, t(90)), (2L, t(560)), (3L, t(130)))
+      .toDF("user_id", "ts")
+    val bl = Seq((1L, t(100), "a"), (1L, t(0), "old"), (2L, t(500), "b"))
+      .toDF("user_id", "ts", "tag")
+    val batch = Streams.enrichStream(be, bl, "user_id", 60L)
+      .select("user_id", "l_tag").as[(Long, String)].collect().sorted.toSeq
+    assert(batch == got, "batch face must agree with the streamed result")
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
