@@ -48,11 +48,15 @@ object Graph {
     var rank = nodes.crossJoin(broadcast(n))
       .select(col("node"), expr(s"${Scale}L div __n").as("r"))
     for (i <- 1 to iters) {
-      val contrib = rank.join(e, rank("node") === e("src"))
+      // SHUFFLE_HASH on the rank side: ranks are |V| rows against |E|
+      // edges — the default sort-merge would re-sort the edge relation
+      // every iteration (the triangle-tier lesson)
+      val contrib = rank.hint("shuffle_hash")
+        .join(e, rank("node") === e("src"))
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("__in"))
       rank = rank.select(col("node"))
-        .join(contrib, Seq("node"), "left")
+        .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
         .crossJoin(broadcast(n))
         .select(col("node"),
           (col("__tp") + expr("(17 * coalesce(__in, 0L)) div 20")).as("r"))
