@@ -508,9 +508,13 @@ object EventAnalytics {
         case (d, q) => qs.indices.map(i =>
           round(element_at(col(q), i + 1), 4).as(s"__$d$i"))
       }: _*)
+    // a NULL dimension keeps a NULL bucket (all-null amounts): folding it
+    // into bucket 1 would silently misfile the key — and diverge from SQL,
+    // where 1 + NULL stays NULL
     def bucket(v: String, d: String) =
-      qs.indices.map(i => when(col(v) > col(s"__$d$i"), 1).otherwise(0))
-        .reduce(_ + _) + lit(1)
+      when(col(v).isNull, lit(null)).otherwise(
+        qs.indices.map(i => when(col(v) > col(s"__$d$i"), 1).otherwise(0))
+          .reduce(_ + _) + lit(1))
     rec.crossJoin(broadcast(bounds))
       .withColumn("r_bucket", bucket("recency", "r"))
       .withColumn("f_bucket", bucket("frequency", "f"))
@@ -559,7 +563,10 @@ object EventAnalytics {
   def decayedActivityScore(df: DataFrame, keyCol: String, tsCol: String,
                            halfLifeDays: Int = 7, maxSteps: Int = 40): DataFrame = {
     require(halfLifeDays > 0 && maxSteps >= 1 && maxSteps <= 62)
-    val days = df.select(col(keyCol).as("key"), dayIndex(col(tsCol)).as("__day"))
+    // null timestamps carry no recency evidence: drop them up front so
+    // n_events and score_units count the same rows
+    val days = df.filter(col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"), dayIndex(col(tsCol)).as("__day"))
     val mx = days.agg(max(col("__day")).as("__mx"))
     // integer floor division throughout — `/` on Columns is double division
     val steps = expr(
@@ -576,7 +583,9 @@ object EventAnalytics {
   // ------------------------------------------------------- weekday profile
   /** Per-group day-of-week profile: event counts by weekday (0 = Monday …
     * 6 = Sunday, from the integer day index — epoch day 0 is a Thursday,
-    * so dow = (day + 3) mod 7; never a locale-dependent calendar function),
+    * so dow = (day + 3) mod 7; never a locale-dependent calendar function;
+    * pmod keeps pre-1970 days positive where SQL `%` would go negative —
+    * mirror with a pmod-shaped oracle if the data predates the epoch),
     * each with its share of the group's events and the seasonality index
     * 7·n/total (1.0 = flat). One aggregate bounded by 7·|groups| rows;
     * group totals broadcast back. Exact counts, fixed-shape IEEE division,

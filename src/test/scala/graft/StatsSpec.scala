@@ -598,6 +598,29 @@ class StatsSpec extends SparkSpec {
       (1 to 8).map(i => 10.0 * i * i))
   }
 
+  test("rfmBuckets: all-null amounts keep a NULL monetary bucket") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    val df = Seq((1L, t(1), Some(10.0)), (2L, t(2), None: Option[Double]))
+      .toDF("k", "ts", "amt")
+    val got = pipeline.EventAnalytics.rfmBuckets(df, "k", "ts", "amt")
+      .orderBy("key").collect()
+    assert(got(0).getAs[Int]("m_bucket") >= 1)
+    assert(got(1).isNullAt(got(1).fieldIndex("monetary")))
+    assert(got(1).isNullAt(got(1).fieldIndex("m_bucket")),
+      "null monetary must not silently land in bucket 1")
+  }
+
+  test("decayedActivityScore: null timestamps drop from counts AND units") {
+    import java.sql.Timestamp
+    val df = Seq((1L, Some(new Timestamp(86400000L * 10))),
+      (1L, None: Option[Timestamp])).toDF("k", "ts")
+    val got = pipeline.EventAnalytics.decayedActivityScore(df, "k", "ts")
+      .collect()(0)
+    assert(got.getAs[Long]("n_events") == 1L &&
+      got.getAs[Long]("score_units") == (1L << 40))
+  }
+
   test("entryExitPaths: gap rule splits sessions, singletons self-pair") {
     import java.sql.Timestamp
     def t(sec: Long) = new Timestamp(sec * 1000L)
