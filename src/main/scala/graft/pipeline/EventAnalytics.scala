@@ -368,6 +368,38 @@ object EventAnalytics {
         round((nd * p - s * s) / (nd * nd) / (s / nd), 6).as("fano"))
   }
 
+  // ------------------------------------------- co-occurrence cosine matrix
+  /** Item-item cosine similarity over the user-level basket: for each
+    * unordered type pair, cos = n_both / √(n_a·n_b) on the implicit binary
+    * user-vectors — [[associationRules]]' symmetric, marginal-normalized
+    * sibling (lift ranks rules, cosine ranks neighbors). Same scale shape:
+    * the DISTINCT (user, type) basket self-joins co-keyed on user (bounded
+    * by the type vocabulary per user, never raw events), marginals
+    * broadcast. n_a·n_b stays below 2^53 for exact DOUBLE conversion
+    * (documented bound: marginals ≤ ~9.4e7 each), so the one sqrt+divide
+    * is identical in any engine; 6dp. Returns (item_a, item_b, n_both,
+    * cosine) with item_a < item_b. */
+  def cooccurrenceCosine(df: DataFrame, userCol: String, typeCol: String,
+                         minUsers: Long = 1L): DataFrame = {
+    val basket = df.select(col(userCol).as("__u"), col(typeCol).as("__ty"))
+      .distinct()
+    val marg = basket.groupBy(col("__ty")).agg(count(lit(1)).as("__n"))
+    val pairs = basket.join(
+        basket.select(col("__u"), col("__ty").as("__ty2")), Seq("__u"))
+      .filter(col("__ty") < col("__ty2"))
+      .groupBy(col("__ty").as("item_a"), col("__ty2").as("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minUsers)
+    pairs
+      .join(broadcast(marg.select(col("__ty").as("item_a"), col("__n").as("__na"))),
+        Seq("item_a"))
+      .join(broadcast(marg.select(col("__ty").as("item_b"), col("__n").as("__nb"))),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_both"),
+        round(col("n_both").cast("double") /
+          sqrt((col("__na") * col("__nb")).cast("double")), 6).as("cosine"))
+  }
+
   // ------------------------------------------------------ association rules
   /** Event-type association rules over the user-level basket: for every
     * ordered pair (a, b) of distinct event types a user can hold,

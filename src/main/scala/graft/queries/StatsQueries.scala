@@ -1100,5 +1100,21 @@ object StatsQueries {
         "FROM r, t ORDER BY weeks"),
       (s, dir) => EventAnalytics.survivalCurve(Tables.events(s, dir),
           "user_id", "ts")
-        .orderBy("weeks")))
+        .orderBy("weeks")),
+
+    // ---- item-item cosine over user baskets: n_both/sqrt(n_a*n_b) on the
+    // implicit binary user-vectors — q100's symmetric sibling; exact
+    // integers into one sqrt+divide.
+    Q("q152_item_cosine",
+      Some("WITH b AS (SELECT DISTINCT user_id AS u, event_type AS ty FROM events), " +
+        "m AS (SELECT ty, count(*) AS n FROM b GROUP BY 1), " +
+        "p AS (SELECT x.ty AS item_a, y.ty AS item_b, count(*) AS n_both " +
+        "FROM b x JOIN b y ON x.u = y.u AND x.ty < y.ty GROUP BY 1, 2) " +
+        "SELECT item_a, item_b, n_both, " +
+        "round(CAST(n_both AS DOUBLE) / sqrt(CAST(ma.n * mb.n AS DOUBLE)), 6) AS cosine " +
+        "FROM p JOIN m ma ON p.item_a = ma.ty JOIN m mb ON p.item_b = mb.ty " +
+        "ORDER BY item_a, item_b"),
+      (s, dir) => EventAnalytics.cooccurrenceCosine(Tables.events(s, dir),
+          "user_id", "event_type")
+        .orderBy("item_a", "item_b")))
 }

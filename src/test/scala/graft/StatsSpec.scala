@@ -598,6 +598,20 @@ class StatsSpec extends SparkSpec {
       (1 to 8).map(i => 10.0 * i * i))
   }
 
+  test("cooccurrenceCosine: closed form on a hand basket, event dups collapse") {
+    // baskets: u1 {A,B}, u2 {A,B}, u3 {A} (A twice -> distinct collapses)
+    // marginals: A=3, B=2; n_both(A,B)=2 -> cos = 2/sqrt(6)
+    val df = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "A")).toDF("u", "ty")
+    val got = pipeline.EventAnalytics.cooccurrenceCosine(df, "u", "ty").collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[String]("item_a") == "A" && r.getAs[String]("item_b") == "B")
+    assert(r.getAs[Long]("n_both") == 2L)
+    assert(r.getAs[Double]("cosine") ==
+      math.round(2.0 / math.sqrt(6.0) * 1e6) / 1e6)
+  }
+
   test("rfmBuckets: all-null amounts keep a NULL monetary bucket") {
     import java.sql.Timestamp
     def t(d: Int) = new Timestamp(86400000L * d)
