@@ -1116,5 +1116,47 @@ object StatsQueries {
         "ORDER BY item_a, item_b"),
       (s, dir) => EventAnalytics.cooccurrenceCosine(Tables.events(s, dir),
           "user_id", "event_type")
-        .orderBy("item_a", "item_b")))
+        .orderBy("item_a", "item_b")),
+
+    // ---- Lorenz curve by customer revenue decile: q93's broadcast-
+    // quantile bucketing (never a global ntile sort) + a 10-row cumulative
+    // rollup — q112 Gini's curve-shaped companion. Revenue decimal-exact.
+    Q("q153_lorenz",
+      Some("WITH c AS (SELECT o_custkey, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev FROM orders GROUP BY 1), " +
+        "b AS (SELECT round(quantile_cont(rev, 0.1), 4) AS q0, round(quantile_cont(rev, 0.2), 4) AS q1, " +
+        "round(quantile_cont(rev, 0.3), 4) AS q2, round(quantile_cont(rev, 0.4), 4) AS q3, " +
+        "round(quantile_cont(rev, 0.5), 4) AS q4, round(quantile_cont(rev, 0.6), 4) AS q5, " +
+        "round(quantile_cont(rev, 0.7), 4) AS q6, round(quantile_cont(rev, 0.8), 4) AS q7, " +
+        "round(quantile_cont(rev, 0.9), 4) AS q8 FROM c), " +
+        "a AS (SELECT rev, 1 + CAST(rev > q0 AS INT) + CAST(rev > q1 AS INT) + " +
+        "CAST(rev > q2 AS INT) + CAST(rev > q3 AS INT) + CAST(rev > q4 AS INT) + " +
+        "CAST(rev > q5 AS INT) + CAST(rev > q6 AS INT) + CAST(rev > q7 AS INT) + " +
+        "CAST(rev > q8 AS INT) AS decile FROM c, b), " +
+        "g AS (SELECT decile, count(*) AS n_customers, " +
+        "CAST(sum(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS revenue FROM a GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS tot FROM c) " +
+        "SELECT decile, n_customers, round(revenue, 2) AS revenue, " +
+        "round(sum(revenue) OVER (ORDER BY decile) / tot, 6) AS cum_share " +
+        "FROM g, t ORDER BY decile"),
+      (s, dir) => {
+        val c = Tables.orders(s, dir).groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast("decimal(38,6)")).cast("double")
+            .as("rev"))
+        val deciles = Stats.quantileBuckets(c, "rev",
+          (1 to 9).map(_ / 10.0), bucketCol = "decile")
+        val g = deciles.groupBy("decile")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("rev").cast("decimal(38,6)")).cast("double").as("revenue"))
+        val t = c.agg(sum(col("rev").cast("decimal(38,6)")).cast("double")
+          .as("__tot"))
+        // 10-row relation: the cumulative window is bounded by the decile
+        // count, not the data (the q138 spine precedent)
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+        g.crossJoin(broadcast(t))
+          .select(col("decile"), col("n_customers"),
+            round(col("revenue"), 2).as("revenue"),
+            round(sum(col("revenue")).over(w) / col("__tot"), 6).as("cum_share"))
+          .orderBy("decile")
+      }))
 }
