@@ -632,4 +632,96 @@ object EventAnalytics {
         round(col("n").cast("double") / col("__t").cast("double"), 6).as("share"),
         round(lit(7.0) * col("n").cast("double") / col("__t").cast("double"), 6).as("idx"))
   }
+
+  // -------------------------------------------------------- SCD-2 history
+  /** Slowly-changing-dimension (type 2) history build from an event-shaped
+    * change log: per key, order the log by (µs, id), collapse CONSECUTIVE
+    * rows carrying the same attribute value into one run, and emit one row
+    * per run with its validity interval — `valid_from` = the run's first µs,
+    * `valid_to` = the next run's first µs (NULL while current), `version` =
+    * the run ordinal, `is_current` on the last run. The warehouse-history
+    * primitive behind every "what did this look like on date D" query.
+    *
+    * Three window passes, ALL over the same key partitioning (one exchange,
+    * per-key sort bounded by a key's own log, never the corpus): change
+    * flag via lag, run ordinal via running sum, and valid_to via lead on
+    * the collapsed runs. Integer-µs time discipline throughout.
+    * Returns (key, attr value, valid_from, valid_to, version, is_current).
+    */
+  def scdHistory(df: DataFrame, keyCol: String, idCol: String,
+                 tsCol: String, attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__us").asc, col(idCol).asc)
+    val runs = df
+      .select(col(keyCol), col(idCol), col(attrCol), micros(col(tsCol)).as("__us"))
+      // null-safe change test: a NULL attribute value starts/continues runs
+      // exactly like any other value (<=> never returns NULL)
+      .withColumn("__chg", when(lag(col(attrCol), 1).over(w).isNull &&
+          lag(col("__us"), 1).over(w).isNull, 1L)
+        .otherwise(when(col(attrCol) <=> lag(col(attrCol), 1).over(w), 0L)
+          .otherwise(1L)))
+      .withColumn("__run", sum(col("__chg")).over(w))
+      .filter(col("__chg") === 1L) // run starts only
+    val wr = Window.partitionBy(col(keyCol)).orderBy(col("__run").asc)
+    runs
+      .withColumn("valid_to", lead(col("__us"), 1).over(wr))
+      .select(col(keyCol), col(attrCol),
+        col("__us").as("valid_from"), col("valid_to"),
+        col("__run").as("version"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  // ------------------------------------------------------- activity streaks
+  /** Longest consecutive-active-day streak per key — the gaps-and-islands
+    * classic. Distinct (key, day) activations get a per-key row_number by
+    * day; `day − row_number` is constant exactly within a consecutive run,
+    * so one aggregate per (key, island) yields each streak's length and
+    * span, and a per-key argmax (longest, earliest-start tiebreak) picks
+    * the best. One exchange on the key; windows sort only a key's own
+    * distinct days. Returns (key, streak_days, start_day, end_day). */
+  def longestStreaks(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val active = df.select(col(keyCol), dayIndex(col(tsCol)).as("__day")).distinct()
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__day").asc)
+    val islands = active
+      .withColumn("__isl", col("__day") - row_number().over(w))
+      .groupBy(col(keyCol), col("__isl"))
+      .agg(count(lit(1)).as("len"), min(col("__day")).as("start_day"),
+        max(col("__day")).as("end_day"))
+    islands.groupBy(col(keyCol))
+      .agg(max_by(struct(col("len"), col("start_day"), col("end_day")),
+        // longest wins; among equals the EARLIEST start (negated for max_by)
+        struct(col("len"), (-col("start_day")).as("s"))).as("__best"))
+      .select(col(keyCol), col("__best.len").as("streak_days"),
+        col("__best.start_day").as("start_day"),
+        col("__best.end_day").as("end_day"))
+  }
+
+  // ------------------------------------------------- time-weighted average
+  /** Time-weighted average of a value that holds until the next observation
+    * (TWAP-style): per key, each observation is weighted by the INTEGER
+    * day-count until the key's next observation (ties broken by id; the
+    * last observation has no interval and drops out). The kernel is
+    * integer-exact — value scaled to cents (`scale`=2 → ×100, one
+    * round-half-up off the 2dp double image) times integer days, summed as
+    * BIGINT; the single IEEE division at the end reports 6dp. One per-key
+    * window (lead) sharing the key exchange with the final aggregate.
+    * Returns (key, n_intervals, span_days, twa). */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, idCol: String,
+                      tsCol: String, valueCol: String,
+                      scale: Int = 2): DataFrame = {
+    val mult = math.round(math.pow(10, scale))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__day").asc, col(idCol).asc)
+    df.select(col(keyCol), col(idCol), dayIndex(col(tsCol)).as("__day"),
+        round(col(valueCol) * mult, 0).cast("long").as("__cents"))
+      .withColumn("__next", lead(col("__day"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .withColumn("__wt", col("__next") - col("__day"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__wt")).as("span_days"),
+        round((sum(col("__cents") * col("__wt")).cast("double") /
+          sum(col("__wt")).cast("double")) / mult, 6).as("twa"))
+      .filter(col("span_days") > 0)
+  }
 }

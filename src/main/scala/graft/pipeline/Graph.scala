@@ -171,4 +171,68 @@ object Graph {
         round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
           (col("deg") * (col("deg") - lit(1L))).cast("double"), 6).as("coeff"))
   }
+
+  // ------------------------------------------------------------------ k-core
+  /** Bounded-round k-core peeling of the undirected graph: each round drops
+    * every node whose CURRENT degree is < k, together with its edges, and
+    * after `rounds` rounds the surviving nodes are returned with their
+    * final-round degrees. The round count is part of the operator's
+    * CONTRACT (the result is the deterministic `rounds`-step peel, converged
+    * or not — an oracle unrolls the same rounds); peeling converges when a
+    * round removes nothing, and callers size `rounds` to the depth they
+    * need (RefinedWeb-style graph cleanups use small fixed depths).
+    *
+    * Per round: one degree aggregate + two semi joins of the edge relation
+    * against the (broadcastable, monotonically shrinking) survivor set —
+    * no windows, no per-node adjacency state, the same join-iterated shape
+    * as [[pageRank]]. Edges checkpoint each round to cut the growing
+    * lineage. Returns (node, deg) of the `rounds`-step core. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
+    var und = canonEdges(edges, srcCol, dstCol)
+    for (_ <- 1 to rounds) {
+      val keep = degrees(und).filter(col("deg") >= k)
+        .select(col("node"))
+      und = cut(und
+        .join(keep.select(col("node").as("a")), Seq("a"), "semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "semi"))
+    }
+    // isolated survivors (deg dropped below k only in the FINAL degree
+    // count) are by definition removed next round; report the final graph
+    degrees(und).filter(col("deg") >= k)
+  }
+
+  // ---------------------------------------------------------------- BFS hops
+  /** Minimum hop distance from a seed set, bounded at `maxHops` rounds of
+    * frontier expansion over the undirected graph — the reachability /
+    * neighborhood-size primitive (label spill, contamination blast radius).
+    * Classic frontier BFS as joins: each round expands the CURRENT frontier
+    * (nodes first reached last round) along the edge relation and anti-joins
+    * the visited set, so a node's hop count is final the round it is first
+    * seen. Frontier and visited relations are node-keyed and shrink/grow
+    * monotonically; the edge relation materializes once. Unreached nodes are
+    * absent from the result (not ∞ rows). Returns (node, hops ≤ maxHops). */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 20, s"maxHops out of range: $maxHops")
+    val und = canonEdges(edges, srcCol, dstCol)
+    // both directions once, so a frontier expands with ONE equi join
+    val adj = cut(und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v"))))
+    var visited = seeds.select(col(seedCol).as("node")).distinct()
+      .select(col("node"), lit(0).as("hops"))
+    var frontier = visited.select("node")
+    for (h <- 1 to maxHops) {
+      val next = frontier.hint("shuffle_hash")
+        .join(adj, frontier("node") === adj("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "anti")
+      frontier = cut(next)
+      visited = cut(visited.unionByName(
+        frontier.select(col("node"), lit(h).as("hops"))))
+    }
+    visited
+  }
 }

@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage (Fellegi–Sunter shape): generate candidate
+  * pairs inside blocking keys, score each pair as a weighted sum of
+  * per-field agreement evidence, and gate on the score — the entity-
+  * resolution workhorse (customer 360, supplier master data, dedupe across
+  * sources) that [[Dedup]]'s content hashing can't cover because the records
+  * DIFFER on purpose (typos, moved accounts, renamed segments).
+  *
+  * Scale discipline (the q28/q140 rule): candidate generation REQUIRES a
+  * blocking key — whole-corpus O(n²) is unexpressible. Scoring is row-local
+  * arithmetic over codegen'd kernels ([[graft.functions.FuzzyExprs]]'
+  * Jaro–Winkler is bit-identical to DuckDB's), with a FIXED field order so
+  * the floating-point sum has one shape in every engine.
+  */
+object Linkage {
+
+  /** Candidate pairs within each blocking key: a self equi join on
+    * `blockCol` keeping `idCol_a < idCol_b` (each unordered pair once, no
+    * self-pairs). Every non-id payload column comes back twice with `_a` /
+    * `_b` suffixes for the field comparators. Block sizes bound the
+    * quadratic locally — the caller's blocking design is the scale knob
+    * (same contract as [[Dedup.ngramJaccard]]). */
+  def blockedPairs(df: DataFrame, blockCol: String, idCol: String): DataFrame = {
+    val payload = df.columns.filterNot(_ == blockCol)
+    def side(sfx: String) = df.select(col(blockCol) +:
+      payload.map(c => col(c).as(s"${c}_$sfx")): _*)
+    side("a").join(side("b"), Seq(blockCol))
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+  }
+
+  /** One linkage field: `agreement` must evaluate to [0,1] (1 = fields
+    * agree), `wAgree`/`wDisagree` are the log-likelihood-ratio style weights
+    * credited at full agreement / full disagreement; partial agreement
+    * interpolates linearly (the continuous Fellegi–Sunter variant used with
+    * string-similarity comparators). */
+  final case class Field(agreement: Column, wAgree: Double, wDisagree: Double)
+
+  /** Total match score Σ_f [ w_a·a_f + w_d·(1−a_f) ] appended as `scoreCol`,
+    * rounded 6dp. Fields fold in the given order — fixed expression shape,
+    * deterministic across engines given deterministic comparators. */
+  def scorePairs(pairs: DataFrame, fields: Seq[Field],
+                 scoreCol: String = "score"): DataFrame = {
+    require(fields.nonEmpty, "linkage needs at least one field")
+    val total = fields.map { f =>
+      lit(f.wAgree) * f.agreement + lit(f.wDisagree) * (lit(1.0) - f.agreement)
+    }.reduce(_ + _)
+    pairs.withColumn(scoreCol, round(total, 6))
+  }
+
+  /** Numeric closeness comparator: 1 − min(1, |a−b|/span) — full credit at
+    * equality, zero beyond `span`. */
+  def numericCloseness(a: Column, b: Column, span: Double): Column =
+    lit(1.0) - least(abs(a - b) / lit(span), lit(1.0))
+
+  /** Exact-equality comparator (null-safe: NULL vs anything = 0). */
+  def equalityAgreement(a: Column, b: Column): Column =
+    when(a <=> b && a.isNotNull, lit(1.0)).otherwise(lit(0.0))
+}

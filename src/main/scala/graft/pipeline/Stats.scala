@@ -459,4 +459,67 @@ object Stats {
         round(benford, 6).as("benford_p"),
         round(share - benford, 6).as("excess"))
   }
+
+  // -------------------------------------------------- quantile normalization
+  /** Cross-group quantile normalization (the bioinformatics/feature-scaling
+    * classic): rank each row within its group by (value, id), compute the
+    * per-RANK reference value = mean of the values holding that rank across
+    * all groups (groups shorter than the rank simply don't contribute), and
+    * replace each row's value with its rank's reference. Distributions
+    * become identical across groups while each group keeps its own order.
+    *
+    * One per-group window (row_number — sorts only a group's own rows), one
+    * rank-keyed decimal-exact mean (≤ max-group-size rows), joined back on
+    * the rank — the rank relation is tiny relative to the fact table, AQE
+    * broadcasts it. Mean = DECIMAL sum / count, one IEEE division, 6dp.
+    * Returns the input plus (rank, norm_value). */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+                        valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    val ranked = df.withColumn("rank", row_number().over(w))
+    val ref = ranked.groupBy("rank")
+      .agg(round(sum(col(valueCol).cast("decimal(38,6)")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("norm_value"))
+    ranked.join(ref, Seq("rank"))
+  }
+
+  // --------------------------------------------------------------- lift table
+  /** Model-evaluation decile lift table for a score against a binary label:
+    * rows bucket into `nBuckets` score bands via the q93 broadcast-quantile
+    * discipline (never a global ntile sort), and each band reports its size,
+    * positives, response rate, lift vs the overall rate, and — walking from
+    * the TOP band down — cumulative capture of all positives. The campaign-
+    * targeting / classifier-triage standard.
+    *
+    * One percentile aggregate (boundaries, rounded 4dp, broadcast), one
+    * band-keyed aggregate (`nBuckets` rows), and one `nBuckets`-row window
+    * for the cumulative walk — the fact table never sorts. Counts are exact
+    * integers; rate/lift/capture are fixed-shape IEEE divisions, 6dp.
+    * Returns (bucket — nBuckets = best scores, n, n_pos, rate, lift,
+    * cum_capture) ordered by bucket descending. */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+                nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 100, s"nBuckets out of range: $nBuckets")
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val banded = quantileBuckets(
+      df.select(col(scoreCol), col(labelCol).cast("long").as("__y")),
+      scoreCol, probs)
+    val perBand = banded.filter(col("bucket").isNotNull)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val totals = perBand.agg(sum(col("n")).as("__tn"),
+      sum(col("n_pos")).as("__tp"))
+    val wCum = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the single-partition window is over ≤ nBuckets rows — a constant
+    perBand.crossJoin(broadcast(totals))
+      .withColumn("__cum", sum(col("n_pos")).over(wCum))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6).as("rate"),
+        round((col("n_pos").cast("double") / col("n").cast("double")) /
+          (col("__tp").cast("double") / col("__tn").cast("double")), 6).as("lift"),
+        round(col("__cum").cast("double") / col("__tp").cast("double"), 6)
+          .as("cum_capture"))
+  }
 }

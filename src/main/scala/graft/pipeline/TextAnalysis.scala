@@ -411,4 +411,70 @@ object TextAnalysis {
     val starts = sequence(lit(1), greatest(n - (k - 1), lit(1)))
     array_min(transform(starts, i => xxhash64(s.substr(i, lit(k)))))
   }
+
+  // ------------------------------------------------------------- readability
+  /** Syllable proxy: vowel-group count ([aeiouy]+ runs in the lowercased
+    * text) — the standard cheap estimator readability formulas run on when
+    * no dictionary is at hand. Pure regex tally, identical RE2-safe pattern
+    * in any engine. */
+  def syllableCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[aeiouy]+"), lit(0)))
+
+  /** Sentence-terminator runs ([.!?]+), floored at 1 so un-punctuated text
+    * counts as one sentence (the Flesch convention for fragments). */
+  def sentenceCount(c: Column): Column =
+    greatest(size(regexp_extract_all(c, lit("[.!?]+"), lit(0))), lit(1))
+
+  /** Flesch reading ease over the whitespace-token / vowel-group / terminal-
+    * punctuation proxies: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words). Row-local, zero shuffle — the score is the
+    * classic curation gate ("drop reading-ease < 0" catches boilerplate and
+    * token salad). Empty text scores NULL. Fixed-shape IEEE arithmetic on
+    * exact integer tallies, rounded 6dp — engine-independent. */
+  def fleschReadingEase(c: Column): Column = {
+    val w = tokenCount(c).cast("double")
+    val s = sentenceCount(c).cast("double")
+    val sy = syllableCount(c).cast("double")
+    when(tokenCount(c) === 0, lit(null))
+      .otherwise(round(lit(206.835) - lit(1.015) * (w / s) -
+        lit(84.6) * (sy / w), 6))
+  }
+
+  /** Flesch–Kincaid grade level on the same proxies:
+    * 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59. */
+  def fleschKincaidGrade(c: Column): Column = {
+    val w = tokenCount(c).cast("double")
+    val s = sentenceCount(c).cast("double")
+    val sy = syllableCount(c).cast("double")
+    when(tokenCount(c) === 0, lit(null))
+      .otherwise(round(lit(0.39) * (w / s) + lit(11.8) * (sy / w) -
+        lit(15.59), 6))
+  }
+
+  // ---------------------------------------------------------- inverted index
+  /** Capped inverted index: one row per term with its document frequency and
+    * the first `k` posting doc ids (ascending, comma-joined) — the retrieval
+    * /-debugging side table a corpus pipeline publishes next to the corpus
+    * ("which docs say X"). Terms above `maxDf` are dropped as stopword-grade
+    * (and it is `maxDf` that BOUNDS the per-term aggregation state — without
+    * the cap a stopword's posting set would be the corpus); singletons stay.
+    *
+    * One distinct over (term, doc) grain, one term-keyed aggregate whose
+    * collect_set is bounded by `maxDf` (enforced by counting FIRST and
+    * semi-filtering, so oversized sets never materialize), postings sorted
+    * and sliced inside the row. Document text never shuffles — only
+    * (term, id) pairs. Returns (term, df, postings). */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxDf: Int, k: Int): DataFrame = {
+    require(maxDf >= 1 && k >= 1, s"bad bounds: maxDf=$maxDf k=$k")
+    val pairs = docs.select(col(idCol).as("__id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val dfs = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    pairs.join(dfs, Seq("term"))
+      .groupBy("term").agg(first(col("df")).as("df"),
+        array_join(transform(slice(array_sort(collect_set(col("__id"))), 1, k),
+          _.cast("string")), ",").as("postings"))
+  }
 }

@@ -173,4 +173,46 @@ object Web {
       .select(col("__host")).distinct()
     withHost.join(blockedHosts, Seq("__host"), "left_anti").drop("__host")
   }
+
+  // ------------------------------------------------- longest-suffix routing
+  /** Longest-suffix-match routing: each URL host matches the MOST SPECIFIC
+    * rule whose domain it equals or sits under — `cdn.ads.example.com`
+    * carrying rules for both `example.com` and `ads.example.com` takes the
+    * latter. The semantics of policy/category tables (UT1 categories,
+    * routing maps, per-tenant overrides) where a deeper rule refines a
+    * broader one; [[domainBlocklistFilter]] is the any-match special case.
+    *
+    * Same scale shape as the blocklist: DISTINCT hosts explode into their
+    * bounded dot-suffixes, ONE equi join against the normalized rule table,
+    * and a per-host argmax — max_by on the matched domain's LABEL COUNT
+    * (rule domains are distinct, so the argmax is tie-free) — picks the
+    * winner; the corpus then joins the (typically broadcast) host→rule map.
+    * No LIKE join, no regex join, content never shuffles. Unmatched rows
+    * keep NULL rule columns. Returns the input plus
+    * (matched_domain, `valueCol`). */
+  def longestSuffixMatch(df: DataFrame, urlCol: String, rules: DataFrame,
+                         domCol: String, valueCol: String): DataFrame = {
+    val rl = rules
+      .select(lower(trim(col(domCol))).as("__dom"), col(valueCol))
+      .filter(col("__dom") =!= "" &&
+        size(split(col("__dom"), "\\.")) <= MaxBlocklistLabels)
+    val withHost = df.withColumn("__host", urlHost(col(urlCol)))
+    val hosts = withHost.select(col("__host")).filter(col("__host") =!= "")
+      .distinct()
+    val labels = split(col("__host"), "\\.")
+    val probes = hosts.select(col("__host"), explode(transform(
+      sequence(lit(1), least(size(labels), lit(MaxBlocklistLabels))),
+      i => array_join(slice(labels, -i, i), "."))).as("__dom"))
+    val routed = probes.join(rl, Seq("__dom"))
+      .groupBy("__host")
+      .agg(max_by(struct(col("__dom").as("matched_domain"), col(valueCol)),
+        // label count decides; (dom, value) break a duplicate-rule tie
+        // deterministically (duplicate domains are a caller bug, but the
+        // argmax must not become run-dependent because of one)
+        struct(size(split(col("__dom"), "\\.")), col("__dom"), col(valueCol)))
+        .as("__r"))
+      .select(col("__host"), col("__r.matched_domain").as("matched_domain"),
+        col(s"__r.$valueCol").as(valueCol))
+    withHost.join(routed, Seq("__host"), "left").drop("__host")
+  }
 }

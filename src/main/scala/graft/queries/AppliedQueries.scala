@@ -1,0 +1,355 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{EventAnalytics, Graph, Linkage, Spatial, Stats,
+  TextAnalysis => TA, Web}
+import graft.plans.BloomPrune
+
+/** Applied-analytics drivers (round-8 wave): warehouse history (SCD-2),
+  * gaps-and-islands streaks, bounded-round graph peeling/BFS, time-weighted
+  * averages, longest-suffix routing, grid-bucketed spatial joins, Bloom join
+  * pruning, quantile normalization, lift tables, readability gates, inverted
+  * indexing, and probabilistic record linkage. Each entry names the library
+  * operator it exercises; every one is oracle-checked.
+  */
+object AppliedQueries {
+
+  /** Sparse co-purchase graph: part pairs sharing >= 2 distinct orders
+    * (the >= 2 support floor keeps the graph peelable — the raw
+    * co-occurrence graph is near-complete at bench scale). */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val lp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+      .filter(col("pk") < col("pk2"))
+      .groupBy(col("pk"), col("pk2"))
+      .agg(count(lit(1)).as("__w"))
+      .filter(col("__w") >= 2)
+      .select(col("pk").as("src"), col("pk2").as("dst"))
+  }
+
+  private val copurchaseEdgesSql =
+    "lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+      "e0 AS (SELECT x.pk AS a, y.pk AS b FROM lp x JOIN lp y " +
+      "ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2 HAVING count(*) >= 2)"
+
+  private def kcoreRoundSql(i: Int): String = {
+    val (e, d) = (s"e${i - 1}", s"d$i")
+    s"$d AS (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM $e " +
+      s"UNION ALL SELECT b FROM $e) GROUP BY 1), " +
+      s"e$i AS (SELECT a, b FROM $e WHERE " +
+      s"a IN (SELECT node FROM $d WHERE deg >= 4) AND " +
+      s"b IN (SELECT node FROM $d WHERE deg >= 4))"
+  }
+
+  /** The q71-family deterministic URL mix (same construction on both
+    * engines), reproduced here for the routing driver. */
+  private val synthUrlSql = "CASE doc_id % 5 " +
+    "WHEN 0 THEN 'https://www.' || source || '-news.example.com/articles/' || doc_id " +
+    "WHEN 1 THEN 'http://user:pw@blog.' || source || '.co.uk:8080/posts/' || doc_id || '?page=2' " +
+    "WHEN 2 THEN 'https://' || source || '.org/wiki/Item_' || doc_id || '#frag' " +
+    "WHEN 3 THEN 'http://192.168.' || (doc_id % 256) || '.7/raw/' || doc_id " +
+    "ELSE 'https://cdn-' || (doc_id % 10) || '.' || source || '.io/assets/app.js' END"
+
+  private def synthUrl: Column =
+    when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("https://www."), col("source"),
+          lit("-news.example.com/articles/"), col("doc_id")))
+      .when(pmod(col("doc_id"), lit(5)) === 1,
+        concat(lit("http://user:pw@blog."), col("source"), lit(".co.uk:8080/posts/"),
+          col("doc_id"), lit("?page=2")))
+      .when(pmod(col("doc_id"), lit(5)) === 2,
+        concat(lit("https://"), col("source"), lit(".org/wiki/Item_"),
+          col("doc_id"), lit("#frag")))
+      .when(pmod(col("doc_id"), lit(5)) === 3,
+        concat(lit("http://192.168."), pmod(col("doc_id"), lit(256)),
+          lit(".7/raw/"), col("doc_id")))
+      .otherwise(concat(lit("https://cdn-"), pmod(col("doc_id"), lit(10)),
+        lit("."), col("source"), lit(".io/assets/app.js")))
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- SCD type-2 history from the event log: per user, consecutive
+    // same-type runs collapse into validity intervals — three windows over
+    // ONE key exchange, integer-µs time.
+    Q("q154_scd2",
+      Some("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "w AS (SELECT *, lag(event_type) OVER win AS pa, lag(us) OVER win AS pu FROM e " +
+        "WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "c AS (SELECT *, CASE WHEN pu IS NULL THEN 1 " +
+        "WHEN event_type IS NOT DISTINCT FROM pa THEN 0 ELSE 1 END AS chg FROM w), " +
+        "r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version FROM c), " +
+        "s AS (SELECT user_id, event_type, us AS valid_from, version FROM r WHERE chg = 1), " +
+        "f AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to FROM s) " +
+        "SELECT user_id, event_type, valid_from, valid_to, version, " +
+        "valid_to IS NULL AS is_current FROM f ORDER BY user_id, version"),
+      (s, dir) => EventAnalytics.scdHistory(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id", "version")),
+
+    // ---- longest consecutive-active-day streak per user: gaps-and-islands
+    // (day − row_number is island-constant), per-key argmax with
+    // earliest-start tiebreak.
+    Q("q155_streaks",
+      Some("WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events), " +
+        "i AS (SELECT user_id, d, d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS isl FROM a), " +
+        "g AS (SELECT user_id, isl, count(*) AS len, min(d) AS start_day, " +
+        "max(d) AS end_day FROM i GROUP BY 1, 2), " +
+        "b AS (SELECT *, row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY len DESC, start_day ASC) AS rn FROM g) " +
+        "SELECT user_id, len AS streak_days, start_day, end_day FROM b " +
+        "WHERE rn = 1 ORDER BY user_id"),
+      (s, dir) => EventAnalytics.longestStreaks(Tables.events(s, dir),
+          "user_id", "ts")
+        .orderBy("user_id")),
+
+    // ---- bounded-round k-core peel (k=4, 4 rounds) of the sparse
+    // co-purchase graph; the oracle unrolls the identical rounds.
+    Q("q156_kcore",
+      Some("WITH " + copurchaseEdgesSql + ", " +
+        (1 to 4).map(kcoreRoundSql).mkString(", ") + ", " +
+        "df AS (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM e4 " +
+        "UNION ALL SELECT b FROM e4) GROUP BY 1) " +
+        "SELECT node, deg FROM df WHERE deg >= 4 ORDER BY node"),
+      (s, dir) => Graph.kCore(copurchaseEdges(s, dir), "src", "dst",
+          k = 4, rounds = 4)
+        .orderBy("node")),
+
+    // ---- time-weighted average order value per customer: each order's
+    // price holds until the next order (integer day weights, integer cents,
+    // ONE IEEE division at the end).
+    Q("q157_twap",
+      Some("WITH o AS (SELECT o_custkey, o_orderkey, " +
+        "epoch_us(o_orderdate) // 86400000000 AS day, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders), " +
+        "w AS (SELECT *, lead(day) OVER (PARTITION BY o_custkey " +
+        "ORDER BY day, o_orderkey) AS nxt FROM o) " +
+        "SELECT o_custkey, count(*) AS n_intervals, " +
+        "CAST(sum(nxt - day) AS BIGINT) AS span_days, " +
+        "round(CAST(sum(cents * (nxt - day)) AS DOUBLE) / " +
+        "CAST(sum(nxt - day) AS DOUBLE) / 100, 6) AS twa " +
+        "FROM w WHERE nxt IS NOT NULL GROUP BY 1 " +
+        "HAVING sum(nxt - day) > 0 ORDER BY 1"),
+      (s, dir) => EventAnalytics.timeWeightedAvg(Tables.orders(s, dir),
+          "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")),
+
+    // ---- longest-suffix-match routing over the synthetic URL mix: deeper
+    // rules beat broader ones (ads-vs-apex semantics); the oracle takes the
+    // same argmax over the naive ends_with match.
+    Q("q158_suffix_route", {
+      val rulesSql = "r(dom, category) AS (VALUES ('example.com', 'coarse'), " +
+        "('src7-news.example.com', 'fine7'), ('co.uk', 'uk-any'), " +
+        "('src1.co.uk', 'uk-src1'), ('src3.org', 'org3'), " +
+        "('io', 'tld-io'), ('src2.io', 'io2'))"
+      Some("WITH u AS (SELECT doc_id, " + synthUrlSql + " AS url FROM documents), " +
+        "h AS (SELECT doc_id, lower(regexp_extract(url, " +
+        "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host FROM u), " +
+        rulesSql + ", " +
+        "m AS (SELECT h.doc_id, r.dom, r.category, " +
+        "len(string_split(r.dom, '.')) AS nl FROM h JOIN r " +
+        "ON h.host = r.dom OR ends_with(h.host, '.' || r.dom)), " +
+        "best AS (SELECT doc_id, dom, category, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY nl DESC, dom DESC, category DESC) AS rn FROM m) " +
+        "SELECT h.doc_id, h.host, b.dom AS matched_domain, b.category " +
+        "FROM h LEFT JOIN best b ON h.doc_id = b.doc_id AND b.rn = 1 " +
+        "ORDER BY h.doc_id")
+    },
+      (s, dir) => {
+        import s.implicits._
+        val rules = Seq(
+          ("example.com", "coarse"), ("src7-news.example.com", "fine7"),
+          ("co.uk", "uk-any"), ("src1.co.uk", "uk-src1"),
+          ("src3.org", "org3"), ("io", "tld-io"), ("src2.io", "io2"))
+          .toDF("dom", "category")
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+          .withColumn("url", synthUrl)
+        Web.longestSuffixMatch(docs, "url", rules, "dom", "category")
+          .select(col("doc_id"), Web.urlHost(col("url")).as("host"),
+            col("matched_domain"), col("category"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- grid-bucketed radius self-join on synthetic planar integer
+    // coords: Spark takes the 3x3-cell equi join; the oracle brute-forces
+    // the quadratic — identical integer pair set.
+    Q("q159_radius_join",
+      Some("WITH p AS (SELECT c_custkey AS id, c_custkey % 1000 AS x, " +
+        "(c_custkey * 7919) % 1000 AS y FROM customer) " +
+        "SELECT a.id AS id_a, b.id AS id_b, " +
+        "CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2 " +
+        "FROM p a JOIN p b ON a.id < b.id " +
+        "AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 225 " +
+        "ORDER BY 1, 2"),
+      (s, dir) => {
+        val pts = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+          pmod(col("c_custkey"), lit(1000L)).as("x"),
+          pmod(col("c_custkey") * 7919L, lit(1000L)).as("y"))
+        Spatial.radiusSelfJoin(pts, "id", "x", "y", radius = 15)
+          .orderBy("id_a", "id_b")
+      }),
+
+    // ---- Bloom-pruned semi join: big-ticket orders build a distributed
+    // bloom_filter_agg, lineitem pre-filters on might_contain BEFORE its
+    // shuffle, exact semi join finishes. Oracle = the plain semi join.
+    Q("q160_bloom_prune",
+      Some("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+        "WHERE l_orderkey IN (SELECT o_orderkey FROM orders " +
+        "WHERE o_totalprice > 450000) ORDER BY 1, 2"),
+      (s, dir) => BloomPrune.bloomPrunedSemiJoin(
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+          "l_orderkey",
+          Tables.orders(s, dir).filter(col("o_totalprice") > 450000.0),
+          "o_orderkey", expectedItems = 100000L)
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- cross-source quantile normalization of document lengths: rank
+    // within source, per-rank cross-source mean joined back.
+    Q("q161_quantile_norm",
+      Some("WITH r AS (SELECT doc_id, source, n_chars, CAST(row_number() OVER " +
+        "(PARTITION BY source ORDER BY n_chars, doc_id) AS INT) AS rank FROM documents), " +
+        "m AS (SELECT rank, round(CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / " +
+        "count(*), 6) AS norm_value FROM r GROUP BY 1) " +
+        "SELECT doc_id, source, n_chars, rank, norm_value FROM r " +
+        "JOIN m USING (rank) ORDER BY doc_id"),
+      (s, dir) => Stats.quantileNormalize(
+          Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+          "source", "doc_id", "n_chars")
+        .select("doc_id", "source", "n_chars", "rank", "norm_value")
+        .orderBy("doc_id")),
+
+    // ---- decile lift table: account balance as the score, "has a big
+    // urgent order" as the label; boundaries from ONE broadcast percentile
+    // aggregate, cumulative capture over the 10-row band relation.
+    Q("q162_lift", {
+      val probs = (1 to 9).map(i => s"round(quantile_cont(s, 0.$i), 4) AS q$i")
+      val bucket = (1 to 9).map(i => s"CAST(s > q$i AS INT)").mkString(" + ")
+      Some("WITH lab AS (SELECT c_acctbal AS s, CASE WHEN EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderpriority = '1-URGENT' AND o_totalprice > 400000) " +
+        "THEN 1 ELSE 0 END AS y FROM customer), " +
+        s"b AS (SELECT ${probs.mkString(", ")} FROM lab), " +
+        s"a AS (SELECT s, y, 1 + $bucket AS bucket FROM lab, b), " +
+        "g AS (SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos " +
+        "FROM a GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(n_pos) AS BIGINT) AS tp FROM g), " +
+        "c AS (SELECT g.*, CAST(sum(n_pos) OVER (ORDER BY bucket DESC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM g) " +
+        "SELECT bucket, n, n_pos, " +
+        "round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate, " +
+        "round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+        "(CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS lift, " +
+        "round(CAST(cum AS DOUBLE) / CAST(tp AS DOUBLE), 6) AS cum_capture " +
+        "FROM c, t ORDER BY bucket DESC")
+    },
+      (s, dir) => {
+        val big = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_totalprice") > 400000.0)
+          .select(col("o_custkey")).distinct()
+        val lab = Tables.customer(s, dir)
+          .join(big, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_acctbal"),
+            when(col("o_custkey").isNotNull, 1).otherwise(0).as("label"))
+        Stats.liftTable(lab, "c_acctbal", "label", nBuckets = 10)
+          .orderBy(col("bucket").desc)
+      }),
+
+    // ---- readability gates: Flesch reading ease + FK grade on the
+    // whitespace/vowel-group/terminal-punctuation proxies — row-local.
+    Q("q163_readability",
+      Some("WITH m AS (SELECT doc_id, " +
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_words, " +
+        "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT) AS n_sents, " +
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT) AS n_syll " +
+        "FROM documents) " +
+        "SELECT doc_id, n_words, n_sents, n_syll, " +
+        "round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)) - " +
+        "84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) AS flesch, " +
+        "round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)) + " +
+        "11.8 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59, 6) AS fk_grade " +
+        "FROM m ORDER BY doc_id"),
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TA.tokenCount(col("text")).as("n_words"),
+          TA.sentenceCount(col("text")).as("n_sents"),
+          TA.syllableCount(col("text")).as("n_syll"),
+          TA.fleschReadingEase(col("text")).as("flesch"),
+          TA.fleschKincaidGrade(col("text")).as("fk_grade"))
+        .orderBy("doc_id")),
+
+    // ---- capped inverted index: term -> (df, first-8 postings); maxDf
+    // bounds the per-term aggregation state.
+    Q("q164_inverted_index",
+      Some("WITH p AS (SELECT DISTINCT doc_id, " +
+        "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents) " +
+        "SELECT term, count(*) AS df, " +
+        "array_to_string(list_slice(list_sort(list(doc_id)), 1, 8), ',') AS postings " +
+        "FROM p WHERE term != '' GROUP BY term HAVING count(*) <= 5000 " +
+        "ORDER BY term"),
+      (s, dir) => TA.invertedIndex(Tables.documents(s, dir), "doc_id", "text",
+          maxDf = 5000, k = 8)
+        .orderBy("term")),
+
+    // ---- bounded BFS (3 hops) from a sparse seed set over the co-purchase
+    // graph; the oracle unrolls the same frontier rounds.
+    Q("q165_bfs_hops",
+      Some("WITH " + copurchaseEdgesSql + ", " +
+        "adj AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0), " +
+        "s0 AS (SELECT DISTINCT p_partkey AS node FROM part WHERE p_partkey % 97 = 0), " +
+        "f1 AS (SELECT DISTINCT v AS node FROM adj JOIN s0 ON adj.u = s0.node " +
+        "WHERE v NOT IN (SELECT node FROM s0)), " +
+        "f2 AS (SELECT DISTINCT v AS node FROM adj JOIN f1 ON adj.u = f1.node " +
+        "WHERE v NOT IN (SELECT node FROM s0 UNION SELECT node FROM f1)), " +
+        "f3 AS (SELECT DISTINCT v AS node FROM adj JOIN f2 ON adj.u = f2.node " +
+        "WHERE v NOT IN (SELECT node FROM s0 UNION SELECT node FROM f1 " +
+        "UNION SELECT node FROM f2)) " +
+        "SELECT node, 0 AS hops FROM s0 UNION ALL SELECT node, 1 FROM f1 " +
+        "UNION ALL SELECT node, 2 FROM f2 UNION ALL SELECT node, 3 FROM f3 " +
+        "ORDER BY node"),
+      (s, dir) => Graph.bfsHops(copurchaseEdges(s, dir), "src", "dst",
+          Tables.part(s, dir).filter(pmod(col("p_partkey"), lit(97L)) === 0),
+          "p_partkey", maxHops = 3)
+        .orderBy("node")),
+
+    // ---- probabilistic record linkage over (nation, balance-band) blocks:
+    // Jaro-Winkler name evidence + segment equality + balance closeness,
+    // continuous Fellegi-Sunter weights, gate on the rounded score.
+    Q("q166_linkage",
+      Some("WITH c AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal, " +
+        "c_nationkey || '|' || CAST(floor(c_acctbal / 2000) AS BIGINT) AS blk FROM customer), " +
+        "p AS (SELECT a.c_custkey AS ia, b.c_custkey AS ib, a.c_name AS na, " +
+        "b.c_name AS nb, a.c_mktsegment AS sa, b.c_mktsegment AS sb, " +
+        "a.c_acctbal AS ba, b.c_acctbal AS bb FROM c a JOIN c b " +
+        "ON a.blk = b.blk AND a.c_custkey < b.c_custkey), " +
+        "s AS (SELECT ia, ib, jaro_winkler_similarity(na, nb) AS jw, " +
+        "CASE WHEN sa = sb THEN 1.0 ELSE 0.0 END AS seg, " +
+        "1.0 - least(abs(ba - bb) / 500.0, 1.0) AS bal FROM p), " +
+        "sc AS (SELECT ia AS id_a, ib AS id_b, " +
+        "round(4.0 * jw + (-2.0) * (1.0 - jw) + (1.5 * seg + (-0.5) * (1.0 - seg)) + " +
+        "(2.0 * bal + (-1.0) * (1.0 - bal)), 6) AS score FROM s) " +
+        "SELECT id_a, id_b, score FROM sc WHERE score >= 6.5 ORDER BY 1, 2"),
+      (s, dir) => {
+        import graft.functions.FuzzyExprs
+        val recs = Tables.customer(s, dir).select(
+          concat(col("c_nationkey").cast("string"), lit("|"),
+            floor(col("c_acctbal") / 2000.0).cast("long").cast("string")).as("blk"),
+          col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+        val pairs = Linkage.blockedPairs(recs, "blk", "c_custkey")
+        val scored = Linkage.scorePairs(pairs, Seq(
+          Linkage.Field(FuzzyExprs.jaroWinkler(col("c_name_a"), col("c_name_b")), 4.0, -2.0),
+          Linkage.Field(Linkage.equalityAgreement(col("c_mktsegment_a"),
+            col("c_mktsegment_b")), 1.5, -0.5),
+          Linkage.Field(Linkage.numericCloseness(col("c_acctbal_a"),
+            col("c_acctbal_b"), 500.0), 2.0, -1.0)))
+        scored.filter(col("score") >= 6.5)
+          .select(col("c_custkey_a").as("id_a"), col("c_custkey_b").as("id_b"),
+            col("score"))
+          .orderBy("id_a", "id_b")
+      })
+  )
+}
