@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{EventAnalytics, Graph, Linkage, Spatial, Stats,
+  TextAnalysis => TA, Web}
+import graft.plans.BloomPrune
+
+/** Semantic unit tests for the applied-analytics wave (q154-q166 operators):
+  * hand-computed expectations on adversarial micro-fixtures — run collapse
+  * with nulls, equal-streak tiebreaks, peel convergence, cell-boundary
+  * neighbors, bloom false-positive rescue, unequal-group ranks.
+  */
+class AppliedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scdHistory: consecutive runs collapse; nulls form runs; intervals chain") {
+    val us = (d: Long) => d * 86400000000L
+    val log = Seq(
+      // user 1: a,a | b | null,null | a  -> 4 runs
+      (1L, 1L, us(1), Some("a")), (1L, 2L, us(2), Some("a")),
+      (1L, 3L, us(3), Some("b")),
+      (1L, 4L, us(4), None), (1L, 5L, us(5), None),
+      (1L, 6L, us(6), Some("a")),
+      // user 2: single row, immediately current
+      (2L, 7L, us(9), Some("z")))
+      .toDF("user_id", "event_id", "usec", "state")
+      .select(col("user_id"), col("event_id"),
+        expr("timestamp_micros(usec)").as("ts"), col("state"))
+    val h = EventAnalytics.scdHistory(log, "user_id", "event_id", "ts", "state")
+      .orderBy("user_id", "version")
+      .collect()
+    assert(h.length == 5)
+    val u1 = h.filter(_.getLong(0) == 1L)
+    assert(u1.map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("a"), Some("b"), None, Some("a")))
+    assert(u1.map(_.getLong(2)).toSeq == Seq(us(1), us(3), us(4), us(6)))
+    // valid_to = next run's start; last run open + current
+    assert(u1.map(r => if (r.isNullAt(3)) -1L else r.getLong(3)).toSeq ==
+      Seq(us(3), us(4), us(6), -1L))
+    assert(u1.map(_.getBoolean(5)).toSeq == Seq(false, false, false, true))
+    assert(u1.map(_.getLong(4)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val u2 = h.filter(_.getLong(0) == 2L).head
+    assert(u2.getBoolean(5) && u2.getLong(4) == 1L)
+  }
+
+  test("longestStreaks: islands split on gaps; equal lengths take the earliest") {
+    val ev = Seq(
+      // user 1: two 3-day islands -> earliest (10..12) wins the tie
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 20L), (1L, 21L), (1L, 22L),
+      // user 2: one day, twice (distinct grain)
+      (2L, 5L), (2L, 5L))
+      .toDF("user_id", "day")
+      .select(col("user_id"),
+        expr("timestamp_micros(day * 86400000000)").as("ts"))
+    val s = EventAnalytics.longestStreaks(ev, "user_id", "ts")
+      .orderBy("user_id").collect()
+    assert(s.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq((1L, 3L, 10L, 12L), (2L, 1L, 5L, 5L)))
+  }
+
+  test("kCore: peel drops the tail; final degrees reflect the surviving graph") {
+    // triangle {1,2,3} + path 3-4-5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    // one round: 5 (deg 1) peels; 4 keeps its edge but lands at deg 1, so
+    // the final >= k filter already hides it
+    val r1 = Graph.kCore(edges, "src", "dst", k = 2, rounds = 1)
+      .orderBy("node").collect()
+    assert(r1.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 2L), (3L, 3L)))
+    // converged: the 3-4 edge is gone too, 3 drops to deg 2
+    val r3 = Graph.kCore(edges, "src", "dst", k = 2, rounds = 3)
+      .orderBy("node").collect()
+    assert(r3.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("bfsHops: min hops within the bound; unreached absent; off-graph seeds at 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("node")
+    val h = Graph.bfsHops(edges, "src", "dst", seeds, "node", maxHops = 3)
+      .orderBy("node").collect()
+    assert(h.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 0), (2L, 1), (3L, 2), (4L, 3), (99L, 0)))
+  }
+
+  test("timeWeightedAvg: interval weights; zero-span and single-obs keys drop") {
+    val obs = Seq(
+      ("A", 1L, 0L, 10.0), ("A", 2L, 2L, 20.0), ("A", 3L, 3L, 40.0),
+      ("B", 4L, 0L, 99.0), // single observation: no interval
+      ("C", 5L, 0L, 1.0), ("C", 6L, 0L, 2.0)) // same-day pair: span 0
+      .toDF("k", "id", "day", "price")
+      .select(col("k"), col("id"),
+        expr("timestamp_micros(day * 86400000000)").as("ts"), col("price"))
+    val t = EventAnalytics.timeWeightedAvg(obs, "k", "id", "ts", "price")
+      .collect()
+    assert(t.length == 1)
+    val a = t.head
+    // (1000c*2d + 2000c*1d) / 3d / 100 = 13.333333
+    assert(a.getString(0) == "A" && a.getLong(1) == 2 && a.getLong(2) == 3)
+    assert(a.getDouble(3) == 13.333333)
+  }
+
+  test("longestSuffixMatch: deeper rules win; exact apex matches; misses stay null") {
+    val docs = Seq(
+      (1L, "https://a.b.example.com/x"),
+      (2L, "https://example.com/"),
+      (3L, "https://foo.org/"))
+      .toDF("id", "url")
+    val rules = Seq(("example.com", "r1"), ("b.example.com", "r2"))
+      .toDF("dom", "cat")
+    val m = Web.longestSuffixMatch(docs, "url", rules, "dom", "cat")
+      .orderBy("id")
+      .select("id", "matched_domain", "cat").collect()
+    assert(m.map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2))))
+      .toSeq == Seq(
+        (1L, Some("b.example.com"), Some("r2")),
+        (2L, Some("example.com"), Some("r1")),
+        (3L, None, None)))
+  }
+
+  test("radiusSelfJoin: inclusive boundary, cross-cell neighbors, each pair once") {
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 3L, 4L),   // dist 5 = radius, same cell
+      (5L, 4L, 4L), (6L, 6L, 4L),   // dist 2, adjacent cells (0,0)/(1,0)
+      (3L, 100L, 100L))             // isolated
+      .toDF("id", "x", "y")
+    val pairs = Spatial.radiusSelfJoin(pts, "id", "x", "y", radius = 5)
+      .orderBy("id_a", "id_b").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 25L), (2L, 5L, 1L), (2L, 6L, 9L), (5L, 6L, 4L)))
+  }
+
+  test("bloomPrunedSemiJoin: exact semi-join semantics; empty build matches nothing") {
+    val probe = spark.range(1, 101).select(col("id").as("k"), (col("id") * 10).as("v"))
+    val build = spark.range(1, 101).filter(col("id") % 2 === 0)
+      .select(col("id").as("bk"))
+    val got = BloomPrune.bloomPrunedSemiJoin(probe, "k", build, "bk", 1000L)
+      .orderBy("k").collect()
+    assert(got.length == 50 && got.forall(_.getLong(0) % 2 == 0))
+    assert(got.map(_.getLong(0)).toSeq == (2L to 100L by 2).toSeq)
+    val none = BloomPrune.bloomPrunedSemiJoin(probe, "k",
+      build.filter(col("bk") < 0), "bk", 1000L)
+    assert(none.count() == 0)
+  }
+
+  test("quantileNormalize: per-rank cross-group means; short groups just stop") {
+    val df = Seq(("g1", 1L, 1.0), ("g1", 2L, 3.0), ("g1", 3L, 5.0),
+      ("g2", 4L, 2.0), ("g2", 5L, 4.0))
+      .toDF("g", "id", "v")
+    val n = Stats.quantileNormalize(df, "g", "id", "v")
+      .orderBy("id").select("id", "rank", "norm_value").collect()
+    assert(n.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 1, 1.5), (2L, 2, 3.5), (3L, 3, 5.0),
+        (4L, 1, 1.5), (5L, 2, 3.5)))
+  }
+
+  test("liftTable: top-decile rate/lift/capture on a planted 20%-positive score") {
+    val df = spark.range(1, 101).select(col("id").cast("double").as("s"),
+      (col("id") > 80).cast("int").as("y"))
+    val lt = Stats.liftTable(df, "s", "y", nBuckets = 10)
+      .orderBy(col("bucket").desc).collect()
+    assert(lt.length == 10)
+    val b10 = lt.head
+    // scores 91..100: all positive, lift 1.0/0.2 = 5, capture 10/20
+    assert(b10.getInt(0) == 10 && b10.getLong(1) == 10 && b10.getLong(2) == 10)
+    assert(b10.getDouble(3) == 1.0 && b10.getDouble(4) == 5.0 &&
+      b10.getDouble(5) == 0.5)
+    val b9 = lt(1) // 81..90 all positive -> cumulative capture complete
+    assert(b9.getDouble(5) == 1.0)
+    val b8 = lt(2) // 71..80: no positives
+    assert(b8.getLong(2) == 0 && b8.getDouble(4) == 0.0)
+    assert(lt.map(_.getLong(1)).sum == 100)
+  }
+
+  test("readability: hand-counted Flesch on a two-sentence text") {
+    val df = Seq("The cat sat. The dog ran.").toDF("text")
+    val r = df.select(TA.tokenCount(col("text")).as("w"),
+      TA.sentenceCount(col("text")).as("s"),
+      TA.syllableCount(col("text")).as("sy"),
+      TA.fleschReadingEase(col("text")).as("f"),
+      TA.fleschKincaidGrade(col("text")).as("g")).collect().head
+    assert(r.getInt(0) == 6 && r.getInt(1) == 2 && r.getInt(2) == 6)
+    // 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    assert(r.getDouble(3) == 119.19)
+    // 0.39*3 + 11.8*1 - 15.59 = -2.62
+    assert(r.getDouble(4) == -2.62)
+  }
+
+  test("invertedIndex: maxDf drops stopword-grade terms; postings cap and sort") {
+    val docs = Seq((3L, "x y"), (1L, "x z y"), (2L, "x"))
+      .toDF("doc_id", "text")
+    val idx = TA.invertedIndex(docs, "doc_id", "text", maxDf = 2, k = 1)
+      .orderBy("term").collect()
+    // x has df 3 > maxDf -> dropped; y df 2 caps postings at the first id
+    assert(idx.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq(("y", 2L, "1"), ("z", 1L, "1")))
+  }
+
+  test("linkage: blocked pair generation and the continuous score formula") {
+    val recs = Seq(("b1", 1L, "AUTOMOBILE", 100.0), ("b1", 2L, "AUTOMOBILE", 350.0),
+      ("b1", 3L, "HOUSEHOLD", 100.0), ("b2", 4L, "AUTOMOBILE", 100.0))
+      .toDF("blk", "id", "seg", "bal")
+    val pairs = Linkage.blockedPairs(recs, "blk", "id")
+    assert(pairs.count() == 3) // C(3,2) in b1, b2 alone
+    val scored = Linkage.scorePairs(pairs, Seq(
+      Linkage.Field(Linkage.equalityAgreement(col("seg_a"), col("seg_b")), 2.0, -1.0),
+      Linkage.Field(Linkage.numericCloseness(col("bal_a"), col("bal_b"), 500.0), 1.0, 0.0)))
+      .orderBy("id_a", "id_b")
+      .select("id_a", "id_b", "score").collect()
+    // (1,2): seg agree (+2), closeness 1-250/500=0.5 -> 2 + 0.5 = 2.5
+    // (1,3): seg differ (-1), closeness 1.0 -> -1 + 1 = 0.0
+    // (2,3): seg differ (-1), closeness 0.5 -> -1 + 0.5 = -0.5
+    assert(scored.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 2L, 2.5), (1L, 3L, 0.0), (2L, 3L, -0.5)))
+  }
+}

@@ -426,4 +426,70 @@ class PlanSpec extends SparkSpec {
     assert(ws.nonEmpty && ws.forall(_.contains("user_id")),
       s"session windows must partition by user_id:\n${ws.mkString("\n")}")
   }
+
+  test("q154/q155/q157: history/streak/TWAP windows all partition by their key") {
+    for ((q, key) <- Seq("q154_scd2" -> "user_id", "q155_streaks" -> "user_id",
+      "q157_twap" -> "o_custkey")) {
+      val p = planOf(q)
+      val ws = p.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(ws.nonEmpty && ws.forall(_.contains(key)),
+        s"$q: every window must partition by $key:\n${ws.mkString("\n")}")
+    }
+  }
+
+  test("q158: suffix routing is equi joins at distinct-host grain — never a LIKE join") {
+    val p = planOf("q158_suffix_route")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"a LIKE/regex join would plan a nested loop — must be equi joins:\n$p")
+    // suffixes explode from DISTINCT hosts (aggregate below the rule join),
+    // and the per-host argmax is an aggregate, not a window
+    assert(p.contains("HashAggregate"), s"expected the distinct-host collapse in:\n$p")
+    assert(!p.contains("Window ["), s"the argmax must be max_by, not a window:\n$p")
+  }
+
+  test("q159: radius join is a cell-keyed equi join — no BETWEEN nested loop") {
+    val p = planOf("q159_radius_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the candidate join must be the grid equi join:\n$p")
+    assert(p.contains("__cx") && p.contains("__cy"),
+      s"expected the composite cell key in the join:\n$p")
+  }
+
+  test("q160: bloom pruning filters the probe BELOW the exact semi join") {
+    val p = planOf("q160_bloom_prune")
+    assert(p.contains("LeftSemi"), s"expected the exact rescue semi join in:\n$p")
+    assert(p.contains("might_contain"),
+      s"expected the bloom probe filter in the plan:\n$p")
+    // the might_contain filter must sit on the scan side, under the join
+    val joinLine = p.linesIterator.indexWhere(_.contains("LeftSemi"))
+    val probeLine = p.linesIterator.indexWhere(_.contains("might_contain"))
+    assert(probeLine > joinLine,
+      s"bloom probe must prune below the semi join (join@$joinLine probe@$probeLine):\n$p")
+  }
+
+  test("q161/q162: normalization/lift stat relations never sort-merge the fact table") {
+    val qn = planOf("q161_quantile_norm")
+    val ws = qn.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(ws.nonEmpty && ws.forall(_.contains("source")),
+      s"rank window must partition by the group:\n${ws.mkString("\n")}")
+    val lt = planOf("q162_lift")
+    assert(lt.contains("Broadcast"), s"boundaries must broadcast back:\n$lt")
+    assert(!lt.contains("SortMergeJoin"),
+      s"the fact table must never shuffle for the boundary join:\n$lt")
+  }
+
+  test("q164: inverted index is term-keyed aggregates — no window, no cartesian") {
+    val p = planOf("q164_inverted_index")
+    assert(!p.contains("Window [") && !p.contains("CartesianProduct"),
+      s"posting assembly must be an aggregate:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"expected term-keyed aggregates:\n$p")
+  }
+
+  test("q166: linkage candidates come from the block equi join; exact kernels verify") {
+    val p = planOf("q166_linkage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"blocked pairs must be an equi join:\n$p")
+    assert(p.contains("jaro_winkler"), s"expected the codegen'd JW kernel in:\n$p")
+  }
 }

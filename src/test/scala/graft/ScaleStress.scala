@@ -301,6 +301,53 @@ object ScaleStress {
       triRow.getAs[Long]("mx") == leaves &&
       triRow.getAs[Long]("n") == leaves + 1,
       s"hub-star closed form broken: $triRow")
+
+    // radius join over a 450x450 lattice with 4-unit spacing (202,500
+    // points): at radius 5 only the 4 axis neighbors qualify (diagonals sit
+    // at 4sqrt(2) > 5), so the exact pair count is the closed-form
+    // 2*450*449 = 404,100. The grid explode is a bounded 9x of the id
+    // triple; a BETWEEN nested loop here would be 2e10 comparisons.
+    val side = 450L
+    val lattice = spark.range(side * side).select(col("id"),
+      (col("id") % side * 4L).as("x"), expr(s"id div $side * 4").as("y"))
+    val rj = timed("radiusSelfJoin over a 202k-point lattice") {
+      graft.pipeline.Spatial.radiusSelfJoin(lattice, "id", "x", "y", radius = 5)
+        .count()
+    }
+    println(s"  pairs: $rj (closed form 2*450*449 = 404,100)")
+    assert(rj == 2 * side * (side - 1), s"lattice closed form broken: $rj")
+
+    // k-core peel over the hub-star + ring graph plus a planted 10-clique:
+    // every star/ring edge touches a degree-3 leaf, so ONE k=4 round
+    // erases the entire 200k-edge graph and only the clique (degree 9)
+    // survives — the peel must be driven by degrees, never node ids.
+    val clique = (for (i <- 1 to 10; j <- (i + 1) to 10)
+      yield (1000000L + i, 1000000L + j)).toSeq
+    import spark.implicits._
+    val kc = timed("kCore over hub-star+ring + planted 10-clique") {
+      graft.pipeline.Graph.kCore(
+        star.union(ring).union(clique.toDF("src", "dst")),
+        "src", "dst", k = 4, rounds = 2)
+        .agg(count(lit(1)).as("n"), min("deg").as("mn"), max("deg").as("mx"))
+        .collect().head
+    }
+    println(s"  core: ${kc.getLong(0)} nodes, deg [${kc.getLong(1)}, ${kc.getLong(2)}] " +
+      "(expect 10 / 9 / 9)")
+    assert(kc.getLong(0) == 10L && kc.getLong(1) == 9L && kc.getLong(2) == 9L,
+      s"clique core broken: $kc")
+
+    // BFS over a 1M-node chain from the midpoint, 5 hops: the frontier
+    // stays ~2 nodes per round against the 1M-edge relation — visited is
+    // exactly the 11-node ball. Frontier joins must stay hash joins.
+    val chain = spark.range(999999L).select(col("id").as("src"),
+      (col("id") + 1L).as("dst"))
+    val bf = timed("bfsHops over a 1M-node chain, 5 hops from the midpoint") {
+      graft.pipeline.Graph.bfsHops(chain, "src", "dst",
+        spark.range(500000L, 500001L).select(col("id").as("node")),
+        "node", maxHops = 5).count()
+    }
+    println(s"  ball size: $bf (expect 11)")
+    assert(bf == 11L, s"chain BFS ball broken: $bf")
     spark.stop()
   }
 }
