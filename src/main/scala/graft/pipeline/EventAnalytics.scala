@@ -724,4 +724,143 @@ object EventAnalytics {
           sum(col("__wt")).cast("double")) / mult, 6).as("twa"))
       .filter(col("span_days") > 0)
   }
+
+  // --------------------------------------------------- last-touch attribution
+  /** Last-touch attribution: every conversion event (`convType`) is credited
+    * to the user's MOST RECENT preceding non-conversion event type (the
+    * marketing-attribution standard; conversions with no prior touch credit
+    * the `"(none)"` bucket), rolled up to one row per touch type with the
+    * conversion count and the decimal-exact summed conversion value.
+    *
+    * One per-user window — `last(touch, ignoreNulls)` over ROWS UNBOUNDED
+    * PRECEDING .. 1 PRECEDING on the (µs, id) total order — so the frame
+    * walk is a single pass over each user's own events (never the log), then
+    * one vocabulary-bounded rollup. Returns (touch_type, n_conv, total_value).
+    */
+  def lastTouchAttribution(df: DataFrame, userCol: String, idCol: String,
+                           tsCol: String, typeCol: String, convType: String,
+                           valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__us").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(userCol), col(idCol), col(typeCol), col(valueCol),
+        micros(col(tsCol)).as("__us"))
+      .withColumn("__touch", last(
+        when(col(typeCol) =!= convType, col(typeCol)), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .groupBy(coalesce(col("__touch"), lit("(none)")).as("touch_type"))
+      .agg(count(lit(1)).as("n_conv"),
+        sum(col(valueCol).cast("decimal(38,6)")).cast("double").as("total_value"))
+  }
+
+  // --------------------------------------------------------- adoption curve
+  /** Cumulative adoption: per calendar day (the integer day-index spine from
+    * first to last activity), how many users have had their FIRST activity
+    * on or before that day, and the share of the eventual total. One
+    * user-keyed aggregate (first day), one day-keyed count, and a running
+    * sum over the calendar-bounded spine (the q151 global-window-over-spine
+    * precedent: the window's partition is the spine, days, not the data).
+    * Returns (day, n_new, cum_users, pct_of_total). */
+  def adoptionCurve(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstDay = df.select(col(userCol).as("__u"), dayIndex(col(tsCol)).as("__d"))
+      .groupBy("__u").agg(min(col("__d")).as("__d"))
+    val perDay = firstDay.groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val spine = perDay.agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = firstDay.agg(count(lit(1)).as("__t"))
+    spine.join(perDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("day"), col("n_new"), col("cum_users"),
+        round(col("cum_users").cast("double") / col("__t").cast("double"), 6)
+          .as("pct_of_total"))
+  }
+
+  // ---------------------------------------------- point-in-time features
+  /** Point-in-time trailing feature join (the feature-store pattern): for
+    * every anchor event (`anchorType`), the count of each `featureTypes`
+    * event by the same user in the trailing window `(t − windowSec, t)` —
+    * STRICTLY before the anchor instant, so the feature is leak-free for
+    * training. One per-user RANGE window on the µs order per feature type
+    * (all sharing the single user exchange + sort) — each frame walk is
+    * bounded by a user's own events; there is no purchases×events join to
+    * blow up on a hot user. Returns the anchor rows
+    * (id, user, µs ts) + one `n_<type>` column per feature type. */
+  def pitTrailingCounts(df: DataFrame, userCol: String, idCol: String,
+                        tsCol: String, typeCol: String, anchorType: String,
+                        featureTypes: Seq[String],
+                        windowSec: Long): DataFrame = {
+    require(featureTypes.nonEmpty && windowSec > 0)
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__us").asc)
+      .rangeBetween(-windowSec * 1000000L + 1, -1)
+    val base = df.select(col(userCol), col(idCol), col(typeCol),
+      micros(col(tsCol)).as("__us"))
+    val withCounts = featureTypes.foldLeft(base) { (acc, ft) =>
+      acc.withColumn(s"n_$ft",
+        sum(when(col(typeCol) === ft, 1L).otherwise(0L)).over(w))
+    }
+    withCounts.filter(col(typeCol) === anchorType)
+      .select(col(idCol) +: col(userCol) +: col("__us").as("anchor_us") +:
+        featureTypes.map(ft => coalesce(col(s"n_$ft"), lit(0L)).as(s"n_$ft")): _*)
+  }
+
+  // -------------------------------------------------------- stage latency
+  /** Conversion latency between two funnel stages, per weekly cohort of the
+    * FIRST-stage completion: for each user, t0 = first `fromType` event and
+    * t1 = first `toType` event strictly after t0 (the [[funnel]] rule);
+    * completing users report into their t0-week cohort with the LOWER-MEDIAN
+    * latency in seconds — an order statistic (a data element), byte-identical
+    * cross-engine, no interpolation. Two user-keyed aggregates + one co-keyed
+    * join + the per-cohort median window. Returns
+    * (cohort_week, n_completed, med_latency_s). */
+  def stageLatency(df: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, fromType: String, toType: String): DataFrame = {
+    val us = micros(col(tsCol))
+    val first = df.filter(col(typeCol) === fromType)
+      .select(col(userCol).as("__u"), us.as("__t0"))
+      .groupBy("__u").agg(min(col("__t0")).as("__t0"))
+    val completed = df.filter(col(typeCol) === toType)
+      .select(col(userCol).as("__u"), us.as("__t1"))
+      .join(first, Seq("__u"))
+      .filter(col("__t1") > col("__t0"))
+      .groupBy("__u").agg(min(col("__t1")).as("__t1"), min(col("__t0")).as("__t0"))
+      .select(col("__u"),
+        floor((floor(col("__t0") / lit(86400000000L)) + lit(3)) / lit(7))
+          .cast("long").as("cohort_week"),
+        floor((col("__t1") - col("__t0")) / lit(1000000L)).cast("long")
+          .as("__lat"))
+    Stats.groupLowerMedian(completed, Seq("cohort_week"), "__lat", "med_latency_s")
+      .join(completed.groupBy("cohort_week").agg(count(lit(1)).as("n_completed")),
+        Seq("cohort_week"))
+      .select(col("cohort_week"), col("n_completed"), col("med_latency_s"))
+  }
+
+  // ----------------------------------------------------------- cohort LTV
+  /** Cohort lifetime value: customers cohort by their FIRST-order week, and
+    * each (cohort_week, week_offset) cell reports the decimal-exact revenue
+    * plus the running cumulative LTV of that cohort. Same triangle as
+    * [[retentionCohorts]] with money instead of presence; the cumulative
+    * window partitions by cohort and walks its bounded offsets. Returns
+    * (cohort_week, week_offset, revenue, cum_revenue). */
+  def cohortLtv(df: DataFrame, keyCol: String, tsCol: String,
+                amountCol: String): DataFrame = {
+    val wk = weekIndex(col(tsCol))
+    val txns = df.select(col(keyCol).as("__k"), wk.as("__wk"),
+      col(amountCol).cast("decimal(38,6)").as("__amt"))
+    val cohort = txns.groupBy("__k").agg(min(col("__wk")).as("cohort_week"))
+    val cells = txns.join(cohort, Seq("__k"))
+      .groupBy(col("cohort_week"), (col("__wk") - col("cohort_week")).as("week_offset"))
+      .agg(sum(col("__amt")).as("__rev"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("__cum", sum(col("__rev")).over(w))
+      .select(col("cohort_week"), col("week_offset"),
+        col("__rev").cast("double").as("revenue"),
+        col("__cum").cast("double").as("cum_revenue"))
+  }
 }

@@ -61,4 +61,42 @@ object Spatial {
       .filter(col("dist2") <= lit(radius * radius))
       .select(col("id_a"), col("id_b"), col("dist2"))
   }
+
+  /** Nearest neighbor within `radius`: for each left point, the single
+    * closest right point at Euclidean distance ≤ radius (squared-distance
+    * then id as the deterministic tiebreak), or no row when none is in
+    * range. Same grid shape as [[radiusSelfJoin]] — the left side fans out
+    * to its 3×3 neighborhood, one cell equi join generates candidates, and
+    * a per-left-id min_by argmin replaces the pair filter. The depot /
+    * store-assignment primitive. Returns (id_a, id_b, dist2). */
+  def nearestNeighborJoin(left: DataFrame, right: DataFrame, idCol: String,
+                          xCol: String, yCol: String, radius: Long): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1: $radius")
+    def pts(df: DataFrame, sfx: String) = df.select(
+      col(idCol).as(s"id_$sfx"), col(xCol).cast("long").as(s"__x$sfx"),
+      col(yCol).cast("long").as(s"__y$sfx"))
+    val build = pts(right, "b")
+      .select(col("id_b"), col("__xb"), col("__yb"),
+        floor(col("__xb").cast("double") / radius).cast("long").as("__cx"),
+        floor(col("__yb").cast("double") / radius).cast("long").as("__cy"))
+    val offsets = array((for (ox <- -1 to 1; oy <- -1 to 1)
+      yield struct(lit(ox).as("dx"), lit(oy).as("dy"))): _*)
+    val probe = pts(left, "a")
+      .select(col("id_a"), col("__xa"), col("__ya"), explode(offsets).as("__o"))
+      .select(col("id_a"), col("__xa"), col("__ya"),
+        (floor(col("__xa").cast("double") / radius).cast("long") +
+          col("__o.dx")).as("__cx"),
+        (floor(col("__ya").cast("double") / radius).cast("long") +
+          col("__o.dy")).as("__cy"))
+    val dx = col("__xa") - col("__xb")
+    val dy = col("__ya") - col("__yb")
+    probe.join(build, Seq("__cx", "__cy"))
+      .withColumn("dist2", dx * dx + dy * dy)
+      .filter(col("dist2") <= lit(radius * radius))
+      .groupBy("id_a")
+      .agg(min_by(struct(col("id_b"), col("dist2")),
+        struct(col("dist2"), col("id_b"))).as("__nn"))
+      .select(col("id_a"), col("__nn.id_b").as("id_b"),
+        col("__nn.dist2").as("dist2"))
+  }
 }

@@ -460,6 +460,30 @@ object Stats {
         round(share - benford, 6).as("excess"))
   }
 
+  // ----------------------------------------------------- referential audit
+  /** Referential-integrity audit over a set of FK edges: for each
+    * (edge name, child side+key, parent side+key), the child row count and
+    * how many child rows point at a key absent from the parent — the
+    * dangling-reference report a warehouse runs before publishing a
+    * snapshot. Each edge is one LEFT ANTI join on the key (the parent key
+    * set typically broadcasts; a giant parent degrades to a co-keyed
+    * shuffle, never more) + two counts; edges union into one small report.
+    * Null child keys count as orphans (they reference nothing).
+    * Returns one row per edge: (edge, n_child, n_orphans). */
+  def referentialAudit(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty, "audit needs at least one FK edge")
+    edges.map { case (name, child, childKey, parent, parentKey) =>
+      val keys = parent.select(col(parentKey).as("__pk")).distinct()
+      val orphans = child.select(col(childKey).as("__ck"))
+        .join(keys, col("__ck") === col("__pk"), "anti")
+      val nc = child.agg(count(lit(1)).as("n_child"))
+      val no = orphans.agg(count(lit(1)).as("n_orphans"))
+      nc.crossJoin(no).select(lit(name).as("edge"), col("n_child"),
+        col("n_orphans"))
+    }.reduce(_.unionByName(_))
+  }
+
   // -------------------------------------------------- quantile normalization
   /** Cross-group quantile normalization (the bioinformatics/feature-scaling
     * classic): rank each row within its group by (value, id), compute the

@@ -31,18 +31,21 @@ object AppliedQueries {
       .select(col("pk").as("src"), col("pk2").as("dst"))
   }
 
+  // MATERIALIZED: DuckDB inlines plain CTEs, so each chained peel/frontier
+  // round would re-expand the whole edge derivation — exponential oracle
+  // runtime at sf0.1 (observed: q156 >2 min inlined vs 7 s materialized)
   private val copurchaseEdgesSql =
-    "lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
-      "e0 AS (SELECT x.pk AS a, y.pk AS b FROM lp x JOIN lp y " +
+    "lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+      "e0 AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b FROM lp x JOIN lp y " +
       "ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2 HAVING count(*) >= 2)"
 
   private def kcoreRoundSql(i: Int): String = {
     val (e, d) = (s"e${i - 1}", s"d$i")
-    s"$d AS (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM $e " +
+    s"$d AS MATERIALIZED (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM $e " +
       s"UNION ALL SELECT b FROM $e) GROUP BY 1), " +
-      s"e$i AS (SELECT a, b FROM $e WHERE " +
-      s"a IN (SELECT node FROM $d WHERE deg >= 4) AND " +
-      s"b IN (SELECT node FROM $d WHERE deg >= 4))"
+      s"e$i AS MATERIALIZED (SELECT a, b FROM $e WHERE " +
+      s"a IN (SELECT node FROM $d WHERE deg >= 3) AND " +
+      s"b IN (SELECT node FROM $d WHERE deg >= 3))"
   }
 
   /** The q71-family deterministic URL mix (same construction on both
@@ -107,16 +110,16 @@ object AppliedQueries {
           "user_id", "ts")
         .orderBy("user_id")),
 
-    // ---- bounded-round k-core peel (k=4, 4 rounds) of the sparse
+    // ---- bounded-round k-core peel (k=3, 4 rounds) of the sparse
     // co-purchase graph; the oracle unrolls the identical rounds.
     Q("q156_kcore",
       Some("WITH " + copurchaseEdgesSql + ", " +
         (1 to 4).map(kcoreRoundSql).mkString(", ") + ", " +
         "df AS (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM e4 " +
         "UNION ALL SELECT b FROM e4) GROUP BY 1) " +
-        "SELECT node, deg FROM df WHERE deg >= 4 ORDER BY node"),
+        "SELECT node, deg FROM df WHERE deg >= 3 ORDER BY node"),
       (s, dir) => Graph.kCore(copurchaseEdges(s, dir), "src", "dst",
-          k = 4, rounds = 4)
+          k = 3, rounds = 4)
         .orderBy("node")),
 
     // ---- time-weighted average order value per customer: each order's
@@ -175,21 +178,21 @@ object AppliedQueries {
       }),
 
     // ---- grid-bucketed radius self-join on synthetic planar integer
-    // coords: Spark takes the 3x3-cell equi join; the oracle brute-forces
-    // the quadratic — identical integer pair set.
+    // coords (radius 40 — populated at every sf): Spark takes the 3x3-cell
+    // equi join; the oracle brute-forces the quadratic — identical pair set.
     Q("q159_radius_join",
       Some("WITH p AS (SELECT c_custkey AS id, c_custkey % 1000 AS x, " +
         "(c_custkey * 7919) % 1000 AS y FROM customer) " +
         "SELECT a.id AS id_a, b.id AS id_b, " +
         "CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2 " +
         "FROM p a JOIN p b ON a.id < b.id " +
-        "AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 225 " +
+        "AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 1600 " +
         "ORDER BY 1, 2"),
       (s, dir) => {
         val pts = Tables.customer(s, dir).select(col("c_custkey").as("id"),
           pmod(col("c_custkey"), lit(1000L)).as("x"),
           pmod(col("c_custkey") * 7919L, lit(1000L)).as("y"))
-        Spatial.radiusSelfJoin(pts, "id", "x", "y", radius = 15)
+        Spatial.radiusSelfJoin(pts, "id", "x", "y", radius = 40)
           .orderBy("id_a", "id_b")
       }),
 
@@ -299,13 +302,13 @@ object AppliedQueries {
     // graph; the oracle unrolls the same frontier rounds.
     Q("q165_bfs_hops",
       Some("WITH " + copurchaseEdgesSql + ", " +
-        "adj AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0), " +
-        "s0 AS (SELECT DISTINCT p_partkey AS node FROM part WHERE p_partkey % 97 = 0), " +
-        "f1 AS (SELECT DISTINCT v AS node FROM adj JOIN s0 ON adj.u = s0.node " +
+        "adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0), " +
+        "s0 AS MATERIALIZED (SELECT DISTINCT p_partkey AS node FROM part WHERE p_partkey % 97 = 0), " +
+        "f1 AS MATERIALIZED (SELECT DISTINCT v AS node FROM adj JOIN s0 ON adj.u = s0.node " +
         "WHERE v NOT IN (SELECT node FROM s0)), " +
-        "f2 AS (SELECT DISTINCT v AS node FROM adj JOIN f1 ON adj.u = f1.node " +
+        "f2 AS MATERIALIZED (SELECT DISTINCT v AS node FROM adj JOIN f1 ON adj.u = f1.node " +
         "WHERE v NOT IN (SELECT node FROM s0 UNION SELECT node FROM f1)), " +
-        "f3 AS (SELECT DISTINCT v AS node FROM adj JOIN f2 ON adj.u = f2.node " +
+        "f3 AS MATERIALIZED (SELECT DISTINCT v AS node FROM adj JOIN f2 ON adj.u = f2.node " +
         "WHERE v NOT IN (SELECT node FROM s0 UNION SELECT node FROM f1 " +
         "UNION SELECT node FROM f2)) " +
         "SELECT node, 0 AS hops FROM s0 UNION ALL SELECT node, 1 FROM f1 " +
@@ -350,6 +353,189 @@ object AppliedQueries {
           .select(col("c_custkey_a").as("id_a"), col("c_custkey_b").as("id_b"),
             col("score"))
           .orderBy("id_a", "id_b")
+      }),
+
+    // ---- last-touch attribution: each purchase credits the user's most
+    // recent preceding non-purchase event; ONE per-user frame walk, then a
+    // vocabulary-bounded rollup with decimal-exact value sums.
+    Q("q167_attribution",
+      Some("WITH e AS (SELECT user_id, event_id, event_type, value, " +
+        "epoch_us(ts) AS us FROM events), " +
+        "w AS (SELECT *, last_value(CASE WHEN event_type != 'purchase' " +
+        "THEN event_type END IGNORE NULLS) OVER (PARTITION BY user_id " +
+        "ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+        "AS touch FROM e) " +
+        "SELECT coalesce(touch, '(none)') AS touch_type, count(*) AS n_conv, " +
+        "CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value " +
+        "FROM w WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"),
+      (s, dir) => EventAnalytics.lastTouchAttribution(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "event_type", "purchase", "value")
+        .orderBy("touch_type")),
+
+    // ---- cumulative adoption curve over the calendar day spine: first
+    // activity per user, running total + share of the eventual user base.
+    Q("q168_adoption",
+      Some("WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS d " +
+        "FROM events GROUP BY 1), " +
+        "pd AS (SELECT d AS day, count(*) AS n_new FROM f GROUP BY 1), " +
+        "sp AS (SELECT unnest(range((SELECT min(day) FROM pd), " +
+        "(SELECT max(day) FROM pd) + 1)) AS day), " +
+        "c AS (SELECT sp.day, coalesce(n_new, 0) AS n_new FROM sp " +
+        "LEFT JOIN pd USING (day)), " +
+        "r AS (SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users FROM c) " +
+        "SELECT day, n_new, cum_users, round(CAST(cum_users AS DOUBLE) / " +
+        "(SELECT CAST(count(*) AS DOUBLE) FROM f), 6) AS pct_of_total " +
+        "FROM r ORDER BY day"),
+      (s, dir) => EventAnalytics.adoptionCurve(Tables.events(s, dir),
+          "user_id", "ts")
+        .orderBy("day")),
+
+    // ---- point-in-time trailing features: per purchase, the user's
+    // strictly-prior 7-day view/click counts — leak-free feature-store
+    // semantics via ONE per-user RANGE window, never an events x anchors join.
+    Q("q169_pit_features",
+      Some("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us " +
+        "FROM events), " +
+        "w AS (SELECT *, " +
+        "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER win AS nv, " +
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER win AS nc " +
+        "FROM e WINDOW win AS (PARTITION BY user_id ORDER BY us " +
+        "RANGE BETWEEN 604799999999 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_id, user_id, us AS anchor_us, " +
+        "CAST(coalesce(nv, 0) AS BIGINT) AS n_view, " +
+        "CAST(coalesce(nc, 0) AS BIGINT) AS n_click " +
+        "FROM w WHERE event_type = 'purchase' ORDER BY event_id"),
+      (s, dir) => EventAnalytics.pitTrailingCounts(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "event_type", "purchase",
+          Seq("view", "click"), windowSec = 604800L)
+        .orderBy("event_id")),
+
+    // ---- signup->purchase conversion latency per signup-week cohort:
+    // lower-median seconds (an order statistic — byte-identical cross-engine).
+    Q("q170_funnel_latency",
+      Some("WITH f AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events " +
+        "WHERE event_type = 'signup' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(epoch_us(ts)) AS t1, min(t0) AS t0 " +
+        "FROM events e JOIN f ON e.user_id = f.user_id " +
+        "WHERE event_type = 'purchase' AND epoch_us(ts) > t0 GROUP BY 1), " +
+        "l AS (SELECT user_id, (t0 // 86400000000 + 3) // 7 AS cohort_week, " +
+        "(t1 - t0) // 1000000 AS lat FROM c), " +
+        "m AS (SELECT cohort_week, lat, row_number() OVER (PARTITION BY " +
+        "cohort_week ORDER BY lat) AS rn, count(*) OVER (PARTITION BY " +
+        "cohort_week) AS nn FROM l) " +
+        "SELECT cohort_week, nn AS n_completed, lat AS med_latency_s FROM m " +
+        "WHERE rn = (nn + 1) // 2 ORDER BY cohort_week"),
+      (s, dir) => EventAnalytics.stageLatency(Tables.events(s, dir),
+          "user_id", "event_type", "ts", "signup", "purchase")
+        .orderBy("cohort_week")),
+
+    // ---- cohort lifetime value: first-order-week cohorts, decimal-exact
+    // revenue per week offset plus the running cumulative LTV.
+    Q("q171_cohort_ltv",
+      Some("WITH t AS (SELECT o_custkey AS k, " +
+        "(epoch_us(o_orderdate) // 86400000000 + 3) // 7 AS wk, " +
+        "CAST(o_totalprice AS DECIMAL(38,6)) AS amt FROM orders), " +
+        "c AS (SELECT k, min(wk) AS cohort_week FROM t GROUP BY 1), " +
+        "cells AS (SELECT cohort_week, wk - cohort_week AS week_offset, " +
+        "sum(amt) AS rev FROM t JOIN c USING (k) GROUP BY 1, 2), " +
+        "r AS (SELECT cohort_week, week_offset, rev, sum(rev) OVER " +
+        "(PARTITION BY cohort_week ORDER BY week_offset " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM cells) " +
+        "SELECT cohort_week, week_offset, CAST(rev AS DOUBLE) AS revenue, " +
+        "CAST(cum AS DOUBLE) AS cum_revenue FROM r ORDER BY 1, 2"),
+      (s, dir) => EventAnalytics.cohortLtv(Tables.orders(s, dir),
+          "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("cohort_week", "week_offset")),
+
+    // ---- nearest supplier within radius 40 on the synthetic plane: grid
+    // candidates + per-customer argmin; oracle brute-forces the argmin.
+    Q("q172_nearest",
+      Some("WITH a AS (SELECT c_custkey AS id, c_custkey % 1000 AS x, " +
+        "(c_custkey * 7919) % 1000 AS y FROM customer), " +
+        "b AS (SELECT s_suppkey AS id, s_suppkey % 1000 AS x, " +
+        "(s_suppkey * 7919) % 1000 AS y FROM supplier), " +
+        "m AS (SELECT a.id AS id_a, b.id AS id_b, " +
+        "(a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2 FROM a JOIN b " +
+        "ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 1600), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY id_a " +
+        "ORDER BY dist2, id_b) AS rn FROM m) " +
+        "SELECT id_a, id_b, CAST(dist2 AS BIGINT) AS dist2 FROM r " +
+        "WHERE rn = 1 ORDER BY id_a"),
+      (s, dir) => {
+        val cust = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+          pmod(col("c_custkey"), lit(1000L)).as("x"),
+          pmod(col("c_custkey") * 7919L, lit(1000L)).as("y"))
+        val supp = Tables.supplier(s, dir).select(col("s_suppkey").as("id"),
+          pmod(col("s_suppkey"), lit(1000L)).as("x"),
+          pmod(col("s_suppkey") * 7919L, lit(1000L)).as("y"))
+        Spatial.nearestNeighborJoin(cust, supp, "id", "x", "y", radius = 40)
+          .orderBy("id_a")
+      }),
+
+    // ---- referential-integrity audit with PLANTED orphans: every 20th
+    // lineitem gets a shifted orderkey, every 31st a shifted partkey, every
+    // 13th order a shifted custkey — the anti-join report must count exactly
+    // those.
+    Q("q173_fk_audit",
+      Some("WITH li AS (SELECT CASE WHEN l_orderkey % 20 = 0 " +
+        "THEN l_orderkey + 1000000000 ELSE l_orderkey END AS lo, " +
+        "CASE WHEN l_partkey % 31 = 0 THEN l_partkey + 1000000000 " +
+        "ELSE l_partkey END AS lp FROM lineitem), " +
+        "o AS (SELECT CASE WHEN o_orderkey % 13 = 0 " +
+        "THEN o_custkey + 1000000000 ELSE o_custkey END AS oc FROM orders), " +
+        "e1 AS (SELECT 'lineitem->orders' AS edge, count(*) AS n_child, " +
+        "(SELECT count(*) FROM li WHERE lo NOT IN " +
+        "(SELECT o_orderkey FROM orders)) AS n_orphans FROM li), " +
+        "e2 AS (SELECT 'lineitem->part' AS edge, count(*) AS n_child, " +
+        "(SELECT count(*) FROM li WHERE lp NOT IN " +
+        "(SELECT p_partkey FROM part)) AS n_orphans FROM li), " +
+        "e3 AS (SELECT 'orders->customer' AS edge, count(*) AS n_child, " +
+        "(SELECT count(*) FROM o WHERE oc NOT IN " +
+        "(SELECT c_custkey FROM customer)) AS n_orphans FROM o) " +
+        "SELECT * FROM e1 UNION ALL SELECT * FROM e2 " +
+        "UNION ALL SELECT * FROM e3 ORDER BY edge"),
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(
+          when(pmod(col("l_orderkey"), lit(20L)) === 0,
+            col("l_orderkey") + 1000000000L).otherwise(col("l_orderkey")).as("lo"),
+          when(pmod(col("l_partkey"), lit(31L)) === 0,
+            col("l_partkey") + 1000000000L).otherwise(col("l_partkey")).as("lp"))
+        val o = Tables.orders(s, dir).select(
+          when(pmod(col("o_orderkey"), lit(13L)) === 0,
+            col("o_custkey") + 1000000000L).otherwise(col("o_custkey")).as("oc"))
+        Stats.referentialAudit(Seq(
+          ("lineitem->orders", li, "lo", Tables.orders(s, dir), "o_orderkey"),
+          ("lineitem->part", li, "lp", Tables.part(s, dir), "p_partkey"),
+          ("orders->customer", o, "oc", Tables.customer(s, dir), "c_custkey")))
+          .orderBy("edge")
+      }),
+
+    // ---- TPC-H Q3 shape (shipping priority): segment-filtered customers
+    // broadcast, the two fact keys shuffle once, decimal-exact revenue,
+    // top-10 TakeOrdered cutoff; dates compare as integer day indexes.
+    Q("q174_tpch_q3",
+      Some("SELECT l_orderkey, epoch_us(o_orderdate) // 86400000000 AS o_day, " +
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) " +
+        "AS DOUBLE) AS revenue FROM customer " +
+        "JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1996-03-15' " +
+        "AND l_shipdate > TIMESTAMP '1996-03-15' " +
+        "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+      (s, dir) => {
+        val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6))
+        broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"))
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_orderdate") < lit("1996-03-15").cast("timestamp") &&
+            col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
+          .groupBy(col("l_orderkey"),
+            EventAnalytics.dayIndex(col("o_orderdate")).as("o_day"))
+          .agg(sum(rev).cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc).limit(10)
       })
   )
 }

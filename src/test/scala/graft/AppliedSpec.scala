@@ -199,6 +199,112 @@ class AppliedSpec extends SparkSpec {
       Seq(("y", 2L, "1"), ("z", 1L, "1")))
   }
 
+  test("lastTouchAttribution: latest prior touch wins; no-touch goes to (none)") {
+    val ev = Seq(
+      // user 1: view, click, PURCHASE(10) -> click; PURCHASE(5) right after
+      // another purchase still credits click (purchases are not touches)
+      (1L, 1L, 10L, "view", 0.0), (1L, 2L, 20L, "click", 0.0),
+      (1L, 3L, 30L, "purchase", 10.0), (1L, 4L, 40L, "purchase", 5.0),
+      // user 2: cold purchase -> (none)
+      (2L, 5L, 10L, "purchase", 7.0))
+      .toDF("user_id", "event_id", "usec", "event_type", "value")
+      .select(col("user_id"), col("event_id"),
+        expr("timestamp_micros(usec)").as("ts"), col("event_type"), col("value"))
+    val a = EventAnalytics.lastTouchAttribution(ev, "user_id", "event_id",
+        "ts", "event_type", "purchase", "value")
+      .orderBy("touch_type").collect()
+    assert(a.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("(none)", 1L, 7.0), ("click", 2L, 15.0)))
+  }
+
+  test("adoptionCurve: spine fills quiet days; cumulative reaches 1.0") {
+    val ev = Seq((1L, 0L), (1L, 3L), (2L, 0L), (3L, 2L))
+      .toDF("user_id", "day")
+      .select(col("user_id"),
+        expr("timestamp_micros(day * 86400000000)").as("ts"))
+    val c = EventAnalytics.adoptionCurve(ev, "user_id", "ts")
+      .orderBy("day").collect()
+    // first days: u1,u2 -> 0; u3 -> 2; day 1 quiet
+    assert(c.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq == Seq((0L, 2L, 2L, 0.666667), (1L, 0L, 2L, 0.666667),
+        (2L, 1L, 3L, 1.0)))
+  }
+
+  test("pitTrailingCounts: strictly-prior window excludes the anchor instant") {
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, 1L, 0L, "view"), (1L, 2L, 3 * day, "click"),
+      (1L, 3L, 8 * day, "view"),           // falls OUT of a day-10 7d window
+      (1L, 4L, 10 * day, "purchase"),      // counts click@3d? no - 7d back = day 3 boundary
+      (1L, 5L, 10 * day, "view"),          // same instant as anchor: excluded
+      (1L, 6L, 12 * day, "purchase"))
+      .toDF("user_id", "event_id", "usec", "event_type")
+      .select(col("user_id"), col("event_id"),
+        expr("timestamp_micros(usec)").as("ts"), col("event_type"))
+    val f = EventAnalytics.pitTrailingCounts(ev, "user_id", "event_id", "ts",
+        "event_type", "purchase", Seq("view", "click"), windowSec = 7 * 86400L)
+      .orderBy("event_id").collect()
+    // anchor day 10: window (day 3, day 10) -> view@8d only (click@3d is on
+    // the open boundary, view@10d shares the anchor instant)
+    // anchor day 12: window (day 5, day 12) -> view@8d + view@10d
+    assert(f.map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((4L, 1L, 0L), (6L, 2L, 0L)))
+  }
+
+  test("stageLatency: first-from to first-after-to, lower-median per cohort") {
+    val ev = Seq(
+      (1L, 0L, "signup"), (1L, 100L, "purchase"), (1L, 50L, "purchase"),
+      (2L, 10L, "signup"), (2L, 310L, "purchase"),
+      (3L, 20L, "purchase"), (3L, 30L, "signup"), // purchase BEFORE signup: no completion
+      (4L, 0L, "signup")) // never completes
+      .toDF("user_id", "sec", "event_type")
+      .select(col("user_id"),
+        expr("timestamp_micros(sec * 1000000)").as("ts"), col("event_type"))
+    val l = EventAnalytics.stageLatency(ev, "user_id", "event_type", "ts",
+        "signup", "purchase").collect()
+    assert(l.length == 1)
+    // cohort week 0: users 1 (lat 50s) and 2 (lat 300s) -> lower median 50
+    assert(l.head.getLong(1) == 2L && l.head.getLong(2) == 50L)
+  }
+
+  test("cohortLtv: offsets accumulate decimal-exact revenue per cohort") {
+    val wk = 7L * 86400000000L
+    val tx = Seq(
+      (1L, 0L, 10.0), (1L, 1L, 20.0), (2L, 0L, 5.0), (2L, 2L, 40.0),
+      (3L, 1L, 100.0)) // cohort week 1
+      .toDF("k", "week", "amt")
+      .select(col("k"), expr(s"timestamp_micros(week * $wk + 3 * 86400000000)")
+        .as("ts"), col("amt")) // +3d keeps the micros inside the Monday week
+    val c = EventAnalytics.cohortLtv(tx, "k", "ts", "amt")
+      .orderBy("cohort_week", "week_offset").collect()
+    assert(c.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq == Seq(
+        (0L, 0L, 15.0, 15.0), (0L, 1L, 20.0, 35.0), (0L, 2L, 40.0, 75.0),
+        (1L, 0L, 100.0, 100.0)))
+  }
+
+  test("nearestNeighborJoin: argmin with id tiebreak; out-of-range left rows drop") {
+    val left = Seq((1L, 0L, 0L), (2L, 50L, 50L)).toDF("id", "x", "y")
+    val right = Seq((10L, 3L, 0L), (11L, 0L, 3L), (12L, 200L, 200L))
+      .toDF("id", "x", "y")
+    val nn = Spatial.nearestNeighborJoin(left, right, "id", "x", "y", radius = 5)
+      .collect()
+    // 10 and 11 tie at dist2 9 -> lower id wins; point 2 matches nothing
+    assert(nn.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 10L, 9L)))
+  }
+
+  test("referentialAudit: planted orphans and null keys count; clean edges report 0") {
+    val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val rep = Stats.referentialAudit(Seq(
+      ("dirty", child, "fk", parent, "pk"),
+      ("clean", parent, "pk", parent, "pk")))
+      .orderBy("edge").collect()
+    assert(rep.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("clean", 3L, 0L), ("dirty", 4L, 2L)))
+  }
+
   test("linkage: blocked pair generation and the continuous score formula") {
     val recs = Seq(("b1", 1L, "AUTOMOBILE", 100.0), ("b1", 2L, "AUTOMOBILE", 350.0),
       ("b1", 3L, "HOUSEHOLD", 100.0), ("b2", 4L, "AUTOMOBILE", 100.0))

@@ -492,4 +492,46 @@ class PlanSpec extends SparkSpec {
       s"blocked pairs must be an equi join:\n$p")
     assert(p.contains("jaro_winkler"), s"expected the codegen'd JW kernel in:\n$p")
   }
+
+  test("q167/q169: attribution and PIT-feature windows partition by user — never an anchors join") {
+    for (q <- Seq("q167_attribution", "q169_pit_features")) {
+      val p = planOf(q)
+      val ws = p.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(ws.nonEmpty && ws.forall(_.contains("user_id")),
+        s"$q: every window must partition by user_id:\n${ws.mkString("\n")}")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$q: the frame walk must replace any events-x-anchors join:\n$p")
+    }
+  }
+
+  test("q171: the LTV cumulative window partitions by cohort") {
+    val p = planOf("q171_cohort_ltv")
+    val ws = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(ws.nonEmpty && ws.forall(_.contains("cohort_week")),
+      s"the cumulative walk must partition by cohort:\n${ws.mkString("\n")}")
+  }
+
+  test("q172: nearest-neighbor candidates come from the cell equi join; argmin is an aggregate") {
+    val p = planOf("q172_nearest")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the candidate join must be the grid equi join:\n$p")
+    assert(p.contains("__cx") && p.contains("__cy"),
+      s"expected the composite cell key:\n$p")
+    assert(!p.contains("Window ["), s"the argmin must be min_by, not a window:\n$p")
+  }
+
+  test("q173: every FK edge audits through an anti join") {
+    val p = planOf("q173_fk_audit")
+    assert(p.contains("LeftAnti"), s"expected anti joins in the audit:\n$p")
+    assert(p.contains("Broadcast"), s"parent key sets should broadcast:\n$p")
+  }
+
+  test("q174: TPC-H Q3 broadcasts the segment dim; top-10 is a cutoff") {
+    val p = planOf("q174_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the filtered customer dim must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be a cutoff, not a global sort:\n$p")
+    assert(p.contains("PushedFilters"), s"date filters should reach the scans:\n$p")
+  }
 }
