@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+import graft.pipeline.EventAnalytics
+
+/** TPC-H-shaped relational drivers over the synthetic star schema — the
+  * classic warehouse plans a user of the reference would hand-roll from its
+  * join/aggregate primitives (`meza/process.py:join/aggregate/group`),
+  * re-expressed as single declarative Spark plans so Catalyst supplies the
+  * join order, broadcasts, and partial aggregation the reference lacks.
+  *
+  * Present shapes (adapted to the driver schema, which has no partsupp and
+  * no l_shipmode/l_commitdate): Q6 (selective scan aggregate), Q4 (semi-join
+  * EXISTS), Q7 (two-nation volume matrix), Q8 (market share ratio), Q14
+  * (promo revenue share), Q18 (large-order top-k), Q2 (min-cost supplier per
+  * part), Q22 (inactive high-balance customers), Q12 (priority x linestatus
+  * matrix). Q1/Q3/Q5/Q10 live in earlier waves (q01, q174, q115, q135).
+  *
+  * Float discipline (= Relational's): money sums accumulate in DECIMAL —
+  * exact and shuffle-order-independent — and cast to double once in BOTH
+  * engines; ratios are ONE IEEE division of two such sums; calendar years
+  * come from `year(ts)` (proleptic Gregorian on a UTC session in both
+  * engines — deterministic integer, unlike float date arithmetic).
+  */
+object TpchQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(24, 6))
+  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  private val revSql = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) " +
+    "AS DECIMAL(24,6))) AS DOUBLE)"
+  private def rev: Column = dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+  private def ts(d: String): Column = lit(d).cast("timestamp")
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- Q6 forecast-revenue: the pure pushdown showcase — every predicate
+    // reaches the parquet scan, one partial+final aggregate, zero joins.
+    Q("q175_tpch_q6",
+      Some("SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) " +
+        "AS DOUBLE) AS revenue, count(*) AS n_items FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // ---- Q4 order-priority checking, EXISTS as a LEFT SEMI join (the only
+    // scale-sane EXISTS plan): the quarter filter prunes orders at the scan,
+    // the returnflag filter prunes lineitem before its one shuffle.
+    Q("q176_tpch_q4",
+      Some("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-07-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-10-01' " +
+        "AND o_orderkey IN (SELECT l_orderkey FROM lineitem " +
+        "WHERE l_returnflag = 'R') " +
+        "GROUP BY 1 ORDER BY 1"),
+      (s, dir) => Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= ts("1996-07-01") &&
+          col("o_orderdate") < ts("1996-10-01"))
+        .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o_orderkey")), Seq("o_orderkey"), "semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")),
+
+    // ---- Q7 volume shipping between two nations: both nation-tagged dims
+    // broadcast (supplier and customer shrink to the two-nation slice), the
+    // fact joins orders co-keyed; revenue per (supp_nation, cust_nation,
+    // ship year) cell.
+    Q("q177_tpch_q7",
+      Some("WITH sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE n_name IN ('NATION_3', 'NATION_7')), " +
+        "cn AS (SELECT c_custkey, n_name AS cust_nation FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE n_name IN ('NATION_3', 'NATION_7')) " +
+        "SELECT supp_nation, cust_nation, year(l_shipdate) AS l_year, " +
+        revSql + " AS revenue, count(*) AS n_items " +
+        "FROM lineitem JOIN sn ON l_suppkey = s_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN cn ON c_custkey = o_custkey " +
+        "WHERE supp_nation <> cust_nation " +
+        "AND l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+      (s, dir) => {
+        val nat = Tables.nation(s, dir)
+          .filter(col("n_name").isin("NATION_3", "NATION_7"))
+        val sn = Tables.supplier(s, dir)
+          .join(nat, col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey").as("l_suppkey"), col("n_name").as("supp_nation"))
+        val cn = Tables.customer(s, dir)
+          .join(nat, col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey").as("o_custkey"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= ts("1996-01-01") &&
+            col("l_shipdate") < ts("1998-01-01"))
+          .join(broadcast(sn), Seq("l_suppkey"))
+          .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cn), Seq("o_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(rev.as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      }),
+
+    // ---- Q8 market share: NATION_9's slice of ASIA-customer LARGE-part
+    // revenue per order year — the ratio is ONE IEEE division of two
+    // decimal-exact sums, rounded 6dp.
+    Q("q178_tpch_q8",
+      Some("WITH sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey), " +
+        "rc AS (SELECT c_custkey FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'), " +
+        "base AS (SELECT year(o_orderdate) AS o_year, " +
+        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)) AS vol, " +
+        "supp_nation FROM lineitem " +
+        "JOIN part ON p_partkey = l_partkey AND p_type = 'LARGE' " +
+        "JOIN sn ON s_suppkey = l_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN rc ON c_custkey = o_custkey " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01') " +
+        "SELECT o_year, round(CAST(SUM(CASE WHEN supp_nation = 'NATION_9' " +
+        "THEN vol ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE) / " +
+        "CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share, " +
+        "CAST(SUM(vol) AS DOUBLE) AS total_vol " +
+        "FROM base GROUP BY 1 ORDER BY 1"),
+      (s, dir) => {
+        val sn = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey").as("l_suppkey"), col("n_name").as("supp_nation"))
+        val rc = Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+            .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey").as("o_custkey"))
+        val vol = dec(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "LARGE")
+            .select(col("p_partkey").as("l_partkey"))), Seq("l_partkey"))
+          .join(broadcast(sn), Seq("l_suppkey"))
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= ts("1996-01-01") &&
+              col("o_orderdate") < ts("1998-01-01"))
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(rc, Seq("o_custkey"), "semi")
+          .select(year(col("o_orderdate")).cast("long").as("o_year"),
+            vol.as("vol"), col("supp_nation"))
+          .groupBy("o_year")
+          .agg(round(
+            sum(when(col("supp_nation") === "NATION_9", col("vol"))
+              .otherwise(dec(lit(0)))).cast(DoubleType) /
+              sum(col("vol")).cast(DoubleType), 6).as("mkt_share"),
+            sum(col("vol")).cast(DoubleType).as("total_vol"))
+          .orderBy("o_year")
+      }),
+
+    // ---- Q14 promo revenue share for one ship month: part dim broadcast,
+    // the percentage is one division of two decimal-exact sums.
+    Q("q179_tpch_q14",
+      Some("SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' " +
+        "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)) " +
+        "ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE) / " +
+        revSql + ", 6) AS promo_pct, " + revSql + " AS total_revenue " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-09-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-10-01'"),
+      (s, dir) => {
+        val vol = dec(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= ts("1996-09-01") &&
+            col("l_shipdate") < ts("1996-10-01"))
+          .join(broadcast(Tables.part(s, dir)
+            .select(col("p_partkey").as("l_partkey"), col("p_type"))),
+            Seq("l_partkey"))
+          .agg(round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", vol).otherwise(dec(lit(0))))
+              .cast(DoubleType) / sum(vol).cast(DoubleType), 6).as("promo_pct"),
+            sum(vol).cast(DoubleType).as("total_revenue"))
+      }),
+
+    // ---- Q18 large-volume orders: the HAVING aggregate runs on lineitem's
+    // one orderkey shuffle BEFORE any dim joins touch it (the survivors are
+    // a tiny fraction), then a TakeOrdered top-10 cutoff.
+    Q("q180_tpch_q18",
+      Some("WITH big AS (SELECT l_orderkey AS o_orderkey, " +
+        "sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1 " +
+        "HAVING sum(l_quantity) > 300) " +
+        "SELECT c_custkey, c_name, o_orderkey, " +
+        "epoch_us(o_orderdate) // 86400000000 AS o_day, o_totalprice, sum_qty " +
+        "FROM big JOIN orders USING (o_orderkey) " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 300)
+        big.join(Tables.orders(s, dir), Seq("o_orderkey"))
+          .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            EventAnalytics.dayIndex(col("o_orderdate")).as("o_day"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(10)
+      }),
+
+    // ---- Q2-shape min-cost supplier per part (no partsupp table: unit cost
+    // derives from lineitem as min(extendedprice / quantity) — each a single
+    // IEEE division of two parquet doubles, so min() selects a data element).
+    // The per-part argmin is ONE aggregate of a (cost, suppkey) struct —
+    // never a window — and the part filter prunes before the final join.
+    Q("q181_tpch_q2",
+      Some("WITH cost AS (SELECT l_partkey AS pk, l_suppkey AS sk, " +
+        "min(l_extendedprice / l_quantity) AS unit_cost FROM lineitem " +
+        "GROUP BY 1, 2), " +
+        "best AS (SELECT pk, sk, unit_cost, row_number() OVER " +
+        "(PARTITION BY pk ORDER BY unit_cost, sk) AS rn FROM cost) " +
+        "SELECT p_partkey, p_brand, s_name, n_name AS supp_nation, unit_cost " +
+        "FROM best JOIN part ON p_partkey = pk " +
+        "AND p_size BETWEEN 20 AND 30 " +
+        "JOIN supplier ON s_suppkey = sk " +
+        "JOIN nation ON n_nationkey = s_nationkey " +
+        "WHERE rn = 1 ORDER BY unit_cost DESC, p_partkey LIMIT 100"),
+      (s, dir) => {
+        val cost = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+        val best = cost.groupBy("pk")
+          .agg(min(struct(col("unit_cost"), col("sk"))).as("m"))
+          .select(col("pk"), col("m.sk").as("sk"), col("m.unit_cost").as("unit_cost"))
+        best
+          .join(broadcast(Tables.part(s, dir).filter(col("p_size").between(20, 30))
+            .select(col("p_partkey"), col("p_brand"))),
+            col("pk") === col("p_partkey"))
+          .join(broadcast(Tables.supplier(s, dir)
+            .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("s_name"), col("n_name"))),
+            col("sk") === col("s_suppkey"))
+          .select(col("p_partkey"), col("p_brand"), col("s_name"),
+            col("n_name").as("supp_nation"), col("unit_cost"))
+          .orderBy(col("unit_cost").desc, col("p_partkey").asc).limit(100)
+      }),
+
+    // ---- Q22 lapsed high-balance customers: the scalar threshold (one
+    // IEEE division of a decimal-exact sum by a count) broadcasts back, the
+    // "no recent order" test is a LEFT ANTI join against the distinct
+    // recent-buyer set — NOT IN at scale without the null-semantics trap.
+    // (The literal "never ordered" form is empty on this synthetic data —
+    // every customer has orders — so the cutoff supplies real survivors.)
+    Q("q182_tpch_q22",
+      Some("WITH t AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) " +
+        "AS DOUBLE) / count(*) AS thr FROM customer WHERE c_acctbal > 0.0) " +
+        "SELECT c_nationkey AS cntrycode, count(*) AS numcust, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) AS totacctbal " +
+        "FROM customer, t WHERE c_acctbal > thr " +
+        "AND c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '2000-01-01') " +
+        "GROUP BY 1 ORDER BY 1"),
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val thr = cust.filter(col("c_acctbal") > 0.0)
+          .agg((dsum(col("c_acctbal")) / count(lit(1))).as("thr"))
+        cust.crossJoin(broadcast(thr))
+          .filter(col("c_acctbal") > col("thr"))
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= ts("2000-01-01"))
+            .select(col("o_custkey").as("c_custkey")).distinct(),
+            Seq("c_custkey"), "anti")
+          .groupBy(col("c_nationkey").cast("int").as("cntrycode"))
+          .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+          .orderBy("cntrycode")
+      }),
+
+    // ---- Q12-shape priority x linestatus matrix (schema has no shipmode;
+    // linestatus plays its role): one co-keyed fact join, conditional counts.
+    Q("q183_tpch_q12",
+      Some("SELECT l_linestatus, " +
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_count, " +
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_count " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY 1 ORDER BY 1"),
+      (s, dir) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+          .join(Tables.lineitem(s, dir)
+            .filter(col("l_shipdate") >= ts("1997-01-01") &&
+              col("l_shipdate") < ts("1998-01-01"))
+            .select(col("l_orderkey").as("o_orderkey"), col("l_linestatus")),
+            Seq("o_orderkey"))
+          .groupBy("l_linestatus")
+          .agg(sum(when(hi, 1L).otherwise(0L)).as("high_count"),
+            sum(when(hi, 0L).otherwise(1L)).as("low_count"))
+          .orderBy("l_linestatus")
+      })
+  )
+}

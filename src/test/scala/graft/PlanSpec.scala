@@ -534,4 +534,56 @@ class PlanSpec extends SparkSpec {
       s"top-10 must be a cutoff, not a global sort:\n$p")
     assert(p.contains("PushedFilters"), s"date filters should reach the scans:\n$p")
   }
+
+  test("q175: TPC-H Q6 pushes every predicate to the scan — no join, no exchange but the final agg") {
+    val p = planOf("q175_tpch_q6")
+    assert(!p.contains("Join"), s"Q6 must be join-free:\n$p")
+    // the PushedFilters list elides in the plan string — match the prefix
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipda"),
+      s"shipdate range should reach the scan:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+      s"unused columns still read: $readSchema")
+  }
+
+  test("q176: TPC-H Q4's EXISTS plans as a semi join with both filters pushed") {
+    val p = planOf("q176_tpch_q4")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"the returnflag filter should prune lineitem at its scan:\n$p")
+  }
+
+  test("q177/q178: nation-sliced dims broadcast; the fact join is never a nested loop") {
+    Seq("q177_tpch_q7", "q178_tpch_q8").foreach { n =>
+      val p = planOf(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n: dims must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n: nested-loop join in the fact path:\n$p")
+    }
+  }
+
+  test("q180: TPC-H Q18's HAVING aggregate runs before any dim join; top-10 is a cutoff") {
+    val p = planOf("q180_tpch_q18")
+    // the lineitem quantity aggregate must sit BELOW the orders join
+    val aggIdx = p.linesIterator.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("sum_qty"))
+    assert(aggIdx >= 0, s"expected the sum_qty aggregate:\n$p")
+    val joinAbove = p.linesIterator.take(aggIdx).exists(_.contains("Join"))
+    assert(joinAbove, s"the big-order aggregate should feed the joins, not follow them:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must be a cutoff:\n$p")
+  }
+
+  test("q181: TPC-H Q2's per-part argmin is an aggregate, never a window") {
+    val p = planOf("q181_tpch_q2")
+    assert(!p.contains("Window"), s"argmin must not plan a rank window:\n$p")
+    assert(p.contains("min(") || p.contains("min#"),
+      s"expected the struct-min aggregate:\n$p")
+  }
+
+  test("q182: TPC-H Q22's inactivity test is an anti join; the scalar threshold broadcasts") {
+    val p = planOf("q182_tpch_q22")
+    assert(p.contains("LeftAnti"), s"NOT IN must plan as an anti join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the one-row threshold should broadcast:\n$p")
+  }
 }
