@@ -732,6 +732,32 @@ object Ops {
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Schema/distribution drift between two snapshots of the same logical
+    * table: [[profile]] runs on each side (one aggregate pass per snapshot,
+    * the per-column relation stays |cols| rows) and the column-keyed join
+    * reports null-rate and distinct-cardinality movement — the check a
+    * pipeline runs before accepting a new data drop against the previous
+    * one. Ratios are single IEEE divisions of exact counts, 6dp. */
+  def profileDrift(before: DataFrame, after: DataFrame,
+                   cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      profile(df, cols).select(col("col_name"),
+        col("n_rows").as(s"rows_$tag"), col("n_nonnull").as(s"nn_$tag"),
+        col("n_distinct").as(s"nd_$tag"))
+    // empty snapshots / all-null columns report null, not a divide error
+    def ratio(num: Column, den: Column) =
+      when(den > 0, round(num.cast("double") / den.cast("double"), 6))
+    def nullRate(tag: String) =
+      ratio(col(s"rows_$tag") - col(s"nn_$tag"), col(s"rows_$tag"))
+    side(before, "before").join(side(after, "after"), Seq("col_name"))
+      .select(col("col_name"),
+        nullRate("before").as("null_rate_before"),
+        nullRate("after").as("null_rate_after"),
+        col("nd_before").as("distinct_before"),
+        col("nd_after").as("distinct_after"),
+        ratio(col("nd_after"), col("nd_before")).as("distinct_ratio"))
+  }
+
   // ------------------------------------------------------------- histogram
   /** Equal-width histogram over [lo, hi]: bin i covers
     * [lo + i*width, lo + (i+1)*width), the last bin closed at hi (the

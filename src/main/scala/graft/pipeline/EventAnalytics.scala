@@ -863,4 +863,97 @@ object EventAnalytics {
         col("__rev").cast("double").as("revenue"),
         col("__cum").cast("double").as("cum_revenue"))
   }
+
+  // -------------------------------------------------- item-based recommender
+  /** Item-based collaborative-filtering top-k: score(user, item) = Σ over
+    * the user's basket of cosine(owned, item), over each item's
+    * `maxNeighbors` most-similar items, excluding items already owned.
+    * The classic Sarwar et al. (WWW'01) item-kNN — the workhorse
+    * "customers also bought" model, here as one declarative plan.
+    *
+    * DETERMINISM: pair cosines round to 6dp and accumulate as
+    * DECIMAL(18,6) — the score sum is exact and shuffle-order-independent,
+    * so the (score DESC, item ASC) ranking is engine-identical.
+    *
+    * 100 TB shape: the similarity matrix prunes to `maxNeighbors` rows per
+    * item BEFORE the basket join (per-item rank over the support-floored
+    * pair relation — bounded fan-out of basket × maxNeighbors candidate
+    * rows, never basket × catalog); the candidate aggregate and the rank
+    * window both key on the user. The owned-item exclusion is the same
+    * co-keyed anti join. Returns (user, item, score, rank ≤ k). */
+  def recommendTopK(df: DataFrame, userCol: String, itemCol: String,
+                    k: Int, minUsers: Long = 2L,
+                    maxNeighbors: Int = 20): DataFrame = {
+    require(k >= 1 && maxNeighbors >= 1, s"bad bounds: k=$k maxNeighbors=$maxNeighbors")
+    val basket = df.select(col(userCol).as("__u"), col(itemCol).as("__i"))
+      .distinct()
+    val sims = cooccurrenceCosine(df, userCol, itemCol, minUsers)
+      .select(col("item_a"), col("item_b"),
+        col("cosine").cast("decimal(18,6)").as("__sim"))
+    // expand to both directions, keep each item's top `maxNeighbors`
+    val directed = sims.select(col("item_a").as("__i"), col("item_b").as("__j"), col("__sim"))
+      .unionByName(sims.select(col("item_b").as("__i"), col("item_a").as("__j"), col("__sim")))
+    val wNbr = Window.partitionBy(col("__i"))
+      .orderBy(col("__sim").desc, col("__j").asc)
+    val nbrs = directed.withColumn("__r", row_number().over(wNbr))
+      .filter(col("__r") <= maxNeighbors).drop("__r")
+    val scored = basket.join(nbrs, Seq("__i"))
+      .groupBy(col("__u"), col("__j"))
+      .agg(sum(col("__sim")).as("__score"))
+      .join(basket.select(col("__u"), col("__i").as("__j")),
+        Seq("__u", "__j"), "anti")
+    val wTop = Window.partitionBy(col("__u"))
+      .orderBy(col("__score").desc, col("__j").asc)
+    scored.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("__u").as("user"), col("__j").as("item"),
+        col("__score").cast("double").as("score"), col("rank"))
+  }
+
+  // ------------------------------------------------------ daily unique report
+  /** Per-day activity report pairing the exact distinct-user count with an
+    * HLL++ approximation and its in-tolerance flag — the q43 discipline: the
+    * sketch output itself is engine-specific, so what ships (and what an
+    * oracle checks) is each engine's own |approx − exact| ≤ rtol·exact
+    * verdict plus the exact values. At 100 TB the exact distinct is the
+    * expensive half (one user-keyed shuffle per day partition); the HLL
+    * column is the one you'd keep in a rollup cube — this report is how a
+    * pipeline certifies the sketch before trusting it downstream.
+    * Returns (day, n_events, n_users, hll_ok). */
+  def dailyUniqueReport(df: DataFrame, userCol: String, tsCol: String,
+                        rtol: Double = 0.10): DataFrame =
+    df.select(dayIndex(col(tsCol)).as("day"), col(userCol).as("__u"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("__u")).as("n_users"),
+        approx_count_distinct(col("__u")).as("__hll"))
+      .select(col("day"), col("n_events"), col("n_users"),
+        (abs(col("__hll") - col("n_users")) <=
+          greatest(lit(rtol) * col("n_users"), lit(5.0))).as("hll_ok"))
+
+  // ------------------------------------------------- seasonal-naive forecast
+  /** Seasonal-naive backtest over the daily event-count series: the
+    * prediction for day d is the actual of day d − `season`, evaluated over
+    * the final `horizon` days — the baseline every real forecaster must
+    * beat, and the pipeline's drift alarm when |err| jumps. Counts are
+    * integers, so actual/predicted/abs_err are all exact.
+    *
+    * The series is the zero-filled day spine ([[resampleDaily]]'s contract:
+    * silence is a 0, not a missing row), its length bounded by the calendar
+    * (≤ ~4k rows for a decade) — the lag window is single-partition BY
+    * DESIGN over this bounded aggregate, never over raw events.
+    * Returns (day, actual, predicted, abs_err) for the backtest window. */
+  def seasonalNaiveBacktest(df: DataFrame, tsCol: String,
+                            season: Int = 7, horizon: Int = 28): DataFrame = {
+    require(season >= 1 && horizon >= 1, s"bad bounds: $season/$horizon")
+    val daily = resampleDaily(df, tsCol) // (day, n) zero-filled spine
+    val wLag = Window.orderBy(col("day").asc)
+    val maxDay = daily.agg(max(col("day")).as("__mx"))
+    daily
+      .withColumn("predicted", lag(col("n"), season).over(wLag))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") > col("__mx") - horizon && col("predicted").isNotNull)
+      .select(col("day"), col("n").as("actual"), col("predicted"),
+        abs(col("n") - col("predicted")).as("abs_err"))
+  }
 }

@@ -235,4 +235,44 @@ object Graph {
     }
     visited
   }
+
+  // ------------------------------------------------------------ weighted SSSP
+  /** Bounded-round single-source shortest paths over an undirected graph
+    * with non-negative INTEGER edge weights — [[bfsHops]]' weighted sibling
+    * (min-plus relaxation instead of frontier hops). Round r holds, for
+    * every node, the exact min-weight over paths of ≤ r edges from the seed
+    * set; like [[kCore]], the round count is part of the operator's contract
+    * (an oracle unrolls the same rounds; converged iff a round changes
+    * nothing). Distances are integer sums — min() over them is
+    * engine-exact, no float accumulation anywhere.
+    *
+    * Per round: one node-keyed hash join of the (|V|-row) distance relation
+    * against the edge relation + one min-aggregate — the [[pageRank]] shape;
+    * the distance relation checkpoints per round to cut lineage. Nodes not
+    * yet reached are absent (not ∞ rows). Returns (node, dist). */
+  def ssspDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                    weightCol: String, seeds: DataFrame, seedCol: String,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .groupBy("a", "b").agg(min(col("w")).as("w"))
+    val adj = cut(e.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .union(e.select(col("b").as("u"), col("a").as("v"), col("w"))))
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+    for (r <- 1 to rounds) {
+      val relaxed = dist.hint("shuffle_hash")
+        .join(adj, dist("node") === adj("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+      // the last round stays un-checkpointed: the caller's action
+      // materializes it anyway, and its plan (join shape, aggregate) stays
+      // inspectable
+      dist = if (r < rounds) cut(next) else next
+    }
+    dist
+  }
 }

@@ -343,4 +343,51 @@ object Similarity {
         cosine(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  // ---------------------------------------------------- product quantization
+  /** Deterministic per-subspace codebooks for [[pqEncode]] — the same
+    * hash-derived construction as [[pseudoCentroids]] (engine-reproducible,
+    * no RNG), one `k`-centroid codebook per `subDim`-wide subspace.
+    * Returns (subspace, centroidId, centroid). */
+  def pqCodebooks(nSub: Int, subDim: Int, k: Int,
+                  seed: Long = 11L): Seq[(Int, Int, Seq[Double])] =
+    for { m <- 0 until nSub; c <- 0 until k }
+      yield (m, c, (0 until subDim).toSeq.map(d => planeCoef(c, m * subDim + d, seed)))
+
+  /** Product-quantization encoding (Jégou et al., PAMI'11): split each
+    * vector into `nSub` contiguous `subDim`-wide subvectors and replace each
+    * with the id of its nearest codebook centroid (squared L2, centroid-id
+    * tie-break) — the memory-bound ANN representation (a 64-dim float vector
+    * compresses to `nSub` bytes, so a re-rank table for 10^11 vectors fits
+    * where raw vectors never would).
+    *
+    * 100 TB shape: the codebooks are plan literals (they broadcast inside
+    * the generated code, like [[ivfAssign]]'s centroids); encoding is one
+    * stateless projection — zero shuffles, zero joins. The squared-distance
+    * folds run in subvector index order on both engines, so the argmin is
+    * engine-exact (sqrt-free; monotone under DuckDB's `list_distance`).
+    * Returns one row per (id, subspace) with the chosen `code`.
+    */
+  def pqEncode(corpus: DataFrame, nSub: Int, subDim: Int, k: Int,
+               seed: Long = 11L,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = pqCodebooks(nSub, subDim, k, seed)
+      .groupBy(_._1).map { case (m, rows) =>
+        m -> rows.sortBy(_._2).map(_._3)
+      }
+    val v = toDouble(col(vecCol))
+    def dist2(sub: Column, cent: Seq[Double]): Column =
+      aggregate(zip_with(sub, array(cent.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val perSub = (0 until nSub).map { m =>
+      val sub = slice(v, m * subDim + 1, subDim)
+      val best = array_min(array((0 until k).map { c =>
+        struct(dist2(sub, cb(m)(c)).as("d"), lit(c).as("cid"))
+      }: _*))
+      struct(lit(m).as("subspace"), best.getField("cid").as("code"))
+    }
+    corpus.select(col(idCol), explode(array(perSub: _*)).as("__mc"))
+      .select(col(idCol), col("__mc.subspace").as("subspace"),
+        col("__mc.code").as("code"))
+  }
 }

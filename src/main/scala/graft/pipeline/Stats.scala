@@ -546,4 +546,60 @@ object Stats {
         round(col("__cum").cast("double") / col("__tp").cast("double"), 6)
           .as("cum_capture"))
   }
+
+  // ------------------------------------------------- clamped running level
+  /** Floor-at-zero running level per key — the inventory/credit-balance
+    * recurrence y_i = max(0, y_{i-1} + Δ_i), which has the closed form
+    * y_i = s_i − min(0, min_{j≤i} s_j) over the prefix sums s: TWO frames of
+    * ONE key-partitioned window sort replace the sequential scan (the
+    * recurrence itself is unparallelizable as written; the identity is what
+    * makes it a plan). Deltas cast to long, so every level is exact integer
+    * arithmetic. `orderCols` must be a deterministic total order within a
+    * key. Returns one row per key: (key, n_moves, final_level, peak_level).
+    */
+  def clampedRunningLevel(df: DataFrame, keyCol: String, deltaCol: Column,
+                          orderCols: Seq[Column]): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must give a total order per key")
+    val named = orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    val oRefs = orderCols.indices.map(i => col(s"__o$i"))
+    val w = Window.partitionBy(col("key")).orderBy(oRefs: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leveled = df
+      .select(Seq(col(keyCol).as("key"), deltaCol.cast("long").as("__d")) ++
+        named: _*)
+      .withColumn("__s", sum(col("__d")).over(w))
+      .withColumn("__level",
+        col("__s") - least(lit(0L), min(col("__s")).over(w)))
+    leveled.groupBy("key")
+      .agg(count(lit(1)).as("n_moves"),
+        max_by(col("__level"), struct(oRefs: _*)).as("final_level"),
+        max(col("__level")).as("peak_level"))
+  }
+
+  // ------------------------------------------------------- survivorship
+  /** Golden-record survivorship over duplicate clusters (the data-mastering
+    * step after entity resolution): per cluster, each `modeCols` column
+    * elects its most frequent value (count DESC, value ASC tie-break — a
+    * deterministic mode), `minCols`/`maxCols` take extremes. One count
+    * aggregate + one argmin per mode column, all keyed on the cluster —
+    * never a per-cluster sort; extremes ride a single groupBy. Nulls lose
+    * every election (dropped from the vote). */
+  def survivorship(df: DataFrame, clusterCol: String, modeCols: Seq[String],
+                   minCols: Seq[String], maxCols: Seq[String]): DataFrame = {
+    require(modeCols.nonEmpty || minCols.nonEmpty || maxCols.nonEmpty,
+      "no survivorship rules given")
+    val base = df.groupBy(col(clusterCol).as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        (minCols.map(c => min(col(c)).as(s"min_$c")) ++
+          maxCols.map(c => max(col(c)).as(s"max_$c"))): _*)
+    modeCols.foldLeft(base) { (acc, c) =>
+      val votes = df.filter(col(c).isNotNull)
+        .groupBy(col(clusterCol).as("cluster"), col(c).as("__v"))
+        .agg(count(lit(1)).as("__n"))
+      val elected = votes.groupBy("cluster")
+        .agg(min_by(col("__v"), struct((-col("__n")).as("__neg"), col("__v")))
+          .as(s"mode_$c"))
+      acc.join(elected, Seq("cluster"), "left")
+    }
+  }
 }

@@ -477,4 +477,44 @@ object TextAnalysis {
         array_join(transform(slice(array_sort(collect_set(col("__id"))), 1, k),
           _.cast("string")), ",").as("postings"))
   }
+
+  // ------------------------------------------------------- keyword extraction
+  /** RAKE keyword scores (Rose et al. 2010) over the corpus: candidate
+    * phrases are the maximal stopword-free word runs (text lowercased,
+    * non-letters collapsed to spaces, stopwords acting as delimiters); for
+    * each word, freq = occurrences across phrases, degree = Σ |phrase| over
+    * its phrases (co-occurrence counting itself), score = degree / freq —
+    * the word-level relation phrase scoring sums over. Degree and freq are
+    * exact integers; the score is ONE IEEE division, 6dp-rounded.
+    *
+    * 100 TB shape: phrase segmentation is row-local string work (a chain of
+    * word-boundary regex replaces — all engines' RE dialects agree on
+    * `\b` + literal alternation); the only shuffle is the word-keyed
+    * aggregate. Returns (word, freq, degree, score). */
+  def rakeKeywords(docs: DataFrame, textCol: String,
+                   stopwords: Seq[String] = RakeStopwords): DataFrame = {
+    require(stopwords.nonEmpty && stopwords.forall(_.matches("[a-z]+")),
+      "stopwords must be lowercase ascii words")
+    val cleaned = regexp_replace(lower(col(textCol)), "[^a-z]+", " ")
+    val delim = stopwords.foldLeft(cleaned)((c, sw) =>
+      regexp_replace(c, s"\\b$sw\\b", "|"))
+    val phrases = docs
+      .select(explode(split(delim, "[|]+")).as("__p"))
+      .select(split(trim(col("__p")), " +").as("__ws"))
+      .filter(size(col("__ws")) >= 1 && col("__ws").getItem(0) =!= "")
+    phrases
+      .select(size(col("__ws")).as("__len"), explode(col("__ws")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"), sum(col("__len")).as("degree"))
+      .select(col("word"), col("freq"), col("degree"),
+        round(col("degree").cast("double") / col("freq").cast("double"), 6)
+          .as("score"))
+  }
+
+  /** The fixed default stopword list [[rakeKeywords]] delimits on — small
+    * on purpose (the oracle mirrors it literally). */
+  val RakeStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "from", "that", "this", "it",
+    "be", "not")
 }

@@ -20,7 +20,7 @@ object AppliedQueries {
   /** Sparse co-purchase graph: part pairs sharing >= 2 distinct orders
     * (the >= 2 support floor keeps the graph peelable — the raw
     * co-occurrence graph is near-complete at bench scale). */
-  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[queries] def copurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val lp = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
@@ -34,7 +34,7 @@ object AppliedQueries {
   // MATERIALIZED: DuckDB inlines plain CTEs, so each chained peel/frontier
   // round would re-expand the whole edge derivation — exponential oracle
   // runtime at sf0.1 (observed: q156 >2 min inlined vs 7 s materialized)
-  private val copurchaseEdgesSql =
+  private[queries] val copurchaseEdgesSql =
     "lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
       "e0 AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b FROM lp x JOIN lp y " +
       "ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2 HAVING count(*) >= 2)"

@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Ops
+import graft.pipeline.{EventAnalytics, Graph, Similarity, Stats,
+  TextAnalysis => TA}
+
+/** ML-pipeline operator drivers (round-9 wave): vector compression (product
+  * quantization), item-kNN recommendation, weighted shortest paths, sketch
+  * certification, keyword extraction, snapshot drift, forecasting baselines,
+  * clamped inventory levels, and golden-record survivorship. Each entry
+  * names the library operator it exercises; every one is oracle-checked.
+  */
+object MlPipelineQueries {
+
+  /** Integer weight on the co-purchase edge (a, b): 1 + (a+b) mod 5 —
+    * deterministic, mirrored literally in the oracle. */
+  private val edgeWeightSql = "1 + (a + b) % 5"
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- product-quantization codes: codebooks are plan literals on BOTH
+    // engines (VALUES list in the oracle, embedded constants in Spark's
+    // generated code — the q35 centroid discipline), so the per-subspace
+    // argmin is engine-exact; DuckDB's list_distance is the sqrt of the
+    // same in-order fold, monotone for the tie-broken ORDER BY.
+    Q("q184_pq_encode",
+      Some {
+        val values = Similarity.pqCodebooks(nSub = 4, subDim = 16, k = 8)
+          .map { case (m, c, v) => s"($m, $c, [${v.mkString(", ")}])" }
+          .mkString(", ")
+        s"WITH cb(m, cid, cv) AS (VALUES $values), " +
+          "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+          "FROM embeddings), " +
+          "d AS (SELECT vec_id, m AS subspace, cid, " +
+          "list_distance(v[m * 16 + 1 : m * 16 + 16], cv) AS dist " +
+          "FROM e CROSS JOIN cb), " +
+          "r AS (SELECT vec_id, subspace, cid, row_number() OVER " +
+          "(PARTITION BY vec_id, subspace ORDER BY dist, cid) AS rn FROM d) " +
+          "SELECT vec_id, subspace, cid AS code FROM r WHERE rn = 1 " +
+          "ORDER BY vec_id, subspace"
+      },
+      (s, dir) => Similarity.pqEncode(Tables.embeddings(s, dir),
+          nSub = 4, subDim = 16, k = 8)
+        .orderBy("vec_id", "subspace")),
+
+    // ---- item-kNN "customers also bought" over order baskets: similarity
+    // matrix pruned to 20 neighbors per item BEFORE the basket join, scores
+    // accumulate as DECIMAL(18,6) of 6dp-rounded cosines (exact,
+    // order-independent), ranks computed per user THEN the report slices a
+    // user subset.
+    Q("q185_recommend",
+      Some("WITH b AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
+        "m AS (SELECT i, count(*) AS n FROM b GROUP BY 1), " +
+        "p AS (SELECT x.i AS ia, y.i AS ib, count(*) AS nb FROM b x " +
+        "JOIN b y ON x.u = y.u AND x.i < y.i GROUP BY 1, 2 " +
+        "HAVING count(*) >= 2), " +
+        "sm AS (SELECT ia, ib, CAST(round(CAST(nb AS DOUBLE) / " +
+        "sqrt(CAST(ma.n * mb.n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sim " +
+        "FROM p JOIN m ma ON ia = ma.i JOIN m mb ON ib = mb.i), " +
+        "dr AS (SELECT ia AS i, ib AS j, sim FROM sm " +
+        "UNION ALL SELECT ib, ia, sim FROM sm), " +
+        "nb2 AS (SELECT i, j, sim FROM (SELECT i, j, sim, row_number() OVER " +
+        "(PARTITION BY i ORDER BY sim DESC, j) AS rn FROM dr) WHERE rn <= 20), " +
+        "sc AS (SELECT b.u, nb2.j, sum(sim) AS score FROM b " +
+        "JOIN nb2 ON b.i = nb2.i GROUP BY 1, 2), " +
+        "an AS (SELECT sc.u, sc.j, sc.score FROM sc WHERE NOT EXISTS " +
+        "(SELECT 1 FROM b WHERE b.u = sc.u AND b.i = sc.j)), " +
+        "r AS (SELECT u, j, score, row_number() OVER (PARTITION BY u " +
+        "ORDER BY score DESC, j) AS rank FROM an) " +
+        "SELECT u AS user, j AS item, CAST(score AS DOUBLE) AS score, rank " +
+        "FROM r WHERE rank <= 3 AND u % 47 = 0 ORDER BY user, rank"),
+      (s, dir) => {
+        val baskets = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select("o_custkey", "l_partkey")
+        EventAnalytics.recommendTopK(baskets, "o_custkey", "l_partkey",
+            k = 3, minUsers = 2L, maxNeighbors = 20)
+          .filter(pmod(col("user"), lit(47L)) === 0)
+          .orderBy("user", "rank")
+      }),
+
+    // ---- weighted shortest paths (3 relaxation rounds) from the sparse
+    // seed set over the co-purchase graph — q165's weighted sibling; the
+    // oracle unrolls the same min-plus rounds (MATERIALIZED, the q156
+    // lesson). Distances are integer sums — exact on any engine.
+    Q("q186_sssp",
+      Some("WITH " + AppliedQueries.copurchaseEdgesSql + ", " +
+        s"ew AS MATERIALIZED (SELECT a, b, $edgeWeightSql AS w FROM e0), " +
+        "adj AS MATERIALIZED (SELECT a AS u, b AS v, w FROM ew " +
+        "UNION ALL SELECT b, a, w FROM ew), " +
+        "d0 AS MATERIALIZED (SELECT DISTINCT p_partkey AS node, " +
+        "CAST(0 AS BIGINT) AS dist FROM part WHERE p_partkey % 97 = 0), " +
+        "d1 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM " +
+        "(SELECT node, dist FROM d0 UNION ALL SELECT v, dist + w " +
+        "FROM d0 JOIN adj ON node = u) GROUP BY 1), " +
+        "d2 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM " +
+        "(SELECT node, dist FROM d1 UNION ALL SELECT v, dist + w " +
+        "FROM d1 JOIN adj ON node = u) GROUP BY 1), " +
+        "d3 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM " +
+        "(SELECT node, dist FROM d2 UNION ALL SELECT v, dist + w " +
+        "FROM d2 JOIN adj ON node = u) GROUP BY 1) " +
+        "SELECT node, dist FROM d3 ORDER BY node"),
+      (s, dir) => {
+        val e = AppliedQueries.copurchaseEdges(s, dir)
+          .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(5L)))
+        Graph.ssspDistances(e, "src", "dst", "w",
+            Tables.part(s, dir).filter(pmod(col("p_partkey"), lit(97L)) === 0),
+            "p_partkey", rounds = 3)
+          .orderBy("node")
+      }),
+
+    // ---- daily unique-user report with HLL certification: exact counts
+    // ship, each engine checks ITS OWN sketch against ITS OWN exact count
+    // (the q43 discipline — sketch internals are engine-specific, the
+    // in-tolerance verdict is not).
+    Q("q187_daily_uniques",
+      Some("SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_events, " +
+        "count(DISTINCT user_id) AS n_users, " +
+        "abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) <= " +
+        "greatest(0.10 * count(DISTINCT user_id), 5.0) AS hll_ok " +
+        "FROM events GROUP BY 1 ORDER BY day"),
+      (s, dir) => EventAnalytics.dailyUniqueReport(Tables.events(s, dir),
+          "user_id", "ts")
+        .orderBy("day")),
+
+    // ---- RAKE keyword extraction: stopword-delimited phrase runs, word
+    // degree/freq from exact integer tallies, top-50 by the one-division
+    // score. The stopword regex chain is mirrored literally (RE2 and Java
+    // agree on \b + lowercase-ascii alternations).
+    Q("q188_keywords",
+      Some {
+        val chain = TA.RakeStopwords.foldLeft(
+          "regexp_replace(lower(text), '[^a-z]+', ' ', 'g')") { (acc, sw) =>
+          s"regexp_replace($acc, '\\b$sw\\b', '|', 'g')"
+        }
+        s"WITH d AS (SELECT $chain AS t FROM documents), " +
+          "p AS (SELECT unnest(string_split_regex(t, '\\|+')) AS ph FROM d), " +
+          "ws AS (SELECT string_split_regex(trim(ph), ' +') AS arr FROM p " +
+          "WHERE trim(ph) <> ''), " +
+          "w AS (SELECT len(arr) AS l, unnest(arr) AS word FROM ws) " +
+          "SELECT word, count(*) AS freq, CAST(sum(l) AS BIGINT) AS degree, " +
+          "round(CAST(sum(l) AS DOUBLE) / count(*), 6) AS score " +
+          "FROM w GROUP BY 1 ORDER BY score DESC, word LIMIT 50"
+      },
+      (s, dir) => TA.rakeKeywords(Tables.documents(s, dir), "text")
+        .orderBy(col("score").desc, col("word").asc).limit(50)),
+
+    // ---- snapshot drift report: the column profiler runs on the pre- and
+    // post-cutoff halves of the event log and the column-keyed join reports
+    // null-rate / distinct-cardinality movement — the acceptance check for
+    // a new data drop.
+    Q("q189_schema_drift",
+      Some {
+        def prof(pred: String) = Seq("user_id", "event_type", "value")
+          .map { c =>
+            s"SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull, " +
+              s"COUNT(DISTINCT $c) AS n_distinct FROM events WHERE $pred"
+          }.mkString(" UNION ALL ")
+        "WITH b AS (" + prof("ts < TIMESTAMP '2024-01-16'") + "), " +
+          "a AS (" + prof("ts >= TIMESTAMP '2024-01-16'") + ") " +
+          "SELECT b.col_name, " +
+          "round(CAST(b.n_rows - b.n_nonnull AS DOUBLE) / b.n_rows, 6) AS null_rate_before, " +
+          "round(CAST(a.n_rows - a.n_nonnull AS DOUBLE) / a.n_rows, 6) AS null_rate_after, " +
+          "b.n_distinct AS distinct_before, a.n_distinct AS distinct_after, " +
+          "round(CAST(a.n_distinct AS DOUBLE) / b.n_distinct, 6) AS distinct_ratio " +
+          "FROM b JOIN a USING (col_name) ORDER BY col_name"
+      },
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cut = lit("2024-01-16").cast("timestamp")
+        Ops.profileDrift(ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+            Seq("user_id", "event_type", "value"))
+          .orderBy("col_name")
+      }),
+
+    // ---- seasonal-naive forecast backtest: pred(d) = actual(d − 7) over
+    // the zero-filled day spine, last 28 days — integer-exact error rows.
+    Q("q190_forecast",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "sp AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "f AS (SELECT sp.day, coalesce(n, 0) AS n FROM sp LEFT JOIN c USING (day)), " +
+        "l AS (SELECT day, n, lag(n, 7) OVER (ORDER BY day) AS pred FROM f) " +
+        "SELECT day, n AS actual, pred AS predicted, abs(n - pred) AS abs_err " +
+        "FROM l WHERE day > (SELECT max(day) FROM f) - 28 AND pred IS NOT NULL " +
+        "ORDER BY day"),
+      (s, dir) => EventAnalytics.seasonalNaiveBacktest(Tables.events(s, dir),
+          "ts", season = 7, horizon = 28)
+        .orderBy("day")),
+
+    // ---- clamped running inventory per part: receipts add, returns drain,
+    // the level floors at zero — the sequential recurrence runs as its
+    // prefix-sum closed form on ONE part-keyed window sort.
+    Q("q191_inventory",
+      Some("WITH m AS (SELECT l_partkey AS key, " +
+        "CASE WHEN l_returnflag = 'R' THEN -CAST(l_quantity AS BIGINT) " +
+        "ELSE CAST(l_quantity AS BIGINT) END AS d, " +
+        "epoch_us(l_shipdate) AS us, l_orderkey AS ok, l_linenumber AS ln " +
+        "FROM lineitem), " +
+        "s AS (SELECT key, us, ok, ln, sum(d) OVER w AS ps FROM m WINDOW w AS " +
+        "(PARTITION BY key ORDER BY us, ok, ln ROWS UNBOUNDED PRECEDING)), " +
+        "l AS (SELECT key, us, ok, ln, ps - least(CAST(0 AS BIGINT), " +
+        "min(ps) OVER w2) AS lvl FROM s WINDOW w2 AS " +
+        "(PARTITION BY key ORDER BY us, ok, ln ROWS UNBOUNDED PRECEDING)), " +
+        "r AS (SELECT key, lvl, row_number() OVER (PARTITION BY key " +
+        "ORDER BY us DESC, ok DESC, ln DESC) AS rn FROM l), " +
+        "g AS (SELECT key, count(*) AS n_moves, max(lvl) AS peak_level " +
+        "FROM l GROUP BY 1) " +
+        "SELECT g.key, g.n_moves, r.lvl AS final_level, g.peak_level " +
+        "FROM g JOIN r ON g.key = r.key AND r.rn = 1 ORDER BY g.key"),
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        Stats.clampedRunningLevel(li, "l_partkey",
+            when(col("l_returnflag") === "R", -col("l_quantity"))
+              .otherwise(col("l_quantity")),
+            Seq(EventAnalytics.micros(col("l_shipdate")), col("l_orderkey"),
+              col("l_linenumber")))
+          .select(col("key"), col("n_moves"), col("final_level"), col("peak_level"))
+          .orderBy("key")
+      }),
+
+    // ---- golden-record survivorship over PLANTED duplicate clusters: the
+    // cluster key is a content fingerprint prefix, two planted copy tiers
+    // skew the lang vote and the char count; mode elections are count-DESC
+    // value-ASC deterministic.
+    Q("q192_survivorship",
+      Some("WITH base AS (SELECT doc_id, md5(substring(text, 1, 40)) AS cluster, " +
+        "lang, n_chars FROM documents), " +
+        "c1 AS (SELECT doc_id + 1000000 AS doc_id, cluster, lang, n_chars + 7 " +
+        "AS n_chars FROM base WHERE doc_id % 3 = 0), " +
+        "c2 AS (SELECT doc_id + 2000000 AS doc_id, cluster, 'xx' AS lang, " +
+        "n_chars FROM base WHERE doc_id % 5 = 0), " +
+        "mem AS (SELECT * FROM base UNION ALL SELECT * FROM c1 " +
+        "UNION ALL SELECT * FROM c2), " +
+        "votes AS (SELECT cluster, lang, count(*) AS n FROM mem " +
+        "WHERE lang IS NOT NULL GROUP BY 1, 2), " +
+        "el AS (SELECT cluster, lang AS mode_lang FROM (SELECT cluster, lang, " +
+        "row_number() OVER (PARTITION BY cluster ORDER BY n DESC, lang) AS rn " +
+        "FROM votes) WHERE rn = 1), " +
+        "g AS (SELECT cluster, count(*) AS n_members, min(doc_id) AS min_doc_id, " +
+        "max(n_chars) AS max_n_chars FROM mem GROUP BY 1) " +
+        "SELECT g.cluster, g.n_members, g.min_doc_id, g.max_n_chars, el.mode_lang " +
+        "FROM g JOIN el USING (cluster) ORDER BY cluster"),
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), md5(substring(col("text"), 1, 40)).as("cluster"),
+            col("lang"), col("n_chars"))
+        val c1 = base.filter(pmod(col("doc_id"), lit(3L)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("cluster"),
+            col("lang"), (col("n_chars") + 7L).as("n_chars"))
+        val c2 = base.filter(pmod(col("doc_id"), lit(5L)) === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("cluster"),
+            lit("xx").as("lang"), col("n_chars"))
+        val mem = base.unionByName(c1).unionByName(c2)
+        Stats.survivorship(mem, "cluster", modeCols = Seq("lang"),
+            minCols = Seq("doc_id"), maxCols = Seq("n_chars"))
+          .select(col("cluster"), col("n_members"),
+            col("min_doc_id").as("min_doc_id"),
+            col("max_n_chars").as("max_n_chars"), col("mode_lang"))
+          .orderBy("cluster")
+      })
+  )
+}

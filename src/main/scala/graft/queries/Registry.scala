@@ -16,7 +16,8 @@ object Registry {
   lazy val all: Seq[Q] = {
     val qs = Relational.qs ++ TypeQueries.qs ++ TextQueries.qs ++
       CurationQueries.qs ++ SimilarityQueries.qs ++ StreamQueries.qs ++
-      StatsQueries.qs ++ AppliedQueries.qs ++ TpchQueries.qs
+      StatsQueries.qs ++ AppliedQueries.qs ++ TpchQueries.qs ++
+      MlPipelineQueries.qs
     // a duplicate name would silently shadow a query in the toMap below and
     // the driver's gate would "pass" while never running the shadowed one
     val dup = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }

@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ops
+import graft.pipeline.{EventAnalytics, Graph, Similarity, Stats,
+  TextAnalysis => TA}
+
+/** Unit specs for the ML-pipeline wave (q184–q192) on adversarial
+  * micro-fixtures: argmin/election tie-breaks, the clamped-level closed form
+  * vs the sequential recurrence, bounded-round SSSP semantics, empty-side
+  * drift guards.
+  */
+class MlPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ pqEncode
+  test("pqEncode: every code is the true per-subspace argmin; one row per (id, subspace)") {
+    val emb = Tables.embeddings(spark, sf0001).limit(20).cache()
+    val out = Similarity.pqEncode(emb, nSub = 4, subDim = 16, k = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val cb = Similarity.pqCodebooks(4, 16, 8)
+      .groupBy(_._1).map { case (m, rs) => m -> rs.sortBy(_._2).map(_._3) }
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+    assert(out.size == vecs.length * 4)
+    vecs.foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      for (m <- 0 until 4) {
+        val sub = v.slice(m * 16, (m + 1) * 16)
+        val best = (0 until 8).map { c =>
+          val d2 = sub.zip(cb(m)(c)).foldLeft(0.0) { case (a, (x, y)) =>
+            a + (x - y) * (x - y) }
+          (d2, c)
+        }.min._2
+        assert(out((id, m)) == best, s"vec $id subspace $m")
+      }
+    }
+  }
+
+  test("pqEncode: exact centroid match wins with distance 0; centroid-id tie-break") {
+    // a vector equal to codebook centroid 3 of every subspace must encode as 3
+    val cb = Similarity.pqCodebooks(2, 4, 4)
+      .groupBy(_._1).map { case (m, rs) => m -> rs.sortBy(_._2).map(_._3) }
+    val v = (cb(0)(3) ++ cb(1)(3)).map(_.toFloat)
+    val df = Seq((1L, v)).toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(df, nSub = 2, subDim = 4, k = 4)
+      .orderBy("subspace").select("code").as[Int].collect()
+    assert(codes.toSeq == Seq(3, 3))
+  }
+
+  // ------------------------------------------------------- recommendTopK
+  test("recommendTopK: scores sum pruned-neighbor cosines; owned items excluded") {
+    // users 1..3 share items: u1{a,b} u2{a,b} u3{b,c}
+    val b = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "b"), (3L, "c"))
+      .toDF("u", "i")
+    val out = EventAnalytics.recommendTopK(b, "u", "i", k = 2, minUsers = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getDouble(2), r.getInt(3))).toMap
+    // cosines: (a,b): 2/sqrt(2*3)=0.816497  (b,c): 1/sqrt(3*1)=0.57735
+    // (a,c): 0 users together -> no pair row at all
+    // u1 candidates: c via b: 0.577350; u3 candidates: a via b: 0.816497
+    assert(out((1L, "c"))._1 == 0.57735 && out((1L, "c"))._2 == 1)
+    assert(out((3L, "a"))._1 == 0.816497 && out((3L, "a"))._2 == 1)
+    // owned items never recommended
+    assert(!out.contains((1L, "a")) && !out.contains((1L, "b")))
+  }
+
+  test("recommendTopK: maxNeighbors prunes the similarity fan-out") {
+    // star: item z co-occurs with a,b,c; with maxNeighbors=1 only the
+    // strongest neighbor of each owned item can be recommended
+    val b = Seq((1L, "z"), (1L, "a"), (2L, "z"), (2L, "a"), (3L, "z"), (3L, "b"),
+      (4L, "z"), (4L, "c"), (9L, "z"))
+      .toDF("u", "i")
+    val out = EventAnalytics.recommendTopK(b, "u", "i", k = 5, minUsers = 1L,
+        maxNeighbors = 1)
+      .filter(col("user") === 9L).select("item").as[String].collect().toSet
+    // z's top neighbor is a (2 shared users); b and c rank below and are cut
+    assert(out == Set("a"))
+  }
+
+  // ------------------------------------------------------ ssspDistances
+  test("ssspDistances: min-plus relaxation finds the cheaper two-hop path") {
+    //   1 -(5)- 2 -(1)- 3   and 1 -(10)- 3: dist(3) must be 6, not 10
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L)).toDF("s", "d", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("n")
+    val out = Graph.ssspDistances(e, "s", "d", "w", seeds, "n", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 5L, 3L -> 6L))
+  }
+
+  test("ssspDistances: bounded rounds expose only <= r-edge paths; parallel edges keep the min weight") {
+    val e = Seq((1L, 2L, 7L), (1L, 2L, 3L), (2L, 3L, 3L), (3L, 4L, 3L))
+      .toDF("s", "d", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("n")
+    val r1 = Graph.ssspDistances(e, "s", "d", "w", seeds, "n", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 3L), s"unexpected: $r1") // node 3 unreached
+    val r3 = Graph.ssspDistances(e, "s", "d", "w", seeds, "n", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3(4L) == 9L && r3(3L) == 6L)
+  }
+
+  // ----------------------------------------------------- rakeKeywords
+  test("rakeKeywords: degree counts phrase co-occurrence, freq counts occurrences") {
+    val docs = Seq("The red panda and the red fox!").toDF("text")
+    // phrases: "red panda", "red fox" -> red: freq 2, degree 4, score 2.0
+    val out = TA.rakeKeywords(docs, "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out("red") == ((2L, 4L, 2.0)))
+    assert(out("panda") == ((1L, 2L, 2.0)))
+    assert(out("fox") == ((1L, 2L, 2.0)))
+    assert(!out.contains("the") && !out.contains("and"))
+  }
+
+  test("rakeKeywords: punctuation splits nothing by itself — only stopwords delimit") {
+    // RAKE's classic property via our simplification: non-letters collapse
+    // to spaces, so "machine-learning systems" is ONE 3-word phrase
+    val docs = Seq(Tuple1("machine-learning systems")).toDF("text")
+    val out = TA.rakeKeywords(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("machine") == 3L && out("learning") == 3L && out("systems") == 3L)
+  }
+
+  // ------------------------------------------------- clampedRunningLevel
+  test("clampedRunningLevel: closed form equals the sequential recurrence") {
+    val deltas = Seq(5L, -10L, 3L, -1L, 8L, -100L, 4L)
+    val df = deltas.zipWithIndex.map { case (d, i) => ("k", i, d) }
+      .toDF("key", "ord", "d")
+    val out = Stats.clampedRunningLevel(df, "key", col("d"), Seq(col("ord")))
+      .collect().head
+    // sequential: 5,0,3,2,10,0,4 -> final 4, peak 10
+    assert(out.getAs[Long]("final_level") == 4L)
+    assert(out.getAs[Long]("peak_level") == 10L)
+    assert(out.getAs[Long]("n_moves") == deltas.size.toLong)
+  }
+
+  test("clampedRunningLevel: keys are independent; all-negative stays floored at zero") {
+    val df = Seq(("a", 1, -5L), ("a", 2, -5L), ("b", 1, 7L), ("b", 2, -3L))
+      .toDF("key", "ord", "d")
+    val out = Stats.clampedRunningLevel(df, "key", col("d"), Seq(col("ord")))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("final_level"), r.getAs[Long]("peak_level"))).toMap
+    assert(out("a") == ((0L, 0L)))
+    assert(out("b") == ((4L, 7L)))
+  }
+
+  // ------------------------------------------------------- survivorship
+  test("survivorship: mode elections break count ties on the smaller value; nulls never win") {
+    val df = Seq(
+      ("c1", "en", 1L, 10L), ("c1", "en", 2L, 20L), ("c1", "fr", 3L, 30L),
+      ("c2", "de", 4L, 40L), ("c2", "es", 5L, 50L), // tie -> de (asc)
+      ("c3", null, 6L, 60L), ("c3", "it", 7L, 70L)  // null loses
+    ).toDF("cluster", "lang", "id", "n")
+    val out = Stats.survivorship(df, "cluster", Seq("lang"), Seq("id"), Seq("n"))
+      .collect().map(r => r.getString(0) -> (r.getAs[String]("mode_lang"),
+        r.getAs[Long]("min_id"), r.getAs[Long]("max_n"),
+        r.getAs[Long]("n_members"))).toMap
+    assert(out("c1") == (("en", 1L, 30L, 3L)))
+    assert(out("c2") == (("de", 4L, 50L, 2L)))
+    assert(out("c3") == (("it", 6L, 70L, 2L)))
+  }
+
+  test("survivorship: an all-null mode column yields a null election, not a dropped cluster") {
+    val df = Seq(("c1", Option.empty[String], 1L)).toDF("cluster", "lang", "id")
+    val out = Stats.survivorship(df, "cluster", Seq("lang"), Seq("id"), Nil)
+      .collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("mode_lang")))
+  }
+
+  // ------------------------------------------------------- profileDrift
+  test("profileDrift: null-rate and distinct movement; empty side reports null ratios") {
+    val before = Seq(("a", Some(1)), ("b", Some(2)), ("c", None))
+      .toDF("s", "v")
+    val after = Seq(("a", Some(1)), ("a", None), ("a", None), ("a", Some(9)))
+      .toDF("s", "v")
+    val out = Ops.profileDrift(before, after, Seq("s", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("v").getDouble(1) == 0.333333) // 1/3 nulls before
+    assert(out("v").getDouble(2) == 0.5)
+    assert(out("s").getLong(3) == 3L && out("s").getLong(4) == 1L)
+    assert(out("s").getDouble(5) == 0.333333)
+    val empty = before.filter(lit(false))
+    val guarded = Ops.profileDrift(empty, after, Seq("s")).collect().head
+    assert(guarded.isNullAt(1) && guarded.isNullAt(5))
+  }
+
+  // ----------------------------------------------- seasonalNaiveBacktest
+  test("seasonalNaiveBacktest: pred(d) = actual(d - season) over the zero-filled spine") {
+    // days 0..9, one event per day except day 8 (two events, day 3 zero)
+    val days = Seq(0, 1, 2, 4, 5, 6, 7, 8, 8, 9)
+    val df = days.map(d => Tuple1(new java.sql.Timestamp(d * 86400000L)))
+      .toDF("ts")
+    val out = EventAnalytics.seasonalNaiveBacktest(df, "ts", season = 7,
+        horizon = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out(7L) == ((1L, 1L, 0L))) // pred = day 0
+    assert(out(8L) == ((2L, 1L, 1L))) // pred = day 1
+    assert(out(9L) == ((1L, 1L, 0L))) // pred = day 2
+  }
+
+  // -------------------------------------------------- dailyUniqueReport
+  test("dailyUniqueReport: exact counts with an in-tolerance sketch flag") {
+    val df = (1 to 50).map(i => (i.toLong % 7,
+      new java.sql.Timestamp(86400000L + i))).toDF("u", "ts")
+    val out = EventAnalytics.dailyUniqueReport(df, "u", "ts").collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 50L && out.head.getLong(2) == 7L)
+    assert(out.head.getBoolean(3))
+  }
+}

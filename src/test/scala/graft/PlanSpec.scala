@@ -586,4 +586,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"the one-row threshold should broadcast:\n$p")
   }
+
+  test("q184: PQ encoding is a stateless projection — codebooks in codegen, no join, no aggregate") {
+    val p = planOf("q184_pq_encode")
+    assert(!p.contains("Join"), s"PQ encode must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"PQ encode must not aggregate:\n$p")
+    // the only exchange is the output sort's range partitioning
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"unexpected exchange in a per-row encode:\n$p")
+  }
+
+  test("q185: recommender windows partition by item (prune) and user (rank) — never global; no cartesian") {
+    val p = planOf("q185_recommend")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, s"expected rank windows:\n$p")
+    assert(windows.forall(w => w.contains("__i") || w.contains("__u")),
+      s"window missing its partition key:\n${windows.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cartesian in the recommender path:\n$p")
+  }
+
+  test("q186: SSSP relaxation joins are hash equi joins — no cartesian, no BNLJ") {
+    val p = planOf("q186_sssp")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in the SSSP path:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"expected hash joins in the relaxation rounds:\n$p")
+  }
+
+  test("q188: RAKE is row-local segmentation + ONE word-keyed aggregate + a top-k cutoff") {
+    val p = planOf("q188_keywords")
+    assert(p.contains("TakeOrderedAndProject"), s"top-50 must be a cutoff:\n$p")
+    assert(!p.contains("Join"), s"keyword scores must not join:\n$p")
+    assert(!p.contains("Window"), s"keyword scores must not window:\n$p")
+  }
+
+  test("q191: the clamped-level windows partition by the inventory key") {
+    val p = planOf("q191_inventory")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("key")),
+      s"window not key-partitioned:\n${windows.mkString("\n")}")
+  }
+
+  test("q192: survivorship elections are aggregates — no per-cluster window sort") {
+    val p = planOf("q192_survivorship")
+    assert(!p.contains("Window"), s"mode election must not plan a window:\n$p")
+    assert(p.contains("min_by") || p.contains("minby") || p.contains("min("),
+      s"expected the argmin aggregate:\n$p")
+  }
 }
