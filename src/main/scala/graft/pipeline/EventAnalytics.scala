@@ -931,6 +931,54 @@ object EventAnalytics {
         (abs(col("__hll") - col("n_users")) <=
           greatest(lit(rtol) * col("n_users"), lit(5.0))).as("hll_ok"))
 
+  // ----------------------------------------------------- SCD-2 dimension join
+  /** Point-in-time dimension lookup against an SCD-2 history (the
+    * [[scdHistory]] output shape): each fact row joins the version whose
+    * [valid_from, valid_to) interval contains its event time — the
+    * composed primitive behind every "state at time of purchase" feature.
+    * The join is EQUI on the entity key (co-partitioned at scale, never a
+    * blind range join) with the interval test as a residual filter; a key's
+    * version count bounds the fan-out. SCD intervals are disjoint, so each
+    * fact matches at most one version; facts before the first version drop
+    * (inner). `factUs`/dim bounds are integer µs. */
+  def scdLookup(facts: DataFrame, factKeyCol: String, factUs: Column,
+                dim: DataFrame, dimKeyCol: String,
+                fromCol: String = "valid_from",
+                toCol: String = "valid_to"): DataFrame = {
+    val f = facts.withColumn("__fus", factUs)
+    f.join(dim, f(factKeyCol) === dim(dimKeyCol) &&
+      col("__fus") >= dim(fromCol) &&
+      (dim(toCol).isNull || col("__fus") < dim(toCol)))
+  }
+
+  // --------------------------------------------------- daily snapshot ffill
+  /** Per-key daily snapshot with carry-forward: each (key, day) reports the
+    * key's last observed `valueCol` on or before that day — the feature-
+    * store "as-of daily" materialization. Day's last observation is an
+    * argmax by (µs, id) — a data element, deterministic under ties; the
+    * spine spans each key's first active day through the corpus' last day
+    * (a silent key keeps reporting its last state); the fill is ONE
+    * last(ignoreNulls) frame over the key-partitioned day order. Row count
+    * is Σ_key span_days — the spine explode is per key, bounded by the
+    * calendar, never |keys| × |events|. Returns (key, day, value). */
+  def dailySnapshotFfill(df: DataFrame, keyCol: String, idCol: String,
+                         tsCol: String, valueCol: String): DataFrame = {
+    val obs = df.select(col(keyCol).as("key"), dayIndex(col(tsCol)).as("day"),
+        micros(col(tsCol)).as("__us"), col(idCol).as("__id"),
+        col(valueCol).as("__v"))
+      .groupBy("key", "day")
+      .agg(max_by(col("__v"), struct(col("__us"), col("__id"))).as("__v"))
+    val lo = obs.groupBy("key").agg(min(col("day")).as("__lo"))
+    val hi = obs.agg(max(col("day")).as("__hi"))
+    val spine = lo.crossJoin(broadcast(hi))
+      .select(col("key"), explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(obs, Seq("key", "day"), "left")
+      .withColumn("value", last(col("__v"), ignoreNulls = true).over(w))
+      .select(col("key"), col("day"), col("value"))
+  }
+
   // ------------------------------------------------- seasonal-naive forecast
   /** Seasonal-naive backtest over the daily event-count series: the
     * prediction for day d is the actual of day d − `season`, evaluated over

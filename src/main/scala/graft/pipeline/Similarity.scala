@@ -390,4 +390,50 @@ object Similarity {
       .select(col(idCol), col("__mc.subspace").as("subspace"),
         col("__mc.code").as("code"))
   }
+
+  /** ADC (asymmetric distance computation) top-k over [[pqEncode]]'d codes:
+    * each query precomputes its per-(subspace, centroid) squared-distance
+    * lookup table (nSub·k rows/query — a broadcast literal relation), probes
+    * the code relation on (subspace, code), and sums the table entries —
+    * queries touch nSub bytes per corpus vector, never the vectors.
+    *
+    * DETERMINISM: each LUT entry is the fixed IEEE shape
+    * (⟨v,v⟩ − 2⟨v,c⟩) + ‖c‖² over in-order dot folds, cast DECIMAL(28,12) at
+    * the source — the per-candidate sum over subspaces is then exact and
+    * shuffle-order-independent, so ranks are engine-identical (‖c‖² is a
+    * plan literal both engines parse to the same double).
+    * Returns (qid, nn_id, rank ≤ topK). */
+  def pqSearchTopK(corpus: DataFrame, queries: DataFrame, nSub: Int,
+                   subDim: Int, k: Int, topK: Int, seed: Long = 11L,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import graft.functions.VectorExprs
+    import org.apache.spark.sql.types.DecimalType
+    val cb = pqCodebooks(nSub, subDim, k, seed)
+      .groupBy(_._1).map { case (m, rows) => m -> rows.sortBy(_._2).map(_._3) }
+    val codes = pqEncode(corpus, nSub, subDim, k, seed, idCol, vecCol)
+    val qv = toDouble(col(qvecCol))
+    val lutRows = for { m <- 0 until nSub; c <- 0 until k } yield {
+      val vm = slice(qv, m * subDim + 1, subDim)
+      val cent = array(cb(m)(c).map(lit): _*)
+      val cn2 = lit(cb(m)(c).map(x => x * x).sum)
+      struct(lit(m).as("m"), lit(c).as("cid"),
+        ((VectorExprs.dotProduct(vm, vm) -
+          lit(2.0) * VectorExprs.dotProduct(vm, cent)) + cn2)
+          .cast(DecimalType(28, 12)).as("d"))
+    }
+    val lut = queries.select(col(qidCol).as("qid"),
+        explode(array(lutRows: _*)).as("__l"))
+      .select(col("qid"), col("__l.m").as("subspace"),
+        col("__l.cid").as("code"), col("__l.d").as("__d"))
+    val adc = codes.join(broadcast(lut), Seq("subspace", "code"))
+      .filter(col(idCol) =!= col("qid"))
+      .groupBy(col("qid"), col(idCol).as("nn_id"))
+      .agg(sum(col("__d")).as("__dist"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("__dist").asc, col("nn_id").asc)
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("nn_id"), col("rank"))
+  }
 }

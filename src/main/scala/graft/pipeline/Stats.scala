@@ -576,6 +576,35 @@ object Stats {
         max(col("__level")).as("peak_level"))
   }
 
+  // -------------------------------------------------- weighted lower median
+  /** Weighted lower median per group: the smallest value v whose cumulative
+    * weight reaches ⌈(W+1)/2⌉ — the 50%-of-mass order statistic (e.g. the
+    * price below which half the QUANTITY traded). Equal values collapse into
+    * one weight row FIRST, so tie order can't matter; the crossing test
+    * (2·cum ≥ W+1 and the previous cum below) is pure integer arithmetic on
+    * long weights — engine-exact, and the window sorts only each group's
+    * DISTINCT values. Returns (groupCols..., weighted_median, total_weight).
+    */
+  def weightedLowerMedian(df: DataFrame, groupCols: Seq[String],
+                          valueCol: String, weightCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "group columns required")
+    val g = groupCols.map(col)
+    val perValue = df.groupBy(g :+ col(valueCol).as("__v"): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(g: _*)
+    perValue
+      // "__tw", not "__W": Spark resolves column names case-insensitively
+      // by default, so "__W" would silently REPLACE "__w" in withColumn
+      .withColumn("__cw", sum(col("__w")).over(wCum))
+      .withColumn("__tw", sum(col("__w")).over(wTot))
+      .filter(col("__cw") * 2 >= col("__tw") + 1 &&
+        (col("__cw") - col("__w")) * 2 < col("__tw") + 1)
+      .select(g :+ col("__v").as("weighted_median") :+
+        col("__tw").as("total_weight"): _*)
+  }
+
   // ------------------------------------------------------- survivorship
   /** Golden-record survivorship over duplicate clusters (the data-mastering
     * step after entity resolution): per cluster, each `modeCols` column

@@ -263,6 +263,153 @@ object MlPipelineQueries {
             col("min_doc_id").as("min_doc_id"),
             col("max_n_chars").as("max_n_chars"), col("mode_lang"))
           .orderBy("cluster")
-      })
+      }),
+
+    // ---- point-in-time SCD-2 lookup: each purchase joins the user's
+    // non-purchase state version whose validity interval contains it —
+    // equi join on the entity key, interval test as a residual (never a
+    // blind range join); SCD intervals are disjoint so matches are unique.
+    Q("q193_scd2_join",
+      Some("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us " +
+        "FROM events WHERE event_type <> 'purchase'), " +
+        "w AS (SELECT *, lag(event_type) OVER win AS pa, lag(us) OVER win AS pu " +
+        "FROM e WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "c AS (SELECT *, CASE WHEN pu IS NULL THEN 1 " +
+        "WHEN event_type IS NOT DISTINCT FROM pa THEN 0 ELSE 1 END AS chg FROM w), " +
+        "r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id " +
+        "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version " +
+        "FROM c), " +
+        "s AS (SELECT user_id, event_type, us AS valid_from, version FROM r " +
+        "WHERE chg = 1), " +
+        "f AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id " +
+        "ORDER BY version) AS valid_to FROM s), " +
+        "p AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT p.event_id, p.user_id, f.event_type AS state, f.version " +
+        "FROM p JOIN f ON p.user_id = f.user_id AND p.us >= f.valid_from " +
+        "AND (f.valid_to IS NULL OR p.us < f.valid_to) ORDER BY p.event_id"),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val dim = EventAnalytics.scdHistory(
+          ev.filter(col("event_type") =!= "purchase"),
+          "user_id", "event_id", "ts", "event_type")
+        val facts = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id").as("f_user"), col("ts"))
+        EventAnalytics.scdLookup(facts, "f_user",
+            EventAnalytics.micros(col("ts")), dim, "user_id")
+          .select(col("event_id"), col("f_user").as("user_id"),
+            col("event_type").as("state"), col("version"))
+          .orderBy("event_id")
+      }),
+
+    // ---- PQ ADC top-k search: queries probe the q184 code relation with a
+    // broadcast per-query distance LUT; decimal-summed subspace distances
+    // make the ranking engine-exact. The PQ story end-to-end: encode
+    // (q184) then search without ever touching corpus vectors.
+    Q("q194_pq_search",
+      Some {
+        val values = Similarity.pqCodebooks(nSub = 4, subDim = 16, k = 8)
+          .map { case (m, c, v) =>
+            s"($m, $c, [${v.mkString(", ")}], ${v.map(x => x * x).sum})"
+          }.mkString(", ")
+        val sl = "v[m * 16 + 1 : m * 16 + 16]"
+        s"WITH cb(m, cid, cv, cn2) AS (VALUES $values), " +
+          "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+          "FROM embeddings), " +
+          s"dd AS (SELECT vec_id, m AS subspace, cid, list_distance($sl, cv) AS dist " +
+          "FROM e CROSS JOIN cb), " +
+          "codes AS (SELECT vec_id, subspace, cid AS code FROM " +
+          "(SELECT vec_id, subspace, cid, row_number() OVER " +
+          "(PARTITION BY vec_id, subspace ORDER BY dist, cid) AS rn FROM dd) " +
+          "WHERE rn = 1), " +
+          "q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+          "FROM embeddings WHERE vec_id < 8), " +
+          s"lut AS (SELECT qid, m AS subspace, cid AS code, " +
+          s"CAST((list_dot_product($sl, $sl) - 2 * list_dot_product($sl, cv)) + cn2 " +
+          "AS DECIMAL(28,12)) AS d FROM q CROSS JOIN cb), " +
+          "adc AS (SELECT lut.qid, codes.vec_id AS nn_id, sum(d) AS dist " +
+          "FROM codes JOIN lut USING (subspace, code) " +
+          "WHERE codes.vec_id <> lut.qid GROUP BY 1, 2), " +
+          "r AS (SELECT qid, nn_id, row_number() OVER (PARTITION BY qid " +
+          "ORDER BY dist, nn_id) AS rank FROM adc) " +
+          "SELECT qid, nn_id, rank FROM r WHERE rank <= 5 ORDER BY qid, rank"
+      },
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.pqSearchTopK(emb, queries, nSub = 4, subDim = 16, k = 8,
+            topK = 5)
+          .orderBy("qid", "rank")
+      }),
+
+    // ---- per-user daily snapshot with carry-forward: each (user, day)
+    // reports the last observed event value on or before that day — the
+    // feature-store "as-of daily" materialization; silence carries state.
+    Q("q195_carry_forward",
+      Some("WITH o AS (SELECT user_id AS key, epoch_us(ts) // 86400000000 AS day, " +
+        "value, row_number() OVER (PARTITION BY user_id, " +
+        "epoch_us(ts) // 86400000000 ORDER BY epoch_us(ts) DESC, event_id DESC) " +
+        "AS rn FROM events), " +
+        "ob AS (SELECT key, day, value FROM o WHERE rn = 1), " +
+        "lo AS (SELECT key, min(day) AS klo FROM ob GROUP BY 1), " +
+        "hi AS (SELECT max(day) AS khi FROM ob), " +
+        "sp AS (SELECT key, unnest(range(klo, khi + 1)) AS day FROM lo, hi), " +
+        "j AS (SELECT sp.key, sp.day, ob.value FROM sp LEFT JOIN ob USING (key, day)) " +
+        "SELECT key, day, last_value(value IGNORE NULLS) OVER " +
+        "(PARTITION BY key ORDER BY day ROWS UNBOUNDED PRECEDING) AS value " +
+        "FROM j ORDER BY key, day"),
+      (s, dir) => EventAnalytics.dailySnapshotFfill(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "value")
+        .orderBy("key", "day")),
+
+    // ---- explicit GROUPING SETS revenue: (nation), (segment), (nation,
+    // segment) in ONE pass with partial aggregation — the report-cube shape
+    // between q42's rollup and q92's cube; grouping_id disambiguates rolled
+    // nulls, revenue decimal-exact.
+    Q("q196_grouping_sets",
+      Some("SELECT n_name, c_mktsegment, " +
+        "CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid, " +
+        "count(*) AS n_orders, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue " +
+        "FROM orders JOIN customer ON c_custkey = o_custkey " +
+        "JOIN nation ON n_nationkey = c_nationkey " +
+        "GROUP BY GROUPING SETS ((n_name), (c_mktsegment), (n_name, c_mktsegment)) " +
+        "ORDER BY gid, n_name NULLS FIRST, c_mktsegment NULLS FIRST"),
+      (s, dir) => Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupingSets(
+          Seq(Seq(col("n_name")), Seq(col("c_mktsegment")),
+            Seq(col("n_name"), col("c_mktsegment"))),
+          col("n_name"), col("c_mktsegment"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(24, 6)))
+            .cast("double").as("revenue"))
+        .select(col("n_name"), col("c_mktsegment"), col("gid"),
+          col("n_orders"), col("revenue"))
+        .orderBy(col("gid"), col("n_name").asc_nulls_first,
+          col("c_mktsegment").asc_nulls_first)),
+
+    // ---- weighted lower median: the price below which half the QUANTITY
+    // traded, per return flag — integer crossing test over collapsed
+    // per-value weights, engine-exact with no interpolation.
+    Q("q197_weighted_median",
+      Some("WITH pv AS (SELECT l_returnflag, l_extendedprice AS v, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w FROM lineitem " +
+        "GROUP BY 1, 2), " +
+        "c AS (SELECT l_returnflag, v, w, " +
+        "CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY v " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw, " +
+        "CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw FROM pv) " +
+        "SELECT l_returnflag, v AS weighted_median, tw AS total_weight " +
+        "FROM c WHERE cw * 2 >= tw + 1 AND (cw - w) * 2 < tw + 1 " +
+        "ORDER BY l_returnflag"),
+      (s, dir) => Stats.weightedLowerMedian(Tables.lineitem(s, dir),
+          Seq("l_returnflag"), "l_extendedprice", "l_quantity")
+        .select(col("l_returnflag"), col("weighted_median"), col("total_weight"))
+        .orderBy("l_returnflag"))
   )
 }

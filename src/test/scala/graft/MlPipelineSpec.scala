@@ -211,4 +211,86 @@ class MlPipelineSpec extends SparkSpec {
     assert(out.head.getLong(1) == 50L && out.head.getLong(2) == 7L)
     assert(out.head.getBoolean(3))
   }
+
+  // ----------------------------------------------------------- scdLookup
+  test("scdLookup: facts land in their containing version; pre-history facts drop") {
+    val dim = Seq(
+      (1L, "bronze", 100L, Some(200L), 1L),
+      (1L, "gold", 200L, None, 2L)
+    ).toDF("k", "state", "valid_from", "valid_to", "version")
+    val facts = Seq((10L, 1L, 50L), (11L, 1L, 100L), (12L, 1L, 199L),
+      (13L, 1L, 200L), (14L, 1L, 999L), (15L, 2L, 500L))
+      .toDF("fid", "fk", "fus")
+    val out = EventAnalytics.scdLookup(facts, "fk", col("fus"), dim, "k")
+      .select("fid", "state", "version")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(
+      11L -> (("bronze", 1L)), 12L -> (("bronze", 1L)), // [from, to)
+      13L -> (("gold", 2L)), 14L -> (("gold", 2L))))    // open current
+    assert(!out.contains(10L) && !out.contains(15L))
+  }
+
+  // --------------------------------------------------------- pqSearchTopK
+  test("pqSearchTopK: ADC ranks match a driver-side recompute over the same codes") {
+    val emb = Tables.embeddings(spark, sf0001).limit(60).cache()
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Similarity.pqSearchTopK(emb, queries, nSub = 4, subDim = 16,
+        k = 8, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val cb = Similarity.pqCodebooks(4, 16, 8)
+      .groupBy(_._1).map { case (m, rs) => m -> rs.sortBy(_._2).map(_._3) }
+    val codes = Similarity.pqEncode(emb, 4, 16, 8)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => r.getInt(1) -> r.getInt(2)).toMap }
+    val qv = emb.filter(col("vec_id") < 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    qv.foreach { case (q, v) =>
+      val byId = codes.toSeq.filter(_._1 != q).map { case (id, cs) =>
+        val d = (0 until 4).map { m =>
+          val vm = v.slice(m * 16, (m + 1) * 16)
+          val c = cb(m)(cs(m))
+          val dot = vm.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+          val vv = vm.foldLeft(0.0)((a, x) => a + x * x)
+          val cc = c.map(x => x * x).sum
+          BigDecimal(vv - 2.0 * dot + cc).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        (d, id)
+      }.sorted.take(3).map(_._2)
+      byId.zipWithIndex.foreach { case (id, i) =>
+        assert(got((q, i + 1)) == id, s"query $q rank ${i + 1}")
+      }
+    }
+  }
+
+  // ---------------------------------------------------- dailySnapshotFfill
+  test("dailySnapshotFfill: silence carries the last state; same-day ties pick the later event") {
+    def ts(day: Long, ms: Long) = new java.sql.Timestamp(day * 86400000L + ms)
+    val df = Seq(
+      (1L, 100L, ts(0, 1000), 5.0), (1L, 101L, ts(0, 1000), 7.0), // tie -> id 101
+      (1L, 102L, ts(3, 0), 9.0),
+      (2L, 200L, ts(2, 0), 1.0)
+    ).toDF("u", "eid", "ts", "v")
+    val out = EventAnalytics.dailySnapshotFfill(df, "u", "eid", "ts", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 0L)) == 7.0) // same-µs tie broken by event id
+    assert(out((1L, 1L)) == 7.0 && out((1L, 2L)) == 7.0) // carried
+    assert(out((1L, 3L)) == 9.0)
+    assert(out((2L, 2L)) == 1.0 && out((2L, 3L)) == 1.0) // to corpus max day
+    assert(!out.contains((2L, 1L))) // before key's first day: no row
+  }
+
+  // -------------------------------------------------- weightedLowerMedian
+  test("weightedLowerMedian: crossing row at ceil((W+1)/2); duplicate values pool weights") {
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 2.0, 1L), ("g", 9.0, 1L),
+      ("h", 5.0, 10L), ("h", 6.0, 1L))
+      .toDF("grp", "v", "w")
+    val out = Stats.weightedLowerMedian(df, Seq("grp"), "v", "w")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    // g: W=4, threshold ceil(5/2)=3 -> cum 1,3,4: value 2.0 crosses
+    assert(out("g") == ((2.0, 4L)))
+    // h: W=11, threshold 6 -> value 5.0 (weight 10) crosses immediately
+    assert(out("h") == ((5.0, 11L)))
+  }
 }

@@ -635,4 +635,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("min_by") || p.contains("minby") || p.contains("min("),
       s"expected the argmin aggregate:\n$p")
   }
+
+  test("q193: SCD lookup is an equi join on the entity key — interval test is a residual, never a BNLJ") {
+    val p = planOf("q193_scd2_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the interval test must not become a nested loop:\n$p")
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("Join") && l.contains("f_user")).getOrElse("")
+    assert(joinLine.contains("user_id"), s"expected the key equi join: $joinLine\nin:\n$p")
+  }
+
+  test("q194: PQ search probes codes with a broadcast LUT; ranks window per query") {
+    val p = planOf("q194_pq_search")
+    assert(p.contains("BroadcastHashJoin"), s"the LUT must broadcast:\n$p")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.forall(_.contains("qid")),
+      s"rank window must partition by qid:\n${windows.mkString("\n")}")
+  }
+
+  test("q195: the carry-forward fill window partitions by the key") {
+    val p = planOf("q195_carry_forward")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("key")),
+      s"fill window not key-partitioned:\n${windows.mkString("\n")}")
+  }
+
+  test("q196: grouping sets run as ONE Expand + aggregate pass — no union of scans") {
+    val p = planOf("q196_grouping_sets")
+    assert(p.contains("Expand"), s"expected the Expand node:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 3,
+      s"each table must scan once:\n$p")
+  }
+
+  test("q197: weighted-median windows partition by the group; values collapse before the sort") {
+    val p = planOf("q197_weighted_median")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("l_returnflag")),
+      s"window not group-partitioned:\n${windows.mkString("\n")}")
+    // the per-value collapse (groupBy value) must sit below the window
+    val wIdx = p.linesIterator.indexWhere(_.contains("Window ["))
+    assert(p.linesIterator.drop(wIdx).exists(_.contains("HashAggregate")),
+      s"expected the per-value aggregate below the window:\n$p")
+  }
 }
