@@ -348,6 +348,87 @@ object ScaleStress {
     }
     println(s"  ball size: $bf (expect 11)")
     assert(bf == 11L, s"chain BFS ball broken: $bf")
+
+    // weighted SSSP over the same 1M-node chain (weight 2 per edge), 5
+    // relaxation rounds from the midpoint: the reached set is the 11-node
+    // ball with dist = 2·hops — per-round cost is one |dist|-row hash join
+    // against the 2M-row adjacency, never a frontier explosion.
+    val sg = timed("ssspDistances over the 1M-node chain, 5 rounds") {
+      graft.pipeline.Graph.ssspDistances(
+        chain.select(col("src"), col("dst"), lit(2L).as("w")), "src", "dst", "w",
+        spark.range(500000L, 500001L).select(col("id").as("node")),
+        "node", rounds = 5)
+        .agg(count(lit(1)).as("n"), max("dist").as("mx"),
+          sum("dist").as("s")).collect().head
+    }
+    // Σ dist over the ball = 2 · 2 · (1+2+3+4+5) = 60
+    println(s"  ball: ${sg.getLong(0)} nodes, max dist ${sg.getLong(1)}, " +
+      s"sum ${sg.getLong(2)} (expect 11 / 10 / 60)")
+    assert(sg.getLong(0) == 11L && sg.getLong(1) == 10L && sg.getLong(2) == 60L,
+      s"chain SSSP closed form broken: $sg")
+
+    // clamped running level: ONE 1M-move key alternating +1/−2 — the level
+    // clamps at zero every second move (the adversarial all-clamp case);
+    // closed form: peak 1, final 0. The closed-form identity does this in
+    // one window sort where the literal recurrence would be sequential.
+    val moves = spark.range(1000000L).select(lit("k").as("key"),
+      col("id").as("ord"),
+      when(col("id") % 2 === 0, 1L).otherwise(-2L).as("d"))
+    val cl = timed("clampedRunningLevel over one 1M-move key") {
+      graft.pipeline.Stats.clampedRunningLevel(moves, "key", col("d"),
+        Seq(col("ord"))).collect().head
+    }
+    println(s"  final ${cl.getAs[Long]("final_level")}, peak ${cl.getAs[Long]("peak_level")} " +
+      "(expect 0 / 1)")
+    assert(cl.getAs[Long]("final_level") == 0L && cl.getAs[Long]("peak_level") == 1L,
+      s"clamp closed form broken: $cl")
+
+    // item-kNN with a 100k-user hot item: every user holds hot item "H"
+    // plus one of 5 cold items — the pair relation is exactly the 5 (H, A_j)
+    // edges (cold items never co-occur), so the hot item cannot quadratically
+    // expand; the probe user owning only H gets the tie-broken A0..A2.
+    val baskets = spark.range(1L, 100001L).select(col("id").as("u"), lit("H").as("i"))
+      .union(spark.range(1L, 100001L).select(col("id").as("u"),
+        concat(lit("A"), (col("id") % 5).cast("string")).as("i")))
+      .union(Seq((0L, "H")).toDF("u", "i"))
+    val rec = timed("recommendTopK with a 100k-user hot item") {
+      graft.pipeline.EventAnalytics.recommendTopK(baskets, "u", "i", k = 3)
+        .filter(col("user") === 0L).orderBy("rank")
+        .select("item").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSeq
+    }
+    println(s"  probe user top-3: $rec (expect A0, A1, A2 — equal scores, item tiebreak)")
+    assert(rec == Seq("A0", "A1", "A2"), s"hot-item recommender broken: $rec")
+
+    // PQ encode over 40k 64-dim vectors (20 shifted copies of the sf0.1
+    // embeddings): a stateless projection must stream — 160k code rows, no
+    // shuffle, wall time scan-bound.
+    val embBase = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select("vec_id", "embedding")
+    val bigVecs = (0 until 20).map(i =>
+      embBase.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ union _)
+    val pq = timed("pqEncode over 40k vectors") {
+      Similarity.pqEncode(bigVecs, nSub = 4, subDim = 16, k = 8).count()
+    }
+    println(s"  code rows: $pq (expect 4x corpus)")
+    assert(pq == 4L * bigVecs.count(), s"pq row count broken: $pq")
+
+    // daily snapshot ffill: 30k keys, one observation each at day id%30,
+    // spine to the global max day 29 — output is the closed-form
+    // 1000 · Σ_{r=0..29}(30−r) = 465,000 rows, every fill a carried value.
+    val obs = spark.range(30000L).select(col("id").as("u"), col("id").as("eid"),
+      to_timestamp(from_unixtime(col("id") % 30 * 86400L)).as("ts"),
+      col("id").cast("double").as("v"))
+    val ff = timed("dailySnapshotFfill over 30k keys") {
+      graft.pipeline.EventAnalytics.dailySnapshotFfill(obs, "u", "eid", "ts", "v")
+        .agg(count(lit(1)).as("n"), countDistinct(col("value")).as("nv"))
+        .collect().head
+    }
+    println(s"  rows: ${ff.getLong(0)}, distinct values ${ff.getLong(1)} " +
+      "(expect 465,000 / 30,000)")
+    assert(ff.getLong(0) == 465000L && ff.getLong(1) == 30000L,
+      s"ffill closed form broken: $ff")
     spark.stop()
   }
 }
