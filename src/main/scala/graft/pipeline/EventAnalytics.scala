@@ -979,6 +979,101 @@ object EventAnalytics {
       .select(col("key"), col("day"), col("value"))
   }
 
+  // ----------------------------------------------------------- activity gaps
+  /** Data-freshness gap report: for each key, the runs of ≥ `minGapDays`
+    * consecutive silent days between two active days — the inverse of
+    * [[longestStreaks]]' islands, and the check a pipeline runs before
+    * trusting "no data = no activity". One lag over each key's DISTINCT
+    * active days (bounded by the calendar, never raw events); all integer
+    * day arithmetic. Returns (key, gap_start, gap_end, gap_days). */
+  def activityGaps(df: DataFrame, keyCol: String, tsCol: String,
+                   minGapDays: Int): DataFrame = {
+    require(minGapDays >= 1, s"minGapDays must be >= 1: $minGapDays")
+    val active = df.select(col(keyCol).as("key"), dayIndex(col(tsCol)).as("__day"))
+      .distinct()
+    val w = Window.partitionBy(col("key")).orderBy(col("__day").asc)
+    active
+      .withColumn("__prev", lag(col("__day"), 1).over(w))
+      .filter(col("__prev").isNotNull &&
+        col("__day") - col("__prev") - 1 >= minGapDays)
+      .select(col("key"), (col("__prev") + 1).as("gap_start"),
+        (col("__day") - 1).as("gap_end"),
+        (col("__day") - col("__prev") - 1).as("gap_days"))
+  }
+
+  // -------------------------------------------------------- Markov backtest
+  /** Next-event prediction backtest: a first-order Markov model trained on
+    * transitions completing before `splitUs` (per antecedent, the modal
+    * successor — count DESC, type ASC deterministic election) is scored on
+    * transitions completing at/after the split. The honest-evaluation
+    * pattern every "smart default" feature needs before shipping.
+    * Counts are exact integers; accuracy is one division, 6dp. Antecedents
+    * unseen in training drop (no model to score). Transition extraction is
+    * ONE per-user window ([[transitionMatrix]]'s shape); the model relation
+    * is type-vocabulary-bounded and broadcasts.
+    * Returns (prev_type, predicted, n_test, n_correct, accuracy). */
+  def markovBacktest(df: DataFrame, userCol: String, idCol: String,
+                     tsCol: String, typeCol: String, splitUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__us").asc, col(idCol).asc)
+    val pairs = df
+      .select(col(userCol), col(idCol), col(typeCol).as("__next"),
+        micros(col(tsCol)).as("__us"))
+      .withColumn("__prev", lag(col("__next"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+    val model = pairs.filter(col("__us") < splitUs)
+      .groupBy(col("__prev"), col("__next")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("__prev"))
+      .agg(min_by(col("__next"), struct((-col("__n")).as("__neg"), col("__next")))
+        .as("predicted"))
+    pairs.filter(col("__us") >= splitUs)
+      .join(broadcast(model), Seq("__prev"))
+      .groupBy(col("__prev").as("prev_type"), col("predicted"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__next") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("prev_type"), col("predicted"), col("n_test"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_test").cast("double"), 6)
+          .as("accuracy"))
+  }
+
+  // ---------------------------------------------------- linear attribution
+  /** Linear (equal-credit) multi-touch attribution: each purchase's value
+    * splits equally across the user's touches since their previous purchase
+    * — [[lastTouchAttribution]]'s fairer sibling. Touch→purchase assignment
+    * is a REVERSED per-user frame walk (first purchase id at-or-after each
+    * touch), never a touches×purchases join; per-touch credit is
+    * round(value/n, 6) cast DECIMAL(18,6), so the rollup is exact and
+    * order-independent (Σ credits ≈ value to rounding, by design).
+    * Returns (touch_type, n_touches, total_credit). */
+  def linearAttribution(df: DataFrame, userCol: String, idCol: String,
+                        tsCol: String, typeCol: String,
+                        convType: String, valueCol: String): DataFrame = {
+    val wFwd = Window.partitionBy(col(userCol))
+      .orderBy(col("__us").asc, col(idCol).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val isConv = col(typeCol) === convType
+    val tagged = df
+      .select(col(userCol), col(idCol), col(typeCol), col(valueCol),
+        micros(col(tsCol)).as("__us"))
+      .withColumn("__conv_id",
+        min(when(isConv, col(idCol))).over(wFwd))
+    val touches = tagged.filter(!isConv && col("__conv_id").isNotNull)
+    // the conversion's value joins by its id (never a min_by window whose
+    // null-ordering semantics would carry the correctness burden)
+    val convVals = df.filter(isConv)
+      .select(col(idCol).as("__conv_id"), col(valueCol).as("__v"))
+    val perConv = touches.groupBy(col("__conv_id"))
+      .agg(count(lit(1)).as("__n"))
+      .join(convVals, Seq("__conv_id"))
+    touches.join(perConv, Seq("__conv_id"))
+      .select(col(typeCol).as("touch_type"),
+        round(col("__v") / col("__n"), 6).cast("decimal(18,6)").as("__credit"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("__credit")).cast("double").as("total_credit"))
+  }
+
   // ------------------------------------------------- seasonal-naive forecast
   /** Seasonal-naive backtest over the daily event-count series: the
     * prediction for day d is the actual of day d − `season`, evaluated over

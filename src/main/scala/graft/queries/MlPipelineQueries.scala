@@ -410,6 +410,72 @@ object MlPipelineQueries {
       (s, dir) => Stats.weightedLowerMedian(Tables.lineitem(s, dir),
           Seq("l_returnflag"), "l_extendedprice", "l_quantity")
         .select(col("l_returnflag"), col("weighted_median"), col("total_weight"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // ---- activity-gap report: per user, silent runs of >= 3 days between
+    // active days — the freshness audit over DISTINCT active days, all
+    // integer day arithmetic.
+    Q("q201_gap_report",
+      Some("WITH a AS (SELECT DISTINCT user_id AS key, " +
+        "epoch_us(ts) // 86400000000 AS d FROM events), " +
+        "l AS (SELECT key, d, lag(d) OVER (PARTITION BY key ORDER BY d) AS pd " +
+        "FROM a) " +
+        "SELECT key, pd + 1 AS gap_start, d - 1 AS gap_end, " +
+        "d - pd - 1 AS gap_days FROM l WHERE pd IS NOT NULL AND d - pd - 1 >= 3 " +
+        "ORDER BY key, gap_start"),
+      (s, dir) => EventAnalytics.activityGaps(Tables.events(s, dir),
+          "user_id", "ts", minGapDays = 3)
+        .orderBy("key", "gap_start")),
+
+    // ---- Markov next-event backtest: modal-successor model trained before
+    // the split day, scored after it — integer counts, deterministic
+    // elections, one division per row of the type-bounded report.
+    Q("q202_markov_backtest",
+      Some("WITH e AS (SELECT user_id, event_id, event_type AS nx, " +
+        "epoch_us(ts) AS us FROM events), " +
+        "p AS (SELECT user_id, us, nx, lag(nx) OVER (PARTITION BY user_id " +
+        "ORDER BY us, event_id) AS pv FROM e), " +
+        "pairs AS (SELECT * FROM p WHERE pv IS NOT NULL), " +
+        "tr AS (SELECT pv, nx, count(*) AS n FROM pairs " +
+        "WHERE us < 1705363200000000 GROUP BY 1, 2), " +
+        "model AS (SELECT pv, nx AS predicted FROM (SELECT pv, nx, " +
+        "row_number() OVER (PARTITION BY pv ORDER BY n DESC, nx) AS rn FROM tr) " +
+        "WHERE rn = 1) " +
+        "SELECT pv AS prev_type, predicted, count(*) AS n_test, " +
+        "CAST(sum(CASE WHEN nx = predicted THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_correct, " +
+        "round(CAST(sum(CASE WHEN nx = predicted THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ count(*), 6) AS accuracy " +
+        "FROM pairs JOIN model USING (pv) WHERE us >= 1705363200000000 " +
+        "GROUP BY 1, 2 ORDER BY 1"),
+      (s, dir) => EventAnalytics.markovBacktest(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "event_type",
+          splitUs = 1705363200000000L) // 2024-01-16 UTC
+        .orderBy("prev_type")),
+
+    // ---- linear multi-touch attribution: each purchase's value splits
+    // equally across the touches since the user's previous purchase —
+    // reversed frame walk for assignment, 6dp-rounded credits summed as
+    // DECIMAL (exact rollup).
+    Q("q203_linear_attribution",
+      Some("WITH e AS (SELECT user_id, event_id, event_type, value, " +
+        "epoch_us(ts) AS us FROM events), " +
+        "t AS (SELECT *, min(CASE WHEN event_type = 'purchase' THEN event_id END) " +
+        "OVER (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_id FROM e), " +
+        "tou AS (SELECT * FROM t WHERE event_type <> 'purchase' " +
+        "AND conv_id IS NOT NULL), " +
+        "pc AS (SELECT conv_id, count(*) AS n FROM tou GROUP BY 1), " +
+        "cv AS (SELECT event_id AS conv_id, value AS v FROM e " +
+        "WHERE event_type = 'purchase'), " +
+        "cr AS (SELECT tou.event_type AS touch_type, " +
+        "CAST(round(cv.v / pc.n, 6) AS DECIMAL(18,6)) AS credit " +
+        "FROM tou JOIN pc USING (conv_id) JOIN cv USING (conv_id)) " +
+        "SELECT touch_type, count(*) AS n_touches, " +
+        "CAST(sum(credit) AS DOUBLE) AS total_credit FROM cr " +
+        "GROUP BY 1 ORDER BY 1"),
+      (s, dir) => EventAnalytics.linearAttribution(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "event_type", "purchase", "value")
+        .orderBy("touch_type"))
   )
 }

@@ -309,6 +309,71 @@ object TpchQueries {
           .agg(sum(when(hi, 1L).otherwise(0L)).as("high_count"),
             sum(when(hi, 0L).otherwise(1L)).as("low_count"))
           .orderBy("l_linestatus")
+      }),
+
+    // ---- Q13 customer order-count distribution: LEFT join keeps
+    // zero-order customers, count(o_orderkey) ignores the null padding,
+    // then the double grouping — the classic histogram-of-counts shape.
+    Q("q198_tpch_q13",
+      Some("WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "AND o_orderpriority <> '5-LOW' GROUP BY 1) " +
+        "SELECT c_count, count(*) AS custdist FROM co GROUP BY 1 " +
+        "ORDER BY custdist DESC, c_count DESC"),
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderpriority") =!= "5-LOW"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // ---- Q15 top supplier(s) of a quarter: the scalar max broadcasts back
+    // and equality selects the winner(s) — total_revenue is a decimal-exact
+    // sum cast once, so the equality compares identical doubles.
+    Q("q199_tpch_q15",
+      Some("WITH rev AS (SELECT l_suppkey, " + revSql + " AS total_revenue " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, total_revenue FROM supplier " +
+        "JOIN rev ON s_suppkey = l_suppkey " +
+        "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) " +
+        "ORDER BY s_suppkey"),
+      (s, dir) => {
+        val suppRev = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= ts("1996-01-01") &&
+            col("l_shipdate") < ts("1996-04-01"))
+          .groupBy("l_suppkey").agg(rev.as("total_revenue"))
+        val mx = suppRev.agg(max(col("total_revenue")).as("__mx"))
+        suppRev.crossJoin(broadcast(mx))
+          .filter(col("total_revenue") === col("__mx"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy("s_suppkey")
+      }),
+
+    // ---- Q17 small-quantity revenue: the per-part average-quantity gate
+    // runs as the INTEGER inequality 5·qty·cnt < Σqty (never a float avg),
+    // and the per-part stats join the brand slice co-keyed.
+    Q("q200_tpch_q17",
+      Some("WITH pa AS (SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sq, " +
+        "count(*) AS cnt FROM lineitem GROUP BY 1) " +
+        "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / 7.0 " +
+        "AS avg_yearly, count(*) AS n_items FROM lineitem " +
+        "JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#13' " +
+        "JOIN pa USING (l_partkey) " +
+        "WHERE CAST(l_quantity AS BIGINT) * 5 * cnt < sq"),
+      (s, dir) => {
+        val pa = Tables.lineitem(s, dir).groupBy("l_partkey")
+          .agg(sum(col("l_quantity").cast("long")).as("sq"),
+            count(lit(1)).as("cnt"))
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#13")
+            .select(col("p_partkey").as("l_partkey"))), Seq("l_partkey"))
+          .join(pa, Seq("l_partkey"))
+          .filter(col("l_quantity").cast("long") * 5 * col("cnt") < col("sq"))
+          .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+            count(lit(1)).as("n_items"))
       })
   )
 }

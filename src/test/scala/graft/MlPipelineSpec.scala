@@ -280,6 +280,54 @@ class MlPipelineSpec extends SparkSpec {
     assert(!out.contains((2L, 1L))) // before key's first day: no row
   }
 
+  // --------------------------------------------------------- activityGaps
+  test("activityGaps: gaps below the floor drop; boundaries are the silent days") {
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    val df = Seq((1L, ts(0)), (1L, ts(2)), (1L, ts(6)), // gaps of 1 and 3 days
+      (2L, ts(10)), (2L, ts(11))) // gap of 0
+      .toDF("u", "ts")
+    val out = EventAnalytics.activityGaps(df, "u", "ts", minGapDays = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 3L, 5L, 3L)))
+  }
+
+  // -------------------------------------------------------- markovBacktest
+  test("markovBacktest: modal successor with tie-break; unseen antecedents drop") {
+    def ts(i: Long) = new java.sql.Timestamp(i * 1000L)
+    // user 1 trains a->b, a->b, a->c (model: a->b); user 2 tests a->b, a->c
+    val split = 100L * 1000000L // = micros of ts(100)
+    val df = Seq(
+      (1L, 1L, ts(1), "a"), (1L, 2L, ts(2), "b"), (1L, 3L, ts(3), "a"),
+      (1L, 4L, ts(4), "b"), (1L, 5L, ts(5), "a"), (1L, 6L, ts(6), "c"),
+      (2L, 7L, ts(200), "a"), (2L, 8L, ts(201), "b"),
+      (2L, 9L, ts(202), "a"), (2L, 10L, ts(203), "c"),
+      (3L, 11L, ts(204), "z"), (3L, 12L, ts(205), "b") // z unseen in train
+    ).toDF("u", "eid", "ts", "ty")
+    val out = EventAnalytics.markovBacktest(df, "u", "eid", "ts", "ty", split)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("a") == (("b", 2L, 1L, 0.5)))
+    assert(!out.contains("z"))
+  }
+
+  // ----------------------------------------------------- linearAttribution
+  test("linearAttribution: value splits equally across the pre-purchase segment; trailing touches get nothing") {
+    def ts(i: Long) = new java.sql.Timestamp(i * 1000L)
+    val df = Seq(
+      (1L, 1L, ts(1), "view", 0.0), (1L, 2L, ts(2), "click", 0.0),
+      (1L, 3L, ts(3), "purchase", 10.0),
+      (1L, 4L, ts(4), "view", 0.0), (1L, 5L, ts(5), "purchase", 6.0),
+      (1L, 6L, ts(6), "view", 0.0) // after the last purchase: no credit
+    ).toDF("u", "eid", "ts", "ty", "v")
+    val out = EventAnalytics.linearAttribution(df, "u", "eid", "ts", "ty",
+        "purchase", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // purchase 3 (10.0) splits across view+click (5 each); purchase 5 (6.0)
+    // goes wholly to the view at ts 4
+    assert(out("view") == ((2L, 11.0)))
+    assert(out("click") == ((1L, 5.0)))
+  }
+
   // -------------------------------------------------- weightedLowerMedian
   test("weightedLowerMedian: crossing row at ceil((W+1)/2); duplicate values pool weights") {
     val df = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 2.0, 1L), ("g", 9.0, 1L),

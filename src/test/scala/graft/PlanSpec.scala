@@ -667,6 +667,28 @@ class PlanSpec extends SparkSpec {
       s"each table must scan once:\n$p")
   }
 
+  test("q198/q199/q200: Q13's left join keeps zero-order customers; Q15's scalar max broadcasts; Q17's brand dim broadcasts") {
+    val p13 = planOf("q198_tpch_q13")
+    assert(p13.contains("LeftOuter"), s"Q13 must left-join:\n$p13")
+    val p15 = planOf("q199_tpch_q15")
+    assert(p15.contains("Broadcast"), s"Q15's one-row max must broadcast:\n$p15")
+    val p17 = planOf("q200_tpch_q17")
+    assert(p17.contains("BroadcastHashJoin"), s"Q17's brand slice must broadcast:\n$p17")
+    assert(!p17.contains("CartesianProduct"), s"no cartesian in Q17:\n$p17")
+  }
+
+  test("q201/q202/q203: gap, backtest, and attribution windows all partition by the user key") {
+    Seq("q201_gap_report", "q202_markov_backtest", "q203_linear_attribution")
+      .foreach { n =>
+        val p = planOf(n)
+        val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+        assert(windows.nonEmpty && windows.forall(w =>
+          w.contains("key") || w.contains("user_id")),
+          s"$n window not user-partitioned:\n${windows.mkString("\n")}")
+        assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+      }
+  }
+
   test("q197: weighted-median windows partition by the group; values collapse before the sort") {
     val p = planOf("q197_weighted_median")
     val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
