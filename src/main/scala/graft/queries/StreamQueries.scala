@@ -44,6 +44,28 @@ object StreamQueries {
           col("n_trail"), col("sum_trail"))
         .orderBy("user_id", "event_id")),
 
+    // ---- rate-anomaly alerts over the tumbling-count series: the integer
+    // rule den*k*n > num*sum(prev k) on the zero-filled hour spine — no
+    // float mean near the decision; cold-start windows never alert.
+    Q("q204_rate_alert",
+      Some("WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "sp AS (SELECT ty.event_type, h.hour FROM " +
+        "(SELECT DISTINCT event_type FROM c) ty, " +
+        "(SELECT unnest(range((SELECT min(hour) FROM c), " +
+        "(SELECT max(hour) FROM c) + 1)) AS hour) h), " +
+        "f AS (SELECT sp.event_type, sp.hour, coalesce(c.n, 0) AS n FROM sp " +
+        "LEFT JOIN c USING (event_type, hour)), " +
+        "r AS (SELECT event_type, hour, n, " +
+        "row_number() OVER w AS rn, " +
+        "CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour " +
+        "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS ps " +
+        "FROM f WINDOW w AS (PARTITION BY event_type ORDER BY hour)) " +
+        "SELECT event_type, hour, n, CASE WHEN rn > 3 THEN ps END AS prev_sum, " +
+        "rn > 3 AND n * 6 > ps * 3 AS alert FROM r ORDER BY event_type, hour"),
+      (s, dir) => graft.streaming.Streams.rateAlertBatch(Tables.events(s, dir))
+        .orderBy("event_type", "hour")),
+
     // ---- first-event-per-key dedupe (batch equivalent of the watermarked
     // streaming dropDuplicates).
     Q("q38_stream_dedupe",

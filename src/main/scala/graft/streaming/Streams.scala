@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -46,6 +47,38 @@ object Streams {
   def tumblingCountsStream(events: DataFrame, width: String = "1 hour",
                            lateness: String = "2 hours"): DataFrame =
     tumblingCounts(events.withWatermark("ts", lateness), width)
+
+  /** Rate-anomaly alert over the tumbling-count series (the batch face of
+    * [[tumblingCountsStream]]'s monitoring layer): per (event_type, hour),
+    * flag windows whose count exceeds `num/den` × the trailing-`k`-window
+    * mean. The alert rule is the INTEGER inequality den·k·n > num·Σprev —
+    * no float mean near the decision — over the ZERO-FILLED hour spine
+    * (silence is a 0-count window, exactly what an alerting layer must
+    * see). Windows without `k` full predecessors don't alert (cold start).
+    * The spine is |types| × hours — calendar-bounded; the lag window
+    * partitions per type. Returns (event_type, hour, n, prev_sum, alert).
+    */
+  def rateAlertBatch(events: DataFrame, k: Int = 3,
+                     num: Int = 3, den: Int = 2): DataFrame = {
+    require(k >= 1 && num > 0 && den > 0, s"bad alert config: $k $num/$den")
+    val hour = floor(unix_micros(col("ts")) / lit(3600000000L)).cast("long")
+    val counts = events.select(col("event_type"), hour.as("hour"))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+    val spine = counts.agg(min(col("hour")).as("__lo"), max(col("hour")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("hour"))
+      .crossJoin(counts.select("event_type").distinct())
+    val filled = spine.join(counts, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour").asc)
+    val wPrev = w.rowsBetween(-k, -1)
+    filled
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("prev_sum", sum(col("n")).over(wPrev))
+      .withColumn("alert", col("__rn") > k &&
+        col("n") * (den.toLong * k) > col("prev_sum") * num.toLong)
+      .select(col("event_type"), col("hour"), col("n"),
+        when(col("__rn") > k, col("prev_sum")).as("prev_sum"), col("alert"))
+  }
 
   /** Streaming dedupe: EXACT global dedup on (user_id, event_type) — the
     * principled version of `unique`'s 4096-row window (process.py:851-898).

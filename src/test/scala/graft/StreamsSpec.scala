@@ -32,6 +32,25 @@ class StreamsSpec extends SparkSpec {
     assert(g.toSeq == w.toSeq)
   }
 
+  test("rateAlertBatch: integer alert rule over the zero-filled spine; cold start never alerts") {
+    def t(hour: Long) = new java.sql.Timestamp(hour * 3600000L)
+    // type "a": hours 0..3 have 2,2,2,10 events; hour 4 silent; hour 5 has 1
+    val rows = (Seq.fill(2)(0L) ++ Seq.fill(2)(1L) ++ Seq.fill(2)(2L) ++
+      Seq.fill(10)(3L) ++ Seq(5L)).map(h => ("a", t(h)))
+    val out = Streams.rateAlertBatch(rows.toDF("event_type", "ts"),
+        k = 3, num = 3, den = 2)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toMap
+    assert(out.size == 6) // spine hours 0..5, silent hour 4 present
+    assert(out(0L) == ((2L, None, false))) // cold start: no prev_sum, no alert
+    assert(out(2L) == ((2L, None, false)))
+    // hour 3: n=10 vs prev sum 6 -> 10*6 > 6*3: alert
+    assert(out(3L) == ((10L, Some(6L), true)))
+    assert(out(4L) == ((0L, Some(14L), false))) // silence is a 0-count row
+    // hour 5: n=1 vs prev {2,10,0}=12 -> 6 > 36 false
+    assert(out(5L) == ((1L, Some(12L), false)))
+  }
+
   test("streaming dedupe emits one row per key within the watermark") {
     val stream = Streams.readEventStream(spark, eventsDir)
     val got = Streams.runToMemory(
