@@ -732,6 +732,61 @@ object Ops {
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
 
+  // ------------------------------------------------ incremental aggregation
+  /** Mergeable per-key aggregate state: (key..., n, sum_dec, mn, mx) — the
+    * shard-side half of incremental ETL. The sum accumulates in
+    * DECIMAL(28,6), so shard states merge exactly (order-independent) and
+    * [[mergePartialAggregates]] of any sharding equals the direct aggregate
+    * bit-for-bit — the property that makes daily partials + a merge
+    * equivalent to a full recompute at 100 TB. */
+  def partialAggregate(df: DataFrame, keyCols: Seq[String],
+                       valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "key columns required")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(col(valueCol)).as("n"),
+        sum(col(valueCol).cast(DecimalType(28, 6))).as("sum_dec"),
+        min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+  }
+
+  /** Merge shard states from [[partialAggregate]]: counts and decimal sums
+    * add, extremes fold — one union + one keyed aggregate, no rescan of the
+    * raw data. */
+  def mergePartialAggregates(parts: Seq[DataFrame],
+                             keyCols: Seq[String]): DataFrame = {
+    require(parts.nonEmpty, "no partials to merge")
+    parts.reduce(_ unionByName _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sum_dec")).as("sum_dec"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+  }
+
+  // ----------------------------------------------------------- CDC apply
+  /** Apply a change log to a base snapshot: each key's latest instruction
+    * wins — 'U' upserts the carried row, 'D' deletes it; untouched base
+    * rows pass through. The base participates as version `baseVersion`
+    * (must be below every change version), election is ONE key-partitioned
+    * rank by (version DESC, op DESC) — deterministic when versions are
+    * unique per key within the log (the CDC producer's contract; equal
+    * versions fall back to U-over-D then arbitrary). The classic
+    * merge-into realized as union + window: one shuffle on the key,
+    * no per-row lookups. */
+  def cdcApply(base: DataFrame, changes: DataFrame, keyCol: String,
+               versionCol: String, opCol: String,
+               baseVersion: Long = 0L): DataFrame = {
+    val payload = base.columns.filterNot(_ == keyCol)
+    require(payload.nonEmpty, "base needs payload columns")
+    val b = base.select(col(keyCol) +: payload.map(col) :+
+      lit(baseVersion).as("__v") :+ lit("U").as("__op"): _*)
+    val c = changes.select(col(keyCol) +: payload.map(col) :+
+      col(versionCol).cast("long").as("__v") :+ col(opCol).as("__op"): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__v").desc, col("__op").desc)
+    b.unionByName(c)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__op") === "U")
+      .select(col(keyCol) +: payload.map(col): _*)
+  }
+
   /** Schema/distribution drift between two snapshots of the same logical
     * table: [[profile]] runs on each side (one aggregate pass per snapshot,
     * the per-column relation stays |cols| rows) and the column-keyed join

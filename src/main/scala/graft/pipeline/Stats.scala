@@ -576,6 +576,33 @@ object Stats {
         max(col("__level")).as("peak_level"))
   }
 
+  // ------------------------------------------------------- ratio to parent
+  /** Hierarchical contribution report: value share of each child within its
+    * parent, and of each parent within the grand total — the
+    * ratio-to-report rollup every revenue dashboard leads with. Values
+    * aggregate decimal-exact at child grain ONCE; the parent and total
+    * sums are windows over that bounded child relation (|children| rows,
+    * never the fact table), and each share is one IEEE division rounded
+    * 6dp. Returns (parentCols..., childCols..., value, share_of_parent,
+    * parent_share_of_total). */
+  def ratioToParent(df: DataFrame, parentCols: Seq[String],
+                    childCols: Seq[String], valueCol: String): DataFrame = {
+    require(parentCols.nonEmpty && childCols.nonEmpty, "grouping required")
+    val g = (parentCols ++ childCols).map(col)
+    val child = df.groupBy(g: _*)
+      .agg(sum(col(valueCol).cast("decimal(28,6)")).as("__v"))
+    val wPar = Window.partitionBy(parentCols.map(col): _*)
+    val wAll = Window.partitionBy()
+    child
+      .withColumn("__pv", sum(col("__v")).over(wPar))
+      .withColumn("__tv", sum(col("__v")).over(wAll))
+      .select(g :+ col("__v").cast("double").as("value") :+
+        round(col("__v").cast("double") / col("__pv").cast("double"), 6)
+          .as("share_of_parent") :+
+        round(col("__pv").cast("double") / col("__tv").cast("double"), 6)
+          .as("parent_share_of_total"): _*)
+  }
+
   // -------------------------------------------------- weighted lower median
   /** Weighted lower median per group: the smallest value v whose cumulative
     * weight reaches ⌈(W+1)/2⌉ — the 50%-of-mass order statistic (e.g. the

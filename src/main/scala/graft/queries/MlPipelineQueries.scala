@@ -476,6 +476,72 @@ object MlPipelineQueries {
         "GROUP BY 1 ORDER BY 1"),
       (s, dir) => EventAnalytics.linearAttribution(Tables.events(s, dir),
           "user_id", "event_id", "ts", "event_type", "purchase", "value")
-        .orderBy("touch_type"))
+        .orderBy("touch_type")),
+
+    // ---- incremental aggregation: two shard partials merge to EXACTLY the
+    // direct aggregate (decimal state is order-independent) — the oracle IS
+    // the direct aggregate, so the hash match proves merge ≡ recompute.
+    Q("q205_partial_merge",
+      Some("SELECT l_returnflag, count(l_quantity) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total, " +
+        "min(l_quantity) AS mn, max(l_quantity) AS mx " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val shards = Seq(0, 1).map(i => Ops.partialAggregate(
+          li.filter(pmod(col("l_linenumber"), lit(2)) === i),
+          Seq("l_returnflag"), "l_quantity"))
+        Ops.mergePartialAggregates(shards, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n"),
+            col("sum_dec").cast("double").as("total"),
+            col("mn"), col("mx"))
+          .orderBy("l_returnflag")
+      }),
+
+    // ---- CDC apply: deterministically planted update/delete log against
+    // the customer snapshot; latest instruction per key wins, deletes drop.
+    Q("q206_cdc_apply",
+      Some("SELECT c_custkey, c_name, CASE WHEN c_custkey % 7 = 0 " +
+        "THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal " +
+        "FROM customer WHERE c_custkey % 11 <> 0 ORDER BY c_custkey"),
+      (s, dir) => {
+        val base = Tables.customer(s, dir)
+          .select("c_custkey", "c_name", "c_acctbal")
+        val ups = base.filter(pmod(col("c_custkey"), lit(7L)) === 0)
+          .select(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") + 100.0).as("c_acctbal"),
+            lit(1L).as("version"), lit("U").as("op"))
+        val dels = base.filter(pmod(col("c_custkey"), lit(11L)) === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            lit(2L).as("version"), lit("D").as("op"))
+        Ops.cdcApply(base, ups.unionByName(dels), "c_custkey", "version", "op")
+          .orderBy("c_custkey")
+      }),
+
+    // ---- hierarchical contribution: nation revenue share within region,
+    // region share of total — ratio-to-report windows over the BOUNDED
+    // 25-row child relation, never the fact table.
+    Q("q207_share_of_parent",
+      Some("WITH ch AS (SELECT r_name, n_name, " +
+        "sum(CAST(o_totalprice AS DECIMAL(28,6))) AS v FROM orders " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "JOIN nation ON n_nationkey = c_nationkey " +
+        "JOIN region ON r_regionkey = n_regionkey GROUP BY 1, 2), " +
+        "w AS (SELECT r_name, n_name, v, sum(v) OVER (PARTITION BY r_name) " +
+        "AS pv, sum(v) OVER () AS tv FROM ch) " +
+        "SELECT r_name, n_name, CAST(v AS DOUBLE) AS value, " +
+        "round(CAST(v AS DOUBLE) / CAST(pv AS DOUBLE), 6) AS share_of_parent, " +
+        "round(CAST(pv AS DOUBLE) / CAST(tv AS DOUBLE), 6) AS parent_share_of_total " +
+        "FROM w ORDER BY 1, 2"),
+      (s, dir) => Stats.ratioToParent(
+          Tables.orders(s, dir)
+            .join(broadcast(Tables.customer(s, dir)),
+              col("c_custkey") === col("o_custkey"))
+            .join(broadcast(Tables.nation(s, dir)),
+              col("n_nationkey") === col("c_nationkey"))
+            .join(broadcast(Tables.region(s, dir)),
+              col("r_regionkey") === col("n_regionkey")),
+          Seq("r_name"), Seq("n_name"), "o_totalprice")
+        .orderBy("r_name", "n_name"))
   )
 }

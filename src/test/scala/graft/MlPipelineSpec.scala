@@ -328,6 +328,60 @@ class MlPipelineSpec extends SparkSpec {
     assert(out("click") == ((1L, 5.0)))
   }
 
+  // ------------------------------------------- partial aggregates / merge
+  test("mergePartialAggregates: any sharding merges to the direct aggregate; nulls don't count") {
+    val df = Seq(("a", Some(1.5)), ("a", Some(2.5)), ("a", None),
+      ("b", Some(-1.0)), ("b", Some(4.0)), ("a", Some(0.25)))
+      .toDF("k", "v")
+    val direct = Ops.partialAggregate(df, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    for (nShards <- Seq(2, 3)) {
+      val shards = (0 until nShards).map(i => Ops.partialAggregate(
+        df.withColumn("__r", monotonically_increasing_id())
+          .filter(pmod(col("__r"), lit(nShards)) === i).drop("__r"),
+        Seq("k"), "v"))
+      val merged = Ops.mergePartialAggregates(shards, Seq("k"))
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      assert(merged == direct, s"$nShards-way sharding diverged")
+    }
+    assert(direct("a").head == 3L) // the null never counted
+  }
+
+  // ------------------------------------------------------------- cdcApply
+  test("cdcApply: latest instruction wins; deletes drop; re-insert after delete revives") {
+    val base = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (1L, "x2", 11.0, 1L, "U"), (1L, "x3", 12.0, 2L, "U"), // latest U wins
+      (2L, "y", 20.0, 1L, "D"),                              // deleted
+      (3L, "z", 30.0, 1L, "D"), (3L, "z9", 99.0, 2L, "U")    // revived
+    ).toDF("k", "name", "bal", "version", "op")
+    val out = Ops.cdcApply(base, changes, "k", "version", "op")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(out == Map(1L -> (("x3", 12.0)), 3L -> (("z9", 99.0))))
+  }
+
+  test("cdcApply: untouched base rows pass through; U beats D at an equal version") {
+    val base = Seq((1L, 5.0), (2L, 6.0)).toDF("k", "v")
+    val changes = Seq((2L, 7.0, 3L, "D"), (2L, 7.0, 3L, "U"))
+      .toDF("k", "v", "version", "op")
+    val out = Ops.cdcApply(base, changes, "k", "version", "op")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 5.0, 2L -> 7.0))
+  }
+
+  // -------------------------------------------------------- ratioToParent
+  test("ratioToParent: shares are exact ratios of decimal sums; parent shares repeat per child") {
+    val df = Seq(("P1", "c1", 1.0), ("P1", "c1", 2.0), ("P1", "c2", 1.0),
+      ("P2", "c3", 4.0)).toDF("p", "c", "v")
+    val out = Stats.ratioToParent(df, Seq("p"), Seq("c"), "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(("P1", "c1")) == ((3.0, 0.75, 0.5)))
+    assert(out(("P1", "c2")) == ((1.0, 0.25, 0.5)))
+    assert(out(("P2", "c3")) == ((4.0, 1.0, 0.5)))
+  }
+
   // -------------------------------------------------- weightedLowerMedian
   test("weightedLowerMedian: crossing row at ceil((W+1)/2); duplicate values pool weights") {
     val df = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 2.0, 1L), ("g", 9.0, 1L),

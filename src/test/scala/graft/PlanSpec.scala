@@ -689,6 +689,21 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q205/q206/q207: partial merge is union+aggregate (no join); CDC elects per key; shares window over the aggregated child relation") {
+    val p205 = planOf("q205_partial_merge")
+    assert(!p205.contains("Join"), s"merge must not join:\n$p205")
+    assert(p205.contains("Union"), s"expected the shard union:\n$p205")
+    val p206 = planOf("q206_cdc_apply")
+    val w206 = p206.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(w206.nonEmpty && w206.forall(_.contains("c_custkey")),
+      s"CDC election window not key-partitioned:\n${w206.mkString("\n")}")
+    val p207 = planOf("q207_share_of_parent")
+    val wIdx = p207.linesIterator.indexWhere(_.contains("Window ["))
+    assert(wIdx >= 0 && p207.linesIterator.drop(wIdx)
+      .exists(_.contains("HashAggregate")),
+      s"share windows must sit above the child aggregate, never the fact scan:\n$p207")
+  }
+
   test("q197: weighted-median windows partition by the group; values collapse before the sort") {
     val p = planOf("q197_weighted_median")
     val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
