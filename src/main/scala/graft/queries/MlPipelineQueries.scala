@@ -412,19 +412,20 @@ object MlPipelineQueries {
         .select(col("l_returnflag"), col("weighted_median"), col("total_weight"))
         .orderBy("l_returnflag")),
 
-    // ---- activity-gap report: per user, silent runs of >= 3 days between
+    // ---- activity-gap report: per user, silent runs of >= 2 days between
     // active days — the freshness audit over DISTINCT active days, all
-    // integer day arithmetic.
+    // integer day arithmetic (2-day floor: the densest sf0.001 traffic
+    // still produces gaps).
     Q("q201_gap_report",
       Some("WITH a AS (SELECT DISTINCT user_id AS key, " +
         "epoch_us(ts) // 86400000000 AS d FROM events), " +
         "l AS (SELECT key, d, lag(d) OVER (PARTITION BY key ORDER BY d) AS pd " +
         "FROM a) " +
         "SELECT key, pd + 1 AS gap_start, d - 1 AS gap_end, " +
-        "d - pd - 1 AS gap_days FROM l WHERE pd IS NOT NULL AND d - pd - 1 >= 3 " +
+        "d - pd - 1 AS gap_days FROM l WHERE pd IS NOT NULL AND d - pd - 1 >= 2 " +
         "ORDER BY key, gap_start"),
       (s, dir) => EventAnalytics.activityGaps(Tables.events(s, dir),
-          "user_id", "ts", minGapDays = 3)
+          "user_id", "ts", minGapDays = 2)
         .orderBy("key", "gap_start")),
 
     // ---- Markov next-event backtest: modal-successor model trained before
