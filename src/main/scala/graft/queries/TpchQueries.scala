@@ -374,6 +374,157 @@ object TpchQueries {
           .filter(col("l_quantity").cast("long") * 5 * col("cnt") < col("sq"))
           .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
             count(lit(1)).as("n_items"))
+      }),
+
+    // ---- Q19 discounted-revenue with OR-of-ANDs predicates: the classic
+    // disjunctive filter — part attributes broadcast, the disjunction
+    // evaluates row-local after the one hash join.
+    Q("q208_tpch_q19",
+      Some("SELECT " + revSql + " AS revenue, count(*) AS n_items " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey WHERE " +
+        "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 " +
+        "AND l_quantity BETWEEN 1 AND 21) OR " +
+        "(p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 " +
+        "AND l_quantity BETWEEN 10 AND 30) OR " +
+        "(p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25 " +
+        "AND l_quantity BETWEEN 20 AND 40)"),
+      (s, dir) => {
+        def arm(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+          col("p_brand") === brand && col("p_size").between(1, szHi) &&
+            col("l_quantity").between(qLo, qHi)
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)
+            .select(col("p_partkey").as("l_partkey"), col("p_brand"), col("p_size"))),
+            Seq("l_partkey"))
+          .filter(arm("Brand#12", 15, 1, 21) || arm("Brand#23", 20, 10, 30) ||
+            arm("Brand#3", 25, 20, 40))
+          .agg(rev.as("revenue"), count(lit(1)).as("n_items"))
+      }),
+
+    // ---- Q21 waiting-supplier shape (schema has no commit/receipt dates:
+    // "late" = shipped > 90 days after order date): suppliers late on a
+    // finished multi-supplier order where EVERY other supplier was on time
+    // — the classic EXISTS/NOT-EXISTS pair as one semi + one anti join on
+    // the orderkey with a supplier-inequality residual.
+    Q("q209_tpch_q21",
+      Some("WITH lo AS (SELECT l_orderkey, l_suppkey, " +
+        "epoch_us(l_shipdate) // 86400000000 - " +
+        "epoch_us(o_orderdate) // 86400000000 > 90 AS late " +
+        "FROM lineitem JOIN orders ON o_orderkey = l_orderkey " +
+        "WHERE o_orderstatus = 'F'), " +
+        "l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late) " +
+        "SELECT s_name, count(*) AS numwait FROM l1 " +
+        "JOIN supplier ON s_suppkey = l1.l_suppkey " +
+        "WHERE EXISTS (SELECT 1 FROM lo l2 WHERE l2.l_orderkey = l1.l_orderkey " +
+        "AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lo l3 WHERE l3.l_orderkey = l1.l_orderkey " +
+        "AND l3.l_suppkey <> l1.l_suppkey AND l3.late) " +
+        "GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20"),
+      (s, dir) => {
+        val lo = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (EventAnalytics.dayIndex(col("l_shipdate")) -
+              EventAnalytics.dayIndex(col("o_orderdate")) > 90).as("late"))
+        val l1 = lo.filter(col("late"))
+          .select("l_orderkey", "l_suppkey").distinct()
+        l1.join(lo.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("s2")),
+            col("ok2") === col("l_orderkey") && col("s2") =!= col("l_suppkey"),
+            "semi")
+          .join(lo.filter(col("late"))
+            .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("s3")),
+            col("ok3") === col("l_orderkey") && col("s3") =!= col("l_suppkey"),
+            "anti")
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("s_suppkey") === col("l_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name").asc).limit(20)
+      }),
+
+    // ---- Q9 product-profit shape (no partsupp: cost basis = retailprice/2
+    // per unit — exact in double, 0.5 is a power of two): profit by
+    // supplier nation x order year over the widget product line.
+    Q("q210_tpch_q9",
+      Some("SELECT n_name, year(o_orderdate) AS o_year, " +
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)) - " +
+        "CAST(p_retailprice * l_quantity * 0.5 AS DECIMAL(24,6))) AS DOUBLE) " +
+        "AS profit FROM lineitem " +
+        "JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%' " +
+        "JOIN supplier ON s_suppkey = l_suppkey " +
+        "JOIN nation ON n_nationkey = s_nationkey " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("%widget%"))
+          .select(col("p_partkey").as("l_partkey"), col("p_retailprice"))),
+          Seq("l_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey").as("l_suppkey"), col("n_name"))),
+          Seq("l_suppkey"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))) -
+          dec(col("p_retailprice") * col("l_quantity") * 0.5))
+          .cast(DoubleType).as("profit"))
+        .orderBy("n_name", "o_year")),
+
+    // ---- Q16 supplier-variety shape: distinct suppliers per (brand, type,
+    // size) over the observed supplier-part pairs, excluding low-balance
+    // suppliers via the classic NOT IN (planned as an anti join).
+    Q("q211_tpch_q16",
+      Some("SELECT p_brand, p_type, p_size, " +
+        "count(DISTINCT l_suppkey) AS supplier_cnt " +
+        "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps " +
+        "JOIN part ON p_partkey = l_partkey " +
+        "WHERE p_brand <> 'Brand#5' AND p_size IN (1, 4, 9, 16, 25, 36, 49) " +
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier " +
+        "WHERE s_acctbal < 1000) " +
+        "GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
+      (s, dir) => Tables.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#5" &&
+            col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"),
+            col("p_type"), col("p_size"))), Seq("l_partkey"))
+        .join(Tables.supplier(s, dir).filter(col("s_acctbal") < 1000)
+          .select(col("s_suppkey").as("l_suppkey")), Seq("l_suppkey"), "anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_type").asc, col("p_size").asc)),
+
+    // ---- Q11 important-stock shape (no partsupp: part value = revenue via
+    // one region's suppliers): parts whose value exceeds 0.1% of the total
+    // — the threshold compares value*1000 > total in EXACT decimals, no
+    // float fraction near the cut.
+    Q("q212_tpch_q11",
+      Some("WITH v AS (SELECT l_partkey, " +
+        "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS val " +
+        "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey " +
+        "JOIN nation ON n_nationkey = s_nationkey " +
+        "WHERE n_regionkey = 2 GROUP BY 1), " +
+        "t AS (SELECT SUM(val) AS total FROM v) " +
+        "SELECT l_partkey, CAST(val AS DOUBLE) AS value FROM v, t " +
+        "WHERE val * 1000 > total ORDER BY value DESC, l_partkey"),
+      (s, dir) => {
+        val v = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.supplier(s, dir)
+            .join(Tables.nation(s, dir).filter(col("n_regionkey") === 2),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey").as("l_suppkey"))), Seq("l_suppkey"))
+          .groupBy("l_partkey")
+          .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("val"))
+        val t = v.agg(sum(col("val")).as("total"))
+        v.crossJoin(broadcast(t))
+          .filter(col("val") * 1000 > col("total"))
+          .select(col("l_partkey"), col("val").cast(DoubleType).as("value"))
+          .orderBy(col("value").desc, col("l_partkey").asc)
       })
   )
 }

@@ -704,6 +704,20 @@ class PlanSpec extends SparkSpec {
       s"share windows must sit above the child aggregate, never the fact scan:\n$p207")
   }
 
+  test("q208-q212: the Q19/Q9/Q16 dims broadcast; Q21 plans its EXISTS pair as semi+anti; Q11's scalar total broadcasts") {
+    Seq("q208_tpch_q19", "q210_tpch_q9", "q211_tpch_q16").foreach { n =>
+      val p = planOf(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n: dims must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n: cartesian planned:\n$p")
+    }
+    val p21 = planOf("q209_tpch_q21")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"Q21's EXISTS/NOT EXISTS must plan as semi+anti joins:\n$p21")
+    assert(p21.contains("TakeOrderedAndProject"), s"Q21 top-20 must be a cutoff:\n$p21")
+    val p11 = planOf("q212_tpch_q11")
+    assert(p11.contains("Broadcast"), s"Q11's one-row total must broadcast:\n$p11")
+  }
+
   test("q197: weighted-median windows partition by the group; values collapse before the sort") {
     val p = planOf("q197_weighted_median")
     val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
