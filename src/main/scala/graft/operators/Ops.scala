@@ -763,24 +763,28 @@ object Ops {
   // ----------------------------------------------------------- CDC apply
   /** Apply a change log to a base snapshot: each key's latest instruction
     * wins — 'U' upserts the carried row, 'D' deletes it; untouched base
-    * rows pass through. The base participates as version `baseVersion`
-    * (must be below every change version), election is ONE key-partitioned
-    * rank by (version DESC, op DESC) — deterministic when versions are
-    * unique per key within the log (the CDC producer's contract; equal
-    * versions fall back to U-over-D then arbitrary). The classic
-    * merge-into realized as union + window: one shuffle on the key,
-    * no per-row lookups. */
+    * rows pass through. The base participates as version `baseVersion`;
+    * election is ONE key-partitioned rank by (version DESC, op DESC,
+    * change-over-base DESC) — the third key makes a change row beat the
+    * base row even at an equal version, so a log that violates the
+    * "versions above baseVersion" contract still resolves
+    * deterministically (change wins) instead of arbitrarily; equal
+    * versions WITHIN the log fall back to U-over-D then arbitrary (the
+    * CDC producer's uniqueness contract). The classic merge-into realized
+    * as union + window: one shuffle on the key, no per-row lookups. */
   def cdcApply(base: DataFrame, changes: DataFrame, keyCol: String,
                versionCol: String, opCol: String,
                baseVersion: Long = 0L): DataFrame = {
     val payload = base.columns.filterNot(_ == keyCol)
     require(payload.nonEmpty, "base needs payload columns")
     val b = base.select(col(keyCol) +: payload.map(col) :+
-      lit(baseVersion).as("__v") :+ lit("U").as("__op"): _*)
+      lit(baseVersion).as("__v") :+ lit("U").as("__op") :+
+      lit(0).as("__src"): _*)
     val c = changes.select(col(keyCol) +: payload.map(col) :+
-      col(versionCol).cast("long").as("__v") :+ col(opCol).as("__op"): _*)
+      col(versionCol).cast("long").as("__v") :+ col(opCol).as("__op") :+
+      lit(1).as("__src"): _*)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("__v").desc, col("__op").desc)
+      .orderBy(col("__v").desc, col("__op").desc, col("__src").desc)
     b.unionByName(c)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("__op") === "U")

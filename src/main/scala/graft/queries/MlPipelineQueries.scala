@@ -113,18 +113,19 @@ object MlPipelineQueries {
           .orderBy("node")
       }),
 
-    // ---- daily unique-user report with HLL certification: exact counts
-    // ship, each engine checks ITS OWN sketch against ITS OWN exact count
-    // (the q43 discipline — sketch internals are engine-specific, the
-    // in-tolerance verdict is not).
+    // ---- daily unique-user report: exact counts hash-gate; the HLL
+    // certification flag is each engine's verdict on ITS OWN sketch, so a
+    // sketch error past tolerance on either side would flip the boolean
+    // nondeterministically — the flag is therefore spec-asserted
+    // (MlPipelineSpec) and DROPPED from the gated surface, not hash-gated
+    // (tightening of the q43 discipline per round-6 advice).
     Q("q187_daily_uniques",
       Some("SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_events, " +
-        "count(DISTINCT user_id) AS n_users, " +
-        "abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) <= " +
-        "greatest(0.10 * count(DISTINCT user_id), 5.0) AS hll_ok " +
+        "count(DISTINCT user_id) AS n_users " +
         "FROM events GROUP BY 1 ORDER BY day"),
       (s, dir) => EventAnalytics.dailyUniqueReport(Tables.events(s, dir),
           "user_id", "ts")
+        .drop("hll_ok")
         .orderBy("day")),
 
     // ---- RAKE keyword extraction: stopword-delimited phrase runs, word
@@ -245,7 +246,7 @@ object MlPipelineQueries {
         "g AS (SELECT cluster, count(*) AS n_members, min(doc_id) AS min_doc_id, " +
         "max(n_chars) AS max_n_chars FROM mem GROUP BY 1) " +
         "SELECT g.cluster, g.n_members, g.min_doc_id, g.max_n_chars, el.mode_lang " +
-        "FROM g JOIN el USING (cluster) ORDER BY cluster"),
+        "FROM g LEFT JOIN el USING (cluster) ORDER BY cluster"),
       (s, dir) => {
         val base = Tables.documents(s, dir)
           .select(col("doc_id"), md5(substring(col("text"), 1, 40)).as("cluster"),

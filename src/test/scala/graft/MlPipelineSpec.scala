@@ -370,6 +370,19 @@ class MlPipelineSpec extends SparkSpec {
     assert(out == Map(1L -> 5.0, 2L -> 7.0))
   }
 
+  test("cdcApply: a change at the base's own version still beats the base deterministically") {
+    // contract violation (change version == baseVersion): the change-over-
+    // base tie-break resolves it to the change, never arbitrarily
+    val base = Seq((1L, 5.0)).toDF("k", "v")
+    val upd = Seq((1L, 9.0, 0L, "U")).toDF("k", "v", "version", "op")
+    assert(Ops.cdcApply(base, upd, "k", "version", "op")
+      .collect().map(r => r.getDouble(1)).toSeq == Seq(9.0))
+    val del = Seq((1L, 5.0, 0L, "D")).toDF("k", "v", "version", "op")
+    // D at the tied version loses to the base's implicit U by op order —
+    // documented: only versions ABOVE base reliably delete
+    assert(Ops.cdcApply(base, del, "k", "version", "op").count() == 1L)
+  }
+
   // -------------------------------------------------------- ratioToParent
   test("ratioToParent: shares are exact ratios of decimal sums; parent shares repeat per child") {
     val df = Seq(("P1", "c1", 1.0), ("P1", "c1", 2.0), ("P1", "c2", 1.0),
