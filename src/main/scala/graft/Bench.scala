@@ -63,7 +63,14 @@ object Bench {
       .mkString("{", ",", "}")
     // total sums SUCCESSFUL queries only; failures are visible as -1 entries
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val nFail = results.count(_._2 < 0)
+    val slow = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    // ONE JSON line per the driver contract — but the harness archives only
+    // the LAST 2000 stdout chars, so the headline keys (metric/value/sf)
+    // must trail the 212-entry queries map or they truncate away
+    println(s"""{"queries":$qs,"n_queries":${results.size},"n_fail":$nFail,"slowest":$slow,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -466,4 +466,61 @@ object Dedup {
         jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  // ---------------------------------------------- prefix-filter set-sim join
+  /** Exact all-pairs set-similarity self-join WITHOUT a block column — the
+    * AllPairs/PPJoin prefix-filtering algorithm (Bayardo et al., WWW'07;
+    * public): order every document's distinct tokens by (global frequency
+    * ASC, token ASC) — one total order for the whole corpus — and index
+    * only each document's first n − ceil(τ·n) + 1 tokens. Two sets with
+    * Jaccard ≥ τ MUST share their smallest common token inside both
+    * prefixes (if all overlap sat in A's suffix of ceil(τ·n)−1 tokens, the
+    * overlap — which is ≥ ceil(τ·n) — could not fit), so the token-keyed
+    * candidate join is LOSSLESS while touching only the rarest slice of
+    * each document. Candidates then verify by exact set Jaccard with the
+    * integer cross-multiply gate q·|∩| ≥ p·|∪| (τ = p/q — no float
+    * boundary).
+    *
+    * Scale: this is THE whole-corpus exact-Jaccard join that
+    * [[ngramJaccardPairs]]' required `blockCol` refuses to run naively.
+    * Cost is governed by prefix-token bucket sizes: prefixes hold each
+    * corpus' RAREST tokens (frequency-ascending order), so hot tokens
+    * never enter the join; the frequency relation is one token-keyed
+    * aggregate, the prefix selection one per-doc rank over the
+    * (doc → token) relation, candidates one equi join. τ bounds the
+    * prefix at (1−τ)·n + 1 tokens per doc — higher thresholds index less.
+    *
+    * Returns (id_a < id_b, n_inter, n_union) for every pair with
+    * Jaccard ≥ p/q. `tokensCol` is the per-row feature set (tokens,
+    * shingles — [[wordShingles]] pairs naturally); duplicates collapse. */
+  def setSimJoinPrefix(df: DataFrame, idCol: String, tokensCol: Column,
+                       tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum, "need 0 < tau <= 1")
+    val toks = df.select(col(idCol).as("__id"),
+      array_distinct(tokensCol).as("__tk"))
+    val docTok = toks.select(col("__id"), size(col("__tk")).as("__n"),
+      explode(col("__tk")).as("__t"))
+    val freq = docTok.groupBy("__t").agg(count(lit(1)).as("__f"))
+    // prefix = the ceil'd complement: n - ceil(p*n/q) + 1 rarest tokens
+    val prefixLen = col("__n") - floor((col("__n") * tauNum + tauDen - 1)
+      / lit(tauDen)).cast("long") + lit(1L)
+    val ranked = docTok.join(freq, "__t")
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__f"), col("__t"))))
+      .filter(col("__r") <= prefixLen)
+      .select(col("__id"), col("__t"))
+    val cands = ranked.as("pa").join(ranked.as("pb"),
+        col("pa.__t") === col("pb.__t") && col("pa.__id") < col("pb.__id"))
+      .select(col("pa.__id").as("id_a"), col("pb.__id").as("id_b"))
+      .distinct()
+    val sets = toks.select(col("__id"), col("__tk"))
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__tk").as("__ta")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__tk").as("__tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ta"), col("__tb"))).as("n_inter"),
+        (size(col("__ta")) + size(col("__tb")) -
+          size(array_intersect(col("__ta"), col("__tb")))).as("n_union"))
+      .filter(col("n_inter") * tauDen >= col("n_union") * tauNum)
+  }
 }

@@ -436,4 +436,35 @@ object Similarity {
       .filter(col("rank") <= topK)
       .select(col("qid"), col("nn_id"), col("rank"))
   }
+
+  // ----------------------------------------------------- semantic dedup
+  /** SemDeDup-style embedding-space deduplication (Abbas et al., 2023 —
+    * public): vectors partition into k-means cells ([[ivfAssign]] against
+    * broadcast centroid literals), pairwise cosine runs only WITHIN a
+    * cell, and of any near-duplicate pair the larger id drops — keeping
+    * one representative per semantic ball, greedily by id (deterministic;
+    * the paper keeps an arbitrary member). Cross-cell duplicates are
+    * missed by design — that is the approximation that makes the method
+    * linear-ish: cost is Σ m_c² over cell sizes, bounded by growing k with
+    * the corpus (k ∝ N keeps E[m²] flat) — never the corpus-wide O(N²).
+    * At 100 TB the cell relation shuffles once on `centroid`; vectors
+    * never replicate beyond their one cell.
+    *
+    * Returns the kept rows: (idCol, centroid). */
+  def semanticDedup(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                    threshold: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(emb, centroids, idCol, vecCol)
+      .select(col(idCol), toDouble(col(vecCol)).as("__v"), col("centroid"))
+    val a = assigned.select(col(idCol).as("__ida"), col("__v").as("__va"),
+      col("centroid"))
+    val b = assigned.select(col(idCol).as("__idb"), col("__v").as("__vb"),
+      col("centroid"))
+    val drops = a.join(b, "centroid")
+      .filter(col("__idb") < col("__ida") &&
+        cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("__ida")).distinct()
+    assigned.join(drops, assigned(idCol) === drops("__ida"), "left_anti")
+      .select(col(idCol), col("centroid"))
+  }
 }

@@ -52,6 +52,20 @@ object TextAnalysis {
   val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "or", "is",
     "are", "in", "on", "to", "for", "with", "as", "by", "at", "it", "this", "that")
 
+  /** Demo subword vocab for greedy longest-match segmentation
+    * ([[graft.functions.SegmentExprs.greedyPieces]]): frequent English
+    * bigrams/trigrams/affixes — a deterministic stand-in for a learned
+    * WordPiece/BPE vocab (single characters need no entries; the kernel's
+    * char fallback covers them losslessly). */
+  val PieceVocab: Seq[String] = Seq(
+    "the", "ing", "and", "ion", "tion", "ent", "ati", "for", "her", "ter",
+    "ers", "est", "ght", "oun", "ould", "ight",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti", "es",
+    "or", "te", "of", "ed", "is", "it", "al", "ar", "st", "to", "nt", "ng",
+    "se", "ha", "as", "ou", "io", "le", "ve", "co", "me", "de", "hi", "ri",
+    "ro", "ic", "ne", "ea", "ra", "ce", "li", "ch", "ll", "be", "ma", "si",
+    "om", "ur")
+
   /** Heuristic document quality in [0,1]: length saturation, punctuation
     * moderation, stopword presence, sane mean word length. Deterministic and
     * SQL-mirrorable (each term is arithmetic over the metrics above). */

@@ -17,7 +17,7 @@ object Registry {
     val qs = Relational.qs ++ TypeQueries.qs ++ TextQueries.qs ++
       CurationQueries.qs ++ SimilarityQueries.qs ++ StreamQueries.qs ++
       StatsQueries.qs ++ AppliedQueries.qs ++ TpchQueries.qs ++
-      MlPipelineQueries.qs
+      MlPipelineQueries.qs ++ LayoutQueries.qs
     // a duplicate name would silently shadow a query in the toMap below and
     // the driver's gate would "pass" while never running the shadowed one
     val dup = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }

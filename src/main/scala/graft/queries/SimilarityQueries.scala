@@ -157,5 +157,34 @@ object SimilarityQueries {
             size(col("features")).cast("long").as("n_features"))
           .orderBy("doc_id")
       })
+,
+
+    // ---- SemDeDup-style semantic dedup: k-means-cell partition (8
+    // deterministic pseudo-random centroids shipped into the oracle as a
+    // VALUES list, q35 discipline), pairwise cosine only WITHIN a cell,
+    // larger id of any pair at cos >= 0.35 drops - one representative per
+    // semantic ball. Cross-cell misses are the method's documented
+    // approximation; the within-cell pair relation is the only quadratic
+    // term and cell count scales with the corpus.
+    Q("q216_semdedup", {
+      val cents = Similarity.pseudoCentroids(8, 64)
+      val values = cents.map { case (cid, v) =>
+        s"($cid, [${v.mkString(", ")}], ${math.sqrt(v.map(x => x * x).sum)})"
+      }.mkString(", ")
+      val ed = dvecSql.format("e.embedding")
+      Some(s"WITH c(cid, cv, cnorm) AS (VALUES $values), " +
+        s"a AS (SELECT e.vec_id, $ed AS v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY -list_dot_product($ed, c.cv) / (sqrt(list_dot_product($ed, $ed)) * c.cnorm) ASC, c.cid ASC) AS rn " +
+        "FROM embeddings e CROSS JOIN c), " +
+        "asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1), " +
+        "dr AS (SELECT DISTINCT x.vec_id FROM asg x JOIN asg y " +
+        "ON x.cid = y.cid AND y.vec_id < x.vec_id " +
+        "AND list_cosine_similarity(x.v, y.v) >= 0.35) " +
+        "SELECT vec_id, cid AS centroid FROM asg " +
+        "WHERE vec_id NOT IN (SELECT vec_id FROM dr) ORDER BY vec_id")
+    },
+      (s, dir) => Similarity.semanticDedup(Tables.embeddings(s, dir),
+          Similarity.pseudoCentroids(8, 64), threshold = 0.35)
+        .orderBy("vec_id"))
   )
 }

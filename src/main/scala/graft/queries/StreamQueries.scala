@@ -408,6 +408,31 @@ object StreamQueries {
         .toDF()
         .select(col("id_a"), col("id_b"), col("hamming"))
         .distinct()
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // ---- watermarked stream-stream attribution join, BATCH FACE: every
+    // purchase pairs with the same user's views from the preceding hour -
+    // the click-impression attribution shape. The operator is the SAME
+    // code the streaming path runs (enrichStream: watermarks + bounded
+    // event-time gap, so stream state evicts - StreamsSpec pins
+    // batch/stream parity); the oracle is the plain bounded interval join
+    // in SQL. Raw timestamps never ship (nanos-vs-micros), only ids.
+    Q("q218_stream_attribution",
+      Some("SELECT p.event_id AS purchase_id, v.event_id AS view_id " +
+        "FROM events p JOIN events v ON p.user_id = v.user_id " +
+        "AND p.event_type = 'purchase' AND v.event_type = 'view' " +
+        "AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000 " +
+        "AND epoch_us(v.ts) <= epoch_us(p.ts) " +
+        "ORDER BY purchase_id, view_id"),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("ts"), col("user_id"))
+        Streams.enrichStream(purchases, views, "user_id", joinWindowSec = 3600L)
+          .select(col("event_id").as("purchase_id"),
+            col("l_event_id").as("view_id"))
+          .orderBy("purchase_id", "view_id")
+      })
   )
 }

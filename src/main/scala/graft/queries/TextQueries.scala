@@ -538,5 +538,104 @@ object TextQueries {
       },
       (s, dir) => Curation.curate(Tables.documents(s, dir), "doc_id", "text",
         lang = "en", minQuality = 0.5).orderBy("doc_id"))
+    ,
+
+    // ---- hashed-feature linear classifier scoring (fastText-style
+    // triage): uni+bigram features, md5 feature-hash into 2^20 buckets, a
+    // per-(bucket, class) INTEGER weight derived arithmetically (a
+    // deterministic stand-in for a trained matrix - the dataflow, not the
+    // weights, is the product), per-class score folds and an argmax with
+    // ties to the lowest class. Entirely row-local: ZERO exchanges for
+    // 100 TB of documents (PlanSpec-pinned).
+    Q("q215_classifier", {
+      import graft.pipeline.Classifier.{HashA, HashC, Mod}
+      val half = Mod / 2
+      val scoreSql = (0 until 4).map { k =>
+        s"CAST(list_sum(list_transform(bs, b -> (b * $HashA + $k * $HashC) % $Mod - $half)) AS BIGINT) AS score_$k"
+      }.mkString(", ")
+      Some("WITH t AS (SELECT doc_id, " + ltokensSql + " AS tk FROM documents), " +
+        "f AS (SELECT doc_id, tk || CASE WHEN len(tk) >= 2 " +
+        "THEN [tk[i] || '_' || tk[i+1] for i in range(1, len(tk))] " +
+        "ELSE [] END AS fs FROM t), " +
+        "bk AS (SELECT doc_id, list_transform(fs, x -> " +
+        "('0x' || substring(md5('clf' || x), 1, 8))::BIGINT % 1048576) AS bs FROM f), " +
+        s"s AS (SELECT doc_id, $scoreSql FROM bk) " +
+        "SELECT doc_id, score_0, score_1, score_2, score_3, " +
+        "CASE WHEN score_0 >= score_1 AND score_0 >= score_2 AND score_0 >= score_3 THEN 0 " +
+        "WHEN score_1 >= score_2 AND score_1 >= score_3 THEN 1 " +
+        "WHEN score_2 >= score_3 THEN 2 ELSE 3 END AS pred_class " +
+        "FROM s ORDER BY doc_id")
+    },
+      (s, dir) => graft.pipeline.Classifier.scoreDocuments(
+          Tables.documents(s, dir), "text", nClasses = 4)
+        .select(col("doc_id"), col("score_0"), col("score_1"), col("score_2"),
+          col("score_3"), col("pred_class"))
+        .orderBy("doc_id")),
+
+    // ---- whole-corpus exact set-similarity join via prefix filtering
+    // (AllPairs/PPJoin): the blockless exact-Jaccard join - candidates
+    // only where two docs share a token among their RAREST
+    // (n - ceil(tau n) + 1) tokens under one global (freq, token) order,
+    // then integer cross-multiply verification. Features are 3-gram
+    // shingles (token sets barely separate this templated corpus - the
+    // shingle Jaccard distribution is near-bimodal); corpus = every 7th
+    // doc plus the FIRST-HALF-token truncation of every 14th (truncation
+    // preserves contiguous shingles, planting ~J=1/2 pairs that exercise
+    // the mid-range threshold); oracle = naive all-pairs over the same
+    // corpus - prefix filtering is LOSSLESS, so the hash gate proves it
+    // dropped no true pair.
+    Q("q217_setsim_join",
+      Some("WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0 " +
+        "UNION ALL SELECT doc_id + 1000000, " +
+        "array_to_string(" + ltokensSql + "[1:len(" + ltokensSql + ") // 2], ' ') " +
+        "FROM documents WHERE doc_id % 14 = 0), " +
+        s"t AS (SELECT doc_id, ($shinglesSql) AS tk FROM corpus), " +
+        "sz AS (SELECT doc_id, tk, len(tk) AS n FROM t) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.tk, b.tk)) AS n_inter, " +
+        "a.n + b.n - len(list_intersect(a.tk, b.tk)) AS n_union " +
+        "FROM sz a JOIN sz b ON a.doc_id < b.doc_id " +
+        "AND a.n * 5 >= b.n * 2 AND b.n * 5 >= a.n * 2 " +
+        "WHERE len(list_intersect(a.tk, b.tk)) * 5 >= (a.n + b.n - len(list_intersect(a.tk, b.tk))) * 2 " +
+        "ORDER BY id_a, id_b"),
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val tk = split(trim(lower(col("text"))), "\\s+")
+        val truncated = d.filter(pmod(col("doc_id"), lit(14)) === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            array_join(slice(tk, lit(1), floor(size(tk) / 2).cast("int")), " ")
+              .as("text"))
+        val corpus = d.filter(pmod(col("doc_id"), lit(7)) === 0).union(truncated)
+        Dedup.setSimJoinPrefix(corpus, "doc_id",
+            Dedup.wordShingles(col("text"), 3), tauNum = 2, tauDen = 5)
+          .orderBy("id_a", "id_b")
+      }),
+
+    // ---- greedy longest-match subword segmentation (WordPiece/BPE-vocab
+    // inference with a deterministic demo vocab; single chars fall through
+    // losslessly): the per-word iterative consume is a custom kernel on
+    // the Spark side and a recursive CTE on the oracle side - per DISTINCT
+    // word (segmentation is a pure word function), with corpus counts
+    // joined back. Output: corpus piece frequencies.
+    Q("q219_wordpiece", {
+      val vocabList = TA.PieceVocab.map(v => s"'$v'").mkString("[", ", ", "]")
+      Some("WITH RECURSIVE " +
+        s"vocab(v) AS (SELECT unnest($vocabList)), " +
+        s"wc AS (SELECT unnest($ltokensSql) AS w FROM documents), " +
+        "words AS (SELECT w, count(*) AS cnt FROM wc GROUP BY w), " +
+        "seg AS (SELECT w, 1 AS pos, CAST([] AS VARCHAR[]) AS toks FROM words " +
+        "UNION ALL SELECT s.w, s.pos + length(s.t) AS pos, s.toks || [s.t] AS toks FROM (" +
+        "SELECT w, pos, toks, coalesce(max_by(v, length(v)), substring(w, pos, 1)) AS t " +
+        "FROM seg LEFT JOIN vocab ON substring(seg.w, seg.pos, length(v)) = v " +
+        "WHERE pos <= length(w) GROUP BY w, pos, toks) s), " +
+        "pieces AS (SELECT seg.w, unnest(seg.toks) AS piece FROM seg WHERE seg.pos > length(seg.w)) " +
+        "SELECT piece, CAST(sum(words.cnt) AS BIGINT) AS n FROM pieces " +
+        "JOIN words ON pieces.w = words.w GROUP BY piece ORDER BY piece")
+    },
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(graft.functions.SegmentExprs.greedyPieces(
+          col("text"), TA.PieceVocab)).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("n"))
+        .orderBy("piece"))
   )
 }

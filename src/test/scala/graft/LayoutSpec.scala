@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Classifier, Dedup, Similarity}
+import graft.plans.Layout
+
+/** Layout tier (Z-order, compaction) + the round's scale operators
+  * (classifier scoring, SemDeDup, prefix set-sim join). */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- zorderKey
+  test("zorderKey: interleaves bits exactly (hand-computed cases)") {
+    val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (5L, 2L))
+      .toDF("x", "y")
+      .select(Layout.zorderKey(Seq(col("x"), col("y")), bits = 3).as("z"))
+      .as[Long].collect().toSeq
+    // bit b of x -> 2b, of y -> 2b+1
+    // (1,0)->1; (0,1)->2; (3,3)->15; (5,2)=(101,010)->x bits 0,2 / y bit 1
+    //   -> 1<<0 | 1<<4 | 1<<3 = 25
+    assert(out == Seq(0L, 1L, 2L, 15L, 25L))
+  }
+
+  test("zorderSummary: per-file spans beat a single-column sort on the second dimension") {
+    val df = Tables.lineitem(spark, sf001).select("l_partkey", "l_suppkey")
+    val files = Layout.zorderSummary(df, Seq("l_partkey", "l_suppkey"),
+      bits = 8, nFiles = 64).collect()
+    assert(files.map(_.getAs[Long]("n_rows")).sum == df.count())
+    val Seq(loS, hiS) = df.agg(min("l_suppkey"), max("l_suppkey")).collect()
+      .head.toSeq.map(_.asInstanceOf[Long]): @unchecked
+    val globalSpan = (hiS - loS + 1).toDouble
+    val meanSpan = files.map(r => r.getAs[Long]("max_l_suppkey") -
+      r.getAs[Long]("min_l_suppkey") + 1).sum.toDouble / files.length
+    // a partkey-only sort leaves suppkey spans ~global; Z-order must cut the
+    // SECONDARY dimension's mean span well below half the global span
+    assert(meanSpan < globalSpan / 2,
+      s"mean suppkey span $meanSpan vs global $globalSpan")
+  }
+
+  test("zorderKey: rejects widths that overflow the contract") {
+    intercept[IllegalArgumentException] {
+      Layout.zorderKey(Seq(col("x"), col("y")), bits = 26)
+    }
+  }
+
+  // -------------------------------------------------------- compactionPlan
+  test("compactionPlan: bins close at the target; oversized files land alone") {
+    val files = Seq(
+      ("p1", "a", 60L), ("p1", "b", 60L), ("p1", "c", 60L), // 60+60 cross at b
+      ("p1", "d", 500L),                                    // oversized
+      ("p2", "a", 10L), ("p2", "b", 10L), ("p2", "c", 10L)
+    ).toDF("part", "file", "bytes")
+    val plan = Layout.compactionPlan(files, "part", "file", "bytes", 100L)
+      .select("part", "file", "bin").as[(String, String, Long)]
+      .collect().map { case (p, f, b) => (p, f) -> b }.toMap
+    assert(plan(("p1", "a")) == 0 && plan(("p1", "b")) == 0)
+    assert(plan(("p1", "c")) == 1) // prefix 120 crossed the target
+    assert(plan(("p1", "d")) == 1) // joins c's bin start, then closes it
+    assert(plan(("p2", "a")) == 0 && plan(("p2", "c")) == 0) // tiny: one bin
+  }
+
+  test("compactionPlan: bin_bytes/bin_files aggregate per (part, bin)") {
+    val files = Seq(("p", "a", 70L), ("p", "b", 70L), ("p", "c", 70L))
+      .toDF("part", "file", "bytes")
+    val rows = Layout.compactionPlan(files, "part", "file", "bytes", 100L)
+      .select("file", "bin", "bin_bytes", "bin_files")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows(0) == (("a", 0L, 140L, 2L)))
+    assert(rows(1) == (("b", 0L, 140L, 2L)))
+    assert(rows(2) == (("c", 1L, 70L, 1L)))
+  }
+
+  // ------------------------------------------------------------ classifier
+  test("classifier: scoring is a zero-exchange row-local projection") {
+    val plan = Classifier.scoreDocuments(Tables.documents(spark, sf001),
+      "text", nClasses = 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("classifier: argmax ties break to the lowest class id") {
+    // single empty-ish token doc: all classes see the same single bucket;
+    // weights differ by class, so check the argmax rule on a real tie via
+    // identical constructed scores instead: two docs, assert pred is the
+    // argmax and within [0, nClasses)
+    val out = Classifier.scoreDocuments(
+      Seq((1L, "alpha beta gamma"), (2L, "x")).toDF("doc_id", "text"),
+      "text", nClasses = 4).collect()
+    out.foreach { r =>
+      val scores = (0 until 4).map(k => r.getAs[Long](s"score_$k"))
+      val best = scores.zipWithIndex.filter(_._1 == scores.max).map(_._2).min
+      assert(r.getAs[Int]("pred_class") == best)
+    }
+  }
+
+  test("classifier: identical text scores identically (pure function of text)") {
+    val out = Classifier.scoreDocuments(
+      Seq((1L, "same words here"), (2L, "same words here")).toDF("doc_id", "text"),
+      "text", nClasses = 3).collect()
+    val a = (0 until 3).map(k => out(0).getAs[Long](s"score_$k"))
+    val b = (0 until 3).map(k => out(1).getAs[Long](s"score_$k"))
+    assert(a == b)
+  }
+
+  // ------------------------------------------------------ setSimJoinPrefix
+  test("setSimJoinPrefix: matches the naive exact join on a known corpus (losslessness)") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),          // J=1 with 1
+      (3L, "a b c d x y z w"),          // J(1,3) = 4/12 = 1/3
+      (4L, "a b c d e f q r"),          // J(1,4) = 6/10 = 0.6
+      (5L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val tk = split(col("text"), " ")
+    val got = Dedup.setSimJoinPrefix(docs, "doc_id", tk, tauNum = 1, tauDen = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("setSimJoinPrefix: threshold boundary is exact (integer gate, no float)") {
+    // |A|=|B|=3, inter=2, union=4 -> J=1/2 exactly: must appear at tau=1/2
+    // and vanish at tau=51/100
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val tk = split(col("text"), " ")
+    assert(Dedup.setSimJoinPrefix(docs, "doc_id", tk, 1, 2).count() == 1)
+    assert(Dedup.setSimJoinPrefix(docs, "doc_id", tk, 51, 100).count() == 0)
+  }
+
+  // ---------------------------------------------------------- semanticDedup
+  test("semanticDedup: drops the larger id of a planted near-identical pair") {
+    val cents = Similarity.pseudoCentroids(4, 8)
+    // hash-mixed pseudo-random components: high-dim pairwise cosines stay
+    // far from 1 (a smooth generator like sin(i*8+d) collapses every
+    // vector into one 2-D subspace and everything near-duplicates)
+    val base = (0 until 20).map { i =>
+      (i.toLong, (0 until 8).map(d =>
+        (((i * 31 + d) * 2654435761L % 1000) / 1000.0 - 0.5).toFloat).toArray)
+    }
+    // plant an exact copy of vec 3 at id 103
+    val emb = (base :+ (103L, base(3)._2)).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(emb, cents, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(3L) && !kept.contains(103L))
+    assert(kept.size == 20)
+  }
+}
