@@ -793,4 +793,49 @@ object Curation {
     scored.join(keep, Seq("fp", "doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), col("quality"))
   }
+
+  // --------------------------------------------------- budget-greedy trim
+  /** Deterministic "best docs until the token budget" trimming: within each
+    * shard (shard = id mod numShards, the [[packSequences]] scale
+    * contract), docs are taken best-score-first (ties to the smaller id)
+    * while the shard's EXCLUSIVE running weight stays under
+    * budget / numShards — so a doc is kept iff everything strictly better
+    * than it still left room. Sharding is what scales it: the only window
+    * runs per shard, there is no global sort, and the shard budgets sum to
+    * the global one (a doc's keep decision depends only on better docs in
+    * ITS shard — the documented approximation vs a global greedy, same
+    * trade as packSequences). Returns kept rows:
+    * (id, shard, weight, score). */
+  def trimToBudget(docs: DataFrame, idCol: String, weightCol: Column,
+                   scoreCol: Column, budget: Long, numShards: Int): DataFrame = {
+    require(budget > 0 && numShards > 0)
+    val id = col(idCol)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(id.as("id"), pmod(id, lit(numShards)).as("shard"),
+        weightCol.as("weight"), scoreCol.as("score"))
+      .withColumn("__before", sum(col("weight")).over(w) - col("weight"))
+      .filter(col("__before") < lit(budget / numShards))
+      .select(col("id"), col("shard"), col("weight"), col("score"))
+  }
+
+  // ------------------------------------------------ curriculum interleave
+  /** Quality-curriculum source interleave: rank docs within each source by
+    * (score DESC, id), so ordering the corpus by (rank, source) yields a
+    * round-robin mix of sources front-loaded with each source's best docs
+    * - the pretraining data-order that avoids both source clumping and
+    * quality cliffs. The rank is ONE source-keyed window; the global order
+    * is a SORT KEY, not a computed position - a 100 TB write just
+    * range-partitions on (rank, source), so no single-partition window
+    * ever exists. Returns (id, source, rank_in_source, score). */
+  def curriculumInterleave(docs: DataFrame, idCol: String, sourceCol: String,
+                           scoreCol: Column): DataFrame = {
+    // window binds the PROJECTED names (the repo's q202/q203 lesson)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("id"))
+    docs.select(col(idCol).as("id"), col(sourceCol).as("source"),
+        scoreCol.as("score"))
+      .withColumn("rank_in_source", row_number().over(w))
+  }
 }

@@ -334,6 +334,51 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Image resize (real JDK path): decodable images rescale to
+    * (targetW, targetH) via bilinear Graphics2D and re-encode as PNG;
+    * audio/video and undecodable payloads pass through untouched, flagged
+    * `resized = false`. The north-star multimodal stage between decode and
+    * feature-extract. Scale: binaries never shuffle — resize runs inside
+    * the partition that read them (mapPartitions, same contract as
+    * [[decode]]), and output bytes are bounded by the fixed target
+    * dimensions regardless of input size. */
+  def resizeImages(df: DataFrame, targetW: Int, targetH: Int,
+                   idCol: String = "media_id", binCol: String = "payload",
+                   kindCol: String = "kind"): DataFrame = {
+    require(targetW > 0 && targetH > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src: Dataset[(Long, String, Array[Byte])] = df.select(
+      col(idCol).cast("long"), col(kindCol), col(binCol))
+      .as[(Long, String, Array[Byte])]
+    src.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { case (id, kind, bytes) =>
+        val out =
+          if (kind != "image") null
+          else {
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null) null
+            else {
+              val dst = new java.awt.image.BufferedImage(targetW, targetH,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, targetW, targetH, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", bos)
+              bos.toByteArray
+            }
+          }
+        (id, kind, if (out == null) bytes else out, out != null)
+      }
+    }.toDF(idCol, kindCol, binCol, "resized")
+  }
+
   /** Frame sampling as in-row byte slicing: every `stride`-th window of
     * `frameLen` bytes (a real video pipeline would slice at keyframe offsets
     * from the container index — same plan shape). */

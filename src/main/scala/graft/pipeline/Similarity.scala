@@ -443,7 +443,10 @@ object Similarity {
     * broadcast centroid literals), pairwise cosine runs only WITHIN a
     * cell, and of any near-duplicate pair the larger id drops — keeping
     * one representative per semantic ball, greedily by id (deterministic;
-    * the paper keeps an arbitrary member). Cross-cell duplicates are
+    * the paper keeps an arbitrary member). Byte-identical payloads always
+    * collapse to their min id (even degenerate zero vectors, whose cosine
+    * is NaN) — the explicit contract that lets the pair join run on
+    * DISTINCT vectors only. Cross-cell duplicates are
     * missed by design — that is the approximation that makes the method
     * linear-ish: cost is Σ m_c² over cell sizes, bounded by growing k with
     * the corpus (k ∝ N keeps E[m²] flat) — never the corpus-wide O(N²).
@@ -456,15 +459,24 @@ object Similarity {
                     vecCol: String = "embedding"): DataFrame = {
     val assigned = ivfAssign(emb, centroids, idCol, vecCol)
       .select(col(idCol), toDouble(col(vecCol)).as("__v"), col("centroid"))
-    val a = assigned.select(col(idCol).as("__ida"), col("__v").as("__va"),
+    // distinct-vector collapse before the quadratic term (the house rule,
+    // cf. minhashDedup/embeddingNearDupPairs): byte-identical payloads
+    // carry their min id — non-representative copies always drop (their
+    // representative is a smaller-id exact duplicate), and a
+    // representative's fate depends only on OTHER families' reps, so the
+    // pairwise relation shrinks from corpus size to distinct-vector size.
+    // A 20x-replicated corpus costs 400x less in the pair join.
+    val reps = assigned.groupBy(col("__v"), col("centroid"))
+      .agg(min(col(idCol)).as("__rep"))
+    val a = reps.select(col("__rep").as("__ida"), col("__v").as("__va"),
       col("centroid"))
-    val b = assigned.select(col(idCol).as("__idb"), col("__v").as("__vb"),
+    val b = reps.select(col("__rep").as("__idb"), col("__v").as("__vb"),
       col("centroid"))
     val drops = a.join(b, "centroid")
       .filter(col("__idb") < col("__ida") &&
         cosine(col("__va"), col("__vb")) >= threshold)
       .select(col("__ida")).distinct()
-    assigned.join(drops, assigned(idCol) === drops("__ida"), "left_anti")
-      .select(col(idCol), col("centroid"))
+    reps.join(drops, col("__rep") === drops("__ida"), "left_anti")
+      .select(col("__rep").as(idCol), col("centroid"))
   }
 }

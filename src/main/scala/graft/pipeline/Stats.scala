@@ -658,4 +658,38 @@ object Stats {
       acc.join(elected, Seq("cluster"), "left")
     }
   }
+
+  // ---------------------------------------------------------------- ROC AUC
+  /** Exact ROC AUC per group via the Mann-Whitney rank statistic — the
+    * model-eval primitive a scoring pipeline runs after [[Classifier]]-style
+    * triage. AUC = P(score_pos > score_neg) + P(=)/2, computed WITHOUT a
+    * global sort of raw rows: scores collapse to per-(group, score) pos/neg
+    * counts first (one keyed aggregate — the relation is bounded by
+    * distinct scores, not rows), then one per-group running sum gives
+    * 2U = Σ_s n_pos(s)·(2·negBelow(s) + n_neg(s)) in INTEGERS; the only
+    * float op is the final single division (6dp), so any engine reproduces
+    * it bit-for-bit. Degenerate groups (no positives or no negatives)
+    * report null. Returns groupCols + (n_pos, n_neg, auc). */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: Column,
+             groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val g = groupCols.map(col)
+    val perScore = df
+      .groupBy(g :+ col(scoreCol).as("__s"): _*)
+      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("__np"),
+        sum(when(labelCol, 0L).otherwise(1L)).as("__nn"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("__negBelow", coalesce(sum(col("__nn")).over(w), lit(0L)))
+      .groupBy(g: _*)
+      .agg(sum(col("__np")).as("n_pos"), sum(col("__nn")).as("n_neg"),
+        sum(col("__np") * (lit(2L) * col("__negBelow") + col("__nn")))
+          .as("__u2"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("__u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)))
+      .drop("__u2")
+  }
 }

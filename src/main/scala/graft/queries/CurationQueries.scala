@@ -640,6 +640,49 @@ object CurationQueries {
           .select(concat(lit("mirror_"), col("source")).as("source"), col("text")))
         Dedup.contentOverlapMatrix(corpus, "source", "text")
           .orderBy("src_a", "src_b")
+      }),
+
+    // ---- deterministic budget-greedy corpus trim: per shard (id % 8 -
+    // the packSequences scale contract), best-lexical-diversity-first
+    // while the exclusive running token sum stays under budget/8. A doc
+    // survives iff everything strictly better in its shard left room -
+    // one per-shard window, no global sort.
+    Q("q222_budget_trim",
+      Some("WITH t AS (SELECT doc_id, " + ltokensSql + " AS tk FROM documents), " +
+        "s AS (SELECT doc_id, round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS score, " +
+        "CAST(len(tk) AS BIGINT) AS ntok FROM t), " +
+        "r AS (SELECT doc_id AS id, doc_id % 8 AS shard, ntok AS weight, score, " +
+        "sum(ntok) OVER (PARTITION BY doc_id % 8 ORDER BY score DESC, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) - ntok AS excl_sum FROM s) " +
+        "SELECT id, shard, weight, score FROM r WHERE excl_sum < 3125 ORDER BY id"),
+      (s, dir) => {
+        val tk = split(trim(lower(col("text"))), "\\s+")
+        Curation.trimToBudget(Tables.documents(s, dir), "doc_id",
+            size(tk).cast("long"),
+            round(size(array_distinct(tk)).cast("double") / size(tk), 6),
+            budget = 25000L, numShards = 8)
+          .orderBy("id")
+      }),
+
+    // ---- quality-curriculum source interleave: rank within source by
+    // (diversity DESC, id); ordering by (rank, source) round-robins the
+    // sources front-loaded with their best docs. The rank is one
+    // source-keyed window; the global order stays a SORT KEY (range
+    // partition at write time), never a computed global position.
+    Q("q223_curriculum",
+      Some("WITH t AS (SELECT doc_id, source, " + ltokensSql + " AS tk FROM documents), " +
+        "s AS (SELECT doc_id, source, round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS score FROM t) " +
+        "SELECT doc_id AS id, source, score, " +
+        "CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rank_in_source " +
+        "FROM s ORDER BY rank_in_source, source, id"),
+      (s, dir) => {
+        val tk = split(trim(lower(col("text"))), "\\s+")
+        Curation.curriculumInterleave(Tables.documents(s, dir), "doc_id",
+            "source",
+            round(size(array_distinct(tk)).cast("double") / size(tk), 6))
+          .select(col("id"), col("source"), col("score"),
+            col("rank_in_source").cast("long").as("rank_in_source"))
+          .orderBy("rank_in_source", "source", "id")
       })
   )
 }

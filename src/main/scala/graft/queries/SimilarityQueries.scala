@@ -159,6 +159,36 @@ object SimilarityQueries {
       })
 ,
 
+    // ---- resize stage between decode and feature-extract: real JDK
+    // bilinear rescale + PNG re-encode for every decodable image;
+    // audio/video pass through untouched. The re-decode must report the
+    // TARGET dims for images (proof the resize actually transformed the
+    // pixels and re-encoded a valid PNG) and the original container
+    // metadata for everything else — same q36 discipline, doc_id
+    // arithmetic only, DuckDB never touches a byte.
+    Q("q220_resize",
+      Some("SELECT doc_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 0 " +
+        "ELSE CASE WHEN (doc_id // 3) % 2 = 0 THEN 160 + (doc_id % 5) * 80 ELSE 8 + (doc_id % 5) * 3 END END AS w, " +
+        "CASE doc_id % 3 WHEN 0 THEN 12 WHEN 1 THEN 0 " +
+        "ELSE CASE WHEN (doc_id // 3) % 2 = 0 THEN 120 + (doc_id % 3) * 60 ELSE 8 + (doc_id % 3) * 5 END END AS h, " +
+        "doc_id % 3 = 0 AS resized " +
+        "FROM documents ORDER BY doc_id"),
+      (s, dir) => {
+        val media = MediaFixtures.materializedMediaTable(s, dir)
+        val resized = Multimodal.resizeImages(media, targetW = 16, targetH = 12)
+        Multimodal.decode(resized)
+          .join(resized.select(col("media_id"), col("resized")),
+            col("mediaId") === col("media_id"))
+          .select(col("mediaId").as("doc_id"),
+            col("meta.kind").as("kind"),
+            col("meta.width").cast("long").as("w"),
+            col("meta.height").cast("long").as("h"),
+            col("resized"))
+          .orderBy("doc_id")
+      }),
+
     // ---- SemDeDup-style semantic dedup: k-means-cell partition (8
     // deterministic pseudo-random centroids shipped into the oracle as a
     // VALUES list, q35 discipline), pairwise cosine only WITHIN a cell,

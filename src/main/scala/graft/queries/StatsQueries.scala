@@ -1158,5 +1158,29 @@ object StatsQueries {
             round(col("revenue"), 2).as("revenue"),
             round(sum(col("revenue")).over(w) / col("__tot"), 6).as("cum_share"))
           .orderBy("decile")
-      }))
+      }),
+
+    // ---- exact per-cohort ROC AUC (Mann-Whitney): does event value
+    // separate purchases from the rest? Scores collapse to per-(cohort,
+    // score) counts, one running sum gives the integer 2U, AUC is the one
+    // final division - bit-identical cross-engine, ties handled by the
+    // +n_neg/2 term exactly.
+    Q("q221_auc",
+      Some("WITH s AS (SELECT user_id % 8 AS cohort, value AS sc, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos FROM events), " +
+        "ps AS (SELECT cohort, sc, CAST(sum(pos) AS BIGINT) AS np, " +
+        "CAST(sum(1 - pos) AS BIGINT) AS nn FROM s GROUP BY 1, 2), " +
+        "r AS (SELECT cohort, np, nn, coalesce(sum(nn) OVER " +
+        "(PARTITION BY cohort ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM ps), " +
+        "a AS (SELECT cohort, CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg, " +
+        "sum(np * (2 * below + nn)) AS u2 FROM r GROUP BY 1) " +
+        "SELECT cohort, n_pos, n_neg, " +
+        "CASE WHEN n_pos > 0 AND n_neg > 0 THEN round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) END AS auc " +
+        "FROM a ORDER BY cohort"),
+      (s, dir) => Stats.rocAuc(
+          Tables.events(s, dir).select(pmod(col("user_id"), lit(8L)).as("cohort"),
+            col("value"), col("event_type")),
+          "value", col("event_type") === "purchase", Seq("cohort"))
+        .orderBy("cohort"))
+  )
 }

@@ -143,4 +143,39 @@ class LayoutSpec extends SparkSpec {
     assert(kept.contains(3L) && !kept.contains(103L))
     assert(kept.size == 20)
   }
+
+  // ------------------------------------------------------------ trimToBudget
+  test("trimToBudget: keeps best-first while the exclusive shard sum is under budget") {
+    // one shard: weights 10 each, scores descending by id inverse
+    val docs = Seq((0L, 10L, 5.0), (8L, 10L, 4.0), (16L, 10L, 3.0), (24L, 10L, 2.0))
+      .toDF("doc_id", "w", "s")
+    val kept = graft.pipeline.Curation.trimToBudget(docs, "doc_id",
+        col("w"), col("s"), budget = 25L, numShards = 1)
+      .select("id").as[Long].collect().toSet
+    // exclusive sums 0,10,20,30 vs budget 25: the 30 one drops
+    assert(kept == Set(0L, 8L, 16L))
+  }
+
+  test("trimToBudget: score ties break to the smaller id; shards are independent") {
+    val docs = Seq((1L, 10L, 1.0), (3L, 10L, 1.0), (5L, 10L, 1.0), // shard 1
+                   (2L, 10L, 1.0))                                 // shard 0
+      .toDF("doc_id", "w", "s")
+    val kept = graft.pipeline.Curation.trimToBudget(docs, "doc_id",
+        col("w"), col("s"), budget = 40L, numShards = 2)
+      .select("id").as[Long].collect().toSet
+    // per-shard budget 20: shard 1 keeps ids 1,3 (tie order by id); shard 0 keeps 2
+    assert(kept == Set(1L, 3L, 2L))
+  }
+
+  // --------------------------------------------------- curriculumInterleave
+  test("curriculumInterleave: per-source quality ranks; (rank, source) order round-robins") {
+    val docs = Seq((1L, "a", 0.9), (2L, "a", 0.5), (3L, "b", 0.7), (4L, "b", 0.8))
+      .toDF("doc_id", "src", "q")
+    val out = graft.pipeline.Curation.curriculumInterleave(docs, "doc_id", "src",
+        col("q"))
+      .orderBy("rank_in_source", "source")
+      .select("id").as[Long].collect().toSeq
+    // rank 1: a->1 (0.9), b->4 (0.8); rank 2: a->2, b->3
+    assert(out == Seq(1L, 4L, 2L, 3L))
+  }
 }

@@ -1088,4 +1088,36 @@ class PipelineSpec extends SparkSpec {
       "repeat call must not re-synthesize payloads")
     assert(afterFirst - before <= 1, "first call renders at most once")
   }
+
+  test("resizeImages: real bilinear rescale + PNG re-encode; non-images pass through") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(40, 30,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 30).foreach(y => (0 until 40).foreach(x => img.setRGB(x, y, x * 6 + y * 8)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val junkAudio = Array[Byte](9, 9, 9)
+    val media = Seq((1L, "image", bos.toByteArray), (2L, "audio", junkAudio))
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.resizeImages(media, targetW = 10, targetH = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]]("payload"), r.getBoolean(3)))).toMap
+    val (resizedBytes, wasResized) = out(1L)
+    assert(wasResized)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resizedBytes))
+    assert(back.getWidth == 10 && back.getHeight == 8)
+    // downscale of a gradient keeps non-trivial pixel content
+    assert((0 until 8).exists(y => back.getRGB(0, y) != back.getRGB(9, y)))
+    val (audioBytes, audioResized) = out(2L)
+    assert(!audioResized && audioBytes.toSeq == junkAudio.toSeq)
+  }
+
+  test("resizeImages: undecodable image bytes pass through unflagged") {
+    import spark.implicits._
+    val junk = Seq((3L, "image", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "kind", "payload")
+    val r = Multimodal.resizeImages(junk, 4, 4).head()
+    assert(!r.getBoolean(3) && r.getAs[Array[Byte]]("payload").toSeq == Seq[Byte](1, 2, 3))
+  }
 }

@@ -728,4 +728,30 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.drop(wIdx).exists(_.contains("HashAggregate")),
       s"expected the per-value aggregate below the window:\n$p")
   }
+
+  test("q213: Z-order bounds come from ONE broadcast scalar aggregate, never a window") {
+    val p = planOf("q213_zorder")
+    assert(!p.contains("Window"), s"zorder must not use a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"min/max bounds must broadcast back:\n$p")
+  }
+
+  test("q217: prefix set-sim join plans as equi joins - no cartesian, no BNLJ") {
+    val p = planOf("q217_setsim_join")
+    assert(!p.contains("CartesianProduct"), s"cartesian planned:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ planned:\n$p")
+  }
+
+  test("q218: the attribution join is keyed on user_id with the time bound as residual") {
+    val p = planOf("q218_stream_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"attribution join must be an equi join on the user key:\n$p")
+  }
+
+  test("q221: AUC never globally sorts raw rows - windows partition by cohort") {
+    val p = planOf("q221_auc")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("cohort")),
+      s"window not cohort-partitioned:\n${windows.mkString("\n")}")
+  }
 }

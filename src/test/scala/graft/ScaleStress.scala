@@ -429,6 +429,49 @@ object ScaleStress {
       "(expect 465,000 / 30,000)")
     assert(ff.getLong(0) == 465000L && ff.getLong(1) == 30000L,
       s"ffill closed form broken: $ff")
+
+    // prefix-filter set-sim join, adversarial hot token: every doc shares
+    // the token "common" (frequency = corpus size), but it NEVER enters a
+    // prefix — the frequency-ascending order pushes it last, so the
+    // candidate join only sees the rare id-specific tokens. 50k docs in
+    // 500 near-dup families (100 members sharing common + 9 family tokens
+    // of their 11, J = 10/12 >= 3/4): pairs = 500 * C(100,2), wall time
+    // by family-token buckets (~100 docs), never by the hot token's 50k.
+    val fams = spark.range(50000L).select(col("id"),
+      (col("id") % 500L).as("fam"), (col("id") / 500L).cast("long").as("m"))
+    val famDocs = fams.select(col("id").as("doc_id"), concat_ws(" ",
+      lit("common"),
+      concat(lit("f"), col("fam"), lit("a")), concat(lit("f"), col("fam"), lit("b")),
+      concat(lit("f"), col("fam"), lit("c")), concat(lit("f"), col("fam"), lit("d")),
+      concat(lit("f"), col("fam"), lit("e")), concat(lit("f"), col("fam"), lit("g")),
+      concat(lit("f"), col("fam"), lit("h")), concat(lit("f"), col("fam"), lit("i")),
+      concat(lit("f"), col("fam"), lit("j")),
+      concat(lit("u"), col("id"))).as("text"))
+    val ssj = timed("setSimJoinPrefix over 50k docs, one corpus-wide hot token") {
+      Dedup.setSimJoinPrefix(famDocs, "doc_id",
+        split(col("text"), " "), tauNum = 3, tauDen = 4).count()
+    }
+    println(s"  pairs: $ssj (expect 500 x C(100,2) = 2,475,000)")
+    assert(ssj == 2475000L, s"prefix join broken: $ssj")
+
+    // SemDeDup over 40k vectors (20 exact copies of each sf0.1 embedding,
+    // ids shifted): every copy must drop — survivors = one per distinct
+    // vector regardless of which k-means cell the family lands in
+    // (identical vectors share a cell by construction).
+    val sem = timed("semanticDedup over 40k vectors (20 copies each)") {
+      Similarity.semanticDedup(bigVecs,
+        Similarity.pseudoCentroids(16, 64), threshold = 0.999999).count()
+    }
+    println(s"  kept: $sem (expect 2,000 distinct-vector survivors)")
+    assert(sem == 2000L, s"semanticDedup broken: $sem")
+
+    // hashed-classifier scoring over 100k docs: a zero-exchange projection
+    // must stream scan-bound; count forces full evaluation.
+    val clf = timed("classifier scoring over 100k docs") {
+      graft.pipeline.Classifier.scoreDocuments(big, "text", nClasses = 4)
+        .agg(sum(col("pred_class"))).collect().head.getLong(0)
+    }
+    println(s"  pred_class checksum: $clf")
     spark.stop()
   }
 }

@@ -722,4 +722,35 @@ class StatsSpec extends SparkSpec {
     assert(d1.getAs[Double]("benford_p") == 0.30103)
     assert(d1.getAs[Double]("share") == math.round(3.0 / 7.0 * 1e6) / 1e6)
   }
+
+  // ----------------------------------------------------------------- rocAuc
+  test("rocAuc: hand-computed values, exact tie handling, degenerate null") {
+    import spark.implicits._
+    val df = Seq(
+      // g1: pos {3, 1}, neg {2, 2, 0} -> U = 3 + 1 = 4, AUC = 4/6
+      ("g1", 3.0, true), ("g1", 1.0, true),
+      ("g1", 2.0, false), ("g1", 2.0, false), ("g1", 0.0, false),
+      // g2: pos {2}, neg {2, 1} -> U = 0.5 + 1 = 1.5, AUC = 0.75
+      ("g2", 2.0, true), ("g2", 2.0, false), ("g2", 1.0, false),
+      // g3: no negatives -> null
+      ("g3", 1.0, true), ("g3", 2.0, true)
+    ).toDF("g", "score", "label")
+    val out = graft.pipeline.Stats.rocAuc(df, "score", col("label"), Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(out("g1") == ((2L, 3L, Some(0.666667))))
+    assert(out("g2") == ((1L, 2L, Some(0.75))))
+    assert(out("g3") == ((2L, 0L, None)))
+  }
+
+  test("rocAuc: perfect and inverted separations hit 1.0 and 0.0") {
+    import spark.implicits._
+    val perfect = Seq(("g", 5.0, true), ("g", 4.0, true), ("g", 1.0, false))
+      .toDF("g", "score", "label")
+    val inv = Seq(("g", 1.0, true), ("g", 5.0, false)).toDF("g", "score", "label")
+    assert(graft.pipeline.Stats.rocAuc(perfect, "score", col("label"), Seq("g"))
+      .head().getDouble(3) == 1.0)
+    assert(graft.pipeline.Stats.rocAuc(inv, "score", col("label"), Seq("g"))
+      .head().getDouble(3) == 0.0)
+  }
 }
