@@ -1099,4 +1099,36 @@ object EventAnalytics {
       .select(col("day"), col("n").as("actual"), col("predicted"),
         abs(col("n") - col("predicted")).as("abs_err"))
   }
+
+  // -------------------------------------------------------- interval union
+  /** Per-key union length of (possibly overlapping) intervals — the
+    * gaps-and-islands merge behind session coverage / SLA downtime /
+    * "seconds of content consumed": intervals sort per key, an island
+    * breaks where a start clears the running max of prior ends, islands
+    * aggregate to (min start, max end), and coverage is the exact integer
+    * sum of island lengths. One key-partitioned window chain — scales as
+    * every per-key window here does; no interval self-join ever happens.
+    * startUs/endUs are integer µs. Returns per key:
+    * (n_intervals, n_islands, covered_us). */
+  def intervalUnion(df: DataFrame, keyCol: String, startUs: Column,
+                    endUs: Column, idCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("__k"), startUs.as("__s"),
+      endUs.as("__e"), col(idCol).as("__id"))
+    val order = Window.partitionBy(col("__k"))
+      .orderBy(col("__s"), col("__e"), col("__id"))
+    val prevMax = max(col("__e")).over(
+      order.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = base
+      .withColumn("__new",
+        when(prevMax.isNull || col("__s") > prevMax, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(
+        order.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("__k"), col("__island"))
+      .agg(count(lit(1)).as("__n"), min(col("__s")).as("__is"),
+        max(col("__e")).as("__ie"))
+      .groupBy(col("__k").as(keyCol))
+      .agg(sum(col("__n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__ie") - col("__is")).as("covered_us"))
+  }
 }

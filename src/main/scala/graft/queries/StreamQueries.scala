@@ -433,6 +433,61 @@ object StreamQueries {
           .select(col("event_id").as("purchase_id"),
             col("l_event_id").as("view_id"))
           .orderBy("purchase_id", "view_id")
+      }),
+
+    // ---- NATIVE session-window aggregation (the state-store-backed
+    // streaming operator, batch face): session_window(ts, 30 min) merges
+    // an event into the open session iff it lands strictly before
+    // last_ts + gap, i.e. a new session starts when diff >= gap - mirrored
+    // in the oracle's lag rule (q39's lag form uses strict >; the two
+    // agree except at an exact-1800s gap, which the oracle here models
+    // with >= to match the native operator). Window end = last_ts + gap.
+    Q("q224_session_window",
+      Some("WITH flags AS (SELECT user_id, ts, CASE WHEN epoch_us(ts) - " +
+        "epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_session FROM events), " +
+        "sess AS (SELECT user_id, ts, CAST(SUM(new_session) OVER " +
+        "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq " +
+        "FROM flags) " +
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+        "date_trunc('second', min(ts)) AS session_start, " +
+        "date_trunc('second', max(ts) + INTERVAL 30 MINUTE) AS session_end " +
+        "FROM sess GROUP BY user_id, seq ORDER BY user_id, session_start"),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"),
+          date_trunc("second", col("session_window.start")).as("session_start"),
+          date_trunc("second", col("session_window.end")).as("session_end"))
+        .orderBy("user_id", "session_start")),
+
+    // ---- per-user interval-union coverage (gaps-and-islands merge):
+    // interval = [ts, ts + value*1000 ms] in integer us; overlapping
+    // intervals merge into islands via the running-max-of-ends rule, and
+    // coverage is the exact integer sum of island lengths - never an
+    // interval self-join.
+    Q("q225_interval_union",
+      Some("WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s, " +
+        "epoch_us(ts) + CAST(floor(value * 1000) AS BIGINT) * 1000 AS e FROM events), " +
+        "f AS (SELECT user_id, event_id, s, e, CASE WHEN max(e) OVER " +
+        "(PARTITION BY user_id ORDER BY s, e, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL " +
+        "OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+        "THEN 1 ELSE 0 END AS nw FROM iv), " +
+        "g AS (SELECT user_id, s, e, CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island FROM f), " +
+        "isl AS (SELECT user_id, island, count(*) AS n, min(s) AS is_, max(e) AS ie FROM g GROUP BY 1, 2) " +
+        "SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals, " +
+        "CAST(count(*) AS BIGINT) AS n_islands, " +
+        "CAST(sum(ie - is_) AS BIGINT) AS covered_us " +
+        "FROM isl GROUP BY user_id ORDER BY user_id"),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        graft.pipeline.EventAnalytics.intervalUnion(ev, "user_id",
+            unix_micros(col("ts")),
+            unix_micros(col("ts")) +
+              floor(col("value") * 1000).cast("long") * 1000L,
+            "event_id")
+          .orderBy("user_id")
       })
   )
 }

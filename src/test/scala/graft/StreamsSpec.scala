@@ -291,4 +291,39 @@ class StreamsSpec extends SparkSpec {
   }
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("native session_window: STREAMING execution matches the batch face") {
+    val stream = Streams.readEventStream(spark, eventsDir)
+      .withWatermark("ts", "1 hour")
+    val agg = stream
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        col("session_window.start").as("s"), col("session_window.end").as("e"))
+    val got = Streams.runToMemory(agg, "native_sessions", OutputMode.Complete())
+    val want = Tables.events(spark, sf0001)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        col("session_window.start").as("s"), col("session_window.end").as("e"))
+    val g = got.orderBy("user_id", "s").collect().map(_.toSeq).toSeq
+    val w = want.orderBy("user_id", "s").collect().map(_.toSeq).toSeq
+    assert(g == w)
+  }
+
+  test("intervalUnion: overlap merges, touching merges, nesting collapses, gaps split") {
+    import graft.pipeline.EventAnalytics
+    val iv = Seq(
+      ("u", 0L, 10L, 1L), ("u", 5L, 20L, 2L),   // overlap -> [0,20]
+      ("u", 20L, 30L, 3L),                       // touching: merges (closed)
+      ("u", 22L, 25L, 4L),                       // nested
+      ("u", 40L, 50L, 5L),                       // gap -> new island
+      ("v", 0L, 1L, 6L)
+    ).toDF("k", "s", "e", "id")
+    val out = EventAnalytics.intervalUnion(iv, "k", col("s"), col("e"), "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("u") == ((5L, 2L, 40L))) // [0,30] + [40,50] = 30 + 10
+    assert(out("v") == ((1L, 1L, 1L)))
+  }
 }
