@@ -479,4 +479,46 @@ object Similarity {
     reps.join(drops, col("__rep") === drops("__ida"), "left_anti")
       .select(col("__rep").as(idCol), col("centroid"))
   }
+
+  // ------------------------------------------------------- triplet mining
+  /** Contrastive training-pair mining over an embedded corpus — the
+    * (anchor, positive, negative) triplets a representation-learning run
+    * consumes. Positives are within-cell near-duplicates (the
+    * [[semanticDedup]] pair relation: cos >= threshold, anchor = smaller
+    * id); the negative is drawn DETERMINISTICALLY by hash: anchor's md5
+    * picks one of the OTHER k-means cells and takes that cell's min-id
+    * vector — semantically distant with high probability (different cell
+    * ⇒ different region of the space), reproducible in any engine, and
+    * scalable because the negative lookup is a broadcast join against the
+    * C-row cell-minimum relation, never a corpus-sized shuffle. Cells are
+    * never empty when C ≤ corpus size under ivfAssign's argmax, but a
+    * missing cell yields a null negative (left join) rather than a
+    * dropped pair. Returns (anchor, positive, negative, cos_ap). */
+  def mineTriplets(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                   threshold: Double, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val nCells = centroids.size
+    require(nCells >= 2, "need at least two cells for cross-cell negatives")
+    val assigned = ivfAssign(emb, centroids, idCol, vecCol)
+      .select(col(idCol), toDouble(col(vecCol)).as("__v"), col("centroid"))
+    val a = assigned.select(col(idCol).as("anchor"), col("__v").as("__va"),
+      col("centroid"))
+    val b = assigned.select(col(idCol).as("positive"), col("__v").as("__vb"),
+      col("centroid"))
+    val pairs = a.join(b, "centroid")
+      .filter(col("anchor") < col("positive") &&
+        cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("anchor"), col("positive"),
+        round(cosine(col("__va"), col("__vb")), 6).as("cos_ap"),
+        col("centroid"))
+    val cellMin = assigned.groupBy(col("centroid").as("__nc"))
+      .agg(min(col(idCol)).as("negative"))
+    val draw = conv(substring(md5(concat(lit("trip"),
+      col("anchor").cast("string"))), 1, 8), 16, 10).cast("long")
+    val negCell = pmod(col("centroid") + lit(1) +
+      pmod(draw, lit(nCells - 1)), lit(nCells))
+    pairs.withColumn("__nc", negCell.cast("int"))
+      .join(broadcast(cellMin), Seq("__nc"), "left")
+      .select(col("anchor"), col("positive"), col("negative"), col("cos_ap"))
+  }
 }

@@ -189,6 +189,35 @@ object SimilarityQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- contrastive triplet mining: positives = within-cell near-dup
+    // pairs (q216's relation, anchor = smaller id); the negative is the
+    // hash-chosen OTHER cell's min-id vector - a broadcast join against
+    // the 8-row cell-minimum relation, deterministic in both engines.
+    Q("q226_triplets", {
+      val cents = Similarity.pseudoCentroids(8, 64)
+      val values = cents.map { case (cid, v) =>
+        s"($cid, [${v.mkString(", ")}], ${math.sqrt(v.map(x => x * x).sum)})"
+      }.mkString(", ")
+      val ed = dvecSql.format("e.embedding")
+      Some(s"WITH c(cid, cv, cnorm) AS (VALUES $values), " +
+        s"a AS (SELECT e.vec_id, $ed AS v, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY -list_dot_product($ed, c.cv) / (sqrt(list_dot_product($ed, $ed)) * c.cnorm) ASC, c.cid ASC) AS rn " +
+        "FROM embeddings e CROSS JOIN c), " +
+        "asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1), " +
+        "cm AS (SELECT cid, min(vec_id) AS negative FROM asg GROUP BY cid), " +
+        "p AS (SELECT x.vec_id AS anchor, y.vec_id AS positive, x.cid, " +
+        "round(list_cosine_similarity(x.v, y.v), 6) AS cos_ap " +
+        "FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id " +
+        "AND list_cosine_similarity(x.v, y.v) >= 0.35), " +
+        "d AS (SELECT anchor, positive, cos_ap, " +
+        "(cid + 1 + (('0x' || substring(md5('trip' || CAST(anchor AS VARCHAR)), 1, 8))::BIGINT % 7)) % 8 AS nc FROM p) " +
+        "SELECT d.anchor, d.positive, cm.negative, d.cos_ap " +
+        "FROM d LEFT JOIN cm ON cm.cid = d.nc ORDER BY anchor, positive")
+    },
+      (s, dir) => Similarity.mineTriplets(Tables.embeddings(s, dir),
+          Similarity.pseudoCentroids(8, 64), threshold = 0.35)
+        .orderBy("anchor", "positive")),
+
     // ---- SemDeDup-style semantic dedup: k-means-cell partition (8
     // deterministic pseudo-random centroids shipped into the oracle as a
     // VALUES list, q35 discipline), pairwise cosine only WITHIN a cell,

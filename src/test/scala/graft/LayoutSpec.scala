@@ -178,4 +178,52 @@ class LayoutSpec extends SparkSpec {
     // rank 1: a->1 (0.9), b->4 (0.8); rank 2: a->2, b->3
     assert(out == Seq(1L, 4L, 2L, 3L))
   }
+
+  // -------------------------------------------------- data-skipping proof
+  test("z-ordered layout skips files on the SECONDARY dimension; single-column sort cannot") {
+    val df = Tables.lineitem(spark, sf001).select("l_partkey", "l_suppkey")
+    val Seq(lo1, hi1, lo2, hi2) = df.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).collect().head.toSeq
+      .map(_.asInstanceOf[Long]): @unchecked
+    val zkey = Layout.zorderKey(Seq(
+      Layout.quantize(col("l_partkey"), lit(lo1), lit(hi1), 8),
+      Layout.quantize(col("l_suppkey"), lit(lo2), lit(hi2), 8)), 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    df.withColumn("__z", zkey).repartitionByRange(32, col("__z"))
+      .drop("__z").write.mode("overwrite").parquet(s"$tmp/zorder")
+    df.repartitionByRange(32, col("l_partkey"))
+      .write.mode("overwrite").parquet(s"$tmp/bypart")
+    // files CONTAINING matching rows = what min/max footer stats let a
+    // reader skip; a suppkey-band filter is the case a partkey sort can't
+    // help with
+    val band = col("l_suppkey") >= lo2 && col("l_suppkey") <= lo2 + (hi2 - lo2) / 8
+    def touched(path: String): Long = spark.read.parquet(path).filter(band)
+      .select(input_file_name()).distinct().count()
+    val byPart = touched(s"$tmp/bypart")
+    val byZ = touched(s"$tmp/zorder")
+    assert(byPart >= 30, s"partkey sort should leave the band in ~every file, got $byPart")
+    assert(byZ <= byPart / 2,
+      s"z-order must cluster the secondary dimension: $byZ vs $byPart files")
+  }
+
+  // ------------------------------------------------------------ mineTriplets
+  test("mineTriplets: planted positive pairs mine with a deterministic cross-cell negative") {
+    val cents = Similarity.pseudoCentroids(4, 8)
+    val base = (0 until 24).map { i =>
+      (i.toLong, (0 until 8).map(d =>
+        (((i * 37 + d) * 2654435761L % 1000) / 1000.0 - 0.5).toFloat).toArray)
+    }
+    val emb = (base :+ (103L, base(3)._2)).toDF("vec_id", "embedding")
+    val out = Similarity.mineTriplets(emb, cents, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the planted copy is the only pair at cos >= 0.999
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((3L, 103L)))
+    val neg = out.head._3
+    // negative exists, differs from both, and is a cell minimum
+    assert(neg != 3L && neg != 103L)
+    val cellMins = Similarity.ivfAssign(emb, cents)
+      .groupBy("centroid").agg(min(col("vec_id")).as("m"))
+      .select("m").as[Long].collect().toSet
+    assert(cellMins.contains(neg))
+  }
 }
