@@ -838,4 +838,33 @@ object Curation {
         scoreCol.as("score"))
       .withColumn("rank_in_source", row_number().over(w))
   }
+
+  // ------------------------------------------- eval-set apportionment
+  /** Largest-remainder (Hamilton) apportionment of a k-item eval set
+    * across groups, proportional to group size: quota_g = k·n_g, base =
+    * quota // N, and the k − Σbase leftover seats go to the largest
+    * remainders (quota mod N, ties to the smaller group key) — the
+    * deterministic integer answer to "build a 10k-doc eval set matching
+    * the corpus source mix", with Σ alloc = k exactly (floats can't
+    * guarantee that). The windows run over the |groups| relation (bounded
+    * by construction, the q207 discipline), never the corpus. Returns
+    * (group, n_rows, n_alloc). */
+  def allocateEvalSet(df: DataFrame, groupCol: String, k: Long): DataFrame = {
+    require(k >= 0)
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("__N"))
+    val w = Window.orderBy((col("__quota") % col("__N")).desc, col(groupCol))
+    counts.crossJoin(broadcast(total))
+      .withColumn("__quota", col("n_rows") * k)
+      .withColumn("__base", floor(col("__quota") / col("__N")).cast("long"))
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("__leftover",
+        lit(k) - sum(col("__base")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .withColumn("n_alloc",
+        col("__base") + when(col("__rank") <= col("__leftover"), 1L)
+          .otherwise(0L))
+      .select(col(groupCol), col("n_rows"), col("n_alloc"))
+  }
 }

@@ -531,4 +531,50 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "by", "at", "from", "that", "this", "it",
     "be", "not")
+
+  // ------------------------------------------- LM-perplexity quality score
+  /** CCNet-style perplexity filtering, self-trained: score every document
+    * by the average negative log-likelihood of its word bigrams under an
+    * add-one-smoothed bigram LM fit on THE CORPUS ITSELF —
+    * p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V). High avg-NLL = improbable
+    * word sequences (gibberish, boilerplate soup); the filter drops the
+    * tail. (CCNet uses a pretrained KenLM; the counts-based model here is
+    * the same mechanism with a corpus-derived table, which also makes it
+    * fully oracle-checkable.)
+    *
+    * Scale: the bigram-count relation is vocab²-bounded and joins
+    * co-keyed on the bigram; the first-token totals derive from the SAME
+    * relation (one more aggregate, vocab-bounded); V is one scalar
+    * broadcast. DETERMINISM: each ln term is cast DECIMAL(28,12) at the
+    * source (the q194 discipline), so the per-doc sum is exact and
+    * shuffle-order-independent; the one IEEE division comes last, 6dp.
+    * Docs with fewer than two tokens report null. Returns
+    * (idCol, n_bigrams, avg_nll). */
+  def lmPerplexityScore(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val base = docs.select(col(idCol).as("__id"), toks.as("__tk"))
+    val uni = base.select(explode(col("__tk")).as("__w"))
+    val vocab = uni.agg(countDistinct(col("__w")).as("__V"))
+    val bi = base.filter(size(col("__tk")) >= 2)
+      .select(col("__id"), explode(zip_with(
+        slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 1),
+        (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg"))))
+        .as("__p"))
+      .select(col("__id"), col("__p.w1").as("__w1"), col("__p.bg").as("__bg"))
+    val c2 = bi.groupBy(col("__bg")).agg(count(lit(1)).as("__c2"))
+    val c1 = c2.select(split(col("__bg"), " ").getItem(0).as("__w1"),
+        col("__c2"))
+      .groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1"))
+    val term = ln((col("__c2") + 1).cast("double") /
+        (col("__c1") + col("__V")).cast("double"))
+      .cast(DecimalType(28, 12))
+    bi.join(c2, "__bg").join(c1, "__w1").crossJoin(broadcast(vocab))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round((-sum(term)).cast("double") / count(lit(1)), 6).as("avg_nll"))
+      .join(docs.select(col(idCol)), Seq(idCol), "right")
+  }
 }

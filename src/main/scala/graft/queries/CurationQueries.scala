@@ -683,6 +683,23 @@ object CurationQueries {
           .select(col("id"), col("source"), col("score"),
             col("rank_in_source").cast("long").as("rank_in_source"))
           .orderBy("rank_in_source", "source", "id")
-      })
+      }),
+
+    // ---- largest-remainder eval-set apportionment: 1000 eval slots
+    // proportional to source size, Σ alloc = 1000 EXACT (integer quotas,
+    // leftover seats to the largest remainders, ties to the smaller
+    // source). Windows run over the |sources| relation only.
+    Q("q227_eval_allocation",
+      Some("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows FROM documents GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS N FROM c), " +
+        "b AS (SELECT source, n_rows, CAST((n_rows * 1000) // N AS BIGINT) AS base, " +
+        "(n_rows * 1000) % N AS rem FROM c, t), " +
+        "r AS (SELECT source, n_rows, base, row_number() OVER (ORDER BY rem DESC, source) AS rk, " +
+        "(SELECT 1000 - sum(base) FROM b) AS leftover FROM b) " +
+        "SELECT source, n_rows, CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS n_alloc " +
+        "FROM r ORDER BY source"),
+      (s, dir) => Curation.allocateEvalSet(Tables.documents(s, dir), "source",
+          k = 1000L)
+        .orderBy("source"))
   )
 }

@@ -636,6 +636,31 @@ object TextQueries {
         .select(explode(graft.functions.SegmentExprs.greedyPieces(
           col("text"), TA.PieceVocab)).as("piece"))
         .groupBy("piece").agg(count(lit(1)).as("n"))
-        .orderBy("piece"))
+        .orderBy("piece")),
+
+    // ---- CCNet-style LM-perplexity scoring, self-trained: avg negative
+    // log-likelihood per doc under an add-one bigram LM fit on the corpus
+    // itself. Each ln term casts DECIMAL(28,12) at the source (q194
+    // discipline) so the per-doc sum is exact and shuffle-order-
+    // independent; the one IEEE division comes last, 6dp. Docs with < 2
+    // tokens report null.
+    Q("q228_lm_perplexity", {
+      val lt = ltokensSql
+      Some(s"WITH t AS (SELECT doc_id, $lt AS tk FROM documents), " +
+        "bi AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS bg " +
+        "FROM t WHERE len(tk) >= 2), " +
+        "c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY 1), " +
+        "c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1), " +
+        "v AS (SELECT count(DISTINCT w) AS V FROM (SELECT unnest(tk) AS w FROM t)), " +
+        "s AS (SELECT bi.doc_id, CAST(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.V AS DOUBLE)) AS DECIMAL(28,12)) AS term " +
+        "FROM bi JOIN c2 USING (bg) JOIN c1 ON c1.w1 = string_split(bi.bg, ' ')[1] CROSS JOIN v), " +
+        "a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "round(CAST(-sum(term) AS DOUBLE) / count(*), 6) AS avg_nll FROM s GROUP BY 1) " +
+        "SELECT d.doc_id, a.n_bigrams, a.avg_nll FROM documents d " +
+        "LEFT JOIN a USING (doc_id) ORDER BY d.doc_id")
+    },
+      (s, dir) => TA.lmPerplexityScore(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"), col("avg_nll"))
+        .orderBy("doc_id"))
   )
 }

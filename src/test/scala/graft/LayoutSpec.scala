@@ -226,4 +226,17 @@ class LayoutSpec extends SparkSpec {
       .select("m").as[Long].collect().toSet
     assert(cellMins.contains(neg))
   }
+
+  // --------------------------------------------------------- allocateEvalSet
+  test("allocateEvalSet: largest-remainder seats, exact total, deterministic ties") {
+    import graft.pipeline.Curation
+    // counts 5/3/2 over k=7: quotas 35/21/14 of N=10 -> base 3/2/1 (sum 6),
+    // remainders 5/1/4 -> the 1 leftover seat goes to "a" (rem 5)
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("source")
+    val out = Curation.allocateEvalSet(df, "source", k = 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    assert(out.values.sum == 7L)
+  }
 }

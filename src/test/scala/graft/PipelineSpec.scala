@@ -1120,4 +1120,17 @@ class PipelineSpec extends SparkSpec {
     val r = Multimodal.resizeImages(junk, 4, 4).head()
     assert(!r.getBoolean(3) && r.getAs[Array[Byte]]("payload").toSeq == Seq[Byte](1, 2, 3))
   }
+
+  test("lmPerplexityScore: hand-computed add-one bigram NLL; short docs null") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a")).toDF("doc_id", "text")
+    val out = TA.lmPerplexityScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    // V=2; c2: "a b"->2, "b a"->1; c1: a->2, b->1
+    // nll = -(2*ln(3/4) + ln(2/3))/3 = 0.326943
+    assert(out(1L)._1 == Some(3L))
+    assert(out(1L)._2 == Some(0.326943))
+    assert(out(2L) == ((None, None)))
+  }
 }
