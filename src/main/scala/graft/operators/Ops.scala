@@ -1007,4 +1007,38 @@ object Ops {
       case None    => w.parquet(path)
     }
   }
+
+  // --------------------------------------------------------- snapshot diff
+  /** Row-level diff of two snapshots of the same logical table — the
+    * data-reconciliation op behind "what changed between yesterday's drop
+    * and today's": one FULL OUTER join on the key classifies every key as
+    * added / removed / changed / unchanged, with a per-row count of
+    * columns whose values differ (null-safe compare, so null→value and
+    * value→null both count). Complements the aggregate-level
+    * [[graft.pipeline.Stats.profile]]/profileDrift: that reports
+    * distribution movement, this names the keys. One key-keyed shuffle;
+    * payload width bounds the compare, never row count.
+    * Returns (key, change_type, n_cols_changed). */
+  def tableDiff(before: DataFrame, after: DataFrame,
+                keyCol: String): DataFrame = {
+    val payload = before.columns.filterNot(_ == keyCol).toSeq
+    require(payload.nonEmpty, "need payload columns")
+    require(after.columns.sorted.sameElements(before.columns.sorted),
+      "snapshots must share a schema")
+    val b = before.select(col(keyCol) +: lit(1).as("__inb") +:
+      payload.map(c => col(c).as(s"__b_$c")): _*)
+    val a = after.select(col(keyCol) +: lit(1).as("__ina") +:
+      payload.map(c => col(c).as(s"__a_$c")): _*)
+    val nChanged = payload.map(c =>
+      when(!(col(s"__b_$c") <=> col(s"__a_$c")), 1L).otherwise(0L))
+      .reduce(_ + _)
+    b.join(a, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__inb").isNull, "added")
+          .when(col("__ina").isNull, "removed")
+          .when(nChanged > 0, "changed")
+          .otherwise("unchanged").as("change_type"),
+        when(col("__inb").isNotNull && col("__ina").isNotNull, nChanged)
+          .otherwise(lit(null)).as("n_cols_changed"))
+  }
 }

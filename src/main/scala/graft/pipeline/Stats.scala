@@ -692,4 +692,37 @@ object Stats {
             (lit(2.0) * col("n_pos") * col("n_neg")), 6)))
       .drop("__u2")
   }
+
+  /** Average precision (area under the precision-recall curve, the
+    * ranking-eval companion to [[rocAuc]]): candidates rank per group by
+    * (score DESC, id ASC — a total order, so ties are well-defined), and
+    * AP = (1/n_pos) Σ over positive ranks k of precision@k. Each
+    * precision@k = pos_so_far/k casts DECIMAL(28,12) at the source, so
+    * the per-group sum is exact under any merge order; the one IEEE
+    * division comes last (6dp). Unlike [[rocAuc]] the window runs over
+    * raw rows (precision@k needs every rank) — still one group-keyed
+    * window, no global sort. Degenerate groups (no positives) are null.
+    * Returns groupCols + (n_pos, ap). */
+  def averagePrecision(df: DataFrame, scoreCol: String, labelCol: Column,
+                       idCol: String, groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(groupCols.nonEmpty, "at least one group column")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val ranked = df
+      .withColumn("__pos", when(labelCol, 1L).otherwise(0L))
+      .withColumn("__k", row_number().over(w))
+      .withColumn("__cum", sum(col("__pos")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val term = when(col("__pos") === 1L,
+      (col("__cum").cast("double") / col("__k"))
+        .cast(DecimalType(28, 12))).otherwise(lit(null))
+    ranked.withColumn("__term", term)
+      .groupBy(g: _*)
+      .agg(sum(col("__pos")).as("n_pos"), sum(col("__term")).as("__s"))
+      .withColumn("ap", when(col("n_pos") > 0,
+        round(col("__s").cast("double") / col("n_pos"), 6)))
+      .drop("__s")
+  }
 }

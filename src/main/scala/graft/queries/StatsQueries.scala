@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Ops
 import graft.pipeline.{Curation, EventAnalytics, Stats, TextAnalysis => TA}
 
 /** Distribution-analytics drivers: cube aggregates, quantile bucketing,
@@ -1181,6 +1182,60 @@ object StatsQueries {
           Tables.events(s, dir).select(pmod(col("user_id"), lit(8L)).as("cohort"),
             col("value"), col("event_type")),
           "value", col("event_type") === "purchase", Seq("cohort"))
-        .orderBy("cohort"))
+        .orderBy("cohort")),
+
+    // ---- average precision (PR-curve area), q221's companion: per-cohort
+    // ranking by (value DESC, event_id) - a total order, so AP is
+    // well-defined under score ties; each precision@k casts DECIMAL(28,12)
+    // at the source so the group sum is merge-order-exact.
+    Q("q229_average_precision",
+      Some("WITH s AS (SELECT user_id % 8 AS cohort, event_id, value AS sc, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos FROM events), " +
+        "r AS (SELECT cohort, pos, " +
+        "row_number() OVER (PARTITION BY cohort ORDER BY sc DESC, event_id) AS k, " +
+        "sum(pos) OVER (PARTITION BY cohort ORDER BY sc DESC, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM s), " +
+        "t AS (SELECT cohort, pos, CASE WHEN pos = 1 THEN " +
+        "CAST(CAST(cum AS DOUBLE) / k AS DECIMAL(28,12)) END AS term FROM r), " +
+        "a AS (SELECT cohort, CAST(sum(pos) AS BIGINT) AS n_pos, sum(term) AS s FROM t GROUP BY 1) " +
+        "SELECT cohort, n_pos, CASE WHEN n_pos > 0 THEN " +
+        "round(CAST(s AS DOUBLE) / n_pos, 6) END AS ap FROM a ORDER BY cohort"),
+      (s, dir) => Stats.averagePrecision(
+          Tables.events(s, dir).select(pmod(col("user_id"), lit(8L)).as("cohort"),
+            col("event_id"), col("value"), col("event_type")),
+          "value", col("event_type") === "purchase", "event_id", Seq("cohort"))
+        .orderBy("cohort")),
+
+    // ---- row-level snapshot diff: planted updates (%7: acctbal+10),
+    // deletes (%13) and inserts (%11 at key+1e6) against the customer
+    // base; every key classifies added/removed/changed/unchanged with a
+    // null-safe per-column change count. One full-outer key join.
+    Q("q230_table_diff",
+      Some("WITH a AS (SELECT c_custkey, c_name, c_nationkey, " +
+        "CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal, " +
+        "c_mktsegment FROM customer WHERE c_custkey % 13 <> 0 " +
+        "UNION ALL SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, " +
+        "c_mktsegment FROM customer WHERE c_custkey % 11 = 0), " +
+        "d AS (SELECT coalesce(b.c_custkey, a.c_custkey) AS c_custkey, " +
+        "b.c_custkey IS NULL AS added, a.c_custkey IS NULL AS removed, " +
+        "CASE WHEN b.c_custkey IS NOT NULL AND a.c_custkey IS NOT NULL THEN " +
+        "(CASE WHEN b.c_name IS DISTINCT FROM a.c_name THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN b.c_nationkey IS DISTINCT FROM a.c_nationkey THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN b.c_acctbal IS DISTINCT FROM a.c_acctbal THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN b.c_mktsegment IS DISTINCT FROM a.c_mktsegment THEN 1 ELSE 0 END) END AS nc " +
+        "FROM customer b FULL OUTER JOIN a ON b.c_custkey = a.c_custkey) " +
+        "SELECT c_custkey, CASE WHEN added THEN 'added' WHEN removed THEN 'removed' " +
+        "WHEN nc > 0 THEN 'changed' ELSE 'unchanged' END AS change_type, " +
+        "CAST(nc AS BIGINT) AS n_cols_changed FROM d ORDER BY c_custkey"),
+      (s, dir) => {
+        val base = Tables.customer(s, dir)
+        val after = base.filter(pmod(col("c_custkey"), lit(13L)) =!= 0)
+          .withColumn("c_acctbal", when(pmod(col("c_custkey"), lit(7L)) === 0,
+            col("c_acctbal") + 10).otherwise(col("c_acctbal")))
+          .unionByName(base.filter(pmod(col("c_custkey"), lit(11L)) === 0)
+            .withColumn("c_custkey", col("c_custkey") + 1000000L))
+        Ops.tableDiff(base, after, "c_custkey")
+          .orderBy("c_custkey")
+      })
   )
 }

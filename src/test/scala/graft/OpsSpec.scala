@@ -403,4 +403,20 @@ class OpsSpec extends SparkSpec {
       JaroKernels.jaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b)) }
     assert(viaDf == direct)
   }
+
+  test("tableDiff: added/removed/changed/unchanged with null-safe column counts") {
+    import spark.implicits._
+    val before = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, None: Option[String], 30.0)).toDF("k", "name", "bal")
+    val after = Seq((1L, Some("a"), 10.0),              // unchanged
+      (3L, Some("c"), 31.0),                            // null->value + bal: 2 cols
+      (4L, Some("d"), 40.0)).toDF("k", "name", "bal")   // added; 2 removed
+    val out = graft.operators.Ops.tableDiff(before, after, "k")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2))))).toMap
+    assert(out(1L) == (("unchanged", Some(0L))))
+    assert(out(2L) == (("removed", None)))
+    assert(out(3L) == (("changed", Some(2L))))
+    assert(out(4L) == (("added", None)))
+  }
 }

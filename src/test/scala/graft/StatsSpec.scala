@@ -753,4 +753,18 @@ class StatsSpec extends SparkSpec {
     assert(graft.pipeline.Stats.rocAuc(inv, "score", col("label"), Seq("g"))
       .head().getDouble(3) == 0.0)
   }
+
+  test("averagePrecision: hand-computed AP; degenerate null") {
+    import spark.implicits._
+    // ranks by score desc: pos at k=1 (p=1), neg at k=2, pos at k=3 (p=2/3)
+    // AP = (1 + 2/3) / 2 = 0.833333
+    val df = Seq(("g", 1L, 9.0, true), ("g", 2L, 5.0, false), ("g", 3L, 1.0, true),
+      ("h", 4L, 1.0, false)).toDF("g", "id", "score", "label")
+    val out = graft.pipeline.Stats.averagePrecision(df, "score", col("label"),
+        "id", Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(out("g") == ((2L, Some(0.833333))))
+    assert(out("h") == ((0L, None)))
+  }
 }
