@@ -669,13 +669,23 @@ object Stats {
     * 2U = Σ_s n_pos(s)·(2·negBelow(s) + n_neg(s)) in INTEGERS; the only
     * float op is the final single division (6dp), so any engine reproduces
     * it bit-for-bit. Degenerate groups (no positives or no negatives)
-    * report null. Returns groupCols + (n_pos, n_neg, auc). */
+    * report null. Returns groupCols + (n_pos, n_neg, auc).
+    *
+    * Cardinality contract (the aboveQuantile discipline): the per-group
+    * window runs over DISTINCT scores, so one group with an unbounded-
+    * cardinality score column concentrates that many rows in one window
+    * task. For continuous scores at corpus scale pass `scoreRound` —
+    * rounding to d decimals bounds distinct scores (≤ span·10^d) and is
+    * the standard AUC-on-binned-scores estimate; exact when scores
+    * already carry ≤ d decimals. */
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: Column,
-             groupCols: Seq[String]): DataFrame = {
+             groupCols: Seq[String],
+             scoreRound: Option[Int] = None): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     val g = groupCols.map(col)
+    val s = scoreRound.map(d => round(col(scoreCol), d)).getOrElse(col(scoreCol))
     val perScore = df
-      .groupBy(g :+ col(scoreCol).as("__s"): _*)
+      .groupBy(g :+ s.as("__s"): _*)
       .agg(sum(when(labelCol, 1L).otherwise(0L)).as("__np"),
         sum(when(labelCol, 0L).otherwise(1L)).as("__nn"))
     val w = Window.partitionBy(g: _*).orderBy(col("__s"))

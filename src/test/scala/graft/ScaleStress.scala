@@ -472,6 +472,20 @@ object ScaleStress {
         .agg(sum(col("pred_class"))).collect().head.getLong(0)
     }
     println(s"  pred_class checksum: $clf")
+
+    // ROC AUC over 2M rows in ONE group with a perfectly separable planted
+    // signal: scores collapse to 1000 distinct values before the window,
+    // so the single-group window sees 1000 rows, not 2M; AUC must be
+    // exactly 1.0 (positives occupy the top half of the score range).
+    val aucRows = spark.range(2000000L).select(
+      (col("id") % 1000L).cast("double").as("score"),
+      (col("id") % 1000L >= 500L).as("label"), lit("all").as("g"))
+    val auc = timed("rocAuc over 2M rows, one group, 1000 distinct scores") {
+      graft.pipeline.Stats.rocAuc(aucRows, "score", col("label"), Seq("g"))
+        .collect().head.getDouble(3)
+    }
+    println(s"  auc: $auc (expect 1.0 - perfect separation)")
+    assert(auc == 1.0, s"auc broken: $auc")
     spark.stop()
   }
 }
