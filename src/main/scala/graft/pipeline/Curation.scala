@@ -52,6 +52,32 @@ object Curation {
                 fractions: Seq[(String, Double)]): DataFrame =
     df.withColumn("split", splitLabel(key, salt, fractions))
 
+  /** Leakage-safe train/valid/test split: near-duplicate documents must
+    * land in the SAME split (a test doc whose near-copy sits in train is
+    * eval contamination — the split-level complement of
+    * [[Curation.contamination]]), so the split key is the near-dup CLUSTER,
+    * not the document. `edges` is any near-dup pair relation (n-gram
+    * Jaccard, MinHash-verified, SemDeDup cells); clusters come from
+    * [[graft.pipeline.Dedup.connectedComponents]] (pointer-jumping, O(log
+    * diameter) rounds), singletons — docs in no pair — form their own
+    * cluster keyed by their id (same key domain: cluster labels ARE doc
+    * ids, the min reachable id). The assignment is then [[splitLabel]]'s
+    * deterministic md5 draw on the cluster key: reproducible on any
+    * engine, stable under corpus growth that doesn't touch a cluster.
+    * One left join of ids against the (bounded, paired-docs-only) label
+    * relation — the corpus never reshuffles. Returns `docs` columns +
+    * (cluster, split). */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, edges: DataFrame,
+                       salt: String,
+                       fractions: Seq[(String, Double)]): DataFrame = {
+    val labels = Dedup.connectedComponents(edges)
+      .select(col("id").as(idCol), col("cluster").as("__cl"))
+    docs.join(labels, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("__cl"), col(idCol)))
+      .drop("__cl")
+      .withColumn("split", splitLabel(col("cluster"), salt, fractions))
+  }
+
   // ------------------------------------------------------- sequence packing
   /** Pack documents into fixed-token-budget training sequences, GPT-style:
     * concatenate in id order and cut every `tokenBudget` tokens — a doc

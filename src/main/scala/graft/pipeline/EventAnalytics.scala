@@ -180,6 +180,37 @@ object EventAnalytics {
       .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  // ------------------------------------------------ EWMA daily smoothing
+  /** Exponentially-weighted moving average of the zero-filled daily count
+    * series (the [[resampleDaily]] spine) — the standard smoothed-trend /
+    * anomaly-baseline signal. α is fixed at ½ and the memory truncates at
+    * `maxLag` days, which makes every weight a POWER OF TWO (wᵢ = 2^−(i+1))
+    * — each product count·wᵢ is an exact double (exponent shift), the
+    * ≤ maxLag+1-term sum stays in exact dyadic arithmetic (counts < 2^40
+    * leave 13+ mantissa bits of headroom at maxLag ≤ 12), and the
+    * normalizer Σ available wᵢ is dyadic too: the whole smoother is
+    * BIT-IDENTICAL in any engine, with one final IEEE division (6dp). At
+    * the series head fewer lags exist; the normalizer adapts (standard
+    * `adjust=true` EWM semantics). One unpartitioned window over the
+    * CALENDAR-BOUNDED spine (the q119/q122 discipline: days, never events
+    * — ~36,500 rows per century; per-entity series would partition by the
+    * entity). Returns (day, n, ewma). */
+  def ewmaDaily(df: DataFrame, tsCol: String, maxLag: Int = 8): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 12, s"maxLag must be in [1,12]: $maxLag")
+    val spine = resampleDaily(df, tsCol)
+    val w = Window.orderBy(col("day"))
+    val lags = (0 to maxLag).map { i =>
+      (lag(col("n"), i).over(w), math.pow(2.0, -(i + 1)))
+    }
+    val num = lags.map { case (c, wi) =>
+      when(c.isNotNull, c.cast("double") * wi).otherwise(0.0)
+    }.reduce(_ + _)
+    val den = lags.map { case (c, wi) =>
+      when(c.isNotNull, wi).otherwise(0.0)
+    }.reduce(_ + _)
+    spine.select(col("day"), col("n"), round(num / den, 6).as("ewma"))
+  }
+
   // ------------------------------------------------- batch sessionization
   /** Batch gap sessionization: a user's events sort by (micros, id — the
     * deterministic tie rule), a session breaks where the gap exceeds

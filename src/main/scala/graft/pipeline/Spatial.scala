@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Planar spatial joins on integer coordinates — the grid-bucketed
@@ -98,5 +98,49 @@ object Spatial {
         struct(col("dist2"), col("id_b"))).as("__nn"))
       .select(col("id_a"), col("__nn.id_b").as("id_b"),
         col("__nn.dist2").as("dist2"))
+  }
+
+  /** Base-32 alphabet of the public geohash scheme (no a/i/l/o). */
+  val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Standard geohash cell id of (lat, lon) degrees at `chars` precision —
+    * the prefix-hierarchical spatial bucketing key (cell density maps,
+    * coarse geo-partitioning, prefix-join colocation: a k-char prefix IS
+    * the containing coarser cell, so one `substring` regroups to any
+    * coarser grid without re-encoding). chars must be EVEN (odd geohash
+    * lengths split bits asymmetrically; the even grid keeps lat/lon
+    * resolution equal and the arithmetic transparent): total bits =
+    * 5·chars, half to each axis.
+    *
+    * The whole encode is one row-local codegen'd projection in pure
+    * INTEGER arithmetic after two fixed-shape IEEE quantizations
+    * (⌊(deg−lo)/span·2ᵇ⌋, clamped) — bit interleave (lon takes the even
+    * bits from the MSB, per the standard) and alphabet lookup are
+    * shift/mask/substring chains any engine reproduces bit-identically
+    * (the q213 Morton discipline; geohash IS Morton + base-32). No UDF,
+    * no shuffle. */
+  def geohash(lat: Column, lon: Column, chars: Int): Column = {
+    require(chars >= 2 && chars % 2 == 0 && chars <= 12,
+      s"chars must be even, in [2,12]: $chars")
+    val bitsPerAxis = 5 * chars / 2
+    def quant(deg: Column, lo: Double, span: Double) = {
+      val cells = math.pow(2.0, bitsPerAxis)
+      least(greatest(floor((deg.cast("double") - lo) / span * cells),
+        lit(0.0)), lit(cells - 1.0)).cast("long")
+    }
+    val lonQ = quant(lon, -180.0, 360.0)
+    val latQ = quant(lat, -90.0, 180.0)
+    // interleave: bit j (from MSB, 0-based) of the 5·chars-bit code comes
+    // from lon when j is even, lat when odd — fold into one long
+    val total = 5 * chars
+    val code = (0 until total).map { j =>
+      val src = if (j % 2 == 0) lonQ else latQ
+      val srcBit = bitsPerAxis - 1 - j / 2
+      shiftleft(shiftright(src, srcBit).bitwiseAND(1L), total - 1 - j)
+    }.reduce(_.bitwiseOR(_))
+    concat((0 until chars).map { c =>
+      val idx = shiftright(code, 5 * (chars - 1 - c)).bitwiseAND(31L)
+      lit(GeohashAlphabet).substr(idx.cast("int") + 1, lit(1))
+    }: _*)
   }
 }

@@ -735,4 +735,182 @@ object Stats {
         round(col("__s").cast("double") / col("n_pos"), 6)))
       .drop("__s")
   }
+
+  // -------------------------------------------- KMV distinct-count sketch
+  /** K-minimum-values distinct-count estimate per group — the MERGEABLE
+    * distinct sketch (union two sketches = keep the k smallest of both)
+    * that, unlike HLL, is DETERMINISTIC and engine-portable: the hash is
+    * the md5-draw idiom (60-bit integer from the first 15 md5 nibbles), so
+    * any engine with md5 computes the identical estimate — an
+    * oracle-checkable sketch (the q43 gate problem solved by construction).
+    *
+    * Estimator: with h₍k₎ the k-th smallest normalized hash of the group's
+    * DISTINCT keys, est = (k−1)/h₍k₎ (Bar-Yossef et al.; Beyer et al.'s
+    * unbiased form). Groups with ≤ k distinct keys report their EXACT
+    * count (the classic KMV small-set rule).
+    *
+    * Scale shape: keys collapse to distinct (group, hash) once (one
+    * shuffle), then a count-driven PRUNE keeps only hashes small enough to
+    * plausibly rank ≤ k (expected survivors ≈ 4k per group), so the rank
+    * window sorts ~4k rows per group regardless of cardinality — never the
+    * full distinct relation. A group whose survivor set under-fills
+    * (astronomically unlikely, but the estimate must not silently degrade)
+    * is rescued exactly from the unpruned relation, the capPerGroup
+    * discipline. Returns groupCols + (n_distinct, kmv_est) — n_distinct is
+    * the exact count (for gate/diagnostics; at 100 TB you'd drop it and
+    * keep only the sketch path, which never sorts the corpus). */
+  def kmvDistinct(df: DataFrame, key: Column, groupCols: Seq[String],
+                  k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    require(groupCols.nonEmpty, "at least one group column")
+    val g = groupCols.map(col)
+    val two60 = math.pow(2.0, 60) // exact in double
+    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val hashes = df.filter(key.isNotNull)
+      .select(g :+ h.as("__h"): _*).distinct()
+    val counts = hashes.groupBy(g: _*).agg(count(lit(1)).as("n_distinct"))
+    // prune: keep __h whose normalized value is below 4k/n — expected
+    // survivors 4k; heuristic only (the rescue restores exactness), so the
+    // double comparison's determinism is all that matters (fixed shape).
+    val pruned = hashes.join(counts, groupCols)
+      .filter(col("__h").cast("double") * col("n_distinct") <
+        lit(4.0 * k) * lit(two60) || col("n_distinct") <= k)
+    val w = Window.partitionBy(g: _*).orderBy(col("__h"))
+    val surv = pruned.withColumn("__r", row_number().over(w))
+    val kth = surv.filter(col("__r") === k)
+      .select(g :+ col("__h").as("__hk"): _*)
+    // groups whose pruned set under-fills despite n_distinct > k
+    val needRescue = counts
+      .join(surv.groupBy(g: _*).agg(max(col("__r")).as("__m")), groupCols, "left")
+      .filter(col("n_distinct") > k && coalesce(col("__m"), lit(0)) < k)
+      .select(g: _*)
+    val rescued = hashes.join(broadcast(needRescue), groupCols, "semi")
+      .withColumn("__r", row_number().over(w)).filter(col("__r") === k)
+      .select(g :+ col("__h").as("__hk"): _*)
+    val kthAll = kth.join(broadcast(needRescue), groupCols, "anti")
+      .unionByName(rescued)
+    counts.join(kthAll, groupCols, "left")
+      .select(g ++ Seq(col("n_distinct"),
+        when(col("n_distinct") <= k, col("n_distinct").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(two60) /
+            col("__hk").cast("double"), 4)).as("kmv_est")): _*)
+  }
+
+  // --------------------------------------- population stability index (PSI)
+  /** PSI between a reference and a current sample of `valueCol` over
+    * `nBins` equal-width bins on [lo, hi) (out-of-range values clamp into
+    * the edge bins — drift OFF the known range must count as drift, not
+    * vanish): Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ), the standard model-monitoring drift
+    * score (PSI < 0.1 stable, > 0.25 drifted). Bins are the q89 histogram
+    * arithmetic (pure IEEE floor — engine-identical); empty bins are kept
+    * by a generated bin spine and smoothed with +0.5 (Laplace half-count,
+    * the zero-cell guard); each ln term casts DECIMAL(28,12) at the source
+    * (q228 discipline) so the sum is exact under any merge order. Both
+    * inputs aggregate to ≤ nBins cells in one conditional-count pass each —
+    * map-side combinable, never a shuffle of rows. One row:
+    * (n_ref, n_cur, psi) with psi rounded 6dp. */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+          lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2 && hi > lo, s"bad bins: [$lo, $hi) x $nBins")
+    val width = (hi - lo) / nBins // one IEEE division, both engines
+    def binned(df: DataFrame, n: String) = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(least(greatest(
+        floor((col(valueCol).cast("double") - lo) / width), lit(0.0)),
+        lit((nBins - 1).toDouble)).cast("long").as("bin"))
+      .agg(count(lit(1)).as(n))
+    val spark = ref.sparkSession
+    val spine = spark.range(nBins).select(col("id").as("bin"))
+    val cells = spine
+      .join(binned(ref, "__cr"), Seq("bin"), "left")
+      .join(binned(cur, "__cc"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+    val tot = cells.agg(sum(col("__cr")).as("n_ref"), sum(col("__cc")).as("n_cur"))
+    val p = (col("__cr").cast("double") + 0.5) /
+      (col("n_ref").cast("double") + 0.5 * nBins)
+    val q = (col("__cc").cast("double") + 0.5) /
+      (col("n_cur").cast("double") + 0.5 * nBins)
+    cells.crossJoin(broadcast(tot))
+      .select(col("n_ref"), col("n_cur"),
+        ((p - q) * log(p / q)).cast("decimal(28,12)").as("__t"))
+      .groupBy("n_ref", "n_cur")
+      .agg(round(sum(col("__t")).cast("double"), 6).as("psi"))
+  }
+
+  // ------------------------------------------------ Cohen's kappa agreement
+  /** Inter-rater agreement between two categorical labelings of the same
+    * rows (two annotation passes, a model vs a heuristic, two quality
+    * classifiers): κ = (p₀ − pₑ)/(1 − pₑ) with p₀ the observed agreement
+    * and pₑ the chance agreement from the marginals. One pass collapses the
+    * corpus to the (a, b) CELL relation (bounded by the label vocabulary
+    * squared — the KS/Gini aggregated-relation discipline); diagonal,
+    * marginals, and the pₑ cross-product are all integer arithmetic on
+    * those cells, finished in one fixed IEEE shape rounded 6dp. Rows where
+    * either rater is null are excluded. One row: (n, po, pe, kappa). */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val cells = df.filter(raterA.isNotNull && raterB.isNotNull)
+      .groupBy(raterA.as("__a"), raterB.as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val n = cells.agg(sum(col("__n")).as("__tot"))
+    val diag = cells.filter(col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("__d"))
+    val rows = cells.groupBy("__a").agg(sum(col("__n")).as("__ra"))
+    val cols = cells.groupBy("__b").agg(sum(col("__n")).as("__cb"))
+    val pe = rows.join(cols, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__ra") * col("__cb")), lit(0L)).as("__pe2"))
+    val nD = col("__tot").cast("double")
+    val po = col("__d").cast("double") / nD
+    val peD = col("__pe2").cast("double") / (nD * nD)
+    n.crossJoin(broadcast(diag)).crossJoin(broadcast(pe))
+      .select(col("__tot").as("n"), round(po, 6).as("po"),
+        round(peD, 6).as("pe"),
+        round((po - peD) / (lit(1.0) - peD), 6).as("kappa"))
+  }
+
+  // ------------------------------------------- calibration (reliability)
+  /** Reliability-curve bins for a probabilistic scorer: rows bucket by
+    * predicted probability (`probCol` in [0,1], bin = ⌊p·nBins⌋ clamped),
+    * and each bin reports how often the label actually fired — the plot
+    * that shows a quality/toxicity classifier is over- or under-confident
+    * before its scores gate a corpus. mean_p is a decimal-exact sum (the
+    * q91 discipline, probs cast DECIMAL(28,12) at the source) divided
+    * once; frac_pos is integer-count division. One combinable aggregate on
+    * ≤ nBins keys; only populated bins return (the spine-free histogram
+    * convention, q89). Returns (bin, n, mean_p, frac_pos) rounded 6dp. */
+  def calibrationBins(df: DataFrame, probCol: String, labelCol: Column,
+                      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val p = col(probCol).cast("double")
+    df.filter(p.isNotNull)
+      .groupBy(least(floor(p * nBins), lit((nBins - 1).toDouble))
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(p.cast("decimal(28,12)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_p"),
+        round(sum(when(labelCol, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("frac_pos"))
+  }
+
+  /** Brier score and log loss of a probabilistic scorer in ONE combinable
+    * aggregate pass: brier = mean (p − y)², logloss = mean −[y·ln p +
+    * (1−y)·ln(1−p)]. Each per-row term is one fixed IEEE shape cast
+    * DECIMAL(28,12) at the source (q228 discipline) — the sums are exact
+    * under any shuffle merge order, the final divisions are single IEEE
+    * ops, 6dp. `probCol` must lie in (0, 1) exclusive for logloss (clamp
+    * upstream — a hard 0/1 prediction has infinite loss by definition and
+    * should fail loudly, not silently saturate). One row:
+    * (n, brier, logloss). */
+  def brierScore(df: DataFrame, probCol: String, labelCol: Column): DataFrame = {
+    val p = col(probCol).cast("double")
+    val y = when(labelCol, 1.0).otherwise(0.0)
+    val nD = count(lit(1)).cast("double")
+    df.filter(p.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        round(sum(((p - y) * (p - y)).cast("decimal(28,12)"))
+          .cast("double") / nD, 6).as("brier"),
+        round(sum((-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p)))
+          .cast("decimal(28,12)")).cast("double") / nD, 6).as("logloss"))
+  }
 }

@@ -577,4 +577,46 @@ object TextAnalysis {
         round((-sum(term)).cast("double") / count(lit(1)), 6).as("avg_nll"))
       .join(docs.select(col(idCol)), Seq(idCol), "right")
   }
+
+  // ------------------------------------- Jensen–Shannon corpus divergence
+  /** Jensen–Shannon divergence between the token distributions of two
+    * slices of a corpus (two sources, two crawl snapshots, train vs eval) —
+    * the symmetric, bounded (≤ ln 2) distribution-shift score used for
+    * mixture monitoring. JSD(P,Q) = ½ΣP ln(P/M) + ½ΣQ ln(Q/M) with
+    * M = (P+Q)/2; a token absent from one side contributes only the other
+    * side's term (its own is zero by limit), so no smoothing is needed —
+    * unlike KL, JSD is finite by construction.
+    *
+    * Determinism: counts are exact integers from one combinable
+    * (token × side) aggregate (bounded by the vocabulary — the corpus
+    * shuffles its TOKENS once, never its rows); P, Q, M are fixed-shape
+    * IEEE ratios of those counts; each ln term casts DECIMAL(28,12) at the
+    * source (q228 discipline) so the vocabulary-sized sum is exact under
+    * any merge order; one 6dp round finishes. Returns one row:
+    * (n_tokens_a, n_tokens_b, jsd). */
+  def jsDivergence(docs: DataFrame, groupCol: String, textCol: String,
+                   a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = docs.filter(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("__g"),
+        explode(tokens(lower(col(textCol)))).as("__w"))
+      .groupBy("__w")
+      .agg(sum(when(col("__g") === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__g") === b, 1L).otherwise(0L)).as("__cb"))
+    val tot = cells.agg(sum(col("__ca")).as("n_tokens_a"),
+      sum(col("__cb")).as("n_tokens_b"))
+    val p = col("__ca").cast("double") / col("n_tokens_a").cast("double")
+    val q = col("__cb").cast("double") / col("n_tokens_b").cast("double")
+    val m = (p + q) / 2.0
+    def side(cnt: Column, prob: Column) =
+      when(cnt > 0L, (prob * log(prob / m)).cast(DecimalType(28, 12)))
+    cells.crossJoin(broadcast(tot))
+      .select(col("n_tokens_a"), col("n_tokens_b"),
+        side(col("__ca"), p).as("__ta"), side(col("__cb"), q).as("__tb"))
+      .groupBy("n_tokens_a", "n_tokens_b")
+      // ×0.5 on the cast-back doubles (exact: exponent shift), one add:
+      // fixed IEEE shape, identical in any engine
+      .agg(round(sum(col("__ta")).cast("double") * 0.5 +
+        sum(col("__tb")).cast("double") * 0.5, 6).as("jsd"))
+  }
 }

@@ -536,6 +536,45 @@ object AppliedQueries {
             EventAnalytics.dayIndex(col("o_orderdate")).as("o_day"))
           .agg(sum(rev).cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey").asc).limit(10)
-      })
+      }),
+
+    // ---- geohash cell density: the standard base-32 prefix-hierarchical
+    // spatial bucketing key (Morton + alphabet, the q213 discipline) over
+    // synthetic customer coordinates — top-20 densest 6-char cells. The
+    // oracle SQL is GENERATED from the same bit loop as the Spark
+    // expression, so the interleave is pinned bit-for-bit cross-engine.
+    Q("q240_geohash_cells", {
+      // CAST ... AS DOUBLE before the multiply: DuckDB parses 0.17 as
+      // DECIMAL and would do exact decimal math where Spark does IEEE
+      val latE = "(CAST((c_custkey % 1000) - 500 AS DOUBLE) * 0.17)"
+      val lonE = "(CAST(((c_custkey * 7919) % 1000) - 500 AS DOUBLE) * 0.35)"
+      // mirrors Spatial.geohash(chars = 6): 15 bits per axis
+      def quant(e: String, lo: String, span: String) =
+        s"CAST(least(greatest(floor(($e - $lo) / $span * 32768.0), 0.0), " +
+          "32767.0) AS BIGINT)"
+      val interleave = (0 until 30).map { j =>
+        val src = if (j % 2 == 0) "lonq" else "latq"
+        val srcBit = 14 - j / 2
+        s"((($src >> $srcBit) & 1) << ${29 - j})"
+      }.mkString(" | ")
+      val chars = (0 until 6).map { c =>
+        s"substr('0123456789bcdefghjkmnpqrstuvwxyz', " +
+          s"CAST((code >> ${5 * (5 - c)}) & 31 AS INT) + 1, 1)"
+      }.mkString(" || ")
+      Some("WITH p AS (SELECT " +
+        s"${quant(latE, "-90.0", "180.0")} AS latq, " +
+        s"${quant(lonE, "-180.0", "360.0")} AS lonq FROM customer), " +
+        s"b AS (SELECT $interleave AS code FROM p), " +
+        s"g AS (SELECT $chars AS gh FROM b) " +
+        "SELECT gh, count(*) AS n FROM g GROUP BY 1 " +
+        "ORDER BY n DESC, gh LIMIT 20")
+    },
+      (s, dir) => Tables.customer(s, dir)
+        .select(Spatial.geohash(
+          (pmod(col("c_custkey"), lit(1000L)) - 500) * 0.17,
+          (pmod(col("c_custkey") * 7919L, lit(1000L)) - 500) * 0.35,
+          chars = 6).as("gh"))
+        .groupBy("gh").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gh").asc).limit(20))
   )
 }

@@ -1236,6 +1236,160 @@ object StatsQueries {
             .withColumn("c_custkey", col("c_custkey") + 1000000L))
         Ops.tableDiff(base, after, "c_custkey")
           .orderBy("c_custkey")
-      })
+      }),
+
+    // ---- KMV distinct-count sketch: the DETERMINISTIC mergeable distinct
+    // estimator (k smallest 60-bit md5 hashes) — unlike HLL (q187's
+    // tolerance dance) the sketch itself is oracle-checkable: both engines
+    // compute the identical k-th minimum and the identical estimate. Small
+    // groups (n <= k) report exactly.
+    Q("q232_kmv_distinct", {
+      // 60-bit integer from the first 15 md5 nibbles, as pure SQL arithmetic
+      val hexInt = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * " +
+          s"${BigInt(16).pow(15 - i)}").mkString("(", " + ", ")")
+      Some("WITH d AS (SELECT DISTINCT event_type, " +
+        "substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS hx FROM events " +
+        "WHERE user_id IS NOT NULL), " +
+        s"h AS (SELECT event_type, $hexInt AS h FROM d), " +
+        "r AS (SELECT event_type, h, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY h) AS rn FROM h), " +
+        "c AS (SELECT event_type, count(*) AS n_distinct FROM h GROUP BY 1), " +
+        "k AS (SELECT event_type, h AS hk FROM r WHERE rn = 64) " +
+        "SELECT c.event_type, c.n_distinct, " +
+        "CASE WHEN c.n_distinct <= 64 THEN CAST(c.n_distinct AS DOUBLE) " +
+        "ELSE round(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE), 4) " +
+        "END AS kmv_est FROM c LEFT JOIN k USING (event_type) " +
+        "ORDER BY event_type")
+    },
+      (s, dir) => Stats.kmvDistinct(Tables.events(s, dir), col("user_id"),
+        Seq("event_type"), k = 64).orderBy("event_type")),
+
+    // ---- PSI drift score between the view and click value distributions:
+    // 20 equal-width bins on [0, 400) with edge clamping, half-count
+    // smoothing, DECIMAL(28,12) ln terms — the model-monitoring gate as an
+    // exact cross-engine number.
+    Q("q233_psi", {
+      def p(cn: String, n: String) =
+        s"(CAST($cn AS DOUBLE) + 0.5) / (CAST($n AS DOUBLE) + 10.0)"
+      val (pr, qc) = (p("cr", "n_ref"), p("cc", "n_cur"))
+      Some("WITH spine AS (SELECT unnest(range(20)) AS bin), " +
+        "rv AS (SELECT CAST(least(greatest(floor((CAST(value AS DOUBLE) - 0.0) " +
+        "/ 20.0), 0.0), 19.0) AS BIGINT) AS bin, count(*) AS r FROM events " +
+        "WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1), " +
+        "cv AS (SELECT CAST(least(greatest(floor((CAST(value AS DOUBLE) - 0.0) " +
+        "/ 20.0), 0.0), 19.0) AS BIGINT) AS bin, count(*) AS c FROM events " +
+        "WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1), " +
+        "cells AS (SELECT s.bin, coalesce(r, 0) AS cr, coalesce(c, 0) AS cc " +
+        "FROM spine s LEFT JOIN rv ON s.bin = rv.bin LEFT JOIN cv ON s.bin = cv.bin), " +
+        "t AS (SELECT sum(cr) AS n_ref, sum(cc) AS n_cur FROM cells), " +
+        s"terms AS (SELECT n_ref, n_cur, CAST(($pr - $qc) * ln($pr / $qc) " +
+        "AS DECIMAL(28,12)) AS tm FROM cells, t) " +
+        "SELECT n_ref, n_cur, round(CAST(sum(tm) AS DOUBLE), 6) AS psi " +
+        "FROM terms GROUP BY 1, 2")
+    },
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        Stats.psi(ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"),
+          "value", lo = 0.0, hi = 400.0, nBins = 20)
+      }),
+
+    // ---- Cohen's kappa between two deterministic document "raters"
+    // (length-by-chars vs length-by-tokens buckets): the annotation-
+    // agreement score every labeling pipeline reports, exact from the
+    // 3x3 cell relation.
+    Q("q235_cohen_kappa", {
+      val aCase = "CASE WHEN n_chars < 150 THEN 'short' " +
+        "WHEN n_chars < 350 THEN 'medium' ELSE 'long' END"
+      val bCase = "CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 30 " +
+        "THEN 'short' WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 65 " +
+        "THEN 'medium' ELSE 'long' END"
+      Some(s"WITH r AS (SELECT $aCase AS a, $bCase AS b FROM documents), " +
+        "cells AS (SELECT a, b, count(*) AS n FROM r GROUP BY 1, 2), " +
+        "t AS (SELECT sum(n) AS tot FROM cells), " +
+        "d AS (SELECT coalesce(sum(n), 0) AS dg FROM cells WHERE a = b), " +
+        "rm AS (SELECT a, sum(n) AS ra FROM cells GROUP BY 1), " +
+        "cm AS (SELECT b, sum(n) AS cb FROM cells GROUP BY 1), " +
+        "pe AS (SELECT coalesce(sum(ra * cb), 0) AS pe2 FROM rm JOIN cm ON rm.a = cm.b), " +
+        "f AS (SELECT CAST(tot AS BIGINT) AS n, " +
+        "CAST(dg AS DOUBLE) / CAST(tot AS DOUBLE) AS po, " +
+        "CAST(pe2 AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS ped " +
+        "FROM t, d, pe) " +
+        "SELECT n, round(po, 6) AS po, round(ped, 6) AS pe, " +
+        "round((po - ped) / (1.0 - ped), 6) AS kappa FROM f")
+    },
+      (s, dir) => {
+        val ntok = size(TA.tokens(col("text")))
+        Stats.cohenKappa(Tables.documents(s, dir),
+          when(col("n_chars") < 150, "short")
+            .when(col("n_chars") < 350, "medium").otherwise("long"),
+          when(ntok < 30, "short").when(ntok < 65, "medium")
+            .otherwise("long"))
+      }),
+
+    // ---- reliability-curve bins for a deterministic "probability" score
+    // (p = n_chars/(n_chars+300), label = lang is English): the
+    // calibration plot that decides whether a quality scorer's thresholds
+    // mean what they say.
+    Q("q236_calibration", {
+      val pE = "(CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 300.0))"
+      Some(s"WITH s AS (SELECT $pE AS p, lang = 'en' AS y FROM documents) " +
+        "SELECT CAST(least(floor(p * 10), 9.0) AS BIGINT) AS bin, " +
+        "count(*) AS n, " +
+        "round(CAST(sum(CAST(p AS DECIMAL(28,12))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS mean_p, " +
+        "round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS frac_pos " +
+        "FROM s GROUP BY 1 ORDER BY bin")
+    },
+      (s, dir) => Stats.calibrationBins(
+        Tables.documents(s, dir).withColumn("p",
+          col("n_chars").cast("double") /
+            (col("n_chars").cast("double") + 300.0)),
+        "p", col("lang") === "en", nBins = 10).orderBy("bin")),
+
+    // ---- Brier score + log loss of the same scorer, one combinable pass;
+    // every per-row term casts DECIMAL(28,12) at the source.
+    Q("q237_brier", {
+      val pE = "(CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 300.0))"
+      Some(s"WITH s AS (SELECT $pE AS p, " +
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents) " +
+        "SELECT count(*) AS n, " +
+        "round(CAST(sum(CAST((p - y) * (p - y) AS DECIMAL(28,12))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS brier, " +
+        "round(CAST(sum(CAST(-(y * ln(p) + (1.0 - y) * ln(1.0 - p)) " +
+        "AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS logloss " +
+        "FROM s")
+    },
+      (s, dir) => Stats.brierScore(
+        Tables.documents(s, dir).withColumn("p",
+          col("n_chars").cast("double") /
+            (col("n_chars").cast("double") + 300.0)),
+        "p", col("lang") === "en")),
+
+    // ---- EWMA-smoothed daily event counts (alpha = 1/2, 8-day memory):
+    // every weight is a power of two, so the smoother is exact dyadic
+    // arithmetic — bit-identical cross-engine — with one final division.
+    Q("q238_ewma", {
+      val num = (0 to 8).map { i =>
+        val w = java.math.BigDecimal.valueOf(math.pow(2.0, -(i + 1))).toPlainString
+        s"CASE WHEN lag(n, $i) OVER w IS NOT NULL THEN " +
+          s"CAST(lag(n, $i) OVER w AS DOUBLE) * $w ELSE 0.0 END"
+      }.mkString(" + ")
+      val den = (0 to 8).map { i =>
+        val w = java.math.BigDecimal.valueOf(math.pow(2.0, -(i + 1))).toPlainString
+        s"CASE WHEN lag(n, $i) OVER w IS NOT NULL THEN $w ELSE 0.0 END"
+      }.mkString(" + ")
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n " +
+        "FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "s AS (SELECT r.day, coalesce(c.n, 0) AS n FROM r LEFT JOIN c USING (day)) " +
+        s"SELECT day, n, round(($num) / ($den), 6) AS ewma FROM s " +
+        "WINDOW w AS (ORDER BY day) ORDER BY day")
+    },
+      (s, dir) => EventAnalytics.ewmaDaily(Tables.events(s, dir), "ts",
+        maxLag = 8).orderBy("day"))
   )
 }

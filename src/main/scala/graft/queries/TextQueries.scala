@@ -661,6 +661,63 @@ object TextQueries {
     },
       (s, dir) => TA.lmPerplexityScore(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("n_bigrams"), col("avg_nll"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- Jensen-Shannon divergence between two sources' token
+    // distributions: the symmetric, finite (<= ln 2) mixture-shift score —
+    // counts collapse to the (token x side) relation once, every ln term
+    // casts DECIMAL(28,12) at the source, one x0.5+x0.5 IEEE finish.
+    Q("q234_js_divergence", {
+      val lt = ltokensSql
+      Some(s"WITH w AS (SELECT source, unnest($lt) AS tok FROM documents " +
+        "WHERE source IN ('src0', 'src1')), " +
+        "c AS (SELECT tok, sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb FROM w GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_tokens_a, " +
+        "CAST(sum(cb) AS BIGINT) AS n_tokens_b FROM c), " +
+        "m AS (SELECT n_tokens_a, n_tokens_b, " +
+        "CAST(ca AS DOUBLE) / CAST(n_tokens_a AS DOUBLE) AS p, " +
+        "CAST(cb AS DOUBLE) / CAST(n_tokens_b AS DOUBLE) AS q, ca, cb FROM c, t), " +
+        "s AS (SELECT n_tokens_a, n_tokens_b, " +
+        "CASE WHEN ca > 0 THEN CAST(p * ln(p / ((p + q) / 2.0)) AS DECIMAL(28,12)) END AS ta, " +
+        "CASE WHEN cb > 0 THEN CAST(q * ln(q / ((p + q) / 2.0)) AS DECIMAL(28,12)) END AS tb " +
+        "FROM m) " +
+        "SELECT n_tokens_a, n_tokens_b, " +
+        "round(CAST(sum(ta) AS DOUBLE) * 0.5 + CAST(sum(tb) AS DOUBLE) * 0.5, 6) " +
+        "AS jsd FROM s GROUP BY 1, 2")
+    },
+      (s, dir) => TA.jsDivergence(Tables.documents(s, dir), "source", "text",
+        "src0", "src1")),
+
+    // ---- leakage-safe split: q48's near-dup clusters (singletons = their
+    // own cluster) hashed through q51's md5 split draw on the CLUSTER key,
+    // so near-copies can never straddle train/test. Oracle = the recursive
+    // transitive closure + the identical fixed-width-hex CASE.
+    Q("q239_leakage_split",
+      Some(s"WITH RECURSIVE sh AS (SELECT doc_id, $shinglesSql AS s FROM documents), " +
+        "blk AS (SELECT doc_id, s, list_aggregate(s, 'min') AS b FROM sh), " +
+        "edges AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM blk a JOIN blk b ON a.b = b.b AND a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.8), " +
+        "und AS (SELECT id_a AS src, id_b AS dst FROM edges UNION SELECT id_b, id_a FROM edges), " +
+        "reach AS (SELECT src, dst FROM und " +
+        "UNION SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src), " +
+        "lab AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster FROM reach GROUP BY src), " +
+        "a AS (SELECT d.doc_id, coalesce(lab.cluster, d.doc_id) AS cluster " +
+        "FROM documents d LEFT JOIN lab USING (doc_id)) " +
+        "SELECT doc_id, cluster, CASE " +
+        "WHEN substring(md5('split-v1' || CAST(cluster AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train' " +
+        "WHEN substring(md5('split-v1' || CAST(cluster AS VARCHAR)), 1, 8) < 'e6666666' THEN 'valid' " +
+        "ELSE 'test' END AS split FROM a ORDER BY doc_id"),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          blockCol = array_min(Dedup.wordShingles(col("text"), 3)),
+          n = 3, threshold = 0.8)
+        Curation.leakageSafeSplit(docs.select(col("doc_id")), "doc_id",
+            edges, "split-v1",
+            Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+          .orderBy("doc_id")
+      })
   )
 }

@@ -525,6 +525,48 @@ object TpchQueries {
           .filter(col("val") * 1000 > col("total"))
           .select(col("l_partkey"), col("val").cast(DoubleType).as("value"))
           .orderBy(col("value").desc, col("l_partkey").asc)
+      }),
+
+    // ---- Q20 potential-promotion shape (no partsupp: "excess availability"
+    // becomes DOMINANT SUPPLY — a supplier whose 1997 shipped quantity of
+    // some small-line part exceeds half that part's total 1997 volume).
+    // Completes the 22-query TPC-H sweep. The (supp, part) aggregate is
+    // computed ONCE and reused for the per-part totals (sum of sums — an
+    // AQE-broadcast second aggregate over the already-keyed relation, never
+    // a second scan of the fact); the dominance threshold compares
+    // qty·2 > tot in EXACT decimals, no 0.5 float near the cut; the
+    // supplier filter is the classic nested IN planned as a semi join.
+    Q("q231_tpch_q20",
+      Some("WITH sp AS (SELECT l_suppkey, l_partkey, " +
+        "SUM(CAST(l_quantity AS DECIMAL(24,6))) AS qty FROM lineitem " +
+        "JOIN part ON p_partkey = l_partkey AND p_name LIKE 'small%' " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01' GROUP BY 1, 2), " +
+        "pt AS (SELECT l_partkey, SUM(qty) AS tot FROM sp GROUP BY 1) " +
+        "SELECT s_name, s_acctbal FROM supplier " +
+        "JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3' " +
+        "WHERE s_suppkey IN (SELECT l_suppkey FROM sp " +
+        "JOIN pt USING (l_partkey) WHERE qty * 2 > tot) ORDER BY s_name"),
+      (s, dir) => {
+        val sp = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= ts("1997-01-01") &&
+            col("l_shipdate") < ts("1998-01-01"))
+          .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_name").like("small%"))
+            .select(col("p_partkey").as("l_partkey"))), Seq("l_partkey"))
+          .groupBy("l_suppkey", "l_partkey")
+          .agg(sum(dec(col("l_quantity"))).as("qty"))
+        val pt = sp.groupBy("l_partkey").agg(sum(col("qty")).as("tot"))
+        val dominant = sp.join(pt, Seq("l_partkey"))
+          .filter(col("qty") * 2 > col("tot"))
+          .select(col("l_suppkey").as("s_suppkey")).distinct()
+        Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+            .filter(col("n_name") === "NATION_3")
+            .select(col("n_nationkey").as("s_nationkey"))), Seq("s_nationkey"))
+          .join(dominant, Seq("s_suppkey"), "semi")
+          .select(col("s_name"), col("s_acctbal"))
+          .orderBy("s_name")
       })
   )
 }

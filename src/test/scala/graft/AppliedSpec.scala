@@ -322,4 +322,24 @@ class AppliedSpec extends SparkSpec {
     assert(scored.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
       Seq((1L, 2L, 2.5), (1L, 3L, 0.0), (2L, 3L, -0.5)))
   }
+
+  test("geohash: public test vector; prefix = coarser cell; edges clamp") {
+    import spark.implicits._
+    val df = Seq(
+      (57.64911, 10.40744),   // geohash.org canonical example -> u4pruy...
+      (0.0, 0.0), (-90.0, -180.0), (90.0, 180.0), (37.7749, -122.4194))
+      .toDF("lat", "lon")
+    val got = df.select(
+      Spatial.geohash(col("lat"), col("lon"), 6).as("g6"),
+      Spatial.geohash(col("lat"), col("lon"), 4).as("g4"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got(0)._1 == "u4pruy", "known vector (Jutland)")
+    assert(got(4)._1.startsWith("9q8yy"), "known vector (San Francisco)")
+    got.foreach { case (g6, g4) =>
+      assert(g6.startsWith(g4), "4-char hash is the containing cell")
+    }
+    // +90/+180 sit on the open upper edge: clamp into the last cell, not
+    // overflow into garbage
+    assert(got(3)._1 == "zzzzzz")
+  }
 }

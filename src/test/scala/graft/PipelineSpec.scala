@@ -1133,4 +1133,39 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L)._2 == Some(0.326943))
     assert(out(2L) == ((None, None)))
   }
+
+  test("jsDivergence: hand-computed two-doc case; identical corpora -> 0") {
+    val df = Seq(("a", "x x y"), ("b", "x z")).toDF("src", "text")
+    val r = TA.jsDivergence(df, "src", "text", "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_tokens_a") == 3 &&
+      r.getAs[Long]("n_tokens_b") == 2)
+    // p=(2/3,1/3,0), q=(1/2,0,1/2): jsd = 0.294784 (hand/numpy)
+    assert(r.getAs[Double]("jsd") == 0.294784)
+    val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("src", "text")
+    assert(TA.jsDivergence(same, "src", "text", "a", "b")
+      .collect()(0).getAs[Double]("jsd") == 0.0)
+  }
+
+  test("leakageSafeSplit: cluster members share one split; singletons draw " +
+    "on their own id") {
+    import graft.pipeline.Curation
+    val docs = (1L to 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val fr = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val got = Curation.leakageSafeSplit(docs, "id", edges, "s1", fr)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(Seq(1L, 2L, 3L).map(got(_)._1).distinct == Seq(1L),
+      "one cluster label for the connected trio")
+    assert(Seq(1L, 2L, 3L).map(got(_)._2).distinct.size == 1,
+      "near-dups never straddle splits")
+    Seq(4L, 5L, 6L).foreach { id =>
+      assert(got(id)._1 == id, "singleton cluster = own id")
+    }
+    // the draw IS splitLabel on the cluster key
+    val expected = docs.select(col("id"),
+      Curation.splitLabel(col("id"), "s1", fr).as("sp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L)._2 == expected(1L) && got(4L)._2 == expected(4L))
+  }
 }

@@ -767,4 +767,81 @@ class StatsSpec extends SparkSpec {
     assert(out("g") == ((2L, Some(0.833333))))
     assert(out("h") == ((0L, None)))
   }
+
+  test("kmvDistinct: small groups exact; k-th-minimum formula verbatim; " +
+    "partition-invariant") {
+    import graft.pipeline.Stats
+    // group a: 5 distinct keys (plus a duplicate draw), k=2 -> estimate
+    // from the 2nd-smallest 60-bit md5 prefix; group b: 1 key -> exact
+    val df = Seq("a" -> "u1", "a" -> "u2", "a" -> "u3", "a" -> "u4",
+      "a" -> "u5", "a" -> "u3", "b" -> "u9").toDF("g", "k")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.kmvDistinct(d, col("k"), Seq("g"), k = 2)
+        .orderBy("g").collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = run(df)
+    // 2nd smallest of md5("u1".."u5")[0:15] as int = 346962419214919948
+    assert(got == Seq(("a", 5L, 3.3229), ("b", 1L, 1.0)))
+    assert(run(df.repartition(7)) == got, "estimate must not depend on layout")
+  }
+
+  test("psi: identical distributions score exactly 0; shift and " +
+    "out-of-range clamping both register") {
+    import graft.pipeline.Stats
+    val ref = Seq(1.0, 1.0, 5.0, 9.0).toDF("v")
+    val same = Stats.psi(ref, ref, "v", 0.0, 10.0, nBins = 5)
+      .collect()(0)
+    assert(same.getAs[Double]("psi") == 0.0)
+    // all mass moves bins AND a 100.0 clamps into the top edge bin: psi > 0
+    val cur = Seq(9.0, 9.0, 9.0, 100.0).toDF("v")
+    val drift = Stats.psi(ref, cur, "v", 0.0, 10.0, nBins = 5).collect()(0)
+    assert(drift.getAs[Long]("n_ref") == 4 && drift.getAs[Long]("n_cur") == 4)
+    assert(drift.getAs[Double]("psi") > 0.5)
+  }
+
+  test("cohenKappa: textbook 2x2 table gives kappa 0.4; perfect agreement 1") {
+    import graft.pipeline.Stats
+    // cells: yy=20, yn=5, ny=10, nn=15 -> po=0.7, pe=0.5, kappa=0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Stats.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 50 && r.getAs[Double]("po") == 0.7 &&
+      r.getAs[Double]("pe") == 0.5 && r.getAs[Double]("kappa") == 0.4)
+    val perfect = Stats.cohenKappa(Seq(("y", "y"), ("n", "n")).toDF("a", "b"),
+      col("a"), col("b")).collect()(0)
+    assert(perfect.getAs[Double]("kappa") == 1.0)
+  }
+
+  test("calibrationBins: edge p=1.0 clamps into the top bin; means and " +
+    "positive fractions are per-bin") {
+    import graft.pipeline.Stats
+    val df = Seq((0.05, false), (0.15, true), (0.15, false), (1.0, true))
+      .toDF("p", "y")
+    val bins = Stats.calibrationBins(df, "p", col("y"), nBins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(bins.toSeq == Seq((0L, 1L, 0.05, 0.0), (1L, 2L, 0.15, 0.5),
+      (9L, 1L, 1.0, 1.0)))
+  }
+
+  test("brierScore: hand-computed two-row case") {
+    import graft.pipeline.Stats
+    val df = Seq((0.8, true), (0.5, false)).toDF("p", "y")
+    val r = Stats.brierScore(df, "p", col("y")).collect()(0)
+    assert(r.getAs[Long]("n") == 2)
+    assert(r.getAs[Double]("brier") == 0.145)
+    assert(r.getAs[Double]("logloss") == 0.458145)
+  }
+
+  test("ewmaDaily: dyadic weights, adaptive normalizer at the series head") {
+    // three consecutive days with 4, 2, 8 events
+    val ts = Seq.fill(4)("2024-01-01 10:00:00") ++
+      Seq.fill(2)("2024-01-02 10:00:00") ++ Seq.fill(8)("2024-01-03 10:00:00")
+    val df = ts.toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val got = pipeline.EventAnalytics.ewmaDaily(df, "ts", maxLag = 8)
+      .orderBy("day").select("ewma").as[Double].collect.toSeq
+    // head: 4/1; then (2*.5+4*.25)/.75 ; then (8*.5+2*.25+4*.125)/.875
+    assert(got == Seq(4.0, 2.666667, 5.714286))
+  }
 }
