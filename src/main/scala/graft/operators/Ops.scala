@@ -1041,4 +1041,36 @@ object Ops {
         when(col("__inb").isNotNull && col("__ina").isNotNull, nChanged)
           .otherwise(lit(null)).as("n_cols_changed"))
   }
+
+  /** Per-column Shannon entropy profile — `profile`'s information-theoretic
+    * sibling: for each listed column, the distinct-value count and the
+    * entropy (nats) of its value distribution. Low entropy flags
+    * near-constant columns (dead features, broken joins); entropy ≈ ln n
+    * flags key-like columns — the two ends every schema audit looks for.
+    *
+    * Shape: columns melt row-locally to (col_name, value) pairs (one
+    * bounded |cols|× explode — the q19 normalize idiom), ONE combinable
+    * groupBy counts the cells, and each column's entropy finishes on its
+    * own cell relation via the telescoping form H = ln N − (Σ c·ln c)/N
+    * (the charEntropy discipline: integer counts in, each c·ln c cast
+    * DECIMAL(28,12) at the source, exact under any merge order). Nulls are
+    * excluded (missingness is `profile`'s job). Values compare as strings
+    * — entropy only needs identity, not type. Returns
+    * (col_name, n_values, n_distinct, entropy). */
+  def columnEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val melted = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("kv"))
+      .select(col("kv.c").as("col_name"), col("kv.v").as("value"))
+      .filter(col("value").isNotNull)
+    val cells = melted.groupBy("col_name", "value")
+      .agg(count(lit(1)).as("__c"))
+    val cD = col("__c").cast("double")
+    cells.groupBy("col_name")
+      .agg(sum(col("__c")).as("n_values"),
+        count(lit(1)).as("n_distinct"),
+        round(log(sum(col("__c")).cast("double")) -
+          sum((cD * log(cD)).cast("decimal(28,12)")).cast("double") /
+            sum(col("__c")).cast("double"), 6).as("entropy"))
+  }
 }

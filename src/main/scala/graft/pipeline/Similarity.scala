@@ -521,4 +521,53 @@ object Similarity {
       .join(broadcast(cellMin), Seq("__nc"), "left")
       .select(col("anchor"), col("positive"), col("negative"), col("cos_ap"))
   }
+
+  // ---------------------------------------- top principal direction (PCA)
+  /** Top principal direction of the (uncentered) embedding matrix by power
+    * iteration — the dominant axis of an embedding space (drift tracking,
+    * anisotropy/"rogue dimension" checks, whitening prep). Uncentered =
+    * the top right-singular vector of X itself; subtract the q108 centroid
+    * upstream when the mean matters.
+    *
+    * The d×d Gram matrix is NEVER materialized: each iteration computes
+    * X·(Xᵀv) as two vocabulary-shaped aggregates — s = Xᵀv per row (one
+    * co-keyed join of the (id, dim, x) triples with the d-row v relation,
+    * broadcast), then t_dim = Σ x·s (one combinable groupBy on dim). State
+    * is O(n + d), work is O(nnz·iters): the shape that survives 10⁹ rows ×
+    * 10³ dims, where materializing d² cells per row would not.
+    *
+    * Determinism (the q194/q228 discipline): every product casts
+    * DECIMAL(28,12) at the source so the big sums are exact under any
+    * merge order; each iteration renormalizes with one IEEE sqrt/divide
+    * and re-quantizes v to 12dp — v is therefore bit-identical on every
+    * engine at every iteration, and so is the final loading vector. v₀ is
+    * the all-ones vector (exact; converges to the dominant direction for
+    * any v₀ not orthogonal to it). Returns (dim [1-based], loading) with
+    * loading rounded 6dp. */
+  def topPrincipalComponent(df: DataFrame, idCol: String, vecCol: String,
+                            iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1,8]: $iters")
+    val x = df.select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("__d0", "__xf")))
+      .select(col("__id"), (col("__d0") + 1).as("dim"),
+        col("__xf").cast("double").as("__x"))
+    var v: DataFrame = x.select(col("dim")).distinct()
+      .withColumn("__v", lit(1.0))
+    for (_ <- 1 to iters) {
+      val s = x.join(broadcast(v), Seq("dim"))
+        .groupBy("__id")
+        .agg(sum((col("__x") * col("__v")).cast("decimal(28,12)"))
+          .cast("double").as("__s"))
+      val t = x.join(s, Seq("__id"))
+        .groupBy("dim")
+        .agg(sum((col("__x") * col("__s")).cast("decimal(28,12)"))
+          .cast("double").as("__t"))
+      val nrm = t.agg(
+        sqrt(sum((col("__t") * col("__t")).cast("decimal(38,12)"))
+          .cast("double")).as("__n"))
+      v = t.crossJoin(broadcast(nrm))
+        .select(col("dim"), round(col("__t") / col("__n"), 12).as("__v"))
+    }
+    v.select(col("dim"), round(col("__v"), 6).as("loading"))
+  }
 }

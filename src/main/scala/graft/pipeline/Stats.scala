@@ -893,6 +893,43 @@ object Stats {
           count(lit(1)).cast("double"), 6).as("frac_pos"))
   }
 
+  // ------------------------------------------- Count-Min frequency sketch
+  /** Count-Min sketch frequency estimates — the heavy-hitter sketch whose
+    * state is a FIXED depth×256 counter grid however large the corpus: rows
+    * aggregate map-side into ≤ depth·256 cells (never a shuffle of keys),
+    * and a key's estimate is the MIN of its `depth` counters (each an
+    * overcount, so est ≥ exact always — the classic one-sided guarantee).
+    * Like [[kmvDistinct]], the hash rows are md5-draw buckets
+    * (salt `cms<j>:`, first two nibbles → 0..255), so the whole sketch —
+    * counters AND estimates — is deterministic and oracle-checkable in any
+    * engine with md5, where production CMS implementations (engine-specific
+    * hashes) can only be tolerance-gated.
+    *
+    * Returns one estimate per DISTINCT key: (key, cms_est). The distinct
+    * relation is the only key-sized state; the counter grid broadcasts to
+    * it. Width is fixed at 256 (two nibbles) — parameterizing width means
+    * re-deriving the bucket decode, and 256·depth cells already bounds the
+    * collision overcount at ~n/256 per row. */
+  def cmsFrequency(df: DataFrame, key: Column, depth: Int = 4): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8]: $depth")
+    def bucketOf(k: Column, j: Int) =
+      conv(substring(md5(concat(lit(s"cms$j:"), k.cast("string"))), 1, 2),
+        16, 10).cast("int")
+    def fanout(d: DataFrame, k: Column) = d.select(k.as("__k"),
+      explode(array((0 until depth).map(j =>
+        struct(lit(j).as("__row"), bucketOf(k, j).as("__bucket"))): _*))
+        .as("__rb"))
+      .select(col("__k"), col("__rb.__row").as("__row"),
+        col("__rb.__bucket").as("__bucket"))
+    val base = df.filter(key.isNotNull)
+    val counters = fanout(base, key)
+      .groupBy("__row", "__bucket").agg(count(lit(1)).as("__c"))
+    fanout(base.select(key.as("__k")).distinct(), col("__k"))
+      .join(broadcast(counters), Seq("__row", "__bucket"))
+      .groupBy(col("__k").as("key"))
+      .agg(min(col("__c")).as("cms_est"))
+  }
+
   /** Brier score and log loss of a probabilistic scorer in ONE combinable
     * aggregate pass: brier = mean (p − y)², logloss = mean −[y·ln p +
     * (1−y)·ln(1−p)]. Each per-row term is one fixed IEEE shape cast

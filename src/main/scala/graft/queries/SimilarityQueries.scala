@@ -245,5 +245,32 @@ object SimilarityQueries {
       (s, dir) => Similarity.semanticDedup(Tables.embeddings(s, dir),
           Similarity.pseudoCentroids(8, 64), threshold = 0.35)
         .orderBy("vec_id"))
+  ,
+
+    // ---- top principal direction by power iteration (3 unrolled rounds):
+    // the Gram matrix never materializes — each round is two co-keyed
+    // aggregates with DECIMAL(28,12) product terms and a 12dp re-quantized
+    // unit vector, so the loading vector is bit-identical cross-engine.
+    // Oracle = the identical rounds as generated CTEs (the q136 pattern).
+    Q("q243_pca_power", {
+      val rounds = (1 to 3).map { i =>
+        val prev = if (i == 1) "v0" else s"v${i - 1}"
+        s"s$i AS (SELECT x.vec_id, CAST(SUM(CAST(x.x * p.v AS DECIMAL(28,12))) " +
+          s"AS DOUBLE) AS s FROM x JOIN $prev p ON x.dim = p.dim GROUP BY 1), " +
+          s"t$i AS (SELECT x.dim, CAST(SUM(CAST(x.x * q.s AS DECIMAL(28,12))) " +
+          s"AS DOUBLE) AS t FROM x JOIN s$i q ON x.vec_id = q.vec_id GROUP BY 1), " +
+          s"n$i AS (SELECT sqrt(CAST(SUM(CAST(t * t AS DECIMAL(38,12))) " +
+          s"AS DOUBLE)) AS n FROM t$i), " +
+          s"v$i AS (SELECT dim, round(t / n, 12) AS v FROM t$i, n$i)"
+      }.mkString(", ")
+      Some("WITH x AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), " +
+        "v0 AS (SELECT DISTINCT dim, CAST(1.0 AS DOUBLE) AS v FROM x), " +
+        rounds + " " +
+        "SELECT dim, round(v, 6) AS loading FROM v3 ORDER BY dim")
+    },
+      (s, dir) => Similarity.topPrincipalComponent(
+        Tables.embeddings(s, dir), "vec_id", "embedding", iters = 3)
+        .orderBy("dim"))
   )
 }

@@ -1391,5 +1391,52 @@ object StatsQueries {
     },
       (s, dir) => EventAnalytics.ewmaDaily(Tables.events(s, dir), "ts",
         maxLag = 8).orderBy("day"))
+  ,
+
+    // ---- Count-Min frequency estimates for the busiest users: md5-draw
+    // bucket rows make the whole sketch deterministic, so the ESTIMATES
+    // hash-match the oracle (est >= exact is the CMS guarantee; the
+    // overcount is the planted 256-bucket collision load).
+    Q("q241_cms_frequency", {
+      val dec2 = "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1))"
+      Some("WITH j AS (SELECT unnest(range(4)) AS jj), " +
+        "bh AS (SELECT user_id, jj, md5('cms' || CAST(jj AS VARCHAR) || ':' || " +
+        "CAST(user_id AS VARCHAR)) AS h FROM events, j WHERE user_id IS NOT NULL), " +
+        s"b AS (SELECT user_id, jj, $dec2 AS bucket FROM bh), " +
+        "counters AS (SELECT jj, bucket, count(*) AS c FROM b GROUP BY 1, 2), " +
+        "probes AS (SELECT DISTINCT user_id, jj, bucket FROM b), " +
+        "est AS (SELECT user_id, min(c) AS cms_est FROM probes " +
+        "JOIN counters USING (jj, bucket) GROUP BY 1), " +
+        "exact AS (SELECT user_id, count(*) AS n_exact FROM events " +
+        "WHERE user_id IS NOT NULL GROUP BY 1) " +
+        "SELECT user_id, n_exact, cms_est FROM exact JOIN est USING (user_id) " +
+        "ORDER BY n_exact DESC, user_id LIMIT 10")
+    },
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val exact = ev.filter(col("user_id").isNotNull)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        Stats.cmsFrequency(ev, col("user_id"), depth = 4)
+          .join(exact, col("key") === col("user_id"))
+          .select(col("user_id"), col("n_exact"), col("cms_est"))
+          .orderBy(col("n_exact").desc, col("user_id").asc).limit(10)
+      }),
+
+    // ---- per-column entropy profile: near-constant vs key-like columns
+    // in one melted pass; the telescoping Σ c·ln c form with decimal terms.
+    Q("q242_column_entropy",
+      Some("WITH m AS (SELECT 'event_type' AS col_name, event_type AS value " +
+        "FROM events WHERE event_type IS NOT NULL " +
+        "UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events " +
+        "WHERE user_id IS NOT NULL), " +
+        "c AS (SELECT col_name, value, count(*) AS c FROM m GROUP BY 1, 2) " +
+        "SELECT col_name, CAST(sum(c) AS BIGINT) AS n_values, count(*) AS n_distinct, " +
+        "round(ln(CAST(sum(c) AS DOUBLE)) - " +
+        "CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) " +
+        "AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS entropy " +
+        "FROM c GROUP BY 1 ORDER BY 1"),
+      (s, dir) => Ops.columnEntropy(Tables.events(s, dir),
+        Seq("event_type", "user_id")).orderBy("col_name"))
   )
 }

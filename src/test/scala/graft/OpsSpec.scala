@@ -419,4 +419,19 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) == (("changed", Some(2L))))
     assert(out(4L) == (("added", None)))
   }
+
+  test("columnEntropy: constant -> 0, uniform/key-like -> ln n, nulls excluded") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1L), "u1"), ("a", Some(1L), "u2"),
+      ("a", Some(2L), "u3"), ("a", None, "u4")).toDF("const", "half", "key")
+    val got = Ops.columnEntropy(df, Seq("const", "half", "key"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("const") == ((4L, 1L, 0.0)))
+    // half: counts 2 and 1 over 3 non-null values
+    val h = math.log(3.0) - (2.0 * math.log(2.0)) / 3.0
+    assert(math.abs(got("half")._3 - h) < 1e-6 && got("half")._1 == 3L)
+    assert(got("key") == ((4L, 4L, BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
 }

@@ -1146,6 +1146,19 @@ class PipelineSpec extends SparkSpec {
       .collect()(0).getAs[Double]("jsd") == 0.0)
   }
 
+  test("topPrincipalComponent: converges onto a planted dominant axis with " +
+    "the closed-form 3-round value") {
+    val df = Seq((1L, Seq(2.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("id", "vec")
+    val got = Similarity.topPrincipalComponent(df, "id", "vec", iters = 3)
+      .orderBy("dim").select("loading").as[Double].collect.toSeq
+    // Gram = diag(4, 1); from v0 = (1,1): v3 = (64, 1)/sqrt(4097)
+    assert(math.abs(got(0) - 64.0 / math.sqrt(4097)) < 1e-6)
+    assert(math.abs(got(1) - 1.0 / math.sqrt(4097)) < 1e-6)
+    // unit norm up to the 6dp output rounding
+    assert(math.abs(got.map(x => x * x).sum - 1.0) < 1e-5)
+  }
+
   test("leakageSafeSplit: cluster members share one split; singletons draw " +
     "on their own id") {
     import graft.pipeline.Curation

@@ -834,6 +834,30 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("logloss") == 0.458145)
   }
 
+  test("cmsFrequency: est >= exact always; exact when the grid is sparse; " +
+    "partition-invariant") {
+    import graft.pipeline.Stats
+    val df = (1 to 300).flatMap(k => Seq.fill(k % 7 + 1)(s"k$k")).toDF("k")
+    val exact = df.groupBy(col("k").as("key")).count()
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.cmsFrequency(d, col("k"), depth = 4)
+    val joined = run(df).join(exact, "key")
+      .select(col("key"), col("cms_est"), col("count")).collect()
+    assert(joined.length == 300)
+    joined.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), s"CMS undercounted ${r.getString(0)}")
+    }
+    // 10 keys in a 4x256 grid: collisions are (deterministically) absent
+    val sparse = (1 to 10).flatMap(k => Seq.fill(k)(s"s$k")).toDF("k")
+    val sJoined = run(sparse)
+      .join(sparse.groupBy(col("k").as("key")).count(), "key").collect()
+    sJoined.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+    val a = run(df).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = run(df.repartition(13)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, "sketch must not depend on layout")
+  }
+
   test("ewmaDaily: dyadic weights, adaptive normalizer at the series head") {
     // three consecutive days with 4, 2, 8 events
     val ts = Seq.fill(4)("2024-01-01 10:00:00") ++
