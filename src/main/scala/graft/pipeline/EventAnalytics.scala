@@ -211,6 +211,36 @@ object EventAnalytics {
     spine.select(col("day"), col("n"), round(num / den, 6).as("ewma"))
   }
 
+  // ------------------------------------------------- top session journeys
+  /** Top-k session paths: the [[sessionStats]] gap cascade (same micros +
+    * (us, id) tie rule, so the session boundaries are byte-identical to
+    * q124's), each session folded to its ordered `typeCol` journey string
+    * (the groupConcat discipline — in-session array_sort on (us, id)
+    * structs, bounded by a session's events), then one combinable path
+    * count and a TakeOrdered top-k cutoff (n DESC, path ASC) — the global
+    * sort never materializes. The path vocabulary is what shuffles, never
+    * the event log twice. Returns (path, n_sessions). */
+  def topSessionPaths(df: DataFrame, userCol: String, idCol: String,
+                      tsCol: String, typeCol: String, gapMinutes: Int,
+                      k: Int): DataFrame = {
+    require(gapMinutes > 0 && k >= 1)
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__us").asc, col(idCol).asc)
+    val gapUs = gapMinutes * 60000000L
+    val sess = df.select(col(userCol), col(idCol), col(typeCol),
+        micros(col(tsCol)).as("__us"))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("__us") - col("__prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("__session", sum(col("__new")).over(w))
+    val paths = sess.groupBy(col(userCol), col("__session"))
+      .agg(array_join(transform(array_sort(collect_list(struct(
+        col("__us"), col(idCol).as("__id"), col(typeCol).as("__t")))),
+        s => s.getField("__t")), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc).limit(k)
+  }
+
   // ------------------------------------------------- batch sessionization
   /** Batch gap sessionization: a user's events sort by (micros, id — the
     * deterministic tie rule), a session breaks where the gap exceeds

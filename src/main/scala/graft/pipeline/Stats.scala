@@ -893,6 +893,52 @@ object Stats {
           count(lit(1)).cast("double"), 6).as("frac_pos"))
   }
 
+  // ---------------------------------------------------- k-anonymity audit
+  /** k-anonymity audit over a quasi-identifier combination: how many
+    * QI-groups have fewer than `k` rows (re-identifiable cohorts), and how
+    * many rows sit in them — the release-gate a dataset must pass before
+    * its quasi-identifiers ship. ONE combinable groupBy on the QI columns
+    * then one scalar roll-up of the (bounded, QI-cardinality) group
+    * relation; the corpus shuffles its QI tuple once, nothing else. Null
+    * QI values form their own group (a null zip code still identifies a
+    * cohort). One row: (n_groups, n_rows, n_violating_groups,
+    * n_rows_at_risk, min_group_size). */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2: $k")
+    df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("__n")).as("n_rows"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+        coalesce(sum(when(col("__n") < k, col("__n"))), lit(0L))
+          .as("n_rows_at_risk"),
+        min(col("__n")).as("min_group_size"))
+  }
+
+  // --------------------------------------- contingency table + residuals
+  /** Full contingency table with expected counts and standardized (Pearson)
+    * residuals — [[chiSquareIndependence]]'s per-cell face: WHICH cells
+    * drive the dependence, not just whether it exists. Exact integer
+    * observed/marginal counts on the label-vocabulary-bounded cell
+    * relation; expected = rowMarg·colMarg/N and residual = (o−e)/√e are
+    * fixed IEEE shapes rounded 6dp. Returns
+    * (a, b, observed, expected, std_residual). */
+  def contingencyResiduals(df: DataFrame, aCol: Column,
+                           bCol: Column): DataFrame = {
+    val cells = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.as("a"), bCol.as("b")).agg(count(lit(1)).as("observed"))
+    val rowsM = cells.groupBy("a").agg(sum(col("observed")).as("__ra"))
+    val colsM = cells.groupBy("b").agg(sum(col("observed")).as("__cb"))
+    val tot = cells.agg(sum(col("observed")).as("__n"))
+    val e = col("__ra").cast("double") * col("__cb").cast("double") /
+      col("__n").cast("double")
+    cells.join(rowsM, "a").join(colsM, "b").crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("observed"),
+        round(e, 6).as("expected"),
+        round((col("observed").cast("double") - e) / sqrt(e), 6)
+          .as("std_residual"))
+  }
+
   // ------------------------------------------- Count-Min frequency sketch
   /** Count-Min sketch frequency estimates — the heavy-hitter sketch whose
     * state is a FIXED depth×256 counter grid however large the corpus: rows

@@ -1438,5 +1438,62 @@ object StatsQueries {
         "FROM c GROUP BY 1 ORDER BY 1"),
       (s, dir) => Ops.columnEntropy(Tables.events(s, dir),
         Seq("event_type", "user_id")).orderBy("col_name"))
+  ,
+
+    // ---- k-anonymity release audit over (nation, segment, balance band):
+    // groups below k = re-identifiable cohorts; one QI groupBy + one
+    // scalar roll-up.
+    Q("q244_k_anonymity",
+      Some("WITH g AS (SELECT c_nationkey, c_mktsegment, " +
+        "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, " +
+        "count(*) AS n FROM customer GROUP BY 1, 2, 3) " +
+        "SELECT count(*) AS n_groups, CAST(sum(n) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups, " +
+        "CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT) AS n_rows_at_risk, " +
+        "min(n) AS min_group_size FROM g"),
+      (s, dir) => Stats.kAnonymityAudit(
+        Tables.customer(s, dir).withColumn("bal_band",
+          floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5)),
+
+    // ---- top-15 session journeys: q124's exact session boundaries, each
+    // session folded to its ordered event-type path, one path count +
+    // top-k cutoff.
+    Q("q245_session_paths",
+      Some("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us " +
+        "FROM events), " +
+        "f AS (SELECT user_id, event_id, event_type, us, " +
+        "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 " +
+        "THEN 1 ELSE 0 END AS nf FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "s AS (SELECT user_id, event_type, us, event_id, sum(nf) OVER " +
+        "(PARTITION BY user_id ORDER BY us, event_id) AS session FROM f), " +
+        "p AS (SELECT user_id, session, " +
+        "string_agg(event_type, '>' ORDER BY us, event_id) AS path " +
+        "FROM s GROUP BY 1, 2) " +
+        "SELECT path, count(*) AS n_sessions FROM p GROUP BY 1 " +
+        "ORDER BY n_sessions DESC, path LIMIT 15"),
+      (s, dir) => EventAnalytics.topSessionPaths(Tables.events(s, dir),
+        "user_id", "event_id", "ts", "event_type", gapMinutes = 30, k = 15)),
+
+    // ---- contingency cells with expected counts and Pearson residuals:
+    // q111's per-cell face — which (event_type, cohort) cells drive the
+    // dependence.
+    Q("q246_contingency_residuals", {
+      val e = "CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)"
+      Some("WITH cells AS (SELECT event_type AS a, user_id % 4 AS b, " +
+        "count(*) AS observed FROM events " +
+        "WHERE event_type IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2), " +
+        "rm AS (SELECT a, sum(observed) AS ra FROM cells GROUP BY 1), " +
+        "cm AS (SELECT b, sum(observed) AS cb FROM cells GROUP BY 1), " +
+        "t AS (SELECT sum(observed) AS n FROM cells) " +
+        s"SELECT a, b, observed, round($e, 6) AS expected, " +
+        s"round((CAST(observed AS DOUBLE) - $e) / sqrt($e), 6) AS std_residual " +
+        "FROM cells JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN t " +
+        "ORDER BY a, b")
+    },
+      (s, dir) => Stats.contingencyResiduals(Tables.events(s, dir),
+        col("event_type"), pmod(col("user_id"), lit(4L)))
+        .orderBy("a", "b"))
   )
 }

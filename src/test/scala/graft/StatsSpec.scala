@@ -834,6 +834,53 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("logloss") == 0.458145)
   }
 
+  test("kAnonymityAudit: sub-k groups and their rows count; nulls form a group") {
+    import graft.pipeline.Stats
+    // groups: (a,1)x5, (a,2)x2, (null,1)x1 -> k=3: two violators, 3 rows
+    val df = (Seq.fill(5)((Some("a"), 1)) ++ Seq.fill(2)((Some("a"), 2)) :+
+      ((None: Option[String], 1))).toDF("qa", "qb")
+    val r = Stats.kAnonymityAudit(df, Seq("qa", "qb"), k = 3).collect()(0)
+    assert(r.getAs[Long]("n_groups") == 3 && r.getAs[Long]("n_rows") == 8)
+    assert(r.getAs[Long]("n_violating_groups") == 2)
+    assert(r.getAs[Long]("n_rows_at_risk") == 3)
+    assert(r.getAs[Long]("min_group_size") == 1)
+  }
+
+  test("topSessionPaths: gap splits a journey; path order follows (us, id)") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: view, click, then a 40-min gap, then purchase (own session);
+    // user 2: the same view>click journey
+    val df = Seq((1L, 1L, ts(0), "view"), (1L, 2L, ts(5), "click"),
+      (1L, 3L, ts(50), "purchase"),
+      (2L, 4L, ts(0), "view"), (2L, 5L, ts(3), "click"))
+      .toDF("u", "id", "ts", "ty")
+    val got = pipeline.EventAnalytics.topSessionPaths(
+        df, "u", "id", "ts", "ty", gapMinutes = 30, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("view>click" -> 2L, "purchase" -> 1L))
+  }
+
+  test("contingencyResiduals: independent table -> zero residuals; " +
+    "dependent cell signs") {
+    import graft.pipeline.Stats
+    // perfectly independent 2x2: every residual exactly 0
+    val ind = (Seq.fill(4)(("x", "p")) ++ Seq.fill(4)(("x", "q")) ++
+      Seq.fill(2)(("y", "p")) ++ Seq.fill(2)(("y", "q")))
+      .toDF("a0", "b0")
+    Stats.contingencyResiduals(ind, col("a0"), col("b0")).collect()
+      .foreach(r => assert(r.getAs[Double]("std_residual") == 0.0))
+    // diagonal concentration: on-diagonal positive, off negative
+    val dep = (Seq.fill(8)(("x", "p")) ++ Seq.fill(8)(("y", "q")) ++
+      Seq.fill(2)(("x", "q")) ++ Seq.fill(2)(("y", "p")))
+      .toDF("a0", "b0")
+    val res = Stats.contingencyResiduals(dep, col("a0"), col("b0"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("std_residual")).toMap
+    assert(res(("x", "p")) > 0 && res(("y", "q")) > 0)
+    assert(res(("x", "q")) < 0 && res(("y", "p")) < 0)
+    assert(res(("x", "p")) == res(("y", "q")), "symmetric table, equal cells")
+  }
+
   test("cmsFrequency: est >= exact always; exact when the grid is sparse; " +
     "partition-invariant") {
     import graft.pipeline.Stats
