@@ -542,8 +542,14 @@ object Similarity {
     * and re-quantizes v to 12dp — v is therefore bit-identical on every
     * engine at every iteration, and so is the final loading vector. v₀ is
     * the all-ones vector (exact; converges to the dominant direction for
-    * any v₀ not orthogonal to it). Returns (dim [1-based], loading) with
-    * loading rounded 6dp. */
+    * any v₀ not orthogonal to it).
+    *
+    * Like connectedComponents, each round's d-row v MATERIALIZES via
+    * checkpoint (reliable when a checkpoint dir is configured, local
+    * otherwise): v appears twice in the next round's lineage (the s join
+    * and the norm), so without the cut the plan doubles per round —
+    * linear recompute is the price of a d-row write. Returns
+    * (dim [1-based], loading) with loading rounded 6dp. */
   def topPrincipalComponent(df: DataFrame, idCol: String, vecCol: String,
                             iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters must be in [1,8]: $iters")
@@ -551,9 +557,13 @@ object Similarity {
         posexplode(col(vecCol)).as(Seq("__d0", "__xf")))
       .select(col("__id"), (col("__d0") + 1).as("dim"),
         col("__xf").cast("double").as("__x"))
+    val reliable =
+      df.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def cut(d: DataFrame): DataFrame =
+      if (reliable) d.checkpoint(true) else d.localCheckpoint(true)
     var v: DataFrame = x.select(col("dim")).distinct()
       .withColumn("__v", lit(1.0))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val s = x.join(broadcast(v), Seq("dim"))
         .groupBy("__id")
         .agg(sum((col("__x") * col("__v")).cast("decimal(28,12)"))
@@ -565,8 +575,11 @@ object Similarity {
       val nrm = t.agg(
         sqrt(sum((col("__t") * col("__t")).cast("decimal(38,12)"))
           .cast("double")).as("__n"))
-      v = t.crossJoin(broadcast(nrm))
+      val vNext = t.crossJoin(broadcast(nrm))
         .select(col("dim"), round(col("__t") / col("__n"), 12).as("__v"))
+      // the final round stays lazy so the caller's plan composes; earlier
+      // rounds cut eagerly to keep lineage linear
+      v = if (i < iters) cut(vNext) else vNext
     }
     v.select(col("dim"), round(col("__v"), 6).as("loading"))
   }

@@ -754,4 +754,56 @@ class PlanSpec extends SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.contains("cohort")),
       s"window not cohort-partitioned:\n${windows.mkString("\n")}")
   }
+
+  test("q231: Q20 joins are hash/broadcast equi joins - no BNLJ, no cartesian") {
+    val p = planOf("q231_tpch_q20")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"bad join shape:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part/nation must broadcast:\n$p")
+    assert(p.contains("LeftSemi"), s"nested IN must plan as a semi join:\n$p")
+  }
+
+  test("q232/q245: KMV rank and session/path windows partition by their key" +
+    " - never global") {
+    val kmv = planOf("q232_kmv_distinct")
+    val kw = kmv.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(kw.nonEmpty && kw.forall(_.contains("event_type")),
+      s"KMV rank window not group-partitioned:\n${kw.mkString("\n")}")
+    val paths = planOf("q245_session_paths")
+    val pw = paths.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(pw.nonEmpty && pw.forall(_.contains("user_id")),
+      s"session window not user-partitioned:\n${pw.mkString("\n")}")
+    assert(paths.contains("TakeOrderedAndProject"),
+      s"path top-k must be a cutoff:\n$paths")
+  }
+
+  test("q240: geohash encode is a pure projection - no window, no join; " +
+    "top cells are a cutoff") {
+    val p = planOf("q240_geohash_cells")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"geohash path must be projection + aggregate only:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k cutoff:\n$p")
+  }
+
+  test("q241: the CMS counter grid broadcasts back - the probe join is " +
+    "never a shuffle join") {
+    val p = planOf("q241_cms_frequency")
+    assert(p.contains("BroadcastHashJoin"),
+      s"counter grid must broadcast to the distinct-key relation:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"bad join shape:\n$p")
+  }
+
+  test("q243: power-iteration v relations broadcast; only scalar norms " +
+    "cross-join") {
+    val p = planOf("q243_pca_power")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the d-row v relation must broadcast into the triples join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian planned:\n$p")
+    // earlier rounds materialize via checkpoint (linear lineage — the CC
+    // discipline), so the visible plan carries ONE BNLJ: the final round's
+    // broadcast one-row norm scalar (the documented crossJoin convention)
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"unexpected BNLJ beyond the final-round norm scalar:\n$p")
+  }
 }
