@@ -486,6 +486,48 @@ object ScaleStress {
     }
     println(s"  auc: $auc (expect 1.0 - perfect separation)")
     assert(auc == 1.0, s"auc broken: $auc")
+
+    // PCA power iteration over the 40k-vector corpus (4 rounds): the
+    // checkpointed-v lineage keeps work linear in rounds; the dominant
+    // direction of a 20x-replicated corpus must align with the base
+    // corpus's (Gram scales by 20 - same eigenvector).
+    val pcaBase = graft.pipeline.Similarity.topPrincipalComponent(
+      e0, "vec_id", "embedding", iters = 4)
+      .orderBy("dim").select("loading").collect().map(_.getDouble(0))
+    val pcaBig = timed("PCA power iteration over 40k vectors, 4 rounds") {
+      graft.pipeline.Similarity.topPrincipalComponent(
+        bigEmb, "vec_id", "embedding", iters = 4)
+        .orderBy("dim").select("loading").collect().map(_.getDouble(0))
+    }
+    val align = math.abs(pcaBase.zip(pcaBig).map { case (a, b) => a * b }.sum)
+    println(f"  |cos(base, 20x)| = $align%.9f (expect ~1)")
+    assert(align > 0.999999, s"replication skewed the principal axis: $align")
+
+    // KMV distinct over 10M rows / 1M distinct keys at k=256: the prune
+    // must bound the per-group sort at ~1k survivors, and the estimate
+    // (deterministic - a fixed property of the md5 draw) must land within
+    // 10% of the truth.
+    val kmvRows = spark.range(10000000L)
+      .select(lit("g").as("g"), (col("id") % 1000000L).as("k"))
+    val kmvEst = timed("kmvDistinct over 10M rows, 1M distinct, k=256") {
+      graft.pipeline.Stats.kmvDistinct(kmvRows, col("k"), Seq("g"), k = 256)
+        .collect().head.getDouble(2)
+    }
+    println(f"  est: $kmvEst%.1f (truth 1,000,000)")
+    assert(math.abs(kmvEst - 1000000.0) / 1000000.0 < 0.10,
+      s"KMV estimate off: $kmvEst")
+
+    // Count-Min over the same 10M rows with one planted mega-key: the
+    // grid stays 4x256 cells; the hot key's estimate >= its exact count.
+    val cmsRows = kmvRows.select(
+      when(col("k") < 500000L, lit("HOT")).otherwise(col("k").cast("string"))
+        .as("k"))
+    val cms = timed("cmsFrequency over 10M rows + 5M-row hot key") {
+      graft.pipeline.Stats.cmsFrequency(cmsRows, col("k"), depth = 4)
+        .filter(col("key") === "HOT").collect().head.getLong(1)
+    }
+    println(s"  HOT est: $cms (exact 5,000,000)")
+    assert(cms >= 5000000L, s"CMS undercounted the hot key: $cms")
     spark.stop()
   }
 }
