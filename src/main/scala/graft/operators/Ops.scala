@@ -1057,6 +1057,34 @@ object Ops {
     * excluded (missingness is `profile`'s job). Values compare as strings
     * — entropy only needs identity, not type. Returns
     * (col_name, n_values, n_distinct, entropy). */
+  /** Numeric column profile — count, decimal-exact mean, min/max, and the
+    * exact quartiles per listed column, in one melted pass (the
+    * [[columnEntropy]] shape: bounded row-local melt, one combinable
+    * grouping). Quartiles use the exact `percentile` aggregate, which
+    * buffers a value→count map per column in its final task —
+    * [[graft.pipeline.TextAnalysis.aboveQuantile]]'s documented
+    * bounded-distinct-cardinality contract applies; profile unbounded
+    * continuous columns with the approx variant instead. Returns
+    * (col_name, n, mean, min, p25, p50, p75, max), mean/quartiles 6dp. */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val melted = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("c"), col(c).cast("double").as("v"))): _*)).as("kv"))
+      .select(col("kv.c").as("col_name"), col("kv.v").as("v"))
+      .filter(col("v").isNotNull)
+    melted.groupBy("col_name")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("v").cast("decimal(38,12)")).cast("double") /
+          count(lit(1)), 6).as("mean"),
+        min(col("v")).as("min"), max(col("v")).as("max"),
+        expr("percentile(v, array(0.25, 0.5, 0.75))").as("__q"))
+      .select(col("col_name"), col("n"), col("mean"), col("min"),
+        round(element_at(col("__q"), 1), 6).as("p25"),
+        round(element_at(col("__q"), 2), 6).as("p50"),
+        round(element_at(col("__q"), 3), 6).as("p75"),
+        col("max"))
+  }
+
   def columnEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one column")
     val melted = df.select(explode(array(cols.map(c =>

@@ -467,6 +467,32 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Blocked containment (asymmetric-Jaccard) pairs: |A∩B|/|A| ≥ threshold
+    * — near-SUBSET detection where symmetric Jaccard goes blind (a quote
+    * inside a long page, a truncated mirror, a doc swallowed by an
+    * aggregator: J can be ~0 while containment is 1). Same required-block
+    * contract and single blk-keyed exchange as [[ngramJaccardPairs]]; both
+    * orientations score (A⊂B and B⊂A are different facts), each pair
+    * emitted once with the two containments side by side. Returns
+    * (id_a, id_b, containment_a_in_b, containment_b_in_a). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       blockCol: Column, n: Int = 3,
+                       threshold: Double = 0.5): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+        wordShingles(col(textCol), n).as("sh"), blockCol.as("blk"))
+      .repartition(col("blk"))
+    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+    val cab = inter / size(col("a.sh")).cast("double")
+    val cba = inter / size(col("b.sh")).cast("double")
+    base.as("a").join(base.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cab, 6).as("containment_a_in_b"),
+        round(cba, 6).as("containment_b_in_a"))
+      .filter(col("containment_a_in_b") >= threshold ||
+        col("containment_b_in_a") >= threshold)
+  }
+
   // ---------------------------------------------- prefix-filter set-sim join
   /** Exact all-pairs set-similarity self-join WITHOUT a block column — the
     * AllPairs/PPJoin prefix-filtering algorithm (Bayardo et al., WWW'07;

@@ -100,6 +100,26 @@ object Spatial {
         col("__nn.dist2").as("dist2"))
   }
 
+  /** Density-connected spatial clusters (DBSCAN with minPts=2, i.e.
+    * single-linkage at `radius`): [[radiusSelfJoin]]'s grid-bucketed pair
+    * relation resolved by [[Dedup.connectedComponents]]' pointer jumping —
+    * the Spatial × Graph composition (store catchments, sensor groups,
+    * co-location blobs). Points with no in-radius neighbor form their own
+    * cluster keyed by their id (the leakageSafeSplit convention — cluster
+    * labels and ids share a domain: min reachable id). Cost = the pair
+    * relation + O(log diameter) label rounds; the density contract is
+    * radiusSelfJoin's (a hot cell means the DATA is a clique at that
+    * radius). Returns (id, cluster). */
+  def radiusClusters(df: DataFrame, idCol: String, xCol: String,
+                     yCol: String, radius: Long): DataFrame = {
+    val edges = radiusSelfJoin(df, idCol, xCol, yCol, radius)
+      .select(col("id_a"), col("id_b"))
+    val lab = Dedup.connectedComponents(edges)
+      .select(col("id"), col("cluster").as("__cl"))
+    df.select(col(idCol).as("id")).join(lab, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__cl"), col("id")).as("cluster"))
+  }
+
   /** Base-32 alphabet of the public geohash scheme (no a/i/l/o). */
   val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
 

@@ -893,6 +893,39 @@ object Stats {
           count(lit(1)).cast("double"), 6).as("frac_pos"))
   }
 
+  // ------------------------------------------- two-proportion z-test (A/B)
+  /** Pooled two-proportion z-test between variants `a` and `b` of an
+    * experiment — the A/B readout: z = (p̂a − p̂b)/√(p̂(1−p̂)(1/na+1/nb))
+    * with p̂ the pooled rate. `df` must be UNIT grain (one row per
+    * randomization unit — aggregate events to users upstream, or the test
+    * double-counts multi-event users and overstates significance). ONE
+    * conditional-count aggregate pass, one fixed IEEE shape, 6dp.
+    * Degenerate experiments — an empty arm, or a pooled rate of exactly
+    * 0 or 1 (zero variance, z undefined) — report a null z rather than a
+    * division error (the q221 convention). One row:
+    * (n_a, n_b, rate_a, rate_b, z). */
+  def twoProportionZ(df: DataFrame, variantCol: Column, successCol: Column,
+                     a: String, b: String): DataFrame = {
+    def side(g: String, n: String, s: String) = Seq(
+      sum(when(variantCol === g, 1L).otherwise(0L)).as(n),
+      sum(when(variantCol === g && successCol, 1L).otherwise(0L)).as(s))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("__sa").cast("double") / na
+    val pb = col("__sb").cast("double") / nb
+    val pp = (col("__sa") + col("__sb")).cast("double") / (na + nb)
+    val aggs = side(a, "n_a", "__sa") ++ side(b, "n_b", "__sb")
+    df.filter(variantCol.isin(a, b))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_a"), col("n_b"),
+        round(when(col("n_a") > 0, pa), 6).as("rate_a"),
+        round(when(col("n_b") > 0, pb), 6).as("rate_b"),
+        round(when(col("n_a") > 0 && col("n_b") > 0 &&
+          pp > 0.0 && pp < 1.0,
+          (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / na + lit(1.0) / nb))), 6).as("z"))
+  }
+
   // ---------------------------------------------------- k-anonymity audit
   /** k-anonymity audit over a quasi-identifier combination: how many
     * QI-groups have fewer than `k` rows (re-identifiable cohorts), and how

@@ -576,5 +576,31 @@ object AppliedQueries {
           chars = 6).as("gh"))
         .groupBy("gh").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gh").asc).limit(20))
+  ,
+
+    // ---- density-connected spatial clusters (single-linkage DBSCAN):
+    // q159's grid-bucketed pair relation resolved by pointer-jumping CC;
+    // oracle = brute-force quadratic pairs + recursive transitive closure
+    // (the q48 discipline at point grain), singletons keep their own id.
+    Q("q247_spatial_clusters",
+      Some("WITH RECURSIVE p AS (SELECT c_custkey AS id, c_custkey % 1000 AS x, " +
+        "(c_custkey * 7919) % 1000 AS y FROM customer), " +
+        "e AS (SELECT a.id AS id_a, b.id AS id_b FROM p a JOIN p b " +
+        "ON a.id < b.id AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 625), " +
+        "und AS (SELECT id_a AS src, id_b AS dst FROM e " +
+        "UNION SELECT id_b, id_a FROM e), " +
+        "reach AS (SELECT src, dst FROM und " +
+        "UNION SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src), " +
+        "lab AS (SELECT src AS id, LEAST(src, MIN(dst)) AS cluster " +
+        "FROM reach GROUP BY src) " +
+        "SELECT p.id, coalesce(lab.cluster, p.id) AS cluster " +
+        "FROM p LEFT JOIN lab USING (id) ORDER BY id"),
+      (s, dir) => {
+        val pts = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+          pmod(col("c_custkey"), lit(1000L)).as("x"),
+          pmod(col("c_custkey") * 7919L, lit(1000L)).as("y"))
+        Spatial.radiusClusters(pts, "id", "x", "y", radius = 25)
+          .orderBy("id")
+      })
   )
 }

@@ -1495,5 +1495,58 @@ object StatsQueries {
       (s, dir) => Stats.contingencyResiduals(Tables.events(s, dir),
         col("event_type"), pmod(col("user_id"), lit(4L)))
         .orderBy("a", "b"))
+  ,
+
+    // ---- A/B two-proportion z-test at USER grain (one row per
+    // randomization unit, the double-counting guard): variant = user
+    // parity, success = any purchase.
+    Q("q248_ab_ztest", {
+      val (pa, pb) = ("CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)",
+        "CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)")
+      val pp = "CAST(sa + sb AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+      Some("WITH u AS (SELECT user_id, CASE WHEN user_id % 2 = 0 THEN 'A' " +
+        "ELSE 'B' END AS variant, " +
+        "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv " +
+        "FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2), " +
+        "g AS (SELECT " +
+        "sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a, " +
+        "sum(CASE WHEN variant = 'A' AND conv = 1 THEN 1 ELSE 0 END) AS sa, " +
+        "sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b, " +
+        "sum(CASE WHEN variant = 'B' AND conv = 1 THEN 1 ELSE 0 END) AS sb FROM u) " +
+        s"SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, " +
+        s"round(CASE WHEN n_a > 0 THEN $pa END, 6) AS rate_a, " +
+        s"round(CASE WHEN n_b > 0 THEN $pb END, 6) AS rate_b, " +
+        s"round(CASE WHEN n_a > 0 AND n_b > 0 AND $pp > 0.0 AND $pp < 1.0 " +
+        s"THEN ($pa - $pb) / sqrt($pp * (1.0 - $pp) * " +
+        "(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END, 6) AS z FROM g")
+    },
+      (s, dir) => {
+        val units = Tables.events(s, dir).filter(col("user_id").isNotNull)
+          .groupBy(col("user_id"),
+            when(pmod(col("user_id"), lit(2L)) === 0, "A").otherwise("B")
+              .as("variant"))
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        Stats.twoProportionZ(units, col("variant"), col("conv") === 1L,
+          "A", "B")
+      }),
+
+    // ---- multi-column numeric profile: count / decimal-exact mean /
+    // min / exact quartiles / max per column in one melted pass
+    // (bounded-cardinality percentile contract documented).
+    Q("q250_numeric_profile", {
+      def side(c: String) = s"SELECT '$c' AS col_name, CAST($c AS DOUBLE) AS v " +
+        s"FROM lineitem WHERE $c IS NOT NULL"
+      Some(s"WITH m AS (${side("l_quantity")} UNION ALL ${side("l_discount")} " +
+        s"UNION ALL ${side("l_tax")}) " +
+        "SELECT col_name, count(*) AS n, " +
+        "round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mean, " +
+        "min(v) AS min, round(quantile_cont(v, 0.25), 6) AS p25, " +
+        "round(quantile_cont(v, 0.5), 6) AS p50, " +
+        "round(quantile_cont(v, 0.75), 6) AS p75, max(v) AS max " +
+        "FROM m GROUP BY 1 ORDER BY 1")
+    },
+      (s, dir) => Ops.numericProfile(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_discount", "l_tax")).orderBy("col_name"))
   )
 }

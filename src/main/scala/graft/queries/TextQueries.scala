@@ -718,6 +718,44 @@ object TextQueries {
             edges, "split-v1",
             Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
           .orderBy("doc_id")
+      }),
+
+    // ---- containment (asymmetric-Jaccard) pairs: near-SUBSET detection
+    // where symmetric Jaccard goes blind — planted half-doc fragments
+    // against their originals, blocked by source; both orientations
+    // reported, pairs emitted once.
+    Q("q249_containment", {
+      val lt = ltokensSql
+      Some("WITH corpus AS (SELECT doc_id, text, source FROM documents " +
+        "WHERE doc_id % 3 = 0 " +
+        "UNION ALL SELECT doc_id + 2000000, " +
+        s"array_to_string($lt[1:len($lt) // 2], ' '), source " +
+        "FROM documents WHERE doc_id % 6 = 0), " +
+        s"t AS (SELECT doc_id, source, ($shinglesSql) AS sh FROM corpus), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) " +
+        "AS containment_a_in_b, " +
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6) " +
+        "AS containment_b_in_a " +
+        "FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, containment_a_in_b, containment_b_in_a FROM pairs " +
+        "WHERE containment_a_in_b >= 0.9 OR containment_b_in_a >= 0.9 " +
+        "ORDER BY id_a, id_b")
+    },
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("source"))
+        val tk = split(trim(lower(col("text"))), "\\s+")
+        val fragments = d.filter(pmod(col("doc_id"), lit(6)) === 0)
+          .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+            array_join(slice(tk, lit(1), floor(size(tk) / 2).cast("int")), " ")
+              .as("text"),
+            col("source"))
+        val corpus = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .union(fragments)
+        Dedup.containmentPairs(corpus, "doc_id", "text",
+            blockCol = col("source"), n = 3, threshold = 0.9)
+          .orderBy("id_a", "id_b")
       })
   )
 }

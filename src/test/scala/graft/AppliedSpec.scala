@@ -323,6 +323,18 @@ class AppliedSpec extends SparkSpec {
       Seq((1L, 2L, 2.5), (1L, 3L, 0.0), (2L, 3L, -0.5)))
   }
 
+  test("radiusClusters: chains merge transitively; singletons keep their id") {
+    import spark.implicits._
+    // 1-2-3 chain (each link within r=5, ends 8 apart), 4 isolated
+    val pts = Seq((1L, 0L, 0L), (2L, 4L, 0L), (3L, 8L, 0L), (4L, 50L, 50L))
+      .toDF("id", "x", "y")
+    val got = Spatial.radiusClusters(pts, "id", "x", "y", radius = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L,
+      "transitive chain shares the min id")
+    assert(got(4L) == 4L, "isolated point clusters alone")
+  }
+
   test("geohash: public test vector; prefix = coarser cell; edges clamp") {
     import spark.implicits._
     val df = Seq(

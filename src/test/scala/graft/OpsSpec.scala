@@ -420,6 +420,23 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) == (("added", None)))
   }
 
+  test("numericProfile: quantile_cont quartiles, decimal mean, null exclusion") {
+    import spark.implicits._
+    val df = (1 to 8).map(v => (Some(v.toDouble), if (v <= 4) Some(v * 10.0) else None))
+      .toDF("a", "b")
+    val got = Ops.numericProfile(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n") == 8 && a.getAs[Double]("mean") == 4.5)
+    assert(a.getAs[Double]("min") == 1.0 && a.getAs[Double]("max") == 8.0)
+    // quantile_cont quartiles of 1..8 = 2.75 / 4.5 / 6.25
+    assert(a.getAs[Double]("p25") == 2.75 && a.getAs[Double]("p50") == 4.5 &&
+      a.getAs[Double]("p75") == 6.25)
+    val b = got("b")
+    assert(b.getAs[Long]("n") == 4 && b.getAs[Double]("mean") == 25.0 &&
+      b.getAs[Double]("p50") == 25.0)
+  }
+
   test("columnEntropy: constant -> 0, uniform/key-like -> ln n, nulls excluded") {
     import spark.implicits._
     val df = Seq(("a", Some(1L), "u1"), ("a", Some(1L), "u2"),

@@ -1146,6 +1146,22 @@ class PipelineSpec extends SparkSpec {
       .collect()(0).getAs[Double]("jsd") == 0.0)
   }
 
+  test("containmentPairs: a subset scores 1.0 one way while Jaccard is blind") {
+    // fragment = first 4 words of doc 1: every fragment shingle appears in
+    // the original, so containment(frag in orig) = 1.0 while J ~ 3/8
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "s"),
+      (2L, "alpha beta gamma delta", "s"),
+      (3L, "totally unrelated words here", "s")).toDF("doc_id", "text", "src")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        blockCol = col("src"), n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set((1L, 2L)), s"unexpected pairs: ${got.keySet}")
+    // 8 shingles in doc1, 2 in doc2, both of doc2's appear in doc1
+    assert(got((1L, 2L)) == ((0.25, 1.0)))
+  }
+
   test("topPrincipalComponent: converges onto a planted dominant axis with " +
     "the closed-form 3-round value") {
     val df = Seq((1L, Seq(2.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))

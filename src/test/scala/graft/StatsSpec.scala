@@ -834,6 +834,24 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("logloss") == 0.458145)
   }
 
+  test("twoProportionZ: hand-computed z; saturated pooled rate yields null z") {
+    import graft.pipeline.Stats
+    // A: 4 units 3 conv; B: 4 units 1 conv -> pp=0.5,
+    // z = 0.5 / sqrt(0.25 * 0.5) = sqrt(2)
+    val df = (Seq.fill(3)(("A", true)) ++ Seq(("A", false)) ++
+      Seq(("B", true)) ++ Seq.fill(3)(("B", false))).toDF("v", "s")
+    val r = Stats.twoProportionZ(df, col("v"), col("s"), "A", "B").collect()(0)
+    assert(r.getAs[Long]("n_a") == 4 && r.getAs[Long]("n_b") == 4)
+    assert(r.getAs[Double]("rate_a") == 0.75 && r.getAs[Double]("rate_b") == 0.25)
+    assert(r.getAs[Double]("z") ==
+      BigDecimal(math.sqrt(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    // everyone converts: zero pooled variance -> null z, not an error
+    val sat = Seq(("A", true), ("B", true)).toDF("v", "s")
+    assert(Stats.twoProportionZ(sat, col("v"), col("s"), "A", "B")
+      .collect()(0).isNullAt(4))
+  }
+
   test("kAnonymityAudit: sub-k groups and their rows count; nulls form a group") {
     import graft.pipeline.Stats
     // groups: (a,1)x5, (a,2)x2, (null,1)x1 -> k=3: two violators, 3 rows
