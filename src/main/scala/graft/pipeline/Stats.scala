@@ -893,6 +893,63 @@ object Stats {
           count(lit(1)).cast("double"), 6).as("frac_pos"))
   }
 
+  // ----------------------------------------------------------- NDCG@k
+  /** Normalized discounted cumulative gain at k — the graded-relevance
+    * ranking metric completing the eval tier ([[rocAuc]] = binary global,
+    * [[averagePrecision]] = binary PR, NDCG = graded positional). Ranks
+    * order by (score DESC, id ASC) — a total order, ties well-defined;
+    * the ideal ranking orders by (relevance DESC, id ASC). Gains are
+    * 2^rel − 1 on INTEGER grades (exact powers of two), discounts
+    * ln(r+1)/ln 2 as one fixed IEEE shape, each term cast DECIMAL(28,12) at
+    * the source (q229's discipline) so per-group sums are merge-order
+    * exact; ndcg = dcg/idcg, 6dp. Two group-keyed windows over raw rows —
+    * no global sort. Groups with zero total gain report null. Returns
+    * groupCols + (dcg, idcg, ndcg). */
+  def ndcgAtK(df: DataFrame, scoreCol: String, relCol: String,
+              idCol: String, groupCols: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(groupCols.nonEmpty, "at least one group column")
+    require(k >= 1, s"k must be >= 1: $k")
+    val g = groupCols.map(col)
+    val gain = (pow(lit(2.0), col(relCol).cast("int")) - 1.0)
+    def terms(order: Column*) = {
+      val w = Window.partitionBy(g: _*).orderBy(order: _*)
+      val r = row_number().over(w)
+      when(r <= k, (gain / (log(r.cast("double") + 1.0) / log(lit(2.0))))
+        .cast(DecimalType(28, 12))).otherwise(lit(null))
+    }
+    df.withColumn("__d", terms(col(scoreCol).desc, col(idCol).asc))
+      .withColumn("__i", terms(col(relCol).cast("int").desc, col(idCol).asc))
+      .groupBy(g: _*)
+      .agg(sum(col("__d")).cast("double").as("__dcg"),
+        sum(col("__i")).cast("double").as("__idcg"))
+      .select(g ++ Seq(round(col("__dcg"), 6).as("dcg"),
+        round(col("__idcg"), 6).as("idcg"),
+        round(when(col("__idcg") > 0.0, col("__dcg") / col("__idcg")), 6)
+          .as("ndcg")): _*)
+  }
+
+  // ------------------------------------------------ mean reciprocal rank
+  /** Reciprocal rank of the first relevant item per group (MRR's per-group
+    * face — average the `rr` column for the scalar): rank by (score DESC,
+    * id ASC), the first row where `labelCol` holds wins. One group-keyed
+    * window + min aggregate; groups with no positive report null rr (and
+    * null first_rank), kept by a right join against the group relation.
+    * Returns groupCols + (first_rank, rr). */
+  def reciprocalRank(df: DataFrame, scoreCol: String, labelCol: Column,
+                     idCol: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val firsts = df.withColumn("__r", row_number().over(w))
+      .filter(labelCol)
+      .groupBy(g: _*).agg(min(col("__r")).as("first_rank"))
+      .withColumn("rr", round(lit(1.0) / col("first_rank"), 6))
+    df.select(g: _*).distinct()
+      .join(firsts, groupCols, "left")
+  }
+
   // ------------------------------------------- two-proportion z-test (A/B)
   /** Pooled two-proportion z-test between variants `a` and `b` of an
     * experiment — the A/B readout: z = (p̂a − p̂b)/√(p̂(1−p̂)(1/na+1/nb))

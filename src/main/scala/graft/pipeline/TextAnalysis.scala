@@ -281,6 +281,28 @@ object TextAnalysis {
       .select(col("rank"), col("token"), col("n"), col("coverage"))
   }
 
+  /** Per-group top-k vocabulary — [[vocabulary]] at group grain (the
+    * per-source/per-language term signature; its diff across groups is the
+    * mixture-drift view [[jsDivergence]] scores as one number). One
+    * combinable (group, token) count — tokens shuffle once — then a
+    * group-partitioned rank window over the per-group vocabulary relation
+    * (the q118 discipline: vocab-sized, never the corpus). Ties break
+    * (count DESC, token ASC), a total order. Returns
+    * (groupCol, rank, token, n). */
+  def vocabularyByGroup(docs: DataFrame, groupCol: String, textCol: String,
+                        topK: Int): DataFrame = {
+    require(topK > 0)
+    val toks = filter(tokens(lower(col(textCol))), t => t =!= "")
+    val counts = docs
+      .select(col(groupCol).as("__g"), explode(toks).as("token"))
+      .groupBy("__g", "token").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("n").desc, col("token").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("__g").as(groupCol), col("rank"), col("token"), col("n"))
+  }
+
   /** Zipf's-law fit over the top-`topV` vocabulary: the OLS line of
     * ln(count) against ln(rank) — slope ≈ −1 is the healthy-corpus
     * signature; flatter tails flag templated/duplicated text. Composes

@@ -1548,5 +1548,56 @@ object StatsQueries {
     },
       (s, dir) => Ops.numericProfile(Tables.lineitem(s, dir),
         Seq("l_quantity", "l_discount", "l_tax")).orderBy("col_name"))
+  ,
+
+    // ---- NDCG@20 with graded relevance (purchase=3, signup=2, click=1):
+    // the positional ranking metric completing the eval tier; gains are
+    // exact powers of two, discounts one fixed ln shape, terms
+    // DECIMAL(28,12) at the source.
+    Q("q251_ndcg", {
+      val rel = "CASE WHEN event_type = 'purchase' THEN 3 " +
+        "WHEN event_type = 'signup' THEN 2 " +
+        "WHEN event_type = 'click' THEN 1 ELSE 0 END"
+      def term(r: String) = s"CASE WHEN $r <= 20 THEN " +
+        s"CAST((pow(2.0, rel) - 1.0) / (ln(CAST($r AS DOUBLE) + 1.0) / ln(2.0)) " +
+        "AS DECIMAL(28,12)) END"
+      Some(s"WITH s AS (SELECT user_id % 8 AS cohort, event_id, value AS sc, " +
+        s"$rel AS rel FROM events), " +
+        "r AS (SELECT cohort, rel, " +
+        "row_number() OVER (PARTITION BY cohort ORDER BY sc DESC, event_id) AS rd, " +
+        "row_number() OVER (PARTITION BY cohort ORDER BY rel DESC, event_id) AS ri FROM s), " +
+        s"t AS (SELECT cohort, ${term("rd")} AS td, ${term("ri")} AS ti FROM r), " +
+        "a AS (SELECT cohort, CAST(sum(td) AS DOUBLE) AS dcg, " +
+        "CAST(sum(ti) AS DOUBLE) AS idcg FROM t GROUP BY 1) " +
+        "SELECT cohort, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg, " +
+        "round(CASE WHEN idcg > 0.0 THEN dcg / idcg END, 6) AS ndcg " +
+        "FROM a ORDER BY cohort")
+    },
+      (s, dir) => Stats.ndcgAtK(
+        Tables.events(s, dir).select(pmod(col("user_id"), lit(8L)).as("cohort"),
+          col("event_id"), col("value"),
+          when(col("event_type") === "purchase", 3)
+            .when(col("event_type") === "signup", 2)
+            .when(col("event_type") === "click", 1).otherwise(0).as("rel")),
+        "value", "rel", "event_id", Seq("cohort"), k = 20)
+        .orderBy("cohort")),
+
+    // ---- reciprocal rank of the first purchase per cohort (MRR's
+    // per-group face); cohorts with no positive report nulls.
+    Q("q252_mrr",
+      Some("WITH s AS (SELECT user_id % 8 AS cohort, event_id, value AS sc, " +
+        "event_type = 'purchase' AS pos FROM events), " +
+        "r AS (SELECT cohort, pos, row_number() OVER " +
+        "(PARTITION BY cohort ORDER BY sc DESC, event_id) AS k FROM s), " +
+        "f AS (SELECT cohort, CAST(min(CASE WHEN pos THEN k END) AS INT) " +
+        "AS first_rank FROM r GROUP BY 1) " +
+        "SELECT cohort, first_rank, " +
+        "round(1.0 / CAST(first_rank AS DOUBLE), 6) AS rr " +
+        "FROM f ORDER BY cohort"),
+      (s, dir) => Stats.reciprocalRank(
+        Tables.events(s, dir).select(pmod(col("user_id"), lit(8L)).as("cohort"),
+          col("event_id"), col("value"), col("event_type")),
+        "value", col("event_type") === "purchase", "event_id", Seq("cohort"))
+        .orderBy("cohort"))
   )
 }

@@ -756,6 +756,20 @@ object TextQueries {
         Dedup.containmentPairs(corpus, "doc_id", "text",
             blockCol = col("source"), n = 3, threshold = 0.9)
           .orderBy("id_a", "id_b")
-      })
+      }),
+
+    // ---- per-source top-5 vocabulary: q72 at group grain — one (group,
+    // token) combinable count, a group-partitioned rank window over the
+    // per-group vocab relation.
+    Q("q253_group_vocabulary",
+      Some("WITH w AS (SELECT source, unnest(list_filter(" +
+        s"$ltokensSql, t -> t != '')) AS token FROM documents), " +
+        "c AS (SELECT source, token, count(*) AS n FROM w GROUP BY 1, 2), " +
+        "r AS (SELECT source, token, n, CAST(row_number() OVER " +
+        "(PARTITION BY source ORDER BY n DESC, token ASC) AS INT) AS rank FROM c) " +
+        "SELECT source, rank, token, n FROM r WHERE rank <= 5 " +
+        "ORDER BY source, rank"),
+      (s, dir) => TA.vocabularyByGroup(Tables.documents(s, dir),
+        "source", "text", topK = 5).orderBy("source", "rank"))
   )
 }

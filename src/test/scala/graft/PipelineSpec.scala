@@ -1146,6 +1146,17 @@ class PipelineSpec extends SparkSpec {
       .collect()(0).getAs[Double]("jsd") == 0.0)
   }
 
+  test("vocabularyByGroup: per-group ranks, (count, token) tiebreak, topK cut") {
+    val docs = Seq(("a", "x x x y y z"), ("a", "y w"), ("b", "q q r"))
+      .toDF("src", "text")
+    val got = TA.vocabularyByGroup(docs, "src", "text", topK = 2)
+      .orderBy("src", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // a: x=3, y=3 -> tie breaks on token asc; b: q=2, r=1
+    assert(got.toSeq == Seq(("a", 1, "x", 3L), ("a", 2, "y", 3L),
+      ("b", 1, "q", 2L), ("b", 2, "r", 1L)))
+  }
+
   test("containmentPairs: a subset scores 1.0 one way while Jaccard is blind") {
     // fragment = first 4 words of doc 1: every fragment shingle appears in
     // the original, so containment(frag in orig) = 1.0 while J ~ 3/8

@@ -834,6 +834,34 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("logloss") == 0.458145)
   }
 
+  test("ndcgAtK: hand-computed graded case; zero-gain group nulls") {
+    import graft.pipeline.Stats
+    val df = Seq(("g", 1L, 9.0, 3), ("g", 2L, 5.0, 0), ("g", 3L, 1.0, 1),
+      ("h", 4L, 2.0, 0)).toDF("g", "id", "score", "rel")
+    val out = Stats.ndcgAtK(df, "score", "rel", "id", Seq("g"), k = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val gRow = out("g")
+    // DCG = 7/log2(2) + 0 + 1/log2(4) = 7.5; IDCG = 7 + 1/log2(3)
+    val idcg = 7.0 + 1.0 / (math.log(3.0) / math.log(2.0))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(gRow.getAs[Double]("dcg") == 7.5)
+    assert(gRow.getAs[Double]("idcg") == r6(idcg))
+    assert(gRow.getAs[Double]("ndcg") == r6(7.5 / idcg))
+    assert(out("h").isNullAt(3), "all-zero relevance -> null ndcg")
+  }
+
+  test("reciprocalRank: first positive rank; no-positive groups keep nulls") {
+    import graft.pipeline.Stats
+    val df = Seq(("g", 1L, 9.0, false), ("g", 2L, 5.0, true),
+      ("g", 3L, 1.0, true), ("h", 4L, 2.0, false)).toDF("g", "id", "s", "y")
+    val out = Stats.reciprocalRank(df, "s", col("y"), "id", Seq("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").getAs[Int]("first_rank") == 2 &&
+      out("g").getAs[Double]("rr") == 0.5)
+    assert(out("h").isNullAt(1) && out("h").isNullAt(2))
+  }
+
   test("twoProportionZ: hand-computed z; saturated pooled rate yields null z") {
     import graft.pipeline.Stats
     // A: 4 units 3 conv; B: 4 units 1 conv -> pp=0.5,
