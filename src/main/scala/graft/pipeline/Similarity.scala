@@ -522,6 +522,51 @@ object Similarity {
       .select(col("anchor"), col("positive"), col("negative"), col("cos_ap"))
   }
 
+  // ------------------------------------- centroid separation (silhouette)
+  /** Centroid-based silhouette per label — the embedding-space cluster
+    * quality report (is each label's region separated from its nearest
+    * neighbor label?): for every vector, a = distance to its OWN label
+    * centroid, b = distance to the nearest OTHER centroid, s = (b−a)/
+    * max(a,b) ∈ [−1, 1]; the per-label mean is the separation score
+    * (point-pair silhouette replaced by centroid distance — O(n·labels)
+    * instead of O(n²), the same substitution SemDeDup makes).
+    *
+    * Determinism: centroids are decimal-exact means (q108); each squared
+    * difference casts DECIMAL(28,12) so per-(vector, centroid) distance
+    * sums are exact; s-terms cast DECIMAL(28,12) before the label mean.
+    * The label × dim centroid relation broadcasts; the only corpus-keyed
+    * work is one (vector, label) distance aggregate — bounded by
+    * |labels|× the triple relation, the per-label-centroid contract
+    * (labels are a vocabulary, not a key space). Degenerate points
+    * (a = b = 0) score 0. Returns (labelCol, n, separation). */
+  def centroidSeparation(df: DataFrame, idCol: String, labelCol: String,
+                         vecCol: String): DataFrame = {
+    val xs = df.select(col(idCol).as("__id"), col(labelCol).as("__l"),
+        posexplode(col(vecCol)).as(Seq("__d0", "__xf")))
+      .select(col("__id"), col("__l"), (col("__d0") + 1).as("__i"),
+        col("__xf").cast("double").as("__x"))
+    val c = xs.groupBy(col("__l").as("__cl"), col("__i"))
+      .agg((sum(col("__x").cast("decimal(38,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("__c"))
+    val d = xs.join(broadcast(c), Seq("__i"))
+      .groupBy(col("__id"), col("__l"), col("__cl"))
+      .agg(sqrt(sum(((col("__x") - col("__c")) * (col("__x") - col("__c")))
+        .cast("decimal(28,12)")).cast("double")).as("__dist"))
+    val own = d.filter(col("__l") === col("__cl"))
+      .select(col("__id"), col("__l"), col("__dist").as("__a"))
+    val other = d.filter(col("__l") =!= col("__cl"))
+      .groupBy("__id").agg(min(col("__dist")).as("__b"))
+    val s = when(greatest(col("__a"), col("__b")) > 0.0,
+      (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+      .otherwise(lit(0.0)).cast("decimal(28,12)")
+    own.join(other, Seq("__id"))
+      .select(col("__l"), s.as("__s"))
+      .groupBy(col("__l").as(labelCol))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__s")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("separation"))
+  }
+
   // ---------------------------------------- top principal direction (PCA)
   /** Top principal direction of the (uncentered) embedding matrix by power
     * iteration — the dominant axis of an embedding space (drift tracking,

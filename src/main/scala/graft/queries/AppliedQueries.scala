@@ -601,6 +601,46 @@ object AppliedQueries {
           pmod(col("c_custkey") * 7919L, lit(1000L)).as("y"))
         Spatial.radiusClusters(pts, "id", "x", "y", radius = 25)
           .orderBy("id")
+      }),
+
+    // ---- declarative validation report (the expectation-suite gate):
+    // four row-local rules in ONE aggregate pass + two key audits; the
+    // oracle replays every rule as its own aggregate and unions.
+    Q("q254_validation_report", {
+      def range(c: String, lo: String, hi: String) =
+        s"SELECT 'in_range' AS rule, '$c' AS col, " +
+          s"count(CASE WHEN $c IS NOT NULL THEN 1 END) AS nc, " +
+          s"sum(CASE WHEN $c IS NOT NULL AND (CAST($c AS DOUBLE) < $lo " +
+          s"OR CAST($c AS DOUBLE) > $hi) THEN 1 ELSE 0 END) AS nv FROM lineitem"
+      def uniq(cols: String) =
+        s"SELECT 'unique' AS rule, '$cols' AS col, CAST(sum(n) AS BIGINT) AS nc, " +
+          "CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS nv " +
+          s"FROM (SELECT count(*) AS n FROM lineitem GROUP BY ${cols}) g"
+      Some("WITH allr AS (" +
+        "SELECT 'not_null' AS rule, 'l_orderkey' AS col, count(*) AS nc, " +
+        "sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nv FROM lineitem " +
+        s"UNION ALL ${range("l_quantity", "1.0", "30.0")} " +
+        s"UNION ALL ${range("l_discount", "0.0", "0.05")} " +
+        "UNION ALL SELECT 'matches', 'l_returnflag', " +
+        "count(CASE WHEN l_returnflag IS NOT NULL THEN 1 END), " +
+        "sum(CASE WHEN l_returnflag IS NOT NULL AND NOT " +
+        "regexp_matches(CAST(l_returnflag AS VARCHAR), '^[ARN]$') " +
+        "THEN 1 ELSE 0 END) FROM lineitem " +
+        s"UNION ALL ${uniq("l_orderkey,l_linenumber")} " +
+        s"UNION ALL ${uniq("l_partkey")}) " +
+        "SELECT rule, col AS \"column\", CAST(nc AS BIGINT) AS n_checked, " +
+        "CAST(nv AS BIGINT) AS n_violations, nv = 0 AS pass FROM allr " +
+        "ORDER BY rule, col")
+    },
+      (s, dir) => {
+        import graft.operators.Validate
+        Validate.report(Tables.lineitem(s, dir), Seq(
+          Validate.NotNull("l_orderkey"),
+          Validate.InRange("l_quantity", 1.0, 30.0),
+          Validate.InRange("l_discount", 0.0, 0.05),
+          Validate.Matches("l_returnflag", "^[ARN]$"),
+          Validate.Unique(Seq("l_orderkey", "l_linenumber")),
+          Validate.Unique(Seq("l_partkey"))))
       })
   )
 }

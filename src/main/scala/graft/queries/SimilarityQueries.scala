@@ -272,5 +272,32 @@ object SimilarityQueries {
       (s, dir) => Similarity.topPrincipalComponent(
         Tables.embeddings(s, dir), "vec_id", "embedding", iters = 3)
         .orderBy("dim"))
+  ,
+
+    // ---- centroid-silhouette per label: a = own-centroid distance,
+    // b = nearest-other-centroid distance, mean (b-a)/max(a,b) — the
+    // embedding cluster-quality report; decimal-exact centroids and
+    // distance sums, s-terms DECIMAL(28,12) before the label mean.
+    Q("q256_centroid_separation",
+      Some("WITH x AS (SELECT vec_id, label, " +
+        "unnest(range(1, len(embedding) + 1)) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+        "c AS (SELECT label AS cl, i, " +
+        "CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE) AS c FROM x GROUP BY 1, 2), " +
+        "d AS (SELECT x.vec_id, x.label, c.cl, " +
+        "sqrt(CAST(SUM(CAST((x.v - c.c) * (x.v - c.c) AS DECIMAL(28,12))) " +
+        "AS DOUBLE)) AS dist FROM x JOIN c ON x.i = c.i GROUP BY 1, 2, 3), " +
+        "a AS (SELECT vec_id, label, dist AS ad FROM d WHERE label = cl), " +
+        "b AS (SELECT vec_id, min(dist) AS bd FROM d WHERE label <> cl GROUP BY 1), " +
+        "s AS (SELECT a.label, CAST(CASE WHEN greatest(ad, bd) > 0.0 " +
+        "THEN (bd - ad) / greatest(ad, bd) ELSE 0.0 END AS DECIMAL(28,12)) AS s " +
+        "FROM a JOIN b USING (vec_id)) " +
+        "SELECT label, count(*) AS n, " +
+        "round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) " +
+        "AS separation FROM s GROUP BY 1 ORDER BY label"),
+      (s, dir) => Similarity.centroidSeparation(
+        Tables.embeddings(s, dir), "vec_id", "label", "embedding")
+        .orderBy("label"))
   )
 }

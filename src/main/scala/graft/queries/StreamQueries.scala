@@ -488,6 +488,19 @@ object StreamQueries {
               floor(col("value") * 1000).cast("long") * 1000L,
             "event_id")
           .orderBy("user_id")
-      })
+      }),
+
+    // ---- top-3 event types per tumbling hour (the trending board):
+    // counts are the stream-able stage, rank is the |windows|x|types|-cell
+    // sink stage — the batch face of that split.
+    Q("q255_windowed_topk",
+      Some("WITH c AS (SELECT epoch_us(ts) // 3600000000 AS hour, event_type, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT hour, event_type, n, CAST(row_number() OVER " +
+        "(PARTITION BY hour ORDER BY n DESC, event_type ASC) AS INT) AS rank FROM c) " +
+        "SELECT hour, rank, event_type, n FROM r WHERE rank <= 3 " +
+        "ORDER BY hour, rank"),
+      (s, dir) => Streams.windowedTopKBatch(Tables.events(s, dir), k = 3)
+        .orderBy("hour", "rank"))
   )
 }

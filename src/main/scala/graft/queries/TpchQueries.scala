@@ -544,7 +544,7 @@ object TpchQueries {
         "AND l_shipdate < TIMESTAMP '1998-01-01' GROUP BY 1, 2), " +
         "pt AS (SELECT l_partkey, SUM(qty) AS tot FROM sp GROUP BY 1) " +
         "SELECT s_name, s_acctbal FROM supplier " +
-        "JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3' " +
+        "JOIN nation ON n_nationkey = s_nationkey AND n_regionkey = 2 " +
         "WHERE s_suppkey IN (SELECT l_suppkey FROM sp " +
         "JOIN pt USING (l_partkey) WHERE qty * 2 > tot) ORDER BY s_name"),
       (s, dir) => {
@@ -562,7 +562,7 @@ object TpchQueries {
           .select(col("l_suppkey").as("s_suppkey")).distinct()
         Tables.supplier(s, dir)
           .join(broadcast(Tables.nation(s, dir)
-            .filter(col("n_name") === "NATION_3")
+            .filter(col("n_regionkey") === 2)
             .select(col("n_nationkey").as("s_nationkey"))), Seq("s_nationkey"))
           .join(dominant, Seq("s_suppkey"), "semi")
           .select(col("s_name"), col("s_acctbal"))

@@ -80,6 +80,27 @@ object Streams {
         when(col("__rn") > k, col("prev_sum")).as("prev_sum"), col("alert"))
   }
 
+  /** Top-k event types per tumbling hour — the trending/monitoring board.
+    * The COUNT stage is [[tumblingCountsStream]]'s shape (watermarked
+    * window groupBy — streams in update mode, state evicts); the RANK
+    * stage is a per-window window function (rank windows aren't
+    * stream-appendable in Spark, so a streaming deployment ranks in the
+    * sink/foreachBatch — this is the batch/backfill face of that split,
+    * and the split itself is the scale design: counts are the only
+    * corpus-sized work, ranking touches |windows|×|types| cells). Ties
+    * break (n DESC, type ASC). Returns (hour, rank, event_type, n). */
+  def windowedTopKBatch(events: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val hour = floor(unix_micros(col("ts")) / lit(3600000000L)).cast("long")
+    val counts = events.select(col("event_type"), hour.as("hour"))
+      .groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("hour"))
+      .orderBy(col("n").desc, col("event_type").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("hour"), col("rank"), col("event_type"), col("n"))
+  }
+
   /** Streaming dedupe: EXACT global dedup on (user_id, event_type) — the
     * principled version of `unique`'s 4096-row window (process.py:851-898).
     * State is one entry per distinct KEY, so this form is for bounded key

@@ -420,6 +420,32 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) == (("added", None)))
   }
 
+  test("Validate.report: every rule type with planted violations; " +
+    "non-null gating of range/regex checks") {
+    import spark.implicits._
+    import graft.operators.Validate
+    val df = Seq(
+      (Some(1L), Some(5.0), Some("ok"), "k1"),
+      (Some(2L), Some(99.0), Some("ok"), "k2"),   // range violation
+      (None, None, None, "k2"),                   // null id; nulls unchecked
+      (Some(4L), Some(7.0), Some("BAD!"), "k3"))  // regex violation
+      .toDF("id", "v", "s", "k")
+    val got = Validate.report(df, Seq(
+        Validate.NotNull("id"), Validate.InRange("v", 0.0, 50.0),
+        Validate.Matches("s", "^[a-z]+$"), Validate.Unique(Seq("k"))))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(("not_null", "id")) == ((4L, 1L, false)))
+    assert(got(("in_range", "v")) == ((3L, 1L, false)), "nulls not judged")
+    assert(got(("matches", "s")) == ((3L, 1L, false)))
+    // k2 collides twice -> 2 rows in violation
+    assert(got(("unique", "k")) == ((4L, 2L, false)))
+    val clean = Validate.report(df.filter(col("id") === 1L),
+      Seq(Validate.NotNull("id"), Validate.Unique(Seq("k"))))
+      .collect().map(_.getBoolean(4))
+    assert(clean.forall(identity), "clean data passes every rule")
+  }
+
   test("numericProfile: quantile_cont quartiles, decimal mean, null exclusion") {
     import spark.implicits._
     val df = (1 to 8).map(v => (Some(v.toDouble), if (v <= 4) Some(v * 10.0) else None))

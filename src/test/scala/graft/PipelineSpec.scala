@@ -1146,6 +1146,22 @@ class PipelineSpec extends SparkSpec {
       .collect()(0).getAs[Double]("jsd") == 0.0)
   }
 
+  test("centroidSeparation: separated clusters score the hand-computed mean") {
+    // A: (0,0), (2,0) centroid (1,0); B: (10,0), (12,0) centroid (11,0)
+    val df = Seq((1L, 0, Seq(0f, 0f)), (2L, 0, Seq(2f, 0f)),
+      (3L, 1, Seq(10f, 0f)), (4L, 1, Seq(12f, 0f)))
+      .toDF("id", "label", "vec")
+    val got = Similarity.centroidSeparation(df, "id", "label", "vec")
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a=1 for every point; b = 11, 9 per cluster side
+    val expect = r6((r12(10.0 / 11) + r12(8.0 / 9)) / 2)
+    assert(got(0) == expect && got(1) == expect, s"got $got, want $expect")
+  }
+
   test("vocabularyByGroup: per-group ranks, (count, token) tiebreak, topK cut") {
     val docs = Seq(("a", "x x x y y z"), ("a", "y w"), ("b", "q q r"))
       .toDF("src", "text")

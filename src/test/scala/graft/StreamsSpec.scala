@@ -326,4 +326,17 @@ class StreamsSpec extends SparkSpec {
     assert(out("u") == ((5L, 2L, 40L))) // [0,30] + [40,50] = 30 + 10
     assert(out("v") == ((1L, 1L, 1L)))
   }
+
+  test("windowedTopKBatch: per-hour ranks, (count, type) tiebreak, k cut") {
+    import spark.implicits._
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hour 10: a x3, b x1, c x1 (b/c tie -> b first); hour 11: c x2
+    val df = (Seq.fill(3)(ts(10, 5) -> "a") ++ Seq(ts(10, 10) -> "b") ++
+      Seq(ts(10, 20) -> "c") ++ Seq.fill(2)(ts(11, 0) -> "c"))
+      .toDF("ts", "event_type")
+    val got = Streams.windowedTopKBatch(df, k = 2)
+      .orderBy("hour", "rank").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", 3L), (2, "b", 1L), (1, "c", 2L)))
+  }
 }
