@@ -281,6 +281,27 @@ object TextAnalysis {
       .select(col("rank"), col("token"), col("n"), col("coverage"))
   }
 
+  /** TextRank keywords: damped PageRank over the token co-occurrence
+    * graph (Mihalcea & Tarau '04) — the graph-centrality keyword extractor
+    * complementing frequency ([[vocabulary]]), tf-idf, and RAKE. Edges are
+    * the DISTINCT ±`window` skip-gram pairs ([[skipGramPairs]] — already
+    * symmetric by construction, self-loops dropped), ranks come verbatim
+    * from [[Graph.pageRank]]'s integer micro-unit fixed point — so the
+    * whole composition inherits both components' determinism AND their
+    * scale contracts (vocab²-bounded edge relation, |V|-row rank state,
+    * checkpointed rounds). Returns top-k (token, rank_micro, rank), ties
+    * to the lexicographically first token. */
+  def textRankKeywords(docs: DataFrame, textCol: String, window: Int = 2,
+                       iters: Int = 3, k: Int = 15): DataFrame = {
+    require(k >= 1)
+    val edges = skipGramPairs(docs, textCol, window)
+      .filter(col("center") =!= col("context"))
+      .select(col("center").as("src"), col("context").as("dst"))
+    Graph.pageRank(edges, "src", "dst", iters)
+      .orderBy(col("rank_micro").desc, col("node").asc).limit(k)
+      .select(col("node").as("token"), col("rank_micro"), col("rank"))
+  }
+
   /** Per-group top-k vocabulary — [[vocabulary]] at group grain (the
     * per-source/per-language term signature; its diff across groups is the
     * mixture-drift view [[jsDivergence]] scores as one number). One

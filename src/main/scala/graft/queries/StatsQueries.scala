@@ -1599,5 +1599,54 @@ object StatsQueries {
           col("event_id"), col("value"), col("event_type")),
         "value", col("event_type") === "purchase", "event_id", Seq("cohort"))
         .orderBy("cohort"))
+  ,
+
+    // ---- personalized PageRank: q136's integer recurrence with the
+    // teleport paid only to NATION_3 customers — rank becomes graph
+    // proximity to the seed cohort (the related-items/neighborhood
+    // expansion primitive). Top 25.
+    Q("q258_personalized_pagerank", {
+      val rounds = (1 to 3).map { i =>
+        s"i$i AS (SELECT e.dst AS node, sum(r${i - 1}.r // deg.deg) AS m " +
+          s"FROM r${i - 1} JOIN e ON r${i - 1}.node = e.src " +
+          "JOIN deg ON e.src = deg.src GROUP BY 1), " +
+          s"r$i AS (SELECT nodes.node, " +
+          "CASE WHEN nodes.node IN (SELECT node FROM sn) THEN nn.tp ELSE 0 END " +
+          s"+ (17 * coalesce(i$i.m, 0)) // 20 AS r " +
+          s"FROM nodes LEFT JOIN i$i USING (node), nn)"
+      }.mkString(", ")
+      Some("WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src, " +
+        "'s' || CAST(l_suppkey AS VARCHAR) AS dst " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
+        "e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), " +
+        "seeds AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node " +
+        "FROM customer WHERE c_nationkey = 3), " +
+        "sn AS (SELECT node FROM nodes WHERE node IN (SELECT node FROM seeds)), " +
+        "nn AS (SELECT count(*) AS ns, " +
+        "(3 * 1000000000000) // (20 * count(*)) AS tp FROM sn), " +
+        "r0 AS (SELECT nodes.node, CASE WHEN nodes.node IN " +
+        "(SELECT node FROM sn) THEN 1000000000000 // nn.ns ELSE 0 END AS r " +
+        "FROM nodes, nn), " +
+        rounds + " " +
+        "SELECT node, r AS rank_micro, " +
+        "round(CAST(r AS DOUBLE) / 1000000000000.0, 6) AS rank FROM r3 " +
+        "ORDER BY rank_micro DESC, node LIMIT 25")
+    },
+      (s, dir) => {
+        val pairs = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        val edges = pairs.union(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = Tables.customer(s, dir)
+          .filter(col("c_nationkey") === 3)
+          .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+        graft.pipeline.Graph.personalizedPageRank(
+            edges, "src", "dst", seeds, "node", iters = 3)
+          .orderBy(col("rank_micro").desc, col("node").asc).limit(25)
+      })
   )
 }

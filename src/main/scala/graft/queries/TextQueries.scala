@@ -771,5 +771,37 @@ object TextQueries {
         "ORDER BY source, rank"),
       (s, dir) => TA.vocabularyByGroup(Tables.documents(s, dir),
         "source", "text", topK = 5).orderBy("source", "rank"))
+  ,
+
+    // ---- TextRank keywords: integer-exact PageRank (3 rounds, q136's
+    // micro-unit recurrence) over the distinct +-2 skip-gram co-occurrence
+    // graph — the oracle composes q114's pair CTE with q136's unrolled
+    // rounds.
+    Q("q257_textrank", {
+      val rounds = (1 to 3).map { i =>
+        s"i$i AS (SELECT e.dst AS node, sum(r${i - 1}.r // deg.deg) AS m " +
+          s"FROM r${i - 1} JOIN e ON r${i - 1}.node = e.src " +
+          "JOIN deg ON e.src = deg.src GROUP BY 1), " +
+          s"r$i AS (SELECT nodes.node, nn.tp + (17 * coalesce(i$i.m, 0)) // 20 AS r " +
+          s"FROM nodes LEFT JOIN i$i USING (node), nn)"
+      }.mkString(", ")
+      Some("WITH t AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks " +
+        "FROM documents), " +
+        "ix AS (SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM t), " +
+        "o AS (SELECT toks, i, unnest([x for x in [-2, -1, 1, 2] " +
+        "if i + x >= 1 AND i + x <= len(toks)]) AS o FROM ix), " +
+        "p AS (SELECT toks[i] AS src, toks[i + o] AS dst FROM o), " +
+        "e AS (SELECT DISTINCT src, dst FROM p WHERE src <> dst), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), " +
+        "nn AS (SELECT count(*) AS n, (3 * 1000000000000) // (20 * count(*)) AS tp FROM nodes), " +
+        "r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn), " +
+        rounds + " " +
+        "SELECT node AS token, r AS rank_micro, " +
+        "round(CAST(r AS DOUBLE) / 1000000000000.0, 6) AS rank FROM r3 " +
+        "ORDER BY rank_micro DESC, token LIMIT 15")
+    },
+      (s, dir) => TA.textRankKeywords(Tables.documents(s, dir), "text",
+        window = 2, iters = 3, k = 15))
   )
 }

@@ -65,4 +65,31 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == naive.toMap)
   }
+
+  test("personalizedPageRank: seed side of a symmetric barbell outranks " +
+    "the far side; all-nodes seeding reduces to plain pageRank") {
+    import spark.implicits._
+    // two 3-cliques joined by a bridge: symmetric, so plain PageRank ties
+    // — seeding on the left clique must break the tie toward it
+    def clique(n: Seq[String]) =
+      for (a <- n; b <- n if a != b) yield (a, b)
+    val edges = (clique(Seq("l1", "l2", "l3")) ++
+      clique(Seq("r1", "r2", "r3")) ++ Seq(("l1", "r1"), ("r1", "l1")))
+      .toDF("src", "dst")
+    val seeds = Seq("l1", "l2", "l3", "offgraph").toDF("node")
+    val ppr = Graph.personalizedPageRank(edges, "src", "dst", seeds, "node", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ppr("l2") > ppr("r2") && ppr("l3") > ppr("r3"),
+      s"seed side must outrank the mirror: $ppr")
+    assert(ppr("l1") > ppr("r1"))
+    // seeding EVERY node = the uniform restart = plain pageRank, verbatim
+    val allSeeds = edges.select(edges("src").as("node"))
+      .union(edges.select(edges("dst").as("node"))).distinct()
+    val pprAll = Graph.personalizedPageRank(
+        edges, "src", "dst", allSeeds, "node", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = Graph.pageRank(edges, "src", "dst", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pprAll == plain, "uniform seeding must reduce to pageRank")
+  }
 }

@@ -1146,6 +1146,22 @@ class PipelineSpec extends SparkSpec {
       .collect()(0).getAs[Double]("jsd") == 0.0)
   }
 
+  test("textRankKeywords: the hub token out-ranks its spokes; composition " +
+    "equals pageRank on the explicit skip-gram graph") {
+    val docs = Seq("hub x", "hub y", "hub z").toDF("text")
+    val got = TA.textRankKeywords(docs, "text", window = 2, iters = 3, k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length == 4 && got.head._1 == "hub",
+      s"hub must rank first: ${got.toSeq}")
+    assert(got.tail.forall(_._2 < got.head._2), "spokes rank strictly below")
+    val edges = Seq(("hub", "x"), ("x", "hub"), ("hub", "y"), ("y", "hub"),
+      ("hub", "z"), ("z", "hub")).toDF("src", "dst")
+    val direct = graft.pipeline.Graph.pageRank(edges, "src", "dst", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (tok, rm) => assert(direct(tok) == rm,
+      s"composition diverged for $tok") }
+  }
+
   test("centroidSeparation: separated clusters score the hand-computed mean") {
     // A: (0,0), (2,0) centroid (1,0); B: (10,0), (12,0) centroid (11,0)
     val df = Seq((1L, 0, Seq(0f, 0f)), (2L, 0, Seq(2f, 0f)),
