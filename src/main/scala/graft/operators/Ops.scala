@@ -1057,6 +1057,39 @@ object Ops {
     * excluded (missingness is `profile`'s job). Values compare as strings
     * — entropy only needs identity, not type. Returns
     * (col_name, n_values, n_distinct, entropy). */
+  /** Key-skew report — run BEFORE shuffling on a candidate key: one row of
+    * (n_rows, n_keys, max_count, max_share, top10_share, gini) says
+    * whether a groupBy/join on `keyCol` will hot-spot an executor (the
+    * decision input for [[saltedGroupAgg]] / AQE skew hints). One
+    * combinable key count, then one roll-up of the key relation with a
+    * count-ordered rank window (key-cardinality-sized — the Gini/KS
+    * aggregated-relation discipline). Shares are fixed IEEE 6dp; gini is
+    * [[graft.pipeline.Stats.giniIndex]]'s rank formula inlined on counts.
+    * Null keys count (a null-keyed shuffle hot-spots like any other). */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    // two global windows over the KEY relation (key-cardinality-sized):
+    // desc rank feeds the top-10 share, asc rank the Gini Σ r·n — tie
+    // order is irrelevant to both (equal values commute in the sums)
+    val wd = Window.orderBy(col("__n").desc, col(keyCol).asc_nulls_first)
+    val wa = Window.orderBy(col("__n").asc, col(keyCol).desc_nulls_last)
+    counts.withColumn("__r", row_number().over(wd))
+      .withColumn("__ra", row_number().over(wa))
+      .agg(sum(col("__n")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("__n")).as("max_count"),
+        sum(when(col("__r") <= 10, col("__n")).otherwise(0L)).as("__top10"),
+        sum(col("__ra").cast("decimal(38,0)") * col("__n")).as("__rs"))
+      .select(col("n_rows"), col("n_keys"), col("max_count"),
+        round(col("max_count").cast("double") /
+          col("n_rows").cast("double"), 6).as("max_share"),
+        round(col("__top10").cast("double") /
+          col("n_rows").cast("double"), 6).as("top10_share"),
+        round(lit(2.0) * col("__rs").cast("double") /
+          (col("n_keys").cast("double") * col("n_rows").cast("double")) -
+          (col("n_keys").cast("double") + 1.0) /
+            col("n_keys").cast("double"), 6).as("gini"))
+  }
+
   /** Numeric column profile — count, decimal-exact mean, min/max, and the
     * exact quartiles per listed column, in one melted pass (the
     * [[columnEntropy]] shape: bounded row-local melt, one combinable

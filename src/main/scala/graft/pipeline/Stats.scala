@@ -839,6 +839,49 @@ object Stats {
       .agg(round(sum(col("__t")).cast("double"), 6).as("psi"))
   }
 
+  // ----------------------------------------------- PSI drift series
+  /** [[psi]] per slice: every group of `groupCol` in `cur` (a day, an
+    * hour, a source shard) scores its drift against ONE fixed reference
+    * histogram — the drift-over-time monitoring board. The reference
+    * aggregates once to ≤ nBins cells and broadcasts; the current side
+    * aggregates to |groups|×nBins cells (map-side combinable); the group ×
+    * bin spine generates from the distinct-group relation so empty bins
+    * smooth correctly everywhere. Same arithmetic contract as [[psi]]
+    * (clamped bins, +0.5 smoothing, DECIMAL(28,12) ln terms). Returns
+    * (group, n_cur, psi) — n_ref is a property of the reference, constant
+    * across rows, so it stays out of the result. */
+  def psiByGroup(ref: DataFrame, cur: DataFrame, groupCol: String,
+                 valueCol: String, lo: Double, hi: Double,
+                 nBins: Int): DataFrame = {
+    require(nBins >= 2 && hi > lo, s"bad bins: [$lo, $hi) x $nBins")
+    val width = (hi - lo) / nBins
+    def binOf(df: DataFrame) = least(greatest(
+      floor((col(valueCol).cast("double") - lo) / width), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long").as("bin")
+    val refBins = ref.filter(col(valueCol).isNotNull)
+      .groupBy(binOf(ref)).agg(count(lit(1)).as("__cr"))
+    val refTot = ref.filter(col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("__nr"))
+    val curBins = cur.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), binOf(cur))
+      .agg(count(lit(1)).as("__cc"))
+    val curTot = curBins.groupBy("__g").agg(sum(col("__cc")).as("n_cur"))
+    val spine = curTot.select(col("__g"), col("n_cur"),
+      explode(sequence(lit(0L), lit((nBins - 1).toLong))).as("bin"))
+    val p = (coalesce(col("__cr"), lit(0L)).cast("double") + 0.5) /
+      (col("__nr").cast("double") + 0.5 * nBins)
+    val q = (coalesce(col("__cc"), lit(0L)).cast("double") + 0.5) /
+      (col("n_cur").cast("double") + 0.5 * nBins)
+    spine
+      .join(broadcast(refBins), Seq("bin"), "left")
+      .join(curBins, Seq("__g", "bin"), "left")
+      .crossJoin(broadcast(refTot))
+      .select(col("__g"), col("n_cur"),
+        ((p - q) * log(p / q)).cast("decimal(28,12)").as("__t"))
+      .groupBy(col("__g").as(groupCol), col("n_cur"))
+      .agg(round(sum(col("__t")).cast("double"), 6).as("psi"))
+  }
+
   // ------------------------------------------------ Cohen's kappa agreement
   /** Inter-rater agreement between two categorical labelings of the same
     * rows (two annotation passes, a model vs a heuristic, two quality

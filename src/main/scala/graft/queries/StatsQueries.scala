@@ -1647,6 +1647,59 @@ object StatsQueries {
         graft.pipeline.Graph.personalizedPageRank(
             edges, "src", "dst", seeds, "node", iters = 3)
           .orderBy(col("rank_micro").desc, col("node").asc).limit(25)
-      })
+      }),
+
+    // ---- PSI drift series: every day's value distribution scores against
+    // the whole-corpus reference histogram — q233 per slice, the
+    // drift-over-time monitoring board.
+    Q("q259_drift_series", {
+      def bin(src: String) = "CAST(least(greatest(floor((CAST(value AS DOUBLE) " +
+        "- 0.0) / 20.0), 0.0), 19.0) AS BIGINT)"
+      def p(cn: String, n: String) =
+        s"(CAST(coalesce($cn, 0) AS DOUBLE) + 0.5) / (CAST($n AS DOUBLE) + 10.0)"
+      val (pr, qc) = (p("cr", "nr"), p("cc", "n_cur"))
+      Some(s"WITH rb AS (SELECT ${bin("r")} AS bin, count(*) AS cr FROM events " +
+        "WHERE value IS NOT NULL GROUP BY 1), " +
+        "rt AS (SELECT count(*) AS nr FROM events WHERE value IS NOT NULL), " +
+        s"cb AS (SELECT epoch_us(ts) // 86400000000 AS g, ${bin("c")} AS bin, " +
+        "count(*) AS cc FROM events WHERE value IS NOT NULL GROUP BY 1, 2), " +
+        "ct AS (SELECT g, sum(cc) AS n_cur FROM cb GROUP BY 1), " +
+        "spine AS (SELECT g, n_cur, unnest(range(20)) AS bin FROM ct), " +
+        s"terms AS (SELECT spine.g, spine.n_cur, CAST(($pr - $qc) * ln($pr / $qc) " +
+        "AS DECIMAL(28,12)) AS t FROM spine " +
+        "LEFT JOIN rb USING (bin) " +
+        "LEFT JOIN cb ON spine.g = cb.g AND spine.bin = cb.bin, rt) " +
+        "SELECT g AS day, CAST(n_cur AS BIGINT) AS n_cur, " +
+        "round(CAST(sum(t) AS DOUBLE), 6) AS psi FROM terms GROUP BY 1, 2 " +
+        "ORDER BY day")
+    },
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        Stats.psiByGroup(ev,
+          ev.withColumn("day", EventAnalytics.dayIndex(col("ts"))),
+          "day", "value", lo = 0.0, hi = 400.0, nBins = 20)
+          .orderBy("day")
+      }),
+
+    // ---- key-skew report for a candidate shuffle key: max/top-10 shares
+    // and the count Gini in one roll-up of the key relation — the
+    // decision input for salting/AQE skew hints.
+    Q("q260_key_skew",
+      Some("WITH c AS (SELECT l_partkey AS k, count(*) AS n FROM lineitem " +
+        "GROUP BY 1), " +
+        "r AS (SELECT k, n, " +
+        "row_number() OVER (ORDER BY n DESC, k ASC NULLS FIRST) AS rd, " +
+        "row_number() OVER (ORDER BY n ASC, k DESC NULLS LAST) AS ra FROM c), " +
+        "a AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys, " +
+        "max(n) AS max_count, " +
+        "CAST(sum(CASE WHEN rd <= 10 THEN n ELSE 0 END) AS BIGINT) AS top10, " +
+        "sum(CAST(ra AS DECIMAL(38,0)) * n) AS rs FROM r) " +
+        "SELECT n_rows, n_keys, max_count, " +
+        "round(CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS max_share, " +
+        "round(CAST(top10 AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS top10_share, " +
+        "round(2.0 * CAST(rs AS DOUBLE) / (CAST(n_keys AS DOUBLE) * " +
+        "CAST(n_rows AS DOUBLE)) - (CAST(n_keys AS DOUBLE) + 1.0) / " +
+        "CAST(n_keys AS DOUBLE), 6) AS gini FROM a"),
+      (s, dir) => Ops.keySkewReport(Tables.lineitem(s, dir), "l_partkey"))
   )
 }

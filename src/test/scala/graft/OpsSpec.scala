@@ -420,6 +420,24 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) == (("added", None)))
   }
 
+  test("keySkewReport: uniform keys score gini 0; a hot key moves every " +
+    "share; null keys count") {
+    import spark.implicits._
+    val uniform = (1 to 12).map(i => s"k${i % 4}").toDF("k")
+    val u = Ops.keySkewReport(uniform, "k").collect()(0)
+    assert(u.getAs[Long]("n_rows") == 12 && u.getAs[Long]("n_keys") == 4)
+    assert(u.getAs[Double]("gini") == 0.0 && u.getAs[Double]("max_share") == 0.25)
+    // hot: one key holds 9 of 12 rows; a null key holds 1
+    val hot = (Seq.fill(9)(Some("hot")) ++ Seq(Some("a"), Some("b"), None))
+      .toDF("k")
+    val h = Ops.keySkewReport(hot, "k").collect()(0)
+    assert(h.getAs[Long]("n_keys") == 4 && h.getAs[Long]("max_count") == 9)
+    assert(h.getAs[Double]("max_share") == 0.75 &&
+      h.getAs[Double]("top10_share") == 1.0)
+    // gini: counts asc (1,1,1,9) -> 2*(1+2+3+36)/(4*12) - 5/4 = 0.5
+    assert(h.getAs[Double]("gini") == 0.5)
+  }
+
   test("Validate.report: every rule type with planted violations; " +
     "non-null gating of range/regex checks") {
     import spark.implicits._

@@ -799,6 +799,18 @@ class StatsSpec extends SparkSpec {
     assert(drift.getAs[Double]("psi") > 0.5)
   }
 
+  test("psiByGroup: a ref-identical slice scores 0; a shifted slice doesn't") {
+    import graft.pipeline.Stats
+    val ref = Seq(1.0, 1.0, 5.0, 9.0).toDF("v")
+    val cur = (Seq(1.0, 1.0, 5.0, 9.0).map("same" -> _) ++
+      Seq(9.0, 9.0, 9.0, 9.0).map("shift" -> _)).toDF("g", "v")
+    val got = Stats.psiByGroup(ref, cur, "g", "v", 0.0, 10.0, nBins = 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got("same") == ((4L, 0.0)), "identical slice must score exactly 0")
+    assert(got("shift")._1 == 4L && got("shift")._2 > 0.5)
+  }
+
   test("cohenKappa: textbook 2x2 table gives kappa 0.4; perfect agreement 1") {
     import graft.pipeline.Stats
     // cells: yy=20, yn=5, ny=10, nn=15 -> po=0.7, pe=0.5, kappa=0.4
