@@ -105,4 +105,50 @@ object Layout {
       .withColumn("bin_files",
         count(lit(1)).over(Window.partitionBy(col(partCol), col("bin"))))
   }
+
+  // ------------------------------------------- column storage profile
+  /** Per-column storage profile from parquet FOOTERS (no data pages are
+    * read): value counts, compressed/uncompressed bytes, and the
+    * compression ratio per column — the report that drives encoding,
+    * column-pruning, and layout decisions ("that one string column is 80%
+    * of the table"). Footer reads distribute one-per-file across
+    * executors (the driver never opens a file), so profiling a million-
+    * file table costs a million ~8 KB footer reads in parallel — metadata
+    * work, the compactionPlan discipline. Footer fields are data
+    * properties of the files, so any parquet reader (DuckDB's
+    * `parquet_metadata` included) must agree byte-for-byte — an
+    * oracle-checkable LAYOUT query. Returns per column:
+    * (col_name, n_chunks, n_values, compressed_bytes, uncompressed_bytes,
+    * ratio [uncompressed/compressed, 6dp]). */
+  def columnChunkProfile(spark: org.apache.spark.sql.SparkSession,
+                         files: Seq[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    require(files.nonEmpty, "at least one parquet file")
+    val rows = spark.sparkContext
+      .parallelize(files, math.min(files.size, 64))
+      .flatMap { path =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          reader.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+            b.getColumns.asScala.toSeq.map { c =>
+              (c.getPath.toDotString, c.getValueCount,
+                c.getTotalSize, c.getTotalUncompressedSize)
+            }
+          }
+        } finally reader.close()
+      }
+    spark.createDataFrame(rows)
+      .toDF("col_name", "__values", "__comp", "__uncomp")
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("__values")).as("n_values"),
+        sum(col("__comp")).as("compressed_bytes"),
+        sum(col("__uncomp")).as("uncompressed_bytes"))
+      .withColumn("ratio",
+        round(col("uncompressed_bytes").cast("double") /
+          col("compressed_bytes").cast("double"), 6))
+  }
 }

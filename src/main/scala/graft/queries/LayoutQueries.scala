@@ -78,6 +78,22 @@ object LayoutQueries {
         Layout.compactionPlan(files, "part", "file_id", "bytes",
             targetBytes = 50000L)
           .orderBy("part", "file_id")
-      })
+      }),
+
+    // ---- per-column storage profile from parquet FOOTERS (no data pages
+    // read; footer reads distribute across executors): footer fields are
+    // file properties, so DuckDB's parquet_metadata must agree
+    // byte-for-byte — an oracle-checked layout query.
+    Q("q261_column_storage",
+      Some("SELECT path_in_schema AS col_name, count(*) AS n_chunks, " +
+        "CAST(sum(num_values) AS BIGINT) AS n_values, " +
+        "CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes, " +
+        "CAST(sum(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes, " +
+        "round(CAST(sum(total_uncompressed_size) AS DOUBLE) / " +
+        "CAST(sum(total_compressed_size) AS DOUBLE), 6) AS ratio " +
+        "FROM parquet_metadata('__SF_DIR__/lineitem.parquet') " +
+        "GROUP BY 1 ORDER BY 1"),
+      (s, dir) => Layout.columnChunkProfile(s, Seq(s"$dir/lineitem.parquet"))
+        .orderBy("col_name"))
   )
 }

@@ -239,4 +239,27 @@ class LayoutSpec extends SparkSpec {
     assert(out == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
     assert(out.values.sum == 7L)
   }
+
+  // ----------------------------------------------------- columnChunkProfile
+  test("columnChunkProfile: footer value counts and byte totals match the " +
+    "written table across multiple files") {
+    import graft.plans.Layout
+    val dir = java.nio.file.Files.createTempDirectory("chunkprof").toString
+    spark.range(10000)
+      .select(col("id"), (col("id") % 7).cast("string").as("s"))
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(files.size == 3)
+    val prof = Layout.columnChunkProfile(spark, files)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet == Set("id", "s"))
+    Seq("id", "s").foreach { c =>
+      assert(prof(c).getAs[Long]("n_values") == 10000L,
+        s"footer value count for $c")
+      assert(prof(c).getAs[Long]("n_chunks") >= 3L)
+      assert(prof(c).getAs[Long]("compressed_bytes") > 0L &&
+        prof(c).getAs[Double]("ratio") > 0.0)
+    }
+  }
 }
