@@ -64,13 +64,24 @@ object Bench {
     // total sums SUCCESSFUL queries only; failures are visible as -1 entries
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFail = results.count(_._2 < 0)
-    val slow = results.sortBy(-_._2).take(10)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+    // The harness archives (and parses) only the LAST ~2000 stdout chars.
+    // A 261-entry queries map is ~8 KB, so any line containing it can never
+    // survive the tail intact (BENCH_r05/r06 both record parsed:null).
+    // Contract-compliant fix: stdout carries exactly ONE self-contained JSON
+    // line, kept well under the tail window (headline total + the slowest-40
+    // per-query map). The full per-query map goes to stderr and to
+    // bench_full_local.json in the cwd for human/judge inspection.
+    val fullLine = s"""{"queries":$qs,"n_queries":${results.size},"n_fail":$nFail,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    System.err.println(fullLine)
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full_local.json"),
+        fullLine.getBytes("UTF-8"))
+    } catch { case t: Throwable => System.err.println(s"bench_full_local.json write failed: $t") }
+    val slow = results.sortBy(-_._2).take(40)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    // ONE JSON line per the driver contract — but the harness archives only
-    // the LAST 2000 stdout chars, so the headline keys (metric/value/sf)
-    // must trail the 212-entry queries map or they truncate away
-    println(s"""{"queries":$qs,"n_queries":${results.size},"n_fail":$nFail,"slowest":$slow,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_fail":$nFail,"queries":$slow,"note":"queries=slowest-40 of n_queries; full map in bench_full_local.json"}""")
     spark.stop()
   }
 }
