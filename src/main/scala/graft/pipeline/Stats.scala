@@ -1129,4 +1129,167 @@ object Stats {
         round(sum((-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p)))
           .cast("decimal(28,12)")).cast("double") / nD, 6).as("logloss"))
   }
+
+  // ------------------------------------------------------- KMV set algebra
+  /** KMV sketch SET OPERATIONS between two key sets A and B: union /
+    * intersection / Jaccard estimates from the k smallest 60-bit md5 hashes
+    * of the combined distinct-hash relation (reference analogue: the
+    * `unique`/set-membership family, `meza/process.py:859-888`, which only
+    * ever sees one in-memory set at a time).
+    *
+    * The estimators are the textbook ones: union from the k-th minimum of
+    * the UNION sketch ((k-1)·2^60 / h_k), Jaccard as the fraction of that
+    * sketch's elements present in both sides (every union-sketch element
+    * carries exact membership flags because the flags ride the hash
+    * relation), intersection = Ĵ·Û. Like [[kmvDistinct]] — and unlike HLL —
+    * the whole construction is DETERMINISTIC, so the driver oracle replays
+    * it bit-for-bit in SQL.
+    *
+    * Scale: one hash-keyed distinct aggregate over the tagged union (the
+    * same shuffle an exact distinct would need), then a k-row
+    * TakeOrderedAndProject — never a global sort, never a single-partition
+    * window. The exact n_a/n_b/n_union/intersection columns ride the same
+    * aggregate for free and serve as the gate's verification spine; a
+    * sketch-only deployment at 100 TB would merge per-partition k-mins
+    * instead and skip the exact spine entirely.
+    *
+    * Output (one row): n_a, n_b, n_union, union_est, jaccard_est,
+    * intersect_est. Groups smaller than k report exactly. */
+  def kmvSetOps(a: DataFrame, keyA: Column, b: DataFrame, keyB: Column,
+                k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val two60 = math.pow(2.0, 60) // exact in double
+    def hashes(df: DataFrame, key: Column, side: String): DataFrame =
+      df.filter(key.isNotNull)
+        .select(conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+          .cast("long").as("__h"))
+        .withColumn("__side", lit(side))
+    val m = hashes(a, keyA, "a").unionByName(hashes(b, keyB, "b"))
+      .groupBy("__h")
+      .agg(max(when(col("__side") === "a", 1).otherwise(0)).as("in_a"),
+        max(when(col("__side") === "b", 1).otherwise(0)).as("in_b"))
+    val tot = m.agg(sum("in_a").as("n_a"), sum("in_b").as("n_b"),
+      count(lit(1)).as("n_union"),
+      sum(col("in_a") * col("in_b")).as("n_inter"))
+    val sk = m.orderBy("__h").limit(k)
+      .agg(count(lit(1)).as("m_k"), max("__h").as("hk"),
+        sum(col("in_a") * col("in_b")).as("both"))
+    val uEst = round(lit((k - 1).toDouble) * lit(two60) /
+      col("hk").cast("double"), 4)
+    val jacc = col("both").cast("double") / col("m_k").cast("double")
+    tot.crossJoin(sk).select(
+      col("n_a"), col("n_b"), col("n_union"),
+      when(col("n_union") <= k, col("n_union").cast("double"))
+        .otherwise(uEst).as("union_est"),
+      round(jacc, 6).as("jaccard_est"),
+      when(col("n_union") <= k, col("n_inter").cast("double"))
+        .otherwise(round(jacc * (lit((k - 1).toDouble) * lit(two60) /
+          col("hk").cast("double")), 4)).as("intersect_est"))
+  }
+
+  // ------------------------------------------- Theil–Sen / Kendall trend
+  /** Robust trend over the zero-filled daily count series: Theil–Sen slope
+    * (median of all pairwise slopes) plus the Mann–Kendall S statistic and
+    * Kendall tau-a — the outlier-proof replacement for the OLS daily trend
+    * (a single spiked day moves OLS arbitrarily, it moves a slope median
+    * not at all).
+    *
+    * Scale: the series is CALENDAR-BOUNDED (one row per day after
+    * [[EventAnalytics.resampleDaily]]'s single aggregate), so the pairwise
+    * relation is bounded by days², not data — 10 years ≈ 6.7M pairs, a
+    * broadcast nested-loop join over a broadcast-sized series regardless of
+    * input row count. The slope median is the only order statistic: one
+    * partitionless row_number window over that bounded pair relation
+    * (median = mean of lower+upper median, exact for odd counts).
+    *
+    * Output (one row): n_days, n_pairs, s_stat, tau (6dp), slope_per_day
+    * (6dp). */
+  def theilSenTrend(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = EventAnalytics.resampleDaily(df, tsCol)
+    val pairs = daily.select(col("day").as("d1"), col("n").as("n1"))
+      .join(daily.select(col("day").as("d2"), col("n").as("n2")),
+        col("d1") < col("d2"))
+      .select(((col("n2") - col("n1")).cast("double") /
+          (col("d2") - col("d1")).cast("double")).as("slope"),
+        when(col("n2") > col("n1"), 1L).when(col("n2") < col("n1"), -1L)
+          .otherwise(0L).as("sgn"))
+    val nDays = daily.agg(count(lit(1)).as("n_days"))
+    val agg = pairs.agg(count(lit(1)).as("n_pairs"), sum("sgn").as("s_stat"))
+    val ranked = pairs
+      .withColumn("__rn", row_number().over(Window.orderBy(col("slope"))))
+    val med = ranked.crossJoin(agg.select(col("n_pairs").as("__m")))
+      .filter(col("__rn") === floor((col("__m") + 1) / lit(2)) ||
+        col("__rn") === floor((col("__m") + 2) / lit(2)))
+      .agg(round(avg(col("slope")), 6).as("slope_per_day"))
+    nDays.crossJoin(agg).crossJoin(med).select(
+      col("n_days"), col("n_pairs"), col("s_stat"),
+      round(col("s_stat").cast("double") / col("n_pairs").cast("double"), 6)
+        .as("tau"),
+      col("slope_per_day"))
+  }
+
+  /** Poisson(1) cumulative probabilities P(X <= j) for j = 0..7 — the
+    * inverse-CDF thresholds for hash-deterministic bootstrap weights. The
+    * SQL oracle interpolates these exact literals, so both engines compare
+    * the same doubles. */
+  val poissonCum: IndexedSeq[Double] = {
+    val e1 = math.exp(-1.0)
+    (0 to 7).scanLeft(0.0) { (acc, j) =>
+      acc + e1 / (1 to j).product
+    }.tail.toIndexedSeq
+  }
+
+  // ------------------------------------------- hash-Poisson bootstrap CI
+  /** One-pass bootstrap standard error / CI of mean(valueCol) via
+    * DETERMINISTIC Poisson(1) resampling weights: replicate r weights each
+    * row by the Poisson inverse-CDF of u = first-52-bits(md5(id|r)) / 2^52
+    * — the production-metrics trick that turns R bootstrap resamples into
+    * one linear pass (no data movement per replicate, weights are a codegen
+    * projection). Hash-derived u makes every replicate reproducible AND
+    * oracle-replayable, unlike rand()-based bootstrap.
+    *
+    * Scale: the explode multiplies rows by `reps` BEFORE the aggregate, but
+    * partial aggregation collapses each partition to `reps` cells
+    * map-side, so the shuffle carries reps × partitions tiny rows — the
+    * plan a 100 TB metrics pipeline actually ships. Weighted sums
+    * accumulate in DECIMAL (order-independent); each replicate mean and its
+    * square re-enter DECIMAL(28,12) before the final variance sum (the
+    * q194 discipline), leaving one fixed-shape IEEE closed form.
+    *
+    * Output (one row): n_rows, mean (6dp), n_reps, boot_se (6dp), ci_lo,
+    * ci_hi (mean ± 1.96·se, 6dp). */
+  def poissonBootstrapMean(df: DataFrame, idCol: Column, valueCol: Column,
+                           reps: Int = 100): DataFrame = {
+    require(reps >= 2, s"reps must be >= 2: $reps")
+    val base = df.filter(valueCol.isNotNull)
+    val rep = base
+      .select(idCol.cast("string").as("__id"),
+        valueCol.cast("decimal(18,6)").as("__v"))
+      .withColumn("__r", explode(sequence(lit(0), lit(reps - 1))))
+    val u = conv(substring(md5(concat(col("__id"), lit("|"),
+      col("__r").cast("string"))), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0) // 2^52
+    val w = poissonCum.indices.reverse.foldLeft(lit(8): Column) {
+      (acc, j) => when(u < poissonCum(j), j).otherwise(acc)
+    }
+    val means = rep.withColumn("__w", w)
+      .groupBy("__r")
+      .agg(sum(col("__v") * col("__w")).as("__s"), sum("__w").as("__n"))
+      .select((col("__s").cast("double") / col("__n").cast("double")).as("m"))
+    val boot = means.agg(count(lit(1)).as("n_reps"),
+      sum(col("m").cast("decimal(28,12)")).cast("double").as("__sm"),
+      sum((col("m") * col("m")).cast("decimal(28,12)")).cast("double")
+        .as("__sm2"))
+    val overall = base.agg(count(lit(1)).as("n_rows"),
+      (sum(valueCol.cast("decimal(18,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("__mean"))
+    val rD = col("n_reps").cast("double")
+    val se = sqrt((col("__sm2") - col("__sm") * col("__sm") / rD) /
+      (rD - lit(1.0)))
+    overall.crossJoin(boot).select(
+      col("n_rows"), round(col("__mean"), 6).as("mean"), col("n_reps"),
+      round(se, 6).as("boot_se"),
+      round(col("__mean") - lit(1.96) * se, 6).as("ci_lo"),
+      round(col("__mean") + lit(1.96) * se, 6).as("ci_hi"))
+  }
 }

@@ -1700,6 +1700,109 @@ object StatsQueries {
         "round(2.0 * CAST(rs AS DOUBLE) / (CAST(n_keys AS DOUBLE) * " +
         "CAST(n_rows AS DOUBLE)) - (CAST(n_keys AS DOUBLE) + 1.0) / " +
         "CAST(n_keys AS DOUBLE), 6) AS gini FROM a"),
-      (s, dir) => Ops.keySkewReport(Tables.lineitem(s, dir), "l_partkey"))
+      (s, dir) => Ops.keySkewReport(Tables.lineitem(s, dir), "l_partkey")),
+
+    // ---- KMV set algebra between the view-user and click-user sets:
+    // union/intersection/Jaccard estimates from ONE deterministic k-min
+    // sketch over the tagged hash relation — exact spine columns ride the
+    // same aggregate, so the oracle checks estimator AND truth together.
+    Q("q262_kmv_setops", {
+      def hexInt(n: Int) = (1 to n).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * " +
+          s"${BigInt(16).pow(n - i)}").mkString("(", " + ", ")")
+      Some("WITH da AS (SELECT DISTINCT 'a' AS side, " +
+        "substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS hx FROM events " +
+        "WHERE event_type = 'view' AND user_id IS NOT NULL), " +
+        "db AS (SELECT DISTINCT 'b' AS side, " +
+        "substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS hx FROM events " +
+        "WHERE event_type = 'click' AND user_id IS NOT NULL), " +
+        s"h AS (SELECT side, ${hexInt(15)} AS h FROM (SELECT * FROM da " +
+        "UNION ALL SELECT * FROM db)), " +
+        "m AS (SELECT h, max(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ia, " +
+        "max(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS ib FROM h GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a, " +
+        "CAST(sum(ib) AS BIGINT) AS n_b, count(*) AS n_union, " +
+        "CAST(sum(ia * ib) AS BIGINT) AS n_inter FROM m), " +
+        "r AS (SELECT h, ia, ib, row_number() OVER (ORDER BY h) AS rn FROM m), " +
+        "s AS (SELECT count(*) AS m_k, max(h) AS hk, " +
+        "CAST(sum(ia * ib) AS BIGINT) AS nboth FROM r WHERE rn <= 64) " +
+        "SELECT n_a, n_b, n_union, " +
+        "CASE WHEN n_union <= 64 THEN CAST(n_union AS DOUBLE) " +
+        "ELSE round(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE), 4) " +
+        "END AS union_est, " +
+        "round(CAST(nboth AS DOUBLE) / CAST(m_k AS DOUBLE), 6) AS jaccard_est, " +
+        "CASE WHEN n_union <= 64 THEN CAST(n_inter AS DOUBLE) " +
+        "ELSE round(CAST(nboth AS DOUBLE) / CAST(m_k AS DOUBLE) * " +
+        "(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)), 4) " +
+        "END AS intersect_est FROM t, s")
+    },
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        Stats.kmvSetOps(
+          ev.filter(col("event_type") === "view"), col("user_id"),
+          ev.filter(col("event_type") === "click"), col("user_id"), k = 64)
+      }),
+
+    // ---- Theil–Sen robust daily trend + Mann–Kendall: pairwise slopes
+    // over the calendar-bounded zero-filled series; the slope median and
+    // tau-a are outlier-proof where the OLS trend (q126) is not.
+    Q("q263_theil_sen",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "sp AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "d AS (SELECT sp.day, coalesce(c.n, 0) AS n FROM sp " +
+        "LEFT JOIN c USING (day)), " +
+        "p AS (SELECT CAST(b.n - a.n AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) " +
+        "AS slope, CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 " +
+        "END AS sgn FROM d a JOIN d b ON a.day < b.day), " +
+        "g AS (SELECT count(*) AS n_pairs, CAST(sum(sgn) AS BIGINT) AS s_stat " +
+        "FROM p), " +
+        "r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn FROM p), " +
+        "md AS (SELECT round(avg(slope), 6) AS slope_per_day FROM r, g " +
+        "WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2), " +
+        "nd AS (SELECT count(*) AS n_days FROM d) " +
+        "SELECT n_days, n_pairs, s_stat, " +
+        "round(CAST(s_stat AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS tau, " +
+        "slope_per_day FROM nd, g, md"),
+      (s, dir) => Stats.theilSenTrend(Tables.events(s, dir), "ts")),
+
+    // ---- hash-Poisson bootstrap CI for mean(value): R = 100 deterministic
+    // replicates in one linear pass (weights are a projection, partial agg
+    // collapses the explode map-side) — reproducible and oracle-replayable
+    // where rand()-based bootstrap is neither.
+    Q("q264_poisson_bootstrap", {
+      def hexInt(n: Int) = (1 to n).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * " +
+          s"${BigInt(16).pow(n - i)}").mkString("(", " + ", ")")
+      val caseW = Stats.poissonCum.zipWithIndex
+        .map { case (c, j) => s"WHEN u < $c THEN $j" }
+        .mkString("CASE ", " ", " ELSE 8 END")
+      Some("WITH rep AS (SELECT CAST(event_id AS VARCHAR) AS id, " +
+        "CAST(value AS DECIMAL(18,6)) AS v, unnest(range(100)) AS r " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "hx0 AS (SELECT v, substr(md5(id || '|' || CAST(r AS VARCHAR)), 1, 13) " +
+        "AS hx, r FROM rep), " +
+        s"uu AS (SELECT v, r, ${hexInt(13)} / 4503599627370496.0 AS u FROM hx0), " +
+        s"w AS (SELECT v, r, $caseW AS w FROM uu), " +
+        "per AS (SELECT r, sum(v * w) AS s, CAST(sum(w) AS BIGINT) AS n " +
+        "FROM w GROUP BY 1), " +
+        "mm AS (SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m FROM per), " +
+        "b AS (SELECT count(*) AS n_reps, " +
+        "CAST(sum(CAST(m AS DECIMAL(28,12))) AS DOUBLE) AS sm, " +
+        "CAST(sum(CAST(m * m AS DECIMAL(28,12))) AS DOUBLE) AS sm2 FROM mm), " +
+        "t AS (SELECT count(*) AS n_rows, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean " +
+        "FROM events WHERE value IS NOT NULL) " +
+        "SELECT n_rows, round(mean, 6) AS mean, n_reps, " +
+        "round(sqrt((sm2 - sm * sm / CAST(n_reps AS DOUBLE)) / " +
+        "(CAST(n_reps AS DOUBLE) - 1.0)), 6) AS boot_se, " +
+        "round(mean - 1.96 * sqrt((sm2 - sm * sm / CAST(n_reps AS DOUBLE)) / " +
+        "(CAST(n_reps AS DOUBLE) - 1.0)), 6) AS ci_lo, " +
+        "round(mean + 1.96 * sqrt((sm2 - sm * sm / CAST(n_reps AS DOUBLE)) / " +
+        "(CAST(n_reps AS DOUBLE) - 1.0)), 6) AS ci_hi FROM t, b")
+    },
+      (s, dir) => Stats.poissonBootstrapMean(Tables.events(s, dir),
+        col("event_id"), col("value"), reps = 100))
   )
 }

@@ -973,4 +973,67 @@ class StatsSpec extends SparkSpec {
     // head: 4/1; then (2*.5+4*.25)/.75 ; then (8*.5+2*.25+4*.125)/.875
     assert(got == Seq(4.0, 2.666667, 5.714286))
   }
+
+  test("kmvSetOps: small sets report exact union/intersection/jaccard") {
+    // A = 1..20, B = 11..30: union 30 <= k, inter 10, jaccard 1/3
+    val a = (1 to 20).toDF("id")
+    val b = (11 to 30).toDF("id")
+    val r = Stats.kmvSetOps(a, col("id"), b, col("id"), k = 64).collect()(0)
+    assert(r.getLong(0) == 20 && r.getLong(1) == 20 && r.getLong(2) == 30)
+    assert(r.getDouble(3) == 30.0)      // union_est exact below k
+    assert(math.abs(r.getDouble(4) - 10.0 / 30.0) < 1e-6)
+    assert(r.getDouble(5) == 10.0)      // intersect_est exact below k
+  }
+
+  test("kmvSetOps: estimates track truth beyond k and ignore layout") {
+    // A = 1..3000, B = 2001..5000: union 5000, inter 1000, J = 0.2
+    val a = (1 to 3000).toDF("id")
+    val b = (2001 to 5000).toDF("id")
+    def run(x: org.apache.spark.sql.DataFrame) =
+      Stats.kmvSetOps(x, col("id"), b, col("id"), k = 256).collect()(0)
+    val r = run(a)
+    assert(r.getLong(2) == 5000)
+    assert(math.abs(r.getDouble(3) - 5000) / 5000 < 0.25, s"union ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - 0.2) < 0.12, s"jaccard ${r.getDouble(4)}")
+    val r2 = run(a.repartition(17))
+    assert(r.getDouble(3) == r2.getDouble(3) && r.getDouble(4) == r2.getDouble(4),
+      "sketch must not depend on layout")
+  }
+
+  test("theilSenTrend: exact linear daily series recovers slope, tau = 1") {
+    // counts 1,3,5,7 on four consecutive days: every pairwise slope = 2
+    val ts = (0 until 4).flatMap(d =>
+      Seq.fill(2 * d + 1)(s"2024-01-0${d + 1} 09:00:00"))
+    val df = ts.toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val r = Stats.theilSenTrend(df, "ts").collect()(0)
+    assert(r.getLong(0) == 4 && r.getLong(1) == 6)
+    assert(r.getLong(2) == 6)                    // all 6 pairs increasing
+    assert(r.getDouble(3) == 1.0)                // tau
+    assert(r.getDouble(4) == 2.0)                // slope/day
+  }
+
+  test("theilSenTrend: one spiked day does not move the slope median") {
+    // flat series of 5/day except one 500-spike: median pairwise slope 0
+    val ts = (0 until 9).flatMap(d =>
+      Seq.fill(if (d == 4) 500 else 5)(f"2024-01-0${d + 1}%d 09:00:00"))
+    val df = ts.toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val r = Stats.theilSenTrend(df, "ts").collect()(0)
+    assert(math.abs(r.getDouble(4)) < 1e-9, s"slope ${r.getDouble(4)}")
+  }
+
+  test("poissonBootstrapMean: exact mean, plausible se, deterministic") {
+    val df = (1 to 400).map(i => (i.toLong, (i % 20).toDouble)).toDF("id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.poissonBootstrapMean(d, col("id"), col("v"), reps = 100).collect()(0)
+    val r = run(df)
+    assert(r.getLong(0) == 400 && r.getLong(2) == 100)
+    assert(math.abs(r.getDouble(1) - 9.5) < 1e-6)
+    // sd of 0..19 uniform-ish ~5.766; se ~ sd/sqrt(400) ~ 0.29
+    val se = r.getDouble(3)
+    assert(se > 0.1 && se < 0.6, s"se $se")
+    assert(r.getDouble(4) < 9.5 && r.getDouble(5) > 9.5)
+    val r2 = run(df.repartition(13))
+    assert(r2.getDouble(3) == se && r2.getDouble(4) == r.getDouble(4),
+      "hash bootstrap must not depend on layout")
+  }
 }
