@@ -1134,4 +1134,30 @@ object Ops {
           sum((cD * log(cD)).cast("decimal(28,12)")).cast("double") /
             sum(col("__c")).cast("double"), 6).as("entropy"))
   }
+
+  // --------------------------------------------------------------- skyline
+  /** Pareto frontier (skyline) on two maximize-dimensions: keep rows no
+    * other row dominates (other ≥ on both, > on at least one). The classic
+    * multi-criteria shortlist — "longest AND most token-rich documents"
+    * with no weighting function.
+    *
+    * Scale: never the O(n²) dominance self-join. One aggregate collapses
+    * the data to the per-x max-y relation (bounded by |distinct x|, i.e.
+    * the x value DOMAIN, not the row count), a descending running-max sweep
+    * over that bounded relation finds the frontier x-groups, and one
+    * broadcast semi-ish join pulls the surviving rows back out. Rows tied
+    * on both dimensions all survive (neither strictly dominates). */
+  def skyline(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val gx = df.groupBy(col(xCol)).agg(max(col(yCol)).as("__ymax"))
+    // per-x rows are DISTINCT x values: the sweep window is over the bounded
+    // x domain (partitionless by construction, like the q119 day spine)
+    val w = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val surv = gx.withColumn("__dom", max(col("__ymax")).over(w))
+      .filter(col("__dom").isNull || col("__dom") < col("__ymax"))
+      .select(col(xCol).as("__x"), col("__ymax"))
+    df.join(broadcast(surv),
+      col(xCol) === col("__x") && col(yCol) === col("__ymax"))
+      .drop("__x", "__ymax")
+  }
 }

@@ -379,6 +379,76 @@ object Multimodal {
     }.toDF(idCol, kindCol, binCol, "resized")
   }
 
+  /** dwMicroSecPerFrame from a RIFF AVI main header (avih), or None. */
+  private[graft] def aviMicroSecPerFrame(bytes: Array[Byte]): Option[Long] = {
+    if (bytes.length < 12 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ")
+      return None
+    def walk(from: Int, to: Int, depth: Int): Option[Long] = {
+      var off = from
+      while (off + 8 <= to) {
+        val t = tag(bytes, off)
+        val size = u32le(bytes, off + 4)
+        if (size < 0 || off + 8 + size > to) return None
+        if (t == "LIST" && depth < 4) {
+          val r = walk(off + 12, (off + 8 + size).toInt, depth + 1)
+          if (r.isDefined) return r
+        } else if (t == "avih" && off + 8 + 4 <= to)
+          return Some(u32le(bytes, off + 8))
+        off += 8 + size.toInt + (size.toInt & 1)
+      }
+      None
+    }
+    walk(12, bytes.length, 0)
+  }
+
+  /** REAL video frame sampling: every `step`-th frame of each MJPEG-AVI
+    * payload, extracted from the container's stream chunks ('NNdc'/'NNdb')
+    * and decoded (ImageIO JPEG) to report true frame dimensions; pts comes
+    * from the avih clock (frame_idx · dwMicroSecPerFrame). Containers
+    * without an in-band frame index (the BMFF fixture) yield no rows —
+    * a production pipeline would consult the 'stbl' sample tables there;
+    * same plan shape, different demuxer.
+    *
+    * Scale: binaries never shuffle — demux + decode run inside the reading
+    * partition (mapPartitions, the [[decode]] contract) and each input row
+    * fans out to at most ceil(n_frames/step) bounded-size rows. Output
+    * (one row per sampled frame): media_id, frame_idx, pts_us, w, h,
+    * n_bytes. */
+  def extractFrames(df: DataFrame, step: Int, idCol: String = "media_id",
+                    binCol: String = "payload",
+                    kindCol: String = "kind"): DataFrame = {
+    require(step >= 1, s"step must be >= 1: $step")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src: Dataset[(Long, String, Array[Byte])] = df.select(
+      col(idCol).cast("long"), col(kindCol), col(binCol))
+      .as[(Long, String, Array[Byte])]
+    src.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { case (id, kind, bytes) =>
+        if (kind != "video") Iterator.empty
+        else {
+          val chunks = aviVideoChunks(bytes)
+          if (chunks.isEmpty) Iterator.empty
+          else {
+            val us = aviMicroSecPerFrame(bytes).getOrElse(0L)
+            chunks.iterator.zipWithIndex
+              .filter { case (_, i) => i % step == 0 }
+              .map { case (c, i) =>
+                val img =
+                  try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(c))
+                  catch { case scala.util.control.NonFatal(_) => null }
+                (id, i, i * us,
+                  if (img == null) 0 else img.getWidth,
+                  if (img == null) 0 else img.getHeight,
+                  c.length)
+              }
+          }
+        }
+      }
+    }.toDF(idCol, "frame_idx", "pts_us", "w", "h", "n_bytes")
+  }
+
   /** Frame sampling as in-row byte slicing: every `stride`-th window of
     * `frameLen` bytes (a real video pipeline would slice at keyframe offsets
     * from the container index — same plan shape). */

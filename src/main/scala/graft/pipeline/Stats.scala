@@ -1292,4 +1292,73 @@ object Stats {
       round(col("__mean") - lit(1.96) * se, 6).as("ci_lo"),
       round(col("__mean") + lit(1.96) * se, 6).as("ci_hi"))
   }
+
+  // -------------------------------------------- per-class eval report
+  /** Multiclass classification report: per-class tp/fp/fn and
+    * precision/recall/F1 from a (label, prediction) relation — the
+    * model-eval table every training pipeline prints.
+    *
+    * Scale: two key-keyed aggregates (one by label for tp/fn, one by
+    * prediction for fp) full-outer-joined on the class spine — the output
+    * is class-cardinality-bounded no matter the row count, and both
+    * aggregates partial map-side. Degenerate classes (no predictions / no
+    * truth) report null precision/recall rather than inventing 0s; F1 is
+    * computed from the unrounded P/R (one fixed IEEE shape) and is null
+    * when P+R is null or 0. */
+  def classificationReport(df: DataFrame, labelCol: Column,
+                           predCol: Column): DataFrame = {
+    val base = df.select(labelCol.cast("long").as("__y"),
+      predCol.cast("long").as("__p"))
+      .filter(col("__y").isNotNull && col("__p").isNotNull)
+    val byLabel = base.groupBy(col("__y").as("clazz"))
+      .agg(sum(when(col("__y") === col("__p"), 1L).otherwise(0L)).as("tp"),
+        count(lit(1)).as("__n_true"))
+    val byPred = base.groupBy(col("__p").as("clazz"))
+      .agg(count(lit(1)).as("__n_pred"))
+    val cells = byLabel.join(byPred, Seq("clazz"), "full")
+      .select(col("clazz"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("__n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("__n_true"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"),
+        coalesce(col("__n_true"), lit(0L)).as("__nt"),
+        coalesce(col("__n_pred"), lit(0L)).as("__np"))
+    val p = when(col("__np") > 0,
+      col("tp").cast("double") / col("__np").cast("double"))
+    val r = when(col("__nt") > 0,
+      col("tp").cast("double") / col("__nt").cast("double"))
+    cells.select(col("clazz"), col("tp"), col("fp"), col("fn"),
+      round(p, 6).as("precision"), round(r, 6).as("recall"),
+      round(when(p + r > 0, lit(2.0) * p * r / (p + r)), 6).as("f1"))
+  }
+
+  // ------------------------------------------------- DP-noisy group counts
+  /** Differentially-private released counts: per-group count + Laplace(1/ε)
+    * noise with the standard post-processing (round to integer, clamp at 0).
+    * The noise draw is HASH-DETERMINISTIC — u = first-52-bits(md5('dp|' ∥
+    * group)) / 2^52, x = −sign(u−½)·b·ln(1−2|u−½|) — so a release is
+    * reproducible run-to-run (a real deployment would swap in a seeded
+    * cryptographic PRNG; the dataflow and post-processing are identical)
+    * and the oracle replays it exactly.
+    *
+    * Scale: one group aggregate plus a codegen'd noise projection — the
+    * noise depends only on the GROUP KEY, never the data, so no extra pass.
+    * Output: group, n_true, noise (6dp), released. */
+  def dpNoisyCounts(df: DataFrame, groupCol: String,
+                    epsilon: Double = 1.0): DataFrame = {
+    require(epsilon > 0, s"epsilon must be > 0: $epsilon")
+    val b = 1.0 / epsilon
+    val u = conv(substring(md5(concat(lit("dp|"),
+      col(groupCol).cast("string"))), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0) // 2^52
+    val d = u - lit(0.5)
+    val noise = -signum(d) * lit(b) * log(lit(1.0) - lit(2.0) * abs(d))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_true"))
+      .select(col(groupCol), col("n_true"),
+        round(noise, 6).as("noise"),
+        greatest(lit(0L),
+          round(col("n_true") + noise, 0).cast("long")).as("released"))
+  }
 }

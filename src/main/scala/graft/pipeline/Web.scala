@@ -215,4 +215,44 @@ object Web {
         col(s"__r.$valueCol").as(valueCol))
     withHost.join(routed, Seq("__host"), "left").drop("__host")
   }
+
+  /** Tracking parameters stripped by [[canonicalizeUrl]]: the regex matches
+    * a full `key=value` pair (RE2-safe, shared verbatim with the oracle). */
+  val TrackingParamPattern: String = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+
+  /** Canonical URL — the dedup key of web-corpus URL normalization:
+    * lowercased scheme+host, userinfo dropped, default ports (http:80 /
+    * https:443) dropped, empty path → "/", fragment dropped, tracking
+    * parameters ([[TrackingParamPattern]]) removed and the survivors
+    * SORTED so parameter order never splits a dedup group.
+    *
+    * Pure codegen'd Column composition (regexp extracts + one
+    * filter/sort/join over the split parameter array) — zero shuffle,
+    * RE2-compatible, oracle-replayable. Non-URLs canonicalize to
+    * "://" + path-ish garbage only if they contained "://"; callers gate on
+    * [[urlScheme]] nonempty first (as [[withCanonicalUrl]] does). */
+  def canonicalizeUrl(u: Column): Column = {
+    val scheme = urlScheme(u)
+    val host = urlHost(u)
+    val port = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:(\\d+)", 1)
+    val path = urlPath(u)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept = filter(split(query, "&"), p =>
+      length(p) > 0 && !p.rlike(TrackingParamPattern))
+    val qStr = array_join(array_sort(kept), "&")
+    val portPart = when(port === "" ||
+      (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    concat(scheme, lit("://"), host, portPart,
+      when(path === "", lit("/")).otherwise(path),
+      when(qStr === "", lit("")).otherwise(concat(lit("?"), qStr)))
+  }
+
+  /** `canonical_url` attached for rows that parse as absolute URLs (others
+    * get null) — the prelude to exact URL dedup at canonical grain. */
+  def withCanonicalUrl(df: DataFrame, urlCol: String): DataFrame =
+    df.withColumn("canonical_url",
+      when(urlScheme(col(urlCol)) =!= "", canonicalizeUrl(col(urlCol))))
 }

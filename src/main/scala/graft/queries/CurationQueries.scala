@@ -700,6 +700,54 @@ object CurationQueries {
         "FROM r ORDER BY source"),
       (s, dir) => Curation.allocateEvalSet(Tables.documents(s, dir), "source",
           k = 1000L)
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // ---- canonical-URL normalization: case folding, userinfo/default-port
+    // /fragment drop, tracking-param strip, residual params SORTED — the
+    // dedup key of web-scale URL dedup (q75 dedups raw; this is the grain a
+    // crawl actually uses). Four synthetic variants exercise every branch;
+    // both engines run the identical RE2 regexes and list pipeline.
+    Q("q268_url_canonical", {
+      val urlSql = "CASE doc_id % 4 " +
+        "WHEN 0 THEN 'HTTPS://Example.COM:443/a/' || doc_id || " +
+        "'?utm_source=' || source || '&b=2&a=1#frag' " +
+        "WHEN 1 THEN 'http://user:pw@Blog.Example.org:80/p/' || doc_id || " +
+        "'?gclid=1&z=9&y=' || doc_id " +
+        "WHEN 2 THEN 'https://cdn.example.io:8443/x/' || doc_id " +
+        "ELSE 'http://Example.net?ref=' || doc_id END"
+      Some("WITH u AS (SELECT doc_id, " + urlSql + " AS url FROM documents), " +
+        "p AS (SELECT doc_id, " +
+        "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, " +
+        "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host, " +
+        "coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:(\\d+)', 1), '') AS port, " +
+        "coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '') AS path, " +
+        "coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q FROM u), " +
+        "k AS (SELECT doc_id, scheme, host, port, path, " +
+        "coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'), " +
+        "x -> len(x) > 0 AND NOT regexp_matches(x, " +
+        "'^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&'), '') AS qs FROM p) " +
+        "SELECT doc_id, scheme || '://' || host || " +
+        "CASE WHEN port = '' OR (scheme = 'http' AND port = '80') " +
+        "OR (scheme = 'https' AND port = '443') THEN '' ELSE ':' || port END || " +
+        "CASE WHEN path = '' THEN '/' ELSE path END || " +
+        "CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url " +
+        "FROM k ORDER BY doc_id")
+    },
+      (s, dir) => {
+        val url = when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("HTTPS://Example.COM:443/a/"), col("doc_id"),
+              lit("?utm_source="), col("source"), lit("&b=2&a=1#frag")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit("http://user:pw@Blog.Example.org:80/p/"), col("doc_id"),
+              lit("?gclid=1&z=9&y="), col("doc_id")))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            concat(lit("https://cdn.example.io:8443/x/"), col("doc_id")))
+          .otherwise(concat(lit("http://Example.net?ref="), col("doc_id")))
+        Web.withCanonicalUrl(
+            Tables.documents(s, dir).select(col("doc_id"), col("source"))
+              .withColumn("url", url), "url")
+          .select("doc_id", "canonical_url")
+          .orderBy("doc_id")
+      })
   )
 }

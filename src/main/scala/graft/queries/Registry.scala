@@ -15,9 +15,9 @@ final case class Q(
 object Registry {
   lazy val all: Seq[Q] = {
     val qs = Relational.qs ++ TypeQueries.qs ++ TextQueries.qs ++
-      CurationQueries.qs ++ SimilarityQueries.qs ++ StreamQueries.qs ++
-      StatsQueries.qs ++ AppliedQueries.qs ++ TpchQueries.qs ++
-      MlPipelineQueries.qs ++ LayoutQueries.qs
+      CurationQueries.qs ++ SimilarityQueries.qs ++ SimilarityQueries2.qs ++
+      StreamQueries.qs ++ StatsQueries.qs ++ AppliedQueries.qs ++
+      TpchQueries.qs ++ MlPipelineQueries.qs ++ LayoutQueries.qs
     // a duplicate name would silently shadow a query in the toMap below and
     // the driver's gate would "pass" while never running the shadowed one
     val dup = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }

@@ -301,3 +301,30 @@ object SimilarityQueries {
         .orderBy("label"))
   )
 }
+
+/** Second similarity/multimodal wave (split keeps per-file JVM method size
+  * in check). */
+object SimilarityQueries2 {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- REAL video frame sampling: every 2nd MJPEG-AVI frame, demuxed
+    // from the RIFF stream chunks and JPEG-decoded in-partition; the oracle
+    // replays the fixture's id-arithmetic (frame count, 25 fps clock,
+    // dimensions), so the container parse + frame decode are checked
+    // against pure SQL. BMFF fixtures carry no in-band frame index and
+    // yield no rows (documented operator contract).
+    Q("q265_frame_sample",
+      Some("WITH v AS (SELECT doc_id FROM documents " +
+        "WHERE doc_id % 3 = 2 AND (doc_id // 3) % 2 = 1), " +
+        "f AS (SELECT doc_id, unnest(range(0, 2 + doc_id % 3, 2)) AS frame_idx " +
+        "FROM v) " +
+        "SELECT doc_id AS media_id, frame_idx, frame_idx * 40000 AS pts_us, " +
+        "8 + (doc_id % 5) * 3 AS w, 8 + (doc_id % 3) * 5 AS h " +
+        "FROM f ORDER BY media_id, frame_idx"),
+      (s, dir) => Multimodal.extractFrames(
+          MediaFixtures.materializedMediaTable(s, dir), step = 2)
+        .select("media_id", "frame_idx", "pts_us", "w", "h")
+        .orderBy("media_id", "frame_idx"))
+  )
+}

@@ -1803,6 +1803,69 @@ object StatsQueries {
         "(CAST(n_reps AS DOUBLE) - 1.0)), 6) AS ci_hi FROM t, b")
     },
       (s, dir) => Stats.poissonBootstrapMean(Tables.events(s, dir),
-        col("event_id"), col("value"), reps = 100))
+        col("event_id"), col("value"), reps = 100)),
+
+    // ---- multiclass eval report: per-class tp/fp/fn/P/R/F1 over a
+    // deterministic hash-derived prediction column — two key aggregates
+    // full-outer-joined on the class spine, output class-bounded.
+    Q("q267_class_report", {
+      def hexInt(n: Int) = (1 to n).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * " +
+          s"${BigInt(16).pow(n - i)}").mkString("(", " + ", ")")
+      Some("WITH hx0 AS (SELECT label, " +
+        "substr(md5('p|' || CAST(vec_id AS VARCHAR)), 1, 13) AS hx " +
+        "FROM embeddings), " +
+        s"b AS (SELECT CAST(label AS BIGINT) AS y, ${hexInt(13)} % 10 AS p " +
+        "FROM hx0), " +
+        "yl AS (SELECT y AS clazz, " +
+        "CAST(sum(CASE WHEN y = p THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+        "count(*) AS nt FROM b GROUP BY 1), " +
+        "pl AS (SELECT p AS clazz, count(*) AS np FROM b GROUP BY 1), " +
+        "c AS (SELECT coalesce(yl.clazz, pl.clazz) AS clazz, " +
+        "coalesce(tp, 0) AS tp, coalesce(np, 0) - coalesce(tp, 0) AS fp, " +
+        "coalesce(nt, 0) - coalesce(tp, 0) AS fn, coalesce(nt, 0) AS nt, " +
+        "coalesce(np, 0) AS np FROM yl FULL JOIN pl ON yl.clazz = pl.clazz), " +
+        "pr AS (SELECT clazz, tp, fp, fn, " +
+        "CASE WHEN np > 0 THEN CAST(tp AS DOUBLE) / CAST(np AS DOUBLE) END AS p, " +
+        "CASE WHEN nt > 0 THEN CAST(tp AS DOUBLE) / CAST(nt AS DOUBLE) END AS r " +
+        "FROM c) " +
+        "SELECT clazz, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, " +
+        "CAST(fn AS BIGINT) AS fn, round(p, 6) AS \"precision\", " +
+        "round(r, 6) AS recall, " +
+        "round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) END, 6) AS f1 " +
+        "FROM pr ORDER BY clazz")
+    },
+      (s, dir) => {
+        val pred = pmod(conv(substring(md5(concat(lit("p|"),
+          col("vec_id").cast("string"))), 1, 13), 16, 10).cast("long"),
+          lit(10))
+        Stats.classificationReport(Tables.embeddings(s, dir),
+          col("label"), pred).orderBy("clazz")
+      }),
+
+    // ---- DP-noisy released counts: per-source count + hash-deterministic
+    // Laplace(1/ε) noise, standard post-processing (round, clamp ≥ 0);
+    // noise depends only on the group key, so it is one codegen'd
+    // projection after the aggregate.
+    Q("q269_dp_counts", {
+      def hexInt(n: Int) = (1 to n).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * " +
+          s"${BigInt(16).pow(n - i)}").mkString("(", " + ", ")")
+      Some("WITH c AS (SELECT source, count(*) AS n_true FROM documents " +
+        "GROUP BY 1), " +
+        "hx0 AS (SELECT source, n_true, substr(md5('dp|' || source), 1, 13) " +
+        "AS hx FROM c), " +
+        s"uu AS (SELECT source, n_true, ${hexInt(13)} / 4503599627370496.0 " +
+        "AS u FROM hx0), " +
+        "nz AS (SELECT source, n_true, " +
+        "-(CASE WHEN u - 0.5 > 0 THEN 1.0 WHEN u - 0.5 < 0 THEN -1.0 " +
+        "ELSE 0.0 END) * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise FROM uu) " +
+        "SELECT source, n_true, round(noise, 6) AS noise, " +
+        "greatest(CAST(0 AS BIGINT), " +
+        "CAST(round(n_true + noise, 0) AS BIGINT)) AS released " +
+        "FROM nz ORDER BY source")
+    },
+      (s, dir) => Stats.dpNoisyCounts(Tables.documents(s, dir), "source",
+        epsilon = 1.0).orderBy("source"))
   )
 }

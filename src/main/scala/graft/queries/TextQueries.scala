@@ -802,6 +802,28 @@ object TextQueries {
         "ORDER BY rank_micro DESC, token LIMIT 15")
     },
       (s, dir) => TA.textRankKeywords(Tables.documents(s, dir), "text",
-        window = 2, iters = 3, k = 15))
+        window = 2, iters = 3, k = 15)),
+
+    // ---- Pareto skyline on (n_tokens, n_chars): the multi-criteria
+    // shortlist with no weighting function. Never the O(n²) dominance
+    // join — per-x max collapse + one descending running-max sweep over
+    // the bounded x DOMAIN, then a broadcast join back (both engines run
+    // the identical sweep).
+    Q("q266_skyline",
+      Some(s"WITH t AS (SELECT doc_id, len($tokensSql) AS n_tokens, " +
+        "length(text) AS n_chars FROM documents), " +
+        "g AS (SELECT n_tokens, max(n_chars) AS ymax FROM t GROUP BY 1), " +
+        "s AS (SELECT n_tokens, ymax, max(ymax) OVER (ORDER BY n_tokens DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dom FROM g), " +
+        "k AS (SELECT n_tokens, ymax FROM s WHERE dom IS NULL OR dom < ymax) " +
+        "SELECT t.doc_id, t.n_tokens, t.n_chars FROM t " +
+        "JOIN k ON t.n_tokens = k.n_tokens AND t.n_chars = k.ymax " +
+        "ORDER BY doc_id"),
+      (s, dir) => Ops.skyline(
+          Tables.documents(s, dir).select(col("doc_id"),
+            TA.tokenCount(col("text")).as("n_tokens"),
+            TA.charCount(col("text")).as("n_chars")),
+          "n_tokens", "n_chars")
+        .orderBy("doc_id"))
   )
 }

@@ -495,4 +495,20 @@ class OpsSpec extends SparkSpec {
     assert(got("key") == ((4L, 4L, BigDecimal(math.log(4.0))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
+
+  test("skyline: dominated rows drop, frontier and both-dim ties survive") {
+    // frontier: (5,1), (3,4), (1,9); dominated: (2,2) by (3,4), (3,3) by
+    // (3,4) same-x, (1,9)-duplicate survives twice (tie on both dims)
+    val df = Seq((1, 5, 1), (2, 3, 4), (3, 1, 9), (4, 2, 2), (5, 3, 3),
+      (6, 1, 9)).toDF("id", "x", "y")
+    val got = Ops.skyline(df, "x", "y").select("id").as[Int].collect().sorted
+    assert(got.toSeq == Seq(1, 2, 3, 6))
+  }
+
+  test("skyline: single row and all-equal inputs survive whole") {
+    val one = Seq((1, 7, 7)).toDF("id", "x", "y")
+    assert(Ops.skyline(one, "x", "y").count() == 1)
+    val eq = Seq((1, 2, 2), (2, 2, 2), (3, 2, 2)).toDF("id", "x", "y")
+    assert(Ops.skyline(eq, "x", "y").count() == 3)
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, MediaFixtures, Multimodal, Similarity, TextAnalysis => TA}
+import graft.pipeline.{Dedup, MediaFixtures, Multimodal, Similarity, Stats, Web, TextAnalysis => TA}
 
 /** Training-data pipeline operators: text analysis, dedup family,
   * similarity search, multimodal plumbing.
@@ -1239,5 +1239,81 @@ class PipelineSpec extends SparkSpec {
       Curation.splitLabel(col("id"), "s1", fr).as("sp"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L)._2 == expected(1L) && got(4L)._2 == expected(4L))
+  }
+
+  test("extractFrames: AVI demux + JPEG decode report fixture-true frames") {
+    val media = MediaFixtures.asMediaTable(
+      Tables.documents(spark, sf0001).filter(col("doc_id") < 60))
+    val got = Multimodal.extractFrames(media, step = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getInt(4), r.getInt(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, idx, pts, w, h, nb) =>
+      // AVI fixtures are doc_id % 3 == 2 with (doc_id/3) % 2 == 1
+      assert(id % 3 == 2 && (id / 3) % 2 == 1, s"non-AVI id $id produced frames")
+      assert(idx % 2 == 0 && idx < 2 + id % 3)
+      assert(pts == idx * 40000L)           // 25 fps avih clock
+      assert(w == 8 + (id % 5).toInt * 3 && h == 8 + (id % 3).toInt * 5)
+      assert(nb > 0)
+    }
+    // step = 1 yields every frame: exactly nFrames = 2 + id%3 rows per AVI
+    val all = Multimodal.extractFrames(media, step = 1)
+      .groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    all.foreach { case (id, n) => assert(n == 2 + id % 3) }
+  }
+
+  test("canonicalizeUrl: case, ports, userinfo, tracking params, sorting") {
+    val cases = Seq(
+      "HTTPS://Example.COM:443/a/1?utm_source=x&b=2&a=1#frag" ->
+        "https://example.com/a/1?a=1&b=2",
+      "http://user:pw@Blog.Example.org:80/p/2?gclid=1&z=9&y=2" ->
+        "http://blog.example.org/p/2?y=2&z=9",
+      "https://cdn.example.io:8443/x/3" -> "https://cdn.example.io:8443/x/3",
+      "http://Example.net?ref=home" -> "http://example.net/",
+      "https://a.example.com/p?utm_campaign=c&utm_medium=m" ->
+        "https://a.example.com/p")
+    val df = cases.map(_._1).toDF("url")
+    val got = df.select(col("url"), Web.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"$in -> ${got(in)} (want $want)") }
+  }
+
+  test("classificationReport: hand-computed confusion on 3 classes") {
+    // y/p pairs: class 0 tp=2 fn=1(pred 1); class 1 tp=1 fp=1 fn=0;
+    // class 2 never true but predicted once (fp=1, precision 0, recall null)
+    val df = Seq((0L, 0L), (0L, 0L), (0L, 1L), (1L, 1L), (1L, 2L))
+      .toDF("y", "p")
+    val got = Stats.classificationReport(df, col("y"), col("p"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))).toMap
+    assert(got(0L)._1 == 2 && got(0L)._2 == 0 && got(0L)._3 == 1)
+    assert(got(0L)._4.contains(1.0) && got(0L)._5.contains(0.666667))
+    assert(got(1L)._1 == 1 && got(1L)._2 == 1 && got(1L)._3 == 1)
+    assert(got(1L)._4.contains(0.5) && got(1L)._5.contains(0.5) &&
+      got(1L)._6.contains(0.5))
+    assert(got(2L)._1 == 0 && got(2L)._2 == 1 && got(2L)._3 == 0)
+    assert(got(2L)._4.contains(0.0) && got(2L)._5.isEmpty && got(2L)._6.isEmpty)
+  }
+
+  test("dpNoisyCounts: deterministic across layouts, clamped at zero") {
+    val df = (1 to 50).map(i => s"g${i % 5}").toDF("g")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.dpNoisyCounts(d, "g", epsilon = 1.0).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+          r.getLong(3)))).toMap
+    val a = run(df)
+    assert(a.values.forall(_._1 == 10))
+    assert(a.values.forall(v => v._3 >= 0))
+    a.foreach { case (_, (n, noise, rel)) =>
+      assert(rel == math.max(0L, math.round(n + noise)) ||
+        math.abs(n + noise - math.rint(n + noise)) < 1e-9)
+    }
+    assert(run(df.repartition(7)) == a, "noise must be layout-independent")
+    // tiny epsilon -> huge noise scale; clamp keeps releases non-negative
+    val tiny = Stats.dpNoisyCounts(df, "g", epsilon = 0.001).collect()
+    tiny.foreach(r => assert(r.getLong(3) >= 0))
   }
 }
