@@ -71,6 +71,76 @@ object EventAnalytics {
     }.reduce(_.unionByName(_))
   }
 
+  // ------------------------------------------------- time-boxed funnel
+  /** Windowed funnel (anchored variant): like [[funnel]], but every later
+    * stage must also land within `windowUs` of the user's ANCHOR — their
+    * earliest stage-0 completion. This is the deterministic anchored-first
+    * reading of ClickHouse's windowFunnel (which maximizes depth over all
+    * anchors); anchoring at the earliest stage-0 event keeps the same
+    * greedy-min fold as [[funnel]] — k−1 co-keyed joins, no windows, no
+    * per-user sorting — with one extra bound per join. */
+  def windowFunnel(df: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, stages: Seq[String],
+                   windowUs: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(windowUs > 0, s"windowUs must be > 0: $windowUs")
+    val us = micros(col(tsCol))
+    val byType = stages.map(st =>
+      df.filter(col(typeCol) === st)
+        .select(col(userCol).as("__u"), us.as("__t")))
+    val s0 = byType.head.groupBy("__u").agg(min(col("__t")).as("__t"))
+      .withColumn("__anchor", col("__t"))
+    val completions = byType.tail.foldLeft(Seq(s0)) { case (acc, ev) =>
+      val prev = acc.last
+        .select(col("__u"), col("__t").as("__tp"), col("__anchor"))
+      acc :+ ev.join(prev, Seq("__u"))
+        .filter(col("__t") > col("__tp") &&
+          col("__t") <= col("__anchor") + lit(windowUs))
+        .groupBy("__u").agg(min(col("__t")).as("__t"),
+          min(col("__anchor")).as("__anchor"))
+    }
+    completions.zipWithIndex.map { case (c, i) =>
+      c.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("stage_idx"), lit(stages(i)).as("stage"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  // ------------------------------------------------- forecast accuracy
+  /** Seasonal-forecast accuracy summary over the last `horizon` days of the
+    * zero-filled daily series: MAE of the seasonal-naive forecast
+    * (lag `season`), MAE of the random-walk naive (lag 1, the MASE
+    * denominator), and MASE = their ratio — Hyndman's scale-free forecast
+    * skill score. Absolute errors are INTEGERS (counts), so both MAEs are
+    * exact sums with one final division each; MASE is one further division
+    * (null when the naive MAE is 0). Windows run over the calendar-bounded
+    * daily spine only. Output (one row): n_days, mae_model, mae_naive,
+    * mase (6dp each). */
+  def forecastAccuracy(df: DataFrame, tsCol: String, season: Int = 7,
+                       horizon: Int = 28): DataFrame = {
+    require(season >= 1 && horizon >= 1, "season and horizon must be >= 1")
+    val daily = resampleDaily(df, tsCol)
+    val w = Window.orderBy(col("day"))
+    val lagged = daily.select(col("day"), col("n"),
+      lag(col("n"), season).over(w).as("__ps"),
+      lag(col("n"), 1).over(w).as("__p1"))
+    val hi = daily.agg(max(col("day")).as("__hi"))
+    val tail = lagged.crossJoin(broadcast(hi))
+      .filter(col("day") > col("__hi") - horizon &&
+        col("__ps").isNotNull && col("__p1").isNotNull)
+    val agg = tail.agg(count(lit(1)).as("n_days"),
+      sum(abs(col("n") - col("__ps"))).as("__sm"),
+      sum(abs(col("n") - col("__p1"))).as("__sn"))
+    agg.select(col("n_days"),
+      round(col("__sm").cast("double") / col("n_days").cast("double"), 6)
+        .as("mae_model"),
+      round(col("__sn").cast("double") / col("n_days").cast("double"), 6)
+        .as("mae_naive"),
+      round(when(col("__sn") > 0,
+        col("__sm").cast("double") / col("__sn").cast("double")), 6)
+        .as("mase"))
+  }
+
   // -------------------------------------------------------------- retention
   /** Weekly cohort retention: cohort = the user's first-activity week (the
     * integer [[weekIndex]]), one row per (cohort_week, week_offset) with the

@@ -1333,6 +1333,44 @@ object Stats {
       round(when(p + r > 0, lit(2.0) * p * r / (p + r)), 6).as("f1"))
   }
 
+  // ------------------------------------------------ Spearman rank correlation
+  /** Spearman rank correlation between two columns, ties getting the
+    * standard AVERAGE rank. The whole computation is INTEGER-EXACT: each
+    * side's average rank is carried doubled (2·r̄ = 2·cum − cnt + 1, always
+    * an integer), which leaves ρ unchanged (Pearson is affine-invariant)
+    * and lets every moment accumulate in DECIMAL — one fixed IEEE closed
+    * form at the end, no float rank arithmetic anywhere.
+    *
+    * Scale: ranks come from the per-VALUE count relation (one aggregate),
+    * cumulated by a partitionless window over the bounded value DOMAIN
+    * (the skyline/q119 discipline — never a window over the rows), then
+    * joined back. Output (one row): n, rho (6dp). */
+  def spearman(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val base = df.select(aCol.as("__a"), bCol.as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    def rank2(c: String, out: String): DataFrame = {
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+        .withColumn("__cum", sum(col("__cnt")).over(w))
+        .select(col(c), (col("__cum") * 2 - col("__cnt") + 1).as(out))
+    }
+    val ranked = base.join(rank2("__a", "__x"), Seq("__a"))
+      .join(rank2("__b", "__y"), Seq("__b"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val s = ranked.agg(count(lit(1)).as("n"),
+      sum(d(col("__x"))).cast("double").as("__sx"),
+      sum(d(col("__y"))).cast("double").as("__sy"),
+      sum(d(col("__x") * col("__y"))).cast("double").as("__sxy"),
+      sum(d(col("__x") * col("__x"))).cast("double").as("__sxx"),
+      sum(d(col("__y") * col("__y"))).cast("double").as("__syy"))
+    val nD = col("n").cast("double")
+    s.select(col("n"),
+      round((nD * col("__sxy") - col("__sx") * col("__sy")) /
+        (sqrt(nD * col("__sxx") - col("__sx") * col("__sx")) *
+          sqrt(nD * col("__syy") - col("__sy") * col("__sy"))), 6).as("rho"))
+  }
+
   // ------------------------------------------------- DP-noisy group counts
   /** Differentially-private released counts: per-group count + Laplace(1/ε)
     * noise with the standard post-processing (round to integer, clamp at 0).

@@ -1866,6 +1866,91 @@ object StatsQueries {
         "FROM nz ORDER BY source")
     },
       (s, dir) => Stats.dpNoisyCounts(Tables.documents(s, dir), "source",
-        epsilon = 1.0).orderBy("source"))
+        epsilon = 1.0).orderBy("source")),
+
+    // ---- Spearman rank correlation between per-user activity and mean
+    // spend: doubled average ranks are INTEGERS (2·r̄ = 2·cum − cnt + 1),
+    // Pearson is affine-invariant, so the whole statistic is decimal-exact
+    // until one closed form. Rank windows run over value DOMAINS.
+    Q("q270_spearman",
+      Some("WITH base AS (SELECT user_id, count(*) AS a, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS b " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1), " +
+        "ga AS (SELECT a, count(*) AS cnt FROM base GROUP BY 1), " +
+        "ra AS (SELECT a, 2 * sum(cnt) OVER (ORDER BY a " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1 AS x " +
+        "FROM ga), " +
+        "gb AS (SELECT b, count(*) AS cnt FROM base GROUP BY 1), " +
+        "rb AS (SELECT b, 2 * sum(cnt) OVER (ORDER BY b " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1 AS y " +
+        "FROM gb), " +
+        "j AS (SELECT x, y FROM base JOIN ra USING (a) JOIN rb USING (b)), " +
+        "s AS (SELECT count(*) AS n, " +
+        "CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy FROM j) " +
+        "SELECT n, round((CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+        "(sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * " +
+        "sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS rho FROM s"),
+      (s, dir) => {
+        val perUser = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("a"),
+            (sum(col("value").cast("decimal(18,6)")).cast("double") /
+              count(lit(1)).cast("double")).as("b"))
+        Stats.spearman(perUser, col("a"), col("b"))
+      }),
+
+    // ---- MASE forecast-skill summary: seasonal-naive vs random-walk MAE
+    // over the q190 backtest tail — integer error sums, two divisions,
+    // Hyndman's scale-free score as one exact row.
+    Q("q271_mase",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "sp AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "f AS (SELECT sp.day, coalesce(n, 0) AS n FROM sp " +
+        "LEFT JOIN c USING (day)), " +
+        "l AS (SELECT day, n, lag(n, 7) OVER (ORDER BY day) AS ps, " +
+        "lag(n, 1) OVER (ORDER BY day) AS p1 FROM f), " +
+        "t AS (SELECT * FROM l WHERE day > (SELECT max(day) FROM f) - 28 " +
+        "AND ps IS NOT NULL AND p1 IS NOT NULL), " +
+        "a AS (SELECT count(*) AS n_days, " +
+        "CAST(sum(abs(n - ps)) AS BIGINT) AS sm, " +
+        "CAST(sum(abs(n - p1)) AS BIGINT) AS sn FROM t) " +
+        "SELECT n_days, " +
+        "round(CAST(sm AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mae_model, " +
+        "round(CAST(sn AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mae_naive, " +
+        "round(CASE WHEN sn > 0 THEN CAST(sm AS DOUBLE) / CAST(sn AS DOUBLE) " +
+        "END, 6) AS mase FROM a"),
+      (s, dir) => EventAnalytics.forecastAccuracy(Tables.events(s, dir),
+        "ts", season = 7, horizon = 28)),
+
+    // ---- time-boxed funnel: q98's greedy-min fold with every later stage
+    // bound to 1 h of the user's earliest stage-0 event (the deterministic
+    // anchored reading of windowFunnel) — same k−1 co-keyed joins, one
+    // extra bound, no windows.
+    Q("q272_window_funnel",
+      Some("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events), " +
+        "s0 AS (SELECT user_id, min(t) AS t, min(t) AS a FROM e " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "s1 AS (SELECT e.user_id, min(e.t) AS t, min(s0.a) AS a FROM e " +
+        "JOIN s0 ON e.user_id = s0.user_id AND e.t > s0.t " +
+        "AND e.t <= s0.a + 3600000000 WHERE e.event_type = 'click' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(e.t) AS t, min(s1.a) AS a FROM e " +
+        "JOIN s1 ON e.user_id = s1.user_id AND e.t > s1.t " +
+        "AND e.t <= s1.a + 3600000000 WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT 0 AS stage_idx, 'view' AS stage, " +
+        "(SELECT count(*) FROM s0) AS n_users " +
+        "UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1) " +
+        "UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2) " +
+        "ORDER BY stage_idx"),
+      (s, dir) => EventAnalytics.windowFunnel(Tables.events(s, dir),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+          windowUs = 3600000000L)
+        .orderBy("stage_idx"))
   )
 }

@@ -408,4 +408,47 @@ class MlPipelineSpec extends SparkSpec {
     // h: W=11, threshold 6 -> value 5.0 (weight 10) crosses immediately
     assert(out("h") == ((5.0, 11L)))
   }
+
+  // ------------------------------------------------------ forecastAccuracy
+  test("forecastAccuracy: integer MAEs and MASE over the backtest tail") {
+    // 14 days, counts = 1 except day 10 has 3: within horizon 7 (days
+    // 7..13, all with both lags), seasonal errors |n(d)-n(d-7)| hit the
+    // spike once (d=10: 2) -> sum 2; naive-1 errors hit it entering AND
+    // leaving (d=10 and d=11: 2 each) -> sum 4; MASE = 2/4
+    val days = (0 until 14).flatMap(d => Seq.fill(if (d == 10) 3 else 1)(d))
+    val df = days.map(d => Tuple1(new java.sql.Timestamp(d * 86400000L)))
+      .toDF("ts")
+    val r = EventAnalytics.forecastAccuracy(df, "ts", season = 7,
+      horizon = 7).collect()(0)
+    assert(r.getLong(0) == 7)
+    assert(r.getDouble(1) == 0.285714 && r.getDouble(2) == 0.571429)
+    assert(r.getDouble(3) == 0.5)
+  }
+
+  // --------------------------------------------------------- windowFunnel
+  test("windowFunnel: a stage landing outside the anchor window is lost") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // u1 converts within the hour; u2's click comes 2h after its first
+    // view (counted by the plain funnel, dropped by the windowed one)
+    val df = Seq(
+      ("u1", "view", ts(0)), ("u1", "click", ts(30)),
+      ("u2", "view", ts(0)), ("u2", "click", ts(120))
+    ).toDF("u", "et", "ts")
+    val win = EventAnalytics.windowFunnel(df, "u", "et", "ts",
+        Seq("view", "click"), windowUs = 3600000000L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(win(0) == 2 && win(1) == 1)
+    val plain = EventAnalytics.funnel(df, "u", "et", "ts",
+        Seq("view", "click"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(plain(1) == 2)
+    // the bound is anchored at stage 0, not the previous stage: a 3-stage
+    // chain where each hop is 45 min apart converts stage 1 but not stage 2
+    val df3 = Seq(("u3", "view", ts(0)), ("u3", "click", ts(45)),
+      ("u3", "purchase", ts(90))).toDF("u", "et", "ts")
+    val w3 = EventAnalytics.windowFunnel(df3, "u", "et", "ts",
+        Seq("view", "click", "purchase"), windowUs = 3600000000L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(w3(1) == 1 && w3(2) == 0)
+  }
 }

@@ -1036,4 +1036,16 @@ class StatsSpec extends SparkSpec {
     assert(r2.getDouble(3) == se && r2.getDouble(4) == r.getDouble(4),
       "hash bootstrap must not depend on layout")
   }
+
+  test("spearman: monotone = 1, inverse = -1, tie case hand-computed") {
+    def rho(pairs: Seq[(Double, Double)]): Double =
+      Stats.spearman(pairs.toDF("a", "b"), col("a"), col("b"))
+        .collect()(0).getDouble(1)
+    assert(rho(Seq((1.0, 10.0), (2.0, 20.0), (3.0, 70.0))) == 1.0)
+    assert(rho(Seq((1.0, 9.0), (2.0, 5.0), (3.0, 1.0))) == -1.0)
+    // ties on a: values (1,1,2) -> avg ranks (1.5, 1.5, 3); b (1,2,3) ->
+    // ranks (1,2,3). Pearson of ((1.5,1),(1.5,2),(3,3)) = sqrt(3)/2
+    val t = rho(Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0)))
+    assert(math.abs(t - math.sqrt(3.0) / 2) < 1e-6, s"tie rho $t")
+  }
 }
