@@ -528,6 +528,61 @@ object ScaleStress {
     }
     println(s"  HOT est: $cms (exact 5,000,000)")
     assert(cms >= 5000000L, s"CMS undercounted the hot key: $cms")
+
+    // KMV set ops over 10M rows: A = 1M distinct, B = 1M distinct shifted
+    // by 500k -> union 1.5M, Jaccard 1/3. One hash-keyed aggregate + a
+    // k-row TakeOrdered; estimates must track truth.
+    val setA = spark.range(10000000L).select((col("id") % 1000000L).as("k"))
+    val setB = spark.range(10000000L)
+      .select((col("id") % 1000000L + 500000L).as("k"))
+    val so = timed("kmvSetOps over 2x10M rows, 1.5M-union, k=256") {
+      graft.pipeline.Stats.kmvSetOps(setA, col("k"), setB, col("k"), k = 256)
+        .collect().head
+    }
+    println(f"  union_est: ${so.getDouble(3)}%.0f (truth 1,500,000), " +
+      f"jaccard_est: ${so.getDouble(4)}%.4f (truth 0.3333)")
+    assert(math.abs(so.getDouble(3) - 1500000.0) / 1500000.0 < 0.10)
+    assert(math.abs(so.getDouble(4) - 1.0 / 3) < 0.10)
+
+    // skyline over 1M rows with a BOUNDED x domain (10k distinct): the
+    // sweep window sees 10k rows, never 1M; planted frontier of one row
+    // per x-group maximum, global frontier = the documented sweep result.
+    val skyRows = spark.range(1000000L).select(
+      (col("id") % 10000L).as("x"), (col("id") % 997L).as("y"),
+      col("id").as("rid"))
+    val sky = timed("skyline over 1M rows, 10k-value x domain") {
+      graft.operators.Ops.skyline(skyRows, "x", "y").count()
+    }
+    println(s"  frontier rows: $sky (output-bounded, never O(n^2) pairs)")
+    assert(sky > 0 && sky < 20000, s"skyline blew up: $sky")
+
+    // Poisson bootstrap over 2M rows x 100 replicates = 200M weighted
+    // rows, all collapsed map-side: se must land near sd/sqrt(n) =
+    // 28.866/1414 ~ 0.0204.
+    val bootRows = spark.range(2000000L)
+      .select(col("id"), (col("id") % 100L).cast("double").as("v"))
+    val boot = timed("poissonBootstrapMean over 2M rows x 100 reps") {
+      graft.pipeline.Stats.poissonBootstrapMean(bootRows, col("id"),
+        col("v"), reps = 100).collect().head
+    }
+    println(f"  mean: ${boot.getDouble(1)}%.4f (truth 49.5), " +
+      f"boot_se: ${boot.getDouble(3)}%.5f (analytic ~0.0204)")
+    assert(math.abs(boot.getDouble(1) - 49.5) < 0.2)
+    assert(boot.getDouble(3) > 0.005 && boot.getDouble(3) < 0.05,
+      s"bootstrap se implausible: ${boot.getDouble(3)}")
+
+    // Spearman over 5M rows with 1000-value domains and a perfectly
+    // monotone relation: rank relations are domain-bounded (1000 rows)
+    // and tie-averaged ranks must still give exactly rho = 1.
+    val spRows = spark.range(5000000L).select(
+      (col("id") % 1000L).cast("double").as("a"),
+      ((col("id") % 1000L) * 3 + 1).cast("double").as("b"))
+    val sp = timed("spearman over 5M rows, 1000-value domains") {
+      graft.pipeline.Stats.spearman(spRows, col("a"), col("b"))
+        .collect().head.getDouble(1)
+    }
+    println(s"  rho: $sp (expect exactly 1.0 - monotone with uniform ties)")
+    assert(sp == 1.0, s"spearman broken at scale: $sp")
     spark.stop()
   }
 }
