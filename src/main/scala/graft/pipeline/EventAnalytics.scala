@@ -141,6 +141,28 @@ object EventAnalytics {
         .as("mase"))
   }
 
+  // ---------------------------------------------------- cumulative users
+  /** User-growth series: per day, the count of users whose FIRST activity
+    * is that day (new_users) and the running total (cum_users) — the
+    * registration-growth board. The running distinct-count is NOT a
+    * windowed distinct over events: first-activity day is one user-keyed
+    * aggregate, the cumulation is a prefix sum over the calendar-bounded
+    * day spine. Gap days report 0 new users and a flat cumulative. */
+  def cumulativeUsers(df: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val day = dayIndex(col(tsCol))
+    val newPerDay = df.select(col(userCol).as("__u"), day.as("day"))
+      .groupBy("__u").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val spine = df.agg(min(day).as("__lo"), max(day).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(newPerDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+  }
+
   // -------------------------------------------------------------- retention
   /** Weekly cohort retention: cohort = the user's first-activity week (the
     * integer [[weekIndex]]), one row per (cohort_week, week_offset) with the

@@ -1333,6 +1333,37 @@ object Stats {
       round(when(p + r > 0, lit(2.0) * p * r / (p + r)), 6).as("f1"))
   }
 
+  // ------------------------------------------- A/B test power analysis
+  /** z quantiles for the standard two-proportion sample-size formula —
+    * defined once and interpolated verbatim into the SQL oracle so both
+    * engines compare identical doubles. */
+  val ZAlpha025: Double = 1.959963984540054 // two-sided alpha = 0.05
+  val ZPower80: Double = 0.8416212335729143 // power = 0.8
+
+  /** Required per-arm sample size for a two-proportion A/B test, anchored
+    * on OBSERVED data: p1 = successes/trials from the given predicates,
+    * p2 = p1·(1 + relMde). The classic closed form
+    * n = (z_{α/2}·√(2p̄q̄) + z_β·√(p1q1 + p2q2))² / (p2 − p1)², evaluated
+    * in one fixed IEEE shape from decimal-exact counts — the experiment-
+    * design companion to [[twoProportionZ]] (which analyzes the test after
+    * the fact). One aggregate row in, one row out: n_trials, n_successes,
+    * p1, p2 (6dp), n_per_arm (ceil, integer). */
+  def sampleSizeTwoProportions(df: DataFrame, trial: Column, success: Column,
+                               relMde: Double = 0.1): DataFrame = {
+    require(relMde > 0, s"relMde must be > 0: $relMde")
+    val agg = df.agg(
+      sum(when(trial, 1L).otherwise(0L)).as("n_trials"),
+      sum(when(trial && success, 1L).otherwise(0L)).as("n_successes"))
+    val p1 = col("n_successes").cast("double") / col("n_trials").cast("double")
+    val p2 = p1 * lit(1.0 + relMde)
+    val pbar = (p1 + p2) / lit(2.0)
+    val num = lit(ZAlpha025) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      lit(ZPower80) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    agg.select(col("n_trials"), col("n_successes"),
+      round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+      ceil(num * num / ((p2 - p1) * (p2 - p1))).cast("long").as("n_per_arm"))
+  }
+
   // ------------------------------------------------ Spearman rank correlation
   /** Spearman rank correlation between two columns, ties getting the
     * standard AVERAGE rank. The whole computation is INTEGER-EXACT: each

@@ -16,7 +16,8 @@ object Registry {
   lazy val all: Seq[Q] = {
     val qs = Relational.qs ++ TypeQueries.qs ++ TextQueries.qs ++
       CurationQueries.qs ++ SimilarityQueries.qs ++ SimilarityQueries2.qs ++
-      StreamQueries.qs ++ StatsQueries.qs ++ AppliedQueries.qs ++
+      StreamQueries.qs ++ StatsQueries.qs ++ StatsQueries2.qs ++
+      AppliedQueries.qs ++
       TpchQueries.qs ++ MlPipelineQueries.qs ++ LayoutQueries.qs
     // a duplicate name would silently shadow a query in the toMap below and
     // the driver's gate would "pass" while never running the shadowed one

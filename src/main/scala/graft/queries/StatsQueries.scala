@@ -1954,3 +1954,51 @@ object StatsQueries {
         .orderBy("stage_idx"))
   )
 }
+
+/** Second stats wave (split keeps per-file JVM method size in check). */
+object StatsQueries2 {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- user-growth series: first-activity day per user, prefix sum
+    // over the calendar spine — running distinct WITHOUT a windowed
+    // distinct (the scale trap this operator exists to avoid).
+    Q("q273_cumulative_users",
+      Some("WITH fd AS (SELECT user_id, " +
+        "min(epoch_us(ts) // 86400000000) AS day FROM events GROUP BY 1), " +
+        "np AS (SELECT day, count(*) AS new_users FROM fd GROUP BY 1), " +
+        "b AS (SELECT min(epoch_us(ts) // 86400000000) AS lo, " +
+        "max(epoch_us(ts) // 86400000000) AS hi FROM events), " +
+        "sp AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b) " +
+        "SELECT sp.day, CAST(coalesce(new_users, 0) AS BIGINT) AS new_users, " +
+        "CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY sp.day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS cum_users FROM sp LEFT JOIN np ON sp.day = np.day ORDER BY sp.day"),
+      (s, dir) => EventAnalytics.cumulativeUsers(Tables.events(s, dir),
+        "user_id", "ts").orderBy("day")),
+
+    // ---- experiment design from observed data: per-arm sample size for
+    // a +10% relative lift on the view→purchase rate, the standard
+    // two-proportion closed form from decimal-exact counts (q248's
+    // design-time companion).
+    Q("q274_power_analysis",
+      Some("WITH a AS (SELECT " +
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_trials, " +
+        "CAST(sum(CASE WHEN event_type = 'view' AND value > 200 THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS n_successes FROM events), " +
+        "p AS (SELECT n_trials, n_successes, " +
+        "CAST(n_successes AS DOUBLE) / CAST(n_trials AS DOUBLE) AS p1 FROM a), " +
+        "q AS (SELECT n_trials, n_successes, p1, p1 * 1.1 AS p2, " +
+        "(p1 + p1 * 1.1) / 2.0 AS pbar FROM p) " +
+        "SELECT n_trials, n_successes, round(p1, 6) AS p1, round(p2, 6) AS p2, " +
+        s"CAST(ceil((${Stats.ZAlpha025} * sqrt(2.0 * pbar * (1.0 - pbar)) + " +
+        s"${Stats.ZPower80} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))) * " +
+        s"(${Stats.ZAlpha025} * sqrt(2.0 * pbar * (1.0 - pbar)) + " +
+        s"${Stats.ZPower80} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))) / " +
+        "((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm FROM q"),
+      (s, dir) => Stats.sampleSizeTwoProportions(Tables.events(s, dir),
+        col("event_type") === "view",
+        col("value").isNotNull && col("value") > 200, relMde = 0.1))
+  )
+}

@@ -284,6 +284,7 @@ object Readers {
       case "sqlite" => SqliteReader.read(spark, path)
       case "mdb" => MdbReader.read(spark, path)
       case "parquet" => spark.read.parquet(path)
+      case "orc" => spark.read.orc(path)
       case "geojson" => GeoJson.read(spark, path)
       case other => throw new IllegalArgumentException(s"unsupported extension $other")
     }

@@ -9,6 +9,12 @@ import org.apache.spark.sql.DataFrame
   */
 object Writers {
 
+  /** Columnar sink symmetry for [[Readers.read]]'s "orc" branch: ORC ships
+    * in spark-sql, so the warehouse formats a reference user would migrate
+    * between (parquet/orc) both round-trip natively. */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** K1 records2csv (convert.py:807-849). */
   def csv(df: DataFrame, path: String, header: Boolean = true,
           maxRecordsPerFile: Option[Long] = None): Unit = {

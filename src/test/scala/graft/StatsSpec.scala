@@ -1048,4 +1048,14 @@ class StatsSpec extends SparkSpec {
     val t = rho(Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0)))
     assert(math.abs(t - math.sqrt(3.0) / 2) < 1e-6, s"tie rho $t")
   }
+
+  test("sampleSizeTwoProportions: textbook n for p1=0.1, +10% relative MDE") {
+    // 1000 trials, 100 successes -> p1 = 0.1, p2 = 0.11: n = 14751
+    val df = (1 to 1000).map(i => ("t", i <= 100)).toDF("k", "s")
+    val r = Stats.sampleSizeTwoProportions(df, col("k") === "t", col("s"),
+      relMde = 0.1).collect()(0)
+    assert(r.getLong(0) == 1000 && r.getLong(1) == 100)
+    assert(r.getDouble(2) == 0.1 && r.getDouble(3) == 0.11)
+    assert(r.getLong(4) == 14751L, s"n_per_arm ${r.getLong(4)}")
+  }
 }
