@@ -1333,6 +1333,87 @@ object Stats {
       round(when(p + r > 0, lit(2.0) * p * r / (p + r)), 6).as("f1"))
   }
 
+  // ------------------------------------------- split-conformal intervals
+  /** Split-conformal prediction intervals per group: the calibration half
+    * (md5 split on `idCol`, the leakage-split discipline) fits the trivial
+    * per-group mean model, q̂ = the ⌈(1−α)(n_cal+1)⌉-th smallest calibration
+    * residual — an exact ORDER STATISTIC, a data element, byte-identical in
+    * any engine — and the held-out half reports empirical coverage of
+    * |y − μ| ≤ q̂ (guaranteed ≥ 1−α in expectation by exchangeability, the
+    * whole point of conformal).
+    *
+    * Scale: one broadcast of per-group μ, residuals stay a projection, the
+    * k-th-smallest runs in per-GROUP windows (the groupLowerMedian
+    * discipline — no global sort). Output per group: n_cal, n_test, q_hat
+    * (raw double, hash-exact), coverage (6dp). */
+  def conformalIntervals(df: DataFrame, groupCol: String, idCol: Column,
+                         valueCol: Column, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha out of range: $alpha")
+    val tagged = df.filter(valueCol.isNotNull)
+      .select(col(groupCol), valueCol.cast("double").as("__v"),
+        Curation.splitLabel(idCol, "conf",
+          Seq("cal" -> 0.5, "test" -> 0.5)).as("__split"))
+    val mu = tagged.filter(col("__split") === "cal")
+      .groupBy(groupCol)
+      .agg((sum(col("__v").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("__mu"))
+    val res = tagged.join(broadcast(mu), Seq(groupCol))
+      .withColumn("__r", abs(col("__v") - col("__mu")))
+    val cal = res.filter(col("__split") === "cal")
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("__r"))
+    val wAll = Window.partitionBy(col(groupCol))
+    val qhat = cal
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") ===
+        ceil(lit(1.0 - alpha) * (col("__n") + 1).cast("double")).cast("long"))
+      .select(col(groupCol), col("__n").as("n_cal"), col("__r").as("q_hat"))
+    res.filter(col("__split") === "test")
+      .join(broadcast(qhat), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(min(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+        min(col("q_hat")).as("q_hat"),
+        sum(when(col("__r") <= col("q_hat"), 1L).otherwise(0L)).as("__cov"))
+      .select(col(groupCol), col("n_cal"), col("n_test"), col("q_hat"),
+        round(col("__cov").cast("double") / col("n_test").cast("double"), 6)
+          .as("coverage"))
+  }
+
+  // ------------------------------------------------ CUPED variance reduction
+  /** CUPED (Deng et al. 2013): variance reduction of a per-unit metric y
+    * using a pre-experiment covariate x. θ = cov(x,y)/var(x); the adjusted
+    * metric's variance follows the identity var(y_adj) = var(y) −
+    * cov²/var(x), so the reduction ratio is exactly corr(x,y)² — computed
+    * here from six DECIMAL-exact sums (the q122 moment discipline) with one
+    * fixed IEEE closed form, no second pass over the data and no
+    * per-unit adjusted column needed for the report.
+    *
+    * Input is unit-grain (one row per experimental unit). Output (one row):
+    * n_units, theta, var_y, var_adj, reduction (6dp each; theta/var terms
+    * null when var(x) = 0). */
+  def cupedReduction(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(18,6)")
+    val d12 = (c: Column) => c.cast("decimal(38,12)")
+    val base = df.select(xCol.cast("double").as("__x"),
+      yCol.cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val s = base.agg(count(lit(1)).as("n_units"),
+      sum(d6(col("__x"))).cast("double").as("__sx"),
+      sum(d6(col("__y"))).cast("double").as("__sy"),
+      sum(d12(col("__x") * col("__x"))).cast("double").as("__sxx"),
+      sum(d12(col("__y") * col("__y"))).cast("double").as("__syy"),
+      sum(d12(col("__x") * col("__y"))).cast("double").as("__sxy"))
+    val nD = col("n_units").cast("double")
+    val vx = (nD * col("__sxx") - col("__sx") * col("__sx")) / (nD * nD)
+    val vy = (nD * col("__syy") - col("__sy") * col("__sy")) / (nD * nD)
+    val cv = (nD * col("__sxy") - col("__sx") * col("__sy")) / (nD * nD)
+    s.select(col("n_units"),
+      round(when(vx > 0, cv / vx), 6).as("theta"),
+      round(vy, 6).as("var_y"),
+      round(when(vx > 0, vy - cv * cv / vx), 6).as("var_adj"),
+      round(when(vx > 0 && vy > 0, cv * cv / (vx * vy)), 6).as("reduction"))
+  }
+
   // ------------------------------------------- A/B test power analysis
   /** z quantiles for the standard two-proportion sample-size formula —
     * defined once and interpolated verbatim into the SQL oracle so both

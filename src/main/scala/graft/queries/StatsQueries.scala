@@ -1999,6 +1999,80 @@ object StatsQueries2 {
         "((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm FROM q"),
       (s, dir) => Stats.sampleSizeTwoProportions(Tables.events(s, dir),
         col("event_type") === "view",
-        col("value").isNotNull && col("value") > 200, relMde = 0.1))
+        col("value").isNotNull && col("value") > 200, relMde = 0.1)),
+
+    // ---- split-conformal intervals per event type: calibration half fits
+    // the mean, q-hat is an EXACT order statistic (data element), held-out
+    // coverage must straddle 1−α — distribution-free guarantees as one
+    // oracle-checked row per group.
+    Q("q275_conformal",
+      Some("WITH t AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v, " +
+        "CASE WHEN substr(md5('conf' || CAST(event_id AS VARCHAR)), 1, 8) " +
+        "< '80000000' THEN 'cal' ELSE 'test' END AS sp FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "mu AS (SELECT g, CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / " +
+        "count(*) AS mu FROM t WHERE sp = 'cal' GROUP BY 1), " +
+        "r AS (SELECT t.g, sp, abs(v - mu) AS r FROM t JOIN mu USING (g)), " +
+        "c AS (SELECT g, r, row_number() OVER (PARTITION BY g ORDER BY r) " +
+        "AS rn, count(*) OVER (PARTITION BY g) AS n FROM r WHERE sp = 'cal'), " +
+        "q AS (SELECT g, n AS n_cal, r AS q_hat FROM c " +
+        "WHERE rn = CAST(ceil(0.9 * (n + 1)) AS BIGINT)), " +
+        "te AS (SELECT r.g, min(q.n_cal) AS n_cal, count(*) AS n_test, " +
+        "min(q.q_hat) AS q_hat, " +
+        "CAST(sum(CASE WHEN r.r <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS cov FROM r JOIN q ON r.g = q.g WHERE sp = 'test' GROUP BY 1) " +
+        "SELECT g AS event_type, n_cal, n_test, q_hat, " +
+        "round(CAST(cov AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS coverage " +
+        "FROM te ORDER BY event_type"),
+      (s, dir) => Stats.conformalIntervals(Tables.events(s, dir),
+        "event_type", col("event_id"), col("value"), alpha = 0.1)
+        .orderBy("event_type")),
+
+    // ---- CUPED variance reduction: pre-period per-user spend as the
+    // covariate for post-period spend; reduction = corr² via the
+    // var(y_adj) = var(y) − cov²/var(x) identity — six decimal-exact sums,
+    // one closed form, no second pass.
+    Q("q276_cuped",
+      Some("WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, " +
+        "CAST(value AS DECIMAL(18,6)) AS v FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM d), " +
+        "u AS (SELECT user_id, " +
+        "CAST(coalesce(sum(CASE WHEN day < mid THEN v END), 0) AS DOUBLE) AS x, " +
+        "CAST(coalesce(sum(CASE WHEN day >= mid THEN v END), 0) AS DOUBLE) AS y " +
+        "FROM d, b GROUP BY 1), " +
+        "s AS (SELECT count(*) AS n_units, " +
+        "CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy, " +
+        "CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy FROM u), " +
+        "m AS (SELECT n_units, CAST(n_units AS DOUBLE) AS nd, sx, sy, sxx, " +
+        "syy, sxy FROM s), " +
+        "vv AS (SELECT n_units, (nd * sxx - sx * sx) / (nd * nd) AS vx, " +
+        "(nd * syy - sy * sy) / (nd * nd) AS vy, " +
+        "(nd * sxy - sx * sy) / (nd * nd) AS cv FROM m) " +
+        "SELECT n_units, " +
+        "round(CASE WHEN vx > 0 THEN cv / vx END, 6) AS theta, " +
+        "round(vy, 6) AS var_y, " +
+        "round(CASE WHEN vx > 0 THEN vy - cv * cv / vx END, 6) AS var_adj, " +
+        "round(CASE WHEN vx > 0 AND vy > 0 THEN cv * cv / (vx * vy) END, 6) " +
+        "AS reduction FROM vv"),
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("user_id"),
+            EventAnalytics.dayIndex(col("ts")).as("day"),
+            col("value").cast("decimal(18,6)").as("v"))
+        val mid = ev.agg(
+          floor((min(col("day")) + max(col("day")) + 1) / lit(2))
+            .cast("long").as("mid"))
+        val perUser = ev.crossJoin(broadcast(mid))
+          .groupBy("user_id")
+          .agg(coalesce(sum(when(col("day") < col("mid"), col("v"))),
+              lit(0).cast("decimal(18,6)")).cast("double").as("x"),
+            coalesce(sum(when(col("day") >= col("mid"), col("v"))),
+              lit(0).cast("decimal(18,6)")).cast("double").as("y"))
+        Stats.cupedReduction(perUser, col("x"), col("y"))
+      })
   )
 }

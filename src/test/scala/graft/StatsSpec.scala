@@ -1049,6 +1049,35 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(t - math.sqrt(3.0) / 2) < 1e-6, s"tie rho $t")
   }
 
+  test("conformalIntervals: ~1-alpha coverage, q_hat is a data element") {
+    val df = (1 to 4000).map(i => ("g", i.toLong, (i % 100).toDouble))
+      .toDF("g", "id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.conformalIntervals(d, "g", col("id"), col("v"), alpha = 0.1)
+        .collect()(0)
+    val r = run(df)
+    assert(r.getLong(1) + r.getLong(2) == 4000)
+    val cov = r.getDouble(4)
+    assert(cov > 0.85 && cov < 0.95, s"coverage $cov")
+    // q_hat must be an actual calibration residual (a data element)
+    assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 51)
+    val r2 = run(df.repartition(13))
+    assert(r2.getDouble(3) == r.getDouble(3) && r2.getDouble(4) == cov,
+      "conformal must not depend on layout")
+  }
+
+  test("cupedReduction: exact covariate gives reduction 1; constant x nulls") {
+    val lin = (1 to 200).map(i => (i.toDouble, 2.0 * i + 5)).toDF("x", "y")
+    val r = Stats.cupedReduction(lin, col("x"), col("y")).collect()(0)
+    assert(r.getLong(0) == 200)
+    assert(r.getDouble(1) == 2.0)        // theta
+    assert(r.getDouble(3) == 0.0)        // var_adj
+    assert(r.getDouble(4) == 1.0)        // reduction = corr^2
+    val flat = (1 to 50).map(i => (7.0, i.toDouble)).toDF("x", "y")
+    val f = Stats.cupedReduction(flat, col("x"), col("y")).collect()(0)
+    assert(f.isNullAt(1) && f.isNullAt(3) && f.isNullAt(4))
+  }
+
   test("sampleSizeTwoProportions: textbook n for p1=0.1, +10% relative MDE") {
     // 1000 trials, 100 successes -> p1 = 0.1, p2 = 0.11: n = 14751
     val df = (1 to 1000).map(i => ("t", i <= 100)).toDF("k", "s")
