@@ -1227,6 +1227,48 @@ object EventAnalytics {
         sum(col("__credit")).cast("double").as("total_credit"))
   }
 
+  // --------------------------------------------- position-based attribution
+  /** U-shaped (position-based) attribution: 40% of each conversion's value
+    * to the first touch, 40% to the last, the remaining 20% split evenly
+    * among the middles (n=1 → 100%, n=2 → 50/50) — the industry-standard
+    * complement to [[linearAttribution]], same conversion-assignment fold
+    * (forward-min window to the next conversion, value joined by id), plus
+    * one per-conversion position window (bounded by touches per
+    * conversion). Credits round to 6dp then re-enter DECIMAL so the
+    * per-type totals are shuffle-order-exact. */
+  def positionAttribution(df: DataFrame, userCol: String, idCol: String,
+                          tsCol: String, typeCol: String,
+                          convType: String, valueCol: String): DataFrame = {
+    val wFwd = Window.partitionBy(col(userCol))
+      .orderBy(col("__us").asc, col(idCol).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val isConv = col(typeCol) === convType
+    val tagged = df
+      .select(col(userCol), col(idCol), col(typeCol), col(valueCol),
+        micros(col(tsCol)).as("__us"))
+      .withColumn("__conv_id", min(when(isConv, col(idCol))).over(wFwd))
+    val touches = tagged.filter(!isConv && col("__conv_id").isNotNull)
+    val convVals = df.filter(isConv)
+      .select(col(idCol).as("__conv_id"), col(valueCol).as("__v"))
+    val perConv = touches.groupBy(col("__conv_id"))
+      .agg(count(lit(1)).as("__n"))
+      .join(convVals, Seq("__conv_id"))
+    val wPos = Window.partitionBy(col("__conv_id"))
+      .orderBy(col("__us").asc, col(idCol).asc)
+    val credit = when(col("__n") === 1, col("__v"))
+      .when(col("__n") === 2, col("__v") * lit(0.5))
+      .otherwise(when(col("__pos") === 1 || col("__pos") === col("__n"),
+          col("__v") * lit(0.4))
+        .otherwise(col("__v") * lit(0.2) / (col("__n") - 2)))
+    touches.withColumn("__pos", row_number().over(wPos))
+      .join(perConv, Seq("__conv_id"))
+      .select(col(typeCol).as("touch_type"),
+        round(credit, 6).cast("decimal(18,6)").as("__credit"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("__credit")).cast("double").as("total_credit"))
+  }
+
   // ------------------------------------------------- seasonal-naive forecast
   /** Seasonal-naive backtest over the daily event-count series: the
     * prediction for day d is the actual of day d − `season`, evaluated over

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join-iterated graph analytics — the rank companion to
@@ -326,5 +327,41 @@ object Graph {
       dist = if (r < rounds) cut(next) else next
     }
     dist
+  }
+
+  // --------------------------------------------------- label propagation
+  /** Label-propagation community detection (Raghavan et al. 2007),
+    * synchronous variant: every node starts labeled with itself; each round
+    * it adopts the MODE of its in-neighbors' labels, ties broken
+    * deterministically (highest count, then lexicographically smallest
+    * label — a random-tie LPA is irreproducible and ungateable). Nodes with
+    * no in-edges keep their own label.
+    *
+    * Same scale discipline as [[pageRank]]: the edge relation checkpoints
+    * once, each round is one co-keyed join + one (node, label) aggregate +
+    * a per-node election window (bounded by the node's distinct neighbor
+    * LABELS, ≤ degree). Returns (node, label) after `iters` rounds —
+    * callers aggregate to community sizes. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters out of range: $iters")
+    val e0 = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct())
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+    var lab = nodes.withColumn("label", col("node"))
+    for (i <- 1 to iters) {
+      val msgs = lab.hint("shuffle_hash").join(e0, lab("node") === e0("src"))
+        .select(col("dst").as("node"), col("label"))
+        .groupBy("node", "label").agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("__c").desc, col("label").asc)
+      val elect = msgs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).select(col("node"), col("label"))
+      lab = nodes.join(elect.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+      if (i % 3 == 0 && i < iters) lab = cut(lab)
+    }
+    lab
   }
 }

@@ -2073,6 +2073,76 @@ object StatsQueries2 {
             coalesce(sum(when(col("day") >= col("mid"), col("v"))),
               lit(0).cast("decimal(18,6)")).cast("double").as("y"))
         Stats.cupedReduction(perUser, col("x"), col("y"))
-      })
+      }),
+
+    // ---- label-propagation communities over the (10%-part slice of the)
+    // customer-supplier graph: 3 synchronous rounds, deterministic mode
+    // election (count desc, label asc) — random-tie LPA is ungateable; the
+    // oracle unrolls the identical rounds.
+    Q("q277_label_propagation", {
+      val rounds = (1 to 3).map { i =>
+        s"m$i AS (SELECT e.dst AS node, l${i - 1}.label, count(*) AS c " +
+          s"FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node GROUP BY 1, 2), " +
+          s"e$i AS (SELECT node, label FROM (SELECT node, label, " +
+          "row_number() OVER (PARTITION BY node ORDER BY c DESC, label) " +
+          s"AS rn FROM m$i) WHERE rn = 1), " +
+          s"l$i AS (SELECT n.node, coalesce(e$i.label, n.node) AS label " +
+          s"FROM nodes n LEFT JOIN e$i USING (node))"
+      }.mkString(", ")
+      Some("WITH p AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src, " +
+        "'s' || CAST(l_suppkey AS VARCHAR) AS dst FROM orders " +
+        "JOIN lineitem ON l_orderkey = o_orderkey WHERE l_partkey % 10 = 0), " +
+        "e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p), " +
+        "nodes AS (SELECT DISTINCT src AS node FROM e), " +
+        "l0 AS (SELECT node, node AS label FROM nodes), " +
+        rounds + " " +
+        "SELECT label AS community, count(*) AS n_nodes FROM l3 GROUP BY 1 " +
+        "ORDER BY n_nodes DESC, community LIMIT 25")
+    },
+      (s, dir) => {
+        val pairs = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir)
+            .filter(pmod(col("l_partkey"), lit(10)) === 0),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        val edges = pairs.union(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        graft.pipeline.Graph.labelPropagation(edges, "src", "dst", iters = 3)
+          .groupBy(col("label").as("community"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .orderBy(col("n_nodes").desc, col("community").asc).limit(25)
+      }),
+
+    // ---- U-shaped attribution: 40/20/40 position credits per conversion
+    // (q203's assignment fold + one per-conversion position window);
+    // credits re-enter DECIMAL after the 6dp round so type totals are
+    // shuffle-order-exact.
+    Q("q278_position_attribution",
+      Some("WITH e AS (SELECT user_id, event_id, event_type, value, " +
+        "epoch_us(ts) AS us FROM events), " +
+        "t AS (SELECT *, min(CASE WHEN event_type = 'purchase' THEN event_id END) " +
+        "OVER (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_id FROM e), " +
+        "tou AS (SELECT * FROM t WHERE event_type <> 'purchase' " +
+        "AND conv_id IS NOT NULL), " +
+        "pc AS (SELECT conv_id, count(*) AS n FROM tou GROUP BY 1), " +
+        "cv AS (SELECT event_id AS conv_id, value AS v FROM e " +
+        "WHERE event_type = 'purchase'), " +
+        "pos AS (SELECT *, row_number() OVER (PARTITION BY conv_id " +
+        "ORDER BY us, event_id) AS pos FROM tou), " +
+        "cr AS (SELECT pos.event_type AS touch_type, " +
+        "CAST(round(CASE WHEN pc.n = 1 THEN cv.v " +
+        "WHEN pc.n = 2 THEN cv.v * CAST(0.5 AS DOUBLE) " +
+        "WHEN pos.pos = 1 OR pos.pos = pc.n THEN cv.v * CAST(0.4 AS DOUBLE) " +
+        "ELSE cv.v * CAST(0.2 AS DOUBLE) / (pc.n - 2) END, 6) " +
+        "AS DECIMAL(18,6)) AS credit " +
+        "FROM pos JOIN pc USING (conv_id) JOIN cv USING (conv_id)) " +
+        "SELECT touch_type, count(*) AS n_touches, " +
+        "CAST(sum(credit) AS DOUBLE) AS total_credit FROM cr " +
+        "GROUP BY 1 ORDER BY 1"),
+      (s, dir) => EventAnalytics.positionAttribution(Tables.events(s, dir),
+          "user_id", "event_id", "ts", "event_type", "purchase", "value")
+        .orderBy("touch_type"))
   )
 }

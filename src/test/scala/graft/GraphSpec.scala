@@ -92,4 +92,32 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(pprAll == plain, "uniform seeding must reduce to pageRank")
   }
+
+  test("labelPropagation: disjoint cliques converge to per-clique labels") {
+    import spark.implicits._
+    // two 4-cliques (a1..a4, b1..b4), both directions
+    def clique(p: String) = for {
+      i <- 1 to 4; j <- 1 to 4 if i != j
+    } yield (s"$p$i", s"$p$j")
+    val edges = (clique("a") ++ clique("b")).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // within a clique everyone sees the same neighbor multiset each round;
+    // the deterministic (count desc, label asc) election converges every
+    // member onto the lexicographic minimum of the clique
+    assert((1 to 4).forall(i => got(s"a$i") == "a1"), got.toString)
+    assert((1 to 4).forall(i => got(s"b$i") == "b1"), got.toString)
+  }
+
+  test("labelPropagation: tie elections pick the smallest label") {
+    import spark.implicits._
+    // z has exactly one in-edge from each of x and y: counts tie at 1,
+    // the election must pick the lexicographically smaller label
+    val edges = Seq(("x", "z"), ("y", "z")).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("z") == "x")
+    // x and y have no in-edges: they keep their own labels
+    assert(got("x") == "x" && got("y") == "y")
+  }
 }

@@ -425,6 +425,28 @@ class MlPipelineSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.5)
   }
 
+  // ------------------------------------------------- positionAttribution
+  test("positionAttribution: 40/20/40 credits; n=1 and n=2 degenerate splits") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // u1: three touches (view, click, view) then a 10.0 purchase ->
+    //   first view 4.0, middle click 2.0, last view 4.0
+    // u2: one click then a 5.0 purchase -> click gets 5.0
+    // u3: two views then a 8.0 purchase -> 4.0 each
+    val df = Seq(
+      ("u1", 1L, "view", ts(0), 0.0), ("u1", 2L, "click", ts(1), 0.0),
+      ("u1", 3L, "view", ts(2), 0.0), ("u1", 4L, "purchase", ts(3), 10.0),
+      ("u2", 5L, "click", ts(0), 0.0), ("u2", 6L, "purchase", ts(1), 5.0),
+      ("u3", 7L, "view", ts(0), 0.0), ("u3", 8L, "view", ts(1), 0.0),
+      ("u3", 9L, "purchase", ts(2), 8.0)
+    ).toDF("u", "id", "et", "ts", "v")
+    val got = EventAnalytics.positionAttribution(df, "u", "id", "ts", "et",
+        "purchase", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got("view") == ((4L, 16.0)))  // 4 + 4 + 4 + 4
+    assert(got("click") == ((2L, 7.0))) // 2 + 5
+  }
+
   // --------------------------------------------------------- windowFunnel
   test("windowFunnel: a stage landing outside the anchor window is lost") {
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
