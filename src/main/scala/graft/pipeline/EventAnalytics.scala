@@ -141,6 +141,25 @@ object EventAnalytics {
         .as("mase"))
   }
 
+  // ---------------------------------------------------- freshness report
+  /** Data-freshness report per slice: latest event micros, integer lag
+    * minutes behind the corpus maximum, and a staleness flag — the
+    * first-page ops dashboard for a partitioned ingest. One slice-keyed
+    * aggregate plus one broadcast scalar; all integer µs arithmetic. */
+  def freshnessReport(df: DataFrame, groupCol: String, tsCol: String,
+                      staleMinutes: Long = 60): DataFrame = {
+    require(staleMinutes > 0, s"staleMinutes must be > 0: $staleMinutes")
+    val us = micros(col(tsCol))
+    val per = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_events"), max(us).as("last_us"))
+    val global = per.agg(max(col("last_us")).as("__gmax"))
+    per.crossJoin(broadcast(global))
+      .select(col(groupCol), col("n_events"), col("last_us"),
+        floor((col("__gmax") - col("last_us")) / lit(60000000L)).cast("long")
+          .as("lag_minutes"))
+      .withColumn("stale", col("lag_minutes") >= staleMinutes)
+  }
+
   // ---------------------------------------------------- cumulative users
   /** User-growth series: per day, the count of users whose FIRST activity
     * is that day (new_users) and the running total (cum_users) — the

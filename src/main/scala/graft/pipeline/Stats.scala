@@ -1048,6 +1048,29 @@ object Stats {
         min(col("__n")).as("min_group_size"))
   }
 
+  // ------------------------------------------------------- l-diversity
+  /** l-diversity audit, [[kAnonymityAudit]]'s companion: a k-anonymous
+    * group is still a leak if everyone in it shares the sensitive value,
+    * so this reports groups whose DISTINCT sensitive-value count falls
+    * below l. Two aggregates (distinct (QI, sensitive) pairs, then per-QI
+    * counts) joined to the group sizes — output one summary row:
+    * n_groups, n_rows, n_violating_groups, n_rows_at_risk, min_l. */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String], sensCol: Column,
+                      l: Int): DataFrame = {
+    require(qiCols.nonEmpty, "at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2: $l")
+    val g = qiCols.map(col)
+    val ldist = df.select(g :+ sensCol.as("__sv"): _*).distinct()
+      .groupBy(g: _*).agg(count(lit(1)).as("__l"))
+    val sizes = df.groupBy(g: _*).agg(count(lit(1)).as("__n"))
+    sizes.join(ldist, qiCols)
+      .agg(count(lit(1)).as("n_groups"), sum(col("__n")).as("n_rows"),
+        sum(when(col("__l") < l, 1L).otherwise(0L)).as("n_violating_groups"),
+        coalesce(sum(when(col("__l") < l, col("__n"))), lit(0L))
+          .as("n_rows_at_risk"),
+        min(col("__l")).as("min_l"))
+  }
+
   // --------------------------------------- contingency table + residuals
   /** Full contingency table with expected counts and standardized (Pearson)
     * residuals — [[chiSquareIndependence]]'s per-cell face: WHICH cells

@@ -2143,6 +2143,77 @@ object StatsQueries2 {
         "GROUP BY 1 ORDER BY 1"),
       (s, dir) => EventAnalytics.positionAttribution(Tables.events(s, dir),
           "user_id", "event_id", "ts", "event_type", "purchase", "value")
-        .orderBy("touch_type"))
+        .orderBy("touch_type")),
+
+    // ---- l-diversity audit (q244's companion): k-anonymous groups whose
+    // sensitive values don't vary are still leaks — distinct-sensitive
+    // counts per QI group, one summary row.
+    Q("q279_l_diversity",
+      Some("WITH p AS (SELECT DISTINCT c_nationkey, c_mktsegment, " +
+        "CAST(floor(c_acctbal / 1000) AS BIGINT) AS sv FROM customer), " +
+        "ld AS (SELECT c_nationkey, c_mktsegment, count(*) AS l FROM p " +
+        "GROUP BY 1, 2), " +
+        "sz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n " +
+        "FROM customer GROUP BY 1, 2) " +
+        "SELECT count(*) AS n_groups, CAST(sum(n) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_violating_groups, " +
+        "CAST(coalesce(sum(CASE WHEN l < 3 THEN n END), 0) AS BIGINT) " +
+        "AS n_rows_at_risk, min(l) AS min_l " +
+        "FROM sz JOIN ld USING (c_nationkey, c_mktsegment)"),
+      (s, dir) => Stats.lDiversityAudit(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000)).cast("long"), l = 3)),
+
+    // ---- freshness dashboard: per-type latest event, integer lag minutes
+    // behind the corpus max, staleness flag — one aggregate + one
+    // broadcast scalar, pure µs arithmetic.
+    Q("q280_freshness",
+      Some("WITH per AS (SELECT event_type, count(*) AS n_events, " +
+        "max(epoch_us(ts)) AS last_us FROM events GROUP BY 1), " +
+        "g AS (SELECT max(last_us) AS gmax FROM per) " +
+        "SELECT event_type, n_events, last_us, " +
+        "(gmax - last_us) // 60000000 AS lag_minutes, " +
+        "(gmax - last_us) // 60000000 >= 60 AS stale FROM per, g " +
+        "ORDER BY event_type"),
+      (s, dir) => EventAnalytics.freshnessReport(Tables.events(s, dir),
+        "event_type", "ts", staleMinutes = 60).orderBy("event_type")),
+
+    // ---- FIFO lot matching as interval overlaps on the cumulative-
+    // quantity axis: the sequential walk-the-lots loop becomes one
+    // key-equi range join; COGS terms re-enter DECIMAL(28,12).
+    Q("q281_fifo_matching",
+      Some("WITH f AS (SELECT l_partkey AS k, " +
+        "CAST(l_quantity AS BIGINT) AS q, l_returnflag = 'R' AS s, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cc, " +
+        "l_shipdate, l_orderkey, l_linenumber FROM lineitem " +
+        "WHERE l_partkey % 25 = 0), " +
+        "w AS (SELECT *, sum(q) OVER (PARTITION BY k, s " +
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi FROM f), " +
+        "b AS (SELECT k, hi - q AS lo, hi, (cc * 10000) // q AS pu " +
+        "FROM w WHERE NOT s), " +
+        "sl AS (SELECT k, hi - q AS lo, hi FROM w WHERE s), " +
+        "st AS (SELECT k, CAST(sum(q) AS BIGINT) AS sell_qty FROM f " +
+        "WHERE s GROUP BY 1), " +
+        "m AS (SELECT b.k, count(*) AS n_matches, " +
+        "CAST(sum(least(b.hi, sl.hi) - greatest(b.lo, sl.lo)) AS BIGINT) " +
+        "AS matched_qty, " +
+        "CAST(sum((least(b.hi, sl.hi) - greatest(b.lo, sl.lo)) * b.pu) " +
+        "AS BIGINT) AS cogs_micro " +
+        "FROM b JOIN sl ON b.k = sl.k AND b.lo < sl.hi AND sl.lo < b.hi " +
+        "GROUP BY 1) " +
+        "SELECT st.k AS l_partkey, coalesce(n_matches, 0) AS n_matches, " +
+        "coalesce(matched_qty, 0) AS matched_qty, sell_qty, " +
+        "round(CAST(coalesce(cogs_micro, 0) AS DOUBLE) / 1000000.0, 6) " +
+        "AS cogs " +
+        "FROM st LEFT JOIN m ON st.k = m.k ORDER BY l_partkey"),
+      (s, dir) => Ops.fifoMatch(
+          Tables.lineitem(s, dir)
+            .filter(pmod(col("l_partkey"), lit(25)) === 0),
+          "l_partkey", Seq("l_shipdate", "l_orderkey", "l_linenumber"),
+          col("l_quantity"), col("l_returnflag") === "R",
+          round(col("l_extendedprice") * 100))
+        .orderBy("l_partkey"))
   )
 }

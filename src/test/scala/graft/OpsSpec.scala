@@ -505,6 +505,29 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(1, 2, 3, 6))
   }
 
+  test("fifoMatch: lots consumed in order, oversell leaves excess unmatched") {
+    // part p: buy 10 units @ $1 (lot 1000c), buy 5 @ $2 (lot 1000c),
+    // then sell 12 -> 10 from lot1 + 2 from lot2 = $14.00
+    val df = Seq(
+      ("p", 1, 10L, false, 1000L), ("p", 2, 5L, false, 1000L),
+      ("p", 3, 12L, true, 0L),
+      // part q: oversell - buy 3 @ $1, sell 20 -> only 3 match ($3)
+      ("q", 1, 3L, false, 300L), ("q", 2, 20L, true, 0L)
+    ).toDF("k", "seq", "q", "s", "cc")
+    val got = Ops.fifoMatch(df, "k", Seq("seq"), col("q"), col("s"),
+        col("cc"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("p") == ((2L, 12L, 12L, 14.0)), got("p").toString)
+    assert(got("q") == ((1L, 3L, 20L, 3.0)), got("q").toString)
+    // FIFO order matters: selling 10 must cost the FIRST lot's rate
+    val one = Seq(("r", 1, 10L, false, 1000L), ("r", 2, 10L, false, 5000L),
+      ("r", 3, 10L, true, 0L)).toDF("k", "seq", "q", "s", "cc")
+    val r = Ops.fifoMatch(one, "k", Seq("seq"), col("q"),
+      col("s"), col("cc")).collect()(0)
+    assert(r.getDouble(4) == 10.0, s"LIFO leak: ${r.getDouble(4)}")
+  }
+
   test("skyline: single row and all-equal inputs survive whole") {
     val one = Seq((1, 7, 7)).toDF("id", "x", "y")
     assert(Ops.skyline(one, "x", "y").count() == 1)
