@@ -1135,6 +1135,32 @@ object Ops {
             sum(col("__c")).cast("double"), 6).as("entropy"))
   }
 
+  // ------------------------------------------------- join-size estimation
+  /** Optimizer-style equi-join cardinality estimate from per-side key
+    * statistics, checked against the truth: est = n_a·n_b / max(d_a, d_b)
+    * (the uniform-key textbook formula every cost-based optimizer starts
+    * from), alongside the actual join count — the ratio is the skew
+    * signal that tells an engineer whether AQE/salting will matter on
+    * this key. Two per-side aggregates + the real join's count; the
+    * estimate is integer/one-division exact. Output (one row): n_a, n_b,
+    * d_a, d_b, est_rows, actual_rows, ratio (6dp). */
+  def joinSizeEstimate(a: DataFrame, keyA: Column,
+                       b: DataFrame, keyB: Column): DataFrame = {
+    val sa = a.filter(keyA.isNotNull).select(keyA.as("__k"))
+    val sb = b.filter(keyB.isNotNull).select(keyB.as("__k"))
+    val statsA = sa.agg(count(lit(1)).as("n_a"),
+      countDistinct(col("__k")).as("d_a"))
+    val statsB = sb.agg(count(lit(1)).as("n_b"),
+      countDistinct(col("__k")).as("d_b"))
+    val actual = sa.join(sb, Seq("__k")).agg(count(lit(1)).as("actual_rows"))
+    val est = round(col("n_a").cast("double") * col("n_b").cast("double") /
+      greatest(col("d_a"), col("d_b")).cast("double"), 1)
+    statsA.crossJoin(statsB).crossJoin(actual)
+      .select(col("n_a"), col("n_b"), col("d_a"), col("d_b"),
+        est.as("est_rows"), col("actual_rows"),
+        round(est / col("actual_rows").cast("double"), 6).as("ratio"))
+  }
+
   // ---------------------------------------------------------- FIFO matching
   /** FIFO lot matching as a SET-BASED operation: per key, sells consume
     * buys in arrival order. The sequential "walk the lots" loop becomes

@@ -141,6 +141,63 @@ object EventAnalytics {
         .as("mase"))
   }
 
+  // ------------------------------------------------ seasonality strength
+  /** Weekday-seasonality strength of the daily count series: fit the
+    * 7-level weekday-mean model on the zero-filled spine and report
+    * 1 − var(residual)/var(series) — the R² of pure weekly seasonality
+    * (STL's "strength of seasonality" in its simplest exact form).
+    * Weekday means are one IEEE division from decimal-exact sums;
+    * residual moments re-enter DECIMAL(28,12) (the q194 discipline);
+    * variances are population (the ratio is normalization-invariant).
+    * Output (one row): n_days, var_daily, var_resid, strength (6dp). */
+  def seasonalityStrength(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = resampleDaily(df, tsCol)
+      .withColumn("__wd", pmod(col("day") + 3, lit(7)))
+    val prof = daily.groupBy("__wd")
+      .agg((sum(col("n").cast("decimal(18,0)")).cast("double") /
+        count(lit(1)).cast("double")).as("__m"))
+    val r = daily.join(broadcast(prof), Seq("__wd"))
+      .select(col("n"), (col("n").cast("double") - col("__m")).as("__r"))
+    val s = r.agg(count(lit(1)).as("n_days"),
+      sum(col("n").cast("decimal(18,0)")).cast("double").as("__sn"),
+      sum((col("n").cast("decimal(18,0)") * col("n"))).cast("double")
+        .as("__snn"),
+      sum(col("__r").cast("decimal(28,12)")).cast("double").as("__sr"),
+      sum((col("__r") * col("__r")).cast("decimal(28,12)")).cast("double")
+        .as("__srr"))
+    val nD = col("n_days").cast("double")
+    val varDaily = (nD * col("__snn") - col("__sn") * col("__sn")) / (nD * nD)
+    val varResid = (nD * col("__srr") - col("__sr") * col("__sr")) / (nD * nD)
+    s.select(col("n_days"), round(varDaily, 6).as("var_daily"),
+      round(varResid, 6).as("var_resid"),
+      round(when(varDaily > 0, lit(1.0) - varResid / varDaily), 6)
+        .as("strength"))
+  }
+
+  // ------------------------------------------------------ 2-D histogram
+  /** Dashboard heatmap cells: counts over the (value-bin × hour-of-day)
+    * grid, ZERO-FILLED via one bins×24 spine cross join (a heatmap with
+    * missing cells lies). Value bins are [lo, hi) equal-width with edge
+    * clamping (the q233 PSI binning); hour is pure integer µs arithmetic.
+    * One aggregate at grid grain — output bounded by bins·24 forever. */
+  def histogram2d(df: DataFrame, valueCol: String, tsCol: String,
+                  lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 1 && hi > lo, "bad binning")
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(floor((col(valueCol).cast("double") - lo) /
+      width), lit(0.0)), lit((nBins - 1).toDouble)).cast("long")
+    val hour = pmod(floor(micros(col(tsCol)) / lit(3600000000L)), lit(24))
+      .cast("long")
+    val cells = df.filter(col(valueCol).isNotNull)
+      .groupBy(bin.as("bin"), hour.as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    val spine = spark.range(nBins).select(col("id").as("bin"))
+      .crossJoin(spark.range(24).select(col("id").as("hour")))
+    spine.join(cells, Seq("bin", "hour"), "left")
+      .select(col("bin"), col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   // ---------------------------------------------------- freshness report
   /** Data-freshness report per slice: latest event micros, integer lag
     * minutes behind the corpus maximum, and a staleness flag — the

@@ -2214,6 +2214,76 @@ object StatsQueries2 {
           "l_partkey", Seq("l_shipdate", "l_orderkey", "l_linenumber"),
           col("l_quantity"), col("l_returnflag") === "R",
           round(col("l_extendedprice") * 100))
-        .orderBy("l_partkey"))
+        .orderBy("l_partkey")),
+
+    // ---- optimizer-style join-size estimate vs truth: the uniform-key
+    // n_a·n_b/max(d_a,d_b) formula every CBO starts from, with the ratio
+    // as the skew signal (AQE/salting decision input).
+    Q("q282_join_size_estimate",
+      Some("WITH a AS (SELECT l_orderkey AS k FROM lineitem " +
+        "WHERE l_orderkey IS NOT NULL), " +
+        "b AS (SELECT o_orderkey AS k FROM orders " +
+        "WHERE o_orderkey IS NOT NULL), " +
+        "st AS (SELECT (SELECT count(*) FROM a) AS n_a, " +
+        "(SELECT count(DISTINCT k) FROM a) AS d_a, " +
+        "(SELECT count(*) FROM b) AS n_b, " +
+        "(SELECT count(DISTINCT k) FROM b) AS d_b), " +
+        "ac AS (SELECT count(*) AS actual_rows FROM a JOIN b USING (k)), " +
+        "e AS (SELECT n_a, n_b, d_a, d_b, actual_rows, " +
+        "round(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / " +
+        "CAST(greatest(d_a, d_b) AS DOUBLE), 1) AS est_rows FROM st, ac) " +
+        "SELECT n_a, n_b, d_a, d_b, est_rows, actual_rows, " +
+        "round(est_rows / CAST(actual_rows AS DOUBLE), 6) AS ratio FROM e"),
+      (s, dir) => Ops.joinSizeEstimate(
+        Tables.lineitem(s, dir), col("l_orderkey"),
+        Tables.orders(s, dir), col("o_orderkey"))),
+
+    // ---- weekday-seasonality strength: R² of the 7-level weekday-mean
+    // model over the zero-filled daily series; residual moments re-enter
+    // DECIMAL(28,12), one closed form.
+    Q("q283_seasonality",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "sp AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "f AS (SELECT sp.day, coalesce(n, 0) AS n FROM sp " +
+        "LEFT JOIN c USING (day)), " +
+        "wd AS (SELECT day, n, (day + 3) % 7 AS w FROM f), " +
+        "pm AS (SELECT w, CAST(sum(CAST(n AS DECIMAL(18,0))) AS DOUBLE) / " +
+        "count(*) AS m FROM wd GROUP BY 1), " +
+        "r AS (SELECT n, CAST(n AS DOUBLE) - m AS r FROM wd " +
+        "JOIN pm USING (w)), " +
+        "s AS (SELECT count(*) AS n_days, " +
+        "CAST(sum(CAST(n AS DECIMAL(18,0))) AS DOUBLE) AS sn, " +
+        "CAST(sum(CAST(n AS DECIMAL(18,0)) * n) AS DOUBLE) AS snn, " +
+        "CAST(sum(CAST(r AS DECIMAL(28,12))) AS DOUBLE) AS sr, " +
+        "CAST(sum(CAST(r * r AS DECIMAL(28,12))) AS DOUBLE) AS srr FROM r), " +
+        "v AS (SELECT n_days, CAST(n_days AS DOUBLE) AS nd, sn, snn, sr, " +
+        "srr FROM s) " +
+        "SELECT n_days, " +
+        "round((nd * snn - sn * sn) / (nd * nd), 6) AS var_daily, " +
+        "round((nd * srr - sr * sr) / (nd * nd), 6) AS var_resid, " +
+        "round(CASE WHEN (nd * snn - sn * sn) / (nd * nd) > 0 THEN " +
+        "1.0 - ((nd * srr - sr * sr) / (nd * nd)) / " +
+        "((nd * snn - sn * sn) / (nd * nd)) END, 6) AS strength FROM v"),
+      (s, dir) => EventAnalytics.seasonalityStrength(
+        Tables.events(s, dir), "ts")),
+
+    // ---- zero-filled heatmap cells: (value-bin × hour-of-day) counts
+    // over the full bins×24 grid (the q233 binning, pure integer hours).
+    Q("q284_histogram2d",
+      Some("WITH cells AS (SELECT CAST(least(greatest(floor(" +
+        "(CAST(value AS DOUBLE) - 0.0) / 20.0), 0.0), 19.0) AS BIGINT) " +
+        "AS bin, (epoch_us(ts) // 3600000000) % 24 AS hour, count(*) AS n " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), " +
+        "sp AS (SELECT b.bin, h.hour FROM " +
+        "(SELECT unnest(range(20)) AS bin) b, " +
+        "(SELECT unnest(range(24)) AS hour) h) " +
+        "SELECT sp.bin, sp.hour, CAST(coalesce(n, 0) AS BIGINT) AS n " +
+        "FROM sp LEFT JOIN cells ON sp.bin = cells.bin " +
+        "AND sp.hour = cells.hour ORDER BY sp.bin, sp.hour"),
+      (s, dir) => EventAnalytics.histogram2d(Tables.events(s, dir),
+        "value", "ts", lo = 0.0, hi = 400.0, nBins = 20)
+        .orderBy("bin", "hour"))
   )
 }

@@ -425,6 +425,53 @@ class MlPipelineSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.5)
   }
 
+  // ---------------------------------------------------- seasonalityStrength
+  test("seasonalityStrength: pure weekly pattern = 1, flat series nulls") {
+    // 28 days with counts = weekday index + 1 (exactly weekly periodic)
+    val days = (0 until 28).flatMap(d => Seq.fill(((d + 3) % 7) + 1)(d))
+    val df = days.map(d => Tuple1(new java.sql.Timestamp(d * 86400000L)))
+      .toDF("ts")
+    val r = EventAnalytics.seasonalityStrength(df, "ts").collect()(0)
+    assert(r.getLong(0) == 28)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 1.0)
+    // constant series: var_daily = 0 -> strength null
+    val flat = (0 until 14).map(d =>
+      Tuple1(new java.sql.Timestamp(d * 86400000L))).toDF("ts")
+    val f = EventAnalytics.seasonalityStrength(flat, "ts").collect()(0)
+    assert(f.getDouble(1) == 0.0 && f.isNullAt(3))
+  }
+
+  // ------------------------------------------------------ joinSizeEstimate
+  test("joinSizeEstimate: exact on uniform keys, underestimates under skew") {
+    import graft.operators.Ops
+    // uniform: 100 fact rows over 10 keys x 10-row dim -> est == actual
+    val fact = (1 to 100).map(i => i % 10).toDF("k")
+    val dim = (0 until 10).map(identity).toDF("j")
+    val u = Ops.joinSizeEstimate(fact, col("k"), dim, col("j")).collect()(0)
+    assert(u.getLong(5) == 100 && u.getDouble(4) == 100.0)
+    assert(u.getDouble(6) == 1.0)
+    // skew: one hot key in both sides -> actual blows past the estimate
+    val ha = (Seq.fill(50)(1) ++ (2 to 11)).toDF("k")
+    val hb = (Seq.fill(50)(1) ++ (2 to 11)).toDF("j")
+    val sk = Ops.joinSizeEstimate(ha, col("k"), hb, col("j")).collect()(0)
+    assert(sk.getLong(5) == 2510 && sk.getDouble(6) < 0.2,
+      s"skew not flagged: ${sk.toSeq}")
+  }
+
+  // ---------------------------------------------------------- histogram2d
+  test("histogram2d: full zero-filled grid, clamped edges") {
+    val df = Seq((-5.0, 0L), (450.0, 3600000000L), (10.0, 3600000000L))
+      .map { case (v, us) => (v, new java.sql.Timestamp(us / 1000L)) }
+      .toDF("v", "ts")
+    val got = EventAnalytics.histogram2d(df, "v", "ts", 0.0, 400.0, 20)
+    assert(got.count() == 480)
+    val m = got.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m((0L, 0L)) == 1)   // -5 clamps into bin 0, hour 0
+    assert(m((19L, 1L)) == 1)  // 450 clamps into bin 19, hour 1
+    assert(m((0L, 1L)) == 1)   // 10.0 -> bin 0, hour 1
+    assert(m.values.sum == 3)
+  }
+
   // ------------------------------------------------- positionAttribution
   test("positionAttribution: 40/20/40 credits; n=1 and n=2 degenerate splits") {
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
