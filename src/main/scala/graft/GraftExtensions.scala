@@ -69,44 +69,63 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
   }
 
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((FunctionIdentifier("lenient_timestamp"),
+  /** The full function registry as (identifier, info, builder) triples —
+    * consumed by BOTH registration paths: session-builder extensions
+    * ([[apply]]) and live-session registration
+    * ([[GraftExtensions.registerAll]]). */
+  private[graft] def entries: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+
+    (FunctionIdentifier("lenient_timestamp"),
       info("lenient_timestamp", "lenient_timestamp(str) - fuzzy multi-format parse with impossible-day repair; 9999-12-31 sentinel"),
-      arity("lenient_timestamp", 1)(exprs => LenientTimestamp(exprs.head))))
-    e.injectFunction((FunctionIdentifier("lenient_date"),
+      arity("lenient_timestamp", 1)(exprs => LenientTimestamp(exprs.head))),
+    (FunctionIdentifier("lenient_date"),
       info("lenient_date", "lenient_date(str) - lenient date parse"),
-      arity("lenient_date", 1)(exprs => LenientDate(exprs.head))))
-    e.injectFunction((FunctionIdentifier("lenient_time"),
+      arity("lenient_date", 1)(exprs => LenientDate(exprs.head))),
+    (FunctionIdentifier("lenient_time"),
       info("lenient_time", "lenient_time(str) - lenient time-of-day parse as HH:mm:ss"),
-      arity("lenient_time", 1)(exprs => LenientTime(exprs.head))))
-    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      arity("lenient_time", 1)(exprs => LenientTime(exprs.head))),
+    (FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(array<double>, array<double>) - codegen'd cosine similarity"),
-      arity("cosine_sim", 2)(exprs => CosineSimilarity(exprs(0), exprs(1)))))
-    e.injectFunction((FunctionIdentifier("dot_product"),
+      arity("cosine_sim", 2)(exprs => CosineSimilarity(exprs(0), exprs(1)))),
+    (FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(array<double>, array<double>)"),
-      arity("dot_product", 2)(exprs => DotProduct(exprs(0), exprs(1)))))
-    e.injectFunction((FunctionIdentifier("simhash64"),
+      arity("dot_product", 2)(exprs => DotProduct(exprs(0), exprs(1)))),
+    (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<long>) - 64-bit SimHash of token hashes"),
-      arity("simhash64", 1)(exprs => SimHash64(exprs.head))))
-    e.injectFunction((FunctionIdentifier("word_shingles"),
+      arity("simhash64", 1)(exprs => SimHash64(exprs.head))),
+    (FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(str, n) - distinct lowercase word n-gram shingles (n foldable)"),
       arity("word_shingles", 2)(exprs =>
-        WordShingles(exprs(0), foldableInt("word_shingles", "n", 1, exprs(1))))))
-    e.injectFunction((FunctionIdentifier("minhash_signature"),
+        WordShingles(exprs(0), foldableInt("word_shingles", "n", 1, exprs(1))))),
+    (FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "minhash_signature(array<struct<h1:long,h2:long>>, numHashes) - banded MinHash signature (numHashes foldable)"),
       arity("minhash_signature", 2)(exprs =>
-        MinHashSignature(exprs(0), foldableInt("minhash_signature", "numHashes", 1, exprs(1))))))
-    e.injectFunction((FunctionIdentifier("unicode_normalize"),
+        MinHashSignature(exprs(0), foldableInt("minhash_signature", "numHashes", 1, exprs(1))))),
+    (FunctionIdentifier("unicode_normalize"),
       info("unicode_normalize", "unicode_normalize(str, form) - Unicode normalization to NFC/NFD/NFKC/NFKD (form a foldable string)"),
       arity("unicode_normalize", 2)(exprs =>
         graft.functions.UnicodeNormalize(exprs(0),
-          foldableString("unicode_normalize", "form", 1, exprs(1))))))
-    e.injectFunction((FunctionIdentifier("strip_accents"),
+          foldableString("unicode_normalize", "form", 1, exprs(1))))),
+    (FunctionIdentifier("strip_accents"),
       info("strip_accents", "strip_accents(str) - fold accents/diacritics (NFD - marks - NFC)"),
-      arity("strip_accents", 1)(exprs => graft.functions.StripAccents(exprs.head))))
-    e.injectFunction((FunctionIdentifier("langid"),
+      arity("strip_accents", 1)(exprs => graft.functions.StripAccents(exprs.head))),
+    (FunctionIdentifier("langid"),
       info("langid", "langid(str) - stopword-profile language id over the built-in profiles; 'und' when nothing matches"),
       arity("langid", 1)(exprs =>
         LangIdArgmax(exprs.head, graft.pipeline.TextAnalysis.LangProfiles))))
-  }
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    entries.foreach { case (id, fi, b) => e.injectFunction((id, fi, b)) }
+}
+
+object GraftExtensions {
+  /** Register every graft SQL function into an ALREADY-RUNNING session's
+    * function registry — the path a driver query uses when the session was
+    * built without `.withExtensions` (Verify/Bench). Idempotent:
+    * re-registration overwrites with identical builders. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    new GraftExtensions().entries.foreach { case (id, fi, b) =>
+      spark.sessionState.functionRegistry.registerFunction(id, fi, b)
+    }
 }

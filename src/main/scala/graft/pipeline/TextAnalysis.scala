@@ -158,6 +158,52 @@ object TextAnalysis {
     * small; at web scale it's a co-keyed shuffle join on term — never on
     * text); the corpus count crossJoins as a broadcast scalar. Document
     * text never shuffles — only (doc_id, term, tf). */
+  /** BM25 retrieval scoring against a FIXED query-term list (Robertson/
+    * Spärck Jones; k1/b the standard Okapi defaults) — the ranking function
+    * a corpus-curation "find me documents about X" pass actually uses,
+    * where q60's raw TF-IDF over-rewards long repetitive documents.
+    *
+    * Determinism/scale contract: per-term tf is a row-local
+    * `size(filter(tokens))` projection (terms are a FIXED small list — no
+    * (doc, term) explode, no term-keyed shuffle); N/avgdl/df come from one
+    * scalar aggregate broadcast back (df per term rides the same aggregate
+    * as conditional sums); the score is a fixed-shape IEEE sum over the
+    * term list IN LIST ORDER, so both engines add identical doubles in
+    * identical order. Output: (id, score 6dp), top `k` by
+    * (score desc, id). */
+  def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
+                  queryTerms: Seq[String], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 16, "1..16 query terms")
+    require(k > 0)
+    val toks = tokens(lower(col(textCol)))
+    val base = docs.select(col(idCol), toks.as("__t"))
+      .withColumn("__dl", size(col("__t")))
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("__t"), x => x === t)).as(s"__tf$i")
+    }
+    val withTf = base.select(Seq(col(idCol), col("__dl")) ++ tfCols: _*)
+    val statAggs = Seq(count(lit(1)).as("__n"),
+      (sum(col("__dl").cast("decimal(18,0)")).cast("double") /
+        count(lit(1)).cast("double")).as("__avgdl")) ++
+      queryTerms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val score = queryTerms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val idf = log(lit(1.0) + (col("__n").cast("double") -
+        col(s"__df$i").cast("double") + lit(0.5)) /
+        (col(s"__df$i").cast("double") + lit(0.5)))
+      idf * tf * lit(k1 + 1.0) / (tf + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("__dl").cast("double") / col("__avgdl")))
+    }.reduce(_ + _)
+    scored.select(col(idCol), score.as("__s"))
+      .orderBy(col("__s").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), round(col("__s"), 6).as("score"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     require(k > 0)

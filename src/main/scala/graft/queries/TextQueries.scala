@@ -824,6 +824,71 @@ object TextQueries {
             TA.tokenCount(col("text")).as("n_tokens"),
             TA.charCount(col("text")).as("n_chars")),
           "n_tokens", "n_chars")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- the SQL surface end-to-end: graft's registered Catalyst
+    // expressions (langid, word_shingles, lenient_date) driven through
+    // spark.sql() on a live session via GraftExtensions.registerAll — the
+    // §2.10 registration path under the driver's hash gate, not just a
+    // spec. Oracle replays langid's profile argmax (q27's CTE at doc
+    // grain), the distinct-shingle count, and plain date arithmetic.
+    Q("q285_sql_surface", {
+      val hitCols = TA.LangProfiles.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString("(", ", ", ")")
+        s"len(list_filter($ltokensSql, x -> x IN $list)) AS h_$lang"
+      }.mkString(", ")
+      val langs = TA.LangProfiles.map(_._1)
+      val mx = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+      val pick = langs.map(l => s"WHEN h_$l = __mx THEN '$l'").mkString(" ")
+      val sh3 = s"CASE WHEN len($ltokensSql) < 3 THEN 1 ELSE " +
+        s"len(list_distinct([array_to_string($ltokensSql[i:i+2], ' ') " +
+        s"for i in range(1, len($ltokensSql) - 1)])) END"
+      Some(s"WITH hits AS (SELECT doc_id, $sh3 AS n_shingles, $hitCols " +
+        "FROM documents), " +
+        s"m AS (SELECT doc_id, n_shingles, $mx AS __mx, * FROM hits) " +
+        s"SELECT doc_id, CASE WHEN __mx = 0 THEN 'und' $pick END AS lang_pred, " +
+        "n_shingles, " +
+        "DATE '2024-01-01' + CAST(doc_id % 28 AS INTEGER) AS d " +
+        "FROM m ORDER BY doc_id")
+    },
+      (s, dir) => {
+        graft.GraftExtensions.registerAll(s)
+        Tables.documents(s, dir).createOrReplaceTempView("graft_docs_sql")
+        s.sql("SELECT doc_id, langid(text) AS lang_pred, " +
+          "size(word_shingles(text, 3)) AS n_shingles, " +
+          "lenient_date(concat('2024-1-', cast(doc_id % 28 + 1 AS string))) " +
+          "AS d FROM graft_docs_sql ORDER BY doc_id")
+      }),
+
+    // ---- BM25 retrieval against a fixed query: Okapi scoring with
+    // row-local tf projections (no (doc, term) explode), one broadcast
+    // stats row, fixed-order term sum — q60's TF-IDF corrected for
+    // length/saturation, under the hash gate.
+    Q("q286_bm25", {
+      val terms = Seq("query", "table", "data")
+      val stats = "SELECT count(*) AS n, " +
+        s"CAST(sum(CAST(len($ltokensSql) AS DECIMAL(18,0))) AS DOUBLE) / " +
+        "count(*) AS avgdl" +
+        terms.zipWithIndex.map { case (t, i) =>
+          s", CAST(sum(CASE WHEN len(list_filter($ltokensSql, x -> x = '$t')) " +
+            s"> 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+        }.mkString + " FROM documents"
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter($ltokensSql, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(", ")
+      val score = terms.indices.map { i =>
+        s"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / " +
+          s"(CAST(df$i AS DOUBLE) + 0.5)) * tf$i * 2.2 / " +
+          s"(tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+      }.mkString(" + ")
+      Some(s"WITH st AS ($stats), " +
+        s"d AS (SELECT doc_id, CAST(len($ltokensSql) AS DOUBLE) AS dl, " +
+        s"$tfCols FROM documents), " +
+        s"sc AS (SELECT doc_id, $score AS s FROM d, st) " +
+        "SELECT doc_id, round(s, 6) AS score FROM sc " +
+        "ORDER BY s DESC, doc_id LIMIT 20")
+    },
+      (s, dir) => TA.bm25TopDocs(Tables.documents(s, dir), "doc_id", "text",
+        Seq("query", "table", "data"), k = 20))
   )
 }

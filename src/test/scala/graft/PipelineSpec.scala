@@ -1280,6 +1280,35 @@ class PipelineSpec extends SparkSpec {
       assert(got(in) == want, s"$in -> ${got(in)} (want $want)") }
   }
 
+  test("GraftExtensions.registerAll wires the SQL surface into a live session") {
+    // the shared test session was built WITHOUT .withExtensions
+    GraftExtensions.registerAll(spark)
+    Seq("a b c d").toDF("text").createOrReplaceTempView("ra_docs")
+    val r = spark.sql("SELECT size(word_shingles(text, 2)) AS n, " +
+      "CAST(lenient_date('2024-1-5') AS STRING) AS d FROM ra_docs")
+      .collect()(0)
+    assert(r.getInt(0) == 3 && r.getString(1) == "2024-01-05")
+    GraftExtensions.registerAll(spark) // idempotent re-registration
+    assert(spark.sql("SELECT size(word_shingles('x y', 2)) AS n")
+      .collect()(0).getInt(0) == 1)
+  }
+
+  test("bm25TopDocs: tf saturation and length normalization behave") {
+    val docs = Seq(
+      (1L, "query match once plus filler filler filler filler"),
+      (2L, "query query query query query query query query"),
+      (3L, "query match"),
+      (4L, "nothing relevant here at all in this document")
+    ).toDF("id", "text")
+    val got = TA.bm25TopDocs(docs, "id", "text", Seq("query"), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // short doc with the term beats the long one; repetition saturates:
+    // doc2's 8 occurrences can't reach 8x doc3's single-occurrence score
+    assert(got(3L) > got(1L) && got(3L) > 0)
+    assert(got(2L) < 8 * got(3L) && got(2L) > got(1L))
+    assert(got(4L) == 0.0)
+  }
+
   test("classificationReport: hand-computed confusion on 3 classes") {
     // y/p pairs: class 0 tp=2 fn=1(pred 1); class 1 tp=1 fp=1 fn=0;
     // class 2 never true but predicted once (fp=1, precision 0, recall null)
