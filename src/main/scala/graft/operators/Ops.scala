@@ -1135,6 +1135,44 @@ object Ops {
             sum(col("__c")).cast("double"), 6).as("entropy"))
   }
 
+  // -------------------------------------------------- shuffle sizing advisor
+  /** Shuffle/partition sizing advisor: estimate the table's in-flight bytes
+    * from SCHEMA-DERIVED fixed widths plus measured string/binary lengths
+    * (one aggregate — no sampling, no rand), and recommend a partition
+    * count for a target partition size as pure integer ceiling division.
+    * This is the planning input for `spark.sql.shuffle.partitions` /
+    * `files.maxPartitionBytes` the SCALE.md sizing notes reason about —
+    * as a query, so the driver gates it. Width model is the unencoded
+    * row: 8B integral/floating/timestamp, 4B int/date, 16B decimal,
+    * strings/binary at measured length (compression and page overheads
+    * intentionally excluded — the advisor targets shuffle bytes, which
+    * are row-wise). Output (one row): n_rows, fixed_bytes_per_row,
+    * string_bytes, est_bytes, recommended_partitions (≥ 1). */
+  def shuffleAdvisor(df: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be > 0: $targetBytes")
+    val (fixed, varCols) = df.schema.fields.foldLeft((0L, Seq.empty[String])) {
+      case ((f, ss), fld) => fld.dataType match {
+        case LongType | DoubleType | TimestampType => (f + 8, ss)
+        case IntegerType | FloatType | DateType => (f + 4, ss)
+        case ShortType => (f + 2, ss)
+        case ByteType | BooleanType => (f + 1, ss)
+        case _: DecimalType => (f + 16, ss)
+        case StringType | BinaryType => (f, ss :+ fld.name)
+        case _ => (f + 16, ss) // nested: coarse fixed default
+      }
+    }
+    val varLen = if (varCols.isEmpty) lit(0L)
+      else varCols.map(c => coalesce(length(col(c)).cast("long"), lit(0L)))
+        .reduce(_ + _)
+    df.agg(count(lit(1)).as("n_rows"), sum(varLen).as("__v"))
+      .select(col("n_rows"), lit(fixed).as("fixed_bytes_per_row"),
+        coalesce(col("__v"), lit(0L)).as("string_bytes"),
+        (col("n_rows") * lit(fixed) + coalesce(col("__v"), lit(0L)))
+          .as("est_bytes"))
+      .withColumn("recommended_partitions",
+        greatest(lit(1L), expr(s"(est_bytes + ${targetBytes - 1}) div $targetBytes")))
+  }
+
   // ------------------------------------------------- join-size estimation
   /** Optimizer-style equi-join cardinality estimate from per-side key
     * statistics, checked against the truth: est = n_a·n_b / max(d_a, d_b)

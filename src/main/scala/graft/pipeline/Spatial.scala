@@ -163,4 +163,26 @@ object Spatial {
       lit(GeohashAlphabet).substr(idx.cast("int") + 1, lit(1))
     }: _*)
   }
+
+  /** Ray-casting point-in-polygon against a FIXED (broadcast-literal)
+    * polygon: one crossing test per edge — the edge deltas are Scala-
+    * computed double literals shared verbatim with the SQL oracle, so
+    * every comparison is the same IEEE arithmetic in both engines — and
+    * membership is crossing-count parity. Pure codegen projection, zero
+    * shuffle, edge count fixed at plan time (a real geofence table would
+    * broadcast-join candidate cells first — the q159 grid discipline —
+    * then run this test per candidate). Points exactly on an edge follow
+    * the half-open ray convention (deterministic, documented). */
+  def pointInPolygon(x: Column, y: Column,
+                     poly: Seq[(Double, Double)]): Column = {
+    require(poly.size >= 3, "a polygon needs at least 3 vertices")
+    val crossings = poly.indices.map { i =>
+      val (xi, yi) = poly(i)
+      val (xj, yj) = poly((i + 1) % poly.size)
+      val straddles = (lit(yi) > y) =!= (lit(yj) > y)
+      val xCross = lit(xj - xi) * (y - lit(yi)) / lit(yj - yi) + lit(xi)
+      when(straddles && x < xCross, 1).otherwise(0)
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
 }

@@ -936,6 +936,22 @@ object Stats {
           count(lit(1)).cast("double"), 6).as("frac_pos"))
   }
 
+  // ------------------------------------------- expected calibration error
+  /** Expected calibration error: Σ_b (n_b/N)·|frac_pos_b − mean_p_b| over
+    * the [[calibrationBins]] relation — q236's per-bin face collapsed to
+    * THE calibration headline number. The per-bin inputs are the 6dp
+    * values the bins query already gates (stable), each weighted term
+    * casts DECIMAL(28,12) before the final sum. Output (one row): n,
+    * n_bins_used, ece (6dp). */
+  def expectedCalibrationError(df: DataFrame, probCol: String,
+                               labelCol: Column, nBins: Int): DataFrame = {
+    val bins = calibrationBins(df, probCol, labelCol, nBins)
+    bins.agg(sum(col("n")).as("n"), count(lit(1)).as("n_bins_used"),
+      round(sum((col("n").cast("double") *
+          abs(col("frac_pos") - col("mean_p"))).cast("decimal(28,12)"))
+        .cast("double") / sum(col("n")).cast("double"), 6).as("ece"))
+  }
+
   // ----------------------------------------------------------- NDCG@k
   /** Normalized discounted cumulative gain at k — the graded-relevance
     * ranking metric completing the eval tier ([[rocAuc]] = binary global,

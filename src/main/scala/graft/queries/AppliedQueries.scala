@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.{Ops, Validate}
 import graft.pipeline.{EventAnalytics, Graph, Linkage, Spatial, Stats,
   TextAnalysis => TA, Web}
 import graft.plans.BloomPrune
@@ -641,6 +642,84 @@ object AppliedQueries {
           Validate.Matches("l_returnflag", "^[ARN]$"),
           Validate.Unique(Seq("l_orderkey", "l_linenumber")),
           Validate.Unique(Seq("l_partkey"))))
-      })
+      }),
+
+    // ---- shuffle/partition sizing advisor: schema-derived fixed widths +
+    // measured string lengths → integer-ceiling partition recommendation
+    // for a 64 MiB target — the spark.sql.shuffle.partitions planning
+    // input as an oracle-gated query. Oracle fixed width for lineitem:
+    // 3×long(24) + int(4) + 4×double(32) + timestamp(8) = 68; strings
+    // measured.
+    Q("q287_shuffle_advisor",
+      Some("WITH a AS (SELECT count(*) AS n_rows, " +
+        "CAST(sum(length(l_returnflag) + length(l_linestatus)) AS BIGINT) " +
+        "AS string_bytes FROM lineitem) " +
+        "SELECT n_rows, CAST(68 AS BIGINT) AS fixed_bytes_per_row, " +
+        "string_bytes, n_rows * 68 + string_bytes AS est_bytes, " +
+        "greatest(CAST(1 AS BIGINT), (n_rows * 68 + string_bytes + " +
+        "67108863) // 67108864) AS recommended_partitions FROM a"),
+      (s, dir) => Ops.shuffleAdvisor(Tables.lineitem(s, dir),
+        targetBytes = 64L * 1024 * 1024)),
+
+    // ---- point-in-polygon geofence over the q240 synthetic coordinates:
+    // ray-casting with Scala-computed edge-delta literals shared verbatim
+    // with the oracle — same IEEE comparisons both engines, zero shuffle.
+    Q("q288_point_in_polygon", {
+      val poly = Seq((-100.0, -40.0), (120.0, -60.0), (150.0, 80.0),
+        (0.0, 85.0), (-160.0, 40.0))
+      val lonE = "(CAST(((c_custkey * 7919) % 1000) - 500 AS DOUBLE) * 0.35)"
+      val latE = "(CAST((c_custkey % 1000) - 500 AS DOUBLE) * 0.17)"
+      val terms = poly.indices.map { i =>
+        val (xi, yi) = poly(i)
+        val (xj, yj) = poly((i + 1) % poly.size)
+        s"CASE WHEN (($yi > lat) <> ($yj > lat)) AND " +
+          s"lon < ${xj - xi} * (lat - $yi) / ${yj - yi} + $xi " +
+          "THEN 1 ELSE 0 END"
+      }.mkString(" + ")
+      Some(s"WITH p AS (SELECT c_nationkey, $lonE AS lon, $latE AS lat " +
+        "FROM customer), " +
+        s"t AS (SELECT c_nationkey, ($terms) % 2 = 1 AS inside FROM p) " +
+        "SELECT c_nationkey, count(*) AS n_customers, " +
+        "CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_inside FROM t GROUP BY 1 ORDER BY c_nationkey")
+    },
+      (s, dir) => {
+        val poly = Seq((-100.0, -40.0), (120.0, -60.0), (150.0, 80.0),
+          (0.0, 85.0), (-160.0, 40.0))
+        val lon = (pmod(col("c_custkey") * 7919L, lit(1000L)) - 500)
+          .cast("double") * 0.35
+        val lat = (pmod(col("c_custkey"), lit(1000L)) - 500)
+          .cast("double") * 0.17
+        Tables.customer(s, dir)
+          .select(col("c_nationkey"),
+            Spatial.pointInPolygon(lon, lat, poly).as("inside"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(when(col("inside"), 1L).otherwise(0L)).as("n_inside"))
+          .orderBy("c_nationkey")
+      }),
+
+    // ---- expected calibration error: q236's bin relation collapsed to
+    // the calibration headline number (weighted |frac_pos − mean_p|,
+    // DECIMAL-weighted terms).
+    Q("q289_ece", {
+      val pE = "(CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 300.0))"
+      Some(s"WITH s AS (SELECT $pE AS p, lang = 'en' AS y FROM documents), " +
+        "b AS (SELECT CAST(least(floor(p * 10), 9.0) AS BIGINT) AS bin, " +
+        "count(*) AS n, " +
+        "round(CAST(sum(CAST(p AS DECIMAL(28,12))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS mean_p, " +
+        "round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS frac_pos FROM s GROUP BY 1) " +
+        "SELECT CAST(sum(n) AS BIGINT) AS n, count(*) AS n_bins_used, " +
+        "round(CAST(sum(CAST(CAST(n AS DOUBLE) * abs(frac_pos - mean_p) " +
+        "AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) " +
+        "AS ece FROM b")
+    },
+      (s, dir) => Stats.expectedCalibrationError(
+        Tables.documents(s, dir).withColumn("p",
+          col("n_chars").cast("double") /
+            (col("n_chars").cast("double") + 300.0)),
+        "p", col("lang") === "en", nBins = 10))
   )
 }

@@ -354,4 +354,37 @@ class AppliedSpec extends SparkSpec {
     // overflow into garbage
     assert(got(3)._1 == "zzzzzz")
   }
+
+  test("pointInPolygon: unit-square membership, convexity not assumed") {
+    import spark.implicits._
+    val square = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+    val pts = Seq((1L, 5.0, 5.0), (2L, 15.0, 5.0), (3L, -1.0, 5.0),
+      (4L, 5.0, 11.0), (5L, 9.99, 9.99)).toDF("id", "x", "y")
+    val got = pts.select(col("id"),
+        Spatial.pointInPolygon(col("x"), col("y"), square).as("in"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got(1L) && got(5L) && !got(2L) && !got(3L) && !got(4L))
+    // non-convex chevron: the notch at (5,5) is OUTSIDE
+    val chevron = Seq((0.0, 0.0), (10.0, 0.0), (5.0, 4.0))
+    val probe = Seq((1L, 5.0, 1.0), (2L, 5.0, 5.0)).toDF("id", "x", "y")
+    val g2 = probe.select(col("id"),
+        Spatial.pointInPolygon(col("x"), col("y"), chevron).as("in"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(g2(1L) && !g2(2L))
+  }
+
+  test("shuffleAdvisor: integer width model and ceiling recommendation") {
+    import graft.operators.Ops
+    import spark.implicits._
+    val df = Seq((1L, 1, "ab"), (2L, 2, "cdef")).toDF("l", "i", "s")
+    // widths: long 8 + int 4 = 12 fixed; strings 2 + 4 = 6 measured
+    val r = Ops.shuffleAdvisor(df, targetBytes = 10L).collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 12 && r.getLong(2) == 6)
+    assert(r.getLong(3) == 30)          // 2*12 + 6
+    assert(r.getLong(4) == 3)           // ceil(30/10)
+    // tiny table never recommends zero partitions
+    val one = Seq(Tuple1(1L)).toDF("l")
+    assert(Ops.shuffleAdvisor(one, targetBytes = 1L << 30)
+      .collect()(0).getLong(4) == 1)
+  }
 }
