@@ -1135,6 +1135,63 @@ object Ops {
             sum(col("__c")).cast("double"), 6).as("entropy"))
   }
 
+  // ---------------------------------------------------- monotonicity audit
+  /** Sequence-quality audit: count adjacent-pair violations of per-key
+    * monotonicity (nondecreasing, or strictly increasing with `strict`) in
+    * `valueCol` along `orderCols` — the sanity gate for cumulative
+    * counters, version stamps, and event clocks before an as-of/ffill
+    * consumer trusts them. One per-key lag window, one summary row:
+    * n_keys, n_rows, n_violations, n_keys_violating. */
+  def monotonicAudit(df: DataFrame, keyCols: Seq[String],
+                     orderCols: Seq[String], valueCol: String,
+                     strict: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty, "keys and order required")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val prev = lag(col(valueCol), 1).over(w)
+    val bad = if (strict) col(valueCol) <= prev else col(valueCol) < prev
+    df.withColumn("__bad",
+        when(prev.isNotNull && bad, 1L).otherwise(0L))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__bad")).as("__v"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("__n")).as("n_rows"),
+        sum(col("__v")).as("n_violations"),
+        sum(when(col("__v") > 0, 1L).otherwise(0L)).as("n_keys_violating"))
+  }
+
+  // ------------------------------------------------ column fingerprints
+  /** Row-aligned column-content fingerprints: per column, the SUM of
+    * 52-bit md5(rowkey ∥ value) draws — order-independent (sum), alignment-
+    * aware (the rowkey rides inside the hash), so two columns fingerprint
+    * equal iff they hold identical values on identical rows (mod
+    * astronomically unlikely sum collisions). The schema-dedup /
+    * copied-column detector for wide warehouse tables: one melted pass,
+    * output bounded by the column count. Columns must stringify stably
+    * (strings/integers; floats format engine-differently and belong
+    * behind an explicit round). Output: column_name, n_nonnull,
+    * fingerprint. */
+  def columnFingerprints(df: DataFrame, rowKey: Column,
+                         cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val melted = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("c"),
+        org.apache.spark.sql.functions.concat(rowKey.cast("string"),
+          lit("|"), coalesce(col(c).cast("string"), lit("<NULL>"))).as("kv"),
+        col(c).isNull.as("nul"))): _*))
+      .as("e"))
+      .select(col("e.c").as("column_name"),
+        conv(substring(md5(col("e.kv")), 1, 13), 16, 10).cast("long")
+          .as("__h"),
+        col("e.nul").as("__isnull"))
+    // the 52-bit draws sum past long range on big tables: accumulate in
+    // DECIMAL(38,0) (exact, order-independent) and fold back mod 2^62 —
+    // still a uniform fingerprint, still long-typed for the gate
+    melted.groupBy("column_name")
+      .agg(sum(when(!col("__isnull"), 1L).otherwise(0L)).as("n_nonnull"),
+        pmod(sum(col("__h").cast("decimal(38,0)")),
+          lit(4611686018427387904L)).cast("long").as("fingerprint"))
+  }
+
   // -------------------------------------------------- shuffle sizing advisor
   /** Shuffle/partition sizing advisor: estimate the table's in-flight bytes
     * from SCHEMA-DERIVED fixed widths plus measured string/binary lengths

@@ -720,6 +720,53 @@ object AppliedQueries {
         Tables.documents(s, dir).withColumn("p",
           col("n_chars").cast("double") /
             (col("n_chars").cast("double") + 300.0)),
-        "p", col("lang") === "en", nBins = 10))
+        "p", col("lang") === "en", nBins = 10)),
+
+    // ---- per-key monotonicity audit: adjacent-pair violations of the
+    // nondecreasing contract along (ts, event_id) — the sanity gate before
+    // an as-of/ffill consumer trusts a "cumulative" column. The violation
+    // COUNT is what's gated (this data is not monotone; the report says
+    // exactly how much).
+    Q("q290_monotonic_audit",
+      Some("WITH e AS (SELECT user_id, value, epoch_us(ts) AS us, event_id " +
+        "FROM events), " +
+        "l AS (SELECT user_id, value, lag(value) OVER " +
+        "(PARTITION BY user_id ORDER BY us, event_id) AS pv FROM e), " +
+        "g AS (SELECT user_id, count(*) AS n, " +
+        "CAST(sum(CASE WHEN pv IS NOT NULL AND value < pv THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS v FROM l GROUP BY 1) " +
+        "SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows, " +
+        "CAST(sum(v) AS BIGINT) AS n_violations, " +
+        "CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_keys_violating FROM g"),
+      (s, dir) => Ops.monotonicAudit(Tables.events(s, dir), Seq("user_id"),
+        Seq("ts", "event_id"), "value")),
+
+    // ---- row-aligned column-content fingerprints: order-independent
+    // 52-bit hash sums detect copied/duplicate columns — the planted
+    // c_nation_copy fingerprints EQUAL to c_nationkey, the others differ.
+    Q("q291_column_fingerprints", {
+      def fp(valueExpr: String, name: String) =
+        s"SELECT '$name' AS column_name, " +
+          s"CAST(count($valueExpr) AS BIGINT) AS n_nonnull, " +
+          "CAST(sum((SELECT " +
+          (1 to 13).map(i =>
+            s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * " +
+              s"${BigInt(16).pow(13 - i)}").mkString("(", " + ", ")") +
+          " FROM (SELECT substr(md5(CAST(c_custkey AS VARCHAR) || '|' || " +
+          s"coalesce(CAST($valueExpr AS VARCHAR), '<NULL>')), 1, 13) AS hx)" +
+          ")) % 4611686018427387904 AS BIGINT) AS fingerprint FROM customer"
+      Some(Seq(fp("c_name", "c_name"),
+        fp("c_mktsegment", "c_mktsegment"),
+        fp("c_nationkey", "c_nationkey"),
+        fp("c_nationkey", "c_nation_copy"))
+        .mkString("", " UNION ALL ", " ORDER BY column_name"))
+    },
+      (s, dir) => Ops.columnFingerprints(
+          Tables.customer(s, dir)
+            .withColumn("c_nation_copy", col("c_nationkey")),
+          col("c_custkey"),
+          Seq("c_name", "c_mktsegment", "c_nationkey", "c_nation_copy"))
+        .orderBy("column_name"))
   )
 }

@@ -528,6 +528,30 @@ class OpsSpec extends SparkSpec {
     assert(r.getDouble(4) == 10.0, s"LIFO leak: ${r.getDouble(4)}")
   }
 
+  test("monotonicAudit: counts adjacent violations, strict mode flags ties") {
+    val df = Seq(("a", 1, 10), ("a", 2, 20), ("a", 3, 15), ("a", 4, 15),
+      ("b", 1, 5), ("b", 2, 5)).toDF("k", "seq", "v")
+    val lax = Ops.monotonicAudit(df, Seq("k"), Seq("seq"), "v").collect()(0)
+    // a: 20->15 violates; 15->15 fine. b: clean
+    assert(lax.getLong(0) == 2 && lax.getLong(1) == 6)
+    assert(lax.getLong(2) == 1 && lax.getLong(3) == 1)
+    val strict = Ops.monotonicAudit(df, Seq("k"), Seq("seq"), "v",
+      strict = true).collect()(0)
+    // ties now count: a's 15->15 and b's 5->5
+    assert(strict.getLong(2) == 3 && strict.getLong(3) == 2)
+  }
+
+  test("columnFingerprints: copied columns collide, different ones do not") {
+    val df = Seq((1L, "x", 7, 7), (2L, "y", 8, 8), (3L, null, 9, 9))
+      .toDF("id", "s", "a", "b")
+    val got = Ops.columnFingerprints(df, col("id"), Seq("s", "a", "b"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got("a") == got("b"), "identical content must fingerprint equal")
+    assert(got("s")._2 != got("a")._2)
+    assert(got("s")._1 == 2 && got("a")._1 == 3) // null counted out
+  }
+
   test("skyline: single row and all-equal inputs survive whole") {
     val one = Seq((1, 7, 7)).toDF("id", "x", "y")
     assert(Ops.skyline(one, "x", "y").count() == 1)
