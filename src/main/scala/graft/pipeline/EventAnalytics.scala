@@ -1402,4 +1402,28 @@ object EventAnalytics {
         count(lit(1)).as("n_islands"),
         sum(col("__ie") - col("__is")).as("covered_us"))
   }
+
+  // --------------------------------------------------- rapid-repeat audit
+  /** Double-fire detection: within each key group (e.g. user × event
+    * type), adjacent events along (ts, id) closer than `windowSec` apart
+    * are flagged as suspected duplicate submissions — the telemetry-dedup
+    * audit a pipeline runs before trusting raw event counts. One exchange
+    * on the key; each key's own events sort locally; the gap is an exact
+    * integer µs difference with one final /1e6. Emits the LATER event of
+    * each adjacent close pair:
+    * (keyCols..., prev_event_id, event_id, gap_sec). */
+  def rapidRepeats(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                   idCol: String, windowSec: Long): DataFrame = {
+    require(keyCols.nonEmpty, "key columns required")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__us").asc, col(idCol).asc)
+    df.select(keyCols.map(col) :+ unix_micros(col(tsCol)).as("__us") :+
+        col(idCol): _*)
+      .withColumn("__pus", lag(col("__us"), 1).over(w))
+      .withColumn("prev_event_id", lag(col(idCol), 1).over(w))
+      .filter(col("__pus").isNotNull &&
+        col("__us") - col("__pus") <= windowSec * 1000000L)
+      .select(keyCols.map(col) :+ col("prev_event_id") :+ col(idCol) :+
+        round((col("__us") - col("__pus")) / 1000000.0, 6).as("gap_sec"): _*)
+  }
 }

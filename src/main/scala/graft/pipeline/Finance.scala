@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Commerce/finance report kernels: drawdown, ABC classification, and
+  * receivables aging. All money arithmetic is integer (cents or
+  * micro-cents) until the one final division per output column — the q281
+  * lesson: a 6dp double intermediate diverges between engines, an integer
+  * one cannot.
+  *
+  * Scale notes: every kernel first collapses the raw relation to a
+  * dimension-sized rollup (days, keys, buckets) with one keyed aggregate;
+  * the single-partition windows below run ONLY on those rollups (a daily
+  * series is |calendar| rows, an ABC ranking |SKUs| rows), never on the
+  * raw fact table.
+  */
+object Finance {
+
+  /** Peak-to-trough drawdown of a daily revenue series: the day whose
+    * revenue sits furthest below the historical running peak. Daily cents
+    * are exact BIGINT sums; the running max and the argmax election are
+    * integer; the one IEEE division (drawdown/peak) reports 6dp. Ties on
+    * the drawdown take the EARLIEST day. Returns one row
+    * (n_days, trough_day, peak, trough, drawdown, drawdown_pct). */
+  def drawdownReport(df: DataFrame, tsCol: String, amountCol: Column): DataFrame = {
+    val daily = df
+      .select(EventAnalytics.dayIndex(col(tsCol)).as("day"),
+        round(amountCol * 100, 0).cast("long").as("__cents"))
+      .groupBy("day")
+      .agg(sum(col("__cents")).as("rc"))
+    // the window runs on the daily rollup (|calendar| rows), not the facts
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("__peak", max(col("rc")).over(w))
+      .withColumn("__dd", col("__peak") - col("rc"))
+      .agg(count(lit(1)).as("n_days"),
+        max_by(struct(col("day"), col("__peak"), col("rc"), col("__dd")),
+          // deepest drawdown wins; among equals the EARLIEST day
+          struct(col("__dd"), (-col("day")).as("d"))).as("__best"))
+      .select(col("n_days"), col("__best.day").as("trough_day"),
+        round(col("__best.__peak") / 100.0, 2).as("peak"),
+        round(col("__best.rc") / 100.0, 2).as("trough"),
+        round(col("__best.__dd") / 100.0, 2).as("drawdown"),
+        round(col("__best.__dd").cast("double") /
+          col("__best.__peak").cast("double"), 6).as("drawdown_pct"))
+  }
+
+  /** ABC (Pareto) classification: keys ranked by revenue share; A = keys
+    * inside the first `aPct`% of cumulative revenue, B inside `bPct`%,
+    * C the tail. The class boundary test is EXACT — `cum·100 ≤ total·pct`
+    * in DECIMAL(38,0), never a double share compare — so a key straddling
+    * 80.000…% lands identically in both engines. Rank order is
+    * (revenue DESC, key ASC). `revenueMicro` must be an integral
+    * micro-cent expression (exact under summation). Returns one row per
+    * class: (abc_class, n_keys, revenue, share). */
+  def abcClassification(df: DataFrame, keyCol: String, revenueMicro: Column,
+                        aPct: Int = 80, bPct: Int = 95): DataFrame = {
+    require(0 < aPct && aPct < bPct && bPct <= 100, "need 0 < aPct < bPct <= 100")
+    val perKey = df.groupBy(col(keyCol).as("__k"))
+      .agg(sum(revenueMicro.cast(DecimalType(38, 0))).as("__rev"))
+    // ranking window on the per-key rollup (|SKUs| rows)
+    val w = Window.orderBy(col("__rev").desc, col("__k").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(lit(1))
+    perKey
+      .withColumn("__cum", sum(col("__rev")).over(w))
+      .withColumn("__tot", sum(col("__rev")).over(tot))
+      .withColumn("abc_class",
+        when(col("__cum") * 100 <= col("__tot") * aPct, "A")
+          .when(col("__cum") * 100 <= col("__tot") * bPct, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_keys"),
+        round(sum(col("__rev")).cast("double") / 1000000.0, 6).as("revenue"),
+        round(sum(col("__rev")).cast("double") /
+          first(col("__tot")).cast("double"), 6).as("share"))
+  }
+
+  /** Receivables aging: open items bucketed by age against the ledger's
+    * own as-of day (the max day across ALL rows, open or closed — a
+    * deterministic anchor that needs no wall clock). `bounds` are
+    * inclusive upper edges in days; e.g. Seq(30, 60, 90) yields
+    * 0-30 / 31-60 / 61-90 / 90+. Amounts are exact BIGINT cents until the
+    * final /100. Returns (bucket, n_open, amount, oldest_day), one row per
+    * nonempty bucket. */
+  def agingBuckets(df: DataFrame, dateCol: String, amountCol: Column,
+                   openCol: Column, bounds: Seq[Int] = Seq(30, 60, 90)): DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sorted && bounds.distinct == bounds,
+      "bounds must be ascending and distinct")
+    val base = df.select(EventAnalytics.dayIndex(col(dateCol)).as("__day"),
+      round(amountCol * 100, 0).cast("long").as("__cents"),
+      openCol.as("__open"))
+    val asOf = base.agg(max(col("__day")).as("__asof"))
+    val withAge = base.filter(col("__open"))
+      .crossJoin(broadcast(asOf))
+      .withColumn("__age", col("__asof") - col("__day"))
+    val labeled = bounds.zip(0 +: bounds.init.map(_ + 1))
+      .foldLeft(lit(null).cast("string")) { case (acc, (hi, lo)) =>
+        when(col("__age") <= hi, coalesce(acc, lit(s"$lo-$hi"))).otherwise(acc)
+      }
+    withAge
+      .withColumn("bucket", coalesce(labeled, lit(s"${bounds.last}+")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_open"),
+        round(sum(col("__cents")) / 100.0, 2).as("amount"),
+        min(col("__day")).as("oldest_day"))
+  }
+}

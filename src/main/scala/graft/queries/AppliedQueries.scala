@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.{Ops, Validate}
-import graft.pipeline.{EventAnalytics, Graph, Linkage, Spatial, Stats,
-  TextAnalysis => TA, Web}
+import graft.pipeline.{EventAnalytics, Finance, Graph, Linkage, Spatial,
+  Stats, TextAnalysis => TA, Web}
 import graft.plans.BloomPrune
 
 /** Applied-analytics drivers (round-8 wave): warehouse history (SCD-2),
@@ -767,6 +767,86 @@ object AppliedQueries {
             .withColumn("c_nation_copy", col("c_nationkey")),
           col("c_custkey"),
           Seq("c_name", "c_mktsegment", "c_nationkey", "c_nation_copy"))
-        .orderBy("column_name"))
+        .orderBy("column_name")),
+
+    // ---- peak-to-trough drawdown of the daily revenue series: exact
+    // BIGINT cents through the running max and the argmax election; the
+    // one IEEE division (dd/peak) reports 6dp.
+    Q("q292_max_drawdown",
+      Some("WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
+        "AS rc FROM orders GROUP BY 1), " +
+        "w AS (SELECT day, rc, max(rc) OVER (ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk FROM d), " +
+        "b AS (SELECT day, rc, pk, pk - rc AS dd FROM w " +
+        "ORDER BY dd DESC, day LIMIT 1) " +
+        "SELECT (SELECT count(*) FROM d) AS n_days, day AS trough_day, " +
+        "round(pk / 100.0, 2) AS peak, round(rc / 100.0, 2) AS trough, " +
+        "round(dd / 100.0, 2) AS drawdown, " +
+        "round(CAST(dd AS DOUBLE) / CAST(pk AS DOUBLE), 6) AS drawdown_pct " +
+        "FROM b"),
+      (s, dir) => Finance.drawdownReport(Tables.orders(s, dir),
+        "o_orderdate", col("o_totalprice"))),
+
+    // ---- ABC (Pareto) part classification by revenue: micro-cent
+    // integer revenue, EXACT decimal boundary test (cum·100 ≤ tot·pct),
+    // (rev DESC, key ASC) rank order.
+    Q("q293_abc_classification",
+      Some("WITH r AS (SELECT l_partkey AS k, " +
+        "sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "CAST(round((1 - l_discount) * 10000) AS BIGINT) AS HUGEINT)) " +
+        "AS rev FROM lineitem GROUP BY 1), " +
+        "t AS (SELECT sum(rev) AS tot FROM r), " +
+        "c AS (SELECT k, rev, sum(rev) OVER (ORDER BY rev DESC, k " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM r), " +
+        "x AS (SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A' " +
+        "WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS abc_class, " +
+        "rev, tot FROM c, t) " +
+        "SELECT abc_class, count(*) AS n_keys, " +
+        "round(CAST(sum(rev) AS DOUBLE) / 1000000.0, 6) AS revenue, " +
+        "round(CAST(sum(rev) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6) " +
+        "AS share FROM x GROUP BY 1 ORDER BY abc_class"),
+      (s, dir) => Finance.abcClassification(Tables.lineitem(s, dir),
+          "l_partkey",
+          round(col("l_extendedprice") * 100, 0).cast("long") *
+            round((lit(1) - col("l_discount")) * 10000, 0).cast("long"))
+        .orderBy("abc_class")),
+
+    // ---- receivables aging: open (non-'F') orders bucketed by age
+    // against the ledger's own max day; exact BIGINT cents per bucket.
+    Q("q294_aging_buckets",
+      Some("WITH b AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents, " +
+        "o_orderstatus <> 'F' AS is_open FROM orders), " +
+        "a AS (SELECT max(day) AS d0 FROM b), " +
+        "x AS (SELECT d0 - day AS age, cents, day FROM b, a " +
+        "WHERE is_open), " +
+        "l AS (SELECT CASE WHEN age <= 30 THEN '0-30' " +
+        "WHEN age <= 60 THEN '31-60' WHEN age <= 90 THEN '61-90' " +
+        "ELSE '90+' END AS bucket, cents, day FROM x) " +
+        "SELECT bucket, count(*) AS n_open, " +
+        "round(sum(cents) / 100.0, 2) AS amount, min(day) AS oldest_day " +
+        "FROM l GROUP BY 1 ORDER BY bucket"),
+      (s, dir) => Finance.agingBuckets(Tables.orders(s, dir), "o_orderdate",
+          col("o_totalprice"), col("o_orderstatus") =!= "F")
+        .orderBy("bucket")),
+
+    // ---- double-fire audit: same (user, event type) firing twice within
+    // an hour — adjacent pairs along (ts, event_id), integer-µs gap.
+    Q("q295_rapid_repeats",
+      Some("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, " +
+        "event_id FROM events), " +
+        "w AS (SELECT user_id, event_type, us, event_id, " +
+        "lag(us) OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY us, event_id) AS pus, " +
+        "lag(event_id) OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY us, event_id) AS pid FROM e) " +
+        "SELECT user_id, event_type, pid AS prev_event_id, event_id, " +
+        "round((us - pus) / 1000000.0, 6) AS gap_sec FROM w " +
+        "WHERE pus IS NOT NULL AND us - pus <= 3600000000 " +
+        "ORDER BY event_id"),
+      (s, dir) => EventAnalytics.rapidRepeats(Tables.events(s, dir),
+          Seq("user_id", "event_type"), "ts", "event_id", 3600L)
+        .orderBy("event_id"))
   )
 }

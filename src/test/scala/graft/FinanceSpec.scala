@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{EventAnalytics, Finance}
+
+/** Semantic unit tests for the finance/commerce kernels (q292-q295):
+  * hand-computed drawdowns with tie elections, exact ABC boundary
+  * straddles, aging bucket edges, and rapid-repeat window inclusivity.
+  */
+class FinanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val us = (d: Long) => d * 86400000000L
+  private def tsDf(rows: Seq[(Long, Double)]) = rows
+    .toDF("day", "amount")
+    .select(expr("timestamp_micros(day * 86400000000)").as("ts"),
+      col("amount"))
+
+  test("drawdownReport: running-peak drawdown; dd ties take the earliest day") {
+    // daily revenue: 100, 40, 90, 120, 60, 60  (two days tie at dd=60)
+    val df = tsDf(Seq(1L -> 100.0, 2L -> 40.0, 3L -> 90.0, 4L -> 120.0,
+      5L -> 60.0, 6L -> 60.0))
+    val r = Finance.drawdownReport(df, "ts", col("amount")).collect().head
+    assert(r.getLong(0) == 6L)          // n_days
+    assert(r.getLong(1) == 2L)          // trough_day: dd=60 first at day 2
+    assert(r.getDouble(2) == 100.0)     // peak at that time (not 120)
+    assert(r.getDouble(3) == 40.0)
+    assert(r.getDouble(4) == 60.0)
+    assert(r.getDouble(5) == 0.6)
+  }
+
+  test("drawdownReport: monotone series has zero drawdown") {
+    val df = tsDf(Seq(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    val r = Finance.drawdownReport(df, "ts", col("amount")).collect().head
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+    assert(r.getLong(1) == 1L) // dd=0 everywhere -> earliest day elected
+  }
+
+  test("abcClassification: exact boundary — cum == aPct% lands in A") {
+    // revenues 80, 15, 5 (micro units): cum(80)*100 == tot(100)*80 -> A;
+    // cum(95)*100 == tot*95 -> B; the tail -> C
+    val df = Seq(("k1", 80L), ("k2", 15L), ("k3", 5L)).toDF("k", "rev")
+    val r = Finance.abcClassification(df, "k", col("rev"))
+      .orderBy("abc_class").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("A", "B", "C"))
+    assert(r.map(_.getLong(1)).toSeq == Seq(1L, 1L, 1L))
+    assert(r.map(_.getDouble(3)).toSeq == Seq(0.8, 0.15, 0.05))
+  }
+
+  test("abcClassification: equal revenues rank by key ascending") {
+    // four equal keys, 25% each: k1 (cum 25) + k2 (50) + k3 (75) are A at
+    // aPct=75; k4 closes at 100 -> C with bPct=90
+    val df = Seq(("k4", 10L), ("k2", 10L), ("k3", 10L), ("k1", 10L))
+      .toDF("k", "rev")
+    val r = Finance.abcClassification(df, "k", col("rev"), aPct = 75,
+        bPct = 90)
+      .orderBy("abc_class").collect()
+    assert(r.map(r0 => (r0.getString(0), r0.getLong(1))).toSeq ==
+      Seq(("A", 3L), ("C", 1L)))
+  }
+
+  test("agingBuckets: inclusive edges; closed rows anchor but don't count") {
+    // as-of = day 100 (carried by a CLOSED row); open ages 0,30,31,90,91
+    val df = Seq(
+      (100L, 50.0, false), // closed: sets the anchor only
+      (100L, 1.0, true), (70L, 2.0, true), (69L, 4.0, true),
+      (10L, 8.0, true), (9L, 16.0, true))
+      .toDF("day", "amount", "is_open")
+      .select(expr("timestamp_micros(day * 86400000000)").as("ts"),
+        col("amount"), col("is_open"))
+    val r = Finance.agingBuckets(df, "ts", col("amount"), col("is_open"))
+      .orderBy("bucket").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      ("0-30", 2L, 3.0, 70L),    // ages 0 and 30
+      ("31-60", 1L, 4.0, 69L),   // age 31
+      ("61-90", 1L, 8.0, 10L),   // age 90
+      ("90+", 1L, 16.0, 9L)))    // age 91
+  }
+
+  test("rapidRepeats: window is inclusive; chains emit every adjacent pair; keys isolate") {
+    val df = Seq(
+      // user 1 / a: 0s, 3600s (inclusive hit), 7201s (3601s gap - miss)
+      (1L, "a", 0L, 10L), (1L, "a", 3600L, 11L), (1L, "a", 7201L, 12L),
+      // user 1 / b: isolated from the a-chain
+      (1L, "b", 1L, 13L),
+      // user 2 / a: a triple burst -> two pairs
+      (2L, "a", 0L, 20L), (2L, "a", 5L, 21L), (2L, "a", 9L, 22L))
+      .toDF("user_id", "event_type", "sec", "event_id")
+      .select(col("user_id"), col("event_type"),
+        expr("timestamp_micros(sec * 1000000)").as("ts"), col("event_id"))
+    val r = EventAnalytics.rapidRepeats(df, Seq("user_id", "event_type"),
+        "ts", "event_id", 3600L)
+      .orderBy("event_id").collect()
+      .map(x => (x.getLong(3), x.getLong(2), x.getDouble(4)))
+    assert(r.toSeq == Seq((11L, 10L, 3600.0), (21L, 20L, 5.0),
+      (22L, 21L, 4.0)))
+  }
+}
