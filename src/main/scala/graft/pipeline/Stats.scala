@@ -1550,4 +1550,111 @@ object Stats {
         greatest(lit(0L),
           round(col("n_true") + noise, 0).cast("long")).as("released"))
   }
+
+  // -------------------------------------------------- difference-in-differences
+  /** Two-group pre/post difference-in-differences: the classic
+    * (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre) causal estimate under the
+    * parallel-trends assumption. One full-scan aggregate of four
+    * conditional DECIMAL sums + counts; each mean is a single IEEE
+    * division and the estimate is the fixed-shape double closed form over
+    * those means, 6dp. Returns one row: (n_ctrl_pre, n_ctrl_post,
+    * n_treat_pre, n_treat_post, mean_ctrl_pre, mean_ctrl_post,
+    * mean_treat_pre, mean_treat_post, did). */
+  def diffInDiff(df: DataFrame, treatCol: Column, postCol: Column,
+                 valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def cell(t: Boolean, p: Boolean) = {
+      val in = (if (t) treatCol else !treatCol) &&
+        (if (p) postCol else !postCol)
+      (sum(when(in, valueCol.cast(DecimalType(28, 6)))).as(s"__s_${t}_$p"),
+        sum(when(in, 1L).otherwise(0L)).as(s"__n_${t}_$p"))
+    }
+    val cells = Seq(cell(false, false), cell(false, true),
+      cell(true, false), cell(true, true))
+    def m(t: Boolean, p: Boolean) =
+      col(s"__s_${t}_$p").cast("double") / col(s"__n_${t}_$p").cast("double")
+    df.filter(valueCol.isNotNull)
+      .agg(cells.head._1, cells.map(_._2) ++ cells.tail.map(_._1): _*)
+      .select(col("__n_false_false").as("n_ctrl_pre"),
+        col("__n_false_true").as("n_ctrl_post"),
+        col("__n_true_false").as("n_treat_pre"),
+        col("__n_true_true").as("n_treat_post"),
+        round(m(false, false), 6).as("mean_ctrl_pre"),
+        round(m(false, true), 6).as("mean_ctrl_post"),
+        round(m(true, false), 6).as("mean_treat_pre"),
+        round(m(true, true), 6).as("mean_treat_post"),
+        round((m(true, true) - m(true, false)) -
+          (m(false, true) - m(false, false)), 6).as("did"))
+  }
+
+  // ------------------------------------------------------- UCB1 allocation
+  /** UCB1 bandit scores from logged pulls: per arm, mean reward plus the
+    * sqrt(2·ln N / n) exploration bonus; the arm a UCB1 policy would pull
+    * next is flagged. Means come from DECIMAL sums (one division); ln/sqrt
+    * follow the q95/q127 libm discipline (sub-ulp noise dies in the 6dp
+    * round, and the election compares the ROUNDED scores with an arm-name
+    * tiebreak, so it cannot flip on an ulp). One keyed aggregate over the
+    * log; the per-arm relation is arms-sized. Returns per arm:
+    * (arm, n_pulls, mean_reward, ucb, chosen). */
+  def ucb1(df: DataFrame, armCol: Column, rewardCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perArm = df.filter(rewardCol.isNotNull)
+      .groupBy(armCol.as("arm"))
+      .agg(count(lit(1)).as("n_pulls"),
+        sum(rewardCol.cast(DecimalType(28, 6))).as("__s"))
+    val tot = Window.partitionBy(lit(1))
+    val ucb = round(col("__s").cast("double") / col("n_pulls").cast("double") +
+      sqrt(lit(2.0) * log(sum(col("n_pulls")).over(tot).cast("double")) /
+        col("n_pulls").cast("double")), 6)
+    perArm
+      .withColumn("ucb", ucb)
+      .withColumn("chosen", row_number().over(
+        Window.orderBy(col("ucb").desc, col("arm").asc)) === 1)
+      .select(col("arm"), col("n_pulls"),
+        round(col("__s").cast("double") / col("n_pulls").cast("double"), 6)
+          .as("mean_reward"),
+        col("ucb"), col("chosen"))
+  }
+
+  // ------------------------------------------- two-regressor OLS (closed form)
+  /** OLS with two regressors + intercept, solved in closed form from the
+    * 3×3 normal equations by Cramer's rule — no iteration, no collect.
+    * Sufficient statistics are DECIMAL(38,6) sums (order-independent
+    * exact); the determinant arithmetic is one fixed-shape double
+    * expression evaluated identically by any engine, 6dp out. R² uses the
+    * sse identity syy − b0·sy − b1·s1y − b2·s2y. Returns one row:
+    * (n, beta0, beta1, beta2, r2). */
+  def olsFit2(df: DataFrame, x1Col: Column, x2Col: Column,
+              yCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dsum(c: Column, n: String) =
+      sum(c.cast(DecimalType(38, 6))).as(n)
+    val g = df
+      .filter(x1Col.isNotNull && x2Col.isNotNull && yCol.isNotNull)
+      .agg(count(lit(1)).as("n"), dsum(x1Col, "s1"), dsum(x2Col, "s2"),
+        dsum(yCol, "sy"), dsum(x1Col * x1Col, "s11"),
+        dsum(x2Col * x2Col, "s22"), dsum(x1Col * x2Col, "s12"),
+        dsum(x1Col * yCol, "s1y"), dsum(x2Col * yCol, "s2y"),
+        dsum(yCol * yCol, "syy"))
+    val d = Seq("s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y", "syy")
+      .foldLeft(g)((acc, c) => acc.withColumn(c, col(c).cast("double")))
+      .withColumn("nd", col("n").cast("double"))
+    def det3(a: (Column, Column, Column), b: (Column, Column, Column),
+             c: (Column, Column, Column)): Column =
+      a._1 * (b._2 * c._3 - b._3 * c._2) -
+        a._2 * (b._1 * c._3 - b._3 * c._1) +
+        a._3 * (b._1 * c._2 - b._2 * c._1)
+    val (nd, s1, s2, sy) = (col("nd"), col("s1"), col("s2"), col("sy"))
+    val (s11, s22, s12) = (col("s11"), col("s22"), col("s12"))
+    val (s1y, s2y, syy) = (col("s1y"), col("s2y"), col("syy"))
+    val det = det3((nd, s1, s2), (s1, s11, s12), (s2, s12, s22))
+    val b0 = det3((sy, s1, s2), (s1y, s11, s12), (s2y, s12, s22)) / det
+    val b1 = det3((nd, sy, s2), (s1, s1y, s12), (s2, s2y, s22)) / det
+    val b2 = det3((nd, s1, sy), (s1, s11, s1y), (s2, s12, s2y)) / det
+    val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    val sst = syy - sy * sy / nd
+    d.select(col("n"), round(b0, 6).as("beta0"), round(b1, 6).as("beta1"),
+      round(b2, 6).as("beta2"),
+      round(when(sst =!= 0.0, lit(1.0) - sse / sst), 6).as("r2"))
+  }
 }

@@ -2284,6 +2284,105 @@ object StatsQueries2 {
         "AND sp.hour = cells.hour ORDER BY sp.bin, sp.hour"),
       (s, dir) => EventAnalytics.histogram2d(Tables.events(s, dir),
         "value", "ts", lo = 0.0, hi = 400.0, nBins = 20)
-        .orderBy("bin", "hour"))
+        .orderBy("bin", "hour")),
+
+    // ---- difference-in-differences: hash-deterministic treatment split,
+    // data-anchored pre/post midpoint, four DECIMAL cell sums, the classic
+    // (Δtreat − Δctrl) closed form over unrounded means.
+    Q("q296_diff_in_diff", {
+      def cell(t: String, p: String, tag: String) = Seq(
+        s"sum(CASE WHEN $t AND $p THEN 1 ELSE 0 END) AS n_$tag",
+        s"CAST(sum(CASE WHEN $t AND $p THEN " +
+          s"CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_$tag")
+      val cells = cell("NOT t", "NOT p", "ctrl_pre") ++
+        cell("NOT t", "p", "ctrl_post") ++
+        cell("t", "NOT p", "treat_pre") ++ cell("t", "p", "treat_post")
+      def m(tag: String) = s"(s_$tag / CAST(n_$tag AS DOUBLE))"
+      Some("WITH e AS (SELECT user_id, value, " +
+        "epoch_us(ts) // 86400000000 AS day FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "mm AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e), " +
+        "c AS (SELECT user_id % 2 = 0 AS t, day >= mid AS p, value " +
+        "FROM e, mm), " +
+        s"g AS (SELECT ${cells.mkString(", ")} FROM c) " +
+        "SELECT n_ctrl_pre, n_ctrl_post, n_treat_pre, n_treat_post, " +
+        s"round(${m("ctrl_pre")}, 6) AS mean_ctrl_pre, " +
+        s"round(${m("ctrl_post")}, 6) AS mean_ctrl_post, " +
+        s"round(${m("treat_pre")}, 6) AS mean_treat_pre, " +
+        s"round(${m("treat_post")}, 6) AS mean_treat_post, " +
+        s"round((${m("treat_post")} - ${m("treat_pre")}) - " +
+        s"(${m("ctrl_post")} - ${m("ctrl_pre")}), 6) AS did FROM g")
+    },
+      (s, dir) => {
+        val e = Tables.events(s, dir).filter(col("value").isNotNull)
+          .withColumn("day", EventAnalytics.dayIndex(col("ts")))
+        val mid = e.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+        Stats.diffInDiff(e.crossJoin(broadcast(mid)),
+          pmod(col("user_id"), lit(2L)) === 0, col("day") >= col("mid"),
+          col("value"))
+      }),
+
+    // ---- UCB1 bandit allocation from the logged event "pulls": mean
+    // reward + sqrt(2 ln N / n) bonus per arm; the next-pull election
+    // compares ROUNDED scores (arm-name tiebreak) so it cannot flip on a
+    // libm ulp.
+    Q("q297_ucb1",
+      Some("WITH a AS (SELECT event_type AS arm, count(*) AS n_pulls, " +
+        "CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1), " +
+        "t AS (SELECT sum(n_pulls) AS tot FROM a), " +
+        "u AS (SELECT arm, n_pulls, " +
+        "round(s / CAST(n_pulls AS DOUBLE), 6) AS mean_reward, " +
+        "round(s / CAST(n_pulls AS DOUBLE) + " +
+        "sqrt(2.0 * ln(CAST(tot AS DOUBLE)) / CAST(n_pulls AS DOUBLE)), 6) " +
+        "AS ucb FROM a, t) " +
+        "SELECT arm, n_pulls, mean_reward, ucb, " +
+        "row_number() OVER (ORDER BY ucb DESC, arm) = 1 AS chosen " +
+        "FROM u ORDER BY arm"),
+      (s, dir) => Stats.ucb1(Tables.events(s, dir), col("event_type"),
+          col("value"))
+        .orderBy("arm")),
+
+    // ---- two-regressor OLS in closed form (Cramer over the 3×3 normal
+    // equations): DECIMAL(38,6) sufficient statistics, one fixed-shape
+    // double determinant expression per coefficient, R² via the sse
+    // identity.
+    Q("q298_ols2",
+      Some("WITH g AS (SELECT count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1, " +
+        "CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS s2, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) " +
+        "AS DOUBLE) AS s11, " +
+        "CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,6))) " +
+        "AS DOUBLE) AS s22, " +
+        "CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,6))) " +
+        "AS DOUBLE) AS s12, " +
+        "CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) " +
+        "AS DOUBLE) AS s1y, " +
+        "CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(38,6))) " +
+        "AS DOUBLE) AS s2y, " +
+        "CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))" +
+        " AS DOUBLE) AS syy FROM lineitem), " +
+        "v AS (SELECT n, CAST(n AS DOUBLE) AS nd, s1, s2, sy, s11, s22, " +
+        "s12, s1y, s2y, syy FROM g), " +
+        "w AS (SELECT *, nd * (s11 * s22 - s12 * s12) - " +
+        "s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det " +
+        "FROM v), " +
+        "b AS (SELECT *, " +
+        "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + " +
+        "s2 * (s1y * s12 - s11 * s2y)) / det AS b0, " +
+        "(nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + " +
+        "s2 * (s1 * s2y - s1y * s2)) / det AS b1, " +
+        "(nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + " +
+        "sy * (s1 * s12 - s11 * s2)) / det AS b2 FROM w), " +
+        "f AS (SELECT *, syy - b0 * sy - b1 * s1y - b2 * s2y AS sse, " +
+        "syy - sy * sy / nd AS sst FROM b) " +
+        "SELECT n, round(b0, 6) AS beta0, round(b1, 6) AS beta1, " +
+        "round(b2, 6) AS beta2, " +
+        "round(CASE WHEN sst <> 0 THEN 1.0 - sse / sst END, 6) AS r2 " +
+        "FROM f"),
+      (s, dir) => Stats.olsFit2(Tables.lineitem(s, dir), col("l_quantity"),
+        col("l_discount"), col("l_extendedprice")))
   )
 }

@@ -1087,4 +1087,55 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.1 && r.getDouble(3) == 0.11)
     assert(r.getLong(4) == 14751L, s"n_per_arm ${r.getLong(4)}")
   }
+
+  test("diffInDiff: hand-computed cells; nulls excluded") {
+    val df = Seq(
+      // (treat, post, value): ctrl pre mean 1, ctrl post mean 2,
+      // treat pre mean 3, treat post mean 7 -> did = (7-3)-(2-1) = 3
+      (false, false, Some(0.0)), (false, false, Some(2.0)),
+      (false, true, Some(2.0)),
+      (true, false, Some(3.0)),
+      (true, true, Some(6.0)), (true, true, Some(8.0)),
+      (true, true, None)) // null value: dropped
+      .toDF("t", "p", "v")
+    val r = Stats.diffInDiff(df, col("t"), col("p"), col("v")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 1L, 2L)))
+    assert((r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      == ((1.0, 2.0, 3.0, 7.0)))
+    assert(r.getDouble(8) == 3.0)
+  }
+
+  test("ucb1: bonus formula; fewer pulls can win; rounded-tie breaks by arm") {
+    // arm a: 4 pulls mean 1.0; arm b: 1 pull mean 1.5.
+    // N=5: ucb_a = 1 + sqrt(2 ln 5 / 4), ucb_b = 1.5 + sqrt(2 ln 5)
+    val df = Seq(("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 1.0), ("b", 1.5))
+      .toDF("arm", "r")
+    val r = Stats.ucb1(df, col("arm"), col("r")).orderBy("arm").collect()
+    val exp_a = math.round((1.0 + math.sqrt(2 * math.log(5.0) / 4)) * 1e6) / 1e6
+    val exp_b = math.round((1.5 + math.sqrt(2 * math.log(5.0))) * 1e6) / 1e6
+    assert(r(0).getLong(1) == 4L && r(0).getDouble(3) == exp_a)
+    assert(r(1).getLong(1) == 1L && r(1).getDouble(3) == exp_b)
+    assert(!r(0).getBoolean(4) && r(1).getBoolean(4)) // b explores first
+    // exact tie in the rounded score -> arm-name ascending wins
+    val tie = Seq(("x", 2.0), ("y", 2.0)).toDF("arm", "r")
+    val t = Stats.ucb1(tie, col("arm"), col("r")).orderBy("arm").collect()
+    assert(t(0).getBoolean(4) && !t(1).getBoolean(4))
+  }
+
+  test("olsFit2: exact planar fit recovers coefficients with r2 = 1") {
+    // y = 2 + 3*x1 - 4*x2 on a non-degenerate grid
+    val rows = for (i <- 1 to 10; j <- 1 to 10)
+      yield (i.toDouble, j.toDouble, 2.0 + 3.0 * i - 4.0 * j)
+    val df = rows.toDF("x1", "x2", "y")
+    val r = Stats.olsFit2(df, col("x1"), col("x2"), col("y")).collect()(0)
+    assert(r.getLong(0) == 100L)
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 3.0 &&
+      r.getDouble(3) == -4.0)
+    assert(r.getDouble(4) == 1.0)
+    // constant y: sst = 0 -> r2 null, beta0 = the constant
+    val const = rows.map { case (a, b, _) => (a, b, 5.0) }.toDF("x1", "x2", "y")
+    val c = Stats.olsFit2(const, col("x1"), col("x2"), col("y")).collect()(0)
+    assert(c.getDouble(1) == 5.0 && c.getDouble(2) == 0.0 && c.isNullAt(4))
+  }
 }
