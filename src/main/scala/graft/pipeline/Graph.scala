@@ -364,4 +364,92 @@ object Graph {
     }
     lab
   }
+
+  // -------------------------------------------------------------------- HITS
+  /** HITS hubs-and-authorities over a directed edge list, computed
+    * UNNORMALIZED for `iters` rounds: starting from h ≡ 1, each round is
+    * a(v) = Σ_{u→v} h(u) then h(u) = Σ_{u→v} a(v). Unnormalized HITS
+    * values are integer PATH COUNTS ((AᵀA)^k row sums) — summed in
+    * DECIMAL(38,0) they are bit-identical in any engine, and since
+    * normalization rescales both sides uniformly, the per-side ranking is
+    * EXACTLY the eigenvector ranking the normalized iteration converges
+    * to at the same k. The one division per row (score/side max) happens
+    * at the end, 6dp. Same join-iterated shape as [[pageRank]]: the edge
+    * relation checkpoints once; each round is two co-keyed join+aggregate
+    * passes. Returns (side 'authority'|'hub', node, score_raw, score)
+    * with per-side (score DESC, node ASC) order decided by the caller. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(iters >= 1 && iters <= 5, s"iters out of range: $iters")
+    val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct())
+    // round 1 from h≡1: authority = in-degree
+    var auth = e.groupBy(col("dst"))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("a"))
+    var hub = e.join(auth.hint("shuffle_hash"), Seq("dst"))
+      .groupBy(col("src")).agg(sum(col("a")).as("h"))
+    for (_ <- 2 to iters) {
+      auth = e.join(hub.hint("shuffle_hash"), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+      hub = e.join(auth.hint("shuffle_hash"), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+    }
+    val u = auth.select(lit("authority").as("side"), col("dst").as("node"),
+        col("a").as("__s"))
+      .unionByName(hub.select(lit("hub").as("side"), col("src").as("node"),
+        col("h").as("__s")))
+    // per-side max as a 2-row broadcast, NOT a side-partitioned window —
+    // a window here would sort each side into one partition
+    val mx = u.groupBy("side").agg(max(col("__s")).as("__mx"))
+    u.join(broadcast(mx), Seq("side"))
+      .select(col("side"), col("node"), col("__s").cast("long").as("score_raw"),
+        round(col("__s").cast("double") / col("__mx").cast("double"), 6)
+          .as("score"))
+  }
+
+  // ----------------------------------------------------------- graph summary
+  /** Whole-graph structure report over the undirected simple graph:
+    * node/edge counts, wedge and triangle totals, global clustering
+    * coefficient 3T/W, and degree assortativity (Pearson correlation of
+    * endpoint degrees over the 2|E| ordered stubs — the Newman r). Every
+    * sufficient statistic is an exact integer (DECIMAL sums of degree
+    * products; triangles from the same degree-oriented enumeration as
+    * [[triangleCounts]]); each output is one fixed-shape IEEE closed
+    * form, 6dp. Returns one row: (n_nodes, n_edges, n_wedges,
+    * n_triangles, global_cc, assortativity). */
+  def graphSummary(edges: DataFrame, srcCol: String,
+                   dstCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val und = canonEdges(edges, srcCol, dstCol)
+    val deg = degrees(und)
+    val tri = triCorners(orientedOf(und, deg))
+      .agg(count(lit(1)).as("n_triangles"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum((col("deg") * (col("deg") - 1)).cast(DecimalType(38, 0)))
+        .as("__w2")) // 2W: deg·(deg−1) sums are even
+    // stub moments from the single-edge relation: over ordered stubs
+    // Σx = Σ(da+db), Σx² = Σ(da²+db²), Σxy = 2Σ(da·db), M = 2|E|
+    val stubs = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum((col("da") + col("db")).cast(DecimalType(38, 0))).as("sx"),
+        sum((col("da") * col("da") + col("db") * col("db"))
+          .cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("da") * col("db")).cast(DecimalType(38, 0))).as("sab"))
+    tri.crossJoin(degStats).crossJoin(stubs)
+      .select(col("n_nodes"), col("n_edges"),
+        (col("__w2") / 2).cast("long").as("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles").cast("double") /
+          (col("__w2").cast("double") / 2.0), 6).as("global_cc"),
+        round((lit(2.0) * col("n_edges").cast("double") *
+          (lit(2.0) * col("sab").cast("double")) -
+          col("sx").cast("double") * col("sx").cast("double")) /
+          (lit(2.0) * col("n_edges").cast("double") *
+            col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("assortativity"))
+  }
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.Ops
-import graft.pipeline.{Curation, EventAnalytics, Stats, TextAnalysis => TA}
+import graft.pipeline.{Curation, EventAnalytics, Graph, Stats,
+  TextAnalysis => TA}
 
 /** Distribution-analytics drivers: cube aggregates, quantile bucketing,
   * budget-targeted mixture sampling, PMI collocations, per-group
@@ -2383,6 +2384,87 @@ object StatsQueries2 {
         "round(CASE WHEN sst <> 0 THEN 1.0 - sse / sst END, 6) AS r2 " +
         "FROM f"),
       (s, dir) => Stats.olsFit2(Tables.lineitem(s, dir), col("l_quantity"),
-        col("l_discount"), col("l_extendedprice")))
+        col("l_discount"), col("l_extendedprice"))),
+
+    // ---- HITS hubs/authorities over the customer→part bipartite graph:
+    // two unnormalized integer rounds ((AᵀA)^k path counts — exact in any
+    // engine), per-side max normalization at the end, top 20 per side via
+    // TakeOrderedAndProject (never a side-partitioned window).
+    Q("q299_hits",
+      Some("WITH e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "a1 AS (SELECT p, CAST(count(*) AS HUGEINT) AS a FROM e GROUP BY 1), " +
+        "h1 AS (SELECT c, CAST(sum(a) AS HUGEINT) AS h FROM e " +
+        "JOIN a1 USING (p) GROUP BY 1), " +
+        "a2 AS (SELECT p, CAST(sum(h) AS HUGEINT) AS a FROM e " +
+        "JOIN h1 USING (c) GROUP BY 1), " +
+        "h2 AS (SELECT c, CAST(sum(a) AS HUGEINT) AS h FROM e " +
+        "JOIN a2 USING (p) GROUP BY 1), " +
+        "u AS (SELECT 'authority' AS side, p AS node, a AS s FROM a2 " +
+        "UNION ALL SELECT 'hub', c, h FROM h2), " +
+        "m AS (SELECT side, max(s) AS mx FROM u GROUP BY 1), " +
+        "r AS (SELECT side, node, s, mx, row_number() OVER " +
+        "(PARTITION BY side ORDER BY s DESC, node) AS rn " +
+        "FROM u JOIN m USING (side)) " +
+        "SELECT side, node, CAST(s AS BIGINT) AS score_raw, " +
+        "round(CAST(s AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS score " +
+        "FROM r WHERE rn <= 20 ORDER BY side, score_raw DESC, node"),
+      (s, dir) => {
+        val e = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
+          .join(Tables.lineitem(s, dir)
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")),
+            Seq("ok"))
+          .select(col("c"), col("p"))
+        val h = Graph.hits(e, "c", "p", iters = 2)
+        def top(side: String) = h.filter(col("side") === side)
+          .orderBy(col("score_raw").desc, col("node").asc).limit(20)
+        top("authority").unionByName(top("hub"))
+      }),
+
+    // ---- whole-graph structure report on the co-purchase graph (q139's
+    // edge relation): exact integer wedge/triangle/degree moments, global
+    // clustering 3T/W and Newman degree assortativity as one-shot closed
+    // forms.
+    Q("q300_graph_summary",
+      Some("WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.pk AS a, y.pk AS b FROM lp x " +
+        "JOIN lp y ON x.ok = y.ok AND x.pk < y.pk), " +
+        "d0 AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e), " +
+        "d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg " +
+        "FROM d0 GROUP BY 1), " +
+        "t AS (SELECT count(*) AS n_triangles FROM (SELECT 1 FROM e e1 " +
+        "JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b " +
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)), " +
+        "ds AS (SELECT count(*) AS n_nodes, " +
+        "CAST(sum(CAST(deg * (deg - 1) AS HUGEINT)) AS HUGEINT) AS w2 " +
+        "FROM d), " +
+        "st AS (SELECT count(*) AS n_edges, " +
+        "CAST(sum(CAST(da + db AS HUGEINT)) AS HUGEINT) AS sx, " +
+        "CAST(sum(CAST(da * da + db * db AS HUGEINT)) AS HUGEINT) AS sxx, " +
+        "CAST(sum(CAST(da * db AS HUGEINT)) AS HUGEINT) AS sab FROM " +
+        "(SELECT dx.deg AS da, dy.deg AS db FROM e " +
+        "JOIN d dx ON e.a = dx.node JOIN d dy ON e.b = dy.node)) " +
+        "SELECT n_nodes, n_edges, CAST(w2 // 2 AS BIGINT) AS n_wedges, " +
+        "n_triangles, " +
+        "round(3.0 * CAST(n_triangles AS DOUBLE) / " +
+        "(CAST(w2 AS DOUBLE) / 2.0), 6) AS global_cc, " +
+        "round((2.0 * CAST(n_edges AS DOUBLE) * " +
+        "(2.0 * CAST(sab AS DOUBLE)) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
+        "(2.0 * CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS assortativity " +
+        "FROM ds, st, t"),
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = lp.join(lp.select(col("ok"), col("pk").as("pk2")),
+            Seq("ok"))
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("src"), col("pk2").as("dst"))
+        Graph.graphSummary(edges, "src", "dst")
+      })
   )
 }

@@ -120,4 +120,34 @@ class GraphSpec extends SparkSpec {
     // x and y have no in-edges: they keep their own labels
     assert(got("x") == "x" && got("y") == "y")
   }
+
+  test("hits: two-round integer path counts; per-side max normalization") {
+    import spark.implicits._
+    // c1→{p1,p2}, c2→p1 (plus a duplicate edge that must collapse):
+    // a1 = (p1:2, p2:1); h1 = (c1:3, c2:2); a2 = (p1:5, p2:3);
+    // h2 = (c1:8, c2:5)
+    val edges = Seq(("c1", "p1"), ("c1", "p2"), ("c2", "p1"), ("c2", "p1"))
+      .toDF("c", "p")
+    val got = Graph.hits(edges, "c", "p", iters = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("authority", "p1")) == ((5L, 1.0)))
+    assert(got(("authority", "p2")) == ((3L, 0.6)))
+    assert(got(("hub", "c1")) == ((8L, 1.0)))
+    assert(got(("hub", "c2")) == ((5L, 0.625)))
+  }
+
+  test("graphSummary: triangle+pendant — wedges, cc, assortativity by hand") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 3-4 (one edge reversed+duplicated to
+    // exercise canonicalization): degs (2,2,3,1), wedges 5, triangles 1,
+    // cc = 3/5; stubs r = (8·38 − 18²)/(8·44 − 18²) = −20/28
+    val edges = Seq((1L, 2L), (3L, 1L), (2L, 3L), (3L, 4L), (2L, 1L))
+      .toDF("src", "dst")
+    val r = Graph.graphSummary(edges, "src", "dst").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)  // nodes, edges
+    assert(r.getLong(2) == 5L && r.getLong(3) == 1L)  // wedges, triangles
+    assert(r.getDouble(4) == 0.6)
+    assert(r.getDouble(5) == math.round(-20.0 / 28.0 * 1e6) / 1e6)
+  }
 }
