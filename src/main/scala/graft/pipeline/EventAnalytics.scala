@@ -1426,4 +1426,42 @@ object EventAnalytics {
       .select(keyCols.map(col) :+ col("prev_event_id") :+ col(idCol) :+
         round((col("__us") - col("__pus")) / 1000000.0, 6).as("gap_sec"): _*)
   }
+
+  // ------------------------------------------------ rolling daily correlation
+  /** Trailing `windowDays`-day Pearson correlation between the daily event
+    * COUNT and the daily VALUE total (volume-vs-revenue coupling drift —
+    * a decoupling flags instrumentation or pricing anomalies). The raw
+    * relation collapses to a daily rollup first (count + exact cents);
+    * the trailing window then runs on that calendar-sized series (the
+    * q283 discipline: single-partition windows only ever see rollups).
+    * Window moments are exact DECIMAL(38,0) integers; corr is one
+    * fixed-shape double closed form, 6dp; only full windows emit.
+    * Returns (day, n_events, corr). */
+  def rollingDailyCorr(df: DataFrame, tsCol: String, valueCol: Column,
+                       windowDays: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(windowDays >= 2, s"windowDays must be >= 2: $windowDays")
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val daily = df.filter(valueCol.isNotNull)
+      .select(dayIndex(col(tsCol)).as("day"),
+        round(valueCol * 100, 0).cast("long").as("__c"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("__x"), sum(col("__c")).as("__y"))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(-(windowDays - 1), Window.currentRow)
+    val nd = lit(windowDays).cast("double")
+    def d(c: Column) = c.cast("double")
+    val (sx, sy) = (sum(dec(col("__x"))).over(w), sum(dec(col("__y"))).over(w))
+    val sxx = sum(dec(col("__x")) * dec(col("__x"))).over(w)
+    val syy = sum(dec(col("__y")) * dec(col("__y"))).over(w)
+    val sxy = sum(dec(col("__x")) * dec(col("__y"))).over(w)
+    val den = (nd * d(sxx) - d(sx) * d(sx)) * (nd * d(syy) - d(sy) * d(sy))
+    daily
+      .select(col("day"), col("__x").as("n_events"),
+        count(lit(1)).over(w).as("__cnt"),
+        when(den > 0.0,
+          round((nd * d(sxy) - d(sx) * d(sy)) / sqrt(den), 6)).as("corr"))
+      .filter(col("__cnt") === windowDays)
+      .drop("__cnt")
+  }
 }

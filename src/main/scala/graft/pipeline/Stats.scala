@@ -1657,4 +1657,50 @@ object Stats {
       round(b2, 6).as("beta2"),
       round(when(sst =!= 0.0, lit(1.0) - sse / sst), 6).as("r2"))
   }
+
+  // -------------------------------------------- trimmed / winsorized means
+  /** Per-group trimmed and winsorized means: with k = ⌊n·trimPct/100⌋,
+    * the trimmed mean averages ranks (k, n−k]; the winsorized mean clamps
+    * the k outermost values on each side to the cut values (the k+1-th
+    * and n−k-th order statistics — DATA ELEMENTS, so engine-exact). Tied
+    * values make row_number assignment arbitrary but leave every output
+    * invariant (the same multiset of values is kept/clamped). One
+    * key-partitioned rank window + one keyed aggregate; sums re-enter
+    * DECIMAL. Returns per group: (groupCols…, n, mean, trimmed_mean,
+    * winsor_mean, lo_cut, hi_cut). */
+  def trimmedStats(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                   trimPct: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(trimPct > 0 && trimPct < 50, s"trimPct out of (0,50): $trimPct")
+    require(groupCols.nonEmpty, "group columns required")
+    val gs = groupCols.map(col)
+    val w = Window.partitionBy(gs: _*).orderBy(col("__v").asc)
+    val whole = Window.partitionBy(gs: _*)
+    val dec = (c: Column) => c.cast(DecimalType(38, 6))
+    df.filter(valueCol.isNotNull)
+      .select(gs :+ valueCol.as("__v"): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__k", expr(s"(__n * $trimPct) div 100"))
+      .groupBy(gs: _*)
+      .agg(max(col("__n")).as("n"), max(col("__k")).as("__kk"),
+        sum(dec(col("__v"))).as("__s_all"),
+        sum(when(col("__rn") > col("__k") &&
+          col("__rn") <= col("__n") - col("__k"), dec(col("__v"))))
+          .as("__s_mid"),
+        max(when(col("__rn") === col("__k") + 1, col("__v"))).as("lo_cut"),
+        max(when(col("__rn") === col("__n") - col("__k"), col("__v")))
+          .as("hi_cut"))
+      .select(gs ++ Seq(col("n"),
+        round(col("__s_all").cast("double") / col("n").cast("double"), 6)
+          .as("mean"),
+        round(col("__s_mid").cast("double") /
+          (col("n") - lit(2) * col("__kk")).cast("double"), 6)
+          .as("trimmed_mean"),
+        round((col("__s_mid").cast("double") +
+          (col("__kk") * col("lo_cut")).cast("double") +
+          (col("__kk") * col("hi_cut")).cast("double")) /
+          col("n").cast("double"), 6).as("winsor_mean"),
+        col("lo_cut"), col("hi_cut")): _*)
+  }
 }

@@ -708,4 +708,28 @@ object TextAnalysis {
       .agg(round(sum(col("__ta")).cast("double") * 0.5 +
         sum(col("__tb")).cast("double") * 0.5, 6).as("jsd"))
   }
+
+  // ------------------------------------------------------ lexical diversity
+  /** Per-document lexical-diversity profile: type-token ratio and hapax
+    * (once-only types) ratio over the [[tokens]] whitespace tokenization —
+    * the vocabulary-health companion to [[textQuality]] (a low TTR flags
+    * repetitive/generated text; a high hapax share flags noise). Two keyed
+    * aggregates — (doc, token) then doc — all-integer counts, one IEEE
+    * division per ratio, 6dp. Documents with zero tokens drop out (no
+    * denominator). Returns (idCol, n_tokens, n_types, n_hapax, ttr,
+    * hapax_ratio). */
+  def lexicalDiversity(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val toks = filter(tokens(lower(col(textCol))), t => t =!= "")
+    docs.select(col(idCol), explode(toks).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col(idCol), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") /
+          col("n_tokens").cast("double"), 6).as("ttr"),
+        round(col("n_hapax").cast("double") /
+          col("n_types").cast("double"), 6).as("hapax_ratio"))
+  }
 }

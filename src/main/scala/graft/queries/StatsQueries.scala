@@ -2465,6 +2465,60 @@ object StatsQueries2 {
           .filter(col("pk") < col("pk2"))
           .select(col("pk").as("src"), col("pk2").as("dst"))
         Graph.graphSummary(edges, "src", "dst")
-      })
+      }),
+
+    // ---- per-language trimmed/winsorized n_chars means: k = ⌊n·10%⌋,
+    // cut values are order statistics (data elements), DECIMAL sums, tie
+    // order provably irrelevant to every output.
+    Q("q301_trimmed_stats",
+      Some("WITH b AS (SELECT lang, n_chars AS v FROM documents " +
+        "WHERE n_chars IS NOT NULL), " +
+        "r AS (SELECT lang, v, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY v) AS rn, " +
+        "count(*) OVER (PARTITION BY lang) AS n FROM b), " +
+        "k AS (SELECT lang, v, rn, n, (n * 10) // 100 AS k FROM r), " +
+        "g AS (SELECT lang, max(n) AS n, max(k) AS kk, " +
+        "CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s_all, " +
+        "CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN " +
+        "CAST(v AS DECIMAL(38,6)) END) AS DOUBLE) AS s_mid, " +
+        "max(CASE WHEN rn = k + 1 THEN v END) AS lo_cut, " +
+        "max(CASE WHEN rn = n - k THEN v END) AS hi_cut " +
+        "FROM k GROUP BY 1) " +
+        "SELECT lang, n, round(s_all / CAST(n AS DOUBLE), 6) AS mean, " +
+        "round(s_mid / CAST(n - 2 * kk AS DOUBLE), 6) AS trimmed_mean, " +
+        "round((s_mid + CAST(kk * lo_cut AS DOUBLE) + " +
+        "CAST(kk * hi_cut AS DOUBLE)) / CAST(n AS DOUBLE), 6) " +
+        "AS winsor_mean, lo_cut, hi_cut FROM g ORDER BY lang"),
+      (s, dir) => Stats.trimmedStats(Tables.documents(s, dir), Seq("lang"),
+          col("n_chars"), trimPct = 10)
+        .orderBy("lang")),
+
+    // ---- trailing 14-day volume↔revenue Pearson: daily rollup first
+    // (exact counts + cents), window moments in DECIMAL(38,0), one closed
+    // form per full window.
+    Q("q303_rolling_corr",
+      Some("WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS x, CAST(sum(CAST(round(value * 100) AS BIGINT)) " +
+        "AS BIGINT) AS y FROM events WHERE value IS NOT NULL GROUP BY 1), " +
+        "w AS (SELECT day, x, count(*) OVER fr AS cnt, " +
+        "CAST(sum(CAST(x AS HUGEINT)) OVER fr AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(y AS HUGEINT)) OVER fr AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) OVER fr " +
+        "AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) OVER fr " +
+        "AS DOUBLE) AS syy, " +
+        "CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) OVER fr " +
+        "AS DOUBLE) AS sxy FROM d " +
+        "WINDOW fr AS (ORDER BY day ROWS BETWEEN 13 PRECEDING " +
+        "AND CURRENT ROW)), " +
+        "c AS (SELECT day, x, cnt, " +
+        "(14.0 * sxx - sx * sx) * (14.0 * syy - sy * sy) AS den, " +
+        "14.0 * sxy - sx * sy AS num FROM w) " +
+        "SELECT day, x AS n_events, " +
+        "CASE WHEN den > 0.0 THEN round(num / sqrt(den), 6) END AS corr " +
+        "FROM c WHERE cnt = 14 ORDER BY day"),
+      (s, dir) => EventAnalytics.rollingDailyCorr(Tables.events(s, dir),
+          "ts", col("value"), windowDays = 14)
+        .orderBy("day"))
   )
 }

@@ -889,6 +889,27 @@ object TextQueries {
         "ORDER BY s DESC, doc_id LIMIT 20")
     },
       (s, dir) => TA.bm25TopDocs(Tables.documents(s, dir), "doc_id", "text",
-        Seq("query", "table", "data"), k = 20))
+        Seq("query", "table", "data"), k = 20)),
+
+    // ---- per-document lexical diversity: type-token and hapax ratios
+    // over the q72 whitespace tokenization; all-integer counts, one IEEE
+    // division per ratio.
+    Q("q302_lexical_diversity",
+      Some("WITH tk AS (SELECT doc_id, unnest(list_filter(" +
+        "regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')) " +
+        "AS token FROM documents), " +
+        "g AS (SELECT doc_id, token, count(*) AS c FROM tk GROUP BY 1, 2), " +
+        "d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "count(*) AS n_types, " +
+        "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_hapax FROM g GROUP BY 1) " +
+        "SELECT doc_id, n_tokens, n_types, n_hapax, " +
+        "round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) " +
+        "AS ttr, " +
+        "round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) " +
+        "AS hapax_ratio FROM d ORDER BY doc_id"),
+      (s, dir) => TA.lexicalDiversity(Tables.documents(s, dir), "doc_id",
+          "text")
+        .orderBy("doc_id"))
   )
 }

@@ -97,4 +97,40 @@ class FinanceSpec extends SparkSpec {
     assert(r.toSeq == Seq((11L, 10L, 3600.0), (21L, 20L, 5.0),
       (22L, 21L, 4.0)))
   }
+
+  test("rollingDailyCorr: hand-computed 3-day windows; degenerate den -> null") {
+    // days 1-4: (x,y-cents) = (1,100),(2,200),(3,300),(1,500):
+    // window@3 = perfect corr 1.0; window@4 = -600/sqrt(840000)
+    val rows = Seq((1L, 1.0), (2L, 1.0), (2L, 1.0), (3L, 1.0), (3L, 1.0),
+      (3L, 1.0), (4L, 5.0))
+    val df = rows.toDF("day", "v")
+      .select(expr("timestamp_micros(day * 86400000000)").as("ts"), col("v"))
+    val r = EventAnalytics.rollingDailyCorr(df, "ts", col("v"), 3)
+      .orderBy("day").collect()
+    assert(r.length == 2)
+    assert(r(0).getLong(0) == 3L && r(0).getDouble(2) == 1.0)
+    val exp = math.round(-600.0 / math.sqrt(840000.0) * 1e6) / 1e6
+    assert(r(1).getLong(0) == 4L && r(1).getDouble(2) == exp)
+    // constant x across the window -> den = 0 -> null corr
+    val const = Seq((1L, 1.0), (2L, 2.0), (3L, 9.0)).toDF("day", "v")
+      .select(expr("timestamp_micros(day * 86400000000)").as("ts"), col("v"))
+    val c = EventAnalytics.rollingDailyCorr(const, "ts", col("v"), 3)
+      .collect()
+    assert(c.length == 1 && c(0).isNullAt(2))
+  }
+
+  test("lexicalDiversity: case folding, whitespace runs, hapax counting") {
+    import graft.pipeline.{TextAnalysis => TA}
+    val df = Seq((1L, "A a  b\tc"), (2L, "x x x"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val r = TA.lexicalDiversity(df, "doc_id", "text").orderBy("doc_id")
+      .collect()
+    assert(r.length == 2) // doc 3 has no tokens and drops out
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) ==
+      ((4L, 3L, 2L)))
+    assert(r(0).getDouble(4) == 0.75 &&
+      r(0).getDouble(5) == math.round(2.0 / 3.0 * 1e6) / 1e6)
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) ==
+      ((3L, 1L, 0L)))
+  }
 }

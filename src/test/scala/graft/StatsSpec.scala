@@ -1138,4 +1138,22 @@ class StatsSpec extends SparkSpec {
     val c = Stats.olsFit2(const, col("x1"), col("x2"), col("y")).collect()(0)
     assert(c.getDouble(1) == 5.0 && c.getDouble(2) == 0.0 && c.isNullAt(4))
   }
+
+  test("trimmedStats: k=⌊n·10%⌋ cuts; winsor clamps to order statistics") {
+    // g1: 1..9 plus outlier 1000 -> n=10, k=1, lo=2, hi=9,
+    // trimmed = mean(2..9) = 5.5, winsor = (44 + 2 + 9)/10 = 5.5
+    // g2: n=3 -> k=0: every mean is the plain mean, cuts are min/max
+    val df = ((1L to 9L).map(v => ("g1", v)) ++ Seq(("g1", 1000L),
+      ("g2", 1L), ("g2", 2L), ("g2", 6L))).toDF("g", "v")
+    val r = Stats.trimmedStats(df, Seq("g"), col("v"), trimPct = 10)
+      .orderBy("g").collect()
+    val g1 = r(0)
+    assert(g1.getLong(1) == 10L && g1.getDouble(2) == 104.5)
+    assert(g1.getDouble(3) == 5.5 && g1.getDouble(4) == 5.5)
+    assert(g1.getLong(5) == 2L && g1.getLong(6) == 9L)
+    val g2 = r(1)
+    assert(g2.getLong(1) == 3L && g2.getDouble(2) == 3.0)
+    assert(g2.getDouble(3) == 3.0 && g2.getDouble(4) == 3.0)
+    assert(g2.getLong(5) == 1L && g2.getLong(6) == 6L)
+  }
 }
