@@ -1427,6 +1427,66 @@ object EventAnalytics {
         round((col("__us") - col("__pus")) / 1000000.0, 6).as("gap_sec"): _*)
   }
 
+  // ------------------------------------------- seasonal residual outliers
+  /** Weekday-seasonal anomaly report: the [[seasonalityStrength]] model
+    * (per-weekday means over the zero-filled daily series) turned into a
+    * per-day detector — days whose residual exceeds `k`× the MAD of all
+    * residuals are flagged. Residuals round to 6dp BEFORE the MAD and the
+    * gate, so every comparison runs on engine-identical values; the MAD
+    * itself is a DATA ELEMENT (lower median of |residual|, rank-picked,
+    * zero arithmetic). All relations are calendar-sized rollups. Returns
+    * flagged days: (day, n, expected, resid, score = resid/mad, 6dp). */
+  def seasonalResidualOutliers(df: DataFrame, tsCol: String,
+                               k: Double = 3.0): DataFrame = {
+    val daily = resampleDaily(df, tsCol)
+      .withColumn("__wd", pmod(col("day") + 3, lit(7)))
+    val prof = daily.groupBy("__wd")
+      .agg((sum(col("n").cast("decimal(18,0)")).cast("double") /
+        count(lit(1)).cast("double")).as("__m"))
+    val r = daily.join(broadcast(prof), Seq("__wd"))
+      .select(col("day"), col("n"), round(col("__m"), 6).as("expected"),
+        round(col("n").cast("double") - col("__m"), 6).as("resid"))
+    // lower median of |resid| over the calendar-sized residual relation
+    val w = Window.orderBy(col("__a").asc, col("day").asc)
+    val mad = r
+      .select(abs(col("resid")).as("__a"), col("day"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .filter(col("__rn") === expr("(__c + 1) div 2"))
+      .select(col("__a").as("__mad"))
+    r.crossJoin(broadcast(mad))
+      .filter(abs(col("resid")) > lit(k) * col("__mad") && col("__mad") > 0.0)
+      .select(col("day"), col("n"), col("expected"), col("resid"),
+        round(col("resid") / col("__mad"), 6).as("score"))
+  }
+
+  // ----------------------------------------------------- DAU/PAU stickiness
+  /** Stickiness report over `periodDays`-day periods (30 ≈ the DAU/MAU
+    * metric, computed on data-relative integer periods so both engines
+    * bucket identically): per period, the distinct-user count (PAU), the
+    * mean daily active users over the period's ACTIVE days, and
+    * stickiness = mean DAU / PAU. Everything up to the two final
+    * divisions is an exact integer from one (user, day) distinct grain.
+    * Returns (period, n_days, pau, mean_dau, stickiness). */
+  def stickiness(df: DataFrame, userCol: String, tsCol: String,
+                 periodDays: Int = 30): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1: $periodDays")
+    val a = df.select(col(userCol).as("__u"),
+        dayIndex(col(tsCol)).as("__d")).distinct()
+    val withP = a.withColumn("__p", expr(s"__d div $periodDays"))
+    val dau = withP.groupBy("__p", "__d").agg(count(lit(1)).as("__dau"))
+      .groupBy("__p").agg(count(lit(1)).as("n_days"),
+        sum(col("__dau")).as("__sdau"))
+    val pau = withP.groupBy("__p")
+      .agg(countDistinct(col("__u")).as("pau"))
+    dau.join(pau, Seq("__p"))
+      .select(col("__p").as("period"), col("n_days"), col("pau"),
+        round(col("__sdau").cast("double") / col("n_days").cast("double"), 6)
+          .as("mean_dau"),
+        round((col("__sdau").cast("double") / col("n_days").cast("double")) /
+          col("pau").cast("double"), 6).as("stickiness"))
+  }
+
   // ------------------------------------------------ rolling daily correlation
   /** Trailing `windowDays`-day Pearson correlation between the daily event
     * COUNT and the daily VALUE total (volume-vs-revenue coupling drift —

@@ -185,4 +185,35 @@ object Spatial {
     }.reduce(_ + _)
     crossings % 2 === 1
   }
+
+  // -------------------------------------------------------- hotspot cells
+  /** Getis-Ord-style hotspot screen on a `cellSize` grid: cell counts,
+    * then each cell's z-score against the all-cell mean/σ (population).
+    * The z is monotone in the integer count, so the top-k election orders
+    * by (n DESC, cx, cy) — pure integers, no double-ranking hazard; the
+    * z itself is one closed form over DECIMAL count moments, 6dp.
+    * One grid-keyed aggregate + a broadcast 1-row stats join. `xCol`/
+    * `yCol` must be integral. Returns the top `k` cells:
+    * (cell_x, cell_y, n, z). */
+  def hotspotCells(df: DataFrame, xCol: Column, yCol: Column,
+                   cellSize: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(cellSize >= 1 && k >= 1, "cellSize and k must be positive")
+    val cells = df
+      .select(xCol.as("__x"), yCol.as("__y"))
+      .groupBy(expr(s"__x div $cellSize").as("cell_x"),
+        expr(s"__y div $cellSize").as("cell_y"))
+      .agg(count(lit(1)).as("n"))
+    val stats = cells.agg(count(lit(1)).as("__c"),
+      sum(col("n").cast(DecimalType(38, 0))).as("__sn"),
+      sum((col("n") * col("n")).cast(DecimalType(38, 0))).as("__snn"))
+    val cd = col("__c").cast("double")
+    val (snd, snnd) = (col("__sn").cast("double"), col("__snn").cast("double"))
+    cells.crossJoin(broadcast(stats))
+      .select(col("cell_x"), col("cell_y"), col("n"),
+        round((col("n").cast("double") - snd / cd) /
+          sqrt((cd * snnd - snd * snd) / (cd * cd)), 6).as("z"))
+      .orderBy(col("n").desc, col("cell_x").asc, col("cell_y").asc)
+      .limit(k)
+  }
 }

@@ -847,6 +847,73 @@ object AppliedQueries {
         "ORDER BY event_id"),
       (s, dir) => EventAnalytics.rapidRepeats(Tables.events(s, dir),
           Seq("user_id", "event_type"), "ts", "event_id", 3600L)
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // ---- weekday-seasonal anomaly days: q283's per-weekday model as a
+    // detector — residuals round 6dp BEFORE the MAD (rank-picked lower
+    // median) and the 3×MAD gate, so every comparison is engine-identical.
+    Q("q304_seasonal_outliers",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "sp AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "f AS (SELECT sp.day, coalesce(n, 0) AS n FROM sp " +
+        "LEFT JOIN c USING (day)), " +
+        "wd AS (SELECT day, n, (day + 3) % 7 AS w FROM f), " +
+        "pm AS (SELECT w, CAST(sum(CAST(n AS DECIMAL(18,0))) AS DOUBLE) / " +
+        "count(*) AS m FROM wd GROUP BY 1), " +
+        "r AS (SELECT day, n, round(m, 6) AS expected, " +
+        "round(CAST(n AS DOUBLE) - m, 6) AS resid FROM wd JOIN pm USING (w)), " +
+        "rk AS (SELECT abs(resid) AS a, row_number() OVER " +
+        "(ORDER BY abs(resid), day) AS rn, count(*) OVER () AS c FROM r), " +
+        "md AS (SELECT a AS mad FROM rk WHERE rn = (c + 1) // 2) " +
+        "SELECT day, n, expected, resid, round(resid / mad, 6) AS score " +
+        "FROM r, md WHERE abs(resid) > 3.0 * mad AND mad > 0.0 " +
+        "ORDER BY day"),
+      (s, dir) => EventAnalytics.seasonalResidualOutliers(
+          Tables.events(s, dir), "ts", k = 3.0)
+        .orderBy("day")),
+
+    // ---- grid hotspot screen: z-score per cell against all-cell
+    // moments; z is monotone in the integer count, so the top-15 election
+    // is pure-integer (n DESC, cell) — no double-ranking hazard.
+    Q("q305_hotspots",
+      Some("WITH p AS (SELECT c_custkey % 1000 AS x, " +
+        "(c_custkey * 7919) % 1000 AS y FROM customer), " +
+        "g AS (SELECT x // 100 AS cell_x, y // 100 AS cell_y, count(*) AS n " +
+        "FROM p GROUP BY 1, 2), " +
+        "s AS (SELECT count(*) AS c, " +
+        "CAST(sum(CAST(n AS HUGEINT)) AS DOUBLE) AS sn, " +
+        "CAST(sum(CAST(n * n AS HUGEINT)) AS DOUBLE) AS snn FROM g) " +
+        "SELECT cell_x, cell_y, n, " +
+        "round((CAST(n AS DOUBLE) - sn / CAST(c AS DOUBLE)) / " +
+        "sqrt((CAST(c AS DOUBLE) * snn - sn * sn) / " +
+        "(CAST(c AS DOUBLE) * CAST(c AS DOUBLE))), 6) AS z " +
+        "FROM g, s ORDER BY n DESC, cell_x, cell_y LIMIT 15"),
+      (s, dir) => Spatial.hotspotCells(Tables.customer(s, dir),
+        pmod(col("c_custkey"), lit(1000L)),
+        pmod(col("c_custkey") * 7919L, lit(1000L)),
+        cellSize = 100L, k = 15)),
+
+    // ---- DAU/PAU stickiness over data-relative 30-day periods: one
+    // (user, day) distinct grain feeds both the daily means and the
+    // per-period distinct users; integers until the two final divisions.
+    Q("q306_stickiness",
+      Some("WITH a AS (SELECT DISTINCT user_id AS u, " +
+        "epoch_us(ts) // 86400000000 AS d FROM events), " +
+        "wp AS (SELECT u, d, d // 30 AS p FROM a), " +
+        "dau AS (SELECT p, d, count(*) AS dau FROM wp GROUP BY 1, 2), " +
+        "dd AS (SELECT p, count(*) AS n_days, " +
+        "CAST(sum(dau) AS BIGINT) AS sdau FROM dau GROUP BY 1), " +
+        "pu AS (SELECT p, count(DISTINCT u) AS pau FROM wp GROUP BY 1) " +
+        "SELECT dd.p AS period, n_days, pau, " +
+        "round(CAST(sdau AS DOUBLE) / CAST(n_days AS DOUBLE), 6) " +
+        "AS mean_dau, " +
+        "round((CAST(sdau AS DOUBLE) / CAST(n_days AS DOUBLE)) / " +
+        "CAST(pau AS DOUBLE), 6) AS stickiness " +
+        "FROM dd JOIN pu USING (p) ORDER BY period"),
+      (s, dir) => EventAnalytics.stickiness(Tables.events(s, dir),
+          "user_id", "ts", periodDays = 30)
+        .orderBy("period"))
   )
 }

@@ -387,4 +387,56 @@ class AppliedSpec extends SparkSpec {
     assert(Ops.shuffleAdvisor(one, targetBytes = 1L << 30)
       .collect()(0).getLong(4) == 1)
   }
+
+  test("seasonalResidualOutliers: planted spike flags; flat series is silent") {
+    // 28 days alternating 9/11 events (every weekday mean 10, |resid| = 1,
+    // MAD = 1) with day 13 spiked to 100: spike weekday mean 32.25 ->
+    // flagged days are the spike (+67.75) and its 3 depressed peers
+    def ev(counts: Map[Long, Int]) = counts.toSeq
+      .flatMap { case (d, n) => Seq.fill(n)(d) }
+      .toDF("day")
+      .select(expr("timestamp_micros(day * 86400000000)").as("ts"))
+    val base = (0L to 27L).map(d =>
+      d -> (if (d == 13L) 100 else if (d % 2 == 1) 11 else 9)).toMap
+    val r = EventAnalytics.seasonalResidualOutliers(ev(base), "ts", k = 3.0)
+      .orderBy("day").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(6L, 13L, 20L, 27L))
+    val spike = r.find(_.getLong(0) == 13L).get
+    assert(spike.getDouble(3) == 67.75 && spike.getDouble(4) == 67.75)
+    assert(r.filter(_.getLong(0) != 13L).forall(_.getDouble(4) < 0))
+    // constant series: every residual 0, MAD 0 -> nothing flags
+    val flat = (0L to 13L).map(_ -> 5).toMap
+    assert(EventAnalytics.seasonalResidualOutliers(ev(flat), "ts").isEmpty)
+  }
+
+  test("hotspotCells: z from all-cell moments; integer top-k order") {
+    import graft.pipeline.Spatial
+    // cells (0,0):6, (1,0):2, (2,0):1 at cellSize 10 -> mean 3,
+    // popvar 42/9, z_top = 3/sqrt(42/9)
+    val pts = (Seq.fill(6)((1L, 2L)) ++ Seq.fill(2)((11L, 3L)) ++
+      Seq((25L, 9L))).toDF("x", "y")
+    val r = Spatial.hotspotCells(pts, col("x"), col("y"), cellSize = 10L,
+      k = 2).collect()
+    assert(r.length == 2)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2)) ==
+      ((0L, 0L, 6L)))
+    val zExp = math.round(3.0 / math.sqrt(42.0 / 9.0) * 1e6) / 1e6
+    assert(r(0).getDouble(3) == zExp)
+    assert((r(1).getLong(0), r(1).getLong(2)) == ((1L, 2L)))
+  }
+
+  test("stickiness: per-period distinct grains and ratios") {
+    // period 0: u1 on days 0,1 (twice on day 0 - collapses), u2 on day 1
+    // -> dau (1,2), n_days 2, pau 2, mean_dau 1.5, stickiness 0.75;
+    // period 1: u3 on day 30 -> 1.0
+    val df = Seq((1L, 0L), (1L, 0L), (1L, 1L), (2L, 1L), (3L, 30L))
+      .toDF("user_id", "day")
+      .select(col("user_id"),
+        expr("timestamp_micros(day * 86400000000)").as("ts"))
+    val r = EventAnalytics.stickiness(df, "user_id", "ts", periodDays = 30)
+      .orderBy("period").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+      x.getDouble(3), x.getDouble(4))).toSeq ==
+      Seq((0L, 2L, 2L, 1.5, 0.75), (1L, 1L, 1L, 1.0, 1.0)))
+  }
 }
