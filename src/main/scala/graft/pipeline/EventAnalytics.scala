@@ -1460,6 +1460,49 @@ object EventAnalytics {
         round(col("resid") / col("__mad"), 6).as("score"))
   }
 
+  // --------------------------------------------------- Shapley attribution
+  /** Shapley-value channel attribution for the coalition "reach" game:
+    * v(S) = converting users whose pre-conversion touch set ⊆ S. That
+    * game is the c(m)-weighted sum of unanimity games u_m over the
+    * observed touch sets m, and Shapley is linear with φ_i(u_m) = 1/|m|
+    * for i ∈ m — so the exact Shapley value collapses analytically to
+    * φ_i = Σ_{users: i ∈ touches} 1/|touches|, no 2^n subset enumeration
+    * (the scaladoc IS the derivation; an enumerating oracle must agree).
+    * Touches are DISTINCT channel types strictly before the user's FIRST
+    * `convType` event. Credits are integers at LCM scale (`lcm(1..k)`
+    * divides every |touches| ≤ k), so φ is exact until the one final
+    * division. Returns per channel:
+    * (channel, n_users, phi, share = φ_i/Σφ). */
+  def shapleyAttribution(df: DataFrame, userCol: String, tsCol: String,
+                         typeCol: String, convType: String,
+                         channels: Seq[String]): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 12, "1..12 channels")
+    require(!channels.contains(convType), "convType cannot be a channel")
+    val lcm = (1 to channels.size).foldLeft(1L) { (a, b) =>
+      a / BigInt(a).gcd(BigInt(b)).toLong * b
+    }
+    val conv = df.filter(col(typeCol) === convType)
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(micros(col(tsCol))).as("__cus"))
+    val touches = df.filter(col(typeCol).isInCollection(channels))
+      .select(col(userCol).as("__u"), col(typeCol).as("channel"),
+        micros(col(tsCol)).as("__us"))
+      .join(conv, Seq("__u"))
+      .filter(col("__us") < col("__cus"))
+      .select(col("__u"), col("channel")).distinct()
+    val sized = touches
+      .join(touches.groupBy("__u").agg(count(lit(1)).as("__nt")), Seq("__u"))
+      .withColumn("__credit", expr(s"${lcm}L div __nt")) // exact: __nt | lcm
+    val perChannel = sized.groupBy("channel")
+      .agg(count(lit(1)).as("n_users"), sum(col("__credit")).as("__num"))
+    val tot = perChannel.agg(sum(col("__num")).as("__tot"))
+    perChannel.crossJoin(broadcast(tot))
+      .select(col("channel"), col("n_users"),
+        round(col("__num").cast("double") / lit(lcm.toDouble), 6).as("phi"),
+        round(col("__num").cast("double") / col("__tot").cast("double"), 6)
+          .as("share"))
+  }
+
   // ----------------------------------------------------- DAU/PAU stickiness
   /** Stickiness report over `periodDays`-day periods (30 ≈ the DAU/MAU
     * metric, computed on data-relative integer periods so both engines
@@ -1485,6 +1528,83 @@ object EventAnalytics {
           .as("mean_dau"),
         round((col("__sdau").cast("double") / col("n_days").cast("double")) /
           col("pau").cast("double"), 6).as("stickiness"))
+  }
+
+  // --------------------------------------------- classical decomposition
+  /** Classical additive decomposition of the zero-filled daily count
+    * series: trend = centered 7-day moving average (full windows only),
+    * seasonal = per-weekday mean of the detrended series, residual = the
+    * rest. Exactness: the detrended value is carried as the INTEGER
+    * 7n − Σ₇ (7× its real value), so the weekday seasonal is the
+    * fixed-shape division Σ(7n−Σ₇) / (7·count) of exact integers, and
+    * trend/residual are mirrored one-shot double closed forms, 6dp. The
+    * seasonal is the UNCENTERED classical estimate (detrending already
+    * leaves it near mean-zero; documented divergence from textbook
+    * centering, which would need an order-dependent 7-double sum).
+    * Windows run on the calendar-sized rollup. Returns (day, n, trend,
+    * seasonal, resid) for days with a full centered window. */
+  def classicalDecomposition(df: DataFrame, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w7 = Window.orderBy(col("day").asc).rowsBetween(-3, 3)
+    val t = resampleDaily(df, tsCol)
+      .withColumn("__c7", count(lit(1)).over(w7))
+      .withColumn("__s7", sum(col("n")).over(w7))
+      .filter(col("__c7") === 7)
+      .withColumn("__wd", pmod(col("day") + 3, lit(7)))
+      .withColumn("__dn", lit(7) * col("n") - col("__s7"))
+    val praw = t.groupBy("__wd")
+      .agg((sum(col("__dn").cast(DecimalType(38, 0))).cast("double") /
+        (lit(7.0) * count(lit(1)).cast("double"))).as("__raw"))
+    t.join(broadcast(praw), Seq("__wd"))
+      .select(col("day"), col("n"),
+        round(col("__s7").cast("double") / 7.0, 6).as("trend"),
+        round(col("__raw"), 6).as("seasonal"),
+        round(col("n").cast("double") -
+          col("__s7").cast("double") / 7.0 - col("__raw"), 6).as("resid"))
+  }
+
+  // ------------------------------------------------------ lead-lag matrix
+  /** Lead-lag correlation screen between per-type daily series: for every
+    * ordered type pair (a, b), the Pearson correlation of a's count on
+    * day t against b's count on day t+`lagDays` — a positive off-diagonal
+    * says a LEADS b (funnels, error cascades, halo effects). Both series
+    * zero-fill over the global day spine × type grid, so every pair
+    * correlates over the same aligned days; moments are exact
+    * DECIMAL(38,0) integers and each corr is one closed form, 6dp. All
+    * relations are (types × calendar)-sized rollups. Returns
+    * (type_a, type_b, n_days, corr). */
+  def leadLagMatrix(df: DataFrame, tsCol: String, typeCol: String,
+                    lagDays: Int = 1): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(lagDays >= 0, s"lagDays must be >= 0: $lagDays")
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val counts = df
+      .select(col(typeCol).as("__t"), dayIndex(col(tsCol)).as("day"))
+      .groupBy("__t", "day").agg(count(lit(1)).as("__n"))
+    val spine = counts.agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+      .crossJoin(counts.select(col("__t")).distinct())
+    val filled = spine.join(counts, Seq("__t", "day"), "left")
+      .select(col("__t"), col("day"), coalesce(col("__n"), lit(0L)).as("x"))
+    val a = filled.select(col("__t").as("type_a"), col("day"), col("x").as("xa"))
+    val b = filled.select(col("__t").as("type_b"),
+      (col("day") - lagDays).as("day"), col("x").as("xb"))
+    a.join(b, Seq("day"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_days"),
+        sum(dec(col("xa"))).as("__sx"), sum(dec(col("xb"))).as("__sy"),
+        sum(dec(col("xa")) * dec(col("xa"))).as("__sxx"),
+        sum(dec(col("xb")) * dec(col("xb"))).as("__syy"),
+        sum(dec(col("xa")) * dec(col("xb"))).as("__sxy"))
+      .select(col("type_a"), col("type_b"), col("n_days"), {
+        val nd = col("n_days").cast("double")
+        def d(c: Column) = c.cast("double")
+        val den = (nd * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))) *
+          (nd * d(col("__syy")) - d(col("__sy")) * d(col("__sy")))
+        when(den > 0.0,
+          round((nd * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))) /
+            sqrt(den), 6)).as("corr")
+      })
   }
 
   // ------------------------------------------------ rolling daily correlation

@@ -914,6 +914,108 @@ object AppliedQueries {
         "FROM dd JOIN pu USING (p) ORDER BY period"),
       (s, dir) => EventAnalytics.stickiness(Tables.events(s, dir),
           "user_id", "ts", periodDays = 30)
-        .orderBy("period"))
+        .orderBy("period")),
+
+    // ---- exact Shapley channel attribution for the reach game
+    // v(S) = converting users with touch set ⊆ S. The operator uses the
+    // analytic collapse (linearity over unanimity games → equal split
+    // within each touch set); the ORACLE brute-forces the 2^4 subset
+    // enumeration with factorial weights — agreement PROVES the collapse.
+    // φ_num scales differ (LCM 12 vs 4! = 24) but 2a/24 and a/12 are the
+    // same IEEE double, so the rounded outputs are bit-equal.
+    Q("q307_shapley_attribution",
+      Some("WITH conv AS (SELECT user_id AS u, min(epoch_us(ts)) AS cus " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+        "tou AS (SELECT DISTINCT e.user_id AS u, e.event_type AS ch " +
+        "FROM events e JOIN conv ON e.user_id = conv.u " +
+        "WHERE e.event_type IN ('click','error','signup','view') " +
+        "AND epoch_us(e.ts) < conv.cus), " +
+        "bit AS (SELECT u, CASE ch WHEN 'click' THEN 1 WHEN 'error' THEN 2 " +
+        "WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END AS b FROM tou), " +
+        "mk AS (SELECT u, CAST(sum(b) AS BIGINT) AS m FROM bit GROUP BY 1), " +
+        "cm AS (SELECT m, count(*) AS c FROM mk GROUP BY 1), " +
+        "ss AS (SELECT unnest(range(16)) AS s), " +
+        "v AS (SELECT s, CAST(coalesce(sum(c), 0) AS BIGINT) AS v FROM ss " +
+        "LEFT JOIN cm ON (cm.m & ss.s) = cm.m GROUP BY s), " +
+        "chn AS (SELECT * FROM (VALUES ('click', 1), ('error', 2), " +
+        "('signup', 4), ('view', 8)) AS t(channel, bit)), " +
+        "tm AS (SELECT chn.channel, bit_count(s0.s) AS k, " +
+        "v1.v - v0.v AS dv FROM chn, v s0 " +
+        "JOIN v v0 ON v0.s = s0.s JOIN v v1 ON v1.s = (s0.s | chn.bit) " +
+        "WHERE (s0.s & chn.bit) = 0), " +
+        "p AS (SELECT channel, CAST(sum((CASE k WHEN 0 THEN 6 WHEN 1 THEN 2 " +
+        "WHEN 2 THEN 2 WHEN 3 THEN 6 END) * dv) AS BIGINT) AS num " +
+        "FROM tm GROUP BY 1), " +
+        "nu AS (SELECT ch AS channel, count(*) AS n_users FROM tou " +
+        "GROUP BY 1), " +
+        "tt AS (SELECT sum(num) AS tot FROM p) " +
+        "SELECT p.channel, n_users, " +
+        "round(CAST(num AS DOUBLE) / 24.0, 6) AS phi, " +
+        "round(CAST(num AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share " +
+        "FROM p JOIN nu USING (channel), tt ORDER BY channel"),
+      (s, dir) => EventAnalytics.shapleyAttribution(Tables.events(s, dir),
+          "user_id", "ts", "event_type", "purchase",
+          Seq("click", "error", "signup", "view"))
+        .orderBy("channel")),
+
+    // ---- classical additive decomposition: centered 7-day MA trend,
+    // integer-carried detrended values (7n − Σ₇), uncentered weekday
+    // seasonal, mirrored one-shot residual closed form.
+    Q("q308_decompose",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "sp AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "f AS (SELECT sp.day, coalesce(n, 0) AS n FROM sp " +
+        "LEFT JOIN c USING (day)), " +
+        "w AS (SELECT day, n, count(*) OVER fr AS c7, " +
+        "CAST(sum(n) OVER fr AS BIGINT) AS s7 FROM f " +
+        "WINDOW fr AS (ORDER BY day ROWS BETWEEN 3 PRECEDING " +
+        "AND 3 FOLLOWING)), " +
+        "t AS (SELECT day, n, s7, (day + 3) % 7 AS wd, 7 * n - s7 AS dn " +
+        "FROM w WHERE c7 = 7), " +
+        "pr AS (SELECT wd, CAST(sum(CAST(dn AS DECIMAL(38,0))) AS DOUBLE) " +
+        "/ (7.0 * count(*)) AS raw FROM t GROUP BY 1) " +
+        "SELECT day, n, round(CAST(s7 AS DOUBLE) / 7.0, 6) AS trend, " +
+        "round(raw, 6) AS seasonal, " +
+        "round(CAST(n AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0 - raw, 6) " +
+        "AS resid FROM t JOIN pr USING (wd) ORDER BY day"),
+      (s, dir) => EventAnalytics.classicalDecomposition(
+          Tables.events(s, dir), "ts")
+        .orderBy("day")),
+
+    // ---- lead-lag correlation screen: every ordered event-type pair's
+    // corr(a[t], b[t+1]) over the zero-filled spine × type grid; exact
+    // integer moments, one closed form per pair.
+    Q("q309_lead_lag",
+      Some("WITH c AS (SELECT event_type AS t, " +
+        "epoch_us(ts) // 86400000000 AS day, count(*) AS n FROM events " +
+        "GROUP BY 1, 2), " +
+        "sp AS (SELECT day, t FROM (SELECT unnest(range(" +
+        "(SELECT min(day) FROM c), (SELECT max(day) FROM c) + 1)) AS day) " +
+        "d, (SELECT DISTINCT t FROM c) ty), " +
+        "f AS (SELECT sp.t, sp.day, coalesce(n, 0) AS x FROM sp " +
+        "LEFT JOIN c ON sp.t = c.t AND sp.day = c.day), " +
+        "a AS (SELECT t AS type_a, day, x AS xa FROM f), " +
+        "b AS (SELECT t AS type_b, day - 1 AS day, x AS xb FROM f), " +
+        "g AS (SELECT type_a, type_b, count(*) AS n_days, " +
+        "CAST(sum(CAST(xa AS HUGEINT)) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(xb AS HUGEINT)) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(xa AS HUGEINT) * CAST(xa AS HUGEINT)) AS DOUBLE) " +
+        "AS sxx, " +
+        "CAST(sum(CAST(xb AS HUGEINT) * CAST(xb AS HUGEINT)) AS DOUBLE) " +
+        "AS syy, " +
+        "CAST(sum(CAST(xa AS HUGEINT) * CAST(xb AS HUGEINT)) AS DOUBLE) " +
+        "AS sxy FROM a JOIN b USING (day) GROUP BY 1, 2), " +
+        "e AS (SELECT type_a, type_b, n_days, CAST(n_days AS DOUBLE) AS nd, " +
+        "sx, sy, sxx, syy, sxy FROM g) " +
+        "SELECT type_a, type_b, n_days, " +
+        "CASE WHEN (nd * sxx - sx * sx) * (nd * syy - sy * sy) > 0.0 THEN " +
+        "round((nd * sxy - sx * sy) / " +
+        "sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) END AS corr " +
+        "FROM e ORDER BY type_a, type_b"),
+      (s, dir) => EventAnalytics.leadLagMatrix(Tables.events(s, dir), "ts",
+          "event_type", lagDays = 1)
+        .orderBy("type_a", "type_b"))
   )
 }

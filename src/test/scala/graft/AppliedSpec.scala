@@ -439,4 +439,53 @@ class AppliedSpec extends SparkSpec {
       x.getDouble(3), x.getDouble(4))).toSeq ==
       Seq((0L, 2L, 2L, 1.5, 0.75), (1L, 1L, 1L, 1.0, 1.0)))
   }
+
+  test("shapleyAttribution: equal split within touch sets; strict pre-conversion") {
+    // u1: click (+ off-channel error) then buys -> {click}, credit 1
+    // u2: click+view then buys -> 1/2 each
+    // u3: view only AFTER buying -> no credit; u4: never buys -> no credit
+    val df = Seq(
+      (1L, 0L, "click"), (1L, 1L, "error"), (1L, 2L, "purchase"),
+      (2L, 0L, "click"), (2L, 1L, "view"), (2L, 2L, "purchase"),
+      (3L, 5L, "purchase"), (3L, 6L, "view"),
+      (4L, 0L, "click"))
+      .toDF("user_id", "sec", "event_type")
+      .select(col("user_id"), col("event_type"),
+        expr("timestamp_micros(sec * 1000000)").as("ts"))
+    val r = EventAnalytics.shapleyAttribution(df, "user_id", "ts",
+        "event_type", "purchase", Seq("click", "view"))
+      .orderBy("channel").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.getDouble(2),
+      x.getDouble(3))).toSeq ==
+      Seq(("click", 2L, 1.5, 0.75), ("view", 1L, 0.5, 0.25)))
+  }
+
+  test("classicalDecomposition: linear ramp — MA trend exact, zero seasonal/resid") {
+    // n(day) = day+1 on days 0..7: full windows at days 3,4 where the
+    // centered MA reproduces n exactly -> detrended 0 everywhere
+    val df = (0L to 7L).flatMap(d => Seq.fill(d.toInt + 1)(d)).toDF("day")
+      .select(expr("timestamp_micros(day * 86400000000)").as("ts"))
+    val r = EventAnalytics.classicalDecomposition(df, "ts")
+      .orderBy("day").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    assert(r.map(_.getDouble(2)).toSeq == Seq(4.0, 5.0))
+    assert(r.forall(x => x.getDouble(3) == 0.0 && x.getDouble(4) == 0.0))
+  }
+
+  test("leadLagMatrix: a perfectly leads b by one day -> corr 1.0") {
+    val mk = (t: String, d: Long, n: Int) => Seq.fill(n)((t, d))
+    val rows = mk("a", 0L, 1) ++ mk("a", 1L, 2) ++ mk("a", 2L, 3) ++
+      mk("a", 3L, 4) ++ mk("b", 1L, 1) ++ mk("b", 2L, 2) ++
+      mk("b", 3L, 3) ++ mk("b", 4L, 4)
+    val df = rows.toDF("event_type", "day")
+      .select(col("event_type"),
+        expr("timestamp_micros(day * 86400000000)").as("ts"))
+    val r = EventAnalytics.leadLagMatrix(df, "ts", "event_type", lagDays = 1)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), if (x.isNullAt(3)) Double.NaN else x.getDouble(3)))
+      .toMap
+    assert(r.size == 4) // full 2x2 ordered-pair matrix
+    assert(r(("a", "b")) == ((4L, 1.0)))
+    assert(r(("a", "a"))._1 == 4L && r(("a", "a"))._2 < 1.0)
+  }
 }
