@@ -109,4 +109,34 @@ object Finance {
         round(sum(col("__cents")) / 100.0, 2).as("amount"),
         min(col("__day")).as("oldest_day"))
   }
+
+  // ------------------------------------------------- Laspeyres price index
+  /** Laspeyres price index between two periods: Σᵢ p_C,i·q_B,i / Σᵢ
+    * p_B,i·q_B,i over items sold in BOTH periods, with p = unit revenue
+    * (period revenue / period quantity). The denominator is EXACTLY the
+    * base-period revenue (integer cents); each numerator term is the one
+    * unavoidable rational p_C·q_B, rounded to 6dp per item and summed in
+    * DECIMAL (order-independent — the q289 rounded-term discipline).
+    * `periodCol` must be a boolean column: false = base, true = current.
+    * Returns one row: (n_items, base_rev, index). */
+  def priceIndex(df: DataFrame, keyCol: String, periodCol: Column,
+                 qtyCol: Column, amountCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val per = df.groupBy(col(keyCol).as("__k"), periodCol.as("__p"))
+      .agg(sum(qtyCol.cast("long")).as("__q"),
+        sum(round(amountCol * 100, 0).cast("long")).as("__r"))
+    val base = per.filter(!col("__p") && col("__q") > 0)
+      .select(col("__k"), col("__q").as("__qb"), col("__r").as("__rb"))
+    val cur = per.filter(col("__p") && col("__q") > 0)
+      .select(col("__k"), col("__q").as("__qc"), col("__r").as("__rc"))
+    base.join(cur, Seq("__k"))
+      .select(col("__k"), col("__rb"),
+        round(col("__rc").cast("double") / col("__qc").cast("double") *
+          col("__qb").cast("double"), 6).cast(DecimalType(28, 6))
+          .as("__term"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("__rb")) / 100.0, 2).as("base_rev"),
+        round(sum(col("__term")).cast("double") /
+          sum(col("__rb")).cast("double"), 6).as("price_index"))
+  }
 }

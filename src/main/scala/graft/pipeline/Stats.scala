@@ -1703,4 +1703,74 @@ object Stats {
           col("n").cast("double"), 6).as("winsor_mean"),
         col("lo_cut"), col("hi_cut")): _*)
   }
+
+  // ------------------------------------------------------------ SPRT trace
+  /** Wald sequential-probability-ratio trace at daily grain: cumulative
+    * trials/successes (exact integer windows over the calendar rollup),
+    * the log-likelihood ratio S·ln(p1/p0) + (N−S)·ln(q1/q0), and the
+    * accept/continue decision against the Wald boundaries
+    * ln((1−β)/α) / ln(β/(1−α)). The four log constants are evaluated
+    * ONCE on the driver and embedded as literals (an oracle embeds the
+    * identical literals); the decision compares the 6dp-ROUNDED llr to
+    * the 6dp-rounded boundaries, so it cannot flip on an ulp. Returns
+    * (day, n_cum, s_cum, llr, decision). */
+  def sprtTrace(df: DataFrame, tsCol: String, success: Column,
+                p0: Double, p1: Double, alpha: Double = 0.05,
+                beta: Double = 0.2): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1, "bad p0/p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1, "bad alpha/beta")
+    val l1 = math.log(p1 / p0)
+    val l0 = math.log((1 - p1) / (1 - p0))
+    val hi = math.round(math.log((1 - beta) / alpha) * 1e6) / 1e6
+    val lo = math.round(math.log(beta / (1 - alpha)) * 1e6) / 1e6
+    val daily = df
+      .select(EventAnalytics.dayIndex(col(tsCol)).as("day"),
+        when(success, 1L).otherwise(0L).as("__s"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("__n"), sum(col("__s")).as("__sd"))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n_cum", sum(col("__n")).over(w))
+      .withColumn("s_cum", sum(col("__sd")).over(w))
+      .withColumn("llr", round(col("s_cum").cast("double") * l1 +
+        (col("n_cum") - col("s_cum")).cast("double") * l0, 6))
+      .select(col("day"), col("n_cum"), col("s_cum"), col("llr"),
+        when(col("llr") >= hi, "accept_h1")
+          .when(col("llr") <= lo, "accept_h0")
+          .otherwise("continue").as("decision"))
+  }
+
+  // ------------------------------------------------- top-share concentration
+  /** Whale-share report: the share of total value contributed by the top
+    * ⌈n·p%⌉ keys, for each requested percentage — the "top 1% of users
+    * drive X%" product metric (the point-cut companion to the Lorenz/Gini
+    * relations). Per-key cents roll up first; the ranking window then runs
+    * on that keys-sized relation ((cents DESC, key ASC) — deterministic);
+    * cut sizes are exact integers ⌈n·p/100⌉ and each share is one IEEE
+    * division, 6dp. Returns per requested pct:
+    * (pct, n_top, cutoff_cents, share). */
+  def whaleShare(df: DataFrame, keyCol: String, valueCol: Column,
+                 pcts: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "pcts must be in 1..100")
+    val perKey = df.groupBy(col(keyCol).as("__k"))
+      .agg(sum(round(valueCol * 100, 0).cast("long")).as("__c"))
+    val w = Window.orderBy(col("__c").desc, col("__k").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perKey
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__c").desc, col("__k").asc)))
+      .withColumn("__cum", sum(col("__c")).over(w))
+    val stats = ranked.agg(count(lit(1)).as("__n"),
+      sum(col("__c")).as("__tot"))
+    val cuts = pcts.map(p => s"$p, (__n * $p + 99) div 100").mkString(", ")
+    stats
+      .selectExpr("__tot", s"stack(${pcts.size}, $cuts) AS (pct, __kp)")
+      .join(ranked, col("__kp") === col("__rn"))
+      .select(col("pct"), col("__kp").as("n_top"),
+        col("__c").as("cutoff_cents"),
+        round(col("__cum").cast("double") / col("__tot").cast("double"), 6)
+          .as("share"))
+  }
 }

@@ -1016,6 +1016,83 @@ object AppliedQueries {
         "FROM e ORDER BY type_a, type_b"),
       (s, dir) => EventAnalytics.leadLagMatrix(Tables.events(s, dir), "ts",
           "event_type", lagDays = 1)
-        .orderBy("type_a", "type_b"))
+        .orderBy("type_a", "type_b")),
+
+    // ---- Laspeyres price index between the ship-date halves: the
+    // denominator is EXACT base revenue (integer cents); numerator terms
+    // round 6dp per item then DECIMAL-sum (the q289 discipline).
+    Q("q310_price_index",
+      Some("WITH li AS (SELECT l_partkey AS k, " +
+        "epoch_us(l_shipdate) // 86400000000 AS day, l_quantity, " +
+        "l_extendedprice FROM lineitem), " +
+        "mm AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM li), " +
+        "per AS (SELECT k, day >= mid AS p, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) " +
+        "AS r FROM li, mm GROUP BY 1, 2), " +
+        "b AS (SELECT k, q AS qb, r AS rb FROM per WHERE NOT p AND q > 0), " +
+        "c AS (SELECT k, q AS qc, r AS rc FROM per WHERE p AND q > 0), " +
+        "t AS (SELECT k, rb, CAST(round(CAST(rc AS DOUBLE) / " +
+        "CAST(qc AS DOUBLE) * CAST(qb AS DOUBLE), 6) AS DECIMAL(28,6)) " +
+        "AS term FROM b JOIN c USING (k)) " +
+        "SELECT count(*) AS n_items, round(sum(rb) / 100.0, 2) AS base_rev, " +
+        "round(CAST(sum(term) AS DOUBLE) / CAST(sum(rb) AS DOUBLE), 6) " +
+        "AS price_index FROM t"),
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .withColumn("day", EventAnalytics.dayIndex(col("l_shipdate")))
+        val mid = li.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+        Finance.priceIndex(li.crossJoin(broadcast(mid)), "l_partkey",
+          col("day") >= col("mid"), col("l_quantity"),
+          col("l_extendedprice"))
+      }),
+
+    // ---- Wald SPRT monitoring trace on the daily purchase rate: exact
+    // cumulative integers, driver-evaluated log constants embedded as
+    // identical literals in both engines, decision on ROUNDED llr.
+    Q("q311_sprt", {
+      val (p0, p1, alpha, beta) = (0.19, 0.21, 0.05, 0.2)
+      val l1 = math.log(p1 / p0)
+      val l0 = math.log((1 - p1) / (1 - p0))
+      val hi = math.round(math.log((1 - beta) / alpha) * 1e6) / 1e6
+      val lo = math.round(math.log(beta / (1 - alpha)) * 1e6) / 1e6
+      Some("WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n, CAST(sum(CASE WHEN event_type = 'purchase' " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS s FROM events GROUP BY 1), " +
+        "w AS (SELECT day, CAST(sum(n) OVER fr AS BIGINT) AS n_cum, " +
+        "CAST(sum(s) OVER fr AS BIGINT) AS s_cum FROM d " +
+        "WINDOW fr AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW)), " +
+        s"l AS (SELECT day, n_cum, s_cum, round(CAST(s_cum AS DOUBLE) * $l1" +
+        s" + CAST(n_cum - s_cum AS DOUBLE) * $l0, 6) AS llr FROM w) " +
+        "SELECT day, n_cum, s_cum, llr, " +
+        s"CASE WHEN llr >= $hi THEN 'accept_h1' WHEN llr <= $lo " +
+        "THEN 'accept_h0' ELSE 'continue' END AS decision " +
+        "FROM l ORDER BY day")
+    },
+      (s, dir) => Stats.sprtTrace(Tables.events(s, dir), "ts",
+          col("event_type") === "purchase", p0 = 0.19, p1 = 0.21)
+        .orderBy("day")),
+
+    // ---- whale-share concentration: top ⌈n·p%⌉ users' share of total
+    // event value — exact cents, deterministic (cents DESC, key) ranking,
+    // point cuts as pure integers.
+    Q("q312_whale_share",
+      Some("WITH u AS (SELECT user_id AS k, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1), " +
+        "r AS (SELECT k, c, row_number() OVER (ORDER BY c DESC, k) AS rn, " +
+        "sum(c) OVER (ORDER BY c DESC, k ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS cum FROM u), " +
+        "s AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS tot FROM u), " +
+        "p AS (SELECT * FROM (VALUES (1), (5), (10)) AS t(pct)), " +
+        "x AS (SELECT pct, (n * pct + 99) // 100 AS kp, tot FROM p, s) " +
+        "SELECT pct, kp AS n_top, r.c AS cutoff_cents, " +
+        "round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share " +
+        "FROM x JOIN r ON r.rn = x.kp ORDER BY pct"),
+      (s, dir) => Stats.whaleShare(
+          Tables.events(s, dir).filter(col("value").isNotNull),
+          "user_id", col("value"), pcts = Seq(1, 5, 10))
+        .orderBy("pct"))
   )
 }

@@ -119,6 +119,20 @@ class FinanceSpec extends SparkSpec {
     assert(c.length == 1 && c(0).isNullAt(2))
   }
 
+  test("priceIndex: both-period items only; exact base denominator") {
+    // A: base p=5 (q2, $10), cur p=6 (q4, $24) -> term 6*2 = 12$,
+    // index 12/10 = 1.2; B base-only and C current-only are excluded
+    val df = Seq(
+      ("A", false, 1L, 4.0), ("A", false, 1L, 6.0),  // base qty 2, $10
+      ("A", true, 4L, 24.0),
+      ("B", false, 3L, 9.0), ("C", true, 2L, 10.0))
+      .toDF("k", "p", "qty", "amt")
+    val r = Finance.priceIndex(df, "k", col("p"), col("qty"), col("amt"))
+      .collect()(0)
+    assert(r.getLong(0) == 1L)
+    assert(r.getDouble(1) == 10.0 && r.getDouble(2) == 1.2)
+  }
+
   test("lexicalDiversity: case folding, whitespace runs, hapax counting") {
     import graft.pipeline.{TextAnalysis => TA}
     val df = Seq((1L, "A a  b\tc"), (2L, "x x x"), (3L, "   "))

@@ -1156,4 +1156,41 @@ class StatsSpec extends SparkSpec {
     assert(g2.getDouble(3) == 3.0 && g2.getDouble(4) == 3.0)
     assert(g2.getLong(5) == 1L && g2.getLong(6) == 6L)
   }
+
+  test("sprtTrace: cumulative llr crosses the Wald lower boundary") {
+    // all failures at p0=0.19 vs p1=0.21: llr = N·ln(0.79/0.81) drifts
+    // down ~0.025/trial; boundary ln(0.2/0.95) ≈ -1.558 crossed near N=63
+    val mk = (d: Long, n: Int) => Seq.fill(n)(d)
+    val df = (mk(0L, 20) ++ mk(1L, 30) ++ mk(2L, 50)).toDF("day")
+      .select(expr("timestamp_micros(day * 86400000000)").as("ts"),
+        lit("x").as("t"))
+    val r = Stats.sprtTrace(df, "ts", col("t") === "never", 0.19, 0.21)
+      .orderBy("day").collect()
+    val l0 = math.log(0.79 / 0.81)
+    def exp(n: Long) = math.round(n * l0 * 1e6) / 1e6
+    assert(r.map(x => (x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((20L, 0L), (50L, 0L), (100L, 0L)))
+    assert(r.map(_.getDouble(3)).toSeq == Seq(exp(20), exp(50), exp(100)))
+    assert(r.map(_.getString(4)).toSeq ==
+      Seq("continue", "continue", "accept_h0"))
+    // all successes: llr = N·ln(21/19) climbs ~0.1/trial; hi ≈ 2.773
+    val up = Stats.sprtTrace(df, "ts", col("t") === "x", 0.19, 0.21)
+      .orderBy("day").collect()
+    assert(up.map(_.getString(4)).toSeq ==
+      Seq("continue", "accept_h1", "accept_h1"))
+  }
+
+  test("whaleShare: ceil cuts, deterministic ranking, exact shares") {
+    // users 1..10 with values $1..$10: top-10% = {10} -> 10/55,
+    // top-50% = {10..6} -> 40/55
+    val df = (1L to 10L).map(u => (u, u.toDouble)).toDF("u", "v")
+    val r = Stats.whaleShare(df, "u", col("v"), pcts = Seq(10, 50))
+      .orderBy("pct").collect()
+    assert((r(0).getInt(0), r(0).getLong(1), r(0).getLong(2)) ==
+      ((10, 1L, 1000L)))
+    assert(r(0).getDouble(3) == math.round(10.0 / 55.0 * 1e6) / 1e6)
+    assert((r(1).getInt(0), r(1).getLong(1), r(1).getLong(2)) ==
+      ((50, 5L, 600L)))
+    assert(r(1).getDouble(3) == math.round(40.0 / 55.0 * 1e6) / 1e6)
+  }
 }
