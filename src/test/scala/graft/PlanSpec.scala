@@ -806,4 +806,33 @@ class PlanSpec extends SparkSpec {
     val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 1, s"unexpected BNLJ beyond the final-round norm scalar:\n$p")
   }
+
+  test("q295/q307: rapid-repeat windows partition by the key; Shapley never windows") {
+    val rr = planOf("q295_rapid_repeats")
+    val rw = rr.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(rw.nonEmpty && rw.forall(l =>
+      l.contains("user_id") && l.contains("event_type")),
+      s"rapid-repeat window not key-partitioned:\n${rw.mkString("\n")}")
+    val sh = planOf("q307_shapley_attribution")
+    assert(!sh.contains("Window"),
+      s"Shapley is pure aggregates+joins, no window:\n$sh")
+    assert(!sh.contains("CartesianProduct"), s"cartesian planned:\n$sh")
+  }
+
+  test("q299: HITS rounds stay hash joins; top-k per side is a cutoff, not a side-window") {
+    val p = planOf("q299_hits")
+    assert(!p.contains("Window"),
+      s"per-side max must be aggregate+broadcast, not a window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 per side must be a sort cutoff:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian planned:\n$p")
+  }
+
+  test("q305: hotspot stats broadcast back; top cells are a cutoff") {
+    val p = planOf("q305_hotspots")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k cutoff:\n$p")
+    // the one BNLJ is the documented broadcast one-row stats crossJoin
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1 &&
+      !p.contains("CartesianProduct"), s"bad join shape:\n$p")
+  }
 }

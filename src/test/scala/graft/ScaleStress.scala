@@ -583,6 +583,59 @@ object ScaleStress {
     }
     println(s"  rho: $sp (expect exactly 1.0 - monotone with uniform ties)")
     assert(sp == 1.0, s"spearman broken at scale: $sp")
+
+    // trimmedStats on ONE 2M-row hot group with adversarial ties exactly
+    // at the 10% cut (values 0..9, 200k copies each): k = 200k lands the
+    // cut INSIDE the tied runs — trimmed mean must equal the plain mean
+    // of the middle multiset regardless of tie order: ranks 200001..1.8M
+    // hold 200k '1's minus... values 1..8 fully plus zero 0s/9s -> 4.5.
+    val hotG = spark.range(2000000L).select(lit("g").as("g"),
+      (col("id") % 10L).as("v"))
+    val tr = timed("trimmedStats over one 2M-row group, ties at the cut") {
+      graft.pipeline.Stats.trimmedStats(hotG, Seq("g"), col("v"))
+        .collect().head
+    }
+    println(f"  mean ${tr.getDouble(2)}%.3f trimmed ${tr.getDouble(3)}%.3f " +
+      f"winsor ${tr.getDouble(4)}%.3f cuts [${tr.getLong(5)}, ${tr.getLong(6)}]")
+    assert(tr.getDouble(2) == 4.5 && tr.getDouble(3) == 4.5)
+    assert(tr.getLong(5) == 1L && tr.getLong(6) == 8L) // cut order stats
+    assert(tr.getDouble(4) == (1600000L * 4.5 + 200000L * 1 + 200000L * 8) /
+      2000000.0)
+
+    // HITS on a 1M-edge star-heavy bipartite graph: hub customer 0 buys
+    // every part; 999k spoke customers buy one part each (part = id%1000
+    // -> 1000 parts, ~1000 spokes per part). Analytic 2-round counts:
+    // a1(p) = 1000 spokes + hub = 1001; h1(hub) = sum a1 = 1001*1000,
+    // h1(spoke) = 1001; a2(p) = h1(hub) + 1000*h1(spoke) = 2002*1000 + ...
+    val spokes = spark.range(999999L).select((col("id") + 1).as("c"),
+      (col("id") % 1000L).as("p"))
+    val hub = spark.range(1000L).select(lit(0L).as("c"), col("id").as("p"))
+    val hitsTop = timed("hits over 1M-edge star bipartite graph") {
+      graft.pipeline.Graph.hits(spokes.union(hub), "c", "p", iters = 2)
+        .filter(col("side") === "hub")
+        .orderBy(col("score_raw").desc).limit(1).collect().head
+    }
+    println(s"  top hub: node ${hitsTop.getLong(1)} raw ${hitsTop.getLong(2)}")
+    assert(hitsTop.getLong(1) == 0L, "the star hub must dominate")
+    assert(hitsTop.getDouble(3) == 1.0)
+
+    // whaleShare over 1M users: the ranking window sorts the ROLLUP (1M
+    // rows), never the 10M-event relation; top-1% share of the linear
+    // value ramp v(u) = u is analytically 1 - 0.99^2 ~ 1.99%... compute:
+    // sum top 10k of 1..1M = (1M + 990001)/2*10k; total = 1M*(1M+1)/2.
+    val evRows = spark.range(10000000L).select((col("id") % 1000000L + 1).as("u"),
+      ((col("id") % 1000000L + 1) / 100.0).as("v")) // 10 copies of u -> cents exact
+    val ws = timed("whaleShare over 10M rows, 1M users") {
+      graft.pipeline.Stats.whaleShare(evRows, "u", col("v"), Seq(1))
+        .collect().head
+    }
+    val topSum = BigInt(1000000L + 990001L) * 10000 / 2 * 10
+    val totSum = BigInt(1000000L) * 1000001L / 2 * 10
+    val expShare = math.round(topSum.toDouble / totSum.toDouble * 1e6) / 1e6
+    println(f"  top-1%% share: ${ws.getDouble(3)}%.6f (analytic $expShare%.6f)")
+    assert(ws.getLong(1) == 10000L)
+    assert(math.abs(ws.getDouble(3) - expShare) < 1e-6,
+      s"whale share mismatch: ${ws.getDouble(3)} vs $expShare")
     spark.stop()
   }
 }
