@@ -1256,6 +1256,56 @@ object Ops {
         round(est / col("actual_rows").cast("double"), 6).as("ratio"))
   }
 
+  /** CBO-style join-ORDER advisor for the chain A ⋈(k1) B ⋈(k2) C: both
+    * cross-product-free orders are costed with the [[joinSizeEstimate]]
+    * uniform-key formula (cost = estimated intermediate + final rows; the
+    * final estimate is order-invariant, so the intermediate decides) and
+    * compared against the ACTUAL intermediate/final counts — the
+    * join-reorder decision signal, with truth attached. All stats are
+    * exact integers; estimates are fixed-shape doubles rounded to 1dp
+    * BEFORE the choice election, so the chosen flag cannot flip on an
+    * ulp. Returns two rows: (join_order, est_mid, est_final, cost,
+    * actual_mid, actual_final, chosen). */
+  def joinOrderAdvisor(a: DataFrame, keyA: Column,
+                       b: DataFrame, keyB1: Column, keyB2: Column,
+                       c: DataFrame, keyC: Column): DataFrame = {
+    val sa = a.filter(keyA.isNotNull).select(keyA.as("__ka"))
+    val sb = b.filter(keyB1.isNotNull && keyB2.isNotNull)
+      .select(keyB1.as("__kb1"), keyB2.as("__kb2"))
+    val sc = c.filter(keyC.isNotNull).select(keyC.as("__kc"))
+    val ab = sa.join(sb, col("__ka") === col("__kb1"))
+    val st = sa.agg(count(lit(1)).as("n_a"),
+        countDistinct(col("__ka")).as("d_a1"))
+      .crossJoin(sb.agg(count(lit(1)).as("n_b"),
+        countDistinct(col("__kb1")).as("d_b1"),
+        countDistinct(col("__kb2")).as("d_b2")))
+      .crossJoin(sc.agg(count(lit(1)).as("n_c"),
+        countDistinct(col("__kc")).as("d_c2")))
+      .crossJoin(ab.agg(count(lit(1)).as("act_ab")))
+      .crossJoin(sb.join(sc, col("__kb2") === col("__kc"))
+        .agg(count(lit(1)).as("act_bc")))
+      .crossJoin(ab.join(sc, col("__kb2") === col("__kc"))
+        .agg(count(lit(1)).as("act_final")))
+    def d(n: String) = col(n).cast("double")
+    val eab = d("n_a") * d("n_b") /
+      greatest(col("d_a1"), col("d_b1")).cast("double")
+    val ebc = d("n_b") * d("n_c") /
+      greatest(col("d_b2"), col("d_c2")).cast("double")
+    val rows = st
+      .withColumn("__eab", eab)
+      .withColumn("__ebc", ebc)
+      .withColumn("__efin", col("__eab") * d("n_c") /
+        greatest(col("d_b2"), col("d_c2")).cast("double"))
+      .selectExpr("stack(2, " +
+        "'AB_then_C', round(__eab, 1), round(__efin, 1), " +
+        "round(__eab + __efin, 1), act_ab, act_final, " +
+        "'BC_then_A', round(__ebc, 1), round(__efin, 1), " +
+        "round(__ebc + __efin, 1), act_bc, act_final) AS " +
+        "(join_order, est_mid, est_final, cost, actual_mid, actual_final)")
+    rows.withColumn("chosen", row_number().over(
+      Window.orderBy(col("cost").asc, col("join_order").asc)) === 1)
+  }
+
   // ---------------------------------------------------------- FIFO matching
   /** FIFO lot matching as a SET-BASED operation: per key, sells consume
     * buys in arrival order. The sequential "walk the lots" loop becomes

@@ -1530,6 +1530,44 @@ object EventAnalytics {
           col("pau").cast("double"), 6).as("stickiness"))
   }
 
+  // ------------------------------------------------- linear interpolation
+  /** Linear gap interpolation per key: null values take the straight line
+    * between the key's nearest non-null neighbors in (ts, id) order,
+    * weighted by exact integer µs distances — the numeric companion to
+    * forward-fill (sensor gaps, price marks). The interpolant is ONE
+    * fixed-shape double expression over integer cents/µs
+    * (prev + (next−prev)·Δ₁/Δ₂, then /100), 6dp; non-null values pass
+    * through byte-identical; boundary nulls (no neighbor on one side)
+    * stay null, flagged. One key exchange, two frame scans. Returns the
+    * input grain: (keyCol, idCol, value_filled, interpolated). */
+  def interpolateLinear(df: DataFrame, keyCol: String, tsCol: String,
+                        idCol: String, valueCol: Column): DataFrame = {
+    val base = df.select(col(keyCol), col(idCol),
+      micros(col(tsCol)).as("__us"), valueCol.as("__v"),
+      round(valueCol * 100, 0).cast("long").as("__c"))
+    val order = Window.partitionBy(col(keyCol))
+      .orderBy(col("__us").asc, col(idCol).asc)
+    val before = order.rowsBetween(Window.unboundedPreceding, -1)
+    val after = order.rowsBetween(1, Window.unboundedFollowing)
+    val known = when(col("__v").isNotNull, struct(col("__us"), col("__c")))
+    val filled = base
+      .withColumn("__p", last(known, ignoreNulls = true).over(before))
+      .withColumn("__n", first(known, ignoreNulls = true).over(after))
+    val interp = (col("__p.__c").cast("double") +
+      (col("__n.__c") - col("__p.__c")).cast("double") *
+        (col("__us") - col("__p.__us")).cast("double") /
+        (col("__n.__us") - col("__p.__us")).cast("double")) / 100.0
+    filled.select(col(keyCol), col(idCol),
+      when(col("__v").isNotNull, col("__v"))
+        .otherwise(when(col("__p").isNotNull && col("__n").isNotNull,
+          // zero-width gap (both neighbors at this µs): take the left value
+          when(col("__n.__us") === col("__p.__us"),
+            round(col("__p.__c") / 100.0, 6)).otherwise(round(interp, 6))))
+        .as("value_filled"),
+      (col("__v").isNull && col("__p").isNotNull && col("__n").isNotNull)
+        .as("interpolated"))
+  }
+
   // --------------------------------------------- classical decomposition
   /** Classical additive decomposition of the zero-filled daily count
     * series: trend = centered 7-day moving average (full windows only),

@@ -59,4 +59,41 @@ object Linkage {
   /** Exact-equality comparator (null-safe: NULL vs anything = 0). */
   def equalityAgreement(a: Column, b: Column): Column =
     when(a <=> b && a.isNotNull, lit(1.0)).otherwise(lit(0.0))
+
+  /** Blocking-design quality report against labeled duplicate pairs: the
+    * two numbers every blocking scheme is judged by — REDUCTION RATIO
+    * (1 − candidate pairs / all C(n,2) pairs: how much quadratic work the
+    * blocks save) and PAIRS COMPLETENESS (share of true duplicate pairs
+    * that land in the same block — recall an overly aggressive block
+    * sacrifices). All pair counts are exact integers (Σ C(block,2) from
+    * the block-size rollup, never materialized pairs); the two ratios are
+    * single IEEE divisions, 6dp. `truePairs` carries (id_a, id_b) labels.
+    * Returns one row: (n_records, full_pairs, candidate_pairs, n_true,
+    * n_captured, reduction_ratio, completeness). */
+  def blockingQuality(df: DataFrame, blockCol: String, idCol: String,
+                      truePairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val Seq(ia, ib) = truePairs.columns.take(2).toSeq
+    val keyed = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"))
+    val nRec = keyed.agg(count(lit(1)).as("n_records"))
+    val cand = keyed.groupBy("__blk").agg(count(lit(1)).as("__b"))
+      .agg(sum(expr("(__b * (__b - 1)) div 2").cast(DecimalType(38, 0)))
+        .as("__cand"))
+    val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
+    val captured = truePairs
+      .join(keyed.select(col("__id").as(ia), col("__blk").as("__ba")), Seq(ia))
+      .join(keyed.select(col("__id").as(ib), col("__blk").as("__bb")), Seq(ib))
+      .filter(col("__ba") === col("__bb"))
+      .agg(count(lit(1)).as("n_captured"))
+    nRec.crossJoin(cand).crossJoin(nTrue).crossJoin(captured)
+      .select(col("n_records"),
+        expr("(n_records * (n_records - 1)) div 2").as("full_pairs"),
+        col("__cand").cast("long").as("candidate_pairs"),
+        col("n_true"), col("n_captured"),
+        round(lit(1.0) - col("__cand").cast("double") /
+          expr("(n_records * (n_records - 1)) div 2").cast("double"), 6)
+          .as("reduction_ratio"),
+        round(col("n_captured").cast("double") /
+          col("n_true").cast("double"), 6).as("completeness"))
+  }
 }

@@ -1094,5 +1094,132 @@ object AppliedQueries {
           Tables.events(s, dir).filter(col("value").isNotNull),
           "user_id", col("value"), pcts = Seq(1, 5, 10))
         .orderBy("pct"))
+    ,
+
+    // ---- linear gap interpolation over PLANTED nulls (event_id % 7 = 3):
+    // integer cents × integer µs weights, one fixed-shape interpolant,
+    // non-null rows pass through byte-identical.
+    Q("q313_interpolate",
+      Some("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, " +
+        "CASE WHEN event_id % 7 = 3 THEN NULL ELSE value END AS v FROM " +
+        "events), " +
+        "k AS (SELECT user_id, event_id, us, v, " +
+        "CASE WHEN v IS NOT NULL THEN CAST(round(v * 100) AS BIGINT) END " +
+        "AS c FROM e), " +
+        "w AS (SELECT user_id, event_id, us, v, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) " +
+        "OVER pb AS pus, " +
+        "last_value(c IGNORE NULLS) OVER pb AS pc, " +
+        "first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) " +
+        "OVER pa AS nus, " +
+        "first_value(c IGNORE NULLS) OVER pa AS nc FROM k " +
+        "WINDOW pb AS (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+        "pa AS (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)) " +
+        "SELECT user_id, event_id, " +
+        "CASE WHEN v IS NOT NULL THEN v " +
+        "WHEN pus IS NOT NULL AND nus IS NOT NULL THEN " +
+        "CASE WHEN nus = pus THEN round(pc / 100.0, 6) " +
+        "ELSE round((CAST(pc AS DOUBLE) + CAST(nc - pc AS DOUBLE) * " +
+        "CAST(us - pus AS DOUBLE) / CAST(nus - pus AS DOUBLE)) / 100.0, 6) " +
+        "END END AS value_filled, " +
+        "(v IS NULL AND pus IS NOT NULL AND nus IS NOT NULL) " +
+        "AS interpolated FROM w ORDER BY event_id"),
+      (s, dir) => EventAnalytics.interpolateLinear(
+          Tables.events(s, dir).withColumn("value",
+            when(pmod(col("event_id"), lit(7L)) === 3, lit(null))
+              .otherwise(col("value"))),
+          "user_id", "ts", "event_id", col("value"))
+        .orderBy("event_id")),
+
+    // ---- join-ORDER advisor over customer⋈orders⋈lineitem: both
+    // cross-free orders costed by the uniform-key formula vs the actual
+    // counts; election on 1dp-rounded costs.
+    Q("q314_join_order",
+      Some("WITH a AS (SELECT c_custkey AS ka FROM customer " +
+        "WHERE c_custkey IS NOT NULL), " +
+        "b AS (SELECT o_custkey AS kb1, o_orderkey AS kb2 FROM orders " +
+        "WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL), " +
+        "c AS (SELECT l_orderkey AS kc FROM lineitem " +
+        "WHERE l_orderkey IS NOT NULL), " +
+        "st AS (SELECT (SELECT count(*) FROM a) AS n_a, " +
+        "(SELECT count(DISTINCT ka) FROM a) AS d_a1, " +
+        "(SELECT count(*) FROM b) AS n_b, " +
+        "(SELECT count(DISTINCT kb1) FROM b) AS d_b1, " +
+        "(SELECT count(DISTINCT kb2) FROM b) AS d_b2, " +
+        "(SELECT count(*) FROM c) AS n_c, " +
+        "(SELECT count(DISTINCT kc) FROM c) AS d_c2, " +
+        "(SELECT count(*) FROM a JOIN b ON ka = kb1) AS act_ab, " +
+        "(SELECT count(*) FROM b JOIN c ON kb2 = kc) AS act_bc, " +
+        "(SELECT count(*) FROM a JOIN b ON ka = kb1 JOIN c ON kb2 = kc) " +
+        "AS act_final), " +
+        "e AS (SELECT *, CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / " +
+        "CAST(greatest(d_a1, d_b1) AS DOUBLE) AS eab, " +
+        "CAST(n_b AS DOUBLE) * CAST(n_c AS DOUBLE) / " +
+        "CAST(greatest(d_b2, d_c2) AS DOUBLE) AS ebc FROM st), " +
+        "f AS (SELECT *, eab * CAST(n_c AS DOUBLE) / " +
+        "CAST(greatest(d_b2, d_c2) AS DOUBLE) AS efin FROM e), " +
+        "r AS (SELECT 'AB_then_C' AS join_order, round(eab, 1) AS est_mid, " +
+        "round(efin, 1) AS est_final, round(eab + efin, 1) AS cost, " +
+        "act_ab AS actual_mid, act_final AS actual_final FROM f " +
+        "UNION ALL SELECT 'BC_then_A', round(ebc, 1), round(efin, 1), " +
+        "round(ebc + efin, 1), act_bc, act_final FROM f) " +
+        "SELECT join_order, est_mid, est_final, cost, actual_mid, " +
+        "actual_final, row_number() OVER (ORDER BY cost, join_order) = 1 " +
+        "AS chosen FROM r ORDER BY join_order"),
+      (s, dir) => Ops.joinOrderAdvisor(
+          Tables.customer(s, dir), col("c_custkey"),
+          Tables.orders(s, dir), col("o_custkey"), col("o_orderkey"),
+          Tables.lineitem(s, dir), col("l_orderkey"))
+        .orderBy("join_order")),
+
+    // ---- blocking-quality audit on PLANTED duplicates: tier-1 copies
+    // keep the q166 block (captured), tier-2 copies move nation (missed)
+    // -> completeness exactly 2/3; candidate pairs from the block-size
+    // rollup, never materialized.
+    Q("q315_blocking_quality",
+      Some("WITH c AS (SELECT c_custkey AS id, c_nationkey AS nk, " +
+        "c_acctbal AS ab FROM customer), " +
+        "r AS (SELECT id, nk, ab FROM c " +
+        "UNION ALL SELECT id + 1000000, nk, ab FROM c WHERE id % 10 = 0 " +
+        "UNION ALL SELECT id + 2000000, nk + 1, ab FROM c " +
+        "WHERE id % 20 = 0), " +
+        "k AS (SELECT id, nk || '|' || CAST(floor(ab / 2000.0) AS BIGINT) " +
+        "AS blk FROM r), " +
+        "t AS (SELECT id AS ia, id + 1000000 AS ib FROM c " +
+        "WHERE id % 10 = 0 " +
+        "UNION ALL SELECT id, id + 2000000 FROM c WHERE id % 20 = 0), " +
+        "bl AS (SELECT blk, count(*) AS b FROM k GROUP BY 1), " +
+        "s AS (SELECT (SELECT count(*) FROM k) AS n_records, " +
+        "(SELECT CAST(sum((b * (b - 1)) // 2) AS BIGINT) FROM bl) AS cand, " +
+        "(SELECT count(*) FROM t) AS n_true, " +
+        "(SELECT count(*) FROM t JOIN k ka ON t.ia = ka.id " +
+        "JOIN k kb ON t.ib = kb.id AND ka.blk = kb.blk) AS n_captured) " +
+        "SELECT n_records, (n_records * (n_records - 1)) // 2 " +
+        "AS full_pairs, cand AS candidate_pairs, n_true, n_captured, " +
+        "round(1.0 - CAST(cand AS DOUBLE) / " +
+        "CAST((n_records * (n_records - 1)) // 2 AS DOUBLE), 6) " +
+        "AS reduction_ratio, " +
+        "round(CAST(n_captured AS DOUBLE) / CAST(n_true AS DOUBLE), 6) " +
+        "AS completeness FROM s"),
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+          col("c_nationkey").as("nk"), col("c_acctbal").as("ab"))
+        val t1 = c.filter(pmod(col("id"), lit(10L)) === 0)
+        val t2 = c.filter(pmod(col("id"), lit(20L)) === 0)
+        val recs = c
+          .unionByName(t1.select((col("id") + 1000000L).as("id"), col("nk"),
+            col("ab")))
+          .unionByName(t2.select((col("id") + 2000000L).as("id"),
+            (col("nk") + 1).as("nk"), col("ab")))
+          .withColumn("blk", concat(col("nk").cast("string"), lit("|"),
+            floor(col("ab") / 2000.0).cast("long").cast("string")))
+        val truth = t1.select(col("id").as("ia"),
+            (col("id") + 1000000L).as("ib"))
+          .unionByName(t2.select(col("id").as("ia"),
+            (col("id") + 2000000L).as("ib")))
+        Linkage.blockingQuality(recs, "blk", "id", truth)
+      })
   )
 }

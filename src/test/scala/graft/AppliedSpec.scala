@@ -488,4 +488,54 @@ class AppliedSpec extends SparkSpec {
     assert(r(("a", "b")) == ((4L, 1.0)))
     assert(r(("a", "a"))._1 == 4L && r(("a", "a"))._2 < 1.0)
   }
+
+  test("interpolateLinear: unequal spacing, boundary nulls, pass-through") {
+    val df = Seq(
+      (1L, 10L, 0L, Some(1.0)), (1L, 11L, 1L, None), (1L, 12L, 4L, Some(3.0)),
+      (2L, 20L, 0L, None), (2L, 21L, 1L, Some(5.0)), (2L, 22L, 2L, None))
+      .toDF("k", "id", "sec", "v")
+      .select(col("k"), col("id"),
+        expr("timestamp_micros(sec * 1000000)").as("ts"), col("v"))
+    val r = EventAnalytics.interpolateLinear(df, "k", "ts", "id", col("v"))
+      .orderBy("id").collect()
+      .map(x => (x.getLong(1), if (x.isNullAt(2)) None else Some(x.getDouble(2)),
+        x.getBoolean(3)))
+    assert(r.toSeq == Seq(
+      (10L, Some(1.0), false),
+      (11L, Some(1.5), true),   // 1 + 2·(1/4)
+      (12L, Some(3.0), false),
+      (20L, None, false),        // leading null: no left neighbor
+      (21L, Some(5.0), false),
+      (22L, None, false)))       // trailing null: no right neighbor
+  }
+
+  test("joinOrderAdvisor: hand-computed chain costs pick the cheaper order") {
+    // A: ka=1,1; B: (1,10),(1,20); C: kc=10,10,20 ->
+    // eab = 2·2/1 = 4, ebc = 2·3/2 = 3, efin = 4·3/2 = 6;
+    // costs 10 vs 9 -> BC_then_A chosen; actuals 4/3 mid, 6 final
+    val a = Seq(1L, 1L).toDF("ka")
+    val b = Seq((1L, 10L), (1L, 20L)).toDF("kb1", "kb2")
+    val c = Seq(10L, 10L, 20L).toDF("kc")
+    val r = graft.operators.Ops.joinOrderAdvisor(a, col("ka"), b,
+        col("kb1"), col("kb2"), c, col("kc"))
+      .orderBy("join_order").collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2),
+        x.getDouble(3), x.getLong(4), x.getLong(5), x.getBoolean(6)))
+    assert(r.toSeq == Seq(
+      ("AB_then_C", 4.0, 6.0, 10.0, 4L, 6L, false),
+      ("BC_then_A", 3.0, 6.0, 9.0, 3L, 6L, true)))
+  }
+
+  test("blockingQuality: rollup pair counts; captured vs missed labels") {
+    // blocks {1,2}, {3}, {4}: 1 candidate of C(4,2)=6 pairs;
+    // truth (1,2) captured, (1,3) missed
+    val recs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"))
+      .toDF("id", "blk")
+    val truth = Seq((1L, 2L), (1L, 3L)).toDF("ia", "ib")
+    val r = Linkage.blockingQuality(recs, "blk", "id", truth).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 6L, 1L, 2L, 1L)))
+    assert(r.getDouble(5) == math.round((1.0 - 1.0 / 6.0) * 1e6) / 1e6)
+    assert(r.getDouble(6) == 0.5)
+  }
 }
