@@ -110,6 +110,44 @@ object Finance {
         min(col("__day")).as("oldest_day"))
   }
 
+  // ----------------------------------------------- revenue recognition
+  /** Calendarized revenue recognition: each row's amount spreads pro-rata
+    * over its [startDay, endDay] inclusive day interval, rolled up into
+    * `periodDays`-day periods. Per (row, period) the recognized share is
+    * round(cents · overlap_days / span_days, 6) — integer cents × integer
+    * day counts, one division, rounded per term then DECIMAL-summed (the
+    * q289 discipline). The period explode is bounded by each row's span.
+    * Rows with span ≤ 0 are dropped. Returns per period:
+    * (period, n_rows, revenue). */
+  def revenueRecognition(df: DataFrame, startDay: Column, endDay: Column,
+                         amountCol: Column, periodDays: Int = 30): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(periodDays >= 1, s"periodDays must be >= 1: $periodDays")
+    val p = periodDays.toLong
+    val base = df.select(startDay.as("__s"), endDay.as("__e"),
+        round(amountCol * 100, 0).cast("long").as("__c"))
+      .filter(col("__e") >= col("__s"))
+      .withColumn("__span", col("__e") - col("__s") + 1)
+    base
+      .select(col("__s"), col("__e"), col("__c"), col("__span"),
+        explode(sequence(expr(s"__s div $p"), expr(s"__e div $p")))
+          .as("period"))
+      .withColumn("__days",
+        least(col("__e"), (col("period") + 1) * p - 1) -
+          greatest(col("__s"), col("period") * p) + 1)
+      // micro-cent INTEGER share per term: (cents·10⁴·days) div span —
+      // truncated once per term, exact under any summation order and in
+      // any engine (the q281 FIFO lesson: a 6dp double term puts round()'s
+      // engine differences on the hash gate; an integer term cannot)
+      .select(col("period"),
+        expr("(__c * 10000 * __days) div __span")
+          .cast(DecimalType(38, 0)).as("__micro"))
+      .groupBy("period")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("__micro")).cast("double") / 1000000.0, 6)
+          .as("revenue"))
+  }
+
   // ------------------------------------------------- Laspeyres price index
   /** Laspeyres price index between two periods: Σᵢ p_C,i·q_B,i / Σᵢ
     * p_B,i·q_B,i over items sold in BOTH periods, with p = unit revenue

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Planar spatial joins on integer coordinates — the grid-bucketed
@@ -184,6 +185,45 @@ object Spatial {
       when(straddles && x < xCross, 1).otherwise(0)
     }.reduce(_ + _)
     crossings % 2 === 1
+  }
+
+  // --------------------------------------------------- haversine distance
+  /** Great-circle distance in meters (haversine, R = 6 371 000):
+    * 2R·asin(√(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2))). One fixed-shape
+    * libm expression — sub-ulp engine noise dies in the caller's 6dp
+    * round (the q95/q127 discipline). */
+  def haversineMeters(lat1: Column, lon1: Column, lat2: Column,
+                      lon2: Column): Column = {
+    val r = 6371000.0
+    def rad(c: Column) = radians(c)
+    val sdLat = sin((rad(lat2) - rad(lat1)) / 2)
+    val sdLon = sin((rad(lon2) - rad(lon1)) / 2)
+    val h = sdLat * sdLat + cos(rad(lat1)) * cos(rad(lat2)) * sdLon * sdLon
+    lit(2 * r) * asin(sqrt(h))
+  }
+
+  /** Per-key trajectory report: consecutive points in (order, id) order
+    * become great-circle legs; each leg rounds to INTEGER METERS and
+    * per-key totals are exact BIGINT sums. Whole-meter grain is the
+    * determinism contract: at ~10⁷ m magnitudes a 1-ulp libm difference
+    * between engines is ~2·10⁻⁹ m, so a finer (say 6dp) grain puts ~0.1%
+    * of legs on a rounding boundary — measured, not hypothetical — while
+    * the 1 m grain shrinks the flip window to ~4·10⁻⁹ per leg. One key
+    * exchange + one lag window. Returns (key, n_legs, total_m). */
+  def trajectoryLengths(df: DataFrame, keyCol: String, orderCol: Column,
+                        idCol: String, latCol: Column,
+                        lonCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__o").asc,
+      col(idCol).asc)
+    df.select(col(keyCol), col(idCol), orderCol.as("__o"),
+        latCol.as("__la"), lonCol.as("__lo"))
+      .withColumn("__pla", lag(col("__la"), 1).over(w))
+      .withColumn("__plo", lag(col("__lo"), 1).over(w))
+      .filter(col("__pla").isNotNull)
+      .select(col(keyCol), round(haversineMeters(col("__pla"), col("__plo"),
+        col("__la"), col("__lo")), 0).cast("long").as("__leg"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_legs"), sum(col("__leg")).as("total_m"))
   }
 
   // -------------------------------------------------------- hotspot cells

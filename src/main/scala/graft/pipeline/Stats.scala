@@ -1704,6 +1704,37 @@ object Stats {
         col("lo_cut"), col("hi_cut")): _*)
   }
 
+  // ----------------------------------------------------- Pythagorean means
+  /** Arithmetic, geometric, and harmonic means per group over strictly
+    * positive values. The arithmetic mean is DECIMAL-exact; geometric
+    * (exp of the ln-mean) and harmonic (n / Σ 1/x) carry their per-row
+    * libm terms through DECIMAL(28,12) casts — per-row rounding, then
+    * order-independent summation (the PSI/JSD discipline) — and finish
+    * with one fixed-shape closed form each, 6dp. Non-positive and null
+    * values are excluded (and counted). Returns per group:
+    * (groupCols…, n, n_excluded, mean, geo_mean, harmonic_mean). */
+  def pythagoreanMeans(df: DataFrame, groupCols: Seq[String],
+                       valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(groupCols.nonEmpty, "group columns required")
+    val gs = groupCols.map(col)
+    val ok = valueCol.isNotNull && valueCol > 0.0
+    df.groupBy(gs: _*)
+      .agg(sum(when(ok, 1L).otherwise(0L)).as("n"),
+        sum(when(!ok, 1L).otherwise(0L)).as("n_excluded"),
+        sum(when(ok, valueCol.cast(DecimalType(28, 6)))).as("__s"),
+        sum(when(ok, log(valueCol).cast(DecimalType(28, 12)))).as("__sl"),
+        sum(when(ok, (lit(1.0) / valueCol).cast(DecimalType(28, 12))))
+          .as("__sr"))
+      .select(gs ++ Seq(col("n"), col("n_excluded"),
+        round(col("__s").cast("double") / col("n").cast("double"), 6)
+          .as("mean"),
+        round(exp(col("__sl").cast("double") / col("n").cast("double")), 6)
+          .as("geo_mean"),
+        round(col("n").cast("double") / col("__sr").cast("double"), 6)
+          .as("harmonic_mean")): _*)
+  }
+
   // ------------------------------------------------------------ SPRT trace
   /** Wald sequential-probability-ratio trace at daily grain: cumulative
     * trials/successes (exact integer windows over the calendar rollup),

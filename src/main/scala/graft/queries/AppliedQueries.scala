@@ -1220,6 +1220,92 @@ object AppliedQueries {
           .unionByName(t2.select(col("id").as("ia"),
             (col("id") + 2000000L).as("ib")))
         Linkage.blockingQuality(recs, "blk", "id", truth)
-      })
+      }),
+
+    // ---- per-user great-circle trajectory totals over hash-derived
+    // coordinates (the q240 grid): one lag window per user, haversine
+    // legs at whole-meter grain (libm-noise-proof), exact BIGINT totals.
+    Q("q316_trajectory", {
+      val la = "CAST((event_id % 1000) - 500 AS DOUBLE) * 0.17"
+      val lo = "CAST(((event_id * 7919) % 1000) - 500 AS DOUBLE) * 0.35"
+      Some("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, " +
+        s"$la AS la, $lo AS lo FROM events), " +
+        "w AS (SELECT user_id, la, lo, " +
+        "lag(la) OVER pk AS pla, lag(lo) OVER pk AS plo FROM e " +
+        "WINDOW pk AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "l AS (SELECT user_id, sin((radians(la) - radians(pla)) / 2) AS sa, " +
+        "sin((radians(lo) - radians(plo)) / 2) AS so, radians(pla) AS r1, " +
+        "radians(la) AS r2 FROM w WHERE pla IS NOT NULL), " +
+        "g AS (SELECT user_id, CAST(round(12742000.0 * asin(sqrt(sa * sa " +
+        "+ cos(r1) * cos(r2) * so * so)), 0) AS BIGINT) AS leg FROM l) " +
+        "SELECT user_id, count(*) AS n_legs, " +
+        "CAST(sum(leg) AS BIGINT) AS total_m FROM g " +
+        "GROUP BY 1 ORDER BY user_id")
+    },
+      (s, dir) => Spatial.trajectoryLengths(
+          Tables.events(s, dir).withColumn("la",
+              (pmod(col("event_id"), lit(1000L)) - 500).cast("double") * 0.17)
+            .withColumn("lo",
+              (pmod(col("event_id") * 7919L, lit(1000L)) - 500)
+                .cast("double") * 0.35),
+          "user_id", unix_micros(col("ts")), "event_id", col("la"),
+          col("lo"))
+        .orderBy("user_id")),
+
+    // ---- calendarized revenue recognition: each lineitem's price spreads
+    // pro-rata over [orderdate, shipdate] into 30-day periods; per-term
+    // INTEGER micro-cents via div (the q281 lesson), bounded explode.
+    Q("q317_revenue_recognition",
+      Some("WITH li AS (SELECT epoch_us(o.o_orderdate) // 86400000000 AS s, " +
+        "epoch_us(l.l_shipdate) // 86400000000 AS e, " +
+        "CAST(round(l.l_extendedprice * 100) AS BIGINT) AS c " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), " +
+        "b AS (SELECT s, e, c, e - s + 1 AS span FROM li WHERE e >= s), " +
+        "x AS (SELECT s, e, c, span, " +
+        "unnest(range(s // 30, e // 30 + 1)) AS period FROM b), " +
+        "d AS (SELECT period, c, span, least(e, (period + 1) * 30 - 1) - " +
+        "greatest(s, period * 30) + 1 AS days FROM x), " +
+        "t AS (SELECT period, (c * 10000 * days) // span AS micro FROM d) " +
+        "SELECT period, count(*) AS n_rows, " +
+        "round(CAST(sum(micro) AS DOUBLE) / 1000000.0, 6) AS revenue " +
+        "FROM t GROUP BY 1 ORDER BY period"),
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_shipdate"),
+            col("l_extendedprice"))
+          .join(Tables.orders(s, dir)
+            .select(col("o_orderkey").as("ok"), col("o_orderdate")),
+            Seq("ok"))
+        Finance.revenueRecognition(li,
+            EventAnalytics.dayIndex(col("o_orderdate")),
+            EventAnalytics.dayIndex(col("l_shipdate")),
+            col("l_extendedprice"), periodDays = 30)
+          .orderBy("period")
+      }),
+
+    // ---- Pythagorean means per event type: arithmetic DECIMAL-exact;
+    // geometric/harmonic via per-row DECIMAL(28,12) libm terms (PSI/JSD
+    // discipline).
+    Q("q318_group_means",
+      Some("WITH e AS (SELECT event_type, value, " +
+        "(value IS NOT NULL AND value > 0) AS ok FROM events), " +
+        "g AS (SELECT event_type, " +
+        "sum(CASE WHEN ok THEN 1 ELSE 0 END) AS n, " +
+        "sum(CASE WHEN ok THEN 0 ELSE 1 END) AS n_excluded, " +
+        "sum(CASE WHEN ok THEN CAST(value AS DECIMAL(28,6)) END) AS s, " +
+        "sum(CASE WHEN ok THEN CAST(ln(value) AS DECIMAL(28,12)) END) " +
+        "AS sl, " +
+        "sum(CASE WHEN ok THEN CAST(1.0 / value AS DECIMAL(28,12)) END) " +
+        "AS sr FROM e GROUP BY 1) " +
+        "SELECT event_type, CAST(n AS BIGINT) AS n, " +
+        "CAST(n_excluded AS BIGINT) AS n_excluded, " +
+        "round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean, " +
+        "round(exp(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE)), 6) " +
+        "AS geo_mean, " +
+        "round(CAST(n AS DOUBLE) / CAST(sr AS DOUBLE), 6) " +
+        "AS harmonic_mean FROM g ORDER BY event_type"),
+      (s, dir) => Stats.pythagoreanMeans(Tables.events(s, dir),
+          Seq("event_type"), col("value"))
+        .orderBy("event_type"))
   )
 }

@@ -526,6 +526,21 @@ class AppliedSpec extends SparkSpec {
       ("BC_then_A", 3.0, 6.0, 9.0, 3L, 6L, true)))
   }
 
+  test("trajectoryLengths: equatorial legs match the analytic great circle") {
+    import graft.pipeline.Spatial
+    // (0,0) -> (0,1) -> (0,2): each leg is one degree along the equator
+    val df = Seq((1L, 10L, 0.0, 0.0), (1L, 11L, 0.0, 1.0),
+      (1L, 12L, 0.0, 2.0), (2L, 20L, 10.0, 10.0))
+      .toDF("k", "id", "lat", "lon")
+    val r = Spatial.trajectoryLengths(df, "k", col("id").cast("long"),
+      "id", col("lat"), col("lon")).orderBy("k").collect()
+    val oneDeg = math.round(12742000.0 *
+      math.asin(math.sqrt(math.pow(math.sin(math.toRadians(1.0) / 2), 2))))
+    assert(r.length == 1) // single-point key 2 has no legs
+    assert(r(0).getLong(1) == 2L && r(0).getLong(2) == 2 * oneDeg)
+    assert(math.abs(oneDeg - 111195L) <= 1) // ~111.195 km per degree
+  }
+
   test("blockingQuality: rollup pair counts; captured vs missed labels") {
     // blocks {1,2}, {3}, {4}: 1 candidate of C(4,2)=6 pairs;
     // truth (1,2) captured, (1,3) missed

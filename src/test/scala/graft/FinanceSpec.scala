@@ -133,6 +133,20 @@ class FinanceSpec extends SparkSpec {
     assert(r.getDouble(1) == 10.0 && r.getDouble(2) == 1.2)
   }
 
+  test("revenueRecognition: pro-rata period splits; micro-cent truncation") {
+    // $3 over days 0..59 -> $1.50 per 30-day period;
+    // $1 over days 29..31 -> 1/3 : 2/3 with one truncated micro-cent
+    val df = Seq((0L, 59L, 3.0), (29L, 31L, 1.0)).toDF("s", "e", "amt")
+    val r = Finance.revenueRecognition(df, col("s"), col("e"), col("amt"))
+      .orderBy("period").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq ==
+      Seq((0L, 2L, 1.5 + 0.333333), (1L, 2L, 1.5 + 0.666666)))
+    // degenerate span (e < s) drops
+    val bad = Seq((5L, 4L, 9.0)).toDF("s", "e", "amt")
+    assert(Finance.revenueRecognition(bad, col("s"), col("e"), col("amt"))
+      .isEmpty)
+  }
+
   test("lexicalDiversity: case folding, whitespace runs, hapax counting") {
     import graft.pipeline.{TextAnalysis => TA}
     val df = Seq((1L, "A a  b\tc"), (2L, "x x x"), (3L, "   "))

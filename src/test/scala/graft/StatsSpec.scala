@@ -1180,6 +1180,16 @@ class StatsSpec extends SparkSpec {
       Seq("continue", "accept_h1", "accept_h1"))
   }
 
+  test("pythagoreanMeans: AM/GM/HM on {1,2,4}; non-positives excluded") {
+    val df = Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(4.0)),
+      ("g", Some(0.0)), ("g", None)).toDF("g", "v")
+    val r = Stats.pythagoreanMeans(df, Seq("g"), col("v")).collect()(0)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 2.333333) // 7/3
+    assert(r.getDouble(4) == 2.0)      // cube root of 8
+    assert(r.getDouble(5) == 1.714286) // 3 / 1.75
+  }
+
   test("whaleShare: ceil cuts, deterministic ranking, exact shares") {
     // users 1..10 with values $1..$10: top-10% = {10} -> 10/55,
     // top-50% = {10..6} -> 40/55
