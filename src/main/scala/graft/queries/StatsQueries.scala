@@ -2422,21 +2422,21 @@ object StatsQueries2 {
         top("authority").unionByName(top("hub"))
       }),
 
-    // ---- whole-graph structure report on the co-purchase graph (q139's
-    // edge relation): exact integer wedge/triangle/degree moments, global
+    // ---- whole-graph structure report on the SPARSE co-purchase graph
+    // (q156's support-≥2 relation — the raw co-occurrence graph is
+    // near-complete at bench scale and its triangle pass already runs as
+    // q139; re-enumerating it here would double that cost for no new
+    // signal): exact integer wedge/triangle/degree moments, global
     // clustering 3T/W and Newman degree assortativity as one-shot closed
     // forms.
     Q("q300_graph_summary",
-      Some("WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
-        "FROM lineitem), " +
-        "e AS (SELECT DISTINCT x.pk AS a, y.pk AS b FROM lp x " +
-        "JOIN lp y ON x.ok = y.ok AND x.pk < y.pk), " +
-        "d0 AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e), " +
+      Some("WITH " + graft.queries.AppliedQueries.copurchaseEdgesSql + ", " +
+        "d0 AS (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0), " +
         "d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg " +
         "FROM d0 GROUP BY 1), " +
-        "t AS (SELECT count(*) AS n_triangles FROM (SELECT 1 FROM e e1 " +
-        "JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b " +
-        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)), " +
+        "t AS (SELECT count(*) AS n_triangles FROM (SELECT 1 FROM e0 e1 " +
+        "JOIN e0 e2 ON e1.a = e2.a AND e1.b < e2.b " +
+        "JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b)), " +
         "ds AS (SELECT count(*) AS n_nodes, " +
         "CAST(sum(CAST(deg * (deg - 1) AS HUGEINT)) AS HUGEINT) AS w2 " +
         "FROM d), " +
@@ -2444,8 +2444,8 @@ object StatsQueries2 {
         "CAST(sum(CAST(da + db AS HUGEINT)) AS HUGEINT) AS sx, " +
         "CAST(sum(CAST(da * da + db * db AS HUGEINT)) AS HUGEINT) AS sxx, " +
         "CAST(sum(CAST(da * db AS HUGEINT)) AS HUGEINT) AS sab FROM " +
-        "(SELECT dx.deg AS da, dy.deg AS db FROM e " +
-        "JOIN d dx ON e.a = dx.node JOIN d dy ON e.b = dy.node)) " +
+        "(SELECT dx.deg AS da, dy.deg AS db FROM e0 " +
+        "JOIN d dx ON e0.a = dx.node JOIN d dy ON e0.b = dy.node)) " +
         "SELECT n_nodes, n_edges, CAST(w2 // 2 AS BIGINT) AS n_wedges, " +
         "n_triangles, " +
         "round(3.0 * CAST(n_triangles AS DOUBLE) / " +
@@ -2456,16 +2456,8 @@ object StatsQueries2 {
         "(2.0 * CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
         "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS assortativity " +
         "FROM ds, st, t"),
-      (s, dir) => {
-        val lp = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val edges = lp.join(lp.select(col("ok"), col("pk").as("pk2")),
-            Seq("ok"))
-          .filter(col("pk") < col("pk2"))
-          .select(col("pk").as("src"), col("pk2").as("dst"))
-        Graph.graphSummary(edges, "src", "dst")
-      }),
+      (s, dir) => Graph.graphSummary(
+        graft.queries.AppliedQueries.copurchaseEdges(s, dir), "src", "dst")),
 
     // ---- per-language trimmed/winsorized n_chars means: k = ⌊n·10%⌋,
     // cut values are order statistics (data elements), DECIMAL sums, tie
