@@ -1704,6 +1704,97 @@ object Stats {
         col("lo_cut"), col("hi_cut")): _*)
   }
 
+  // -------------------------------------------------- K-fold target encoding
+  /** Leakage-free target-encoding table: for each (category, fold), the
+    * target mean computed from every OTHER fold — the encoding a row in
+    * fold f looks up so its own target never leaks into its feature
+    * (standard K-fold mean encoding). One (category, fold) aggregate of
+    * exact DECIMAL sums; out-of-fold means are (S_cat − S_fold)/(n_cat −
+    * n_fold), a single division of exact values, 6dp. Categories×folds is
+    * the output bound. Folds must come from a deterministic hash.
+    * Returns (category, fold, n_in_fold, n_out_fold, encoding). */
+  def targetEncoding(df: DataFrame, categoryCol: Column, foldCol: Column,
+                     targetCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df.filter(targetCol.isNotNull)
+      .groupBy(categoryCol.as("category"), foldCol.as("fold"))
+      .agg(count(lit(1)).as("n_in_fold"),
+        sum(targetCol.cast(DecimalType(28, 6))).as("__s"))
+    val tot = Window.partitionBy(col("category"))
+    cells
+      .withColumn("__nc", sum(col("n_in_fold")).over(tot))
+      .withColumn("__sc", sum(col("__s")).over(tot))
+      .select(col("category"), col("fold"), col("n_in_fold"),
+        (col("__nc") - col("n_in_fold")).as("n_out_fold"),
+        // a category entirely inside one fold has no out-of-fold rows:
+        // null encoding (the caller backs off to the global prior)
+        when(col("__nc") - col("n_in_fold") > 0,
+          round((col("__sc") - col("__s")).cast("double") /
+            (col("__nc") - col("n_in_fold")).cast("double"), 6))
+          .as("encoding"))
+  }
+
+  // ---------------------------------------------------- newsvendor stocking
+  /** Empirical newsvendor stocking level per key: the smallest observed
+    * per-period demand d with P(demand ≤ d) ≥ criticalPct% — the
+    * ceil-index order statistic of the key's period-demand distribution
+    * (a DATA ELEMENT, engine-exact). Demand first rolls up to
+    * (key, period) integer units; the rank window then runs per key over
+    * period-count-sized groups. Returns (key, n_periods, stock_level,
+    * max_demand). */
+  def newsvendorLevels(df: DataFrame, keyCol: String, periodCol: Column,
+                       qtyCol: Column, criticalPct: Int = 80): DataFrame = {
+    require(criticalPct >= 1 && criticalPct <= 100, "criticalPct in 1..100")
+    val demand = df.groupBy(col(keyCol), periodCol.as("__p"))
+      .agg(sum(qtyCol.cast("long")).as("__d"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__d").asc)
+    val whole = Window.partitionBy(col(keyCol))
+    demand
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__mx", max(col("__d")).over(whole))
+      .filter(col("__rn") === expr(s"(__n * $criticalPct + 99) div 100"))
+      .select(col(keyCol), col("__n").as("n_periods"),
+        col("__d").as("stock_level"), col("__mx").as("max_demand"))
+  }
+
+  // ------------------------------------------------------------ Qini deciles
+  /** Qini uplift curve at decile grain: units rank by targeting score
+    * (score DESC, id ASC — total order, so ntile is deterministic), and
+    * each cumulative decile reports treated/control counts, conversions,
+    * and the Qini uplift conv_t − conv_c·(n_t/n_c) — the uplift-model
+    * evaluation standard. All counts are exact integers from one unit-
+    * grain aggregate; windows run on the 10-row decile rollup. Returns
+    * per decile: (decile, cum_n_treat, cum_n_ctrl, cum_conv_treat,
+    * cum_conv_ctrl, uplift). */
+  def qiniDeciles(df: DataFrame, idCol: Column, scoreCol: Column,
+                  treatCol: Column, convCol: Column,
+                  nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val ranked = df.select(idCol.as("__id"), scoreCol.as("__s"),
+        treatCol.as("__t"), convCol.as("__c"))
+      .withColumn("decile", ntile(nBins).over(
+        Window.orderBy(col("__s").desc, col("__id").asc)))
+    val cells = ranked.groupBy("decile")
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__nc"),
+        sum(when(col("__t") && col("__c"), 1L).otherwise(0L)).as("__ct"),
+        sum(when(!col("__t") && col("__c"), 1L).otherwise(0L)).as("__cc"))
+    val w = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_n_treat", sum(col("__nt")).over(w))
+      .withColumn("cum_n_ctrl", sum(col("__nc")).over(w))
+      .withColumn("cum_conv_treat", sum(col("__ct")).over(w))
+      .withColumn("cum_conv_ctrl", sum(col("__cc")).over(w))
+      .select(col("decile"), col("cum_n_treat"), col("cum_n_ctrl"),
+        col("cum_conv_treat"), col("cum_conv_ctrl"),
+        round(col("cum_conv_treat").cast("double") -
+          col("cum_conv_ctrl").cast("double") *
+            (col("cum_n_treat").cast("double") /
+              col("cum_n_ctrl").cast("double")), 6).as("uplift"))
+  }
+
   // ----------------------------------------------------- Pythagorean means
   /** Arithmetic, geometric, and harmonic means per group over strictly
     * positive values. The arithmetic mean is DECIMAL-exact; geometric

@@ -1306,6 +1306,83 @@ object AppliedQueries {
         "AS harmonic_mean FROM g ORDER BY event_type"),
       (s, dir) => Stats.pythagoreanMeans(Tables.events(s, dir),
           Seq("event_type"), col("value"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // ---- leakage-free K-fold target-encoding table: out-of-fold means
+    // (S_cat − S_fold)/(n_cat − n_fold) from exact DECIMAL sums.
+    Q("q319_target_encoding",
+      Some("WITH c AS (SELECT o_orderpriority AS category, " +
+        "o_orderkey % 5 AS fold, count(*) AS n_in_fold, " +
+        "sum(CAST(o_totalprice AS DECIMAL(28,6))) AS s FROM orders " +
+        "WHERE o_totalprice IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT category, CAST(sum(n_in_fold) AS BIGINT) AS nc, " +
+        "sum(s) AS sc FROM c GROUP BY 1) " +
+        "SELECT c.category, fold, n_in_fold, nc - n_in_fold AS n_out_fold, " +
+        "CASE WHEN nc - n_in_fold > 0 THEN " +
+        "round(CAST(sc - s AS DOUBLE) / CAST(nc - n_in_fold AS DOUBLE), 6) " +
+        "END AS encoding FROM c JOIN t USING (category) " +
+        "ORDER BY category, fold"),
+      (s, dir) => Stats.targetEncoding(Tables.orders(s, dir),
+          col("o_orderpriority"), pmod(col("o_orderkey"), lit(5L)),
+          col("o_totalprice"))
+        .orderBy("category", "fold")),
+
+    // ---- empirical newsvendor stocking levels: the ceil-index order
+    // statistic of each part's daily-demand distribution at the 80%
+    // critical ratio — data elements, engine-exact.
+    Q("q320_newsvendor",
+      Some("WITH d AS (SELECT l_partkey AS k, " +
+        "epoch_us(l_shipdate) // 86400000000 AS p, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS dd " +
+        "FROM lineitem WHERE l_partkey % 25 = 0 GROUP BY 1, 2), " +
+        "r AS (SELECT k, dd, row_number() OVER (PARTITION BY k " +
+        "ORDER BY dd) AS rn, count(*) OVER (PARTITION BY k) AS n, " +
+        "max(dd) OVER (PARTITION BY k) AS mx FROM d) " +
+        "SELECT k AS l_partkey, n AS n_periods, dd AS stock_level, " +
+        "mx AS max_demand FROM r WHERE rn = (n * 80 + 99) // 100 " +
+        "ORDER BY l_partkey"),
+      (s, dir) => Stats.newsvendorLevels(
+          Tables.lineitem(s, dir)
+            .filter(pmod(col("l_partkey"), lit(25L)) === 0)
+            .withColumnRenamed("l_partkey", "l_partkey"),
+          "l_partkey", EventAnalytics.dayIndex(col("l_shipdate")),
+          col("l_quantity"), criticalPct = 80)
+        .orderBy("l_partkey")),
+
+    // ---- Qini uplift deciles: per-user units rank by value score
+    // (total order -> deterministic ntile); cumulative integer counts and
+    // the conv_t − conv_c·(n_t/n_c) closed form per decile.
+    Q("q321_qini_uplift",
+      Some("WITH u AS (SELECT user_id, " +
+        "coalesce(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT), " +
+        "0) AS score, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 " +
+        "END) AS conv FROM events GROUP BY 1), " +
+        "r AS (SELECT user_id, score, user_id % 2 = 0 AS t, conv = 1 AS c, " +
+        "ntile(10) OVER (ORDER BY score DESC, user_id) AS decile FROM u), " +
+        "g AS (SELECT decile, sum(CASE WHEN t THEN 1 ELSE 0 END) AS nt, " +
+        "sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS nc, " +
+        "sum(CASE WHEN t AND c THEN 1 ELSE 0 END) AS ct, " +
+        "sum(CASE WHEN NOT t AND c THEN 1 ELSE 0 END) AS cc " +
+        "FROM r GROUP BY 1), " +
+        "w AS (SELECT decile, CAST(sum(nt) OVER fr AS BIGINT) " +
+        "AS cum_n_treat, CAST(sum(nc) OVER fr AS BIGINT) AS cum_n_ctrl, " +
+        "CAST(sum(ct) OVER fr AS BIGINT) AS cum_conv_treat, " +
+        "CAST(sum(cc) OVER fr AS BIGINT) AS cum_conv_ctrl FROM g " +
+        "WINDOW fr AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW)) " +
+        "SELECT decile, cum_n_treat, cum_n_ctrl, cum_conv_treat, " +
+        "cum_conv_ctrl, round(CAST(cum_conv_treat AS DOUBLE) - " +
+        "CAST(cum_conv_ctrl AS DOUBLE) * (CAST(cum_n_treat AS DOUBLE) / " +
+        "CAST(cum_n_ctrl AS DOUBLE)), 6) AS uplift FROM w ORDER BY decile"),
+      (s, dir) => {
+        val users = Tables.events(s, dir).groupBy("user_id")
+          .agg(coalesce(sum(round(col("value") * 100, 0).cast("long")),
+            lit(0L)).as("score"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("conv"))
+        Stats.qiniDeciles(users, col("user_id"), col("score"),
+            pmod(col("user_id"), lit(2L)) === 0, col("conv") === 1L)
+          .orderBy("decile")
+      })
   )
 }

@@ -1180,6 +1180,43 @@ class StatsSpec extends SparkSpec {
       Seq("continue", "accept_h1", "accept_h1"))
   }
 
+  test("targetEncoding: out-of-fold means; single-fold category gets null") {
+    val df = Seq(("A", 0L, 1.0), ("A", 0L, 2.0), ("A", 1L, 3.0),
+      ("B", 0L, 9.0)).toDF("cat", "fold", "y")
+    val r = Stats.targetEncoding(df, col("cat"), col("fold"), col("y"))
+      .orderBy("category", "fold").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+      x.getLong(3))).toSeq ==
+      Seq(("A", 0L, 2L, 1L), ("A", 1L, 1L, 2L), ("B", 0L, 1L, 0L)))
+    assert(r(0).getDouble(4) == 3.0)  // A fold 0 sees only fold 1's mean
+    assert(r(1).getDouble(4) == 1.5)  // A fold 1 sees folds 0's mean
+    assert(r(2).isNullAt(4))          // B has no out-of-fold rows
+  }
+
+  test("newsvendorLevels: ceil-index order statistic at the critical ratio") {
+    val df = (1L to 5L).map(d => ("p1", d, d)) :+ (("p2", 1L, 7L))
+    val dd = df.toDF("k", "p", "q")
+    val r = Stats.newsvendorLevels(dd, "k", col("p"), col("q"),
+      criticalPct = 80).orderBy("k").collect()
+    // p1: demands {1..5}, rank ceil(0.8·5) = 4 -> level 4, max 5
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+      x.getLong(3))).toSeq == Seq(("p1", 5L, 4L, 5L), ("p2", 1L, 7L, 7L)))
+    val full = Stats.newsvendorLevels(dd, "k", col("p"), col("q"),
+      criticalPct = 100).orderBy("k").collect()
+    assert(full(0).getLong(2) == 5L) // 100% service level = max demand
+  }
+
+  test("qiniDeciles: two-bin hand example; deterministic ntile order") {
+    val df = Seq((1L, 4L, true, true), (2L, 3L, false, false),
+      (3L, 2L, true, false), (4L, 1L, false, true))
+      .toDF("id", "s", "t", "c")
+    val r = Stats.qiniDeciles(df, col("id"), col("s"), col("t"), col("c"),
+      nBins = 2).orderBy("decile").collect()
+    assert(r.map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+      x.getLong(3), x.getLong(4), x.getDouble(5))).toSeq ==
+      Seq((1, 1L, 1L, 1L, 0L, 1.0), (2, 2L, 2L, 1L, 1L, 0.0)))
+  }
+
   test("pythagoreanMeans: AM/GM/HM on {1,2,4}; non-positives excluded") {
     val df = Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(4.0)),
       ("g", Some(0.0)), ("g", None)).toDF("g", "v")
