@@ -501,6 +501,20 @@ object StreamQueries {
         "SELECT hour, rank, event_type, n FROM r WHERE rank <= 3 " +
         "ORDER BY hour, rank"),
       (s, dir) => Streams.windowedTopKBatch(Tables.events(s, dir), k = 3)
-        .orderBy("hour", "rank"))
+        .orderBy("hour", "rank")),
+
+    // ---- keep-latest state view (the CDC "current table"): one keyed
+    // (ts, event_id)-max election; the streaming face maintains the same
+    // state via mapGroupsWithState (batch ≡ stream spec-pinned).
+    Q("q322_latest_state",
+      Some("WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us " +
+        "FROM events), " +
+        "r AS (SELECT user_id, event_id, value, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn " +
+        "FROM e) " +
+        "SELECT user_id, event_id AS last_event_id, value AS last_value " +
+        "FROM r WHERE rn = 1 ORDER BY user_id"),
+      (s, dir) => Streams.latestStateBatch(Tables.events(s, dir))
+        .orderBy("user_id"))
   )
 }

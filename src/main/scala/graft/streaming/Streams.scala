@@ -347,4 +347,40 @@ object Streams {
     q.stop()
     df.sparkSession.table(name)
   }
+
+  final case class KeyedLatest(user_id: Long, last_event_id: Long,
+      last_value: Double)
+  final case class LatestState(us: Long, id: Long, value: Double)
+
+  /** Streaming keep-latest materialized view: per key, state holds the
+    * (event-time µs, id)-max row's payload — the streaming form of the
+    * q68 keep-latest upsert / CDC "current state" table, emitted in
+    * Update mode every micro-batch the key changes. Election order
+    * (ts, event_id) matches the batch operator exactly, so after any
+    * batch split the final state is IDENTICAL to [[latestStateBatch]]
+    * over the concatenated input (StreamsSpec pins it). State is one
+    * fixed-size record per live key. */
+  def latestStateStream(events: Dataset[Event]): Dataset[KeyedLatest] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[LatestState, KeyedLatest](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[LatestState]) =>
+          val best = (state.getOption.iterator ++ rows.map(e =>
+            LatestState(e.ts.getTime * 1000L, e.event_id, e.value)))
+            .maxBy(s => (s.us, s.id))
+          state.update(best)
+          KeyedLatest(uid, best.id, best.value)
+      }
+  }
+
+  /** Batch companion of [[latestStateStream]]: one keyed max_by election
+    * on (event-time µs, id). Returns (user_id, last_event_id,
+    * last_value). */
+  def latestStateBatch(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_id").as("id"), col("value")),
+        struct(unix_micros(col("ts")).as("us"), col("event_id").as("id")))
+        .as("__b"))
+      .select(col("user_id"), col("__b.id").as("last_event_id"),
+        col("__b.value").as("last_value"))
 }

@@ -85,6 +85,41 @@ class StreamsSpec extends SparkSpec {
     assert(total == Tables.events(spark, sf0001).count())
   }
 
+  test("latestStateStream: final state equals the batch election across batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, uid: Long, sec: Long, v: Double) =
+      Streams.Event(id, new java.sql.Timestamp(sec * 1000L), uid, "e", v)
+    val all = Seq(
+      ev(1, 1L, 10, 1.0), ev(2, 1L, 20, 2.0),  // batch 1
+      ev(3, 1L, 15, 9.0),                       // batch 2: older ts loses
+      ev(4, 2L, 5, 7.0),
+      ev(5, 2L, 5, 8.0))                        // same ts: higher id wins
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.latestStateStream(input.toDS()).toDF()
+      .writeStream.format("memory").queryName("latest")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(all.take(2): _*); q.processAllAvailable()
+    input.addData(all.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    // Update sink appends each batch's emission; last row per key = state
+    val fin = spark.table("latest")
+      .withColumn("__n", monotonically_increasing_id())
+      .groupBy("user_id")
+      .agg(max_by(struct(col("last_event_id"), col("last_value")),
+        col("__n")).as("b"))
+      .select(col("user_id"), col("b.last_event_id"), col("b.last_value"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val batch = Streams.latestStateBatch(
+        all.toDF("event_id", "ts", "user_id", "event_type", "value")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(fin == batch)
+    assert(batch(1L) == ((2L, 2.0)) && batch(2L) == ((5L, 8.0)))
+  }
+
   test("throttleStream caps per key per window across batches; late events drop") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
