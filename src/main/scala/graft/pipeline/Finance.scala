@@ -148,6 +148,62 @@ object Finance {
           .as("revenue"))
   }
 
+  // ------------------------------------------------ price-volume bridge
+  /** Rate/volume revenue bridge between two periods (the FP&A waterfall):
+    * for items sold in both periods, ΔRev splits into
+    * rate = rev₁ − rev₀·q₁/q₀ and volume = (q₁−q₀)·rev₀/q₀; items only in
+    * one period land in new/discontinued buckets. All effects are INTEGER
+    * micro-cents — the rational terms use a single truncated div each
+    * (the q281 rule) and the truncation dust is surfaced as an explicit
+    * `residual` column, so delta ≡ rate + volume + new − discontinued +
+    * residual EXACTLY. One (key, period) rollup; everything after is
+    * key-cardinality. `periodCol`: false = base, true = current. Returns
+    * one row: (n_both, n_new, n_discontinued, delta, rate_effect,
+    * volume_effect, new_effect, discontinued_effect, residual). */
+  def priceVolumeBridge(df: DataFrame, keyCol: String, periodCol: Column,
+                        qtyCol: Column, amountCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val per = df.groupBy(col(keyCol).as("__k"), periodCol.as("__p"))
+      .agg(sum(qtyCol.cast("long")).as("__q"),
+        sum(round(amountCol * 100, 0).cast("long")).as("__r"))
+    val base = per.filter(!col("__p") && col("__q") > 0)
+      .select(col("__k"), col("__q").as("__q0"), col("__r").as("__r0"))
+    val cur = per.filter(col("__p") && col("__q") > 0)
+      .select(col("__k"), col("__q").as("__q1"), col("__r").as("__r1"))
+    val joined = base.join(cur, Seq("__k"), "full")
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val both = col("__q0").isNotNull && col("__q1").isNotNull
+    val stats = joined.agg(
+      sum(when(both, 1L).otherwise(0L)).as("n_both"),
+      sum(when(col("__q0").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("__q1").isNull, 1L).otherwise(0L)).as("n_discontinued"),
+      sum(dec(coalesce(col("__r1"), lit(0L)) - coalesce(col("__r0"), lit(0L)))
+        * 10000).as("__delta"),
+      sum(when(both,
+        dec(col("__r1") * 10000L -
+          expr("(__r0 * 10000 * __q1) div __q0")))).as("__rate"),
+      // sign-explicit: Spark `div` truncates toward zero while DuckDB //
+      // floors — a negative dividend would diverge, so divide |Δq| only
+      sum(when(both,
+        dec(expr("CASE WHEN __q1 >= __q0 THEN " +
+          "((__q1 - __q0) * __r0 * 10000) div __q0 ELSE " +
+          "-(((__q0 - __q1) * __r0 * 10000) div __q0) END")))).as("__vol"),
+      sum(when(col("__q0").isNull, dec(col("__r1") * 10000L))).as("__new"),
+      sum(when(col("__q1").isNull, dec(col("__r0") * 10000L))).as("__disc"))
+    def money(c: Column) =
+      round(coalesce(c, lit(0L)).cast("double") / 1000000.0, 6)
+    stats.select(col("n_both"), col("n_new"), col("n_discontinued"),
+      money(col("__delta")).as("delta"),
+      money(col("__rate")).as("rate_effect"),
+      money(col("__vol")).as("volume_effect"),
+      money(col("__new")).as("new_effect"),
+      money(col("__disc")).as("discontinued_effect"),
+      money(coalesce(col("__delta"), lit(0L)) -
+        coalesce(col("__rate"), lit(0L)) - coalesce(col("__vol"), lit(0L)) -
+        coalesce(col("__new"), lit(0L)) +
+        coalesce(col("__disc"), lit(0L))).as("residual"))
+  }
+
   // ------------------------------------------------- Laspeyres price index
   /** Laspeyres price index between two periods: Σᵢ p_C,i·q_B,i / Σᵢ
     * p_B,i·q_B,i over items sold in BOTH periods, with p = unit revenue

@@ -709,6 +709,43 @@ object TextAnalysis {
         sum(col("__tb")).cast("double") * 0.5, 6).as("jsd"))
   }
 
+  // ----------------------------------------------------------- dataset card
+  /** One-row corpus datasheet — the summary block of a dataset card for a
+    * training corpus: doc/char/token totals, language count and entropy,
+    * exact-duplicate rate (md5 distinct), and short-doc share. One corpus
+    * scan for the doc-grain moments + one language rollup; entropy terms
+    * follow the PSI/JSD DECIMAL(28,12) discipline; every rate is a single
+    * IEEE division, 6dp. Returns (n_docs, n_langs, total_chars,
+    * total_tokens, dup_rate, short_rate, lang_entropy). */
+  def datasetCard(docs: DataFrame, textCol: String, langCol: Column,
+                  shortChars: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = docs.select(length(col(textCol)).as("__ch"),
+      size(filter(tokens(lower(col(textCol))), t => t =!= "")).as("__tk"),
+      md5(col(textCol)).as("__h"), langCol.as("__lang"))
+    val s = d.agg(count(lit(1)).as("n_docs"),
+      countDistinct(col("__lang")).as("n_langs"),
+      sum(col("__ch").cast(DecimalType(38, 0))).cast("long").as("total_chars"),
+      sum(col("__tk").cast(DecimalType(38, 0))).cast("long")
+        .as("total_tokens"),
+      countDistinct(col("__h")).as("__nd"),
+      sum(when(col("__ch") < shortChars, 1L).otherwise(0L)).as("__nshort"))
+    val n = d.agg(count(lit(1)).cast("double").as("__n"))
+    val p = col("__c").cast("double") / col("__n")
+    val ent = d.groupBy(col("__lang")).agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(n))
+      .agg(sum((-p * log(p)).cast(DecimalType(28, 12))).cast("double")
+        .as("__ent"))
+    s.crossJoin(broadcast(ent))
+      .select(col("n_docs"), col("n_langs"), col("total_chars"),
+        col("total_tokens"),
+        round(lit(1.0) - col("__nd").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"),
+        round(col("__nshort").cast("double") /
+          col("n_docs").cast("double"), 6).as("short_rate"),
+        round(col("__ent"), 6).as("lang_entropy"))
+  }
+
   // ------------------------------------------------------ lexical diversity
   /** Per-document lexical-diversity profile: type-token ratio and hapax
     * (once-only types) ratio over the [[tokens]] whitespace tokenization —

@@ -1383,6 +1383,65 @@ object AppliedQueries {
         Stats.qiniDeciles(users, col("user_id"), col("score"),
             pmod(col("user_id"), lit(2L)) === 0, col("conv") === 1L)
           .orderBy("decile")
+      }),
+
+    // ---- FP&A rate/volume revenue bridge between the ship-date halves:
+    // integer micro-cent effects with sign-explicit truncated divisions;
+    // delta ≡ rate + volume + new − discontinued + residual EXACTLY.
+    Q("q323_price_volume_bridge",
+      Some("WITH li AS (SELECT l_partkey AS k, " +
+        "epoch_us(l_shipdate) // 86400000000 AS day, l_quantity, " +
+        "l_extendedprice FROM lineitem), " +
+        "mm AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM li), " +
+        "per AS (SELECT k, day >= mid AS p, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) " +
+        "AS r FROM li, mm GROUP BY 1, 2), " +
+        "b AS (SELECT k, q AS q0, r AS r0 FROM per WHERE NOT p AND q > 0), " +
+        "c AS (SELECT k, q AS q1, r AS r1 FROM per WHERE p AND q > 0), " +
+        "j AS (SELECT coalesce(b.k, c.k) AS k, q0, r0, q1, r1 FROM b " +
+        "FULL OUTER JOIN c ON b.k = c.k), " +
+        "s AS (SELECT " +
+        "CAST(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS n_both, " +
+        "CAST(sum(CASE WHEN q0 IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_new, " +
+        "CAST(sum(CASE WHEN q1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_discontinued, " +
+        "sum(CAST((coalesce(r1, 0) - coalesce(r0, 0)) AS HUGEINT) * 10000) " +
+        "AS delta_u, " +
+        "sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL THEN " +
+        "CAST(r1 * 10000 - (r0 * 10000 * q1) // q0 AS HUGEINT) END) " +
+        "AS rate_u, " +
+        "sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL THEN " +
+        "CAST(CASE WHEN q1 >= q0 THEN ((q1 - q0) * r0 * 10000) // q0 " +
+        "ELSE -(((q0 - q1) * r0 * 10000) // q0) END AS HUGEINT) END) " +
+        "AS vol_u, " +
+        "sum(CASE WHEN q0 IS NULL THEN CAST(r1 * 10000 AS HUGEINT) END) " +
+        "AS new_u, " +
+        "sum(CASE WHEN q1 IS NULL THEN CAST(r0 * 10000 AS HUGEINT) END) " +
+        "AS disc_u FROM j) " +
+        "SELECT n_both, n_new, n_discontinued, " +
+        "round(CAST(coalesce(delta_u, 0) AS DOUBLE) / 1000000.0, 6) " +
+        "AS delta, " +
+        "round(CAST(coalesce(rate_u, 0) AS DOUBLE) / 1000000.0, 6) " +
+        "AS rate_effect, " +
+        "round(CAST(coalesce(vol_u, 0) AS DOUBLE) / 1000000.0, 6) " +
+        "AS volume_effect, " +
+        "round(CAST(coalesce(new_u, 0) AS DOUBLE) / 1000000.0, 6) " +
+        "AS new_effect, " +
+        "round(CAST(coalesce(disc_u, 0) AS DOUBLE) / 1000000.0, 6) " +
+        "AS discontinued_effect, " +
+        "round(CAST(coalesce(delta_u, 0) - coalesce(rate_u, 0) " +
+        "- coalesce(vol_u, 0) - coalesce(new_u, 0) + coalesce(disc_u, 0) " +
+        "AS DOUBLE) / 1000000.0, 6) AS residual FROM s"),
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .withColumn("day", EventAnalytics.dayIndex(col("l_shipdate")))
+        val mid = li.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+        Finance.priceVolumeBridge(li.crossJoin(broadcast(mid)), "l_partkey",
+          col("day") >= col("mid"), col("l_quantity"),
+          col("l_extendedprice"))
       })
   )
 }

@@ -910,6 +910,33 @@ object TextQueries {
         "AS hapax_ratio FROM d ORDER BY doc_id"),
       (s, dir) => TA.lexicalDiversity(Tables.documents(s, dir), "doc_id",
           "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- one-row dataset card: corpus totals, language entropy
+    // (DECIMAL(28,12) terms), exact-dup and short-doc rates — the
+    // datasheet block a training corpus ships with.
+    Q("q324_dataset_card",
+      Some("WITH d AS (SELECT length(text) AS ch, " +
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), " +
+        "'\\s+'), t -> t != '')) AS tk, md5(text) AS h, lang " +
+        "FROM documents), " +
+        "s AS (SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs, " +
+        "CAST(sum(CAST(ch AS HUGEINT)) AS BIGINT) AS total_chars, " +
+        "CAST(sum(CAST(tk AS HUGEINT)) AS BIGINT) AS total_tokens, " +
+        "count(DISTINCT h) AS nd, " +
+        "CAST(sum(CASE WHEN ch < 100 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS nshort FROM d), " +
+        "t AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d), " +
+        "lc AS (SELECT lang, count(*) AS c FROM d GROUP BY 1), " +
+        "le AS (SELECT CAST(sum(CAST(-(CAST(c AS DOUBLE) / n) * " +
+        "ln(CAST(c AS DOUBLE) / n) AS DECIMAL(28,12))) AS DOUBLE) AS ent " +
+        "FROM lc, t) " +
+        "SELECT n_docs, n_langs, total_chars, total_tokens, " +
+        "round(1.0 - CAST(nd AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) " +
+        "AS dup_rate, " +
+        "round(CAST(nshort AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) " +
+        "AS short_rate, round(ent, 6) AS lang_entropy FROM s, le"),
+      (s, dir) => TA.datasetCard(Tables.documents(s, dir), "text",
+        col("lang"), shortChars = 100))
   )
 }

@@ -147,6 +147,45 @@ class FinanceSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("priceVolumeBridge: exact micro-cent identity incl. truncation dust") {
+    // A both-periods exact: rate $4 + vol $10 = delta $14, zero dust
+    // B base-only -> discontinued $9;  C current-only -> new $10
+    // D shrinks 3->1 units on a $10 base: rate -0.333333, vol -6.666666,
+    //   delta -7 -> one micro-cent of truncation dust (residual -0.000001)
+    // E zero-qty current period row counts as discontinued (q>0 gate)
+    val df = Seq(
+      ("A", false, 1L, 4.0), ("A", false, 1L, 6.0), ("A", true, 4L, 24.0),
+      ("B", false, 3L, 9.0), ("C", true, 2L, 10.0),
+      ("D", false, 3L, 10.0), ("D", true, 1L, 3.0),
+      ("E", false, 1L, 2.0), ("E", true, 0L, 0.0))
+      .toDF("k", "p", "qty", "amt")
+    val r = Finance.priceVolumeBridge(df, "k", col("p"), col("qty"),
+      col("amt")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 2L)))
+    assert(r.getDouble(3) == 6.0)         // delta: 14 - 9 + 10 - 7 - 2
+    assert(r.getDouble(4) == 3.666667)    // rate: 4 - 0.333333
+    assert(r.getDouble(5) == 3.333334)    // vol: 10 - 6.666666
+    assert(r.getDouble(6) == 10.0 && r.getDouble(7) == 11.0)
+    // identity: delta == rate + vol + new - disc + residual, exactly
+    assert(r.getDouble(8) == -0.000001)
+    assert(r.getDouble(3) == math.round((r.getDouble(4) + r.getDouble(5) +
+      r.getDouble(6) - r.getDouble(7) + r.getDouble(8)) * 1e6) / 1e6)
+  }
+
+  test("datasetCard: dup/short rates, language entropy, token totals") {
+    import graft.pipeline.{TextAnalysis => TA}
+    val df = Seq((1L, "hello world", "en"), (2L, "hello world", "en"),
+      (3L, "x", "fr")).toDF("doc_id", "text", "lang")
+    val r = TA.datasetCard(df, "text", col("lang"), shortChars = 5)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 2L)))
+    assert(r.getLong(2) == 23L && r.getLong(3) == 5L)
+    assert(r.getDouble(4) == 0.333333 && r.getDouble(5) == 0.333333)
+    // H = -(2/3)ln(2/3) - (1/3)ln(1/3) = ln3 - (2/3)ln2
+    val exp = math.log(3) - 2.0 / 3 * math.log(2)
+    assert(math.abs(r.getDouble(6) - exp) < 1e-6)
+  }
+
   test("lexicalDiversity: case folding, whitespace runs, hapax counting") {
     import graft.pipeline.{TextAnalysis => TA}
     val df = Seq((1L, "A a  b\tc"), (2L, "x x x"), (3L, "   "))
