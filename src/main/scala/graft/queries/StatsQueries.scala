@@ -799,30 +799,24 @@ object StatsQueries {
         "FROM w, t ORDER BY abs(nd * cum - i * t) DESC, day LIMIT 1"),
       (s, dir) => EventAnalytics.changePoint(Tables.events(s, dir), "ts")),
 
-    // ---- per-node triangle counts of the part co-purchase graph
-    // (parts sharing an order): degree-ordered orientation bounds wedge
-    // fan-out on hub parts; the oracle enumerates a<b<c — the count is
-    // orientation-invariant, so agreement is exact.
+    // ---- per-node triangle counts of the SPARSE (support >= 2) part
+    // co-purchase graph: degree-ordered orientation bounds wedge fan-out
+    // on hub parts; the oracle enumerates a<b<c — the count is
+    // orientation-invariant, so agreement is exact. The support floor is
+    // the q300 lesson: the raw co-occurrence relation is near-complete at
+    // bench scale, which makes wedge volume a property of the synthetic
+    // input, not of the operator.
     Q("q139_triangles",
-      Some("WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
-        "e AS (SELECT DISTINCT x.pk AS a, y.pk AS b FROM lp x " +
-        "JOIN lp y ON x.ok = y.ok AND x.pk < y.pk), " +
-        "t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w FROM e e1 " +
-        "JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b " +
-        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), " +
+      Some("WITH " + AppliedQueries.copurchaseEdgesSql + ", " +
+        "t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w FROM e0 e1 " +
+        "JOIN e0 e2 ON e1.a = e2.a AND e1.b < e2.b " +
+        "JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b), " +
         "n AS (SELECT unnest([u, v, w]) AS node FROM t) " +
         "SELECT node, count(*) AS n_tri FROM n GROUP BY 1 " +
         "ORDER BY n_tri DESC, node LIMIT 20"),
-      (s, dir) => {
-        val lp = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val edges = lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-          .filter(col("pk") < col("pk2"))
-          .select(col("pk").as("src"), col("pk2").as("dst"))
-        graft.pipeline.Graph.triangleCounts(edges, "src", "dst")
-          .orderBy(col("n_tri").desc, col("node").asc).limit(20)
-      }),
+      (s, dir) => graft.pipeline.Graph.triangleCounts(
+          AppliedQueries.copurchaseEdges(s, dir), "src", "dst")
+        .orderBy(col("n_tri").desc, col("node").asc).limit(20)),
 
     // ---- fuzzy part-name pairs: the native codegen'd Jaro-Winkler kernel
     // (bit-identical to DuckDB's jaro_winkler_similarity — the gate runs on
@@ -967,33 +961,25 @@ object StatsQueries {
           .orderBy(col("slope").desc, col("user_id").asc).limit(25)
       }),
 
-    // ---- local clustering coefficient over the same co-purchase graph:
-    // 2·tri/(deg·(deg−1)), integers finished by one IEEE division.
+    // ---- local clustering coefficient over the same SPARSE co-purchase
+    // graph (q139's support-2 relation): 2·tri/(deg·(deg−1)), integers
+    // finished by one IEEE division.
     Q("q146_clustering",
-      Some("WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
-        "e AS (SELECT DISTINCT x.pk AS a, y.pk AS b FROM lp x " +
-        "JOIN lp y ON x.ok = y.ok AND x.pk < y.pk), " +
+      Some("WITH " + AppliedQueries.copurchaseEdgesSql + ", " +
         "d AS (SELECT node, count(*) AS deg FROM " +
-        "(SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1), " +
-        "t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w FROM e e1 " +
-        "JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b " +
-        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), " +
+        "(SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1), " +
+        "t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w FROM e0 e1 " +
+        "JOIN e0 e2 ON e1.a = e2.a AND e1.b < e2.b " +
+        "JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b), " +
         "tc AS (SELECT node, count(*) AS n_tri FROM " +
         "(SELECT unnest([u, v, w]) AS node FROM t) GROUP BY 1) " +
         "SELECT d.node, deg, coalesce(n_tri, 0) AS n_tri, " +
         "round(2.0 * coalesce(n_tri, 0) / CAST(deg * (deg - 1) AS DOUBLE), 6) AS coeff " +
         "FROM d LEFT JOIN tc USING (node) WHERE deg >= 2 " +
         "ORDER BY coeff DESC, node LIMIT 20"),
-      (s, dir) => {
-        val lp = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val edges = lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-          .filter(col("pk") < col("pk2"))
-          .select(col("pk").as("src"), col("pk2").as("dst"))
-        graft.pipeline.Graph.clusteringCoefficients(edges, "src", "dst")
-          .orderBy(col("coeff").desc, col("node").asc).limit(20)
-      }),
+      (s, dir) => graft.pipeline.Graph.clusteringCoefficients(
+          AppliedQueries.copurchaseEdges(s, dir), "src", "dst")
+        .orderBy(col("coeff").desc, col("node").asc).limit(20)),
 
     // ---- per-type weekday seasonality: dow from the INTEGER day index
     // ((day+3) mod 7, 0=Monday — never a locale calendar function), share
