@@ -233,4 +233,35 @@ object Finance {
         round(sum(col("__term")).cast("double") /
           sum(col("__rb")).cast("double"), 6).as("price_index"))
   }
+  // ------------------------------------------------- market concentration
+  /** Herfindahl–Hirschman market-concentration index per market: with firm
+    * revenue shares s_i = r_i / R, HHI = 10000 · Σ s_i² — the antitrust
+    * scale where 10000 is a monopoly, plus the DOJ/FTC 2023 bands
+    * (<1500 unconcentrated, 1500–2500 moderate, >2500 high).
+    *
+    * DETERMINISM: revenues aggregate to integer cents; HHI is the single
+    * rational 10000·Σ r_i² / R² — numerator and denominator exact
+    * DECIMAL(38,0) integers (r_i² passes 2^63 at whale-firm scale), ONE
+    * IEEE division, 6dp. One (market, firm) rollup, then firm-cardinality
+    * aggregation. Returns (market, n_firms, total_rev, hhi, band). */
+  def hhiConcentration(df: DataFrame, marketCol: String, firmCol: String,
+                       amountCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val firm = df.groupBy(col(marketCol).as("market"), col(firmCol).as("__f"))
+      .agg(sum(round(amountCol * 100, 0).cast("long")).as("__r"))
+      .filter(col("__r") > 0)
+    firm.groupBy(col("market"))
+      .agg(count(lit(1)).as("n_firms"),
+        sum(col("__r")).as("__tot"),
+        sum((col("__r").cast(DecimalType(38, 0)) * col("__r"))).as("__sq"))
+      .select(col("market"), col("n_firms"),
+        round(col("__tot") / 100.0, 2).as("total_rev"),
+        round(lit(10000.0) * col("__sq").cast("double") /
+          (col("__tot").cast("double") * col("__tot").cast("double")), 6)
+          .as("hhi"))
+      .withColumn("band",
+        when(col("hhi") < 1500, "unconcentrated")
+          .when(col("hhi") <= 2500, "moderate")
+          .otherwise("high"))
+  }
 }

@@ -452,4 +452,61 @@ object Graph {
             col("sx").cast("double") * col("sx").cast("double")), 6)
           .as("assortativity"))
   }
+  // ------------------------------------------------------------- modularity
+  /** Newman modularity of a node→community partition over the undirected
+    * simple graph: Q = Σ_c [ e_c/m − (d_c/(2m))² ] with m = |edges|, e_c =
+    * intra-community edges, d_c = total degree mass of community c —
+    * the standard "is this partition better than chance" score for
+    * [[labelPropagation]] output (Newman & Girvan 2004).
+    *
+    * DETERMINISM: each community's contribution is the single rational
+    * (4m·e_c − d_c²) / (4m²) — integer numerator and denominator in
+    * DECIMAL(38,0) (d_c² can pass 2^63 on hub-heavy graphs), ONE IEEE
+    * division, 6dp. Nodes absent from `labels` default to their own
+    * singleton community (the LPA convention), so coverage gaps dilute Q
+    * instead of silently dropping edges.
+    *
+    * 100 TB shape: the label relation joins the edge list twice co-keyed
+    * on the node id (never collected), then everything aggregates to
+    * community cardinality. Returns one row per community:
+    * (community, n_nodes, e_in, deg_sum, contribution). Total modularity
+    * is the caller's Σ contribution. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, nodeCol: String,
+                 labelCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val und = canonEdges(edges, srcCol, dstCol)
+    val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
+    val tagged = und
+      .join(lab.select(col("__n").as("a"), col("__l").as("__la")),
+        Seq("a"), "left")
+      .join(lab.select(col("__n").as("b"), col("__l").as("__lb")),
+        Seq("b"), "left")
+      .select(coalesce(col("__la"), col("a")).as("__la"),
+        coalesce(col("__lb"), col("b")).as("__lb"))
+    val m = tagged.agg(count(lit(1)).as("__m"))
+    val eIn = tagged.filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    val nodeComm = lab.select(col("__n").as("node"), col("__l").as("community"))
+      .unionByName(
+        // nodes never labelled: their own singleton community
+        degrees(und).select(col("node"))
+          .join(lab.select(col("__n").as("node")), Seq("node"), "anti")
+          .select(col("node"), col("node").as("community")))
+    val degC = degrees(und)
+      .join(nodeComm, Seq("node"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg")).cast(DecimalType(38, 0)).as("deg_sum"))
+    degC.join(eIn, Seq("community"), "left").crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        col("deg_sum").cast("long").as("deg_sum"),
+        round((lit(4).cast(DecimalType(38, 0)) * col("__m") *
+          coalesce(col("e_in"), lit(0L)) -
+          col("deg_sum") * col("deg_sum")).cast("double") /
+          (lit(4.0) * col("__m").cast("double") *
+            col("__m").cast("double")), 6).as("contribution"))
+  }
 }

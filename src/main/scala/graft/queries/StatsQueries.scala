@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.Ops
-import graft.pipeline.{Curation, EventAnalytics, Graph, Stats,
+import graft.pipeline.{Curation, EventAnalytics, Finance, Graph, Stats,
   TextAnalysis => TA}
 
 /** Distribution-analytics drivers: cube aggregates, quantile bucketing,
@@ -2497,6 +2497,81 @@ object StatsQueries2 {
         "FROM c WHERE cnt = 14 ORDER BY day"),
       (s, dir) => EventAnalytics.rollingDailyCorr(Tables.events(s, dir),
           "ts", col("value"), windowDays = 14)
-        .orderBy("day"))
+        .orderBy("day")),
+
+    // ---- Newman modularity of the nation partition over the (10%-part
+    // slice of the) customer-supplier purchase graph: per-community
+    // contribution (4m·e_c − d_c²)/(4m²) — exact HUGEINT/DECIMAL(38,0)
+    // numerator, one IEEE division, 6dp. Σ contribution ≈ 0 would say
+    // nation does not explain purchase structure.
+    Q("q325_modularity",
+      Some("WITH p AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) " +
+        "AS a, 's' || CAST(l_suppkey AS VARCHAR) AS b FROM orders " +
+        "JOIN lineitem ON l_orderkey = o_orderkey WHERE l_partkey % 10 = 0), " +
+        "lab AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node, " +
+        "'n' || CAST(c_nationkey AS VARCHAR) AS l FROM customer " +
+        "UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR), " +
+        "'n' || CAST(s_nationkey AS VARCHAR) FROM supplier), " +
+        "m AS (SELECT count(*) AS m FROM p), " +
+        "t AS (SELECT la.l AS cla, lb.l AS clb FROM p " +
+        "JOIN lab la ON p.a = la.node JOIN lab lb ON p.b = lb.node), " +
+        "ein AS (SELECT cla AS community, count(*) AS e_in FROM t " +
+        "WHERE cla = clb GROUP BY 1), " +
+        "deg AS (SELECT node, count(*) AS deg FROM " +
+        "(SELECT a AS node FROM p UNION ALL SELECT b FROM p) GROUP BY 1), " +
+        "dc AS (SELECT l AS community, count(*) AS n_nodes, " +
+        "CAST(sum(deg) AS HUGEINT) AS deg_sum FROM deg " +
+        "JOIN lab ON deg.node = lab.node GROUP BY 1) " +
+        "SELECT dc.community, n_nodes, coalesce(e_in, 0) AS e_in, " +
+        "CAST(deg_sum AS BIGINT) AS deg_sum, " +
+        "round(CAST(4 * CAST(m AS HUGEINT) * coalesce(e_in, 0) - " +
+        "deg_sum * deg_sum AS DOUBLE) / " +
+        "(4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS contribution " +
+        "FROM dc LEFT JOIN ein USING (community), m ORDER BY community"),
+      (s, dir) => {
+        val pairs = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir)
+            .filter(pmod(col("l_partkey"), lit(10)) === 0),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        val labels = Tables.customer(s, dir)
+          .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"),
+            concat(lit("n"), col("c_nationkey").cast("string")).as("lbl"))
+          .unionByName(Tables.supplier(s, dir)
+            .select(concat(lit("s"), col("s_suppkey").cast("string"))
+              .as("node"),
+              concat(lit("n"), col("s_nationkey").cast("string")).as("lbl")))
+        graft.pipeline.Graph.modularity(pairs, "src", "dst",
+            labels, "node", "lbl")
+          .orderBy("community")
+      }),
+
+    // ---- HHI supplier concentration per nation market: 10000·Σ(rᵢ/R)²
+    // as the exact rational 10000·Σrᵢ²/R² (HUGEINT/DECIMAL(38,0)
+    // numerator, one IEEE division) plus the DOJ band.
+    Q("q326_hhi",
+      Some("WITH f AS (SELECT s_nationkey AS market, l_suppkey AS firm, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) " +
+        "AS r FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY 1, 2 HAVING sum(CAST(round(l_extendedprice * 100) " +
+        "AS BIGINT)) > 0) " +
+        "SELECT market, CAST(count(*) AS BIGINT) AS n_firms, " +
+        "round(CAST(sum(r) AS BIGINT) / 100.0, 2) AS total_rev, " +
+        "round(10000.0 * CAST(sum(CAST(r AS HUGEINT) * r) AS DOUBLE) / " +
+        "(CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE)), 6) AS hhi, " +
+        "CASE WHEN round(10000.0 * CAST(sum(CAST(r AS HUGEINT) * r) " +
+        "AS DOUBLE) / (CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE)), 6) " +
+        "< 1500 THEN 'unconcentrated' WHEN round(10000.0 * " +
+        "CAST(sum(CAST(r AS HUGEINT) * r) AS DOUBLE) / " +
+        "(CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE)), 6) <= 2500 " +
+        "THEN 'moderate' ELSE 'high' END AS band " +
+        "FROM f GROUP BY 1 ORDER BY market"),
+      (s, dir) => Finance.hhiConcentration(
+          Tables.lineitem(s, dir).join(Tables.supplier(s, dir),
+            col("l_suppkey") === col("s_suppkey")),
+          "s_nationkey", "l_suppkey", col("l_extendedprice"))
+        .orderBy("market"))
   )
 }
+

@@ -186,6 +186,20 @@ class FinanceSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - exp) < 1e-6)
   }
 
+  test("hhiConcentration: monopoly 10000; equal-split n; zero-rev firm drops") {
+    val df = Seq(
+      ("X", "f1", 60.0), ("X", "f2", 40.0), ("X", "f3", 0.0),
+      ("Y", "g1", 5.0),
+      ("Z", "h1", 25.0), ("Z", "h2", 25.0), ("Z", "h3", 25.0), ("Z", "h4", 25.0))
+      .toDF("mkt", "firm", "amt")
+    val r = Finance.hhiConcentration(df, "mkt", "firm", col("amt"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(3), x.getString(4))).toMap
+    assert(r("X") == ((2L, 5200.0, "high")))       // 0.6² + 0.4²
+    assert(r("Y") == ((1L, 10000.0, "high")))
+    assert(r("Z") == ((4L, 2500.0, "moderate")))   // boundary: <= 2500
+  }
+
   test("lexicalDiversity: case folding, whitespace runs, hapax counting") {
     import graft.pipeline.{TextAnalysis => TA}
     val df = Seq((1L, "A a  b\tc"), (2L, "x x x"), (3L, "   "))

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.pipeline.Graph
 
 /** Unit checks for the join-iterated graph operators on hand-computable
@@ -149,5 +151,28 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(2) == 5L && r.getLong(3) == 1L)  // wedges, triangles
     assert(r.getDouble(4) == 0.6)
     assert(r.getDouble(5) == math.round(-20.0 / 28.0 * 1e6) / 1e6)
+  }
+
+  test("modularity: two triangles + bridge; unlabelled-node singleton fallback") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4: m=7, degs (2,2,3,3,2,2)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L), (2L, 1L)).toDF("src", "dst")
+    val full = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 20L)).toDF("node", "lbl")
+    val r = Graph.modularity(edges, "src", "dst", full, "node", "lbl")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    // per community: (4·7·3 − 7²)/(4·7²) = 35/196
+    assert(r(10L) == ((3L, 3L, 7L, math.round(35.0 / 196 * 1e6) / 1e6)))
+    assert(r(20L) == ((3L, 3L, 7L, math.round(35.0 / 196 * 1e6) / 1e6)))
+    // drop node 6 from the labels: it becomes its own singleton community
+    val part = full.filter(col("node") =!= 6L)
+    val r2 = Graph.modularity(edges, "src", "dst", part, "node", "lbl")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r2(20L) == ((2L, 1L, 5L, math.round(3.0 / 196 * 1e6) / 1e6)))
+    assert(r2(6L) == ((1L, 0L, 2L, math.round(-4.0 / 196 * 1e6) / 1e6)))
+    assert(r2(10L)._4 == math.round(35.0 / 196 * 1e6) / 1e6)
   }
 }
