@@ -893,4 +893,78 @@ object Curation {
           .otherwise(0L))
       .select(col(groupCol), col("n_rows"), col("n_alloc"))
   }
+  // ------------------------------------------- mixture token-budget fill
+  /** Two-pass water-filling token allocation across domains — the mixture
+    * planner behind "sample this corpus to num/den of its tokens at these
+    * target weights" (the DoReMi-style reweighting step before
+    * [[mixtureSample]] executes per-row): budget B = (ΣT·num) div den;
+    * pass 1 gives each domain min(tokens_d, (B·w_d) div W); pass 2
+    * redistributes the undistributed remainder proportionally to the
+    * UN-CAPPED domains' residual capacity, capped again. Exactly two
+    * passes are the CONTRACT (deterministic, an oracle unrolls the same
+    * two); the post-pass-2 dust (< #domains tokens + whatever exceeds
+    * total capacity) stays unallocated by design.
+    *
+    * All arithmetic is integer: weights are integral, every division is a
+    * single `div` on DECIMAL(38,0) products (B·w_d passes 2^63 at corpus
+    * scale) of NON-NEGATIVE terms — floor (DuckDB) and truncate (Spark)
+    * agree. Everything runs at domain cardinality; the corpus itself is
+    * one (domain) rollup away and never re-shuffles. Returns per domain:
+    * (domain, tokens, weight, alloc_tokens, rate, filled). */
+  def tokenBudgetAllocation(domains: DataFrame, domainCol: String,
+                            tokensCol: Column, weightCol: Column,
+                            budgetNum: Int, budgetDen: Int): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0 && budgetNum <= budgetDen,
+      s"budget fraction out of range: $budgetNum/$budgetDen")
+    val base = domains.select(col(domainCol).as("domain"),
+      tokensCol.cast("long").as("tokens"), weightCol.cast("long").as("weight"))
+    val tot = base.agg(sum(col("tokens")).as("__T"), sum(col("weight")).as("__W"))
+      .select(expr(s"(CAST(__T AS DECIMAL(38,0)) * $budgetNum) div $budgetDen")
+        .as("__B"), col("__W"))
+    val p1 = base.crossJoin(broadcast(tot))
+      .withColumn("__a1",
+        least(col("tokens"),
+          expr("(CAST(__B AS DECIMAL(38,0)) * weight) div __W")))
+    val left = p1.agg((first(col("__B")) - sum(col("__a1"))).as("__L"),
+      sum(col("tokens") - col("__a1")).as("__C"))
+    p1.crossJoin(broadcast(left))
+      .withColumn("alloc_tokens",
+        col("__a1") + when(col("__C") > 0,
+          least(col("tokens") - col("__a1"),
+            expr("(CAST(__L AS DECIMAL(38,0)) * (tokens - __a1)) div __C")))
+          .otherwise(lit(0L)))
+      .select(col("domain"), col("tokens"), col("weight"), col("alloc_tokens"),
+        when(col("tokens") > 0, round(col("alloc_tokens").cast("double") /
+          col("tokens").cast("double"), 6)).as("rate"),
+        (col("alloc_tokens") === col("tokens")).as("filled"))
+  }
+
+  // ------------------------------------------------- balanced shard plan
+  /** Deterministic weight-balanced shard assignment — the manifest step
+    * that splits a curated corpus into `numShards` training files of
+    * near-equal token mass. Docs first scatter into `fanout` hash groups
+    * (id mod fanout — each group a random-ish sample of the weight
+    * distribution), then each group round-robins its docs over the shards
+    * in (weight DESC, id ASC) order with a per-group offset so no shard
+    * systematically receives every group's heaviest doc.
+    *
+    * 100 TB shape: the ONLY window is rank-within-group — `fanout` bounds
+    * the largest sort partition at n/fanout rows, the packSequences
+    * discipline; there is no global sort. Balance follows from LPT-style
+    * descending round-robin within strata: per group the spread between
+    * two shards is at most one doc's weight. Returns per doc:
+    * (id, grp, rank_in_grp, shard, weight). */
+  def balancedShards(docs: DataFrame, idCol: String, weightCol: Column,
+                     numShards: Int, fanout: Int = 64): DataFrame = {
+    require(numShards >= 1 && fanout >= 1, s"bad bounds: $numShards/$fanout")
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("weight").desc, col("id").asc)
+    docs.select(col(idCol).as("id"), weightCol.cast("long").as("weight"))
+      .withColumn("grp", pmod(col("id"), lit(fanout.toLong)))
+      .withColumn("rank_in_grp", row_number().over(w))
+      .withColumn("shard",
+        pmod(col("rank_in_grp") - 1 + col("grp"), lit(numShards.toLong)))
+      .select(col("id"), col("grp"), col("rank_in_grp"), col("shard"),
+        col("weight"))
+  }
 }

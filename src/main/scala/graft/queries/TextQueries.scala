@@ -937,6 +937,56 @@ object TextQueries {
         "round(CAST(nshort AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) " +
         "AS short_rate, round(ent, 6) AS lang_entropy FROM s, le"),
       (s, dir) => TA.datasetCard(Tables.documents(s, dir), "text",
-        col("lang"), shortChars = 100))
+        col("lang"), shortChars = 100)),
+
+    // ---- two-pass water-filling token budget across source domains:
+    // B = half the corpus tokens, integer `div` arithmetic throughout
+    // (non-negative terms, so DuckDB floor == Spark truncate); the oracle
+    // unrolls the same two passes.
+    Q("q327_token_budget",
+      Some(s"WITH d0 AS (SELECT source AS domain, " +
+        s"CAST(sum(len($tokensSql)) AS BIGINT) AS tokens FROM documents " +
+        "GROUP BY 1), " +
+        "d AS (SELECT domain, tokens, CAST(CAST(substr(domain, 4) AS " +
+        "INTEGER) % 5 + 1 AS BIGINT) AS weight FROM d0), " +
+        "t AS (SELECT CAST(CAST(sum(tokens) AS HUGEINT) // 2 AS BIGINT) " +
+        "AS b, CAST(sum(weight) AS BIGINT) AS w FROM d), " +
+        "p1 AS (SELECT domain, tokens, weight, " +
+        "least(tokens, CAST((CAST(b AS HUGEINT) * weight) // w AS BIGINT)) " +
+        "AS a1 FROM d, t), " +
+        "l AS (SELECT t.b - s.sa AS lft, s.cap FROM t, " +
+        "(SELECT CAST(sum(a1) AS BIGINT) AS sa, " +
+        "CAST(sum(tokens - a1) AS BIGINT) AS cap FROM p1) s), " +
+        "f AS (SELECT domain, tokens, weight, a1 + CASE WHEN cap > 0 THEN " +
+        "least(tokens - a1, CAST((CAST(lft AS HUGEINT) * (tokens - a1)) " +
+        "// cap AS BIGINT)) ELSE 0 END AS alloc_tokens FROM p1, l) " +
+        "SELECT domain, tokens, weight, alloc_tokens, " +
+        "CASE WHEN tokens > 0 THEN round(CAST(alloc_tokens AS DOUBLE) / " +
+        "CAST(tokens AS DOUBLE), 6) END AS rate, " +
+        "alloc_tokens = tokens AS filled FROM f ORDER BY domain"),
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .groupBy(col("source").as("domain"))
+          .agg(sum(TA.tokenCount(col("text"))).as("tokens"))
+          .withColumn("weight",
+            expr("CAST(substring(domain, 4) AS INT) % 5 + 1"))
+        Curation.tokenBudgetAllocation(d, "domain", col("tokens"),
+            col("weight"), budgetNum = 1, budgetDen = 2)
+          .orderBy("domain")
+      }),
+
+    // ---- weight-balanced shard manifest: hash-group scatter + per-group
+    // descending round-robin with a group offset — the only window is
+    // rank-within-group (fanout bounds the largest sort), no global sort.
+    Q("q328_balanced_shards",
+      Some("WITH d AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) " +
+        "AS weight, doc_id % 8 AS grp FROM documents), " +
+        "r AS (SELECT id, grp, weight, row_number() OVER " +
+        "(PARTITION BY grp ORDER BY weight DESC, id) AS rank_in_grp FROM d) " +
+        "SELECT id, grp, CAST(rank_in_grp AS INTEGER) AS rank_in_grp, " +
+        "(rank_in_grp - 1 + grp) % 5 AS shard, weight FROM r ORDER BY id"),
+      (s, dir) => Curation.balancedShards(Tables.documents(s, dir),
+          "doc_id", col("n_chars"), numShards = 5, fanout = 8)
+        .orderBy("id"))
   )
 }

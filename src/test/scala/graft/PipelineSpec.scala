@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, MediaFixtures, Multimodal, Similarity, Stats, Web, TextAnalysis => TA}
+import graft.pipeline.{Curation, Dedup, MediaFixtures, Multimodal, Similarity, Stats, Web, TextAnalysis => TA}
 
 /** Training-data pipeline operators: text analysis, dedup family,
   * similarity search, multimodal plumbing.
@@ -1344,5 +1344,47 @@ class PipelineSpec extends SparkSpec {
     // tiny epsilon -> huge noise scale; clamp keeps releases non-negative
     val tiny = Stats.dpNoisyCounts(df, "g", epsilon = 0.001).collect()
     tiny.foreach(r => assert(r.getLong(3) >= 0))
+  }
+
+  test("tokenBudgetAllocation: cap, two-pass redistribution, exact fill") {
+    import spark.implicits._
+    // T=1110, B=555, W=4: pass1 ideal (138,138,277) caps A,B at (10,100);
+    // leftover 168 all flows to C's capacity -> C gets 277+168=445;
+    // total alloc == B exactly
+    val d = Seq(("A", 10L, 1L), ("B", 100L, 1L), ("C", 1000L, 2L))
+      .toDF("domain", "tokens", "weight")
+    val r = Curation.tokenBudgetAllocation(d, "domain", col("tokens"),
+        col("weight"), budgetNum = 1, budgetDen = 2)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(3), x.getDouble(4), x.getBoolean(5))).toMap
+    assert(r("A") == ((10L, 1.0, true)))
+    assert(r("B") == ((100L, 1.0, true)))
+    assert(r("C") == ((445L, 0.445, false)))
+    assert(r.values.map(_._1).sum == 555L)
+    // budget = whole corpus: everything fills, zero dust
+    val full = Curation.tokenBudgetAllocation(d, "domain", col("tokens"),
+        col("weight"), budgetNum = 1, budgetDen = 1)
+      .collect().map(x => x.getString(0) -> (x.getLong(3), x.getBoolean(5)))
+      .toMap
+    assert(full == Map("A" -> ((10L, true)), "B" -> ((100L, true)),
+      "C" -> ((1000L, true))))
+  }
+
+  test("balancedShards: per-group descending round-robin with group offset") {
+    import spark.implicits._
+    // fanout 2: grp0 weights (40,30,20,10) -> shards 0,1,0,1;
+    // grp1 weights (35,25,15,5) -> offset 1 -> shards 1,0,1,0;
+    // totals land perfectly balanced at 90/90
+    val docs = Seq((0L, 40L), (2L, 30L), (4L, 20L), (6L, 10L),
+      (1L, 35L), (3L, 25L), (5L, 15L), (7L, 5L)).toDF("doc_id", "w")
+    val a = Curation.balancedShards(docs, "doc_id", col("w"),
+      numShards = 2, fanout = 2)
+    val byId = a.collect().map(x => x.getLong(0) ->
+      (x.getLong(1), x.getInt(2), x.getLong(3))).toMap
+    assert(byId(0L) == ((0L, 1, 0L)) && byId(2L) == ((0L, 2, 1L)))
+    assert(byId(1L) == ((1L, 1, 1L)) && byId(3L) == ((1L, 2, 0L)))
+    val totals = a.groupBy("shard").agg(sum(col("weight")).as("t"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(totals == Map(0L -> 90L, 1L -> 90L))
   }
 }
