@@ -1895,4 +1895,140 @@ object Stats {
         round(col("__cum").cast("double") / col("__tot").cast("double"), 6)
           .as("share"))
   }
+  // -------------------------------------------------- Mann-Whitney U test
+  /** Two-sample Mann-Whitney U (Wilcoxon rank-sum) per group with the
+    * tie-corrected normal approximation — the nonparametric "did the
+    * distribution shift" test for skewed metrics where a t-test lies.
+    * Sample membership is `sampleCol` (true = sample 1).
+    *
+    * Same shape as [[rocAuc]] (U is its unnormalized core): values
+    * collapse to per-(group, value) counts first, one per-group running
+    * sum gives 2U₁ = Σ_v n1(v)·(2·n2below(v) + n2(v)) in exact
+    * DECIMAL(38,0) integers, and the tie term Σ(t³−t) stays integer too.
+    * Only z is floating point: σ² = (n1·n2/12)·((N+1) − Σ(t³−t)/(N(N−1)))
+    * and z = (2U₁ − n1·n2)/(2σ) are fixed IEEE shapes rounded 6dp —
+    * engine-identical. No continuity correction (documented). Degenerate
+    * groups (either sample empty, or all values tied) report null z.
+    *
+    * Cardinality contract (the rocAuc discipline): the per-group window
+    * runs over DISTINCT values — bound continuous metrics by rounding
+    * before calling. Returns groupCols + (n1, n2, u1, z). */
+  def mannWhitney(df: DataFrame, valueCol: String, sampleCol: Column,
+                  groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(groupCols.nonEmpty, "at least one group column")
+    val g = groupCols.map(col)
+    val perVal = df
+      .groupBy(g :+ col(valueCol).as("__v"): _*)
+      .agg(sum(when(sampleCol, 1L).otherwise(0L)).as("__n1"),
+        sum(when(sampleCol, 0L).otherwise(1L)).as("__n2"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = perVal
+      .withColumn("__below2", coalesce(sum(col("__n2")).over(w), lit(0L)))
+      .groupBy(g: _*)
+      .agg(sum(col("__n1")).as("n1"), sum(col("__n2")).as("n2"),
+        sum((col("__n1") * (lit(2L) * col("__below2") + col("__n2")))
+          .cast(DecimalType(38, 0))).as("__u2"),
+        sum(((col("__n1") + col("__n2")) * (col("__n1") + col("__n2")) *
+          (col("__n1") + col("__n2")) - (col("__n1") + col("__n2")))
+          .cast(DecimalType(38, 0))).as("__ties"))
+    val nTot = (col("n1") + col("n2")).cast("double")
+    val sigma2 = col("n1").cast("double") * col("n2").cast("double") /
+      lit(12.0) * ((nTot + 1.0) -
+        col("__ties").cast("double") / (nTot * (nTot - 1.0)))
+    agg
+      .withColumn("u1", col("__u2").cast("double") / 2.0)
+      .withColumn("z",
+        when(col("n1") > 0 && col("n2") > 0 && sigma2 > 0,
+          round((col("__u2").cast("double") -
+            col("n1").cast("double") * col("n2").cast("double")) /
+            (lit(2.0) * sqrt(sigma2)), 6)))
+      .select(g ++ Seq(col("n1"), col("n2"), col("u1"), col("z")): _*)
+  }
+
+  // --------------------------------------- Benjamini-Hochberg step-up FDR
+  /** Benjamini–Hochberg FDR control over a relation of (test, p-value)
+    * rows at level q = qNum/qDen: rank tests by (p ASC, id ASC), find the
+    * largest rank k with p ≤ q·k/m, and flag ranks ≤ k as discoveries —
+    * the multiple-testing gate a metrics platform runs over per-slice
+    * test batteries. The boundary compare is p·m·qDen ≤ qNum·rank — one
+    * double product per side in a fixed shape (q stays rational), never a
+    * pre-rounded threshold.
+    *
+    * Cardinality contract: the relation is one row per TEST (slices, not
+    * raw data), so the global rank window is bounded by the battery size
+    * — the aboveQuantile discipline. Returns
+    * (id, p_value, rank, threshold, discovery) — threshold = q·rank/m, 6dp. */
+  def bhFdr(df: DataFrame, idCol: String, pCol: Column,
+            qNum: Int, qDen: Int): DataFrame = {
+    require(qNum > 0 && qDen > 0 && qNum <= qDen,
+      s"q fraction out of range: $qNum/$qDen")
+    val m = df.agg(count(lit(1)).as("__m"))
+    val wRank = Window.orderBy(col("p_value").asc, col("id").asc)
+    val wAll = Window.partitionBy(lit(1))
+    df.select(col(idCol).as("id"), pCol.cast("double").as("p_value"))
+      .crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("__ok",
+        col("p_value") * col("__m").cast("double") * qDen <=
+          lit(qNum).cast("double") * col("rank").cast("double"))
+      .withColumn("__k", max(when(col("__ok"), col("rank"))).over(wAll))
+      .select(col("id"), col("p_value"), col("rank"),
+        round(lit(qNum).cast("double") * col("rank").cast("double") /
+          (lit(qDen).cast("double") * col("__m").cast("double")), 6)
+          .as("threshold"),
+        coalesce(col("rank") <= col("__k"), lit(false)).as("discovery"))
+  }
+
+  // ------------------------------------------------------------ t-closeness
+  /** t-closeness audit (the distributional sequel to [[lDiversityAudit]]):
+    * per QI group, the earth-mover's distance between the group's
+    * distribution over an ORDERED sensitive attribute and the global one,
+    * with the standard ordered-EMD normalization Σ_v |cum_g − cum_G| / (k−1)
+    * (Li, Li & Venkatasubramanian, ICDE'07).
+    *
+    * DETERMINISM: cumulative shares compare as the cross-multiplied
+    * integers |cumc_g·N − cumG·n_g| in DECIMAL(38,0) — one exact integer
+    * sum per group, ONE IEEE division by n_g·N·(k−1), 6dp.
+    *
+    * Cardinality contract: `sensCol` must be vocabulary-bounded (bucket
+    * continuous attributes first); the zero-filled (group × value) relation
+    * is |groups|·k rows, the value list broadcasts. Returns
+    * qiCols + (n_rows, emd). Degenerate k = 1 reports emd null. */
+  def tCloseness(df: DataFrame, qiCols: Seq[String],
+                 sensCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(qiCols.nonEmpty, "at least one quasi-identifier column")
+    val g = qiCols.map(col)
+    val base = df.select(g :+ sensCol.as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val wG = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gv = base.groupBy(col("__v")).agg(count(lit(1)).as("__cg"))
+      .withColumn("__cumG", sum(col("__cg")).over(wG))
+    val tot = gv.agg(sum(col("__cg")).as("__N"),
+      count(lit(1)).as("__k"))
+    val groups = base.groupBy(g: _*).agg(count(lit(1)).as("n_rows"))
+    val cells = groups
+      .crossJoin(broadcast(gv.select(col("__v"), col("__cumG"))))
+      .join(base.groupBy(g :+ col("__v"): _*)
+          .agg(count(lit(1)).as("__c")),
+        qiCols :+ "__v", "left")
+    val wC = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("__cumc", sum(coalesce(col("__c"), lit(0L))).over(wC))
+      .crossJoin(broadcast(tot))
+      .groupBy(g :+ col("n_rows"): _*)
+      .agg(sum(abs((col("__cumc") * col("__N") -
+          col("__cumG") * col("n_rows")).cast(DecimalType(38, 0))))
+        .as("__num"),
+        first(col("__k")).as("__k"), first(col("__N")).as("__N"))
+      .select(g ++ Seq(col("n_rows"),
+        when(col("__k") > 1,
+          round(col("__num").cast("double") /
+            (col("n_rows").cast("double") * col("__N").cast("double") *
+              (col("__k") - 1).cast("double")), 6)).as("emd")): _*)
+  }
 }

@@ -2571,7 +2571,104 @@ object StatsQueries2 {
           Tables.lineitem(s, dir).join(Tables.supplier(s, dir),
             col("l_suppkey") === col("s_suppkey")),
           "s_nationkey", "l_suppkey", col("l_extendedprice"))
-        .orderBy("market"))
+        .orderBy("market")),
+
+    // ---- Mann-Whitney U per linestatus: did returned lineitems ship in
+    // different quantities? U and the tie term Σ(t³−t) are exact
+    // HUGEINT/DECIMAL(38,0) integers; only z is IEEE, in one mirrored
+    // shape, 6dp. No continuity correction (contract).
+    Q("q329_mann_whitney",
+      Some("WITH pv AS (SELECT l_linestatus, CAST(l_quantity AS BIGINT) " +
+        "AS v, CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n1, CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 " +
+        "ELSE 1 END) AS BIGINT) AS n2 FROM lineitem GROUP BY 1, 2), " +
+        "w AS (SELECT l_linestatus, n1, n2, coalesce(CAST(sum(n2) OVER " +
+        "(PARTITION BY l_linestatus ORDER BY v ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS b2 FROM pv), " +
+        "a AS (SELECT l_linestatus, CAST(sum(n1) AS BIGINT) AS n1, " +
+        "CAST(sum(n2) AS BIGINT) AS n2, " +
+        "sum(CAST(n1 * (2 * b2 + n2) AS HUGEINT)) AS u2, " +
+        "sum(CAST((n1 + n2) * (n1 + n2) * (n1 + n2) - (n1 + n2) " +
+        "AS HUGEINT)) AS ties FROM w GROUP BY 1), " +
+        "f AS (SELECT l_linestatus, n1, n2, CAST(u2 AS DOUBLE) AS u2d, " +
+        "CAST(ties AS DOUBLE) AS tiesd, CAST(n1 AS DOUBLE) AS n1d, " +
+        "CAST(n2 AS DOUBLE) AS n2d, CAST(n1 + n2 AS DOUBLE) AS ntot " +
+        "FROM a) " +
+        "SELECT l_linestatus, n1, n2, u2d / 2.0 AS u1, " +
+        "CASE WHEN n1 > 0 AND n2 > 0 AND " +
+        "n1d * n2d / 12.0 * ((ntot + 1.0) - tiesd / (ntot * (ntot - 1.0))) " +
+        "> 0 THEN round((u2d - n1d * n2d) / (2.0 * sqrt(n1d * n2d / 12.0 " +
+        "* ((ntot + 1.0) - tiesd / (ntot * (ntot - 1.0))))), 6) END AS z " +
+        "FROM f ORDER BY l_linestatus"),
+      (s, dir) => Stats.mannWhitney(
+          Tables.lineitem(s, dir).select(col("l_linestatus"),
+            col("l_returnflag"), col("l_quantity").cast("long").as("qty")),
+          "qty", col("l_returnflag") === "R", Seq("l_linestatus"))
+        .orderBy("l_linestatus")),
+
+    // ---- Benjamini-Hochberg step-up over a 20-test battery with
+    // deterministic rational p-values: the boundary compare stays
+    // p·m·qDen <= qNum·rank (q = 3/10 rational), never a rounded
+    // threshold; oracle runs the identical step-up.
+    Q("q330_bh_fdr",
+      Some("WITH d AS (SELECT source AS id, CAST(substr(source, 4) " +
+        "AS BIGINT) AS x FROM documents GROUP BY 1), " +
+        "p AS (SELECT id, CAST((x * 2654435761) % 1000003 AS DOUBLE) " +
+        "/ 1000003.0 AS pv FROM d), " +
+        "m AS (SELECT count(*) AS m FROM p), " +
+        "r AS (SELECT id, pv, row_number() OVER (ORDER BY pv, id) " +
+        "AS rank FROM p), " +
+        "f AS (SELECT id, pv, rank, pv * CAST(m AS DOUBLE) * 10 <= " +
+        "CAST(3 AS DOUBLE) * CAST(rank AS DOUBLE) AS ok FROM r, m), " +
+        "k AS (SELECT max(CASE WHEN ok THEN rank END) AS k FROM f) " +
+        "SELECT id, pv AS p_value, CAST(rank AS INTEGER) AS rank, " +
+        "round(CAST(3 AS DOUBLE) * CAST(rank AS DOUBLE) / " +
+        "(CAST(10 AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS threshold, " +
+        "coalesce(rank <= k, false) AS discovery " +
+        "FROM f, m, k ORDER BY id"),
+      (s, dir) => {
+        val tests = Tables.documents(s, dir)
+          .groupBy(col("source").as("id"))
+          .agg(count(lit(1)).as("__n"))
+          .withColumn("x", expr("CAST(substring(id, 4) AS BIGINT)"))
+          .withColumn("pv",
+            ((col("x") * lit(2654435761L)) % lit(1000003L)).cast("double") /
+              lit(1000003.0))
+        Stats.bhFdr(tests, "id", col("pv"), qNum = 3, qDen = 10)
+          .orderBy("id")
+      }),
+
+    // ---- t-closeness over (nation-bucket, segment) QI groups vs the
+    // global acctbal-bucket distribution: ordered EMD via
+    // cross-multiplied integer cumulatives, one IEEE division, 6dp.
+    Q("q331_t_closeness",
+      Some("WITH b AS (SELECT c_nationkey % 5 AS nk, c_mktsegment AS seg, " +
+        "CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS v FROM customer), " +
+        "gv AS (SELECT v, CAST(count(*) AS BIGINT) AS cg FROM b GROUP BY 1), " +
+        "gvc AS (SELECT v, CAST(sum(cg) OVER (ORDER BY v ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumg FROM gv), " +
+        "t AS (SELECT CAST(sum(cg) AS BIGINT) AS n, count(*) AS k FROM gv), " +
+        "g AS (SELECT nk, seg, CAST(count(*) AS BIGINT) AS n_rows FROM b " +
+        "GROUP BY 1, 2), " +
+        "c AS (SELECT nk, seg, v, CAST(count(*) AS BIGINT) AS c FROM b " +
+        "GROUP BY 1, 2, 3), " +
+        "cells AS (SELECT g.nk, g.seg, g.n_rows, gvc.v, gvc.cumg, " +
+        "coalesce(c.c, 0) AS c FROM g CROSS JOIN gvc LEFT JOIN c " +
+        "ON c.nk = g.nk AND c.seg = g.seg AND c.v = gvc.v), " +
+        "cum AS (SELECT nk, seg, n_rows, cumg, CAST(sum(c) OVER " +
+        "(PARTITION BY nk, seg ORDER BY v ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc FROM cells) " +
+        "SELECT nk, seg, n_rows, " +
+        "round(CAST(sum(abs(CAST(cumc * n - cumg * n_rows AS HUGEINT))) " +
+        "AS DOUBLE) / (CAST(n_rows AS DOUBLE) * CAST(n AS DOUBLE) * " +
+        "CAST(k - 1 AS DOUBLE)), 6) AS emd " +
+        "FROM cum, t GROUP BY nk, seg, n_rows, n, k ORDER BY nk, seg"),
+      (s, dir) => Stats.tCloseness(
+          Tables.customer(s, dir).select(
+            pmod(col("c_nationkey"), lit(5)).as("nk"),
+            col("c_mktsegment").as("seg"),
+            floor(col("c_acctbal") / 2000.0).cast("long").as("bal")),
+          Seq("nk", "seg"), col("bal"))
+        .orderBy("nk", "seg"))
   )
 }
-

@@ -1240,4 +1240,54 @@ class StatsSpec extends SparkSpec {
       ((50, 5L, 600L)))
     assert(r(1).getDouble(3) == math.round(40.0 / 55.0 * 1e6) / 1e6)
   }
+  test("mannWhitney: hand U with ties; all-tied group degenerates to null z") {
+    import spark.implicits._
+    // g: s1 = {1,2}, s2 = {2,3,3}: U1 = 0.5 (one tie pair), ties Σ(t³−t)=12,
+    // σ² = 0.5·(6 − 12/20) = 2.7, z = (1−6)/(2√2.7)
+    val df = Seq(("g", 1L, true), ("g", 2L, true), ("g", 2L, false),
+      ("g", 3L, false), ("g", 3L, false),
+      ("h", 7L, true), ("h", 7L, false), ("h", 7L, false))
+      .toDF("grp", "v", "s")
+    val r = Stats.mannWhitney(df, "v", col("s"), Seq("grp"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3),
+          if (x.isNullAt(4)) null else x.getDouble(4))).toMap
+    val zExp = math.round(-5.0 / (2.0 * math.sqrt(2.7)) * 1e6) / 1e6
+    assert(r("g") == ((2L, 3L, 0.5, zExp)))
+    assert(r("h") == ((1L, 2L, 1.0, null))) // all tied -> σ² = 0 -> null
+  }
+
+  test("bhFdr: step-up rescues a mid-rank failure; q stays rational") {
+    import spark.implicits._
+    // q = 3/10, m = 3: thresholds 0.1/0.2/0.3 — rank 2 (p=.25) fails its
+    // own threshold but rank 3 passes, so the STEP-UP flags all three
+    val df = Seq(("a", 0.02), ("b", 0.25), ("c", 0.26)).toDF("id", "p")
+    val r = Stats.bhFdr(df, "id", col("p"), qNum = 3, qDen = 10)
+      .collect().map(x => x.getString(0) ->
+        (x.getInt(2), x.getDouble(3), x.getBoolean(4))).toMap
+    assert(r("a") == ((1, 0.1, true)))
+    assert(r("b") == ((2, 0.2, true)))   // rescued by rank 3
+    assert(r("c") == ((3, 0.3, true)))
+    // nothing passes -> zero discoveries, no null leakage
+    val none = Stats.bhFdr(Seq(("a", 0.5), ("b", 0.75)).toDF("id", "p"),
+      "id", col("p"), qNum = 1, qDen = 10).collect()
+    assert(none.forall(!_.getBoolean(4)))
+  }
+
+  test("tCloseness: hand EMD on a 2-value vocabulary; k=1 degenerates") {
+    import spark.implicits._
+    // global {0:2, 1:2}: group A all-0 and B all-1 both sit EMD 0.5 away;
+    // the balanced group scores 0
+    val df = Seq(("A", 0L), ("A", 0L), ("B", 1L), ("B", 1L),
+      ("C", 0L), ("C", 1L)).toDF("g", "v")
+    // groups A,B over global {0:3,1:3}: A: v0 |2·6−3·2| = 6, v1 0 -> 6/(2·6·1)
+    val r = Stats.tCloseness(df, Seq("g"), col("v"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), if (x.isNullAt(2)) null else x.getDouble(2))).toMap
+    assert(r("A") == ((2L, 0.5)) && r("B") == ((2L, 0.5)))
+    assert(r("C") == ((2L, 0.0)))
+    val k1 = Stats.tCloseness(Seq(("A", 1L), ("B", 1L)).toDF("g", "v"),
+      Seq("g"), col("v")).collect()
+    assert(k1.forall(_.isNullAt(2)))
+  }
 }
