@@ -967,4 +967,46 @@ object Curation {
       .select(col("id"), col("grp"), col("rank_in_grp"), col("shard"),
         col("weight"))
   }
+  // ---------------------------------------------- contrastive negatives
+  /** Deterministic hash-slot negative sampling for contrastive training
+    * pairs: for each query holding positives, draw `2k` candidate ids
+    * from the [0, |universe|) doc-id space via fixed multiplicative
+    * hashing ((q·1000003 + slot·40503) mod n — exact in 64-bit for query
+    * ids below ~9·10¹², documented), drop candidates that are positives
+    * of that query, dedup within-query collisions to their FIRST slot,
+    * and ship the first k survivors in slot order. A query whose
+    * positives swallow more than k of its 2k draws under-fills —
+    * documented, not an error (the mixtureSample short-circuit
+    * discipline). `universe` must carry a DENSE 0..n−1 id column (a
+    * dense-rank build step or the [[balancedShards]] manifest produces
+    * one).
+    *
+    * 100 TB shape: candidates are |queries|·2k rows, co-keyed with the
+    * positives on (query, doc) for one anti join; the only window is
+    * rank-within-query over ≤ 2k rows; the corpus itself never joins.
+    * Returns (query, slot, doc_neg, rank ≤ k). */
+  def negativeSample(positives: DataFrame, queryCol: String, docCol: String,
+                     universe: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val m = universe.agg(count(lit(1)).as("__m"))
+    val queries = positives.select(col(queryCol).cast("long").as("query"))
+      .distinct()
+    val cands = queries
+      .select(col("query"),
+        explode(sequence(lit(1), lit(2 * k))).as("slot"))
+      .crossJoin(broadcast(m))
+      .withColumn("doc_neg",
+        pmod(col("query") * lit(1000003L) + col("slot") * lit(40503L),
+          col("__m")))
+      .groupBy(col("query"), col("doc_neg"))
+      .agg(min(col("slot")).as("slot"))
+    val w = Window.partitionBy(col("query")).orderBy(col("slot").asc)
+    cands
+      .join(positives.select(col(queryCol).cast("long").as("query"),
+          col(docCol).cast("long").as("doc_neg")),
+        Seq("query", "doc_neg"), "anti")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query"), col("slot"), col("doc_neg"), col("rank"))
+  }
 }

@@ -1682,4 +1682,59 @@ object EventAnalytics {
       .filter(col("__cnt") === windowDays)
       .drop("__cnt")
   }
+  // ------------------------------------------- Kaplan-Meier product-limit
+  /** Kaplan-Meier survival estimator with right-censoring — the
+    * censoring-aware sequel to [[survivalCurve]] (which treats every
+    * observed lifetime as complete): at each distinct duration t with
+    * d_t events among n_t still at risk, S(t) = Π_{u ≤ t} (1 − d_u/n_u);
+    * censored subjects leave the risk set without contributing an event
+    * (Kaplan & Meier 1958).
+    *
+    * DETERMINISM: d and n are exact integers off one duration-grain
+    * rollup; the product is exp of the running sum of ln(1 − d/n) terms
+    * carried in DECIMAL(28,12) (the PSI/JSD discipline: rounding each
+    * IEEE term to a fixed grain makes the SUM order-independent and
+    * engine-identical), finished by one exp + 6dp round. A duration where
+    * everyone at risk dies is an ABSORBING zero carried as an explicit
+    * running flag (a −∞ ln term would be nulled by the decimal cast).
+    *
+    * Cardinality contract: the running window is over DISTINCT durations
+    * (bucket continuous durations first — the rocAuc discipline).
+    * `eventCol`: true = event observed, false = right-censored. Returns
+    * (duration, n_at_risk, n_events, n_censored, survival). */
+  def kaplanMeier(df: DataFrame, durationCol: Column,
+                  eventCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perT = df.select(durationCol.cast("long").as("duration"),
+        eventCol.as("__e"))
+      .filter(col("duration").isNotNull && col("duration") >= 0)
+      .groupBy("duration")
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("__e"), 0L).otherwise(1L)).as("n_censored"))
+    val total = perT.agg(sum(col("n_events") + col("n_censored")).as("__N"))
+    val wPrev = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT.crossJoin(broadcast(total))
+      .withColumn("n_at_risk",
+        col("__N") - coalesce(sum(col("n_events") + col("n_censored"))
+          .over(wPrev), lit(0L)))
+      .withColumn("__term",
+        when(col("n_events") > 0 && col("n_events") < col("n_at_risk"),
+          log(lit(1.0) - col("n_events").cast("double") /
+            col("n_at_risk").cast("double")).cast(DecimalType(28, 12)))
+          .otherwise(lit(0.0).cast(DecimalType(28, 12))))
+      // a duration where everyone at risk dies is an ABSORBING zero: the
+      // ln term would be −∞ (and a decimal cast would silently null it),
+      // so the zero is carried as an explicit running flag instead
+      .withColumn("__dead",
+        max(when(col("n_events") === col("n_at_risk"), 1).otherwise(0))
+          .over(wRun))
+      .withColumn("survival",
+        round(when(col("__dead") === 1, lit(0.0))
+          .otherwise(exp(sum(col("__term")).over(wRun).cast("double"))), 6))
+      .select(col("duration"), col("n_at_risk"), col("n_events"),
+        col("n_censored"), col("survival"))
+  }
 }

@@ -2031,4 +2031,83 @@ object Stats {
             (col("n_rows").cast("double") * col("__N").cast("double") *
               (col("__k") - 1).cast("double")), 6)).as("emd")): _*)
   }
+  // ------------------------------------------------- mutual information
+  /** Mutual information between two categorical columns in nats, with
+    * both marginal entropies and the min-normalized NMI — the
+    * feature-redundancy / dependence-strength companion to
+    * [[contingencyResiduals]]. MI = Σ_{xy} (c_xy/N)·ln(N·c_xy/(c_x·c_y)).
+    *
+    * DETERMINISM: counts are exact integers off the label-vocabulary-
+    * bounded cell relation; each IEEE term rounds to DECIMAL(28,12)
+    * before the sum (the PSI/JSD discipline), one 6dp finish. Null rows
+    * in either column are excluded (they carry no joint evidence).
+    * Returns one row: (n, mi, h_a, h_b, nmi); nmi is null when either
+    * marginal entropy is 0 (a constant column). */
+  def mutualInformation(df: DataFrame, aCol: Column,
+                        bCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.as("a"), bCol.as("b")).agg(count(lit(1)).as("__c"))
+    val ma = cells.groupBy("a").agg(sum(col("__c")).as("__ca"))
+    val mb = cells.groupBy("b").agg(sum(col("__c")).as("__cb"))
+    val tot = cells.agg(sum(col("__c")).as("__n"))
+    val nD = col("__n").cast("double")
+    val miTerm = (col("__c").cast("double") / nD *
+      log(nD * col("__c").cast("double") /
+        (col("__ca").cast("double") * col("__cb").cast("double"))))
+      .cast(DecimalType(28, 12))
+    val mi = cells.join(ma, "a").join(mb, "b").crossJoin(broadcast(tot))
+      .agg(first(col("__n")).as("n"),
+        sum(miTerm).cast("double").as("__mi"))
+    def ent(m: DataFrame, c: String) = m.crossJoin(broadcast(tot))
+      .agg(sum((-(col(c).cast("double") / nD) *
+        log(col(c).cast("double") / nD)).cast(DecimalType(28, 12)))
+        .cast("double").as(s"__h$c"))
+    mi.crossJoin(broadcast(ent(ma, "__ca"))).crossJoin(broadcast(ent(mb, "__cb")))
+      .select(col("n"), round(col("__mi"), 6).as("mi"),
+        round(col("__h__ca"), 6).as("h_a"),
+        round(col("__h__cb"), 6).as("h_b"),
+        when(least(col("__h__ca"), col("__h__cb")) > 0,
+          round(col("__mi") / least(col("__h__ca"), col("__h__cb")), 6))
+          .as("nmi"))
+  }
+
+  // ------------------------------------------------ two-proportion z-test
+  /** Two-proportion z-test per group with the pooled-variance normal
+    * approximation, plus the effect sizes a metrics review actually reads
+    * (risk ratio and odds ratio). Membership: `sampleCol` true = sample 1;
+    * outcome: `successCol`.
+    *
+    * Counts are exact integers off one group rollup;
+    * z = (p1 − p2)/√(p̂(1−p̂)(1/n1 + 1/n2)) with p̂ pooled is one fixed
+    * IEEE shape, 6dp — engine-identical. Degenerate groups (either sample
+    * empty, or p̂ ∈ {0,1}) report null z; odds_ratio is null when any
+    * contingency cell is 0. Returns groupCols +
+    * (n1, x1, n2, x2, p1, p2, z, risk_ratio, odds_ratio). */
+  def twoProportionTest(df: DataFrame, sampleCol: Column, successCol: Column,
+                        groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val g = groupCols.map(col)
+    val agg = df.groupBy(g: _*)
+      .agg(sum(when(sampleCol, 1L).otherwise(0L)).as("n1"),
+        sum(when(sampleCol && successCol, 1L).otherwise(0L)).as("x1"),
+        sum(when(sampleCol, 0L).otherwise(1L)).as("n2"),
+        sum(when(!sampleCol && successCol, 1L).otherwise(0L)).as("x2"))
+    val n1d = col("n1").cast("double"); val x1d = col("x1").cast("double")
+    val n2d = col("n2").cast("double"); val x2d = col("x2").cast("double")
+    val p1 = x1d / n1d; val p2 = x2d / n2d
+    val pp = (x1d + x2d) / (n1d + n2d)
+    val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1d + lit(1.0) / n2d))
+    agg.select(g ++ Seq(col("n1"), col("x1"), col("n2"), col("x2"),
+      when(col("n1") > 0, round(p1, 6)).as("p1"),
+      when(col("n2") > 0, round(p2, 6)).as("p2"),
+      when(col("n1") > 0 && col("n2") > 0 && pp > 0 && pp < 1,
+        round((p1 - p2) / se, 6)).as("z"),
+      when(col("n1") > 0 && col("x2") > 0,
+        round(p1 / p2, 6)).as("risk_ratio"),
+      when(col("x1") > 0 && col("x2") > 0 && col("x1") < col("n1") &&
+        col("x2") < col("n2"),
+        round(x1d * (n2d - x2d) / ((n1d - x1d) * x2d), 6))
+        .as("odds_ratio")): _*)
+  }
 }

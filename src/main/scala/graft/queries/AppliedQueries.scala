@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.{Ops, Validate}
-import graft.pipeline.{EventAnalytics, Finance, Graph, Linkage, Spatial,
-  Stats, TextAnalysis => TA, Web}
+import graft.pipeline.{Curation, EventAnalytics, Finance, Graph, Linkage,
+  Spatial, Stats, TextAnalysis => TA, Web}
 import graft.plans.BloomPrune
 
 /** Applied-analytics drivers (round-8 wave): warehouse history (SCD-2),
@@ -1442,6 +1442,40 @@ object AppliedQueries {
         Finance.priceVolumeBridge(li.crossJoin(broadcast(mid)), "l_partkey",
           col("day") >= col("mid"), col("l_quantity"),
           col("l_extendedprice"))
+      }),
+
+    // ---- deterministic hash-slot negative sampling for contrastive
+    // pairs: 2k draws per query from the dense part-id space, positives
+    // anti-joined out, first k survivors in slot order; within-query
+    // collisions keep their first slot.
+    Q("q335_negative_sample",
+      Some("WITH pos AS (SELECT DISTINCT o_custkey AS query, l_partkey " +
+        "AS doc FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE o_custkey % 50 = 0), " +
+        "m AS (SELECT count(*) AS m FROM part), " +
+        "q AS (SELECT DISTINCT query FROM pos), " +
+        "c0 AS (SELECT query, unnest(generate_series(1, 10)) AS slot " +
+        "FROM q), " +
+        "c1 AS (SELECT query, slot, (query * 1000003 + slot * 40503) % m " +
+        "AS doc_neg FROM c0, m), " +
+        "c2 AS (SELECT query, doc_neg, min(slot) AS slot FROM c1 " +
+        "GROUP BY 1, 2), " +
+        "c3 AS (SELECT * FROM c2 WHERE NOT EXISTS (SELECT 1 FROM pos " +
+        "WHERE pos.query = c2.query AND pos.doc = c2.doc_neg)), " +
+        "r AS (SELECT query, slot, doc_neg, row_number() OVER " +
+        "(PARTITION BY query ORDER BY slot) AS rank FROM c3) " +
+        "SELECT query, slot, doc_neg, CAST(rank AS INTEGER) AS rank " +
+        "FROM r WHERE rank <= 5 ORDER BY query, rank"),
+      (s, dir) => {
+        val pos = Tables.orders(s, dir)
+          .filter(pmod(col("o_custkey"), lit(50L)) === 0)
+          .join(Tables.lineitem(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("query"), col("l_partkey").as("doc"))
+          .distinct()
+        Curation.negativeSample(pos, "query", "doc", Tables.part(s, dir),
+            k = 5)
+          .orderBy("query", "rank")
       })
   )
 }

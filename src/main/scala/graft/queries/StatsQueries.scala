@@ -2669,6 +2669,110 @@ object StatsQueries2 {
             col("c_mktsegment").as("seg"),
             floor(col("c_acctbal") / 2000.0).cast("long").as("bal")),
           Seq("nk", "seg"), col("bal"))
-        .orderBy("nk", "seg"))
+        .orderBy("nk", "seg")),
+
+    // ---- Kaplan-Meier over user lifetimes with right-censoring (active
+    // in the final week = censored): product-limit as exp of a
+    // DECIMAL(28,12) running ln sum; an everyone-dies duration is an
+    // absorbing zero via an explicit flag, never a −∞ ln term.
+    Q("q332_kaplan_meier",
+      Some("WITH u AS (SELECT user_id, " +
+        "min(epoch_us(ts) // 86400000000) AS f, " +
+        "max(epoch_us(ts) // 86400000000) AS l FROM events GROUP BY 1), " +
+        "mx AS (SELECT max(l) AS mx FROM u), " +
+        "d AS (SELECT l - f AS duration, l < mx - 7 AS ev FROM u, mx), " +
+        "pt AS (SELECT duration, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_events, CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) " +
+        "AS BIGINT) AS n_censored FROM d GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n " +
+        "FROM pt), " +
+        "r AS (SELECT duration, n_events, n_censored, n - " +
+        "coalesce(CAST(sum(n_events + n_censored) OVER (ORDER BY duration " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) " +
+        "AS n_at_risk FROM pt, t), " +
+        "sv AS (SELECT duration, n_at_risk, n_events, n_censored, " +
+        "CASE WHEN n_events > 0 AND n_events < n_at_risk THEN " +
+        "CAST(ln(1.0 - CAST(n_events AS DOUBLE) / CAST(n_at_risk " +
+        "AS DOUBLE)) AS DECIMAL(28,12)) ELSE CAST(0.0 AS DECIMAL(28,12)) " +
+        "END AS term, CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END " +
+        "AS dd FROM r) " +
+        "SELECT duration, n_at_risk, n_events, n_censored, " +
+        "round(CASE WHEN max(dd) OVER w = 1 THEN 0.0 ELSE " +
+        "exp(CAST(sum(term) OVER w AS DOUBLE)) END, 6) AS survival " +
+        "FROM sv WINDOW w AS (ORDER BY duration ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) ORDER BY duration"),
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .select(col("user_id"), EventAnalytics.dayIndex(col("ts")).as("d"))
+          .groupBy("user_id")
+          .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+        val mx = u.agg(max(col("l")).as("mx"))
+        EventAnalytics.kaplanMeier(u.crossJoin(broadcast(mx)),
+            col("l") - col("f"), col("l") < col("mx") - 7)
+          .orderBy("duration")
+      }),
+
+    // ---- mutual information between order priority and status: exact
+    // integer cell/marginal counts, DECIMAL(28,12) ln terms (the PSI
+    // discipline), min-normalized NMI.
+    Q("q333_mutual_information",
+      Some("WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus " +
+        "AS b, CAST(count(*) AS BIGINT) AS c FROM orders " +
+        "WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL " +
+        "GROUP BY 1, 2), " +
+        "ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cells " +
+        "GROUP BY 1), " +
+        "mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells " +
+        "GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells), " +
+        "mi AS (SELECT CAST(sum(CAST(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) " +
+        "* ln(CAST(n AS DOUBLE) * CAST(c AS DOUBLE) / (CAST(ca AS DOUBLE) " +
+        "* CAST(cb AS DOUBLE))) AS DECIMAL(28,12))) AS DOUBLE) AS mi_raw " +
+        "FROM cells JOIN ma USING (a) JOIN mb USING (b), t), " +
+        "ha AS (SELECT CAST(sum(CAST(-(CAST(ca AS DOUBLE) / CAST(n AS " +
+        "DOUBLE)) * ln(CAST(ca AS DOUBLE) / CAST(n AS DOUBLE)) AS " +
+        "DECIMAL(28,12))) AS DOUBLE) AS ha FROM ma, t), " +
+        "hb AS (SELECT CAST(sum(CAST(-(CAST(cb AS DOUBLE) / CAST(n AS " +
+        "DOUBLE)) * ln(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) AS " +
+        "DECIMAL(28,12))) AS DOUBLE) AS hb FROM mb, t) " +
+        "SELECT n, round(mi_raw, 6) AS mi, round(ha, 6) AS h_a, " +
+        "round(hb, 6) AS h_b, CASE WHEN least(ha, hb) > 0 THEN " +
+        "round(mi_raw / least(ha, hb), 6) END AS nmi FROM mi, ha, hb, t"),
+      (s, dir) => Stats.mutualInformation(Tables.orders(s, dir),
+        col("o_orderpriority"), col("o_orderstatus"))),
+
+    // ---- two-proportion z-test per linestatus: do returned lineitems
+    // carry deep discounts (> 0.05) at a different rate? Pooled-variance
+    // z, risk ratio, odds ratio — exact counts, mirrored IEEE shapes.
+    Q("q334_two_proportion",
+      Some("WITH a AS (SELECT l_linestatus, " +
+        "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n1, " +
+        "CAST(sum(CASE WHEN l_returnflag = 'R' AND l_discount > 0.05 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS x1, " +
+        "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) " +
+        "AS BIGINT) AS n2, " +
+        "CAST(sum(CASE WHEN l_returnflag <> 'R' AND l_discount > 0.05 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS x2 FROM lineitem GROUP BY 1), " +
+        "f AS (SELECT l_linestatus, n1, x1, n2, x2, " +
+        "CAST(n1 AS DOUBLE) AS n1d, CAST(x1 AS DOUBLE) AS x1d, " +
+        "CAST(n2 AS DOUBLE) AS n2d, CAST(x2 AS DOUBLE) AS x2d, " +
+        "(CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE)) / " +
+        "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS pp FROM a) " +
+        "SELECT l_linestatus, n1, x1, n2, x2, " +
+        "CASE WHEN n1 > 0 THEN round(x1d / n1d, 6) END AS p1, " +
+        "CASE WHEN n2 > 0 THEN round(x2d / n2d, 6) END AS p2, " +
+        "CASE WHEN n1 > 0 AND n2 > 0 AND pp > 0 AND pp < 1 THEN " +
+        "round((x1d / n1d - x2d / n2d) / sqrt(pp * (1.0 - pp) * " +
+        "(1.0 / n1d + 1.0 / n2d)), 6) END AS z, " +
+        "CASE WHEN n1 > 0 AND x2 > 0 THEN " +
+        "round((x1d / n1d) / (x2d / n2d), 6) END AS risk_ratio, " +
+        "CASE WHEN x1 > 0 AND x2 > 0 AND x1 < n1 AND x2 < n2 THEN " +
+        "round(x1d * (n2d - x2d) / ((n1d - x1d) * x2d), 6) END " +
+        "AS odds_ratio FROM f ORDER BY l_linestatus"),
+      (s, dir) => Stats.twoProportionTest(Tables.lineitem(s, dir),
+          col("l_returnflag") === "R", col("l_discount") > 0.05,
+          Seq("l_linestatus"))
+        .orderBy("l_linestatus"))
   )
 }

@@ -553,4 +553,38 @@ class AppliedSpec extends SparkSpec {
     assert(r.getDouble(5) == math.round((1.0 - 1.0 / 6.0) * 1e6) / 1e6)
     assert(r.getDouble(6) == 0.5)
   }
+  test("kaplanMeier: censoring shrinks risk without an event; absorbing zero") {
+    import spark.implicits._
+    // (1,E) (2,C) (3,E) (3,E) (4,E): S = .8 at t1, unchanged through the
+    // censor at t2, .8·(1/3) at t3, absorbing 0 when the last subject dies
+    val df = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (4L, true)).toDF("t", "ev")
+    val r = EventAnalytics.kaplanMeier(df, col("t"), col("ev"))
+      .orderBy("duration").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4)))
+    assert(r(0) == ((1L, 5L, 1L, 0L, 0.8)))
+    assert(r(1) == ((2L, 4L, 0L, 1L, 0.8)))
+    assert(r(2) == ((3L, 3L, 2L, 0L, 0.266667)))
+    assert(r(3) == ((4L, 1L, 1L, 0L, 0.0)))
+  }
+
+  test("negativeSample: positives excluded, slot-order ranks, under-fill") {
+    import spark.implicits._
+    val universe5 = (0L to 4L).toDF("id")
+    // query 0, positives {0,1}: draws land on docs 3,1,4,2 by slot —
+    // doc 1 is a positive, so ranks ship (3, 4)
+    val pos = Seq((0L, 0L), (0L, 1L)).toDF("q", "d")
+    val r = graft.pipeline.Curation.negativeSample(pos, "q", "d",
+        universe5, k = 2)
+      .orderBy("rank").collect()
+      .map(x => (x.getLong(2), x.getInt(3)))
+    assert(r.toSeq == Seq((3L, 1), (4L, 2)))
+    // 2-doc universe: 4 draws collapse to {0,1}; positive {0} leaves ONE
+    // survivor -> documented under-fill below k
+    val tiny = graft.pipeline.Curation.negativeSample(
+      Seq((1L, 0L)).toDF("q", "d"), "q", "d", (0L to 1L).toDF("id"), k = 2)
+      .collect().map(x => (x.getLong(2), x.getInt(3)))
+    assert(tiny.toSeq == Seq((1L, 1)))
+  }
 }

@@ -1290,4 +1290,43 @@ class StatsSpec extends SparkSpec {
       Seq("g"), col("v")).collect()
     assert(k1.forall(_.isNullAt(2)))
   }
+  test("mutualInformation: independence -> 0, identity -> H with nmi 1") {
+    import spark.implicits._
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("u", "v")
+    val r = Stats.mutualInformation(dep, col("u"), col("v")).collect()(0)
+    val ln2 = math.round(math.log(2) * 1e6) / 1e6
+    assert(r.getLong(0) == 4L && r.getDouble(1) == ln2)
+    assert(r.getDouble(2) == ln2 && r.getDouble(3) == ln2)
+    assert(r.getDouble(4) == 1.0)
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("u", "v")
+    val r2 = Stats.mutualInformation(ind, col("u"), col("v")).collect()(0)
+    assert(r2.getDouble(1) == 0.0 && r2.getDouble(4) == 0.0)
+    // constant column: zero marginal entropy -> nmi null
+    val const = Seq(("a", "x"), ("b", "x")).toDF("u", "v")
+    assert(Stats.mutualInformation(const, col("u"), col("v"))
+      .collect()(0).isNullAt(4))
+  }
+
+  test("twoProportionTest: hand z with pooled variance; degenerate guards") {
+    import spark.implicits._
+    // g: 6/10 vs 4/10 -> pp = .5, se = sqrt(.05), z = .2/sqrt(.05)
+    // h: both samples all-success -> pp = 1 -> z null, odds null, rr 1.0
+    val rows = (1 to 10).flatMap { i =>
+      Seq(("g", true, i <= 6), ("g", false, i <= 4),
+        ("h", true, true), ("h", false, true))
+    }
+    val r = Stats.twoProportionTest(rows.toDF("grp", "s", "y"),
+        col("s"), col("y"), Seq("grp"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val g = r("g")
+    assert((g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4)) ==
+      ((10L, 6L, 10L, 4L)))
+    assert(g.getDouble(5) == 0.6 && g.getDouble(6) == 0.4)
+    assert(g.getDouble(7) == math.round(0.2 / math.sqrt(0.05) * 1e6) / 1e6)
+    assert(g.getDouble(8) == 1.5 && g.getDouble(9) == 2.25)
+    val h = r("h")
+    assert(h.isNullAt(7) && h.getDouble(8) == 1.0 && h.isNullAt(9))
+  }
 }
