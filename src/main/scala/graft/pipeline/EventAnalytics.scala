@@ -1737,4 +1737,20 @@ object EventAnalytics {
       .select(col("duration"), col("n_at_risk"), col("n_events"),
         col("n_censored"), col("survival"))
   }
+  // ---------------------------------------------------- business-day span
+  /** Business days (Mon-Fri) in the half-open day-index interval
+    * [startDay, endDay) — pure closed-form integer arithmetic on the
+    * epoch-day grain, NEVER a calendar explode or a locale function:
+    * g(d) = 5·⌊d/7⌋ + min(d mod 7, 2) + max(d mod 7 − 4, 0) counts
+    * business days in [0, d) (epoch day 0 = Thursday; the q283
+    * (day+3) mod 7 weekday convention), and the span is g(end) − g(start).
+    * Contract: day indexes ≥ 0 (epoch days always are). Exact BIGINT in
+    * any engine; negative when end < start (a signed span, by design). */
+  def businessDaysBetween(startDay: Column, endDay: Column): Column = {
+    def g(d: Column): Column =
+      lit(5L) * ((d - pmod(d, lit(7L))) / lit(7L)).cast("long") +
+        least(pmod(d, lit(7L)), lit(2L)) +
+        greatest(pmod(d, lit(7L)) - lit(4L), lit(0L))
+    g(endDay) - g(startDay)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Probabilistic record linkage (Fellegi–Sunter shape): generate candidate
@@ -95,5 +96,39 @@ object Linkage {
           .as("reduction_ratio"),
         round(col("n_captured").cast("double") /
           col("n_true").cast("double"), 6).as("completeness"))
+  }
+  // -------------------------------------------- sorted-neighborhood pairs
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo 1995):
+    * within each coarse block, records sort by `keyCol` and every record
+    * pairs with its next `window` successors — the classic ER compromise
+    * between full blocking (misses near-boundary lookalikes) and the O(n²)
+    * cross product. Pairs NEVER cross blocks; run again with a second
+    * sort key to recover boundary misses (the standard multi-pass SNM,
+    * caller-composed).
+    *
+    * 100 TB shape: the only window is rank-within-block (the
+    * packSequences discipline — the block vocabulary bounds the largest
+    * sort), and the pair join is co-keyed on (block, rank+offset) with
+    * offset fan-out exactly `window`. Ties in the sort key break by id,
+    * so the pair set is deterministic. Returns
+    * (block, id_a, id_b, key_a, key_b, dist ∈ [1, window]). */
+  def sortedNeighborhood(df: DataFrame, idCol: String, keyCol: String,
+                         blockCol: Column, window: Int): DataFrame = {
+    require(window >= 1 && window <= 100, s"window out of range: $window")
+    val base = df.select(blockCol.as("block"), col(idCol).as("__id"),
+      col(keyCol).as("__key"))
+    val w = Window.partitionBy(col("block"))
+      .orderBy(col("__key").asc, col("__id").asc)
+    val ranked = base.withColumn("__rn", row_number().over(w))
+    val right = ranked.select(col("block"), col("__rn").as("__rnb"),
+      col("__id").as("id_b"), col("__key").as("key_b"))
+    ranked
+      .select(col("block"), col("__rn"), col("__id").as("id_a"),
+        col("__key").as("key_a"),
+        explode(sequence(lit(1), lit(window))).as("dist"))
+      .withColumn("__rnb", col("__rn") + col("dist"))
+      .join(right, Seq("block", "__rnb"))
+      .select(col("block"), col("id_a"), col("id_b"),
+        col("key_a"), col("key_b"), col("dist"))
   }
 }

@@ -628,4 +628,42 @@ object Similarity {
     }
     v.select(col("dim"), round(col("__v"), 6).as("loading"))
   }
+  // ---------------------------------------------------- corpus diversity
+  /** Mean pairwise cosine within each group WITHOUT the O(n²) pair join —
+    * the corpus-diversity probe ("how redundant are this source's
+    * embeddings"): for unit vectors, Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖uᵢ‖², and
+    * Σ‖uᵢ‖² is n exactly (each ‖u‖² is 1 to an ulp), so
+    * mean_cos = (‖Σu‖² − n)/(n·(n−1)) from ONE per-(group, dim) sum.
+    *
+    * Determinism: the labelCentroidCosines discipline — unit components
+    * sum in DECIMAL(38,12) per (group, dim) (order-irrelevant), the
+    * squared-component sum re-applies the cast, one IEEE finish, 6dp.
+    * Zero-norm vectors are dropped (no direction, no evidence); groups
+    * with n < 2 report null. State is groups × dim — corpus scans once.
+    * Returns (group, n, mean_cos). */
+  def groupDiversity(df: DataFrame, idCol: String, groupCol: String,
+                     vecCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("__id"), col(groupCol).as("__g"),
+        posexplode(col(vecCol)).as(Seq("__i", "__v0")))
+      .select(col("__id"), col("__g"), col("__i"),
+        col("__v0").cast("double").as("__v"))
+    val n2 = ex.groupBy("__id", "__g")
+      .agg(sum((col("__v") * col("__v")).cast("decimal(38,12)"))
+        .cast("double").as("__n2"))
+      .filter(col("__n2") > 0)
+    val unitSum = ex.join(n2, Seq("__id", "__g"))
+      .groupBy("__g", "__i")
+      .agg(sum((col("__v") / sqrt(col("__n2"))).cast("decimal(38,12)"))
+        .cast("double").as("__s"))
+    val s2 = unitSum.groupBy("__g")
+      .agg(sum((col("__s") * col("__s")).cast("decimal(38,12)"))
+        .cast("double").as("__s2"))
+    n2.groupBy("__g").agg(count(lit(1)).as("n"))
+      .join(s2, Seq("__g"))
+      .select(col("__g").as("group"), col("n"),
+        when(col("n") > 1,
+          round((col("__s2") - col("n").cast("double")) /
+            (col("n").cast("double") * (col("n") - 1).cast("double")), 6))
+          .as("mean_cos"))
+  }
 }

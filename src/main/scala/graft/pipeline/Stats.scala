@@ -2110,4 +2110,36 @@ object Stats {
         round(x1d * (n2d - x2d) / ((n1d - x1d) * x2d), 6))
         .as("odds_ratio")): _*)
   }
+  // --------------------------------------------------------- WOE / IV
+  /** Weight-of-evidence binning report with information value — the
+    * credit-scoring / feature-screening primitive (and PSI's sibling:
+    * same (share − share)·ln(ratio) term, goods-vs-bads instead of
+    * expected-vs-actual). Per bin: woe = ln((g/G)/(b/B)) as the single
+    * ln of an exact integer ratio; iv_term = (g/G − b/B)·woe in
+    * DECIMAL(28,12); iv_total is the exact decimal sum over bins. Bins
+    * with zero goods or zero bads report null woe and contribute NOTHING
+    * to IV (exclusion, not smoothing — documented; pre-merge sparse bins
+    * if that matters). One bin-vocabulary-bounded rollup; the window
+    * runs over bins only. Returns
+    * (bin, n_good, n_bad, woe, iv_term, iv_total). */
+  def woeIv(df: DataFrame, binCol: Column, labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bins = df.filter(binCol.isNotNull)
+      .groupBy(binCol.as("bin"))
+      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("n_good"),
+        sum(when(labelCol, 0L).otherwise(1L)).as("n_bad"))
+    val tot = bins.agg(sum(col("n_good")).as("__G"), sum(col("n_bad")).as("__B"))
+    val gd = col("n_good").cast("double"); val bd = col("n_bad").cast("double")
+    val capG = col("__G").cast("double"); val capB = col("__B").cast("double")
+    val lnr = log(gd * capB / (bd * capG))
+    val wAll = Window.partitionBy(lit(1))
+    bins.crossJoin(broadcast(tot))
+      .withColumn("__iv",
+        when(col("n_good") > 0 && col("n_bad") > 0,
+          ((gd / capG - bd / capB) * lnr).cast(DecimalType(28, 12))))
+      .select(col("bin"), col("n_good"), col("n_bad"),
+        when(col("n_good") > 0 && col("n_bad") > 0, round(lnr, 6)).as("woe"),
+        round(col("__iv").cast("double"), 6).as("iv_term"),
+        round(sum(col("__iv")).over(wAll).cast("double"), 6).as("iv_total"))
+  }
 }

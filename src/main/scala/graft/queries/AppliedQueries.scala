@@ -1477,5 +1477,56 @@ object AppliedQueries {
             k = 5)
           .orderBy("query", "rank")
       })
+ ,
+
+    // ---- sorted-neighborhood ER candidates: rank-within-segment by name,
+    // pair with the next 2 successors — the multi-pass SNM primitive;
+    // pairs never cross blocks (contract).
+    Q("q338_sorted_neighborhood",
+      Some("WITH b AS (SELECT c_mktsegment AS block, c_custkey AS id, " +
+        "c_name AS k FROM customer), " +
+        "r AS (SELECT block, id, k, row_number() OVER (PARTITION BY block " +
+        "ORDER BY k, id) AS rn FROM b), " +
+        "o AS (SELECT block, rn, id AS id_a, k AS key_a, " +
+        "unnest(generate_series(1, 2)) AS dist FROM r), " +
+        "p AS (SELECT o.block, o.id_a, r2.id AS id_b, o.key_a, " +
+        "r2.k AS key_b, o.dist FROM o JOIN r r2 ON r2.block = o.block " +
+        "AND r2.rn = o.rn + o.dist) " +
+        "SELECT block, id_a, id_b, key_a, key_b, dist FROM p " +
+        "ORDER BY block, id_a, dist"),
+      (s, dir) => Linkage.sortedNeighborhood(Tables.customer(s, dir),
+          "c_custkey", "c_name", col("c_mktsegment"), window = 2)
+        .orderBy("block", "id_a", "dist")),
+
+    // ---- business-day order->ship latency per priority: closed-form
+    // integer business-day counting on the epoch-day grain (no calendar
+    // explode), exact BIGINT sums, one IEEE division.
+    Q("q339_business_days",
+      Some("WITH j AS (SELECT o_orderpriority, " +
+        "epoch_us(o_orderdate) // 86400000000 AS od, " +
+        "epoch_us(l_shipdate) // 86400000000 AS sd FROM orders " +
+        "JOIN lineitem ON l_orderkey = o_orderkey), " +
+        "s AS (SELECT o_orderpriority, " +
+        "(5 * ((sd - sd % 7) // 7) + least(sd % 7, 2) + " +
+        "greatest(sd % 7 - 4, 0)) - (5 * ((od - od % 7) // 7) + " +
+        "least(od % 7, 2) + greatest(od % 7 - 4, 0)) AS bd FROM j) " +
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(bd) AS BIGINT) AS total_bdays, " +
+        "round(CAST(sum(bd) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) " +
+        "AS avg_bdays FROM s GROUP BY 1 ORDER BY 1"),
+      (s, dir) => {
+        val j = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"),
+            EventAnalytics.businessDaysBetween(
+              EventAnalytics.dayIndex(col("o_orderdate")),
+              EventAnalytics.dayIndex(col("l_shipdate"))).as("bd"))
+        j.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("bd")).as("total_bdays"),
+            round(sum(col("bd")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("avg_bdays"))
+          .orderBy("o_orderpriority")
+      })
   )
 }

@@ -545,5 +545,31 @@ object MlPipelineQueries {
               col("r_regionkey") === col("n_regionkey")),
           Seq("r_name"), Seq("n_name"), "o_totalprice")
         .orderBy("r_name", "n_name"))
+ ,
+
+    // ---- within-label embedding diversity WITHOUT the O(n²) pair join:
+    // mean pairwise cosine via the unit-vector identity
+    // (‖Σu‖² − n)/(n(n−1)) — one (label, dim) decimal-exact rollup.
+    Q("q340_group_diversity",
+      Some("WITH x AS (SELECT label, vec_id, unnest(embedding) AS v0, " +
+        "unnest(range(1, len(embedding) + 1)) AS i FROM embeddings), " +
+        "e AS (SELECT vec_id, label, i, CAST(v0 AS DOUBLE) AS v FROM x), " +
+        "n2 AS (SELECT vec_id, label, CAST(SUM(CAST(v * v AS " +
+        "DECIMAL(38,12))) AS DOUBLE) AS n2 FROM e GROUP BY 1, 2 " +
+        "HAVING CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) > 0), " +
+        "us AS (SELECT e.label, e.i, CAST(SUM(CAST(e.v / sqrt(n2.n2) " +
+        "AS DECIMAL(38,12))) AS DOUBLE) AS s FROM e JOIN n2 " +
+        "ON e.vec_id = n2.vec_id AND e.label = n2.label GROUP BY 1, 2), " +
+        "s2 AS (SELECT label, CAST(SUM(CAST(s * s AS DECIMAL(38,12))) " +
+        "AS DOUBLE) AS s2 FROM us GROUP BY 1), " +
+        "n AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM n2 " +
+        "GROUP BY 1) " +
+        "SELECT n.label AS \"group\", n.n, CASE WHEN n.n > 1 THEN " +
+        "round((s2.s2 - CAST(n.n AS DOUBLE)) / (CAST(n.n AS DOUBLE) * " +
+        "CAST(n.n - 1 AS DOUBLE)), 6) END AS mean_cos " +
+        "FROM n JOIN s2 ON n.label = s2.label ORDER BY 1"),
+      (s, dir) => Similarity.groupDiversity(Tables.embeddings(s, dir),
+          "vec_id", "label", "embedding")
+        .orderBy("group"))
   )
 }

@@ -2774,5 +2774,62 @@ object StatsQueries2 {
           col("l_returnflag") === "R", col("l_discount") > 0.05,
           Seq("l_linestatus"))
         .orderBy("l_linestatus"))
+ ,
+
+    // ---- Adamic-Adar link prediction over the sparse co-purchase graph:
+    // non-edge pairs scored Σ 1/ln(deg z) through degree-capped common
+    // neighbors (DECIMAL(28,12) terms); existing edges anti-joined out.
+    Q("q336_adamic_adar",
+      Some("WITH " + AppliedQueries.copurchaseEdgesSql + ", " +
+        "deg AS (SELECT node, count(*) AS deg FROM (SELECT a AS node " +
+        "FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1), " +
+        "adj AS (SELECT a AS z, b AS x FROM e0 " +
+        "UNION ALL SELECT b, a FROM e0), " +
+        "az AS (SELECT adj.z, adj.x, deg FROM adj JOIN deg " +
+        "ON adj.z = deg.node WHERE deg >= 2 AND deg <= 1000), " +
+        "p AS (SELECT l.x AS a, r.x AS b, l.deg FROM az l JOIN az r " +
+        "ON l.z = r.z AND l.x < r.x), " +
+        "sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors, " +
+        "CAST(sum(CAST(1.0 / ln(CAST(deg AS DOUBLE)) AS DECIMAL(28,12))) " +
+        "AS DOUBLE) AS aa FROM p GROUP BY 1, 2), " +
+        "f AS (SELECT sc.* FROM sc WHERE NOT EXISTS (SELECT 1 FROM e0 " +
+        "WHERE e0.a = sc.a AND e0.b = sc.b)) " +
+        "SELECT a, b, common_neighbors, round(aa, 6) AS aa_score FROM f " +
+        "ORDER BY aa_score DESC, a, b LIMIT 20"),
+      (s, dir) => Graph.adamicAdar(AppliedQueries.copurchaseEdges(s, dir),
+          "src", "dst", maxDegree = 1000)
+        .orderBy(col("aa_score").desc, col("a").asc, col("b").asc)
+        .limit(20)),
+
+    // ---- WOE/IV over quantity-decade bins vs the returned flag: woe is
+    // one ln of an exact integer ratio, IV terms are DECIMAL(28,12)
+    // (PSI's sibling); zero-good/zero-bad bins report null and are
+    // excluded from IV by contract.
+    Q("q337_woe_iv",
+      Some("WITH b AS (SELECT CAST(l_quantity AS BIGINT) // 10 AS bin, " +
+        "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_good, " +
+        "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) " +
+        "AS BIGINT) AS n_bad FROM lineitem GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_good) AS BIGINT) AS g, " +
+        "CAST(sum(n_bad) AS BIGINT) AS bb FROM b), " +
+        "f AS (SELECT bin, n_good, n_bad, " +
+        "CASE WHEN n_good > 0 AND n_bad > 0 THEN " +
+        "ln(CAST(n_good AS DOUBLE) * CAST(bb AS DOUBLE) / " +
+        "(CAST(n_bad AS DOUBLE) * CAST(g AS DOUBLE))) END AS lnr, " +
+        "CASE WHEN n_good > 0 AND n_bad > 0 THEN " +
+        "CAST((CAST(n_good AS DOUBLE) / CAST(g AS DOUBLE) - " +
+        "CAST(n_bad AS DOUBLE) / CAST(bb AS DOUBLE)) * " +
+        "ln(CAST(n_good AS DOUBLE) * CAST(bb AS DOUBLE) / " +
+        "(CAST(n_bad AS DOUBLE) * CAST(g AS DOUBLE))) AS DECIMAL(28,12)) " +
+        "END AS iv FROM b, t) " +
+        "SELECT bin, n_good, n_bad, round(lnr, 6) AS woe, " +
+        "round(CAST(iv AS DOUBLE), 6) AS iv_term, " +
+        "round(CAST(sum(iv) OVER () AS DOUBLE), 6) AS iv_total " +
+        "FROM f ORDER BY bin"),
+      (s, dir) => Stats.woeIv(Tables.lineitem(s, dir),
+          expr("CAST(l_quantity AS BIGINT) div 10"),
+          col("l_returnflag") === "R")
+        .orderBy("bin"))
   )
 }

@@ -587,4 +587,22 @@ class AppliedSpec extends SparkSpec {
       .collect().map(x => (x.getLong(2), x.getInt(3)))
     assert(tiny.toSeq == Seq((1L, 1)))
   }
+  test("sortedNeighborhood: window pairs, id tiebreak, block isolation") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "X"), (2L, "b", "X"), (3L, "c", "X"),
+      (4L, "d", "X"), (9L, "a", "Y")).toDF("id", "k", "blk")
+    val r = Linkage.sortedNeighborhood(df, "id", "k", col("blk"), window = 2)
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getInt(5))).sorted
+    assert(r.toSeq == Seq((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 1),
+      (2L, 4L, 2), (3L, 4L, 1)))  // Y is alone: no cross-block pair with 1
+  }
+
+  test("businessDaysBetween: Thursday epoch anchor, weekends, signed span") {
+    import spark.implicits._
+    val df = Seq((0L, 1L), (0L, 7L), (2L, 4L), (4L, 11L), (7L, 0L))
+      .toDF("s", "e")
+    val r = df.select(EventAnalytics.businessDaysBetween(col("s"), col("e")))
+      .collect().map(_.getLong(0))
+    assert(r.toSeq == Seq(1L, 5L, 0L, 5L, -5L))
+  }
 }

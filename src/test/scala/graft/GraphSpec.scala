@@ -175,4 +175,18 @@ class GraphSpec extends SparkSpec {
     assert(r2(6L) == ((1L, 0L, 2L, math.round(-4.0 / 196 * 1e6) / 1e6)))
     assert(r2(10L)._4 == math.round(35.0 / 196 * 1e6) / 1e6)
   }
+  test("adamicAdar: existing edges excluded; 1/ln(deg) terms; degree cap") {
+    import spark.implicits._
+    // star z-{a,b,c} plus edge a-b: pairs through z are (a,b),(a,c),(b,c);
+    // (a,b) is an existing edge, the rest score 1/ln(3)
+    val edges = Seq(("z", "a"), ("z", "b"), ("z", "c"), ("a", "b"))
+      .toDF("s", "d")
+    val r = Graph.adamicAdar(edges, "s", "d").collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getDouble(3))).toMap
+    val aa = math.round(1.0 / math.log(3) * 1e6) / 1e6
+    assert(r == Map(("a", "c") -> ((1L, aa)), ("b", "c") -> ((1L, aa))))
+    // cap z out (deg 3 > 2): no wedges survive
+    assert(Graph.adamicAdar(edges, "s", "d", maxDegree = 2).isEmpty)
+  }
 }

@@ -1387,4 +1387,20 @@ class PipelineSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(totals == Map(0L -> 90L, 1L -> 90L))
   }
+  test("groupDiversity: identity pairs, orthogonal, opposite, zero-norm drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "same", Seq(1.0f, 0.0f)), (2L, "same", Seq(1.0f, 0.0f)),
+      (3L, "orth", Seq(3.0f, 0.0f)), (4L, "orth", Seq(0.0f, 4.0f)),
+      (5L, "anti", Seq(1.0f, 0.0f)), (6L, "anti", Seq(-1.0f, 0.0f)),
+      (7L, "solo", Seq(1.0f, 0.0f)), (8L, "solo", Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "label", "vec")
+    val r = Similarity.groupDiversity(df, "vec_id", "label", "vec")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), if (x.isNullAt(2)) null else x.getDouble(2))).toMap
+    assert(r("same") == ((2L, 1.0)))
+    assert(r("orth") == ((2L, 0.0)))   // normalization kills the scales
+    assert(r("anti") == ((2L, -1.0)))
+    assert(r("solo") == ((1L, null)))  // the zero vector dropped -> n = 1
+  }
 }

@@ -1329,4 +1329,21 @@ class StatsSpec extends SparkSpec {
     val h = r("h")
     assert(h.isNullAt(7) && h.getDouble(8) == 1.0 && h.isNullAt(9))
   }
+  test("woeIv: hand woe/iv; zero-bad bin nulls out and skips the total") {
+    import spark.implicits._
+    val rows = Seq((1L, true), (1L, true), (1L, false),
+      (2L, true), (2L, false), (2L, false), (2L, false),
+      (3L, true))
+    val r = Stats.woeIv(rows.toDF("bin", "y"), col("bin"), col("y"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val iv1 = java.math.BigDecimal.valueOf(0.25 * math.log(2.0))
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    val iv2 = java.math.BigDecimal.valueOf(-0.5 * math.log(1.0 / 3.0))
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(r(1L).getDouble(3) == math.round(math.log(2.0) * 1e6) / 1e6)
+    assert(r(2L).getDouble(3) == math.round(math.log(1.0 / 3.0) * 1e6) / 1e6)
+    assert(r(3L).isNullAt(3) && r(3L).isNullAt(4))
+    val total = math.round((iv1 + iv2) * 1e6) / 1e6
+    assert(r(1L).getDouble(5) == total && r(3L).getDouble(5) == total)
+  }
 }
