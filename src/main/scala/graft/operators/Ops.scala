@@ -1389,4 +1389,71 @@ object Ops {
       col(xCol) === col("__x") && col(yCol) === col("__ymax"))
       .drop("__x", "__ymax")
   }
+  // ------------------------------------------------------ skew-safe join
+  /** Salted equi join for skewed probe keys — the join-side sibling of
+    * [[saltedGroupAgg]]: the BUILD side replicates `saltBuckets` times
+    * (once per salt value) and each PROBE row picks one salt via
+    * `probeSaltCol` (a deterministic hash of probe columns, caller-chosen
+    * so hot-key rows spread), so one hot key's probe rows land on
+    * `saltBuckets` reducers instead of one straggler. The result is
+    * EXACTLY the plain inner join — salting only re-routes rows — which
+    * is what the oracle runs.
+    *
+    * Use when AQE's skew split can't help (e.g. the skew is in a single
+    * key of a shuffle-hash join, or the join feeds a co-keyed window).
+    * Build-side cost is saltBuckets× replication — size it like a
+    * broadcast decision. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                 probeSaltCol: Column, saltBuckets: Int = 16): DataFrame = {
+    require(keys.nonEmpty && saltBuckets > 0)
+    val b = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    probe.withColumn("__salt", pmod(probeSaltCol, lit(saltBuckets)).cast("int"))
+      .join(b, keys :+ "__salt")
+      .drop("__salt")
+  }
+
+  // ---------------------------------------------------- weighted quantiles
+  /** Exact weighted quantiles per group with integer weights: for each
+    * q = num/den, the smallest value whose cumulative weight w satisfies
+    * w·den ≥ num·W (the lower/type-1 weighted quantile — no
+    * interpolation, and the boundary compare is cross-multiplied integers,
+    * never a float threshold). The weighted-median/decile primitive for
+    * "half the TOKENS sit below this quality score" questions where
+    * row-count quantiles mislead.
+    *
+    * Values collapse to a per-(group, value) weight rollup first (the
+    * rocAuc cardinality discipline: bound continuous values by rounding),
+    * one running-sum window per group, then each quantile picks its
+    * crossing row with a min aggregate. Returns
+    * groupCols + (q_num, q_den, value, total_weight). */
+  def weightedQuantiles(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, weightCol: Column,
+                        qs: Seq[(Int, Int)]): DataFrame = {
+    require(groupCols.nonEmpty && qs.nonEmpty)
+    require(qs.forall { case (n, d) => n > 0 && n <= d },
+      s"quantiles must be rationals in (0, 1]: $qs")
+    val g = groupCols.map(col)
+    val perVal = df.select(g ++ Seq(col(valueCol).as("__v"),
+        weightCol.cast("long").as("__w")): _*)
+      .filter(col("__w") > 0)
+      .groupBy(g :+ col("__v"): _*).agg(sum(col("__w")).as("__w"))
+    val wRun = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+    val cum = perVal
+      .withColumn("__cum", sum(col("__w")).over(wRun))
+      .withColumn("total_weight", sum(col("__w")).over(wAll))
+    val qRel = explode(array(qs.map { case (n, d) =>
+      struct(lit(n).as("q_num"), lit(d).as("q_den")) }: _*)).as("__q")
+    cum.select((g ++ Seq(col("__v"), col("__cum"), col("total_weight"),
+        qRel)): _*)
+      .select((g ++ Seq(col("__v"), col("__cum"), col("total_weight"),
+        col("__q.q_num").as("q_num"), col("__q.q_den").as("q_den"))): _*)
+      .filter(col("__cum") * col("q_den") >= col("q_num") * col("total_weight"))
+      .groupBy(g ++ Seq(col("q_num"), col("q_den"), col("total_weight")): _*)
+      .agg(min(col("__v")).as("value"))
+      .select(g ++ Seq(col("q_num"), col("q_den"), col("value"),
+        col("total_weight")): _*)
+  }
 }

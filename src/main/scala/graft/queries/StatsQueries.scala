@@ -2831,5 +2831,52 @@ object StatsQueries2 {
           expr("CAST(l_quantity AS BIGINT) div 10"),
           col("l_returnflag") === "R")
         .orderBy("bin"))
+ ,
+
+    // ---- skew-safe salted join (q44's join-side sibling): build side
+    // replicated 8x, probe salted by a row hash — the result is EXACTLY
+    // the plain join, which is what the oracle runs; the salt only
+    // re-routes rows.
+    Q("q341_salted_join",
+      Some("SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) " +
+        "AS revenue FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY 1 ORDER BY 1"),
+      (s, dir) => Ops.saltedJoin(
+          Tables.lineitem(s, dir).withColumnRenamed("l_suppkey", "s_suppkey"),
+          Tables.supplier(s, dir), Seq("s_suppkey"),
+          xxhash64(col("l_orderkey"), col("l_linenumber")), saltBuckets = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(24,6)")).cast("double")
+            .as("revenue"))
+        .orderBy("s_nationkey")),
+
+    // ---- exact weighted quantiles (quantity-weighted price deciles per
+    // returnflag): the crossing test is cross-multiplied integers
+    // (w·den >= num·W), never a float threshold; values pre-rounded to
+    // whole dollars to bound the per-group window (the rocAuc contract).
+    Q("q342_weighted_quantiles",
+      Some("WITH pv AS (SELECT l_returnflag, " +
+        "CAST(round(l_extendedprice) AS BIGINT) AS v, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w " +
+        "FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2), " +
+        "c AS (SELECT l_returnflag, v, CAST(sum(w) OVER (PARTITION BY " +
+        "l_returnflag ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS BIGINT) AS cum, CAST(sum(w) OVER (PARTITION BY " +
+        "l_returnflag) AS BIGINT) AS total_weight FROM pv), " +
+        "q AS (SELECT * FROM (VALUES (1, 2), (9, 10)) t(q_num, q_den)) " +
+        "SELECT l_returnflag, q_num, q_den, min(v) AS value, total_weight " +
+        "FROM c, q WHERE cum * q_den >= q_num * total_weight " +
+        "GROUP BY l_returnflag, q_num, q_den, total_weight " +
+        "ORDER BY l_returnflag, q_num, q_den"),
+      (s, dir) => Ops.weightedQuantiles(
+          Tables.lineitem(s, dir)
+            .select(col("l_returnflag"),
+              round(col("l_extendedprice")).cast("long").as("price"),
+              col("l_quantity")),
+          Seq("l_returnflag"), "price", col("l_quantity"),
+          qs = Seq(1 -> 2, 9 -> 10))
+        .orderBy("l_returnflag", "q_num", "q_den"))
   )
 }

@@ -558,4 +558,32 @@ class OpsSpec extends SparkSpec {
     val eq = Seq((1, 2, 2), (2, 2, 2), (3, 2, 2)).toDF("id", "x", "y")
     assert(Ops.skyline(eq, "x", "y").count() == 3)
   }
+  test("saltedJoin: exactly the plain join, salt column gone") {
+    import spark.implicits._
+    // a hot key (1) with many probe rows, a dup build row for key 2
+    val probe = Seq((1L, "p1"), (1L, "p2"), (1L, "p3"), (2L, "p4"),
+      (3L, "p5")).toDF("k", "pv")
+    val build = Seq((1L, "b1"), (2L, "b2"), (2L, "b3")).toDF("k", "bv")
+    val salted = Ops.saltedJoin(probe, build, Seq("k"),
+      org.apache.spark.sql.functions.xxhash64(col("pv")), saltBuckets = 4)
+    val plain = probe.join(build, Seq("k"))
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    val sKeys = salted.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val pKeys = plain.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(sKeys.toSeq == pKeys.toSeq)   // multiset identity, dup rows kept
+  }
+
+  test("weightedQuantiles: integer crossing, exact boundary, q = 1 maxes") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 3L), ("g", 3L, 1L),
+      ("h", 10L, 1L), ("h", 20L, 1L)).toDF("grp", "v", "w")
+    val r = Ops.weightedQuantiles(df, Seq("grp"), "v", col("w"),
+        qs = Seq(1 -> 2, 9 -> 10, 1 -> 1))
+      .collect().map(x => (x.getString(0), x.getInt(1), x.getInt(2)) ->
+        (x.getLong(3), x.getLong(4))).toMap
+    assert(r(("g", 1, 2)) == ((2L, 5L)))   // cum(2)=4, 4·2 >= 5
+    assert(r(("g", 9, 10)) == ((3L, 5L)))  // cum(2)=40 < 45 -> 3
+    assert(r(("g", 1, 1)) == ((3L, 5L)))
+    assert(r(("h", 1, 2)) == ((10L, 2L)))  // exact boundary: 1·2 == 1·2
+  }
 }

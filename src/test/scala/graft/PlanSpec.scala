@@ -835,4 +835,11 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1 &&
       !p.contains("CartesianProduct"), s"bad join shape:\n$p")
   }
+  test("q341: salted join really joins on (key, salt) with a build-side explode") {
+    val p = planOf("q341_salted_join")
+    // the build side must replicate via explode(sequence(...)) -> Generate
+    assert(p.contains("Generate explode"), s"missing build replication in:\n$p")
+    // and the join condition must include the salt, not just the key
+    assert(p.contains("__salt"), s"salt column absent from the plan:\n$p")
+  }
 }
