@@ -2142,4 +2142,117 @@ object Stats {
         round(col("__iv").cast("double"), 6).as("iv_term"),
         round(sum(col("__iv")).over(wAll).cast("double"), 6).as("iv_total"))
   }
+  // -------------------------------------------- empirical-Bayes shrinkage
+  /** Beta-binomial empirical-Bayes rate shrinkage by method of moments
+    * (the "don't rank a 1/1 item above a 970/1000 item" estimator): fit
+    * Beta(α, β) to the per-key raw rates of keys with n ≥ minTrials —
+    * α = m·(m(1−m)/v − 1), β = (1−m)·(m(1−m)/v − 1) from the moment pair
+    * (m, v) — then report every key's posterior mean
+    * (x + α)/(n + α + β).
+    *
+    * DETERMINISM: raw rates round to DECIMAL(28,12) before the moment
+    * sums (the PSI discipline), so m and v are shuffle-order-exact; α, β
+    * and the posterior are mirrored IEEE shapes, 6dp. Degenerate priors
+    * (v ≤ 0, or v ≥ m(1−m) — under-dispersion the Beta can't express)
+    * report null α/β and shrunk = raw (documented). One key rollup + one
+    * moment aggregate broadcast back. Returns
+    * (key, n, x, raw_rate, alpha, beta, shrunk_rate). */
+  def empiricalBayesRates(df: DataFrame, keyCol: String, successCol: Column,
+                          minTrials: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perKey = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("x"))
+      .withColumn("raw_rate",
+        col("x").cast("double") / col("n").cast("double"))
+    val mom = perKey.filter(col("n") >= minTrials)
+      .agg(count(lit(1)).as("__k"),
+        sum(col("raw_rate").cast(DecimalType(28, 12))).as("__s1"),
+        sum((col("raw_rate") * col("raw_rate")).cast(DecimalType(28, 12)))
+          .as("__s2"))
+      .select(col("__k"),
+        (col("__s1").cast("double") / col("__k").cast("double")).as("__m"),
+        (col("__s2").cast("double") / col("__k").cast("double") -
+          (col("__s1").cast("double") / col("__k").cast("double")) *
+            (col("__s1").cast("double") / col("__k").cast("double")))
+          .as("__v"))
+    val m = col("__m"); val v = col("__v")
+    val scale = m * (lit(1.0) - m) / v - lit(1.0)
+    val ok = col("__k") >= 2 && v > 0 && v < m * (lit(1.0) - m)
+    perKey.crossJoin(broadcast(mom))
+      .withColumn("alpha", when(ok, round(m * scale, 6)))
+      .withColumn("beta", when(ok, round((lit(1.0) - m) * scale, 6)))
+      .select(col("key"), col("n"), col("x"), round(col("raw_rate"), 6).as("raw_rate"),
+        col("alpha"), col("beta"),
+        when(ok, round((col("x").cast("double") + m * scale) /
+          (col("n").cast("double") + m * scale + (lit(1.0) - m) * scale), 6))
+          .otherwise(round(col("raw_rate"), 6)).as("shrunk_rate"))
+  }
+
+  // ------------------------------------------------- sample-ratio mismatch
+  /** Sample-ratio-mismatch (SRM) check per experiment: are the two arms'
+    * observed counts consistent with the designed split eNum/eDen for
+    * arm 1? One-df chi-square against the exact expected counts, flagged
+    * at the standard SRM threshold χ²₁(0.001) = 10.828 — the first gate
+    * any A/B readout must pass. Counts are exact integers; the statistic
+    * is one mirrored IEEE shape. Groups with no traffic report null.
+    * Returns groupCols + (n1, n2, expected1, chi2, srm). */
+  def srmCheck(df: DataFrame, arm1Col: Column, groupCols: Seq[String],
+               eNum: Int = 1, eDen: Int = 2): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(eNum > 0 && eNum < eDen, s"split fraction out of (0,1): $eNum/$eDen")
+    val g = groupCols.map(col)
+    val agg = df.groupBy(g: _*)
+      .agg(sum(when(arm1Col, 1L).otherwise(0L)).as("n1"),
+        sum(when(arm1Col, 0L).otherwise(1L)).as("n2"))
+    val tot = (col("n1") + col("n2")).cast("double")
+    val e1 = tot * eNum / eDen
+    val e2 = tot - tot * eNum / eDen
+    val chi2 = (col("n1").cast("double") - e1) * (col("n1").cast("double") - e1) / e1 +
+      (col("n2").cast("double") - e2) * (col("n2").cast("double") - e2) / e2
+    agg.select(g ++ Seq(col("n1"), col("n2"), round(e1, 6).as("expected1"),
+      when(tot > 0, round(chi2, 6)).as("chi2"),
+      when(tot > 0, chi2 > 10.828).as("srm")): _*)
+  }
+  // ---------------------------------------------- propensity-score matching
+  /** Stratified nearest-neighbor propensity matching WITH REPLACEMENT:
+    * within each stratum, every treated unit matches the control whose
+    * score is nearest (caliper-bounded) — the observational-causal
+    * workhorse; feed the pairs to a mean-difference ATT. Matching with
+    * replacement keeps the estimator declarative AND order-free (greedy
+    * without-replacement matching is inherently sequential — documented
+    * non-goal).
+    *
+    * DETERMINISM: `scoreCol` must be integral (bucket continuous scores —
+    * the rocAuc contract); controls first collapse to ONE canonical
+    * representative per (stratum, score) (min id), so score ties cannot
+    * leak shuffle order; the nearest election is [[graft.operators.Ops.asofJoin]]'s
+    * backward-wins-ties rule. Unmatched / out-of-caliper treated drop
+    * (count them against the input). Returns
+    * (stratum, id, score, outcome, ctl_id, ctl_score, ctl_outcome). */
+  def propensityMatch(df: DataFrame, idCol: String, treatedCol: Column,
+                      scoreCol: Column, outcomeCol: Column,
+                      strataCol: Column, caliper: Long): DataFrame = {
+    require(caliper >= 0, s"caliper must be >= 0: $caliper")
+    val base = df.select(strataCol.as("stratum"), col(idCol).as("id"),
+      treatedCol.as("__tr"), scoreCol.cast("long").as("score"),
+      outcomeCol.cast("double").as("outcome"))
+    val ctl = base.filter(!col("__tr"))
+      .groupBy(col("stratum"), col("score").as("ctl_score"))
+      .agg(min_by(struct(col("id").as("ctl_id"),
+        col("outcome").as("ctl_outcome")), col("id")).as("__c"))
+      .select(col("stratum"), col("ctl_score"), col("__c.ctl_id").as("ctl_id"),
+        col("__c.ctl_outcome").as("ctl_outcome"))
+    val treated = base.filter(col("__tr")).drop("__tr")
+    graft.operators.Ops.asofJoin(treated, ctl, "stratum",
+        "score", "ctl_score", Seq("ctl_id", "ctl_outcome", "ctl_score"),
+        direction = "nearest")
+      .withColumn("ctl_id", col("__match.ctl_id"))
+      .withColumn("ctl_outcome", col("__match.ctl_outcome"))
+      .withColumn("ctl_score", col("__match.ctl_score"))
+      .drop("__match")
+      .filter(abs(col("score") - col("ctl_score")) <= caliper)
+      .select(col("stratum"), col("id"), col("score"), col("outcome"),
+        col("ctl_id"), col("ctl_score"), col("ctl_outcome"))
+  }
 }

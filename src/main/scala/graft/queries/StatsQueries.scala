@@ -2878,5 +2878,104 @@ object StatsQueries2 {
           Seq("l_returnflag"), "price", col("l_quantity"),
           qs = Seq(1 -> 2, 9 -> 10))
         .orderBy("l_returnflag", "q_num", "q_den"))
+ ,
+
+    // ---- beta-binomial empirical-Bayes shrinkage of per-supplier return
+    // rates: MoM prior from DECIMAL(28,12) moment sums, posterior mean
+    // (x+α)/(n+α+β) in one mirrored IEEE shape.
+    Q("q343_empirical_bayes",
+      Some("WITH pk AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) " +
+        "AS n, CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS x FROM lineitem GROUP BY 1), " +
+        "pr AS (SELECT key, n, x, CAST(x AS DOUBLE) / CAST(n AS DOUBLE) " +
+        "AS rr FROM pk), " +
+        "mom AS (SELECT count(*) AS k, " +
+        "CAST(sum(CAST(rr AS DECIMAL(28,12))) AS DOUBLE) AS s1, " +
+        "CAST(sum(CAST(rr * rr AS DECIMAL(28,12))) AS DOUBLE) AS s2 " +
+        "FROM pr WHERE n >= 10), " +
+        "mv AS (SELECT k, s1 / CAST(k AS DOUBLE) AS m, " +
+        "s2 / CAST(k AS DOUBLE) - (s1 / CAST(k AS DOUBLE)) * " +
+        "(s1 / CAST(k AS DOUBLE)) AS v FROM mom), " +
+        "sc AS (SELECT k, m, v, m * (1.0 - m) / v - 1.0 AS s, " +
+        "k >= 2 AND v > 0 AND v < m * (1.0 - m) AS ok FROM mv) " +
+        "SELECT key, n, x, round(rr, 6) AS raw_rate, " +
+        "CASE WHEN ok THEN round(m * s, 6) END AS alpha, " +
+        "CASE WHEN ok THEN round((1.0 - m) * s, 6) END AS beta, " +
+        "CASE WHEN ok THEN round((CAST(x AS DOUBLE) + m * s) / " +
+        "(CAST(n AS DOUBLE) + m * s + (1.0 - m) * s), 6) " +
+        "ELSE round(rr, 6) END AS shrunk_rate " +
+        "FROM pr, sc ORDER BY key"),
+      (s, dir) => Stats.empiricalBayesRates(Tables.lineitem(s, dir),
+          "l_suppkey", col("l_returnflag") === "R", minTrials = 10L)
+        .orderBy("key")),
+
+    // ---- stratified nearest-control propensity matching (with
+    // replacement): canonical control per (stratum, score) kills tie
+    // leakage, the as-of nearest election breaks distance ties backward,
+    // caliper 5 score buckets; the oracle replays the same election.
+    Q("q344_propensity_match",
+      Some("WITH o AS (SELECT o_custkey, CAST(sum(CAST(round(" +
+        "o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents FROM orders " +
+        "GROUP BY 1), " +
+        "b AS (SELECT c_nationkey % 5 AS stratum, c_custkey AS id, " +
+        "c_mktsegment = 'BUILDING' AS tr, " +
+        "CAST(floor(c_acctbal / 100.0) AS BIGINT) AS score, " +
+        "CAST(coalesce(cents, 0) AS DOUBLE) AS outcome FROM customer " +
+        "LEFT JOIN o ON o_custkey = c_custkey), " +
+        "ctl AS (SELECT stratum, score AS ctl_score, min(id) AS ctl_id " +
+        "FROM b WHERE NOT tr GROUP BY 1, 2), " +
+        "ctlo AS (SELECT ctl.stratum, ctl.ctl_score, ctl.ctl_id, " +
+        "b.outcome AS ctl_outcome FROM ctl JOIN b ON b.stratum = " +
+        "ctl.stratum AND b.id = ctl.ctl_id), " +
+        "tr AS (SELECT stratum, id, score, outcome FROM b WHERE tr), " +
+        "cand AS (SELECT tr.stratum, tr.id, tr.score, tr.outcome, " +
+        "c.ctl_id, c.ctl_score, c.ctl_outcome, row_number() OVER " +
+        "(PARTITION BY tr.stratum, tr.id ORDER BY " +
+        "abs(tr.score - c.ctl_score), CASE WHEN c.ctl_score <= tr.score " +
+        "THEN 0 ELSE 1 END) AS rn FROM tr JOIN ctlo c " +
+        "ON c.stratum = tr.stratum) " +
+        "SELECT stratum, id, score, outcome, ctl_id, ctl_score, " +
+        "ctl_outcome FROM cand WHERE rn = 1 AND " +
+        "abs(score - ctl_score) <= 5 ORDER BY stratum, id"),
+      (s, dir) => {
+        val spend = Tables.orders(s, dir)
+          .groupBy("o_custkey")
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("cents"))
+        val cust = Tables.customer(s, dir)
+          .join(spend, col("o_custkey") === col("c_custkey"), "left")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+            col("c_acctbal"),
+            coalesce(col("cents"), lit(0L)).cast("double").as("outcome"))
+        Stats.propensityMatch(cust, "c_custkey",
+            col("c_mktsegment") === "BUILDING",
+            floor(col("c_acctbal") / 100.0).cast("long"), col("outcome"),
+            pmod(col("c_nationkey"), lit(5)), caliper = 5L)
+          .orderBy("stratum", "id")
+      }),
+
+    // ---- sample-ratio-mismatch gate per event type on the user_id % 2
+    // split: exact counts, one-df chi-square vs the designed 1/2,
+    // flagged at the standard 10.828 threshold.
+    Q("q345_srm_check",
+      Some("WITH a AS (SELECT event_type, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n1, CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) " +
+        "AS BIGINT) AS n2 FROM events GROUP BY 1), " +
+        "f AS (SELECT event_type, n1, n2, " +
+        "CAST(n1 + n2 AS DOUBLE) AS tot, CAST(n1 AS DOUBLE) AS n1d, " +
+        "CAST(n2 AS DOUBLE) AS n2d FROM a) " +
+        "SELECT event_type, n1, n2, round(tot * 1 / 2, 6) AS expected1, " +
+        "CASE WHEN tot > 0 THEN round((n1d - tot * 1 / 2) * " +
+        "(n1d - tot * 1 / 2) / (tot * 1 / 2) + " +
+        "(n2d - (tot - tot * 1 / 2)) * (n2d - (tot - tot * 1 / 2)) / " +
+        "(tot - tot * 1 / 2), 6) END AS chi2, " +
+        "CASE WHEN tot > 0 THEN (n1d - tot * 1 / 2) * (n1d - tot * 1 / 2) " +
+        "/ (tot * 1 / 2) + (n2d - (tot - tot * 1 / 2)) * " +
+        "(n2d - (tot - tot * 1 / 2)) / (tot - tot * 1 / 2) > 10.828 END " +
+        "AS srm FROM f ORDER BY event_type"),
+      (s, dir) => Stats.srmCheck(Tables.events(s, dir),
+          pmod(col("user_id"), lit(2L)) === 0, Seq("event_type"))
+        .orderBy("event_type"))
   )
 }

@@ -1346,4 +1346,52 @@ class StatsSpec extends SparkSpec {
     val total = math.round((iv1 + iv2) * 1e6) / 1e6
     assert(r(1L).getDouble(5) == total && r(3L).getDouble(5) == total)
   }
+  test("empiricalBayesRates: MoM prior, posterior pull, degenerate fallback") {
+    import spark.implicits._
+    // prior fit on two n=10 keys with rates .2/.4: m=.3, v=.01 ->
+    // scale 20, Beta(6, 14); the n=1 key shrinks hard toward the prior
+    val rows = (1 to 10).flatMap(i => Seq(("A", i <= 2), ("B", i <= 4))) :+
+      (("C", true))
+    val r = Stats.empiricalBayesRates(rows.toDF("k", "y"), "k", col("y"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("A").getDouble(4) == 6.0 && r("A").getDouble(5) == 14.0)
+    assert(r("A").getDouble(6) == math.round(8.0 / 30.0 * 1e6) / 1e6)
+    assert(r("B").getDouble(6) == math.round(10.0 / 30.0 * 1e6) / 1e6)
+    assert(r("C").getDouble(3) == 1.0 &&
+      r("C").getDouble(6) == math.round(7.0 / 21.0 * 1e6) / 1e6)
+    // all prior-eligible rates equal -> v = 0 -> no prior, shrunk = raw
+    val flat = (1 to 10).flatMap(i => Seq(("A", i <= 3), ("B", i <= 3)))
+    val f = Stats.empiricalBayesRates(flat.toDF("k", "y"), "k", col("y"))
+      .collect().head
+    assert(f.isNullAt(4) && f.getDouble(6) == f.getDouble(3))
+  }
+
+  test("propensityMatch: canonical tie control, backward preference, caliper") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, true, 10L, 100.0, 0), (5L, true, 100L, 1.0, 0),
+      (2L, false, 8L, 50.0, 0), (3L, false, 12L, 70.0, 0),
+      (4L, false, 12L, 99.0, 0),     // score tie: id 3 is canonical
+      (6L, true, 7L, 9.0, 1))        // stratum 1 has no controls
+      .toDF("id", "tr", "score", "y", "st")
+    val r = Stats.propensityMatch(df, "id", col("tr"), col("score"),
+        col("y"), col("st"), caliper = 5L)
+      .collect().map(x => (x.getLong(1), x.getLong(4), x.getLong(5),
+        x.getDouble(6)))
+    // treated 1: dist 2 both sides -> backward (score 8) wins;
+    // treated 5 out of caliper; treated 6 unmatched
+    assert(r.toSeq == Seq((1L, 2L, 8L, 50.0)))
+  }
+
+  test("srmCheck: balanced passes, 90/10 flags") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => ("g", i <= 60)) ++
+      (1 to 1000).map(i => ("h", i <= 900))
+    val r = Stats.srmCheck(rows.toDF("grp", "a"), col("a"), Seq("grp"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(3), x.getDouble(4), x.getBoolean(5)))
+      .toMap
+    assert(r("g") == ((60L, 50.0, 4.0, false)))
+    assert(r("h") == ((900L, 500.0, 640.0, true)))
+  }
 }
