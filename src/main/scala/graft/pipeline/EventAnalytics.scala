@@ -1753,4 +1753,101 @@ object EventAnalytics {
         greatest(pmod(d, lit(7L)) - lit(4L), lit(0L))
     g(endDay) - g(startDay)
   }
+  // ------------------------------------------- Markov removal attribution
+  /** Data-driven (Markov removal-effect) channel attribution — the model
+    * that replaced last-touch in marketing analytics (Anderl et al. 2014):
+    * build the first-order journey chain START → touches → CONV/NULL,
+    * then each channel's credit is its REMOVAL EFFECT — how much k-step
+    * conversion probability disappears when journeys through it are
+    * killed — normalized across channels.
+    *
+    * The absorbing-chain solve is a `rounds`-step truncated power
+    * iteration, and the round count is part of the CONTRACT (the q156
+    * lesson: an oracle unrolls the same rounds; removal zeroes a
+    * channel's value every round, which kills exactly the mass that
+    * passes through it). ALL variants (full + one per channel) iterate
+    * together as one (variant, state)-keyed relation — one loop, one
+    * plan, no driver collect. Each round's Σ p·a terms round to
+    * DECIMAL(28,12) before the sum (the PSI discipline); p stays the
+    * exact rational c/t inside the term.
+    *
+    * Journey contract: touches are `typeCol` events ≠ `convValue`
+    * STRICTLY BEFORE the user's first conversion (ties on ts break by
+    * `tieCol`); users with no touches drop; the state relation is
+    * channels + {__start, __conv, __null} — vocabulary-bounded, so every
+    * round is a join over a tiny relation however large the event log.
+    * Returns per channel:
+    * (channel, p_conv, p_conv_removed, removal_effect, attribution). */
+  def markovAttribution(df: DataFrame, userCol: String, tsCol: String,
+                        tieCol: String, typeCol: String, convValue: String,
+                        rounds: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
+    val ev = df.select(col(userCol).as("u"), unix_micros(col(tsCol)).as("us"),
+      col(tieCol).as("tie"), col(typeCol).as("ch"))
+    val conv = ev.filter(col("ch") === convValue)
+      .groupBy("u").agg(min(col("us")).as("cus"))
+    val touches = ev.filter(col("ch") =!= convValue)
+      .join(conv, Seq("u"), "left")
+      .filter(col("cus").isNull || col("us") < col("cus"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("u")).orderBy(col("us").asc, col("tie").asc)))
+    val nTouch = touches.groupBy("u")
+      .agg(max(col("__rn")).as("__n"), first(col("cus"), ignoreNulls = true)
+        .as("__cus"))
+    val startE = touches.filter(col("__rn") === 1)
+      .select(lit("__start").as("from_state"), col("ch").as("to_state"))
+    val midE = touches.select(col("u"), col("__rn"), col("ch"))
+      .join(touches.select(col("u"), (col("__rn") - 1).as("__rn"),
+        col("ch").as("__next")), Seq("u", "__rn"))
+      .select(col("ch").as("from_state"), col("__next").as("to_state"))
+    val endE = touches.join(nTouch, Seq("u"))
+      .filter(col("__rn") === col("__n"))
+      .select(col("ch").as("from_state"),
+        when(col("__cus").isNotNull, "__conv").otherwise("__null")
+          .as("to_state"))
+    val trans = startE.unionByName(midE).unionByName(endE)
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("c"))
+      .withColumn("t", sum(col("c")).over(
+        Window.partitionBy(col("from_state"))))
+    val channels = ev.filter(col("ch") =!= convValue)
+      .select(col("ch")).distinct()
+    val variants = channels.select(col("ch").as("variant"))
+      .unionByName(channels.limit(1).select(lit("full").as("variant")))
+    val states = trans.select(col("from_state").as("state"))
+      .unionByName(trans.select(col("to_state").as("state"))).distinct()
+    val spine = variants.crossJoin(broadcast(states))
+    var a = spine.withColumn("v",
+      when(col("state") === "__conv", 1.0).otherwise(0.0))
+    for (_ <- 1 to rounds) {
+      val nxt = trans.join(a.withColumnRenamed("state", "to_state"),
+          Seq("to_state"))
+        .groupBy(col("variant"), col("from_state").as("state"))
+        .agg(sum((col("c").cast("double") / col("t").cast("double") *
+          col("v")).cast(DecimalType(28, 12))).cast("double").as("__agg"))
+      a = spine.join(nxt, Seq("variant", "state"), "left")
+        .withColumn("v",
+          when(col("state") === "__conv", 1.0)
+            .when(col("state") === "__null", 0.0)
+            .when(col("state") === col("variant"), 0.0)
+            .otherwise(coalesce(col("__agg"), lit(0.0))))
+        .drop("__agg")
+    }
+    val atStart = a.filter(col("state") === "__start")
+      .select(col("variant"), col("v"))
+    val full = atStart.filter(col("variant") === "full")
+      .select(col("v").as("__pf"))
+    val wAll = Window.partitionBy(lit(1))
+    atStart.filter(col("variant") =!= "full")
+      .crossJoin(broadcast(full))
+      .withColumn("__re",
+        when(col("__pf") > 0, lit(1.0) - col("v") / col("__pf")))
+      .select(col("variant").as("channel"),
+        round(col("__pf"), 6).as("p_conv"),
+        round(col("v"), 6).as("p_conv_removed"),
+        round(col("__re"), 6).as("removal_effect"),
+        when(sum(col("__re")).over(wAll) > 0,
+          round(col("__re") / sum(col("__re")).over(wAll), 6))
+          .as("attribution"))
+  }
 }

@@ -1528,5 +1528,95 @@ object AppliedQueries {
               count(lit(1)).cast("double"), 6).as("avg_bdays"))
           .orderBy("o_orderpriority")
       })
+ ,
+
+    // ---- Markov removal-effect attribution (the data-driven model that
+    // replaced last-touch): 8-round truncated absorbing-chain solve, all
+    // removal variants iterated as ONE (variant, state) relation;
+    // DECIMAL(28,12) p·a terms; the oracle unrolls the same 8 rounds
+    // (MATERIALIZED — the q156 lesson).
+    Q("q346_markov_attribution",
+      Some("WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS us, event_id AS tie" +
+        ", event_type AS ch FROM events), conv AS (SELECT u, min(us) AS cus F" +
+        "ROM ev WHERE ch = 'purchase' GROUP BY 1), tch AS MATERIALIZED (SELEC" +
+        "T ev.u, ev.ch, conv.cus, row_number() OVER (PARTITION BY ev.u ORDER " +
+        "BY ev.us, ev.tie) AS rn FROM ev LEFT JOIN conv ON ev.u = conv.u WHER" +
+        "E ev.ch <> 'purchase' AND (conv.cus IS NULL OR ev.us < conv.cus)), n" +
+        "t AS (SELECT u, max(rn) AS n FROM tch GROUP BY 1), edges AS (SELECT " +
+        "'__start' AS f, ch AS tt FROM tch WHERE rn = 1 UNION ALL SELECT a.ch" +
+        ", b.ch FROM tch a JOIN tch b ON a.u = b.u AND b.rn = a.rn + 1 UNION " +
+        "ALL SELECT tch.ch, CASE WHEN tch.cus IS NOT NULL THEN '__conv' ELSE " +
+        "'__null' END FROM tch JOIN nt ON tch.u = nt.u AND tch.rn = nt.n), tr" +
+        "ans AS (SELECT f, tt, CAST(count(*) AS BIGINT) AS c FROM edges GROUP" +
+        " BY 1, 2), tr AS MATERIALIZED (SELECT f, tt, c, CAST(sum(c) OVER (PA" +
+        "RTITION BY f) AS BIGINT) AS t FROM trans), vr AS (SELECT * FROM (VAL" +
+        "UES ('full'), ('click'), ('error'), ('signup'), ('view')) v(variant)" +
+        "), st AS (SELECT f AS state FROM tr UNION SELECT tt FROM tr), sp AS " +
+        "MATERIALIZED (SELECT variant, state FROM vr CROSS JOIN st), a0 AS (S" +
+        "ELECT variant, state, CASE WHEN state = '__conv' THEN 1.0 ELSE 0.0 E" +
+        "ND AS v FROM sp), a1 AS MATERIALIZED (SELECT sp.variant, sp.state, C" +
+        "ASE WHEN sp.state = '__conv' THEN 1.0 WHEN sp.state = '__null' THEN " +
+        "0.0 WHEN sp.state = sp.variant THEN 0.0 ELSE coalesce(nx.agg, 0.0) E" +
+        "ND AS v FROM sp LEFT JOIN (SELECT a.variant, tr.f AS state, CAST(SUM" +
+        "(CAST(CAST(tr.c AS DOUBLE) / CAST(tr.t AS DOUBLE) * a.v AS DECIMAL(2" +
+        "8,12))) AS DOUBLE) AS agg FROM tr JOIN a0 a ON a.state = tr.tt GROUP" +
+        " BY 1, 2) nx ON nx.variant = sp.variant AND nx.state = sp.state), a2" +
+        " AS MATERIALIZED (SELECT sp.variant, sp.state, CASE WHEN sp.state = " +
+        "'__conv' THEN 1.0 WHEN sp.state = '__null' THEN 0.0 WHEN sp.state = " +
+        "sp.variant THEN 0.0 ELSE coalesce(nx.agg, 0.0) END AS v FROM sp LEFT" +
+        " JOIN (SELECT a.variant, tr.f AS state, CAST(SUM(CAST(CAST(tr.c AS D" +
+        "OUBLE) / CAST(tr.t AS DOUBLE) * a.v AS DECIMAL(28,12))) AS DOUBLE) A" +
+        "S agg FROM tr JOIN a1 a ON a.state = tr.tt GROUP BY 1, 2) nx ON nx.v" +
+        "ariant = sp.variant AND nx.state = sp.state), a3 AS MATERIALIZED (SE" +
+        "LECT sp.variant, sp.state, CASE WHEN sp.state = '__conv' THEN 1.0 WH" +
+        "EN sp.state = '__null' THEN 0.0 WHEN sp.state = sp.variant THEN 0.0 " +
+        "ELSE coalesce(nx.agg, 0.0) END AS v FROM sp LEFT JOIN (SELECT a.vari" +
+        "ant, tr.f AS state, CAST(SUM(CAST(CAST(tr.c AS DOUBLE) / CAST(tr.t A" +
+        "S DOUBLE) * a.v AS DECIMAL(28,12))) AS DOUBLE) AS agg FROM tr JOIN a" +
+        "2 a ON a.state = tr.tt GROUP BY 1, 2) nx ON nx.variant = sp.variant " +
+        "AND nx.state = sp.state), a4 AS MATERIALIZED (SELECT sp.variant, sp." +
+        "state, CASE WHEN sp.state = '__conv' THEN 1.0 WHEN sp.state = '__nul" +
+        "l' THEN 0.0 WHEN sp.state = sp.variant THEN 0.0 ELSE coalesce(nx.agg" +
+        ", 0.0) END AS v FROM sp LEFT JOIN (SELECT a.variant, tr.f AS state, " +
+        "CAST(SUM(CAST(CAST(tr.c AS DOUBLE) / CAST(tr.t AS DOUBLE) * a.v AS D" +
+        "ECIMAL(28,12))) AS DOUBLE) AS agg FROM tr JOIN a3 a ON a.state = tr." +
+        "tt GROUP BY 1, 2) nx ON nx.variant = sp.variant AND nx.state = sp.st" +
+        "ate), a5 AS MATERIALIZED (SELECT sp.variant, sp.state, CASE WHEN sp." +
+        "state = '__conv' THEN 1.0 WHEN sp.state = '__null' THEN 0.0 WHEN sp." +
+        "state = sp.variant THEN 0.0 ELSE coalesce(nx.agg, 0.0) END AS v FROM" +
+        " sp LEFT JOIN (SELECT a.variant, tr.f AS state, CAST(SUM(CAST(CAST(t" +
+        "r.c AS DOUBLE) / CAST(tr.t AS DOUBLE) * a.v AS DECIMAL(28,12))) AS D" +
+        "OUBLE) AS agg FROM tr JOIN a4 a ON a.state = tr.tt GROUP BY 1, 2) nx" +
+        " ON nx.variant = sp.variant AND nx.state = sp.state), a6 AS MATERIAL" +
+        "IZED (SELECT sp.variant, sp.state, CASE WHEN sp.state = '__conv' THE" +
+        "N 1.0 WHEN sp.state = '__null' THEN 0.0 WHEN sp.state = sp.variant T" +
+        "HEN 0.0 ELSE coalesce(nx.agg, 0.0) END AS v FROM sp LEFT JOIN (SELEC" +
+        "T a.variant, tr.f AS state, CAST(SUM(CAST(CAST(tr.c AS DOUBLE) / CAS" +
+        "T(tr.t AS DOUBLE) * a.v AS DECIMAL(28,12))) AS DOUBLE) AS agg FROM t" +
+        "r JOIN a5 a ON a.state = tr.tt GROUP BY 1, 2) nx ON nx.variant = sp." +
+        "variant AND nx.state = sp.state), a7 AS MATERIALIZED (SELECT sp.vari" +
+        "ant, sp.state, CASE WHEN sp.state = '__conv' THEN 1.0 WHEN sp.state " +
+        "= '__null' THEN 0.0 WHEN sp.state = sp.variant THEN 0.0 ELSE coalesc" +
+        "e(nx.agg, 0.0) END AS v FROM sp LEFT JOIN (SELECT a.variant, tr.f AS" +
+        " state, CAST(SUM(CAST(CAST(tr.c AS DOUBLE) / CAST(tr.t AS DOUBLE) * " +
+        "a.v AS DECIMAL(28,12))) AS DOUBLE) AS agg FROM tr JOIN a6 a ON a.sta" +
+        "te = tr.tt GROUP BY 1, 2) nx ON nx.variant = sp.variant AND nx.state" +
+        " = sp.state), a8 AS MATERIALIZED (SELECT sp.variant, sp.state, CASE " +
+        "WHEN sp.state = '__conv' THEN 1.0 WHEN sp.state = '__null' THEN 0.0 " +
+        "WHEN sp.state = sp.variant THEN 0.0 ELSE coalesce(nx.agg, 0.0) END A" +
+        "S v FROM sp LEFT JOIN (SELECT a.variant, tr.f AS state, CAST(SUM(CAS" +
+        "T(CAST(tr.c AS DOUBLE) / CAST(tr.t AS DOUBLE) * a.v AS DECIMAL(28,12" +
+        "))) AS DOUBLE) AS agg FROM tr JOIN a7 a ON a.state = tr.tt GROUP BY " +
+        "1, 2) nx ON nx.variant = sp.variant AND nx.state = sp.state), fin AS" +
+        " (SELECT variant, v FROM a8 WHERE state = '__start'), pf AS (SELECT " +
+        "v AS pfv FROM fin WHERE variant = 'full'), re AS (SELECT variant, v," +
+        " pfv, CASE WHEN pfv > 0 THEN 1.0 - v / pfv END AS ref FROM fin, pf W" +
+        "HERE variant <> 'full') SELECT variant AS channel, round(pfv, 6) AS " +
+        "p_conv, round(v, 6) AS p_conv_removed, round(ref, 6) AS removal_effe" +
+        "ct, CASE WHEN sum(ref) OVER () > 0 THEN round(ref / sum(ref) OVER ()" +
+        ", 6) END AS attribution FROM re ORDER BY channel"),
+      (s, dir) => EventAnalytics.markovAttribution(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "event_type", "purchase", rounds = 8)
+        .orderBy("channel"))
   )
 }

@@ -605,4 +605,24 @@ class AppliedSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(r.toSeq == Seq(1L, 5L, 0L, 5L, -5L))
   }
+  test("markovAttribution: hand chain, removal effects, normalization") {
+    import spark.implicits._
+    // u1: A -> buy; u2: A -> B -> buy; u3: B -> (no conversion)
+    // exact absorption: P(conv) = 2/3; removing A -> 1/6 (re .75),
+    // removing B -> 1/3 (re .5); attribution .6 / .4
+    val ev = Seq(
+      (1L, 1L, 10L, "A"), (1L, 2L, 11L, "buy"),
+      (2L, 1L, 20L, "A"), (2L, 2L, 21L, "B"), (2L, 3L, 22L, "buy"),
+      (3L, 1L, 30L, "B"))
+      .toDF("u", "sec", "eid", "et")
+      .select(col("u"), expr("timestamp_micros(sec * 1000000)").as("ts"),
+        col("eid"), col("et"))
+    val r = EventAnalytics.markovAttribution(ev, "u", "ts", "eid", "et",
+        "buy", rounds = 8)
+      .collect().map(x => x.getString(0) ->
+        (x.getDouble(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))
+      .toMap
+    assert(r("A") == ((0.666667, 0.166667, 0.75, 0.6)))
+    assert(r("B") == ((0.666667, 0.333333, 0.5, 0.4)))
+  }
 }
