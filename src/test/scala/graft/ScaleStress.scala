@@ -636,6 +636,40 @@ object ScaleStress {
     assert(ws.getLong(1) == 10000L)
     assert(math.abs(ws.getDouble(3) - expShare) < 1e-6,
       s"whale share mismatch: ${ws.getDouble(3)} vs $expShare")
+
+    // weightedQuantiles over 10M rows / 4 groups / 10k-value domain: the
+    // window runs on the (group, value) ROLLUP (40k rows), never the 10M
+    // facts. Uniform construction -> analytic medians: per group each of
+    // the 10k values carries 250 unit-weight rows (W = 2.5M); the 1/2
+    // crossing is cum >= 1.25M i.e. value 4999; the 9/10 crossing 8999.
+    val wqRows = spark.range(10000000L).select(
+      (col("id") % 4L).as("g"), expr("(id div 4) % 10000").as("v"),
+      lit(1L).as("w"))
+    val wq = timed("weightedQuantiles over 10M rows, 10k-value domain") {
+      graft.operators.Ops.weightedQuantiles(wqRows, Seq("g"), "v", col("w"),
+        qs = Seq(1 -> 2, 9 -> 10)).collect()
+    }
+    assert(wq.length == 8)
+    wq.foreach { r =>
+      val exp = if (r.getInt(1) == 1) 4999L else 8999L
+      assert(r.getLong(3) == exp, s"weighted quantile off: $r")
+      assert(r.getLong(4) == 2500000L)
+    }
+
+    // saltedJoin with ONE pathological key: 5M of 10M probe rows share
+    // key 0 — the exact case a plain shuffle join turns into a straggler.
+    // Count must equal the plain join's analytic value (no row invented
+    // or lost by the salt re-route).
+    val probe = spark.range(10000000L).select(
+      when(col("id") < 5000000L, 0L).otherwise(col("id") % 1000L).as("k"),
+      col("id").as("pid"))
+    val build = spark.range(1000L).select(col("id").as("k"),
+      (col("id") * 7L).as("bv"))
+    val sj = timed("saltedJoin 10M probe rows, one 5M-row hot key") {
+      graft.operators.Ops.saltedJoin(probe, build, Seq("k"),
+        xxhash64(col("pid")), saltBuckets = 32).count()
+    }
+    assert(sj == 10000000L, s"salted join row count off: $sj")
     spark.stop()
   }
 }
