@@ -1816,16 +1816,24 @@ object EventAnalytics {
       .unionByName(channels.limit(1).select(lit("full").as("variant")))
     val states = trans.select(col("from_state").as("state"))
       .unionByName(trans.select(col("to_state").as("state"))).distinct()
+    // the iterate lives at (variants × states) cardinality — single-digit
+    // kilobytes however large the event log — so the whole loop runs as
+    // ONE task per round: both fixed relations collapse to one partition
+    // and materialize once (localCheckpoint: an 8-round lineage of
+    // re-derived journey scans would otherwise re-run the log each round),
+    // and every round-side join broadcasts.
+    val transS = trans.repartition(1).localCheckpoint(true)
     val spine = variants.crossJoin(broadcast(states))
+      .repartition(1).localCheckpoint(true)
     var a = spine.withColumn("v",
       when(col("state") === "__conv", 1.0).otherwise(0.0))
     for (_ <- 1 to rounds) {
-      val nxt = trans.join(a.withColumnRenamed("state", "to_state"),
+      val nxt = transS.join(broadcast(a.withColumnRenamed("state", "to_state")),
           Seq("to_state"))
         .groupBy(col("variant"), col("from_state").as("state"))
         .agg(sum((col("c").cast("double") / col("t").cast("double") *
           col("v")).cast(DecimalType(28, 12))).cast("double").as("__agg"))
-      a = spine.join(nxt, Seq("variant", "state"), "left")
+      a = spine.join(broadcast(nxt), Seq("variant", "state"), "left")
         .withColumn("v",
           when(col("state") === "__conv", 1.0)
             .when(col("state") === "__null", 0.0)

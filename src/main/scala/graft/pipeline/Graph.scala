@@ -549,4 +549,43 @@ object Graph {
       .select(col("a"), col("b"), col("common_neighbors"),
         round(col("__aa").cast("double"), 6).as("aa_score"))
   }
+  // ------------------------------------------------------------- k-truss
+  /** Bounded-round k-truss peeling: each round counts every edge's
+    * triangle SUPPORT (via the same degree-oriented enumeration as
+    * [[triangleCounts]] — wedge volume stays Σ C(outdeg, 2)) and drops
+    * edges supporting fewer than k−2 triangles; after `rounds` rounds the
+    * surviving edges ship with their final-round support. Like [[kCore]],
+    * the round count is part of the operator CONTRACT (the deterministic
+    * `rounds`-step peel, converged or not — an oracle unrolls the same
+    * rounds); the truss is the community-core filter one notch stronger
+    * than k-core (edges, not nodes, must be embedded in triangles).
+    * Edges checkpoint each round to cut the growing lineage. Returns
+    * (a, b, support) of the `rounds`-step truss. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
+             k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3: $k")
+    require(rounds >= 1 && rounds <= 10, s"rounds out of range: $rounds")
+    var und = canonEdges(edges, srcCol, dstCol)
+    var support: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val tri = triCorners(orientedOf(und, degrees(und)))
+      // every triangle supports its three canonical edges
+      val edgeHits = tri.select(
+          explode(array(
+            struct(least(col("u"), col("x")).as("a"),
+              greatest(col("u"), col("x")).as("b")),
+            struct(least(col("u"), col("y")).as("a"),
+              greatest(col("u"), col("y")).as("b")),
+            struct(least(col("x"), col("y")).as("a"),
+              greatest(col("x"), col("y")).as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      support = und.join(edgeHits, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("support"), lit(0L)).as("support"))
+        .filter(col("support") >= k - 2)
+      und = cut(support.select("a", "b"))
+    }
+    support
+  }
 }

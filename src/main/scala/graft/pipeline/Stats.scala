@@ -2255,4 +2255,36 @@ object Stats {
       .select(col("stratum"), col("id"), col("score"), col("outcome"),
         col("ctl_id"), col("ctl_score"), col("ctl_outcome"))
   }
+  // ------------------------------------------------- ranking metrics @k
+  /** Per-query precision@k / recall@k / hit@k of a ranked candidate list
+    * against a truth relation — the IR-eval siblings of [[ndcg]]-style
+    * metrics (macro-average the output for the headline number).
+    * precision divides by k even when fewer candidates exist (the
+    * standard padded-list convention, documented); recall divides by the
+    * query's truth-set size; queries in `truth` with no candidates get a
+    * zero row (via the truth-side outer join), so macro averages aren't
+    * survivorship-biased. Exact integer counts, one IEEE division per
+    * ratio, 6dp. Returns (query, n_truth, hits, precision_at_k,
+    * recall_at_k, hit). */
+  def rankingMetricsAtK(candidates: DataFrame, queryCol: String,
+                        itemCol: String, rankCol: Column,
+                        truth: DataFrame, truthQueryCol: String,
+                        truthItemCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val cand = candidates.filter(rankCol <= k)
+      .select(col(queryCol).as("query"), col(itemCol).as("__i"))
+    val t = truth.select(col(truthQueryCol).as("query"),
+      col(truthItemCol).as("__i")).distinct()
+    val nT = t.groupBy("query").agg(count(lit(1)).as("n_truth"))
+    val hits = cand.join(t, Seq("query", "__i"), "semi")
+      .groupBy("query").agg(count(lit(1)).as("hits"))
+    nT.join(hits, Seq("query"), "left")
+      .select(col("query"), col("n_truth"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / k, 6)
+          .as("precision_at_k"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_truth").cast("double"), 6).as("recall_at_k"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("hit"))
+  }
 }

@@ -2977,5 +2977,66 @@ object StatsQueries2 {
       (s, dir) => Stats.srmCheck(Tables.events(s, dir),
           pmod(col("user_id"), lit(2L)) === 0, Seq("event_type"))
         .orderBy("event_type"))
+ ,
+
+    // ---- 2-round 3-truss of the sparse co-purchase graph: per-edge
+    // triangle support via the degree-oriented enumeration, edges below
+    // support 2 peel each round; the oracle unrolls the same rounds
+    // (MATERIALIZED, the q156 lesson).
+    Q("q347_ktruss",
+      Some("WITH " + AppliedQueries.copurchaseEdgesSql + ", " +
+        "r1t AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e0 e1 JOIN e0 e2 ON e1.a = e2.a AND e1.b < e2.b JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b), r1s AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (SELECT x AS a, y AS b FROM r1t UNION ALL SELECT x, z FROM r1t UNION ALL SELECT y, z FROM r1t) GROUP BY 1, 2), e1x AS MATERIALIZED (SELECT e.a, e.b, coalesce(s.support, 0) AS support FROM e0 e LEFT JOIN r1s s ON e.a = s.a AND e.b = s.b WHERE coalesce(s.support, 0) >= 1), r2t AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e1x e1 JOIN e1x e2 ON e1.a = e2.a AND e1.b < e2.b JOIN e1x e3 ON e3.a = e1.b AND e3.b = e2.b), r2s AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (SELECT x AS a, y AS b FROM r2t UNION ALL SELECT x, z FROM r2t UNION ALL SELECT y, z FROM r2t) GROUP BY 1, 2), e2x AS MATERIALIZED (SELECT e.a, e.b, coalesce(s.support, 0) AS support FROM e1x e LEFT JOIN r2s s ON e.a = s.a AND e.b = s.b WHERE coalesce(s.support, 0) >= 1) " +
+        "SELECT a, b, support FROM e2x ORDER BY a, b"),
+      (s, dir) => Graph.kTruss(AppliedQueries.copurchaseEdges(s, dir),
+          "src", "dst", k = 3, rounds = 2)
+        .orderBy("a", "b")),
+
+    // ---- temporal-split recommender eval: train-period spend ranking
+    // scored against last-quarter purchases — per-customer precision@5 /
+    // recall@5 / hit@5 with truth-side zero rows (no survivorship bias).
+    Q("q348_ranking_at_k",
+      Some("WITH li AS (SELECT o_custkey AS u, l_partkey AS i, " +
+        "epoch_us(l_shipdate) // 86400000000 AS day, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
+        "mm AS (SELECT min(day) AS mn, max(day) AS mx FROM li), " +
+        "sp AS (SELECT mn + ((mx - mn) * 3) // 4 AS cut FROM mm), " +
+        "tr AS (SELECT u, i, CAST(sum(cents) AS BIGINT) AS spend " +
+        "FROM li, sp WHERE day < cut GROUP BY 1, 2), " +
+        "rk AS (SELECT u, i, row_number() OVER (PARTITION BY u " +
+        "ORDER BY spend DESC, i) AS rank FROM tr), " +
+        "tt AS (SELECT DISTINCT u, i FROM li, sp WHERE day >= cut), " +
+        "nt AS (SELECT u AS query, CAST(count(*) AS BIGINT) AS n_truth " +
+        "FROM tt GROUP BY 1), " +
+        "h AS (SELECT rk.u AS query, CAST(count(*) AS BIGINT) AS hits " +
+        "FROM rk JOIN tt ON rk.u = tt.u AND rk.i = tt.i WHERE rank <= 5 " +
+        "GROUP BY 1) " +
+        "SELECT query, n_truth, coalesce(hits, 0) AS hits, " +
+        "round(CAST(coalesce(hits, 0) AS DOUBLE) / 5, 6) " +
+        "AS precision_at_k, round(CAST(coalesce(hits, 0) AS DOUBLE) / " +
+        "CAST(n_truth AS DOUBLE), 6) AS recall_at_k, " +
+        "coalesce(hits, 0) > 0 AS hit " +
+        "FROM nt LEFT JOIN h USING (query) ORDER BY query"),
+      (s, dir) => {
+        val li = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("u"), col("l_partkey").as("i"),
+            EventAnalytics.dayIndex(col("l_shipdate")).as("day"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        val cut = li.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+          .select(expr("mn + ((mx - mn) * 3) div 4").as("cut"))
+        val withCut = li.crossJoin(broadcast(cut))
+        val ranked = withCut.filter(col("day") < col("cut"))
+          .groupBy("u", "i").agg(sum(col("cents")).as("spend"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+              .orderBy(col("spend").desc, col("i").asc)))
+        val truth = withCut.filter(col("day") >= col("cut"))
+          .select(col("u"), col("i")).distinct()
+        Stats.rankingMetricsAtK(ranked, "u", "i", col("rank"),
+            truth, "u", "i", k = 5)
+          .orderBy("query")
+      })
   )
 }

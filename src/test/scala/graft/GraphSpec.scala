@@ -189,4 +189,17 @@ class GraphSpec extends SparkSpec {
     // cap z out (deg 3 > 2): no wedges survive
     assert(Graph.adamicAdar(edges, "s", "d", maxDegree = 2).isEmpty)
   }
+  test("kTruss: pendant peels at k=3; shared edge alone survives round 1 of k=4") {
+    import spark.implicits._
+    // two triangles sharing edge 2-3, plus pendant 4-5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("s", "d")
+    val t3 = Graph.kTruss(edges, "s", "d", k = 3, rounds = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(t3 == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 2L,
+      (2L, 4L) -> 1L, (3L, 4L) -> 1L))  // 4-5 peeled, supports exact
+    // k=4: round 1 keeps only 2-3 (support 2); round 2 finds it
+    // triangle-less and peels it -> empty truss
+    assert(Graph.kTruss(edges, "s", "d", k = 4, rounds = 2).isEmpty)
+  }
 }

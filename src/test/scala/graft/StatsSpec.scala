@@ -1394,4 +1394,21 @@ class StatsSpec extends SparkSpec {
     assert(r("g") == ((60L, 50.0, 4.0, false)))
     assert(r("h") == ((900L, 500.0, 640.0, true)))
   }
+  test("rankingMetricsAtK: k cutoff, padded precision, truth-side zero rows") {
+    import spark.implicits._
+    val cand = Seq(("q1", "a", 1), ("q1", "x", 2), ("q1", "b", 3),
+      ("q3", "z", 1)).toDF("q", "i", "r")
+    val truth = Seq(("q1", "a"), ("q1", "b"), ("q2", "c")).toDF("q", "i")
+    val r = Stats.rankingMetricsAtK(cand, "q", "i", col("r"),
+        truth, "q", "i", k = 2)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4),
+          x.getBoolean(5))).toMap
+    // q1: rank<=2 is {a, x} -> 1 hit; b at rank 3 is outside k
+    assert(r("q1") == ((2L, 1L, 0.5, 0.5, true)))
+    // q2 never got candidates: zero row, not a dropped query
+    assert(r("q2") == ((1L, 0L, 0.0, 0.0, false)))
+    // q3 has no truth: out of the eval universe
+    assert(!r.contains("q3") && r.size == 2)
+  }
 }
