@@ -1858,4 +1858,44 @@ object EventAnalytics {
           round(col("__re") / sum(col("__re")).over(wAll), 6))
           .as("attribution"))
   }
+  // --------------------------------------- restricted mean survival time
+  /** Restricted mean survival time at horizon τ — the single-number
+    * summary of [[kaplanMeier]] (the average survival duration capped at
+    * τ, robust where median survival is undefined): the step-function
+    * integral RMST(τ) = Σ S(t_{i−1})·(min(t_i, τ) − t_{i−1}) over the KM
+    * curve's event grid plus the final plateau to τ.
+    *
+    * Each rectangle term is S (already 6dp from [[kaplanMeier]]) × an
+    * integer width, rounded to DECIMAL(28,12) before the sum — exact
+    * under any order. Durations beyond τ contribute nothing (their
+    * segments clamp to zero width). Returns one row:
+    * (tau, n_subjects, rmst). */
+  def restrictedMeanSurvival(df: DataFrame, durationCol: Column,
+                             eventCol: Column, tau: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(tau >= 1, s"tau must be >= 1: $tau")
+    val km = kaplanMeier(df, durationCol, eventCol)
+    val n = km.agg(sum(col("n_events") + col("n_censored")).as("__n"))
+    val w = Window.orderBy(col("duration"))
+    // S is left-continuous: the survival BEFORE the first event time is 1
+    val seg = km
+      .withColumn("__prevT", coalesce(lag(col("duration"), 1).over(w),
+        lit(0L)))
+      .withColumn("__prevS", coalesce(lag(col("survival"), 1).over(w),
+        lit(1.0)))
+      .withColumn("__w",
+        greatest(least(col("duration"), lit(tau)) -
+          least(col("__prevT"), lit(tau)), lit(0L)))
+      .withColumn("__term",
+        (col("__prevS") * col("__w").cast("double"))
+          .cast(DecimalType(28, 12)))
+    val lastSeg = km.orderBy(col("duration").desc).limit(1)
+      .select(((lit(tau) - least(col("duration"), lit(tau))).cast("double") *
+        col("survival")).cast(DecimalType(28, 12)).as("__tail"))
+    seg.agg(sum(col("__term")).as("__body"))
+      .crossJoin(broadcast(lastSeg))
+      .crossJoin(broadcast(n))
+      .select(lit(tau).as("tau"), col("__n").as("n_subjects"),
+        round((col("__body") + col("__tail")).cast("double"), 6).as("rmst"))
+  }
 }

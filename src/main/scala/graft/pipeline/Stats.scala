@@ -2287,4 +2287,27 @@ object Stats {
           col("n_truth").cast("double"), 6).as("recall_at_k"),
         (coalesce(col("hits"), lit(0L)) > 0).as("hit"))
   }
+  // -------------------------------------------- generalization ladder
+  /** k-anonymity generalization ladder (the Datafly-style audit): for
+    * each level of a caller-supplied coarsening ladder (level 0 = the raw
+    * quasi-identifier, each later level strictly coarser — e.g. zip5 →
+    * zip3 → zip1 → '*'), report the group landscape and whether the
+    * level satisfies k — the table a privacy review reads to pick the
+    * minimal sufficient generalization. Exact integer counts off one
+    * rollup per level (levels are a bounded ladder, not data). Returns
+    * per level: (level, n_groups, min_group, rows_at_risk, satisfies_k).
+    */
+  def generalizationLadder(df: DataFrame, ladder: Seq[Seq[Column]],
+                           k: Int): DataFrame = {
+    require(ladder.nonEmpty, "ladder needs at least one level")
+    require(k >= 2, s"k must be >= 2: $k")
+    ladder.zipWithIndex.map { case (qi, lvl) =>
+      df.groupBy(qi: _*).agg(count(lit(1)).as("__n"))
+        .agg(lit(lvl).as("level"), count(lit(1)).as("n_groups"),
+          min(col("__n")).as("min_group"),
+          coalesce(sum(when(col("__n") < k, col("__n"))), lit(0L))
+            .as("rows_at_risk"))
+        .withColumn("satisfies_k", col("min_group") >= k)
+    }.reduce(_ unionByName _)
+  }
 }

@@ -3038,5 +3038,77 @@ object StatsQueries2 {
             truth, "u", "i", k = 5)
           .orderBy("query")
       })
+ ,
+
+    // ---- k-anonymity generalization ladder over customer QI levels
+    // (fine -> coarse): the audit table a privacy review reads to pick
+    // the minimal sufficient coarsening; exact counts per level.
+    Q("q349_generalization_ladder",
+      Some("WITH l0 AS (SELECT count(*) AS n FROM customer GROUP BY " +
+        "c_nationkey, c_mktsegment, floor(c_acctbal / 1000.0)), " +
+        "l1 AS (SELECT count(*) AS n FROM customer GROUP BY c_nationkey, " +
+        "c_mktsegment), " +
+        "l2 AS (SELECT count(*) AS n FROM customer GROUP BY c_mktsegment), " +
+        "a0 AS (SELECT 0 AS level, count(*) AS n_groups, " +
+        "CAST(min(n) AS BIGINT) AS min_group, CAST(coalesce(sum(CASE WHEN " +
+        "n < 25 THEN n END), 0) AS BIGINT) AS rows_at_risk FROM l0), " +
+        "a1 AS (SELECT 1, count(*), CAST(min(n) AS BIGINT), " +
+        "CAST(coalesce(sum(CASE WHEN n < 25 THEN n END), 0) AS BIGINT) " +
+        "FROM l1), " +
+        "a2 AS (SELECT 2, count(*), CAST(min(n) AS BIGINT), " +
+        "CAST(coalesce(sum(CASE WHEN n < 25 THEN n END), 0) AS BIGINT) " +
+        "FROM l2) " +
+        "SELECT level, n_groups, min_group, rows_at_risk, " +
+        "min_group >= 25 AS satisfies_k FROM " +
+        "(SELECT * FROM a0 UNION ALL SELECT * FROM a1 " +
+        "UNION ALL SELECT * FROM a2) ORDER BY level"),
+      (s, dir) => Stats.generalizationLadder(Tables.customer(s, dir),
+          Seq(Seq(col("c_nationkey"), col("c_mktsegment"),
+              floor(col("c_acctbal") / 1000.0)),
+            Seq(col("c_nationkey"), col("c_mktsegment")),
+            Seq(col("c_mktsegment"))), k = 25)
+        .orderBy("level")),
+
+    // ---- restricted mean survival time at τ=20 days over the q332
+    // lifetimes: the KM step-function integral with DECIMAL(28,12)
+    // rectangle terms; the oracle extends q332's unrolled curve.
+    Q("q350_rmst",
+      Some("WITH u AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS f, ma" +
+        "x(epoch_us(ts) // 86400000000) AS l FROM events GROUP BY 1), mx AS (" +
+        "SELECT max(l) AS mx FROM u), d AS (SELECT l - f AS duration, l < mx " +
+        "- 7 AS ev FROM u, mx), pt AS (SELECT duration, CAST(sum(CASE WHEN ev" +
+        " THEN 1 ELSE 0 END) AS BIGINT) AS n_events, CAST(sum(CASE WHEN ev TH" +
+        "EN 0 ELSE 1 END) AS BIGINT) AS n_censored FROM d GROUP BY 1), t AS (" +
+        "SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n FROM pt), r A" +
+        "S (SELECT duration, n_events, n_censored, n - coalesce(CAST(sum(n_ev" +
+        "ents + n_censored) OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED PR" +
+        "ECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_at_risk FROM pt, t), sv" +
+        " AS (SELECT duration, n_at_risk, n_events, n_censored, CASE WHEN n_e" +
+        "vents > 0 AND n_events < n_at_risk THEN CAST(ln(1.0 - CAST(n_events " +
+        "AS DOUBLE) / CAST(n_at_risk AS DOUBLE)) AS DECIMAL(28,12)) ELSE CAST" +
+        "(0.0 AS DECIMAL(28,12)) END AS term, CASE WHEN n_events = n_at_risk " +
+        "THEN 1 ELSE 0 END AS dd FROM r), km AS (SELECT duration, n_at_risk, " +
+        "n_events, n_censored, round(CASE WHEN max(dd) OVER w = 1 THEN 0.0 EL" +
+        "SE exp(CAST(sum(term) OVER w AS DOUBLE)) END, 6) AS survival FROM sv" +
+        " WINDOW w AS (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND" +
+        " CURRENT ROW)), seg AS (SELECT duration, survival, coalesce(lag(dura" +
+        "tion) OVER (ORDER BY duration), 0) AS ptd, coalesce(lag(survival) OV" +
+        "ER (ORDER BY duration), 1.0) AS ps FROM km), body AS (SELECT sum(CAS" +
+        "T(ps * CAST(greatest(least(duration, 20) - least(ptd, 20), 0) AS DOU" +
+        "BLE) AS DECIMAL(28,12))) AS b FROM seg), tl AS (SELECT CAST(CAST(20 " +
+        "- least(duration, 20) AS DOUBLE) * survival AS DECIMAL(28,12)) AS tt" +
+        " FROM km ORDER BY duration DESC LIMIT 1), ns AS (SELECT CAST(sum(n_e" +
+        "vents + n_censored) AS BIGINT) AS nsub FROM km) SELECT CAST(20 AS BI" +
+        "GINT) AS tau, nsub AS n_subjects, round(CAST(b + tt AS DOUBLE), 6) A" +
+        "S rmst FROM body, tl, ns"),
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .select(col("user_id"), EventAnalytics.dayIndex(col("ts")).as("d"))
+          .groupBy("user_id")
+          .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+        val mx = u.agg(max(col("l")).as("mx"))
+        EventAnalytics.restrictedMeanSurvival(u.crossJoin(broadcast(mx)),
+          col("l") - col("f"), col("l") < col("mx") - 7, tau = 20L)
+      })
   )
 }

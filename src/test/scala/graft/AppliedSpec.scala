@@ -625,4 +625,21 @@ class AppliedSpec extends SparkSpec {
     assert(r("A") == ((0.666667, 0.166667, 0.75, 0.6)))
     assert(r("B") == ((0.666667, 0.333333, 0.5, 0.4)))
   }
+  test("restrictedMeanSurvival: KM step integral, tau clamp, tail plateau") {
+    import spark.implicits._
+    // q332 spec curve: S = 1, .8, .8, .266667, 0 on segments
+    // [0,1) [1,2) [2,3) [3,4) [4,tau)
+    val df = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (5L, true)).toDF("t", "ev")
+    val r10 = EventAnalytics.restrictedMeanSurvival(df, col("t"), col("ev"),
+      tau = 10L).collect().head
+    // widths: 1, 1, 1, 2 (to t=5), then 0-survival tail
+    val exp = 1.0 + 0.8 + 0.8 + 0.266667 * 2
+    assert(r10.getLong(0) == 10L && r10.getLong(1) == 5L)
+    assert(r10.getDouble(2) == math.round(exp * 1e6) / 1e6)
+    // tau = 2 clamps everything after the second segment
+    val r2 = EventAnalytics.restrictedMeanSurvival(df, col("t"), col("ev"),
+      tau = 2L).collect().head
+    assert(r2.getDouble(2) == 1.8)
+  }
 }

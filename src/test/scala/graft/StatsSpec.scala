@@ -1411,4 +1411,16 @@ class StatsSpec extends SparkSpec {
     // q3 has no truth: out of the eval universe
     assert(!r.contains("q3") && r.size == 2)
   }
+  test("generalizationLadder: per-level risk accounting, first safe level") {
+    import spark.implicits._
+    val df = Seq(("n1", "a"), ("n1", "b"), ("n1", "b"), ("n2", "c"),
+      ("n2", "c"), ("n2", "c")).toDF("c1", "c2")
+    val r = Stats.generalizationLadder(df,
+        Seq(Seq(col("c1"), col("c2")), Seq(col("c1")), Seq(lit("*"))), k = 3)
+      .collect().map(x => x.getInt(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4))).toMap
+    assert(r(0) == ((3L, 1L, 3L, false)))  // groups 1,2,3: two at risk
+    assert(r(1) == ((2L, 3L, 0L, true)))
+    assert(r(2) == ((1L, 6L, 0L, true)))
+  }
 }
