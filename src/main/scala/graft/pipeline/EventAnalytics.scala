@@ -1898,4 +1898,33 @@ object EventAnalytics {
       .select(lit(tau).as("tau"), col("__n").as("n_subjects"),
         round((col("__body") + col("__tail")).cast("double"), 6).as("rmst"))
   }
+  // ------------------------------------------------- frequent sequences
+  /** Frequent contiguous event sequences (the PrefixSpan-family question
+    * restricted to CONTIGUOUS n-grams — the restriction is what makes the
+    * mining one window pass instead of a lattice search, documented):
+    * per-user event streams ordered by (ts, tie) yield their length-`n`
+    * runs, and a sequence's support is the number of DISTINCT users that
+    * exhibit it at least once. Exact integers; one per-user window over
+    * the event stream + one sequence-keyed rollup. Returns
+    * (sequence "a>b>c", support ≥ minSupport). */
+  def frequentSequences(df: DataFrame, userCol: String, tsCol: String,
+                        tieCol: String, typeCol: String, n: Int,
+                        minSupport: Long = 1L): DataFrame = {
+    require(n >= 2 && n <= 8, s"n out of range: $n")
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__us").asc, col("__tie").asc)
+    val base = df.select(col(userCol).as("__u"),
+      unix_micros(col(tsCol)).as("__us"), col(tieCol).as("__tie"),
+      col(typeCol).as("__t"))
+    val withLeads = (1 until n).foldLeft(base) { (acc, i) =>
+      acc.withColumn(s"__t$i", lead(col("__t"), i).over(w))
+    }
+    val parts = col("__t") +: (1 until n).map(i => col(s"__t$i"))
+    withLeads
+      .filter(parts.map(_.isNotNull).reduce(_ && _))
+      .select(col("__u"), concat_ws(">", parts: _*).as("sequence"))
+      .distinct()
+      .groupBy("sequence").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
 }

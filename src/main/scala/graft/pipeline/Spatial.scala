@@ -256,4 +256,34 @@ object Spatial {
       .orderBy(col("n").desc, col("cell_x").asc, col("cell_y").asc)
       .limit(k)
   }
+  // ------------------------------------------------------- shoelace area
+  /** Polygon area by the shoelace formula over a (polygon, vertex-order,
+    * x, y) relation with INTEGER coordinates: 2A = Σ (xᵢ·yᵢ₊₁ − xᵢ₊₁·yᵢ)
+    * with wraparound — the doubled area is an exact BIGINT, so the /2 is
+    * the only float step and the ccw orientation flag is a pure integer
+    * sign test. Vertices must describe a simple (non-self-intersecting)
+    * ring in `seqCol` order — for anything else the shoelace value is
+    * still deterministic but is the algebraic area (contract). One
+    * per-polygon window. Returns (polygon, n_vertices, area2, area, ccw).
+    */
+  def polygonArea(df: DataFrame, polyCol: String, seqCol: Column,
+                  xCol: Column, yCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("__p")).orderBy(col("__s").asc)
+    val wAll = Window.partitionBy(col("__p"))
+      .orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.select(col(polyCol).as("__p"), seqCol.as("__s"),
+        xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
+      .withColumn("__xn", coalesce(lead(col("__x"), 1).over(w),
+        first(col("__x")).over(wAll)))
+      .withColumn("__yn", coalesce(lead(col("__y"), 1).over(w),
+        first(col("__y")).over(wAll)))
+      .groupBy(col("__p").as("polygon"))
+      .agg(count(lit(1)).as("n_vertices"),
+        sum(col("__x") * col("__yn") - col("__xn") * col("__y")).as("__a2"))
+      .select(col("polygon"), col("n_vertices"),
+        abs(col("__a2")).as("area2"),
+        (abs(col("__a2")).cast("double") / 2.0).as("area"),
+        (col("__a2") > 0).as("ccw"))
+  }
 }

@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.Ops
-import graft.pipeline.{Curation, EventAnalytics, Finance, Graph, Stats,
-  TextAnalysis => TA}
+import graft.pipeline.{Curation, EventAnalytics, Finance, Graph, Spatial,
+  Stats, TextAnalysis => TA}
 
 /** Distribution-analytics drivers: cube aggregates, quantile bucketing,
   * budget-targeted mixture sampling, PMI collocations, per-group
@@ -3109,6 +3109,52 @@ object StatsQueries2 {
         val mx = u.agg(max(col("l")).as("mx"))
         EventAnalytics.restrictedMeanSurvival(u.crossJoin(broadcast(mx)),
           col("l") - col("f"), col("l") < col("mx") - 7, tau = 20L)
+      })
+ ,
+
+    // ---- frequent contiguous 3-event sequences by distinct-user support
+    // (the one-window PrefixSpan restriction, documented): lead() runs
+    // per user, support counts users not occurrences.
+    Q("q351_frequent_sequences",
+      Some("WITH e AS (SELECT user_id AS u, event_type AS t, " +
+        "lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w " +
+        "AS t2 FROM events WINDOW w AS (PARTITION BY user_id " +
+        "ORDER BY epoch_us(ts), event_id)), " +
+        "sq AS (SELECT DISTINCT u, t || '>' || t1 || '>' || t2 AS sequence " +
+        "FROM e WHERE t1 IS NOT NULL AND t2 IS NOT NULL) " +
+        "SELECT sequence, CAST(count(*) AS BIGINT) AS support FROM sq " +
+        "GROUP BY 1 HAVING count(*) >= 5 " +
+        "ORDER BY support DESC, sequence LIMIT 25"),
+      (s, dir) => EventAnalytics.frequentSequences(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "event_type", n = 3, minSupport = 5L)
+        .orderBy(col("support").desc, col("sequence").asc).limit(25)),
+
+    // ---- shoelace polygon areas over a deterministic vertex relation:
+    // doubled area is an exact BIGINT (integer coords), /2 is the only
+    // float step, orientation is an integer sign test.
+    Q("q352_polygon_area",
+      Some("WITH v AS (SELECT s_suppkey % 20 AS poly, s_suppkey AS seq, " +
+        "CAST(s_suppkey % 97 AS BIGINT) AS x, " +
+        "CAST((s_suppkey * 7) % 89 AS BIGINT) AS y FROM supplier), " +
+        "n AS (SELECT poly, seq, x, y, " +
+        "coalesce(lead(x) OVER w, first_value(x) OVER w2) AS xn, " +
+        "coalesce(lead(y) OVER w, first_value(y) OVER w2) AS yn FROM v " +
+        "WINDOW w AS (PARTITION BY poly ORDER BY seq), " +
+        "w2 AS (PARTITION BY poly ORDER BY seq ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND UNBOUNDED FOLLOWING)) " +
+        "SELECT poly AS polygon, CAST(count(*) AS BIGINT) AS n_vertices, " +
+        "CAST(abs(sum(x * yn - xn * y)) AS BIGINT) AS area2, " +
+        "CAST(CAST(abs(sum(x * yn - xn * y)) AS BIGINT) AS DOUBLE) / 2.0 " +
+        "AS area, sum(x * yn - xn * y) > 0 AS ccw " +
+        "FROM n GROUP BY 1 ORDER BY polygon"),
+      (s, dir) => {
+        val v = Tables.supplier(s, dir).select(
+          pmod(col("s_suppkey"), lit(20L)).as("poly"),
+          col("s_suppkey").as("seq"),
+          pmod(col("s_suppkey"), lit(97L)).as("x"),
+          pmod(col("s_suppkey") * 7, lit(89L)).as("y"))
+        Spatial.polygonArea(v, "poly", col("seq"), col("x"), col("y"))
+          .orderBy("polygon")
       })
   )
 }

@@ -642,4 +642,38 @@ class AppliedSpec extends SparkSpec {
       tau = 2L).collect().head
     assert(r2.getDouble(2) == 1.8)
   }
+  test("frequentSequences: user support not occurrences; n-gram window") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "C"), (1L, 4L, "B"),
+      (1L, 5L, "C"), (2L, 1L, "B"), (2L, 2L, "C"), (2L, 3L, "B"),
+      (3L, 1L, "A"), (3L, 2L, "B"))
+      .toDF("u", "sec", "t")
+      .select(col("u"), expr("timestamp_micros(sec * 1000000)").as("ts"),
+        col("sec").as("eid"), col("t"))
+    val bi = EventAnalytics.frequentSequences(ev, "u", "ts", "eid", "t",
+        n = 2, minSupport = 2L)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(bi == Map("A>B" -> 2L, "B>C" -> 2L, "C>B" -> 2L))
+    val tri = EventAnalytics.frequentSequences(ev, "u", "ts", "eid", "t",
+        n = 3, minSupport = 2L)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(tri == Map("B>C>B" -> 2L))  // u1's repeat counts once
+  }
+
+  test("polygonArea: shoelace with wraparound; orientation flag") {
+    import spark.implicits._
+    val v = Seq(("sq", 1L, 0L, 0L), ("sq", 2L, 1L, 0L), ("sq", 3L, 1L, 1L),
+      ("sq", 4L, 0L, 1L),
+      ("cw", 1L, 0L, 0L), ("cw", 2L, 0L, 1L), ("cw", 3L, 1L, 1L),
+      ("cw", 4L, 1L, 0L),
+      ("tri", 1L, 0L, 0L), ("tri", 2L, 2L, 0L), ("tri", 3L, 0L, 2L))
+      .toDF("p", "s", "x", "y")
+    val r = graft.pipeline.Spatial.polygonArea(v, "p", col("s"), col("x"),
+        col("y"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getBoolean(4))).toMap
+    assert(r("sq") == ((4L, 2L, 1.0, true)))
+    assert(r("cw") == ((4L, 2L, 1.0, false)))
+    assert(r("tri") == ((3L, 4L, 2.0, true)))
+  }
 }
