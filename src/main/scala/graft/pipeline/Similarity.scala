@@ -666,4 +666,77 @@ object Similarity {
             (col("n").cast("double") * (col("n") - 1).cast("double")), 6))
           .as("mean_cos"))
   }
+  // ------------------------------------------------ per-dim standardize
+  /** Per-dimension z-standardization of an embedding column (the
+    * whitening-lite feature prep before distance work when dimensions
+    * carry wildly different scales): z = (x − μ_d)/σ_d with population
+    * moments per dimension. Emits the LONG form (id, dim [1-based], z) —
+    * the join-ready shape the [[topPrincipalComponent]] machinery eats —
+    * rather than rebuilding arrays (array re-assembly is one
+    * sort_array/group away when a caller wants it).
+    *
+    * Determinism: μ and σ² come from DECIMAL(38,12) component sums (the
+    * labelCentroidCosines discipline), z is one mirrored IEEE shape,
+    * 6dp. Zero-variance dimensions report null z (no scale, no signal).
+    * State is dims × 2; the corpus scans once. */
+  def standardizeEmbeddings(df: DataFrame, idCol: String,
+                            vecCol: String): DataFrame = {
+    val x = df.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("__d0", "__xf")))
+      .select(col("id"), (col("__d0") + 1).as("dim"),
+        col("__xf").cast("double").as("__x"))
+    val mom = x.groupBy("dim")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast("decimal(38,12)")).cast("double").as("__s1"),
+        sum((col("__x") * col("__x")).cast("decimal(38,12)"))
+          .cast("double").as("__s2"))
+      .select(col("dim"),
+        (col("__s1") / col("__n").cast("double")).as("__mu"),
+        (col("__s2") / col("__n").cast("double") -
+          (col("__s1") / col("__n").cast("double")) *
+            (col("__s1") / col("__n").cast("double"))).as("__var"))
+    x.join(broadcast(mom), Seq("dim"))
+      .select(col("id"), col("dim"),
+        when(col("__var") > 0,
+          round((col("__x") - col("__mu")) / sqrt(col("__var")), 6))
+          .as("z"))
+  }
+
+  // --------------------------------------------- anisotropy / PR report
+  /** Embedding-space anisotropy report: per-dimension CENTERED variance
+    * λ_d feeds the participation ratio PR = (Σλ)²/Σλ² — the effective
+    * number of active dimensions (PR ≈ d is isotropic, PR ≈ 1 is a
+    * rogue-dimension collapse; Gao et al.'s representation-degeneration
+    * check without an SVD). λ terms round to DECIMAL(28,12) before the
+    * Σλ/Σλ² sums; the top dimension is a deterministic (λ DESC, dim ASC)
+    * election. One (dim) rollup; corpus scans once. Returns one row:
+    * (n_dims, total_var, participation_ratio, top_dim, top_dim_share). */
+  def participationRatio(df: DataFrame, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = df.select(posexplode(col(vecCol)).as(Seq("__d0", "__xf")))
+      .select((col("__d0") + 1).as("dim"), col("__xf").cast("double").as("__x"))
+    val lam = x.groupBy("dim")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast("decimal(38,12)")).cast("double").as("__s1"),
+        sum((col("__x") * col("__x")).cast("decimal(38,12)"))
+          .cast("double").as("__s2"))
+      .select(col("dim"),
+        (col("__s2") / col("__n").cast("double") -
+          (col("__s1") / col("__n").cast("double")) *
+            (col("__s1") / col("__n").cast("double"))).as("__lam"))
+    val top = lam.orderBy(col("__lam").desc, col("dim").asc).limit(1)
+      .select(col("dim").as("top_dim"), col("__lam").as("__topLam"))
+    lam.agg(count(lit(1)).as("n_dims"),
+        sum(col("__lam").cast(DecimalType(28, 12))).cast("double").as("__sl"),
+        sum((col("__lam") * col("__lam")).cast(DecimalType(28, 12)))
+          .cast("double").as("__sl2"))
+      .crossJoin(broadcast(top))
+      .select(col("n_dims"), round(col("__sl"), 6).as("total_var"),
+        when(col("__sl2") > 0,
+          round(col("__sl") * col("__sl") / col("__sl2"), 6))
+          .as("participation_ratio"),
+        col("top_dim"),
+        when(col("__sl") > 0, round(col("__topLam") / col("__sl"), 6))
+          .as("top_dim_share"))
+  }
 }

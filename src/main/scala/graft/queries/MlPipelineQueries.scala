@@ -571,5 +571,56 @@ object MlPipelineQueries {
       (s, dir) => Similarity.groupDiversity(Tables.embeddings(s, dir),
           "vec_id", "label", "embedding")
         .orderBy("group"))
+ ,
+
+    // ---- per-dimension z-standardization of the embedding corpus in
+    // long form: DECIMAL(38,12) moment sums, one mirrored IEEE z shape;
+    // output bounded to a vec_id slice to keep the gate tight.
+    Q("q353_standardize_embeddings",
+      Some("WITH x AS (SELECT vec_id AS id, unnest(embedding) AS v0, " +
+        "unnest(range(1, len(embedding) + 1)) AS dim FROM embeddings), " +
+        "e AS (SELECT id, dim, CAST(v0 AS DOUBLE) AS v FROM x), " +
+        "m AS (SELECT dim, count(*) AS n, " +
+        "CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS s1, " +
+        "CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS s2 " +
+        "FROM e GROUP BY 1), " +
+        "mv AS (SELECT dim, s1 / CAST(n AS DOUBLE) AS mu, " +
+        "s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * " +
+        "(s1 / CAST(n AS DOUBLE)) AS var FROM m) " +
+        "SELECT id, e.dim, CASE WHEN var > 0 THEN " +
+        "round((v - mu) / sqrt(var), 6) END AS z " +
+        "FROM e JOIN mv ON e.dim = mv.dim WHERE id % 25 = 0 " +
+        "ORDER BY id, e.dim"),
+      (s, dir) => Similarity.standardizeEmbeddings(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+        .filter(pmod(col("id"), lit(25)) === 0)
+        .orderBy("id", "dim")),
+
+    // ---- anisotropy report: per-dim centered variances feed the
+    // participation ratio (Σλ)²/Σλ² — the rogue-dimension check without
+    // an SVD; deterministic top-dim election.
+    Q("q354_participation_ratio",
+      Some("WITH x AS (SELECT unnest(embedding) AS v0, " +
+        "unnest(range(1, len(embedding) + 1)) AS dim FROM embeddings), " +
+        "e AS (SELECT dim, CAST(v0 AS DOUBLE) AS v FROM x), " +
+        "m AS (SELECT dim, count(*) AS n, " +
+        "CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS s1, " +
+        "CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS s2 " +
+        "FROM e GROUP BY 1), " +
+        "lam AS (SELECT dim, s2 / CAST(n AS DOUBLE) - " +
+        "(s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS l FROM m), " +
+        "top AS (SELECT dim AS top_dim, l AS tl FROM lam " +
+        "ORDER BY l DESC, dim LIMIT 1), " +
+        "agg AS (SELECT count(*) AS n_dims, " +
+        "CAST(sum(CAST(l AS DECIMAL(28,12))) AS DOUBLE) AS sl, " +
+        "CAST(sum(CAST(l * l AS DECIMAL(28,12))) AS DOUBLE) AS sl2 " +
+        "FROM lam) " +
+        "SELECT n_dims, round(sl, 6) AS total_var, " +
+        "CASE WHEN sl2 > 0 THEN round(sl * sl / sl2, 6) END " +
+        "AS participation_ratio, top_dim, " +
+        "CASE WHEN sl > 0 THEN round(tl / sl, 6) END AS top_dim_share " +
+        "FROM agg, top"),
+      (s, dir) => Similarity.participationRatio(
+        Tables.embeddings(s, dir), "embedding"))
   )
 }

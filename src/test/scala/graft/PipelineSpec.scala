@@ -1403,4 +1403,28 @@ class PipelineSpec extends SparkSpec {
     assert(r("anti") == ((2L, -1.0)))
     assert(r("solo") == ((1L, null)))  // the zero vector dropped -> n = 1
   }
+  test("standardizeEmbeddings: per-dim moments; zero-variance dim nulls") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 2.0f)),
+      (3L, Seq(5.0f, 2.0f))).toDF("vec_id", "vec")
+    val r = Similarity.standardizeEmbeddings(df, "vec_id", "vec")
+      .collect().map(x => (x.getLong(0), x.getInt(1)) ->
+        (if (x.isNullAt(2)) null else x.getDouble(2))).toMap
+    val z = math.round(2.0 / math.sqrt(8.0 / 3.0) * 1e6) / 1e6
+    assert(r((1L, 1)) == -z && r((2L, 1)) == 0.0 && r((3L, 1)) == z)
+    assert(r((1L, 2)) == null && r((3L, 2)) == null)
+  }
+
+  test("participationRatio: collapsed space -> 1; isotropic 2D -> 2") {
+    import spark.implicits._
+    val collapsed = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 2.0f)),
+      (3L, Seq(5.0f, 2.0f))).toDF("vec_id", "vec")
+    val c = Similarity.participationRatio(collapsed, "vec").collect().head
+    assert(c.getLong(0) == 2L && c.getDouble(2) == 1.0)
+    assert(c.getInt(3) == 1 && c.getDouble(4) == 1.0)
+    val iso = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, -1.0f))).toDF("vec_id", "vec")
+    val i = Similarity.participationRatio(iso, "vec").collect().head
+    assert(i.getDouble(2) == 2.0 && i.getDouble(1) == 1.0)
+  }
 }
