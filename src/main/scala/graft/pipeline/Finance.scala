@@ -264,4 +264,37 @@ object Finance {
           .when(col("hhi") <= 2500, "moderate")
           .otherwise("high"))
   }
+  // ------------------------------------------------------- daily bars
+  /** OHLC + VWAP daily bars per key — the market-data rollup (and the
+    * general "first/last/extreme/weighted-mean per bucket" pattern):
+    * open/close elect by (event time, tie) min_by/max_by — the tie column
+    * must be unique within a bucket so same-timestamp trades can't leak
+    * shuffle order — high/low/volume are plain extremes, and VWAP is the
+    * exact rational Σ(cents·qty)/Σqty finished by one IEEE division.
+    * One (key, day) rollup, no windows. Returns
+    * (key, day, open, high, low, close, volume, vwap) with prices in
+    * 2dp dollars, vwap 6dp. */
+  def dailyBars(df: DataFrame, keyCol: String, tsCol: String, tieCol: Column,
+                priceCol: Column, qtyCol: Column): DataFrame = {
+    val base = df.select(col(keyCol).as("key"),
+      EventAnalytics.dayIndex(col(tsCol)).as("day"),
+      unix_micros(col(tsCol)).as("__us"), tieCol.as("__tie"),
+      round(priceCol * 100, 0).cast("long").as("__c"),
+      qtyCol.cast("long").as("__q"))
+    base.groupBy("key", "day")
+      .agg(min_by(col("__c"), struct(col("__us"), col("__tie"))).as("__o"),
+        max(col("__c")).as("__h"), min(col("__c")).as("__l"),
+        max_by(col("__c"), struct(col("__us"), col("__tie"))).as("__cl"),
+        sum(col("__q")).as("volume"),
+        sum((col("__c") * col("__q")).cast(DecimalType(38, 0)))
+          .as("__notional"))
+      .select(col("key"), col("day"),
+        round(col("__o") / 100.0, 2).as("open"),
+        round(col("__h") / 100.0, 2).as("high"),
+        round(col("__l") / 100.0, 2).as("low"),
+        round(col("__cl") / 100.0, 2).as("close"),
+        col("volume"),
+        round(col("__notional").cast("double") /
+          col("volume").cast("double") / 100.0, 6).as("vwap"))
+  }
 }

@@ -3156,5 +3156,70 @@ object StatsQueries2 {
         Spatial.polygonArea(v, "poly", col("seq"), col("x"), col("y"))
           .orderBy("polygon")
       })
+ ,
+
+    // ---- OHLC + VWAP daily bars per synthetic ticker: open/close elect
+    // by (ts, tie) — l_shipdate is a pure DATE, so within a (key, day)
+    // bucket the timestamp is constant and the oracle's arg_min/arg_max
+    // on the unique tie alone is the identical election; VWAP is the
+    // exact rational Σ(cents·qty)/Σqty.
+    Q("q355_daily_bars",
+      Some("WITH t AS (SELECT l_suppkey % 25 AS key, " +
+        "epoch_us(l_shipdate) // 86400000000 AS day, " +
+        "l_orderkey * 10 + l_linenumber AS tie, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS c, " +
+        "CAST(l_quantity AS BIGINT) AS q FROM lineitem), " +
+        "b AS (SELECT key, day, arg_min(c, tie) AS o, max(c) AS h, " +
+        "min(c) AS l, arg_max(c, tie) AS cl, CAST(sum(q) AS BIGINT) " +
+        "AS volume, sum(CAST(c AS HUGEINT) * q) AS notional " +
+        "FROM t GROUP BY 1, 2) " +
+        "SELECT key, day, round(o / 100.0, 2) AS open, " +
+        "round(h / 100.0, 2) AS high, round(l / 100.0, 2) AS low, " +
+        "round(cl / 100.0, 2) AS close, volume, " +
+        "round(CAST(notional AS DOUBLE) / CAST(volume AS DOUBLE) / 100.0, " +
+        "6) AS vwap FROM b WHERE key = 7 ORDER BY key, day"),
+      (s, dir) => Finance.dailyBars(
+          Tables.lineitem(s, dir)
+            .withColumn("ticker", pmod(col("l_suppkey"), lit(25L))),
+          "ticker", "l_shipdate",
+          col("l_orderkey") * 10 + col("l_linenumber"),
+          col("l_extendedprice"), col("l_quantity"))
+        .filter(col("key") === 7)
+        .orderBy("key", "day")),
+
+    // ---- own-price demand elasticity per brand: the log-log OLS slope
+    // of ln(qty) on ln(unit price) via linearFit's decimal-moment
+    // discipline (magnitudes tiny, contract trivially honored).
+    Q("q356_price_elasticity",
+      Some("WITH b AS (SELECT p_brand, " +
+        "ln(l_extendedprice / l_quantity) AS x, ln(l_quantity) AS y " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_quantity > 0), " +
+        "g AS (SELECT p_brand, count(*) AS n, " +
+        "CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy " +
+        "FROM b GROUP BY 1), " +
+        "v AS (SELECT p_brand, n, CAST(n AS DOUBLE) AS nd, sx, sy, " +
+        "CAST(n AS DOUBLE) * sxy - sx * sy AS covn, " +
+        "CAST(n AS DOUBLE) * sxx - sx * sx AS varxn, " +
+        "CAST(n AS DOUBLE) * syy - sy * sy AS varyn FROM g) " +
+        "SELECT p_brand, n, " +
+        "round(CASE WHEN varxn <> 0 THEN covn / varxn END, 6) AS slope, " +
+        "round((sy - (CASE WHEN varxn <> 0 THEN covn / varxn END) * sx) " +
+        "/ nd, 6) AS intercept, " +
+        "round(CASE WHEN varxn <> 0 AND varyn <> 0 " +
+        "THEN covn * covn / (varxn * varyn) END, 6) AS r2 " +
+        "FROM v ORDER BY p_brand"),
+      (s, dir) => Stats.linearFit(
+          Tables.lineitem(s, dir)
+            .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+            .filter(col("l_quantity") > 0),
+          Seq("p_brand"),
+          log(col("l_extendedprice") / col("l_quantity")),
+          log(col("l_quantity")))
+        .orderBy("p_brand"))
   )
 }

@@ -200,6 +200,22 @@ class FinanceSpec extends SparkSpec {
     assert(r("Z") == ((4L, 2500.0, "moderate")))   // boundary: <= 2500
   }
 
+  test("dailyBars: (ts, tie) election — time dominates tie; exact VWAP") {
+    // open is the EARLIEST trade even with a larger tie; close takes the
+    // larger tie among the same-timestamp pair
+    val df = Seq((1L, 9L, 10.0, 2L), (2L, 1L, 12.5, 1L), (2L, 5L, 9.0, 3L))
+      .toDF("sec", "tie", "price", "qty")
+      .select(lit("k").as("ticker"),
+        expr("timestamp_micros(sec * 1000000)").as("ts"),
+        col("tie"), col("price"), col("qty"))
+    val r = Finance.dailyBars(df, "ticker", "ts", col("tie"), col("price"),
+      col("qty")).collect().head
+    assert((r.getDouble(2), r.getDouble(3), r.getDouble(4),
+      r.getDouble(5)) == ((10.0, 12.5, 9.0, 9.0)))
+    assert(r.getLong(6) == 6L)
+    assert(r.getDouble(7) == math.round(5950.0 / 600.0 * 1e6) / 1e6)
+  }
+
   test("lexicalDiversity: case folding, whitespace runs, hapax counting") {
     import graft.pipeline.{TextAnalysis => TA}
     val df = Seq((1L, "A a  b\tc"), (2L, "x x x"), (3L, "   "))
