@@ -270,7 +270,8 @@ object Finance {
     * open/close elect by (event time, tie) min_by/max_by — the tie column
     * must be unique within a bucket so same-timestamp trades can't leak
     * shuffle order — high/low/volume are plain extremes, and VWAP is the
-    * exact rational Σ(cents·qty)/Σqty finished by one IEEE division.
+    * exact rational Σ(cents·qty)/Σqty carried to micro-dollars by an
+    * INTEGER half-up division — never a float round.
     * One (key, day) rollup, no windows. Returns
     * (key, day, open, high, low, close, volume, vwap) with prices in
     * 2dp dollars, vwap 6dp. */
@@ -294,7 +295,11 @@ object Finance {
         round(col("__l") / 100.0, 2).as("low"),
         round(col("__cl") / 100.0, 2).as("close"),
         col("volume"),
-        round(col("__notional").cast("double") /
-          col("volume").cast("double") / 100.0, 6).as("vwap"))
+        // micro-dollar INTEGER half-up division (the q281 lesson: the
+        // VWAP rational lands on exact .5·10⁻⁶ boundaries — e.g. any
+        // volume divisible by 32 — where the engines' float round()
+        // implementations split); (2a + b) div (2b) is exact everywhere
+        (expr("(2 * __notional * 10000 + volume) div (2 * volume)")
+          .cast("double") / 1000000.0).as("vwap"))
   }
 }

@@ -3176,8 +3176,8 @@ object StatsQueries2 {
         "SELECT key, day, round(o / 100.0, 2) AS open, " +
         "round(h / 100.0, 2) AS high, round(l / 100.0, 2) AS low, " +
         "round(cl / 100.0, 2) AS close, volume, " +
-        "round(CAST(notional AS DOUBLE) / CAST(volume AS DOUBLE) / 100.0, " +
-        "6) AS vwap FROM b WHERE key = 7 ORDER BY key, day"),
+        "CAST((2 * notional * 10000 + volume) // (2 * volume) AS DOUBLE) " +
+        "/ 1000000.0 AS vwap FROM b WHERE key = 7 ORDER BY key, day"),
       (s, dir) => Finance.dailyBars(
           Tables.lineitem(s, dir)
             .withColumn("ticker", pmod(col("l_suppkey"), lit(25L))),
