@@ -670,6 +670,32 @@ object ScaleStress {
         xxhash64(col("pid")), saltBuckets = 32).count()
     }
     assert(sj == 10000000L, s"salted join row count off: $sj")
+
+    // mannWhitney over 20M rows / 50 distinct values: the per-group
+    // window runs on the 50-row value rollup, never the facts; the two
+    // samples are constructed distribution-identical, so U1 must equal
+    // n1·n2/2 EXACTLY and z must be exactly 0.
+    // sample membership from (id div 50) so it's INDEPENDENT of v —
+    // id % 2 would segregate the samples by value parity
+    val mwRows = spark.range(20000000L).select(lit("g").as("grp"),
+      (col("id") % 50L).as("v"), expr("(id div 50) % 2 = 0").as("s"))
+    val mw = timed("mannWhitney over 20M rows, 50-value domain") {
+      graft.pipeline.Stats.mannWhitney(mwRows, "v", col("s"), Seq("grp"))
+        .collect().head
+    }
+    assert(mw.getLong(1) == 10000000L && mw.getLong(2) == 10000000L)
+    assert(mw.getDouble(3) == 5.0e13, s"U1 off: ${mw.getDouble(3)}")
+    assert(mw.getDouble(4) == 0.0, s"z off: ${mw.getDouble(4)}")
+
+    // tCloseness over 10M rows / 4 groups / 10-value vocabulary: the
+    // zero-filled spine is 40 rows; identically-distributed groups must
+    // land at EMD exactly 0.
+    val tcRows = spark.range(10000000L).select((col("id") % 4L).as("g"),
+      expr("(id div 4) % 10").as("v"))
+    val tc = timed("tCloseness over 10M rows, 10-value vocabulary") {
+      graft.pipeline.Stats.tCloseness(tcRows, Seq("g"), col("v")).collect()
+    }
+    assert(tc.length == 4 && tc.forall(_.getDouble(2) == 0.0))
     spark.stop()
   }
 }
