@@ -2310,4 +2310,41 @@ object Stats {
         .withColumn("satisfies_k", col("min_group") >= k)
     }.reduce(_ unionByName _)
   }
+  // ---------------------------------------------- Theil decomposition
+  /** Theil-T inequality index with its exact between/within
+    * decomposition — [[whaleShare]]'s information-theoretic sibling, and
+    * the one inequality measure that splits additively across groups:
+    * T = Σ_g s_g·T_g + T_between, with s_g the group's value share,
+    * T_g = (Σ_{i∈g} xᵢ·ln xᵢ)/X_g + ln(n_g/X_g) the within-group index,
+    * and each group's between term s_g·ln(s_g·N/n_g).
+    *
+    * DETERMINISM: x·ln x terms round to DECIMAL(28,12) before the sums
+    * (the PSI discipline); X and the group sums are DECIMAL(28,12)
+    * exact; the finishing shapes are mirrored IEEE, 6dp. Rows with
+    * x ≤ 0 are excluded (no ln — the standard Theil domain, documented).
+    * One group rollup + one broadcast global row. Returns per group:
+    * (group, n, total, share, theil_within, between_term); overall
+    * T = Σ share·theil_within + Σ between_term (caller-summed). */
+  def theilDecomposition(df: DataFrame, groupCol: String,
+                         valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = valueCol.cast("double")
+    val base = df.filter(x > 0)
+      .select(col(groupCol).as("group"), x.as("__x"))
+    val g = base.groupBy("group")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast(DecimalType(28, 12))).as("__sg"),
+        sum((col("__x") * log(col("__x"))).cast(DecimalType(28, 12)))
+          .as("__sxl"))
+    val tot = g.agg(sum(col("n")).as("__N"), sum(col("__sg")).as("__X"))
+    val sgD = col("__sg").cast("double"); val xD = col("__X").cast("double")
+    val nD = col("n").cast("double"); val bigN = col("__N").cast("double")
+    g.crossJoin(broadcast(tot))
+      .select(col("group"), col("n"),
+        round(sgD, 6).as("total"),
+        round(sgD / xD, 6).as("share"),
+        round(col("__sxl").cast("double") / sgD + log(nD / sgD), 6)
+          .as("theil_within"),
+        round(sgD / xD * log(sgD / xD * bigN / nD), 6).as("between_term"))
+  }
 }

@@ -3221,5 +3221,42 @@ object StatsQueries2 {
           log(col("l_extendedprice") / col("l_quantity")),
           log(col("l_quantity")))
         .orderBy("p_brand"))
+ ,
+
+    // ---- Theil-T supplier-revenue inequality by nation with the exact
+    // between/within decomposition: x·ln x terms in DECIMAL(28,12),
+    // group and global sums exact, mirrored IEEE finishing shapes.
+    Q("q357_theil_decomposition",
+      Some("WITH sup AS (SELECT l_suppkey AS sk, CAST(sum(CAST(round(" +
+        "l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM lineitem GROUP BY 1), " +
+        "b AS (SELECT s_nationkey AS grp, CAST(cents AS DOUBLE) / 100.0 " +
+        "AS x FROM sup JOIN supplier ON sk = s_suppkey " +
+        "WHERE CAST(cents AS DOUBLE) / 100.0 > 0), " +
+        "g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, " +
+        "sum(CAST(x AS DECIMAL(28,12))) AS sg, " +
+        "sum(CAST(x * ln(x) AS DECIMAL(28,12))) AS sxl FROM b GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(sg) AS xx FROM g) " +
+        "SELECT grp AS \"group\", n, round(CAST(sg AS DOUBLE), 6) " +
+        "AS total, round(CAST(sg AS DOUBLE) / CAST(xx AS DOUBLE), 6) " +
+        "AS share, round(CAST(sxl AS DOUBLE) / CAST(sg AS DOUBLE) + " +
+        "ln(CAST(n AS DOUBLE) / CAST(sg AS DOUBLE)), 6) AS theil_within, " +
+        "round(CAST(sg AS DOUBLE) / CAST(xx AS DOUBLE) * " +
+        "ln(CAST(sg AS DOUBLE) / CAST(xx AS DOUBLE) * CAST(nn AS DOUBLE) " +
+        "/ CAST(n AS DOUBLE)), 6) AS between_term " +
+        "FROM g, t ORDER BY 1"),
+      (s, dir) => {
+        val sup = Tables.lineitem(s, dir)
+          .groupBy(col("l_suppkey"))
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("cents"))
+          .join(Tables.supplier(s, dir),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_nationkey"),
+            (col("cents").cast("double") / 100.0).as("rev"))
+        Stats.theilDecomposition(sup, "s_nationkey", col("rev"))
+          .withColumnRenamed("group", "group")
+          .orderBy("group")
+      })
   )
 }

@@ -1423,4 +1423,18 @@ class StatsSpec extends SparkSpec {
     assert(r(1) == ((2L, 3L, 0L, true)))
     assert(r(2) == ((1L, 6L, 0L, true)))
   }
+  test("theilDecomposition: equal group -> 0; hand within; x <= 0 drops") {
+    import spark.implicits._
+    // A = {2,2}: within 0. B = {1,3}: 3ln3/4 + ln(1/2). Equal-mean groups
+    // -> both between terms exactly ln(1) = 0. The 0-value row drops.
+    val df = Seq(("A", 2.0), ("A", 2.0), ("B", 1.0), ("B", 3.0),
+      ("B", 0.0)).toDF("g", "x")
+    val r = Stats.theilDecomposition(df, "g", col("x"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(3), x.getDouble(4), x.getDouble(5)))
+      .toMap
+    val tb = math.round((3 * math.log(3) / 4 + math.log(0.5)) * 1e6) / 1e6
+    assert(r("A") == ((2L, 0.5, 0.0, 0.0)))
+    assert(r("B") == ((2L, 0.5, tb, 0.0)))
+  }
 }
