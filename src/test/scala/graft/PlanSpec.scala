@@ -842,4 +842,17 @@ class PlanSpec extends SparkSpec {
     // and the join condition must include the salt, not just the key
     assert(p.contains("__salt"), s"salt column absent from the plan:\n$p")
   }
+  test("q335: negative-sample candidates join co-keyed — no cartesian, one 1-row broadcast") {
+    val p = planOf("q335_negative_sample")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"more than the one-row universe-count broadcast:\n$p")
+  }
+
+  test("q344: propensity nearest election windows on the stratum key") {
+    val p = planOf("q344_propensity_match")
+    assert(p.contains("windowspecdefinition(stratum"),
+      s"nearest election not stratum-keyed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
 }
