@@ -7,8 +7,14 @@ Reads outDir/<name>/ (Spark parquet, written by graft.Verify) and
 outDir/oracle_sql.json, runs each oracle SQL in DuckDB against views over
 sfDir/*.parquet, and compares: columns sorted by name, rows sorted, values
 exact (floats compared bit-exact after float64 cast).
+
+STRICT_DTYPE=1 additionally fails any query whose per-column pandas dtype
+differs between the Spark parquet and the DuckDB frame (the driver's hash
+canonicalization is dtype-sensitive: 2006 vs 2006.0 hash-differ). This is
+the round-8 regression gate for the r07 mass-fail — run it every round.
 Not part of the shipped library - dev tooling only.
 """
+import os
 import glob
 import json
 import sys
@@ -79,11 +85,20 @@ def main() -> int:
             print(f"FAIL  {name}: rows {len(g)} vs {len(w)}")
             n_fail += 1
             continue
+        dtype_diff = [(c, str(g[c].dtype), str(w[c].dtype))
+                      for c in g.columns if str(g[c].dtype) != str(w[c].dtype)]
+        strict = os.environ.get("STRICT_DTYPE") == "1"
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False,
                                           check_exact=True)
-            print(f"PASS  {name} ({len(g)} rows)")
-            n_pass += 1
+            if dtype_diff and strict:
+                print(f"FAIL  {name}: dtype mismatch {dtype_diff}")
+                n_fail += 1
+            else:
+                if dtype_diff:
+                    print(f"      {name} dtype note: {dtype_diff}")
+                print(f"PASS  {name} ({len(g)} rows)")
+                n_pass += 1
         except AssertionError as e:
             print(f"FAIL  {name}: {str(e)[:500]}")
             n_fail += 1

@@ -602,16 +602,30 @@ object EventAnalytics {
     * unordered type pair, cos = n_both / √(n_a·n_b) on the implicit binary
     * user-vectors — [[associationRules]]' symmetric, marginal-normalized
     * sibling (lift ranks rules, cosine ranks neighbors). Same scale shape:
-    * the DISTINCT (user, type) basket self-joins co-keyed on user (bounded
-    * by the type vocabulary per user, never raw events), marginals
+    * the DISTINCT (user, type) basket self-joins co-keyed on user, marginals
     * broadcast. n_a·n_b stays below 2^53 for exact DOUBLE conversion
     * (documented bound: marginals ≤ ~9.4e7 each), so the one sqrt+divide
     * is identical in any engine; 6dp. Returns (item_a, item_b, n_both,
-    * cosine) with item_a < item_b. */
+    * cosine) with item_a < item_b.
+    *
+    * Scale guard — `maxBasket`: the self-join emits |basket|²/2 pairs from
+    * ONE task per user (the join keys on user), so an unbounded basket —
+    * a 10⁵-item power user — would push 5·10⁹ rows through a single join
+    * key. Baskets larger than `maxBasket` are therefore truncated to their
+    * `maxBasket` items FIRST in (md5("cc|"||item), item) order — a
+    * deterministic, engine-reproducible uniform draw (the capPerGroup
+    * discipline), never first-k-by-arrival. Marginals are computed on the
+    * SAME capped relation, so cosine stays internally consistent on the
+    * capped bipartite graph. Exactness contract: results are EXACT whenever
+    * every basket has ≤ maxBasket items (any vocabulary-bounded typeCol,
+    * and part-basket data at tested scales); beyond that each power
+    * basket contributes a fixed-size uniform subsample — at most
+    * maxBasket²/2 ≈ 5·10⁵ pairs per user at the default 1024. */
   def cooccurrenceCosine(df: DataFrame, userCol: String, typeCol: String,
-                         minUsers: Long = 1L): DataFrame = {
-    val basket = df.select(col(userCol).as("__u"), col(typeCol).as("__ty"))
-      .distinct()
+                         minUsers: Long = 1L,
+                         maxBasket: Int = 1024): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2: $maxBasket")
+    val basket = cappedBasket(df, userCol, typeCol, maxBasket)
     val marg = basket.groupBy(col("__ty")).agg(count(lit(1)).as("__n"))
     val pairs = basket.join(
         basket.select(col("__u"), col("__ty").as("__ty2")), Seq("__u"))
@@ -627,6 +641,28 @@ object EventAnalytics {
       .select(col("item_a"), col("item_b"), col("n_both"),
         round(col("n_both").cast("double") /
           sqrt((col("__na") * col("__nb")).cast("double")), 6).as("cosine"))
+  }
+
+  /** The DISTINCT (user, item) basket, truncated to each user's first
+    * `maxBasket` items in (md5("cc|"||item), item) order — the
+    * deterministic draw shared by [[cooccurrenceCosine]] and
+    * [[recommendTopK]]'s pair stage. The rank window partitions on user —
+    * the same key the downstream self-join shuffles on, so AQE reuses the
+    * exchange; nulls coalesce to "" before hashing (Spark sorts nulls
+    * first, other engines last — the coalesce removes the divergence). */
+  private def cappedBasket(df: DataFrame, userCol: String, typeCol: String,
+                           maxBasket: Int): DataFrame = {
+    val b = df.select(col(userCol).as("__u"), col(typeCol).as("__ty"))
+      .distinct()
+    if (maxBasket == Int.MaxValue) b
+    else {
+      val w = Window.partitionBy(col("__u")).orderBy(
+        md5(concat(lit("cc|"),
+          coalesce(col("__ty").cast("string"), lit("")))).asc,
+        col("__ty").asc)
+      b.withColumn("__br", row_number().over(w))
+        .filter(col("__br") <= maxBasket).drop("__br")
+    }
   }
 
   // ------------------------------------------------------ association rules
@@ -1109,14 +1145,21 @@ object EventAnalytics {
     * pair relation — bounded fan-out of basket × maxNeighbors candidate
     * rows, never basket × catalog); the candidate aggregate and the rank
     * window both key on the user. The owned-item exclusion is the same
-    * co-keyed anti join. Returns (user, item, score, rank ≤ k). */
+    * co-keyed anti join. The quadratic pair stage inherits
+    * [[cooccurrenceCosine]]'s `maxBasket` deterministic cap (a 10⁵-item
+    * power basket would otherwise emit 5·10⁹ pairs from one join key);
+    * the LINEAR stages — scoring fan-out (basket × maxNeighbors) and the
+    * owned-item anti join — keep the FULL basket, so a power user is
+    * still scored against, and excluded from, everything they own.
+    * Returns (user, item, score, rank ≤ k). */
   def recommendTopK(df: DataFrame, userCol: String, itemCol: String,
                     k: Int, minUsers: Long = 2L,
-                    maxNeighbors: Int = 20): DataFrame = {
+                    maxNeighbors: Int = 20,
+                    maxBasket: Int = 1024): DataFrame = {
     require(k >= 1 && maxNeighbors >= 1, s"bad bounds: k=$k maxNeighbors=$maxNeighbors")
     val basket = df.select(col(userCol).as("__u"), col(itemCol).as("__i"))
       .distinct()
-    val sims = cooccurrenceCosine(df, userCol, itemCol, minUsers)
+    val sims = cooccurrenceCosine(df, userCol, itemCol, minUsers, maxBasket)
       .select(col("item_a"), col("item_b"),
         col("cosine").cast("decimal(18,6)").as("__sim"))
     // expand to both directions, keep each item's top `maxNeighbors`

@@ -1773,8 +1773,10 @@ object Stats {
     require(nBins >= 2, s"nBins must be >= 2: $nBins")
     val ranked = df.select(idCol.as("__id"), scoreCol.as("__s"),
         treatCol.as("__t"), convCol.as("__c"))
+      // long, not ntile's native int: every other emitted column is long,
+      // and downstream engines (DuckDB ntile included) emit 64-bit here
       .withColumn("decile", ntile(nBins).over(
-        Window.orderBy(col("__s").desc, col("__id").asc)))
+        Window.orderBy(col("__s").desc, col("__id").asc)).cast("long"))
     val cells = ranked.groupBy("decile")
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
         sum(when(!col("__t"), 1L).otherwise(0L)).as("__nc"),

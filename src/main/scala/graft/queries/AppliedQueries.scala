@@ -1464,7 +1464,7 @@ object AppliedQueries {
         "WHERE pos.query = c2.query AND pos.doc = c2.doc_neg)), " +
         "r AS (SELECT query, slot, doc_neg, row_number() OVER " +
         "(PARTITION BY query ORDER BY slot) AS rank FROM c3) " +
-        "SELECT query, slot, doc_neg, CAST(rank AS INTEGER) AS rank " +
+        "SELECT query, CAST(slot AS INTEGER) AS slot, doc_neg, CAST(rank AS INTEGER) AS rank " +
         "FROM r WHERE rank <= 5 ORDER BY query, rank"),
       (s, dir) => {
         val pos = Tables.orders(s, dir)
@@ -1492,7 +1492,8 @@ object AppliedQueries {
         "p AS (SELECT o.block, o.id_a, r2.id AS id_b, o.key_a, " +
         "r2.k AS key_b, o.dist FROM o JOIN r r2 ON r2.block = o.block " +
         "AND r2.rn = o.rn + o.dist) " +
-        "SELECT block, id_a, id_b, key_a, key_b, dist FROM p " +
+        // CAST to INTEGER: DuckDB generate_series is BIGINT, Spark int
+        "SELECT block, id_a, id_b, key_a, key_b, CAST(dist AS INTEGER) AS dist FROM p " +
         "ORDER BY block, id_a, dist"),
       (s, dir) => Linkage.sortedNeighborhood(Tables.customer(s, dir),
           "c_custkey", "c_name", col("c_mktsegment"), window = 2)

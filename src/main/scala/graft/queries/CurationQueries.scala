@@ -103,9 +103,11 @@ object CurationQueries {
       Some("WITH a AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
         "'@mail.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR) || " +
         "'.0.7 call +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') AS aug FROM documents) " +
-        s"SELECT doc_id, len(regexp_extract_all(aug, '$emailSql')) AS n_emails, " +
-        s"len(regexp_extract_all(aug, '$ipSql')) AS n_ips, " +
-        s"len(regexp_extract_all(aug, '$phoneSql')) AS n_phones, " +
+        // CAST to INTEGER: DuckDB len() is BIGINT, Spark size() is int —
+        // the driver hash is dtype-sensitive
+        s"SELECT doc_id, CAST(len(regexp_extract_all(aug, '$emailSql')) AS INTEGER) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(aug, '$ipSql')) AS INTEGER) AS n_ips, " +
+        s"CAST(len(regexp_extract_all(aug, '$phoneSql')) AS INTEGER) AS n_phones, " +
         s"regexp_replace(regexp_replace(regexp_replace(aug, '$emailSql', '<EMAIL>', 'g'), " +
         s"'$ipSql', '<IP>', 'g'), '$phoneSql', '<PHONE>', 'g') AS redacted " +
         "FROM a ORDER BY doc_id"),
@@ -211,8 +213,9 @@ object CurationQueries {
     Q("q58_chunk",
       Some("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
         "c AS (SELECT doc_id, toks, unnest(range(0, 1 + greatest(0, CAST(ceil((len(toks) - 64) / 48.0) AS INTEGER)))) AS chunk_id FROM t) " +
-        "SELECT doc_id, chunk_id, chunk_id * 48 + 1 AS tok_start, " +
-        "len(toks[(chunk_id * 48 + 1):(chunk_id * 48 + 64)]) AS n_tokens, " +
+        // CAST to INTEGER: dtype parity, cf. q55 note
+        "SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id, CAST(chunk_id * 48 + 1 AS INTEGER) AS tok_start, " +
+        "CAST(len(toks[(chunk_id * 48 + 1):(chunk_id * 48 + 64)]) AS INTEGER) AS n_tokens, " +
         "md5(array_to_string(toks[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ')) AS chunk_hash " +
         "FROM c ORDER BY doc_id, chunk_id"),
       (s, dir) => Curation.chunkByTokens(Tables.documents(s, dir),
@@ -237,7 +240,8 @@ object CurationQueries {
         "k AS (SELECT doc_id, aug, string_split(aug, chr(10)) AS lines, " +
         "[l for l in string_split(aug, chr(10)) if len(regexp_split_to_array(trim(l), '\\s+')) >= 5 " +
         "AND regexp_matches(l, '[.!?\"'']\\s*$')] AS kept FROM b) " +
-        "SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept_lines, " +
+        // CAST to INTEGER: dtype parity, cf. q55 note
+        "SELECT doc_id, CAST(len(lines) AS INTEGER) AS n_lines, CAST(len(kept) AS INTEGER) AS n_kept_lines, " +
         "md5(array_to_string(kept, chr(10))) AS kept_hash, " +
         "(len(kept) >= 2 AND NOT contains(lower(aug), 'lorem ipsum') AND NOT contains(aug, '{')) AS keep " +
         "FROM k ORDER BY doc_id"),
@@ -315,7 +319,8 @@ object CurationQueries {
         "bl AS (SELECT coalesce(list(line), []) AS blist FROM boiler), " +
         "k AS (SELECT doc_id, string_split(aug, chr(10)) AS lines, " +
         "list_filter(string_split(aug, chr(10)), x -> NOT list_contains(bl.blist, x)) AS kept FROM b, bl) " +
-        "SELECT doc_id, len(lines) AS n_lines, len(lines) - len(kept) AS n_removed, " +
+        // CAST to INTEGER: dtype parity, cf. q55 note
+        "SELECT doc_id, CAST(len(lines) AS INTEGER) AS n_lines, CAST(len(lines) - len(kept) AS INTEGER) AS n_removed, " +
         "md5(array_to_string(kept, chr(10))) AS cleaned_hash FROM k ORDER BY doc_id"),
       (s, dir) => {
         val toks = TA.tokens(col("text"))
@@ -376,7 +381,8 @@ object CurationQueries {
         "ELSE [md5(array_to_string(toks[i:i+49], ' ')) for i in range(1, len(toks) - 48)] END AS hs FROM t), " +
         "w AS (SELECT doc_id, unnest(range(1, 1 + len(hs))) AS tok_start, unnest(hs) AS chunk_hash FROM w0), " +
         "f AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs FROM w GROUP BY 1) " +
-        "SELECT w.doc_id, w.tok_start, w.chunk_hash, f.n_docs " +
+        // CAST to INTEGER: dtype parity, cf. q55 note
+        "SELECT w.doc_id, CAST(w.tok_start AS INTEGER) AS tok_start, w.chunk_hash, f.n_docs " +
         "FROM w JOIN f USING (chunk_hash) WHERE f.n_docs >= 2 " +
         "ORDER BY doc_id, tok_start")
     },
@@ -410,7 +416,8 @@ object CurationQueries {
         "boiler AS (SELECT lh FROM freq WHERE nd > 10), " +
         "bl AS (SELECT coalesce(list(lh), []) AS blist FROM boiler), " +
         "k AS (SELECT doc_id, ss, list_filter(ss, x -> NOT list_contains(bl.blist, md5(x))) AS kept FROM l, bl) " +
-        "SELECT doc_id, len(ss) AS n_segments, len(ss) - len(kept) AS n_removed, " +
+        // CAST to INTEGER: dtype parity, cf. q55 note
+        "SELECT doc_id, CAST(len(ss) AS INTEGER) AS n_segments, CAST(len(ss) - len(kept) AS INTEGER) AS n_removed, " +
         "md5(array_to_string(kept, chr(10))) AS cleaned_hash FROM k ORDER BY doc_id"),
       (s, dir) => {
         val toks = TA.tokens(lower(col("text")))
@@ -440,14 +447,15 @@ object CurationQueries {
         "m AS (SELECT doc_id, aug, " +
         "list_filter(regexp_split_to_array(trim(lower(aug)), '\\s+'), x -> x != '') AS toks, " +
         "string_split(aug, chr(10)) AS lines FROM a), " +
-        "s AS (SELECT doc_id, len(toks) AS n_words, " +
+        // CAST to INTEGER: dtype parity, cf. q55 note
+        "s AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_words, " +
         "round(CAST(length(regexp_replace(trim(aug), '\\s+', '', 'g')) AS DOUBLE) / len(toks), 6) AS mean_word_len, " +
         "round(((length(aug) - length(replace(aug, '#', ''))) + " +
         "(length(aug) - length(replace(aug, '...', ''))) / 3) / len(toks), 6) AS symbol_ratio, " +
         "round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lines), 6) AS bullet_line_frac, " +
         "round(CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE) / len(lines), 6) AS ellipsis_line_frac, " +
         "round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks), 6) AS alpha_word_frac, " +
-        "len(list_intersect(list_distinct(toks), ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS n_required_words " +
+        "CAST(len(list_intersect(list_distinct(toks), ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS INTEGER) AS n_required_words " +
         "FROM m) " +
         "SELECT *, (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 " +
         "AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3 " +

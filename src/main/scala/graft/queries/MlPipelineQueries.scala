@@ -52,11 +52,19 @@ object MlPipelineQueries {
     // order-independent), ranks computed per user THEN the report slices a
     // user subset.
     Q("q185_recommend",
+      // bc = the pair stage's deterministically capped basket (maxBasket
+      // 1024 in md5("cc|"||item) order — recommendTopK's scale guard;
+      // non-binding at this sf but replicated so the oracle checks the
+      // capped semantics, not fixture luck). Scoring (sc) and the owned
+      // exclusion (an) keep the FULL basket b, exactly like the operator.
       Some("WITH b AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i " +
         "FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
-        "m AS (SELECT i, count(*) AS n FROM b GROUP BY 1), " +
-        "p AS (SELECT x.i AS ia, y.i AS ib, count(*) AS nb FROM b x " +
-        "JOIN b y ON x.u = y.u AND x.i < y.i GROUP BY 1, 2 " +
+        "bc AS (SELECT u, i FROM (SELECT u, i, row_number() OVER " +
+        "(PARTITION BY u ORDER BY md5('cc|' || CAST(i AS VARCHAR)), i) " +
+        "AS brn FROM b) WHERE brn <= 1024), " +
+        "m AS (SELECT i, count(*) AS n FROM bc GROUP BY 1), " +
+        "p AS (SELECT x.i AS ia, y.i AS ib, count(*) AS nb FROM bc x " +
+        "JOIN bc y ON x.u = y.u AND x.i < y.i GROUP BY 1, 2 " +
         "HAVING count(*) >= 2), " +
         "sm AS (SELECT ia, ib, CAST(round(CAST(nb AS DOUBLE) / " +
         "sqrt(CAST(ma.n * mb.n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sim " +
@@ -71,7 +79,9 @@ object MlPipelineQueries {
         "(SELECT 1 FROM b WHERE b.u = sc.u AND b.i = sc.j)), " +
         "r AS (SELECT u, j, score, row_number() OVER (PARTITION BY u " +
         "ORDER BY score DESC, j) AS rank FROM an) " +
-        "SELECT u AS user, j AS item, CAST(score AS DOUBLE) AS score, rank " +
+        // CAST rank to INTEGER: DuckDB row_number() is BIGINT, Spark's int
+        "SELECT u AS user, j AS item, CAST(score AS DOUBLE) AS score, " +
+        "CAST(rank AS INTEGER) AS rank " +
         "FROM r WHERE rank <= 3 AND u % 47 = 0 ORDER BY user, rank"),
       (s, dir) => {
         val baskets = Tables.orders(s, dir)
@@ -205,8 +215,11 @@ object MlPipelineQueries {
         "FROM lineitem), " +
         "s AS (SELECT key, us, ok, ln, sum(d) OVER w AS ps FROM m WINDOW w AS " +
         "(PARTITION BY key ORDER BY us, ok, ln ROWS UNBOUNDED PRECEDING)), " +
-        "l AS (SELECT key, us, ok, ln, ps - least(CAST(0 AS BIGINT), " +
-        "min(ps) OVER w2) AS lvl FROM s WINDOW w2 AS " +
+        // CAST to BIGINT: DuckDB window sum() yields HUGEINT → pandas
+        // float64, while Spark emits int64 — the driver hash is
+        // dtype-sensitive (lvl feeds both final_level and peak_level)
+        "l AS (SELECT key, us, ok, ln, CAST(ps - least(CAST(0 AS BIGINT), " +
+        "min(ps) OVER w2) AS BIGINT) AS lvl FROM s WINDOW w2 AS " +
         "(PARTITION BY key ORDER BY us, ok, ln ROWS UNBOUNDED PRECEDING)), " +
         "r AS (SELECT key, lvl, row_number() OVER (PARTITION BY key " +
         "ORDER BY us DESC, ok DESC, ln DESC) AS rn FROM l), " +
@@ -333,7 +346,8 @@ object MlPipelineQueries {
           "WHERE codes.vec_id <> lut.qid GROUP BY 1, 2), " +
           "r AS (SELECT qid, nn_id, row_number() OVER (PARTITION BY qid " +
           "ORDER BY dist, nn_id) AS rank FROM adc) " +
-          "SELECT qid, nn_id, rank FROM r WHERE rank <= 5 ORDER BY qid, rank"
+          // CAST rank to INTEGER: dtype parity, cf. q185 note
+          "SELECT qid, nn_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5 ORDER BY qid, rank"
       },
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -587,7 +601,8 @@ object MlPipelineQueries {
         "mv AS (SELECT dim, s1 / CAST(n AS DOUBLE) AS mu, " +
         "s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * " +
         "(s1 / CAST(n AS DOUBLE)) AS var FROM m) " +
-        "SELECT id, e.dim, CASE WHEN var > 0 THEN " +
+        // CAST dim to INTEGER: Spark posexplode ordinal is int
+        "SELECT id, CAST(e.dim AS INTEGER) AS dim, CASE WHEN var > 0 THEN " +
         "round((v - mu) / sqrt(var), 6) END AS z " +
         "FROM e JOIN mv ON e.dim = mv.dim WHERE id % 25 = 0 " +
         "ORDER BY id, e.dim"),
@@ -617,7 +632,7 @@ object MlPipelineQueries {
         "FROM lam) " +
         "SELECT n_dims, round(sl, 6) AS total_var, " +
         "CASE WHEN sl2 > 0 THEN round(sl * sl / sl2, 6) END " +
-        "AS participation_ratio, top_dim, " +
+        "AS participation_ratio, CAST(top_dim AS INTEGER) AS top_dim, " +
         "CASE WHEN sl > 0 THEN round(tl / sl, 6) END AS top_dim_share " +
         "FROM agg, top"),
       (s, dir) => Similarity.participationRatio(

@@ -53,8 +53,10 @@ object SimilarityQueries {
     // ---- brute-force cosine top-k for a query set (vec_id < 10): ranks are
     // float-order-robust (random vectors; no near-ties), ids are exact.
     Q("q33_ann_bruteforce",
+      // CAST rank to INTEGER: DuckDB row_number() is BIGINT, Spark's int —
+      // the driver hash is dtype-sensitive
       Some("WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10) " +
-        "SELECT qid, nn_id, rank FROM (" +
+        "SELECT qid, nn_id, CAST(rank AS INTEGER) AS rank FROM (" +
         "SELECT q.qid, e.vec_id AS nn_id, " +
         s"row_number() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(${dvecSql.format("e.embedding")}, ${dvecSql.format("q.qvec")}) DESC, e.vec_id) AS rank " +
         "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid) " +
@@ -267,7 +269,8 @@ object SimilarityQueries {
         "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), " +
         "v0 AS (SELECT DISTINCT dim, CAST(1.0 AS DOUBLE) AS v FROM x), " +
         rounds + " " +
-        "SELECT dim, round(v, 6) AS loading FROM v3 ORDER BY dim")
+        // CAST dim to INTEGER: Spark posexplode ordinal is int
+        "SELECT CAST(dim AS INTEGER) AS dim, round(v, 6) AS loading FROM v3 ORDER BY dim")
     },
       (s, dir) => Similarity.topPrincipalComponent(
         Tables.embeddings(s, dir), "vec_id", "embedding", iters = 3)
@@ -319,8 +322,9 @@ object SimilarityQueries2 {
         "WHERE doc_id % 3 = 2 AND (doc_id // 3) % 2 = 1), " +
         "f AS (SELECT doc_id, unnest(range(0, 2 + doc_id % 3, 2)) AS frame_idx " +
         "FROM v) " +
-        "SELECT doc_id AS media_id, frame_idx, frame_idx * 40000 AS pts_us, " +
-        "8 + (doc_id % 5) * 3 AS w, 8 + (doc_id % 3) * 5 AS h " +
+        // CASTs to INTEGER: Spark emits int frame ordinals and dimensions
+        "SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx, frame_idx * 40000 AS pts_us, " +
+        "CAST(8 + (doc_id % 5) * 3 AS INTEGER) AS w, CAST(8 + (doc_id % 3) * 5 AS INTEGER) AS h " +
         "FROM f ORDER BY media_id, frame_idx"),
       (s, dir) => Multimodal.extractFrames(
           MediaFixtures.materializedMediaTable(s, dir), step = 2)

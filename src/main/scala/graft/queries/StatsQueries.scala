@@ -467,7 +467,9 @@ object StatsQueries {
         "w AS (SELECT sum(ca) OVER (ORDER BY v) AS fa, " +
         "sum(cb) OVER (ORDER BY v) AS fb FROM c), " +
         "t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c) " +
-        "SELECT na AS n_a, nb AS n_b, " +
+        // CAST to BIGINT: DuckDB sum() yields HUGEINT → pandas float64,
+        // while Spark emits int64 — the driver hash is dtype-sensitive
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
         "round(CAST(max(abs(CAST(fa AS DECIMAL(18,0)) * nb - " +
         "CAST(fb AS DECIMAL(18,0)) * na)) AS DOUBLE) / " +
         "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks " +
@@ -479,8 +481,9 @@ object StatsQueries {
     // one fixed IEEE closed form for t and the Welch–Satterthwaite dof.
     Q("q121_welch_ttest",
       Some("WITH g AS (SELECT " +
-        "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_a, " +
-        "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_b, " +
+        // CAST: HUGEINT-vs-int64 dtype face, cf. q120 note
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
         "CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS sa, " +
         "CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value * value AS DECIMAL(38,6)) END) AS DOUBLE) AS pa, " +
         "CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS sb, " +
@@ -544,8 +547,9 @@ object StatsQueries {
         "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 " +
         "THEN 1 ELSE 0 END AS nf FROM e " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
-        "s AS (SELECT user_id, us, sum(nf) OVER " +
-        "(PARTITION BY user_id ORDER BY us, event_id) AS session FROM f) " +
+        // CAST: HUGEINT-vs-int64 dtype face, cf. q120 note
+        "s AS (SELECT user_id, us, CAST(sum(nf) OVER " +
+        "(PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS session FROM f) " +
         "SELECT user_id, session, count(*) AS n_events, min(us) AS start_us, " +
         "max(us) AS end_us, max(us) - min(us) AS duration_us FROM s " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
@@ -731,7 +735,8 @@ object StatsQueries {
         "JOIN e ON r2.node = e.src JOIN deg ON e.src = deg.src GROUP BY 1), " +
         "r3 AS (SELECT nodes.node, nn.tp + (17 * coalesce(i3.m, 0)) // 20 AS r " +
         "FROM nodes LEFT JOIN i3 USING (node), nn) " +
-        "SELECT node, r AS rank_micro, " +
+        // CAST: HUGEINT-vs-int64 dtype face, cf. q120 note
+        "SELECT node, CAST(r AS BIGINT) AS rank_micro, " +
         "round(CAST(r AS DOUBLE) / 1000000000000.0, 6) AS rank FROM r3 " +
         "ORDER BY rank_micro DESC, node LIMIT 25"),
       (s, dir) => {
@@ -749,15 +754,15 @@ object StatsQueries {
     // one lhs-grain distinct-count aggregate each, bounded roll-ups.
     Q("q137_fd_check",
       Some("WITH a AS (SELECT count(*) AS n_groups, " +
-        "sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS n_violating, max(d) AS max_rhs_variants " +
+        "CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, max(d) AS max_rhs_variants " +
         "FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS d FROM orders " +
         "WHERE o_orderkey IS NOT NULL GROUP BY 1)), " +
         "b AS (SELECT count(*) AS n_groups, " +
-        "sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS n_violating, max(d) AS max_rhs_variants " +
+        "CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, max(d) AS max_rhs_variants " +
         "FROM (SELECT user_id, count(DISTINCT event_type) AS d FROM events " +
         "WHERE user_id IS NOT NULL GROUP BY 1)), " +
         "c AS (SELECT count(*) AS n_groups, " +
-        "sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS n_violating, max(d) AS max_rhs_variants " +
+        "CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, max(d) AS max_rhs_variants " +
         "FROM (SELECT l_orderkey, count(DISTINCT l_suppkey) AS d FROM lineitem " +
         "WHERE l_orderkey IS NOT NULL GROUP BY 1)) " +
         "SELECT 'events: user_id -> event_type' AS dependency, n_groups, n_violating, " +
@@ -1012,7 +1017,8 @@ object StatsQueries {
         "coalesce(1.0 / (60 + r1), 0.0) + coalesce(1.0 / (60 + r2), 0.0) AS f " +
         "FROM l1 FULL OUTER JOIN l2 ON l1.lang = l2.lang AND l1.doc_id = l2.doc_id), " +
         "t AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY f DESC, doc_id) AS rn FROM j) " +
-        "SELECT lang, doc_id, r1, r2, round(f, 6) AS fused FROM t WHERE rn <= 5 " +
+        // CAST to INTEGER: DuckDB row_number() is BIGINT, Spark's is int
+        "SELECT lang, doc_id, CAST(r1 AS INTEGER) AS r1, CAST(r2 AS INTEGER) AS r2, round(f, 6) AS fused FROM t WHERE rn <= 5 " +
         "ORDER BY lang, fused DESC, doc_id"),
       (s, dir) => Stats.rrfFuse(
           Tables.documents(s, dir).withColumn("ntok", TA.tokenCount(col("text"))),
@@ -1030,7 +1036,8 @@ object StatsQueries {
         "mx AS (SELECT max(day) AS mx FROM d), " +
         "u AS (SELECT user_id, (CAST(1 AS BIGINT) << " +
         "CAST(40 - least((mx - day) // 7, 40) AS INT)) AS un FROM d, mx), " +
-        "g AS (SELECT user_id, count(*) AS n_events, sum(un) AS score_units FROM u GROUP BY 1) " +
+        // CAST: HUGEINT-vs-int64 dtype face, cf. q120 note
+        "g AS (SELECT user_id, count(*) AS n_events, CAST(sum(un) AS BIGINT) AS score_units FROM u GROUP BY 1) " +
         "SELECT user_id, n_events, score_units, " +
         "round(CAST(score_units AS DOUBLE) / 1099511627776.0, 6) AS score " +
         "FROM g ORDER BY score_units DESC, user_id LIMIT 25"),
@@ -1081,7 +1088,8 @@ object StatsQueries {
         "c AS (SELECT lifetime, count(*) AS n FROM lt GROUP BY 1), " +
         "sp AS (SELECT unnest(range(0, (SELECT max(lifetime) FROM lt) + 1)) AS w), " +
         "j AS (SELECT w, coalesce(n, 0) AS n FROM sp LEFT JOIN c ON c.lifetime = sp.w), " +
-        "r AS (SELECT w, sum(n) OVER (ORDER BY w DESC) AS n_surviving FROM j), " +
+        // CAST: HUGEINT-vs-int64 dtype face, cf. q120 note
+        "r AS (SELECT w, CAST(sum(n) OVER (ORDER BY w DESC) AS BIGINT) AS n_surviving FROM j), " +
         "t AS (SELECT count(*) AS t FROM lt) " +
         "SELECT w AS weeks, n_surviving, " +
         "round(CAST(n_surviving AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share " +
@@ -1269,7 +1277,8 @@ object StatsQueries {
         "WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1), " +
         "cells AS (SELECT s.bin, coalesce(r, 0) AS cr, coalesce(c, 0) AS cc " +
         "FROM spine s LEFT JOIN rv ON s.bin = rv.bin LEFT JOIN cv ON s.bin = cv.bin), " +
-        "t AS (SELECT sum(cr) AS n_ref, sum(cc) AS n_cur FROM cells), " +
+        // CAST: HUGEINT-vs-int64 dtype face, cf. q120 note
+        "t AS (SELECT CAST(sum(cr) AS BIGINT) AS n_ref, CAST(sum(cc) AS BIGINT) AS n_cur FROM cells), " +
         s"terms AS (SELECT n_ref, n_cur, CAST(($pr - $qc) * ln($pr / $qc) " +
         "AS DECIMAL(28,12)) AS tm FROM cells, t) " +
         "SELECT n_ref, n_cur, round(CAST(sum(tm) AS DOUBLE), 6) AS psi " +
@@ -1617,7 +1626,8 @@ object StatsQueries {
         "(SELECT node FROM sn) THEN 1000000000000 // nn.ns ELSE 0 END AS r " +
         "FROM nodes, nn), " +
         rounds + " " +
-        "SELECT node, r AS rank_micro, " +
+        // CAST: HUGEINT-vs-int64 dtype face, cf. q120 note
+        "SELECT node, CAST(r AS BIGINT) AS rank_micro, " +
         "round(CAST(r AS DOUBLE) / 1000000000000.0, 6) AS rank FROM r3 " +
         "ORDER BY rank_micro DESC, node LIMIT 25")
     },
@@ -2277,8 +2287,9 @@ object StatsQueries2 {
     // data-anchored pre/post midpoint, four DECIMAL cell sums, the classic
     // (Δtreat − Δctrl) closed form over unrounded means.
     Q("q296_diff_in_diff", {
+      // CAST: HUGEINT-vs-int64 dtype face, cf. q120 note
       def cell(t: String, p: String, tag: String) = Seq(
-        s"sum(CASE WHEN $t AND $p THEN 1 ELSE 0 END) AS n_$tag",
+        s"CAST(sum(CASE WHEN $t AND $p THEN 1 ELSE 0 END) AS BIGINT) AS n_$tag",
         s"CAST(sum(CASE WHEN $t AND $p THEN " +
           s"CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_$tag")
       val cells = cell("NOT t", "NOT p", "ctrl_pre") ++

@@ -246,7 +246,9 @@ object StreamQueries {
         "pairs AS (SELECT DISTINCT lval, c_name AS rval, levenshtein(lval, c_name) AS dist " +
         "FROM variants, customer WHERE abs(length(lval) - length(c_name)) <= 2 " +
         "AND levenshtein(lval, c_name) <= 2) " +
-        "SELECT lval, rval, dist FROM pairs ORDER BY lval, rval"),
+        // CAST to INTEGER: DuckDB levenshtein is BIGINT, Spark's is int —
+        // the driver hash is dtype-sensitive
+        "SELECT lval, rval, CAST(dist AS INTEGER) AS dist FROM pairs ORDER BY lval, rval"),
       (s, dir) => {
         val cust = Tables.customer(s, dir)
         val variants = cust.filter(pmod(col("c_custkey"), lit(31)) === 0)

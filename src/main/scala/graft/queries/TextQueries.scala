@@ -53,7 +53,9 @@ object TextQueries {
         "tf.tf * (nd.n_docs + 1.0) / (dfreq.df + 1.0) AS score " +
         "FROM tf JOIN dfreq USING (term), nd), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk FROM s) " +
-        "SELECT doc_id, rnk, term, tf, df, round(score, 6) AS score " +
+        // CAST to INTEGER: DuckDB row_number() is BIGINT → pandas int64,
+        // Spark row_number() is int — the driver hash is dtype-sensitive
+        "SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tf, df, round(score, 6) AS score " +
         "FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk"),
       (s, dir) => TA.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
         .orderBy("doc_id", "rnk")),
@@ -76,8 +78,10 @@ object TextQueries {
 
     // ---- token counting (whitespace) + char stats.
     Q("q24_token_stats",
-      Some("SELECT doc_id, length(text) AS n_chars, " +
-        s"len($tokensSql) AS n_tokens, " +
+      // CAST to INTEGER: DuckDB length/len are BIGINT, Spark's are int —
+      // exact dtype parity, cf. q60 note
+      Some("SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, " +
+        s"CAST(len($tokensSql) AS INTEGER) AS n_tokens, " +
         s"round(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / len($tokensSql), 6) AS mean_token_len " +
         "FROM documents ORDER BY doc_id"),
       (s, dir) => Tables.documents(s, dir).select(
@@ -139,7 +143,8 @@ object TextQueries {
         "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
         "'&#39;', chr(39)), '&amp;', '&'), " +
         "'\\s+', ' ', 'g')) AS clean FROM a) " +
-        "SELECT doc_id, clean, len(regexp_split_to_array(clean, '\\s+')) AS n_tokens " +
+        // CAST to INTEGER: dtype parity, cf. q60 note
+        "SELECT doc_id, clean, CAST(len(regexp_split_to_array(clean, '\\s+')) AS INTEGER) AS n_tokens " +
         "FROM s ORDER BY doc_id"),
       (s, dir) => {
         val html = concat(
@@ -169,8 +174,10 @@ object TextQueries {
         "regexp_split_to_array(para, '[.!?]+\\s+'), " +
         "x -> trim(regexp_replace(x, '[.!?]+\\s*$', ''))), x -> x != '') AS ss FROM a), " +
         "u AS (SELECT doc_id, unnest(range(len(ss))) AS sentence_id, unnest(ss) AS sentence FROM l) " +
-        "SELECT doc_id, sentence_id, sentence, " +
-        "len(regexp_split_to_array(trim(sentence), '\\s+')) AS n_tokens " +
+        // CAST to INTEGER: dtype parity, cf. q60 note (posexplode ordinal
+        // and size() are both int on the Spark side)
+        "SELECT doc_id, CAST(sentence_id AS INTEGER) AS sentence_id, sentence, " +
+        "CAST(len(regexp_split_to_array(trim(sentence), '\\s+')) AS INTEGER) AS n_tokens " +
         "FROM u ORDER BY doc_id, sentence_id"),
       (s, dir) => {
         val toks = TA.tokens(lower(col("text")))
@@ -197,7 +204,8 @@ object TextQueries {
         "top AS (SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 100), " +
         "r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank, " +
         "sum(n) OVER (ORDER BY n DESC, token ASC ROWS UNBOUNDED PRECEDING) AS cum FROM top) " +
-        "SELECT rank, token, n, round(CAST(cum AS DOUBLE) / tot.total, 6) AS coverage " +
+        // CAST to INTEGER: dtype parity, cf. q60 note
+        "SELECT CAST(rank AS INTEGER) AS rank, token, n, round(CAST(cum AS DOUBLE) / tot.total, 6) AS coverage " +
         "FROM r, tot ORDER BY rank"),
       (s, dir) => TA.vocabulary(Tables.documents(s, dir), "text", topV = 100)
         .orderBy("rank")),
@@ -500,7 +508,8 @@ object TextQueries {
     // ---- GPT-style sequence packing: concat in id order per shard, cut
     // every 512 tokens; per-shard windowed running sum in both engines.
     Q("q52_pack_sequences",
-      Some(s"WITH t AS (SELECT doc_id AS id, doc_id % 8 AS shard, len($tokensSql) AS n_tokens FROM documents), " +
+      // CAST to INTEGER: dtype parity, cf. q60 note
+      Some(s"WITH t AS (SELECT doc_id AS id, doc_id % 8 AS shard, CAST(len($tokensSql) AS INTEGER) AS n_tokens FROM documents), " +
         "c AS (SELECT id, shard, n_tokens, " +
         "CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS tok_start FROM t) " +
@@ -591,9 +600,10 @@ object TextQueries {
         "FROM documents WHERE doc_id % 14 = 0), " +
         s"t AS (SELECT doc_id, ($shinglesSql) AS tk FROM corpus), " +
         "sz AS (SELECT doc_id, tk, len(tk) AS n FROM t) " +
+        // CAST to INTEGER: dtype parity, cf. q60 note
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "len(list_intersect(a.tk, b.tk)) AS n_inter, " +
-        "a.n + b.n - len(list_intersect(a.tk, b.tk)) AS n_union " +
+        "CAST(len(list_intersect(a.tk, b.tk)) AS INTEGER) AS n_inter, " +
+        "CAST(a.n + b.n - len(list_intersect(a.tk, b.tk)) AS INTEGER) AS n_union " +
         "FROM sz a JOIN sz b ON a.doc_id < b.doc_id " +
         "AND a.n * 5 >= b.n * 2 AND b.n * 5 >= a.n * 2 " +
         "WHERE len(list_intersect(a.tk, b.tk)) * 5 >= (a.n + b.n - len(list_intersect(a.tk, b.tk))) * 2 " +
@@ -797,7 +807,9 @@ object TextQueries {
         "nn AS (SELECT count(*) AS n, (3 * 1000000000000) // (20 * count(*)) AS tp FROM nodes), " +
         "r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn), " +
         rounds + " " +
-        "SELECT node AS token, r AS rank_micro, " +
+        // CAST to BIGINT: DuckDB sum() yields HUGEINT → pandas float64,
+        // while Spark emits int64 — the driver hash is dtype-sensitive
+        "SELECT node AS token, CAST(r AS BIGINT) AS rank_micro, " +
         "round(CAST(r AS DOUBLE) / 1000000000000.0, 6) AS rank FROM r3 " +
         "ORDER BY rank_micro DESC, token LIMIT 15")
     },
@@ -810,8 +822,9 @@ object TextQueries {
     // the bounded x DOMAIN, then a broadcast join back (both engines run
     // the identical sweep).
     Q("q266_skyline",
-      Some(s"WITH t AS (SELECT doc_id, len($tokensSql) AS n_tokens, " +
-        "length(text) AS n_chars FROM documents), " +
+      // CAST to INTEGER: dtype parity, cf. q60 note
+      Some(s"WITH t AS (SELECT doc_id, CAST(len($tokensSql) AS INTEGER) AS n_tokens, " +
+        "CAST(length(text) AS INTEGER) AS n_chars FROM documents), " +
         "g AS (SELECT n_tokens, max(n_chars) AS ymax FROM t GROUP BY 1), " +
         "s AS (SELECT n_tokens, ymax, max(ymax) OVER (ORDER BY n_tokens DESC " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dom FROM g), " +
@@ -843,7 +856,8 @@ object TextQueries {
       val sh3 = s"CASE WHEN len($ltokensSql) < 3 THEN 1 ELSE " +
         s"len(list_distinct([array_to_string($ltokensSql[i:i+2], ' ') " +
         s"for i in range(1, len($ltokensSql) - 1)])) END"
-      Some(s"WITH hits AS (SELECT doc_id, $sh3 AS n_shingles, $hitCols " +
+      // CAST to INTEGER: dtype parity, cf. q60 note
+      Some(s"WITH hits AS (SELECT doc_id, CAST($sh3 AS INTEGER) AS n_shingles, $hitCols " +
         "FROM documents), " +
         s"m AS (SELECT doc_id, n_shingles, $mx AS __mx, * FROM hits) " +
         s"SELECT doc_id, CASE WHEN __mx = 0 THEN 'und' $pick END AS lang_pred, " +

@@ -80,6 +80,24 @@ class MlPipelineSpec extends SparkSpec {
     assert(out == Set("a"))
   }
 
+  test("recommendTopK: maxBasket caps the pair stage; scoring and exclusion keep the full basket") {
+    // md5("cc|X") order: C < B < A, so maxBasket=2 keeps {B, C} — A never
+    // reaches the quadratic pair stage. u1/u2 own all three; u3 owns only B.
+    val b = Seq((1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (2L, "C"), (3L, "B")).toDF("u", "i")
+    val out = EventAnalytics.recommendTopK(b, "u", "i", k = 3, minUsers = 1L,
+        maxNeighbors = 5, maxBasket = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getDouble(2), r.getInt(3))).toMap
+    // only surviving pair: (B,C), n_both=2, capped marginals B=3 C=2 ->
+    // cos = 2/sqrt(6) = 0.816497. u3 gets C via B.
+    assert(out == Map((3L, "C") -> (0.816497, 1)),
+      s"capped recommender output: $out")
+    // the exclusion anti join ran on the FULL basket: u1/u2 own C (and A,
+    // which the cap dropped from the pair stage) — neither is recommended
+    assert(!out.keys.exists(_._1 <= 2L))
+  }
+
   // ------------------------------------------------------ ssspDistances
   test("ssspDistances: min-plus relaxation finds the cheaper two-hop path") {
     //   1 -(5)- 2 -(1)- 3   and 1 -(10)- 3: dist(3) must be 6, not 10

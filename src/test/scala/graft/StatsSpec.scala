@@ -612,6 +612,27 @@ class StatsSpec extends SparkSpec {
       math.round(2.0 / math.sqrt(6.0) * 1e6) / 1e6)
   }
 
+  test("cooccurrenceCosine: maxBasket caps each basket deterministically in md5 order") {
+    // md5("cc|X") ordering (independently computed): C < D < E < B < A,
+    // so maxBasket=2 keeps {C, D} of {A..E} — for EVERY user, since the
+    // draw hashes the item, not the (user, item) pair.
+    val df = (1L to 2L).flatMap(u => Seq("A", "B", "C", "D", "E").map((u, _)))
+      .toDF("u", "ty")
+    val got = pipeline.EventAnalytics
+      .cooccurrenceCosine(df, "u", "ty", maxBasket = 2)
+      .collect()
+    assert(got.length == 1, s"capped baskets {C,D} admit exactly one pair: ${got.toSeq}")
+    assert(got(0).getAs[String]("item_a") == "C" &&
+      got(0).getAs[String]("item_b") == "D")
+    // marginals come from the SAME capped relation: 2/sqrt(2*2) = 1.0
+    assert(got(0).getAs[Long]("n_both") == 2L)
+    assert(got(0).getAs[Double]("cosine") == 1.0)
+    // non-binding cap = exact: 5 items -> C(5,2) = 10 pairs
+    val full = pipeline.EventAnalytics
+      .cooccurrenceCosine(df, "u", "ty", maxBasket = 5).collect()
+    assert(full.length == 10)
+  }
+
   test("rfmBuckets: all-null amounts keep a NULL monetary bucket") {
     import java.sql.Timestamp
     def t(d: Int) = new Timestamp(86400000L * d)
@@ -1212,9 +1233,9 @@ class StatsSpec extends SparkSpec {
       .toDF("id", "s", "t", "c")
     val r = Stats.qiniDeciles(df, col("id"), col("s"), col("t"), col("c"),
       nBins = 2).orderBy("decile").collect()
-    assert(r.map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
       x.getLong(3), x.getLong(4), x.getDouble(5))).toSeq ==
-      Seq((1, 1L, 1L, 1L, 0L, 1.0), (2, 2L, 2L, 1L, 1L, 0.0)))
+      Seq((1L, 1L, 1L, 1L, 0L, 1.0), (2L, 2L, 2L, 1L, 1L, 0.0)))
   }
 
   test("pythagoreanMeans: AM/GM/HM on {1,2,4}; non-positives excluded") {
