@@ -36,11 +36,12 @@ object Bench {
     warmup("media fixture")(
       graft.pipeline.MediaFixtures.materializedMediaTable(spark, sfDir).count())
 
-    // optional name-substring filter (local iteration only; the driver
-    // passes no args and measures the full registry)
-    val only = args.headOption
+    // optional comma-separated name-substring filter (local iteration and
+    // the drift-isolation protocol; the driver passes no args and measures
+    // the full registry)
+    val only = args.headOption.map(_.split(",").toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(n.contains) }
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
 
     // a failing query reports -1 (and logs) instead of a normal-looking
     // wall time — a silently broken query must not read as a fast one.

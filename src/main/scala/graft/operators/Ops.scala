@@ -1331,9 +1331,15 @@ object Ops {
   def fifoMatch(df: DataFrame, keyCol: String, orderCols: Seq[String],
                 qty: Column, isSell: Column, lotCostCents: Column): DataFrame = {
     require(orderCols.nonEmpty, "FIFO needs a deterministic arrival order")
+    // qty must be strictly positive: a zero-qty buy makes the per-unit
+    // division null (its cost would silently VANISH from cogs because
+    // sum() skips nulls) and a negative qty inverts the [lo, hi) interval
+    // with undefined overlap semantics — drop both up front so cost basis
+    // can never silently lose lots
     val base = df.select(Seq(col(keyCol).as("__k"), qty.cast("long").as("__q"),
       isSell.as("__s"), lotCostCents.cast("long").as("__cc")) ++
       orderCols.map(col): _*)
+      .filter(col("__q") > 0)
     val w = Window.partitionBy(col("__k"), col("__s"))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1408,7 +1414,11 @@ object Ops {
     require(keys.nonEmpty && saltBuckets > 0)
     val b = build.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
-    probe.withColumn("__salt", pmod(probeSaltCol, lit(saltBuckets)).cast("int"))
+    // coalesce(, 0): a null probeSaltCol would make pmod null and the
+    // equi join silently DROP the row — the plain join on `keys` keeps it,
+    // and the contract is exact equivalence; bucket 0 preserves it
+    probe.withColumn("__salt",
+        coalesce(pmod(probeSaltCol, lit(saltBuckets)), lit(0)).cast("int"))
       .join(b, keys :+ "__salt")
       .drop("__salt")
   }

@@ -255,9 +255,16 @@ object Similarity {
               qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("nn_id"), toDouble(col(vecCol)).as("v"), col("centroid"))
+    // probe order = the EXACT assignment score (-cos incl. the query-norm
+    // division), not raw dot: k-means centroids are not unit-norm, so a
+    // dot ordering can differ from the cos ordering — under the matched
+    // metric, probe #1 is BY CONSTRUCTION the bucket this vector would be
+    // assigned to (the planted-recall gates q34/q50 rely on this)
     def probeList(vec: Column): Column = {
       val scored = array(centroids.map { case (cid, cvec) =>
-        struct((-dot(toDouble(vec), typedLit(cvec))).as("negdot"), lit(cid).as("cid"))
+        struct((-dot(toDouble(vec), typedLit(cvec)) /
+          (norm(toDouble(vec)) * typedLit(math.sqrt(cvec.map(x => x * x).sum)))).as("negcos"),
+          lit(cid).as("cid"))
       }: _*)
       transform(slice(sort_array(scored), 1, nProbe), p => p.getField("cid"))
     }

@@ -375,16 +375,24 @@ object Stats {
     *
     * The classic x̃/MAD rule (Hampel identifier) with the lower-median
     * convention; k ≈ 3 corresponds to ~2σ for gaussian data (MAD ≈ 0.6745σ).
+    *
+    * `broadcastStats` mirrors [[standardize]]: true (default) broadcasts
+    * the one-row-per-group median/MAD relations — right when the group
+    * vocabulary is bounded; set false for UNBOUNDED vocabularies (per-user
+    * groups), where a broadcast would collect one row per group on the
+    * driver — the joins degrade to co-keyed shuffles.
     */
   def robustOutlierStats(df: DataFrame, groupCols: Seq[String],
-                         valueCol: String, k: Double): DataFrame = {
+                         valueCol: String, k: Double,
+                         broadcastStats: Boolean = true): DataFrame = {
+    def bc(stats: DataFrame) = if (broadcastStats) broadcast(stats) else stats
     val v = col(valueCol)
     val med = groupLowerMedian(df, groupCols, valueCol, "med")
     val dev = df.filter(v.isNotNull)
-      .join(broadcast(med), groupCols)
+      .join(bc(med), groupCols)
       .withColumn("__dev", abs(v - col("med")))
     val mad = groupLowerMedian(dev, groupCols, "__dev", "mad")
-    dev.join(broadcast(mad), groupCols)
+    dev.join(bc(mad), groupCols)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         first(col("med")).as("med"),

@@ -70,17 +70,38 @@ object SimilarityQueries {
           .orderBy("qid", "rank")
       }),
 
-    // ---- ANN via random-hyperplane LSH with query-directed multiprobe
-    // (scale path; hash-derived planes are engine-specific — rows-only;
-    // recall ≥ 0.8 asserted against brute force in PipelineSpec).
-    Q("q34_ann_lsh", None,
+    // ---- ANN via random-hyperplane LSH with query-directed multiprobe,
+    // proven against PLANTED ground truth (the q70 discipline brought to
+    // vectors): each query vector re-enters the corpus verbatim at
+    // id+10^6, so its LSH signature is bit-identical to the query's in
+    // every table — the banded pipeline MUST surface it as a candidate,
+    // the exact-cosine verify scores it 1.0 (dot(v,v)/√(dot·dot) is
+    // exactly 1.0 in IEEE), and it lands in the top-k. The gated report
+    // is recall-on-planted = found TRUE for every query plus the planted
+    // pair's 6dp cosine; the oracle states the ground truth in closed
+    // form. (Raw top-k lists stay engine-specific — recall ≥ 0.8 vs brute
+    // force remains spec-asserted in PipelineSpec.)
+    Q("q34_ann_lsh",
+      Some("SELECT vec_id AS qid, vec_id + 1000000 AS planted_id, " +
+        "TRUE AS found, 1.0 AS planted_cos FROM embeddings " +
+        "WHERE vec_id < 10 ORDER BY qid"),
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
         val queries = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        Similarity.annTopK(emb, queries, k = 5, dim = 64)
-          .select(col("qid"), col("nn_id"), col("rank"), round(col("cos"), 6).as("cos"))
-          .orderBy("qid", "rank")
+        val corpus = emb.unionByName(queries.select(
+          (col("qid") + lit(1000000L)).as("vec_id"),
+          col("qvec").as("embedding")))
+        val top = Similarity.annTopK(corpus, queries, k = 5, dim = 64)
+        queries.select(col("qid"), (col("qid") + lit(1000000L)).as("planted_id"))
+          .join(top.filter(col("nn_id") === col("qid") + lit(1000000L))
+              .select(col("qid"), lit(true).as("found"),
+                round(col("cos"), 6).as("planted_cos")),
+            Seq("qid"), "left")
+          .select(col("qid"), col("planted_id"),
+            coalesce(col("found"), lit(false)).as("found"),
+            col("planted_cos"))
+          .orderBy("qid")
       }),
 
     // ---- IVF-style assignment with deterministic pseudo-random centroids:
@@ -110,18 +131,38 @@ object SimilarityQueries {
           .orderBy("centroid")
       }),
 
-    // ---- IVF probe search end-to-end: k-means partitions + nProbe=4
-    // probing (the q35 assignment's query side; probe-all ≡ brute force is
-    // spec-pinned, recall at partial probing spec-measured — rows-only).
-    Q("q50_ivf_search", None,
+    // ---- IVF probe search proven against PLANTED ground truth (q34's
+    // sibling): the verbatim copy at id+10^6 is assigned to the centroid
+    // that maximizes ITS cosine — which, probing under the same matched
+    // metric (ivfTopK's probe order IS the assignment score), is exactly
+    // the query's probe #1 — so the copy is structurally inside the
+    // probed partitions, exact-reranks at cosine 1.0, and must appear in
+    // the top-k. found TRUE for every query is the recall-on-planted
+    // gate; probe-all ≡ brute force and partial-probe recall stay
+    // spec-asserted in PipelineSpec.
+    Q("q50_ivf_search",
+      Some("SELECT vec_id AS qid, vec_id + 1000000 AS planted_id, " +
+        "TRUE AS found, 1.0 AS planted_cos FROM embeddings " +
+        "WHERE vec_id < 10 ORDER BY qid"),
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
         val queries = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb.unionByName(queries.select(
+          (col("qid") + lit(1000000L)).as("vec_id"),
+          col("qvec").as("embedding")))
         val centroids = Similarity.kmeansCentroids(emb, nCentroids = 16)
-        Similarity.ivfTopK(emb, queries, centroids, k = 5, nProbe = 4)
-          .select(col("qid"), col("nn_id"), col("rank"), round(col("cos"), 6).as("cos"))
-          .orderBy("qid", "rank")
+        val top = Similarity.ivfTopK(corpus, queries, centroids, k = 5,
+          nProbe = 4)
+        queries.select(col("qid"), (col("qid") + lit(1000000L)).as("planted_id"))
+          .join(top.filter(col("nn_id") === col("qid") + lit(1000000L))
+              .select(col("qid"), lit(true).as("found"),
+                round(col("cos"), 6).as("planted_cos")),
+            Seq("qid"), "left")
+          .select(col("qid"), col("planted_id"),
+            coalesce(col("found"), lit(false)).as("found"),
+            col("planted_cos"))
+          .orderBy("qid")
       }),
 
     // ---- multimodal decode, oracle-checked: every fixture payload embeds

@@ -2184,7 +2184,10 @@ object StatsQueries2 {
         "CAST(l_quantity AS BIGINT) AS q, l_returnflag = 'R' AS s, " +
         "CAST(round(l_extendedprice * 100) AS BIGINT) AS cc, " +
         "l_shipdate, l_orderkey, l_linenumber FROM lineitem " +
-        "WHERE l_partkey % 25 = 0), " +
+        // l_quantity > 0 mirrors fifoMatch's qty guard (a no-op on TPC-H
+        // data, where quantities are 1..50 — kept so the oracle states
+        // the same contract rather than passing by fixture shape)
+        "WHERE l_partkey % 25 = 0 AND l_quantity > 0), " +
         "w AS (SELECT *, sum(q) OVER (PARTITION BY k, s " +
         "ORDER BY l_shipdate, l_orderkey, l_linenumber " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi FROM f), " +

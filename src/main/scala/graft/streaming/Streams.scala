@@ -365,8 +365,12 @@ object Streams {
     events.groupByKey(_.user_id)
       .mapGroupsWithState[LatestState, KeyedLatest](GroupStateTimeout.NoTimeout) {
         case (uid, rows, state: GroupState[LatestState]) =>
+          // true microseconds, not getTime*1000 (which truncates to ms and
+          // mis-elects between same-millisecond events): floorDiv for
+          // pre-epoch correctness + the sub-ms nanos remainder
           val best = (state.getOption.iterator ++ rows.map(e =>
-            LatestState(e.ts.getTime * 1000L, e.event_id, e.value)))
+            LatestState(Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+              e.ts.getNanos / 1000L, e.event_id, e.value)))
             .maxBy(s => (s.us, s.id))
           state.update(best)
           KeyedLatest(uid, best.id, best.value)

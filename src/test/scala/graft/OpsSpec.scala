@@ -526,6 +526,15 @@ class OpsSpec extends SparkSpec {
     val r = Ops.fifoMatch(one, "k", Seq("seq"), col("q"),
       col("s"), col("cc")).collect()(0)
     assert(r.getDouble(4) == 10.0, s"LIFO leak: ${r.getDouble(4)}")
+    // zero/negative-qty rows drop up front: a 0-qty lot must not null the
+    // per-unit price and silently vanish its neighbors' cogs
+    val bad = Seq(("z", 1, 0L, false, 9999L), ("z", 2, 10L, false, 1000L),
+      ("z", 3, -5L, true, 0L), ("z", 4, 10L, true, 0L))
+      .toDF("k", "seq", "q", "s", "cc")
+    val z = Ops.fifoMatch(bad, "k", Seq("seq"), col("q"), col("s"),
+      col("cc")).collect()(0)
+    assert((z.getLong(1), z.getLong(2), z.getLong(3), z.getDouble(4)) ==
+      ((1L, 10L, 10L, 10.0)), s"qty<=0 must not distort cost basis: $z")
   }
 
   test("monotonicAudit: counts adjacent violations, strict mode flags ties") {
@@ -571,6 +580,14 @@ class OpsSpec extends SparkSpec {
     val sKeys = salted.collect().map(_.toSeq).sortBy(_.mkString("|"))
     val pKeys = plain.collect().map(_.toSeq).sortBy(_.mkString("|"))
     assert(sKeys.toSeq == pKeys.toSeq)   // multiset identity, dup rows kept
+    // a null salt expression must not drop the row (pmod(null) -> null
+    // would silently anti-join it; the coalesce routes it to bucket 0)
+    val probeN = Seq((1L, Some("p1")), (1L, Option.empty[String]))
+      .toDF("k", "pv")
+    val saltedN = Ops.saltedJoin(probeN, build, Seq("k"),
+      org.apache.spark.sql.functions.length(col("pv")), saltBuckets = 4)
+    assert(saltedN.count() == probeN.join(build, Seq("k")).count(),
+      "null-salt probe row lost")
   }
 
   test("weightedQuantiles: integer crossing, exact boundary, q = 1 maxes") {

@@ -597,12 +597,20 @@ class PlanSpec extends SparkSpec {
       s"unexpected exchange in a per-row encode:\n$p")
   }
 
-  test("q185: recommender windows partition by item (prune) and user (rank) — never global; no cartesian") {
+  test("q185: recommender windows partition by item (prune) and user (rank + basket cap) — never global; no cartesian") {
     val p = planOf("q185_recommend")
     val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
     assert(windows.nonEmpty, s"expected rank windows:\n$p")
     assert(windows.forall(w => w.contains("__i") || w.contains("__u")),
       s"window missing its partition key:\n${windows.mkString("\n")}")
+    // three distinct rank windows must survive: neighbor prune (__i),
+    // per-user top-k (__u), and the maxBasket deterministic cap (__u,
+    // ordered by the md5 draw) feeding the quadratic pair self-join —
+    // if the cap window disappears, a power basket is unbounded again
+    assert(windows.size >= 3, s"basket-cap window missing:\n${windows.mkString("\n")}")
+    // the cap's rank alias (__br) must appear — its md5 order key is
+    // pre-projected (_w0 in the window spec), so pin the alias, not "md5"
+    assert(p.contains("__br"), s"the basket-cap rank window is gone:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"cartesian in the recommender path:\n$p")
   }

@@ -400,6 +400,29 @@ object ScaleStress {
     println(s"  probe user top-3: $rec (expect A0, A1, A2 — equal scores, item tiebreak)")
     assert(rec == Seq("A0", "A1", "A2"), s"hot-item recommender broken: $rec")
 
+    // item-kNN with ONE 100k-item power basket: uncapped, user 0's basket
+    // alone would emit C(1e5, 2) = 5e9 pairs through a single join key —
+    // the maxBasket=1024 deterministic cap bounds it to ≤ 1024²/2 ≈ 524k,
+    // so the whole run finishes in seconds. Users 1..2000 hold {P0, P1},
+    // giving one real pair the probe user (owning only P0) is recommended
+    // from; the power items appear in exactly one basket, so the cap
+    // removes no true pair.
+    val power = spark.range(0L, 100000L)
+      .select(lit(0L).as("u"), concat(lit("Z"), col("id").cast("string")).as("i"))
+    val pairsB = spark.range(1L, 2001L)
+      .select(col("id").as("u"), lit("P0").as("i"))
+      .union(spark.range(1L, 2001L).select(col("id").as("u"), lit("P1").as("i")))
+      .union(Seq((999999L, "P0")).toDF("u", "i"))
+    val powerTop = timed("recommendTopK with one 100k-item power basket (capped)") {
+      graft.pipeline.EventAnalytics.recommendTopK(
+          power.union(pairsB), "u", "i", k = 3)
+        .filter(col("user") === 999999L).orderBy("rank")
+        .select("item").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSeq
+    }
+    println(s"  probe user top-3: $powerTop (expect P1 via the (P0,P1) pair)")
+    assert(powerTop == Seq("P1"), s"power-basket recommender broken: $powerTop")
+
     // PQ encode over 40k 64-dim vectors (20 shifted copies of the sf0.1
     // embeddings): a stateless projection must stream — 160k code rows, no
     // shuffle, wall time scan-bound.

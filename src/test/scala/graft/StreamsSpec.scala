@@ -90,11 +90,21 @@ class StreamsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     def ev(id: Long, uid: Long, sec: Long, v: Double) =
       Streams.Event(id, new java.sql.Timestamp(sec * 1000L), uid, "e", v)
+    // same millisecond, different microseconds: the µs-later, id-SMALLER
+    // event must win in BOTH engines (catches getTime*1000 ms truncation,
+    // under which the tie would fall to the higher id instead)
+    def evUs(id: Long, uid: Long, ms: Long, us: Int, v: Double) = {
+      val t = new java.sql.Timestamp(ms)
+      t.setNanos(((ms % 1000) * 1000000 + us * 1000).toInt)
+      Streams.Event(id, t, uid, "e", v)
+    }
     val all = Seq(
       ev(1, 1L, 10, 1.0), ev(2, 1L, 20, 2.0),  // batch 1
       ev(3, 1L, 15, 9.0),                       // batch 2: older ts loses
       ev(4, 2L, 5, 7.0),
-      ev(5, 2L, 5, 8.0))                        // same ts: higher id wins
+      ev(5, 2L, 5, 8.0),                        // same ts: higher id wins
+      evUs(7, 3L, 42000, 100, 3.0),
+      evUs(6, 3L, 42000, 900, 4.0))             // same ms, later µs, lower id
     val input = MemoryStream[Streams.Event]
     val q = Streams.latestStateStream(input.toDS()).toDF()
       .writeStream.format("memory").queryName("latest")
@@ -118,6 +128,7 @@ class StreamsSpec extends SparkSpec {
       .toMap
     assert(fin == batch)
     assert(batch(1L) == ((2L, 2.0)) && batch(2L) == ((5L, 8.0)))
+    assert(batch(3L) == ((6L, 4.0)), "sub-millisecond µs must decide before id")
   }
 
   test("throttleStream caps per key per window across batches; late events drop") {
