@@ -97,6 +97,55 @@ object Linkage {
         round(col("n_captured").cast("double") /
           col("n_true").cast("double"), 6).as("completeness"))
   }
+  // ------------------------------------- Fellegi–Sunter weight estimation
+  /** Supervised Fellegi–Sunter m/u estimation over LABELED candidate
+    * pairs — the step [[scorePairs]] assumes already happened: for each
+    * boolean agreement field, m = P(agree | match) and u = P(agree |
+    * non-match), add-half smoothed (m = (n_agree_match + ½)/(n_match + 1))
+    * so a field that always or never agrees still yields finite weights.
+    * Weights are natural-log likelihood ratios (nats, not the classic
+    * log₂ — one ln() call per side keeps the float shape identical in any
+    * engine; scale by 1/ln 2 outside if bits are wanted):
+    * w_agree = ln(m) − ln(u), w_disagree = ln(1−m) − ln(1−u), 6dp.
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the pair relation
+    * computes every count (2 + 2·|fields| exact integer sums — no
+    * per-field pass, no shuffle beyond the single agg), then |fields|
+    * one-row projections union into the report. Null agreements count as
+    * disagreement (null never agrees — the equalityAgreement convention).
+    * Returns one row per field, field order preserved:
+    * (field, n_match, n_nonmatch, n_agree_match, n_agree_nonmatch,
+    * m, u, w_agree, w_disagree). */
+  def fellegiSunterWeights(pairs: DataFrame, labelCol: Column,
+                           fields: Seq[(String, Column)]): DataFrame = {
+    require(fields.nonEmpty, "Fellegi–Sunter needs at least one field")
+    val lbl = coalesce(labelCol, lit(false))
+    val aggs =
+      Seq(sum(when(lbl, 1L).otherwise(0L)).as("__nm"),
+        sum(when(!lbl, 1L).otherwise(0L)).as("__nu")) ++
+      fields.zipWithIndex.flatMap { case ((_, a), i) =>
+        val agree = coalesce(a, lit(false))
+        Seq(sum(when(lbl && agree, 1L).otherwise(0L)).as(s"__am$i"),
+          sum(when(!lbl && agree, 1L).otherwise(0L)).as(s"__au$i"))
+      }
+    val stats = pairs.agg(aggs.head, aggs.tail: _*)
+    fields.zipWithIndex.map { case ((name, _), i) =>
+      // one fixed expression shape for every field and engine: smoothed
+      // rational → one IEEE division per probability → ln difference
+      val m = (col(s"__am$i").cast("double") + lit(0.5)) /
+        (col("__nm").cast("double") + lit(1.0))
+      val u = (col(s"__au$i").cast("double") + lit(0.5)) /
+        (col("__nu").cast("double") + lit(1.0))
+      stats.select(lit(name).as("field"),
+        col("__nm").as("n_match"), col("__nu").as("n_nonmatch"),
+        col(s"__am$i").as("n_agree_match"),
+        col(s"__au$i").as("n_agree_nonmatch"),
+        round(m, 6).as("m"), round(u, 6).as("u"),
+        round(log(m) - log(u), 6).as("w_agree"),
+        round(log(lit(1.0) - m) - log(lit(1.0) - u), 6).as("w_disagree"))
+    }.reduce(_ unionByName _)
+  }
+
   // -------------------------------------------- sorted-neighborhood pairs
   /** Sorted-neighborhood candidate generation (Hernández & Stolfo 1995):
     * within each coarse block, records sort by `keyCol` and every record

@@ -1618,6 +1618,86 @@ object AppliedQueries {
         ", 6) END AS attribution FROM re ORDER BY channel"),
       (s, dir) => EventAnalytics.markovAttribution(Tables.events(s, dir),
           "user_id", "ts", "event_id", "event_type", "purchase", rounds = 8)
-        .orderBy("channel"))
+        .orderBy("channel")),
+
+    // ---- Fellegi–Sunter weight estimation end-to-end: sorted-neighborhood
+    // candidates (q338's operator) over customers + PLANTED trailing-typo
+    // variants (name||'x' sorts immediately after its source, so every
+    // variant is a window-1 capture; every 3rd variant's nation is
+    // corrupted so m_nation < 1), labeled by the id+10^6 arithmetic, feed
+    // the one-aggregate m/u estimator. Counts are exact integers; m/u and
+    // the ln-ratio weights are one fixed IEEE shape (the q233 ln
+    // discipline); the oracle replays the whole chain.
+    Q("q358_linkage_weights", {
+      def arm(f: String, am: String, au: String) =
+        s"SELECT '$f' AS field, nm AS n_match, nu AS n_nonmatch, " +
+        s"$am AS n_agree_match, $au AS n_agree_nonmatch, " +
+        s"round((CAST($am AS DOUBLE) + 0.5) / (CAST(nm AS DOUBLE) + 1.0), 6) AS m, " +
+        s"round((CAST($au AS DOUBLE) + 0.5) / (CAST(nu AS DOUBLE) + 1.0), 6) AS u, " +
+        s"round(ln((CAST($am AS DOUBLE) + 0.5) / (CAST(nm AS DOUBLE) + 1.0)) - " +
+        s"ln((CAST($au AS DOUBLE) + 0.5) / (CAST(nu AS DOUBLE) + 1.0)), 6) AS w_agree, " +
+        s"round(ln(1.0 - (CAST($am AS DOUBLE) + 0.5) / (CAST(nm AS DOUBLE) + 1.0)) - " +
+        s"ln(1.0 - (CAST($au AS DOUBLE) + 0.5) / (CAST(nu AS DOUBLE) + 1.0)), 6) AS w_disagree FROM c"
+      Some("WITH base AS (SELECT c_custkey AS id, c_name AS name, " +
+        "CAST(c_nationkey AS INTEGER) AS nat, CAST(c_acctbal AS DOUBLE) AS bal, " +
+        "c_mktsegment AS seg, CAST(length(c_name) AS INTEGER) AS nlen FROM customer), " +
+        "vr AS (SELECT id + 1000000 AS vid, name || 'x' AS vname, " +
+        "CAST((nat + CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END) % 25 AS INTEGER) AS vnat, " +
+        "bal + 1.5 AS vbal, seg, CAST(nlen + 1 AS INTEGER) AS nlen FROM base WHERE id % 31 = 0), " +
+        "ents AS (SELECT id, name, nat, bal, seg, nlen FROM base " +
+        "UNION ALL SELECT vid, vname, vnat, vbal, seg, nlen FROM vr), " +
+        "r AS (SELECT seg, id, name, nat, bal, nlen, " +
+        "row_number() OVER (PARTITION BY seg ORDER BY name, id) AS rn FROM ents), " +
+        "o AS (SELECT seg, rn, id AS id_a, nat AS nat_a, bal AS bal_a, " +
+        "nlen AS nl_a, unnest(generate_series(1, 2)) AS dist FROM r), " +
+        "p AS (SELECT o.id_a, r2.id AS id_b, o.nat_a, r2.nat AS nat_b, " +
+        "o.bal_a, r2.bal AS bal_b, o.nl_a, r2.nlen AS nl_b " +
+        "FROM o JOIN r r2 ON r2.seg = o.seg AND r2.rn = o.rn + o.dist), " +
+        "l AS (SELECT (id_a + 1000000 = id_b OR id_b + 1000000 = id_a) AS lbl, " +
+        "(abs(bal_a - bal_b) <= 2.0) AS fb, (nat_a = nat_b) AS fn, " +
+        "(nl_a = nl_b) AS fp FROM p), " +
+        "c AS (SELECT CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS nm, " +
+        "CAST(sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS nu, " +
+        "CAST(sum(CASE WHEN lbl AND fb THEN 1 ELSE 0 END) AS BIGINT) AS amb, " +
+        "CAST(sum(CASE WHEN NOT lbl AND fb THEN 1 ELSE 0 END) AS BIGINT) AS aub, " +
+        "CAST(sum(CASE WHEN lbl AND fn THEN 1 ELSE 0 END) AS BIGINT) AS amn, " +
+        "CAST(sum(CASE WHEN NOT lbl AND fn THEN 1 ELSE 0 END) AS BIGINT) AS aun, " +
+        "CAST(sum(CASE WHEN lbl AND fp THEN 1 ELSE 0 END) AS BIGINT) AS amp, " +
+        "CAST(sum(CASE WHEN NOT lbl AND fp THEN 1 ELSE 0 END) AS BIGINT) AS aup FROM l) " +
+        arm("balance", "amb", "aub") + " UNION ALL " +
+        arm("nation", "amn", "aun") + " UNION ALL " +
+        arm("name_len", "amp", "aup") + " ORDER BY field")
+    },
+      (s, dir) => {
+        val base = Tables.customer(s, dir).select(
+          col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_nationkey").cast("int").as("nat"),
+          col("c_acctbal").cast("double").as("bal"),
+          col("c_mktsegment").as("seg"),
+          length(col("c_name")).as("nlen"))
+        val variants = base.filter(pmod(col("id"), lit(31L)) === 0)
+          .select((col("id") + lit(1000000L)).as("id"),
+            concat(col("name"), lit("x")).as("name"),
+            pmod(col("nat") + when(pmod(col("id"), lit(3L)) === 0, 1)
+              .otherwise(0), lit(25)).cast("int").as("nat"),
+            (col("bal") + lit(1.5)).as("bal"), col("seg"),
+            (col("nlen") + 1).cast("int").as("nlen"))
+        val ents = base.unionByName(variants)
+        val pairs = Linkage.sortedNeighborhood(ents, "id", "name",
+          col("seg"), window = 2)
+        val attrs = ents.select(col("id"), col("nat"), col("bal"), col("nlen"))
+        def side(sfx: String) = attrs.select(col("id").as(s"id_$sfx"),
+          col("nat").as(s"nat_$sfx"), col("bal").as(s"bal_$sfx"),
+          col("nlen").as(s"nl_$sfx"))
+        val lab = pairs.join(side("a"), "id_a").join(side("b"), "id_b")
+          .withColumn("lbl",
+            (col("id_a") + lit(1000000L) === col("id_b")) ||
+              (col("id_b") + lit(1000000L) === col("id_a")))
+        Linkage.fellegiSunterWeights(lab, col("lbl"), Seq(
+            "balance" -> (abs(col("bal_a") - col("bal_b")) <= lit(2.0)),
+            "nation" -> (col("nat_a") === col("nat_b")),
+            "name_len" -> (col("nl_a") === col("nl_b"))))
+          .orderBy("field")
+      })
   )
 }

@@ -597,6 +597,36 @@ class AppliedSpec extends SparkSpec {
       (2L, 4L, 2), (3L, 4L, 1)))  // Y is alone: no cross-block pair with 1
   }
 
+  test("fellegiSunterWeights: smoothed m/u counts, ln-ratio weights, null agreement = disagree") {
+    import spark.implicits._
+    // 4 labeled pairs: 2 matches (nation agrees on both; phone on one),
+    // 2 non-matches (nation agrees on one — the confusable case; phone never)
+    val pairs = Seq(
+      (true, Some(true), Some(true)),
+      (true, Some(true), Some(false)),
+      (false, Some(true), Some(false)),
+      (false, Option.empty[Boolean], Some(false))  // null -> disagree
+    ).toDF("lbl", "nation_eq", "phone_eq")
+    val w = Linkage.fellegiSunterWeights(pairs, col("lbl"),
+        Seq("nation" -> col("nation_eq"), "phone" -> col("phone_eq")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val n = w("nation")
+    assert(n.getLong(1) == 2L && n.getLong(2) == 2L)   // n_match / n_nonmatch
+    assert(n.getLong(3) == 2L && n.getLong(4) == 1L)   // agree counts
+    // m = 2.5/3, u = 1.5/3; w_agree = ln(m) - ln(u) = ln(5/3)
+    assert(n.getDouble(5) == 0.833333 && n.getDouble(6) == 0.5)
+    assert(n.getDouble(7) == 0.510826)   // ln(m/u) = ln(5/3), HALF_UP 6dp
+    val p = w("phone")
+    assert(p.getLong(3) == 1L && p.getLong(4) == 0L)
+    // u smoothed to 0.5/3 — finite weights even with zero agreements
+    assert(p.getDouble(6) == 0.166667)
+    // field order preserved
+    val order = Linkage.fellegiSunterWeights(pairs, col("lbl"),
+      Seq("phone" -> col("phone_eq"), "nation" -> col("nation_eq")))
+      .collect().map(_.getString(0)).toSeq
+    assert(order == Seq("phone", "nation"))
+  }
+
   test("businessDaysBetween: Thursday epoch anchor, weekends, signed span") {
     import spark.implicits._
     val df = Seq((0L, 1L), (0L, 7L), (2L, 4L), (4L, 11L), (7L, 0L))

@@ -843,6 +843,21 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1 &&
       !p.contains("CartesianProduct"), s"bad join shape:\n$p")
   }
+  test("q358: FS weights = one aggregate over co-keyed SNM pairs — no cartesian, block-keyed windows") {
+    val p = planOf("q358_linkage_weights")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cartesian in the linkage path:\n$p")
+    // the SNM rank windows partition on the block, never globally
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("block")),
+      s"SNM window must partition on block:\n${windows.mkString("\n")}")
+    // the three per-field arms re-read ONE pair aggregate: the exchange
+    // under the stats agg must be reused, not recomputed per field
+    assert(p.contains("ReusedExchange") || p.linesIterator.count(
+      _.trim.startsWith("+- Exchange")) <= 6,
+      s"per-field arms recompute the pair relation:\n$p")
+  }
+
   test("q341: salted join really joins on (key, salt) with a build-side explode") {
     val p = planOf("q341_salted_join")
     // the build side must replicate via explode(sequence(...)) -> Generate
