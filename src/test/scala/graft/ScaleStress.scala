@@ -423,6 +423,28 @@ object ScaleStress {
     println(s"  probe user top-3: $powerTop (expect P1 via the (P0,P1) pair)")
     assert(powerTop == Seq("P1"), s"power-basket recommender broken: $powerTop")
 
+    // Fellegi–Sunter weights over 10M labeled pairs, 3 fields: every count
+    // rides ONE map-side-combinable aggregate — wall time is scan-bound,
+    // state is a single stats row. Deterministic fixture: pair i is a
+    // match when i % 10 = 0; field agreements are modular, so every count
+    // (and the smoothed m/u) has a closed form to assert against.
+    val fsPairs = spark.range(10000000L).select(
+      (pmod(col("id"), lit(10)) === 0).as("lbl"),
+      (pmod(col("id"), lit(2)) === 0).as("f1"),
+      (pmod(col("id"), lit(5)) === 0).as("f2"),
+      (pmod(col("id"), lit(3)) === 0).as("f3"))
+    val fs = timed("fellegiSunterWeights over 10M labeled pairs, 3 fields") {
+      graft.pipeline.Linkage.fellegiSunterWeights(fsPairs, col("lbl"),
+          Seq("f1" -> col("f1"), "f2" -> col("f2"), "f3" -> col("f3")))
+        .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+    }
+    // matches (i%10=0): all even -> f1 agrees on all 1M; f2 = i%5=0 yes;
+    // non-matches agreeing f1: evens not %10 -> 4M
+    println(s"  agree counts: $fs")
+    assert(fs("f1") == ((1000000L, 4000000L)), s"f1 counts off: $fs")
+    assert(fs("f2") == ((1000000L, 1000000L)), s"f2 counts off: $fs")
+
     // PQ encode over 40k 64-dim vectors (20 shifted copies of the sf0.1
     // embeddings): a stateless projection must stream — 160k code rows, no
     // shuffle, wall time scan-bound.
