@@ -120,13 +120,18 @@ object Linkage {
                            fields: Seq[(String, Column)]): DataFrame = {
     require(fields.nonEmpty, "Fellegi–Sunter needs at least one field")
     val lbl = coalesce(labelCol, lit(false))
+    // coalesce(·, 0): sum over an EMPTY pair relation is null, and a null
+    // count would null every downstream probability instead of reporting
+    // the (smoothed, weight-0) n=0 row
     val aggs =
-      Seq(sum(when(lbl, 1L).otherwise(0L)).as("__nm"),
-        sum(when(!lbl, 1L).otherwise(0L)).as("__nu")) ++
+      Seq(coalesce(sum(when(lbl, 1L).otherwise(0L)), lit(0L)).as("__nm"),
+        coalesce(sum(when(!lbl, 1L).otherwise(0L)), lit(0L)).as("__nu")) ++
       fields.zipWithIndex.flatMap { case ((_, a), i) =>
         val agree = coalesce(a, lit(false))
-        Seq(sum(when(lbl && agree, 1L).otherwise(0L)).as(s"__am$i"),
-          sum(when(!lbl && agree, 1L).otherwise(0L)).as(s"__au$i"))
+        Seq(coalesce(sum(when(lbl && agree, 1L).otherwise(0L)), lit(0L))
+            .as(s"__am$i"),
+          coalesce(sum(when(!lbl && agree, 1L).otherwise(0L)), lit(0L))
+            .as(s"__au$i"))
       }
     val stats = pairs.agg(aggs.head, aggs.tail: _*)
     fields.zipWithIndex.map { case ((name, _), i) =>

@@ -625,6 +625,12 @@ class AppliedSpec extends SparkSpec {
       Seq("phone" -> col("phone_eq"), "nation" -> col("nation_eq")))
       .collect().map(_.getString(0)).toSeq
     assert(order == Seq("phone", "nation"))
+    // empty pair relation: zero counts (not nulls), smoothed m = u = 0.5,
+    // weights exactly 0 — never a null-poisoned report
+    val empty = Linkage.fellegiSunterWeights(pairs.filter(lit(false)),
+      col("lbl"), Seq("nation" -> col("nation_eq"))).collect()(0)
+    assert(empty.getLong(1) == 0L && empty.getLong(3) == 0L)
+    assert(empty.getDouble(5) == 0.5 && empty.getDouble(7) == 0.0)
   }
 
   test("businessDaysBetween: Thursday epoch anchor, weekends, signed span") {
