@@ -676,12 +676,17 @@ object EventAnalytics {
     * The pair relation self-joins the DISTINCT (user, type) basket co-keyed
     * on user — baskets are bounded by the type vocabulary (tiny vs the event
     * log), so the join fans out per-user pairs, never raw events; type
-    * marginals broadcast.
+    * marginals broadcast. `maxBasket` is [[cooccurrenceCosine]]'s
+    * deterministic md5-order cap on the quadratic stage, here as a guard
+    * against an UNBOUNDED typeCol (items, urls): for a genuinely
+    * vocabulary-bounded typeCol the cap can never bind, so support/
+    * confidence/lift stay exact by construction — not fixture luck.
     */
   def associationRules(df: DataFrame, userCol: String, typeCol: String,
-                       minUsers: Long = 1L): DataFrame = {
-    val basket = df.select(col(userCol).as("__u"), col(typeCol).as("__ty"))
-      .distinct()
+                       minUsers: Long = 1L,
+                       maxBasket: Int = 1024): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2: $maxBasket")
+    val basket = cappedBasket(df, userCol, typeCol, maxBasket)
     val nUsers = basket.select(col("__u")).distinct()
       .agg(count(lit(1)).as("__nu"))
     val marg = basket.groupBy(col("__ty").as("consequent"))

@@ -164,6 +164,14 @@ class StatsSpec extends SparkSpec {
     // nu=3, na(a)=3, nb(b)=2: a->b conf=2/3 lift=(2/3)/(2/3)=1.0
     // b->a: na(b)=2 conf=1.0, lift=1.0/(3/3)=1.0
     assert(r == Set(("a", "b", 2L, 0.666667, 1.0), ("b", "a", 2L, 1.0, 1.0)))
+    // the quadratic guard binds: md5 order C < D < E < B < A, so
+    // maxBasket=2 keeps {C, D} — the only rules are the (C, D) pair
+    val wide = (1L to 2L).flatMap(u => Seq("A", "B", "C", "D", "E").map((u, _)))
+      .toDF("u", "ty")
+    val capped = pipeline.EventAnalytics.associationRules(wide, "u", "ty",
+        maxBasket = 2)
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(capped == Set(("C", "D"), ("D", "C")), s"cap leak: $capped")
   }
 
   test("groupConcat: values join in ord order, per group") {
