@@ -39,7 +39,11 @@ object Bench {
     // optional comma-separated name-substring filter (local iteration and
     // the drift-isolation protocol; the driver passes no args and measures
     // the full registry)
-    val only = args.headOption.map(_.split(",").toSeq)
+    // empty segments drop: "" matches every name, so a stray comma would
+    // silently turn a subset run into the full registry — invalidating
+    // exactly the drift-isolation measurement the filter exists for
+    val only = args.headOption.map(_.split(",").toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
 

@@ -1331,11 +1331,12 @@ object Ops {
   def fifoMatch(df: DataFrame, keyCol: String, orderCols: Seq[String],
                 qty: Column, isSell: Column, lotCostCents: Column): DataFrame = {
     require(orderCols.nonEmpty, "FIFO needs a deterministic arrival order")
-    // qty must be strictly positive: a zero-qty buy makes the per-unit
+    // qty must be strictly positive AFTER the long cast (a fractional 0.5
+    // casts to 0 and must drop too): a zero-qty buy makes the per-unit
     // division null (its cost would silently VANISH from cogs because
     // sum() skips nulls) and a negative qty inverts the [lo, hi) interval
     // with undefined overlap semantics — drop both up front so cost basis
-    // can never silently lose lots
+    // can never silently lose lots; oracles must mirror the POST-cast guard
     val base = df.select(Seq(col(keyCol).as("__k"), qty.cast("long").as("__q"),
       isSell.as("__s"), lotCostCents.cast("long").as("__cc")) ++
       orderCols.map(col): _*)

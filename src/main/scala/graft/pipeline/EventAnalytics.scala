@@ -648,8 +648,11 @@ object EventAnalytics {
     * deterministic draw shared by [[cooccurrenceCosine]] and
     * [[recommendTopK]]'s pair stage. The rank window partitions on user —
     * the same key the downstream self-join shuffles on, so AQE reuses the
-    * exchange; nulls coalesce to "" before hashing (Spark sorts nulls
-    * first, other engines last — the coalesce removes the divergence). */
+    * exchange. Null handling: nulls hash as "" so the DRAW never inherits
+    * engine-dependent null ordering; the residual null-vs-""-item hash
+    * collision then breaks on an explicit isNull flag (false < true in
+    * every engine) — a raw `item ASC` tiebreak would re-import
+    * Spark-nulls-first vs SQL-nulls-last divergence on exactly that tie. */
   private def cappedBasket(df: DataFrame, userCol: String, typeCol: String,
                            maxBasket: Int): DataFrame = {
     val b = df.select(col(userCol).as("__u"), col(typeCol).as("__ty"))
@@ -659,7 +662,7 @@ object EventAnalytics {
       val w = Window.partitionBy(col("__u")).orderBy(
         md5(concat(lit("cc|"),
           coalesce(col("__ty").cast("string"), lit("")))).asc,
-        col("__ty").asc)
+        col("__ty").isNull.asc, col("__ty").asc)
       b.withColumn("__br", row_number().over(w))
         .filter(col("__br") <= maxBasket).drop("__br")
     }

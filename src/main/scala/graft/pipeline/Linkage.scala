@@ -134,21 +134,26 @@ object Linkage {
             .as(s"__au$i"))
       }
     val stats = pairs.agg(aggs.head, aggs.tail: _*)
-    fields.zipWithIndex.map { case ((name, _), i) =>
+    // |fields| report rows explode out of the ONE stats row — a union of
+    // per-field selects over `stats` would leave the optimizer free to
+    // recompute the pair aggregate once per field when exchange reuse
+    // doesn't kick in; the explode guarantees a single aggregation pass
+    val rows = fields.zipWithIndex.map { case ((name, _), i) =>
       // one fixed expression shape for every field and engine: smoothed
       // rational → one IEEE division per probability → ln difference
       val m = (col(s"__am$i").cast("double") + lit(0.5)) /
         (col("__nm").cast("double") + lit(1.0))
       val u = (col(s"__au$i").cast("double") + lit(0.5)) /
         (col("__nu").cast("double") + lit(1.0))
-      stats.select(lit(name).as("field"),
+      struct(lit(name).as("field"),
         col("__nm").as("n_match"), col("__nu").as("n_nonmatch"),
         col(s"__am$i").as("n_agree_match"),
         col(s"__au$i").as("n_agree_nonmatch"),
         round(m, 6).as("m"), round(u, 6).as("u"),
         round(log(m) - log(u), 6).as("w_agree"),
         round(log(lit(1.0) - m) - log(lit(1.0) - u), 6).as("w_disagree"))
-    }.reduce(_ unionByName _)
+    }
+    stats.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }
 
   // -------------------------------------------- sorted-neighborhood pairs

@@ -60,7 +60,8 @@ object MlPipelineQueries {
       Some("WITH b AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i " +
         "FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
         "bc AS (SELECT u, i FROM (SELECT u, i, row_number() OVER " +
-        "(PARTITION BY u ORDER BY md5('cc|' || CAST(i AS VARCHAR)), i) " +
+        "(PARTITION BY u ORDER BY md5('cc|' || coalesce(CAST(i AS VARCHAR), '')), " +
+        "i IS NULL, i) " +
         "AS brn FROM b) WHERE brn <= 1024), " +
         "m AS (SELECT i, count(*) AS n FROM bc GROUP BY 1), " +
         "p AS (SELECT x.i AS ia, y.i AS ib, count(*) AS nb FROM bc x " +

@@ -204,8 +204,10 @@ object StatsQueries {
         "FROM p JOIN m ma ON p.antecedent = ma.event_type " +
         "JOIN m mc ON p.consequent = mc.event_type, nu " +
         "ORDER BY antecedent, consequent"),
+      // maxBasket opt-out: event_type baskets are vocabulary-bounded, cf.
+      // the q152 note — keeps the plan window-free (PlanSpec pin)
       (s, dir) => EventAnalytics.associationRules(Tables.events(s, dir),
-          "user_id", "event_type")
+          "user_id", "event_type", maxBasket = Int.MaxValue)
         .orderBy("antecedent", "consequent")),
 
     // ---- ordered group concatenation (SQL string_agg ORDER BY): values
@@ -1110,8 +1112,11 @@ object StatsQueries {
         "round(CAST(n_both AS DOUBLE) / sqrt(CAST(ma.n * mb.n AS DOUBLE)), 6) AS cosine " +
         "FROM p JOIN m ma ON p.item_a = ma.ty JOIN m mb ON p.item_b = mb.ty " +
         "ORDER BY item_a, item_b"),
+      // maxBasket opt-out: event_type is STRUCTURALLY vocabulary-bounded
+      // (baskets can never exceed the type vocabulary), so the cap window
+      // would be pure overhead — the plan stays window-free (PlanSpec)
       (s, dir) => EventAnalytics.cooccurrenceCosine(Tables.events(s, dir),
-          "user_id", "event_type")
+          "user_id", "event_type", maxBasket = Int.MaxValue)
         .orderBy("item_a", "item_b")),
 
     // ---- Lorenz curve by customer revenue decile: q93's broadcast-
@@ -2184,10 +2189,11 @@ object StatsQueries2 {
         "CAST(l_quantity AS BIGINT) AS q, l_returnflag = 'R' AS s, " +
         "CAST(round(l_extendedprice * 100) AS BIGINT) AS cc, " +
         "l_shipdate, l_orderkey, l_linenumber FROM lineitem " +
-        // l_quantity > 0 mirrors fifoMatch's qty guard (a no-op on TPC-H
-        // data, where quantities are 1..50 — kept so the oracle states
-        // the same contract rather than passing by fixture shape)
-        "WHERE l_partkey % 25 = 0 AND l_quantity > 0), " +
+        // the POST-CAST qty guard mirrors fifoMatch exactly (it filters on
+        // the long image, so a fractional 0.5 lot drops in BOTH engines —
+        // a pre-cast `l_quantity > 0` would keep it here and diverge);
+        // a no-op on TPC-H's integral 1..50 quantities
+        "WHERE l_partkey % 25 = 0 AND CAST(l_quantity AS BIGINT) > 0), " +
         "w AS (SELECT *, sum(q) OVER (PARTITION BY k, s " +
         "ORDER BY l_shipdate, l_orderkey, l_linenumber " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi FROM f), " +

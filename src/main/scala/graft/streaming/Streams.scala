@@ -315,7 +315,11 @@ object Streams {
           var st = state.getOption.getOrElse(ThrottleState(Long.MinValue, Map.empty))
           val out = scala.collection.mutable.ArrayBuffer[Kept]()
           val horizon = lateWindows.toLong * windowSeconds
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          // admission order is the (event-time µs, id) total order —
+          // getTime alone truncates to ms and would invert same-ms events
+          // (the latestStateStream lesson)
+          rows.toSeq.sortBy(e => (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+            e.ts.getNanos / 1000L, e.event_id)).foreach { e =>
             val win = math.floorDiv(e.ts.getTime, 1000L * windowSeconds) * windowSeconds
             if (st.maxWin == Long.MinValue || win >= st.maxWin - horizon) {
               val newMax = math.max(st.maxWin, win)

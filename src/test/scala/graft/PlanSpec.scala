@@ -851,11 +851,17 @@ class PlanSpec extends SparkSpec {
     val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
     assert(windows.nonEmpty && windows.forall(_.contains("block")),
       s"SNM window must partition on block:\n${windows.mkString("\n")}")
-    // the three per-field arms re-read ONE pair aggregate: the exchange
-    // under the stats agg must be reused, not recomputed per field
-    assert(p.contains("ReusedExchange") || p.linesIterator.count(
-      _.trim.startsWith("+- Exchange")) <= 6,
-      s"per-field arms recompute the pair relation:\n$p")
+    // the per-field report rows explode out of ONE stats row: exactly one
+    // Generate over the single pair aggregate — a per-field union would
+    // show the count columns (__nm) in 2·|fields| extra aggregate nodes
+    // (the SNM offset fan-out is a second, unrelated explode — match the
+    // report's struct array specifically)
+    assert(p.linesIterator.count(_.contains("Generate explode(array(struct(field")) == 1,
+      s"FS report must explode from the single stats row:\n$p")
+    val fsAggs = p.linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("__nm"))
+    assert(fsAggs <= 2, // partial + final of the ONE stats aggregate
+      s"pair aggregate computed more than once ($fsAggs nodes):\n$p")
   }
 
   test("q341: salted join really joins on (key, salt) with a build-side explode") {

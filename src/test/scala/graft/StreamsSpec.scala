@@ -168,6 +168,29 @@ class StreamsSpec extends SparkSpec {
       (20L, 2L, 0L, 1), (22L, 2L, 0L, 2), (23L, 2L, 0L, 3)))
   }
 
+  test("throttleStream admits in sub-millisecond µs order, not ms-truncated id order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // same millisecond, one slot: the µs-EARLIER event (id 7, µs 100) must
+    // take it over the µs-later-but-lower-id event (id 6, µs 900) — under
+    // ms truncation the tie would fall to id and invert admission
+    def evUs(id: Long, us: Int) = {
+      val t = new java.sql.Timestamp(42000L)
+      t.setNanos(us * 1000)
+      Streams.Event(id, t, 1L, "e", 1.0)
+    }
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.throttleStream(input.toDS(), maxPerWindow = 1,
+        windowSeconds = 100L, lateWindows = 1)
+      .toDF().writeStream.format("memory").queryName("throttle_us")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(evUs(6, 900), evUs(7, 100))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("throttle_us").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(7L), s"µs-earlier event must win the slot: $kept")
+  }
+
   test("throttle idle-key timeout plumbing: capping unchanged with timeout set") {
     // same rationale as the near-dup timeout test: ProcessingTimeTimeout
     // streams micro-batch continuously (processAllAvailable never drains),
