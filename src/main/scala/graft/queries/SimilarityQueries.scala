@@ -370,6 +370,36 @@ object SimilarityQueries2 {
       (s, dir) => Multimodal.extractFrames(
           MediaFixtures.materializedMediaTable(s, dir), step = 2)
         .select("media_id", "frame_idx", "pts_us", "w", "h")
-        .orderBy("media_id", "frame_idx"))
+        .orderBy("media_id", "frame_idx")),
+
+    // ---- embedding near-dup LSH proven on PLANTED exact duplicates
+    // (q359's vector sibling): every 5th vector re-enters verbatim at
+    // id+10⁶ — identical bytes → identical md5 fingerprint → the pair
+    // comes from the same-fingerprint expansion branch (cosine exactly
+    // 1.0 after the 6dp round), which collapses BEFORE banding and is
+    // immune to the bucket skew cap. The perturbed-plant recall surface
+    // (probabilistic by design) stays rows-only in q47 with its
+    // spec-asserted ≥ 0.9 bound.
+    Q("q360_embedding_dedup_planted",
+      Some("SELECT vec_id AS id, vec_id + 1000000 AS planted_id, " +
+        "TRUE AS found, 1.0 AS cos FROM embeddings " +
+        "WHERE vec_id % 5 = 0 ORDER BY id"),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val planted = emb.filter(pmod(col("vec_id"), lit(5L)) === 0)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            col("embedding"))
+        val pairs = Similarity.embeddingNearDupPairs(
+          emb.unionByName(planted), 0.999, dim = 64)
+        emb.filter(pmod(col("vec_id"), lit(5L)) === 0)
+          .select(col("vec_id").as("id"))
+          .join(pairs.filter(col("id_b") === col("id_a") + lit(1000000L))
+              .select(col("id_a").as("id"), lit(true).as("found"),
+                round(col("cos"), 6).as("cos")),
+            Seq("id"), "left")
+          .select(col("id"), (col("id") + lit(1000000L)).as("planted_id"),
+            coalesce(col("found"), lit(false)).as("found"), col("cos"))
+          .orderBy("id")
+      })
   )
 }

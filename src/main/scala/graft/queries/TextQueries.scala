@@ -1001,6 +1001,34 @@ object TextQueries {
         "(rank_in_grp - 1 + grp) % 5 AS shard, weight FROM r ORDER BY id"),
       (s, dir) => Curation.balancedShards(Tables.documents(s, dir),
           "doc_id", col("n_chars"), numShards = 5, fanout = 8)
-        .orderBy("id"))
+        .orderBy("id")),
+
+    // ---- SimHash dedup proven on PLANTED exact duplicates (the q34/q50
+    // discipline for the signature path): every 4th doc re-enters the
+    // corpus verbatim at id+10⁶ — identical text → identical 64-bit
+    // signature → the pair comes from the same-signature expansion branch
+    // (hamming 0), which collapses BEFORE banding and is therefore immune
+    // to the bucket skew cap. found must be TRUE for every plant; the
+    // engine-specific xxhash pair surface stays rows-only in q31.
+    Q("q359_simhash_planted",
+      Some("SELECT doc_id AS id, doc_id + 1000000 AS planted_id, " +
+        "TRUE AS found, 0 AS hamming FROM documents " +
+        "WHERE doc_id % 4 = 0 ORDER BY id"),
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val planted = d.filter(pmod(col("doc_id"), lit(4L)) === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+        val pairs = Dedup.simhashDedup(d.unionByName(planted),
+          "doc_id", "text", maxHamming = 8)
+        d.filter(pmod(col("doc_id"), lit(4L)) === 0)
+          .select(col("doc_id").as("id"))
+          .join(pairs.filter(col("id_b") === col("id_a") + lit(1000000L))
+              .select(col("id_a").as("id"), lit(true).as("found"),
+                col("hamming")),
+            Seq("id"), "left")
+          .select(col("id"), (col("id") + lit(1000000L)).as("planted_id"),
+            coalesce(col("found"), lit(false)).as("found"), col("hamming"))
+          .orderBy("id")
+      })
   )
 }
