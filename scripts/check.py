@@ -12,6 +12,12 @@ STRICT_DTYPE=1 additionally fails any query whose per-column pandas dtype
 differs between the Spark parquet and the DuckDB frame (the driver's hash
 canonicalization is dtype-sensitive: 2006 vs 2006.0 hash-differ). This is
 the round-8 regression gate for the r07 mass-fail — run it every round.
+
+Strict mode ALSO compares np.signbit and the NaN pattern on every float
+column: the driver's hash is byte-sensitive, so DuckDB emitting -0.0 where
+Spark emits +0.0 (they compare == equal, which is why assert_frame_equal
+alone certified q321 while the driver's hash failed it) must fail locally.
+This is the round-9 gate for the q321 negative-zero class.
 Not part of the shipped library - dev tooling only.
 """
 import os
@@ -20,6 +26,7 @@ import json
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -88,11 +95,26 @@ def main() -> int:
         dtype_diff = [(c, str(g[c].dtype), str(w[c].dtype))
                       for c in g.columns if str(g[c].dtype) != str(w[c].dtype)]
         strict = os.environ.get("STRICT_DTYPE") == "1"
+        # assert_frame_equal treats -0.0 == 0.0 and NaN == NaN as equal;
+        # the driver's byte-level hash does not. Compare signbit and the
+        # NaN pattern explicitly on every float column in strict mode.
+        bit_diff = []
+        if strict:
+            for c in g.columns:
+                if str(g[c].dtype).startswith("float") and \
+                        str(w[c].dtype).startswith("float"):
+                    gv = g[c].to_numpy(dtype="float64")
+                    wv = w[c].to_numpy(dtype="float64")
+                    if not np.array_equal(np.signbit(gv), np.signbit(wv)):
+                        bit_diff.append((c, "signbit"))
+                    if not np.array_equal(np.isnan(gv), np.isnan(wv)):
+                        bit_diff.append((c, "nan-pattern"))
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False,
                                           check_exact=True)
-            if dtype_diff and strict:
-                print(f"FAIL  {name}: dtype mismatch {dtype_diff}")
+            if (dtype_diff or bit_diff) and strict:
+                print(f"FAIL  {name}: dtype mismatch {dtype_diff} "
+                      f"float-bit mismatch {bit_diff}")
                 n_fail += 1
             else:
                 if dtype_diff:

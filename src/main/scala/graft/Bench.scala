@@ -36,14 +36,38 @@ object Bench {
     warmup("media fixture")(
       graft.pipeline.MediaFixtures.materializedMediaTable(spark, sfDir).count())
 
+    // Host-contention calibration probe: a FIXED data-independent query
+    // (pure compute over range(), no I/O) timed at start / middle / end of
+    // the measured run. On an idle host the three times agree to within
+    // JIT noise; under external contention they inflate together — so a
+    // bench artifact whose probe values drift is self-diagnosing as a
+    // contended measurement, not a code regression (the r04/r08 lesson:
+    // 579 s contended vs 260 s clean on identical code, and nothing in
+    // the JSON said so).
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 1L << 25, 1, cpus.toInt)
+        .selectExpr("sum(id * 2654435761 % 1000003) AS s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    warmup("probe jit")(probe()) // JIT/codegen the probe plan itself
+
     // optional comma-separated name-substring filter (local iteration and
     // the drift-isolation protocol; the driver passes no args and measures
     // the full registry)
     // empty segments drop: "" matches every name, so a stray comma would
     // silently turn a subset run into the full registry — invalidating
-    // exactly the drift-isolation measurement the filter exists for
-    val only = args.headOption.map(_.split(",").toSeq.filter(_.nonEmpty))
-      .filter(_.nonEmpty)
+    // exactly the drift-isolation measurement the filter exists for.
+    // An arg whose segments are ALL empty (a bare ",") is a malformed
+    // filter, not a request for the full registry: fail fast rather than
+    // silently inverting a subset run into a 360-query measurement.
+    val only = args.headOption.map { a =>
+      val segs = a.split(",").toSeq.filter(_.nonEmpty)
+      if (segs.isEmpty)
+        sys.error(s"bench filter '$a' has no non-empty segments; " +
+          "pass no args to measure the full registry")
+      segs
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
 
@@ -54,7 +78,10 @@ object Bench {
     // worth of dead blocks into the block manager skews later measurements.
     // Warmup-era blocks (fixture state) are kept.
     val keep = spark.sparkContext.getPersistentRDDs.keySet
-    val results = selected.map { case (name, fn) =>
+    val probeStart = probe()
+    var probeMid = -1.0
+    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == selected.size / 2) probeMid = probe()
       val t0 = System.nanoTime()
       val sec = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case t: Throwable =>
@@ -64,6 +91,9 @@ object Bench {
         .values.foreach(_.unpersist(blocking = false))
       name -> sec
     }
+    val probeEnd = probe()
+    if (probeMid < 0) probeMid = probeEnd // subset runs smaller than 2
+    val probeJson = f"""{"start":$probeStart%.3f,"mid":$probeMid%.3f,"end":$probeEnd%.3f}"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total sums SUCCESSFUL queries only; failures are visible as -1 entries
@@ -76,7 +106,7 @@ object Bench {
     // line, kept well under the tail window (headline total + the slowest-40
     // per-query map). The full per-query map goes to stderr and to
     // bench_full_local.json in the cwd for human/judge inspection.
-    val fullLine = s"""{"queries":$qs,"n_queries":${results.size},"n_fail":$nFail,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    val fullLine = s"""{"queries":$qs,"n_queries":${results.size},"n_fail":$nFail,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","probe_sec":$probeJson}"""
     System.err.println(fullLine)
     try {
       java.nio.file.Files.write(
@@ -86,7 +116,7 @@ object Bench {
     val slow = results.sortBy(-_._2).take(40)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_fail":$nFail,"queries":$slow,"note":"queries=slowest-40 of n_queries; full map in bench_full_local.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_fail":$nFail,"probe_sec":$probeJson,"queries":$slow,"note":"queries=slowest-40 of n_queries; full map in bench_full_local.json; probe_sec = fixed compute-only query at start/mid/end - drift means host contention, not regression"}""")
     spark.stop()
   }
 }

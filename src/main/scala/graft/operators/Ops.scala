@@ -1331,15 +1331,23 @@ object Ops {
   def fifoMatch(df: DataFrame, keyCol: String, orderCols: Seq[String],
                 qty: Column, isSell: Column, lotCostCents: Column): DataFrame = {
     require(orderCols.nonEmpty, "FIFO needs a deterministic arrival order")
-    // qty must be strictly positive AFTER the long cast (a fractional 0.5
-    // casts to 0 and must drop too): a zero-qty buy makes the per-unit
-    // division null (its cost would silently VANISH from cogs because
-    // sum() skips nulls) and a negative qty inverts the [lo, hi) interval
-    // with undefined overlap semantics — drop both up front so cost basis
-    // can never silently lose lots; oracles must mirror the POST-cast guard
+    // qty semantics after the long cast: ZERO drops silently (a 0-qty lot
+    // would null the per-unit division and its cost would silently VANISH
+    // from cogs because sum() skips nulls; a fractional 0.5 casts to 0 and
+    // drops too — oracles must mirror the POST-cast guard). NEGATIVE qty
+    // FAILS the job: a negative sell is a return/correction feed the FIFO
+    // interval model cannot represent (it inverts the [lo, hi) interval),
+    // and silently dropping it would produce a clean-looking cost basis
+    // from corrupt input — callers must pre-validate or pre-net returns.
     val base = df.select(Seq(col(keyCol).as("__k"), qty.cast("long").as("__q"),
       isSell.as("__s"), lotCostCents.cast("long").as("__cc")) ++
       orderCols.map(col): _*)
+      .withColumn("__q", when(col("__q") < 0, raise_error(
+          org.apache.spark.sql.functions.concat(
+            lit("fifoMatch: negative quantity for key "),
+            col("__k").cast("string"),
+            lit(" - pre-validate or pre-net return/correction rows")))
+        .cast("long")).otherwise(col("__q")))
       .filter(col("__q") > 0)
     val w = Window.partitionBy(col("__k"), col("__s"))
       .orderBy(orderCols.map(col): _*)

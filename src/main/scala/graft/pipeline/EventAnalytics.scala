@@ -644,15 +644,21 @@ object EventAnalytics {
   }
 
   /** The DISTINCT (user, item) basket, truncated to each user's first
-    * `maxBasket` items in (md5("cc|"||item), item) order — the
+    * `maxBasket` items in (md5("cc|"||user||"|"||item), item) order — the
     * deterministic draw shared by [[cooccurrenceCosine]] and
-    * [[recommendTopK]]'s pair stage. The rank window partitions on user —
-    * the same key the downstream self-join shuffles on, so AQE reuses the
-    * exchange. Null handling: nulls hash as "" so the DRAW never inherits
-    * engine-dependent null ordering; the residual null-vs-""-item hash
-    * collision then breaks on an explicit isNull flag (false < true in
-    * every engine) — a raw `item ASC` tiebreak would re-import
-    * Spark-nulls-first vs SQL-nulls-last divergence on exactly that tie. */
+    * [[recommendTopK]]'s pair stage. The hash is salted with the USER so
+    * the draw is an independent subsample per basket: an item-only hash
+    * would correlate truncation perfectly across users — when the cap
+    * binds, every power basket keeps the same item subset and high-hash
+    * items vanish from the pair corpus entirely, biasing co-occurrence
+    * counts instead of thinning them uniformly. The rank window partitions
+    * on user — the same key the downstream self-join shuffles on, so AQE
+    * reuses the exchange. Null handling: nulls hash as "" so the DRAW
+    * never inherits engine-dependent null ordering; the residual
+    * null-vs-""-item hash collision then breaks on an explicit isNull flag
+    * (false < true in every engine) — a raw `item ASC` tiebreak would
+    * re-import Spark-nulls-first vs SQL-nulls-last divergence on exactly
+    * that tie. */
   private def cappedBasket(df: DataFrame, userCol: String, typeCol: String,
                            maxBasket: Int): DataFrame = {
     val b = df.select(col(userCol).as("__u"), col(typeCol).as("__ty"))
@@ -661,6 +667,7 @@ object EventAnalytics {
     else {
       val w = Window.partitionBy(col("__u")).orderBy(
         md5(concat(lit("cc|"),
+          coalesce(col("__u").cast("string"), lit("")), lit("|"),
           coalesce(col("__ty").cast("string"), lit("")))).asc,
         col("__ty").isNull.asc, col("__ty").asc)
       b.withColumn("__br", row_number().over(w))

@@ -1371,9 +1371,15 @@ object AppliedQueries {
         "WINDOW fr AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING " +
         "AND CURRENT ROW)) " +
         "SELECT decile, cum_n_treat, cum_n_ctrl, cum_conv_treat, " +
+        // at decile 8 the true uplift is ~ -1e-13: DuckDB's round()
+        // preserves the sign (-0.0) where Spark's BigDecimal round cannot
+        // — Registry.normalizeNegativeZero rewrites this (and every)
+        // round() to (round() + 0.0) at assembly, so the emitted double
+        // is +0.0 on both engines (the r08 driver hash-fail)
         "cum_conv_ctrl, round(CAST(cum_conv_treat AS DOUBLE) - " +
         "CAST(cum_conv_ctrl AS DOUBLE) * (CAST(cum_n_treat AS DOUBLE) / " +
-        "CAST(cum_n_ctrl AS DOUBLE)), 6) AS uplift FROM w ORDER BY decile"),
+        "CAST(cum_n_ctrl AS DOUBLE)), 6) AS uplift " +
+        "FROM w ORDER BY decile"),
       (s, dir) => {
         val users = Tables.events(s, dir).groupBy("user_id")
           .agg(coalesce(sum(round(col("value") * 100, 0).cast("long")),

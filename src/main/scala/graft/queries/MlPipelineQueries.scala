@@ -53,14 +53,16 @@ object MlPipelineQueries {
     // user subset.
     Q("q185_recommend",
       // bc = the pair stage's deterministically capped basket (maxBasket
-      // 1024 in md5("cc|"||item) order — recommendTopK's scale guard;
+      // 1024 in md5("cc|"||user||"|"||item) order — recommendTopK's scale
+      // guard, user-salted so the draw decorrelates across baskets;
       // non-binding at this sf but replicated so the oracle checks the
       // capped semantics, not fixture luck). Scoring (sc) and the owned
       // exclusion (an) keep the FULL basket b, exactly like the operator.
       Some("WITH b AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i " +
         "FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
         "bc AS (SELECT u, i FROM (SELECT u, i, row_number() OVER " +
-        "(PARTITION BY u ORDER BY md5('cc|' || coalesce(CAST(i AS VARCHAR), '')), " +
+        "(PARTITION BY u ORDER BY md5('cc|' || coalesce(CAST(u AS VARCHAR), '') " +
+        "|| '|' || coalesce(CAST(i AS VARCHAR), '')), " +
         "i IS NULL, i) " +
         "AS brn FROM b) WHERE brn <= 1024), " +
         "m AS (SELECT i, count(*) AS n FROM bc GROUP BY 1), " +

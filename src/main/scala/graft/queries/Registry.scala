@@ -30,5 +30,52 @@ object Registry {
     all.map(q => q.name -> q.build).toMap
 
   lazy val oracles: Map[String, String] =
-    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    all.flatMap(q => q.oracle.map(q.name -> normalizeNegativeZero(_))).toMap
+
+  /** Rewrites every `round(<args>)` in oracle SQL to `(round(<args>) + 0.0)`.
+    *
+    * Why: DuckDB's float `round` preserves the IEEE sign of zero — a tiny
+    * negative (≈ −1e−13) rounds to −0.0 — while Spark's BigDecimal-based
+    * round can only produce +0.0. The values compare == equal, but the
+    * driver's hash gate is byte-sensitive, so every oracle column that
+    * rounds an IEEE difference is a latent deterministic hash-fail (q321
+    * was the first to trip; the r08 sweep found ~35 more negative-capable
+    * rounded columns). `x + 0.0` is an exact IEEE no-op for every double
+    * except −0.0 → +0.0, and integer-valued rounds stay exact under 2^53,
+    * so the rewrite is universally safe — verified empirically: all 355
+    * oracles produce byte-identical dtypes and values after the rewrite
+    * except the intended −0.0 normalizations. Applying it HERE (not by
+    * hand at each site) makes the class structural: future queries are
+    * protected at assembly, like the duplicate-name gate above.
+    * NaN is unaffected (NaN + 0.0 = NaN). */
+  private[graft] def normalizeNegativeZero(sql: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val j = sql.indexOf("round(", i)
+      val atToken = j >= 0 &&
+        (j == 0 || (!sql(j - 1).isLetterOrDigit && sql(j - 1) != '_'))
+      if (j < 0) { b.append(sql.substring(i)); i = sql.length }
+      else if (!atToken) { b.append(sql.substring(i, j + 6)); i = j + 6 }
+      else {
+        var depth = 0
+        var k = j + 5 // the '(' of round(
+        var end = -1
+        while (k < sql.length && end < 0) {
+          sql(k) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) end = k
+            case _ =>
+          }
+          k += 1
+        }
+        require(end > 0, s"unbalanced round( in oracle SQL: $sql")
+        val inner = normalizeNegativeZero(sql.substring(j + 6, end))
+        b.append(sql.substring(i, j)).append("(round(").append(inner)
+          .append(") + 0.0)")
+        i = end + 1
+      }
+    }
+    b.toString
+  }
 }

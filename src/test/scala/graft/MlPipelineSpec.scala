@@ -15,6 +15,31 @@ import graft.pipeline.{EventAnalytics, Graph, Similarity, Stats,
 class MlPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  // ------------------------------------------------- qiniDeciles ±0.0 pin
+  test("qiniDeciles: a tiny-negative uplift rounds to POSITIVE zero (the q321 -0.0 class)") {
+    // hand-built so bin 1's closed form is 29 - 7·(29/7) = -3.55e-15 — a
+    // true tiny NEGATIVE whose 6dp round is zero. Spark's BigDecimal round
+    // cannot emit -0.0; this pins that bit-level contract (the driver's
+    // hash is byte-sensitive, and DuckDB's float round DOES preserve the
+    // sign — which is why Registry.normalizeNegativeZero exists on the
+    // oracle side). Bits must be exactly +0.0, not just == 0.0.
+    val rows =
+      (1 to 29).map(i => (i.toLong, 1000L - i, true, true)) ++   // bin1 treated conv
+      (30 to 36).map(i => (i.toLong, 1000L - i, false, true)) ++ // bin1 ctrl conv
+      (37 to 72).map(i => (i.toLong, 1000L - i, false, false))   // bin2 ctrl non-conv
+    val df = rows.toDF("id", "score", "t", "c")
+    val got = Stats.qiniDeciles(df, col("id"), col("score"), col("t"),
+        col("c"), nBins = 2)
+      .orderBy("decile").collect()
+    val u1 = got(0).getAs[Double]("uplift")
+    assert(u1 == 0.0, s"bin-1 uplift should round to zero: $u1")
+    assert(java.lang.Double.doubleToRawLongBits(u1) == 0L,
+      "emitted zero must be +0.0 — a -0.0 here hash-diverges from the oracle")
+    // sanity on the fixture: the PRE-round closed form really is negative
+    val pre = 29.0 - 7.0 * (29.0 / 7.0)
+    assert(pre < 0.0 && math.abs(pre) < 1e-9, s"fixture drifted: $pre")
+  }
+
   // ------------------------------------------------------------ pqEncode
   test("pqEncode: every code is the true per-subspace argmin; one row per (id, subspace)") {
     val emb = Tables.embeddings(spark, sf0001).limit(20).cache()
@@ -81,20 +106,23 @@ class MlPipelineSpec extends SparkSpec {
   }
 
   test("recommendTopK: maxBasket caps the pair stage; scoring and exclusion keep the full basket") {
-    // md5("cc|X") order: C < B < A, so maxBasket=2 keeps {B, C} — A never
-    // reaches the quadratic pair stage. u1/u2 own all three; u3 owns only B.
+    // user-salted md5("cc|u|X") order (independently computed): u1 keeps
+    // {A, B}, u2 keeps {A, C} — per-basket independent draws, so different
+    // items are dropped per user. u1/u2 own all three; u3 owns only B.
     val b = Seq((1L, "A"), (1L, "B"), (1L, "C"),
       (2L, "A"), (2L, "B"), (2L, "C"), (3L, "B")).toDF("u", "i")
     val out = EventAnalytics.recommendTopK(b, "u", "i", k = 3, minUsers = 1L,
         maxNeighbors = 5, maxBasket = 2)
       .collect().map(r => (r.getLong(0), r.getString(1)) ->
         (r.getDouble(2), r.getInt(3))).toMap
-    // only surviving pair: (B,C), n_both=2, capped marginals B=3 C=2 ->
-    // cos = 2/sqrt(6) = 0.816497. u3 gets C via B.
-    assert(out == Map((3L, "C") -> (0.816497, 1)),
+    // surviving pairs: (A,B) from u1, (A,C) from u2; capped marginals
+    // A=2, B=2 (u3's singleton basket is under the cap), C=1 ->
+    // sim(A,B) = 1/sqrt(4) = 0.5. u3 owns B, gets A via sim(A,B).
+    assert(out == Map((3L, "A") -> (0.5, 1)),
       s"capped recommender output: $out")
-    // the exclusion anti join ran on the FULL basket: u1/u2 own C (and A,
-    // which the cap dropped from the pair stage) — neither is recommended
+    // the exclusion anti join ran on the FULL basket: u1/u2 own all of
+    // A/B/C (including items the cap dropped from the pair stage) —
+    // neither is recommended anything
     assert(!out.keys.exists(_._1 <= 2L))
   }
 

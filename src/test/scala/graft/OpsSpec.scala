@@ -526,15 +526,27 @@ class OpsSpec extends SparkSpec {
     val r = Ops.fifoMatch(one, "k", Seq("seq"), col("q"),
       col("s"), col("cc")).collect()(0)
     assert(r.getDouble(4) == 10.0, s"LIFO leak: ${r.getDouble(4)}")
-    // zero/negative-qty rows drop up front: a 0-qty lot must not null the
+    // zero-qty rows drop up front: a 0-qty lot must not null the
     // per-unit price and silently vanish its neighbors' cogs
     val bad = Seq(("z", 1, 0L, false, 9999L), ("z", 2, 10L, false, 1000L),
-      ("z", 3, -5L, true, 0L), ("z", 4, 10L, true, 0L))
+      ("z", 4, 10L, true, 0L))
       .toDF("k", "seq", "q", "s", "cc")
     val z = Ops.fifoMatch(bad, "k", Seq("seq"), col("q"), col("s"),
       col("cc")).collect()(0)
     assert((z.getLong(1), z.getLong(2), z.getLong(3), z.getDouble(4)) ==
-      ((1L, 10L, 10L, 10.0)), s"qty<=0 must not distort cost basis: $z")
+      ((1L, 10L, 10L, 10.0)), s"qty=0 must not distort cost basis: $z")
+    // NEGATIVE qty fails loudly — a return/correction feed must not yield
+    // a clean-looking cost basis by silent row drop
+    val neg = Seq(("z", 1, 10L, false, 1000L), ("z", 2, -5L, true, 0L))
+      .toDF("k", "seq", "q", "s", "cc")
+    val ex = intercept[Exception] {
+      Ops.fifoMatch(neg, "k", Seq("seq"), col("q"), col("s"),
+        col("cc")).collect()
+    }
+    assert(ex.getMessage != null &&
+      ex.toString.contains("negative quantity") ||
+      Option(ex.getCause).exists(_.toString.contains("negative quantity")),
+      s"expected the negative-quantity raise, got: $ex")
   }
 
   test("monotonicAudit: counts adjacent violations, strict mode flags ties") {

@@ -5,9 +5,37 @@ import graft.pipeline.{Dedup, Similarity}
 
 /** Manual scale stress (not a CI test): 20x-replicated corpus through the
   * LSH paths, verifying no quadratic blowup and stable wall time.
-  * Run: Test/runMain graft.ScaleStress */
+  * Run: Test/runMain graft.ScaleStress
+  *
+  * Writes scalestress_local.json (cwd): per-case wall seconds + overall
+  * pass/fail, so the closed-form scale assertions are archived as a
+  * machine-readable round artifact instead of run-manually-only claims. */
 object ScaleStress {
-  def main(args: Array[String]): Unit = {
+  private val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+  private def writeJson(ok: Boolean, err: Option[String]): Unit = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val cases = timings.map { case (k, v) =>
+      "\"" + esc(k) + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val line = s"""{"all_passed":$ok,"n_cases":${timings.size},""" +
+      s""""cases":$cases""" +
+      err.map(e => s""","error":"${esc(e)}"""").getOrElse("") + "}"
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("scalestress_local.json"),
+      line.getBytes("UTF-8"))
+    catch { case t: Throwable =>
+      System.err.println(s"scalestress_local.json write failed: $t") }
+    println(line)
+  }
+
+  def main(args: Array[String]): Unit =
+    try { run(); writeJson(ok = true, None) }
+    catch { case t: Throwable => writeJson(ok = false, Some(t.toString)); throw t }
+
+  private def run(): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -15,7 +43,9 @@ object ScaleStress {
     spark.sparkContext.setLogLevel("ERROR")
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+      val sec = (System.nanoTime() - t0) / 1e9
+      timings(name) = sec
+      println(f"$name: $sec%.1f s"); r
     }
     // 100k docs: 20 shifted copies of the sf0.1 documents table
     val d0 = Tables.documents(spark, "/root/testdata/sf0.1").select("doc_id", "text")

@@ -164,14 +164,17 @@ class StatsSpec extends SparkSpec {
     // nu=3, na(a)=3, nb(b)=2: a->b conf=2/3 lift=(2/3)/(2/3)=1.0
     // b->a: na(b)=2 conf=1.0, lift=1.0/(3/3)=1.0
     assert(r == Set(("a", "b", 2L, 0.666667, 1.0), ("b", "a", 2L, 1.0, 1.0)))
-    // the quadratic guard binds: md5 order C < D < E < B < A, so
-    // maxBasket=2 keeps {C, D} — the only rules are the (C, D) pair
+    // the quadratic guard binds, and the USER-SALTED md5 draw keeps a
+    // DIFFERENT 2-subset per basket (independently computed): u1 keeps
+    // {B, D}, u2 keeps {C, D} — decorrelated truncation, so the rule set
+    // is the union of per-user pairs, not one corpus-wide item subset
     val wide = (1L to 2L).flatMap(u => Seq("A", "B", "C", "D", "E").map((u, _)))
       .toDF("u", "ty")
     val capped = pipeline.EventAnalytics.associationRules(wide, "u", "ty",
         maxBasket = 2)
       .collect().map(x => (x.getString(0), x.getString(1))).toSet
-    assert(capped == Set(("C", "D"), ("D", "C")), s"cap leak: $capped")
+    assert(capped == Set(("B", "D"), ("D", "B"), ("C", "D"), ("D", "C")),
+      s"cap draw changed: $capped")
   }
 
   test("groupConcat: values join in ord order, per group") {
@@ -620,21 +623,21 @@ class StatsSpec extends SparkSpec {
       math.round(2.0 / math.sqrt(6.0) * 1e6) / 1e6)
   }
 
-  test("cooccurrenceCosine: maxBasket caps each basket deterministically in md5 order") {
-    // md5("cc|X") ordering (independently computed): C < D < E < B < A,
-    // so maxBasket=2 keeps {C, D} of {A..E} — for EVERY user, since the
-    // draw hashes the item, not the (user, item) pair.
+  test("cooccurrenceCosine: maxBasket caps each basket deterministically in user-salted md5 order") {
+    // md5("cc|u|X") ordering (independently computed): u1 keeps {B, D},
+    // u2 keeps {C, D} of {A..E} — the user salt makes the draw an
+    // INDEPENDENT subsample per basket, so the two capped baskets differ
+    // (an item-only hash would keep the same subset for every user).
     val df = (1L to 2L).flatMap(u => Seq("A", "B", "C", "D", "E").map((u, _)))
       .toDF("u", "ty")
     val got = pipeline.EventAnalytics
       .cooccurrenceCosine(df, "u", "ty", maxBasket = 2)
-      .collect()
-    assert(got.length == 1, s"capped baskets {C,D} admit exactly one pair: ${got.toSeq}")
-    assert(got(0).getAs[String]("item_a") == "C" &&
-      got(0).getAs[String]("item_b") == "D")
-    // marginals come from the SAME capped relation: 2/sqrt(2*2) = 1.0
-    assert(got(0).getAs[Long]("n_both") == 2L)
-    assert(got(0).getAs[Double]("cosine") == 1.0)
+      .collect().map(r => (r.getAs[String]("item_a"),
+        r.getAs[String]("item_b"), r.getAs[Long]("n_both"),
+        r.getAs[Double]("cosine"))).toSet
+    // capped marginals: B=1, C=1, D=2 -> both pairs cos = 1/sqrt(2)
+    assert(got == Set(("B", "D", 1L, 0.707107), ("C", "D", 1L, 0.707107)),
+      s"capped pair set: $got")
     // non-binding cap = exact: 5 items -> C(5,2) = 10 pairs
     val full = pipeline.EventAnalytics
       .cooccurrenceCosine(df, "u", "ty", maxBasket = 5).collect()
