@@ -294,15 +294,54 @@ object TextQueries {
         blockCol = array_min(Dedup.wordShingles(col("text"), 3)),
         n = 3, threshold = 0.8).orderBy("id_a", "id_b")),
 
-    // ---- xxhash-based fingerprints (simhash + rolling min-shingle hash):
-    // hash functions are engine-specific — rows-only.
-    Q("q29_fingerprints", None,
-      (s, dir) => Tables.documents(s, dir).select(
-        col("doc_id"),
-        TA.fingerprint(col("text")).as("fp_md5"),
-        Dedup.simhash(col("text")).as("simhash"),
-        TA.rollingFingerprint(col("text")).as("rolling_fp"))
-        .orderBy("doc_id")),
+    // ---- document fingerprints, ORACLE-CHECKED: the md5-nibble-decode
+    // discipline (q232) makes every hash engine-replayable — fp_md5 is the
+    // exact-dedup md5, simhash_md5 runs the NATIVE SimHash64 fold kernel
+    // (the one simhashDedup ships) over 60-bit md5 token hashes so the
+    // fold logic itself is oracle-gated (bits 60-63 stay 0: the hash is
+    // 60-bit, so every bit-count is -n_tokens), and rolling_fp_md5 is the
+    // winnowing min over 16-char-shingle md5 hashes. Production paths keep
+    // xxhash64 (codegen'd, engine-pinned; gated by the q359/q360 planted
+    // checks) — this query pins the FOLD/MIN structure cross-engine.
+    Q("q29_fingerprints", {
+      // 60-bit integer from the first 15 md5 nibbles (q232 discipline)
+      def dec(hx: String) = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1) * " +
+          s"${BigInt(16).pow(15 - i)}").mkString("(", " + ", ")")
+      val bits = (0 until 60).map(b =>
+        s"(CASE WHEN sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) " +
+          s"> 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      Some("WITH tok AS (SELECT doc_id, " +
+        s"unnest($ltokensSql) AS t FROM documents), " +
+        "th AS (SELECT doc_id, substr(md5(t), 1, 15) AS hx FROM tok), " +
+        s"hh AS (SELECT doc_id, ${dec("hx")} AS h FROM th), " +
+        s"sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash_md5 " +
+        "FROM hh GROUP BY doc_id), " +
+        s"nd AS (SELECT doc_id, $normSql AS s FROM documents), " +
+        "rf AS (SELECT doc_id, CAST(list_min(list_transform(" +
+        "list_transform(range(1, greatest(length(s) - 15, 1) + 1), " +
+        "i -> substr(md5(substr(s, i, 16)), 1, 15)), " +
+        s"hx -> ${dec("hx")})) AS BIGINT) AS rolling_fp_md5 FROM nd) " +
+        s"SELECT d.doc_id, md5($normSql) AS fp_md5, sh.simhash_md5, " +
+        "rf.rolling_fp_md5 FROM documents d " +
+        "JOIN sh ON d.doc_id = sh.doc_id JOIN rf ON d.doc_id = rf.doc_id " +
+        "ORDER BY d.doc_id")
+    },
+      (s, dir) => {
+        def md5h60(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        val norm = TA.normalized(col("text"))
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          TA.fingerprint(col("text")).as("fp_md5"),
+          graft.functions.SketchExprs.simhash64(
+            transform(split(trim(lower(col("text"))), "\\s+"), t => md5h60(t)))
+            .as("simhash_md5"),
+          array_min(transform(
+            sequence(lit(1), greatest(length(norm) - 15, lit(1))),
+            i => md5h60(norm.substr(i, lit(16))))).as("rolling_fp_md5"))
+          .orderBy("doc_id")
+      }),
 
     // ---- pair resolution: the q28 edge set resolved into connected
     // components (cluster = min reachable id, is_keep = canonical doc).
