@@ -1795,6 +1795,119 @@ object EventAnalytics {
       .select(col("duration"), col("n_at_risk"), col("n_events"),
         col("n_censored"), col("survival"))
   }
+  // ------------------------------------------- Nelson-Aalen cumulative hazard
+  /** Nelson-Aalen cumulative-hazard estimator — [[kaplanMeier]]'s additive
+    * sibling (Nelson 1972, Aalen 1978): H(t) = Σ_{u ≤ t} d_u / n_u, with
+    * the same right-censoring risk-set semantics. Preferred over
+    * −ln(KM) when hazards are the modeling target (additive over time,
+    * no absorbing-zero special case).
+    *
+    * DETERMINISM: each d/n term is ONE IEEE division of exact integers
+    * rounded to DECIMAL(28,12) before the running sum (the PSI/JSD
+    * discipline — order-independent, engine-identical), finished 6dp.
+    * Also emits the Aalen variance Σ d_u/n_u² under the same discipline.
+    *
+    * Scale: identical shape to kaplanMeier — one duration-grain rollup
+    * (bucket continuous durations first), one broadcast total, one
+    * running window over the DISTINCT-duration relation. Returns
+    * (duration, n_at_risk, n_events, n_censored, cum_hazard, var_hazard). */
+  def nelsonAalen(df: DataFrame, durationCol: Column,
+                  eventCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perT = df.select(durationCol.cast("long").as("duration"),
+        eventCol.as("__e"))
+      .filter(col("duration").isNotNull && col("duration") >= 0)
+      .groupBy("duration")
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("__e"), 0L).otherwise(1L)).as("n_censored"))
+    val total = perT.agg(sum(col("n_events") + col("n_censored")).as("__N"))
+    val wPrev = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT.crossJoin(broadcast(total))
+      .withColumn("n_at_risk",
+        col("__N") - coalesce(sum(col("n_events") + col("n_censored"))
+          .over(wPrev), lit(0L)))
+      .withColumn("__term",
+        (col("n_events").cast("double") / col("n_at_risk").cast("double"))
+          .cast(DecimalType(28, 12)))
+      .withColumn("__vterm",
+        (col("n_events").cast("double") /
+          (col("n_at_risk") * col("n_at_risk")).cast("double"))
+          .cast(DecimalType(28, 12)))
+      .withColumn("cum_hazard",
+        round(sum(col("__term")).over(wRun).cast("double"), 6))
+      .withColumn("var_hazard",
+        round(sum(col("__vterm")).over(wRun).cast("double"), 6))
+      .select(col("duration"), col("n_at_risk"), col("n_events"),
+        col("n_censored"), col("cum_hazard"), col("var_hazard"))
+  }
+
+  // --------------------------------------------------------- log-rank test
+  /** Two-group log-rank (Mantel-Cox) test over right-censored durations —
+    * the standard "do these survival curves differ" gate (Mantel 1966).
+    * At each distinct duration t with d_t total events among n_t at risk
+    * (n_At of them in group A): E_A += d_t·n_At/n_t and
+    * V += d_t·(n_At/n_t)·(1 − n_At/n_t)·(n_t − d_t)/(n_t − 1);
+    * χ² = (O_A − E_A)²/V. Censored subjects leave the risk sets without
+    * contributing events; single-subject times contribute no variance
+    * (the n_t = 1 guard).
+    *
+    * DETERMINISM: O and the risk sets are exact integers off ONE
+    * (duration)-grain rollup with per-group conditional sums; each E/V
+    * term is fixed-shape IEEE on those integers rounded to
+    * DECIMAL(28,12) before the sums; χ² is one final fixed-shape
+    * division, 6dp. Scale: one shuffle to the distinct-duration relation,
+    * two running windows, one 1-row aggregate — group-count independent
+    * of the row count. Returns ONE row
+    * (n_a, n_b, o_a, e_a, o_b, e_b, chi2). */
+  def logRank(df: DataFrame, durationCol: Column, eventCol: Column,
+              groupACol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perT = df.select(durationCol.cast("long").as("duration"),
+        eventCol.as("__e"), groupACol.as("__a"))
+      .filter(col("duration").isNotNull && col("duration") >= 0)
+      .groupBy("duration")
+      .agg(sum(when(col("__a") && col("__e"), 1L).otherwise(0L)).as("da"),
+        sum(when(!col("__a") && col("__e"), 1L).otherwise(0L)).as("db"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("ta"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("tb"))
+    val tot = perT.agg(sum(col("ta")).as("__NA"), sum(col("tb")).as("__NB"))
+    val wPrev = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = perT.crossJoin(broadcast(tot))
+      .withColumn("na",
+        col("__NA") - coalesce(sum(col("ta")).over(wPrev), lit(0L)))
+      .withColumn("nb",
+        col("__NB") - coalesce(sum(col("tb")).over(wPrev), lit(0L)))
+      .withColumn("nt", col("na") + col("nb"))
+      .withColumn("dt", col("da") + col("db"))
+    val eTerm = (col("dt").cast("double") * col("na").cast("double") /
+      col("nt").cast("double")).cast(DecimalType(28, 12))
+    val vTerm = when(col("nt") > 1,
+      (col("dt").cast("double") *
+        (col("na").cast("double") / col("nt").cast("double")) *
+        (col("nb").cast("double") / col("nt").cast("double")) *
+        ((col("nt") - col("dt")).cast("double") /
+          (col("nt") - lit(1L)).cast("double"))).cast(DecimalType(28, 12)))
+      .otherwise(lit(0.0).cast(DecimalType(28, 12)))
+    risk
+      .agg(max(col("__NA")).as("n_a"), max(col("__NB")).as("n_b"),
+        sum(col("da")).as("o_a"),
+        sum(eTerm).as("__ea"),
+        sum(col("db")).as("o_b"),
+        sum(col("dt").cast("double").cast(DecimalType(28, 12)) - eTerm)
+          .as("__eb"),
+        sum(vTerm).as("__v"))
+      .select(col("n_a"), col("n_b"), col("o_a"),
+        round(col("__ea").cast("double"), 6).as("e_a"),
+        col("o_b"), round(col("__eb").cast("double"), 6).as("e_b"),
+        round(when(col("__v") > 0,
+          pow(col("o_a").cast("double") - col("__ea").cast("double"), 2) /
+            col("__v").cast("double")).otherwise(lit(0.0)), 6).as("chi2"))
+  }
+
   // ---------------------------------------------------- business-day span
   /** Business days (Mon-Fri) in the half-open day-index interval
     * [startDay, endDay) — pure closed-form integer arithmetic on the

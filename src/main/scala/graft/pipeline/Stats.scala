@@ -2357,4 +2357,147 @@ object Stats {
           .as("theil_within"),
         round(sgD / xD * log(sgD / xD * bigN / nD), 6).as("between_term"))
   }
+
+  // --------------------------------------------- multiple-testing correction
+  /** Family-wise / FDR multiple-testing report over a family of
+    * (id, p-value) tests: Bonferroni-adjusted p, Holm step-down rejection,
+    * and Benjamini-Hochberg step-up rejection at level `alpha` — the gate
+    * every metrics platform needs once it runs dozens of segment tests
+    * per day (Holm 1979; Benjamini & Hochberg 1995).
+    *
+    * DETERMINISM: ranks come from a total order (p ASC, id ASC); all
+    * three procedures are pure comparisons of the INPUT p-values against
+    * exact-integer-derived thresholds — no new floating arithmetic enters
+    * except p·m and rank·alpha/m, both fixed-shape IEEE identical in any
+    * engine. Callers must supply deterministic p-values (round them at
+    * the source — the engine-independence discipline).
+    *
+    * Holm rejects ranks 1..k where k is the first failure of
+    * p_(i) ≤ alpha/(m−i+1) (a running conjunction = running max of the
+    * failure flag); BH rejects ranks 1..k* where k* = max{i : p_(i) ≤
+    * i·alpha/m} (a suffix max of the pass flag). Both windows run over
+    * the m-row test relation — m is the FAMILY size (dozens), never the
+    * data size; the heavy lifting happened upstream in the per-test
+    * aggregates. Returns (idCol, p, rank, p_bonf, holm_reject, bh_reject). */
+  def multipleTesting(df: DataFrame, idCol: String, pCol: Column,
+                      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
+    val base = df.select(col(idCol), pCol.cast("double").as("p"))
+      .filter(col("p").isNotNull)
+    val m = base.agg(count(lit(1)).as("__m"))
+    val wRank = Window.orderBy(col("p").asc, col(idCol).asc)
+    val wRun = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSuffix = wRank.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    base.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("p_bonf",
+        round(least(lit(1.0), col("p") * col("__m").cast("double")), 6))
+      // Holm: fail at the FIRST i with p_(i) > alpha/(m-i+1); everything
+      // from there on (running max of the failure flag) is not rejected
+      .withColumn("holm_reject",
+        max(when(col("p") > lit(alpha) /
+          (col("__m") - col("rank") + lit(1L)).cast("double"), 1)
+          .otherwise(0)).over(wRun) === 0)
+      // BH: reject everything at or below the LARGEST passing rank — a
+      // suffix max of the pass flag over the rank order
+      .withColumn("bh_reject",
+        max(when(col("p") <= col("rank").cast("double") * lit(alpha) /
+          col("__m").cast("double"), 1).otherwise(0)).over(wSuffix) === 1)
+      .select(col(idCol), round(col("p"), 6).as("p"), col("rank"),
+        col("p_bonf"), col("holm_reject"), col("bh_reject"))
+  }
+
+  // ------------------------------------------------- raking (IPF) weights
+  /** Iterative proportional fitting (raking) of a two-way contingency
+    * relation to target row/column marginals — the survey-weighting and
+    * panel-calibration workhorse (Deming & Stephan 1940). Starting from
+    * the observed cell counts, `rounds` alternating scalings match row
+    * then column totals; the round count is part of the CONTRACT (the
+    * q156 lesson — oracles unroll the same rounds; IPF converges
+    * geometrically, so small fixed rounds are the production shape too).
+    *
+    * DETERMINISM: cell weights round to DECIMAL(28,12) after EACH
+    * scaling (fixed-shape IEEE ratio of two decimal-exact sums, then the
+    * decimal grain) so every round's relation is engine-identical — no
+    * drift can accumulate across rounds. Row/col targets are
+    * caller-supplied exact doubles.
+    *
+    * Scale: the iterate is the (a, b) CELL relation — bounded by the two
+    * category vocabularies, not the row count — and each round is two
+    * key-bounded rollups joined back (broadcast: marginal relations are
+    * vocabulary-sized). Returns (a, b, n, weight) after `rounds` rounds.
+    * Input must be pre-aggregated (one row per cell). */
+  def rake(cells: DataFrame, aCol: String, bCol: String, nCol: String,
+           rowTargets: DataFrame, colTargets: DataFrame,
+           rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(rounds >= 1 && rounds <= 20, s"rounds in [1,20]: $rounds")
+    val rt = rowTargets.select(col(aCol), col("target").as("__ra"))
+    val ct = colTargets.select(col(bCol), col("target").as("__cb"))
+    var w = cells.select(col(aCol), col(bCol), col(nCol).cast("long").as("n"))
+      .withColumn("weight", col("n").cast("double").cast(DecimalType(28, 12)))
+    for (_ <- 1 to rounds) {
+      val rowSums = w.groupBy(aCol).agg(sum(col("weight")).as("__sa"))
+      w = w.join(broadcast(rowSums), Seq(aCol)).join(broadcast(rt), Seq(aCol))
+        .withColumn("weight",
+          (col("weight").cast("double") * col("__ra") /
+            col("__sa").cast("double")).cast(DecimalType(28, 12)))
+        .drop("__sa", "__ra")
+      val colSums = w.groupBy(bCol).agg(sum(col("weight")).as("__sb"))
+      w = w.join(broadcast(colSums), Seq(bCol)).join(broadcast(ct), Seq(bCol))
+        .withColumn("weight",
+          (col("weight").cast("double") * col("__cb") /
+            col("__sb").cast("double")).cast(DecimalType(28, 12)))
+        .drop("__sb", "__cb")
+    }
+    w.select(col(aCol), col(bCol), col("n"),
+      round(col("weight").cast("double"), 6).as("weight"))
+  }
+
+  // ------------------------------------- propensity-stratified ATE
+  /** Subclassification (stratified) average-treatment-effect estimate:
+    * rank units into `nStrata` score strata (ntile over a total order —
+    * score DESC, id ASC), take the treated-minus-control outcome-mean
+    * difference within each stratum, and weight by stratum size
+    * (Rosenbaum & Rubin 1984's propensity subclassification with a
+    * caller-supplied deterministic score — five strata removes ~90% of
+    * the score-captured bias, the classic Cochran result).
+    *
+    * DETERMINISM: outcome means are exact DECIMAL(28,12) sums over exact
+    * counts; each stratum's diff and weight are fixed-shape IEEE, the
+    * diff rounded 6dp, the ATE one DECIMAL-summed weighted term per
+    * stratum (PSI discipline). Strata missing a side contribute NULL
+    * diff and are excluded from the ATE (n_used reports the mass kept).
+    *
+    * Scale: the global ntile is a deliberate single-partition sort over
+    * the UNIT-level relation — callers pass the per-unit rollup (users,
+    * accounts), never raw events (the qiniDeciles contract); the heavy
+    * aggregation happened upstream on the full cluster. Returns one row
+    * per stratum:
+    * (stratum, n, n_treat, n_ctrl, mean_treat, mean_ctrl, diff). */
+  def stratifiedAte(df: DataFrame, idCol: Column, scoreCol: Column,
+                    treatCol: Column, outcomeCol: Column,
+                    nStrata: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(nStrata >= 2, s"nStrata must be >= 2: $nStrata")
+    val ranked = df.select(idCol.as("__id"), scoreCol.as("__s"),
+        treatCol.as("__t"), outcomeCol.cast("double").as("__y"))
+      .withColumn("stratum", ntile(nStrata).over(
+        Window.orderBy(col("__s").desc, col("__id").asc)).cast("long"))
+    ranked.groupBy("stratum")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n_treat"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("__t"), col("__y").cast(DecimalType(28, 12)))).as("__st"),
+        sum(when(!col("__t"), col("__y").cast(DecimalType(28, 12)))).as("__sc"))
+      .select(col("stratum"), col("n"), col("n_treat"), col("n_ctrl"),
+        round(when(col("n_treat") > 0, col("__st").cast("double") /
+          col("n_treat").cast("double")), 6).as("mean_treat"),
+        round(when(col("n_ctrl") > 0, col("__sc").cast("double") /
+          col("n_ctrl").cast("double")), 6).as("mean_ctrl"),
+        round(when(col("n_treat") > 0 && col("n_ctrl") > 0,
+          col("__st").cast("double") / col("n_treat").cast("double") -
+            col("__sc").cast("double") / col("n_ctrl").cast("double")), 6)
+          .as("diff"))
+  }
 }

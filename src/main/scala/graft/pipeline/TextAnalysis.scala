@@ -769,4 +769,38 @@ object TextAnalysis {
         round(col("n_hapax").cast("double") /
           col("n_types").cast("double"), 6).as("hapax_ratio"))
   }
+
+  // ------------------------------------------------- vocabulary richness
+  /** Per-group vocabulary-richness estimators over the [[tokens]]
+    * whitespace tokenization: bias-corrected Chao1 species richness
+    * S_obs + f1·(f1−1)/(2·(f2+1)) (Chao 1984 — how many types the corpus
+    * would show at infinite sampling) and the Good-Turing unseen-mass
+    * estimate f1/N (the probability the NEXT token is a new type; Good
+    * 1953) — the coverage questions a training-data pipeline asks before
+    * deciding whether more crawl is worth tokenizing.
+    *
+    * All inputs are exact integers off a (group, token)-grain rollup
+    * followed by a frequency-of-frequency rollup per group; the two
+    * estimators are one fixed-shape IEEE expression each, 6dp —
+    * engine-identical. Scale: two key-bounded shuffles (the second is
+    * vocabulary-sized per group); no windows, no collect. Returns per
+    * group: (groupCols…, n_tokens, n_types, f1, f2, chao1, p_unseen). */
+  def vocabularyRichness(docs: DataFrame, groupCols: Seq[String],
+                         textCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val gs = groupCols.map(col)
+    val toks = filter(tokens(lower(col(textCol))), t => t =!= "")
+    docs.select(gs :+ explode(toks).as("__t"): _*)
+      .groupBy(gs :+ col("__t"): _*).agg(count(lit(1)).as("__c"))
+      .groupBy(gs: _*)
+      .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(gs ++ Seq(col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+        round(col("n_types").cast("double") +
+          (col("f1") * (col("f1") - lit(1L))).cast("double") /
+            (lit(2L) * (col("f2") + lit(1L))).cast("double"), 6).as("chao1"),
+        round(col("f1").cast("double") /
+          col("n_tokens").cast("double"), 6).as("p_unseen")): _*)
+  }
 }

@@ -3277,6 +3277,248 @@ object StatsQueries2 {
         Stats.theilDecomposition(sup, "s_nationkey", col("rev"))
           .withColumnRenamed("group", "group")
           .orderBy("group")
+      }),
+
+    // ---- Nelson-Aalen cumulative hazard over the q332 lifetime fixture:
+    // KM's additive sibling — per-duration d/n and d/n² terms round to
+    // DECIMAL(28,12) before the running sums (order-independent), 6dp.
+    Q("q361_nelson_aalen",
+      Some("WITH u AS (SELECT user_id, " +
+        "min(epoch_us(ts) // 86400000000) AS f, " +
+        "max(epoch_us(ts) // 86400000000) AS l FROM events GROUP BY 1), " +
+        "mx AS (SELECT max(l) AS mx FROM u), " +
+        "d AS (SELECT l - f AS duration, l < mx - 7 AS ev FROM u, mx), " +
+        "pt AS (SELECT duration, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_events, CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) " +
+        "AS BIGINT) AS n_censored FROM d GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n " +
+        "FROM pt), " +
+        "r AS (SELECT duration, n_events, n_censored, n - " +
+        "coalesce(CAST(sum(n_events + n_censored) OVER (ORDER BY duration " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) " +
+        "AS n_at_risk FROM pt, t), " +
+        "s AS (SELECT duration, n_at_risk, n_events, n_censored, " +
+        "CAST(CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE) " +
+        "AS DECIMAL(28,12)) AS term, " +
+        "CAST(CAST(n_events AS DOUBLE) / CAST(n_at_risk * n_at_risk " +
+        "AS DOUBLE) AS DECIMAL(28,12)) AS vterm FROM r) " +
+        "SELECT duration, n_at_risk, n_events, n_censored, " +
+        "round(CAST(sum(term) OVER w AS DOUBLE), 6) AS cum_hazard, " +
+        "round(CAST(sum(vterm) OVER w AS DOUBLE), 6) AS var_hazard " +
+        "FROM s WINDOW w AS (ORDER BY duration ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) ORDER BY duration"),
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .select(col("user_id"), EventAnalytics.dayIndex(col("ts")).as("d"))
+          .groupBy("user_id")
+          .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+        val mx = u.agg(max(col("l")).as("mx"))
+        EventAnalytics.nelsonAalen(u.crossJoin(broadcast(mx)),
+            col("l") - col("f"), col("l") < col("mx") - 7)
+          .orderBy("duration")
+      }),
+
+    // ---- two-group log-rank (Mantel-Cox) between even/odd users over the
+    // same censored lifetimes: exact integer risk sets off ONE duration
+    // rollup, E/V terms in DECIMAL(28,12), one fixed-shape χ².
+    Q("q362_logrank",
+      Some("WITH u AS (SELECT user_id, " +
+        "min(epoch_us(ts) // 86400000000) AS f, " +
+        "max(epoch_us(ts) // 86400000000) AS l FROM events GROUP BY 1), " +
+        "mx AS (SELECT max(l) AS mx FROM u), " +
+        "d AS (SELECT l - f AS duration, l < mx - 7 AS ev, " +
+        "user_id % 2 = 0 AS a FROM u, mx), " +
+        "pt AS (SELECT duration, " +
+        "CAST(sum(CASE WHEN a AND ev THEN 1 ELSE 0 END) AS BIGINT) AS da, " +
+        "CAST(sum(CASE WHEN NOT a AND ev THEN 1 ELSE 0 END) AS BIGINT) AS db, " +
+        "CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ta, " +
+        "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS tb " +
+        "FROM d GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(ta) AS BIGINT) AS na0, " +
+        "CAST(sum(tb) AS BIGINT) AS nb0 FROM pt), " +
+        "r AS (SELECT *, na0 - coalesce(CAST(sum(ta) OVER wp AS BIGINT), 0) " +
+        "AS na, nb0 - coalesce(CAST(sum(tb) OVER wp AS BIGINT), 0) AS nb " +
+        "FROM pt, tt WINDOW wp AS (ORDER BY duration ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+        "k AS (SELECT na0, nb0, da, db, na, nb, na + nb AS nt, " +
+        "da + db AS dt FROM r), " +
+        "terms AS (SELECT na0, nb0, da, db, " +
+        "CAST(CAST(dt AS DOUBLE) * CAST(na AS DOUBLE) / CAST(nt AS DOUBLE) " +
+        "AS DECIMAL(28,12)) AS et, " +
+        "CAST(CAST(dt AS DOUBLE) AS DECIMAL(28,12)) AS dtd, " +
+        "CASE WHEN nt > 1 THEN CAST(CAST(dt AS DOUBLE) * " +
+        "(CAST(na AS DOUBLE) / CAST(nt AS DOUBLE)) * " +
+        "(CAST(nb AS DOUBLE) / CAST(nt AS DOUBLE)) * " +
+        "(CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE)) " +
+        "AS DECIMAL(28,12)) ELSE CAST(0.0 AS DECIMAL(28,12)) END AS vt " +
+        "FROM k), " +
+        "agg AS (SELECT max(na0) AS n_a, max(nb0) AS n_b, " +
+        "CAST(sum(da) AS BIGINT) AS o_a, sum(et) AS ea, " +
+        "CAST(sum(db) AS BIGINT) AS o_b, sum(dtd - et) AS eb, " +
+        "sum(vt) AS v FROM terms) " +
+        "SELECT n_a, n_b, o_a, round(CAST(ea AS DOUBLE), 6) AS e_a, " +
+        "o_b, round(CAST(eb AS DOUBLE), 6) AS e_b, " +
+        "round(CASE WHEN v > 0 THEN power(CAST(o_a AS DOUBLE) - " +
+        "CAST(ea AS DOUBLE), 2) / CAST(v AS DOUBLE) ELSE 0.0 END, 6) " +
+        "AS chi2 FROM agg"),
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .select(col("user_id"), EventAnalytics.dayIndex(col("ts")).as("d"))
+          .groupBy("user_id")
+          .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+        val mx = u.agg(max(col("l")).as("mx"))
+        EventAnalytics.logRank(u.crossJoin(broadcast(mx)),
+          col("l") - col("f"), col("l") < col("mx") - 7,
+          pmod(col("user_id"), lit(2L)) === 0)
+      }),
+
+    // ---- multiple-testing report over the per-event-type Welch family
+    // (even vs odd users): the Chebyshev bound p = min(1, 1/t²) keeps the
+    // p-values free of any erf/CDF libm divergence — every correction is
+    // then a pure comparison against exact-integer thresholds.
+    Q("q363_multiple_testing",
+      Some("WITH g AS (SELECT event_type, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN NOT (user_id % 2 = 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS sa, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value * value AS DECIMAL(38,6)) END) AS DOUBLE) AS pa, " +
+        "CAST(sum(CASE WHEN NOT (user_id % 2 = 0) THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS sb, " +
+        "CAST(sum(CASE WHEN NOT (user_id % 2 = 0) THEN CAST(value * value AS DECIMAL(38,6)) END) AS DOUBLE) AS pb " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1), " +
+        "m AS (SELECT event_type, CAST(n_a AS DOUBLE) AS na, " +
+        "CAST(n_b AS DOUBLE) AS nb, sa, sb, pa, pb FROM g " +
+        "WHERE n_a > 1 AND n_b > 1), " +
+        "v AS (SELECT event_type, sa / na AS ma, sb / nb AS mb, " +
+        "((na * pa - sa * sa) / (na * (na - 1.0))) / na AS s2a, " +
+        "((nb * pb - sb * sb) / (nb * (nb - 1.0))) / nb AS s2b FROM m), " +
+        "tst AS (SELECT event_type, round(power((ma - mb) / " +
+        "sqrt(s2a + s2b), 2), 6) AS t2 FROM v), " +
+        "p AS (SELECT event_type, round(least(1.0, CASE WHEN t2 > 0 " +
+        "THEN 1.0 / t2 ELSE 1.0 END), 6) AS p FROM tst), " +
+        "fam AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p), " +
+        "rk AS (SELECT event_type, p, CAST(row_number() OVER " +
+        "(ORDER BY p, event_type) AS BIGINT) AS rank, m FROM p, fam) " +
+        "SELECT event_type, round(p, 6) AS p, rank, " +
+        "round(least(1.0, p * CAST(m AS DOUBLE)), 6) AS p_bonf, " +
+        "max(CASE WHEN p > 0.1 / CAST(m - rank + 1 AS DOUBLE) THEN 1 " +
+        "ELSE 0 END) OVER (ORDER BY p, event_type ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) = 0 AS holm_reject, " +
+        "max(CASE WHEN p <= CAST(rank AS DOUBLE) * 0.1 / " +
+        "CAST(m AS DOUBLE) THEN 1 ELSE 0 END) OVER (ORDER BY p, " +
+        "event_type ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) = 1 " +
+        "AS bh_reject FROM rk ORDER BY rank"),
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val a = pmod(col("user_id"), lit(2L)) === 0
+        val g = Tables.events(s, dir).filter(col("value").isNotNull)
+          .groupBy("event_type")
+          .agg(sum(when(a, 1L).otherwise(0L)).as("n_a"),
+            sum(when(!a, 1L).otherwise(0L)).as("n_b"),
+            sum(when(a, col("value").cast(DecimalType(38, 6)))).as("__sa"),
+            sum(when(a, (col("value") * col("value"))
+              .cast(DecimalType(38, 6)))).as("__pa"),
+            sum(when(!a, col("value").cast(DecimalType(38, 6)))).as("__sb"),
+            sum(when(!a, (col("value") * col("value"))
+              .cast(DecimalType(38, 6)))).as("__pb"))
+          .filter(col("n_a") > 1 && col("n_b") > 1)
+        val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+        val sa = col("__sa").cast("double"); val sb = col("__sb").cast("double")
+        val pa = col("__pa").cast("double"); val pb = col("__pb").cast("double")
+        val s2a = ((na * pa - sa * sa) / (na * (na - 1.0))) / na
+        val s2b = ((nb * pb - sb * sb) / (nb * (nb - 1.0))) / nb
+        val t2 = round(pow((sa / na - sb / nb) / sqrt(s2a + s2b), 2), 6)
+        val pv = g.withColumn("__t2", t2)
+          .withColumn("p", round(least(lit(1.0),
+            when(col("__t2") > 0, lit(1.0) / col("__t2"))
+              .otherwise(lit(1.0))), 6))
+        Stats.multipleTesting(pv, "event_type", col("p"), alpha = 0.1)
+          .orderBy("rank")
+      }),
+
+    // ---- raking (IPF, 3 rounds) of the priority × status contingency to
+    // uniform marginals: the survey-calibration iterate on the
+    // vocabulary-bounded cell relation, weights re-rounded to
+    // DECIMAL(28,12) after every scaling; the oracle unrolls the rounds.
+    Q("q365_raking", {
+      def scaleRow(w0: String, out: String) =
+        s"$out AS (SELECT p, st, n, CAST(CAST(w AS DOUBLE) * rt / " +
+          s"CAST(sa AS DOUBLE) AS DECIMAL(28,12)) AS w FROM " +
+          s"(SELECT p, st, n, w, sum(w) OVER (PARTITION BY p) AS sa, rt " +
+          s"FROM $w0, dims))"
+      def scaleCol(w0: String, out: String) =
+        s"$out AS (SELECT p, st, n, CAST(CAST(w AS DOUBLE) * ct / " +
+          s"CAST(sb AS DOUBLE) AS DECIMAL(28,12)) AS w FROM " +
+          s"(SELECT p, st, n, w, sum(w) OVER (PARTITION BY st) AS sb, ct " +
+          s"FROM $w0, dims))"
+      Some("WITH cells AS (SELECT o_orderpriority AS p, o_orderstatus " +
+        "AS st, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2), " +
+        "dims AS (SELECT CAST(sum(n) AS DOUBLE) / " +
+        "CAST(count(DISTINCT p) AS DOUBLE) AS rt, " +
+        "CAST(sum(n) AS DOUBLE) / CAST(count(DISTINCT st) AS DOUBLE) AS ct " +
+        "FROM cells), " +
+        "w0 AS (SELECT p, st, n, CAST(CAST(n AS DOUBLE) " +
+        "AS DECIMAL(28,12)) AS w FROM cells), " +
+        scaleRow("w0", "r1") + ", " + scaleCol("r1", "c1") + ", " +
+        scaleRow("c1", "r2") + ", " + scaleCol("r2", "c2") + ", " +
+        scaleRow("c2", "r3") + ", " + scaleCol("r3", "c3") + " " +
+        "SELECT p AS o_orderpriority, st AS o_orderstatus, n, " +
+        "round(CAST(w AS DOUBLE), 6) AS weight FROM c3 ORDER BY 1, 2")
+    },
+      (s, dir) => {
+        val cells = Tables.orders(s, dir)
+          .groupBy("o_orderpriority", "o_orderstatus")
+          .agg(count(lit(1)).as("n"))
+        val dims = cells.agg(
+          (sum(col("n")).cast("double") /
+            countDistinct(col("o_orderpriority")).cast("double")).as("rt"),
+          (sum(col("n")).cast("double") /
+            countDistinct(col("o_orderstatus")).cast("double")).as("ct"))
+        val rt = cells.select("o_orderpriority").distinct()
+          .crossJoin(broadcast(dims)).select(col("o_orderpriority"),
+            col("rt").as("target"))
+        val ct = cells.select("o_orderstatus").distinct()
+          .crossJoin(broadcast(dims)).select(col("o_orderstatus"),
+            col("ct").as("target"))
+        Stats.rake(cells, "o_orderpriority", "o_orderstatus", "n",
+            rt, ct, rounds = 3)
+          .orderBy("o_orderpriority", "o_orderstatus")
+      }),
+
+    // ---- propensity-subclassification ATE: users ranked into 5 activity
+    // strata (deterministic total order), treated = even user_id, outcome
+    // = exact integer value cents — within-stratum means from DECIMAL
+    // sums, one IEEE diff each, 6dp.
+    Q("q366_stratified_ate",
+      Some("WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS score, " +
+        "coalesce(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT), " +
+        "0) AS cents FROM events GROUP BY 1), " +
+        "r AS (SELECT user_id % 2 = 0 AS t, cents, " +
+        "CAST(ntile(5) OVER (ORDER BY score DESC, user_id) AS BIGINT) " +
+        "AS stratum FROM u), " +
+        "g AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_treat, " +
+        "CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl, " +
+        "sum(CASE WHEN t THEN CAST(CAST(cents AS DOUBLE) " +
+        "AS DECIMAL(28,12)) END) AS st, " +
+        "sum(CASE WHEN NOT t THEN CAST(CAST(cents AS DOUBLE) " +
+        "AS DECIMAL(28,12)) END) AS sc FROM r GROUP BY 1) " +
+        "SELECT stratum, n, n_treat, n_ctrl, " +
+        "round(CASE WHEN n_treat > 0 THEN CAST(st AS DOUBLE) / " +
+        "CAST(n_treat AS DOUBLE) END, 6) AS mean_treat, " +
+        "round(CASE WHEN n_ctrl > 0 THEN CAST(sc AS DOUBLE) / " +
+        "CAST(n_ctrl AS DOUBLE) END, 6) AS mean_ctrl, " +
+        "round(CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN " +
+        "CAST(st AS DOUBLE) / CAST(n_treat AS DOUBLE) - " +
+        "CAST(sc AS DOUBLE) / CAST(n_ctrl AS DOUBLE) END, 6) AS diff " +
+        "FROM g ORDER BY stratum"),
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("score"),
+            coalesce(sum(round(col("value") * 100, 0).cast("long")),
+              lit(0L)).as("cents"))
+        Stats.stratifiedAte(u, col("user_id"), col("score"),
+            pmod(col("user_id"), lit(2L)) === 0, col("cents"), nStrata = 5)
+          .orderBy("stratum")
       })
   )
 }

@@ -1068,6 +1068,28 @@ object TextQueries {
           .select(col("id"), (col("id") + lit(1000000L)).as("planted_id"),
             coalesce(col("found"), lit(false)).as("found"), col("hamming"))
           .orderBy("id")
-      })
+      }),
+
+    // ---- per-language vocabulary-richness estimators: bias-corrected
+    // Chao1 (how many types infinite sampling would show) and Good-Turing
+    // unseen mass f1/N (P(next token is new)) — the more-crawl-worth-it
+    // gate, all-integer inputs off two key-bounded rollups.
+    Q("q364_vocab_richness",
+      Some(s"WITH tok AS (SELECT lang, unnest($ltokensSql) AS t " +
+        "FROM documents), " +
+        "tc AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c FROM tok " +
+        "WHERE t <> '' GROUP BY 1, 2), " +
+        "g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "CAST(count(*) AS BIGINT) AS n_types, " +
+        "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1, " +
+        "CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2 " +
+        "FROM tc GROUP BY 1) " +
+        "SELECT lang, n_tokens, n_types, f1, f2, " +
+        "round(CAST(n_types AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE) / " +
+        "CAST(2 * (f2 + 1) AS DOUBLE), 6) AS chao1, " +
+        "round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) " +
+        "AS p_unseen FROM g ORDER BY lang"),
+      (s, dir) => TA.vocabularyRichness(Tables.documents(s, dir),
+        Seq("lang"), "text").orderBy("lang"))
   )
 }

@@ -569,6 +569,119 @@ class AppliedSpec extends SparkSpec {
     assert(r(3) == ((4L, 1L, 1L, 0L, 0.0)))
   }
 
+  test("nelsonAalen: additive hazard accumulates d/n; censoring shrinks risk only") {
+    import spark.implicits._
+    // (1,E) (1,C) (2,E) (3,C): t1 term 1/4 (var 1/16), t2 at-risk 2 term
+    // 1/2 (var 1/4), t3 pure censor term 0 — hand decimal-rounded sums
+    val df = Seq((1L, true), (1L, false), (2L, true), (3L, false))
+      .toDF("t", "ev")
+    val r = EventAnalytics.nelsonAalen(df, col("t"), col("ev"))
+      .orderBy("duration").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5)))
+    assert(r(0) == ((1L, 4L, 1L, 1L, 0.25, 0.0625)))
+    assert(r(1) == ((2L, 2L, 1L, 0L, 0.75, 0.3125)))
+    assert(r(2) == ((3L, 1L, 0L, 1L, 0.75, 0.3125)))
+  }
+
+  test("logRank: O/E/V from risk sets, single-subject times add no variance") {
+    import spark.implicits._
+    // A: 1(E), 2(E); B: 2(E), 3(E) — hand: E_A = 0.5 + 2/3, V = 1/4 + 2/9,
+    // chi2 = (2 - 1.166667)^2 / 0.472222 = 1.470588; t3 has nt=1 -> V += 0
+    val df = Seq((1L, true, true), (2L, true, true),
+      (2L, true, false), (3L, true, false)).toDF("t", "ev", "a")
+    val r = EventAnalytics.logRank(df, col("t"), col("ev"), col("a"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)) ==
+      ((2L, 2L, 2L, 2L)))
+    assert(r.getDouble(3) == 1.166667 && r.getDouble(5) == 2.833333)
+    assert(r.getDouble(6) == 1.470588, s"chi2: ${r.getDouble(6)}")
+    // identical groups -> O = E exactly, chi2 0
+    val same = Seq((1L, true, true), (1L, true, false),
+      (2L, true, true), (2L, true, false)).toDF("t", "ev", "a")
+    val s0 = EventAnalytics.logRank(same, col("t"), col("ev"), col("a"))
+      .collect()(0)
+    assert(s0.getDouble(6) == 0.0 && s0.getLong(2) == 2L &&
+      s0.getDouble(3) == 2.0) // E_A: t1 2·2/4 + t2 2·1/2 = 2 = O_A
+  }
+
+  test("multipleTesting: Bonferroni caps at 1, Holm stops at first failure, BH rejects through the largest passing rank") {
+    import spark.implicits._
+    // m=5, alpha=.05: Holm thresholds .01/.0125/... fail at rank 2;
+    // BH thresholds .01/.02/.03/.04/.05 pass through rank 3 (step-up:
+    // rank 3's pass rescues nothing above it but everything below)
+    val df = Seq(("A", 0.01), ("B", 0.02), ("C", 0.03), ("D", 0.2),
+      ("E", 0.9)).toDF("id", "pv")
+    val r = Stats.multipleTesting(df, "id", col("pv"), alpha = 0.05)
+      .orderBy("rank").collect()
+      .map(x => (x.getString(0), x.getDouble(3), x.getBoolean(4),
+        x.getBoolean(5)))
+    assert(r(0) == (("A", 0.05, true, true)))
+    assert(r(1) == (("B", 0.1, false, true)))
+    assert(r(2) == (("C", 0.15, false, true)))
+    assert(r(3) == (("D", 1.0, false, false)))
+    assert(r(4) == (("E", 1.0, false, false)))
+  }
+
+  test("rake: symmetric table is a fixed point; col targets met exactly after the final col scaling") {
+    import spark.implicits._
+    val cells = Seq(("a1", "b1", 1L), ("a1", "b2", 3L),
+      ("a2", "b1", 2L), ("a2", "b2", 2L)).toDF("a", "b", "n")
+    val rt = Seq(("a1", 4.0), ("a2", 4.0)).toDF("a", "target")
+    val ct = Seq(("b1", 4.0), ("b2", 4.0)).toDF("b", "target")
+    val w = Stats.rake(cells, "a", "b", "n", rt, ct, rounds = 3)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        x.getDouble(3)).toMap
+    // the LAST scaling is columns: col sums hit their targets to 6dp
+    assert(math.abs(w(("a1", "b1")) + w(("a2", "b1")) - 4.0) < 2e-6)
+    assert(math.abs(w(("a1", "b2")) + w(("a2", "b2")) - 4.0) < 2e-6)
+    // rows converge geometrically: within 1% after 3 rounds
+    assert(math.abs(w(("a1", "b1")) + w(("a1", "b2")) - 4.0) < 0.04)
+    // a table already matching its targets never moves (scalings are /1)
+    val sym = Seq(("a1", "b1", 1L), ("a1", "b2", 1L),
+      ("a2", "b1", 1L), ("a2", "b2", 1L)).toDF("a", "b", "n")
+    val rt1 = Seq(("a1", 2.0), ("a2", 2.0)).toDF("a", "target")
+    val ct1 = Seq(("b1", 2.0), ("b2", 2.0)).toDF("b", "target")
+    val w1 = Stats.rake(sym, "a", "b", "n", rt1, ct1, rounds = 5)
+      .collect().map(_.getDouble(3))
+    assert(w1.forall(_ == 1.0), s"fixed point drifted: ${w1.toSeq}")
+  }
+
+  test("stratifiedAte: within-stratum diffs from decimal means; one-sided stratum yields null diff") {
+    import spark.implicits._
+    val df = Seq((1L, 4L, true, 10.0), (2L, 3L, false, 20.0),
+      (3L, 2L, true, 30.0), (4L, 1L, false, 40.0))
+      .toDF("id", "score", "t", "y")
+    val r = Stats.stratifiedAte(df, col("id"), col("score"), col("t"),
+        col("y"), nStrata = 2)
+      .orderBy("stratum").collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getDouble(6)))
+    assert(r.toSeq == Seq((1L, 1L, 1L, -10.0), (2L, 1L, 1L, -10.0)))
+    // a stratum with no controls reports null diff, not a fake zero
+    val oneSided = Seq((1L, 4L, true, 10.0), (2L, 3L, true, 20.0),
+      (3L, 2L, true, 30.0), (4L, 1L, false, 40.0))
+      .toDF("id", "score", "t", "y")
+    val s = Stats.stratifiedAte(oneSided, col("id"), col("score"),
+        col("t"), col("y"), nStrata = 2)
+      .orderBy("stratum").collect()
+    assert(s(0).isNullAt(6), "stratum 1 has no controls: diff must be null")
+    assert(!s(1).isNullAt(6))
+  }
+
+  test("vocabularyRichness: Chao1 bias-corrected form and Good-Turing unseen mass") {
+    import spark.implicits._
+    // en: tokens a a b c | c d -> N=6 S=4 f1=2 f2=2 -> chao1 = 4 + 2·1/6,
+    // fr: singleton vocab -> chao1 = S (f1·(f1-1) = 0), p_unseen = 1
+    val docs = Seq(("en", "a a b c"), ("en", "c d"), ("fr", "x"))
+      .toDF("lang", "text")
+    val r = TA.vocabularyRichness(docs, Seq("lang"), "text")
+      .orderBy("lang").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5), x.getDouble(6)))
+    assert(r(0) == (("en", 6L, 4L, 2L, 2L, 4.333333, 0.333333)))
+    assert(r(1) == (("fr", 1L, 1L, 1L, 0L, 1.0, 1.0)))
+  }
+
   test("negativeSample: positives excluded, slot-order ranks, under-fill") {
     import spark.implicits._
     val universe5 = (0L to 4L).toDF("id")
