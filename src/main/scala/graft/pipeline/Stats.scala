@@ -2454,6 +2454,162 @@ object Stats {
       round(col("weight").cast("double"), 6).as("weight"))
   }
 
+  // --------------------------------------------- Oaxaca-Blinder decomposition
+  /** Two-group Oaxaca-Blinder gap decomposition with one regressor
+    * (Oaxaca 1973; Blinder 1973): the mean-outcome gap ȳ_A − ȳ_B splits
+    * into the part EXPLAINED by different x (β_B·(x̄_A − x̄_B), priced at
+    * the reference group B's slope) and the UNEXPLAINED remainder
+    * ((α_A − α_B) + x̄_A·(β_A − β_B)) — the classic wage-gap /
+    * cohort-gap audit.
+    *
+    * DETERMINISM: per-group OLS closed forms off DECIMAL(28,12) moment
+    * sums (the linearFit discipline — one pass, map-side combinable);
+    * the decomposition is a handful of fixed-shape IEEE ops, 6dp. Groups
+    * with zero x-variance yield null slopes (and null decomposition) —
+    * never a divide-by-zero. ONE aggregate over the data; group count is
+    * exactly two by construction. Returns one row:
+    * (n_a, n_b, gap, explained, unexplained). */
+  def oaxacaBlinder(df: DataFrame, groupACol: Column, xCol: Column,
+                    yCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = df.select(groupACol.as("__a"),
+        xCol.cast("double").as("__x"), yCol.cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def d(c: Column) = c.cast(DecimalType(28, 12))
+    def side(a: Boolean, suf: String) = {
+      val f = if (a) col("__a") else !col("__a")
+      Seq(sum(when(f, 1L).otherwise(0L)).as(s"n$suf"),
+        sum(when(f, d(col("__x")))).as(s"sx$suf"),
+        sum(when(f, d(col("__y")))).as(s"sy$suf"),
+        sum(when(f, d(col("__x") * col("__x")))).as(s"sxx$suf"),
+        sum(when(f, d(col("__x") * col("__y")))).as(s"sxy$suf"))
+    }
+    val aggs = side(a = true, "a") ++ side(a = false, "b")
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    def stats(suf: String): (Column, Column, Column, Column) = {
+      val n = col(s"n$suf").cast("double")
+      val sx = col(s"sx$suf").cast("double")
+      val sy = col(s"sy$suf").cast("double")
+      val sxx = col(s"sxx$suf").cast("double")
+      val sxy = col(s"sxy$suf").cast("double")
+      val varxn = n * sxx - sx * sx
+      val beta = when(varxn =!= 0.0, (n * sxy - sx * sy) / varxn)
+      val xbar = sx / n
+      val ybar = sy / n
+      (xbar, ybar, beta, ybar - beta * xbar) // alpha
+    }
+    val (xa, ya, ba, aa) = stats("a")
+    val (xb, yb, bb, ab) = stats("b")
+    m.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(ya - yb, 6).as("gap"),
+      round(bb * (xa - xb), 6).as("explained"),
+      round((aa - ab) + xa * (ba - bb), 6).as("unexplained"))
+  }
+
+  // --------------------------------------------- Cochran-Armitage trend test
+  /** Cochran-Armitage test for a linear trend in proportions across
+    * ordered groups (Cochran 1954; Armitage 1955) — the dose-response /
+    * cohort-progression gate: with group score s_i, n_i trials and x_i
+    * successes, T = Σ s_i·(x_i − n_i·p̄), Var(T) = p̄(1−p̄)·(Σ s_i²n_i −
+    * (Σ s_i n_i)²/N), Z² = T²/Var.
+    *
+    * DETERMINISM: every Σ is an exact integer (scores and counts are
+    * integers), so T and Var are each ONE fixed-shape IEEE expression of
+    * exact BIGINT inputs; 6dp. Degenerate families (p̄ ∈ {0,1} or a
+    * single score) report null z2. One group rollup + one 1-row
+    * aggregate. Returns (n_groups, n, x, t_stat, var_t, z2). */
+  def cochranArmitage(df: DataFrame, scoreCol: Column,
+                      successCol: Column): DataFrame = {
+    val g = df.select(scoreCol.cast("long").as("__s"),
+        when(successCol, 1L).otherwise(0L).as("__x"))
+      .filter(col("__s").isNotNull)
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"))
+    val a = g.agg(count(lit(1)).as("n_groups"),
+      sum(col("__n")).as("n"), sum(col("__sx")).as("x"),
+      sum(col("__s") * col("__sx")).as("__ssx"),
+      sum(col("__s") * col("__n")).as("__ssn"),
+      sum(col("__s") * col("__s") * col("__n")).as("__sssn"))
+    val nD = col("n").cast("double"); val xD = col("x").cast("double")
+    val pbar = xD / nD
+    val t = col("__ssx").cast("double") - pbar * col("__ssn").cast("double")
+    val v = pbar * (lit(1.0) - pbar) *
+      (col("__sssn").cast("double") -
+        col("__ssn").cast("double") * col("__ssn").cast("double") / nD)
+    a.select(col("n_groups"), col("n"), col("x"),
+      round(t, 6).as("t_stat"), round(v, 6).as("var_t"),
+      round(when(v > 0, t * t / v), 6).as("z2"))
+  }
+
+  // ----------------------------------------------------------- Fleiss kappa
+  /** Fleiss' kappa — multi-rater categorical agreement (Fleiss 1971),
+    * [[cohen-kappa]]'s n-rater generalization: with n_ij ratings of item
+    * i in category j and a FIXED n raters per item, per-item agreement
+    * P_i = (Σ_j n_ij² − n)/(n(n−1)), chance agreement P̄_e = Σ_j p_j²
+    * with p_j the category share. κ = (P̄ − P̄_e)/(1 − P̄_e).
+    *
+    * Input: one row per RATING (itemCol, catCol). Contract: every item
+    * has the same rater count — items with a different count than the
+    * family's maximum yield null kappa (surfaced via n_min/n_max, never
+    * a silently wrong estimate). DETERMINISM: all counts exact integers
+    * off an (item, cat) rollup; P_i terms are exact rationals summed in
+    * DECIMAL(28,12); the finish is fixed-shape IEEE, 6dp. Scale: two
+    * key-bounded rollups + one 1-row aggregate; the category relation is
+    * vocabulary-sized. Returns (n_items, n_raters, p_bar, p_e, kappa). */
+  def fleissKappa(df: DataFrame, itemCol: Column, catCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df.select(itemCol.as("__i"), catCol.as("__c"))
+      .groupBy("__i", "__c").agg(count(lit(1)).as("__n"))
+    val items = cells.groupBy("__i")
+      .agg(sum(col("__n")).as("__ni"), sum(col("__n") * col("__n")).as("__sq"))
+    val cats = cells.groupBy("__c").agg(sum(col("__n")).as("__nj"))
+    val itemAgg = items.agg(count(lit(1)).as("n_items"),
+      min(col("__ni")).as("__nmin"), max(col("__ni")).as("__nmax"),
+      sum(((col("__sq") - col("__ni")).cast("double") /
+        (col("__ni") * (col("__ni") - lit(1L))).cast("double"))
+        .cast(DecimalType(28, 12))).as("__pisum"),
+      sum(col("__ni")).as("__ntot"))
+    val catAgg = cats.agg(sum(
+      (col("__nj") * col("__nj")).cast(DecimalType(38, 0))).as("__sqj"))
+    val pbar = col("__pisum").cast("double") / col("n_items").cast("double")
+    val pe = col("__sqj").cast("double") /
+      (col("__ntot") * col("__ntot")).cast("double")
+    itemAgg.crossJoin(broadcast(catAgg))
+      .select(col("n_items"), col("__nmax").as("n_raters"),
+        round(pbar, 6).as("p_bar"), round(pe, 6).as("p_e"),
+        round(when(col("__nmin") === col("__nmax") && pe < 1.0,
+          (pbar - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+  }
+
+  // ------------------------------------------------- Kish design effect
+  /** Kish effective sample size and design effect of a weight column per
+    * group (Kish 1965): ESS = (Σw)²/Σw², deff = n·Σw²/(Σw)² — the
+    * first question to ask of any weighted sample (raked panels, q365;
+    * importance-sampled corpora): how much variance did the weights
+    * cost? DETERMINISM: w and w² sum as DECIMAL(28,12) (order-free);
+    * two fixed-shape IEEE ratios, 6dp. Non-positive and null weights are
+    * excluded (and counted) — they are invalid survey weights. One
+    * rollup. Returns (groupCols…, n, n_excluded, sum_w, ess, deff). */
+  def kishDesignEffect(df: DataFrame, groupCols: Seq[String],
+                       weightCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(groupCols.nonEmpty, "at least one group column")
+    val gs = groupCols.map(col)
+    val w = weightCol.cast("double")
+    val ok = w.isNotNull && w > 0.0
+    val a = df.groupBy(gs: _*)
+      .agg(sum(when(ok, 1L).otherwise(0L)).as("n"),
+        sum(when(!ok || w.isNull, 1L).otherwise(0L)).as("n_excluded"),
+        sum(when(ok, w.cast(DecimalType(28, 12)))).as("__sw"),
+        sum(when(ok, (w * w).cast(DecimalType(28, 12)))).as("__sww"))
+    val swD = col("__sw").cast("double"); val swwD = col("__sww").cast("double")
+    a.select(gs ++ Seq(col("n"), col("n_excluded"),
+      round(swD, 6).as("sum_w"),
+      round(when(col("n") > 0, swD * swD / swwD), 6).as("ess"),
+      round(when(col("n") > 0,
+        col("n").cast("double") * swwD / (swD * swD)), 6).as("deff")): _*)
+  }
+
   // ------------------------------------- propensity-stratified ATE
   /** Subclassification (stratified) average-treatment-effect estimate:
     * rank units into `nStrata` score strata (ntile over a total order —

@@ -3519,6 +3519,170 @@ object StatsQueries2 {
         Stats.stratifiedAte(u, col("user_id"), col("score"),
             pmod(col("user_id"), lit(2L)) === 0, col("cents"), nStrata = 5)
           .orderBy("stratum")
-      })
+      }),
+
+    // ---- Oaxaca-Blinder decomposition of the even/odd-user spend gap
+    // with activity as the single regressor: per-group OLS closed forms
+    // off one decimal-moment aggregate; reference group = odd users.
+    Q("q367_oaxaca",
+      Some("WITH u AS (SELECT user_id % 2 = 0 AS a, " +
+        "CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS x, " +
+        "CAST(coalesce(CAST(sum(CAST(round(value * 100) AS BIGINT)) " +
+        "AS BIGINT), 0) AS DOUBLE) AS y FROM events GROUP BY user_id), " +
+        "m AS (SELECT " +
+        "CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "sum(CASE WHEN a THEN CAST(x AS DECIMAL(28,12)) END) AS sxa, " +
+        "sum(CASE WHEN a THEN CAST(y AS DECIMAL(28,12)) END) AS sya, " +
+        "sum(CASE WHEN a THEN CAST(x * x AS DECIMAL(28,12)) END) AS sxxa, " +
+        "sum(CASE WHEN a THEN CAST(x * y AS DECIMAL(28,12)) END) AS sxya, " +
+        "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "sum(CASE WHEN NOT a THEN CAST(x AS DECIMAL(28,12)) END) AS sxb, " +
+        "sum(CASE WHEN NOT a THEN CAST(y AS DECIMAL(28,12)) END) AS syb, " +
+        "sum(CASE WHEN NOT a THEN CAST(x * x AS DECIMAL(28,12)) END) AS sxxb, " +
+        "sum(CASE WHEN NOT a THEN CAST(x * y AS DECIMAL(28,12)) END) AS sxyb " +
+        "FROM u), " +
+        "d AS (SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS nad, " +
+        "CAST(sxa AS DOUBLE) AS sxad, CAST(sya AS DOUBLE) AS syad, " +
+        "CAST(sxxa AS DOUBLE) AS sxxad, CAST(sxya AS DOUBLE) AS sxyad, " +
+        "CAST(n_b AS DOUBLE) AS nbd, CAST(sxb AS DOUBLE) AS sxbd, " +
+        "CAST(syb AS DOUBLE) AS sybd, CAST(sxxb AS DOUBLE) AS sxxbd, " +
+        "CAST(sxyb AS DOUBLE) AS sxybd FROM m), " +
+        "f AS (SELECT n_a, n_b, " +
+        "CASE WHEN nad * sxxad - sxad * sxad <> 0 THEN " +
+        "(nad * sxyad - sxad * syad) / (nad * sxxad - sxad * sxad) END AS ba, " +
+        "CASE WHEN nbd * sxxbd - sxbd * sxbd <> 0 THEN " +
+        "(nbd * sxybd - sxbd * sybd) / (nbd * sxxbd - sxbd * sxbd) END AS bb, " +
+        "sxad / nad AS xa, syad / nad AS ya, " +
+        "sxbd / nbd AS xb, sybd / nbd AS yb FROM d) " +
+        "SELECT n_a, n_b, round(ya - yb, 6) AS gap, " +
+        "round(bb * (xa - xb), 6) AS explained, " +
+        "round(((ya - ba * xa) - (yb - bb * xb)) + xa * (ba - bb), 6) " +
+        "AS unexplained FROM f"),
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("score"),
+            coalesce(sum(round(col("value") * 100, 0).cast("long")),
+              lit(0L)).as("cents"))
+        Stats.oaxacaBlinder(u, pmod(col("user_id"), lit(2L)) === 0,
+          col("score"), col("cents"))
+      }),
+
+    // ---- Cochran-Armitage linear-trend-in-proportions across the five
+    // ordered order priorities (score = the priority's leading digit),
+    // success = finished status: exact integer sums, one fixed-shape Z².
+    Q("q368_cochran_armitage",
+      Some("WITH r AS (SELECT CAST(substr(o_orderpriority, 1, 1) " +
+        "AS BIGINT) AS s, CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END " +
+        "AS x FROM orders), " +
+        "g AS (SELECT s, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS sx FROM r GROUP BY 1), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
+        "CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS x, " +
+        "CAST(sum(s * sx) AS BIGINT) AS ssx, " +
+        "CAST(sum(s * n) AS BIGINT) AS ssn, " +
+        "CAST(sum(s * s * n) AS BIGINT) AS sssn FROM g), " +
+        "f AS (SELECT n_groups, n, x, " +
+        "CAST(ssx AS DOUBLE) - CAST(x AS DOUBLE) / CAST(n AS DOUBLE) * " +
+        "CAST(ssn AS DOUBLE) AS t, " +
+        "CAST(x AS DOUBLE) / CAST(n AS DOUBLE) * " +
+        "(1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(sssn AS DOUBLE) - CAST(ssn AS DOUBLE) * " +
+        "CAST(ssn AS DOUBLE) / CAST(n AS DOUBLE)) AS v FROM a) " +
+        "SELECT n_groups, n, x, round(t, 6) AS t_stat, " +
+        "round(v, 6) AS var_t, " +
+        "round(CASE WHEN v > 0 THEN t * t / v END, 6) AS z2 FROM f"),
+      (s, dir) => Stats.cochranArmitage(Tables.orders(s, dir),
+        substring(col("o_orderpriority"), 1, 1).cast("long"),
+        col("o_orderstatus") === "F")),
+
+    // ---- Fleiss' kappa across THREE deterministic document raters
+    // (char-length, token-length, sentence-count buckets — q235's pair
+    // plus a third): every item has exactly 3 ratings, so the equal-n
+    // contract holds by construction.
+    Q("q369_fleiss_kappa", {
+      val aCase = "CASE WHEN n_chars < 150 THEN 'short' " +
+        "WHEN n_chars < 350 THEN 'medium' ELSE 'long' END"
+      val bCase = "CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 30 " +
+        "THEN 'short' WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 65 " +
+        "THEN 'medium' ELSE 'long' END"
+      val cCase = "CASE WHEN greatest(len(regexp_extract_all(text, " +
+        "'[.!?]+')), 1) < 3 THEN 'short' WHEN greatest(len(" +
+        "regexp_extract_all(text, '[.!?]+')), 1) < 6 THEN 'medium' " +
+        "ELSE 'long' END"
+      Some(s"WITH r AS (SELECT doc_id, $aCase AS cat FROM documents " +
+        s"UNION ALL SELECT doc_id, $bCase FROM documents " +
+        s"UNION ALL SELECT doc_id, $cCase FROM documents), " +
+        "cells AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS n " +
+        "FROM r GROUP BY 1, 2), " +
+        "items AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS ni, " +
+        "CAST(sum(n * n) AS BIGINT) AS sq FROM cells GROUP BY 1), " +
+        "ia AS (SELECT CAST(count(*) AS BIGINT) AS n_items, " +
+        "CAST(min(ni) AS BIGINT) AS nmin, CAST(max(ni) AS BIGINT) AS nmax, " +
+        "sum(CAST(CAST(sq - ni AS DOUBLE) / CAST(ni * (ni - 1) AS DOUBLE) " +
+        "AS DECIMAL(28,12))) AS pisum, CAST(sum(ni) AS BIGINT) AS ntot " +
+        "FROM items), " +
+        "ca AS (SELECT sum(CAST(nj * nj AS DECIMAL(38,0))) AS sqj FROM " +
+        "(SELECT cat, CAST(sum(n) AS BIGINT) AS nj FROM cells GROUP BY 1)) " +
+        "SELECT n_items, nmax AS n_raters, " +
+        "round(CAST(pisum AS DOUBLE) / CAST(n_items AS DOUBLE), 6) AS p_bar, " +
+        "round(CAST(sqj AS DOUBLE) / CAST(ntot * ntot AS DOUBLE), 6) AS p_e, " +
+        "round(CASE WHEN nmin = nmax AND CAST(sqj AS DOUBLE) / " +
+        "CAST(ntot * ntot AS DOUBLE) < 1.0 THEN " +
+        "(CAST(pisum AS DOUBLE) / CAST(n_items AS DOUBLE) - " +
+        "CAST(sqj AS DOUBLE) / CAST(ntot * ntot AS DOUBLE)) / " +
+        "(1.0 - CAST(sqj AS DOUBLE) / CAST(ntot * ntot AS DOUBLE)) END, 6) " +
+        "AS kappa FROM ia, ca")
+    },
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val ntok = size(TA.tokens(col("text")))
+        val nsent = greatest(
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+          lit(1))
+        val r = d.select(col("doc_id"),
+            when(col("n_chars") < 150, "short")
+              .when(col("n_chars") < 350, "medium").otherwise("long")
+              .as("cat"))
+          .unionByName(d.select(col("doc_id"),
+            when(ntok < 30, "short").when(ntok < 65, "medium")
+              .otherwise("long").as("cat")))
+          .unionByName(d.select(col("doc_id"),
+            when(nsent < 3, "short").when(nsent < 6, "medium")
+              .otherwise("long").as("cat")))
+        Stats.fleissKappa(r, col("doc_id"), col("cat"))
+      }),
+
+    // ---- Kish design effect of account-balance weights per market
+    // segment: ESS and deff from decimal w/w² sums; non-positive
+    // balances are invalid weights — excluded and counted.
+    Q("q370_kish_deff",
+      Some("SELECT c_mktsegment, " +
+        "CAST(sum(CASE WHEN c_acctbal IS NOT NULL AND c_acctbal > 0 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN c_acctbal IS NULL OR NOT (c_acctbal > 0) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded, " +
+        "round(CAST(sum(CASE WHEN c_acctbal > 0 THEN " +
+        "CAST(c_acctbal AS DECIMAL(28,12)) END) AS DOUBLE), 6) AS sum_w, " +
+        "round(CASE WHEN sum(CASE WHEN c_acctbal IS NOT NULL AND " +
+        "c_acctbal > 0 THEN 1 ELSE 0 END) > 0 THEN " +
+        "CAST(sum(CASE WHEN c_acctbal > 0 THEN CAST(c_acctbal " +
+        "AS DECIMAL(28,12)) END) AS DOUBLE) * CAST(sum(CASE WHEN " +
+        "c_acctbal > 0 THEN CAST(c_acctbal AS DECIMAL(28,12)) END) " +
+        "AS DOUBLE) / CAST(sum(CASE WHEN c_acctbal > 0 THEN " +
+        "CAST(c_acctbal * c_acctbal AS DECIMAL(28,12)) END) AS DOUBLE) " +
+        "END, 6) AS ess, " +
+        "round(CASE WHEN sum(CASE WHEN c_acctbal IS NOT NULL AND " +
+        "c_acctbal > 0 THEN 1 ELSE 0 END) > 0 THEN " +
+        "CAST(sum(CASE WHEN c_acctbal IS NOT NULL AND c_acctbal > 0 " +
+        "THEN 1 ELSE 0 END) AS DOUBLE) * CAST(sum(CASE WHEN c_acctbal > 0 " +
+        "THEN CAST(c_acctbal * c_acctbal AS DECIMAL(28,12)) END) " +
+        "AS DOUBLE) / (CAST(sum(CASE WHEN c_acctbal > 0 THEN " +
+        "CAST(c_acctbal AS DECIMAL(28,12)) END) AS DOUBLE) * " +
+        "CAST(sum(CASE WHEN c_acctbal > 0 THEN CAST(c_acctbal " +
+        "AS DECIMAL(28,12)) END) AS DOUBLE)) END, 6) AS deff " +
+        "FROM customer GROUP BY 1 ORDER BY 1"),
+      (s, dir) => Stats.kishDesignEffect(Tables.customer(s, dir),
+        Seq("c_mktsegment"), col("c_acctbal"))
+        .orderBy("c_mktsegment"))
   )
 }

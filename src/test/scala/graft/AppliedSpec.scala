@@ -682,6 +682,68 @@ class AppliedSpec extends SparkSpec {
     assert(r(1) == (("fr", 1L, 1L, 1L, 0L, 1.0, 1.0)))
   }
 
+  test("oaxacaBlinder: explained + unexplained = gap on hand OLS lines") {
+    import spark.implicits._
+    // A: y = 10x (alpha 0); B: y = 10x + 10 — gap -15 splits into
+    // explained beta_B·(x̄A − x̄B) = -5 and unexplained -10 (intercepts)
+    val df = Seq((true, 1.0, 10.0), (true, 2.0, 20.0),
+      (false, 1.0, 20.0), (false, 3.0, 40.0)).toDF("a", "x", "y")
+    val r = Stats.oaxacaBlinder(df, col("a"), col("x"), col("y"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(2) == -15.0 && r.getDouble(3) == -5.0 &&
+      r.getDouble(4) == -10.0, s"decomposition: $r")
+    // zero x-variance in a group -> null decomposition, never a div0
+    val flat = Seq((true, 1.0, 10.0), (true, 1.0, 20.0),
+      (false, 1.0, 20.0), (false, 3.0, 40.0)).toDF("a", "x", "y")
+    val f = Stats.oaxacaBlinder(flat, col("a"), col("x"), col("y"))
+      .collect()(0)
+    assert(!f.isNullAt(2) && f.isNullAt(4), "flat-x group must null the split")
+  }
+
+  test("cochranArmitage: hand trend T=2 V=1 z2=4; flat proportions give z2 ~ 0") {
+    import spark.implicits._
+    val df = Seq((1L, false), (1L, false), (2L, true), (2L, false),
+      (3L, true), (3L, true)).toDF("s", "y")
+    val r = Stats.cochranArmitage(df, col("s"), col("y")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 6L, 3L)))
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 1.0 &&
+      r.getDouble(5) == 4.0, s"trend: $r")
+    // all-success family: pbar = 1 -> var 0 -> null z2
+    val deg = Seq((1L, true), (2L, true)).toDF("s", "y")
+    assert(Stats.cochranArmitage(deg, col("s"), col("y"))
+      .collect()(0).isNullAt(5))
+  }
+
+  test("fleissKappa: hand 2x2 family; unequal rater counts null out") {
+    import spark.implicits._
+    // item1 aa, item2 ab: P̄ = .5, p_e = (9+1)/16 -> kappa = -1/3
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"))
+      .toDF("item", "cat")
+    val r = Stats.fleissKappa(df, col("item"), col("cat")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 0.625 &&
+      r.getDouble(4) == -0.333333, s"kappa: $r")
+    // a 3-rating item next to 2-rating items: surfaced, not mis-estimated
+    val uneq = df.union(Seq((2L, "b")).toDF("item", "cat"))
+    assert(Stats.fleissKappa(uneq, col("item"), col("cat"))
+      .collect()(0).isNullAt(4))
+  }
+
+  test("kishDesignEffect: ess/deff from decimal sums; non-positive weights excluded") {
+    import spark.implicits._
+    val df = Seq(("g", Some(1.0)), ("g", Some(1.0)), ("g", Some(2.0)),
+      ("g", Some(-5.0)), ("g", None)).toDF("grp", "w")
+    val r = Stats.kishDesignEffect(df, Seq("grp"), col("w")).collect()(0)
+    assert((r.getLong(1), r.getLong(2)) == ((3L, 2L)))
+    assert(r.getDouble(3) == 4.0 && r.getDouble(4) == 2.666667 &&
+      r.getDouble(5) == 1.125, s"kish: $r")
+    // equal weights carry no design effect
+    val eq = Seq(("h", 2.0), ("h", 2.0)).toDF("grp", "w")
+    assert(Stats.kishDesignEffect(eq, Seq("grp"), col("w"))
+      .collect()(0).getDouble(5) == 1.0)
+  }
+
   test("negativeSample: positives excluded, slot-order ranks, under-fill") {
     import spark.implicits._
     val universe5 = (0L to 4L).toDF("id")
