@@ -770,6 +770,51 @@ object TextAnalysis {
           col("n_types").cast("double"), 6).as("hapax_ratio"))
   }
 
+  // ------------------------------------------------- fightin' words
+  /** Monroe/Colaresi/Quinn "Fightin' Words" log-odds-with-Dirichlet-prior
+    * comparison of two sub-corpora (Monroe et al. 2008) — the principled
+    * replacement for raw frequency-ratio "distinctive terms" lists (which
+    * overweight rare words): with y the token counts, N the corpus sizes,
+    * V the joint vocabulary and a symmetric add-half prior,
+    * δ_w = ln((y_Aw+½)/(N_A+V/2−y_Aw−½)) − ln(same for B),
+    * σ²_w = 1/(y_Aw+½) + 1/(y_Bw+½), z = δ/σ. Returns the `k` most
+    * A-associated tokens among those with y_A+y_B ≥ `minCount`.
+    *
+    * DETERMINISM: counts are exact integers off one (token)-grain rollup;
+    * δ and z are ONE fixed-shape IEEE expression each, rounded 6dp BEFORE
+    * the ranking so the top-k cutoff compares identical doubles in any
+    * engine (rounded-z ties break on the token). Scale: one token-explode
+    * shuffle to the vocabulary-bounded relation; the rank window runs on
+    * the filtered vocabulary, never the corpus. Returns
+    * (token, n_a, n_b, delta, z). */
+  def fightinWords(docs: DataFrame, textCol: String, groupACol: Column,
+                   minCount: Long = 5L, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val toks = filter(tokens(lower(col(textCol))), t => t =!= "")
+    val counts = docs.select(groupACol.as("__a"), explode(toks).as("token"))
+      .groupBy("token")
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+    val tot = counts.agg(sum(col("n_a")).as("__NA"),
+      sum(col("n_b")).as("__NB"), count(lit(1)).as("__V"))
+    def lo(y: Column, n: Column, v: Column): Column =
+      log((y.cast("double") + lit(0.5)) /
+        (n.cast("double") + v.cast("double") / lit(2.0) -
+          y.cast("double") - lit(0.5)))
+    val delta = lo(col("n_a"), col("__NA"), col("__V")) -
+      lo(col("n_b"), col("__NB"), col("__V"))
+    val sigma2 = lit(1.0) / (col("n_a").cast("double") + lit(0.5)) +
+      lit(1.0) / (col("n_b").cast("double") + lit(0.5))
+    val scored = counts.filter(col("n_a") + col("n_b") >= minCount)
+      .crossJoin(broadcast(tot))
+      .select(col("token"), col("n_a"), col("n_b"),
+        round(delta, 6).as("delta"),
+        round(delta / sqrt(sigma2), 6).as("z"))
+    scored.withColumn("__r", row_number().over(
+        Window.orderBy(col("z").desc, col("token").asc)))
+      .filter(col("__r") <= k).drop("__r")
+  }
+
   // ------------------------------------------------- vocabulary richness
   /** Per-group vocabulary-richness estimators over the [[tokens]]
     * whitespace tokenization: bias-corrected Chao1 species richness

@@ -1091,5 +1091,92 @@ object TextQueries {
         "AS p_unseen FROM g ORDER BY lang"),
       (s, dir) => TA.vocabularyRichness(Tables.documents(s, dir),
         Seq("lang"), "text").orderBy("lang"))
+    ,
+
+    // ---- MinHash sketch calibration against exact Jaccard over the q28
+    // blocked pairs: 16 md5-salted hash functions (the q232 nibble
+    // discipline, so BOTH engines compute the identical signature), the
+    // position-agreement estimate vs the exact set Jaccard, and the
+    // absolute error — "how honest is the sketch" as an oracle-checked
+    // number. Production minhash keeps xxhash64 (q70's planted gate).
+    Q("q371_minhash_calibration", {
+      def dec(hx: String) = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1) * " +
+          s"${BigInt(16).pow(15 - i)}").mkString("(", " + ", ")")
+      val sigCols = (0 until 16).map(i =>
+        "CAST(list_min(list_transform(list_transform(s, " +
+          s"g -> substr(md5('mh$i|' || g), 1, 15)), " +
+          s"hx -> ${dec("hx")})) AS BIGINT) AS m$i").mkString(", ")
+      val agree = (0 until 16).map(i =>
+        s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      Some(s"WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM documents), " +
+        "blk AS (SELECT doc_id, s, list_aggregate(s, 'min') AS b, " +
+        s"$sigCols FROM sh) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        s"round(CAST(($agree) AS DOUBLE) / 16.0, 6) AS est_jaccard, " +
+        "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard, " +
+        s"round(abs(round(CAST(($agree) AS DOUBLE) / 16.0, 6) - " +
+        "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.s, b.s))), 6)), 6) AS abs_err " +
+        "FROM blk a JOIN blk b ON a.b = b.b AND a.doc_id < b.doc_id " +
+        "ORDER BY id_a, id_b")
+    },
+      (s, dir) => {
+        def md5h60(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        // materialize the shingle array BEFORE the 16 positional mins
+        // (the q114 lesson: HOF lambdas are not codegen'd — an inline
+        // shingle expression would re-split the doc once per hash)
+        val d = Tables.documents(s, dir).select(col("doc_id"),
+          Dedup.wordShingles(col("text"), 3).as("s"))
+        val withSig = d.select(col("doc_id"), col("s"),
+          array_min(col("s")).as("b"),
+          array((0 until 16).map(i => array_min(transform(col("s"),
+            g => md5h60(concat(lit(s"mh$i|"), g))))): _*).as("sig"))
+        val est = round(
+          size(filter(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => x === y), p => p)).cast("double") / lit(16.0), 6)
+        val jac = round(Dedup.jaccard(col("a.s"), col("b.s")), 6)
+        withSig.as("a").join(withSig.as("b"),
+            col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            est.as("est_jaccard"), jac.as("jaccard"),
+            round(abs(est - jac), 6).as("abs_err"))
+          .orderBy("id_a", "id_b")
+      }),
+
+    // ---- Fightin' Words (Monroe et al. 2008): log-odds with a Dirichlet
+    // prior between English and the rest of the corpus — the principled
+    // distinctive-terms list; z rounds 6dp BEFORE the rank so the top-k
+    // cutoff is engine-identical.
+    Q("q372_fightin_words",
+      Some(s"WITH tok AS (SELECT lang = 'en' AS a, unnest($ltokensSql) " +
+        "AS token FROM documents), " +
+        "c AS (SELECT token, " +
+        "CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b " +
+        "FROM tok WHERE token <> '' GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_a) AS BIGINT) AS na0, " +
+        "CAST(sum(n_b) AS BIGINT) AS nb0, " +
+        "CAST(count(*) AS BIGINT) AS v FROM c), " +
+        "sc AS (SELECT token, n_a, n_b, " +
+        "round(ln((CAST(n_a AS DOUBLE) + 0.5) / (CAST(na0 AS DOUBLE) + " +
+        "CAST(v AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) - 0.5)) - " +
+        "ln((CAST(n_b AS DOUBLE) + 0.5) / (CAST(nb0 AS DOUBLE) + " +
+        "CAST(v AS DOUBLE) / 2.0 - CAST(n_b AS DOUBLE) - 0.5)), 6) AS delta, " +
+        "round((ln((CAST(n_a AS DOUBLE) + 0.5) / (CAST(na0 AS DOUBLE) + " +
+        "CAST(v AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) - 0.5)) - " +
+        "ln((CAST(n_b AS DOUBLE) + 0.5) / (CAST(nb0 AS DOUBLE) + " +
+        "CAST(v AS DOUBLE) / 2.0 - CAST(n_b AS DOUBLE) - 0.5))) / " +
+        "sqrt(1.0 / (CAST(n_a AS DOUBLE) + 0.5) + " +
+        "1.0 / (CAST(n_b AS DOUBLE) + 0.5)), 6) AS z " +
+        "FROM c, t WHERE n_a + n_b >= 5) " +
+        "SELECT token, n_a, n_b, delta, z FROM " +
+        "(SELECT *, row_number() OVER (ORDER BY z DESC, token) AS r " +
+        "FROM sc) WHERE r <= 20 ORDER BY z DESC, token"),
+      (s, dir) => TA.fightinWords(Tables.documents(s, dir), "text",
+          col("lang") === "en", minCount = 5L, k = 20)
+        .orderBy(col("z").desc, col("token")))
   )
 }

@@ -668,6 +668,24 @@ class AppliedSpec extends SparkSpec {
     assert(!s(1).isNullAt(6))
   }
 
+  test("fightinWords: hand log-odds, z ranking, minCount gate") {
+    import spark.implicits._
+    // A: "x x y"; B: "y y z" — NA=NB=3, V=3; hand z: x 1.486312,
+    // z-token -0.848928, y -0.887195 (rare-but-exclusive z ranks ABOVE
+    // the shared y — exactly the variance correction raw ratios miss)
+    val docs = Seq((true, "x x y"), (false, "y y z")).toDF("a", "text")
+    val r = TA.fightinWords(docs, "text", col("a"), minCount = 1L, k = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4)))
+    assert(r.toSeq == Seq(("x", 2L, 0L, 2.302585, 1.486312),
+      ("z", 0L, 1L, -1.386294, -0.848928),
+      ("y", 1L, 2L, -0.916291, -0.887195)), s"got: ${r.toSeq}")
+    // the count floor drops singletons entirely
+    val gated = TA.fightinWords(docs, "text", col("a"), minCount = 3L, k = 10)
+      .collect().map(_.getString(0))
+    assert(gated.toSeq == Seq("y"))
+  }
+
   test("vocabularyRichness: Chao1 bias-corrected form and Good-Turing unseen mass") {
     import spark.implicits._
     // en: tokens a a b c | c d -> N=6 S=4 f1=2 f2=2 -> chao1 = 4 + 2·1/6,

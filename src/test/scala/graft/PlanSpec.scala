@@ -884,4 +884,27 @@ class PlanSpec extends SparkSpec {
       s"nearest election not stratum-keyed:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
+
+  test("q365: every raking join broadcasts (vocabulary-sized marginals), no shuffle join") {
+    // the IPF iterate must stay cell-relation-local: 6 scalings x
+    // (marginal rollup + 2 broadcast joins); a SortMerge/ShuffledHash
+    // join here means a marginal relation stopped broadcasting and the
+    // iterate would shuffle the full cell relation every round at scale
+    val p = planOf("q365_raking")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"non-broadcast join in the IPF iterate:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+  }
+
+  test("q362: log-rank is one duration rollup — windows keyless over the grain, no cartesian beyond the 1-row total") {
+    val p = planOf("q362_logrank")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // every nested-loop join is a 1-row scalar broadcast: the fixture's
+    // max-day anchor, the operator's per-group totals — never a data join
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 3,
+      s"beyond the scalar broadcasts:\n$p")
+    assert(p.contains("windowspecdefinition(duration"),
+      s"risk-set windows must run on the duration grain:\n$p")
+  }
 }

@@ -771,6 +771,21 @@ object ScaleStress {
       graft.pipeline.Stats.tCloseness(tcRows, Seq("g"), col("v")).collect()
     }
     assert(tc.length == 4 && tc.forall(_.getDouble(2) == 0.0))
+
+    // logRank over 10M subjects / 1000 distinct durations: the entire
+    // cost is ONE duration-grain rollup (the windows run on 1000 rows).
+    // Groups are identical by construction — (id div 1000) parity gives
+    // na = nb = 5000 at every duration, na/nt = 0.5 is IEEE-exact, so
+    // E_A = O_A = 5,000,000 EXACTLY and chi2 is exactly 0.
+    val lrRows = spark.range(10000000L).select((col("id") % 1000L).as("t"),
+      lit(true).as("ev"), (expr("(id div 1000) % 2") === 0L).as("a"))
+    val lr = timed("logRank over 10M subjects, 1000 durations") {
+      graft.pipeline.EventAnalytics.logRank(lrRows, col("t"), col("ev"),
+        col("a")).collect().head
+    }
+    assert(lr.getLong(2) == 5000000L && lr.getDouble(3) == 5000000.0,
+      s"O_A/E_A must be exactly 5M on identical groups: $lr")
+    assert(lr.getDouble(6) == 0.0, s"chi2 off: $lr")
     spark.stop()
   }
 }
