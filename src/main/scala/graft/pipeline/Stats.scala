@@ -2454,6 +2454,199 @@ object Stats {
       round(col("weight").cast("double"), 6).as("weight"))
   }
 
+  // ------------------------------------------------------- one-way ANOVA
+  /** One-way ANOVA F across the groups of `groupCol`: SSB = Σ s_g²/n_g −
+    * S²/N, SSW = Σ ss_g − Σ s_g²/n_g, F = (SSB/(k−1))/(SSW/(N−k)) — the
+    * k-group generalization of the t-test every metrics platform needs
+    * before drilling into pairwise comparisons.
+    *
+    * DETERMINISM: per-group n/Σx/Σx² accumulate as DECIMAL(38, `scale`)
+    * off ONE rollup; each s_g²/n_g term is fixed-shape IEEE rounded to
+    * the same grain before the cross-group sums (PSI discipline); the F
+    * finish is one fixed shape, 6dp. `scale` is part of the determinism
+    * CONTRACT: DuckDB converts double→DECIMAL by a float multiply with
+    * 10^scale, so choose scale with |x|·10^scale and x²·10^scale inside
+    * 2^53 (default 12 suits unit-magnitude data, the PSI/ln regime);
+    * money callers pass INTEGER CENTS with scale = 0, where the
+    * conversion has no multiply at all and is exact at ANY magnitude
+    * (the q375 lesson: o_totalprice² at scale 12 diverged engines by
+    * float-multiply ULPs). Degenerate inputs (k < 2, N ≤ k, SSW ≤ 0)
+    * report null F rather than a fake number. Scale: one group rollup +
+    * one 1-row aggregate — group-count-sized, never row-sized. Returns
+    * (n_groups, n, ss_between, ss_within, f_stat). */
+  def oneWayAnova(df: DataFrame, groupCol: Column, valueCol: Column,
+                  scale: Int = 12): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(scale >= 0 && scale <= 12, s"scale in [0,12]: $scale")
+    val dt = DecimalType(38, scale)
+    val x = valueCol.cast("double")
+    val g = df.filter(x.isNotNull)
+      .groupBy(groupCol.as("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(x.cast(dt)).as("__s"),
+        sum((x * x).cast(dt)).as("__ss"))
+    // at scale 0 the s²/n term quantizes via floor, not the decimal
+    // cast's half rounding: a ratio landing EXACTLY on .5 (doubles this
+    // large have few fraction bits, so ties are common, ~2^-5 per term)
+    // would round HALF_UP in Spark but half-even in DuckDB's cast —
+    // floor is the same exact operation in both engines at any magnitude
+    val ratio = col("__s").cast("double") * col("__s").cast("double") /
+      col("__n").cast("double")
+    val sgTerm = if (scale == 0) floor(ratio).cast(dt) else ratio.cast(dt)
+    val a = g.agg(count(lit(1)).as("n_groups"), sum(col("__n")).as("n"),
+      sum(col("__s")).as("__S"), sum(col("__ss")).as("__SS"),
+      sum(sgTerm).as("__SG"))
+    val nD = col("n").cast("double"); val kD = col("n_groups").cast("double")
+    val ssb = col("__SG").cast("double") -
+      col("__S").cast("double") * col("__S").cast("double") / nD
+    val ssw = col("__SS").cast("double") - col("__SG").cast("double")
+    a.select(col("n_groups"), col("n"),
+      round(ssb, 6).as("ss_between"), round(ssw, 6).as("ss_within"),
+      round(when(col("n_groups") > 1 && col("n") > col("n_groups") &&
+        ssw > 0.0,
+        (ssb / (kD - lit(1.0))) / (ssw / (nD - kD))), 6).as("f_stat"))
+  }
+
+  // -------------------------------------------------------- Kruskal-Wallis
+  /** Kruskal-Wallis k-group rank test with the tie correction (Kruskal &
+    * Wallis 1952) — [[mannWhitney]]'s k-group sibling and the
+    * distribution-free ANOVA: H = [12/(N(N+1))]·Σ n_g(R̄_g − (N+1)/2)²,
+    * divided by C = 1 − Σ(t³−t)/(N³−N) over tie groups.
+    *
+    * DETERMINISM AND SCALE — the mannWhitney discipline: ranks live on
+    * the VALUE-VOCABULARY rollup, never the rows. Average rank of a tied
+    * value = cum_before + (t+1)/2 is an exact dyadic rational; per-group
+    * rank sums are DECIMAL(28,12)-exact Σ avgrank·c_{v,g}; the running
+    * window is over distinct values (bucket continuous values first).
+    * H's finish is fixed-shape IEEE, 6dp; degenerate families (k < 2,
+    * all values tied → C = 0) report null. Returns
+    * (n_groups, n, h_stat, h_adj). */
+  def kruskalWallis(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = valueCol.cast("double")
+    val cells = df.filter(v.isNotNull)
+      .groupBy(v.as("__v"), groupCol.as("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val vals = cells.groupBy("__v").agg(sum(col("__c")).as("__t"))
+      .withColumn("__cum",
+        coalesce(sum(col("__t")).over(Window.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__ar",
+        col("__cum").cast("double") +
+          (col("__t") + lit(1L)).cast("double") / lit(2.0))
+    val ranked = cells.join(vals.select(col("__v"), col("__t"), col("__ar")),
+      Seq("__v"))
+    val byG = ranked.groupBy("__g")
+      .agg(sum(col("__c")).as("__ng"),
+        sum((col("__ar") * col("__c").cast("double"))
+          .cast(DecimalType(28, 12))).as("__rg"))
+    val ties = vals.agg(sum(col("__t") * col("__t") * col("__t") - col("__t"))
+      .as("__tsum"), sum(col("__t")).as("__N"))
+    val nD = col("__N").cast("double")
+    val term = ((col("__rg").cast("double") / col("__ng").cast("double") -
+      (nD + lit(1.0)) / lit(2.0)) *
+      (col("__rg").cast("double") / col("__ng").cast("double") -
+        (nD + lit(1.0)) / lit(2.0)) *
+      col("__ng").cast("double")).cast(DecimalType(28, 12))
+    val a = byG.crossJoin(broadcast(ties))
+      .agg(count(lit(1)).as("n_groups"), max(col("__N")).as("n"),
+        max(col("__tsum")).as("__ts"), sum(term).as("__hsum"))
+    val n2 = col("n").cast("double")
+    val h = lit(12.0) / (n2 * (n2 + lit(1.0))) * col("__hsum").cast("double")
+    val c = lit(1.0) - col("__ts").cast("double") /
+      (n2 * n2 * n2 - n2)
+    a.select(col("n_groups"), col("n"),
+      round(when(col("n_groups") > 1, h), 6).as("h_stat"),
+      round(when(col("n_groups") > 1 && c > 0.0, h / c), 6).as("h_adj"))
+  }
+
+  // ------------------------------------------- Brown-Forsythe (Levene) test
+  /** Brown-Forsythe variance-homogeneity test: one-way ANOVA F on the
+    * absolute deviations |x − median_g| from each group's MEDIAN (Brown &
+    * Forsythe 1974 — the robust form of Levene's test; the gate before
+    * trusting a pooled-variance t/F).
+    *
+    * The median is the lower-median DATA ELEMENT ((n+1) div 2-th smallest
+    * — the repo's order-statistic discipline, byte-identical in any
+    * engine), found with one per-group rank window; |x − med| is exact
+    * IEEE subtraction; the F finish is [[oneWayAnova]] on those
+    * deviations. Scale: the rank window partitions by group (the
+    * documented hot-group shape); everything else is group-sized.
+    * Returns (n_groups, n, ss_between, ss_within, f_stat). */
+  def brownForsythe(df: DataFrame, groupCol: Column, valueCol: Column,
+                    scale: Int = 12): DataFrame = {
+    val x = valueCol.cast("double")
+    val base = df.filter(x.isNotNull)
+      .select(groupCol.as("__g"), x.as("__x"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__x"))
+    val med = base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      // Column./ is ALWAYS double division — truncate back to the
+      // (n+1) div 2 integer rank before comparing against row_number
+      .filter(col("__rn") === ((col("__n") + lit(1L)) / lit(2L)).cast("long"))
+      .select(col("__g"), col("__x").as("__med"))
+    oneWayAnova(base.join(med, Seq("__g")),
+      col("__g"), abs(col("__x") - col("__med")), scale)
+  }
+
+  // --------------------------------------------------------- McNemar test
+  /** McNemar's paired-proportions test (McNemar 1947): over paired
+    * booleans (before, after) per unit, only the DISCORDANT cells carry
+    * information — χ² = (n01 − n10)²/(n01 + n10), plus the
+    * continuity-corrected (|n01 − n10| − 1)²/(n01 + n10) — the
+    * did-the-rollout-change-this-user gate.
+    *
+    * Exact integer counts off one aggregate; two fixed-shape IEEE
+    * ratios, 6dp; no discordant pairs → null statistics. Returns one
+    * row (n, n_01, n_10, chi2, chi2_corrected). */
+  def mcnemar(df: DataFrame, beforeCol: Column, afterCol: Column): DataFrame = {
+    val a = df.agg(count(lit(1)).as("n"),
+      sum(when(beforeCol && !afterCol, 1L).otherwise(0L)).as("n_10"),
+      sum(when(!beforeCol && afterCol, 1L).otherwise(0L)).as("n_01"))
+    val b = col("n_01").cast("double"); val c = col("n_10").cast("double")
+    a.select(col("n"), col("n_01"), col("n_10"),
+      round(when(col("n_01") + col("n_10") > 0,
+        (b - c) * (b - c) / (b + c)), 6).as("chi2"),
+      round(when(col("n_01") + col("n_10") > 0,
+        (abs(b - c) - lit(1.0)) * (abs(b - c) - lit(1.0)) / (b + c)), 6)
+        .as("chi2_corrected"))
+  }
+
+  // ------------------------------------------- Mantel-Haenszel odds ratio
+  /** Mantel-Haenszel pooled odds ratio across stratified 2×2 tables
+    * (Mantel & Haenszel 1959): OR_MH = Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i) —
+    * the confounder-adjusted association estimate (Simpson's-paradox
+    * insurance) every observational readout should report next to the
+    * crude OR.
+    *
+    * DETERMINISM: cell counts are exact integers off ONE stratum rollup;
+    * each a·d/n term is one IEEE division of exact longs rounded to
+    * DECIMAL(28,12) before the sums; the final ratio is one fixed shape,
+    * 6dp. A zero denominator reports null. Scale: stratum-count-sized
+    * after one shuffle. Returns (n_strata, n, sum_ad, sum_bc, or_mh). */
+  def mantelHaenszel(df: DataFrame, stratumCol: Column, exposedCol: Column,
+                     outcomeCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val g = df.groupBy(stratumCol.as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(exposedCol && outcomeCol, 1L).otherwise(0L)).as("__a"),
+        sum(when(exposedCol && !outcomeCol, 1L).otherwise(0L)).as("__b"),
+        sum(when(!exposedCol && outcomeCol, 1L).otherwise(0L)).as("__c"),
+        sum(when(!exposedCol && !outcomeCol, 1L).otherwise(0L)).as("__d"))
+    val a = g.agg(count(lit(1)).as("n_strata"), sum(col("__n")).as("n"),
+      sum(((col("__a") * col("__d")).cast("double") /
+        col("__n").cast("double")).cast(DecimalType(28, 12))).as("__ad"),
+      sum(((col("__b") * col("__c")).cast("double") /
+        col("__n").cast("double")).cast(DecimalType(28, 12))).as("__bc"))
+    a.select(col("n_strata"), col("n"),
+      round(col("__ad").cast("double"), 6).as("sum_ad"),
+      round(col("__bc").cast("double"), 6).as("sum_bc"),
+      round(when(col("__bc") > 0,
+        col("__ad").cast("double") / col("__bc").cast("double")), 6)
+        .as("or_mh"))
+  }
+
   // --------------------------------------------- Oaxaca-Blinder decomposition
   /** Two-group Oaxaca-Blinder gap decomposition with one regressor
     * (Oaxaca 1973; Blinder 1973): the mean-outcome gap ȳ_A − ȳ_B splits

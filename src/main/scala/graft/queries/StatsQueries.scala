@@ -3684,5 +3684,184 @@ object StatsQueries2 {
       (s, dir) => Stats.kishDesignEffect(Tables.customer(s, dir),
         Seq("c_mktsegment"), col("c_acctbal"))
         .orderBy("c_mktsegment"))
+    ,
+
+    // ---- one-way ANOVA F of event value across event types: per-group
+    // decimal moments, s²/n terms re-rounded to DECIMAL(28,12) before the
+    // cross-group sums, one fixed-shape F.
+    Q("q373_anova",
+      Some("WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ng, " +
+        "sum(CAST(value AS DECIMAL(28,12))) AS s, " +
+        "sum(CAST(value * value AS DECIMAL(28,12))) AS ss FROM events " +
+        "WHERE value IS NOT NULL GROUP BY 1), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
+        "CAST(sum(ng) AS BIGINT) AS n, sum(s) AS st, sum(ss) AS sst, " +
+        "sum(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / " +
+        "CAST(ng AS DOUBLE) AS DECIMAL(28,12))) AS sg FROM g), " +
+        "f AS (SELECT n_groups, n, " +
+        "CAST(sg AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / " +
+        "CAST(n AS DOUBLE) AS ssb, " +
+        "CAST(sst AS DOUBLE) - CAST(sg AS DOUBLE) AS ssw FROM a) " +
+        "SELECT n_groups, n, round(ssb, 6) AS ss_between, " +
+        "round(ssw, 6) AS ss_within, " +
+        "round(CASE WHEN n_groups > 1 AND n > n_groups AND ssw > 0 THEN " +
+        "(ssb / (CAST(n_groups AS DOUBLE) - 1.0)) / " +
+        "(ssw / (CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE))) END, 6) " +
+        "AS f_stat FROM f"),
+      (s, dir) => Stats.oneWayAnova(Tables.events(s, dir),
+        col("event_type"), col("value"))),
+
+    // ---- Kruskal-Wallis across return flags on the 1..50 quantity
+    // vocabulary: ranks live on the value rollup (the mannWhitney
+    // discipline), average ranks are exact dyadic rationals, rank sums
+    // DECIMAL-exact, tie correction from exact t³−t.
+    Q("q374_kruskal_wallis",
+      Some("WITH cells AS (SELECT CAST(l_quantity AS DOUBLE) AS v, " +
+        "l_returnflag AS g, CAST(count(*) AS BIGINT) AS c FROM lineitem " +
+        "WHERE l_quantity IS NOT NULL GROUP BY 1, 2), " +
+        "vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells " +
+        "GROUP BY 1), " +
+        "rk AS (SELECT v, t, coalesce(CAST(sum(t) OVER (ORDER BY v ROWS " +
+        "BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) " +
+        "AS cum FROM vals), " +
+        "ar AS (SELECT v, t, CAST(cum AS DOUBLE) + " +
+        "CAST(t + 1 AS DOUBLE) / 2.0 AS ar FROM rk), " +
+        "j AS (SELECT cells.g, cells.c, ar.ar FROM cells " +
+        "JOIN ar USING (v)), " +
+        "bg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng, " +
+        "sum(CAST(ar * CAST(c AS DOUBLE) AS DECIMAL(28,12))) AS rg " +
+        "FROM j GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ts, " +
+        "CAST(sum(t) AS BIGINT) AS nn FROM vals), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
+        "CAST(max(nn) AS BIGINT) AS n, CAST(max(ts) AS BIGINT) AS ts, " +
+        "sum(CAST((CAST(rg AS DOUBLE) / CAST(ng AS DOUBLE) - " +
+        "(CAST(nn AS DOUBLE) + 1.0) / 2.0) * " +
+        "(CAST(rg AS DOUBLE) / CAST(ng AS DOUBLE) - " +
+        "(CAST(nn AS DOUBLE) + 1.0) / 2.0) * CAST(ng AS DOUBLE) " +
+        "AS DECIMAL(28,12))) AS hsum FROM bg, tt), " +
+        "hh AS (SELECT n_groups, n, ts, 12.0 / (CAST(n AS DOUBLE) * " +
+        "(CAST(n AS DOUBLE) + 1.0)) * CAST(hsum AS DOUBLE) AS h, " +
+        "1.0 - CAST(ts AS DOUBLE) / (CAST(n AS DOUBLE) * " +
+        "CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS cc " +
+        "FROM a) " +
+        "SELECT n_groups, n, " +
+        "round(CASE WHEN n_groups > 1 THEN h END, 6) AS h_stat, " +
+        "round(CASE WHEN n_groups > 1 AND cc > 0 THEN h / cc END, 6) " +
+        "AS h_adj FROM hh"),
+      (s, dir) => Stats.kruskalWallis(Tables.lineitem(s, dir),
+        col("l_returnflag"), col("l_quantity"))),
+
+    // ---- Brown-Forsythe variance-homogeneity F of order totals across
+    // statuses: |x − group LOWER-MEDIAN data element| (order statistic,
+    // never interpolated), then the q373 ANOVA shape on the deviations.
+    // WHOLE-DOLLAR integer inputs with DECIMAL(38,0) accumulators
+    // (scale 0): DuckDB's double→decimal cast goes through a float
+    // multiply and is off-by-one from ~4e15 up (measured), and its
+    // decimal→double read double-rounds above 2^63 — so both the per-row
+    // casts AND the final sum-to-double conversions must stay inside
+    // ~4e15 / 2^63. Dollar quantization keeps SST ≈ 4.5e15 at sf0.1 with
+    // 100x headroom; cents pushed the sums to 3e19 and diverged (the
+    // failure that discovered the bound). ss_* are in dollar² units.
+    Q("q375_brown_forsythe",
+      Some("WITH b AS (SELECT o_orderstatus AS g, " +
+        "CAST(CAST(round(o_totalprice) AS BIGINT) AS DOUBLE) AS x " +
+        "FROM orders WHERE o_totalprice IS NOT NULL), " +
+        "m AS (SELECT g, x AS med FROM (SELECT g, x, row_number() OVER " +
+        "(PARTITION BY g ORDER BY x) AS rn, count(*) OVER " +
+        "(PARTITION BY g) AS nw FROM b) WHERE rn = (nw + 1) // 2), " +
+        "z AS (SELECT b.g, abs(b.x - m.med) AS x FROM b " +
+        "JOIN m ON b.g = m.g), " +
+        "g AS (SELECT g AS grp, CAST(count(*) AS BIGINT) AS ng, " +
+        "sum(CAST(x AS DECIMAL(38,0))) AS s, " +
+        "sum(CAST(x * x AS DECIMAL(38,0))) AS ss FROM z GROUP BY 1), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
+        "CAST(sum(ng) AS BIGINT) AS n, sum(s) AS st, sum(ss) AS sst, " +
+        "sum(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / " +
+        "CAST(ng AS DOUBLE)) AS DECIMAL(38,0))) AS sg FROM g), " +
+        "f AS (SELECT n_groups, n, " +
+        "CAST(sg AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / " +
+        "CAST(n AS DOUBLE) AS ssb, " +
+        "CAST(sst AS DOUBLE) - CAST(sg AS DOUBLE) AS ssw FROM a) " +
+        "SELECT n_groups, n, round(ssb, 6) AS ss_between, " +
+        "round(ssw, 6) AS ss_within, " +
+        "round(CASE WHEN n_groups > 1 AND n > n_groups AND ssw > 0 THEN " +
+        "(ssb / (CAST(n_groups AS DOUBLE) - 1.0)) / " +
+        "(ssw / (CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE))) END, 6) " +
+        "AS f_stat FROM f"),
+      (s, dir) => Stats.brownForsythe(Tables.orders(s, dir),
+        col("o_orderstatus"),
+        round(col("o_totalprice"), 0).cast("long"), scale = 0)),
+
+    // ---- McNemar paired purchase conversion between the ship-date-style
+    // halves of the event range: per-user (H1 purchased, H2 purchased)
+    // booleans; only the discordant cells carry the test.
+    Q("q376_mcnemar",
+      Some("WITH e AS (SELECT user_id, " +
+        "epoch_us(ts) // 86400000000 AS d, event_type FROM events " +
+        "WHERE user_id IS NOT NULL), " +
+        "mm AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM e), " +
+        "u AS (SELECT user_id, " +
+        "max(CASE WHEN event_type = 'purchase' AND d < mid THEN 1 " +
+        "ELSE 0 END) = 1 AS bef, " +
+        "max(CASE WHEN event_type = 'purchase' AND d >= mid THEN 1 " +
+        "ELSE 0 END) = 1 AS aft FROM e, mm GROUP BY 1), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN NOT bef AND aft THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_01, " +
+        "CAST(sum(CASE WHEN bef AND NOT aft THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_10 FROM u) " +
+        "SELECT n, n_01, n_10, " +
+        "round(CASE WHEN n_01 + n_10 > 0 THEN " +
+        "(CAST(n_01 AS DOUBLE) - CAST(n_10 AS DOUBLE)) * " +
+        "(CAST(n_01 AS DOUBLE) - CAST(n_10 AS DOUBLE)) / " +
+        "(CAST(n_01 AS DOUBLE) + CAST(n_10 AS DOUBLE)) END, 6) AS chi2, " +
+        "round(CASE WHEN n_01 + n_10 > 0 THEN " +
+        "(abs(CAST(n_01 AS DOUBLE) - CAST(n_10 AS DOUBLE)) - 1.0) * " +
+        "(abs(CAST(n_01 AS DOUBLE) - CAST(n_10 AS DOUBLE)) - 1.0) / " +
+        "(CAST(n_01 AS DOUBLE) + CAST(n_10 AS DOUBLE)) END, 6) " +
+        "AS chi2_corrected FROM a"),
+      (s, dir) => {
+        val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_type"),
+            EventAnalytics.dayIndex(col("ts")).as("d"))
+        val mm = e.agg(((min(col("d")) + max(col("d")) + lit(1L)) /
+          lit(2L)).cast("long").as("mid"))
+        val u = e.crossJoin(broadcast(mm)).groupBy("user_id")
+          .agg((max(when(col("event_type") === "purchase" &&
+            col("d") < col("mid"), 1L).otherwise(0L)) === 1L).as("bef"),
+            (max(when(col("event_type") === "purchase" &&
+              col("d") >= col("mid"), 1L).otherwise(0L)) === 1L).as("aft"))
+        Stats.mcnemar(u, col("bef"), col("aft"))
+      }),
+
+    // ---- Mantel-Haenszel pooled odds ratio: exposure = even user,
+    // outcome = high-value event, stratified by event type — the
+    // confounder-adjusted OR next to q334's crude one.
+    Q("q377_mantel_haenszel",
+      Some("WITH e AS (SELECT event_type AS s, user_id % 2 = 0 AS x, " +
+        "value > 200 AS y FROM events WHERE user_id IS NOT NULL " +
+        "AND value IS NOT NULL), " +
+        "g AS (SELECT s, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+        "CAST(sum(CASE WHEN x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+        "CAST(sum(CASE WHEN NOT x AND y THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+        "CAST(sum(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS d FROM e GROUP BY 1), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n_strata, " +
+        "CAST(sum(n) AS BIGINT) AS n, " +
+        "sum(CAST(CAST(a * d AS DOUBLE) / CAST(n AS DOUBLE) " +
+        "AS DECIMAL(28,12))) AS ad, " +
+        "sum(CAST(CAST(b * c AS DOUBLE) / CAST(n AS DOUBLE) " +
+        "AS DECIMAL(28,12))) AS bc FROM g) " +
+        "SELECT n_strata, n, round(CAST(ad AS DOUBLE), 6) AS sum_ad, " +
+        "round(CAST(bc AS DOUBLE), 6) AS sum_bc, " +
+        "round(CASE WHEN bc > 0 THEN CAST(ad AS DOUBLE) / " +
+        "CAST(bc AS DOUBLE) END, 6) AS or_mh FROM t"),
+      (s, dir) => Stats.mantelHaenszel(
+        Tables.events(s, dir).filter(col("user_id").isNotNull &&
+          col("value").isNotNull),
+        col("event_type"), pmod(col("user_id"), lit(2L)) === 0,
+        col("value") > 200))
   )
 }

@@ -700,6 +700,74 @@ class AppliedSpec extends SparkSpec {
     assert(r(1) == (("fr", 1L, 1L, 1L, 0L, 1.0, 1.0)))
   }
 
+  test("oneWayAnova: hand SSB/SSW/F; degenerate single group nulls F") {
+    import spark.implicits._
+    // a: 1,2,3 | b: 4,5,6 -> SG = 12+75, SSB = 87-73.5, SSW = 91-87
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "x")
+    val r = Stats.oneWayAnova(df, col("g"), col("x")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 6L)))
+    assert(r.getDouble(2) == 13.5 && r.getDouble(3) == 4.0 &&
+      r.getDouble(4) == 13.5, s"anova: $r")
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "x")
+    assert(Stats.oneWayAnova(one, col("g"), col("x")).collect()(0).isNullAt(4))
+  }
+
+  test("kruskalWallis: dyadic average ranks, tie correction") {
+    import spark.implicits._
+    // a: 1,2 | b: 2,3 -> avg ranks 1, 2.5, 4; H = 1.35; C = 1 - 6/60;
+    // H_adj = 1.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    val r = Stats.kruskalWallis(df, col("g"), col("v")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 4L)))
+    assert(r.getDouble(2) == 1.35 && r.getDouble(3) == 1.5, s"kw: $r")
+    // every value tied -> C = 0 -> null adjusted H
+    val flat = Seq(("a", 1.0), ("b", 1.0)).toDF("g", "v")
+    assert(Stats.kruskalWallis(flat, col("g"), col("v"))
+      .collect()(0).isNullAt(3))
+  }
+
+  test("brownForsythe: deviations from the LOWER-MEDIAN data element") {
+    import spark.implicits._
+    // a: 1,2,9 (med 2 -> z 1,0,7) | b: 4,4,4 (z all 0):
+    // SSB 10.666667, SSW 28.666667, F 1.488372
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 9.0),
+      ("b", 4.0), ("b", 4.0), ("b", 4.0)).toDF("g", "x")
+    val r = Stats.brownForsythe(df, col("g"), col("x")).collect()(0)
+    assert(r.getDouble(2) == 10.666667 && r.getDouble(3) == 28.666667 &&
+      r.getDouble(4) == 1.488372, s"bf: $r")
+  }
+
+  test("mcnemar: only discordant cells count; continuity correction") {
+    import spark.implicits._
+    val df = (Seq.fill(2)((true, true)) ++ Seq.fill(3)((true, false)) ++
+      Seq.fill(1)((false, true)) ++ Seq.fill(4)((false, false)))
+      .toDF("bef", "aft")
+    val r = Stats.mcnemar(df, col("bef"), col("aft")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((10L, 1L, 3L)))
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 0.25, s"mcnemar: $r")
+    // no discordance -> null chi2, never 0/0
+    val conc = Seq((true, true), (false, false)).toDF("bef", "aft")
+    assert(Stats.mcnemar(conc, col("bef"), col("aft"))
+      .collect()(0).isNullAt(3))
+  }
+
+  test("mantelHaenszel: pooled OR across hand strata") {
+    import spark.implicits._
+    // s1 cells a2 b1 c1 d2; s2 balanced a1 b1 c1 d1 -> OR_MH = 2.2
+    def rows(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+        Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    val df = (rows("s1", 2, 1, 1, 2) ++ rows("s2", 1, 1, 1, 1))
+      .toDF("s", "x", "y")
+    val r = Stats.mantelHaenszel(df, col("s"), col("x"), col("y"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 10L)))
+    assert(r.getDouble(2) == 0.916667 && r.getDouble(3) == 0.416667 &&
+      r.getDouble(4) == 2.2, s"mh: $r")
+  }
+
   test("oaxacaBlinder: explained + unexplained = gap on hand OLS lines") {
     import spark.implicits._
     // A: y = 10x (alpha 0); B: y = 10x + 10 — gap -15 splits into
