@@ -756,6 +756,48 @@ object CurationQueries {
               .withColumn("url", url), "url")
           .select("doc_id", "canonical_url")
           .orderBy("doc_id")
+      }),
+
+    // ---- packing-efficiency report over q52's GPT-style sequence packer:
+    // per shard, how full the fixed-budget sequences actually are
+    // (utilization), and how many documents span a sequence boundary —
+    // the wasted-compute / attention-contamination readout every packed
+    // training run needs before committing GPU hours.
+    Q("q378_packing_efficiency", {
+      val tokensSql = """regexp_split_to_array(trim(text), '\s+')"""
+      Some("WITH t AS (SELECT doc_id AS id, doc_id % 8 AS shard, " +
+        s"CAST(len($tokensSql) AS INTEGER) AS nt FROM documents), " +
+        "c AS (SELECT id, shard, nt, CAST(sum(nt) OVER (PARTITION BY " +
+        "shard ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT " +
+        "ROW) AS BIGINT) - nt AS ts FROM t), " +
+        "p AS (SELECT shard, nt, ts, CAST(floor(ts / 256.0) AS BIGINT) " +
+        "AS seq FROM c) " +
+        "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(max(seq) + 1 AS BIGINT) AS n_seqs, " +
+        "CAST(sum(nt) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(CASE WHEN nt > 0 AND CAST(floor((ts + nt - 1) / 256.0) " +
+        "AS BIGINT) <> seq THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning, " +
+        "round(CAST(sum(nt) AS DOUBLE) / CAST((max(seq) + 1) * 256 " +
+        "AS DOUBLE), 6) AS utilization " +
+        "FROM p GROUP BY 1 ORDER BY 1")
+    },
+      (s, dir) => {
+        val packed = Curation.packSequences(Tables.documents(s, dir),
+          "doc_id", "text", tokenBudget = 256, numShards = 8)
+        packed.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            (max(col("seq_in_shard")) + lit(1L)).as("n_seqs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(when(col("n_tokens") > 0 &&
+              floor((col("tok_start") + col("n_tokens") - lit(1L)) /
+                lit(256.0)) =!= col("seq_in_shard"), 1L)
+              .otherwise(0L)).as("n_spanning"))
+          .select(col("shard"), col("n_docs"), col("n_seqs"),
+            col("total_tokens"), col("n_spanning"),
+            round(col("total_tokens").cast("double") /
+              (col("n_seqs") * lit(256L)).cast("double"), 6)
+              .as("utilization"))
+          .orderBy("shard")
       })
   )
 }

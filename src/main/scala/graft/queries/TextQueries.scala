@@ -1178,5 +1178,34 @@ object TextQueries {
       (s, dir) => TA.fightinWords(Tables.documents(s, dir), "text",
           col("lang") === "en", minCount = 5L, k = 20)
         .orderBy(col("z").desc, col("token")))
+    ,
+
+    // ---- tokenizer-fertility profile per language: characters per
+    // whitespace token and tokens per document — the per-language cost
+    // model behind token-budget planning (high-fertility languages burn
+    // budget faster). All-integer sums, two fixed IEEE ratios.
+    Q("q379_token_fertility", {
+      val tokensSql = """regexp_split_to_array(trim(text), '\s+')"""
+      Some("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        s"CAST(sum(len($tokensSql)) AS BIGINT) AS total_tokens, " +
+        s"round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(len($tokensSql)) " +
+        "AS DOUBLE), 6) AS chars_per_token, " +
+        s"round(CAST(sum(len($tokensSql)) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS tokens_per_doc " +
+        "FROM documents GROUP BY 1 ORDER BY 1")
+    },
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(TA.tokenCount(col("text")).cast("long")).as("total_tokens"))
+        .select(col("lang"), col("n_docs"), col("total_chars"),
+          col("total_tokens"),
+          round(col("total_chars").cast("double") /
+            col("total_tokens").cast("double"), 6).as("chars_per_token"),
+          round(col("total_tokens").cast("double") /
+            col("n_docs").cast("double"), 6).as("tokens_per_doc"))
+        .orderBy("lang"))
   )
 }

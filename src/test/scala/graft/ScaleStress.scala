@@ -786,6 +786,21 @@ object ScaleStress {
     assert(lr.getLong(2) == 5000000L && lr.getDouble(3) == 5000000.0,
       s"O_A/E_A must be exactly 5M on identical groups: $lr")
     assert(lr.getDouble(6) == 0.0, s"chi2 off: $lr")
+
+    // kruskalWallis over 20M rows / 50 distinct values: ranks live on the
+    // 50-row value rollup (never the facts). Groups are value-identical
+    // by construction ((id div 50) parity), so every group mean rank is
+    // exactly (N+1)/2 and H is EXACTLY 0 before and after tie correction.
+    val kwRows = spark.range(20000000L).select(
+      expr("(id div 50) % 2 = 0").as("g"),
+      (col("id") % 50L).cast("double").as("v"))
+    val kw = timed("kruskalWallis over 20M rows, 50-value domain") {
+      graft.pipeline.Stats.kruskalWallis(kwRows, col("g"), col("v"))
+        .collect().head
+    }
+    assert(kw.getLong(1) == 20000000L, s"n off: $kw")
+    assert(kw.getDouble(2) == 0.0 && kw.getDouble(3) == 0.0,
+      s"identical groups must give H exactly 0: $kw")
     spark.stop()
   }
 }
