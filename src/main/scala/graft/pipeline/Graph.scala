@@ -329,6 +329,52 @@ object Graph {
     dist
   }
 
+  // ------------------------------------------- bounded harmonic centrality
+  /** Per-seed harmonic centrality within `rounds` hops (Marchiori &
+    * Latora 2000): H(s) = Σ_{v reached, v ≠ s} 1/d(s, v) over unweighted
+    * shortest paths — the centrality that stays well-defined on
+    * disconnected graphs (unreached nodes contribute 0, not ∞). The hop
+    * bound is part of the CONTRACT (oracles unroll the same rounds — the
+    * q156/q186 lesson), and it is also what makes the state bounded:
+    * the iterate is a (seed, node, dist) relation keyed on node for the
+    * frontier join, so cost scales with |seeds| × reach, never
+    * all-pairs. Seeds must be a SAMPLE (the exact all-nodes version is
+    * the quadratic no-go this bound exists to prevent).
+    *
+    * DETERMINISM: distances are exact integers off min-plus rounds; each
+    * 1/d term is one exact-rational division rounded to DECIMAL(28,12)
+    * before the per-seed sum (PSI discipline), 6dp finish. Returns
+    * (seed, n_reached, harmonic). */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         seeds: DataFrame, seedCol: String,
+                         rounds: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(rounds >= 1 && rounds <= 10, s"rounds out of range: $rounds")
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val adj = cut(e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v"))))
+    var dist = seeds.select(col(seedCol).as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+    for (r <- 1 to rounds) {
+      val relaxed = dist.hint("shuffle_hash")
+        .join(adj, dist("node") === adj("u"))
+        .select(col("seed"), col("v").as("node"),
+          (col("dist") + lit(1L)).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("seed", "node").agg(min(col("dist")).as("dist"))
+      dist = if (r < rounds) cut(next) else next
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        sum((lit(1.0) / col("dist").cast("double"))
+          .cast(DecimalType(28, 12))).as("__h"))
+      .select(col("seed"), col("n_reached"),
+        round(col("__h").cast("double"), 6).as("harmonic"))
+  }
+
   // --------------------------------------------------- label propagation
   /** Label-propagation community detection (Raghavan et al. 2007),
     * synchronous variant: every node starts labeled with itself; each round

@@ -2590,6 +2590,63 @@ object Stats {
       col("__g"), abs(col("__x") - col("__med")), scale)
   }
 
+  // ------------------------------------------------------- decision stump
+  /** Best single-split decision stump on one feature: the threshold t
+    * maximizing the Gini-impurity gain of the partition x ≤ t vs x > t
+    * against a boolean label — CART's inner loop as ONE relational pass,
+    * and the first question of any feature audit ("how predictive is
+    * this column at all?").
+    *
+    * Gini (not entropy) keeps every impurity a PURE RATIONAL of exact
+    * integer counts — no ln, no libm exposure. Candidate thresholds are
+    * the DISTINCT feature values (bucket continuous features first — the
+    * rocAuc discipline: the rollup must be vocabulary-sized, and the
+    * bucketing grain is part of the result's meaning); cumulative
+    * left-counts come from one running window over that rollup; gain
+    * rounds 6dp BEFORE the argmax election (threshold ASC tiebreak) so
+    * the winner is engine-identical. The all-left split (t = max x) is
+    * excluded. Returns ONE row:
+    * (n, n_pos, threshold, gain, left_n, left_pos, right_n, right_pos). */
+  def decisionStump(df: DataFrame, featureCol: Column,
+                    labelCol: Column): DataFrame = {
+    val x = featureCol.cast("double")
+    val cells = df.filter(x.isNotNull)
+      .groupBy(x.as("__x"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(labelCol, 1L).otherwise(0L)).as("__p"))
+    val wRun = Window.orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // totals come from a FULL-frame window over the same vocabulary-sized
+    // rollup (no self-derived crossJoin — shared lineage makes its
+    // attributes ambiguous), piggybacking on wRun's single sort
+    val wAll = Window.orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = cells
+      .withColumn("left_n", sum(col("__n")).over(wRun))
+      .withColumn("left_pos", sum(col("__p")).over(wRun))
+      .withColumn("__N", sum(col("__n")).over(wAll))
+      .withColumn("__P", sum(col("__p")).over(wAll))
+      .filter(col("left_n") < col("__N")) // the all-left split is no split
+    def gini(pos: Column, n: Column): Column = {
+      val p = pos.cast("double") / n.cast("double")
+      lit(1.0) - p * p - (lit(1.0) - p) * (lit(1.0) - p)
+    }
+    val nD = col("__N").cast("double")
+    val rootG = gini(col("__P"), col("__N"))
+    val weighted =
+      col("left_n").cast("double") / nD * gini(col("left_pos"), col("left_n")) +
+        (col("__N") - col("left_n")).cast("double") / nD *
+          gini(col("__P") - col("left_pos"), col("__N") - col("left_n"))
+    val scored = cum.select(col("__N").as("n"), col("__P").as("n_pos"),
+      col("__x").as("threshold"), round(rootG - weighted, 6).as("gain"),
+      col("left_n"), col("left_pos"),
+      (col("__N") - col("left_n")).as("right_n"),
+      (col("__P") - col("left_pos")).as("right_pos"))
+    scored.withColumn("__r", row_number().over(
+        Window.orderBy(col("gain").desc, col("threshold").asc)))
+      .filter(col("__r") === 1).drop("__r")
+  }
+
   // --------------------------------------------------------- McNemar test
   /** McNemar's paired-proportions test (McNemar 1947): over paired
     * booleans (before, after) per unit, only the DISCORDANT cells carry

@@ -126,6 +126,38 @@ object MlPipelineQueries {
           .orderBy("node")
       }),
 
+    // ---- per-seed harmonic centrality within 3 hops over the
+    // co-purchase graph (q186's sibling: per-SEED distances, not the
+    // multi-source min): Σ 1/d for reached nodes, 1/d terms in
+    // DECIMAL(28,12); seeds are the sparse %97 sample — the bound that
+    // keeps (seed, node) state linear, never all-pairs.
+    Q("q380_harmonic_centrality",
+      Some("WITH " + AppliedQueries.copurchaseEdgesSql + ", " +
+        "adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e0 " +
+        "UNION SELECT b, a FROM e0), " +
+        "d0 AS MATERIALIZED (SELECT DISTINCT p_partkey AS seed, " +
+        "p_partkey AS node, CAST(0 AS BIGINT) AS dist FROM part " +
+        "WHERE p_partkey % 97 = 0), " +
+        "d1 AS MATERIALIZED (SELECT seed, node, min(dist) AS dist FROM " +
+        "(SELECT seed, node, dist FROM d0 UNION ALL SELECT seed, v, " +
+        "dist + 1 FROM d0 JOIN adj ON node = u) GROUP BY 1, 2), " +
+        "d2 AS MATERIALIZED (SELECT seed, node, min(dist) AS dist FROM " +
+        "(SELECT seed, node, dist FROM d1 UNION ALL SELECT seed, v, " +
+        "dist + 1 FROM d1 JOIN adj ON node = u) GROUP BY 1, 2), " +
+        "d3 AS MATERIALIZED (SELECT seed, node, min(dist) AS dist FROM " +
+        "(SELECT seed, node, dist FROM d2 UNION ALL SELECT seed, v, " +
+        "dist + 1 FROM d2 JOIN adj ON node = u) GROUP BY 1, 2) " +
+        "SELECT seed, CAST(count(*) AS BIGINT) AS n_reached, " +
+        "round(CAST(sum(CAST(1.0 / CAST(dist AS DOUBLE) " +
+        "AS DECIMAL(28,12))) AS DOUBLE), 6) AS harmonic " +
+        "FROM d3 WHERE dist > 0 GROUP BY 1 ORDER BY seed"),
+      (s, dir) => Graph.harmonicCentrality(
+          AppliedQueries.copurchaseEdges(s, dir), "src", "dst",
+          Tables.part(s, dir)
+            .filter(pmod(col("p_partkey"), lit(97L)) === 0),
+          "p_partkey", rounds = 3)
+        .orderBy("seed")),
+
     // ---- daily unique-user report: exact counts hash-gate; the HLL
     // certification flag is each engine's verdict on ITS OWN sketch, so a
     // sketch error past tolerance on either side would flip the boolean

@@ -3862,6 +3862,42 @@ object StatsQueries2 {
         Tables.events(s, dir).filter(col("user_id").isNotNull &&
           col("value").isNotNull),
         col("event_type"), pmod(col("user_id"), lit(2L)) === 0,
-        col("value") > 200))
+        col("value") > 200)),
+
+    // ---- best Gini decision stump: which whole-dollar value threshold
+    // best separates purchases — CART's inner loop as one pass over the
+    // bucketed-value rollup; Gini keeps every impurity a pure rational
+    // (no ln), gain rounds 6dp BEFORE the argmax election.
+    Q("q381_decision_stump", {
+      def g(pos: String, n: String) = {
+        val p = s"CAST($pos AS DOUBLE) / CAST($n AS DOUBLE)"
+        s"(1.0 - ($p) * ($p) - (1.0 - $p) * (1.0 - $p))"
+      }
+      Some("WITH r AS (SELECT floor(CAST(value AS DOUBLE)) AS x, " +
+        "event_type = 'purchase' AS y FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "cells AS (SELECT x, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p " +
+        "FROM r GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, " +
+        "CAST(sum(p) AS BIGINT) AS pp FROM cells), " +
+        "c AS (SELECT x, CAST(sum(n) OVER w AS BIGINT) AS lft, " +
+        "CAST(sum(p) OVER w AS BIGINT) AS lp, nn, pp FROM cells, t " +
+        "WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW)), " +
+        "s AS (SELECT nn AS n, pp AS n_pos, x AS threshold, " +
+        s"round(${g("pp", "nn")} - (CAST(lft AS DOUBLE) / " +
+        s"CAST(nn AS DOUBLE) * ${g("lp", "lft")} + " +
+        "CAST(nn - lft AS DOUBLE) / CAST(nn AS DOUBLE) * " +
+        s"${g("(pp - lp)", "(nn - lft)")}), 6) AS gain, " +
+        "lft AS left_n, lp AS left_pos, nn - lft AS right_n, " +
+        "pp - lp AS right_pos FROM c WHERE lft < nn) " +
+        "SELECT n, n_pos, threshold, gain, left_n, left_pos, right_n, " +
+        "right_pos FROM (SELECT *, row_number() OVER (ORDER BY gain DESC, " +
+        "threshold) AS rr FROM s) WHERE rr = 1")
+    },
+      (s, dir) => Stats.decisionStump(
+        Tables.events(s, dir).filter(col("value").isNotNull),
+        floor(col("value")), col("event_type") === "purchase"))
   )
 }

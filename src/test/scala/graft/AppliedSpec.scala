@@ -700,6 +700,33 @@ class AppliedSpec extends SparkSpec {
     assert(r(1) == (("fr", 1L, 1L, 1L, 0L, 1.0, 1.0)))
   }
 
+  test("harmonicCentrality: path-graph hop sums, round bound, unreachable seeds absent") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val seeds = Seq(1L, 9L).toDF("n") // 9 is isolated
+    val r3 = Graph.harmonicCentrality(e, "s", "d", seeds, "n", rounds = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+      .toMap
+    // 1 -> 2(d1) 3(d2) 4(d3): 1 + 1/2 + 1/3 (decimal-rounded) = 1.833333
+    assert(r3 == Map(1L -> ((3L, 1.833333))), s"harmonic: $r3")
+    val r1 = Graph.harmonicCentrality(e, "s", "d", seeds, "n", rounds = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r1 == Map(1L -> 1.0))
+  }
+
+  test("decisionStump: Gini gain argmax with threshold tiebreak") {
+    import spark.implicits._
+    // x=1: 0/2 pos, x=2: 1/2, x=3: 2/2 — splits at t=1 and t=2 BOTH gain
+    // 0.25 (root 0.5 -> weighted 0.25); threshold ASC elects t=1
+    val df = Seq((1.0, false), (1.0, false), (2.0, true), (2.0, false),
+      (3.0, true), (3.0, true)).toDF("x", "y")
+    val r = Stats.decisionStump(df, col("x"), col("y")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((6L, 3L)))
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 0.25, s"stump: $r")
+    assert((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      ((2L, 0L, 4L, 3L)))
+  }
+
   test("oneWayAnova: hand SSB/SSW/F; degenerate single group nulls F") {
     import spark.implicits._
     // a: 1,2,3 | b: 4,5,6 -> SG = 12+75, SSB = 87-73.5, SSW = 91-87
