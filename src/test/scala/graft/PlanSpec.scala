@@ -885,6 +885,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("q381: the stump's windows run on the bucketed-value rollup, never the rows") {
+    // both the running left-counts and the full-frame totals must sit
+    // ABOVE the (x)-grain HashAggregate: a window over raw events would
+    // single-partition-sort the corpus
+    val p = planOf("q381_decision_stump")
+    assert(p.contains("windowspecdefinition(__x"),
+      s"expected value-ordered windows:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"stump must be join-free:\n$p")
+    val aggIdx = p.linesIterator.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("__x"))
+    val winIdx = p.linesIterator.indexWhere(_.contains("Window"))
+    assert(aggIdx > winIdx && winIdx >= 0,
+      s"rollup must feed the window (window above aggregate in the tree):\n$p")
+  }
+
+  test("q380: harmonic relaxation rounds stay hash equi joins on the frontier") {
+    val p = planOf("q380_harmonic_centrality")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in the harmonic path:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"expected hash joins in the relaxation rounds:\n$p")
+  }
+
   test("q365: every raking join broadcasts (vocabulary-sized marginals), no shuffle join") {
     // the IPF iterate must stay cell-relation-local: 6 scalings x
     // (marginal rollup + 2 broadcast joins); a SortMerge/ShuffledHash

@@ -801,6 +801,19 @@ object ScaleStress {
     assert(kw.getLong(1) == 20000000L, s"n off: $kw")
     assert(kw.getDouble(2) == 0.0 && kw.getDouble(3) == 0.0,
       s"identical groups must give H exactly 0: $kw")
+
+    // decisionStump over 20M rows / 400-value domain with a PLANTED
+    // perfect split: y = (x >= 200), so the stump must elect threshold
+    // 199 with gain exactly the root Gini 0.5 (both children pure).
+    val dsRows = spark.range(20000000L).select(
+      (col("id") % 400L).cast("double").as("x"),
+      (col("id") % 400L >= 200L).as("y"))
+    val ds = timed("decisionStump over 20M rows, 400-value domain") {
+      graft.pipeline.Stats.decisionStump(dsRows, col("x"), col("y"))
+        .collect().head
+    }
+    assert(ds.getDouble(2) == 199.0 && ds.getDouble(3) == 0.5,
+      s"planted perfect split not found: $ds")
     spark.stop()
   }
 }
