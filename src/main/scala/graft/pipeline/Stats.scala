@@ -2590,6 +2590,122 @@ object Stats {
       col("__g"), abs(col("__x") - col("__med")), scale)
   }
 
+  // --------------------------------------------------------- Yuen trimmed t
+  /** Yuen's trimmed-mean t-test (Yuen 1974) — the outlier-robust
+    * two-sample comparison: per group trim k = ⌊γ·n⌋ from each tail,
+    * compare TRIMMED means with WINSORIZED variances:
+    * d_g = (n_g−1)·s²_{w,g} / (h_g(h_g−1)) with h = n − 2k,
+    * t = (m_{t,1} − m_{t,2})/√(d₁+d₂), Welch-style dof.
+    *
+    * Order statistics are DATA ELEMENTS (the repo discipline): the
+    * winsorizing bounds are the values at ranks k+1 and n−k from one
+    * per-group rank window (the documented hot-group shape, as in
+    * robustOutlierStats — order stats are inherently a per-group sort);
+    * clamping and the trimmed/winsorized sums are DECIMAL(38,6)-exact
+    * (unit-magnitude value contract, cf. the SCALE.md round-14
+    * conversion bound); t and dof are fixed-shape IEEE, 6dp. Groups with
+    * h ≤ 1 report null t/dof. Returns one row:
+    * (n_a, n_b, h_a, h_b, mean_trim_a, mean_trim_b, t, dof). */
+  def yuenTTest(df: DataFrame, groupACol: Column, valueCol: Column,
+                trim: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(trim >= 0.0 && trim < 0.5, s"trim in [0, 0.5): $trim")
+    val dt = DecimalType(38, 6)
+    val base = df.select(groupACol.as("__a"), valueCol.cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+    val wRank = Window.partitionBy(col("__a")).orderBy(col("__x"))
+    val wAll = Window.partitionBy(col("__a"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prepared = base
+      .withColumn("__rn", row_number().over(wRank).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__a"))))
+      .withColumn("__k", floor(col("__n").cast("double") * lit(trim)))
+      .withColumn("__h", col("__n") - lit(2L) * col("__k"))
+      .withColumn("__lo", max(when(col("__rn") === col("__k") + 1,
+        col("__x"))).over(wAll))
+      .withColumn("__hi", max(when(col("__rn") === col("__n") - col("__k"),
+        col("__x"))).over(wAll))
+      .withColumn("__xw", greatest(col("__lo"), least(col("__hi"), col("__x"))))
+    def side(a: Boolean, s: String) = {
+      val f = if (a) col("__a") else !col("__a")
+      val inTrim = f && col("__rn") > col("__k") &&
+        col("__rn") <= col("__n") - col("__k")
+      Seq(max(when(f, col("__n"))).as(s"n_$s"),
+        max(when(f, col("__h"))).as(s"h_$s"),
+        sum(when(inTrim, col("__x").cast(dt))).as(s"st_$s"),
+        sum(when(f, col("__xw").cast(dt))).as(s"sw_$s"),
+        sum(when(f, (col("__xw") * col("__xw")).cast(dt))).as(s"sww_$s"))
+    }
+    val aggs = side(a = true, "a") ++ side(a = false, "b")
+    val m = prepared.agg(aggs.head, aggs.tail: _*)
+    def stats(s: String): (Column, Column, Column) = {
+      val n = col(s"n_$s").cast("double"); val h = col(s"h_$s").cast("double")
+      val sw = col(s"sw_$s").cast("double")
+      val sww = col(s"sww_$s").cast("double")
+      val mt = col(s"st_$s").cast("double") / h
+      val s2w = (n * sww - sw * sw) / (n * (n - lit(1.0)))
+      val d = (n - lit(1.0)) * s2w / (h * (h - lit(1.0)))
+      (mt, d, h)
+    }
+    val (mta, da, ha) = stats("a")
+    val (mtb, db, hb) = stats("b")
+    val ok = col("h_a") > 1 && col("h_b") > 1
+    m.select(col("n_a"), col("n_b"), col("h_a"), col("h_b"),
+      round(mta, 6).as("mean_trim_a"), round(mtb, 6).as("mean_trim_b"),
+      round(when(ok, (mta - mtb) / sqrt(da + db)), 6).as("t"),
+      round(when(ok, (da + db) * (da + db) /
+        (da * da / (ha - lit(1.0)) + db * db / (hb - lit(1.0)))), 6)
+        .as("dof"))
+  }
+
+  // --------------------------------------------------- Hosmer-Lemeshow test
+  /** Hosmer-Lemeshow goodness-of-calibration test over score deciles
+    * (Hosmer & Lemeshow 1980): rank units into `nBins` score groups
+    * (ntile over the total order score DESC, id ASC — the qiniDeciles
+    * discipline), then per group χ² terms
+    * (O₁−E₁)²/E₁ + (O₀−E₀)²/E₀ with E₁ = Σp. The calibration TEST next
+    * to q236's calibration PLOT and q289's ECE — does the scorer's
+    * probability mean what it says, decile by decile.
+    *
+    * DETERMINISM: O counts are exact integers; E₁ sums the caller's
+    * scores as DECIMAL(28,12) (scores are probabilities — unit
+    * magnitude, inside the conversion bound); each group's term is one
+    * fixed-shape IEEE expression rounded to DECIMAL(28,12) before the
+    * cross-group total (PSI discipline). Degenerate groups (E₁ ≤ 0 or
+    * E₀ ≤ 0) contribute a NULL term and are excluded from the statistic
+    * — surfaced per row, never silently zeroed. The unit-level input is
+    * the caller's rollup (the global ntile contract). Returns one row
+    * per decile: (decile, n, obs_pos, exp_pos, term, hl_stat) with
+    * hl_stat the full-family total replicated per row. */
+  def hosmerLemeshow(df: DataFrame, idCol: Column, scoreCol: Column,
+                     labelCol: Column, nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val ranked = df.select(idCol.as("__id"),
+        scoreCol.cast("double").as("__p"), labelCol.as("__y"))
+      .filter(col("__p").isNotNull)
+      .withColumn("decile", ntile(nBins).over(
+        Window.orderBy(col("__p").desc, col("__id").asc)).cast("long"))
+    val g = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("obs_pos"),
+        sum(col("__p").cast(DecimalType(28, 12))).as("__e1"))
+    val e1 = col("__e1").cast("double")
+    val e0 = col("n").cast("double") - e1
+    val o1 = col("obs_pos").cast("double")
+    val o0 = (col("n") - col("obs_pos")).cast("double")
+    val term = when(e1 > 0.0 && e0 > 0.0,
+      ((o1 - e1) * (o1 - e1) / e1 + (o0 - e0) * (o0 - e0) / e0)
+        .cast(DecimalType(28, 12)))
+    val wAll = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("__t", term)
+      .select(col("decile"), col("n"), col("obs_pos"),
+        round(e1, 6).as("exp_pos"),
+        round(col("__t").cast("double"), 6).as("term"),
+        round(sum(col("__t")).over(wAll).cast("double"), 6).as("hl_stat"))
+  }
+
   // ------------------------------------------------------- decision stump
   /** Best single-split decision stump on one feature: the threshold t
     * maximizing the Gini-impurity gain of the partition x ≤ t vs x > t

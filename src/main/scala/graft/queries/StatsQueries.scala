@@ -3898,6 +3898,98 @@ object StatsQueries2 {
     },
       (s, dir) => Stats.decisionStump(
         Tables.events(s, dir).filter(col("value").isNotNull),
-        floor(col("value")), col("event_type") === "purchase"))
+        floor(col("value")), col("event_type") === "purchase")),
+
+    // ---- Hosmer-Lemeshow calibration test on q236's deterministic
+    // probability score (p = n_chars/(n_chars+300), label = lang is
+    // English): per-decile (O−E)² terms in DECIMAL(28,12), the family
+    // total replicated per row — the calibration TEST next to the q236
+    // plot and the q289 ECE.
+    Q("q382_hosmer_lemeshow",
+      Some("WITH s AS (SELECT doc_id, CAST(n_chars AS DOUBLE) / " +
+        "(CAST(n_chars AS DOUBLE) + 300.0) AS p, lang = 'en' AS y " +
+        "FROM documents), " +
+        "r AS (SELECT *, CAST(ntile(10) OVER (ORDER BY p DESC, doc_id) " +
+        "AS BIGINT) AS decile FROM s), " +
+        "g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS obs_pos, " +
+        "sum(CAST(p AS DECIMAL(28,12))) AS e1 FROM r GROUP BY 1), " +
+        "f AS (SELECT decile, n, obs_pos, CAST(e1 AS DOUBLE) AS e1d, " +
+        "CAST(n AS DOUBLE) - CAST(e1 AS DOUBLE) AS e0d, " +
+        "CAST(obs_pos AS DOUBLE) AS o1, " +
+        "CAST(n - obs_pos AS DOUBLE) AS o0 FROM g), " +
+        "t AS (SELECT decile, n, obs_pos, e1d, " +
+        "CASE WHEN e1d > 0 AND e0d > 0 THEN " +
+        "CAST((o1 - e1d) * (o1 - e1d) / e1d + " +
+        "(o0 - e0d) * (o0 - e0d) / e0d AS DECIMAL(28,12)) END AS trm " +
+        "FROM f) " +
+        "SELECT decile, n, obs_pos, round(e1d, 6) AS exp_pos, " +
+        "round(CAST(trm AS DOUBLE), 6) AS term, " +
+        "round(CAST(sum(trm) OVER () AS DOUBLE), 6) AS hl_stat " +
+        "FROM t ORDER BY decile"),
+      (s, dir) => Stats.hosmerLemeshow(
+          Tables.documents(s, dir),
+          col("doc_id"),
+          col("n_chars").cast("double") /
+            (col("n_chars").cast("double") + 300.0),
+          col("lang") === "en", nBins = 10)
+        .orderBy("decile")),
+
+    // ---- Yuen's 20%-trimmed t between even/odd users' event values:
+    // winsorizing bounds are data elements at ranks k+1 / n−k off one
+    // per-group rank window; trimmed/winsorized moments DECIMAL(38,6);
+    // the robust answer to q121's Welch on heavy-tailed values.
+    Q("q383_yuen_trimmed_t",
+      Some("WITH b AS (SELECT user_id % 2 = 0 AS a, " +
+        "CAST(value AS DOUBLE) AS x FROM events " +
+        "WHERE value IS NOT NULL AND user_id IS NOT NULL), " +
+        "r AS (SELECT a, x, CAST(row_number() OVER " +
+        "(PARTITION BY a ORDER BY x) AS BIGINT) AS rn, " +
+        "CAST(count(*) OVER (PARTITION BY a) AS BIGINT) AS n FROM b), " +
+        "k AS (SELECT *, CAST(floor(CAST(n AS DOUBLE) * 0.2) AS BIGINT) " +
+        "AS kk FROM r), " +
+        "w AS (SELECT *, n - 2 * kk AS h, " +
+        "max(CASE WHEN rn = kk + 1 THEN x END) OVER (PARTITION BY a) AS lo, " +
+        "max(CASE WHEN rn = n - kk THEN x END) OVER (PARTITION BY a) AS hi " +
+        "FROM k), " +
+        "z AS (SELECT *, greatest(lo, least(hi, x)) AS xw FROM w), " +
+        "m AS (SELECT " +
+        "max(CASE WHEN a THEN n END) AS n_a, " +
+        "max(CASE WHEN a THEN h END) AS h_a, " +
+        "sum(CASE WHEN a AND rn > kk AND rn <= n - kk THEN " +
+        "CAST(x AS DECIMAL(38,6)) END) AS st_a, " +
+        "sum(CASE WHEN a THEN CAST(xw AS DECIMAL(38,6)) END) AS sw_a, " +
+        "sum(CASE WHEN a THEN CAST(xw * xw AS DECIMAL(38,6)) END) AS sww_a, " +
+        "max(CASE WHEN NOT a THEN n END) AS n_b, " +
+        "max(CASE WHEN NOT a THEN h END) AS h_b, " +
+        "sum(CASE WHEN NOT a AND rn > kk AND rn <= n - kk THEN " +
+        "CAST(x AS DECIMAL(38,6)) END) AS st_b, " +
+        "sum(CASE WHEN NOT a THEN CAST(xw AS DECIMAL(38,6)) END) AS sw_b, " +
+        "sum(CASE WHEN NOT a THEN CAST(xw * xw AS DECIMAL(38,6)) END) " +
+        "AS sww_b FROM z), " +
+        "d AS (SELECT n_a, n_b, h_a, h_b, " +
+        "CAST(st_a AS DOUBLE) / CAST(h_a AS DOUBLE) AS mta, " +
+        "CAST(st_b AS DOUBLE) / CAST(h_b AS DOUBLE) AS mtb, " +
+        "(CAST(n_a AS DOUBLE) - 1.0) * ((CAST(n_a AS DOUBLE) * " +
+        "CAST(sww_a AS DOUBLE) - CAST(sw_a AS DOUBLE) * " +
+        "CAST(sw_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) * " +
+        "(CAST(n_a AS DOUBLE) - 1.0))) / (CAST(h_a AS DOUBLE) * " +
+        "(CAST(h_a AS DOUBLE) - 1.0)) AS da, " +
+        "(CAST(n_b AS DOUBLE) - 1.0) * ((CAST(n_b AS DOUBLE) * " +
+        "CAST(sww_b AS DOUBLE) - CAST(sw_b AS DOUBLE) * " +
+        "CAST(sw_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) * " +
+        "(CAST(n_b AS DOUBLE) - 1.0))) / (CAST(h_b AS DOUBLE) * " +
+        "(CAST(h_b AS DOUBLE) - 1.0)) AS db FROM m) " +
+        "SELECT n_a, n_b, h_a, h_b, round(mta, 6) AS mean_trim_a, " +
+        "round(mtb, 6) AS mean_trim_b, " +
+        "round(CASE WHEN h_a > 1 AND h_b > 1 THEN " +
+        "(mta - mtb) / sqrt(da + db) END, 6) AS t, " +
+        "round(CASE WHEN h_a > 1 AND h_b > 1 THEN " +
+        "(da + db) * (da + db) / (da * da / (CAST(h_a AS DOUBLE) - 1.0) " +
+        "+ db * db / (CAST(h_b AS DOUBLE) - 1.0)) END, 6) AS dof FROM d"),
+      (s, dir) => Stats.yuenTTest(
+        Tables.events(s, dir).filter(col("value").isNotNull &&
+          col("user_id").isNotNull),
+        pmod(col("user_id"), lit(2L)) === 0, col("value"), trim = 0.2))
   )
 }

@@ -700,6 +700,40 @@ class AppliedSpec extends SparkSpec {
     assert(r(1) == (("fr", 1L, 1L, 1L, 0L, 1.0, 1.0)))
   }
 
+  test("hosmerLemeshow: per-decile (O-E)^2 terms and the replicated family total") {
+    import spark.implicits._
+    // bin1: p .9/.8 y T/F -> E1 1.7, term 1.921569;
+    // bin2: p .3/.2 y F/F -> E1 0.5, term 0.666667; HL 2.588235
+    val df = Seq((1L, 0.9, true), (2L, 0.8, false), (3L, 0.3, false),
+      (4L, 0.2, false)).toDF("id", "p", "y")
+    val r = Stats.hosmerLemeshow(df, col("id"), col("p"), col("y"),
+        nBins = 2)
+      .orderBy("decile").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getDouble(4), x.getDouble(5)))
+    assert(r(0) == ((1L, 2L, 1L, 1.7, 1.921569, 2.588235)), s"hl: ${r(0)}")
+    assert(r(1) == ((2L, 2L, 0L, 0.5, 0.666667, 2.588235)), s"hl: ${r(1)}")
+  }
+
+  test("yuenTTest: trimmed means, winsorized variance, Welch-style dof") {
+    import spark.implicits._
+    // A = 1..10, B = 2..11 (k=2, h=6): trimmed means 5.5 vs 6.5, shared
+    // winsorized variance -> t = -0.594089, dof exactly 10
+    val df = ((1 to 10).map(v => (true, v.toDouble)) ++
+      (2 to 11).map(v => (false, v.toDouble))).toDF("a", "x")
+    val r = Stats.yuenTTest(df, col("a"), col("x"), trim = 0.2).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 10L, 6L, 6L)))
+    assert(r.getDouble(4) == 5.5 && r.getDouble(5) == 6.5, s"yuen: $r")
+    assert(r.getDouble(6) == -0.594089 && r.getDouble(7) == 10.0,
+      s"yuen t/dof: $r")
+    // a singleton group has h = 1 -> null t, never a 0/0
+    val tiny = Seq((true, 1.0), (true, 2.0), (true, 3.0), (false, 5.0))
+      .toDF("a", "x")
+    assert(Stats.yuenTTest(tiny, col("a"), col("x"), trim = 0.2)
+      .collect()(0).isNullAt(6))
+  }
+
   test("harmonicCentrality: path-graph hop sums, round bound, unreachable seeds absent") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
