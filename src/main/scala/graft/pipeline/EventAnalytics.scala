@@ -508,6 +508,37 @@ object EventAnalytics {
           .as("stat"))
   }
 
+  // ------------------------------------------------ CUSUM control chart
+  /** One-sided CUSUM control chart (Page 1954): the sequential recursion
+    * S_i = max(0, S_{i−1} + (x_i − k)) with alarm when S_i > h — turned
+    * into PURE relational algebra by the reflection identity
+    * S_i = P_i − min(0, min_{j≤i} P_j) with P the running sum of
+    * (x − k): the reset-at-zero loop becomes one running sum and one
+    * running min over the same ordered window. [[changePoint]] answers
+    * the retrospective "where did the level shift?"; this is the ONLINE
+    * monitor ("is it drifting NOW, and since when?").
+    *
+    * All arithmetic is exact integers when x, k, h are integral (counts
+    * and thresholds are), so both windows and the alarm comparison are
+    * engine-exact at any scale. The caller supplies the per-row slack
+    * and threshold columns (typically a broadcast scalar — a
+    * data-derived k must be integer, e.g. the ceiling mean). The ordered
+    * windows run over the caller's series grain (a bounded rollup like
+    * the q119 daily spine — never raw events). Returns
+    * (ord, value, cusum, alarm). */
+  def cusumAlarms(df: DataFrame, ordCol: Column, valueCol: Column,
+                  slack: Column, threshold: Column): DataFrame = {
+    val run = Window.orderBy(col("__o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(ordCol.as("__o"), valueCol.cast("long").as("__x"),
+        slack.cast("long").as("__k"), threshold.cast("long").as("__h"))
+      .withColumn("__p", sum(col("__x") - col("__k")).over(run))
+      .withColumn("__m", least(lit(0L), min(col("__p")).over(run)))
+      .select(col("__o").as("ord"), col("__x").as("value"),
+        (col("__p") - col("__m")).as("cusum"),
+        (col("__p") - col("__m") > col("__h")).as("alarm"))
+  }
+
   // ------------------------------------------------ inter-arrival analysis
   /** Median inter-arrival gap per event type: consecutive same-(user, type)
     * micros deltas (one per-user-per-type lag window, bounded), summarized

@@ -2590,6 +2590,32 @@ object Stats {
       col("__g"), abs(col("__x") - col("__med")), scale)
   }
 
+  // ------------------------------------------------------ partial correlation
+  /** First-order partial correlation r_xy·z — the x↔y association with z
+    * held fixed, the one-line confounder check before trusting a raw
+    * correlation: r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)).
+    *
+    * Composes [[graft.operators.Ops.corrMatrix]]'s single decimal-moment
+    * pass (all three pairwise r's from ONE aggregate); since the inputs
+    * to the closed form are corrMatrix's already-6dp-ROUNDED r's, the
+    * composition is engine-exact by construction. Degenerate inputs
+    * (|r_xz| or |r_yz| = 1, or any null r) report null. Returns one row:
+    * (r_xy, r_xz, r_yz, partial_corr). */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String,
+                  zCol: String): DataFrame = {
+    val m = graft.operators.Ops.corrMatrix(df, Seq(xCol, yCol, zCol))
+    def pick(a: String, b: String) =
+      max(when(col("col_x") === a && col("col_y") === b, col("corr")))
+    val p = m.agg(pick(xCol, yCol).as("r_xy"), pick(xCol, zCol).as("r_xz"),
+      pick(yCol, zCol).as("r_yz"))
+    val den = sqrt((lit(1.0) - col("r_xz") * col("r_xz")) *
+      (lit(1.0) - col("r_yz") * col("r_yz")))
+    p.select(col("r_xy"), col("r_xz"), col("r_yz"),
+      round(when(den > 0.0,
+        (col("r_xy") - col("r_xz") * col("r_yz")) / den), 6)
+        .as("partial_corr"))
+  }
+
   // --------------------------------------------------------- Yuen trimmed t
   /** Yuen's trimmed-mean t-test (Yuen 1974) — the outlier-robust
     * two-sample comparison: per group trim k = ⌊γ·n⌋ from each tail,

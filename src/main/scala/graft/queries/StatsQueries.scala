@@ -3990,6 +3990,73 @@ object StatsQueries2 {
       (s, dir) => Stats.yuenTTest(
         Tables.events(s, dir).filter(col("value").isNotNull &&
           col("user_id").isNotNull),
-        pmod(col("user_id"), lit(2L)) === 0, col("value"), trim = 0.2))
+        pmod(col("user_id"), lit(2L)) === 0, col("value"), trim = 0.2)),
+
+    // ---- one-sided CUSUM control chart on the zero-filled daily count
+    // spine: the reset-at-zero recursion S = max(0, S + (x − k)) as ONE
+    // running sum + ONE running min (the reflection identity) — q138
+    // answers "where did the level shift?", this is the online monitor.
+    // k = the integer ceiling mean, h = 3k; everything exact integers.
+    Q("q384_cusum_alarms",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "s AS (SELECT r.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n " +
+        "FROM r LEFT JOIN c USING (day)), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS tt, " +
+        "CAST(count(*) AS BIGINT) AS nd FROM s), " +
+        "k AS (SELECT s.day, s.n, (tt + nd - 1) // nd AS kk FROM s, t), " +
+        "w AS (SELECT day, n, kk, CAST(sum(n - kk) OVER " +
+        "(ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS p FROM k), " +
+        "m AS (SELECT day, n, kk, p, least(CAST(0 AS BIGINT), " +
+        "CAST(min(p) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS BIGINT)) AS mm FROM w) " +
+        "SELECT day AS ord, n AS value, p - mm AS cusum, " +
+        "p - mm > 3 * kk AS alarm FROM m ORDER BY ord"),
+      (s, dir) => {
+        val daily = EventAnalytics.resampleDaily(Tables.events(s, dir), "ts")
+        val tot = daily.agg(sum(col("n")).as("__tt"),
+          count(lit(1)).as("__nd"))
+        val withK = daily.crossJoin(broadcast(tot))
+          .withColumn("__kk",
+            ((col("__tt") + col("__nd") - lit(1L)) / col("__nd"))
+              .cast("long"))
+        EventAnalytics.cusumAlarms(withK, col("day"), col("n"),
+            col("__kk"), col("__kk") * 3)
+          .orderBy("ord")
+      }),
+
+    // ---- first-order partial correlation of quantity ↔ price holding
+    // discount fixed: the closed form runs on corrMatrix's already-
+    // rounded r's, so the composition is engine-exact by construction.
+    Q("q385_partial_corr", {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val sums = cs.map(c =>
+        s"CAST(SUM(CAST(CAST($c AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS s_$c")
+      val prods = for (i <- cs.indices; j <- i until cs.size) yield
+        s"CAST(SUM(CAST(CAST(${cs(i)} AS DOUBLE) * CAST(${cs(j)} AS DOUBLE) " +
+          s"AS DECIMAL(38,6))) AS DOUBLE) AS p_${i}_$j"
+      val notNull = cs.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      def corr(i: Int, j: Int) = {
+        val num = s"(CAST(n AS DOUBLE) * p_${i}_$j - s_${cs(i)} * s_${cs(j)})"
+        def v(k: Int) =
+          s"(CAST(n AS DOUBLE) * p_${k}_$k - s_${cs(k)} * s_${cs(k)})"
+        s"CASE WHEN (sqrt(${v(i)}) * sqrt(${v(j)})) = 0 THEN NULL " +
+          s"ELSE round($num / (sqrt(${v(i)}) * sqrt(${v(j)})), 6) END"
+      }
+      Some(s"WITH a AS (SELECT count(*) AS n, " +
+        s"${(sums ++ prods).mkString(", ")} FROM lineitem WHERE $notNull), " +
+        s"r AS (SELECT ${corr(0, 1)} AS r_xy, ${corr(0, 2)} AS r_xz, " +
+        s"${corr(1, 2)} AS r_yz FROM a) " +
+        "SELECT r_xy, r_xz, r_yz, " +
+        "round(CASE WHEN sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)) " +
+        "> 0 THEN (r_xy - r_xz * r_yz) / " +
+        "sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)) END, 6) " +
+        "AS partial_corr FROM r")
+    },
+      (s, dir) => Stats.partialCorr(Tables.lineitem(s, dir),
+        "l_quantity", "l_extendedprice", "l_discount"))
   )
 }

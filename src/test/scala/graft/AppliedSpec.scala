@@ -700,6 +700,35 @@ class AppliedSpec extends SparkSpec {
     assert(r(1) == (("fr", 1L, 1L, 1L, 0L, 1.0, 1.0)))
   }
 
+  test("cusumAlarms: reflection identity reproduces the reset-at-zero recursion") {
+    import spark.implicits._
+    // x = 3,1,0,5,5 with k=2: S = 1,0,0,3,6 (resets at the zero floor);
+    // h=4 alarms only at the last point
+    val df = Seq((1L, 3L), (2L, 1L), (3L, 0L), (4L, 5L), (5L, 5L))
+      .toDF("o", "x")
+    val r = EventAnalytics.cusumAlarms(df, col("o"), col("x"),
+        lit(2L), lit(4L))
+      .orderBy("ord").collect()
+      .map(x => (x.getLong(2), x.getBoolean(3)))
+    assert(r.toSeq == Seq((1L, false), (0L, false), (0L, false),
+      (3L, false), (6L, true)), s"cusum: ${r.toSeq}")
+  }
+
+  test("partialCorr: perfect correlation survives partialling; degenerate control nulls") {
+    import spark.implicits._
+    // y = x exactly -> r_xy = 1; z correlates r = 2/sqrt(5) with both ->
+    // partial = (1 - r^2)/(1 - r^2) = 1
+    val df = Seq((1.0, 1.0, 1.0), (2.0, 2.0, 1.0), (3.0, 3.0, 2.0),
+      (4.0, 4.0, 2.0)).toDF("x", "y", "z")
+    val r = Stats.partialCorr(df, "x", "y", "z").collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.894427 &&
+      r.getDouble(3) == 1.0, s"partial: $r")
+    // z == x: |r_xz| = 1 -> denominator 0 -> null, never a 0/0
+    val deg = Seq((1.0, 2.0, 1.0), (2.0, 1.0, 2.0), (3.0, 4.0, 3.0),
+      (4.0, 3.0, 4.0)).toDF("x", "y", "z")
+    assert(Stats.partialCorr(deg, "x", "y", "z").collect()(0).isNullAt(3))
+  }
+
   test("hosmerLemeshow: per-decile (O-E)^2 terms and the replicated family total") {
     import spark.implicits._
     // bin1: p .9/.8 y T/F -> E1 1.7, term 1.921569;
