@@ -47,7 +47,12 @@ object Registry {
     * except the intended −0.0 normalizations. Applying it HERE (not by
     * hand at each site) makes the class structural: future queries are
     * protected at assembly, like the duplicate-name gate above.
-    * NaN is unaffected (NaN + 0.0 = NaN). */
+    * NaN is unaffected (NaN + 0.0 = NaN).
+    *
+    * Known edge (none in the registry today, checked): the scan is
+    * textual, so a SQL STRING LITERAL containing "round(" would be
+    * rewritten too and the query would fail loudly in DuckDB — never
+    * silently; keep "round(" out of oracle string literals. */
   private[graft] def normalizeNegativeZero(sql: String): String = {
     val b = new StringBuilder
     var i = 0
