@@ -2382,8 +2382,15 @@ object Stats {
   def multipleTesting(df: DataFrame, idCol: String, pCol: Column,
                       alpha: Double = 0.05): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
-    val base = df.select(col(idCol), pCol.cast("double").as("p"))
-      .filter(col("p").isNotNull)
+    // a NULL p-value FAILS the job rather than silently leaving the
+    // family: dropping a test shrinks m, which LOOSENS Bonferroni/Holm
+    // thresholds for every other test — corrupt input must not make the
+    // family look more significant (the fifoMatch negative-qty rule)
+    val base = df.select(col(idCol),
+      when(pCol.isNull, raise_error(org.apache.spark.sql.functions.concat(
+          lit("multipleTesting: null p-value for id "), col(idCol).cast("string"),
+          lit(" - a dropped test would loosen every other threshold"))))
+        .otherwise(pCol.cast("double")).as("p"))
     val m = base.agg(count(lit(1)).as("__m"))
     val wRank = Window.orderBy(col("p").asc, col(idCol).asc)
     val wRun = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2436,17 +2443,27 @@ object Stats {
     val ct = colTargets.select(col(bCol), col("target").as("__cb"))
     var w = cells.select(col(aCol), col(bCol), col(nCol).cast("long").as("n"))
       .withColumn("weight", col("n").cast("double").cast(DecimalType(28, 12)))
+    // target joins are LEFT + loud failure, never inner: an inner join
+    // would silently DROP every cell whose category is missing from the
+    // caller's target relation — the raked table would quietly lose mass
+    def requireTarget(c: String, key: String): Column =
+      when(col(c).isNull, raise_error(
+        org.apache.spark.sql.functions.concat(
+          lit(s"rake: no target for $key value "),
+          col(key).cast("string")))).otherwise(col(c))
     for (_ <- 1 to rounds) {
       val rowSums = w.groupBy(aCol).agg(sum(col("weight")).as("__sa"))
-      w = w.join(broadcast(rowSums), Seq(aCol)).join(broadcast(rt), Seq(aCol))
+      w = w.join(broadcast(rowSums), Seq(aCol))
+        .join(broadcast(rt), Seq(aCol), "left")
         .withColumn("weight",
-          (col("weight").cast("double") * col("__ra") /
+          (col("weight").cast("double") * requireTarget("__ra", aCol) /
             col("__sa").cast("double")).cast(DecimalType(28, 12)))
         .drop("__sa", "__ra")
       val colSums = w.groupBy(bCol).agg(sum(col("weight")).as("__sb"))
-      w = w.join(broadcast(colSums), Seq(bCol)).join(broadcast(ct), Seq(bCol))
+      w = w.join(broadcast(colSums), Seq(bCol))
+        .join(broadcast(ct), Seq(bCol), "left")
         .withColumn("weight",
-          (col("weight").cast("double") * col("__cb") /
+          (col("weight").cast("double") * requireTarget("__cb", bCol) /
             col("__sb").cast("double")).cast(DecimalType(28, 12)))
         .drop("__sb", "__cb")
     }

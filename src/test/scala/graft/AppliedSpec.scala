@@ -621,6 +621,16 @@ class AppliedSpec extends SparkSpec {
     assert(r(2) == (("C", 0.15, false, true)))
     assert(r(3) == (("D", 1.0, false, false)))
     assert(r(4) == (("E", 1.0, false, false)))
+    // a NULL p-value fails loudly — dropping it would shrink m and
+    // loosen every other test's threshold
+    val withNull = Seq(("A", Some(0.01)), ("B", None: Option[Double]))
+      .toDF("id", "pv")
+    val ex = intercept[Exception] {
+      Stats.multipleTesting(withNull, "id", col("pv")).collect()
+    }
+    assert(ex.toString.contains("null p-value") ||
+      Option(ex.getCause).exists(_.toString.contains("null p-value")),
+      s"expected the null-p raise, got: $ex")
   }
 
   test("rake: symmetric table is a fixed point; col targets met exactly after the final col scaling") {
@@ -645,6 +655,15 @@ class AppliedSpec extends SparkSpec {
     val w1 = Stats.rake(sym, "a", "b", "n", rt1, ct1, rounds = 5)
       .collect().map(_.getDouble(3))
     assert(w1.forall(_ == 1.0), s"fixed point drifted: ${w1.toSeq}")
+    // a category with no target fails loudly — an inner join would
+    // silently drop its cells and the raked table would lose mass
+    val missing = Seq(("a1", 2.0)).toDF("a", "target") // a2 absent
+    val ex = intercept[Exception] {
+      Stats.rake(sym, "a", "b", "n", missing, ct1, rounds = 1).collect()
+    }
+    assert(ex.toString.contains("no target") ||
+      Option(ex.getCause).exists(_.toString.contains("no target")),
+      s"expected the missing-target raise, got: $ex")
   }
 
   test("stratifiedAte: within-stratum diffs from decimal means; one-sided stratum yields null diff") {
