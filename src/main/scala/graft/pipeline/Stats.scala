@@ -1766,25 +1766,197 @@ object Stats {
         col("__d").as("stock_level"), col("__mx").as("max_demand"))
   }
 
+  // ------------------------------------------- exact equal-count tiles
+  /** Exact `ntile(nBins)` over the total order (scoreCol DESC NULLS LAST,
+    * idCol ASC) WITHOUT a global single-partition sort — the scale-safe
+    * replacement for `ntile(n).over(Window.orderBy(...))`, whose
+    * unpartitioned window funnels the whole relation through ONE task.
+    * Appends `tileCol` (long, 1-based); the assignment is bit-for-bit
+    * standard SQL ntile (the first N mod n tiles get ceil(N/n) rows),
+    * identical to Spark's and DuckDB's.
+    *
+    * Shape — a distributed multi-pivot quickselect:
+    *   1. ONE aggregate: exact N + a `grid` of APPROX score pivots. Pivot
+    *      quality only affects rescue-window SIZE, never the result: all
+    *      counts below are exact, so approx_percentile's bounded-memory
+    *      sketch is safe where an exact percentile's value-vocabulary
+    *      buffer would not be.
+    *   2. Rows classify into pivot segments by PROJECTION (the long→double
+    *      cast is monotone, so segment order agrees with the total order);
+    *      ONE ≤2·grid+2-row aggregate counts each segment exactly →
+    *      per-segment rank offsets. Segments whose whole rank span lands
+    *      inside one tile assign by projection — no sort, no rank.
+    *   3. Only the ≤ nBins−1 segments STRADDLING a tile-boundary rank get
+    *      a rank window PARTITIONED by the segment (≲ N/grid rows each).
+    *      A massive TIE at a boundary value — its own singleton segment,
+    *      inside which only the id order matters — first subdivides on an
+    *      id pivot grid the same way, so even an all-one-value relation
+    *      never re-creates the global sort (windows ≲ tie/grid).
+    *
+    * Bounded driver seams (the IVF-centroid discipline): the 1-row pivot
+    * aggregate, the segment counts, and (massive ties only) the per-tie id
+    * grids — all O(grid), never O(N). The slim input projection is
+    * localCheckpointed once and every pass reads the materialized copy.
+    *
+    * Contract: scoreCol numeric; idCol distinct non-null (ntile's
+    * determinism tiebreak). Tie subdivision additionally needs the
+    * score's double cast INJECTIVE on the tie value (floats/doubles
+    * always; integrals when |pivot| < 2^53) and a numeric idCol — where
+    * either fails it falls back to the tie-partitioned window, which is
+    * the documented bound. */
+  private[graft] def equalCountTiles(df0: DataFrame, scoreCol: String,
+      idCol: String, nBins: Int, tileCol: String, grid: Int = 128,
+      tieSubdivideMin: Long = 1L << 18): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(nBins >= 2 && nBins <= 1024, s"nBins in [2,1024]: $nBins")
+    require(grid >= 2 && grid <= 1024, s"grid in [2,1024]: $grid")
+    val spark = df0.sparkSession
+    import spark.implicits._
+    val sD = col(scoreCol).cast("double")
+    val idD = col(idCol).cast("double")
+    val df = df0.localCheckpoint(true)
+    val ps = (1 until grid).map(i => i.toDouble / grid)
+    // accuracy 2500: pivot error ~N/2500 is noise against the ~N/grid
+    // rescue-window bound, and the sketch insert path is ~40% of the
+    // helper's constant factor at accuracy 10000
+    val head = df.agg(count(lit(1)).as("n"),
+      expr(s"approx_percentile(CAST(`$scoreCol` AS DOUBLE), " +
+        s"array(${ps.mkString(",")}), 2500)").as("pv")).head()
+    val n = head.getLong(0)
+    if (n == 0L) return df0.withColumn(tileCol, lit(null).cast("long"))
+    val pivots: Seq[Double] = (if (head.isNullAt(1)) Seq.empty[Double]
+      else head.getSeq[Any](1).collect { case d: java.lang.Double => d.doubleValue })
+      .distinct.sorted(Ordering[Double].reverse)
+    val nullSeg = 2 * pivots.size + 1
+    // segment code: monotone in (score DESC, id ASC) — 2j for the open
+    // interval below pivot j, 2j+1 for the singleton AT pivot j (odd code
+    // <=> one tie value), nulls last. Classification is a BALANCED
+    // BINARY-SEARCH CASE TREE, not a linear when-chain: a 127-term sum
+    // evaluates every predicate per row (~3 µs/row measured, interpreted
+    // or not), the tree evaluates ~log2(grid) — 18× less work on the hot
+    // projection that every pass re-derives.
+    val segExpr: Column = {
+      val asc = pivots.reverse.toIndexedSeq // ascending
+      val m = asc.size
+      def tree(lo: Int, hi: Int): Column =
+        if (lo >= hi) lit(2 * m - 2 * lo) // open interval (u_{lo-1}, u_{lo})
+        else {
+          val mid = (lo + hi) / 2
+          when(sD < lit(asc(mid)), tree(lo, mid))
+            .otherwise(when(sD === lit(asc(mid)), lit(2 * m - (2 * mid + 1)))
+              .otherwise(tree(mid + 1, hi)))
+        }
+      when(col(scoreCol).isNull, lit(nullSeg)).otherwise(tree(0, m))
+    }
+    val segCounts: Seq[(Int, Long)] = df.groupBy(segExpr.as("__seg"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    // standard ntile cut ranks: tile b ends at rank b*(N div n) + min(b, N mod n)
+    val q = n / nBins; val r = n % nBins
+    val cuts: Seq[Long] = (1L until nBins.toLong).map(b => b * q + math.min(b, r))
+    def tileOf(rank: Long): Long = cuts.count(_ < rank) + 1L
+    val offsets: Map[Int, Long] = {
+      var off = 0L
+      segCounts.map { case (s, c) => val o = off; off += c; s -> o }.toMap
+    }
+    def straddles(seg: Int): Boolean = {
+      val o = offsets(seg); val c = segCounts.find(_._1 == seg).get._2
+      tileOf(o + 1) != tileOf(o + c)
+    }
+    // massive boundary ties subdivide on the id grid before ranking —
+    // valid only when the singleton segment truly holds ONE score value
+    // (injective double cast) and the id is numeric
+    val scoreInjective: Double => Boolean = df0.schema(scoreCol).dataType match {
+      case FloatType | DoubleType => _ => true
+      case ByteType | ShortType | IntegerType | LongType =>
+        v => math.abs(v) < (1L << 53).toDouble
+      case _ => _ => false
+    }
+    val idNumeric = df0.schema(idCol).dataType.isInstanceOf[NumericType]
+    val tiesToSub: Seq[Int] = segCounts.collect {
+      case (s, c) if s % 2 == 1 && s != nullSeg && c >= tieSubdivideMin &&
+        straddles(s) && idNumeric && scoreInjective(pivots(s / 2)) => s
+    }
+    val idPivots: Map[Int, Seq[Double]] =
+      if (tiesToSub.isEmpty) Map.empty
+      else df.filter(segExpr.isin(tiesToSub: _*))
+        .groupBy(segExpr.as("__seg"))
+        .agg(expr(s"approx_percentile(CAST(`$idCol` AS DOUBLE), " +
+          s"array(${ps.mkString(",")}), 10000)").as("pv"))
+        .collect().map { row =>
+          val us = (if (row.isNullAt(1)) Seq.empty[Double]
+            else row.getSeq[Any](1).collect { case d: java.lang.Double => d.doubleValue })
+            .distinct.sorted
+          row.getInt(0) -> us
+        }.toMap
+    // sub code = #(id pivots <= id): the same binary-search tree shape
+    // (upper-bound search), monotone in id ASC
+    val subExpr: Column = tiesToSub.foldLeft(lit(-1)) { (acc, code) =>
+      val us = idPivots(code).toIndexedSeq
+      def tree(lo: Int, hi: Int): Column =
+        if (lo >= hi) lit(lo)
+        else {
+          val mid = (lo + hi) / 2
+          when(idD >= lit(us(mid)), tree(mid + 1, hi)).otherwise(tree(lo, mid))
+        }
+      when(segExpr === code, tree(0, us.size)).otherwise(acc)
+    }
+    val subCounts: Map[(Int, Int), Long] =
+      if (tiesToSub.isEmpty) Map.empty
+      else df.filter(segExpr.isin(tiesToSub: _*))
+        .groupBy(segExpr.as("__seg"), subExpr.as("__sub"))
+        .agg(count(lit(1)).as("__c"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // assignment map: (seg, sub) -> (rank offset, straddle?, fixed tile)
+    val mapRows: Seq[(Int, Int, Boolean, Long, Long)] = segCounts.flatMap {
+      case (seg, cnt) if tiesToSub.contains(seg) =>
+        var off = offsets(seg)
+        subCounts.filter(_._1._1 == seg).toSeq.sortBy(_._1._2).map {
+          case ((_, sub), c) =>
+            val o = off; off += c
+            (seg, sub, tileOf(o + 1) != tileOf(o + c), o, tileOf(o + 1))
+        }
+      case (seg, cnt) =>
+        val o = offsets(seg)
+        Seq((seg, -1, tileOf(o + 1) != tileOf(o + cnt), o, tileOf(o + 1)))
+    }
+    val mapDf = mapRows.toDF("__seg", "__sub", "__str", "__base", "__tile")
+    val joined = df.withColumn("__seg", segExpr).withColumn("__sub", subExpr)
+      .join(broadcast(mapDf), Seq("__seg", "__sub"))
+    val fixed = joined.filter(!col("__str")).withColumn(tileCol, col("__tile"))
+    val wResc = Window.partitionBy(col("__seg"), col("__sub"))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+    def tileFromRank(rk: Column): Column =
+      cuts.foldLeft(lit(1L)) { (a, k) =>
+        a + when(lit(k) < rk, lit(1L)).otherwise(lit(0L)) }
+    val rescued = joined.filter(col("__str"))
+      .withColumn("__rk", col("__base") + row_number().over(wResc).cast("long"))
+      .withColumn(tileCol, tileFromRank(col("__rk"))).drop("__rk")
+    fixed.union(rescued.select(fixed.columns.map(col): _*))
+      .drop("__seg", "__sub", "__str", "__base", "__tile")
+  }
+
   // ------------------------------------------------------------ Qini deciles
   /** Qini uplift curve at decile grain: units rank by targeting score
-    * (score DESC, id ASC — total order, so ntile is deterministic), and
-    * each cumulative decile reports treated/control counts, conversions,
-    * and the Qini uplift conv_t − conv_c·(n_t/n_c) — the uplift-model
-    * evaluation standard. All counts are exact integers from one unit-
-    * grain aggregate; windows run on the 10-row decile rollup. Returns
-    * per decile: (decile, cum_n_treat, cum_n_ctrl, cum_conv_treat,
-    * cum_conv_ctrl, uplift). */
+    * (score DESC, id ASC — total order, so the tiling is deterministic),
+    * and each cumulative decile reports treated/control counts,
+    * conversions, and the Qini uplift conv_t − conv_c·(n_t/n_c) — the
+    * uplift-model evaluation standard. Ranking is [[equalCountTiles]]
+    * (exact ntile semantics, broadcast-offset projection + segment-
+    * partitioned rescue — never a global single-partition sort); all
+    * counts are exact integers from one unit-grain aggregate; windows run
+    * on the nBins-row decile rollup. Returns per decile: (decile,
+    * cum_n_treat, cum_n_ctrl, cum_conv_treat, cum_conv_ctrl, uplift). */
   def qiniDeciles(df: DataFrame, idCol: Column, scoreCol: Column,
                   treatCol: Column, convCol: Column,
                   nBins: Int = 10): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2: $nBins")
-    val ranked = df.select(idCol.as("__id"), scoreCol.as("__s"),
-        treatCol.as("__t"), convCol.as("__c"))
-      // long, not ntile's native int: every other emitted column is long,
-      // and downstream engines (DuckDB ntile included) emit 64-bit here
-      .withColumn("decile", ntile(nBins).over(
-        Window.orderBy(col("__s").desc, col("__id").asc)).cast("long"))
+    // long, not ntile's native int: every other emitted column is long,
+    // and downstream engines (DuckDB ntile included) emit 64-bit here
+    val ranked = equalCountTiles(
+      df.select(idCol.as("__id"), scoreCol.as("__s"),
+        treatCol.as("__t"), convCol.as("__c")),
+      "__s", "__id", nBins, "decile")
     val cells = ranked.groupBy("decile")
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
         sum(when(!col("__t"), 1L).otherwise(0L)).as("__nc"),
@@ -2557,7 +2729,12 @@ object Stats {
       .agg(sum(col("__c")).as("__ng"),
         sum((col("__ar") * col("__c").cast("double"))
           .cast(DecimalType(28, 12))).as("__rg"))
-    val ties = vals.agg(sum(col("__t") * col("__t") * col("__t") - col("__t"))
+    // t³−t in DECIMAL(38,0): a tie group above ~2.1M rows overflows 2^63,
+    // where non-ANSI Spark would wrap SILENTLY while the DuckDB oracle
+    // errors loudly — decimal keeps both engines exact to t ≈ 10^12
+    // (t³ < 10^38; the oracle accumulates the same term as HUGEINT)
+    val ties = vals.agg(sum(col("__t").cast(DecimalType(38, 0)) * col("__t") *
+        col("__t") - col("__t"))
       .as("__tsum"), sum(col("__t")).as("__N"))
     val nD = col("__N").cast("double")
     val term = ((col("__rg").cast("double") / col("__ng").cast("double") -
@@ -2704,8 +2881,9 @@ object Stats {
   // --------------------------------------------------- Hosmer-Lemeshow test
   /** Hosmer-Lemeshow goodness-of-calibration test over score deciles
     * (Hosmer & Lemeshow 1980): rank units into `nBins` score groups
-    * (ntile over the total order score DESC, id ASC — the qiniDeciles
-    * discipline), then per group χ² terms
+    * ([[equalCountTiles]] over the total order score DESC, id ASC — exact
+    * ntile semantics without the global single-partition sort), then per
+    * group χ² terms
     * (O₁−E₁)²/E₁ + (O₀−E₀)²/E₀ with E₁ = Σp. The calibration TEST next
     * to q236's calibration PLOT and q289's ECE — does the scorer's
     * probability mean what it says, decile by decile.
@@ -2716,19 +2894,26 @@ object Stats {
     * fixed-shape IEEE expression rounded to DECIMAL(28,12) before the
     * cross-group total (PSI discipline). Degenerate groups (E₁ ≤ 0 or
     * E₀ ≤ 0) contribute a NULL term and are excluded from the statistic
-    * — surfaced per row, never silently zeroed. The unit-level input is
-    * the caller's rollup (the global ntile contract). Returns one row
-    * per decile: (decile, n, obs_pos, exp_pos, term, hl_stat) with
-    * hl_stat the full-family total replicated per row. */
+    * — surfaced per row, never silently zeroed. Null-score rows are
+    * excluded (they carry no calibration claim); a NULL LABEL on a
+    * scored row FAILS the job — counting it as a negative would bias
+    * O/E silently (the multipleTesting rule). The unit-level input is
+    * the caller's rollup. Returns one row per decile:
+    * (decile, n, obs_pos, exp_pos, term, hl_stat) with hl_stat the
+    * full-family total replicated per row. */
   def hosmerLemeshow(df: DataFrame, idCol: Column, scoreCol: Column,
                      labelCol: Column, nBins: Int = 10): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(nBins >= 2, s"nBins must be >= 2: $nBins")
-    val ranked = df.select(idCol.as("__id"),
-        scoreCol.cast("double").as("__p"), labelCol.as("__y"))
-      .filter(col("__p").isNotNull)
-      .withColumn("decile", ntile(nBins).over(
-        Window.orderBy(col("__p").desc, col("__id").asc)).cast("long"))
+    val ranked = equalCountTiles(
+      df.select(idCol.as("__id"), scoreCol.cast("double").as("__p"),
+          when(scoreCol.cast("double").isNotNull && labelCol.isNull,
+            raise_error(concat(lit("hosmerLemeshow: null label for id "),
+              idCol.cast("string"),
+              lit(" - a null counted as negative would bias O/E silently"))))
+            .otherwise(labelCol).as("__y"))
+        .filter(col("__p").isNotNull),
+      "__p", "__id", nBins, "decile")
     val g = ranked.groupBy("decile")
       .agg(count(lit(1)).as("n"),
         sum(when(col("__y"), 1L).otherwise(0L)).as("obs_pos"),
@@ -2765,7 +2950,10 @@ object Stats {
     * rounds 6dp BEFORE the argmax election (threshold ASC tiebreak) so
     * the winner is engine-identical. The all-left split (t = max x) is
     * excluded. Returns ONE row:
-    * (n, n_pos, threshold, gain, left_n, left_pos, right_n, right_pos). */
+    * (n, n_pos, threshold, gain, left_n, left_pos, right_n, right_pos);
+    * when NO valid split exists (a single distinct feature value, or an
+    * empty input) the one row reports the totals with null
+    * threshold/gain/left/right — a loud degenerate, never zero rows. */
   def decisionStump(df: DataFrame, featureCol: Column,
                     labelCol: Column): DataFrame = {
     val x = featureCol.cast("double")
@@ -2801,9 +2989,25 @@ object Stats {
       col("left_n"), col("left_pos"),
       (col("__N") - col("left_n")).as("right_n"),
       (col("__P") - col("left_pos")).as("right_pos"))
-    scored.withColumn("__r", row_number().over(
+    val elected = scored.withColumn("__r", row_number().over(
         Window.orderBy(col("gain").desc, col("threshold").asc)))
       .filter(col("__r") === 1).drop("__r")
+    // the documented one-row contract survives the no-valid-split
+    // degenerate: a totals row with null threshold/gain loses the
+    // priority election to any real candidate (union + TakeOrdered(1))
+    val fallback = cells.agg(
+        coalesce(sum(col("__n")), lit(0L)).as("n"),
+        coalesce(sum(col("__p")), lit(0L)).as("n_pos"))
+      .select(col("n"), col("n_pos"),
+        lit(null).cast("double").as("threshold"),
+        lit(null).cast("double").as("gain"),
+        lit(null).cast("long").as("left_n"),
+        lit(null).cast("long").as("left_pos"),
+        lit(null).cast("long").as("right_n"),
+        lit(null).cast("long").as("right_pos"))
+    elected.withColumn("__pri", lit(1))
+      .unionByName(fallback.withColumn("__pri", lit(2)))
+      .orderBy("__pri").limit(1).drop("__pri")
   }
 
   // --------------------------------------------------------- McNemar test
@@ -3021,34 +3225,40 @@ object Stats {
 
   // ------------------------------------- propensity-stratified ATE
   /** Subclassification (stratified) average-treatment-effect estimate:
-    * rank units into `nStrata` score strata (ntile over a total order —
-    * score DESC, id ASC), take the treated-minus-control outcome-mean
-    * difference within each stratum, and weight by stratum size
+    * rank units into `nStrata` score strata ([[equalCountTiles]] over the
+    * total order score DESC, id ASC — exact ntile semantics without the
+    * global single-partition sort), and take the treated-minus-control
+    * outcome-mean difference within each stratum
     * (Rosenbaum & Rubin 1984's propensity subclassification with a
     * caller-supplied deterministic score — five strata removes ~90% of
     * the score-captured bias, the classic Cochran result).
     *
     * DETERMINISM: outcome means are exact DECIMAL(28,12) sums over exact
-    * counts; each stratum's diff and weight are fixed-shape IEEE, the
-    * diff rounded 6dp, the ATE one DECIMAL-summed weighted term per
-    * stratum (PSI discipline). Strata missing a side contribute NULL
-    * diff and are excluded from the ATE (n_used reports the mass kept).
+    * counts; each stratum's diff is fixed-shape IEEE rounded 6dp. Strata
+    * missing a side contribute NULL diff — surfaced per row, never
+    * silently zeroed. A NULL OUTCOME fails the job: sum() would skip it
+    * while the n_treat/n_ctrl denominators count it, silently biasing
+    * every mean (the multipleTesting rule).
     *
-    * Scale: the global ntile is a deliberate single-partition sort over
-    * the UNIT-level relation — callers pass the per-unit rollup (users,
-    * accounts), never raw events (the qiniDeciles contract); the heavy
-    * aggregation happened upstream on the full cluster. Returns one row
-    * per stratum:
+    * Scale: callers pass the per-unit rollup (users, accounts), never
+    * raw events — the heavy aggregation happens upstream on the full
+    * cluster; the tiling itself is broadcast-offset projection plus
+    * segment-partitioned rescue windows at any N. Returns one row per
+    * stratum:
     * (stratum, n, n_treat, n_ctrl, mean_treat, mean_ctrl, diff). */
   def stratifiedAte(df: DataFrame, idCol: Column, scoreCol: Column,
                     treatCol: Column, outcomeCol: Column,
                     nStrata: Int = 5): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(nStrata >= 2, s"nStrata must be >= 2: $nStrata")
-    val ranked = df.select(idCol.as("__id"), scoreCol.as("__s"),
-        treatCol.as("__t"), outcomeCol.cast("double").as("__y"))
-      .withColumn("stratum", ntile(nStrata).over(
-        Window.orderBy(col("__s").desc, col("__id").asc)).cast("long"))
+    val ranked = equalCountTiles(
+      df.select(idCol.as("__id"), scoreCol.as("__s"), treatCol.as("__t"),
+        when(outcomeCol.cast("double").isNull,
+          raise_error(concat(lit("stratifiedAte: null outcome for id "),
+            idCol.cast("string"),
+            lit(" - a skipped sum over a counted denominator biases the mean"))))
+          .otherwise(outcomeCol.cast("double")).as("__y")),
+      "__s", "__id", nStrata, "stratum")
     ranked.groupBy("stratum")
       .agg(count(lit(1)).as("n"),
         sum(when(col("__t"), 1L).otherwise(0L)).as("n_treat"),
@@ -3064,5 +3274,260 @@ object Stats {
           col("__st").cast("double") / col("n_treat").cast("double") -
             col("__sc").cast("double") / col("n_ctrl").cast("double")), 6)
           .as("diff"))
+  }
+
+  // ----------------------------------------------------- Kendall's tau-b
+  /** Kendall rank correlation τ-b with the tie correction (Kendall 1945)
+    * — [[spearman]]'s concordance-based sibling, preferred when the
+    * ordinal scales are coarse: τ-b = (C − D) / √((n₀−n₁)(n₀−n₂)) with
+    * C/D the concordant/discordant pair masses and n₁/n₂ the x-tie /
+    * y-tie pair masses.
+    *
+    * DETERMINISM AND SCALE — the rocAuc discipline taken to TWO axes:
+    * everything computes on the (x, y) CELL rollup, never the rows, so
+    * both vocabularies must be bounded (bucket continuous values first —
+    * the grain is part of the result's meaning). C and D come from the
+    * cell-PAIR relation — a broadcast inequality self-join of the
+    * vocabulary-sized cell relation, O(V²) work INDEPENDENT of N (the
+    * one documented nested-loop join here; it never touches row counts).
+    * All pair masses are exact DECIMAL(38,0) products of exact counts;
+    * τ-b is one fixed-shape IEEE closed form, 6dp. Returns one row:
+    * (n, concordant, discordant, tau_b) — the pair masses as doubles
+    * (exact below 2^53; both engines round-to-nearest above). */
+  def kendallTau(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val cells = df.select(xCol.cast("double").as("__x"),
+        yCol.cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy("__x", "__y").agg(count(lit(1)).as("__c"))
+    val a = cells.select(col("__x").as("xa"), col("__y").as("ya"),
+      col("__c").as("ca"))
+    val b = cells.select(col("__x").as("xb"), col("__y").as("yb"),
+      col("__c").as("cb"))
+    val pairs = a.join(broadcast(b),
+      col("xa") < col("xb") ||
+        (col("xa") === col("xb") && col("ya") < col("yb")))
+    val mass = (col("ca") * col("cb")).cast(dt)
+    val cd = pairs.agg(
+      sum(when((col("xb") - col("xa")) * (col("yb") - col("ya")) > 0.0, mass)
+        .otherwise(lit(0).cast(dt))).as("__conc"),
+      sum(when((col("xb") - col("xa")) * (col("yb") - col("ya")) < 0.0, mass)
+        .otherwise(lit(0).cast(dt))).as("__disc"))
+    // tie masses accumulate DOUBLED (t·(t−1), always even) in DECIMAL and
+    // halve once in double — decimal division would inflate the scale
+    def tiePairs(c: String) = cells.groupBy(col(c)).agg(sum(col("__c")).as("__t"))
+      .agg(sum(col("__t").cast(dt) * (col("__t") - 1L)).as("__p2"),
+        sum(col("__t")).as("__n"))
+    val tx = tiePairs("__x").select(col("__p2").as("__n1x2"), col("__n").as("n"))
+    val ty = tiePairs("__y").select(col("__p2").as("__n2x2"))
+    val m = cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+    val n0 = (col("n").cast(dt) * (col("n") - 1L)).cast("double") / 2.0
+    val den = sqrt((n0 - col("__n1x2").cast("double") / 2.0) *
+      (n0 - col("__n2x2").cast("double") / 2.0))
+    m.select(col("n"),
+      col("__conc").cast("double").as("concordant"),
+      col("__disc").cast("double").as("discordant"),
+      round(when(den > 0.0,
+        (col("__conc").cast("double") - col("__disc").cast("double")) / den), 6)
+        .as("tau_b"))
+  }
+
+  // ------------------------------------------------- Jarque-Bera normality
+  /** Jarque-Bera normality test (Jarque & Bera 1980): skewness g₁ and
+    * excess kurtosis g₂ from central moments, JB = n/6·(g₁² + g₂²/4) —
+    * the one-row "is this column even roughly normal" gate before any
+    * z-based rule.
+    *
+    * DETERMINISM — the floor-quantized central-moment discipline
+    * (SCALE.md conversion bound): pass 1 takes the DECIMAL-exact mean,
+    * ROUNDED 6dp and broadcast back (engine-identical constant); pass 2
+    * accumulates floor(d²·10⁶), floor(d³·10³), floor(d⁴) of d = v − μ̂
+    * as DECIMAL(38,0) — each per-row value is an exactly-integral double
+    * well below the 4e15 cast bound wherever |d| ≲ 10⁴, and floor is the
+    * same exact operation in both engines (no .5-tie hazard), so the
+    * quantization grain is PART OF THE STATISTIC's meaning. Contract:
+    * n·max|d|⁴ < 2^63 (the decimal-aggregate read-back bound) — pre-scale
+    * wider data. Finishes as fixed-shape IEEE, 6dp. Returns one row:
+    * (n, mean, skewness, kurtosis_excess, jb). */
+  def jarqueBera(df: DataFrame, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val v = valueCol.cast("double")
+    val base = df.select(v.as("__v")).filter(col("__v").isNotNull)
+    val meanRow = base.agg(count(lit(1)).as("__n"),
+      sum(col("__v").cast(DecimalType(38, 6))).as("__s"))
+      .select(col("__n"),
+        round(col("__s").cast("double") / col("__n").cast("double"), 6)
+          .as("__mu"))
+    val d = col("__v") - col("__mu")
+    val m = base.crossJoin(broadcast(meanRow))
+      .agg(max(col("__n")).as("n"), max(col("__mu")).as("mean"),
+        sum(floor(d * d * lit(1e6)).cast(dt)).as("__m2"),
+        sum(floor(d * d * d * lit(1e3)).cast(dt)).as("__m3"),
+        sum(floor(d * d * d * d).cast(dt)).as("__m4"))
+    val nD = col("n").cast("double")
+    val m2 = col("__m2").cast("double") / lit(1e6) / nD
+    val m3 = col("__m3").cast("double") / lit(1e3) / nD
+    val m4 = col("__m4").cast("double") / nD
+    val g1 = m3 / pow(m2, 1.5)
+    val g2 = m4 / (m2 * m2) - lit(3.0)
+    m.select(col("n"), col("mean"),
+      round(when(m2 > 0.0, g1), 6).as("skewness"),
+      round(when(m2 > 0.0, g2), 6).as("kurtosis_excess"),
+      round(when(m2 > 0.0, nD / lit(6.0) * (g1 * g1 + g2 * g2 / lit(4.0))), 6)
+        .as("jb"))
+  }
+
+  // ----------------------------------------------------- Cronbach's alpha
+  /** Cronbach's α internal-consistency reliability (Cronbach 1951) over a
+    * long-form (unit, item, value) relation: α = k/(k−1)·(1 − Σσ²ᵢ/σ²ₜ)
+    * with σ²ᵢ the per-item sample variance and σ²ₜ the sample variance of
+    * per-unit totals — the first question of any multi-item score
+    * (quality rubrics, rater panels, composite metrics).
+    *
+    * CONTRACT: a COMPLETE design — every unit carries exactly the family's
+    * k items. An incomplete unit FAILS the job loudly (the multipleTesting
+    * rule): silently dropping or zero-filling it would bias both variance
+    * terms. DETERMINISM: all moments are DECIMAL(38,6)-exact sums over
+    * exact counts; the finish is fixed-shape IEEE, 6dp. Scale: one
+    * unit-keyed rollup + one item-keyed rollup (item vocabulary bounded);
+    * σ²ₜ = 0 or k < 2 reports null alpha. Returns one row:
+    * (n_units, n_items, sum_item_var, total_var, alpha). */
+  def cronbachAlpha(df: DataFrame, unitCol: Column, itemCol: Column,
+                    valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 6)
+    val v = valueCol.cast("double")
+    val base = df.select(unitCol.as("__u"), itemCol.as("__i"), v.as("__v"))
+    val k = base.agg(count_distinct(col("__i")).as("__k"))
+    val items = base.groupBy("__i")
+      .agg(count(lit(1)).as("__ni"),
+        sum(col("__v").cast(dt)).as("__si"),
+        sum((col("__v") * col("__v")).cast(dt)).as("__ssi"))
+    val itemVar = items.agg(count(lit(1)).as("n_items"),
+      sum(((col("__ssi").cast("double") -
+        col("__si").cast("double") * col("__si").cast("double") /
+          col("__ni").cast("double")) /
+        (col("__ni") - lit(1L)).cast("double")).cast(DecimalType(28, 12)))
+        .as("__siv"))
+    val units = base.groupBy("__u")
+      .agg(count(lit(1)).as("__cnt"), sum(col("__v").cast(dt)).as("__tot"))
+      .crossJoin(broadcast(k))
+      .select(col("__u"),
+        when(col("__cnt") =!= col("__k"),
+          raise_error(concat(lit("cronbachAlpha: unit "),
+            col("__u").cast("string"), lit(" has "), col("__cnt"),
+            lit(" of "), col("__k"),
+            lit(" items - incomplete designs bias both variance terms"))))
+          .otherwise(col("__tot")).as("__tot"))
+    val totals = units.agg(count(lit(1)).as("n_units"),
+      sum(col("__tot")).as("__st"),
+      sum((col("__tot") * col("__tot")).cast(DecimalType(38, 6))).as("__sst"))
+    val m = totals.crossJoin(broadcast(itemVar)).crossJoin(broadcast(k))
+    val nD = col("n_units").cast("double")
+    val totVar = (col("__sst").cast("double") -
+      col("__st").cast("double") * col("__st").cast("double") / nD) /
+      (nD - lit(1.0))
+    val kD = col("__k").cast("double")
+    m.select(col("n_units"), col("__k").as("n_items"),
+      round(col("__siv").cast("double"), 6).as("sum_item_var"),
+      round(totVar, 6).as("total_var"),
+      round(when(col("__k") >= 2 && col("n_units") >= 2 && totVar > 0.0,
+        kD / (kD - lit(1.0)) *
+          (lit(1.0) - col("__siv").cast("double") / totVar)), 6).as("alpha"))
+  }
+
+  // ------------------------------------------- intraclass correlation (1,1)
+  /** One-way random-effects intraclass correlation ICC(1,1) (Shrout &
+    * Fleiss 1979): MSB/MSW from the one-way ANOVA moments plus the
+    * unbalanced-design group size k₀ = (N − Σn²ᵍ/N)/(a−1);
+    * ICC = (MSB − MSW)/(MSB + (k₀−1)·MSW) — "how much of the variance is
+    * BETWEEN groups", the agreement/clustering complement of [[oneWayAnova]]'s
+    * F (which asks whether it is nonzero at all).
+    *
+    * DETERMINISM: the [[oneWayAnova]] discipline — per-group DECIMAL-exact
+    * (n, Σv, Σv²), SSB/SSW as fixed-shape IEEE of decimal-exact terms,
+    * 6dp. Scale: one group rollup + a 1-row aggregate. Degenerate families
+    * (a < 2, N ≤ a, MSW ≤ 0 with MSB ≤ 0) report null icc. Returns one
+    * row: (n_groups, n, ms_between, ms_within, k0, icc). */
+  def icc(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 6)
+    val v = valueCol.cast("double")
+    val g = df.select(groupCol.as("__g"), v.as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__ng"), sum(col("__v").cast(dt)).as("__sg"),
+        sum((col("__v") * col("__v")).cast(dt)).as("__ssg"))
+    val a = g.agg(count(lit(1)).as("n_groups"), sum(col("__ng")).as("n"),
+      // n_g² in DECIMAL: a 10-digit group squares past 2^63 (kruskal rule)
+      sum(col("__ng").cast(DecimalType(38, 0)) * col("__ng")).as("__sn2"),
+      sum(col("__sg")).as("__st"), sum(col("__ssg")).as("__sst"),
+      sum(((col("__sg").cast("double") * col("__sg").cast("double")) /
+        col("__ng").cast("double")).cast(DecimalType(28, 12))).as("__sg2"))
+    val nD = col("n").cast("double"); val aD = col("n_groups").cast("double")
+    val ssb = col("__sg2").cast("double") -
+      col("__st").cast("double") * col("__st").cast("double") / nD
+    val ssw = col("__sst").cast("double") - col("__sg2").cast("double")
+    val msb = ssb / (aD - lit(1.0))
+    val msw = ssw / (nD - aD)
+    val k0 = (nD - col("__sn2").cast("double") / nD) / (aD - lit(1.0))
+    val ok = col("n_groups") > 1 && col("n") > col("n_groups")
+    a.select(col("n_groups"), col("n"),
+      round(when(ok, msb), 6).as("ms_between"),
+      round(when(ok, msw), 6).as("ms_within"),
+      round(when(ok, k0), 6).as("k0"),
+      round(when(ok && (msb + (k0 - lit(1.0)) * msw) =!= 0.0,
+        (msb - msw) / (msb + (k0 - lit(1.0)) * msw)), 6).as("icc"))
+  }
+
+  // ------------------------------------------------ Harrell's C (survival)
+  /** Harrell's concordance index (Harrell et al. 1982) — does a risk
+    * score order survival correctly? Over (duration, event, score) units:
+    * a pair is COMPARABLE when the earlier unit's event is observed
+    * (tᵢ < tⱼ ∧ eᵢ, or tᵢ = tⱼ ∧ eᵢ ∧ ¬eⱼ); it is concordant when the
+    * earlier-failing unit carries the HIGHER score, tied on equal scores.
+    * C = (concordant + ties/2) / comparable.
+    *
+    * DETERMINISM AND SCALE — the [[kendallTau]] two-axis discipline:
+    * everything computes on the (duration, event, score) CELL rollup
+    * (both vocabularies bounded — bucket continuous scores first), pair
+    * masses via the broadcast inequality self-join of the cell relation
+    * (O(V²), N-independent), DECIMAL(38,0)-exact products, one IEEE
+    * finish, 6dp. Returns one row:
+    * (n, comparable, concordant, tied, c_index) — pair masses as doubles
+    * (exact below 2^53). */
+  def harrellC(df: DataFrame, durationCol: Column, eventCol: Column,
+               scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val cells = df.select(durationCol.cast("long").as("__t"),
+        eventCol.as("__e"), scoreCol.cast("double").as("__s"))
+      .filter(col("__t").isNotNull && col("__s").isNotNull)
+      .groupBy("__t", "__e", "__s").agg(count(lit(1)).as("__c"))
+    val n = cells.agg(sum(col("__c")).as("n"))
+    val a = cells.select(col("__t").as("ta"), col("__e").as("ea"),
+      col("__s").as("sa"), col("__c").as("ca"))
+    val b = cells.select(col("__t").as("tb"), col("__e").as("eb"),
+      col("__s").as("sb"), col("__c").as("cb"))
+    // orientation: a is the earlier-failing side
+    val comparable = (col("ta") < col("tb") && col("ea")) ||
+      (col("ta") === col("tb") && col("ea") && !col("eb"))
+    val mass = (col("ca") * col("cb")).cast(dt)
+    val zero = lit(0).cast(dt)
+    val m = a.join(broadcast(b), comparable)
+      .agg(sum(mass).as("__cmp"),
+        sum(when(col("sa") > col("sb"), mass).otherwise(zero)).as("__conc"),
+        sum(when(col("sa") === col("sb"), mass).otherwise(zero)).as("__tied"))
+      .crossJoin(broadcast(n))
+    m.select(col("n"),
+      col("__cmp").cast("double").as("comparable"),
+      col("__conc").cast("double").as("concordant"),
+      col("__tied").cast("double").as("tied"),
+      round(when(col("__cmp") > 0,
+        (col("__conc").cast("double") +
+          col("__tied").cast("double") / lit(2.0)) /
+          col("__cmp").cast("double")), 6).as("c_index"))
   }
 }

@@ -49,38 +49,60 @@ object Registry {
     * protected at assembly, like the duplicate-name gate above.
     * NaN is unaffected (NaN + 0.0 = NaN).
     *
-    * Known edge (none in the registry today, checked): the scan is
-    * textual, so a SQL STRING LITERAL containing "round(" would be
-    * rewritten too and the query would fail loudly in DuckDB — never
-    * silently; keep "round(" out of oracle string literals. */
+    * The scan is case-insensitive (ROUND( normalizes too, preserving the
+    * original spelling) and skips single-quoted SQL string literals ('' is
+    * the escape) both when matching the token and when depth-counting
+    * parens — a literal containing "round(" or an unbalanced paren passes
+    * through untouched. Dollar-quoted strings are unsupported (none in
+    * the registry; a dollar-quoted "round(" would be rewritten and fail
+    * LOUDLY in DuckDB, never silently). */
   private[graft] def normalizeNegativeZero(sql: String): String = {
+    val lower = sql.toLowerCase(java.util.Locale.ROOT)
+    val inLit = insideLiteral(sql)
     val b = new StringBuilder
     var i = 0
     while (i < sql.length) {
-      val j = sql.indexOf("round(", i)
-      val atToken = j >= 0 &&
-        (j == 0 || (!sql(j - 1).isLetterOrDigit && sql(j - 1) != '_'))
+      val j = lower.indexOf("round(", i)
       if (j < 0) { b.append(sql.substring(i)); i = sql.length }
-      else if (!atToken) { b.append(sql.substring(i, j + 6)); i = j + 6 }
       else {
-        var depth = 0
-        var k = j + 5 // the '(' of round(
-        var end = -1
-        while (k < sql.length && end < 0) {
-          sql(k) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1; if (depth == 0) end = k
-            case _ =>
+        val atToken = !inLit(j) &&
+          (j == 0 || (!sql(j - 1).isLetterOrDigit && sql(j - 1) != '_'))
+        if (!atToken) { b.append(sql.substring(i, j + 6)); i = j + 6 }
+        else {
+          var depth = 0
+          var k = j + 5 // the '(' of round(
+          var end = -1
+          while (k < sql.length && end < 0) {
+            if (!inLit(k)) sql(k) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) end = k
+              case _ =>
+            }
+            k += 1
           }
-          k += 1
+          require(end > 0, s"unbalanced round( in oracle SQL: $sql")
+          val inner = normalizeNegativeZero(sql.substring(j + 6, end))
+          b.append(sql.substring(i, j)).append("(")
+            .append(sql.substring(j, j + 6)) // original spelling
+            .append(inner).append(") + 0.0)")
+          i = end + 1
         }
-        require(end > 0, s"unbalanced round( in oracle SQL: $sql")
-        val inner = normalizeNegativeZero(sql.substring(j + 6, end))
-        b.append(sql.substring(i, j)).append("(round(").append(inner)
-          .append(") + 0.0)")
-        i = end + 1
       }
     }
     b.toString
+  }
+
+  /** Per-character mask of single-quoted SQL literal spans (quote chars
+    * included). The '' escape falls out of plain toggling: it reads as
+    * close-then-reopen, and both quote chars are themselves marked. */
+  private[graft] def insideLiteral(sql: String): Array[Boolean] = {
+    val m = new Array[Boolean](sql.length)
+    var q = false
+    var i = 0
+    while (i < sql.length) {
+      if (sql(i) == '\'') { m(i) = true; q = !q } else m(i) = q
+      i += 1
+    }
+    m
   }
 }

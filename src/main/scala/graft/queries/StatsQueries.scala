@@ -3731,10 +3731,13 @@ object StatsQueries2 {
         "bg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng, " +
         "sum(CAST(ar * CAST(c AS DOUBLE) AS DECIMAL(28,12))) AS rg " +
         "FROM j GROUP BY 1), " +
-        "tt AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ts, " +
+        // t³−t as HUGEINT: BIGINT t³ overflows 2^63 above t ≈ 2.1M, where
+        // DuckDB errors loudly but non-ANSI Spark would wrap silently —
+        // the engine accumulates the same term as DECIMAL(38,0)
+        "tt AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS ts, " +
         "CAST(sum(t) AS BIGINT) AS nn FROM vals), " +
         "a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
-        "CAST(max(nn) AS BIGINT) AS n, CAST(max(ts) AS BIGINT) AS ts, " +
+        "CAST(max(nn) AS BIGINT) AS n, max(ts) AS ts, " +
         "sum(CAST((CAST(rg AS DOUBLE) / CAST(ng AS DOUBLE) - " +
         "(CAST(nn AS DOUBLE) + 1.0) / 2.0) * " +
         "(CAST(rg AS DOUBLE) / CAST(ng AS DOUBLE) - " +

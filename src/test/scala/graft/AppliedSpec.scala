@@ -809,6 +809,44 @@ class AppliedSpec extends SparkSpec {
       ((2L, 0L, 4L, 3L)))
   }
 
+  test("decisionStump: a single distinct value still returns ONE row — totals with null threshold/gain") {
+    import spark.implicits._
+    val df = Seq((5.0, true), (5.0, false), (5.0, true)).toDF("x", "y")
+    val r = Stats.decisionStump(df, col("x"), col("y")).collect()
+    assert(r.length == 1, s"expected the documented one-row degenerate: ${r.toSeq}")
+    assert((r(0).getLong(0), r(0).getLong(1)) == ((3L, 2L)))
+    assert(r(0).isNullAt(2) && r(0).isNullAt(3) && r(0).isNullAt(4),
+      s"no valid split must report null threshold/gain: ${r(0)}")
+  }
+
+  test("stratifiedAte: a null outcome fails the job loudly") {
+    import spark.implicits._
+    val df = Seq((1L, 4L, true, Some(10.0)), (2L, 3L, false, None),
+      (3L, 2L, true, Some(30.0)), (4L, 1L, false, Some(40.0)))
+      .toDF("id", "score", "t", "y")
+    val ex = intercept[Exception] {
+      Stats.stratifiedAte(df, col("id"), col("score"), col("t"),
+        col("y"), nStrata = 2).collect()
+    }
+    assert(ex.toString.contains("null outcome") ||
+      Option(ex.getCause).exists(_.toString.contains("null outcome")),
+      s"expected the null-outcome raise, got: $ex")
+  }
+
+  test("hosmerLemeshow: a null label on a scored row fails the job loudly") {
+    import spark.implicits._
+    val df = Seq((1L, 0.9, Some(true)), (2L, 0.8, None),
+      (3L, 0.3, Some(false)), (4L, 0.2, Some(false)))
+      .toDF("id", "p", "y")
+    val ex = intercept[Exception] {
+      Stats.hosmerLemeshow(df, col("id"), col("p"), col("y"),
+        nBins = 2).collect()
+    }
+    assert(ex.toString.contains("null label") ||
+      Option(ex.getCause).exists(_.toString.contains("null label")),
+      s"expected the null-label raise, got: $ex")
+  }
+
   test("oneWayAnova: hand SSB/SSW/F; degenerate single group nulls F") {
     import spark.implicits._
     // a: 1,2,3 | b: 4,5,6 -> SG = 12+75, SSB = 87-73.5, SSW = 91-87

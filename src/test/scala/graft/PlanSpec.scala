@@ -923,6 +923,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
   }
 
+  test("q321/q366/q382: equal-count tiling never plans a global ntile — rank rescues partition by segment; keyless windows run only on the tile rollup") {
+    // the r09 verdict's last scale hazard: ntile(n) OVER (ORDER BY ...)
+    // single-partition-sorts the whole unit relation. equalCountTiles
+    // replaces it with broadcast-offset projection + segment-partitioned
+    // rescue windows; the only keyless windows left must consume the
+    // nBins-row tile rollup (decile/stratum grain), never unit rows
+    for (q <- Seq("q321_qini_uplift", "q366_stratified_ate",
+        "q382_hosmer_lemeshow")) {
+      val p = planOf(q)
+      assert(!p.contains("ntile("), s"$q: global ntile survived:\n$p")
+      val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+      val (rescue, rollup) = windows.partition(_.contains("row_number"))
+      // __sub is a literal -1 when no massive tie subdivides and Catalyst
+      // prunes constant partition keys — __seg is the load-bearing one
+      assert(rescue.forall(_.contains("__seg")),
+        s"$q: rescue rank window not segment-partitioned:\n${rescue.mkString("\n")}")
+      assert(rollup.forall(w => w.contains("decile#") || w.contains("stratum#")),
+        s"$q: keyless window not on the tile rollup:\n${rollup.mkString("\n")}")
+    }
+  }
+
   test("q362: log-rank is one duration rollup — windows keyless over the grain, no cartesian beyond the 1-row total") {
     val p = planOf("q362_logrank")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")

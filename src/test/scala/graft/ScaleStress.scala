@@ -814,6 +814,130 @@ object ScaleStress {
     }
     assert(ds.getDouble(2) == 199.0 && ds.getDouble(3) == 0.5,
       s"planted perfect split not found: $ds")
+
+    // equalCountTiles over 10M scored units / 1000-value vocabulary: the
+    // r09 global-ntile retirement. 10 tiles of EXACTLY 1M rows each; the
+    // score boundaries align with the cuts (100 values x 10k rows per
+    // tile), so per-tile (n, min score, max score) are closed-form.
+    val ectRows = spark.range(10000000L).select(col("id"),
+      (col("id") % 1000L).as("s"))
+    val ect = timed("equalCountTiles over 10M units, 1000-value vocabulary") {
+      graft.pipeline.Stats.equalCountTiles(ectRows, "s", "id", 10, "tile")
+        .groupBy("tile").agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.min("s").as("lo"),
+          org.apache.spark.sql.functions.max("s").as("hi"))
+        .orderBy("tile").collect()
+    }
+    assert(ect.length == 10, s"expected 10 tiles: ${ect.length}")
+    ect.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(1) == 1000000L, s"tile ${i + 1} count off: $r")
+      assert(r.getLong(2) == (9 - i) * 100L && r.getLong(3) == (9 - i) * 100L + 99L,
+        s"tile ${i + 1} score band off: $r")
+    }
+
+    // equalCountTiles over a 10M-row SINGLE-VALUE tie — the massive-tie
+    // fixture: every row scores 7, so the whole relation is one singleton
+    // segment and the id-grid subdivision must engage (windows ~N/grid,
+    // never the 10M-row global sort). Tiles are exact 1M-id slabs.
+    val tieRows = spark.range(10000000L).select(col("id"), lit(7L).as("s"))
+    val ectTie = timed("equalCountTiles over a 10M-row single-value tie (id-grid subdivision)") {
+      graft.pipeline.Stats.equalCountTiles(tieRows, "s", "id", 10, "tile")
+        .groupBy("tile").agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.min("id").as("lo"),
+          org.apache.spark.sql.functions.max("id").as("hi"))
+        .orderBy("tile").collect()
+    }
+    assert(ectTie.length == 10)
+    ectTie.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(1) == 1000000L, s"tie tile ${i + 1} count off: $r")
+      assert(r.getLong(2) == i * 1000000L && r.getLong(3) == (i + 1) * 1000000L - 1,
+        s"tie tile ${i + 1} id slab off: $r")
+    }
+
+    // ---- planted-recall at 1M rows for the four rows-only near-dup
+    // surfaces (q30/q31/q47/q49): their PipelineSpec recall gates re-run
+    // here at scale so "recall survives the skew caps" is a per-round
+    // archived claim, not a toy-scale one.
+
+    // q30 minhash: 1M 40-word docs with globally-unique vocabulary + 500
+    // planted near-dups (one word of 40 changed -> Jaccard 35/41 = 0.854
+    // >= the 0.8 threshold). Unrelated docs share ZERO shingles, so every
+    // reported pair must be planted; banded LSH at 64/16 misses a 0.854
+    // pair with probability ~5e-6.
+    val mhText = expr("concat_ws(' ', transform(sequence(0, 39), " +
+      "j -> concat('w', CAST(id * 40 + j AS STRING))))")
+    val mhEdit = expr("concat_ws(' ', transform(sequence(0, 39), " +
+      "j -> CASE WHEN j = 17 THEN concat('zz', CAST(id AS STRING)) " +
+      "ELSE concat('w', CAST(id * 40 + j AS STRING)) END))")
+    val mhCorpus = spark.range(1000000L)
+      .select(col("id").as("doc_id"), mhText.as("text"))
+      .union(spark.range(0L, 1000000L, 2000L)
+        .select((col("id") + 10000000L).as("doc_id"), mhEdit.as("text")))
+    val mhPairs = timed("minhash planted recall over 1M docs (q30 at scale)") {
+      Dedup.minhashDedup(mhCorpus, "doc_id", "text",
+          Dedup.MinHashConfig(64, 16, 3, 0.8))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(mhPairs.forall { case (a, b) => b == a + 10000000L && a % 2000 == 0 },
+      s"non-planted pair reported: ${mhPairs.take(5)}")
+    println(s"  planted recall: ${mhPairs.size}/500")
+    assert(mhPairs.size >= 490, s"minhash recall collapsed: ${mhPairs.size}/500")
+
+    // q31 simhash: same 1M corpus + 500 VERBATIM copies (the q359
+    // semantic at scale): identical texts collapse to one signature, so
+    // recall must be EXACTLY 500/500 at hamming 0; random 64-bit
+    // signatures sit ~32 bits apart, so background pairs at hamming <= 3
+    // are ~impossible (P ~ 2.4e-15 per in-bucket candidate).
+    val shCorpus = spark.range(1000000L)
+      .select(col("id").as("doc_id"), mhText.as("text"))
+      .union(spark.range(0L, 1000000L, 2000L)
+        .select((col("id") + 20000000L).as("doc_id"), mhText.as("text")))
+    val shPairs = timed("simhash planted recall over 1M docs (q31 at scale)") {
+      Dedup.simhashDedup(shCorpus, "doc_id", "text", maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(shPairs.forall { case (a, b) => b == a + 20000000L && a % 2000 == 0 },
+      s"non-planted simhash pair: ${shPairs.take(5)}")
+    assert(shPairs.size == 500, s"verbatim recall must be exact: ${shPairs.size}/500")
+
+    // q49 stream near-dup (batch face of the SAME banded-bucket state
+    // path): the 500 verbatim copies must all surface at hamming 0
+    // through the bounded per-bucket FIFO at 1M-row bucket load.
+    val ndHits = timed("nearDupStream planted recall over 1M docs (q49 at scale)") {
+      graft.streaming.Streams.nearDupStream(shCorpus, "doc_id", "text",
+          maxHamming = 3, capacity = 4096)
+        .toDF().select(col("id_a"), col("id_b")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(ndHits.forall { case (a, b) => b == a + 20000000L && a % 2000 == 0 },
+      s"non-planted stream pair: ${ndHits.take(5)}")
+    assert(ndHits.size == 500, s"stream verbatim recall must be exact: ${ndHits.size}/500")
+
+    // q47 embedding LSH: 1M deterministic pseudo-uniform 64-dim vectors +
+    // 1000 planted near-dups (one component shifted 0.3 -> cosine ~0.998).
+    // nPlanes=20 keeps buckets ~1 deep at 1M rows (the documented scale
+    // knob); 8 tables lose a planted pair with P ~ 1.6e-3 (expected ~1.6
+    // of 1000 missed), and a random background pair cannot reach 0.9.
+    val embRecBase = spark.range(1000000L).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 64), j -> " +
+        "CAST(pmod(hash(id, j), 2001) - 1000 AS DOUBLE) / 1000.0D)").as("embedding"))
+    val embRecCopies = spark.range(0L, 1000000L, 1000L).select(
+      (col("id") + 10000000L).as("vec_id"),
+      expr("transform(sequence(1, 64), j -> " +
+        "CAST(pmod(hash(id, j), 2001) - 1000 AS DOUBLE) / 1000.0D + " +
+        "CASE WHEN j = 1 THEN 0.3D ELSE 0.0D END)").as("embedding"))
+    val embPairs = timed("embedding LSH planted recall over 1M vectors (q47 at scale)") {
+      Similarity.embeddingNearDupPairs(embRecBase.union(embRecCopies), 0.9,
+          dim = 64, nPlanes = 20, nTables = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(embPairs.forall { case (a, b) => b == a + 10000000L && a % 1000 == 0 },
+      s"non-planted embedding pair: ${embPairs.take(5)}")
+    println(s"  planted recall: ${embPairs.size}/1000")
+    assert(embPairs.size >= 985, s"embedding recall collapsed: ${embPairs.size}/1000")
+
     spark.stop()
   }
 }

@@ -1249,6 +1249,42 @@ class StatsSpec extends SparkSpec {
       Seq((1L, 1L, 1L, 1L, 0L, 1.0), (2L, 2L, 2L, 1L, 1L, 0.0)))
   }
 
+  test("equalCountTiles: bit-for-bit ntile parity across fixtures, bin counts, and the subdivision path") {
+    import org.apache.spark.sql.expressions.Window
+    val fixtures: Seq[Seq[(Long, Option[Long])]] = Seq(
+      (1 to 97).map(i => (i.toLong, Some((i % 7).toLong))),   // heavy ties
+      (1 to 100).map(i => (i.toLong, Some(i.toLong * 37 % 101))), // near-unique
+      (1 to 60).map(i => (i.toLong, Some(5L))),               // ONE tie value
+      (1 to 4).map(i => (i.toLong, Some(i.toLong))),          // N < nBins
+      (1 to 40).map(i => (i.toLong,
+        if (i % 5 == 0) None else Some((i % 3).toLong))))     // null scores
+    for (rows <- fixtures; nBins <- Seq(2, 3, 7, 10)) {
+      val df = rows.toDF("id", "s")
+      val exp = df.withColumn("t", ntile(nBins).over(
+          Window.orderBy(col("s").desc_nulls_last, col("id").asc)).cast("long"))
+        .select("id", "t").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // grid 8 + tieSubdivideMin 4 force both the straddling-segment
+      // rescue AND the massive-tie id-subdivision path at toy scale
+      val got = Stats.equalCountTiles(df, "s", "id", nBins, "t",
+          grid = 8, tieSubdivideMin = 4)
+        .select("id", "t").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == exp, s"ntile mismatch at nBins=$nBins for ${rows.take(5)}...")
+    }
+  }
+
+  test("equalCountTiles: empty input yields zero rows; default grid matches too") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "s")
+    assert(Stats.equalCountTiles(empty, "s", "id", 4, "t").count() == 0)
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 50).map(i => (i.toLong, (i % 4).toDouble / 3.0)).toDF("id", "s")
+    val exp = df.withColumn("t", ntile(10).over(
+        Window.orderBy(col("s").desc_nulls_last, col("id").asc)).cast("long"))
+      .select("id", "t").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Stats.equalCountTiles(df, "s", "id", 10, "t")
+      .select("id", "t").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+  }
+
   test("pythagoreanMeans: AM/GM/HM on {1,2,4}; non-positives excluded") {
     val df = Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(4.0)),
       ("g", Some(0.0)), ("g", None)).toDF("g", "v")
