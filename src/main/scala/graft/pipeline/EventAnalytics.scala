@@ -2129,4 +2129,216 @@ object EventAnalytics {
       .groupBy("sequence").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
   }
+
+  // ------------------------------------------------- Mann-Kendall trend
+  /** Mann-Kendall monotone-trend test (Mann 1945; Kendall 1975) on the
+    * zero-filled daily count series ([[resampleDaily]]):
+    * S = Σᵢ<ⱼ sign(xⱼ − xᵢ), Var(S) = [n(n−1)(2n+5) − Σₜ t(t−1)(2t+5)]/18
+    * over tie groups of the VALUE, z = (S∓1)/√Var — the nonparametric
+    * "is this series drifting" gate next to [[changePoint]] (where) and
+    * [[theilSenTrend]]'s slope (how fast).
+    *
+    * DETERMINISM AND SCALE: S comes from the day-PAIR relation — a
+    * broadcast inequality self-join of the CALENDAR-BOUNDED spine (days²,
+    * independent of event volume; the one documented nested-loop join);
+    * counts are exact integers, the tie sum is DECIMAL(38,0) (a tie group
+    * above ~2.1M days would overflow 2^63 — the kruskal rule), z is one
+    * fixed IEEE shape, 6dp. Returns one row: (n_days, s_stat, var_s, z). */
+  def mannKendallDaily(df: DataFrame, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val daily = resampleDaily(df, tsCol)
+    val a = daily.select(col("day").as("da"), col("n").as("xa"))
+    val b = daily.select(col("day").as("db"), col("n").as("xb"))
+    val s = a.join(broadcast(b), col("da") < col("db"))
+      .agg(sum(signum((col("xb") - col("xa")).cast("double")).cast("long"))
+        .as("__s"))
+    val ties = daily.groupBy(col("n")).agg(count(lit(1)).as("__t"))
+      .agg(count(lit(1)).as("__nv"), sum(col("__t")).as("__nd"),
+        sum(col("__t").cast(dt) * (col("__t") - 1L) *
+          (col("__t") * 2L + 5L)).as("__tsum"))
+    val m = s.crossJoin(broadcast(ties))
+    val nD = col("__nd").cast("double")
+    val v = (nD * (nD - lit(1.0)) * (lit(2.0) * nD + lit(5.0)) -
+      col("__tsum").cast("double")) / lit(18.0)
+    val sD = col("__s").cast("double")
+    m.select(col("__nd").as("n_days"), col("__s").as("s_stat"),
+      round(v, 6).as("var_s"),
+      round(when(v > 0.0,
+        when(col("__s") > 0, (sD - lit(1.0)) / sqrt(v))
+          .when(col("__s") < 0, (sD + lit(1.0)) / sqrt(v))
+          .otherwise(lit(0.0))), 6).as("z"))
+  }
+
+  // ---------------------------------------------- Wald-Wolfowitz runs test
+  /** Runs test for randomness (Wald & Wolfowitz 1940) of the daily count
+    * series against its own MEDIAN: days classify as above (>) or
+    * not-above the lower-median DATA ELEMENT (the repo's order-statistic
+    * discipline — never an interpolated mean, so the cut is byte-identical
+    * in any engine); R = number of sign runs in day order;
+    * E[R] = 1 + 2n₁n₂/n, Var = 2n₁n₂(2n₁n₂−n)/(n²(n−1)), z = (R−E)/√Var —
+    * the "is the drift pattern clustered or alternating" companion to
+    * [[mannKendallDaily]].
+    *
+    * Scale: the lag window and the median rank window run on the
+    * calendar-bounded spine (never events). Degenerate families (n₁ = 0
+    * or n₂ = 0, or n < 2) report null z. Returns one row:
+    * (n_days, n_above, n_below, runs, z). */
+  def runsTestDaily(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = resampleDaily(df, tsCol)
+    val wRank = Window.orderBy(col("n").asc, col("day").asc)
+    val med = daily
+      .withColumn("__rn", row_number().over(wRank))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("__nd"))))
+      .filter(col("__rn") === ((col("__nd") + lit(1L)) / lit(2L)).cast("long"))
+      .select(col("n").as("__med"))
+    val flagged = daily.crossJoin(broadcast(med))
+      .select(col("day"), (col("n") > col("__med")).as("__b"))
+    val wDay = Window.orderBy(col("day"))
+    val runs = flagged
+      .withColumn("__new",
+        when(lag(col("__b"), 1).over(wDay).isNull ||
+          lag(col("__b"), 1).over(wDay) =!= col("__b"), 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("n_below"),
+        sum(col("__new")).as("runs"))
+    val n1 = col("n_above").cast("double"); val n2 = col("n_below").cast("double")
+    val nD = col("n_days").cast("double")
+    val e = lit(1.0) + lit(2.0) * n1 * n2 / nD
+    val v = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nD) /
+      (nD * nD * (nD - lit(1.0)))
+    runs.select(col("n_days"), col("n_above"), col("n_below"), col("runs"),
+      round(when(col("n_above") > 0 && col("n_below") > 0 &&
+        col("n_days") > 1 && v > 0.0,
+        (col("runs").cast("double") - e) / sqrt(v)), 6).as("z"))
+  }
+
+  // ----------------------------------------------- variance-ratio test
+  /** Lo-MacKinlay variance ratio (Lo & MacKinlay 1988) of the daily count
+    * series: VR(k) = Var(x_t − x_{t−k}) / (k·Var(x_t − x_{t−1})) — the
+    * random-walk diagnostic (VR ≈ 1 under i.i.d. increments; < 1 mean
+    * reversion, > 1 trending), the returns-side sibling of
+    * [[autocorrDaily]].
+    *
+    * DETERMINISM: both difference series are integer-exact lag windows
+    * over the calendar-bounded spine; population variances accumulate as
+    * DECIMAL(38,0) sums of integer squares; the ratio is one fixed IEEE
+    * shape, 6dp. Returns one row: (n1, nk, var_1, var_k, vr). */
+  def varianceRatioDaily(df: DataFrame, tsCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 2, s"k must be >= 2: $k")
+    val dt = DecimalType(38, 0)
+    val w = Window.orderBy(col("day"))
+    val diffs = resampleDaily(df, tsCol)
+      .select((col("n") - lag(col("n"), 1).over(w)).as("__d1"),
+        (col("n") - lag(col("n"), k).over(w)).as("__dk"))
+    def varOf(c: String, nOut: String, sOut: String, ssOut: String) = Seq(
+      sum(when(col(c).isNotNull, 1L).otherwise(0L)).as(nOut),
+      sum(col(c).cast(dt)).as(sOut),
+      sum(col(c).cast(dt) * col(c)).as(ssOut))
+    val aggs = varOf("__d1", "n1", "__s1", "__ss1") ++
+      varOf("__dk", "nk", "__sk", "__ssk")
+    val m = diffs.agg(aggs.head, aggs.tail: _*)
+    def popVar(nc: String, sc: String, ssc: String): Column = {
+      val n = col(nc).cast("double")
+      (n * col(ssc).cast("double") -
+        col(sc).cast("double") * col(sc).cast("double")) / (n * n)
+    }
+    val v1 = popVar("n1", "__s1", "__ss1")
+    val vk = popVar("nk", "__sk", "__ssk")
+    m.select(col("n1"), col("nk"),
+      round(v1, 6).as("var_1"), round(vk, 6).as("var_k"),
+      round(when(col("n1") > 0 && col("nk") > 0 && v1 > 0.0,
+        vk / (lit(k.toDouble) * v1)), 6).as("vr"))
+  }
+
+  // ------------------------------------------------- peak concurrency
+  /** Per-day peak concurrency of an interval relation (sessions, jobs,
+    * calls): how many intervals were simultaneously open at the day's
+    * busiest instant. The capacity-planning readout over [[q124]]-style
+    * sessionization.
+    *
+    * SCALE SHAPE — never a global timeline sort: each interval explodes
+    * to the days it touches (bounded by interval length in days —
+    * sessions span ~1); a day's CARRY-IN is the count of its intervals
+    * that started on an earlier day (a projection off the same exploded
+    * relation); within a day, +1/−1 boundary points cumulate in a window
+    * PARTITIONED BY DAY. Tie policy (part of the semantic): at equal
+    * timestamps ends process before starts — [a,b) intervals, back-to-back
+    * sessions never overlap. Peak = carry-in + max(0, running max).
+    * Inputs are integer MICROSECONDS (the [[micros]] projection — the
+    * module's time discipline). Returns (day, carried_in, peak) per
+    * touched day. */
+  def peakConcurrency(intervals: DataFrame, startUsCol: Column,
+                      endUsCol: Column): DataFrame = {
+    val iv = intervals.select(startUsCol.cast("long").as("__s"),
+        endUsCol.cast("long").as("__e"))
+      .filter(col("__s").isNotNull && col("__e").isNotNull &&
+        col("__e") >= col("__s"))
+    val dayUs = 86400000000L
+    // Column./ is double division; micros are positive, so the long cast
+    // truncation IS the floor day index (the brownForsythe precedent)
+    def dayOf(c: Column): Column = (c / dayUs).cast("long")
+    val touched = iv.select(col("__s"), col("__e"),
+      explode(sequence(dayOf(col("__s")), dayOf(col("__e")))).as("day"))
+    val carried = touched.groupBy("day")
+      .agg(sum(when(dayOf(col("__s")) < col("day"), 1L).otherwise(0L))
+        .as("carried_in"))
+    val points = iv.select(col("__s").as("__ts"), lit(1L).as("__d"))
+      .union(iv.select(col("__e"), lit(-1L)))
+      .select(dayOf(col("__ts")).as("day"), col("__ts"), col("__d"))
+    val wDay = Window.partitionBy(col("day"))
+      .orderBy(col("__ts").asc, col("__d").asc) // -1 before +1 at ties
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = points
+      .withColumn("__run", sum(col("__d")).over(wDay))
+      .groupBy("day").agg(greatest(max(col("__run")), lit(0L)).as("__pk"))
+    carried.join(peaks, Seq("day"), "left")
+      .select(col("day"), col("carried_in"),
+        (col("carried_in") + coalesce(col("__pk"), lit(0L))).as("peak"))
+  }
+
+  // --------------------------------------------- transition entropy rate
+  /** Empirical entropy rate of the event-type transition chain:
+    * H = Σᵢ wᵢ·Hᵢ with Hᵢ = −Σⱼ pᵢⱼ·ln pᵢⱼ the per-state next-step
+    * entropy and wᵢ the state's share of observed transitions — "how
+    * predictable is the next event", the one-number summary of
+    * [[transitionMatrix]] (perplexity = e^H is its branching factor).
+    *
+    * DETERMINISM: transition counts are exact integers off the per-user
+    * ordered window ([[transitionMatrix]]'s shape); H rewrites to
+    * Σᵢⱼ nᵢⱼ·(−ln pᵢⱼ)/N, so each −ln p term is ONE libm call rounded to
+    * DECIMAL(28,12) before the integer-weighted sums (PSI discipline);
+    * H is a ratio of decimal-exact sums, 6dp. Scale: the window
+    * partitions per user; everything after is vocabulary-sized.
+    * Returns one row: (n_states, n_transitions, entropy_rate, perplexity). */
+  def transitionEntropy(df: DataFrame, userCol: String, idCol: String,
+                        tsCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(micros(col(tsCol)).asc, col(idCol).asc)
+    val counts = df.select(col(typeCol).as("__src"),
+        lead(col(typeCol), 1).over(w).as("__dst"))
+      .filter(col("__dst").isNotNull)
+      .groupBy("__src", "__dst").agg(count(lit(1)).as("__n"))
+    val rows = counts.groupBy("__src").agg(sum(col("__n")).as("__rt"))
+    // width-budgeted multiply: (18,12) x (19,0) = precision 38 EXACTLY, so
+    // BOTH engines keep scale 12 — a (28,12) x long product passes Spark's
+    // 38-precision cap and silently drops to scale 6 where DuckDB keeps 12
+    // (caught by the hand spec; |ln p| <= ~709 fits 6 integer digits)
+    val terms = counts.join(broadcast(rows), Seq("__src"))
+      .select(col("__src"),
+        (-log(col("__n").cast("double") / col("__rt").cast("double")))
+          .cast(DecimalType(18, 12)).as("__term"),
+        col("__n"))
+    terms.agg(count_distinct(col("__src")).as("n_states"),
+        sum(col("__n")).as("n_transitions"),
+        sum(col("__term") * col("__n").cast(DecimalType(19, 0))).as("__ht"))
+      .select(col("n_states"), col("n_transitions"),
+        round(col("__ht").cast("double") /
+          col("n_transitions").cast("double"), 6).as("entropy_rate"),
+        round(exp(col("__ht").cast("double") /
+          col("n_transitions").cast("double")), 6).as("perplexity"))
+  }
 }

@@ -302,4 +302,49 @@ object Finance {
         (expr("(2 * __notional * 10000 + volume) div (2 * volume)")
           .cast("double") / 1000000.0).as("vwap"))
   }
+
+  // ---------------------------------------------- daily risk ratios
+  /** Sharpe- and Sortino-style risk ratios of the DAILY integer-cent flow
+    * series: day-over-day differences d_t of the zero-filled daily cent
+    * totals, mean/σ (population) and downside σ (√(Σ min(d,0)²/n)),
+    * sharpe = mean/σ, sortino = mean/σ_down — at DAY grain, unannualized
+    * (annualization is a caller multiply by √252-style constants, not a
+    * data question).
+    *
+    * DETERMINISM: cents are exact longs ([[dailyBars]] quantization), the
+    * day spine zero-fills (the [[EventAnalytics.resampleDaily]] shape),
+    * diffs are integer windows over the calendar-bounded spine, and all
+    * moments are DECIMAL(38,0) sums of integer squares — fixed IEEE
+    * finish, 6dp. No diffs or zero variance → null ratios. Returns one
+    * row: (n_days, mean_diff, sd_diff, downside_sd, sharpe, sortino). */
+  def dailyRiskRatios(df: DataFrame, tsCol: String,
+                      amountCol: Column): DataFrame = {
+    val daily = df.select(EventAnalytics.dayIndex(col(tsCol)).as("day"),
+        round(amountCol * 100, 0).cast("long").as("__c"))
+      .groupBy("day").agg(sum(col("__c")).as("__s"))
+    val spine = daily.agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val filled = spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("__s"), lit(0L)).as("__s"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val dt = DecimalType(38, 0)
+    val m = filled
+      .select((col("__s") - lag(col("__s"), 1).over(w)).as("__d"))
+      .filter(col("__d").isNotNull)
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__d").cast(dt)).as("__sd"),
+        sum(col("__d").cast(dt) * col("__d")).as("__sdd"),
+        sum(when(col("__d") < 0L, col("__d").cast(dt) * col("__d"))
+          .otherwise(lit(0).cast(dt))).as("__sdn"))
+    val nD = col("n_days").cast("double")
+    val mean = col("__sd").cast("double") / nD
+    val sd = sqrt((nD * col("__sdd").cast("double") -
+      col("__sd").cast("double") * col("__sd").cast("double")) / (nD * nD))
+    val dsd = sqrt(col("__sdn").cast("double") / nD)
+    m.select(col("n_days"),
+      round(mean, 6).as("mean_diff"), round(sd, 6).as("sd_diff"),
+      round(dsd, 6).as("downside_sd"),
+      round(when(sd > 0.0, mean / sd), 6).as("sharpe"),
+      round(when(dsd > 0.0, mean / dsd), 6).as("sortino"))
+  }
 }

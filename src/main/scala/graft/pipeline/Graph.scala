@@ -634,4 +634,42 @@ object Graph {
     }
     support
   }
+
+  // ------------------------------------------------- degree assortativity
+  /** Degree assortativity coefficient (Newman 2002): the Pearson
+    * correlation of endpoint degrees over the undirected edge list, both
+    * orientations counted — positive in social graphs (hubs link hubs),
+    * negative in web/biology (hubs link leaves); the one-number mixing
+    * summary next to [[graphSummary]]'s degree histogram.
+    *
+    * DETERMINISM AND SCALE: degrees come from the canonical edge rollup;
+    * the edge relation joins its two endpoint degrees CO-KEYED (two hash
+    * joins, no window, no pairs blowup — work is |E|, not degree²).
+    * Orientation symmetry is exploited instead of materialized: with
+    * M = 2|E|, Σx = Σ(dᵤ+dᵥ), Σx² = Σ(dᵤ²+dᵥ²), Σxy = Σ2dᵤdᵥ, so
+    * r = (M·Σxy − Σx²ᵗᵉʳᵐ...) reduces to one DECIMAL(38,0)-exact
+    * aggregate finished by a fixed IEEE shape, 6dp (a 10-digit degree
+    * squares past 2^63 — the kruskal rule). Returns one row:
+    * (n_edges, r). */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val und = canonEdges(edges, srcCol, dstCol)
+    val deg = degrees(und)
+    val joined = und
+      .join(deg.select(col("node").as("a"), col("deg").as("__da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("__db")), Seq("b"))
+    val m = joined.agg(count(lit(1)).as("n_edges"),
+      sum((col("__da") + col("__db")).cast(dt)).as("__sx"),
+      sum(col("__da").cast(dt) * col("__da") +
+        col("__db").cast(dt) * col("__db")).as("__sxx"),
+      sum(col("__da").cast(dt) * col("__db") * 2L).as("__sxy"))
+    val mD = (col("n_edges") * 2L).cast("double")
+    val sx = col("__sx").cast("double")
+    val num = mD * col("__sxy").cast("double") - sx * sx
+    val den = mD * col("__sxx").cast("double") - sx * sx
+    m.select(col("n_edges"),
+      round(when(den =!= 0.0, num / den), 6).as("r"))
+  }
 }

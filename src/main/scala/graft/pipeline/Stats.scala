@@ -3308,7 +3308,8 @@ object Stats {
     val pairs = a.join(broadcast(b),
       col("xa") < col("xb") ||
         (col("xa") === col("xb") && col("ya") < col("yb")))
-    val mass = (col("ca") * col("cb")).cast(dt)
+    // cast BEFORE multiplying: two 3e9-row cells overflow a long product
+    val mass = col("ca").cast(dt) * col("cb")
     val cd = pairs.agg(
       sum(when((col("xb") - col("xa")) * (col("yb") - col("ya")) > 0.0, mass)
         .otherwise(lit(0).cast(dt))).as("__conc"),
@@ -3423,7 +3424,11 @@ object Stats {
           .otherwise(col("__tot")).as("__tot"))
     val totals = units.agg(count(lit(1)).as("n_units"),
       sum(col("__tot")).as("__st"),
-      sum((col("__tot") * col("__tot")).cast(DecimalType(38, 6))).as("__sst"))
+      // square in DOUBLE then quantize: decimal x decimal rescales under
+      // Spark's precision-loss rules where DuckDB widens — the double
+      // square is exact for integer-ish totals and casts identically
+      sum((col("__tot").cast("double") * col("__tot").cast("double"))
+        .cast(DecimalType(38, 6))).as("__sst"))
     val m = totals.crossJoin(broadcast(itemVar)).crossJoin(broadcast(k))
     val nD = col("n_units").cast("double")
     val totVar = (col("__sst").cast("double") -
@@ -3514,7 +3519,8 @@ object Stats {
     // orientation: a is the earlier-failing side
     val comparable = (col("ta") < col("tb") && col("ea")) ||
       (col("ta") === col("tb") && col("ea") && !col("eb"))
-    val mass = (col("ca") * col("cb")).cast(dt)
+    // cast BEFORE multiplying: two 3e9-row cells overflow a long product
+    val mass = col("ca").cast(dt) * col("cb")
     val zero = lit(0).cast(dt)
     val m = a.join(broadcast(b), comparable)
       .agg(sum(mass).as("__cmp"),

@@ -848,4 +848,124 @@ object TextAnalysis {
         round(col("f1").cast("double") /
           col("n_tokens").cast("double"), 6).as("p_unseen")): _*)
   }
+
+  // ------------------------------------------------------ Burrows' Delta
+  /** Burrows' Delta stylometric distance (Burrows 2002) between document
+    * groups: over the corpus's `topV` most frequent tokens, each group's
+    * relative frequency z-scores against the across-group mean/σ, and
+    * Delta(g₁,g₂) = mean |z₁ − z₂| — the authorship/register distance
+    * that [[fightinWords]]'s per-token z complements with a per-PAIR
+    * number.
+    *
+    * DETERMINISM: frequencies round 12dp before anything reads them;
+    * across-group moments are DECIMAL(28,12)-exact over the
+    * group-bounded relation; z rounds 6dp (σ = 0 tokens carry z = 0 — no
+    * signal, deterministic); Delta is a DECIMAL mean of 6dp z
+    * differences. SCALE: one (group, token) rollup; the top-V cutoff is
+    * a TakeOrdered (total DESC, token ASC), never a global sort; the
+    * completion grid and the pair join are (groups × topV)-bounded.
+    * Contract: the GROUP vocabulary is bounded (sources, authors).
+    * Returns (group_a, group_b, delta) per unordered pair. */
+  def burrowsDelta(docs: DataFrame, groupCol: Column, textCol: String,
+                   topV: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(topV >= 1, s"topV must be >= 1: $topV")
+    val toks = filter(tokens(lower(col(textCol))), t => t =!= "")
+    val gt = docs.select(groupCol.as("__g"), explode(toks).as("__t"))
+      .groupBy("__g", "__t").agg(count(lit(1)).as("__c"))
+    val top = gt.groupBy("__t").agg(sum(col("__c")).as("__tot"))
+      .orderBy(col("__tot").desc, col("__t").asc).limit(topV)
+      .select(col("__t"))
+    val totals = gt.groupBy("__g").agg(sum(col("__c")).as("__n"))
+    val grid = totals.select(col("__g"), col("__n"))
+      .crossJoin(broadcast(top)) // groups x topV, bounded
+      .join(gt, Seq("__g", "__t"), "left")
+      .select(col("__g"), col("__t"),
+        round(coalesce(col("__c"), lit(0L)).cast("double") /
+          col("__n").cast("double"), 12).as("__f"))
+    val stats = grid.groupBy("__t")
+      .agg(count(lit(1)).as("__ng"),
+        sum(col("__f").cast(DecimalType(28, 12))).as("__sf"),
+        sum((col("__f") * col("__f")).cast(DecimalType(28, 12))).as("__sff"))
+    val ngD = col("__ng").cast("double")
+    val mean = col("__sf").cast("double") / ngD
+    val sd = sqrt((ngD * col("__sff").cast("double") -
+      col("__sf").cast("double") * col("__sf").cast("double")) / (ngD * ngD))
+    val z = grid.join(broadcast(stats), Seq("__t"))
+      .select(col("__g"), col("__t"),
+        round(when(sd > 0.0, (col("__f") - mean) / sd).otherwise(lit(0.0)), 6)
+          .as("__z"))
+    z.as("l").join(z.as("r"),
+        col("l.__t") === col("r.__t") && col("l.__g") < col("r.__g"))
+      .groupBy(col("l.__g").as("group_a"), col("r.__g").as("group_b"))
+      .agg(count(lit(1)).as("__v"),
+        sum(abs(col("l.__z") - col("r.__z")).cast(DecimalType(28, 12)))
+          .as("__sz"))
+      .select(col("group_a"), col("group_b"),
+        round(col("__sz").cast("double") / col("__v").cast("double"), 6)
+          .as("delta"))
+  }
+
+  // ---------------------------------------------------------- Heaps' law
+  /** Heaps'-law vocabulary-growth fit (Heaps 1978): V(N) ≈ K·N^β from
+    * `checkpoints` evenly-spaced corpus prefixes in doc-id order — the
+    * "how fast does vocabulary saturate" planning number behind token
+    * budgets and dedup thresholds (β ≈ 0.5 for natural text; ≈ 1 means
+    * near-unique content, ≈ 0 boilerplate).
+    *
+    * DETERMINISM AND SCALE: a token's first occurrence is min(doc_id) —
+    * one token-keyed rollup, never a prefix-distinct; checkpoint
+    * assignment is pure integer arithmetic off the broadcast max id;
+    * prefix totals are running sums over the `checkpoints`-row grid; the
+    * log-log OLS runs on 12dp-rounded lns in DECIMAL. Empty prefixes
+    * drop (no log 0). Returns one row:
+    * (n_checkpoints, total_tokens, vocabulary, beta, k_coef). */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+               checkpoints: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(checkpoints >= 2, s"checkpoints must be >= 2: $checkpoints")
+    val k = checkpoints
+    val toks = filter(tokens(lower(col(textCol))), t => t =!= "")
+    val dt = docs.select(col(idCol).as("__id"), explode(toks).as("__t"))
+    val mx = dt.agg(max(col("__id")).as("__mx"))
+    // ceil((id+1)·k/(mx+1)) ∈ [1,k] as integer arithmetic; ids are
+    // non-negative so the double-division truncation IS floor (the
+    // brownForsythe precedent for Column./ being double division)
+    def bucket(c: Column): Column =
+      (((c + 1L) * k + col("__mx")) / (col("__mx") + 1L)).cast("long")
+    val perBucketTokens = dt.select(col("__id"))
+      .crossJoin(broadcast(mx))
+      .groupBy(bucket(col("__id")).as("__b")).agg(count(lit(1)).as("__nt"))
+    val perBucketTypes = dt.groupBy(col("__t")).agg(min(col("__id")).as("__fid"))
+      .crossJoin(broadcast(mx))
+      .groupBy(bucket(col("__fid")).as("__b")).agg(count(lit(1)).as("__nv"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spine = mx.select(explode(sequence(lit(1), lit(k))).as("__b"))
+    val pts = spine
+      .join(perBucketTokens, Seq("__b"), "left")
+      .join(perBucketTypes, Seq("__b"), "left")
+      .withColumn("__N", sum(coalesce(col("__nt"), lit(0L))).over(w))
+      .withColumn("__V", sum(coalesce(col("__nv"), lit(0L))).over(w))
+      .filter(col("__N") > 0L && col("__V") > 0L)
+      .select(round(log(col("__N").cast("double")), 12).as("__x"),
+        round(log(col("__V").cast("double")), 12).as("__y"),
+        col("__N"), col("__V"))
+    val dd = DecimalType(28, 12)
+    val m = pts.agg(count(lit(1)).as("n_checkpoints"),
+      max(col("__N")).as("total_tokens"), max(col("__V")).as("vocabulary"),
+      sum(col("__x").cast(dd)).as("__sx"), sum(col("__y").cast(dd)).as("__sy"),
+      sum((col("__x") * col("__y")).cast(dd)).as("__sxy"),
+      sum((col("__x") * col("__x")).cast(dd)).as("__sxx"))
+    val nD = col("n_checkpoints").cast("double")
+    val varx = nD * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val beta = (nD * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")) / varx
+    m.select(col("n_checkpoints"), col("total_tokens"), col("vocabulary"),
+      round(when(varx =!= 0.0, beta), 6).as("beta"),
+      round(when(varx =!= 0.0,
+        exp(col("__sy").cast("double") / nD -
+          beta * col("__sx").cast("double") / nD)), 6).as("k_coef"))
+  }
 }

@@ -4060,6 +4060,489 @@ object StatsQueries2 {
         "AS partial_corr FROM r")
     },
       (s, dir) => Stats.partialCorr(Tables.lineitem(s, dir),
-        "l_quantity", "l_extendedprice", "l_discount"))
+        "l_quantity", "l_extendedprice", "l_discount")),
+
+    // ---- Kendall tau-b between quantity and line number on the 50x7
+    // cell rollup: concordant/discordant masses from the bounded cell-
+    // pair join (O(V^2), N-independent), tie masses doubled in HUGEINT,
+    // one IEEE finish — q270 spearman's concordance sibling.
+    Q("q386_kendall_tau",
+      Some("WITH cells AS (SELECT CAST(l_quantity AS DOUBLE) AS x, " +
+        "CAST(l_linenumber AS DOUBLE) AS y, CAST(count(*) AS BIGINT) AS c " +
+        "FROM lineitem WHERE l_quantity IS NOT NULL " +
+        "AND l_linenumber IS NOT NULL GROUP BY 1, 2), " +
+        "p AS (SELECT a.x AS xa, a.y AS ya, a.c AS ca, b.x AS xb, " +
+        "b.y AS yb, b.c AS cb FROM cells a JOIN cells b " +
+        "ON (a.x < b.x OR (a.x = b.x AND a.y < b.y))), " +
+        "cd AS (SELECT sum(CASE WHEN (xb - xa) * (yb - ya) > 0 " +
+        "THEN CAST(ca AS HUGEINT) * cb ELSE 0 END) AS conc, " +
+        "sum(CASE WHEN (xb - xa) * (yb - ya) < 0 " +
+        "THEN CAST(ca AS HUGEINT) * cb ELSE 0 END) AS disc FROM p), " +
+        "tx AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS n1x2, " +
+        "CAST(sum(t) AS BIGINT) AS n FROM (SELECT CAST(sum(c) AS BIGINT) " +
+        "AS t FROM cells GROUP BY x)), " +
+        "ty AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS n2x2 " +
+        "FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY y)), " +
+        "f AS (SELECT n, CAST(conc AS DOUBLE) AS concd, " +
+        "CAST(disc AS DOUBLE) AS discd, " +
+        "CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) / 2.0 AS n0, " +
+        "CAST(n1x2 AS DOUBLE) / 2.0 AS n1, " +
+        "CAST(n2x2 AS DOUBLE) / 2.0 AS n2 FROM cd, tx, ty) " +
+        "SELECT n, concd AS concordant, discd AS discordant, " +
+        "round(CASE WHEN sqrt((n0 - n1) * (n0 - n2)) > 0 THEN " +
+        "(concd - discd) / sqrt((n0 - n1) * (n0 - n2)) END, 6) AS tau_b " +
+        "FROM f"),
+      (s, dir) => Stats.kendallTau(Tables.lineitem(s, dir),
+        col("l_quantity"), col("l_linenumber"))),
+
+    // ---- Jarque-Bera normality of event values: decimal-exact mean
+    // (rounded, broadcast), floor-quantized central moments in
+    // DECIMAL(38,0)/HUGEINT (the conversion-bound discipline), skew /
+    // excess kurtosis / JB as fixed IEEE shapes.
+    Q("q387_jarque_bera",
+      Some("WITH b AS (SELECT CAST(value AS DOUBLE) AS v FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "round(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS mu FROM b), " +
+        "c AS (SELECT n, mu, " +
+        "sum(CAST(floor((v - mu) * (v - mu) * 1e6) AS HUGEINT)) AS m2, " +
+        "sum(CAST(floor((v - mu) * (v - mu) * (v - mu) * 1e3) AS HUGEINT)) " +
+        "AS m3, " +
+        "sum(CAST(floor((v - mu) * (v - mu) * (v - mu) * (v - mu)) " +
+        "AS HUGEINT)) AS m4 FROM b, m GROUP BY 1, 2), " +
+        "d AS (SELECT n, mu, CAST(n AS DOUBLE) AS nd, " +
+        "CAST(m2 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS mm2, " +
+        "CAST(m3 AS DOUBLE) / 1e3 / CAST(n AS DOUBLE) AS mm3, " +
+        "CAST(m4 AS DOUBLE) / CAST(n AS DOUBLE) AS mm4 FROM c), " +
+        "g AS (SELECT n, mu, nd, mm2, mm3 / power(mm2, 1.5) AS g1, " +
+        "mm4 / (mm2 * mm2) - 3.0 AS g2 FROM d) " +
+        "SELECT n, mu AS mean, " +
+        "round(CASE WHEN mm2 > 0 THEN g1 END, 6) AS skewness, " +
+        "round(CASE WHEN mm2 > 0 THEN g2 END, 6) AS kurtosis_excess, " +
+        "round(CASE WHEN mm2 > 0 THEN nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0) " +
+        "END, 6) AS jb FROM g"),
+      (s, dir) => Stats.jarqueBera(Tables.events(s, dir), col("value"))),
+
+    // ---- Mann-Kendall monotone trend of the zero-filled daily count
+    // series: S over the calendar-bounded day-pair join, tie-corrected
+    // variance in HUGEINT, the continuity-corrected z.
+    Q("q388_mann_kendall",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "s AS (SELECT r.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n " +
+        "FROM r LEFT JOIN c USING (day)), " +
+        "ss AS (SELECT CAST(sum(CASE WHEN b.n > a.n THEN 1 " +
+        "WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS st " +
+        "FROM s a JOIN s b ON a.day < b.day), " +
+        "t AS (SELECT CAST(sum(t) AS BIGINT) AS nd, " +
+        "sum(CAST(t AS HUGEINT) * (t - 1) * (t * 2 + 5)) AS tsum " +
+        "FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM s GROUP BY n)), " +
+        "v AS (SELECT st, nd, (CAST(nd AS DOUBLE) * " +
+        "(CAST(nd AS DOUBLE) - 1.0) * (2.0 * CAST(nd AS DOUBLE) + 5.0) - " +
+        "CAST(tsum AS DOUBLE)) / 18.0 AS vs FROM ss, t) " +
+        "SELECT nd AS n_days, st AS s_stat, round(vs, 6) AS var_s, " +
+        "round(CASE WHEN vs > 0 THEN CASE WHEN st > 0 THEN " +
+        "(CAST(st AS DOUBLE) - 1.0) / sqrt(vs) WHEN st < 0 THEN " +
+        "(CAST(st AS DOUBLE) + 1.0) / sqrt(vs) ELSE 0.0 END END, 6) AS z " +
+        "FROM v"),
+      (s, dir) => EventAnalytics.mannKendallDaily(Tables.events(s, dir),
+        "ts")),
+
+    // ---- Wald-Wolfowitz runs test of daily counts against their lower
+    // MEDIAN (order statistic, never an interpolated mean): run breaks
+    // from one lag window over the spine, z from the exact closed form.
+    Q("q389_runs_test",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "s AS (SELECT r.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n " +
+        "FROM r LEFT JOIN c USING (day)), " +
+        "med AS (SELECT n AS m FROM (SELECT n, " +
+        "row_number() OVER (ORDER BY n, day) AS rn, " +
+        "count(*) OVER () AS nd FROM s) WHERE rn = (nd + 1) // 2), " +
+        "f AS (SELECT day, n > (SELECT m FROM med) AS b FROM s), " +
+        "g AS (SELECT b, lag(b) OVER (ORDER BY day) AS lb FROM f), " +
+        "rr AS (SELECT CAST(count(*) AS BIGINT) AS n_days, " +
+        "CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_above, " +
+        "CAST(sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_below, " +
+        "CAST(sum(CASE WHEN lb IS NULL OR lb <> b THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS runs FROM g), " +
+        "k AS (SELECT *, CAST(n_above AS DOUBLE) AS n1, " +
+        "CAST(n_below AS DOUBLE) AS n2, CAST(n_days AS DOUBLE) AS nd " +
+        "FROM rr) " +
+        "SELECT n_days, n_above, n_below, runs, " +
+        "round(CASE WHEN n_above > 0 AND n_below > 0 AND n_days > 1 AND " +
+        "2.0 * n1 * n2 * (2.0 * n1 * n2 - nd) / (nd * nd * (nd - 1.0)) > 0 " +
+        "THEN (CAST(runs AS DOUBLE) - (1.0 + 2.0 * n1 * n2 / nd)) / " +
+        "sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - nd) / " +
+        "(nd * nd * (nd - 1.0))) END, 6) AS z FROM k"),
+      (s, dir) => EventAnalytics.runsTestDaily(Tables.events(s, dir), "ts")),
+
+    // ---- Cronbach's alpha of the five per-user event-type counts (a
+    // complete design by construction — zero-filled conditional sums):
+    // per-item and total variances from decimal-exact moments.
+    Q("q390_cronbach_alpha",
+      Some("WITH u AS (SELECT user_id, " +
+        "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c_view, " +
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_click, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS c_purchase, " +
+        "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c_signup, " +
+        "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c_error " +
+        "FROM events GROUP BY 1), " +
+        "l AS (SELECT user_id, 'view' AS item, CAST(c_view AS DOUBLE) AS v " +
+        "FROM u UNION ALL SELECT user_id, 'click', CAST(c_click AS DOUBLE) " +
+        "FROM u UNION ALL SELECT user_id, 'purchase', " +
+        "CAST(c_purchase AS DOUBLE) FROM u UNION ALL SELECT user_id, " +
+        "'signup', CAST(c_signup AS DOUBLE) FROM u UNION ALL " +
+        "SELECT user_id, 'error', CAST(c_error AS DOUBLE) FROM u), " +
+        "it AS (SELECT item, CAST(count(*) AS BIGINT) AS ni, " +
+        "sum(CAST(v AS DECIMAL(38,6))) AS si, " +
+        "sum(CAST(v * v AS DECIMAL(38,6))) AS ssi FROM l GROUP BY 1), " +
+        "iv AS (SELECT CAST(count(*) AS BIGINT) AS n_items, " +
+        "sum(CAST((CAST(ssi AS DOUBLE) - CAST(si AS DOUBLE) * " +
+        "CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)) / " +
+        "CAST(ni - 1 AS DOUBLE) AS DECIMAL(28,12))) AS siv FROM it), " +
+        "ut AS (SELECT user_id, sum(CAST(v AS DECIMAL(38,6))) AS tot " +
+        "FROM l GROUP BY 1), " +
+        "tt AS (SELECT CAST(count(*) AS BIGINT) AS n_units, " +
+        "sum(tot) AS st, sum(CAST(CAST(tot AS DOUBLE) * " +
+        "CAST(tot AS DOUBLE) AS DECIMAL(38,6))) AS sst FROM ut), " +
+        "fv AS (SELECT n_units, n_items, siv, " +
+        "(CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / " +
+        "CAST(n_units AS DOUBLE)) / (CAST(n_units AS DOUBLE) - 1.0) AS tv " +
+        "FROM tt, iv) " +
+        "SELECT n_units, n_items, round(CAST(siv AS DOUBLE), 6) " +
+        "AS sum_item_var, round(tv, 6) AS total_var, " +
+        "round(CASE WHEN n_items >= 2 AND n_units >= 2 AND tv > 0 THEN " +
+        "CAST(n_items AS DOUBLE) / (CAST(n_items AS DOUBLE) - 1.0) * " +
+        "(1.0 - CAST(siv AS DOUBLE) / tv) END, 6) AS alpha FROM fv"),
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id").agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c_view"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c_click"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c_purchase"),
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("c_signup"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("c_error"))
+        val long = u.selectExpr("user_id",
+          "stack(5, 'view', CAST(c_view AS DOUBLE), " +
+            "'click', CAST(c_click AS DOUBLE), " +
+            "'purchase', CAST(c_purchase AS DOUBLE), " +
+            "'signup', CAST(c_signup AS DOUBLE), " +
+            "'error', CAST(c_error AS DOUBLE)) AS (item, v)")
+        Stats.cronbachAlpha(long, col("user_id"), col("item"), col("v"))
+      }),
+
+    // ---- ICC(1,1) of event values across event types: the q373 ANOVA
+    // moments plus the unbalanced k0, answering "how much variance is
+    // BETWEEN types" where the F only asks whether it is nonzero.
+    Q("q391_icc",
+      Some("WITH b AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "gr AS (SELECT g, CAST(count(*) AS BIGINT) AS ng, " +
+        "sum(CAST(v AS DECIMAL(38,6))) AS sg, " +
+        "sum(CAST(v * v AS DECIMAL(38,6))) AS ssg FROM b GROUP BY 1), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
+        "CAST(sum(ng) AS BIGINT) AS n, " +
+        "sum(CAST(ng AS HUGEINT) * ng) AS sn2, " +
+        "sum(sg) AS st, sum(ssg) AS sst, " +
+        "sum(CAST((CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / " +
+        "CAST(ng AS DOUBLE) AS DECIMAL(28,12))) AS sg2 FROM gr), " +
+        "f AS (SELECT n_groups, n, CAST(n AS DOUBLE) AS nd, " +
+        "CAST(n_groups AS DOUBLE) AS ad, " +
+        "CAST(sg2 AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / " +
+        "CAST(n AS DOUBLE) AS ssb, " +
+        "CAST(sst AS DOUBLE) - CAST(sg2 AS DOUBLE) AS ssw, " +
+        "(CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+        "(CAST(n_groups AS DOUBLE) - 1.0) AS k0 FROM a), " +
+        "h AS (SELECT n_groups, n, ssb / (ad - 1.0) AS msb, " +
+        "ssw / (nd - ad) AS msw, k0, " +
+        "n_groups > 1 AND n > n_groups AS ok FROM f) " +
+        "SELECT n_groups, n, " +
+        "round(CASE WHEN ok THEN msb END, 6) AS ms_between, " +
+        "round(CASE WHEN ok THEN msw END, 6) AS ms_within, " +
+        "round(CASE WHEN ok THEN k0 END, 6) AS k0, " +
+        "round(CASE WHEN ok AND msb + (k0 - 1.0) * msw <> 0 THEN " +
+        "(msb - msw) / (msb + (k0 - 1.0) * msw) END, 6) AS icc FROM h"),
+      (s, dir) => Stats.icc(Tables.events(s, dir), col("event_type"),
+        col("value"))),
+
+    // ---- Harrell's C on the q362 churn fixture (duration = active span,
+    // event = churned, risk score = capped activity): concordance from
+    // the bounded (t, e, s) cell-pair join, exact HUGEINT masses.
+    Q("q392_harrell_c",
+      Some("WITH u AS (SELECT user_id, " +
+        "min(epoch_us(ts) // 86400000000) AS f, " +
+        "max(epoch_us(ts) // 86400000000) AS l, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "mx AS (SELECT max(l) AS mx FROM u), " +
+        "d AS (SELECT CAST(l - f AS BIGINT) AS t, l < mx - 7 AS e, " +
+        "CAST(least(cnt, 20) AS DOUBLE) AS sc FROM u, mx), " +
+        "cells AS (SELECT t, e, sc, CAST(count(*) AS BIGINT) AS c " +
+        "FROM d GROUP BY 1, 2, 3), " +
+        "nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells), " +
+        "p AS (SELECT a.sc AS sa, a.c AS ca, b.sc AS sb, b.c AS cb " +
+        "FROM cells a JOIN cells b ON ((a.t < b.t AND a.e) OR " +
+        "(a.t = b.t AND a.e AND NOT b.e))), " +
+        "m AS (SELECT sum(CAST(ca AS HUGEINT) * cb) AS cmp, " +
+        "sum(CASE WHEN sa > sb THEN CAST(ca AS HUGEINT) * cb ELSE 0 END) " +
+        "AS conc, " +
+        "sum(CASE WHEN sa = sb THEN CAST(ca AS HUGEINT) * cb ELSE 0 END) " +
+        "AS tied FROM p) " +
+        "SELECT n, CAST(cmp AS DOUBLE) AS comparable, " +
+        "CAST(conc AS DOUBLE) AS concordant, CAST(tied AS DOUBLE) AS tied, " +
+        "round(CASE WHEN cmp > 0 THEN (CAST(conc AS DOUBLE) + " +
+        "CAST(tied AS DOUBLE) / 2.0) / CAST(cmp AS DOUBLE) END, 6) " +
+        "AS c_index FROM m, nn"),
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id").agg(
+          min(EventAnalytics.dayIndex(col("ts"))).as("f"),
+          max(EventAnalytics.dayIndex(col("ts"))).as("l"),
+          count(lit(1)).as("cnt"))
+        val mx = u.agg(max(col("l")).as("mx"))
+        val d = u.crossJoin(broadcast(mx)).select(
+          (col("l") - col("f")).as("dur"),
+          (col("l") < col("mx") - 7).as("ev"),
+          least(col("cnt"), lit(20L)).cast("double").as("sc"))
+        Stats.harrellC(d, col("dur"), col("ev"), col("sc"))
+      }),
+
+    // ---- degree assortativity of the co-purchase graph: endpoint
+    // degrees meet the edge list in two co-keyed hash joins; orientation
+    // symmetry folds into ONE HUGEINT-exact aggregate.
+    Q("q393_assortativity",
+      Some("WITH " + AppliedQueries.copurchaseEdgesSql + ", " +
+        "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg " +
+        "FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) " +
+        "GROUP BY 1), " +
+        "j AS (SELECT da.deg AS dda, db.deg AS ddb FROM e0 " +
+        "JOIN deg da ON e0.a = da.node JOIN deg db ON e0.b = db.node), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges, " +
+        "sum(CAST(dda + ddb AS HUGEINT)) AS sx, " +
+        "sum(CAST(dda AS HUGEINT) * dda + CAST(ddb AS HUGEINT) * ddb) " +
+        "AS sxx, sum(CAST(dda AS HUGEINT) * ddb * 2) AS sxy FROM j), " +
+        "f AS (SELECT n_edges, " +
+        "CAST(n_edges * 2 AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS num, " +
+        "CAST(n_edges * 2 AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den FROM m) " +
+        "SELECT n_edges, round(CASE WHEN den <> 0 THEN num / den END, 6) " +
+        "AS r FROM f"),
+      (s, dir) => Graph.assortativity(AppliedQueries.copurchaseEdges(s, dir),
+        "src", "dst")),
+
+    // ---- Burrows' Delta between documentation sources over the top-50
+    // corpus tokens: 12dp frequencies, across-group z (sigma=0 tokens
+    // carry 0), per-pair mean |dz| — fightin-words' pairwise summary.
+    Q("q394_burrows_delta",
+      Some("WITH tok AS (SELECT source AS g, " +
+        "unnest(list_filter(regexp_split_to_array(trim(lower(text)), " +
+        "'\\s+'), t -> t <> '')) AS t FROM documents), " +
+        "gt AS (SELECT g, t, CAST(count(*) AS BIGINT) AS c FROM tok " +
+        "GROUP BY 1, 2), " +
+        "top AS (SELECT t FROM (SELECT t, sum(c) AS tot FROM gt GROUP BY 1) " +
+        "ORDER BY tot DESC, t LIMIT 50), " +
+        "totals AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM gt " +
+        "GROUP BY 1), " +
+        "grid AS (SELECT totals.g, top.t, " +
+        "round(CAST(coalesce(gt.c, 0) AS DOUBLE) / CAST(totals.n AS DOUBLE), " +
+        "12) AS f FROM totals CROSS JOIN top LEFT JOIN gt " +
+        "ON gt.g = totals.g AND gt.t = top.t), " +
+        "st AS (SELECT t, CAST(count(*) AS BIGINT) AS ng, " +
+        "sum(CAST(f AS DECIMAL(28,12))) AS sf, " +
+        "sum(CAST(f * f AS DECIMAL(28,12))) AS sff FROM grid GROUP BY 1), " +
+        "sd AS (SELECT t, CAST(sf AS DOUBLE) / CAST(ng AS DOUBLE) AS mean, " +
+        "sqrt((CAST(ng AS DOUBLE) * CAST(sff AS DOUBLE) - " +
+        "CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE)) / " +
+        "(CAST(ng AS DOUBLE) * CAST(ng AS DOUBLE))) AS sd FROM st), " +
+        "z AS (SELECT g, grid.t, round(CASE WHEN sd > 0 THEN " +
+        "(f - mean) / sd ELSE 0.0 END, 6) AS z FROM grid JOIN sd " +
+        "ON grid.t = sd.t) " +
+        "SELECT l.g AS group_a, r.g AS group_b, " +
+        "round(CAST(sum(CAST(abs(l.z - r.z) AS DECIMAL(28,12))) AS DOUBLE) " +
+        "/ CAST(count(*) AS DOUBLE), 6) AS delta FROM z l JOIN z r " +
+        "ON l.t = r.t AND l.g < r.g GROUP BY 1, 2 ORDER BY 1, 2"),
+      (s, dir) => TA.burrowsDelta(Tables.documents(s, dir), col("source"),
+          "text", topV = 50)
+        .orderBy("group_a", "group_b")),
+
+    // ---- Heaps'-law vocabulary growth over 16 doc-id-order prefixes:
+    // first occurrence = min(doc_id) per token (one rollup, never a
+    // prefix-distinct), integer checkpoint buckets, log-log OLS.
+    Q("q395_heaps_law",
+      Some("WITH dt AS (SELECT doc_id AS id, " +
+        "unnest(list_filter(regexp_split_to_array(trim(lower(text)), " +
+        "'\\s+'), t -> t <> '')) AS t FROM documents), " +
+        "mx AS (SELECT max(id) AS mx FROM dt), " +
+        "bt AS (SELECT ((id + 1) * 16 + mx) // (mx + 1) AS b, " +
+        "count(*) AS nt FROM dt, mx GROUP BY 1), " +
+        "bv AS (SELECT ((fid + 1) * 16 + mx) // (mx + 1) AS b, " +
+        "count(*) AS nv FROM (SELECT min(id) AS fid FROM dt GROUP BY t), " +
+        "mx GROUP BY 1), " +
+        "sp AS (SELECT unnest(range(1, 17)) AS b), " +
+        "pts AS (SELECT b, " +
+        "sum(coalesce(nt, 0)) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS nn, " +
+        "sum(coalesce(nv, 0)) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS vv FROM sp " +
+        "LEFT JOIN bt USING (b) LEFT JOIN bv USING (b)), " +
+        "lp AS (SELECT round(ln(CAST(nn AS DOUBLE)), 12) AS x, " +
+        "round(ln(CAST(vv AS DOUBLE)), 12) AS y, nn, vv FROM pts " +
+        "WHERE nn > 0 AND vv > 0), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_checkpoints, " +
+        "CAST(max(nn) AS BIGINT) AS total_tokens, " +
+        "CAST(max(vv) AS BIGINT) AS vocabulary, " +
+        "sum(CAST(x AS DECIMAL(28,12))) AS sx, " +
+        "sum(CAST(y AS DECIMAL(28,12))) AS sy, " +
+        "sum(CAST(x * y AS DECIMAL(28,12))) AS sxy, " +
+        "sum(CAST(x * x AS DECIMAL(28,12))) AS sxx FROM lp), " +
+        "f AS (SELECT n_checkpoints, total_tokens, vocabulary, " +
+        "CAST(n_checkpoints AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, " +
+        "CAST(sy AS DOUBLE) AS syd, " +
+        "CAST(n_checkpoints AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx, " +
+        "CAST(n_checkpoints AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov FROM m) " +
+        "SELECT n_checkpoints, total_tokens, vocabulary, " +
+        "round(CASE WHEN varx <> 0 THEN cov / varx END, 6) AS beta, " +
+        "round(CASE WHEN varx <> 0 THEN exp(syd / nd - " +
+        "(cov / varx) * sxd / nd) END, 6) AS k_coef FROM f"),
+      (s, dir) => TA.heapsLaw(Tables.documents(s, dir), "doc_id", "text",
+        checkpoints = 16)),
+
+    // ---- Lo-MacKinlay variance ratio (k=5) of daily counts: integer
+    // diff series off the calendar spine, HUGEINT-exact population
+    // variances, one ratio.
+    Q("q396_variance_ratio",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "s AS (SELECT r.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n " +
+        "FROM r LEFT JOIN c USING (day)), " +
+        "d AS (SELECT n - lag(n, 1) OVER (ORDER BY day) AS d1, " +
+        "n - lag(n, 5) OVER (ORDER BY day) AS dk FROM s), " +
+        "m AS (SELECT " +
+        "CAST(sum(CASE WHEN d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n1, sum(CAST(d1 AS HUGEINT)) AS s1, " +
+        "sum(CAST(d1 AS HUGEINT) * d1) AS ss1, " +
+        "CAST(sum(CASE WHEN dk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS nk, sum(CAST(dk AS HUGEINT)) AS sk, " +
+        "sum(CAST(dk AS HUGEINT) * dk) AS ssk FROM d), " +
+        "f AS (SELECT n1, nk, " +
+        "(CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * " +
+        "CAST(s1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) " +
+        "AS v1, " +
+        "(CAST(nk AS DOUBLE) * CAST(ssk AS DOUBLE) - CAST(sk AS DOUBLE) * " +
+        "CAST(sk AS DOUBLE)) / (CAST(nk AS DOUBLE) * CAST(nk AS DOUBLE)) " +
+        "AS vk FROM m) " +
+        "SELECT n1, nk, round(v1, 6) AS var_1, round(vk, 6) AS var_k, " +
+        "round(CASE WHEN n1 > 0 AND nk > 0 AND v1 > 0 THEN " +
+        "vk / (5.0 * v1) END, 6) AS vr FROM f"),
+      (s, dir) => EventAnalytics.varianceRatioDaily(Tables.events(s, dir),
+        "ts", k = 5)),
+
+    // ---- per-day peak concurrency of 30-minute-gap sessions: carry-in
+    // by projection off the day-exploded intervals, within-day +1/-1
+    // cumulation in a DAY-partitioned window (ends before starts at
+    // ties — [s,e) semantics), never a global timeline sort.
+    Q("q397_peak_concurrency",
+      Some("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us " +
+        "FROM events), " +
+        "f AS (SELECT user_id, us, CASE WHEN lag(us) OVER w IS NULL OR " +
+        "us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nf FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "y AS (SELECT user_id, us, sum(nf) OVER " +
+        "(PARTITION BY user_id ORDER BY us) AS sid FROM f), " +
+        "iv AS (SELECT min(us) AS st, max(us) AS en FROM y " +
+        "GROUP BY user_id, sid), " +
+        "touched AS (SELECT st, en, unnest(range(st // 86400000000, " +
+        "en // 86400000000 + 1)) AS day FROM iv), " +
+        "car AS (SELECT day, CAST(sum(CASE WHEN st // 86400000000 < day " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS carried_in FROM touched " +
+        "GROUP BY 1), " +
+        "pts AS (SELECT st AS ts, 1 AS dd FROM iv " +
+        "UNION ALL SELECT en, -1 FROM iv), " +
+        "run AS (SELECT ts // 86400000000 AS day, " +
+        "sum(dd) OVER (PARTITION BY ts // 86400000000 ORDER BY ts, dd " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rr " +
+        "FROM pts), " +
+        "pk AS (SELECT day, greatest(max(rr), 0) AS p FROM run GROUP BY 1) " +
+        "SELECT car.day, carried_in, " +
+        "CAST(carried_in + coalesce(p, 0) AS BIGINT) AS peak " +
+        "FROM car LEFT JOIN pk USING (day) ORDER BY day"),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          EventAnalytics.micros(col("ts")).as("us"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us").asc, col("event_id").asc)
+        val sess = e
+          .withColumn("__nf", when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+            .otherwise(0L))
+          .withColumn("__sid", sum(col("__nf")).over(
+            Window.partitionBy("user_id").orderBy(col("us").asc)))
+          .groupBy("user_id", "__sid")
+          .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+        EventAnalytics.peakConcurrency(sess, col("s_us"), col("e_us"))
+          .orderBy("day")
+      }),
+
+    // ---- daily Sharpe/Sortino of the cent-quantized value flow:
+    // integer day-over-day diffs off the spine, HUGEINT moments,
+    // unannualized ratios (annualization is a caller constant).
+    Q("q398_risk_ratios",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s " +
+        "FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "sp AS (SELECT r.day, coalesce(c.s, 0) AS s FROM r " +
+        "LEFT JOIN c USING (day)), " +
+        "d AS (SELECT s - lag(s, 1) OVER (ORDER BY day) AS d FROM sp), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_days, " +
+        "sum(CAST(d AS HUGEINT)) AS sd, " +
+        "sum(CAST(d AS HUGEINT) * d) AS sdd, " +
+        "sum(CASE WHEN d < 0 THEN CAST(d AS HUGEINT) * d ELSE 0 END) " +
+        "AS sdn FROM d WHERE d IS NOT NULL), " +
+        "f AS (SELECT n_days, CAST(sd AS DOUBLE) / CAST(n_days AS DOUBLE) " +
+        "AS mean, sqrt((CAST(n_days AS DOUBLE) * CAST(sdd AS DOUBLE) - " +
+        "CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) / " +
+        "(CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))) AS sdv, " +
+        "sqrt(CAST(sdn AS DOUBLE) / CAST(n_days AS DOUBLE)) AS dsd FROM m) " +
+        "SELECT n_days, round(mean, 6) AS mean_diff, " +
+        "round(sdv, 6) AS sd_diff, round(dsd, 6) AS downside_sd, " +
+        "round(CASE WHEN sdv > 0 THEN mean / sdv END, 6) AS sharpe, " +
+        "round(CASE WHEN dsd > 0 THEN mean / dsd END, 6) AS sortino FROM f"),
+      (s, dir) => Finance.dailyRiskRatios(Tables.events(s, dir), "ts",
+        col("value"))),
+
+    // ---- entropy rate of the event-type transition chain: exact counts
+    // off the per-user window, -ln p rounded 12dp then integer-weighted
+    // (PSI discipline), perplexity = e^H.
+    Q("q399_transition_entropy",
+      Some("WITH p AS (SELECT event_type AS src, lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst " +
+        "FROM events), " +
+        "c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM p " +
+        "WHERE dst IS NOT NULL GROUP BY 1, 2), " +
+        "r AS (SELECT src, CAST(sum(n) AS BIGINT) AS rt FROM c GROUP BY 1), " +
+        "t AS (SELECT CAST(-ln(CAST(n AS DOUBLE) / CAST(rt AS DOUBLE)) " +
+        "AS DECIMAL(18,12)) AS term, n, src FROM c JOIN r USING (src)), " +
+        "m AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_states, " +
+        "CAST(sum(n) AS BIGINT) AS n_transitions, " +
+        "sum(term * CAST(n AS DECIMAL(19,0))) AS ht FROM t) " +
+        "SELECT n_states, n_transitions, " +
+        "round(CAST(ht AS DOUBLE) / CAST(n_transitions AS DOUBLE), 6) " +
+        "AS entropy_rate, " +
+        "round(exp(CAST(ht AS DOUBLE) / CAST(n_transitions AS DOUBLE)), 6) " +
+        "AS perplexity FROM m"),
+      (s, dir) => EventAnalytics.transitionEntropy(Tables.events(s, dir),
+        "user_id", "event_id", "ts", "event_type"))
   )
 }

@@ -833,6 +833,77 @@ class AppliedSpec extends SparkSpec {
       s"expected the null-outcome raise, got: $ex")
   }
 
+  test("mannKendallDaily: strictly increasing counts give S = n(n-1)/2, hand z") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // daily counts 1,2,3 -> S = 3, no value ties -> Var = 3*2*11/18
+    val rows = (10 to 12).flatMap(d => Seq.fill(d - 9)(t(d)))
+    val r = EventAnalytics.mannKendallDaily(rows.toDF("ts"), "ts").collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 3.666667, s"var: $r")
+    // z = (3-1)/sqrt(11/3)
+    assert(r.getDouble(3) == 1.044466, s"z: $r")
+  }
+
+  test("runsTestDaily: alternating series maximizes runs; hand z") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // counts 1,5,1,5,1 -> median 1, flags F,T,F,T,F -> R=5, n1=2, n2=3
+    val counts = Seq(1, 5, 1, 5, 1)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) => Seq.fill(c)(t(d + 10)) }
+    val r = EventAnalytics.runsTestDaily(rows.toDF("ts"), "ts").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 2L, 3L, 5L)))
+    // E = 1 + 12/5 = 3.4, Var = 0.84 -> z = 1.6/sqrt(0.84)
+    assert(r.getDouble(4) == 1.745743, s"z: $r")
+  }
+
+  test("varianceRatioDaily: alternating counts -> hand VR(5)") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // counts 1,2,1,2,... over 10 days: var1 = 80/81, var5 = 24/25
+    val rows = (0 until 10).flatMap(d => Seq.fill(if (d % 2 == 0) 1 else 2)(t(d + 10)))
+    val r = EventAnalytics.varianceRatioDaily(rows.toDF("ts"), "ts", k = 5)
+      .collect()(0)
+    assert(r.getLong(0) == 9L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 0.987654 && r.getDouble(3) == 0.96)
+    assert(r.getDouble(4) == 0.1944, s"vr: $r")
+  }
+
+  test("peakConcurrency: within-day overlap, cross-day carry, [s,e) tie policy") {
+    val day = 86400000000L
+    val iv = Seq((10L, 20L), (15L, 30L), (100L, day + 50L),
+      (day + 5L, day + 8L)).toDF("s", "e")
+    val r = EventAnalytics.peakConcurrency(iv, col("s"), col("e"))
+      .orderBy("day").collect()
+    // day 0: running 1,2,1,0,1 -> peak 2; day 1: carry 1 (the spanner) +
+    // within-day max 1 -> 2
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((0L, 0L, 2L), (1L, 1L, 2L)))
+    // back-to-back [0,10) + [10,20): the -1 processes first at ts=10
+    val bb = Seq((0L, 10L), (10L, 20L)).toDF("s", "e")
+    val p = EventAnalytics.peakConcurrency(bb, col("s"), col("e")).collect()
+    assert(p.length == 1 && p(0).getLong(2) == 1L,
+      s"adjacent intervals must never overlap: ${p.toSeq}")
+  }
+
+  test("transitionEntropy: hand -ln p weighting over a two-user chain") {
+    import java.sql.Timestamp
+    def ev(u: Long, i: Long, tp: String) =
+      (u, i, new Timestamp(1000L * i), tp)
+    // user1: A>B>A>B; user2: A>A>C — transitions A>B x2, B>A, A>A, A>C
+    val df = (Seq(ev(1, 1, "A"), ev(1, 2, "B"), ev(1, 3, "A"), ev(1, 4, "B"),
+      ev(2, 5, "A"), ev(2, 6, "A"), ev(2, 7, "C")))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val r = EventAnalytics.transitionEntropy(df, "user_id", "event_id",
+      "ts", "event_type").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 5L)
+    // H = (2 ln2 + 1 ln4 + 1 ln4 + 0)/5
+    assert(r.getDouble(2) == 0.831777, s"H: $r")
+    assert(math.abs(r.getDouble(3) - math.exp(0.8317766166)) < 2e-6,
+      s"perplexity: $r")
+  }
+
   test("hosmerLemeshow: a null label on a scored row fails the job loudly") {
     import spark.implicits._
     val df = Seq((1L, 0.9, Some(true)), (2L, 0.8, None),

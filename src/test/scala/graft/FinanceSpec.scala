@@ -230,4 +230,18 @@ class FinanceSpec extends SparkSpec {
     assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) ==
       ((3L, 1L, 0L)))
   }
+
+  test("dailyRiskRatios: hand diffs off the zero-filled cent spine") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // daily cents 100, 300, 200 -> diffs 200, -100: mean 50, sd 150,
+    // downside sd sqrt(10000/2)
+    val df = Seq((t(10), 1.0), (t(11), 3.0), (t(12), 2.0)).toDF("ts", "v")
+    val r = Finance.dailyRiskRatios(df, "ts", col("v")).collect()(0)
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == 50.0 && r.getDouble(2) == 150.0)
+    assert(r.getDouble(3) == 70.710678)
+    assert(r.getDouble(4) == 0.333333 && r.getDouble(5) == 0.707107, s"rr: $r")
+  }
 }

@@ -202,4 +202,16 @@ class GraphSpec extends SparkSpec {
     // triangle-less and peels it -> empty truss
     assert(Graph.kTruss(edges, "s", "d", k = 4, rounds = 2).isEmpty)
   }
+
+  test("assortativity: a star is perfectly disassortative; a 4-cycle is degenerate") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "d")
+    val r = Graph.assortativity(star, "s", "d").collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == -1.0, s"star r: $r")
+    // 4-cycle: every endpoint degree 2 -> zero variance -> null r
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val c = Graph.assortativity(cyc, "s", "d").collect()(0)
+    assert(c.isNullAt(1), s"constant degrees must null r: $c")
+  }
 }

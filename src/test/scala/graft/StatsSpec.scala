@@ -375,6 +375,98 @@ class StatsSpec extends SparkSpec {
     assert(r1.getAs[Double]("t") < -10.0, s"t = ${r1.getAs[Double]("t")}")
   }
 
+  test("kendallTau: hand C/D counts, tau-b on a tie-free example") {
+    // (1,1)(2,3)(3,2)(4,4): C=5, D=1, no ties -> tau = 4/6
+    val df = Seq((1.0, 1L), (2.0, 3L), (3.0, 2L), (4.0, 4L)).toDF("x", "y")
+    val r = Stats.kendallTau(df, col("x"), col("y")).collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 5.0 && r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 0.666667, s"tau: $r")
+  }
+
+  test("kendallTau: ties shrink the denominator (tau-b correction)") {
+    // x=(1,1,2,2), y=(1,2,1,2): C=2 ((1,1)-(2,2) and... pairs with both
+    // axes moving: (1,1)-(2,2) C, (1,2)-(2,1) D; n1=n2=2 -> tau_b = 0
+    val df = Seq((1.0, 1L), (1.0, 2L), (2.0, 1L), (2.0, 2L)).toDF("x", "y")
+    val r = Stats.kendallTau(df, col("x"), col("y")).collect()(0)
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 0.0, s"tau_b: $r")
+  }
+
+  test("jarqueBera: symmetric 1..5 -> zero skew, platykurtic, hand JB") {
+    val df = (1 to 5).map(_.toDouble).toDF("v")
+    val r = Stats.jarqueBera(df, col("v")).collect()(0)
+    assert(r.getLong(0) == 5L && r.getDouble(1) == 3.0)
+    assert(r.getDouble(2) == 0.0, s"skew: $r")
+    assert(r.getDouble(3) == -1.3, s"kurt: $r")
+    // JB = 5/6 * (0 + 1.69/4) = 0.3520833...
+    assert(r.getDouble(4) == 0.352083, s"jb: $r")
+  }
+
+  test("cronbachAlpha: two parallel items give alpha 1; incomplete design raises") {
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 4.0),
+      (1L, "b", 2.0), (2L, "b", 3.0), (3L, "b", 4.0), (4L, "b", 5.0))
+      .toDF("u", "i", "v")
+    val r = Stats.cronbachAlpha(df, col("u"), col("i"), col("v")).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 3.333333 && r.getDouble(3) == 6.666667)
+    assert(r.getDouble(4) == 1.0, s"alpha: $r")
+    val bad = df.filter(!(col("u") === 4L && col("i") === "b"))
+    val ex = intercept[Exception] {
+      Stats.cronbachAlpha(bad, col("u"), col("i"), col("v")).collect()
+    }
+    assert(ex.toString.contains("incomplete") ||
+      Option(ex.getCause).exists(_.toString.contains("incomplete")),
+      s"expected the incomplete-design raise, got: $ex")
+  }
+
+  test("icc: hand MSB/MSW/k0 on the two-group anova fixture") {
+    // a: 1,2,3 | b: 4,5,6 -> MSB 13.5, MSW 1, k0 3 -> ICC 12.5/15.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "x")
+    val r = Stats.icc(df, col("g"), col("x")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 6L)))
+    assert(r.getDouble(2) == 13.5 && r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) == 3.0)
+    assert(r.getDouble(5) == 0.806452, s"icc: $r")
+  }
+
+  test("harrellC: comparable orientation, concordance, and the half-credit tie") {
+    val df = Seq((1L, true, 3.0), (2L, true, 3.0), (3L, false, 1.0))
+      .toDF("t", "e", "s")
+    val r = Stats.harrellC(df, col("t"), col("e"), col("s")).collect()(0)
+    assert(r.getLong(0) == 3L)
+    // pairs: (1,2) comparable-tied, (1,3) conc, (2,3) conc
+    assert(r.getDouble(1) == 3.0 && r.getDouble(2) == 2.0 &&
+      r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) == 0.833333, s"c: $r")
+    // censored-first pairs are NOT comparable
+    val cens = Seq((1L, false, 3.0), (2L, true, 1.0)).toDF("t", "e", "s")
+    val c2 = Stats.harrellC(cens, col("t"), col("e"), col("s")).collect()(0)
+    assert(c2.isNullAt(4), s"no comparable pairs must null the index: $c2")
+  }
+
+  test("burrowsDelta: two mirrored groups land at the symmetric z distance") {
+    val docs = Seq(("A", "x x y"), ("B", "y y x")).toDF("g", "text")
+    val r = TA.burrowsDelta(docs, col("g"), "text", topV = 2).collect()
+    assert(r.length == 1)
+    val (ga, gb, d) = (r(0).getString(0), r(0).getString(1), r(0).getDouble(2))
+    assert(ga == "A" && gb == "B")
+    // each token's two group freqs are mirror images around the mean, so
+    // |z_A - z_B| = 2 for both tokens -> delta = 2 (up to 12dp rounding)
+    assert(math.abs(d - 2.0) < 1e-6, s"delta: $d")
+  }
+
+  test("heapsLaw: exact prefix counts; log-log slope near the hand OLS") {
+    val docs = Seq((0L, "a b"), (1L, "a c"), (2L, "a d"), (3L, "a e"))
+      .toDF("doc_id", "text")
+    val r = TA.heapsLaw(docs, "doc_id", "text", checkpoints = 4).collect()(0)
+    assert(r.getLong(0) == 4L) // all four prefixes non-empty
+    assert(r.getLong(1) == 8L && r.getLong(2) == 5L)
+    // OLS of ln(2,3,4,5) on ln(2,4,6,8): slope ~ 0.6566
+    assert(math.abs(r.getDouble(3) - 0.656657) < 1e-3, s"beta: $r")
+  }
+
   test("autocorrDaily: constant-increment series correlates positively") {
     import java.sql.Timestamp
     def t(d: Int) = new Timestamp(86400000L * d)
