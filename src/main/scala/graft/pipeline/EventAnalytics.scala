@@ -1875,6 +1875,172 @@ object EventAnalytics {
         col("n_censored"), col("cum_hazard"), col("var_hazard"))
   }
 
+  // --------------------------------- Kaplan-Meier with Greenwood variance
+  /** [[kaplanMeier]] plus the Greenwood (1926) standard error:
+    * Var(Ŝ(t)) = Ŝ(t)²·Σ_{u≤t} d_u/(n_u(n_u−d_u)) — the error band every
+    * published survival curve carries.
+    *
+    * Same determinism/scale shape as kaplanMeier (one duration-grain
+    * rollup, broadcast total, running windows over DISTINCT durations;
+    * ln and d/(n(n−d)) terms rounded to DECIMAL(28,12) before their
+    * running sums). The n(n−d) product runs in DECIMAL (two 10-digit
+    * risk sets overflow a long); at an absorbing zero (d = n) survival
+    * is 0 and the SE reports null (the variance term is infinite).
+    * Returns (duration, n_at_risk, n_events, n_censored, survival,
+    * greenwood_se). */
+  def kmGreenwood(df: DataFrame, durationCol: Column,
+                  eventCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perT = df.select(durationCol.cast("long").as("duration"),
+        eventCol.as("__e"))
+      .filter(col("duration").isNotNull && col("duration") >= 0)
+      .groupBy("duration")
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("__e"), 0L).otherwise(1L)).as("n_censored"))
+    val total = perT.agg(sum(col("n_events") + col("n_censored")).as("__N"))
+    val wPrev = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nd = col("n_at_risk").cast(DecimalType(38, 0)) *
+      (col("n_at_risk") - col("n_events"))
+    perT.crossJoin(broadcast(total))
+      .withColumn("n_at_risk",
+        col("__N") - coalesce(sum(col("n_events") + col("n_censored"))
+          .over(wPrev), lit(0L)))
+      .withColumn("__term",
+        when(col("n_events") > 0 && col("n_events") < col("n_at_risk"),
+          log(lit(1.0) - col("n_events").cast("double") /
+            col("n_at_risk").cast("double")).cast(DecimalType(28, 12)))
+          .otherwise(lit(0.0).cast(DecimalType(28, 12))))
+      .withColumn("__gterm",
+        when(col("n_events") > 0 && col("n_events") < col("n_at_risk"),
+          (col("n_events").cast("double") / nd.cast("double"))
+            .cast(DecimalType(28, 12)))
+          .otherwise(lit(0.0).cast(DecimalType(28, 12))))
+      .withColumn("__dead",
+        max(when(col("n_events") === col("n_at_risk"), 1).otherwise(0))
+          .over(wRun))
+      .withColumn("survival",
+        round(when(col("__dead") === 1, lit(0.0))
+          .otherwise(exp(sum(col("__term")).over(wRun).cast("double"))), 6))
+      .withColumn("greenwood_se",
+        round(when(col("__dead") === 1, lit(null).cast("double"))
+          .otherwise(exp(sum(col("__term")).over(wRun).cast("double")) *
+            sqrt(sum(col("__gterm")).over(wRun).cast("double"))), 6))
+      .select(col("duration"), col("n_at_risk"), col("n_events"),
+        col("n_censored"), col("survival"), col("greenwood_se"))
+  }
+
+  // ------------------------------------- cumulative incidence (competing)
+  /** Aalen-Johansen cumulative incidence under competing risks: with
+    * cause 0 = right-censored and causes 1..K competing events,
+    * CIF_k(t) = Σ_{u≤t} Ŝ(u⁻)·d_{k,u}/n_u — the probability of failing
+    * FROM CAUSE k by t, which naive per-cause KM overstates (1−KM treats
+    * competitors as censoring). Ŝ is the all-cause Kaplan-Meier.
+    *
+    * DETERMINISM: the [[kaplanMeier]] discipline — exact integer risk
+    * sets off ONE duration-grain rollup; Ŝ(u⁻) is exp of the
+    * previous-rows decimal ln sum (absorbing zero carried as a flag);
+    * each CIF increment Ŝ(u⁻)·d/n is one fixed IEEE shape rounded to
+    * DECIMAL(28,12) before the per-cause running sum (window PARTITIONED
+    * BY CAUSE over the duration grain). Cardinality contract: distinct
+    * durations bounded (bucket first); cause vocabulary bounded. Returns
+    * (duration, cause, n_at_risk, n_events, cif) for causes ≥ 1. */
+  def cumulativeIncidence(df: DataFrame, durationCol: Column,
+                          causeCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = df.select(durationCol.cast("long").as("duration"),
+        causeCol.cast("long").as("__k"))
+      .filter(col("duration").isNotNull && col("duration") >= 0 &&
+        col("__k").isNotNull && col("__k") >= 0)
+    val perT = base.groupBy("duration")
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("__k") > 0, 1L).otherwise(0L)).as("__d"))
+    val total = perT.agg(sum(col("__c")).as("__N"))
+    val wPrev = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val surv = perT.crossJoin(broadcast(total))
+      .withColumn("n_at_risk",
+        col("__N") - coalesce(sum(col("__c")).over(wPrev), lit(0L)))
+      .withColumn("__term",
+        when(col("__d") > 0 && col("__d") < col("n_at_risk"),
+          log(lit(1.0) - col("__d").cast("double") /
+            col("n_at_risk").cast("double")).cast(DecimalType(28, 12)))
+          .otherwise(lit(0.0).cast(DecimalType(28, 12))))
+      // S(u-) = survival strictly BEFORE u; dead-before flag absorbs
+      .withColumn("__deadPrev",
+        coalesce(max(when(col("__d") === col("n_at_risk"), 1).otherwise(0))
+          .over(wPrev), lit(0)))
+      .withColumn("__sPrev",
+        when(col("__deadPrev") === 1, lit(0.0))
+          .otherwise(exp(coalesce(sum(col("__term")).over(wPrev)
+            .cast("double"), lit(0.0)))))
+      .select(col("duration"), col("n_at_risk"), col("__sPrev"))
+    val perTC = base.filter(col("__k") > 0)
+      .groupBy(col("duration"), col("__k").as("cause"))
+      .agg(count(lit(1)).as("n_events"))
+    val wCause = Window.partitionBy(col("cause")).orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perTC.join(surv, Seq("duration"))
+      .withColumn("__inc",
+        (col("__sPrev") * col("n_events").cast("double") /
+          col("n_at_risk").cast("double")).cast(DecimalType(28, 12)))
+      .withColumn("cif", round(sum(col("__inc")).over(wCause)
+        .cast("double"), 6))
+      .select(col("duration"), col("cause"), col("n_at_risk"),
+        col("n_events"), col("cif"))
+  }
+
+  // ------------------------------------------------ Ljung-Box portmanteau
+  /** Ljung-Box Q test (Ljung & Box 1978) over the zero-filled daily count
+    * series: Q = n(n+2)·Σ_{k=1..h} ρ̂²_k/(n−k) — "is there ANY
+    * autocorrelation in the first h lags", the portmanteau gate behind
+    * [[autocorrDaily]]'s single lag.
+    *
+    * DETERMINISM — integer micro-units end to end: the 6dp-rounded mean
+    * scales to an exact long M, deviations X_t = x_t·10⁶ − M are exact
+    * longs, every Σ X_aX_b accumulates as DECIMAL(38,0) (cast before
+    * multiplying), ρ_k is one IEEE division, each ρ²/(n−k) term rounds
+    * to DECIMAL(28,12) before the lag sum. Lag pairs come from ONE equi
+    * join on day+k over the calendar-bounded spine (lags exploded, never
+    * h sequential passes). Contract: x·10⁶ fits a long (daily counts
+    * < ~9·10¹²). Returns one row: (n_days, n_lags, q_stat). */
+  def ljungBox(df: DataFrame, tsCol: String, maxLag: Int = 7): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val daily = resampleDaily(df, tsCol)
+    val m = daily.agg(count(lit(1)).as("__nd"),
+        sum(col("n").cast(DecimalType(38, 6))).as("__s"))
+      .select(col("__nd"),
+        round(round(col("__s").cast("double") /
+          col("__nd").cast("double"), 6) * 1e6, 0).cast("long").as("__m"))
+    val dev = daily.crossJoin(broadcast(m))
+      .select(col("day"), (col("n") * 1000000L - col("__m")).as("__x"),
+        col("__nd"))
+    val den = dev.agg(sum(col("__x").cast(DecimalType(38, 0)) * col("__x"))
+      .as("__den"), max(col("__nd")).as("n_days"))
+    val lagged = dev.select(col("day"), col("__x"),
+        explode(sequence(lit(1), lit(maxLag))).as("__k"))
+      .withColumn("__dayk", col("day") + col("__k"))
+    val num = lagged.as("a").join(
+        dev.select(col("day").as("__dayk"), col("__x").as("__xb")), Seq("__dayk"))
+      .groupBy(col("__k"))
+      .agg(sum(col("__x").cast(DecimalType(38, 0)) * col("__xb")).as("__num"))
+    val terms = num.crossJoin(broadcast(den))
+      .select(((col("__num").cast("double") / col("__den").cast("double")) *
+        (col("__num").cast("double") / col("__den").cast("double")) /
+        (col("n_days") - col("__k")).cast("double"))
+        .cast(DecimalType(28, 12)).as("__t"),
+        col("n_days"))
+    terms.agg(max(col("n_days")).as("n_days"), count(lit(1)).as("n_lags"),
+        sum(col("__t")).as("__q"))
+      .select(col("n_days"), col("n_lags"),
+        round(col("n_days").cast("double") *
+          (col("n_days") + 2L).cast("double") *
+          col("__q").cast("double"), 6).as("q_stat"))
+  }
+
   // --------------------------------------------------------- log-rank test
   /** Two-group log-rank (Mantel-Cox) test over right-censored durations —
     * the standard "do these survival curves differ" gate (Mantel 1966).

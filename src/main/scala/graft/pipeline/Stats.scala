@@ -3487,6 +3487,132 @@ object Stats {
         (msb - msw) / (msb + (k0 - lit(1.0)) * msw)), 6).as("icc"))
   }
 
+  // --------------------------------------------------- Cohen's d / Hedges' g
+  /** Two-group standardized effect size: Cohen's d on the pooled sample
+    * SD, plus Hedges' g = d·(1 − 3/(4N−9)) (the small-sample bias
+    * correction) — the "how big, not just how significant" companion to
+    * the q121 Welch t.
+    *
+    * DETERMINISM: one conditional-moment aggregate (the Welch/Oaxaca
+    * shape) with DECIMAL(38,6)-exact sums; pooled variance and both
+    * ratios are fixed IEEE shapes, 6dp. Degenerate families (either side
+    * n < 2, or zero pooled variance) report null d/g. Returns one row:
+    * (n_a, n_b, mean_a, mean_b, pooled_sd, cohen_d, hedges_g). */
+  def effectSize(df: DataFrame, groupACol: Column,
+                 valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 6)
+    val v = valueCol.cast("double")
+    val base = df.select(groupACol.as("__a"), v.as("__v"))
+      .filter(col("__v").isNotNull)
+    def side(a: Boolean, s: String) = {
+      val f = if (a) col("__a") else !col("__a")
+      Seq(sum(when(f, 1L).otherwise(0L)).as(s"n_$s"),
+        sum(when(f, col("__v").cast(dt))).as(s"__s$s"),
+        sum(when(f, (col("__v") * col("__v")).cast(dt))).as(s"__ss$s"))
+    }
+    val aggs = side(a = true, "a") ++ side(a = false, "b")
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    def stats(s: String): (Column, Column) = {
+      val n = col(s"n_$s").cast("double")
+      val sv = col(s"__s$s").cast("double")
+      val ss = col(s"__ss$s").cast("double")
+      (sv / n, ss - sv * sv / n) // mean, sum of squared deviations
+    }
+    val (ma, ssa) = stats("a"); val (mb, ssb) = stats("b")
+    val nT = (col("n_a") + col("n_b")).cast("double")
+    val sp = sqrt((ssa + ssb) / (nT - lit(2.0)))
+    val d = (ma - mb) / sp
+    val ok = col("n_a") > 1 && col("n_b") > 1 && sp > 0.0
+    m.select(col("n_a"), col("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      round(when(col("n_a") > 1 && col("n_b") > 1, sp), 6).as("pooled_sd"),
+      round(when(ok, d), 6).as("cohen_d"),
+      round(when(ok, d * (lit(1.0) - lit(3.0) /
+        (lit(4.0) * nT - lit(9.0)))), 6).as("hedges_g"))
+  }
+
+  // ------------------------------------------------------ Bland-Altman
+  /** Bland-Altman agreement of two paired measurements (Bland & Altman
+    * 1986): bias = mean(x−y), limits of agreement = bias ± 1.96·SD(x−y)
+    * (sample SD), plus the count of pairs OUTSIDE the limits — the
+    * method-comparison standard next to q235/q369's categorical
+    * agreement.
+    *
+    * DETERMINISM: diffs are exact IEEE subtractions summed as
+    * DECIMAL(38,6); bias/SD/limits round 6dp; the outside count compares
+    * against the ROUNDED limits (broadcast back — the quantileBuckets
+    * two-pass shape), so the gate is engine-identical. Returns one row:
+    * (n, bias, sd_diff, loa_lo, loa_hi, n_outside). */
+  def blandAltman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 6)
+    val d = (xCol.cast("double") - yCol.cast("double")).as("__d")
+    val base = df.select(d).filter(col("__d").isNotNull)
+    val m = base.agg(count(lit(1)).as("n"),
+      sum(col("__d").cast(dt)).as("__s"),
+      sum((col("__d") * col("__d")).cast(dt)).as("__ss"))
+    val nD = col("n").cast("double")
+    val bias = col("__s").cast("double") / nD
+    val sd = sqrt((col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nD) /
+      (nD - lit(1.0)))
+    val stats = m.select(col("n"), round(bias, 6).as("bias"),
+      round(when(col("n") > 1, sd), 6).as("sd_diff"),
+      round(when(col("n") > 1, bias - lit(1.96) * sd), 6).as("loa_lo"),
+      round(when(col("n") > 1, bias + lit(1.96) * sd), 6).as("loa_hi"))
+    base.crossJoin(broadcast(stats))
+      .groupBy(col("n"), col("bias"), col("sd_diff"), col("loa_lo"),
+        col("loa_hi"))
+      .agg(sum(when(col("loa_lo").isNotNull &&
+        (col("__d") < col("loa_lo") || col("__d") > col("loa_hi")), 1L)
+        .otherwise(0L)).as("n_outside"))
+  }
+
+  // ----------------------------------------------------------- Gwet's AC1
+  /** Gwet's AC1 chance-corrected agreement (Gwet 2008) — [[fleissKappa]]'s
+    * paradox-resistant sibling: same observed agreement P̄a, but chance
+    * agreement P̄e = Σ_j π_j(1−π_j)/(K−1) over category shares π_j, which
+    * stays low under skewed prevalence where κ's Σπ² collapses the
+    * denominator (the "high agreement, low kappa" paradox).
+    *
+    * Same contract and discipline as fleissKappa: one row per RATING,
+    * equal rater count per item (violations yield null ac1, surfaced via
+    * n_min/n_max semantics), exact integer counts, per-item terms as
+    * exact rationals in DECIMAL(28,12), fixed IEEE finish, 6dp. Returns
+    * one row: (n_items, n_raters, n_categories, p_a, p_e_ac1, ac1). */
+  def gwetAC1(df: DataFrame, itemCol: Column, catCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df.select(itemCol.as("__i"), catCol.as("__c"))
+      .groupBy("__i", "__c").agg(count(lit(1)).as("__n"))
+    val items = cells.groupBy("__i")
+      .agg(sum(col("__n")).as("__ni"), sum(col("__n") * col("__n")).as("__sq"))
+    val itemAgg = items.agg(count(lit(1)).as("n_items"),
+      min(col("__ni")).as("__nmin"), max(col("__ni")).as("__nmax"),
+      sum(((col("__sq") - col("__ni")).cast("double") /
+        (col("__ni") * (col("__ni") - lit(1L))).cast("double"))
+        .cast(DecimalType(28, 12))).as("__pisum"),
+      sum(col("__ni")).as("__ntot"))
+    val cats = cells.groupBy("__c").agg(sum(col("__n")).as("__nj"))
+    val catAgg = cats.crossJoin(broadcast(
+        cells.agg(sum(col("__n")).as("__tot"))))
+      .select(((col("__nj").cast("double") / col("__tot").cast("double")) *
+        (lit(1.0) - col("__nj").cast("double") / col("__tot").cast("double")))
+        .cast(DecimalType(28, 12)).as("__pi"))
+      .agg(count(lit(1)).as("n_categories"), sum(col("__pi")).as("__pisum2"))
+    val pa = col("__pisum").cast("double") / col("n_items").cast("double")
+    val pe = col("__pisum2").cast("double") /
+      (col("n_categories") - lit(1L)).cast("double")
+    itemAgg.crossJoin(broadcast(catAgg))
+      .select(col("n_items"), col("__nmax").as("n_raters"),
+        col("n_categories"),
+        round(pa, 6).as("p_a"),
+        round(when(col("n_categories") > 1, pe), 6).as("p_e_ac1"),
+        round(when(col("__nmin") === col("__nmax") &&
+          col("n_categories") > 1 && pe < 1.0,
+          (pa - pe) / (lit(1.0) - pe)), 6).as("ac1"))
+  }
+
   // ------------------------------------------------ Harrell's C (survival)
   /** Harrell's concordance index (Harrell et al. 1982) — does a risk
     * score order survival correctly? Over (duration, event, score) units:

@@ -849,6 +849,42 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6).as("p_unseen")): _*)
   }
 
+  // -------------------------------------------------------------- Yule's K
+  /** Yule's characteristic K (Yule 1944) per group — the second-order
+    * vocabulary-richness constant next to [[vocabularyRichness]]'s Chao1:
+    * K = 10⁴·(Σ_m m²·V_m − N)/N² over the frequency-of-frequencies V_m
+    * (repeat-heavy text scores high; K is ~length-invariant where raw
+    * TTR is not).
+    *
+    * DETERMINISM AND SCALE: one (group, token) rollup, one
+    * (group, frequency) rollup (both key-bounded), one group aggregate;
+    * Σ m²·V_m accumulates as DECIMAL(38,0) (m² of a 10-digit frequency
+    * overflows a long — cast before multiplying); the finish is one
+    * fixed IEEE shape, 6dp. Returns per group:
+    * (groupCols…, n_tokens, n_types, yules_k). */
+  def yulesK(docs: DataFrame, groupCols: Seq[String],
+             textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(groupCols.nonEmpty, "at least one group column")
+    val gs = groupCols.map(col)
+    val toks = filter(tokens(lower(col(textCol))), t => t =!= "")
+    val freq = docs.select(gs :+ explode(toks).as("__t"): _*)
+      .groupBy(gs :+ col("__t"): _*).agg(count(lit(1)).as("__m"))
+    val fof = freq.groupBy(gs :+ col("__m"): _*)
+      .agg(count(lit(1)).as("__vm"))
+    fof.groupBy(gs: _*)
+      .agg(sum(col("__m").cast(DecimalType(38, 0)) * col("__vm")).as("__n"),
+        sum(col("__vm")).as("n_types"),
+        sum(col("__m").cast(DecimalType(38, 0)) * col("__m") * col("__vm"))
+          .as("__m2v"))
+      .select(gs ++ Seq(col("__n").cast("long").as("n_tokens"),
+        col("n_types"),
+        round(lit(1e4) * (col("__m2v").cast("double") -
+          col("__n").cast("double")) /
+          (col("__n").cast("double") * col("__n").cast("double")), 6)
+          .as("yules_k")): _*)
+  }
+
   // ------------------------------------------------------ Burrows' Delta
   /** Burrows' Delta stylometric distance (Burrows 2002) between document
     * groups: over the corpus's `topV` most frequent tokens, each group's

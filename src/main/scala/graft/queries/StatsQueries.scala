@@ -4543,6 +4543,296 @@ object StatsQueries2 {
         "round(exp(CAST(ht AS DOUBLE) / CAST(n_transitions AS DOUBLE)), 6) " +
         "AS perplexity FROM m"),
       (s, dir) => EventAnalytics.transitionEntropy(Tables.events(s, dir),
-        "user_id", "event_id", "ts", "event_type"))
+        "user_id", "event_id", "ts", "event_type")),
+
+    // ---- Kaplan-Meier with the Greenwood SE on the q332 churn fixture:
+    // the d/(n(n-d)) terms ride the same DECIMAL(28,12) running-window
+    // discipline as the ln terms; n(n-d) multiplies in HUGEINT.
+    Q("q400_km_greenwood",
+      Some("WITH u AS (SELECT user_id, " +
+        "min(epoch_us(ts) // 86400000000) AS f, " +
+        "max(epoch_us(ts) // 86400000000) AS l FROM events GROUP BY 1), " +
+        "mx AS (SELECT max(l) AS mx FROM u), " +
+        "d AS (SELECT l - f AS duration, l < mx - 7 AS ev FROM u, mx), " +
+        "pt AS (SELECT duration, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_events, CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) " +
+        "AS BIGINT) AS n_censored FROM d GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n " +
+        "FROM pt), " +
+        "r AS (SELECT duration, n_events, n_censored, n - " +
+        "coalesce(CAST(sum(n_events + n_censored) OVER (ORDER BY duration " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) " +
+        "AS n_at_risk FROM pt, t), " +
+        "sv AS (SELECT duration, n_at_risk, n_events, n_censored, " +
+        "CASE WHEN n_events > 0 AND n_events < n_at_risk THEN " +
+        "CAST(ln(1.0 - CAST(n_events AS DOUBLE) / CAST(n_at_risk " +
+        "AS DOUBLE)) AS DECIMAL(28,12)) ELSE CAST(0.0 AS DECIMAL(28,12)) " +
+        "END AS term, " +
+        "CASE WHEN n_events > 0 AND n_events < n_at_risk THEN " +
+        "CAST(CAST(n_events AS DOUBLE) / CAST(CAST(n_at_risk AS HUGEINT) * " +
+        "(n_at_risk - n_events) AS DOUBLE) AS DECIMAL(28,12)) " +
+        "ELSE CAST(0.0 AS DECIMAL(28,12)) END AS gt, " +
+        "CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END AS dd FROM r) " +
+        "SELECT duration, n_at_risk, n_events, n_censored, " +
+        "round(CASE WHEN max(dd) OVER w = 1 THEN 0.0 ELSE " +
+        "exp(CAST(sum(term) OVER w AS DOUBLE)) END, 6) AS survival, " +
+        "round(CASE WHEN max(dd) OVER w = 1 THEN NULL ELSE " +
+        "exp(CAST(sum(term) OVER w AS DOUBLE)) * " +
+        "sqrt(CAST(sum(gt) OVER w AS DOUBLE)) END, 6) AS greenwood_se " +
+        "FROM sv WINDOW w AS (ORDER BY duration ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) ORDER BY duration"),
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .select(col("user_id"), EventAnalytics.dayIndex(col("ts")).as("d"))
+          .groupBy("user_id")
+          .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+        val mx = u.agg(max(col("l")).as("mx"))
+        val d = u.crossJoin(broadcast(mx))
+          .select((col("l") - col("f")).as("dur"),
+            (col("l") < col("mx") - 7).as("ev"))
+        EventAnalytics.kmGreenwood(d, col("dur"), col("ev"))
+          .orderBy("duration")
+      }),
+
+    // ---- Aalen-Johansen cumulative incidence with two competing churn
+    // causes (user-parity split): CIF increments S(u-)*d_k/n ride the
+    // decimal running window PARTITIONED BY CAUSE; naive 1-KM per cause
+    // would overstate both.
+    Q("q401_cumulative_incidence",
+      Some("WITH u AS (SELECT user_id, " +
+        "min(epoch_us(ts) // 86400000000) AS f, " +
+        "max(epoch_us(ts) // 86400000000) AS l FROM events GROUP BY 1), " +
+        "mx AS (SELECT max(l) AS mx FROM u), " +
+        // span-based failure (short-span users churned from cause 1 or 2
+        // by parity; >= 29-day spans censored): both classes populated at
+        // every SF where a last-week-activity rule censors ~everyone
+        "dd AS (SELECT CAST(l - f AS BIGINT) AS duration, " +
+        "CASE WHEN l - f >= 29 THEN 0 ELSE 1 + user_id % 2 END AS k " +
+        "FROM u, mx), " +
+        "pt AS (SELECT duration, CAST(count(*) AS BIGINT) AS c, " +
+        "CAST(sum(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d " +
+        "FROM dd GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pt), " +
+        "r AS (SELECT duration, c, d, n - coalesce(CAST(sum(c) OVER wp " +
+        "AS BIGINT), 0) AS n_at_risk FROM pt, t WINDOW wp AS " +
+        "(ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "1 PRECEDING)), " +
+        "sv AS (SELECT duration, n_at_risk, " +
+        "CASE WHEN d > 0 AND d < n_at_risk THEN CAST(ln(1.0 - " +
+        "CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)) " +
+        "AS DECIMAL(28,12)) ELSE CAST(0.0 AS DECIMAL(28,12)) END AS term, " +
+        "CASE WHEN d = n_at_risk THEN 1 ELSE 0 END AS ddf FROM r), " +
+        "sp AS (SELECT duration, n_at_risk, " +
+        "CASE WHEN coalesce(max(ddf) OVER wp, 0) = 1 THEN 0.0 ELSE " +
+        "exp(coalesce(CAST(sum(term) OVER wp AS DOUBLE), 0.0)) END " +
+        "AS sprev FROM sv WINDOW wp AS (ORDER BY duration ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+        "ptc AS (SELECT duration, CAST(k AS BIGINT) AS cause, " +
+        "CAST(count(*) AS BIGINT) AS n_events FROM dd WHERE k > 0 " +
+        "GROUP BY 1, 2), " +
+        "j AS (SELECT ptc.duration, cause, n_at_risk, n_events, " +
+        "CAST(sprev * CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE) " +
+        "AS DECIMAL(28,12)) AS inc FROM ptc JOIN sp " +
+        "ON ptc.duration = sp.duration) " +
+        "SELECT duration, cause, n_at_risk, n_events, " +
+        "round(CAST(sum(inc) OVER (PARTITION BY cause ORDER BY duration " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) " +
+        "AS cif FROM j ORDER BY cause, duration"),
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .select(col("user_id"), EventAnalytics.dayIndex(col("ts")).as("d"))
+          .groupBy("user_id")
+          .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+        val mx = u.agg(max(col("l")).as("mx"))
+        val d = u.crossJoin(broadcast(mx))
+          .select((col("l") - col("f")).as("dur"),
+            when(col("l") - col("f") >= 29, 0L)
+              .otherwise(lit(1L) + pmod(col("user_id"), lit(2L))).as("k"))
+        EventAnalytics.cumulativeIncidence(d, col("dur"), col("k"))
+          .orderBy("cause", "duration")
+      }),
+
+    // ---- Cohen's d / Hedges' g for purchase vs non-purchase event
+    // values: one conditional-moment pass, pooled sample SD, the
+    // 3/(4N-9) small-sample correction.
+    Q("q402_effect_size",
+      Some("WITH b AS (SELECT event_type = 'purchase' AS a, " +
+        "CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL), " +
+        "m AS (SELECT " +
+        "CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "sum(CASE WHEN a THEN CAST(v AS DECIMAL(38,6)) END) AS sa, " +
+        "sum(CASE WHEN a THEN CAST(v * v AS DECIMAL(38,6)) END) AS ssa, " +
+        "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "sum(CASE WHEN NOT a THEN CAST(v AS DECIMAL(38,6)) END) AS sb, " +
+        "sum(CASE WHEN NOT a THEN CAST(v * v AS DECIMAL(38,6)) END) AS ssb " +
+        "FROM b), " +
+        "f AS (SELECT n_a, n_b, " +
+        "CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma, " +
+        "CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb, " +
+        "CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / " +
+        "CAST(n_a AS DOUBLE) AS da, " +
+        "CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / " +
+        "CAST(n_b AS DOUBLE) AS db, " +
+        "CAST(n_a + n_b AS DOUBLE) AS nt FROM m), " +
+        "g AS (SELECT n_a, n_b, ma, mb, nt, " +
+        "sqrt((da + db) / (nt - 2.0)) AS sp FROM f) " +
+        "SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, " +
+        "round(CASE WHEN n_a > 1 AND n_b > 1 THEN sp END, 6) AS pooled_sd, " +
+        "round(CASE WHEN n_a > 1 AND n_b > 1 AND sp > 0 THEN " +
+        "(ma - mb) / sp END, 6) AS cohen_d, " +
+        "round(CASE WHEN n_a > 1 AND n_b > 1 AND sp > 0 THEN " +
+        "(ma - mb) / sp * (1.0 - 3.0 / (4.0 * nt - 9.0)) END, 6) " +
+        "AS hedges_g FROM g"),
+      (s, dir) => Stats.effectSize(Tables.events(s, dir),
+        col("event_type") === "purchase", col("value"))),
+
+    // ---- Bland-Altman agreement between per-user view and click counts:
+    // bias / limits from one decimal-moment pass, the outside count
+    // gated on the ROUNDED broadcast limits (two-pass, engine-identical).
+    Q("q403_bland_altman",
+      Some("WITH u AS (SELECT user_id, " +
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS x, " +
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS y FROM events GROUP BY 1), " +
+        "b AS (SELECT CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS d FROM u), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "sum(CAST(d AS DECIMAL(38,6))) AS s, " +
+        "sum(CAST(d * d AS DECIMAL(38,6))) AS ss FROM b), " +
+        "st AS (SELECT n, " +
+        "round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS bias, " +
+        "round(CASE WHEN n > 1 THEN sqrt((CAST(ss AS DOUBLE) - " +
+        "CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) - 1.0)) END, 6) AS sd_diff, " +
+        "round(CASE WHEN n > 1 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) " +
+        "- 1.96 * sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * " +
+        "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - " +
+        "1.0)) END, 6) AS loa_lo, " +
+        "round(CASE WHEN n > 1 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) " +
+        "+ 1.96 * sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * " +
+        "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - " +
+        "1.0)) END, 6) AS loa_hi FROM m) " +
+        "SELECT n, bias, sd_diff, loa_lo, loa_hi, " +
+        "CAST(sum(CASE WHEN loa_lo IS NOT NULL AND (d < loa_lo OR " +
+        "d > loa_hi) THEN 1 ELSE 0 END) AS BIGINT) AS n_outside " +
+        "FROM b, st GROUP BY 1, 2, 3, 4, 5"),
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id").agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("y"))
+        Stats.blandAltman(u, col("x"), col("y"))
+      }),
+
+    // ---- Gwet's AC1 on the q369 three-rater length panel: same observed
+    // agreement, paradox-resistant chance term sum pi(1-pi)/(K-1).
+    Q("q404_gwet_ac1", {
+      val aCase = "CASE WHEN n_chars < 150 THEN 'short' " +
+        "WHEN n_chars < 350 THEN 'medium' ELSE 'long' END"
+      val bCase = "CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 30 " +
+        "THEN 'short' WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 65 " +
+        "THEN 'medium' ELSE 'long' END"
+      val cCase = "CASE WHEN greatest(len(regexp_extract_all(text, " +
+        "'[.!?]+')), 1) < 3 THEN 'short' WHEN greatest(len(" +
+        "regexp_extract_all(text, '[.!?]+')), 1) < 6 THEN 'medium' " +
+        "ELSE 'long' END"
+      Some(s"WITH r AS (SELECT doc_id, $aCase AS cat FROM documents " +
+        s"UNION ALL SELECT doc_id, $bCase FROM documents " +
+        s"UNION ALL SELECT doc_id, $cCase FROM documents), " +
+        "cells AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS n " +
+        "FROM r GROUP BY 1, 2), " +
+        "items AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS ni, " +
+        "CAST(sum(n * n) AS BIGINT) AS sq FROM cells GROUP BY 1), " +
+        "ia AS (SELECT CAST(count(*) AS BIGINT) AS n_items, " +
+        "CAST(min(ni) AS BIGINT) AS nmin, CAST(max(ni) AS BIGINT) AS nmax, " +
+        "sum(CAST(CAST(sq - ni AS DOUBLE) / CAST(ni * (ni - 1) AS DOUBLE) " +
+        "AS DECIMAL(28,12))) AS pisum FROM items), " +
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cells), " +
+        "ca AS (SELECT CAST(count(*) AS BIGINT) AS n_categories, " +
+        "sum(CAST((CAST(nj AS DOUBLE) / CAST(tot AS DOUBLE)) * (1.0 - " +
+        "CAST(nj AS DOUBLE) / CAST(tot AS DOUBLE)) AS DECIMAL(28,12))) " +
+        "AS pisum2 FROM (SELECT cat, CAST(sum(n) AS BIGINT) AS nj " +
+        "FROM cells GROUP BY 1), tot), " +
+        "f AS (SELECT n_items, nmax, nmin, n_categories, " +
+        "CAST(pisum AS DOUBLE) / CAST(n_items AS DOUBLE) AS pa, " +
+        "CAST(pisum2 AS DOUBLE) / CAST(n_categories - 1 AS DOUBLE) AS pe " +
+        "FROM ia, ca) " +
+        "SELECT n_items, nmax AS n_raters, n_categories, " +
+        "round(pa, 6) AS p_a, " +
+        "round(CASE WHEN n_categories > 1 THEN pe END, 6) AS p_e_ac1, " +
+        "round(CASE WHEN nmin = nmax AND n_categories > 1 AND pe < 1.0 " +
+        "THEN (pa - pe) / (1.0 - pe) END, 6) AS ac1 FROM f")
+    },
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val ntok = size(TA.tokens(col("text")))
+        val nsent = greatest(
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+          lit(1))
+        val r = d.select(col("doc_id"),
+            when(col("n_chars") < 150, "short")
+              .when(col("n_chars") < 350, "medium").otherwise("long")
+              .as("cat"))
+          .unionByName(d.select(col("doc_id"),
+            when(ntok < 30, "short").when(ntok < 65, "medium")
+              .otherwise("long").as("cat")))
+          .unionByName(d.select(col("doc_id"),
+            when(nsent < 3, "short").when(nsent < 6, "medium")
+              .otherwise("long").as("cat")))
+        Stats.gwetAC1(r, col("doc_id"), col("cat"))
+      }),
+
+    // ---- Ljung-Box portmanteau over 7 lags of daily counts: exact
+    // micro-unit deviations (long), HUGEINT autocovariances off ONE
+    // day+k equi join, decimal-summed rho^2/(n-k) terms.
+    Q("q405_ljung_box",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "s AS (SELECT r.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n " +
+        "FROM r LEFT JOIN c USING (day)), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS nd, " +
+        "CAST(round(round(CAST(sum(CAST(n AS DECIMAL(38,6))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) * 1e6) AS BIGINT) AS mm FROM s), " +
+        "dev AS (SELECT day, n * 1000000 - mm AS x, nd FROM s, m), " +
+        "den AS (SELECT sum(CAST(x AS HUGEINT) * x) AS den, " +
+        "CAST(max(nd) AS BIGINT) AS n_days FROM dev), " +
+        "lg AS (SELECT a.x AS xa, b.x AS xb, a.k FROM " +
+        "(SELECT day, x, unnest(range(1, 8)) AS k FROM dev) a " +
+        "JOIN dev b ON b.day = a.day + a.k), " +
+        "num AS (SELECT k, sum(CAST(xa AS HUGEINT) * xb) AS num FROM lg " +
+        "GROUP BY 1), " +
+        "t AS (SELECT CAST((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * " +
+        "(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) / " +
+        "CAST(n_days - k AS DOUBLE) AS DECIMAL(28,12)) AS t, n_days " +
+        "FROM num, den) " +
+        "SELECT CAST(max(n_days) AS BIGINT) AS n_days, " +
+        "CAST(count(*) AS BIGINT) AS n_lags, " +
+        "round(CAST(max(n_days) AS DOUBLE) * " +
+        "CAST(max(n_days) + 2 AS DOUBLE) * CAST(sum(t) AS DOUBLE), 6) " +
+        "AS q_stat FROM t"),
+      (s, dir) => EventAnalytics.ljungBox(Tables.events(s, dir), "ts",
+        maxLag = 7)),
+
+    // ---- Yule's K per documentation source: the frequency-of-frequency
+    // rollup, HUGEINT m^2*Vm, one closed form — the repeat-heaviness
+    // constant next to q364's Chao1.
+    Q("q406_yules_k",
+      Some("WITH tok AS (SELECT source, " +
+        "unnest(list_filter(regexp_split_to_array(trim(lower(text)), " +
+        "'\\s+'), t -> t <> '')) AS t FROM documents), " +
+        "fr AS (SELECT source, t, CAST(count(*) AS BIGINT) AS m FROM tok " +
+        "GROUP BY 1, 2), " +
+        "ff AS (SELECT source, m, CAST(count(*) AS BIGINT) AS vm FROM fr " +
+        "GROUP BY 1, 2), " +
+        "g AS (SELECT source, sum(CAST(m AS HUGEINT) * vm) AS n, " +
+        "CAST(sum(vm) AS BIGINT) AS n_types, " +
+        "sum(CAST(m AS HUGEINT) * m * vm) AS m2v FROM ff GROUP BY 1) " +
+        "SELECT source, CAST(n AS BIGINT) AS n_tokens, n_types, " +
+        "round(1e4 * (CAST(m2v AS DOUBLE) - CAST(n AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS yules_k " +
+        "FROM g ORDER BY source"),
+      (s, dir) => TA.yulesK(Tables.documents(s, dir), Seq("source"), "text")
+        .orderBy("source"))
   )
 }

@@ -904,6 +904,42 @@ class AppliedSpec extends SparkSpec {
       s"perplexity: $r")
   }
 
+  test("kmGreenwood: hand survival + Greenwood SE; censored row carries both forward") {
+    import spark.implicits._
+    val df = Seq((1L, true), (2L, true), (3L, false)).toDF("t", "e")
+    val r = EventAnalytics.kmGreenwood(df, col("t"), col("e"))
+      .orderBy("duration").collect()
+    assert(r.map(_.getDouble(4)).toSeq == Seq(0.666667, 0.333333, 0.333333))
+    // SE(1) = (2/3)sqrt(1/6); SE(2) = (1/3)sqrt(1/6 + 1/2) — equal by hand
+    assert(r.map(_.getDouble(5)).toSeq ==
+      Seq(0.272166, 0.272166, 0.272166), s"se: ${r.toSeq}")
+  }
+
+  test("cumulativeIncidence: hand Aalen-Johansen increments over two causes") {
+    import spark.implicits._
+    // t=1: n=4, one cause-1 + one cause-2 event; t=2: n=2, one cause-1,
+    // one censored -> CIF1 = 0.25 then 0.25 + 0.5*0.5 = 0.5
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 0L)).toDF("t", "k")
+    val r = EventAnalytics.cumulativeIncidence(df, col("t"), col("k"))
+      .orderBy("cause", "duration").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4)))
+    assert(r.toSeq == Seq((1L, 1L, 4L, 1L, 0.25), (2L, 1L, 2L, 1L, 0.5),
+      (1L, 2L, 4L, 1L, 0.25)), s"cif: ${r.toSeq}")
+  }
+
+  test("ljungBox: hand Q over an alternating series; empty lags drop") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // counts 1,2,1,2,1,2: rho_k = -5/6, 2/3, -1/2, 1/3, -1/6; lags 6,7
+    // have no pairs -> 5 lag terms; Q = 6*8*(sum rho^2/(n-k)) = 20
+    val rows = (0 until 6).flatMap(d => Seq.fill(if (d % 2 == 0) 1 else 2)(t(d + 10)))
+    val r = EventAnalytics.ljungBox(rows.toDF("ts"), "ts", maxLag = 7)
+      .collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 20.0, s"Q: $r")
+  }
+
   test("hosmerLemeshow: a null label on a scored row fails the job loudly") {
     import spark.implicits._
     val df = Seq((1L, 0.9, Some(true)), (2L, 0.8, None),

@@ -944,6 +944,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q397: concurrency points cumulate in a DAY-partitioned window; carry-in never plans a global sort") {
+    val p = planOf("q397_peak_concurrency")
+    val runWindows = p.linesIterator.filter(l =>
+      l.contains("Window [") && l.contains("__run")).toSeq
+    assert(runWindows.nonEmpty && runWindows.forall(_.contains("day#")),
+      s"point cumulation must partition by day:\n${runWindows.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q393: assortativity joins degrees co-keyed — no window, no cartesian, one aggregate") {
+    val p = planOf("q393_assortativity")
+    assert(!p.contains("Window ["), s"assortativity needs no window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"degree joins must stay equi:\n$p")
+  }
+
+  test("q386/q392: concordance pair joins are the documented bounded BNLJ over CELLS — an aggregate sits below (never raw rows)") {
+    for (q <- Seq("q386_kendall_tau", "q392_harrell_c")) {
+      val p = planOf(q)
+      val bnljIdx = p.linesIterator.indexWhere(_.contains("BroadcastNestedLoopJoin"))
+      assert(bnljIdx >= 0, s"$q: expected the cell-pair inequality join:\n$p")
+      // the vocabulary rollup must feed the pair join: a HashAggregate
+      // below the BNLJ proves pairs form over cells, not rows
+      assert(p.linesIterator.drop(bnljIdx).exists(_.contains("HashAggregate")),
+        s"$q: pair join must consume the cell rollup:\n$p")
+    }
+  }
+
   test("q362: log-rank is one duration rollup — windows keyless over the grain, no cartesian beyond the 1-row total") {
     val p = planOf("q362_logrank")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")

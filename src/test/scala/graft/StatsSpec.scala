@@ -467,6 +467,47 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 0.656657) < 1e-3, s"beta: $r")
   }
 
+  test("effectSize: hand pooled SD, Cohen d, Hedges correction") {
+    val df = (Seq((true, 1.0), (true, 2.0), (true, 3.0),
+      (false, 4.0), (false, 5.0), (false, 6.0))).toDF("a", "v")
+    val r = Stats.effectSize(df, col("a"), col("v")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)))
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 5.0)
+    assert(r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) == -3.0)
+    assert(r.getDouble(6) == -2.4, s"g: $r") // -3 * (1 - 3/15)
+  }
+
+  test("blandAltman: hand bias/limits and the outside count") {
+    // diffs 0 x8 and 9: bias 1, sample sd 3, limits 1 +/- 5.88
+    val df = ((1 to 8).map(i => (i.toLong, 0.0)) :+ (9L, -9.0))
+      .toDF("id", "y").select(lit(0.0).as("x"), col("y"))
+    val r = Stats.blandAltman(df, col("x"), col("y")).collect()(0)
+    assert(r.getLong(0) == 9L)
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 3.0)
+    assert(r.getDouble(3) == -4.88 && r.getDouble(4) == 6.88)
+    assert(r.getLong(5) == 1L, s"outside: $r")
+  }
+
+  test("gwetAC1: hand Pa/Pe on a two-item two-rater panel") {
+    // item1: a,a (agree); item2: a,b -> Pa = 0.5; pi_a = 3/4 ->
+    // Pe = 2*(3/16)/(2-1) = 0.375; AC1 = 0.125/0.625
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"))
+      .toDF("item", "cat")
+    val r = Stats.gwetAC1(df, col("item"), col("cat")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 2L)))
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 0.375)
+    assert(r.getDouble(5) == 0.2, s"ac1: $r")
+  }
+
+  test("yulesK: hand frequency-of-frequency constant") {
+    // tokens a a a b b c: N=6, sum m^2 Vm = 14 -> K = 1e4*8/36
+    val df = Seq(("g1", "a a a b b c")).toDF("src", "text")
+    val r = TA.yulesK(df, Seq("src"), "text").collect()(0)
+    assert(r.getLong(1) == 6L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 2222.222222, s"K: $r")
+  }
+
   test("autocorrDaily: constant-increment series correlates positively") {
     import java.sql.Timestamp
     def t(d: Int) = new Timestamp(86400000L * d)
