@@ -3613,6 +3613,271 @@ object Stats {
           (pa - pe) / (lit(1.0) - pe)), 6).as("ac1"))
   }
 
+  // ------------------------------------------------------ Pocock win ratio
+  /** Win ratio (Pocock et al. 2012) between treatment and control over a
+    * hierarchical composite: every T×C pair compares first on SURVIVAL
+    * (the pair member who observably fails first loses: tᵢ < tⱼ ∧ eᵢ);
+    * pairs the survival layer cannot order fall to the SECONDARY score
+    * (higher wins). WR = wins/losses, ties reported — the
+    * composite-endpoint standard that respects clinical priority where a
+    * plain score comparison would not.
+    *
+    * DETERMINISM AND SCALE — the [[harrellC]] two-axis cell discipline:
+    * both sides roll to (duration, event, score) cells (vocabularies
+    * bounded — bucket first), the T×C pair join is a broadcast
+    * inequality join over cells (O(V_T·V_C), N-independent), masses are
+    * DECIMAL(38,0) products cast BEFORE multiplying, the ratio is one
+    * IEEE shape 6dp. Returns one row:
+    * (n_treat, n_ctrl, wins, losses, ties, win_ratio). */
+  def winRatio(df: DataFrame, treatCol: Column, durationCol: Column,
+               eventCol: Column, scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val base = df.select(treatCol.as("__tr"),
+        durationCol.cast("long").as("__t"), eventCol.as("__e"),
+        scoreCol.cast("double").as("__s"))
+      .filter(col("__t").isNotNull && col("__s").isNotNull)
+    def cells(tr: Boolean, p: String) =
+      base.filter(if (tr) col("__tr") else !col("__tr"))
+        .groupBy(col("__t").as(s"t$p"), col("__e").as(s"e$p"),
+          col("__s").as(s"s$p"))
+        .agg(count(lit(1)).as(s"c$p"))
+    val t = cells(tr = true, "a"); val c = cells(tr = false, "b")
+    val ns = base.agg(
+      sum(when(col("__tr"), 1L).otherwise(0L)).as("n_treat"),
+      sum(when(!col("__tr"), 1L).otherwise(0L)).as("n_ctrl"))
+    // survival layer: the CONTROL member failing first is a treatment WIN
+    val tWin = (col("tb") < col("ta") && col("eb")) ||
+      (col("tb") === col("ta") && col("eb") && !col("ea"))
+    val tLoss = (col("ta") < col("tb") && col("ea")) ||
+      (col("ta") === col("tb") && col("ea") && !col("eb"))
+    val mass = col("ca").cast(dt) * col("cb")
+    val zero = lit(0).cast(dt)
+    val m = t.crossJoin(broadcast(c))
+      .agg(
+        sum(when(tWin || (!tLoss && col("sa") > col("sb")), mass)
+          .otherwise(zero)).as("__w"),
+        sum(when(tLoss || (!tWin && !tLoss && col("sa") < col("sb")), mass)
+          .otherwise(zero)).as("__l"),
+        sum(when(!tWin && !tLoss && col("sa") === col("sb"), mass)
+          .otherwise(zero)).as("__ti"))
+      .crossJoin(broadcast(ns))
+    m.select(col("n_treat"), col("n_ctrl"),
+      col("__w").cast("double").as("wins"),
+      col("__l").cast("double").as("losses"),
+      col("__ti").cast("double").as("ties"),
+      round(when(col("__l") > 0,
+        col("__w").cast("double") / col("__l").cast("double")), 6)
+        .as("win_ratio"))
+  }
+
+  // --------------------------------------------------------- Cochran's Q
+  /** Cochran's Q test (Cochran 1950) for k correlated PROPORTIONS — did
+    * the same units succeed at the same rate across k binary conditions
+    * (the within-subject sibling of the χ² independence test):
+    * Q = k(k−1)·[k·ΣC_j² − (ΣC_j)²] / [k·ΣR_i − ΣR_i²] with C_j the
+    * condition totals and R_i the per-unit success counts; Q ~ χ²_{k−1}.
+    *
+    * CONTRACT: a COMPLETE design (every unit × every condition exactly
+    * once); incomplete units FAIL the job (the cronbachAlpha rule).
+    * DETERMINISM: every Σ is an exact integer accumulated in
+    * DECIMAL(38,0) (squares of 10-digit totals pass 2^63); Q is one
+    * fixed IEEE shape, 6dp; a zero denominator (all-constant rows)
+    * reports null. Returns one row: (n_units, n_conditions, q_stat, dof). */
+  def cochranQ(df: DataFrame, unitCol: Column, condCol: Column,
+               successCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val base = df.select(unitCol.as("__u"), condCol.as("__c"),
+      when(successCol, 1L).otherwise(0L).as("__x"))
+    val k = base.agg(count_distinct(col("__c")).as("__k"))
+    val rows = base.groupBy("__u")
+      .agg(count(lit(1)).as("__cnt"), sum(col("__x")).as("__r"))
+      .crossJoin(broadcast(k))
+      .select(when(col("__cnt") =!= col("__k"),
+        raise_error(concat(lit("cochranQ: unit "), col("__u").cast("string"),
+          lit(" has "), col("__cnt"), lit(" of "), col("__k"),
+          lit(" conditions - incomplete designs bias the row terms"))))
+        .otherwise(col("__r")).as("__r"))
+    val rowAgg = rows.agg(count(lit(1)).as("n_units"),
+      sum(col("__r")).as("__sr"),
+      sum(col("__r").cast(dt) * col("__r")).as("__srr"))
+    val colAgg = base.groupBy("__c").agg(sum(col("__x")).as("__cj"))
+      .agg(count(lit(1)).as("n_conditions"),
+        sum(col("__cj")).as("__sc"),
+        sum(col("__cj").cast(dt) * col("__cj")).as("__scc"))
+    val m = rowAgg.crossJoin(broadcast(colAgg))
+    val kD = col("n_conditions").cast("double")
+    val num = kD * (kD - lit(1.0)) *
+      (kD * col("__scc").cast("double") -
+        col("__sc").cast("double") * col("__sc").cast("double"))
+    val den = kD * col("__sr").cast("double") - col("__srr").cast("double")
+    m.select(col("n_units"), col("n_conditions"),
+      round(when(den > 0.0, num / den), 6).as("q_stat"),
+      (col("n_conditions") - 1L).as("dof"))
+  }
+
+  // ---------------------------------------------------------- Friedman test
+  /** Friedman rank test for k related samples — the nonparametric
+    * repeated-measures ANOVA (Friedman 1937), in Conover's tie-safe form:
+    * with r_ij the within-unit average rank,
+    * T = (k−1)·Σ_j (R_j − n(k+1)/2)² / (Σ_ij r²_ij − nk(k+1)²/4),
+    * which reduces to the classic χ²_F when no ties exist and handles
+    * ties through the A₁ term directly.
+    *
+    * CONTRACT: complete design (the [[cochranQ]] rule — incomplete units
+    * raise). DETERMINISM — INTEGER-EXACT end to end: average ranks are
+    * carried DOUBLED (the spearman trick, exact dyadic rationals), and
+    * the doubled form clears every /2 and /4:
+    * T = (k−1)·Σ_j(SR2_j − n(k+1))² / (Σ r2² − nk(k+1)²) with all Σ in
+    * DECIMAL(38,0) — ONE IEEE division at the end, 6dp. Scale: the rank
+    * windows partition PER UNIT over ≤ k rows; condition relation is
+    * k-bounded. All-constant rows (zero denominator) report null.
+    * Returns one row: (n_units, n_conditions, chi2_f). */
+  def friedman(df: DataFrame, unitCol: Column, condCol: Column,
+               valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val base = df.select(unitCol.as("__u"), condCol.as("__c"),
+      valueCol.cast("double").as("__v"))
+    val k = base.agg(count_distinct(col("__c")).as("__k"))
+    val complete = base.groupBy("__u").agg(count(lit(1)).as("__cnt"))
+      .crossJoin(broadcast(k))
+      .select(col("__u"), when(col("__cnt") =!= col("__k"),
+        raise_error(concat(lit("friedman: unit "), col("__u").cast("string"),
+          lit(" has "), col("__cnt"), lit(" of "), col("__k"),
+          lit(" conditions - incomplete designs corrupt the ranks"))))
+        .otherwise(col("__cnt")).as("__cnt"))
+    // doubled average rank of each value within its unit: 2r = 2*cum-t+1
+    val vals = base.groupBy("__u", "__v").agg(count(lit(1)).as("__t"))
+    val wRun = Window.partitionBy(col("__u")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked2 = vals
+      .withColumn("__cum", sum(col("__t")).over(wRun))
+      .select(col("__u"), col("__v"),
+        (col("__cum") * 2 - col("__t") + 1).as("__r2"))
+    val joined = base.join(complete.select(col("__u")), Seq("__u"))
+      .join(ranked2, Seq("__u", "__v"))
+    val byCond = joined.groupBy("__c")
+      .agg(sum(col("__r2").cast(dt)).as("__sr2"), count(lit(1)).as("__n"))
+    val a1x4 = joined.agg(
+      sum(col("__r2").cast(dt) * col("__r2")).as("__a1x4"))
+    val nk = byCond.agg(count(lit(1)).as("n_conditions"),
+      max(col("__n")).as("n_units"))
+    val num = byCond.crossJoin(broadcast(nk))
+      .select(((col("__sr2") - (col("n_units") * (col("n_conditions") + 1L))
+        .cast(dt)) * (col("__sr2") -
+        (col("n_units") * (col("n_conditions") + 1L)).cast(dt))).as("__d2"),
+        col("n_conditions"), col("n_units"))
+      .groupBy("n_conditions", "n_units")
+      .agg(sum(col("__d2")).as("__num"))
+    val m = num.crossJoin(broadcast(a1x4))
+    val kL = col("n_conditions"); val nL = col("n_units")
+    val den = col("__a1x4").cast("double") -
+      (nL * kL * (kL + 1L) * (kL + 1L)).cast("double")
+    m.select(col("n_units"), col("n_conditions"),
+      round(when(den > 0.0,
+        (kL - 1L).cast("double") * col("__num").cast("double") / den), 6)
+        .as("chi2_f"))
+  }
+
+  // --------------------------------------------- Matthews correlation (MCC)
+  /** Binary-classifier Matthews correlation + balanced accuracy:
+    * MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)) — the
+    * prevalence-robust single number q267's per-class P/R/F1 report
+    * lacks (F1 ignores TN entirely; MCC is the φ coefficient of the
+    * confusion matrix).
+    *
+    * DETERMINISM: four exact counts off ONE aggregate; the products run
+    * in DECIMAL(38,0) (two 10-digit cells overflow a long product); MCC
+    * and balanced accuracy are fixed IEEE shapes, 6dp. A degenerate
+    * margin (any factor 0) reports null MCC. Returns one row:
+    * (tp, fp, fn, tn, mcc, balanced_accuracy). */
+  def mcc(df: DataFrame, labelCol: Column, predCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val m = df.agg(
+      sum(when(labelCol && predCol, 1L).otherwise(0L)).as("tp"),
+      sum(when(!labelCol && predCol, 1L).otherwise(0L)).as("fp"),
+      sum(when(labelCol && !predCol, 1L).otherwise(0L)).as("fn"),
+      sum(when(!labelCol && !predCol, 1L).otherwise(0L)).as("tn"))
+    val num = (col("tp").cast(dt) * col("tn") -
+      col("fp").cast(dt) * col("fn")).cast("double")
+    val den = sqrt((col("tp") + col("fp")).cast(dt).cast("double") *
+      (col("tp") + col("fn")).cast("double") *
+      (col("tn") + col("fp")).cast("double") *
+      (col("tn") + col("fn")).cast("double"))
+    val tpr = col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
+    val tnr = col("tn").cast("double") / (col("tn") + col("fp")).cast("double")
+    m.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      round(when(den > 0.0, num / den), 6).as("mcc"),
+      round(when(col("tp") + col("fn") > 0 && col("tn") + col("fp") > 0,
+        (tpr + tnr) / lit(2.0)), 6).as("balanced_accuracy"))
+  }
+
+  // ------------------------------------------------- Poisson rate ratio
+  /** Two-group Poisson rate-ratio test: with event counts x and
+    * exposures e (unit-time denominators), RR = (x_a/e_a)/(x_b/e_b) and
+    * z = ln(RR)/√(1/x_a + 1/x_b) (the standard log-rate normal
+    * approximation) — the incidence-comparison gate next to q334's
+    * two-proportion z (which compares PROBABILITIES, not rates).
+    *
+    * DETERMINISM: counts are exact longs, exposures DECIMAL(38,6)-exact
+    * sums; RR and z are fixed IEEE shapes, 6dp. Degenerate families
+    * (zero events or zero exposure on either side) report null RR/z.
+    * Returns one row: (x_a, exposure_a, x_b, exposure_b, rate_ratio, z). */
+  def rateRatio(df: DataFrame, groupACol: Column, eventsCol: Column,
+                exposureCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 6)
+    val m = df.agg(
+      sum(when(groupACol, eventsCol.cast("long")).otherwise(0L)).as("x_a"),
+      sum(when(groupACol, exposureCol.cast("double").cast(dt))).as("__ea"),
+      sum(when(!groupACol, eventsCol.cast("long")).otherwise(0L)).as("x_b"),
+      sum(when(!groupACol, exposureCol.cast("double").cast(dt))).as("__eb"))
+    val ea = col("__ea").cast("double"); val eb = col("__eb").cast("double")
+    val xa = col("x_a").cast("double"); val xb = col("x_b").cast("double")
+    val ok = col("x_a") > 0 && col("x_b") > 0 && ea > 0.0 && eb > 0.0
+    val rr = (xa / ea) / (xb / eb)
+    m.select(col("x_a"), round(ea, 6).as("exposure_a"),
+      col("x_b"), round(eb, 6).as("exposure_b"),
+      round(when(ok, rr), 6).as("rate_ratio"),
+      round(when(ok, log(rr) / sqrt(lit(1.0) / xa + lit(1.0) / xb)), 6)
+        .as("z"))
+  }
+
+  // --------------------------------------------- capture-recapture (Chapman)
+  /** Chapman's capture-recapture population estimate (Chapman 1951) from
+    * two observation lists: N̂ = (n_A+1)(n_B+1)/(m+1) − 1 with m the
+    * overlap, and its SE √((n_A+1)(n_B+1)(n_A−m)(n_B−m)/((m+1)²(m+2)))
+    * — the "how big is the corpus we have NOT crawled" estimator (two
+    * independent crawls' overlap bounds the population; the exact-count
+    * sibling of q262's KMV set-op ESTIMATES).
+    *
+    * Input: (id, inA: Boolean, inB: Boolean) — one row per DISTINCT id
+    * (dedupe upstream; the fingerprint discipline). DETERMINISM: three
+    * exact counts off one aggregate; products in DECIMAL(38,0); the
+    * estimate and SE are fixed IEEE shapes, 6dp. Returns one row:
+    * (n_a, n_b, n_both, n_hat, se). */
+  def captureRecapture(df: DataFrame, inACol: Column,
+                       inBCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val m = df.agg(
+      sum(when(inACol, 1L).otherwise(0L)).as("n_a"),
+      sum(when(inBCol, 1L).otherwise(0L)).as("n_b"),
+      sum(when(inACol && inBCol, 1L).otherwise(0L)).as("n_both"))
+    val prod = ((col("n_a") + 1L).cast(dt) * (col("n_b") + 1L)).cast("double")
+    val m1 = (col("n_both") + 1L).cast("double")
+    val nhat = prod / m1 - lit(1.0)
+    val se = sqrt(prod *
+      ((col("n_a") - col("n_both")).cast(dt) *
+        (col("n_b") - col("n_both"))).cast("double") /
+      (m1 * m1 * (col("n_both") + 2L).cast("double")))
+    m.select(col("n_a"), col("n_b"), col("n_both"),
+      round(nhat, 6).as("n_hat"), round(se, 6).as("se"))
+  }
+
   // ------------------------------------------------ Harrell's C (survival)
   /** Harrell's concordance index (Harrell et al. 1982) — does a risk
     * score order survival correctly? Over (duration, event, score) units:

@@ -4836,3 +4836,245 @@ object StatsQueries2 {
         .orderBy("source"))
   )
 }
+
+/** Round-15 third wave: within-subject designs, composite endpoints, and
+  * population estimation. Same discipline as StatsQueries2. */
+object StatsQueries3 {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- Pocock win ratio on the span-churn fixture (treat = even
+    // users, secondary = capped activity): hierarchical T x C cell-pair
+    // comparison, survival layer first, HUGEINT masses.
+    Q("q407_win_ratio",
+      Some("WITH u AS (SELECT user_id, " +
+        "min(epoch_us(ts) // 86400000000) AS f, " +
+        "max(epoch_us(ts) // 86400000000) AS l, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "d AS (SELECT user_id % 2 = 0 AS tr, CAST(l - f AS BIGINT) AS t, " +
+        "l - f < 29 AS e, CAST(least(cnt, 20) AS DOUBLE) AS s FROM u), " +
+        "ta AS (SELECT t AS ta, e AS ea, s AS sa, " +
+        "CAST(count(*) AS BIGINT) AS ca FROM d WHERE tr GROUP BY 1, 2, 3), " +
+        "cb AS (SELECT t AS tb, e AS eb, s AS sb, " +
+        "CAST(count(*) AS BIGINT) AS cc FROM d WHERE NOT tr " +
+        "GROUP BY 1, 2, 3), " +
+        "ns AS (SELECT CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_treat, CAST(sum(CASE WHEN NOT tr THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_ctrl FROM d), " +
+        "p AS (SELECT ta, ea, sa, ca, tb, eb, sb, cc, " +
+        "(tb < ta AND eb) OR (tb = ta AND eb AND NOT ea) AS twin, " +
+        "(ta < tb AND ea) OR (ta = tb AND ea AND NOT eb) AS tloss " +
+        "FROM ta CROSS JOIN cb), " +
+        "m AS (SELECT " +
+        "sum(CASE WHEN twin OR (NOT tloss AND sa > sb) THEN " +
+        "CAST(ca AS HUGEINT) * cc ELSE 0 END) AS w, " +
+        "sum(CASE WHEN tloss OR (NOT twin AND NOT tloss AND sa < sb) THEN " +
+        "CAST(ca AS HUGEINT) * cc ELSE 0 END) AS l, " +
+        "sum(CASE WHEN NOT twin AND NOT tloss AND sa = sb THEN " +
+        "CAST(ca AS HUGEINT) * cc ELSE 0 END) AS ti FROM p) " +
+        "SELECT n_treat, n_ctrl, CAST(w AS DOUBLE) AS wins, " +
+        "CAST(l AS DOUBLE) AS losses, CAST(ti AS DOUBLE) AS ties, " +
+        "round(CASE WHEN l > 0 THEN CAST(w AS DOUBLE) / CAST(l AS DOUBLE) " +
+        "END, 6) AS win_ratio FROM m, ns"),
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id").agg(
+          min(EventAnalytics.dayIndex(col("ts"))).as("f"),
+          max(EventAnalytics.dayIndex(col("ts"))).as("l"),
+          count(lit(1)).as("cnt"))
+        val d = u.select((pmod(col("user_id"), lit(2L)) === 0).as("tr"),
+          (col("l") - col("f")).as("dur"),
+          (col("l") - col("f") < 29).as("ev"),
+          least(col("cnt"), lit(20L)).cast("double").as("sc"))
+        Stats.winRatio(d, col("tr"), col("dur"), col("ev"), col("sc"))
+      }),
+
+    // ---- Cochran's Q over three per-user binary conditions (did the
+    // user view / click / purchase at all): exact integer row/column
+    // terms, loud incomplete raise (complete by construction).
+    Q("q408_cochran_q",
+      Some("WITH u AS (SELECT user_id, " +
+        "max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s_view, " +
+        "max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s_click, " +
+        "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS s_purchase FROM events GROUP BY 1), " +
+        "l AS (SELECT user_id, 'view' AS c, s_view AS x FROM u UNION ALL " +
+        "SELECT user_id, 'click', s_click FROM u UNION ALL " +
+        "SELECT user_id, 'purchase', s_purchase FROM u), " +
+        "rw AS (SELECT CAST(count(*) AS BIGINT) AS n_units, " +
+        "CAST(sum(r) AS BIGINT) AS sr, sum(CAST(r AS HUGEINT) * r) AS srr " +
+        "FROM (SELECT user_id, CAST(sum(x) AS BIGINT) AS r FROM l " +
+        "GROUP BY 1)), " +
+        "cl AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
+        "CAST(sum(cj) AS BIGINT) AS sc, sum(CAST(cj AS HUGEINT) * cj) " +
+        "AS scc FROM (SELECT c, CAST(sum(x) AS BIGINT) AS cj FROM l " +
+        "GROUP BY 1)), " +
+        "f AS (SELECT n_units, k, CAST(k AS DOUBLE) AS kd, " +
+        "CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0) * " +
+        "(CAST(k AS DOUBLE) * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * " +
+        "CAST(sc AS DOUBLE)) AS num, " +
+        "CAST(k AS DOUBLE) * CAST(sr AS DOUBLE) - CAST(srr AS DOUBLE) " +
+        "AS den FROM rw, cl) " +
+        "SELECT n_units, k AS n_conditions, " +
+        "round(CASE WHEN den > 0 THEN num / den END, 6) AS q_stat, " +
+        "CAST(k - 1 AS BIGINT) AS dof FROM f"),
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id").agg(
+          max(when(col("event_type") === "view", 1L).otherwise(0L)).as("s_view"),
+          max(when(col("event_type") === "click", 1L).otherwise(0L)).as("s_click"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("s_purchase"))
+        val long = u.selectExpr("user_id",
+          "stack(3, 'view', s_view, 'click', s_click, " +
+            "'purchase', s_purchase) AS (c, x)")
+        Stats.cochranQ(long, col("user_id"), col("c"), col("x") === 1L)
+      }),
+
+    // ---- Friedman test over three per-user event-type counts: doubled
+    // dyadic average ranks (Conover tie-safe integer form), per-unit
+    // rank windows over <= 3 rows, ONE IEEE division.
+    Q("q409_friedman",
+      Some("WITH u AS (SELECT user_id, " +
+        "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c_view, " +
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_click, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS c_purchase FROM events GROUP BY 1), " +
+        "l AS (SELECT user_id, 'view' AS c, CAST(c_view AS DOUBLE) AS v " +
+        "FROM u UNION ALL SELECT user_id, 'click', " +
+        "CAST(c_click AS DOUBLE) FROM u UNION ALL SELECT user_id, " +
+        "'purchase', CAST(c_purchase AS DOUBLE) FROM u), " +
+        "vals AS (SELECT user_id, v, CAST(count(*) AS BIGINT) AS t FROM l " +
+        "GROUP BY 1, 2), " +
+        "rk AS (SELECT user_id, v, 2 * CAST(sum(t) OVER (PARTITION BY " +
+        "user_id ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT " +
+        "ROW) AS BIGINT) - t + 1 AS r2 FROM vals), " +
+        "j AS (SELECT l.c, rk.r2 FROM l JOIN rk ON l.user_id = rk.user_id " +
+        "AND l.v = rk.v), " +
+        "bc AS (SELECT c, sum(CAST(r2 AS HUGEINT)) AS sr2, " +
+        "CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1), " +
+        "a1 AS (SELECT sum(CAST(r2 AS HUGEINT) * r2) AS a1x4 FROM j), " +
+        "nk AS (SELECT CAST(count(*) AS BIGINT) AS kk, " +
+        "CAST(max(n) AS BIGINT) AS nn FROM bc), " +
+        "nm AS (SELECT sum((sr2 - CAST(nn * (kk + 1) AS HUGEINT)) * " +
+        "(sr2 - CAST(nn * (kk + 1) AS HUGEINT))) AS num, max(kk) AS k, " +
+        "max(nn) AS n FROM bc, nk), " +
+        "f AS (SELECT n, k, CAST(num AS DOUBLE) AS numd, " +
+        "CAST(a1x4 AS DOUBLE) - CAST(n * k * (k + 1) * (k + 1) AS DOUBLE) " +
+        "AS den FROM nm, a1) " +
+        "SELECT n AS n_units, k AS n_conditions, " +
+        "round(CASE WHEN den > 0 THEN CAST(k - 1 AS DOUBLE) * numd / den " +
+        "END, 6) AS chi2_f FROM f"),
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id").agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c_view"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c_click"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c_purchase"))
+        val long = u.selectExpr("user_id",
+          "stack(3, 'view', CAST(c_view AS DOUBLE), " +
+            "'click', CAST(c_click AS DOUBLE), " +
+            "'purchase', CAST(c_purchase AS DOUBLE)) AS (c, v)")
+        Stats.friedman(long, col("user_id"), col("c"), col("v"))
+      }),
+
+    // ---- Matthews correlation + balanced accuracy of the length-based
+    // English detector (pred: n_chars >= 300): prevalence-robust where
+    // q267's F1 ignores true negatives; HUGEINT confusion products.
+    Q("q410_mcc",
+      Some("WITH m AS (SELECT " +
+        "CAST(sum(CASE WHEN lang = 'en' AND n_chars >= 300 THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS tp, " +
+        "CAST(sum(CASE WHEN lang <> 'en' AND n_chars >= 300 THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS fp, " +
+        "CAST(sum(CASE WHEN lang = 'en' AND n_chars < 300 THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS fn, " +
+        "CAST(sum(CASE WHEN lang <> 'en' AND n_chars < 300 THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS tn FROM documents), " +
+        "f AS (SELECT tp, fp, fn, tn, " +
+        "CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn " +
+        "AS DOUBLE) AS num, " +
+        "sqrt(CAST(CAST(tp + fp AS HUGEINT) AS DOUBLE) * " +
+        "CAST(tp + fn AS DOUBLE) * CAST(tn + fp AS DOUBLE) * " +
+        "CAST(tn + fn AS DOUBLE)) AS den FROM m) " +
+        "SELECT tp, fp, fn, tn, " +
+        "round(CASE WHEN den > 0 THEN num / den END, 6) AS mcc, " +
+        "round(CASE WHEN tp + fn > 0 AND tn + fp > 0 THEN " +
+        "(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) + " +
+        "CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE)) / 2.0 END, 6) " +
+        "AS balanced_accuracy FROM f"),
+      (s, dir) => Stats.mcc(Tables.documents(s, dir),
+        col("lang") === "en", col("n_chars") >= 300)),
+
+    // ---- Poisson rate ratio of purchases per active-day between even
+    // and odd users: log-rate z on exact counts and decimal exposures.
+    Q("q411_rate_ratio",
+      Some("WITH u AS (SELECT user_id, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS x, " +
+        "CAST(max(epoch_us(ts) // 86400000000) - " +
+        "min(epoch_us(ts) // 86400000000) + 1 AS BIGINT) AS expo " +
+        "FROM events GROUP BY 1), " +
+        "m AS (SELECT " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END) AS BIGINT) " +
+        "AS x_a, " +
+        "sum(CASE WHEN user_id % 2 = 0 THEN " +
+        "CAST(CAST(expo AS DOUBLE) AS DECIMAL(38,6)) END) AS ea, " +
+        "CAST(sum(CASE WHEN user_id % 2 <> 0 THEN x ELSE 0 END) " +
+        "AS BIGINT) AS x_b, " +
+        "sum(CASE WHEN user_id % 2 <> 0 THEN " +
+        "CAST(CAST(expo AS DOUBLE) AS DECIMAL(38,6)) END) AS eb FROM u), " +
+        "f AS (SELECT x_a, x_b, CAST(ea AS DOUBLE) AS ead, " +
+        "CAST(eb AS DOUBLE) AS ebd, " +
+        "(CAST(x_a AS DOUBLE) / CAST(ea AS DOUBLE)) / " +
+        "(CAST(x_b AS DOUBLE) / CAST(eb AS DOUBLE)) AS rr, " +
+        "x_a > 0 AND x_b > 0 AND CAST(ea AS DOUBLE) > 0 AND " +
+        "CAST(eb AS DOUBLE) > 0 AS ok FROM m) " +
+        "SELECT x_a, round(ead, 6) AS exposure_a, x_b, " +
+        "round(ebd, 6) AS exposure_b, " +
+        "round(CASE WHEN ok THEN rr END, 6) AS rate_ratio, " +
+        "round(CASE WHEN ok THEN ln(rr) / sqrt(1.0 / CAST(x_a AS DOUBLE) " +
+        "+ 1.0 / CAST(x_b AS DOUBLE)) END, 6) AS z FROM f"),
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id").agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("x"),
+          (max(EventAnalytics.dayIndex(col("ts"))) -
+            min(EventAnalytics.dayIndex(col("ts"))) + 1L).as("expo"))
+        Stats.rateRatio(u, pmod(col("user_id"), lit(2L)) === 0,
+          col("x"), col("expo"))
+      }),
+
+    // ---- Chapman capture-recapture estimate of the user population
+    // from two overlapping observation windows (first 10 days vs day 5
+    // onward): exact HUGEINT list products; the exact-count sibling of
+    // q262's KMV set-op estimates.
+    Q("q412_capture_recapture",
+      Some("WITH lo AS (SELECT min(epoch_us(ts) // 86400000000) AS lo " +
+        "FROM events), " +
+        "u AS (SELECT user_id, " +
+        "max(CASE WHEN epoch_us(ts) // 86400000000 < lo + 10 THEN 1 " +
+        "ELSE 0 END) AS ma, " +
+        "max(CASE WHEN epoch_us(ts) // 86400000000 >= lo + 5 THEN 1 " +
+        "ELSE 0 END) AS mb FROM events, lo GROUP BY user_id), " +
+        "m AS (SELECT CAST(sum(ma) AS BIGINT) AS n_a, " +
+        "CAST(sum(mb) AS BIGINT) AS n_b, " +
+        "CAST(sum(CASE WHEN ma = 1 AND mb = 1 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_both FROM u), " +
+        "f AS (SELECT n_a, n_b, n_both, " +
+        "CAST(CAST(n_a + 1 AS HUGEINT) * (n_b + 1) AS DOUBLE) AS prod, " +
+        "CAST(n_both + 1 AS DOUBLE) AS m1 FROM m) " +
+        "SELECT n_a, n_b, n_both, " +
+        "round(prod / m1 - 1.0, 6) AS n_hat, " +
+        "round(sqrt(prod * CAST(CAST(n_a - n_both AS HUGEINT) * " +
+        "(n_b - n_both) AS DOUBLE) / (m1 * m1 * " +
+        "CAST(n_both + 2 AS DOUBLE))), 6) AS se FROM f"),
+      (s, dir) => {
+        val lo = Tables.events(s, dir)
+          .agg(min(EventAnalytics.dayIndex(col("ts"))).as("lo"))
+        val u = Tables.events(s, dir).crossJoin(broadcast(lo))
+          .groupBy("user_id").agg(
+            max(when(EventAnalytics.dayIndex(col("ts")) < col("lo") + 10, 1)
+              .otherwise(0)).as("ma"),
+            max(when(EventAnalytics.dayIndex(col("ts")) >= col("lo") + 5, 1)
+              .otherwise(0)).as("mb"))
+        Stats.captureRecapture(u, col("ma") === 1, col("mb") === 1)
+      })
+  )
+}

@@ -508,6 +508,83 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(3) == 2222.222222, s"K: $r")
   }
 
+  test("winRatio: survival layer first, secondary breaks the rest, ties surface") {
+    // control (9,F,2): T(5,T,1) loses on survival; T(9,F,3) wins on
+    // score; T(9,F,2) ties
+    val df = Seq((true, 5L, true, 1.0), (true, 9L, false, 3.0),
+      (true, 9L, false, 2.0), (false, 9L, false, 2.0))
+      .toDF("tr", "t", "e", "s")
+    val r = Stats.winRatio(df, col("tr"), col("t"), col("e"), col("s"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 1L)))
+    assert((r.getDouble(2), r.getDouble(3), r.getDouble(4)) ==
+      ((1.0, 1.0, 1.0)))
+    assert(r.getDouble(5) == 1.0, s"wr: $r")
+  }
+
+  test("cochranQ: hand Q on the 3x3 design; incomplete unit raises") {
+    // rows (1,1,0),(1,0,0),(1,1,1): C=(3,2,1), R=(2,1,3) -> Q = 9
+    val df = Seq((1L, "a", true), (1L, "b", true), (1L, "c", false),
+      (2L, "a", true), (2L, "b", false), (2L, "c", false),
+      (3L, "a", true), (3L, "b", true), (3L, "c", true))
+      .toDF("u", "c", "x")
+    val r = Stats.cochranQ(df, col("u"), col("c"), col("x")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(3)) == ((3L, 3L, 2L)))
+    assert(r.getDouble(2) == 9.0, s"q: $r")
+    val ex = intercept[Exception] {
+      Stats.cochranQ(df.filter(!(col("u") === 3L && col("c") === "c")),
+        col("u"), col("c"), col("x")).collect()
+    }
+    assert(ex.toString.contains("incomplete") ||
+      Option(ex.getCause).exists(_.toString.contains("incomplete")))
+  }
+
+  test("friedman: hand Conover T on a 3x3 panel; all-constant rows null") {
+    // unit ranks: (1,2,3),(1,2,3),(2,1,3) -> R=(4,5,9), sum(R-6)^2=14,
+    // A1-C1 = 42-36 = 6 -> T = 2*14/6 = 14/3
+    val df = Seq((1L, "a", 1.0), (1L, "b", 2.0), (1L, "c", 3.0),
+      (2L, "a", 1.0), (2L, "b", 2.0), (2L, "c", 3.0),
+      (3L, "a", 2.0), (3L, "b", 1.0), (3L, "c", 3.0))
+      .toDF("u", "c", "v")
+    val r = Stats.friedman(df, col("u"), col("c"), col("v")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)))
+    assert(r.getDouble(2) == 4.666667, s"chi2_f: $r")
+    val const = Seq((1L, "a", 5.0), (1L, "b", 5.0), (2L, "a", 5.0),
+      (2L, "b", 5.0)).toDF("u", "c", "v")
+    assert(Stats.friedman(const, col("u"), col("c"), col("v"))
+      .collect()(0).isNullAt(2))
+  }
+
+  test("mcc: hand confusion matrix; balanced accuracy") {
+    val df = Seq((true, true), (true, true), (false, true),
+      (true, false), (false, false), (false, false)).toDF("y", "p")
+    val r = Stats.mcc(df, col("y"), col("p")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 1L, 2L)))
+    assert(r.getDouble(4) == 0.333333 && r.getDouble(5) == 0.666667,
+      s"mcc: $r")
+  }
+
+  test("rateRatio: hand log-rate z") {
+    val df = Seq((true, 10L, 100.0), (false, 5L, 100.0))
+      .toDF("a", "x", "e")
+    val r = Stats.rateRatio(df, col("a"), col("x"), col("e")).collect()(0)
+    assert((r.getLong(0), r.getLong(2)) == ((10L, 5L)))
+    assert(r.getDouble(4) == 2.0)
+    val z = math.log((10.0 / 100.0) / (5.0 / 100.0)) /
+      math.sqrt(1.0 / 10.0 + 1.0 / 5.0)
+    assert(r.getDouble(5) == math.round(z * 1e6) / 1e6, s"z: $r")
+  }
+
+  test("captureRecapture: hand Chapman estimate and SE") {
+    // A = 1..10, B = 5..19: nA=10, nB=15, m=6 -> N = 176/7 - 1
+    val df = (1L to 19L).map(i => (i, i <= 10, i >= 5)).toDF("id", "a", "b")
+    val r = Stats.captureRecapture(df, col("a"), col("b")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((10L, 15L, 6L)))
+    assert(r.getDouble(3) == 24.142857, s"nhat: $r")
+    assert(r.getDouble(4) == 4.020356, s"se: $r")
+  }
+
   test("autocorrDaily: constant-increment series correlates positively") {
     import java.sql.Timestamp
     def t(d: Int) = new Timestamp(86400000L * d)
