@@ -856,6 +856,22 @@ object ScaleStress {
         s"tie tile ${i + 1} id slab off: $r")
     }
 
+    // kendallTau over 21M rows on a COMPLETE independent 50x7 grid: the
+    // cell rollup is 350 rows regardless of N, the pair join 61k cells²/2,
+    // and by exact symmetry concordant = discordant -> tau_b EXACTLY 0.
+    // The case proves the new concordance family's cost is the rollup
+    // scan, never the pairs.
+    val ktRows = spark.range(21000000L).select( // 350 * 60000: complete grid
+      (col("id") % 50L).as("x"), (expr("(id div 50) % 7")).as("y"))
+    val kt = timed("kendallTau over 21M rows, 50x7 vocabulary") {
+      graft.pipeline.Stats.kendallTau(ktRows, col("x"), col("y"))
+        .collect().head
+    }
+    assert(kt.getLong(0) == 21000000L, s"n off: $kt")
+    assert(kt.getDouble(1) == kt.getDouble(2),
+      s"symmetric grid must balance C and D: $kt")
+    assert(kt.getDouble(3) == 0.0, s"tau_b must be exactly 0: $kt")
+
     // ---- planted-recall at 1M rows for the four rows-only near-dup
     // surfaces (q30/q31/q47/q49): their PipelineSpec recall gates re-run
     // here at scale so "recall survives the skew caps" is a per-round
