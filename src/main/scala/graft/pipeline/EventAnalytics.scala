@@ -2425,44 +2425,60 @@ object EventAnalytics {
     * busiest instant. The capacity-planning readout over [[q124]]-style
     * sessionization.
     *
-    * SCALE SHAPE — never a global timeline sort: each interval explodes
-    * to the days it touches (bounded by interval length in days —
-    * sessions span ~1); a day's CARRY-IN is the count of its intervals
-    * that started on an earlier day (a projection off the same exploded
-    * relation); within a day, +1/−1 boundary points cumulate in a window
-    * PARTITIONED BY DAY. Tie policy (part of the semantic): at equal
-    * timestamps ends process before starts — [a,b) intervals, back-to-back
-    * sessions never overlap. Peak = carry-in + max(0, running max).
+    * SCALE SHAPE — never a global timeline sort, and never a whole DAY
+    * on one task either: intervals explode to the SUB-DAY buckets they
+    * touch (default 24/day — bounded by interval length; sessions span
+    * ~1); each bucket's CARRY-IN is a projection off the same exploded
+    * relation; +1/−1 boundary points cumulate in a window PARTITIONED
+    * BY BUCKET (a hot day's points split across `subBuckets` tasks —
+    * the knob for hotter grains); bucket peaks roll up to the day max,
+    * which is exact because concurrency is piecewise constant and every
+    * active instant lies in a touched bucket. Tie policy (part of the
+    * semantic): at equal timestamps ends process before starts — [a,b)
+    * intervals, back-to-back sessions never overlap.
+    * Peak_bucket = carry-in + max(0, running max); peak_day = max over
+    * buckets; carried_in (day grain) = the day's first bucket's carry.
     * Inputs are integer MICROSECONDS (the [[micros]] projection — the
     * module's time discipline). Returns (day, carried_in, peak) per
     * touched day. */
   def peakConcurrency(intervals: DataFrame, startUsCol: Column,
-                      endUsCol: Column): DataFrame = {
+                      endUsCol: Column, subBuckets: Int = 24): DataFrame = {
+    val dayUs = 86400000000L
+    require(subBuckets >= 1 && dayUs % subBuckets == 0,
+      s"subBuckets must divide the day: $subBuckets")
+    val bUs = dayUs / subBuckets
     val iv = intervals.select(startUsCol.cast("long").as("__s"),
         endUsCol.cast("long").as("__e"))
       .filter(col("__s").isNotNull && col("__e").isNotNull &&
         col("__e") >= col("__s"))
-    val dayUs = 86400000000L
     // Column./ is double division; micros are positive, so the long cast
-    // truncation IS the floor day index (the brownForsythe precedent)
-    def dayOf(c: Column): Column = (c / dayUs).cast("long")
+    // truncation IS the floor bucket index (the brownForsythe precedent)
+    def bOf(c: Column): Column = (c / bUs).cast("long")
     val touched = iv.select(col("__s"), col("__e"),
-      explode(sequence(dayOf(col("__s")), dayOf(col("__e")))).as("day"))
-    val carried = touched.groupBy("day")
-      .agg(sum(when(dayOf(col("__s")) < col("day"), 1L).otherwise(0L))
-        .as("carried_in"))
+      explode(sequence(bOf(col("__s")), bOf(col("__e")))).as("__b"))
+    val carried = touched.groupBy("__b")
+      .agg(sum(when(bOf(col("__s")) < col("__b"), 1L).otherwise(0L))
+        .as("__car"))
     val points = iv.select(col("__s").as("__ts"), lit(1L).as("__d"))
       .union(iv.select(col("__e"), lit(-1L)))
-      .select(dayOf(col("__ts")).as("day"), col("__ts"), col("__d"))
-    val wDay = Window.partitionBy(col("day"))
+      .select(bOf(col("__ts")).as("__b"), col("__ts"), col("__d"))
+    val wB = Window.partitionBy(col("__b"))
       .orderBy(col("__ts").asc, col("__d").asc) // -1 before +1 at ties
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val peaks = points
-      .withColumn("__run", sum(col("__d")).over(wDay))
-      .groupBy("day").agg(greatest(max(col("__run")), lit(0L)).as("__pk"))
-    carried.join(peaks, Seq("day"), "left")
-      .select(col("day"), col("carried_in"),
-        (col("carried_in") + coalesce(col("__pk"), lit(0L))).as("peak"))
+      .withColumn("__run", sum(col("__d")).over(wB))
+      .groupBy("__b").agg(greatest(max(col("__run")), lit(0L)).as("__pk"))
+    carried.join(peaks, Seq("__b"), "left")
+      .select((col("__b") / subBuckets).cast("long").as("day"),
+        col("__b"), (col("__car") + coalesce(col("__pk"), lit(0L)))
+          .as("__bpk"), col("__car"))
+      .groupBy("day")
+      .agg(
+        // an interval spanning the day boundary necessarily touches the
+        // day's first bucket, so its carry IS the day-grain carry-in
+        coalesce(max(when(pmod(col("__b"), lit(subBuckets.toLong)) === 0,
+          col("__car"))), lit(0L)).as("carried_in"),
+        max(col("__bpk")).as("peak"))
   }
 
   // --------------------------------------------- transition entropy rate

@@ -944,12 +944,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q397: concurrency points cumulate in a DAY-partitioned window; carry-in never plans a global sort") {
+  test("q397: concurrency points cumulate in a SUB-DAY-bucket window; carry-in never plans a global sort") {
+    // the run window must partition on the sub-day bucket (__b) — a
+    // day-partitioned (let alone global) window would funnel a hot day's
+    // boundary points through one task
     val p = planOf("q397_peak_concurrency")
     val runWindows = p.linesIterator.filter(l =>
       l.contains("Window [") && l.contains("__run")).toSeq
-    assert(runWindows.nonEmpty && runWindows.forall(_.contains("day#")),
-      s"point cumulation must partition by day:\n${runWindows.mkString("\n")}")
+    assert(runWindows.nonEmpty && runWindows.forall(_.contains("__b#")),
+      s"point cumulation must partition by bucket:\n${runWindows.mkString("\n")}")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 

@@ -872,6 +872,23 @@ object ScaleStress {
       s"symmetric grid must balance C and D: $kt")
     assert(kt.getDouble(3) == 0.0, s"tau_b must be exactly 0: $kt")
 
+    // peakConcurrency over 2M intervals in ONE hot day (the residual
+    // hazard the sub-day bucketing exists for): starts every 43200 us,
+    // each interval exactly half a day long, so active count ramps to
+    // EXACTLY 1M and the day-boundary carry into day 1 is exactly 1M.
+    // With 24 sub-buckets the 4M boundary points split ~170k/window
+    // instead of one 4M-point day partition.
+    val pcIv = spark.range(2000000L).select(
+      (col("id") * 43200L).as("s"),
+      (col("id") * 43200L + 43200000000L).as("e"))
+    val pc = timed("peakConcurrency over 2M intervals in one hot day") {
+      graft.pipeline.EventAnalytics.peakConcurrency(pcIv, col("s"), col("e"))
+        .orderBy("day").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    assert(pc.toSeq == Seq((0L, 0L, 1000000L), (1L, 1000000L, 1000000L)),
+      s"hot-day concurrency off: ${pc.toSeq}")
+
     // ---- planted-recall at 1M rows for the four rows-only near-dup
     // surfaces (q30/q31/q47/q49): their PipelineSpec recall gates re-run
     // here at scale so "recall survives the skew caps" is a per-round
