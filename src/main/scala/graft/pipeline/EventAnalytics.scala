@@ -1932,6 +1932,37 @@ object EventAnalytics {
         col("n_censored"), col("survival"), col("greenwood_se"))
   }
 
+  // ------------------------------------------------ median survival time
+  /** Median survival with a Greenwood-band interval: the smallest
+    * duration where Ŝ(t) ≤ ½ (a DATA ELEMENT off the [[kmGreenwood]]
+    * curve), bracketed by the first crossings of the ±1.96·SE bands —
+    * ci_lo = min t with Ŝ−1.96·SE ≤ ½ (the optimistic band crosses
+    * first), ci_hi = min t with Ŝ+1.96·SE ≤ ½. The one-row "how long do
+    * they stay" readout over the full q332/q400 curves.
+    *
+    * DETERMINISM: the gates compare the 6dp-ROUNDED survival/SE columns
+    * (already engine-identical), so each bound is a min over a filtered
+    * duration-grain relation — byte-identical anywhere. Curves that
+    * never cross report null (not "infinity"). Returns one row:
+    * (n, median_t, ci_lo_t, ci_hi_t). */
+  def kmMedianSurvival(df: DataFrame, durationCol: Column,
+                       eventCol: Column): DataFrame = {
+    val km = kmGreenwood(df, durationCol, eventCol)
+    km.agg(
+      sum(col("n_events") + col("n_censored")).as("n"),
+      min(when(col("survival") <= 0.5, col("duration"))).as("median_t"),
+      // the absorbing zero (S = 0, SE null — infinite variance term)
+      // trivially crosses both bands
+      min(when((col("greenwood_se").isNotNull &&
+        col("survival") - lit(1.96) * col("greenwood_se") <= 0.5) ||
+        col("survival") === 0.0,
+        col("duration"))).as("ci_lo_t"),
+      min(when((col("greenwood_se").isNotNull &&
+        col("survival") + lit(1.96) * col("greenwood_se") <= 0.5) ||
+        col("survival") === 0.0,
+        col("duration"))).as("ci_hi_t"))
+  }
+
   // ------------------------------------- cumulative incidence (competing)
   /** Aalen-Johansen cumulative incidence under competing risks: with
     * cause 0 = right-censored and causes 1..K competing events,

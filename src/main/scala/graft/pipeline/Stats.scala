@@ -3781,6 +3781,130 @@ object Stats {
         .as("chi2_f"))
   }
 
+  // ------------------------------------------------------- Page trend test
+  /** Page's L trend test (Page 1963) for ORDERED repeated measures — does
+    * the response increase monotonically across the k ordered conditions
+    * (the directional sibling of [[friedman]], which only asks "differ"):
+    * L = Σ_j s_j·R_j over condition scores s_j = 1..k and within-unit
+    * rank sums R_j; z = (L − nk(k+1)²/4)/√(nk²(k+1)²(k−1)/144).
+    *
+    * CONTRACT: complete design (incomplete units raise — the cochranQ
+    * rule); `condScoreCol` carries the integer order 1..k; the normal
+    * moments assume untied ranks (average ranks on ties keep L exact but
+    * make z slightly conservative — documented, standard practice).
+    * DETERMINISM: doubled dyadic ranks (the friedman machinery), every Σ
+    * DECIMAL(38,0)-exact, L = L2/2 (a dyadic half — exact in IEEE), one
+    * z shape 6dp. Returns one row: (n_units, n_conditions, l_stat, z). */
+  def pageTrend(df: DataFrame, unitCol: Column, condScoreCol: Column,
+                valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val base = df.select(unitCol.as("__u"), condScoreCol.cast("long").as("__c"),
+      valueCol.cast("double").as("__v"))
+    val k = base.agg(count_distinct(col("__c")).as("__k"))
+    val complete = base.groupBy("__u").agg(count(lit(1)).as("__cnt"))
+      .crossJoin(broadcast(k))
+      .select(col("__u"), when(col("__cnt") =!= col("__k"),
+        raise_error(concat(lit("pageTrend: unit "), col("__u").cast("string"),
+          lit(" has "), col("__cnt"), lit(" of "), col("__k"),
+          lit(" conditions - incomplete designs corrupt the ranks"))))
+        .otherwise(col("__cnt")).as("__cnt"))
+    val vals = base.groupBy("__u", "__v").agg(count(lit(1)).as("__t"))
+    val wRun = Window.partitionBy(col("__u")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked2 = vals
+      .withColumn("__cum", sum(col("__t")).over(wRun))
+      .select(col("__u"), col("__v"),
+        (col("__cum") * 2 - col("__t") + 1).as("__r2"))
+    val m = base.join(complete.select(col("__u")), Seq("__u"))
+      .join(ranked2, Seq("__u", "__v"))
+      .agg(sum(col("__c").cast(dt) * col("__r2")).as("__l2"),
+        count_distinct(col("__c")).as("n_conditions"),
+        (count(lit(1)) / count_distinct(col("__c"))).cast("long")
+          .as("n_units"))
+    val kD = col("n_conditions").cast("double")
+    val nD = col("n_units").cast("double")
+    val l = col("__l2").cast("double") / lit(2.0)
+    val e = nD * kD * (kD + lit(1.0)) * (kD + lit(1.0)) / lit(4.0)
+    val v = nD * kD * kD * (kD + lit(1.0)) * (kD + lit(1.0)) *
+      (kD - lit(1.0)) / lit(144.0)
+    m.select(col("n_units"), col("n_conditions"),
+      round(l, 6).as("l_stat"),
+      round(when(v > 0.0, (l - e) / sqrt(v)), 6).as("z"))
+  }
+
+  // --------------------------------- CLES / rank-biserial (Mann-Whitney)
+  /** Common-language effect size and rank-biserial correlation off the
+    * Mann-Whitney U machinery: CLES = U/(n₁n₂) — the probability a
+    * random group-1 value exceeds a random group-2 value (ties half) —
+    * and r_rb = 2·CLES − 1. The EFFECT SIZE q329's z only tests.
+    *
+    * DETERMINISM AND SCALE — exactly [[mannWhitney]]'s discipline: U is
+    * carried DOUBLED (2U = Σ n₁(2·below₂ + n₂), exact integers in
+    * DECIMAL(38,0)) over the value-VOCABULARY rollup (bucket continuous
+    * values first); CLES and r_rb are single IEEE divisions, 6dp.
+    * Returns one row: (n1, n2, u, cles, rank_biserial). */
+  def clesRankBiserial(df: DataFrame, valueCol: String,
+                       sampleCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perVal = df
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(sampleCol, 1L).otherwise(0L)).as("__n1"),
+        sum(when(sampleCol, 0L).otherwise(1L)).as("__n2"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = perVal
+      .withColumn("__below2", coalesce(sum(col("__n2")).over(w), lit(0L)))
+      .agg(sum(col("__n1")).as("n1"), sum(col("__n2")).as("n2"),
+        sum((col("__n1") * (lit(2L) * col("__below2") + col("__n2")))
+          .cast(DecimalType(38, 0))).as("__u2"))
+    val n1n2 = col("n1").cast("double") * col("n2").cast("double")
+    val cles = col("__u2").cast("double") / lit(2.0) / n1n2
+    agg.select(col("n1"), col("n2"),
+      (col("__u2").cast("double") / lit(2.0)).as("u"),
+      round(when(col("n1") > 0 && col("n2") > 0, cles), 6).as("cles"),
+      round(when(col("n1") > 0 && col("n2") > 0,
+        lit(2.0) * cles - lit(1.0)), 6).as("rank_biserial"))
+  }
+
+  // ------------------------------------------------ Cramér's V / Tschuprow
+  /** Effect size of a two-way association: Cramér's V =
+    * √(χ²/(n·(min(r,c)−1))) and Tschuprow's T = √(χ²/(n·√((r−1)(c−1))))
+    * — the MAGNITUDE q111's χ² only tests (χ² grows with n; V/T do not).
+    *
+    * Same one-rollup plan as [[chiSquareIndependence]] (cells, marginals
+    * off the cell relation, decimal-summed terms); fixed IEEE finishes,
+    * 6dp. Degenerate tables (a single row or column) report null V/T.
+    * Returns one row: (n, dof, chi2, cramers_v, tschuprow_t). */
+  def cramersV(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val base = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+    val cells = base.groupBy(colA, colB).agg(count(lit(1)).as("__o"))
+    val ra = cells.groupBy(colA).agg(sum(col("__o")).as("__ra"))
+    val cb = cells.groupBy(colB).agg(sum(col("__o")).as("__cb"))
+    val n = cells.agg(sum(col("__o")).as("__n"))
+    val dofA = ra.agg(count(lit(1)).as("__da"))
+    val dofB = cb.agg(count(lit(1)).as("__db"))
+    val term = (col("__o").cast("double") * col("__o")) /
+      ((col("__ra").cast("double") * col("__cb")) / col("__n").cast("double"))
+    val m = cells.join(broadcast(ra), Seq(colA)).join(broadcast(cb), Seq(colB))
+      .crossJoin(broadcast(n))
+      .agg(sum(term.cast("decimal(38,6)")).cast("double").as("__sum"),
+        first(col("__n")).as("n"))
+      .crossJoin(broadcast(dofA)).crossJoin(broadcast(dofB))
+    val chi2 = col("__sum") - col("n").cast("double")
+    val nD = col("n").cast("double")
+    val minDof = least(col("__da"), col("__db")) - lit(1L)
+    val ok = col("__da") > 1 && col("__db") > 1 && chi2 >= 0.0
+    m.select(col("n"),
+      ((col("__da") - 1) * (col("__db") - 1)).as("dof"),
+      round(chi2, 6).as("chi2"),
+      round(when(ok, sqrt(chi2 / (nD * minDof.cast("double")))), 6)
+        .as("cramers_v"),
+      round(when(ok, sqrt(chi2 / (nD *
+        sqrt(((col("__da") - 1L) * (col("__db") - 1L)).cast("double"))))), 6)
+        .as("tschuprow_t"))
+  }
+
   // --------------------------------------------- Matthews correlation (MCC)
   /** Binary-classifier Matthews correlation + balanced accuracy:
     * MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)) — the

@@ -5075,6 +5075,163 @@ object StatsQueries3 {
             max(when(EventAnalytics.dayIndex(col("ts")) >= col("lo") + 5, 1)
               .otherwise(0)).as("mb"))
         Stats.captureRecapture(u, col("ma") === 1, col("mb") === 1)
+      }),
+
+    // ---- Page's L trend across the ordered view<click<purchase funnel
+    // counts per user: the directional sibling of q409's Friedman, same
+    // doubled-rank machinery, L = sum(score * R_j).
+    Q("q413_page_trend",
+      Some("WITH u AS (SELECT user_id, " +
+        "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c_view, " +
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_click, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS c_purchase FROM events GROUP BY 1), " +
+        "l AS (SELECT user_id, 1 AS sc, CAST(c_view AS DOUBLE) AS v " +
+        "FROM u UNION ALL SELECT user_id, 2, CAST(c_click AS DOUBLE) " +
+        "FROM u UNION ALL SELECT user_id, 3, CAST(c_purchase AS DOUBLE) " +
+        "FROM u), " +
+        "vals AS (SELECT user_id, v, CAST(count(*) AS BIGINT) AS t FROM l " +
+        "GROUP BY 1, 2), " +
+        "rk AS (SELECT user_id, v, 2 * CAST(sum(t) OVER (PARTITION BY " +
+        "user_id ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT " +
+        "ROW) AS BIGINT) - t + 1 AS r2 FROM vals), " +
+        "j AS (SELECT l.sc, rk.r2 FROM l JOIN rk ON l.user_id = " +
+        "rk.user_id AND l.v = rk.v), " +
+        "m AS (SELECT sum(CAST(sc AS HUGEINT) * r2) AS l2, " +
+        "CAST(count(DISTINCT sc) AS BIGINT) AS k, " +
+        "CAST(count(*) // count(DISTINCT sc) AS BIGINT) AS n FROM j), " +
+        "f AS (SELECT n, k, CAST(l2 AS DOUBLE) / 2.0 AS l, " +
+        "CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) " +
+        "* (CAST(k AS DOUBLE) + 1.0) / 4.0 AS e, " +
+        "CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * " +
+        "(CAST(k AS DOUBLE) + 1.0) * (CAST(k AS DOUBLE) + 1.0) * " +
+        "(CAST(k AS DOUBLE) - 1.0) / 144.0 AS vv FROM m) " +
+        "SELECT n AS n_units, k AS n_conditions, round(l, 6) AS l_stat, " +
+        "round(CASE WHEN vv > 0 THEN (l - e) / sqrt(vv) END, 6) AS z " +
+        "FROM f"),
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id").agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c_view"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c_click"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c_purchase"))
+        val long = u.selectExpr("user_id",
+          "stack(3, 1L, CAST(c_view AS DOUBLE), 2L, CAST(c_click AS DOUBLE), " +
+            "3L, CAST(c_purchase AS DOUBLE)) AS (sc, v)")
+        Stats.pageTrend(long, col("user_id"), col("sc"), col("v"))
+      }),
+
+    // ---- CLES and rank-biserial for purchase vs non-purchase values on
+    // the floor(value) vocabulary: the EFFECT SIZE behind q329's z, same
+    // doubled-U rollup discipline.
+    Q("q414_cles",
+      Some("WITH b AS (SELECT floor(value) AS v, " +
+        "event_type = 'purchase' AS s FROM events WHERE value IS NOT NULL), " +
+        "pv AS (SELECT v, CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n1, CAST(sum(CASE WHEN s THEN 0 ELSE 1 END) " +
+        "AS BIGINT) AS n2 FROM b GROUP BY 1), " +
+        "w AS (SELECT n1, n2, coalesce(CAST(sum(n2) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) " +
+        "AS below2 FROM pv), " +
+        "a AS (SELECT CAST(sum(n1) AS BIGINT) AS n1, " +
+        "CAST(sum(n2) AS BIGINT) AS n2, " +
+        "sum(CAST(n1 * (2 * below2 + n2) AS HUGEINT)) AS u2 FROM w), " +
+        "f AS (SELECT n1, n2, CAST(u2 AS DOUBLE) / 2.0 AS u, " +
+        "CAST(u2 AS DOUBLE) / 2.0 / (CAST(n1 AS DOUBLE) * " +
+        "CAST(n2 AS DOUBLE)) AS cles FROM a) " +
+        "SELECT n1, n2, u, " +
+        "round(CASE WHEN n1 > 0 AND n2 > 0 THEN cles END, 6) AS cles, " +
+        "round(CASE WHEN n1 > 0 AND n2 > 0 THEN 2.0 * cles - 1.0 END, 6) " +
+        "AS rank_biserial FROM f"),
+      (s, dir) => Stats.clesRankBiserial(
+        Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(floor(col("value")).as("v"),
+            (col("event_type") === "purchase").as("s")),
+        "v", col("s"))),
+
+    // ---- Cramér's V / Tschuprow's T for the q111 event-type x weekday
+    // table: the association MAGNITUDE the chi2 only tests.
+    Q("q415_cramers_v",
+      Some("WITH e AS (SELECT event_type, " +
+        "((epoch_us(ts) // 86400000000) + 3) % 7 AS wd FROM events), " +
+        "cells AS (SELECT event_type, wd, count(*) AS o FROM e " +
+        "GROUP BY 1, 2), " +
+        "ra AS (SELECT event_type, count(*) AS ra FROM e GROUP BY 1), " +
+        "cb AS (SELECT wd, count(*) AS cb FROM e GROUP BY 1), " +
+        "nn AS (SELECT count(*) AS n FROM e), " +
+        "t AS (SELECT CAST(SUM(CAST((CAST(o AS DOUBLE) * o) / " +
+        "((CAST(ra AS DOUBLE) * cb) / CAST(nn.n AS DOUBLE)) " +
+        "AS DECIMAL(38,6))) AS DOUBLE) AS s, " +
+        "any_value(nn.n) AS n FROM cells JOIN ra USING (event_type) " +
+        "JOIN cb USING (wd), nn), " +
+        "d AS (SELECT (SELECT count(*) FROM ra) AS da, " +
+        "(SELECT count(*) FROM cb) AS db), " +
+        "f AS (SELECT n, da, db, s - CAST(n AS DOUBLE) AS chi2 FROM t, d) " +
+        "SELECT n, (da - 1) * (db - 1) AS dof, round(chi2, 6) AS chi2, " +
+        "round(CASE WHEN da > 1 AND db > 1 AND chi2 >= 0 THEN " +
+        "sqrt(chi2 / (CAST(n AS DOUBLE) * " +
+        "CAST(least(da, db) - 1 AS DOUBLE))) END, 6) AS cramers_v, " +
+        "round(CASE WHEN da > 1 AND db > 1 AND chi2 >= 0 THEN " +
+        "sqrt(chi2 / (CAST(n AS DOUBLE) * " +
+        "sqrt(CAST((da - 1) * (db - 1) AS DOUBLE)))) END, 6) " +
+        "AS tschuprow_t FROM f"),
+      (s, dir) => Stats.cramersV(
+        Tables.events(s, dir).select(col("event_type"),
+          pmod(EventAnalytics.dayIndex(col("ts")) + lit(3), lit(7)).as("wd")),
+        "event_type", "wd")),
+
+    // ---- median survival with the Greenwood-band bracket on the q332
+    // churn curve: data-element crossings of the 6dp-rounded bands.
+    Q("q416_km_median",
+      Some("WITH u AS (SELECT user_id, " +
+        "min(epoch_us(ts) // 86400000000) AS f, " +
+        "max(epoch_us(ts) // 86400000000) AS l FROM events GROUP BY 1), " +
+        "mx AS (SELECT max(l) AS mx FROM u), " +
+        "d AS (SELECT l - f AS duration, l < mx - 7 AS ev FROM u, mx), " +
+        "pt AS (SELECT duration, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_events, CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) " +
+        "AS BIGINT) AS n_censored FROM d GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n " +
+        "FROM pt), " +
+        "r AS (SELECT duration, n_events, n_censored, n - " +
+        "coalesce(CAST(sum(n_events + n_censored) OVER (ORDER BY duration " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) " +
+        "AS n_at_risk FROM pt, t), " +
+        "sv AS (SELECT duration, n_at_risk, n_events, n_censored, " +
+        "CASE WHEN n_events > 0 AND n_events < n_at_risk THEN " +
+        "CAST(ln(1.0 - CAST(n_events AS DOUBLE) / CAST(n_at_risk " +
+        "AS DOUBLE)) AS DECIMAL(28,12)) ELSE CAST(0.0 AS DECIMAL(28,12)) " +
+        "END AS term, " +
+        "CASE WHEN n_events > 0 AND n_events < n_at_risk THEN " +
+        "CAST(CAST(n_events AS DOUBLE) / CAST(CAST(n_at_risk AS HUGEINT) * " +
+        "(n_at_risk - n_events) AS DOUBLE) AS DECIMAL(28,12)) " +
+        "ELSE CAST(0.0 AS DECIMAL(28,12)) END AS gt, " +
+        "CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END AS dd FROM r), " +
+        "kk AS (SELECT duration, n_events, n_censored, " +
+        "round(CASE WHEN max(dd) OVER w = 1 THEN 0.0 ELSE " +
+        "exp(CAST(sum(term) OVER w AS DOUBLE)) END, 6) AS survival, " +
+        "round(CASE WHEN max(dd) OVER w = 1 THEN NULL ELSE " +
+        "exp(CAST(sum(term) OVER w AS DOUBLE)) * " +
+        "sqrt(CAST(sum(gt) OVER w AS DOUBLE)) END, 6) AS greenwood_se " +
+        "FROM sv WINDOW w AS (ORDER BY duration ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW)) " +
+        "SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n, " +
+        "min(CASE WHEN survival <= 0.5 THEN duration END) AS median_t, " +
+        "min(CASE WHEN (greenwood_se IS NOT NULL AND survival - 1.96 * " +
+        "greenwood_se <= 0.5) OR survival = 0.0 THEN duration END) " +
+        "AS ci_lo_t, " +
+        "min(CASE WHEN (greenwood_se IS NOT NULL AND survival + 1.96 * " +
+        "greenwood_se <= 0.5) OR survival = 0.0 THEN duration END) " +
+        "AS ci_hi_t FROM kk"),
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .select(col("user_id"), EventAnalytics.dayIndex(col("ts")).as("d"))
+          .groupBy("user_id")
+          .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+        val mx = u.agg(max(col("l")).as("mx"))
+        val d = u.crossJoin(broadcast(mx))
+          .select((col("l") - col("f")).as("dur"),
+            (col("l") < col("mx") - 7).as("ev"))
+        EventAnalytics.kmMedianSurvival(d, col("dur"), col("ev"))
       })
   )
 }

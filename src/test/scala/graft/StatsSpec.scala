@@ -585,6 +585,48 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(4) == 4.020356, s"se: $r")
   }
 
+  test("pageTrend: perfect ascending trend -> hand L and z") {
+    // 3 units, all ranked (1,2,3) along scores (1,2,3): L=42, E=36, V=6
+    val df = (1L to 3L).flatMap(u => Seq((u, 1L, 1.0), (u, 2L, 2.0),
+      (u, 3L, 3.0))).toDF("u", "sc", "v")
+    val r = Stats.pageTrend(df, col("u"), col("sc"), col("v")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)))
+    assert(r.getDouble(2) == 42.0)
+    assert(r.getDouble(3) == 2.449490, s"z: $r")
+  }
+
+  test("clesRankBiserial: hand U with a half-credit tie") {
+    // A {2,4} vs B {1,2}: 3 wins + 1 tie -> U 3.5, CLES 0.875, rb 0.75
+    val df = Seq((2.0, true), (4.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "s")
+    val r = Stats.clesRankBiserial(df, "v", col("s")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(2) == 3.5)
+    assert(r.getDouble(3) == 0.875 && r.getDouble(4) == 0.75, s"cles: $r")
+  }
+
+  test("cramersV: a perfectly associated 2x2 lands at V = T = 1") {
+    val df = (Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("b", "y")))
+      .toDF("p", "q")
+    val r = Stats.cramersV(df, "p", "q").collect()(0)
+    assert(r.getLong(0) == 10L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 10.0)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0, s"v: $r")
+  }
+
+  test("kmMedianSurvival: hand crossings of the curve and its bands") {
+    import graft.pipeline.EventAnalytics
+    // S = .75, .5, .25, .25; lower band crosses at t=1, upper never
+    val df = Seq((1L, true), (2L, true), (3L, true), (4L, false))
+      .toDF("t", "e")
+    val r = EventAnalytics.kmMedianSurvival(df, col("t"), col("e"))
+      .collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getLong(1) == 2L, s"median: $r")
+    assert(r.getLong(2) == 1L, s"lo: $r")
+    assert(r.isNullAt(3), s"hi must be null (band never crosses): $r")
+  }
+
   test("autocorrDaily: constant-increment series correlates positively") {
     import java.sql.Timestamp
     def t(d: Int) = new Timestamp(86400000L * d)
