@@ -2023,6 +2023,60 @@ object EventAnalytics {
         col("n_events"), col("cif"))
   }
 
+  // --------------------------------------- SPC rules (Western Electric)
+  /** Western Electric control-chart flags over the zero-filled daily
+    * count series: with μ/σ the series' own (population) moments,
+    * rule 1 fires where |x−μ| > 3σ and rule 2 where ≥ 2 of 3 consecutive
+    * points sit beyond 2σ on the SAME side — the monitoring companion to
+    * [[cusum]]-style drift alarms (q384 catches slow drifts; WE rules
+    * catch spikes and short runs).
+    *
+    * DETERMINISM: μ and σ come from decimal-exact integer moments,
+    * ROUNDED 6dp and broadcast (all flags compare against the rounded
+    * limits — engine-identical gates); rule 2 is one lag window over the
+    * calendar-bounded spine. Returns per day:
+    * (day, n, z_band, rule1, rule2) with z_band ∈ {−3..3} the signed
+    * σ-band index (capped), flags boolean. */
+  def spcRules(df: DataFrame, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = resampleDaily(df, tsCol)
+    val m = daily.agg(count(lit(1)).as("__nd"),
+        sum(col("n").cast(DecimalType(38, 0))).as("__s"),
+        sum(col("n").cast(DecimalType(38, 0)) * col("n")).as("__ss"))
+      .select(
+        round(col("__s").cast("double") / col("__nd").cast("double"), 6)
+          .as("__mu"),
+        round(sqrt((col("__nd").cast("double") * col("__ss").cast("double") -
+          col("__s").cast("double") * col("__s").cast("double")) /
+          (col("__nd").cast("double") * col("__nd").cast("double"))), 6)
+          .as("__sigma"))
+    val dev = col("n").cast("double") - col("__mu")
+    val band = when(col("__sigma") > 0.0,
+      signum(dev) * least(floor(abs(dev) / col("__sigma")), lit(3.0)))
+      .otherwise(lit(0.0)).cast("long")
+    val w = Window.orderBy(col("day"))
+    val flagged = daily.crossJoin(broadcast(m))
+      .withColumn("z_band", band)
+      .withColumn("__beyond2", when(col("z_band") >= 2, 1L)
+        .when(col("z_band") <= -2, -1L).otherwise(0L))
+    // rule 2: within this point and its two predecessors, >= 2 beyond 2
+    // sigma on the same side
+    val b0 = col("__beyond2")
+    val b1 = lag(col("__beyond2"), 1).over(w)
+    val b2 = lag(col("__beyond2"), 2).over(w)
+    def pos(c: Column) = when(c === 1L, 1L).otherwise(0L)
+    def neg(c: Column) = when(c === -1L, 1L).otherwise(0L)
+    flagged
+      .withColumn("rule1", abs(col("z_band")) >= 3)
+      .withColumn("rule2",
+        (pos(b0) + pos(coalesce(b1, lit(0L))) + pos(coalesce(b2, lit(0L)))
+          >= 2L) ||
+        (neg(b0) + neg(coalesce(b1, lit(0L))) + neg(coalesce(b2, lit(0L)))
+          >= 2L))
+      .select(col("day"), col("n"), col("z_band"), col("rule1"),
+        col("rule2"))
+  }
+
   // ------------------------------------------------ Ljung-Box portmanteau
   /** Ljung-Box Q test (Ljung & Box 1978) over the zero-filled daily count
     * series: Q = n(n+2)·Σ_{k=1..h} ρ̂²_k/(n−k) — "is there ANY

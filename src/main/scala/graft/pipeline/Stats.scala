@@ -3905,6 +3905,117 @@ object Stats {
         .as("tschuprow_t"))
   }
 
+  // --------------------------------------------- winsorized correlation
+  /** Pearson correlation of PAIRWISE-WINSORIZED columns: each axis clips
+    * into its own [pLo, pHi] quantile band before the moments — the
+    * outlier-robust r that q91's raw correlation and q301's univariate
+    * trims both miss (one heavy-tailed pair can fabricate or destroy a
+    * raw r).
+    *
+    * DETERMINISM — the [[winsorize]] discipline per axis: bounds from
+    * ONE exact-percentile aggregate, ROUNDED 4dp before the clamp
+    * (broadcast back), so every clipped value is a data element or a
+    * rounded bound; moments are DECIMAL(38,6)-exact sums of the clipped
+    * pair (unit-magnitude contract — the conversion bound); r is one
+    * fixed IEEE shape, 6dp. Returns one row: (n, lo_x, hi_x, lo_y,
+    * hi_y, r). */
+  def winsorizedCorr(df: DataFrame, xCol: Column, yCol: Column,
+                     pLo: Double = 0.01, pHi: Double = 0.99,
+                     roundScale: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(0.0 < pLo && pLo < pHi && pHi < 1.0)
+    val dt = DecimalType(38, 6)
+    val base = df.select(xCol.cast("double").as("__x"),
+        yCol.cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val bounds = base.agg(
+      expr(s"percentile(__x, array($pLo, $pHi))").as("__qx"),
+      expr(s"percentile(__y, array($pLo, $pHi))").as("__qy"))
+      .select(round(element_at(col("__qx"), 1), roundScale).as("lo_x"),
+        round(element_at(col("__qx"), 2), roundScale).as("hi_x"),
+        round(element_at(col("__qy"), 1), roundScale).as("lo_y"),
+        round(element_at(col("__qy"), 2), roundScale).as("hi_y"))
+    val cx = least(greatest(col("__x"), col("lo_x")), col("hi_x"))
+    val cy = least(greatest(col("__y"), col("lo_y")), col("hi_y"))
+    val m = base.crossJoin(broadcast(bounds))
+      .select(col("lo_x"), col("hi_x"), col("lo_y"), col("hi_y"),
+        cx.as("__cx"), cy.as("__cy"))
+      .groupBy("lo_x", "hi_x", "lo_y", "hi_y")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__cx").cast(dt)).as("__sx"),
+        sum(col("__cy").cast(dt)).as("__sy"),
+        sum((col("__cx") * col("__cy")).cast(dt)).as("__sxy"),
+        sum((col("__cx") * col("__cx")).cast(dt)).as("__sxx"),
+        sum((col("__cy") * col("__cy")).cast(dt)).as("__syy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val den = sqrt(nD * d("__sxx") - d("__sx") * d("__sx")) *
+      sqrt(nD * d("__syy") - d("__sy") * d("__sy"))
+    m.select(col("n"), col("lo_x"), col("hi_x"), col("lo_y"), col("hi_y"),
+      round(when(den > 0.0,
+        (nD * d("__sxy") - d("__sx") * d("__sy")) / den), 6).as("r"))
+  }
+
+  // ------------------------------------------------------------ Cohen's h
+  /** Cohen's h effect size for two proportions:
+    * h = 2·asin(√p₁) − 2·asin(√p₂) (the arcsine-stabilized difference) —
+    * the MAGNITUDE companion to q334's two-proportion z, comparable
+    * across baselines where a raw p₁−p₂ is not.
+    *
+    * DETERMINISM: exact trial/success counts off one conditional
+    * aggregate; h is a fixed shape of two libm asin calls, 6dp. Zero
+    * trials on either side reports null. Returns one row:
+    * (n_a, x_a, n_b, x_b, p_a, p_b, h). */
+  def cohensH(df: DataFrame, groupACol: Column,
+              successCol: Column): DataFrame = {
+    val m = df.agg(
+      sum(when(groupACol, 1L).otherwise(0L)).as("n_a"),
+      sum(when(groupACol && successCol, 1L).otherwise(0L)).as("x_a"),
+      sum(when(!groupACol, 1L).otherwise(0L)).as("n_b"),
+      sum(when(!groupACol && successCol, 1L).otherwise(0L)).as("x_b"))
+    val pa = col("x_a").cast("double") / col("n_a").cast("double")
+    val pb = col("x_b").cast("double") / col("n_b").cast("double")
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    m.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      round(when(col("n_a") > 0, pa), 6).as("p_a"),
+      round(when(col("n_b") > 0, pb), 6).as("p_b"),
+      round(when(ok, lit(2.0) * asin(sqrt(pa)) -
+        lit(2.0) * asin(sqrt(pb))), 6).as("h"))
+  }
+
+  // ------------------------------------------- odds ratio with Woolf CI
+  /** 2×2 odds ratio with the Woolf logit interval: OR = ad/bc,
+    * SE(ln OR) = √(1/a + 1/b + 1/c + 1/d), CI = exp(ln OR ± 1.96·SE) —
+    * the uncertainty q334's point odds_ratio lacks. Zero cells take the
+    * Haldane-Anscombe +½ correction on ALL four cells (deterministic,
+    * surfaced via the corrected flag), the standard finite estimate.
+    *
+    * DETERMINISM: four exact counts off one aggregate; OR/SE/CI are
+    * fixed IEEE shapes on (count + 0.5)-style doubles, 6dp. Returns one
+    * row: (a, b, c, d, corrected, odds_ratio, ci_lo, ci_hi). */
+  def orWoolfCi(df: DataFrame, exposedCol: Column,
+                outcomeCol: Column): DataFrame = {
+    val m = df.agg(
+      sum(when(exposedCol && outcomeCol, 1L).otherwise(0L)).as("a"),
+      sum(when(exposedCol && !outcomeCol, 1L).otherwise(0L)).as("b"),
+      sum(when(!exposedCol && outcomeCol, 1L).otherwise(0L)).as("c"),
+      sum(when(!exposedCol && !outcomeCol, 1L).otherwise(0L)).as("d"))
+    val corrected = col("a") === 0 || col("b") === 0 ||
+      col("c") === 0 || col("d") === 0
+    def adj(c: Column): Column =
+      when(corrected, c.cast("double") + lit(0.5)).otherwise(c.cast("double"))
+    val (aD, bD, cD, dD) = (adj(col("a")), adj(col("b")), adj(col("c")),
+      adj(col("d")))
+    val or = (aD * dD) / (bD * cD)
+    val se = sqrt(lit(1.0) / aD + lit(1.0) / bD + lit(1.0) / cD +
+      lit(1.0) / dD)
+    m.select(col("a"), col("b"), col("c"), col("d"),
+      corrected.as("corrected"),
+      round(or, 6).as("odds_ratio"),
+      round(exp(log(or) - lit(1.96) * se), 6).as("ci_lo"),
+      round(exp(log(or) + lit(1.96) * se), 6).as("ci_hi"))
+  }
+
   // --------------------------------------------- Matthews correlation (MCC)
   /** Binary-classifier Matthews correlation + balanced accuracy:
     * MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)) — the

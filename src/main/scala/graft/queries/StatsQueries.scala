@@ -5232,6 +5232,146 @@ object StatsQueries3 {
           .select((col("l") - col("f")).as("dur"),
             (col("l") < col("mx") - 7).as("ev"))
         EventAnalytics.kmMedianSurvival(d, col("dur"), col("ev"))
-      })
+      }),
+
+    // ---- winsorized correlation of per-user activity vs dollar spend:
+    // 4dp-rounded p05/p95 bounds per axis from ONE percentile aggregate,
+    // decimal moments of the clipped pair — the robust r that one whale
+    // user would otherwise own.
+    Q("q417_winsorized_corr",
+      Some("WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x0, " +
+        "coalesce(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT), " +
+        "0) AS cents FROM events GROUP BY 1), " +
+        "b AS (SELECT CAST(x0 AS DOUBLE) AS x, " +
+        "CAST(cents AS DOUBLE) / 100.0 AS y FROM u), " +
+        "q AS (SELECT round(quantile_cont(x, 0.05), 4) AS lo_x, " +
+        "round(quantile_cont(x, 0.95), 4) AS hi_x, " +
+        "round(quantile_cont(y, 0.05), 4) AS lo_y, " +
+        "round(quantile_cont(y, 0.95), 4) AS hi_y FROM b), " +
+        "c AS (SELECT lo_x, hi_x, lo_y, hi_y, " +
+        "least(greatest(x, lo_x), hi_x) AS cx, " +
+        "least(greatest(y, lo_y), hi_y) AS cy FROM b, q), " +
+        "m AS (SELECT lo_x, hi_x, lo_y, hi_y, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "sum(CAST(cx AS DECIMAL(38,6))) AS sx, " +
+        "sum(CAST(cy AS DECIMAL(38,6))) AS sy, " +
+        "sum(CAST(cx * cy AS DECIMAL(38,6))) AS sxy, " +
+        "sum(CAST(cx * cx AS DECIMAL(38,6))) AS sxx, " +
+        "sum(CAST(cy * cy AS DECIMAL(38,6))) AS syy FROM c " +
+        "GROUP BY 1, 2, 3, 4), " +
+        "f AS (SELECT n, lo_x, hi_x, lo_y, hi_y, " +
+        "sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+        "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+        "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den, " +
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num FROM m) " +
+        "SELECT n, lo_x, hi_x, lo_y, hi_y, " +
+        "round(CASE WHEN den > 0 THEN num / den END, 6) AS r FROM f"),
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id").agg(
+          count(lit(1)).as("x0"),
+          coalesce(sum(round(col("value") * 100, 0).cast("long")), lit(0L))
+            .as("cents"))
+        Stats.winsorizedCorr(u, col("x0"),
+          col("cents").cast("double") / 100.0, pLo = 0.05, pHi = 0.95)
+      }),
+
+    // ---- Western Electric control flags over daily counts: rounded
+    // mu/sigma broadcast, signed sigma-band index, rule 1 (|z| >= 3)
+    // and rule 2 (2-of-3 beyond 2 sigma same side) off one lag window.
+    Q("q418_spc_rules",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "s AS (SELECT r.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n " +
+        "FROM r LEFT JOIN c USING (day)), " +
+        "m AS (SELECT round(CAST(sum(CAST(n AS HUGEINT)) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS mu, " +
+        "round(sqrt((CAST(count(*) AS DOUBLE) * " +
+        "CAST(sum(CAST(n AS HUGEINT) * n) AS DOUBLE) - " +
+        "CAST(sum(CAST(n AS HUGEINT)) AS DOUBLE) * " +
+        "CAST(sum(CAST(n AS HUGEINT)) AS DOUBLE)) / " +
+        "(CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE))), 6) " +
+        "AS sigma FROM s), " +
+        "f AS (SELECT day, n, CAST(CASE WHEN sigma > 0 THEN " +
+        "sign(CAST(n AS DOUBLE) - mu) * " +
+        "least(floor(abs(CAST(n AS DOUBLE) - mu) / sigma), 3.0) " +
+        "ELSE 0.0 END AS BIGINT) AS z_band FROM s, m), " +
+        "g AS (SELECT day, n, z_band, " +
+        "CASE WHEN z_band >= 2 THEN 1 WHEN z_band <= -2 THEN -1 ELSE 0 " +
+        "END AS b0, " +
+        "coalesce(lag(CASE WHEN z_band >= 2 THEN 1 WHEN z_band <= -2 " +
+        "THEN -1 ELSE 0 END, 1) OVER (ORDER BY day), 0) AS b1, " +
+        "coalesce(lag(CASE WHEN z_band >= 2 THEN 1 WHEN z_band <= -2 " +
+        "THEN -1 ELSE 0 END, 2) OVER (ORDER BY day), 0) AS b2 FROM f) " +
+        "SELECT day, n, z_band, abs(z_band) >= 3 AS rule1, " +
+        "((CASE WHEN b0 = 1 THEN 1 ELSE 0 END + CASE WHEN b1 = 1 THEN 1 " +
+        "ELSE 0 END + CASE WHEN b2 = 1 THEN 1 ELSE 0 END) >= 2) OR " +
+        "((CASE WHEN b0 = -1 THEN 1 ELSE 0 END + CASE WHEN b1 = -1 THEN 1 " +
+        "ELSE 0 END + CASE WHEN b2 = -1 THEN 1 ELSE 0 END) >= 2) AS rule2 " +
+        "FROM g ORDER BY day"),
+      (s, dir) => EventAnalytics.spcRules(Tables.events(s, dir), "ts")
+        .orderBy("day")),
+
+    // ---- Cohen's h between weekend and weekday purchase shares: the
+    // arcsine-stabilized proportion effect size next to q334's z.
+    Q("q419_cohens_h",
+      Some("WITH b AS (SELECT ((epoch_us(ts) // 86400000000) + 3) % 7 >= 5 " +
+        "AS g, event_type = 'purchase' AS s FROM events), " +
+        "m AS (SELECT " +
+        "CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN g AND s THEN 1 ELSE 0 END) AS BIGINT) AS x_a, " +
+        "CAST(sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(sum(CASE WHEN NOT g AND s THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS x_b FROM b), " +
+        "f AS (SELECT n_a, x_a, n_b, x_b, " +
+        "CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa, " +
+        "CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb FROM m) " +
+        "SELECT n_a, x_a, n_b, x_b, " +
+        "round(CASE WHEN n_a > 0 THEN pa END, 6) AS p_a, " +
+        "round(CASE WHEN n_b > 0 THEN pb END, 6) AS p_b, " +
+        "round(CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+        "2.0 * asin(sqrt(pa)) - 2.0 * asin(sqrt(pb)) END, 6) AS h FROM f"),
+      (s, dir) => Stats.cohensH(
+        Tables.events(s, dir).select(
+          (pmod(EventAnalytics.dayIndex(col("ts")) + lit(3), lit(7)) >= 5)
+            .as("g"),
+          (col("event_type") === "purchase").as("s")),
+        col("g"), col("s"))),
+
+    // ---- odds ratio with the Woolf logit CI for long-doc vs English:
+    // the interval q410's point MCC and q334's point OR lack;
+    // Haldane +1/2 on zero cells, surfaced via the corrected flag.
+    Q("q420_or_ci",
+      Some("WITH m AS (SELECT " +
+        "CAST(sum(CASE WHEN n_chars >= 300 AND lang = 'en' THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS a, " +
+        "CAST(sum(CASE WHEN n_chars >= 300 AND lang <> 'en' THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS b, " +
+        "CAST(sum(CASE WHEN n_chars < 300 AND lang = 'en' THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS c, " +
+        "CAST(sum(CASE WHEN n_chars < 300 AND lang <> 'en' THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS d FROM documents), " +
+        "f AS (SELECT a, b, c, d, " +
+        "a = 0 OR b = 0 OR c = 0 OR d = 0 AS corrected FROM m), " +
+        "g AS (SELECT a, b, c, d, corrected, " +
+        "CASE WHEN corrected THEN CAST(a AS DOUBLE) + 0.5 ELSE " +
+        "CAST(a AS DOUBLE) END AS ad, " +
+        "CASE WHEN corrected THEN CAST(b AS DOUBLE) + 0.5 ELSE " +
+        "CAST(b AS DOUBLE) END AS bd, " +
+        "CASE WHEN corrected THEN CAST(c AS DOUBLE) + 0.5 ELSE " +
+        "CAST(c AS DOUBLE) END AS cd, " +
+        "CASE WHEN corrected THEN CAST(d AS DOUBLE) + 0.5 ELSE " +
+        "CAST(d AS DOUBLE) END AS dd FROM f), " +
+        "h AS (SELECT a, b, c, d, corrected, " +
+        "(ad * dd) / (bd * cd) AS orr, " +
+        "sqrt(1.0 / ad + 1.0 / bd + 1.0 / cd + 1.0 / dd) AS se FROM g) " +
+        "SELECT a, b, c, d, corrected, round(orr, 6) AS odds_ratio, " +
+        "round(exp(ln(orr) - 1.96 * se), 6) AS ci_lo, " +
+        "round(exp(ln(orr) + 1.96 * se), 6) AS ci_hi FROM h"),
+      (s, dir) => Stats.orWoolfCi(Tables.documents(s, dir),
+        col("n_chars") >= 300, col("lang") === "en"))
   )
 }

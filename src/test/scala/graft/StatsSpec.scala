@@ -627,6 +627,66 @@ class StatsSpec extends SparkSpec {
     assert(r.isNullAt(3), s"hi must be null (band never crosses): $r")
   }
 
+  test("winsorizedCorr: identical clipped axes land at r = 1 with hand bounds") {
+    val df = Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (3.0, 3.0))
+      .toDF("x", "y")
+    val r = Stats.winsorizedCorr(df, col("x"), col("y"),
+      pLo = 0.25, pHi = 0.75).collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 0.75 && r.getDouble(2) == 2.25)
+    assert(r.getDouble(3) == 0.75 && r.getDouble(4) == 2.25)
+    assert(r.getDouble(5) == 1.0, s"r: $r")
+  }
+
+  test("spcRules: a 3-sigma spike fires rule 1 only; hand mu/sigma") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // counts 10 x9 + 100: mu 19, sigma 27 -> the spike is exactly band 3
+    val rows = (0 until 9).flatMap(d => Seq.fill(10)(t(d + 10))) ++
+      Seq.fill(100)(t(19))
+    val r = pipeline.EventAnalytics.spcRules(rows.toDF("ts"), "ts")
+      .orderBy("day").collect()
+    assert(r.length == 10)
+    assert(r.take(9).forall(x => x.getLong(2) == 0L && !x.getBoolean(3) &&
+      !x.getBoolean(4)))
+    val spike = r(9)
+    assert(spike.getLong(1) == 100L && spike.getLong(2) == 3L)
+    assert(spike.getBoolean(3) && !spike.getBoolean(4), s"spike: $spike")
+  }
+
+  test("cohensH: hand arcsine difference") {
+    // p_a = 1/4, p_b = 3/4 -> h = 2 asin(.5) - 2 asin(sqrt(.75)) = -pi/3
+    val df = Seq((true, true), (true, false), (true, false), (true, false),
+      (false, true), (false, true), (false, true), (false, false))
+      .toDF("g", "s")
+    val r = Stats.cohensH(df, col("g"), col("s")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 1L, 4L, 3L)))
+    assert(r.getDouble(4) == 0.25 && r.getDouble(5) == 0.75)
+    assert(r.getDouble(6) == -1.047198, s"h: $r")
+  }
+
+  test("orWoolfCi: hand OR/CI; a zero cell takes the Haldane correction") {
+    val df = (Seq.fill(10)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(8)((false, false)))
+      .toDF("e", "o")
+    val r = Stats.orWoolfCi(df, col("e"), col("o")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 5L, 2L, 8L)))
+    assert(!r.getBoolean(4))
+    assert(r.getDouble(5) == 8.0)
+    val se = math.sqrt(1.0 / 10 + 1.0 / 5 + 1.0 / 2 + 1.0 / 8)
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    assert(r.getDouble(6) == r6(math.exp(math.log(8.0) - 1.96 * se)))
+    assert(r.getDouble(7) == r6(math.exp(math.log(8.0) + 1.96 * se)))
+    // zero cell: all four counts shift +1/2, flag surfaces
+    val z = (Seq.fill(3)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(4)((false, false))).toDF("e", "o")
+    val rc = Stats.orWoolfCi(z, col("e"), col("o")).collect()(0)
+    assert(rc.getBoolean(4))
+    assert(rc.getDouble(5) == r6((3.5 * 4.5) / (5.5 * 0.5)), s"or: $rc")
+  }
+
   test("autocorrDaily: constant-increment series correlates positively") {
     import java.sql.Timestamp
     def t(d: Int) = new Timestamp(86400000L * d)
