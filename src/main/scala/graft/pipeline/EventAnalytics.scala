@@ -2026,7 +2026,9 @@ object EventAnalytics {
   // --------------------------------------- SPC rules (Western Electric)
   /** Western Electric control-chart flags over the zero-filled daily
     * count series: with μ/σ the series' own (population) moments,
-    * rule 1 fires where |x−μ| > 3σ and rule 2 where ≥ 2 of 3 consecutive
+    * rule 1 fires where |x−μ| ≥ 3σ (closed boundary — a point exactly ON
+    * the 3σ limit flags; the band convention below makes the same call)
+    * and rule 2 where ≥ 2 of 3 consecutive
     * points sit beyond 2σ on the SAME side — the monitoring companion to
     * [[cusum]]-style drift alarms (q384 catches slow drifts; WE rules
     * catch spikes and short runs).
@@ -2539,13 +2541,26 @@ object EventAnalytics {
     // Column./ is double division; micros are positive, so the long cast
     // truncation IS the floor bucket index (the brownForsythe precedent)
     def bOf(c: Column): Column = (c / bUs).cast("long")
+    // [a,b) occupancy: an end landing EXACTLY on a bucket boundary does
+    // not touch that bucket (its last occupied instant is e-1), so the
+    // touch range tops out at bOf(e-1) — greatest(.., s) keeps the
+    // zero-length [a,a) row on its own bucket (it emits the day but
+    // contributes no concurrency, so it gets no +1/-1 points either).
     val touched = iv.select(col("__s"), col("__e"),
-      explode(sequence(bOf(col("__s")), bOf(col("__e")))).as("__b"))
+      explode(sequence(bOf(col("__s")),
+        bOf(greatest(col("__e") - 1, col("__s"))))).as("__b"))
     val carried = touched.groupBy("__b")
       .agg(sum(when(bOf(col("__s")) < col("__b"), 1L).otherwise(0L))
         .as("__car"))
-    val points = iv.select(col("__s").as("__ts"), lit(1L).as("__d"))
-      .union(iv.select(col("__e"), lit(-1L)))
+    val open = iv.filter(col("__e") > col("__s"))
+    val points = open.select(col("__s").as("__ts"), lit(1L).as("__d"))
+      // a boundary-exact end belongs to the PREVIOUS bucket's close: the
+      // interval never occupies bOf(e) and is not in its carry, so its
+      // -1 there would deflate that bucket's running sum — drop it (the
+      // open interval holds to its last bucket's end, where no later
+      // point in that bucket can observe the decrement anyway)
+      .union(open.filter(pmod(col("__e"), lit(bUs)) =!= 0L)
+        .select(col("__e"), lit(-1L)))
       .select(bOf(col("__ts")).as("__b"), col("__ts"), col("__d"))
     val wB = Window.partitionBy(col("__b"))
       .orderBy(col("__ts").asc, col("__d").asc) // -1 before +1 at ties

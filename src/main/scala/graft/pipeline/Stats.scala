@@ -3413,14 +3413,18 @@ object Stats {
         (col("__ni") - lit(1L)).cast("double")).cast(DecimalType(28, 12)))
         .as("__siv"))
     val units = base.groupBy("__u")
-      .agg(count(lit(1)).as("__cnt"), sum(col("__v").cast(dt)).as("__tot"))
+      .agg(count(lit(1)).as("__cnt"),
+        count_distinct(col("__i")).as("__dst"),
+        sum(col("__v").cast(dt)).as("__tot"))
       .crossJoin(broadcast(k))
       .select(col("__u"),
-        when(col("__cnt") =!= col("__k"),
+        when(col("__dst") =!= col("__k") || col("__cnt") =!= col("__dst"),
           raise_error(concat(lit("cronbachAlpha: unit "),
-            col("__u").cast("string"), lit(" has "), col("__cnt"),
-            lit(" of "), col("__k"),
-            lit(" items - incomplete designs bias both variance terms"))))
+            col("__u").cast("string"), lit(" has "), col("__dst"),
+            lit(" of "), col("__k"), lit(" distinct items over "),
+            col("__cnt"),
+            lit(" rows - incomplete/duplicated designs bias both variance" +
+              " terms"))))
           .otherwise(col("__tot")).as("__tot"))
     val totals = units.agg(count(lit(1)).as("n_units"),
       sum(col("__tot")).as("__st"),
@@ -3675,7 +3679,7 @@ object Stats {
   /** Cochran's Q test (Cochran 1950) for k correlated PROPORTIONS — did
     * the same units succeed at the same rate across k binary conditions
     * (the within-subject sibling of the χ² independence test):
-    * Q = k(k−1)·[k·ΣC_j² − (ΣC_j)²] / [k·ΣR_i − ΣR_i²] with C_j the
+    * Q = (k−1)·[k·ΣC_j² − (ΣC_j)²] / [k·ΣR_i − ΣR_i²] with C_j the
     * condition totals and R_i the per-unit success counts; Q ~ χ²_{k−1}.
     *
     * CONTRACT: a COMPLETE design (every unit × every condition exactly
@@ -3692,12 +3696,15 @@ object Stats {
       when(successCol, 1L).otherwise(0L).as("__x"))
     val k = base.agg(count_distinct(col("__c")).as("__k"))
     val rows = base.groupBy("__u")
-      .agg(count(lit(1)).as("__cnt"), sum(col("__x")).as("__r"))
+      .agg(count(lit(1)).as("__cnt"),
+        count_distinct(col("__c")).as("__dst"), sum(col("__x")).as("__r"))
       .crossJoin(broadcast(k))
-      .select(when(col("__cnt") =!= col("__k"),
+      .select(when(col("__dst") =!= col("__k") ||
+        col("__cnt") =!= col("__dst"),
         raise_error(concat(lit("cochranQ: unit "), col("__u").cast("string"),
-          lit(" has "), col("__cnt"), lit(" of "), col("__k"),
-          lit(" conditions - incomplete designs bias the row terms"))))
+          lit(" has "), col("__dst"), lit(" of "), col("__k"),
+          lit(" distinct conditions over "), col("__cnt"),
+          lit(" rows - incomplete/duplicated designs bias the row terms"))))
         .otherwise(col("__r")).as("__r"))
     val rowAgg = rows.agg(count(lit(1)).as("n_units"),
       sum(col("__r")).as("__sr"),
@@ -3708,7 +3715,7 @@ object Stats {
         sum(col("__cj").cast(dt) * col("__cj")).as("__scc"))
     val m = rowAgg.crossJoin(broadcast(colAgg))
     val kD = col("n_conditions").cast("double")
-    val num = kD * (kD - lit(1.0)) *
+    val num = (kD - lit(1.0)) *
       (kD * col("__scc").cast("double") -
         col("__sc").cast("double") * col("__sc").cast("double"))
     val den = kD * col("__sr").cast("double") - col("__srr").cast("double")
@@ -3741,12 +3748,15 @@ object Stats {
     val base = df.select(unitCol.as("__u"), condCol.as("__c"),
       valueCol.cast("double").as("__v"))
     val k = base.agg(count_distinct(col("__c")).as("__k"))
-    val complete = base.groupBy("__u").agg(count(lit(1)).as("__cnt"))
+    val complete = base.groupBy("__u").agg(count(lit(1)).as("__cnt"),
+        count_distinct(col("__c")).as("__dst"))
       .crossJoin(broadcast(k))
-      .select(col("__u"), when(col("__cnt") =!= col("__k"),
+      .select(col("__u"), when(col("__dst") =!= col("__k") ||
+        col("__cnt") =!= col("__dst"),
         raise_error(concat(lit("friedman: unit "), col("__u").cast("string"),
-          lit(" has "), col("__cnt"), lit(" of "), col("__k"),
-          lit(" conditions - incomplete designs corrupt the ranks"))))
+          lit(" has "), col("__dst"), lit(" of "), col("__k"),
+          lit(" distinct conditions over "), col("__cnt"),
+          lit(" rows - incomplete/duplicated designs corrupt the ranks"))))
         .otherwise(col("__cnt")).as("__cnt"))
     // doubled average rank of each value within its unit: 2r = 2*cum-t+1
     val vals = base.groupBy("__u", "__v").agg(count(lit(1)).as("__t"))
@@ -3802,12 +3812,15 @@ object Stats {
     val base = df.select(unitCol.as("__u"), condScoreCol.cast("long").as("__c"),
       valueCol.cast("double").as("__v"))
     val k = base.agg(count_distinct(col("__c")).as("__k"))
-    val complete = base.groupBy("__u").agg(count(lit(1)).as("__cnt"))
+    val complete = base.groupBy("__u").agg(count(lit(1)).as("__cnt"),
+        count_distinct(col("__c")).as("__dst"))
       .crossJoin(broadcast(k))
-      .select(col("__u"), when(col("__cnt") =!= col("__k"),
+      .select(col("__u"), when(col("__dst") =!= col("__k") ||
+        col("__cnt") =!= col("__dst"),
         raise_error(concat(lit("pageTrend: unit "), col("__u").cast("string"),
-          lit(" has "), col("__cnt"), lit(" of "), col("__k"),
-          lit(" conditions - incomplete designs corrupt the ranks"))))
+          lit(" has "), col("__dst"), lit(" of "), col("__k"),
+          lit(" distinct conditions over "), col("__cnt"),
+          lit(" rows - incomplete/duplicated designs corrupt the ranks"))))
         .otherwise(col("__cnt")).as("__cnt"))
     val vals = base.groupBy("__u", "__v").agg(count(lit(1)).as("__t"))
     val wRun = Window.partitionBy(col("__u")).orderBy(col("__v"))

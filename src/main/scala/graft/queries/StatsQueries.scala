@@ -4461,12 +4461,13 @@ object StatsQueries2 {
         "iv AS (SELECT min(us) AS st, max(us) AS en FROM y " +
         "GROUP BY user_id, sid), " +
         "touched AS (SELECT st, en, unnest(range(st // 86400000000, " +
-        "en // 86400000000 + 1)) AS day FROM iv), " +
+        "greatest(en - 1, st) // 86400000000 + 1)) AS day FROM iv), " +
         "car AS (SELECT day, CAST(sum(CASE WHEN st // 86400000000 < day " +
         "THEN 1 ELSE 0 END) AS BIGINT) AS carried_in FROM touched " +
         "GROUP BY 1), " +
-        "pts AS (SELECT st AS ts, 1 AS dd FROM iv " +
-        "UNION ALL SELECT en, -1 FROM iv), " +
+        "pts AS (SELECT st AS ts, 1 AS dd FROM iv WHERE en > st " +
+        "UNION ALL SELECT en, -1 FROM iv WHERE en > st " +
+        "AND en % 86400000000 <> 0), " +
         "run AS (SELECT ts // 86400000000 AS day, " +
         "sum(dd) OVER (PARTITION BY ts // 86400000000 ORDER BY ts, dd " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rr " +
@@ -4909,7 +4910,7 @@ object StatsQueries3 {
         "AS scc FROM (SELECT c, CAST(sum(x) AS BIGINT) AS cj FROM l " +
         "GROUP BY 1)), " +
         "f AS (SELECT n_units, k, CAST(k AS DOUBLE) AS kd, " +
-        "CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0) * " +
+        "(CAST(k AS DOUBLE) - 1.0) * " +
         "(CAST(k AS DOUBLE) * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * " +
         "CAST(sc AS DOUBLE)) AS num, " +
         "CAST(k AS DOUBLE) * CAST(sr AS DOUBLE) - CAST(srr AS DOUBLE) " +

@@ -885,6 +885,26 @@ class AppliedSpec extends SparkSpec {
     val p = EventAnalytics.peakConcurrency(bb, col("s"), col("e")).collect()
     assert(p.length == 1 && p(0).getLong(2) == 1L,
       s"adjacent intervals must never overlap: ${p.toSeq}")
+    // end exactly at midnight: [day-100, day) never occupies day 1 —
+    // no day-1 row, no phantom carry
+    val m = EventAnalytics.peakConcurrency(
+      Seq((day - 100L, day)).toDF("s", "e"), col("s"), col("e"))
+      .orderBy("day").collect()
+    assert(m.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((0L, 0L, 1L)), s"midnight-exact end leaked a day: ${m.toSeq}")
+    // boundary-exact end's dropped -1 must not deflate the next bucket:
+    // A=[0,h) ends ON the hour-bucket edge; B/C overlap inside bucket 1
+    val hour = day / 24
+    val bx = Seq((0L, hour), (hour, hour + 10L), (hour + 2L, hour + 8L))
+      .toDF("s", "e")
+    val q = EventAnalytics.peakConcurrency(bx, col("s"), col("e")).collect()
+    assert(q.length == 1 && q(0).getLong(2) == 2L,
+      s"bucket-boundary end deflated the next bucket: ${q.toSeq}")
+    // zero-length [a,a): emits its day, contributes no concurrency
+    val z = EventAnalytics.peakConcurrency(
+      Seq((5L, 5L)).toDF("s", "e"), col("s"), col("e")).collect()
+    assert(z.map(x => (x.getLong(0), x.getLong(2))).toSeq == Seq((0L, 0L)),
+      s"zero-length interval: ${z.toSeq}")
   }
 
   test("transitionEntropy: hand -ln p weighting over a two-user chain") {

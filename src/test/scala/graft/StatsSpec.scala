@@ -523,20 +523,31 @@ class StatsSpec extends SparkSpec {
   }
 
   test("cochranQ: hand Q on the 3x3 design; incomplete unit raises") {
-    // rows (1,1,0),(1,0,0),(1,1,1): C=(3,2,1), R=(2,1,3) -> Q = 9
+    // rows (1,1,0),(1,0,0),(1,1,1): C=(3,2,1), R=(2,1,3) ->
+    // Q = (k-1)(kΣC²−(ΣC)²)/(kΣR−ΣR²) = 2·(42−36)/(18−14) = 3
     val df = Seq((1L, "a", true), (1L, "b", true), (1L, "c", false),
       (2L, "a", true), (2L, "b", false), (2L, "c", false),
       (3L, "a", true), (3L, "b", true), (3L, "c", true))
       .toDF("u", "c", "x")
     val r = Stats.cochranQ(df, col("u"), col("c"), col("x")).collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(3)) == ((3L, 3L, 2L)))
-    assert(r.getDouble(2) == 9.0, s"q: $r")
+    assert(r.getDouble(2) == 3.0, s"q: $r")
     val ex = intercept[Exception] {
       Stats.cochranQ(df.filter(!(col("u") === 3L && col("c") === "c")),
         col("u"), col("c"), col("x")).collect()
     }
     assert(ex.toString.contains("incomplete") ||
       Option(ex.getCause).exists(_.toString.contains("incomplete")))
+    // one condition duplicated AND one missing keeps count(*) == k but
+    // corrupts the totals — the distinct gate must still raise
+    val dup = df.filter(!(col("u") === 3L && col("c") === "c"))
+      .union(Seq((3L, "a", true)).toDF("u", "c", "x"))
+    val ex2 = intercept[Exception] {
+      Stats.cochranQ(dup, col("u"), col("c"), col("x")).collect()
+    }
+    assert(ex2.toString.contains("duplicated") ||
+      Option(ex2.getCause).exists(_.toString.contains("duplicated")),
+      s"duplicate-masked incomplete design must raise: $ex2")
   }
 
   test("friedman: hand Conover T on a 3x3 panel; all-constant rows null") {
