@@ -91,11 +91,20 @@ object Dedup {
     * members of a bucket pair fully; members past the cap only chain to
     * their immediate neighbor (linear candidates — see minhashDedup). */
   final case class MinHashConfig(numHashes: Int = 64, bands: Int = 16,
-      shingleN: Int = 3, threshold: Double = 0.7, maxBucket: Int = 4096) {
+      shingleN: Int = 3, threshold: Double = 0.7, maxBucket: Int = 4096,
+      md5Seeded: Boolean = false) {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(maxBucket >= 2, "maxBucket must allow at least one pair")
     def rowsPerBand: Int = numHashes / bands
   }
+
+  /** 60-bit integer from the first 15 md5 nibbles — the q232/q29 decode
+    * discipline that makes a hash ENGINE-REPLAYABLE (DuckDB reproduces
+    * the exact value from its own md5). Production paths keep xxhash64
+    * (codegen'd, ~6x faster); md5-seeded mode exists so the FULL banded
+    * pipeline can run under a dual-engine oracle (q30/q31). */
+  private[graft] def md5h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Kirsch-Mitzenmacher double hashing: two string hashes per shingle
     * (h1, h2); the i-th hash function is h1 + i*h2. */
@@ -121,11 +130,15 @@ object Dedup {
   def minhashSignature(shingles: Column, cfg: MinHashConfig): Column =
     minhashSignatureFromPairs(shingleHashPairs(shingles), cfg)
 
-  /** One (band, bucket) row per band: bucket = hash of that signature slice. */
+  /** One (band, bucket) row per band: bucket = hash of that signature
+    * slice (md5 of the JSON rendering in md5-seeded mode — DuckDB rebuilds
+    * the identical string from array_to_string). */
   private def bandBuckets(sig: Column, cfg: MinHashConfig): Column =
     array((0 until cfg.bands).map { b =>
+      val sl = slice(sig, b * cfg.rowsPerBand + 1, cfg.rowsPerBand)
       struct(lit(b).as("band"),
-        xxhash64(slice(sig, b * cfg.rowsPerBand + 1, cfg.rowsPerBand)).as("bucket"))
+        (if (cfg.md5Seeded) md5(to_json(sl)).cast("string")
+         else xxhash64(sl).cast("string")).as("bucket"))
     }: _*)
 
   /** Candidate pairs whose signatures collide in >=1 band, then exact-Jaccard
@@ -164,12 +177,19 @@ object Dedup {
         wordShingles(col(textCol), cfg.shingleN).as("sh"))
       .withColumn("fp", md5(to_json(array_sort(col("sh")))))
       .repartition(col("fp"))
-    val reps = base.groupBy(col("fp"))
+    val reps0 = base.groupBy(col("fp"))
       .agg(min(col("id")).as("rid"), first(col("sh")).as("sh"))
-      .withColumn("hp", shingleHashPairs(col("sh")))
-
-    val sigs = reps.select(col("fp"), col("rid"),
-      graft.functions.SketchExprs.minhashSignature(col("hp"), cfg.numHashes).as("sig"))
+    // md5-seeded mode: numHashes independent salted md5 minima (the q371
+    // signature, oracle-replayable); production: the native KM kernel
+    val sigs =
+      if (cfg.md5Seeded) reps0.select(col("fp"), col("rid"),
+        array((0 until cfg.numHashes).map(i => array_min(transform(
+          col("sh"), g => md5h60(concat(lit(s"mh$i|"), g))))): _*).as("sig"))
+      else reps0.withColumn("hp", shingleHashPairs(col("sh")))
+        .select(col("fp"), col("rid"),
+          graft.functions.SketchExprs.minhashSignature(col("hp"),
+            cfg.numHashes).as("sig"))
+    val reps = reps0
     val banded = sigs.select(col("fp"), col("rid"),
         explode(bandBuckets(col("sig"), cfg)).as("bb"))
       .select(col("fp"), col("rid"), col("bb.band"), col("bb.bucket"))
@@ -235,10 +255,14 @@ object Dedup {
 
   /** SimHash signature of a text column — the ONE tokenize+hash+fold shared
     * by the batch (simhashDedup) and streaming (Streams.nearDupStream)
-    * paths, so tokenization changes cannot diverge between them. */
-  private[graft] def simhashSig(text: Column): Column =
+    * paths, so tokenization changes cannot diverge between them.
+    * md5Seeded folds 60-bit md5 token hashes instead (the q29 replayable
+    * form — same native fold kernel, oracle-reproducible hashes). */
+  private[graft] def simhashSig(text: Column,
+                                md5Seeded: Boolean = false): Column =
     graft.functions.SketchExprs.simhash64(
-      transform(split(trim(lower(text)), "\\s+"), t => xxhash64(t)))
+      transform(split(trim(lower(text)), "\\s+"),
+        t => if (md5Seeded) md5h60(t) else xxhash64(t)))
 
   /** The 4x16-bit (band, bucket) structs of a simhash — shared banding. */
   private[graft] def simhashBandArray(sh: Column): Column =
@@ -274,12 +298,14 @@ object Dedup {
     * maxBucket + successor-chain skew guard as minhashDedup, and two
     * sh-keyed expansion joins that reuse the barrier's co-partitioning. */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 4096,
+                   md5Seeded: Boolean = false): DataFrame = {
     // native single-pass kernel (references the token hashes exactly once,
     // so no CollapseProject blowup); exchange barrier keyed on the
     // signature: the groupBy, both expansion joins, and the within-group
     // self-join all reuse this one shuffle's partitioning
-    val sigs = df.select(col(idCol).as("id"), simhashSig(col(textCol)).as("sh"))
+    val sigs = df.select(col(idCol).as("id"),
+        simhashSig(col(textCol), md5Seeded).as("sh"))
       .repartition(col("sh"))
     val reps = sigs.groupBy(col("sh")).agg(min(col("id")).as("rid"))
     val banded = reps.select(col("rid"), col("sh"),
@@ -473,7 +499,10 @@ object Dedup {
     * aggregator: J can be ~0 while containment is 1). Same required-block
     * contract and single blk-keyed exchange as [[ngramJaccardPairs]]; both
     * orientations score (A⊂B and B⊂A are different facts), each pair
-    * emitted once with the two containments side by side. Returns
+    * emitted once with the two containments side by side. The block is
+    * all-pairs INSIDE, so it must be a real selective key (a URL host, a
+    * near-dup cluster) — for a whole-corpus or hot-block-prone scan use
+    * [[containmentJoinPrefix]], which needs no block at all. Returns
     * (id_a, id_b, containment_a_in_b, containment_b_in_a). */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        blockCol: Column, n: Int = 3,
@@ -548,5 +577,73 @@ object Dedup {
         (size(col("__ta")) + size(col("__tb")) -
           size(array_intersect(col("__ta"), col("__tb")))).as("n_union"))
       .filter(col("n_inter") * tauDen >= col("n_union") * tauNum)
+  }
+
+  // ------------------------------------- prefix-filter containment join
+  /** Exact whole-corpus CONTAINMENT self-join without a block column —
+    * the asymmetric (PPJoin-style, Bayardo et al. WWW'07; public) variant
+    * of [[setSimJoinPrefix]] that [[containmentPairs]]' required block
+    * refuses to run naively. Emits every pair where EITHER orientation
+    * reaches τ = tauNum/tauDen; since I/|A| ≥ τ or I/|B| ≥ τ iff
+    * I ≥ τ·min(|A|,|B|), the required overlap is bounded by the SMALLER
+    * set, so only the smaller side needs a prefix: order tokens by
+    * (global frequency ASC, token ASC) and index each doc's
+    * n − ceil(τ·n) + 1 rarest tokens; the LARGER side indexes all its
+    * tokens (the overlap lands anywhere in the container). A qualifying
+    * pair must share a token between the smaller doc's prefix and the
+    * larger doc's full set (pigeonhole on the smaller suffix), so the
+    * token-keyed candidate join is LOSSLESS. Verification is the exact
+    * integer gate I·tauDen ≥ tauNum·min(|A|,|B|) — no float boundary.
+    *
+    * Scale: the full-side index does carry hot tokens, but a hot token
+    * almost never survives into any PREFIX (frequency-ascending order),
+    * so hot buckets pair a huge full side with a near-empty prefix side —
+    * the quadratic hot-block blowup the source-blocked plan had is
+    * structurally gone. Empty token sets never pair (containment over ∅
+    * is undefined; they are filtered at the door).
+    *
+    * Returns (id_a < id_b, containment_a_in_b, containment_b_in_a),
+    * containments rounded 6dp (a = the LOWER id, matching
+    * [[containmentPairs]]' output shape). */
+  def containmentJoinPrefix(df: DataFrame, idCol: String, tokensCol: Column,
+                            tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum, "need 0 < tau <= 1")
+    val toks = df.select(col(idCol).as("__id"),
+        array_distinct(tokensCol).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+    val docTok = toks.select(col("__id"), size(col("__tk")).as("__n"),
+      explode(col("__tk")).as("__t"))
+    val freq = docTok.groupBy("__t").agg(count(lit(1)).as("__f"))
+    // smaller-side prefix: n - ceil(tau*n) + 1 rarest tokens
+    val prefixLen = col("__n") - floor((col("__n") * tauNum + tauDen - 1)
+      / lit(tauDen)).cast("long") + lit(1L)
+    val pref = docTok.join(freq, "__t")
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__f"), col("__t"))))
+      .filter(col("__r") <= prefixLen)
+      .select(col("__id"), col("__n"), col("__t"))
+    val full = docTok
+    val cands = pref.as("pa").join(full.as("pb"),
+        col("pa.__t") === col("pb.__t") &&
+          (col("pa.__n") < col("pb.__n") ||
+            (col("pa.__n") === col("pb.__n") &&
+              col("pa.__id") =!= col("pb.__id"))))
+      .select(least(col("pa.__id"), col("pb.__id")).as("id_a"),
+        greatest(col("pa.__id"), col("pb.__id")).as("id_b"))
+      .distinct()
+    val sets = toks
+    val inter = size(array_intersect(col("__ta"), col("__tb")))
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__tk").as("__ta")),
+        "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__tk").as("__tb")),
+        "id_b")
+      .filter(inter * tauDen >=
+        least(size(col("__ta")), size(col("__tb"))) * tauNum)
+      .select(col("id_a"), col("id_b"),
+        round(inter.cast("double") / size(col("__ta")).cast("double"), 6)
+          .as("containment_a_in_b"),
+        round(inter.cast("double") / size(col("__tb")).cast("double"), 6)
+          .as("containment_b_in_a"))
   }
 }

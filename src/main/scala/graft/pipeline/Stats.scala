@@ -141,13 +141,43 @@ object Stats {
     * max; ties share a rank) — rank-based score calibration across
     * heterogeneous sources, rounded at 6dp. (rank − 1)/(n − 1) is exact
     * integer arithmetic finished by one IEEE division, so ties and the
-    * round are engine-independent. One partitioned window per group (the
-    * q43 shape; hot groups sort once).
+    * round are engine-independent. No per-row window: per-(group, value)
+    * counts rank through [[distributedRank]] (the calibration group is
+    * the whole scored population — it must never sort on one task) and
+    * the per-value pr joins back co-keyed on (group, value).
     */
   def percentRank(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   out: String = "pr"): DataFrame = {
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
-    df.withColumn(out, round(percent_rank().over(w), 6))
+    // percent_rank = (rank−1)/(n−1) with rank = 1 + #(rows below), so it
+    // needs no per-ROW window at all: collapse to per-(group, value)
+    // counts, take the inclusive running count in value order from
+    // [[distributedRank]] (cell-partitioned — the group may be the whole
+    // scored population), and join the per-value pr back on the value.
+    // Ties share a rank by construction; n = 1 gives 0 (Spark's shape).
+    // CONTRACT: groupCols vocabulary bounded (the primitive's seam).
+    val gk = groupCols.map(col)
+    val cells = df.groupBy(gk :+ col(valueCol).as("__prv"): _*)
+      .agg(count(lit(1)).as("__prc"))
+    val ranked = distributedRank(cells, groupCols, "__prv", desc = false,
+      tieCols = Seq.empty, weightCol = Some("__prc"), rnOut = "__prn",
+      cumOut = Some("__prcum"))
+    val totals = cells.groupBy(gk: _*).agg(sum(col("__prc")).as("__prtot"))
+      .select(groupCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__prg$i") } :+ col("__prtot"): _*)
+    val prCells = ranked
+      .join(broadcast(totals), groupCols.indices.map(i =>
+          col(groupCols(i)) <=> col(s"__prg$i"))
+        .reduceOption(_ && _).getOrElse(lit(true)))
+      .select(groupCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__prg$i") } ++ Seq(col("__prv"),
+        when(col("__prtot") === 1L, lit(0.0))
+          .otherwise(round((col("__prcum") - col("__prc")).cast("double") /
+            (col("__prtot") - 1L).cast("double"), 6)).as("__prout")): _*)
+    val joinCond = (groupCols.indices.map(i =>
+        col(groupCols(i)) <=> col(s"__prg$i")) :+
+      (col(valueCol) <=> col("__prv"))).reduce(_ && _)
+    df.join(prCells, joinCond)
+      .select(df.columns.map(col) :+ col("__prout").as(out): _*)
   }
 
   // ------------------------------------------------- chi-square independence
@@ -189,23 +219,32 @@ object Stats {
   /** Gini concentration of `weightCol` mass across groups (how skewed is
     * the corpus across sources/domains): with groups ranked ascending by
     * exact weight (group-key tiebreak), G = 2·Σ rank·w / (n·Σw) − (n+1)/n.
-    * Weights sum exactly in long; the rank window runs over the AGGREGATED
-    * group relation — bounded by the group vocabulary, never the corpus.
+    * Weights sum exactly in long; ranks come from [[distributedRank]]
+    * over the aggregated group relation, so a per-user/per-domain key
+    * grain that GROWS with the corpus still never sorts on one task.
     * Returns one row: (n_groups, total_weight, gini 6dp).
     */
   def giniIndex(df: DataFrame, groupCols: Seq[String],
                 weightCol: Column): DataFrame = {
     require(groupCols.nonEmpty)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__w").asc +: groupCols.map(col(_).asc): _*)
-    val groups = df.groupBy(groupCols.map(col): _*)
-      .agg(sum(weightCol.cast("long")).as("__w"))
-      .withColumn("__r", row_number().over(w))
+    // the group rollup GROWS with the key domain (per-user/per-domain
+    // weights at 100x), so the ascending rank comes from the
+    // [[distributedRank]] cell machinery, never a keyless window; rank
+    // ties among equal weights are tiebroken by the group key (and are
+    // Σ rank·w invariant regardless)
+    val groups = distributedRank(
+      df.groupBy(groupCols.map(col): _*)
+        .agg(sum(weightCol.cast("long")).as("__w")),
+      Seq.empty, "__w", desc = false, tieCols = groupCols,
+      weightCol = None, rnOut = "__r")
+    // Σ rank·w in DECIMAL(38,0): rank and weight both scale with the key
+    // domain, so the long×long product overflows at ~10M×10M grain
     groups.agg(count(lit(1)).as("n_groups"),
         sum(col("__w")).as("total_weight"),
-        sum(col("__r") * col("__w")).as("__rw"))
+        sum(col("__r").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("__w")).as("__rw"))
       .select(col("n_groups"), col("total_weight"),
-        round(lit(2.0) * col("__rw") /
+        round(lit(2.0) * col("__rw").cast("double") /
           (col("n_groups").cast("double") * col("total_weight")) -
           (col("n_groups") + 1).cast("double") / col("n_groups").cast("double"),
           6).as("gini"))
@@ -500,16 +539,19 @@ object Stats {
     * replace each row's value with its rank's reference. Distributions
     * become identical across groups while each group keeps its own order.
     *
-    * One per-group window (row_number — sorts only a group's own rows), one
-    * rank-keyed decimal-exact mean (≤ max-group-size rows), joined back on
-    * the rank — the rank relation is tiny relative to the fact table, AQE
-    * broadcasts it. Mean = DECIMAL sum / count, one IEEE division, 6dp.
-    * Returns the input plus (rank, norm_value). */
+    * Per-group ranks via [[distributedRank]] (cell-partitioned — groups
+    * are sources, and a source grows to corpus scale), one rank-keyed
+    * decimal-exact mean, joined back on the rank co-keyed.
+    * Mean = DECIMAL sum / count, one IEEE division, 6dp.
+    * Returns the input plus (rank long, norm_value). */
   def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
                         valueCol: String): DataFrame = {
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(valueCol).asc, col(idCol).asc)
-    val ranked = df.withColumn("rank", row_number().over(w))
+    // per-group ranks via [[distributedRank]] — a group is a SOURCE and
+    // sources grow to corpus scale, so the per-group window is replaced
+    // by cell-partitioned ranking (group vocabulary stays the bounded
+    // seam; group SIZE no longer funnels through one task)
+    val ranked = distributedRank(df, Seq(groupCol), valueCol,
+      desc = false, tieCols = Seq(idCol), weightCol = None, rnOut = "rank")
     val ref = ranked.groupBy("rank")
       .agg(round(sum(col(valueCol).cast("decimal(38,6)")).cast("double") /
         count(lit(1)).cast("double"), 6).as("norm_value"))
@@ -1245,8 +1287,9 @@ object Stats {
     * [[EventAnalytics.resampleDaily]]'s single aggregate), so the pairwise
     * relation is bounded by days², not data — 10 years ≈ 6.7M pairs, a
     * broadcast nested-loop join over a broadcast-sized series regardless of
-    * input row count. The slope median is the only order statistic: one
-    * partitionless row_number window over that bounded pair relation
+    * input row count. The slope median is the only order statistic —
+    * ranked by [[distributedRank]]'s cell-partitioned windows, so even the
+    * 6.6M-pair decade case never funnels through one task
     * (median = mean of lower+upper median, exact for odd counts).
     *
     * Output (one row): n_days, n_pairs, s_stat, tau (6dp), slope_per_day
@@ -1262,8 +1305,12 @@ object Stats {
           .otherwise(0L).as("sgn"))
     val nDays = daily.agg(count(lit(1)).as("n_days"))
     val agg = pairs.agg(count(lit(1)).as("n_pairs"), sum("sgn").as("s_stat"))
-    val ranked = pairs
-      .withColumn("__rn", row_number().over(Window.orderBy(col("slope"))))
+    // the median is an order statistic: rank via [[distributedRank]]'s
+    // cell-partitioned windows (rank among tied slopes is arbitrary, but
+    // the VALUE at any fixed rank is the deterministic order statistic),
+    // so the days^2 pair relation never funnels through one task
+    val ranked = distributedRank(pairs, Seq.empty, "slope",
+      desc = false, tieCols = Seq.empty, weightCol = None, rnOut = "__rn")
     val med = ranked.crossJoin(agg.select(col("n_pairs").as("__m")))
       .filter(col("__rn") === floor((col("__m") + 1) / lit(2)) ||
         col("__rn") === floor((col("__m") + 2) / lit(2)))
@@ -1936,6 +1983,228 @@ object Stats {
       .drop("__seg", "__sub", "__str", "__base", "__tile")
   }
 
+  // ------------------------------------- distributed rank / prefix sum
+  /** Exact global (or per-bounded-group) `row_number` and inclusive
+    * running weight sum over a total order WITHOUT an unpartitioned
+    * window — the rank-at-scale primitive generalizing
+    * [[equalCountTiles]]' machinery to arbitrary rank consumers
+    * (Lorenz/Gini rank·weight sums, whale-share cumulative cuts,
+    * percent-rank calibration, quantile normalization, order-statistic
+    * picks). Appends `rnOut` = 1-based row_number per `partCols` over
+    * (`scoreCol` asc-nulls-first | desc-nulls-last, `tieCols` asc) —
+    * Spark's default null placement, matching the windows it replaces —
+    * and optionally `cumOut` = the inclusive running sum of `weightCol`
+    * (long) in that order.
+    *
+    * Shape (the equalCountTiles discipline):
+    *   1. ONE aggregate: exact N + a `grid` of APPROX score pivots
+    *      (pivot quality only affects cell SIZE, never the result).
+    *   2. Rows classify into pivot cells by a balanced binary-search
+    *      CASE-tree PROJECTION (codes monotone in the order); one
+    *      O(parts·grid)-row aggregate counts each (part, cell) exactly
+    *      → per-cell rank and weight offsets, broadcast back.
+    *   3. Every cell ranks LOCALLY in a window PARTITIONED by
+    *      (part, cell) (≲ N/grid rows each); rank = offset + local.
+    *      A massive single-value tie cell first subdivides on a
+    *      tiebreak-pivot grid (numeric injective tiebreak required;
+    *      otherwise the tie-partitioned window is the documented bound).
+    *
+    * Bounded driver seams: the pivot row, the (part, cell) counts, and
+    * (massive ties only) per-cell tiebreak grids — O(|parts|·grid),
+    * never O(N). CONTRACT: `partCols` vocabulary is BOUNDED (the seam);
+    * `scoreCol` numeric; the input relation is DETERMINISTIC (counts and
+    * the final pass must see the same rows — all in-tree callers are
+    * deterministic rollups); (scoreCol, tieCols) total within partition
+    * wherever rank ties would change the consumer's result. */
+  private[graft] def distributedRank(df0: DataFrame, partCols: Seq[String],
+      scoreCol: String, desc: Boolean, tieCols: Seq[String],
+      weightCol: Option[String], rnOut: String,
+      cumOut: Option[String] = None, grid: Int = 128,
+      tieSubdivideMin: Long = 1L << 18): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(grid >= 2 && grid <= 1024, s"grid in [2,1024]: $grid")
+    require(cumOut.isEmpty || weightCol.nonEmpty,
+      "cumOut needs a weightCol")
+    val spark = df0.sparkSession
+    val sD = col(scoreCol).cast("double")
+    val slimCols =
+      (partCols ++ Seq(scoreCol) ++ tieCols ++ weightCol.toSeq).distinct
+    val slim = df0.select(slimCols.map(col): _*).localCheckpoint(true)
+    // the final pass reuses the checkpointed slim when it already carries
+    // every output column; otherwise it re-derives df0 (one extra scan of
+    // a deterministic lineage — the contract above)
+    val base = if (df0.columns.toSeq == slimCols) slim else df0
+    val ps = (1 until grid).map(i => i.toDouble / grid)
+    val head = slim.agg(count(lit(1)).as("n"),
+      expr(s"approx_percentile(CAST(`$scoreCol` AS DOUBLE), " +
+        s"array(${ps.mkString(",")}), 2500)").as("pv")).head()
+    val n = head.getLong(0)
+    if (n == 0L) {
+      val withRn = df0.withColumn(rnOut, lit(null).cast("long"))
+      return cumOut.fold(withRn)(c =>
+        withRn.withColumn(c, lit(null).cast("long")))
+    }
+    val asc: IndexedSeq[Double] = (if (head.isNullAt(1)) Seq.empty[Double]
+      else head.getSeq[Any](1).collect {
+        case d: java.lang.Double => d.doubleValue })
+      .distinct.sorted.toIndexedSeq
+    val m = asc.size
+    // cell code ascending in score: 2j = open interval below pivot j,
+    // 2j+1 = the singleton AT pivot j, 2m = above all pivots; nulls get
+    // -1, which the traversal order (code asc for asc, desc for desc with
+    // -1 forced last) places exactly where Spark's default windows do
+    // (asc nulls FIRST, desc nulls LAST)
+    val segExpr: Column = {
+      def tree(lo: Int, hi: Int): Column =
+        if (lo >= hi) lit(2 * lo)
+        else {
+          val mid = (lo + hi) / 2
+          when(sD < lit(asc(mid)), tree(lo, mid))
+            .otherwise(when(sD === lit(asc(mid)), lit(2 * mid + 1))
+              .otherwise(tree(mid + 1, hi)))
+        }
+      when(col(scoreCol).isNull, lit(-1)).otherwise(tree(0, m))
+    }
+    def segOrder(code: Int): Long =
+      if (!desc) code.toLong
+      else if (code == -1) Long.MaxValue else -code.toLong
+    val wAgg: Seq[Column] = weightCol.toSeq.map(c =>
+      sum(col(c).cast("long")).as("__drw"))
+    val cellAgg = (Seq(count(lit(1)).as("__drc")) ++ wAgg)
+    val cellRows = slim
+      .groupBy(partCols.map(col) :+ segExpr.as("__drseg"): _*)
+      .agg(cellAgg.head, cellAgg.tail: _*).collect()
+    val np = partCols.size
+    def partKey(r: org.apache.spark.sql.Row): Seq[Any] =
+      (0 until np).map(r.get)
+    // (partKey, seg) -> (count, weight)
+    val cells: Map[(Seq[Any], Int), (Long, Long)] = cellRows.map { r =>
+      (partKey(r), r.getInt(np)) ->
+        (r.getLong(np + 1), if (weightCol.isEmpty) 0L else r.getLong(np + 2))
+    }.toMap
+    // massive single-value tie cells subdivide on the first tiebreak col
+    // when the score's double cast is injective at the pivot (so the odd
+    // cell truly holds ONE score value) and the tiebreak is numeric
+    val scoreInjective: Double => Boolean =
+      df0.schema(scoreCol).dataType match {
+        case FloatType | DoubleType => _ => true
+        case ByteType | ShortType | IntegerType | LongType =>
+          v => math.abs(v) < (1L << 53).toDouble
+        case _ => _ => false
+      }
+    val tieNumeric = tieCols.headOption
+      .exists(c => df0.schema(c).dataType.isInstanceOf[NumericType])
+    val subCells: Set[(Seq[Any], Int)] = cells.collect {
+      case ((pk, seg), (c, _)) if seg % 2 == 1 && c >= tieSubdivideMin &&
+        tieNumeric && scoreInjective(asc(seg / 2)) => (pk, seg)
+    }.toSet
+    val subSegCodes = subCells.map(_._2).toSeq.distinct
+    val tieD = tieCols.headOption.map(c => col(c).cast("double"))
+    val idPivots: Map[(Seq[Any], Int), IndexedSeq[Double]] =
+      if (subCells.isEmpty) Map.empty
+      else slim.withColumn("__drseg", segExpr)
+        .filter(col("__drseg").isin(subSegCodes: _*))
+        .groupBy(partCols.map(col) :+ col("__drseg"): _*)
+        .agg(expr(s"approx_percentile(CAST(`${tieCols.head}` AS DOUBLE), " +
+          s"array(${ps.mkString(",")}), 10000)").as("pv"))
+        .collect().flatMap { r =>
+          val key = (partKey(r), r.getInt(np))
+          if (!subCells.contains(key)) None else Some(key ->
+            (if (r.isNullAt(np + 1)) IndexedSeq.empty[Double]
+             else r.getSeq[Any](np + 1).collect {
+               case d: java.lang.Double => d.doubleValue }
+               .distinct.sorted.toIndexedSeq))
+        }.toMap
+    def partPred(pk: Seq[Any]): Column =
+      if (np == 0) lit(true)
+      else partCols.zip(pk).map { case (c, v) => col(c) <=> lit(v) }
+        .reduce(_ && _)
+    // sub code = #(tiebreak pivots <= tie): upper-bound binary search,
+    // monotone in tiebreak ASC (the within-tie order for asc AND desc)
+    val subExpr: Column = subCells.foldLeft(lit(-1)) { (acc, cell) =>
+      val us = idPivots.getOrElse(cell, IndexedSeq.empty)
+      def tree(lo: Int, hi: Int): Column =
+        if (lo >= hi) lit(lo)
+        else {
+          val mid = (lo + hi) / 2
+          when(tieD.get >= lit(us(mid)), tree(mid + 1, hi))
+            .otherwise(tree(lo, mid))
+        }
+      when(partPred(cell._1) && segExpr === cell._2, tree(0, us.size))
+        .otherwise(acc)
+    }
+    val subCounts: Map[(Seq[Any], Int, Int), (Long, Long)] =
+      if (subCells.isEmpty) Map.empty
+      else slim.withColumn("__drseg", segExpr)
+        .filter(col("__drseg").isin(subSegCodes: _*))
+        .withColumn("__drsub", subExpr)
+        .groupBy(partCols.map(col) ++ Seq(col("__drseg"), col("__drsub")): _*)
+        .agg(cellAgg.head, cellAgg.tail: _*)
+        .collect().flatMap { r =>
+          val key = (partKey(r), r.getInt(np))
+          if (!subCells.contains(key)) None
+          else Some((key._1, key._2, r.getInt(np + 1)) ->
+            (r.getLong(np + 2),
+              if (weightCol.isEmpty) 0L else r.getLong(np + 3)))
+        }.toMap
+    // per-part ordered walk -> (part..., seg, sub, rank base, weight base)
+    val mapRows: Seq[org.apache.spark.sql.Row] =
+      cells.keys.map(_._1).toSeq.distinct.flatMap { pk =>
+        var rb = 0L; var wb = 0L
+        cells.filter(_._1._1 == pk).toSeq
+          .sortBy { case ((_, seg), _) => segOrder(seg) }
+          .flatMap { case ((_, seg), (c, w)) =>
+            if (subCells.contains((pk, seg))) {
+              subCounts.filter { case ((p, s, _), _) => p == pk && s == seg }
+                .toSeq.sortBy(_._1._3).map { case ((_, _, sub), (sc, sw)) =>
+                  val row = org.apache.spark.sql.Row.fromSeq(
+                    pk ++ Seq[Any](seg, sub, rb, wb))
+                  rb += sc; wb += sw; row
+                }
+            } else {
+              val row = org.apache.spark.sql.Row.fromSeq(
+                pk ++ Seq[Any](seg, -1, rb, wb))
+              rb += c; wb += w
+              Seq(row)
+            }
+          }
+      }
+    val mapSchema = StructType(
+      partCols.map(c => slim.schema(c)) ++ Seq(
+        StructField("__drseg", IntegerType, nullable = false),
+        StructField("__drsub", IntegerType, nullable = false),
+        StructField("__drrb", LongType, nullable = false),
+        StructField("__drwb", LongType, nullable = false)))
+    val mapDf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(mapRows).asJava, mapSchema)
+    // null-safe on the part columns (a null group is a valid group)
+    val mapRenamed = partCols.zipWithIndex
+      .foldLeft(mapDf.withColumnRenamed("__drseg", "__drsegm")
+        .withColumnRenamed("__drsub", "__drsubm")) {
+        case (d, (c, i)) => d.withColumnRenamed(c, s"__drp$i") }
+    val keyed = base.withColumn("__drseg", segExpr)
+      .withColumn("__drsub", subExpr)
+    val cond = (partCols.zipWithIndex.map { case (c, i) =>
+        col(c) <=> col(s"__drp$i") } ++
+      Seq(col("__drseg") === col("__drsegm"),
+        col("__drsub") === col("__drsubm"))).reduce(_ && _)
+    val joined = keyed.join(broadcast(mapRenamed), cond)
+      .drop("__drsegm" +: "__drsubm" +:
+        partCols.indices.map(i => s"__drp$i"): _*)
+    val ordCols = (if (desc) col(scoreCol).desc_nulls_last
+      else col(scoreCol).asc_nulls_first) +: tieCols.map(col(_).asc)
+    val wWin = Window
+      .partitionBy(partCols.map(col) ++ Seq(col("__drseg"), col("__drsub")): _*)
+      .orderBy(ordCols: _*)
+    val withRn = joined.withColumn(rnOut,
+      col("__drrb") + row_number().over(wWin).cast("long"))
+    val withCum = cumOut.fold(withRn)(c => withRn.withColumn(c,
+      col("__drwb") + sum(col(weightCol.get).cast("long"))
+        .over(wWin.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow))))
+    withCum.drop("__drseg", "__drsub", "__drrb", "__drwb")
+  }
+
   // ------------------------------------------------------------ Qini deciles
   /** Qini uplift curve at decile grain: units rank by targeting score
     * (score DESC, id ASC — total order, so the tiling is deterministic),
@@ -2049,8 +2318,8 @@ object Stats {
   /** Whale-share report: the share of total value contributed by the top
     * ⌈n·p%⌉ keys, for each requested percentage — the "top 1% of users
     * drive X%" product metric (the point-cut companion to the Lorenz/Gini
-    * relations). Per-key cents roll up first; the ranking window then runs
-    * on that keys-sized relation ((cents DESC, key ASC) — deterministic);
+    * relations). Per-key cents roll up first; rank and running cents come
+    * from [[distributedRank]] ((cents DESC, key ASC) — deterministic);
     * cut sizes are exact integers ⌈n·p/100⌉ and each share is one IEEE
     * division, 6dp. Returns per requested pct:
     * (pct, n_top, cutoff_cents, share). */
@@ -2060,12 +2329,12 @@ object Stats {
       "pcts must be in 1..100")
     val perKey = df.groupBy(col(keyCol).as("__k"))
       .agg(sum(round(valueCol * 100, 0).cast("long")).as("__c"))
-    val w = Window.orderBy(col("__c").desc, col("__k").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = perKey
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(col("__c").desc, col("__k").asc)))
-      .withColumn("__cum", sum(col("__c")).over(w))
+    // the per-KEY rollup grows with the user domain — rank and running
+    // cents come from [[distributedRank]]'s cell-partitioned windows
+    // (cents DESC, key ASC), never one keyless window over a billion keys
+    val ranked = distributedRank(perKey, Seq.empty, "__c", desc = true,
+      tieCols = Seq("__k"), weightCol = Some("__c"), rnOut = "__rn",
+      cumOut = Some("__cum"))
     val stats = ranked.agg(count(lit(1)).as("__n"),
       sum(col("__c")).as("__tot"))
     val cuts = pcts.map(p => s"$p, (__n * $p + 99) div 100").mkString(", ")

@@ -216,7 +216,7 @@ object AppliedQueries {
     // within source, per-rank cross-source mean joined back.
     Q("q161_quantile_norm",
       Some("WITH r AS (SELECT doc_id, source, n_chars, CAST(row_number() OVER " +
-        "(PARTITION BY source ORDER BY n_chars, doc_id) AS INT) AS rank FROM documents), " +
+        "(PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rank FROM documents), " +
         "m AS (SELECT rank, round(CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / " +
         "count(*), 6) AS norm_value FROM r GROUP BY 1) " +
         "SELECT doc_id, source, n_chars, rank, norm_value FROM r " +

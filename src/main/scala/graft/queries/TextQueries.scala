@@ -444,10 +444,55 @@ object TextQueries {
         TA.fingerprint(col("text")).as("fp_md5"))
         .orderBy("doc_id")),
 
-    // ---- MinHash + LSH near-dup (64 hashes, 16 bands): the scale path.
-    Q("q30_minhash_neardup", None,
+    // ---- MinHash + LSH near-dup (64 hashes, 16 bands), ORACLE-CHECKED
+    // end to end: md5-seeded mode (the q371 salted-min signature + q232
+    // nibble decode) makes every stage engine-replayable, so the oracle
+    // reproduces the FULL banded pipeline — distinct-set collapse (rid =
+    // min id per sorted shingle set), 64 salted md5 minima, 16 band
+    // buckets = md5 of the JSON slice rendering, the maxBucket-capped +
+    // successor-chained candidate join, exact-Jaccard verification, and
+    // both expansions. Production config keeps xxhash64 (q70's planted
+    // gate); THIS query gates the pipeline STRUCTURE cross-engine.
+    Q("q30_minhash_neardup", {
+      def dec(hx: String) = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1) * " +
+          s"${BigInt(16).pow(15 - i)}").mkString("(", " + ", ")")
+      val sigCols = (0 until 64).map(i =>
+        "CAST(list_min(list_transform(list_transform(k, " +
+          s"g -> substr(md5('mh$i|' || g), 1, 15)), " +
+          s"hx -> ${dec("hx")})) AS BIGINT) AS m$i").mkString(", ")
+      val bandStructs = (0 until 16).map { b =>
+        val ms = (0 until 4).map(r => s"m${b * 4 + r}")
+        s"{'band': $b, 'bucket': md5('[' || " +
+          ms.mkString(" || ',' || ") + " || ']')}"
+      }.mkString(", ")
+      Some(s"WITH sh AS (SELECT doc_id, list_sort($shinglesSql) AS k " +
+        "FROM documents), " +
+        "reps AS (SELECT k, min(doc_id) AS rid FROM sh GROUP BY k), " +
+        s"sig AS (SELECT k, rid, $sigCols FROM reps), " +
+        s"banded AS (SELECT k, rid, unnest([$bandStructs], " +
+        "recursive := true) FROM sig), " +
+        "ranked AS (SELECT k, rid, band, bucket, row_number() OVER " +
+        "(PARTITION BY band, bucket ORDER BY rid) AS rn FROM banded), " +
+        "cand AS (SELECT DISTINCT a.k AS ka, b.k AS kb " +
+        "FROM ranked a JOIN ranked b ON a.band = b.band " +
+        "AND a.bucket = b.bucket AND " +
+        "((a.rn < b.rn AND b.rn <= 4096) OR b.rn = a.rn + 1)), " +
+        "ver AS (SELECT ka, kb, " +
+        "CAST(len(list_intersect(ka, kb)) AS DOUBLE) / " +
+        "len(list_distinct(ka || kb)) AS j FROM cand) " +
+        "SELECT least(x.doc_id, y.doc_id) AS id_a, " +
+        "greatest(x.doc_id, y.doc_id) AS id_b, round(j, 6) AS jaccard " +
+        "FROM ver JOIN sh x ON x.k = ver.ka JOIN sh y ON y.k = ver.kb " +
+        "WHERE j >= 0.8 " +
+        "UNION ALL SELECT x.doc_id, y.doc_id, CAST(1.0 AS DOUBLE) " +
+        "FROM sh x JOIN sh y ON x.k = y.k AND x.doc_id < y.doc_id " +
+        "ORDER BY id_a, id_b")
+    },
       (s, dir) => Dedup.minhashDedup(Tables.documents(s, dir), "doc_id", "text",
-        Dedup.MinHashConfig(numHashes = 64, bands = 16, shingleN = 3, threshold = 0.8))
+        Dedup.MinHashConfig(numHashes = 64, bands = 16, shingleN = 3,
+          threshold = 0.8, md5Seeded = true))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
     // ---- the LSH pipeline proven end-to-end against GROUND TRUTH: the
@@ -523,10 +568,47 @@ object TextQueries {
           .orderBy("corpus_id", "ref_id")
       }),
 
-    // ---- SimHash near-dup via 16-bit band LSH + hamming verification.
-    Q("q31_simhash_neardup", None,
+    // ---- SimHash near-dup via 16-bit band LSH + hamming verification,
+    // ORACLE-CHECKED end to end: md5-seeded signatures (q29's replayable
+    // 60-bit SimHash fold) let the oracle reproduce the FULL pipeline —
+    // distinct-signature collapse, the 4x16-bit band explode, the capped
+    // candidate join, bit_count(xor) verification, and both expansions.
+    // Production keeps xxhash64 (q359's planted gate).
+    Q("q31_simhash_neardup", {
+      def dec(hx: String) = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1) * " +
+          s"${BigInt(16).pow(15 - i)}").mkString("(", " + ", ")")
+      val bits = (0 until 60).map(b =>
+        s"(CASE WHEN sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) " +
+          s"> 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      val bandStructs = (0 until 4).map(b =>
+        s"{'band': $b, 'bucket': (sg >> ${b * 16}) & 65535}").mkString(", ")
+      Some("WITH tok AS (SELECT doc_id, " +
+        s"unnest($ltokensSql) AS t FROM documents), " +
+        "th AS (SELECT doc_id, substr(md5(t), 1, 15) AS hx FROM tok), " +
+        s"hh AS (SELECT doc_id, ${dec("hx")} AS h FROM th), " +
+        s"sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS sg " +
+        "FROM hh GROUP BY doc_id), " +
+        "reps AS (SELECT sg, min(doc_id) AS rid FROM sig GROUP BY sg), " +
+        s"banded AS (SELECT sg, rid, unnest([$bandStructs], " +
+        "recursive := true) FROM reps), " +
+        "ranked AS (SELECT sg, rid, band, bucket, row_number() OVER " +
+        "(PARTITION BY band, bucket ORDER BY rid) AS rn FROM banded), " +
+        "cand AS (SELECT DISTINCT a.sg AS sa, b.sg AS sb " +
+        "FROM ranked a JOIN ranked b ON a.band = b.band " +
+        "AND a.bucket = b.bucket AND " +
+        "((a.rn < b.rn AND b.rn <= 4096) OR b.rn = a.rn + 1)), " +
+        "ver AS (SELECT sa, sb, CAST(bit_count(xor(sa, sb)) AS INTEGER) " +
+        "AS hamming FROM cand WHERE bit_count(xor(sa, sb)) <= 8) " +
+        "SELECT least(x.doc_id, y.doc_id) AS id_a, " +
+        "greatest(x.doc_id, y.doc_id) AS id_b, hamming " +
+        "FROM ver JOIN sig x ON x.sg = ver.sa JOIN sig y ON y.sg = ver.sb " +
+        "UNION ALL SELECT x.doc_id, y.doc_id, CAST(0 AS INTEGER) " +
+        "FROM sig x JOIN sig y ON x.sg = y.sg AND x.doc_id < y.doc_id " +
+        "ORDER BY id_a, id_b")
+    },
       (s, dir) => Dedup.simhashDedup(Tables.documents(s, dir), "doc_id", "text",
-        maxHamming = 8).orderBy("id_a", "id_b")),
+        maxHamming = 8, md5Seeded = true).orderBy("id_a", "id_b")),
 
     // ---- deterministic held-out split: md5-hex threshold compare, the
     // same fixed-width-hex trick in both engines (train/valid/test at
@@ -773,37 +855,45 @@ object TextQueries {
     // where symmetric Jaccard goes blind — planted half-doc fragments
     // against their originals, blocked by source; both orientations
     // reported, pairs emitted once.
+    // ---- whole-corpus containment join via asymmetric prefix filtering:
+    // the r10 verdict's block-quadratic q249 retired — no source block,
+    // no all-pairs-within-block. I/|A| >= tau OR I/|B| >= tau iff
+    // I >= tau*min(|A|,|B|), so only the SMALLER set prefixes (rarest
+    // n - ceil(tau n) + 1 shingles under the global frequency order) and
+    // the larger side indexes fully; candidates are token-keyed and
+    // LOSSLESS, verification is the integer cross-multiply gate. Corpus =
+    // every 9th doc plus half-token truncations of every 18th (planted
+    // near-subsets); oracle = naive all-pairs with the SAME integer gate,
+    // proving the prefix join dropped no true pair.
     Q("q249_containment", {
       val lt = ltokensSql
-      Some("WITH corpus AS (SELECT doc_id, text, source FROM documents " +
-        "WHERE doc_id % 3 = 0 " +
+      Some("WITH corpus AS (SELECT doc_id, text FROM documents " +
+        "WHERE doc_id % 9 = 0 " +
         "UNION ALL SELECT doc_id + 2000000, " +
-        s"array_to_string($lt[1:len($lt) // 2], ' '), source " +
-        "FROM documents WHERE doc_id % 6 = 0), " +
-        s"t AS (SELECT doc_id, source, ($shinglesSql) AS sh FROM corpus), " +
-        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) " +
+        s"array_to_string($lt[1:len($lt) // 2], ' ') " +
+        "FROM documents WHERE doc_id % 18 = 0), " +
+        s"t AS (SELECT doc_id, ($shinglesSql) AS sh FROM corpus), " +
+        "s AS (SELECT doc_id, sh, len(sh) AS n FROM t WHERE len(sh) > 0) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / a.n, 6) " +
         "AS containment_a_in_b, " +
-        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6) " +
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / b.n, 6) " +
         "AS containment_b_in_a " +
-        "FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id) " +
-        "SELECT id_a, id_b, containment_a_in_b, containment_b_in_a FROM pairs " +
-        "WHERE containment_a_in_b >= 0.9 OR containment_b_in_a >= 0.9 " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.sh, b.sh)) * 10 >= 9 * least(a.n, b.n) " +
         "ORDER BY id_a, id_b")
     },
       (s, dir) => {
-        val d = Tables.documents(s, dir)
-          .select(col("doc_id"), col("text"), col("source"))
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val tk = split(trim(lower(col("text"))), "\\s+")
-        val fragments = d.filter(pmod(col("doc_id"), lit(6)) === 0)
+        val fragments = d.filter(pmod(col("doc_id"), lit(18)) === 0)
           .select((col("doc_id") + lit(2000000L)).as("doc_id"),
             array_join(slice(tk, lit(1), floor(size(tk) / 2).cast("int")), " ")
-              .as("text"),
-            col("source"))
-        val corpus = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+              .as("text"))
+        val corpus = d.filter(pmod(col("doc_id"), lit(9)) === 0)
           .union(fragments)
-        Dedup.containmentPairs(corpus, "doc_id", "text",
-            blockCol = col("source"), n = 3, threshold = 0.9)
+        Dedup.containmentJoinPrefix(corpus, "doc_id",
+            Dedup.wordShingles(col("text"), 3), tauNum = 9, tauDen = 10)
           .orderBy("id_a", "id_b")
       }),
 

@@ -152,9 +152,9 @@ class AppliedSpec extends SparkSpec {
       .toDF("g", "id", "v")
     val n = Stats.quantileNormalize(df, "g", "id", "v")
       .orderBy("id").select("id", "rank", "norm_value").collect()
-    assert(n.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq ==
-      Seq((1L, 1, 1.5), (2L, 2, 3.5), (3L, 3, 5.0),
-        (4L, 1, 1.5), (5L, 2, 3.5)))
+    assert(n.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 1L, 1.5), (2L, 2L, 3.5), (3L, 3L, 5.0),
+        (4L, 1L, 1.5), (5L, 2L, 3.5)))
   }
 
   test("liftTable: top-decile rate/lift/capture on a planted 20%-positive score") {

@@ -944,6 +944,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q312/q112/q116/q161/q263: key-grain ranks go through distributedRank — no keyless window over key-grain relations") {
+    // the r10 verdict's rank-window family: whaleShare/gini/percentRank/
+    // quantileNormalize (and the Theil–Sen slope median) ranked key-grain
+    // rollups in ONE unpartitioned window. distributedRank replaces them
+    // with pivot-cell classification + cell-PARTITIONED rank windows; a
+    // row_number window without the __drseg cell key would mean the
+    // single-task sort came back
+    for (q <- Seq("q312_whale_share", "q112_gini", "q116_percent_rank",
+        "q161_quantile_norm", "q263_theil_sen")) {
+      val p = planOf(q)
+      assert(!p.contains("percent_rank("),
+        s"$q: keyless percent_rank survived:\n$p")
+      // Catalyst prunes unused window exprs (q116 keeps only the running
+      // count), so the pin covers EVERY window in these plans: each must
+      // carry the cell partition key
+      val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(windows.nonEmpty,
+        s"$q: expected distributedRank cell windows:\n$p")
+      assert(windows.forall(_.contains("__drseg")),
+        s"$q: window not cell-partitioned:\n${windows.mkString("\n")}")
+    }
+  }
+
   test("q397: concurrency points cumulate in a SUB-DAY-bucket window; carry-in never plans a global sort") {
     // the run window must partition on the sub-day bucket (__b) — a
     // day-partitioned (let alone global) window would funnel a hot day's

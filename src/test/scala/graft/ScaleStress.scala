@@ -971,6 +971,105 @@ object ScaleStress {
     println(s"  planted recall: ${embPairs.size}/1000")
     assert(embPairs.size >= 985, s"embedding recall collapsed: ${embPairs.size}/1000")
 
+    // containmentJoinPrefix over 1M docs with NO block — the r10 q249
+    // retirement. 30-token docs from a 4M-token vocabulary + 500 planted
+    // 15-token truncations (containment of the fragment in its original
+    // is exactly 1.0). The old source-blocked plan would be 10^12 pairs
+    // in one block; the prefix join's candidates are bounded by
+    // (prefix x full) token-bucket products over rare tokens only.
+    val cjBase = spark.range(1000000L).select(col("id").as("doc_id"),
+      expr("transform(sequence(1, 30), j -> " +
+        "concat('t', pmod(hash(id, j), 4000000)))").as("tk"))
+    val cjFrag = spark.range(0L, 1000000L, 2000L).select(
+      (col("id") + 10000000L).as("doc_id"),
+      expr("transform(sequence(1, 15), j -> " +
+        "concat('t', pmod(hash(id, j), 4000000)))").as("tk"))
+    val cjPairs = timed("containmentJoinPrefix over 1M docs, no block (q249 at scale)") {
+      graft.pipeline.Dedup.containmentJoinPrefix(
+          cjBase.union(cjFrag), "doc_id", col("tk"), tauNum = 9, tauDen = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    }
+    assert(cjPairs.forall { case (a, b, cba) =>
+      b == a + 10000000L && a % 2000 == 0 && cba == 1.0 },
+      s"non-planted containment pair: ${cjPairs.take(5).toSeq}")
+    assert(cjPairs.length == 500,
+      s"planted containment recall must be exact: ${cjPairs.length}/500")
+
+    // ---- the r10 rank-window family at 10M-key grain: each operator's
+    // key rollup used to sort in ONE unpartitioned window; all four now
+    // route through distributedRank (cell-partitioned windows, O(grid)
+    // driver seams). Closed-form oracles per case.
+
+    // whaleShare over 10M keys, ALL-EQUAL cents (1 each) — the massive
+    // single-value tie: the whole rollup is one tie cell and must
+    // subdivide on the key grid. Cuts and shares are exact.
+    val wsRows = spark.range(10000000L)
+      .select(col("id").as("u"), lit(0.01).as("v"))
+    val wsTie = timed("whaleShare over 10M keys, single-value tie") {
+      graft.pipeline.Stats.whaleShare(wsRows, "u", col("v"),
+        pcts = Seq(1, 10)).orderBy("pct").collect()
+    }
+    assert(wsTie.length == 2, s"whaleShare rows: ${wsTie.length}")
+    assert(wsTie(0).getInt(0) == 1 && wsTie(0).getLong(1) == 100000L &&
+      wsTie(0).getLong(2) == 1L && wsTie(0).getDouble(3) == 0.01,
+      s"1% cut off: ${wsTie(0)}")
+    assert(wsTie(1).getInt(0) == 10 && wsTie(1).getLong(1) == 1000000L &&
+      wsTie(1).getLong(2) == 1L && wsTie(1).getDouble(3) == 0.1,
+      s"10% cut off: ${wsTie(1)}")
+
+    // giniIndex over 10M singleton groups with EQUAL weights: a 10M-row
+    // weight tie (subdividing on the numeric group key) whose Lorenz
+    // curve is the diagonal -> gini exactly 0.
+    val giRows = spark.range(10000000L)
+      .select(col("id").as("g"), lit(1L).as("w"))
+    val gi = timed("giniIndex over 10M equal-weight groups (single-value tie)") {
+      graft.pipeline.Stats.giniIndex(giRows, Seq("g"), col("w"))
+        .collect().head
+    }
+    assert(gi.getLong(0) == 10000000L && gi.getLong(1) == 10000000L &&
+      gi.getDouble(2) == 0.0, s"equal-weight gini must be 0: $gi")
+
+    // percentRank over 10M rows / 1000-value vocabulary in ONE group:
+    // the calibration group IS the population. pr(v) = round(10000v /
+    // (N-1), 6) closed-form; every row of a value shares its pr.
+    val prRows = spark.range(10000000L).select(lit("g").as("g"),
+      (col("id") % 1000L).as("v"))
+    val prAgg = timed("percentRank over 10M rows, one group") {
+      graft.pipeline.Stats.percentRank(prRows, Seq("g"), "v")
+        .groupBy("v").agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.min("pr").as("lo"),
+          org.apache.spark.sql.functions.max("pr").as("hi"))
+        .orderBy("v").collect()
+    }
+    assert(prAgg.length == 1000, s"value vocabulary off: ${prAgg.length}")
+    prAgg.foreach { r =>
+      val v = r.getLong(0)
+      val exp = java.math.BigDecimal.valueOf(v * 10000.0 / 9999999.0)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(r.getLong(1) == 10000L && r.getDouble(2) == exp &&
+        r.getDouble(3) == exp, s"pr($v) off: $r (want $exp)")
+    }
+
+    // quantileNormalize over 10M rows / 2 corpus-scale groups (5M each,
+    // values unique per group, group B = group A + 7): the per-rank
+    // reference is rank + 2.5 EXACTLY for every row.
+    val qnRows = spark.range(10000000L).select(col("id"),
+      pmod(col("id"), lit(2L)).as("g"),
+      (expr("id div 2") + pmod(col("id"), lit(2L)) * 7L).as("v"))
+    val qnBad = timed("quantileNormalize over 10M rows, two 5M-row groups") {
+      val qn = graft.pipeline.Stats.quantileNormalize(qnRows, "g", "id", "v")
+      qn.agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(when(
+          col("norm_value") =!= (col("rank").cast("double") + lit(2.5)),
+          1L).otherwise(0L)).as("bad"),
+        org.apache.spark.sql.functions.max("rank").as("mr")).collect().head
+    }
+    assert(qnBad.getLong(0) == 10000000L && qnBad.getLong(1) == 0L &&
+      qnBad.getLong(2) == 5000000L,
+      s"quantileNormalize closed form violated: $qnBad")
+
     spark.stop()
   }
 }

@@ -1608,6 +1608,57 @@ class StatsSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("distributedRank: rank + running-sum parity vs global windows across fixtures") {
+    import org.apache.spark.sql.expressions.Window
+    val fixtures: Seq[Seq[(Long, Option[Long], Long)]] = Seq(
+      (1 to 97).map(i => (i.toLong, Some((i % 7).toLong), (i % 5 + 1).toLong)), // ties
+      (1 to 100).map(i => (i.toLong, Some(i.toLong * 37 % 101), 1L)), // unique
+      (1 to 60).map(i => (i.toLong, Some(5L), 2L)),                   // ONE value
+      (1 to 40).map(i => (i.toLong,
+        if (i % 5 == 0) None else Some((i % 3).toLong), 3L)))         // nulls
+    for (rows <- fixtures; desc <- Seq(true, false)) {
+      val df = rows.toDF("id", "s", "w")
+      val ord = if (desc) Seq(col("s").desc_nulls_last, col("id").asc)
+        else Seq(col("s").asc_nulls_first, col("id").asc)
+      val wWin = Window.orderBy(ord: _*)
+      val exp = df.withColumn("rn", row_number().over(wWin).cast("long"))
+        .withColumn("cum", sum(col("w")).over(
+          wWin.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("id", "rn", "cum").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // grid 8 + tieSubdivideMin 4 force multi-cell classification AND
+      // the massive-tie subdivision path at toy scale
+      val got = Stats.distributedRank(df, Seq.empty, "s", desc, Seq("id"),
+          Some("w"), "rn", Some("cum"), grid = 8, tieSubdivideMin = 4)
+        .select("id", "rn", "cum").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == exp, s"rank mismatch desc=$desc for ${rows.take(5)}...")
+    }
+  }
+
+  test("distributedRank: per-group ranks match per-group windows; null group survives") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1 to 90).map { i =>
+      val g = i % 3 match { case 0 => Some("a"); case 1 => Some("b"); case _ => None }
+      (i.toLong, g, (i * 13 % 17).toLong)
+    }
+    val df = rows.toDF("id", "g", "s")
+    val wWin = Window.partitionBy(col("g"))
+      .orderBy(col("s").asc_nulls_first, col("id").asc)
+    val exp = df.withColumn("rn", row_number().over(wWin).cast("long"))
+      .select("id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Stats.distributedRank(df, Seq("g"), "s", desc = false,
+        Seq("id"), None, "rn", None, grid = 8, tieSubdivideMin = 4)
+      .select("id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+    // empty input: null rank columns, zero rows preserved
+    val empty = Seq.empty[(Long, Long)].toDF("id", "s")
+    assert(Stats.distributedRank(empty, Seq.empty, "s", desc = false,
+      Seq("id"), None, "rn").count() == 0)
+  }
+
   test("pythagoreanMeans: AM/GM/HM on {1,2,4}; non-positives excluded") {
     val df = Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(4.0)),
       ("g", Some(0.0)), ("g", None)).toDF("g", "v")
