@@ -4035,7 +4035,11 @@ object Stats {
       .withColumn("__cum", sum(col("__t")).over(wRun))
       .select(col("__u"), col("__v"),
         (col("__cum") * 2 - col("__t") + 1).as("__r2"))
-    val joined = base.join(complete.select(col("__u")), Seq("__u"))
+    // join the FULL gate relation and filter on the gated count: a bare
+    // select(__u) lets column pruning delete the raise_error expression
+    // entirely, silently waving incomplete designs through
+    val joined = base.join(complete, Seq("__u"))
+      .filter(col("__cnt") > 0L).drop("__cnt")
       .join(ranked2, Seq("__u", "__v"))
     val byCond = joined.groupBy("__c")
       .agg(sum(col("__r2").cast(dt)).as("__sr2"), count(lit(1)).as("__n"))
@@ -4098,7 +4102,10 @@ object Stats {
       .withColumn("__cum", sum(col("__t")).over(wRun))
       .select(col("__u"), col("__v"),
         (col("__cum") * 2 - col("__t") + 1).as("__r2"))
-    val m = base.join(complete.select(col("__u")), Seq("__u"))
+    // full gate relation + filter (the friedman pruning rule): a pruned
+    // raise_error never fires
+    val m = base.join(complete, Seq("__u"))
+      .filter(col("__cnt") > 0L).drop("__cnt")
       .join(ranked2, Seq("__u", "__v"))
       .agg(sum(col("__c").cast(dt) * col("__r2")).as("__l2"),
         count_distinct(col("__c")).as("n_conditions"),
@@ -4443,5 +4450,375 @@ object Stats {
         (col("__conc").cast("double") +
           col("__tied").cast("double") / lit(2.0)) /
           col("__cmp").cast("double")), 6).as("c_index"))
+  }
+
+  // ------------------------------------------- Wilcoxon signed-rank test
+  /** Wilcoxon signed-rank test (Wilcoxon 1945) for paired differences —
+    * the nonparametric paired t-test: zeros drop, |d| ranks with average
+    * ranks for ties, W⁺ = Σ ranks of positive d, and the tie-corrected
+    * normal approximation
+    * z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48).
+    *
+    * DETERMINISM — INTEGER-EXACT: average ranks carry DOUBLED (the
+    * friedman dyadic trick: 2r̄ = 2·cum − t + 1 off the |d| rollup), so
+    * W2 = 2W⁺, the z numerator 2W2 − n(n+1), and the scaled variance
+    * (2n(n+1)(2n+1) − Σ(t³−t))/3 are all exact DECIMAL(38,0) integers —
+    * ONE sqrt and ONE division finish, 6dp. W⁺ itself is the exact
+    * dyadic W2/2. CARDINALITY CONTRACT (the mannWhitney rule): the
+    * cumulative window runs over DISTINCT |d| — bound continuous
+    * differences by rounding first. All-zero input reports nulls.
+    * Returns one row: (n_nonzero, w_plus, z). */
+  def wilcoxonSignedRank(df: DataFrame, diffCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val d = df.select(diffCol.cast("double").as("__d"))
+      .filter(col("__d").isNotNull && col("__d") =!= 0.0)
+    val vals = d.groupBy(abs(col("__d")).as("__a"))
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__p"))
+    val wRun = Window.orderBy(col("__a"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = vals.withColumn("__cum", sum(col("__t")).over(wRun))
+      .select(col("__t"), col("__p"),
+        (col("__cum") * 2 - col("__t") + 1).as("__r2"))
+    val m = ranked.agg(sum(col("__t")).as("__n"),
+      sum(col("__p").cast(dt) * col("__r2")).as("__w2"),
+      sum(col("__t").cast(dt) * col("__t") * col("__t") - col("__t"))
+        .as("__tt"))
+    val n = col("__n").cast(dt)
+    val num4 = col("__w2") * 2 - n * (col("__n") + 1L)
+    val var16x3 = n * (col("__n") + 1L) * (col("__n") * 2L + 1L) * 2 -
+      col("__tt")
+    m.select(col("__n").as("n_nonzero"),
+      (col("__w2").cast("double") / lit(2.0)).as("w_plus"),
+      round(when(col("__n") > 0L && var16x3 > 0,
+        num4.cast("double") / sqrt(var16x3.cast("double") / lit(3.0))), 6)
+        .as("z"))
+  }
+
+  // ------------------------------------------- Kendall's W (concordance)
+  /** Kendall's coefficient of concordance (Kendall & Babington Smith
+    * 1939), tie-corrected — do m raters agree on the ranking of n items?
+    * With R_j the rank sums over raters (average ranks within rater) and
+    * T_i = Σ(t³−t) each rater's tie term:
+    * W = [12·ΣR_j² − 3·m²·n·(n+1)²] / [m²·n·(n²−1) − m·ΣT_i];
+    * W = χ²_F/(m(n−1)) ties it to [[friedman]].
+    *
+    * CONTRACT: complete design — every rater rates every item exactly
+    * once (the cochranQ distinct gate; incomplete/duplicated raters
+    * RAISE). DETERMINISM: doubled dyadic ranks make rank sums exact
+    * (12ΣR² = 3ΣR2²), every Σ DECIMAL(38,0), ONE division, 6dp. Rank
+    * windows partition per rater over ≤ n items; everything after is
+    * rater/item-vocabulary-sized. All-tied raters (zero denominator)
+    * report null. Returns one row: (n_raters, n_items, w). */
+  def kendallW(df: DataFrame, raterCol: Column, itemCol: Column,
+               valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val base = df.select(raterCol.as("__m"), itemCol.as("__i"),
+      valueCol.cast("double").as("__v"))
+    val nItems = base.agg(count_distinct(col("__i")).as("__ni"))
+    val complete = base.groupBy("__m")
+      .agg(count(lit(1)).as("__cnt"), count_distinct(col("__i")).as("__dst"))
+      .crossJoin(broadcast(nItems))
+      .select(col("__m"), when(col("__dst") =!= col("__ni") ||
+        col("__cnt") =!= col("__dst"),
+        raise_error(concat(lit("kendallW: rater "), col("__m").cast("string"),
+          lit(" has "), col("__dst"), lit(" of "), col("__ni"),
+          lit(" distinct items over "), col("__cnt"),
+          lit(" rows - incomplete/duplicated designs corrupt the ranks"))))
+        .otherwise(col("__cnt")).as("__cnt"))
+    val vals = base.groupBy("__m", "__v").agg(count(lit(1)).as("__t"))
+    val wRun = Window.partitionBy(col("__m")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked2 = vals.withColumn("__cum", sum(col("__t")).over(wRun))
+      .select(col("__m"), col("__v"),
+        (col("__cum") * 2 - col("__t") + 1).as("__r2"))
+    // full gate relation + filter (the friedman pruning rule)
+    val joined = base.join(complete, Seq("__m"))
+      .filter(col("__cnt") > 0L).drop("__cnt")
+      .join(ranked2, Seq("__m", "__v"))
+    val rankSums = joined.groupBy("__i")
+      .agg(sum(col("__r2").cast(dt)).as("__sr2"))
+    val tieTerm = vals.agg(coalesce(sum(col("__t").cast(dt) * col("__t") *
+      col("__t") - col("__t")), lit(0).cast(dt)).as("__tt"))
+    val nm = base.agg(count_distinct(col("__m")).as("n_raters"),
+      count_distinct(col("__i")).as("n_items"))
+    val agg = rankSums.agg(sum(col("__sr2") * col("__sr2")).as("__sq"))
+      .crossJoin(broadcast(nm)).crossJoin(broadcast(tieTerm))
+    val mD = col("n_raters").cast(dt)
+    val nD = col("n_items").cast(dt)
+    val num = (col("__sq") * 3 -
+      mD * mD * nD * (col("n_items") + 1L) * (col("n_items") + 1L) * 3)
+      .cast("double")
+    val den = (mD * mD * nD * (nD * nD - 1) - mD * col("__tt"))
+      .cast("double")
+    agg.select(col("n_raters"), col("n_items"),
+      round(when(den > 0.0, num / den), 6).as("w"))
+  }
+
+  // ------------------------------------------------- Mood's median test
+  /** Mood's median test — do k groups share a common median? Counts per
+    * group above / not-above the GLOBAL lower median feed the 2×k
+    * χ² = Σo²/e − N (the chiSquareIndependence zero-cell identity);
+    * χ² ~ χ²_{k−1}.
+    *
+    * SCALE: the global median is an order statistic over a value domain
+    * that grows with the data, so it comes from [[distributedRank]]'s
+    * running count over the per-value rollup (cell-partitioned — never a
+    * keyless window, never one task); the group counts are one aggregate
+    * against the broadcast median. DETERMINISM: the median is a DATA
+    * ELEMENT (lower median: smallest v with cum ≥ ⌈N/2⌉), counts exact,
+    * χ² one fixed IEEE shape 6dp. Degenerate (everything on one side)
+    * reports null χ². Returns one row:
+    * (n, n_groups, median, n_above, chi2, dof). */
+  def moodMedianTest(df: DataFrame, groupCol: Column,
+                     valueCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("__g"), valueCol.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val cells = base.groupBy("__v").agg(count(lit(1)).as("__c"))
+    val ranked = distributedRank(cells, Seq.empty, "__v", desc = false,
+      tieCols = Seq.empty, weightCol = Some("__c"), rnOut = "__mrn",
+      cumOut = Some("__mcum"))
+    val nTot = cells.agg(sum(col("__c")).as("__n"))
+    val med = ranked.crossJoin(broadcast(nTot))
+      .filter(col("__mcum") >= expr("(__n + 1) div 2"))
+      .agg(min(col("__v")).as("__med"))
+    val perGroup = base.crossJoin(broadcast(med))
+      .groupBy("__g")
+      .agg(sum(when(col("__v") > col("__med"), 1L).otherwise(0L)).as("__ab"),
+        sum(when(col("__v") <= col("__med"), 1L).otherwise(0L)).as("__le"))
+    val totals = perGroup.agg(count(lit(1)).as("n_groups"),
+      sum(col("__ab")).as("__ta"), sum(col("__le")).as("__tl"))
+    val chi = perGroup.crossJoin(broadcast(totals))
+      .select(
+        (col("__ab").cast("double") * col("__ab") /
+          ((col("__ab") + col("__le")).cast("double") * col("__ta") /
+            (col("__ta") + col("__tl")).cast("double")) +
+          col("__le").cast("double") * col("__le") /
+            ((col("__ab") + col("__le")).cast("double") * col("__tl") /
+              (col("__ta") + col("__tl")).cast("double")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("__term"))
+      .agg(sum(col("__term")).cast("double").as("__sum"))
+    chi.crossJoin(broadcast(totals)).crossJoin(broadcast(med))
+      .select((col("__ta") + col("__tl")).as("n"), col("n_groups"),
+        col("__med").as("median"), col("__ta").as("n_above"),
+        round(when(col("__ta") > 0 && col("__tl") > 0,
+          col("__sum") - (col("__ta") + col("__tl")).cast("double")), 6)
+          .as("chi2"),
+        (col("n_groups") - 1L).as("dof"))
+  }
+
+  // --------------------------------------------------- Durbin-Watson
+  /** Durbin–Watson statistic over the zero-filled daily count series:
+    * DW = Σ(e_t − e_{t−1})² / Σe_t² with e the mean-deviations — the
+    * lag-1 serial-correlation gate (DW ≈ 2(1−ρ̂); < 2 positive, > 2
+    * negative autocorrelation), the residual-diagnostics companion to
+    * [[EventAnalytics.autocorrDaily]].
+    *
+    * DETERMINISM — INTEGER-EXACT: the mean cancels in consecutive
+    * differences, so the numerator is Σ(x_t − x_{t−1})² in raw counts;
+    * the denominator scales by n to n·Σx² − S². Both are DECIMAL(38,0)
+    * sums of integer products; DW = n·num/(n·Σx² − S²) is ONE division,
+    * 6dp. Scale: the spine is calendar-bounded (the theilSen rule).
+    * Constant series (zero variance) reports null. Returns one row:
+    * (n_days, dw). */
+  def durbinWatson(df: DataFrame, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val daily = EventAnalytics.resampleDaily(df, tsCol)
+    val w = Window.orderBy(col("day"))
+    val diffs = daily
+      .withColumn("__d", col("n") - lag(col("n"), 1).over(w))
+    val m = diffs.agg(count(lit(1)).as("n_days"),
+      sum(col("n").cast(dt)).as("__s"),
+      sum(col("n").cast(dt) * col("n")).as("__ss"),
+      sum(when(col("__d").isNotNull, col("__d").cast(dt) * col("__d"))
+        .otherwise(lit(0).cast(dt))).as("__num"))
+    val den = col("n_days").cast(dt) * col("__ss") - col("__s") * col("__s")
+    m.select(col("n_days"),
+      round(when(den > 0,
+        (col("n_days").cast(dt) * col("__num")).cast("double") /
+          den.cast("double")), 6).as("dw"))
+  }
+
+  // ------------------------------------------- inequality (Theil/Atkinson)
+  /** Theil T and Atkinson(ε=1) inequality indices of a positive per-key
+    * mass (the entropy-family companions to [[giniIndex]]'s rank form —
+    * Theil decomposes by subgroup, Atkinson has the welfare reading):
+    * T = Σ x·ln x / S − ln(S/n), A = 1 − n·exp(Σ ln x / n)/S over the
+    * per-key positive totals x (non-positive keys drop — both indices
+    * are undefined there; documented).
+    *
+    * DETERMINISM (the PSI/q399 rounded-ln discipline): each ln x rounds
+    * to DECIMAL(18,12) at the source, so Σ x·ln x (exact (19,0)×(18,12)
+    * products, precision 38) and Σ ln x are shuffle-order-independent
+    * and engine-identical; the two closing libm calls (ln(S/n), exp)
+    * are fixed IEEE shapes, 6dp. SCALE: one key rollup + one scalar
+    * aggregate — no window, no sort. Returns one row:
+    * (n, total, theil, atkinson). */
+  def inequalityIndices(df: DataFrame, keyCol: Column,
+                        valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perKey = df.groupBy(keyCol.as("__k"))
+      .agg(sum(valueCol.cast("long")).as("__x"))
+      .filter(col("__x") > 0L)
+    val lnx = log(col("__x").cast("double")).cast(DecimalType(18, 12))
+    val m = perKey.agg(count(lit(1)).as("n"), sum(col("__x")).as("total"),
+      sum(col("__x").cast(DecimalType(19, 0)) * lnx).as("__xlnx"),
+      sum(lnx).as("__slnx"))
+    val nD = col("n").cast("double")
+    val sD = col("total").cast("double")
+    val mu = sD / nD
+    m.select(col("n"), col("total"),
+      round(when(col("n") > 0L,
+        col("__xlnx").cast("double") / sD - log(mu)), 6).as("theil"),
+      round(when(col("n") > 0L,
+        lit(1.0) - exp(col("__slnx").cast("double") / nD) / mu), 6)
+        .as("atkinson"))
+  }
+
+  // ------------------------------------------------------ Cliff's delta
+  /** Cliff's delta (Cliff 1993) between two samples — the ordinal effect
+    * size P(X>Y) − P(X<Y) that [[mannWhitney]]'s z cannot convey (z
+    * grows with n; δ ∈ [−1,1] does not): δ = (#wins − #losses)/(n₁·n₂)
+    * counting pairs across the samples.
+    *
+    * DETERMINISM AND SCALE — the mannWhitney/rocAuc rollup: per-value
+    * (n₁,n₂) counts, one running window over DISTINCT values (bound
+    * continuous metrics by rounding — the cardinality contract), win and
+    * loss masses as exact DECIMAL(38,0) Σ n₁(v)·n₂(<v) / Σ n₁(v)·n₂(>v)
+    * cross-products, ONE division, 6dp. Either sample empty → null δ.
+    * Returns one row: (n1, n2, wins, losses, delta) — pair masses as
+    * doubles (exact below 2^53). */
+  def cliffsDelta(df: DataFrame, valueCol: String,
+                  sampleCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val perVal = df.select(col(valueCol).as("__v"),
+        when(sampleCol, 1L).otherwise(0L).as("__s"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__v")
+      .agg(sum(col("__s")).as("__n1"),
+        sum(lit(1L) - col("__s")).as("__n2"))
+    val wB = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val m = perVal
+      .withColumn("__b2", coalesce(sum(col("__n2")).over(wB), lit(0L)))
+      .agg(sum(col("__n1")).as("n1"), sum(col("__n2")).as("n2"),
+        sum(col("__n1").cast(dt) * col("__b2")).as("__w"),
+        sum(col("__n1").cast(dt) * col("__n2")).as("__ties"))
+    val total = col("n1").cast(dt) * col("n2")
+    val losses = total - col("__w") - col("__ties")
+    m.select(col("n1"), col("n2"),
+      col("__w").cast("double").as("wins"),
+      losses.cast("double").as("losses"),
+      round(when(col("n1") > 0L && col("n2") > 0L,
+        (col("__w") - losses).cast("double") / total.cast("double")), 6)
+        .as("delta"))
+  }
+
+  // ------------------------------------------- Jonckheere-Terpstra trend
+  /** Jonckheere–Terpstra test for ORDERED alternatives (Jonckheere 1954)
+    * — does the metric trend upward across k a-priori-ordered groups
+    * (doses, severities, line numbers)? J = Σ_{i<j} U_ij, the sum of
+    * Mann–Whitney counts over ordered group pairs (ties count half), and
+    * z = (J − E)/σ with E = (N² − Σn_g²)/4 and the no-tie variance
+    * σ² = [N²(2N+3) − Σn_g²(2n_g+3)]/72 (documented approximation — a
+    * heavy-tie metric belongs in [[pageTrend]]'s rank form instead).
+    *
+    * DETERMINISM AND SCALE: group labels collect once (the IVF-centroid
+    * bounded seam — doses are a vocabulary, required ≤ 64); per-value
+    * counts PIVOT to k columns, so ONE cumulative window over DISTINCT
+    * values (the cardinality contract) yields every below-count, and the
+    * doubled 2J = Σ_v Σ_j n_j(v)·(2·Σ_{i<j}b_i(v) + Σ_{i<j}n_i(v)) is an
+    * exact DECIMAL(38,0) row expression with k²-bounded terms. J is the
+    * exact dyadic 2J/2; z is one fixed IEEE shape, 6dp. Returns one row:
+    * (n, n_groups, j_stat, z). */
+  def jonckheereTerpstra(df: DataFrame, groupCol: Column,
+                         valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val base = df.select(groupCol.cast("long").as("__g"),
+        valueCol.cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val groups: Seq[Long] = base.select(col("__g")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    require(groups.size >= 2 && groups.size <= 64,
+      s"ordered groups must be a small vocabulary in [2,64]: ${groups.size}")
+    val k = groups.size
+    val counts = groups.zipWithIndex.map { case (g, i) =>
+      sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__n$i") }
+    val cells = base.groupBy("__v").agg(counts.head, counts.tail: _*)
+    val wB = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withB = (0 until k).foldLeft(cells) { (d, i) =>
+      d.withColumn(s"__b$i", coalesce(sum(col(s"__n$i")).over(wB), lit(0L)))
+    }
+    val contrib = (1 until k).map { j =>
+      val lowB = (0 until j).map(i => col(s"__b$i")).reduce(_ + _)
+      val lowT = (0 until j).map(i => col(s"__n$i")).reduce(_ + _)
+      col(s"__n$j").cast(dt) * (lowB * 2 + lowT)
+    }.reduce(_ + _)
+    val sizes = (0 until k).map(i => sum(col(s"__n$i")).as(s"__s$i"))
+    val agg = withB.agg(sum(contrib).as("__j2"), sizes: _*)
+    val nTot = (0 until k).map(i => col(s"__s$i")).reduce(_ + _)
+    val sumSq = (0 until k).map(i =>
+      col(s"__s$i").cast(dt) * col(s"__s$i")).reduce(_ + _)
+    val sumVar = (0 until k).map(i => col(s"__s$i").cast(dt) *
+      col(s"__s$i") * (col(s"__s$i") * 2 + 3)).reduce(_ + _)
+    val e2 = (nTot.cast(dt) * nTot - sumSq).cast("double") / lit(2.0)
+    val varD = (nTot.cast(dt) * nTot * (nTot * 2 + 3) - sumVar)
+      .cast("double") / lit(72.0)
+    agg.select(nTot.as("n"), lit(k).cast("long").as("n_groups"),
+      (col("__j2").cast("double") / lit(2.0)).as("j_stat"),
+      round(when(varD > 0.0,
+        (col("__j2").cast("double") - e2) / (lit(2.0) * sqrt(varD))), 6)
+        .as("z"))
+  }
+
+  // ------------------------------------- Cramér-von Mises two-sample
+  /** Cramér–von Mises two-sample statistic between groups `a` and `b` —
+    * the whole-distribution drift test that weights EVERY quantile where
+    * [[ksTwoSample]] takes only the single worst gap:
+    * T = n·m/N² · Σ_pooled (F_a(v) − F_b(v))², summed at every pooled
+    * observation (per-value rollup × its count).
+    *
+    * DETERMINISM AND SCALE — the ksTwoSample shape: one per-value count
+    * pass, cumulative counts over the DISTINCT value relation (bound
+    * continuous metrics by rounding — the cardinality contract), the
+    * cross-multiplied integer form (m·cumA − n·cumB)² summed ×count in
+    * DECIMAL(38,0) (exact while n·m ≲ 3·10¹⁵ — sample beyond ~10⁷ a
+    * side), ONE division n·m·N², 6dp. Returns one row: (n_a, n_b, t). */
+  def cvmTwoSample(df: DataFrame, groupCol: String, valueCol: String,
+                   a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val v = col(valueCol)
+    val cells = df.filter(col(groupCol).isin(a, b) && v.isNotNull)
+      .groupBy(v.as("__v"))
+      .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val wRun = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("__fa", sum(col("__ca")).over(wRun))
+      .withColumn("__fb", sum(col("__cb")).over(wRun))
+    val totals = cells.agg(sum(col("__ca")).as("n_a"),
+      sum(col("__cb")).as("n_b"))
+    val term = (col("__ca") + col("__cb")).cast(dt) *
+      (col("__fa").cast(dt) * col("n_b") -
+        col("__fb").cast(dt) * col("n_a")) *
+      (col("__fa").cast(dt) * col("n_b") -
+        col("__fb").cast(dt) * col("n_a"))
+    cum.crossJoin(broadcast(totals))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(term).as("__t"))
+      .select(col("n_a"), col("n_b"),
+        round(when(col("n_a") > 0L && col("n_b") > 0L,
+          col("__t").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double") *
+              (col("n_a") + col("n_b")).cast("double") *
+              (col("n_a") + col("n_b")).cast("double"))), 6).as("t_stat"))
   }
 }

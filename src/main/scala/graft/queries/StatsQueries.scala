@@ -5373,6 +5373,263 @@ object StatsQueries3 {
         "round(exp(ln(orr) - 1.96 * se), 6) AS ci_lo, " +
         "round(exp(ln(orr) + 1.96 * se), 6) AS ci_hi FROM h"),
       (s, dir) => Stats.orWoolfCi(Tables.documents(s, dir),
-        col("n_chars") >= 300, col("lang") === "en"))
+        col("n_chars") >= 300, col("lang") === "en")),
+
+    // ---- Wilcoxon signed-rank on paired per-user even-day vs odd-day
+    // activity: doubled dyadic ranks off the |d| rollup, exact integer
+    // z numerator 2W2 - n(n+1), tie term in HUGEINT/DECIMAL.
+    Q("q421_wilcoxon_signed",
+      Some("WITH u AS (SELECT user_id, " +
+        "CAST(sum(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 0 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS e, " +
+        "CAST(sum(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 1 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS o FROM events GROUP BY 1), " +
+        "d AS (SELECT CAST(e - o AS DOUBLE) AS d FROM u WHERE e <> o), " +
+        "vals AS (SELECT abs(d) AS a, CAST(count(*) AS BIGINT) AS t, " +
+        "CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p " +
+        "FROM d GROUP BY 1), " +
+        "r AS (SELECT t, p, 2 * CAST(sum(t) OVER (ORDER BY a " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "- t + 1 AS r2 FROM vals), " +
+        "m AS (SELECT CAST(sum(t) AS BIGINT) AS n, " +
+        "sum(CAST(p AS HUGEINT) * r2) AS w2, " +
+        "sum(CAST(t AS HUGEINT) * t * t - t) AS tt FROM r) " +
+        "SELECT n AS n_nonzero, CAST(w2 AS DOUBLE) / 2.0 AS w_plus, " +
+        "round(CASE WHEN n > 0 AND " +
+        "2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tt > 0 THEN " +
+        "CAST(2 * w2 - CAST(n AS HUGEINT) * (n + 1) AS DOUBLE) / " +
+        "sqrt(CAST(2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tt " +
+        "AS DOUBLE) / 3.0) END, 6) AS z FROM m"),
+      (s, dir) => {
+        val day = EventAnalytics.dayIndex(col("ts"))
+        val u = Tables.events(s, dir).groupBy("user_id").agg(
+          sum(when(pmod(day, lit(2L)) === 0, 1L).otherwise(0L)).as("e"),
+          sum(when(pmod(day, lit(2L)) === 1, 1L).otherwise(0L)).as("o"))
+        Stats.wilcoxonSignedRank(u, col("e") - col("o"))
+      }),
+
+    // ---- Kendall's W: do the event types agree on the weekday ranking?
+    // Zero-filled (type x weekday) grid so the design is complete by
+    // construction; doubled dyadic ranks, one IEEE division.
+    Q("q422_kendall_w",
+      Some("WITH e AS (SELECT event_type AS r, " +
+        "(epoch_us(ts) // 86400000000 + 3) % 7 AS wd FROM events), " +
+        "c AS (SELECT r, wd, CAST(count(*) AS BIGINT) AS cnt FROM e " +
+        "GROUP BY 1, 2), " +
+        "grid AS (SELECT r, wd FROM (SELECT DISTINCT r FROM e), " +
+        "(SELECT unnest(range(0, 7)) AS wd)), " +
+        "fl AS (SELECT grid.r, grid.wd, " +
+        "CAST(coalesce(cnt, 0) AS DOUBLE) AS v FROM grid " +
+        "LEFT JOIN c ON grid.r = c.r AND grid.wd = c.wd), " +
+        "vals AS (SELECT r, v, CAST(count(*) AS BIGINT) AS t FROM fl " +
+        "GROUP BY 1, 2), " +
+        "rk AS (SELECT r, v, 2 * CAST(sum(t) OVER (PARTITION BY r " +
+        "ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) - t + 1 AS r2 FROM vals), " +
+        "j AS (SELECT fl.wd, rk.r2 FROM fl JOIN rk ON fl.r = rk.r " +
+        "AND fl.v = rk.v), " +
+        "rs AS (SELECT wd, sum(CAST(r2 AS HUGEINT)) AS sr2 FROM j " +
+        "GROUP BY 1), " +
+        "tt AS (SELECT coalesce(sum(CAST(t AS HUGEINT) * t * t - t), 0) " +
+        "AS tt FROM vals), " +
+        "nm AS (SELECT CAST(count(DISTINCT r) AS BIGINT) AS m, " +
+        "CAST(count(DISTINCT wd) AS BIGINT) AS n FROM fl), " +
+        "q AS (SELECT sum(sr2 * sr2) AS sq FROM rs) " +
+        "SELECT m AS n_raters, n AS n_items, " +
+        "round(CASE WHEN CAST(CAST(m AS HUGEINT) * m * n * (n * n - 1) " +
+        "- m * tt AS DOUBLE) > 0 THEN " +
+        "CAST(3 * sq - 3 * CAST(m AS HUGEINT) * m * n * (n + 1) * (n + 1) " +
+        "AS DOUBLE) / CAST(CAST(m AS HUGEINT) * m * n * (n * n - 1) " +
+        "- m * tt AS DOUBLE) END, 6) AS w FROM nm, q, tt"),
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("event_type").as("r"),
+          pmod(EventAnalytics.dayIndex(col("ts")) + 3, lit(7L)).as("wd"))
+        val c = e.groupBy("r", "wd").agg(count(lit(1)).as("cnt"))
+        val grid = e.select("r").distinct()
+          .crossJoin(s.range(7).select(col("id").as("wd")))
+        val full = grid.join(c, Seq("r", "wd"), "left")
+          .select(col("r"), col("wd"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"))
+        Stats.kendallW(full, col("r"), col("wd"), col("cnt"))
+      }),
+
+    // ---- Mood's median test across event types: the global lower median
+    // comes from distributedRank's running count over the value rollup
+    // (never a keyless window), then one 2xk chi-square.
+    Q("q423_mood_median",
+      Some("WITH b AS (SELECT event_type AS g, value AS v FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "cells AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b " +
+        "GROUP BY 1), " +
+        "cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc FROM cells), " +
+        "nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells), " +
+        "med AS (SELECT min(v) AS med FROM cum, nn " +
+        "WHERE cc >= (n + 1) // 2), " +
+        "pg AS (SELECT g, " +
+        "CAST(sum(CASE WHEN v > med THEN 1 ELSE 0 END) AS BIGINT) AS ab, " +
+        "CAST(sum(CASE WHEN v <= med THEN 1 ELSE 0 END) AS BIGINT) AS le " +
+        "FROM b, med GROUP BY 1), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
+        "CAST(sum(ab) AS BIGINT) AS ta, CAST(sum(le) AS BIGINT) AS tl " +
+        "FROM pg), " +
+        "chi AS (SELECT CAST(sum(CAST(" +
+        "CAST(ab AS DOUBLE) * ab / (CAST(ab + le AS DOUBLE) * ta / " +
+        "CAST(ta + tl AS DOUBLE)) + " +
+        "CAST(le AS DOUBLE) * le / (CAST(ab + le AS DOUBLE) * tl / " +
+        "CAST(ta + tl AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS s " +
+        "FROM pg, tot) " +
+        "SELECT ta + tl AS n, k AS n_groups, med AS median, " +
+        "ta AS n_above, " +
+        "round(CASE WHEN ta > 0 AND tl > 0 THEN " +
+        "s - CAST(ta + tl AS DOUBLE) END, 6) AS chi2, " +
+        "CAST(k - 1 AS BIGINT) AS dof FROM chi, tot, med"),
+      (s, dir) => Stats.moodMedianTest(Tables.events(s, dir),
+        col("event_type"), col("value"))),
+
+    // ---- Durbin-Watson over the zero-filled daily count spine: the mean
+    // cancels in consecutive differences, so numerator and scaled
+    // denominator are exact integer sums; ONE division.
+    Q("q424_durbin_watson",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "sp AS (SELECT r.day, coalesce(c.x, 0) AS x FROM r " +
+        "LEFT JOIN c USING (day)), " +
+        "d AS (SELECT x, x - lag(x) OVER (ORDER BY day) AS dd FROM sp), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "sum(CAST(x AS HUGEINT)) AS s, sum(CAST(x AS HUGEINT) * x) AS ss, " +
+        "sum(CASE WHEN dd IS NULL THEN 0 ELSE CAST(dd AS HUGEINT) * dd " +
+        "END) AS num FROM d) " +
+        "SELECT n AS n_days, round(CASE WHEN n * ss - s * s > 0 THEN " +
+        "CAST(n * num AS DOUBLE) / CAST(n * ss - s * s AS DOUBLE) END, 6) " +
+        "AS dw FROM m"),
+      (s, dir) => Stats.durbinWatson(Tables.events(s, dir), "ts")),
+
+    // ---- Theil T + Atkinson(eps=1) of the per-user cent mass: the
+    // entropy-family inequality pair next to q112's rank-form Gini;
+    // 12dp-rounded ln terms (PSI discipline) keep both engines identical.
+    Q("q425_inequality",
+      Some("WITH u AS (SELECT user_id, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1), " +
+        "p AS (SELECT x, CAST(ln(CAST(x AS DOUBLE)) AS DECIMAL(18,12)) " +
+        "AS lx FROM u WHERE x > 0), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS total, " +
+        "sum(CAST(x AS DECIMAL(19,0)) * lx) AS xlnx, sum(lx) AS slnx " +
+        "FROM p) " +
+        "SELECT n, total, " +
+        "round(CASE WHEN n > 0 THEN CAST(xlnx AS DOUBLE) / total - " +
+        "ln(CAST(total AS DOUBLE) / n) END, 6) AS theil, " +
+        "round(CASE WHEN n > 0 THEN 1.0 - " +
+        "exp(CAST(slnx AS DOUBLE) / n) / (CAST(total AS DOUBLE) / n) " +
+        "END, 6) AS atkinson FROM m"),
+      (s, dir) => Stats.inequalityIndices(
+        Tables.events(s, dir).filter(col("value").isNotNull),
+        col("user_id"), round(col("value") * 100, 0))),
+
+    // ---- Cliff's delta between even- and odd-user activity levels: the
+    // bounded ordinal effect size over the per-user count distribution
+    // (mannWhitney's value-rollup shape, exact pair masses).
+    Q("q426_cliffs_delta",
+      Some("WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM events GROUP BY 1), " +
+        "pv AS (SELECT cnt AS v, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n1, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) " +
+        "AS n2 FROM u GROUP BY 1), " +
+        "r AS (SELECT n1, n2, coalesce(sum(n2) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b2 " +
+        "FROM pv), " +
+        "m AS (SELECT CAST(sum(n1) AS BIGINT) AS n1, " +
+        "CAST(sum(n2) AS BIGINT) AS n2, " +
+        "sum(CAST(n1 AS HUGEINT) * b2) AS w, " +
+        "sum(CAST(n1 AS HUGEINT) * n2) AS ties FROM r) " +
+        "SELECT n1, n2, CAST(w AS DOUBLE) AS wins, " +
+        "CAST(CAST(n1 AS HUGEINT) * n2 - w - ties AS DOUBLE) AS losses, " +
+        "round(CASE WHEN n1 > 0 AND n2 > 0 THEN " +
+        "CAST(w - (CAST(n1 AS HUGEINT) * n2 - w - ties) AS DOUBLE) / " +
+        "CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) END, 6) AS delta FROM m"),
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"))
+        Stats.cliffsDelta(
+          u.select(col("cnt"), (pmod(col("user_id"), lit(2L)) === 0)
+            .as("s1")),
+          "cnt", col("s1"))
+      }),
+
+    // ---- Jonckheere-Terpstra: does quantity trend with line number?
+    // Ordered groups 1..7 pivot to columns, so ONE cumulative window over
+    // the 50-value quantity vocabulary yields every ordered-pair count.
+    Q("q427_jonckheere", {
+      val ns = (1 to 7).map(g =>
+        s"CAST(sum(CASE WHEN g = $g THEN 1 ELSE 0 END) AS BIGINT) AS n$g")
+        .mkString(", ")
+      val bs = (1 to 7).map(g =>
+        s"coalesce(sum(n$g) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED " +
+          s"PRECEDING AND 1 PRECEDING), 0) AS b$g").mkString(", ")
+      val contrib = (2 to 7).map { j =>
+        val lowB = (1 until j).map(i => s"b$i").mkString(" + ")
+        val lowT = (1 until j).map(i => s"n$i").mkString(" + ")
+        s"CAST(n$j AS HUGEINT) * (2 * ($lowB) + ($lowT))"
+      }.mkString(" + ")
+      val ss = (1 to 7).map(g => s"CAST(sum(n$g) AS BIGINT) AS s$g")
+        .mkString(", ")
+      val nTot = (1 to 7).map(g => s"s$g").mkString(" + ")
+      val sumSq = (1 to 7).map(g => s"CAST(s$g AS HUGEINT) * s$g")
+        .mkString(" + ")
+      val sumVar = (1 to 7).map(g =>
+        s"CAST(s$g AS HUGEINT) * s$g * (2 * s$g + 3)").mkString(" + ")
+      Some("WITH b AS (SELECT CAST(l_linenumber AS BIGINT) AS g, " +
+        "CAST(l_quantity AS DOUBLE) AS v FROM lineitem), " +
+        s"cells AS (SELECT v, $ns FROM b GROUP BY 1), " +
+        s"wb AS (SELECT *, $bs FROM cells), " +
+        s"jj AS (SELECT sum($contrib) AS j2 FROM wb), " +
+        s"sz AS (SELECT $ss FROM cells), " +
+        s"f AS (SELECT j2, ($nTot) AS n, ($sumSq) AS sq, ($sumVar) AS sv " +
+        "FROM jj, sz) " +
+        "SELECT n, CAST(7 AS BIGINT) AS n_groups, " +
+        "CAST(j2 AS DOUBLE) / 2.0 AS j_stat, " +
+        "round(CASE WHEN CAST(CAST(n AS HUGEINT) * n * (2 * n + 3) - sv " +
+        "AS DOUBLE) / 72.0 > 0 THEN " +
+        "(CAST(j2 AS DOUBLE) - CAST(CAST(n AS HUGEINT) * n - sq " +
+        "AS DOUBLE) / 2.0) / (2.0 * sqrt(CAST(CAST(n AS HUGEINT) * n * " +
+        "(2 * n + 3) - sv AS DOUBLE) / 72.0)) END, 6) AS z FROM f")
+    },
+      (s, dir) => Stats.jonckheereTerpstra(Tables.lineitem(s, dir),
+        col("l_linenumber"), col("l_quantity"))),
+
+    // ---- Cramér-von Mises two-sample between click and purchase value
+    // distributions: every pooled quantile weighs in where q120's KS
+    // takes the single worst gap; integer cross-multiplied ECDFs.
+    Q("q428_cvm",
+      Some("WITH c AS (SELECT value AS v, " +
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS ca, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS cb FROM events " +
+        "WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL " +
+        "GROUP BY 1), " +
+        "w AS (SELECT ca, cb, CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fa, " +
+        "CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS BIGINT) AS fb FROM c), " +
+        "t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, " +
+        "CAST(sum(cb) AS BIGINT) AS nb FROM c), " +
+        "m AS (SELECT na, nb, sum(CAST(ca + cb AS HUGEINT) * " +
+        "(CAST(fa AS HUGEINT) * nb - CAST(fb AS HUGEINT) * na) * " +
+        "(CAST(fa AS HUGEINT) * nb - CAST(fb AS HUGEINT) * na)) AS tsum " +
+        "FROM w, t GROUP BY na, nb) " +
+        "SELECT na AS n_a, nb AS n_b, " +
+        "round(CASE WHEN na > 0 AND nb > 0 THEN CAST(tsum AS DOUBLE) / " +
+        "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * " +
+        "CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)) END, 6) " +
+        "AS t_stat FROM m"),
+      (s, dir) => Stats.cvmTwoSample(Tables.events(s, dir),
+        "event_type", "value", "click", "purchase"))
   )
 }

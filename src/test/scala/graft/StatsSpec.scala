@@ -564,6 +564,13 @@ class StatsSpec extends SparkSpec {
       (2L, "b", 5.0)).toDF("u", "c", "v")
     assert(Stats.friedman(const, col("u"), col("c"), col("v"))
       .collect()(0).isNullAt(2))
+    // incomplete unit RAISES (regression: a pruned gate never fired)
+    val ex = intercept[Exception] {
+      Stats.friedman(df.filter(!(col("u") === 3L && col("c") === "c")),
+        col("u"), col("c"), col("v")).collect()
+    }
+    assert(ex.toString.contains("incomplete") ||
+      Option(ex.getCause).exists(_.toString.contains("incomplete")), s"$ex")
   }
 
   test("mcc: hand confusion matrix; balanced accuracy") {
@@ -604,6 +611,13 @@ class StatsSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)))
     assert(r.getDouble(2) == 42.0)
     assert(r.getDouble(3) == 2.449490, s"z: $r")
+    // incomplete unit RAISES (regression: a pruned gate never fired)
+    val ex = intercept[Exception] {
+      Stats.pageTrend(df.filter(!(col("u") === 3L && col("sc") === 3L)),
+        col("u"), col("sc"), col("v")).collect()
+    }
+    assert(ex.toString.contains("incomplete") ||
+      Option(ex.getCause).exists(_.toString.contains("incomplete")), s"$ex")
   }
 
   test("clesRankBiserial: hand U with a half-credit tie") {
@@ -1657,6 +1671,102 @@ class StatsSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("id", "s")
     assert(Stats.distributedRank(empty, Seq.empty, "s", desc = false,
       Seq("id"), None, "rn").count() == 0)
+  }
+
+  test("wilcoxonSignedRank: hand W+ and z with and without ties; zeros drop") {
+    // diffs {1,-2,3,-4,5}: no ties, W+ = 1+3+5 = 9, z = 1.5/sqrt(13.75)
+    val a = Seq(1.0, -2.0, 3.0, -4.0, 5.0, 0.0).toDF("d")
+    val r = Stats.wilcoxonSignedRank(a, col("d")).collect()(0)
+    assert(r.getLong(0) == 5L && r.getDouble(1) == 9.0)
+    assert(r.getDouble(2) == math.floor(1.5 / math.sqrt(13.75) * 1e6 + 0.5) / 1e6,
+      s"z: $r")
+    // diffs {1,-1,2}: |d| tie at 1 (avg rank 1.5), W+ = 1.5+3 = 4.5,
+    // var = 3*4*7/24 - 6/48 = 3.375
+    val b = Seq(1.0, -1.0, 2.0).toDF("d")
+    val r2 = Stats.wilcoxonSignedRank(b, col("d")).collect()(0)
+    assert(r2.getLong(0) == 3L && r2.getDouble(1) == 4.5)
+    assert(r2.getDouble(2) ==
+      math.floor(1.5 / math.sqrt(3.375) * 1e6 + 0.5) / 1e6, s"z: $r2")
+  }
+
+  test("kendallW: perfect agreement W=1; one reversed rater drops W to 1/9; incomplete raises") {
+    val perfect = for (m <- 1 to 3; (i, v) <- Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)))
+      yield (m.toLong, i, v)
+    val r = Stats.kendallW(perfect.toDF("m", "i", "v"),
+      col("m"), col("i"), col("v")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((3L, 3L, 1.0)))
+    val mixed = perfect.filter(_._1 != 3L) ++
+      Seq((3L, "a", 3.0), (3L, "b", 2.0), (3L, "c", 1.0))
+    val r2 = Stats.kendallW(mixed.toDF("m", "i", "v"),
+      col("m"), col("i"), col("v")).collect()(0)
+    assert(r2.getDouble(2) == 0.111111, s"w: $r2") // 24/216
+    val ex = intercept[Exception] {
+      Stats.kendallW(mixed.toDF("m", "i", "v").filter(
+        !(col("m") === 2L && col("i") === "c")),
+        col("m"), col("i"), col("v")).collect()
+    }
+    assert(ex.toString.contains("incomplete") ||
+      Option(ex.getCause).exists(_.toString.contains("incomplete")))
+  }
+
+  test("moodMedianTest: split groups around the global lower median -> chi2 = N") {
+    // A = {1,2,3}, B = {4,5,6}: lower median 3; 2x2 = [0,3;3,0] -> chi2 6
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 4.0), ("B", 5.0), ("B", 6.0)).toDF("g", "v")
+    val r = Stats.moodMedianTest(df, col("g"), col("v")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((6L, 2L)))
+    assert(r.getDouble(2) == 3.0 && r.getLong(3) == 3L)
+    assert(r.getDouble(4) == 6.0 && r.getLong(5) == 1L, s"chi2: $r")
+  }
+
+  test("durbinWatson: hand DW on a 3-day series") {
+    import java.sql.Timestamp
+    // day counts {2,1,3}: num = 1+4 = 5, den = sum e^2 = 2 -> DW 2.5
+    val day = 86400000L
+    val ts = Seq(0L, 1L, day, 2 * day, 2 * day + 1, 2 * day + 2)
+      .map(ms => Tuple1(new Timestamp(ms)))
+    val r = Stats.durbinWatson(ts.toDF("ts"), "ts").collect()(0)
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 2.5, s"dw: $r")
+  }
+
+  test("inequalityIndices: hand Theil/Atkinson on {1,1,4}; non-positive keys drop") {
+    val df = Seq(("a", 1L), ("b", 1L), ("c", 4L), ("d", 0L)).toDF("k", "x")
+    val r = Stats.inequalityIndices(df, col("k"), col("x")).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 6L)
+    // T = 4*ln4/6 - ln2; A = 1 - 4^(1/3)/2 (12dp-rounded ln terms)
+    assert(r.getDouble(2) == 0.231049, s"theil: $r")
+    assert(r.getDouble(3) == 0.206299, s"atkinson: $r")
+  }
+
+  test("cliffsDelta: hand delta on the mannWhitney fixture") {
+    // s1 = {1,2}, s2 = {2,3,3}: wins 0, ties 1, losses 5 -> delta -5/6
+    val df = Seq((1L, true), (2L, true), (2L, false), (3L, false),
+      (3L, false)).toDF("v", "s")
+    val r = Stats.cliffsDelta(df, "v", col("s")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 3L)))
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 5.0)
+    assert(r.getDouble(4) == -0.833333, s"delta: $r")
+  }
+
+  test("jonckheereTerpstra: hand J and z on three ordered groups") {
+    // g1={1,2}, g2={2,3}, g3={4}: J = 3.5+2+2 = 7.5, E = 4,
+    // var = (25*13 - 61)/72 = 11/3
+    val df = Seq((1L, 1.0), (1L, 2.0), (2L, 2.0), (2L, 3.0), (3L, 4.0))
+      .toDF("g", "v")
+    val r = Stats.jonckheereTerpstra(df, col("g"), col("v")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((5L, 3L)))
+    assert(r.getDouble(2) == 7.5)
+    assert(r.getDouble(3) ==
+      math.floor(3.5 / math.sqrt(11.0 / 3.0) * 1e6 + 0.5) / 1e6, s"z: $r")
+  }
+
+  test("cvmTwoSample: hand T on a 2x2 sample") {
+    // a={1,2}, b={2,3}: sum c*(m*Fa - n*Fb)^2 = 12 -> T = 12/(2*2*16)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    val r = Stats.cvmTwoSample(df, "g", "v", "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(2) == 0.1875, s"t: $r")
   }
 
   test("pythagoreanMeans: AM/GM/HM on {1,2,4}; non-positives excluded") {
