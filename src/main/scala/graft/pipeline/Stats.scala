@@ -4821,4 +4821,226 @@ object Stats {
               (col("n_a") + col("n_b")).cast("double") *
               (col("n_a") + col("n_b")).cast("double"))), 6).as("t_stat"))
   }
+
+  // ------------------------------------------------ Bartlett variance test
+  /** Bartlett's test (Bartlett 1937) for homogeneity of variances across k
+    * groups — the parametric sibling of [[brownForsythe]] (which stays the
+    * robust default; Bartlett is the more powerful choice when normality
+    * holds and the classical prerequisite for pooled-variance ANOVA):
+    * T = [(N−k)·ln s_p² − Σ(n_g−1)·ln s_g²] / C with
+    * s_p² = Σ(n_g−1)s_g²/(N−k) and the Bartlett correction
+    * C = 1 + (Σ 1/(n_g−1) − 1/(N−k)) / (3(k−1)); T ~ χ²(k−1).
+    *
+    * DETERMINISM AND SCALE: one groupBy computes per-group decimal moment
+    * sums (the q96 discipline — `valueCol` values carry fixed decimals, so
+    * Σv and Σv² are order-independent exact), one tiny k-row agg finishes;
+    * nothing shuffles more than once and no window exists at all. Groups
+    * need n_g ≥ 2; a zero-variance group makes ln s_g² undefined → null
+    * statistic (reported, never silently dropped).
+    * Returns one row: (n_groups, n, df, t_stat 6dp). */
+  def bartlettTest(df: DataFrame, groupCol: Column,
+                   valueCol: Column): DataFrame = {
+    val v = valueCol.cast("double")
+    val g = df.select(groupCol.as("__g"), v.as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast("decimal(38,6)")).cast("double").as("__sv"),
+        sum((col("__v") * col("__v")).cast("decimal(38,6)")).cast("double")
+          .as("__pv"))
+      .filter(col("__n") >= 2L)
+    val nD = col("__n").cast("double")
+    val s2 = (col("__pv") - col("__sv") * col("__sv") / nD) / (nD - 1.0)
+    val agg = g.agg(count(lit(1)).as("n_groups"), sum(col("__n")).as("n"),
+      sum((nD - 1.0) * log(s2)).as("__sln"),
+      sum((nD - 1.0) * s2).as("__ssw"),
+      sum(lit(1.0) / (nD - 1.0)).as("__sinv"),
+      min(s2).as("__minv"))
+    val k = col("n_groups").cast("double")
+    val nmk = col("n").cast("double") - k
+    val c = lit(1.0) + (col("__sinv") - lit(1.0) / nmk) /
+      (lit(3.0) * (k - 1.0))
+    agg.select(col("n_groups"), col("n"),
+      (col("n_groups") - 1L).as("df"),
+      round(when(col("n_groups") >= 2L && col("__minv") > 0.0,
+        (nmk * log(col("__ssw").cast("double") / nmk) - col("__sln")) / c),
+        6).as("t_stat"))
+  }
+
+  // ----------------------------------------------------- Grubbs outlier test
+  /** Grubbs' test (Grubbs 1950) for a single outlier: G = max|x − x̄| / s —
+    * "is the most extreme observation too extreme for a normal sample?"
+    * Reports the offending value alongside the statistic so the caller can
+    * route it to [[robustOutlierStats]] for the full MAD treatment.
+    *
+    * DETERMINISM AND SCALE: pass 1 is one decimal-moment agg (exact mean
+    * and s as a fixed IEEE shape), pass 2 broadcasts the one-row moments
+    * and takes max(|x − mean|) — order-independent — then the outlier
+    * value is the MINIMUM x achieving that exact max (|x−mean| is the same
+    * fixed IEEE shape on every engine, so the tie-set is identical and min
+    * makes the pick deterministic). No window, no sort, two scans.
+    * Returns one row: (n, mean 6dp, sd 6dp, g_stat 6dp, outlier_value). */
+  def grubbsTest(df: DataFrame, valueCol: Column): DataFrame = {
+    val base = df.select(valueCol.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val m = base.agg(count(lit(1)).as("n"),
+      sum(col("__v").cast("decimal(38,6)")).cast("double").as("__sv"),
+      sum((col("__v") * col("__v")).cast("decimal(38,6)")).cast("double")
+        .as("__pv"))
+    val nD = col("n").cast("double")
+    val mean = col("__sv") / nD
+    val sd = sqrt((col("__pv") - col("__sv") * col("__sv") / nD) /
+      (nD - 1.0))
+    val withM = base.crossJoin(broadcast(
+      m.select(col("n"), mean.as("__mean"), sd.as("__sd"))))
+    val gap = abs(col("__v") - col("__mean"))
+    val top = withM
+      .agg(first(col("n")).as("n"), first(col("__mean")).as("__m"),
+        first(col("__sd")).as("__s"), max(gap).as("__gmax"))
+    val pick = withM.crossJoin(broadcast(top.select(col("__gmax"))))
+      .filter(gap === col("__gmax"))
+      .agg(min(col("__v")).as("outlier_value"))
+    top.crossJoin(broadcast(pick))
+      .select(col("n"), round(col("__m"), 6).as("mean"),
+        round(col("__s"), 6).as("sd"),
+        round(when(col("n") >= 3L && col("__s") > 0.0,
+          col("__gmax") / col("__s")), 6).as("g_stat"),
+        col("outlier_value"))
+  }
+
+  // --------------------------------------------- ordinal association family
+  /** Ordinal-by-ordinal association from concordant/discordant pair masses:
+    * Goodman–Kruskal gamma (ignores all ties), Somers' D in both directions
+    * (penalizes ties on the dependent only), and Stuart–Kendall tau-c (the
+    * rectangular-table rate; [[kendallTau]] already serves tau-b):
+    * γ = (C−D)/(C+D), D_yx = (C−D)/(C+D+T_y), D_xy = (C−D)/(C+D+T_x),
+    * τ_c = 2m(C−D)/(N²(m−1)) with m = min(r, c).
+    *
+    * DETERMINISM AND SCALE — the [[kendallTau]] shape: one groupBy rolls
+    * the table to (x, y, count) cells; the cell relation self-joins
+    * broadcast on xa < xb (each unordered x-differing pair once) so C, D,
+    * and the tied-on-y-only mass are DECIMAL(38,0)-exact cell products;
+    * tie masses come from the marginals. The cell cardinality is the
+    * caller's contract — both columns must be ordinal VOCABULARIES (the
+    * [[kendallTau]] rule; the broadcast enforces it physically — an
+    * unbounded column fails the build loudly, never silently spills to a
+    * quadratic shuffle). Returns one row:
+    * (n, r, c, conc, disc, gamma, somers_d_yx, somers_d_xy, tau_c) 6dp. */
+  def ordinalAssociation(df: DataFrame, xCol: Column,
+                         yCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val cells = df.select(xCol.cast("double").as("__x"),
+        yCol.cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy("__x", "__y").agg(count(lit(1)).as("__c"))
+    val a = cells.select(col("__x").as("xa"), col("__y").as("ya"),
+      col("__c").as("ca"))
+    val b = cells.select(col("__x").as("xb"), col("__y").as("yb"),
+      col("__c").as("cb"))
+    val mass = col("ca").cast(dt) * col("cb")
+    val pairs = a.join(broadcast(b), col("xa") < col("xb"))
+    val cd = pairs.agg(
+      sum(when(col("yb") > col("ya"), mass).otherwise(lit(0).cast(dt)))
+        .as("__conc"),
+      sum(when(col("yb") < col("ya"), mass).otherwise(lit(0).cast(dt)))
+        .as("__disc"),
+      sum(when(col("yb") === col("ya"), mass).otherwise(lit(0).cast(dt)))
+        .as("__tyOnly"))
+    // pairs tied on x but differing on y: per-x marginal pair mass minus
+    // the cell-internal mass, all doubled (t·(t−1)) then halved in double
+    def tiedWithin(kc: String) = cells.groupBy(col(kc))
+      .agg(sum(col("__c")).as("__t"))
+      .agg(sum(col("__t").cast(dt) * (col("__t") - 1L)).as("__p2"),
+        count(lit(1)).as("__card"))
+    val txm = tiedWithin("__x").select(col("__p2").as("__txAll2"),
+      col("__card").as("r"))
+    val tym = tiedWithin("__y").select(col("__p2").as("__tyAll2"),
+      col("__card").as("c"))
+    val cellSelf = cells.agg(
+      sum(col("__c").cast(dt) * (col("__c") - 1L)).as("__cell2"),
+      sum(col("__c")).as("n"), count(lit(1)).as("__ncells"))
+    val m = cd.crossJoin(broadcast(txm)).crossJoin(broadcast(tym))
+      .crossJoin(broadcast(cellSelf))
+    val conc = col("__conc").cast("double")
+    val disc = col("__disc").cast("double")
+    // x-tied y-differing pair mass = (Σ_x t(t−1) − Σ_cell c(c−1)) / 2
+    val txOnly = (col("__txAll2") - col("__cell2")).cast("double") / 2.0
+    val tyOnly = col("__tyOnly").cast("double")
+    val nD = col("n").cast("double")
+    val mMin = least(col("r"), col("c")).cast("double")
+    m.select(col("n"), col("r"), col("c"),
+      conc.as("conc"), disc.as("disc"),
+      round(when(conc + disc > 0.0, (conc - disc) / (conc + disc)), 6)
+        .as("gamma"),
+      round(when(conc + disc + tyOnly > 0.0,
+        (conc - disc) / (conc + disc + tyOnly)), 6).as("somers_d_yx"),
+      round(when(conc + disc + txOnly > 0.0,
+        (conc - disc) / (conc + disc + txOnly)), 6).as("somers_d_xy"),
+      round(when(col("n") > 1L && mMin > 1.0,
+        lit(2.0) * mMin * (conc - disc) / (nD * nD * (mMin - 1.0))), 6)
+        .as("tau_c"))
+  }
+
+  // --------------------------------------------- Conover squared-ranks test
+  /** Conover's squared-ranks test for equality of VARIANCES between two
+    * samples (Conover 1980) — the rank-based dispersion complement to
+    * [[brownForsythe]]'s ANOVA-on-deviations and [[mannWhitney]]'s location
+    * test: u_i = |x_i − med_g| (deviations from each group's own
+    * lower-median element), pooled midranks R_i of u, T = Σ_{i∈A} R_i²,
+    * z = (T − n_A·S₂/N) / sqrt(n_A·n_B/(N(N−1)) · (S₄ − S₂²/N)) with
+    * S₂ = ΣR², S₄ = ΣR⁴ over the pooled sample.
+    *
+    * DETERMINISM AND SCALE: the group median is a DATA ELEMENT (the
+    * [[brownForsythe]] discipline — byte-identical); u = |x − med| is one
+    * exact IEEE subtraction of the same doubles on every engine; midranks
+    * come from per-value counts + ONE cumulative window over the DISTINCT
+    * deviation relation (the [[ksTwoSample]] cardinality contract — u
+    * inherits `valueCol`'s vocabulary, so bound continuous metrics by
+    * rounding first). Doubled midranks 2R are integers, so S₂, S₄, and T
+    * accumulate as exact DECIMAL(38,0) in units of (2R)² and (2R)⁴
+    * (exact while N ≲ 3·10⁷) and halve once in double.
+    * Returns one row: (n_a, n_b, t_stat, z) 6dp. */
+  def conoverSquaredRanks(df: DataFrame, groupCol: String, valueCol: String,
+                          a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val base = df.filter(col(groupCol).isin(a, b) &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+    // lower-median element per group ([[groupLowerMedian]] discipline)
+    val med = groupLowerMedian(base, Seq("__g"), "__v", "__med")
+    val dev = base.join(broadcast(med), "__g")
+      .select(col("__g"), abs(col("__v") - col("__med")).as("__u"))
+    val cells = dev.groupBy("__u")
+      .agg(sum(when(col("__g") === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__g") === b, 1L).otherwise(0L)).as("__cb"))
+    val wRun = Window.orderBy(col("__u"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // doubled midrank of a tied block ending at cumulative count F with
+    // block size t: 2R = 2F − t + 1 (integer, exact)
+    val cum = cells
+      .withColumn("__f", sum(col("__ca") + col("__cb")).over(wRun))
+      .withColumn("__r2",
+        (col("__f") * 2L - (col("__ca") + col("__cb")) + 1L).cast(dt))
+    val agg = cum.agg(
+      sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+      sum(col("__ca").cast(dt) * col("__r2") * col("__r2")).as("__t4"),
+      sum((col("__ca") + col("__cb")).cast(dt) * col("__r2") * col("__r2"))
+        .as("__s2x4"),
+      sum((col("__ca") + col("__cb")).cast(dt) * col("__r2") * col("__r2") *
+        col("__r2") * col("__r2")).as("__s4x16"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val nD = nA + nB
+    val t = col("__t4").cast("double") / 4.0
+    val s2 = col("__s2x4").cast("double") / 4.0
+    val s4 = col("__s4x16").cast("double") / 16.0
+    val varT = nA * nB / (nD * (nD - 1.0)) * (s4 - s2 * s2 / nD)
+    agg.select(col("n_a"), col("n_b"),
+      round(t, 6).as("t_stat"),
+      round(when(col("n_a") > 0L && col("n_b") > 0L && varT > 0.0,
+        (t - nA * s2 / nD) / sqrt(varT)), 6).as("z"))
+  }
 }

@@ -1989,4 +1989,66 @@ class StatsSpec extends SparkSpec {
     assert(r("A") == ((2L, 0.5, 0.0, 0.0)))
     assert(r("B") == ((2L, 0.5, tb, 0.0)))
   }
+
+  test("bartlettTest: hand T on two groups; zero-variance group -> null") {
+    import spark.implicits._
+    // g1={1,2,3,4} s2=5/3, g2={2,4,6} s2=4: s_p2=2.6,
+    // T = (5 ln 2.6 - 3 ln(5/3) - 2 ln 4) / (1 + (1/3+1/2-1/5)/3)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0)).toDF("g", "v")
+    val r = Stats.bartlettTest(df, col("g"), col("v")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 7L, 1L)))
+    assert(r.getDouble(3) == 0.390131, s"t: $r")
+    // a constant group has ln s2 undefined -> null statistic, groups kept
+    val dg = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 4.0))
+      .toDF("g", "v")
+    val r2 = Stats.bartlettTest(dg, col("g"), col("v")).collect()(0)
+    assert(r2.getLong(0) == 2L && r2.isNullAt(3))
+    // singleton groups drop before k counts them
+    val ds = Seq(("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 9.0))
+      .toDF("g", "v")
+    assert(Stats.bartlettTest(ds, col("g"), col("v"))
+      .collect()(0).getLong(0) == 1L)
+  }
+
+  test("grubbsTest: hand G on {1,2,3,10}; min value breaks a tied max gap") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 10.0).toDF("v")
+    val r = Stats.grubbsTest(df, col("v")).collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 4.0 && r.getDouble(2) == 4.082483)
+    assert(r.getDouble(3) == 1.469694, s"g: $r")
+    assert(r.getDouble(4) == 10.0)
+    // {0,4}: both gaps tie at 2 -> deterministic pick = the smaller value
+    val dt = Seq(0.0, 4.0, 2.0).toDF("v")
+    assert(Stats.grubbsTest(dt, col("v")).collect()(0).getDouble(4) == 0.0)
+  }
+
+  test("ordinalAssociation: 2x2 hand gamma/somers/tau-c") {
+    import spark.implicits._
+    // cells: (1,1)x3, (1,2)x1, (2,1)x1, (2,2)x3 -> C=9, D=1,
+    // tyOnly=6, txOnly=6: gamma=.8, D_yx=D_xy=.5, tau_c=2*2*8/(64*1)=.5
+    val rows = Seq.fill(3)((1, 1)) ++ Seq((1, 2), (2, 1)) ++
+      Seq.fill(3)((2, 2))
+    val r = Stats.ordinalAssociation(rows.toDF("x", "y"),
+      col("x"), col("y")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((8L, 2L, 2L)))
+    assert((r.getDouble(3), r.getDouble(4)) == ((9.0, 1.0)))
+    assert(r.getDouble(5) == 0.8, s"gamma: $r")
+    assert(r.getDouble(6) == 0.5 && r.getDouble(7) == 0.5)
+    assert(r.getDouble(8) == 0.5, s"tau_c: $r")
+  }
+
+  test("conoverSquaredRanks: hand T and z with midrank ties") {
+    import spark.implicits._
+    // A={1,2,3} med 2 -> u {1,0,1}; B={0,4,8,12} med 4 -> u {4,0,4,8}
+    // midranks: u=0 -> 1.5, u=1 -> 3.5, u=4 -> 5.5, u=8 -> 7
+    // T = 1.5^2 + 2*3.5^2 = 26.75; S2=138.5, S4=4541.375 -> z
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 0.0),
+      ("b", 4.0), ("b", 8.0), ("b", 12.0)).toDF("g", "v")
+    val r = Stats.conoverSquaredRanks(df, "g", "v", "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 4L)))
+    assert(r.getDouble(2) == 26.75, s"t: $r")
+    assert(r.getDouble(3) == -1.437419, s"z: $r")
+  }
 }
