@@ -2623,4 +2623,194 @@ object EventAnalytics {
         round(exp(col("__ht").cast("double") /
           col("n_transitions").cast("double")), 6).as("perplexity"))
   }
+
+  // ------------------------------------------------- turning points test
+  /** Turning-points test for randomness of the zero-filled daily count
+    * series: a day t is a turning point when it is a STRICT local max or
+    * min (both adjacent differences nonzero with opposite signs — the
+    * integer-count adaptation of the classic continuous definition; flat
+    * shoulders don't count). Under i.i.d., E[T] = 2(n−2)/3 and
+    * Var[T] = (16n−29)/90 (Kendall & Stuart), z = (T−E)/√Var — the
+    * local-oscillation companion to [[runsTestDaily]] (level clustering)
+    * and [[mannKendallDaily]] (monotone drift).
+    *
+    * DETERMINISM AND SCALE: two integer lag windows over the
+    * calendar-bounded spine (days, never events); T is an exact integer
+    * count; z is one fixed IEEE shape, 6dp. Returns one row:
+    * (n_days, turning_points, z). */
+  def turningPointsDaily(df: DataFrame, tsCol: String): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    // sign logic, never the diff product — two ~1e12-count diffs would
+    // overflow a long product at extreme scale
+    val d1 = col("n") - lag(col("n"), 1).over(w)
+    val d2 = lead(col("n"), 1).over(w) - col("n")
+    val flags = resampleDaily(df, tsCol)
+      .select(((d1 > 0L && d2 < 0L) || (d1 < 0L && d2 > 0L)).as("__tp"))
+    val agg = flags.agg(count(lit(1)).as("n_days"),
+      sum(when(col("__tp"), 1L).otherwise(0L)).as("turning_points"))
+    val nD = col("n_days").cast("double")
+    val e = lit(2.0) * (nD - 2.0) / 3.0
+    val v = (lit(16.0) * nD - 29.0) / 90.0
+    agg.select(col("n_days"), col("turning_points"),
+      round(when(col("n_days") >= 3L && v > 0.0,
+        (col("turning_points").cast("double") - e) / sqrt(v)), 6).as("z"))
+  }
+
+  // --------------------------------------------------- Cox-Stuart trend
+  /** Cox–Stuart sign test for trend (Cox & Stuart 1955) on the zero-filled
+    * daily count series: pair day i with day i+m (m = n div 2, the middle
+    * day dropped when n is odd), count S⁺ = #(later > earlier) and
+    * S⁻ = #(later < earlier); under no trend S⁺ ~ Binomial(n', ½) over the
+    * n' = S⁺+S⁻ untied pairs, z = (S⁺ − n'/2)/√(n'/4). The
+    * assumption-free quick screen in front of [[theilSenTrend]]'s slope
+    * estimate (this tests SIGN only; Theil–Sen sizes the drift).
+    *
+    * DETERMINISM AND SCALE: ONE self-equi-join of the calendar-bounded
+    * spine on day+m (integer key, no window at all); exact integer
+    * counts; z is one fixed IEEE shape, 6dp. Returns one row:
+    * (n_days, n_pairs, s_plus, s_minus, z). */
+  def coxStuartDaily(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = resampleDaily(df, tsCol)
+    val meta = daily.agg(count(lit(1)).as("__nd"), min(col("day")).as("__d0"))
+    val half = daily.crossJoin(broadcast(meta))
+      .select(col("n"), col("__nd"),
+        (col("__nd") / lit(2L)).cast("long").as("__m"),
+        (col("day") - col("__d0")).as("__i"))
+    val early = half.filter(col("__i") < col("__m"))
+      .select(col("__i").as("__k"), col("n").as("__n1"), col("__nd"))
+    val late = half.filter(col("__i") >= col("__nd") - col("__m"))
+      .select((col("__i") - (col("__nd") - col("__m"))).as("__k"),
+        col("n").as("__n2"))
+    val agg = early.join(late, "__k")
+      .agg(first(col("__nd")).as("n_days"), count(lit(1)).as("n_pairs"),
+        sum(when(col("__n2") > col("__n1"), 1L).otherwise(0L)).as("s_plus"),
+        sum(when(col("__n2") < col("__n1"), 1L).otherwise(0L))
+          .as("s_minus"))
+    val np = (col("s_plus") + col("s_minus")).cast("double")
+    agg.select(col("n_days"), col("n_pairs"), col("s_plus"),
+      col("s_minus"),
+      round(when(col("s_plus") + col("s_minus") > 0L,
+        (col("s_plus").cast("double") - np / 2.0) / sqrt(np / 4.0)), 6)
+        .as("z"))
+  }
+
+  // ------------------------------------------------ Hurst exponent (R/S)
+  /** Rescaled-range (R/S) Hurst exponent of the zero-filled daily count
+    * series (Hurst 1951; Mandelbrot & Wallis 1969): for each block size s
+    * in `sizes`, split the spine into consecutive complete blocks of s
+    * days; per block, R = max−min of the cumulative deviations from the
+    * block mean and S = population std; H is the OLS slope of
+    * ln(mean R/S) on ln(s). H ≈ ½ for a memoryless series, > ½ for
+    * long-range persistence — the long-memory companion to
+    * [[autocorrDaily]]'s short lags.
+    *
+    * DETERMINISM AND SCALE: blocks key on day div s, so every window
+    * partitions by block (keyed, never global); counts are integers, so
+    * block sums/cumsums are exact and S² is the exact-moment closed form;
+    * the per-row cumdev = cumsum − t·mean is one fixed IEEE shape on
+    * identical inputs. Per-size means average ≥1-block floats (6dp);
+    * the final slope fits ln-ln over |sizes| points. Returns one row per
+    * size — (block_size, n_blocks, mean_rs 6dp) — plus the shared h 6dp.
+    */
+  def hurstDaily(df: DataFrame, tsCol: String,
+                 sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(sizes.size >= 2 && sizes.forall(_ >= 2),
+      s"need >= 2 block sizes, each >= 2: $sizes")
+    val daily = resampleDaily(df, tsCol)
+      .crossJoin(broadcast(resampleDaily(df, tsCol)
+        .agg(min(col("day")).as("__d0"))))
+      .select((col("day") - col("__d0")).as("__t"), col("n"))
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val szDf = sizes.foldLeft[Option[DataFrame]](None) { (acc, s) =>
+      val blk = daily.select(lit(s).cast("long").as("block_size"),
+        (col("__t") / lit(s.toLong)).cast("long").as("__b"),
+        (col("__t") % lit(s.toLong)).as("__i"), col("n"))
+      Some(acc.fold(blk)(_.unionAll(blk)))
+    }.get
+    val wCum = Window.partitionBy(col("block_size"), col("__b"))
+      .orderBy(col("__i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBlk = Window.partitionBy(col("block_size"), col("__b"))
+    val rows = szDf
+      .withColumn("__cs", sum(col("n")).over(wCum))
+      .withColumn("__sum", sum(col("n")).over(wBlk))
+      .withColumn("__ss", sum(col("n").cast(dt) * col("n")).over(wBlk))
+      .withColumn("__cnt", count(lit(1)).over(wBlk))
+      .filter(col("__cnt") === col("block_size"))
+    val sD = col("block_size").cast("double")
+    val mean = col("__sum").cast("double") / sD
+    val cumdev = col("__cs").cast("double") -
+      (col("__i") + 1L).cast("double") * mean
+    val s2 = (col("__ss").cast("double") -
+      col("__sum").cast("double") * col("__sum").cast("double") / sD) / sD
+    val perBlock = rows
+      .withColumn("__cd", cumdev)
+      .groupBy(col("block_size"), col("__b"), col("__cnt"))
+      .agg(greatest(max(col("__cd")), lit(0.0)).as("__hi"),
+        least(min(col("__cd")), lit(0.0)).as("__lo"),
+        first(s2).as("__s2"))
+      .filter(col("__s2") > 0.0)
+      .select(col("block_size"),
+        ((col("__hi") - col("__lo")) / sqrt(col("__s2"))).as("__rs"))
+    val perSize = perBlock.groupBy("block_size")
+      .agg(count(lit(1)).as("n_blocks"), avg(col("__rs")).as("__mrs"))
+    val fit = perSize
+      .select(log(col("block_size").cast("double")).as("__x"),
+        log(col("__mrs")).as("__y"))
+      .agg(count(lit(1)).as("__k"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"), sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+    val kD = col("__k").cast("double")
+    val h = (kD * col("__sxy") - col("__sx") * col("__sy")) /
+      (kD * col("__sxx") - col("__sx") * col("__sx"))
+    perSize.crossJoin(broadcast(fit.select(
+        round(when(col("__k") >= 2L, h), 6).as("h"))))
+      .select(col("block_size"), col("n_blocks"),
+        round(col("__mrs"), 6).as("mean_rs"), col("h"))
+      .orderBy("block_size")
+  }
+
+  // ----------------------------------------------------- periodogram
+  /** Discrete periodogram of the zero-filled daily count series at
+    * frequencies k = 1..maxK: normalized power
+    * p_k = (c_k² + s_k²) / (n·ȳ)² with c_k = Σ_t y_t·cos(2πkt/n),
+    * s_k = Σ_t y_t·sin(2πkt/n) — the frequency-domain seasonality scan
+    * (a weekly cycle spikes at period ≈ 7) complementing
+    * [[seasonalityStrength]]'s fixed weekly decomposition.
+    *
+    * DETERMINISM AND SCALE: the spine (calendar-bounded) cross-joins a
+    * broadcast k-relation, so the work is n·maxK rows with ONE groupBy —
+    * no window. The trig arguments are identical integer-derived doubles
+    * on every engine; the float sums are order-sensitive only below the
+    * 6dp round of the (n·ȳ)²-NORMALIZED power (p_k ≤ 1, accumulated
+    * error ~1e−12). Returns maxK rows: (k, period 2dp, norm_power 6dp).
+    */
+  def periodogramDaily(df: DataFrame, tsCol: String,
+                       maxK: Int = 30): DataFrame = {
+    require(maxK >= 1 && maxK <= 1000, s"maxK must be in [1,1000]: $maxK")
+    val daily = resampleDaily(df, tsCol)
+    val spine = daily
+      .crossJoin(broadcast(daily.agg(min(col("day")).as("__d0"),
+        count(lit(1)).as("__nd"), sum(col("n")).as("__tot"))))
+      .select((col("day") - col("__d0")).as("__t"), col("n"),
+        col("__nd"), col("__tot"))
+    val ks = spine.sparkSession.range(1, maxK + 1)
+      .select(col("id").as("k"))
+    val arg = lit(2.0 * math.Pi) * col("k").cast("double") *
+      col("__t").cast("double") / col("__nd").cast("double")
+    val agg = spine.crossJoin(broadcast(ks))
+      .groupBy("k")
+      .agg(first(col("__nd")).as("__nd"), first(col("__tot")).as("__tot"),
+        sum(col("n").cast("double") * cos(arg)).as("__c"),
+        sum(col("n").cast("double") * sin(arg)).as("__s"))
+    val den = col("__tot").cast("double") * col("__tot").cast("double")
+    agg.select(col("k"),
+      round(col("__nd").cast("double") / col("k").cast("double"), 2)
+        .as("period"),
+      round(when(col("__tot") > 0L,
+        (col("__c") * col("__c") + col("__s") * col("__s")) / den), 6)
+        .as("norm_power"))
+      .orderBy("k")
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.Stats
+import graft.pipeline.{EventAnalytics, Stats}
 
 /** Round-11 hypothesis-test drivers: variance-homogeneity (Bartlett,
   * Conover squared ranks), single-outlier screening (Grubbs), and the
@@ -131,6 +131,136 @@ object StatsQueries4 {
         "(t - na * s2 / nd) / sqrt(na * nb / (nd * (nd - 1.0)) * " +
         "(s4 - s2 * s2 / nd)) END, 6) AS z FROM z"),
       (s, dir) => Stats.conoverSquaredRanks(Tables.lineitem(s, dir),
-        "l_returnflag", "l_quantity", "A", "N"))
+        "l_returnflag", "l_quantity", "A", "N")),
+
+    // ---- turning-points randomness of the zero-filled daily count series:
+    // strict local extrema from two integer lag windows over the
+    // calendar-bounded spine (the q389 family).
+    Q("q433_turning_points",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "s AS (SELECT r.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n " +
+        "FROM r LEFT JOIN c USING (day)), " +
+        "f AS (SELECT n - lag(n) OVER (ORDER BY day) AS d1, " +
+        "lead(n) OVER (ORDER BY day) - n AS d2 FROM s), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_days, " +
+        "CAST(sum(CASE WHEN (d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS turning_points FROM f) " +
+        "SELECT n_days, turning_points, " +
+        "round(CASE WHEN n_days >= 3 AND " +
+        "(16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0 > 0 THEN " +
+        "(CAST(turning_points AS DOUBLE) - " +
+        "2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0) / " +
+        "sqrt((16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0) END, 6) AS z " +
+        "FROM a"),
+      (s, dir) => EventAnalytics.turningPointsDaily(
+        Tables.events(s, dir), "ts")),
+
+    // ---- Cox-Stuart sign test for trend: first-half days pair with
+    // second-half days on one integer equi-join (no window at all), the
+    // middle day drops when the spine is odd.
+    Q("q434_cox_stuart",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "s AS (SELECT r.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n " +
+        "FROM r LEFT JOIN c USING (day)), " +
+        "meta AS (SELECT CAST(count(*) AS BIGINT) AS nd, " +
+        "min(day) AS d0 FROM s), " +
+        "h AS (SELECT n, nd, nd // 2 AS m, day - d0 AS i FROM s, meta), " +
+        "e AS (SELECT i AS k, n AS n1, nd FROM h WHERE i < m), " +
+        "l AS (SELECT i - (nd - m) AS k, n AS n2 FROM h " +
+        "WHERE i >= nd - m), " +
+        "a AS (SELECT any_value(e.nd) AS n_days, " +
+        "CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(CASE WHEN n2 > n1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS s_plus, " +
+        "CAST(sum(CASE WHEN n2 < n1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS s_minus FROM e JOIN l USING (k)) " +
+        "SELECT n_days, n_pairs, s_plus, s_minus, " +
+        "round(CASE WHEN s_plus + s_minus > 0 THEN " +
+        "(CAST(s_plus AS DOUBLE) - " +
+        "CAST(s_plus + s_minus AS DOUBLE) / 2.0) / " +
+        "sqrt(CAST(s_plus + s_minus AS DOUBLE) / 4.0) END, 6) AS z " +
+        "FROM a"),
+      (s, dir) => EventAnalytics.coxStuartDaily(Tables.events(s, dir),
+        "ts")),
+
+    // ---- Hurst exponent by rescaled range: complete div-s blocks keyed by
+    // (size, block) — every window partitions by block; integer-exact
+    // sums/cumsums; ln-ln OLS over the size grid (4/8/16 here: the events
+    // spine is 30 days, so larger blocks would leave <2 fit points).
+    Q("q435_hurst",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "s AS (SELECT r.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n " +
+        "FROM r LEFT JOIN c USING (day)), " +
+        "d0 AS (SELECT min(day) AS d0 FROM s), " +
+        "t AS (SELECT day - d0 AS t, n FROM s, d0), " +
+        "sz AS (SELECT unnest([4, 8, 16]) AS bs), " +
+        "b AS (SELECT CAST(bs AS BIGINT) AS block_size, t // bs AS blk, " +
+        "t % bs AS i, n FROM t, sz), " +
+        "w AS (SELECT block_size, blk, i, " +
+        "sum(n) OVER (PARTITION BY block_size, blk ORDER BY i " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs, " +
+        "sum(n) OVER (PARTITION BY block_size, blk) AS tot, " +
+        "sum(CAST(n AS HUGEINT) * n) OVER (PARTITION BY block_size, blk) " +
+        "AS ss, count(*) OVER (PARTITION BY block_size, blk) AS cnt " +
+        "FROM b), " +
+        "cd AS (SELECT block_size, blk, CAST(cs AS DOUBLE) - " +
+        "CAST(i + 1 AS DOUBLE) * (CAST(tot AS DOUBLE) / " +
+        "CAST(block_size AS DOUBLE)) AS cdv, " +
+        "(CAST(ss AS DOUBLE) - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE) " +
+        "/ CAST(block_size AS DOUBLE)) / CAST(block_size AS DOUBLE) AS s2 " +
+        "FROM w WHERE cnt = block_size), " +
+        "pb AS (SELECT block_size, blk, (greatest(max(cdv), 0.0) - " +
+        "least(min(cdv), 0.0)) / sqrt(any_value(s2)) AS rs FROM cd " +
+        "GROUP BY 1, 2 HAVING any_value(s2) > 0), " +
+        "ps AS (SELECT block_size, CAST(count(*) AS BIGINT) AS n_blocks, " +
+        "avg(rs) AS mrs FROM pb GROUP BY 1), " +
+        "fit AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(x) AS sx, " +
+        "sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy FROM " +
+        "(SELECT ln(CAST(block_size AS DOUBLE)) AS x, ln(mrs) AS y " +
+        "FROM ps)) " +
+        "SELECT block_size, n_blocks, round(mrs, 6) AS mean_rs, " +
+        "round(CASE WHEN k >= 2 THEN (CAST(k AS DOUBLE) * sxy - sx * sy) " +
+        "/ (CAST(k AS DOUBLE) * sxx - sx * sx) END, 6) AS h " +
+        "FROM ps, fit ORDER BY block_size"),
+      (s, dir) => EventAnalytics.hurstDaily(Tables.events(s, dir), "ts",
+        sizes = Seq(4, 8, 16))),
+
+    // ---- periodogram of daily counts at k = 1..30: the spine cross-joins
+    // a broadcast frequency grid into ONE groupBy — no window; power
+    // normalized by (n*ybar)^2 so the 6dp round sits 6 orders above
+    // cross-engine trig/summation noise. The weekly cycle spikes near
+    // period 7.
+    Q("q436_periodogram",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "s AS (SELECT r.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n " +
+        "FROM r LEFT JOIN c USING (day)), " +
+        "meta AS (SELECT min(day) AS d0, CAST(count(*) AS BIGINT) AS nd, " +
+        "CAST(sum(n) AS BIGINT) AS tot FROM s), " +
+        "t AS (SELECT day - d0 AS t, n, nd, tot FROM s, meta), " +
+        "kk AS (SELECT unnest(range(1, 31)) AS k), " +
+        "a AS (SELECT k, any_value(nd) AS nd, any_value(tot) AS tot, " +
+        "sum(CAST(n AS DOUBLE) * cos(2.0 * pi() * CAST(k AS DOUBLE) * " +
+        "CAST(t AS DOUBLE) / CAST(nd AS DOUBLE))) AS cc, " +
+        "sum(CAST(n AS DOUBLE) * sin(2.0 * pi() * CAST(k AS DOUBLE) * " +
+        "CAST(t AS DOUBLE) / CAST(nd AS DOUBLE))) AS ss " +
+        "FROM t, kk GROUP BY k) " +
+        "SELECT k, round(CAST(nd AS DOUBLE) / CAST(k AS DOUBLE), 2) " +
+        "AS period, round(CASE WHEN tot > 0 THEN (cc * cc + ss * ss) / " +
+        "(CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) END, 6) " +
+        "AS norm_power FROM a ORDER BY k"),
+      (s, dir) => EventAnalytics.periodogramDaily(Tables.events(s, dir),
+        "ts", maxK = 30))
   )
 }

@@ -858,6 +858,73 @@ class AppliedSpec extends SparkSpec {
     assert(r.getDouble(4) == 1.745743, s"z: $r")
   }
 
+  test("turningPointsDaily: strict extrema only; flats don't count") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // counts 1,3,2,2,5: day1 is a strict peak; day2's right diff is 0 and
+    // day3's left diff is 0 -> neither counts. T=1, n=5:
+    // E = 2, Var = 51/90, z = -1/sqrt(51/90)
+    val counts = Seq(1, 3, 2, 2, 5)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(t(d + 10)) }
+    val r = EventAnalytics.turningPointsDaily(rows.toDF("ts"), "ts")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((5L, 1L)))
+    assert(r.getDouble(2) == -1.328422, s"z: $r")
+  }
+
+  test("coxStuartDaily: odd length drops the middle day; hand z") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // counts 1,2,3,1,5: m=2, middle (3) dropped; pairs (1,1) tie, (2,5) up
+    // -> s_plus=1, s_minus=0, n'=1, z = (1 - 0.5)/sqrt(0.25) = 1
+    val counts = Seq(1, 2, 3, 1, 5)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(t(d + 10)) }
+    val r = EventAnalytics.coxStuartDaily(rows.toDF("ts"), "ts")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 2L, 1L, 0L)))
+    assert(r.getDouble(4) == 1.0, s"z: $r")
+  }
+
+  test("hurstDaily: alternating series -> R/S = 1 at every size, H = 0; " +
+    "incomplete tail blocks drop") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // counts 1,2 repeated over 8 days + a 9th day (incomplete at both
+    // sizes): every complete block has R = 0.5, S = 0.5 -> R/S = 1,
+    // so ln(mean_rs) = 0 at both sizes and the slope H = 0
+    val counts = Seq(1, 2, 1, 2, 1, 2, 1, 2, 9)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(t(d + 10)) }
+    val r = EventAnalytics.hurstDaily(rows.toDF("ts"), "ts", Seq(2, 4))
+      .collect()
+    assert(r.length == 2)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getDouble(2)) ==
+      ((2L, 4L, 1.0)))
+    assert((r(1).getLong(0), r(1).getLong(1), r(1).getDouble(2)) ==
+      ((4L, 2L, 1.0)))
+    assert(r(0).getDouble(3) == 0.0, s"h: ${r(0)}")
+  }
+
+  test("periodogramDaily: alternating 4-day series spikes at period 2") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // counts 1,2,1,2: k=1 cancels (power 0); k=2 has c = -2 exactly
+    // (cos at multiples of pi), power 4/36
+    val counts = Seq(1, 2, 1, 2)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(t(d + 10)) }
+    val r = EventAnalytics.periodogramDaily(rows.toDF("ts"), "ts", maxK = 2)
+      .collect()
+    assert(r.length == 2)
+    assert((r(0).getLong(0), r(0).getDouble(1), r(0).getDouble(2)) ==
+      ((1L, 4.0, 0.0)))
+    assert((r(1).getLong(0), r(1).getDouble(1), r(1).getDouble(2)) ==
+      ((2L, 2.0, 0.111111)))
+  }
+
   test("varianceRatioDaily: alternating counts -> hand VR(5)") {
     import java.sql.Timestamp
     def t(d: Int) = new Timestamp(86400000L * d)
