@@ -347,4 +347,152 @@ object Finance {
       round(when(sd > 0.0, mean / sd), 6).as("sharpe"),
       round(when(dsd > 0.0, mean / dsd), 6).as("sortino"))
   }
+
+  /** The (key, day, close-cents) projection every indicator below starts
+    * from: `closeCol` is a 2dp price (e.g. [[dailyBars]]'s `close`), so
+    * ·100 + half-up round recovers the exact integer cents on any engine. */
+  private def closeCents(df: DataFrame, keyCol: String, dayCol: String,
+                         closeCol: Column): DataFrame =
+    df.select(col(keyCol).as("key"), col(dayCol).cast("long").as("day"),
+      round(closeCol * 100, 0).cast("long").as("__c"))
+
+  // --------------------------------------------------------- Cutler's RSI
+  /** Relative Strength Index, Cutler's simple-moving-average variant
+    * (Cutler 1987 — the arithmetic form; Wilder's 1978 original smooths
+    * recursively, which no fixed-shape window can reproduce):
+    * RSI_t = 100·ΣG/(ΣG+ΣL) over the trailing `window` close-to-close
+    * diffs at TRADING-day grain (gap days collapse — bars carry the
+    * series, not the calendar). Only complete windows emit.
+    *
+    * DETERMINISM AND SCALE: diffs, gains, and losses are exact integer
+    * cents in windows PARTITIONED BY KEY (a ticker's history is
+    * calendar-bounded — the [[dailyBars]] grain); RSI is one exact
+    * rational → one IEEE division, 6dp. An all-flat window (ΣG+ΣL = 0)
+    * reports null. Returns (key, day, rsi). */
+  def cutlersRsi(df: DataFrame, keyCol: String, dayCol: String,
+                 closeCol: Column, window: Int = 14): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    val wLag = Window.partitionBy(col("key")).orderBy(col("day"))
+    val wRoll = wLag.rowsBetween(-(window - 1), 0)
+    val diffs = closeCents(df, keyCol, dayCol, closeCol)
+      .withColumn("__d", col("__c") - lag(col("__c"), 1).over(wLag))
+      .filter(col("__d").isNotNull)
+    val rolled = diffs
+      .withColumn("__g",
+        sum(when(col("__d") > 0L, col("__d")).otherwise(0L)).over(wRoll))
+      .withColumn("__l",
+        sum(when(col("__d") < 0L, -col("__d")).otherwise(0L)).over(wRoll))
+      .withColumn("__k", count(lit(1)).over(wRoll))
+      .filter(col("__k") === window)
+    rolled.select(col("key"), col("day"),
+      round(when(col("__g") + col("__l") > 0L,
+        lit(100.0) * col("__g").cast("double") /
+          (col("__g") + col("__l")).cast("double")), 6).as("rsi"))
+  }
+
+  // ----------------------------------------------------- Bollinger bands
+  /** Bollinger-band breach summary per key: a 20-bar rolling mean ± k·σ
+    * envelope on the close, then per-key counts of closes strictly above
+    * the upper and below the lower band (Bollinger 1980s; population σ,
+    * the convention). Only complete windows gate.
+    *
+    * DETERMINISM AND SCALE: rolling Σc and Σc² are exact integer/decimal
+    * cents in key-partitioned windows; σ² comes from the moment closed
+    * form; the breach compares close against the UNROUNDED band — the
+    * same fixed IEEE shape on identical integer inputs on every engine,
+    * so the flag (and the counts) carry no rounding step at all.
+    * Returns per key: (key, n_bars, n_windows, n_breach_up,
+    * n_breach_down). */
+  def bollingerBreaches(df: DataFrame, keyCol: String, dayCol: String,
+                        closeCol: Column, window: Int = 20,
+                        k: Double = 2.0): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    val dt = DecimalType(38, 0)
+    val wRoll = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(-(window - 1), 0)
+    val rolled = closeCents(df, keyCol, dayCol, closeCol)
+      .withColumn("__s", sum(col("__c")).over(wRoll))
+      .withColumn("__ss", sum(col("__c").cast(dt) * col("__c")).over(wRoll))
+      .withColumn("__k", count(lit(1)).over(wRoll))
+    val wD = lit(window.toDouble)
+    val mean = col("__s").cast("double") / wD
+    val sigma = sqrt((wD * col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double")) / (wD * wD))
+    val cD = col("__c").cast("double")
+    val complete = col("__k") === window
+    rolled.groupBy("key")
+      .agg(count(lit(1)).as("n_bars"),
+        sum(when(complete, 1L).otherwise(0L)).as("n_windows"),
+        sum(when(complete && cD > mean + lit(k) * sigma, 1L).otherwise(0L))
+          .as("n_breach_up"),
+        sum(when(complete && cD < mean - lit(k) * sigma, 1L).otherwise(0L))
+          .as("n_breach_down"))
+  }
+
+  // ------------------------------------------------ historical VaR/CVaR
+  /** Historical value-at-risk and conditional VaR of the per-key daily
+    * close-to-close cent moves: VaR_α is the ⌈α·n⌉-th SMALLEST diff (an
+    * order-statistic DATA ELEMENT — the repo's quantile discipline, never
+    * interpolated) and CVaR averages exactly those ⌈α·n⌉ tail diffs
+    * (rank-based, so cent ties split deterministically by day).
+    *
+    * DETERMINISM AND SCALE: diffs are integer cents; the rank window
+    * partitions by key (ticker histories are calendar-bounded); the tail
+    * mean is an exact decimal sum over ⌈α·n⌉ integers with ONE division.
+    * Returns per key: (key, n_diffs, n_tail, var_amt, cvar_amt) in
+    * currency units (cents/100), 6dp. */
+  def historicalVar(df: DataFrame, keyCol: String, dayCol: String,
+                    closeCol: Column, alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha < 0.5, s"alpha must be in (0, 0.5): $alpha")
+    val dt = DecimalType(38, 0)
+    val wLag = Window.partitionBy(col("key")).orderBy(col("day"))
+    val wRank = Window.partitionBy(col("key"))
+      .orderBy(col("__d").asc, col("day").asc)
+    val wAll = Window.partitionBy(col("key"))
+    val diffs = closeCents(df, keyCol, dayCol, closeCol)
+      .withColumn("__d", col("__c") - lag(col("__c"), 1).over(wLag))
+      .filter(col("__d").isNotNull)
+    val ranked = diffs
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__idx", ceil(col("__n").cast("double") * alpha)
+        .cast("long"))
+    ranked.filter(col("__rn") <= col("__idx"))
+      .groupBy("key")
+      .agg(first(col("__n")).as("n_diffs"), count(lit(1)).as("n_tail"),
+        max(col("__d")).as("__var"),
+        sum(col("__d").cast(dt)).as("__tailsum"))
+      .select(col("key"), col("n_diffs"), col("n_tail"),
+        round(col("__var").cast("double") / 100.0, 6).as("var_amt"),
+        round(col("__tailsum").cast("double") /
+          (col("n_tail").cast("double") * 100.0), 6).as("cvar_amt"))
+  }
+
+  // --------------------------------------------------------- Ulcer index
+  /** Ulcer index per key (Martin & McCann 1989): the RMS percentage
+    * drawdown of the close below its own running peak —
+    * UI = √(Σ dd_t²/n) with dd_t = 100·(peak_t − close_t)/peak_t — the
+    * chronic-pain complement to [[drawdownReport]]'s single worst trough.
+    *
+    * DETERMINISM AND SCALE: the running peak is an exact integer-cent
+    * cumulative max in a key-partitioned window; each dd is one fixed
+    * IEEE shape on identical integers; Σdd² is the only order-sensitive
+    * float sum (per key, magnitudes ≤ 100² — noise ~1e−10 under the 6dp
+    * round). Returns per key: (key, n_bars, max_dd_pct, ulcer). */
+  def ulcerIndex(df: DataFrame, keyCol: String, dayCol: String,
+                 closeCol: Column): DataFrame = {
+    val wRun = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPeak = closeCents(df, keyCol, dayCol, closeCol)
+      .withColumn("__peak", max(col("__c")).over(wRun))
+    val dd = lit(100.0) * (col("__peak") - col("__c")).cast("double") /
+      col("__peak").cast("double")
+    withPeak.filter(col("__peak") > 0L)
+      .withColumn("__dd", dd)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_bars"),
+        round(max(col("__dd")), 6).as("max_dd_pct"),
+        round(sqrt(sum(col("__dd") * col("__dd")) /
+          count(lit(1)).cast("double")), 6).as("ulcer"))
+  }
 }

@@ -3186,7 +3186,7 @@ object StatsQueries2 {
     Q("q355_daily_bars",
       Some("WITH t AS (SELECT l_suppkey % 25 AS key, " +
         "epoch_us(l_shipdate) // 86400000000 AS day, " +
-        "l_orderkey * 10 + l_linenumber AS tie, " +
+        "l_orderkey * 10000000 + l_linenumber * 1000000 + l_suppkey AS tie, " +
         "CAST(round(l_extendedprice * 100) AS BIGINT) AS c, " +
         "CAST(l_quantity AS BIGINT) AS q FROM lineitem), " +
         "b AS (SELECT key, day, arg_min(c, tie) AS o, max(c) AS h, " +
@@ -3202,7 +3202,8 @@ object StatsQueries2 {
           Tables.lineitem(s, dir)
             .withColumn("ticker", pmod(col("l_suppkey"), lit(25L))),
           "ticker", "l_shipdate",
-          col("l_orderkey") * 10 + col("l_linenumber"),
+          col("l_orderkey") * 10000000 + col("l_linenumber") * 1000000 +
+            col("l_suppkey"),
           col("l_extendedprice"), col("l_quantity"))
         .filter(col("key") === 7)
         .orderBy("key", "day")),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{EventAnalytics, Stats}
+import graft.pipeline.{EventAnalytics, Finance, Stats}
 
 /** Round-11 hypothesis-test drivers: variance-homogeneity (Bartlett,
   * Conover squared ranks), single-outlier screening (Grubbs), and the
@@ -261,6 +261,143 @@ object StatsQueries4 {
         "(CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) END, 6) " +
         "AS norm_power FROM a ORDER BY k"),
       (s, dir) => EventAnalytics.periodogramDaily(Tables.events(s, dir),
-        "ts", maxK = 30))
+        "ts", maxK = 30)),
+
+    // ---- Cutler RSI over three synthetic tickers' daily close series
+    // (the q355 bars): exact integer gain/loss sums in key-partitioned
+    // 14-bar windows, one division per row. Ticker filter pushes to the
+    // bar build on both engines.
+    Q("q437_rsi",
+      Some("WITH t AS (SELECT l_suppkey % 25 AS key, " +
+        "epoch_us(l_shipdate) // 86400000000 AS day, " +
+        "l_orderkey * 10000000 + l_linenumber * 1000000 + l_suppkey AS tie, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem " +
+        "WHERE l_suppkey % 25 IN (3, 7, 11)), " +
+        "b AS (SELECT key, day, arg_max(c, tie) AS cl FROM t " +
+        "GROUP BY 1, 2), " +
+        "d AS (SELECT key, day, cl - lag(cl) OVER " +
+        "(PARTITION BY key ORDER BY day) AS dd FROM b), " +
+        "f AS (SELECT key, day, dd FROM d WHERE dd IS NOT NULL), " +
+        "r AS (SELECT key, day, " +
+        "sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) OVER w AS g, " +
+        "sum(CASE WHEN dd < 0 THEN -dd ELSE 0 END) OVER w AS l, " +
+        "count(*) OVER w AS k FROM f WINDOW w AS " +
+        "(PARTITION BY key ORDER BY day " +
+        "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
+        "SELECT key, day, round(CASE WHEN g + l > 0 THEN " +
+        "100.0 * CAST(g AS DOUBLE) / CAST(g + l AS DOUBLE) END, 6) AS rsi " +
+        "FROM r WHERE k = 14 ORDER BY key, day"),
+      (s, dir) => Finance.cutlersRsi(
+        Finance.dailyBars(
+          Tables.lineitem(s, dir)
+            .withColumn("ticker", pmod(col("l_suppkey"), lit(25L)))
+            .filter(col("ticker").isin(3L, 7L, 11L)),
+          "ticker", "l_shipdate",
+          col("l_orderkey") * 10000000 + col("l_linenumber") * 1000000 +
+            col("l_suppkey"),
+          col("l_extendedprice"), col("l_quantity")),
+        "key", "day", col("close"), window = 14)
+        .orderBy("key", "day")),
+
+    // ---- Bollinger breach census per ticker: 20-bar mean +/- 2 sigma
+    // envelopes from exact integer window moments; the breach compares
+    // UNROUNDED IEEE bands, so the counts carry no rounding step.
+    Q("q438_bollinger",
+      Some("WITH t AS (SELECT l_suppkey % 25 AS key, " +
+        "epoch_us(l_shipdate) // 86400000000 AS day, " +
+        "l_orderkey * 10000000 + l_linenumber * 1000000 + l_suppkey AS tie, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem), " +
+        "b AS (SELECT key, day, arg_max(c, tie) AS cl FROM t " +
+        "GROUP BY 1, 2), " +
+        "r AS (SELECT key, cl, sum(cl) OVER w AS s, " +
+        "sum(CAST(cl AS HUGEINT) * cl) OVER w AS ss, count(*) OVER w AS k " +
+        "FROM b WINDOW w AS (PARTITION BY key ORDER BY day " +
+        "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)), " +
+        "m AS (SELECT key, cl, k, CAST(s AS DOUBLE) / 20.0 AS mean, " +
+        "sqrt((20.0 * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * " +
+        "CAST(s AS DOUBLE)) / (20.0 * 20.0)) AS sig FROM r) " +
+        "SELECT key, CAST(count(*) AS BIGINT) AS n_bars, " +
+        "CAST(sum(CASE WHEN k = 20 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_windows, " +
+        "CAST(sum(CASE WHEN k = 20 AND CAST(cl AS DOUBLE) > " +
+        "mean + 2.0 * sig THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_up, " +
+        "CAST(sum(CASE WHEN k = 20 AND CAST(cl AS DOUBLE) < " +
+        "mean - 2.0 * sig THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_down " +
+        "FROM m GROUP BY key ORDER BY key"),
+      (s, dir) => Finance.bollingerBreaches(
+        Finance.dailyBars(
+          Tables.lineitem(s, dir)
+            .withColumn("ticker", pmod(col("l_suppkey"), lit(25L))),
+          "ticker", "l_shipdate",
+          col("l_orderkey") * 10000000 + col("l_linenumber") * 1000000 +
+            col("l_suppkey"),
+          col("l_extendedprice"), col("l_quantity")),
+        "key", "day", col("close"), window = 20, k = 2.0)
+        .orderBy("key")),
+
+    // ---- historical VaR/CVaR of per-ticker daily close moves: the tail
+    // cut is an order-statistic DATA ELEMENT (ceil-rank, day tiebreak),
+    // the tail mean an exact decimal sum — no interpolation anywhere.
+    Q("q439_hist_var",
+      Some("WITH t AS (SELECT l_suppkey % 25 AS key, " +
+        "epoch_us(l_shipdate) // 86400000000 AS day, " +
+        "l_orderkey * 10000000 + l_linenumber * 1000000 + l_suppkey AS tie, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem), " +
+        "b AS (SELECT key, day, arg_max(c, tie) AS cl FROM t " +
+        "GROUP BY 1, 2), " +
+        "d AS (SELECT key, day, cl - lag(cl) OVER " +
+        "(PARTITION BY key ORDER BY day) AS dd FROM b), " +
+        "f AS (SELECT key, day, dd FROM d WHERE dd IS NOT NULL), " +
+        "r AS (SELECT key, day, dd, row_number() OVER " +
+        "(PARTITION BY key ORDER BY dd, day) AS rn, " +
+        "count(*) OVER (PARTITION BY key) AS n FROM f), " +
+        "s AS (SELECT key, dd, rn, n, " +
+        "CAST(ceil(CAST(n AS DOUBLE) * 0.05) AS BIGINT) AS idx FROM r) " +
+        "SELECT key, any_value(n) AS n_diffs, " +
+        "CAST(count(*) AS BIGINT) AS n_tail, " +
+        "round(CAST(max(dd) AS DOUBLE) / 100.0, 6) AS var_amt, " +
+        "round(CAST(sum(CAST(dd AS HUGEINT)) AS DOUBLE) / " +
+        "(CAST(count(*) AS DOUBLE) * 100.0), 6) AS cvar_amt " +
+        "FROM s WHERE rn <= idx GROUP BY key ORDER BY key"),
+      (s, dir) => Finance.historicalVar(
+        Finance.dailyBars(
+          Tables.lineitem(s, dir)
+            .withColumn("ticker", pmod(col("l_suppkey"), lit(25L))),
+          "ticker", "l_shipdate",
+          col("l_orderkey") * 10000000 + col("l_linenumber") * 1000000 +
+            col("l_suppkey"),
+          col("l_extendedprice"), col("l_quantity")),
+        "key", "day", col("close"), alpha = 0.05)
+        .orderBy("key")),
+
+    // ---- ulcer index per ticker: RMS percentage drawdown below the
+    // integer-cent running peak — the chronic-pain complement to q293's
+    // single worst trough.
+    Q("q440_ulcer",
+      Some("WITH t AS (SELECT l_suppkey % 25 AS key, " +
+        "epoch_us(l_shipdate) // 86400000000 AS day, " +
+        "l_orderkey * 10000000 + l_linenumber * 1000000 + l_suppkey AS tie, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem), " +
+        "b AS (SELECT key, day, arg_max(c, tie) AS cl FROM t " +
+        "GROUP BY 1, 2), " +
+        "r AS (SELECT key, cl, max(cl) OVER (PARTITION BY key " +
+        "ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS pk FROM b), " +
+        "d AS (SELECT key, 100.0 * CAST(pk - cl AS DOUBLE) / " +
+        "CAST(pk AS DOUBLE) AS dd FROM r WHERE pk > 0) " +
+        "SELECT key, CAST(count(*) AS BIGINT) AS n_bars, " +
+        "round(max(dd), 6) AS max_dd_pct, " +
+        "round(sqrt(sum(dd * dd) / CAST(count(*) AS DOUBLE)), 6) AS ulcer " +
+        "FROM d GROUP BY key ORDER BY key"),
+      (s, dir) => Finance.ulcerIndex(
+        Finance.dailyBars(
+          Tables.lineitem(s, dir)
+            .withColumn("ticker", pmod(col("l_suppkey"), lit(25L))),
+          "ticker", "l_shipdate",
+          col("l_orderkey") * 10000000 + col("l_linenumber") * 1000000 +
+            col("l_suppkey"),
+          col("l_extendedprice"), col("l_quantity")),
+        "key", "day", col("close"))
+        .orderBy("key"))
   )
 }

@@ -244,4 +244,52 @@ class FinanceSpec extends SparkSpec {
     assert(r.getDouble(3) == 70.710678)
     assert(r.getDouble(4) == 0.333333 && r.getDouble(5) == 0.707107, s"rr: $r")
   }
+
+  test("cutlersRsi: hand gains/losses over a 3-bar window; complete only") {
+    // closes 1.00,1.02,1.01,1.05,1.04 -> diffs +2,-1,+4,-1; windows of 3
+    // complete at day 3 (G=6,L=1 -> 600/7) and day 4 (G=4,L=2 -> 200/3)
+    val bars = Seq((1L, 0L, 1.00), (1L, 1L, 1.02), (1L, 2L, 1.01),
+      (1L, 3L, 1.05), (1L, 4L, 1.04)).toDF("key", "day", "close")
+    val r = Finance.cutlersRsi(bars, "key", "day", col("close"), window = 3)
+      .orderBy("day").collect()
+    assert(r.length == 2)
+    assert((r(0).getLong(1), r(0).getDouble(2)) ==
+      ((3L, math.round(600.0 / 7.0 * 1e6) / 1e6)))
+    assert((r(1).getLong(1), r(1).getDouble(2)) == ((4L, 66.666667)))
+  }
+
+  test("bollingerBreaches: strict band breaches; sigma-zero windows safe") {
+    // closes 1.00,1.00,1.00,1.30,0.70 with window 3, k=1:
+    // row3 sigma=0 (no breach), row4 upper=1.2414 < 1.30 (up),
+    // row5 lower=0.7551 > 0.70 (down)
+    val bars = Seq((1L, 0L, 1.00), (1L, 1L, 1.00), (1L, 2L, 1.00),
+      (1L, 3L, 1.30), (1L, 4L, 0.70)).toDF("key", "day", "close")
+    val r = Finance.bollingerBreaches(bars, "key", "day", col("close"),
+      window = 3, k = 1.0).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((5L, 3L, 1L, 1L)))
+  }
+
+  test("historicalVar: ceil-rank tail element and exact tail mean") {
+    // closes 1.00,0.90,0.95,0.87,0.86,1.16 -> diffs -10,+5,-8,-1,+30;
+    // alpha=.25 -> idx=ceil(1.25)=2 -> tail {-10,-8}: var=-0.08, cvar=-0.09
+    val bars = Seq((1L, 0L, 1.00), (1L, 1L, 0.90), (1L, 2L, 0.95),
+      (1L, 3L, 0.87), (1L, 4L, 0.86), (1L, 5L, 1.16))
+      .toDF("key", "day", "close")
+    val r = Finance.historicalVar(bars, "key", "day", col("close"),
+      alpha = 0.25).collect()(0)
+    assert((r.getLong(1), r.getLong(2)) == ((5L, 2L)))
+    assert(r.getDouble(3) == -0.08 && r.getDouble(4) == -0.09, s"var: $r")
+  }
+
+  test("ulcerIndex: RMS drawdown below the running peak") {
+    // closes 1.00,1.10,0.99,1.10: peaks 100,110,110,110 -> dd 0,0,10,0
+    // -> max 10, ulcer = sqrt(100/4) = 5
+    val bars = Seq((1L, 0L, 1.00), (1L, 1L, 1.10), (1L, 2L, 0.99),
+      (1L, 3L, 1.10)).toDF("key", "day", "close")
+    val r = Finance.ulcerIndex(bars, "key", "day", col("close"))
+      .collect()(0)
+    assert(r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 10.0 && r.getDouble(3) == 5.0, s"ui: $r")
+  }
 }
