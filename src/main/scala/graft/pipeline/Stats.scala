@@ -5043,4 +5043,260 @@ object Stats {
       round(when(col("n_a") > 0L && col("n_b") > 0L && varT > 0.0,
         (t - nA * s2 / nD) / sqrt(varT)), 6).as("z"))
   }
+
+  // ------------------------------------------------- Fisher's exact test
+  /** Fisher's exact test on the 2×2 table of two boolean conditions
+    * (Fisher 1935): two-sided p = Σ over support of the hypergeometric
+    * masses ≤ (1+1e−7)·mass(observed) — the standard relative-epsilon
+    * convention — computed entirely from UNNORMALIZED log-weights, so no
+    * factorial ever materializes: ln w(x+1) − ln w(x) =
+    * ln((r1−x)(c1−x)) − ln((x+1)(N−r1−c1+x+1)).
+    *
+    * DETERMINISM AND SCALE: the margins are one exact agg; the support
+    * x ∈ [max(0, r1+c1−N), min(r1, c1)] explodes from the one-row margins
+    * and the log-weight recurrence accumulates in ONE ordered cumulative
+    * window — sequential in both engines, so selection (with the 1e−7
+    * margin dwarfing ~1e−12 accumulated ln noise) is engine-stable; the
+    * final mass sums are max-shifted exps, 6dp. The support is the
+    * documented bounded seam: a support wider than 2²⁰ raises loudly
+    * (Fisher's test is for bounded tables — use chi-square beyond).
+    * Returns one row: (n, r1, c1, a_obs, or_sample, p_two). */
+  def fisherExact(df: DataFrame, rowCond: Column,
+                  colCond: Column): DataFrame = {
+    val m = df.agg(count(lit(1)).as("n"),
+      sum(when(rowCond, 1L).otherwise(0L)).as("r1"),
+      sum(when(colCond, 1L).otherwise(0L)).as("c1"),
+      sum(when(rowCond && colCond, 1L).otherwise(0L)).as("a_obs"))
+    val lo = greatest(lit(0L), col("r1") + col("c1") - col("n"))
+    val hi = least(col("r1"), col("c1"))
+    val margins = m.select(col("n"), col("r1"), col("c1"), col("a_obs"),
+      when(hi - lo > (1L << 20),
+        raise_error(concat(lit("fisherExact: support width "),
+          (hi - lo).cast("string"),
+          lit(" exceeds 2^20 - use chi-square for tables this large"))))
+        .otherwise(lo).as("__lo"), hi.as("__hi"))
+    val support = margins
+      .select(col("n"), col("r1"), col("c1"), col("a_obs"),
+        explode(sequence(col("__lo"), col("__hi"))).as("__x"))
+    // term(x) carries the ratio w(x)/w(x−1); the cumulative sum anchors
+    // ln w at the support's low end (= 0)
+    val xm1 = col("__x") - 1L
+    val term = when(col("__x") === greatest(lit(0L),
+        col("r1") + col("c1") - col("n")), lit(0.0))
+      .otherwise(log(((col("r1") - xm1) * (col("c1") - xm1)).cast("double"))
+        - log((col("__x") *
+          (col("n") - col("r1") - col("c1") + col("__x"))).cast("double")))
+    val wCum = Window.orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lnw = support.withColumn("__lnw", sum(term).over(wCum))
+    val anchor = lnw.filter(col("__x") === col("a_obs"))
+      .select(col("__lnw").as("__lnobs"))
+    val mx = lnw.agg(max(col("__lnw")).as("__mx"))
+    val sums = lnw.crossJoin(broadcast(anchor)).crossJoin(broadcast(mx))
+      .agg(first(col("n")).as("n"), first(col("r1")).as("r1"),
+        first(col("c1")).as("c1"), first(col("a_obs")).as("a_obs"),
+        sum(exp(col("__lnw") - col("__mx"))).as("__tot"),
+        sum(when(col("__lnw") <= col("__lnobs") + lit(1e-7),
+          exp(col("__lnw") - col("__mx"))).otherwise(0.0)).as("__sel"))
+    val b = col("r1") - col("a_obs")
+    val c = col("c1") - col("a_obs")
+    val d = col("n") - col("r1") - col("c1") + col("a_obs")
+    sums.select(col("n"), col("r1"), col("c1"), col("a_obs"),
+      round(when(b * c > 0L,
+        (col("a_obs") * d).cast("double") / (b * c).cast("double")), 6)
+        .as("or_sample"),
+      round(col("__sel") / col("__tot"), 6).as("p_two"))
+  }
+
+  // -------------------------------------------- Krippendorff's alpha
+  /** Krippendorff's alpha for NOMINAL data (Krippendorff 1970/2004) from
+    * the coincidence matrix: α = 1 − D_o/D_e with
+    * D_o = (1/n)·Σ_u Σ_c n_uc(m_u − n_uc)/(m_u − 1) and
+    * D_e = Σ_c n_c(n − n_c)/(n(n − 1)) over PAIRABLE ratings (units with
+    * m_u ≥ 2) — the missing-tolerant generalization of [[fleissKappa]]
+    * (which demands equal rater counts) and [[cohenKappa]] (exactly two).
+    *
+    * DETERMINISM AND SCALE: one (unit, category) rollup; the per-unit
+    * rational disagreement terms round to DECIMAL(28,12) BEFORE summing
+    * (the [[mantelHaenszel]] discipline — decimal addition is
+    * order-independent where a float sum is not); the marginal term is
+    * pure integer DECIMAL(38,0). No window anywhere. Returns one row:
+    * (n_units, n_ratings, n_categories, d_o, d_e, alpha) 6dp. */
+  def krippendorffAlpha(df: DataFrame, unitCol: Column,
+                        catCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val cells = df.select(unitCol.as("__u"), catCol.as("__c"))
+      .filter(col("__u").isNotNull && col("__c").isNotNull)
+      .groupBy("__u", "__c").agg(count(lit(1)).as("__n"))
+    val units = cells.groupBy("__u")
+      .agg(sum(col("__n")).as("__mu"),
+        sum(col("__n").cast(dt) * col("__n")).as("__sq"))
+      .filter(col("__mu") >= 2L)
+    val pairable = cells.join(units.select(col("__u"), col("__mu")), "__u")
+    val uAgg = pairable
+      .select(col("__u"), col("__mu"),
+        ((col("__n") * (col("__mu") - col("__n"))).cast("double") /
+          (col("__mu") - 1L).cast("double")).cast(DecimalType(28, 12))
+          .as("__do"))
+      .agg(count_distinct(col("__u")).as("n_units"),
+        sum(col("__do")).as("__dosum"))
+    val cats = pairable.groupBy("__c").agg(sum(col("__n")).as("__nc"))
+    val cAgg = cats.agg(count(lit(1)).as("n_categories"),
+      sum(col("__nc")).as("n_ratings"),
+      sum(col("__nc").cast(dt) * col("__nc")).as("__sqc"))
+    val j = uAgg.crossJoin(broadcast(cAgg))
+    val nD = col("n_ratings").cast("double")
+    val dObs = col("__dosum").cast("double") / nD
+    val dExp = (nD * nD - col("__sqc").cast("double")) / (nD * (nD - 1.0))
+    j.select(col("n_units"), col("n_ratings"), col("n_categories"),
+      round(dObs, 6).as("d_o"), round(dExp, 6).as("d_e"),
+      round(when(col("n_ratings") > 1L && dExp > 0.0,
+        lit(1.0) - dObs / dExp), 6).as("alpha"))
+  }
+
+  // ------------------------------------------------ Breslow-Day test
+  /** Breslow–Day test for homogeneity of the odds ratio across strata
+    * (Breslow & Day 1980): under the [[mantelHaenszel]] common OR ψ, each
+    * stratum's expected exposed-case count ã solves the quadratic
+    * ã(d_s+ã−margins) balance ψ = ã·d̃/(b̃·c̃); X² = Σ (a_s − ã)²·
+    * (1/ã + 1/b̃ + 1/c̃ + 1/d̃) on S−1 df — the "is one common OR even
+    * the right summary" gate in front of the MH estimate.
+    *
+    * DETERMINISM AND SCALE: stratum 2×2 counts are one exact groupBy; ψ
+    * reuses the MH DECIMAL(28,12) ratio sums (order-independent); each
+    * stratum's root and variance are a fixed IEEE closed form on exact
+    * integers + the shared ψ, summed over the BOUNDED stratum vocabulary,
+    * 6dp. Strata where any expected cell hits 0 (or the discriminant
+    * degenerates) contribute null → null statistic, loudly absent rather
+    * than silently skewed. Returns one row: (n_strata, n, or_mh, x2, df).
+    */
+  def breslowDay(df: DataFrame, stratumCol: Column, exposedCol: Column,
+                 outcomeCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val g = df.groupBy(stratumCol.as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(exposedCol && outcomeCol, 1L).otherwise(0L)).as("__a"),
+        sum(when(exposedCol && !outcomeCol, 1L).otherwise(0L)).as("__b"),
+        sum(when(!exposedCol && outcomeCol, 1L).otherwise(0L)).as("__c"),
+        sum(when(!exposedCol && !outcomeCol, 1L).otherwise(0L)).as("__d"))
+    val psiAgg = g.agg(
+      sum(((col("__a") * col("__d")).cast("double") /
+        col("__n").cast("double")).cast(DecimalType(28, 12))).as("__ad"),
+      sum(((col("__b") * col("__c")).cast("double") /
+        col("__n").cast("double")).cast(DecimalType(28, 12))).as("__bc"))
+    val psi = when(col("__bc") > 0,
+      col("__ad").cast("double") / col("__bc").cast("double")).as("__psi")
+    val withPsi = g.crossJoin(broadcast(psiAgg.select(psi)))
+    val r1 = (col("__a") + col("__b")).cast("double")
+    val c1 = (col("__a") + col("__c")).cast("double")
+    val nS = col("__n").cast("double")
+    // (1−ψ)ã² + [(N−r1−c1) + ψ(r1+c1)]ã − ψ·r1·c1 = 0
+    val qa = lit(1.0) - col("__psi")
+    val qb = (nS - r1 - c1) + col("__psi") * (r1 + c1)
+    val qc = -col("__psi") * r1 * c1
+    val disc = qb * qb - lit(4.0) * qa * qc
+    val root1 = (-qb + sqrt(disc)) / (lit(2.0) * qa)
+    val root2 = (-qb - sqrt(disc)) / (lit(2.0) * qa)
+    val loB = greatest(lit(0.0), r1 + c1 - nS)
+    val hiB = least(r1, c1)
+    def inRange(r: Column) = r > loB && r < hiB
+    val aTilde = when(abs(qa) < lit(1e-12), -qc / qb)
+      .when(disc >= 0.0 && inRange(root1), root1)
+      .when(disc >= 0.0 && inRange(root2), root2)
+    val bT = r1 - aTilde
+    val cT = c1 - aTilde
+    val dT = nS - r1 - c1 + aTilde
+    val vInv = lit(1.0) / aTilde + lit(1.0) / bT + lit(1.0) / cT +
+      lit(1.0) / dT
+    val contrib = when(aTilde.isNotNull && aTilde > 0.0 && bT > 0.0 &&
+      cT > 0.0 && dT > 0.0,
+      (col("__a").cast("double") - aTilde) *
+        (col("__a").cast("double") - aTilde) * vInv)
+    withPsi.agg(count(lit(1)).as("n_strata"), sum(col("__n")).as("n"),
+        first(col("__psi")).as("__p"),
+        sum(contrib).as("__x2"),
+        sum(when(contrib.isNull, 1L).otherwise(0L)).as("__bad"))
+      .select(col("n_strata"), col("n"),
+        round(col("__p"), 6).as("or_mh"),
+        round(when(col("__bad") === 0L, col("__x2")), 6).as("x2"),
+        (col("n_strata") - 1L).as("df"))
+  }
+
+  // ----------------------------------------------------------- Quade test
+  /** Quade test for k related samples (Quade 1979) — [[friedman]]'s
+    * range-weighted sibling (more powerful at small k when effect size
+    * scales with the unit's spread): within-unit midranks R_ij weight by
+    * the midrank Q_i of each unit's RANGE across units,
+    * S_ij = Q_i·(R_ij − (k+1)/2); F = (b−1)·B/(A−B) with B = ΣS_j²/b,
+    * A = ΣS_ij² (F ~ F(k−1, (b−1)(k−1))). Incomplete or duplicated
+    * designs RAISE (the [[friedman]] gate verbatim).
+    *
+    * DETERMINISM AND SCALE: doubled within-unit midranks r2 come from
+    * unit-partitioned windows (k-bounded); doubled range midranks q2 from
+    * a per-range-value rollup + ONE cumulative window over the DISTINCT
+    * range relation (the [[ksTwoSample]] cardinality contract — ranges of
+    * integer-valued metrics stay a vocabulary); 4S = q2·(r2−k−1) is an
+    * exact integer, so A·16, (4S_j)², and the final F reduce to ONE IEEE
+    * division of DECIMAL(38,0)-exact sums. Returns one row:
+    * (n_units, n_conditions, f_stat 6dp). */
+  def quadeTest(df: DataFrame, unitCol: Column, condCol: Column,
+                valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val base = df.select(unitCol.as("__u"), condCol.as("__c"),
+      valueCol.cast("double").as("__v"))
+    val k = base.agg(count_distinct(col("__c")).as("__k"))
+    val complete = base.groupBy("__u").agg(count(lit(1)).as("__cnt"),
+        count_distinct(col("__c")).as("__dst"))
+      .crossJoin(broadcast(k))
+      .select(col("__u"), when(col("__dst") =!= col("__k") ||
+        col("__cnt") =!= col("__dst"),
+        raise_error(concat(lit("quadeTest: unit "), col("__u").cast("string"),
+          lit(" has "), col("__dst"), lit(" of "), col("__k"),
+          lit(" distinct conditions over "), col("__cnt"),
+          lit(" rows - incomplete/duplicated designs corrupt the ranks"))))
+        .otherwise(col("__cnt")).as("__cnt"))
+    // doubled within-unit midranks (the friedman machinery)
+    val vals = base.groupBy("__u", "__v").agg(count(lit(1)).as("__t"))
+    val wRun = Window.partitionBy(col("__u")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked2 = vals
+      .withColumn("__cum", sum(col("__t")).over(wRun))
+      .select(col("__u"), col("__v"),
+        (col("__cum") * 2 - col("__t") + 1).as("__r2"))
+    // doubled midrank of each unit's range across units: per-range-value
+    // rollup, never a unit-grain global window
+    val ranges = base.groupBy("__u")
+      .agg((max(col("__v")) - min(col("__v"))).as("__rng"))
+    val rCells = ranges.groupBy("__rng").agg(count(lit(1)).as("__t"))
+    val wRng = Window.orderBy(col("__rng"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val q2ByRng = rCells
+      .withColumn("__cum", sum(col("__t")).over(wRng))
+      .select(col("__rng"), (col("__cum") * 2 - col("__t") + 1).as("__q2"))
+    val withQ = ranges.join(q2ByRng, "__rng").select(col("__u"), col("__q2"))
+    val joined = base.join(complete, Seq("__u"))
+      .filter(col("__cnt") > 0L).drop("__cnt")
+      .join(ranked2, Seq("__u", "__v"))
+      .join(withQ, Seq("__u"))
+      .crossJoin(broadcast(k))
+      // 4·S_ij = q2·(r2 − (k+1)) exactly
+      .select(col("__c"),
+        (col("__q2").cast(dt) * (col("__r2") - col("__k") - 1L)).as("__s4"))
+    val byCond = joined.groupBy("__c")
+      .agg(sum(col("__s4")).as("__sj4"), count(lit(1)).as("__n"))
+    val a16 = joined.agg(sum(col("__s4") * col("__s4")).as("__a16"))
+    val nk = byCond.agg(count(lit(1)).as("n_conditions"),
+      max(col("__n")).as("n_units"))
+    val b16b = byCond.agg(sum(col("__sj4") * col("__sj4")).as("__b16b"))
+    val mAll = nk.crossJoin(broadcast(a16)).crossJoin(broadcast(b16b))
+    val bL = col("n_units")
+    // F = (b−1)·B/(A−B) = (b−1)·ΣSj4² / (b·ΣS4² − ΣSj4²): exact integers
+    val num = (bL - 1L).cast(dt) * col("__b16b")
+    val den = bL.cast(dt) * col("__a16") - col("__b16b")
+    mAll.select(col("n_units"), col("n_conditions"),
+      round(when(den > 0, num.cast("double") / den.cast("double")), 6)
+        .as("f_stat"))
+  }
 }

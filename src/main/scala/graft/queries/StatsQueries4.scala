@@ -398,6 +398,181 @@ object StatsQueries4 {
             col("l_suppkey"),
           col("l_extendedprice"), col("l_quantity")),
         "key", "day", col("close"))
-        .orderBy("key"))
+        .orderBy("key")),
+
+    // ---- Fisher's exact test: does a positive balance associate with the
+    // BUILDING segment? Unnormalized hypergeometric log-weights over the
+    // exploded support, one sequential cumulative window, max-shifted
+    // exp sums — no factorial ever materializes.
+    Q("q441_fisher_exact",
+      Some("WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS r1, " +
+        "CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS c1, " +
+        "CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal > 0 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS a_obs FROM customer), " +
+        "sup AS (SELECT n, r1, c1, a_obs, " +
+        "unnest(range(greatest(0, r1 + c1 - n), least(r1, c1) + 1)) AS x " +
+        "FROM m), " +
+        "t AS (SELECT *, CASE WHEN x = greatest(0, r1 + c1 - n) THEN 0.0 " +
+        "ELSE ln(CAST((r1 - (x - 1)) * (c1 - (x - 1)) AS DOUBLE)) - " +
+        "ln(CAST(x * (n - r1 - c1 + x) AS DOUBLE)) END AS term FROM sup), " +
+        "w AS (SELECT *, sum(term) OVER (ORDER BY x ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS lnw FROM t), " +
+        "obs AS (SELECT lnw AS lnobs FROM w WHERE x = a_obs), " +
+        "mx AS (SELECT max(lnw) AS m FROM w), " +
+        "s AS (SELECT any_value(n) AS n, any_value(r1) AS r1, " +
+        "any_value(c1) AS c1, any_value(a_obs) AS a_obs, " +
+        "sum(exp(lnw - mx.m)) AS tot, " +
+        "sum(CASE WHEN lnw <= obs.lnobs + 1e-7 THEN exp(lnw - mx.m) " +
+        "ELSE 0.0 END) AS sel FROM w, obs, mx) " +
+        "SELECT n, r1, c1, a_obs, " +
+        "round(CASE WHEN (r1 - a_obs) * (c1 - a_obs) > 0 THEN " +
+        "CAST(a_obs * (n - r1 - c1 + a_obs) AS DOUBLE) / " +
+        "CAST((r1 - a_obs) * (c1 - a_obs) AS DOUBLE) END, 6) " +
+        "AS or_sample, round(sel / tot, 6) AS p_two FROM s"),
+      (s, dir) => Stats.fisherExact(Tables.customer(s, dir),
+        col("c_mktsegment") === "BUILDING", col("c_acctbal") > 0)),
+
+    // ---- Krippendorff's alpha: do an order's lines agree on the return
+    // flag? Units = orders (singletons drop as unpairable), nominal
+    // categories = flags; rational disagreement terms sum as
+    // DECIMAL(28,12) — order-independent on both engines.
+    Q("q442_krippendorff",
+      Some("WITH cells AS (SELECT l_orderkey AS u, l_returnflag AS c, " +
+        "CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), " +
+        "units AS (SELECT u, CAST(sum(n) AS BIGINT) AS mu FROM cells " +
+        "GROUP BY 1 HAVING sum(n) >= 2), " +
+        "p AS (SELECT cells.u, cells.c, cells.n, units.mu FROM cells " +
+        "JOIN units USING (u)), " +
+        "ua AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_units, " +
+        "sum(CAST(CAST(n * (mu - n) AS DOUBLE) / CAST(mu - 1 AS DOUBLE) " +
+        "AS DECIMAL(28,12))) AS dosum FROM p), " +
+        "cats AS (SELECT c, CAST(sum(n) AS BIGINT) AS nc FROM p " +
+        "GROUP BY 1), " +
+        "ca AS (SELECT CAST(count(*) AS BIGINT) AS n_categories, " +
+        "CAST(sum(nc) AS BIGINT) AS n_ratings, " +
+        "sum(CAST(nc AS HUGEINT) * nc) AS sqc FROM cats), " +
+        "f AS (SELECT n_units, n_ratings, n_categories, " +
+        "CAST(dosum AS DOUBLE) / CAST(n_ratings AS DOUBLE) AS dov, " +
+        "(CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE) - " +
+        "CAST(sqc AS DOUBLE)) / (CAST(n_ratings AS DOUBLE) * " +
+        "(CAST(n_ratings AS DOUBLE) - 1.0)) AS dev FROM ua, ca) " +
+        "SELECT n_units, n_ratings, n_categories, round(dov, 6) AS d_o, " +
+        "round(dev, 6) AS d_e, round(CASE WHEN n_ratings > 1 AND dev > 0 " +
+        "THEN 1.0 - dov / dev END, 6) AS alpha FROM f"),
+      (s, dir) => Stats.krippendorffAlpha(Tables.lineitem(s, dir),
+        col("l_orderkey"), col("l_returnflag"))),
+
+    // ---- Breslow-Day homogeneity of the deep-discount -> bulk-quantity
+    // odds ratio across line numbers: the quadratic expected-cell root at
+    // the MH common OR, strata summed over the bounded vocabulary.
+    Q("q443_breslow_day",
+      Some("WITH g AS (SELECT l_linenumber AS s, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN l_discount > 0.05 AND l_quantity > 25 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+        "CAST(sum(CASE WHEN l_discount > 0.05 AND NOT l_quantity > 25 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+        "CAST(sum(CASE WHEN NOT l_discount > 0.05 AND l_quantity > 25 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+        "CAST(sum(CASE WHEN NOT l_discount > 0.05 AND " +
+        "NOT l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS d " +
+        "FROM lineitem GROUP BY 1), " +
+        "ps AS (SELECT sum(CAST(CAST(a * d AS DOUBLE) / " +
+        "CAST(n AS DOUBLE) AS DECIMAL(28,12))) AS ad, " +
+        "sum(CAST(CAST(b * c AS DOUBLE) / CAST(n AS DOUBLE) " +
+        "AS DECIMAL(28,12))) AS bc FROM g), " +
+        "w AS (SELECT g.*, CASE WHEN bc > 0 THEN CAST(ad AS DOUBLE) / " +
+        "CAST(bc AS DOUBLE) END AS psi FROM g, ps), " +
+        "e AS (SELECT *, CAST(a + b AS DOUBLE) AS r1, " +
+        "CAST(a + c AS DOUBLE) AS c1, CAST(n AS DOUBLE) AS nd FROM w), " +
+        "q AS (SELECT *, 1.0 - psi AS qa, (nd - r1 - c1) + " +
+        "psi * (r1 + c1) AS qb, -psi * r1 * c1 AS qc FROM e), " +
+        "r AS (SELECT *, qb * qb - 4.0 * qa * qc AS disc, " +
+        "greatest(0.0, r1 + c1 - nd) AS lob, least(r1, c1) AS hib " +
+        "FROM q), " +
+        "rt AS (SELECT *, CASE WHEN abs(qa) < 1e-12 THEN -qc / qb " +
+        "WHEN disc >= 0 AND (-qb + sqrt(disc)) / (2.0 * qa) > lob AND " +
+        "(-qb + sqrt(disc)) / (2.0 * qa) < hib THEN " +
+        "(-qb + sqrt(disc)) / (2.0 * qa) " +
+        "WHEN disc >= 0 AND (-qb - sqrt(disc)) / (2.0 * qa) > lob AND " +
+        "(-qb - sqrt(disc)) / (2.0 * qa) < hib THEN " +
+        "(-qb - sqrt(disc)) / (2.0 * qa) END AS at FROM r), " +
+        "ct AS (SELECT *, r1 - at AS bt, c1 - at AS ctt, " +
+        "nd - r1 - c1 + at AS dt2 FROM rt), " +
+        "cb AS (SELECT *, CASE WHEN at IS NOT NULL AND at > 0 AND " +
+        "bt > 0 AND ctt > 0 AND dt2 > 0 THEN " +
+        "(CAST(a AS DOUBLE) - at) * (CAST(a AS DOUBLE) - at) * " +
+        "(1.0 / at + 1.0 / bt + 1.0 / ctt + 1.0 / dt2) END AS contrib " +
+        "FROM ct) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_strata, " +
+        "CAST(sum(n) AS BIGINT) AS n, round(any_value(psi), 6) AS or_mh, " +
+        "round(CASE WHEN sum(CASE WHEN contrib IS NULL THEN 1 ELSE 0 END) " +
+        "= 0 THEN sum(contrib) END, 6) AS x2, " +
+        "CAST(count(*) - 1 AS BIGINT) AS df FROM cb"),
+      (s, dir) => Stats.breslowDay(Tables.lineitem(s, dir),
+        col("l_linenumber"), col("l_discount") > 0.05,
+        col("l_quantity") > 25)),
+
+    // ---- Quade range-weighted repeated measures on the q409 design
+    // (per-user view/click/purchase counts): within-unit doubled midranks
+    // x doubled range midranks keep 4S integer — ONE division at the end.
+    Q("q444_quade", {
+      val uCte = "u AS (SELECT user_id, " +
+        "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c_view, " +
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) " +
+        "AS c_click, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS c_purchase FROM events GROUP BY 1), " +
+        "l AS (SELECT user_id, 'view' AS c, CAST(c_view AS DOUBLE) AS v " +
+        "FROM u UNION ALL SELECT user_id, 'click', " +
+        "CAST(c_click AS DOUBLE) FROM u UNION ALL SELECT user_id, " +
+        "'purchase', CAST(c_purchase AS DOUBLE) FROM u)"
+      Some(s"WITH $uCte, " +
+        "vals AS (SELECT user_id, v, CAST(count(*) AS BIGINT) AS t " +
+        "FROM l GROUP BY 1, 2), " +
+        "rk AS (SELECT user_id, v, 2 * CAST(sum(t) OVER (PARTITION BY " +
+        "user_id ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS BIGINT) - t + 1 AS r2 FROM vals), " +
+        "rg AS (SELECT user_id, max(v) - min(v) AS rng FROM l " +
+        "GROUP BY 1), " +
+        "rc AS (SELECT rng, CAST(count(*) AS BIGINT) AS t FROM rg " +
+        "GROUP BY 1), " +
+        "qq AS (SELECT rng, 2 * CAST(sum(t) OVER (ORDER BY rng " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "- t + 1 AS q2 FROM rc), " +
+        "uq AS (SELECT user_id, q2 FROM rg JOIN qq USING (rng)), " +
+        "kk AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS k FROM l), " +
+        "j AS (SELECT l.c, CAST(uq.q2 AS HUGEINT) * (rk.r2 - kk.k - 1) " +
+        "AS s4 FROM l JOIN rk ON l.user_id = rk.user_id AND l.v = rk.v " +
+        "JOIN uq ON l.user_id = uq.user_id, kk), " +
+        "bc AS (SELECT c, sum(s4) AS sj4, CAST(count(*) AS BIGINT) AS n " +
+        "FROM j GROUP BY 1), " +
+        "a16 AS (SELECT sum(s4 * s4) AS a16 FROM j), " +
+        "nk AS (SELECT CAST(count(*) AS BIGINT) AS kcond, " +
+        "CAST(max(n) AS BIGINT) AS b FROM bc), " +
+        "b16 AS (SELECT sum(sj4 * sj4) AS b16b FROM bc) " +
+        "SELECT b AS n_units, kcond AS n_conditions, " +
+        "round(CASE WHEN CAST(b AS HUGEINT) * a16 - b16b > 0 THEN " +
+        "CAST(CAST(b - 1 AS HUGEINT) * b16b AS DOUBLE) / " +
+        "CAST(CAST(b AS HUGEINT) * a16 - b16b AS DOUBLE) END, 6) " +
+        "AS f_stat FROM nk, a16, b16")
+    },
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id").agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("c_view"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c_click"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("c_purchase"))
+        val long = u.selectExpr("user_id",
+          "stack(3, 'view', CAST(c_view AS DOUBLE), " +
+            "'click', CAST(c_click AS DOUBLE), " +
+            "'purchase', CAST(c_purchase AS DOUBLE)) AS (c, v)")
+        Stats.quadeTest(long, col("user_id"), col("c"), col("v"))
+      })
   )
 }

@@ -2039,6 +2039,66 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(8) == 0.5, s"tau_c: $r")
   }
 
+  test("fisherExact: tea-tasting 2x2 two-sided mass sum") {
+    import spark.implicits._
+    // a=3,b=1,c=1,d=3: masses x=0..4 are {1,16,36,16,1}/70; obs mass
+    // 16/70 -> two-sided p = (16+16+1+1)/70; OR = 9
+    val rows = Seq.fill(3)((true, true)) ++ Seq((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(3)((false, false))
+    val r = Stats.fisherExact(rows.toDF("x", "y"), col("x"), col("y"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((8L, 4L, 4L, 3L)))
+    assert(r.getDouble(4) == 9.0, s"or: $r")
+    assert(r.getDouble(5) == math.round(34.0 / 70.0 * 1e6) / 1e6, s"p: $r")
+  }
+
+  test("krippendorffAlpha: hand coincidence; singleton units drop") {
+    import spark.implicits._
+    // u1=(a,a), u2=(a,b), u3=(b,b), u4=(b singleton, drops):
+    // Do = 2/6, De = (36-18)/30 -> alpha = 1 - (1/3)/0.6
+    val df = Seq(("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "b"),
+      ("u3", "b"), ("u3", "b"), ("u4", "b")).toDF("u", "c")
+    val r = Stats.krippendorffAlpha(df, col("u"), col("c")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 6L, 2L)))
+    assert(r.getDouble(3) == 0.333333 && r.getDouble(4) == 0.6)
+    assert(r.getDouble(5) == 0.444444, s"alpha: $r")
+  }
+
+  test("breslowDay: identical strata -> X2 exactly 0 at the MH OR") {
+    import spark.implicits._
+    // two strata, each a=10,b=5,c=5,d=10: psi=4, expected a = 10 = observed
+    def stratum(s: Int) =
+      Seq.fill(10)((s, true, true)) ++ Seq.fill(5)((s, true, false)) ++
+        Seq.fill(5)((s, false, true)) ++ Seq.fill(10)((s, false, false))
+    val df = (stratum(1) ++ stratum(2)).toDF("s", "e", "o")
+    val r = Stats.breslowDay(df, col("s"), col("e"), col("o")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(4)) == ((2L, 60L, 1L)))
+    assert(r.getDouble(2) == 4.0 && r.getDouble(3) == 0.0, s"bd: $r")
+  }
+
+  test("quadeTest: hand range-weighted ranks, 3 units x 2 conditions") {
+    import spark.implicits._
+    // u1 A=1,B=5 (rng 4); u2 A=2,B=3 (rng 1); u3 A=6,B=4 (rng 2):
+    // Q = 3,1,2 -> S_A=-1, S_B=1, A=7, B=2/3 -> F = 2*(2/3)/(19/3) = 4/19
+    val df = Seq(("u1", "A", 1.0), ("u1", "B", 5.0), ("u2", "A", 2.0),
+      ("u2", "B", 3.0), ("u3", "A", 6.0), ("u3", "B", 4.0))
+      .toDF("u", "c", "v")
+    val r = Stats.quadeTest(df, col("u"), col("c"), col("v")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 2L)))
+    assert(r.getDouble(2) == math.round(4.0 / 19.0 * 1e6) / 1e6, s"f: $r")
+  }
+
+  test("quadeTest: incomplete design raises loudly") {
+    import spark.implicits._
+    val df = Seq(("u1", "A", 1.0), ("u1", "B", 2.0), ("u2", "A", 3.0))
+      .toDF("u", "c", "v")
+    val e = intercept[Exception] {
+      Stats.quadeTest(df, col("u"), col("c"), col("v")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("conoverSquaredRanks: hand T and z with midrank ties") {
     import spark.implicits._
     // A={1,2,3} med 2 -> u {1,0,1}; B={0,4,8,12} med 4 -> u {4,0,4,8}
