@@ -5299,4 +5299,198 @@ object Stats {
       round(when(den > 0, num.cast("double") / den.cast("double")), 6)
         .as("f_stat"))
   }
+
+  // -------------------------------------------------------- Welch ANOVA
+  /** Welch's heteroscedastic one-way ANOVA (Welch 1951) — the k-group
+    * generalization of [[welchTTest]] and the test to reach for when
+    * [[bartlettTest]]/[[brownForsythe]] reject equal variances:
+    * weights w_g = n_g/s_g², grand mean x̃ = Σw_g x̄_g / Σw,
+    * A = Σw_g(x̄_g − x̃)²/(k−1), Λ = Σ[(1 − w_g/W)²/(n_g−1)],
+    * F = A / (1 + 2(k−2)Λ/(k²−1)), df₂ = (k²−1)/(3Λ).
+    *
+    * DETERMINISM AND SCALE: ONE decimal-moment groupBy (the
+    * [[bartlettTest]] shape), then two tiny k-row passes; no window.
+    * Groups need n_g ≥ 2; a zero-variance group has infinite weight →
+    * null statistic (loudly null, never silently dropped).
+    * Returns one row: (n_groups, n, f_stat, df2) 6dp. */
+  def welchAnova(df: DataFrame, groupCol: Column,
+                 valueCol: Column): DataFrame = {
+    val v = valueCol.cast("double")
+    val g = df.select(groupCol.as("__g"), v.as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast("decimal(38,6)")).cast("double").as("__sv"),
+        sum((col("__v") * col("__v")).cast("decimal(38,6)")).cast("double")
+          .as("__pv"))
+      .filter(col("__n") >= 2L)
+    val nD = col("__n").cast("double")
+    val mean = col("__sv") / nD
+    val s2 = (col("__pv") - col("__sv") * col("__sv") / nD) / (nD - 1.0)
+    // ANSI mode: a zero-variance group's infinite weight must never divide
+    val w = when(s2 > 0.0, nD / s2)
+    val a1 = g.agg(count(lit(1)).as("n_groups"), sum(col("__n")).as("n"),
+      sum(w).as("__w"), sum(w * mean).as("__wm"), min(s2).as("__minv"))
+    val withW = g.crossJoin(broadcast(a1))
+    val xt = col("__wm") / col("__w")
+    val a2 = withW.agg(
+      first(col("n_groups")).as("n_groups"), first(col("n")).as("n"),
+      first(col("__minv")).as("__minv"),
+      sum(w * (mean - xt) * (mean - xt)).as("__anum"),
+      sum((lit(1.0) - w / col("__w")) * (lit(1.0) - w / col("__w")) /
+        (nD - 1.0)).as("__lam"))
+    val k = col("n_groups").cast("double")
+    val aTerm = col("__anum") / (k - 1.0)
+    val fW = aTerm / (lit(1.0) +
+      lit(2.0) * (k - 2.0) * col("__lam") / (k * k - 1.0))
+    a2.select(col("n_groups"), col("n"),
+      round(when(col("n_groups") >= 2L && col("__minv") > 0.0, fW), 6)
+        .as("f_stat"),
+      round(when(col("n_groups") >= 2L && col("__minv") > 0.0 &&
+        col("__lam") > 0.0, (k * k - 1.0) / (lit(3.0) * col("__lam"))), 6)
+        .as("df2"))
+  }
+
+  // ------------------------------------------------ Brunner-Munzel test
+  /** Brunner–Munzel generalized Wilcoxon test (Brunner & Munzel 2000) —
+    * the two-sample rank test that, unlike [[mannWhitney]], stays valid
+    * under unequal variances/shapes (the nonparametric Behrens–Fisher
+    * problem): p̂ = P(A < B) + ½P(A = B) estimated from rank means,
+    * T = (R̄_b − R̄_a)/(N√(v_a + v_b)) with v_g = S_g²/(n_g(N−n_g)²),
+    * S_g² the variance of (pooled − within) rank gaps, and
+    * Welch–Satterthwaite df.
+    *
+    * DETERMINISM AND SCALE — the [[ksTwoSample]] cell shape throughout:
+    * pooled and within-group DOUBLED midranks come from per-value counts
+    * + cumulative windows over the DISTINCT value relation (the
+    * cardinality contract); each cell's squared rank-gap term is one
+    * fixed IEEE shape ×count, cast DECIMAL(38,6) BEFORE summing (the
+    * [[mantelHaenszel]] discipline at the wider scale the ~N²-sized
+    * terms need). Returns one row: (n_a, n_b, p_hat, t_stat, df) 6dp. */
+  def brunnerMunzel(df: DataFrame, groupCol: String, valueCol: String,
+                    a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dm = DecimalType(38, 6)
+    val v = col(valueCol)
+    val cells = df.filter(col(groupCol).isin(a, b) && v.isNotNull)
+      .groupBy(v.as("__v"))
+      .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val wRun = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = col("__ca") + col("__cb")
+    val cum = cells
+      .withColumn("__r2", (sum(t).over(wRun) * 2L - t + 1L))
+      .withColumn("__ra2",
+        (sum(col("__ca")).over(wRun) * 2L - col("__ca") + 1L))
+      .withColumn("__rb2",
+        (sum(col("__cb")).over(wRun) * 2L - col("__cb") + 1L))
+    val sizes = cells.agg(sum(col("__ca")).as("n_a"),
+      sum(col("__cb")).as("n_b"))
+    val meanR = cum.agg(
+      sum(col("__ca").cast(DecimalType(38, 0)) * col("__r2")).as("__sra2"),
+      sum(col("__cb").cast(DecimalType(38, 0)) * col("__r2")).as("__srb2"))
+    val m1 = cum.crossJoin(broadcast(sizes)).crossJoin(broadcast(meanR))
+    val nA = col("n_a").cast("double"); val nB = col("n_b").cast("double")
+    val rBarA2 = col("__sra2").cast("double") / nA
+    val rBarB2 = col("__srb2").cast("double") / nB
+    // doubled rank-gap deviation per cell: 2(R − R*_g − R̄_g + (n_g+1)/2)
+    val devA = (col("__r2") - col("__ra2")).cast("double") - rBarA2 +
+      (nA + 1.0)
+    val devB = (col("__r2") - col("__rb2")).cast("double") - rBarB2 +
+      (nB + 1.0)
+    val agg = m1.agg(
+      first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+      first(rBarA2).as("__rba2"), first(rBarB2).as("__rbb2"),
+      sum((col("__ca").cast("double") * devA * devA).cast(dm)).as("__qa"),
+      sum((col("__cb").cast("double") * devB * devB).cast(dm)).as("__qb"))
+    val nA2 = col("n_a").cast("double"); val nB2 = col("n_b").cast("double")
+    val nD = nA2 + nB2
+    // quarter the doubled-unit sums: S_g² = Q_g/4/(n_g−1)
+    val s2a = col("__qa").cast("double") / 4.0 / (nA2 - 1.0)
+    val s2b = col("__qb").cast("double") / 4.0 / (nB2 - 1.0)
+    val va = s2a / (nA2 * (nD - nA2) * (nD - nA2))
+    val vb = s2b / (nB2 * (nD - nB2) * (nD - nB2))
+    val pHat = (col("__rbb2") / 2.0 - (nB2 + 1.0) / 2.0) / nA2
+    val tStat = (col("__rbb2") - col("__rba2")) / 2.0 /
+      (nD * sqrt(va + vb))
+    val dfW = (va + vb) * (va + vb) /
+      (va * va / (nA2 - 1.0) + vb * vb / (nB2 - 1.0))
+    agg.select(col("n_a"), col("n_b"),
+      round(when(col("n_a") > 0L && col("n_b") > 0L, pHat), 6).as("p_hat"),
+      round(when(col("n_a") > 1L && col("n_b") > 1L && va + vb > 0.0,
+        tStat), 6).as("t_stat"),
+      round(when(col("n_a") > 1L && col("n_b") > 1L &&
+        va * va + vb * vb > 0.0, dfW), 6).as("df"))
+  }
+
+  // --------------------------------------- Cochran-Mantel-Haenszel test
+  /** Cochran–Mantel–Haenszel chi-square for conditional independence
+    * across stratified 2×2 tables (Cochran 1954; Mantel & Haenszel 1959):
+    * X² = (Σ_s(a_s − E_s))² / Σ_s V_s with E_s = r1·c1/N and
+    * V_s = r1·r2·c1·c2/(N²(N−1)), df = 1 — the significance companion to
+    * [[mantelHaenszel]]'s common-OR ESTIMATE and [[breslowDay]]'s
+    * homogeneity gate (no continuity correction; documented convention).
+    *
+    * DETERMINISM AND SCALE: one exact stratum groupBy; E and V are fixed
+    * IEEE rationals on exact integers, summed as DECIMAL(28,12) (the
+    * [[mantelHaenszel]] discipline); single-row finish, 6dp.
+    * Returns one row: (n_strata, n, sum_dev, x2, df). */
+  def cmhTest(df: DataFrame, stratumCol: Column, exposedCol: Column,
+              outcomeCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dr = DecimalType(28, 12)
+    val g = df.groupBy(stratumCol.as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(exposedCol && outcomeCol, 1L).otherwise(0L)).as("__a"),
+        sum(when(exposedCol && !outcomeCol, 1L).otherwise(0L)).as("__b"),
+        sum(when(!exposedCol && outcomeCol, 1L).otherwise(0L)).as("__c"),
+        sum(when(!exposedCol && !outcomeCol, 1L).otherwise(0L)).as("__d"))
+    val r1 = (col("__a") + col("__b")).cast("double")
+    val r2 = (col("__c") + col("__d")).cast("double")
+    val c1 = (col("__a") + col("__c")).cast("double")
+    val c2 = (col("__b") + col("__d")).cast("double")
+    val nS = col("__n").cast("double")
+    val e = r1 * c1 / nS
+    val vS = r1 * r2 * c1 * c2 / (nS * nS * (nS - 1.0))
+    val agg = g.filter(col("__n") >= 2L)
+      .agg(count(lit(1)).as("n_strata"), sum(col("__n")).as("n"),
+        sum((col("__a").cast("double") - e).cast(dr)).as("__dev"),
+        sum(vS.cast(dr)).as("__v"))
+    val dev = col("__dev").cast("double")
+    agg.select(col("n_strata"), col("n"),
+      round(dev, 6).as("sum_dev"),
+      round(when(col("__v").cast("double") > 0.0,
+        dev * dev / col("__v").cast("double")), 6).as("x2"),
+      lit(1L).as("df"))
+  }
+
+  // --------------------------------------------- Wilson score intervals
+  /** Wilson score confidence interval for a per-group proportion (Wilson
+    * 1927): center (p̂ + z²/2n)/(1 + z²/n), half-width
+    * z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n) — the interval that behaves at
+    * the 0/1 boundaries where the Wald interval collapses (the q420
+    * odds-ratio CI's one-proportion sibling).
+    *
+    * DETERMINISM AND SCALE: one groupBy of exact integer counts; the
+    * interval is a fixed IEEE shape per group row, 6dp. Returns one row
+    * per group: (group..., n, k, p_hat, lo, hi). */
+  def wilsonCi(df: DataFrame, groupCols: Seq[String], cond: Column,
+               z: Double = 1.96): DataFrame = {
+    require(z > 0.0, s"z must be positive: $z")
+    val g = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(cond, 1L).otherwise(0L)).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD)) / denom
+    g.select(groupCols.map(col) ++ Seq(col("n"), col("k"),
+      round(p, 6).as("p_hat"),
+      round(when(col("n") > 0L, center - half), 6).as("lo"),
+      round(when(col("n") > 0L, center + half), 6).as("hi")): _*)
+  }
 }

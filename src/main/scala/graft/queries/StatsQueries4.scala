@@ -573,6 +573,149 @@ object StatsQueries4 {
             "'click', CAST(c_click AS DOUBLE), " +
             "'purchase', CAST(c_purchase AS DOUBLE)) AS (c, v)")
         Stats.quadeTest(long, col("user_id"), col("c"), col("v"))
-      })
+      }),
+
+    // ---- Welch heteroscedastic ANOVA on the q429 design (order prices by
+    // priority): the variance-robust F for exactly the case where
+    // Bartlett rejects; one decimal-moment groupBy, two k-row finishes.
+    Q("q445_welch_anova",
+      Some("WITH g AS (SELECT o_orderpriority, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sv, " +
+        "CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) " +
+        "AS DOUBLE) AS pv FROM orders WHERE o_orderpriority IS NOT NULL " +
+        "AND o_totalprice IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 2), " +
+        "s AS (SELECT n, sv / CAST(n AS DOUBLE) AS mean, " +
+        "(pv - sv * sv / n) / (n - 1.0) AS s2 FROM g), " +
+        "s2 AS (SELECT *, CASE WHEN s2 > 0 THEN CAST(n AS DOUBLE) / s2 " +
+        "END AS w FROM s), " +
+        "a1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, " +
+        "CAST(SUM(n) AS BIGINT) AS ntot, SUM(w) AS ww, " +
+        "SUM(w * mean) AS wm, MIN(s2) AS minv FROM s2), " +
+        "a2 AS (SELECT any_value(n_groups) AS n_groups, " +
+        "any_value(ntot) AS ntot, any_value(minv) AS minv, " +
+        "SUM(w * (mean - wm / ww) * (mean - wm / ww)) AS anum, " +
+        "SUM((1.0 - w / ww) * (1.0 - w / ww) / (n - 1.0)) AS lam " +
+        "FROM s2, a1), " +
+        "f AS (SELECT n_groups, ntot, minv, anum, lam, " +
+        "CAST(n_groups AS DOUBLE) AS k FROM a2) " +
+        "SELECT n_groups, ntot AS n, " +
+        "round(CASE WHEN n_groups >= 2 AND minv > 0 THEN " +
+        "anum / (k - 1.0) / (1.0 + 2.0 * (k - 2.0) * lam / " +
+        "(k * k - 1.0)) END, 6) AS f_stat, " +
+        "round(CASE WHEN n_groups >= 2 AND minv > 0 AND lam > 0 THEN " +
+        "(k * k - 1.0) / (3.0 * lam) END, 6) AS df2 FROM f"),
+      (s, dir) => Stats.welchAnova(Tables.orders(s, dir),
+        col("o_orderpriority"), col("o_totalprice"))),
+
+    // ---- Brunner-Munzel click-vs-purchase value comparison: the
+    // variance-robust companion to q428's CvM and q120's KS — doubled
+    // pooled/within midranks from the value-cell rollup, rank-gap
+    // variance terms summed as DECIMAL(38,6).
+    Q("q446_brunner_munzel",
+      Some("WITH c AS (SELECT value AS v, " +
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS ca, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS cb FROM events " +
+        "WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL " +
+        "GROUP BY 1), " +
+        "w AS (SELECT v, ca, cb, " +
+        "2 * CAST(sum(ca + cb) OVER o AS BIGINT) - (ca + cb) + 1 AS r2, " +
+        "2 * CAST(sum(ca) OVER o AS BIGINT) - ca + 1 AS ra2, " +
+        "2 * CAST(sum(cb) OVER o AS BIGINT) - cb + 1 AS rb2 FROM c " +
+        "WINDOW o AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW)), " +
+        "sz AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, " +
+        "CAST(sum(cb) AS BIGINT) AS n_b FROM c), " +
+        "mr AS (SELECT CAST(sum(CAST(ca AS HUGEINT) * r2) AS DOUBLE) " +
+        "AS sra2, CAST(sum(CAST(cb AS HUGEINT) * r2) AS DOUBLE) AS srb2 " +
+        "FROM w), " +
+        "d AS (SELECT w.*, sz.n_a, sz.n_b, " +
+        "sra2 / CAST(n_a AS DOUBLE) AS rba2, " +
+        "srb2 / CAST(n_b AS DOUBLE) AS rbb2, " +
+        "CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb " +
+        "FROM w, sz, mr), " +
+        "q AS (SELECT any_value(n_a) AS n_a, any_value(n_b) AS n_b, " +
+        "any_value(rba2) AS rba2, any_value(rbb2) AS rbb2, " +
+        "any_value(na) AS na, any_value(nb) AS nb, " +
+        "sum(CAST(CAST(ca AS DOUBLE) * " +
+        "(CAST(r2 - ra2 AS DOUBLE) - rba2 + (na + 1.0)) * " +
+        "(CAST(r2 - ra2 AS DOUBLE) - rba2 + (na + 1.0)) " +
+        "AS DECIMAL(38,6))) AS qa, " +
+        "sum(CAST(CAST(cb AS DOUBLE) * " +
+        "(CAST(r2 - rb2 AS DOUBLE) - rbb2 + (nb + 1.0)) * " +
+        "(CAST(r2 - rb2 AS DOUBLE) - rbb2 + (nb + 1.0)) " +
+        "AS DECIMAL(38,6))) AS qb FROM d), " +
+        "v AS (SELECT *, " +
+        "CAST(qa AS DOUBLE) / 4.0 / (na - 1.0) / " +
+        "(na * (na + nb - na) * (na + nb - na)) AS va, " +
+        "CAST(qb AS DOUBLE) / 4.0 / (nb - 1.0) / " +
+        "(nb * (na + nb - nb) * (na + nb - nb)) AS vb FROM q) " +
+        "SELECT n_a, n_b, " +
+        "round(CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+        "(rbb2 / 2.0 - (nb + 1.0) / 2.0) / na END, 6) AS p_hat, " +
+        "round(CASE WHEN n_a > 1 AND n_b > 1 AND va + vb > 0 THEN " +
+        "(rbb2 - rba2) / 2.0 / ((na + nb) * sqrt(va + vb)) END, 6) " +
+        "AS t_stat, " +
+        "round(CASE WHEN n_a > 1 AND n_b > 1 AND " +
+        "va * va + vb * vb > 0 THEN (va + vb) * (va + vb) / " +
+        "(va * va / (na - 1.0) + vb * vb / (nb - 1.0)) END, 6) AS df " +
+        "FROM v"),
+      (s, dir) => Stats.brunnerMunzel(Tables.events(s, dir),
+        "event_type", "value", "click", "purchase")),
+
+    // ---- CMH conditional-independence chi-square on the q443 strata:
+    // the significance test beside the MH OR estimate and the
+    // Breslow-Day homogeneity gate (no continuity correction).
+    Q("q447_cmh",
+      Some("WITH g AS (SELECT l_linenumber AS s, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN l_discount > 0.05 AND l_quantity > 25 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+        "CAST(sum(CASE WHEN l_discount > 0.05 AND NOT l_quantity > 25 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+        "CAST(sum(CASE WHEN NOT l_discount > 0.05 AND l_quantity > 25 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+        "CAST(sum(CASE WHEN NOT l_discount > 0.05 AND " +
+        "NOT l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS d " +
+        "FROM lineitem GROUP BY 1), " +
+        "e AS (SELECT n, a, " +
+        "CAST(a + b AS DOUBLE) AS r1, CAST(c + d AS DOUBLE) AS r2, " +
+        "CAST(a + c AS DOUBLE) AS c1, CAST(b + d AS DOUBLE) AS c2, " +
+        "CAST(n AS DOUBLE) AS nd FROM g WHERE n >= 2), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_strata, " +
+        "CAST(sum(n) AS BIGINT) AS n, " +
+        "sum(CAST(CAST(a AS DOUBLE) - r1 * c1 / nd AS DECIMAL(28,12))) " +
+        "AS dev, " +
+        "sum(CAST(r1 * r2 * c1 * c2 / (nd * nd * (nd - 1.0)) " +
+        "AS DECIMAL(28,12))) AS vv FROM e) " +
+        "SELECT n_strata, n, round(CAST(dev AS DOUBLE), 6) AS sum_dev, " +
+        "round(CASE WHEN CAST(vv AS DOUBLE) > 0 THEN " +
+        "CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE) / CAST(vv AS DOUBLE) " +
+        "END, 6) AS x2, CAST(1 AS BIGINT) AS df FROM m"),
+      (s, dir) => Stats.cmhTest(Tables.lineitem(s, dir),
+        col("l_linenumber"), col("l_discount") > 0.05,
+        col("l_quantity") > 25)),
+
+    // ---- Wilson score interval of the high-value share per event type:
+    // boundary-safe proportion CIs from one exact-count groupBy.
+    Q("q448_wilson",
+      Some("WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS k FROM events GROUP BY 1), " +
+        "f AS (SELECT event_type, n, k, " +
+        "CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p, " +
+        "CAST(n AS DOUBLE) AS nd FROM g) " +
+        "SELECT event_type, n, k, round(p, 6) AS p_hat, " +
+        "round(CASE WHEN n > 0 THEN (p + 1.96 * 1.96 / (2.0 * nd)) / " +
+        "(1.0 + 1.96 * 1.96 / nd) - 1.96 * sqrt(p * (1.0 - p) / nd + " +
+        "1.96 * 1.96 / (4.0 * nd * nd)) / (1.0 + 1.96 * 1.96 / nd) " +
+        "END, 6) AS lo, " +
+        "round(CASE WHEN n > 0 THEN (p + 1.96 * 1.96 / (2.0 * nd)) / " +
+        "(1.0 + 1.96 * 1.96 / nd) + 1.96 * sqrt(p * (1.0 - p) / nd + " +
+        "1.96 * 1.96 / (4.0 * nd * nd)) / (1.0 + 1.96 * 1.96 / nd) " +
+        "END, 6) AS hi FROM f ORDER BY event_type"),
+      (s, dir) => Stats.wilsonCi(Tables.events(s, dir),
+        Seq("event_type"), col("value") > 100).orderBy("event_type"))
   )
 }

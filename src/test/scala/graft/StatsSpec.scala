@@ -2039,6 +2039,61 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(8) == 0.5, s"tau_c: $r")
   }
 
+  test("welchAnova: hand F on unequal-variance groups; k=2 correction is 0") {
+    import spark.implicits._
+    // g1={1,2,3,4} (w=2.4), g2={2,4,6} (w=.75): xt=20/7, A=1.285714;
+    // k=2 makes the denominator 1 -> F=A; df2 = 3/(3*lambda)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0)).toDF("g", "v")
+    val r = Stats.welchAnova(df, col("g"), col("v")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 7L)))
+    assert(r.getDouble(2) == 1.285714, s"f: $r")
+    assert(r.getDouble(3) == 3.234719, s"df2: $r")
+    // zero-variance group -> null statistic
+    val dz = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 4.0))
+      .toDF("g", "v")
+    assert(Stats.welchAnova(dz, col("g"), col("v")).collect()(0).isNullAt(2))
+  }
+
+  test("brunnerMunzel: published example (Brunner & Munzel 2000 data)") {
+    import spark.implicits._
+    // the reference R package example: T=3.137467, df=17.682842,
+    // p_hat = P(A<B)+.5P(A=B) = 0.788961
+    val xs = Seq(1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1)
+    val ys = Seq(3, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4)
+    val df = (xs.map(v => ("a", v.toDouble)) ++
+      ys.map(v => ("b", v.toDouble))).toDF("g", "v")
+    val r = Stats.brunnerMunzel(df, "g", "v", "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((14L, 11L)))
+    assert(r.getDouble(2) == 0.788961, s"p: $r")
+    assert(r.getDouble(3) == 3.137467, s"t: $r")
+    assert(r.getDouble(4) == 17.682842, s"df: $r")
+  }
+
+  test("cmhTest: identical strata accumulate deviations; hand X2") {
+    import spark.implicits._
+    // two strata of a=10,b=5,c=5,d=10: E=7.5, V=50625/26100 each
+    // -> sum_dev=5, X2 = 25/(2V) = 6.444444
+    def stratum(s: Int) =
+      Seq.fill(10)((s, true, true)) ++ Seq.fill(5)((s, true, false)) ++
+        Seq.fill(5)((s, false, true)) ++ Seq.fill(10)((s, false, false))
+    val df = (stratum(1) ++ stratum(2)).toDF("s", "e", "o")
+    val r = Stats.cmhTest(df, col("s"), col("e"), col("o")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(4)) == ((2L, 60L, 1L)))
+    assert(r.getDouble(2) == 5.0 && r.getDouble(3) == 6.444444, s"cmh: $r")
+  }
+
+  test("wilsonCi: symmetric at p=.5; z=1.96 hand interval") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("g", true)) ++ Seq.fill(5)(("g", false)))
+      .toDF("g", "c")
+    val r = Stats.wilsonCi(df, Seq("g"), col("c")).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((10L, 5L, 0.5)))
+    assert(r.getDouble(4) == 0.23659 && r.getDouble(5) == 0.76341,
+      s"ci: $r")
+  }
+
   test("fisherExact: tea-tasting 2x2 two-sided mass sum") {
     import spark.implicits._
     // a=3,b=1,c=1,d=3: masses x=0..4 are {1,16,36,16,1}/70; obs mass
