@@ -5475,6 +5475,97 @@ object Stats {
     * DETERMINISM AND SCALE: one groupBy of exact integer counts; the
     * interval is a fixed IEEE shape per group row, 6dp. Returns one row
     * per group: (group..., n, k, p_hat, lo, hi). */
+  // ---------------------------------------------- rank-biased overlap
+  /** Fixed-depth rank-biased overlap (Webber, Moffat & Zobel 2010)
+    * between two rankings of the same items, per group:
+    * RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·X_d/d, normalized by (1−p^k) so
+    * identical lists score exactly 1 — the top-weighted ranking
+    * similarity for comparing retrieval/recommendation runs where
+    * [[kendallTau]] weights every position equally. X_d counts items
+    * whose BOTH ranks are ≤ d, so an item enters every depth from
+    * m = max(r_a, r_b) on: its total weight is W(m) = Σ_{d=m..k} p^{d−1}/d.
+    *
+    * DETERMINISM AND SCALE: W materializes once on the k-row depth spine
+    * (a suffix cumsum over the BOUNDED depth vocabulary, never items);
+    * items join to W(m) by integer depth and reduce in ONE groupBy.
+    * Items outside both top-k simply don't contribute; a group with no
+    * common top-k items has no row (document, don't zero-fill). The
+    * float pow/suffix sums sit ~6 orders under the 6dp round.
+    * Returns per group: (group..., n_common, rbo). */
+  def rankBiasedOverlap(df: DataFrame, groupCols: Seq[String],
+                        rankACol: Column, rankBCol: Column, k: Int,
+                        p: Double = 0.9): DataFrame = {
+    require(k >= 1 && k <= 100000, s"k must be in [1,100000]: $k")
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1): $p")
+    val items = df.select(groupCols.map(col) :+
+        greatest(rankACol.cast("long"), rankBCol.cast("long")).as("__m"): _*)
+      .filter(col("__m").isNotNull && col("__m") <= k &&
+        least(rankACol.cast("long"), rankBCol.cast("long")) >= 1L)
+    val spine = df.sparkSession.range(1, k + 1).select(col("id").as("__d"),
+      (pow(lit(p), col("id").cast("double") - 1.0) /
+        col("id").cast("double")).as("__t"))
+    val wSuffix = Window.orderBy(col("__d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val weights = spine.withColumn("__w", sum(col("__t")).over(wSuffix))
+      .select(col("__d").as("__m"), col("__w"))
+    val norm = (1.0 - math.pow(p, k)) / (1.0 - p)
+    items.join(broadcast(weights), "__m")
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_common"),
+        round(sum(col("__w")) / lit(norm), 6).as("rbo"))
+  }
+
+  // ------------------------------------------------ column drift report
+  /** Numeric column drift between a reference and a current snapshot:
+    * per column, null rates, decimal-exact means/sds, and the
+    * standardized mean shift (mean_cur − mean_ref)/sd_ref — the quick
+    * screen in front of [[psi]]'s binned divergence when a pipeline's
+    * input distribution moves.
+    *
+    * DETERMINISM AND SCALE: ONE combinable aggregate per snapshot
+    * carries every column's count/moment sums (one scan each, however
+    * many columns — the Validate.report discipline), melted to
+    * column-grain rows by a bounded stack. Returns one row per column:
+    * (col_name, n_ref, n_cur, null_rate_ref, null_rate_cur, mean_ref,
+    * mean_cur, sd_ref, sd_cur, std_shift) 6dp. */
+  def columnDriftReport(ref: DataFrame, cur: DataFrame,
+                        cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnDriftReport needs at least one column")
+    def snap(df: DataFrame, tag: String): DataFrame = {
+      val aggs = cols.flatMap { c =>
+        val v = col(c).cast("double")
+        Seq(count(lit(1)).as(s"__n_$c"),
+          sum(when(v.isNull, 1L).otherwise(0L)).as(s"__nul_$c"),
+          sum(v.cast("decimal(38,6)")).cast("double").as(s"__s_$c"),
+          sum((v * v).cast("decimal(38,6)")).cast("double").as(s"__p_$c"))
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      one.selectExpr(s"stack(${cols.size}, " + cols.map(c =>
+        s"'$c', __n_$c, __nul_$c, __s_$c, __p_$c").mkString(", ") +
+        s") AS (col_name, __n_$tag, __nul_$tag, __s_$tag, __p_$tag)")
+    }
+    val r = snap(ref, "r"); val c = snap(cur, "c")
+    def stats(tag: String) = {
+      val n = col(s"__n_$tag").cast("double")
+      val nn = n - col(s"__nul_$tag").cast("double")
+      val mean = when(nn > 0.0, col(s"__s_$tag") / nn)
+      val sd = when(nn > 1.0, sqrt((col(s"__p_$tag") -
+        col(s"__s_$tag") * col(s"__s_$tag") / nn) / (nn - 1.0)))
+      (when(n > 0.0, col(s"__nul_$tag").cast("double") / n), mean, sd)
+    }
+    val (nulR, meanR, sdR) = stats("r")
+    val (nulC, meanC, sdC) = stats("c")
+    r.join(c, "col_name")
+      .select(col("col_name"), col("__n_r").as("n_ref"),
+        col("__n_c").as("n_cur"),
+        round(nulR, 6).as("null_rate_ref"),
+        round(nulC, 6).as("null_rate_cur"),
+        round(meanR, 6).as("mean_ref"), round(meanC, 6).as("mean_cur"),
+        round(sdR, 6).as("sd_ref"), round(sdC, 6).as("sd_cur"),
+        round(when(sdR > 0.0, (meanC - meanR) / sdR), 6).as("std_shift"))
+      .orderBy("col_name")
+  }
+
   def wilsonCi(df: DataFrame, groupCols: Seq[String], cond: Column,
                z: Double = 1.96): DataFrame = {
     require(z > 0.0, s"z must be positive: $z")

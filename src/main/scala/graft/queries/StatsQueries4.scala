@@ -716,6 +716,103 @@ object StatsQueries4 {
         "1.96 * 1.96 / (4.0 * nd * nd)) / (1.0 + 1.96 * 1.96 / nd) " +
         "END, 6) AS hi FROM f ORDER BY event_type"),
       (s, dir) => Stats.wilsonCi(Tables.events(s, dir),
-        Seq("event_type"), col("value") > 100).orderBy("event_type"))
+        Seq("event_type"), col("value") > 100).orderBy("event_type")),
+
+    // ---- rank-biased overlap between the revenue and quantity top-10
+    // brand rankings: ranks come from the 25-row brand rollup (vocabulary
+    // windows), weights from the k-row depth spine — items never sort
+    // globally.
+    Q("q449_rbo",
+      Some("WITH b AS (SELECT p_brand, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) " +
+        "AS rev, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) " +
+        "AS qty FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY 1), " +
+        "rk AS (SELECT p_brand, " +
+        "row_number() OVER (ORDER BY rev DESC, p_brand) AS ra, " +
+        "row_number() OVER (ORDER BY qty DESC, p_brand) AS rb FROM b), " +
+        "it AS (SELECT greatest(ra, rb) AS m FROM rk " +
+        "WHERE greatest(ra, rb) <= 10 AND least(ra, rb) >= 1), " +
+        "sp AS (SELECT d, pow(0.9, CAST(d AS DOUBLE) - 1.0) / " +
+        "CAST(d AS DOUBLE) AS t FROM (SELECT unnest(range(1, 11)) AS d)), " +
+        "w AS (SELECT d AS m, sum(t) OVER (ORDER BY d DESC ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS w FROM sp) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_common, " +
+        "round(sum(w.w) / ((1.0 - pow(0.9, 10)) / (1.0 - 0.9)), 6) " +
+        "AS rbo FROM it JOIN w USING (m)"),
+      (s, dir) => {
+        val b = Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(sum(col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double").as("rev"),
+            sum(col("l_quantity").cast("decimal(38,6)"))
+              .cast("double").as("qty"))
+        import org.apache.spark.sql.expressions.Window
+        val rk = b.select(col("p_brand"),
+          row_number().over(Window.orderBy(col("rev").desc,
+            col("p_brand"))).as("ra"),
+          row_number().over(Window.orderBy(col("qty").desc,
+            col("p_brand"))).as("rb"))
+        Stats.rankBiasedOverlap(rk, Seq.empty, col("ra"), col("rb"),
+          k = 10, p = 0.9)
+      }),
+
+    // ---- column drift between pre- and post-1997 shipments: one
+    // combinable aggregate per snapshot carries every column's moments,
+    // melted to column-grain rows. The quick screen in front of q145's
+    // PSI.
+    Q("q450_column_drift", {
+      def side(name: String, pred: String) =
+        s"$name AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+          Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
+            "l_discount" -> "d").map { case (c, a) =>
+            s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) " +
+              s"AS BIGINT) AS nul_$a, " +
+              s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS s_$a, " +
+              s"CAST(SUM(CAST($c * $c AS DECIMAL(38,6))) AS DOUBLE) " +
+              s"AS p_$a"
+          }.mkString(", ") +
+          s" FROM lineitem WHERE $pred)"
+      val unions = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
+        "l_discount" -> "d").map { case (c, a) =>
+        s"SELECT '$c' AS col_name, r.n AS n_ref, c.n AS n_cur, " +
+          s"r.nul_$a AS nul_r, c.nul_$a AS nul_c, r.s_$a AS s_r, " +
+          s"c.s_$a AS s_c, r.p_$a AS p_r, c.p_$a AS p_c FROM r, c"
+      }.mkString(" UNION ALL ")
+      Some("WITH " +
+        side("r", "l_shipdate < TIMESTAMP '1997-01-01'") + ", " +
+        side("c", "l_shipdate >= TIMESTAMP '1997-01-01'") + ", " +
+        s"m AS ($unions), " +
+        "f AS (SELECT col_name, n_ref, n_cur, nul_r, nul_c, " +
+        "CAST(n_ref AS DOUBLE) AS nr, CAST(n_cur AS DOUBLE) AS nc, " +
+        "CAST(n_ref AS DOUBLE) - CAST(nul_r AS DOUBLE) AS nnr, " +
+        "CAST(n_cur AS DOUBLE) - CAST(nul_c AS DOUBLE) AS nnc, " +
+        "s_r, s_c, p_r, p_c FROM m), " +
+        "g AS (SELECT col_name, n_ref, n_cur, " +
+        "CASE WHEN nr > 0 THEN CAST(nul_r AS DOUBLE) / nr END AS nulrr, " +
+        "CASE WHEN nc > 0 THEN CAST(nul_c AS DOUBLE) / nc END AS nulrc, " +
+        "CASE WHEN nnr > 0 THEN s_r / nnr END AS mean_r, " +
+        "CASE WHEN nnc > 0 THEN s_c / nnc END AS mean_c, " +
+        "CASE WHEN nnr > 1 THEN sqrt((p_r - s_r * s_r / nnr) / " +
+        "(nnr - 1.0)) END AS sd_r, " +
+        "CASE WHEN nnc > 1 THEN sqrt((p_c - s_c * s_c / nnc) / " +
+        "(nnc - 1.0)) END AS sd_c FROM f) " +
+        "SELECT col_name, n_ref, n_cur, round(nulrr, 6) " +
+        "AS null_rate_ref, round(nulrc, 6) AS null_rate_cur, " +
+        "round(mean_r, 6) AS mean_ref, round(mean_c, 6) AS mean_cur, " +
+        "round(sd_r, 6) AS sd_ref, round(sd_c, 6) AS sd_cur, " +
+        "round(CASE WHEN sd_r > 0 THEN (mean_c - mean_r) / sd_r END, 6) " +
+        "AS std_shift FROM g ORDER BY col_name")
+    },
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val cut = lit("1997-01-01").cast("timestamp")
+        Stats.columnDriftReport(
+          li.filter(col("l_shipdate") < cut),
+          li.filter(col("l_shipdate") >= cut),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+      })
   )
 }

@@ -1009,4 +1009,60 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(duration"),
       s"risk-set windows must run on the duration grain:\n$p")
   }
+
+  test("q437-q440: every ticker-indicator window partitions by the key — " +
+    "no global sort over the bar relation") {
+    for (q <- Seq("q437_rsi", "q438_bollinger", "q439_hist_var",
+        "q440_ulcer")) {
+      val p = planOf(q)
+      val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(windows.nonEmpty, s"$q: expected keyed indicator windows:\n$p")
+      assert(windows.forall(_.contains("key#")),
+        s"$q: window not key-partitioned:\n${windows.mkString("\n")}")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian in:\n$p")
+    }
+  }
+
+  test("q435: R/S cumsum and moment windows partition by (size, block) — " +
+    "never a spine-global sort") {
+    val p = planOf("q435_hurst")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, s"expected block-keyed windows:\n$p")
+    assert(windows.forall(_.contains("__b#")),
+      s"window not block-partitioned:\n${windows.mkString("\n")}")
+  }
+
+  test("q434/q436: Cox-Stuart and the periodogram plan NO window — " +
+    "one equi-join / one groupBy over the spine") {
+    for (q <- Seq("q434_cox_stuart", "q436_periodogram")) {
+      val p = planOf(q)
+      assert(!p.contains("Window ["), s"$q: unexpected window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian in:\n$p")
+    }
+  }
+
+  test("q444: Quade within-ranks partition by the unit; keyless windows " +
+    "consume only the range-value rollup") {
+    val p = planOf("q444_quade")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, s"expected rank windows:\n$p")
+    val (unit, keyless) = windows.partition(_.contains("__u#"))
+    assert(unit.nonEmpty, s"missing unit-partitioned rank window:\n$p")
+    // every keyless window midranks the DISTINCT range relation (the
+    // subtree is planned twice — once per consumer): the __rng ordering
+    // key proves it runs on the per-range-value rollup, never unit rows
+    assert(keyless.forall(_.contains("__rng#")),
+      s"keyless window off the range rollup:\n${keyless.mkString("\n")}")
+  }
+
+  test("q432/q446: squared-rank and Brunner-Munzel midrank windows consume " +
+    "the value-cell rollup (HashAggregate below), never raw rows") {
+    for (q <- Seq("q432_conover_ranks", "q446_brunner_munzel")) {
+      val p = planOf(q)
+      val wIdx = p.linesIterator.indexWhere(_.contains("Window ["))
+      assert(wIdx >= 0, s"$q: expected the midrank window:\n$p")
+      assert(p.linesIterator.drop(wIdx).exists(_.contains("HashAggregate")),
+        s"$q: midrank window must consume the cell rollup:\n$p")
+    }
+  }
 }

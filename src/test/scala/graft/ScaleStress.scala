@@ -886,7 +886,10 @@ object ScaleStress {
         .orderBy("day").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     }
-    assert(pc.toSeq == Seq((0L, 0L, 1000000L), (1L, 1000000L, 1000000L)),
+    // ids 1,000,001..1,999,999 span midnight (999,999 of them); id = 1M
+    // ends EXACTLY at the boundary and under true [s,e) semantics (the
+    // q397 boundary fix) does NOT touch day 1
+    assert(pc.toSeq == Seq((0L, 0L, 1000000L), (1L, 999999L, 999999L)),
       s"hot-day concurrency off: ${pc.toSeq}")
 
     // ---- planted-recall at 1M rows for the four rows-only near-dup
@@ -1069,6 +1072,78 @@ object ScaleStress {
     assert(qnBad.getLong(0) == 10000000L && qnBad.getLong(1) == 0L &&
       qnBad.getLong(2) == 5000000L,
       s"quantileNormalize closed form violated: $qnBad")
+
+    // conoverSquaredRanks over 20M rows / 50-value domain: the two groups
+    // are identical multisets (10M each, 200k per value), so both medians,
+    // both deviation distributions, and therefore T = n_a*S2/N agree
+    // EXACTLY -> z = 0 with no float tolerance at all.
+    val csRows = spark.range(20000000L).select(
+      pmod(col("id"), lit(2L)).cast("string").as("g"),
+      (expr("id div 2") % 50L).cast("double").as("v"))
+    val cs = timed("conoverSquaredRanks over 20M rows, 50-value domain") {
+      graft.pipeline.Stats.conoverSquaredRanks(csRows, "g", "v", "0", "1")
+        .collect().head
+    }
+    assert(cs.getLong(0) == 10000000L && cs.getLong(1) == 10000000L &&
+      cs.getDouble(3) == 0.0, s"conover closed form violated: $cs")
+
+    // brunnerMunzel on the same identical-multiset design: mean pooled
+    // ranks agree exactly -> t = 0 and p_hat = 1/2 EXACTLY (dyadic).
+    val bm = timed("brunnerMunzel over 20M rows, 50-value domain") {
+      graft.pipeline.Stats.brunnerMunzel(csRows, "g", "v", "0", "1")
+        .collect().head
+    }
+    assert(bm.getDouble(2) == 0.5 && bm.getDouble(3) == 0.0,
+      s"brunnerMunzel closed form violated: $bm")
+
+    // fisherExact at the 2^20 support gate boundary: N = 2^21 rows with
+    // id%4 encoding perfectly independent margins (r1 = c1 = 2^20,
+    // a = 2^19 = the hypergeometric mode), so EVERY mass <= mass(obs)
+    // -> two-sided p = 1 exactly; the 1M-term support cumsum must not
+    // blow up.
+    val feRows = spark.range(2097152L).select(
+      (pmod(col("id"), lit(2L)) === 0L).as("r"),
+      (pmod(col("id"), lit(4L)) < 2L).as("c"))
+    val fe = timed("fisherExact over 2^21 rows, 2^20-wide support") {
+      graft.pipeline.Stats.fisherExact(feRows, col("r"), col("c"))
+        .collect().head
+    }
+    assert(fe.getLong(1) == 1048576L && fe.getLong(3) == 524288L &&
+      fe.getDouble(5) == 1.0, s"fisherExact closed form violated: $fe")
+
+    // quadeTest over 1M units x 3 conditions: alternating (1,2,3)/(3,2,1)
+    // patterns share one range (all Q midranks tie) and cancel per
+    // condition -> every S_j = 0 -> F = 0 EXACTLY; the range rollup is a
+    // single row, the rank windows all partition by unit.
+    val quRows = spark.range(1000000L).selectExpr("id AS u",
+        "CASE WHEN id % 2 = 0 THEN 1.0 ELSE 3.0 END AS va",
+        "2.0 AS vb",
+        "CASE WHEN id % 2 = 0 THEN 3.0 ELSE 1.0 END AS vc")
+      .selectExpr("u", "stack(3, 'A', va, 'B', vb, 'C', vc) AS (c, v)")
+    val qu = timed("quadeTest over 1M units x 3 conditions") {
+      graft.pipeline.Stats.quadeTest(quRows, col("u"), col("c"), col("v"))
+        .collect().head
+    }
+    assert(qu.getLong(0) == 1000000L && qu.getLong(1) == 3L &&
+      qu.getDouble(2) == 0.0, s"quade closed form violated: $qu")
+
+    // historicalVar over 10M bars / 1000 tickers: every close climbs one
+    // cent per day, so all 9999 per-key diffs are +1 -> the ceil-rank
+    // tail is 500 ones: var = cvar = 0.01 for every key, all windows
+    // key-partitioned.
+    val hvRows = spark.range(10000000L).select(
+      (col("id") % 1000L).as("key"), expr("id div 1000").as("day"),
+      ((expr("id div 1000") + 1L).cast("double") / 100.0).as("close"))
+    val hv = timed("historicalVar over 10M bars, 1000 tickers") {
+      graft.pipeline.Finance.historicalVar(hvRows, "key", "day",
+          col("close"), alpha = 0.05)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_diffs") === 9999L && col("n_tail") === 500L &&
+            col("var_amt") === 0.01 && col("cvar_amt") === 0.01, 1L)
+            .otherwise(0L)).as("ok")).collect().head
+    }
+    assert(hv.getLong(0) == 1000L && hv.getLong(1) == 1000L,
+      s"historicalVar closed form violated: $hv")
 
     spark.stop()
   }

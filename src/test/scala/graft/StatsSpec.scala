@@ -2039,6 +2039,44 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(8) == 0.5, s"tau_c: $r")
   }
 
+  test("rankBiasedOverlap: identical lists score 1; reversed pair at p=.5") {
+    import spark.implicits._
+    // identical: W(1)+W(2) = 1.25+0.25 -> (1-p)*1.5/(1-p^2) = 1
+    val same = Seq((1, 1), (2, 2)).toDF("ra", "rb")
+    val r1 = Stats.rankBiasedOverlap(same, Seq.empty, col("ra"), col("rb"),
+      k = 2, p = 0.5).collect()(0)
+    assert(r1.getLong(0) == 2L && r1.getDouble(1) == 1.0, s"rbo: $r1")
+    // reversed: both items enter at depth 2 -> 2*W(2)=0.5 -> 1/3
+    val rev = Seq((1, 2), (2, 1)).toDF("ra", "rb")
+    val r2 = Stats.rankBiasedOverlap(rev, Seq.empty, col("ra"), col("rb"),
+      k = 2, p = 0.5).collect()(0)
+    assert(r2.getLong(0) == 2L && r2.getDouble(1) == 0.333333, s"rbo: $r2")
+    // an item outside either top-k contributes nothing
+    val part = Seq((1, 1), (2, 5)).toDF("ra", "rb")
+    val r3 = Stats.rankBiasedOverlap(part, Seq.empty, col("ra"), col("rb"),
+      k = 2, p = 0.5).collect()(0)
+    assert(r3.getLong(0) == 1L, s"rbo: $r3")
+  }
+
+  test("columnDriftReport: hand moments, null rates, standardized shift") {
+    import spark.implicits._
+    val ref = Seq((Some(1.0), 10.0), (Some(2.0), 10.0), (Some(3.0), 10.0),
+      (None, 10.0)).toDF("v", "w")
+    val cur = Seq((Some(4.0), 20.0), (Some(6.0), 20.0)).toDF("v", "w")
+    val r = Stats.columnDriftReport(ref, cur, Seq("v", "w"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val v = r("v")
+    assert((v.getLong(1), v.getLong(2)) == ((4L, 2L)))
+    assert(v.getDouble(3) == 0.25 && v.getDouble(4) == 0.0)
+    assert(v.getDouble(5) == 2.0 && v.getDouble(6) == 5.0)
+    assert(v.getDouble(7) == 1.0 && v.getDouble(8) == 1.414214)
+    assert(v.getDouble(9) == 3.0, s"shift: $v")
+    // constant column: sd_ref = 0 -> null shift, means still report
+    val w = r("w")
+    assert(w.getDouble(5) == 10.0 && w.getDouble(6) == 20.0 &&
+      w.isNullAt(9), s"w: $w")
+  }
+
   test("welchAnova: hand F on unequal-variance groups; k=2 correction is 0") {
     import spark.implicits._
     // g1={1,2,3,4} (w=2.4), g2={2,4,6} (w=.75): xt=20/7, A=1.285714;
