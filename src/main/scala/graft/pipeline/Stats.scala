@@ -5475,6 +5475,173 @@ object Stats {
     * DETERMINISM AND SCALE: one groupBy of exact integer counts; the
     * interval is a fixed IEEE shape per group row, 6dp. Returns one row
     * per group: (group..., n, k, p_hat, lo, hi). */
+  // --------------------------------------------- Games-Howell post-hoc
+  /** Games–Howell pairwise post-hoc comparisons (Games & Howell 1976) —
+    * the unequal-variance follow-up to [[welchAnova]]: for every group
+    * pair, t = (x̄_j − x̄_i)/√(s_i²/n_i + s_j²/n_j) with
+    * Welch–Satterthwaite df and the studentized-range scale
+    * q = |Δ|/√(se²/2) (compare q against the range distribution, t
+    * against Welch's t — both reported, no CDF materialized).
+    *
+    * DETERMINISM AND SCALE: ONE decimal-moment groupBy (the
+    * [[bartlettTest]] shape) collapses the data to k rows; pairs come
+    * from the broadcast k-row self-join on group-name order (k²
+    * bounded by the group vocabulary); every statistic is a fixed IEEE
+    * shape on the pair row, 6dp. Zero-variance or n<2 pairs null
+    * loudly. Returns one row per pair: (g1, g2, n1, n2, mean_diff, t,
+    * df, q). */
+  def gamesHowell(df: DataFrame, groupCol: Column,
+                  valueCol: Column): DataFrame = {
+    val v = valueCol.cast("double")
+    val g = df.select(groupCol.cast("string").as("__g"), v.as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast("decimal(38,6)")).cast("double").as("__sv"),
+        sum((col("__v") * col("__v")).cast("decimal(38,6)")).cast("double")
+          .as("__pv"))
+    def stats(suf: String) = {
+      val n = col(s"__n$suf").cast("double")
+      val mean = col(s"__sv$suf") / n
+      val s2 = (col(s"__pv$suf") - col(s"__sv$suf") * col(s"__sv$suf") / n) /
+        (n - 1.0)
+      (n, mean, s2)
+    }
+    val a = g.select(col("__g").as("g1"), col("__n").as("__n1"),
+      col("__sv").as("__sv1"), col("__pv").as("__pv1"))
+    val b = g.select(col("__g").as("g2"), col("__n").as("__n2"),
+      col("__sv").as("__sv2"), col("__pv").as("__pv2"))
+    val pairs = a.join(broadcast(b), col("g1") < col("g2"))
+    val (n1, m1, s21) = stats("1")
+    val (n2, m2, s22) = stats("2")
+    val v1 = s21 / n1
+    val v2 = s22 / n2
+    val se2 = v1 + v2
+    val diff = m2 - m1
+    val ok = col("__n1") >= 2L && col("__n2") >= 2L && se2 > 0.0
+    val dfW = se2 * se2 / (v1 * v1 / (n1 - 1.0) + v2 * v2 / (n2 - 1.0))
+    pairs.select(col("g1"), col("g2"), col("__n1").as("n1"),
+      col("__n2").as("n2"),
+      round(diff, 6).as("mean_diff"),
+      round(when(ok, diff / sqrt(se2)), 6).as("t"),
+      round(when(ok, dfW), 6).as("df"),
+      round(when(ok, abs(diff) / sqrt(se2 / 2.0)), 6).as("q"))
+  }
+
+  // -------------------------------------------- McNemar-Bowker symmetry
+  /** Bowker's test of symmetry for a paired k×k categorical table
+    * (Bowker 1948) — [[mcnemar]]'s k-category generalization: did the
+    * category distribution CHANGE direction between two paired
+    * observations? χ² = Σ_{i<j} (n_ij − n_ji)²/(n_ij + n_ji) on
+    * df = #{unordered pairs with n_ij + n_ji > 0}.
+    *
+    * DETERMINISM AND SCALE: one (a, b) cell rollup; each unordered
+    * pair's two directions meet by CANONICALIZING the cell to
+    * (least, greatest) — no self-join at all; the per-pair rational
+    * casts DECIMAL(28,12) before the sum (the [[mantelHaenszel]]
+    * discipline). Diagonal cells (no change) never contribute.
+    * Returns one row: (n_pairs_obs, n_units, df, chi2 6dp). */
+  def mcnemarBowker(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df.select(aCol.cast("string").as("__a"),
+        bCol.cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__n"))
+    val offDiag = cells.filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("__lo"),
+        greatest(col("__a"), col("__b")).as("__hi"),
+        when(col("__a") < col("__b"), col("__n")).otherwise(0L).as("__up"),
+        when(col("__a") > col("__b"), col("__n")).otherwise(0L).as("__dn"))
+      .groupBy("__lo", "__hi")
+      .agg(sum(col("__up")).as("__nij"), sum(col("__dn")).as("__nji"))
+    val term = ((col("__nij") - col("__nji")) *
+      (col("__nij") - col("__nji"))).cast("double") /
+      (col("__nij") + col("__nji")).cast("double")
+    val total = cells.agg(sum(col("__n")).as("n_units"))
+    offDiag.filter(col("__nij") + col("__nji") > 0L)
+      .agg(count(lit(1)).as("df"),
+        sum(term.cast(DecimalType(28, 12))).as("__chi2"),
+        sum(col("__nij") + col("__nji")).as("n_pairs_obs"))
+      .crossJoin(broadcast(total))
+      .select(col("n_pairs_obs"), col("n_units"), col("df"),
+        round(col("__chi2").cast("double"), 6).as("chi2"))
+  }
+
+  // ----------------------------------- Lin concordance + Deming family
+  /** Lin's concordance correlation coefficient (Lin 1989) between two
+    * measurements of the same quantity:
+    * CCC = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²) — penalizes both scatter
+    * (like Pearson) AND location/scale shift (unlike Pearson) — the
+    * single-number method-agreement score beside [[blandAltman]]'s
+    * bias bands. Population moments, the convention.
+    *
+    * DETERMINISM AND SCALE: ONE decimal-moment aggregate (x, y, x², y²,
+    * xy — the q96 discipline), one fixed IEEE finish, 6dp. Returns one
+    * row: (n, mean_x, mean_y, pearson_r, ccc). */
+  def linCcc(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val x = xCol.cast("double"); val y = yCol.cast("double")
+    val m = df.select(x.as("__x"), y.as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,6)")).cast("double").as("__sx"),
+        sum(col("__y").cast("decimal(38,6)")).cast("double").as("__sy"),
+        sum((col("__x") * col("__x")).cast("decimal(38,6)")).cast("double")
+          .as("__sxx"),
+        sum((col("__y") * col("__y")).cast("decimal(38,6)")).cast("double")
+          .as("__syy"),
+        sum((col("__x") * col("__y")).cast("decimal(38,6)")).cast("double")
+          .as("__sxy"))
+    val nD = col("n").cast("double")
+    val mx = col("__sx") / nD; val my = col("__sy") / nD
+    val vx = col("__sxx") / nD - mx * mx
+    val vy = col("__syy") / nD - my * my
+    val cxy = col("__sxy") / nD - mx * my
+    m.select(col("n"), round(mx, 6).as("mean_x"), round(my, 6).as("mean_y"),
+      round(when(vx > 0.0 && vy > 0.0, cxy / sqrt(vx * vy)), 6)
+        .as("pearson_r"),
+      round(when(vx + vy + (mx - my) * (mx - my) > 0.0,
+        lit(2.0) * cxy / (vx + vy + (mx - my) * (mx - my))), 6).as("ccc"))
+  }
+
+  /** Deming regression (errors in BOTH variables; Deming 1943) with
+    * error-variance ratio λ: the slope is the closed-form root
+    * β = (s_yy − λs_xx + √((s_yy − λs_xx)² + 4λs_xy²)) / (2s_xy),
+    * α = ȳ − βx̄ — the method-calibration line OLS gets wrong when x is
+    * measured with error too (λ=1 is orthogonal regression).
+    *
+    * DETERMINISM AND SCALE: the same ONE decimal-moment aggregate as
+    * [[linCcc]]; the root is a fixed IEEE shape, 6dp. s_xy = 0 (no
+    * association — the root degenerates) reports null slope, loudly.
+    * Returns one row: (n, slope, intercept). */
+  def demingRegression(df: DataFrame, xCol: Column, yCol: Column,
+                       lambda: Double = 1.0): DataFrame = {
+    require(lambda > 0.0, s"lambda must be positive: $lambda")
+    val x = xCol.cast("double"); val y = yCol.cast("double")
+    val m = df.select(x.as("__x"), y.as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,6)")).cast("double").as("__sx"),
+        sum(col("__y").cast("decimal(38,6)")).cast("double").as("__sy"),
+        sum((col("__x") * col("__x")).cast("decimal(38,6)")).cast("double")
+          .as("__sxx"),
+        sum((col("__y") * col("__y")).cast("decimal(38,6)")).cast("double")
+          .as("__syy"),
+        sum((col("__x") * col("__y")).cast("decimal(38,6)")).cast("double")
+          .as("__sxy"))
+    val nD = col("n").cast("double")
+    val mx = col("__sx") / nD; val my = col("__sy") / nD
+    val sxx = col("__sxx") / nD - mx * mx
+    val syy = col("__syy") / nD - my * my
+    val sxy = col("__sxy") / nD - mx * my
+    val d = syy - lit(lambda) * sxx
+    val slope = (d + sqrt(d * d + lit(4.0 * lambda) * sxy * sxy)) /
+      (lit(2.0) * sxy)
+    m.select(col("n"),
+      round(when(col("n") >= 2L && sxy =!= 0.0, slope), 6).as("slope"),
+      round(when(col("n") >= 2L && sxy =!= 0.0, my - slope * mx), 6)
+        .as("intercept"))
+  }
+
   // ---------------------------------------------- rank-biased overlap
   /** Fixed-depth rank-biased overlap (Webber, Moffat & Zobel 2010)
     * between two rankings of the same items, per group:

@@ -813,6 +813,143 @@ object StatsQueries4 {
           li.filter(col("l_shipdate") < cut),
           li.filter(col("l_shipdate") >= cut),
           Seq("l_quantity", "l_extendedprice", "l_discount"))
-      })
+      }),
+
+    // ---- Games-Howell pairwise post-hoc on the q445 design: the k-row
+    // moment rollup self-joins broadcast into 10 priority pairs; t, Welch
+    // df, and the studentized-range q per pair.
+    Q("q451_games_howell",
+      Some("WITH g AS (SELECT o_orderpriority AS gk, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sv, " +
+        "CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) " +
+        "AS DOUBLE) AS pv FROM orders WHERE o_orderpriority IS NOT NULL " +
+        "AND o_totalprice IS NOT NULL GROUP BY 1), " +
+        "p AS (SELECT a.gk AS g1, b.gk AS g2, a.n AS n1, b.n AS n2, " +
+        "a.sv AS sv1, a.pv AS pv1, b.sv AS sv2, b.pv AS pv2 " +
+        "FROM g a JOIN g b ON a.gk < b.gk), " +
+        "s AS (SELECT g1, g2, n1, n2, CAST(n1 AS DOUBLE) AS nd1, " +
+        "CAST(n2 AS DOUBLE) AS nd2, sv1 / CAST(n1 AS DOUBLE) AS m1, " +
+        "sv2 / CAST(n2 AS DOUBLE) AS m2, " +
+        "(pv1 - sv1 * sv1 / CAST(n1 AS DOUBLE)) / " +
+        "(CAST(n1 AS DOUBLE) - 1.0) AS s21, " +
+        "(pv2 - sv2 * sv2 / CAST(n2 AS DOUBLE)) / " +
+        "(CAST(n2 AS DOUBLE) - 1.0) AS s22 FROM p), " +
+        "v AS (SELECT g1, g2, n1, n2, nd1, nd2, m2 - m1 AS diff, " +
+        "s21 / nd1 AS v1, s22 / nd2 AS v2 FROM s) " +
+        "SELECT g1, g2, n1, n2, round(diff, 6) AS mean_diff, " +
+        "round(CASE WHEN n1 >= 2 AND n2 >= 2 AND v1 + v2 > 0 THEN " +
+        "diff / sqrt(v1 + v2) END, 6) AS t, " +
+        "round(CASE WHEN n1 >= 2 AND n2 >= 2 AND v1 + v2 > 0 THEN " +
+        "(v1 + v2) * (v1 + v2) / (v1 * v1 / (nd1 - 1.0) + " +
+        "v2 * v2 / (nd2 - 1.0)) END, 6) AS df, " +
+        "round(CASE WHEN n1 >= 2 AND n2 >= 2 AND v1 + v2 > 0 THEN " +
+        "abs(diff) / sqrt((v1 + v2) / 2.0) END, 6) AS q " +
+        "FROM v ORDER BY g1, g2"),
+      (s, dir) => Stats.gamesHowell(Tables.orders(s, dir),
+        col("o_orderpriority"), col("o_totalprice"))
+        .orderBy("g1", "g2")),
+
+    // ---- Bowker symmetry of each user's first vs last event type (the
+    // q142 deterministic (ts, event_id) election): did journeys change
+    // direction? Canonicalized off-diagonal cells, no self-join.
+    Q("q452_bowker",
+      Some("WITH e AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(ts) AS us FROM events), " +
+        "r AS (SELECT user_id, event_type, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY us, event_id) AS rn, " +
+        "count(*) OVER (PARTITION BY user_id) AS cnt FROM e), " +
+        "p AS (SELECT user_id, max(CASE WHEN rn = 1 THEN event_type END) " +
+        "AS a, max(CASE WHEN rn = cnt THEN event_type END) AS b FROM r " +
+        "GROUP BY 1), " +
+        "cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM p " +
+        "GROUP BY 1, 2), " +
+        "off AS (SELECT least(a, b) AS lo, greatest(a, b) AS hi, " +
+        "CAST(sum(CASE WHEN a < b THEN n ELSE 0 END) AS BIGINT) AS nij, " +
+        "CAST(sum(CASE WHEN a > b THEN n ELSE 0 END) AS BIGINT) AS nji " +
+        "FROM cells WHERE a <> b GROUP BY 1, 2), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS n_units FROM cells), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS df, " +
+        "sum(CAST(CAST((nij - nji) * (nij - nji) AS DOUBLE) / " +
+        "CAST(nij + nji AS DOUBLE) AS DECIMAL(28,12))) AS chi2, " +
+        "CAST(sum(nij + nji) AS BIGINT) AS n_pairs_obs FROM off " +
+        "WHERE nij + nji > 0) " +
+        "SELECT n_pairs_obs, n_units, df, " +
+        "round(CAST(chi2 AS DOUBLE), 6) AS chi2 FROM m, t"),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val fl = e.groupBy("user_id").agg(
+          min_by(col("event_type"),
+            struct(unix_micros(col("ts")), col("event_id")))
+            .as("first_type"),
+          max_by(col("event_type"),
+            struct(unix_micros(col("ts")), col("event_id")))
+            .as("last_type"))
+        Stats.mcnemarBowker(fl, col("first_type"), col("last_type"))
+      }),
+
+    // ---- Lin's concordance between quantity and price-in-hundreds: the
+    // agreement score that penalizes scale/location shift where Pearson
+    // wouldn't; one decimal-moment aggregate.
+    Q("q453_lin_ccc",
+      Some("WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx, " +
+        "CAST(SUM(CAST(l_extendedprice * 0.01 AS DECIMAL(38,6))) " +
+        "AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) " +
+        "AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST((l_extendedprice * 0.01) * " +
+        "(l_extendedprice * 0.01) AS DECIMAL(38,6))) AS DOUBLE) AS syy, " +
+        "CAST(SUM(CAST(l_quantity * (l_extendedprice * 0.01) " +
+        "AS DECIMAL(38,6))) AS DOUBLE) AS sxy FROM lineitem " +
+        "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL), " +
+        "f AS (SELECT n, sx / CAST(n AS DOUBLE) AS mx, " +
+        "sy / CAST(n AS DOUBLE) AS my, " +
+        "sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * " +
+        "(sx / CAST(n AS DOUBLE)) AS vx, " +
+        "syy / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE)) * " +
+        "(sy / CAST(n AS DOUBLE)) AS vy, " +
+        "sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * " +
+        "(sy / CAST(n AS DOUBLE)) AS cxy FROM m) " +
+        "SELECT n, round(mx, 6) AS mean_x, round(my, 6) AS mean_y, " +
+        "round(CASE WHEN vx > 0 AND vy > 0 THEN cxy / sqrt(vx * vy) " +
+        "END, 6) AS pearson_r, " +
+        "round(CASE WHEN vx + vy + (mx - my) * (mx - my) > 0 THEN " +
+        "2.0 * cxy / (vx + vy + (mx - my) * (mx - my)) END, 6) AS ccc " +
+        "FROM f"),
+      (s, dir) => Stats.linCcc(Tables.lineitem(s, dir),
+        col("l_quantity"), col("l_extendedprice") * lit(0.01))),
+
+    // ---- Deming (orthogonal) regression on the same pair: the
+    // errors-in-both-variables calibration line, closed-form root off
+    // the identical moment aggregate.
+    Q("q454_deming",
+      Some("WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx, " +
+        "CAST(SUM(CAST(l_extendedprice * 0.01 AS DECIMAL(38,6))) " +
+        "AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) " +
+        "AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST((l_extendedprice * 0.01) * " +
+        "(l_extendedprice * 0.01) AS DECIMAL(38,6))) AS DOUBLE) AS syy, " +
+        "CAST(SUM(CAST(l_quantity * (l_extendedprice * 0.01) " +
+        "AS DECIMAL(38,6))) AS DOUBLE) AS sxy FROM lineitem " +
+        "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL), " +
+        "f AS (SELECT n, sx / CAST(n AS DOUBLE) AS mx, " +
+        "sy / CAST(n AS DOUBLE) AS my, " +
+        "sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * " +
+        "(sx / CAST(n AS DOUBLE)) AS vx, " +
+        "syy / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE)) * " +
+        "(sy / CAST(n AS DOUBLE)) AS vy, " +
+        "sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * " +
+        "(sy / CAST(n AS DOUBLE)) AS cxy FROM m), " +
+        "d AS (SELECT n, mx, my, cxy, vy - 1.0 * vx AS dd FROM f) " +
+        "SELECT n, round(CASE WHEN n >= 2 AND cxy <> 0 THEN " +
+        "(dd + sqrt(dd * dd + 4.0 * cxy * cxy)) / (2.0 * cxy) END, 6) " +
+        "AS slope, round(CASE WHEN n >= 2 AND cxy <> 0 THEN my - " +
+        "(dd + sqrt(dd * dd + 4.0 * cxy * cxy)) / (2.0 * cxy) * mx " +
+        "END, 6) AS intercept FROM d"),
+      (s, dir) => Stats.demingRegression(Tables.lineitem(s, dir),
+        col("l_quantity"), col("l_extendedprice") * lit(0.01),
+        lambda = 1.0))
   )
 }

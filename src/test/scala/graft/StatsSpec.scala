@@ -2039,6 +2039,56 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(8) == 0.5, s"tau_c: $r")
   }
 
+  test("gamesHowell: hand pairwise t/df/q on unequal variances") {
+    import spark.implicits._
+    // g1={1,2,3,4}, g2={2,4,6}: diff=1.5, se2=1.75 -> t=1.133893,
+    // Welch df=3.234719, q=|diff|/sqrt(se2/2)=1.603567
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0)).toDF("g", "v")
+    val r = Stats.gamesHowell(df, col("g"), col("v")).collect()
+    assert(r.length == 1)
+    val p = r(0)
+    assert((p.getString(0), p.getString(1), p.getLong(2), p.getLong(3)) ==
+      (("a", "b", 4L, 3L)))
+    assert(p.getDouble(4) == 1.5 && p.getDouble(5) == 1.133893)
+    assert(p.getDouble(6) == 3.234719 && p.getDouble(7) == 1.603567,
+      s"gh: $p")
+  }
+
+  test("mcnemarBowker: canonical off-diagonal pairs; hand chi2") {
+    import spark.implicits._
+    // cells (x,y)x3, (y,x)x1, (x,z)x2, (z,z)x4: pair xy term 4/4=1,
+    // pair xz term 4/2=2 -> chi2=3, df=2, 6 off-diagonal units of 10
+    val rows = Seq.fill(3)(("x", "y")) ++ Seq(("y", "x")) ++
+      Seq.fill(2)(("x", "z")) ++ Seq.fill(4)(("z", "z"))
+    val r = Stats.mcnemarBowker(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 10L, 2L)))
+    assert(r.getDouble(3) == 3.0, s"chi2: $r")
+  }
+
+  test("linCcc: hand concordance vs pearson on a shifted pair") {
+    import spark.implicits._
+    val df = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 4.0)).toDF("x", "y")
+    val r = Stats.linCcc(df, col("x"), col("y")).collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 2.333333)
+    assert(r.getDouble(3) == 0.981981, s"r: $r")
+    assert(r.getDouble(4) == 0.857143, s"ccc: $r")
+  }
+
+  test("demingRegression: hand orthogonal slope; sxy=0 -> null") {
+    import spark.implicits._
+    val df = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 4.0)).toDF("x", "y")
+    val r = Stats.demingRegression(df, col("x"), col("y")).collect()(0)
+    assert(r.getDouble(1) == 1.538762 && r.getDouble(2) == -0.744191,
+      s"deming: $r")
+    // flat y: sxy = 0 -> degenerate root -> null slope
+    val flat = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "y")
+    assert(Stats.demingRegression(flat, col("x"), col("y"))
+      .collect()(0).isNullAt(1))
+  }
+
   test("rankBiasedOverlap: identical lists score 1; reversed pair at p=.5") {
     import spark.implicits._
     // identical: W(1)+W(2) = 1.25+0.25 -> (1-p)*1.5/(1-p^2) = 1
