@@ -5475,6 +5475,189 @@ object Stats {
     * DETERMINISM AND SCALE: one groupBy of exact integer counts; the
     * interval is a fixed IEEE shape per group row, 6dp. Returns one row
     * per group: (group..., n, k, p_hat, lo, hi). */
+  // ------------------------------------------------- Dunn post-hoc
+  /** Dunn's pairwise rank post-hoc (Dunn 1964) — the follow-up to a
+    * significant [[kruskalWallis]]: z_ij = (R̄_i − R̄_j)/σ_ij with the
+    * shared pooled-midrank variance
+    * σ²_ij = [N(N+1)/12 − Σ(t³−t)/(12(N−1))]·(1/n_i + 1/n_j). Feed the
+    * z's to [[bhFdr]] for the multiplicity correction.
+    *
+    * DETERMINISM AND SCALE — the [[kruskalWallis]] cell shape: pooled
+    * DOUBLED midranks from the per-(value) rollup (cardinality
+    * contract), per-group Σ2R and the tie mass as exact DECIMAL(38,0);
+    * pairs from the broadcast k-row group-rollup self-join. Returns one
+    * row per pair: (g1, g2, n1, n2, mean_rank_1, mean_rank_2, z) 6dp. */
+  def dunnPosthoc(df: DataFrame, groupCol: Column,
+                  valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val base = df.select(groupCol.cast("string").as("__g"),
+        valueCol.cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val cells = base.groupBy("__v").agg(count(lit(1)).as("__t"))
+    val wRun = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r2ByV = cells
+      .withColumn("__cum", sum(col("__t")).over(wRun))
+      .select(col("__v"), (col("__cum") * 2L - col("__t") + 1L).as("__r2"))
+    val perG = base.join(r2ByV, "__v")
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__r2").cast(dt)).as("__sr2"))
+    val ties = cells.agg(sum(col("__t")).as("__nn"),
+      sum(col("__t").cast(dt) * col("__t") * col("__t") - col("__t"))
+        .as("__tm"))
+    val a = perG.select(col("__g").as("g1"), col("__n").as("n1"),
+      col("__sr2").as("__sr21"))
+    val b = perG.select(col("__g").as("g2"), col("__n").as("n2"),
+      col("__sr2").as("__sr22"))
+    val pairs = a.join(broadcast(b), col("g1") < col("g2"))
+      .crossJoin(broadcast(ties))
+    val nD = col("__nn").cast("double")
+    val rb1 = col("__sr21").cast("double") / (col("n1").cast("double") * 2.0)
+    val rb2 = col("__sr22").cast("double") / (col("n2").cast("double") * 2.0)
+    val sig2 = (nD * (nD + 1.0) / 12.0 -
+      col("__tm").cast("double") / (lit(12.0) * (nD - 1.0))) *
+      (lit(1.0) / col("n1").cast("double") +
+        lit(1.0) / col("n2").cast("double"))
+    pairs.select(col("g1"), col("g2"), col("n1"), col("n2"),
+      round(rb1, 6).as("mean_rank_1"), round(rb2, 6).as("mean_rank_2"),
+      round(when(col("n1") > 0L && col("n2") > 0L && sig2 > 0.0,
+        (rb1 - rb2) / sqrt(sig2)), 6).as("z"))
+  }
+
+  // ------------------------------------------- seasonal Mann-Kendall
+  /** Seasonal Mann–Kendall trend test (Hirsch, Slack & Smith 1982) on
+    * the zero-filled daily count series with day-of-week seasons:
+    * S = Σ_w S_w and Var = Σ_w Var_w over WITHIN-season day pairs, so a
+    * strong weekly cycle never masquerades as (or masks) a trend the
+    * way it can in [[EventAnalytics.mannKendallDaily]]'s unconditional
+    * pairs; z takes the standard ±1 continuity correction.
+    *
+    * DETERMINISM AND SCALE: the calendar-bounded spine self-joins on
+    * (same season, earlier day) — 7× fewer pairs than plain MK; S is an
+    * exact integer; per-season tie masses are DECIMAL(38,0); one IEEE
+    * finish, 6dp. Returns one row: (n_days, s_stat, var_s, z). */
+  def seasonalMannKendall(df: DataFrame, tsCol: String,
+                          period: Int = 7): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(period >= 2 && period <= 366, s"period in [2,366]: $period")
+    val dt = DecimalType(38, 0)
+    val daily = EventAnalytics.resampleDaily(df, tsCol)
+      .select(col("day"), pmod(col("day"), lit(period.toLong)).as("__w"),
+        col("n"))
+    val a = daily.select(col("__w"), col("day").as("da"), col("n").as("xa"))
+    val b = daily.select(col("__w"), col("day").as("db"), col("n").as("xb"))
+    val s = a.join(broadcast(b), Seq("__w"))
+      .filter(col("da") < col("db"))
+      .agg(sum(signum((col("xb") - col("xa")).cast("double")).cast("long"))
+        .as("__s"))
+    val perSeason = daily.groupBy("__w", "n").agg(count(lit(1)).as("__t"))
+      .groupBy("__w").agg(sum(col("__t")).as("__nd"),
+        sum(col("__t").cast(dt) * (col("__t") - 1L) *
+          (col("__t") * 2L + 5L)).as("__tsum"))
+    val nD = col("__nd").cast("double")
+    val varW = (nD * (nD - 1.0) * (lit(2.0) * nD + 5.0) -
+      col("__tsum").cast("double")) / 18.0
+    val vTot = perSeason.agg(sum(col("__nd")).as("n_days"),
+      sum(varW.cast(DecimalType(28, 12))).as("__v"))
+    val m = s.crossJoin(broadcast(vTot))
+    val sD = col("__s").cast("double")
+    val v = col("__v").cast("double")
+    m.select(col("n_days"), col("__s").as("s_stat"),
+      round(v, 6).as("var_s"),
+      round(when(v > 0.0,
+        when(col("__s") > 0L, (sD - 1.0) / sqrt(v))
+          .when(col("__s") < 0L, (sD + 1.0) / sqrt(v))
+          .otherwise(lit(0.0))), 6).as("z"))
+  }
+
+  // ------------------------------------------- Hodges-Lehmann estimator
+  /** One-sample Hodges–Lehmann pseudo-median (Hodges & Lehmann 1963):
+    * the median of all n(n+1)/2 Walsh averages (x_i + x_j)/2, i ≤ j —
+    * the location estimate behind [[wilcoxonSignedRank]], robust like
+    * the median but ~50% more efficient at the normal.
+    *
+    * DETERMINISM AND SCALE: Walsh averages form over VALUE CELLS, never
+    * rows — pair (v_i, v_j) carries multiplicity c_i·c_j (i < j) or
+    * c_i(c_i+1)/2 (i = j), so the relation is |vocab|²-bounded (the
+    * [[kendallTau]] broadcast-cell contract); the estimate is the
+    * weighted lower-median ELEMENT of the Walsh rollup (exact integer
+    * cumcounts, zero interpolation). Returns one row:
+    * (n, n_walsh_values, n_pairs, hl). */
+  def hodgesLehmann(df: DataFrame, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val cells = df.select(valueCol.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as("__c"))
+    val a = cells.select(col("__v").as("va"), col("__c").as("ca"))
+    val b = cells.select(col("__v").as("vb"), col("__c").as("cb"))
+    // DOUBLED multiplicities (2·c_i·c_j / c_i(c_i+1)) keep everything an
+    // exact decimal INTEGER; lower median = smallest w with
+    // cum ≥ ceil(M/2) ⟺ 2·cum2 ≥ M2 — no division anywhere
+    val walsh = a.join(broadcast(b), col("va") <= col("vb"))
+      .select(((col("va") + col("vb")) / 2.0).as("__w"),
+        when(col("va") < col("vb"), col("ca").cast(dt) * col("cb") * 2L)
+          .otherwise(col("ca").cast(dt) * (col("ca") + 1L)).as("__m2"))
+      .groupBy("__w").agg(sum(col("__m2")).as("__m2"))
+    val wRun = Window.orderBy(col("__w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = walsh.withColumn("__cum2", sum(col("__m2")).over(wRun))
+    val tot = cells.agg(sum(col("__c")).as("n"))
+    val nWalsh = walsh.agg(count(lit(1)).as("n_walsh_values"),
+      sum(col("__m2")).as("__mt2"))
+    cum.crossJoin(broadcast(nWalsh.select(col("__mt2"))))
+      .filter(col("__cum2") * 2L >= col("__mt2"))
+      .agg(min(col("__w")).as("hl"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(nWalsh.select(col("n_walsh_values"),
+        (col("__mt2").cast("double") / 2.0).as("n_pairs"))))
+      .select(col("n"), col("n_walsh_values"), col("n_pairs"), col("hl"))
+  }
+
+  // ------------------------------------------------- weighted kappa
+  /** Cohen's weighted kappa (Cohen 1968) for paired ORDINAL codes, both
+    * the linear (|i−j|) and quadratic ((i−j)²) disagreement weights in
+    * one pass: κ_w = 1 − N·Σ(w·o_ij) / Σ(w·r_i·c_j) — o the confusion
+    * cells, r/c the marginals — the ordinal upgrade of [[cohenKappa]]
+    * (off-by-one disagreements cost less than opposite ends).
+    *
+    * DETERMINISM AND SCALE: one (a, b) cell rollup + broadcast marginal
+    * joins (codes are a bounded ordinal vocabulary); Σw·o and Σw·r·c
+    * are exact DECIMAL(38,0) integers, so each κ is ONE IEEE division,
+    * 6dp. Returns one row: (n, kappa_linear, kappa_quadratic). */
+  def weightedKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val base = df.select(aCol.cast("long").as("__a"),
+        bCol.cast("long").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val cells = base.groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+    val rm = cells.groupBy("__a").agg(sum(col("__o")).as("__r"))
+    val cm = cells.groupBy("__b").agg(sum(col("__o")).as("__c"))
+    val joint = rm.crossJoin(broadcast(cm))
+      .join(cells, Seq("__a", "__b"), "left")
+      .select(col("__a"), col("__b"), col("__r"), col("__c"),
+        coalesce(col("__o"), lit(0L)).as("__o"))
+    val wL = abs(col("__a") - col("__b")).cast(dt)
+    val wQ = ((col("__a") - col("__b")) * (col("__a") - col("__b"))).cast(dt)
+    val agg = joint.agg(
+      sum(col("__o")).as("n"),
+      sum(wL * col("__o")).as("__ol"),
+      sum(wQ * col("__o")).as("__oq"),
+      sum(wL * col("__r") * col("__c")).as("__el"),
+      sum(wQ * col("__r") * col("__c")).as("__eq"))
+    val nD = col("n").cast("double")
+    agg.select(col("n"),
+      round(when(col("__el") > 0, lit(1.0) -
+        nD * col("__ol").cast("double") / col("__el").cast("double")), 6)
+        .as("kappa_linear"),
+      round(when(col("__eq") > 0, lit(1.0) -
+        nD * col("__oq").cast("double") / col("__eq").cast("double")), 6)
+        .as("kappa_quadratic"))
+  }
+
   // --------------------------------------------- Games-Howell post-hoc
   /** Games–Howell pairwise post-hoc comparisons (Games & Howell 1976) —
     * the unequal-variance follow-up to [[welchAnova]]: for every group

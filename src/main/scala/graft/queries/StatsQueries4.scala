@@ -950,6 +950,147 @@ object StatsQueries4 {
         "END, 6) AS intercept FROM d"),
       (s, dir) => Stats.demingRegression(Tables.lineitem(s, dir),
         col("l_quantity"), col("l_extendedprice") * lit(0.01),
-        lambda = 1.0))
+        lambda = 1.0)),
+
+    // ---- Dunn pairwise rank post-hoc on the q427 design (quantity by
+    // line number): pooled midranks off the 50-value cell rollup, the
+    // shared tie-corrected variance, 21 pair rows.
+    Q("q455_dunn",
+      Some("WITH base AS (SELECT CAST(l_linenumber AS VARCHAR) AS g, " +
+        "CAST(l_quantity AS DOUBLE) AS v FROM lineitem " +
+        "WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL), " +
+        "cells AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM base " +
+        "GROUP BY 1), " +
+        "rk AS (SELECT v, 2 * CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - t + 1 AS r2 " +
+        "FROM cells), " +
+        "pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n, " +
+        "sum(CAST(r2 AS HUGEINT)) AS sr2 FROM base JOIN rk USING (v) " +
+        "GROUP BY 1), " +
+        "ties AS (SELECT CAST(sum(t) AS BIGINT) AS nn, " +
+        "sum(CAST(t AS HUGEINT) * t * t - t) AS tm FROM cells), " +
+        "p AS (SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2, " +
+        "a.sr2 AS sr21, b.sr2 AS sr22, nn, tm FROM pg a " +
+        "JOIN pg b ON a.g < b.g, ties), " +
+        "f AS (SELECT g1, g2, n1, n2, " +
+        "CAST(sr21 AS DOUBLE) / (CAST(n1 AS DOUBLE) * 2.0) AS rb1, " +
+        "CAST(sr22 AS DOUBLE) / (CAST(n2 AS DOUBLE) * 2.0) AS rb2, " +
+        "(CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0) / 12.0 - " +
+        "CAST(tm AS DOUBLE) / (12.0 * (CAST(nn AS DOUBLE) - 1.0))) * " +
+        "(1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)) AS sig2 " +
+        "FROM p) " +
+        "SELECT g1, g2, n1, n2, round(rb1, 6) AS mean_rank_1, " +
+        "round(rb2, 6) AS mean_rank_2, " +
+        "round(CASE WHEN n1 > 0 AND n2 > 0 AND sig2 > 0 THEN " +
+        "(rb1 - rb2) / sqrt(sig2) END, 6) AS z FROM f ORDER BY g1, g2"),
+      (s, dir) => Stats.dunnPosthoc(Tables.lineitem(s, dir),
+        col("l_linenumber"), col("l_quantity")).orderBy("g1", "g2")),
+
+    // ---- seasonal Mann-Kendall with day-of-week seasons: within-season
+    // day pairs only, so the weekly cycle can't masquerade as drift the
+    // way it can in q388's unconditional pairs.
+    Q("q456_seasonal_mk",
+      Some("WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "s AS (SELECT r.day, r.day % 7 AS w, " +
+        "CAST(coalesce(c.n, 0) AS BIGINT) AS n FROM r LEFT JOIN c " +
+        "USING (day)), " +
+        "ss AS (SELECT CAST(sum(CASE WHEN b.n > a.n THEN 1 " +
+        "WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS st " +
+        "FROM s a JOIN s b ON a.w = b.w AND a.day < b.day), " +
+        "ps AS (SELECT w, CAST(sum(t) AS BIGINT) AS nd, " +
+        "sum(CAST(t AS HUGEINT) * (t - 1) * (t * 2 + 5)) AS tsum FROM " +
+        "(SELECT w, n, CAST(count(*) AS BIGINT) AS t FROM s " +
+        "GROUP BY 1, 2) GROUP BY 1), " +
+        "v AS (SELECT CAST(sum(nd) AS BIGINT) AS n_days, " +
+        "sum(CAST((CAST(nd AS DOUBLE) * (CAST(nd AS DOUBLE) - 1.0) * " +
+        "(2.0 * CAST(nd AS DOUBLE) + 5.0) - CAST(tsum AS DOUBLE)) / " +
+        "18.0 AS DECIMAL(28,12))) AS vv FROM ps) " +
+        "SELECT n_days, st AS s_stat, " +
+        "round(CAST(vv AS DOUBLE), 6) AS var_s, " +
+        "round(CASE WHEN CAST(vv AS DOUBLE) > 0 THEN CASE WHEN st > 0 " +
+        "THEN (CAST(st AS DOUBLE) - 1.0) / sqrt(CAST(vv AS DOUBLE)) " +
+        "WHEN st < 0 THEN (CAST(st AS DOUBLE) + 1.0) / " +
+        "sqrt(CAST(vv AS DOUBLE)) ELSE 0.0 END END, 6) AS z " +
+        "FROM ss, v"),
+      (s, dir) => Stats.seasonalMannKendall(Tables.events(s, dir), "ts",
+        period = 7)),
+
+    // ---- Hodges-Lehmann pseudo-median of quantity: Walsh averages over
+    // the 50-value cell relation (1275 cells, never rows); the estimate
+    // is the weighted lower-median ELEMENT — doubled integer cumcounts,
+    // no division anywhere.
+    Q("q457_hodges_lehmann",
+      Some("WITH cells AS (SELECT CAST(l_quantity AS DOUBLE) AS v, " +
+        "CAST(count(*) AS BIGINT) AS c FROM lineitem " +
+        "WHERE l_quantity IS NOT NULL GROUP BY 1), " +
+        "w AS (SELECT (a.v + b.v) / 2.0 AS wv, CASE WHEN a.v < b.v THEN " +
+        "CAST(a.c AS HUGEINT) * b.c * 2 ELSE CAST(a.c AS HUGEINT) * " +
+        "(a.c + 1) END AS m2 FROM cells a JOIN cells b ON a.v <= b.v), " +
+        "g AS (SELECT wv, sum(m2) AS m2 FROM w GROUP BY 1), " +
+        "cum AS (SELECT wv, sum(m2) OVER (ORDER BY wv ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2 FROM g), " +
+        "t AS (SELECT sum(m2) AS mt2, CAST(count(*) AS BIGINT) " +
+        "AS n_walsh_values FROM g), " +
+        "nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells) " +
+        "SELECT nn.n, t.n_walsh_values, " +
+        "CAST(t.mt2 AS DOUBLE) / 2.0 AS n_pairs, " +
+        "(SELECT min(wv) FROM cum, t WHERE cum2 * 2 >= t.mt2) AS hl " +
+        "FROM nn, t"),
+      (s, dir) => Stats.hodgesLehmann(Tables.lineitem(s, dir),
+        col("l_quantity"))),
+
+    // ---- weighted kappa between each user's first and last event-value
+    // quintile bucket (fixed thresholds, the q142 deterministic
+    // election): ordinal agreement where q406-family nominal kappas
+    // treat near-misses as total misses.
+    Q("q458_weighted_kappa",
+      Some("WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) " +
+        "AS us FROM events WHERE value IS NOT NULL), " +
+        "r AS (SELECT user_id, value, row_number() OVER (PARTITION BY " +
+        "user_id ORDER BY us, event_id) AS rn, count(*) OVER " +
+        "(PARTITION BY user_id) AS cnt FROM e), " +
+        "p AS (SELECT user_id, max(CASE WHEN rn = 1 THEN value END) " +
+        "AS fv, max(CASE WHEN rn = cnt THEN value END) AS lv FROM r " +
+        "GROUP BY 1), " +
+        "bkt AS (SELECT CASE WHEN fv < 20 THEN 0 WHEN fv < 40 THEN 1 " +
+        "WHEN fv < 60 THEN 2 WHEN fv < 80 THEN 3 ELSE 4 END AS a, " +
+        "CASE WHEN lv < 20 THEN 0 WHEN lv < 40 THEN 1 WHEN lv < 60 " +
+        "THEN 2 WHEN lv < 80 THEN 3 ELSE 4 END AS b FROM p), " +
+        "cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM bkt " +
+        "GROUP BY 1, 2), " +
+        "rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells " +
+        "GROUP BY 1), " +
+        "cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells " +
+        "GROUP BY 1), " +
+        "j AS (SELECT rm.a, cm.b, rm.r, cm.c, " +
+        "CAST(coalesce(cells.o, 0) AS BIGINT) AS o FROM rm CROSS JOIN " +
+        "cm LEFT JOIN cells ON rm.a = cells.a AND cm.b = cells.b), " +
+        "m AS (SELECT CAST(sum(o) AS BIGINT) AS n, " +
+        "sum(CAST(abs(a - b) AS HUGEINT) * o) AS ol, " +
+        "sum(CAST((a - b) * (a - b) AS HUGEINT) * o) AS oq, " +
+        "sum(CAST(abs(a - b) AS HUGEINT) * r * c) AS el, " +
+        "sum(CAST((a - b) * (a - b) AS HUGEINT) * r * c) AS eqq " +
+        "FROM j) " +
+        "SELECT n, round(CASE WHEN el > 0 THEN 1.0 - " +
+        "CAST(n AS DOUBLE) * CAST(ol AS DOUBLE) / CAST(el AS DOUBLE) " +
+        "END, 6) AS kappa_linear, " +
+        "round(CASE WHEN eqq > 0 THEN 1.0 - CAST(n AS DOUBLE) * " +
+        "CAST(oq AS DOUBLE) / CAST(eqq AS DOUBLE) END, 6) " +
+        "AS kappa_quadratic FROM m"),
+      (s, dir) => {
+        val e = Tables.events(s, dir).filter(col("value").isNotNull)
+        val fl = e.groupBy("user_id").agg(
+          min_by(col("value"),
+            struct(unix_micros(col("ts")), col("event_id"))).as("fv"),
+          max_by(col("value"),
+            struct(unix_micros(col("ts")), col("event_id"))).as("lv"))
+        def bkt(c: org.apache.spark.sql.Column) =
+          when(c < 20, 0L).when(c < 40, 1L)
+            .when(c < 60, 2L).when(c < 80, 3L).otherwise(4L)
+        Stats.weightedKappa(fl, bkt(col("fv")), bkt(col("lv")))
+      })
   )
 }

@@ -2039,6 +2039,62 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(8) == 0.5, s"tau_c: $r")
   }
 
+  test("dunnPosthoc: pooled midranks with ties; hand z") {
+    import spark.implicits._
+    // a={1,2}, b={2,3,3}: midranks 1, 2.5, 4.5; Rbar_a=1.75,
+    // Rbar_b=23/6; ties 12 -> sigma2=1.875
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0),
+      ("b", 3.0)).toDF("g", "v")
+    val r = Stats.dunnPosthoc(df, col("g"), col("v")).collect()(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)) ==
+      (("a", "b", 2L, 3L)))
+    assert(r.getDouble(4) == 1.75 && r.getDouble(5) == 3.833333)
+    assert(r.getDouble(6) == -1.521452, s"z: $r")
+  }
+
+  test("seasonalMannKendall: within-season pairs only; hand S and z") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // period 2: even days 1,2,3 and odd days 5,6,7 both trend up ->
+    // S = 6, Var = 2 * 66/18, z = 5/sqrt(22/3)
+    val counts = Seq(1, 5, 2, 6, 3, 7)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(t(d + 10)) }
+    val r = Stats.seasonalMannKendall(rows.toDF("ts"), "ts", period = 2)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((6L, 6L)))
+    assert(r.getDouble(2) == 7.333333 && r.getDouble(3) == 1.846372,
+      s"smk: $r")
+  }
+
+  test("hodgesLehmann: lower median of the Walsh averages") {
+    import spark.implicits._
+    // {1,2,6}: Walsh = 1, 1.5, 2, 3.5, 4, 6 -> 3rd smallest = 2
+    val df = Seq(1.0, 2.0, 6.0).toDF("v")
+    val r = Stats.hodgesLehmann(df, col("v")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) ==
+      ((3L, 6L, 6.0)))
+    assert(r.getDouble(3) == 2.0, s"hl: $r")
+    // even pair count keeps the lower element: {1,3} -> Walsh 1, 2, 3
+    // -> median idx ceil(3/2)=2 -> 2.0
+    val d2 = Seq(1.0, 3.0).toDF("v")
+    assert(Stats.hodgesLehmann(d2, col("v")).collect()(0)
+      .getDouble(3) == 2.0)
+  }
+
+  test("weightedKappa: linear vs quadratic on a 3-level confusion") {
+    import spark.implicits._
+    // cells (0,0)x2, (0,1), (1,2), (2,2)x2: kL = 1 - 12/36,
+    // kQ = 1 - 12/62
+    val rows = Seq.fill(2)((0, 0)) ++ Seq((0, 1), (1, 2)) ++
+      Seq.fill(2)((2, 2))
+    val r = Stats.weightedKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect()(0)
+    assert(r.getLong(0) == 6L)
+    assert(r.getDouble(1) == 0.666667, s"kl: $r")
+    assert(r.getDouble(2) == 0.806452, s"kq: $r")
+  }
+
   test("gamesHowell: hand pairwise t/df/q on unequal variances") {
     import spark.implicits._
     // g1={1,2,3,4}, g2={2,4,6}: diff=1.5, se2=1.75 -> t=1.133893,
