@@ -468,6 +468,104 @@ object Finance {
           (col("n_tail").cast("double") * 100.0), 6).as("cvar_amt"))
   }
 
+  // ---------------------------------------------- Kupiec POF backtest
+  /** Kupiec proportion-of-failures VaR backtest (Kupiec 1995), split
+    * out-of-time per key: the α-quantile move VaR estimates on each
+    * key's FIRST calendar half (days ≤ the lower-median day), violations
+    * count on the second half, and
+    * LR = −2[(n−x)ln(1−α) + x·ln α − (n−x)ln(1−x/n) − x·ln(x/n)]
+    * ~ χ²(1) asks "is the violation rate consistent with α?" — the
+    * honesty check behind [[historicalVar]]'s estimate.
+    *
+    * DETERMINISM AND SCALE: the split day is a lower-median DATA
+    * ELEMENT per key ([[graft.pipeline.Stats.groupLowerMedian]]); the
+    * VaR element is the ceil-rank order statistic over TRAIN diffs
+    * (key-partitioned windows throughout); x counts exact integer-cent
+    * comparisons; x = 0 and x = n take their 0·ln0 = 0 limits
+    * explicitly. Returns per key: (key, n_train, n_test, var_amt, x,
+    * lr) 6dp. */
+  def kupiecPof(df: DataFrame, keyCol: String, dayCol: String,
+                closeCol: Column, alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha < 0.5, s"alpha must be in (0,0.5): $alpha")
+    val wLag = Window.partitionBy(col("key")).orderBy(col("day"))
+    val diffs = closeCents(df, keyCol, dayCol, closeCol)
+      .withColumn("__d", col("__c") - lag(col("__c"), 1).over(wLag))
+      .filter(col("__d").isNotNull)
+    val medDay = graft.pipeline.Stats.groupLowerMedian(
+      diffs.select(col("key"), col("day").cast("double").as("__dd")),
+      Seq("key"), "__dd", "__med")
+    val split = diffs.join(medDay, "key")
+      .select(col("key"), col("day"), col("__d"),
+        (col("day").cast("double") <= col("__med")).as("__train"))
+    val wRank = Window.partitionBy(col("key"))
+      .orderBy(col("__d").asc, col("day").asc)
+    val train = split.filter(col("__train"))
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("key"))))
+      .withColumn("__idx",
+        ceil(col("__n").cast("double") * alpha).cast("long"))
+    val varByKey = train.filter(col("__rn") === col("__idx"))
+      .select(col("key"), col("__d").as("__var"),
+        col("__n").as("n_train"))
+    val test = split.filter(!col("__train"))
+      .join(varByKey, "key")
+      .groupBy("key")
+      .agg(first(col("n_train")).as("n_train"),
+        count(lit(1)).as("n_test"),
+        first(col("__var")).as("__v"),
+        sum(when(col("__d") < col("__var"), 1L).otherwise(0L)).as("x"))
+    val nD = col("n_test").cast("double")
+    val xD = col("x").cast("double")
+    val lnNull = (nD - xD) * math.log(1.0 - alpha) + xD * math.log(alpha)
+    val lnAlt = when(col("x") === 0L, lit(0.0))
+      .when(col("x") === col("n_test"), lit(0.0))
+      .otherwise((nD - xD) * log(lit(1.0) - xD / nD) +
+        xD * log(xD / nD))
+    test.select(col("key"), col("n_train"), col("n_test"),
+      round(col("__v").cast("double") / 100.0, 6).as("var_amt"),
+      col("x"),
+      round(when(col("n_test") > 0L, lit(-2.0) * (lnNull - lnAlt)), 6)
+        .as("lr"))
+  }
+
+  // ------------------------------------------------ Roll spread estimator
+  /** Roll's implied bid-ask spread (Roll 1984): consecutive price moves
+    * of a security bouncing between bid and ask are negatively
+    * autocorrelated, and s = 2·√(−cov(Δp_t, Δp_{t−1})) recovers the
+    * effective spread from trade prices alone. Positive autocovariance
+    * (trending, no bounce) reports null — the estimator's documented
+    * blind spot, never clamped silently.
+    *
+    * DETERMINISM AND SCALE: integer-cent diffs from key-partitioned lag
+    * windows; Σd·d_lag products are exact DECIMAL(38,0); the population
+    * autocovariance is one fixed IEEE shape per key row, 6dp. Returns
+    * per key: (key, n_pairs, autocov, roll_spread) (spread in currency
+    * units). */
+  def rollSpread(df: DataFrame, keyCol: String, dayCol: String,
+                 closeCol: Column): DataFrame = {
+    val dt = DecimalType(38, 0)
+    val wLag = Window.partitionBy(col("key")).orderBy(col("day"))
+    val pairs = closeCents(df, keyCol, dayCol, closeCol)
+      .withColumn("__d", col("__c") - lag(col("__c"), 1).over(wLag))
+      .withColumn("__dl", lag(col("__d"), 1).over(wLag))
+      .filter(col("__d").isNotNull && col("__dl").isNotNull)
+    val agg = pairs.groupBy("key")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__d").cast(dt)).as("__sd"),
+        sum(col("__dl").cast(dt)).as("__sdl"),
+        sum(col("__d").cast(dt) * col("__dl")).as("__sp"))
+    val m = col("n_pairs").cast("double")
+    val cov = col("__sp").cast("double") / m -
+      col("__sd").cast("double") / m * (col("__sdl").cast("double") / m)
+    // autocov can reach ~1e9 dollars-squared: a 6dp round there sits at
+    // the double's own ulp (16 significant digits) and flips between
+    // engines — 2dp keeps ~9 digits of margin
+    agg.select(col("key"), col("n_pairs"),
+      round(cov / 10000.0, 2).as("autocov"),
+      round(when(col("n_pairs") >= 2L && cov < 0.0,
+        lit(2.0) * sqrt(-cov) / 100.0), 6).as("roll_spread"))
+  }
+
   // --------------------------------------------------------- Ulcer index
   /** Ulcer index per key (Martin & McCann 1989): the RMS percentage
     * drawdown of the close below its own running peak —

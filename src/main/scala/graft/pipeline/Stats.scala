@@ -5475,6 +5475,96 @@ object Stats {
     * DETERMINISM AND SCALE: one groupBy of exact integer counts; the
     * interval is a fixed IEEE shape per group row, 6dp. Returns one row
     * per group: (group..., n, k, p_hat, lo, hi). */
+  // ------------------------------------------- expected reciprocal rank
+  /** Expected reciprocal rank at k (Chapelle et al. 2009) — the cascade
+    * model beside [[ndcgAtK]]'s positional discount: a user scans down
+    * the ranking and stops at rank r with probability
+    * R_r·Π_{i<r}(1−R_i), R = (2^g − 1)/2^gmax for grade g;
+    * ERR = Σ_r R_r/r · Π_{i<r}(1−R_i). Graded relevance means a
+    * near-perfect hit at rank 1 almost fully absorbs the metric — the
+    * behavior MRR's binary relevance can't express.
+    *
+    * DETERMINISM AND SCALE: ranks/grades arrive precomputed (the
+    * [[rankingMetricsAtK]] contract); the cascade product is
+    * exp(Σ ln(1−R)) over a query-partitioned k-bounded window — R < 1
+    * always ((2^g−1)/2^gmax is exact dyadic), so the log never
+    * degenerates. Returns per query: (query, n_ranked, err) 6dp. */
+  def errAtK(df: DataFrame, queryCol: String, rankCol: Column,
+             gradeCol: Column, k: Int, gmax: Int = 3): DataFrame = {
+    require(k >= 1 && gmax >= 1 && gmax <= 30,
+      s"need k >= 1 and gmax in [1,30]: k=$k gmax=$gmax")
+    val base = df.select(col(queryCol).as("query"),
+        rankCol.cast("long").as("__r"), gradeCol.cast("long").as("__g"))
+      .filter(col("__r").isNotNull && col("__r") >= 1L &&
+        col("__r") <= k && col("__g").isNotNull)
+    val rel = (pow(lit(2.0), least(col("__g"), lit(gmax.toLong))
+      .cast("double")) - 1.0) / math.pow(2.0, gmax)
+    val wPrec = Window.partitionBy(col("query")).orderBy(col("__r"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.withColumn("__rel", rel)
+      .withColumn("__stop",
+        exp(coalesce(sum(log(lit(1.0) - col("__rel"))).over(wPrec),
+          lit(0.0))))
+      .groupBy("query")
+      .agg(count(lit(1)).as("n_ranked"),
+        round(sum(col("__rel") / col("__r").cast("double") *
+          col("__stop")), 6).as("err"))
+  }
+
+  // --------------------------------------------- Mahalanobis outliers
+  /** Bivariate Mahalanobis outlier census: d²(x, y) against the
+    * population covariance ellipse, counted above `cutoff` (default
+    * 9.21034 = χ²₂ at 0.99) — the correlated-pair upgrade of
+    * [[robustOutlierStats]]' per-axis MAD rule (a point can sit inside
+    * both marginals yet far off the joint ellipse).
+    *
+    * DETERMINISM AND SCALE: ONE decimal-moment aggregate (the [[linCcc]]
+    * shape) broadcasts back; d² is a fixed IEEE closed form per row
+    * (2×2 inverse inlined: d² = (v_y·dx² − 2c·dx·dy + v_x·dy²)/det);
+    * the census compares identical doubles — no rounding in the count.
+    * Degenerate covariance (det ≤ 0) reports nulls loudly. Returns one
+    * row: (n, n_outliers, max_d2) 6dp. */
+  def mahalanobis2d(df: DataFrame, xCol: Column, yCol: Column,
+                    cutoff: Double = 9.21034): DataFrame = {
+    require(cutoff > 0.0, s"cutoff must be positive: $cutoff")
+    val x = xCol.cast("double"); val y = yCol.cast("double")
+    val base = df.select(x.as("__x"), y.as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val m = base.agg(count(lit(1)).as("n"),
+      sum(col("__x").cast("decimal(38,6)")).cast("double").as("__sx"),
+      sum(col("__y").cast("decimal(38,6)")).cast("double").as("__sy"),
+      sum((col("__x") * col("__x")).cast("decimal(38,6)")).cast("double")
+        .as("__sxx"),
+      sum((col("__y") * col("__y")).cast("decimal(38,6)")).cast("double")
+        .as("__syy"),
+      sum((col("__x") * col("__y")).cast("decimal(38,6)")).cast("double")
+        .as("__sxy"))
+    val nD = col("n").cast("double")
+    val stats = m.select(col("n"),
+      (col("__sx") / nD).as("__mx"), (col("__sy") / nD).as("__my"),
+      (col("__sxx") / nD - col("__sx") / nD * (col("__sx") / nD))
+        .as("__vx"),
+      (col("__syy") / nD - col("__sy") / nD * (col("__sy") / nD))
+        .as("__vy"),
+      (col("__sxy") / nD - col("__sx") / nD * (col("__sy") / nD))
+        .as("__cxy"))
+    val dx = col("__x") - col("__mx")
+    val dy = col("__y") - col("__my")
+    val det = col("__vx") * col("__vy") - col("__cxy") * col("__cxy")
+    // the division lives INSIDE the det>0 branch: ANSI mode raises on a
+    // naked double division by a degenerate (zero-det) covariance
+    val d2 = when(det > 0.0, (col("__vy") * dx * dx -
+      lit(2.0) * col("__cxy") * dx * dy + col("__vx") * dy * dy) / det)
+    base.crossJoin(broadcast(stats))
+      .agg(first(col("n")).as("n"),
+        sum(when(d2 > cutoff, 1L).otherwise(0L)).as("__nout"),
+        max(d2).as("__mx2"),
+        max(det).as("__det"))
+      .select(col("n"),
+        when(col("__det") > 0.0, col("__nout")).as("n_outliers"),
+        round(when(col("__det") > 0.0, col("__mx2")), 6).as("max_d2"))
+  }
+
   // ------------------------------------------------- Dunn post-hoc
   /** Dunn's pairwise rank post-hoc (Dunn 1964) — the follow-up to a
     * significant [[kruskalWallis]]: z_ij = (R̄_i − R̄_j)/σ_ij with the

@@ -1091,6 +1091,165 @@ object StatsQueries4 {
           when(c < 20, 0L).when(c < 40, 1L)
             .when(c < 60, 2L).when(c < 80, 3L).otherwise(4L)
         Stats.weightedKappa(fl, bkt(col("fv")), bkt(col("lv")))
-      })
+      }),
+
+    // ---- expected reciprocal rank over each event type's top-10 users
+    // by spend (activity-count grades): the cascade metric beside q251's
+    // nDCG; the scale-safe topKPerGroup cutoff feeds a <=10-row rank
+    // window per query.
+    Q("q459_err",
+      Some("WITH s AS (SELECT event_type, user_id, " +
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS score, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events " +
+        "WHERE value IS NOT NULL GROUP BY 1, 2), " +
+        "rk AS (SELECT event_type AS query, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY score DESC, user_id) AS r, " +
+        "least(3, cnt // 20) AS g FROM s), " +
+        "f AS (SELECT query, r, (pow(2.0, CAST(least(g, 3) AS DOUBLE)) " +
+        "- 1.0) / 8.0 AS rel FROM rk WHERE r <= 10), " +
+        "w AS (SELECT query, r, rel, exp(coalesce(sum(ln(1.0 - rel)) " +
+        "OVER (PARTITION BY query ORDER BY r ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND 1 PRECEDING), 0.0)) AS stop FROM f) " +
+        "SELECT query, CAST(count(*) AS BIGINT) AS n_ranked, " +
+        "round(sum(rel / CAST(r AS DOUBLE) * stop), 6) AS err FROM w " +
+        "GROUP BY 1 ORDER BY query"),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .groupBy("event_type", "user_id")
+          .agg(sum(col("value").cast("decimal(38,6)")).cast("double")
+            .as("score"), count(lit(1)).as("cnt"))
+        val top = graft.pipeline.Curation.topKPerGroup(scored,
+          "event_type", "score", "user_id", k = 10)
+        val ranked = top.withColumn("r", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("score").desc, col("user_id").asc)))
+        Stats.errAtK(ranked, "event_type", col("r"),
+          least(lit(3L), expr("cnt div 20")), k = 10, gmax = 3)
+          .orderBy("query")
+      }),
+
+    // ---- Kupiec POF backtest of the q439 VaR: estimate on each
+    // ticker's first calendar half, count violations on the second,
+    // LR ~ chi2(1). Split day and VaR cut are both DATA ELEMENTS.
+    Q("q460_kupiec",
+      Some("WITH t AS (SELECT l_suppkey % 25 AS key, " +
+        "epoch_us(l_shipdate) // 86400000000 AS day, " +
+        "l_orderkey * 10000000 + l_linenumber * 1000000 + l_suppkey " +
+        "AS tie, CAST(round(l_extendedprice * 100) AS BIGINT) AS c " +
+        "FROM lineitem), " +
+        "b AS (SELECT key, day, arg_max(c, tie) AS cl FROM t " +
+        "GROUP BY 1, 2), " +
+        "d AS (SELECT key, day, cl - lag(cl) OVER (PARTITION BY key " +
+        "ORDER BY day) AS dd FROM b), " +
+        "f AS (SELECT key, day, dd FROM d WHERE dd IS NOT NULL), " +
+        "md AS (SELECT key, dd2 AS med FROM (SELECT key, " +
+        "CAST(day AS DOUBLE) AS dd2, row_number() OVER (PARTITION BY " +
+        "key ORDER BY CAST(day AS DOUBLE)) AS rn, count(*) OVER " +
+        "(PARTITION BY key) AS n FROM f) WHERE rn = (n + 1) // 2), " +
+        "sp AS (SELECT f.key, f.day, f.dd, " +
+        "CAST(f.day AS DOUBLE) <= md.med AS train FROM f " +
+        "JOIN md ON f.key = md.key), " +
+        "tr AS (SELECT key, dd, row_number() OVER (PARTITION BY key " +
+        "ORDER BY dd, day) AS rn, count(*) OVER (PARTITION BY key) " +
+        "AS n FROM sp WHERE train), " +
+        "vk AS (SELECT key, dd AS v, n AS n_train FROM tr " +
+        "WHERE rn = CAST(ceil(CAST(n AS DOUBLE) * 0.05) AS BIGINT)), " +
+        "te AS (SELECT sp.key, any_value(vk.n_train) AS n_train, " +
+        "CAST(count(*) AS BIGINT) AS n_test, any_value(vk.v) AS v, " +
+        "CAST(sum(CASE WHEN sp.dd < vk.v THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS x FROM sp JOIN vk ON sp.key = vk.key WHERE NOT sp.train " +
+        "GROUP BY 1), " +
+        "g AS (SELECT key, n_train, n_test, v, x, " +
+        "CAST(n_test AS DOUBLE) AS nd, CAST(x AS DOUBLE) AS xd FROM te) " +
+        "SELECT key, n_train, n_test, " +
+        "round(CAST(v AS DOUBLE) / 100.0, 6) AS var_amt, x, " +
+        "round(CASE WHEN n_test > 0 THEN -2.0 * (((nd - xd) * ln(0.95) " +
+        "+ xd * ln(0.05)) - (CASE WHEN x = 0 THEN 0.0 WHEN x = n_test " +
+        "THEN 0.0 ELSE (nd - xd) * ln(1.0 - xd / nd) + " +
+        "xd * ln(xd / nd) END)) END, 6) AS lr FROM g ORDER BY key"),
+      (s, dir) => Finance.kupiecPof(
+        Finance.dailyBars(
+          Tables.lineitem(s, dir)
+            .withColumn("ticker", pmod(col("l_suppkey"), lit(25L))),
+          "ticker", "l_shipdate",
+          col("l_orderkey") * 10000000 + col("l_linenumber") * 1000000 +
+            col("l_suppkey"),
+          col("l_extendedprice"), col("l_quantity")),
+        "key", "day", col("close"), alpha = 0.05)
+        .orderBy("key")),
+
+    // ---- Roll implied spread per ticker: bouncing close-to-close moves
+    // are negatively autocorrelated; exact decimal diff products, one
+    // IEEE finish; trending tickers report null, never a clamp.
+    Q("q461_roll_spread",
+      Some("WITH t AS (SELECT l_suppkey % 25 AS key, " +
+        "epoch_us(l_shipdate) // 86400000000 AS day, " +
+        "l_orderkey * 10000000 + l_linenumber * 1000000 + l_suppkey " +
+        "AS tie, CAST(round(l_extendedprice * 100) AS BIGINT) AS c " +
+        "FROM lineitem), " +
+        "b AS (SELECT key, day, arg_max(c, tie) AS cl FROM t " +
+        "GROUP BY 1, 2), " +
+        "d AS (SELECT key, day, cl - lag(cl) OVER (PARTITION BY key " +
+        "ORDER BY day) AS dd FROM b), " +
+        "p AS (SELECT key, dd, lag(dd) OVER (PARTITION BY key " +
+        "ORDER BY day) AS dl FROM d WHERE dd IS NOT NULL), " +
+        "q AS (SELECT key, dd, dl FROM p WHERE dl IS NOT NULL), " +
+        "a AS (SELECT key, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(CAST(dd AS HUGEINT)) AS DOUBLE) AS sd, " +
+        "CAST(sum(CAST(dl AS HUGEINT)) AS DOUBLE) AS sdl, " +
+        "CAST(sum(CAST(dd AS HUGEINT) * dl) AS DOUBLE) AS sp " +
+        "FROM q GROUP BY 1), " +
+        "f AS (SELECT key, n_pairs, sp / CAST(n_pairs AS DOUBLE) - " +
+        "sd / CAST(n_pairs AS DOUBLE) * (sdl / CAST(n_pairs AS DOUBLE)) " +
+        "AS cov FROM a) " +
+        "SELECT key, n_pairs, round(cov / 10000.0, 2) AS autocov, " +
+        "round(CASE WHEN n_pairs >= 2 AND cov < 0 THEN " +
+        "2.0 * sqrt(-cov) / 100.0 END, 6) AS roll_spread FROM f " +
+        "ORDER BY key"),
+      (s, dir) => Finance.rollSpread(
+        Finance.dailyBars(
+          Tables.lineitem(s, dir)
+            .withColumn("ticker", pmod(col("l_suppkey"), lit(25L))),
+          "ticker", "l_shipdate",
+          col("l_orderkey") * 10000000 + col("l_linenumber") * 1000000 +
+            col("l_suppkey"),
+          col("l_extendedprice"), col("l_quantity")),
+        "key", "day", col("close"))
+        .orderBy("key")),
+
+    // ---- bivariate Mahalanobis census on (quantity, price/100): the
+    // joint-ellipse outlier count the per-axis MAD rule can't see; the
+    // census compares identical IEEE doubles — no rounding in the count.
+    Q("q462_mahalanobis",
+      Some("WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS x, " +
+        "l_extendedprice * 0.01 AS y FROM lineitem " +
+        "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx, " +
+        "CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy, " +
+        "CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy " +
+        "FROM b), " +
+        "s AS (SELECT n, CAST(n AS DOUBLE) AS nd, sx, sy, sxx, syy, " +
+        "sxy FROM m), " +
+        "st AS (SELECT n, sx / nd AS mx, sy / nd AS my, " +
+        "sxx / nd - sx / nd * (sx / nd) AS vx, " +
+        "syy / nd - sy / nd * (sy / nd) AS vy, " +
+        "sxy / nd - sx / nd * (sy / nd) AS cxy FROM s), " +
+        "r AS (SELECT st.n, vx * vy - cxy * cxy AS det, " +
+        "(vy * (x - mx) * (x - mx) - 2.0 * cxy * (x - mx) * (y - my) + " +
+        "vx * (y - my) * (y - my)) / (vx * vy - cxy * cxy) AS d2 " +
+        "FROM b, st), " +
+        "a AS (SELECT any_value(n) AS n, " +
+        "CAST(sum(CASE WHEN det > 0 AND d2 > 9.21034 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS nout, max(CASE WHEN det > 0 THEN d2 END) AS mx2, " +
+        "max(det) AS det FROM r) " +
+        "SELECT n, CASE WHEN det > 0 THEN nout END AS n_outliers, " +
+        "round(CASE WHEN det > 0 THEN mx2 END, 6) AS max_d2 FROM a"),
+      (s, dir) => Stats.mahalanobis2d(Tables.lineitem(s, dir),
+        col("l_quantity"), col("l_extendedprice") * lit(0.01)))
   )
 }

@@ -282,6 +282,43 @@ class FinanceSpec extends SparkSpec {
     assert(r.getDouble(3) == -0.08 && r.getDouble(4) == -0.09, s"var: $r")
   }
 
+  test("kupiecPof: out-of-time split; exact-rate LR = 0 and x = 0 limit") {
+    // key 1: train diffs {-10,5,-2,3} -> var -0.10; test {-16,17,1,1}
+    // -> x=1 of 4 = alpha exactly -> LR = 0
+    // key 2: same train; test all +1 -> x=0 -> LR = -8 ln(.75)
+    val k1 = Seq(100, 90, 95, 93, 96, 80, 97, 98, 99)
+    val k2 = Seq(100, 90, 95, 93, 96, 97, 98, 99, 100)
+    val bars = (k1.zipWithIndex.map { case (c, d) =>
+      (1L, d.toLong, c / 100.0) } ++
+      k2.zipWithIndex.map { case (c, d) => (2L, d.toLong, c / 100.0) })
+      .toDF("key", "day", "close")
+    val r = Finance.kupiecPof(bars, "key", "day", col("close"),
+      alpha = 0.25).orderBy("key").collect()
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(4)) ==
+      ((4L, 4L, 1L)))
+    assert(r(0).getDouble(3) == -0.1 && r(0).getDouble(5) == 0.0,
+      s"k1: ${r(0)}")
+    assert(r(1).getLong(4) == 0L && r(1).getDouble(5) == 2.301457,
+      s"k2: ${r(1)}")
+  }
+
+  test("rollSpread: bouncing price implies a spread; hand autocovariance") {
+    // closes 1,3,1,3,1: diffs +-200 cents -> cov = -320000/9 cents^2
+    // = -3.56 $^2 (2dp; see the ulp note) -> spread = 2*sqrt(-cov)/100
+    val bars = Seq((1L, 0L, 1.00), (1L, 1L, 3.00), (1L, 2L, 1.00),
+      (1L, 3L, 3.00), (1L, 4L, 1.00)).toDF("key", "day", "close")
+    val r = Finance.rollSpread(bars, "key", "day", col("close"))
+      .collect()(0)
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == -3.56 && r.getDouble(3) == 3.771236,
+      s"roll: $r")
+    // trending price: positive autocov -> null spread, loudly
+    val up = Seq((2L, 0L, 1.00), (2L, 1L, 1.02), (2L, 2L, 1.04),
+      (2L, 3L, 1.06)).toDF("key", "day", "close")
+    assert(Finance.rollSpread(up, "key", "day", col("close"))
+      .collect()(0).isNullAt(3))
+  }
+
   test("ulcerIndex: RMS drawdown below the running peak") {
     // closes 1.00,1.10,0.99,1.10: peaks 100,110,110,110 -> dd 0,0,10,0
     // -> max 10, ulcer = sqrt(100/4) = 5

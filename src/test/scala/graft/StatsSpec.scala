@@ -2039,6 +2039,29 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(8) == 0.5, s"tau_c: $r")
   }
 
+  test("errAtK: cascade stop probabilities; hand ERR") {
+    import spark.implicits._
+    // grades 3,0,2 at ranks 1,2,3 (gmax=3): R = .875, 0, .375
+    // ERR = .875 + 0 + .375/3*.125 = 0.890625
+    val df = Seq(("q", 1, 3), ("q", 2, 0), ("q", 3, 2))
+      .toDF("query", "rank", "grade")
+    val r = Stats.errAtK(df, "query", col("rank"), col("grade"),
+      k = 10, gmax = 3).collect()(0)
+    assert(r.getLong(1) == 3L && r.getDouble(2) == 0.890625, s"err: $r")
+  }
+
+  test("mahalanobis2d: joint-ellipse census; hand d2") {
+    import spark.implicits._
+    // points (0,0),(1,1),(2,2),(0,2): d2 = 2.33, .33, 2.33, 3.0
+    // -> exactly one above 2.5
+    val df = Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (0.0, 2.0))
+      .toDF("x", "y")
+    val r = Stats.mahalanobis2d(df, col("x"), col("y"), cutoff = 2.5)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 1L)))
+    assert(r.getDouble(2) == 3.0, s"maha: $r")
+  }
+
   test("dunnPosthoc: pooled midranks with ties; hand z") {
     import spark.implicits._
     // a={1,2}, b={2,3,3}: midranks 1, 2.5, 4.5; Rbar_a=1.75,
