@@ -672,4 +672,85 @@ object Graph {
     m.select(col("n_edges"),
       round(when(den =!= 0.0, num / den), 6).as("r"))
   }
+
+  // ------------------------------------------------- rich-club coefficient
+  /** Rich-club coefficient φ(k) over a threshold grid (Zhou & Mondragón
+    * 2004): among nodes of degree > k, φ(k) = 2·E_k / (n_k(n_k−1)) — do
+    * the hubs preferentially wire to each other? The curve-form
+    * complement to [[assortativity]]'s single correlation.
+    *
+    * DETERMINISM AND SCALE: degrees from the canonical undirected edge
+    * relation; each edge reduces to min(deg_a, deg_b) by two co-keyed
+    * joins; edges AND nodes then roll up per degree value (the degree
+    * VOCABULARY — never node- or edge-grain again) and the small
+    * threshold grid cross-joins those cells for conditional sums. Exact
+    * integer counts; one IEEE division per grid row, 6dp. Returns one
+    * row per threshold: (k, n_nodes, n_edges, phi). */
+  def richClub(edges: DataFrame, srcCol: String, dstCol: String,
+               ks: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(ks.nonEmpty && ks.forall(_ >= 0) && ks == ks.sorted,
+      s"thresholds must be ascending and nonnegative: $ks")
+    val und = canonEdges(edges, srcCol, dstCol)
+    val deg = degrees(und)
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("__da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("__db")), "b")
+    val edgeCells = withDeg
+      .groupBy(least(col("__da"), col("__db")).as("__m"))
+      .agg(count(lit(1)).as("__e"))
+    val nodeCells = deg.groupBy(col("deg").as("__m"))
+      .agg(count(lit(1)).as("__n"))
+    val grid = und.sparkSession.createDataFrame(
+      ks.map(k => Tuple1(k.toLong))).toDF("k")
+    val eK = grid.crossJoin(broadcast(edgeCells))
+      .groupBy("k")
+      .agg(sum(when(col("__m") > col("k"), col("__e")).otherwise(0L))
+        .as("n_edges"))
+    val nK = grid.crossJoin(broadcast(nodeCells))
+      .groupBy("k")
+      .agg(sum(when(col("__m") > col("k"), col("__n")).otherwise(0L))
+        .as("n_nodes"))
+    val nD = col("n_nodes").cast("double")
+    eK.join(nK, "k")
+      .select(col("k"), col("n_nodes"), col("n_edges"),
+        round(when(col("n_nodes") >= 2L,
+          lit(2.0) * col("n_edges").cast("double") / (nD * (nD - 1.0))), 6)
+          .as("phi"))
+      .orderBy("k")
+  }
+
+  // ------------------------------------------- average neighbor degree
+  /** Degree-dependent average neighbor degree knn(k) (Pastor-Satorras
+    * et al. 2001) — [[assortativity]]'s full curve: for each degree
+    * value k, the mean over degree-k nodes of their neighbors' mean
+    * degree. A falling curve is disassortative (hubs touch leaves), a
+    * rising one assortative.
+    *
+    * DETERMINISM AND SCALE: adjacency joins the degree relation co-keyed
+    * (never a cartesian); each node's neighbor-degree mean is an exact
+    * integer ratio cast DECIMAL(28,12) BEFORE the per-degree average
+    * (the [[graft.pipeline.Stats.mantelHaenszel]] discipline), so the
+    * rollup is order-independent. Returns one row per degree:
+    * (deg, n_nodes, knn) 6dp. */
+  def avgNeighborDegree(edges: DataFrame, srcCol: String,
+                        dstCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val und = canonEdges(edges, srcCol, dstCol)
+    val deg = degrees(und)
+    val adj = und.select(col("a").as("z"), col("b").as("x"))
+      .unionByName(und.select(col("b").as("z"), col("a").as("x")))
+    val perNode = adj
+      .join(deg.select(col("node").as("x"), col("deg").as("__dx")), "x")
+      .groupBy("z")
+      .agg(count(lit(1)).as("__dz"), sum(col("__dx")).as("__sum"))
+      .select(col("z"), col("__dz"),
+        (col("__sum").cast("double") / col("__dz").cast("double"))
+          .cast(DecimalType(28, 12)).as("__mnd"))
+    perNode.groupBy(col("__dz").as("deg"))
+      .agg(count(lit(1)).as("n_nodes"),
+        round(sum(col("__mnd")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("knn"))
+      .orderBy("deg")
+  }
 }

@@ -554,6 +554,51 @@ object TextAnalysis {
         lit(15.59), 6))
   }
 
+  /** Letter tally ([A-Za-z]) — Coleman–Liau's character proxy. */
+  def letterCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]"), lit(0)))
+
+  /** Complex-word tally: whitespace tokens with ≥ 3 vowel groups (the
+    * polysyllable proxy Gunning fog and SMOG run on). Row-local
+    * higher-order filter over the token array — identical RE2-safe
+    * pattern in any engine. */
+  def complexWordCount(c: Column): Column =
+    size(filter(tokens(lower(c)), t =>
+      size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))) >= 3))
+
+  /** Coleman–Liau index on character proxies (Coleman & Liau 1975):
+    * 0.0588·L − 0.296·S − 15.8 with L = letters and S = sentences per
+    * 100 words — the readability formula that needs no syllable guess
+    * at all. Empty text scores NULL; fixed IEEE on integer tallies,
+    * 6dp. */
+  def colemanLiau(c: Column): Column = {
+    val w = tokenCount(c).cast("double")
+    when(tokenCount(c) === 0, lit(null))
+      .otherwise(round(
+        lit(0.0588) * (letterCount(c).cast("double") * 100.0 / w) -
+          lit(0.296) * (sentenceCount(c).cast("double") * 100.0 / w) -
+          lit(15.8), 6))
+  }
+
+  /** Gunning fog index (Gunning 1952):
+    * 0.4·(words/sentences + 100·complex/words). */
+  def gunningFog(c: Column): Column = {
+    val w = tokenCount(c).cast("double")
+    val s = sentenceCount(c).cast("double")
+    when(tokenCount(c) === 0, lit(null))
+      .otherwise(round(lit(0.4) * (w / s +
+        lit(100.0) * complexWordCount(c).cast("double") / w), 6))
+  }
+
+  /** SMOG grade (McLaughlin 1969):
+    * 1.0430·√(complex·30/sentences) + 3.1291. */
+  def smogIndex(c: Column): Column = {
+    when(tokenCount(c) === 0, lit(null))
+      .otherwise(round(lit(1.0430) *
+        sqrt(complexWordCount(c).cast("double") * 30.0 /
+          sentenceCount(c).cast("double")) + lit(3.1291), 6))
+  }
+
   // ---------------------------------------------------------- inverted index
   /** Capped inverted index: one row per term with its document frequency and
     * the first `k` posting doc ids (ascending, comma-joined) — the retrieval

@@ -1250,6 +1250,100 @@ object StatsQueries4 {
         "SELECT n, CASE WHEN det > 0 THEN nout END AS n_outliers, " +
         "round(CASE WHEN det > 0 THEN mx2 END, 6) AS max_d2 FROM a"),
       (s, dir) => Stats.mahalanobis2d(Tables.lineitem(s, dir),
-        col("l_quantity"), col("l_extendedprice") * lit(0.01)))
+        col("l_quantity"), col("l_extendedprice") * lit(0.01))),
+
+    // ---- readability panel per documentation source: Coleman-Liau (no
+    // syllable guess), Gunning fog, and SMOG on the established
+    // token/sentence/vowel-group proxies; per-doc scores average as
+    // DECIMAL(28,12).
+    Q("q463_readability_panel", {
+      val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+      val w = s"CAST(len(regexp_split_to_array(trim(text), '\\s+')) " +
+        "AS DOUBLE)"
+      val sCnt = "CAST(greatest(len(regexp_extract_all(text, " +
+        "'[.!?]+')), 1) AS DOUBLE)"
+      val lCnt = "CAST(len(regexp_extract_all(text, '[A-Za-z]')) " +
+        "AS DOUBLE)"
+      val cx = s"CAST(len(list_filter($toks, t -> " +
+        "len(regexp_extract_all(t, '[aeiouy]+')) >= 3)) AS DOUBLE)"
+      Some("WITH d AS (SELECT source, " +
+        s"round(0.0588 * ($lCnt * 100.0 / $w) - " +
+        s"0.296 * ($sCnt * 100.0 / $w) - 15.8, 6) AS cli, " +
+        s"round(0.4 * ($w / $sCnt + 100.0 * $cx / $w), 6) AS fog, " +
+        s"round(1.0430 * sqrt($cx * 30.0 / $sCnt) + 3.1291, 6) AS smog " +
+        "FROM documents) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "round(CAST(sum(CAST(cli AS DECIMAL(28,12))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS avg_cli, " +
+        "round(CAST(sum(CAST(fog AS DECIMAL(28,12))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS avg_fog, " +
+        "round(CAST(sum(CAST(smog AS DECIMAL(28,12))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS avg_smog " +
+        "FROM d GROUP BY 1 ORDER BY source")
+    },
+      (s, dir) => {
+        import graft.pipeline.{TextAnalysis => TA}
+        Tables.documents(s, dir)
+          .select(col("source"),
+            TA.colemanLiau(col("text")).cast("decimal(28,12)").as("cli"),
+            TA.gunningFog(col("text")).cast("decimal(28,12)").as("fog"),
+            TA.smogIndex(col("text")).cast("decimal(28,12)").as("smog"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(col("cli")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("avg_cli"),
+            round(sum(col("fog")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("avg_fog"),
+            round(sum(col("smog")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("avg_smog"))
+          .orderBy("source")
+      }),
+
+    // ---- rich-club coefficient of the co-purchase graph: do the hub
+    // parts wire to each other? Degree-vocabulary cells x a 5-threshold
+    // grid — never edge-grain work past the two degree joins.
+    Q("q464_rich_club",
+      Some("WITH " + AppliedQueries.copurchaseEdgesSql + ", " +
+        "deg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) " +
+        "AS deg FROM (SELECT a AS node FROM e0 UNION ALL " +
+        "SELECT b AS node FROM e0) GROUP BY 1), " +
+        "wd AS (SELECT least(da.deg, db.deg) AS m FROM e0 " +
+        "JOIN deg da ON e0.a = da.node JOIN deg db ON e0.b = db.node), " +
+        "ec AS (SELECT m, CAST(count(*) AS BIGINT) AS e FROM wd " +
+        "GROUP BY 1), " +
+        "nc AS (SELECT deg AS m, CAST(count(*) AS BIGINT) AS n " +
+        "FROM deg GROUP BY 1), " +
+        "g AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS k), " +
+        "ek AS (SELECT k, CAST(sum(CASE WHEN m > k THEN e ELSE 0 END) " +
+        "AS BIGINT) AS n_edges FROM g, ec GROUP BY 1), " +
+        "nk AS (SELECT k, CAST(sum(CASE WHEN m > k THEN n ELSE 0 END) " +
+        "AS BIGINT) AS n_nodes FROM g, nc GROUP BY 1) " +
+        "SELECT ek.k, n_nodes, n_edges, " +
+        "round(CASE WHEN n_nodes >= 2 THEN 2.0 * " +
+        "CAST(n_edges AS DOUBLE) / (CAST(n_nodes AS DOUBLE) * " +
+        "(CAST(n_nodes AS DOUBLE) - 1.0)) END, 6) AS phi " +
+        "FROM ek JOIN nk USING (k) ORDER BY k"),
+      (s, dir) => graft.pipeline.Graph.richClub(
+        AppliedQueries.copurchaseEdges(s, dir), "src", "dst")),
+
+    // ---- average neighbor degree curve knn(k) of the co-purchase
+    // graph: assortativity's full shape; per-node neighbor-degree means
+    // cast DECIMAL(28,12) before the per-degree rollup.
+    Q("q465_knn_degree",
+      Some("WITH " + AppliedQueries.copurchaseEdgesSql + ", " +
+        "deg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) " +
+        "AS deg FROM (SELECT a AS node FROM e0 UNION ALL " +
+        "SELECT b AS node FROM e0) GROUP BY 1), " +
+        "adj AS (SELECT a AS z, b AS x FROM e0 UNION ALL " +
+        "SELECT b AS z, a AS x FROM e0), " +
+        "pn AS (SELECT z, CAST(count(*) AS BIGINT) AS dz, " +
+        "CAST(CAST(sum(deg) AS DOUBLE) / CAST(count(*) AS DOUBLE) " +
+        "AS DECIMAL(28,12)) AS mnd FROM adj JOIN deg " +
+        "ON adj.x = deg.node GROUP BY 1) " +
+        "SELECT dz AS deg, CAST(count(*) AS BIGINT) AS n_nodes, " +
+        "round(CAST(sum(mnd) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) " +
+        "AS knn FROM pn GROUP BY 1 ORDER BY deg"),
+      (s, dir) => graft.pipeline.Graph.avgNeighborDegree(
+        AppliedQueries.copurchaseEdges(s, dir), "src", "dst"))
   )
 }

@@ -858,6 +858,27 @@ class AppliedSpec extends SparkSpec {
     assert(r.getDouble(4) == 1.745743, s"z: $r")
   }
 
+  test("readability panel: Coleman-Liau, fog, SMOG on a hand sentence") {
+    import spark.implicits._
+    // "The cat sat. A dog ran away happily today.": 9 tokens,
+    // 2 sentences, 32 letters, 1 complex word (happily: a/i/y groups)
+    val df = Seq("The cat sat. A dog ran away happily today.").toDF("t")
+    val r = df.select(TA.colemanLiau(col("t")).as("cli"),
+      TA.gunningFog(col("t")).as("fog"),
+      TA.smogIndex(col("t")).as("smog"),
+      TA.complexWordCount(col("t")).as("cx"),
+      TA.letterCount(col("t")).as("lc")).collect()(0)
+    assert(r.getInt(3) == 1 && r.getInt(4) == 32, s"tallies: $r")
+    assert(r.getDouble(0) == -1.471111, s"cli: $r")
+    assert(r.getDouble(1) == 6.244444, s"fog: $r")
+    assert(r.getDouble(2) == 7.168622, s"smog: $r")
+    // blank text degenerates to the one-empty-token convention (the
+    // tokens() split contract): zero letters, zero complex words
+    val e = Seq("  ").toDF("t").select(TA.letterCount(col("t")),
+      TA.complexWordCount(col("t"))).collect()(0)
+    assert(e.getInt(0) == 0 && e.getInt(1) == 0)
+  }
+
   test("turningPointsDaily: strict extrema only; flats don't count") {
     import java.sql.Timestamp
     def t(d: Int) = new Timestamp(86400000L * d)

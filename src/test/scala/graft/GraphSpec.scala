@@ -214,4 +214,28 @@ class GraphSpec extends SparkSpec {
     val c = Graph.assortativity(cyc, "s", "d").collect()(0)
     assert(c.isNullAt(1), s"constant degrees must null r: $c")
   }
+
+  test("richClub: hub + triangle; singleton club nulls phi") {
+    import spark.implicits._
+    // h-l1,h-l2,h-l3,h-a,h-b,a-b: deg h=5, a=b=2, leaves=1.
+    // k=1: club {h,a,b}, 3 internal edges -> phi=1; k=2: {h} -> null
+    val e = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 20L),
+      (10L, 30L), (20L, 30L)).toDF("s", "d")
+    val r = Graph.richClub(e, "s", "d", ks = Seq(1, 2)).collect()
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getDouble(3)) == ((1L, 3L, 3L, 1.0)))
+    assert((r(1).getLong(0), r(1).getLong(1), r(1).getLong(2)) ==
+      ((2L, 1L, 0L)) && r(1).isNullAt(3), s"rc: ${r(1)}")
+  }
+
+  test("avgNeighborDegree: path graph knn curve") {
+    import spark.implicits._
+    // a-b-c: degree-1 nodes see a degree-2 neighbor; b sees two leaves
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val r = Graph.avgNeighborDegree(e, "s", "d").collect()
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getDouble(2)) ==
+      ((1L, 2L, 2.0)))
+    assert((r(1).getLong(0), r(1).getLong(1), r(1).getDouble(2)) ==
+      ((2L, 1L, 1.0)))
+  }
 }
