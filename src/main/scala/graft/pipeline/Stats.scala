@@ -5475,6 +5475,140 @@ object Stats {
     * DETERMINISM AND SCALE: one groupBy of exact integer counts; the
     * interval is a fixed IEEE shape per group row, 6dp. Returns one row
     * per group: (group..., n, k, p_hat, lo, hi). */
+  // ------------------------------------------------ Qn scale estimator
+  /** Rousseeuw–Croux Qn robust scale (Rousseeuw & Croux 1993): the k-th
+    * smallest pairwise gap |x_i − x_j| (i < j) with k = C(h, 2),
+    * h = n div 2 + 1, scaled by 2.2219 for normal consistency — 50%
+    * breakdown like the MAD but ~82% efficiency (vs the MAD's 37%) and
+    * no location estimate needed at all.
+    *
+    * DETERMINISM AND SCALE — the [[hodgesLehmann]] cell machinery: gaps
+    * form over VALUE CELLS (pair (v_a, v_b) carries c_a·c_b; within-cell
+    * ties carry C(c, 2) at gap 0), so the relation is |vocab|²-bounded;
+    * the pick is the weighted k-th order-statistic ELEMENT via doubled
+    * integer cumcounts (2k = h(h−1) exactly — no division). Returns one
+    * row: (n, k_index, gap, qn) 6dp. */
+  def qnScale(df: DataFrame, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val cells = df.select(valueCol.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as("__c"))
+    val a = cells.select(col("__v").as("va"), col("__c").as("ca"))
+    val b = cells.select(col("__v").as("vb"), col("__c").as("cb"))
+    val gaps = a.join(broadcast(b), col("va") <= col("vb"))
+      .select((col("vb") - col("va")).as("__g"),
+        when(col("va") < col("vb"), col("ca").cast(dt) * col("cb") * 2L)
+          .otherwise(col("ca").cast(dt) * (col("ca") - 1L)).as("__m2"))
+      .filter(col("__m2") > 0)
+      .groupBy("__g").agg(sum(col("__m2")).as("__m2"))
+    val wRun = Window.orderBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = gaps.withColumn("__cum2", sum(col("__m2")).over(wRun))
+    val tot = cells.agg(sum(col("__c")).as("n"))
+      .selectExpr("n", "n div 2 + 1 AS __h")
+      .selectExpr("n", "__h * (__h - 1) AS __k2",
+        "(__h * (__h - 1)) div 2 AS __k")
+    cum.crossJoin(broadcast(tot))
+      .filter(col("__cum2") >= col("__k2"))
+      .agg(first(col("n")).as("n"), first(col("__k")).as("k_index"),
+        min(col("__g")).as("gap"))
+      .select(col("n"), col("k_index"), round(col("gap"), 6).as("gap"),
+        round(lit(2.2219) * col("gap"), 6).as("qn"))
+  }
+
+  // ------------------------------------------- Gini mean difference
+  /** Gini mean difference Δ = Σ_{i<j}|x_i − x_j| / C(n, 2) (Gini 1912)
+    * — the dispersion measure [[giniIndex]] normalizes (gini =
+    * Δ/(2·mean)); unlike the variance it weighs gaps linearly, so one
+    * wild outlier moves it far less.
+    *
+    * DETERMINISM AND SCALE: pair gaps form over VALUE CELLS at integer
+    * CENTS (2dp inputs — the caller's contract), so Σ c_a·c_b·|Δcents|
+    * is an exact DECIMAL(38,0) over the |vocab|²-bounded broadcast
+    * self-join; ONE division finishes. Returns one row:
+    * (n, gmd, relative_gmd [= Δ/mean]) 6dp. */
+  def giniMeanDifference(df: DataFrame, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val cells = df.select(
+        round(valueCol.cast("double") * 100, 0).cast("long").as("__c100"))
+      .filter(col("__c100").isNotNull)
+      .groupBy("__c100").agg(count(lit(1)).as("__c"))
+    val a = cells.select(col("__c100").as("ca100"), col("__c").as("ca"))
+    val b = cells.select(col("__c100").as("cb100"), col("__c").as("cb"))
+    val s = a.join(broadcast(b), col("ca100") < col("cb100"))
+      .agg(sum(col("ca").cast(dt) * col("cb") *
+        (col("cb100") - col("ca100"))).as("__s"))
+    val tot = cells.agg(sum(col("__c")).as("n"),
+      sum(col("__c").cast(dt) * col("__c100")).as("__sc"))
+    s.crossJoin(broadcast(tot))
+      .select(col("n"),
+        round(when(col("n") >= 2L,
+          col("__s").cast("double") * 2.0 /
+            (col("n").cast("double") * (col("n").cast("double") - 1.0) *
+              100.0)), 6).as("gmd"),
+        round(when(col("n") >= 2L && col("__sc") > 0,
+          col("__s").cast("double") * 2.0 /
+            (col("n").cast("double") - 1.0) /
+            col("__sc").cast("double")), 6).as("relative_gmd"))
+  }
+
+  // ------------------------------------------------ Neyman allocation
+  /** Neyman-allocated stratified sampling (Neyman 1934): a total budget
+    * of `totalN` rows splits across strata ∝ N_h·S_h (size × sample sd),
+    * the variance-optimal allocation for estimating the overall mean;
+    * each stratum then samples at its rate with the deterministic
+    * [[graft.pipeline.Curation.sampleByRate]] md5 draw (salt-re-dealable,
+    * engine-independent).
+    *
+    * DETERMINISM AND SCALE: ONE decimal-moment groupBy per stratum; the
+    * allocation denominator Σ N_h·S_h sums per-stratum terms as
+    * DECIMAL(28,12) (order-independent — a float sum here would let the
+    * engines disagree on a hash boundary and desynchronize the draw);
+    * rates clamp at 1. Zero-variance strata get zero weight (documented:
+    * a constant stratum needs one row for a perfect estimate — pair with
+    * a minimum-rate floor upstream if coverage matters). Returns per
+    * stratum: (stratum, n_pop, sd, rate, n_sampled). */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: Column,
+                       keyCol: Column, totalN: Double,
+                       salt: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(totalN > 0.0, s"totalN must be positive: $totalN")
+    val v = valueCol.cast("double")
+    val g = df.filter(v.isNotNull)
+      .groupBy(col(stratumCol).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(v.cast("decimal(38,6)")).cast("double").as("__sv"),
+        sum((v * v).cast("decimal(38,6)")).cast("double").as("__pv"))
+    val nD = col("__n").cast("double")
+    val sd = when(col("__n") >= 2L, sqrt(greatest(
+      (col("__pv") - col("__sv") * col("__sv") / nD) / (nD - 1.0),
+      lit(0.0)))).otherwise(lit(0.0))
+    val withW = g.select(col("__s"), col("__n"), sd.as("__sd"),
+      (nD * sd).cast(DecimalType(28, 12)).as("__w"))
+    val denom = withW.agg(sum(col("__w")).as("__wsum"))
+    val rates = withW.crossJoin(broadcast(denom))
+      .select(col("__s"), col("__n"), col("__sd"),
+        when(col("__wsum") > 0,
+          least(lit(1.0), lit(totalN) * col("__w").cast("double") /
+            col("__wsum").cast("double") / nD)).otherwise(lit(0.0))
+          .as("__rate"))
+    val drawn = df.filter(v.isNotNull)
+      .select(col(stratumCol).as("__s"),
+        substring(md5(concat(lit(salt + ":"),
+          coalesce(keyCol.cast("string"), lit("")))), 1, 8).as("__h"))
+      .join(broadcast(rates), "__s")
+      .filter(graft.pipeline.Curation.keepCondition(col("__h"),
+        col("__rate")))
+      .groupBy("__s").agg(count(lit(1)).as("n_sampled"))
+    rates.join(drawn, Seq("__s"), "left")
+      .select(col("__s").as("stratum"), col("__n").as("n_pop"),
+        round(col("__sd"), 6).as("sd"),
+        round(col("__rate"), 9).as("rate"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+  }
+
   // ------------------------------------------- expected reciprocal rank
   /** Expected reciprocal rank at k (Chapelle et al. 2009) — the cascade
     * model beside [[ndcgAtK]]'s positional discount: a user scans down

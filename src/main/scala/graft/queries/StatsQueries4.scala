@@ -1344,6 +1344,82 @@ object StatsQueries4 {
         "round(CAST(sum(mnd) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) " +
         "AS knn FROM pn GROUP BY 1 ORDER BY deg"),
       (s, dir) => graft.pipeline.Graph.avgNeighborDegree(
-        AppliedQueries.copurchaseEdges(s, dir), "src", "dst"))
+        AppliedQueries.copurchaseEdges(s, dir), "src", "dst")),
+
+    // ---- Rousseeuw-Croux Qn robust scale of quantity: the k-th pairwise
+    // gap over the 50-value cell relation, doubled integer cumcounts —
+    // 50% breakdown with none of the MAD's efficiency loss.
+    Q("q466_qn_scale",
+      Some("WITH cells AS (SELECT CAST(l_quantity AS DOUBLE) AS v, " +
+        "CAST(count(*) AS BIGINT) AS c FROM lineitem " +
+        "WHERE l_quantity IS NOT NULL GROUP BY 1), " +
+        "g AS (SELECT b.v - a.v AS gap, CASE WHEN a.v < b.v THEN " +
+        "CAST(a.c AS HUGEINT) * b.c * 2 ELSE CAST(a.c AS HUGEINT) * " +
+        "(a.c - 1) END AS m2 FROM cells a JOIN cells b ON a.v <= b.v), " +
+        "g2 AS (SELECT gap, sum(m2) AS m2 FROM g WHERE m2 > 0 " +
+        "GROUP BY 1), " +
+        "cum AS (SELECT gap, sum(m2) OVER (ORDER BY gap ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2 FROM g2), " +
+        "t AS (SELECT CAST(sum(c) AS BIGINT) AS n, " +
+        "CAST(sum(c) AS BIGINT) // 2 + 1 AS h FROM cells), " +
+        "t2 AS (SELECT n, h * (h - 1) AS k2, (h * (h - 1)) // 2 AS k " +
+        "FROM t) " +
+        "SELECT any_value(n) AS n, any_value(k) AS k_index, " +
+        "round(min(gap), 6) AS gap, round(2.2219 * min(gap), 6) AS qn " +
+        "FROM cum, t2 WHERE cum2 >= k2"),
+      (s, dir) => Stats.qnScale(Tables.lineitem(s, dir),
+        col("l_quantity"))),
+
+    // ---- Gini mean difference of the discount column: linear-gap
+    // dispersion over the 11-value cell relation at exact integer cents.
+    Q("q467_gmd",
+      Some("WITH cells AS (SELECT CAST(round(CAST(l_discount AS DOUBLE) " +
+        "* 100) AS BIGINT) AS c100, CAST(count(*) AS BIGINT) AS c " +
+        "FROM lineitem WHERE l_discount IS NOT NULL GROUP BY 1), " +
+        "s AS (SELECT sum(CAST(a.c AS HUGEINT) * b.c * " +
+        "(b.c100 - a.c100)) AS s FROM cells a JOIN cells b " +
+        "ON a.c100 < b.c100), " +
+        "t AS (SELECT CAST(sum(c) AS BIGINT) AS n, " +
+        "sum(CAST(c AS HUGEINT) * c100) AS sc FROM cells) " +
+        "SELECT n, round(CASE WHEN n >= 2 THEN CAST(s AS DOUBLE) * 2.0 " +
+        "/ (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * 100.0) " +
+        "END, 6) AS gmd, " +
+        "round(CASE WHEN n >= 2 AND sc > 0 THEN CAST(s AS DOUBLE) * " +
+        "2.0 / (CAST(n AS DOUBLE) - 1.0) / CAST(sc AS DOUBLE) END, 6) " +
+        "AS relative_gmd FROM s, t"),
+      (s, dir) => Stats.giniMeanDifference(Tables.lineitem(s, dir),
+        col("l_discount"))),
+
+    // ---- Neyman-allocated stratified sample of orders by priority: a
+    // 1000-row budget splits proportional to N_h*S_h (DECIMAL-summed
+    // denominator so both engines agree on every md5 draw boundary).
+    Q("q468_neyman",
+      Some("WITH g AS (SELECT o_orderpriority AS s, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sv, " +
+        "CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) " +
+        "AS DOUBLE) AS pv FROM orders WHERE o_totalprice IS NOT NULL " +
+        "GROUP BY 1), " +
+        "w AS (SELECT s, n, CASE WHEN n >= 2 THEN sqrt(greatest(" +
+        "(pv - sv * sv / n) / (CAST(n AS DOUBLE) - 1.0), 0.0)) " +
+        "ELSE 0.0 END AS sd FROM g), " +
+        "w2 AS (SELECT *, CAST(CAST(n AS DOUBLE) * sd " +
+        "AS DECIMAL(28,12)) AS wgt FROM w), " +
+        "d AS (SELECT sum(wgt) AS wsum FROM w2), " +
+        "r AS (SELECT s, n, sd, CASE WHEN wsum > 0 THEN least(1.0, " +
+        "1000.0 * CAST(wgt AS DOUBLE) / CAST(wsum AS DOUBLE) / " +
+        "CAST(n AS DOUBLE)) ELSE 0.0 END AS rate FROM w2, d), " +
+        "k AS (SELECT o.o_orderpriority AS s, count(*) AS ns " +
+        "FROM orders o JOIN r ON o.o_orderpriority = r.s " +
+        "WHERE o.o_totalprice IS NOT NULL AND (r.rate >= 1.0 OR " +
+        "substring(md5('ney-v1:' || CAST(o.o_orderkey AS VARCHAR)), " +
+        "1, 8) < printf('%08x', CAST(least(floor(r.rate * " +
+        "4294967296.0), 4294967295.0) AS BIGINT))) GROUP BY 1) " +
+        "SELECT r.s AS stratum, CAST(r.n AS BIGINT) AS n_pop, " +
+        "round(r.sd, 6) AS sd, round(r.rate, 9) AS rate, " +
+        "CAST(coalesce(k.ns, 0) AS BIGINT) AS n_sampled FROM r " +
+        "LEFT JOIN k ON r.s = k.s ORDER BY stratum"),
+      (s, dir) => Stats.neymanAllocation(Tables.orders(s, dir),
+        "o_orderpriority", col("o_totalprice"), col("o_orderkey"),
+        totalN = 1000.0, salt = "ney-v1").orderBy("stratum"))
   )
 }

@@ -2039,6 +2039,42 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(8) == 0.5, s"tau_c: $r")
   }
 
+  test("qnScale: k-th pairwise gap with ties; hand pick") {
+    import spark.implicits._
+    // {1,3,6,10}: gaps 2,3,4,5,7,9; h=3, k=3 -> gap 4 -> qn = 2.2219*4
+    val df = Seq(1.0, 3.0, 6.0, 10.0).toDF("v")
+    val r = Stats.qnScale(df, col("v")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 3L)))
+    assert(r.getDouble(2) == 4.0 && r.getDouble(3) == 8.8876, s"qn: $r")
+    // massive tie: all gaps 0 -> qn = 0
+    val t = Seq.fill(5)(7.0).toDF("v")
+    assert(Stats.qnScale(t, col("v")).collect()(0).getDouble(3) == 0.0)
+  }
+
+  test("giniMeanDifference: hand pairwise gaps; relative form") {
+    import spark.implicits._
+    // {1,2,4}: gaps 1+3+2 = 6 -> gmd = 6/3 = 2; rel = gmd/mean = 6/7
+    val df = Seq(1.0, 2.0, 4.0).toDF("v")
+    val r = Stats.giniMeanDifference(df, col("v")).collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 2.0, s"gmd: $r")
+    assert(r.getDouble(2) == 0.857143, s"rel: $r")
+  }
+
+  test("neymanAllocation: sd-proportional rates; constant strata get 0") {
+    import spark.implicits._
+    // A={0,10} sd=sqrt50, B={5,5} sd=0: all weight to A ->
+    // rate_A = 1*w/(w)/2 = .5, rate_B = 0 (and B samples nothing)
+    val df = Seq(("A", 0.0, 1L), ("A", 10.0, 2L), ("B", 5.0, 3L),
+      ("B", 5.0, 4L)).toDF("s", "v", "k")
+    val r = Stats.neymanAllocation(df, "s", col("v"), col("k"),
+      totalN = 1.0, salt = "ney-v1").orderBy("stratum").collect()
+    assert(r(0).getString(0) == "A" && r(0).getDouble(3) == 0.5)
+    assert(r(0).getLong(4) <= 2L)
+    assert(r(1).getString(0) == "B" && r(1).getDouble(3) == 0.0 &&
+      r(1).getLong(4) == 0L, s"b: ${r(1)}")
+  }
+
   test("errAtK: cascade stop probabilities; hand ERR") {
     import spark.implicits._
     // grades 3,0,2 at ranks 1,2,3 (gmax=3): R = .875, 0, .375
