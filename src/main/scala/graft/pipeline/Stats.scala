@@ -5475,6 +5475,127 @@ object Stats {
     * DETERMINISM AND SCALE: one groupBy of exact integer counts; the
     * interval is a fixed IEEE shape per group row, 6dp. Returns one row
     * per group: (group..., n, k, p_hat, lo, hi). */
+  // --------------------------------------------------- Taylor's law fit
+  /** Taylor's power law (Taylor 1961): across groups, variance scales as
+    * a power of the mean — ln(s²_g) = ln a + b·ln(x̄_g); b ≈ 1 is
+    * Poisson-like, b > 1 aggregated/bursty. The cross-group
+    * overdispersion summary beside [[dispersionIndex]]'s per-group
+    * ratios.
+    *
+    * DETERMINISM AND SCALE: ONE decimal-moment groupBy collapses the
+    * data to k group rows (the [[bartlettTest]] shape); the ln–ln OLS
+    * runs over that bounded relation. Groups need n ≥ 2, mean > 0,
+    * s² > 0 (the logs' domain — excluded groups are COUNTED, not
+    * silent). Returns one row: (n_groups, n_excluded, slope, intercept,
+    * r) 6dp. */
+  def taylorsLaw(df: DataFrame, groupCol: Column,
+                 valueCol: Column): DataFrame = {
+    val v = valueCol.cast("double")
+    val g = df.select(groupCol.as("__g"), v.as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast("decimal(38,6)")).cast("double").as("__sv"),
+        sum((col("__v") * col("__v")).cast("decimal(38,6)")).cast("double")
+          .as("__pv"))
+    val nD = col("__n").cast("double")
+    val mean = col("__sv") / nD
+    val s2 = (col("__pv") - col("__sv") * col("__sv") / nD) / (nD - 1.0)
+    val ok = col("__n") >= 2L && mean > 0.0 && s2 > 0.0
+    val pts = g.select(when(ok, log(mean)).as("__x"),
+      when(ok, log(s2)).as("__y"))
+    val agg = pts.agg(
+      sum(when(col("__x").isNotNull, 1L).otherwise(0L)).as("n_groups"),
+      sum(when(col("__x").isNull, 1L).otherwise(0L)).as("n_excluded"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    val k = col("n_groups").cast("double")
+    val covN = k * col("__sxy") - col("__sx") * col("__sy")
+    val varX = k * col("__sxx") - col("__sx") * col("__sx")
+    val varY = k * col("__syy") - col("__sy") * col("__sy")
+    val slope = covN / varX
+    agg.select(col("n_groups"), col("n_excluded"),
+      round(when(col("n_groups") >= 2L && varX > 0.0, slope), 6)
+        .as("slope"),
+      round(when(col("n_groups") >= 2L && varX > 0.0,
+        (col("__sy") - slope * col("__sx")) / k), 6).as("intercept"),
+      round(when(col("n_groups") >= 2L && varX > 0.0 && varY > 0.0,
+        covN / sqrt(varX * varY)), 6).as("r"))
+  }
+
+  // ------------------------------------------------- dispersion index
+  /** Per-group variance-to-mean ratio (index of dispersion; Fisher
+    * 1950): VMR ≈ 1 is Poisson, > 1 overdispersed, < 1 regular, with
+    * the χ² statistic (n−1)·VMR — the count-data burstiness screen
+    * whose cross-group power-law summary is [[taylorsLaw]].
+    *
+    * DETERMINISM AND SCALE: one decimal-moment groupBy, one fixed IEEE
+    * finish per group row, 6dp; zero-mean groups null their ratios
+    * loudly. Returns per group: (group, n, mean, vmr, chi2). */
+  def dispersionIndex(df: DataFrame, groupCol: String,
+                      valueCol: Column): DataFrame = {
+    val v = valueCol.cast("double")
+    val g = df.filter(v.isNotNull)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(v.cast("decimal(38,6)")).cast("double").as("__sv"),
+        sum((v * v).cast("decimal(38,6)")).cast("double").as("__pv"))
+    val nD = col("n").cast("double")
+    val mean = col("__sv") / nD
+    val s2 = (col("__pv") - col("__sv") * col("__sv") / nD) / (nD - 1.0)
+    val vmr = when(col("n") >= 2L && mean > 0.0, s2 / mean)
+    g.select(col(groupCol), col("n"), round(mean, 6).as("mean"),
+      round(vmr, 6).as("vmr"),
+      round((nD - 1.0) * vmr, 6).as("chi2"))
+  }
+
+  // --------------------------------------------- distribution distances
+  /** Total variation and Hellinger distances between two groups'
+    * categorical distributions: TVD = ½Σ|p_c − q_c| (the maximal
+    * event-probability gap) and H = √(1 − Σ√(p_c·q_c)) via the
+    * Bhattacharyya coefficient — the bounded metric pair beside
+    * [[jsDivergence]]'s information-theoretic view.
+    *
+    * DETERMINISM AND SCALE: one category rollup; TVD's numerator
+    * Σ|c_a·n_b − c_b·n_a| is EXACT DECIMAL(38,0) (one division at the
+    * end); the Bhattacharyya cell terms √(p·q) are fixed IEEE shapes
+    * cast DECIMAL(28,12) before summing. Returns one row:
+    * (n_a, n_b, n_categories, tvd, bhattacharyya, hellinger) 6dp. */
+  def distributionDistance(df: DataFrame, groupCol: String, catCol: Column,
+                           a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val cells = df.filter(col(groupCol).isin(a, b) && catCol.isNotNull)
+      .groupBy(catCol.as("__c"))
+      .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val tot = cells.agg(sum(col("__ca")).as("n_a"),
+      sum(col("__cb")).as("n_b"), count(lit(1)).as("n_categories"))
+    val withT = cells.crossJoin(broadcast(tot))
+    val tvdNum = abs(col("__ca").cast(dt) * col("n_b") -
+      col("__cb").cast(dt) * col("n_a"))
+    val bcTerm = sqrt(col("__ca").cast("double") /
+      col("n_a").cast("double") *
+      (col("__cb").cast("double") / col("n_b").cast("double")))
+      .cast(DecimalType(28, 12))
+    val agg = withT.agg(first(col("n_a")).as("n_a"),
+      first(col("n_b")).as("n_b"),
+      first(col("n_categories")).as("n_categories"),
+      sum(tvdNum).as("__tvd2"), sum(bcTerm).as("__bc"))
+    val bc = col("__bc").cast("double")
+    agg.select(col("n_a"), col("n_b"), col("n_categories"),
+      round(when(col("n_a") > 0L && col("n_b") > 0L,
+        col("__tvd2").cast("double") /
+          (lit(2.0) * col("n_a").cast("double") *
+            col("n_b").cast("double"))), 6).as("tvd"),
+      round(when(col("n_a") > 0L && col("n_b") > 0L, bc), 6)
+        .as("bhattacharyya"),
+      round(when(col("n_a") > 0L && col("n_b") > 0L,
+        sqrt(greatest(lit(1.0) - bc, lit(0.0)))), 6).as("hellinger"))
+  }
+
   // ------------------------------------------------ Qn scale estimator
   /** Rousseeuw–Croux Qn robust scale (Rousseeuw & Croux 1993): the k-th
     * smallest pairwise gap |x_i − x_j| (i < j) with k = C(h, 2),

@@ -1420,6 +1420,103 @@ object StatsQueries4 {
         "LEFT JOIN k ON r.s = k.s ORDER BY stratum"),
       (s, dir) => Stats.neymanAllocation(Tables.orders(s, dir),
         "o_orderpriority", col("o_totalprice"), col("o_orderkey"),
-        totalN = 1000.0, salt = "ney-v1").orderBy("stratum"))
+        totalN = 1000.0, salt = "ney-v1").orderBy("stratum")),
+
+    // ---- Taylor's power law across event types' daily counts: does
+    // variance scale as a power of the mean (b > 1 = bursty)? One
+    // moment rollup to 5 group rows, ln-ln OLS.
+    Q("q469_taylors_law",
+      Some("WITH dcount AS (SELECT event_type, " +
+        "epoch_us(ts) // 86400000000 AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+        "g AS (SELECT event_type, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(cnt AS DECIMAL(38,6))) AS DOUBLE) AS sv, " +
+        "CAST(SUM(CAST(cnt * cnt AS DECIMAL(38,6))) AS DOUBLE) AS pv " +
+        "FROM dcount GROUP BY 1), " +
+        "s AS (SELECT n, sv / n AS mean, " +
+        "(pv - sv * sv / n) / (n - 1.0) AS s2 FROM g), " +
+        "p AS (SELECT CASE WHEN n >= 2 AND mean > 0 AND s2 > 0 THEN " +
+        "ln(mean) END AS x, CASE WHEN n >= 2 AND mean > 0 AND s2 > 0 " +
+        "THEN ln(s2) END AS y FROM s), " +
+        "a AS (SELECT CAST(sum(CASE WHEN x IS NOT NULL THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS n_groups, CAST(sum(CASE WHEN x IS NULL " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded, sum(x) AS sx, " +
+        "sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy, " +
+        "sum(x * y) AS sxy FROM p), " +
+        "f AS (SELECT *, CAST(n_groups AS DOUBLE) AS k, " +
+        "CAST(n_groups AS DOUBLE) * sxy - sx * sy AS covn, " +
+        "CAST(n_groups AS DOUBLE) * sxx - sx * sx AS varx, " +
+        "CAST(n_groups AS DOUBLE) * syy - sy * sy AS vary FROM a) " +
+        "SELECT n_groups, n_excluded, " +
+        "round(CASE WHEN n_groups >= 2 AND varx > 0 THEN covn / varx " +
+        "END, 6) AS slope, " +
+        "round(CASE WHEN n_groups >= 2 AND varx > 0 THEN " +
+        "(sy - covn / varx * sx) / k END, 6) AS intercept, " +
+        "round(CASE WHEN n_groups >= 2 AND varx > 0 AND vary > 0 THEN " +
+        "covn / sqrt(varx * vary) END, 6) AS r FROM f"),
+      (s, dir) => Stats.taylorsLaw(
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            EventAnalytics.dayIndex(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        col("event_type"), col("cnt"))),
+
+    // ---- per-type dispersion index of the daily counts: VMR ~ 1 is
+    // Poisson, the chi2 = (n-1)*VMR screen per group row.
+    Q("q470_dispersion",
+      Some("WITH dcount AS (SELECT event_type, " +
+        "epoch_us(ts) // 86400000000 AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+        "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(cnt AS DECIMAL(38,6))) AS DOUBLE) AS sv, " +
+        "CAST(SUM(CAST(cnt * cnt AS DECIMAL(38,6))) AS DOUBLE) AS pv " +
+        "FROM dcount GROUP BY 1), " +
+        "f AS (SELECT event_type, n, sv / n AS mean, " +
+        "CASE WHEN n >= 2 AND sv / n > 0 THEN " +
+        "((pv - sv * sv / n) / (CAST(n AS DOUBLE) - 1.0)) / (sv / n) " +
+        "END AS vmr FROM g) " +
+        "SELECT event_type, n, round(mean, 6) AS mean, " +
+        "round(vmr, 6) AS vmr, " +
+        "round((CAST(n AS DOUBLE) - 1.0) * vmr, 6) AS chi2 FROM f " +
+        "ORDER BY event_type"),
+      (s, dir) => Stats.dispersionIndex(
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            EventAnalytics.dayIndex(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "event_type", col("cnt")).orderBy("event_type")),
+
+    // ---- TVD + Hellinger between returned and kept quantity
+    // distributions: exact decimal-integer TVD numerator, DECIMAL(28,12)
+    // Bhattacharyya terms — the bounded-metric pair beside q137's JS.
+    Q("q471_dist_distance",
+      Some("WITH cells AS (SELECT CAST(l_quantity AS DOUBLE) AS c, " +
+        "CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS ca, " +
+        "CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS cb FROM lineitem " +
+        "WHERE l_returnflag IN ('A', 'N') AND l_quantity IS NOT NULL " +
+        "GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, " +
+        "CAST(sum(cb) AS BIGINT) AS n_b, " +
+        "CAST(count(*) AS BIGINT) AS n_categories FROM cells), " +
+        "a AS (SELECT any_value(n_a) AS n_a, any_value(n_b) AS n_b, " +
+        "any_value(n_categories) AS n_categories, " +
+        "sum(abs(CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * " +
+        "n_a)) AS tvd2, " +
+        "sum(CAST(sqrt(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE) * " +
+        "(CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))) " +
+        "AS DECIMAL(28,12))) AS bc FROM cells, t) " +
+        "SELECT n_a, n_b, n_categories, " +
+        "round(CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+        "CAST(tvd2 AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE) * " +
+        "CAST(n_b AS DOUBLE)) END, 6) AS tvd, " +
+        "round(CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(bc AS DOUBLE) " +
+        "END, 6) AS bhattacharyya, " +
+        "round(CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+        "sqrt(greatest(1.0 - CAST(bc AS DOUBLE), 0.0)) END, 6) " +
+        "AS hellinger FROM a"),
+      (s, dir) => Stats.distributionDistance(Tables.lineitem(s, dir),
+        "l_returnflag", col("l_quantity"), "A", "N"))
   )
 }

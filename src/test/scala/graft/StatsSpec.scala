@@ -2039,6 +2039,50 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(8) == 0.5, s"tau_c: $r")
   }
 
+  test("taylorsLaw: exact power-2 scaling recovers slope 2, r = 1") {
+    import spark.implicits._
+    // groups (mean, var) = (2,2), (4,8), (8,32): ln var = ln 2 + 2 ln
+    // (mean/2) -> slope 2, intercept -ln 2, r = 1
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 6.0),
+      ("c", 4.0), ("c", 12.0)).toDF("g", "v")
+    val r = Stats.taylorsLaw(df, col("g"), col("v")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 0L)))
+    assert(r.getDouble(2) == 2.0, s"slope: $r")
+    assert(r.getDouble(3) == math.round(-math.log(2.0) * 1e6) / 1e6)
+    assert(r.getDouble(4) == 1.0, s"r: $r")
+    // a constant group is excluded and counted
+    val dz = Seq(("a", 1.0), ("a", 3.0), ("z", 5.0), ("z", 5.0))
+      .toDF("g", "v")
+    val r2 = Stats.taylorsLaw(dz, col("g"), col("v")).collect()(0)
+    assert((r2.getLong(0), r2.getLong(1)) == ((1L, 1L)))
+  }
+
+  test("dispersionIndex: Poisson-like vmr 1; zero-variance and zero-mean") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0), ("g", 3.0), ("h", 2.0), ("h", 2.0),
+      ("h", 2.0), ("z", 0.0), ("z", 0.0)).toDF("s", "v")
+    val r = Stats.dispersionIndex(df, "s", col("v"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("g").getDouble(2) == 2.0 && r("g").getDouble(3) == 1.0 &&
+      r("g").getDouble(4) == 1.0)
+    assert(r("h").getDouble(3) == 0.0 && r("h").getDouble(4) == 0.0)
+    assert(r("z").isNullAt(3) && r("z").isNullAt(4), s"z: ${r("z")}")
+  }
+
+  test("distributionDistance: mirrored 2-category split; hand TVD/H") {
+    import spark.implicits._
+    // a = 3x + 1y, b = 1x + 3y: TVD = .5, BC = 2 sqrt(.1875),
+    // H = sqrt(1 - BC)
+    val rows = Seq.fill(3)(("a", "x")) ++ Seq(("a", "y"), ("b", "x")) ++
+      Seq.fill(3)(("b", "y"))
+    val r = Stats.distributionDistance(rows.toDF("g", "c"), "g",
+      col("c"), "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 2L)))
+    assert(r.getDouble(3) == 0.5, s"tvd: $r")
+    assert(r.getDouble(4) == 0.866025, s"bc: $r")
+    assert(r.getDouble(5) == 0.366025, s"h: $r")
+  }
+
   test("qnScale: k-th pairwise gap with ties; hand pick") {
     import spark.implicits._
     // {1,3,6,10}: gaps 2,3,4,5,7,9; h=3, k=3 -> gap 4 -> qn = 2.2219*4
