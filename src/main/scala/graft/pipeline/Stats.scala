@@ -5475,6 +5475,129 @@ object Stats {
     * DETERMINISM AND SCALE: one groupBy of exact integer counts; the
     * interval is a fixed IEEE shape per group row, 6dp. Returns one row
     * per group: (group..., n, k, p_hat, lo, hi). */
+  // --------------------------------------------- ratio-metric delta CI
+  /** Delta-method confidence interval for a RATIO metric R = Σx/Σy over
+    * units (revenue per session, value per event — the standard A/B
+    * shape where per-unit denominators vary):
+    * se² = (s_x² + R²·s_y² − 2R·s_xy) / (n·ȳ²) (Fieller-free first-order
+    * delta; Deng et al. 2017's practical form). Naively treating the
+    * ratio as a mean of per-unit ratios is the classic bias this
+    * replaces.
+    *
+    * DETERMINISM AND SCALE: ONE decimal-moment aggregate (x, y, x², y²,
+    * xy); the CI is a fixed IEEE shape, 6dp. Σy ≤ 0 or n < 2 nulls
+    * loudly. Returns one row: (n, ratio, se, lo, hi). */
+  def ratioMetricCi(df: DataFrame, numCol: Column, denCol: Column,
+                    z: Double = 1.96): DataFrame = {
+    require(z > 0.0, s"z must be positive: $z")
+    val x = numCol.cast("double"); val y = denCol.cast("double")
+    val m = df.select(x.as("__x"), y.as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,6)")).cast("double").as("__sx"),
+        sum(col("__y").cast("decimal(38,6)")).cast("double").as("__sy"),
+        sum((col("__x") * col("__x")).cast("decimal(38,6)")).cast("double")
+          .as("__sxx"),
+        sum((col("__y") * col("__y")).cast("decimal(38,6)")).cast("double")
+          .as("__syy"),
+        sum((col("__x") * col("__y")).cast("decimal(38,6)")).cast("double")
+          .as("__sxy"))
+    val nD = col("n").cast("double")
+    val ok = col("n") >= 2L && col("__sy") > 0.0
+    val r = col("__sx") / col("__sy")
+    val my = col("__sy") / nD
+    val vx = (col("__sxx") - col("__sx") * col("__sx") / nD) / (nD - 1.0)
+    val vy = (col("__syy") - col("__sy") * col("__sy") / nD) / (nD - 1.0)
+    val cxy = (col("__sxy") - col("__sx") * col("__sy") / nD) / (nD - 1.0)
+    val se = when(ok,
+      sqrt(greatest(vx + r * r * vy - lit(2.0) * r * cxy, lit(0.0)) /
+        (nD * my * my)))
+    m.select(col("n"), round(when(ok, r), 6).as("ratio"),
+      round(se, 6).as("se"),
+      round(when(ok, r - lit(z) * se), 6).as("lo"),
+      round(when(ok, r + lit(z) * se), 6).as("hi"))
+  }
+
+  // ------------------------------------------- Spiegelhalter's Z test
+  /** Spiegelhalter's Z for probability calibration (Spiegelhalter 1986):
+    * Z = Σ(y − p)(1 − 2p) / √(Σ(1 − 2p)²·p(1 − p)) — binning-free where
+    * [[hosmerLemeshow]] depends on decile cuts; under perfect
+    * calibration Z ~ N(0,1).
+    *
+    * DETERMINISM AND SCALE: both sums are per-row fixed IEEE terms cast
+    * DECIMAL(28,12) before adding (the [[mantelHaenszel]] discipline);
+    * ONE aggregate. p must already live in [0,1] — out-of-range rows
+    * RAISE (a silent clamp would fake calibration). Returns one row:
+    * (n, z_stat) 6dp. */
+  def spiegelhalterZ(df: DataFrame, pCol: Column, yCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val p0 = pCol.cast("double")
+    val p = when(p0 < 0.0 || p0 > 1.0,
+      raise_error(concat(lit("spiegelhalterZ: probability out of [0,1]: "),
+        p0.cast("string")))).otherwise(p0)
+    val y = when(yCol, 1.0).otherwise(0.0)
+    val m = df.filter(p0.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(((y - p) * (lit(1.0) - lit(2.0) * p)).cast(DecimalType(28, 12)))
+          .as("__num"),
+        sum(((lit(1.0) - lit(2.0) * p) * (lit(1.0) - lit(2.0) * p) *
+          p * (lit(1.0) - p)).cast(DecimalType(28, 12))).as("__den"))
+    m.select(col("n"),
+      round(when(col("__den").cast("double") > 0.0,
+        col("__num").cast("double") / sqrt(col("__den").cast("double"))),
+        6).as("z_stat"))
+  }
+
+  // ------------------------------------------- Brier decomposition
+  /** Murphy decomposition of the Brier score (Murphy 1973) over
+    * fixed-width probability bins: BS = REL − RES + UNC with
+    * REL = Σ n_k(p̄_k − ȳ_k)²/N (miscalibration),
+    * RES = Σ n_k(ȳ_k − ȳ)²/N (discrimination), UNC = ȳ(1 − ȳ). The raw
+    * BS reports alongside; the identity is exact only at constant
+    * within-bin p (documented — the within-bin variance term is the
+    * gap).
+    *
+    * DETERMINISM AND SCALE: the bin is an integer projection
+    * (min(bins−1, ⌊p·bins⌋)); per-bin Σp casts DECIMAL(28,12), Σy is
+    * integer; two bounded rollups, fixed IEEE finishes, 6dp. Returns
+    * one row: (n, brier, reliability, resolution, uncertainty). */
+  def brierDecomposition(df: DataFrame, pCol: Column, yCol: Column,
+                         bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(bins >= 2 && bins <= 1000, s"bins in [2,1000]: $bins")
+    val p = pCol.cast("double")
+    val y = when(yCol, 1.0).otherwise(0.0)
+    val base = df.filter(p.isNotNull)
+      .select(p.as("__p"), y.as("__y"),
+        least(lit(bins - 1L), floor(p * bins).cast("long")).as("__b"))
+    val perBin = base.groupBy("__b")
+      .agg(count(lit(1)).as("__nk"),
+        sum(col("__p").cast(DecimalType(28, 12))).as("__sp"),
+        sum(col("__y").cast(DecimalType(28, 12))).as("__sy"),
+        sum(((col("__p") - col("__y")) * (col("__p") - col("__y")))
+          .cast(DecimalType(28, 12))).as("__bs"))
+    val tot = perBin.agg(sum(col("__nk")).as("n"),
+      sum(col("__sy")).as("__syAll"), sum(col("__bs")).as("__bsAll"))
+    val nD = col("n").cast("double")
+    val yBar = col("__syAll").cast("double") / nD
+    val nk = col("__nk").cast("double")
+    val pk = col("__sp").cast("double") / nk
+    val yk = col("__sy").cast("double") / nk
+    val agg = perBin.crossJoin(broadcast(tot))
+      .agg(first(col("n")).as("n"), first(yBar).as("__yb"),
+        first(col("__bsAll")).as("__bsA"),
+        sum((nk * (pk - yk) * (pk - yk)).cast(DecimalType(28, 12)))
+          .as("__rel"),
+        sum((nk * (yk - yBar) * (yk - yBar)).cast(DecimalType(28, 12)))
+          .as("__res"))
+    val n2 = col("n").cast("double")
+    agg.select(col("n"),
+      round(col("__bsA").cast("double") / n2, 6).as("brier"),
+      round(col("__rel").cast("double") / n2, 6).as("reliability"),
+      round(col("__res").cast("double") / n2, 6).as("resolution"),
+      round(col("__yb") * (lit(1.0) - col("__yb")), 6).as("uncertainty"))
+  }
+
   // --------------------------------------------------- Taylor's law fit
   /** Taylor's power law (Taylor 1961): across groups, variance scales as
     * a power of the mean — ln(s²_g) = ln a + b·ln(x̄_g); b ≈ 1 is

@@ -1517,6 +1517,102 @@ object StatsQueries4 {
         "sqrt(greatest(1.0 - CAST(bc AS DOUBLE), 0.0)) END, 6) " +
         "AS hellinger FROM a"),
       (s, dir) => Stats.distributionDistance(Tables.lineitem(s, dir),
-        "l_returnflag", col("l_quantity"), "A", "N"))
+        "l_returnflag", col("l_quantity"), "A", "N")),
+
+    // ---- delta-method CI for purchase-value-per-event: the ratio-metric
+    // shape naive per-unit-ratio averaging gets wrong; per-user numerator
+    // sums decimal-exact before the one moment aggregate.
+    Q("q472_ratio_ci",
+      Some("WITH u AS (SELECT user_id, " +
+        "CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN " +
+        "coalesce(value, 0.0) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) " +
+        "AS x, CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx, " +
+        "CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy, " +
+        "CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy " +
+        "FROM u), " +
+        "f AS (SELECT n, CAST(n AS DOUBLE) AS nd, sx / sy AS r, " +
+        "sy / CAST(n AS DOUBLE) AS my, " +
+        "(sxx - sx * sx / n) / (CAST(n AS DOUBLE) - 1.0) AS vx, " +
+        "(syy - sy * sy / n) / (CAST(n AS DOUBLE) - 1.0) AS vy, " +
+        "(sxy - sx * sy / n) / (CAST(n AS DOUBLE) - 1.0) AS cxy, " +
+        "sy AS sytot FROM m), " +
+        "g AS (SELECT n, r, CASE WHEN n >= 2 AND sytot > 0 THEN " +
+        "sqrt(greatest(vx + r * r * vy - 2.0 * r * cxy, 0.0) / " +
+        "(nd * my * my)) END AS se, n >= 2 AND sytot > 0 AS ok FROM f) " +
+        "SELECT n, round(CASE WHEN ok THEN r END, 6) AS ratio, " +
+        "round(se, 6) AS se, " +
+        "round(CASE WHEN ok THEN r - 1.96 * se END, 6) AS lo, " +
+        "round(CASE WHEN ok THEN r + 1.96 * se END, 6) AS hi FROM g"),
+      (s, dir) => Stats.ratioMetricCi(
+        Tables.events(s, dir).groupBy("user_id").agg(
+          sum(when(col("event_type") === "purchase",
+            coalesce(col("value"), lit(0.0))).otherwise(0.0)
+            .cast("decimal(38,6)")).cast("double").as("x"),
+          count(lit(1)).as("y")),
+        col("x"), col("y"))),
+
+    // ---- Spiegelhalter calibration Z of the length-based English score
+    // (p = clamp(n_chars/600)): the binning-free companion to q382's
+    // Hosmer-Lemeshow; out-of-range p raises, never clamps silently.
+    Q("q473_spiegelhalter",
+      Some("WITH b AS (SELECT least(0.99, greatest(0.01, " +
+        "CAST(n_chars AS DOUBLE) / 600.0)) AS p, " +
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y " +
+        "FROM documents), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "sum(CAST((y - p) * (1.0 - 2.0 * p) AS DECIMAL(28,12))) AS num, " +
+        "sum(CAST((1.0 - 2.0 * p) * (1.0 - 2.0 * p) * p * (1.0 - p) " +
+        "AS DECIMAL(28,12))) AS den FROM b) " +
+        "SELECT n, round(CASE WHEN CAST(den AS DOUBLE) > 0 THEN " +
+        "CAST(num AS DOUBLE) / sqrt(CAST(den AS DOUBLE)) END, 6) " +
+        "AS z_stat FROM m"),
+      (s, dir) => Stats.spiegelhalterZ(Tables.documents(s, dir),
+        least(lit(0.99), greatest(lit(0.01),
+          col("n_chars").cast("double") / 600.0)),
+        col("lang") === "en")),
+
+    // ---- Murphy decomposition of the same score's Brier: how much of
+    // the loss is miscalibration (REL) vs missing discrimination
+    // (UNC - RES)? Ten fixed-width bins, decimal-exact rollups.
+    Q("q474_brier_decomp",
+      Some("WITH b AS (SELECT least(0.99, greatest(0.01, " +
+        "CAST(n_chars AS DOUBLE) / 600.0)) AS p, " +
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y " +
+        "FROM documents), " +
+        "bb AS (SELECT p, y, least(9, CAST(floor(p * 10) AS BIGINT)) " +
+        "AS bin FROM b), " +
+        "pb AS (SELECT bin, CAST(count(*) AS BIGINT) AS nk, " +
+        "sum(CAST(p AS DECIMAL(28,12))) AS sp, " +
+        "sum(CAST(y AS DECIMAL(28,12))) AS sy, " +
+        "sum(CAST((p - y) * (p - y) AS DECIMAL(28,12))) AS bs FROM bb " +
+        "GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(nk) AS BIGINT) AS n, sum(sy) AS syall, " +
+        "sum(bs) AS bsall FROM pb), " +
+        "a AS (SELECT any_value(t.n) AS n, " +
+        "any_value(CAST(syall AS DOUBLE) / CAST(t.n AS DOUBLE)) AS yb, " +
+        "any_value(bsall) AS bsa, " +
+        "sum(CAST(CAST(nk AS DOUBLE) * (CAST(sp AS DOUBLE) / " +
+        "CAST(nk AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)) " +
+        "* (CAST(sp AS DOUBLE) / CAST(nk AS DOUBLE) - " +
+        "CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)) AS DECIMAL(28,12))) " +
+        "AS rel, " +
+        "sum(CAST(CAST(nk AS DOUBLE) * (CAST(sy AS DOUBLE) / " +
+        "CAST(nk AS DOUBLE) - CAST(syall AS DOUBLE) / " +
+        "CAST(t.n AS DOUBLE)) * (CAST(sy AS DOUBLE) / " +
+        "CAST(nk AS DOUBLE) - CAST(syall AS DOUBLE) / " +
+        "CAST(t.n AS DOUBLE)) AS DECIMAL(28,12))) AS res FROM pb, t) " +
+        "SELECT n, round(CAST(bsa AS DOUBLE) / CAST(n AS DOUBLE), 6) " +
+        "AS brier, round(CAST(rel AS DOUBLE) / CAST(n AS DOUBLE), 6) " +
+        "AS reliability, round(CAST(res AS DOUBLE) / " +
+        "CAST(n AS DOUBLE), 6) AS resolution, " +
+        "round(yb * (1.0 - yb), 6) AS uncertainty FROM a"),
+      (s, dir) => Stats.brierDecomposition(Tables.documents(s, dir),
+        least(lit(0.99), greatest(lit(0.01),
+          col("n_chars").cast("double") / 600.0)),
+        col("lang") === "en", bins = 10))
   )
 }

@@ -2039,6 +2039,41 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(8) == 0.5, s"tau_c: $r")
   }
 
+  test("ratioMetricCi: delta-method se on hand unit pairs") {
+    import spark.implicits._
+    // (x,y) = (1,1),(3,2),(2,1): R = 1.5, vx=1, vy=1/3, cxy=.5
+    // -> se = sqrt(.25/(3*(4/3)^2)) = 0.216506
+    val df = Seq((1.0, 1.0), (3.0, 2.0), (2.0, 1.0)).toDF("x", "y")
+    val r = Stats.ratioMetricCi(df, col("x"), col("y")).collect()(0)
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 1.5)
+    assert(r.getDouble(2) == 0.216506, s"se: $r")
+    assert(r.getDouble(3) == 1.075648 && r.getDouble(4) == 1.924352)
+  }
+
+  test("spiegelhalterZ: hand symmetric pair; out-of-range p raises") {
+    import spark.implicits._
+    val df = Seq((0.8, true), (0.2, false)).toDF("p", "y")
+    val r = Stats.spiegelhalterZ(df, col("p"), col("y")).collect()(0)
+    assert(r.getLong(0) == 2L && r.getDouble(1) == -0.707107, s"z: $r")
+    val bad = Seq((1.5, true)).toDF("p", "y")
+    intercept[Exception] {
+      Stats.spiegelhalterZ(bad, col("p"), col("y")).collect()
+    }
+  }
+
+  test("brierDecomposition: Murphy identity exact at constant bin p") {
+    import spark.implicits._
+    // bins=2: (0.2,F),(0.2,T),(0.8,T),(0.8,T): BS=.19, REL=.065,
+    // RES=.0625, UNC=.1875 -> REL-RES+UNC = BS exactly
+    val df = Seq((0.2, false), (0.2, true), (0.8, true), (0.8, true))
+      .toDF("p", "y")
+    val r = Stats.brierDecomposition(df, col("p"), col("y"), bins = 2)
+      .collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 0.19 && r.getDouble(2) == 0.065)
+    assert(r.getDouble(3) == 0.0625 && r.getDouble(4) == 0.1875, s"bd: $r")
+  }
+
   test("taylorsLaw: exact power-2 scaling recovers slope 2, r = 1") {
     import spark.implicits._
     // groups (mean, var) = (2,2), (4,8), (8,32): ln var = ln 2 + 2 ln
