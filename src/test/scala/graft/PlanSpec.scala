@@ -1065,4 +1065,48 @@ class PlanSpec extends SparkSpec {
         s"$q: midrank window must consume the cell rollup:\n$p")
     }
   }
+
+  test("q457/q466/q467: pairwise-family joins are the bounded cell BNLJ — " +
+    "an aggregate sits below, never raw rows") {
+    for (q <- Seq("q457_hodges_lehmann", "q466_qn_scale", "q467_gmd")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian in:\n$p")
+      val bnljIdx = p.linesIterator.indexWhere(
+        _.contains("BroadcastNestedLoopJoin"))
+      assert(bnljIdx >= 0, s"$q: expected the cell-pair join:\n$p")
+      assert(p.linesIterator.drop(bnljIdx).exists(_.contains("HashAggregate")),
+        s"$q: pair join must consume the cell rollup:\n$p")
+    }
+  }
+
+  test("q460/q461: VaR backtest and Roll spread windows all partition by " +
+    "the ticker key") {
+    for (q <- Seq("q460_kupiec", "q461_roll_spread")) {
+      val p = planOf(q)
+      val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(windows.nonEmpty, s"$q: expected keyed windows:\n$p")
+      assert(windows.forall(_.contains("key#")),
+        s"$q: window not key-partitioned:\n${windows.mkString("\n")}")
+    }
+  }
+
+  test("q451-q454, q468-q474 moment-aggregate family: no window at all; " +
+    "cross joins are 1-row scalar broadcasts only") {
+    for (q <- Seq("q451_games_howell", "q453_lin_ccc", "q454_deming",
+        "q462_mahalanobis", "q468_neyman", "q469_taylors_law",
+        "q471_dist_distance", "q472_ratio_ci", "q473_spiegelhalter",
+        "q474_brier_decomp")) {
+      val p = planOf(q)
+      assert(!p.contains("Window ["), s"$q: unexpected window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian in:\n$p")
+    }
+  }
+
+  test("q456: seasonal MK pairs join HASH-keyed on the season — never a " +
+    "nested loop over the spine") {
+    val p = planOf("q456_seasonal_mk")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"season pair join must be an equi join:\n$p")
+  }
 }

@@ -1145,6 +1145,67 @@ object ScaleStress {
     assert(hv.getLong(0) == 1000L && hv.getLong(1) == 1000L,
       s"historicalVar closed form violated: $hv")
 
+    // distributionDistance over 20M rows with IDENTICAL group
+    // distributions: TVD numerator cancels exactly (decimal integers),
+    // Bhattacharyya = 1 -> Hellinger 0 with no float tolerance.
+    val ddRows = spark.range(20000000L).select(
+      pmod(col("id"), lit(2L)).cast("string").as("g"),
+      (expr("id div 2") % 50L).cast("double").as("c"))
+    val dd = timed("distributionDistance over 20M rows, identical groups") {
+      graft.pipeline.Stats.distributionDistance(ddRows, "g", col("c"),
+        "0", "1").collect().head
+    }
+    assert(dd.getDouble(3) == 0.0 && dd.getDouble(4) == 1.0 &&
+      dd.getDouble(5) == 0.0, s"distributionDistance closed form: $dd")
+
+    // weightedKappa over 10M units in perfect diagonal agreement across
+    // 5 codes: every disagreement weight multiplies a zero cell ->
+    // both kappas exactly 1.
+    val wkRows = spark.range(10000000L).select(
+      (col("id") % 5L).as("a"), (col("id") % 5L).as("b"))
+    val wk = timed("weightedKappa over 10M units, perfect agreement") {
+      graft.pipeline.Stats.weightedKappa(wkRows, col("a"), col("b"))
+        .collect().head
+    }
+    assert(wk.getLong(0) == 10000000L && wk.getDouble(1) == 1.0 &&
+      wk.getDouble(2) == 1.0, s"weightedKappa closed form: $wk")
+
+    // qnScale over 20M rows / 50-value uniform domain: the k-th pairwise
+    // gap (k = C(10M+1, 2)) lands on gap 7 by exact integer cumcounts.
+    val qnsRows = spark.range(20000000L)
+      .select((col("id") % 50L).cast("double").as("v"))
+    val qn = timed("qnScale over 20M rows, 50-value domain") {
+      graft.pipeline.Stats.qnScale(qnsRows, col("v")).collect().head
+    }
+    assert(qn.getLong(0) == 20000000L && qn.getDouble(2) == 7.0 &&
+      qn.getDouble(3) == 15.5533, s"qnScale closed form: $qn")
+
+    // ratioMetricCi over 10M units with x = 2y exactly: the delta
+    // variance vx + 4vy - 4cxy cancels to 0 -> se = 0, lo = hi = 2.
+    val rcRows = spark.range(10000000L).select(
+      ((col("id") % 3L) + 1L).cast("double").as("y"))
+      .select((col("y") * 2.0).as("x"), col("y"))
+    val rc = timed("ratioMetricCi over 10M units, exact ratio 2") {
+      graft.pipeline.Stats.ratioMetricCi(rcRows, col("x"), col("y"))
+        .collect().head
+    }
+    assert(rc.getDouble(1) == 2.0 && rc.getDouble(2) == 0.0 &&
+      rc.getDouble(3) == 2.0 && rc.getDouble(4) == 2.0,
+      s"ratioMetricCi closed form: $rc")
+
+    // taylorsLaw over 1M two-row groups with var = 2*mean^2 exactly
+    // (values {0, 2m}): ln var = ln 2 + 2 ln mean -> slope 2, r = 1.
+    val tlRows = spark.range(2000000L).select(
+      expr("id div 2").as("g"),
+      (pmod(col("id"), lit(2L)).cast("double") *
+        (expr("id div 2") + 1L).cast("double") * 2.0).as("v"))
+    val tl = timed("taylorsLaw over 1M groups, exact power law") {
+      graft.pipeline.Stats.taylorsLaw(tlRows, col("g"), col("v"))
+        .collect().head
+    }
+    assert(tl.getLong(0) == 1000000L && tl.getDouble(2) == 2.0 &&
+      tl.getDouble(4) == 1.0, s"taylorsLaw closed form: $tl")
+
     spark.stop()
   }
 }
