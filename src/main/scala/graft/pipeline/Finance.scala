@@ -566,6 +566,56 @@ object Finance {
         lit(2.0) * sqrt(-cov) / 100.0), 6).as("roll_spread"))
   }
 
+  // ------------------------------------------ minimum-variance pair
+  /** Markowitz minimum-variance weights for a two-asset pair
+    * (Markowitz 1952): over the days both tickers trade,
+    * w_a = (σ_b² − σ_ab)/(σ_a² + σ_b² − 2σ_ab) minimizes the portfolio
+    * variance of daily cent moves — the hedging counterpart to
+    * [[rollSpread]]'s microstructure view.
+    *
+    * DETERMINISM AND SCALE: the two diff series inner-join on the
+    * integer day (key-partitioned lag windows first); all moments are
+    * exact DECIMAL(38,0) integer-cent sums; w is one fixed IEEE shape.
+    * var_min reports at 2dp (the [[rollSpread]] magnitude lesson:
+    * cents²-scale values overflow a 6dp round's precision). Identical
+    * series (zero denominator) null loudly. Returns one row:
+    * (n_days, w_a, w_b, var_min). */
+  def minVariancePair(df: DataFrame, keyCol: String, dayCol: String,
+                      closeCol: Column, keyA: String,
+                      keyB: String): DataFrame = {
+    val dt = DecimalType(38, 0)
+    val wLag = Window.partitionBy(col("key")).orderBy(col("day"))
+    val diffs = closeCents(df, keyCol, dayCol, closeCol)
+      .filter(col("key").cast("string").isin(keyA, keyB))
+      .withColumn("__d", col("__c") - lag(col("__c"), 1).over(wLag))
+      .filter(col("__d").isNotNull)
+    val a = diffs.filter(col("key").cast("string") === keyA)
+      .select(col("day"), col("__d").as("__da"))
+    val b = diffs.filter(col("key").cast("string") === keyB)
+      .select(col("day"), col("__d").as("__db"))
+    val m = a.join(b, "day")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__da").cast(dt)).as("__sa"),
+        sum(col("__db").cast(dt)).as("__sb"),
+        sum(col("__da").cast(dt) * col("__da")).as("__saa"),
+        sum(col("__db").cast(dt) * col("__db")).as("__sbb"),
+        sum(col("__da").cast(dt) * col("__db")).as("__sab"))
+    val nD = col("n_days").cast("double")
+    def v(ss: String, s1: String, s2: String) =
+      (col(ss).cast("double") -
+        col(s1).cast("double") * col(s2).cast("double") / nD) / (nD - 1.0)
+    val va = v("__saa", "__sa", "__sa")
+    val vb = v("__sbb", "__sb", "__sb")
+    val cab = v("__sab", "__sa", "__sb")
+    val den = va + vb - lit(2.0) * cab
+    val wA = when(col("n_days") >= 2L && den > 0.0, (vb - cab) / den)
+    val varMin = (wA * wA * va + (lit(1.0) - wA) * (lit(1.0) - wA) * vb +
+      lit(2.0) * wA * (lit(1.0) - wA) * cab) / 10000.0
+    m.select(col("n_days"), round(wA, 6).as("w_a"),
+      round(lit(1.0) - wA, 6).as("w_b"),
+      round(varMin, 2).as("var_min"))
+  }
+
   // --------------------------------------------------------- Ulcer index
   /** Ulcer index per key (Martin & McCann 1989): the RMS percentage
     * drawdown of the close below its own running peak —

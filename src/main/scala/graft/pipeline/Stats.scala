@@ -5475,6 +5475,120 @@ object Stats {
     * DETERMINISM AND SCALE: one groupBy of exact integer counts; the
     * interval is a fixed IEEE shape per group row, 6dp. Returns one row
     * per group: (group..., n, k, p_hat, lo, hi). */
+  // ------------------------------------------- uncertainty coefficient
+  /** Theil's uncertainty coefficient (Theil 1970): the MI-based
+    * categorical association normalized by each variable's own entropy —
+    * U(b|a) = MI/H(b) answers "how much of b does knowing a explain?"
+    * where [[mutualInformation]]'s min-entropy nmi is symmetric and
+    * [[cramersV]] ignores direction entirely. Reports both directions
+    * plus the symmetric 2·MI/(H(a)+H(b)).
+    *
+    * DETERMINISM AND SCALE: the [[mutualInformation]] shapes verbatim —
+    * one cell rollup, marginal joins, ln-terms cast DECIMAL(28,12)
+    * before summing; three IEEE divisions, 6dp. Returns one row:
+    * (n, mi, u_b_given_a, u_a_given_b, u_symmetric). */
+  def uncertaintyCoefficient(df: DataFrame, aCol: Column,
+                             bCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.as("a"), bCol.as("b")).agg(count(lit(1)).as("__c"))
+    val ma = cells.groupBy("a").agg(sum(col("__c")).as("__ca"))
+    val mb = cells.groupBy("b").agg(sum(col("__c")).as("__cb"))
+    val tot = cells.agg(sum(col("__c")).as("__n"))
+    val nD = col("__n").cast("double")
+    val miTerm = (col("__c").cast("double") / nD *
+      log(nD * col("__c").cast("double") /
+        (col("__ca").cast("double") * col("__cb").cast("double"))))
+      .cast(DecimalType(28, 12))
+    val mi = cells.join(ma, "a").join(mb, "b").crossJoin(broadcast(tot))
+      .agg(first(col("__n")).as("n"), sum(miTerm).cast("double").as("__mi"))
+    def ent(m: DataFrame, c: String) = m.crossJoin(broadcast(tot))
+      .agg(sum((-(col(c).cast("double") / nD) *
+        log(col(c).cast("double") / nD)).cast(DecimalType(28, 12)))
+        .cast("double").as(s"__h$c"))
+    mi.crossJoin(broadcast(ent(ma, "__ca")))
+      .crossJoin(broadcast(ent(mb, "__cb")))
+      .select(col("n"), round(col("__mi"), 6).as("mi"),
+        round(when(col("__h__cb") > 0.0, col("__mi") / col("__h__cb")), 6)
+          .as("u_b_given_a"),
+        round(when(col("__h__ca") > 0.0, col("__mi") / col("__h__ca")), 6)
+          .as("u_a_given_b"),
+        round(when(col("__h__ca") + col("__h__cb") > 0.0,
+          lit(2.0) * col("__mi") / (col("__h__ca") + col("__h__cb"))), 6)
+          .as("u_symmetric"))
+  }
+
+  // ----------------------------------------- KS against the exponential
+  /** One-sample Kolmogorov–Smirnov distance against the exponential with
+    * the sample's own rate (λ = 1/x̄): D = max over observed values of
+    * max(|F̂(x) − F(x)|, |F̂(x⁻) − F(x)|) with F(x) = 1 − e^(−λx) — the
+    * memorylessness check for inter-arrival/duration data (near 0 ⇒
+    * Poisson-like arrivals; the parameter is estimated, so compare D
+    * against Lilliefors-style critical values, documented).
+    *
+    * DETERMINISM AND SCALE — the [[ksTwoSample]] shape: per-value counts
+    * + one cumulative window over the DISTINCT value relation
+    * (cardinality contract); F̂ steps are exact integer ratios; e^(−λx)
+    * is one fixed IEEE shape per cell; D maximizes over cells. Returns
+    * one row: (n, rate, d_stat) 6dp. */
+  def ksExponential(df: DataFrame, valueCol: Column): DataFrame = {
+    val v = valueCol.cast("double")
+    val cells = df.filter(v.isNotNull && v >= 0.0)
+      .groupBy(v.as("__v")).agg(count(lit(1)).as("__t"))
+    val wRun = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.agg(sum(col("__t")).as("n"),
+      sum((col("__v") * col("__t").cast("double")).cast("decimal(38,6)"))
+        .cast("double").as("__sv"))
+    val cum = cells.withColumn("__f", sum(col("__t")).over(wRun))
+      .crossJoin(broadcast(tot))
+    val nD = col("n").cast("double")
+    val lambda = nD / col("__sv")
+    val fExp = lit(1.0) - exp(-lambda * col("__v"))
+    val dHi = abs(col("__f").cast("double") / nD - fExp)
+    val dLo = abs((col("__f") - col("__t")).cast("double") / nD - fExp)
+    cum.agg(first(col("n")).as("n"),
+        first(round(lambda, 6)).as("rate"),
+        max(greatest(dHi, dLo)).as("__d"))
+      .select(col("n"), col("rate"),
+        round(when(col("n") > 0L, col("__d")), 6).as("d_stat"))
+  }
+
+  // --------------------------------------------------- mean excess (EVT)
+  /** Mean-excess function over a threshold grid (the EVT diagnostic
+    * behind peaks-over-threshold): e(u) = E[X − u | X > u] per
+    * threshold — a mean-excess plot that grows linearly in u signals a
+    * heavy (generalized-Pareto) tail; flat ⇒ exponential; falling ⇒
+    * short tail. The tail-shape companion to [[historicalVar]]'s fixed
+    * quantile.
+    *
+    * DETERMINISM AND SCALE: ONE pass with a conditional decimal sum per
+    * threshold (2dp inputs exact at DECIMAL(38,6)); the grid is the
+    * caller's bounded vocabulary. Returns one row per threshold:
+    * (threshold, n_exceed, mean_excess) 6dp. */
+  def meanExcess(df: DataFrame, valueCol: Column,
+                 thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted,
+      s"thresholds must be ascending: $thresholds")
+    val v = valueCol.cast("double")
+    val base = df.filter(v.isNotNull).select(v.as("__v"))
+    val aggs = thresholds.zipWithIndex.flatMap { case (u, i) =>
+      Seq(sum(when(col("__v") > u, 1L).otherwise(0L)).as(s"__n$i"),
+        sum(when(col("__v") > u,
+          (col("__v") - u).cast("decimal(38,6)"))).as(s"__s$i"))
+    }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val stacked = thresholds.zipWithIndex.map { case (u, i) =>
+      s"CAST($u AS DOUBLE), __n$i, CAST(__s$i AS DOUBLE)" }.mkString(", ")
+    one.selectExpr(s"stack(${thresholds.size}, $stacked) AS " +
+        "(threshold, n_exceed, __sum)")
+      .select(col("threshold"), col("n_exceed"),
+        round(when(col("n_exceed") > 0L,
+          col("__sum") / col("n_exceed").cast("double")), 6)
+          .as("mean_excess"))
+      .orderBy("threshold")
+  }
+
   // --------------------------------------------- ratio-metric delta CI
   /** Delta-method confidence interval for a RATIO metric R = Σx/Σy over
     * units (revenue per session, value per event — the standard A/B

@@ -1613,6 +1613,145 @@ object StatsQueries4 {
       (s, dir) => Stats.brierDecomposition(Tables.documents(s, dir),
         least(lit(0.99), greatest(lit(0.01),
           col("n_chars").cast("double") / 600.0)),
-        col("lang") === "en", bins = 10))
+        col("lang") === "en", bins = 10)),
+
+    // ---- Theil's uncertainty coefficient between return flag and line
+    // status: the DIRECTIONAL categorical association q137's nmi and
+    // q415's Cramer's V can't express.
+    Q("q475_uncertainty",
+      Some("WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b, " +
+        "CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2), " +
+        "ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cells " +
+        "GROUP BY 1), " +
+        "mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells " +
+        "GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells), " +
+        "mi AS (SELECT any_value(n) AS n, CAST(sum(CAST(" +
+        "CAST(c AS DOUBLE) / CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE) * " +
+        "CAST(c AS DOUBLE) / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) " +
+        "AS DECIMAL(28,12))) AS DOUBLE) AS mi FROM cells " +
+        "JOIN ma USING (a) JOIN mb USING (b), t), " +
+        "ha AS (SELECT CAST(sum(CAST(-(CAST(ca AS DOUBLE) / " +
+        "CAST(n AS DOUBLE)) * ln(CAST(ca AS DOUBLE) / " +
+        "CAST(n AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS h " +
+        "FROM ma, t), " +
+        "hb AS (SELECT CAST(sum(CAST(-(CAST(cb AS DOUBLE) / " +
+        "CAST(n AS DOUBLE)) * ln(CAST(cb AS DOUBLE) / " +
+        "CAST(n AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS h " +
+        "FROM mb, t) " +
+        "SELECT n, round(mi, 6) AS mi, " +
+        "round(CASE WHEN hb.h > 0 THEN mi / hb.h END, 6) " +
+        "AS u_b_given_a, " +
+        "round(CASE WHEN ha.h > 0 THEN mi / ha.h END, 6) " +
+        "AS u_a_given_b, " +
+        "round(CASE WHEN ha.h + hb.h > 0 THEN 2.0 * mi / " +
+        "(ha.h + hb.h) END, 6) AS u_symmetric FROM mi, ha, hb"),
+      (s, dir) => Stats.uncertaintyCoefficient(Tables.lineitem(s, dir),
+        col("l_returnflag"), col("l_linestatus"))),
+
+    // ---- KS against the exponential over per-user inter-event gaps
+    // (whole seconds — the cardinality contract for the cell rollup):
+    // are arrivals memoryless?
+    Q("q476_ks_exponential",
+      Some("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us " +
+        "FROM events), " +
+        "g AS (SELECT (us - lag(us) OVER (PARTITION BY user_id " +
+        "ORDER BY us, event_id)) // 1000000 AS gap_s FROM e), " +
+        "f AS (SELECT CAST(gap_s AS DOUBLE) AS v FROM g " +
+        "WHERE gap_s IS NOT NULL AND gap_s >= 0), " +
+        "cells AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM f " +
+        "GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(t) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(v * CAST(t AS DOUBLE) AS DECIMAL(38,6))) " +
+        "AS DOUBLE) AS sv FROM cells), " +
+        "c2 AS (SELECT v, t, CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fc, " +
+        "tot.n, tot.sv FROM cells, tot), " +
+        "d AS (SELECT n, CAST(n AS DOUBLE) / sv AS lam, " +
+        "greatest(abs(CAST(fc AS DOUBLE) / CAST(n AS DOUBLE) - " +
+        "(1.0 - exp(-(CAST(n AS DOUBLE) / sv) * v))), " +
+        "abs(CAST(fc - t AS DOUBLE) / CAST(n AS DOUBLE) - " +
+        "(1.0 - exp(-(CAST(n AS DOUBLE) / sv) * v)))) AS dd FROM c2) " +
+        "SELECT any_value(n) AS n, round(any_value(lam), 6) AS rate, " +
+        "round(CASE WHEN any_value(n) > 0 THEN max(dd) END, 6) " +
+        "AS d_stat FROM d"),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("__us"), col("event_id"))
+        val gaps = Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("__us"),
+            col("event_id"))
+          .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+          .filter(col("__gap").isNotNull)
+          .select(expr("__gap div 1000000").as("gap_s"))
+        Stats.ksExponential(gaps, col("gap_s"))
+      }),
+
+    // ---- mean-excess tail diagnostic of event values over a fixed
+    // threshold grid: growing e(u) flags a generalized-Pareto tail the
+    // fixed-quantile VaR view can't see.
+    Q("q477_mean_excess", {
+      val us = Seq(50.0, 100.0, 200.0, 400.0)
+      val rows = us.map(u =>
+        s"SELECT $u AS threshold, CAST(sum(CASE WHEN value > $u THEN 1 " +
+          s"ELSE 0 END) AS BIGINT) AS n_exceed, " +
+          s"CAST(sum(CASE WHEN value > $u THEN CAST(value - $u " +
+          s"AS DECIMAL(38,6)) END) AS DOUBLE) AS s FROM events " +
+          "WHERE value IS NOT NULL").mkString(" UNION ALL ")
+      Some(s"WITH m AS ($rows) SELECT threshold, n_exceed, " +
+        "round(CASE WHEN n_exceed > 0 THEN s / " +
+        "CAST(n_exceed AS DOUBLE) END, 6) AS mean_excess FROM m " +
+        "ORDER BY threshold")
+    },
+      (s, dir) => Stats.meanExcess(Tables.events(s, dir), col("value"),
+        Seq(50.0, 100.0, 200.0, 400.0))),
+
+    // ---- Markowitz minimum-variance weights for tickers 3 and 7:
+    // exact integer-cent diff moments over the co-traded days; var_min
+    // at 2dp (the q461 magnitude lesson).
+    Q("q478_min_variance",
+      Some("WITH t AS (SELECT l_suppkey % 25 AS key, " +
+        "epoch_us(l_shipdate) // 86400000000 AS day, " +
+        "l_orderkey * 10000000 + l_linenumber * 1000000 + l_suppkey " +
+        "AS tie, CAST(round(l_extendedprice * 100) AS BIGINT) AS c " +
+        "FROM lineitem WHERE l_suppkey % 25 IN (3, 7)), " +
+        "b AS (SELECT key, day, arg_max(c, tie) AS cl FROM t " +
+        "GROUP BY 1, 2), " +
+        "d AS (SELECT key, day, cl - lag(cl) OVER (PARTITION BY key " +
+        "ORDER BY day) AS dd FROM b), " +
+        "f AS (SELECT key, day, dd FROM d WHERE dd IS NOT NULL), " +
+        "j AS (SELECT a.dd AS da, bb.dd AS db FROM f a JOIN f bb " +
+        "ON a.day = bb.day AND a.key = 3 AND bb.key = 7), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_days, " +
+        "CAST(sum(CAST(da AS HUGEINT)) AS DOUBLE) AS sa, " +
+        "CAST(sum(CAST(db AS HUGEINT)) AS DOUBLE) AS sb, " +
+        "CAST(sum(CAST(da AS HUGEINT) * da) AS DOUBLE) AS saa, " +
+        "CAST(sum(CAST(db AS HUGEINT) * db) AS DOUBLE) AS sbb, " +
+        "CAST(sum(CAST(da AS HUGEINT) * db) AS DOUBLE) AS sab FROM j), " +
+        "v AS (SELECT n_days, CAST(n_days AS DOUBLE) AS nd, " +
+        "(saa - sa * sa / CAST(n_days AS DOUBLE)) / " +
+        "(CAST(n_days AS DOUBLE) - 1.0) AS va, " +
+        "(sbb - sb * sb / CAST(n_days AS DOUBLE)) / " +
+        "(CAST(n_days AS DOUBLE) - 1.0) AS vb, " +
+        "(sab - sa * sb / CAST(n_days AS DOUBLE)) / " +
+        "(CAST(n_days AS DOUBLE) - 1.0) AS cab FROM m), " +
+        "w AS (SELECT n_days, va, vb, cab, CASE WHEN n_days >= 2 AND " +
+        "va + vb - 2.0 * cab > 0 THEN (vb - cab) / " +
+        "(va + vb - 2.0 * cab) END AS wa FROM v) " +
+        "SELECT n_days, round(wa, 6) AS w_a, " +
+        "round(1.0 - wa, 6) AS w_b, " +
+        "round((wa * wa * va + (1.0 - wa) * (1.0 - wa) * vb + " +
+        "2.0 * wa * (1.0 - wa) * cab) / 10000.0, 2) AS var_min FROM w"),
+      (s, dir) => Finance.minVariancePair(
+        Finance.dailyBars(
+          Tables.lineitem(s, dir)
+            .withColumn("ticker", pmod(col("l_suppkey"), lit(25L)))
+            .filter(col("ticker").isin(3L, 7L)),
+          "ticker", "l_shipdate",
+          col("l_orderkey") * 10000000 + col("l_linenumber") * 1000000 +
+            col("l_suppkey"),
+          col("l_extendedprice"), col("l_quantity")),
+        "key", "day", col("close"), "3", "7"))
   )
 }

@@ -319,6 +319,19 @@ class FinanceSpec extends SparkSpec {
       .collect()(0).isNullAt(3))
   }
 
+  test("minVariancePair: zero-variance leg takes all the weight") {
+    // A diffs (2,2,2) var 0; B diffs (1,3,1) var 4/3; cov 0
+    // -> w_a = 1, var_min = 0
+    val bars = Seq(("A", 0L, 1.00), ("A", 1L, 1.02), ("A", 2L, 1.04),
+      ("A", 3L, 1.06), ("B", 0L, 1.00), ("B", 1L, 1.01),
+      ("B", 2L, 1.04), ("B", 3L, 1.05)).toDF("key", "day", "close")
+    val r = Finance.minVariancePair(bars, "key", "day", col("close"),
+      "A", "B").collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 0.0, s"mv: $r")
+  }
+
   test("ulcerIndex: RMS drawdown below the running peak") {
     // closes 1.00,1.10,0.99,1.10: peaks 100,110,110,110 -> dd 0,0,10,0
     // -> max 10, ulcer = sqrt(100/4) = 5

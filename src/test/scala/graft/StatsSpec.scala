@@ -2039,6 +2039,37 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(8) == 0.5, s"tau_c: $r")
   }
 
+  test("uncertaintyCoefficient: perfect dependence scores 1 everywhere") {
+    import spark.implicits._
+    val df = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val r = Stats.uncertaintyCoefficient(df, col("a"), col("b"))
+      .collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == math.round(math.log(2.0) * 1e6) / 1e6)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0 &&
+      r.getDouble(4) == 1.0, s"u: $r")
+  }
+
+  test("ksExponential: hand D with the F-hat jump at each value") {
+    import spark.implicits._
+    // {1,1,3}: lambda = .6; the lower step at v=1 dominates:
+    // D = F(1) = 1 - e^-0.6
+    val df = Seq(1.0, 1.0, 3.0).toDF("v")
+    val r = Stats.ksExponential(df, col("v")).collect()(0)
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 0.6)
+    assert(r.getDouble(2) == 0.451188, s"d: $r")
+  }
+
+  test("meanExcess: hand excesses over an ascending grid") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 5.0, 10.0).toDF("v")
+    val r = Stats.meanExcess(df, col("v"), Seq(0.0, 4.0, 20.0)).collect()
+    assert((r(0).getLong(1), r(0).getDouble(2)) == ((4L, 4.5)))
+    assert((r(1).getLong(1), r(1).getDouble(2)) == ((2L, 3.5)))
+    assert(r(2).getLong(1) == 0L && r(2).isNullAt(2), s"u20: ${r(2)}")
+  }
+
   test("ratioMetricCi: delta-method se on hand unit pairs") {
     import spark.implicits._
     // (x,y) = (1,1),(3,2),(2,1): R = 1.5, vx=1, vy=1/3, cxy=.5
