@@ -5465,16 +5465,6 @@ object Stats {
       lit(1L).as("df"))
   }
 
-  // --------------------------------------------- Wilson score intervals
-  /** Wilson score confidence interval for a per-group proportion (Wilson
-    * 1927): center (p̂ + z²/2n)/(1 + z²/n), half-width
-    * z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n) — the interval that behaves at
-    * the 0/1 boundaries where the Wald interval collapses (the q420
-    * odds-ratio CI's one-proportion sibling).
-    *
-    * DETERMINISM AND SCALE: one groupBy of exact integer counts; the
-    * interval is a fixed IEEE shape per group row, 6dp. Returns one row
-    * per group: (group..., n, k, p_hat, lo, hi). */
   // ------------------------------------------- uncertainty coefficient
   /** Theil's uncertainty coefficient (Theil 1970): the MI-based
     * categorical association normalized by each variable's own entropy —
@@ -5529,11 +5519,19 @@ object Stats {
     * DETERMINISM AND SCALE — the [[ksTwoSample]] shape: per-value counts
     * + one cumulative window over the DISTINCT value relation
     * (cardinality contract); F̂ steps are exact integer ratios; e^(−λx)
-    * is one fixed IEEE shape per cell; D maximizes over cells. Returns
-    * one row: (n, rate, d_stat) 6dp. */
+    * is one fixed IEEE shape per cell; D maximizes over cells. The
+    * exponential's support is [0,∞): a NEGATIVE value RAISES (a silent
+    * drop would change both n and the estimated rate); an all-zero
+    * sample (Σv ≤ 0 ⇒ λ undefined) nulls rate and d_stat loudly rather
+    * than propagating λ = ∞ NaNs. Returns one row: (n, rate, d_stat)
+    * 6dp. */
   def ksExponential(df: DataFrame, valueCol: Column): DataFrame = {
-    val v = valueCol.cast("double")
-    val cells = df.filter(v.isNotNull && v >= 0.0)
+    val v0 = valueCol.cast("double")
+    val v = when(v0 < 0.0,
+      raise_error(concat(lit("ksExponential: negative value outside "),
+        lit("the exponential's support: "), v0.cast("string"))))
+      .otherwise(v0)
+    val cells = df.filter(v0.isNotNull)
       .groupBy(v.as("__v")).agg(count(lit(1)).as("__t"))
     val wRun = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -5543,7 +5541,7 @@ object Stats {
     val cum = cells.withColumn("__f", sum(col("__t")).over(wRun))
       .crossJoin(broadcast(tot))
     val nD = col("n").cast("double")
-    val lambda = nD / col("__sv")
+    val lambda = when(col("__sv") > 0.0, nD / col("__sv"))
     val fExp = lit(1.0) - exp(-lambda * col("__v"))
     val dHi = abs(col("__f").cast("double") / nD - fExp)
     val dLo = abs((col("__f") - col("__t")).cast("double") / nD - fExp)
@@ -5673,15 +5671,21 @@ object Stats {
     *
     * DETERMINISM AND SCALE: the bin is an integer projection
     * (min(bins−1, ⌊p·bins⌋)); per-bin Σp casts DECIMAL(28,12), Σy is
-    * integer; two bounded rollups, fixed IEEE finishes, 6dp. Returns
-    * one row: (n, brier, reliability, resolution, uncertainty). */
+    * integer; two bounded rollups, fixed IEEE finishes, 6dp. p must
+    * already live in [0,1] — out-of-range rows RAISE (the
+    * [[spiegelhalterZ]] guard: p > 1 would clamp into the top bin and
+    * p < 0 would mint negative phantom bins, silently skewing REL/RES).
+    * Returns one row: (n, brier, reliability, resolution, uncertainty). */
   def brierDecomposition(df: DataFrame, pCol: Column, yCol: Column,
                          bins: Int = 10): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(bins >= 2 && bins <= 1000, s"bins in [2,1000]: $bins")
-    val p = pCol.cast("double")
+    val p0 = pCol.cast("double")
+    val p = when(p0 < 0.0 || p0 > 1.0,
+      raise_error(concat(lit("brierDecomposition: probability out of " +
+        "[0,1]: "), p0.cast("string")))).otherwise(p0)
     val y = when(yCol, 1.0).otherwise(0.0)
-    val base = df.filter(p.isNotNull)
+    val base = df.filter(p0.isNotNull)
       .select(p.as("__p"), y.as("__y"),
         least(lit(bins - 1L), floor(p * bins).cast("long")).as("__b"))
     val perBin = base.groupBy("__b")
@@ -5980,17 +5984,25 @@ object Stats {
     * [[rankingMetricsAtK]] contract); the cascade product is
     * exp(Σ ln(1−R)) over a query-partitioned k-bounded window — R < 1
     * always ((2^g−1)/2^gmax is exact dyadic), so the log never
-    * degenerates. Returns per query: (query, n_ranked, err) 6dp. */
+    * degenerates. Grades must already live in [0, gmax]: out-of-range
+    * grades RAISE (a silent clamp above gmax or a negative grade's
+    * negative relevance would quietly distort the cascade — callers
+    * clamp explicitly if that is the intent). Returns per query:
+    * (query, n_ranked, err) 6dp. */
   def errAtK(df: DataFrame, queryCol: String, rankCol: Column,
              gradeCol: Column, k: Int, gmax: Int = 3): DataFrame = {
     require(k >= 1 && gmax >= 1 && gmax <= 30,
       s"need k >= 1 and gmax in [1,30]: k=$k gmax=$gmax")
+    val g0 = gradeCol.cast("long")
+    val g = when(g0 < 0L || g0 > gmax.toLong,
+      raise_error(concat(lit(s"errAtK: grade outside [0,$gmax]: "),
+        g0.cast("string")))).otherwise(g0)
     val base = df.select(col(queryCol).as("query"),
-        rankCol.cast("long").as("__r"), gradeCol.cast("long").as("__g"))
+        rankCol.cast("long").as("__r"), g.as("__g"))
       .filter(col("__r").isNotNull && col("__r") >= 1L &&
         col("__r") <= k && col("__g").isNotNull)
-    val rel = (pow(lit(2.0), least(col("__g"), lit(gmax.toLong))
-      .cast("double")) - 1.0) / math.pow(2.0, gmax)
+    val rel = (pow(lit(2.0), col("__g").cast("double")) - 1.0) /
+      math.pow(2.0, gmax)
     val wPrec = Window.partitionBy(col("query")).orderBy(col("__r"))
       .rowsBetween(Window.unboundedPreceding, -1)
     base.withColumn("__rel", rel)
@@ -6421,17 +6433,23 @@ object Stats {
     * (a suffix cumsum over the BOUNDED depth vocabulary, never items);
     * items join to W(m) by integer depth and reduce in ONE groupBy.
     * Items outside both top-k simply don't contribute; a group with no
-    * common top-k items has no row (document, don't zero-fill). The
-    * float pow/suffix sums sit ~6 orders under the 6dp round.
+    * common top-k items has no row (document, don't zero-fill). An item
+    * must carry BOTH ranks to count as common: a null in either rank
+    * column (e.g. an outer-join input) is excluded explicitly — Spark's
+    * greatest/least skip NULLs, so without the guard a one-list item
+    * would silently count and inflate RBO. The float pow/suffix sums sit
+    * ~6 orders under the 6dp round.
     * Returns per group: (group..., n_common, rbo). */
   def rankBiasedOverlap(df: DataFrame, groupCols: Seq[String],
                         rankACol: Column, rankBCol: Column, k: Int,
                         p: Double = 0.9): DataFrame = {
     require(k >= 1 && k <= 100000, s"k must be in [1,100000]: $k")
     require(p > 0.0 && p < 1.0, s"p must be in (0,1): $p")
-    val items = df.select(groupCols.map(col) :+
+    val items = df
+      .filter(rankACol.isNotNull && rankBCol.isNotNull)
+      .select(groupCols.map(col) :+
         greatest(rankACol.cast("long"), rankBCol.cast("long")).as("__m"): _*)
-      .filter(col("__m").isNotNull && col("__m") <= k &&
+      .filter(col("__m") <= k &&
         least(rankACol.cast("long"), rankBCol.cast("long")) >= 1L)
     val spine = df.sparkSession.range(1, k + 1).select(col("id").as("__d"),
       (pow(lit(p), col("id").cast("double") - 1.0) /
@@ -6498,6 +6516,16 @@ object Stats {
       .orderBy("col_name")
   }
 
+  // --------------------------------------------- Wilson score intervals
+  /** Wilson score confidence interval for a per-group proportion (Wilson
+    * 1927): center (p̂ + z²/2n)/(1 + z²/n), half-width
+    * z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n) — the interval that behaves at
+    * the 0/1 boundaries where the Wald interval collapses (the q420
+    * odds-ratio CI's one-proportion sibling).
+    *
+    * DETERMINISM AND SCALE: one groupBy of exact integer counts; the
+    * interval is a fixed IEEE shape per group row, 6dp. Returns one row
+    * per group: (group..., n, k, p_hat, lo, hi). */
   def wilsonCi(df: DataFrame, groupCols: Seq[String], cond: Column,
                z: Double = 1.96): DataFrame = {
     require(z > 0.0, s"z must be positive: $z")

@@ -2059,6 +2059,14 @@ class StatsSpec extends SparkSpec {
     val r = Stats.ksExponential(df, col("v")).collect()(0)
     assert(r.getLong(0) == 3L && r.getDouble(1) == 0.6)
     assert(r.getDouble(2) == 0.451188, s"d: $r")
+    // outside the exponential's support: raise, don't silently drop
+    intercept[Exception] {
+      Stats.ksExponential(Seq(1.0, -2.0).toDF("v"), col("v")).collect()
+    }
+    // all-zero sample: lambda undefined -> rate and d_stat null loudly
+    val z = Stats.ksExponential(Seq(0.0, 0.0).toDF("v"), col("v"))
+      .collect()(0)
+    assert(z.getLong(0) == 2L && z.isNullAt(1) && z.isNullAt(2), s"z: $z")
   }
 
   test("meanExcess: hand excesses over an ascending grid") {
@@ -2103,6 +2111,15 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(0) == 4L)
     assert(r.getDouble(1) == 0.19 && r.getDouble(2) == 0.065)
     assert(r.getDouble(3) == 0.0625 && r.getDouble(4) == 0.1875, s"bd: $r")
+    // the spiegelhalterZ guard: p outside [0,1] raises, never clamps
+    intercept[Exception] {
+      Stats.brierDecomposition(Seq((1.2, true)).toDF("p", "y"),
+        col("p"), col("y")).collect()
+    }
+    intercept[Exception] {
+      Stats.brierDecomposition(Seq((-0.1, false)).toDF("p", "y"),
+        col("p"), col("y")).collect()
+    }
   }
 
   test("taylorsLaw: exact power-2 scaling recovers slope 2, r = 1") {
@@ -2194,6 +2211,15 @@ class StatsSpec extends SparkSpec {
     val r = Stats.errAtK(df, "query", col("rank"), col("grade"),
       k = 10, gmax = 3).collect()(0)
     assert(r.getLong(1) == 3L && r.getDouble(2) == 0.890625, s"err: $r")
+    // grades outside [0, gmax] raise: no silent clamp, no negative R
+    intercept[Exception] {
+      Stats.errAtK(Seq(("q", 1, 4)).toDF("query", "rank", "grade"),
+        "query", col("rank"), col("grade"), k = 10, gmax = 3).collect()
+    }
+    intercept[Exception] {
+      Stats.errAtK(Seq(("q", 1, -1)).toDF("query", "rank", "grade"),
+        "query", col("rank"), col("grade"), k = 10, gmax = 3).collect()
+    }
   }
 
   test("mahalanobis2d: joint-ellipse census; hand d2") {
@@ -2331,6 +2357,13 @@ class StatsSpec extends SparkSpec {
     val r3 = Stats.rankBiasedOverlap(part, Seq.empty, col("ra"), col("rb"),
       k = 2, p = 0.5).collect()(0)
     assert(r3.getLong(0) == 1L, s"rbo: $r3")
+    // an item with a rank in only ONE list (outer-join shape) is not
+    // common: greatest/least skip NULLs, so the explicit guard matters
+    val nul = Seq((Some(1), Some(1)), (Some(2), None))
+      .toDF("ra", "rb")
+    val r4 = Stats.rankBiasedOverlap(nul, Seq.empty, col("ra"), col("rb"),
+      k = 2, p = 0.5).collect()(0)
+    assert(r4.getLong(0) == 1L, s"rbo-null: $r4")
   }
 
   test("columnDriftReport: hand moments, null rates, standardized shift") {
