@@ -643,4 +643,177 @@ object Finance {
         round(sqrt(sum(col("__dd") * col("__dd")) /
           count(lit(1)).cast("double")), 6).as("ulcer"))
   }
+
+  /** Exact integer cents for a full OHLC bar row (the [[closeCents]]
+    * discipline, all four legs): the /100 cancels in every log-ratio the
+    * range estimators take, so the doubles that reach `ln` are ratios of
+    * exact integers on any engine. */
+  private def ohlcCents(df: DataFrame, keyCol: String, dayCol: String,
+                        openCol: Column, highCol: Column, lowCol: Column,
+                        closeCol: Column): DataFrame =
+    df.select(col(keyCol).as("key"), col(dayCol).cast("long").as("day"),
+      round(openCol * 100, 0).cast("long").as("__o"),
+      round(highCol * 100, 0).cast("long").as("__h"),
+      round(lowCol * 100, 0).cast("long").as("__l"),
+      round(closeCol * 100, 0).cast("long").as("__c"))
+
+  // --------------------------------------- OHLC range volatility panel
+  /** Daily-range volatility estimators per key, from OHLC bars — the
+    * classic panel that squeezes ~5–7× more efficiency out of a bar than
+    * close-to-close variance by using the intraday range:
+    *  - Parkinson 1980:       σ²_P  = mean(ln(H/L)²) / (4·ln 2)
+    *  - Garman–Klass 1980:    σ²_GK = mean(½·ln(H/L)² − (2ln2−1)·ln(C/O)²)
+    *  - Rogers–Satchell 1991: σ²_RS = mean(ln(H/C)·ln(H/O) +
+    *                                       ln(L/C)·ln(L/O))  (drift-free)
+    *
+    * DETERMINISM AND SCALE: ONE key-grain groupBy — no windows, no
+    * shuffling beyond the 25-key rollup; every per-day term is a fixed
+    * IEEE shape on ratios of exact integer cents (ln applied to ONE
+    * division, never ln(h)−ln(l)), cast DECIMAL(28,12) before the
+    * order-free sum; the ln-constants are inlined literals so both
+    * engines parse the identical double. GK and RS day-terms can go
+    * negative; a negative MEAN nulls that column loudly (√ of it is not
+    * a volatility). Returns per key: (key, n_days, parkinson,
+    * garman_klass, rogers_satchell) 6dp. */
+  def ohlcVolatility(df: DataFrame, keyCol: String, dayCol: String,
+                     openCol: Column, highCol: Column, lowCol: Column,
+                     closeCol: Column): DataFrame = {
+    val dt = DecimalType(28, 12)
+    val base = ohlcCents(df, keyCol, dayCol, openCol, highCol, lowCol,
+      closeCol).filter(col("__l") > 0L && col("__o") > 0L &&
+        col("__c") > 0L)
+    def lr(a: Column, b: Column): Column =
+      log(a.cast("double") / b.cast("double"))
+    val hl = lr(col("__h"), col("__l"))
+    val co = lr(col("__c"), col("__o"))
+    val hc = lr(col("__h"), col("__c")); val ho = lr(col("__h"), col("__o"))
+    val lc = lr(col("__l"), col("__c")); val lo = lr(col("__l"), col("__o"))
+    val g = base.groupBy("key")
+      .agg(count(lit(1)).as("n_days"),
+        sum((hl * hl).cast(dt)).cast("double").as("__p"),
+        sum((lit(0.5) * hl * hl -
+          lit(0.3862943611198906) * co * co).cast(dt)).cast("double")
+          .as("__gk"),
+        sum((hc * ho + lc * lo).cast(dt)).cast("double").as("__rs"))
+    val nD = col("n_days").cast("double")
+    def vol(s: Column): Column =
+      when(s >= 0.0, sqrt(s / nD))
+    g.select(col("key"), col("n_days"),
+      round(vol(col("__p") / lit(2.772588722239781)), 6).as("parkinson"),
+      round(vol(col("__gk")), 6).as("garman_klass"),
+      round(vol(col("__rs")), 6).as("rogers_satchell"))
+  }
+
+  // ------------------------------------------- Corwin–Schultz spread
+  /** Corwin–Schultz bid-ask spread estimator (Corwin & Schultz 2012):
+    * from each ADJACENT trading-day pair's highs/lows,
+    * β = ln(H₀/L₀)² + ln(H₁/L₁)², γ = ln(max(H)/min(L))²,
+    * α = (√(2β) − √β)/(3−2√2) − √(γ/(3−2√2)),
+    * S = 2(e^α − 1)/(1 + e^α), negative pair-spreads floored to 0 (the
+    * paper's convention), averaged per key — a spread proxy that needs
+    * no quote data, the high-low sibling of [[rollSpread]]'s
+    * autocovariance proxy.
+    *
+    * DETERMINISM AND SCALE: adjacency is one lag in a key-partitioned
+    * window over the calendar-bounded bar series; each pair's S is a
+    * fixed IEEE shape on exact integer-cent ratios (3−2√2 inlined as the
+    * literal 0.1715728752538097); ΣS casts DECIMAL(28,12). Returns per
+    * key: (key, n_pairs, cs_spread) 6dp. */
+  def corwinSchultz(df: DataFrame, keyCol: String, dayCol: String,
+                    highCol: Column, lowCol: Column): DataFrame = {
+    val dt = DecimalType(28, 12)
+    val k = 0.1715728752538097
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+    val base = df.select(col(keyCol).as("key"),
+        col(dayCol).cast("long").as("day"),
+        round(highCol * 100, 0).cast("long").as("__h"),
+        round(lowCol * 100, 0).cast("long").as("__l"))
+      .filter(col("__l") > 0L)
+      .withColumn("__h0", lag(col("__h"), 1).over(w))
+      .withColumn("__l0", lag(col("__l"), 1).over(w))
+      .filter(col("__h0").isNotNull)
+    def lr(a: Column, b: Column): Column =
+      log(a.cast("double") / b.cast("double"))
+    val b0 = lr(col("__h0"), col("__l0")); val b1 = lr(col("__h"), col("__l"))
+    val beta = b0 * b0 + b1 * b1
+    val gRange = lr(greatest(col("__h0"), col("__h")),
+      least(col("__l0"), col("__l")))
+    val gamma = gRange * gRange
+    val alpha = (sqrt(lit(2.0) * beta) - sqrt(beta)) / lit(k) -
+      sqrt(gamma / lit(k))
+    val s = lit(2.0) * (exp(alpha) - 1.0) / (exp(alpha) + 1.0)
+    base.withColumn("__s", greatest(s, lit(0.0)))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("__s").cast(dt)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("cs_spread"))
+  }
+
+  // --------------------------------------------- Amihud illiquidity
+  /** Amihud (2002) illiquidity per key: ILLIQ = 10⁶ ·
+    * mean(|r_t| / DV_t) over trading days with a prior close, where r_t
+    * is the close-to-close simple return and DV_t the day's dollar
+    * volume — price impact per dollar traded, THE standard low-frequency
+    * liquidity proxy.
+    *
+    * DETERMINISM AND SCALE: returns are one IEEE division of exact
+    * integer cents ((c−c₀)/c₀); dollar volume re-integerizes the exact
+    * micro-dollar VWAP (round(vwap·10⁶) recovers [[dailyBars]]' integer
+    * division exactly) times the integer volume; each day's ratio is one
+    * fixed shape, summed as DECIMAL(38,18) (ratios are ~1e−9). Zero
+    * dollar-volume days RAISE (a bar with volume 0 should not exist —
+    * fail loudly, don't skip). Returns per key: (key, n_days, illiq)
+    * 6dp. */
+  def amihudIlliquidity(df: DataFrame, keyCol: String, dayCol: String,
+                        closeCol: Column, volumeCol: Column,
+                        vwapCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+    val base = df.select(col(keyCol).as("key"),
+        col(dayCol).cast("long").as("day"),
+        round(closeCol * 100, 0).cast("long").as("__c"),
+        volumeCol.cast("long").as("__v"),
+        round(vwapCol * 1000000, 0).cast("long").as("__vw"))
+      .withColumn("__c0", lag(col("__c"), 1).over(w))
+      .filter(col("__c0").isNotNull && col("__c0") > 0L)
+    val dv = when(col("__v") <= 0L || col("__vw") <= 0L,
+      raise_error(concat(lit("amihudIlliquidity: non-positive dollar "),
+        lit("volume for key "), col("key").cast("string"))))
+      .otherwise(col("__vw").cast("double") / 1000000.0 *
+        col("__v").cast("double"))
+    val r = (col("__c") - col("__c0")).cast("double") /
+      col("__c0").cast("double")
+    base.withColumn("__t", abs(r) / dv)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_days"),
+        round(lit(1000000.0) *
+          sum(col("__t").cast(DecimalType(38, 18))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("illiq"))
+  }
+
+  // -------------------------------------------------------- omega ratio
+  /** Omega ratio at threshold 0 of the daily close-to-close cent diffs
+    * per key (Keating & Shadwick 2002): Ω = Σ max(d,0) / Σ max(−d,0) —
+    * the gain/loss probability-mass ratio that uses the WHOLE
+    * distribution where [[dailyRiskRatios]]' Sharpe collapses it to two
+    * moments.
+    *
+    * DETERMINISM AND SCALE: diffs, gains, and losses are exact BIGINT
+    * cents (no float until the single final division); one lag + one
+    * key-grain groupBy. An all-gain series (Σloss = 0) nulls Ω loudly.
+    * Returns per key: (key, n_diffs, up_cents, down_cents, omega) 6dp. */
+  def omegaRatio(df: DataFrame, keyCol: String, dayCol: String,
+                 closeCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+    val diffs = closeCents(df, keyCol, dayCol, closeCol)
+      .withColumn("__d", col("__c") - lag(col("__c"), 1).over(w))
+      .filter(col("__d").isNotNull)
+    diffs.groupBy("key")
+      .agg(count(lit(1)).as("n_diffs"),
+        sum(when(col("__d") > 0L, col("__d")).otherwise(0L)).as("up_cents"),
+        sum(when(col("__d") < 0L, -col("__d")).otherwise(0L))
+          .as("down_cents"))
+      .withColumn("omega", round(when(col("down_cents") > 0L,
+        col("up_cents").cast("double") /
+          col("down_cents").cast("double")), 6))
+  }
 }

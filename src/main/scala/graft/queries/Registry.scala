@@ -17,7 +17,7 @@ object Registry {
     val qs = Relational.qs ++ TypeQueries.qs ++ TextQueries.qs ++
       CurationQueries.qs ++ SimilarityQueries.qs ++ SimilarityQueries2.qs ++
       StreamQueries.qs ++ StatsQueries.qs ++ StatsQueries2.qs ++
-      StatsQueries3.qs ++ StatsQueries4.qs ++
+      StatsQueries3.qs ++ StatsQueries4.qs ++ StatsQueries5.qs ++
       AppliedQueries.qs ++
       TpchQueries.qs ++ MlPipelineQueries.qs ++ LayoutQueries.qs
     // a duplicate name would silently shadow a query in the toMap below and

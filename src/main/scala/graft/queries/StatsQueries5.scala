@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Finance, Graph, Stats}
+
+/** Round-12 drivers: market-microstructure estimators over the synthetic
+  * ticker bars (OHLC range volatility, Corwin–Schultz spread, Amihud
+  * illiquidity, omega ratio), then the round's later batches. Every
+  * oracle mirrors the Spark expression SHAPES exactly (same
+  * associativity, same divide placement, inlined ln-constant literals)
+  * per the dual-engine determinism discipline.
+  */
+object StatsQueries5 {
+
+  /** The shared synthetic-ticker bar CTE: 25 tickers from l_suppkey,
+    * trading-day OHLCV with the unique-tie election (l_shipdate is a pure
+    * DATE, so arg_min/arg_max on the tie alone matches [[Finance.dailyBars]]'
+    * (ts, tie) struct election). */
+  private val barsCte: String =
+    "WITH t AS (SELECT l_suppkey % 25 AS key, " +
+      "epoch_us(l_shipdate) // 86400000000 AS day, " +
+      "l_orderkey * 10000000 + l_linenumber * 1000000 + l_suppkey AS tie, " +
+      "CAST(round(l_extendedprice * 100) AS BIGINT) AS c, " +
+      "CAST(l_quantity AS BIGINT) AS q FROM lineitem), " +
+      "b AS (SELECT key, day, arg_min(c, tie) AS o, max(c) AS h, " +
+      "min(c) AS l, arg_max(c, tie) AS cl, CAST(sum(q) AS BIGINT) " +
+      "AS volume, sum(CAST(c AS HUGEINT) * q) AS notional " +
+      "FROM t GROUP BY 1, 2)"
+
+  private def allBars(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Finance.dailyBars(
+      Tables.lineitem(s, dir)
+        .withColumn("ticker", pmod(col("l_suppkey"), lit(25L))),
+      "ticker", "l_shipdate",
+      col("l_orderkey") * 10000000 + col("l_linenumber") * 1000000 +
+        col("l_suppkey"),
+      col("l_extendedprice"), col("l_quantity"))
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- OHLC range-volatility panel per ticker: Parkinson, Garman-
+    // Klass, Rogers-Satchell from exact integer-cent ratios; the /100
+    // cancels inside every log-ratio, so ln sees identical doubles on
+    // both engines.
+    Q("q479_ohlc_vol",
+      Some(barsCte + ", " +
+        "r AS (SELECT key, " +
+        "ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)) AS hl, " +
+        "ln(CAST(cl AS DOUBLE) / CAST(o AS DOUBLE)) AS co, " +
+        "ln(CAST(h AS DOUBLE) / CAST(cl AS DOUBLE)) AS hc, " +
+        "ln(CAST(h AS DOUBLE) / CAST(o AS DOUBLE)) AS ho, " +
+        "ln(CAST(l AS DOUBLE) / CAST(cl AS DOUBLE)) AS lc, " +
+        "ln(CAST(l AS DOUBLE) / CAST(o AS DOUBLE)) AS lo " +
+        "FROM b WHERE l > 0 AND o > 0 AND cl > 0), " +
+        "m AS (SELECT key, CAST(count(*) AS BIGINT) AS n_days, " +
+        "CAST(sum(CAST(hl * hl AS DECIMAL(28,12))) AS DOUBLE) AS p, " +
+        "CAST(sum(CAST(0.5 * hl * hl - 0.3862943611198906 * co * co " +
+        "AS DECIMAL(28,12))) AS DOUBLE) AS gk, " +
+        "CAST(sum(CAST(hc * ho + lc * lo AS DECIMAL(28,12))) AS DOUBLE) " +
+        "AS rs FROM r GROUP BY 1) " +
+        "SELECT key, n_days, " +
+        "round(CASE WHEN p / 2.772588722239781 >= 0 THEN " +
+        "sqrt(p / 2.772588722239781 / CAST(n_days AS DOUBLE)) END, 6) " +
+        "AS parkinson, " +
+        "round(CASE WHEN gk >= 0 THEN " +
+        "sqrt(gk / CAST(n_days AS DOUBLE)) END, 6) AS garman_klass, " +
+        "round(CASE WHEN rs >= 0 THEN " +
+        "sqrt(rs / CAST(n_days AS DOUBLE)) END, 6) AS rogers_satchell " +
+        "FROM m ORDER BY key"),
+      (s, dir) => Finance.ohlcVolatility(allBars(s, dir), "key", "day",
+        col("open"), col("high"), col("low"), col("close"))
+        .orderBy("key")),
+
+    // ---- Corwin-Schultz high-low spread per ticker over adjacent
+    // trading-day pairs; negative pair spreads floor to 0 (the paper's
+    // convention), 3-2*sqrt(2) inlined as a shared literal.
+    Q("q480_corwin_schultz",
+      Some(barsCte + ", " +
+        "p AS (SELECT key, day, h, l, " +
+        "lag(h) OVER (PARTITION BY key ORDER BY day) AS h0, " +
+        "lag(l) OVER (PARTITION BY key ORDER BY day) AS l0 " +
+        "FROM b WHERE l > 0), " +
+        "r AS (SELECT key, " +
+        "ln(CAST(h0 AS DOUBLE) / CAST(l0 AS DOUBLE)) AS b0, " +
+        "ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)) AS b1, " +
+        "ln(CAST(greatest(h0, h) AS DOUBLE) / " +
+        "CAST(least(l0, l) AS DOUBLE)) AS gr FROM p " +
+        "WHERE h0 IS NOT NULL), " +
+        "a AS (SELECT key, (sqrt(2.0 * (b0 * b0 + b1 * b1)) - " +
+        "sqrt(b0 * b0 + b1 * b1)) / 0.1715728752538097 - " +
+        "sqrt(gr * gr / 0.1715728752538097) AS alpha FROM r), " +
+        "w AS (SELECT key, greatest(2.0 * (exp(alpha) - 1.0) / " +
+        "(exp(alpha) + 1.0), 0.0) AS sv FROM a) " +
+        "SELECT key, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "round(CAST(sum(CAST(sv AS DECIMAL(28,12))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS cs_spread " +
+        "FROM w GROUP BY 1 ORDER BY key"),
+      (s, dir) => Finance.corwinSchultz(allBars(s, dir), "key", "day",
+        col("high"), col("low"))
+        .orderBy("key")),
+
+    // ---- Amihud illiquidity per ticker: |close-to-close return| per
+    // dollar traded; the dollar volume re-integerizes dailyBars' exact
+    // micro-dollar VWAP so both engines multiply identical doubles.
+    Q("q481_amihud",
+      Some(barsCte + ", " +
+        "v AS (SELECT key, day, cl, volume, " +
+        "CAST((2 * notional * 10000 + volume) // (2 * volume) AS BIGINT) " +
+        "AS vw FROM b), " +
+        "p AS (SELECT key, day, cl, volume, vw, " +
+        "lag(cl) OVER (PARTITION BY key ORDER BY day) AS cl0 FROM v), " +
+        "r AS (SELECT key, abs(CAST(cl - cl0 AS DOUBLE) / " +
+        "CAST(cl0 AS DOUBLE)) / (CAST(vw AS DOUBLE) / 1000000.0 * " +
+        "CAST(volume AS DOUBLE)) AS tt FROM p " +
+        "WHERE cl0 IS NOT NULL AND cl0 > 0) " +
+        "SELECT key, CAST(count(*) AS BIGINT) AS n_days, " +
+        "round(1000000.0 * CAST(sum(CAST(tt AS DECIMAL(38,18))) " +
+        "AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS illiq " +
+        "FROM r GROUP BY 1 ORDER BY key"),
+      (s, dir) => Finance.amihudIlliquidity(allBars(s, dir), "key", "day",
+        col("close"), col("volume"), col("vwap"))
+        .orderBy("key")),
+
+    // ---- Omega ratio at threshold 0 per ticker: the gain/loss cent-sum
+    // rational -- integers end to end, ONE final division.
+    Q("q482_omega",
+      Some(barsCte + ", " +
+        "d AS (SELECT key, cl - lag(cl) OVER (PARTITION BY key " +
+        "ORDER BY day) AS dd FROM b), " +
+        "f AS (SELECT key, dd FROM d WHERE dd IS NOT NULL), " +
+        "g AS (SELECT key, CAST(count(*) AS BIGINT) AS n_diffs, " +
+        "CAST(sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) AS BIGINT) " +
+        "AS up_cents, " +
+        "CAST(sum(CASE WHEN dd < 0 THEN -dd ELSE 0 END) AS BIGINT) " +
+        "AS down_cents FROM f GROUP BY 1) " +
+        "SELECT key, n_diffs, up_cents, down_cents, " +
+        "round(CASE WHEN down_cents > 0 THEN CAST(up_cents AS DOUBLE) / " +
+        "CAST(down_cents AS DOUBLE) END, 6) AS omega " +
+        "FROM g ORDER BY key"),
+      (s, dir) => Finance.omegaRatio(allBars(s, dir), "key", "day",
+        col("close"))
+        .orderBy("key"))
+  )
+}

@@ -342,4 +342,59 @@ class FinanceSpec extends SparkSpec {
     assert(r.getLong(1) == 4L)
     assert(r.getDouble(2) == 10.0 && r.getDouble(3) == 5.0, s"ui: $r")
   }
+
+  test("ohlcVolatility: hand Parkinson/GK/RS on two bars") {
+    // cents (o,h,l,c) = (100,200,100,200), (200,400,100,100):
+    // park = .658192, gk = .644182, rs = .693147 (python replay of the
+    // identical IEEE shapes)
+    val bars = Seq((1L, 0L, 1.00, 2.00, 1.00, 2.00),
+      (1L, 1L, 2.00, 4.00, 1.00, 1.00))
+      .toDF("key", "day", "open", "high", "low", "close")
+    val r = Finance.ohlcVolatility(bars, "key", "day", col("open"),
+      col("high"), col("low"), col("close")).collect()(0)
+    assert(r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.658192, s"park: $r")
+    assert(r.getDouble(3) == 0.644182, s"gk: $r")
+    assert(r.getDouble(4) == 0.693147, s"rs: $r")
+  }
+
+  test("corwinSchultz: hand spread on one adjacent pair") {
+    // pair (h0,l0)=(200,100), (h1,l1)=(400,100): S = .389979
+    val bars = Seq((1L, 0L, 2.00, 1.00), (1L, 1L, 4.00, 1.00))
+      .toDF("key", "day", "high", "low")
+    val r = Finance.corwinSchultz(bars, "key", "day", col("high"),
+      col("low")).collect()(0)
+    assert(r.getLong(1) == 1L && r.getDouble(2) == 0.389979, s"cs: $r")
+  }
+
+  test("amihudIlliquidity: hand |r|/DV; zero dollar volume raises") {
+    // day2: r = .1, DV = 1.05*20 = 21 -> 1e6*.1/21 = 4761.904762
+    val bars = Seq((1L, 0L, 1.00, 10L, 1.0), (1L, 1L, 1.10, 20L, 1.05))
+      .toDF("key", "day", "close", "volume", "vwap")
+    val r = Finance.amihudIlliquidity(bars, "key", "day", col("close"),
+      col("volume"), col("vwap")).collect()(0)
+    assert(r.getLong(1) == 1L && r.getDouble(2) == 4761.904762, s"am: $r")
+    val bad = Seq((1L, 0L, 1.00, 10L, 1.0), (1L, 1L, 1.10, 0L, 1.05))
+      .toDF("key", "day", "close", "volume", "vwap")
+    intercept[Exception] {
+      Finance.amihudIlliquidity(bad, "key", "day", col("close"),
+        col("volume"), col("vwap")).collect()
+    }
+  }
+
+  test("omegaRatio: exact integer gain/loss rational") {
+    // closes 1.00,2.00,1.50,2.50: diffs +100,-50,+100 -> omega 4
+    val bars = Seq((1L, 0L, 1.00), (1L, 1L, 2.00), (1L, 2L, 1.50),
+      (1L, 3L, 2.50)).toDF("key", "day", "close")
+    val r = Finance.omegaRatio(bars, "key", "day", col("close"))
+      .collect()(0)
+    assert(r.getLong(1) == 3L)
+    assert(r.getLong(2) == 200L && r.getLong(3) == 50L)
+    assert(r.getDouble(4) == 4.0, s"om: $r")
+    // all-gain: omega null loudly
+    val up = Seq((1L, 0L, 1.00), (1L, 1L, 2.00)).toDF("key", "day", "close")
+    val r2 = Finance.omegaRatio(up, "key", "day", col("close"))
+      .collect()(0)
+    assert(r2.isNullAt(4), s"om-up: $r2")
+  }
 }
