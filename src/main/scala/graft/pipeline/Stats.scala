@@ -6544,4 +6544,173 @@ object Stats {
       round(when(col("n") > 0L, center - half), 6).as("lo"),
       round(when(col("n") > 0L, center + half), 6).as("hi")): _*)
   }
+
+  // ------------------------------------------------ Hill tail estimator
+  /** Hill estimator of the tail index over the top-k order statistics
+    * (Hill 1975): ξ = (1/k)·Σ_{i=1..k} ln(x_(i)/x_(k+1)) over the k
+    * largest values, α = 1/ξ — THE heavy-tail exponent estimate, the
+    * parametric companion to [[meanExcess]]' shape diagnostic (a stable
+    * ξ across k ⇒ Pareto-like tail with exponent α).
+    *
+    * DETERMINISM AND SCALE: the top-(k+1) rows come from a distributed
+    * TakeOrdered on the TOTAL order (value desc, unique tie) — no global
+    * sort, no keyless window; the log-ratios on the bounded k+1-row
+    * relation sum as DECIMAL(28,12) (the x_(k+1) row contributes exactly
+    * ln(1) = 0, so summing all k+1 rows is the k-term sum). The tail
+    * lives on (0,∞): a NON-POSITIVE value RAISES. Fewer than k+1 rows
+    * null ξ and α loudly. Returns one row:
+    * (n_rows, threshold, hill_xi, hill_alpha) 6dp. */
+  def hillEstimator(df: DataFrame, valueCol: Column, tieCol: Column,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 2 && k <= 100000, s"k in [2,100000]: $k")
+    val v0 = valueCol.cast("double")
+    val v = when(v0 <= 0.0,
+      raise_error(concat(lit("hillEstimator: non-positive value: "),
+        v0.cast("string")))).otherwise(v0)
+    val top = df.filter(v0.isNotNull)
+      .select(v.as("__v"), tieCol.as("__tie"))
+      .orderBy(col("__v").desc, col("__tie"))
+      .limit(k + 1)
+    val m = top.agg(count(lit(1)).as("n_rows"), min(col("__v")).as("__thr"))
+    val s = top.crossJoin(broadcast(m))
+      .agg(first(col("n_rows")).as("n_rows"),
+        first(col("__thr")).as("__thr"),
+        sum(log(col("__v") / col("__thr")).cast(DecimalType(28, 12)))
+          .cast("double").as("__sl"))
+    s.select(col("n_rows"), round(col("__thr"), 6).as("threshold"),
+      round(when(col("n_rows") === (k + 1).toLong,
+        col("__sl") / lit(k.toDouble)), 6).as("hill_xi"),
+      round(when(col("n_rows") === (k + 1).toLong && col("__sl") > 0.0,
+        lit(1.0) / (col("__sl") / lit(k.toDouble))), 6).as("hill_alpha"))
+  }
+
+  // -------------------------------------------- Pickands tail estimator
+  /** Pickands estimator of the generalized-Pareto shape (Pickands 1975):
+    * ξ = ln((x_(k) − x_(2k))/(x_(2k) − x_(4k))) / ln 2 from three upper
+    * order statistics — sign-free where [[hillEstimator]] assumes ξ > 0
+    * (a negative Pickands ξ flags a FINITE endpoint, which Hill cannot
+    * see).
+    *
+    * DETERMINISM AND SCALE: one TakeOrdered brings the top 4k rows on
+    * the total (value desc, unique tie) order; the row_number window
+    * runs on that BOUNDED post-limit relation only. A non-increasing
+    * spacing (x_(2k) = x_(4k) or x_(k) = x_(2k), e.g. discrete ties)
+    * nulls ξ loudly; ln 2 is the inlined literal both engines parse
+    * identically. Returns one row: (x_k, x_2k, x_4k, pickands_xi) 6dp. */
+  def pickandsEstimator(df: DataFrame, valueCol: Column, tieCol: Column,
+                        k: Int): DataFrame = {
+    require(k >= 1 && k <= 25000, s"k in [1,25000]: $k")
+    val v = valueCol.cast("double")
+    val top = df.filter(v.isNotNull)
+      .select(v.as("__v"), tieCol.as("__tie"))
+      .orderBy(col("__v").desc, col("__tie"))
+      .limit(4 * k)
+    val w = Window.orderBy(col("__v").desc, col("__tie"))
+    val picked = top.withColumn("__rn", row_number().over(w))
+      .agg(max(when(col("__rn") === k.toLong, col("__v"))).as("__x1"),
+        max(when(col("__rn") === (2 * k).toLong, col("__v"))).as("__x2"),
+        max(when(col("__rn") === (4 * k).toLong, col("__v"))).as("__x4"))
+    val num = col("__x1") - col("__x2")
+    val den = col("__x2") - col("__x4")
+    picked.select(round(col("__x1"), 6).as("x_k"),
+      round(col("__x2"), 6).as("x_2k"),
+      round(col("__x4"), 6).as("x_4k"),
+      round(when(den > 0.0 && num > 0.0,
+        log(num / den) / lit(0.6931471805599453)), 6).as("pickands_xi"))
+  }
+
+  // --------------------------------------- Weibull probability-plot fit
+  /** Weibull parameter fit by median-rank regression (the reliability-
+    * engineering standard): with F_i = (i − 0.3)/(n + 0.4) (Bernard's
+    * median-rank approximation) over the ascending order statistics,
+    * ln(−ln(1−F)) is linear in ln(x) with slope = shape k and
+    * scale λ = e^(−intercept/k). The whole-distribution companion to the
+    * tail-only [[hillEstimator]].
+    *
+    * DETERMINISM AND SCALE: global ranks come from [[distributedRank]]
+    * (cell-partitioned — never a keyless window); every (ln x, ln −ln)
+    * pair is a fixed IEEE shape on (exact rank, exact n); the five OLS
+    * moments cast DECIMAL(28,12) before the order-free sum. Tied values
+    * swap ranks only WITHIN equal x, leaving every moment invariant.
+    * Weibull support is (0,∞): a NON-POSITIVE value RAISES. Degenerate
+    * spread (zero x-variance) or a non-positive slope null the
+    * parameters loudly. Returns one row: (n, shape, scale, r) 6dp. */
+  def weibullPlotFit(df: DataFrame, valueCol: Column,
+                     tieCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(28, 12)
+    val v0 = valueCol.cast("double")
+    val v = when(v0 <= 0.0,
+      raise_error(concat(lit("weibullPlotFit: non-positive value: "),
+        v0.cast("string")))).otherwise(v0)
+    val base = df.filter(v0.isNotNull)
+      .select(v.as("__v"), tieCol.cast("long").as("__tie"))
+    val ranked = distributedRank(base, Seq.empty, "__v", desc = false,
+      tieCols = Seq("__tie"), weightCol = None, rnOut = "__rn")
+    val nTot = base.agg(count(lit(1)).as("n"))
+    val nD = col("n").cast("double")
+    val f = (col("__rn").cast("double") - 0.3) / (nD + 0.4)
+    val x = log(col("__v"))
+    val y = log(-log(lit(1.0) - f))
+    val m = ranked.crossJoin(broadcast(nTot))
+      .agg(first(col("n")).as("n"),
+        sum(x.cast(dt)).cast("double").as("__sx"),
+        sum(y.cast(dt)).cast("double").as("__sy"),
+        sum((x * x).cast(dt)).cast("double").as("__sxx"),
+        sum((y * y).cast(dt)).cast("double").as("__syy"),
+        sum((x * y).cast(dt)).cast("double").as("__sxy"))
+    val n2 = col("n").cast("double")
+    val num = col("__sxy") - col("__sx") * col("__sy") / n2
+    val den = col("__sxx") - col("__sx") * col("__sx") / n2
+    val vy = col("__syy") - col("__sy") * col("__sy") / n2
+    val slope = when(den > 0.0, num / den)
+    val icept = col("__sy") / n2 - slope * (col("__sx") / n2)
+    m.select(col("n"),
+      round(slope, 6).as("shape"),
+      round(when(slope > 0.0, exp(-(icept / slope))), 6).as("scale"),
+      round(when(den > 0.0 && vy > 0.0, num / sqrt(den * vy)), 6).as("r"))
+  }
+
+  // ------------------------------------ PPCC against the exponential
+  /** Probability-plot correlation coefficient vs the exponential (Filliben
+    * 1975's goodness-of-fit family): Pearson r between the ascending
+    * order statistics and the exponential plotting quantiles
+    * q_i = −ln(1 − p_i), p_i = (i − 0.375)/(n + 0.25) (Blom) — the
+    * "how straight is the QQ plot" number beside [[ksExponential]]'s
+    * max-gap distance (r near 1 ⇒ exponential shape; location/scale
+    * free by correlation invariance).
+    *
+    * DETERMINISM AND SCALE: ranks from [[distributedRank]], moments as
+    * DECIMAL(28,12) — the [[weibullPlotFit]] discipline exactly; tied
+    * values swap ranks only within equal v, leaving the moments
+    * invariant. Returns one row: (n, ppcc) 6dp. */
+  def ppccExponential(df: DataFrame, valueCol: Column,
+                      tieCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(28, 12)
+    val base = df.filter(valueCol.isNotNull)
+      .select(valueCol.cast("double").as("__v"),
+        tieCol.cast("long").as("__tie"))
+    val ranked = distributedRank(base, Seq.empty, "__v", desc = false,
+      tieCols = Seq("__tie"), weightCol = None, rnOut = "__rn")
+    val nTot = base.agg(count(lit(1)).as("n"))
+    val nD = col("n").cast("double")
+    val p = (col("__rn").cast("double") - 0.375) / (nD + 0.25)
+    val q = -log(lit(1.0) - p)
+    val x = col("__v")
+    val m = ranked.crossJoin(broadcast(nTot))
+      .agg(first(col("n")).as("n"),
+        sum(x.cast(dt)).cast("double").as("__sx"),
+        sum(q.cast(dt)).cast("double").as("__sq"),
+        sum((x * x).cast(dt)).cast("double").as("__sxx"),
+        sum((q * q).cast(dt)).cast("double").as("__sqq"),
+        sum((x * q).cast(dt)).cast("double").as("__sxq"))
+    val n2 = col("n").cast("double")
+    val num = col("__sxq") - col("__sx") * col("__sq") / n2
+    val vx = col("__sxx") - col("__sx") * col("__sx") / n2
+    val vq = col("__sqq") - col("__sq") * col("__sq") / n2
+    m.select(col("n"),
+      round(when(vx > 0.0 && vq > 0.0, num / sqrt(vx * vq)), 6).as("ppcc"))
+  }
 }

@@ -141,6 +141,124 @@ object StatsQueries5 {
         "FROM g ORDER BY key"),
       (s, dir) => Finance.omegaRatio(allBars(s, dir), "key", "day",
         col("close"))
-        .orderBy("key"))
+        .orderBy("key")),
+
+    // ---- Hill tail-index over the top-100 order totals: TakeOrdered on
+    // the total (value desc, unique orderkey) order; the x_(k+1) row's
+    // ln(1) = 0 makes the all-rows decimal sum the exact k-term sum.
+    Q("q483_hill",
+      Some("WITH top AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, " +
+        "o_orderkey AS tie FROM orders WHERE o_totalprice IS NOT NULL " +
+        "ORDER BY v DESC, tie LIMIT 101), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, min(v) AS thr " +
+        "FROM top), " +
+        "s AS (SELECT any_value(m.n_rows) AS n_rows, " +
+        "any_value(m.thr) AS thr, " +
+        "CAST(sum(CAST(ln(top.v / m.thr) AS DECIMAL(28,12))) AS DOUBLE) " +
+        "AS sl FROM top, m) " +
+        "SELECT n_rows, round(thr, 6) AS threshold, " +
+        "round(CASE WHEN n_rows = 101 THEN sl / 100.0 END, 6) AS hill_xi, " +
+        "round(CASE WHEN n_rows = 101 AND sl > 0 THEN " +
+        "1.0 / (sl / 100.0) END, 6) AS hill_alpha FROM s"),
+      (s, dir) => Stats.hillEstimator(Tables.orders(s, dir),
+        col("o_totalprice"), col("o_orderkey"), k = 100)),
+
+    // ---- Pickands GPD-shape from the 50/100/200-th largest order
+    // totals: sign-free where Hill assumes a heavy tail; the row_number
+    // window runs only on the bounded post-limit 200 rows.
+    Q("q484_pickands",
+      Some("WITH top AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, " +
+        "o_orderkey AS tie FROM orders WHERE o_totalprice IS NOT NULL " +
+        "ORDER BY v DESC, tie LIMIT 200), " +
+        "r AS (SELECT v, row_number() OVER (ORDER BY v DESC, tie) AS rn " +
+        "FROM top), " +
+        "p AS (SELECT max(CASE WHEN rn = 50 THEN v END) AS x1, " +
+        "max(CASE WHEN rn = 100 THEN v END) AS x2, " +
+        "max(CASE WHEN rn = 200 THEN v END) AS x4 FROM r) " +
+        "SELECT round(x1, 6) AS x_k, round(x2, 6) AS x_2k, " +
+        "round(x4, 6) AS x_4k, " +
+        "round(CASE WHEN x2 - x4 > 0 AND x1 - x2 > 0 THEN " +
+        "ln((x1 - x2) / (x2 - x4)) / 0.6931471805599453 END, 6) " +
+        "AS pickands_xi FROM p"),
+      (s, dir) => Stats.pickandsEstimator(Tables.orders(s, dir),
+        col("o_totalprice"), col("o_orderkey"), k = 50)),
+
+    // ---- Weibull median-rank regression over every extended price:
+    // global ranks via distributedRank (cell-partitioned), Bernard's
+    // plotting positions, decimal OLS moments.
+    Q("q485_weibull_fit",
+      Some("WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v, " +
+        "l_orderkey * 10000000 + l_linenumber * 1000000 + l_suppkey " +
+        "AS tie FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+        "r AS (SELECT v, row_number() OVER (ORDER BY v, tie) AS rn " +
+        "FROM b), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b), " +
+        "c AS (SELECT v, rn, t.n, CAST(t.n AS DOUBLE) AS nd FROM r, t), " +
+        "e AS (SELECT n, ln(v) AS x, ln(-ln(1.0 - " +
+        "(CAST(rn AS DOUBLE) - 0.3) / (nd + 0.4))) AS y FROM c), " +
+        "m AS (SELECT any_value(n) AS n, " +
+        "CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy, " +
+        "CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy " +
+        "FROM e), " +
+        "f AS (SELECT n, CAST(n AS DOUBLE) AS nd, sx, sy, " +
+        "sxy - sx * sy / CAST(n AS DOUBLE) AS num, " +
+        "sxx - sx * sx / CAST(n AS DOUBLE) AS den, " +
+        "syy - sy * sy / CAST(n AS DOUBLE) AS vy FROM m), " +
+        "g AS (SELECT n, nd, sx, sy, num, den, vy, " +
+        "CASE WHEN den > 0 THEN num / den END AS slope FROM f) " +
+        "SELECT n, round(slope, 6) AS shape, " +
+        "round(CASE WHEN slope > 0 THEN " +
+        "exp(-((sy / nd - slope * (sx / nd)) / slope)) END, 6) AS scale, " +
+        "round(CASE WHEN den > 0 AND vy > 0 THEN " +
+        "num / sqrt(den * vy) END, 6) AS r FROM g"),
+      (s, dir) => Stats.weibullPlotFit(Tables.lineitem(s, dir),
+        col("l_extendedprice"),
+        col("l_orderkey") * 10000000 + col("l_linenumber") * 1000000 +
+          col("l_suppkey"))),
+
+    // ---- PPCC of the inter-arrival gaps against exponential plotting
+    // quantiles (Blom positions): the QQ-straightness companion to
+    // q476's KS distance, on the same gap relation.
+    Q("q486_ppcc_exp",
+      Some("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us " +
+        "FROM events), " +
+        "g AS (SELECT event_id, (us - lag(us) OVER (PARTITION BY " +
+        "user_id ORDER BY us, event_id)) // 1000000 AS gap_s FROM e), " +
+        "f AS (SELECT CAST(gap_s AS DOUBLE) AS v, event_id AS tie " +
+        "FROM g WHERE gap_s IS NOT NULL), " +
+        "r AS (SELECT v, row_number() OVER (ORDER BY v, tie) AS rn " +
+        "FROM f), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f), " +
+        "c AS (SELECT v, rn, t.n, CAST(t.n AS DOUBLE) AS nd FROM r, t), " +
+        "e2 AS (SELECT n, v, -ln(1.0 - " +
+        "(CAST(rn AS DOUBLE) - 0.375) / (nd + 0.25)) AS q FROM c), " +
+        "m AS (SELECT any_value(n) AS n, " +
+        "CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(q AS DECIMAL(28,12))) AS DOUBLE) AS sq, " +
+        "CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(q * q AS DECIMAL(28,12))) AS DOUBLE) AS sqq, " +
+        "CAST(sum(CAST(v * q AS DECIMAL(28,12))) AS DOUBLE) AS sxq " +
+        "FROM e2) " +
+        "SELECT n, round(CASE WHEN " +
+        "sxx - sx * sx / CAST(n AS DOUBLE) > 0 AND " +
+        "sqq - sq * sq / CAST(n AS DOUBLE) > 0 THEN " +
+        "(sxq - sx * sq / CAST(n AS DOUBLE)) / " +
+        "sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) * " +
+        "(sqq - sq * sq / CAST(n AS DOUBLE))) END, 6) AS ppcc FROM m"),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("__us"), col("event_id"))
+        val gaps = Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("__us"),
+            col("event_id"))
+          .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+          .filter(col("__gap").isNotNull)
+          .select(expr("__gap div 1000000").as("gap_s"), col("event_id"))
+        Stats.ppccExponential(gaps, col("gap_s"), col("event_id"))
+      })
   )
 }

@@ -2366,6 +2366,69 @@ class StatsSpec extends SparkSpec {
     assert(r4.getLong(0) == 1L, s"rbo-null: $r4")
   }
 
+  test("hillEstimator: exact 2ln2 xi on a geometric tail; <=0 raises") {
+    import spark.implicits._
+    // powers of 2, k=3: top-4 = 128,64,32,16; S = 6 ln 2 -> xi = 2 ln 2
+    val df = Seq(1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0).zipWithIndex
+      .toDF("v", "tie")
+    val r = Stats.hillEstimator(df, col("v"), col("tie"), k = 3)
+      .collect()(0)
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 16.0)
+    assert(r.getDouble(2) == 1.386294 && r.getDouble(3) == 0.721348,
+      s"hill: $r")
+    // fewer than k+1 rows: xi/alpha null loudly
+    val small = Seq(1.0, 2.0).zipWithIndex.toDF("v", "tie")
+    val r2 = Stats.hillEstimator(small, col("v"), col("tie"), k = 3)
+      .collect()(0)
+    assert(r2.isNullAt(2) && r2.isNullAt(3), s"hill-small: $r2")
+    intercept[Exception] {
+      Stats.hillEstimator(Seq(1.0, 0.0).zipWithIndex.toDF("v", "tie"),
+        col("v"), col("tie"), k = 2).collect()
+    }
+  }
+
+  test("pickandsEstimator: hand spacing ratio at k=1") {
+    import spark.implicits._
+    // desc top-4 = 17,9,5,3: xi = ln((17-9)/(9-3))/ln2 = .415037
+    val df = Seq(1.0, 2.0, 3.0, 5.0, 9.0, 17.0).zipWithIndex
+      .toDF("v", "tie")
+    val r = Stats.pickandsEstimator(df, col("v"), col("tie"), k = 1)
+      .collect()(0)
+    assert(r.getDouble(0) == 17.0 && r.getDouble(1) == 9.0 &&
+      r.getDouble(2) == 3.0)
+    assert(r.getDouble(3) == 0.415037, s"pick: $r")
+    // flat spacing (ties): xi null loudly
+    val flat = Seq(5.0, 5.0, 5.0, 5.0).zipWithIndex.toDF("v", "tie")
+    val r2 = Stats.pickandsEstimator(flat, col("v"), col("tie"), k = 1)
+      .collect()(0)
+    assert(r2.isNullAt(3), s"pick-flat: $r2")
+  }
+
+  test("weibullPlotFit: median-rank regression on 1..5; <=0 raises") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0).zipWithIndex.toDF("v", "tie")
+    val r = Stats.weibullPlotFit(df, col("v"), col("tie")).collect()(0)
+    assert(r.getLong(0) == 5L)
+    assert(r.getDouble(1) == 1.624158, s"shape: $r")
+    assert(r.getDouble(2) == 3.524502, s"scale: $r")
+    assert(r.getDouble(3) == 0.994876, s"r: $r")
+    intercept[Exception] {
+      Stats.weibullPlotFit(Seq(-1.0, 2.0).zipWithIndex.toDF("v", "tie"),
+        col("v"), col("tie")).collect()
+    }
+  }
+
+  test("ppccExponential: Blom plotting positions on a hand sample") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 4.0, 8.0).zipWithIndex.toDF("v", "tie")
+    val r = Stats.ppccExponential(df, col("v"), col("tie")).collect()(0)
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 0.99902, s"ppcc: $r")
+    // zero variance: null loudly
+    val flat = Seq(3.0, 3.0, 3.0).zipWithIndex.toDF("v", "tie")
+    val r2 = Stats.ppccExponential(flat, col("v"), col("tie")).collect()(0)
+    assert(r2.isNullAt(1), s"ppcc-flat: $r2")
+  }
+
   test("columnDriftReport: hand moments, null rates, standardized shift") {
     import spark.implicits._
     val ref = Seq((Some(1.0), 10.0), (Some(2.0), 10.0), (Some(3.0), 10.0),
