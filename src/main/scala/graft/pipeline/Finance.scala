@@ -816,4 +816,186 @@ object Finance {
         col("up_cents").cast("double") /
           col("down_cents").cast("double")), 6))
   }
+
+  // ------------------------------------------------ Dickey–Fuller test
+  /** Dickey–Fuller unit-root regression per key (Dickey & Fuller 1979,
+    * lag 0, with constant): Δy_t = α + ρ·y_{t−1} + ε on the integer-cent
+    * close series; ρ̂ near 0 ⇒ random walk (unit root), strongly
+    * negative t = ρ̂/se(ρ̂) ⇒ mean reversion. Compare t against the DF
+    * (not Student) critical values, documented — the stat itself is the
+    * data question.
+    *
+    * DETERMINISM AND SCALE: one lag in a key-partitioned window over the
+    * calendar-bounded bar series; ALL five regression moments are exact
+    * DECIMAL(38,0) integer-cent sums; ρ̂, SSR and t are fixed IEEE
+    * shapes. n < 3, zero lag-variance, or zero SSR null loudly. Returns
+    * per key: (key, n_pairs, rho, df_stat) 6dp. */
+  def dickeyFuller(df: DataFrame, keyCol: String, dayCol: String,
+                   closeCol: Column): DataFrame = {
+    val dt = DecimalType(38, 0)
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+    val pairs = closeCents(df, keyCol, dayCol, closeCol)
+      .withColumn("__y1", lag(col("__c"), 1).over(w))
+      .filter(col("__y1").isNotNull)
+      .withColumn("__dy", col("__c") - col("__y1"))
+    val m = pairs.groupBy("key")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__y1").cast(dt)).as("__sx"),
+        sum(col("__dy").cast(dt)).as("__sy"),
+        sum(col("__y1").cast(dt) * col("__y1")).as("__sxx"),
+        sum(col("__dy").cast(dt) * col("__dy")).as("__syy"),
+        sum(col("__y1").cast(dt) * col("__dy")).as("__sxy"))
+    val nD = col("n_pairs").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = d("__sxy") - d("__sx") * d("__sy") / nD
+    val den = d("__sxx") - d("__sx") * d("__sx") / nD
+    val vy = d("__syy") - d("__sy") * d("__sy") / nD
+    val rho = when(col("n_pairs") >= 3L && den > 0.0, num / den)
+    val ssr = vy - rho * num
+    m.select(col("key"), col("n_pairs"),
+      round(rho, 6).as("rho"),
+      round(when(ssr > 0.0,
+        rho / sqrt(ssr / (nD - 2.0) / den)), 6).as("df_stat"))
+  }
+
+  // ------------------------------------------------- KPSS level test
+  /** KPSS level-stationarity statistic per key (Kwiatkowski, Phillips,
+    * Schmidt & Shin 1992; lag-0 short-run variance — the deterministic
+    * bandwidth, documented): η = Σ_t S_t² / (n²·σ̂²) with S_t the
+    * partial sums of demeaned closes — the null here is STATIONARITY,
+    * the mirror image of [[dickeyFuller]]'s unit-root null (large η
+    * rejects level-stationarity).
+    *
+    * DETERMINISM AND SCALE: the whole statistic is ONE exact integer
+    * rational — n·S_t = n·C_t − t·T on cumulative integer cents and
+    * η = Σ(n·S_t)² / (n²·(n·Σc² − T²)) — so both engines divide the
+    * same two integers once (the [[omegaRatio]] discipline; squares
+    * ≲ 1e24 sit comfortably in DECIMAL(38,0)/HUGEINT). A constant
+    * series (zero variance) nulls loudly. Returns per key:
+    * (key, n_days, kpss_eta) 6dp. */
+  def kpssLevel(df: DataFrame, keyCol: String, dayCol: String,
+                closeCol: Column): DataFrame = {
+    val dt = DecimalType(38, 0)
+    val base = closeCents(df, keyCol, dayCol, closeCol)
+    val tot = base.groupBy("key")
+      .agg(count(lit(1)).as("__n"), sum(col("__c").cast(dt)).as("__t"),
+        sum(col("__c").cast(dt) * col("__c")).as("__s2"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRn = Window.partitionBy(col("key")).orderBy(col("day"))
+    val cums = base
+      .withColumn("__cum", sum(col("__c").cast(dt)).over(w))
+      .withColumn("__rn", row_number().over(wRn).cast("long"))
+      .join(broadcast(tot), "key")
+    val nS = col("__n").cast(dt) * col("__cum") -
+      col("__rn").cast(dt) * col("__t")
+    val agg = cums.groupBy("key")
+      .agg(first(col("__n")).as("n_days"), first(col("__t")).as("__t"),
+        first(col("__s2")).as("__s2"), sum(nS * nS).as("__d1"))
+    val d2 = col("n_days").cast(dt) * col("n_days").cast(dt) *
+      (col("n_days").cast(dt) * col("__s2") - col("__t") * col("__t"))
+    agg.select(col("key"), col("n_days"),
+      round(when(d2 > lit(0).cast(dt),
+        col("__d1").cast("double") / d2.cast("double")), 6).as("kpss_eta"))
+  }
+
+  // ------------------------------------------------- AR(1) half-life
+  /** AR(1) persistence and mean-reversion half-life per key: OLS
+    * φ = cov(y_t, y_{t−1})/var(y_{t−1}) on integer-cent closes;
+    * half-life = ln 2 / (−ln φ) for φ ∈ (0,1) — "how many trading days
+    * until a shock decays halfway", the tradeable companion to
+    * [[dickeyFuller]]'s hypothesis test.
+    *
+    * DETERMINISM AND SCALE: the [[dickeyFuller]] scaffold exactly —
+    * key-partitioned lag, DECIMAL(38,0) moments, fixed IEEE finish with
+    * the inlined ln 2 literal. φ outside (0,1) (anti-persistent or
+    * explosive) nulls the half-life loudly, never extrapolates. Returns
+    * per key: (key, n_pairs, phi, half_life) 6dp. */
+  def ar1HalfLife(df: DataFrame, keyCol: String, dayCol: String,
+                  closeCol: Column): DataFrame = {
+    val dt = DecimalType(38, 0)
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+    val pairs = closeCents(df, keyCol, dayCol, closeCol)
+      .withColumn("__y1", lag(col("__c"), 1).over(w))
+      .filter(col("__y1").isNotNull)
+    val m = pairs.groupBy("key")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__y1").cast(dt)).as("__sx"),
+        sum(col("__c").cast(dt)).as("__sy"),
+        sum(col("__y1").cast(dt) * col("__y1")).as("__sxx"),
+        sum(col("__y1").cast(dt) * col("__c")).as("__sxy"))
+    val nD = col("n_pairs").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = d("__sxy") - d("__sx") * d("__sy") / nD
+    val den = d("__sxx") - d("__sx") * d("__sx") / nD
+    val phi = when(col("n_pairs") >= 2L && den > 0.0, num / den)
+    m.select(col("key"), col("n_pairs"),
+      round(phi, 6).as("phi"),
+      round(when(phi > 0.0 && phi < 1.0,
+        lit(0.6931471805599453) / -log(phi)), 6).as("half_life"))
+  }
+
+  // --------------------------------------------- Granger causality
+  /** Lag-1 Granger causality from ticker A to ticker B (Granger 1969):
+    * on the joined both-trade day spine, does yesterday's A close help
+    * predict today's B close beyond yesterday's B?
+    * F = (SSR_r − SSR_u) / (SSR_u/(n−3)) comparing the restricted
+    * (b_t ~ b_{t−1}) to the unrestricted (b_t ~ b_{t−1} + a_{t−1})
+    * regression — the hypothesis-test companion to the descriptive
+    * lead-lag correlation.
+    *
+    * DETERMINISM AND SCALE: the pair spine is calendar-bounded (the
+    * [[minVariancePair]] join), so its single window is a bounded
+    * relation; all 2-regressor normal-equation moments are exact
+    * DECIMAL(38,0) integer-cent sums and the 2×2 solve is inlined IEEE.
+    * delta_r2 = (SSR_r − SSR_u)/S_yy reports effect size beside F (raw
+    * SSRs are cents²-scale — unreportable at 6dp, per the rollSpread
+    * magnitude lesson). Degenerate designs (n < 4, singular normal
+    * matrix, zero SSR_u) null loudly. Returns one row:
+    * (n_days, f_stat, delta_r2) 6dp. */
+  def grangerPair(df: DataFrame, keyCol: String, dayCol: String,
+                  closeCol: Column, keyA: String,
+                  keyB: String): DataFrame = {
+    val dt = DecimalType(38, 0)
+    val cents = closeCents(df, keyCol, dayCol, closeCol)
+      .filter(col("key").cast("string").isin(keyA, keyB))
+    val a = cents.filter(col("key").cast("string") === keyA)
+      .select(col("day"), col("__c").as("__a"))
+    val b = cents.filter(col("key").cast("string") === keyB)
+      .select(col("day"), col("__c").as("__b"))
+    val spine = a.join(b, "day")
+    val w = Window.orderBy(col("day"))
+    val rows = spine
+      .withColumn("__a1", lag(col("__a"), 1).over(w))
+      .withColumn("__b1", lag(col("__b"), 1).over(w))
+      .filter(col("__a1").isNotNull)
+    val m = rows.agg(count(lit(1)).as("n_days"),
+      sum(col("__b").cast(dt)).as("__sw"),
+      sum(col("__b1").cast(dt)).as("__s1"),
+      sum(col("__a1").cast(dt)).as("__s2"),
+      sum(col("__b1").cast(dt) * col("__b1")).as("__s11"),
+      sum(col("__a1").cast(dt) * col("__a1")).as("__s22"),
+      sum(col("__b1").cast(dt) * col("__a1")).as("__s12"),
+      sum(col("__b1").cast(dt) * col("__b")).as("__s1w"),
+      sum(col("__a1").cast(dt) * col("__b")).as("__s2w"),
+      sum(col("__b").cast(dt) * col("__b")).as("__sww"))
+    val nD = col("n_days").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val s11 = d("__s11") - d("__s1") * d("__s1") / nD
+    val s22 = d("__s22") - d("__s2") * d("__s2") / nD
+    val s12 = d("__s12") - d("__s1") * d("__s2") / nD
+    val s1w = d("__s1w") - d("__s1") * d("__sw") / nD
+    val s2w = d("__s2w") - d("__s2") * d("__sw") / nD
+    val sww = d("__sww") - d("__sw") * d("__sw") / nD
+    val det = s11 * s22 - s12 * s12
+    val ok = col("n_days") >= 4L && det > 0.0 && s11 > 0.0 && sww > 0.0
+    val bb = when(ok, (s1w * s22 - s2w * s12) / det)
+    val cc = when(ok, (s2w * s11 - s1w * s12) / det)
+    val ssrU = sww - bb * s1w - cc * s2w
+    val ssrR = sww - when(ok, s1w * s1w / s11)
+    m.select(col("n_days"),
+      round(when(ssrU > 0.0,
+        (ssrR - ssrU) / (ssrU / (nD - 3.0))), 6).as("f_stat"),
+      round(when(ok, (ssrR - ssrU) / sww), 6).as("delta_r2"))
+  }
 }

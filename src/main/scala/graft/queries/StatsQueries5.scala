@@ -259,6 +259,140 @@ object StatsQueries5 {
           .filter(col("__gap").isNotNull)
           .select(expr("__gap div 1000000").as("gap_s"), col("event_id"))
         Stats.ppccExponential(gaps, col("gap_s"), col("event_id"))
-      })
+      }),
+
+    // ---- Dickey-Fuller unit-root t per ticker: exact HUGEINT/decimal
+    // regression moments of (dy on y1), one IEEE finish.
+    Q("q487_dickey_fuller",
+      Some(barsCte + ", " +
+        "p AS (SELECT key, day, cl, lag(cl) OVER (PARTITION BY key " +
+        "ORDER BY day) AS y1 FROM b), " +
+        "f AS (SELECT key, cl - y1 AS dy, y1 FROM p " +
+        "WHERE y1 IS NOT NULL), " +
+        "m AS (SELECT key, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(CAST(y1 AS HUGEINT)) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(dy AS HUGEINT)) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(y1 AS HUGEINT) * y1) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(dy AS HUGEINT) * dy) AS DOUBLE) AS syy, " +
+        "CAST(sum(CAST(y1 AS HUGEINT) * dy) AS DOUBLE) AS sxy " +
+        "FROM f GROUP BY 1), " +
+        "c AS (SELECT key, n_pairs, CAST(n_pairs AS DOUBLE) AS nd, " +
+        "sxy - sx * sy / CAST(n_pairs AS DOUBLE) AS num, " +
+        "sxx - sx * sx / CAST(n_pairs AS DOUBLE) AS den, " +
+        "syy - sy * sy / CAST(n_pairs AS DOUBLE) AS vy FROM m), " +
+        "g AS (SELECT key, n_pairs, nd, num, den, vy, " +
+        "CASE WHEN n_pairs >= 3 AND den > 0 THEN num / den END AS rho " +
+        "FROM c) " +
+        "SELECT key, n_pairs, round(rho, 6) AS rho, " +
+        "round(CASE WHEN vy - rho * num > 0 THEN rho / " +
+        "sqrt((vy - rho * num) / (nd - 2.0) / den) END, 6) AS df_stat " +
+        "FROM g ORDER BY key"),
+      (s, dir) => Finance.dickeyFuller(allBars(s, dir), "key", "day",
+        col("close"))
+        .orderBy("key")),
+
+    // ---- KPSS level-stationarity per ticker: the whole statistic is
+    // ONE exact integer rational (partial sums via n*C_t - t*T), so
+    // both engines divide the same two integers once.
+    Q("q488_kpss",
+      Some(barsCte + ", " +
+        "tk AS (SELECT key, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(cl) AS HUGEINT) AS tt, " +
+        "CAST(sum(CAST(cl AS HUGEINT) * cl) AS HUGEINT) AS s2 " +
+        "FROM b GROUP BY 1), " +
+        "c AS (SELECT b.key, sum(CAST(b.cl AS HUGEINT)) OVER " +
+        "(PARTITION BY b.key ORDER BY b.day ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS cum, " +
+        "CAST(row_number() OVER (PARTITION BY b.key ORDER BY b.day) " +
+        "AS BIGINT) AS rn, tk.n, tk.tt, tk.s2 " +
+        "FROM b JOIN tk ON b.key = tk.key), " +
+        "d AS (SELECT key, any_value(n) AS n_days, any_value(tt) AS tt, " +
+        "any_value(s2) AS s2, " +
+        "sum((CAST(n AS HUGEINT) * cum - CAST(rn AS HUGEINT) * tt) * " +
+        "(CAST(n AS HUGEINT) * cum - CAST(rn AS HUGEINT) * tt)) AS d1 " +
+        "FROM c GROUP BY 1) " +
+        "SELECT key, n_days, " +
+        "round(CASE WHEN CAST(n_days AS HUGEINT) * n_days * " +
+        "(CAST(n_days AS HUGEINT) * s2 - tt * tt) > 0 THEN " +
+        "CAST(d1 AS DOUBLE) / CAST(CAST(n_days AS HUGEINT) * n_days * " +
+        "(CAST(n_days AS HUGEINT) * s2 - tt * tt) AS DOUBLE) END, 6) " +
+        "AS kpss_eta FROM d ORDER BY key"),
+      (s, dir) => Finance.kpssLevel(allBars(s, dir), "key", "day",
+        col("close"))
+        .orderBy("key")),
+
+    // ---- AR(1) persistence and half-life per ticker: same scaffold as
+    // q487 with (y on y1); phi outside (0,1) nulls the half-life.
+    Q("q489_ar1_half_life",
+      Some(barsCte + ", " +
+        "p AS (SELECT key, day, cl, lag(cl) OVER (PARTITION BY key " +
+        "ORDER BY day) AS y1 FROM b), " +
+        "f AS (SELECT key, cl, y1 FROM p WHERE y1 IS NOT NULL), " +
+        "m AS (SELECT key, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(CAST(y1 AS HUGEINT)) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(cl AS HUGEINT)) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(y1 AS HUGEINT) * y1) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(y1 AS HUGEINT) * cl) AS DOUBLE) AS sxy " +
+        "FROM f GROUP BY 1), " +
+        "c AS (SELECT key, n_pairs, " +
+        "sxy - sx * sy / CAST(n_pairs AS DOUBLE) AS num, " +
+        "sxx - sx * sx / CAST(n_pairs AS DOUBLE) AS den FROM m), " +
+        "g AS (SELECT key, n_pairs, " +
+        "CASE WHEN n_pairs >= 2 AND den > 0 THEN num / den END AS phi " +
+        "FROM c) " +
+        "SELECT key, n_pairs, round(phi, 6) AS phi, " +
+        "round(CASE WHEN phi > 0 AND phi < 1 THEN " +
+        "0.6931471805599453 / (-ln(phi)) END, 6) AS half_life " +
+        "FROM g ORDER BY key"),
+      (s, dir) => Finance.ar1HalfLife(allBars(s, dir), "key", "day",
+        col("close"))
+        .orderBy("key")),
+
+    // ---- lag-1 Granger causality from ticker 3 to ticker 7 on the
+    // joined both-trade spine: 2-regressor normal equations on exact
+    // integer moments, F and delta-R2 (raw SSRs are cents^2-scale).
+    Q("q490_granger",
+      Some(barsCte + ", " +
+        "aa AS (SELECT day, cl AS ca FROM b WHERE key = 3), " +
+        "bb AS (SELECT day, cl AS cb FROM b WHERE key = 7), " +
+        "j AS (SELECT aa.day, ca, cb FROM aa JOIN bb " +
+        "ON aa.day = bb.day), " +
+        "p AS (SELECT cb AS wv, lag(cb) OVER (ORDER BY day) AS z1, " +
+        "lag(ca) OVER (ORDER BY day) AS z2 FROM j), " +
+        "f AS (SELECT wv, z1, z2 FROM p WHERE z2 IS NOT NULL), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_days, " +
+        "CAST(sum(CAST(wv AS HUGEINT)) AS DOUBLE) AS sw, " +
+        "CAST(sum(CAST(z1 AS HUGEINT)) AS DOUBLE) AS s1, " +
+        "CAST(sum(CAST(z2 AS HUGEINT)) AS DOUBLE) AS s2, " +
+        "CAST(sum(CAST(z1 AS HUGEINT) * z1) AS DOUBLE) AS s11, " +
+        "CAST(sum(CAST(z2 AS HUGEINT) * z2) AS DOUBLE) AS s22, " +
+        "CAST(sum(CAST(z1 AS HUGEINT) * z2) AS DOUBLE) AS s12, " +
+        "CAST(sum(CAST(z1 AS HUGEINT) * wv) AS DOUBLE) AS s1w, " +
+        "CAST(sum(CAST(z2 AS HUGEINT) * wv) AS DOUBLE) AS s2w, " +
+        "CAST(sum(CAST(wv AS HUGEINT) * wv) AS DOUBLE) AS sww FROM f), " +
+        "c AS (SELECT n_days, CAST(n_days AS DOUBLE) AS nd, " +
+        "s11 - s1 * s1 / CAST(n_days AS DOUBLE) AS c11, " +
+        "s22 - s2 * s2 / CAST(n_days AS DOUBLE) AS c22, " +
+        "s12 - s1 * s2 / CAST(n_days AS DOUBLE) AS c12, " +
+        "s1w - s1 * sw / CAST(n_days AS DOUBLE) AS c1w, " +
+        "s2w - s2 * sw / CAST(n_days AS DOUBLE) AS c2w, " +
+        "sww - sw * sw / CAST(n_days AS DOUBLE) AS cww FROM m), " +
+        "g AS (SELECT n_days, nd, c11, c1w, c2w, cww, " +
+        "CASE WHEN n_days >= 4 AND c11 * c22 - c12 * c12 > 0 AND " +
+        "c11 > 0 AND cww > 0 THEN (c1w * c22 - c2w * c12) / " +
+        "(c11 * c22 - c12 * c12) END AS bb2, " +
+        "CASE WHEN n_days >= 4 AND c11 * c22 - c12 * c12 > 0 AND " +
+        "c11 > 0 AND cww > 0 THEN (c2w * c11 - c1w * c12) / " +
+        "(c11 * c22 - c12 * c12) END AS cc2 FROM c), " +
+        "h AS (SELECT n_days, nd, cww, " +
+        "cww - bb2 * c1w - cc2 * c2w AS ssru, " +
+        "cww - CASE WHEN n_days >= 4 AND c11 > 0 AND cww > 0 AND " +
+        "bb2 IS NOT NULL THEN c1w * c1w / c11 END AS ssrr FROM g) " +
+        "SELECT n_days, round(CASE WHEN ssru > 0 THEN " +
+        "(ssrr - ssru) / (ssru / (nd - 3.0)) END, 6) AS f_stat, " +
+        "round(CASE WHEN ssru IS NOT NULL THEN " +
+        "(ssrr - ssru) / cww END, 6) AS delta_r2 FROM h"),
+      (s, dir) => Finance.grangerPair(allBars(s, dir), "key", "day",
+        col("close"), "3", "7"))
   )
 }

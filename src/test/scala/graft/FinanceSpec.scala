@@ -397,4 +397,57 @@ class FinanceSpec extends SparkSpec {
       .collect()(0)
     assert(r2.isNullAt(4), s"om-up: $r2")
   }
+
+  test("dickeyFuller: hand OLS t on an oscillating series") {
+    // closes 1.00,2.00,1.50,2.50: rho = -1.5, t = -1.732051
+    val bars = Seq((1L, 0L, 1.00), (1L, 1L, 2.00), (1L, 2L, 1.50),
+      (1L, 3L, 2.50)).toDF("key", "day", "close")
+    val r = Finance.dickeyFuller(bars, "key", "day", col("close"))
+      .collect()(0)
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == -1.5 && r.getDouble(3) == -1.732051, s"df: $r")
+  }
+
+  test("kpssLevel: exact integer rational eta; constant series null") {
+    // closes 1.00,2.00,1.50,2.50: D1 = 220000, D2 = 800000 -> .275
+    val bars = Seq((1L, 0L, 1.00), (1L, 1L, 2.00), (1L, 2L, 1.50),
+      (1L, 3L, 2.50)).toDF("key", "day", "close")
+    val r = Finance.kpssLevel(bars, "key", "day", col("close"))
+      .collect()(0)
+    assert(r.getLong(1) == 4L && r.getDouble(2) == 0.275, s"kpss: $r")
+    val flat = Seq((1L, 0L, 1.00), (1L, 1L, 1.00)).toDF("key", "day", "close")
+    val r2 = Finance.kpssLevel(flat, "key", "day", col("close"))
+      .collect()(0)
+    assert(r2.isNullAt(2), s"kpss-flat: $r2")
+  }
+
+  test("ar1HalfLife: hand phi and half-life; negative phi nulls") {
+    // closes 1.00,1.50,1.75,1.87: phi = .494286, hl = .983688
+    val bars = Seq((1L, 0L, 1.00), (1L, 1L, 1.50), (1L, 2L, 1.75),
+      (1L, 3L, 1.87)).toDF("key", "day", "close")
+    val r = Finance.ar1HalfLife(bars, "key", "day", col("close"))
+      .collect()(0)
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 0.494286 && r.getDouble(3) == 0.983688,
+      s"ar1: $r")
+    // oscillating: phi < 0 -> half-life null
+    val osc = Seq((1L, 0L, 1.00), (1L, 1L, 2.00), (1L, 2L, 1.50),
+      (1L, 3L, 2.50)).toDF("key", "day", "close")
+    val r2 = Finance.ar1HalfLife(osc, "key", "day", col("close"))
+      .collect()(0)
+    assert(r2.getDouble(2) == -0.5 && r2.isNullAt(3), s"ar1-osc: $r2")
+  }
+
+  test("grangerPair: hand 2-regressor F on a 5-day pair spine") {
+    // a=[100..180], b=[110..170] cents: F = 6.744382, dr2 = .709935
+    val bars = Seq(("A", 0L, 1.00), ("A", 1L, 2.00), ("A", 2L, 1.50),
+      ("A", 3L, 2.50), ("A", 4L, 1.80),
+      ("B", 0L, 1.10), ("B", 1L, 1.90), ("B", 2L, 1.60),
+      ("B", 3L, 2.40), ("B", 4L, 1.70)).toDF("key", "day", "close")
+    val r = Finance.grangerPair(bars, "key", "day", col("close"), "A", "B")
+      .collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 6.744382 && r.getDouble(2) == 0.709935,
+      s"gr: $r")
+  }
 }
