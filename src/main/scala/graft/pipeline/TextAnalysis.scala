@@ -1049,4 +1049,156 @@ object TextAnalysis {
         exp(col("__sy").cast("double") / nD -
           beta * col("__sx").cast("double") / nD)), 6).as("k_coef"))
   }
+
+  /** The shared (group…, token, count) rollup every diversity operator
+    * below starts from: lowercased whitespace tokens, empties dropped. */
+  private def tokenCounts(docs: DataFrame, groupCols: Seq[String],
+                          textCol: String): DataFrame = {
+    val gs = groupCols.map(col)
+    val toks = filter(tokens(lower(col(textCol))), t => t =!= "")
+    docs.select(gs :+ explode(toks).as("__t"): _*)
+      .groupBy(gs :+ col("__t"): _*).agg(count(lit(1)).as("__c"))
+  }
+
+  // ------------------------------------------------------- Hill numbers
+  /** Hill diversity numbers per group (Hill 1973) — the effective-
+    * species ladder over the token distribution: ⁰D = richness (type
+    * count), ¹D = e^H (Shannon), ²D = 1/Σp² (inverse Simpson), plus
+    * Pielou's evenness J = H/ln(⁰D) — "how many equally-common token
+    * types would look like this corpus", at three tail sensitivities.
+    * The [[vocabularyRichness]] sibling for diversity rather than
+    * unseen-mass.
+    *
+    * DETERMINISM AND SCALE: two key-bounded rollups ((group, token) then
+    * group); ²D is an EXACT integer rational N²/Σc² (one division); H
+    * sums fixed IEEE cells −p·ln p as DECIMAL(28,12). A single-type
+    * group has H = 0, ¹D = 1, J null (ln 1 = 0 denominator, documented).
+    * Returns per group: (group…, n_tokens, richness, hill1, hill2,
+    * pielou_j) 6dp. */
+  def hillNumbers(docs: DataFrame, groupCols: Seq[String],
+                  textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(groupCols.nonEmpty, "at least one group column")
+    val gs = groupCols.map(col)
+    val dt0 = DecimalType(38, 0)
+    val counts = tokenCounts(docs, groupCols, textCol)
+    val tot = counts.groupBy(gs: _*)
+      .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("richness"),
+        sum(col("__c").cast(dt0) * col("__c")).as("__s2"))
+    val p = col("__c").cast("double") / col("n_tokens").cast("double")
+    val h = counts.join(broadcast(tot), groupCols)
+      .groupBy(gs: _*)
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        first(col("richness")).as("richness"),
+        first(col("__s2")).as("__s2"),
+        sum((-p * log(p)).cast(DecimalType(28, 12))).cast("double")
+          .as("__h"))
+    h.select(gs ++ Seq(col("n_tokens"), col("richness"),
+      round(exp(col("__h")), 6).as("hill1"),
+      round(when(col("__s2") > lit(0).cast(dt0),
+        (col("n_tokens").cast(dt0) * col("n_tokens")).cast("double") /
+          col("__s2").cast("double")), 6).as("hill2"),
+      round(when(col("richness") >= 2L,
+        col("__h") / log(col("richness").cast("double"))), 6)
+        .as("pielou_j")): _*)
+  }
+
+  // ------------------------------------------- Berger–Parker dominance
+  /** Berger–Parker dominance per group (Berger & Parker 1970): the share
+    * of the single most common token type, d = max c / N — the bluntest
+    * diversity number (1/d is the [[hillNumbers]] ladder's q→∞ end), and
+    * a quick boilerplate-dominance screen for a corpus slice.
+    *
+    * DETERMINISM AND SCALE: group-grain max + total off the one token
+    * rollup; the top token elects by (count desc, token asc) — the max
+    * count filters, then MIN(token) breaks ties, all exact. The share is
+    * one integer rational. Returns per group:
+    * (group…, n_tokens, top_token, top_n, berger_parker) 6dp. */
+  def bergerParker(docs: DataFrame, groupCols: Seq[String],
+                   textCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val gs = groupCols.map(col)
+    val counts = tokenCounts(docs, groupCols, textCol)
+    val tot = counts.groupBy(gs: _*)
+      .agg(sum(col("__c")).as("n_tokens"), max(col("__c")).as("top_n"))
+    val top = counts.join(broadcast(tot), groupCols)
+      .filter(col("__c") === col("top_n"))
+      .groupBy(gs: _*)
+      .agg(min(col("__t")).as("top_token"))
+    tot.join(top, groupCols)
+      .select(gs ++ Seq(col("n_tokens"), col("top_token"), col("top_n"),
+        round(col("top_n").cast("double") /
+          col("n_tokens").cast("double"), 6).as("berger_parker")): _*)
+  }
+
+  // ------------------------------------------ Good–Turing smoothing row
+  /** Good–Turing frequency-of-frequency smoothing table per group (Good
+    * 1953): for r = 1..maxR, the adjusted count r* = (r+1)·f_{r+1}/f_r —
+    * the correction that reallocates probability mass from the
+    * once-seen toward the unseen ([[vocabularyRichness]] reports the
+    * r = 0 endpoint f₁/N; this is the rest of the ladder a smoothed LM
+    * needs).
+    *
+    * DETERMINISM AND SCALE: the f_r row comes from ONE conditional
+    * aggregate over the token rollup (the [[Stats.meanExcess]] stack
+    * shape — the grid is the bounded 1..maxR+1 vocabulary); r* is one
+    * exact-integer-ratio division per row. f_r = 0 nulls r* loudly.
+    * Returns per group and r: (group, r, f_r, f_r_plus_1, r_star) 6dp. */
+  def goodTuringSmooth(docs: DataFrame, groupCol: String, textCol: String,
+                       maxR: Int = 4): DataFrame = {
+    require(maxR >= 1 && maxR <= 50, s"maxR in [1,50]: $maxR")
+    val counts = tokenCounts(docs, Seq(groupCol), textCol)
+    val aggs = (1 to maxR + 1).map(i =>
+      sum(when(col("__c") === i.toLong, 1L).otherwise(0L)).as(s"__f$i"))
+    val one = counts.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val stacked = (1 to maxR).map(r =>
+      s"CAST($r AS BIGINT), __f$r, __f${r + 1}").mkString(", ")
+    one.selectExpr(groupCol,
+        s"stack($maxR, $stacked) AS (r, f_r, f_r_plus_1)")
+      .select(col(groupCol), col("r"), col("f_r"), col("f_r_plus_1"),
+        round(when(col("f_r") > 0L,
+          ((col("r") + lit(1L)) * col("f_r_plus_1")).cast("double") /
+            col("f_r").cast("double")), 6).as("r_star"))
+  }
+
+  // ---------------------------------------------------- token coverage
+  /** Corpus coverage of the top-k token types per group, for a grid of
+    * k: what fraction of all tokens would a k-entry vocabulary cover?
+    * THE curve a tokenizer/vocab-size decision reads ([[zipfFit]] gives
+    * its slope; this gives the actual cumulative shares).
+    *
+    * DETERMINISM AND SCALE: the per-group top-max(k) tokens come from
+    * [[Curation.topKPerGroup]]'s broadcast-cutoff prune (never a window
+    * over the full vocabulary); the row_number + conditional sums then
+    * run on that BOUNDED ≤ max(k)-row-per-group relation. The election
+    * order (count desc, token asc) is total; coverage is an exact
+    * integer rational per (group, k). Returns per (group, k):
+    * (group, k, covered, n_tokens, coverage) 6dp. */
+  def tokenCoverage(docs: DataFrame, groupCol: String, textCol: String,
+                    ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks == ks.sorted && ks.head >= 1,
+      s"ks must be ascending positive: $ks")
+    // topKPerGroup uses __t internally for its threshold — rename the
+    // token column to keep the namespaces apart
+    val counts = tokenCounts(docs, Seq(groupCol), textCol)
+      .withColumnRenamed("__t", "__tok")
+    val tot = counts.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_tokens"))
+    val top = graft.pipeline.Curation.topKPerGroup(counts, groupCol,
+      "__c", "__tok", k = ks.max)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__c").desc, col("__tok").asc)
+    val ranked = top.withColumn("__rn", row_number().over(w))
+    val aggs = ks.map(k =>
+      sum(when(col("__rn") <= k, col("__c")).otherwise(0L)).as(s"__cum$k"))
+    val one = ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val stacked = ks.map(k => s"CAST($k AS INTEGER), __cum$k")
+      .mkString(", ")
+    one.join(broadcast(tot), groupCol)
+      .selectExpr(groupCol, s"stack(${ks.size}, $stacked) AS (k, covered)",
+        "n_tokens")
+      .select(col(groupCol), col("k"), col("covered"), col("n_tokens"),
+        round(col("covered").cast("double") /
+          col("n_tokens").cast("double"), 6).as("coverage"))
+  }
 }

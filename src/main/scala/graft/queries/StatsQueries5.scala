@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Finance, Graph, Stats}
+import graft.pipeline.{Finance, Graph, Stats, TextAnalysis => TA}
 
 /** Round-12 drivers: market-microstructure estimators over the synthetic
   * ticker bars (OHLC range volatility, Corwin–Schultz spread, Amihud
@@ -28,6 +28,15 @@ object StatsQueries5 {
       "min(c) AS l, arg_max(c, tie) AS cl, CAST(sum(q) AS BIGINT) " +
       "AS volume, sum(CAST(c AS HUGEINT) * q) AS notional " +
       "FROM t GROUP BY 1, 2)"
+
+  /** The shared per-language token rollup CTE (mirrors
+    * TextAnalysis.tokenCounts: lowercased whitespace tokens, empties
+    * dropped). */
+  private val tokCte: String =
+    "WITH tok AS (SELECT lang, unnest(regexp_split_to_array(" +
+      "trim(lower(text)), '\\s+')) AS t FROM documents), " +
+      "tc AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c FROM tok " +
+      "WHERE t <> '' GROUP BY 1, 2), "
 
   private def allBars(s: org.apache.spark.sql.SparkSession, dir: String) =
     Finance.dailyBars(
@@ -393,6 +402,96 @@ object StatsQueries5 {
         "round(CASE WHEN ssru IS NOT NULL THEN " +
         "(ssrr - ssru) / cww END, 6) AS delta_r2 FROM h"),
       (s, dir) => Finance.grangerPair(allBars(s, dir), "key", "day",
-        col("close"), "3", "7"))
+        col("close"), "3", "7")),
+
+    // ---- Hill diversity ladder per language: richness, e^H, the exact
+    // integer rational N^2/sum(c^2), and Pielou evenness.
+    Q("q491_hill_numbers",
+      Some(tokCte +
+        "g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "CAST(count(*) AS BIGINT) AS richness, " +
+        "CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2 " +
+        "FROM tc GROUP BY 1), " +
+        "h AS (SELECT tc.lang AS lang, any_value(g.n_tokens) AS n_tokens, " +
+        "any_value(g.richness) AS richness, any_value(g.s2) AS s2, " +
+        "CAST(sum(CAST(-(CAST(tc.c AS DOUBLE) / " +
+        "CAST(g.n_tokens AS DOUBLE)) * ln(CAST(tc.c AS DOUBLE) / " +
+        "CAST(g.n_tokens AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) " +
+        "AS hh FROM tc JOIN g ON tc.lang = g.lang GROUP BY 1) " +
+        "SELECT lang, n_tokens, richness, round(exp(hh), 6) AS hill1, " +
+        "round(CASE WHEN s2 > 0 THEN " +
+        "CAST(CAST(n_tokens AS HUGEINT) * n_tokens AS DOUBLE) / " +
+        "CAST(s2 AS DOUBLE) END, 6) AS hill2, " +
+        "round(CASE WHEN richness >= 2 THEN " +
+        "hh / ln(CAST(richness AS DOUBLE)) END, 6) AS pielou_j " +
+        "FROM h ORDER BY lang"),
+      (s, dir) => TA.hillNumbers(Tables.documents(s, dir), Seq("lang"),
+        "text").orderBy("lang")),
+
+    // ---- Berger-Parker dominance per language: max-count filter then
+    // MIN(token) tie-break -- an exact election, one integer rational.
+    Q("q492_berger_parker",
+      Some(tokCte +
+        "g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "CAST(max(c) AS BIGINT) AS top_n FROM tc GROUP BY 1), " +
+        "tp AS (SELECT tc.lang AS lang, min(tc.t) AS top_token FROM tc " +
+        "JOIN g ON tc.lang = g.lang AND tc.c = g.top_n GROUP BY 1) " +
+        "SELECT g.lang AS lang, n_tokens, top_token, top_n, " +
+        "round(CAST(top_n AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) " +
+        "AS berger_parker FROM g JOIN tp ON g.lang = tp.lang " +
+        "ORDER BY lang"),
+      (s, dir) => TA.bergerParker(Tables.documents(s, dir), Seq("lang"),
+        "text").orderBy("lang")),
+
+    // ---- Good-Turing r* ladder per language (r = 1..4): the
+    // frequency-of-frequency smoothing the unseen-mass estimate (q364)
+    // is the r = 0 endpoint of.
+    Q("q493_good_turing",
+      Some(tokCte +
+        "o AS (SELECT lang, " +
+        "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1, " +
+        "CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2, " +
+        "CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS f3, " +
+        "CAST(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS f4, " +
+        "CAST(sum(CASE WHEN c = 5 THEN 1 ELSE 0 END) AS BIGINT) AS f5 " +
+        "FROM tc GROUP BY 1), " +
+        "u AS (SELECT lang, CAST(x.r AS BIGINT) AS r, " +
+        "CASE x.r WHEN 1 THEN f1 WHEN 2 THEN f2 WHEN 3 THEN f3 " +
+        "ELSE f4 END AS f_r, " +
+        "CASE x.r WHEN 1 THEN f2 WHEN 2 THEN f3 WHEN 3 THEN f4 " +
+        "ELSE f5 END AS f_r_plus_1 " +
+        "FROM o CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS r) x) " +
+        "SELECT lang, r, f_r, f_r_plus_1, " +
+        "round(CASE WHEN f_r > 0 THEN " +
+        "CAST((r + 1) * f_r_plus_1 AS DOUBLE) / CAST(f_r AS DOUBLE) " +
+        "END, 6) AS r_star FROM u ORDER BY lang, r"),
+      (s, dir) => TA.goodTuringSmooth(Tables.documents(s, dir), "lang",
+        "text", maxR = 4).orderBy("lang", "r")),
+
+    // ---- top-k vocabulary coverage per language at k = 10/100/1000:
+    // the tokenizer-vocab-size curve; Spark takes the top max(k) via the
+    // broadcast-cutoff prune, never a full-vocabulary window.
+    Q("q494_token_coverage",
+      Some(tokCte +
+        "g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens FROM tc " +
+        "GROUP BY 1), " +
+        "r AS (SELECT lang, c, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY c DESC, t ASC) AS rn FROM tc), " +
+        "o AS (SELECT lang, " +
+        "CAST(sum(CASE WHEN rn <= 10 THEN c ELSE 0 END) AS BIGINT) " +
+        "AS c10, " +
+        "CAST(sum(CASE WHEN rn <= 100 THEN c ELSE 0 END) AS BIGINT) " +
+        "AS c100, " +
+        "CAST(sum(CASE WHEN rn <= 1000 THEN c ELSE 0 END) AS BIGINT) " +
+        "AS c1000 FROM r GROUP BY 1), " +
+        "u AS (SELECT lang, CAST(x.k AS INTEGER) AS k, " +
+        "CASE x.k WHEN 10 THEN c10 WHEN 100 THEN c100 ELSE c1000 END " +
+        "AS covered FROM o CROSS JOIN " +
+        "(SELECT unnest([10, 100, 1000]) AS k) x) " +
+        "SELECT u.lang AS lang, k, covered, n_tokens, " +
+        "round(CAST(covered AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) " +
+        "AS coverage FROM u JOIN g ON u.lang = g.lang ORDER BY lang, k"),
+      (s, dir) => TA.tokenCoverage(Tables.documents(s, dir), "lang",
+        "text", ks = Seq(10, 100, 1000)).orderBy("lang", "k"))
   )
 }

@@ -1335,4 +1335,53 @@ class AppliedSpec extends SparkSpec {
     assert(r("cw") == ((4L, 2L, 1.0, false)))
     assert(r("tri") == ((3L, 4L, 2.0, true)))
   }
+
+  test("hillNumbers: effective-type ladder on a hand distribution") {
+    import spark.implicits._
+    // a a a b b c: N=6, 0D=3, 1D=e^H=2.749459, 2D=36/14=2.571429,
+    // J = H/ln3 = .92062; single-type group: H=0, 1D=1, J null
+    val docs = Seq(("en", "a a a b b c"), ("fr", "x x"))
+      .toDF("lang", "text")
+    val r = TA.hillNumbers(docs, Seq("lang"), "text").orderBy("lang")
+      .collect()
+    assert(r(0).getLong(1) == 6L && r(0).getLong(2) == 3L)
+    assert(r(0).getDouble(3) == 2.749459 && r(0).getDouble(4) == 2.571429)
+    assert(r(0).getDouble(5) == 0.92062, s"en: ${r(0)}")
+    assert(r(1).getDouble(3) == 1.0 && r(1).getDouble(4) == 1.0 &&
+      r(1).isNullAt(5), s"fr: ${r(1)}")
+  }
+
+  test("bergerParker: dominance share with lexicographic tie-break") {
+    import spark.implicits._
+    // b b a a c: tie at 2 -> top token 'a' (min), share 2/5
+    val docs = Seq(("en", "b b a a c")).toDF("lang", "text")
+    val r = TA.bergerParker(docs, Seq("lang"), "text").collect()(0)
+    assert(r.getLong(1) == 5L && r.getString(2) == "a" &&
+      r.getLong(3) == 2L && r.getDouble(4) == 0.4, s"bp: $r")
+  }
+
+  test("goodTuringSmooth: hand r* ladder; f_r = 0 nulls") {
+    import spark.implicits._
+    // counts a=3 b=2 c=1 d=1: f1=2 f2=1 f3=1 f4=0
+    // r=1: 2*1/2=1; r=2: 3*1/1=3; r=3: 4*0/1=0; r=4: f4=0 -> null
+    val docs = Seq(("en", "a a a b b c d")).toDF("lang", "text")
+    val r = TA.goodTuringSmooth(docs, "lang", "text", maxR = 4)
+      .orderBy("r").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(r(0).getLong(2) == 2L && r(0).getDouble(4) == 1.0)
+    assert(r(1).getDouble(4) == 3.0 && r(2).getDouble(4) == 0.0)
+    assert(r(3).getLong(2) == 0L && r(3).isNullAt(4), s"gt: ${r(3)}")
+  }
+
+  test("tokenCoverage: cumulative shares at the k grid") {
+    import spark.implicits._
+    // counts a=3 b=2 c=1: top-1 covers 3/6, top-2 covers 5/6
+    val docs = Seq(("en", "a a a b b c")).toDF("lang", "text")
+    val r = TA.tokenCoverage(docs, "lang", "text", ks = Seq(1, 2))
+      .orderBy("k").collect()
+    assert(r(0).getInt(1) == 1 && r(0).getLong(2) == 3L &&
+      r(0).getDouble(4) == 0.5, s"k1: ${r(0)}")
+    assert(r(1).getInt(1) == 2 && r(1).getLong(2) == 5L &&
+      r(1).getDouble(4) == 0.833333, s"k2: ${r(1)}")
+  }
 }
