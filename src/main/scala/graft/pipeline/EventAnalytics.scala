@@ -2192,6 +2192,68 @@ object EventAnalytics {
             col("__v").cast("double")).otherwise(lit(0.0)), 6).as("chi2"))
   }
 
+  // --------------------------------------------- weighted log-rank
+  /** Weighted log-rank test (the Gehan–Breslow / Tarone–Ware family):
+    * Z = Σ w_t·(d_At − E_t) / √(Σ w_t²·V_t) with w_t = n_t (gehan —
+    * early differences dominate) or √n_t (tarone-ware — the compromise);
+    * w ≡ 1 recovers [[logRank]]. Run beside the unweighted test when
+    * hazards may cross: each weighting sees a different alternative.
+    *
+    * DETERMINISM AND SCALE: the [[logRank]] scaffold verbatim — one
+    * (duration)-grain rollup, one running window, exact risk-set
+    * integers; each w·(d−E) and w²·V term is fixed-shape IEEE cast
+    * DECIMAL(28,12) before the sums. Zero variance reports null z and
+    * chi2. Returns ONE row: (n_a, n_b, o_a, o_b, z_stat, chi2). */
+  def weightedLogRank(df: DataFrame, durationCol: Column, eventCol: Column,
+                      groupACol: Column,
+                      weighting: String = "gehan"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(Set("gehan", "tarone-ware")(weighting),
+      s"weighting must be gehan|tarone-ware: $weighting")
+    val perT = df.select(durationCol.cast("long").as("duration"),
+        eventCol.as("__e"), groupACol.as("__a"))
+      .filter(col("duration").isNotNull && col("duration") >= 0)
+      .groupBy("duration")
+      .agg(sum(when(col("__a") && col("__e"), 1L).otherwise(0L)).as("da"),
+        sum(when(!col("__a") && col("__e"), 1L).otherwise(0L)).as("db"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("ta"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("tb"))
+    val tot = perT.agg(sum(col("ta")).as("__NA"), sum(col("tb")).as("__NB"))
+    val wPrev = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = perT.crossJoin(broadcast(tot))
+      .withColumn("na",
+        col("__NA") - coalesce(sum(col("ta")).over(wPrev), lit(0L)))
+      .withColumn("nb",
+        col("__NB") - coalesce(sum(col("tb")).over(wPrev), lit(0L)))
+      .withColumn("nt", col("na") + col("nb"))
+      .withColumn("dt", col("da") + col("db"))
+    val w = if (weighting == "gehan") col("nt").cast("double")
+      else sqrt(col("nt").cast("double"))
+    val eT = col("dt").cast("double") * col("na").cast("double") /
+      col("nt").cast("double")
+    val numTerm = (w * (col("da").cast("double") - eT))
+      .cast(DecimalType(28, 12))
+    val vT = when(col("nt") > 1,
+      col("dt").cast("double") *
+        (col("na").cast("double") / col("nt").cast("double")) *
+        (col("nb").cast("double") / col("nt").cast("double")) *
+        ((col("nt") - col("dt")).cast("double") /
+          (col("nt") - lit(1L)).cast("double"))).otherwise(lit(0.0))
+    val varTerm = (w * w * vT).cast(DecimalType(28, 12))
+    risk
+      .agg(max(col("__NA")).as("n_a"), max(col("__NB")).as("n_b"),
+        sum(col("da")).as("o_a"), sum(col("db")).as("o_b"),
+        sum(numTerm).as("__num"), sum(varTerm).as("__v"))
+      .select(col("n_a"), col("n_b"), col("o_a"), col("o_b"),
+        round(when(col("__v").cast("double") > 0.0,
+          col("__num").cast("double") /
+            sqrt(col("__v").cast("double"))), 6).as("z_stat"),
+        round(when(col("__v").cast("double") > 0.0,
+          col("__num").cast("double") * col("__num").cast("double") /
+            col("__v").cast("double")), 6).as("chi2"))
+  }
+
   // ---------------------------------------------------- business-day span
   /** Business days (Mon-Fri) in the half-open day-index interval
     * [startDay, endDay) — pure closed-form integer arithmetic on the

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -752,5 +752,136 @@ object Graph {
         round(sum(col("__mnd")).cast("double") /
           count(lit(1)).cast("double"), 6).as("knn"))
       .orderBy("deg")
+  }
+
+  // -------------------------------------------- link-prediction panel
+  /** Common-neighbor link-prediction panel over NON-edge pairs: the
+    * count itself, the neighborhood Jaccard cn/(deg a + deg b − cn)
+    * (Liben-Nowell & Kleinberg 2003), and the resource-allocation index
+    * Σ 1/deg z (Zhou et al. 2009 — [[adamicAdar]] with the harsher
+    * 1/deg discount). Three rankings from one wedge pass, because no
+    * single score wins on every graph.
+    *
+    * DETERMINISM AND SCALE: the [[adamicAdar]] wedge contract exactly —
+    * candidates route only through nodes with deg ≤ maxDegree (the cn
+    * count shares that cap; a hub-only common neighborhood reports what
+    * the capped enumeration sees, documented), existing edges leave via
+    * one anti join; the Jaccard is an exact integer rational on FULL
+    * endpoint degrees; RA terms round to DECIMAL(28,12) before the sum.
+    * Returns (a, b, common_neighbors, jaccard, ra_score). */
+  def linkPredictionPanel(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxDegree: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(maxDegree >= 2, s"maxDegree must be >= 2: $maxDegree")
+    val und = canonEdges(edges, srcCol, dstCol)
+    val deg = degrees(und)
+    val adj = und.select(col("a").as("z"), col("b").as("x"))
+      .unionByName(und.select(col("b").as("z"), col("a").as("x")))
+    val okZ = deg.filter(col("deg") >= 2 && col("deg") <= maxDegree)
+      .select(col("node").as("z"), col("deg"))
+    val az = adj.join(okZ, Seq("z"))
+    val pairs = az.select(col("z"), col("x").as("a"), col("deg"))
+      .join(az.select(col("z"), col("x").as("b")).hint("shuffle_hash"),
+        Seq("z"))
+      .filter(col("a") < col("b"))
+    pairs.groupBy("a", "b")
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum((lit(1.0) / col("deg").cast("double"))
+          .cast(DecimalType(28, 12))).as("__ra"))
+      .join(und, Seq("a", "b"), "anti")
+      .join(deg.select(col("node").as("a"), col("deg").as("__da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("__db")), Seq("b"))
+      .select(col("a"), col("b"), col("common_neighbors"),
+        round(col("common_neighbors").cast("double") /
+          (col("__da") + col("__db") - col("common_neighbors"))
+            .cast("double"), 6).as("jaccard"),
+        round(col("__ra").cast("double"), 6).as("ra_score"))
+  }
+
+  // --------------------------------------------- weighted reciprocity
+  /** Reciprocity of a DIRECTED weighted graph: the binary rate
+    * (reciprocated edges / edges) and Squartini et al. 2013's weighted
+    * version Σ min(w_uv, w_vu) / Σ w_uv — "how much of the flow comes
+    * back". Self-loops are excluded (they are trivially reciprocal),
+    * parallel edges must already be aggregated to (u, v, w).
+    *
+    * DETERMINISM AND SCALE: one self-join of the edge relation on the
+    * reversed key (co-partitioned equi join, no window); integer weights
+    * stay integer to the two final divisions. An empty graph returns no
+    * row. Returns one row: (n_edges, n_recip, w_total, w_recip,
+    * reciprocity, w_reciprocity) 6dp. */
+  def weightedReciprocity(edges: DataFrame, srcCol: String,
+                          dstCol: String, weightCol: Column): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
+        weightCol.cast("long").as("w"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+    val rev = e.select(col("v").as("u"), col("u").as("v"),
+      col("w").as("__wr"))
+    e.join(rev, Seq("u", "v"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("__wr").isNotNull, 1L).otherwise(0L)).as("n_recip"),
+        sum(col("w")).as("w_total"),
+        sum(least(col("w"), coalesce(col("__wr"), lit(0L)))).as("w_recip"))
+      .select(col("n_edges"), col("n_recip"), col("w_total"),
+        col("w_recip"),
+        round(when(col("n_edges") > 0L, col("n_recip").cast("double") /
+          col("n_edges").cast("double")), 6).as("reciprocity"),
+        round(when(col("w_total") > 0L, col("w_recip").cast("double") /
+          col("w_total").cast("double")), 6).as("w_reciprocity"))
+  }
+
+  // -------------------------------------- categorical attribute mixing
+  /** Newman's categorical assortativity (Newman 2003): with each
+    * undirected edge contributing both ordered stubs, e_ii the same-
+    * attribute share and a_i the stub share of attribute i,
+    * r = (Σe_ii − Σa_i²)/(1 − Σa_i²) — do like-labeled nodes link to
+    * each other more than chance? The categorical sibling of the
+    * degree [[assortativity]].
+    *
+    * DETERMINISM AND SCALE: attributes join onto the canonical edge
+    * relation (a node missing from `nodeAttrs` RAISES — a silent inner
+    * join would quietly shrink the graph); the whole r is ONE exact
+    * integer rational, r = (D·S − Σc_i²)/(S² − Σc_i²) on stub counts
+    * (S = 2·edges, D = diagonal stubs, c_i per-attribute stubs).
+    * A single-attribute graph (denominator 0) nulls loudly. Returns one
+    * row: (n_edges, n_stubs, diag_stubs, assort_r) 6dp. */
+  def attributeMixing(edges: DataFrame, srcCol: String, dstCol: String,
+                      nodeAttrs: DataFrame, nodeCol: String,
+                      attrCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt0 = DecimalType(38, 0)
+    val und = canonEdges(edges, srcCol, dstCol)
+    val attrs = nodeAttrs.select(col(nodeCol).as("__node"),
+      col(attrCol).as("__attr"))
+    // the missing-attribute raise lives INSIDE the stub values so column
+    // pruning can never drop it
+    def checked(c: Column, other: Column): Column =
+      when(c.isNull || other.isNull,
+        raise_error(lit("attributeMixing: node without attribute")))
+        .otherwise(c)
+    val both = und
+      .join(attrs.select(col("__node").as("a"), col("__attr").as("__a")),
+        Seq("a"), "left")
+      .join(attrs.select(col("__node").as("b"), col("__attr").as("__b")),
+        Seq("b"), "left")
+      .select(checked(col("__a"), col("__b")).as("__a"),
+        checked(col("__b"), col("__a")).as("__b"))
+    val stubs = both.select(col("__a").as("ai"), col("__b").as("aj"))
+      .unionByName(both.select(col("__b").as("ai"), col("__a").as("aj")))
+    val perAttr = stubs.groupBy("ai").agg(count(lit(1)).as("__c"))
+    val c2 = perAttr.agg(sum(col("__c")).as("n_stubs"),
+      sum(col("__c").cast(dt0) * col("__c")).as("__c2"))
+    val d = stubs.agg(
+      sum(when(col("ai") === col("aj"), 1L).otherwise(0L)).as("diag_stubs"))
+    c2.crossJoin(d)
+      .select(expr("n_stubs div 2").as("n_edges"), col("n_stubs"),
+        col("diag_stubs"),
+        round(when(col("n_stubs").cast(dt0) * col("n_stubs") =!=
+            col("__c2"),
+          (col("diag_stubs").cast(dt0) * col("n_stubs") - col("__c2"))
+            .cast("double") /
+          (col("n_stubs").cast(dt0) * col("n_stubs") - col("__c2"))
+            .cast("double")), 6).as("assort_r"))
   }
 }

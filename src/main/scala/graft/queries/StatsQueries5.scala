@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Finance, Graph, Stats, TextAnalysis => TA}
+import graft.pipeline.{EventAnalytics, Finance, Graph, Stats,
+  TextAnalysis => TA}
 
 /** Round-12 drivers: market-microstructure estimators over the synthetic
   * ticker bars (OHLC range volatility, Corwin–Schultz spread, Amihud
@@ -493,5 +494,159 @@ object StatsQueries5 {
         "AS coverage FROM u JOIN g ON u.lang = g.lang ORDER BY lang, k"),
       (s, dir) => TA.tokenCoverage(Tables.documents(s, dir), "lang",
         "text", ks = Seq(10, 100, 1000)).orderBy("lang", "k"))
+  ) ++ Seq(
+
+    // ---- common-neighbor link-prediction panel on the co-purchase
+    // graph: Jaccard (exact integer rational on full degrees) +
+    // resource-allocation, q336's wedge contract, top-20 by RA.
+    Q("q495_link_prediction",
+      Some("WITH " + AppliedQueries.copurchaseEdgesSql + ", " +
+        "deg AS (SELECT node, count(*) AS deg FROM (SELECT a AS node " +
+        "FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1), " +
+        "adj AS (SELECT a AS z, b AS x FROM e0 " +
+        "UNION ALL SELECT b, a FROM e0), " +
+        "az AS (SELECT adj.z, adj.x, deg FROM adj JOIN deg " +
+        "ON adj.z = deg.node WHERE deg >= 2 AND deg <= 1000), " +
+        "p AS (SELECT l.x AS a, r.x AS b, l.deg FROM az l JOIN az r " +
+        "ON l.z = r.z AND l.x < r.x), " +
+        "sc AS (SELECT a, b, CAST(count(*) AS BIGINT) " +
+        "AS common_neighbors, " +
+        "CAST(sum(CAST(1.0 / CAST(deg AS DOUBLE) AS DECIMAL(28,12))) " +
+        "AS DOUBLE) AS ra FROM p GROUP BY 1, 2), " +
+        "f AS (SELECT sc.* FROM sc WHERE NOT EXISTS (SELECT 1 FROM e0 " +
+        "WHERE e0.a = sc.a AND e0.b = sc.b)), " +
+        "j AS (SELECT f.a, f.b, f.common_neighbors, f.ra, " +
+        "da.deg AS dda, db.deg AS ddb FROM f " +
+        "JOIN deg da ON f.a = da.node JOIN deg db ON f.b = db.node) " +
+        "SELECT a, b, common_neighbors, " +
+        "round(CAST(common_neighbors AS DOUBLE) / " +
+        "CAST(dda + ddb - common_neighbors AS DOUBLE), 6) AS jaccard, " +
+        "round(ra, 6) AS ra_score FROM j " +
+        "ORDER BY ra_score DESC, a, b LIMIT 20"),
+      (s, dir) => Graph.linkPredictionPanel(
+          AppliedQueries.copurchaseEdges(s, dir), "src", "dst",
+          maxDegree = 1000)
+        .orderBy(col("ra_score").desc, col("a").asc, col("b").asc)
+        .limit(20)),
+
+    // ---- reciprocity of the event-type transition digraph: binary and
+    // Squartini min-flow rates, integer weights to the two divisions.
+    Q("q496_reciprocity",
+      Some("WITH e AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(ts) AS us FROM events), " +
+        "t AS (SELECT user_id, event_type, lag(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e), " +
+        "g AS (SELECT prev AS u, event_type AS v, " +
+        "CAST(count(*) AS BIGINT) AS w FROM t WHERE prev IS NOT NULL " +
+        "AND prev <> event_type GROUP BY 1, 2), " +
+        "j AS (SELECT g.u, g.v, g.w, r.w AS wr FROM g " +
+        "LEFT JOIN g r ON g.u = r.v AND g.v = r.u) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_edges, " +
+        "CAST(sum(CASE WHEN wr IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_recip, " +
+        "CAST(sum(w) AS BIGINT) AS w_total, " +
+        "CAST(sum(least(w, coalesce(wr, 0))) AS BIGINT) AS w_recip, " +
+        "round(CASE WHEN count(*) > 0 THEN " +
+        "CAST(sum(CASE WHEN wr IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / CAST(count(*) AS DOUBLE) END, 6) AS reciprocity, " +
+        "round(CASE WHEN sum(w) > 0 THEN " +
+        "CAST(sum(least(w, coalesce(wr, 0))) AS DOUBLE) / " +
+        "CAST(sum(w) AS DOUBLE) END, 6) AS w_reciprocity FROM j"),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("__us"), col("event_id"))
+        val trans = Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("__us"),
+            col("event_id"), col("event_type"))
+          .withColumn("__prev", lag(col("event_type"), 1).over(w))
+          .filter(col("__prev").isNotNull &&
+            col("__prev") =!= col("event_type"))
+          .groupBy(col("__prev").as("src"), col("event_type").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        Graph.weightedReciprocity(trans, "src", "dst", col("w"))
+      }),
+
+    // ---- brand mixing of the co-purchase graph: Newman categorical
+    // assortativity as ONE exact integer rational on stub counts.
+    Q("q497_attr_mixing",
+      Some("WITH " + AppliedQueries.copurchaseEdgesSql + ", " +
+        "s AS (SELECT e0.a, e0.b, pa.p_brand AS ba, pb.p_brand AS bb " +
+        "FROM e0 JOIN part pa ON e0.a = pa.p_partkey " +
+        "JOIN part pb ON e0.b = pb.p_partkey), " +
+        "st AS (SELECT ba AS ai, bb AS aj FROM s " +
+        "UNION ALL SELECT bb, ba FROM s), " +
+        "pa2 AS (SELECT ai, CAST(count(*) AS BIGINT) AS c FROM st " +
+        "GROUP BY 1), " +
+        "c2 AS (SELECT CAST(sum(c) AS BIGINT) AS n_stubs, " +
+        "CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS cc FROM pa2), " +
+        "d AS (SELECT CAST(sum(CASE WHEN ai = aj THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS diag_stubs FROM st) " +
+        "SELECT n_stubs // 2 AS n_edges, n_stubs, diag_stubs, " +
+        "round(CASE WHEN CAST(n_stubs AS HUGEINT) * n_stubs <> cc THEN " +
+        "CAST(CAST(diag_stubs AS HUGEINT) * n_stubs - cc AS DOUBLE) / " +
+        "CAST(CAST(n_stubs AS HUGEINT) * n_stubs - cc AS DOUBLE) " +
+        "END, 6) AS assort_r FROM c2, d"),
+      (s, dir) => Graph.attributeMixing(
+        AppliedQueries.copurchaseEdges(s, dir), "src", "dst",
+        Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        "p_partkey", "p_brand")),
+
+    // ---- Gehan-weighted log-rank over the q362 censored lifetimes:
+    // w_t = n_t risk-set weights, early differences dominate; Z and chi2
+    // from decimal-summed fixed-shape terms.
+    Q("q498_gehan",
+      Some("WITH u AS (SELECT user_id, " +
+        "min(epoch_us(ts) // 86400000000) AS f, " +
+        "max(epoch_us(ts) // 86400000000) AS l FROM events GROUP BY 1), " +
+        "mx AS (SELECT max(l) AS mx FROM u), " +
+        "d AS (SELECT l - f AS duration, l < mx - 7 AS ev, " +
+        "user_id % 2 = 0 AS a FROM u, mx), " +
+        "pt AS (SELECT duration, " +
+        "CAST(sum(CASE WHEN a AND ev THEN 1 ELSE 0 END) AS BIGINT) AS da, " +
+        "CAST(sum(CASE WHEN NOT a AND ev THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS db, " +
+        "CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ta, " +
+        "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS tb " +
+        "FROM d GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(ta) AS BIGINT) AS na0, " +
+        "CAST(sum(tb) AS BIGINT) AS nb0 FROM pt), " +
+        "r AS (SELECT *, na0 - coalesce(CAST(sum(ta) OVER wp AS BIGINT), " +
+        "0) AS na, nb0 - coalesce(CAST(sum(tb) OVER wp AS BIGINT), 0) " +
+        "AS nb FROM pt, tt WINDOW wp AS (ORDER BY duration ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+        "k AS (SELECT na0, nb0, da, db, na, nb, na + nb AS nt, " +
+        "da + db AS dt FROM r), " +
+        "terms AS (SELECT na0, nb0, da, db, " +
+        "CAST(CAST(nt AS DOUBLE) * (CAST(da AS DOUBLE) - " +
+        "CAST(dt AS DOUBLE) * CAST(na AS DOUBLE) / CAST(nt AS DOUBLE)) " +
+        "AS DECIMAL(28,12)) AS numt, " +
+        "CAST(CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE) * " +
+        "(CASE WHEN nt > 1 THEN CAST(dt AS DOUBLE) * " +
+        "(CAST(na AS DOUBLE) / CAST(nt AS DOUBLE)) * " +
+        "(CAST(nb AS DOUBLE) / CAST(nt AS DOUBLE)) * " +
+        "(CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE)) " +
+        "ELSE 0.0 END) AS DECIMAL(28,12)) AS vart FROM k), " +
+        "agg AS (SELECT max(na0) AS n_a, max(nb0) AS n_b, " +
+        "CAST(sum(da) AS BIGINT) AS o_a, CAST(sum(db) AS BIGINT) AS o_b, " +
+        "sum(numt) AS num, sum(vart) AS v FROM terms) " +
+        "SELECT n_a, n_b, o_a, o_b, " +
+        "round(CASE WHEN CAST(v AS DOUBLE) > 0 THEN " +
+        "CAST(num AS DOUBLE) / sqrt(CAST(v AS DOUBLE)) END, 6) " +
+        "AS z_stat, " +
+        "round(CASE WHEN CAST(v AS DOUBLE) > 0 THEN " +
+        "CAST(num AS DOUBLE) * CAST(num AS DOUBLE) / CAST(v AS DOUBLE) " +
+        "END, 6) AS chi2 FROM agg"),
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .select(col("user_id"),
+            EventAnalytics.dayIndex(col("ts")).as("d"))
+          .groupBy("user_id")
+          .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+        val mx = u.agg(max(col("l")).as("mx"))
+        EventAnalytics.weightedLogRank(u.crossJoin(broadcast(mx)),
+          col("l") - col("f"), col("l") < col("mx") - 7,
+          pmod(col("user_id"), lit(2L)) === 0, weighting = "gehan")
+      })
   )
 }

@@ -605,6 +605,20 @@ class AppliedSpec extends SparkSpec {
       s0.getDouble(3) == 2.0) // E_A: t1 2·2/4 + t2 2·1/2 = 2 = O_A
   }
 
+  test("weightedLogRank: Gehan n_t weights on a hand risk table") {
+    import spark.implicits._
+    // A: 1(E), 2(E); B: 1(E), 3(censored):
+    // t1 w=4 diff 0; t2 w=2 diff .5 -> num 1, var 16/3 + 1 = 6.333333
+    val df = Seq((1L, true, true), (2L, true, true),
+      (1L, true, false), (3L, false, false)).toDF("t", "ev", "a")
+    val r = EventAnalytics.weightedLogRank(df, col("t"), col("ev"),
+      col("a"), weighting = "gehan").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 2L, 1L)))
+    assert(r.getDouble(4) == 0.39736 && r.getDouble(5) == 0.157895,
+      s"wlr: $r")
+  }
+
   test("multipleTesting: Bonferroni caps at 1, Holm stops at first failure, BH rejects through the largest passing rank") {
     import spark.implicits._
     // m=5, alpha=.05: Holm thresholds .01/.0125/... fail at rank 2;

@@ -238,4 +238,47 @@ class GraphSpec extends SparkSpec {
     assert((r(1).getLong(0), r(1).getLong(1), r(1).getDouble(2)) ==
       ((2L, 1L, 1.0)))
   }
+
+  test("linkPredictionPanel: Jaccard and RA on the triangle+tail graph") {
+    // edges 1-2,1-3,2-3,3-4: non-edges (1,4),(2,4) each share z=3
+    // -> cn=1, jaccard = 1/(2+1-1) = .5, ra = 1/3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val r = Graph.linkPredictionPanel(edges, "src", "dst")
+      .orderBy("a", "b").collect()
+    assert(r.length == 2)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2)) ==
+      ((1L, 4L, 1L)))
+    assert(r(0).getDouble(3) == 0.5 && r(0).getDouble(4) == 0.333333,
+      s"lp: ${r(0)}")
+    assert((r(1).getLong(0), r(1).getLong(1)) == ((2L, 4L)))
+  }
+
+  test("weightedReciprocity: binary and min-flow rates") {
+    // a->b w3, b->a w1, a->c w2: recip 2/3, weighted 2/6
+    val edges = Seq(("a", "b", 3L), ("b", "a", 1L), ("a", "c", 2L))
+      .toDF("src", "dst", "w")
+    val r = Graph.weightedReciprocity(edges, "src", "dst", col("w"))
+      .collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 6L && r.getLong(3) == 2L)
+    assert(r.getDouble(4) == 0.666667 && r.getDouble(5) == 0.333333,
+      s"wr: $r")
+  }
+
+  test("attributeMixing: exact rational Newman r; missing attr raises") {
+    // edges 1-2 (x,x), 3-4 (y,y), 1-3 (x,y): r = 1/3
+    val edges = Seq((1L, 2L), (3L, 4L), (1L, 3L)).toDF("src", "dst")
+    val attrs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "y"))
+      .toDF("node", "attr")
+    val r = Graph.attributeMixing(edges, "src", "dst", attrs, "node",
+      "attr").collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 6L && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == 0.333333, s"am: $r")
+    val missing = Seq((1L, 2L), (1L, 5L)).toDF("src", "dst")
+    intercept[Exception] {
+      Graph.attributeMixing(missing, "src", "dst", attrs, "node", "attr")
+        .collect()
+    }
+  }
 }
