@@ -746,4 +746,185 @@ object Similarity {
         when(col("__sl") > 0, round(col("__topLam") / col("__sl"), 6))
           .as("top_dim_share"))
   }
+
+  /** Per-row sorted (cosine-distance, cid) array against a literal
+    * centroid list — the [[ivfAssign]] score shape with d = 1 + negcos,
+    * shared by the cluster-quality indices below. Row-LOCAL: the
+    * centroids are inlined literals, no join, no shuffle. */
+  private def sortedCentroidDists(vecCol: Column,
+      centroids: Seq[(Int, Seq[Double])]): Column = {
+    val v = toDouble(vecCol)
+    val scored = array(centroids.map { case (cid, cvec) =>
+      struct((lit(1.0) + (-dot(v, typedLit(cvec)) /
+        (norm(v) * typedLit(math.sqrt(cvec.map(x => x * x).sum)))))
+        .as("d"), lit(cid).as("cid"))
+    }: _*)
+    sort_array(scored)
+  }
+
+  // --------------------------------------------- simplified silhouette
+  /** Simplified (centroid-based) silhouette over a fixed centroid list:
+    * per vector a = cosine distance to its own (nearest) centroid,
+    * b = distance to the best OTHER centroid, s = (b − a)/max(a, b);
+    * the corpus mean answers "are these clusters real" without the
+    * O(n²) pairwise full silhouette.
+    *
+    * DETERMINISM AND SCALE: the distance array is row-LOCAL against the
+    * literal centroids ([[ivfAssign]]'s exact score shape, (d, cid)
+    * sort-order election) — zero shuffle before the single aggregate;
+    * per-row s is fixed IEEE, summed as DECIMAL(28,12); a vector
+    * equidistant at 0 from both nearest centroids contributes s = 0
+    * (the max(a,b) = 0 degenerate, documented). Returns one row:
+    * (n_vectors, n_clusters, silhouette) 6dp. */
+  def simplifiedSilhouette(corpus: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(centroids.size >= 2, "need at least 2 centroids")
+    val sorted = sortedCentroidDists(col(vecCol), centroids)
+    val a = sorted.getItem(0).getField("d")
+    val b = sorted.getItem(1).getField("d")
+    val s = when(greatest(a, b) > 0.0, (b - a) / greatest(a, b))
+      .otherwise(lit(0.0))
+    corpus.agg(count(lit(1)).as("n_vectors"),
+        sum(s.cast(DecimalType(28, 12))).as("__s"))
+      .select(col("n_vectors"), lit(centroids.size).as("n_clusters"),
+        round(col("__s").cast("double") /
+          col("n_vectors").cast("double"), 6).as("silhouette"))
+  }
+
+  // ------------------------------------------------ Davies–Bouldin index
+  /** Davies–Bouldin index (1979) over a fixed centroid list, cosine-
+    * distance variant: S_i the mean distance of cluster i's members to
+    * their centroid, M_ij the centroid-centroid distance,
+    * DB = mean_i max_{j≠i} (S_i + S_j)/M_ij — lower is better-separated;
+    * the compactness-vs-separation complement to
+    * [[simplifiedSilhouette]]'s per-point view.
+    *
+    * DETERMINISM AND SCALE: assignment is the row-local literal-centroid
+    * election; S_i comes from ONE groupBy over the assigned rows
+    * (DECIMAL(28,12) distance sums); the pair relation is the bounded
+    * k² centroid cross join, both sides computed from the SAME literal
+    * values. Only NONEMPTY clusters enter (an empty cluster has no S;
+    * n_clusters_used reports how many did); coincident centroids
+    * (M = 0) are excluded from the max by the M > 0 guard. Returns one
+    * row: (n_vectors, n_clusters_used, db_index) 6dp. */
+  def daviesBouldin(corpus: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(centroids.size >= 2, "need at least 2 centroids")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sorted = sortedCentroidDists(col(vecCol), centroids)
+    val perCluster = corpus
+      .select(sorted.getItem(0).getField("cid").as("cid"),
+        sorted.getItem(0).getField("d").as("__d"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__d").cast(DecimalType(28, 12))).as("__sd"))
+      .select(col("cid"), col("__n"),
+        (col("__sd").cast("double") / col("__n").cast("double")).as("__s"))
+    val cents = centroids.map { case (cid, v) =>
+      (cid, v, math.sqrt(v.map(x => x * x).sum)) }
+      .toDF("cid", "cv", "cnorm")
+    val pairs = cents.select(col("cid").as("ci"), col("cv").as("cvi"),
+        col("cnorm").as("cni"))
+      .crossJoin(cents.select(col("cid").as("cj"), col("cv").as("cvj"),
+        col("cnorm").as("cnj")))
+      .filter(col("ci") =!= col("cj"))
+      .select(col("ci"), col("cj"),
+        (lit(1.0) + (-dot(col("cvi"), col("cvj")) /
+          (col("cni") * col("cnj")))).as("__m"))
+    val si = perCluster.select(col("cid").as("ci"), col("__s").as("__si"))
+    val sj = perCluster.select(col("cid").as("cj"), col("__s").as("__sj"))
+    val ratios = pairs.join(broadcast(si), Seq("ci"))
+      .join(broadcast(sj), Seq("cj"))
+      .groupBy("ci")
+      .agg(max(when(col("__m") > 0.0,
+        (col("__si") + col("__sj")) / col("__m"))).as("__r"))
+    val tot = corpus.agg(count(lit(1)).as("n_vectors"))
+    ratios.agg(count(lit(1)).as("n_clusters_used"),
+        sum(col("__r").cast(DecimalType(28, 12))).as("__sr"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_vectors"), col("n_clusters_used"),
+        round(col("__sr").cast("double") /
+          col("n_clusters_used").cast("double"), 6).as("db_index"))
+  }
+
+  // ---------------------------------------------------- Xie–Beni index
+  /** Xie–Beni separation index (1991), spherical variant: with squared
+    * point-to-centroid distance 2·d (unit-sphere identity
+    * ‖v̂−c‖² = 2(1−cos)) and squared centroid separation 2·m,
+    * XB = Σ 2·d_own / (n · min_{i≠j} 2·m_ij) — compactness per unit of
+    * the WORST-case separation, the pessimist's [[daviesBouldin]].
+    *
+    * DETERMINISM AND SCALE: the numerator is one row-local aggregate
+    * (DECIMAL(28,12)); the min separation is over the bounded literal
+    * k² pair relation. Coincident centroids (min = 0) null loudly.
+    * Returns one row: (n_vectors, min_separation, xie_beni) 6dp. */
+  def xieBeni(corpus: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(centroids.size >= 2, "need at least 2 centroids")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sorted = sortedCentroidDists(col(vecCol), centroids)
+    val w = corpus
+      .select((lit(2.0) * sorted.getItem(0).getField("d")).as("__w"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("__w").cast(DecimalType(28, 12))).as("__sw"))
+    val cents = centroids.map { case (cid, v) =>
+      (cid, v, math.sqrt(v.map(x => x * x).sum)) }
+      .toDF("cid", "cv", "cnorm")
+    val minSep = cents.select(col("cid").as("ci"), col("cv").as("cvi"),
+        col("cnorm").as("cni"))
+      .crossJoin(cents.select(col("cid").as("cj"), col("cv").as("cvj"),
+        col("cnorm").as("cnj")))
+      .filter(col("ci") =!= col("cj"))
+      .agg(min(lit(2.0) * (lit(1.0) + (-dot(col("cvi"), col("cvj")) /
+        (col("cni") * col("cnj"))))).as("__ms"))
+    w.crossJoin(broadcast(minSep))
+      .select(col("n_vectors"), round(col("__ms"), 6).as("min_separation"),
+        round(when(col("__ms") > 0.0, col("__sw").cast("double") /
+          (col("n_vectors").cast("double") * col("__ms"))), 6)
+          .as("xie_beni"))
+  }
+
+  // ----------------------------------------------- cluster balance report
+  /** Assignment balance over a fixed centroid list: nonempty-cluster
+    * count, the largest cluster's share, and the normalized assignment
+    * entropy H/ln(k_used) — the partition-skew gate an IVF index must
+    * pass BEFORE [[ivfTopK]]'s probe cost makes sense (one hot partition
+    * = brute force in disguise).
+    *
+    * DETERMINISM AND SCALE: assignment is row-local; sizes are exact
+    * integers off ONE groupBy; max share is an exact rational; entropy
+    * cells −(n_i/N)·ln(n_i/N) cast DECIMAL(28,12) (the [[TextAnalysis
+    * .hillNumbers]] discipline). A single nonempty cluster nulls the
+    * normalized entropy (ln 1 = 0). Returns one row:
+    * (n_vectors, n_clusters_used, max_share, balance_entropy) 6dp. */
+  def clusterBalance(corpus: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(centroids.size >= 2, "need at least 2 centroids")
+    val sorted = sortedCentroidDists(col(vecCol), centroids)
+    val sizes = corpus
+      .select(sorted.getItem(0).getField("cid").as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("__n"))
+    val tot = sizes.agg(sum(col("__n")).as("n_vectors"))
+    val p = col("__n").cast("double") / col("n_vectors").cast("double")
+    sizes.crossJoin(broadcast(tot))
+      .agg(first(col("n_vectors")).as("n_vectors"),
+        count(lit(1)).as("n_clusters_used"),
+        max(col("__n")).as("__mx"),
+        sum((-p * log(p)).cast(DecimalType(28, 12))).cast("double")
+          .as("__h"))
+      .select(col("n_vectors"), col("n_clusters_used"),
+        round(col("__mx").cast("double") /
+          col("n_vectors").cast("double"), 6).as("max_share"),
+        round(when(col("n_clusters_used") >= 2L, col("__h") /
+          log(col("n_clusters_used").cast("double"))), 6)
+          .as("balance_entropy"))
+  }
 }

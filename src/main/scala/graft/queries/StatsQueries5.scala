@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{EventAnalytics, Finance, Graph, Stats,
+import graft.pipeline.{EventAnalytics, Finance, Graph, Similarity, Stats,
   TextAnalysis => TA}
 
 /** Round-12 drivers: market-microstructure estimators over the synthetic
@@ -38,6 +38,23 @@ object StatsQueries5 {
       "trim(lower(text)), '\\s+')) AS t FROM documents), " +
       "tc AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c FROM tok " +
       "WHERE t <> '' GROUP BY 1, 2), "
+
+  /** The cluster-quality queries' fixed centroid list and its oracle
+    * scaffolding: the 16 pseudo-random unit centroids ship INTO the SQL
+    * as a VALUES list (the q35 discipline — pure arithmetic on both
+    * sides), and `dis` is the per-(vector, centroid) cosine distance
+    * with the exact ivfAssign score shape d = 1 + (−dot/(|v|·|c|)). */
+  private val cqCentroids = Similarity.pseudoCentroids(16, 64)
+  private val cqDisCte: String = {
+    val values = cqCentroids.map { case (cid, v) =>
+      s"($cid, [${v.mkString(", ")}], ${math.sqrt(v.map(x => x * x).sum)})"
+    }.mkString(", ")
+    val vd = "list_transform(e.embedding, x -> CAST(x AS DOUBLE))"
+    s"WITH c(cid, cv, cnorm) AS (VALUES $values), " +
+      s"dis AS (SELECT e.vec_id, c.cid, 1.0 + (-list_dot_product($vd, " +
+      s"c.cv) / (sqrt(list_dot_product($vd, $vd)) * c.cnorm)) AS d " +
+      "FROM embeddings e CROSS JOIN c), "
+  }
 
   private def allBars(s: org.apache.spark.sql.SparkSession, dir: String) =
     Finance.dailyBars(
@@ -647,6 +664,93 @@ object StatsQueries5 {
         EventAnalytics.weightedLogRank(u.crossJoin(broadcast(mx)),
           col("l") - col("f"), col("l") < col("mx") - 7,
           pmod(col("user_id"), lit(2L)) === 0, weighting = "gehan")
-      })
+      }),
+
+    // ---- simplified silhouette of the pseudo-centroid assignment:
+    // row-local (d, cid) election, (b-a)/max(a,b) means.
+    Q("q499_silhouette",
+      Some(cqDisCte +
+        "r AS (SELECT vec_id, d, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY d ASC, cid ASC) AS rn FROM dis), " +
+        "p AS (SELECT vec_id, max(CASE WHEN rn = 1 THEN d END) AS a, " +
+        "max(CASE WHEN rn = 2 THEN d END) AS b FROM r WHERE rn <= 2 " +
+        "GROUP BY 1), " +
+        "s AS (SELECT CASE WHEN greatest(a, b) > 0 THEN " +
+        "(b - a) / greatest(a, b) ELSE 0.0 END AS sv FROM p) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_vectors, " +
+        "CAST(16 AS INTEGER) AS n_clusters, " +
+        "round(CAST(sum(CAST(sv AS DECIMAL(28,12))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS silhouette FROM s"),
+      (s, dir) => Similarity.simplifiedSilhouette(
+        Tables.embeddings(s, dir), cqCentroids)),
+
+    // ---- Davies-Bouldin of the same assignment: per-cluster mean
+    // distances + the bounded k^2 literal centroid-pair relation.
+    Q("q500_davies_bouldin",
+      Some(cqDisCte +
+        "a1 AS (SELECT vec_id, cid, d, row_number() OVER (PARTITION BY " +
+        "vec_id ORDER BY d ASC, cid ASC) AS rn FROM dis), " +
+        "own AS (SELECT cid, d FROM a1 WHERE rn = 1), " +
+        "pc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(d AS DECIMAL(28,12))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE) AS s FROM own GROUP BY 1), " +
+        "pm AS (SELECT i.cid AS ci, j.cid AS cj, 1.0 + " +
+        "(-list_dot_product(i.cv, j.cv) / (i.cnorm * j.cnorm)) AS m " +
+        "FROM c i CROSS JOIN c j WHERE i.cid <> j.cid), " +
+        "rt AS (SELECT pm.ci, max(CASE WHEN pm.m > 0 THEN " +
+        "(si.s + sj.s) / pm.m END) AS r FROM pm " +
+        "JOIN pc si ON pm.ci = si.cid JOIN pc sj ON pm.cj = sj.cid " +
+        "GROUP BY 1), " +
+        "fin AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters_used, " +
+        "CAST(sum(CAST(r AS DECIMAL(28,12))) AS DOUBLE) AS sr FROM rt), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors " +
+        "FROM embeddings) " +
+        "SELECT n_vectors, n_clusters_used, " +
+        "round(sr / CAST(n_clusters_used AS DOUBLE), 6) AS db_index " +
+        "FROM fin, tot"),
+      (s, dir) => Similarity.daviesBouldin(
+        Tables.embeddings(s, dir), cqCentroids)),
+
+    // ---- Xie-Beni: compactness per unit of worst-case separation
+    // (spherical 2(1-cos) squared distances).
+    Q("q501_xie_beni",
+      Some(cqDisCte +
+        "w AS (SELECT vec_id, 2.0 * min(d) AS wv FROM dis GROUP BY 1), " +
+        "ws AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors, " +
+        "sum(CAST(wv AS DECIMAL(28,12))) AS sw FROM w), " +
+        "ms AS (SELECT min(2.0 * (1.0 + (-list_dot_product(i.cv, j.cv) " +
+        "/ (i.cnorm * j.cnorm)))) AS msep FROM c i CROSS JOIN c j " +
+        "WHERE i.cid <> j.cid) " +
+        "SELECT n_vectors, round(msep, 6) AS min_separation, " +
+        "round(CASE WHEN msep > 0 THEN CAST(sw AS DOUBLE) / " +
+        "(CAST(n_vectors AS DOUBLE) * msep) END, 6) AS xie_beni " +
+        "FROM ws, ms"),
+      (s, dir) => Similarity.xieBeni(Tables.embeddings(s, dir),
+        cqCentroids)),
+
+    // ---- assignment balance: the IVF partition-skew gate (sizes, max
+    // share, normalized entropy).
+    Q("q502_cluster_balance",
+      Some(cqDisCte +
+        "a1 AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY " +
+        "vec_id ORDER BY d ASC, cid ASC) AS rn FROM dis), " +
+        "sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM a1 " +
+        "WHERE rn = 1 GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_vectors FROM sizes), " +
+        "fin AS (SELECT any_value(t.n_vectors) AS n_vectors, " +
+        "CAST(count(*) AS BIGINT) AS n_clusters_used, " +
+        "CAST(max(s.n) AS BIGINT) AS mx, " +
+        "CAST(sum(CAST(-(CAST(s.n AS DOUBLE) / " +
+        "CAST(t.n_vectors AS DOUBLE)) * ln(CAST(s.n AS DOUBLE) / " +
+        "CAST(t.n_vectors AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) " +
+        "AS h FROM sizes s, tot t) " +
+        "SELECT n_vectors, n_clusters_used, " +
+        "round(CAST(mx AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) " +
+        "AS max_share, " +
+        "round(CASE WHEN n_clusters_used >= 2 THEN " +
+        "h / ln(CAST(n_clusters_used AS DOUBLE)) END, 6) " +
+        "AS balance_entropy FROM fin"),
+      (s, dir) => Similarity.clusterBalance(Tables.embeddings(s, dir),
+        cqCentroids))
   )
 }

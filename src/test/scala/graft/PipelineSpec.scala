@@ -1427,4 +1427,38 @@ class PipelineSpec extends SparkSpec {
     val i = Similarity.participationRatio(iso, "vec").collect().head
     assert(i.getDouble(2) == 2.0 && i.getDouble(1) == 1.0)
   }
+
+  // shared hand setup for the cluster-quality indices: unit axes
+  // centroids, one vector exactly on c0, one at cos (0.6, 0.8)
+  private val cqCentroids = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+  private def cqCorpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.6, 0.8)))
+    .toDF("vec_id", "embedding")
+
+  test("simplifiedSilhouette: hand a/b ratios on axis centroids") {
+    // v1: a=0 b=1 -> s=1; v2: a=.2 b=.4 -> s=.5; mean .75
+    val r = Similarity.simplifiedSilhouette(cqCorpus, cqCentroids)
+      .collect()(0)
+    assert(r.getLong(0) == 2L && r.getInt(1) == 2)
+    assert(r.getDouble(2) == 0.75, s"sil: $r")
+  }
+
+  test("daviesBouldin: hand S/M ratios; singleton clusters") {
+    // S0=0, S1=.2, M=1 -> ratios .2,.2 -> DB=.2
+    val r = Similarity.daviesBouldin(cqCorpus, cqCentroids).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.2, s"db: $r")
+  }
+
+  test("xieBeni: W over worst-case separation") {
+    // W = 0 + .4 = .4; min sep = 2 -> XB = .4/(2*2) = .1
+    val r = Similarity.xieBeni(cqCorpus, cqCentroids).collect()(0)
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 2.0)
+    assert(r.getDouble(2) == 0.1, s"xb: $r")
+  }
+
+  test("clusterBalance: even split scores entropy 1") {
+    val r = Similarity.clusterBalance(cqCorpus, cqCentroids).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 1.0, s"cb: $r")
+  }
 }
