@@ -286,4 +286,174 @@ object Spatial {
         (abs(col("__a2")).cast("double") / 2.0).as("area"),
         (col("__a2") > 0).as("ccw"))
   }
+
+  /** The shared lattice for the autocorrelation family below: NONEMPTY
+    * grid cells with their integer point counts (the [[hotspotCells]]
+    * grid; empty cells are absent by contract — the lattice IS the
+    * occupied-cell relation). */
+  private def cellCounts(df: DataFrame, xCol: Column, yCol: Column,
+                         cellSize: Long): DataFrame =
+    df.select(xCol.as("__x"), yCol.as("__y"))
+      .groupBy(expr(s"__x div $cellSize").as("cell_x"),
+        expr(s"__y div $cellSize").as("cell_y"))
+      .agg(count(lit(1)).as("n"))
+
+  /** DIRECTED rook-adjacent cell pairs ((i), (j) with |Δx|+|Δy| = 1),
+    * as four shifted equi-joins — co-partitioned hash joins, never a
+    * cross join. Each unordered neighbor pair appears exactly twice
+    * (once per direction). */
+  private def rookPairs(cells: DataFrame): DataFrame = {
+    val j = cells.select(col("cell_x").as("jx"), col("cell_y").as("jy"),
+      col("n").as("nj"))
+    Seq((1, 0), (-1, 0), (0, 1), (0, -1)).map { case (dx, dy) =>
+      cells.join(j, (col("cell_x") + dx) === col("jx") &&
+        (col("cell_y") + dy) === col("jy"))
+    }.reduce(_ unionByName _)
+      .select(col("cell_x"), col("cell_y"), col("n").as("ni"), col("nj"))
+  }
+
+  // -------------------------------------------------------- Moran's I
+  /** Global Moran's I over the occupied-cell counts with binary rook
+    * weights (Moran 1950): I = (N/W)·Σw_ij·d_i·d_j / Σd_i² with
+    * d = n − n̄ — positive I ⇒ hot cells cluster next to hot cells, the
+    * inferential upgrade of [[hotspotCells]]' marginal z-screen.
+    * Reports E[I] = −1/(N−1) alongside.
+    *
+    * DETERMINISM AND SCALE: deviations scale by N (N·d_i = N·n_i − S,
+    * exact integers), so I = N·Σ(Nd_i)(Nd_j) / (W·Σ(Nd_i)²) is ONE
+    * exact integer rational; adjacency is four shifted equi-joins.
+    * A constant lattice (zero variance) nulls loudly. Returns one row:
+    * (n_cells, w_pairs, morans_i, expected_i) 6dp. */
+  def moransI(df: DataFrame, xCol: Column, yCol: Column,
+              cellSize: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt0 = DecimalType(38, 0)
+    val cells = cellCounts(df, xCol, yCol, cellSize)
+    val tot = cells.agg(count(lit(1)).as("__nc"), sum(col("n")).as("__s"))
+    def dev(nCol: Column) =
+      col("__nc").cast(dt0) * nCol - col("__s").cast(dt0)
+    val den = cells.crossJoin(broadcast(tot))
+      .agg(first(col("__nc")).as("n_cells"), first(col("__s")).as("__s"),
+        sum(dev(col("n")) * dev(col("n"))).as("__den"))
+    val num = rookPairs(cells).crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("w_pairs"),
+        sum(dev(col("ni")) * dev(col("nj"))).as("__num"))
+    den.crossJoin(num)
+      .select(col("n_cells"), col("w_pairs"),
+        round(when(col("__den") > lit(0).cast(dt0) && col("w_pairs") > 0L,
+          (col("n_cells").cast(dt0) * col("__num")).cast("double") /
+            (col("w_pairs").cast(dt0) * col("__den")).cast("double")), 6)
+          .as("morans_i"),
+        round(when(col("n_cells") > 1L,
+          lit(-1.0) / (col("n_cells") - 1L).cast("double")), 6)
+          .as("expected_i"))
+  }
+
+  // -------------------------------------------------------- Geary's C
+  /** Global Geary's C with binary rook weights (Geary 1954):
+    * C = (N−1)·Σw_ij(n_i−n_j)² / (2W·Σ(n_i−n̄)²) — the local-gradient
+    * mirror of [[moransI]] (C < 1 clustered, > 1 dispersed; C is more
+    * sensitive to local spikes than I's global covariance).
+    *
+    * DETERMINISM AND SCALE: Σ(n_i−n_j)² is already exact integer; the
+    * variance term scales by N² as in [[moransI]], so
+    * C = (N−1)·N²·Σw(Δn)² / (2W·Σ(Nd)²) is ONE exact integer rational.
+    * Returns one row: (n_cells, w_pairs, gearys_c) 6dp. */
+  def gearysC(df: DataFrame, xCol: Column, yCol: Column,
+              cellSize: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt0 = DecimalType(38, 0)
+    val cells = cellCounts(df, xCol, yCol, cellSize)
+    val tot = cells.agg(count(lit(1)).as("__nc"), sum(col("n")).as("__s"))
+    def dev(nCol: Column) =
+      col("__nc").cast(dt0) * nCol - col("__s").cast(dt0)
+    val den = cells.crossJoin(broadcast(tot))
+      .agg(first(col("__nc")).as("n_cells"),
+        sum(dev(col("n")) * dev(col("n"))).as("__den"))
+    val num = rookPairs(cells)
+      .agg(count(lit(1)).as("w_pairs"),
+        sum(((col("ni") - col("nj")) * (col("ni") - col("nj")))
+          .cast(dt0)).as("__num2"))
+    den.crossJoin(num)
+      .select(col("n_cells"), col("w_pairs"),
+        round(when(col("__den") > lit(0).cast(dt0) && col("w_pairs") > 0L,
+          ((col("n_cells") - 1L).cast(dt0) * col("n_cells").cast(dt0) *
+            col("n_cells").cast(dt0) * col("__num2")).cast("double") /
+          (lit(2L).cast(dt0) * col("w_pairs").cast(dt0) * col("__den"))
+            .cast("double")), 6).as("gearys_c"))
+  }
+
+  // ------------------------------------------------- join-count stats
+  /** Binary join-count statistics (Moran 1948): cells mark Black when
+    * their count exceeds the lattice mean (N·n > S, an exact integer
+    * compare); BB / WW / BW counts over the undirected rook joins, plus
+    * the nonfree-sampling expectation E[BW] = 2W·n_B·n_W/(N(N−1)) — the
+    * categorical autocorrelation screen where [[moransI]] needs a
+    * numeric value.
+    *
+    * DETERMINISM AND SCALE: marks, joins, and the expectation are all
+    * exact integers/rationals (directed pair counts halve exactly).
+    * Returns one row: (n_cells, n_black, joins_bb, joins_ww, joins_bw,
+    * expected_bw) 6dp. */
+  def joinCountStats(df: DataFrame, xCol: Column, yCol: Column,
+                     cellSize: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt0 = DecimalType(38, 0)
+    val cells = cellCounts(df, xCol, yCol, cellSize)
+    val tot = cells.agg(count(lit(1)).as("__nc"), sum(col("n")).as("__s"))
+    def black(nCol: Column) =
+      col("__nc").cast(dt0) * nCol > col("__s").cast(dt0)
+    val marks = cells.crossJoin(broadcast(tot))
+      .agg(first(col("__nc")).as("n_cells"),
+        sum(when(black(col("n")), 1L).otherwise(0L)).as("n_black"))
+    val joins = rookPairs(cells).crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("__wd"),
+        sum(when(black(col("ni")) && black(col("nj")), 1L).otherwise(0L))
+          .as("__bb"),
+        sum(when(!black(col("ni")) && !black(col("nj")), 1L).otherwise(0L))
+          .as("__ww"))
+    marks.crossJoin(joins)
+      .select(col("n_cells"), col("n_black"),
+        expr("__bb div 2").as("joins_bb"), expr("__ww div 2").as("joins_ww"),
+        expr("(__wd - __bb - __ww) div 2").as("joins_bw"),
+        round(when(col("n_cells") > 1L,
+          (expr("__wd div 2").cast("double") * lit(2.0) *
+            col("n_black").cast("double") *
+            (col("n_cells") - col("n_black")).cast("double")) /
+          (col("n_cells").cast("double") *
+            (col("n_cells") - 1L).cast("double"))), 6).as("expected_bw"))
+  }
+
+  // --------------------------------------------------- General G index
+  /** Getis–Ord General G with binary rook weights (Getis & Ord 1992):
+    * G = Σw_ij·n_i·n_j / Σ_{i≠j} n_i·n_j — do HIGH values sit next to
+    * each other specifically (G > E[G] = W/(N(N−1))), where [[moransI]]
+    * cannot tell high-clusters-with-high from low-with-low.
+    *
+    * DETERMINISM AND SCALE: numerator over the directed rook pairs and
+    * denominator S² − Σn² are both exact integers — ONE rational.
+    * Returns one row: (n_cells, w_pairs, general_g, expected_g) 6dp. */
+  def generalG(df: DataFrame, xCol: Column, yCol: Column,
+               cellSize: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt0 = DecimalType(38, 0)
+    val cells = cellCounts(df, xCol, yCol, cellSize)
+    val tot = cells.agg(count(lit(1)).as("n_cells"),
+      sum(col("n").cast(dt0)).as("__s"),
+      sum(col("n").cast(dt0) * col("n")).as("__s2"))
+    val num = rookPairs(cells)
+      .agg(count(lit(1)).as("w_pairs"),
+        sum(col("ni").cast(dt0) * col("nj")).as("__num"))
+    num.crossJoin(broadcast(tot))
+      .select(col("n_cells"), col("w_pairs"),
+        round(when(col("__s") * col("__s") - col("__s2") >
+            lit(0).cast(dt0),
+          col("__num").cast("double") /
+            (col("__s") * col("__s") - col("__s2")).cast("double")), 6)
+          .as("general_g"),
+        round(when(col("n_cells") > 1L,
+          col("w_pairs").cast("double") /
+            (col("n_cells").cast("double") *
+              (col("n_cells") - 1L).cast("double"))), 6).as("expected_g"))
+  }
 }

@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{EventAnalytics, Finance, Graph, Similarity, Stats,
-  TextAnalysis => TA}
+import graft.pipeline.{EventAnalytics, Finance, Graph, Similarity, Spatial,
+  Stats, TextAnalysis => TA}
 
 /** Round-12 drivers: market-microstructure estimators over the synthetic
   * ticker bars (OHLC range volatility, Corwin–Schultz spread, Amihud
@@ -752,5 +752,108 @@ object StatsQueries5 {
         "AS balance_entropy FROM fin"),
       (s, dir) => Similarity.clusterBalance(Tables.embeddings(s, dir),
         cqCentroids))
-  )
+  ) ++ {
+    // shared spatial-autocorrelation scaffolding: the q305 hash grid,
+    // occupied 100x100-cell counts, and the DIRECTED rook-pair relation
+    // (Spark builds it as four shifted equi-joins; the |dx|+|dy| = 1
+    // theta join below is the same SET)
+    val gridCte =
+      "WITH p AS (SELECT c_custkey % 1000 AS x, " +
+        "(c_custkey * 7919) % 1000 AS y FROM customer), " +
+        "g AS (SELECT x // 100 AS cell_x, y // 100 AS cell_y, " +
+        "CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS nc, " +
+        "CAST(sum(n) AS HUGEINT) AS s FROM g), " +
+        "e AS (SELECT i.n AS ni, j.n AS nj FROM g i JOIN g j ON " +
+        "abs(i.cell_x - j.cell_x) + abs(i.cell_y - j.cell_y) = 1), "
+    def grid(s: org.apache.spark.sql.SparkSession, dir: String) =
+      Tables.customer(s, dir)
+    val gx = pmod(col("c_custkey"), lit(1000L))
+    val gy = pmod(col("c_custkey") * 7919L, lit(1000L))
+
+    Seq(
+      // ---- Moran's I on the occupied-cell lattice: ONE exact integer
+      // rational via N-scaled deviations.
+      Q("q503_morans_i",
+        Some(gridCte +
+          "d AS (SELECT any_value(t.nc) AS n_cells, " +
+          "CAST(sum((CAST(t.nc AS HUGEINT) * g.n - t.s) * " +
+          "(CAST(t.nc AS HUGEINT) * g.n - t.s)) AS HUGEINT) AS den " +
+          "FROM g, t), " +
+          "m AS (SELECT CAST(count(*) AS BIGINT) AS w_pairs, " +
+          "CAST(sum((CAST(t.nc AS HUGEINT) * e.ni - t.s) * " +
+          "(CAST(t.nc AS HUGEINT) * e.nj - t.s)) AS HUGEINT) AS num " +
+          "FROM e, t) " +
+          "SELECT n_cells, w_pairs, " +
+          "round(CASE WHEN den > 0 AND w_pairs > 0 THEN " +
+          "CAST(CAST(n_cells AS HUGEINT) * num AS DOUBLE) / " +
+          "CAST(CAST(w_pairs AS HUGEINT) * den AS DOUBLE) END, 6) " +
+          "AS morans_i, " +
+          "round(CASE WHEN n_cells > 1 THEN " +
+          "-1.0 / CAST(n_cells - 1 AS DOUBLE) END, 6) AS expected_i " +
+          "FROM d, m"),
+        (s, dir) => Spatial.moransI(grid(s, dir), gx, gy, cellSize = 100L)),
+
+      // ---- Geary's C: the local-gradient mirror, same exact-rational
+      // discipline.
+      Q("q504_gearys_c",
+        Some(gridCte +
+          "d AS (SELECT any_value(t.nc) AS n_cells, " +
+          "CAST(sum((CAST(t.nc AS HUGEINT) * g.n - t.s) * " +
+          "(CAST(t.nc AS HUGEINT) * g.n - t.s)) AS HUGEINT) AS den " +
+          "FROM g, t), " +
+          "m AS (SELECT CAST(count(*) AS BIGINT) AS w_pairs, " +
+          "CAST(sum(CAST((ni - nj) * (ni - nj) AS HUGEINT)) AS HUGEINT) " +
+          "AS num2 FROM e) " +
+          "SELECT n_cells, w_pairs, " +
+          "round(CASE WHEN den > 0 AND w_pairs > 0 THEN " +
+          "CAST(CAST(n_cells - 1 AS HUGEINT) * n_cells * n_cells * num2 " +
+          "AS DOUBLE) / CAST(2 * CAST(w_pairs AS HUGEINT) * den " +
+          "AS DOUBLE) END, 6) AS gearys_c FROM d, m"),
+        (s, dir) => Spatial.gearysC(grid(s, dir), gx, gy, cellSize = 100L)),
+
+      // ---- binary join counts (Black = above-mean cell, an exact
+      // integer compare) with the nonfree-sampling E[BW].
+      Q("q505_join_counts",
+        Some(gridCte +
+          "mk AS (SELECT any_value(t.nc) AS n_cells, " +
+          "CAST(sum(CASE WHEN CAST(t.nc AS HUGEINT) * g.n > t.s " +
+          "THEN 1 ELSE 0 END) AS BIGINT) AS n_black FROM g, t), " +
+          "jn AS (SELECT CAST(count(*) AS BIGINT) AS wd, " +
+          "CAST(sum(CASE WHEN CAST(t.nc AS HUGEINT) * e.ni > t.s AND " +
+          "CAST(t.nc AS HUGEINT) * e.nj > t.s THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS bb, " +
+          "CAST(sum(CASE WHEN NOT (CAST(t.nc AS HUGEINT) * e.ni > t.s) " +
+          "AND NOT (CAST(t.nc AS HUGEINT) * e.nj > t.s) THEN 1 ELSE 0 " +
+          "END) AS BIGINT) AS ww FROM e, t) " +
+          "SELECT n_cells, n_black, bb // 2 AS joins_bb, " +
+          "ww // 2 AS joins_ww, (wd - bb - ww) // 2 AS joins_bw, " +
+          "round(CASE WHEN n_cells > 1 THEN " +
+          "(CAST(wd // 2 AS DOUBLE) * 2.0 * CAST(n_black AS DOUBLE) * " +
+          "CAST(n_cells - n_black AS DOUBLE)) / " +
+          "(CAST(n_cells AS DOUBLE) * CAST(n_cells - 1 AS DOUBLE)) " +
+          "END, 6) AS expected_bw FROM mk, jn"),
+        (s, dir) => Spatial.joinCountStats(grid(s, dir), gx, gy,
+          cellSize = 100L)),
+
+      // ---- Getis-Ord General G: high-with-high clustering as one
+      // integer rational over directed rook products.
+      Q("q506_general_g",
+        Some(gridCte +
+          "t2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, " +
+          "CAST(sum(CAST(n AS HUGEINT)) AS HUGEINT) AS s, " +
+          "CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS s2 FROM g), " +
+          "m AS (SELECT CAST(count(*) AS BIGINT) AS w_pairs, " +
+          "CAST(sum(CAST(ni AS HUGEINT) * nj) AS HUGEINT) AS num " +
+          "FROM e) " +
+          "SELECT n_cells, w_pairs, " +
+          "round(CASE WHEN s * s - s2 > 0 THEN CAST(num AS DOUBLE) / " +
+          "CAST(s * s - s2 AS DOUBLE) END, 6) AS general_g, " +
+          "round(CASE WHEN n_cells > 1 THEN CAST(w_pairs AS DOUBLE) / " +
+          "(CAST(n_cells AS DOUBLE) * CAST(n_cells - 1 AS DOUBLE)) " +
+          "END, 6) AS expected_g FROM t2, m"),
+        (s, dir) => Spatial.generalG(grid(s, dir), gx, gy,
+          cellSize = 100L))
+    )
+  }
 }

@@ -1387,6 +1387,54 @@ class AppliedSpec extends SparkSpec {
     assert(r(3).getLong(2) == 0L && r(3).isNullAt(4), s"gt: ${r(3)}")
   }
 
+  // shared 2x2 lattice for the spatial autocorrelation family:
+  // counts (0,0)=1, (0,1)=2, (1,0)=3, (1,1)=6 at cellSize 1
+  private def latticePts = {
+    val rows = Seq.fill(1)((0L, 0L)) ++ Seq.fill(2)((0L, 1L)) ++
+      Seq.fill(3)((1L, 0L)) ++ Seq.fill(6)((1L, 1L))
+    rows.toDF("x", "y")
+  }
+
+  test("moransI: exact rational on the 2x2 lattice") {
+    import spark.implicits._
+    // scaled devs -8,-4,0,12; num = -32, den = 224, W = 8:
+    // I = 4*(-32)/(8*224) = -.071429, E[I] = -1/3
+    val r = Spatial.moransI(latticePts, col("x"), col("y"), cellSize = 1L)
+      .collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 8L)
+    assert(r.getDouble(2) == -0.071429 && r.getDouble(3) == -0.333333,
+      s"mi: $r")
+  }
+
+  test("gearysC: local-gradient rational on the 2x2 lattice") {
+    import spark.implicits._
+    // num2 = 60: C = 3*16*60/(16*224) = .803571
+    val r = Spatial.gearysC(latticePts, col("x"), col("y"), cellSize = 1L)
+      .collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 8L)
+    assert(r.getDouble(2) == 0.803571, s"gc: $r")
+  }
+
+  test("joinCountStats: BB/WW/BW and nonfree expectation") {
+    import spark.implicits._
+    // black = {6}: bb=0 ww=2 bw=2, E[BW] = 4*2*1*3/(4*3) = 2
+    val r = Spatial.joinCountStats(latticePts, col("x"), col("y"),
+      cellSize = 1L).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1L)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((0L, 2L, 2L)))
+    assert(r.getDouble(5) == 2.0, s"jc: $r")
+  }
+
+  test("generalG: high-value clustering rational") {
+    import spark.implicits._
+    // num = 70, den = 144-50 = 94 -> .744681; E[G] = 8/12
+    val r = Spatial.generalG(latticePts, col("x"), col("y"), cellSize = 1L)
+      .collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 8L)
+    assert(r.getDouble(2) == 0.744681 && r.getDouble(3) == 0.666667,
+      s"gg: $r")
+  }
+
   test("tokenCoverage: cumulative shares at the k grid") {
     import spark.implicits._
     // counts a=3 b=2 c=1: top-1 covers 3/6, top-2 covers 5/6
