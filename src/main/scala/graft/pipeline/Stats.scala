@@ -6713,4 +6713,175 @@ object Stats {
     m.select(col("n"),
       round(when(vx > 0.0 && vq > 0.0, num / sqrt(vx * vq)), 6).as("ppcc"))
   }
+
+  /** Two-sample rank cells with doubled midranks and broadcast group
+    * totals — the scaffold for the linear-rank-statistic family below
+    * ([[conoverSquaredRanks]]' shape, factored): one (value)-grain
+    * rollup, one cumulative window over the DISTINCT value relation
+    * (cardinality contract), 2R = 2F − t + 1 exact integers. Columns:
+    * (__v, __ca, __cb, __r2, __na, __nb). */
+  private def twoSampleRankCells(df: DataFrame, groupCol: Column,
+      valueCol: Column, a: String, b: String): DataFrame = {
+    val base = df.filter(groupCol.cast("string").isin(a, b) &&
+        valueCol.isNotNull)
+      .select(groupCol.cast("string").as("__g"),
+        valueCol.cast("double").as("__v"))
+    val cells = base.groupBy("__v")
+      .agg(sum(when(col("__g") === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__g") === b, 1L).otherwise(0L)).as("__cb"))
+    val wRun = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    cells
+      .withColumn("__f", sum(col("__ca") + col("__cb")).over(wRun))
+      .withColumn("__r2",
+        col("__f") * 2L - (col("__ca") + col("__cb")) + 1L)
+      .crossJoin(broadcast(tot))
+  }
+
+  /** Permutation-moment z for a linear rank statistic T = Σ_A s(i):
+    * E[T] = n_A·S/N, Var[T] = n_A·n_B·(S₂ − S²/N)/(N(N−1)) — EXACT
+    * under ties because the moments come from the realized score
+    * multiset, not a no-ties closed form. Integer scores (doubled /
+    * quadrupled midranks) sum as DECIMAL(38,0); scale factors cancel in
+    * z. Returns columns (n_a, n_b, __t, __z). */
+  private def linearRankZ(cells: DataFrame, score: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val agg = cells.agg(first(col("__na")).as("n_a"),
+      first(col("__nb")).as("n_b"),
+      sum(col("__ca").cast(dt) * score).as("__t"),
+      sum((col("__ca") + col("__cb")).cast(dt) * score).as("__s"),
+      sum((col("__ca") + col("__cb")).cast(dt) * score * score).as("__s2"))
+    val nA = col("n_a").cast("double"); val nB = col("n_b").cast("double")
+    val nD = nA + nB
+    val sD = col("__s").cast("double")
+    val varT = nA * nB / (nD * (nD - 1.0)) *
+      (col("__s2").cast("double") - sD * sD / nD)
+    agg.select(col("n_a"), col("n_b"), col("__t"),
+      when(col("n_a") > 0L && col("n_b") > 0L && varT > 0.0,
+        (col("__t").cast("double") - nA * sD / nD) / sqrt(varT))
+        .as("__z"))
+  }
+
+  // ------------------------------------------------ Ansari–Bradley test
+  /** Ansari–Bradley two-sample scale test (1960): scores
+    * s = min(R, N+1−R) peak at the center, so a group with SMALLER
+    * dispersion collects larger scores — the rank test for equal spread
+    * given equal centers ([[conoverSquaredRanks]]' classical sibling;
+    * Conover needs no equal-center assumption, AB is the textbook
+    * component [[lepageTest]] builds on).
+    *
+    * DETERMINISM AND SCALE: doubled scores min(2R, 2(N+1)−2R) stay
+    * integer under ties; the z uses exact permutation moments of the
+    * realized score multiset (tie-robust by construction). Returns one
+    * row: (n_a, n_b, t_stat, z) 6dp. */
+  def ansariBradley(df: DataFrame, groupCol: Column, valueCol: Column,
+                    a: String, b: String): DataFrame = {
+    val cells = twoSampleRankCells(df, groupCol, valueCol, a, b)
+    val s2 = least(col("__r2"),
+      (col("__na") + col("__nb") + 1L) * 2L - col("__r2"))
+    linearRankZ(cells, s2)
+      .select(col("n_a"), col("n_b"),
+        round(col("__t").cast("double") / 2.0, 6).as("t_stat"),
+        round(col("__z"), 6).as("z"))
+  }
+
+  // --------------------------------------------------- Mood scale test
+  /** Mood's two-sample scale test (1954): scores (R − (N+1)/2)² grow
+    * toward BOTH extremes, so the wider group collects more — the
+    * variance-style counterpart of [[ansariBradley]]'s tent scores.
+    *
+    * DETERMINISM AND SCALE: quadrupled scores (2R − (N+1))² stay exact
+    * integers under ties; permutation-moment z as in [[ansariBradley]].
+    * Returns one row: (n_a, n_b, t_stat, z) 6dp. */
+  def moodScaleTest(df: DataFrame, groupCol: Column, valueCol: Column,
+                    a: String, b: String): DataFrame = {
+    val cells = twoSampleRankCells(df, groupCol, valueCol, a, b)
+    val d = col("__r2") - (col("__na") + col("__nb") + 1L)
+    linearRankZ(cells, d * d)
+      .select(col("n_a"), col("n_b"),
+        round(col("__t").cast("double") / 4.0, 6).as("t_stat"),
+        round(col("__z"), 6).as("z"))
+  }
+
+  // -------------------------------------------------------- Lepage test
+  /** Lepage two-sample location-AND-scale test (1971):
+    * L = Z_W² + Z_AB² combining the Wilcoxon rank-sum (location) and
+    * [[ansariBradley]] (scale) z's — rejects when the groups differ in
+    * EITHER, the omnibus a plain [[mannWhitney]] misses when centers
+    * match but spreads don't. L ~ χ²₂ under the null.
+    *
+    * DETERMINISM AND SCALE: both components come from the SAME cell
+    * relation and exact permutation moments; one extra aggregate, no
+    * extra scan. A degenerate component (zero variance) nulls L loudly.
+    * Returns one row: (n_a, n_b, z_w, z_ab, lepage) 6dp. */
+  def lepageTest(df: DataFrame, groupCol: Column, valueCol: Column,
+                 a: String, b: String): DataFrame = {
+    val cells = twoSampleRankCells(df, groupCol, valueCol, a, b)
+      .localCheckpoint(true)
+    val w = linearRankZ(cells, col("__r2"))
+      .select(col("n_a"), col("n_b"), col("__z").as("__zw"))
+    val ab = linearRankZ(cells, least(col("__r2"),
+        (col("__na") + col("__nb") + 1L) * 2L - col("__r2")))
+      .select(col("__z").as("__zab"))
+    w.crossJoin(ab)
+      .select(col("n_a"), col("n_b"),
+        round(col("__zw"), 6).as("z_w"),
+        round(col("__zab"), 6).as("z_ab"),
+        round(col("__zw") * col("__zw") + col("__zab") * col("__zab"), 6)
+          .as("lepage"))
+  }
+
+  // ------------------------------------------------------- Cucconi test
+  /** Cucconi two-sample location-scale test (1968): standardized sums of
+    * squared ranks U* and squared ANTIranks V* (which shift in opposite
+    * directions under a location move and the same direction under a
+    * scale move), combined through their correlation ρ:
+    * C = (U*² + V*² − 2ρU*V*) / (2(1−ρ²)) — the elegant single-quadratic
+    * alternative to [[lepageTest]]'s two-part sum (and often more
+    * powerful; Marozzi 2009).
+    *
+    * DETERMINISM AND SCALE: quadrupled scores (2R)² and (2(N+1)−2R)²
+    * stay exact integers under ties; U*, V*, and ρ all come from exact
+    * permutation moments of the realized score multiset in ONE
+    * aggregate. |ρ| = 1 (degenerate) nulls C loudly. Returns one row:
+    * (n_a, n_b, u_std, v_std, rho, cucconi) 6dp. */
+  def cucconiTest(df: DataFrame, groupCol: Column, valueCol: Column,
+                  a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val cells = twoSampleRankCells(df, groupCol, valueCol, a, b)
+    val f4 = col("__r2") * col("__r2")
+    val g0 = (col("__na") + col("__nb") + 1L) * 2L - col("__r2")
+    val g4 = g0 * g0
+    val ct = col("__ca") + col("__cb")
+    val agg = cells.agg(first(col("__na")).as("n_a"),
+      first(col("__nb")).as("n_b"),
+      sum(col("__ca").cast(dt) * f4).as("__tf"),
+      sum(col("__ca").cast(dt) * g4).as("__tg"),
+      sum(ct.cast(dt) * f4).as("__sf"),
+      sum(ct.cast(dt) * g4).as("__sg"),
+      sum(ct.cast(dt) * f4 * f4).as("__sf2"),
+      sum(ct.cast(dt) * g4 * g4).as("__sg2"),
+      sum(ct.cast(dt) * f4 * g4).as("__sfg"))
+    val nA = col("n_a").cast("double"); val nB = col("n_b").cast("double")
+    val nD = nA + nB
+    val c0 = nA * nB / (nD * (nD - 1.0))
+    def d(c: String) = col(c).cast("double")
+    val varF = c0 * (d("__sf2") - d("__sf") * d("__sf") / nD)
+    val varG = c0 * (d("__sg2") - d("__sg") * d("__sg") / nD)
+    val cov = c0 * (d("__sfg") - d("__sf") * d("__sg") / nD)
+    val ok = col("n_a") > 0L && col("n_b") > 0L && varF > 0.0 && varG > 0.0
+    val uS = when(ok, (d("__tf") - nA * d("__sf") / nD) / sqrt(varF))
+    val vS = when(ok, (d("__tg") - nA * d("__sg") / nD) / sqrt(varG))
+    val rho = when(ok, cov / sqrt(varF * varG))
+    agg.select(col("n_a"), col("n_b"),
+      round(uS, 6).as("u_std"), round(vS, 6).as("v_std"),
+      round(rho, 6).as("rho"),
+      round(when(lit(1.0) - rho * rho > 0.0,
+        (uS * uS + vS * vS - lit(2.0) * rho * uS * vS) /
+          (lit(2.0) * (lit(1.0) - rho * rho))), 6).as("cucconi"))
+  }
 }

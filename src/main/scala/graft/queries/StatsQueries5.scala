@@ -855,5 +855,153 @@ object StatsQueries5 {
         (s, dir) => Spatial.generalG(grid(s, dir), gx, gy,
           cellSize = 100L))
     )
+  } ++ {
+    // shared rank-scale oracle scaffolding: value cells with group
+    // counts, doubled midranks 2R = 2F - t + 1, broadcast totals, and
+    // the permutation-moment z finish (exact under ties)
+    def rankCte(table: String, groupExpr: String, valueExpr: String,
+                a: String, b: String): String =
+      s"WITH base AS (SELECT CAST($groupExpr AS VARCHAR) AS g, " +
+        s"CAST($valueExpr AS DOUBLE) AS v FROM $table " +
+        s"WHERE $groupExpr IN ('$a', '$b') AND $valueExpr IS NOT NULL), " +
+        "cells AS (SELECT v, CAST(sum(CASE WHEN g = '" + a +
+        "' THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+        "CAST(sum(CASE WHEN g = '" + b +
+        "' THEN 1 ELSE 0 END) AS BIGINT) AS cb FROM base GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, " +
+        "CAST(sum(cb) AS BIGINT) AS nb FROM cells), " +
+        "r AS (SELECT ca, cb, CAST(sum(ca + cb) OVER (ORDER BY v ROWS " +
+        "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) * 2 - " +
+        "(ca + cb) + 1 AS r2, t.na, t.nb FROM cells, t), "
+    val zFinish =
+      "f AS (SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS nad, " +
+        "CAST(n_b AS DOUBLE) AS nbd, " +
+        "CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nd, " +
+        "CAST(tt AS DOUBLE) AS td, CAST(ss AS DOUBLE) AS sd, " +
+        "CAST(ss2 AS DOUBLE) AS s2d FROM m), " +
+        "g AS (SELECT *, nad * nbd / (nd * (nd - 1.0)) * " +
+        "(s2d - sd * sd / nd) AS vart FROM f) "
+    Seq(
+      // ---- Ansari-Bradley scale test between the two top order
+      // priorities on total price: doubled tent scores stay integer.
+      Q("q507_ansari_bradley",
+        Some(rankCte("orders", "o_orderpriority", "o_totalprice",
+            "1-URGENT", "2-HIGH") +
+          "sc AS (SELECT ca, cb, na, nb, " +
+          "least(r2, (na + nb + 1) * 2 - r2) AS s FROM r), " +
+          "m AS (SELECT any_value(na) AS n_a, any_value(nb) AS n_b, " +
+          "CAST(sum(CAST(ca AS HUGEINT) * s) AS HUGEINT) AS tt, " +
+          "CAST(sum(CAST(ca + cb AS HUGEINT) * s) AS HUGEINT) AS ss, " +
+          "CAST(sum(CAST(ca + cb AS HUGEINT) * s * s) AS HUGEINT) " +
+          "AS ss2 FROM sc), " + zFinish +
+          "SELECT n_a, n_b, round(td / 2.0, 6) AS t_stat, " +
+          "round(CASE WHEN n_a > 0 AND n_b > 0 AND vart > 0 THEN " +
+          "(td - nad * sd / nd) / sqrt(vart) END, 6) AS z FROM g"),
+        (s, dir) => Stats.ansariBradley(Tables.orders(s, dir),
+          col("o_orderpriority"), col("o_totalprice"),
+          "1-URGENT", "2-HIGH")),
+
+      // ---- Mood scale test on quantities, returned vs. un-returned
+      // lines: quadrupled centered-square scores, massive-tie exercise.
+      Q("q508_mood_scale",
+        Some(rankCte("lineitem", "l_returnflag", "l_quantity", "R", "N") +
+          "sc AS (SELECT ca, cb, na, nb, " +
+          "(r2 - (na + nb + 1)) * (r2 - (na + nb + 1)) AS s FROM r), " +
+          "m AS (SELECT any_value(na) AS n_a, any_value(nb) AS n_b, " +
+          "CAST(sum(CAST(ca AS HUGEINT) * s) AS HUGEINT) AS tt, " +
+          "CAST(sum(CAST(ca + cb AS HUGEINT) * s) AS HUGEINT) AS ss, " +
+          "CAST(sum(CAST(ca + cb AS HUGEINT) * s * s) AS HUGEINT) " +
+          "AS ss2 FROM sc), " + zFinish +
+          "SELECT n_a, n_b, round(td / 4.0, 6) AS t_stat, " +
+          "round(CASE WHEN n_a > 0 AND n_b > 0 AND vart > 0 THEN " +
+          "(td - nad * sd / nd) / sqrt(vart) END, 6) AS z FROM g"),
+        (s, dir) => Stats.moodScaleTest(Tables.lineitem(s, dir),
+          col("l_returnflag"), col("l_quantity"), "R", "N")),
+
+      // ---- Lepage omnibus (Wilcoxon + Ansari-Bradley) on extended
+      // price, returned vs accepted: both z's off the SAME cells.
+      Q("q509_lepage",
+        Some(rankCte("lineitem", "l_returnflag", "l_extendedprice",
+            "R", "A") +
+          "sc AS (SELECT ca, cb, na, nb, r2 AS sw, " +
+          "least(r2, (na + nb + 1) * 2 - r2) AS sa FROM r), " +
+          "m AS (SELECT any_value(na) AS n_a, any_value(nb) AS n_b, " +
+          "CAST(sum(CAST(ca AS HUGEINT) * sw) AS HUGEINT) AS tw, " +
+          "CAST(sum(CAST(ca + cb AS HUGEINT) * sw) AS HUGEINT) AS sws, " +
+          "CAST(sum(CAST(ca + cb AS HUGEINT) * sw * sw) AS HUGEINT) " +
+          "AS sws2, " +
+          "CAST(sum(CAST(ca AS HUGEINT) * sa) AS HUGEINT) AS ta, " +
+          "CAST(sum(CAST(ca + cb AS HUGEINT) * sa) AS HUGEINT) AS sas, " +
+          "CAST(sum(CAST(ca + cb AS HUGEINT) * sa * sa) AS HUGEINT) " +
+          "AS sas2 FROM sc), " +
+          "f AS (SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS nad, " +
+          "CAST(n_b AS DOUBLE) AS nbd, " +
+          "CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nd, " +
+          "CAST(tw AS DOUBLE) AS twd, CAST(sws AS DOUBLE) AS swsd, " +
+          "CAST(sws2 AS DOUBLE) AS sws2d, CAST(ta AS DOUBLE) AS tad, " +
+          "CAST(sas AS DOUBLE) AS sasd, CAST(sas2 AS DOUBLE) AS sas2d " +
+          "FROM m), " +
+          "g AS (SELECT *, nad * nbd / (nd * (nd - 1.0)) * " +
+          "(sws2d - swsd * swsd / nd) AS varw, " +
+          "nad * nbd / (nd * (nd - 1.0)) * " +
+          "(sas2d - sasd * sasd / nd) AS vara FROM f), " +
+          "h AS (SELECT n_a, n_b, " +
+          "CASE WHEN n_a > 0 AND n_b > 0 AND varw > 0 THEN " +
+          "(twd - nad * swsd / nd) / sqrt(varw) END AS zw, " +
+          "CASE WHEN n_a > 0 AND n_b > 0 AND vara > 0 THEN " +
+          "(tad - nad * sasd / nd) / sqrt(vara) END AS zab FROM g) " +
+          "SELECT n_a, n_b, round(zw, 6) AS z_w, round(zab, 6) AS z_ab, " +
+          "round(zw * zw + zab * zab, 6) AS lepage FROM h"),
+        (s, dir) => Stats.lepageTest(Tables.lineitem(s, dir),
+          col("l_returnflag"), col("l_extendedprice"), "R", "A")),
+
+      // ---- Cucconi location-scale quadratic on total price, fulfilled
+      // vs open orders: squared ranks AND antiranks with their exact
+      // permutation correlation.
+      Q("q510_cucconi",
+        Some(rankCte("orders", "o_orderstatus", "o_totalprice",
+            "F", "O") +
+          "sc AS (SELECT ca, cb, na, nb, r2 * r2 AS f4, " +
+          "((na + nb + 1) * 2 - r2) * ((na + nb + 1) * 2 - r2) AS g4 " +
+          "FROM r), " +
+          "m AS (SELECT any_value(na) AS n_a, any_value(nb) AS n_b, " +
+          "CAST(sum(CAST(ca AS HUGEINT) * f4) AS HUGEINT) AS tf, " +
+          "CAST(sum(CAST(ca AS HUGEINT) * g4) AS HUGEINT) AS tg, " +
+          "CAST(sum(CAST(ca + cb AS HUGEINT) * f4) AS HUGEINT) AS sf, " +
+          "CAST(sum(CAST(ca + cb AS HUGEINT) * g4) AS HUGEINT) AS sg, " +
+          "CAST(sum(CAST(ca + cb AS HUGEINT) * f4 * f4) AS HUGEINT) " +
+          "AS sf2, " +
+          "CAST(sum(CAST(ca + cb AS HUGEINT) * g4 * g4) AS HUGEINT) " +
+          "AS sg2, " +
+          "CAST(sum(CAST(ca + cb AS HUGEINT) * f4 * g4) AS HUGEINT) " +
+          "AS sfg FROM sc), " +
+          "f AS (SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS nad, " +
+          "CAST(n_b AS DOUBLE) AS nbd, " +
+          "CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nd, " +
+          "CAST(tf AS DOUBLE) AS tfd, CAST(tg AS DOUBLE) AS tgd, " +
+          "CAST(sf AS DOUBLE) AS sfd, CAST(sg AS DOUBLE) AS sgd, " +
+          "CAST(sf2 AS DOUBLE) AS sf2d, CAST(sg2 AS DOUBLE) AS sg2d, " +
+          "CAST(sfg AS DOUBLE) AS sfgd FROM m), " +
+          "g AS (SELECT *, nad * nbd / (nd * (nd - 1.0)) * " +
+          "(sf2d - sfd * sfd / nd) AS varf, " +
+          "nad * nbd / (nd * (nd - 1.0)) * " +
+          "(sg2d - sgd * sgd / nd) AS varg, " +
+          "nad * nbd / (nd * (nd - 1.0)) * " +
+          "(sfgd - sfd * sgd / nd) AS covfg FROM f), " +
+          "h AS (SELECT n_a, n_b, " +
+          "CASE WHEN n_a > 0 AND n_b > 0 AND varf > 0 AND varg > 0 " +
+          "THEN (tfd - nad * sfd / nd) / sqrt(varf) END AS us, " +
+          "CASE WHEN n_a > 0 AND n_b > 0 AND varf > 0 AND varg > 0 " +
+          "THEN (tgd - nad * sgd / nd) / sqrt(varg) END AS vs, " +
+          "CASE WHEN n_a > 0 AND n_b > 0 AND varf > 0 AND varg > 0 " +
+          "THEN covfg / sqrt(varf * varg) END AS rho FROM g) " +
+          "SELECT n_a, n_b, round(us, 6) AS u_std, round(vs, 6) " +
+          "AS v_std, round(rho, 6) AS rho, " +
+          "round(CASE WHEN 1.0 - rho * rho > 0 THEN " +
+          "(us * us + vs * vs - 2.0 * rho * us * vs) / " +
+          "(2.0 * (1.0 - rho * rho)) END, 6) AS cucconi FROM h"),
+        (s, dir) => Stats.cucconiTest(Tables.orders(s, dir),
+          col("o_orderstatus"), col("o_totalprice"), "F", "O"))
+    )
   }
 }

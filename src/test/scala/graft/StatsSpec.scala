@@ -2418,6 +2418,45 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  // shared two-sample fixture for the rank-scale family:
+  // A = {1, 5} (wide), B = {2, 3, 4} (narrow), no ties
+  private def rsData = {
+    import spark.implicits._
+    Seq(("a", 1.0), ("a", 5.0), ("b", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+  }
+
+  test("ansariBradley: tent scores on the hand fixture") {
+    // A scores 1+1 = 2; z = (2-3.6)/sqrt(.84) = -1.745743
+    val r = Stats.ansariBradley(rsData, col("g"), col("v"), "a", "b")
+      .collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == -1.745743, s"ab: $r")
+  }
+
+  test("moodScaleTest: centered-square scores on the hand fixture") {
+    // A scores 4+4 = 8; z = 1.9518
+    val r = Stats.moodScaleTest(rsData, col("g"), col("v"), "a", "b")
+      .collect()(0)
+    assert(r.getDouble(2) == 8.0 && r.getDouble(3) == 1.9518, s"mo: $r")
+  }
+
+  test("lepageTest: Wilcoxon + AB quadratic combine") {
+    // centers match -> z_w = 0; L = z_ab^2 = 3.047619
+    val r = Stats.lepageTest(rsData, col("g"), col("v"), "a", "b")
+      .collect()(0)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == -1.745743)
+    assert(r.getDouble(4) == 3.047619, s"lp: $r")
+  }
+
+  test("cucconiTest: rank/antirank quadratic on the hand fixture") {
+    val r = Stats.cucconiTest(rsData, col("g"), col("v"), "a", "b")
+      .collect()(0)
+    assert(r.getDouble(2) == 0.377627 && r.getDouble(3) == 0.377627)
+    assert(r.getDouble(4) == -0.925134 && r.getDouble(5) == 1.904762,
+      s"cu: $r")
+  }
+
   test("ppccExponential: Blom plotting positions on a hand sample") {
     import spark.implicits._
     val df = Seq(1.0, 2.0, 4.0, 8.0).zipWithIndex.toDF("v", "tie")
