@@ -2192,6 +2192,135 @@ object EventAnalytics {
             col("__v").cast("double")).otherwise(lit(0.0)), 6).as("chi2"))
   }
 
+  // ----------------------------------------------- Allan deviation
+  /** Allan deviation of the zero-filled daily count series over an
+    * averaging-time grid (Allan 1966): for each τ, the RMS of adjacent
+    * τ-day block-mean differences, ADEV(τ) = √(Σ(m_{b+1}−m_b)²/(2(M−1)))
+    * — the drift-vs-noise ladder (white noise falls as τ^−1/2, random
+    * walk RISES; [[hurstDaily]]'s engineering cousin, reading the same
+    * spine).
+    *
+    * DETERMINISM AND SCALE: complete τ-blocks of exact integer counts;
+    * adjacent diffs are integers in a τ-partitioned lag over the
+    * calendar-bounded block relation; ADEV(τ)² = Σd²/(τ²·2(M−1)) is ONE
+    * exact integer rational per τ, then one √. Fewer than 2 complete
+    * blocks null loudly. Returns per τ: (tau, n_blocks, adev) 6dp. */
+  def allanDeviationDaily(df: DataFrame, tsCol: String,
+                          taus: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    require(taus.nonEmpty && taus == taus.sorted && taus.head >= 1,
+      s"taus must be ascending positive: $taus")
+    val daily = resampleDaily(df, tsCol)
+    val based = daily.crossJoin(broadcast(
+        daily.agg(min(col("day")).as("__d0"))))
+      .select((col("day") - col("__d0")).as("__t"), col("n"))
+    val blocks = taus.map { s =>
+      based.select(lit(s.toLong).as("tau"),
+          expr(s"__t div $s").as("__b"), col("n"))
+        .groupBy("tau", "__b")
+        .agg(count(lit(1)).as("__cnt"), sum(col("n")).as("__s"))
+        .filter(col("__cnt") === s.toLong)
+    }.reduce(_ unionByName _)
+    val wLag = Window.partitionBy(col("tau")).orderBy(col("__b"))
+    val diffs = blocks
+      .withColumn("__d", col("__s") - lag(col("__s"), 1).over(wLag))
+    val agg = diffs.groupBy("tau")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum((col("__d") * col("__d")).cast(dt)).as("__dd"))
+    val m1 = (col("n_blocks") - 1L).cast("double")
+    agg.select(col("tau"), col("n_blocks"),
+        round(when(col("n_blocks") >= 2L,
+          sqrt(col("__dd").cast("double") /
+            (col("tau").cast("double") * col("tau").cast("double") *
+              lit(2.0) * m1))), 6).as("adev"))
+      .orderBy("tau")
+  }
+
+  // --------------------------------- detrended fluctuation analysis
+  /** DFA of the daily count series (Peng et al. 1994): integrate the
+    * demeaned series into a profile, detrend each complete s-day block
+    * by its own OLS line, F(s) = √(mean block residual variance); the
+    * log-log slope α of F against s is the long-memory exponent (α = 0.5
+    * uncorrelated, > 0.5 persistent) — trend-robust where
+    * [[hurstDaily]]'s R/S is not.
+    *
+    * DETERMINISM AND SCALE: the profile scales by N to stay integer
+    * (P_t = N·C_t − (t+1)·T — the KPSS discipline), block OLS moments
+    * are DECIMAL(38,0) integer sums (x = 1..s within block), per-block
+    * SSR is a fixed IEEE shape, F rescales by /N once; α is a 3-point
+    * ln–ln OLS over the bounded size grid. Block sizes must leave ≥ 1
+    * complete block (the 30-day-spine lesson: sizes ≤ 16). Returns per
+    * size: (block_size, n_blocks, fluct, alpha) 6dp (α repeated — the
+    * headline number rides every row). */
+  def dfaDaily(df: DataFrame, tsCol: String,
+               sizes: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    require(sizes.size >= 2 && sizes == sizes.sorted && sizes.head >= 2,
+      s"need >= 2 ascending block sizes >= 2: $sizes")
+    val daily = resampleDaily(df, tsCol)
+    val tot = daily.agg(min(col("day")).as("__d0"),
+      count(lit(1)).as("__nd"), sum(col("n")).as("__tt"))
+    val wCum = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prof = daily.crossJoin(broadcast(tot))
+      .select((col("day") - col("__d0")).as("__t"), col("n"),
+        col("__nd"), col("__tt"))
+      .withColumn("__c", sum(col("n")).over(wCum))
+      .withColumn("__p", col("__nd").cast(dt) * col("__c") -
+        (col("__t") + 1L).cast(dt) * col("__tt"))
+    val blocks = sizes.map { s =>
+      prof.select(lit(s.toLong).as("block_size"),
+        expr(s"__t div $s").as("__b"),
+        (expr(s"__t % $s") + 1L).as("__x"), col("__p"), col("__nd"))
+    }.reduce(_ unionByName _)
+    val perBlock = blocks.groupBy("block_size", "__b")
+      .agg(count(lit(1)).as("__cnt"), first(col("__nd")).as("__nd"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__p")).as("__sy"),
+        sum(col("__x").cast(dt) * col("__p")).as("__sxy"),
+        sum(col("__p") * col("__p")).as("__syy"))
+      .filter(col("__cnt") === col("block_size"))
+    val nB = col("__cnt").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val sxxC = d("__sxx") - d("__sx") * d("__sx") / nB
+    val sxyC = d("__sxy") - d("__sx") * d("__sy") / nB
+    val syyC = d("__syy") - d("__sy") * d("__sy") / nB
+    val ssr = syyC - sxyC * sxyC / sxxC
+    val perSize = perBlock
+      .withColumn("__ssr", when(sxxC > 0.0, ssr))
+      .groupBy("block_size")
+      .agg(count(lit(1)).as("n_blocks"), first(col("__nd")).as("__nd"),
+        sum(col("__ssr").cast(DecimalType(38, 6))).cast("double")
+          .as("__sssr"))
+      .withColumn("__f",
+        sqrt(col("__sssr") / col("n_blocks").cast("double") /
+          col("block_size").cast("double")) /
+          col("__nd").cast("double"))
+    val alpha = {
+      val dd = DecimalType(28, 12)
+      val lx = log(col("block_size").cast("double"))
+      val ly = log(col("__f"))
+      val m = perSize.filter(col("__f") > 0.0)
+        .agg(count(lit(1)).as("__k"),
+          sum(lx.cast(dd)).cast("double").as("__slx"),
+          sum(ly.cast(dd)).cast("double").as("__sly"),
+          sum((lx * lx).cast(dd)).cast("double").as("__slxx"),
+          sum((lx * ly).cast(dd)).cast("double").as("__slxy"))
+      val kD = col("__k").cast("double")
+      val num = col("__slxy") - col("__slx") * col("__sly") / kD
+      val den = col("__slxx") - col("__slx") * col("__slx") / kD
+      m.select(when(col("__k") >= 2L && den > 0.0, num / den).as("__a"))
+    }
+    perSize.crossJoin(broadcast(alpha))
+      .select(col("block_size"), col("n_blocks"),
+        round(col("__f"), 6).as("fluct"),
+        round(col("__a"), 6).as("alpha"))
+      .orderBy("block_size")
+  }
+
   // --------------------------------------------- weighted log-rank
   /** Weighted log-rank test (the Gehan–Breslow / Tarone–Ware family):
     * Z = Σ w_t·(d_At − E_t) / √(Σ w_t²·V_t) with w_t = n_t (gehan —

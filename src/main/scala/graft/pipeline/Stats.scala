@@ -6884,4 +6884,81 @@ object Stats {
         (uS * uS + vS * vS - lit(2.0) * rho * uS * vS) /
           (lit(2.0) * (lit(1.0) - rho * rho))), 6).as("cucconi"))
   }
+
+  // -------------------------------------- Benjamini–Yekutieli step-up
+  /** Benjamini–Yekutieli FDR control ([[bhFdr]] under ARBITRARY
+    * dependence, 2001): the BH threshold divides by the harmonic factor
+    * c(m) = Σ_{i=1..m} 1/i, buying validity for correlated tests at the
+    * cost of power — the safe default when the per-slice tests share
+    * data.
+    *
+    * DETERMINISM AND SCALE: ranks are 1..m exactly, so c(m) is the
+    * DECIMAL(28,12) sum of 1/rank over the battery itself; the boundary
+    * compare p·m·qDen·c ≤ qNum·rank mirrors [[bhFdr]]'s fixed shape
+    * with one extra factor. Windows run over the BOUNDED test battery.
+    * Returns per test: (id, p_value, rank, threshold, discovery). */
+  def byFdr(df: DataFrame, idCol: String, pCol: Column,
+            qNum: Int, qDen: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(qNum > 0 && qDen > 0 && qNum <= qDen,
+      s"q fraction out of range: $qNum/$qDen")
+    val m = df.agg(count(lit(1)).as("__m"))
+    val wRank = Window.orderBy(col("p_value").asc, col("id").asc)
+    val wAll = Window.partitionBy(lit(1))
+    val ranked = df
+      .select(col(idCol).as("id"), pCol.cast("double").as("p_value"))
+      .crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(wRank))
+    val cm = ranked.agg(sum((lit(1.0) / col("rank").cast("double"))
+      .cast(DecimalType(28, 12))).cast("double").as("__c"))
+    ranked.crossJoin(broadcast(cm))
+      .withColumn("__ok",
+        col("p_value") * col("__m").cast("double") * qDen * col("__c") <=
+          lit(qNum).cast("double") * col("rank").cast("double"))
+      .withColumn("__k", max(when(col("__ok"), col("rank"))).over(wAll))
+      .select(col("id"), col("p_value"), col("rank"),
+        round(lit(qNum).cast("double") * col("rank").cast("double") /
+          (lit(qDen).cast("double") * col("__m").cast("double") *
+            col("__c")), 6).as("threshold"),
+        coalesce(col("rank") <= col("__k"), lit(false)).as("discovery"))
+  }
+
+  // --------------------------------------------------- Storey q-values
+  /** Storey's q-values at a fixed λ (Storey 2002): π̂₀ =
+    * min(1, #(p > λ)/((1−λ)·m)) estimates the true-null share, then
+    * q_(i) = min(1, min_{j ≥ i} π̂₀·m·p_(j)/j) — the per-test FDR price
+    * tag where [[bhFdr]] gives only an accept/reject cut. λ is a FIXED
+    * parameter (no spline smoothing — deterministic by construction,
+    * documented).
+    *
+    * DETERMINISM AND SCALE: π̂₀ is one exact-count rational; the suffix
+    * min runs over the bounded battery in rank order ([[multipleTesting]]
+    * windows). A NULL p-value RAISES (dropping a test shrinks m and
+    * shifts every q). Returns per test:
+    * (id, p_value, rank, pi0, q_value) 6dp. */
+  def storeyQ(df: DataFrame, idCol: String, pCol: Column,
+              lambda: Double = 0.5): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda in (0,1): $lambda")
+    val p0 = pCol.cast("double")
+    val base = df.select(col(idCol).as("id"),
+      when(p0.isNull, raise_error(concat(
+          lit("storeyQ: null p-value for id "), col(idCol).cast("string"))))
+        .otherwise(p0).as("p_value"))
+    val m = base.agg(count(lit(1)).as("__m"),
+      sum(when(col("p_value") > lambda, 1L).otherwise(0L)).as("__over"))
+    val wRank = Window.orderBy(col("p_value").asc, col("id").asc)
+    val wSuffix = wRank
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val md = col("__m").cast("double")
+    val pi0 = least(lit(1.0),
+      col("__over").cast("double") / (lit(1.0 - lambda) * md))
+    base.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("__raw",
+        pi0 * md * col("p_value") / col("rank").cast("double"))
+      .select(col("id"), round(col("p_value"), 6).as("p_value"),
+        col("rank"), round(pi0, 6).as("pi0"),
+        round(least(lit(1.0), min(col("__raw")).over(wSuffix)), 6)
+          .as("q_value"))
+  }
 }

@@ -1003,5 +1003,193 @@ object StatsQueries5 {
         (s, dir) => Stats.cucconiTest(Tables.orders(s, dir),
           col("o_orderstatus"), col("o_totalprice"), "F", "O"))
     )
+  } ++ {
+    // shared daily zero-filled spine CTE (the q435 scaffold) and the
+    // q363 Chebyshev p-value battery (Spark + SQL) for the FDR queries
+    val spineCte =
+      "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "s AS (SELECT r.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n " +
+        "FROM r LEFT JOIN c USING (day)), " +
+        "d0 AS (SELECT min(day) AS d0 FROM s), " +
+        "t AS (SELECT day - d0 AS t, n FROM s, d0), "
+    val pBatteryCte =
+      "WITH g AS (SELECT event_type, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN NOT (user_id % 2 = 0) THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_b, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN " +
+        "CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS sa, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN " +
+        "CAST(value * value AS DECIMAL(38,6)) END) AS DOUBLE) AS pa, " +
+        "CAST(sum(CASE WHEN NOT (user_id % 2 = 0) THEN " +
+        "CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS sb, " +
+        "CAST(sum(CASE WHEN NOT (user_id % 2 = 0) THEN " +
+        "CAST(value * value AS DECIMAL(38,6)) END) AS DOUBLE) AS pb " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1), " +
+        "m AS (SELECT event_type, CAST(n_a AS DOUBLE) AS na, " +
+        "CAST(n_b AS DOUBLE) AS nb, sa, sb, pa, pb FROM g " +
+        "WHERE n_a > 1 AND n_b > 1), " +
+        "v AS (SELECT event_type, sa / na AS ma, sb / nb AS mb, " +
+        "((na * pa - sa * sa) / (na * (na - 1.0))) / na AS s2a, " +
+        "((nb * pb - sb * sb) / (nb * (nb - 1.0))) / nb AS s2b FROM m), " +
+        "tst AS (SELECT event_type, round(power((ma - mb) / " +
+        "sqrt(s2a + s2b), 2), 6) AS t2 FROM v), " +
+        "p AS (SELECT event_type, round(least(1.0, CASE WHEN t2 > 0 " +
+        "THEN 1.0 / t2 ELSE 1.0 END), 6) AS p FROM tst), "
+    def pBattery(s: org.apache.spark.sql.SparkSession, dir: String) = {
+      import org.apache.spark.sql.types.DecimalType
+      val a = pmod(col("user_id"), lit(2L)) === 0
+      val g = Tables.events(s, dir).filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(sum(when(a, 1L).otherwise(0L)).as("n_a"),
+          sum(when(!a, 1L).otherwise(0L)).as("n_b"),
+          sum(when(a, col("value").cast(DecimalType(38, 6)))).as("__sa"),
+          sum(when(a, (col("value") * col("value"))
+            .cast(DecimalType(38, 6)))).as("__pa"),
+          sum(when(!a, col("value").cast(DecimalType(38, 6)))).as("__sb"),
+          sum(when(!a, (col("value") * col("value"))
+            .cast(DecimalType(38, 6)))).as("__pb"))
+        .filter(col("n_a") > 1 && col("n_b") > 1)
+      val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+      val sa = col("__sa").cast("double"); val sb = col("__sb").cast("double")
+      val pa = col("__pa").cast("double"); val pb = col("__pb").cast("double")
+      val s2a = ((na * pa - sa * sa) / (na * (na - 1.0))) / na
+      val s2b = ((nb * pb - sb * sb) / (nb * (nb - 1.0))) / nb
+      val t2 = round(pow((sa / na - sb / nb) / sqrt(s2a + s2b), 2), 6)
+      g.withColumn("__t2", t2)
+        .withColumn("p", round(least(lit(1.0),
+          when(col("__t2") > 0, lit(1.0) / col("__t2"))
+            .otherwise(lit(1.0))), 6))
+    }
+
+    Seq(
+      // ---- Allan deviation ladder of the daily event-count series:
+      // exact integer rational per tau, one sqrt.
+      Q("q511_allan_dev",
+        Some(spineCte +
+          "tz AS (SELECT unnest([1, 2, 4, 8]) AS tz), " +
+          "b AS (SELECT CAST(tz AS BIGINT) AS tau, t // tz AS blk, n " +
+          "FROM t, tz), " +
+          "gb AS (SELECT tau, blk, CAST(count(*) AS BIGINT) AS cnt, " +
+          "CAST(sum(n) AS BIGINT) AS s FROM b GROUP BY 1, 2), " +
+          "fb AS (SELECT tau, blk, s FROM gb WHERE cnt = tau), " +
+          "d AS (SELECT tau, s - lag(s) OVER (PARTITION BY tau " +
+          "ORDER BY blk) AS dd FROM fb), " +
+          "a AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_blocks, " +
+          "CAST(sum(CAST(dd AS HUGEINT) * dd) AS HUGEINT) AS sdd " +
+          "FROM d GROUP BY 1) " +
+          "SELECT tau, n_blocks, round(CASE WHEN n_blocks >= 2 THEN " +
+          "sqrt(CAST(sdd AS DOUBLE) / (CAST(tau AS DOUBLE) * " +
+          "CAST(tau AS DOUBLE) * 2.0 * CAST(n_blocks - 1 AS DOUBLE))) " +
+          "END, 6) AS adev FROM a ORDER BY tau"),
+        (s, dir) => EventAnalytics.allanDeviationDaily(
+          Tables.events(s, dir), "ts", taus = Seq(1, 2, 4, 8))),
+
+      // ---- DFA of the same spine: N-scaled integer profile, per-block
+      // OLS detrend, 3-point ln-ln slope alpha riding every row.
+      Q("q512_dfa",
+        Some(spineCte +
+          "tot AS (SELECT CAST(count(*) AS BIGINT) AS nd, " +
+          "CAST(sum(n) AS BIGINT) AS tt FROM s), " +
+          "pr AS (SELECT t, CAST(sum(n) OVER (ORDER BY t ROWS BETWEEN " +
+          "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum " +
+          "FROM t), " +
+          "pp AS (SELECT pr.t, CAST(tot.nd AS HUGEINT) * pr.cum - " +
+          "CAST(pr.t + 1 AS HUGEINT) * tot.tt AS p, tot.nd " +
+          "FROM pr, tot), " +
+          "sz AS (SELECT unnest([4, 8, 16]) AS bs), " +
+          "b AS (SELECT CAST(bs AS BIGINT) AS block_size, t // bs " +
+          "AS blk, t % bs + 1 AS x, p, nd FROM pp, sz), " +
+          "mm AS (SELECT block_size, blk, CAST(count(*) AS BIGINT) " +
+          "AS cnt, any_value(nd) AS nd, CAST(sum(x) AS BIGINT) AS sx, " +
+          "CAST(sum(x * x) AS BIGINT) AS sxx, " +
+          "CAST(sum(p) AS HUGEINT) AS sy, " +
+          "CAST(sum(CAST(x AS HUGEINT) * p) AS HUGEINT) AS sxy, " +
+          "CAST(sum(p * p) AS HUGEINT) AS syy FROM b GROUP BY 1, 2), " +
+          "q AS (SELECT block_size, nd, " +
+          "CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * " +
+          "CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) AS sxxc, " +
+          "CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * " +
+          "CAST(sy AS DOUBLE) / CAST(cnt AS DOUBLE) AS sxyc, " +
+          "CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * " +
+          "CAST(sy AS DOUBLE) / CAST(cnt AS DOUBLE) AS syyc " +
+          "FROM mm WHERE cnt = block_size), " +
+          "w2 AS (SELECT block_size, nd, CASE WHEN sxxc > 0 THEN " +
+          "syyc - sxyc * sxyc / sxxc END AS ssr FROM q), " +
+          "ps AS (SELECT block_size, CAST(count(*) AS BIGINT) " +
+          "AS n_blocks, any_value(nd) AS nd, " +
+          "CAST(sum(CAST(ssr AS DECIMAL(38,6))) AS DOUBLE) AS sssr " +
+          "FROM w2 GROUP BY 1), " +
+          "pf AS (SELECT block_size, n_blocks, " +
+          "sqrt(sssr / CAST(n_blocks AS DOUBLE) / " +
+          "CAST(block_size AS DOUBLE)) / CAST(nd AS DOUBLE) AS f " +
+          "FROM ps), " +
+          "fit AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
+          "CAST(sum(CAST(lx AS DECIMAL(28,12))) AS DOUBLE) AS slx, " +
+          "CAST(sum(CAST(ly AS DECIMAL(28,12))) AS DOUBLE) AS sly, " +
+          "CAST(sum(CAST(lx * lx AS DECIMAL(28,12))) AS DOUBLE) " +
+          "AS slxx, " +
+          "CAST(sum(CAST(lx * ly AS DECIMAL(28,12))) AS DOUBLE) " +
+          "AS slxy FROM (SELECT ln(CAST(block_size AS DOUBLE)) AS lx, " +
+          "ln(f) AS ly FROM pf WHERE f > 0)) " +
+          "SELECT block_size, n_blocks, round(f, 6) AS fluct, " +
+          "round(CASE WHEN k >= 2 AND slxx - slx * slx / " +
+          "CAST(k AS DOUBLE) > 0 THEN (slxy - slx * sly / " +
+          "CAST(k AS DOUBLE)) / (slxx - slx * slx / " +
+          "CAST(k AS DOUBLE)) END, 6) AS alpha FROM pf, fit " +
+          "ORDER BY block_size"),
+        (s, dir) => EventAnalytics.dfaDaily(Tables.events(s, dir), "ts",
+          sizes = Seq(4, 8, 16))),
+
+      // ---- Benjamini-Yekutieli over the q363 battery: the harmonic
+      // c(m) factor buys validity under arbitrary dependence.
+      Q("q513_by_fdr",
+        Some(pBatteryCte +
+          "fam AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p), " +
+          "rk AS (SELECT event_type AS id, p AS p_value, " +
+          "CAST(row_number() OVER (ORDER BY p, event_type) AS INTEGER) " +
+          "AS rank, m FROM p, fam), " +
+          "cm AS (SELECT CAST(sum(CAST(1.0 / CAST(rank AS DOUBLE) " +
+          "AS DECIMAL(28,12))) AS DOUBLE) AS c FROM rk), " +
+          "ok AS (SELECT id, p_value, rank, m, c, " +
+          "p_value * CAST(m AS DOUBLE) * 10 * c <= " +
+          "1.0 * CAST(rank AS DOUBLE) AS okf FROM rk, cm), " +
+          "kk AS (SELECT max(CASE WHEN okf THEN rank END) AS k FROM ok) " +
+          "SELECT id, p_value, rank, " +
+          "round(1.0 * CAST(rank AS DOUBLE) / (10.0 * " +
+          "CAST(m AS DOUBLE) * c), 6) AS threshold, " +
+          "coalesce(rank <= k, FALSE) AS discovery FROM ok, kk " +
+          "ORDER BY rank"),
+        (s, dir) => Stats.byFdr(pBattery(s, dir), "event_type", col("p"),
+          qNum = 1, qDen = 10).orderBy("rank")),
+
+      // ---- Storey q-values over the same battery at lambda = .5:
+      // per-test FDR price tags via the suffix min.
+      Q("q514_storey_q",
+        Some(pBatteryCte +
+          "ov AS (SELECT CAST(count(*) AS BIGINT) AS m, " +
+          "CAST(sum(CASE WHEN p > 0.5 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS nover FROM p), " +
+          "rk AS (SELECT event_type AS id, p, CAST(row_number() OVER " +
+          "(ORDER BY p, event_type) AS INTEGER) AS rank, m, nover " +
+          "FROM p, ov), " +
+          "s2 AS (SELECT id, p, rank, m, least(1.0, " +
+          "CAST(nover AS DOUBLE) / (0.5 * CAST(m AS DOUBLE))) AS pi0 " +
+          "FROM rk), " +
+          "r2 AS (SELECT id, p, rank, pi0, " +
+          "pi0 * CAST(m AS DOUBLE) * p / CAST(rank AS DOUBLE) AS raw " +
+          "FROM s2) " +
+          "SELECT id, round(p, 6) AS p_value, rank, " +
+          "round(pi0, 6) AS pi0, " +
+          "round(least(1.0, min(raw) OVER (ORDER BY p, id ROWS BETWEEN " +
+          "CURRENT ROW AND UNBOUNDED FOLLOWING)), 6) AS q_value " +
+          "FROM r2 ORDER BY rank"),
+        (s, dir) => Stats.storeyQ(pBattery(s, dir), "event_type",
+          col("p"), lambda = 0.5).orderBy("rank"))
+    )
   }
 }

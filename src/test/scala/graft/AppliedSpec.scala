@@ -605,6 +605,40 @@ class AppliedSpec extends SparkSpec {
       s0.getDouble(3) == 2.0) // E_A: t1 2·2/4 + t2 2·1/2 = 2 = O_A
   }
 
+  test("allanDeviationDaily: exact rational ADEV on a hand spine") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // counts 1,3,2,6: tau=1 -> sqrt(21/6); tau=2 -> sqrt(16/8)
+    val counts = Seq(1, 3, 2, 6)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(t(d + 5)) }
+    val r = EventAnalytics.allanDeviationDaily(rows.toDF("ts"), "ts",
+      taus = Seq(1, 2)).collect()
+    assert((r(0).getLong(0), r(0).getLong(1)) == ((1L, 4L)))
+    assert(r(0).getDouble(2) == 1.870829, s"t1: ${r(0)}")
+    assert((r(1).getLong(0), r(1).getLong(1)) == ((2L, 2L)))
+    assert(r(1).getDouble(2) == 1.414214, s"t2: ${r(1)}")
+  }
+
+  test("dfaDaily: per-block detrended fluctuation and ln-ln slope") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // counts 1,3,2,6,4,0,5,3 (day 5 zero-fills): F(4)=1.012423,
+    // F(8)=1.080123, alpha=.093384 (python replay incl. the
+    // DECIMAL(38,6) SSR cast)
+    val counts = Seq(1, 3, 2, 6, 4, 0, 5, 3)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(t(d + 5)) }
+    val r = EventAnalytics.dfaDaily(rows.toDF("ts"), "ts",
+      sizes = Seq(4, 8)).collect()
+    assert((r(0).getLong(0), r(0).getLong(1)) == ((4L, 2L)))
+    assert(r(0).getDouble(2) == 1.012423, s"f4: ${r(0)}")
+    assert((r(1).getLong(0), r(1).getLong(1)) == ((8L, 1L)))
+    assert(r(1).getDouble(2) == 1.080123, s"f8: ${r(1)}")
+    assert(r(0).getDouble(3) == 0.093384 && r(1).getDouble(3) == 0.093384,
+      s"alpha: ${r(0)}")
+  }
+
   test("weightedLogRank: Gehan n_t weights on a hand risk table") {
     import spark.implicits._
     // A: 1(E), 2(E); B: 1(E), 3(censored):

@@ -2418,6 +2418,34 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("byFdr: harmonic-factor step-up on a hand battery") {
+    import spark.implicits._
+    // m=4, c=25/12: thresholds .012k -> k_max = 2
+    val df = Seq(("a", 0.01), ("b", 0.02), ("c", 0.2), ("d", 0.9))
+      .toDF("id", "p")
+    val r = Stats.byFdr(df, "id", col("p"), qNum = 1, qDen = 10)
+      .orderBy("rank").collect()
+    assert(r.map(_.getDouble(3)).toSeq ==
+      Seq(0.012, 0.024, 0.036, 0.048))
+    assert(r.map(_.getBoolean(4)).toSeq ==
+      Seq(true, true, false, false), s"by: ${r.toSeq}")
+  }
+
+  test("storeyQ: pi0 from the lambda tail, suffix-min q-values") {
+    import spark.implicits._
+    // #(p>.5)=1 -> pi0 = .5; raw = 2p/rank -> q = .02,.02,.133333,.45
+    val df = Seq(("a", 0.01), ("b", 0.02), ("c", 0.2), ("d", 0.9))
+      .toDF("id", "p")
+    val r = Stats.storeyQ(df, "id", col("p")).orderBy("rank").collect()
+    assert(r.forall(_.getDouble(3) == 0.5))
+    assert(r.map(_.getDouble(4)).toSeq ==
+      Seq(0.02, 0.02, 0.133333, 0.45), s"st: ${r.toSeq}")
+    intercept[Exception] {
+      Stats.storeyQ(Seq(("a", Option.empty[Double])).toDF("id", "p"),
+        "id", col("p")).collect()
+    }
+  }
+
   // shared two-sample fixture for the rank-scale family:
   // A = {1, 5} (wide), B = {2, 3, 4} (narrow), no ties
   private def rsData = {
