@@ -6961,4 +6961,227 @@ object Stats {
         round(least(lit(1.0), min(col("__raw")).over(wSuffix)), 6)
           .as("q_value"))
   }
+
+  // --------------------------------------------- D'Agostino K² omnibus
+  /** D'Agostino–Pearson K² normality omnibus (D'Agostino, Belanger &
+    * D'Agostino 1990): the skewness z (D'Agostino 1970 transform) and
+    * kurtosis z (Anscombe–Glynn 1983 transform, cbrt-based) each
+    * normalize their finite-sample null, K² = Z₁² + Z₂² ~ χ²₂ — the
+    * small-sample-honest upgrade of [[jarqueBera]]'s asymptotic form.
+    *
+    * DETERMINISM AND SCALE: ONE aggregate of four decimal raw-moment
+    * sums; central moments come from the fixed raw-moment algebra; both
+    * transforms are single fixed IEEE shapes per the published formulas
+    * (cbrt, not pow(·,1/3) — negative bases stay real on both engines).
+    * n < 20 nulls the z's loudly (the transforms' own validity floor).
+    * Returns one row: (n, skew, kurt_excess, z_skew, z_kurt, k2) 6dp. */
+  def dagostinoK2(df: DataFrame, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 6)
+    val v = valueCol.cast("double")
+    val m = df.filter(v.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(v.cast(dt)).cast("double").as("__s1"),
+        sum((v * v).cast(dt)).cast("double").as("__s2"),
+        sum((v * v * v).cast(dt)).cast("double").as("__s3"),
+        sum((v * v * v * v).cast(dt)).cast("double").as("__s4"))
+    val nD = col("n").cast("double")
+    val s1 = col("__s1"); val s2 = col("__s2")
+    val s3 = col("__s3"); val s4 = col("__s4")
+    val m2 = (s2 - s1 * s1 / nD) / nD
+    val m3 = (s3 - lit(3.0) * s1 * s2 / nD +
+      lit(2.0) * s1 * s1 * s1 / (nD * nD)) / nD
+    val m4 = (s4 - lit(4.0) * s1 * s3 / nD +
+      lit(6.0) * s1 * s1 * s2 / (nD * nD) -
+      lit(3.0) * s1 * s1 * s1 * s1 / (nD * nD * nD)) / nD
+    val g1 = when(m2 > 0.0, m3 / sqrt(m2 * m2 * m2))
+    val g2 = when(m2 > 0.0, m4 / (m2 * m2) - 3.0)
+    val okN = col("n") >= 20L
+    // D'Agostino 1970 skewness transform
+    val y = g1 * sqrt((nD + 1.0) * (nD + 3.0) / (lit(6.0) * (nD - 2.0)))
+    val b2 = lit(3.0) * (nD * nD + lit(27.0) * nD - 70.0) * (nD + 1.0) *
+      (nD + 3.0) / ((nD - 2.0) * (nD + 5.0) * (nD + 7.0) * (nD + 9.0))
+    val w2 = sqrt(lit(2.0) * (b2 - 1.0)) - 1.0
+    val dl = lit(1.0) / sqrt(log(sqrt(w2)))
+    val alpha = sqrt(lit(2.0) / (w2 - 1.0))
+    val z1 = when(okN && g1.isNotNull,
+      dl * log(y / alpha + sqrt(y / alpha * (y / alpha) + 1.0)))
+    // Anscombe-Glynn 1983 kurtosis transform
+    val eG2 = lit(-6.0) / (nD + 1.0)
+    val vG2 = lit(24.0) * nD * (nD - 2.0) * (nD - 3.0) /
+      ((nD + 1.0) * (nD + 1.0) * (nD + 3.0) * (nD + 5.0))
+    val xStd = (g2 - eG2) / sqrt(vG2)
+    val sb1 = lit(6.0) * (nD * nD - lit(5.0) * nD + 2.0) /
+      ((nD + 7.0) * (nD + 9.0)) *
+      sqrt(lit(6.0) * (nD + 3.0) * (nD + 5.0) /
+        (nD * (nD - 2.0) * (nD - 3.0)))
+    val aA = lit(6.0) + lit(8.0) / sb1 *
+      (lit(2.0) / sb1 + sqrt(lit(1.0) + lit(4.0) / (sb1 * sb1)))
+    val z2 = when(okN && g2.isNotNull,
+      ((lit(1.0) - lit(2.0) / (lit(9.0) * aA)) -
+        cbrt((lit(1.0) - lit(2.0) / aA) /
+          (lit(1.0) + xStd * sqrt(lit(2.0) / (aA - 4.0))))) /
+        sqrt(lit(2.0) / (lit(9.0) * aA)))
+    m.select(col("n"), round(g1, 6).as("skew"),
+      round(g2, 6).as("kurt_excess"),
+      round(z1, 6).as("z_skew"), round(z2, 6).as("z_kurt"),
+      round(z1 * z1 + z2 * z2, 6).as("k2"))
+  }
+
+  // ----------------------------------------------------- Chow break test
+  /** Chow structural-break test (1960) for a simple OLS y ~ x at a FIXED
+    * breakpoint: F = ((SSR_pooled − SSR₁ − SSR₂)/2) /
+    * ((SSR₁+SSR₂)/(n−4)) ~ F(2, n−4) — did the line's level or slope
+    * change at x = breakX? The hypothesis-test companion to
+    * [[EventAnalytics.changePoint]]'s break-locator (which finds the
+    * point; this prices a PRE-declared one, the valid-inference way).
+    *
+    * DETERMINISM AND SCALE: three decimal-moment OLS blocks (pooled and
+    * both segments) off ONE conditional aggregate — one scan; each SSR
+    * is a fixed IEEE shape. Segments need ≥ 3 points and positive
+    * x-variance each; degenerate splits null loudly. Returns one row:
+    * (n, n_left, n_right, f_stat) 6dp. */
+  def chowTest(df: DataFrame, xCol: Column, yCol: Column,
+               breakX: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 6)
+    val x = xCol.cast("double"); val y = yCol.cast("double")
+    val left = x < breakX
+    def block(tag: String, cond: Column) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"__n$tag"),
+      sum(when(cond, x.cast(dt))).cast("double").as(s"__sx$tag"),
+      sum(when(cond, y.cast(dt))).cast("double").as(s"__sy$tag"),
+      sum(when(cond, (x * x).cast(dt))).cast("double").as(s"__sxx$tag"),
+      sum(when(cond, (x * y).cast(dt))).cast("double").as(s"__sxy$tag"),
+      sum(when(cond, (y * y).cast(dt))).cast("double").as(s"__syy$tag"))
+    val m = df.filter(x.isNotNull && y.isNotNull)
+      .agg((block("p", lit(true)) ++ block("l", left) ++
+        block("r", !left)).head,
+        (block("p", lit(true)) ++ block("l", left) ++
+          block("r", !left)).tail: _*)
+    def ssr(tag: String): Column = {
+      val n = col(s"__n$tag").cast("double")
+      val sxx = col(s"__sxx$tag") - col(s"__sx$tag") * col(s"__sx$tag") / n
+      val sxy = col(s"__sxy$tag") - col(s"__sx$tag") * col(s"__sy$tag") / n
+      val syy = col(s"__syy$tag") - col(s"__sy$tag") * col(s"__sy$tag") / n
+      when(sxx > 0.0, syy - sxy * sxy / sxx)
+    }
+    val nD = col("__np").cast("double")
+    val ok = col("__nl") >= 3L && col("__nr") >= 3L
+    val sP = ssr("p"); val sL = ssr("l"); val sR = ssr("r")
+    val f = when(ok && sL + sR > 0.0,
+      ((sP - sL - sR) / 2.0) / ((sL + sR) / (nD - 4.0)))
+    m.select(col("__np").as("n"), col("__nl").as("n_left"),
+      col("__nr").as("n_right"), round(f, 6).as("f_stat"))
+  }
+
+  // ------------------------------------------ Cook's distance census
+  /** Cook's distance census for a simple OLS y ~ x: per point
+    * D_i = e_i²·h_i / (2·s²·(1−h_i)²) with leverage
+    * h_i = 1/n + (x_i−x̄)²/S_xx — how much the fitted line moves if the
+    * point drops. Reports the count above the 4/n rule of thumb, the
+    * max D, and the argmax point's tie id — the influence screen
+    * [[robustOutlierStats]]' marginal rules can't do (a point can be
+    * inlier in x AND y yet steer the slope).
+    *
+    * DETERMINISM AND SCALE: one decimal-moment aggregate broadcasts
+    * (a, b, s², S_xx) back; D_i is a fixed IEEE shape per row — both
+    * engines compute identical doubles, so the max election filters on
+    * equality and breaks ties by MIN(tie). Degenerate fits (n < 4,
+    * zero x-variance, zero SSR) return the n-row but null census.
+    * Returns one row: (n, n_influential, max_cooks, top_tie) 6dp. */
+  def cooksDistanceCensus(df: DataFrame, xCol: Column, yCol: Column,
+                          tieCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 6)
+    val base = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(xCol.cast("double").as("__x"), yCol.cast("double").as("__y"),
+        tieCol.cast("long").as("__tie"))
+    val m = base.agg(count(lit(1)).as("__n"),
+      sum(col("__x").cast(dt)).cast("double").as("__sx"),
+      sum(col("__y").cast(dt)).cast("double").as("__sy"),
+      sum((col("__x") * col("__x")).cast(dt)).cast("double").as("__sxx"),
+      sum((col("__x") * col("__y")).cast(dt)).cast("double").as("__sxy"),
+      sum((col("__y") * col("__y")).cast(dt)).cast("double").as("__syy"))
+    val nD = col("__n").cast("double")
+    val sxxC = col("__sxx") - col("__sx") * col("__sx") / nD
+    val sxyC = col("__sxy") - col("__sx") * col("__sy") / nD
+    val syyC = col("__syy") - col("__sy") * col("__sy") / nD
+    val fit = m.select(col("__n"), col("__sx"), col("__sy"),
+      when(col("__n") >= 4L && sxxC > 0.0, sxyC / sxxC).as("__b"),
+      sxxC.as("__sxxc"),
+      when(col("__n") >= 4L && sxxC > 0.0,
+        (syyC - sxyC * sxyC / sxxC) / (nD - 2.0)).as("__s2"))
+    val j = base.crossJoin(broadcast(fit))
+    val n2 = col("__n").cast("double")
+    val mean = col("__sx") / n2
+    val aInt = col("__sy") / n2 - col("__b") * mean
+    val withD = j
+      .withColumn("__h", lit(1.0) / n2 +
+        (col("__x") - mean) * (col("__x") - mean) / col("__sxxc"))
+      .withColumn("__e", col("__y") - (aInt + col("__b") * col("__x")))
+      .withColumn("__d",
+        when(col("__s2") > 0.0 && col("__h") < 1.0,
+          col("__e") * col("__e") * col("__h") /
+            (lit(2.0) * col("__s2") *
+              (lit(1.0) - col("__h")) * (lit(1.0) - col("__h")))))
+    val agg = withD.agg(first(col("__n")).as("n"),
+      sum(when(col("__d") > lit(4.0) / n2, 1L).otherwise(0L))
+        .as("n_influential"),
+      max(col("__d")).as("__mx"))
+    val top = withD.join(broadcast(agg.select(col("__mx"))),
+        col("__d") === col("__mx"))
+      .agg(min(col("__tie")).as("top_tie"))
+    agg.crossJoin(top)
+      .select(col("n"), col("n_influential"),
+        round(col("__mx"), 6).as("max_cooks"), col("top_tie"))
+  }
+
+  // --------------------------------------------- Breusch–Pagan test
+  /** Breusch–Pagan heteroscedasticity test (1979), single-regressor LM
+    * form: regress the squared OLS residuals on x; BP = n·R² ~ χ²₁ —
+    * does the error VARIANCE drift with x (fan-shaped residuals), the
+    * assumption [[linearFit]]'s plain standard errors lean on.
+    *
+    * DETERMINISM AND SCALE: pass 1 is one decimal-moment aggregate for
+    * (a, b); pass 2 re-scans with the BROADCAST fit and accumulates the
+    * auxiliary moments of z = e² (R² = S_xz²/(S_xx·S_zz) needs no
+    * second regression); each term is a fixed IEEE shape cast
+    * DECIMAL(38,6). Degenerate (zero x- or z-variance) nulls loudly.
+    * Returns one row: (n, slope, bp_stat) 6dp. */
+  def breuschPagan(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 6)
+    val base = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(xCol.cast("double").as("__x"), yCol.cast("double").as("__y"))
+    val m = base.agg(count(lit(1)).as("__n"),
+      sum(col("__x").cast(dt)).cast("double").as("__sx"),
+      sum(col("__y").cast(dt)).cast("double").as("__sy"),
+      sum((col("__x") * col("__x")).cast(dt)).cast("double").as("__sxx"),
+      sum((col("__x") * col("__y")).cast(dt)).cast("double").as("__sxy"))
+    val nD = col("__n").cast("double")
+    val sxxC = col("__sxx") - col("__sx") * col("__sx") / nD
+    val sxyC = col("__sxy") - col("__sx") * col("__sy") / nD
+    val fit = m.select(col("__n"), col("__sx"), col("__sy"),
+      when(col("__n") >= 3L && sxxC > 0.0, sxyC / sxxC).as("__b"))
+    val j = base.crossJoin(broadcast(fit))
+    val n2 = col("__n").cast("double")
+    val aInt = col("__sy") / n2 - col("__b") * (col("__sx") / n2)
+    val e = col("__y") - (aInt + col("__b") * col("__x"))
+    val z = e * e
+    val aux = j.agg(first(col("__n")).as("n"),
+      first(col("__b")).as("__b"),
+      sum(col("__x").cast(dt)).cast("double").as("__ax"),
+      sum(z.cast(dt)).cast("double").as("__az"),
+      sum((col("__x") * col("__x")).cast(dt)).cast("double").as("__axx"),
+      sum((col("__x") * z).cast(dt)).cast("double").as("__axz"),
+      sum((z * z).cast(dt)).cast("double").as("__azz"))
+    val n3 = col("n").cast("double")
+    val vxx = col("__axx") - col("__ax") * col("__ax") / n3
+    val vxz = col("__axz") - col("__ax") * col("__az") / n3
+    val vzz = col("__azz") - col("__az") * col("__az") / n3
+    aux.select(col("n"), round(col("__b"), 6).as("slope"),
+      round(when(vxx > 0.0 && vzz > 0.0,
+        n3 * (vxz * vxz / (vxx * vzz))), 6).as("bp_stat"))
+  }
 }

@@ -1191,5 +1191,221 @@ object StatsQueries5 {
         (s, dir) => Stats.storeyQ(pBattery(s, dir), "event_type",
           col("p"), lambda = 0.5).orderBy("rank"))
     )
+  } ++ {
+    // regression-diagnostics batch: shared lineitem (x=quantity,
+    // y=extendedprice) base and the daily spine for the Chow split
+    val liBase =
+      "b AS (SELECT CAST(l_quantity AS DOUBLE) AS x, " +
+        "CAST(l_extendedprice AS DOUBLE) AS y, " +
+        "l_orderkey * 10000000 + l_linenumber * 1000000 + l_suppkey " +
+        "AS tie FROM lineitem WHERE l_quantity IS NOT NULL AND " +
+        "l_extendedprice IS NOT NULL), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy " +
+        "FROM b), " +
+        "f AS (SELECT n, CAST(n AS DOUBLE) AS nd, sx, sy, " +
+        "sxx - sx * sx / CAST(n AS DOUBLE) AS sxxc, " +
+        "sxy - sx * sy / CAST(n AS DOUBLE) AS sxyc, " +
+        "syy - sy * sy / CAST(n AS DOUBLE) AS syyc FROM m), "
+    val spineCte2 =
+      "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "s AS (SELECT r.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n " +
+        "FROM r LEFT JOIN c USING (day)), " +
+        "d0 AS (SELECT min(day) AS d0 FROM s), " +
+        "t AS (SELECT day - d0 AS t, n FROM s, d0), "
+
+    Seq(
+      // ---- D'Agostino-Pearson K2 normality omnibus on order totals:
+      // the published small-sample transforms, cbrt-based, mirrored
+      // stage by stage.
+      Q("q515_dagostino",
+        Some("WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s1, " +
+          "CAST(sum(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS s2, " +
+          "CAST(sum(CAST(v * v * v AS DECIMAL(38,6))) AS DOUBLE) AS s3, " +
+          "CAST(sum(CAST(v * v * v * v AS DECIMAL(38,6))) AS DOUBLE) " +
+          "AS s4 FROM (SELECT CAST(o_totalprice AS DOUBLE) AS v " +
+          "FROM orders WHERE o_totalprice IS NOT NULL)), " +
+          "c AS (SELECT n, CAST(n AS DOUBLE) AS nd, s1, s2, s3, s4 " +
+          "FROM m), " +
+          "cm AS (SELECT n, nd, (s2 - s1 * s1 / nd) / nd AS m2, " +
+          "(s3 - 3.0 * s1 * s2 / nd + 2.0 * s1 * s1 * s1 / (nd * nd)) " +
+          "/ nd AS m3, " +
+          "(s4 - 4.0 * s1 * s3 / nd + 6.0 * s1 * s1 * s2 / (nd * nd) - " +
+          "3.0 * s1 * s1 * s1 * s1 / (nd * nd * nd)) / nd AS m4 " +
+          "FROM c), " +
+          "g AS (SELECT n, nd, CASE WHEN m2 > 0 THEN " +
+          "m3 / sqrt(m2 * m2 * m2) END AS g1, " +
+          "CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS g2 " +
+          "FROM cm), " +
+          "sk AS (SELECT *, g1 * sqrt((nd + 1.0) * (nd + 3.0) / " +
+          "(6.0 * (nd - 2.0))) AS y, " +
+          "3.0 * (nd * nd + 27.0 * nd - 70.0) * (nd + 1.0) * " +
+          "(nd + 3.0) / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * " +
+          "(nd + 9.0)) AS b2 FROM g), " +
+          "sk2 AS (SELECT *, sqrt(2.0 * (b2 - 1.0)) - 1.0 AS w2 " +
+          "FROM sk), " +
+          "sk3 AS (SELECT *, 1.0 / sqrt(ln(sqrt(w2))) AS dl, " +
+          "sqrt(2.0 / (w2 - 1.0)) AS al FROM sk2), " +
+          "z1t AS (SELECT *, CASE WHEN n >= 20 AND g1 IS NOT NULL THEN " +
+          "dl * ln(y / al + sqrt(y / al * (y / al) + 1.0)) END AS z1 " +
+          "FROM sk3), " +
+          "ku AS (SELECT *, -6.0 / (nd + 1.0) AS eg, " +
+          "24.0 * nd * (nd - 2.0) * (nd - 3.0) / ((nd + 1.0) * " +
+          "(nd + 1.0) * (nd + 3.0) * (nd + 5.0)) AS vg, " +
+          "6.0 * (nd * nd - 5.0 * nd + 2.0) / ((nd + 7.0) * " +
+          "(nd + 9.0)) * sqrt(6.0 * (nd + 3.0) * (nd + 5.0) / " +
+          "(nd * (nd - 2.0) * (nd - 3.0))) AS sb FROM z1t), " +
+          "ku2 AS (SELECT *, (g2 - eg) / sqrt(vg) AS xs, " +
+          "6.0 + 8.0 / sb * (2.0 / sb + sqrt(1.0 + 4.0 / (sb * sb))) " +
+          "AS aa FROM ku), " +
+          "z2t AS (SELECT *, CASE WHEN n >= 20 AND g2 IS NOT NULL THEN " +
+          "((1.0 - 2.0 / (9.0 * aa)) - cbrt((1.0 - 2.0 / aa) / " +
+          "(1.0 + xs * sqrt(2.0 / (aa - 4.0))))) / " +
+          "sqrt(2.0 / (9.0 * aa)) END AS z2 FROM ku2) " +
+          "SELECT n, round(g1, 6) AS skew, round(g2, 6) AS kurt_excess, " +
+          "round(z1, 6) AS z_skew, round(z2, 6) AS z_kurt, " +
+          "round(z1 * z1 + z2 * z2, 6) AS k2 FROM z2t"),
+        (s, dir) => Stats.dagostinoK2(Tables.orders(s, dir),
+          col("o_totalprice"))),
+
+      // ---- Chow break test on the daily event-count series at the
+      // spine midpoint (day 15 of the 30-day spine, a PRE-declared
+      // breakpoint): one conditional aggregate, three OLS blocks.
+      Q("q516_chow",
+        Some(spineCte2 +
+          "bb AS (SELECT CAST(t AS DOUBLE) AS x, CAST(n AS DOUBLE) AS y " +
+          "FROM t), " +
+          "m AS (SELECT " +
+          "CAST(sum(CASE WHEN TRUE THEN 1 ELSE 0 END) AS BIGINT) AS np, " +
+          "CAST(sum(CASE WHEN TRUE THEN CAST(x AS DECIMAL(38,6)) END) " +
+          "AS DOUBLE) AS sxp, " +
+          "CAST(sum(CASE WHEN TRUE THEN CAST(y AS DECIMAL(38,6)) END) " +
+          "AS DOUBLE) AS syp, " +
+          "CAST(sum(CASE WHEN TRUE THEN CAST(x * x AS DECIMAL(38,6)) " +
+          "END) AS DOUBLE) AS sxxp, " +
+          "CAST(sum(CASE WHEN TRUE THEN CAST(x * y AS DECIMAL(38,6)) " +
+          "END) AS DOUBLE) AS sxyp, " +
+          "CAST(sum(CASE WHEN TRUE THEN CAST(y * y AS DECIMAL(38,6)) " +
+          "END) AS DOUBLE) AS syyp, " +
+          "CAST(sum(CASE WHEN x < 15.0 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS nl, " +
+          "CAST(sum(CASE WHEN x < 15.0 THEN CAST(x AS DECIMAL(38,6)) " +
+          "END) AS DOUBLE) AS sxl, " +
+          "CAST(sum(CASE WHEN x < 15.0 THEN CAST(y AS DECIMAL(38,6)) " +
+          "END) AS DOUBLE) AS syl, " +
+          "CAST(sum(CASE WHEN x < 15.0 THEN CAST(x * x " +
+          "AS DECIMAL(38,6)) END) AS DOUBLE) AS sxxl, " +
+          "CAST(sum(CASE WHEN x < 15.0 THEN CAST(x * y " +
+          "AS DECIMAL(38,6)) END) AS DOUBLE) AS sxyl, " +
+          "CAST(sum(CASE WHEN x < 15.0 THEN CAST(y * y " +
+          "AS DECIMAL(38,6)) END) AS DOUBLE) AS syyl, " +
+          "CAST(sum(CASE WHEN NOT (x < 15.0) THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS nr, " +
+          "CAST(sum(CASE WHEN NOT (x < 15.0) THEN CAST(x " +
+          "AS DECIMAL(38,6)) END) AS DOUBLE) AS sxr, " +
+          "CAST(sum(CASE WHEN NOT (x < 15.0) THEN CAST(y " +
+          "AS DECIMAL(38,6)) END) AS DOUBLE) AS syr, " +
+          "CAST(sum(CASE WHEN NOT (x < 15.0) THEN CAST(x * x " +
+          "AS DECIMAL(38,6)) END) AS DOUBLE) AS sxxr, " +
+          "CAST(sum(CASE WHEN NOT (x < 15.0) THEN CAST(x * y " +
+          "AS DECIMAL(38,6)) END) AS DOUBLE) AS sxyr, " +
+          "CAST(sum(CASE WHEN NOT (x < 15.0) THEN CAST(y * y " +
+          "AS DECIMAL(38,6)) END) AS DOUBLE) AS syyr FROM bb), " +
+          "q AS (SELECT np, nl, nr, CAST(np AS DOUBLE) AS nd, " +
+          "CASE WHEN sxxp - sxp * sxp / CAST(np AS DOUBLE) > 0 THEN " +
+          "syyp - syp * syp / CAST(np AS DOUBLE) - " +
+          "(sxyp - sxp * syp / CAST(np AS DOUBLE)) * " +
+          "(sxyp - sxp * syp / CAST(np AS DOUBLE)) / " +
+          "(sxxp - sxp * sxp / CAST(np AS DOUBLE)) END AS sp, " +
+          "CASE WHEN sxxl - sxl * sxl / CAST(nl AS DOUBLE) > 0 THEN " +
+          "syyl - syl * syl / CAST(nl AS DOUBLE) - " +
+          "(sxyl - sxl * syl / CAST(nl AS DOUBLE)) * " +
+          "(sxyl - sxl * syl / CAST(nl AS DOUBLE)) / " +
+          "(sxxl - sxl * sxl / CAST(nl AS DOUBLE)) END AS sl, " +
+          "CASE WHEN sxxr - sxr * sxr / CAST(nr AS DOUBLE) > 0 THEN " +
+          "syyr - syr * syr / CAST(nr AS DOUBLE) - " +
+          "(sxyr - sxr * syr / CAST(nr AS DOUBLE)) * " +
+          "(sxyr - sxr * syr / CAST(nr AS DOUBLE)) / " +
+          "(sxxr - sxr * sxr / CAST(nr AS DOUBLE)) END AS sr FROM m) " +
+          "SELECT np AS n, nl AS n_left, nr AS n_right, " +
+          "round(CASE WHEN nl >= 3 AND nr >= 3 AND sl + sr > 0 THEN " +
+          "((sp - sl - sr) / 2.0) / ((sl + sr) / (nd - 4.0)) END, 6) " +
+          "AS f_stat FROM q"),
+        (s, dir) => {
+          val daily = EventAnalytics.resampleDaily(Tables.events(s, dir),
+            "ts")
+          val t = daily.crossJoin(broadcast(
+              daily.agg(min(col("day")).as("__d0"))))
+            .select((col("day") - col("__d0")).as("t"), col("n"))
+          Stats.chowTest(t, col("t"), col("n"), breakX = 15.0)
+        }),
+
+      // ---- Cook's distance census of extendedprice ~ quantity: the
+      // influence screen with an exact-equality max election.
+      Q("q517_cooks",
+        Some("WITH " + liBase +
+          "g AS (SELECT n, nd, sx, sy, sxxc, " +
+          "CASE WHEN n >= 4 AND sxxc > 0 THEN sxyc / sxxc END AS bb, " +
+          "CASE WHEN n >= 4 AND sxxc > 0 THEN " +
+          "(syyc - sxyc * sxyc / sxxc) / (nd - 2.0) END AS s2 FROM f), " +
+          "d AS (SELECT b.tie, g.n, g.nd, g.s2, " +
+          "1.0 / g.nd + (b.x - g.sx / g.nd) * (b.x - g.sx / g.nd) / " +
+          "g.sxxc AS h, " +
+          "b.y - (g.sy / g.nd - g.bb * (g.sx / g.nd) + g.bb * b.x) " +
+          "AS e FROM b, g), " +
+          "dd AS (SELECT tie, n, nd, CASE WHEN s2 > 0 AND h < 1 THEN " +
+          "e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)) END AS d " +
+          "FROM d), " +
+          "agg AS (SELECT any_value(n) AS n, " +
+          "CAST(sum(CASE WHEN d > 4.0 / nd THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS n_influential, max(d) AS mx FROM dd), " +
+          "top AS (SELECT min(dd.tie) AS top_tie FROM dd, agg " +
+          "WHERE dd.d = agg.mx) " +
+          "SELECT n, n_influential, round(mx, 6) AS max_cooks, " +
+          "top_tie FROM agg, top"),
+        (s, dir) => Stats.cooksDistanceCensus(Tables.lineitem(s, dir),
+          col("l_quantity"), col("l_extendedprice"),
+          col("l_orderkey") * 10000000 + col("l_linenumber") * 1000000 +
+            col("l_suppkey"))),
+
+      // ---- Breusch-Pagan LM on the same regression: n*R2 of squared
+      // residuals on quantity, a two-pass broadcast-fit scan.
+      Q("q518_breusch_pagan",
+        Some("WITH " + liBase +
+          "g AS (SELECT n, nd, sx, sy, " +
+          "CASE WHEN n >= 3 AND sxxc > 0 THEN sxyc / sxxc END AS bb " +
+          "FROM f), " +
+          "e0 AS (SELECT b.x, g.n, " +
+          "b.y - (g.sy / g.nd - g.bb * (g.sx / g.nd) + g.bb * b.x) " +
+          "AS e FROM b, g), " +
+          "e1 AS (SELECT x, n, e * e AS z FROM e0), " +
+          "aux AS (SELECT any_value(n) AS n, " +
+          "CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS ax, " +
+          "CAST(sum(CAST(z AS DECIMAL(38,6))) AS DOUBLE) AS az, " +
+          "CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS axx, " +
+          "CAST(sum(CAST(x * z AS DECIMAL(38,6))) AS DOUBLE) AS axz, " +
+          "CAST(sum(CAST(z * z AS DECIMAL(38,6))) AS DOUBLE) AS azz " +
+          "FROM e1), " +
+          "fin AS (SELECT n, CAST(n AS DOUBLE) AS n3, " +
+          "axx - ax * ax / CAST(n AS DOUBLE) AS vxx, " +
+          "axz - ax * az / CAST(n AS DOUBLE) AS vxz, " +
+          "azz - az * az / CAST(n AS DOUBLE) AS vzz FROM aux), " +
+          "sl AS (SELECT CASE WHEN n >= 3 AND sxxc > 0 THEN " +
+          "sxyc / sxxc END AS slope FROM f) " +
+          "SELECT n, round(slope, 6) AS slope, " +
+          "round(CASE WHEN vxx > 0 AND vzz > 0 THEN " +
+          "n3 * (vxz * vxz / (vxx * vzz)) END, 6) AS bp_stat " +
+          "FROM fin, sl"),
+        (s, dir) => Stats.breuschPagan(Tables.lineitem(s, dir),
+          col("l_quantity"), col("l_extendedprice")))
+    )
   }
 }

@@ -2418,6 +2418,53 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("dagostinoK2: published transforms on a skewed hand sample") {
+    import spark.implicits._
+    // 1..19 plus 40 (n=20): python replay of the exact IEEE shapes
+    val df = ((1 to 19).map(_.toDouble) :+ 40.0).toDF("v")
+    val r = Stats.dagostinoK2(df, col("v")).collect()(0)
+    assert(r.getLong(0) == 20L)
+    assert(r.getDouble(1) == 1.705965 && r.getDouble(2) == 3.876772)
+    assert(r.getDouble(3) == 3.163868 && r.getDouble(4) == 2.941306)
+    assert(r.getDouble(5) == 18.661345, s"k2: $r")
+    // n < 20: z's null loudly
+    val small = (1 to 10).map(_.toDouble).toDF("v")
+    val r2 = Stats.dagostinoK2(small, col("v")).collect()(0)
+    assert(r2.isNullAt(3) && r2.isNullAt(4) && r2.isNullAt(5), s"sm: $r2")
+  }
+
+  test("chowTest: level+slope break priced by the pooled-vs-split F") {
+    import spark.implicits._
+    // y jumps and steepens at x=5: F = 360.545455
+    val ys = Seq(0.0, 1.0, 2.0, 3.0, 4.0, 20.0, 24.0, 26.0, 30.0, 34.0)
+    val df = ys.zipWithIndex.map { case (y, x) => (x.toDouble, y) }
+      .toDF("x", "y")
+    val r = Stats.chowTest(df, col("x"), col("y"), breakX = 5.0)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((10L, 5L, 5L)))
+    assert(r.getDouble(3) == 360.545455, s"chow: $r")
+  }
+
+  test("cooksDistanceCensus: the slope-steering point wins the census") {
+    import spark.implicits._
+    // (10,20) has D = 32.33 >> 4/n; 1 influential point, top tie 4
+    val df = Seq((1.0, 1.0, 1L), (2.0, 2.0, 2L), (3.0, 3.0, 3L),
+      (10.0, 20.0, 4L)).toDF("x", "y", "tie")
+    val r = Stats.cooksDistanceCensus(df, col("x"), col("y"), col("tie"))
+      .collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 32.333333 && r.getLong(3) == 4L, s"cd: $r")
+  }
+
+  test("breuschPagan: n*R2 of squared residuals on x") {
+    import spark.implicits._
+    val df = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 10.0))
+      .toDF("x", "y")
+    val r = Stats.breuschPagan(df, col("x"), col("y")).collect()(0)
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 2.8)
+    assert(r.getDouble(2) == 1.395349, s"bp: $r")
+  }
+
   test("byFdr: harmonic-factor step-up on a hand battery") {
     import spark.implicits._
     // m=4, c=25/12: thresholds .012k -> k_max = 2
