@@ -2237,6 +2237,47 @@ object EventAnalytics {
       .orderBy("tau")
   }
 
+  // ------------------------------------------- Holt linear backtest
+  /** One-step-ahead backtest of Holt's linear (double exponential)
+    * smoothing on the daily count series, α = β = ½ (Holt 1957): with
+    * l₀ = y₀, b₀ = y₁−y₀, each day forecasts f_t = l_{t−1} + b_{t−1},
+    * then updates l_t = ½y_t + ½(l_{t−1}+b_{t−1}),
+    * b_t = ½(l_t−l_{t−1}) + ½b_{t−1} — the level+trend upgrade of
+    * [[ewmaDaily]] and the honest error series behind
+    * [[forecastAccuracy]]-style summaries.
+    *
+    * DETERMINISM AND SCALE: the recursion is inherently sequential, so
+    * it runs DRIVER-LOCAL on the collected calendar-bounded spine (the
+    * [[Similarity.kmeansCentroids]] bounded-collect contract; ≤ 3660
+    * days enforced — a century of days would still be one small array).
+    * Every step is the same fixed IEEE shape an unrolled recursive
+    * oracle computes; halving constants keep early steps exactly
+    * dyadic. Returns per day t ≥ 1: (t, n, forecast, error) 6dp. */
+  def holtLinearBacktest(df: DataFrame, tsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val daily = resampleDaily(df, tsCol).orderBy("day")
+      .select(col("n")).collect().map(_.getLong(0))
+    require(daily.length >= 2, "holtLinearBacktest needs >= 2 days")
+    require(daily.length <= 3660,
+      s"calendar spine too long for the bounded-collect contract: " +
+        s"${daily.length}")
+    var l = daily(0).toDouble
+    var b = daily(1).toDouble - daily(0).toDouble
+    val rows = (1 until daily.length).map { t =>
+      val y = daily(t).toDouble
+      val f = l + b
+      val e = y - f
+      val lNew = 0.5 * y + 0.5 * (l + b)
+      val bNew = 0.5 * (lNew - l) + 0.5 * b
+      l = lNew; b = bNew
+      (t.toLong, daily(t), f, e)
+    }
+    rows.toDF("t", "n", "__f", "__e")
+      .select(col("t"), col("n"), round(col("__f"), 6).as("forecast"),
+        round(col("__e"), 6).as("error"))
+  }
+
   // --------------------------------- detrended fluctuation analysis
   /** DFA of the daily count series (Peng et al. 1994): integrate the
     * demeaned series into a profile, detrend each complete s-day block

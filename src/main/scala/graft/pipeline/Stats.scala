@@ -7184,4 +7184,129 @@ object Stats {
       round(when(vxx > 0.0 && vzz > 0.0,
         n3 * (vxz * vxz / (vxx * vzz))), 6).as("bp_stat"))
   }
+
+  // --------------------------------------- variance-homogeneity panel
+  /** Cochran's C and Hartley's F_max quick screens (Cochran 1941,
+    * Hartley 1950): C = max s²ᵢ / Σs²ᵢ and F_max = max s²ᵢ / min s²ᵢ
+    * over group variances — the one-scan triage in front of
+    * [[bartlettTest]]'s likelihood ratio (C catches ONE wild group,
+    * F_max the extremes' ratio). Reports the offending group.
+    *
+    * DETERMINISM AND SCALE: one decimal-moment groupBy; each s² is a
+    * fixed IEEE shape, identical on both engines, so the max/min
+    * ELECTIONS compare equal doubles (ties break to the MIN group
+    * string). Groups need n ≥ 2; a zero min-variance nulls F_max
+    * loudly. Returns one row:
+    * (n_groups, n, max_group, cochran_c, hartley_fmax) 6dp. */
+  def variancePanel(df: DataFrame, groupCol: Column,
+                    valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 6)
+    val x = valueCol.cast("double")
+    val g = df.filter(x.isNotNull && groupCol.isNotNull)
+      .groupBy(groupCol.cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"), sum(x.cast(dt)).as("__s"),
+        sum((x * x).cast(dt)).as("__ss"))
+      .filter(col("__n") >= 2L)
+    val nD = col("__n").cast("double")
+    val s2 = (col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nD) /
+      (nD - 1.0)
+    val withV = g.select(col("__g"), col("__n"), s2.as("__v"))
+    val tot = withV.agg(count(lit(1)).as("n_groups"), sum(col("__n")).as("n"),
+      sum(col("__v").cast(DecimalType(28, 12))).cast("double").as("__sv"),
+      max(col("__v")).as("__mx"), min(col("__v")).as("__mn"))
+    val top = withV.crossJoin(broadcast(tot.select(col("__mx"))))
+      .filter(col("__v") === col("__mx"))
+      .agg(min(col("__g")).as("max_group"))
+    tot.crossJoin(top)
+      .select(col("n_groups"), col("n"), col("max_group"),
+        round(when(col("__sv") > 0.0, col("__mx") / col("__sv")), 6)
+          .as("cochran_c"),
+        round(when(col("__mn") > 0.0, col("__mx") / col("__mn")), 6)
+          .as("hartley_fmax"))
+  }
+
+  // ------------------------------------------------- Levene (mean) test
+  /** Levene's variance-homogeneity test, classic mean-centered form
+    * (Levene 1960): one-way ANOVA on |x − x̄_g| — more powerful than
+    * [[brownForsythe]]'s median centering under near-normality (BF is
+    * the robust default; run both when the tails are unknown).
+    *
+    * DETERMINISM AND SCALE: group means come from one decimal-moment
+    * rollup and broadcast back; the deviations feed [[oneWayAnova]]'s
+    * exact-moment machinery unchanged. Returns [[oneWayAnova]]'s row:
+    * (n_groups, n, f_stat, ...). */
+  def leveneTest(df: DataFrame, groupCol: Column, valueCol: Column,
+                 scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 6)
+    val x = valueCol.cast("double")
+    val base = df.filter(x.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("__g"), x.as("__x"))
+    val means = base.groupBy("__g")
+      .agg(count(lit(1)).as("__n"), sum(col("__x").cast(dt)).as("__s"))
+      .select(col("__g"),
+        (col("__s").cast("double") / col("__n").cast("double"))
+          .as("__mean"))
+    oneWayAnova(base.join(broadcast(means), Seq("__g")),
+      col("__g"), abs(col("__x") - col("__mean")), scale)
+  }
+
+  // ------------------------------------- Stuart–Maxwell (3 categories)
+  /** Stuart–Maxwell marginal-homogeneity test for PAIRED 3-category
+    * ratings (Stuart 1955, Maxwell 1970): did the category distribution
+    * shift between the two sides? With d_i = row_i − col_i margins and
+    * m_ij = n_ij + n_ji, χ² = (m₂₃d₁² + m₁₃d₂² + m₁₂d₃²)/
+    * (m₁₂m₁₃ + m₁₂m₂₃ + m₁₃m₂₃) ~ χ²₂ — the 3-level omnibus
+    * [[mcnemar]] gives for 2 and [[mcnemarBowker]] decomposes pairwise.
+    *
+    * DETERMINISM AND SCALE: the whole χ² is ONE exact integer rational
+    * on pair counts (the doubled-m̄ cancellation). A value outside the
+    * declared 3 categories RAISES; a zero denominator (two empty
+    * off-diagonals) nulls loudly. Returns one row:
+    * (n, d1, d2, d3, chi2, dof). */
+  def stuartMaxwell3(df: DataFrame, rowCol: Column, colCol: Column,
+                     cats: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt0 = DecimalType(38, 0)
+    require(cats.size == 3 && cats.distinct.size == 3,
+      s"exactly 3 distinct categories: $cats")
+    def idx(c: Column): Column = {
+      val s = c.cast("string")
+      when(s === cats(0), 1).when(s === cats(1), 2)
+        .when(s === cats(2), 3)
+        .otherwise(raise_error(concat(
+          lit(s"stuartMaxwell3: category outside $cats: "), s)))
+    }
+    val m = df.select(idx(rowCol).as("__r"), idx(colCol).as("__c"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__r") === 1, 1L).otherwise(0L)).as("__r1"),
+        sum(when(col("__r") === 2, 1L).otherwise(0L)).as("__r2"),
+        sum(when(col("__r") === 3, 1L).otherwise(0L)).as("__r3"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("__c2"),
+        sum(when(col("__c") === 3, 1L).otherwise(0L)).as("__c3"),
+        sum(when(col("__r") === 1 && col("__c") === 2, 1L)
+          .when(col("__r") === 2 && col("__c") === 1, 1L)
+          .otherwise(0L)).as("__m12"),
+        sum(when(col("__r") === 1 && col("__c") === 3, 1L)
+          .when(col("__r") === 3 && col("__c") === 1, 1L)
+          .otherwise(0L)).as("__m13"),
+        sum(when(col("__r") === 2 && col("__c") === 3, 1L)
+          .when(col("__r") === 3 && col("__c") === 2, 1L)
+          .otherwise(0L)).as("__m23"))
+    val d1 = col("__r1") - col("__c1")
+    val d2 = col("__r2") - col("__c2")
+    val d3 = col("__r3") - col("__c3")
+    val num = col("__m23").cast(dt0) * d1 * d1 +
+      col("__m13").cast(dt0) * d2 * d2 + col("__m12").cast(dt0) * d3 * d3
+    val den = col("__m12").cast(dt0) * col("__m13") +
+      col("__m12").cast(dt0) * col("__m23") +
+      col("__m13").cast(dt0) * col("__m23")
+    m.select(col("n"), d1.as("d1"), d2.as("d2"), d3.as("d3"),
+      round(when(den > lit(0).cast(dt0),
+        num.cast("double") / den.cast("double")), 6).as("chi2"),
+      lit(2L).as("dof"))
+  }
 }

@@ -1407,5 +1407,159 @@ object StatsQueries5 {
         (s, dir) => Stats.breuschPagan(Tables.lineitem(s, dir),
           col("l_quantity"), col("l_extendedprice")))
     )
-  }
+  } ++ Seq(
+
+    // ---- Cochran C / Hartley Fmax variance screens of event values
+    // across types, with the max-variance group elected exactly.
+    Q("q519_variance_panel",
+      Some("WITH g AS (SELECT CAST(event_type AS VARCHAR) AS gg, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s, " +
+        "CAST(sum(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS ss " +
+        "FROM (SELECT event_type, CAST(value AS DOUBLE) AS v " +
+        "FROM events WHERE value IS NOT NULL AND event_type IS NOT " +
+        "NULL) GROUP BY 1 HAVING count(*) >= 2), " +
+        "v AS (SELECT gg, n, (ss - s * s / CAST(n AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) - 1.0) AS vv FROM g), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
+        "CAST(sum(n) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(vv AS DECIMAL(28,12))) AS DOUBLE) AS sv, " +
+        "max(vv) AS mx, min(vv) AS mn FROM v), " +
+        "tp AS (SELECT min(v.gg) AS max_group FROM v, t " +
+        "WHERE v.vv = t.mx) " +
+        "SELECT n_groups, n, max_group, " +
+        "round(CASE WHEN sv > 0 THEN mx / sv END, 6) AS cochran_c, " +
+        "round(CASE WHEN mn > 0 THEN mx / mn END, 6) AS hartley_fmax " +
+        "FROM t, tp"),
+      (s, dir) => Stats.variancePanel(Tables.events(s, dir),
+        col("event_type"), col("value"))),
+
+    // ---- classic mean-centered Levene on the same grouping: group
+    // means broadcast, q373's ANOVA shape on |x - mean|.
+    Q("q520_levene",
+      Some("WITH b AS (SELECT event_type AS g, " +
+        "CAST(value AS DOUBLE) AS x FROM events WHERE value IS NOT " +
+        "NULL AND event_type IS NOT NULL), " +
+        "mn AS (SELECT g, CAST(sum(CAST(x AS DECIMAL(38,6))) " +
+        "AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean FROM b " +
+        "GROUP BY 1), " +
+        "z AS (SELECT b.g, abs(b.x - mn.mean) AS x FROM b " +
+        "JOIN mn ON b.g = mn.g), " +
+        "gg AS (SELECT g AS grp, CAST(count(*) AS BIGINT) AS ng, " +
+        "sum(CAST(x AS DECIMAL(38,6))) AS s, " +
+        "sum(CAST(x * x AS DECIMAL(38,6))) AS ss FROM z GROUP BY 1), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
+        "CAST(sum(ng) AS BIGINT) AS n, sum(s) AS st, sum(ss) AS sst, " +
+        "sum(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / " +
+        "CAST(ng AS DOUBLE) AS DECIMAL(38,6))) AS sg FROM gg), " +
+        "f AS (SELECT n_groups, n, " +
+        "CAST(sg AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) " +
+        "/ CAST(n AS DOUBLE) AS ssb, " +
+        "CAST(sst AS DOUBLE) - CAST(sg AS DOUBLE) AS ssw FROM a) " +
+        "SELECT n_groups, n, round(ssb, 6) AS ss_between, " +
+        "round(ssw, 6) AS ss_within, " +
+        "round(CASE WHEN n_groups > 1 AND n > n_groups AND ssw > 0 " +
+        "THEN (ssb / (CAST(n_groups AS DOUBLE) - 1.0)) / " +
+        "(ssw / (CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE))) " +
+        "END, 6) AS f_stat FROM f"),
+      (s, dir) => Stats.leveneTest(Tables.events(s, dir),
+        col("event_type"), col("value"))),
+
+    // ---- Stuart-Maxwell marginal homogeneity of each user's first- vs
+    // last-event value tercile (fixed 50/200 cuts): ONE exact integer
+    // rational chi2 on pair counts.
+    Q("q521_stuart_maxwell",
+      Some("WITH e AS (SELECT user_id, event_id, " +
+        "CAST(value AS DOUBLE) AS v, epoch_us(ts) AS us FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "w AS (SELECT user_id, v, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY us, " +
+        "event_id) AS rf, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY us DESC, " +
+        "event_id DESC) AS rl FROM e), " +
+        "fp AS (SELECT user_id, CASE WHEN v < 50.0 THEN 'l' WHEN " +
+        "v < 200.0 THEN 'm' ELSE 'h' END AS r FROM w WHERE rf = 1), " +
+        "lp AS (SELECT user_id, CASE WHEN v < 50.0 THEN 'l' WHEN " +
+        "v < 200.0 THEN 'm' ELSE 'h' END AS c FROM w WHERE rl = 1), " +
+        "pr AS (SELECT r, c FROM fp JOIN lp USING (user_id)), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN r = 'l' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS r1, " +
+        "CAST(sum(CASE WHEN r = 'm' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS r2, " +
+        "CAST(sum(CASE WHEN r = 'h' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS r3, " +
+        "CAST(sum(CASE WHEN c = 'l' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS c1, " +
+        "CAST(sum(CASE WHEN c = 'm' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS c2, " +
+        "CAST(sum(CASE WHEN c = 'h' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS c3, " +
+        "CAST(sum(CASE WHEN (r = 'l' AND c = 'm') OR (r = 'm' AND " +
+        "c = 'l') THEN 1 ELSE 0 END) AS BIGINT) AS m12, " +
+        "CAST(sum(CASE WHEN (r = 'l' AND c = 'h') OR (r = 'h' AND " +
+        "c = 'l') THEN 1 ELSE 0 END) AS BIGINT) AS m13, " +
+        "CAST(sum(CASE WHEN (r = 'm' AND c = 'h') OR (r = 'h' AND " +
+        "c = 'm') THEN 1 ELSE 0 END) AS BIGINT) AS m23 FROM pr) " +
+        "SELECT n, r1 - c1 AS d1, r2 - c2 AS d2, r3 - c3 AS d3, " +
+        "round(CASE WHEN CAST(m12 AS HUGEINT) * m13 + " +
+        "CAST(m12 AS HUGEINT) * m23 + CAST(m13 AS HUGEINT) * m23 > 0 " +
+        "THEN CAST(CAST(m23 AS HUGEINT) * (r1 - c1) * (r1 - c1) + " +
+        "CAST(m13 AS HUGEINT) * (r2 - c2) * (r2 - c2) + " +
+        "CAST(m12 AS HUGEINT) * (r3 - c3) * (r3 - c3) AS DOUBLE) / " +
+        "CAST(CAST(m12 AS HUGEINT) * m13 + CAST(m12 AS HUGEINT) * m23 " +
+        "+ CAST(m13 AS HUGEINT) * m23 AS DOUBLE) END, 6) AS chi2, " +
+        "CAST(2 AS BIGINT) AS dof FROM m"),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            col("value").cast("double").as("v"),
+            unix_micros(col("ts")).as("__us"))
+        val wF = Window.partitionBy(col("user_id"))
+          .orderBy(col("__us"), col("event_id"))
+        val wL = Window.partitionBy(col("user_id"))
+          .orderBy(col("__us").desc, col("event_id").desc)
+        val both = e.withColumn("__rf", row_number().over(wF))
+          .withColumn("__rl", row_number().over(wL))
+        def bucket(c: org.apache.spark.sql.Column) =
+          when(c < 50.0, "l").when(c < 200.0, "m").otherwise("h")
+        val first = both.filter(col("__rf") === 1)
+          .select(col("user_id"), col("v").as("__vf"))
+        val last = both.filter(col("__rl") === 1)
+          .select(col("user_id"), col("v").as("__vl"))
+        Stats.stuartMaxwell3(first.join(last, "user_id"),
+          bucket(col("__vf")), bucket(col("__vl")), Seq("l", "m", "h"))
+      }),
+
+    // ---- Holt linear one-step backtest of the daily count series,
+    // alpha = beta = 1/2: the sequential recursion runs driver-local on
+    // the bounded spine; the oracle unrolls the SAME recursion with a
+    // recursive CTE -- identical IEEE step shapes.
+    Q("q522_holt_backtest",
+      Some("WITH RECURSIVE c AS (SELECT epoch_us(ts) // 86400000000 " +
+        "AS day, count(*) AS n FROM events GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM c), " +
+        "(SELECT max(day) FROM c) + 1)) AS day), " +
+        "s AS (SELECT r.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n " +
+        "FROM r LEFT JOIN c USING (day)), " +
+        "d0 AS (SELECT min(day) AS d0 FROM s), " +
+        "t AS (SELECT day - d0 AS t, n, CAST(n AS DOUBLE) AS y " +
+        "FROM s, d0), " +
+        "mx AS (SELECT max(t) AS tmax FROM t), " +
+        "rec(t, l, b) AS (" +
+        "SELECT CAST(0 AS BIGINT), (SELECT y FROM t WHERE t = 0), " +
+        "(SELECT y FROM t WHERE t = 1) - (SELECT y FROM t WHERE t = 0) " +
+        "UNION ALL " +
+        "SELECT rec.t + 1, 0.5 * tt.y + 0.5 * (rec.l + rec.b), " +
+        "0.5 * ((0.5 * tt.y + 0.5 * (rec.l + rec.b)) - rec.l) + " +
+        "0.5 * rec.b FROM rec JOIN t tt ON tt.t = rec.t + 1 " +
+        "WHERE rec.t + 1 <= (SELECT tmax FROM mx)) " +
+        "SELECT tt.t AS t, tt.n, " +
+        "round(rec.l + rec.b, 6) AS forecast, " +
+        "round(tt.y - (rec.l + rec.b), 6) AS error " +
+        "FROM rec JOIN t tt ON tt.t = rec.t + 1 ORDER BY t"),
+      (s, dir) => EventAnalytics.holtLinearBacktest(
+        Tables.events(s, dir), "ts").orderBy("t"))
+  )
 }

@@ -639,6 +639,22 @@ class AppliedSpec extends SparkSpec {
       s"alpha: ${r(0)}")
   }
 
+  test("holtLinearBacktest: hand recursion at alpha = beta = 1/2") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // counts 4,6,5,9: forecasts 6, 8, 7.75; errors 0, -3, 1.25
+    val counts = Seq(4, 6, 5, 9)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(t(d + 3)) }
+    val r = EventAnalytics.holtLinearBacktest(rows.toDF("ts"), "ts")
+      .orderBy("t").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 6L), (2L, 5L), (3L, 9L)))
+    assert(r.map(_.getDouble(2)).toSeq == Seq(6.0, 8.0, 7.75))
+    assert(r.map(_.getDouble(3)).toSeq == Seq(0.0, -3.0, 1.25),
+      s"holt: ${r.toSeq}")
+  }
+
   test("weightedLogRank: Gehan n_t weights on a hand risk table") {
     import spark.implicits._
     // A: 1(E), 2(E); B: 1(E), 3(censored):

@@ -86,6 +86,11 @@ class RegistrySpec extends SparkSpec {
   private val decimalScaleAllowlist: Map[String, String] = Map(
     // name -> magnitude argument, e.g.:
     // "qNNN_x" -> "per-term |v| < 10 so |v|*10^15 < 4e15 measured"
+    "q481_amihud" -> ("per-term |r|/DV measured max 7.9e-5 at sf0.1 " +
+      "(daily bars cap |r| while DV >= hundreds of dollars), so " +
+      "|v|*10^18 <= 7.9e13 < 4e15 with 50x headroom; the MIN term is " +
+      "4.3e-13, which scale 12 would quantize to garbage — 18 is the " +
+      "smallest scale that keeps the tiny terms honest")
   )
 
   private[graft] def overScaleCasts(sql: String): Seq[String] = {

@@ -2418,6 +2418,46 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("variancePanel: Cochran C, Hartley Fmax, max-group election") {
+    import spark.implicits._
+    // s2: a=2, b=4, c=.5 -> C = 4/6.5, Fmax = 8, max group b
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 4.0),
+      ("b", 6.0), ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val r = Stats.variancePanel(df, col("g"), col("v")).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 7L)
+    assert(r.getString(2) == "b")
+    assert(r.getDouble(3) == 0.615385 && r.getDouble(4) == 8.0, s"vp: $r")
+  }
+
+  test("leveneTest: ANOVA on mean-centered absolute deviations") {
+    import spark.implicits._
+    // devs a=[1,1], b=[2,0,2] -> F = .15
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 4.0),
+      ("b", 6.0)).toDF("g", "v")
+    val r = Stats.leveneTest(df, col("g"), col("v")).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 5L)
+    assert(r.getDouble(4) == 0.15, s"lv: $r")
+  }
+
+  test("stuartMaxwell3: exact rational chi2; stray category raises") {
+    import spark.implicits._
+    // margins d=(4,-2,-2), m12=4 m13=2 m23=2 -> chi2 = 56/20 = 2.8
+    val pairs = Seq.fill(5)(("l", "l")) ++ Seq.fill(3)(("l", "m")) ++
+      Seq.fill(2)(("l", "h")) ++ Seq.fill(1)(("m", "l")) ++
+      Seq.fill(4)(("m", "m")) ++ Seq.fill(1)(("m", "h")) ++
+      Seq.fill(1)(("h", "m")) ++ Seq.fill(2)(("h", "h"))
+    val df = pairs.toDF("r", "c")
+    val r = Stats.stuartMaxwell3(df, col("r"), col("c"),
+      Seq("l", "m", "h")).collect()(0)
+    assert(r.getLong(0) == 19L)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((4L, -2L, -2L)))
+    assert(r.getDouble(4) == 2.8 && r.getLong(5) == 2L, s"sm: $r")
+    intercept[Exception] {
+      Stats.stuartMaxwell3(Seq(("x", "l")).toDF("r", "c"), col("r"),
+        col("c"), Seq("l", "m", "h")).collect()
+    }
+  }
+
   test("dagostinoK2: published transforms on a skewed hand sample") {
     import spark.implicits._
     // 1..19 plus 40 (n=20): python replay of the exact IEEE shapes
