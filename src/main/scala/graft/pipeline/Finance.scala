@@ -998,4 +998,182 @@ object Finance {
         (ssrR - ssrU) / (ssrU / (nD - 3.0))), 6).as("f_stat"),
       round(when(ok, (ssrR - ssrU) / sww), 6).as("delta_r2"))
   }
+
+  // ----------------------------------------------------- Kyle's lambda
+  /** Kyle's lambda per key (Kyle 1985, the tick-rule estimate): OLS
+    * slope of the daily cent move Δc on the SIGNED volume
+    * sign(Δc)·volume — price impact per share of net order flow, the
+    * regression sibling of [[amihudIlliquidity]]'s ratio.
+    *
+    * DETERMINISM AND SCALE: Δc and the signed volume are exact integers
+    * off one key-partitioned lag; all OLS moments are DECIMAL(38,0)
+    * sums ([[dickeyFuller]]'s discipline). Zero flow variance nulls
+    * loudly. Returns per key: (key, n_pairs, kyle_lambda) 6dp. */
+  def kyleLambda(df: DataFrame, keyCol: String, dayCol: String,
+                 closeCol: Column, volumeCol: Column): DataFrame = {
+    val dt = DecimalType(38, 0)
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+    val base = df.select(col(keyCol).as("key"),
+        col(dayCol).cast("long").as("day"),
+        round(closeCol * 100, 0).cast("long").as("__c"),
+        volumeCol.cast("long").as("__v"))
+      .withColumn("__d", col("__c") - lag(col("__c"), 1).over(w))
+      .filter(col("__d").isNotNull)
+      .withColumn("__sv",
+        signum(col("__d").cast("double")).cast("long") * col("__v"))
+    val m = base.groupBy("key")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__sv").cast(dt)).as("__sx"),
+        sum(col("__d").cast(dt)).as("__sy"),
+        sum(col("__sv").cast(dt) * col("__sv")).as("__sxx"),
+        sum(col("__sv").cast(dt) * col("__d")).as("__sxy"))
+    val nD = col("n_pairs").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = d("__sxy") - d("__sx") * d("__sy") / nD
+    val den = d("__sxx") - d("__sx") * d("__sx") / nD
+    m.select(col("key"), col("n_pairs"),
+      round(when(col("n_pairs") >= 2L && den > 0.0, num / den), 6)
+        .as("kyle_lambda"))
+  }
+
+  // -------------------------------------------------------- CAPM beta
+  /** CAPM beta panel: each ticker's daily cent move regressed on the
+    * equal-weight MARKET move (the sum of participating tickers' closes
+    * over BROAD days — days where ≥ 80 % of tickers trade, the exact
+    * integer gate 5·cnt ≥ 4·k; a fully-balanced gate starves at sparse
+    * scale factors where no day is complete), β = cov/var with α and R²
+    * alongside — the systematic-
+    * vs-idiosyncratic split [[minVariancePair]] does for one pair,
+    * marketwide.
+    *
+    * DETERMINISM AND SCALE: the market series is one day-grain rollup
+    * gated on the exact participant count; both diff series are exact
+    * integer cents; per-key moments are DECIMAL(38,0) sums. Returns per
+    * key: (key, n_days, beta, alpha, r2) 6dp. */
+  def capmBeta(df: DataFrame, keyCol: String, dayCol: String,
+               closeCol: Column): DataFrame = {
+    val dt = DecimalType(38, 0)
+    val cents = closeCents(df, keyCol, dayCol, closeCol)
+    val nKeys = cents.agg(countDistinct(col("key")).as("__k"))
+    val market = cents.groupBy("day")
+      .agg(count(lit(1)).as("__cnt"), sum(col("__c")).as("__mc"))
+      .crossJoin(broadcast(nKeys))
+      .filter(col("__cnt") * 5L >= col("__k") * 4L)
+      .select(col("day"), col("__mc"))
+    val wM = Window.orderBy(col("day"))
+    val mDiff = market
+      .withColumn("__dm", col("__mc") - lag(col("__mc"), 1).over(wM))
+      .filter(col("__dm").isNotNull)
+      .select(col("day"), col("__dm"))
+    val wK = Window.partitionBy(col("key")).orderBy(col("day"))
+    val tDiff = cents.join(market.select(col("day")), Seq("day"))
+      .withColumn("__dc", col("__c") - lag(col("__c"), 1).over(wK))
+      .filter(col("__dc").isNotNull)
+      .select(col("key"), col("day"), col("__dc"))
+    val m = tDiff.join(mDiff, Seq("day"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__dm").cast(dt)).as("__sx"),
+        sum(col("__dc").cast(dt)).as("__sy"),
+        sum(col("__dm").cast(dt) * col("__dm")).as("__sxx"),
+        sum(col("__dm").cast(dt) * col("__dc")).as("__sxy"),
+        sum(col("__dc").cast(dt) * col("__dc")).as("__syy"))
+    val nD = col("n_days").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = d("__sxy") - d("__sx") * d("__sy") / nD
+    val den = d("__sxx") - d("__sx") * d("__sx") / nD
+    val vy = d("__syy") - d("__sy") * d("__sy") / nD
+    val beta = when(col("n_days") >= 2L && den > 0.0, num / den)
+    m.select(col("key"), col("n_days"),
+      round(beta, 6).as("beta"),
+      round(d("__sy") / nD - beta * (d("__sx") / nD), 6).as("alpha"),
+      round(when(den > 0.0 && vy > 0.0, num * num / (den * vy)), 6)
+        .as("r2"))
+  }
+
+  // --------------------------------------------- drawdown duration
+  /** Time-under-water census per key: with the running integer-cent
+    * peak, a bar is UNDERWATER when close < peak; reports how many bars
+    * are underwater and the longest consecutive run (in TRADING days —
+    * the bar series carries the time axis, the [[cutlersRsi]] grain) —
+    * the duration complement to [[ulcerIndex]]'s depth.
+    *
+    * DETERMINISM AND SCALE: the flag is an exact integer compare; runs
+    * come from the gaps-and-islands row_number difference inside
+    * key-partitioned windows over the calendar-bounded bar series.
+    * Returns per key: (key, n_bars, n_underwater, max_run). */
+  def drawdownDuration(df: DataFrame, keyCol: String, dayCol: String,
+                       closeCol: Column): DataFrame = {
+    val wRun = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPos = Window.partitionBy(col("key")).orderBy(col("day"))
+    val flagged = closeCents(df, keyCol, dayCol, closeCol)
+      .withColumn("__peak", max(col("__c")).over(wRun))
+      .withColumn("__under", col("__c") < col("__peak"))
+      .withColumn("__rn", row_number().over(wPos))
+    val under = flagged.filter(col("__under"))
+      .withColumn("__grp", col("__rn") - row_number().over(wPos))
+    val runs = under.groupBy("key", "__grp")
+      .agg(count(lit(1)).as("__len"))
+      .groupBy("key")
+      .agg(sum(col("__len")).as("n_underwater"),
+        max(col("__len")).as("max_run"))
+    flagged.groupBy("key").agg(count(lit(1)).as("n_bars"))
+      .join(runs, Seq("key"), "left")
+      .select(col("key"), col("n_bars"),
+        coalesce(col("n_underwater"), lit(0L)).as("n_underwater"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
+
+  // --------------------------------------------- momentum backtest
+  /** Cross-sectional momentum backtest: each day rank tickers by the
+    * trailing `lookback`-day return (through YESTERDAY — no look-ahead),
+    * hold the top `k` long and the bottom `k` short for one day; report
+    * the mean and t-stat of the daily long-short spread — the canonical
+    * "does the signal pay" one-number answer.
+    *
+    * DETERMINISM AND SCALE: signals and next-day returns are exact-
+    * integer-cent ratios (identical doubles both engines), ranked per
+    * day by (signal desc, key asc) in day-partitioned windows over the
+    * bar relation; only days with ≥ 2k + 1 ranked tickers trade; spread
+    * means/vars come from DECIMAL(28,12) sums. Returns one row:
+    * (n_days, mean_spread, t_stat) 6dp. */
+  def momentumBacktest(df: DataFrame, keyCol: String, dayCol: String,
+                       closeCol: Column, lookback: Int = 5,
+                       k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dd = DecimalType(28, 12)
+    require(lookback >= 1 && k >= 1, s"lookback/k positive")
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+    val base = closeCents(df, keyCol, dayCol, closeCol)
+      .withColumn("__c1", lag(col("__c"), 1).over(w))
+      .withColumn("__cL", lag(col("__c"), lookback + 1).over(w))
+      .filter(col("__c1").isNotNull && col("__cL").isNotNull &&
+        col("__cL") > 0L && col("__c1") > 0L)
+      .withColumn("__sig", (col("__c1") - col("__cL")).cast("double") /
+        col("__cL").cast("double"))
+      .withColumn("__ret", (col("__c") - col("__c1")).cast("double") /
+        col("__c1").cast("double"))
+    val wDay = Window.partitionBy(col("day"))
+      .orderBy(col("__sig").desc, col("key").asc)
+    val ranked = base
+      .withColumn("__rk", row_number().over(wDay))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy(col("day"))))
+      .filter(col("__m") >= (2 * k + 1).toLong)
+    val daily = ranked.groupBy("day")
+      .agg((sum(when(col("__rk") <= k, col("__ret").cast(dd)))
+          .cast("double") / lit(k.toDouble) -
+        sum(when(col("__rk") > col("__m") - k, col("__ret").cast(dd)))
+          .cast("double") / lit(k.toDouble)).as("__spread"))
+    val m = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("__spread").cast(dd)).cast("double").as("__s"),
+      sum((col("__spread") * col("__spread")).cast(dd)).cast("double")
+        .as("__ss"))
+    val nD = col("n_days").cast("double")
+    val mean = col("__s") / nD
+    val v = (col("__ss") - col("__s") * col("__s") / nD) / (nD - 1.0)
+    m.select(col("n_days"), round(mean, 6).as("mean_spread"),
+      round(when(col("n_days") >= 2L && v > 0.0,
+        mean / sqrt(v / nD)), 6).as("t_stat"))
+  }
 }

@@ -1561,5 +1561,124 @@ object StatsQueries5 {
         "FROM rec JOIN t tt ON tt.t = rec.t + 1 ORDER BY t"),
       (s, dir) => EventAnalytics.holtLinearBacktest(
         Tables.events(s, dir), "ts").orderBy("t"))
+  ) ++ Seq(
+
+    // ---- Kyle's lambda per ticker: price impact per unit of tick-rule
+    // signed flow, exact integer OLS moments.
+    Q("q523_kyle_lambda",
+      Some(barsCte + ", " +
+        "p AS (SELECT key, day, cl, volume, lag(cl) OVER (PARTITION BY " +
+        "key ORDER BY day) AS cl0 FROM b), " +
+        "f AS (SELECT key, cl - cl0 AS dd, volume FROM p " +
+        "WHERE cl0 IS NOT NULL), " +
+        "g AS (SELECT key, CAST(sign(CAST(dd AS DOUBLE)) AS BIGINT) * " +
+        "volume AS sv, dd FROM f), " +
+        "m AS (SELECT key, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(CAST(sv AS HUGEINT)) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(dd AS HUGEINT)) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(sv AS HUGEINT) * sv) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(sv AS HUGEINT) * dd) AS DOUBLE) AS sxy " +
+        "FROM g GROUP BY 1) " +
+        "SELECT key, n_pairs, round(CASE WHEN n_pairs >= 2 AND " +
+        "sxx - sx * sx / CAST(n_pairs AS DOUBLE) > 0 THEN " +
+        "(sxy - sx * sy / CAST(n_pairs AS DOUBLE)) / " +
+        "(sxx - sx * sx / CAST(n_pairs AS DOUBLE)) END, 6) " +
+        "AS kyle_lambda FROM m ORDER BY key"),
+      (s, dir) => Finance.kyleLambda(allBars(s, dir), "key", "day",
+        col("close"), col("volume")).orderBy("key")),
+
+    // ---- CAPM beta panel against the equal-weight complete-day market:
+    // balanced-panel gate on the exact participant count.
+    Q("q524_capm_beta",
+      Some(barsCte + ", " +
+        "ct AS (SELECT key, day, cl FROM b), " +
+        "nk AS (SELECT count(DISTINCT key) AS k FROM ct), " +
+        "mk AS (SELECT day, count(*) AS cnt, CAST(sum(cl) AS BIGINT) " +
+        "AS mc FROM ct GROUP BY 1), " +
+        "mf AS (SELECT day, mc FROM mk, nk WHERE cnt * 5 >= k * 4), " +
+        "md AS (SELECT day, mc - lag(mc) OVER (ORDER BY day) AS dm " +
+        "FROM mf), " +
+        "mdf AS (SELECT day, dm FROM md WHERE dm IS NOT NULL), " +
+        "td AS (SELECT ct.key, ct.day, ct.cl - lag(ct.cl) OVER " +
+        "(PARTITION BY ct.key ORDER BY ct.day) AS dc FROM ct " +
+        "JOIN (SELECT day FROM mf) fd ON ct.day = fd.day), " +
+        "tdf AS (SELECT key, day, dc FROM td WHERE dc IS NOT NULL), " +
+        "j AS (SELECT key, dc, dm FROM tdf JOIN mdf USING (day)), " +
+        "m AS (SELECT key, CAST(count(*) AS BIGINT) AS n_days, " +
+        "CAST(sum(CAST(dm AS HUGEINT)) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(dc AS HUGEINT)) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(dm AS HUGEINT) * dm) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(dm AS HUGEINT) * dc) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(dc AS HUGEINT) * dc) AS DOUBLE) AS syy " +
+        "FROM j GROUP BY 1), " +
+        "c AS (SELECT key, n_days, CAST(n_days AS DOUBLE) AS nd, sx, " +
+        "sy, sxy - sx * sy / CAST(n_days AS DOUBLE) AS num, " +
+        "sxx - sx * sx / CAST(n_days AS DOUBLE) AS den, " +
+        "syy - sy * sy / CAST(n_days AS DOUBLE) AS vy FROM m), " +
+        "g AS (SELECT key, n_days, nd, sx, sy, num, den, vy, " +
+        "CASE WHEN n_days >= 2 AND den > 0 THEN num / den END AS beta " +
+        "FROM c) " +
+        "SELECT key, n_days, round(beta, 6) AS beta, " +
+        "round(sy / nd - beta * (sx / nd), 6) AS alpha, " +
+        "round(CASE WHEN den > 0 AND vy > 0 THEN " +
+        "num * num / (den * vy) END, 6) AS r2 FROM g ORDER BY key"),
+      (s, dir) => Finance.capmBeta(allBars(s, dir), "key", "day",
+        col("close")).orderBy("key")),
+
+    // ---- time-under-water census per ticker: gaps-and-islands runs on
+    // the exact integer underwater flag.
+    Q("q525_drawdown_duration",
+      Some(barsCte + ", " +
+        "pk AS (SELECT key, day, cl, max(cl) OVER (PARTITION BY key " +
+        "ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT " +
+        "ROW) AS peak, row_number() OVER (PARTITION BY key " +
+        "ORDER BY day) AS rn FROM b), " +
+        "un AS (SELECT key, rn - row_number() OVER (PARTITION BY key " +
+        "ORDER BY day) AS grp FROM pk WHERE cl < peak), " +
+        "rn2 AS (SELECT key, CAST(count(*) AS BIGINT) AS len FROM un " +
+        "GROUP BY key, grp), " +
+        "rr AS (SELECT key, CAST(sum(len) AS BIGINT) AS n_underwater, " +
+        "CAST(max(len) AS BIGINT) AS max_run FROM rn2 GROUP BY 1), " +
+        "nb AS (SELECT key, CAST(count(*) AS BIGINT) AS n_bars FROM pk " +
+        "GROUP BY 1) " +
+        "SELECT nb.key AS key, n_bars, " +
+        "CAST(coalesce(n_underwater, 0) AS BIGINT) AS n_underwater, " +
+        "CAST(coalesce(max_run, 0) AS BIGINT) AS max_run " +
+        "FROM nb LEFT JOIN rr ON nb.key = rr.key ORDER BY key"),
+      (s, dir) => Finance.drawdownDuration(allBars(s, dir), "key", "day",
+        col("close")).orderBy("key")),
+
+    // ---- cross-sectional momentum backtest: trailing-5-day signal
+    // through yesterday, top-5/bottom-5 daily long-short spread.
+    Q("q526_momentum",
+      Some(barsCte + ", " +
+        "p AS (SELECT key, day, cl, lag(cl, 1) OVER w AS c1, " +
+        "lag(cl, 6) OVER w AS cl6 FROM b WINDOW w AS " +
+        "(PARTITION BY key ORDER BY day)), " +
+        "f AS (SELECT key, day, CAST(c1 - cl6 AS DOUBLE) / " +
+        "CAST(cl6 AS DOUBLE) AS sig, CAST(cl - c1 AS DOUBLE) / " +
+        "CAST(c1 AS DOUBLE) AS ret FROM p WHERE c1 IS NOT NULL AND " +
+        "cl6 IS NOT NULL AND cl6 > 0 AND c1 > 0), " +
+        "r AS (SELECT day, ret, row_number() OVER (PARTITION BY day " +
+        "ORDER BY sig DESC, key ASC) AS rk, " +
+        "count(*) OVER (PARTITION BY day) AS m FROM f), " +
+        "d AS (SELECT day, CAST(sum(CASE WHEN rk <= 5 THEN " +
+        "CAST(ret AS DECIMAL(28,12)) END) AS DOUBLE) / 5.0 - " +
+        "CAST(sum(CASE WHEN rk > m - 5 THEN " +
+        "CAST(ret AS DECIMAL(28,12)) END) AS DOUBLE) / 5.0 AS spread " +
+        "FROM r WHERE m >= 11 GROUP BY 1), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_days, " +
+        "CAST(sum(CAST(spread AS DECIMAL(28,12))) AS DOUBLE) AS s, " +
+        "CAST(sum(CAST(spread * spread AS DECIMAL(28,12))) AS DOUBLE) " +
+        "AS ss FROM d) " +
+        "SELECT n_days, round(s / CAST(n_days AS DOUBLE), 6) " +
+        "AS mean_spread, " +
+        "round(CASE WHEN n_days >= 2 AND (ss - s * s / " +
+        "CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0) > 0 " +
+        "THEN (s / CAST(n_days AS DOUBLE)) / sqrt((ss - s * s / " +
+        "CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0) / " +
+        "CAST(n_days AS DOUBLE)) END, 6) AS t_stat FROM a"),
+      (s, dir) => Finance.momentumBacktest(allBars(s, dir), "key", "day",
+        col("close"), lookback = 5, k = 5))
   )
 }

@@ -438,6 +438,62 @@ class FinanceSpec extends SparkSpec {
     assert(r2.getDouble(2) == -0.5 && r2.isNullAt(3), s"ar1-osc: $r2")
   }
 
+  test("kyleLambda: tick-rule signed-flow OLS slope") {
+    // diffs +10,-5,+20 on vols 20,30,40 -> sv 20,-30,40 -> .346154
+    val bars = Seq((1L, 0L, 1.00, 10L), (1L, 1L, 1.10, 20L),
+      (1L, 2L, 1.05, 30L), (1L, 3L, 1.25, 40L))
+      .toDF("key", "day", "close", "volume")
+    val r = Finance.kyleLambda(bars, "key", "day", col("close"),
+      col("volume")).collect()(0)
+    assert(r.getLong(1) == 3L && r.getDouble(2) == 0.346154, s"kl: $r")
+  }
+
+  test("capmBeta: two-ticker market, exact integer moments") {
+    // market diffs [0, 35]; A dc [10,-5] -> beta -.428571, alpha 10,
+    // r2 1 (2 points); B mirrors
+    val bars = Seq(("A", 0L, 1.00), ("A", 1L, 1.10), ("A", 2L, 1.05),
+      ("B", 0L, 2.00), ("B", 1L, 1.90), ("B", 2L, 2.30))
+      .toDF("key", "day", "close")
+    val r = Finance.capmBeta(bars, "key", "day", col("close"))
+      .orderBy("key").collect()
+    assert(r(0).getLong(1) == 2L)
+    assert(r(0).getDouble(2) == -0.428571 && r(0).getDouble(3) == 10.0 &&
+      r(0).getDouble(4) == 1.0, s"A: ${r(0)}")
+    assert(r(1).getDouble(2) == 1.428571 && r(1).getDouble(3) == -10.0,
+      s"B: ${r(1)}")
+  }
+
+  test("drawdownDuration: longest underwater island in trading days") {
+    // closes 1.00,.90,.95,1.10,1.05,1.00,1.20: under at bars 2,3,5,6
+    // -> n_under 4, max_run 2
+    val bars = Seq((1L, 0L, 1.00), (1L, 1L, 0.90), (1L, 2L, 0.95),
+      (1L, 3L, 1.10), (1L, 4L, 1.05), (1L, 5L, 1.00), (1L, 6L, 1.20))
+      .toDF("key", "day", "close")
+    val r = Finance.drawdownDuration(bars, "key", "day", col("close"))
+      .collect()(0)
+    assert(r.getLong(1) == 7L && r.getLong(2) == 4L &&
+      r.getLong(3) == 2L, s"ddur: $r")
+    // monotone up: no underwater bars at all
+    val up = Seq((1L, 0L, 1.00), (1L, 1L, 2.00)).toDF("key", "day", "close")
+    val r2 = Finance.drawdownDuration(up, "key", "day", col("close"))
+      .collect()(0)
+    assert(r2.getLong(2) == 0L && r2.getLong(3) == 0L, s"up: $r2")
+  }
+
+  test("momentumBacktest: 4-ticker k=1 lookback=1 hand spread") {
+    val rows = Seq(
+      ("A", Seq(1.00, 1.10, 1.20, 1.30)), ("B", Seq(1.00, 1.00, 1.00, 1.00)),
+      ("C", Seq(1.00, 0.95, 0.90, 0.85)), ("D", Seq(1.00, 1.02, 1.04, 1.10))
+    ).flatMap { case (k, cs) =>
+      cs.zipWithIndex.map { case (c, d) => (k, d.toLong, c) } }
+    val bars = rows.toDF("key", "day", "close")
+    val r = Finance.momentumBacktest(bars, "key", "day", col("close"),
+      lookback = 1, k = 1).collect()(0)
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == 0.141215 && r.getDouble(2) == 60.714284,
+      s"mom: $r")
+  }
+
   test("grangerPair: hand 2-regressor F on a 5-day pair spine") {
     // a=[100..180], b=[110..170] cents: F = 6.744382, dr2 = .709935
     val bars = Seq(("A", 0L, 1.00), ("A", 1L, 2.00), ("A", 2L, 1.50),
