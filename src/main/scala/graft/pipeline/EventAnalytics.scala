@@ -2237,6 +2237,75 @@ object EventAnalytics {
       .orderBy("tau")
   }
 
+  // ------------------------------------------- Bass diffusion fit
+  /** Bass diffusion model fit by the discrete OLS form (Bass 1969):
+    * daily NEW adopters n_t regressed on the prior cumulative N_{t−1}
+    * and N_{t−1}² — n = a + bN + cN² with a = pm, b = q−p, c = −q/m —
+    * then m̂ (market size), p̂ (innovation) and q̂ (imitation) recovered
+    * from the quadratic's positive root. THE adoption-forecast
+    * primitive behind "when does growth saturate".
+    *
+    * DETERMINISM AND SCALE: first-seen days are one user-grain min;
+    * the regression runs on the calendar-bounded spine with exact
+    * integer (N, N²) regressors and DECIMAL(38,0) normal-equation
+    * moments (the [[Finance.grangerPair]] 2-regressor solve). A
+    * non-concave fit (c ≥ 0 or negative discriminant or m̂ ≤ 0) nulls
+    * the recovered parameters loudly — the raw coefficients still
+    * report. Returns one row:
+    * (n_days, coef_a, coef_b, coef_c, m_hat, p_hat, q_hat) 6dp. */
+  def bassDiffusionFit(df: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 0)
+    val firstDay = df.select(col(userCol).as("__u"),
+        dayIndex(col(tsCol)).as("__d"))
+      .groupBy("__u").agg(min(col("__d")).as("__d"))
+    val perDay = firstDay.groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("__new"))
+    val spine = perDay.agg(min(col("day")).as("__lo"),
+        max(col("day")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rows = spine.join(perDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("__new"), lit(0L)).as("__y"))
+      .withColumn("__cum", sum(col("__y")).over(w))
+      .withColumn("__nPrev", col("__cum") - col("__y"))
+      .select(col("__y"), col("__nPrev").as("__z1"),
+        (col("__nPrev") * col("__nPrev")).as("__z2"))
+    val m = rows.agg(count(lit(1)).as("n_days"),
+      sum(col("__y").cast(dt)).as("__sw"),
+      sum(col("__z1").cast(dt)).as("__s1"),
+      sum(col("__z2").cast(dt)).as("__s2"),
+      sum(col("__z1").cast(dt) * col("__z1")).as("__s11"),
+      sum(col("__z2").cast(dt) * col("__z2")).as("__s22"),
+      sum(col("__z1").cast(dt) * col("__z2")).as("__s12"),
+      sum(col("__z1").cast(dt) * col("__y")).as("__s1w"),
+      sum(col("__z2").cast(dt) * col("__y")).as("__s2w"))
+    val nD = col("n_days").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val c11 = d("__s11") - d("__s1") * d("__s1") / nD
+    val c22 = d("__s22") - d("__s2") * d("__s2") / nD
+    val c12 = d("__s12") - d("__s1") * d("__s2") / nD
+    val c1w = d("__s1w") - d("__s1") * d("__sw") / nD
+    val c2w = d("__s2w") - d("__s2") * d("__sw") / nD
+    val det = c11 * c22 - c12 * c12
+    val ok = col("n_days") >= 4L && det > 0.0
+    val bB = when(ok, (c1w * c22 - c2w * c12) / det)
+    val cC = when(ok, (c2w * c11 - c1w * c12) / det)
+    val aA = d("__sw") / nD - bB * (d("__s1") / nD) -
+      cC * (d("__s2") / nD)
+    val disc = bB * bB - lit(4.0) * cC * aA
+    val mHat = when(cC < 0.0 && disc >= 0.0,
+      (-bB - sqrt(disc)) / (lit(2.0) * cC))
+    val pHat = when(mHat > 0.0, aA / mHat)
+    m.select(col("n_days"), round(aA, 6).as("coef_a"),
+      round(bB, 6).as("coef_b"), round(cC, 6).as("coef_c"),
+      round(when(mHat > 0.0, mHat), 6).as("m_hat"),
+      round(pHat, 6).as("p_hat"),
+      round(pHat + bB, 6).as("q_hat"))
+  }
+
   // ------------------------------------------- Holt linear backtest
   /** One-step-ahead backtest of Holt's linear (double exponential)
     * smoothing on the daily count series, α = β = ½ (Holt 1957): with

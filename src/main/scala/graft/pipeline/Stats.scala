@@ -7309,4 +7309,120 @@ object Stats {
         num.cast("double") / den.cast("double")), 6).as("chi2"),
       lit(2L).as("dof"))
   }
+
+  // --------------------------------------- negative binomial (MoM) fit
+  /** Negative-binomial method-of-moments fit per group: with sample
+    * mean m and variance v, r̂ = m²/(v−m) and p̂ = m/v — the "how
+    * overdispersed, in NB units" sequel to [[dispersionIndex]]'s
+    * var/mean ratio (r̂ → ∞ recovers Poisson). Underdispersed groups
+    * (v ≤ m) null the NB parameters loudly — the model doesn't exist
+    * there.
+    *
+    * DETERMINISM AND SCALE: one decimal-moment groupBy; r̂/p̂ are fixed
+    * IEEE shapes. Returns per group:
+    * (group, n, mean, variance, nb_r, nb_p) 6dp. */
+  def negBinomFit(df: DataFrame, groupCol: Column,
+                  valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 6)
+    val v = valueCol.cast("double")
+    val g = df.filter(v.isNotNull && groupCol.isNotNull)
+      .groupBy(groupCol.as("group"))
+      .agg(count(lit(1)).as("n"), sum(v.cast(dt)).cast("double").as("__s"),
+        sum((v * v).cast(dt)).cast("double").as("__ss"))
+      .filter(col("n") >= 2L)
+    val nD = col("n").cast("double")
+    val mean = col("__s") / nD
+    val vr = (col("__ss") - col("__s") * col("__s") / nD) / (nD - 1.0)
+    g.select(col("group"), col("n"), round(mean, 6).as("mean"),
+      round(vr, 6).as("variance"),
+      round(when(vr > mean, mean * mean / (vr - mean)), 6).as("nb_r"),
+      round(when(vr > mean, mean / vr), 6).as("nb_p"))
+  }
+
+  // ---------------------------------------------- Poissonness plot fit
+  /** Hoaglin's Poissonness plot (1980): for count data, φ(k) =
+    * ln(k!·n_k/N) is LINEAR in k with slope ln λ iff the data are
+    * Poisson; the fitted slope recovers λ̂ = e^slope and curvature
+    * flags the mixture/overdispersion [[negBinomFit]] then quantifies.
+    *
+    * DETERMINISM AND SCALE: n_k comes from one count-grain rollup
+    * joined to the BOUNDED 0..maxK grid whose ln k! values are
+    * DRIVER-COMPUTED literals (sequential Σln i — the same doubles ship
+    * into the oracle as a VALUES list, the q35 centroid discipline);
+    * counts above maxK simply don't plot (N still counts them —
+    * document, don't drop silently: n_over reports the tail). The OLS
+    * runs over ≤ maxK+1 points with DECIMAL(28,12) moments. Returns one
+    * row: (n_total, n_over, n_points, slope, lambda_hat, intercept)
+    * 6dp. */
+  def poissonnessPlot(df: DataFrame, valueCol: Column,
+                      maxK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dd = DecimalType(28, 12)
+    require(maxK >= 2 && maxK <= 170, s"maxK in [2,170]: $maxK")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val y = valueCol.cast("long")
+    val counts = df.filter(y.isNotNull && y >= 0L)
+      .groupBy(y.as("k")).agg(count(lit(1)).as("__nk"))
+    val tot = counts.agg(sum(col("__nk")).as("n_total"),
+      sum(when(col("k") > maxK.toLong, col("__nk")).otherwise(0L))
+        .as("n_over"))
+    val grid = lnFactGrid(maxK).toDF("k", "__lnf")
+    val pts = counts.join(broadcast(grid), Seq("k"))
+      .crossJoin(broadcast(tot))
+      .select(col("k").cast("double").as("__x"),
+        (col("__lnf") + log(col("__nk").cast("double")) -
+          log(col("n_total").cast("double"))).as("__phi"))
+    val m = pts.agg(count(lit(1)).as("n_points"),
+      sum(col("__x").cast(dd)).cast("double").as("__sx"),
+      sum(col("__phi").cast(dd)).cast("double").as("__sy"),
+      sum((col("__x") * col("__x")).cast(dd)).cast("double").as("__sxx"),
+      sum((col("__x") * col("__phi")).cast(dd)).cast("double").as("__sxy"))
+    val kD = col("n_points").cast("double")
+    val num = col("__sxy") - col("__sx") * col("__sy") / kD
+    val den = col("__sxx") - col("__sx") * col("__sx") / kD
+    val slope = when(col("n_points") >= 2L && den > 0.0, num / den)
+    tot.crossJoin(m)
+      .select(col("n_total"), col("n_over"), col("n_points"),
+        round(slope, 6).as("slope"),
+        round(exp(slope), 6).as("lambda_hat"),
+        round(col("__sy") / kD - slope * (col("__sx") / kD), 6)
+          .as("intercept"))
+  }
+
+  /** ln k! for k = 0..maxK by the sequential left-fold — the literal
+    * grid both engines share (rendered into oracle VALUES). */
+  private[graft] def lnFactGrid(maxK: Int): Seq[(Long, Double)] = {
+    var acc = 0.0
+    (0 to maxK).map { k =>
+      if (k >= 2) acc += math.log(k.toDouble)
+      k.toLong -> acc
+    }
+  }
+
+  // --------------------------------- Cameron–Trivedi overdispersion
+  /** Cameron–Trivedi overdispersion score test (1990), intercept-only
+    * form: T = Σ[(y−ȳ)² − y] / √(2·n·ȳ²) ~ N(0,1) under Poisson — the
+    * one-number "is Poisson even plausible" gate in front of
+    * [[negBinomFit]] (large positive T ⇒ overdispersed).
+    *
+    * DETERMINISM AND SCALE: one decimal-moment aggregate; the numerator
+    * collapses to (Σy² − S²/n) − S on raw moments — integers when the
+    * counts are (the df filter keeps y ≥ 0 integral inputs intact).
+    * Returns one row: (n, mean, t_stat) 6dp. */
+  def cameronTrivedi(df: DataFrame, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 6)
+    val v = valueCol.cast("double")
+    val m = df.filter(v.isNotNull)
+      .agg(count(lit(1)).as("n"), sum(v.cast(dt)).cast("double").as("__s"),
+        sum((v * v).cast(dt)).cast("double").as("__ss"))
+    val nD = col("n").cast("double")
+    val mean = col("__s") / nD
+    val num = (col("__ss") - col("__s") * col("__s") / nD) - col("__s")
+    val den = sqrt(lit(2.0) * nD * mean * mean)
+    m.select(col("n"), round(mean, 6).as("mean"),
+      round(when(col("n") >= 2L && den > 0.0, num / den), 6).as("t_stat"))
+  }
 }

@@ -1680,5 +1680,148 @@ object StatsQueries5 {
         "CAST(n_days AS DOUBLE)) END, 6) AS t_stat FROM a"),
       (s, dir) => Finance.momentumBacktest(allBars(s, dir), "key", "day",
         col("close"), lookback = 5, k = 5))
+  ) ++ Seq(
+
+    // ---- Bass diffusion fit of user adoption: daily new users on the
+    // zero-filled spine, 2-regressor normal equations on (N, N^2), and
+    // the m/p/q recovery from the quadratic's positive root.
+    Q("q527_bass_diffusion",
+      Some("WITH fd AS (SELECT user_id, " +
+        "min(epoch_us(ts) // 86400000000) AS d FROM events GROUP BY 1), " +
+        "pd AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS nn FROM fd " +
+        "GROUP BY 1), " +
+        "r AS (SELECT unnest(range((SELECT min(day) FROM pd), " +
+        "(SELECT max(day) FROM pd) + 1)) AS day), " +
+        "s AS (SELECT r.day, CAST(coalesce(pd.nn, 0) AS BIGINT) AS y " +
+        "FROM r LEFT JOIN pd USING (day)), " +
+        "cu AS (SELECT day, y, CAST(sum(y) OVER (ORDER BY day ROWS " +
+        "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS cum FROM s), " +
+        "z AS (SELECT y, cum - y AS z1, (cum - y) * (cum - y) AS z2 " +
+        "FROM cu), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_days, " +
+        "CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sw, " +
+        "CAST(sum(CAST(z1 AS HUGEINT)) AS DOUBLE) AS s1, " +
+        "CAST(sum(CAST(z2 AS HUGEINT)) AS DOUBLE) AS s2, " +
+        "CAST(sum(CAST(z1 AS HUGEINT) * z1) AS DOUBLE) AS s11, " +
+        "CAST(sum(CAST(z2 AS HUGEINT) * z2) AS DOUBLE) AS s22, " +
+        "CAST(sum(CAST(z1 AS HUGEINT) * z2) AS DOUBLE) AS s12, " +
+        "CAST(sum(CAST(z1 AS HUGEINT) * y) AS DOUBLE) AS s1w, " +
+        "CAST(sum(CAST(z2 AS HUGEINT) * y) AS DOUBLE) AS s2w FROM z), " +
+        "c AS (SELECT n_days, CAST(n_days AS DOUBLE) AS nd, sw, s1, s2, " +
+        "s11 - s1 * s1 / CAST(n_days AS DOUBLE) AS c11, " +
+        "s22 - s2 * s2 / CAST(n_days AS DOUBLE) AS c22, " +
+        "s12 - s1 * s2 / CAST(n_days AS DOUBLE) AS c12, " +
+        "s1w - s1 * sw / CAST(n_days AS DOUBLE) AS c1w, " +
+        "s2w - s2 * sw / CAST(n_days AS DOUBLE) AS c2w FROM m), " +
+        "g AS (SELECT n_days, nd, sw, s1, s2, " +
+        "CASE WHEN n_days >= 4 AND c11 * c22 - c12 * c12 > 0 THEN " +
+        "(c1w * c22 - c2w * c12) / (c11 * c22 - c12 * c12) END AS bb, " +
+        "CASE WHEN n_days >= 4 AND c11 * c22 - c12 * c12 > 0 THEN " +
+        "(c2w * c11 - c1w * c12) / (c11 * c22 - c12 * c12) END AS cc " +
+        "FROM c), " +
+        "h AS (SELECT n_days, bb, cc, " +
+        "sw / nd - bb * (s1 / nd) - cc * (s2 / nd) AS aa FROM g), " +
+        "i AS (SELECT n_days, aa, bb, cc, " +
+        "CASE WHEN cc < 0 AND bb * bb - 4.0 * cc * aa >= 0 THEN " +
+        "(-bb - sqrt(bb * bb - 4.0 * cc * aa)) / (2.0 * cc) END " +
+        "AS mhat FROM h), " +
+        "j AS (SELECT n_days, aa, bb, cc, mhat, " +
+        "CASE WHEN mhat > 0 THEN aa / mhat END AS phat FROM i) " +
+        "SELECT n_days, round(aa, 6) AS coef_a, round(bb, 6) AS coef_b, " +
+        "round(cc, 6) AS coef_c, " +
+        "round(CASE WHEN mhat > 0 THEN mhat END, 6) AS m_hat, " +
+        "round(phat, 6) AS p_hat, round(phat + bb, 6) AS q_hat FROM j"),
+      (s, dir) => EventAnalytics.bassDiffusionFit(Tables.events(s, dir),
+        "user_id", "ts")),
+
+    // ---- negative-binomial MoM fit of per-(type, user) event counts:
+    // how overdispersed each event type's usage is, in NB units.
+    Q("q528_negbin_fit",
+      Some("WITH u AS (SELECT event_type, user_id, " +
+        "CAST(count(*) AS DOUBLE) AS v FROM events GROUP BY 1, 2), " +
+        "g AS (SELECT event_type AS \"group\", " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s, " +
+        "CAST(sum(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS ss " +
+        "FROM u GROUP BY 1 HAVING count(*) >= 2), " +
+        "v2 AS (SELECT \"group\", n, s / CAST(n AS DOUBLE) AS mean, " +
+        "(ss - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) " +
+        "AS vr FROM g) " +
+        "SELECT \"group\", n, round(mean, 6) AS mean, " +
+        "round(vr, 6) AS variance, " +
+        "round(CASE WHEN vr > mean THEN mean * mean / (vr - mean) " +
+        "END, 6) AS nb_r, " +
+        "round(CASE WHEN vr > mean THEN mean / vr END, 6) AS nb_p " +
+        "FROM v2 ORDER BY \"group\""),
+      (s, dir) => Stats.negBinomFit(
+        Tables.events(s, dir).groupBy("event_type", "user_id")
+          .agg(count(lit(1)).cast("double").as("v")),
+        col("event_type"), col("v")).orderBy("group")),
+
+    // ---- Hoaglin Poissonness plot of per-(user, day) event counts:
+    // the ln k! grid ships as driver-computed literals (the q35
+    // discipline); slope recovers ln(lambda).
+    Q("q529_poissonness", {
+      val lf = Stats.lnFactGrid(20)
+        .map { case (k, v) => s"($k, $v)" }.mkString(", ")
+      Some("WITH u AS (SELECT user_id, epoch_us(ts) // 86400000000 " +
+        "AS d, CAST(count(*) AS BIGINT) AS y FROM events GROUP BY " +
+        "1, 2), " +
+        "ck AS (SELECT y AS k, CAST(count(*) AS BIGINT) AS nk FROM u " +
+        "GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(nk) AS BIGINT) AS n_total, " +
+        "CAST(sum(CASE WHEN k > 20 THEN nk ELSE 0 END) AS BIGINT) " +
+        "AS n_over FROM ck), " +
+        s"lf(k, lnf) AS (VALUES $lf), " +
+        "p AS (SELECT CAST(ck.k AS DOUBLE) AS x, lf.lnf + " +
+        "ln(CAST(ck.nk AS DOUBLE)) - ln(CAST(t.n_total AS DOUBLE)) " +
+        "AS phi FROM ck JOIN lf ON ck.k = lf.k, t), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_points, " +
+        "CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(phi AS DECIMAL(28,12))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(x * phi AS DECIMAL(28,12))) AS DOUBLE) AS sxy " +
+        "FROM p), " +
+        "f AS (SELECT n_points, CAST(n_points AS DOUBLE) AS kd, sx, " +
+        "sy, sxy - sx * sy / CAST(n_points AS DOUBLE) AS num, " +
+        "sxx - sx * sx / CAST(n_points AS DOUBLE) AS den FROM m), " +
+        "g AS (SELECT n_points, kd, sx, sy, CASE WHEN n_points >= 2 " +
+        "AND den > 0 THEN num / den END AS slope FROM f) " +
+        "SELECT t.n_total, t.n_over, g.n_points, " +
+        "round(g.slope, 6) AS slope, " +
+        "round(exp(g.slope), 6) AS lambda_hat, " +
+        "round(g.sy / g.kd - g.slope * (g.sx / g.kd), 6) AS intercept " +
+        "FROM g, t")
+    },
+      (s, dir) => Stats.poissonnessPlot(
+        Tables.events(s, dir)
+          .groupBy(col("user_id"),
+            EventAnalytics.dayIndex(col("ts")).as("d"))
+          .agg(count(lit(1)).as("y")),
+        col("y"), maxK = 20)),
+
+    // ---- Cameron-Trivedi overdispersion score on the same counts: the
+    // one-number Poisson plausibility gate.
+    Q("q530_cameron_trivedi",
+      Some("WITH u AS (SELECT user_id, epoch_us(ts) // 86400000000 " +
+        "AS d, CAST(count(*) AS DOUBLE) AS v FROM events GROUP BY " +
+        "1, 2), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s, " +
+        "CAST(sum(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS ss " +
+        "FROM u) " +
+        "SELECT n, round(s / CAST(n AS DOUBLE), 6) AS mean, " +
+        "round(CASE WHEN n >= 2 AND sqrt(2.0 * CAST(n AS DOUBLE) * " +
+        "(s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))) > 0 THEN " +
+        "((ss - s * s / CAST(n AS DOUBLE)) - s) / " +
+        "sqrt(2.0 * CAST(n AS DOUBLE) * (s / CAST(n AS DOUBLE)) * " +
+        "(s / CAST(n AS DOUBLE))) END, 6) AS t_stat FROM m"),
+      (s, dir) => Stats.cameronTrivedi(
+        Tables.events(s, dir)
+          .groupBy(col("user_id"),
+            EventAnalytics.dayIndex(col("ts")).as("d"))
+          .agg(count(lit(1)).cast("double").as("v")),
+        col("v")))
   )
 }

@@ -639,6 +639,25 @@ class AppliedSpec extends SparkSpec {
       s"alpha: ${r(0)}")
   }
 
+  test("bassDiffusionFit: 2-regressor recovery of m/p/q") {
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(86400000L * d)
+    // new adopters 10,18,25,22,15,10: m=101.447974, p=.115056,
+    // q=.704826 (python replay of the normal-equation shapes)
+    val counts = Seq(10, 18, 25, 22, 15, 10)
+    var uid = 0
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map { _ => uid += 1; (uid.toLong, t(d + 2)) } }
+    val df = rows.toDF("user_id", "ts")
+    val r = EventAnalytics.bassDiffusionFit(df, "user_id", "ts")
+      .collect()(0)
+    assert(r.getLong(0) == 6L)
+    assert(r.getDouble(1) == 11.672206 && r.getDouble(2) == 0.58977 &&
+      r.getDouble(3) == -0.006948, s"coef: $r")
+    assert(r.getDouble(4) == 101.447974 && r.getDouble(5) == 0.115056 &&
+      r.getDouble(6) == 0.704826, s"mpq: $r")
+  }
+
   test("holtLinearBacktest: hand recursion at alpha = beta = 1/2") {
     import java.sql.Timestamp
     def t(d: Int) = new Timestamp(86400000L * d)

@@ -1109,4 +1109,74 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
       s"season pair join must be an equi join:\n$p")
   }
+
+  test("round-12 ticker family: every lag/run window partitions by the " +
+    "ticker key") {
+    for (q <- Seq("q480_corwin_schultz", "q481_amihud", "q482_omega",
+        "q487_dickey_fuller", "q488_kpss", "q489_ar1_half_life",
+        "q523_kyle_lambda", "q525_drawdown_duration")) {
+      val p = planOf(q)
+      val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(windows.nonEmpty, s"$q: expected keyed windows:\n$p")
+      assert(windows.forall(_.contains("key#")),
+        s"$q: window not key-partitioned:\n${windows.mkString("\n")}")
+    }
+  }
+
+  test("round-12 moment family: no window at all; no cartesian beyond " +
+    "1-row scalar broadcasts") {
+    for (q <- Seq("q479_ohlc_vol", "q499_silhouette", "q501_xie_beni",
+        "q502_cluster_balance", "q515_dagostino", "q516_chow",
+        "q518_breusch_pagan", "q519_variance_panel", "q503_morans_i",
+        "q504_gearys_c", "q506_general_g")) {
+      val p = planOf(q)
+      assert(!p.contains("Window ["), s"$q: unexpected window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian in:\n$p")
+    }
+  }
+
+  test("q483/q484: Hill and Pickands tails come from a distributed " +
+    "TakeOrdered, never a global sort") {
+    for (q <- Seq("q483_hill", "q484_pickands")) {
+      val p = planOf(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: expected TakeOrderedAndProject:\n$p")
+    }
+  }
+
+  test("q485/q486: plot-fit global ranks go through distributedRank " +
+    "cell windows") {
+    for (q <- Seq("q485_weibull_fit", "q486_ppcc_exp")) {
+      val p = planOf(q)
+      val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+        .filter(_.contains("row_number"))
+      assert(windows.nonEmpty, s"$q: expected rank windows:\n$p")
+      assert(windows.forall(w => w.contains("__drseg") ||
+        w.contains("user_id#")),
+        s"$q: rank window not cell-partitioned:\n${windows.mkString("\n")}")
+    }
+  }
+
+  test("q495: link-prediction wedges route through the shuffle-hash " +
+    "join, never a cartesian") {
+    val p = planOf("q495_link_prediction")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"expected the keyed wedge join:\n$p")
+  }
+
+  test("q507-q510 rank-scale family: the midrank window consumes the " +
+    "value-cell rollup (HashAggregate below)") {
+    // q509 shares the exact same scaffold but localCheckpoints the cell
+    // relation (two consumers), which materializes the window out of the
+    // executed plan — covered by the shared twoSampleRankCells path here
+    for (q <- Seq("q507_ansari_bradley", "q508_mood_scale",
+        "q510_cucconi")) {
+      val p = planOf(q)
+      val wIdx = p.linesIterator.indexWhere(_.contains("Window ["))
+      assert(wIdx >= 0, s"$q: expected the midrank window:\n$p")
+      assert(p.linesIterator.drop(wIdx).exists(_.contains("HashAggregate")),
+        s"$q: midrank window must consume the cell rollup:\n$p")
+    }
+  }
 }

@@ -1206,6 +1206,99 @@ object ScaleStress {
     assert(tl.getLong(0) == 1000000L && tl.getDouble(2) == 2.0 &&
       tl.getDouble(4) == 1.0, s"taylorsLaw closed form: $tl")
 
+    // hillEstimator over 10M rows: (a) a 312k-deep tie at the top makes
+    // the k+1 order statistics ALL equal -> xi exactly 0, alpha null
+    // (the tie-break determinism gate); (b) v = id+1 at k = 3 matches
+    // the driver-side replay of the same IEEE shapes.
+    val hillTies = spark.range(10000000L).select(
+      pow(lit(2.0), pmod(col("id"), lit(32L)).cast("double")).as("v"),
+      col("id").as("tie"))
+    val h0 = timed("hillEstimator over 10M rows, 312k-deep top tie") {
+      graft.pipeline.Stats.hillEstimator(hillTies, col("v"), col("tie"),
+        k = 100).collect().head
+    }
+    assert(h0.getDouble(2) == 0.0 && h0.isNullAt(3),
+      s"hill tie closed form: $h0")
+    val hillSeq = spark.range(10000000L).select(
+      (col("id") + 1L).cast("double").as("v"), col("id").as("tie"))
+    val h1 = timed("hillEstimator over 10M distinct values, k = 3") {
+      graft.pipeline.Stats.hillEstimator(hillSeq, col("v"), col("tie"),
+        k = 3).collect().head
+    }
+    val hThr = 10000000.0 - 3.0
+    val xiExp = ((math.log(10000000.0 / hThr) +
+      math.log(9999999.0 / hThr)) + math.log(9999998.0 / hThr)) / 3.0
+    assert(h1.getDouble(1) == hThr, s"hill threshold: $h1")
+    assert(h1.getDouble(2) == math.rint(xiExp * 1e6) / 1e6,
+      s"hill xi vs driver replay: $h1 vs $xiExp")
+
+    // moransI / gearysC on a 1000x1000 checkerboard (counts 1/3):
+    // every rook neighbor pair is opposite, so I = -1 EXACTLY and
+    // C = (N-1)*4W*N^2/(2W*N^2) scaled = 1.999998 at N = 1e6.
+    val board = spark.range(1000000L).select(
+        pmod(col("id"), lit(1000L)).as("x"), expr("id div 1000").as("y"))
+      .withColumn("p", pmod(col("x") + col("y"), lit(2L)))
+      .select(col("x"), col("y"),
+        explode(sequence(lit(1L), lit(1L) + col("p") * 2L)).as("rep"))
+    val mi = timed("moransI on a 1M-cell checkerboard (2M points)") {
+      graft.pipeline.Spatial.moransI(board, col("x"), col("y"),
+        cellSize = 1L).collect().head
+    }
+    assert(mi.getLong(0) == 1000000L && mi.getDouble(2) == -1.0,
+      s"moransI checkerboard: $mi")
+    val gc = timed("gearysC on the same checkerboard") {
+      graft.pipeline.Spatial.gearysC(board, col("x"), col("y"),
+        cellSize = 1L).collect().head
+    }
+    assert(gc.getDouble(2) == 1.999998, s"gearysC checkerboard: $gc")
+
+    // ppccExponential over 10M rows whose values ARE the Blom
+    // exponential plotting quantiles -> r = 1 exactly (and the 10M-row
+    // distributedRank pass is the cost being measured).
+    val nPp = 10000000L
+    val ppRows = spark.range(nPp).select(
+      (-log(lit(1.0) - ((col("id") + 1L).cast("double") - 0.375) /
+        (lit(nPp.toDouble) + 0.25))).as("v"), col("id").as("tie"))
+    val pp = timed("ppccExponential over 10M exact quantiles") {
+      graft.pipeline.Stats.ppccExponential(ppRows, col("v"), col("tie"))
+        .collect().head
+    }
+    assert(pp.getLong(0) == nPp && pp.getDouble(1) == 1.0,
+      s"ppcc closed form: $pp")
+
+    // stuartMaxwell3 over 10M pairs with identical margins by
+    // construction (r = id%3, c = (id+1)%3): every d_i = 0 with massive
+    // off-diagonals -> chi2 exactly 0.
+    val smRows = spark.range(9999999L).select(
+      when(pmod(col("id"), lit(3L)) === 0L, "l")
+        .when(pmod(col("id"), lit(3L)) === 1L, "m").otherwise("h").as("r"),
+      when(pmod(col("id") + 1L, lit(3L)) === 0L, "l")
+        .when(pmod(col("id") + 1L, lit(3L)) === 1L, "m").otherwise("h")
+        .as("c"))
+    val sm = timed("stuartMaxwell3 over 10M pairs, planted equal margins") {
+      graft.pipeline.Stats.stuartMaxwell3(smRows, col("r"), col("c"),
+        Seq("l", "m", "h")).collect().head
+    }
+    assert(sm.getLong(1) == 0L && sm.getLong(2) == 0L &&
+      sm.getLong(3) == 0L && sm.getDouble(4) == 0.0,
+      s"stuartMaxwell closed form: $sm")
+
+    // momentumBacktest over 1000 tickers x 1000 days with a planted
+    // strictly-monotone cross-section (sig increasing in t every day):
+    // all 994 tradable days emit and the long-short spread is positive.
+    val momBars = spark.range(1000000L).select(
+        pmod(col("id"), lit(1000L)).as("key"),
+        expr("id div 1000").as("day"))
+      .select(col("key"), col("day"),
+        ((lit(1000000L) + col("key") * col("day")).cast("double") / 100.0)
+          .as("close"))
+    val mom = timed("momentumBacktest over 1000 tickers x 1000 days") {
+      graft.pipeline.Finance.momentumBacktest(momBars, "key", "day",
+        col("close"), lookback = 5, k = 5).collect().head
+    }
+    assert(mom.getLong(0) == 994L && mom.getDouble(1) > 0.0,
+      s"momentum planted monotone: $mom")
+
     spark.stop()
   }
 }

@@ -2418,6 +2418,40 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("negBinomFit: MoM r/p; underdispersed group nulls") {
+    import spark.implicits._
+    // counts 0,1,1,2,5: mean 1.8, var 3.7 -> r 1.705263, p .486486
+    val df = Seq(("a", 0.0), ("a", 1.0), ("a", 1.0), ("a", 2.0),
+      ("a", 5.0), ("b", 3.0), ("b", 3.0)).toDF("g", "v")
+    val r = Stats.negBinomFit(df, col("g"), col("v")).orderBy("group")
+      .collect()
+    assert(r(0).getDouble(2) == 1.8 && r(0).getDouble(3) == 3.7)
+    assert(r(0).getDouble(4) == 1.705263 && r(0).getDouble(5) == 0.486486,
+      s"nb: ${r(0)}")
+    // constant group: var 0 <= mean -> NB params null
+    assert(r(1).isNullAt(4) && r(1).isNullAt(5), s"b: ${r(1)}")
+  }
+
+  test("poissonnessPlot: literal ln k! grid, tail counted not plotted") {
+    import spark.implicits._
+    // n0=4 n1=3 n2=2 and one y=5 beyond maxK=3: slope 0, lambda 1
+    val df = (Seq.fill(4)(0L) ++ Seq.fill(3)(1L) ++ Seq.fill(2)(2L) ++
+      Seq(5L)).toDF("y")
+    val r = Stats.poissonnessPlot(df, col("y"), maxK = 3).collect()(0)
+    assert(r.getLong(0) == 10L && r.getLong(1) == 1L &&
+      r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) == -1.012185, s"pp: $r")
+  }
+
+  test("cameronTrivedi: overdispersion score on the NB hand sample") {
+    import spark.implicits._
+    val df = Seq(0.0, 1.0, 1.0, 2.0, 5.0).toDF("v")
+    val r = Stats.cameronTrivedi(df, col("v")).collect()(0)
+    assert(r.getLong(0) == 5L && r.getDouble(1) == 1.8)
+    assert(r.getDouble(2) == 1.018956, s"ct: $r")
+  }
+
   test("variancePanel: Cochran C, Hartley Fmax, max-group election") {
     import spark.implicits._
     // s2: a=2, b=4, c=.5 -> C = 4/6.5, Fmax = 8, max group b
