@@ -7425,4 +7425,145 @@ object Stats {
     m.select(col("n"), round(mean, 6).as("mean"),
       round(when(col("n") >= 2L && den > 0.0, num / den), 6).as("t_stat"))
   }
+
+  // ------------------------------------------- Horvitz–Thompson total
+  /** Horvitz–Thompson estimator of a population total from a
+    * deterministic stratified md5 sample (Horvitz & Thompson 1952):
+    * T̂ = Σ_{sampled} y/π_stratum — the design-unbiased total under
+    * KNOWN inclusion probabilities, reported beside the TRUE total and
+    * the relative error (a planted-truth calibration of the
+    * [[graft.pipeline.Curation.sampleByRate]] sampling machinery
+    * itself).
+    *
+    * DETERMINISM AND SCALE: the sample is the md5-threshold draw
+    * (engine-replayable by construction); both totals are DECIMAL(38,6)
+    * sums; y/π is one fixed IEEE shape per sampled row summed as
+    * DECIMAL(28,12). Totals report at 2dp (the rollSpread magnitude
+    * lesson — corpus totals overflow a 6dp round's 16-digit budget; a
+    * .005 midpoint is non-dyadic, so the 2dp round can never tie),
+    * rel_err at 6dp. Returns one row:
+    * (n_pop, n_sampled, true_total, ht_total, rel_err). */
+  def horvitzThompson(df: DataFrame, keyCol: Column, salt: String,
+                      stratumCol: Column, rates: Seq[(String, Double)],
+                      defaultRate: Double, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(rates.nonEmpty && (rates.map(_._2) :+ defaultRate)
+      .forall(r => r > 0.0 && r <= 1.0), "rates in (0,1]")
+    val v = valueCol.cast("double")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s0, r)) =>
+      when(stratumCol.cast("string") === s0, r).otherwise(acc)
+    }
+    val h = substring(md5(concat(lit(salt),
+      coalesce(keyCol.cast("string"), lit("")))), 1, 8)
+    val base = df.filter(v.isNotNull)
+      .select(v.as("__y"), rate.as("__r"), h.as("__h"))
+    val kept = graft.pipeline.Curation.keepCondition(col("__h"),
+      col("__r"))
+    val m = base.agg(count(lit(1)).as("n_pop"),
+      sum(col("__y").cast(DecimalType(38, 6))).cast("double")
+        .as("__true"),
+      sum(when(kept, 1L).otherwise(0L)).as("n_sampled"),
+      sum(when(kept, (col("__y") / col("__r"))
+        .cast(DecimalType(28, 12)))).cast("double").as("__ht"))
+    m.select(col("n_pop"), col("n_sampled"),
+      round(col("__true"), 2).as("true_total"),
+      round(col("__ht"), 2).as("ht_total"),
+      round(when(col("__true") =!= 0.0,
+        (col("__ht") - col("__true")) / col("__true")), 6).as("rel_err"))
+  }
+
+  // --------------------------------------------- jackknife ratio SE
+  /** Delete-one jackknife standard error for the ratio R = Σx/Σy: each
+    * row's pseudo-ratio θ₍ᵢ₎ = (Σx−xᵢ)/(Σy−yᵢ) is a broadcast-totals
+    * closed form, and se² = (n−1)/n · Σ(θ₍ᵢ₎−θ̄)² — the resampling-free
+    * cross-check of [[ratioMetricCi]]'s delta method (they should agree
+    * to first order; a gap flags influential units).
+    *
+    * DETERMINISM AND SCALE: totals broadcast; the moments accumulate
+    * the CENTERED pseudo-values d₍ᵢ₎ = θ₍ᵢ₎ − R (shift-invariant
+    * variance) — centering matters twice: it kills the catastrophic
+    * Σθ² − (Σθ)²/n cancellation AND keeps the per-row decimal casts at
+    * tiny magnitudes where DuckDB's float-multiply double→decimal
+    * conversion cannot flip a .5 boundary (raw θ² casts diverged by
+    * ~2e-6 at sf0.01, measured — the sub-4e15 corollary of the q375
+    * bound: an ARBITRARY double near a boundary misrounds with
+    * probability ~ulp(|v|·10^s)). A row whose removal zeroes Σy RAISES.
+    * Returns one row: (n, ratio, se_jack) 6dp. */
+  def jackknifeRatio(df: DataFrame, numCol: Column,
+                     denCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dd = DecimalType(28, 12)
+    val x = numCol.cast("double"); val y = denCol.cast("double")
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.as("__x"), y.as("__y"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(col("__x").cast(DecimalType(38, 6))).cast("double").as("__sx"),
+      sum(col("__y").cast(DecimalType(38, 6))).cast("double").as("__sy"))
+    val denLoo = col("__sy") - col("__y")
+    val theta = when(denLoo === 0.0,
+      raise_error(lit("jackknifeRatio: delete-one denominator is zero")))
+      .otherwise((col("__sx") - col("__x")) / denLoo)
+    val dCent = theta - col("__sx") / col("__sy")
+    val m = base.crossJoin(broadcast(tot))
+      .agg(first(col("n")).as("n"), first(col("__sx")).as("__sx"),
+        first(col("__sy")).as("__sy"),
+        sum(dCent.cast(dd)).cast("double").as("__sd"),
+        sum((dCent * dCent).cast(dd)).cast("double").as("__sdd"))
+    val nD = col("n").cast("double")
+    val varJ = (nD - 1.0) / nD *
+      (col("__sdd") - col("__sd") * col("__sd") / nD)
+    m.select(col("n"),
+      round(when(col("__sy") =!= 0.0, col("__sx") / col("__sy")), 6)
+        .as("ratio"),
+      round(when(col("n") >= 2L && varJ >= 0.0, sqrt(varJ)), 6)
+        .as("se_jack"))
+  }
+
+  // --------------------------------------------- information-gain panel
+  /** Information gain (mutual information) of each candidate feature
+    * against a label, with the gain ratio IG/H(feature) that penalizes
+    * high-cardinality features (Quinlan 1986) — the feature-screening
+    * panel in front of a tree model, [[mutualInformation]] swept over a
+    * feature list in ONE pass.
+    *
+    * DETERMINISM AND SCALE: one union of per-feature projections feeds
+    * one (feature, a, b) cell rollup; the MI and entropy cells are the
+    * [[mutualInformation]] DECIMAL(28,12) shapes keyed by feature.
+    * Returns per feature: (feature, n, mi, h_feature, gain_ratio) 6dp. */
+  def infoGainPanel(df: DataFrame, labelCol: Column,
+                    features: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(features.nonEmpty, "at least one feature")
+    val base = features.map { f =>
+      df.filter(labelCol.isNotNull && col(f).isNotNull)
+        .select(lit(f).as("feature"), col(f).cast("string").as("__a"),
+          labelCol.cast("string").as("__b"))
+    }.reduce(_ unionByName _)
+    val cells = base.groupBy("feature", "__a", "__b")
+      .agg(count(lit(1)).as("__c"))
+    val ma = cells.groupBy("feature", "__a").agg(sum(col("__c")).as("__ca"))
+    val mb = cells.groupBy("feature", "__b").agg(sum(col("__c")).as("__cb"))
+    val tot = cells.groupBy("feature").agg(sum(col("__c")).as("__n"))
+    val nD = col("__n").cast("double")
+    val miTerm = (col("__c").cast("double") / nD *
+      log(nD * col("__c").cast("double") /
+        (col("__ca").cast("double") * col("__cb").cast("double"))))
+      .cast(DecimalType(28, 12))
+    val mi = cells.join(ma, Seq("feature", "__a"))
+      .join(mb, Seq("feature", "__b"))
+      .join(broadcast(tot), "feature")
+      .groupBy("feature")
+      .agg(first(col("__n")).as("n"),
+        sum(miTerm).cast("double").as("__mi"))
+    val hTerm = (-(col("__ca").cast("double") / nD) *
+      log(col("__ca").cast("double") / nD)).cast(DecimalType(28, 12))
+    val hf = ma.join(broadcast(tot), "feature")
+      .groupBy("feature")
+      .agg(sum(hTerm).cast("double").as("__hf"))
+    mi.join(hf, "feature")
+      .select(col("feature"), col("n"), round(col("__mi"), 6).as("mi"),
+        round(col("__hf"), 6).as("h_feature"),
+        round(when(col("__hf") > 0.0, col("__mi") / col("__hf")), 6)
+          .as("gain_ratio"))
+  }
 }

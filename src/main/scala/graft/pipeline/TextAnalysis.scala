@@ -1161,6 +1161,52 @@ object TextAnalysis {
             col("f_r").cast("double")), 6).as("r_star"))
   }
 
+  // -------------------------------------------------- Dunning G² keyness
+  /** Dunning log-likelihood keyness (Dunning 1993): per term shared by
+    * two corpora, G² = 2·Σᵢ Oᵢ·ln(Oᵢ/Eᵢ) over the term's 2×2 table
+    * against the corpus totals — THE keyword-extraction statistic that
+    * stays honest at small counts where χ² breaks, and the
+    * signed-direction sibling of [[fightinWords]]' smoothed log-odds.
+    *
+    * DETERMINISM AND SCALE: one (group, token) rollup pivots to exact
+    * (o_a, o_b) integers; E and the G² cells are fixed IEEE shapes on
+    * those integers (an absent side contributes exactly 0 by the
+    * o·ln(o/E) → 0 limit, taken explicitly); the direction flag is the
+    * exact integer cross-compare o_a·N_b > o_b·N_a; the top-N election
+    * orders by (g2 desc, term asc) on identical doubles. Returns the
+    * top-N terms: (term, n_a, n_b, g2, over_a) 6dp. */
+  def keynessG2(docs: DataFrame, textCol: String, groupCol: Column,
+                a: String, b: String, topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(topN >= 1, s"topN must be positive: $topN")
+    val g = groupCol.cast("string")
+    val toks = filter(tokens(lower(col(textCol))), t => t =!= "")
+    val counts = docs.filter(g.isin(a, b))
+      .select(g.as("__g"), explode(toks).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term")
+      .agg(sum(when(col("__g") === a, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__g") === b, 1L).otherwise(0L)).as("n_b"))
+    val tot = counts.agg(sum(col("n_a")).as("__na"),
+      sum(col("n_b")).as("__nb"))
+    val j = counts.crossJoin(broadcast(tot))
+    val naD = col("__na").cast("double"); val nbD = col("__nb").cast("double")
+    val rowTot = (col("n_a") + col("n_b")).cast("double")
+    val e1 = rowTot * naD / (naD + nbD)
+    val e2 = rowTot * nbD / (naD + nbD)
+    val t1 = when(col("n_a") > 0L,
+      col("n_a").cast("double") * log(col("n_a").cast("double") / e1))
+      .otherwise(lit(0.0))
+    val t2 = when(col("n_b") > 0L,
+      col("n_b").cast("double") * log(col("n_b").cast("double") / e2))
+      .otherwise(lit(0.0))
+    j.select(col("term"), col("n_a"), col("n_b"),
+        round(lit(2.0) * (t1 + t2), 6).as("g2"),
+        (col("n_a") * col("__nb") > col("n_b") * col("__na")).as("over_a"))
+      .orderBy(col("g2").desc, col("term").asc)
+      .limit(topN)
+  }
+
   // ---------------------------------------------------- token coverage
   /** Corpus coverage of the top-k token types per group, for a grid of
     * k: what fraction of all tokens would a k-entry vocabulary cover?

@@ -1823,5 +1823,144 @@ object StatsQueries5 {
             EventAnalytics.dayIndex(col("ts")).as("d"))
           .agg(count(lit(1)).cast("double").as("v")),
         col("v")))
+  ) ++ Seq(
+
+    // ---- Horvitz-Thompson revenue total from the stratified md5 draw
+    // (the q57 sampling discipline made inferential): the estimator,
+    // the TRUE total, and the relative error. Totals at 2dp (the
+    // magnitude lesson), rel_err 6dp.
+    Q("q531_horvitz_thompson",
+      Some("WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS y, " +
+        "least(greatest(CASE l_returnflag WHEN 'A' THEN 0.3 WHEN 'N' " +
+        "THEN 0.2 WHEN 'R' THEN 0.5 ELSE 0.1 END, 0.0), 1.0) AS r, " +
+        "substring(md5('ht-v1' || CAST(l_orderkey * 10000000 + " +
+        "l_linenumber * 1000000 + l_suppkey AS VARCHAR)), 1, 8) AS h " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+        "k AS (SELECT y, r, r >= 1.0 OR h < printf('%08x', " +
+        "CAST(least(floor(r * 4294967296.0), 4294967295.0) AS BIGINT)) " +
+        "AS kept FROM b), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_pop, " +
+        "CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS tt, " +
+        "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_sampled, " +
+        "CAST(sum(CASE WHEN kept THEN CAST(y / r AS DECIMAL(28,12)) " +
+        "END) AS DOUBLE) AS ht FROM k) " +
+        "SELECT n_pop, n_sampled, round(tt, 2) AS true_total, " +
+        "round(ht, 2) AS ht_total, " +
+        "round(CASE WHEN tt <> 0 THEN (ht - tt) / tt END, 6) " +
+        "AS rel_err FROM m"),
+      (s, dir) => Stats.horvitzThompson(Tables.lineitem(s, dir),
+        col("l_orderkey") * 10000000 + col("l_linenumber") * 1000000 +
+          col("l_suppkey"), "ht-v1", col("l_returnflag"),
+        Seq("A" -> 0.3, "N" -> 0.2, "R" -> 0.5), defaultRate = 0.1,
+        col("l_extendedprice"))),
+
+    // ---- delete-one jackknife SE of price-per-unit: the resampling-
+    // free cross-check of the q472 delta method.
+    Q("q532_jackknife_ratio",
+      Some("WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x, " +
+        "CAST(l_quantity AS DOUBLE) AS y FROM lineitem WHERE " +
+        "l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy FROM b), " +
+        "p AS (SELECT (t.sx - b.x) / (t.sy - b.y) - t.sx / t.sy AS dc " +
+        "FROM b, t), " +
+        "m AS (SELECT CAST(sum(CAST(dc AS DECIMAL(28,12))) AS DOUBLE) " +
+        "AS sd, CAST(sum(CAST(dc * dc AS DECIMAL(28,12))) AS DOUBLE) " +
+        "AS sdd FROM p) " +
+        "SELECT t.n AS n, round(CASE WHEN t.sy <> 0 THEN t.sx / t.sy " +
+        "END, 6) AS ratio, " +
+        "round(CASE WHEN t.n >= 2 AND (CAST(t.n AS DOUBLE) - 1.0) / " +
+        "CAST(t.n AS DOUBLE) * (m.sdd - m.sd * m.sd / " +
+        "CAST(t.n AS DOUBLE)) >= 0 THEN " +
+        "sqrt((CAST(t.n AS DOUBLE) - 1.0) / CAST(t.n AS DOUBLE) * " +
+        "(m.sdd - m.sd * m.sd / CAST(t.n AS DOUBLE))) END, 6) " +
+        "AS se_jack FROM m, t"),
+      (s, dir) => Stats.jackknifeRatio(Tables.lineitem(s, dir),
+        col("l_extendedprice"), col("l_quantity"))),
+
+    // ---- Dunning G2 keyness between src0 and src1 vocabularies: the
+    // top-20 keywords with the exact integer direction cross-compare.
+    Q("q533_keyness_g2",
+      Some("WITH tk AS (SELECT source, unnest(regexp_split_to_array(" +
+        "trim(lower(text)), '\\s+')) AS term FROM documents " +
+        "WHERE source IN ('src0', 'src1')), " +
+        "c AS (SELECT term, CAST(sum(CASE WHEN source = 'src0' THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_b FROM tk WHERE term <> '' GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_a) AS BIGINT) AS na, " +
+        "CAST(sum(n_b) AS BIGINT) AS nb FROM c), " +
+        "g AS (SELECT term, n_a, n_b, round(2.0 * " +
+        "((CASE WHEN n_a > 0 THEN CAST(n_a AS DOUBLE) * " +
+        "ln(CAST(n_a AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) * " +
+        "CAST(na AS DOUBLE) / (CAST(na AS DOUBLE) + " +
+        "CAST(nb AS DOUBLE)))) ELSE 0.0 END) + " +
+        "(CASE WHEN n_b > 0 THEN CAST(n_b AS DOUBLE) * " +
+        "ln(CAST(n_b AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) * " +
+        "CAST(nb AS DOUBLE) / (CAST(na AS DOUBLE) + " +
+        "CAST(nb AS DOUBLE)))) ELSE 0.0 END)), 6) AS g2, " +
+        "n_a * nb > n_b * na AS over_a FROM c, t) " +
+        "SELECT term, n_a, n_b, g2, over_a FROM g " +
+        "ORDER BY g2 DESC, term LIMIT 20"),
+      (s, dir) => TA.keynessG2(Tables.documents(s, dir), "text",
+        col("source"), "src0", "src1", topN = 20)),
+
+    // ---- information-gain feature panel on orders: priority, a price
+    // decade bucket, and the order date's day-of-week against the
+    // status label -- one union, one cell rollup, MI + gain ratio.
+    Q("q534_info_gain",
+      Some("WITH f AS (" +
+        "SELECT 'o_orderpriority' AS feature, " +
+        "CAST(o_orderpriority AS VARCHAR) AS a, " +
+        "CAST(o_orderstatus AS VARCHAR) AS b FROM orders " +
+        "WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT " +
+        "NULL " +
+        "UNION ALL SELECT 'price_bucket', " +
+        "CAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT) " +
+        "AS VARCHAR), CAST(o_orderstatus AS VARCHAR) FROM orders " +
+        "WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL " +
+        "UNION ALL SELECT 'date_dow', " +
+        "CAST((epoch_us(o_orderdate) // 86400000000) % 7 AS VARCHAR), " +
+        "CAST(o_orderstatus AS VARCHAR) FROM orders " +
+        "WHERE o_orderstatus IS NOT NULL AND o_orderdate IS NOT " +
+        "NULL), " +
+        "cells AS (SELECT feature, a, b, CAST(count(*) AS BIGINT) AS c " +
+        "FROM f GROUP BY 1, 2, 3), " +
+        "ma AS (SELECT feature, a, CAST(sum(c) AS BIGINT) AS ca " +
+        "FROM cells GROUP BY 1, 2), " +
+        "mb AS (SELECT feature, b, CAST(sum(c) AS BIGINT) AS cb " +
+        "FROM cells GROUP BY 1, 2), " +
+        "t AS (SELECT feature, CAST(sum(c) AS BIGINT) AS n FROM cells " +
+        "GROUP BY 1), " +
+        "mi AS (SELECT cells.feature AS feature, any_value(t.n) AS n, " +
+        "CAST(sum(CAST(CAST(cells.c AS DOUBLE) / CAST(t.n AS DOUBLE) * " +
+        "ln(CAST(t.n AS DOUBLE) * CAST(cells.c AS DOUBLE) / " +
+        "(CAST(ma.ca AS DOUBLE) * CAST(mb.cb AS DOUBLE))) " +
+        "AS DECIMAL(28,12))) AS DOUBLE) AS miv " +
+        "FROM cells JOIN ma ON cells.feature = ma.feature AND " +
+        "cells.a = ma.a JOIN mb ON cells.feature = mb.feature AND " +
+        "cells.b = mb.b JOIN t ON cells.feature = t.feature " +
+        "GROUP BY 1), " +
+        "hf AS (SELECT ma.feature AS feature, " +
+        "CAST(sum(CAST(-(CAST(ma.ca AS DOUBLE) / CAST(t.n AS DOUBLE)) " +
+        "* ln(CAST(ma.ca AS DOUBLE) / CAST(t.n AS DOUBLE)) " +
+        "AS DECIMAL(28,12))) AS DOUBLE) AS hfv FROM ma " +
+        "JOIN t ON ma.feature = t.feature GROUP BY 1) " +
+        "SELECT mi.feature AS feature, mi.n, round(mi.miv, 6) AS mi, " +
+        "round(hf.hfv, 6) AS h_feature, " +
+        "round(CASE WHEN hf.hfv > 0 THEN mi.miv / hf.hfv END, 6) " +
+        "AS gain_ratio FROM mi JOIN hf ON mi.feature = hf.feature " +
+        "ORDER BY feature"),
+      (s, dir) => Stats.infoGainPanel(
+        Tables.orders(s, dir)
+          .withColumn("price_bucket",
+            expr("CAST(floor(o_totalprice / 50000.0) AS BIGINT)"))
+          .withColumn("date_dow",
+            expr("(unix_micros(o_orderdate) div 86400000000) % 7")),
+        col("o_orderstatus"),
+        Seq("o_orderpriority", "price_bucket", "date_dow"))
+        .orderBy("feature"))
   )
 }

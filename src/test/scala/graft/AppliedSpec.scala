@@ -1419,6 +1419,20 @@ class AppliedSpec extends SparkSpec {
     assert(r("tri") == ((3L, 4L, 2.0, true)))
   }
 
+  test("keynessG2: Dunning LLR with the exact direction cross-compare") {
+    import spark.implicits._
+    // a = 'x x y', b = 'x y y y': g2(x) = .689338 over_a,
+    // g2(y) = .553609 over_b
+    val docs = Seq(("a", "x x y"), ("b", "x y y y")).toDF("g", "text")
+    val r = TA.keynessG2(docs, "text", col("g"), "a", "b", topN = 10)
+      .collect()
+    assert(r.length == 2)
+    assert(r(0).getString(0) == "x" && r(0).getDouble(3) == 0.689338 &&
+      r(0).getBoolean(4), s"x: ${r(0)}")
+    assert(r(1).getString(0) == "y" && r(1).getDouble(3) == 0.553609 &&
+      !r(1).getBoolean(4), s"y: ${r(1)}")
+  }
+
   test("hillNumbers: effective-type ladder on a hand distribution") {
     import spark.implicits._
     // a a a b b c: N=6, 0D=3, 1D=e^H=2.749459, 2D=36/14=2.571429,

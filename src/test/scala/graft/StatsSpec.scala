@@ -2418,6 +2418,43 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("horvitzThompson: md5 draw replayed, planted-truth totals") {
+    import spark.implicits._
+    // salt 'ht', rate .5: keys 1,2,4,6 keep -> HT 260 vs true 210
+    val df = (1 to 6).map(k => (k.toLong, "x", k * 10.0))
+      .toDF("k", "s", "v")
+    val r = Stats.horvitzThompson(df, col("k"), "ht", col("s"),
+      Seq("x" -> 0.5), defaultRate = 0.5, col("v")).collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 210.0 && r.getDouble(3) == 260.0,
+      s"totals (2dp): $r")
+    assert(r.getDouble(4) == 0.238095, s"ht: $r")
+  }
+
+  test("jackknifeRatio: delete-one pseudo-ratios on hand pairs") {
+    import spark.implicits._
+    // (1,1),(3,2),(2,1): thetas 5/3, 3/2, 4/3 -> se .19245
+    val df = Seq((1.0, 1.0), (3.0, 2.0), (2.0, 1.0)).toDF("x", "y")
+    val r = Stats.jackknifeRatio(df, col("x"), col("y")).collect()(0)
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 1.5)
+    assert(r.getDouble(2) == 0.19245, s"jk: $r")
+  }
+
+  test("infoGainPanel: predictive vs constant feature in one pass") {
+    import spark.implicits._
+    // f1 perfectly predicts the label (MI = H = ln2, ratio 1);
+    // f2 constant (MI 0, H 0 -> ratio null)
+    val df = Seq(("u", "c", "p"), ("u", "c", "p"), ("v", "c", "q"),
+      ("v", "c", "q")).toDF("f1", "f2", "label")
+    val r = Stats.infoGainPanel(df, col("label"), Seq("f1", "f2"))
+      .orderBy("feature").collect()
+    assert(r(0).getDouble(2) == 0.693147 &&
+      r(0).getDouble(3) == 0.693147 && r(0).getDouble(4) == 1.0,
+      s"f1: ${r(0)}")
+    assert(r(1).getDouble(2) == 0.0 && r(1).getDouble(3) == 0.0 &&
+      r(1).isNullAt(4), s"f2: ${r(1)}")
+  }
+
   test("negBinomFit: MoM r/p; underdispersed group nulls") {
     import spark.implicits._
     // counts 0,1,1,2,5: mean 1.8, var 3.7 -> r 1.705263, p .486486
