@@ -7566,4 +7566,159 @@ object Stats {
         round(when(col("__hf") > 0.0, col("__mi") / col("__hf")), 6)
           .as("gain_ratio"))
   }
+
+  // --------------------------------------------- Sobel mediation test
+  /** Sobel's mediation z (Sobel 1982) for the x → m → y path: a is the
+    * OLS slope of m ~ x, b the m-coefficient of y ~ m + x, and
+    * z = a·b / √(a²·se_b² + b²·se_a²) — "does the indirect effect
+    * survive its own noise", the closed-form screen before a bootstrap
+    * mediation analysis.
+    *
+    * DETERMINISM AND SCALE: ALL nine cross-moments of (x, m, y) come
+    * from ONE DECIMAL(38,6) aggregate; both regressions and both
+    * standard errors are inlined fixed IEEE shapes (the 2×2 normal-
+    * equation solve of [[Finance.grangerPair]]). Degenerate designs
+    * (n < 4, singular moments, zero residual variance) null loudly.
+    * Returns one row: (n, a_path, b_path, indirect, sobel_z) 6dp. */
+  def sobelMediation(df: DataFrame, xCol: Column, mCol: Column,
+                     yCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dt = DecimalType(38, 6)
+    val x = xCol.cast("double"); val mm = mCol.cast("double")
+    val y = yCol.cast("double")
+    val agg = df.filter(x.isNotNull && mm.isNotNull && y.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(dt)).cast("double").as("__sx"),
+        sum(mm.cast(dt)).cast("double").as("__sm"),
+        sum(y.cast(dt)).cast("double").as("__sy"),
+        sum((x * x).cast(dt)).cast("double").as("__sxx"),
+        sum((mm * mm).cast(dt)).cast("double").as("__smm"),
+        sum((y * y).cast(dt)).cast("double").as("__syy"),
+        sum((x * mm).cast(dt)).cast("double").as("__sxm"),
+        sum((x * y).cast(dt)).cast("double").as("__sxy"),
+        sum((mm * y).cast(dt)).cast("double").as("__smy"))
+    val nD = col("n").cast("double")
+    def c(sab: String, sa: String, sb: String) =
+      col(sab) - col(sa) * col(sb) / nD
+    val cxx = c("__sxx", "__sx", "__sx")
+    val cmm = c("__smm", "__sm", "__sm")
+    val cyy = c("__syy", "__sy", "__sy")
+    val cxm = c("__sxm", "__sx", "__sm")
+    val cxy = c("__sxy", "__sx", "__sy")
+    val cmy = c("__smy", "__sm", "__sy")
+    val okA = col("n") >= 4L && cxx > 0.0
+    val aPath = when(okA, cxm / cxx)
+    val ssrA = cmm - aPath * cxm
+    val seA2 = when(ssrA > 0.0, ssrA / (nD - 2.0) / cxx)
+    val det = cmm * cxx - cxm * cxm
+    val okB = col("n") >= 4L && det > 0.0
+    val bPath = when(okB, (cmy * cxx - cxy * cxm) / det)
+    val cPrime = when(okB, (cxy * cmm - cmy * cxm) / det)
+    val ssrB = cyy - bPath * cmy - cPrime * cxy
+    val seB2 = when(ssrB > 0.0, ssrB / (nD - 3.0) * (cxx / det))
+    val z = aPath * bPath /
+      sqrt(aPath * aPath * seB2 + bPath * bPath * seA2)
+    agg.select(col("n"), round(aPath, 6).as("a_path"),
+      round(bPath, 6).as("b_path"),
+      round(aPath * bPath, 6).as("indirect"),
+      round(when(seA2 > 0.0 && seB2 > 0.0, z), 6).as("sobel_z"))
+  }
+
+  // ------------------------------------------------------- E-value
+  /** VanderWeele–Ding E-value (2017) for an observed risk ratio: the
+    * minimum strength of unmeasured confounding (on the RR scale, with
+    * both exposure and outcome) needed to explain the association away,
+    * E = RR* + √(RR*(RR*−1)) with RR* = max(RR, 1/RR) — the one-number
+    * sensitivity analysis every observational claim should carry.
+    *
+    * DETERMINISM AND SCALE: the 2×2 is one exact-count aggregate; RR is
+    * a ratio of two integer rationals and E one fixed IEEE shape. An
+    * empty margin or a zero unexposed rate nulls loudly. Returns one
+    * row: (n, p_exposed, p_unexposed, rr, e_value) 6dp. */
+  def eValueRR(df: DataFrame, exposureCol: Column,
+               outcomeCol: Column): DataFrame = {
+    val m = df.filter(exposureCol.isNotNull && outcomeCol.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(exposureCol && outcomeCol, 1L).otherwise(0L)).as("__a"),
+        sum(when(exposureCol && !outcomeCol, 1L).otherwise(0L)).as("__b"),
+        sum(when(!exposureCol && outcomeCol, 1L).otherwise(0L)).as("__c"),
+        sum(when(!exposureCol && !outcomeCol, 1L).otherwise(0L)).as("__d"))
+    val p1 = col("__a").cast("double") /
+      (col("__a") + col("__b")).cast("double")
+    val p0 = col("__c").cast("double") /
+      (col("__c") + col("__d")).cast("double")
+    val ok = col("__a") + col("__b") > 0L && col("__c") + col("__d") > 0L &&
+      col("__c") > 0L && col("__a") > 0L
+    val rr = when(ok, p1 / p0)
+    val rrStar = greatest(rr, lit(1.0) / rr)
+    m.select(col("n"), round(when(col("__a") + col("__b") > 0L, p1), 6)
+        .as("p_exposed"),
+      round(when(col("__c") + col("__d") > 0L, p0), 6).as("p_unexposed"),
+      round(rr, 6).as("rr"),
+      round(rrStar + sqrt(rrStar * (rrStar - 1.0)), 6).as("e_value"))
+  }
+
+  // ---------------------------------------- indirect standardization
+  /** Indirectly standardized event ratio per group (the SMR form): with
+    * global per-stratum rates r_s = e_s/n_s, each group's expected
+    * count is E_g = Σ_s n_gs·r_s and SMR = O_g/E_g — "how does this
+    * group compare once its stratum mix is priced in", the
+    * stratum-confounding fix a raw rate comparison lacks.
+    *
+    * DETERMINISM AND SCALE: one (group, stratum) rollup + one stratum
+    * rollup broadcast back; each expectation term n_gs·e_s/n_s is a
+    * fixed IEEE shape cast DECIMAL(28,12) before the order-free sum;
+    * O is exact integer. E = 0 nulls loudly. Returns per group:
+    * (group, n, observed, expected, smr) 6dp. */
+  def smrIndirect(df: DataFrame, groupCol: Column, stratumCol: Column,
+                  eventCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df.filter(groupCol.isNotNull && stratumCol.isNotNull &&
+        eventCol.isNotNull)
+      .groupBy(groupCol.as("group"), stratumCol.as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(eventCol, 1L).otherwise(0L)).as("__e"))
+    val strata = cells.groupBy("__s")
+      .agg(sum(col("__n")).as("__ns"), sum(col("__e")).as("__es"))
+    val term = (col("__n").cast("double") * col("__es").cast("double") /
+      col("__ns").cast("double")).cast(DecimalType(28, 12))
+    cells.join(broadcast(strata), "__s")
+      .groupBy("group")
+      .agg(sum(col("__n")).as("n"), sum(col("__e")).as("observed"),
+        sum(term).cast("double").as("__exp"))
+      .select(col("group"), col("n"), col("observed"),
+        round(col("__exp"), 6).as("expected"),
+        round(when(col("__exp") > 0.0,
+          col("observed").cast("double") / col("__exp")), 6).as("smr"))
+  }
+
+  // ------------------------------------------- attributable fraction
+  /** Risk difference and population attributable fraction from a 2×2:
+    * AR = p₁ − p₀ (excess risk among the exposed) and
+    * PAF = (p_t − p₀)/p_t (the share of ALL cases the exposure
+    * accounts for, Levin 1953) — the public-health bottom line beside
+    * [[eValueRR]]'s sensitivity number.
+    *
+    * DETERMINISM AND SCALE: one exact-count aggregate; every output is
+    * a ratio of integer rationals. Empty margins null loudly. Returns
+    * one row: (n, p_exposed, p_unexposed, risk_diff, paf) 6dp. */
+  def attributableRisk(df: DataFrame, exposureCol: Column,
+                       outcomeCol: Column): DataFrame = {
+    val m = df.filter(exposureCol.isNotNull && outcomeCol.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(exposureCol && outcomeCol, 1L).otherwise(0L)).as("__a"),
+        sum(when(exposureCol && !outcomeCol, 1L).otherwise(0L)).as("__b"),
+        sum(when(!exposureCol && outcomeCol, 1L).otherwise(0L)).as("__c"),
+        sum(when(!exposureCol && !outcomeCol, 1L).otherwise(0L)).as("__d"))
+    val p1 = when(col("__a") + col("__b") > 0L,
+      col("__a").cast("double") / (col("__a") + col("__b")).cast("double"))
+    val p0 = when(col("__c") + col("__d") > 0L,
+      col("__c").cast("double") / (col("__c") + col("__d")).cast("double"))
+    val pt = (col("__a") + col("__c")).cast("double") /
+      col("n").cast("double")
+    m.select(col("n"), round(p1, 6).as("p_exposed"),
+      round(p0, 6).as("p_unexposed"),
+      round(p1 - p0, 6).as("risk_diff"),
+      round(when(col("n") > 0L && pt > 0.0, (pt - p0) / pt), 6).as("paf"))
+  }
 }

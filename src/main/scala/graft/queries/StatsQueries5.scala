@@ -1961,6 +1961,142 @@ object StatsQueries5 {
             expr("(unix_micros(o_orderdate) div 86400000000) % 7")),
         col("o_orderstatus"),
         Seq("o_orderpriority", "price_bucket", "date_dow"))
-        .orderBy("feature"))
+        .orderBy("feature")),
+
+    // ---- Sobel mediation z on the events (dow -> hour -> value)
+    // triple: all nine cross-moments in ONE decimal aggregate, both
+    // regressions inlined. Small-magnitude variables keep every
+    // decimal cast far under the conversion bound.
+    Q("q535_sobel",
+      Some("WITH b AS (SELECT " +
+        "CAST((epoch_us(ts) // 86400000000) % 7 AS DOUBLE) AS x, " +
+        "CAST((epoch_us(ts) // 3600000000) % 24 AS DOUBLE) AS m, " +
+        "CAST(value AS DOUBLE) AS y FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(m AS DECIMAL(38,6))) AS DOUBLE) AS sm, " +
+        "CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(m * m AS DECIMAL(38,6))) AS DOUBLE) AS smm, " +
+        "CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy, " +
+        "CAST(sum(CAST(x * m AS DECIMAL(38,6))) AS DOUBLE) AS sxm, " +
+        "CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(m * y AS DECIMAL(38,6))) AS DOUBLE) AS smy " +
+        "FROM b), " +
+        "cc AS (SELECT n, CAST(n AS DOUBLE) AS nd, " +
+        "sxx - sx * sx / CAST(n AS DOUBLE) AS cxx, " +
+        "smm - sm * sm / CAST(n AS DOUBLE) AS cmm, " +
+        "syy - sy * sy / CAST(n AS DOUBLE) AS cyy, " +
+        "sxm - sx * sm / CAST(n AS DOUBLE) AS cxm, " +
+        "sxy - sx * sy / CAST(n AS DOUBLE) AS cxy, " +
+        "smy - sm * sy / CAST(n AS DOUBLE) AS cmy FROM a), " +
+        "p1 AS (SELECT *, CASE WHEN n >= 4 AND cxx > 0 THEN cxm / cxx " +
+        "END AS apath FROM cc), " +
+        "p2 AS (SELECT *, cmm - apath * cxm AS ssra, " +
+        "cmm * cxx - cxm * cxm AS det FROM p1), " +
+        "p3 AS (SELECT *, CASE WHEN ssra > 0 THEN ssra / (nd - 2.0) / " +
+        "cxx END AS sea2, " +
+        "CASE WHEN n >= 4 AND det > 0 THEN " +
+        "(cmy * cxx - cxy * cxm) / det END AS bpath, " +
+        "CASE WHEN n >= 4 AND det > 0 THEN " +
+        "(cxy * cmm - cmy * cxm) / det END AS cprime FROM p2), " +
+        "p4 AS (SELECT *, cyy - bpath * cmy - cprime * cxy AS ssrb " +
+        "FROM p3), " +
+        "p5 AS (SELECT *, CASE WHEN ssrb > 0 THEN ssrb / (nd - 3.0) * " +
+        "(cxx / det) END AS seb2 FROM p4) " +
+        "SELECT n, round(apath, 6) AS a_path, round(bpath, 6) " +
+        "AS b_path, round(apath * bpath, 6) AS indirect, " +
+        "round(CASE WHEN sea2 > 0 AND seb2 > 0 THEN apath * bpath / " +
+        "sqrt(apath * apath * seb2 + bpath * bpath * sea2) END, 6) " +
+        "AS sobel_z FROM p5"),
+      (s, dir) => Stats.sobelMediation(
+        Tables.events(s, dir).filter(col("value").isNotNull),
+        expr("(unix_micros(ts) div 86400000000) % 7").cast("double"),
+        expr("(unix_micros(ts) div 3600000000) % 24").cast("double"),
+        col("value"))),
+
+    // ---- E-value for the urgent-priority -> fulfilled-status risk
+    // ratio: the minimum confounding strength that explains it away.
+    Q("q536_evalue",
+      Some("WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' AND " +
+        "o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+        "CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' AND NOT " +
+        "(o_orderstatus = 'F') THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+        "CAST(sum(CASE WHEN NOT (o_orderpriority = '1-URGENT') AND " +
+        "o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+        "CAST(sum(CASE WHEN NOT (o_orderpriority = '1-URGENT') AND " +
+        "NOT (o_orderstatus = 'F') THEN 1 ELSE 0 END) AS BIGINT) AS d " +
+        "FROM orders WHERE o_orderpriority IS NOT NULL AND " +
+        "o_orderstatus IS NOT NULL), " +
+        "r AS (SELECT n, CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE) " +
+        "AS p1, CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE) AS p0, " +
+        "a, b, c, d FROM m), " +
+        "r2 AS (SELECT n, p1, p0, a, b, c, d, " +
+        "CASE WHEN a + b > 0 AND c + d > 0 AND c > 0 AND a > 0 THEN " +
+        "p1 / p0 END AS rr FROM r), " +
+        "r3 AS (SELECT *, greatest(rr, 1.0 / rr) AS rrs FROM r2) " +
+        "SELECT n, round(CASE WHEN a + b > 0 THEN p1 END, 6) " +
+        "AS p_exposed, " +
+        "round(CASE WHEN c + d > 0 THEN p0 END, 6) AS p_unexposed, " +
+        "round(rr, 6) AS rr, " +
+        "round(rrs + sqrt(rrs * (rrs - 1.0)), 6) AS e_value FROM r3"),
+      (s, dir) => Stats.eValueRR(Tables.orders(s, dir),
+        col("o_orderpriority") === "1-URGENT",
+        col("o_orderstatus") === "F")),
+
+    // ---- indirectly standardized delinquency (negative balance) per
+    // market segment, stratified by nation: SMR = O/E with exact O and
+    // decimal-summed stratum-rate expectations.
+    Q("q537_smr",
+      Some("WITH cells AS (SELECT c_mktsegment AS \"group\", " +
+        "c_nationkey AS s, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS e FROM customer WHERE c_mktsegment IS NOT NULL " +
+        "AND c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL " +
+        "GROUP BY 1, 2), " +
+        "st AS (SELECT s, CAST(sum(n) AS BIGINT) AS ns, " +
+        "CAST(sum(e) AS BIGINT) AS es FROM cells GROUP BY 1), " +
+        "j AS (SELECT cells.\"group\" AS \"group\", cells.n, cells.e, " +
+        "CAST(CAST(cells.n AS DOUBLE) * CAST(st.es AS DOUBLE) / " +
+        "CAST(st.ns AS DOUBLE) AS DECIMAL(28,12)) AS term " +
+        "FROM cells JOIN st ON cells.s = st.s), " +
+        "g AS (SELECT \"group\", CAST(sum(n) AS BIGINT) AS n, " +
+        "CAST(sum(e) AS BIGINT) AS observed, " +
+        "CAST(sum(term) AS DOUBLE) AS expd FROM j GROUP BY 1) " +
+        "SELECT \"group\", n, observed, round(expd, 6) AS expected, " +
+        "round(CASE WHEN expd > 0 THEN CAST(observed AS DOUBLE) / " +
+        "expd END, 6) AS smr FROM g ORDER BY \"group\""),
+      (s, dir) => Stats.smrIndirect(Tables.customer(s, dir),
+        col("c_mktsegment"), col("c_nationkey"),
+        col("c_acctbal") < 0).orderBy("group")),
+
+    // ---- risk difference + Levin PAF for deep-discount exposure vs
+    // the returned flag: exact integer rationals end to end.
+    Q("q538_attributable_risk",
+      Some("WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN l_discount > 0.05 AND l_returnflag = 'R' " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+        "CAST(sum(CASE WHEN l_discount > 0.05 AND NOT " +
+        "(l_returnflag = 'R') THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+        "CAST(sum(CASE WHEN NOT (l_discount > 0.05) AND " +
+        "l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+        "CAST(sum(CASE WHEN NOT (l_discount > 0.05) AND NOT " +
+        "(l_returnflag = 'R') THEN 1 ELSE 0 END) AS BIGINT) AS d " +
+        "FROM lineitem WHERE l_discount IS NOT NULL AND " +
+        "l_returnflag IS NOT NULL), " +
+        "r AS (SELECT n, a, b, c, d, " +
+        "CASE WHEN a + b > 0 THEN CAST(a AS DOUBLE) / " +
+        "CAST(a + b AS DOUBLE) END AS p1, " +
+        "CASE WHEN c + d > 0 THEN CAST(c AS DOUBLE) / " +
+        "CAST(c + d AS DOUBLE) END AS p0, " +
+        "CAST(a + c AS DOUBLE) / CAST(n AS DOUBLE) AS pt FROM m) " +
+        "SELECT n, round(p1, 6) AS p_exposed, " +
+        "round(p0, 6) AS p_unexposed, round(p1 - p0, 6) AS risk_diff, " +
+        "round(CASE WHEN n > 0 AND pt > 0 THEN (pt - p0) / pt END, 6) " +
+        "AS paf FROM r"),
+      (s, dir) => Stats.attributableRisk(Tables.lineitem(s, dir),
+        col("l_discount") > 0.05, col("l_returnflag") === "R"))
   )
 }

@@ -2418,6 +2418,53 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("sobelMediation: a/b paths and z from one moment pass") {
+    import spark.implicits._
+    // x->m->y hand fit: a=1.9, b=1.571429, z=4.058444
+    val df = Seq((0.0, 1.0, 2.0), (1.0, 3.0, 5.0), (2.0, 4.0, 7.0),
+      (3.0, 7.0, 12.0)).toDF("x", "m", "y")
+    val r = Stats.sobelMediation(df, col("x"), col("m"), col("y"))
+      .collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 1.9 && r.getDouble(2) == 1.571429)
+    assert(r.getDouble(3) == 2.985714 && r.getDouble(4) == 4.058444,
+      s"sobel: $r")
+  }
+
+  test("eValueRR: RR 3 needs confounding strength 3 + sqrt(6)") {
+    import spark.implicits._
+    val rows = Seq.fill(30)((true, true)) ++ Seq.fill(70)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(90)((false, false))
+    val df = rows.toDF("e", "o")
+    val r = Stats.eValueRR(df, col("e"), col("o")).collect()(0)
+    assert(r.getDouble(1) == 0.3 && r.getDouble(2) == 0.1)
+    assert(r.getDouble(3) == 3.0 && r.getDouble(4) == 5.44949, s"ev: $r")
+  }
+
+  test("smrIndirect: stratum-priced expectations, exact O") {
+    import spark.implicits._
+    // rates s1=.3 s2=.2: g1 E=4 O=5 -> 1.25; g2 E=6 O=5 -> .833333
+    def mk(g: String, s0: String, n: Int, e: Int) =
+      Seq.fill(e)((g, s0, true)) ++ Seq.fill(n - e)((g, s0, false))
+    val df = (mk("g1", "s1", 10, 4) ++ mk("g2", "s1", 10, 2) ++
+      mk("g1", "s2", 5, 1) ++ mk("g2", "s2", 15, 3)).toDF("g", "s", "ev")
+    val r = Stats.smrIndirect(df, col("g"), col("s"), col("ev"))
+      .orderBy("group").collect()
+    assert(r(0).getLong(2) == 5L && r(0).getDouble(3) == 4.0 &&
+      r(0).getDouble(4) == 1.25, s"g1: ${r(0)}")
+    assert(r(1).getDouble(3) == 6.0 && r(1).getDouble(4) == 0.833333,
+      s"g2: ${r(1)}")
+  }
+
+  test("attributableRisk: Levin PAF from the exact 2x2") {
+    import spark.implicits._
+    val rows = Seq.fill(30)((true, true)) ++ Seq.fill(70)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(90)((false, false))
+    val df = rows.toDF("e", "o")
+    val r = Stats.attributableRisk(df, col("e"), col("o")).collect()(0)
+    assert(r.getDouble(3) == 0.2 && r.getDouble(4) == 0.5, s"ar: $r")
+  }
+
   test("horvitzThompson: md5 draw replayed, planted-truth totals") {
     import spark.implicits._
     // salt 'ht', rate .5: keys 1,2,4,6 keep -> HT 260 vs true 210
