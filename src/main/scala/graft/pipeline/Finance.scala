@@ -1039,10 +1039,11 @@ object Finance {
   // -------------------------------------------------------- CAPM beta
   /** CAPM beta panel: each ticker's daily cent move regressed on the
     * equal-weight MARKET move (the sum of participating tickers' closes
-    * over BROAD days — days where ≥ 80 % of tickers trade, the exact
-    * integer gate 5·cnt ≥ 4·k; a fully-balanced gate starves at sparse
-    * scale factors where no day is complete), β = cov/var with α and R²
-    * alongside — the systematic-
+    * over BROAD days — days whose participant count reaches ≥ 80 % of
+    * the OBSERVED maximum, the exact integer gate 5·cnt ≥ 4·max(cnt); a
+    * fixed-fraction-of-k gate starves at sparse scale factors where no
+    * day is near-complete), β = cov/var with α and R² alongside — the
+    * systematic-
     * vs-idiosyncratic split [[minVariancePair]] does for one pair,
     * marketwide.
     *
@@ -1054,11 +1055,12 @@ object Finance {
                closeCol: Column): DataFrame = {
     val dt = DecimalType(38, 0)
     val cents = closeCents(df, keyCol, dayCol, closeCol)
-    val nKeys = cents.agg(countDistinct(col("key")).as("__k"))
-    val market = cents.groupBy("day")
+    val perDay = cents.groupBy("day")
       .agg(count(lit(1)).as("__cnt"), sum(col("__c")).as("__mc"))
-      .crossJoin(broadcast(nKeys))
-      .filter(col("__cnt") * 5L >= col("__k") * 4L)
+    val maxCnt = perDay.agg(max(col("__cnt")).as("__mx"))
+    val market = perDay
+      .crossJoin(broadcast(maxCnt))
+      .filter(col("__cnt") * 5L >= col("__mx") * 4L)
       .select(col("day"), col("__mc"))
     val wM = Window.orderBy(col("day"))
     val mDiff = market

@@ -1592,10 +1592,10 @@ object StatsQueries5 {
     Q("q524_capm_beta",
       Some(barsCte + ", " +
         "ct AS (SELECT key, day, cl FROM b), " +
-        "nk AS (SELECT count(DISTINCT key) AS k FROM ct), " +
         "mk AS (SELECT day, count(*) AS cnt, CAST(sum(cl) AS BIGINT) " +
         "AS mc FROM ct GROUP BY 1), " +
-        "mf AS (SELECT day, mc FROM mk, nk WHERE cnt * 5 >= k * 4), " +
+        "nk AS (SELECT max(cnt) AS mx FROM mk), " +
+        "mf AS (SELECT day, mc FROM mk, nk WHERE cnt * 5 >= mx * 4), " +
         "md AS (SELECT day, mc - lag(mc) OVER (ORDER BY day) AS dm " +
         "FROM mf), " +
         "mdf AS (SELECT day, dm FROM md WHERE dm IS NOT NULL), " +
