@@ -147,6 +147,24 @@ object Ops {
   def sortBy(df: DataFrame, keys: Seq[String], desc: Boolean = false): DataFrame =
     df.orderBy(keys.map(k => if (desc) col(k).desc else col(k).asc): _*)
 
+  /** Rank-at-scale facade over
+    * [[graft.pipeline.Stats.distributedRank]]: appends `rnOut` = exact
+    * 1-based row_number per `partCols` over (`scoreCol` asc-nulls-first |
+    * desc-nulls-last, `tieCols` asc) and optionally `cumOut` = the
+    * inclusive running BIGINT sum of `weightCol` in that order — the
+    * same numbers as a single-partition window, computed with pivot-cell
+    * classification + cell-PARTITIONED windows (O(|parts|·grid) driver
+    * seams, never a global sort). Contract (see the engine scaladoc):
+    * bounded `partCols` vocabulary, numeric `scoreCol`, deterministic
+    * input lineage, and (scoreCol, tieCols) total within partition where
+    * rank ties matter. */
+  def rankBy(df: DataFrame, scoreCol: String, desc: Boolean = false,
+             tieCols: Seq[String] = Nil, partCols: Seq[String] = Nil,
+             weightCol: Option[String] = None, rnOut: String = "rank",
+             cumOut: Option[String] = None): DataFrame =
+    graft.pipeline.Stats.distributedRank(df, partCols, scoreCol, desc,
+      tieCols, weightCol, rnOut, cumOut)
+
   // ------------------------------------------------------------- O2: slicing
   /** head/limit — reference readers' first_row / it.islice idiom
     * (meza/io.py:456-479). */

@@ -2209,8 +2209,11 @@ object EventAnalytics {
                           taus: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dt = DecimalType(38, 0)
-    require(taus.nonEmpty && taus == taus.sorted && taus.head >= 1,
-      s"taus must be ascending positive: $taus")
+    // STRICTLY increasing: a duplicated tau would duplicate its block
+    // rows, making the lag window's (tau, __b) order key non-total and
+    // the adjacent diffs shuffle-order dependent
+    require(taus.nonEmpty && taus == taus.distinct.sorted && taus.head >= 1,
+      s"taus must be strictly increasing positive: $taus")
     val daily = resampleDaily(df, tsCol)
     val based = daily.crossJoin(broadcast(
         daily.agg(min(col("day")).as("__d0"))))
@@ -2367,8 +2370,10 @@ object EventAnalytics {
                sizes: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dt = DecimalType(38, 0)
-    require(sizes.size >= 2 && sizes == sizes.sorted && sizes.head >= 2,
-      s"need >= 2 ascending block sizes >= 2: $sizes")
+    // STRICTLY increasing (the allanDeviationDaily duplicate-tau hazard)
+    require(sizes.size >= 2 && sizes == sizes.distinct.sorted &&
+      sizes.head >= 2,
+      s"need >= 2 strictly increasing block sizes >= 2: $sizes")
     val daily = resampleDaily(df, tsCol)
     val tot = daily.agg(min(col("day")).as("__d0"),
       count(lit(1)).as("__nd"), sum(col("n")).as("__tt"))
@@ -2441,8 +2446,12 @@ object EventAnalytics {
     * DETERMINISM AND SCALE: the [[logRank]] scaffold verbatim — one
     * (duration)-grain rollup, one running window, exact risk-set
     * integers; each w·(d−E) and w²·V term is fixed-shape IEEE cast
-    * DECIMAL(28,12) before the sums. Zero variance reports null z and
-    * chi2. Returns ONE row: (n_a, n_b, o_a, o_b, z_stat, chi2). */
+    * DECIMAL(28,12) before the sums. Weights enter NORMALIZED by the
+    * total risk set N (w = n_t/N, so w ≤ 1 and w²·V ≤ V — z is
+    * scale-invariant, and the Gehan variance term can never overflow
+    * the decimal's 16 integer digits, which raw w = n_t did around
+    * N ≈ 1e8). Zero variance reports null z and chi2. Returns ONE row:
+    * (n_a, n_b, o_a, o_b, z_stat, chi2). */
   def weightedLogRank(df: DataFrame, durationCol: Column, eventCol: Column,
                       groupACol: Column,
                       weighting: String = "gehan"): DataFrame = {
@@ -2467,8 +2476,9 @@ object EventAnalytics {
         col("__NB") - coalesce(sum(col("tb")).over(wPrev), lit(0L)))
       .withColumn("nt", col("na") + col("nb"))
       .withColumn("dt", col("da") + col("db"))
-    val w = if (weighting == "gehan") col("nt").cast("double")
-      else sqrt(col("nt").cast("double"))
+    val nTotD = (col("__NA") + col("__NB")).cast("double")
+    val w = if (weighting == "gehan") col("nt").cast("double") / nTotD
+      else sqrt(col("nt").cast("double") / nTotD)
     val eT = col("dt").cast("double") * col("na").cast("double") /
       col("nt").cast("double")
     val numTerm = (w * (col("da").cast("double") - eT))

@@ -55,23 +55,34 @@ object Finance {
     * in DECIMAL(38,0), never a double share compare — so a key straddling
     * 80.000…% lands identically in both engines. Rank order is
     * (revenue DESC, key ASC). `revenueMicro` must be an integral
-    * micro-cent expression (exact under summation). Returns one row per
-    * class: (abc_class, n_keys, revenue, share). */
+    * micro-cent expression (exact under summation).
+    *
+    * Scale: cumulative-revenue-at-rank comes from
+    * [[graft.pipeline.Stats.distributedRank]]'s cell-partitioned windows
+    * — the key-grain rollup grows with the business, so it NEVER sorts in
+    * one unpartitioned window; a uniform-revenue catalog (one giant tie
+    * cell) subdivides on the numeric key grid. Per-key totals sum
+    * DECIMAL-exact, then cast to BIGINT micro-units for the running sum —
+    * ANSI-loud on overflow (bound: total revenue ≤ ~$9.2e12; re-grain to
+    * cents beyond). Returns one row per class:
+    * (abc_class, n_keys, revenue, share). */
   def abcClassification(df: DataFrame, keyCol: String, revenueMicro: Column,
                         aPct: Int = 80, bPct: Int = 95): DataFrame = {
     require(0 < aPct && aPct < bPct && bPct <= 100, "need 0 < aPct < bPct <= 100")
+    val dt = DecimalType(38, 0)
+    // column order (__rev, __k) matches distributedRank's slim projection,
+    // so its checkpointed scan is reused for the final pass
     val perKey = df.groupBy(col(keyCol).as("__k"))
-      .agg(sum(revenueMicro.cast(DecimalType(38, 0))).as("__rev"))
-    // ranking window on the per-key rollup (|SKUs| rows)
-    val w = Window.orderBy(col("__rev").desc, col("__k").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy(lit(1))
-    perKey
-      .withColumn("__cum", sum(col("__rev")).over(w))
-      .withColumn("__tot", sum(col("__rev")).over(tot))
+      .agg(sum(revenueMicro.cast(dt)).as("__revD"))
+      .select(col("__revD").cast("long").as("__rev"), col("__k"))
+    val ranked = Stats.distributedRank(perKey, Seq.empty, "__rev",
+      desc = true, tieCols = Seq("__k"), weightCol = Some("__rev"),
+      rnOut = "__rn", cumOut = Some("__cum"))
+    val tot = perKey.agg(sum(col("__rev")).as("__tot"))
+    ranked.crossJoin(broadcast(tot))
       .withColumn("abc_class",
-        when(col("__cum") * 100 <= col("__tot") * aPct, "A")
-          .when(col("__cum") * 100 <= col("__tot") * bPct, "B")
+        when(col("__cum").cast(dt) * 100 <= col("__tot").cast(dt) * aPct, "A")
+          .when(col("__cum").cast(dt) * 100 <= col("__tot").cast(dt) * bPct, "B")
           .otherwise("C"))
       .groupBy("abc_class")
       .agg(count(lit(1)).as("n_keys"),

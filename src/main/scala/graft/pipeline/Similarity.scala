@@ -74,6 +74,46 @@ object Similarity {
       (0 until nPlanes).map(p => (0 until dim).map(d => planeCoef(p, d, seed + t)))
     }
 
+  /** 60-bit integer from the first 15 md5 nibbles of an ASCII salt —
+    * the Scala-side twin of [[graft.pipeline.Dedup.md5h60]]'s column
+    * form (q232/q30 decode), so plane coefficients derived from it are
+    * REPLAYABLE by any engine with an md5() (DuckDB rebuilds the exact
+    * value from the same salt string). */
+  private def md5h60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
+  /** md5-seeded INTEGER-valued plane tables (the q30 salted-minima
+    * discipline brought to hyperplanes): coefficient (t, p, d) =
+    * (md5h60("hp{seed}|{t}|{p}|{d}") mod 2001) − 1000 ∈ [−1000, 1000].
+    * Paired with [[quantizeVec]]'s 2^20 integer grid, every projection
+    * is a sum of 64 exact integer-valued doubles (≤ 2^40 ≪ 2^53), so
+    * the sign — hence the full signature, bucket, and candidate set —
+    * is bit-identical in ANY engine that replays the arithmetic.
+    * Production paths keep the MurmurHash-derived real-valued planes
+    * (this mode exists to make the banded pipeline STRUCTURE
+    * cross-engine checkable, not to replace them). */
+  private[graft] def md5PlaneTables(dim: Int, nPlanes: Int, nTables: Int,
+                                    seed: Long): Seq[Seq[Seq[Double]]] =
+    (0 until nTables).map { t =>
+      (0 until nPlanes).map { p =>
+        (0 until dim).map(d =>
+          ((md5h60Local(s"hp$seed|$t|$p|$d") % 2001L) - 1000L).toDouble)
+      }
+    }
+
+  /** Exact 2^20 integer quantization for the md5-seeded replay mode:
+    * floor(x · 2^20) per element (float→double exact, the power-of-two
+    * product exact, floor exact — no rounding anywhere an engine could
+    * disagree on), returned as integer-valued doubles for the signature
+    * kernel. Affects candidate RECALL only (the exact-cosine verify runs
+    * on the ORIGINAL vectors); at |x| ≲ 1 the grid error is ~1e-6. */
+  private[graft] def quantizeVec(v: Column): Column =
+    transform(v, x => floor(x * lit(1048576.0)).cast("double"))
+
   /** The (qid, nn_id) candidate pairs the multiprobe LSH would re-rank —
     * exposed so recall/candidate-fraction can be asserted without running
     * the re-rank. This IS the sublinear part: everything downstream of it
@@ -292,20 +332,29 @@ object Similarity {
     * carries (fingerprint, rep-id, table, sig) — never the vector;
     * candidates meet in one (table, sig) shuffle with the same
     * first-maxBucket-pair + successor-chain skew guard; vectors re-join
-    * only for verification. */
+    * only for verification.
+    *
+    * `md5Seeded = true` swaps the plane coefficients for
+    * [[md5PlaneTables]]' integer grid over [[quantizeVec]]'d vectors —
+    * bit-replayable cross-engine (q47's oracle rebuilds signatures,
+    * buckets, candidates, and the cosine verify end to end); the
+    * verification cosine always runs on the ORIGINAL vectors. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double, dim: Int,
                             nPlanes: Int = 12, nTables: Int = 16,
                             seed: Long = 42L, maxBucket: Int = 4096,
-                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val tables = planeTables(dim, nPlanes, nTables, seed)
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            md5Seeded: Boolean = false): DataFrame = {
+    val tables = if (md5Seeded) md5PlaneTables(dim, nPlanes, nTables, seed)
+      else planeTables(dim, nPlanes, nTables, seed)
     val base = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("fp", md5(to_json(col("v"))))
       .repartition(col("fp"))
     val reps = base.groupBy(col("fp"))
       .agg(min(col("id")).as("rid"), first(col("v")).as("v"))
+    val sigIn = if (md5Seeded) quantizeVec(col("v")) else col("v")
     val ranked = reps
       .select(col("fp"), col("rid"), posexplode(
-        graft.functions.VectorExprs.tableSignatures(col("v"), tables)).as(Seq("tbl", "sig")))
+        graft.functions.VectorExprs.tableSignatures(sigIn, tables)).as(Seq("tbl", "sig")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("tbl"), col("sig")).orderBy(col("rid"))))
       .hint("merge")

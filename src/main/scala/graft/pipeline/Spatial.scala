@@ -239,10 +239,13 @@ object Spatial {
                    cellSize: Long, k: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(cellSize >= 1 && k >= 1, "cellSize and k must be positive")
+    // FLOOR-division bucketing (the cellCounts rule): exact on integral
+    // coordinates, matches DuckDB `//` on negative quadrants too
     val cells = df
       .select(xCol.as("__x"), yCol.as("__y"))
-      .groupBy(expr(s"__x div $cellSize").as("cell_x"),
-        expr(s"__y div $cellSize").as("cell_y"))
+      .groupBy(
+        expr(s"(__x - pmod(__x, $cellSize)) div $cellSize").as("cell_x"),
+        expr(s"(__y - pmod(__y, $cellSize)) div $cellSize").as("cell_y"))
       .agg(count(lit(1)).as("n"))
     val stats = cells.agg(count(lit(1)).as("__c"),
       sum(col("n").cast(DecimalType(38, 0))).as("__sn"),
@@ -290,12 +293,18 @@ object Spatial {
   /** The shared lattice for the autocorrelation family below: NONEMPTY
     * grid cells with their integer point counts (the [[hotspotCells]]
     * grid; empty cells are absent by contract — the lattice IS the
-    * occupied-cell relation). */
+    * occupied-cell relation). Bucketing is FLOOR division —
+    * `(x − pmod(x, s)) div s`, exact integer arithmetic — not Spark's
+    * truncate-toward-zero `div`: truncation would collapse coordinates
+    * −(s−1)..(s−1) into one double-width cell 0 and disagree with
+    * DuckDB's `//` on negative coordinates (the lattice is translation-
+    * invariant now, negative quadrants included). */
   private def cellCounts(df: DataFrame, xCol: Column, yCol: Column,
                          cellSize: Long): DataFrame =
     df.select(xCol.as("__x"), yCol.as("__y"))
-      .groupBy(expr(s"__x div $cellSize").as("cell_x"),
-        expr(s"__y div $cellSize").as("cell_y"))
+      .groupBy(
+        expr(s"(__x - pmod(__x, $cellSize)) div $cellSize").as("cell_x"),
+        expr(s"(__y - pmod(__y, $cellSize)) div $cellSize").as("cell_y"))
       .agg(count(lit(1)).as("n"))
 
   /** DIRECTED rook-adjacent cell pairs ((i), (j) with |Δx|+|Δy| = 1),

@@ -2011,12 +2011,19 @@ object Stats {
     *
     * Bounded driver seams: the pivot row, the (part, cell) counts, and
     * (massive ties only) per-cell tiebreak grids — O(|parts|·grid),
-    * never O(N). CONTRACT: `partCols` vocabulary is BOUNDED (the seam);
-    * `scoreCol` numeric; the input relation is DETERMINISTIC (counts and
-    * the final pass must see the same rows — all in-tree callers are
-    * deterministic rollups); (scoreCol, tieCols) total within partition
-    * wherever rank ties would change the consumer's result. */
-  private[graft] def distributedRank(df0: DataFrame, partCols: Seq[String],
+    * never O(N). CONTRACT (public API): `partCols` vocabulary is BOUNDED
+    * (the seam); `scoreCol` numeric; `weightCol` (when given) must fit
+    * BIGINT under summation (ANSI-loud beyond); the input relation is
+    * DETERMINISTIC (counts and the final pass must see the same rows —
+    * all in-tree callers are deterministic rollups; re-derive
+    * nondeterministic lineage through a checkpoint first); (scoreCol,
+    * tieCols) total within partition wherever rank ties would change the
+    * consumer's result. Determinism: given that contract, ranks and
+    * running sums are exactly those of the equivalent single-partition
+    * window (asc nulls-first / desc nulls-last, ties by `tieCols` asc) —
+    * the pivot grid affects cell SIZE only, never the result.
+    * [[graft.operators.Ops.rankBy]] is the operator-surface facade. */
+  def distributedRank(df0: DataFrame, partCols: Seq[String],
       scoreCol: String, desc: Boolean, tieCols: Seq[String],
       weightCol: Option[String], rnOut: String,
       cumOut: Option[String] = None, grid: Int = 128,
@@ -5837,6 +5844,31 @@ object Stats {
         sqrt(greatest(lit(1.0) - bc, lit(0.0)))), 6).as("hellinger"))
   }
 
+  /** Loud |vocab| gate for the value-cell pairwise/cumulative family
+    * ([[hodgesLehmann]], [[qnScale]], [[giniMeanDifference]],
+    * `twoSampleRankCells`): those operators' documented contract is a
+    * BOUNDED distinct-value relation (a |vocab|²-bounded broadcast
+    * self-join or a keyless cumulative window over the cells) — a
+    * continuous column would silently quadratic out or OOM the
+    * broadcast. This counts the cells FIRST (one cheap aggregate over
+    * the rollup, evaluated while the guarded side materializes — i.e.
+    * BEFORE any pair explodes) and raises above `limit`, naming the
+    * remedy (the kaplanMeier duration-grain discipline: bucket/round
+    * the values to a bounded grain). The guard rides the `cntCol`
+    * projection so column pruning can never delete it. */
+  private def gateValueCells(cells: DataFrame, cntCol: String, op: String,
+                             limit: Long = 100000L): DataFrame = {
+    val nv = cells.agg(count(lit(1)).as("__nv"))
+    cells.crossJoin(broadcast(nv))
+      .withColumn(cntCol, when(col("__nv") > limit,
+          raise_error(concat(lit(s"$op: "), col("__nv").cast("string"),
+            lit(s" distinct value cells exceed $limit — bucket or round " +
+              "the values to a bounded grain first (the kaplanMeier " +
+              "duration-grain contract)"))))
+        .otherwise(col(cntCol)))
+      .drop("__nv")
+  }
+
   // ------------------------------------------------ Qn scale estimator
   /** Rousseeuw–Croux Qn robust scale (Rousseeuw & Croux 1993): the k-th
     * smallest pairwise gap |x_i − x_j| (i < j) with k = C(h, 2),
@@ -5848,14 +5880,15 @@ object Stats {
     * form over VALUE CELLS (pair (v_a, v_b) carries c_a·c_b; within-cell
     * ties carry C(c, 2) at gap 0), so the relation is |vocab|²-bounded;
     * the pick is the weighted k-th order-statistic ELEMENT via doubled
-    * integer cumcounts (2k = h(h−1) exactly — no division). Returns one
+    * integer cumcounts (2k = h(h−1) exactly — no division). A vocabulary
+    * above 10⁵ cells RAISES loudly ([[gateValueCells]]). Returns one
     * row: (n, k_index, gap, qn) 6dp. */
   def qnScale(df: DataFrame, valueCol: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dt = DecimalType(38, 0)
-    val cells = df.select(valueCol.cast("double").as("__v"))
+    val cells = gateValueCells(df.select(valueCol.cast("double").as("__v"))
       .filter(col("__v").isNotNull)
-      .groupBy("__v").agg(count(lit(1)).as("__c"))
+      .groupBy("__v").agg(count(lit(1)).as("__c")), "__c", "qnScale")
     val a = cells.select(col("__v").as("va"), col("__c").as("ca"))
     val b = cells.select(col("__v").as("vb"), col("__c").as("cb"))
     val gaps = a.join(broadcast(b), col("va") <= col("vb"))
@@ -5888,15 +5921,17 @@ object Stats {
     * DETERMINISM AND SCALE: pair gaps form over VALUE CELLS at integer
     * CENTS (2dp inputs — the caller's contract), so Σ c_a·c_b·|Δcents|
     * is an exact DECIMAL(38,0) over the |vocab|²-bounded broadcast
-    * self-join; ONE division finishes. Returns one row:
+    * self-join; ONE division finishes. A cent vocabulary above 10⁵ cells
+    * RAISES loudly ([[gateValueCells]]). Returns one row:
     * (n, gmd, relative_gmd [= Δ/mean]) 6dp. */
   def giniMeanDifference(df: DataFrame, valueCol: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dt = DecimalType(38, 0)
-    val cells = df.select(
+    val cells = gateValueCells(df.select(
         round(valueCol.cast("double") * 100, 0).cast("long").as("__c100"))
       .filter(col("__c100").isNotNull)
-      .groupBy("__c100").agg(count(lit(1)).as("__c"))
+      .groupBy("__c100").agg(count(lit(1)).as("__c")),
+      "__c", "giniMeanDifference")
     val a = cells.select(col("__c100").as("ca100"), col("__c").as("ca"))
     val b = cells.select(col("__c100").as("cb100"), col("__c").as("cb"))
     val s = a.join(broadcast(b), col("ca100") < col("cb100"))
@@ -6177,14 +6212,15 @@ object Stats {
     * c_i(c_i+1)/2 (i = j), so the relation is |vocab|²-bounded (the
     * [[kendallTau]] broadcast-cell contract); the estimate is the
     * weighted lower-median ELEMENT of the Walsh rollup (exact integer
-    * cumcounts, zero interpolation). Returns one row:
-    * (n, n_walsh_values, n_pairs, hl). */
+    * cumcounts, zero interpolation). A vocabulary above 10⁵ cells RAISES
+    * loudly ([[gateValueCells]]) naming the bucketing remedy. Returns one
+    * row: (n, n_walsh_values, n_pairs, hl). */
   def hodgesLehmann(df: DataFrame, valueCol: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dt = DecimalType(38, 0)
-    val cells = df.select(valueCol.cast("double").as("__v"))
+    val cells = gateValueCells(df.select(valueCol.cast("double").as("__v"))
       .filter(col("__v").isNotNull)
-      .groupBy("__v").agg(count(lit(1)).as("__c"))
+      .groupBy("__v").agg(count(lit(1)).as("__c")), "__c", "hodgesLehmann")
     val a = cells.select(col("__v").as("va"), col("__c").as("ca"))
     val b = cells.select(col("__v").as("vb"), col("__c").as("cb"))
     // DOUBLED multiplicities (2·c_i·c_j / c_i(c_i+1)) keep everything an
@@ -6718,7 +6754,8 @@ object Stats {
     * totals — the scaffold for the linear-rank-statistic family below
     * ([[conoverSquaredRanks]]' shape, factored): one (value)-grain
     * rollup, one cumulative window over the DISTINCT value relation
-    * (cardinality contract), 2R = 2F − t + 1 exact integers. Columns:
+    * (cardinality contract — above 10⁵ cells [[gateValueCells]] RAISES
+    * loudly), 2R = 2F − t + 1 exact integers. Columns:
     * (__v, __ca, __cb, __r2, __na, __nb). */
   private def twoSampleRankCells(df: DataFrame, groupCol: Column,
       valueCol: Column, a: String, b: String): DataFrame = {
@@ -6726,9 +6763,10 @@ object Stats {
         valueCol.isNotNull)
       .select(groupCol.cast("string").as("__g"),
         valueCol.cast("double").as("__v"))
-    val cells = base.groupBy("__v")
+    val cells = gateValueCells(base.groupBy("__v")
       .agg(sum(when(col("__g") === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col("__g") === b, 1L).otherwise(0L)).as("__cb"))
+        sum(when(col("__g") === b, 1L).otherwise(0L)).as("__cb")),
+      "__ca", "twoSampleRankCells")
     val wRun = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = cells.agg(sum(col("__ca")).as("__na"),
@@ -6896,7 +6934,9 @@ object Stats {
     * DECIMAL(28,12) sum of 1/rank over the battery itself; the boundary
     * compare p·m·qDen·c ≤ qNum·rank mirrors [[bhFdr]]'s fixed shape
     * with one extra factor. Windows run over the BOUNDED test battery.
-    * Returns per test: (id, p_value, rank, threshold, discovery). */
+    * A NULL p-value RAISES (the [[storeyQ]] discipline — engines rank
+    * nulls on opposite ends). Returns per test:
+    * (id, p_value, rank, threshold, discovery). */
   def byFdr(df: DataFrame, idCol: String, pCol: Column,
             qNum: Int, qDen: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -6905,8 +6945,15 @@ object Stats {
     val m = df.agg(count(lit(1)).as("__m"))
     val wRank = Window.orderBy(col("p_value").asc, col("id").asc)
     val wAll = Window.partitionBy(lit(1))
+    // a NULL p RAISES (the storeyQ discipline): Spark ranks NULLS FIRST,
+    // DuckDB NULLS LAST, so a silently-admitted null would shift every
+    // rank, c(m), and threshold differently on the two engines
+    val p0 = pCol.cast("double")
     val ranked = df
-      .select(col(idCol).as("id"), pCol.cast("double").as("p_value"))
+      .select(col(idCol).as("id"),
+        when(p0.isNull, raise_error(concat(
+            lit("byFdr: null p-value for id "), col(idCol).cast("string"))))
+          .otherwise(p0).as("p_value"))
       .crossJoin(broadcast(m))
       .withColumn("rank", row_number().over(wRank))
     val cm = ranked.agg(sum((lit(1.0) / col("rank").cast("double"))

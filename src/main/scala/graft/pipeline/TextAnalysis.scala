@@ -635,17 +635,20 @@ object TextAnalysis {
     * the word-level relation phrase scoring sums over. Degree and freq are
     * exact integers; the score is ONE IEEE division, 6dp-rounded.
     *
-    * 100 TB shape: phrase segmentation is row-local string work (a chain of
-    * word-boundary regex replaces — all engines' RE dialects agree on
-    * `\b` + literal alternation); the only shuffle is the word-keyed
-    * aggregate. Returns (word, freq, degree, score). */
+    * 100 TB shape: phrase segmentation is row-local string work — ONE
+    * word-boundary alternation pass `\b(sw1|sw2|…)\b` over the cleaned
+    * text (the `\b…\b` anchors make exactly one alternative viable per
+    * word, so Java and RE2 agree on every match span; a per-stopword
+    * replace chain would re-scan the text |stopwords| times); the only
+    * shuffle is the word-keyed aggregate.
+    * Returns (word, freq, degree, score). */
   def rakeKeywords(docs: DataFrame, textCol: String,
                    stopwords: Seq[String] = RakeStopwords): DataFrame = {
     require(stopwords.nonEmpty && stopwords.forall(_.matches("[a-z]+")),
       "stopwords must be lowercase ascii words")
     val cleaned = regexp_replace(lower(col(textCol)), "[^a-z]+", " ")
-    val delim = stopwords.foldLeft(cleaned)((c, sw) =>
-      regexp_replace(c, s"\\b$sw\\b", "|"))
+    val delim = regexp_replace(cleaned,
+      s"\\b(${stopwords.mkString("|")})\\b", "|")
     val phrases = docs
       .select(explode(split(delim, "[|]+")).as("__p"))
       .select(split(trim(col("__p")), " +").as("__ws"))

@@ -175,14 +175,14 @@ object MlPipelineQueries {
 
     // ---- RAKE keyword extraction: stopword-delimited phrase runs, word
     // degree/freq from exact integer tallies, top-50 by the one-division
-    // score. The stopword regex chain is mirrored literally (RE2 and Java
-    // agree on \b + lowercase-ascii alternations).
+    // score. The SINGLE stopword alternation pass is mirrored literally
+    // (RE2 and Java agree on \b + lowercase-ascii alternations: the
+    // \b...\b anchors leave exactly one viable alternative per word).
     Q("q188_keywords",
       Some {
-        val chain = TA.RakeStopwords.foldLeft(
-          "regexp_replace(lower(text), '[^a-z]+', ' ', 'g')") { (acc, sw) =>
-          s"regexp_replace($acc, '\\b$sw\\b', '|', 'g')"
-        }
+        val chain = "regexp_replace(regexp_replace(lower(text), " +
+          "'[^a-z]+', ' ', 'g'), " +
+          s"'\\b(${TA.RakeStopwords.mkString("|")})\\b', '|', 'g')"
         s"WITH d AS (SELECT $chain AS t FROM documents), " +
           "p AS (SELECT unnest(string_split_regex(t, '\\|+')) AS ph FROM d), " +
           "ws AS (SELECT string_split_regex(trim(ph), ' +') AS arr FROM p " +

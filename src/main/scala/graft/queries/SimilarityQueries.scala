@@ -33,19 +33,84 @@ object SimilarityQueries {
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")),
 
-    // ---- the LSH scale path for the same task: multi-table hyperplane
-    // banding + exact verification over a corpus with planted near-dups
-    // (hash-derived planes are engine-specific — rows-only; planted-pair
-    // recall >= 0.9 asserted in PipelineSpec).
-    Q("q47_embedding_neardup_lsh", None,
+    // ---- the LSH scale path for the same task, ORACLE-CHECKED end to
+    // end (the q30 discipline brought to hyperplanes): md5-seeded
+    // INTEGER plane coefficients over floor(x·2^20)-quantized vectors
+    // make every projection SIGN — hence signatures, buckets, the
+    // maxBucket-capped + successor-chained candidate join — exact
+    // integer arithmetic both engines replay bit-identically; the
+    // verify cosine runs on the ORIGINAL double vectors
+    // (list_cosine_similarity, the q32/q34 precedent). Planted
+    // near-dups perturb by replayable md5 noise (±1e-3). Production
+    // config keeps the MurmurHash planes (q360's planted gate); THIS
+    // query gates the banded pipeline STRUCTURE cross-engine.
+    Q("q47_embedding_neardup_lsh", {
+      def dec(hx: String) = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1) * " +
+          s"${BigInt(16).pow(15 - i)}").mkString("(", " + ", ")")
+      val pvHx = "substr(md5('pv' || vec_id || '|' || (i - 1)), 1, 15)"
+      Some("WITH b0 AS (SELECT vec_id, " +
+        s"${dvecSql.format("embedding")} AS v FROM embeddings), " +
+        "pert AS (SELECT vec_id + 1000000 AS vec_id, " +
+        s"list_transform(v, (x, i) -> x + ((${dec(pvHx)} % 1000) - 500) " +
+        "/ 500000.0) AS v FROM b0), " +
+        "corpus AS (SELECT vec_id, v FROM b0 " +
+        "UNION ALL SELECT vec_id, v FROM pert), " +
+        "reps AS (SELECT v, min(vec_id) AS rid FROM corpus GROUP BY v), " +
+        "pl0 AS (SELECT t.range AS t, p.range AS p, d.range AS d, " +
+        "substr(md5('hp42|' || t.range || '|' || p.range || '|' || " +
+        "d.range), 1, 15) AS hx " +
+        "FROM range(16) t, range(12) p, range(64) d), " +
+        s"pl AS (SELECT t, p, d, (${dec("hx")} % 2001) - 1000 AS c " +
+        "FROM pl0), " +
+        "dims AS (SELECT rid, unnest(v) AS x, unnest(range(64)) AS d " +
+        "FROM reps), " +
+        "qz AS (SELECT rid, d, CAST(floor(x * 1048576.0) AS BIGINT) " +
+        "AS qd FROM dims), " +
+        "dots AS (SELECT qz.rid, pl.t, pl.p, sum(pl.c * qz.qd) AS dot " +
+        "FROM qz JOIN pl ON qz.d = pl.d GROUP BY 1, 2, 3), " +
+        "sigs AS (SELECT rid, t, sum(CASE WHEN dot >= 0 THEN " +
+        "(CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig FROM dots " +
+        "GROUP BY 1, 2), " +
+        "rk AS (SELECT rid, t, sig, row_number() OVER (PARTITION BY " +
+        "t, sig ORDER BY rid) AS rn FROM sigs), " +
+        "cand AS (SELECT DISTINCT a.rid AS ra, b.rid AS rb " +
+        "FROM rk a JOIN rk b ON a.t = b.t AND a.sig = b.sig AND " +
+        "((a.rn < b.rn AND b.rn <= 4096) OR b.rn = a.rn + 1)), " +
+        "ver AS (SELECT x.v AS va, y.v AS vb, " +
+        "list_cosine_similarity(x.v, y.v) AS cos " +
+        "FROM cand JOIN reps x ON x.rid = cand.ra " +
+        "JOIN reps y ON y.rid = cand.rb " +
+        "WHERE list_cosine_similarity(x.v, y.v) >= 0.9), " +
+        "expd AS (SELECT least(xa.vec_id, xb.vec_id) AS id_a, " +
+        "greatest(xa.vec_id, xb.vec_id) AS id_b, cos " +
+        "FROM ver JOIN corpus xa ON xa.v = ver.va " +
+        "JOIN corpus xb ON xb.v = ver.vb), " +
+        "wi AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, " +
+        "list_cosine_similarity(x.v, y.v) AS cos " +
+        "FROM corpus x JOIN corpus y ON x.v = y.v " +
+        "AND x.vec_id < y.vec_id " +
+        "WHERE list_cosine_similarity(x.v, y.v) >= 0.9) " +
+        "SELECT id_a, id_b, round(cos, 6) AS cos FROM " +
+        "(SELECT * FROM expd UNION ALL SELECT * FROM wi) " +
+        "ORDER BY id_a, id_b")
+    },
       (s, dir) => {
+        import graft.pipeline.Dedup
         val emb = Tables.embeddings(s, dir)
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("embedding"))
-        val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            x + (pmod(xxhash64(col("vec_id"), i), lit(1000)).cast("double") - 500.0) / 500000.0)
-            .as("embedding"))
-        Similarity.embeddingNearDupPairs(emb.union(planted), 0.9, dim = 64)
+        // the noise salt keys on the ORIGINAL id: rename it first —
+        // inside this projection a bare col("vec_id") would lateral-
+        // resolve to the freshly aliased (vec_id + 1e6) column
+        val planted = emb
+          .select(col("vec_id").as("__src"), col("embedding"))
+          .select((col("__src") + 1000000L).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x + ((Dedup.md5h60(concat(lit("pv"), col("__src").cast("string"),
+                  lit("|"), i.cast("string"))) % 1000L) - 500L) / lit(500000.0))
+              .as("embedding"))
+        Similarity.embeddingNearDupPairs(emb.union(planted), 0.9, dim = 64,
+            md5Seeded = true)
           .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
           .orderBy("id_a", "id_b")
       }),
@@ -377,9 +442,10 @@ object SimilarityQueries2 {
     // id+10⁶ — identical bytes → identical md5 fingerprint → the pair
     // comes from the same-fingerprint expansion branch (cosine exactly
     // 1.0 after the 6dp round), which collapses BEFORE banding and is
-    // immune to the bucket skew cap. The perturbed-plant recall surface
-    // (probabilistic by design) stays rows-only in q47 with its
-    // spec-asserted ≥ 0.9 bound.
+    // immune to the bucket skew cap. (Since round 13, q47 is ALSO fully
+    // oracle-checked via the md5-seeded integer-plane replay; this query
+    // keeps the verbatim-duplicate branch pinned under the PRODUCTION
+    // MurmurHash plane config.)
     Q("q360_embedding_dedup_planted",
       Some("SELECT vec_id AS id, vec_id + 1000000 AS planted_id, " +
         "TRUE AS found, 1.0 AS cos FROM embeddings " +

@@ -634,11 +634,16 @@ object StatsQueries5 {
         "UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
         "k AS (SELECT na0, nb0, da, db, na, nb, na + nb AS nt, " +
         "da + db AS dt FROM r), " +
+        // weights normalized by the total risk set N (w = nt/N) — the
+        // Spark shape mirrored term for term, so the Gehan variance can
+        // never overflow DECIMAL(28,12)'s integer digits at scale
         "terms AS (SELECT na0, nb0, da, db, " +
-        "CAST(CAST(nt AS DOUBLE) * (CAST(da AS DOUBLE) - " +
+        "CAST(CAST(nt AS DOUBLE) / CAST(na0 + nb0 AS DOUBLE) * " +
+        "(CAST(da AS DOUBLE) - " +
         "CAST(dt AS DOUBLE) * CAST(na AS DOUBLE) / CAST(nt AS DOUBLE)) " +
         "AS DECIMAL(28,12)) AS numt, " +
-        "CAST(CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE) * " +
+        "CAST(CAST(nt AS DOUBLE) / CAST(na0 + nb0 AS DOUBLE) * " +
+        "(CAST(nt AS DOUBLE) / CAST(na0 + nb0 AS DOUBLE)) * " +
         "(CASE WHEN nt > 1 THEN CAST(dt AS DOUBLE) * " +
         "(CAST(na AS DOUBLE) / CAST(nt AS DOUBLE)) * " +
         "(CAST(nb AS DOUBLE) / CAST(nt AS DOUBLE)) * " +
@@ -919,9 +924,15 @@ object StatsQueries5 {
           col("l_returnflag"), col("l_quantity"), "R", "N")),
 
       // ---- Lepage omnibus (Wilcoxon + Ansari-Bradley) on extended
-      // price, returned vs accepted: both z's off the SAME cells.
+      // price, returned vs accepted: both z's off the SAME cells. The
+      // value is bucketed to exact decadollar cells (integer cents div
+      // 1000 — floor division, engine-identical) BEFORE ranking: raw 2dp
+      // prices are ~392k distinct cells at sf0.1, which the round-13
+      // gateValueCells cardinality gate rightly refuses — this driver
+      // demonstrates the documented remedy (bound the value grain).
       Q("q509_lepage",
-        Some(rankCte("lineitem", "l_returnflag", "l_extendedprice",
+        Some(rankCte("lineitem", "l_returnflag",
+            "CAST(round(l_extendedprice * 100) AS BIGINT) // 1000",
             "R", "A") +
           "sc AS (SELECT ca, cb, na, nb, r2 AS sw, " +
           "least(r2, (na + nb + 1) * 2 - r2) AS sa FROM r), " +
@@ -953,7 +964,9 @@ object StatsQueries5 {
           "SELECT n_a, n_b, round(zw, 6) AS z_w, round(zab, 6) AS z_ab, " +
           "round(zw * zw + zab * zab, 6) AS lepage FROM h"),
         (s, dir) => Stats.lepageTest(Tables.lineitem(s, dir),
-          col("l_returnflag"), col("l_extendedprice"), "R", "A")),
+          col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 1000"),
+          "R", "A")),
 
       // ---- Cucconi location-scale quadratic on total price, fulfilled
       // vs open orders: squared ranks AND antiranks with their exact

@@ -618,6 +618,15 @@ class AppliedSpec extends SparkSpec {
     assert(r(0).getDouble(2) == 1.870829, s"t1: ${r(0)}")
     assert((r(1).getLong(0), r(1).getLong(1)) == ((2L, 2L)))
     assert(r(1).getDouble(2) == 1.414214, s"t2: ${r(1)}")
+    // duplicated taus refuse loudly: a duplicate would duplicate block
+    // rows and make the adjacent-diff order key non-total
+    intercept[IllegalArgumentException] {
+      EventAnalytics.allanDeviationDaily(rows.toDF("ts"), "ts",
+        taus = Seq(1, 2, 2))
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.dfaDaily(rows.toDF("ts"), "ts", sizes = Seq(4, 4, 8))
+    }
   }
 
   test("dfaDaily: per-block detrended fluctuation and ln-ln slope") {
@@ -1487,6 +1496,24 @@ class AppliedSpec extends SparkSpec {
     assert(r.getLong(0) == 4L && r.getLong(1) == 8L)
     assert(r.getDouble(2) == -0.071429 && r.getDouble(3) == -0.333333,
       s"mi: $r")
+  }
+
+  test("cell bucketing is floor division: Moran's I is translation-" +
+    "invariant across the negative quadrant") {
+    import spark.implicits._
+    // truncate-toward-zero bucketing would collapse x in -(s-1)..(s-1)
+    // into one double-width cell 0 and break this invariance
+    val pts = Seq((-3L, -5L), (-3L, -4L), (-2L, -5L), (-1L, -1L),
+      (0L, 0L), (0L, 1L), (1L, 0L), (2L, 3L), (3L, 3L), (3L, 2L),
+      (-3L, 3L), (2L, -4L))
+    val neg = pts.toDF("x", "y")
+    val pos = pts.map { case (x, y) => (x + 100L, y + 100L) }.toDF("x", "y")
+    val a = Spatial.moransI(neg, col("x"), col("y"), cellSize = 2L)
+      .collect()(0)
+    val b = Spatial.moransI(pos, col("x"), col("y"), cellSize = 2L)
+      .collect()(0)
+    assert(a == b, s"translation broke the lattice: $a vs $b")
+    assert(a.getLong(0) > 1L, s"degenerate lattice: $a")
   }
 
   test("gearysC: local-gradient rational on the 2x2 lattice") {

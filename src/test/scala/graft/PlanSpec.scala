@@ -944,15 +944,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q312/q112/q116/q161/q263: key-grain ranks go through distributedRank — no keyless window over key-grain relations") {
+  test("q312/q112/q116/q161/q263/q293: key-grain ranks go through distributedRank — no keyless window over key-grain relations") {
     // the r10 verdict's rank-window family: whaleShare/gini/percentRank/
     // quantileNormalize (and the Theil–Sen slope median) ranked key-grain
     // rollups in ONE unpartitioned window. distributedRank replaces them
     // with pivot-cell classification + cell-PARTITIONED rank windows; a
     // row_number window without the __drseg cell key would mean the
     // single-task sort came back
+    // q293 (ABC classification) joined the family in round 13: its
+    // cumulative-revenue-at-rank rides distributedRank's cumOut
     for (q <- Seq("q312_whale_share", "q112_gini", "q116_percent_rank",
-        "q161_quantile_norm", "q263_theil_sen")) {
+        "q161_quantile_norm", "q263_theil_sen", "q293_abc_classification")) {
       val p = planOf(q)
       assert(!p.contains("percent_rank("),
         s"$q: keyless percent_rank survived:\n$p")

@@ -1073,6 +1073,24 @@ object ScaleStress {
       qnBad.getLong(2) == 5000000L,
       s"quantileNormalize closed form violated: $qnBad")
 
+    // abcClassification over 10M SKUs, UNIFORM revenue ($1 = 1e6 micro
+    // each): one giant revenue tie cell that must subdivide on the key
+    // grid; cum at rank r is exactly r·1e6, so the exact decimal boundary
+    // yields the closed-form 80/15/5 key split with exact shares.
+    val abcRows = spark.range(10000000L).select(col("id").as("k"))
+    val abc = timed("abcClassification over 10M SKUs, uniform revenue (single-value tie)") {
+      graft.pipeline.Finance.abcClassification(abcRows, "k", lit(1000000L))
+        .orderBy("abc_class").collect()
+    }
+    assert(abc.length == 3, s"abc classes: ${abc.length}")
+    val abcExp = Seq(("A", 8000000L, 8000000.0, 0.8),
+      ("B", 1500000L, 1500000.0, 0.15), ("C", 500000L, 500000.0, 0.05))
+    abc.zip(abcExp).foreach { case (r, (cls, nk, rev, share)) =>
+      assert(r.getString(0) == cls && r.getLong(1) == nk &&
+        r.getDouble(2) == rev && r.getDouble(3) == share,
+        s"abc closed form violated: $r (want ($cls,$nk,$rev,$share))")
+    }
+
     // conoverSquaredRanks over 20M rows / 50-value domain: the two groups
     // are identical multisets (10M each, 200k per value), so both medians,
     // both deviation distributions, and therefore T = n_a*S2/N agree

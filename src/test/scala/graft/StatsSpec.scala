@@ -1673,6 +1673,72 @@ class StatsSpec extends SparkSpec {
       Seq("id"), None, "rn").count() == 0)
   }
 
+  test("Ops.rankBy public face: null scores place as the window default; " +
+    "a default-threshold massive tie subdivides and ranks exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // null-score path, both directions, with the running weight sum
+    val rows = (1 to 50).map(i =>
+      (i.toLong, if (i % 4 == 0) None else Some((i % 6).toLong), 2L))
+    val df = rows.toDF("id", "s", "w")
+    for (desc <- Seq(false, true)) {
+      val ord = if (desc) Seq(col("s").desc_nulls_last, col("id").asc)
+        else Seq(col("s").asc_nulls_first, col("id").asc)
+      val wWin = Window.orderBy(ord: _*)
+      val exp = df.withColumn("rank", row_number().over(wWin).cast("long"))
+        .withColumn("cw", sum(col("w")).over(
+          wWin.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("id", "rank", "cw").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val got = graft.operators.Ops.rankBy(df, "s", desc = desc,
+          tieCols = Seq("id"), weightCol = Some("w"), cumOut = Some("cw"))
+        .select("id", "rank", "cw").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == exp, s"public-face parity desc=$desc")
+    }
+    // massive single-value tie ABOVE the default 2^18 subdivision
+    // threshold: 300k rows, one score value — rank must be id+1 (ties
+    // break on the numeric id grid), cum follows exactly
+    val tied = spark.range(300000L)
+      .select(col("id"), lit(7L).as("s"), lit(1L).as("w"))
+    val ranked = graft.operators.Ops.rankBy(tied, "s",
+      tieCols = Seq("id"), weightCol = Some("w"), cumOut = Some("cw"))
+    val bad = ranked.filter(col("rank") =!= col("id") + 1L ||
+      col("cw") =!= col("id") + 1L).count()
+    assert(bad == 0L, s"$bad misranked rows in the massive tie")
+    assert(ranked.agg(max(col("rank"))).head.getLong(0) == 300000L)
+  }
+
+  test("value-cell cardinality gate: hodgesLehmann/qnScale/" +
+    "giniMeanDifference/rank-cell family raise loudly above 10^5 cells") {
+    // 100001 distinct values -> every member of the pairwise value-cell
+    // family must refuse BEFORE its |vocab|^2 stage, naming the remedy
+    def deep(t: Throwable): String =
+      if (t == null) "" else t.toString + "|" + deep(t.getCause)
+    val wide = spark.range(100001L)
+      .select(col("id").cast("double").as("v"))
+    val wideG = spark.range(100001L).select(
+      pmod(col("id"), lit(2L)).cast("string").as("g"),
+      col("id").cast("double").as("v"))
+    val cases: Seq[(String, () => Any)] = Seq(
+      ("hodgesLehmann", () => Stats.hodgesLehmann(wide, col("v")).collect()),
+      ("qnScale", () => Stats.qnScale(wide, col("v")).collect()),
+      ("giniMeanDifference",
+        () => Stats.giniMeanDifference(wide, col("v")).collect()),
+      // the two-sample rank-cell scaffold, via a public consumer
+      ("twoSampleRankCells",
+        () => Stats.ansariBradley(wideG, col("g"), col("v"), "0", "1")
+          .collect()))
+    for ((op, run) <- cases) {
+      val ex = intercept[Exception] { run() }
+      val msg = deep(ex)
+      assert(msg.contains("distinct value cells exceed") && msg.contains(op),
+        s"$op: expected the cardinality raise, got: $msg")
+    }
+    // just UNDER the gate the operators still answer (identity guard)
+    val ok = spark.range(11L).select(col("id").cast("double").as("v"))
+    assert(Stats.hodgesLehmann(ok, col("v")).collect().head.getLong(0) == 11L)
+  }
+
   test("wilcoxonSignedRank: hand W+ and z with and without ties; zeros drop") {
     // diffs {1,-2,3,-4,5}: no ties, W+ = 1+3+5 = 9, z = 1.5/sqrt(13.75)
     val a = Seq(1.0, -2.0, 3.0, -4.0, 5.0, 0.0).toDF("d")
@@ -2634,6 +2700,16 @@ class StatsSpec extends SparkSpec {
       Seq(0.012, 0.024, 0.036, 0.048))
     assert(r.map(_.getBoolean(4)).toSeq ==
       Seq(true, true, false, false), s"by: ${r.toSeq}")
+    // a NULL p-value raises loudly (Spark ranks nulls first, DuckDB
+    // last — a silently-admitted null would shift every threshold)
+    val withNull = Seq(("a", Some(0.01)), ("b", None: Option[Double]))
+      .toDF("id", "p")
+    val ex = intercept[Exception] {
+      Stats.byFdr(withNull, "id", col("p"), qNum = 1, qDen = 10).collect()
+    }
+    assert(ex.toString.contains("null p-value") ||
+      Option(ex.getCause).exists(_.toString.contains("null p-value")),
+      s"expected the null-p raise, got: $ex")
   }
 
   test("storeyQ: pi0 from the lambda tail, suffix-min q-values") {
