@@ -517,6 +517,39 @@ object StreamQueries {
         "SELECT user_id, event_id AS last_event_id, value AS last_value " +
         "FROM r WHERE rn = 1 ORDER BY user_id"),
       (s, dir) => Streams.latestStateBatch(Tables.events(s, dir))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // ---- sliding-window counts (6h window / 3h slide — §2.9's missing
+    // overlap form): each event lands in exactly width/slide = 2
+    // windows, so the oracle replays the assignment by exploding every
+    // event into its two epoch-aligned starts (floor-to-slide and one
+    // slide earlier) — exact integer µs on both engines.
+    Q("q539_sliding_window",
+      Some("WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events), " +
+        "x AS (SELECT event_type, unnest([" +
+        "(us // 10800000000) * 10800000000 - 10800000000, " +
+        "(us // 10800000000) * 10800000000]) AS ws FROM e) " +
+        "SELECT ws AS window_start_us, event_type, " +
+        "CAST(count(*) AS BIGINT) AS n FROM x GROUP BY 1, 2 " +
+        "ORDER BY window_start_us, event_type"),
+      (s, dir) => Streams.slidingCounts(Tables.events(s, dir))
+        .orderBy("window_start_us", "event_type")),
+
+    // ---- chained window-of-window aggregation (Spark 3.4+ multi-
+    // stateful-operator surface, batch face): hourly tumbling counts
+    // tier into the per-day peak hour via window_time; the election is
+    // (n DESC, hour ASC) — the oracle ranks the same hourly rollup.
+    // Exact integers end to end (epoch-µs window starts, counts).
+    Q("q540_chained_window_peak",
+      Some("WITH h AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000 " +
+        "AS hs, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
+        "d AS (SELECT (hs // 86400000000) * 86400000000 AS ds, hs, n " +
+        "FROM h), " +
+        "r AS (SELECT ds, hs, n, row_number() OVER (PARTITION BY ds " +
+        "ORDER BY n DESC, hs ASC) AS rk FROM d) " +
+        "SELECT ds AS day_start_us, hs AS peak_hour_us, n AS peak_n " +
+        "FROM r WHERE rk = 1 ORDER BY day_start_us"),
+      (s, dir) => Streams.hourlyPeakPerDay(Tables.events(s, dir))
+        .orderBy("day_start_us"))
   )
 }

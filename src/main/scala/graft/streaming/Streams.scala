@@ -391,4 +391,58 @@ object Streams {
         .as("__b"))
       .select(col("user_id"), col("__b.id").as("last_event_id"),
         col("__b.value").as("last_value"))
+
+  /** SLIDING-window counts (width > slide ⇒ overlapping windows; each
+    * event lands in width/slide of them — the smoothing form of
+    * [[tumblingCounts]], the monitoring default when a burst must not
+    * vanish at a tumbling boundary). Same batch/stream duality: add
+    * `withWatermark` upstream (or use [[slidingCountsStream]]) and the
+    * state Spark keeps is one row per OPEN (window, type) cell — the
+    * overlap multiplies state by width/slide, not by the data.
+    * `width` must be an integer multiple of `slide` (the oracle's
+    * explode-into-k-windows replay is exact only then; Spark itself
+    * allows any pair). Window starts report as exact epoch
+    * MICROSECONDS. Returns (window_start_us, event_type, n). */
+  def slidingCounts(events: DataFrame, width: String = "6 hours",
+                    slide: String = "3 hours"): DataFrame =
+    events.groupBy(window(col("ts"), width, slide).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+
+  /** Watermarked streaming variant of [[slidingCounts]]. */
+  def slidingCountsStream(events: DataFrame, width: String = "6 hours",
+                          slide: String = "3 hours",
+                          lateness: String = "2 hours"): DataFrame =
+    slidingCounts(events.withWatermark("ts", lateness), width, slide)
+
+  /** CHAINED windowed aggregation (window-of-window, the Spark 3.4+
+    * multi-stateful-operator surface): hourly tumbling counts roll up
+    * into the per-day PEAK hour — `window_time` re-times each hourly
+    * cell so a second `window` groupBy can tier it into days, all
+    * inside one streaming plan (no foreachBatch sink stage needed).
+    * The peak election is deterministic: max on (n, earliest hour) —
+    * ties take the EARLIEST hour via the negated-µs struct. State is
+    * |hours| cells in tier 1 and |days| in tier 2 — calendar-bounded.
+    * Returns (day_start_us, peak_hour_us, peak_n), exact integers. */
+  def hourlyPeakPerDay(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+    hourly
+      .groupBy(window(window_time(col("w")), "1 day").as("d"))
+      .agg(max(col("n")).as("peak_n"),
+        max_by(unix_micros(col("w.start")),
+          struct(col("n"),
+            (-unix_micros(col("w.start"))).as("neg"))).as("peak_hour_us"))
+      .select(unix_micros(col("d.start")).as("day_start_us"),
+        col("peak_hour_us"), col("peak_n"))
+  }
+
+  /** Watermarked streaming variant of [[hourlyPeakPerDay]] (append mode:
+    * a day's peak emits once its day window passes the watermark). */
+  def hourlyPeakPerDayStream(events: DataFrame,
+                             lateness: String = "2 hours"): DataFrame =
+    hourlyPeakPerDay(events.withWatermark("ts", lateness))
 }

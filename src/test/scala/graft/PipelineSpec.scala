@@ -340,6 +340,27 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.size == found, "unexpected background pairs above threshold")
   }
 
+  test("md5PlaneTables: coefficients pin to the salt's md5 (the q47 " +
+    "replay contract); quantizeVec is exact integer-valued") {
+    // hand-computed (md5h60("hp42|t|p|d") % 2001) - 1000 — if the Scala
+    // derivation drifts (salt format, nibble count, mod), q47's oracle
+    // replay silently diverges; pin three corners of the grid
+    val tables = Similarity.md5PlaneTables(64, 12, 16, 42L)
+    assert(tables(0)(0)(0) == 68.0)
+    assert(tables(15)(11)(63) == 46.0)
+    assert(tables(3)(7)(42) == -591.0)
+    assert(tables.flatten.flatten.forall(c =>
+      c == math.rint(c) && math.abs(c) <= 1000.0))
+    // quantizeVec: floor(x·2^20) as integer-valued doubles, exact on
+    // dyadic inputs, floor (not truncate) on negatives
+    val q = Seq((1L, Array(0.5f, -0.5f, 0.0f, -1.5e-6f)))
+      .toDF("id", "v")
+      .select(Similarity.quantizeVec(transform(col("v"),
+        x => x.cast("double"))).as("q"))
+      .collect().head.getSeq[Double](0)
+    assert(q == Seq(524288.0, -524288.0, 0.0, -2.0), s"quantize: $q")
+  }
+
   test("embeddingNearDupPairs: identical-vector cluster returns ALL pairs despite a tiny cap") {
     // 30 copies of one vector + unrelated background; maxBucket=4 would
     // suppress pairs under row-level banding, but identical vectors

@@ -396,6 +396,48 @@ class StreamsSpec extends SparkSpec {
     assert(out("v") == ((1L, 1L, 1L)))
   }
 
+  test("sliding-window counts: streaming Complete-mode output matches the batch plan") {
+    val stream = Streams.readEventStream(spark, eventsDir)
+    val got = Streams.runToMemory(
+      Streams.slidingCountsStream(stream), "slide_counts",
+      OutputMode.Complete())
+    val want = Streams.slidingCounts(Tables.events(spark, sf0001))
+    val g = got.orderBy("window_start_us", "event_type").collect().map(_.toSeq)
+    val w = want.orderBy("window_start_us", "event_type").collect().map(_.toSeq)
+    assert(g.toSeq == w.toSeq)
+    // the overlap invariant: every event lands in exactly width/slide = 2
+    // windows, so total mass doubles the event count
+    val total = want.agg(sum("n")).head.getLong(0)
+    assert(total == 2L * Tables.events(spark, sf0001).count())
+  }
+
+  test("chained window-of-window aggregation streams in append mode; " +
+    "emitted days match the batch peaks exactly") {
+    // two stateful window aggs in ONE streaming plan (hour tier ->
+    // window_time -> day tier): append mode + watermark; a day's peak
+    // emits once the day window falls fully below the watermark, so the
+    // single-file drive emits every day except the spine's last
+    val stream = Streams.readEventStream(spark, eventsDir)
+    val got = Streams.runToMemory(
+      Streams.hourlyPeakPerDayStream(stream), "day_peaks",
+      OutputMode.Append())
+    val batch = Streams.hourlyPeakPerDay(Tables.events(spark, sf0001))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val maxUs = Tables.events(spark, sf0001)
+      .agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val watermarkUs = maxUs - 2L * 3600000000L
+    val emitted = got.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every emitted day agrees with batch, and every fully-closed day
+    // (end <= watermark) was emitted
+    assert(emitted.forall { case (d, v) => batch.get(d).contains(v) },
+      s"append emissions diverge from batch: $emitted")
+    val closed = batch.keys.filter(_ + 86400000000L <= watermarkUs).toSet
+    assert(closed.subsetOf(emitted.keySet),
+      s"closed days missing from append output: ${closed -- emitted.keySet}")
+    assert(closed.nonEmpty, "spine too short to close any day")
+  }
+
   test("windowedTopKBatch: per-hour ranks, (count, type) tiebreak, k cut") {
     import spark.implicits._
     def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
