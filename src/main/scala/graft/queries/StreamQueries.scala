@@ -550,6 +550,34 @@ object StreamQueries {
         "SELECT ds AS day_start_us, hs AS peak_hour_us, n AS peak_n " +
         "FROM r WHERE rk = 1 ORDER BY day_start_us"),
       (s, dir) => Streams.hourlyPeakPerDay(Tables.events(s, dir))
-        .orderBy("day_start_us"))
+        .orderBy("day_start_us")),
+
+    // ---- LEFT OUTER attribution (q218's missing half): purchases keep
+    // their unmatched rows as organic conversions — the batch face of
+    // the outer stream-stream join's watermark-eviction semantics.
+    // view_id coalesces to -1 so the sort key is never NULL (Spark
+    // orders nulls first ASC, DuckDB last — the fillempty lesson).
+    Q("q541_outer_attribution",
+      Some("SELECT p.event_id AS purchase_id, " +
+        "coalesce(v.event_id, -1) AS view_id, " +
+        "v.event_id IS NULL AS organic " +
+        "FROM events p LEFT JOIN events v ON p.user_id = v.user_id " +
+        "AND v.event_type = 'view' " +
+        "AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000 " +
+        "AND epoch_us(v.ts) <= epoch_us(p.ts) " +
+        "WHERE p.event_type = 'purchase' " +
+        "ORDER BY purchase_id, view_id"),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("ts"), col("user_id"))
+        Streams.enrichStream(purchases, views, "user_id",
+            joinWindowSec = 3600L, joinType = "left_outer")
+          .select(col("event_id").as("purchase_id"),
+            coalesce(col("l_event_id"), lit(-1L)).as("view_id"),
+            col("l_event_id").isNull.as("organic"))
+          .orderBy("purchase_id", "view_id")
+      })
   )
 }

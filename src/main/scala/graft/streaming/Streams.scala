@@ -122,10 +122,20 @@ object Streams {
     * passes `ts − joinWindowSec` — without the bound, stream-stream join
     * state grows forever. Lookup columns (other than the key) arrive
     * prefixed `l_`. Works identically on batch DataFrames (the oracle
-    * face: a plain bounded interval join). */
+    * face: a plain bounded interval join).
+    *
+    * `joinType = "left_outer"` keeps the UNMATCHED event rows too (the
+    * organic-conversion side of attribution) — the semantics that
+    * genuinely distinguish outer from inner stream-stream joins: an
+    * inner match emits the micro-batch it meets, but an unmatched left
+    * row emits (null-extended) only once the watermark PROVES no
+    * in-window lookup can still arrive and its state evicts. */
   def enrichStream(events: DataFrame, lookups: DataFrame, keyCol: String,
-                   joinWindowSec: Long, lateness: String = "1 hour"): DataFrame = {
+                   joinWindowSec: Long, lateness: String = "1 hour",
+                   joinType: String = "inner"): DataFrame = {
     require(joinWindowSec > 0)
+    require(Set("inner", "left_outer")(joinType),
+      s"joinType must be inner|left_outer: $joinType")
     val streaming = events.isStreaming || lookups.isStreaming
     val l0 = lookups.columns.foldLeft(lookups)((df, c) =>
       df.withColumnRenamed(c, s"l_$c"))
@@ -135,7 +145,7 @@ object Streams {
       else (events, l0)
     e.join(l, col(keyCol) === col(s"l_$keyCol") &&
       col("l_ts") >= col("ts") - expr(s"INTERVAL $joinWindowSec SECONDS") &&
-      col("l_ts") <= col("ts"))
+      col("l_ts") <= col("ts"), joinType)
       .drop(s"l_$keyCol")
   }
 

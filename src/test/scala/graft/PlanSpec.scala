@@ -756,6 +756,12 @@ class PlanSpec extends SparkSpec {
       s"attribution join must be an equi join on the user key:\n$p")
   }
 
+  test("q541: the outer attribution join stays keyed on user_id too") {
+    val p = planOf("q541_outer_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"outer attribution join must be an equi join on the user key:\n$p")
+  }
+
   test("q221: AUC never globally sorts raw rows - windows partition by cohort") {
     val p = planOf("q221_auc")
     val windows = p.linesIterator.filter(_.contains("Window [")).toSeq

@@ -438,6 +438,54 @@ class StreamsSpec extends SparkSpec {
     assert(closed.nonEmpty, "spine too short to close any day")
   }
 
+  test("left-outer stream-stream join: matches emit inner-style, " +
+    "unmatched rows null-extend only after watermark eviction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, uid: Long, sec: Long, typ: String) =
+      Streams.Event(id, new java.sql.Timestamp(sec * 1000L), uid, typ, 1.0)
+    val input = MemoryStream[Streams.Event]
+    val src = input.toDS().toDF()
+    val purchases = src.filter(col("event_type") === "purchase")
+    val views = src.filter(col("event_type") === "view")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val joined = Streams.enrichStream(purchases, views, "user_id",
+        joinWindowSec = 3600L, lateness = "1 hour",
+        joinType = "left_outer")
+      .select(col("event_id").as("purchase_id"),
+        col("l_event_id").as("view_id"))
+    val q = joined.writeStream.format("memory").queryName("outer_attr")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: user 1 views at t=1800 then purchases at t=3600 (match);
+    // user 2 purchases at t=3700 with no view in the prior hour
+    input.addData(ev(10, 1L, 1800, "view"), ev(20, 1L, 3600, "purchase"),
+      ev(30, 2L, 3700, "purchase"))
+    q.processAllAvailable()
+    val afterB1 = spark.table("outer_attr").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(afterB1.get(20L).contains(Some(10L)),
+      s"inner match must emit in its own micro-batch: $afterB1")
+    assert(!afterB1.contains(30L),
+      "unmatched row must NOT emit before the watermark proves no match")
+    // batches 2-3: far-future events on BOTH sides (the global watermark
+    // is the MIN across the two watermark nodes — advancing only the
+    // view side would leave the purchase side's watermark, and eviction,
+    // stuck) push it past 3700 + 1h window + 1h lateness -> user 2's
+    // purchase evicts null-extended
+    input.addData(ev(40, 9L, 40000, "view"), ev(45, 9L, 40000, "purchase"))
+    q.processAllAvailable()
+    input.addData(ev(41, 9L, 50000, "view"), ev(46, 9L, 50000, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("outer_attr").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fin.get(30L).contains(None),
+      s"evicted unmatched purchase must null-extend: $fin")
+    assert(fin(20L) == Some(10L), s"outer output: $fin")
+    assert(fin.get(45L).contains(Some(40L)),
+      s"same-batch match must emit inner-style: $fin")
+  }
+
   test("windowedTopKBatch: per-hour ranks, (count, type) tiebreak, k cut") {
     import spark.implicits._
     def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
