@@ -695,6 +695,12 @@ class AppliedSpec extends SparkSpec {
       ((2L, 2L, 2L, 1L)))
     assert(r.getDouble(4) == 0.39736 && r.getDouble(5) == 0.157895,
       s"wlr: $r")
+    // tarone-ware on the same table: w = sqrt(nt/N) -> num = sqrt(.5)*.5,
+    // var = 1/3 + .5*.25 -> z = .522233, chi2 = 3/11
+    val tw = EventAnalytics.weightedLogRank(df, col("t"), col("ev"),
+      col("a"), weighting = "tarone-ware").collect()(0)
+    assert(tw.getDouble(4) == 0.522233 && tw.getDouble(5) == 0.272727,
+      s"tarone-ware: $tw")
   }
 
   test("multipleTesting: Bonferroni caps at 1, Holm stops at first failure, BH rejects through the largest passing rank") {
