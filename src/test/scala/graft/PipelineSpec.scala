@@ -324,7 +324,10 @@ class PipelineSpec extends SparkSpec {
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("embedding"))
     val n = emb.count()
     // plant a near-identical copy of every vector (deterministic ±0.1%
-    // perturbation -> cosine ~0.9999) under vec_id + 1e6
+    // perturbation -> cosine ~0.9999) under vec_id + 1e6. NOTE the salt
+    // lateral-resolves to the NEW alias (vec_id + 1e6) — fine here (any
+    // deterministic salt perturbs), but q47's oracle-replayed twin must
+    // rename the source column first (the SimilarityQueries lesson)
     val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
       transform(col("embedding"), (x, i) =>
         x + (pmod(xxhash64(col("vec_id"), i), lit(1000)).cast("double") - 500.0) / 500000.0)
