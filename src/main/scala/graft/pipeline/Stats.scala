@@ -2425,7 +2425,13 @@ object Stats {
     val m = df.agg(count(lit(1)).as("__m"))
     val wRank = Window.orderBy(col("p_value").asc, col("id").asc)
     val wAll = Window.partitionBy(lit(1))
-    df.select(col(idCol).as("id"), pCol.cast("double").as("p_value"))
+    // a NULL p RAISES (the storeyQ/byFdr discipline): Spark ranks nulls
+    // first, DuckDB last — a silent null would shift every rank/threshold
+    val p0 = pCol.cast("double")
+    df.select(col(idCol).as("id"),
+        when(p0.isNull, raise_error(concat(
+            lit("bhFdr: null p-value for id "), col(idCol).cast("string"))))
+          .otherwise(p0).as("p_value"))
       .crossJoin(broadcast(m))
       .withColumn("rank", row_number().over(wRank))
       .withColumn("__ok",

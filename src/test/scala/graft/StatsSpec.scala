@@ -1890,6 +1890,15 @@ class StatsSpec extends SparkSpec {
     val none = Stats.bhFdr(Seq(("a", 0.5), ("b", 0.75)).toDF("id", "p"),
       "id", col("p"), qNum = 1, qDen = 10).collect()
     assert(none.forall(!_.getBoolean(4)))
+    // a NULL p raises loudly (the byFdr/storeyQ discipline)
+    val withNull = Seq(("a", Some(0.01)), ("b", None: Option[Double]))
+      .toDF("id", "p")
+    val ex = intercept[Exception] {
+      Stats.bhFdr(withNull, "id", col("p"), qNum = 1, qDen = 10).collect()
+    }
+    assert(ex.toString.contains("null p-value") ||
+      Option(ex.getCause).exists(_.toString.contains("null p-value")),
+      s"expected the null-p raise, got: $ex")
   }
 
   test("tCloseness: hand EMD on a 2-value vocabulary; k=1 degenerates") {
