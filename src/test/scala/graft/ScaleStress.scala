@@ -1317,6 +1317,72 @@ object ScaleStress {
     assert(mom.getLong(0) == 994L && mom.getDouble(1) > 0.0,
       s"momentum planted monotone: $mom")
 
+    // ---- round-13 streaming batch faces at 10M-event scale.
+    // slidingCounts: 10M events spread uniformly over 1000 hour-aligned
+    // slots x 2 INDEPENDENT types (slot = id div 2 so parity never
+    // correlates with the slot) -> the 6h/3h window explode doubles
+    // mass exactly; every interior window holds 6 slots x 5000 per
+    // type; starts run -3h..999h (335 x 2 types = 670 cells).
+    val slideEv = spark.range(10000000L).select(
+      timestamp_micros(expr("(id div 2) % 1000") * lit(3600000000L)).as("ts"),
+      pmod(col("id"), lit(2L)).cast("string").as("event_type"))
+    val slide = timed("slidingCounts over 10M events, 1000-hour spine") {
+      graft.streaming.Streams.slidingCounts(slideEv)
+        .agg(count(lit(1)).as("cells"), sum(col("n")).as("mass"),
+          max(col("n")).as("mx")).collect().head
+    }
+    assert(slide.getLong(1) == 20000000L,
+      s"sliding mass must be exactly 2x events: $slide")
+    assert(slide.getLong(0) == 670L && slide.getLong(2) == 30000L,
+      s"sliding closed form violated: $slide")
+
+    // hourlyPeakPerDay: 10M events laid id = 24q + h over 1000 days
+    // (day = q % 1000, hour = h) -> within every day the hour counts
+    // tie at 416/417, so the chained two-tier election must settle on
+    // the deterministic tie-break: the EARLIEST hour, i.e. every day's
+    // peak lands exactly on its own day start.
+    val peakEv = spark.range(10000000L).select(
+      timestamp_micros(expr("(id div 24) % 1000") * lit(86400000000L) +
+        pmod(col("id"), lit(24L)) * lit(3600000000L)).as("ts"))
+    val peak = timed("hourlyPeakPerDay over 10M events, 1000-day spine") {
+      graft.streaming.Streams.hourlyPeakPerDay(peakEv)
+        .agg(count(lit(1)).as("days"),
+          sum(when(col("peak_hour_us") === col("day_start_us"), 1L)
+            .otherwise(0L)).as("peak_at_0"),
+          min(col("peak_n")).as("mn"), max(col("peak_n")).as("mx"))
+        .collect().head
+    }
+    assert(peak.getLong(0) == 1000L && peak.getLong(1) == 1000L,
+      s"chained-window tie election must take the earliest hour: $peak")
+    // q = id div 24 runs 0..416666: days 0..666 see 417 blocks, days
+    // 667..999 see 416 (the final partial block stops at hour 15)
+    assert(peak.getLong(2) == 416L && peak.getLong(3) == 417L,
+      s"peak counts off (want 416..417): $peak")
+
+    // outer attribution at 10M purchases x 10M views: user u purchases
+    // at minute u%1440; even users also view 30 min earlier -> exactly
+    // the odd users come back organic. The left interval join stays an
+    // equi join on the user key (PlanSpec pins the shape at sf).
+    val purch = spark.range(10000000L).select(col("id").as("user_id"),
+      timestamp_micros(lit(86400000000L) +
+        pmod(col("id"), lit(1440L)) * 60000000L).as("ts"),
+      col("id").as("event_id"))
+    val views = spark.range(10000000L)
+      .filter(pmod(col("id"), lit(2L)) === 0L)
+      .select(col("id").as("user_id"),
+        timestamp_micros(lit(86400000000L) +
+          pmod(col("id"), lit(1440L)) * 60000000L - lit(1800000000L)).as("ts"),
+        (col("id") + 100000000L).as("event_id"))
+    val outer = timed("left-outer attribution join over 10M x 5M (batch face)") {
+      graft.streaming.Streams.enrichStream(purch, views, "user_id",
+          joinWindowSec = 3600L, joinType = "left_outer")
+        .agg(count(lit(1)).as("rows"),
+          sum(when(col("l_event_id").isNull, 1L).otherwise(0L)).as("organic"))
+        .collect().head
+    }
+    assert(outer.getLong(0) == 10000000L && outer.getLong(1) == 5000000L,
+      s"outer attribution closed form violated: $outer")
+
     spark.stop()
   }
 }
