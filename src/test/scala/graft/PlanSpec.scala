@@ -756,6 +756,26 @@ class PlanSpec extends SparkSpec {
       s"attribution join must be an equi join on the user key:\n$p")
   }
 
+  test("q539/q540: window aggregations plan as Expand/agg pipelines — " +
+    "no window FUNCTION, partial aggregation below every shuffle") {
+    // sliding windows must be the Expand (2 projections per row) + hash
+    // aggregate shape, never a window function or a self-union; the
+    // chained day tier re-aggregates the hourly CELLS, not raw rows
+    val ps = planOf("q539_sliding_window")
+    assert(!ps.contains("Window ["), s"sliding counts need no window fn:\n$ps")
+    assert(ps.contains("Expand"), s"expected the window explode:\n$ps")
+    assert(!ps.contains("Union"), s"explode must not be a self-union:\n$ps")
+    val pc = planOf("q540_chained_window_peak")
+    assert(!pc.contains("Window ["), s"chained agg needs no window fn:\n$pc")
+    // tier 1 (counts) is a HashAggregate pair; tier 2's struct max_by
+    // plans as a SortAggregate pair. Both tiers must be partial/final
+    // pairs (>= 4 aggregate nodes) — map-side combine above each shuffle.
+    val aggs = pc.linesIterator.count(l =>
+      l.contains("HashAggregate") || l.contains("SortAggregate") ||
+        l.contains("ObjectHashAggregate"))
+    assert(aggs >= 4, s"expected two partial/final aggregate tiers:\n$pc")
+  }
+
   test("q541: the outer attribution join stays keyed on user_id too") {
     val p = planOf("q541_outer_attribution")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
