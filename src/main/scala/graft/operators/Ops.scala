@@ -1078,34 +1078,45 @@ object Ops {
   /** Key-skew report — run BEFORE shuffling on a candidate key: one row of
     * (n_rows, n_keys, max_count, max_share, top10_share, gini) says
     * whether a groupBy/join on `keyCol` will hot-spot an executor (the
-    * decision input for [[saltedGroupAgg]] / AQE skew hints). One
-    * combinable key count, then one roll-up of the key relation with a
-    * count-ordered rank window (key-cardinality-sized — the Gini/KS
-    * aggregated-relation discipline). Shares are fixed IEEE 6dp; gini is
-    * [[graft.pipeline.Stats.giniIndex]]'s rank formula inlined on counts.
-    * Null keys count (a null-keyed shuffle hot-spots like any other). */
+    * decision input for [[saltedGroupAgg]] / AQE skew hints). Null keys
+    * count (a null-keyed shuffle hot-spots like any other).
+    *
+    * Scale shape: the key relation GROWS with the key domain (this
+    * operator's whole purpose is keys you SUSPECT are huge), so it is
+    * never sorted in one task. One combinable key count, then ONE
+    * [[graft.pipeline.Stats.distributedRank]] pass (desc by count, key-asc
+    * tiebreak — exactly [[graft.pipeline.Stats.giniIndex]]'s discipline)
+    * feeds BOTH rank consumers: top-10 share = Σ n over desc-rank ≤ 10,
+    * and the Gini ascending Σ rₐ·n telescopes from the SAME desc ranks
+    * (rₐ = K+1−r_d, a row_number permutation, so
+    * Σ rₐ·n = (K+1)·N − Σ r_d·n — exact in DECIMAL(38,0); rank ties among
+    * equal counts commute in both sums). Shares are fixed IEEE 6dp. */
   def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    // slim (score, tie) column order lets distributedRank's internal
+    // checkpoint serve its final pass directly (no rollup re-derivation)
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
-    // two global windows over the KEY relation (key-cardinality-sized):
-    // desc rank feeds the top-10 share, asc rank the Gini Σ r·n — tie
-    // order is irrelevant to both (equal values commute in the sums)
-    val wd = Window.orderBy(col("__n").desc, col(keyCol).asc_nulls_first)
-    val wa = Window.orderBy(col("__n").asc, col(keyCol).desc_nulls_last)
-    counts.withColumn("__r", row_number().over(wd))
-      .withColumn("__ra", row_number().over(wa))
-      .agg(sum(col("__n")).as("n_rows"), count(lit(1)).as("n_keys"),
+      .select(col("__n"), col(keyCol))
+    val ranked = graft.pipeline.Stats.distributedRank(counts, Seq.empty,
+      "__n", desc = true, tieCols = Seq(keyCol), weightCol = None,
+      rnOut = "__rd")
+    ranked.agg(sum(col("__n")).as("n_rows"), count(lit(1)).as("n_keys"),
         max(col("__n")).as("max_count"),
-        sum(when(col("__r") <= 10, col("__n")).otherwise(0L)).as("__top10"),
-        sum(col("__ra").cast("decimal(38,0)") * col("__n")).as("__rs"))
+        sum(when(col("__rd") <= 10, col("__n")).otherwise(0L)).as("__top10"),
+        sum(col("__rd").cast(dec) * col("__n")).as("__rdn"))
       .select(col("n_rows"), col("n_keys"), col("max_count"),
         round(col("max_count").cast("double") /
           col("n_rows").cast("double"), 6).as("max_share"),
         round(col("__top10").cast("double") /
-          col("n_rows").cast("double"), 6).as("top10_share"),
-        round(lit(2.0) * col("__rs").cast("double") /
-          (col("n_keys").cast("double") * col("n_rows").cast("double")) -
-          (col("n_keys").cast("double") + 1.0) /
-            col("n_keys").cast("double"), 6).as("gini"))
+          col("n_rows").cast("double"), 6).as("top10_share"), {
+          // Σ rₐ·n = (K+1)·N − Σ r_d·n, all integer-exact in decimal
+          val rs = (col("n_keys").cast(dec) + lit(1L).cast(dec)) *
+            col("n_rows").cast(dec) - col("__rdn")
+          round(lit(2.0) * rs.cast("double") /
+            (col("n_keys").cast("double") * col("n_rows").cast("double")) -
+            (col("n_keys").cast("double") + 1.0) /
+              col("n_keys").cast("double"), 6).as("gini")
+        })
   }
 
   /** Numeric column profile — count, decimal-exact mean, min/max, and the
@@ -1408,9 +1419,27 @@ object Ops {
     * the x value DOMAIN, not the row count), a descending running-max sweep
     * over that bounded relation finds the frontier x-groups, and one
     * broadcast semi-ish join pulls the surviving rows back out. Rows tied
-    * on both dimensions all survive (neither strictly dominates). */
-  def skyline(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val gx = df.groupBy(col(xCol)).agg(max(col(yCol)).as("__ymax"))
+    * on both dimensions all survive (neither strictly dominates).
+    *
+    * The bounded-x-domain contract is ENFORCED, not just documented (the
+    * gateValueCells discipline): an x domain above `xDomainLimit` distinct
+    * values RAISES loudly before the keyless sweep window runs — a
+    * continuous double x would otherwise silently single-partition-sort
+    * the whole domain. Remedy in the message: bucket/round x first. */
+  def skyline(df: DataFrame, xCol: String, yCol: String,
+              xDomainLimit: Long = 1000000L): DataFrame = {
+    val gx0 = df.groupBy(col(xCol)).agg(max(col(yCol)).as("__ymax"))
+    val nx = gx0.agg(count(lit(1)).as("__nx"))
+    // the raise rides BOTH columns of the sweep relation, so no
+    // projection can prune the gate away
+    val gate: String => Column = c => when(col("__nx") > xDomainLimit,
+      raise_error(org.apache.spark.sql.functions.concat(
+        lit("skyline: "), col("__nx").cast("string"),
+        lit(s" distinct x values exceed $xDomainLimit — bucket or round " +
+          "the x dimension to a bounded grain first (the sweep window is " +
+          "x-domain-sized)")))).otherwise(col(c)).as(c)
+    val gx = gx0.crossJoin(broadcast(nx))
+      .select(gate(xCol), gate("__ymax"))
     // per-x rows are DISTINCT x values: the sweep window is over the bounded
     // x domain (partitionless by construction, like the q119 day spine)
     val w = Window.orderBy(col(xCol).desc)

@@ -86,6 +86,24 @@ object Similarity {
       d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
   }
 
+  /** The default geometry of [[embeddingNearDupPairs]] and the fixed
+    * arithmetic of its md5-seeded replay mode, as NAMED constants so a
+    * dual-engine replay (q47) derives its SQL literals from the same
+    * values the Spark call uses — a default change on either side then
+    * breaks the compile or the oracle loudly instead of silently
+    * desynchronizing the replay. */
+  object EmbLshDefaults {
+    val NPlanes = 12
+    val NTables = 16
+    val Seed = 42L
+    val MaxBucket = 4096
+    /** 2^20 — [[quantizeVec]]'s exact integer grid. */
+    val QuantGrid = 1048576L
+    /** coefficient = (md5h60 mod CoefMod) − CoefShift ∈ [−1000, 1000]. */
+    val CoefMod = 2001L
+    val CoefShift = 1000L
+  }
+
   /** md5-seeded INTEGER-valued plane tables (the q30 salted-minima
     * discipline brought to hyperplanes): coefficient (t, p, d) =
     * (md5h60("hp{seed}|{t}|{p}|{d}") mod 2001) − 1000 ∈ [−1000, 1000].
@@ -101,7 +119,8 @@ object Similarity {
     (0 until nTables).map { t =>
       (0 until nPlanes).map { p =>
         (0 until dim).map(d =>
-          ((md5h60Local(s"hp$seed|$t|$p|$d") % 2001L) - 1000L).toDouble)
+          ((md5h60Local(s"hp$seed|$t|$p|$d") % EmbLshDefaults.CoefMod) -
+            EmbLshDefaults.CoefShift).toDouble)
       }
     }
 
@@ -112,7 +131,8 @@ object Similarity {
     * kernel. Affects candidate RECALL only (the exact-cosine verify runs
     * on the ORIGINAL vectors); at |x| ≲ 1 the grid error is ~1e-6. */
   private[graft] def quantizeVec(v: Column): Column =
-    transform(v, x => floor(x * lit(1048576.0)).cast("double"))
+    transform(v, x =>
+      floor(x * lit(EmbLshDefaults.QuantGrid.toDouble)).cast("double"))
 
   /** The (qid, nn_id) candidate pairs the multiprobe LSH would re-rank —
     * exposed so recall/candidate-fraction can be asserted without running
@@ -340,8 +360,10 @@ object Similarity {
     * buckets, candidates, and the cosine verify end to end); the
     * verification cosine always runs on the ORIGINAL vectors. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double, dim: Int,
-                            nPlanes: Int = 12, nTables: Int = 16,
-                            seed: Long = 42L, maxBucket: Int = 4096,
+                            nPlanes: Int = EmbLshDefaults.NPlanes,
+                            nTables: Int = EmbLshDefaults.NTables,
+                            seed: Long = EmbLshDefaults.Seed,
+                            maxBucket: Int = EmbLshDefaults.MaxBucket,
                             idCol: String = "vec_id", vecCol: String = "embedding",
                             md5Seeded: Boolean = false): DataFrame = {
     val tables = if (md5Seeded) md5PlaneTables(dim, nPlanes, nTables, seed)

@@ -244,8 +244,8 @@ object Spatial {
     val cells = df
       .select(xCol.as("__x"), yCol.as("__y"))
       .groupBy(
-        expr(s"(__x - pmod(__x, $cellSize)) div $cellSize").as("cell_x"),
-        expr(s"(__y - pmod(__y, $cellSize)) div $cellSize").as("cell_y"))
+        expr(s"(__x div $cellSize) - (CASE WHEN __x % $cellSize < 0 THEN 1 ELSE 0 END)").as("cell_x"),
+        expr(s"(__y div $cellSize) - (CASE WHEN __y % $cellSize < 0 THEN 1 ELSE 0 END)").as("cell_y"))
       .agg(count(lit(1)).as("n"))
     val stats = cells.agg(count(lit(1)).as("__c"),
       sum(col("n").cast(DecimalType(38, 0))).as("__sn"),
@@ -294,17 +294,20 @@ object Spatial {
     * grid cells with their integer point counts (the [[hotspotCells]]
     * grid; empty cells are absent by contract — the lattice IS the
     * occupied-cell relation). Bucketing is FLOOR division —
-    * `(x − pmod(x, s)) div s`, exact integer arithmetic — not Spark's
-    * truncate-toward-zero `div`: truncation would collapse coordinates
-    * −(s−1)..(s−1) into one double-width cell 0 and disagree with
-    * DuckDB's `//` on negative coordinates (the lattice is translation-
-    * invariant now, negative quadrants included). */
+    * `(x div s) − (x % s < 0 ? 1 : 0)`, exact integer arithmetic — not
+    * Spark's truncate-toward-zero `div` alone: truncation would collapse
+    * coordinates −(s−1)..(s−1) into one double-width cell 0 and disagree
+    * with DuckDB's `//` on negative coordinates (the lattice is
+    * translation-invariant now, negative quadrants included). This form
+    * (truncate, then step down on a negative remainder) never leaves
+    * BIGINT — the earlier `(x − pmod(x, s)) div s` underflowed under ANSI
+    * for x within s−1 of Long.MinValue. */
   private def cellCounts(df: DataFrame, xCol: Column, yCol: Column,
                          cellSize: Long): DataFrame =
     df.select(xCol.as("__x"), yCol.as("__y"))
       .groupBy(
-        expr(s"(__x - pmod(__x, $cellSize)) div $cellSize").as("cell_x"),
-        expr(s"(__y - pmod(__y, $cellSize)) div $cellSize").as("cell_y"))
+        expr(s"(__x div $cellSize) - (CASE WHEN __x % $cellSize < 0 THEN 1 ELSE 0 END)").as("cell_x"),
+        expr(s"(__y div $cellSize) - (CASE WHEN __y % $cellSize < 0 THEN 1 ELSE 0 END)").as("cell_y"))
       .agg(count(lit(1)).as("n"))
 
   /** DIRECTED rook-adjacent cell pairs ((i), (j) with |Δx|+|Δy| = 1),

@@ -5860,19 +5860,26 @@ object Stats {
     * the rollup, evaluated while the guarded side materializes — i.e.
     * BEFORE any pair explodes) and raises above `limit`, naming the
     * remedy (the kaplanMeier duration-grain discipline: bucket/round
-    * the values to a bounded grain). The guard rides the `cntCol`
-    * projection so column pruning can never delete it. */
+    * the values to a bounded grain). The guard rides EVERY column of the
+    * cells relation, so no consumer projection — present or future — can
+    * prune the gate away. Cost note: the gate stays a lazy plan, so a
+    * consumer that references the gated cells k times re-evaluates the
+    * (cheap, combinable) rollup k+1 times — the deliberate trade against
+    * materializing a possibly-unbounded offender relation before the
+    * raise fires. `cntCol` is kept as the named first guard column for
+    * the callers' documentation. */
   private def gateValueCells(cells: DataFrame, cntCol: String, op: String,
                              limit: Long = 100000L): DataFrame = {
+    require(cells.columns.contains(cntCol), s"missing $cntCol")
     val nv = cells.agg(count(lit(1)).as("__nv"))
+    val guard: String => Column = c => when(col("__nv") > limit,
+      raise_error(concat(lit(s"$op: "), col("__nv").cast("string"),
+        lit(s" distinct value cells exceed $limit — bucket or round " +
+          "the values to a bounded grain first (the kaplanMeier " +
+          "duration-grain contract)"))))
+      .otherwise(col(c)).as(c)
     cells.crossJoin(broadcast(nv))
-      .withColumn(cntCol, when(col("__nv") > limit,
-          raise_error(concat(lit(s"$op: "), col("__nv").cast("string"),
-            lit(s" distinct value cells exceed $limit — bucket or round " +
-              "the values to a bounded grain first (the kaplanMeier " +
-              "duration-grain contract)"))))
-        .otherwise(col(cntCol)))
-      .drop("__nv")
+      .select(cells.columns.map(guard).toSeq: _*)
   }
 
   // ------------------------------------------------ Qn scale estimator

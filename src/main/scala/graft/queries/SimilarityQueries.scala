@@ -49,6 +49,10 @@ object SimilarityQueries {
         s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1) * " +
           s"${BigInt(16).pow(15 - i)}").mkString("(", " + ", ")")
       val pvHx = "substr(md5('pv' || vec_id || '|' || (i - 1)), 1, 15)"
+      // every geometry literal below derives from the SAME constants the
+      // Spark call's defaults use (Similarity.EmbLshDefaults) — a default
+      // change on either side now breaks loudly, never silently
+      val L = Similarity.EmbLshDefaults
       Some("WITH b0 AS (SELECT vec_id, " +
         s"${dvecSql.format("embedding")} AS v FROM embeddings), " +
         "pert AS (SELECT vec_id + 1000000 AS vec_id, " +
@@ -58,14 +62,14 @@ object SimilarityQueries {
         "UNION ALL SELECT vec_id, v FROM pert), " +
         "reps AS (SELECT v, min(vec_id) AS rid FROM corpus GROUP BY v), " +
         "pl0 AS (SELECT t.range AS t, p.range AS p, d.range AS d, " +
-        "substr(md5('hp42|' || t.range || '|' || p.range || '|' || " +
+        s"substr(md5('hp${L.Seed}|' || t.range || '|' || p.range || '|' || " +
         "d.range), 1, 15) AS hx " +
-        "FROM range(16) t, range(12) p, range(64) d), " +
-        s"pl AS (SELECT t, p, d, (${dec("hx")} % 2001) - 1000 AS c " +
-        "FROM pl0), " +
+        s"FROM range(${L.NTables}) t, range(${L.NPlanes}) p, range(64) d), " +
+        s"pl AS (SELECT t, p, d, (${dec("hx")} % ${L.CoefMod}) - " +
+        s"${L.CoefShift} AS c FROM pl0), " +
         "dims AS (SELECT rid, unnest(v) AS x, unnest(range(64)) AS d " +
         "FROM reps), " +
-        "qz AS (SELECT rid, d, CAST(floor(x * 1048576.0) AS BIGINT) " +
+        s"qz AS (SELECT rid, d, CAST(floor(x * ${L.QuantGrid}.0) AS BIGINT) " +
         "AS qd FROM dims), " +
         "dots AS (SELECT qz.rid, pl.t, pl.p, sum(pl.c * qz.qd) AS dot " +
         "FROM qz JOIN pl ON qz.d = pl.d GROUP BY 1, 2, 3), " +
@@ -76,7 +80,7 @@ object SimilarityQueries {
         "t, sig ORDER BY rid) AS rn FROM sigs), " +
         "cand AS (SELECT DISTINCT a.rid AS ra, b.rid AS rb " +
         "FROM rk a JOIN rk b ON a.t = b.t AND a.sig = b.sig AND " +
-        "((a.rn < b.rn AND b.rn <= 4096) OR b.rn = a.rn + 1)), " +
+        s"((a.rn < b.rn AND b.rn <= ${L.MaxBucket}) OR b.rn = a.rn + 1)), " +
         "ver AS (SELECT x.v AS va, y.v AS vb, " +
         "list_cosine_similarity(x.v, y.v) AS cos " +
         "FROM cand JOIN reps x ON x.rid = cand.ra " +

@@ -1684,8 +1684,10 @@ object StatsQueries {
       }),
 
     // ---- key-skew report for a candidate shuffle key: max/top-10 shares
-    // and the count Gini in one roll-up of the key relation — the
-    // decision input for salting/AQE skew hints.
+    // and the count Gini from ONE distributedRank pass over the key
+    // relation (round 14: no keyless window; the oracle's ra/rd windows
+    // replay the same integer rank sums — Σ ra·n telescopes from rd on
+    // the Spark side) — the decision input for salting/AQE skew hints.
     Q("q260_key_skew",
       Some("WITH c AS (SELECT l_partkey AS k, count(*) AS n FROM lineitem " +
         "GROUP BY 1), " +

@@ -113,6 +113,36 @@ object Streams {
     events.withWatermark("ts", lateness)
       .dropDuplicates("user_id", "event_type")
 
+  /** Streaming dedupe for UNBOUNDED key domains — the true streaming face
+    * of P4 `unique` (the reference's fixed-size LRU dedupe buffer,
+    * process.py:851-898, bufsize=4096): `dropDuplicatesWithinWatermark`
+    * keeps ONE state row per key seen within the `lateness` horizon of
+    * the `tsCol` watermark and EVICTS it once the watermark passes the
+    * first sighting — state is bounded by arrival-rate × horizon, never
+    * by the key domain (the bound a cluster can actually hold for
+    * canonical URLs / content fingerprints). Semantics: exact within the
+    * horizon; a duplicate arriving after its key's state evicted emits
+    * again — the same first-wins-within-a-window trade the reference's
+    * 4096-row buffer makes by SIZE, made here by TIME (and therefore
+    * meaningful under out-of-order arrival). `tsCol` must NOT be in
+    * `keys` (that would make every event distinct). Batch face: plain
+    * exact dropDuplicates on the keys — a bounded batch sits entirely
+    * inside the horizon, so the time bound degenerates to exact dedup
+    * (q06's operator), keeping the batch/stream duality. */
+  def dedupeWithinWatermarkStream(events: DataFrame, keys: Seq[String],
+                                  lateness: String = "2 hours",
+                                  tsCol: String = "ts"): DataFrame = {
+    require(keys.nonEmpty, "at least one dedupe key")
+    require(!keys.contains(tsCol),
+      s"the watermark column '$tsCol' must not be a dedupe key: within-" +
+        "watermark dedup bounds state by TIME precisely because the key " +
+        "set excludes event time")
+    if (events.isStreaming)
+      events.withWatermark(tsCol, lateness)
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else events.dropDuplicates(keys)
+  }
+
   /** Watermarked STREAM-STREAM inner join: enrich each event with the
     * `lookups` rows for the same key whose event time falls within
     * `joinWindowSec` seconds BEFORE the event (state-feasible streaming
@@ -353,13 +383,50 @@ object Streams {
 
   /** Run a streaming DataFrame to completion against a memory sink
     * (synchronous; used by specs and local smoke). */
+  /** The RocksDB state store provider as a NAMED opt-in — the 100 TB
+    * state-size answer for the stateful builders above: keyed state lives
+    * off-heap in RocksDB and spills to executor-local disk instead of the
+    * default in-JVM-memory HDFS-backed map, so state size is bounded by
+    * disk, not executor heap (the provider every large-state production
+    * stream runs). Results are PROVIDER-INVARIANT — the store is a
+    * key-value substrate under the same operators (StreamsSpec proves
+    * batch-identical output and that the provider actually engaged via
+    * the query's rocksdb progress metrics). Apply with
+    * [[withRocksDbStateStore]] (or set these on the session / in
+    * `spark-defaults` cluster-wide; add
+    * `...stateStore.rocksdb.changelogCheckpointing.enabled=true` in
+    * production for incremental checkpoints). */
+  val rocksDbStateStoreConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** Runs `body` (which should START its streaming queries inside) with
+    * [[rocksDbStateStoreConfs]] applied to the session, restoring the
+    * prior values after — streaming queries capture the provider at
+    * .start(), so scoping the session conf is the per-query opt-in. */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val prior = rocksDbStateStoreConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    rocksDbStateStoreConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   def runToMemory(df: DataFrame, name: String,
-                  outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(outputMode).start()
-    q.processAllAvailable()
-    q.stop()
-    df.sparkSession.table(name)
+                  outputMode: OutputMode = OutputMode.Complete(),
+                  useRocksDb: Boolean = false): DataFrame = {
+    def drive(): DataFrame = {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(outputMode).start()
+      q.processAllAvailable()
+      q.stop()
+      df.sparkSession.table(name)
+    }
+    if (useRocksDb) withRocksDbStateStore(df.sparkSession)(drive())
+    else drive()
   }
 
   final case class KeyedLatest(user_id: Long, last_event_id: Long,
@@ -409,17 +476,32 @@ object Streams {
     * `withWatermark` upstream (or use [[slidingCountsStream]]) and the
     * state Spark keeps is one row per OPEN (window, type) cell — the
     * overlap multiplies state by width/slide, not by the data.
-    * `width` must be an integer multiple of `slide` (the oracle's
-    * explode-into-k-windows replay is exact only then; Spark itself
+    * `width` must be an integer multiple of `slide` — ENFORCED here, not
+    * just documented (the oracle's explode-into-k-windows replay and the
+    * width/slide state-bound claim are exact only then; Spark itself
     * allows any pair). Window starts report as exact epoch
     * MICROSECONDS. Returns (window_start_us, event_type, n). */
   def slidingCounts(events: DataFrame, width: String = "6 hours",
-                    slide: String = "3 hours"): DataFrame =
+                    slide: String = "3 hours"): DataFrame = {
+    def us(s: String): Long = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      require(iv.months == 0,
+        s"sliding window durations must be month-free: '$s'")
+      iv.days * 86400000000L + iv.microseconds
+    }
+    val (widthUs, slideUs) = (us(width), us(slide))
+    require(slideUs > 0 && widthUs % slideUs == 0,
+      s"width ('$width' = ${widthUs}us) must be an integer multiple of " +
+        s"slide ('$slide' = ${slideUs}us): the explode-into-k-windows " +
+        "oracle replay and the width/slide state bound hold only then")
     events.groupBy(window(col("ts"), width, slide).as("w"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("w.start")).as("window_start_us"),
         col("event_type"), col("n"))
+  }
 
   /** Watermarked streaming variant of [[slidingCounts]]. */
   def slidingCountsStream(events: DataFrame, width: String = "6 hours",

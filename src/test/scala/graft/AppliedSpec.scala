@@ -409,6 +409,23 @@ class AppliedSpec extends SparkSpec {
     assert(EventAnalytics.seasonalResidualOutliers(ev(flat), "ts").isEmpty)
   }
 
+  test("hotspotCells: floor bucketing is exact at the BIGINT edge and on " +
+    "negative quadrants (no ANSI overflow)") {
+    import graft.pipeline.Spatial
+    // the earlier (x - pmod(x, s)) div s form underflowed BIGINT under
+    // ANSI for x within s-1 of Long.MinValue; the truncate-then-step-down
+    // form must bucket the same floor cells without ever leaving BIGINT
+    val lo = Long.MinValue
+    val pts = Seq((lo, 0L), (lo + 1L, 0L), (-1L, -10L), (1L, 10L))
+      .toDF("x", "y")
+    val got = Spatial.hotspotCells(pts, col("x"), col("y"), cellSize = 10L,
+        k = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // floor(MinValue/10) = floor(MinValue+1/10) = -922337203685477581
+    assert(got((-922337203685477581L, 0L)) == 2L, got.toString)
+    assert(got((-1L, -1L)) == 1L && got((0L, 1L)) == 1L, got.toString)
+  }
+
   test("hotspotCells: z from all-cell moments; integer top-k order") {
     import graft.pipeline.Spatial
     // cells (0,0):6, (1,0):2, (2,0):1 at cellSize 10 -> mean 3,

@@ -579,6 +579,22 @@ class OpsSpec extends SparkSpec {
     val eq = Seq((1, 2, 2), (2, 2, 2), (3, 2, 2)).toDF("id", "x", "y")
     assert(Ops.skyline(eq, "x", "y").count() == 3)
   }
+
+  test("skyline: the x-domain gate raises loudly above the limit, " +
+    "still answers at it") {
+    // 6 distinct x values against a limit of 5 -> the bounded-domain
+    // contract must refuse BEFORE the keyless sweep window runs
+    val six = (1 to 6).map(i => (i, i, i)).toDF("id", "x", "y")
+    def deep(t: Throwable): String =
+      if (t == null) "" else t.toString + "|" + deep(t.getCause)
+    val ex = intercept[Exception] {
+      Ops.skyline(six, "x", "y", xDomainLimit = 5L).collect()
+    }
+    assert(deep(ex).contains("distinct x values exceed 5") &&
+      deep(ex).contains("bucket or round"), deep(ex))
+    // AT the limit it still answers (identity guard): (6,6) dominates all
+    assert(Ops.skyline(six, "x", "y", xDomainLimit = 6L).count() == 1)
+  }
   test("saltedJoin: exactly the plain join, salt column gone") {
     import spark.implicits._
     // a hot key (1) with many probe rows, a dup build row for key 2

@@ -979,8 +979,13 @@ class PlanSpec extends SparkSpec {
     // single-task sort came back
     // q293 (ABC classification) joined the family in round 13: its
     // cumulative-revenue-at-rank rides distributedRank's cumOut
+    // q260 (key-skew report) joined in round 14: ONE desc distributedRank
+    // pass feeds both the top-10 share (r_d <= 10) and the Gini ascending
+    // sum (r_a = K+1-r_d telescope) — the last keyless rank window over a
+    // data-growing key relation is gone
     for (q <- Seq("q312_whale_share", "q112_gini", "q116_percent_rank",
-        "q161_quantile_norm", "q263_theil_sen", "q293_abc_classification")) {
+        "q161_quantile_norm", "q263_theil_sen", "q293_abc_classification",
+        "q260_key_skew")) {
       val p = planOf(q)
       assert(!p.contains("percent_rank("),
         s"$q: keyless percent_rank survived:\n$p")

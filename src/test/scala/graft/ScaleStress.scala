@@ -1091,6 +1091,34 @@ object ScaleStress {
         s"abc closed form violated: $r (want ($cls,$nk,$rev,$share))")
     }
 
+    // keySkewReport over 10M keys (round 14): the diagnostic meant for
+    // suspect keys must itself survive a huge key domain. Uniform face:
+    // 20M rows / 10M keys of count 2 — ONE giant count-tie cell that must
+    // subdivide on the numeric key grid; gini telescopes to exactly 0,
+    // max_share 2/20M rounds to 0, top10_share 20/20M = 1e-6 exactly.
+    val ksrU = timed("keySkewReport over 20M rows, 10M uniform keys (single-tie cell)") {
+      graft.operators.Ops.keySkewReport(
+        spark.range(20000000L).select(expr("id div 2").as("k")), "k")
+        .collect().head
+    }
+    assert(ksrU.getLong(0) == 20000000L && ksrU.getLong(1) == 10000000L &&
+      ksrU.getLong(2) == 2L && ksrU.getDouble(3) == 0.0 &&
+      ksrU.getDouble(4) == 1e-6 && ksrU.getDouble(5) == 0.0,
+      s"keySkewReport uniform closed form violated: $ksrU")
+    // hot face: 10M rows, one key holding 1M of them + 9M singletons.
+    // max_share = 0.1 exactly; top10 = (1e6 + 9)/1e7 = 0.100001 at 6dp;
+    // Σ r·n = 49,500,005,500,000 exactly -> gini rounds to 0.1.
+    val ksrH = timed("keySkewReport over 10M rows, one 10%-hot key") {
+      graft.operators.Ops.keySkewReport(
+        spark.range(10000000L).select(
+          when(col("id") < 1000000L, lit(-1L)).otherwise(col("id")).as("k")),
+        "k").collect().head
+    }
+    assert(ksrH.getLong(0) == 10000000L && ksrH.getLong(1) == 9000001L &&
+      ksrH.getLong(2) == 1000000L && ksrH.getDouble(3) == 0.1 &&
+      ksrH.getDouble(4) == 0.100001 && ksrH.getDouble(5) == 0.1,
+      s"keySkewReport hot closed form violated: $ksrH")
+
     // conoverSquaredRanks over 20M rows / 50-value domain: the two groups
     // are identical multisets (10M each, 200k per value), so both medians,
     // both deviation distributions, and therefore T = n_a*S2/N agree

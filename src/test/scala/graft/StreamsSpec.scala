@@ -287,6 +287,83 @@ class StreamsSpec extends SparkSpec {
       "https://www.example.com/page/7?a=1&b=2"), canon.mkString(","))
   }
 
+  // the dedupeWithinWatermarkStream eviction scenario, shared by the
+  // semantics test and the RocksDB provider-invariance test: returns the
+  // emitted (key, emission-count) map after driving three micro-batches
+  private def driveWmDedup(name: String, useRocksDb: Boolean): Map[String, Long] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = Streams.dedupeWithinWatermarkStream(
+      mem.toDF().toDF("ts", "k"), Seq("k"), lateness = "1 hour")
+    def drive(): Unit = {
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      // batch 1: A's first sighting, a same-batch in-horizon duplicate, B
+      mem.addData((ts("2024-01-01 10:00:00"), "A"),
+        (ts("2024-01-01 10:30:00"), "A"), (ts("2024-01-01 10:10:00"), "B"))
+      q.processAllAvailable()
+      // batch 2: a cross-batch in-horizon duplicate of A still drops
+      // (watermark is 9:30 here, A's state live); C advances the
+      // watermark to 19:00 for the NEXT batch -> A's 11:00 expiry evicts
+      mem.addData((ts("2024-01-01 20:00:00"), "C"),
+        (ts("2024-01-01 10:40:00"), "A"))
+      q.processAllAvailable()
+      // batch 3: A re-arrives AFTER eviction with a fresh event time ->
+      // emits again (the by-TIME first-wins trade, proven through the
+      // actual state eviction)
+      mem.addData((ts("2024-01-01 19:30:00"), "A"))
+      q.processAllAvailable()
+      if (useRocksDb) {
+        assert(q.recentProgress.exists(_.json.contains("rocksdb")),
+          "rocksdb metrics absent from progress — provider not engaged")
+      }
+      q.stop()
+    }
+    if (useRocksDb) Streams.withRocksDbStateStore(spark)(drive()) else drive()
+    spark.table(name).groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("dedupeWithinWatermarkStream: in-horizon dups drop (same and cross " +
+    "batch), state EVICTS after the horizon, batch face is exact dedup") {
+    val got = driveWmDedup("wm_dedup_default", useRocksDb = false)
+    // A: first sighting + post-eviction re-arrival = 2; B, C once each
+    assert(got == Map("A" -> 2L, "B" -> 1L, "C" -> 1L), got.toString)
+    // batch face: plain exact dedup on the keys (a bounded batch sits
+    // entirely inside the horizon)
+    val batch = Seq((ts("2024-01-01 10:00:00"), "A"),
+      (ts("2024-01-01 10:30:00"), "A"), (ts("2024-01-01 10:10:00"), "B"))
+      .toDF("ts", "k")
+    val b = Streams.dedupeWithinWatermarkStream(batch, Seq("k"))
+    assert(!b.isStreaming && b.count() == 2L)
+    // the ts-in-keys contract violation raises loudly
+    val ex = intercept[IllegalArgumentException] {
+      Streams.dedupeWithinWatermarkStream(batch, Seq("k", "ts"))
+    }
+    assert(ex.getMessage.contains("must not be a dedupe key"), ex.getMessage)
+  }
+
+  test("RocksDB state store opt-in: stateful results are provider-" +
+    "invariant and the provider actually engages") {
+    // 1) the evicting dedupe scenario emits the IDENTICAL multiset under
+    // RocksDB (state store is a substrate, not a semantics knob)
+    val rocks = driveWmDedup("wm_dedup_rocks", useRocksDb = true)
+    assert(rocks == Map("A" -> 2L, "B" -> 1L, "C" -> 1L), rocks.toString)
+    // 2) a windowed-aggregation state shape too: sliding counts under
+    // RocksDB match the batch plan exactly
+    val stream = Streams.readEventStream(spark, eventsDir)
+    val got = Streams.runToMemory(Streams.slidingCountsStream(stream),
+      "slide_counts_rocks", OutputMode.Complete(), useRocksDb = true)
+    val want = Streams.slidingCounts(Tables.events(spark, sf0001))
+    assert(got.orderBy("window_start_us", "event_type").collect().map(_.toSeq).toSeq ==
+      want.orderBy("window_start_us", "event_type").collect().map(_.toSeq).toSeq)
+    // the session conf is restored to the default provider after the
+    // scoped runs (getOption surfaces the conf DEFAULT, never None here)
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("HDFSBackedStateStoreProvider"))
+  }
+
   test("stateless curation ops run unchanged on a stream (pii/quality/boilerplate/chunks)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.pipeline.{Curation, TextAnalysis => TA}
@@ -394,6 +471,25 @@ class StreamsSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(out("u") == ((5L, 2L, 40L))) // [0,30] + [40,50] = 30 + 10
     assert(out("v") == ((1L, 1L, 1L)))
+  }
+
+  test("slidingCounts enforces width = k * slide loudly; compliant " +
+    "off-default durations still build") {
+    val ev = Tables.events(spark, sf0001)
+    // 5h/2h: Spark would accept it, but the explode-into-k-windows oracle
+    // replay and the width/slide state bound would silently diverge
+    val ex = intercept[IllegalArgumentException] {
+      Streams.slidingCounts(ev, width = "5 hours", slide = "2 hours")
+    }
+    assert(ex.getMessage.contains("integer multiple"), ex.getMessage)
+    // month intervals have no fixed microsecond length -> rejected
+    val exM = intercept[IllegalArgumentException] {
+      Streams.slidingCounts(ev, width = "1 month", slide = "1 week")
+    }
+    assert(exM.getMessage.contains("month-free"), exM.getMessage)
+    // a compliant non-default pair parses and builds (90 = 2 * 45)
+    assert(Streams.slidingCounts(ev, "90 minutes", "45 minutes")
+      .columns.toSeq == Seq("window_start_us", "event_type", "n"))
   }
 
   test("sliding-window counts: streaming Complete-mode output matches the batch plan") {
