@@ -2457,9 +2457,13 @@ object Stats {
     * sum per group, ONE IEEE division by n_g·N·(k−1), 6dp.
     *
     * Cardinality contract: `sensCol` must be vocabulary-bounded (bucket
-    * continuous attributes first); the zero-filled (group × value) relation
-    * is |groups|·k rows, the value list broadcasts. Returns
-    * qiCols + (n_rows, emd). Degenerate k = 1 reports emd null. */
+    * continuous attributes first) — ENFORCED: a sensitive vocabulary
+    * above 10⁵ cells RAISES loudly ([[gateValueCells]]; a continuous
+    * attribute would otherwise silently single-task-sort the value
+    * relation AND blow the |groups|·k zero-filled broadcast). The
+    * zero-filled (group × value) relation is |groups|·k rows, the value
+    * list broadcasts. Returns qiCols + (n_rows, emd). Degenerate k = 1
+    * reports emd null. */
   def tCloseness(df: DataFrame, qiCols: Seq[String],
                  sensCol: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -2469,7 +2473,9 @@ object Stats {
       .filter(col("__v").isNotNull)
     val wG = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gv = base.groupBy(col("__v")).agg(count(lit(1)).as("__cg"))
+    val gv = gateValueCells(
+        base.groupBy(col("__v")).agg(count(lit(1)).as("__cg")),
+        "__cg", "tCloseness")
       .withColumn("__cumG", sum(col("__cg")).over(wG))
     val tot = gv.agg(sum(col("__cg")).as("__N"),
       count(lit(1)).as("__k"))

@@ -1727,7 +1727,11 @@ class StatsSpec extends SparkSpec {
       // the two-sample rank-cell scaffold, via a public consumer
       ("twoSampleRankCells",
         () => Stats.ansariBradley(wideG, col("g"), col("v"), "0", "1")
-          .collect()))
+          .collect()),
+      // round 14: the t-closeness sensitive vocabulary (its value rollup
+      // both broadcasts and feeds a keyless cumulative window)
+      ("tCloseness",
+        () => Stats.tCloseness(wideG, Seq("g"), col("v")).collect()))
     for ((op, run) <- cases) {
       val ex = intercept[Exception] { run() }
       val msg = deep(ex)
