@@ -1090,15 +1090,23 @@ object Ops {
     * and the Gini ascending Σ rₐ·n telescopes from the SAME desc ranks
     * (rₐ = K+1−r_d, a row_number permutation, so
     * Σ rₐ·n = (K+1)·N − Σ r_d·n — exact in DECIMAL(38,0); rank ties among
-    * equal counts commute in both sums). Shares are fixed IEEE 6dp. */
+    * equal counts commute in both sums). Because every output is
+    * tie-ORDER-invariant, the head tiebreak is a deterministic NUMERIC
+    * hash of the key (xxhash64): that is what lets distributedRank
+    * SUBDIVIDE the giant count-tie cells a mostly-unique key domain
+    * produces — a STRING key column alone would leave the whole
+    * count=1 tie cell to one window task (the subdivision grid needs a
+    * numeric head tiebreak; the raw key stays as the final total-order
+    * column). Shares are fixed IEEE 6dp. */
   def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
     val dec = DecimalType(38, 0)
-    // slim (score, tie) column order lets distributedRank's internal
+    // slim (score, ties) column order lets distributedRank's internal
     // checkpoint serve its final pass directly (no rollup re-derivation)
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
-      .select(col("__n"), col(keyCol))
+      .withColumn("__kh", xxhash64(col(keyCol)))
+      .select(col("__n"), col("__kh"), col(keyCol))
     val ranked = graft.pipeline.Stats.distributedRank(counts, Seq.empty,
-      "__n", desc = true, tieCols = Seq(keyCol), weightCol = None,
+      "__n", desc = true, tieCols = Seq("__kh", keyCol), weightCol = None,
       rnOut = "__rd")
     ranked.agg(sum(col("__n")).as("n_rows"), count(lit(1)).as("n_keys"),
         max(col("__n")).as("max_count"),
@@ -1429,17 +1437,16 @@ object Ops {
   def skyline(df: DataFrame, xCol: String, yCol: String,
               xDomainLimit: Long = 1000000L): DataFrame = {
     val gx0 = df.groupBy(col(xCol)).agg(max(col(yCol)).as("__ymax"))
-    val nx = gx0.agg(count(lit(1)).as("__nx"))
-    // the raise rides BOTH columns of the sweep relation, so no
-    // projection can prune the gate away
-    val gate: String => Column = c => when(col("__nx") > xDomainLimit,
-      raise_error(org.apache.spark.sql.functions.concat(
-        lit("skyline: "), col("__nx").cast("string"),
+    // shared DomainGate mechanism: the raise rides BOTH columns of the
+    // sweep relation, so no projection can prune the gate away (costs
+    // one extra combinable count scan of the rollup — the documented
+    // DomainGate trade)
+    val gx = DomainGate(gx0, xDomainLimit, nx =>
+      org.apache.spark.sql.functions.concat(
+        lit("skyline: "), nx.cast("string"),
         lit(s" distinct x values exceed $xDomainLimit — bucket or round " +
           "the x dimension to a bounded grain first (the sweep window is " +
-          "x-domain-sized)")))).otherwise(col(c)).as(c)
-    val gx = gx0.crossJoin(broadcast(nx))
-      .select(gate(xCol), gate("__ymax"))
+          "x-domain-sized)")))
     // per-x rows are DISTINCT x values: the sweep window is over the bounded
     // x domain (partitionless by construction, like the q119 day spine)
     val w = Window.orderBy(col(xCol).desc)

@@ -229,13 +229,19 @@ object Stats {
     require(groupCols.nonEmpty)
     // the group rollup GROWS with the key domain (per-user/per-domain
     // weights at 100x), so the ascending rank comes from the
-    // [[distributedRank]] cell machinery, never a keyless window; rank
-    // ties among equal weights are tiebroken by the group key (and are
-    // Σ rank·w invariant regardless)
+    // [[distributedRank]] cell machinery, never a keyless window. Rank
+    // ties among equal weights commute in Σ rank·w, so the head tiebreak
+    // is a deterministic NUMERIC hash of the group key (the round-14
+    // keySkewReport discipline): a giant equal-weight tie cell — e.g. a
+    // uniform per-user corpus on STRING user ids — then SUBDIVIDES on
+    // the hash grid instead of sorting in one window task; the raw group
+    // key stays as the final total-order column.
     val groups = distributedRank(
       df.groupBy(groupCols.map(col): _*)
-        .agg(sum(weightCol.cast("long")).as("__w")),
-      Seq.empty, "__w", desc = false, tieCols = groupCols,
+        .agg(sum(weightCol.cast("long")).as("__w"))
+        .withColumn("__gh", xxhash64(groupCols.map(col): _*))
+        .select((col("__w") +: col("__gh") +: groupCols.map(col)): _*),
+      Seq.empty, "__w", desc = false, tieCols = "__gh" +: groupCols,
       weightCol = None, rnOut = "__r")
     // Σ rank·w in DECIMAL(38,0): rank and weight both scale with the key
     // domain, so the long×long product overflows at ~10M×10M grain
@@ -5866,26 +5872,18 @@ object Stats {
     * the rollup, evaluated while the guarded side materializes — i.e.
     * BEFORE any pair explodes) and raises above `limit`, naming the
     * remedy (the kaplanMeier duration-grain discipline: bucket/round
-    * the values to a bounded grain). The guard rides EVERY column of the
-    * cells relation, so no consumer projection — present or future — can
-    * prune the gate away. Cost note: the gate stays a lazy plan, so a
-    * consumer that references the gated cells k times re-evaluates the
-    * (cheap, combinable) rollup k+1 times — the deliberate trade against
-    * materializing a possibly-unbounded offender relation before the
-    * raise fires. `cntCol` is kept as the named first guard column for
-    * the callers' documentation. */
+    * the values to a bounded grain). Mechanism (every-column guard,
+    * lazy-plan trade) is the shared [[graft.operators.DomainGate]];
+    * `cntCol` is kept as the named guard column for the callers'
+    * documentation. */
   private def gateValueCells(cells: DataFrame, cntCol: String, op: String,
                              limit: Long = 100000L): DataFrame = {
     require(cells.columns.contains(cntCol), s"missing $cntCol")
-    val nv = cells.agg(count(lit(1)).as("__nv"))
-    val guard: String => Column = c => when(col("__nv") > limit,
-      raise_error(concat(lit(s"$op: "), col("__nv").cast("string"),
+    graft.operators.DomainGate(cells, limit, nv =>
+      concat(lit(s"$op: "), nv.cast("string"),
         lit(s" distinct value cells exceed $limit — bucket or round " +
           "the values to a bounded grain first (the kaplanMeier " +
-          "duration-grain contract)"))))
-      .otherwise(col(c)).as(c)
-    cells.crossJoin(broadcast(nv))
-      .select(cells.columns.map(guard).toSeq: _*)
+          "duration-grain contract)")))
   }
 
   // ------------------------------------------------ Qn scale estimator

@@ -133,7 +133,10 @@ object Streams {
                                   lateness: String = "2 hours",
                                   tsCol: String = "ts"): DataFrame = {
     require(keys.nonEmpty, "at least one dedupe key")
-    require(!keys.contains(tsCol),
+    // case-INSENSITIVE compare: Spark resolves column names case-
+    // insensitively by default, so a "TS" key would silently resolve to
+    // the event-time column and void the time bound this guard protects
+    require(!keys.exists(_.equalsIgnoreCase(tsCol)),
       s"the watermark column '$tsCol' must not be a dedupe key: within-" +
         "watermark dedup bounds state by TIME precisely because the key " +
         "set excludes event time")
@@ -381,8 +384,6 @@ object Streams {
       }
   }
 
-  /** Run a streaming DataFrame to completion against a memory sink
-    * (synchronous; used by specs and local smoke). */
   /** The RocksDB state store provider as a NAMED opt-in — the 100 TB
     * state-size answer for the stateful builders above: keyed state lives
     * off-heap in RocksDB and spills to executor-local disk instead of the
@@ -403,7 +404,13 @@ object Streams {
   /** Runs `body` (which should START its streaming queries inside) with
     * [[rocksDbStateStoreConfs]] applied to the session, restoring the
     * prior values after — streaming queries capture the provider at
-    * .start(), so scoping the session conf is the per-query opt-in. */
+    * .start(), so scoping the session conf is the per-query opt-in.
+    * CAVEAT: the provider conf is SESSION-global (Spark offers no
+    * per-query surface for it), so query starts must be serialized with
+    * respect to this scope — a query concurrently .start()ed on the same
+    * session from another thread would capture whichever provider is set
+    * at that instant. Cluster deployments that mix providers should use
+    * separate sessions (`spark.newSession()`) per provider instead. */
   def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
     val prior = rocksDbStateStoreConfs.keys
       .map(k => k -> spark.conf.getOption(k)).toMap
@@ -415,6 +422,9 @@ object Streams {
     }
   }
 
+  /** Run a streaming DataFrame to completion against a memory sink
+    * (synchronous; used by specs and local smoke). `useRocksDb = true`
+    * scopes the run under [[withRocksDbStateStore]]. */
   def runToMemory(df: DataFrame, name: String,
                   outputMode: OutputMode = OutputMode.Complete(),
                   useRocksDb: Boolean = false): DataFrame = {

@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   *     norms preserved, cross-copy cosine decorrelated) for the same
   *     reason.
   *
-  * Run: Test/runMain graft.GenSf1 [outDir]   (default ./testdata_sf1)
+  * Run: Test/runMain graft.GenSf1 [outDir] [sf01Dir]
+  * (defaults: ./testdata_sf1, /root/testdata/sf0.1)
   */
 object GenSf1 {
   private val Off = 100000000L
@@ -39,7 +40,7 @@ object GenSf1 {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sf01 = "/root/testdata/sf0.1"
+    val sf01 = args.lift(1).getOrElse("/root/testdata/sf0.1")
 
     def replicate(df: DataFrame)(copy: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until Copies).map(i => copy(df, i)).reduce(_ unionByName _)

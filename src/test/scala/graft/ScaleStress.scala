@@ -1105,13 +1105,18 @@ object ScaleStress {
       ksrU.getLong(2) == 2L && ksrU.getDouble(3) == 0.0 &&
       ksrU.getDouble(4) == 1e-6 && ksrU.getDouble(5) == 0.0,
       s"keySkewReport uniform closed form violated: $ksrU")
-    // hot face: 10M rows, one key holding 1M of them + 9M singletons.
-    // max_share = 0.1 exactly; top10 = (1e6 + 9)/1e7 = 0.100001 at 6dp;
+    // hot face: 10M rows, one key holding 1M of them + 9M singletons —
+    // and the keys are STRINGS, so the 9M count=1 tie cell can only
+    // subdivide on the xxhash64 head tiebreak (a raw string tiebreak
+    // would leave it to one window task; every output is tie-invariant,
+    // which is what makes the hash order free). max_share = 0.1 exactly;
+    // top10 = (1e6 + 9)/1e7 = 0.100001 at 6dp;
     // Σ r·n = 49,500,005,500,000 exactly -> gini rounds to 0.1.
-    val ksrH = timed("keySkewReport over 10M rows, one 10%-hot key") {
+    val ksrH = timed("keySkewReport over 10M rows, one 10%-hot STRING key") {
       graft.operators.Ops.keySkewReport(
         spark.range(10000000L).select(
-          when(col("id") < 1000000L, lit(-1L)).otherwise(col("id")).as("k")),
+          when(col("id") < 1000000L, lit("hot"))
+            .otherwise(concat(lit("u"), col("id").cast("string"))).as("k")),
         "k").collect().head
     }
     assert(ksrH.getLong(0) == 10000000L && ksrH.getLong(1) == 9000001L &&

@@ -337,11 +337,14 @@ class StreamsSpec extends SparkSpec {
       .toDF("ts", "k")
     val b = Streams.dedupeWithinWatermarkStream(batch, Seq("k"))
     assert(!b.isStreaming && b.count() == 2L)
-    // the ts-in-keys contract violation raises loudly
-    val ex = intercept[IllegalArgumentException] {
-      Streams.dedupeWithinWatermarkStream(batch, Seq("k", "ts"))
+    // the ts-in-keys contract violation raises loudly — including a
+    // case-variant name, which Spark would resolve to the same column
+    for (bad <- Seq("ts", "TS")) {
+      val ex = intercept[IllegalArgumentException] {
+        Streams.dedupeWithinWatermarkStream(batch, Seq("k", bad))
+      }
+      assert(ex.getMessage.contains("must not be a dedupe key"), ex.getMessage)
     }
-    assert(ex.getMessage.contains("must not be a dedupe key"), ex.getMessage)
   }
 
   test("RocksDB state store opt-in: stateful results are provider-" +
