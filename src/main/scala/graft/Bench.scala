@@ -52,6 +52,22 @@ object Bench {
     }
     warmup("probe jit")(probe()) // JIT/codegen the probe plan itself
 
+    // The probe detects CPU contention but not memory/GC pressure (the r14
+    // lesson: flat probes, 1.26x total under ambient load; reproducible
+    // mid-run probe inflation at sf1 attributed to GC). Record the OS
+    // 1-minute loadavg and the JVM's CUMULATIVE GC seconds at the same
+    // start/mid/end marks so a ratio audit can separate the two causes:
+    // loadavg up + gc flat = external contention; loadavg flat + gc delta
+    // large = this JVM's own memory pressure.
+    def loadavg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage // -1.0 where the platform hides it
+    def gcSec(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum / 1e3
+    }
+
     // optional comma-separated name-substring filter (local iteration and
     // the drift-isolation protocol; the driver passes no args and measures
     // the full registry)
@@ -79,9 +95,14 @@ object Bench {
     // Warmup-era blocks (fixture state) are kept.
     val keep = spark.sparkContext.getPersistentRDDs.keySet
     val probeStart = probe()
+    val (loadStart, gcStart) = (loadavg(), gcSec())
     var probeMid = -1.0
+    var loadMid = -1.0
+    var gcMid = -1.0
     val results = selected.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == selected.size / 2) probeMid = probe()
+      if (i == selected.size / 2) {
+        probeMid = probe(); loadMid = loadavg(); gcMid = gcSec()
+      }
       val t0 = System.nanoTime()
       val sec = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case t: Throwable =>
@@ -92,8 +113,14 @@ object Bench {
       name -> sec
     }
     val probeEnd = probe()
-    if (probeMid < 0) probeMid = probeEnd // subset runs smaller than 2
+    val (loadEnd, gcEnd) = (loadavg(), gcSec())
+    if (probeMid < 0) { // subset runs smaller than 2
+      probeMid = probeEnd; loadMid = loadEnd; gcMid = gcEnd
+    }
     val probeJson = f"""{"start":$probeStart%.3f,"mid":$probeMid%.3f,"end":$probeEnd%.3f}"""
+    val loadJson = f"""{"start":$loadStart%.2f,"mid":$loadMid%.2f,"end":$loadEnd%.2f}"""
+    // cumulative JVM GC seconds at each mark; deltas isolate each third
+    val gcJson = f"""{"start":$gcStart%.2f,"mid":$gcMid%.2f,"end":$gcEnd%.2f}"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total sums SUCCESSFUL queries only; failures are visible as -1 entries
@@ -106,7 +133,7 @@ object Bench {
     // line, kept well under the tail window (headline total + the slowest-40
     // per-query map). The full per-query map goes to stderr and to
     // bench_full_local.json in the cwd for human/judge inspection.
-    val fullLine = s"""{"queries":$qs,"n_queries":${results.size},"n_fail":$nFail,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","probe_sec":$probeJson}"""
+    val fullLine = s"""{"queries":$qs,"n_queries":${results.size},"n_fail":$nFail,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","probe_sec":$probeJson,"loadavg":$loadJson,"gc_cum_sec":$gcJson}"""
     System.err.println(fullLine)
     try {
       java.nio.file.Files.write(
@@ -116,7 +143,7 @@ object Bench {
     val slow = results.sortBy(-_._2).take(40)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_fail":$nFail,"probe_sec":$probeJson,"queries":$slow,"note":"queries=slowest-40 of n_queries; full map in bench_full_local.json; probe_sec = fixed compute-only query at start/mid/end - drift means host contention, not regression"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_fail":$nFail,"probe_sec":$probeJson,"loadavg":$loadJson,"gc_cum_sec":$gcJson,"queries":$slow,"note":"queries=slowest-40 of n_queries; full map in bench_full_local.json; probe_sec = fixed compute-only query at start/mid/end - drift means host contention, not regression; loadavg = OS 1-min load at the same marks (external contention), gc_cum_sec = cumulative JVM GC seconds (memory pressure - deltas isolate each third)"}""")
     spark.stop()
   }
 }

@@ -5,13 +5,21 @@ import org.apache.spark.sql.functions._
 
 /** The ONE bounded-domain gate mechanism, shared by
   * [[graft.pipeline.Stats]]'s value-cell gate (hodgesLehmann / qnScale /
-  * giniMeanDifference / twoSampleRankCells / tCloseness) and
-  * [[Ops.skyline]]'s x-domain gate: one cheap combinable count over the
-  * guarded rollup, broadcast back, and a `raise_error` fused into EVERY
-  * column's projection — so the raise fires while the guarded relation
-  * materializes (BEFORE any downstream pair explode or keyless window)
-  * and no consumer projection, present or future, can prune the gate
-  * away.
+  * giniMeanDifference / twoSampleRankCells / tCloseness / the
+  * linear-rank + ECDF family), [[graft.pipeline.EventAnalytics]]'s
+  * duration-cell gate (the survival family) and [[Ops.skyline]]'s
+  * x-domain gate: one cheap combinable count over the guarded rollup,
+  * broadcast back, and the raise fused in TWO places —
+  *
+  *  - a `raise_error` in EVERY column's projection, so the raise fires
+  *    while the guarded relation materializes (BEFORE any downstream
+  *    pair explode or keyless window) for any consumer that references
+  *    at least one column;
+  *  - a `raise_error`-bearing FILTER on the broadcast count, which a
+  *    COLUMN-FREE consumer (`gated.count()`, `count(lit(1))`) cannot
+  *    prune away: ColumnPruning may drop every guarded projection, but
+  *    a filter changes the row count, so it survives any projection —
+  *    present or future.
   *
   * The gate stays a LAZY plan on purpose: a consumer that references the
   * gated relation k times re-evaluates the cheap rollup k+1 times — the
@@ -26,6 +34,12 @@ private[graft] object DomainGate {
     val guard: String => Column = c => when(col("__nv") > limit,
       raise_error(msg(col("__nv")))).otherwise(col(c)).as(c)
     rel.crossJoin(broadcast(nv))
+      // the column-free-consumer leg: raise_error coerces to a null
+      // boolean inside the condition, so rows pass untouched below the
+      // limit and the raise fires (per row, but the comparison is against
+      // ONE broadcast value) above it
+      .filter(when(col("__nv") > limit,
+        raise_error(msg(col("__nv"))).cast("boolean")).otherwise(lit(true)))
       .select(rel.columns.map(guard).toSeq: _*)
   }
 }

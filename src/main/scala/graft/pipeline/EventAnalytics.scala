@@ -1197,15 +1197,30 @@ object EventAnalytics {
     * the LINEAR stages — scoring fan-out (basket × maxNeighbors) and the
     * owned-item anti join — keep the FULL basket, so a power user is
     * still scored against, and excluded from, everything they own.
-    * Returns (user, item, score, rank ≤ k). */
+    *
+    * GROWTH LAW (the r14 sf1 watch item — q185's 5.3× at 10× data): the
+    * pair stage emits C(min(B, maxBasket), 2) rows per user — QUADRATIC
+    * in basket density B until the cap, constant beyond, always linear
+    * in users at fixed density (ScaleStress: circulant closed forms at
+    * B=32 vs B=64 — 2× density ⇒ ~4× pair mass, measured). No cosine
+    * floor can cut that shuffle (cosine exists only AFTER the pair
+    * counts); what `minSim` > 0 prunes is everything DOWNSTREAM of it —
+    * the per-item neighbor rank window and the basket × neighbor scoring
+    * fan-out, the stages whose row counts grow with co-occurrence
+    * density. Default 0.0 keeps the exact historical semantics (and the
+    * untouched plan). Returns (user, item, score, rank ≤ k). */
   def recommendTopK(df: DataFrame, userCol: String, itemCol: String,
                     k: Int, minUsers: Long = 2L,
                     maxNeighbors: Int = 20,
-                    maxBasket: Int = 1024): DataFrame = {
+                    maxBasket: Int = 1024,
+                    minSim: Double = 0.0): DataFrame = {
     require(k >= 1 && maxNeighbors >= 1, s"bad bounds: k=$k maxNeighbors=$maxNeighbors")
+    require(minSim >= 0.0 && minSim <= 1.0, s"minSim out of [0,1]: $minSim")
     val basket = df.select(col(userCol).as("__u"), col(itemCol).as("__i"))
       .distinct()
-    val sims = cooccurrenceCosine(df, userCol, itemCol, minUsers, maxBasket)
+    val simsAll = cooccurrenceCosine(df, userCol, itemCol, minUsers, maxBasket)
+    val sims = (if (minSim > 0.0) simsAll.filter(col("cosine") >= minSim)
+      else simsAll)
       .select(col("item_a"), col("item_b"),
         col("cosine").cast("decimal(18,6)").as("__sim"))
     // expand to both directions, keep each item's top `maxNeighbors`
@@ -1771,6 +1786,40 @@ object EventAnalytics {
       .filter(col("__cnt") === windowDays)
       .drop("__cnt")
   }
+  /** Loud distinct-duration gate for the survival family ([[kaplanMeier]],
+    * [[nelsonAalen]], [[kmGreenwood]], [[cumulativeIncidence]],
+    * [[logRank]], [[weightedLogRank]]; [[restrictedMeanSurvival]] and
+    * [[kmMedianSurvival]] inherit through the gated [[kaplanMeier]] /
+    * [[kmGreenwood]] curves they consume): each of these windows a
+    * keyless cumulative sum over the DISTINCT-duration rollup, so the
+    * documented contract — bucket continuous durations to a bounded grain
+    * first — must REFUSE, not silently single-partition-sort, when a raw
+    * micro-grain duration column arrives at 100× data. Mechanism is the
+    * shared [[graft.operators.DomainGate]] (one combinable count,
+    * broadcast back, raise fused into every column AND a pruning-proof
+    * filter); the message names the day-grain remedy. */
+  private def gateDurationCells(cells: DataFrame, cntCol: String, op: String,
+                                limit: Long = 100000L): DataFrame = {
+    require(cells.columns.contains(cntCol), s"missing $cntCol")
+    graft.operators.DomainGate(cells, limit, nv =>
+      concat(lit(s"$op: "), nv.cast("string"),
+        lit(s" distinct durations exceed $limit — bucket durations to a " +
+          "coarser grain (e.g. whole days, not micros) before the " +
+          "survival rollup (the kaplanMeier duration-grain contract)")))
+  }
+
+  /** The shared (duration)-grain event/censor rollup of the KM family,
+    * gated by [[gateDurationCells]] under the caller's name. */
+  private def survivalCells(df: DataFrame, durationCol: Column,
+                            eventCol: Column, op: String): DataFrame =
+    gateDurationCells(df.select(durationCol.cast("long").as("duration"),
+        eventCol.as("__e"))
+      .filter(col("duration").isNotNull && col("duration") >= 0)
+      .groupBy("duration")
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("__e"), 0L).otherwise(1L)).as("n_censored")),
+      "n_events", op)
+
   // ------------------------------------------- Kaplan-Meier product-limit
   /** Kaplan-Meier survival estimator with right-censoring — the
     * censoring-aware sequel to [[survivalCurve]] (which treats every
@@ -1788,18 +1837,15 @@ object EventAnalytics {
     * running flag (a −∞ ln term would be nulled by the decimal cast).
     *
     * Cardinality contract: the running window is over DISTINCT durations
-    * (bucket continuous durations first — the rocAuc discipline).
+    * (bucket continuous durations first — the rocAuc discipline;
+    * ENFORCED: above 10⁵ distinct durations [[gateDurationCells]] RAISES
+    * naming the day-grain remedy).
     * `eventCol`: true = event observed, false = right-censored. Returns
     * (duration, n_at_risk, n_events, n_censored, survival). */
   def kaplanMeier(df: DataFrame, durationCol: Column,
                   eventCol: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val perT = df.select(durationCol.cast("long").as("duration"),
-        eventCol.as("__e"))
-      .filter(col("duration").isNotNull && col("duration") >= 0)
-      .groupBy("duration")
-      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("n_events"),
-        sum(when(col("__e"), 0L).otherwise(1L)).as("n_censored"))
+    val perT = survivalCells(df, durationCol, eventCol, "kaplanMeier")
     val total = perT.agg(sum(col("n_events") + col("n_censored")).as("__N"))
     val wPrev = Window.orderBy(col("duration"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1839,18 +1885,14 @@ object EventAnalytics {
     * Also emits the Aalen variance Σ d_u/n_u² under the same discipline.
     *
     * Scale: identical shape to kaplanMeier — one duration-grain rollup
-    * (bucket continuous durations first), one broadcast total, one
+    * (bucket continuous durations first; ENFORCED via
+    * [[gateDurationCells]]), one broadcast total, one
     * running window over the DISTINCT-duration relation. Returns
     * (duration, n_at_risk, n_events, n_censored, cum_hazard, var_hazard). */
   def nelsonAalen(df: DataFrame, durationCol: Column,
                   eventCol: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val perT = df.select(durationCol.cast("long").as("duration"),
-        eventCol.as("__e"))
-      .filter(col("duration").isNotNull && col("duration") >= 0)
-      .groupBy("duration")
-      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("n_events"),
-        sum(when(col("__e"), 0L).otherwise(1L)).as("n_censored"))
+    val perT = survivalCells(df, durationCol, eventCol, "nelsonAalen")
     val total = perT.agg(sum(col("n_events") + col("n_censored")).as("__N"))
     val wPrev = Window.orderBy(col("duration"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1891,12 +1933,7 @@ object EventAnalytics {
   def kmGreenwood(df: DataFrame, durationCol: Column,
                   eventCol: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val perT = df.select(durationCol.cast("long").as("duration"),
-        eventCol.as("__e"))
-      .filter(col("duration").isNotNull && col("duration") >= 0)
-      .groupBy("duration")
-      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("n_events"),
-        sum(when(col("__e"), 0L).otherwise(1L)).as("n_censored"))
+    val perT = survivalCells(df, durationCol, eventCol, "kmGreenwood")
     val total = perT.agg(sum(col("n_events") + col("n_censored")).as("__N"))
     val wPrev = Window.orderBy(col("duration"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1976,7 +2013,8 @@ object EventAnalytics {
     * each CIF increment Ŝ(u⁻)·d/n is one fixed IEEE shape rounded to
     * DECIMAL(28,12) before the per-cause running sum (window PARTITIONED
     * BY CAUSE over the duration grain). Cardinality contract: distinct
-    * durations bounded (bucket first); cause vocabulary bounded. Returns
+    * durations bounded (bucket first — ENFORCED via
+    * [[gateDurationCells]]); cause vocabulary bounded. Returns
     * (duration, cause, n_at_risk, n_events, cif) for causes ≥ 1. */
   def cumulativeIncidence(df: DataFrame, durationCol: Column,
                           causeCol: Column): DataFrame = {
@@ -1985,9 +2023,10 @@ object EventAnalytics {
         causeCol.cast("long").as("__k"))
       .filter(col("duration").isNotNull && col("duration") >= 0 &&
         col("__k").isNotNull && col("__k") >= 0)
-    val perT = base.groupBy("duration")
+    val perT = gateDurationCells(base.groupBy("duration")
       .agg(count(lit(1)).as("__c"),
-        sum(when(col("__k") > 0, 1L).otherwise(0L)).as("__d"))
+        sum(when(col("__k") > 0, 1L).otherwise(0L)).as("__d")),
+      "__c", "cumulativeIncidence")
     val total = perT.agg(sum(col("__c")).as("__N"))
     val wPrev = Window.orderBy(col("duration"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -2142,21 +2181,24 @@ object EventAnalytics {
     * (duration)-grain rollup with per-group conditional sums; each E/V
     * term is fixed-shape IEEE on those integers rounded to
     * DECIMAL(28,12) before the sums; χ² is one final fixed-shape
-    * division, 6dp. Scale: one shuffle to the distinct-duration relation,
-    * two running windows, one 1-row aggregate — group-count independent
-    * of the row count. Returns ONE row
+    * division, 6dp. Scale: one shuffle to the distinct-duration relation
+    * (bucket continuous durations first — ENFORCED via
+    * [[gateDurationCells]]), two running windows, one 1-row aggregate —
+    * group-count independent of the row count. Returns ONE row
     * (n_a, n_b, o_a, e_a, o_b, e_b, chi2). */
   def logRank(df: DataFrame, durationCol: Column, eventCol: Column,
               groupACol: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val perT = df.select(durationCol.cast("long").as("duration"),
+    val perT = gateDurationCells(
+      df.select(durationCol.cast("long").as("duration"),
         eventCol.as("__e"), groupACol.as("__a"))
       .filter(col("duration").isNotNull && col("duration") >= 0)
       .groupBy("duration")
       .agg(sum(when(col("__a") && col("__e"), 1L).otherwise(0L)).as("da"),
         sum(when(!col("__a") && col("__e"), 1L).otherwise(0L)).as("db"),
         sum(when(col("__a"), 1L).otherwise(0L)).as("ta"),
-        sum(when(!col("__a"), 1L).otherwise(0L)).as("tb"))
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("tb")),
+      "da", "logRank")
     val tot = perT.agg(sum(col("ta")).as("__NA"), sum(col("tb")).as("__NB"))
     val wPrev = Window.orderBy(col("duration"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -2444,7 +2486,8 @@ object EventAnalytics {
     * hazards may cross: each weighting sees a different alternative.
     *
     * DETERMINISM AND SCALE: the [[logRank]] scaffold verbatim — one
-    * (duration)-grain rollup, one running window, exact risk-set
+    * (duration)-grain rollup (gated via [[gateDurationCells]]), one
+    * running window, exact risk-set
     * integers; each w·(d−E) and w²·V term is fixed-shape IEEE cast
     * DECIMAL(28,12) before the sums. Weights enter NORMALIZED by the
     * total risk set N (w = n_t/N, so w ≤ 1 and w²·V ≤ V — z is
@@ -2458,14 +2501,16 @@ object EventAnalytics {
     import org.apache.spark.sql.types.DecimalType
     require(Set("gehan", "tarone-ware")(weighting),
       s"weighting must be gehan|tarone-ware: $weighting")
-    val perT = df.select(durationCol.cast("long").as("duration"),
+    val perT = gateDurationCells(
+      df.select(durationCol.cast("long").as("duration"),
         eventCol.as("__e"), groupACol.as("__a"))
       .filter(col("duration").isNotNull && col("duration") >= 0)
       .groupBy("duration")
       .agg(sum(when(col("__a") && col("__e"), 1L).otherwise(0L)).as("da"),
         sum(when(!col("__a") && col("__e"), 1L).otherwise(0L)).as("db"),
         sum(when(col("__a"), 1L).otherwise(0L)).as("ta"),
-        sum(when(!col("__a"), 1L).otherwise(0L)).as("tb"))
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("tb")),
+      "da", "weightedLogRank")
     val tot = perT.agg(sum(col("ta")).as("__NA"), sum(col("tb")).as("__NB"))
     val wPrev = Window.orderBy(col("duration"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -2634,8 +2679,11 @@ object EventAnalytics {
     * Each rectangle term is S (already 6dp from [[kaplanMeier]]) × an
     * integer width, rounded to DECIMAL(28,12) before the sum — exact
     * under any order. Durations beyond τ contribute nothing (their
-    * segments clamp to zero width). Returns one row:
-    * (tau, n_subjects, rmst). */
+    * segments clamp to zero width). The segment lag window runs over the
+    * SAME distinct-duration relation the KM curve does — its bound is
+    * inherited from [[kaplanMeier]]'s [[gateDurationCells]] gate (the
+    * curve raises before this window ever sees an unbounded grid).
+    * Returns one row: (tau, n_subjects, rmst). */
   def restrictedMeanSurvival(df: DataFrame, durationCol: Column,
                              eventCol: Column, tau: Long): DataFrame = {
     import org.apache.spark.sql.types.DecimalType

@@ -289,17 +289,20 @@ object Stats {
     * drift check between two sources/shards/time-slices before they mix.
     * The ECDFs live on the AGGREGATED distinct-value relation (one count
     * pass, then a cumulative window bounded by the value vocabulary — the
-    * Gini discipline: never the corpus), and the max runs on integer
+    * Gini discipline: never the corpus; ENFORCED — above 10⁵ distinct
+    * values [[gateValueCells]] RAISES naming the bucketing remedy), and
+    * the max runs on integer
     * cross-multiplied counts |cumA·n_b − cumB·n_a| summed as DECIMAL so the
     * comparison is exact at any count; ONE double division finishes,
     * rounded 6dp. Returns one row: (n_a, n_b, ks). */
   def ksTwoSample(df: DataFrame, groupCol: String, valueCol: String,
                   a: String, b: String): DataFrame = {
     val v = col(valueCol)
-    val cells = df.filter(col(groupCol).isin(a, b) && v.isNotNull)
+    val cells = gateValueCells(df.filter(col(groupCol).isin(a, b) && v.isNotNull)
       .groupBy(v.as("__v"))
       .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb"))
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb")),
+      "__ca", "ksTwoSample")
     val w = Window.orderBy(col("__v"))
     val cum = cells.select(
       sum(col("__ca")).over(w).as("__fa"),
@@ -1555,15 +1558,18 @@ object Stats {
     *
     * Scale: ranks come from the per-VALUE count relation (one aggregate),
     * cumulated by a partitionless window over the bounded value DOMAIN
-    * (the skyline/q119 discipline — never a window over the rows), then
-    * joined back. Output (one row): n, rho (6dp). */
+    * (the skyline/q119 discipline — never a window over the rows; ENFORCED
+    * per axis — above 10⁵ distinct values [[gateValueCells]] RAISES naming
+    * the bucketing remedy), then joined back. Output (one row): n, rho
+    * (6dp). */
   def spearman(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
     val base = df.select(aCol.as("__a"), bCol.as("__b"))
       .filter(col("__a").isNotNull && col("__b").isNotNull)
     def rank2(c: String, out: String): DataFrame = {
       val w = Window.orderBy(col(c))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      base.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+      gateValueCells(base.groupBy(col(c)).agg(count(lit(1)).as("__cnt")),
+          "__cnt", "spearman")
         .withColumn("__cum", sum(col("__cnt")).over(w))
         .select(col(c), (col("__cum") * 2 - col("__cnt") + 1).as(out))
     }
@@ -3000,7 +3006,8 @@ object Stats {
     * the VALUE-VOCABULARY rollup, never the rows. Average rank of a tied
     * value = cum_before + (t+1)/2 is an exact dyadic rational; per-group
     * rank sums are DECIMAL(28,12)-exact Σ avgrank·c_{v,g}; the running
-    * window is over distinct values (bucket continuous values first).
+    * window is over distinct values (bucket continuous values first —
+    * ENFORCED: above 10⁵ distinct values [[gateValueCells]] RAISES).
     * H's finish is fixed-shape IEEE, 6dp; degenerate families (k < 2,
     * all values tied → C = 0) report null. Returns
     * (n_groups, n, h_stat, h_adj). */
@@ -3010,7 +3017,9 @@ object Stats {
     val cells = df.filter(v.isNotNull)
       .groupBy(v.as("__v"), groupCol.as("__g"))
       .agg(count(lit(1)).as("__c"))
-    val vals = cells.groupBy("__v").agg(sum(col("__c")).as("__t"))
+    val vals = gateValueCells(
+        cells.groupBy("__v").agg(sum(col("__c")).as("__t")),
+        "__t", "kruskalWallis")
       .withColumn("__cum",
         coalesce(sum(col("__t")).over(Window.orderBy(col("__v"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -4156,15 +4165,17 @@ object Stats {
     * DETERMINISM AND SCALE — exactly [[mannWhitney]]'s discipline: U is
     * carried DOUBLED (2U = Σ n₁(2·below₂ + n₂), exact integers in
     * DECIMAL(38,0)) over the value-VOCABULARY rollup (bucket continuous
-    * values first); CLES and r_rb are single IEEE divisions, 6dp.
+    * values first — ENFORCED: above 10⁵ distinct values [[gateValueCells]]
+    * RAISES); CLES and r_rb are single IEEE divisions, 6dp.
     * Returns one row: (n1, n2, u, cles, rank_biserial). */
   def clesRankBiserial(df: DataFrame, valueCol: String,
                        sampleCol: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val perVal = df
+    val perVal = gateValueCells(df
       .groupBy(col(valueCol).as("__v"))
       .agg(sum(when(sampleCol, 1L).otherwise(0L)).as("__n1"),
-        sum(when(sampleCol, 0L).otherwise(1L)).as("__n2"))
+        sum(when(sampleCol, 0L).otherwise(1L)).as("__n2")),
+      "__n1", "clesRankBiserial")
     val w = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val agg = perVal
@@ -4491,16 +4502,18 @@ object Stats {
     * ONE sqrt and ONE division finish, 6dp. W⁺ itself is the exact
     * dyadic W2/2. CARDINALITY CONTRACT (the mannWhitney rule): the
     * cumulative window runs over DISTINCT |d| — bound continuous
-    * differences by rounding first. All-zero input reports nulls.
+    * differences by rounding first (ENFORCED: above 10⁵ distinct |d|
+    * [[gateValueCells]] RAISES). All-zero input reports nulls.
     * Returns one row: (n_nonzero, w_plus, z). */
   def wilcoxonSignedRank(df: DataFrame, diffCol: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dt = DecimalType(38, 0)
     val d = df.select(diffCol.cast("double").as("__d"))
       .filter(col("__d").isNotNull && col("__d") =!= 0.0)
-    val vals = d.groupBy(abs(col("__d")).as("__a"))
+    val vals = gateValueCells(d.groupBy(abs(col("__d")).as("__a"))
       .agg(count(lit(1)).as("__t"),
-        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__p"))
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__p")),
+      "__t", "wilcoxonSignedRank")
     val wRun = Window.orderBy(col("__a"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = vals.withColumn("__cum", sum(col("__t")).over(wRun))
@@ -4711,7 +4724,8 @@ object Stats {
     *
     * DETERMINISM AND SCALE — the mannWhitney/rocAuc rollup: per-value
     * (n₁,n₂) counts, one running window over DISTINCT values (bound
-    * continuous metrics by rounding — the cardinality contract), win and
+    * continuous metrics by rounding — the cardinality contract, ENFORCED:
+    * above 10⁵ distinct values [[gateValueCells]] RAISES), win and
     * loss masses as exact DECIMAL(38,0) Σ n₁(v)·n₂(<v) / Σ n₁(v)·n₂(>v)
     * cross-products, ONE division, 6dp. Either sample empty → null δ.
     * Returns one row: (n1, n2, wins, losses, delta) — pair masses as
@@ -4720,12 +4734,13 @@ object Stats {
                   sampleCol: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dt = DecimalType(38, 0)
-    val perVal = df.select(col(valueCol).as("__v"),
+    val perVal = gateValueCells(df.select(col(valueCol).as("__v"),
         when(sampleCol, 1L).otherwise(0L).as("__s"))
       .filter(col("__v").isNotNull)
       .groupBy("__v")
       .agg(sum(col("__s")).as("__n1"),
-        sum(lit(1L) - col("__s")).as("__n2"))
+        sum(lit(1L) - col("__s")).as("__n2")),
+      "__n1", "cliffsDelta")
     val wB = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val m = perVal
@@ -4755,7 +4770,8 @@ object Stats {
     * DETERMINISM AND SCALE: group labels collect once (the IVF-centroid
     * bounded seam — doses are a vocabulary, required ≤ 64); per-value
     * counts PIVOT to k columns, so ONE cumulative window over DISTINCT
-    * values (the cardinality contract) yields every below-count, and the
+    * values (the cardinality contract, ENFORCED: above 10⁵ distinct
+    * values [[gateValueCells]] RAISES) yields every below-count, and the
     * doubled 2J = Σ_v Σ_j n_j(v)·(2·Σ_{i<j}b_i(v) + Σ_{i<j}n_i(v)) is an
     * exact DECIMAL(38,0) row expression with k²-bounded terms. J is the
     * exact dyadic 2J/2; z is one fixed IEEE shape, 6dp. Returns one row:
@@ -4774,7 +4790,9 @@ object Stats {
     val k = groups.size
     val counts = groups.zipWithIndex.map { case (g, i) =>
       sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__n$i") }
-    val cells = base.groupBy("__v").agg(counts.head, counts.tail: _*)
+    val cells = gateValueCells(
+      base.groupBy("__v").agg(counts.head, counts.tail: _*),
+      "__n0", "jonckheereTerpstra")
     val wB = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withB = (0 until k).foldLeft(cells) { (d, i) =>
@@ -4811,7 +4829,8 @@ object Stats {
     *
     * DETERMINISM AND SCALE — the ksTwoSample shape: one per-value count
     * pass, cumulative counts over the DISTINCT value relation (bound
-    * continuous metrics by rounding — the cardinality contract), the
+    * continuous metrics by rounding — the cardinality contract, ENFORCED:
+    * above 10⁵ distinct values [[gateValueCells]] RAISES), the
     * cross-multiplied integer form (m·cumA − n·cumB)² summed ×count in
     * DECIMAL(38,0) (exact while n·m ≲ 3·10¹⁵ — sample beyond ~10⁷ a
     * side), ONE division n·m·N², 6dp. Returns one row: (n_a, n_b, t). */
@@ -4820,10 +4839,11 @@ object Stats {
     import org.apache.spark.sql.types.DecimalType
     val dt = DecimalType(38, 0)
     val v = col(valueCol)
-    val cells = df.filter(col(groupCol).isin(a, b) && v.isNotNull)
+    val cells = gateValueCells(df.filter(col(groupCol).isin(a, b) && v.isNotNull)
       .groupBy(v.as("__v"))
       .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb"))
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb")),
+      "__ca", "cvmTwoSample")
     val wRun = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = cells
@@ -5019,13 +5039,16 @@ object Stats {
     * DETERMINISM AND SCALE: the group median is a DATA ELEMENT (the
     * [[brownForsythe]] discipline — byte-identical); u = |x − med| is one
     * exact IEEE subtraction of the same doubles on every engine; midranks
-    * come from per-value counts + ONE cumulative window over the DISTINCT
-    * deviation relation (the [[ksTwoSample]] cardinality contract — u
-    * inherits `valueCol`'s vocabulary, so bound continuous metrics by
-    * rounding first). Doubled midranks 2R are integers, so S₂, S₄, and T
-    * accumulate as exact DECIMAL(38,0) in units of (2R)² and (2R)⁴
-    * (exact while N ≲ 3·10⁷) and halve once in double.
-    * Returns one row: (n_a, n_b, t_stat, z) 6dp. */
+    * come from the `twoSampleRankCells` scaffold — per-value counts + ONE
+    * cumulative window over the DISTINCT deviation relation (the
+    * [[ksTwoSample]] cardinality contract — u inherits `valueCol`'s
+    * vocabulary, so bound continuous metrics by rounding first; ENFORCED:
+    * above 10⁵ distinct deviations [[gateValueCells]] RAISES). Scores are
+    * the quadrupled squared midranks (2R)² (exact DECIMAL(38,0) while
+    * N ≲ 3·10⁷); the permutation-moment z comes from [[linearRankZ]] —
+    * every power-of-two rescaling ((2R)², (2R)⁴ vs R², R⁴) commutes
+    * exactly with IEEE rounding, so T, S₂, S₄, and z are bit-identical to
+    * the un-factored form. Returns one row: (n_a, n_b, t_stat, z) 6dp. */
   def conoverSquaredRanks(df: DataFrame, groupCol: String, valueCol: String,
                           a: String, b: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -5038,35 +5061,11 @@ object Stats {
     val med = groupLowerMedian(base, Seq("__g"), "__v", "__med")
     val dev = base.join(broadcast(med), "__g")
       .select(col("__g"), abs(col("__v") - col("__med")).as("__u"))
-    val cells = dev.groupBy("__u")
-      .agg(sum(when(col("__g") === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col("__g") === b, 1L).otherwise(0L)).as("__cb"))
-    val wRun = Window.orderBy(col("__u"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // doubled midrank of a tied block ending at cumulative count F with
-    // block size t: 2R = 2F − t + 1 (integer, exact)
-    val cum = cells
-      .withColumn("__f", sum(col("__ca") + col("__cb")).over(wRun))
-      .withColumn("__r2",
-        (col("__f") * 2L - (col("__ca") + col("__cb")) + 1L).cast(dt))
-    val agg = cum.agg(
-      sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
-      sum(col("__ca").cast(dt) * col("__r2") * col("__r2")).as("__t4"),
-      sum((col("__ca") + col("__cb")).cast(dt) * col("__r2") * col("__r2"))
-        .as("__s2x4"),
-      sum((col("__ca") + col("__cb")).cast(dt) * col("__r2") * col("__r2") *
-        col("__r2") * col("__r2")).as("__s4x16"))
-    val nA = col("n_a").cast("double")
-    val nB = col("n_b").cast("double")
-    val nD = nA + nB
-    val t = col("__t4").cast("double") / 4.0
-    val s2 = col("__s2x4").cast("double") / 4.0
-    val s4 = col("__s4x16").cast("double") / 16.0
-    val varT = nA * nB / (nD * (nD - 1.0)) * (s4 - s2 * s2 / nD)
-    agg.select(col("n_a"), col("n_b"),
-      round(t, 6).as("t_stat"),
-      round(when(col("n_a") > 0L && col("n_b") > 0L && varT > 0.0,
-        (t - nA * s2 / nD) / sqrt(varT)), 6).as("z"))
+    val cells = twoSampleRankCells(dev, col("__g"), col("__u"), a, b)
+    linearRankZ(cells, col("__r2").cast(dt) * col("__r2"))
+      .select(col("n_a"), col("n_b"),
+        round(col("__t").cast("double") / 4.0, 6).as("t_stat"),
+        round(col("__z"), 6).as("z"))
   }
 
   // ------------------------------------------------- Fisher's exact test
@@ -5261,7 +5260,8 @@ object Stats {
     * unit-partitioned windows (k-bounded); doubled range midranks q2 from
     * a per-range-value rollup + ONE cumulative window over the DISTINCT
     * range relation (the [[ksTwoSample]] cardinality contract — ranges of
-    * integer-valued metrics stay a vocabulary); 4S = q2·(r2−k−1) is an
+    * integer-valued metrics stay a vocabulary; ENFORCED: above 10⁵
+    * distinct ranges [[gateValueCells]] RAISES); 4S = q2·(r2−k−1) is an
     * exact integer, so A·16, (4S_j)², and the final F reduce to ONE IEEE
     * division of DECIMAL(38,0)-exact sums. Returns one row:
     * (n_units, n_conditions, f_stat 6dp). */
@@ -5294,7 +5294,9 @@ object Stats {
     // rollup, never a unit-grain global window
     val ranges = base.groupBy("__u")
       .agg((max(col("__v")) - min(col("__v"))).as("__rng"))
-    val rCells = ranges.groupBy("__rng").agg(count(lit(1)).as("__t"))
+    val rCells = gateValueCells(
+      ranges.groupBy("__rng").agg(count(lit(1)).as("__t")),
+      "__t", "quadeTest")
     val wRng = Window.orderBy(col("__rng"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val q2ByRng = rCells
@@ -5388,7 +5390,8 @@ object Stats {
     * DETERMINISM AND SCALE — the [[ksTwoSample]] cell shape throughout:
     * pooled and within-group DOUBLED midranks come from per-value counts
     * + cumulative windows over the DISTINCT value relation (the
-    * cardinality contract); each cell's squared rank-gap term is one
+    * cardinality contract, ENFORCED: above 10⁵ distinct values
+    * [[gateValueCells]] RAISES); each cell's squared rank-gap term is one
     * fixed IEEE shape ×count, cast DECIMAL(38,6) BEFORE summing (the
     * [[mantelHaenszel]] discipline at the wider scale the ~N²-sized
     * terms need). Returns one row: (n_a, n_b, p_hat, t_stat, df) 6dp. */
@@ -5397,10 +5400,11 @@ object Stats {
     import org.apache.spark.sql.types.DecimalType
     val dm = DecimalType(38, 6)
     val v = col(valueCol)
-    val cells = df.filter(col(groupCol).isin(a, b) && v.isNotNull)
+    val cells = gateValueCells(df.filter(col(groupCol).isin(a, b) && v.isNotNull)
       .groupBy(v.as("__v"))
       .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb"))
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb")),
+      "__ca", "brunnerMunzel")
     val wRun = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val t = col("__ca") + col("__cb")
@@ -5543,7 +5547,8 @@ object Stats {
     *
     * DETERMINISM AND SCALE — the [[ksTwoSample]] shape: per-value counts
     * + one cumulative window over the DISTINCT value relation
-    * (cardinality contract); F̂ steps are exact integer ratios; e^(−λx)
+    * (cardinality contract, ENFORCED: above 10⁵ distinct values
+    * [[gateValueCells]] RAISES); F̂ steps are exact integer ratios; e^(−λx)
     * is one fixed IEEE shape per cell; D maximizes over cells. The
     * exponential's support is [0,∞): a NEGATIVE value RAISES (a silent
     * drop would change both n and the estimated rate); an all-zero
@@ -5556,8 +5561,9 @@ object Stats {
       raise_error(concat(lit("ksExponential: negative value outside "),
         lit("the exponential's support: "), v0.cast("string"))))
       .otherwise(v0)
-    val cells = df.filter(v0.isNotNull)
-      .groupBy(v.as("__v")).agg(count(lit(1)).as("__t"))
+    val cells = gateValueCells(df.filter(v0.isNotNull)
+      .groupBy(v.as("__v")).agg(count(lit(1)).as("__t")),
+      "__t", "ksExponential")
     val wRun = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = cells.agg(sum(col("__t")).as("n"),
@@ -5864,7 +5870,13 @@ object Stats {
 
   /** Loud |vocab| gate for the value-cell pairwise/cumulative family
     * ([[hodgesLehmann]], [[qnScale]], [[giniMeanDifference]],
-    * `twoSampleRankCells`): those operators' documented contract is a
+    * `twoSampleRankCells`, and — since the round-15 enforcement sweep —
+    * every linear-rank/ECDF member that windows a distinct-value rollup:
+    * [[spearman]], [[ksTwoSample]], [[cvmTwoSample]], [[kruskalWallis]],
+    * [[wilcoxonSignedRank]], [[cliffsDelta]], [[clesRankBiserial]],
+    * [[jonckheereTerpstra]], [[quadeTest]], [[brunnerMunzel]],
+    * [[ksExponential]], [[conoverSquaredRanks]] via the scaffold):
+    * those operators' documented contract is a
     * BOUNDED distinct-value relation (a |vocab|²-bounded broadcast
     * self-join or a keyless cumulative window over the cells) — a
     * continuous column would silently quadratic out or OOM the

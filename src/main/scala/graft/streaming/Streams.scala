@@ -114,7 +114,8 @@ object Streams {
       .dropDuplicates("user_id", "event_type")
 
   /** Streaming dedupe for UNBOUNDED key domains — the true streaming face
-    * of P4 `unique` (the reference's fixed-size LRU dedupe buffer,
+    * of P4 `unique` (the reference's fixed-size FIFO dedupe buffer —
+    * deque append-only eviction by first sighting, no recency promotion;
     * process.py:851-898, bufsize=4096): `dropDuplicatesWithinWatermark`
     * keeps ONE state row per key seen within the `lateness` horizon of
     * the `tsCol` watermark and EVICTS it once the watermark passes the
@@ -502,7 +503,7 @@ object Streams {
       iv.days * 86400000000L + iv.microseconds
     }
     val (widthUs, slideUs) = (us(width), us(slide))
-    require(slideUs > 0 && widthUs % slideUs == 0,
+    require(slideUs > 0 && widthUs > 0 && widthUs % slideUs == 0,
       s"width ('$width' = ${widthUs}us) must be an integer multiple of " +
         s"slide ('$slide' = ${slideUs}us): the explode-into-k-windows " +
         "oracle replay and the width/slide state bound hold only then")

@@ -586,6 +586,49 @@ class AppliedSpec extends SparkSpec {
     assert(r(3) == ((4L, 1L, 1L, 0L, 0.0)))
   }
 
+  test("survival family: duration-cell cardinality gate raises loudly " +
+    "above 10^5 distinct durations") {
+    // a raw micro-grain duration column (100001 distinct values) must
+    // REFUSE before the keyless cumulative window single-partition-sorts
+    // an unbounded cell relation — the round-15 enforcement of the
+    // "bucket durations first" contract (the gateValueCells sibling)
+    def deep(t: Throwable): String =
+      if (t == null) "" else t.toString + "|" + deep(t.getCause)
+    val wide = spark.range(100001L).select(col("id").as("t"),
+      (pmod(col("id"), lit(2L)) === 0L).as("ev"))
+    val wideK = spark.range(100001L).select(col("id").as("t"),
+      (pmod(col("id"), lit(3L))).as("k"))
+    val cases: Seq[(String, () => Any)] = Seq(
+      ("kaplanMeier",
+        () => EventAnalytics.kaplanMeier(wide, col("t"), col("ev")).collect()),
+      ("nelsonAalen",
+        () => EventAnalytics.nelsonAalen(wide, col("t"), col("ev")).collect()),
+      ("kmGreenwood",
+        () => EventAnalytics.kmGreenwood(wide, col("t"), col("ev")).collect()),
+      ("cumulativeIncidence",
+        () => EventAnalytics.cumulativeIncidence(wideK, col("t"), col("k"))
+          .collect()),
+      ("logRank",
+        () => EventAnalytics.logRank(wide, col("t"), col("ev"),
+          pmod(col("t"), lit(2L)) === 0L).collect()),
+      ("weightedLogRank",
+        () => EventAnalytics.weightedLogRank(wide, col("t"), col("ev"),
+          pmod(col("t"), lit(2L)) === 0L).collect()),
+      // the derived curves inherit the gate through kaplanMeier/kmGreenwood
+      ("kaplanMeier",
+        () => EventAnalytics.restrictedMeanSurvival(wide, col("t"), col("ev"),
+          tau = 1000L).collect()),
+      ("kmGreenwood",
+        () => EventAnalytics.kmMedianSurvival(wide, col("t"), col("ev"))
+          .collect()))
+    for ((op, run) <- cases) {
+      val ex = intercept[Exception] { run() }
+      val msg = deep(ex)
+      assert(msg.contains("distinct durations exceed") && msg.contains(op),
+        s"$op: expected the duration-cardinality raise, got: $msg")
+    }
+  }
+
   test("nelsonAalen: additive hazard accumulates d/n; censoring shrinks risk only") {
     import spark.implicits._
     // (1,E) (1,C) (2,E) (3,C): t1 term 1/4 (var 1/16), t2 at-risk 2 term

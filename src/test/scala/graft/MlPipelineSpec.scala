@@ -92,6 +92,20 @@ class MlPipelineSpec extends SparkSpec {
     assert(!out.contains((1L, "a")) && !out.contains((1L, "b")))
   }
 
+  test("recommendTopK: minSim prunes weak similarity edges before the " +
+    "neighbor rank; default 0 keeps them") {
+    // same fixture as above: sim(a,b) = 0.816497, sim(b,c) = 0.577350;
+    // a 0.7 floor kills the (b,c) edge, so u1 loses its only candidate
+    // while u3's a-via-b recommendation (0.816497) survives untouched
+    val b = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "b"), (3L, "c"))
+      .toDF("u", "i")
+    val out = EventAnalytics.recommendTopK(b, "u", "i", k = 2, minUsers = 1L,
+        minSim = 0.7)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getDouble(2), r.getInt(3))).toMap
+    assert(out == Map((3L, "a") -> (0.816497, 1)), s"minSim output: $out")
+  }
+
   test("recommendTopK: maxNeighbors prunes the similarity fan-out") {
     // star: item z co-occurs with a,b,c; with maxNeighbors=1 only the
     // strongest neighbor of each owned item can be recommended

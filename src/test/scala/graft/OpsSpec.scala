@@ -595,6 +595,23 @@ class OpsSpec extends SparkSpec {
     // AT the limit it still answers (identity guard): (6,6) dominates all
     assert(Ops.skyline(six, "x", "y", xDomainLimit = 6L).count() == 1)
   }
+
+  test("DomainGate: a COLUMN-FREE consumer (count) cannot prune the gate") {
+    // ColumnPruning drops every guarded projection under a count(lit(1))
+    // consumer; the raise-bearing filter leg must still fire (the round-14
+    // ADVICE latent bypass, closed round 15)
+    import org.apache.spark.sql.functions.{concat, lit}
+    def deep(t: Throwable): String =
+      if (t == null) "" else t.toString + "|" + deep(t.getCause)
+    val rel = spark.range(11L).select(col("id").as("v"))
+    val gated = graft.operators.DomainGate(rel, 10L, nv =>
+      concat(lit("test gate: "), nv.cast("string"), lit(" cells")))
+    val ex = intercept[Exception] { gated.count() }
+    assert(deep(ex).contains("test gate: 11 cells"), deep(ex))
+    // below the limit the count passes through untouched
+    val ok = graft.operators.DomainGate(rel, 11L, nv => lit("never"))
+    assert(ok.count() == 11L)
+  }
   test("saltedJoin: exactly the plain join, salt column gone") {
     import spark.implicits._
     // a hot key (1) with many probe rows, a dup build row for key 2

@@ -453,6 +453,47 @@ object ScaleStress {
     println(s"  probe user top-3: $powerTop (expect P1 via the (P0,P1) pair)")
     assert(powerTop == Seq("P1"), s"power-basket recommender broken: $powerTop")
 
+    // GROWTH LAW for the basket pair stage (round 15; q185's sf1 watch
+    // item — 5.3× at 10× data): the circulant design — M users, user u
+    // holds items {(u+j) mod M, j < B} — has exact closed forms: every
+    // item sits in B baskets; the item pair at circular distance d
+    // co-occurs in B−d baskets, so at minUsers=2 the similarity matrix
+    // is EXACTLY M·(B−2) rows and the pre-agg pair mass is M·C(B,2) —
+    // QUADRATIC in basket density B (until the maxBasket cap clamps it,
+    // the power-basket case above), LINEAR in users at fixed density.
+    // Running B=32 vs B=64 at the same M isolates the density term the
+    // sf1 bench conflates with corpus growth: 2× density ⇒ 4.06× pair
+    // mass by closed form; the recorded wall ratio is the measured law.
+    val mCirc = 20000L
+    def circulant(bsz: Int) = spark.range(mCirc).select(col("id").as("u"),
+        explode(sequence(lit(0), lit(bsz - 1))).as("j"))
+      .select(col("u"), pmod(col("u") + col("j"), lit(mCirc)).as("i"))
+    val cc32 = timed("cooccurrenceCosine circulant 20k users B=32 (9.9M pair rows)") {
+      graft.pipeline.EventAnalytics.cooccurrenceCosine(
+        circulant(32), "u", "i", minUsers = 2L).count()
+    }
+    assert(cc32 == mCirc * 30, s"circulant closed form B=32: $cc32")
+    val cc64 = timed("cooccurrenceCosine circulant 20k users B=64 (2x density, 40.3M pair rows)") {
+      graft.pipeline.EventAnalytics.cooccurrenceCosine(
+        circulant(64), "u", "i", minUsers = 2L).count()
+    }
+    assert(cc64 == mCirc * 62, s"circulant closed form B=64: $cc64")
+    // the full recommender on the B=32 circulant: user 0 owns {0..31};
+    // candidate 32 receives sim (32−d)/32 from owned 22..31 (d = 1..10 —
+    // exactly the maxNeighbors=20 two-sided window) → score
+    // Σ_{d=1..10}(32−d)/32 = 265/32 = 8.28125 EXACTLY (every /32 cosine
+    // is ≤5-decimal, so the 6dp round is lossless and the decimal sum
+    // exact); the left-edge mirror candidate 19999 ties and loses the
+    // item-asc tiebreak.
+    val rec32 = timed("recommendTopK circulant 20k users B=32") {
+      graft.pipeline.EventAnalytics.recommendTopK(
+          circulant(32), "u", "i", k = 1)
+        .filter(col("user") === 0L)
+        .select("item", "score").collect().head
+    }
+    assert(rec32.getLong(0) == 32L && rec32.getDouble(1) == 8.28125,
+      s"circulant recommender probe: $rec32")
+
     // Fellegi–Sunter weights over 10M labeled pairs, 3 fields: every count
     // rides ONE map-side-combinable aggregate — wall time is scan-bound,
     // state is a single stats row. Deterministic fixture: pair i is a

@@ -1731,13 +1731,61 @@ class StatsSpec extends SparkSpec {
       // round 14: the t-closeness sensitive vocabulary (its value rollup
       // both broadcasts and feeds a keyless cumulative window)
       ("tCloseness",
-        () => Stats.tCloseness(wideG, Seq("g"), col("v")).collect()))
+        () => Stats.tCloseness(wideG, Seq("g"), col("v")).collect()),
+      // round 15 enforcement sweep: the linear-rank / ECDF family whose
+      // keyless cumulative window over the distinct-value rollup was
+      // scaladoc-only ("bucket continuous values first") until now
+      ("ksTwoSample",
+        () => Stats.ksTwoSample(wideG, "g", "v", "0", "1").collect()),
+      ("cvmTwoSample",
+        () => Stats.cvmTwoSample(wideG, "g", "v", "0", "1").collect()),
+      ("brunnerMunzel",
+        () => Stats.brunnerMunzel(wideG, "g", "v", "0", "1").collect()),
+      ("spearman",
+        () => Stats.spearman(wide, col("v"), col("v")).collect()),
+      ("kruskalWallis",
+        () => Stats.kruskalWallis(wideG, col("g"), col("v")).collect()),
+      ("clesRankBiserial",
+        () => Stats.clesRankBiserial(wideG, "v", col("g") === "0").collect()),
+      ("cliffsDelta",
+        () => Stats.cliffsDelta(wideG, "v", col("g") === "0").collect()),
+      // +1 so the dropped zero diff doesn't land the count exactly AT 10^5
+      ("wilcoxonSignedRank",
+        () => Stats.wilcoxonSignedRank(wide, col("v") + 1.0).collect()),
+      ("jonckheereTerpstra",
+        () => Stats.jonckheereTerpstra(wideG, col("g"), col("v")).collect()),
+      ("ksExponential",
+        () => Stats.ksExponential(wide, col("v")).collect()))
     for ((op, run) <- cases) {
       val ex = intercept[Exception] { run() }
       val msg = deep(ex)
       assert(msg.contains("distinct value cells exceed") && msg.contains(op),
         s"$op: expected the cardinality raise, got: $msg")
     }
+    // quadeTest gates each unit's RANGE across conditions: 100001 units
+    // with ranges 1..100001 (complete two-condition design)
+    val qd = spark.range(100001L).select(col("id").as("u"))
+      .crossJoin(Seq("c1", "c2").toDF("c"))
+      .select(col("u"), col("c"),
+        when(col("c") === "c1", lit(0.0))
+          .otherwise((col("u") + 1L).cast("double")).as("v"))
+    val exQ = intercept[Exception] {
+      Stats.quadeTest(qd, col("u"), col("c"), col("v")).collect()
+    }
+    assert(deep(exQ).contains("distinct value cells exceed") &&
+      deep(exQ).contains("quadeTest"), deep(exQ))
+    // conoverSquaredRanks rides the gated twoSampleRankCells scaffold over
+    // the |v − med| deviation cells; squares make the fold around the
+    // median collision-sparse (i²+j² = 2m² has divisor-bounded solutions),
+    // so ~119999 of the 120001 deviations stay distinct — above the gate
+    val conv = spark.range(120001L).select(
+      when(col("id") < 2L, lit("b")).otherwise(lit("a")).as("g"),
+      (col("id") * col("id")).cast("double").as("v"))
+    val exC = intercept[Exception] {
+      Stats.conoverSquaredRanks(conv, "g", "v", "a", "b").collect()
+    }
+    assert(deep(exC).contains("distinct value cells exceed") &&
+      deep(exC).contains("twoSampleRankCells"), deep(exC))
     // just UNDER the gate the operators still answer (identity guard)
     val ok = spark.range(11L).select(col("id").cast("double").as("v"))
     assert(Stats.hodgesLehmann(ok, col("v")).collect().head.getLong(0) == 11L)
