@@ -1808,17 +1808,20 @@ object EventAnalytics {
           "survival rollup (the kaplanMeier duration-grain contract)")))
   }
 
-  /** The shared (duration)-grain event/censor rollup of the KM family,
-    * gated by [[gateDurationCells]] under the caller's name. */
+  /** The shared (duration)-grain event/censor rollup of the KM family —
+    * UNGATED. Callers gate the windowed path via [[gateDurationCells]]
+    * and compute their 1-row totals off THIS relation: a combinable
+    * count is safe at any cardinality, and reading it ungated avoids a
+    * second lazy re-evaluation of the gate's own count (the raise still
+    * fires — every output row flows through the gated window path). */
   private def survivalCells(df: DataFrame, durationCol: Column,
-                            eventCol: Column, op: String): DataFrame =
-    gateDurationCells(df.select(durationCol.cast("long").as("duration"),
+                            eventCol: Column): DataFrame =
+    df.select(durationCol.cast("long").as("duration"),
         eventCol.as("__e"))
       .filter(col("duration").isNotNull && col("duration") >= 0)
       .groupBy("duration")
       .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("n_events"),
-        sum(when(col("__e"), 0L).otherwise(1L)).as("n_censored")),
-      "n_events", op)
+        sum(when(col("__e"), 0L).otherwise(1L)).as("n_censored"))
 
   // ------------------------------------------- Kaplan-Meier product-limit
   /** Kaplan-Meier survival estimator with right-censoring — the
@@ -1845,8 +1848,9 @@ object EventAnalytics {
   def kaplanMeier(df: DataFrame, durationCol: Column,
                   eventCol: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val perT = survivalCells(df, durationCol, eventCol, "kaplanMeier")
-    val total = perT.agg(sum(col("n_events") + col("n_censored")).as("__N"))
+    val raw = survivalCells(df, durationCol, eventCol)
+    val perT = gateDurationCells(raw, "n_events", "kaplanMeier")
+    val total = raw.agg(sum(col("n_events") + col("n_censored")).as("__N"))
     val wPrev = Window.orderBy(col("duration"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.orderBy(col("duration"))
@@ -1892,8 +1896,9 @@ object EventAnalytics {
   def nelsonAalen(df: DataFrame, durationCol: Column,
                   eventCol: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val perT = survivalCells(df, durationCol, eventCol, "nelsonAalen")
-    val total = perT.agg(sum(col("n_events") + col("n_censored")).as("__N"))
+    val raw = survivalCells(df, durationCol, eventCol)
+    val perT = gateDurationCells(raw, "n_events", "nelsonAalen")
+    val total = raw.agg(sum(col("n_events") + col("n_censored")).as("__N"))
     val wPrev = Window.orderBy(col("duration"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.orderBy(col("duration"))
@@ -1933,8 +1938,9 @@ object EventAnalytics {
   def kmGreenwood(df: DataFrame, durationCol: Column,
                   eventCol: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val perT = survivalCells(df, durationCol, eventCol, "kmGreenwood")
-    val total = perT.agg(sum(col("n_events") + col("n_censored")).as("__N"))
+    val raw = survivalCells(df, durationCol, eventCol)
+    val perT = gateDurationCells(raw, "n_events", "kmGreenwood")
+    val total = raw.agg(sum(col("n_events") + col("n_censored")).as("__N"))
     val wPrev = Window.orderBy(col("duration"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.orderBy(col("duration"))
@@ -2023,11 +2029,14 @@ object EventAnalytics {
         causeCol.cast("long").as("__k"))
       .filter(col("duration").isNotNull && col("duration") >= 0 &&
         col("__k").isNotNull && col("__k") >= 0)
-    val perT = gateDurationCells(base.groupBy("duration")
+    val raw = base.groupBy("duration")
       .agg(count(lit(1)).as("__c"),
-        sum(when(col("__k") > 0, 1L).otherwise(0L)).as("__d")),
-      "__c", "cumulativeIncidence")
-    val total = perT.agg(sum(col("__c")).as("__N"))
+        sum(when(col("__k") > 0, 1L).otherwise(0L)).as("__d"))
+    val perT = gateDurationCells(raw, "__c", "cumulativeIncidence")
+    // 1-row totals read the UNGATED rollup (combinable at any
+    // cardinality; the windowed path stays gated — the survivalCells
+    // discipline)
+    val total = raw.agg(sum(col("__c")).as("__N"))
     val wPrev = Window.orderBy(col("duration"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val surv = perT.crossJoin(broadcast(total))
@@ -2189,17 +2198,17 @@ object EventAnalytics {
   def logRank(df: DataFrame, durationCol: Column, eventCol: Column,
               groupACol: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val perT = gateDurationCells(
-      df.select(durationCol.cast("long").as("duration"),
+    val raw = df.select(durationCol.cast("long").as("duration"),
         eventCol.as("__e"), groupACol.as("__a"))
       .filter(col("duration").isNotNull && col("duration") >= 0)
       .groupBy("duration")
       .agg(sum(when(col("__a") && col("__e"), 1L).otherwise(0L)).as("da"),
         sum(when(!col("__a") && col("__e"), 1L).otherwise(0L)).as("db"),
         sum(when(col("__a"), 1L).otherwise(0L)).as("ta"),
-        sum(when(!col("__a"), 1L).otherwise(0L)).as("tb")),
-      "da", "logRank")
-    val tot = perT.agg(sum(col("ta")).as("__NA"), sum(col("tb")).as("__NB"))
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("tb"))
+    val perT = gateDurationCells(raw, "da", "logRank")
+    // 1-row totals read the UNGATED rollup (the survivalCells discipline)
+    val tot = raw.agg(sum(col("ta")).as("__NA"), sum(col("tb")).as("__NB"))
     val wPrev = Window.orderBy(col("duration"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val risk = perT.crossJoin(broadcast(tot))
@@ -2501,17 +2510,17 @@ object EventAnalytics {
     import org.apache.spark.sql.types.DecimalType
     require(Set("gehan", "tarone-ware")(weighting),
       s"weighting must be gehan|tarone-ware: $weighting")
-    val perT = gateDurationCells(
-      df.select(durationCol.cast("long").as("duration"),
+    val raw = df.select(durationCol.cast("long").as("duration"),
         eventCol.as("__e"), groupACol.as("__a"))
       .filter(col("duration").isNotNull && col("duration") >= 0)
       .groupBy("duration")
       .agg(sum(when(col("__a") && col("__e"), 1L).otherwise(0L)).as("da"),
         sum(when(!col("__a") && col("__e"), 1L).otherwise(0L)).as("db"),
         sum(when(col("__a"), 1L).otherwise(0L)).as("ta"),
-        sum(when(!col("__a"), 1L).otherwise(0L)).as("tb")),
-      "da", "weightedLogRank")
-    val tot = perT.agg(sum(col("ta")).as("__NA"), sum(col("tb")).as("__NB"))
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("tb"))
+    val perT = gateDurationCells(raw, "da", "weightedLogRank")
+    // 1-row totals read the UNGATED rollup (the survivalCells discipline)
+    val tot = raw.agg(sum(col("ta")).as("__NA"), sum(col("tb")).as("__NB"))
     val wPrev = Window.orderBy(col("duration"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val risk = perT.crossJoin(broadcast(tot))

@@ -298,16 +298,19 @@ object Stats {
   def ksTwoSample(df: DataFrame, groupCol: String, valueCol: String,
                   a: String, b: String): DataFrame = {
     val v = col(valueCol)
-    val cells = gateValueCells(df.filter(col(groupCol).isin(a, b) && v.isNotNull)
+    val raw = df.filter(col(groupCol).isin(a, b) && v.isNotNull)
       .groupBy(v.as("__v"))
       .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb")),
-      "__ca", "ksTwoSample")
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val cells = gateValueCells(raw, "__ca", "ksTwoSample")
     val w = Window.orderBy(col("__v"))
     val cum = cells.select(
       sum(col("__ca")).over(w).as("__fa"),
       sum(col("__cb")).over(w).as("__fb"))
-    val tot = cells.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    // 1-row totals read the UNGATED rollup: a combinable sum is safe at
+    // any cardinality, and the windowed path stays gated — this avoids a
+    // second lazy re-evaluation of the gate's own count
+    val tot = raw.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
     cum.crossJoin(broadcast(tot))
       .agg(first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
         max(abs(col("__fa").cast("decimal(18,0)") * col("__nb") -
@@ -3017,9 +3020,8 @@ object Stats {
     val cells = df.filter(v.isNotNull)
       .groupBy(v.as("__v"), groupCol.as("__g"))
       .agg(count(lit(1)).as("__c"))
-    val vals = gateValueCells(
-        cells.groupBy("__v").agg(sum(col("__c")).as("__t")),
-        "__t", "kruskalWallis")
+    val rawVals = cells.groupBy("__v").agg(sum(col("__c")).as("__t"))
+    val vals = gateValueCells(rawVals, "__t", "kruskalWallis")
       .withColumn("__cum",
         coalesce(sum(col("__t")).over(Window.orderBy(col("__v"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -3036,7 +3038,10 @@ object Stats {
     // where non-ANSI Spark would wrap SILENTLY while the DuckDB oracle
     // errors loudly — decimal keeps both engines exact to t ≈ 10^12
     // (t³ < 10^38; the oracle accumulates the same term as HUGEINT)
-    val ties = vals.agg(sum(col("__t").cast(DecimalType(38, 0)) * col("__t") *
+    // the 1-row tie/total aggregate reads the UNGATED rollup (the
+    // ksTwoSample discipline — combinable at any cardinality; the rank
+    // window path above stays gated)
+    val ties = rawVals.agg(sum(col("__t").cast(DecimalType(38, 0)) * col("__t") *
         col("__t") - col("__t"))
       .as("__tsum"), sum(col("__t")).as("__N"))
     val nD = col("__N").cast("double")
@@ -4839,17 +4844,18 @@ object Stats {
     import org.apache.spark.sql.types.DecimalType
     val dt = DecimalType(38, 0)
     val v = col(valueCol)
-    val cells = gateValueCells(df.filter(col(groupCol).isin(a, b) && v.isNotNull)
+    val raw = df.filter(col(groupCol).isin(a, b) && v.isNotNull)
       .groupBy(v.as("__v"))
       .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb")),
-      "__ca", "cvmTwoSample")
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val cells = gateValueCells(raw, "__ca", "cvmTwoSample")
     val wRun = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = cells
       .withColumn("__fa", sum(col("__ca")).over(wRun))
       .withColumn("__fb", sum(col("__cb")).over(wRun))
-    val totals = cells.agg(sum(col("__ca")).as("n_a"),
+    // 1-row totals read the UNGATED rollup (the ksTwoSample discipline)
+    val totals = raw.agg(sum(col("__ca")).as("n_a"),
       sum(col("__cb")).as("n_b"))
     val term = (col("__ca") + col("__cb")).cast(dt) *
       (col("__fa").cast(dt) * col("n_b") -
@@ -5400,11 +5406,11 @@ object Stats {
     import org.apache.spark.sql.types.DecimalType
     val dm = DecimalType(38, 6)
     val v = col(valueCol)
-    val cells = gateValueCells(df.filter(col(groupCol).isin(a, b) && v.isNotNull)
+    val raw = df.filter(col(groupCol).isin(a, b) && v.isNotNull)
       .groupBy(v.as("__v"))
       .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb")),
-      "__ca", "brunnerMunzel")
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val cells = gateValueCells(raw, "__ca", "brunnerMunzel")
     val wRun = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val t = col("__ca") + col("__cb")
@@ -5414,7 +5420,8 @@ object Stats {
         (sum(col("__ca")).over(wRun) * 2L - col("__ca") + 1L))
       .withColumn("__rb2",
         (sum(col("__cb")).over(wRun) * 2L - col("__cb") + 1L))
-    val sizes = cells.agg(sum(col("__ca")).as("n_a"),
+    // 1-row totals read the UNGATED rollup (the ksTwoSample discipline)
+    val sizes = raw.agg(sum(col("__ca")).as("n_a"),
       sum(col("__cb")).as("n_b"))
     val meanR = cum.agg(
       sum(col("__ca").cast(DecimalType(38, 0)) * col("__r2")).as("__sra2"),
@@ -5561,12 +5568,13 @@ object Stats {
       raise_error(concat(lit("ksExponential: negative value outside "),
         lit("the exponential's support: "), v0.cast("string"))))
       .otherwise(v0)
-    val cells = gateValueCells(df.filter(v0.isNotNull)
-      .groupBy(v.as("__v")).agg(count(lit(1)).as("__t")),
-      "__t", "ksExponential")
+    val raw = df.filter(v0.isNotNull)
+      .groupBy(v.as("__v")).agg(count(lit(1)).as("__t"))
+    val cells = gateValueCells(raw, "__t", "ksExponential")
     val wRun = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = cells.agg(sum(col("__t")).as("n"),
+    // 1-row totals read the UNGATED rollup (the ksTwoSample discipline)
+    val tot = raw.agg(sum(col("__t")).as("n"),
       sum((col("__v") * col("__t").cast("double")).cast("decimal(38,6)"))
         .cast("double").as("__sv"))
     val cum = cells.withColumn("__f", sum(col("__t")).over(wRun))
@@ -6792,13 +6800,16 @@ object Stats {
         valueCol.isNotNull)
       .select(groupCol.cast("string").as("__g"),
         valueCol.cast("double").as("__v"))
-    val cells = gateValueCells(base.groupBy("__v")
+    val raw = base.groupBy("__v")
       .agg(sum(when(col("__g") === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col("__g") === b, 1L).otherwise(0L)).as("__cb")),
-      "__ca", "twoSampleRankCells")
+        sum(when(col("__g") === b, 1L).otherwise(0L)).as("__cb"))
+    val cells = gateValueCells(raw, "__ca", "twoSampleRankCells")
     val wRun = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = cells.agg(sum(col("__ca")).as("__na"),
+    // 1-row totals read the UNGATED rollup: combinable at any
+    // cardinality, and the windowed path stays gated — avoids a second
+    // lazy re-evaluation of the gate's own count
+    val tot = raw.agg(sum(col("__ca")).as("__na"),
       sum(col("__cb")).as("__nb"))
     cells
       .withColumn("__f", sum(col("__ca") + col("__cb")).over(wRun))

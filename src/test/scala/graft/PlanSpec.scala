@@ -1036,9 +1036,17 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q362_logrank")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
     // every nested-loop join is a 1-row scalar broadcast: the fixture's
-    // max-day anchor, the operator's per-group totals — never a data join
-    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 3,
+    // max-day anchor, the operator's per-group totals, and (round 15)
+    // the gateDurationCells __nv count — which, being a LAZY gate (the
+    // documented DomainGate trade), re-broadcasts once per consumer of
+    // the gated rollup. Still never a data join: each build side is one
+    // aggregate row.
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 8,
       s"beyond the scalar broadcasts:\n$p")
+    // the duration-cardinality gate must be IN the plan (enforced, not
+    // scaladoc): the raise names the operator
+    assert(p.contains("logRank: ") && p.contains("distinct durations exceed"),
+      s"duration gate missing from the plan:\n$p")
     assert(p.contains("windowspecdefinition(duration"),
       s"risk-set windows must run on the duration grain:\n$p")
   }

@@ -463,7 +463,10 @@ object ScaleStress {
     // the power-basket case above), LINEAR in users at fixed density.
     // Running B=32 vs B=64 at the same M isolates the density term the
     // sf1 bench conflates with corpus growth: 2× density ⇒ 4.06× pair
-    // mass by closed form; the recorded wall ratio is the measured law.
+    // mass by closed form (the asserted counts below ARE the law). The
+    // recorded walls show the 40M-row pair stage still costs ~seconds on
+    // local[32] — at this size it is scan/JIT-dominated, so wall ratios
+    // here bound the constant factor, not the exponent.
     val mCirc = 20000L
     def circulant(bsz: Int) = spark.range(mCirc).select(col("id").as("u"),
         explode(sequence(lit(0), lit(bsz - 1))).as("j"))
