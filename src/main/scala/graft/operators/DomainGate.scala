@@ -29,8 +29,15 @@ import org.apache.spark.sql.functions._
   * message naming the operator and the bucket/round remedy (the
   * kaplanMeier duration-grain discipline). */
 private[graft] object DomainGate {
-  def apply(rel: DataFrame, limit: Long, msg: Column => Column): DataFrame = {
-    val nv = rel.agg(count(lit(1)).as("__nv"))
+  def apply(rel: DataFrame, limit: Long, msg: Column => Column): DataFrame =
+    apply(rel, rel.agg(count(lit(1)).as("__nv")), limit, msg)
+
+  /** Variant with a caller-supplied ONE-ROW count relation carrying the
+    * offending measure as `__nv` — e.g. the LARGEST single group's cell
+    * count for group-keyed cumulative windows, where the bound that
+    * matters is per-partition concentration, not the total. */
+  def apply(rel: DataFrame, nv: DataFrame, limit: Long,
+            msg: Column => Column): DataFrame = {
     val guard: String => Column = c => when(col("__nv") > limit,
       raise_error(msg(col("__nv")))).otherwise(col(c)).as(c)
     rel.crossJoin(broadcast(nv))

@@ -739,17 +739,20 @@ object Stats {
     * task. For continuous scores at corpus scale pass `scoreRound` —
     * rounding to d decimals bounds distinct scores (≤ span·10^d) and is
     * the standard AUC-on-binned-scores estimate; exact when scores
-    * already carry ≤ d decimals. */
+    * already carry ≤ d decimals. ENFORCED (round 15): a group whose
+    * distinct-score count exceeds 10⁵ RAISES via
+    * [[gateGroupValueCells]] naming the scoreRound remedy. */
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: Column,
              groupCols: Seq[String],
              scoreRound: Option[Int] = None): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     val g = groupCols.map(col)
     val s = scoreRound.map(d => round(col(scoreCol), d)).getOrElse(col(scoreCol))
-    val perScore = df
+    val perScore = gateGroupValueCells(df
       .groupBy(g :+ s.as("__s"): _*)
       .agg(sum(when(labelCol, 1L).otherwise(0L)).as("__np"),
-        sum(when(labelCol, 0L).otherwise(1L)).as("__nn"))
+        sum(when(labelCol, 0L).otherwise(1L)).as("__nn")),
+      g, "rocAuc")
     val w = Window.partitionBy(g: _*).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     perScore
@@ -2385,16 +2388,18 @@ object Stats {
     *
     * Cardinality contract (the rocAuc discipline): the per-group window
     * runs over DISTINCT values — bound continuous metrics by rounding
-    * before calling. Returns groupCols + (n1, n2, u1, z). */
+    * before calling (ENFORCED: a group above 10⁵ distinct values RAISES
+    * via [[gateGroupValueCells]]). Returns groupCols + (n1, n2, u1, z). */
   def mannWhitney(df: DataFrame, valueCol: String, sampleCol: Column,
                   groupCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(groupCols.nonEmpty, "at least one group column")
     val g = groupCols.map(col)
-    val perVal = df
+    val perVal = gateGroupValueCells(df
       .groupBy(g :+ col(valueCol).as("__v"): _*)
       .agg(sum(when(sampleCol, 1L).otherwise(0L)).as("__n1"),
-        sum(when(sampleCol, 0L).otherwise(1L)).as("__n2"))
+        sum(when(sampleCol, 0L).otherwise(1L)).as("__n2")),
+      g, "mannWhitney")
     val w = Window.partitionBy(g: _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val agg = perVal
@@ -5904,6 +5909,26 @@ object Stats {
         lit(s" distinct value cells exceed $limit — bucket or round " +
           "the values to a bounded grain first (the kaplanMeier " +
           "duration-grain contract)")))
+  }
+
+  /** Per-GROUP sibling of [[gateValueCells]] for GROUP-KEYED cumulative
+    * windows over (group, value) rollups ([[rocAuc]], [[mannWhitney]]):
+    * partitioning bounds nothing when ONE group's score column is
+    * continuous — that group's cells all land in one window task. The
+    * offending measure is therefore the LARGEST single group's cell
+    * count (two combinable aggregates: count per group, then max),
+    * raised through the shared [[graft.operators.DomainGate]] mechanism
+    * with a message naming the rounding remedy. */
+  private def gateGroupValueCells(cells: DataFrame, groupCols: Seq[Column],
+                                  op: String,
+                                  limit: Long = 100000L): DataFrame = {
+    val nv = cells.groupBy(groupCols: _*).agg(count(lit(1)).as("__gc"))
+      .agg(max(col("__gc")).as("__nv"))
+    graft.operators.DomainGate(cells, nv, limit, n =>
+      concat(lit(s"$op: largest group has "), n.cast("string"),
+        lit(s" distinct value cells, exceeding $limit — round/bucket " +
+          "the score to a bounded grain first (rocAuc's scoreRound " +
+          "discipline)")))
   }
 
   // ------------------------------------------------ Qn scale estimator

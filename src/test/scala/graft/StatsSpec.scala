@@ -1762,6 +1762,26 @@ class StatsSpec extends SparkSpec {
       assert(msg.contains("distinct value cells exceed") && msg.contains(op),
         s"$op: expected the cardinality raise, got: $msg")
     }
+    // rocAuc/mannWhitney are GROUP-KEYED — partitioning bounds nothing
+    // when one group's score is continuous, so their gate measures the
+    // LARGEST single group's cell count (all 100001 cells in group "g")
+    val wideOneG = spark.range(100001L).select(lit("g").as("grp"),
+      col("id").cast("double").as("v"),
+      (pmod(col("id"), lit(2L)) === 0L).as("lab"))
+    val exAuc = intercept[Exception] {
+      Stats.rocAuc(wideOneG, "v", col("lab"), Seq("grp")).collect()
+    }
+    assert(deep(exAuc).contains("largest group has") &&
+      deep(exAuc).contains("rocAuc"), deep(exAuc))
+    val exMw = intercept[Exception] {
+      Stats.mannWhitney(wideOneG, "v", col("lab"), Seq("grp")).collect()
+    }
+    assert(deep(exMw).contains("largest group has") &&
+      deep(exMw).contains("mannWhitney"), deep(exMw))
+    // rocAuc's own documented remedy keeps it answering: scoreRound
+    // collapses the continuous scores to a bounded grain
+    assert(Stats.rocAuc(wideOneG, "v", col("lab"), Seq("grp"),
+      scoreRound = Some(-3)).collect().length == 1)
     // quadeTest gates each unit's RANGE across conditions: 100001 units
     // with ranges 1..100001 (complete two-condition design)
     val qd = spark.range(100001L).select(col("id").as("u"))
