@@ -3258,7 +3258,8 @@ object Stats {
     * integer counts — no ln, no libm exposure. Candidate thresholds are
     * the DISTINCT feature values (bucket continuous features first — the
     * rocAuc discipline: the rollup must be vocabulary-sized, and the
-    * bucketing grain is part of the result's meaning); cumulative
+    * bucketing grain is part of the result's meaning; ENFORCED: above
+    * 10⁵ distinct values [[gateValueCells]] RAISES); cumulative
     * left-counts come from one running window over that rollup; gain
     * rounds 6dp BEFORE the argmax election (threshold ASC tiebreak) so
     * the winner is engine-identical. The all-left split (t = max x) is
@@ -3270,10 +3271,11 @@ object Stats {
   def decisionStump(df: DataFrame, featureCol: Column,
                     labelCol: Column): DataFrame = {
     val x = featureCol.cast("double")
-    val cells = df.filter(x.isNotNull)
+    val raw = df.filter(x.isNotNull)
       .groupBy(x.as("__x"))
       .agg(count(lit(1)).as("__n"),
         sum(when(labelCol, 1L).otherwise(0L)).as("__p"))
+    val cells = gateValueCells(raw, "__n", "decisionStump")
     val wRun = Window.orderBy(col("__x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // totals come from a FULL-frame window over the same vocabulary-sized
@@ -3307,8 +3309,10 @@ object Stats {
       .filter(col("__r") === 1).drop("__r")
     // the documented one-row contract survives the no-valid-split
     // degenerate: a totals row with null threshold/gain loses the
-    // priority election to any real candidate (union + TakeOrdered(1))
-    val fallback = cells.agg(
+    // priority election to any real candidate (union + TakeOrdered(1)).
+    // Totals read the UNGATED rollup (combinable at any cardinality —
+    // the ksTwoSample discipline; the window path above stays gated)
+    val fallback = raw.agg(
         coalesce(sum(col("__n")), lit(0L)).as("n"),
         coalesce(sum(col("__p")), lit(0L)).as("n_pos"))
       .select(col("n"), col("n_pos"),
@@ -3599,7 +3603,8 @@ object Stats {
     * DETERMINISM AND SCALE — the rocAuc discipline taken to TWO axes:
     * everything computes on the (x, y) CELL rollup, never the rows, so
     * both vocabularies must be bounded (bucket continuous values first —
-    * the grain is part of the result's meaning). C and D come from the
+    * the grain is part of the result's meaning; ENFORCED: above 10⁵
+    * (x, y) cells [[gateValueCells]] RAISES). C and D come from the
     * cell-PAIR relation — a broadcast inequality self-join of the
     * vocabulary-sized cell relation, O(V²) work INDEPENDENT of N (the
     * one documented nested-loop join here; it never touches row counts).
@@ -3610,10 +3615,14 @@ object Stats {
   def kendallTau(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dt = DecimalType(38, 0)
-    val cells = df.select(xCol.cast("double").as("__x"),
+    val raw = df.select(xCol.cast("double").as("__x"),
         yCol.cast("double").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
       .groupBy("__x", "__y").agg(count(lit(1)).as("__c"))
+    // BOTH pair-join sides ride the gated relation: an unbounded cell
+    // vocabulary would otherwise OOM the broadcast build before the
+    // O(V²) comparisons even start (the qnScale discipline)
+    val cells = gateValueCells(raw, "__c", "kendallTau")
     val a = cells.select(col("__x").as("xa"), col("__y").as("ya"),
       col("__c").as("ca"))
     val b = cells.select(col("__x").as("xb"), col("__y").as("yb"),
@@ -3629,8 +3638,10 @@ object Stats {
       sum(when((col("xb") - col("xa")) * (col("yb") - col("ya")) < 0.0, mass)
         .otherwise(lit(0).cast(dt))).as("__disc"))
     // tie masses accumulate DOUBLED (t·(t−1), always even) in DECIMAL and
-    // halve once in double — decimal division would inflate the scale
-    def tiePairs(c: String) = cells.groupBy(col(c)).agg(sum(col("__c")).as("__t"))
+    // halve once in double — decimal division would inflate the scale.
+    // These 1-row aggregates read the UNGATED rollup (combinable at any
+    // cardinality — the ksTwoSample discipline; the pair join is gated)
+    def tiePairs(c: String) = raw.groupBy(col(c)).agg(sum(col("__c")).as("__t"))
       .agg(sum(col("__t").cast(dt) * (col("__t") - 1L)).as("__p2"),
         sum(col("__t")).as("__n"))
     val tx = tiePairs("__x").select(col("__p2").as("__n1x2"), col("__n").as("n"))
@@ -4458,7 +4469,8 @@ object Stats {
     *
     * DETERMINISM AND SCALE — the [[kendallTau]] two-axis discipline:
     * everything computes on the (duration, event, score) CELL rollup
-    * (both vocabularies bounded — bucket continuous scores first), pair
+    * (both vocabularies bounded — bucket continuous scores first;
+    * ENFORCED: above 10⁵ cells [[gateValueCells]] RAISES), pair
     * masses via the broadcast inequality self-join of the cell relation
     * (O(V²), N-independent), DECIMAL(38,0)-exact products, one IEEE
     * finish, 6dp. Returns one row:
@@ -4468,11 +4480,14 @@ object Stats {
                scoreCol: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dt = DecimalType(38, 0)
-    val cells = df.select(durationCol.cast("long").as("__t"),
+    val raw = df.select(durationCol.cast("long").as("__t"),
         eventCol.as("__e"), scoreCol.cast("double").as("__s"))
       .filter(col("__t").isNotNull && col("__s").isNotNull)
       .groupBy("__t", "__e", "__s").agg(count(lit(1)).as("__c"))
-    val n = cells.agg(sum(col("__c")).as("n"))
+    // both pair-join sides ride the gated relation (the kendallTau /
+    // qnScale discipline); the 1-row total reads the ungated rollup
+    val cells = gateValueCells(raw, "__c", "harrellC")
+    val n = raw.agg(sum(col("__c")).as("n"))
     val a = cells.select(col("__t").as("ta"), col("__e").as("ea"),
       col("__s").as("sa"), col("__c").as("ca"))
     val b = cells.select(col("__t").as("tb"), col("__e").as("eb"),

@@ -1755,7 +1755,17 @@ class StatsSpec extends SparkSpec {
       ("jonckheereTerpstra",
         () => Stats.jonckheereTerpstra(wideG, col("g"), col("v")).collect()),
       ("ksExponential",
-        () => Stats.ksExponential(wide, col("v")).collect()))
+        () => Stats.ksExponential(wide, col("v")).collect()),
+      // the V²-broadcast pair-join class (the qnScale shape) and the
+      // stump's keyless gain windows — caught in the round-15 sweep's
+      // own follow-up audit, same gate
+      ("kendallTau",
+        () => Stats.kendallTau(wide, col("v"), col("v")).collect()),
+      ("harrellC",
+        () => Stats.harrellC(wide, col("v"), lit(true), col("v")).collect()),
+      ("decisionStump",
+        () => Stats.decisionStump(wide, col("v"),
+          pmod(col("v").cast("long"), lit(2L)) === 0L).collect()))
     for ((op, run) <- cases) {
       val ex = intercept[Exception] { run() }
       val msg = deep(ex)
