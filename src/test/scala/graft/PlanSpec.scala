@@ -918,9 +918,15 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q381_decision_stump")
     assert(p.contains("windowspecdefinition(__x"),
       s"expected value-ordered windows:\n$p")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      s"stump must be join-free:\n$p")
+    // round 15: the only nested-loop joins allowed are the cardinality
+    // gate's ONE-ROW count broadcasts (gateValueCells; lazy, so one per
+    // consumer of the gated rollup) — never a data join
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 3,
+      s"beyond the gate's scalar broadcasts:\n$p")
+    assert(p.contains("decisionStump: ") &&
+      p.contains("distinct value cells exceed"),
+      s"value-cell gate missing from the plan:\n$p")
     val aggIdx = p.linesIterator.indexWhere(l =>
       l.contains("HashAggregate") && l.contains("__x"))
     val winIdx = p.linesIterator.indexWhere(_.contains("Window"))
