@@ -111,6 +111,100 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** md5-seeded MinHash signature in ONE eval — the oracle-replayable q30
+  * path's kernel (round-15 optimization): sig_i = min over shingles g of
+  * the first 60 bits of md5("mh{i}|" ++ g). Byte-exact mirror of the
+  * composed form `array((0 until n).map(i => array_min(transform(sh, g =>
+  * conv(substring(md5(concat(lit("mh{i}|"), g)), 1, 15), 16, 10)
+  * .cast(long)))))` — the first 15 hex nibbles of an md5 are the
+  * big-endian first 8 digest bytes shifted right 4 — which ran
+  * numHashes interpreted `transform` lambdas per row, each re-evaluating
+  * concat + hex rendering + string base-16 parse per element (measured:
+  * the whole cost of q30). One MessageDigest instance serves every
+  * (shingle, seed) pair; salts are prebuilt bytes. Empty input arrays
+  * yield all-null signatures exactly like array_min over an empty array.
+  * Kernel/composed equality is fuzz-pinned in SketchExprsSpec. */
+case class Md5MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(numHashes > 0 && numHashes <= 512)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  @transient private lazy val salts: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(i =>
+      s"mh$i|".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](numHashes)) // array_min(empty) = null, per hash
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = new Array[Byte](16)
+    var j = 0
+    while (j < n) {
+      val bytes = arr.getUTF8String(j).getBytes
+      var i = 0
+      while (i < numHashes) {
+        md.update(salts(i))
+        md.update(bytes)
+        md.digest(dig, 0, 16)
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (dig(b) & 0xFFL); b += 1 }
+        h >>>= 4 // first 15 hex nibbles = top 60 bits
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5MinHashSignature =
+    copy(child = c)
+  override def prettyName: String = "md5_minhash_signature"
+}
+
+/** First-60-bits-of-md5 per array element in ONE eval — the kernel behind
+  * every per-token `transform(arr, t => md5h60(t))` (q29's simhash tokens,
+  * rolling fingerprints): byte-exact mirror of
+  * `conv(substring(md5(t), 1, 15), 16, 10).cast(long)` element-wise, with
+  * null elements passing through as null (md5(null) = null). One
+  * MessageDigest instance per eval instead of an interpreted
+  * concat/hex/parse chain per element. Fuzz-pinned in SketchExprsSpec. */
+case class Md5H60Array(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = new Array[Byte](16)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        md.update(arr.getUTF8String(j).getBytes)
+        md.digest(dig, 0, 16)
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (dig(b) & 0xFFL); b += 1 }
+        out(j) = h >>> 4
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5H60Array =
+    copy(child = c)
+  override def prettyName: String = "md5_h60_array"
+}
+
 /** Distinct word n-gram shingles in one pass (tokenize, lowercase, slide,
   * dedupe). The composed form (`split` + `transform`/`slice`/`concat_ws` +
   * `array_distinct`) builds hundreds of interpreted expression nodes per
@@ -223,6 +317,14 @@ object SketchExprs {
   /** pairs: array<struct<h1:long, h2:long>> (Dedup.shingleHashPairs). */
   def minhashSignature(pairs: Column, numHashes: Int): Column =
     column(MinHashSignature(expression(pairs), numHashes))
+
+  /** shingles: array<string>; md5-seeded oracle-replayable signature. */
+  def md5MinhashSignature(shingles: Column, numHashes: Int): Column =
+    column(Md5MinHashSignature(expression(shingles), numHashes))
+
+  /** tokens: array<string> -> array<long> of 60-bit md5 prefixes. */
+  def md5H60Array(tokens: Column): Column =
+    column(Md5H60Array(expression(tokens)))
 
   /** tokenHashes: array<long>. */
   def simhash64(tokenHashes: Column): Column =

@@ -21,6 +21,31 @@ import org.apache.spark.sql.types._
   */
 object Ops {
 
+  /** Starved-scan fanout for operators whose MAP-SIDE work dominates
+    * (optimization guide §2.5, "input skew: one huge unsplittable file ...
+    * repartition immediately after the read"): the driver's testdata ships
+    * each table as one single-row-group parquet file, so Spark plans
+    * exactly one scan task and the operator's per-row work (wide decimal
+    * partial aggregation, hashing, shingling) serializes on one core. When
+    * the input plans fewer partitions than half the session's cores, fan
+    * rows out round-robin so that work parallelizes. Deliberately NOT a
+    * blanket Tables seam: an exchange before a strongly-reducing aggregate
+    * ships raw rows where map-side combine would have shipped group rows
+    * (guide §2.3, "aggregate before you shuffle" — measured 0.9 → 4.3 s
+    * on q01), so only operators whose measured map cost exceeds the
+    * exchange opt in. Scale-adaptive: a production multi-file table plans
+    * >= cores/2 splits and passes through untouched;
+    * `spark.graft.scan.fanout=false` disables the seam. */
+  private[graft] def fanoutScan(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val enabled =
+      spark.conf.getOption("spark.graft.scan.fanout").forall(_.toBoolean)
+    if (!enabled || cores < 4) df
+    else if (df.rdd.getNumPartitions * 2 >= cores) df
+    else df.repartition(cores)
+  }
+
   // ---------------------------------------------------------------- P1: cut
   /** Select or exclude columns; `prune` drops rows left all-null.
     * Reference: process.cut, meza/process.py:901-934 (dfilter fntools.py:589-614). */
@@ -891,7 +916,12 @@ object Ops {
     require(cols.distinct.size == cols.size, "duplicate columns")
     val dec = DecimalType(38, 6)
     def d(c: String) = col(c).cast("double")
-    val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    // project to the correlated columns BEFORE the fanout exchange (guide
+    // §2.3), then parallelize the 1 + k + k(k+1)/2 decimal partial
+    // aggregates — the whole cost of this operator is map-side
+    val complete = fanoutScan(
+      df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+        .select(cols.map(col): _*))
     val pairIdx = for (i <- cols.indices; j <- i until cols.size) yield (i, j)
     val aggs = count(lit(1)).cast("double").as("__n") +:
       (cols.map(c => sum(d(c).cast(dec)).cast("double").as(s"__s_$c")) ++

@@ -180,11 +180,14 @@ object Dedup {
     val reps0 = base.groupBy(col("fp"))
       .agg(min(col("id")).as("rid"), first(col("sh")).as("sh"))
     // md5-seeded mode: numHashes independent salted md5 minima (the q371
-    // signature, oracle-replayable); production: the native KM kernel
+    // signature, oracle-replayable) through the native kernel — the
+    // composed transform/array_min form ran 64 interpreted lambdas per
+    // row re-rendering hex + parsing base-16 per shingle (measured: the
+    // whole cost of q30); production: the native KM kernel
     val sigs =
       if (cfg.md5Seeded) reps0.select(col("fp"), col("rid"),
-        array((0 until cfg.numHashes).map(i => array_min(transform(
-          col("sh"), g => md5h60(concat(lit(s"mh$i|"), g))))): _*).as("sig"))
+        graft.functions.SketchExprs.md5MinhashSignature(col("sh"),
+          cfg.numHashes).as("sig"))
       else reps0.withColumn("hp", shingleHashPairs(col("sh")))
         .select(col("fp"), col("rid"),
           graft.functions.SketchExprs.minhashSignature(col("hp"),
@@ -259,10 +262,14 @@ object Dedup {
     * md5Seeded folds 60-bit md5 token hashes instead (the q29 replayable
     * form — same native fold kernel, oracle-reproducible hashes). */
   private[graft] def simhashSig(text: Column,
-                                md5Seeded: Boolean = false): Column =
+                                md5Seeded: Boolean = false): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
     graft.functions.SketchExprs.simhash64(
-      transform(split(trim(lower(text)), "\\s+"),
-        t => if (md5Seeded) md5h60(t) else xxhash64(t)))
+      // md5-seeded: the native per-array kernel (one MessageDigest pass)
+      // instead of an interpreted per-token md5h60 transform lambda
+      if (md5Seeded) graft.functions.SketchExprs.md5H60Array(toks)
+      else transform(toks, t => xxhash64(t)))
+  }
 
   /** The 4x16-bit (band, bucket) structs of a simhash — shared banding. */
   private[graft] def simhashBandArray(sh: Column): Column =

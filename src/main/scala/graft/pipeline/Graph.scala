@@ -41,7 +41,10 @@ object Graph {
       .union(e0.select(col("dst").as("node"))).distinct()
     val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
     // hoist the static deg join out of the loop: each round joins ranks
-    // against ONE pre-joined (src, dst, deg) relation
+    // against ONE pre-joined (src, dst, deg) relation. (r15 A/B note: a
+    // repartition(src) before this cut measured SLOWER — the per-round
+    // e-exchanges already collapse to one ReusedExchange, so pre-
+    // partitioning only added an exchange: 5.5 -> 7.0 s on q136.)
     val e = cut(e0.join(deg, Seq("src")))
     // one scalar row: N and the teleport term (3*10^12) div (20*N)
     val n = nodes.agg(count(lit(1)).as("__n"))
@@ -56,7 +59,15 @@ object Graph {
         .join(e, rank("node") === e("src"))
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("__in"))
-      rank = rank.select(col("node"))
+      // spine = the STATIC node relation, not rank_prev (r15 optimization,
+      // guide §7.2 "duplicated subtrees"): every round's rank covers
+      // exactly the `nodes` set (the left join keeps all spine rows), but
+      // a rank_prev spine makes each round's plan reference rank_prev
+      // TWICE (contrib + spine), duplicating the un-exchanged tail of
+      // every earlier round's join 2^rounds times. A static spine keeps
+      // rank_prev referenced once — the plan is linear in `iters`
+      // (measured 5.5 -> 2.9 s on q136 at iters=3).
+      rank = nodes
         .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
         .crossJoin(broadcast(n))
         .select(col("node"),
@@ -113,7 +124,9 @@ object Graph {
         .join(e, rank("node") === e("src"))
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("__in"))
-      rank = rank.select(col("node"), col("__isSeed"))
+      // static spine (`flagged` covers every node with its seed flag, the
+      // exact row set of every round's rank) — see pageRank's spine note
+      rank = flagged
         .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
         .crossJoin(broadcast(n))
         .select(col("node"), col("__isSeed"),

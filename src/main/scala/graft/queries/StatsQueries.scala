@@ -742,13 +742,25 @@ object StatsQueries {
         "round(CAST(r AS DOUBLE) / 1000000000000.0, 6) AS rank FROM r3 " +
         "ORDER BY rank_micro DESC, node LIMIT 25"),
       (s, dir) => {
+        // r15 optimization: iterate on LONG node ids (customer -> 2k,
+        // supplier -> 2k+1 — disjoint, bijective) and render the oracle's
+        // "c<k>"/"s<k>" strings only on the final |V|-row output. Rank
+        // values are representation-independent (same edges, degrees,
+        // teleport), so results are bit-identical — the oracle SQL is
+        // untouched — while every per-round join/aggregate hashes and
+        // compares 8-byte longs instead of strings (guide §2.3, narrower
+        // types; measured 5.5 -> 3.4 s).
         val pairs = Tables.orders(s, dir)
           .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
         val edges = pairs.union(
           pairs.select(col("dst").as("src"), col("src").as("dst")))
         graft.pipeline.Graph.pageRank(edges, "src", "dst", iters = 3)
+          .select(concat(
+              when(pmod(col("node"), lit(2)) === 0, lit("c")).otherwise(lit("s")),
+              shiftright(col("node"), 1).cast("string")).as("node"),
+            col("rank_micro"), col("rank"))
           .orderBy(col("rank_micro").desc, col("node").asc).limit(25)
       }),
 
@@ -1637,17 +1649,25 @@ object StatsQueries {
         "ORDER BY rank_micro DESC, node LIMIT 25")
     },
       (s, dir) => {
+        // r15 optimization: LONG node ids through the iterate, oracle's
+        // "c<k>"/"s<k>" strings rendered on the final |V|-row output —
+        // the q136 encoding (rank values are representation-independent;
+        // oracle SQL untouched, hash-verified)
         val pairs = Tables.orders(s, dir)
           .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
         val edges = pairs.union(
           pairs.select(col("dst").as("src"), col("src").as("dst")))
         val seeds = Tables.customer(s, dir)
           .filter(col("c_nationkey") === 3)
-          .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+          .select((col("c_custkey") * 2).as("node"))
         graft.pipeline.Graph.personalizedPageRank(
             edges, "src", "dst", seeds, "node", iters = 3)
+          .select(concat(
+              when(pmod(col("node"), lit(2)) === 0, lit("c")).otherwise(lit("s")),
+              shiftright(col("node"), 1).cast("string")).as("node"),
+            col("rank_micro"), col("rank"))
           .orderBy(col("rank_micro").desc, col("node").asc).limit(25)
       }),
 

@@ -328,18 +328,19 @@ object TextQueries {
         "ORDER BY d.doc_id")
     },
       (s, dir) => {
-        def md5h60(c: org.apache.spark.sql.Column) =
-          conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        // 60-bit md5 prefixes through the native array kernel (round-15
+        // optimization) — the interpreted per-element
+        // conv(substring(md5 ...)) transform was the query's whole cost
         val norm = TA.normalized(col("text"))
         Tables.documents(s, dir).select(
           col("doc_id"),
           TA.fingerprint(col("text")).as("fp_md5"),
           graft.functions.SketchExprs.simhash64(
-            transform(split(trim(lower(col("text"))), "\\s+"), t => md5h60(t)))
-            .as("simhash_md5"),
-          array_min(transform(
+            graft.functions.SketchExprs.md5H60Array(
+              split(trim(lower(col("text"))), "\\s+"))).as("simhash_md5"),
+          array_min(graft.functions.SketchExprs.md5H60Array(transform(
             sequence(lit(1), greatest(length(norm) - 15, lit(1))),
-            i => md5h60(norm.substr(i, lit(16))))).as("rolling_fp_md5"))
+            i => norm.substr(i, lit(16))))).as("rolling_fp_md5"))
           .orderBy("doc_id")
       }),
 
@@ -1213,17 +1214,16 @@ object TextQueries {
         "ORDER BY id_a, id_b")
     },
       (s, dir) => {
-        def md5h60(c: org.apache.spark.sql.Column) =
-          conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-        // materialize the shingle array BEFORE the 16 positional mins
-        // (the q114 lesson: HOF lambdas are not codegen'd — an inline
-        // shingle expression would re-split the doc once per hash)
+        // materialize the shingle array BEFORE the signature (the q114
+        // lesson), then the 16 salted md5 minima through the native
+        // kernel (round-15 optimization — one MessageDigest pass instead
+        // of 16 interpreted transform/array_min lambdas)
         val d = Tables.documents(s, dir).select(col("doc_id"),
           Dedup.wordShingles(col("text"), 3).as("s"))
         val withSig = d.select(col("doc_id"), col("s"),
           array_min(col("s")).as("b"),
-          array((0 until 16).map(i => array_min(transform(col("s"),
-            g => md5h60(concat(lit(s"mh$i|"), g))))): _*).as("sig"))
+          graft.functions.SketchExprs.md5MinhashSignature(col("s"), 16)
+            .as("sig"))
         val est = round(
           size(filter(zip_with(col("a.sig"), col("b.sig"),
             (x, y) => x === y), p => p)).cast("double") / lit(16.0), 6)

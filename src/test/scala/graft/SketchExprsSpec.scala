@@ -29,6 +29,38 @@ class SketchExprsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("composed")).count() == 0)
   }
 
+  test("md5-seeded kernels equal the composed conv(substring(md5)) forms") {
+    def md5h60(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val docs = Tables.documents(spark, sf0001).limit(200)
+    // signature kernel vs the 64-lambda composed form (the r15 q30 kernel)
+    val sh = docs.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+    val badSig = sh.select(
+        SketchExprs.md5MinhashSignature(col("sh"), 8).as("k"),
+        array((0 until 8).map(i => array_min(transform(col("sh"),
+          g => md5h60(concat(lit(s"mh$i|"), g))))): _*).as("c"))
+      .filter(col("k") =!= col("c")).count()
+    assert(badSig == 0, "md5MinhashSignature diverges from composed form")
+    // per-token array kernel vs the per-element composed transform,
+    // including empty-string tokens and an empty array
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val badArr = docs.select(
+        SketchExprs.md5H60Array(toks).as("k"),
+        transform(toks, t => md5h60(t)).as("c"))
+      .filter(col("k") =!= col("c")).count()
+    assert(badArr == 0, "md5H60Array diverges from composed form")
+    val empty = Seq(Seq.empty[String], Seq("", "x")).toDF("a")
+    val badEmpty = empty.select(
+        SketchExprs.md5H60Array(col("a")).as("k"),
+        transform(col("a"), t => md5h60(t)).as("c"))
+      .filter(col("k") =!= col("c")).count()
+    assert(badEmpty == 0, "md5H60Array diverges on empty/degenerate arrays")
+    // empty shingle array: all-null signature, exactly like array_min(empty)
+    val emptySig = empty.filter(size(col("a")) === 0).select(
+      SketchExprs.md5MinhashSignature(col("a"), 4).as("k")).head()
+    assert(emptySig.getSeq[Any](0) == Seq(null, null, null, null))
+  }
+
   test("fuzz: kernels equal composed forms on adversarial strings") {
     // seeded nasty-string generator: whitespace runs (incl. tabs/newlines
     // that Spark's space-only trim does NOT strip), unicode, empties,
