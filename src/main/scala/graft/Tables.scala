@@ -77,6 +77,27 @@ object Tables {
         s"unsupported events.ts physical type: $other")
     }
   }
-  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+  /** documents/embeddings fan out at the loader (r15 optimization,
+    * guide §2.5 "one huge unsplittable file ... repartition immediately
+    * after the read"): both ship as single-row-group files, so every scan
+    * plans ONE task — and this tier's consumers (shingling, hashing,
+    * vector math, per-token transforms) are exactly the heavy-map shapes
+    * that serialize on it. The relations are small (5k docs / 2k
+    * vectors at sf0.1), so the round-robin exchange costs milliseconds —
+    * column pruning keeps it to the consumer's columns — while the map
+    * work gains the whole machine (q113 3.5 -> 0.7 s, q114 1.8 -> 0.7 s).
+    * The big fact tables (lineitem/orders/events) deliberately do NOT fan
+    * out here: their first operation is usually a strongly-reducing
+    * aggregate, where shipping raw rows violates "aggregate before you
+    * shuffle" (guide §2.3; measured q01 0.9 -> 4.3 s) — heavy-map
+    * operators over those opt in via Ops.fanoutScan. Scale-adaptive and
+    * conf-gated exactly like fanoutScan (no-op on multi-split scans). */
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Ops.fanoutScan(load(spark, sfDir, "documents"))
+  /** embeddings does NOT fan out: measured 1.7 -> 4.1 s on q47 (the LSH
+    * path's per-partition expression setup and collapse barriers lose
+    * more than the 2k-row map gains); vector operators that want the
+    * machine opt in via Ops.fanoutScan. */
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "embeddings")
 }

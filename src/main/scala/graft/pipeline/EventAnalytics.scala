@@ -701,8 +701,15 @@ object EventAnalytics {
           coalesce(col("__u").cast("string"), lit("")), lit("|"),
           coalesce(col("__ty").cast("string"), lit("")))).asc,
         col("__ty").isNull.asc, col("__ty").asc)
+      // exchange barrier ABOVE the window (r15 optimization, guide §2.4):
+      // the capped relation has three consumers (both self-join sides +
+      // the marginals), and a window is not an exchange — without the
+      // barrier each consumer re-ran the md5 draw + sort; with it they
+      // all read ONE reused u-keyed exchange, which is also exactly the
+      // partitioning the pair self-join needs
       b.withColumn("__br", row_number().over(w))
         .filter(col("__br") <= maxBasket).drop("__br")
+        .repartition(col("__u"))
     }
   }
 
@@ -1223,9 +1230,17 @@ object EventAnalytics {
       else simsAll)
       .select(col("item_a"), col("item_b"),
         col("cosine").cast("decimal(18,6)").as("__sim"))
-    // expand to both directions, keep each item's top `maxNeighbors`
-    val directed = sims.select(col("item_a").as("__i"), col("item_b").as("__j"), col("__sim"))
-      .unionByName(sims.select(col("item_b").as("__i"), col("item_a").as("__j"), col("__sim")))
+    // expand to both directions IN ONE PASS (r15 optimization): the union
+    // of two selects re-executed the whole pair aggregate per branch (its
+    // exchange was reused but the post-exchange final agg + marginal join
+    // ran twice — one full read of the pair shuffle each); explode reads
+    // it once and doubles rows in-task
+    val directed = sims.select(explode(array(
+        struct(col("item_a").as("__i"), col("item_b").as("__j"), col("__sim")),
+        struct(col("item_b").as("__i"), col("item_a").as("__j"), col("__sim"))))
+        .as("__d"))
+      .select(col("__d.__i").as("__i"), col("__d.__j").as("__j"),
+        col("__d.__sim").as("__sim"))
     val wNbr = Window.partitionBy(col("__i"))
       .orderBy(col("__sim").desc, col("__j").asc)
     val nbrs = directed.withColumn("__r", row_number().over(wNbr))

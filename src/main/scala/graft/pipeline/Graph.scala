@@ -44,7 +44,9 @@ object Graph {
     // against ONE pre-joined (src, dst, deg) relation. (r15 A/B note: a
     // repartition(src) before this cut measured SLOWER — the per-round
     // e-exchanges already collapse to one ReusedExchange, so pre-
-    // partitioning only added an exchange: 5.5 -> 7.0 s on q136.)
+    // partitioning only added an exchange: 5.5 -> 7.0 s on q136; dropping
+    // e0's eager cut also measured slower — its four consumers re-ran the
+    // distinct's post-exchange agg: 3.2 -> 7.3 s.)
     val e = cut(e0.join(deg, Seq("src")))
     // one scalar row: N and the teleport term (3*10^12) div (20*N)
     val n = nodes.agg(count(lit(1)).as("__n"))

@@ -444,7 +444,11 @@ object TextAnalysis {
     val pairs = when(length(s) >= 2,
       transform(sequence(lit(1), length(s) - 1), i => s.substr(i, lit(2))))
       .otherwise(array())
-    docs.select(lower(col(textCol)).as("__s"))
+    // fan the projected text out before the O(len) per-row transform —
+    // a single-row-group scan plans one task (guide §2.5; r15, see
+    // Ops.fanoutScan); the pair aggregate reduces to alphabet² AFTER the
+    // heavy map work, so the early exchange ships only the text column
+    graft.operators.Ops.fanoutScan(docs.select(lower(col(textCol)).as("__s")))
       .select(explode(pairs).as("pair"))
       .filter(!col("pair").contains(" ") && length(col("pair")) === 2)
       .groupBy("pair").agg(count(lit(1)).as("n"))
@@ -473,7 +477,9 @@ object TextAnalysis {
           struct(element_at(toks, i).as("center"),
             element_at(toks, i + o).as("context")))),
         p => p.isNotNull)))
-    docs.select(tokens(col(textCol)).as("__t"))
+    // fanout before the O(n·window) interpreted pair transform (r15, see
+    // bytePairCounts note)
+    graft.operators.Ops.fanoutScan(docs.select(tokens(col(textCol)).as("__t")))
       .select(explode(pairs).as("p"))
       .select(col("p.center").as("center"), col("p.context").as("context"))
       .groupBy("center", "context").agg(count(lit(1)).as("n"))

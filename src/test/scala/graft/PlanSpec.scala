@@ -76,11 +76,14 @@ class PlanSpec extends SparkSpec {
 
   test("q54: repetition stats are row-local — no exchange except the output sort") {
     // repeated-token ratio / dup-line fraction / top-gram fold must all be
-    // per-row expressions; the only exchange allowed is the final orderBy's
-    // range partitioning (and AQE wrappers around it)
+    // per-row expressions; the only exchanges allowed are the final
+    // orderBy's range partitioning (and AQE wrappers) plus the r15
+    // starved-scan fanout's RoundRobin (row-local by construction — it
+    // moves rows, never keys them; see Tables.documents)
     val p = planOf("q54_repetition")
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchanges.forall(l => l.contains("rangepartitioning") || l.contains("Reused")),
+    assert(exchanges.forall(l => l.contains("rangepartitioning") ||
+        l.contains("Reused") || l.contains("RoundRobinPartitioning")),
       s"unexpected non-sort exchange in repetition plan:\n${exchanges.mkString("\n")}")
   }
 
@@ -117,7 +120,8 @@ class PlanSpec extends SparkSpec {
         "q74_gopher_quality")) {
       val p = planOf(q)
       val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
-      assert(ex.forall(l => l.contains("rangepartitioning") || l.contains("Reused")),
+      assert(ex.forall(l => l.contains("rangepartitioning") ||
+          l.contains("Reused") || l.contains("RoundRobinPartitioning")),
         s"unexpected non-sort exchange in $q:\n${ex.mkString("\n")}")
     }
   }
@@ -169,7 +173,8 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q63_line_dedup")
     assert(!p.contains("Join"), s"small-set strip must not join:\n$p")
     val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(ex.forall(l => l.contains("rangepartitioning") || l.contains("Reused")),
+    assert(ex.forall(l => l.contains("rangepartitioning") ||
+        l.contains("Reused") || l.contains("RoundRobinPartitioning")),
       s"unexpected non-sort exchange in the strip plan:\n${ex.mkString("\n")}")
   }
 
