@@ -73,9 +73,14 @@ class LayoutSpec extends SparkSpec {
 
   // ------------------------------------------------------------ classifier
   test("classifier: scoring is a zero-exchange row-local projection") {
+    // the r15 starved-scan fanout (Tables.documents) adds a RoundRobin
+    // exchange at the loader — row-local by construction, allowed; the
+    // SCORING itself must still introduce no keyed shuffle
     val plan = Classifier.scoreDocuments(Tables.documents(spark, sf001),
       "text", nClasses = 4).queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    val keyed = plan.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("RoundRobinPartitioning")).toSeq
+    assert(keyed.isEmpty, s"unexpected shuffle in:\n$plan")
   }
 
   test("classifier: argmax ties break to the lowest class id") {

@@ -14,6 +14,23 @@ class OpsSpec extends SparkSpec {
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq)
 
+  test("fanoutScan widens a starved single-split scan, respects the conf, is a no-op on parallel inputs") {
+    val scan = Tables.load(spark, sf0001, "documents")
+    assert(scan.rdd.getNumPartitions == 1, "fixture: single-row-group file")
+    val fanned = Ops.fanoutScan(scan)
+    assert(fanned.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // row multiset unchanged (the exchange moves rows, never keys them)
+    assert(fanned.count() == scan.count())
+    // already-parallel input passes through untouched
+    val wide = scan.repartition(spark.sparkContext.defaultParallelism * 2)
+    assert(Ops.fanoutScan(wide) eq wide)
+    // conf gate
+    spark.conf.set("spark.graft.scan.fanout", "false")
+    try assert(Ops.fanoutScan(scan) eq scan)
+    finally spark.conf.unset("spark.graft.scan.fanout")
+  }
+
   test("cut selects, excludes, prunes (process.py:901-934)") {
     val df = Seq(("a1", Some(1), Some("x")), ("a2", None, None))
       .toDF("a", "b", "c")

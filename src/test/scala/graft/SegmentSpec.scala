@@ -40,9 +40,13 @@ class SegmentSpec extends SparkSpec {
   }
 
   test("kernel is a zero-exchange projection") {
+    // the loader's r15 RoundRobin fanout is allowed (row-local); the
+    // kernel itself must add no keyed shuffle
     val plan = Tables.documents(spark, sf001)
       .select(SegmentExprs.greedyPieces(col("text"), TA.PieceVocab))
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    val keyed = plan.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("RoundRobinPartitioning")).toSeq
+    assert(keyed.isEmpty, s"unexpected shuffle in:\n$plan")
   }
 }
