@@ -3488,9 +3488,14 @@ object StatsQueries2 {
         "round(CAST(w AS DOUBLE), 6) AS weight FROM c3 ORDER BY 1, 2")
     },
       (s, dir) => {
+        // the 15-cell contingency feeds FOUR consumers (dims, both target
+        // relations, and the rake input) through broadcast-only lineage —
+        // materialize the orders rollup once instead of once per broadcast
+        // build (the rake duplicated-subtree fix, guide §7.2)
         val cells = Tables.orders(s, dir)
           .groupBy("o_orderpriority", "o_orderstatus")
           .agg(count(lit(1)).as("n"))
+          .repartition(1).localCheckpoint(true)
         val dims = cells.agg(
           (sum(col("n")).cast("double") /
             countDistinct(col("o_orderpriority")).cast("double")).as("rt"),
