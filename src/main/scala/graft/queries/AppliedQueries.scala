@@ -22,11 +22,23 @@ object AppliedQueries {
     * (the >= 2 support floor keeps the graph peelable — the raw
     * co-occurrence graph is near-complete at bench scale). */
   private[queries] def copurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val lp = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-      .filter(col("pk") < col("pk2"))
-      .groupBy(col("pk"), col("pk2"))
+    // per-order part SETS in one ok-keyed exchange (collect_set dedups in
+    // the aggregate), then ordered pairs by double explode over the sorted
+    // array — the r15 rewrite of distinct + self-join + pair rollup (four
+    // exchanges + a sort-merge join whose both sides re-read the distinct)
+    // down to TWO exchanges with identical pair volume through the second.
+    // slice(ps, i+2, n-i-1) enumerates exactly the y > x successors of the
+    // i-th (0-based) element of the ascending set — the same pk < pk2
+    // pairs the self-join produced. Baskets are bounded by order line
+    // count (TPC-H ≤ 7 parts), so the per-order array is a few elements,
+    // never a power-basket risk.
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("__ps"))
+      .select(posexplode(col("__ps")).as(Seq("__i", "pk")), col("__ps"))
+      .select(col("pk"), explode(expr(
+        "slice(__ps, __i + 2, size(__ps) - __i - 1)")).as("pk2"))
+    pairs.groupBy(col("pk"), col("pk2"))
       .agg(count(lit(1)).as("__w"))
       .filter(col("__w") >= 2)
       .select(col("pk").as("src"), col("pk2").as("dst"))
