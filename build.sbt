@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver archives and parses only the last ~2000 stdout chars of
+// `sbt "runMain graft.Bench"` and json-loads each line. sbt's default
+// LoggedOutput decorates every forked-process stdout line with an
+// "[info] " prefix, which breaks a strict per-line JSON parse — every
+// BENCH_r*.json through r15 records parsed:null with the intact JSON
+// line sitting in the tail behind the prefix. StdoutOutput passes the
+// forked JVM's stdout through undecorated so the bench's single JSON
+// line is machine-parseable.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -143,7 +143,10 @@ object Bench {
     val slow = results.sortBy(-_._2).take(40)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_fail":$nFail,"probe_sec":$probeJson,"loadavg":$loadJson,"gc_cum_sec":$gcJson,"queries":$slow,"note":"queries=slowest-40 of n_queries; full map in bench_full_local.json; probe_sec = fixed compute-only query at start/mid/end - drift means host contention, not regression; loadavg = OS 1-min load at the same marks (external contention), gc_cum_sec = cumulative JVM GC seconds (memory pressure - deltas isolate each third)"}""")
+    // keep this line comfortably inside the ~2000-char archived tail
+    // (with sbt's trailing "[success] ..." line after it): short note,
+    // slowest-40 map only; the full map is in bench_full_local.json.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_fail":$nFail,"probe_sec":$probeJson,"loadavg":$loadJson,"gc_cum_sec":$gcJson,"queries":$slow,"note":"queries=slowest-40; full map in bench_full_local.json; probe/loadavg/gc sampled at start-mid-end"}""")
     spark.stop()
   }
 }
