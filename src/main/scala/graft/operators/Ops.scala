@@ -46,6 +46,23 @@ object Ops {
     else df.repartition(cores)
   }
 
+  /** [[fanoutScan]] keyed on the consumer's own grouping columns: same
+    * gate (no-op at any real multi-split layout, `spark.graft.scan.fanout`
+    * kill switch), but the exchange is a hash repartition that the
+    * downstream groupBy/window on the same keys absorbs (EnsureRequirements
+    * adds no second shuffle), and it avoids the local sort every KEYLESS
+    * repartition pays (SPARK-23207 / `sortBeforeRepartition`) — measured
+    * the difference between a win and a loss on the finance bar rollup. */
+  private[graft] def fanoutScanBy(df: DataFrame, keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val enabled =
+      spark.conf.getOption("spark.graft.scan.fanout").forall(_.toBoolean)
+    if (!enabled || cores < 4) df
+    else if (df.rdd.getNumPartitions * 2 >= cores) df
+    else df.repartition(keys: _*)
+  }
+
   // ---------------------------------------------------------------- P1: cut
   /** Select or exclude columns; `prune` drops rows left all-null.
     * Reference: process.cut, meza/process.py:901-934 (dfilter fntools.py:589-614). */

@@ -293,7 +293,18 @@ object Finance {
       unix_micros(col(tsCol)).as("__us"), tieCol.as("__tie"),
       round(priceCol * 100, 0).cast("long").as("__c"),
       qtyCol.cast("long").as("__q"))
-    base.groupBy("key", "day")
+    // Fan out a starved single-split scan before the rollup (guide §2.5
+    // "one huge unsplittable file"): the (key, day) partial aggregate is
+    // the heavy map work of every bars consumer, and on a single-file
+    // trade table it serializes on one core (measured ~1.7 s of the
+    // finance tier's per-query cost at sf0.1). KEYED on the rollup's own
+    // grouping columns: the exchange replaces the groupBy's own shuffle
+    // (EnsureRequirements sees the partitioning satisfied) and, unlike a
+    // round-robin fanout, pays no sort-before-repartition (SPARK-23207 —
+    // the round-robin variant measured a 0.7 s LOSS on this tier). A
+    // real multi-split table passes through untouched.
+    graft.operators.Ops.fanoutScanBy(base, col("key"), col("day"))
+      .groupBy("key", "day")
       .agg(min_by(col("__c"), struct(col("__us"), col("__tie"))).as("__o"),
         max(col("__c")).as("__h"), min(col("__c")).as("__l"),
         max_by(col("__c"), struct(col("__us"), col("__tie"))).as("__cl"),
@@ -1065,6 +1076,11 @@ object Finance {
   def capmBeta(df: DataFrame, keyCol: String, dayCol: String,
                closeCol: Column): DataFrame = {
     val dt = DecimalType(38, 0)
+    // NOT cut: `cents` feeds four plan consumers whose pruned subtrees
+    // don't all reuse one exchange, but the duplicated subtrees are
+    // small 1-task stages that the scheduler runs CONCURRENTLY inside
+    // the one job — an eager localCheckpoint serialized that work and
+    // measured WORSE (q524 2.03 -> 2.41 s A/B, r16).
     val cents = closeCents(df, keyCol, dayCol, closeCol)
     val perDay = cents.groupBy("day")
       .agg(count(lit(1)).as("__cnt"), sum(col("__c")).as("__mc"))
