@@ -291,6 +291,96 @@ case class LangIdArgmax(child: Expression, profiles: Seq[(String, Seq[String])])
   override def prettyName: String = "langid_argmax"
 }
 
+/** One-pass text scan stats for quality scoring — the counts behind
+  * TextAnalysis.qualityScore's composed form, which ran ~6 passes per row
+  * (three regex splits, two full-text regexp_replace, one interpreted
+  * `filter`+`isin` over every token). Byte-exact contracts mirrored
+  * (spec-pinned against the composed expressions in SketchExprsSpec):
+  *
+  *   - n_tokens = size(split(trim(c), "\\s+")): Spark trim strips ' '
+  *     only; Java split with limit -1 keeps a leading empty token when the
+  *     trimmed string starts with non-space whitespace and a trailing one
+  *     when it ends with it; "" splits to [""] (count 1).
+  *   - n_chars = length(c) in CODE POINTS (UTF8String.numChars).
+  *   - punct = code points removed by regexp_replace(c, "[\\p{Punct}]", "")
+  *     (Java \p{Punct} = the 32 ASCII punctuation chars).
+  *   - hits = size(filter(split(trim(lower(c)), "\\s+"), isin(words))):
+  *     token membership after lowercasing. Tokenwise toLowerCase(ROOT)
+  *     equals whole-string lowering restricted to tokens (case mappings
+  *     never produce whitespace; Greek final-sigma context is a non-letter
+  *     at a token boundary either way). Tokens longer (in UTF-16 units)
+  *     than the longest target word are skipped — lowering never shrinks
+  *     a string, so they cannot match.
+  *   - non_ws = length(regexp_replace(trim(c), "\\s+", "")) — code points
+  *     outside Java regex \s = [ \t\n\x0B\f\r].
+  */
+case class TextQualityStats(child: Expression, words: Seq[String])
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("punct", IntegerType, nullable = false),
+    StructField("hits", IntegerType, nullable = false),
+    StructField("non_ws", IntegerType, nullable = false)))
+
+  @transient private lazy val wordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    words.foreach(s.add)
+    s
+  }
+  @transient private lazy val maxWordLen: Int =
+    if (words.isEmpty) 0 else words.map(_.length).max
+
+  private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+
+  private def isPunct(cp: Int): Boolean =
+    (cp >= '!' && cp <= '/') || (cp >= ':' && cp <= '@') ||
+      (cp >= '[' && cp <= '`') || (cp >= '{' && cp <= '~')
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.toString
+    val len = s.length
+    // whole-string counts (code points)
+    var nChars = 0; var punct = 0; var nonWs = 0
+    var i = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      if (isPunct(cp)) punct += 1
+      if (!isWs(cp)) nonWs += 1
+      i += Character.charCount(cp)
+    }
+    // token walk over the space-trimmed slice (Spark trim strips ' ' only)
+    var st = 0; var en = len
+    while (st < en && s.charAt(st) == ' ') st += 1
+    while (en > st && s.charAt(en - 1) == ' ') en -= 1
+    var nTokens = 0; var hits = 0
+    if (st == en) nTokens = 1 // "" splits to [""]
+    else {
+      if (isWs(s.charAt(st))) nTokens += 1 // leading empty token
+      var p = st
+      while (p < en) {
+        if (isWs(s.charAt(p))) p += 1
+        else {
+          val t0 = p
+          while (p < en && !isWs(s.charAt(p))) p += 1
+          nTokens += 1
+          if (p - t0 <= maxWordLen &&
+              wordSet.contains(s.substring(t0, p)
+                .toLowerCase(java.util.Locale.ROOT))) hits += 1
+        }
+      }
+      if (isWs(s.charAt(en - 1))) nTokens += 1 // trailing empty token
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nTokens, nChars, punct, hits, nonWs)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TextQualityStats =
+    copy(child = c)
+  override def prettyName: String = "text_quality_stats"
+}
+
 object SketchExprs {
 
   /** Byte-exact mirror of the composed `split(trim(lower(c)), "\\s+")`
@@ -333,4 +423,8 @@ object SketchExprs {
   /** text: string; profiles: (langCode, stopwords). */
   def langIdArgmax(text: Column, profiles: Seq[(String, Seq[String])]): Column =
     column(LangIdArgmax(expression(text), profiles))
+
+  /** text: string -> struct<n_tokens,n_chars,punct,hits,non_ws> (one pass). */
+  def textQualityStats(text: Column, words: Seq[String]): Column =
+    column(TextQualityStats(expression(text), words))
 }

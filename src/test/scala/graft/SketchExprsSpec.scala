@@ -104,6 +104,34 @@ class SketchExprsSpec extends SparkSpec {
     assert(badMin == 0, "minhash kernel diverges on fuzz input")
   }
 
+  test("quality-score kernel equals the composed form (docs + fuzz)") {
+    import graft.pipeline.{TextAnalysis => TA}
+    // real corpus: bit-identical rounded scores
+    val docs = Tables.documents(spark, sf0001)
+    val badDocs = docs.select(TA.qualityScore(col("text")).as("k"),
+        TA.qualityScoreComposed(col("text")).as("c"))
+      .filter(col("k") =!= col("c") ||
+        col("k").isNull =!= col("c").isNull).count()
+    assert(badDocs == 0, "qualityScore kernel diverges on the docs fixture")
+    // adversarial strings: split/trim edge semantics (space-only trim,
+    // leading/trailing empty tokens from non-space whitespace, "" -> [""]),
+    // unicode (supplementary chars count once; Greek final sigma; İ whose
+    // lowering grows), ASCII-vs-unicode punctuation, stopword case forms
+    val nasty = Seq(
+      null, "", " ", "  ", "\t", "\n", " \t ", "a", "the", "THE", "tHe",
+      "the.", "a\tb ", "\tthe la\n", "!!! ... ;;;", "«no ascii punct»",
+      "ΑΣ ΑΣ", "İT is", "emoji 😀! done", "x" * 400,
+      "this that with as by at it", "word, word; word: word",
+      "ab\fc\rd", "  the   quick\t\tbrown  ",
+      ("the quick brown fox jumps over the lazy dog. " * 12))
+    val badFuzz = nasty.toDF("text")
+      .select(TA.qualityScore(col("text")).as("k"),
+        TA.qualityScoreComposed(col("text")).as("c"))
+      .filter(coalesce(col("k") =!= col("c"), lit(false)) ||
+        col("k").isNull =!= col("c").isNull).count()
+    assert(badFuzz == 0, "qualityScore kernel diverges on fuzz input")
+  }
+
   test("native word shingles are set-equal to the composed form") {
     val docs = Tables.documents(spark, sf0001).limit(200)
     for (n <- Seq(1, 3)) {
