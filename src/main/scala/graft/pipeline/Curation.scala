@@ -597,9 +597,24 @@ object Curation {
                    keyCol: String, k: Int, oversample: Int = 8): DataFrame = {
     require(k > 0 && oversample > 0)
     val sampleTarget = 4096.0
+    // Eager cut at the top (guide §7.2 duplicated subtrees / §5 lineage
+    // cut): this relation has FIVE plan consumers (counts, the sample
+    // aggregate, the under-filled probe, the candidate filter, and the
+    // final window's input), and column pruning specializes each subtree
+    // below its scan, so neither exchange reuse nor AQE's stage cache
+    // unifies them — the caller's score expression (often the expensive
+    // part: q67's quality score) re-evaluated per consumer, 5 full-corpus
+    // passes. A group-keyed repartition barrier measured NO win (the
+    // pruned Projects below it keep the subtrees non-identical); the
+    // materialization is what collapses the passes to one, keyed so the
+    // downstream groupBys and the rank window inherit the partitioning.
+    // The caller projects its input to (group, score, key [+ output
+    // columns]) by contract, so the cut is a narrow relation, not raw rows.
     val withG = df.withColumn("__g",
         coalesce(col(groupCol).cast("string"), lit("")))
       .withColumn("__gn", col(groupCol).isNull)
+      .repartition(col("__g"), col("__gn"))
+      .localCheckpoint(true)
     val counts = withG.groupBy("__g", "__gn").agg(count(lit(1)).as("__n"))
     val j0 = withG.join(counts, Seq("__g", "__gn"))
     val drawHex = substring(md5(concat(lit("tkpg:"),
