@@ -173,12 +173,28 @@ object Dedup {
     * column feeds the native signature kernel exactly once. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
+    // ONE shingling pass, then an eager cut of the distinct-set relation
+    // (r16; guide §7.2): the former per-row `base` had five plan consumers
+    // (the set groupBy, both within-pair self-join sides, both expansion
+    // joins), and column pruning specializes each subtree below its
+    // exchange — neither exchange reuse nor AQE's stage cache unifies
+    // them, so shingling re-ran per consumer (4 full-corpus map stages in
+    // q70's profile). Grouping member ids into a sorted array gives the
+    // groupBy a SINGLE consumer for the raw corpus, and the cut pins the
+    // distinct-set relation (fp, rid, ids, sh) — bounded by the distinct
+    // corpus, the same data the old plan shuffled — for the sig/verify/
+    // expansion consumers. Within-set pairs come from the ids array by
+    // the posexplode+slice successor enumeration (the copurchaseEdges
+    // form) instead of a self-join: identical (x.id < y.id) pairs.
+    val grouped = df.select(col(idCol).as("id"),
         wordShingles(col(textCol), cfg.shingleN).as("sh"))
       .withColumn("fp", md5(to_json(array_sort(col("sh")))))
       .repartition(col("fp"))
-    val reps0 = base.groupBy(col("fp"))
-      .agg(min(col("id")).as("rid"), first(col("sh")).as("sh"))
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("rid"), sort_array(collect_list(col("id"))).as("ids"),
+        first(col("sh")).as("sh"))
+      .localCheckpoint(true)
+    val reps0 = grouped.select(col("fp"), col("rid"), col("sh"))
     // md5-seeded mode: numHashes independent salted md5 minima (the q371
     // signature, oracle-replayable) through the native kernel — the
     // composed transform/array_min form ran 64 interpreted lambdas per
@@ -214,11 +230,17 @@ object Dedup {
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= cfg.threshold)
 
-    val cross = expandCross(verified, base.select(col("fp"), col("id")), "jaccard")
-    val within = base.as("x").join(base.as("y"),
-        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        lit(1.0).as("jaccard"))
+    val members = grouped.select(col("fp"), explode(col("ids")).as("id"))
+    val cross = expandCross(verified, members, "jaccard")
+    // within-set pairs from the sorted ids array: slice(ids, i+2, n-i-1)
+    // enumerates exactly the successors of the i-th (0-based) element —
+    // the same id_a < id_b pairs the former self-join produced, at
+    // jaccard 1.0 (genuine duplicates, output-bounded)
+    val within = grouped.filter(size(col("ids")) >= 2)
+      .select(posexplode(col("ids")).as(Seq("__i", "id_a")), col("ids"))
+      .select(col("id_a"), explode(expr(
+        "slice(ids, __i + 2, size(ids) - __i - 1)")).as("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
     cross.union(within)
   }
 
@@ -308,13 +330,22 @@ object Dedup {
                    maxHamming: Int = 3, maxBucket: Int = 4096,
                    md5Seeded: Boolean = false): DataFrame = {
     // native single-pass kernel (references the token hashes exactly once,
-    // so no CollapseProject blowup); exchange barrier keyed on the
-    // signature: the groupBy, both expansion joins, and the within-group
-    // self-join all reuse this one shuffle's partitioning
-    val sigs = df.select(col(idCol).as("id"),
+    // so no CollapseProject blowup). ONE tokenize+hash pass, then an eager
+    // cut of the distinct-signature relation (r16, the minhashDedup
+    // treatment): the former per-row `sigs` had five plan consumers whose
+    // pruned subtrees never unify, so the text pass re-ran per consumer;
+    // grouping member ids into a sorted array leaves the raw corpus with a
+    // SINGLE consumer and the cut pins (sh, rid, ids) — |distinct sigs|
+    // rows — for banding and expansion. Within-signature pairs enumerate
+    // from the ids array (the copurchaseEdges posexplode+slice form) —
+    // identical (x.id < y.id) pairs to the former self-join.
+    val grouped = df.select(col(idCol).as("id"),
         simhashSig(col(textCol), md5Seeded).as("sh"))
       .repartition(col("sh"))
-    val reps = sigs.groupBy(col("sh")).agg(min(col("id")).as("rid"))
+      .groupBy(col("sh"))
+      .agg(min(col("id")).as("rid"), sort_array(collect_list(col("id"))).as("ids"))
+      .localCheckpoint(true)
+    val reps = grouped.select(col("sh"), col("rid"))
     val banded = reps.select(col("rid"), col("sh"),
         explode(simhashBandArray(col("sh"))).as("bb"))
       .select(col("rid"), col("sh"), col("bb.band"), col("bb.bucket"))
@@ -330,11 +361,12 @@ object Dedup {
       .withColumn("hamming", hamming(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= maxHamming)
     val cross = expandCross(verified,
-      sigs.select(col("sh").as("fp"), col("id")), "hamming")
-    val within = sigs.as("x").join(sigs.as("y"),
-        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        lit(0).as("hamming"))
+      grouped.select(col("sh").as("fp"), explode(col("ids")).as("id")), "hamming")
+    val within = grouped.filter(size(col("ids")) >= 2)
+      .select(posexplode(col("ids")).as(Seq("__i", "id_a")), col("ids"))
+      .select(col("id_a"), explode(expr(
+        "slice(ids, __i + 2, size(ids) - __i - 1)")).as("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
     cross.union(within)
   }
 
