@@ -656,6 +656,12 @@ object EventAnalytics {
                          minUsers: Long = 1L,
                          maxBasket: Int = 1024): DataFrame = {
     require(maxBasket >= 2, s"maxBasket must be >= 2: $maxBasket")
+    // (r16 negative A/B, recorded as a guard-rail: rewriting the pair
+    // stage as a per-user collect_list + row-local slice/posexplode
+    // enumeration — the copurchaseEdges form — measured WORSE here,
+    // q185 5.4 -> 6.2 s: at basket sizes beyond the copurchase tier's
+    // ≤7 items the generator's per-element array slices out-allocate
+    // the codegen'd self-join it replaced. The join form stays.)
     val basket = cappedBasket(df, userCol, typeCol, maxBasket)
     val marg = basket.groupBy(col("__ty")).agg(count(lit(1)).as("__n"))
     val pairs = basket.join(
@@ -1223,9 +1229,16 @@ object EventAnalytics {
                     minSim: Double = 0.0): DataFrame = {
     require(k >= 1 && maxNeighbors >= 1, s"bad bounds: k=$k maxNeighbors=$maxNeighbors")
     require(minSim >= 0.0 && minSim <= 1.0, s"minSim out of [0,1]: $minSim")
+    // Eager cut of the distinct basket (r16, guide §7.2): the scoring
+    // join, the owned-item anti join, AND the whole pair stage (via
+    // cooccurrenceCosine) each re-derived the caller's input relation +
+    // distinct from scratch — for q185 that is three orders⋈lineitem
+    // joins. The basket is the relation every stage shuffles anyway; one
+    // materialization replaces three derivations.
     val basket = df.select(col(userCol).as("__u"), col(itemCol).as("__i"))
       .distinct()
-    val simsAll = cooccurrenceCosine(df, userCol, itemCol, minUsers, maxBasket)
+      .localCheckpoint(true)
+    val simsAll = cooccurrenceCosine(basket, "__u", "__i", minUsers, maxBasket)
     val sims = (if (minSim > 0.0) simsAll.filter(col("cosine") >= minSim)
       else simsAll)
       .select(col("item_a"), col("item_b"),
