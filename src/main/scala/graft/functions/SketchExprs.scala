@@ -314,14 +314,16 @@ case class LangIdArgmax(child: Expression, profiles: Seq[(String, Seq[String])])
   *   - non_ws = length(regexp_replace(trim(c), "\\s+", "")) — code points
   *     outside Java regex \s = [ \t\n\x0B\f\r].
   */
-case class TextQualityStats(child: Expression, words: Seq[String])
+case class TextQualityScore(child: Expression, words: Seq[String])
     extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-  override def dataType: DataType = StructType(Seq(
-    StructField("n_tokens", IntegerType, nullable = false),
-    StructField("n_chars", IntegerType, nullable = false),
-    StructField("punct", IntegerType, nullable = false),
-    StructField("hits", IntegerType, nullable = false),
-    StructField("non_ws", IntegerType, nullable = false)))
+  // Returns the UNROUNDED score double (the caller applies Spark's
+  // round(_, 6), keeping the final HALF_UP identical to the composed
+  // form). Returning the score — not a counts struct — matters: struct
+  // getField consumers expand to one kernel call per field reference
+  // (eight per row in q25's plan, no common-subexpression factoring for
+  // a CodegenFallback inside the projection), where one call per row is
+  // the whole point.
+  override def dataType: DataType = DoubleType
 
   @transient private lazy val wordSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
@@ -337,6 +339,17 @@ case class TextQualityStats(child: Expression, words: Seq[String])
   private def isPunct(cp: Int): Boolean =
     (cp >= '!' && cp <= '/') || (cp >= ':' && cp <= '@') ||
       (cp >= '[' && cp <= '`') || (cp >= '{' && cp <= '~')
+
+  // Composed-form null semantics, preserved exactly: on a NULL text the
+  // composed expression yields 0.6, not NULL — `least` SKIPS null
+  // operands, so lenScore and stopScore collapse to 1.0 while the
+  // punct/word terms' `when` chains fall to their 0.0 otherwise-branches
+  // (1.0·0.3 + 0.0·0.2 + 1.0·0.3 + 0.0·0.2). Spec-pinned in the fuzz set.
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0.6 else nullSafeEval(v)
+  }
 
   override def nullSafeEval(v: Any): Any = {
     val s = v.toString
@@ -373,12 +386,21 @@ case class TextQualityStats(child: Expression, words: Seq[String])
       }
       if (isWs(s.charAt(en - 1))) nTokens += 1 // trailing empty token
     }
-    org.apache.spark.sql.catalyst.InternalRow(nTokens, nChars, punct, hits, nonWs)
+    // the composed form's exact IEEE shape, left-associative:
+    // lenScore*0.3 + punctScore*0.2 + stopScore*0.3 + wordScore*0.2
+    val lenScore = math.min(nTokens.toDouble / 50.0, 1.0)
+    val pr = if (nChars == 0) 0.0 else punct.toDouble / nChars
+    val punctScore = 1.0 - math.min(pr * 5.0, 1.0)
+    val hr = if (nTokens == 0) 0.0 else hits.toDouble / nTokens
+    val stopScore = math.min(hr * 5.0, 1.0)
+    val mtl = if (nTokens == 0) 0.0 else nonWs.toDouble / nTokens
+    val wordScore = if (mtl >= 2.5 && mtl <= 12.0) 1.0 else 0.0
+    lenScore * 0.3 + punctScore * 0.2 + stopScore * 0.3 + wordScore * 0.2
   }
 
-  override protected def withNewChildInternal(c: Expression): TextQualityStats =
+  override protected def withNewChildInternal(c: Expression): TextQualityScore =
     copy(child = c)
-  override def prettyName: String = "text_quality_stats"
+  override def prettyName: String = "text_quality_score"
 }
 
 object SketchExprs {
@@ -424,7 +446,7 @@ object SketchExprs {
   def langIdArgmax(text: Column, profiles: Seq[(String, Seq[String])]): Column =
     column(LangIdArgmax(expression(text), profiles))
 
-  /** text: string -> struct<n_tokens,n_chars,punct,hits,non_ws> (one pass). */
-  def textQualityStats(text: Column, words: Seq[String]): Column =
-    column(TextQualityStats(expression(text), words))
+  /** text: string -> unrounded quality score (one pass; see the kernel). */
+  def textQualityScore(text: Column, words: Seq[String]): Column =
+    column(TextQualityScore(expression(text), words))
 }

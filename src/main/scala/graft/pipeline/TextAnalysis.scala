@@ -69,30 +69,15 @@ object TextAnalysis {
   /** Heuristic document quality in [0,1]: length saturation, punctuation
     * moderation, stopword presence, sane mean word length. Deterministic and
     * SQL-mirrorable (each term is arithmetic over the metrics above). */
-  def qualityScore(c: Column): Column = {
-    // one native text pass ([[graft.functions.TextQualityStats]]) instead
+  def qualityScore(c: Column): Column =
+    // one native text pass ([[graft.functions.TextQualityScore]]) instead
     // of the composed ~6 passes per row (three regex splits, two full-text
     // regexp_replace, one interpreted filter+isin over every token —
-    // measured as the dominant cost of the q25/q53/q67 tier); the ratio
-    // arithmetic below keeps the composed form's exact IEEE shape and
-    // stays spec-pinned equal to [[qualityScoreComposed]].
-    val st = graft.functions.SketchExprs.textQualityStats(c, Stopwords)
-    val nt = st.getField("n_tokens")
-    val nc = st.getField("n_chars")
-    val lenScore = least(nt.cast("double") / 50.0, lit(1.0))
-    // composed punctRatio's (length(c) - length(regexp_replace(...))) is
-    // the punct count as the same integer subtraction
-    val pr = when(nc === 0, lit(0.0))
-      .otherwise(st.getField("punct").cast("double") / nc)
-    val punctScore = lit(1.0) - least(pr * 5.0, lit(1.0))
-    val hr = when(nt === 0, lit(0.0))
-      .otherwise(st.getField("hits").cast("double") / nt)
-    val stopScore = least(hr * 5.0, lit(1.0))
-    val mtl = when(nt === 0, lit(0.0))
-      .otherwise(st.getField("non_ws").cast("double") / nt)
-    val wordScore = when(mtl >= 2.5 && mtl <= 12.0, lit(1.0)).otherwise(lit(0.0))
-    round(lenScore * 0.3 + punctScore * 0.2 + stopScore * 0.3 + wordScore * 0.2, 6)
-  }
+    // measured as the dominant cost of the q25/q53/q67 tier). The kernel
+    // returns the unrounded score with the composed form's exact IEEE
+    // arithmetic shape (spec-pinned equal to [[qualityScoreComposed]]);
+    // Spark's round keeps the final HALF_UP identical.
+    round(graft.functions.SketchExprs.textQualityScore(c, Stopwords), 6)
 
   /** Composed built-in form of [[qualityScore]] — reference semantics,
     * kept as the spec-pinned equivalence oracle for the native kernel
