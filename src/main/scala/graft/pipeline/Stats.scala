@@ -2054,6 +2054,11 @@ object Stats {
     val sD = col(scoreCol).cast("double")
     val slimCols =
       (partCols ++ Seq(scoreCol) ++ tieCols ++ weightCol.toSeq).distinct
+    // (r16 negative A/B, recorded: flipping this to a LAZY checkpoint —
+    // fusing the materialization into the pivot head() job, one fewer
+    // blocking driver job per call — measured FLAT across three OptBench
+    // runs of the 6-query rank family (11.47/11.08/11.48 s totals, noise
+    // dominated); eager is the safer documented mode and stays.)
     val slim = df0.select(slimCols.map(col): _*).localCheckpoint(true)
     // the final pass reuses the checkpointed slim when it already carries
     // every output column; otherwise it re-derives df0 (one extra scan of

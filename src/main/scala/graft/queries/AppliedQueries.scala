@@ -32,6 +32,12 @@ object AppliedQueries {
     // pairs the self-join produced. Baskets are bounded by order line
     // count (TPC-H ≤ 7 parts), so the per-order array is a few elements,
     // never a power-basket risk.
+    // (r16 negative A/B, recorded: a fanoutScanBy(ok) hash exchange before
+    // this set aggregate — the dailyBars treatment — measured worse on the
+    // multi-consumer graph one-shots, q300 1.81 -> 3.08 s, q156
+    // 2.11 -> 2.90 s: the exchange subtree re-executes per downstream
+    // consumer above the Graph-side cut, multiplying a 600k-row shuffle
+    // where the starved-but-cheap single-task scan ran once. Left direct.)
     val pairs = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("__ps"))
